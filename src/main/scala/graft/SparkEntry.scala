@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.GraphConfig
+import graft.functions.{GraftFunctions => GF}
+import graft.operators._
+import graft.streaming.StreamingIngest
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ the EXT LLM-pipeline operators), each with matching
+  * DuckDB oracle SQL where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules (SURVEY.md §5/§7): every query ends in an explicit
+  * orderBy over a key; float aggregates are rounded; timestamps are
+  * emitted as epoch seconds to dodge µs-vs-ns parquet physical types.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table ships TIMESTAMP(NANOS) which Spark reads as long
+    * (nanosAsLong). Convert to a µs TimestampType column with integer
+    * division — double math would lose precision above 2^53 ns. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** The graph-spec fixture (FIXTURES.md §2) over the TPC-H-ish tables,
+    * in the reference's config grammar. */
+  def fixtureYaml(dir: String): String =
+    s"""Database:
+       |  name: TpchGraph
+       |  version: "0.1"
+       |  author: graft
+       |Sources:
+       |  TPCH:
+       |    source type: parquet
+       |    path: $dir
+       |Nodes:
+       |  Customer:
+       |    sources:
+       |      TPCH: { table: customer, id_key: c_custkey, uri_key: c_name }
+       |  Order:
+       |    sources:
+       |      TPCH: { table: orders, id_key: o_orderkey }
+       |  Part:
+       |    sources:
+       |      TPCH: { table: part, id_key: p_partkey, uri_key: p_name }
+       |  Nation:
+       |    sources:
+       |      TPCH: { table: nation, id_key: n_nationkey, uri_key: n_name }
+       |Relationships:
+       |  CUSTOMER_PLACED_ORDER:
+       |    sources:
+       |      TPCH:
+       |        type: foreign_key
+       |        start: { node: Customer, table: customer, key: c_custkey }
+       |        end: { node: Order, table: orders, key: o_custkey }
+       |  ORDER_CONTAINS_PART:
+       |    start_node: Order
+       |    end_node: Part
+       |    sources:
+       |      TPCH:
+       |        type: join_table
+       |        table: lineitem
+       |        from_field: l_orderkey
+       |        to_field: l_partkey
+       |  CUSTOMER_IN_NATION:
+       |    sources:
+       |      TPCH:
+       |        type: foreign_key
+       |        start: { node: Customer, table: customer, key: c_nationkey }
+       |        end: { node: Nation, table: nation, key: n_nationkey }
+       |""".stripMargin
+
+  /** Flagship: full config-compiled graph build (scan → project → union →
+    * merge-by-id → fk/join-table edges) → per-label stats. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graphBuild(spark, "/root/testdata/sf0.001")
+
+  private def graphBuild(s: SparkSession, dir: String): DataFrame = {
+    val cfg = GraphConfig.fromYaml(fixtureYaml(dir))
+    GraphBuilder.build(s, cfg).stats(s)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S2: schema-peek scan (limit pushed into the scan) ----
+    "q_s2_schema_peek" -> ((s, dir) =>
+      t(s, dir, "customer").orderBy("c_custkey").limit(1)),
+
+    // ---- S3: full-table scan ----
+    "q_s3_scan_region" -> ((s, dir) =>
+      t(s, dir, "region").orderBy("r_regionkey")),
+
+    // ---- P1/P2: field-alignment projection with null-fill ----
+    "q_p1_project_nullfill" -> ((s, dir) => {
+      val target = graft.plans.SchemaMerge.mergeFields(Seq(
+        t(s, dir, "customer").schema,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("extra_field",
+            org.apache.spark.sql.types.StringType)))))
+      NodePipeline.projectToSchema(t(s, dir, "customer"), target)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- A1+A3+A2: schema merge, multi-source union, merge-by-id ----
+    "q_a2_union_merge" -> ((s, dir) => {
+      val src0 = t(s, dir, "customer").select("c_custkey", "c_name")
+      val src1 = t(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("total_spent"))
+      NodePipeline.buildNodeTable(Seq(src0, src1), "c_custkey")
+        .select(col("c_custkey"), col("c_name"), col("n_orders"),
+          round(col("total_spent"), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J1: foreign_key relationship join ----
+    "q_j1_fk_edges" -> ((s, dir) =>
+      RelPipeline.foreignKeyEdges(
+        t(s, dir, "customer"), "c_custkey",
+        t(s, dir, "orders"), "o_custkey", "o_orderkey",
+        props = Seq("o_totalprice"))
+        .orderBy("start_id", "end_id")),
+
+    // ---- J2: join_table relationship with endpoint validation ----
+    "q_j2_jointable_edges" -> ((s, dir) =>
+      RelPipeline.joinTableEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "part"), "p_partkey")
+        .distinct()
+        .orderBy("start_id", "end_id")),
+
+    // ---- J3/QC: dangling-edge anti-join report ----
+    "q_j3_dangling_edges" -> ((s, dir) =>
+      RelPipeline.danglingEdges(
+        events(s, dir), "user_id", "user_id",
+        t(s, dir, "customer"), "c_custkey",
+        t(s, dir, "supplier"), "s_suppkey")
+        .groupBy("reason").agg(count(lit(1)).as("n"))
+        .orderBy("reason")),
+
+    // ---- full config-compiled graph build + A4 stats ----
+    "q_graph_build" -> ((s, dir) => graphBuild(s, dir)),
+
+    // ---- A4: aggregation suite over the fact table (TPC-H Q1 shape) ----
+    "q_q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- multi-way join + agg (broadcast dims) ----
+    "q_revenue_per_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // ---- window: top-k per group ----
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
+    "q_f1_ascii_fold" -> ((s, dir) => {
+      GF.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          GF.ascii_fold(concat(lit("Café—"), col("text"))).as("folded"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- fingerprint64 rolling-hash (no ANSI equivalent) ----
+    "q_text_fingerprint" -> ((s, dir) => {
+      GF.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), GF.fingerprint64(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- X1: exact dedup ----
+    "q_x1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("keeper_id")),
+
+    // ---- X2: MinHash+LSH near-dup (xxhash64 sigs — not ANSI) ----
+    "q_x2_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- X2b: exact n-gram Jaccard on explicit pairs ----
+    "q_x2b_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .join(d.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      Dedup.ngramJaccardPairs(pairs, d, "text", "doc_id", shingleSize = 1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI) ----
+    "q_x2c_simhash_neardups" -> ((s, dir) => {
+      val fps = Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.simhashNearDups(fps, "doc_id", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- X3: brute-force cosine top-k (exact ANN baseline) ----
+    "q_x3_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 8), e, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3b: IVF two-stage ANN (approximate — rows-only check) ----
+    "q_x3b_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (centroids, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id",
+        stride = 50)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 8), centroids, assigned,
+        "embedding", "vec_id", k = 5, nProbe = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X2d: embedding-cosine near-dup pairs (exact over subset) ----
+    "q_x2d_cosine_neardups" -> ((s, dir) =>
+      Dedup.cosineNearDups(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "embedding", "vec_id", threshold = 0.35, bruteForce = true)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- X4: text statistics per language ----
+    "q_x4_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(GF.token_count_ws(col("text"))), 4).as("avg_tokens"),
+          round(avg(length(col("text"))), 4).as("avg_len"))
+        .orderBy("lang")),
+
+    // ---- X4b: language-ID heuristic + quality scoring (no ANSI equiv) ----
+    "q_x4b_lang_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          GF.lang_id(col("text")).as("lang_guess"),
+          round(GF.quality_score(col("text")), 4).as("quality"),
+          round(GF.stopword_ratio(col("text")), 6).as("stop_ratio"),
+          GF.token_count_bpe(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
+    "q_x5_media_meta" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.withMediaMetadata(bin, "payload", "text/plain")
+        .select(col("doc_id"),
+          col("media_meta.media_type").as("media_type"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- X5b: batched per-partition feature extraction (stub codec) ----
+    "q_x5b_media_features" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(bin, "payload")
+        .select(col("doc_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ST2 (batch mode): tumbling-window event aggregation ----
+    "q_st2_events_window" -> ((s, dir) =>
+      StreamingIngest.windowedEventAgg(
+        events(s, dir), "ts", "event_type", "1 hour")
+        .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("w_start_epoch", "event_type")),
+
+    // ---- ST2b (batch mode): session windows per user ----
+    "q_st2b_events_session" -> ((s, dir) =>
+      StreamingIngest.sessionAgg(events(s, dir), "ts", "user_id", "1 hour")
+        .select(col("user_id"),
+          unix_timestamp(col("w_start")).as("sess_start_epoch"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id", "sess_start_epoch"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s2_schema_peek" ->
+      "SELECT * FROM customer ORDER BY c_custkey LIMIT 1",
+
+    "q_s3_scan_region" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_p1_project_nullfill" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |CAST(NULL AS VARCHAR) AS extra_field
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_a2_union_merge" ->
+      """SELECT c_custkey, MAX(c_name) AS c_name, MAX(n_orders) AS n_orders,
+        |ROUND(MAX(total_spent), 2) AS total_spent FROM (
+        |  SELECT c_custkey, c_name, CAST(NULL AS BIGINT) AS n_orders,
+        |         CAST(NULL AS DOUBLE) AS total_spent FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey, NULL, count(*), sum(o_totalprice)
+        |  FROM orders GROUP BY o_custkey
+        |) GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_j1_fk_edges" ->
+      """SELECT c_custkey AS start_id, o_orderkey AS end_id, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |ORDER BY start_id, end_id""".stripMargin,
+
+    "q_j2_jointable_edges" ->
+      """SELECT DISTINCT l_orderkey AS start_id, l_partkey AS end_id
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |  AND l_partkey IN (SELECT p_partkey FROM part)
+        |ORDER BY start_id, end_id""".stripMargin,
+
+    "q_j3_dangling_edges" ->
+      """SELECT reason, count(*) AS n FROM (
+        |  SELECT 'missing_start' AS reason FROM events
+        |  WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'missing_end' AS reason FROM events
+        |  WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+        |) GROUP BY reason ORDER BY reason""".stripMargin,
+
+    "q_graph_build" ->
+      """SELECT kind, label, n FROM (
+        |  SELECT 'node' AS kind, 'Customer' AS label, count(DISTINCT c_custkey) AS n FROM customer
+        |  UNION ALL SELECT 'node', 'Order', count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'node', 'Part', count(DISTINCT p_partkey) FROM part
+        |  UNION ALL SELECT 'node', 'Nation', count(DISTINCT n_nationkey) FROM nation
+        |  UNION ALL SELECT 'rel', 'CUSTOMER_PLACED_ORDER', count(*)
+        |    FROM customer JOIN orders ON c_custkey = o_custkey
+        |  UNION ALL SELECT 'rel', 'ORDER_CONTAINS_PART', count(*)
+        |    FROM lineitem
+        |    WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |      AND l_partkey IN (SELECT p_partkey FROM part)
+        |  UNION ALL SELECT 'rel', 'CUSTOMER_IN_NATION', count(*)
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |) ORDER BY kind, label""".stripMargin,
+
+    "q_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |ROUND(sum(l_quantity), 2) AS sum_qty,
+        |ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+        |ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |ROUND(avg(l_quantity), 4) AS avg_qty,
+        |ROUND(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_revenue_per_nation" ->
+      """SELECT n_name,
+        |ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_x1_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha256, min(doc_id) AS keeper_id,
+        |count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "q_x2b_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |), inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN tok ta ON ta.doc_id = p.id_a
+        |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
+        |  GROUP BY p.id_a, p.id_b
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+        |        (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.id_a
+        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |ORDER BY p.id_a""".stripMargin,
+
+    "q_x3_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+        |prod AS (
+        |  SELECT query_id, vec_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+        |  FROM (SELECT query_id, vec_id, unnest(qv) AS x, unnest(cv) AS y
+        |        FROM q JOIN c ON query_id <> vec_id)
+        |  GROUP BY query_id, vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    dot / (sqrt(qq) * sqrt(cc)) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id) AS rank
+        |  FROM prod)
+        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_x2d_cosine_neardups" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |prod AS (
+        |  SELECT id_a, id_b,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+        |  FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |          unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+        |FROM prod WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x4_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |ROUND(avg(n_chars), 4) AS avg_chars,
+        |ROUND(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END), 4)
+        |  AS avg_tokens,
+        |ROUND(avg(length(text)), 4) AS avg_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_x5_media_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |sha256(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_st2_events_window" ->
+      """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT)
+        |  AS w_start_epoch,
+        |event_type, count(*) AS n_events,
+        |ROUND(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_st2b_events_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  CAST(floor(date_part('epoch', min(ts))) AS BIGINT) AS sess_start_epoch,
+        |  count(*) AS n_events, ROUND(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_epoch""".stripMargin
+  )
 }

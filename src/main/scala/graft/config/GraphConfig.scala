@@ -1,0 +1,173 @@
+package graft.config
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Declarative graph-build configuration — the engine's "query language".
+  *
+  * Grammar mirrors the reference's YAML spec
+  * (reference: examples/comptox_ai/config.yml:1-54, parsed at
+  * graph_db_builder.py:545-549 / :292-329): a `Database` header, named
+  * `Sources`, `Nodes` (per label, per source: table + id_key + uri_key) and
+  * `Relationships` in two construction modes — `foreign_key` (equi-join
+  * between two node source tables) and `join_table` (many-to-many edge
+  * table). We additionally allow flat-file source types (parquet/csv/json),
+  * which the reference declared but never implemented
+  * (graph_db_builder.py:14, :193-194, :320-321).
+  */
+final case class DatabaseMeta(
+    name: String,
+    version: String,
+    author: Option[String],
+    website: Option[String],
+    repository: Option[String]) {
+  /** Output naming contract — reference: graph_db_builder.py:153
+    * ("{name}-{version}.h5"); here a directory stem instead of HDF5. */
+  def outputStem: String = s"$name-$version"
+}
+
+/** A named data source. `sourceType` ∈ {parquet, csv, json, jdbc}. */
+final case class SourceConf(
+    name: String,
+    sourceType: String,
+    path: String,
+    options: Map[String, String] = Map.empty)
+
+/** One source feeding one node label — reference: config.yml:14-33. */
+final case class NodeSourceConf(
+    source: String,
+    table: String,
+    idKey: String,
+    uriKey: Option[String])
+
+final case class NodeConf(
+    label: String,
+    idKeyLabel: Option[String],
+    sources: Seq[NodeSourceConf])
+
+/** Relationship construction modes — reference: config.yml:35-54. */
+sealed trait RelMode
+/** Equi-join between two node source tables on a shared key
+  * (config.yml:39-47). */
+final case class ForeignKeyMode(
+    startNode: String, startTable: String, startKey: String,
+    endNode: String, endTable: String, endKey: String) extends RelMode
+/** Many-to-many edge table scan (config.yml:48-54). */
+final case class JoinTableMode(
+    table: String, fromField: String, toField: String) extends RelMode
+
+final case class RelSourceConf(source: String, mode: RelMode)
+
+final case class RelConf(
+    label: String,
+    startNode: Option[String],
+    endNode: Option[String],
+    sources: Seq[RelSourceConf])
+
+final case class GraphConfig(
+    database: DatabaseMeta,
+    sources: Map[String, SourceConf],
+    nodes: Seq[NodeConf],
+    relationships: Seq[RelConf])
+
+object GraphConfig {
+
+  def fromFile(path: String): GraphConfig =
+    fromYaml(Files.readString(Paths.get(path)))
+
+  /** Parse the YAML grammar with snakeyaml (ships in /opt/spark/jars).
+    * Driver-side metadata work only — no Spark involvement. */
+  def fromYaml(yamlText: String): GraphConfig = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yamlText)
+      .asScala.toMap
+
+    def asMap(o: Object): Map[String, Object] = o match {
+      case null => Map.empty
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) =>
+          k.toString -> v.asInstanceOf[Object]
+        }.toMap
+      case other =>
+        throw new IllegalArgumentException(s"expected mapping, got: $other")
+    }
+    def str(m: Map[String, Object], k: String): String =
+      m.get(k).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(s"missing required key '$k' in $m"))
+    def opt(m: Map[String, Object], k: String): Option[String] =
+      m.get(k).map(_.toString)
+
+    val dbm = asMap(root.getOrElse("Database",
+      throw new IllegalArgumentException("config missing 'Database' section")))
+    val database = DatabaseMeta(
+      name = str(dbm, "name"),
+      version = str(dbm, "version"),
+      author = opt(dbm, "author"),
+      website = opt(dbm, "website"),
+      repository = opt(dbm, "repository"))
+
+    val sources = asMap(root.getOrElse("Sources", new java.util.HashMap()))
+      .map { case (name, conf) =>
+        val m = asMap(conf)
+        // reference spells it "source type" (config.yml:10); accept both.
+        val tpe = opt(m, "source type").orElse(opt(m, "source_type"))
+          .getOrElse("parquet")
+        val path = opt(m, "path").orElse(opt(m, "database name"))
+          .orElse(opt(m, "config file")).getOrElse("")
+        val extra = m.view
+          .filterKeys(k => !Set("source type", "source_type", "path",
+            "database name", "config file").contains(k))
+          .map { case (k, v) => k -> v.toString }.toMap
+        name -> SourceConf(name, tpe, path, extra)
+      }
+
+    val nodes = asMap(root.getOrElse("Nodes", new java.util.HashMap()))
+      .map { case (label, conf) =>
+        val m = asMap(conf)
+        // Two accepted shapes: nested under `sources:` (ours) or source
+        // names directly at node level (reference config.yml:16-33).
+        val srcMap = m.get("sources").map(asMap).getOrElse(
+          m.view.filterKeys(_ != "id_key_label").toMap)
+        val srcs = srcMap.map { case (srcName, sconf) =>
+          val sm = asMap(sconf)
+          NodeSourceConf(
+            source = srcName,
+            table = str(sm, "table"),
+            idKey = str(sm, "id_key"),
+            uriKey = opt(sm, "uri_key"))
+        }.toSeq.sortBy(_.source)
+        NodeConf(label, opt(m, "id_key_label"), srcs)
+      }.toSeq.sortBy(_.label)
+
+    val rels = asMap(root.getOrElse("Relationships", new java.util.HashMap()))
+      .map { case (label, conf) =>
+        val m = asMap(conf)
+        val srcMap = m.get("sources").map(asMap).getOrElse(
+          m.view.filterKeys(k => !Set("start_node", "end_node").contains(k))
+            .toMap)
+        val srcs = srcMap.map { case (srcName, sconf) =>
+          val sm = asMap(sconf)
+          val mode = str(sm, "type") match {
+            case "foreign_key" =>
+              val s = asMap(sm("start")); val e = asMap(sm("end"))
+              ForeignKeyMode(
+                str(s, "node"), str(s, "table"), str(s, "key"),
+                str(e, "node"), str(e, "table"), str(e, "key"))
+            case "join_table" =>
+              JoinTableMode(str(sm, "table"), str(sm, "from_field"),
+                str(sm, "to_field"))
+            case other =>
+              throw new IllegalArgumentException(
+                s"unknown relationship type '$other' for $label")
+          }
+          RelSourceConf(srcName, mode)
+        }.toSeq.sortBy(_.source)
+        val (sn, en) = srcs.map(_.mode).collectFirst {
+          case fk: ForeignKeyMode => (Some(fk.startNode), Some(fk.endNode))
+        }.getOrElse((opt(m, "start_node"), opt(m, "end_node")))
+        RelConf(label, sn, en, srcs)
+      }.toSeq.sortBy(_.label)
+
+    GraphConfig(database, sources, nodes, rels)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level function surface of the engine. Custom Catalyst expressions
+  * are registered per-session and invoked through the function registry
+  * (`call_function`), which keeps us on the public Column API. */
+object GraftFunctions {
+
+  /** Register the engine's native expressions with a session. Idempotent
+    * (createOrReplaceTempFunction overwrites in place). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "ascii_fold", exprs => AsciiFold(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+  }
+
+  /** F1: NFKD → ASCII fold (see [[AsciiFold]]). Session must be
+    * [[register]]ed. */
+  def ascii_fold(c: Column): Column = call_function("ascii_fold", c)
+
+  /** Rolling-hash 64-bit document fingerprint. */
+  def fingerprint64(c: Column): Column = call_function("fingerprint64", c)
+
+  // ---- text analysis (pure built-in compositions — fully codegen'd) ----
+
+  /** Whitespace token count. Matches `regexp_split_to_array`-based SQL:
+    * trims first so leading/trailing whitespace doesn't create empty
+    * tokens; empty/blank text counts 0. */
+  def token_count_ws(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token estimate: count word pieces (runs of letters/digits) and
+    * punctuation marks separately — a deterministic stand-in for a real
+    * subword tokenizer's piece count. */
+  def token_count_bpe(c: Column): Column =
+    size(filter(split(c, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      x => length(trim(x)) > 0))
+
+  /** Punctuation character ratio ∈ [0,1] (0 for empty text). */
+  def punct_ratio(c: Column): Column = {
+    val punct = length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
+    when(length(c) === 0, lit(0.0)).otherwise(punct.cast("double") / length(c))
+  }
+
+  /** Uppercase character ratio ∈ [0,1]. */
+  def upper_ratio(c: Column): Column = {
+    val up = length(c) - length(regexp_replace(c, "[A-Z]", ""))
+    when(length(c) === 0, lit(0.0)).otherwise(up.cast("double") / length(c))
+  }
+
+  /** English stopword ratio over whitespace tokens — one quality-scoring
+    * signal (boilerplate/navigation text scores low, prose scores higher). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "be", "by", "at")
+
+  def stopword_ratio(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(EnglishStopwords))
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Heuristic document quality score ∈ [0,1]: combines length band,
+    * mean-word-length band, stopword presence and low punctuation noise —
+    * the shape of C4/Gopher-style quality filters, deterministic and cheap
+    * (single pass over codegen'd string built-ins). */
+  def quality_score(c: Column): Column = {
+    val nChars = length(c)
+    val nToks = token_count_ws(c)
+    val meanWord = when(nToks === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") / nToks)
+    val lenOk = when(nChars.between(50, 20000), lit(0.25)).otherwise(lit(0.0))
+    val wordOk = when(meanWord.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    val stopOk = when(stopword_ratio(c) > 0.01, lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(punct_ratio(c) < 0.2, lit(0.25)).otherwise(lit(0.0))
+    lenOk + wordOk + stopOk + punctOk
+  }
+
+  /** Character-n-gram language ID over a small built-in profile table —
+    * the classic "most frequent character n-grams" heuristic. Scores each
+    * language by marker-hit density; `und` if nothing matches. Built from
+    * `locate` calls only → fully codegen'd, no UDF. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", "ing ", " to "),
+    "de" -> Seq(" der ", " und ", " die ", "sch", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+    "es" -> Seq(" el ", " de ", " que ", " los ", " y "),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def lang_id(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val s = markers.map(m =>
+        when(locate(m, padded) > 0, lit(1)).otherwise(lit(0)))
+        .reduce[Column](_ + _)
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+}

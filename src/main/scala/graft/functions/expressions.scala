@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** F1 `ascii_fold` as a native Catalyst expression (SURVEY.md §2.9): NFKD →
+  * ASCII fold, with real `doGenCode` so it stays inside whole-stage codegen
+  * (a Scala UDF would force serialization in/out of the codegen'd row
+  * format). Kernel in [[TextKernels.asciiFold]] with an allocation-free
+  * pure-ASCII fast path. */
+case class AsciiFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ascii_fold"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.asciiFold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.asciiFold($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiFold =
+    copy(child = newChild)
+}
+
+/** 64-bit rolling-hash document fingerprint as a codegen'd expression. */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.fingerprint64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.fingerprint64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Large-scale document deduplication — the LLM-data-pipeline operator set
+  * (BASELINE.json north_star), designed shuffle-minimal for 100 TB:
+  *
+  *  - exact: one hash-groupBy on a 256-bit content hash (never groups on the
+  *    raw text, so shuffle rows are tiny regardless of document size);
+  *  - MinHash+LSH: shingle → k seeded min-hashes (one explode + one
+  *    groupBy), band → bucket-join so candidate generation never goes
+  *    quadratic; verification re-computes exact Jaccard only on candidates;
+  *  - SimHash: 64-bit signed-projection fingerprint, near-dups = small
+  *    Hamming distance within LSH buckets;
+  *  - embedding near-dup: cosine over hyperplane-bucketed candidates.
+  *
+  * All stages are DataFrame-native (explode/groupBy/join) — no RDDs, no
+  * driver-side state — so they scale with the cluster. The only quadratic
+  * work ever done is within an LSH bucket, which the band structure keeps
+  * small.
+  */
+object Dedup {
+
+  /** X1: exact dedup. Keeps the lowest-id row per identical content; emits
+    * (keeper id, content hash, group size). `idCol` must be unique. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_sha256"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** Whitespace-token shingles of size `n` as an array column (empty array
+    * for texts shorter than `n` tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** k seeded min-hashes of a shingle set: minhash_i = min over shingles of
+    * xxhash64(i, shingle). One explode + one groupBy per corpus — the
+    * classic MinHash signature, expressed as a single hash-aggregation. */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleSize)).as("_shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("_shingle"))).as(s"mh_$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature of `numHashes` rows split into `bands` bands of
+    * r = numHashes/bands hashes; docs sharing any band-hash become
+    * candidates. Returns candidate pairs (id_a < id_b) with no duplicates.
+    * Scale note: the self-join is on (band, band_hash) — uniform hash keys,
+    * so the shuffle is balanced; bucket sizes stay tiny for non-dup docs. */
+  def minhashCandidates(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val mhCols = signatures.columns.filter(_.startsWith("mh_"))
+    require(mhCols.length % bands == 0, "bands must divide numHashes")
+    val r = mhCols.length / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(mhCols.slice(b * r, (b + 1) * r).map(col).toIndexedSeq: _*)
+          .as("bh")).as(s"_band_$b")
+    }
+    val banded = signatures
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b =>
+        col(s"_band_$b")): _*)).as("bandkey"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.bandkey") === col("b.bandkey") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between the shingle SETS of two texts. */
+  def jaccard(aText: Column, bText: Column, shingleSize: Int): Column = {
+    val sa = array_distinct(shingles(aText, shingleSize))
+    val sb = array_distinct(shingles(bText, shingleSize))
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(array_union(sa, sb))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
+  }
+
+  /** X2 end-to-end: MinHash-LSH candidates verified with exact Jaccard ≥
+    * `threshold`. Output: (id_a, id_b, jaccard). */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    val cands = minhashCandidates(sigs, idCol, bands)
+    val docs = df.select(col(idCol), col(textCol))
+    cands
+      .join(docs.withColumnsRenamed(Map(idCol -> "id_a", textCol -> "_ta")),
+        Seq("id_a"))
+      .join(docs.withColumnsRenamed(Map(idCol -> "id_b", textCol -> "_tb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        jaccard(col("_ta"), col("_tb"), shingleSize))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprint: per token-hash bit b, sum ±1 across the
+    * document's tokens; bit b of the fingerprint is 1 iff the sum is
+    * positive. One explode + one groupBy; the 64 per-bit sums are partial-
+    * aggregated map-side. */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("_h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"_s$b")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dups: Hamming distance ≤ `maxHamming` between
+    * fingerprints. Candidate generation blocks on the 4 16-bit quadrants
+    * (pigeonhole: any pair within Hamming ≤ 3 of 64 bits shares at least
+    * one exact quadrant), so the join never goes all-pairs. */
+  def simhashNearDups(
+      fingerprints: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val quads = fingerprints.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftrightunsigned(col("simhash"), q * 16)
+            .bitwiseAND(lit(0xffffL)).as("qv"))): _*)).as("quad"))
+    val a = quads.alias("a")
+    val b = quads.alias("b")
+    a.join(b, col("a.quad") === col("b.quad") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard near-dup over explicit pairs (id_a, id_b) — the exact
+    * verification kernel exposed standalone (X2 variant). */
+  def ngramJaccardPairs(
+      pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    pairs
+      .join(d.withColumnsRenamed(Map(idCol -> "id_a", textCol -> "_ta")),
+        Seq("id_a"))
+      .join(d.withColumnsRenamed(Map(idCol -> "id_b", textCol -> "_tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("_ta"), col("_tb"), shingleSize).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold`, candidates
+    * blocked by random-hyperplane bucket (similar vectors collide with high
+    * probability; `probes` extra buckets via bit flips would raise recall —
+    * kept at exact-bucket for v1). Pass `bruteForce = true` to skip
+    * blocking (exact, for oracle checks / small inputs). */
+  def cosineNearDups(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, bits: Int = 12,
+      bruteForce: Boolean = false): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      VectorFunctions.hyperplane_bucket(col(vecCol), bits).as("_ba"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      VectorFunctions.hyperplane_bucket(col(vecCol), bits).as("_bb"))
+    val joined =
+      if (bruteForce) a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      else a.join(b, col("_ba") === col("_bb") && col("id_a") < col("id_b"))
+    joined
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("_va"), col("_vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.sources.SourceReader
+
+/** The built property graph: one DataFrame per node label and per
+  * relationship type — the Spark equivalent of the reference's HDF5 groups
+  * `/nodes` and `/relationships` (graph_db_builder.py:152-155). */
+final case class PropertyGraph(
+    meta: DatabaseMeta,
+    nodes: Map[String, DataFrame],
+    relationships: Map[String, DataFrame]) {
+
+  /** S5-equivalent staging store: parquet dirs `nodes/<Label>/`,
+    * `relationships/<TYPE>/` under `outDir/{name}-{version}`. */
+  def writeStaging(outDir: String): Unit = {
+    val base = s"$outDir/${meta.outputStem}"
+    nodes.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$base/nodes/$label")
+    }
+    relationships.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$base/relationships/$label")
+    }
+  }
+
+  /** S7/S8: CSV export in Neo4j bulk-import layout (`neo4j-admin import`):
+    * node files get `<idKey>:ID(<Label>)` + `:LABEL`; relationship files get
+    * `:START_ID`, `:END_ID`, `:TYPE`. The reference declared this export and
+    * never built it (serialize_data stub graph_db_builder.py:407-408;
+    * bin/build-graph-db:16). */
+  def exportNeo4jCsv(outDir: String, idKeys: Map[String, String]): Unit = {
+    val base = s"$outDir/${meta.outputStem}-csv"
+    nodes.foreach { case (label, df) =>
+      val idKey = idKeys.getOrElse(label, df.columns.head)
+      val renamed = df.columns.foldLeft(df.withColumn(":LABEL", lit(label))) {
+        case (d, c) if c == idKey => d.withColumnRenamed(c, s"$c:ID($label)")
+        case (d, _) => d
+      }
+      renamed.write.mode("overwrite").option("header", "true")
+        .csv(s"$base/nodes_$label")
+    }
+    relationships.foreach { case (label, df) =>
+      df.withColumnRenamed(RelPipeline.StartId, ":START_ID")
+        .withColumnRenamed(RelPipeline.EndId, ":END_ID")
+        .withColumn(":TYPE", lit(label))
+        .write.mode("overwrite").option("header", "true")
+        .csv(s"$base/rels_$label")
+    }
+  }
+
+  /** A4: graph statistics — node/edge count per label, one deterministic
+    * report DataFrame. */
+  def stats(spark: SparkSession): DataFrame = {
+    val parts =
+      nodes.toSeq.sortBy(_._1).map { case (label, df) =>
+        df.select(lit("node").as("kind"), lit(label).as("label"),
+          count(lit(1)).as("n"))
+      } ++ relationships.toSeq.sortBy(_._1).map { case (label, df) =>
+        df.select(lit("rel").as("kind"), lit(label).as("label"),
+          count(lit(1)).as("n"))
+      }
+    parts.reduce(_.unionByName(_)).orderBy("kind", "label")
+  }
+}
+
+/** Config-compiled graph build — the Spark lifecycle equivalent of the
+  * reference's `build_hdf5_database` (graph_db_builder.py:117-131): YAML →
+  * catalog → per-label DataFrame DAG (scan → project → union → merge-by-id;
+  * joins for edges) → Catalyst → distributed execution. The driver only
+  * touches metadata; all data movement is inside Spark jobs. */
+object GraphBuilder {
+
+  def build(spark: SparkSession, cfg: GraphConfig): PropertyGraph = {
+    // --- nodes: scan each source table, normalize the id column name to
+    // the label's id key, union + merge (NodePipeline).
+    val nodeIdKey: Map[String, String] = cfg.nodes.map { n =>
+      n.label -> n.sources.head.idKey
+    }.toMap
+
+    val nodes: Map[String, DataFrame] = cfg.nodes.map { n =>
+      val canonicalId = nodeIdKey(n.label)
+      val srcDfs = n.sources.map { s =>
+        val raw = SourceReader.readTable(spark, cfg.sources(s.source), s.table)
+        // Each source names its id key independently (config.yml:20 vs :27);
+        // align them onto the label's canonical id before the union.
+        val aligned =
+          if (s.idKey == canonicalId) raw
+          else raw.withColumnRenamed(s.idKey, canonicalId)
+        s.uriKey.filter(_ != canonicalId) match {
+          case Some(uk) if aligned.columns.contains(uk) =>
+            aligned.withColumn("_uri", col(uk).cast("string"))
+          case _ => aligned
+        }
+      }
+      n.label -> NodePipeline.buildNodeTable(srcDfs, canonicalId)
+    }.toMap
+
+    // --- relationships: per declared mode (RelPipeline).
+    val rels: Map[String, DataFrame] = cfg.relationships.map { r =>
+      val parts = r.sources.map { rs =>
+        val srcConf = cfg.sources(rs.source)
+        rs.mode match {
+          case fk: ForeignKeyMode =>
+            val startDf = SourceReader.readTable(spark, srcConf, fk.startTable)
+            val endDf = SourceReader.readTable(spark, srcConf, fk.endTable)
+            val endId = cfg.nodes.find(_.label == fk.endNode)
+              .map(n => n.sources.head.idKey)
+              .getOrElse(fk.endKey)
+            RelPipeline.foreignKeyEdges(
+              startDf.select(fk.startKey), fk.startKey,
+              endDf, fk.endKey, endId)
+          case jt: JoinTableMode =>
+            val edgeDf = SourceReader.readTable(spark, srcConf, jt.table)
+            // Endpoint inference (reference config.yml:48-54 names no nodes
+            // for join_table mode — from_field/to_field implicitly match
+            // node id_keys, e.g. aop_gene.AOP_id → AOP, .entrez → Gene).
+            // Explicit start_node/end_node keys override.
+            def byIdKey(field: String): Option[String] =
+              cfg.nodes.find(_.sources.exists(_.idKey == field)).map(_.label)
+            val startLabel = r.startNode.orElse(byIdKey(jt.fromField))
+            val endLabel = r.endNode.orElse(byIdKey(jt.toField))
+            (startLabel, endLabel) match {
+              case (Some(sl), Some(el)) =>
+                RelPipeline.joinTableEdges(
+                  edgeDf, jt.fromField, jt.toField,
+                  nodes(sl), nodeIdKey(sl), nodes(el), nodeIdKey(el))
+              case _ => // no resolvable endpoints: raw edge projection
+                edgeDf.select(
+                  col(jt.fromField).as(RelPipeline.StartId),
+                  col(jt.toField).as(RelPipeline.EndId))
+            }
+        }
+      }
+      r.label -> parts.reduce(_.unionByName(_))
+    }.toMap
+
+    PropertyGraph(cfg.database, nodes, rels)
+  }
+}

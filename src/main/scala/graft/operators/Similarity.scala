@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (BASELINE.json north_star "similarity search").
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The candidate side is broadcast against the (small) query side, the
+  *    per-query ranking is a window over `query_id`, so work distributes
+  *    over candidate partitions and no all-pairs shuffle materializes.
+  *  - [[ivfTopK]]: IVF-style two-stage search — k-means-free variant where
+  *    the coarse quantizer is a deterministic sample of the corpus itself.
+  *    Every vector is assigned to its nearest centroid once (broadcast
+  *    centroids, narrow map). A query probes only `nProbe` nearest cells →
+  *    candidate set shrinks by ~|cells|/nProbe, the 100 TB scale path.
+  */
+object Similarity {
+
+  /** Exact cosine top-k. `queries` is expected to be small (it is broadcast
+    * to every candidate partition). Output: (query_id, vec_id, cosine, rank)
+    * with rank 1..k per query, ties broken by vec_id. */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+    val scored = c.join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Build the IVF index: pick every `stride`-th vector as a centroid
+    * (deterministic coarse quantizer), assign each corpus vector to its
+    * nearest centroid. Returns (centroid table, assigned corpus).
+    * At real scale the centroid table is exactly the broadcast-sized object
+    * Spark wants (|corpus| / stride rows). */
+  def ivfIndex(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      stride: Int): (DataFrame, DataFrame) = {
+    val centroids = corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("_centv"))
+    val assigned = corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        VectorFunctions.cosine(col(vecCol), col("_centv")).as("_csim"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("_csim").desc, col("centroid_id"))))
+      .filter(col("_r") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    (centroids, assigned)
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, exact cosine
+    * within probed cells, top-k per query. Approximate: recall < 1 when the
+    * true neighbor lives in an unprobed cell. */
+  def ivfTopK(
+      queries: DataFrame, centroids: DataFrame, assigned: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("_qv"), col("centroid_id"),
+        VectorFunctions.cosine(col("_qv"), col("_centv")).as("_csim"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("_csim").desc, col("centroid_id"))))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("centroid_id"))
+    val scored = probed.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        VectorFunctions.cosine(col("_qv"), col(vecCol)).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming ingest — the reference's stated processing model
+  * ("Stream entries in S to T", graph_db_builder.py:28, :485-486) made
+  * actually incremental:
+  *
+  *  - ST1 [[dedupIngest]]: continuous node ingest with merge-by-id
+  *    semantics (docstring graph_db_builder.py:493-497). State is bounded
+  *    by the watermark — without it the seen-ids map grows forever, the
+  *    exact failure mode the reference's in-memory design would hit.
+  *  - ST2 [[windowedEventAgg]]: tumbling/sliding window aggregation over an
+  *    event stream. The same plan works in batch mode (for the DuckDB
+  *    oracle) and streaming mode — one definition, two execution models.
+  */
+object StreamingIngest {
+
+  /** ST1: drop duplicate ids within the watermark horizon. Works on a
+    * streaming DataFrame (`spark.readStream...`); `tsCol` must be an
+    * event-time column. */
+  def dedupIngest(stream: DataFrame, idKey: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idKey)
+
+  /** ST2: per-window per-type event aggregation. `slide = None` → tumbling.
+    * Batch-mode friendly: window() is an ordinary expression. */
+  def windowedEventAgg(events: DataFrame, tsCol: String, typeCol: String,
+      windowLen: String, slide: Option[String] = None,
+      watermark: Option[String] = None): DataFrame = {
+    val base = watermark.foldLeft(events)((df, w) => df.withWatermark(tsCol, w))
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None => window(col(tsCol), windowLen)
+    }
+    base.groupBy(win.as("w"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col(typeCol), col("n_events"), col("sum_value"), col("avg_value"))
+  }
+
+  /** Session windows per user: gap-based sessionization (session_window). */
+  def sessionAgg(events: DataFrame, tsCol: String, userCol: String,
+      gap: String, watermark: Option[String] = None): DataFrame = {
+    val base = watermark.foldLeft(events)((df, w) => df.withWatermark(tsCol, w))
+    base.groupBy(session_window(col(tsCol), gap).as("w"), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(userCol), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("n_events"), col("sum_value"))
+  }
+}
