@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** X1/X2 dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank"), // near dup of 0
+    (3L, "completely different words about spark query engines and plans"),
+    (4L, "another unrelated sentence mentioning databases and storage")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(docs, "text", "doc_id").orderBy("keeper_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("keeper_id") == 0L)
+    assert(out(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("jaccard: identical=1, disjoint=0, symmetric") {
+    val j = docs.select(
+      Dedup.jaccard(lit("a b c"), lit("a b c"), 1).as("same"),
+      Dedup.jaccard(lit("a b"), lit("x y"), 1).as("disj"),
+      Dedup.jaccard(lit("a b c"), lit("b c d"), 1).as("half1"),
+      Dedup.jaccard(lit("b c d"), lit("a b c"), 1).as("half2")).head()
+    assert(j.getDouble(0) == 1.0)
+    assert(j.getDouble(1) == 0.0)
+    assert(j.getDouble(2) == j.getDouble(3))
+    assert(j.getDouble(2) == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("minhash finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always collides
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+  }
+
+  test("minhash signatures: identical text -> identical signature") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3)
+      .orderBy("doc_id").collect()
+    val s0 = sigs(0).toSeq.drop(1)
+    val s1 = sigs(1).toSeq.drop(1)
+    assert(s0 == s1)
+  }
+
+  test("simhash: identical -> hamming 0; near dup closer than unrelated") {
+    val fps = Dedup.simhash64(docs, "text", "doc_id")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val m = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(m(0L), m(1L)) == 0)
+    assert(ham(m(0L), m(2L)) < ham(m(0L), m(3L)))
+  }
+
+  test("simhashNearDups quadrant blocking finds the dup pair") {
+    val fps = Dedup.simhash64(docs, "text", "doc_id")
+    val pairs = Dedup.simhashNearDups(fps, "doc_id", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("cosineNearDups brute force matches blocked candidates on dup vectors") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)), // near dup of 0
+      (2L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.cosineNearDups(vecs, "embedding", "vec_id", 0.99,
+      bruteForce = true).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute == Set((0L, 1L)))
+    val blocked = Dedup.cosineNearDups(vecs, "embedding", "vec_id", 0.99,
+      bits = 4).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // blocking is approximate but near-identical vectors share buckets
+    assert(blocked == Set((0L, 1L)))
+  }
+}

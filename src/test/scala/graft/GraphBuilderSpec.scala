@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.config._
+import graft.operators.GraphBuilder
+
+/** End-to-end config-compiled build over the sf0.001 fixtures + sinks
+  * (SURVEY.md §5 item 4). */
+class GraphBuilderSpec extends SparkSpec {
+
+  private lazy val cfg = GraphConfig.fromYaml(SparkEntry.fixtureYaml(sf()))
+
+  test("config parse: database, sources, nodes, relationships") {
+    assert(cfg.database.name == "TpchGraph")
+    assert(cfg.sources("TPCH").sourceType == "parquet")
+    assert(cfg.nodes.map(_.label).toSet ==
+      Set("Customer", "Order", "Part", "Nation"))
+    val rels = cfg.relationships.map(r => r.label -> r).toMap
+    assert(rels("CUSTOMER_PLACED_ORDER").sources.head.mode
+      .isInstanceOf[ForeignKeyMode])
+    assert(rels("ORDER_CONTAINS_PART").sources.head.mode
+      .isInstanceOf[JoinTableMode])
+    assert(rels("ORDER_CONTAINS_PART").startNode.contains("Order"))
+  }
+
+  test("reference-grammar config (mysql-style) also parses") {
+    val yaml =
+      """Database:
+        |  name: ComptoxLike
+        |  version: 0.2a
+        |Sources:
+        |  DB:
+        |    source type: mysql
+        |    database name: somedb
+        |Nodes:
+        |  Gene:
+        |    id_key_label: entrez_gene_id
+        |    sources:
+        |      DB: { table: gene_info, id_key: entrez, uri_key: HUGO_id }
+        |Relationships:
+        |  AOP_INCLUDES_GENE:
+        |    sources:
+        |      DB:
+        |        type: join_table
+        |        table: aop_gene
+        |        from_field: AOP_id
+        |        to_field: entrez
+        |""".stripMargin
+    val c = GraphConfig.fromYaml(yaml)
+    assert(c.database.version == "0.2a")
+    assert(c.nodes.head.idKeyLabel.contains("entrez_gene_id"))
+    assert(c.relationships.head.sources.head.mode ==
+      JoinTableMode("aop_gene", "AOP_id", "entrez"))
+  }
+
+  test("build: node and edge counts match the fixtures") {
+    val g = GraphBuilder.build(spark, cfg)
+    assert(g.nodes("Customer").count() == 150)
+    assert(g.nodes("Order").count() == 1500)
+    assert(g.relationships("CUSTOMER_PLACED_ORDER").count() == 1500)
+    assert(g.relationships("ORDER_CONTAINS_PART").count() == 6000)
+    assert(g.relationships("CUSTOMER_IN_NATION").count() == 150)
+    // edges expose the canonical start_id/end_id contract
+    assert(g.relationships("CUSTOMER_PLACED_ORDER").columns.toSeq ==
+      Seq("start_id", "end_id"))
+  }
+
+  test("staging + Neo4j CSV export write expected layouts") {
+    val tmp = Files.createTempDirectory("graft-sink").toString
+    val g = GraphBuilder.build(spark, cfg)
+    val small = g.copy(
+      nodes = g.nodes.view.filterKeys(_ == "Nation").toMap,
+      relationships = Map.empty)
+    small.writeStaging(tmp)
+    val staged = spark.read.parquet(s"$tmp/TpchGraph-0.1/nodes/Nation")
+    assert(staged.count() == 25)
+
+    small.exportNeo4jCsv(tmp, Map("Nation" -> "n_nationkey"))
+    val csvDir = new java.io.File(s"$tmp/TpchGraph-0.1-csv/nodes_Nation")
+    val part = csvDir.listFiles().filter(_.getName.endsWith(".csv")).head
+    val header = scala.io.Source.fromFile(part).getLines().next()
+    assert(header.contains("n_nationkey:ID(Nation)"))
+    assert(header.contains(":LABEL"))
+  }
+
+  test("entry smoke: flagship stats >0 rows") {
+    assert(SparkEntry.entry(spark).count() == 7)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.RelPipeline
+
+/** J1/J2/J3 edge construction + dangling-edge QC (SURVEY.md §2.3 — the
+  * reference declared these semantics but shipped a no-op, Quirk Q2). */
+class RelPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val customers = Seq((1L, "alice"), (2L, "bob"))
+    .toDF("cust_id", "name")
+  private lazy val orders = Seq((10L, 1L, 5.0), (11L, 1L, 7.0), (12L, 9L, 1.0))
+    .toDF("order_id", "cust_fk", "total")
+
+  test("foreignKeyEdges: inner equi-join, start/end ids + edge props") {
+    val edges = RelPipeline.foreignKeyEdges(
+      customers, "cust_id", orders, "cust_fk", "order_id",
+      props = Seq("total"))
+      .orderBy("start_id", "end_id").collect()
+    // order 12 has no matching customer -> excluded (inner join)
+    assert(edges.toSeq == Seq(Row(1L, 10L, 5.0), Row(1L, 11L, 7.0)))
+  }
+
+  test("joinTableEdges: semi-join validation drops dangling endpoints") {
+    val joinTable = Seq((1L, 10L), (2L, 99L), (7L, 10L))
+      .toDF("from_c", "to_o")
+    val edges = RelPipeline.joinTableEdges(
+      joinTable, "from_c", "to_o",
+      customers, "cust_id", orders, "order_id")
+      .orderBy("start_id").collect()
+    // (2,99): end missing; (7,10): start missing -> only (1,10) survives
+    assert(edges.toSeq == Seq(Row(1L, 10L)))
+  }
+
+  test("danglingEdges: anti-join complement reports both failure modes") {
+    val joinTable = Seq((1L, 10L), (2L, 99L), (7L, 10L))
+      .toDF("from_c", "to_o")
+    val dang = RelPipeline.danglingEdges(
+      joinTable, "from_c", "to_o",
+      customers, "cust_id", orders, "order_id")
+      .orderBy("reason", "start_id").collect()
+    assert(dang.toSeq == Seq(
+      Row("missing_end", 2L, 99L),
+      Row("missing_start", 7L, 10L)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
+  * tests over MemoryStream (SURVEY.md §5 item 5). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("ST1: dropDuplicatesWithinWatermark dedups ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("id", "ts", "payload")
+    val deduped = StreamingIngest.dedupIngest(stream, "id", "ts", "2 hours")
+    val q = deduped.writeStream.format("memory")
+      .queryName("st1_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "a"),
+        (1L, ts("2024-01-01 10:05:00"), "a-dup"),
+        (2L, ts("2024-01-01 10:10:00"), "b"))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, ts("2024-01-01 10:20:00"), "b-dup"),
+        (3L, ts("2024-01-01 10:30:00"), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("st1_out").select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // dups within watermark dropped
+    } finally q.stop()
+  }
+
+  test("ST2: windowed agg over a stream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedEventAgg(
+      stream, "ts", "event_type", "1 hour", watermark = Some("1 hour"))
+    val q = agg.writeStream.format("memory")
+      .queryName("st2_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:25:00"), "click", 2.0),
+        (ts("2024-01-01 10:45:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance event time past watermark so the 10:00 window closes
+      mem.addData((ts("2024-01-01 13:00:00"), "late-driver", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("st2_out")
+        .filter(col("event_type") === "click").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("ST2 batch mode: same definition runs on a static frame") {
+    val df = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:25:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0)).toDF("ts", "event_type", "value")
+    val out = StreamingIngest.windowedEventAgg(df, "ts", "event_type", "1 hour")
+      .orderBy("w_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("session windows: gap-based sessionization (batch)") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:30:00"), 1L, 1.0), // same session (gap < 1h)
+      (ts("2024-01-01 13:00:00"), 1L, 1.0), // new session
+      (ts("2024-01-01 10:00:00"), 2L, 9.0)).toDF("ts", "user_id", "value")
+    val out = StreamingIngest.sessionAgg(df, "ts", "user_id", "1 hour")
+      .orderBy("user_id", "w_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L) // user1 first session
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+}

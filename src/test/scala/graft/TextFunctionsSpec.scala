@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions => GF, TextKernels}
+
+/** F1 ascii_fold (reference graph_db_builder.py:521-527 NFKD fallback) and
+  * the text-analysis function surface. */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asciiFold kernel: NFKD cases") {
+    assert(TextKernels.asciiFoldString("Café") == "Cafe")
+    assert(TextKernels.asciiFoldString("naïve façade") == "naive facade")
+    assert(TextKernels.asciiFoldString("héllo wörld") == "hello world")
+    // no ASCII decomposition -> dropped (reference encode('ascii','ignore'))
+    assert(TextKernels.asciiFoldString("中文abc") == "abc")
+    // NFKD(½) = "1⁄2" with U+2044 fraction slash, which is non-ASCII
+    assert(TextKernels.asciiFoldString("½") == "12")
+    assert(TextKernels.asciiFoldString("plain ascii") == "plain ascii")
+  }
+
+  test("ascii_fold expression folds inside a dataframe plan") {
+    GF.register(spark)
+    val out = Seq("Café", "中文x", "ok").toDF("s")
+      .select(GF.ascii_fold(col("s")).as("f")).as[String].collect()
+    assert(out.toSeq == Seq("Cafe", "x", "ok"))
+  }
+
+  test("ascii_fold is null-safe") {
+    GF.register(spark)
+    val out = Seq(Option("Café"), None).toDF("s")
+      .select(GF.ascii_fold(col("s")).as("f")).collect()
+    assert(out(1).isNullAt(0))
+  }
+
+  test("fingerprint64: deterministic, order-sensitive") {
+    GF.register(spark)
+    val out = Seq("ab", "ba", "ab").toDF("s")
+      .select(GF.fingerprint64(col("s")).as("fp")).as[Long].collect()
+    assert(out(0) == out(2))
+    assert(out(0) != out(1))
+  }
+
+  test("token counts and ratios") {
+    val df = Seq("the quick brown fox", "  ", "one", "hi, world!").toDF("s")
+      .select(
+        GF.token_count_ws(col("s")).as("ws"),
+        GF.punct_ratio(col("s")).as("pr"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 4)
+    assert(rows(1).getInt(0) == 0)
+    assert(rows(2).getInt(0) == 1)
+    assert(rows(3).getInt(0) == 2)
+    assert(rows(3).getDouble(1) > 0.0) // ", !" are punct
+  }
+
+  test("stopword ratio and quality score band") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the forest where it is safe and the sun shines on the hills"
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    val df = Seq(good, junk).toDF("s").select(
+      GF.stopword_ratio(col("s")).as("sr"),
+      GF.quality_score(col("s")).as("q"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) > 0.2)            // prose has stopwords
+    assert(rows(0).getDouble(1) > rows(1).getDouble(1)) // prose beats junk
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  test("lang_id markers") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der Hund und die Katze ist schnell",
+      "le chat et la maison des amis",
+      "我是中国人的",
+      "zzz qqq xxx").toDF("s")
+      .select(GF.lang_id(col("s")).as("l")).as[String].collect()
+    assert(df.toSeq == Seq("en", "de", "fr", "zh", "und"))
+  }
+}
