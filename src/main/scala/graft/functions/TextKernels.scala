@@ -35,6 +35,33 @@ object TextKernels {
     if (ascii) s else UTF8String.fromString(asciiFoldString(s.toString))
   }
 
+  /** Whitespace-token n-gram shingles: trim → split on \s+ → join each
+    * window of `n` tokens with a single space. Texts with fewer than `n`
+    * tokens yield an empty array. Kernel for the codegen'd
+    * [[TokenShingles]] expression. */
+  def shingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.toString.trim.split("\\s+")
+    val count = toks.length - n + 1
+    if (count <= 0) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    } else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** 64-bit polynomial rolling hash (Rabin–Karp style) over the raw bytes —
     * the document-fingerprint kernel. Deterministic, order-sensitive. */
   def fingerprint64(s: UTF8String): Long = {

@@ -2,28 +2,25 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 
-/** Vector math over `ArrayType` embedding columns, composed from Spark's
-  * higher-order functions (`zip_with`, `aggregate`, `transform`) so the hot
-  * path stays inside whole-stage codegen — no UDF serialization and no
-  * mllib Vector boxing.
-  *
-  * All kernels compute in double precision with strict left-to-right
-  * accumulation, which makes results bit-reproducible and comparable with
-  * an external oracle computing the same sequence of IEEE ops.
+/** Vector math over `ArrayType` embedding columns. The dot/norm kernels are
+  * custom codegen'd Catalyst expressions ([[ArrayDot]]/[[ArrayNorm2]]) — a
+  * tight primitive loop per row. The previously-used higher-order-function
+  * composition (`aggregate(zip_with(...))`) is CodegenFallback and paid an
+  * interpreted lambda per element; numerics are identical (strict
+  * left-to-right double accumulation), so oracle parity is unchanged.
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ (double). */
+  /** Σ aᵢ·bᵢ (double). Null on length mismatch. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnShim.column(ArrayDot(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** ‖a‖₂ (double). */
   def l2_norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    ColumnShim.column(ArrayNorm2(ColumnShim.expression(a)))
 
   /** Cosine similarity ∈ [-1,1]; null-safe zero-vector guard → null. */
   def cosine(a: Column, b: Column): Column = {

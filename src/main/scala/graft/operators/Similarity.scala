@@ -51,16 +51,23 @@ object Similarity {
     val centroids = corpus
       .filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("_centv"))
+    // argmax-by-similarity via partial-aggregated max(struct(...)) rather
+    // than a row_number window: the window shuffles |corpus|·|centroids|
+    // rows; the aggregate combines map-side down to one row per vector
+    // before the shuffle. The vector rides inside the max struct so the
+    // grouping key stays scalar. Tie-break: smallest centroid_id (negated
+    // in the struct ordering; unique per centroid, so the vector field is
+    // never reached in comparisons).
     val assigned = corpus
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol), col("centroid_id"),
         VectorFunctions.cosine(col(vecCol), col("_centv")).as("_csim"))
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("_csim").desc, col("centroid_id"))))
-      .filter(col("_r") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_csim"), (-col("centroid_id")).as("_negc"),
+        col(vecCol).as("_v"))).as("_best"))
+      .select(col(idCol), col("_best._v").as(vecCol),
+        (-col("_best._negc")).as("centroid_id"))
     (centroids, assigned)
   }
 
