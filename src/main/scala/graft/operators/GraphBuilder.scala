@@ -73,7 +73,23 @@ final case class PropertyGraph(
   * touches metadata; all data movement is inside Spark jobs. */
 object GraphBuilder {
 
-  def build(spark: SparkSession, cfg: GraphConfig): PropertyGraph = {
+  /** Build with optional ingest-time string normalization: the reference
+    * NFKD→ASCII-folds string values as they stream into staging
+    * (graph_db_builder.py:521-527); `asciiFold = true` applies the same
+    * normalization to every string property via the codegen'd AsciiFold
+    * expression (F1). */
+  def build(spark: SparkSession, cfg: GraphConfig,
+      asciiFold: Boolean = false): PropertyGraph = {
+    if (asciiFold) graft.functions.GraftFunctions.register(spark)
+
+    def normalized(df: DataFrame): DataFrame =
+      if (!asciiFold) df
+      else df.select(df.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          graft.functions.GraftFunctions.ascii_fold(col(f.name)).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+
     // --- nodes: scan each source table, normalize the id column name to
     // the label's id key, union + merge (NodePipeline).
     val nodeIdKey: Map[String, String] = cfg.nodes.map { n =>
@@ -83,7 +99,8 @@ object GraphBuilder {
     val nodes: Map[String, DataFrame] = cfg.nodes.map { n =>
       val canonicalId = nodeIdKey(n.label)
       val srcDfs = n.sources.map { s =>
-        val raw = SourceReader.readTable(spark, cfg.sources(s.source), s.table)
+        val raw = normalized(
+          SourceReader.readTable(spark, cfg.sources(s.source), s.table))
         // Each source names its id key independently (config.yml:20 vs :27);
         // align them onto the label's canonical id before the union.
         val aligned =

@@ -44,6 +44,23 @@ object StreamingIngest {
         col(typeCol), col("n_events"), col("sum_value"), col("avg_value"))
   }
 
+  /** ST1 end-to-end: continuously ingest a deduplicated stream into a
+    * parquet staging table — the reference's `safe_stream_mysql_to_pytable`
+    * loop (graph_db_builder.py:491-543) as an actually-incremental pipeline.
+    * foreachBatch appends each micro-batch after watermark dedup; exactly-
+    * once within a batch via the sink's atomic commit, at-least-once across
+    * restarts (checkpointed offsets). Returns the running query. */
+  def streamToStaging(stream: DataFrame, idKey: String, tsCol: String,
+      watermark: String, destDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dedupIngest(stream, idKey, tsCol, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(destDir)
+      }
+      .start()
+
   /** Session windows per user: gap-based sessionization (session_window). */
   def sessionAgg(events: DataFrame, tsCol: String, userCol: String,
       gap: String, watermark: Option[String] = None): DataFrame = {

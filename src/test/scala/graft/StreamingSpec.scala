@@ -61,6 +61,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST1 end-to-end: streamToStaging appends deduped batches to parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-staging")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingIngest.streamToStaging(
+      mem.toDF().toDF("id", "ts", "payload"), "id", "ts", "1 hour",
+      s"$tmp/dest", s"$tmp/ckpt")
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "a"),
+        (1L, ts("2024-01-01 10:01:00"), "a-dup"),
+        (2L, ts("2024-01-01 10:02:00"), "b"))
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-01 10:30:00"), "c"))
+      q.processAllAvailable()
+      val staged = spark.read.parquet(s"$tmp/dest")
+      assert(staged.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("ST2 batch mode: same definition runs on a static frame") {
     val df = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
