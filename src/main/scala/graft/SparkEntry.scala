@@ -196,6 +196,28 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // ---- cube: multi-dimensional aggregate (subtotals + grand total) ----
+    "q_cube_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // ---- window: running total (frame-bounded window function) ----
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -422,6 +444,19 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |COALESCE(o_orderpriority, 'ALL') AS priority,
+        |count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_x1_dedup_exact" ->
       """SELECT sha256(text) AS content_sha256, min(doc_id) AS keeper_id,

@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input/output rows for the stateful per-user accumulator (ST1 variant). */
+case class UserEvent(user_id: Long, value: Double)
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Structured-Streaming ingest — the reference's stated processing model
   * ("Stream entries in S to T", graph_db_builder.py:28, :485-486) made
@@ -60,6 +65,29 @@ object StreamingIngest {
         batch.write.mode("append").parquet(destDir)
       }
       .start()
+
+  /** Custom keyed state via mapGroupsWithState: a continuously-updated
+    * per-user running aggregate — the engine's hook for arbitrary stateful
+    * stream logic beyond built-in windows (SURVEY §2.8). Each micro-batch
+    * folds its events into the persisted [[UserTotals]] state and emits the
+    * updated row (use with OutputMode.Update). State is per-key and
+    * partitioned by the grouping key, so it scales horizontally; bound
+    * lifetime with a timeout if keys churn. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserTotals(uid, n, s)
+          state.update(next)
+          next
+      }
+  }
 
   /** Session windows per user: gap-based sessionization (session_window). */
   def sessionAgg(events: DataFrame, tsCol: String, userCol: String,

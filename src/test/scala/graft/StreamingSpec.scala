@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingIngest, UserEvent}
 
 /** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
   * tests over MemoryStream (SURVEY.md §5 item 5). */
@@ -92,6 +92,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out(0).getAs[Long]("n_events") == 2L)
     assert(out(1).getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("stateful mapGroupsWithState: running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingIngest.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1L, 10.0), UserEvent(1L, 5.0), UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1L, 2.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends updated rows; last row per key
+      // is the current state
+      val last = spark.table("stateful_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_value"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(last == Set((1L, 3L, 17.0), (2L, 1L, 1.0)))
+    } finally q.stop()
   }
 
   test("session windows: gap-based sessionization (batch)") {
