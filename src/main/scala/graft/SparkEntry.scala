@@ -190,7 +190,7 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
@@ -271,7 +271,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") < 8), e, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank"))
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -283,7 +283,7 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), centroids, assigned,
         "embedding", "vec_id", k = 5, nProbe = 3)
         .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank"))
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -458,10 +458,70 @@ object SparkEntry {
         |  ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // NFKD fold ≡ strip_accents + drop-non-ASCII on this corpus (document
+    // text is pure ASCII; only the injected prefix exercises the fold).
+    "q_f1_ascii_fold" ->
+      """SELECT doc_id,
+        |regexp_replace(strip_accents('Café—' || text), '[^\x00-\x7F]', '', 'g')
+        |  AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_x1_dedup_exact" ->
       """SELECT sha256(text) AS content_sha256, min(doc_id) AS keeper_id,
         |count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    // IVF is deterministic end-to-end (stride centroids, double cosine,
+    // id tie-breaks), so even the approximate ANN path gets an exact oracle.
+    "q_x3b_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |asn0 AS (
+        |  SELECT c.vec_id, c.embedding, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |asn AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |probe0 AS (
+        |  SELECT q.query_id, q.qv, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.qv) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.qv) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM q CROSS JOIN cent ct),
+        |probed AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(p.qv) x, unnest(a.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(p.qv) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(a.embedding) y)))) AS cosine
+        |  FROM probed p JOIN asn a ON a.centroid_id = p.centroid_id
+        |    AND a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_x2b_ngram_jaccard" ->
       """WITH tok AS (

@@ -91,9 +91,12 @@ object GraphBuilder {
       }.toIndexedSeq: _*)
 
     // --- nodes: scan each source table, normalize the id column name to
-    // the label's id key, union + merge (NodePipeline).
+    // the label's canonical id — `id_key_label` if declared (reference
+    // config.yml:16-18: Gene's per-source `entrez` id surfaces as
+    // `entrez_gene_id`), else the first source's id_key — then union +
+    // merge (NodePipeline).
     val nodeIdKey: Map[String, String] = cfg.nodes.map { n =>
-      n.label -> n.sources.head.idKey
+      n.label -> n.idKeyLabel.getOrElse(n.sources.head.idKey)
     }.toMap
 
     val nodes: Map[String, DataFrame] = cfg.nodes.map { n =>

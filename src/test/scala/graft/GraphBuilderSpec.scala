@@ -84,6 +84,28 @@ class GraphBuilderSpec extends SparkSpec {
     assert(header.contains(":LABEL"))
   }
 
+  test("id_key_label renames the canonical id; uri_key surfaces as _uri") {
+    val yaml =
+      s"""Database: { name: IdLabel, version: "1" }
+         |Sources:
+         |  P: { source type: parquet, path: ${sf()} }
+         |Nodes:
+         |  Customer:
+         |    id_key_label: customer_id
+         |    sources:
+         |      P: { table: customer, id_key: c_custkey, uri_key: c_name }
+         |""".stripMargin
+    val g = GraphBuilder.build(spark, GraphConfig.fromYaml(yaml))
+    val cust = g.nodes("Customer")
+    assert(cust.columns.contains("customer_id"))
+    assert(!cust.columns.contains("c_custkey"))
+    assert(cust.columns.contains("_uri"))
+    assert(cust.count() == 150)
+    val r = cust.orderBy("customer_id").select("customer_id", "_uri").head()
+    assert(r.getLong(0) == 0L) // synthetic custkeys are 0-based
+    assert(r.getString(1).nonEmpty) // uri carries c_name
+  }
+
   test("nested array columns (embeddings) survive the node pipeline (X5)") {
     val yaml =
       s"""Database: { name: VecGraph, version: "1" }
