@@ -258,6 +258,20 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- X1b: near-dup clustering (connected components → keeper id) ----
+    "q_x1b_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .join(d.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      val edges = Dedup.ngramJaccardPairs(pairs, d, "text", "doc_id", 1)
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(d, "doc_id", edges)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI) ----
     "q_x2c_simhash_neardups" -> ((s, dir) => {
       val fps = Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")
@@ -547,6 +561,39 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = p.id_b
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         |ORDER BY p.id_a""".stripMargin,
+
+    // Edges exist only between consecutive ids, so components are
+    // gaps-and-islands: component = latest island-start ≤ doc_id.
+    "q_x1b_dedup_clusters" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |), inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN tok ta ON ta.doc_id = p.id_a
+        |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
+        |  GROUP BY p.id_a, p.id_b
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |edges AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+        |        (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.6
+        |), marks AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN e.id_a IS NULL THEN d.doc_id END AS island_start
+        |  FROM documents d LEFT JOIN edges e ON e.id_b = d.doc_id)
+        |SELECT doc_id,
+        |  max(island_start) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS component
+        |FROM marks ORDER BY doc_id""".stripMargin,
 
     "q_x3_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

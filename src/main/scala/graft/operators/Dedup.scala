@@ -181,6 +181,57 @@ object Dedup {
         jaccard(col("_ta"), col("_tb"), shingleSize).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs — the clustering step that
+    * turns pairwise matches into dedup decisions (every doc maps to the
+    * minimum id reachable through near-dup edges; that min id is the
+    * canonical keeper).
+    *
+    * Iterative min-label propagation with POINTER JUMPING (each round also
+    * shortcuts `comp ← comp(comp)`), converging in O(log diameter) rounds
+    * instead of O(diameter) — the difference between 10 and 10,000 rounds
+    * on a long dup chain. Each round is two shuffles on uniformly-hashed
+    * ids; lineage is truncated per round with localCheckpoint so plans
+    * don't grow exponentially. This is the standard large-graph CC shape
+    * (cf. the large-star/small-star family) expressed in DataFrames.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    // labels only ever decrease, so an unchanged sum(comp) is a fixpoint —
+    // a single-column aggregate beats a join-based diff as the convergence
+    // probe.
+    var prevSum = Option.empty[Any]
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // one-hop: adopt the smallest neighbor component
+      val nbrMin = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "comp" -> "_nc")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("_nc")).as("_nbr"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("comp"))
+      // pointer jump: comp ← comp's comp (path halving)
+      val jumped = hopped
+        .join(hopped.select(col("id").as("comp"), col("comp").as("_cc")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("_cc"), col("comp")).as("comp"))
+        .localCheckpoint()
+      val curSum = jumped.agg(sum(col("comp"))).head().get(0)
+      converged = prevSum.contains(curSum)
+      prevSum = Some(curSum)
+      labels = jumped
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold`, candidates
     * blocked by random-hyperplane bucket (similar vectors collide with high
     * probability; `probes` extra buckets via bit flips would raise recall —

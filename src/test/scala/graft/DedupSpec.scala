@@ -66,6 +66,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("connectedComponents: min-label clusters with isolated vertices") {
+    val vertices = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(vertices, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: long chain converges via pointer jumping") {
+    val n = 60L
+    val vertices = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(vertices, "id", pairs, maxIter = 12)
+      .select("comp").distinct().as[Long].collect()
+    assert(comps.toSeq == Seq(0L)) // one component, min label 0
+  }
+
   test("cosineNearDups brute force matches blocked candidates on dup vectors") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
