@@ -37,10 +37,10 @@ object GraftFunctions {
 
   /** BPE-ish token estimate: count word pieces (runs of letters/digits) and
     * punctuation marks separately — a deterministic stand-in for a real
-    * subword tokenizer's piece count. */
+    * subword tokenizer's piece count. Single regexp_count scan (codegen'd)
+    * rather than a boundary-split + interpreted filter. */
   def token_count_bpe(c: Column): Column =
-    size(filter(split(c, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-      x => length(trim(x)) > 0))
+    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Punctuation character ratio ∈ [0,1] (0 for empty text). */
   def punct_ratio(c: Column): Column = {
@@ -61,10 +61,14 @@ object GraftFunctions {
     "it", "that", "this", "for", "on", "with", "as", "be", "by", "at")
 
   def stopword_ratio(c: Column): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
-    val stops = filter(toks, t => t.isInCollection(EnglishStopwords))
+    // exact whitespace-token matching via zero-width space/edge lookarounds
+    // on a whitespace-normalized copy — one codegen'd regex scan instead of
+    // an interpreted per-token lambda
+    val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
+    val pattern = "(?<=^| )(" + EnglishStopwords.mkString("|") + ")(?= |$)"
+    val stops = regexp_count(norm, lit(pattern))
     when(length(trim(c)) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(toks))
+      .otherwise(stops.cast("double") / token_count_ws(c))
   }
 
   /** Heuristic document quality score ∈ [0,1]: combines length band,

@@ -55,6 +55,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(3).getDouble(1) > 0.0) // ", !" are punct
   }
 
+  test("token_count_bpe counts word pieces + punctuation marks") {
+    val out = Seq("hi, world!", "a--b", "one", "", "  ").toDF("s")
+      .select(GF.token_count_bpe(col("s")).as("n")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(4, 4, 1, 0, 0))
+  }
+
+  test("stopword ratio: exact token matches incl. adjacent stopwords") {
+    val out = Seq("a a a", "the cat", "atheist theory", "cat dog").toDF("s")
+      .select(GF.stopword_ratio(col("s")).as("r")).collect().map(_.getDouble(0))
+    assert(out(0) == 1.0)          // adjacent stopwords all counted
+    assert(out(1) == 0.5)
+    assert(out(2) == 0.0)          // substrings are not token matches
+    assert(out(3) == 0.0)
+  }
+
   test("stopword ratio and quality score band") {
     val good = "the quick brown fox jumps over the lazy dog and runs to " +
       "the forest where it is safe and the sun shines on the hills"
