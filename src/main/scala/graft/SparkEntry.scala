@@ -196,6 +196,15 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // ---- A4b: sketch aggregates (HLL) — implementation-specific values,
+    // rows-only gate; error bound asserted in AggregatesSpec ----
+    "q_a4b_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          count(lit(1)).as("n_rows"))),
+
     // ---- cube: multi-dimensional aggregate (subtotals + grand total) ----
     "q_cube_orders" -> ((s, dir) =>
       t(s, dir, "orders")

@@ -68,7 +68,39 @@ final case class GraphConfig(
     database: DatabaseMeta,
     sources: Map[String, SourceConf],
     nodes: Seq[NodeConf],
-    relationships: Seq[RelConf])
+    relationships: Seq[RelConf]) {
+
+  /** Cross-reference validation with actionable errors — the reference
+    * validated only the presence of top-level keys
+    * (graph_db_builder.py:295-300) and failed later with KeyErrors on
+    * dangling references; we fail fast at parse time instead. Returns this
+    * config for chaining. */
+  def validated: GraphConfig = {
+    val errors = Seq.newBuilder[String]
+    val nodeLabels = nodes.map(_.label).toSet
+    for (n <- nodes; s <- n.sources if !sources.contains(s.source))
+      errors += s"node '${n.label}' references unknown source '${s.source}'"
+    if (nodes.isEmpty) errors += "config declares no nodes"
+    for (r <- relationships; rs <- r.sources) {
+      if (!sources.contains(rs.source))
+        errors += s"relationship '${r.label}' references unknown source '${rs.source}'"
+      rs.mode match {
+        case fk: ForeignKeyMode =>
+          for (l <- Seq(fk.startNode, fk.endNode) if !nodeLabels.contains(l))
+            errors += s"relationship '${r.label}' references unknown node '$l'"
+        case _: JoinTableMode =>
+          for (l <- r.startNode.toSeq ++ r.endNode.toSeq
+               if !nodeLabels.contains(l))
+            errors += s"relationship '${r.label}' references unknown node '$l'"
+      }
+    }
+    val errs = errors.result()
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(
+        "invalid graph config:\n  " + errs.mkString("\n  "))
+    this
+  }
+}
 
 object GraphConfig {
 

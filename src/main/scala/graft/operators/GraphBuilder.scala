@@ -78,8 +78,9 @@ object GraphBuilder {
     * (graph_db_builder.py:521-527); `asciiFold = true` applies the same
     * normalization to every string property via the codegen'd AsciiFold
     * expression (F1). */
-  def build(spark: SparkSession, cfg: GraphConfig,
+  def build(spark: SparkSession, cfg0: GraphConfig,
       asciiFold: Boolean = false): PropertyGraph = {
+    val cfg = cfg0.validated
     if (asciiFold) graft.functions.GraftFunctions.register(spark)
 
     def normalized(df: DataFrame): DataFrame =

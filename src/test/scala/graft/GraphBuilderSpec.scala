@@ -84,6 +84,29 @@ class GraphBuilderSpec extends SparkSpec {
     assert(header.contains(":LABEL"))
   }
 
+  test("validation: dangling source/node references fail fast with all errors") {
+    val yaml =
+      """Database: { name: Bad, version: "1" }
+        |Sources:
+        |  P: { source type: parquet, path: /tmp }
+        |Nodes:
+        |  A:
+        |    sources:
+        |      MISSING: { table: t, id_key: k }
+        |Relationships:
+        |  R:
+        |    sources:
+        |      P:
+        |        type: foreign_key
+        |        start: { node: A, table: t, key: k }
+        |        end: { node: NOPE, table: u, key: k }
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      GraphConfig.fromYaml(yaml).validated)
+    assert(e.getMessage.contains("unknown source 'MISSING'"))
+    assert(e.getMessage.contains("unknown node 'NOPE'"))
+  }
+
   test("id_key_label renames the canonical id; uri_key surfaces as _uri") {
     val yaml =
       s"""Database: { name: IdLabel, version: "1" }
