@@ -361,6 +361,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- F4: JSON property extraction (semi-structured columns) ----
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")),
+
+    // ---- F4: date-part extraction + aggregation ----
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("y", "m")),
+
     // ---- ST2 (batch mode): tumbling-window event aggregation ----
     "q_st2_events_window" -> ((s, dir) =>
       StreamingIngest.windowedEventAgg(
@@ -654,6 +673,20 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |sha256(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |  AS sum_k,
+        |ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+        |  AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+        |CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+        |count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_st2_events_window" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT)

@@ -240,14 +240,26 @@ object Dedup {
   def cosineNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 12,
-      bruteForce: Boolean = false): DataFrame = {
+      bruteForce: Boolean = false, probes: Int = 0): DataFrame = {
+    val bucket = VectorFunctions.hyperplane_bucket(col(vecCol), bits)
+    // Multiprobe: besides its own bucket, each LEFT-side vector also probes
+    // the `probes` buckets at Hamming distance 1 (single sign-bit flips) —
+    // the standard recall lever for borderline vectors whose projection is
+    // near a hyperplane. Candidate volume grows ×(probes+1) on one side
+    // only.
+    val probeBuckets = array((bucket +: (0 until math.min(probes, bits)).map(
+      p => bucket.bitwiseXOR(lit(1 << p))): _*))
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
-      VectorFunctions.hyperplane_bucket(col(vecCol), bits).as("_ba"))
+      explode(probeBuckets).as("_ba"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
-      VectorFunctions.hyperplane_bucket(col(vecCol), bits).as("_bb"))
+      bucket.as("_bb"))
     val joined =
-      if (bruteForce) a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      if (bruteForce)
+        df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+          .crossJoin(df.select(col(idCol).as("id_b"), col(vecCol).as("_vb")))
+          .filter(col("id_a") < col("id_b"))
       else a.join(b, col("_ba") === col("_bb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("_va"), col("id_b"), col("_vb")).distinct()
     joined
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("_va"), col("_vb")).as("cosine"))

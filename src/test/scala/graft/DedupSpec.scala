@@ -98,4 +98,18 @@ class DedupSpec extends SparkSpec {
     // blocking is approximate but near-identical vectors share buckets
     assert(blocked == Set((0L, 1L)))
   }
+
+  test("multiprobe LSH recall >= exact-bucket recall on real embeddings") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val exact = Dedup.cosineNearDups(e, "embedding", "vec_id", 0.3,
+      bruteForce = true).count()
+    val bucket0 = Dedup.cosineNearDups(e, "embedding", "vec_id", 0.3,
+      bits = 8).count()
+    val probed = Dedup.cosineNearDups(e, "embedding", "vec_id", 0.3,
+      bits = 8, probes = 4).count()
+    assert(bucket0 <= probed)   // probes can only add candidates
+    assert(probed <= exact)     // and never invent pairs
+    assert(probed > 0)
+  }
 }

@@ -38,6 +38,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.toSeq == again.toSeq)
   }
 
+  test("metadata-only queries never read payload pages (column pruning)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    Multimodal.withMediaMetadata(media, "payload", "application/octet-stream")
+      .write.parquet(s"$tmp/media")
+    val metaOnly = spark.read.parquet(s"$tmp/media")
+      .select(col("id"), col("media_meta.n_bytes"))
+      .filter(col("media_meta.n_bytes") > 0)
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    // the parquet ReadSchema must not include the payload column — Parquet
+    // stores it in separate column chunks, so pruning means payload bytes
+    // are never read off disk for metadata queries
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(scan)
+    assert(!readSchema.contains("payload"), readSchema)
+    assert(metaOnly.count() == 2) // empty payload filtered
+  }
+
   test("sampleFrames explodes payload into indexed frames") {
     val vid = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(vid, "payload", frameSize = 10,
