@@ -361,6 +361,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- as-of join: point-in-time lookup (custom composed operator) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"),
+          round(col("value"), 2).as("purchase_value"),
+          col("tsu").as("purchase_tsu"))
+      AsOfJoin.asofJoin(clicks, purchases, Seq("user_id"), "tsu",
+        Seq("purchase_value", "purchase_tsu"))
+        .orderBy("event_id")
+    }),
+
+    // ---- range join: point-in-interval via bucketed equi-join ----
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq((1L, 0.0, 120.0), (2L, 100.0, 260.0), (3L, 250.0, 1000.0))
+        .toDF("band_id", "lo", "hi")
+      RangeJoin.pointInInterval(
+        t(s, dir, "part"), "p_retailprice", bands, "lo", "hi",
+        bucketWidth = 50.0)
+        .select(col("p_partkey"), col("band_id"))
+        .orderBy("p_partkey", "band_id")
+    }),
+
     // ---- F4: JSON property extraction (semi-structured columns) ----
     "q_json_props" -> ((s, dir) =>
       events(s, dir)
@@ -673,6 +700,27 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |sha256(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+        |            event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, tsu FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsu,
+        |       p.purchase_value, p.tsu AS purchase_tsu
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsu >= p.tsu
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p_partkey, band_id
+        |FROM part
+        |JOIN (VALUES (1, 0.0, 120.0), (2, 100.0, 260.0), (3, 250.0, 1000.0))
+        |  AS bands(band_id, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |ORDER BY p_partkey, band_id""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.AsOfJoin
+
+/** As-of join semantics: most-recent-prior match, inclusive ties,
+  * null when nothing precedes, key isolation. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, "A", 100L), (2L, "A", 205L), (3L, "A", 300L), (4L, "B", 150L))
+    .toDF("trade_id", "sym", "ts")
+  private lazy val quotes = Seq(
+    ("A", 90L, 1.0), ("A", 200L, 2.0), ("A", 205L, 3.0), ("B", 400L, 9.0))
+    .toDF("sym", "ts", "px")
+
+  test("matches the most recent quote at or before each trade") {
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .orderBy("trade_id").collect()
+    assert(out(0) == Row(1L, "A", 100L, 1.0))  // quote@90
+    assert(out(1) == Row(2L, "A", 205L, 3.0))  // tie: quote@205 counts (<=)
+    assert(out(2) == Row(3L, "A", 300L, 3.0))  // carries forward
+    assert(out(3) == Row(4L, "B", 150L, null)) // B's only quote is later
+  }
+
+  test("left rows are never dropped or duplicated") {
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "ts", Seq("px"))
+    assert(out.count() == 4)
+    assert(out.select("trade_id").distinct().count() == 4)
+  }
+}

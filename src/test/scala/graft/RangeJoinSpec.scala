@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.RangeJoin
+
+/** Bucketed point-in-interval join: boundary semantics, multi-bucket
+  * intervals, overlap, no duplicates. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inclusive start, exclusive end, overlapping intervals, no dups") {
+    val points = Seq((1L, 0.0), (2L, 99.9), (3L, 100.0), (4L, 119.9),
+      (5L, 120.0), (6L, 999.9), (7L, 1000.0)).toDF("pid", "v")
+    val intervals = Seq((10L, 0.0, 120.0), (20L, 100.0, 260.0),
+      (30L, 250.0, 1000.0)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi",
+      bucketWidth = 50.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L),            // start inclusive
+      (2L, 10L),
+      (3L, 10L), (3L, 20L), // overlap region matches both
+      (4L, 10L), (4L, 20L),
+      (5L, 20L),            // end of [0,120) exclusive
+      (6L, 30L)))           // 1000.0 excluded entirely (7 matches nothing)
+    // exactly one row per (point, containing interval)
+    val n = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 50.0)
+      .count()
+    assert(n == 8)
+  }
+
+  test("tiny bucket width still correct (intervals span many buckets)") {
+    val points = Seq((1L, 55.0)).toDF("pid", "v")
+    val intervals = Seq((10L, 0.0, 120.0)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi",
+      bucketWidth = 1.0).count()
+    assert(out == 1)
+  }
+}
