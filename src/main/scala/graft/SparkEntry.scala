@@ -339,6 +339,23 @@ object SparkEntry {
           GF.token_count_bpe(col("text")).as("n_bpeish"))
         .orderBy("doc_id")),
 
+    // ---- X4c: vocabulary building (top-k token counts) ----
+    "q_x4c_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tk"))
+        .limit(20)),
+
+    // ---- X4d: exact length percentiles (corpus statistics) ----
+    "q_x4d_length_percentiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"),
+          count(lit(1)).as("n_docs"))),
+
     // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
     "q_x5_media_meta" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
@@ -694,6 +711,19 @@ object SparkEntry {
         |  AS avg_tokens,
         |ROUND(avg(length(text)), 4) AS avg_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_x4c_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents)
+        |SELECT tk, count(*) AS n FROM tok GROUP BY tk
+        |ORDER BY n DESC, tk LIMIT 20""".stripMargin,
+
+    "q_x4d_length_percentiles" ->
+      """SELECT ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
+        |count(*) AS n_docs FROM documents""".stripMargin,
 
     "q_x5_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
