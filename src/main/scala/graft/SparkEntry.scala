@@ -185,6 +185,30 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // ---- set ops: intersect / except (reference had only union — A3) ----
+    "q_set_ops" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val machinery = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("k"))
+      val both = machinery.intersect(buyers)
+        .select(lit("machinery_buyer").as("set_kind"), col("k"))
+      val dormant = machinery.except(buyers)
+        .select(lit("machinery_no_orders").as("set_kind"), col("k"))
+      both.unionByName(dormant).orderBy("set_kind", "k")
+    }),
+
+    // ---- pivot: long→wide aggregation ----
+    "q_pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")),
+
     // ---- window: top-k per group ----
     "q_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -522,6 +546,24 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'machinery_buyer' AS set_kind, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'machinery_no_orders', k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY set_kind, k""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
