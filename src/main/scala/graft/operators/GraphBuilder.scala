@@ -155,7 +155,9 @@ object GraphBuilder {
             }
         }
       }
-      r.label -> parts.reduce(_.unionByName(_))
+      // sources may contribute different edge-prop sets; missing columns
+      // null-fill exactly like the node-side A3 union
+      r.label -> parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }.toMap
 
     PropertyGraph(cfg.database, nodes, rels)
