@@ -22,17 +22,29 @@ object Bench {
     }
     // Timed pass: materialize through the noop sink so every projected
     // column is computed — .count() would let Catalyst prune most of the
-    // work for scan/window-shaped queries.
+    // work for scan/window-shaped queries. A query that throws records -1,
+    // never a plausible-looking wall-clock for work that didn't run.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val timing =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          -1.0 }
+      name -> timing
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val ok = results.values.filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    // cpus + shuffle partitions ride in the JSON line so round-over-round
+    // comparisons are config-matched
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.values.exists(_ < 0)) sys.exit(1)
   }
 }

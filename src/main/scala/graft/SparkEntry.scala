@@ -127,9 +127,19 @@ object SparkEntry {
     // ---- J1: foreign_key relationship join ----
     "q_j1_fk_edges" -> ((s, dir) =>
       RelPipeline.foreignKeyEdges(
-        t(s, dir, "customer"), "c_custkey",
+        t(s, dir, "customer"), "c_custkey", "c_custkey",
         t(s, dir, "orders"), "o_custkey", "o_orderkey",
-        props = Seq("o_totalprice"))
+        endProps = Seq("o_totalprice"))
+        .orderBy("start_id", "end_id")),
+
+    // ---- J1b: fk join where the join key ≠ the start node's id — start_id
+    // must resolve to the Customer id (c_custkey), not the nation fk; edge
+    // props carried from BOTH sides ----
+    "q_j1b_fk_edges_resolved" -> ((s, dir) =>
+      RelPipeline.foreignKeyEdges(
+        t(s, dir, "customer"), "c_nationkey", "c_custkey",
+        t(s, dir, "nation"), "n_nationkey", "n_nationkey",
+        startProps = Seq("c_mktsegment"), endProps = Seq("n_name"))
         .orderBy("start_id", "end_id")),
 
     // ---- J2: join_table relationship with endpoint validation ----
@@ -322,11 +332,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- X3b: IVF two-stage ANN (approximate — rows-only check) ----
+    // ---- X3b: IVF two-stage ANN (deterministic — exact oracle) ----
     "q_x3b_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val (centroids, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id",
-        stride = 50)
+        k = 32)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), centroids, assigned,
         "embedding", "vec_id", k = 5, nProbe = 3)
         .select(col("query_id"), col("vec_id"),
@@ -493,6 +503,12 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |ORDER BY start_id, end_id""".stripMargin,
 
+    "q_j1b_fk_edges_resolved" ->
+      """SELECT c_custkey AS start_id, n_nationkey AS end_id,
+        |c_mktsegment, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY start_id, end_id""".stripMargin,
+
     "q_j2_jointable_edges" ->
       """SELECT DISTINCT l_orderkey AS start_id, l_partkey AS end_id
         |FROM lineitem
@@ -599,12 +615,16 @@ object SparkEntry {
         |count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
 
-    // IVF is deterministic end-to-end (stride centroids, double cosine,
-    // id tie-breaks), so even the approximate ANN path gets an exact oracle.
+    // IVF is deterministic end-to-end (fixed-k hash-sampled centroids,
+    // double cosine, id tie-breaks), so even the ANN path gets an exact
+    // oracle. The centroid CTE mirrors Similarity.ivfIndex: k smallest by
+    // multiplicative hash of the id.
     "q_x3b_ann_ivf" ->
       """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
+        |    SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |    LIMIT 32)),
         |corpus AS (SELECT vec_id, embedding FROM embeddings),
         |asn0 AS (
         |  SELECT c.vec_id, c.embedding, ct.centroid_id,

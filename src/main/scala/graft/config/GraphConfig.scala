@@ -48,10 +48,13 @@ final case class NodeConf(
 /** Relationship construction modes — reference: config.yml:35-54. */
 sealed trait RelMode
 /** Equi-join between two node source tables on a shared key
-  * (config.yml:39-47). */
+  * (config.yml:39-47). `startProps`/`endProps` name columns from either
+  * join side to carry onto the edge as relationship properties (an engine
+  * extension — the reference grammar never exposed edge properties). */
 final case class ForeignKeyMode(
     startNode: String, startTable: String, startKey: String,
-    endNode: String, endTable: String, endKey: String) extends RelMode
+    endNode: String, endTable: String, endKey: String,
+    startProps: Seq[String] = Nil, endProps: Seq[String] = Nil) extends RelMode
 /** Many-to-many edge table scan (config.yml:48-54). */
 final case class JoinTableMode(
     table: String, fromField: String, toField: String) extends RelMode
@@ -114,20 +117,31 @@ object GraphConfig {
       .load[java.util.Map[String, Object]](yamlText)
       .asScala.toMap
 
-    def asMap(o: Object): Map[String, Object] = o match {
-      case null => Map.empty
+    // Insertion-ordered view of a YAML mapping. snakeyaml parses mappings
+    // into LinkedHashMap, so iterating the java map directly preserves the
+    // order sources appear in the config — which IS the merge-precedence
+    // contract ("first source in config wins", NodePipeline A2). Never
+    // collapse this to an unordered Map before sequencing.
+    def asPairs(o: Object): Seq[(String, Object)] = o match {
+      case null => Nil
       case m: java.util.Map[_, _] =>
-        m.asScala.map { case (k, v) =>
+        m.asScala.toSeq.map { case (k, v) =>
           k.toString -> v.asInstanceOf[Object]
-        }.toMap
+        }
       case other =>
         throw new IllegalArgumentException(s"expected mapping, got: $other")
     }
+    def asMap(o: Object): Map[String, Object] = asPairs(o).toMap
     def str(m: Map[String, Object], k: String): String =
       m.get(k).map(_.toString).getOrElse(
         throw new IllegalArgumentException(s"missing required key '$k' in $m"))
     def opt(m: Map[String, Object], k: String): Option[String] =
       m.get(k).map(_.toString)
+    def strList(m: Map[String, Object], k: String): Seq[String] = m.get(k) match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+      case Some(other) => Seq(other.toString)
+      case None => Nil
+    }
 
     val dbm = asMap(root.getOrElse("Database",
       throw new IllegalArgumentException("config missing 'Database' section")))
@@ -153,38 +167,42 @@ object GraphConfig {
         name -> SourceConf(name, tpe, path, extra)
       }
 
-    val nodes = asMap(root.getOrElse("Nodes", new java.util.HashMap()))
+    val nodes = asPairs(root.getOrElse("Nodes", new java.util.HashMap()))
       .map { case (label, conf) =>
-        val m = asMap(conf)
+        val pairs = asPairs(conf)
+        val m = pairs.toMap
         // Two accepted shapes: nested under `sources:` (ours) or source
-        // names directly at node level (reference config.yml:16-33).
-        val srcMap = m.get("sources").map(asMap).getOrElse(
-          m.view.filterKeys(_ != "id_key_label").toMap)
-        val srcs = srcMap.map { case (srcName, sconf) =>
+        // names directly at node level (reference config.yml:16-33). Source
+        // order is config order — it decides A2 merge precedence.
+        val srcPairs = pairs.collectFirst { case ("sources", v) => asPairs(v) }
+          .getOrElse(pairs.filterNot(_._1 == "id_key_label"))
+        val srcs = srcPairs.map { case (srcName, sconf) =>
           val sm = asMap(sconf)
           NodeSourceConf(
             source = srcName,
             table = str(sm, "table"),
             idKey = str(sm, "id_key"),
             uriKey = opt(sm, "uri_key"))
-        }.toSeq.sortBy(_.source)
+        }
         NodeConf(label, opt(m, "id_key_label"), srcs)
-      }.toSeq.sortBy(_.label)
+      }
 
-    val rels = asMap(root.getOrElse("Relationships", new java.util.HashMap()))
+    val rels = asPairs(root.getOrElse("Relationships", new java.util.HashMap()))
       .map { case (label, conf) =>
-        val m = asMap(conf)
-        val srcMap = m.get("sources").map(asMap).getOrElse(
-          m.view.filterKeys(k => !Set("start_node", "end_node").contains(k))
-            .toMap)
-        val srcs = srcMap.map { case (srcName, sconf) =>
+        val pairs = asPairs(conf)
+        val m = pairs.toMap
+        val srcPairs = pairs.collectFirst { case ("sources", v) => asPairs(v) }
+          .getOrElse(
+            pairs.filterNot(p => Set("start_node", "end_node").contains(p._1)))
+        val srcs = srcPairs.map { case (srcName, sconf) =>
           val sm = asMap(sconf)
           val mode = str(sm, "type") match {
             case "foreign_key" =>
               val s = asMap(sm("start")); val e = asMap(sm("end"))
               ForeignKeyMode(
                 str(s, "node"), str(s, "table"), str(s, "key"),
-                str(e, "node"), str(e, "table"), str(e, "key"))
+                str(e, "node"), str(e, "table"), str(e, "key"),
+                startProps = strList(s, "props"), endProps = strList(e, "props"))
             case "join_table" =>
               JoinTableMode(str(sm, "table"), str(sm, "from_field"),
                 str(sm, "to_field"))
@@ -193,12 +211,12 @@ object GraphConfig {
                 s"unknown relationship type '$other' for $label")
           }
           RelSourceConf(srcName, mode)
-        }.toSeq.sortBy(_.source)
+        }
         val (sn, en) = srcs.map(_.mode).collectFirst {
           case fk: ForeignKeyMode => (Some(fk.startNode), Some(fk.endNode))
         }.getOrElse((opt(m, "start_node"), opt(m, "end_node")))
         RelConf(label, sn, en, srcs)
-      }.toSeq.sortBy(_.label)
+      }
 
     GraphConfig(database, sources, nodes, rels)
   }

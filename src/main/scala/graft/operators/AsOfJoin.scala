@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (time-travel) join: match each left row to the most recent right
   * row with `right.ts <= left.ts` within the same partition key — the
@@ -25,7 +26,15 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param valueCols right-side columns to carry onto each left row
-    *                  (nulls where no right row precedes the left row). */
+    *                  (nulls where no right row precedes the left row).
+    *
+    * The carried values ride in ONE struct with ONE `last(ignoreNulls)`:
+    * per-column `last`s would let a column whose value is null in the most
+    * recent right row back-fill from an OLDER right row, mixing columns
+    * from different right rows — ASOF semantics are row-atomic (the DuckDB
+    * native operator matches whole rows). A right row with all-null values
+    * is still a non-null struct, so it correctly "wins" and contributes
+    * its nulls. */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
@@ -34,13 +43,14 @@ object AsOfJoin {
     require(valueCols.forall(right.columns.contains), "valueCols must exist in right")
 
     val isRight = "_graft_is_right"
-    val taggedLeft = valueCols.foldLeft(left.withColumn(isRight, lit(0))) {
-      (df, c) => df.withColumn(c, lit(null).cast(
-        right.schema(c).dataType))
-    }
+    val rVals = "_graft_rvals"
+    val rStructType = StructType(valueCols.map(c => right.schema(c)))
+
+    val taggedLeft = left.withColumn(isRight, lit(0))
+      .withColumn(rVals, lit(null).cast(rStructType))
     val taggedRight = {
-      val base = right.select((keyCols :+ tsCol).map(col) ++
-        valueCols.map(col): _*)
+      val base = right.select((keyCols :+ tsCol).map(col) :+
+        struct(valueCols.map(col): _*).as(rVals): _*)
       leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
         .foldLeft(base.withColumn(isRight, lit(1))) { (df, c) =>
           df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -52,14 +62,10 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(isRight).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // single projection → one Window operator for all carried columns
-    // (per-column withColumn would stack one Window pass per value)
-    val carried = unioned.select(
-      unioned.columns.filterNot(valueCols.contains).map(col) ++
-        valueCols.map(c =>
-          last(when(col(isRight) === 1, col(c)), ignoreNulls = true)
-            .over(w).as(c)): _*)
-    carried.filter(col(isRight) === 0).drop(isRight)
-      .select((leftCols ++ valueCols).map(col): _*)
+    val carried = unioned.withColumn(rVals,
+      last(col(rVals), ignoreNulls = true).over(w))
+    carried.filter(col(isRight) === 0)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"$rVals.$c").as(c)): _*)
   }
 }

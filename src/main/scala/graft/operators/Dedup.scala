@@ -70,7 +70,10 @@ object Dedup {
     * shuffles only (bandkey, id) rows on uniformly-distributed hash keys.
     * Bucket sizes stay tiny for non-dup corpora, so the in-bucket pair
     * expansion never goes quadratic on healthy data. */
-  def minhashCandidates(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
+  /** (bandkey, id) rows for the LSH banding — shared by candidate
+    * generation and the overflow report. */
+  private def bandedKeys(signatures: DataFrame, idCol: String,
+      bands: Int): DataFrame = {
     val mhCols = signatures.columns.filter(_.startsWith("mh_"))
     require(mhCols.length % bands == 0, "bands must divide numHashes")
     val r = mhCols.length / bands
@@ -79,13 +82,24 @@ object Dedup {
         xxhash64(mhCols.slice(b * r, (b + 1) * r).map(col).toIndexedSeq: _*)
           .as("bh")).as(s"_band_$b")
     }
-    val banded = signatures
+    signatures
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b =>
         col(s"_band_$b")): _*)).as("bandkey"))
-    val buckets = banded.groupBy(col("bandkey"))
+  }
+
+  /** Buckets larger than `maxBucketSize` are DROPPED from pair expansion:
+    * a degenerate corpus (millions of identical boilerplate docs) would
+    * otherwise put one giant id list in one task — OOM plus a quadratic
+    * explode. Oversized buckets mean the docs are so similar that exact
+    * dedup ([[exact]]) or a re-shingle catches them; the drop is surfaced
+    * via [[minhashBucketOverflow]], never silent. */
+  def minhashCandidates(signatures: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = bandedKeys(signatures, idCol, bands)
+      .groupBy(col("bandkey"))
       .agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")) > 1)
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucketSize)
       .select(array_sort(col("_ids")).as("_ids"))
     buckets
       .select(explode(flatten(transform(col("_ids"), (x, i) =>
@@ -94,6 +108,17 @@ object Dedup {
       .select(col("_p.id_a"), col("_p.id_b"))
       .distinct()
   }
+
+  /** Overflow side-channel for [[minhashCandidates]]: one row per bucket
+    * whose size exceeded `maxBucketSize` (band index + member count), via a
+    * count-only aggregation that never materializes the id lists. */
+  def minhashBucketOverflow(signatures: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Int = 1000): DataFrame =
+    bandedKeys(signatures, idCol, bands)
+      .groupBy(col("bandkey"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucketSize)
+      .select(col("bandkey.band").as("band"), col("n_ids"))
 
   /** Exact Jaccard similarity between the shingle SETS of two texts. */
   def jaccard(aText: Column, bText: Column, shingleSize: Int): Column = {
@@ -109,9 +134,9 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-    val cands = minhashCandidates(sigs, idCol, bands)
+    val cands = minhashCandidates(sigs, idCol, bands, maxBucketSize)
     val docs = df.select(col(idCol), col(textCol))
     cands
       .join(docs.withColumnsRenamed(Map(idCol -> "id_a", textCol -> "_ta")),
@@ -145,19 +170,32 @@ object Dedup {
   }
 
   /** SimHash near-dups: Hamming distance ≤ `maxHamming` between
-    * fingerprints. Candidate generation blocks on the 4 16-bit quadrants
-    * (pigeonhole: any pair within Hamming ≤ 3 of 64 bits shares at least
-    * one exact quadrant), so the join never goes all-pairs. */
+    * fingerprints. Candidate generation blocks on `maxHamming + 1` bit
+    * bands: by pigeonhole, any pair differing in ≤ maxHamming of 64 bits
+    * must match EXACTLY in at least one band — so blocking is lossless for
+    * the requested radius (a fixed 4-quadrant split only guarantees
+    * Hamming ≤ 3 and silently drops wider pairs whose flipped bits spread
+    * across all quadrants). Band widths are ⌊64/(h+1)⌋ with the remainder
+    * spread over the leading bands; the join never goes all-pairs. */
   def simhashNearDups(
       fingerprints: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val quads = fingerprints.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(q =>
-        struct(lit(q).as("q"),
-          shiftrightunsigned(col("simhash"), q * 16)
-            .bitwiseAND(lit(0xffffL)).as("qv"))): _*)).as("quad"))
-    val a = quads.alias("a")
-    val b = quads.alias("b")
-    a.join(b, col("a.quad") === col("b.quad") &&
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val bandCols = (0 until nBands).map { b =>
+      val off = b * base + math.min(b, rem)
+      val width = base + (if (b < rem) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(b).as("q"),
+        shiftrightunsigned(col("simhash"), off)
+          .bitwiseAND(lit(mask)).as("qv"))
+    }
+    val bands = fingerprints.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))

@@ -33,21 +33,29 @@ final case class PropertyGraph(
     * bin/build-graph-db:16). */
   def exportNeo4jCsv(outDir: String, idKeys: Map[String, String]): Unit = {
     val base = s"$outDir/${meta.outputStem}-csv"
-    nodes.foreach { case (label, df) =>
-      val idKey = idKeys.getOrElse(label, df.columns.head)
+    nodes.foreach { case (label, df0) =>
+      val df = PropertyGraph.neo4jReady(df0)
+      // uri_key contract (reference graph_db_builder.py:468-470: the uri_key
+      // column "will be used to determine the URI of the node in the output
+      // graph database"): a `_uri` column carried through the build becomes
+      // the node's :ID unless the caller names an id key explicitly.
+      val idKey = idKeys.get(label)
+        .orElse(if (df.columns.contains("_uri")) Some("_uri") else None)
+        .getOrElse(df.columns.head)
+      val idHeader =
+        if (idKey == "_uri") s"uri:ID($label)" else s"$idKey:ID($label)"
       val renamed = df.columns.foldLeft(df.withColumn(":LABEL", lit(label))) {
-        case (d, c) if c == idKey => d.withColumnRenamed(c, s"$c:ID($label)")
+        case (d, c) if c == idKey => d.withColumnRenamed(c, idHeader)
         case (d, _) => d
       }
-      renamed.write.mode("overwrite").option("header", "true")
-        .csv(s"$base/nodes_$label")
+      PropertyGraph.writeCsv(renamed, s"$base/nodes_$label")
     }
     relationships.foreach { case (label, df) =>
-      df.withColumnRenamed(RelPipeline.StartId, ":START_ID")
+      val ready = PropertyGraph.neo4jReady(df)
+        .withColumnRenamed(RelPipeline.StartId, ":START_ID")
         .withColumnRenamed(RelPipeline.EndId, ":END_ID")
         .withColumn(":TYPE", lit(label))
-        .write.mode("overwrite").option("header", "true")
-        .csv(s"$base/rels_$label")
+      PropertyGraph.writeCsv(ready, s"$base/rels_$label")
     }
   }
 
@@ -64,6 +72,42 @@ final case class PropertyGraph(
       }
     parts.reduce(_.unionByName(_)).orderBy("kind", "label")
   }
+}
+
+object PropertyGraph {
+
+  /** Array-typed properties can't ride in a CSV cell as-is; `neo4j-admin
+    * import` expects `;`-separated values under a `name:type[]` header.
+    * Scalar columns pass through untouched. */
+  private[operators] def neo4jReady(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def elemName(t: DataType): String = t match {
+      case LongType => "long"
+      case IntegerType | ShortType | ByteType => "int"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case _ => "string"
+    }
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(et, _) =>
+          array_join(col(f.name).cast(ArrayType(StringType)), ";")
+            .as(s"${f.name}:${elemName(et)}[]")
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Neo4j bulk import parses RFC 4180 CSV: embedded quotes are escaped by
+    * doubling (`""`), not backslashes — Spark's writer defaults to `\"`,
+    * which the importer rejects. Setting escape = quote restores doubling;
+    * embedded newlines stay inside quoted cells. */
+  private[operators] def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
 }
 
 /** Config-compiled graph build — the Spark lifecycle equivalent of the
@@ -127,12 +171,22 @@ object GraphBuilder {
           case fk: ForeignKeyMode =>
             val startDf = SourceReader.readTable(spark, srcConf, fk.startTable)
             val endDf = SourceReader.readTable(spark, srcConf, fk.endTable)
-            val endId = cfg.nodes.find(_.label == fk.endNode)
-              .map(n => n.sources.head.idKey)
-              .getOrElse(fk.endKey)
+            // J3: resolve BOTH endpoints to the owning node's id_key — the
+            // join key may be a foreign key (CUSTOMER_IN_NATION joins on
+            // c_nationkey; the Customer node's id is c_custkey), so emitting
+            // the raw key as start_id would attach edges to wrong nodes.
+            def resolveIdKey(label: String, table: String, fallback: String) =
+              cfg.nodes.find(_.label == label)
+                .flatMap(n => n.sources.find(_.table == table)
+                  .orElse(n.sources.headOption))
+                .map(_.idKey).getOrElse(fallback)
+            val startId = resolveIdKey(fk.startNode, fk.startTable, fk.startKey)
+            val endId = resolveIdKey(fk.endNode, fk.endTable, fk.endKey)
+            val startCols = (Seq(fk.startKey, startId) ++ fk.startProps).distinct
             RelPipeline.foreignKeyEdges(
-              startDf.select(fk.startKey), fk.startKey,
-              endDf, fk.endKey, endId)
+              startDf.select(startCols.map(col): _*), fk.startKey, startId,
+              endDf, fk.endKey, endId,
+              startProps = fk.startProps, endProps = fk.endProps)
           case jt: JoinTableMode =>
             val edgeDf = SourceReader.readTable(spark, srcConf, jt.table)
             // Endpoint inference (reference config.yml:48-54 names no nodes

@@ -30,21 +30,27 @@ object RelPipeline {
   val StartId = "start_id"
   val EndId = "end_id"
 
-  /** J1: foreign-key edges. Keeps `props` columns from the end side (the
-    * joined row describes the relationship instance). */
+  /** J1: foreign-key edges. BOTH endpoints resolve to the owning node's
+    * `id_key` (J3 contract, config.yml:20,:43,:46): the edge's `start_id` is
+    * `startIdKey` from the start row — NOT the raw join key, which may be a
+    * foreign key into a third table (e.g. CUSTOMER_IN_NATION joins on
+    * c_nationkey but the Customer node's id is c_custkey). Edge properties
+    * can come from either side (`startProps` / `endProps`). */
   def foreignKeyEdges(
-      startDf: DataFrame, startKey: String,
+      startDf: DataFrame, startKey: String, startIdKey: String,
       endDf: DataFrame, endKey: String, endIdKey: String,
-      props: Seq[String] = Nil,
+      startProps: Seq[String] = Nil,
+      endProps: Seq[String] = Nil,
       broadcastStart: Boolean = false): DataFrame = {
     val s = startDf.alias("s")
     val e = endDf.alias("e")
     val left = if (broadcastStart) broadcast(s) else s
     left.join(e, col(s"s.$startKey") === col(s"e.$endKey"), "inner")
       .select(
-        (col(s"s.$startKey").as(StartId) +:
+        (col(s"s.$startIdKey").as(StartId) +:
           col(s"e.$endIdKey").as(EndId) +:
-          props.map(p => col(s"e.$p").as(p))): _*)
+          (startProps.map(p => col(s"s.$p").as(p)) ++
+            endProps.map(p => col(s"e.$p").as(p)))): _*)
   }
 
   /** J2: join-table edges with endpoint validation. The semi-joins keep only

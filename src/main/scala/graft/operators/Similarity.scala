@@ -40,17 +40,27 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Build the IVF index: pick every `stride`-th vector as a centroid
-    * (deterministic coarse quantizer), assign each corpus vector to its
-    * nearest centroid. Returns (centroid table, assigned corpus).
-    * At real scale the centroid table is exactly the broadcast-sized object
-    * Spark wants (|corpus| / stride rows). */
+  /** Build the IVF index: a FIXED-size deterministic sample of the corpus
+    * as the coarse quantizer — rank ids by a multiplicative hash (Knuth's
+    * 2654435761) and keep the `k` smallest. |centroids| stays `k` no matter
+    * the corpus size, so the centroid table is always broadcastable and
+    * assignment cost is n·k, linear in the corpus. (An every-stride-th
+    * design would grow |centroids| = n/stride linearly — quadratic
+    * assignment and an un-broadcastable "broadcast" at 100 TB.) The hash
+    * ranking is plain integer arithmetic so the whole index stays
+    * ANSI-SQL-expressible for the exact DuckDB oracle; `orderBy.limit`
+    * plans as TakeOrderedAndProject (per-partition top-k, no full sort).
+    * Assigns each corpus vector to its nearest centroid; returns
+    * (centroid table, assigned corpus). */
   def ivfIndex(
       corpus: DataFrame, vecCol: String, idCol: String,
-      stride: Int): (DataFrame, DataFrame) = {
+      k: Int): (DataFrame, DataFrame) = {
     val centroids = corpus
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("_centv"))
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("_centv"),
+        pmod(col(idCol) * lit(2654435761L), lit(4294967296L)).as("_h"))
+      .orderBy(col("_h"), col("centroid_id"))
+      .limit(k)
+      .select(col("centroid_id"), col("_centv"))
     // argmax-by-similarity via partial-aggregated max(struct(...)) rather
     // than a row_number window: the window shuffles |corpus|·|centroids|
     // rows; the aggregate combines map-side down to one row per vector

@@ -30,9 +30,21 @@ object SchemaMerge {
       intLadder(math.max(intLadder.indexOf(x), intLadder.indexOf(y)))
     // fractional ladder; integral + fractional → double (lossless for
     // int32 and below; documented choice for long)
+    // standard union rule: keep the larger integer-digit capacity AND the
+    // larger scale (naive max(p)/max(s) can shrink integer digits:
+    // DECIMAL(10,2) vs DECIMAL(5,4) needs 8 int digits + scale 4 = (12,4),
+    // not (10,4) which holds only 6). Past MAX_PRECISION, sacrifice scale
+    // (down to a floor of 6) to preserve integer digits, as Spark does.
     case (d: DecimalType, e: DecimalType) =>
-      DecimalType(math.max(d.precision, e.precision),
-        math.max(d.scale, e.scale))
+      val intDigits = math.max(d.precision - d.scale, e.precision - e.scale)
+      val scale = math.max(d.scale, e.scale)
+      if (intDigits + scale <= DecimalType.MAX_PRECISION)
+        DecimalType(intDigits + scale, scale)
+      else {
+        val adjScale = math.max(DecimalType.MAX_PRECISION - intDigits,
+          math.min(scale, 6))
+        DecimalType(DecimalType.MAX_PRECISION, adjScale)
+      }
     case (x, y) if isFractional(x) && isFractional(y) =>
       if (x == DoubleType || y == DoubleType ||
         x.isInstanceOf[DecimalType] || y.isInstanceOf[DecimalType]) DoubleType

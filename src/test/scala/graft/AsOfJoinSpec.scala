@@ -30,4 +30,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 4)
     assert(out.select("trade_id").distinct().count() == 4)
   }
+
+  test("matched right row stays atomic when its value columns hold nulls") {
+    // the most recent quote has px=null, venue set: the joined row must take
+    // BOTH columns from that row — not back-fill px from the older quote
+    // (per-column carry-forward would emit (2.0, "late"), mixing two rows)
+    val trades1 = Seq((1L, "A", 300L)).toDF("trade_id", "sym", "ts")
+    val quotes1 = Seq(
+      ("A", 100L, Some(2.0), "early"),
+      ("A", 200L, None: Option[Double], "late"))
+      .toDF("sym", "ts", "px", "venue")
+    val out = AsOfJoin.asofJoin(trades1, quotes1, Seq("sym"), "ts",
+      Seq("px", "venue")).collect()
+    assert(out.toSeq == Seq(Row(1L, "A", 300L, null, "late")))
+  }
 }

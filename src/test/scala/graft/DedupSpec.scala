@@ -59,11 +59,49 @@ class DedupSpec extends SparkSpec {
     assert(ham(m(0L), m(2L)) < ham(m(0L), m(3L)))
   }
 
-  test("simhashNearDups quadrant blocking finds the dup pair") {
+  test("simhashNearDups band blocking finds the dup pair") {
     val fps = Dedup.simhash64(docs, "text", "doc_id")
     val pairs = Dedup.simhashNearDups(fps, "doc_id", maxHamming = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhashNearDups blocking is lossless at the requested radius " +
+      "(adversarial: flipped bits spread across all four quadrants)") {
+    // 5 bits flipped, one per 16-bit quadrant plus one more: the old fixed
+    // 4-quadrant blocking had NO matching quadrant and silently dropped the
+    // pair; (h+1)-band blocking must find it for every h >= 5.
+    val base = 0x0f0f0f0f0f0f0f0fL
+    val flipped = base ^ (1L << 0) ^ (1L << 17) ^ (1L << 33) ^
+      (1L << 49) ^ (1L << 63)
+    assert(java.lang.Long.bitCount(base ^ flipped) == 5)
+    val fps = Seq((0L, base), (1L, flipped), (2L, ~base))
+      .toDF("doc_id", "simhash")
+    for (h <- 5 to 8) {
+      val pairs = Dedup.simhashNearDups(fps, "doc_id", maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((0L, 1L)), s"maxHamming=$h missed the pair")
+    }
+    // radius below the true distance: correctly empty
+    assert(Dedup.simhashNearDups(fps, "doc_id", maxHamming = 4).count() == 0)
+  }
+
+  test("minhashCandidates caps degenerate buckets; overflow is reported") {
+    // 10k identical docs: every band-bucket holds all 10k ids. Uncapped,
+    // that's one 50M-pair explode in a single task; capped, candidates are
+    // empty and the overflow report names the dropped buckets.
+    val many = spark.range(10000).select(col("id").as("doc_id"),
+      lit("same exact boilerplate text repeated in every document here").as("text"))
+    val sigs = Dedup.minhashSignatures(many, "text", "doc_id", 16, 3)
+    val cands = Dedup.minhashCandidates(sigs, "doc_id", bands = 4,
+      maxBucketSize = 100)
+    assert(cands.count() == 0)
+    val overflow = Dedup.minhashBucketOverflow(sigs, "doc_id", bands = 4,
+      maxBucketSize = 100).collect()
+    assert(overflow.length == 4) // one oversized bucket per band
+    assert(overflow.forall(_.getAs[Long]("n_ids") == 10000L))
+    // identical docs are exactly what X1 exact dedup catches instead
+    assert(Dedup.exact(many, "text", "doc_id").count() == 1)
   }
 
   test("connectedComponents: min-label clusters with isolated vertices") {

@@ -66,6 +66,39 @@ class GraphBuilderSpec extends SparkSpec {
       Seq("start_id", "end_id"))
   }
 
+  test("fk edges resolve start_id to the start node's id, not the join key") {
+    val g = GraphBuilder.build(spark, cfg)
+    // CUSTOMER_IN_NATION joins on c_nationkey (0-24) but Customer's id is
+    // c_custkey (0-149): start_id must span the full custkey range — the
+    // raw-join-key bug would silently alias nation keys onto customer ids.
+    val ids = g.relationships("CUSTOMER_IN_NATION")
+      .agg(org.apache.spark.sql.functions.countDistinct("start_id"),
+        org.apache.spark.sql.functions.max("start_id")).head()
+    assert(ids.getLong(0) == 150)
+    assert(ids.getLong(1) == 149L)
+  }
+
+  test("multi-source precedence follows config order, not alphabetical") {
+    val tmp = Files.createTempDirectory("graft-order").toString
+    import spark.implicits._
+    // source named 'zzz' comes FIRST in config → its props must win
+    Seq((1L, "from_zzz")).toDF("id", "val").write.parquet(s"$tmp/t_z.parquet")
+    Seq((1L, "from_aaa")).toDF("id", "val").write.parquet(s"$tmp/t_a.parquet")
+    val yaml =
+      s"""Database: { name: Order, version: "1" }
+         |Sources:
+         |  zzz: { source type: parquet, path: $tmp }
+         |  aaa: { source type: parquet, path: $tmp }
+         |Nodes:
+         |  N:
+         |    sources:
+         |      zzz: { table: t_z, id_key: id }
+         |      aaa: { table: t_a, id_key: id }
+         |""".stripMargin
+    val g = GraphBuilder.build(spark, GraphConfig.fromYaml(yaml))
+    assert(g.nodes("N").head().getString(1) == "from_zzz")
+  }
+
   test("staging + Neo4j CSV export write expected layouts") {
     val tmp = Files.createTempDirectory("graft-sink").toString
     val g = GraphBuilder.build(spark, cfg)

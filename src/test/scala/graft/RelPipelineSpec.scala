@@ -16,11 +16,29 @@ class RelPipelineSpec extends SparkSpec {
 
   test("foreignKeyEdges: inner equi-join, start/end ids + edge props") {
     val edges = RelPipeline.foreignKeyEdges(
-      customers, "cust_id", orders, "cust_fk", "order_id",
-      props = Seq("total"))
+      customers, "cust_id", "cust_id", orders, "cust_fk", "order_id",
+      endProps = Seq("total"))
       .orderBy("start_id", "end_id").collect()
     // order 12 has no matching customer -> excluded (inner join)
     assert(edges.toSeq == Seq(Row(1L, 10L, 5.0), Row(1L, 11L, 7.0)))
+  }
+
+  test("foreignKeyEdges: start_id resolves to the node id when the join key" +
+      " is a foreign key; props carried from both sides") {
+    // customers carry a region fk; the edge must emit cust_id as start_id,
+    // NOT the region key it joins on (region keys alias onto cust ids!)
+    val custWithRegion = Seq((1L, "alice", 10L), (2L, "bob", 20L))
+      .toDF("cust_id", "name", "region_fk")
+    val regions = Seq((10L, "emea"), (20L, "apac"))
+      .toDF("region_id", "region_name")
+    val edges = RelPipeline.foreignKeyEdges(
+      custWithRegion, "region_fk", "cust_id",
+      regions, "region_id", "region_id",
+      startProps = Seq("name"), endProps = Seq("region_name"))
+      .orderBy("start_id").collect()
+    assert(edges.toSeq == Seq(
+      Row(1L, 10L, "alice", "emea"),
+      Row(2L, 20L, "bob", "apac")))
   }
 
   test("joinTableEdges: semi-join validation drops dangling endpoints") {

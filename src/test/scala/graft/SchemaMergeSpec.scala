@@ -19,9 +19,18 @@ class SchemaMergeSpec extends AnyFunSuite {
     assert(SchemaMerge.widen(DoubleType, LongType) == DoubleType)
   }
 
-  test("widen: decimal precision/scale max") {
+  test("widen: decimal keeps integer-digit capacity AND scale") {
     assert(SchemaMerge.widen(DecimalType(10, 2), DecimalType(12, 0)) ==
-      DecimalType(12, 2))
+      DecimalType(14, 2)) // 12 int digits + scale 2
+    // the naive max(p),max(s) rule would give (10,4) = only 6 int digits —
+    // DECIMAL(10,2) values with 7-8 int digits would overflow on cast
+    assert(SchemaMerge.widen(DecimalType(10, 2), DecimalType(5, 4)) ==
+      DecimalType(12, 4))
+    // past MAX_PRECISION: integer digits win, scale gives way (floor 6)
+    assert(SchemaMerge.widen(DecimalType(38, 2), DecimalType(20, 18)) ==
+      DecimalType(38, 6))
+    assert(SchemaMerge.widen(DecimalType(30, 10), DecimalType(25, 20)) ==
+      DecimalType(38, 18))
   }
 
   test("widen: temporal and null") {

@@ -44,7 +44,7 @@ class SimilaritySpec extends SparkSpec {
     val queries = e.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, e, "embedding", "vec_id", 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val (cent, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id", 50)
+    val (cent, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id", 10)
     val approx = Similarity.ivfTopK(queries, cent, assigned,
       "embedding", "vec_id", k = 5, nProbe = 4)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
@@ -53,5 +53,28 @@ class SimilaritySpec extends SparkSpec {
     // this guards the plumbing, not the statistics
     assert(recall > 0.2, s"recall $recall too low")
     assert(approx.size == exact.size)
+  }
+
+  test("ivfIndex: centroid count is fixed at k regardless of corpus size") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val (cent, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id", 16)
+    assert(cent.count() == 16)
+    // every vector assigned to exactly one of the k cells
+    assert(assigned.count() == e.count())
+    val cells = assigned.select("centroid_id").distinct().count()
+    assert(cells <= 16 && cells > 1)
+  }
+
+  test("IVF recall vs exact at sf0.01 scale") {
+    val e = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, e, "embedding", "vec_id", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val (cent, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id", 32)
+    val approx = Similarity.ivfTopK(queries, cent, assigned,
+      "embedding", "vec_id", k = 5, nProbe = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall too low at sf0.01")
   }
 }
