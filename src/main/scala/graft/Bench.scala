@@ -22,29 +22,42 @@ object Bench {
     }
     // Timed pass: materialize through the noop sink so every projected
     // column is computed — .count() would let Catalyst prune most of the
-    // work for scan/window-shaped queries. A query that throws records -1,
-    // never a plausible-looking wall-clock for work that didn't run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val timing =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9 }
-        catch { case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-          -1.0 }
-      name -> timing
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // work for scan/window-shaped queries. Each query runs `iters` times and
+    // reports the MEDIAN (single-run numbers on a shared box swing 2-5× and
+    // made r1→r2 comparisons unreadable); min/max ride along as the spread.
+    // A query that throws records -1, never a plausible-looking wall-clock
+    // for work that didn't run.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val results: Seq[(String, Double, Double, Double)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val times = (0 until iters).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+            -1.0 }
+        }
+        if (times.exists(_ < 0)) (name, -1.0, -1.0, -1.0)
+        else {
+          val sorted = times.sorted
+          (name, sorted(sorted.length / 2), sorted.head, sorted.last)
+        }
+      }
+    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val spread = results
+      .map { case (k, _, lo, hi) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, med, _, _) if med < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val ok = results.values.filter(_ >= 0)
+    val ok = results.collect { case (_, med, _, _) if med >= 0 => med }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
     // cpus + shuffle partitions ride in the JSON line so round-over-round
     // comparisons are config-matched
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"errors":$errors,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.values.exists(_ < 0)) sys.exit(1)
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

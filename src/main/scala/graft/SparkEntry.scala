@@ -151,6 +151,18 @@ object SparkEntry {
         .distinct()
         .orderBy("start_id", "end_id")),
 
+    // ---- J2b: join_table edges carrying edge properties ----
+    "q_j2b_jointable_props" -> ((s, dir) =>
+      RelPipeline.joinTableEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "part"), "p_partkey",
+        props = Seq("l_linenumber", "l_quantity"))
+        .select(col("start_id"), col("end_id"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_quantity"), 2).as("l_quantity"))
+        .orderBy("start_id", "end_id", "l_linenumber")),
+
     // ---- J3/QC: dangling-edge anti-join report ----
     "q_j3_dangling_edges" -> ((s, dir) =>
       RelPipeline.danglingEdges(
@@ -315,6 +327,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X2e: MinHash LSH bucket-overflow side-channel — the drop report
+    // that keeps the maxBucketSize cap honest (0 overflow on a healthy
+    // corpus; xxhash buckets → rows-only gate) ----
+    "q_x2e_minhash_overflow" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(
+        t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 16, shingleSize = 3)
+      Dedup.minhashBucketOverflow(sigs, "doc_id", bands = 4,
+        maxBucketSize = 1000)
+        .agg(count(lit(1)).as("n_overflow_buckets"),
+          coalesce(sum(col("n_ids")), lit(0L)).as("n_overflow_members"))
+    }),
+
     // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI) ----
     "q_x2c_simhash_neardups" -> ((s, dir) => {
       val fps = Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")
@@ -412,6 +437,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X5c: REAL image decode — distributed PNG synthesis (dimensions +
+    // colour derived from doc_id) → javax.imageio decode → (w, h, bands,
+    // channel means). The oracle recomputes the expected values purely
+    // arithmetically, so the decode round-trip is hash-checked. ----
+    "q_x5c_image_features" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") % 16) + 1).cast("int").as("w"),
+        ((col("doc_id") % 11) + 2).cast("int").as("h"),
+        (col("doc_id") % 256).cast("int").as("r"),
+        ((col("doc_id") * 7) % 256).cast("int").as("g"),
+        ((col("doc_id") * 13) % 256).cast("int").as("b"))
+      val png = Multimodal.synthesizePngs(spec, "w", "h", "r", "g", "b",
+        "payload")
+      Multimodal.extractFeatures(png, "payload")
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("bands"),
+          round(element_at(col("features"), 4) * 255).cast("long").as("mean_r"),
+          round(element_at(col("features"), 5) * 255).cast("long").as("mean_g"),
+          round(element_at(col("features"), 6) * 255).cast("long").as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
     // ---- as-of join: point-in-time lookup (custom composed operator) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
@@ -424,6 +473,22 @@ object SparkEntry {
           col("tsu").as("purchase_tsu"))
       AsOfJoin.asofJoin(clicks, purchases, Seq("user_id"), "tsu",
         Seq("purchase_value", "purchase_tsu"))
+        .orderBy("event_id")
+    }),
+
+    // ---- as-of join, hot-key-salted variant: same semantics, window
+    // partitioned by (key, ts-range bucket) so one hot key parallelizes ----
+    "q_asof_join_salted" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"),
+          round(col("value"), 2).as("purchase_value"),
+          col("tsu").as("purchase_tsu"))
+      AsOfJoin.asofJoinSalted(clicks, purchases, Seq("user_id"), "tsu",
+        Seq("purchase_value", "purchase_tsu"), numBuckets = 16)
         .orderBy("event_id")
     }),
 
@@ -462,6 +527,17 @@ object SparkEntry {
     "q_st2_events_window" -> ((s, dir) =>
       StreamingIngest.windowedEventAgg(
         events(s, dir), "ts", "event_type", "1 hour")
+        .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("w_start_epoch", "event_type")),
+
+    // ---- ST2c (batch mode): sliding-window event aggregation — every
+    // event lands in duration/slide = 4 overlapping windows ----
+    "q_st2c_events_sliding" -> ((s, dir) =>
+      StreamingIngest.windowedEventAgg(
+        events(s, dir), "ts", "event_type", "1 hour",
+        slide = Some("15 minutes"))
         .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
           col("event_type"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))
@@ -515,6 +591,15 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
         |  AND l_partkey IN (SELECT p_partkey FROM part)
         |ORDER BY start_id, end_id""".stripMargin,
+
+    "q_j2b_jointable_props" ->
+      """SELECT l_orderkey AS start_id, l_partkey AS end_id,
+        |CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |ROUND(l_quantity, 2) AS l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |  AND l_partkey IN (SELECT p_partkey FROM part)
+        |ORDER BY start_id, end_id, l_linenumber""".stripMargin,
 
     "q_j3_dangling_edges" ->
       """SELECT reason, count(*) AS n FROM (
@@ -793,7 +878,35 @@ object SparkEntry {
         |sha256(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Expected image features are pure doc_id arithmetic (solid-colour PNG:
+    // decoded means are exactly the fill channels) — the Spark side really
+    // encodes + ImageIO-decodes every payload.
+    "q_x5c_image_features" ->
+      """SELECT doc_id,
+        |(doc_id % 16) + 1 AS width,
+        |(doc_id % 11) + 2 AS height,
+        |CAST(3 AS BIGINT) AS bands,
+        |doc_id % 256 AS mean_r,
+        |(doc_id * 7) % 256 AS mean_g,
+        |(doc_id * 13) % 256 AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+        |            event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, tsu FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsu,
+        |       p.purchase_value, p.tsu AS purchase_tsu
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsu >= p.tsu
+        |ORDER BY c.event_id""".stripMargin,
+
+    // identical oracle to q_asof_join — the salted plan must be
+    // semantics-invariant
+    "q_asof_join_salted" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
         |            event_type, value FROM events),
         |c AS (SELECT event_id, user_id, tsu FROM ev
@@ -834,6 +947,21 @@ object SparkEntry {
         |event_type, count(*) AS n_events,
         |ROUND(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Sliding windows via explicit expansion: each event belongs to the 4
+    // 15-min-aligned window starts in (ts - 1h, ts]. epoch_ns floors to
+    // seconds with integer division (date_part('epoch') ROUNDS sub-second
+    // timestamps — the trap from q_st2b).
+    "q_st2c_events_sliding" ->
+      """SELECT w_start_epoch, event_type, count(*) AS n_events,
+        |ROUND(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT ((epoch_ns(ts) // 1000000000) // 900) * 900 - k * 900
+        |           AS w_start_epoch,
+        |         event_type, value
+        |  FROM events
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_st2b_events_session" ->
       """WITH marked AS (

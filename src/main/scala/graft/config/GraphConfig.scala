@@ -55,9 +55,12 @@ final case class ForeignKeyMode(
     startNode: String, startTable: String, startKey: String,
     endNode: String, endTable: String, endKey: String,
     startProps: Seq[String] = Nil, endProps: Seq[String] = Nil) extends RelMode
-/** Many-to-many edge table scan (config.yml:48-54). */
+/** Many-to-many edge table scan (config.yml:48-54). `props` names columns
+  * of the join table to carry onto each edge as relationship properties
+  * (engine extension, symmetric with [[ForeignKeyMode]]'s props). */
 final case class JoinTableMode(
-    table: String, fromField: String, toField: String) extends RelMode
+    table: String, fromField: String, toField: String,
+    props: Seq[String] = Nil) extends RelMode
 
 final case class RelSourceConf(source: String, mode: RelMode)
 
@@ -205,7 +208,7 @@ object GraphConfig {
                 startProps = strList(s, "props"), endProps = strList(e, "props"))
             case "join_table" =>
               JoinTableMode(str(sm, "table"), str(sm, "from_field"),
-                str(sm, "to_field"))
+                str(sm, "to_field"), props = strList(sm, "props"))
             case other =>
               throw new IllegalArgumentException(
                 s"unknown relationship type '$other' for $label")

@@ -68,4 +68,83 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"$rVals.$c").as(c)): _*)
   }
+
+  /** Hot-key-hardened as-of join: identical semantics to [[asofJoin]], but
+    * the window partitioning is (key, ts-range bucket) instead of (key), so
+    * ONE key with millions of rows spreads over `numBuckets` tasks instead
+    * of serializing in one (the plain window's sort within a single hot key
+    * runs on a single task — the one residual scale caveat of [[asofJoin]]).
+    *
+    * Range salting needs a carry across bucket boundaries: a left row's
+    * match may live in ANY earlier bucket. Per (key, bucket) the latest
+    * right row is pre-aggregated (tiny: |keys|×buckets rows), a cumulative
+    * window over that aggregate computes each bucket's carry-in, and the
+    * carry-in joins back as one synthetic right row per (key, bucket) — so
+    * the per-bucket window sees exactly the right state it needs. Extra
+    * cost vs unsalted: one small aggregate + one spine window; same number
+    * of shuffles over the big data.
+    *
+    * `tsCol` must be numeric (epoch micros/millis — cast timestamps first).
+    */
+  def asofJoinSalted(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], numBuckets: Int = 32): DataFrame = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val bkt = "_graft_ts_bkt"
+    val leftCols = left.columns.toSeq
+
+    // Bucket width from the global ts range: one tiny 2-value aggregate.
+    // (min/max over a numeric column — map-side partials, no full shuffle.)
+    val Seq(loAny, hiAny) = left.select(col(tsCol))
+      .unionByName(right.select(col(tsCol)))
+      .agg(min(col(tsCol)).cast("double"), max(col(tsCol)).cast("double"))
+      .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]))
+    if (loAny.isEmpty) { // both sides empty of non-null ts: degenerate
+      return asofJoin(left, right, keyCols, tsCol, valueCols)
+    }
+    val (lo, hi) = (loAny.get, hiAny.get)
+    val width = math.max((hi - lo) / numBuckets, 1e-9)
+    def bucketOf(ts: Column): Column =
+      least(floor((ts.cast("double") - lit(lo)) / lit(width)),
+        lit(numBuckets - 1)).cast("int")
+
+    val lb = left.withColumn(bkt, bucketOf(col(tsCol)))
+    val rb = right.withColumn(bkt, bucketOf(col(tsCol)))
+
+    // Latest right row per (key, bucket): struct compares lexicographically,
+    // ts-first, so max() picks the row with the greatest ts (value columns
+    // break exact-ts ties deterministically).
+    val rowStruct = struct((col(tsCol).as("_ts") +:
+      valueCols.map(c => col(c))): _*)
+    val latestPerBucket = rb
+      .groupBy((keyCols :+ bkt).map(col): _*)
+      .agg(max(rowStruct).as("_latest"))
+
+    // Carry-in per (key, bucket): cumulative latest over all STRICTLY
+    // earlier buckets, computed on the bucket spine (every (key, bucket)
+    // either side touches) — tiny data, wide parallelism irrelevant here.
+    val spine = lb.select((keyCols :+ bkt).map(col): _*)
+      .unionByName(rb.select((keyCols :+ bkt).map(col): _*))
+      .distinct()
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(bkt))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = spine
+      .join(latestPerBucket, keyCols :+ bkt, "left")
+      .withColumn("_carry", max(col("_latest")).over(wCarry))
+      .filter(col("_carry").isNotNull)
+      .select((keyCols.map(col) :+ col(bkt) :+
+        col("_carry._ts").as(tsCol)) ++
+        valueCols.map(c => col(s"_carry.$c").as(c)): _*)
+
+    // Per-bucket right side = real rows + the carry-in synthetic row (its
+    // real ts < bucket start, so it naturally sorts before in-bucket rows).
+    val rAug = rb.select((keyCols.map(col) :+ col(bkt) :+ col(tsCol)) ++
+        valueCols.map(col): _*)
+      .unionByName(carryIn)
+
+    asofJoin(lb, rAug, keyCols :+ bkt, tsCol, valueCols)
+      .drop(bkt)
+  }
 }

@@ -175,13 +175,27 @@ object GraphBuilder {
             // join key may be a foreign key (CUSTOMER_IN_NATION joins on
             // c_nationkey; the Customer node's id is c_custkey), so emitting
             // the raw key as start_id would attach edges to wrong nodes.
-            def resolveIdKey(label: String, table: String, fallback: String) =
-              cfg.nodes.find(_.label == label)
+            def resolveIdKey(label: String, table: String, fallback: String,
+                df: DataFrame) = {
+              val id = cfg.nodes.find(_.label == label)
                 .flatMap(n => n.sources.find(_.table == table)
                   .orElse(n.sources.headOption))
                 .map(_.idKey).getOrElse(fallback)
-            val startId = resolveIdKey(fk.startNode, fk.startTable, fk.startKey)
-            val endId = resolveIdKey(fk.endNode, fk.endTable, fk.endKey)
+              // Fail fast at the config layer: the fallback path (node
+              // declared over a different table than the FK side references)
+              // can name a column the FK table doesn't have — surfacing that
+              // as a raw AnalysisException deep in the join would break the
+              // `validated` promise of actionable errors.
+              if (!df.columns.contains(id))
+                throw new IllegalArgumentException(
+                  s"relationship '${r.label}': resolved id key '$id' of node " +
+                    s"'$label' is not a column of table '$table' " +
+                    s"(columns: ${df.columns.mkString(", ")})")
+              id
+            }
+            val startId =
+              resolveIdKey(fk.startNode, fk.startTable, fk.startKey, startDf)
+            val endId = resolveIdKey(fk.endNode, fk.endTable, fk.endKey, endDf)
             val startCols = (Seq(fk.startKey, startId) ++ fk.startProps).distinct
             RelPipeline.foreignKeyEdges(
               startDf.select(startCols.map(col): _*), fk.startKey, startId,
@@ -201,11 +215,13 @@ object GraphBuilder {
               case (Some(sl), Some(el)) =>
                 RelPipeline.joinTableEdges(
                   edgeDf, jt.fromField, jt.toField,
-                  nodes(sl), nodeIdKey(sl), nodes(el), nodeIdKey(el))
+                  nodes(sl), nodeIdKey(sl), nodes(el), nodeIdKey(el),
+                  props = jt.props)
               case _ => // no resolvable endpoints: raw edge projection
                 edgeDf.select(
-                  col(jt.fromField).as(RelPipeline.StartId),
-                  col(jt.toField).as(RelPipeline.EndId))
+                  (col(jt.fromField).as(RelPipeline.StartId) +:
+                    col(jt.toField).as(RelPipeline.EndId) +:
+                    jt.props.map(col)): _*)
             }
         }
       }

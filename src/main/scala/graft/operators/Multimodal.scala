@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs batched per partition.
   *
-  * The Spark-side plumbing here is real and tested — schema, partitioning,
-  * batch shape, and the `mapPartitions` execution path are exactly what a
-  * production pipeline uses. ONLY the codec kernel is a STUB (this container
-  * has no image/audio libraries): [[stubDecodeFeatures]] derives a
-  * deterministic fake feature vector from the bytes. Swapping in a real
-  * decoder (e.g. TwelveMonkeys/JavaCV) touches one function.
+  * The decode kernel is REAL for images: [[decodeImage]] uses `javax.imageio`
+  * (ships in the JDK — PNG/JPEG/GIF/BMP) to produce (width, height,
+  * channel count, per-channel means). Payloads ImageIO cannot read fall back
+  * to deterministic byte-histogram features ([[byteHistogramFeatures]]), so
+  * the pipeline never throws on mixed-modality corpora. Audio/video codecs
+  * would slot into the same kernel (no codec libs in this container).
   *
   * Scale notes: payloads never pass through a shuffle in this pipeline —
   * decode is a narrow per-partition map; metadata-only operations
@@ -38,10 +38,49 @@ object Multimodal {
       length(col(binCol)).cast("long").as("n_bytes"),
       sha2(col(binCol), 256).as("checksum")))
 
-  /** STUB codec kernel: deterministic fake "features" from raw bytes —
-    * byte-histogram moments standing in for a real decode→embed step.
-    * Replace this function (only) with a real decoder to productionize. */
-  def stubDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
+  /** Decoded-image summary: dimensions, raster band count, per-band means
+    * normalized to [0, 1] (band order is the raster's — R,G,B[,A] for the
+    * common types). */
+  final case class ImageInfo(
+      width: Int, height: Int, bands: Int, means: Array[Double])
+
+  /** Real image decode via `javax.imageio` (JDK built-in readers: PNG, JPEG,
+    * GIF, BMP, WBMP). Returns None for null/empty/non-image payloads —
+    * ImageIO sniffs magic bytes, so text or audio bytes reject in O(1)
+    * without a full parse. Never throws: truncated/corrupt images also map
+    * to None (a 100 TB crawl WILL contain broken files; one bad payload
+    * must not kill a 10k-partition stage). */
+  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val nb = raster.getNumBands
+        val sums = new Array[Double](nb)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < nb) { sums(b) += raster.getSampleDouble(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h * 255.0
+        Some(ImageInfo(w, h, nb, sums.map(_ / n)))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Fallback kernel for payloads no installed codec understands:
+    * deterministic byte-histogram moments. Keeps mixed-modality corpora
+    * total — every payload yields a feature vector. */
+  def byteHistogramFeatures(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(FeatureDim)(0f)
     val out = new Array[Float](FeatureDim)
     var i = 0
@@ -53,6 +92,24 @@ object Multimodal {
     while (d < FeatureDim) { out(d) /= bytes.length; d += 1 }
     out
   }
+
+  /** Codec kernel: image payloads decode to
+    * `[width, height, bands, mean_0, mean_1, ..]` (means in [0,1], zero-pad
+    * to [[FeatureDim]]); everything else falls back to
+    * [[byteHistogramFeatures]]. */
+  def decodeFeatures(bytes: Array[Byte]): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(info) =>
+        val out = new Array[Float](FeatureDim)
+        out(0) = info.width.toFloat
+        out(1) = info.height.toFloat
+        out(2) = info.bands.toFloat
+        var i = 0
+        val n = math.min(info.means.length, FeatureDim - 3)
+        while (i < n) { out(3 + i) = info.means(i).toFloat; i += 1 }
+        out
+      case None => byteHistogramFeatures(bytes)
+    }
 
   /** Batched per-partition feature extraction over a binary column — the
     * Scala analogue of a Pandas `mapInPandas` decode stage: one iterator
@@ -66,7 +123,45 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(row.toSeq :+ stubDecodeFeatures(bytes).toSeq)
+        Row.fromSeq(row.toSeq :+ decodeFeatures(bytes).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode a solid-colour RGB PNG (test/fixture generator — the inverse of
+    * [[decodeImage]], also pure JDK). */
+  def encodeSolidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed PNG synthesis: append `outCol: binary` holding a solid
+    * PNG of per-row (width, height, r, g, b) — executor-side via the same
+    * per-partition batched map as [[extractFeatures]]. Exists so decode
+    * pipelines can be driven at any SF without shipping image fixtures. */
+  def synthesizePngs(df: DataFrame, widthCol: String, heightCol: String,
+      rCol: String, gCol: String, bCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val Seq(wi, hi, ri, gi, bi) =
+      Seq(widthCol, heightCol, rCol, gCol, bCol).map(df.schema.fieldIndex)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq :+ encodeSolidPng(
+          row.getInt(wi), row.getInt(hi),
+          row.getInt(ri), row.getInt(gi), row.getInt(bi)))
       }
     }
     spark.createDataFrame(rdd, outSchema)

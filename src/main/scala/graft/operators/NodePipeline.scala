@@ -61,7 +61,9 @@ object NodePipeline {
     *
     * Requires the input to carry [[SrcRank]] (added by [[unionSources]]).
     * Assumes each source contributes at most one row per id; if a source
-    * itself has dup ids, rows collapse via `min` within that rank first.
+    * itself has dup ids, rows collapse via `max` within that rank (the
+    * `max(when(rank === r, col))` that implements precedence is also the
+    * within-rank tie-break — deterministic, column-independent).
     */
   def mergeById(unioned: DataFrame, idKey: String, numSources: Int): DataFrame = {
     val props = unioned.columns.filter(c => c != idKey && c != SrcRank)

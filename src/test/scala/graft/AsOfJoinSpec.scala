@@ -31,6 +31,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("trade_id").distinct().count() == 4)
   }
 
+  test("salted variant ≡ unsalted on a single hot key (the case it exists for)") {
+    // ONE key, interleaved left/right rows with long right-free gaps so
+    // carry-ins must cross empty buckets
+    val left = (0 until 400).map(i => (i.toLong, "K", (i * 13L) % 4001))
+      .toDF("event_id", "k", "ts")
+    val right = (0 until 60).map(i => ("K", i * 67L % 4001, i * 1.5))
+      .toDF("k", "ts", "v")
+    val plain = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("event_id").collect().toSeq
+    for (buckets <- Seq(1, 7, 32)) {
+      val salted = AsOfJoin.asofJoinSalted(left, right, Seq("k"), "ts",
+        Seq("v"), numBuckets = buckets)
+        .orderBy("event_id").collect().toSeq
+      assert(salted == plain, s"numBuckets=$buckets diverged")
+    }
+  }
+
+  test("salted variant: multi-key, empty right, and all-equal-ts edge cases") {
+    val left = Seq((1L, "A", 5L), (2L, "A", 5L), (3L, "B", 5L))
+      .toDF("id", "k", "ts")
+    val rightEmpty = Seq.empty[(String, Long, Double)].toDF("k", "ts", "v")
+    val outEmpty = AsOfJoin.asofJoinSalted(left, rightEmpty, Seq("k"), "ts",
+      Seq("v"), numBuckets = 8).orderBy("id").collect()
+    assert(outEmpty.forall(_.isNullAt(3)) && outEmpty.length == 3)
+    // all rows share one ts → degenerate single bucket; inclusive tie match
+    val right1 = Seq(("A", 5L, 1.0)).toDF("k", "ts", "v")
+    val out1 = AsOfJoin.asofJoinSalted(left, right1, Seq("k"), "ts",
+      Seq("v"), numBuckets = 8).orderBy("id").collect()
+    assert(out1(0) == Row(1L, "A", 5L, 1.0))
+    assert(out1(2) == Row(3L, "B", 5L, null))
+  }
+
   test("matched right row stays atomic when its value columns hold nulls") {
     // the most recent quote has px=null, venue set: the joined row must take
     // BOTH columns from that row — not back-fill px from the older quote

@@ -117,6 +117,98 @@ class GraphBuilderSpec extends SparkSpec {
     assert(header.contains(":LABEL"))
   }
 
+  test("Neo4j CSV export round-trips RFC-4180 pathological values") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-rfc").toString
+    // embedded quote, newline, comma, and a `;`-bearing array element — the
+    // exact cells that break a writer whose escape char is not the quote
+    val nasty = Seq(
+      (1L, "he said \"hi\"", Seq("a;b", "c,d")),
+      (2L, "line one\nline two", Seq("plain")),
+      (3L, "commas, everywhere,", Seq.empty[String]))
+      .toDF("id", "txt", "tags")
+    val g = operators.PropertyGraph(
+      DatabaseMeta("Rfc", "1", None, None, None),
+      nodes = Map("N" -> nasty), relationships = Map.empty)
+    g.exportNeo4jCsv(tmp, Map("N" -> "id"))
+    // re-read with an RFC-4180 parser (escape = quote, multiline cells)
+    val back = spark.read
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").option("inferSchema", "true")
+      .csv(s"$tmp/Rfc-1-csv/nodes_N")
+    val byId = back.collect().map(r => r.getInt(0).toLong -> r).toMap
+    assert(byId(1L).getString(1) == "he said \"hi\"")
+    assert(byId(2L).getString(1) == "line one\nline two")
+    assert(byId(3L).getString(1) == "commas, everywhere,")
+    // array props export `;`-joined under a name:type[] header
+    assert(back.columns.contains("tags:string[]"))
+    assert(byId(1L).getAs[String]("tags:string[]") == "a;b;c,d")
+  }
+
+  test("join_table props flow from config YAML onto edges") {
+    val yaml =
+      s"""Database: { name: EdgeProps, version: "1" }
+         |Sources:
+         |  P: { source type: parquet, path: ${sf()} }
+         |Nodes:
+         |  Order:
+         |    sources:
+         |      P: { table: orders, id_key: o_orderkey }
+         |  Part:
+         |    sources:
+         |      P: { table: part, id_key: p_partkey }
+         |Relationships:
+         |  ORDER_CONTAINS_PART:
+         |    start_node: Order
+         |    end_node: Part
+         |    sources:
+         |      P:
+         |        type: join_table
+         |        table: lineitem
+         |        from_field: l_orderkey
+         |        to_field: l_partkey
+         |        props: [l_linenumber, l_quantity]
+         |""".stripMargin
+    val cfg2 = GraphConfig.fromYaml(yaml)
+    assert(cfg2.relationships.head.sources.head.mode
+      .asInstanceOf[JoinTableMode].props == Seq("l_linenumber", "l_quantity"))
+    val g = GraphBuilder.build(spark, cfg2)
+    val edges = g.relationships("ORDER_CONTAINS_PART")
+    assert(edges.columns.toSeq ==
+      Seq("start_id", "end_id", "l_linenumber", "l_quantity"))
+    assert(edges.count() == 6000)
+  }
+
+  test("fk id-key resolution failure names label/table/column, not an " +
+      "AnalysisException") {
+    // Node declared over a DIFFERENT table than the FK side references →
+    // fallback id key (o_orderkey) is absent from the customer table
+    val yaml =
+      s"""Database: { name: BadFk, version: "1" }
+         |Sources:
+         |  P: { source type: parquet, path: ${sf()} }
+         |Nodes:
+         |  Order:
+         |    sources:
+         |      P: { table: orders, id_key: o_orderkey }
+         |  Nation:
+         |    sources:
+         |      P: { table: nation, id_key: n_nationkey }
+         |Relationships:
+         |  BROKEN:
+         |    sources:
+         |      P:
+         |        type: foreign_key
+         |        start: { node: Order, table: customer, key: c_nationkey }
+         |        end: { node: Nation, table: nation, key: n_nationkey }
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      GraphBuilder.build(spark, GraphConfig.fromYaml(yaml)))
+    assert(e.getMessage.contains("BROKEN"))
+    assert(e.getMessage.contains("o_orderkey"))
+    assert(e.getMessage.contains("customer"))
+  }
+
   test("validation: dangling source/node references fail fast with all errors") {
     val yaml =
       """Database: { name: Bad, version: "1" }

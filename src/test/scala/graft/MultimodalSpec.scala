@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** X5 multimodal-column plumbing: binary payloads + typed metadata, batched
-  * per-partition feature extraction, frame sampling. The codec is a stub;
-  * the schema/partitioning/batch shape under test is the real pipeline. */
+  * per-partition feature extraction (real `javax.imageio` decode for
+  * images, byte-histogram fallback otherwise), frame sampling. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,6 +53,64 @@ class MultimodalSpec extends SparkSpec {
       .getOrElse(scan)
     assert(!readSchema.contains("payload"), readSchema)
     assert(metaOnly.count() == 2) // empty payload filtered
+  }
+
+  test("decodeImage: real PNG decode recovers dimensions and channel means") {
+    val png = Multimodal.encodeSolidPng(12, 5, 200, 100, 50)
+    val info = Multimodal.decodeImage(png).get
+    assert(info.width == 12 && info.height == 5 && info.bands == 3)
+    // solid colour, lossless codec: means are exactly channel/255
+    assert(info.means(0) == 200.0 / 255)
+    assert(info.means(1) == 100.0 / 255)
+    assert(info.means(2) == 50.0 / 255)
+  }
+
+  test("decodeImage: real JPEG decode (lossy — means within tolerance)") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      img.setRGB(x, y, (180 << 16) | (90 << 8) | 30)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val info = Multimodal.decodeImage(bos.toByteArray).get
+    assert(info.width == 16 && info.height == 16 && info.bands == 3)
+    assert(math.abs(info.means(0) - 180.0 / 255) < 0.05)
+    assert(math.abs(info.means(2) - 30.0 / 255) < 0.05)
+  }
+
+  test("decodeImage: non-image and corrupt payloads reject as None") {
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // valid PNG magic, garbage body — must not throw
+    val broken = Multimodal.encodeSolidPng(4, 4, 1, 2, 3).take(20)
+    assert(Multimodal.decodeImage(broken).isEmpty)
+  }
+
+  test("extractFeatures on image payloads: [w, h, bands, means...] layout") {
+    val imgs = Seq(
+      (1L, Multimodal.encodeSolidPng(8, 3, 255, 0, 128)),
+      (2L, "plain text, not an image".getBytes)).toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(imgs, "payload")
+      .orderBy("id").select("features").as[Seq[Float]].collect()
+    assert(feats(0).take(3) == Seq(8f, 3f, 3f))
+    assert(feats(0)(3) == 1f) // mean_r = 255/255
+    assert(feats(0)(5) == 128f / 255) // mean_b
+    // non-image row fell back to byte histogram (never zero-length, no throw)
+    assert(feats(1).length == Multimodal.FeatureDim)
+    assert(feats(1).exists(_ != 0f))
+  }
+
+  test("synthesizePngs: distributed encode round-trips through decodeImage") {
+    val spec = Seq((1L, 6, 4, 10, 20, 30), (2L, 3, 9, 250, 0, 5))
+      .toDF("id", "w", "h", "r", "g", "b")
+    val out = Multimodal.synthesizePngs(spec, "w", "h", "r", "g", "b", "png")
+    val rows = Multimodal.extractFeatures(out, "png")
+      .orderBy("id")
+      .select(col("features")).as[Seq[Float]].collect()
+    assert(rows(0).take(3) == Seq(6f, 4f, 3f))
+    assert(math.round(rows(0)(3) * 255) == 10)
+    assert(rows(1).take(3) == Seq(3f, 9f, 3f))
+    assert(math.round(rows(1)(5) * 255) == 5)
   }
 
   test("sampleFrames explodes payload into indexed frames") {

@@ -46,6 +46,20 @@ class NodePipelineSpec extends SparkSpec {
     assert(out(0) == Row(1, "from-src1"))
   }
 
+  test("dup ids WITHIN one source collapse via max (documented tie-break)") {
+    val src0 = Seq((1, "b"), (1, "a"), (2, "z")).toDF("id", "v")
+    val out = NodePipeline.buildNodeTable(Seq(src0), "id")
+      .orderBy("id").collect()
+    // max(when(rank === 0, v)) over the two rank-0 rows picks the max value
+    assert(out(0) == Row(1, "b"))
+    assert(out(1) == Row(2, "z"))
+    // and a within-source dup never outranks an earlier source
+    val src1 = Seq((1, "later-src")).toDF("id", "v")
+    val merged = NodePipeline.buildNodeTable(Seq(src0, src1), "id")
+      .orderBy("id").collect()
+    assert(merged(0) == Row(1, "b"))
+  }
+
   test("merge is idempotent: merging a merged table changes nothing") {
     val src0 = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val src1 = Seq((2, "B"), (3, "c")).toDF("id", "v")

@@ -53,6 +53,70 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(jsonDf.columns.toSet == nation.columns.toSet)
   }
 
+  test("jdbc source: Derby-backed read, schema peek, and full graph build (S1)") {
+    // Embedded Derby (ships in /opt/spark/jars) stands in for the
+    // reference's MySQL source (sql_io.py:4-13): same Spark JDBC relation,
+    // different url. In-memory db lives for the JVM, so local[n] executor
+    // threads all see it.
+    val url = "jdbc:derby:memory:graftdb"
+    val conn = java.sql.DriverManager.getConnection(url + ";create=true")
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("CUSTOMER", "NATION"))
+        try st.executeUpdate(s"DROP TABLE $t") catch { case _: Exception => () }
+      st.executeUpdate(
+        "CREATE TABLE NATION (N_NATIONKEY BIGINT PRIMARY KEY, N_NAME VARCHAR(32))")
+      st.executeUpdate(
+        "CREATE TABLE CUSTOMER (C_CUSTKEY BIGINT PRIMARY KEY, " +
+          "C_NAME VARCHAR(32), C_NATIONKEY BIGINT)")
+      st.executeUpdate("INSERT INTO NATION VALUES (0, 'FRANCE'), (1, 'KENYA')")
+      st.executeUpdate(
+        "INSERT INTO CUSTOMER VALUES (10, 'alice', 0), (11, 'bob', 0), " +
+          "(12, 'carol', 1), (13, 'dave', 1), (14, 'erin', 0)")
+      st.close()
+    } finally conn.close()
+
+    val src = SourceConf("DB", "jdbc", url,
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    // S2: schema from JDBC metadata, no data fetch
+    val schema = SourceReader.peekSchema(spark, src, "CUSTOMER")
+    assert(schema.fieldNames.toSeq == Seq("C_CUSTKEY", "C_NAME", "C_NATIONKEY"))
+    // S3: full scan
+    assert(SourceReader.readTable(spark, src, "CUSTOMER").count() == 5)
+
+    // End-to-end: jdbc-sourced config-compiled graph build with an fk edge
+    // whose join key (C_NATIONKEY) differs from the start node's id.
+    val yaml =
+      s"""Database: { name: JdbcGraph, version: "1" }
+         |Sources:
+         |  DB:
+         |    source type: jdbc
+         |    path: $url
+         |    driver: org.apache.derby.jdbc.EmbeddedDriver
+         |Nodes:
+         |  Customer:
+         |    sources:
+         |      DB: { table: CUSTOMER, id_key: C_CUSTKEY }
+         |  Nation:
+         |    sources:
+         |      DB: { table: NATION, id_key: N_NATIONKEY }
+         |Relationships:
+         |  CUSTOMER_IN_NATION:
+         |    sources:
+         |      DB:
+         |        type: foreign_key
+         |        start: { node: Customer, table: CUSTOMER, key: C_NATIONKEY }
+         |        end: { node: Nation, table: NATION, key: N_NATIONKEY }
+         |""".stripMargin
+    val g = GraphBuilder.build(spark, GraphConfig.fromYaml(yaml))
+    assert(g.nodes("Customer").count() == 5)
+    assert(g.nodes("Nation").count() == 2)
+    val edges = g.relationships("CUSTOMER_IN_NATION")
+      .orderBy("start_id").collect()
+    assert(edges.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L, 13L, 14L))
+    assert(edges.map(_.getLong(1)).toSeq == Seq(0L, 0L, 1L, 1L, 0L))
+  }
+
   test("unknown source type fails with a clear error") {
     val e = intercept[UnsupportedOperationException](
       SourceReader.readTable(spark, SourceConf("x", "hdf5", "/tmp"), "t"))
