@@ -415,6 +415,32 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"),
           count(lit(1)).as("n_docs"))),
 
+    // ---- X6: stratified curation quota — keep the k best docs per
+    // stratum under an explicit total ordering ----
+    "q_x6_stratified_topk" -> ((s, dir) =>
+      Sampling.stratifiedTopK(t(s, dir, "documents"), "lang", 5,
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")),
+
+    // ---- X6b: deterministic content-id Bernoulli sample (xxhash64 — not
+    // ANSI; determinism + fraction pinned in SamplingSpec) ----
+    "q_x6b_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.1)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // ---- X6c: train/test split summary — disjoint + exhaustive by
+    // construction (spec-pinned); sizes here are hash-dependent ----
+    "q_x6c_train_test_split" -> ((s, dir) => {
+      val (train, test) =
+        Sampling.trainTestSplit(t(s, dir, "documents"), "doc_id", 0.2)
+      train.agg(count(lit(1)).as("n")).select(lit("train").as("split"), col("n"))
+        .unionByName(
+          test.agg(count(lit(1)).as("n")).select(lit("test").as("split"), col("n")))
+        .orderBy("split")
+    }),
+
     // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
     "q_x5_media_meta" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
@@ -871,6 +897,14 @@ object SparkEntry {
         |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
         |ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "q_x6_stratified_topk" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     "q_x5_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset sampling, splitting, and mixing — the curation operators a
+  * training-data pipeline runs after dedup/quality scoring (choose what to
+  * train on) and before export.
+  *
+  * Everything here is DETERMINISTIC BY CONTENT ID, not by partition layout:
+  * `df.sample()` changes membership when the cluster size, partitioning, or
+  * scan order changes, which makes training sets unreproducible. A seeded
+  * hash of a stable id gives the same sample on 1 executor or 1000, today
+  * or next year — and membership can be recomputed for any row without
+  * materializing the sample ("was this doc in train?" is a filter, not a
+  * lookup).
+  *
+  * Scale notes (100 TB): [[hashSample]] / [[trainTestSplit]] / [[mixture]]
+  * are pure narrow filters — no shuffle, fully codegen (xxhash64 is a
+  * native expression), pushdown-friendly (the filter composes with parquet
+  * scans). [[stratifiedTopK]] is one hash shuffle on the stratum key (the
+  * minimum for exact per-stratum semantics); skewed strata parallelize via
+  * the same AQE machinery as any window.
+  */
+object Sampling {
+
+  /** Hash-space resolution: membership granularity is 1e-6. */
+  private val Buckets = 1000000L
+
+  /** Seeded uniform bucket in [0, Buckets) from a stable id. */
+  private def hashBucket(id: Column, seed: Long): Column =
+    pmod(xxhash64(lit(seed), id), lit(Buckets))
+
+  /** Deterministic Bernoulli sample: keeps rows whose seeded id-hash bucket
+    * falls below `fraction`. Same id + seed → same verdict, always. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    df.filter(hashBucket(col(idCol), seed) < (fraction * Buckets).toLong)
+  }
+
+  /** Deterministic, disjoint, exhaustive (train, test) split over one hash
+    * space: test = bucket < cut, train = the rest. Adding data later never
+    * moves an existing row across the boundary. */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      "testFraction must be in [0, 1]")
+    val bucket = hashBucket(col(idCol), seed)
+    val cut = (testFraction * Buckets).toLong
+    (df.filter(bucket >= cut), df.filter(bucket < cut))
+  }
+
+  /** Exact-k per stratum under an explicit ordering (quality score, length,
+    * recency...): the "keep the best k docs per language/source/domain"
+    * quota step. Deterministic iff `ordering` is total — tie-break on the
+    * id column. */
+  def stratifiedTopK(df: DataFrame, strataCol: String, k: Int,
+      ordering: Seq[Column]): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rn = "_graft_rn"
+    val w = Window.partitionBy(col(strataCol)).orderBy(ordering: _*)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
+  }
+
+  /** Weighted dataset mixture: per-source deterministic Bernoulli at the
+    * source's weight, then union (missing columns null-fill). Seeds are
+    * decorrelated per source so a row appearing in two sources (same id)
+    * gets independent verdicts. Weights are per-source keep-fractions —
+    * for "epochs"-style up-weighting > 1, pre-duplicate with distinct ids
+    * upstream. */
+  def mixture(sources: Seq[(DataFrame, Double)], idCol: String,
+      seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources.zipWithIndex
+      .map { case ((df, w), i) => hashSample(df, idCol, w, seed + 7919L * i) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling/splitting/mixture semantics — reproducibility is
+  * the whole point, so every test pins it. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = (0 until 10000).map(i => (i.toLong, s"doc$i"))
+    .toDF("id", "txt")
+
+  test("hashSample: deterministic, a subset, and near the target fraction") {
+    val s1 = Sampling.hashSample(corpus, "id", 0.2)
+    val s2 = Sampling.hashSample(corpus, "id", 0.2)
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    val ids2 = s2.select("id").as[Long].collect().toSet
+    assert(ids1 == ids2) // reproducible
+    assert(ids1.subsetOf((0L until 10000L).toSet))
+    val n = ids1.size.toDouble
+    assert(math.abs(n / 10000 - 0.2) < 0.02, s"got ${n / 10000}")
+    // different seed → different (but same-sized-ish) sample
+    val other = Sampling.hashSample(corpus, "id", 0.2, seed = 99L)
+      .select("id").as[Long].collect().toSet
+    assert(other != ids1)
+  }
+
+  test("hashSample: membership is monotone in fraction (nested samples)") {
+    val small = Sampling.hashSample(corpus, "id", 0.1)
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.hashSample(corpus, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big)) // growing the sample never evicts a row
+  }
+
+  test("hashSample: edge fractions") {
+    assert(Sampling.hashSample(corpus, "id", 0.0).count() == 0)
+    assert(Sampling.hashSample(corpus, "id", 1.0).count() == 10000)
+  }
+
+  test("trainTestSplit: disjoint, exhaustive, stable under data growth") {
+    val (train, test) = Sampling.trainTestSplit(corpus, "id", 0.25)
+    val trainIds = train.select("id").as[Long].collect().toSet
+    val testIds = test.select("id").as[Long].collect().toSet
+    assert(trainIds.intersect(testIds).isEmpty)
+    assert(trainIds.size + testIds.size == 10000)
+    assert(math.abs(testIds.size / 10000.0 - 0.25) < 0.02)
+    // growth stability: splitting a SUPERSET never reassigns an old row
+    val grown = (0 until 20000).map(i => (i.toLong, s"doc$i")).toDF("id", "txt")
+    val (_, testGrown) = Sampling.trainTestSplit(grown, "id", 0.25)
+    val testGrownIds = testGrown.select("id").as[Long].collect().toSet
+    assert(testIds.subsetOf(testGrownIds))
+    assert(trainIds.intersect(testGrownIds.filter(_ < 10000L)) == Set.empty)
+  }
+
+  test("stratifiedTopK: exact k per stratum, short strata kept whole") {
+    val docs = Seq(
+      ("en", 1L, 50L), ("en", 2L, 90L), ("en", 3L, 70L), ("en", 4L, 90L),
+      ("fr", 5L, 10L), ("fr", 6L, 20L),
+      ("de", 7L, 5L))
+      .toDF("lang", "doc_id", "quality")
+    val out = Sampling.stratifiedTopK(docs, "lang", 2,
+      Seq(col("quality").desc, col("doc_id")))
+    val byLang = out.collect().groupBy(_.getString(0))
+    // en: quality 90 (doc 2), 90 (doc 4) — deterministic tie-break on id
+    assert(byLang("en").map(_.getLong(1)).toSet == Set(2L, 4L))
+    assert(byLang("fr").map(_.getLong(1)).toSet == Set(5L, 6L))
+    assert(byLang("de").map(_.getLong(1)).toSet == Set(7L))
+    assert(!out.columns.contains("_graft_rn")) // helper column dropped
+  }
+
+  test("mixture: weights control per-source keep rates; schemas null-fill") {
+    val a = (0 until 4000).map(i => (i.toLong, "web")).toDF("id", "src")
+    val b = (10000 until 14000).map(i => (i.toLong, 1.5)).toDF("id", "score")
+    val mixed = Sampling.mixture(Seq((a, 1.0), (b, 0.25)), "id")
+    assert(mixed.columns.toSeq == Seq("id", "src", "score"))
+    val bySrc = mixed.withColumn("from_a", col("src").isNotNull)
+      .groupBy("from_a").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(bySrc(true) == 4000) // weight 1.0 keeps everything
+    assert(math.abs(bySrc(false) / 4000.0 - 0.25) < 0.05)
+    // deterministic end-to-end
+    assert(Sampling.mixture(Seq((a, 1.0), (b, 0.25)), "id").count() ==
+      mixed.count())
+  }
+
+  test("sampling filters are narrow: no shuffle in the physical plan") {
+    val plan = Sampling.hashSample(corpus, "id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
