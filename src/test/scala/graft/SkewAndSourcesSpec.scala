@@ -117,6 +117,21 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(edges.map(_.getLong(1)).toSeq == Seq(0L, 0L, 1L, 1L, 0L))
   }
 
+  test("jdbc partitioned read: stride options split the scan (scale path)") {
+    // At real scale a JDBC read must parallelize: partitionColumn +
+    // bounds shard the table into per-executor range queries. Options
+    // pass straight through SourceReader (same Derby db as above —
+    // scalatest runs suite tests in declaration order).
+    val src = SourceConf("DB", "jdbc", "jdbc:derby:memory:graftdb",
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+        "partitionColumn" -> "C_CUSTKEY",
+        "lowerBound" -> "10", "upperBound" -> "15", "numPartitions" -> "3"))
+    val df = SourceReader.readTable(spark, src, "CUSTOMER")
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.select("C_CUSTKEY").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L, 12L, 13L, 14L)) // range sharding never drops rows
+  }
+
   test("unknown source type fails with a clear error") {
     val e = intercept[UnsupportedOperationException](
       SourceReader.readTable(spark, SourceConf("x", "hdf5", "/tmp"), "t"))

@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST2 sliding: stream emits one row per overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedEventAgg(
+      stream, "ts", "event_type", "1 hour", slide = Some("15 minutes"),
+      watermark = Some("1 hour"))
+    val q = agg.writeStream.format("memory")
+      .queryName("st2c_out").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 14:00:00"), "late-driver", 0.0))
+      q.processAllAvailable()
+      val starts = spark.table("st2c_out")
+        .filter(col("event_type") === "click")
+        .select("w_start").as[Timestamp].collect().map(_.toString).sorted
+      // 1h window / 15min slide → the 10:05 event closes in 4 windows
+      assert(starts.toSeq == Seq(
+        "2024-01-01 09:15:00.0", "2024-01-01 09:30:00.0",
+        "2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0"))
+    } finally q.stop()
+  }
+
   test("ST1 end-to-end: streamToStaging appends deduped batches to parquet") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-staging")
