@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions._
+
+/** Spark-native installation point: register the engine's custom Catalyst
+  * expressions with ANY session via
+  *
+  * {{{
+  *   spark.sql.extensions = graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)` programmatically). After
+  * that, pure-SQL users call `ascii_fold`, `fingerprint64`,
+  * `token_shingles`, `array_dot`, `array_norm2` with no Scala imports —
+  * the injected builders produce the same codegen'd expressions the
+  * Column API uses, so there is exactly one implementation per function.
+  *
+  * This is the `SparkSessionExtensions` tier of the build brief's custom-
+  * operator ladder; the engine needs no custom LogicalPlan/Strategy because
+  * every whole-operator semantic (as-of join, range join, LSH dedup, IVF)
+  * composes from built-in operators whose plans Catalyst already optimizes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("ascii_fold"),
+      info("ascii_fold", "ascii_fold(str) - NFKD-normalize and fold to ASCII."),
+      exprs => AsciiFold(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("fingerprint64"),
+      info("fingerprint64", "fingerprint64(str) - 64-bit rolling-hash fingerprint."),
+      exprs => Fingerprint64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("token_shingles"),
+      info("token_shingles",
+        "token_shingles(str, n) - whitespace-token n-gram shingle array."),
+      exprs => TokenShingles(exprs.head, exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"token_shingles size must be a literal, got: $other")
+      })))
+    ext.injectFunction((FunctionIdentifier("array_dot"),
+      info("array_dot", "array_dot(a, b) - float-array dot product as double."),
+      exprs => ArrayDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("array_norm2"),
+      info("array_norm2", "array_norm2(a) - float-array L2 norm as double."),
+      exprs => ArrayNorm2(exprs.head)))
+  }
+}

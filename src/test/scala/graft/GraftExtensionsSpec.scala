@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.sql.extensions=graft.GraftExtensions` makes the engine's custom
+  * expressions first-class SQL functions in a vanilla session — no Scala
+  * imports, no register() call. Needs its own SparkSession (extensions bind
+  * at session build), so this suite does not share [[SparkSpec]]'s. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // Extensions bind at session CREATION: getOrCreate would silently hand
+  // back the suite-shared session (without extensions) when this runs in
+  // the full test sweep, so step around the default/active session, build
+  // a genuinely new one (same SparkContext), and restore. withExtensions
+  // (programmatic) rather than the `spark.sql.extensions` config string:
+  // the string is a STATIC conf that only applies when the SparkContext is
+  // first created, which a shared-suite JVM can't guarantee — both routes
+  // run the same GraftExtensions.apply.
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    s
+  }
+
+  test("pure SQL reaches every injected expression") {
+    val r = spark.sql(
+      """SELECT
+        |  ascii_fold('Café déjà') AS folded,
+        |  fingerprint64('hello world') AS fp,
+        |  token_shingles('a b c d', 2) AS sh,
+        |  array_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  array_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm
+        |""".stripMargin).head()
+    assert(r.getAs[String]("folded") == "Cafe deja")
+    assert(r.getAs[Long]("fp") ==
+      graft.functions.TextKernels.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq ==
+      Seq("a b", "b c", "c d"))
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Double]("nrm") == 5.0)
+  }
+
+  test("injected functions agree with the Column-API surface") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("Smörgåsbord — Åland").toDF("s")
+    val viaSql = spark.sql("SELECT ascii_fold('Smörgåsbord — Åland') AS f")
+      .head().getString(0)
+    val viaCol = df.select(
+      graft.functions.GraftFunctions.ascii_fold(col("s"))).head().getString(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("non-literal shingle size fails with a clear message") {
+    val e = intercept[Exception](
+      spark.sql("SELECT token_shingles('a b', 1 + 1)").head())
+    assert(e.getMessage.contains("literal"))
+  }
+}
