@@ -175,6 +175,36 @@ object SparkEntry {
     // ---- full config-compiled graph build + A4 stats ----
     "q_graph_build" -> ((s, dir) => graphBuild(s, dir)),
 
+    // ---- G1: per-node degree over a built edge table (the first Cypher
+    // query anyone runs post-import, in-engine instead) ----
+    "q_g1_degrees" -> ((s, dir) =>
+      GraphOps.degrees(
+        RelPipeline.foreignKeyEdges(
+          t(s, dir, "customer"), "c_custkey", "c_custkey",
+          t(s, dir, "orders"), "o_custkey", "o_orderkey"),
+        "out")
+        .orderBy("id")),
+
+    // ---- G2: k-hop reachability (BFS as iterated joins) across the
+    // heterogeneous customer→order→part graph; node ids live in disjoint
+    // ranges via type offsets ----
+    "q_g2_khop" -> ((s, dir) => {
+      val custOrder = RelPipeline.foreignKeyEdges(
+        t(s, dir, "customer"), "c_custkey", "c_custkey",
+        t(s, dir, "orders"), "o_custkey", "o_orderkey")
+        .select(col("start_id"), (col("end_id") + 1000000000L).as("end_id"))
+      val orderPart = RelPipeline.joinTableEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "part"), "p_partkey")
+        .select((col("start_id") + 1000000000L).as("start_id"),
+          (col("end_id") + 2000000000L).as("end_id"))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") < 5).select("c_custkey")
+      GraphOps.kHop(custOrder.unionByName(orderPart), seeds, hops = 2)
+        .orderBy("hop", "id")
+    }),
+
     // ---- A4: aggregation suite over the fact table (TPC-H Q1 shape) ----
     "q_q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -651,6 +681,35 @@ object SparkEntry {
         |  UNION ALL SELECT 'rel', 'CUSTOMER_IN_NATION', count(*)
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |) ORDER BY kind, label""".stripMargin,
+
+    "q_g1_degrees" ->
+      """SELECT c_custkey AS id, count(*) AS degree
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY id""".stripMargin,
+
+    "q_g2_khop" ->
+      """WITH e AS (
+        |  SELECT c_custkey AS s, o_orderkey + 1000000000 AS d
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  UNION ALL
+        |  SELECT l_orderkey + 1000000000, l_partkey + 2000000000
+        |  FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |    AND l_partkey IN (SELECT p_partkey FROM part)
+        |), seeds AS (
+        |  SELECT c_custkey AS id FROM customer WHERE c_custkey < 5
+        |), h1 AS (
+        |  SELECT DISTINCT e.d AS id FROM e JOIN seeds ON e.s = seeds.id
+        |), h2 AS (
+        |  SELECT DISTINCT e.d AS id FROM e JOIN h1 ON e.s = h1.id
+        |)
+        |SELECT id, 0 AS hop FROM seeds
+        |UNION ALL
+        |SELECT id, 1 FROM h1 WHERE id NOT IN (SELECT id FROM seeds)
+        |UNION ALL
+        |SELECT id, 2 FROM h2 WHERE id NOT IN (SELECT id FROM seeds)
+        |  AND id NOT IN (SELECT id FROM h1)
+        |ORDER BY hop, id""".stripMargin,
 
     "q_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.GraphOps
+
+/** In-engine graph analytics over (start_id, end_id) edge frames. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0→1→2→3 chain plus a 4↔5 cycle and a dangling 9
+  private lazy val edges = Seq(
+    (0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 4L))
+    .toDF("start_id", "end_id")
+
+  test("degrees: out, in, total") {
+    val multi = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("start_id", "end_id")
+    assert(GraphOps.degrees(multi, "out").orderBy("id").collect().toSeq ==
+      Seq(Row(0L, 2L), Row(1L, 1L)))
+    assert(GraphOps.degrees(multi, "in").orderBy("id").collect().toSeq ==
+      Seq(Row(1L, 1L), Row(2L, 2L)))
+    assert(GraphOps.degrees(multi, "total").orderBy("id").collect().toSeq ==
+      Seq(Row(0L, 2L), Row(1L, 2L), Row(2L, 2L)))
+    intercept[IllegalArgumentException](GraphOps.degrees(multi, "sideways"))
+  }
+
+  test("kHop: min-hop labels, no revisits, bounded depth") {
+    val seeds = Seq(0L).toDF("id")
+    val out = GraphOps.kHop(edges, seeds, 2).orderBy("hop").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(out.toSeq == Seq(0L -> 0, 1L -> 1, 2L -> 2)) // 3 is 3 hops away
+  }
+
+  test("kHop: cycles terminate (anti-join blocks revisits)") {
+    val seeds = Seq(4L).toDF("id")
+    val out = GraphOps.kHop(edges, seeds, 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(4L -> 0, 5L -> 1)) // 4 reached at 0, never again at 2
+  }
+
+  test("kHop: hops=0 returns just the deduped seeds; empty frontier exits") {
+    val seeds = Seq(9L, 9L, 0L).toDF("id")
+    assert(GraphOps.kHop(edges, seeds, 0).count() == 2)
+    // 9 has no out-edges: frontier empties after round 1 regardless of hops
+    val out = GraphOps.kHop(edges, Seq(9L).toDF("id"), 100).collect()
+    assert(out.map(r => r.getLong(0) -> r.getInt(1)).toSeq == Seq(9L -> 0))
+  }
+
+  test("kHop: multi-seed frontiers merge and keep first reach") {
+    // 0 reaches 2 in 2 hops, but 2 is also a seed → hop 0 wins
+    val out = GraphOps.kHop(edges, Seq(0L, 2L).toDF("id"), 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+  }
+}
