@@ -445,6 +445,17 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"),
           count(lit(1)).as("n_docs"))),
 
+    // ---- X7: benchmark decontamination — corpus docs sharing trigram
+    // shingles with a held-out "benchmark" slice (doc_id % 97 == 0) ----
+    "q_x7_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.contaminationPairs(
+        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
+        shingleSize = 3, minOverlap = 1)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- X6: stratified curation quota — keep the k best docs per
     // stratum under an explicit total ordering ----
     "q_x6_stratified_topk" -> ((s, dir) =>
@@ -956,6 +967,29 @@ object SparkEntry {
         |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
         |ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    // Trigram shingles rebuilt positionally (tok ⋈ pos+1 ⋈ pos+2), distinct
+    // per doc, then corpus⋈bench on the shingle string — mirrors
+    // Decontaminate.contaminationPairs exactly.
+    "q_x7_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |)
+        |SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+        |FROM sh d JOIN sh b ON d.sh = b.sh
+        |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_x6_stratified_topk" ->
       """SELECT lang, doc_id, n_chars FROM (

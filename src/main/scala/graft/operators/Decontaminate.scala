@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — remove training documents that overlap an
+  * evaluation set, the step every serious LLM data pipeline runs between
+  * dedup and export (eval answers leaking into training data inflate
+  * benchmark scores).
+  *
+  * Overlap = number of DISTINCT whitespace-token n-gram shingles
+  * ([[Dedup.shingles]], codegen'd) shared between a corpus doc and a
+  * benchmark doc. Real pipelines use long shingles (n = 8..13) so any
+  * match is near-verbatim leakage.
+  *
+  * Scale notes (100 TB corpus vs ~10^4-doc benchmark): the benchmark
+  * shingle side is tiny → broadcast by default, so the corpus never
+  * shuffles — the scan streams past an in-memory hash of bench shingles.
+  * `array_distinct` runs BEFORE the explode, bounding each doc's join
+  * input by its vocabulary. `maxBenchDocFreq` drops shingles present in
+  * many benchmark docs (boilerplate instructions, common phrases) — the
+  * stop-shingle guard that keeps a hot shingle from fanning out against
+  * the whole corpus.
+  */
+object Decontaminate {
+
+  /** (corpus doc, benchmark doc, overlap) for every pair sharing at least
+    * `minOverlap` distinct shingles. Output: `doc_id`, `bench_id`,
+    * `n_overlap`. */
+  def contaminationPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      shingleSize: Int, minOverlap: Int = 1,
+      maxBenchDocFreq: Option[Int] = None,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val d = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
+        .as("_sh"))
+    val b0 = bench.select(col(benchIdCol).as("bench_id"),
+      explode(array_distinct(Dedup.shingles(col(benchTextCol), shingleSize)))
+        .as("_sh"))
+    val b1 = maxBenchDocFreq match {
+      case Some(maxDf) =>
+        // per-shingle bench doc-frequency over the (small) bench side only
+        val df = b0.groupBy("_sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select("_sh")
+        b0.join(broadcast(df), Seq("_sh"))
+      case None => b0
+    }
+    val b = if (broadcastBench) broadcast(b1) else b1
+    d.join(b, Seq("_sh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** The corpus minus every doc flagged by [[contaminationPairs]] — the
+    * "clean training set" projection (anti-join on flagged ids). */
+  def decontaminate(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      shingleSize: Int, minOverlap: Int = 1,
+      maxBenchDocFreq: Option[Int] = None): DataFrame = {
+    val flagged = contaminationPairs(docs, textCol, idCol,
+      bench, benchTextCol, benchIdCol, shingleSize, minOverlap,
+      maxBenchDocFreq)
+      .select(col("doc_id").as("_flagged_id")).distinct()
+    docs.join(flagged, docs(idCol) === col("_flagged_id"), "left_anti")
+  }
+}

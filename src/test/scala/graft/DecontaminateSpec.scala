@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Decontaminate
+
+/** Benchmark-decontamination semantics: verbatim leakage flags, clean docs
+  * survive, thresholds and the stop-shingle guard behave. */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val bench = Seq(
+    (100L, "what is the capital of france paris is the answer"),
+    (101L, "solve two plus two equals four exactly"))
+    .toDF("qid", "question")
+
+  private lazy val corpus = Seq(
+    // verbatim bench sentence embedded -> contaminated
+    (1L, "trivia dump what is the capital of france paris is the answer ok"),
+    // clean prose, no 4-gram overlap
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    // shares only a short phrase, below the 4-gram radar
+    (3L, "the capital city grew quickly last year"))
+    .toDF("doc_id", "text")
+
+  test("verbatim leakage is flagged; clean docs are not") {
+    val pairs = Decontaminate.contaminationPairs(
+      corpus, "text", "doc_id", bench, "question", "qid",
+      shingleSize = 4)
+    val flagged = pairs.select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L))
+    val hit = pairs.filter($"doc_id" === 1L).head()
+    assert(hit.getAs[Long]("bench_id") == 100L)
+    assert(hit.getAs[Long]("n_overlap") >= 5) // long verbatim run
+  }
+
+  test("decontaminate removes flagged docs and keeps the rest intact") {
+    val clean = Decontaminate.decontaminate(
+      corpus, "text", "doc_id", bench, "question", "qid", shingleSize = 4)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+    assert(clean.columns.toSeq == corpus.columns.toSeq) // schema untouched
+  }
+
+  test("minOverlap raises the reporting bar") {
+    val strict = Decontaminate.contaminationPairs(
+      corpus, "text", "doc_id", bench, "question", "qid",
+      shingleSize = 4, minOverlap = 100)
+    assert(strict.count() == 0)
+  }
+
+  test("stop-shingle guard: shingles common across bench docs are ignored") {
+    val boiler = Seq(
+      (200L, "answer the following question carefully please one"),
+      (201L, "answer the following question carefully please two"))
+      .toDF("qid", "question")
+    val doc = Seq((7L, "answer the following question carefully please maybe"))
+      .toDF("doc_id", "text")
+    val unguarded = Decontaminate.contaminationPairs(
+      doc, "text", "doc_id", boiler, "question", "qid", shingleSize = 4)
+    assert(unguarded.count() == 2) // hits both bench docs via boilerplate
+    val guarded = Decontaminate.contaminationPairs(
+      doc, "text", "doc_id", boiler, "question", "qid", shingleSize = 4,
+      maxBenchDocFreq = Some(1))
+    assert(guarded.count() == 0) // shared-instruction shingles dropped
+  }
+
+  test("empty benchmark flags nothing") {
+    val empty = Seq.empty[(Long, String)].toDF("qid", "question")
+    assert(Decontaminate.contaminationPairs(
+      corpus, "text", "doc_id", empty, "question", "qid", 4).count() == 0)
+  }
+}
