@@ -445,6 +445,18 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"),
           count(lit(1)).as("n_docs"))),
 
+    // ---- X4e: text cleaning — PII redaction (synthetic email/IP injected
+    // per row so every row exercises replacement) + repetition ratio ----
+    "q_x4e_clean_repetition" -> ((s, dir) => {
+      val dirty = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("mail u"), col("doc_id"), lit("@ex.org ip 10.0.0."),
+          col("doc_id") % 256, lit(" "), col("text")).as("dirty"))
+      dirty.select(col("doc_id"),
+        GF.redact_pii(col("dirty")).as("redacted"),
+        round(GF.repetition_ratio(col("dirty")), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X7: benchmark decontamination — corpus docs sharing trigram
     // shingles with a held-out "benchmark" slice (doc_id % 97 == 0) ----
     "q_x7_decontaminate" -> ((s, dir) => {
@@ -967,6 +979,25 @@ object SparkEntry {
         |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
         |ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "q_x4e_clean_repetition" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    'mail u' || doc_id || '@ex.org ip 10.0.0.' || (doc_id % 256)
+        |      || ' ' || text AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(dirty,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted,
+        |  ROUND(CASE WHEN length(trim(dirty)) = 0 THEN 0.0
+        |    ELSE 1.0 -
+        |      CAST(array_length(list_distinct(
+        |        regexp_split_to_array(trim(dirty), '\s+'))) AS DOUBLE) /
+        |      array_length(regexp_split_to_array(trim(dirty), '\s+'))
+        |  END, 6) AS rep_ratio
+        |FROM dirty ORDER BY doc_id""".stripMargin,
 
     // Trigram shingles rebuilt positionally (tok ⋈ pos+1 ⋈ pos+2), distinct
     // per doc, then corpus⋈bench on the shingle string — mirrors

@@ -87,6 +87,29 @@ object GraftFunctions {
     lenOk + wordOk + stopOk + punctOk
   }
 
+  /** PII redaction for web-scale text cleaning: emails and IPv4 literals
+    * are replaced with stable placeholders. Patterns are kept inside the
+    * RE2-compatible subset (no lookarounds/backrefs) so the same strings
+    * behave identically across regex engines — redaction must be
+    * reproducible wherever the pipeline reruns. Chain of codegen'd
+    * `regexp_replace` — no UDF. */
+  def redact_pii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
+  }
+
+  /** Within-document token repetition ∈ [0,1]: 1 − |distinct tokens| /
+    * |tokens| (0 for empty text) — the Gopher-style boilerplate signal
+    * (navigation bars and spam repeat; prose doesn't). */
+  def repetition_ratio(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
   /** Character-n-gram language ID over a small built-in profile table —
     * the classic "most frequent character n-grams" heuristic. Scores each
     * language by marker-hit density; `und` if nothing matches. Built from

@@ -83,6 +83,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 0.0)
   }
 
+  test("redact_pii: emails and IPv4 replaced, prose untouched") {
+    val out = Seq(
+      "reach me at jo.doe+spam@sub.example.co.uk or 192.168.1.254 today",
+      "no pii here, just 3.14 and 12.345 floats",
+      "a@b.io x",
+      // known \b caveat (identical in Java regex and RE2, so redaction is
+      // engine-consistent): dotted version strings over-redact
+      "see v1.2.3.4.5")
+      .toDF("s").select(GF.redact_pii(col("s"))).as[String].collect()
+    assert(out(0) == "reach me at [EMAIL] or [IP] today")
+    assert(out(1) == "no pii here, just 3.14 and 12.345 floats")
+    assert(out(2) == "[EMAIL] x")
+    assert(out(3) == "see v1.[IP]")
+  }
+
+  test("repetition_ratio: repeats score high, unique prose zero, empty zero") {
+    val out = Seq("buy now buy now buy now", "all tokens here differ", "", "x")
+      .toDF("s").select(GF.repetition_ratio(col("s"))).as[Double].collect()
+    assert(math.abs(out(0) - (1.0 - 2.0 / 6)) < 1e-12)
+    assert(out(1) == 0.0)
+    assert(out(2) == 0.0)
+    assert(out(3) == 0.0)
+  }
+
   test("lang_id markers") {
     val df = Seq(
       "the cat and the dog of the house",
