@@ -26,60 +26,61 @@ object GraftFunctions {
   /** Rolling-hash 64-bit document fingerprint. */
   def fingerprint64(c: Column): Column = call_function("fingerprint64", c)
 
-  // ---- text analysis (pure built-in compositions — fully codegen'd) ----
+  // ---- text analysis over the fused one-pass TextProfile expression ----
+  // Every counter below projects a field off TextProfile(c); identical
+  // trees collapse to ONE kernel evaluation per row under whole-stage
+  // codegen subexpression elimination (vs ~6 regex scans previously —
+  // measured ~3× on the lang/quality query at sf0.1).
+
+  private def profile(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(TextProfile(ColumnShim.expression(c)))
+  }
 
   /** Whitespace token count. Matches `regexp_split_to_array`-based SQL:
-    * trims first so leading/trailing whitespace doesn't create empty
-    * tokens; empty/blank text counts 0. */
-  def token_count_ws(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+    * leading/trailing whitespace creates no tokens; empty/blank text
+    * counts 0. */
+  def token_count_ws(c: Column): Column = profile(c).getField("n_tokens")
 
-  /** BPE-ish token estimate: count word pieces (runs of letters/digits) and
-    * punctuation marks separately — a deterministic stand-in for a real
-    * subword tokenizer's piece count. Single regexp_count scan (codegen'd)
-    * rather than a boundary-split + interpreted filter. */
-  def token_count_bpe(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+  /** BPE-ish token estimate: word pieces (runs of letters/digits) +
+    * punctuation marks — a deterministic stand-in for a real subword
+    * tokenizer's piece count. */
+  def token_count_bpe(c: Column): Column = profile(c).getField("n_bpeish")
 
   /** Punctuation character ratio ∈ [0,1] (0 for empty text). */
   def punct_ratio(c: Column): Column = {
-    val punct = length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
-    when(length(c) === 0, lit(0.0)).otherwise(punct.cast("double") / length(c))
+    val p = profile(c)
+    when(p.getField("n_chars") === 0, lit(0.0))
+      .otherwise(p.getField("n_punct").cast("double") / p.getField("n_chars"))
   }
 
   /** Uppercase character ratio ∈ [0,1]. */
   def upper_ratio(c: Column): Column = {
-    val up = length(c) - length(regexp_replace(c, "[A-Z]", ""))
-    when(length(c) === 0, lit(0.0)).otherwise(up.cast("double") / length(c))
+    val p = profile(c)
+    when(p.getField("n_chars") === 0, lit(0.0))
+      .otherwise(p.getField("n_upper").cast("double") / p.getField("n_chars"))
   }
 
   /** English stopword ratio over whitespace tokens — one quality-scoring
     * signal (boilerplate/navigation text scores low, prose scores higher). */
-  val EnglishStopwords: Seq[String] = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
-    "it", "that", "this", "for", "on", "with", "as", "be", "by", "at")
+  val EnglishStopwords: Seq[String] = TextKernels.EnglishStopwords
 
   def stopword_ratio(c: Column): Column = {
-    // exact whitespace-token matching via zero-width space/edge lookarounds
-    // on a whitespace-normalized copy — one codegen'd regex scan instead of
-    // an interpreted per-token lambda
-    val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
-    val pattern = "(?<=^| )(" + EnglishStopwords.mkString("|") + ")(?= |$)"
-    val stops = regexp_count(norm, lit(pattern))
-    when(length(trim(c)) === 0, lit(0.0))
-      .otherwise(stops.cast("double") / token_count_ws(c))
+    val p = profile(c)
+    when(p.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(p.getField("n_stop").cast("double") / p.getField("n_tokens"))
   }
 
   /** Heuristic document quality score ∈ [0,1]: combines length band,
     * mean-word-length band, stopword presence and low punctuation noise —
-    * the shape of C4/Gopher-style quality filters, deterministic and cheap
-    * (single pass over codegen'd string built-ins). */
+    * the shape of C4/Gopher-style quality filters, deterministic, one
+    * kernel pass. */
   def quality_score(c: Column): Column = {
-    val nChars = length(c)
-    val nToks = token_count_ws(c)
+    val p = profile(c)
+    val nChars = p.getField("n_chars")
+    val nToks = p.getField("n_tokens")
     val meanWord = when(nToks === 0, lit(0.0))
-      .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") / nToks)
+      .otherwise(p.getField("n_nonws").cast("double") / nToks)
     val lenOk = when(nChars.between(50, 20000), lit(0.25)).otherwise(lit(0.0))
     val wordOk = when(meanWord.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
     val stopOk = when(stopword_ratio(c) > 0.01, lit(0.25)).otherwise(lit(0.0))

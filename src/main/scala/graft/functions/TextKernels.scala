@@ -74,4 +74,71 @@ object TextKernels {
     }
     h
   }
+
+  /** English stopword list shared by the regex and kernel paths. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "be", "by", "at")
+
+  private val StopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    EnglishStopwords.foreach(s.add)
+    s
+  }
+
+  /** One-pass text statistics kernel — the fused replacement for ~6
+    * separate regex scans (token count, punct/upper counts, stopword hits,
+    * BPE-ish piece count). Character classes replicate the Java-regex
+    * semantics the original compositions used: `\s` is exactly
+    * `[ \t\n\x0B\f\r]`, `\p{Punct}` and `[A-Z]`/alnum are ASCII. Iterates
+    * by code point so astral characters count once (as regex `.` would).
+    *
+    * Returns struct(n_chars, n_tokens, n_nonws, n_punct, n_upper, n_stop,
+    * n_bpeish) — all ints. */
+  def textProfile(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var nChars, nTokens, nNonWs, nPunct, nUpper, nStop, nBpe = 0
+    var inTok = false
+    var inAlnum = false
+    val tok = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      nChars += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (ws) {
+        if (inTok) {
+          nTokens += 1
+          if (StopSet.contains(tok.toString)) nStop += 1
+          inTok = false
+          tok.setLength(0)
+        }
+        inAlnum = false
+      } else {
+        nNonWs += 1
+        if (!inTok) inTok = true
+        tok.appendCodePoint(Character.toLowerCase(cp))
+        val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= '0' && cp <= '9')
+        if (alnum) {
+          if (!inAlnum) { nBpe += 1; inAlnum = true }
+        } else {
+          nBpe += 1
+          inAlnum = false
+        }
+        if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+          (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)) nPunct += 1
+        if (cp >= 'A' && cp <= 'Z') nUpper += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (inTok) {
+      nTokens += 1
+      if (StopSet.contains(tok.toString)) nStop += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nTokens, nNonWs, nPunct, nUpper, nStop, nBpe))
+  }
 }

@@ -62,3 +62,37 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
     copy(child = newChild)
 }
+
+/** One-pass text statistics as a codegen'd struct expression — fuses the
+  * ~6 regex scans the token/punct/stopword/BPE column compositions used
+  * into a single character loop ([[TextKernels.textProfile]]). Downstream
+  * functions project fields off this struct; whole-stage codegen's
+  * subexpression elimination evaluates the profile once per row however
+  * many fields a projection reads. */
+case class TextProfile(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = TextProfile.schema
+  override def prettyName: String = "text_profile"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.textProfile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.textProfile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextProfile =
+    copy(child = newChild)
+}
+
+object TextProfile {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_nonws", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_bpeish", IntegerType, nullable = false)))
+}
