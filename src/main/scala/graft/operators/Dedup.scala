@@ -178,8 +178,19 @@ object Dedup {
     * across all quadrants). Band widths are ⌊64/(h+1)⌋ with the remainder
     * spread over the leading bands; the join never goes all-pairs. */
   def simhashNearDups(
-      fingerprints: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+      fingerprints: DataFrame, idCol: String, maxHamming: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    // The band self-join evaluates its input subtree once per side, which
+    // recomputes the whole fingerprint pipeline (token explode + 64-column
+    // aggregation — the expensive part). Fingerprints are tiny ((id, 64-bit)
+    // per doc), so materializing them first makes the join read a cached
+    // table twice instead of recomputing — measured ~2× at sf0.1. Opt out
+    // when the input is already materialized.
+    val fps =
+      if (materialize) fingerprints.select(col(idCol), col("simhash"))
+        .localCheckpoint()
+      else fingerprints
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val rem = 64 % nBands
@@ -191,7 +202,7 @@ object Dedup {
         shiftrightunsigned(col("simhash"), off)
           .bitwiseAND(lit(mask)).as("qv"))
     }
-    val bands = fingerprints.select(col(idCol), col("simhash"),
+    val bands = fps.select(col(idCol), col("simhash"),
       explode(array(bandCols: _*)).as("band"))
     // Self-join on the band key: the build side broadcasts (band rows are
     // (band, id, fp) — tiny), so the probe side streams with NO shuffle and
