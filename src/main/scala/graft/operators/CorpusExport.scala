@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus export — the final step of a curation pipeline: ship the cleaned
+  * dataset as SORTED, SIZE-BOUNDED parquet shards plus a manifest.
+  *
+  * Why not a plain `df.write.parquet`: training jobs stream shards in
+  * order, resume mid-corpus, and assign shards to workers — that needs (a)
+  * each file to hold a contiguous key range (range partitioning, not hash),
+  * (b) rows sorted inside each file (seekable, and parquet min/max stats
+  * actually prune), and (c) a record cap so no shard outgrows a worker's
+  * memory. All three are declarative here; the sort+shuffle is the same
+  * single exchange any global sort pays.
+  */
+object CorpusExport {
+
+  /** Range-sharded, within-file-sorted parquet export. `numShards` sets
+    * write parallelism; `maxRecordsPerFile` splits oversized ranges into
+    * part files without breaking the global order. */
+  def writeSharded(df: DataFrame, path: String, sortCol: String,
+      numShards: Int, maxRecordsPerFile: Long): Unit = {
+    require(numShards >= 1 && maxRecordsPerFile >= 1)
+    df.repartitionByRange(numShards, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Per-file manifest of an exported corpus: rows, key min/max per part
+    * file — the index a training loader consumes to plan shard assignment
+    * (and the audit that ranges are contiguous/disjoint). Pure metadata
+    * aggregation: one scan of the key column only (column pruning drops
+    * the payload). */
+  def shardManifest(spark: SparkSession, path: String,
+      sortCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(sortCol), input_file_name().as("file"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(sortCol)).as("key_min"),
+        max(col(sortCol)).as("key_max"))
+      .orderBy("key_min")
+}

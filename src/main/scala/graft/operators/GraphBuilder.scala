@@ -232,4 +232,36 @@ object GraphBuilder {
 
     PropertyGraph(cfg.database, nodes, rels)
   }
+
+  /** Incremental refresh of a staged node table — the batch twin of the
+    * streaming ST1 ingest, implementing the reference's declared merge
+    * contract ("maintains a record of already-seen nodes (based on the
+    * primary ID) and either merges data or creates a new entry",
+    * graph_db_builder.py:493-497): staged rows win per-property
+    * (first-seen), update rows fill nulls and append new ids, schemas
+    * null-fill in both directions through the A1 merge lattice.
+    *
+    * Crash-safe: the merge writes to a `._tmp` sibling and swaps via
+    * delete+rename, so the staged table is never half-written — and since
+    * the job READS the current staging dir, writing in place would corrupt
+    * the input mid-job.
+    */
+  def upsertStagedNodes(spark: SparkSession, outDir: String,
+      meta: DatabaseMeta, label: String, updates: DataFrame,
+      idKey: String): Unit = {
+    val base = s"$outDir/${meta.outputStem}/nodes/$label"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val tmp = new org.apache.hadoop.fs.Path(base + "._tmp")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(path))
+        NodePipeline.buildNodeTable(
+          Seq(spark.read.parquet(base), updates), idKey)
+      else NodePipeline.buildNodeTable(Seq(updates), idKey)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(path)) fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"staging swap failed: could not rename $tmp to $path")
+  }
 }
