@@ -583,6 +583,21 @@ object SparkEntry {
         .orderBy("p_partkey", "band_id")
     }),
 
+    // ---- ST3b/J5b: keyed time-interval join (batch twin of the
+    // stream-stream join) — purchases in the hour before each click ----
+    "q_st3_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu").as("p_tsu"),
+          round(col("value"), 2).as("p_value"))
+      RangeJoin.intervalJoin(clicks, purchases, Seq("user_id"),
+        "tsu", "p_tsu", lit(3600000000L))
+        .orderBy("event_id", "p_tsu", "p_value")
+    }),
+
     // ---- F4: JSON property extraction (semi-structured columns) ----
     "q_json_props" -> ((s, dir) =>
       events(s, dir)
@@ -1084,6 +1099,18 @@ object SparkEntry {
         |  AS bands(band_id, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |ORDER BY p_partkey, band_id""".stripMargin,
+
+    "q_st3_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+        |            event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, tsu FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu AS p_tsu, ROUND(value, 2) AS p_value
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsu, p.p_tsu, p.p_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_tsu >= c.tsu - 3600000000 AND p.p_tsu <= c.tsu
+        |ORDER BY 1, 4, 5""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,

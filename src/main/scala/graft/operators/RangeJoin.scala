@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join via bucketing.
@@ -34,5 +34,34 @@ object RangeJoin {
     bPoints.join(bIntervals, Seq(bucket))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop(bucket)
+  }
+
+  /** Keyed time-interval join: each left row pairs with every right row of
+    * the same key whose timestamp falls in `[left.ts − lookback, left.ts]`
+    * — "all purchases in the hour before each click". Columns other than
+    * the keys must not collide (pre-rename on one side).
+    *
+    * This is NOT a nested-loop shape: the key equality makes it a plain
+    * shuffled equi-join with the time window as a residual predicate — the
+    * minimal shuffle for the semantics, and AQE handles key skew.
+    *
+    * The SAME plan is Structured Streaming's stream-stream join: give both
+    * sides watermarks and a timestamp-typed ts with an interval `lookback`
+    * (e.g. `expr("INTERVAL 1 HOUR")`), and the time bound is exactly what
+    * lets Spark expire join state instead of buffering streams forever.
+    * With numeric (epoch) ts, pass a numeric `lookback` for batch use.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, lookback: Column): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "rename ts columns apart so both survive in the output")
+    val keyCond = keyCols.map(k => left(k) === right(k)).reduce(_ && _)
+    val cond = keyCond &&
+      right(rightTsCol) >= left(leftTsCol) - lookback &&
+      right(rightTsCol) <= left(leftTsCol)
+    val rightCols = right.columns.filterNot(keyCols.contains).toSeq
+    left.join(right, cond, "inner")
+      .select(left.columns.toSeq.map(left(_)) ++ rightCols.map(right(_)): _*)
   }
 }

@@ -35,4 +35,25 @@ class RangeJoinSpec extends SparkSpec {
       bucketWidth = 1.0).count()
     assert(out == 1)
   }
+
+  test("intervalJoin: inclusive bounds, key isolation, no nested loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "v", 100L))
+      .toDF("click_id", "k", "ts")
+    val buys = Seq(("u", 40L, 1.0), ("u", 100L, 2.0), ("u", 101L, 3.0),
+      ("v", 99L, 9.0))
+      .toDF("k", "bts", "amt")
+    val out = RangeJoin.intervalJoin(clicks, buys, Seq("k"), "ts", "bts",
+      lit(60L)).orderBy("click_id", "bts").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    // click1@100: buys at 40 (=100-60, inclusive) and 100 (=ts, inclusive);
+    // 101 is later; v's buy belongs to the other key
+    assert(out.toSeq == Seq((1L, 40L, 1.0), (1L, 100L, 2.0),
+      (2L, 40L, 1.0), (3L, 99L, 9.0)))
+    // the key equality must plan as a real equi-join, not a nested loop
+    val plan = RangeJoin.intervalJoin(clicks, buys, Seq("k"), "ts", "bts",
+      lit(60L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
 }

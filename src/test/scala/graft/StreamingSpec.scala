@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST3: stream-stream interval join with state expiry bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickMem = MemoryStream[(Long, Long, Timestamp)]
+    val buyMem = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = clickMem.toDF().toDF("click_id", "user_id", "cts")
+      .withWatermark("cts", "2 hours")
+    val buys = buyMem.toDF().toDF("user_id", "bts", "amount")
+      .withWatermark("bts", "2 hours")
+    val joined = graft.operators.RangeJoin.intervalJoin(
+      clicks, buys, Seq("user_id"), "cts", "bts",
+      org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory")
+      .queryName("st3_out").outputMode("append").start()
+    try {
+      buyMem.addData((7L, ts("2024-01-01 09:30:00"), 5.0),
+        (7L, ts("2024-01-01 08:00:00"), 1.0)) // outside the 1h lookback
+      clickMem.addData((1L, 7L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("st3_out")
+        .select("click_id", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((1L, 5.0))) // only the in-window purchase
+    } finally q.stop()
+  }
+
   test("ST1 end-to-end: streamToStaging appends deduped batches to parquet") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-staging")
