@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("array_norm2"),
       info("array_norm2", "array_norm2(a) - float-array L2 norm as double."),
       exprs => ArrayNorm2(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("morton2"),
+      info("morton2", "morton2(a, b) - Z-order interleave of two longs."),
+      exprs => Morton2(exprs.head, exprs(1))))
   }
 }

@@ -96,3 +96,48 @@ object TextProfile {
     StructField("n_stop", IntegerType, nullable = false),
     StructField("n_bpeish", IntegerType, nullable = false)))
 }
+
+/** Bit-interleave kernel for Z-order clustering. */
+object BitKernels {
+  /** Morton code of the low 32 bits of `a` and `b` (`a` on even bit
+    * positions): sorting by this value walks the Z-curve, giving 2-D
+    * locality — nearby (a, b) pairs land in the same file. */
+  def morton2(a: Long, b: Long): Long =
+    spread(a) | (spread(b) << 1)
+
+  private def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+}
+
+/** Codegen'd 2-column Morton (Z-order) code — the clustering key behind
+  * [[graft.operators.CorpusExport.writeZOrdered]]: one interleaved sort
+  * key gives file-level min/max pruning on BOTH columns, where a plain
+  * sort prunes only its leading column. */
+case class Morton2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "morton2"
+
+  // Number.longValue rather than a Long cast: integral literals arrive as
+  // Integer on the interpreted path (no ExpectsInputTypes coercion here —
+  // it is private[sql]); generated code widens implicitly.
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitKernels.morton2(a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BitKernels.morton2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Morton2 =
+    copy(left = newLeft, right = newRight)
+}

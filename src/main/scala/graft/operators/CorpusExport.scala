@@ -30,6 +30,30 @@ object CorpusExport {
       .parquet(path)
   }
 
+  /** Z-ordered export: cluster files along the Morton curve of TWO key
+    * columns, so parquet min/max footer stats prune files for predicates
+    * on EITHER column — a plain sort only prunes its leading column.
+    * Both columns are cast to long (non-negative domain assumed; shift
+    * signed domains first). */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, colB: String,
+      numShards: Int, maxRecordsPerFile: Long): Unit = {
+    require(numShards >= 1 && maxRecordsPerFile >= 1)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val z = ColumnShim.column(graft.functions.Morton2(
+      ColumnShim.expression(col(colA).cast("long")),
+      ColumnShim.expression(col(colB).cast("long"))))
+    val zCol = "_graft_z"
+    df.withColumn(zCol, z)
+      .repartitionByRange(numShards, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol) // projection after the sort — row order survives
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Per-file manifest of an exported corpus: rows, key min/max per part
     * file — the index a training loader consumes to plan shard assignment
     * (and the audit that ranges are contiguous/disjoint). Pure metadata

@@ -37,6 +37,46 @@ class CorpusExportSpec extends SparkSpec {
     assert(inFile.toSeq == inFile.sorted.toSeq)
   }
 
+  test("writeZOrdered: files are 2-D local — both columns prune") {
+    val tmp = Files.createTempDirectory("graft-zorder").toString + "/z"
+    // full 64×64 grid in 8 z-range shards: ideal shards are 2^9 Morton
+    // blocks (32×16 rectangles), but repartitionByRange samples its
+    // boundaries, so files can straddle a block — assert the AGGREGATE
+    // locality the curve guarantees, not exact block geometry
+    val grid = spark.range(4096)
+      .select((col("id") / 64).cast("long").as("x"),
+        (col("id") % 64).cast("long").as("y"))
+    CorpusExport.writeZOrdered(grid, tmp, "x", "y",
+      numShards = 8, maxRecordsPerFile = 1000)
+    val spans = spark.read.parquet(tmp)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .collect()
+    assert(spans.length >= 8)
+    val avgDx = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val avgDy = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    assert(avgDx < 50 && avgDy < 50,
+      spans.map(r => (r.getLong(1), r.getLong(2))).mkString(","))
+    // contrast: a plain x-sort leaves y unpruned (every file spans all of y)
+    val tmp2 = Files.createTempDirectory("graft-xsort").toString + "/x"
+    CorpusExport.writeSharded(grid, tmp2, "x", 8, 1000)
+    val ySpans = spark.read.parquet(tmp2)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg((max("y") - min("y")).as("dy")).collect()
+    assert(ySpans.forall(_.getLong(1) == 63L))
+  }
+
+  test("morton2 kernel: interleave round-trips known patterns") {
+    import graft.functions.BitKernels
+    assert(BitKernels.morton2(0L, 0L) == 0L)
+    assert(BitKernels.morton2(1L, 0L) == 1L) // a on even bits
+    assert(BitKernels.morton2(0L, 1L) == 2L) // b on odd bits
+    assert(BitKernels.morton2(3L, 3L) == 15L)
+    assert(BitKernels.morton2(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
+    assert(BitKernels.morton2(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
+  }
+
   test("upsertStagedNodes: first-seen wins, null fill-in, new ids append") {
     val tmp = Files.createTempDirectory("graft-upsert").toString
     val meta = DatabaseMeta("Inc", "1", None, None, None)

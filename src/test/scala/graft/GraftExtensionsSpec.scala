@@ -48,7 +48,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  token_shingles('a b c d', 2) AS sh,
         |  array_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
-        |  array_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm
+        |  array_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm,
+        |  morton2(3, 3) AS z
         |""".stripMargin).head()
     assert(r.getAs[String]("folded") == "Cafe deja")
     assert(r.getAs[Long]("fp") ==
@@ -58,6 +59,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq("a b", "b c", "c d"))
     assert(r.getAs[Double]("dot") == 11.0)
     assert(r.getAs[Double]("nrm") == 5.0)
+    assert(r.getAs[Long]("z") == 15L)
   }
 
   test("injected functions agree with the Column-API surface") {
