@@ -54,5 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("morton2"),
       info("morton2", "morton2(a, b) - Z-order interleave of two longs."),
       exprs => Morton2(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("array_quantize8"),
+      info("array_quantize8",
+        "array_quantize8(a) - int8-quantize a vector to struct(scale, q)."),
+      exprs => ArrayQuantize8(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("array_dequantize8"),
+      info("array_dequantize8",
+        "array_dequantize8(s) - expand struct(scale, q) back to array<float>."),
+      exprs => ArrayDequantize8(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("array_normalize"),
+      info("array_normalize", "array_normalize(a) - unit-L2 float vector."),
+      exprs => ArrayNormalize(exprs.head)))
   }
 }

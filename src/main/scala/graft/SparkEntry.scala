@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.config.GraphConfig
-import graft.functions.{GraftFunctions => GF}
+import graft.functions.{GraftFunctions => GF, VectorFunctions => VF}
 import graft.operators._
 import graft.streaming.StreamingIngest
 
@@ -396,6 +396,22 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nProbe = 3)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3c: top-k over the int8-quantized corpus — the 4×-smaller
+    // storage/broadcast path; deterministic, but round() half-case
+    // semantics differ across engines → rows-only (recall vs fp32 pinned
+    // in SimilaritySpec) ----
+    "q_x3c_quantized_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val deq = e.select(col("vec_id"),
+        VF.dequantize8(VF.quantize8(col("embedding"))).as("embedding"))
+      Similarity.bruteForceTopK(
+        deq.filter(col("vec_id") < 8), deq, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 

@@ -29,11 +29,21 @@ object VectorFunctions {
       .otherwise(dot(a, b) / denom)
   }
 
-  /** L2-normalize a vector to unit length (element type double). */
-  def normalize(a: Column): Column = {
-    val n = l2_norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+  /** L2-normalize a vector to unit length (codegen'd kernel, float
+    * output; the zero vector passes through). */
+  def normalize(a: Column): Column =
+    ColumnShim.column(ArrayNormalize(ColumnShim.expression(a)))
+
+  /** Symmetric int8 quantization → struct(scale: float, q: binary): 4×
+    * smaller than fp32 — the storage/broadcast lever for embedding
+    * corpora at 100 TB. Recall cost is bounded by the per-element error
+    * ≤ scale/2 (see `SimilaritySpec`). */
+  def quantize8(a: Column): Column =
+    ColumnShim.column(ArrayQuantize8(ColumnShim.expression(a)))
+
+  /** Inverse of [[quantize8]] → array<float>. */
+  def dequantize8(qs: Column): Column =
+    ColumnShim.column(ArrayDequantize8(ColumnShim.expression(qs)))
 
   /** SimHash-style signed random-hyperplane bucket id with `bits` bits:
     * sign pattern of the dot product against `bits` pseudo-random

@@ -49,7 +49,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  array_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
         |  array_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm,
-        |  morton2(3, 3) AS z
+        |  morton2(3, 3) AS z,
+        |  array_dequantize8(array_quantize8(
+        |    array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)))) AS deq,
+        |  array_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS un
         |""".stripMargin).head()
     assert(r.getAs[String]("folded") == "Cafe deja")
     assert(r.getAs[Long]("fp") ==
@@ -60,6 +63,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dot") == 11.0)
     assert(r.getAs[Double]("nrm") == 5.0)
     assert(r.getAs[Long]("z") == 15L)
+    val deq = r.getAs[scala.collection.Seq[Float]]("deq")
+    assert(math.abs(deq(0) - 1.0f) < 0.01f && math.abs(deq(1) + 0.5f) < 0.01f)
+    val un = r.getAs[scala.collection.Seq[Float]]("un")
+    assert(math.abs(un(0) - 0.6f) < 1e-6)
   }
 
   test("injected functions agree with the Column-API surface") {

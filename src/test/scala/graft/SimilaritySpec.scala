@@ -27,6 +27,59 @@ class SimilaritySpec extends SparkSpec {
     assert(r.isNullAt(4)) // zero vector -> null, not NaN
   }
 
+  test("int8 quantization: round-trip error bound and cosine preservation") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val q = e.select(col("vec_id"), col("embedding"),
+      VectorFunctions.dequantize8(
+        VectorFunctions.quantize8(col("embedding"))).as("deq"))
+    // per-element error ≤ scale/2, scale = max|x|/127 → relative to the
+    // vector's max element the error is ≤ 1/254
+    val errStats = q.select(
+      max(expr("aggregate(zip_with(embedding, deq, (a, b) -> " +
+        "abs(cast(a as double) - cast(b as double))), cast(0.0 as double), " +
+        "(acc, x) -> greatest(acc, x))")).as("max_abs_err"),
+      max(expr("aggregate(transform(embedding, x -> " +
+        "abs(cast(x as double))), cast(0.0 as double), " +
+        "(acc, x) -> greatest(acc, x))")).as("max_abs_val")).head()
+    assert(errStats.getDouble(0) <= errStats.getDouble(1) / 254.0 + 1e-9)
+    // cosine between original and dequantized stays essentially 1
+    val minCos = q.select(min(
+      VectorFunctions.cosine(col("embedding"), col("deq"))).as("c")).head()
+      .getDouble(0)
+    assert(minCos > 0.999, s"quantization distorted direction: $minCos")
+    // zero vector round-trips without dividing by zero
+    val z = Seq(1).toDF("x").select(VectorFunctions.dequantize8(
+      VectorFunctions.quantize8(array(lit(0f), lit(0f)))).as("v"))
+      .head().getAs[scala.collection.Seq[Float]]("v")
+    assert(z.toSeq == Seq(0f, 0f))
+  }
+
+  test("quantized corpus: exact top-k over dequantized vectors ≈ fp32 top-k") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val deq = e.select(col("vec_id"),
+      VectorFunctions.dequantize8(
+        VectorFunctions.quantize8(col("embedding"))).as("embedding"))
+    val exact = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 8), e, "embedding", "vec_id", k = 10)
+    val quant = Similarity.bruteForceTopK(
+      deq.filter(col("vec_id") < 8), deq, "embedding", "vec_id", k = 10)
+    val a = exact.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = quant.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.intersect(b).size.toDouble / a.size
+    assert(recall >= 0.85, s"int8 recall too low: $recall")
+  }
+
+  test("normalize: unit norm, direction preserved, zero-vector safe") {
+    val out = Seq(1).toDF("x").select(
+      VectorFunctions.normalize(array(lit(3f), lit(4f))).as("v"),
+      VectorFunctions.normalize(array(lit(0f), lit(0f))).as("z")).head()
+    val v = out.getAs[scala.collection.Seq[Float]]("v")
+    assert(math.abs(v(0) - 0.6f) < 1e-6 && math.abs(v(1) - 0.8f) < 1e-6)
+    assert(out.getAs[scala.collection.Seq[Float]]("z").toSeq == Seq(0f, 0f))
+  }
+
   test("bruteForceTopK: self excluded, ranks ordered, k respected") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
     val out = Similarity.bruteForceTopK(
