@@ -61,14 +61,21 @@ object Similarity {
       .orderBy(col("_h"), col("centroid_id"))
       .limit(k)
       .select(col("centroid_id"), col("_centv"))
-    // argmax-by-similarity via partial-aggregated max(struct(...)) rather
-    // than a row_number window: the window shuffles |corpus|·|centroids|
-    // rows; the aggregate combines map-side down to one row per vector
-    // before the shuffle. The vector rides inside the max struct so the
-    // grouping key stays scalar. Tie-break: smallest centroid_id (negated
-    // in the struct ordering; unique per centroid, so the vector field is
-    // never reached in comparisons).
-    val assigned = corpus
+    (centroids, assignToCentroids(corpus, vecCol, idCol, centroids))
+  }
+
+  /** Nearest-centroid assignment — argmax-by-similarity via
+    * partial-aggregated max(struct(...)) rather than a row_number window:
+    * the window shuffles |corpus|·|centroids| rows; the aggregate combines
+    * map-side down to one row per vector before the shuffle. The vector
+    * rides inside the max struct so the grouping key stays scalar.
+    * Tie-break: smallest centroid_id (negated in the struct ordering;
+    * unique per centroid, so the vector field is never reached in
+    * comparisons). */
+  private[graft] def assignToCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame): DataFrame =
+    corpus
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol), col("centroid_id"),
@@ -78,7 +85,53 @@ object Similarity {
         col(vecCol).as("_v"))).as("_best"))
       .select(col(idCol), col("_best._v").as(vecCol),
         (-col("_best._negc")).as("centroid_id"))
-    (centroids, assigned)
+
+  /** Lloyd refinement of the coarse quantizer (spherical k-means): each
+    * iteration re-assigns vectors to their nearest centroid and re-centers
+    * every cell on its element-wise mean. The quantization objective
+    * (average best-cell cosine) is monotonically non-decreasing, so
+    * refined cells are tighter → higher recall at the same `nProbe`.
+    *
+    * Cost per iteration: one broadcast assignment pass (n·k, the same as
+    * index build) + one (centroid, dim) aggregation (k·dim result rows —
+    * trivial). Empty cells keep their previous centroid. The per-dim mean
+    * uses distributed double summation, so exact results are not
+    * bit-reproducible across cluster layouts — use the hash-sampled
+    * [[ivfIndex]] when exact reproducibility matters more than recall. */
+  def refineCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, iterations: Int = 1): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    var cents = centroids
+    for (_ <- 1 to iterations) {
+      val assigned = assignToCentroids(corpus, vecCol, idCol, cents)
+      val means = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("_pos", "_val")))
+        .groupBy(col("centroid_id"), col("_pos"))
+        .agg(avg(col("_val").cast("double")).as("_m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("_pos"), col("_m"))))
+          .as("_pm"))
+        .select(col("centroid_id"),
+          transform(col("_pm"), x => x.getField("_m").cast("float"))
+            .as("_newv"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("_newv"), col("_centv")).as("_centv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[ivfIndex]] + [[refineCentroids]] in one call: hash-sampled seeds,
+    * `iterations` Lloyd passes, final assignment. */
+  def ivfIndexRefined(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int = 1): (DataFrame, DataFrame) = {
+    val (seeds, _) = ivfIndex(corpus, vecCol, idCol, k)
+    val cents = refineCentroids(corpus, vecCol, idCol, seeds, iterations)
+    (cents, assignToCentroids(corpus, vecCol, idCol, cents))
   }
 
   /** IVF search: probe the `nProbe` nearest cells per query, exact cosine

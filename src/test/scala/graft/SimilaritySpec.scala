@@ -108,6 +108,50 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size == exact.size)
   }
 
+  test("refineCentroids: Lloyd passes never worsen the quantization objective") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    // objective = mean over vectors of the best-cell cosine (what IVF
+    // probing quality depends on); Lloyd is monotone non-decreasing on it
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          VectorFunctions.cosine(col("embedding"), col("_centv")).as("c"))
+        .groupBy("vec_id").agg(max("c").as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    val (seeds, _) = Similarity.ivfIndex(e, "embedding", "vec_id", 16)
+    val obj0 = objective(seeds)
+    val r1 = Similarity.refineCentroids(e, "embedding", "vec_id", seeds, 1)
+    val obj1 = objective(r1)
+    val r2 = Similarity.refineCentroids(e, "embedding", "vec_id", r1, 1)
+    val obj2 = objective(r2)
+    assert(obj1 >= obj0 - 1e-9, s"$obj0 -> $obj1")
+    assert(obj2 >= obj1 - 1e-9, s"$obj1 -> $obj2")
+    // centroid count is preserved (empty cells keep previous centroid)
+    assert(r2.count() == 16)
+  }
+
+  test("ivfIndexRefined: recall at least matches the unrefined index") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(queries, e, "embedding", "vec_id", 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(index: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)): Double = {
+      val got = Similarity.ivfTopK(queries, index._1, index._2,
+        "embedding", "vec_id", k = 5, nProbe = 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val plain = recall(Similarity.ivfIndex(e, "embedding", "vec_id", 16))
+    val refined = recall(
+      Similarity.ivfIndexRefined(e, "embedding", "vec_id", 16, iterations = 2))
+    // Lloyd tightens cells; allow small slack (assignment boundaries move)
+    assert(refined >= plain - 0.05, s"refined $refined vs plain $plain")
+    assert(refined >= 0.5, s"refined recall too low: $refined")
+  }
+
   test("ivfIndex: centroid count is fixed at k regardless of corpus size") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
     val (cent, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id", 16)
