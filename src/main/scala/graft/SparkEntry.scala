@@ -370,6 +370,14 @@ object SparkEntry {
           coalesce(sum(col("n_ids")), lit(0L)).as("n_overflow_members"))
     }),
 
+    // ---- X1c: end-to-end dedup pipeline (exact → LSH → verify → CC →
+    // keeper election), decision counts by reason (minhash → rows-only) ----
+    "q_x1c_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8)
+        .groupBy("reason").agg(count(lit(1)).as("n"))
+        .orderBy("reason")),
+
     // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI) ----
     "q_x2c_simhash_neardups" -> ((s, dir) => {
       val fps = Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")

@@ -289,6 +289,61 @@ object Dedup {
     labels
   }
 
+  /** End-to-end corpus deduplication — the whole X1/X2/X1b chain as one
+    * call: exact dedup (identical bytes), MinHash-LSH near-dup candidates,
+    * exact-Jaccard verification, connected-components clustering, and
+    * keeper election (minimum id per cluster). Returns the deduplicated
+    * corpus plus a decision report.
+    *
+    * The exact pass runs FIRST and near-dup stages see one representative
+    * per identical-content group — a corpus that is 50% verbatim copies
+    * (common in web crawls) pays the expensive shingle pipeline on half
+    * its rows, and identical docs can never overflow an LSH bucket.
+    *
+    * @return (deduped corpus — original rows of the elected keepers,
+    *          report — (doc_id, keeper_id, reason ∈ exact|near|kept))
+    */
+  def dedupCorpus(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    // exact groups: map every doc to its group keeper
+    val exactMap = df
+      .groupBy(sha2(col(textCol), 256).as("_h"))
+      .agg(min(col(idCol)).as("_exact_keeper"))
+      .join(df.select(col(idCol), sha2(col(textCol), 256).as("_h")), Seq("_h"))
+      .select(col(idCol).as("doc_id"), col("_exact_keeper"))
+    val reps = df.join(
+      exactMap.filter(col("doc_id") === col("_exact_keeper"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    // near-dup pairs among representatives → clusters → cluster keeper
+    val pairs = minhashNearDups(reps, textCol, idCol, threshold,
+      numHashes, bands, shingleSize, maxBucketSize)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(reps.select(col(idCol)), idCol, pairs)
+      .select(col("id").as("_rep"), col("comp").as("_near_keeper"))
+    // compose: doc → exact keeper → near keeper
+    val decisions = exactMap
+      .join(comps, col("_exact_keeper") === col("_rep"))
+      .select(col("doc_id"),
+        col("_near_keeper").as("keeper_id"),
+        when(col("doc_id") === col("_near_keeper"), "kept")
+          .when(col("doc_id") =!= col("_exact_keeper"), "exact")
+          .otherwise("near").as("reason"))
+    decisions
+  }
+
+  /** The surviving rows of [[dedupCorpus]]: one original row per elected
+    * keeper. */
+  def dedupedRows(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8): DataFrame =
+    df.join(
+      dedupCorpus(df, textCol, idCol, threshold)
+        .filter(col("reason") === "kept")
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold`, candidates
     * blocked by random-hyperplane bucket (similar vectors collide with high
     * probability; `probes` extra buckets via bit flips would raise recall —

@@ -104,6 +104,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(many, "text", "doc_id").count() == 1)
   }
 
+  test("dedupCorpus end-to-end: exact + near collapse to one keeper each") {
+    val report = Dedup.dedupCorpus(docs, "text", "doc_id", threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 1 is a verbatim copy of 0; 2 is a near-dup of 0 → all map to keeper 0
+    assert(report.toSeq == Seq(
+      (0L, 0L, "kept"),
+      (1L, 0L, "exact"),
+      (2L, 0L, "near"),
+      (3L, 3L, "kept"),
+      (4L, 4L, "kept")))
+    val survivors = Dedup.dedupedRows(docs, "text", "doc_id", 0.5)
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 3L, 4L))
+    // surviving rows are the ORIGINAL rows (text intact)
+    assert(survivors.filter($"doc_id" === 0L).head().getString(1)
+      .startsWith("the quick brown fox"))
+  }
+
+  test("dedupCorpus: clean corpus passes through untouched") {
+    val clean = Seq((10L, "alpha beta gamma delta"),
+      (11L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val report = Dedup.dedupCorpus(clean, "text", "doc_id")
+      .collect().map(r => r.getString(2))
+    assert(report.forall(_ == "kept"))
+    assert(Dedup.dedupedRows(clean, "text", "doc_id").count() == 2)
+  }
+
   test("connectedComponents: min-label clusters with isolated vertices") {
     val vertices = (1L to 7L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
