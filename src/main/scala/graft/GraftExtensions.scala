@@ -65,5 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("array_normalize"),
       info("array_normalize", "array_normalize(a) - unit-L2 float vector."),
       exprs => ArrayNormalize(exprs.head)))
+    // aggregate functions register bare — the analyzer wraps them in an
+    // AggregateExpression during resolution (same as built-in percentile)
+    ext.injectFunction((FunctionIdentifier("sample_k"),
+      info("sample_k",
+        "sample_k(id, k) - deterministic k-sample of ids per group " +
+          "(bottom-k by seeded hash)."),
+      exprs => SampleK(exprs.head, exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"sample_k size must be a literal, got: $other")
+      })))
   }
 }

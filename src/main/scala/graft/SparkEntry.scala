@@ -507,6 +507,16 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // ---- X6d: deterministic per-group example sampling (custom bottom-k
+    // typed aggregate; seeded hash → rows-only) ----
+    "q_x6d_sample_per_lang" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(GF.sample_k(col("doc_id"), 3).as("sample_ids"))
+        .select(col("lang"), concat_ws(",", col("sample_ids").cast("array<string>"))
+          .as("sample_ids"))
+        .orderBy("lang")),
+
     // ---- X6c: train/test split summary — disjoint + exhaustive by
     // construction (spec-pinned); sizes here are hash-dependent ----
     "q_x6c_train_test_split" -> ((s, dir) => {

@@ -23,6 +23,15 @@ object GraftFunctions {
     * [[register]]ed. */
   def ascii_fold(c: Column): Column = call_function("ascii_fold", c)
 
+  /** Deterministic fixed-k per-group id sample (bottom-k by seeded hash;
+    * see [[SampleK]]) — same members every run on any cluster, O(k) state
+    * per group. */
+  def sample_k(c: Column, k: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      SampleK(ColumnShim.expression(c), k, seed).toAggregateExpression())
+  }
+
   /** Rolling-hash 64-bit document fingerprint. */
   def fingerprint64(c: Column): Column = call_function("fingerprint64", c)
 

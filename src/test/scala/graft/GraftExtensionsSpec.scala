@@ -81,6 +81,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("sample_k works as a SQL aggregate (analyzer wraps the bare function)") {
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L))
+      .toDF("g", "id").createOrReplaceTempView("skt")
+    val rows = spark.sql(
+      "SELECT g, sample_k(id, 2) AS s FROM skt GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("s").size == 2)
+    assert(rows(1).getAs[scala.collection.Seq[Long]]("s").toSeq == Seq(9L))
+  }
+
   test("non-literal shingle size fails with a clear message") {
     val e = intercept[Exception](
       spark.sql("SELECT token_shingles('a b', 1 + 1)").head())

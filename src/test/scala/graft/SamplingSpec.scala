@@ -86,6 +86,42 @@ class SamplingSpec extends SparkSpec {
       mixed.count())
   }
 
+  test("sample_k aggregate: deterministic under any partitioning") {
+    val df = (0 until 5000).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "id")
+    def run(parts: Int): Map[String, Seq[Long]] =
+      df.repartition(parts)
+        .groupBy("g")
+        .agg(graft.functions.GraftFunctions.sample_k(col("id"), 5).as("s"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getAs[scala.collection.Seq[Long]]("s").toSeq).toMap
+    val a = run(2)
+    val b = run(13)
+    assert(a == b) // row order and partitioning are irrelevant
+    assert(a.values.forall(_.size == 5))
+    // per-group isolation: members belong to their group's id space
+    a.foreach { case (g, ids) =>
+      val mod = g.drop(1).toInt
+      assert(ids.forall(id => id % 4 == mod))
+    }
+  }
+
+  test("sample_k: bottom-k nesting, small groups, and duplicate collapse") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L)).toDF("g", "id")
+    val s2 = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions.sample_k(col("id"), 2).as("s"))
+      .head().getAs[scala.collection.Seq[Long]]("s").toSet
+    val s3 = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions.sample_k(col("id"), 3).as("s"))
+      .head().getAs[scala.collection.Seq[Long]]("s").toSet
+    assert(s2.subsetOf(s3)) // bottom-k sketches nest
+    assert(s3 == Set(1L, 2L, 3L)) // dups collapsed, whole small group kept
+    val s9 = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions.sample_k(col("id"), 9).as("s"))
+      .head().getAs[scala.collection.Seq[Long]]("s")
+    assert(s9.size == 3) // never pads beyond distinct ids
+  }
+
   test("sampling filters are narrow: no shuffle in the physical plan") {
     val plan = Sampling.hashSample(corpus, "id", 0.5)
       .queryExecution.executedPlan.toString
