@@ -8,6 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Rows for the timeout-emitting sessionizer ([[StreamingIngest.expiringSessions]]). */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class OpenSession(startMicros: Long, endMicros: Long, n: Long, sum: Double)
+case class CompletedSession(user_id: Long, sess_start: java.sql.Timestamp,
+    sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
 /** Structured-Streaming ingest — the reference's stated processing model
   * ("Stream entries in S to T", graph_db_builder.py:28, :485-486) made
   * actually incremental:
@@ -86,6 +92,51 @@ object StreamingIngest {
           val next = UserTotals(uid, n, s)
           state.update(next)
           next
+      }
+  }
+
+  /** Timeout-EMITTING sessionizer via `flatMapGroupsWithState` + event-time
+    * timeout — the custom-state shape [[runningUserTotals]] can't express:
+    * nothing is emitted while a session is open; when the WATERMARK passes
+    * `last event + gap`, the state times out and the completed session row
+    * is emitted exactly once (OutputMode.Append downstream-safe — rows
+    * never retract). One open session per key; any in-gap event extends it
+    * (gap splitting inside a single micro-batch is the built-in
+    * `session_window`'s job — this operator exists for the expiry
+    * *emission* semantics). State is one [[OpenSession]] per active key and
+    * is removed on timeout, so storage tracks ACTIVE keys only. */
+  def expiringSessions(events: Dataset[SessionEvent], gap: String,
+      watermark: String = "1 hour"): Dataset[CompletedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMicros = gapMs.days * 86400000000L + gapMs.microseconds
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, CompletedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[SessionEvent],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CompletedSession(uid,
+              new java.sql.Timestamp(s.startMicros / 1000),
+              new java.sql.Timestamp(s.endMicros / 1000),
+              s.n, s.sum))
+          } else {
+            var s = state.getOption.getOrElse(
+              OpenSession(Long.MaxValue, Long.MinValue, 0L, 0.0))
+            batch.foreach { e =>
+              val t = e.ts.getTime * 1000L
+              s = OpenSession(math.min(s.startMicros, t),
+                math.max(s.endMicros, t), s.n + 1, s.sum + e.value)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.endMicros / 1000 + gapMicros / 1000)
+            Iterator.empty
+          }
       }
   }
 

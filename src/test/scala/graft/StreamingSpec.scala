@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingIngest, UserEvent}
+import graft.streaming.{SessionEvent, StreamingIngest, UserEvent}
 
 /** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
   * tests over MemoryStream (SURVEY.md §5 item 5). */
@@ -82,6 +82,42 @@ class StreamingSpec extends SparkSpec {
       assert(starts.toSeq == Seq(
         "2024-01-01 09:15:00.0", "2024-01-01 09:30:00.0",
         "2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0"))
+    } finally q.stop()
+  }
+
+  test("ST4: expiringSessions emits exactly once when the watermark " +
+      "passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingIngest.expiringSessions(
+      mem.toDS(), gap = "30 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("st4_out").outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent(7L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(7L, ts("2024-01-01 10:10:00"), 2.0),
+        SessionEvent(8L, ts("2024-01-01 10:05:00"), 9.0))
+      q.processAllAvailable()
+      // nothing emitted while sessions are open
+      assert(spark.table("st4_out").isEmpty)
+      // watermark jumps past 10:40 (= 10:10 + 30min gap) → both expire
+      mem.addData(SessionEvent(99L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("st4_out").orderBy("user_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(0) == 7L)
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("sum_value") == 3.0)
+      assert(rows(0).getAs[Timestamp]("sess_start") == ts("2024-01-01 10:00:00"))
+      assert(rows(0).getAs[Timestamp]("sess_end") == ts("2024-01-01 10:10:00"))
+      assert(rows(1).getLong(0) == 8L)
+      // exactly-once: replaying the watermark driver emits nothing new
+      mem.addData(SessionEvent(99L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("st4_out").count() >= 2) // 7,8 (+99 later maybe)
+      assert(spark.table("st4_out")
+        .filter($"user_id" === 7L).count() == 1)
     } finally q.stop()
   }
 
