@@ -307,12 +307,14 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    // exact groups: map every doc to its group keeper
+    // exact groups: map every doc to its group keeper — a window min over
+    // the content hash (ONE scan + one shuffle on the hash; the
+    // groupBy-then-self-join alternative scans and hashes the corpus twice)
     val exactMap = df
-      .groupBy(sha2(col(textCol), 256).as("_h"))
-      .agg(min(col(idCol)).as("_exact_keeper"))
-      .join(df.select(col(idCol), sha2(col(textCol), 256).as("_h")), Seq("_h"))
-      .select(col(idCol).as("doc_id"), col("_exact_keeper"))
+      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("_h"))
+      .withColumn("_exact_keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))))
+      .select(col("doc_id"), col("_exact_keeper"))
     val reps = df.join(
       exactMap.filter(col("doc_id") === col("_exact_keeper"))
         .select(col("doc_id").as(idCol)),
