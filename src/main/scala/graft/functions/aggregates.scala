@@ -35,6 +35,18 @@ case class SampleK(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sample_k"
 
+  // analysis-time guard: a non-integral id would otherwise surface as a
+  // ClassCastException deep inside a running aggregation
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sample_k needs an integral id column, got ${other.catalogString}")
+    }
+
   override def createAggregationBuffer(): SampleK.State =
     new SampleK.State(k)
 

@@ -122,6 +122,15 @@ class SamplingSpec extends SparkSpec {
     assert(s9.size == 3) // never pads beyond distinct ids
   }
 
+  test("sample_k rejects non-integral id columns at analysis time") {
+    val df = Seq(("g", "not-an-id")).toDF("g", "id")
+    val e = intercept[Exception](
+      df.groupBy("g")
+        .agg(graft.functions.GraftFunctions.sample_k(col("id"), 2))
+        .collect())
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("sampling filters are narrow: no shuffle in the physical plan") {
     val plan = Sampling.hashSample(corpus, "id", 0.5)
       .queryExecution.executedPlan.toString
