@@ -241,10 +241,13 @@ object GraphBuilder {
     * (first-seen), update rows fill nulls and append new ids, schemas
     * null-fill in both directions through the A1 merge lattice.
     *
-    * Crash-safe: the merge writes to a `._tmp` sibling and swaps via
-    * delete+rename, so the staged table is never half-written — and since
-    * the job READS the current staging dir, writing in place would corrupt
-    * the input mid-job.
+    * Crash-safe: the merge writes to a `._tmp` sibling (the job READS the
+    * current staging dir, so writing in place would corrupt the input
+    * mid-job), then swaps by renaming the live dir ASIDE to `._old` before
+    * promoting `._tmp` — at every instant the data exists under some name,
+    * unlike a delete-then-rename swap whose crash window loses the table.
+    * A crash between the two renames is self-healing: the next run finds
+    * `._old` without a live dir and restores it before merging.
     */
   def upsertStagedNodes(spark: SparkSession, outDir: String,
       meta: DatabaseMeta, label: String, updates: DataFrame,
@@ -252,16 +255,26 @@ object GraphBuilder {
     val base = s"$outDir/${meta.outputStem}/nodes/$label"
     val path = new org.apache.hadoop.fs.Path(base)
     val tmp = new org.apache.hadoop.fs.Path(base + "._tmp")
+    val old = new org.apache.hadoop.fs.Path(base + "._old")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover from a crash between the two renames of a previous run
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val merged =
       if (fs.exists(path))
         NodePipeline.buildNodeTable(
           Seq(spark.read.parquet(base), updates), idKey)
       else NodePipeline.buildNodeTable(Seq(updates), idKey)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(path)) fs.delete(path, true)
+    if (fs.exists(path)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(path, old))
+        throw new java.io.IOException(s"could not set aside $path")
+    }
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(
-        s"staging swap failed: could not rename $tmp to $path")
+        s"staging swap failed: could not rename $tmp to $path " +
+          s"(previous data preserved at $old)")
+    fs.delete(old, true)
   }
 }

@@ -103,6 +103,26 @@ class CorpusExportSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/Inc-1/nodes/Person._tmp").exists())
   }
 
+  test("upsertStagedNodes: crash between renames self-heals on next run") {
+    val tmp = Files.createTempDirectory("graft-crash").toString
+    val meta = DatabaseMeta("Cr", "1", None, None, None)
+    GraphBuilder.upsertStagedNodes(spark, tmp, meta, "N",
+      Seq((1L, "alice")).toDF("id", "v"), "id")
+    // simulate the crash window: live dir renamed aside, promotion never ran
+    val base = new java.io.File(s"$tmp/Cr-1/nodes/N")
+    val old = new java.io.File(s"$tmp/Cr-1/nodes/N._old")
+    assert(base.renameTo(old))
+    assert(!base.exists())
+    // next run restores ._old and merges on top of it — nothing lost
+    GraphBuilder.upsertStagedNodes(spark, tmp, meta, "N",
+      Seq((2L, "bob")).toDF("id", "v"), "id")
+    val staged = spark.read.parquet(s"$tmp/Cr-1/nodes/N").orderBy("id")
+      .collect()
+    assert(staged.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "alice", 2L -> "bob"))
+    assert(!old.exists() && !new java.io.File(s"$tmp/Cr-1/nodes/N._tmp").exists())
+  }
+
   test("upsertStagedNodes: schema widening across batches (A1 lattice)") {
     val tmp = Files.createTempDirectory("graft-upsert2").toString
     val meta = DatabaseMeta("Inc", "2", None, None, None)

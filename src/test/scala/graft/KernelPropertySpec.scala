@@ -87,7 +87,7 @@ class KernelPropertySpec extends AnyFunSuite {
     for (_ <- 1 to 200) {
       val n = rng.nextInt(60)
       val ids = List.fill(n)(rng.nextInt(2000).toLong - 1000L)
-      val k = 1 + rng.nextInt(8)
+      val k = 1 + rng.nextInt(24) // > 16 exercises the buffer-growth path
       val cut = if (ids.isEmpty) 0 else rng.nextInt(ids.length + 1)
       val (p1, p2) = ids.splitAt(cut)
       val s1 = new SampleK.State(k)
