@@ -574,6 +574,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X5d: REAL audio decode — distributed WAV synthesis (format +
+    // constant amplitude derived from doc_id) → javax.sound decode →
+    // (sample_rate, channels, n_frames, rms). Constant-amplitude PCM has
+    // RMS exactly equal to the amplitude, so the oracle is arithmetic. ----
+    "q_x5d_audio_features" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 2000).cast("int").as("rate"),
+        (lit(100) + col("doc_id") % 50).cast("int").as("frames"),
+        ((col("doc_id") % 900) + 1).cast("int").as("amp"))
+      val wav = Multimodal.synthesizeWavs(spec, "rate", "frames", "amp",
+        "payload")
+      Multimodal.extractAudioInfo(wav, "payload")
+        .select(col("doc_id"),
+          col("audio.sample_rate").cast("long").as("sample_rate"),
+          col("audio.channels").cast("long").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          round(col("audio.rms")).cast("long").as("amp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- as-of join: point-in-time lookup (custom composed operator) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1096,6 +1116,16 @@ object SparkEntry {
         |doc_id % 256 AS mean_r,
         |(doc_id * 7) % 256 AS mean_g,
         |(doc_id * 13) % 256 AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Constant-amplitude PCM: RMS == amplitude exactly (sqrt of a perfect
+    // square is exact in IEEE double), so every field is doc_id arithmetic.
+    "q_x5d_audio_features" ->
+      """SELECT doc_id,
+        |8000 + (doc_id % 4) * 2000 AS sample_rate,
+        |CAST(1 AS BIGINT) AS channels,
+        |100 + doc_id % 50 AS n_frames,
+        |(doc_id % 900) + 1 AS amp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->

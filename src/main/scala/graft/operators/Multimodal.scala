@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs batched per partition.
   *
-  * The decode kernel is REAL for images: [[decodeImage]] uses `javax.imageio`
-  * (ships in the JDK — PNG/JPEG/GIF/BMP) to produce (width, height,
-  * channel count, per-channel means). Payloads ImageIO cannot read fall back
-  * to deterministic byte-histogram features ([[byteHistogramFeatures]]), so
-  * the pipeline never throws on mixed-modality corpora. Audio/video codecs
-  * would slot into the same kernel (no codec libs in this container).
+  * The decode kernels are REAL for images and audio: [[decodeImage]] uses
+  * `javax.imageio` (ships in the JDK — PNG/JPEG/GIF/BMP) to produce
+  * (width, height, channel count, per-channel means); [[decodeAudio]] uses
+  * `javax.sound.sampled` (WAV/AIFF/AU) to produce (sample rate, channels,
+  * frames, RMS amplitude). Payloads neither codec reads fall back to
+  * deterministic byte-histogram features ([[byteHistogramFeatures]]), so
+  * the pipeline never throws on mixed-modality corpora. Video would slot
+  * into the same kernel shape (no video codec ships in the JDK).
   *
   * Scale notes: payloads never pass through a shuffle in this pipeline —
   * decode is a narrow per-partition map; metadata-only operations
@@ -162,6 +164,117 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ encodeSolidPng(
           row.getInt(wi), row.getInt(hi),
           row.getInt(ri), row.getInt(gi), row.getInt(bi)))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decoded-audio summary: format header + RMS amplitude over all PCM
+    * samples. */
+  final case class AudioInfo(
+      sampleRate: Int, channels: Int, frames: Long, rms: Double)
+
+  /** Real audio decode via `javax.sound.sampled` (JDK built-in readers:
+    * WAV, AIFF, AU): header metadata + one pass over the PCM frames for
+    * RMS amplitude. None for payloads no installed reader understands or
+    * for non-PCM encodings; never throws (same total-function contract as
+    * [[decodeImage]]). */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed || fmt.getSampleSizeInBits != 16) return None
+        val channels = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val big = fmt.isBigEndian
+        val buf = new Array[Byte](frameBytes * 1024)
+        var sumSq = 0.0
+        var nSamples = 0L
+        var read = in.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s =
+              if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+              else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+            sumSq += s.toDouble * s
+            nSamples += 1
+            i += 2
+          }
+          read = in.read(buf)
+        }
+        if (nSamples == 0) return None
+        Some(AudioInfo(fmt.getSampleRate.toInt, channels,
+          nSamples / channels, math.sqrt(sumSq / nSamples)))
+      } finally in.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Encode 16-bit signed little-endian mono PCM as WAV (test/fixture
+    * generator — the inverse of [[decodeAudio]], also pure JDK). */
+  def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched per-partition audio decode: appends a nullable
+    * `audio: struct(sample_rate, channels, n_frames, rms)` column (null
+    * where the payload is not decodable audio). Same narrow
+    * `mapPartitions` shape as [[extractFeatures]]. */
+  def extractAudioInfo(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val audioType = StructType(Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val outSchema = StructType(df.schema.fields :+
+      StructField("audio", audioType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val info = decodeAudio(row.getAs[Array[Byte]](binIdx))
+          .map(a => Row(a.sampleRate, a.channels, a.frames, a.rms))
+          .orNull
+        Row.fromSeq(row.toSeq :+ info)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Distributed WAV synthesis: append `outCol: binary` holding constant-
+    * amplitude mono PCM of per-row (sampleRate, nFrames, amplitude) —
+    * executor-side, the audio twin of [[synthesizePngs]]. */
+  def synthesizeWavs(df: DataFrame, rateCol: String, framesCol: String,
+      ampCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val Seq(ri, fi, ai) =
+      Seq(rateCol, framesCol, ampCol).map(df.schema.fieldIndex)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val amp = row.getInt(ai).toShort
+        Row.fromSeq(row.toSeq :+ encodePcmWav(
+          row.getInt(ri), Array.fill(row.getInt(fi))(amp)))
       }
     }
     spark.createDataFrame(rdd, outSchema)

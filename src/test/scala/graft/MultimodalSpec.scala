@@ -113,6 +113,50 @@ class MultimodalSpec extends SparkSpec {
     assert(math.round(rows(1)(5) * 255) == 5)
   }
 
+  test("decodeAudio: real WAV decode recovers format and RMS") {
+    // full-scale square wave: RMS is exactly the amplitude
+    val wav = Multimodal.encodePcmWav(16000, Array.fill(200)(1200.toShort))
+    val info = Multimodal.decodeAudio(wav).get
+    assert(info.sampleRate == 16000 && info.channels == 1)
+    assert(info.frames == 200L)
+    assert(info.rms == 1200.0)
+    // a sine's RMS ≈ amplitude/sqrt(2)
+    val sine = Array.tabulate(16000)(i =>
+      math.round(8000 * math.sin(2 * math.Pi * 440 * i / 16000)).toShort)
+    val sInfo = Multimodal.decodeAudio(
+      Multimodal.encodePcmWav(16000, sine)).get
+    assert(math.abs(sInfo.rms - 8000 / math.sqrt(2)) < 20)
+  }
+
+  test("decodeAudio: non-audio and truncated payloads reject as None") {
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeAudio("just some text".getBytes).isEmpty)
+    val broken = Multimodal.encodePcmWav(8000, Array.fill(50)(5.toShort))
+      .take(16)
+    assert(Multimodal.decodeAudio(broken).isEmpty)
+    // an image is not audio (and vice versa — codecs don't cross-fire)
+    assert(Multimodal.decodeAudio(
+      Multimodal.encodeSolidPng(4, 4, 1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeImage(
+      Multimodal.encodePcmWav(8000, Array.fill(50)(5.toShort))).isEmpty)
+  }
+
+  test("synthesizeWavs + extractAudioInfo round-trip; non-audio rows null") {
+    val spec = Seq((1L, 8000, 120, 300), (2L, 12000, 80, 7))
+      .toDF("id", "rate", "frames", "amp")
+    val wav = Multimodal.synthesizeWavs(spec, "rate", "frames", "amp", "payload")
+    val out = Multimodal.extractAudioInfo(wav, "payload")
+      .orderBy("id")
+      .select(col("audio.sample_rate"), col("audio.n_frames"),
+        col("audio.rms")).collect()
+    assert(out(0).getInt(0) == 8000 && out(0).getLong(1) == 120L)
+    assert(out(0).getDouble(2) == 300.0)
+    assert(out(1).getDouble(2) == 7.0)
+    val text = Seq((1L, "nope".getBytes)).toDF("id", "payload")
+    assert(Multimodal.extractAudioInfo(text, "payload")
+      .filter(col("audio").isNull).count() == 1)
+  }
+
   test("sampleFrames explodes payload into indexed frames") {
     val vid = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(vid, "payload", frameSize = 10,
