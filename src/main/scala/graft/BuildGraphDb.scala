@@ -59,8 +59,8 @@ object BuildGraphDb {
           label, df, idKeys(label))
       }
       graph.relationships.foreach { case (label, df) =>
-        df.write.mode("overwrite").parquet(
-          s"${args.outDir}/${cfg.database.outputStem}/relationships/$label")
+        GraphBuilder.replaceStagedTable(spark,
+          s"${args.outDir}/${cfg.database.outputStem}/relationships/$label", df)
       }
     } else graph.writeStaging(args.outDir)
     if (args.csv) graph.exportNeo4jCsv(args.outDir, idKeys)

@@ -85,25 +85,38 @@ object AsOfJoin {
     * of shuffles over the big data.
     *
     * `tsCol` must be numeric (epoch micros/millis — cast timestamps first).
+    *
+    * EAGER unless `bounds` is supplied: bucketing needs the global ts
+    * min/max, so composing this operator runs a 2-value aggregate over both
+    * inputs immediately (and the inputs are scanned again when the result
+    * evaluates, if uncached) — unlike every other lazily-composed operator
+    * here. Callers that know the time range (ingest date bounds, partition
+    * metadata) should pass `bounds = Some((lo, hi))` to stay fully lazy.
     */
   def asofJoinSalted(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
-      valueCols: Seq[String], numBuckets: Int = 32): DataFrame = {
+      valueCols: Seq[String], numBuckets: Int = 32,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(bounds.forall(b => b._1 <= b._2),
+      "bounds must satisfy lo <= hi")
     val bkt = "_graft_ts_bkt"
     val leftCols = left.columns.toSeq
 
-    // Bucket width from the global ts range: one tiny 2-value aggregate.
-    // (min/max over a numeric column — map-side partials, no full shuffle.)
-    val Seq(loAny, hiAny) = left.select(col(tsCol))
-      .unionByName(right.select(col(tsCol)))
-      .agg(min(col(tsCol)).cast("double"), max(col(tsCol)).cast("double"))
-      .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]))
-    if (loAny.isEmpty) { // both sides empty of non-null ts: degenerate
-      return asofJoin(left, right, keyCols, tsCol, valueCols)
+    // Bucket width from the global ts range: supplied by the caller, or one
+    // tiny 2-value aggregate (min/max over a numeric column — map-side
+    // partials, no full shuffle) run eagerly at composition time.
+    val (lo, hi) = bounds.getOrElse {
+      val Seq(loAny, hiAny) = left.select(col(tsCol))
+        .unionByName(right.select(col(tsCol)))
+        .agg(min(col(tsCol)).cast("double"), max(col(tsCol)).cast("double"))
+        .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]))
+      if (loAny.isEmpty) { // both sides empty of non-null ts: degenerate
+        return asofJoin(left, right, keyCols, tsCol, valueCols)
+      }
+      (loAny.get, hiAny.get)
     }
-    val (lo, hi) = (loAny.get, hiAny.get)
     val width = math.max((hi - lo) / numBuckets, 1e-9)
     def bucketOf(ts: Column): Column =
       least(floor((ts.cast("double") - lit(lo)) / lit(width)),

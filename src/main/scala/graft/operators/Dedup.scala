@@ -185,8 +185,13 @@ object Dedup {
     // recomputes the whole fingerprint pipeline (token explode + 64-column
     // aggregation — the expensive part). Fingerprints are tiny ((id, 64-bit)
     // per doc), so materializing them first makes the join read a cached
-    // table twice instead of recomputing — measured ~2× at sf0.1. Opt out
-    // when the input is already materialized.
+    // table twice instead of recomputing — measured ~2× at sf0.1.
+    // CAVEATS of the default: localCheckpoint() runs a Spark job EAGERLY at
+    // composition time, and stores the partitions non-fault-tolerantly on
+    // executors — on a cluster, losing an executor after the checkpoint
+    // fails the job instead of recomputing. Pass materialize = false and
+    // persist the fingerprints yourself (e.g. StorageLevel.DISK_ONLY, or a
+    // reliable checkpoint dir) for long-running cluster deployments.
     val fps =
       if (materialize) fingerprints.select(col(idCol), col("simhash"))
         .localCheckpoint()

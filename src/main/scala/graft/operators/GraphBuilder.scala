@@ -253,19 +253,53 @@ object GraphBuilder {
       meta: DatabaseMeta, label: String, updates: DataFrame,
       idKey: String): Unit = {
     val base = s"$outDir/${meta.outputStem}/nodes/$label"
-    val path = new org.apache.hadoop.fs.Path(base)
-    val tmp = new org.apache.hadoop.fs.Path(base + "._tmp")
-    val old = new org.apache.hadoop.fs.Path(base + "._old")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover from a crash between the two renames of a previous run
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val (path, tmp, old, fs) = stagedPaths(spark, base)
+    recoverAndClearTmp(fs, path, tmp, old)
     val merged =
       if (fs.exists(path))
         NodePipeline.buildNodeTable(
           Seq(spark.read.parquet(base), updates), idKey)
       else NodePipeline.buildNodeTable(Seq(updates), idKey)
     merged.write.mode("overwrite").parquet(tmp.toString)
+    promoteTmp(fs, path, tmp, old)
+  }
+
+  /** Atomically replace a staged table dir through the same loss-proof
+    * `._tmp` → aside → promote swap as [[upsertStagedNodes]]. Used for
+    * relationship tables during `--upsert` refreshes: edges are derived
+    * data and always rebuilt, but an in-place `mode("overwrite")` has a
+    * crash window that destroys the previous edges while leaving the
+    * merged nodes — this keeps the staging dir consistent at every
+    * instant. */
+  def replaceStagedTable(spark: SparkSession, base: String,
+      df: DataFrame): Unit = {
+    val (path, tmp, old, fs) = stagedPaths(spark, base)
+    recoverAndClearTmp(fs, path, tmp, old)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    promoteTmp(fs, path, tmp, old)
+  }
+
+  private def stagedPaths(spark: SparkSession, base: String) = {
+    val path = new org.apache.hadoop.fs.Path(base)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (path, new org.apache.hadoop.fs.Path(base + "._tmp"),
+      new org.apache.hadoop.fs.Path(base + "._old"), fs)
+  }
+
+  /** Recover from a crash between the two renames of a previous run, then
+    * clear any stale `._tmp`. */
+  private def recoverAndClearTmp(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Swap `._tmp` live: rename the live dir ASIDE to `._old` before
+    * promoting, so the data exists under some name at every instant. */
+  private def promoteTmp(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
     if (fs.exists(path)) {
       if (fs.exists(old)) fs.delete(old, true)
       if (!fs.rename(path, old))

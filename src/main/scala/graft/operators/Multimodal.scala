@@ -33,6 +33,13 @@ object Multimodal {
 
   val FeatureDim = 8
 
+  /** Decoded-raster budget: payloads whose header declares more pixels than
+    * this are rejected before rasterizing. An untrusted crawl can carry
+    * decompression bombs — a few-KB PNG declaring 100k×100k would otherwise
+    * allocate a ~40 GB raster and take down the executor. 64 MPix ≈ 256 MB
+    * of INT_RGB raster, comfortably inside an executor task's share. */
+  val DefaultMaxPixels: Long = 64L * 1024 * 1024
+
   /** Wrap a binary column with its typed metadata struct. */
   def withMediaMetadata(df: DataFrame, binCol: String, mediaType: String): DataFrame =
     df.withColumn("media_meta", struct(
@@ -49,34 +56,50 @@ object Multimodal {
   /** Real image decode via `javax.imageio` (JDK built-in readers: PNG, JPEG,
     * GIF, BMP, WBMP). Returns None for null/empty/non-image payloads —
     * ImageIO sniffs magic bytes, so text or audio bytes reject in O(1)
-    * without a full parse. Never throws: truncated/corrupt images also map
-    * to None (a 100 TB crawl WILL contain broken files; one bad payload
-    * must not kill a 10k-partition stage). */
-  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    * without a full parse. Corrupt/truncated images also map to None (a
+    * 100 TB crawl WILL contain broken files; one bad payload must not kill
+    * a 10k-partition stage) — but only via [[scala.util.control.NonFatal]]:
+    * OutOfMemoryError and task-kill interrupts propagate, so a fatal error
+    * fails the task instead of continuing on a corrupted heap.
+    *
+    * The header is peeked (`ImageReader.getWidth/getHeight` read metadata
+    * only) and payloads declaring more than `maxPixels` pixels are rejected
+    * BEFORE the O(w·h) rasterization — the decompression-bomb guard. */
+  def decodeImage(bytes: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[ImageInfo] = {
     if (bytes == null || bytes.length < 8) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val raster = img.getRaster
-        val nb = raster.getNumBands
-        val sums = new Array[Double](nb)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < nb) { sums(b) += raster.getSampleDouble(x, y, b); b += 1 }
-            x += 1
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+          val img = reader.read(0)
+          if (img == null) return None
+          val raster = img.getRaster
+          val nb = raster.getNumBands
+          val sums = new Array[Double](nb)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < nb) { sums(b) += raster.getSampleDouble(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        val n = w.toDouble * h * 255.0
-        Some(ImageInfo(w, h, nb, sums.map(_ / n)))
-      }
-    } catch { case _: Throwable => None }
+          val n = w.toDouble * h * 255.0
+          Some(ImageInfo(w, h, nb, sums.map(_ / n)))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Fallback kernel for payloads no installed codec understands:
@@ -212,7 +235,7 @@ object Multimodal {
         Some(AudioInfo(fmt.getSampleRate.toInt, channels,
           nSamples / channels, math.sqrt(sumSq / nSamples)))
       } finally in.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Encode 16-bit signed little-endian mono PCM as WAV (test/fixture

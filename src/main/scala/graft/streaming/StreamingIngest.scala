@@ -108,9 +108,12 @@ object StreamingIngest {
   def expiringSessions(events: Dataset[SessionEvent], gap: String,
       watermark: String = "1 hour"): Dataset[CompletedSession] = {
     import events.sparkSession.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    val gapMicros = gapMs.days * 86400000000L + gapMs.microseconds
+    require(gapIv.months == 0,
+      s"expiringSessions gap '$gap' uses calendar months/years, which have " +
+        "no fixed duration; express the gap in days, hours, or minutes")
+    val gapMicros = gapIv.days * 86400000000L + gapIv.microseconds
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)

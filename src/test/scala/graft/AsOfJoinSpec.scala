@@ -48,6 +48,30 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("salted variant with caller-supplied bounds ≡ computed bounds (lazy path)") {
+    val left = (0 until 100).map(i => (i.toLong, "K", (i * 13L) % 997))
+      .toDF("event_id", "k", "ts")
+    val right = (0 until 20).map(i => ("K", i * 67L % 997, i * 1.5))
+      .toDF("k", "ts", "v")
+    val computed = AsOfJoin.asofJoinSalted(left, right, Seq("k"), "ts",
+      Seq("v"), numBuckets = 8).orderBy("event_id").collect().toSeq
+    // exact bounds
+    val exact = AsOfJoin.asofJoinSalted(left, right, Seq("k"), "ts",
+      Seq("v"), numBuckets = 8, bounds = Some((0.0, 996.0)))
+      .orderBy("event_id").collect().toSeq
+    assert(exact == computed)
+    // over-wide bounds (the realistic case: caller knows ingest date range,
+    // not the exact min/max) must still be correct — just worse bucketing
+    val wide = AsOfJoin.asofJoinSalted(left, right, Seq("k"), "ts",
+      Seq("v"), numBuckets = 8, bounds = Some((-1e6, 1e6)))
+      .orderBy("event_id").collect().toSeq
+    assert(wide == computed)
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asofJoinSalted(left, right, Seq("k"), "ts", Seq("v"),
+        bounds = Some((10.0, 0.0)))
+    }
+  }
+
   test("salted variant: multi-key, empty right, and all-equal-ts edge cases") {
     val left = Seq((1L, "A", 5L), (2L, "A", 5L), (3L, "B", 5L))
       .toDF("id", "k", "ts")

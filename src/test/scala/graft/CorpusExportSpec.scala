@@ -123,6 +123,28 @@ class CorpusExportSpec extends SparkSpec {
     assert(!old.exists() && !new java.io.File(s"$tmp/Cr-1/nodes/N._tmp").exists())
   }
 
+  test("replaceStagedTable: loss-proof swap for derived (relationship) tables") {
+    val tmp = Files.createTempDirectory("graft-replace").toString
+    val base = s"$tmp/rels/KNOWS"
+    GraphBuilder.replaceStagedTable(spark, base,
+      Seq((1L, 2L)).toDF("src", "dst"))
+    assert(spark.read.parquet(base).count() == 1)
+    // rebuild replaces wholesale (derived data — no merge)
+    GraphBuilder.replaceStagedTable(spark, base,
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+    assert(spark.read.parquet(base).count() == 3)
+    assert(!new java.io.File(s"$base._tmp").exists())
+    assert(!new java.io.File(s"$base._old").exists())
+    // crash window (live dir set aside, promotion never ran) self-heals:
+    // the previous edges are still recoverable, never destroyed
+    assert(new java.io.File(base).renameTo(new java.io.File(s"$base._old")))
+    GraphBuilder.replaceStagedTable(spark, base,
+      Seq((7L, 8L)).toDF("src", "dst"))
+    val rows = spark.read.parquet(base).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(7L -> 8L))
+    assert(!new java.io.File(s"$base._old").exists())
+  }
+
   test("upsertStagedNodes: schema widening across batches (A1 lattice)") {
     val tmp = Files.createTempDirectory("graft-upsert2").toString
     val meta = DatabaseMeta("Inc", "2", None, None, None)

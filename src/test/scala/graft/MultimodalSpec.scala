@@ -86,6 +86,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(broken).isEmpty)
   }
 
+  test("decodeImage: decompression-bomb guard rejects before rasterizing") {
+    val png = Multimodal.encodeSolidPng(100, 100, 10, 20, 30)
+    // under the cap: decodes fine
+    assert(Multimodal.decodeImage(png, maxPixels = 100L * 100).isDefined)
+    // header declares more pixels than the budget: rejected from the
+    // header peek alone, no raster allocated
+    assert(Multimodal.decodeImage(png, maxPixels = 100L * 100 - 1).isEmpty)
+    // a header hand-patched to claim absurd dimensions (the actual bomb
+    // shape: tiny payload, huge declared raster) must also reject — the
+    // guard reads the declared size, not the payload size. IHDR width is
+    // bytes 16-19, height 20-23 of a PNG.
+    val bomb = png.clone()
+    bomb(16) = 0x7f.toByte; bomb(17) = 0xff.toByte
+    bomb(18) = 0xff.toByte; bomb(19) = 0xff.toByte
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+  }
+
   test("extractFeatures on image payloads: [w, h, bands, means...] layout") {
     val imgs = Seq(
       (1L, Multimodal.encodeSolidPng(8, 3, 255, 0, 128)),

@@ -121,6 +121,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST4: expiringSessions rejects calendar-month gaps fail-fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.expiringSessions(mem.toDS(), gap = "1 month")
+    }
+    assert(ex.getMessage.contains("month"))
+    // day/hour gaps (fixed duration) still compose fine
+    StreamingIngest.expiringSessions(mem.toDS(), gap = "2 days")
+  }
+
   test("ST3: stream-stream interval join with state expiry bounds") {
     implicit val sqlCtx = spark.sqlContext
     val clickMem = MemoryStream[(Long, Long, Timestamp)]
