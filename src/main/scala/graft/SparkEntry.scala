@@ -594,6 +594,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
+    // synthesis (dimensions + duration derived from doc_id, container
+    // alternating by parity) → ISO-BMFF / RIFF header parse → (container,
+    // w, h, duration_ms, n_tracks). AVI synthesis runs at 25 fps, so its
+    // recovered duration is frames×40 ms — the oracle mirrors both paths
+    // arithmetically. ----
+    "q_x5e_video_meta" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("mp4")).otherwise(lit("avi"))
+          .as("container"),
+        ((col("doc_id") % 320) + 16).cast("int").as("w"),
+        ((col("doc_id") % 240) + 16).cast("int").as("h"),
+        (((col("doc_id") % 100) + 1) * 40).cast("long").as("dur_ms"))
+      val vids = Multimodal.synthesizeVideos(spec, "container", "w", "h",
+        "dur_ms", "payload")
+      Multimodal.extractVideoMeta(vids, "payload")
+        .select(col("doc_id"),
+          col("video.container").as("container"),
+          col("video.width").cast("long").as("width"),
+          col("video.height").cast("long").as("height"),
+          col("video.duration_ms").as("duration_ms"),
+          col("video.n_tracks").cast("long").as("n_tracks"))
+        .orderBy("doc_id")
+    }),
+
     // ---- as-of join: point-in-time lookup (custom composed operator) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1126,6 +1151,18 @@ object SparkEntry {
         |CAST(1 AS BIGINT) AS channels,
         |100 + doc_id % 50 AS n_frames,
         |(doc_id % 900) + 1 AS amp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Both container paths recover header fields exactly, so every column
+    // is doc_id arithmetic — the Spark side really encodes + parses the
+    // ISO-BMFF / RIFF structures per row.
+    "q_x5e_video_meta" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |(doc_id % 320) + 16 AS width,
+        |(doc_id % 240) + 16 AS height,
+        |((doc_id % 100) + 1) * 40 AS duration_ms,
+        |CAST(1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->

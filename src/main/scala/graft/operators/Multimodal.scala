@@ -303,6 +303,259 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---------------------------------------------------------------------
+  // Video container metadata (REAL — header parsing, no codec needed).
+  // The JDK ships no video codec, so frame DECODE stays out of scope, but
+  // the container metadata a pipeline filters on (dimensions, duration,
+  // track count) lives in plain header structures: ISO base-media boxes
+  // (ISO/IEC 14496-12 — MP4/MOV/M4V) and RIFF chunks (AVI). Both are
+  // parsed directly from the payload bytes below.
+  // ---------------------------------------------------------------------
+
+  /** Video container summary: `container` is "mp4" (any ISO-BMFF brand) or
+    * "avi"; `durationMs` from the movie header; `nTracks` counts all
+    * tracks (audio + video). */
+  final case class VideoInfo(
+      container: String, width: Int, height: Int, durationMs: Long,
+      nTracks: Int)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk ISO-BMFF boxes in `[from, to)`, invoking `f(boxType, bodyFrom,
+    * bodyTo)` per box. Bounds-checked and loop-capped: a hostile header
+    * claiming absurd sizes terminates the walk instead of spinning. */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = from
+    var guard = 0
+    while (off + 8 <= to && guard < 4096) {
+      guard += 1
+      var size = be32(b, off)
+      val typ = tag(b, off + 4)
+      var hdr = 8
+      if (size == 1 && off + 16 <= to) { size = be64(b, off + 8); hdr = 16 }
+      else if (size == 0) size = (to - off).toLong // box runs to end
+      if (size < hdr || off + size > to) return // corrupt/hostile: stop
+      f(typ, off + hdr, off + size.toInt)
+      off += size.toInt
+    }
+  }
+
+  /** Parse an ISO base-media (MP4/MOV/M4V) header: mvhd → duration,
+    * tkhd → dimensions (16.16 fixed point; max across tracks — audio
+    * tracks carry 0×0), trak count. */
+  private def parseMp4(b: Array[Byte]): Option[VideoInfo] = {
+    var timescale = 0L; var duration = -1L
+    var w = 0; var h = 0; var tracks = 0; var sawMoov = false
+    walkBoxes(b, 0, b.length) { (typ, from, to) =>
+      if (typ == "moov") {
+        sawMoov = true
+        walkBoxes(b, from, to) { (t2, f2, to2) =>
+          if (t2 == "mvhd" && to2 - f2 >= 20) {
+            val v = b(f2) & 0xff
+            if (v == 1 && to2 - f2 >= 32) {
+              timescale = be32(b, f2 + 20); duration = be64(b, f2 + 24)
+            } else {
+              timescale = be32(b, f2 + 12); duration = be32(b, f2 + 16)
+            }
+          } else if (t2 == "trak") {
+            tracks += 1
+            walkBoxes(b, f2, to2) { (t3, f3, to3) =>
+              if (t3 == "tkhd" && to3 - f3 >= 84) {
+                val v = b(f3) & 0xff
+                val dimOff = if (v == 1) f3 + 88 else f3 + 76
+                if (dimOff + 8 <= to3) {
+                  w = math.max(w, (be32(b, dimOff) >> 16).toInt)
+                  h = math.max(h, (be32(b, dimOff + 4) >> 16).toInt)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!sawMoov || timescale <= 0 || duration < 0) None
+    else Some(VideoInfo("mp4", w, h, duration * 1000 / timescale, tracks))
+  }
+
+  /** Parse a RIFF/AVI main header (`LIST hdrl` → `avih`): frame period ×
+    * frame count → duration, declared stream count, dimensions. RIFF is
+    * little-endian throughout. */
+  private def parseAvi(b: Array[Byte]): Option[VideoInfo] = {
+    var off = 12 // past "RIFF" + size + "AVI "
+    var guard = 0
+    while (off + 8 <= b.length && guard < 4096) {
+      guard += 1
+      val ck = tag(b, off)
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (ck == "LIST" && size >= 4 && tag(b, off + 8) == "hdrl") {
+        // first child chunk of hdrl must be avih (56-byte main header)
+        val a = off + 12
+        if (a + 8 + 40 <= b.length && tag(b, a) == "avih") {
+          val p = a + 8
+          val usPerFrame = le32(b, p)
+          val totalFrames = le32(b, p + 16)
+          val streams = le32(b, p + 24).toInt
+          val w = le32(b, p + 32).toInt
+          val h = le32(b, p + 36).toInt
+          return Some(VideoInfo("avi", w, h,
+            usPerFrame * totalFrames / 1000, streams))
+        }
+        return None
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Real video-container metadata decode: sniffs ISO-BMFF (`ftyp` at
+    * offset 4) and RIFF/AVI magics, then parses the respective header
+    * structures — dimensions, duration, track count — without any codec.
+    * Same total-function contract as [[decodeImage]]: None for anything
+    * unrecognized or corrupt, NonFatal-only so fatal errors still fail
+    * the task. Header parsing touches a few hundred bytes regardless of
+    * payload size — there is no decompression surface. */
+  def decodeVideoMeta(bytes: Array[Byte]): Option[VideoInfo] = {
+    if (bytes == null || bytes.length < 16) return None
+    try {
+      if (tag(bytes, 4) == "ftyp") parseMp4(bytes)
+      else if (tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI ")
+        parseAvi(bytes)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched per-partition video-metadata extraction: appends a nullable
+    * `video: struct(container, width, height, duration_ms, n_tracks)`
+    * column. Same narrow `mapPartitions` shape as [[extractFeatures]] —
+    * payloads never shuffle, and only header bytes are read. */
+  def extractVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val videoType = StructType(Seq(
+      StructField("container", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_tracks", IntegerType, nullable = false)))
+    val outSchema = StructType(df.schema.fields :+
+      StructField("video", videoType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val info = decodeVideoMeta(row.getAs[Array[Byte]](binIdx))
+          .map(v => Row(v.container, v.width, v.height, v.durationMs,
+            v.nTracks))
+          .orNull
+        Row.fromSeq(row.toSeq :+ info)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode a minimal valid ISO-BMFF (MP4) header: `ftyp` + `moov(mvhd +
+    * trak(tkhd))` + empty `mdat` (fixture generator — the inverse of
+    * [[decodeVideoMeta]]'s MP4 branch; timescale 1000 so `durationMs`
+    * round-trips exactly). */
+  def encodeMp4Stub(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(20 + 216 + 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    // ftyp
+    bb.putInt(20); bb.put("ftyp".getBytes); bb.put("isom".getBytes)
+    bb.putInt(0); bb.put("isom".getBytes)
+    // moov
+    bb.putInt(216); bb.put("moov".getBytes)
+    //   mvhd (v0, body 100)
+    bb.putInt(108); bb.put("mvhd".getBytes)
+    bb.putInt(0) // version + flags
+    bb.putInt(0); bb.putInt(0) // creation, modification
+    bb.putInt(1000) // timescale: ms
+    bb.putInt(durationMs.toInt)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    bb.putLong(0) // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(2) // next_track_id
+    //   trak
+    bb.putInt(100); bb.put("trak".getBytes)
+    //     tkhd (v0, body 84)
+    bb.putInt(92); bb.put("tkhd".getBytes)
+    bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+    bb.putInt(0); bb.putInt(0) // creation, modification
+    bb.putInt(1) // track id
+    bb.putInt(0) // reserved
+    bb.putInt(durationMs.toInt)
+    bb.putLong(0) // reserved
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    bb.putInt(width << 16); bb.putInt(height << 16) // 16.16 fixed
+    // mdat (empty)
+    bb.putInt(8); bb.put("mdat".getBytes)
+    bb.array()
+  }
+
+  /** Encode a minimal valid RIFF/AVI header (`LIST hdrl` → `avih`) —
+    * fixture generator for [[decodeVideoMeta]]'s AVI branch. Duration is
+    * `usPerFrame × totalFrames`. */
+  def encodeAviStub(width: Int, height: Int, usPerFrame: Int,
+      totalFrames: Int, streams: Int = 1): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(4 + 8 + (4 + 8 + 56)) // "AVI " + LIST
+    bb.put("AVI ".getBytes)
+    bb.put("LIST".getBytes); bb.putInt(4 + 8 + 56); bb.put("hdrl".getBytes)
+    bb.put("avih".getBytes); bb.putInt(56)
+    bb.putInt(usPerFrame)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // maxBytesPerSec, padding, flags
+    bb.putInt(totalFrames)
+    bb.putInt(0) // initial frames
+    bb.putInt(streams)
+    bb.putInt(0) // suggested buffer size
+    bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // reserved
+    bb.array()
+  }
+
+  /** Distributed video-container synthesis: append `outCol: binary`
+    * holding an MP4 header when `containerCol` = "mp4", else an AVI header
+    * (25 fps) — executor-side, the video twin of [[synthesizePngs]]. */
+  def synthesizeVideos(df: DataFrame, containerCol: String, widthCol: String,
+      heightCol: String, durMsCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val Seq(ci, wi, hi, di) =
+      Seq(containerCol, widthCol, heightCol, durMsCol).map(df.schema.fieldIndex)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val durMs = row.getLong(di)
+        val bytes =
+          if (row.getString(ci) == "mp4")
+            encodeMp4Stub(row.getInt(wi), row.getInt(hi), durMs)
+          else // 25 fps: 40 ms per frame
+            encodeAviStub(row.getInt(wi), row.getInt(hi), 40000,
+              (durMs / 40).toInt)
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sampling stub for video-like payloads: split the payload into
     * `frameSize`-byte "frames" and keep every `stride`-th — the plumbing
     * (explode to one row per sampled frame, frame index column) is the real

@@ -174,6 +174,57 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("audio").isNull).count() == 1)
   }
 
+  test("decodeVideoMeta: MP4 header round-trips dimensions and duration") {
+    val mp4 = Multimodal.encodeMp4Stub(640, 360, 12345L)
+    val info = Multimodal.decodeVideoMeta(mp4).get
+    assert(info.container == "mp4")
+    assert(info.width == 640 && info.height == 360)
+    assert(info.durationMs == 12345L && info.nTracks == 1)
+  }
+
+  test("decodeVideoMeta: AVI header round-trips dimensions and duration") {
+    // 25 fps (40000 us/frame) × 250 frames = 10 s
+    val avi = Multimodal.encodeAviStub(320, 240, 40000, 250, streams = 2)
+    val info = Multimodal.decodeVideoMeta(avi).get
+    assert(info.container == "avi")
+    assert(info.width == 320 && info.height == 240)
+    assert(info.durationMs == 10000L && info.nTracks == 2)
+  }
+
+  test("decodeVideoMeta: non-video, corrupt, and hostile payloads reject") {
+    assert(Multimodal.decodeVideoMeta(null).isEmpty)
+    assert(Multimodal.decodeVideoMeta("not a video at all!".getBytes).isEmpty)
+    // image bytes are not a video container
+    assert(Multimodal.decodeVideoMeta(
+      Multimodal.encodeSolidPng(4, 4, 1, 2, 3)).isEmpty)
+    // truncated mid-moov must not throw
+    val mp4 = Multimodal.encodeMp4Stub(64, 64, 1000L)
+    assert(Multimodal.decodeVideoMeta(mp4.take(40)).isEmpty)
+    // hostile box size claiming past end-of-payload: walk stops cleanly
+    val hostile = mp4.clone()
+    hostile(20) = 0x7f.toByte // moov size now absurd
+    assert(Multimodal.decodeVideoMeta(hostile).isEmpty)
+  }
+
+  test("synthesizeVideos + extractVideoMeta distributed round-trip") {
+    val spec = Seq(
+      (1L, "mp4", 1920, 1080, 5000L),
+      (2L, "avi", 640, 480, 2000L),
+      (3L, "mp4", 320, 180, 40L))
+      .toDF("id", "container", "w", "h", "dur_ms")
+    val out = Multimodal.extractVideoMeta(
+      Multimodal.synthesizeVideos(spec, "container", "w", "h", "dur_ms",
+        "payload"), "payload")
+      .select("id", "video.container", "video.width", "video.height",
+        "video.duration_ms")
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mp4" && out(0).getInt(2) == 1920 &&
+      out(0).getInt(3) == 1080 && out(0).getLong(4) == 5000L)
+    assert(out(1).getString(1) == "avi" && out(1).getInt(2) == 640 &&
+      out(1).getLong(4) == 2000L)
+    assert(out(2).getLong(4) == 40L)
+  }
+
   test("sampleFrames explodes payload into indexed frames") {
     val vid = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(vid, "payload", frameSize = 10,
