@@ -594,6 +594,74 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X4g: Gopher-style hard quality rules — per-rule booleans so a
+    // pipeline can log WHY a doc was dropped. minWords=20 fits the
+    // synthetic corpus' length distribution (the default 50 is for web
+    // pages). Booleans cast to int for a type-stable oracle compare. ----
+    "q_x4g_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          GF.gopher_rules(col("text"), minWords = 20).as("g"))
+        .select(col("doc_id"),
+          col("g.words_ok").cast("int").as("words_ok"),
+          col("g.mean_word_ok").cast("int").as("mean_word_ok"),
+          col("g.stopwords_ok").cast("int").as("stopwords_ok"),
+          col("g.symbol_ok").cast("int").as("symbol_ok"),
+          col("g.pass").cast("int").as("pass"))
+        .orderBy("doc_id")),
+
+    // ---- X7b: decontamination via the hashed prefilter — broadcast 8-byte
+    // shingle hashes instead of strings, exact string verify on survivors.
+    // Same oracle as q_x7: the result must be EXACTLY the exact-path's. ----
+    "q_x7b_decontaminate_hashed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.contaminationPairsHashed(
+        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
+        shingleSize = 3, minOverlap = 1)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
+    // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
+    // the aggregation still runs over the whole corpus (df and N are
+    // corpus-global). ----
+    "q_x8_tfidf" -> ((s, dir) =>
+      Relevance.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "token")),
+
+    // ---- X8b: Okapi BM25 weights (k1=1.2, b=0.75) ----
+    "q_x8b_bm25" -> ((s, dir) =>
+      Relevance.bm25(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("doc_len"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id", "token")),
+
+    // ---- G3: PageRank over a heterogeneous graph (customer→nation,
+    // supplier→nation, nation→region; node ids namespaced by ×4+tag so key
+    // spaces don't collide). 3 iterations so the oracle can unroll the
+    // power iteration in plain SQL; dangling mass (regions have no
+    // out-edges) redistributes uniformly. ----
+    "q_g3_pagerank" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        (col("c_custkey").cast("long") * 4).as("start_id"),
+        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val supp = t(s, dir, "supplier").select(
+        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val nat = t(s, dir, "nation").select(
+        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
+        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
+      GraphOps.pageRank(cust.unionByName(supp).unionByName(nat),
+        damping = 0.85, iterations = 3)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
     // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
     // synthesis (dimensions + duration derived from doc_id, container
     // alternating by parity) → ISO-BMFF / RIFF header parse → (container,
@@ -1152,6 +1220,139 @@ object SparkEntry {
         |100 + doc_id % 50 AS n_frames,
         |(doc_id % 900) + 1 AS amp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Rule inputs recomputed in SQL from the same definitions the fused
+    // kernel uses: whitespace tokens, non-ws char count, ASCII punct
+    // class, lowercased-whole-token stopword hits.
+    "q_x4g_gopher_rules" ->
+      ("""WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_toks,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+        |    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+        |      AS n_punct,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
+        |        'is','are','was','it','that','this','for','on','with','as',
+        |        'be','by','at'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN n_toks BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+        |    AS words_ok,
+        |  CASE WHEN n_toks > 0
+        |        AND (n_nonws * 1.0 / n_toks) BETWEEN 3.0 AND 10.0
+        |       THEN 1 ELSE 0 END AS mean_word_ok,
+        |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS stopwords_ok,
+        |  CASE WHEN n_toks > 0 AND n_punct * 1.0 / n_toks < 0.5
+        |       THEN 1 ELSE 0 END AS symbol_ok,
+        |  CASE WHEN n_toks BETWEEN 20 AND 100000
+        |        AND n_toks > 0
+        |        AND (n_nonws * 1.0 / n_toks) BETWEEN 3.0 AND 10.0
+        |        AND n_stop >= 2
+        |        AND n_punct * 1.0 / n_toks < 0.5
+        |       THEN 1 ELSE 0 END AS pass
+        |FROM s ORDER BY doc_id""").stripMargin,
+
+    // Identical oracle to q_x7 — the hashed prefilter must be
+    // semantics-invariant (collisions die in the exact verify stage).
+    "q_x7b_decontaminate_hashed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |)
+        |SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+        |FROM sh d JOIN sh b ON d.sh = b.sh
+        |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
+    // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.
+    "q_x8_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |  ROUND(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (token), n
+        |WHERE tf.doc_id < 20
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
+    "q_x8b_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, lens.doc_len,
+        |  ROUND(ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.doc_len
+        |        / al.avg_len)), 6) AS bm25
+        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |WHERE tf.doc_id < 20
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
+    // The 3-iteration power method unrolled: rank'(v) = 0.15/N + 0.85 *
+    // (inflow + dangling/N). Both sides compute in IEEE double from the
+    // same uniform start vector; ROUND(_, 8) absorbs summation-order ulps.
+    "q_g3_pagerank" ->
+      """WITH e AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+        |n AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
+        |d0 AS (SELECT COALESCE(sum(r), 0) AS s FROM r0
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r1 AS (SELECT n.id, 0.15/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |         + (SELECT s FROM d0)/(SELECT nn FROM c)) AS r
+        |       FROM n LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r0.r/deg.d) AS s FROM e
+        |         JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id)),
+        |d1 AS (SELECT COALESCE(sum(r), 0) AS s FROM r1
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r2 AS (SELECT n.id, 0.15/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |         + (SELECT s FROM d1)/(SELECT nn FROM c)) AS r
+        |       FROM n LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r1.r/deg.d) AS s FROM e
+        |         JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id)),
+        |d2 AS (SELECT COALESCE(sum(r), 0) AS s FROM r2
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r3 AS (SELECT n.id, 0.15/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |         + (SELECT s FROM d2)/(SELECT nn FROM c)) AS r
+        |       FROM n LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r2.r/deg.d) AS s FROM e
+        |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id))
+        |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
 
     // Both container paths recover header fields exactly, so every column
     // is doc_id arithmetic — the Spark side really encodes + parses the

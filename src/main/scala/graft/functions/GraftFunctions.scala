@@ -97,6 +97,30 @@ object GraftFunctions {
     lenOk + wordOk + stopOk + punctOk
   }
 
+  /** Gopher-style hard quality RULES (Rae et al. 2021 §A1.1 shape, the
+    * deterministic subset computable from one [[TextKernels.textProfile]]
+    * pass): token count in `[minWords, maxWords]`, mean word length in
+    * [3, 10], at least 2 stopword hits, punctuation-to-word ratio < 0.5.
+    * Returns a struct of the four per-rule booleans plus `pass` (their
+    * conjunction) so pipelines can log WHY a doc was dropped, not just
+    * that it was. One kernel scan, fully codegen — safe in a 100 TB
+    * full-corpus filter. */
+  def gopher_rules(c: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val p = profile(c)
+    val nToks = p.getField("n_tokens")
+    val meanWord = when(nToks === 0, lit(0.0))
+      .otherwise(p.getField("n_nonws").cast("double") / nToks)
+    val wordsOk = nToks.between(minWords, maxWords)
+    val meanOk = meanWord.between(3.0, 10.0)
+    val stopOk = p.getField("n_stop") >= 2
+    val symbolOk = when(nToks === 0, lit(false))
+      .otherwise(p.getField("n_punct").cast("double") / nToks < 0.5)
+    struct(wordsOk.as("words_ok"), meanOk.as("mean_word_ok"),
+      stopOk.as("stopwords_ok"), symbolOk.as("symbol_ok"),
+      (wordsOk && meanOk && stopOk && symbolOk).as("pass"))
+  }
+
   /** PII redaction for web-scale text cleaning: emails and IPv4 literals
     * are replaced with stable placeholders. Patterns are kept inside the
     * RE2-compatible subset (no lookarounds/backrefs) so the same strings

@@ -55,6 +55,51 @@ object Decontaminate {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** [[contaminationPairs]] with a hash prefilter — the 100 TB scale path
+    * when the benchmark's shingle set is too large to broadcast as
+    * strings. Two stages, exact end result:
+    *
+    *  1. PREFILTER: broadcast only the DISTINCT 64-bit `xxhash64` values
+    *     of the bench shingles (8 bytes each — ~10× smaller than the
+    *     strings) and hash-join the corpus shingle stream against them.
+    *     Survivors are the true matches plus a vanishing fraction of
+    *     64-bit collisions.
+    *  2. VERIFY: shuffle-join the (tiny) survivor set against the bench
+    *     shingles on the exact string. No broadcast of strings ever
+    *     happens, and the shuffle moves only survivors.
+    *
+    * Output and semantics identical to [[contaminationPairs]] — collisions
+    * cannot produce false pairs because stage 2 compares the real
+    * shingles. */
+  def contaminationPairsHashed(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      shingleSize: Int, minOverlap: Int = 1,
+      maxBenchDocFreq: Option[Int] = None): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val d = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
+        .as("_sh"))
+    val b0 = bench.select(col(benchIdCol).as("bench_id"),
+      explode(array_distinct(Dedup.shingles(col(benchTextCol), shingleSize)))
+        .as("_sh"))
+    val b1 = maxBenchDocFreq match {
+      case Some(maxDf) =>
+        val df = b0.groupBy("_sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select("_sh")
+        b0.join(broadcast(df), Seq("_sh"))
+      case None => b0
+    }
+    val benchHashes = b1.select(xxhash64(col("_sh")).as("_h")).distinct()
+    val survivors = d.withColumn("_h", xxhash64(col("_sh")))
+      .join(broadcast(benchHashes), Seq("_h"))
+      .drop("_h")
+    survivors.join(b1, Seq("_sh")) // exact verify, survivors only
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** The corpus minus every doc flagged by [[contaminationPairs]] — the
     * "clean training set" projection (anti-join on flagged ids). */
   def decontaminate(

@@ -41,6 +41,64 @@ object GraphOps {
           s"direction must be out | in | total, got '$other'")
     }
 
+  /** PageRank over a directed edge table — power iteration with the
+    * standard damping model and dangling-mass redistribution:
+    *
+    *   rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outdeg(u) + dangling/N )
+    *
+    * where `dangling` is the total rank mass sitting on nodes with no
+    * out-edges (without the redistribution term, mass leaks every
+    * iteration and ranks stop summing to 1).
+    *
+    * Scale notes (100 TB edge table): each iteration is one equi-join of
+    * the rank vector (|V| rows — small relative to edges) against the edge
+    * table plus a partial-aggregated groupBy on the destination — AQE
+    * broadcasts the rank side when it fits, so the edge table never
+    * re-shuffles across iterations. The dangling sum is a 1-row aggregate
+    * on the rank vector. `localCheckpoint` per iteration truncates the
+    * lineage so plan depth stays constant; the edge/degree tables are
+    * checkpointed once up front so they are not re-derived each round.
+    * Skewed in-degree (a celebrity node) is a groupBy — map-side combine
+    * absorbs it.
+    *
+    * Returns (`id`, `rank`); ranks sum to 1 over the node set (all
+    * endpoints of `edges`, plus `nodes` if supplied for isolated
+    * vertices). */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+      iterations: Int = 10, nodes: Option[DataFrame] = None): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
+    val e = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+      .localCheckpoint()
+    val endpoints = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+    val n = nodes.fold(endpoints)(extra =>
+        endpoints.unionAll(extra.select(col(extra.columns.head).as("id"))))
+      .distinct().localCheckpoint()
+    val nNodes = n.count().toDouble
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).localCheckpoint()
+    var ranks = n.withColumn("rank", lit(1.0 / nNodes)).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      // rank mass on dangling nodes (no out-edges) — redistributed uniformly
+      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val inflow = ranks
+        .join(e, ranks("id") === e("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("_deg")).as("_in"))
+      ranks = n.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / nNodes) +
+            lit(damping) * (coalesce(col("_in"), lit(0.0)) +
+              lit(dangling / nNodes))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
   /** Nodes reachable from `seeds` in EXACTLY 1..`hops` directed steps,
     * with the minimum hop count at which each node is first reached —
     * BFS as iterated joins. Seed nodes themselves are emitted with hop 0.

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics relevance weighting — TF-IDF and BM25 over the
+  * `documents` table, the scoring layer a training-data pipeline uses for
+  * quality-weighted sampling and lexical retrieval (the sparse
+  * counterpart of [[Similarity]]'s dense ANN search).
+  *
+  * Tokenization matches the rest of the text tier: whitespace split of
+  * the trimmed text (`split(trim(text), "\\s+")`), so scores compose with
+  * [[graft.functions.GraftFunctions]] token counts.
+  *
+  * Scale notes (100 TB): everything is two hash aggregations and one
+  * equi-join on `token` — no window over the full posting list, no
+  * driver-side vocabulary. `(doc, token)` term frequencies partial-agg
+  * map-side before shuffling (the raw token stream never crosses the
+  * wire); document frequency aggregates the ALREADY-distinct `(doc,
+  * token)` pairs, so a hot token contributes one row per doc, not one per
+  * occurrence. The corpus size joins in as a 1-row broadcast. Skewed
+  * tokens ("the") are a groupBy key — AQE splits them if a reducer runs
+  * hot.
+  */
+object Relevance {
+
+  /** Per-(doc, token) weights: `tf` (raw in-doc count), `df` (number of
+    * docs containing the token), smoothed `idf = ln((N+1)/(df+1)) + 1`
+    * (never negative, never /0 — the sklearn smoothing), and
+    * `tfidf = tf · idf`. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n)) // 1 row: corpus size
+      .withColumn("idf", log((col("_n") + 1).cast("double") /
+        (col("df") + 1)) + 1)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .drop("_n")
+  }
+
+  /** Per-(doc, token) Okapi BM25 weight:
+    * `idf_bm25 = ln(1 + (N − df + 0.5)/(df + 0.5))`, saturated term
+    * frequency `tf·(k1+1)/(tf + k1·(1 − b + b·len/avgLen))` with the
+    * conventional k1 = 1.2, b = 0.75. `len` is the doc's whitespace token
+    * count — computed from the same tokenization as `tf`, in the same
+    * aggregation (no second scan). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // doc length = sum of its term frequencies — derived from tf, not a
+    // second pass over the text
+    val lens = tf.groupBy("doc_id").agg(sum("tf").as("_len"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("_n"))
+    val avgLen = lens.agg(org.apache.spark.sql.functions.avg(col("_len"))
+      .as("_avg_len"))
+    tf.join(lens, Seq("doc_id"))
+      .join(dfreq, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(avgLen))
+      .withColumn("idf",
+        log(lit(1.0) + (col("_n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("bm25",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("_len") / col("_avg_len"))))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("_len").as("doc_len"), col("idf"), col("bm25"))
+  }
+}

@@ -32,6 +32,10 @@ object SourceReader {
           .csv(s"${src.path}/$table.csv")
       case "json" =>
         spark.read.options(src.options).json(s"${src.path}/$table.json")
+      case "orc" =>
+        // Columnar like parquet: predicate pushdown + column pruning work
+        // the same way (ORC stripe/row-group statistics).
+        spark.read.options(src.options).orc(s"${src.path}/$table.orc")
       case "jdbc" | "mysql" =>
         // Reference S1 (sql_io.py:4-13). Spark resolves the schema from JDBC
         // metadata without a data fetch; partitioned reads need the usual
@@ -44,7 +48,7 @@ object SourceReader {
       case other =>
         throw new UnsupportedOperationException(
           s"source type '$other' not supported " +
-            "(parquet | csv | json | jdbc)")
+            "(parquet | csv | json | orc | jdbc)")
     }
 
   /** M1-equivalent: a table's schema without reading data. */

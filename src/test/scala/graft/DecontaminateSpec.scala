@@ -40,6 +40,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(clean.columns.toSeq == corpus.columns.toSeq) // schema untouched
   }
 
+  test("hashed prefilter path ≡ exact path (including thresholds)") {
+    for (minOv <- Seq(1, 3)) {
+      val exact = Decontaminate.contaminationPairs(
+        corpus, "text", "doc_id", bench, "question", "qid",
+        shingleSize = 4, minOverlap = minOv)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      val hashed = Decontaminate.contaminationPairsHashed(
+        corpus, "text", "doc_id", bench, "question", "qid",
+        shingleSize = 4, minOverlap = minOv)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      assert(hashed == exact, s"minOverlap=$minOv diverged")
+    }
+    // stop-shingle guard plumbs through too
+    val g1 = Decontaminate.contaminationPairs(corpus, "text", "doc_id",
+      bench, "question", "qid", shingleSize = 4, maxBenchDocFreq = Some(1))
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    val g2 = Decontaminate.contaminationPairsHashed(corpus, "text", "doc_id",
+      bench, "question", "qid", shingleSize = 4, maxBenchDocFreq = Some(1))
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(g2 == g1)
+  }
+
   test("minOverlap raises the reporting bar") {
     val strict = Decontaminate.contaminationPairs(
       corpus, "text", "doc_id", bench, "question", "qid",

@@ -24,6 +24,46 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.degrees(multi, "sideways"))
   }
 
+  test("pageRank: ranks sum to 1 and a 2-cycle is uniform") {
+    val cycle = Seq((0L, 1L), (1L, 0L)).toDF("start_id", "end_id")
+    val r = GraphOps.pageRank(cycle, iterations = 5).orderBy("id").collect()
+    assert(math.abs(r.map(_.getDouble(1)).sum - 1.0) < 1e-12)
+    assert(math.abs(r(0).getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(r(1).getDouble(1) - 0.5) < 1e-12)
+  }
+
+  test("pageRank: star graph concentrates rank on the center") {
+    // 1..5 → 0; 0 is dangling, so its mass redistributes uniformly
+    val star = (1L to 5L).map(i => (i, 0L)).toDF("start_id", "end_id")
+    val r = GraphOps.pageRank(star, iterations = 40).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // mass conserved
+    assert(r(0L) > 0.5) // center dominates
+    assert((1L to 5L).map(r).toSet.size == 1) // leaves symmetric
+  }
+
+  test("pageRank: one iteration matches the hand-computed closed form") {
+    // 0→1, 0→2, 1→2; 2 dangling. N=3, start 1/3, d=0.85.
+    // dangling = 1/3; base = 0.05 + 0.85*(1/9) [uniform dangling share]
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("start_id", "end_id")
+    val r = GraphOps.pageRank(g, iterations = 1).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    val base = 0.15 / 3 + 0.85 * (1.0 / 3 / 3)
+    assert(math.abs(r(0L) - base) < 1e-12) // no inflow
+    assert(math.abs(r(1L) - (base + 0.85 * (1.0 / 3 / 2))) < 1e-12)
+    assert(math.abs(r(2L) - (base + 0.85 * (1.0 / 3 / 2 + 1.0 / 3))) < 1e-12)
+  }
+
+  test("pageRank: isolated nodes via the nodes parameter share base rank") {
+    val g = Seq((0L, 1L)).toDF("start_id", "end_id")
+    val iso = Seq(7L).toDF("id")
+    val r = GraphOps.pageRank(g, iterations = 3, nodes = Some(iso))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r.contains(7L) && r.size == 3)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    assert(r(1L) > r(7L)) // 1 has inflow, 7 only base + dangling share
+  }
+
   test("kHop: min-hop labels, no revisits, bounded depth") {
     val seeds = Seq(0L).toDF("id")
     val out = GraphOps.kHop(edges, seeds, 2).orderBy("hop").collect()

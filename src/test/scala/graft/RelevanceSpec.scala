@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Relevance
+
+/** TF-IDF / BM25 term weighting vs hand-computed values. */
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 docs; "b" appears in all, "a" in one (twice), "c" in two
+  private lazy val docs = Seq(
+    (1L, "a a b"),
+    (2L, "b c"),
+    (3L, "c b")).toDF("id", "text")
+
+  test("tfidf: smoothed idf, raw tf, hand-computed") {
+    val out = Relevance.tfidf(docs, "id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"))
+        -> (r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf"))).toMap
+    assert(out.size == 6) // (1,a),(1,b),(2,b),(2,c),(3,b),(3,c)
+    val idfA = math.log(4.0 / 2) + 1 // df=1, N=3
+    val idfB = math.log(4.0 / 4) + 1 // df=3
+    val idfC = math.log(4.0 / 3) + 1 // df=2
+    assert(math.abs(out((1L, "a"))._3 - 2 * idfA) < 1e-12)
+    assert(out((1L, "a"))._1 == 2L && out((1L, "a"))._2 == 1L)
+    assert(math.abs(out((1L, "b"))._3 - idfB) < 1e-12)
+    assert(math.abs(out((2L, "c"))._3 - idfC) < 1e-12)
+  }
+
+  test("bm25: saturation and length normalization, hand-computed") {
+    val out = Relevance.bm25(docs, "id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"))
+        -> (r.getAs[Long]("doc_len"), r.getAs[Double]("bm25"))).toMap
+    // doc lens: 3, 2, 2 → avg 7/3
+    assert(out((1L, "a"))._1 == 3L)
+    assert(out((2L, "b"))._1 == 2L)
+    val avgLen = 7.0 / 3
+    def w(tf: Long, df: Long, len: Long): Double = {
+      val idf = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avgLen))
+    }
+    assert(math.abs(out((1L, "a"))._2 - w(2, 1, 3)) < 1e-12)
+    assert(math.abs(out((3L, "c"))._2 - w(1, 2, 2)) < 1e-12)
+    // common token ("b", df=3 of 3) gets near-zero idf but stays >= 0
+    assert(out((1L, "b"))._2 >= 0.0 && out((1L, "b"))._2 < w(1, 2, 2))
+  }
+
+  test("tfidf composes lazily — no eager jobs at definition time") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Relevance.tfidf(docs, "id", "text") // compose only
+    Relevance.bm25(docs, "id", "text")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before)
+  }
+}

@@ -53,6 +53,20 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(jsonDf.columns.toSet == nation.columns.toSet)
   }
 
+  test("orc source round-trips with schema intact (columnar sibling)") {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val nation = spark.read.parquet(sf() + "/nation.parquet")
+    nation.write.orc(s"$tmp/nation.orc")
+    val orcDf = SourceReader.readTable(spark,
+      SourceConf("o", "orc", tmp), "nation")
+    assert(orcDf.count() == 25)
+    assert(orcDf.schema == nation.schema) // ORC preserves types exactly
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = orcDf.filter(col("n_regionkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"))
+  }
+
   test("jdbc source: Derby-backed read, schema peek, and full graph build (S1)") {
     // Embedded Derby (ships in /opt/spark/jars) stands in for the
     // reference's MySQL source (sql_io.py:4-13): same Spark JDBC relation,

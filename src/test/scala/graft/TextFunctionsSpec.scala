@@ -20,6 +20,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(TextKernels.asciiFoldString("plain ascii") == "plain ascii")
   }
 
+  test("gopher_rules: per-rule booleans and conjunction") {
+    val docs = Seq(
+      // passes all four rules (>= 5 words, sane word length, stopwords,
+      // little punctuation)
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // too short
+      (2L, "tiny text here"),
+      // no stopwords at all
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      // symbol storm: punct-per-word ratio over 0.5
+      (4L, "a! the!! b@# c$% d^& e*( f)! g#@ h%$ the"),
+      // empty: every rule fails, no division blows up
+      (5L, ""))
+      .toDF("id", "text")
+    val out = docs.select(col("id"),
+      GF.gopher_rules(col("text"), minWords = 5).as("g"))
+      .orderBy("id")
+      .select("id", "g.words_ok", "g.mean_word_ok", "g.stopwords_ok",
+        "g.symbol_ok", "g.pass")
+      .collect()
+    assert(out(0).getBoolean(1) && out(0).getBoolean(3) &&
+      out(0).getBoolean(5)) // doc 1 passes
+    assert(!out(1).getBoolean(1) && !out(1).getBoolean(5)) // too short
+    assert(!out(2).getBoolean(3) && !out(2).getBoolean(5)) // no stopwords
+    assert(!out(3).getBoolean(4) && !out(3).getBoolean(5)) // symbol-heavy
+    assert(!out(4).getBoolean(1) && !out(4).getBoolean(4) &&
+      !out(4).getBoolean(5)) // empty
+  }
+
   test("ascii_fold expression folds inside a dataframe plan") {
     GF.register(spark)
     val out = Seq("Café", "中文x", "ok").toDF("s")
