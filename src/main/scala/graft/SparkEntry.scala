@@ -626,7 +626,7 @@ object SparkEntry {
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
     // corpus-global). ----
-    "q_x8_tfidf" -> ((s, dir) =>
+    "q_x9_tfidf" -> ((s, dir) =>
       Relevance.tfidf(t(s, dir, "documents"), "doc_id", "text")
         .filter(col("doc_id") < 20)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
@@ -634,7 +634,7 @@ object SparkEntry {
         .orderBy("doc_id", "token")),
 
     // ---- X8b: Okapi BM25 weights (k1=1.2, b=0.75) ----
-    "q_x8b_bm25" -> ((s, dir) =>
+    "q_x9b_bm25" -> ((s, dir) =>
       Relevance.bm25(t(s, dir, "documents"), "doc_id", "text")
         .filter(col("doc_id") < 20)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
@@ -1279,7 +1279,7 @@ object SparkEntry {
 
     // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.
-    "q_x8_tfidf" ->
+    "q_x9_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -1294,7 +1294,7 @@ object SparkEntry {
         |WHERE tf.doc_id < 20
         |ORDER BY tf.doc_id, tf.token""".stripMargin,
 
-    "q_x8b_bm25" ->
+    "q_x9b_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token

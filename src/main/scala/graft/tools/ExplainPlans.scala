@@ -16,6 +16,7 @@ object ExplainPlans {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_revenue_per_nation", "q_j2_jointable_edges", "q_q1_agg",
         "q_x2c_simhash_neardups", "q_x7_decontaminate", "q_x6b_hash_sample",
+        "q_g3_pagerank", "q_x9_tfidf", "q_x7b_decontaminate_hashed",
         "q_st3_interval_join", "q_g1_degrees")
     names.foreach { n =>
       println(s"==== $n ====")
