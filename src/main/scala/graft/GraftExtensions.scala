@@ -77,5 +77,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"sample_k size must be a literal, got: $other")
       })))
+    ext.injectFunction((FunctionIdentifier("topk_freq"),
+      info("topk_freq",
+        "topk_freq(item, k[, capacity]) - Misra-Gries heavy hitters: top k " +
+          "items with lower-bound counts in O(capacity) state."),
+      exprs => {
+        def lit(i: Int): Int = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_freq argument ${i + 1} must be a literal, got: $other")
+        }
+        val cap = if (exprs.length > 2) lit(2) else 4096
+        TopKFreq(exprs.head, cap, lit(1))
+      }))
   }
 }

@@ -594,6 +594,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X4h: heavy hitters via the Misra–Gries typed aggregate —
+    // bounded O(capacity) state instead of a full vocabulary groupBy. The
+    // corpus vocabulary fits the capacity, so the sketch runs in its exact
+    // regime and the oracle is plain SQL top-k. ----
+    "q_x4h_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .agg(GF.topk_freq(col("tk"), 10, 1024).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.min_count").as("n"))
+        .orderBy(col("n").desc, col("item"))),
+
     // ---- X4g: Gopher-style hard quality rules — per-rule booleans so a
     // pipeline can log WHY a doc was dropped. minWords=20 fits the
     // synthetic corpus' length distribution (the default 50 is for web
@@ -660,6 +672,23 @@ object SparkEntry {
         damping = 0.85, iterations = 3)
         .select(col("id"), round(col("rank"), 8).as("rank"))
         .orderBy("id")
+    }),
+
+    // ---- G4: triangle counting on the part co-occurrence graph (parts
+    // sharing an order, 5% order subset to bound the clique expansion —
+    // every ≥3-part order contributes triangles). Degree-ordered wedge
+    // enumeration; the oracle triple-joins the canonical edge list. ----
+    "q_g4_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.triangleCounts(edges).orderBy("id")
     }),
 
     // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
@@ -1221,6 +1250,15 @@ object SparkEntry {
         |(doc_id % 900) + 1 AS amp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Exact regime (capacity ≥ |vocab|): MG counts equal true counts, and
+    // the (count desc, item) tie-break matches on both sides.
+    "q_x4h_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents)
+        |SELECT tk AS item, count(*) AS n FROM tok GROUP BY tk
+        |ORDER BY n DESC, item LIMIT 10""".stripMargin,
+
     // Rule inputs recomputed in SQL from the same definitions the fused
     // kernel uses: whitespace tokens, non-ws char count, ASCII punct
     // class, lowercased-whole-token stopword hits.
@@ -1353,6 +1391,25 @@ object SparkEntry {
         |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
         |         GROUP BY e.dst) f USING (id))
         |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    // Canonical a<b edges; each triangle (a<b<c) found once by the triple
+    // join, credited to all three vertices.
+    "q_g4_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT id, count(*) AS n_triangles FROM (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     // Both container paths recover header fields exactly, so every column
     // is doc_id arithmetic — the Spark side really encodes + parses the

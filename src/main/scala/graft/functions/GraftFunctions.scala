@@ -35,6 +35,16 @@ object GraftFunctions {
   /** Rolling-hash 64-bit document fingerprint. */
   def fingerprint64(c: Column): Column = call_function("fingerprint64", c)
 
+  /** Heavy hitters with bounded state (Misra–Gries; see [[TopKFreq]]):
+    * top `k` items as `array<struct(item, min_count)>`. Counts are lower
+    * bounds, off by at most n/(capacity+1); exact when `capacity` covers
+    * the distinct-item count. */
+  def topk_freq(c: Column, k: Int, capacity: Int = 4096): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      TopKFreq(ColumnShim.expression(c), capacity, k).toAggregateExpression())
+  }
+
   // ---- text analysis over the fused one-pass TextProfile expression ----
   // Every counter below projects a field off TextProfile(c); identical
   // trees collapse to ONE kernel evaluation per row under whole-stage

@@ -93,6 +93,182 @@ case class SampleK(
     copy(child = newChildren.head)
 }
 
+/** Misra–Gries heavy-hitters sketch as a native typed aggregate — top
+  * frequent items with BOUNDED state, the scale-safe alternative to a full
+  * `groupBy(token).count()` when the domain is huge (URLs, shingles,
+  * n-grams at 100 TB: the true vocabulary doesn't fit anywhere, but the
+  * heavy hitters do).
+  *
+  * Guarantees (classic MG + the mergeable-summaries merge): every reported
+  * count is a LOWER bound, under-counting by at most `n / (capacity + 1)`
+  * (n = stream length), and any item with true frequency above that bound
+  * is guaranteed present. With `capacity` ≥ distinct items the sketch is
+  * EXACT. State is O(capacity) per group regardless of group size; merge
+  * is counter-wise sum followed by the (capacity+1)-th-largest subtraction,
+  * so partial aggregation works map-side like any algebraic agg.
+  */
+case class TopKFreq(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKFreq.State] {
+
+  require(capacity >= 1, "capacity must be >= 1")
+  require(k >= 1 && k <= capacity, "k must be in [1, capacity]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("min_count", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_freq"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_freq needs a string column, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): TopKFreq.State =
+    new TopKFreq.State(capacity)
+
+  override def update(state: TopKFreq.State, input: InternalRow): TopKFreq.State = {
+    val v = child.eval(input)
+    if (v != null) state.offer(v.asInstanceOf[UTF8String].toString, 1L)
+    state
+  }
+
+  override def merge(a: TopKFreq.State, b: TopKFreq.State): TopKFreq.State = {
+    b.foreach((item, c) => a.offer(item, c))
+    a.shrinkToCapacity()
+    a
+  }
+
+  override def eval(state: TopKFreq.State): Any = {
+    val top = state.top(k)
+    new GenericArrayData(top.map { case (item, c) =>
+      InternalRow(UTF8String.fromString(item), c)
+    })
+  }
+
+  override def serialize(state: TopKFreq.State): Array[Byte] = {
+    val entries = state.entries
+    var size = 4
+    val encoded = entries.map { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (b, c)
+    }
+    encoded.foreach { case (b, _) => size += 4 + b.length + 8 }
+    val buf = ByteBuffer.allocate(size)
+    buf.putInt(encoded.length)
+    encoded.foreach { case (b, c) =>
+      buf.putInt(b.length); buf.put(b); buf.putLong(c)
+    }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKFreq.State = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val s = new TopKFreq.State(capacity)
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt
+      val b = new Array[Byte](len)
+      buf.get(b)
+      val c = buf.getLong
+      s.offer(new String(b, java.nio.charset.StandardCharsets.UTF_8), c)
+      i += 1
+    }
+    s.shrinkToCapacity()
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKFreq =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKFreq =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKFreq =
+    copy(child = newChildren.head)
+}
+
+object TopKFreq {
+
+  /** Misra–Gries counter table. `offer(item, w)` adds weight w; when the
+    * table would exceed capacity, the minimum counter value is subtracted
+    * from ALL counters and zeros are evicted (the weighted MG step —
+    * equivalent to w repetitions of the classic decrement). Merge-side
+    * overflow is handled by [[shrinkToCapacity]]: subtract the
+    * (capacity+1)-th largest value, keeping the error bound additive
+    * across merges (Agarwal et al., "Mergeable Summaries"). */
+  final class State(capacity: Int) {
+    private val counts =
+      new java.util.HashMap[String, java.lang.Long](capacity * 2)
+
+    def offer(item: String, w: Long): Unit = {
+      val cur = counts.get(item)
+      if (cur != null) counts.put(item, cur + w)
+      else if (counts.size < capacity) counts.put(item, w)
+      else {
+        // subtract the min counter (≥ classic decrement-all, amortized)
+        var minV = Long.MaxValue
+        val it0 = counts.values().iterator()
+        while (it0.hasNext) { val v = it0.next(); if (v < minV) minV = v }
+        val dec = math.min(minV, w)
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val nv = e.getValue - dec
+          if (nv <= 0) it.remove() else e.setValue(nv)
+        }
+        val rem = w - dec
+        if (rem > 0) offer(item, rem) // slot freed unless all counters equal
+      }
+    }
+
+    /** Enforce ≤ capacity entries after a merge: subtract the
+      * (capacity+1)-th largest counter from all, drop non-positives. */
+    def shrinkToCapacity(): Unit = {
+      if (counts.size <= capacity) return
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val it0 = counts.values().iterator()
+      while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - cut
+        if (nv <= 0) it.remove() else e.setValue(nv)
+      }
+    }
+
+    def foreach(f: (String, Long) => Unit): Unit = {
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); f(e.getKey, e.getValue) }
+    }
+
+    def entries: Seq[(String, Long)] = {
+      val b = Seq.newBuilder[(String, Long)]
+      foreach((s, c) => b += ((s, c)))
+      b.result()
+    }
+
+    /** Top-k by (count desc, item asc) — deterministic output order. */
+    def top(k: Int): Seq[(String, Long)] =
+      entries.sortBy { case (s, c) => (-c, s) }.take(k)
+  }
+}
+
 object SampleK {
 
   /** Splittable 64-bit mix (splitmix64 finalizer) of (id, seed) — cheap,

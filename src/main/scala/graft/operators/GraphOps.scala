@@ -99,6 +99,64 @@ object GraphOps {
     ranks
   }
 
+  /** Per-vertex triangle counts over an UNDIRECTED graph (edge direction
+    * in the input is ignored; parallel edges and self-loops are dropped).
+    *
+    * Degree-ordered ("compact-forward") enumeration: every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, wedges
+    * are generated only between a vertex's out-neighbours, and a wedge
+    * closes iff its (ordered) third side exists in the oriented edge set —
+    * so each triangle is found exactly once.
+    *
+    * Scale notes (100 TB edge table): naive wedge generation explodes on
+    * hubs (Σ deg² — a celebrity vertex alone can emit 10¹² wedges). The
+    * degree orientation caps out-degree at O(√m), making the wedge volume
+    * O(m^1.5) worst case and far less on real skewed graphs — this is the
+    * standard distributed triangle algorithm. Joins are plain equi-joins
+    * (AQE handles residual skew); the oriented edge list is checkpointed
+    * once and reused by both sides of the wedge join. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge list: a < b, dedup, no self-loops
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("_d"))
+    // orient low-(deg, id) → high-(deg, id); carry the dst's degree so the
+    // wedge join can order out-neighbours without another lookup
+    val oriented = canon
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("_d", "_da"),
+        Seq("a"))
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("_d", "_db"),
+        Seq("b"))
+      .select(
+        when(col("_da") < col("_db") ||
+            (col("_da") === col("_db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("_db").as("_dd")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"), col("_da").as("_dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e._dd").as("_dd"))
+      .localCheckpoint()
+    val x = oriented.alias("x")
+    val y = oriented.alias("y")
+    // wedges (u; v, w) with v before w in (deg, id) order — the closing
+    // edge, if present, is oriented exactly v → w
+    val wedges = x.join(y, col("x.src") === col("y.src") &&
+        (col("x._dd") < col("y._dd") ||
+          (col("x._dd") === col("y._dd") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("u"), col("x.dst").as("v"),
+        col("y.dst").as("w"))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val triangles = wedges.join(closing, Seq("v", "w"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Nodes reachable from `seeds` in EXACTLY 1..`hops` directed steps,
     * with the minimum hop count at which each node is first reached —
     * BFS as iterated joins. Seed nodes themselves are emitted with hop 0.

@@ -92,6 +92,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows(1).getAs[scala.collection.Seq[Long]]("s").toSeq == Seq(9L))
   }
 
+  test("topk_freq works as a SQL aggregate") {
+    import spark.implicits._
+    (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
+      .toDF("tk").createOrReplaceTempView("hht")
+    val row = spark.sql(
+      "SELECT topk_freq(tk, 2, 16) AS hh FROM hht").head()
+    val hh = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 5L), ("y", 3L)))
+  }
+
   test("non-literal shingle size fails with a clear message") {
     val e = intercept[Exception](
       spark.sql("SELECT token_shingles('a b', 1 + 1)").head())

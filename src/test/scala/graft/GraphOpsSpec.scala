@@ -24,6 +24,29 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.degrees(multi, "sideways"))
   }
 
+  test("triangleCounts: K4 gives every vertex 3 triangles") {
+    // complete graph on 4 vertices: C(3,2) = 3 triangles per vertex
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+      .toDF("start_id", "end_id")
+    val out = GraphOps.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts: direction, duplicates, and self-loops are ignored") {
+    // one triangle written messily: reversed edges, dups, a self-loop, and
+    // a pendant edge that closes nothing
+    val messy = Seq(
+      (0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 2L), (0L, 1L), (2L, 9L))
+      .toDF("start_id", "end_id")
+    val out = GraphOps.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    // chain has no triangles → empty result, not zero rows per vertex
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("start_id", "end_id")
+    assert(GraphOps.triangleCounts(chain).isEmpty)
+  }
+
   test("pageRank: ranks sum to 1 and a 2-cycle is uniform") {
     val cycle = Seq((0L, 1L), (1L, 0L)).toDF("start_id", "end_id")
     val r = GraphOps.pageRank(cycle, iterations = 5).orderBy("id").collect()

@@ -136,4 +136,53 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("topk_freq: exact when capacity covers the domain, any partitioning") {
+    import graft.functions.{GraftFunctions => GF}
+    // zipfish counts over 26 items
+    val rows = ('a' to 'z').zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(27 - i)(c.toString)
+    }
+    for (parts <- Seq(1, 13)) {
+      val hh = rows.toDF("tk").repartition(parts)
+        .agg(GF.topk_freq(col("tk"), 5, 64).as("hh"))
+        .head().getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
+      assert(hh.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 27L), ("b", 26L), ("c", 25L), ("d", 24L), ("e", 23L)),
+        s"parts=$parts")
+    }
+  }
+
+  test("topk_freq: MG error bound holds under eviction pressure") {
+    import graft.functions.{GraftFunctions => GF}
+    // heavy item (40%) + long tail, capacity 4 ≪ 101 distinct items
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      if (i % 5 < 2) "HEAVY" else s"tail_${i % 100}"
+    }
+    val hh = rows.toDF("tk").repartition(7)
+      .agg(GF.topk_freq(col("tk"), 1, 4).as("hh"))
+      .head().getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
+    val (item, cnt) = (hh.head.getString(0), hh.head.getLong(1))
+    // any item at true frequency > n/(cap+1) = 1000 must be present, and
+    // its reported count is a lower bound within the error budget
+    assert(item == "HEAVY")
+    val trueCount = 2 * n / 5
+    assert(cnt <= trueCount)
+    assert(cnt >= trueCount - n / (4 + 1), s"count $cnt vs $trueCount")
+  }
+
+  test("topk_freq: per-group sketches are independent") {
+    import graft.functions.{GraftFunctions => GF}
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z"))
+      .toDF("g", "tk")
+    val out = df.groupBy("g").agg(GF.topk_freq(col("tk"), 2, 8).as("hh"))
+      .orderBy("g").collect()
+    val g1 = out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+    val g2 = out(1).getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+    assert(g1.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 2L), ("y", 1L)))
+    assert(g2.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("z", 1L)))
+  }
 }
