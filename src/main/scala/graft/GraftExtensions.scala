@@ -20,7 +20,10 @@ import graft.functions._
   * Column API uses, so there is exactly one implementation per function.
   *
   * This is the `SparkSessionExtensions` tier of the build brief's custom-
-  * operator ladder; the engine needs no custom LogicalPlan/Strategy because
+  * operator ladder. It also injects
+  * [[graft.plans.SimplifyGraftExpressions]], an optimizer
+  * `Rule[LogicalPlan]` that collapses redundant applications of the custom
+  * expressions. The engine needs no custom LogicalPlan/Strategy because
   * every whole-operator semantic (as-of join, range join, LSH dedup, IVF)
   * composes from built-in operators whose plans Catalyst already optimizes.
   */
@@ -30,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.SimplifyGraftExpressions)
     ext.injectFunction((FunctionIdentifier("ascii_fold"),
       info("ascii_fold", "ascii_fold(str) - NFKD-normalize and fold to ASCII."),
       exprs => AsciiFold(exprs.head)))

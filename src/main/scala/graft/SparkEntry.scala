@@ -653,6 +653,24 @@ object SparkEntry {
           col("doc_len"), round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id", "token")),
 
+    // ---- X3d: MMR diversity re-rank over the search stage's top-20 —
+    // greedy per-query trade-off between relevance and redundancy (λ=0.7).
+    // Iterative float greedy isn't ANSI-expressible → rows-only check;
+    // MmrSpec pins hand-computed selections. ----
+    "q_x3d_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 8)
+      val top = Similarity.bruteForceTopK(qs, e, "embedding", "vec_id",
+        k = 20)
+      val withVecs = top.join(
+        e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Similarity.mmrRerank(withVecs, "query_id", "vec_id", "embedding",
+        "cosine", k = 5, lambda = 0.7)
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // ---- G3: PageRank over a heterogeneous graph (customer→nation,
     // supplier→nation, nation→region; node ids namespaced by ×4+tag so key
     // spaces don't collide). 3 iterations so the oracle can unroll the

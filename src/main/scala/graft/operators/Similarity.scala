@@ -158,4 +158,93 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** One (query, candidate) row for [[mmrRerank]]. */
+  final case class MmrCand(
+      query_id: Long, vec_id: Long, sim: Double, vec: Array[Float])
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val na = math.sqrt(dot(a, a))
+    val nb = math.sqrt(dot(b, b))
+    if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Maximal-marginal-relevance re-rank of a per-query candidate set —
+    * the diversity stage after [[bruteForceTopK]]/[[ivfTopK]]: greedily
+    * pick the candidate maximizing
+    *
+    *   λ·sim(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+    *
+    * so near-duplicates of an already-selected result are demoted (λ = 1
+    * degenerates to plain relevance ranking). Ties break by vec_id.
+    *
+    * Input: one row per (query, candidate) with the query-relevance score
+    * (`simCol`, e.g. the `cosine` the search stage produced) and the
+    * candidate's embedding. Output: (query_id, vec_id, mmr_rank,
+    * mmr_score), rank 1..k.
+    *
+    * Scale notes: the greedy loop is inherently sequential PER QUERY, so
+    * it runs inside `flatMapGroups` — queries distribute across the
+    * cluster; each group is the search stage's top-N (BOUNDED — feed this
+    * re-ranker candidates, never a raw corpus), costing O(N·k·dim) flops
+    * locally with no further shuffle. */
+  def mmrRerank(candidates: DataFrame, queryCol: String, idCol: String,
+      vecCol: String, simCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    require(k >= 1, "k must be >= 1")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val ds = candidates.select(
+      col(queryCol).cast("long").as("query_id"),
+      col(idCol).cast("long").as("vec_id"),
+      col(simCol).cast("double").as("sim"),
+      col(vecCol).as("vec")).as[MmrCand]
+    ds.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val cands = it.toArray
+      val n = cands.length
+      val taken = new Array[Boolean](n)
+      // max cosine to any already-selected candidate, updated incrementally
+      val maxSel = Array.fill(n)(0.0)
+      val out = Seq.newBuilder[(Long, Long, Int, Double)]
+      var r = 1
+      val kk = math.min(k, n)
+      while (r <= kk) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val penalty = if (r == 1) 0.0 else maxSel(i)
+            val score = lambda * cands(i).sim - (1 - lambda) * penalty
+            if (score > bestScore ||
+                (score == bestScore && best >= 0 &&
+                  cands(i).vec_id < cands(best).vec_id)) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += ((qid, cands(best).vec_id, r, bestScore))
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val c = cosineLocal(cands(j).vec, cands(best).vec)
+            if (c > maxSel(j)) maxSel(j) = c
+          }
+          j += 1
+        }
+        r += 1
+      }
+      out.result().iterator
+    }.toDF("query_id", "vec_id", "mmr_rank", "mmr_score")
+  }
 }

@@ -92,6 +92,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows(1).getAs[scala.collection.Seq[Long]]("s").toSeq == Seq(9L))
   }
 
+  test("optimizer rule collapses redundant ascii_fold applications") {
+    import spark.implicits._
+    // non-foldable input (id) so ConstantFolding can't erase the whole
+    // expression — the rule must do the collapse
+    val doubled = spark.sql(
+      "SELECT ascii_fold(ascii_fold(concat('Café', id))) AS f FROM range(2)")
+    // semantics preserved
+    assert(doubled.as[String].collect().sorted.toSeq == Seq("Cafe0", "Cafe1"))
+    // and the optimized plan runs the NFKD pass once, not twice
+    val optimized = doubled.queryExecution.optimizedPlan.toString
+    assert("asciifold|ascii_fold".r.findAllIn(optimized.toLowerCase).size == 1,
+      optimized)
+  }
+
   test("topk_freq works as a SQL aggregate") {
     import spark.implicits._
     (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))

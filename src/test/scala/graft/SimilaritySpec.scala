@@ -162,6 +162,39 @@ class SimilaritySpec extends SparkSpec {
     assert(cells <= 16 && cells > 1)
   }
 
+  test("mmrRerank: near-duplicate of the top result is demoted") {
+    // query-relevance: a=0.99, a'=0.98 (a' ≈ duplicate of a), c=0.80
+    // (orthogonal-ish). Plain ranking: a, a', c. MMR λ=0.5 must pick the
+    // diverse c second.
+    val cands = Seq(
+      (1L, 10L, 0.99, Array(1f, 0f, 0f)),
+      (1L, 11L, 0.98, Array(0.999f, 0.04f, 0f)),
+      (1L, 12L, 0.80, Array(0f, 1f, 0f)))
+      .toDF("query_id", "vec_id", "sim", "vec")
+    val out = Similarity.mmrRerank(cands, "query_id", "vec_id", "vec",
+      "sim", k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L, 12L, 11L))
+    // rank-1 score is pure relevance·λ
+    assert(math.abs(out(0).getDouble(3) - 0.5 * 0.99) < 1e-12)
+  }
+
+  test("mmrRerank: λ=1 degenerates to relevance order; k caps output") {
+    val cands = Seq(
+      (1L, 10L, 0.9, Array(1f, 0f)),
+      (1L, 11L, 0.8, Array(1f, 0f)),
+      (1L, 12L, 0.7, Array(1f, 0f)),
+      (2L, 20L, 0.5, Array(0f, 1f)))
+      .toDF("query_id", "vec_id", "sim", "vec")
+    val out = Similarity.mmrRerank(cands, "query_id", "vec_id", "vec",
+      "sim", k = 2, lambda = 1.0)
+      .orderBy("query_id", "mmr_rank").collect()
+    // identical duplicate vectors don't matter at λ=1 — pure relevance
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (1L, 11L), (2L, 20L)))
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 1)) // k=2 cap per query
+  }
+
   test("IVF recall vs exact at sf0.01 scale") {
     val e = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 8)
