@@ -594,6 +594,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X6f: deterministic weighted sampling (Efraimidis–Spirakis
+    // bottom-k) — 3 length-weighted winners per language. Seeded-hash
+    // uniforms aren't ANSI-expressible → rows-only. ----
+    "q_x6f_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSamplePerGroup(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 3)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")),
+
     // ---- X4h: heavy hitters via the Misra–Gries typed aggregate —
     // bounded O(capacity) state instead of a full vocabulary groupBy. The
     // corpus vocabulary fits the capacity, so the sketch runs in its exact

@@ -52,6 +52,53 @@ object Sampling {
     (df.filter(bucket >= cut), df.filter(bucket < cut))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis bottom-k): each row gets key = −ln(u)/w with u a seeded
+    * uniform from the id hash, and the k smallest keys win — the exact
+    * distribution of sequential weighted draws without replacement, but
+    * order- and partitioning-independent and reproducible across runs and
+    * cluster sizes (same id + seed → same u, always).
+    *
+    * Rows with null, zero, or negative weight are EXCLUDED (a zero-weight
+    * row must never win; letting it through with key = ∞ would still beat
+    * nothing only if fewer than k positive rows exist — cleaner to drop).
+    *
+    * Scale notes: `orderBy(key).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition bottom-k then a k-row merge on the driver side of the
+    * exchange; no global sort materializes. Use [[weightedSamplePerGroup]]
+    * when k rows PER GROUP are wanted. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_graft_wkey", esKey(col(idCol), col(weightCol), seed))
+      .orderBy(col("_graft_wkey"))
+      .limit(k)
+      .drop("_graft_wkey")
+  }
+
+  /** Per-group [[weightedSample]]: k weighted winners per group via a
+    * windowed rank over the same ES keys (one shuffle on the group key). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rn = "_graft_wrn"
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(esKey(col(idCol), col(weightCol), seed), col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
+  }
+
+  /** Efraimidis–Spirakis key −ln(u)/w, u ∈ (0, 1] from the seeded 64-bit
+    * id hash (top 53 bits → uniform double, +1 ulp so u is never 0). */
+  private def esKey(id: Column, weight: Column, seed: Long): Column = {
+    val u = (shiftrightunsigned(xxhash64(lit(seed), id), 11) + 1) *
+      lit(1.1102230246251565e-16) // 2^-53
+    -log(u) / weight
+  }
+
   /** Exact-k per stratum under an explicit ordering (quality score, length,
     * recency...): the "keep the best k docs per language/source/domain"
     * quota step. Deterministic iff `ordering` is total — tie-break on the

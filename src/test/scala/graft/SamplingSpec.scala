@@ -137,6 +137,49 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("weightedSample: deterministic, weight-respecting, bad weights dropped") {
+    val rows = ((0 until 100).map(i => (i.toLong, 100.0)) ++ // heavy
+      (100 until 200).map(i => (i.toLong, 1.0)) ++ // light
+      Seq((900L, 0.0), (901L, -3.0))) // never eligible
+      .toDF("id", "w")
+    val nullW = Seq((902L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "w")
+    val src = rows.unionByName(nullW)
+    val s1 = Sampling.weightedSample(src, "id", "w", 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.weightedSample(src.repartition(13), "id", "w", 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2) // partitioning-independent
+    assert(s1.size == 10)
+    assert(!s1.exists(_ >= 900L)) // zero/negative/null weights excluded
+    // 100:1 weights: the sample should be (almost) all heavy ids
+    assert(s1.count(_ < 100L) >= 8, s"too many light ids in $s1")
+  }
+
+  test("weightedSamplePerGroup: k winners per group, deterministic") {
+    val df = (0 until 60).map(i =>
+      (if (i % 2 == 0) "even" else "odd", i.toLong, 1.0 + i))
+      .toDF("g", "id", "w")
+    val out = Sampling.weightedSamplePerGroup(df, "g", "id", "w", 4)
+    assert(out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("even" -> 4L, "odd" -> 4L))
+    val again = Sampling.weightedSamplePerGroup(
+      df.repartition(7), "g", "id", "w", 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("id").as[Long].collect().sorted.toSeq)
+    // k larger than the group returns the whole group, no padding
+    val all = Sampling.weightedSamplePerGroup(df, "g", "id", "w", 1000)
+    assert(all.count() == 60)
+  }
+
+  test("weightedSample plans as TakeOrderedAndProject (no global sort)") {
+    val df = (0 until 1000).map(i => (i.toLong, 1.0 + i)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("topk_freq: exact when capacity covers the domain, any partitioning") {
     import graft.functions.{GraftFunctions => GF}
     // zipfish counts over 26 items
