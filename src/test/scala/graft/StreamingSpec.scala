@@ -121,6 +121,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topk_freq works inside a streaming aggregation (sketch state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("tk")
+      .agg(graft.functions.GraftFunctions.topk_freq($"tk", 2, 16).as("hh"))
+    val q = agg.writeStream.format("memory")
+      .queryName("hh_stream").outputMode("complete").start()
+    try {
+      mem.addData("x", "x", "y")
+      q.processAllAvailable()
+      mem.addData("x", "z", "z", "z", "z") // x→3, z→4 across batches
+      q.processAllAvailable()
+      val hh = spark.table("hh_stream").head()
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
+      assert(hh.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("z", 4L), ("x", 3L))) // counts accumulate across micro-batches
+    } finally q.stop()
+  }
+
   test("ST4: expiringSessions rejects calendar-month gaps fail-fast") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
