@@ -701,6 +701,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G3b: personalized PageRank — reset and dangling mass return to
+    // the seed distribution (customers 0..9); ranks measure proximity to
+    // the seeds. Same unrolled-SQL oracle scheme as q_g3. ----
+    "q_g3b_ppr" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        (col("c_custkey").cast("long") * 4).as("start_id"),
+        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val supp = t(s, dir, "supplier").select(
+        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val nat = t(s, dir, "nation").select(
+        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
+        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
+      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 10)
+        .select((col("c_custkey").cast("long") * 4).as("id"))
+      GraphOps.personalizedPageRank(
+        cust.unionByName(supp).unionByName(nat), seeds,
+        damping = 0.85, iterations = 3)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
     // ---- G4: triangle counting on the part co-occurrence graph (parts
     // sharing an order, 5% order subset to bound the clique expansion —
     // every ≥3-part order contributes triangles). Degree-ordered wedge
@@ -1415,6 +1437,52 @@ object SparkEntry {
         |         + (SELECT s FROM d2)/(SELECT nn FROM c)) AS r
         |       FROM n LEFT JOIN (
         |         SELECT e.dst AS id, sum(r2.r/deg.d) AS s FROM e
+        |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id))
+        |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    // PPR unrolled like q_g3, with reset/dangling mass flowing to the seed
+    // indicator s(v) instead of 1/N; (1 - 0.85) written as the expression
+    // so both engines produce the identical IEEE double.
+    "q_g3b_ppr" ->
+      """WITH e AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+        |n AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |sd AS (SELECT c_custkey*4 AS id FROM customer WHERE c_custkey < 10),
+        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
+        |sv AS (SELECT n.id,
+        |         CASE WHEN sd.id IS NOT NULL THEN 1.0/(SELECT ns FROM sc)
+        |              ELSE 0.0 END AS s
+        |       FROM n LEFT JOIN sd ON sd.id = n.id),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, s AS r FROM sv),
+        |d0 AS (SELECT COALESCE(sum(r), 0) AS m FROM r0
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r1 AS (SELECT sv.id, (1 - 0.85)*sv.s + 0.85*(COALESCE(f.v, 0)
+        |         + (SELECT m FROM d0)*sv.s) AS r
+        |       FROM sv LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r0.r/deg.d) AS v FROM e
+        |         JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id)),
+        |d1 AS (SELECT COALESCE(sum(r), 0) AS m FROM r1
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r2 AS (SELECT sv.id, (1 - 0.85)*sv.s + 0.85*(COALESCE(f.v, 0)
+        |         + (SELECT m FROM d1)*sv.s) AS r
+        |       FROM sv LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r1.r/deg.d) AS v FROM e
+        |         JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id)),
+        |d2 AS (SELECT COALESCE(sum(r), 0) AS m FROM r2
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r3 AS (SELECT sv.id, (1 - 0.85)*sv.s + 0.85*(COALESCE(f.v, 0)
+        |         + (SELECT m FROM d2)*sv.s) AS r
+        |       FROM sv LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r2.r/deg.d) AS v FROM e
         |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
         |         GROUP BY e.dst) f USING (id))
         |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,

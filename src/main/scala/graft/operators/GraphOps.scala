@@ -99,6 +99,57 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank: like [[pageRank]], but the (1−d) reset mass
+    * and the dangling mass return to the SEED distribution (uniform over
+    * `seeds`) instead of to all nodes —
+    *
+    *   rank'(v) = (1−d)·s(v) + d·( Σ_{u→v} rank(u)/outdeg(u) + dangling·s(v) )
+    *
+    * with s(v) = 1/|seeds| on seeds, 0 elsewhere. Ranks measure proximity
+    * to the seed set (the "related items" / recommendation primitive);
+    * they still sum to 1. Initial vector = s. Same per-iteration plan
+    * shape and scale behaviour as [[pageRank]] — the seed indicator is one
+    * extra column on the node table, joined once. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
+    val e = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+      .localCheckpoint()
+    val n = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+    val seedSet = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .localCheckpoint()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "seeds must be non-empty")
+    // node table with the reset weight s(v), checkpointed once
+    val ns = n.join(seedSet.withColumn("_s", lit(1.0 / nSeeds)), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("_s"), lit(0.0)).as("_s"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).localCheckpoint()
+    var ranks = ns.select(col("id"), col("_s").as("rank")).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val inflow = ranks
+        .join(e, ranks("id") === e("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("_deg")).as("_in"))
+      ranks = ns.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("_s") +
+            lit(damping) * (coalesce(col("_in"), lit(0.0)) +
+              lit(dangling) * col("_s"))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
   /** Per-vertex triangle counts over an UNDIRECTED graph (edge direction
     * in the input is ignored; parallel edges and self-loops are dropped).
     *

@@ -24,6 +24,31 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.degrees(multi, "sideways"))
   }
 
+  test("personalizedPageRank: mass conserved, proximity to seeds, zeros far") {
+    // two disjoint 2-cycles; seed only in the first
+    val g = Seq((0L, 1L), (1L, 0L), (8L, 9L), (9L, 8L))
+      .toDF("start_id", "end_id")
+    val seeds = Seq(0L).toDF("id")
+    val r = GraphOps.personalizedPageRank(g, seeds, iterations = 6)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    // unreachable component gets exactly zero (no smoothing term there)
+    assert(r(8L) == 0.0 && r(9L) == 0.0)
+    assert(r(0L) > r(1L) && r(1L) > 0.0) // seed closest, neighbour next
+  }
+
+  test("personalizedPageRank: one iteration matches the closed form") {
+    // seed 0 → 1; 1 dangling. s = (1, 0); start r = s.
+    // r'(0) = 0.15·1 + 0.85·(0 + dangling·1) with dangling = r(1) = 0
+    // r'(1) = 0.85·(r(0)/1) = 0.85
+    val g = Seq((0L, 1L)).toDF("start_id", "end_id")
+    val seeds = Seq(0L).toDF("id")
+    val r = GraphOps.personalizedPageRank(g, seeds, iterations = 1)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(math.abs(r(0L) - 0.15) < 1e-12)
+    assert(math.abs(r(1L) - 0.85) < 1e-12)
+  }
+
   test("triangleCounts: K4 gives every vertex 3 triangles") {
     // complete graph on 4 vertices: C(3,2) = 3 triangles per vertex
     val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
