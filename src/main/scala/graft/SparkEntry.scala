@@ -765,6 +765,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X5f: REAL MP4 frame sampling — per-row synthesis of an MP4 with
+    // a full stsz/stsc/stco sample table (frame count + sizes derived from
+    // doc_id), then every 2nd sample's exact byte range re-extracted via
+    // the table. The oracle regenerates index + length arithmetically. ----
+    "q_x5f_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (id % 4 + 2).toInt
+          val samples = Array.tabulate(nf) { i =>
+            Array.fill(((id + i) % 50 + 10).toInt)(((id + i) % 256).toByte)
+          }
+          (id, Multimodal.encodeMp4WithSamples(64, 48, 1000, samples))
+        }.toDF("doc_id", "payload")
+      Multimodal.sampleVideoFrames(withPayload, "payload", stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- as-of join: point-in-time lookup (custom composed operator) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1517,6 +1537,17 @@ object SparkEntry {
         |((doc_id % 100) + 1) * 40 AS duration_ms,
         |CAST(1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Frame indices 0, 2, ... below the per-doc frame count; lengths are
+    // the same doc_id arithmetic the synthesis used — the Spark side
+    // really writes and re-parses the ISO-BMFF sample table per row.
+    "q_x5f_frame_sample" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, doc_id % 4 + 1, 2)) AS i
+        |  FROM documents)
+        |SELECT doc_id, i AS frame_idx, (doc_id + i) % 50 + 10 AS frame_len
+        |FROM fx ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,

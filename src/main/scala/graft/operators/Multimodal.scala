@@ -556,10 +556,177 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Frame-sampling stub for video-like payloads: split the payload into
-    * `frameSize`-byte "frames" and keep every `stride`-th — the plumbing
-    * (explode to one row per sampled frame, frame index column) is the real
-    * shape; the byte-slicing stands in for actual frame decode. */
+  /** MP4 sample table: absolute byte ranges of every media sample
+    * ("frame"), recovered from the `stsz`/`stsc`/`stco` boxes. */
+  final case class Mp4Samples(offsets: Array[Long], sizes: Array[Long])
+
+  /** Parse an MP4's sample table (first track carrying one): `stsz` gives
+    * per-sample sizes, `stco`/`co64` the chunk start offsets, `stsc` the
+    * samples-per-chunk runs; together they locate every compressed frame's
+    * exact byte range — no codec involved (ISO/IEC 14496-12 §8.7). Returns
+    * None when any table is missing/corrupt or ranges fall outside the
+    * payload. */
+  def parseMp4Samples(bytes: Array[Byte]): Option[Mp4Samples] = {
+    if (bytes == null || bytes.length < 16 || tag(bytes, 4) != "ftyp")
+      return None
+    try {
+      var sizes: Array[Long] = null
+      var chunkOffs: Array[Long] = null
+      var stsc: Array[(Long, Long)] = null
+      walkBoxes(bytes, 0, bytes.length) { (t1, f1, to1) =>
+        if (t1 == "moov") walkBoxes(bytes, f1, to1) { (t2, f2, to2) =>
+          if (t2 == "trak" && sizes == null) {
+            walkBoxes(bytes, f2, to2) { (t3, f3, to3) =>
+              if (t3 == "mdia") walkBoxes(bytes, f3, to3) { (t4, f4, to4) =>
+                if (t4 == "minf") walkBoxes(bytes, f4, to4) { (t5, f5, to5) =>
+                  if (t5 == "stbl") walkBoxes(bytes, f5, to5) { (t6, f6, to6) =>
+                    t6 match {
+                      case "stsz" if to6 - f6 >= 12 =>
+                        val uniform = be32(bytes, f6 + 4)
+                        val n = be32(bytes, f6 + 8).toInt
+                        if (n >= 0 && n < (1 << 20)) {
+                          if (uniform != 0) sizes = Array.fill(n)(uniform)
+                          else if (to6 - f6 >= 12 + 4L * n)
+                            sizes = Array.tabulate(n)(i =>
+                              be32(bytes, f6 + 12 + 4 * i))
+                        }
+                      case "stco" if to6 - f6 >= 8 =>
+                        val n = be32(bytes, f6 + 4).toInt
+                        if (n >= 0 && n < (1 << 20) && to6 - f6 >= 8 + 4L * n)
+                          chunkOffs = Array.tabulate(n)(i =>
+                            be32(bytes, f6 + 8 + 4 * i))
+                      case "co64" if to6 - f6 >= 8 =>
+                        val n = be32(bytes, f6 + 4).toInt
+                        if (n >= 0 && n < (1 << 20) && to6 - f6 >= 8 + 8L * n)
+                          chunkOffs = Array.tabulate(n)(i =>
+                            be64(bytes, f6 + 8 + 8 * i))
+                      case "stsc" if to6 - f6 >= 8 =>
+                        val n = be32(bytes, f6 + 4).toInt
+                        if (n >= 0 && n < (1 << 16) && to6 - f6 >= 8 + 12L * n)
+                          stsc = Array.tabulate(n)(i => (
+                            be32(bytes, f6 + 8 + 12 * i),
+                            be32(bytes, f6 + 12 + 12 * i)))
+                      case _ => ()
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      if (sizes == null || chunkOffs == null || stsc == null ||
+        stsc.isEmpty) return None
+      // expand stsc runs → samples per chunk, then walk chunks assigning
+      // consecutive samples their absolute offsets
+      val offsets = new Array[Long](sizes.length)
+      var sample = 0
+      var run = 0
+      var chunk = 1
+      while (sample < sizes.length && chunk <= chunkOffs.length) {
+        while (run + 1 < stsc.length && stsc(run + 1)._1 <= chunk) run += 1
+        val perChunk = stsc(run)._2.toInt
+        var off = chunkOffs(chunk - 1)
+        var i = 0
+        while (i < perChunk && sample < sizes.length) {
+          offsets(sample) = off
+          off += sizes(sample)
+          sample += 1
+          i += 1
+        }
+        chunk += 1
+      }
+      if (sample < sizes.length) return None // ran out of chunks
+      // validate ranges against the actual payload
+      var i = 0
+      while (i < sizes.length) {
+        if (offsets(i) < 0 || sizes(i) < 0 ||
+          offsets(i) + sizes(i) > bytes.length) return None
+        i += 1
+      }
+      Some(Mp4Samples(offsets, sizes))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL frame sampling for MP4 payloads: resolve the sample table and
+    * emit every `stride`-th sample's exact (compressed) bytes as one row —
+    * `frame_idx` is the sample index, `frame_bytes` the codec payload.
+    * Non-MP4 / table-less payloads produce no rows (compose with
+    * [[sampleFrames]] for a byte-slicing fallback). Narrow per-partition
+    * map + explode: payloads never shuffle, each output row carries only
+    * its own frame's bytes. */
+  def sampleVideoFrames(df: DataFrame, binCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        parseMp4Samples(bytes) match {
+          case Some(st) =>
+            (0 until st.sizes.length by stride).iterator.map { i =>
+              val frame = java.util.Arrays.copyOfRange(bytes,
+                st.offsets(i).toInt, (st.offsets(i) + st.sizes(i)).toInt)
+              Row.fromSeq(row.toSeq ++ Seq(i, frame))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode a minimal ISO-BMFF file whose `mdat` holds the given samples,
+    * with a full `stbl` sample table (`stsz`/`stsc`/`stco`, one chunk) —
+    * fixture generator for [[parseMp4Samples]]/[[sampleVideoFrames]]. */
+  def encodeMp4WithSamples(width: Int, height: Int, durationMs: Long,
+      samples: Array[Array[Byte]]): Array[Byte] = {
+    val payloadLen = samples.map(_.length).sum
+    val n = samples.length
+    val stszLen = 20 + 4 * n
+    val stscLen = 28
+    val stcoLen = 20
+    val stblLen = 8 + stszLen + stscLen + stcoLen
+    val minfLen = 8 + stblLen
+    val mdiaLen = 8 + minfLen
+    val trakLen = 8 + 92 + mdiaLen
+    val moovLen = 8 + 108 + trakLen
+    val mdatPayloadOff = 20 + moovLen + 8
+    val header = encodeMp4Stub(width, height, durationMs)
+    val bb = java.nio.ByteBuffer.allocate(mdatPayloadOff + payloadLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(header, 0, 20) // ftyp
+    bb.putInt(moovLen); bb.put("moov".getBytes)
+    bb.put(header, 28, 108) // mvhd copied from the stub's moov
+    bb.putInt(trakLen); bb.put("trak".getBytes)
+    bb.put(header, 144, 92) // tkhd copied from the stub's trak
+    bb.putInt(mdiaLen); bb.put("mdia".getBytes)
+    bb.putInt(minfLen); bb.put("minf".getBytes)
+    bb.putInt(stblLen); bb.put("stbl".getBytes)
+    bb.putInt(stszLen); bb.put("stsz".getBytes)
+    bb.putInt(0) // version/flags
+    bb.putInt(0) // sample_size: 0 → per-sample table follows
+    bb.putInt(n)
+    samples.foreach(s => bb.putInt(s.length))
+    bb.putInt(stscLen); bb.put("stsc".getBytes)
+    bb.putInt(0); bb.putInt(1) // one run
+    bb.putInt(1); bb.putInt(n); bb.putInt(1) // chunk 1 holds all n samples
+    bb.putInt(stcoLen); bb.put("stco".getBytes)
+    bb.putInt(0); bb.putInt(1)
+    bb.putInt(mdatPayloadOff)
+    bb.putInt(8 + payloadLen); bb.put("mdat".getBytes)
+    samples.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Frame-sampling fallback for payloads WITHOUT a parseable sample
+    * table: split the payload into `frameSize`-byte slices and keep every
+    * `stride`-th — same output shape as [[sampleVideoFrames]], used when
+    * the container gives no frame boundaries. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int, stride: Int): DataFrame = {
     val nFrames = floor(length(col(binCol)) / frameSize).cast("int")
     df.withColumn("frame_idx",

@@ -225,6 +225,51 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getLong(4) == 40L)
   }
 
+  test("parseMp4Samples: sample table round-trips exact byte ranges") {
+    val samples = Array(
+      Array.fill(10)(1.toByte),
+      Array.fill(25)(2.toByte),
+      Array.fill(7)(3.toByte))
+    val mp4 = Multimodal.encodeMp4WithSamples(64, 48, 500L, samples)
+    val st = Multimodal.parseMp4Samples(mp4).get
+    assert(st.sizes.toSeq == Seq(10L, 25L, 7L))
+    // offsets are contiguous within the single chunk and inside the file
+    assert(st.offsets(1) == st.offsets(0) + 10)
+    assert(st.offsets(2) == st.offsets(1) + 25)
+    // the located bytes ARE the samples
+    samples.indices.foreach { i =>
+      val got = java.util.Arrays.copyOfRange(mp4,
+        st.offsets(i).toInt, (st.offsets(i) + st.sizes(i)).toInt)
+      assert(got.toSeq == samples(i).toSeq, s"sample $i")
+    }
+    // the dimension/duration header still parses alongside the table
+    val meta = Multimodal.decodeVideoMeta(mp4).get
+    assert(meta.width == 64 && meta.durationMs == 500L)
+    // header-only MP4 (no stbl) and garbage reject cleanly
+    assert(Multimodal.parseMp4Samples(
+      Multimodal.encodeMp4Stub(4, 4, 10L)).isEmpty)
+    assert(Multimodal.parseMp4Samples("not an mp4".getBytes).isEmpty)
+    // truncated file: table claims ranges past EOF → reject, don't slice
+    assert(Multimodal.parseMp4Samples(
+      mp4.take(mp4.length - 5)).isEmpty)
+  }
+
+  test("sampleVideoFrames: stride-samples real frames, skips non-MP4 rows") {
+    val df = Seq(
+      (1L, Multimodal.encodeMp4WithSamples(8, 8, 100L,
+        Array.tabulate(5)(i => Array.fill(4 + i)((i + 65).toByte)))),
+      (2L, "definitely not a video".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.sampleVideoFrames(df, "payload", stride = 2)
+      .select($"id", $"frame_idx", $"frame_bytes")
+      .orderBy("id", "frame_idx").collect()
+    // doc 1: samples 0, 2, 4; doc 2: nothing
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4)))
+    assert(out(1).getAs[Array[Byte]](2).toSeq ==
+      Array.fill(6)(67.toByte).toSeq) // sample 2: len 6, bytes 'C'
+  }
+
   test("sampleFrames explodes payload into indexed frames") {
     val vid = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(vid, "payload", frameSize = 10,
