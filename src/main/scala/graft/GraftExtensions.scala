@@ -86,9 +86,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_freq(item, k[, capacity]) - Misra-Gries heavy hitters: top k " +
           "items with lower-bound counts in O(capacity) state."),
       exprs => {
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new IllegalArgumentException(
+            s"topk_freq takes (item, k[, capacity]), got ${exprs.length} " +
+              "argument(s)")
         def lit(i: Int): Int = exprs(i) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
+            try v.toString.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"topk_freq argument ${i + 1} must be an integer literal, " +
+                  s"got: $v")
+            }
           case other => throw new IllegalArgumentException(
             s"topk_freq argument ${i + 1} must be a literal, got: $other")
         }

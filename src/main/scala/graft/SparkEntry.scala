@@ -1437,7 +1437,7 @@ object SparkEntry {
         |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
         |d0 AS (SELECT COALESCE(sum(r), 0) AS s FROM r0
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |r1 AS (SELECT n.id, 0.15/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |r1 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
         |         + (SELECT s FROM d0)/(SELECT nn FROM c)) AS r
         |       FROM n LEFT JOIN (
         |         SELECT e.dst AS id, sum(r0.r/deg.d) AS s FROM e
@@ -1445,7 +1445,7 @@ object SparkEntry {
         |         GROUP BY e.dst) f USING (id)),
         |d1 AS (SELECT COALESCE(sum(r), 0) AS s FROM r1
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |r2 AS (SELECT n.id, 0.15/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |r2 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
         |         + (SELECT s FROM d1)/(SELECT nn FROM c)) AS r
         |       FROM n LEFT JOIN (
         |         SELECT e.dst AS id, sum(r1.r/deg.d) AS s FROM e
@@ -1453,7 +1453,7 @@ object SparkEntry {
         |         GROUP BY e.dst) f USING (id)),
         |d2 AS (SELECT COALESCE(sum(r), 0) AS s FROM r2
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |r3 AS (SELECT n.id, 0.15/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |r3 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
         |         + (SELECT s FROM d2)/(SELECT nn FROM c)) AS r
         |       FROM n LEFT JOIN (
         |         SELECT e.dst AS id, sum(r2.r/deg.d) AS s FROM e

@@ -146,7 +146,11 @@ case class TopKFreq(
   }
 
   override def merge(a: TopKFreq.State, b: TopKFreq.State): TopKFreq.State = {
-    b.foreach((item, c) => a.offer(item, c))
+    // counter-wise sum first (table may transiently exceed capacity), THEN
+    // one (capacity+1)-th-largest subtraction — the mergeable-summaries
+    // merge, whose error stays additive; folding b in via offer() would
+    // instead pay an eviction penalty per distinct item
+    b.foreach((item, c) => a.add(item, c))
     a.shrinkToCapacity()
     a
   }
@@ -184,10 +188,11 @@ case class TopKFreq(
       val b = new Array[Byte](len)
       buf.get(b)
       val c = buf.getLong
-      s.offer(new String(b, java.nio.charset.StandardCharsets.UTF_8), c)
+      // serialized states are ≤ capacity by construction; add() restores
+      // the exact counters without paying offer()'s eviction logic
+      s.add(new String(b, java.nio.charset.StandardCharsets.UTF_8), c)
       i += 1
     }
-    s.shrinkToCapacity()
     s
   }
 
@@ -212,6 +217,13 @@ object TopKFreq {
   final class State(capacity: Int) {
     private val counts =
       new java.util.HashMap[String, java.lang.Long](capacity * 2)
+
+    /** Unconditional counter add — merge/deserialize path; may leave the
+      * table above capacity until [[shrinkToCapacity]] runs. */
+    def add(item: String, w: Long): Unit = {
+      val cur = counts.get(item)
+      counts.put(item, if (cur != null) cur + w else w)
+    }
 
     def offer(item: String, w: Long): Unit = {
       val cur = counts.get(item)

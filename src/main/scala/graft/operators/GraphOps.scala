@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * shuffles. Frontier dedup per round keeps the join input minimal, and
   * `localCheckpoint` truncates lineage so iteration depth never compounds
   * the plan.
+  *
+  * localCheckpoint caveats (shared by every iterative operator here):
+  * checkpointed partitions live in executor block-manager storage and are
+  * released by the ContextCleaner only after the referencing Datasets are
+  * garbage-collected — a long-lived driver session running many iterative
+  * jobs should expect intermediate rank/frontier snapshots to linger until
+  * the next GC cycle. And the storage is non-fault-tolerant: losing an
+  * executor mid-computation fails the job instead of recomputing (the same
+  * trade documented on `Dedup.simhashNearDups`); for multi-hour cluster
+  * runs, substitute a reliable `checkpoint()` via
+  * `sparkContext.setCheckpointDir`.
   */
 object GraphOps {
 

@@ -368,8 +368,11 @@ object Multimodal {
         walkBoxes(b, from, to) { (t2, f2, to2) =>
           if (t2 == "mvhd" && to2 - f2 >= 20) {
             val v = b(f2) & 0xff
-            if (v == 1 && to2 - f2 >= 32) {
-              timescale = be32(b, f2 + 20); duration = be64(b, f2 + 24)
+            if (v == 1) {
+              // a short v1 box must reject, not fall through to v0 offsets
+              if (to2 - f2 >= 32) {
+                timescale = be32(b, f2 + 20); duration = be64(b, f2 + 24)
+              }
             } else {
               timescale = be32(b, f2 + 12); duration = be32(b, f2 + 16)
             }
@@ -389,7 +392,10 @@ object Multimodal {
         }
       }
     }
-    if (!sawMoov || timescale <= 0 || duration < 0) None
+    // duration is bounded before the ×1000 so a hostile be64 value can't
+    // overflow into a plausible-looking number
+    if (!sawMoov || timescale <= 0 || duration < 0 ||
+      duration > Long.MaxValue / 1000) None
     else Some(VideoInfo("mp4", w, h, duration * 1000 / timescale, tracks))
   }
 
@@ -411,11 +417,17 @@ object Multimodal {
           val p = a + 8
           val usPerFrame = le32(b, p)
           val totalFrames = le32(b, p + 16)
-          val streams = le32(b, p + 24).toInt
-          val w = le32(b, p + 32).toInt
-          val h = le32(b, p + 36).toInt
-          return Some(VideoInfo("avi", w, h,
-            usPerFrame * totalFrames / 1000, streams))
+          val streams = le32(b, p + 24)
+          val w = le32(b, p + 32)
+          val h = le32(b, p + 36)
+          // all fields are untrusted le32 (up to 4.29e9): bound them so the
+          // duration product can't overflow Long and dims/streams can't go
+          // negative through .toInt — hostile values reject as corrupt
+          if (usPerFrame > 1000000000L || totalFrames > 1000000000L ||
+            w > Int.MaxValue || h > Int.MaxValue || streams > 1024)
+            return None
+          return Some(VideoInfo("avi", w.toInt, h.toInt,
+            usPerFrame * totalFrames / 1000, streams.toInt))
         }
         return None
       }
@@ -576,6 +588,12 @@ object Multimodal {
       walkBoxes(bytes, 0, bytes.length) { (t1, f1, to1) =>
         if (t1 == "moov") walkBoxes(bytes, f1, to1) { (t2, f2, to2) =>
           if (t2 == "trak" && sizes == null) {
+            // parse into per-track holders; COMMIT only a complete table,
+            // so a first track with a partial stbl (hint/metadata tracks)
+            // doesn't poison the parse and block later complete tracks
+            var tSizes: Array[Long] = null
+            var tChunks: Array[Long] = null
+            var tRuns: Array[(Long, Long)] = null
             walkBoxes(bytes, f2, to2) { (t3, f3, to3) =>
               if (t3 == "mdia") walkBoxes(bytes, f3, to3) { (t4, f4, to4) =>
                 if (t4 == "minf") walkBoxes(bytes, f4, to4) { (t5, f5, to5) =>
@@ -585,25 +603,25 @@ object Multimodal {
                         val uniform = be32(bytes, f6 + 4)
                         val n = be32(bytes, f6 + 8).toInt
                         if (n >= 0 && n < (1 << 20)) {
-                          if (uniform != 0) sizes = Array.fill(n)(uniform)
+                          if (uniform != 0) tSizes = Array.fill(n)(uniform)
                           else if (to6 - f6 >= 12 + 4L * n)
-                            sizes = Array.tabulate(n)(i =>
+                            tSizes = Array.tabulate(n)(i =>
                               be32(bytes, f6 + 12 + 4 * i))
                         }
                       case "stco" if to6 - f6 >= 8 =>
                         val n = be32(bytes, f6 + 4).toInt
                         if (n >= 0 && n < (1 << 20) && to6 - f6 >= 8 + 4L * n)
-                          chunkOffs = Array.tabulate(n)(i =>
+                          tChunks = Array.tabulate(n)(i =>
                             be32(bytes, f6 + 8 + 4 * i))
                       case "co64" if to6 - f6 >= 8 =>
                         val n = be32(bytes, f6 + 4).toInt
                         if (n >= 0 && n < (1 << 20) && to6 - f6 >= 8 + 8L * n)
-                          chunkOffs = Array.tabulate(n)(i =>
+                          tChunks = Array.tabulate(n)(i =>
                             be64(bytes, f6 + 8 + 8 * i))
                       case "stsc" if to6 - f6 >= 8 =>
                         val n = be32(bytes, f6 + 4).toInt
                         if (n >= 0 && n < (1 << 16) && to6 - f6 >= 8 + 12L * n)
-                          stsc = Array.tabulate(n)(i => (
+                          tRuns = Array.tabulate(n)(i => (
                             be32(bytes, f6 + 8 + 12 * i),
                             be32(bytes, f6 + 12 + 12 * i)))
                       case _ => ()
@@ -612,11 +630,14 @@ object Multimodal {
                 }
               }
             }
+            if (tSizes != null && tChunks != null && tRuns != null &&
+              tRuns.nonEmpty) {
+              sizes = tSizes; chunkOffs = tChunks; stsc = tRuns
+            }
           }
         }
       }
-      if (sizes == null || chunkOffs == null || stsc == null ||
-        stsc.isEmpty) return None
+      if (sizes == null) return None
       // expand stsc runs → samples per chunk, then walk chunks assigning
       // consecutive samples their absolute offsets
       val offsets = new Array[Long](sizes.length)

@@ -70,9 +70,12 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long = 42L): DataFrame = {
     require(k > 0, "k must be positive")
+    // id tie-break: duplicate (id, weight) rows share an ES key, and
+    // without a total order TakeOrderedAndProject would pick by partition
+    // arrival — breaking the reproducibility contract
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("_graft_wkey", esKey(col(idCol), col(weightCol), seed))
-      .orderBy(col("_graft_wkey"))
+      .orderBy(col("_graft_wkey"), col(idCol))
       .limit(k)
       .drop("_graft_wkey")
   }

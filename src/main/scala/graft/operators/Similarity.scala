@@ -202,11 +202,16 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val ds = candidates.select(
-      col(queryCol).cast("long").as("query_id"),
-      col(idCol).cast("long").as("vec_id"),
-      col(simCol).cast("double").as("sim"),
-      col(vecCol).as("vec")).as[MmrCand]
+    // null sims (zero-norm vectors) and NaNs would poison the greedy
+    // argmax (best stays -1) or the non-nullable encoder — drop them, one
+    // bad embedding must not kill the query
+    val ds = candidates
+      .filter(col(simCol).isNotNull && !isnan(col(simCol).cast("double")))
+      .select(
+        col(queryCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("vec_id"),
+        col(simCol).cast("double").as("sim"),
+        col(vecCol).as("vec")).as[MmrCand]
     ds.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
       val cands = it.toArray
       val n = cands.length
@@ -232,17 +237,20 @@ object Similarity {
           }
           i += 1
         }
-        taken(best) = true
-        out += ((qid, cands(best).vec_id, r, bestScore))
-        var j = 0
-        while (j < n) {
-          if (!taken(j)) {
-            val c = cosineLocal(cands(j).vec, cands(best).vec)
-            if (c > maxSel(j)) maxSel(j) = c
+        if (best < 0) r = kk + 1 // defensive: nothing selectable left
+        else {
+          taken(best) = true
+          out += ((qid, cands(best).vec_id, r, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val c = cosineLocal(cands(j).vec, cands(best).vec)
+              if (c > maxSel(j)) maxSel(j) = c
+            }
+            j += 1
           }
-          j += 1
+          r += 1
         }
-        r += 1
       }
       out.result().iterator
     }.toDF("query_id", "vec_id", "mmr_rank", "mmr_score")
