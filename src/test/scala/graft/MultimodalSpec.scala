@@ -254,6 +254,51 @@ class MultimodalSpec extends SparkSpec {
       mp4.take(mp4.length - 5)).isEmpty)
   }
 
+  test("decodeVideoMeta: hostile AVI counters reject instead of overflowing") {
+    val avi = Multimodal.encodeAviStub(320, 240, 40000, 250)
+    // usPerFrame lives at byte 32 (RIFF 12 + LIST hdr 12 + avih hdr 8);
+    // 0xFFFFFFFF × 0xFFFFFFFF would overflow Long into a "valid" duration
+    val bomb = avi.clone()
+    for (i <- 32 until 36) bomb(i) = 0xff.toByte // usPerFrame
+    for (i <- 48 until 52) bomb(i) = 0xff.toByte // totalFrames
+    assert(Multimodal.decodeVideoMeta(bomb).isEmpty)
+    assert(Multimodal.decodeVideoMeta(avi).isDefined) // untouched still parses
+  }
+
+  test("parseMp4Samples: partial first track doesn't block a complete one") {
+    // hand-rolled two-track file: trak1 has stsz but NO stco/stsc (the
+    // hint/metadata-track shape); trak2 carries the full sample table
+    def box(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(tag.getBytes); bb.put(body)
+      bb.array()
+    }
+    def be(vals: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vals.length)
+      vals.foreach(bb.putInt); bb.array()
+    }
+    val samples = Array(Array.fill(6)(7.toByte), Array.fill(9)(8.toByte))
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0) ++ "isom".getBytes)
+    val stszPartial = box("stsz", be(0, 0, 1, 4))
+    val trak1 = box("trak", box("mdia", box("minf", box("stbl", stszPartial))))
+    def trak2(mdatPayloadOff: Int): Array[Byte] = box("trak",
+      box("mdia", box("minf", box("stbl",
+        box("stsz", be(0, 0, 2, 6, 9)) ++
+          box("stsc", be(0, 1, 1, 2, 1)) ++
+          box("stco", be(0, 1, mdatPayloadOff))))))
+    // assemble once with a dummy offset to measure, then for real
+    val dryMoov = box("moov", trak1 ++ trak2(0))
+    val off = ftyp.length + dryMoov.length + 8
+    val file = ftyp ++ box("moov", trak1 ++ trak2(off)) ++
+      box("mdat", samples.flatten)
+    val st = Multimodal.parseMp4Samples(file).get
+    assert(st.sizes.toSeq == Seq(6L, 9L))
+    assert(java.util.Arrays.copyOfRange(file, st.offsets(0).toInt,
+      st.offsets(0).toInt + 6).forall(_ == 7.toByte))
+    assert(java.util.Arrays.copyOfRange(file, st.offsets(1).toInt,
+      st.offsets(1).toInt + 9).forall(_ == 8.toByte))
+  }
+
   test("sampleVideoFrames: stride-samples real frames, skips non-MP4 rows") {
     val df = Seq(
       (1L, Multimodal.encodeMp4WithSamples(8, 8, 100L,
