@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("fingerprint64"),
       info("fingerprint64", "fingerprint64(str) - 64-bit rolling-hash fingerprint."),
       exprs => Fingerprint64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(str) - one-pass 64-bit SimHash over whitespace tokens."),
+      exprs => SimHash64(exprs.head)))
     ext.injectFunction((FunctionIdentifier("token_shingles"),
       info("token_shingles",
         "token_shingles(str, n) - whitespace-token n-gram shingle array."),

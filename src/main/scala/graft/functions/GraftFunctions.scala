@@ -17,6 +17,8 @@ object GraftFunctions {
       "ascii_fold", exprs => AsciiFold(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 
   /** F1: NFKD → ASCII fold (see [[AsciiFold]]). Session must be

@@ -75,6 +75,53 @@ object TextKernels {
     h
   }
 
+  /** One-pass SimHash-64 kernel: scan the string's UTF-8 bytes for
+    * whitespace-delimited tokens (ASCII ws bytes never occur inside
+    * multi-byte code points, so the byte scan is UTF-8-safe), hash each
+    * token in place with Spark's XXH64 (seed 42 — bit-identical to
+    * `xxhash64(token)`), and accumulate the ±1 per-bit sums. Replaces an
+    * explode → 64-column hash aggregation with a narrow per-row map: the
+    * token stream never materializes and nothing shuffles. Fingerprints
+    * match the aggregation formulation exactly for space-trimmed text
+    * (boundary nuance: this kernel never emits empty tokens, where
+    * `split(trim(s), "\\s+")` yields one for text starting with
+    * non-space whitespace). */
+  def simHash64(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    val counts = new Array[Int](64)
+    var i = 0
+    var start = -1
+    while (i <= len) {
+      val ws = i == len || {
+        val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' ||
+          b == '\r'
+      }
+      if (ws) {
+        if (start >= 0) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(base, off + start, i - start, 42L)
+          var b = 0
+          while (b < 64) {
+            counts(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
+            b += 1
+          }
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
   /** English stopword list shared by the regex and kernel paths. */
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",

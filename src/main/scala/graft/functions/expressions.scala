@@ -63,6 +63,24 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass SimHash-64 fingerprint as a codegen'd expression
+  * ([[TextKernels.simHash64]]) — the narrow-map replacement for the
+  * explode + 64-column aggregation formulation of the same hash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** One-pass text statistics as a codegen'd struct expression — fuses the
   * ~6 regex scans the token/punct/stopword/BPE column compositions used
   * into a single character loop ([[TextKernels.textProfile]]). Downstream

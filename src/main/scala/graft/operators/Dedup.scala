@@ -151,22 +151,17 @@ object Dedup {
 
   /** SimHash 64-bit fingerprint: per token-hash bit b, sum ±1 across the
     * document's tokens; bit b of the fingerprint is 1 iff the sum is
-    * positive. Explode + 64-column hash-aggregation: the sums partial-
-    * aggregate map-side (fully codegen'd), so the shuffle carries one
-    * 64-column row per doc per partition — not the tokens. */
+    * positive. Computed by the one-pass [[graft.functions.SimHash64]]
+    * codegen kernel — a NARROW per-row map: the token stream never
+    * materializes, nothing shuffles, and the whole fingerprint stage
+    * disappears from the exchange graph (the previous explode + 64-column
+    * hash-aggregation formulation shuffled one 64-column row per doc per
+    * partition; same fingerprints, one less shuffle). */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("_h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-        .as(s"_s$b")
-    }
-    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce[Column](_ bitwiseOR _)
-    sums.select(col(idCol), fp.as("simhash"))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    df.select(col(idCol),
+      ColumnShim.column(graft.functions.SimHash64(
+        ColumnShim.expression(col(textCol)))).as("simhash"))
   }
 
   /** SimHash near-dups: Hamming distance ≤ `maxHamming` between

@@ -59,6 +59,37 @@ class DedupSpec extends SparkSpec {
     assert(ham(m(0L), m(2L)) < ham(m(0L), m(3L)))
   }
 
+  test("simhash64 kernel ≡ explode + 64-column aggregation formulation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "single"),
+      (4L, "a  b\tc\nd"), // runs of mixed whitespace collapse
+      (5L, "repeated repeated repeated words words"))
+      .toDF("doc_id", "text")
+    val kernel = Dedup.simhash64(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the original aggregation formulation, reconstructed inline
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("_h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"_s$b")
+    }
+    val fp = (0 until 64).map { b =>
+      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == agg)
+    // and the kernel plan is narrow: no Exchange for the fingerprints
+    val plan = Dedup.simhash64(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("simhashNearDups band blocking finds the dup pair") {
     val fps = Dedup.simhash64(docs, "text", "doc_id")
     val pairs = Dedup.simhashNearDups(fps, "doc_id", maxHamming = 10)
