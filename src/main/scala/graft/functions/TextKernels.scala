@@ -75,6 +75,54 @@ object TextKernels {
     h
   }
 
+  /** One-pass MinHash kernel: materialize each token n-gram shingle once
+    * (same trim/split/join semantics as [[shingles]]), then fold it into
+    * all `k` seeded minimums — seed_i = XXH64(i, 42), shingle hash =
+    * XXH64 bytes-continuation, bit-identical to
+    * `min(xxhash64(lit(i), shingle))` over the exploded shingle stream.
+    * Returns an empty array when the text has fewer than `n` tokens
+    * (callers filter those rows out, matching the aggregation
+    * formulation where such docs simply produced no group). */
+  def minhashSignature(s: UTF8String, n: Int,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.toString.trim.split("\\s+")
+    val count = toks.length - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      seeds(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(i, 42L)
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var w = 0
+    while (w < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(w + j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0
+      while (h < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, seeds(h))
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(x => x: Any))
+  }
+
   /** One-pass SimHash-64 kernel: scan the string's UTF-8 bytes for
     * whitespace-delimited tokens (ASCII ws bytes never occur inside
     * multi-byte code points, so the byte scan is UTF-8-safe), hash each

@@ -81,6 +81,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass MinHash signature as a codegen'd expression
+  * ([[TextKernels.minhashSignature]]): `array<long>` of `numHashes`
+  * seeded minimums over the text's `shingleSize`-token shingles; empty
+  * array when the text is too short. Bit-identical to the explode +
+  * k-column min-aggregation formulation, as a narrow map. */
+case class MinHashSignature(child: Expression, shingleSize: Int,
+    numHashes: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignature(input.asInstanceOf[UTF8String],
+      shingleSize, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minhashSignature($c, $shingleSize, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 /** One-pass text statistics as a codegen'd struct expression — fuses the
   * ~6 regex scans the token/punct/stopword/BPE column compositions used
   * into a single character loop ([[TextKernels.textProfile]]). Downstream

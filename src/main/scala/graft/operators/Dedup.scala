@@ -40,23 +40,34 @@ object Dedup {
   }
 
   /** k seeded min-hashes of a shingle set: minhash_i = min over shingles of
-    * xxhash64(i, shingle), via explode + hash-aggregation.
+    * xxhash64(i, shingle), computed by the one-pass
+    * [[graft.functions.MinHashSignature]] codegen kernel — a NARROW map
+    * (no explode, no aggregation, no exchange). Bit-identical hashes to
+    * the explode + k-column min-aggregation formulation; whole-stage
+    * codegen's subexpression elimination evaluates the kernel once per row
+    * however many `mh_i` columns the projection reads. (A higher-order
+    * `array_min(transform(...))` formulation was also tried and lost 2.3×:
+    * HOFs are CodegenFallback.)
     *
-    * Scale note: this does NOT shuffle the exploded shingles — the k `min`s
-    * partial-aggregate map-side in the same stage as the explode, so the
-    * shuffle carries one (id, k longs) row per doc per partition. (A
-    * "narrow" array_min(transform(...)) formulation avoids the explode but
-    * loses: higher-order functions are CodegenFallback and Catalyst's
-    * project-collapse recomputes the shingle array per signature column —
-    * measured 2.3× slower at sf0.1.) */
+    * Docs with fewer than `shingleSize` tokens produce no row (same as the
+    * aggregation formulation, where they had no group). One deliberate
+    * divergence: with `shingleSize = 1`, empty/whitespace-only text used
+    * to emit a signature over the single empty-string shingle — it is now
+    * excluded, so blank boilerplate can never band together as "near
+    * duplicates" of each other on hash(""). */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(shingles(col(textCol), shingleSize)).as("_shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("_shingle"))).as(s"mh_$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sig = ColumnShim.column(graft.functions.MinHashSignature(
+      ColumnShim.expression(col(textCol)), shingleSize, numHashes))
+    // cheap token-count pre-filter (one fused profile scan) so the k-hash
+    // kernel below runs exactly once per surviving row — filtering on
+    // size(sig) instead would re-evaluate the kernel in the filter
+    df.filter(graft.functions.GraftFunctions.token_count_ws(col(textCol))
+        >= shingleSize)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(sig, i + 1).as(s"mh_$i")): _*)
   }
 
   /** LSH banding: signature of `numHashes` rows split into `bands` bands of

@@ -59,6 +59,32 @@ class DedupSpec extends SparkSpec {
     assert(ham(m(0L), m(2L)) < ham(m(0L), m(3L)))
   }
 
+  test("minhashSignatures kernel ≡ explode + min-aggregation formulation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "one two"), // exactly shingleSize tokens → 1 shingle
+      (4L, "short"), // fewer than shingleSize → no row
+      (5L, "a  b\tc\nd e f g h")) // messy whitespace
+      .toDF("doc_id", "text")
+    val k = 16
+    val kernel = Dedup.minhashSignatures(docs, "text", "doc_id", k, 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // the original aggregation formulation, reconstructed inline
+    val exploded = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 2)).as("_shingle"))
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("_shingle"))).as(s"mh_$i"))
+    val agg = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(kernel == agg)
+    assert(!kernel.contains(4L)) // too-short doc excluded on both paths
+    // narrow plan: no Exchange anywhere in the signature stage
+    val plan = Dedup.minhashSignatures(docs, "text", "doc_id", k, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("simhash64 kernel ≡ explode + 64-column aggregation formulation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
