@@ -723,6 +723,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G5: connected components on the heterogeneous graph — every
+    // region's customers/suppliers/nations form one component. The oracle
+    // derives each node's component from the known structure (min id per
+    // region group), checking the generic min-label propagation against
+    // ground truth. ----
+    "q_g5_components" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        (col("c_custkey").cast("long") * 4).as("start_id"),
+        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val supp = t(s, dir, "supplier").select(
+        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val nat = t(s, dir, "nation").select(
+        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
+        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
+      GraphOps.connectedComponents(
+        cust.unionByName(supp).unionByName(nat))
+        .orderBy("id")
+    }),
+
     // ---- G4: triangle counting on the part co-occurrence graph (parts
     // sharing an order, 5% order subset to bound the clique expansion —
     // every ≥3-part order contributes triangles). Degree-ordered wedge
@@ -1460,6 +1480,22 @@ object SparkEntry {
         |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
         |         GROUP BY e.dst) f USING (id))
         |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    // Ground truth from the known topology: a node's component is the
+    // smallest namespaced id sharing its region.
+    "q_g5_components" ->
+      """WITH nodes AS (
+        |  SELECT c_custkey*4 AS id, n_regionkey AS rk
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, n_regionkey
+        |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT r_regionkey*4+3, r_regionkey FROM region)
+        |SELECT id, min(id) OVER (PARTITION BY rk) AS component
+        |FROM nodes ORDER BY id""".stripMargin,
 
     // PPR unrolled like q_g3, with reset/dangling mass flowing to the seed
     // indicator s(v) instead of 1/N; (1 - 0.85) written as the expression

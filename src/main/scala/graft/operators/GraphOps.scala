@@ -52,6 +52,19 @@ object GraphOps {
           s"direction must be out | in | total, got '$other'")
     }
 
+  /** Connected components over an edge table (edge direction ignored):
+    * each node labelled with the smallest node id in its component —
+    * the graph-surface entry point for [[Dedup.connectedComponents]]'
+    * min-label propagation + pointer jumping (O(log diameter) rounds).
+    * Output: (`id`, `component`); isolated endpoints label themselves. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val vertices = edges.select(col(StartId).as("id"))
+      .unionAll(edges.select(col(EndId).as("id"))).distinct()
+    val pairs = edges.select(col(StartId).as("id_a"), col(EndId).as("id_b"))
+    Dedup.connectedComponents(vertices, "id", pairs, maxIter)
+      .select(col("id"), col("comp").as("component"))
+  }
+
   /** PageRank over a directed edge table — power iteration with the
     * standard damping model and dangling-mass redistribution:
     *

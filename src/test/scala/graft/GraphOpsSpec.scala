@@ -24,6 +24,16 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.degrees(multi, "sideways"))
   }
 
+  test("connectedComponents: min-label per component, direction ignored") {
+    // chain 0-1-2-3 (mixed directions) + cycle 4-5 + pendant 9-2
+    val g = Seq((1L, 0L), (1L, 2L), (3L, 2L), (4L, 5L), (5L, 4L), (9L, 2L))
+      .toDF("start_id", "end_id")
+    val out = GraphOps.connectedComponents(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 0L,
+      4L -> 4L, 5L -> 4L))
+  }
+
   test("personalizedPageRank: mass conserved, proximity to seeds, zeros far") {
     // two disjoint 2-cycles; seed only in the first
     val g = Seq((0L, 1L), (1L, 0L), (8L, 9L), (9L, 8L))
