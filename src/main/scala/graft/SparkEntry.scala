@@ -603,6 +603,20 @@ object SparkEntry {
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
 
+    // ---- X10: one-call corpus curation (quality → dedup → decontaminate
+    // → per-lang quota) — the end-to-end composition; output is the
+    // decision report aggregated per stage (rows-only: dedup stage is
+    // hash-based). ----
+    "q_x10_curate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (_, report) = Curation.curateCorpus(
+        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
+        minWords = 20, dedupThreshold = 0.8, contaminationShingle = 3,
+        quotaGroupCol = Some("lang"), quotaPerGroup = 40)
+      report.groupBy("stage").agg(count(lit(1)).as("n")).orderBy("stage")
+    }),
+
     // ---- X4h: heavy hitters via the Misra–Gries typed aggregate —
     // bounded O(capacity) state instead of a full vocabulary groupBy. The
     // corpus vocabulary fits the capacity, so the sketch runs in its exact

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** End-to-end corpus curation: every drop attributable to its stage. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longClean =
+    "the quick brown fox jumps over the lazy dog and then the dog " +
+      "wanders off to find a quiet spot in the garden for a nap"
+
+  test("curateCorpus: each stage drops exactly its targets, report totals") {
+    val bench = Seq((100L, "what is the capital of france paris obviously"))
+      .toDF("qid", "question")
+    val docs = Seq(
+      (1L, "en", longClean), // kept
+      (2L, "en", longClean), // exact dup of 1 → dedup drop
+      (3L, "en", "too short"), // quality drop
+      (4L, "en", "trivia time what is the capital of france paris " +
+        "obviously said the guide while we all listened and took notes " +
+        "on the long walking tour of the old city"), // decontamination drop
+      (5L, "fr", longClean + " encore une fois pour la version francaise"))
+      .toDF("doc_id", "lang", "text")
+    val (kept, report) = Curation.curateCorpus(
+      docs, "text", "doc_id", bench, "question", "qid",
+      minWords = 5, contaminationShingle = 4)
+    val decisions = report.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(decisions(3L) == ("quality", "dropped"))
+    assert(decisions(2L) == ("dedup", "dropped"))
+    assert(decisions(4L) == ("decontamination", "dropped"))
+    assert(decisions(1L) == ("kept", "kept"))
+    assert(decisions(5L) == ("kept", "kept"))
+    assert(decisions.size == 5) // one verdict per input doc, no gaps
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 5L))
+    assert(kept.columns.toSeq == docs.columns.toSeq) // schema untouched
+  }
+
+  test("curateCorpus: quota stage caps per group and is attributable") {
+    val bench = Seq((9L, "zzz qqq yyy xxx www")).toDF("qid", "question")
+    // 6 distinct long-enough docs in one lang, quota 2
+    val docs = (1L to 6L).map(i =>
+      (i, "en", longClean +
+        s" alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "lang", "text")
+    val (kept, report) = Curation.curateCorpus(
+      docs, "text", "doc_id", bench, "question", "qid",
+      minWords = 5, quotaGroupCol = Some("lang"), quotaPerGroup = 2)
+    assert(kept.count() == 2)
+    val byStage = report.groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage("quota") == 4L && byStage("kept") == 2L)
+    // deterministic: same quota winners on re-run
+    val (kept2, _) = Curation.curateCorpus(
+      docs, "text", "doc_id", bench, "question", "qid",
+      minWords = 5, quotaGroupCol = Some("lang"), quotaPerGroup = 2)
+    assert(kept2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}
