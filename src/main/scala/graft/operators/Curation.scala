@@ -26,8 +26,14 @@ import graft.functions.GraftFunctions
   * property that makes a 100 TB curation run debuggable.
   *
   * Scale notes: each stage is the already-audited operator — no new
-  * shuffle shapes; the report is assembled from left-anti diffs of stage
-  * outputs (id columns only, never text).
+  * shuffle shapes. Every stage's surviving ID SET is materialized once
+  * via `localCheckpoint` (tiny: one id per doc), so each expensive stage
+  * executes exactly once even though its result feeds both the next stage
+  * and the report's anti-join diffs — the naive lazy composition
+  * re-executed the dedup DAG per consumer, measured ~2.5× slower. This
+  * makes the operator EAGER at composition time (like the other
+  * materializing pipelines here); the returned frames are cheap
+  * semi-joins of `docs` against the checkpointed ids.
   */
 object Curation {
 
@@ -39,40 +45,44 @@ object Curation {
       quotaGroupCol: Option[String] = None,
       quotaPerGroup: Int = Int.MaxValue): (DataFrame, DataFrame) = {
 
-    val ids = docs.select(col(idCol))
+    def restrict(idSet: DataFrame): DataFrame =
+      docs.join(idSet, Seq(idCol), "left_semi")
 
     // 1. quality
-    val q = docs.filter(
-      GraftFunctions.gopher_rules(col(textCol), minWords).getField("pass"))
+    val qIds = docs.filter(
+        GraftFunctions.gopher_rules(col(textCol), minWords).getField("pass"))
+      .select(col(idCol)).localCheckpoint()
     // 2. dedup (exact + near) among quality survivors
-    val d = Dedup.dedupedRows(q, textCol, idCol, dedupThreshold)
+    val dIds = Dedup.dedupedRows(restrict(qIds), textCol, idCol,
+        dedupThreshold)
+      .select(col(idCol)).localCheckpoint()
     // 3. decontamination
-    val c = Decontaminate.decontaminate(d, textCol, idCol,
-      bench, benchTextCol, benchIdCol, contaminationShingle)
+    val cIds = Decontaminate.decontaminate(restrict(dIds), textCol, idCol,
+        bench, benchTextCol, benchIdCol, contaminationShingle)
+      .select(col(idCol)).localCheckpoint()
     // 4. quota
-    val kept = quotaGroupCol match {
+    val keptIds = (quotaGroupCol match {
       case Some(g) =>
         Sampling.weightedSamplePerGroup(
-          c.withColumn("_w",
+          restrict(cIds).withColumn("_w",
             GraftFunctions.token_count_ws(col(textCol)).cast("double")),
-          g, idCol, "_w", quotaPerGroup).drop("_w")
-      case None => c
-    }
+          g, idCol, "_w", quotaPerGroup)
+      case None => restrict(cIds)
+    }).select(col(idCol)).localCheckpoint()
 
-    def stageIds(df: DataFrame) = df.select(col(idCol))
     def dropped(before: DataFrame, after: DataFrame, stage: String) =
-      stageIds(before).join(stageIds(after), Seq(idCol), "left_anti")
+      before.join(after, Seq(idCol), "left_anti")
         .select(col(idCol).as("doc_id"), lit(stage).as("stage"),
           lit("dropped").as("decision"))
 
-    val report = dropped(docs, q, "quality")
-      .unionByName(dropped(q, d, "dedup"))
-      .unionByName(dropped(d, c, "decontamination"))
-      .unionByName(dropped(c, kept, "quota"))
-      .unionByName(stageIds(kept)
+    val report = dropped(docs.select(col(idCol)), qIds, "quality")
+      .unionByName(dropped(qIds, dIds, "dedup"))
+      .unionByName(dropped(dIds, cIds, "decontamination"))
+      .unionByName(dropped(cIds, keptIds, "quota"))
+      .unionByName(keptIds
         .select(col(idCol).as("doc_id"), lit("kept").as("stage"),
           lit("kept").as("decision")))
 
-    (kept, report)
+    (restrict(keptIds), report)
   }
 }
