@@ -34,6 +34,23 @@ object SparkEntry {
     }
   }
 
+  /** Heterogeneous analytics graph shared by the G3/G3b/G5 queries:
+    * customer→nation, supplier→nation, nation→region, with node ids
+    * namespaced by ×4 + type tag so the key spaces can't collide. The
+    * oracles re-derive the same edges in SQL. */
+  private def heteroEdges(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(
+      (col("c_custkey").cast("long") * 4).as("start_id"),
+      (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
+    val supp = t(s, dir, "supplier").select(
+      (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+      (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
+    val nat = t(s, dir, "nation").select(
+      (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
+      (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
+    cust.unionByName(supp).unionByName(nat)
+  }
+
   /** The graph-spec fixture (FIXTURES.md §2) over the TPC-H-ish tables,
     * in the reference's config grammar. */
   def fixtureYaml(dir: String): String =
@@ -700,16 +717,7 @@ object SparkEntry {
     // power iteration in plain SQL; dangling mass (regions have no
     // out-edges) redistributes uniformly. ----
     "q_g3_pagerank" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").select(
-        (col("c_custkey").cast("long") * 4).as("start_id"),
-        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
-      val supp = t(s, dir, "supplier").select(
-        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
-        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
-      val nat = t(s, dir, "nation").select(
-        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
-        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
-      GraphOps.pageRank(cust.unionByName(supp).unionByName(nat),
+      GraphOps.pageRank(heteroEdges(s, dir),
         damping = 0.85, iterations = 3)
         .select(col("id"), round(col("rank"), 8).as("rank"))
         .orderBy("id")
@@ -719,19 +727,9 @@ object SparkEntry {
     // the seed distribution (customers 0..9); ranks measure proximity to
     // the seeds. Same unrolled-SQL oracle scheme as q_g3. ----
     "q_g3b_ppr" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").select(
-        (col("c_custkey").cast("long") * 4).as("start_id"),
-        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
-      val supp = t(s, dir, "supplier").select(
-        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
-        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
-      val nat = t(s, dir, "nation").select(
-        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
-        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
       val seeds = t(s, dir, "customer").filter(col("c_custkey") < 10)
         .select((col("c_custkey").cast("long") * 4).as("id"))
-      GraphOps.personalizedPageRank(
-        cust.unionByName(supp).unionByName(nat), seeds,
+      GraphOps.personalizedPageRank(heteroEdges(s, dir), seeds,
         damping = 0.85, iterations = 3)
         .select(col("id"), round(col("rank"), 8).as("rank"))
         .orderBy("id")
@@ -742,20 +740,8 @@ object SparkEntry {
     // derives each node's component from the known structure (min id per
     // region group), checking the generic min-label propagation against
     // ground truth. ----
-    "q_g5_components" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").select(
-        (col("c_custkey").cast("long") * 4).as("start_id"),
-        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
-      val supp = t(s, dir, "supplier").select(
-        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
-        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
-      val nat = t(s, dir, "nation").select(
-        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
-        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
-      GraphOps.connectedComponents(
-        cust.unionByName(supp).unionByName(nat))
-        .orderBy("id")
-    }),
+    "q_g5_components" -> ((s, dir) =>
+      GraphOps.connectedComponents(heteroEdges(s, dir)).orderBy("id")),
 
     // ---- G4: triangle counting on the part co-occurrence graph (parts
     // sharing an order, 5% order subset to bound the clique expansion —
