@@ -30,6 +30,23 @@ object CorpusExport {
       .parquet(path)
   }
 
+  /** Range-sharded, within-file-sorted JSON-Lines export — the same
+    * ordering/sharding contract as [[writeSharded]] in the format most
+    * training loaders stream natively (one JSON object per line, gzip per
+    * part file so shards stay independently decompressible). Use parquet
+    * for analytical re-reads; jsonl is the hand-off format. */
+  def writeShardedJsonl(df: DataFrame, path: String, sortCol: String,
+      numShards: Int, maxRecordsPerFile: Long,
+      compress: Boolean = true): Unit = {
+    require(numShards >= 1 && maxRecordsPerFile >= 1)
+    val w = df.repartitionByRange(numShards, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** Z-ordered export: cluster files along the Morton curve of TWO key
     * columns, so parquet min/max footer stats prune files for predicates
     * on EITHER column — a plain sort only prunes its leading column.

@@ -11,6 +11,31 @@ import graft.operators.{CorpusExport, GraphBuilder}
 class CorpusExportSpec extends SparkSpec {
   import spark.implicits._
 
+  test("writeShardedJsonl: loader hand-off format keeps order and caps") {
+    val tmp = Files.createTempDirectory("graft-jsonl").toString + "/corpus"
+    val df = spark.read.parquet(sf() + "/documents.parquet") // 500 docs
+    CorpusExport.writeShardedJsonl(df, tmp, "doc_id",
+      numShards = 4, maxRecordsPerFile = 60)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length >= 9) // 500 rows / 60-cap over 4 range shards
+    // each part is independently gzip-decompressable, one JSON doc per
+    // line, sorted within the file
+    val first = files.minBy(_.getName)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(first))))
+    val ids = Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .map(l => "\"doc_id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(l).get
+        .group(1).toLong)
+      .toSeq
+    in.close()
+    assert(ids.nonEmpty && ids.size <= 60)
+    assert(ids == ids.sorted)
+    // full round-trip: nothing lost
+    assert(spark.read.json(tmp).count() == 500)
+  }
+
   test("writeSharded: contiguous disjoint ranges, sorted files, record cap") {
     val tmp = Files.createTempDirectory("graft-export").toString + "/corpus"
     val df = spark.read.parquet(sf() + "/documents.parquet") // 500 docs
