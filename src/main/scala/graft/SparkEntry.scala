@@ -711,6 +711,17 @@ object SparkEntry {
         .orderBy("query_id", "mmr_rank")
     }),
 
+    // ---- X9c: BM25 document search — rank docs for a fixed query string
+    // (sparse-retrieval counterpart of the X3 dense search). k covers the
+    // whole corpus so the oracle compare has no top-k boundary to straddle
+    // on float ulps; ordering is by the ROUNDED score for the same reason.
+    // ----
+    "q_x9c_bm25_search" -> ((s, dir) =>
+      Relevance.searchBm25(t(s, dir, "documents"), "doc_id", "text",
+        "data model the", k = 100000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // ---- G3: PageRank over a heterogeneous graph (customer→nation,
     // supplier→nation, nation→region; node ids namespaced by ×4+tag so key
     // spaces don't collide). 3 iterations so the oracle can unroll the
@@ -1403,6 +1414,26 @@ object SparkEntry {
         |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_x9c_bm25_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.doc_len
+        |        / al.avg_len))), 6) AS score
+        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |WHERE tf.token IN ('data', 'model', 'the')
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id""".stripMargin,
 
     // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.

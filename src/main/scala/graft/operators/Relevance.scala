@@ -75,4 +75,23 @@ object Relevance {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("_len").as("doc_len"), col("idf"), col("bm25"))
   }
+
+  /** BM25 document search: rank docs for a literal query string by the sum
+    * of their BM25 weights over the query's (distinct) terms — the sparse
+    * retrieval counterpart of [[Similarity.bruteForceTopK]]. Ties break by
+    * doc id. The term filter is pushed below the weight computation, so
+    * only postings of query terms are scored; `orderBy.limit` plans as
+    * TakeOrderedAndProject (per-partition top-k, no global sort). */
+  def searchBm25(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one token")
+    bm25(docs, idCol, textCol, k1, b)
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id").agg(sum("bm25").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

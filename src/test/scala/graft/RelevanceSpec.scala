@@ -45,6 +45,32 @@ class RelevanceSpec extends SparkSpec {
     assert(out((1L, "b"))._2 >= 0.0 && out((1L, "b"))._2 < w(1, 2, 2))
   }
 
+  test("searchBm25: ranks by summed term weights, rarest term dominates") {
+    val corpus = Seq(
+      (1L, "apple banana cherry date"), // both query terms
+      (2L, "apple apple apple apple"), // common term only, saturated tf
+      (3L, "banana fig grape kiwi"), // rare term only
+      (4L, "lemon mango nectarine orange")) // no query terms → absent
+      .toDF("id", "text")
+    // "banana" df=2, "apple" df=2 — equal idf; doc 1 has both terms
+    val hits = Relevance.searchBm25(corpus, "id", "text", "apple banana",
+      k = 10).collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(hits.map(_._1).head == 1L) // two terms beat one
+    assert(hits.map(_._1).toSet == Set(1L, 2L, 3L)) // doc 4 not returned
+    assert(hits.map(_._2).toSeq == hits.map(_._2).sortBy(-_).toSeq)
+    // k caps the hit list
+    assert(Relevance.searchBm25(corpus, "id", "text", "apple banana",
+      k = 1).count() == 1)
+    // duplicate query tokens don't double-count
+    val dup = Relevance.searchBm25(corpus, "id", "text",
+      "apple apple banana", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(dup(1L) - hits.toMap.apply(1L)) < 1e-12)
+    assertThrows[IllegalArgumentException] {
+      Relevance.searchBm25(corpus, "id", "text", "   ", k = 5)
+    }
+  }
+
   test("tfidf composes lazily — no eager jobs at definition time") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Relevance.tfidf(docs, "id", "text") // compose only
