@@ -711,6 +711,29 @@ object SparkEntry {
         .orderBy("query_id", "mmr_rank")
     }),
 
+    // ---- X3e: hybrid retrieval — RRF fusion of the dense cosine top-20
+    // (query vector = embedding 0) and the sparse BM25 top-20 over the
+    // same id space. RRF scores are sums of exact reciprocals, identical
+    // across engines, so the fusion is fully oracle-checkable. ----
+    "q_x3e_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "embedding", "vec_id", k = 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      // global window is fine: it ranks the (bounded) scored hit list,
+      // not the corpus
+      val sparse = Relevance.searchBm25(t(s, dir, "documents"), "doc_id",
+        "text", "data model the", k = 100000)
+        .select(col("doc_id").as("id"), round(col("score"), 6).as("_s"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("_s").desc, col("id"))))
+        .filter(col("rank") <= 20).select("id", "rank")
+      Similarity.rrfFuse(Seq(dense, sparse), "id", "rank", k = 10)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"),
+          col("n_lists"))
+        .orderBy(col("rrf_score").desc, col("id"))
+    }),
+
     // ---- X9c: BM25 document search — rank docs for a fixed query string
     // (sparse-retrieval counterpart of the X3 dense search). k covers the
     // whole corpus so the oracle compare has no top-k boundary to straddle
@@ -1414,6 +1437,56 @@ object SparkEntry {
         |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // Dense leg mirrors the q_x3 oracle; sparse leg mirrors q_x9c; RRF
+    // reciprocals are exact doubles on both engines, so the fused top-10
+    // set and order are deterministic.
+    "q_x3e_hybrid_rrf" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings
+        |      WHERE vec_id <> 0),
+        |prod AS (
+        |  SELECT vec_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+        |  FROM (SELECT vec_id, unnest(qv) AS x, unnest(cv) AS y
+        |        FROM q JOIN c ON true)
+        |  GROUP BY vec_id),
+        |dense AS (
+        |  SELECT vec_id AS id,
+        |    row_number() OVER (ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC,
+        |      vec_id) AS rank
+        |  FROM prod QUALIFY rank <= 20),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens),
+        |scored AS (
+        |  SELECT tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.doc_len
+        |          / al.avg_len))), 6) AS s
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |  WHERE tf.token IN ('data', 'model', 'the')
+        |  GROUP BY tf.doc_id),
+        |sparse AS (
+        |  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank
+        |  FROM scored QUALIFY rank <= 20),
+        |fused AS (
+        |  SELECT id, CAST(1.0 AS DOUBLE)/(60 + rank) AS r FROM dense
+        |  UNION ALL SELECT id, CAST(1.0 AS DOUBLE)/(60 + rank) FROM sparse),
+        |topk AS (
+        |  SELECT id, sum(r) AS s, count(*) AS n_lists FROM fused
+        |  GROUP BY id ORDER BY s DESC, id LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS rrf_score, n_lists FROM topk
+        |ORDER BY rrf_score DESC, id""".stripMargin,
 
     "q_x9c_bm25_search" ->
       """WITH tok AS (

@@ -159,6 +159,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009): each
+    * list contributes `1/(c + rank)` per member, summed per id — the
+    * standard way to combine dense ([[bruteForceTopK]]/[[ivfTopK]]) and
+    * sparse ([[graft.operators.Relevance.searchBm25]]) retrieval without
+    * score calibration. Output: (`id`, `rrf_score`, `n_lists` — how many
+    * input rankings contained the id), top `k` by (score desc, id).
+    *
+    * Scale notes: pure union + groupBy on the (small) ranked lists —
+    * retrieval fan-in, not corpus-sized work; `orderBy.limit` is
+    * TakeOrderedAndProject. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1 && c >= 0, "k must be >= 1 and c >= 0")
+    rankings.map(_.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(c) + col(rankCol))).as("_rrf")))
+      .reduce(_.unionByName(_))
+      .groupBy("id")
+      .agg(sum("_rrf").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
+  }
+
   /** One (query, candidate) row for [[mmrRerank]]. */
   final case class MmrCand(
       query_id: Long, vec_id: Long, sim: Double, vec: Array[Float])

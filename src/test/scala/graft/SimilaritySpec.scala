@@ -162,6 +162,20 @@ class SimilaritySpec extends SparkSpec {
     assert(cells <= 16 && cells > 1)
   }
 
+  test("rrfFuse: consensus ids outrank single-list ids, exact reciprocals") {
+    val dense = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val sparse = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(dense, sparse), "id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // 11 is in both lists → top, with n_lists = 2
+    assert(out.head._1 == 11L && out.head._3 == 2L)
+    assert(math.abs(out.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    // singles ranked by their reciprocal; k caps
+    assert(out.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(Similarity.rrfFuse(Seq(dense, sparse), "id", "rank", k = 2)
+      .count() == 2)
+  }
+
   test("mmrRerank: near-duplicate of the top result is demoted") {
     // query-relevance: a=0.99, a'=0.98 (a' ≈ duplicate of a), c=0.80
     // (orthogonal-ish). Plain ranking: a, a', c. MMR λ=0.5 must pick the
