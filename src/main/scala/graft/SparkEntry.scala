@@ -711,6 +711,27 @@ object SparkEntry {
         .orderBy("query_id", "mmr_rank")
     }),
 
+    // ---- histogram: fixed-width value binning (corpus statistics the
+    // reference's post-import Cypher would do) ----
+    "q_histogram_prices" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select((floor(col("l_extendedprice") / 5000) * 5000)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // ---- X3f: JL random projection — shrink embeddings 128→16 before
+    // the similarity tier; deterministic (hash-derived signs), rows-only
+    // (seeded-hash signs aren't ANSI-expressible). Projected norms ride
+    // along as evidence the kernel ran. ----
+    "q_x3f_random_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VF.random_project(col("embedding"), 16).as("proj"))
+        .select(col("vec_id"), size(col("proj")).as("dim"),
+          round(VF.l2_norm(col("proj")), 4).as("norm"))
+        .orderBy("vec_id")),
+
     // ---- X3e: hybrid retrieval — RRF fusion of the dense cosine top-20
     // (query vector = embedding 0) and the sparse BM25 top-20 over the
     // same id space. RRF scores are sums of exact reciprocals, identical
@@ -1437,6 +1458,11 @@ object SparkEntry {
         |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_histogram_prices" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT)
+        |  AS bucket, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // Dense leg mirrors the q_x3 oracle; sparse leg mirrors q_x9c; RRF
     // reciprocals are exact doubles on both engines, so the fused top-10

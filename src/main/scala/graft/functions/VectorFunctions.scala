@@ -34,6 +34,14 @@ object VectorFunctions {
   def normalize(a: Column): Column =
     ColumnShim.column(ArrayNormalize(ColumnShim.expression(a)))
 
+  /** Seeded Johnson–Lindenstrauss random projection to `outDim`
+    * dimensions (±1 signs recomputed from a hash — no stored matrix,
+    * identical on any cluster). Pairwise distances/angles are preserved
+    * within the JL bound; shrink embeddings BEFORE they broadcast or
+    * shuffle through similarity search. */
+  def random_project(a: Column, outDim: Int, seed: Long = 42L): Column =
+    ColumnShim.column(RandomProject(ColumnShim.expression(a), outDim, seed))
+
   /** Symmetric int8 quantization → struct(scale: float, q: binary): 4×
     * smaller than fp32 — the storage/broadcast lever for embedding
     * corpora at 100 TB. Recall cost is bounded by the per-element error

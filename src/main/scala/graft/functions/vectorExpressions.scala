@@ -128,6 +128,30 @@ object VectorKernels {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  /** [[RandomProject]] kernel: ±1 sign from the low bit of
+    * splitmix64(i·p + j, seed), accumulation in double, scaled by
+    * 1/√outDim so squared norms are preserved in expectation. */
+  def randomProject(arr: ArrayData, isFloat: Boolean, outDim: Int,
+      seed: Long): ArrayData = {
+    val n = arr.numElements()
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val h = SampleK.hash64(i.toLong * 0x100000001BL + j, seed)
+        acc += (if ((h & 1L) == 0L) x else -x)
+        i += 1
+      }
+      out(j) = (acc * scale).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Symmetric int8 quantization: scale = max|x|/127 (1 for the zero
     * vector), qᵢ = round(xᵢ/scale) ∈ [−127, 127]. One quarter the bytes of
     * fp32 — the storage/broadcast scale lever for 100 TB embedding
@@ -230,6 +254,35 @@ case class ArrayDequantize8(child: Expression) extends UnaryExpression {
       s"graft.functions.VectorKernels.dequantize8($c.getFloat(0), $c.getBinary(1))")
 
   override protected def withNewChildInternal(newChild: Expression): ArrayDequantize8 =
+    copy(child = newChild)
+}
+
+/** Seeded random projection (Achlioptas ±1 signs from a splitmix64 hash
+  * of (i, j, seed)) as a codegen'd kernel: out_j = Σᵢ s(i,j)·vᵢ / √d_out.
+  * Johnson–Lindenstrauss dimension reduction for embeddings — shrink
+  * vectors BEFORE they broadcast/shuffle through the similarity tier; the
+  * implicit projection matrix is recomputed from the hash, so nothing is
+  * stored or shipped, and the result is identical on any cluster. */
+case class RandomProject(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(outDim >= 1, "outDim must be >= 1")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "random_project"
+
+  private lazy val isFloat =
+    VecCodegen.elemAccessor(child.dataType) == "getFloat"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.randomProject(input.asInstanceOf[ArrayData], isFloat,
+      outDim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.randomProject($c, $isFloat, $outDim, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
     copy(child = newChild)
 }
 

@@ -162,6 +162,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cells <= 16 && cells > 1)
   }
 
+  test("random_project: deterministic, linear, norm-preserving on average") {
+    import graft.functions.{VectorFunctions => VFn}
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat))
+    }.toDF("id", "v")
+    val p1 = vecs.select($"id", VFn.random_project($"v", 16).as("p"))
+      .orderBy("id").as[(Long, Seq[Float])].collect()
+    val p2 = vecs.repartition(7)
+      .select($"id", VFn.random_project($"v", 16).as("p"))
+      .orderBy("id").as[(Long, Seq[Float])].collect()
+    assert(p1.toSeq == p2.toSeq) // deterministic, partitioning-independent
+    assert(p1.forall(_._2.length == 16))
+    // E[||Pv||^2] = ||v||^2: averaged over the corpus, ratios hug 1
+    val ratios = vecs.select(
+      (VFn.l2_norm(VFn.random_project($"v", 16)) / VFn.l2_norm($"v"))
+        .as("r")).as[Double].collect()
+    val mean = ratios.map(r => r * r).sum / ratios.length
+    assert(mean > 0.6 && mean < 1.4, s"squared-norm ratio mean $mean")
+    // different seeds give different projections
+    val alt = vecs.select(VFn.random_project($"v", 16, seed = 7L).as("p"))
+      .as[Seq[Float]].head()
+    assert(alt != p1.head._2)
+  }
+
   test("rrfFuse: consensus ids outrank single-list ids, exact reciprocals") {
     val dense = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val sparse = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
