@@ -73,6 +73,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("array_normalize"),
       info("array_normalize", "array_normalize(a) - unit-L2 float vector."),
       exprs => ArrayNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("random_project"),
+      info("random_project",
+        "random_project(a, d[, seed]) - seeded JL projection to d dims."),
+      exprs => {
+        def lit(i: Int): Long = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"random_project argument ${i + 1} must be a literal, got: $other")
+        }
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new IllegalArgumentException(
+            s"random_project takes (a, d[, seed]), got ${exprs.length} " +
+              "argument(s)")
+        RandomProject(exprs.head, lit(1).toInt,
+          if (exprs.length > 2) lit(2) else 42L)
+      }))
     // aggregate functions register bare — the analyzer wraps them in an
     // AggregateExpression during resolution (same as built-in percentile)
     ext.injectFunction((FunctionIdentifier("sample_k"),

@@ -106,6 +106,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       optimized)
   }
 
+  test("random_project works from SQL") {
+    val row = spark.sql(
+      "SELECT size(random_project(array(1.0f, 2.0f, 3.0f), 4)) AS d").head()
+    assert(row.getInt(0) == 4)
+  }
+
   test("topk_freq works as a SQL aggregate") {
     import spark.implicits._
     (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
