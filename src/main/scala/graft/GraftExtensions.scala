@@ -77,17 +77,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("random_project",
         "random_project(a, d[, seed]) - seeded JL projection to d dims."),
       exprs => {
-        def lit(i: Int): Long = exprs(i) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toLong
-          case other => throw new IllegalArgumentException(
-            s"random_project argument ${i + 1} must be a literal, got: $other")
-        }
         if (exprs.length < 2 || exprs.length > 3)
           throw new IllegalArgumentException(
             s"random_project takes (a, d[, seed]), got ${exprs.length} " +
               "argument(s)")
-        RandomProject(exprs.head, lit(1).toInt,
+        def lit(i: Int): Long = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null =>
+            try v.toString.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"random_project argument ${i + 1} must be an integer " +
+                  s"literal, got: $v")
+            }
+          case other => throw new IllegalArgumentException(
+            s"random_project argument ${i + 1} must be a non-null integer " +
+              s"literal, got: $other")
+        }
+        val d = lit(1)
+        if (d < 1 || d > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"random_project dimension must be in [1, ${Int.MaxValue}], " +
+              s"got: $d")
+        RandomProject(exprs.head, d.toInt,
           if (exprs.length > 2) lit(2) else 42L)
       }))
     // aggregate functions register bare — the analyzer wraps them in an

@@ -85,7 +85,12 @@ object TextKernels {
     * formulation where such docs simply produced no group). */
   def minhashSignature(s: UTF8String, n: Int,
       k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val toks = s.toString.trim.split("\\s+")
+    // Tokenize with regex \s only (the exact delimiter set textProfile
+    // counts with) — NOT String.trim, which also strips control chars
+    // <= U+0020 and would disagree with the token-count pre-filter in
+    // Dedup.minhashSignatures, producing empty signatures the filter
+    // promised couldn't exist (an ANSI element_at crash downstream).
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
     val count = toks.length - n + 1
     if (count <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(

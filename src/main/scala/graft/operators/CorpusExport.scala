@@ -16,19 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object CorpusExport {
 
-  /** Range-sharded, within-file-sorted parquet export. `numShards` sets
-    * write parallelism; `maxRecordsPerFile` splits oversized ranges into
-    * part files without breaking the global order. */
-  def writeSharded(df: DataFrame, path: String, sortCol: String,
-      numShards: Int, maxRecordsPerFile: Long): Unit = {
+  /** The sharding contract all exports share: range-partition on the sort
+    * key, sort within each file, cap records per file, overwrite. One
+    * builder so the parquet/jsonl/Z-order sinks cannot drift apart. */
+  private def shardedWriter(df: DataFrame, sortCol: String,
+      numShards: Int, maxRecordsPerFile: Long) = {
     require(numShards >= 1 && maxRecordsPerFile >= 1)
     df.repartitionByRange(numShards, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
-      .parquet(path)
   }
+
+  /** Range-sharded, within-file-sorted parquet export. `numShards` sets
+    * write parallelism; `maxRecordsPerFile` splits oversized ranges into
+    * part files without breaking the global order. */
+  def writeSharded(df: DataFrame, path: String, sortCol: String,
+      numShards: Int, maxRecordsPerFile: Long): Unit =
+    shardedWriter(df, sortCol, numShards, maxRecordsPerFile).parquet(path)
 
   /** Range-sharded, within-file-sorted JSON-Lines export — the same
     * ordering/sharding contract as [[writeSharded]] in the format most
@@ -38,12 +44,7 @@ object CorpusExport {
   def writeShardedJsonl(df: DataFrame, path: String, sortCol: String,
       numShards: Int, maxRecordsPerFile: Long,
       compress: Boolean = true): Unit = {
-    require(numShards >= 1 && maxRecordsPerFile >= 1)
-    val w = df.repartitionByRange(numShards, col(sortCol))
-      .sortWithinPartitions(sortCol)
-      .write
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite")
+    val w = shardedWriter(df, sortCol, numShards, maxRecordsPerFile)
     (if (compress) w.option("compression", "gzip") else w).json(path)
   }
 
@@ -74,11 +75,13 @@ object CorpusExport {
   /** Per-file manifest of an exported corpus: rows, key min/max per part
     * file — the index a training loader consumes to plan shard assignment
     * (and the audit that ranges are contiguous/disjoint). Pure metadata
-    * aggregation: one scan of the key column only (column pruning drops
-    * the payload). */
+    * aggregation: one scan of the key column only (for parquet, column
+    * pruning drops the payload; for `format = "json"` — the
+    * [[writeShardedJsonl]] hand-off — the files are read through, there
+    * being no columnar footer). */
   def shardManifest(spark: SparkSession, path: String,
-      sortCol: String): DataFrame =
-    spark.read.parquet(path)
+      sortCol: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
       .select(col(sortCol), input_file_name().as("file"))
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"),

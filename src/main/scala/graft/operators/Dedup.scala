@@ -49,12 +49,15 @@ object Dedup {
     * `array_min(transform(...))` formulation was also tried and lost 2.3×:
     * HOFs are CodegenFallback.)
     *
-    * Docs with fewer than `shingleSize` tokens produce no row (same as the
-    * aggregation formulation, where they had no group). One deliberate
-    * divergence: with `shingleSize = 1`, empty/whitespace-only text used
-    * to emit a signature over the single empty-string shingle — it is now
-    * excluded, so blank boilerplate can never band together as "near
-    * duplicates" of each other on hash(""). */
+    * Docs with fewer than `shingleSize` tokens, and docs with NULL text,
+    * produce no row (same as the aggregation formulation, where they had
+    * no group). Tokens are maximal runs of non-`\s` characters — the same
+    * definition the `token_count_ws` pre-filter counts with, so the filter
+    * exactly predicts signature presence. One deliberate divergence from
+    * the old formulation: with `shingleSize = 1`, empty/whitespace-only
+    * text used to emit a signature over the single empty-string shingle —
+    * it is now excluded, so blank boilerplate can never band together as
+    * "near duplicates" of each other on hash(""). */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
@@ -64,8 +67,9 @@ object Dedup {
     // cheap token-count pre-filter (one fused profile scan) so the k-hash
     // kernel below runs exactly once per surviving row — filtering on
     // size(sig) instead would re-evaluate the kernel in the filter
-    df.filter(graft.functions.GraftFunctions.token_count_ws(col(textCol))
-        >= shingleSize)
+    df.filter(col(textCol).isNotNull &&
+        graft.functions.GraftFunctions.token_count_ws(col(textCol))
+          >= shingleSize)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         element_at(sig, i + 1).as(s"mh_$i")): _*)
   }
@@ -170,9 +174,15 @@ object Dedup {
     * partition; same fingerprints, one less shuffle). */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
-    df.select(col(idCol),
-      ColumnShim.column(graft.functions.SimHash64(
-        ColumnShim.expression(col(textCol)))).as("simhash"))
+    // null-text docs are dropped (the aggregation formulation had no
+    // group for them — emitting (id, null) would feed wasted band work);
+    // token-less text fingerprints as 0L (the old path hashed the single
+    // empty token from split(trim("")) instead — 0 is the saner "no
+    // content" fingerprint and still groups blanks together)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        ColumnShim.column(graft.functions.SimHash64(
+          ColumnShim.expression(col(textCol)))).as("simhash"))
   }
 
   /** SimHash near-dups: Hamming distance ≤ `maxHamming` between

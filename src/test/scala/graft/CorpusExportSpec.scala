@@ -34,6 +34,16 @@ class CorpusExportSpec extends SparkSpec {
     assert(ids == ids.sorted)
     // full round-trip: nothing lost
     assert(spark.read.json(tmp).count() == 500)
+    // the manifest contract holds for the jsonl hand-off too
+    val manifest = CorpusExport.shardManifest(spark, tmp, "doc_id",
+      format = "json").collect()
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 500)
+    assert(manifest.forall(_.getAs[Long]("n_rows") <= 60))
+    val ranges = manifest.map(r =>
+      (r.getAs[Long]("key_min"), r.getAs[Long]("key_max")))
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping jsonl shard ranges: $hi >= $lo2")
+    }
   }
 
   test("writeSharded: contiguous disjoint ranges, sorted files, record cap") {

@@ -85,6 +85,28 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("minhashSignatures: filter and kernel agree on hostile tokenization") {
+    // BEL () is a token to both the profile counter and the kernel
+    // (regex \s delimiters only — NOT String.trim's <= U+0020 sweep), so
+    // the pre-filter exactly predicts signature presence: no empty arrays,
+    // no ANSI element_at crash
+    val docs = Seq(
+      (1L, "hello world "), // 3 tokens incl. the control char
+      (2L, ""), // 1 control-char token
+      (3L, "a b"), // 2 plain tokens
+      (4L, null.asInstanceOf[String]), // dropped
+      (5L, "   ")) // 0 tokens -> dropped
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
+      numHashes = 4, shingleSize = 1)
+    assert(sigs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(sigs.columns.count(_.startsWith("mh_")) == 4)
+    sigs.collect().foreach(r => (1 to 4).foreach(i => assert(!r.isNullAt(i))))
+    // shingleSize above every doc's token count -> empty output, no crash
+    assert(Dedup.minhashSignatures(docs, "text", "doc_id", 4, 9).isEmpty)
+  }
+
   test("simhash64 kernel ≡ explode + 64-column aggregation formulation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
