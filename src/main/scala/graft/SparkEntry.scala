@@ -425,9 +425,12 @@ object SparkEntry {
     }),
 
     // ---- X3c: top-k over the int8-quantized corpus — the 4×-smaller
-    // storage/broadcast path; deterministic, but round() half-case
-    // semantics differ across engines → rows-only (recall vs fp32 pinned
-    // in SimilaritySpec) ----
+    // storage/broadcast path. Fully oracle-checkable: the dequantized
+    // vectors are bit-identical across engines (q = floor(x/scale + 0.5)
+    // clamped — JVM Math.round spelled out so DuckDB's half-away round()
+    // never enters — and q·scale is exact in double, then rounded to
+    // float), and the compared cosine is integerized (floor(x·1e4+0.5))
+    // to absorb summation-order ulps. ----
     "q_x3c_quantized_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val deq = e.select(col("vec_id"),
@@ -435,7 +438,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         deq.filter(col("vec_id") < 8), deq, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"),
+          floor(col("cosine") * lit(1e4) + lit(0.5)).as("cosine_e4"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -685,12 +688,17 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
         .orderBy("doc_id", "token")),
 
-    // ---- X8b: Okapi BM25 weights (k1=1.2, b=0.75) ----
+    // ---- X8b: Okapi BM25 weights (k1=1.2, b=0.75). The compared column
+    // is integerized (floor(x·1e4+0.5) → BIGINT) so the driver's hash
+    // compare is immune to libm ln / decimal-literal evaluation drift
+    // between DuckDB builds — a 6-decimal ROUND proved one driver-DuckDB
+    // upgrade away from flaking (r4's only red row). ----
     "q_x9b_bm25" -> ((s, dir) =>
       Relevance.bm25(t(s, dir, "documents"), "doc_id", "text")
         .filter(col("doc_id") < 20)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          col("doc_len"), round(col("bm25"), 6).as("bm25"))
+          col("doc_len"),
+          floor(col("bm25") * lit(1e4) + lit(0.5)).as("bm25_e4"))
         .orderBy("doc_id", "token")),
 
     // ---- X3d: MMR diversity re-rank over the search stage's top-20 —
@@ -1278,6 +1286,49 @@ object SparkEntry {
         |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // int8 quantization reproduced exactly: scale = float(max|x|/127) (1
+    // for the zero vector), q = clamp(floor(x/scale + 0.5), ±127) — the
+    // spelled-out JVM Math.round, NOT DuckDB round() (half-away differs on
+    // negatives) — and q·scale is exact in double (7-bit × 24-bit mantissa
+    // fits 53) so the FLOAT cast reproduces Scala's Byte*Float to the bit.
+    "q_x3c_quantized_topk" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) = 0
+        |         THEN CAST(1 AS FLOAT)
+        |         ELSE CAST(list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE)
+        |           AS FLOAT) END AS scale
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
+        |          floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
+        |            + CAST(0.5 AS DOUBLE))))
+        |        * CAST(scale AS DOUBLE) AS FLOAT)) AS v
+        |  FROM sc),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 8),
+        |prod AS (
+        |  SELECT query_id, vec_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+        |  FROM (SELECT query_id, c.vec_id, unnest(qv) AS x, unnest(c.v) AS y
+        |        FROM q JOIN dq c ON query_id <> c.vec_id)
+        |  GROUP BY query_id, vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    dot / (sqrt(qq) * sqrt(cc)) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id) AS rank
+        |  FROM prod)
+        |SELECT query_id, vec_id,
+        |  CAST(floor(cosine * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS cosine_e4, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_x2d_cosine_neardups" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |prod AS (
@@ -1496,8 +1547,11 @@ object SparkEntry {
         |al AS (SELECT avg(doc_len) AS avg_len FROM lens),
         |scored AS (
         |  SELECT tf.doc_id AS id,
-        |    ROUND(SUM(ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.doc_len
+        |    ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |        / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |      * (tf.tf * CAST(2.2 AS DOUBLE))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * lens.doc_len
         |          / al.avg_len))), 6) AS s
         |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
         |  WHERE tf.token IN ('data', 'model', 'the')
@@ -1526,8 +1580,11 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM documents),
         |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
         |SELECT tf.doc_id,
-        |  ROUND(SUM(ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.doc_len
+        |  ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |      / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |    * (tf.tf * CAST(2.2 AS DOUBLE))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * lens.doc_len
         |        / al.avg_len))), 6) AS score
         |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
         |WHERE tf.token IN ('data', 'model', 'the')
@@ -1551,6 +1608,9 @@ object SparkEntry {
         |WHERE tf.doc_id < 20
         |ORDER BY tf.doc_id, tf.token""".stripMargin,
 
+    // Every decimal literal is CAST AS DOUBLE (bare decimals are DECIMAL
+    // in DuckDB → different evaluation order than Spark's IEEE doubles)
+    // and the compared score is integerized — see the query comment.
     "q_x9b_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1563,9 +1623,12 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM documents),
         |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
         |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, lens.doc_len,
-        |  ROUND(ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.doc_len
-        |        / al.avg_len)), 6) AS bm25
+        |  CAST(floor(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |        / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |    * (tf.tf * CAST(2.2 AS DOUBLE))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * lens.doc_len / al.avg_len))
+        |    * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS bm25_e4
         |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
         |WHERE tf.doc_id < 20
         |ORDER BY tf.doc_id, tf.token""".stripMargin,
