@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation strategy for iterative operators (PageRank, BFS,
+  * connected components, SimHash blocking, curation staging). Each round's
+  * result must be materialized and its plan cut, or the logical plan
+  * doubles per iteration and every consumer re-derives every previous
+  * round.
+  *
+  * Two deployments, two trades:
+  *
+  *  - [[Checkpointer.Local]] (the default): `localCheckpoint()` —
+  *    partitions live in executor block-manager storage. Fast (no external
+  *    write), but NON-fault-tolerant: the blocks are not replicated, so
+  *    losing an executor mid-run fails the whole job instead of
+  *    recomputing. Right for local / interactive / short jobs.
+  *  - [[Checkpointer.Reliable]]: `checkpoint()` — partitions written to
+  *    the directory registered via `sparkContext.setCheckpointDir`
+  *    (HDFS/S3/other fault-tolerant FS). Survives executor loss — the
+  *    right choice for multi-hour 100 TB cluster runs, at the cost of one
+  *    distributed-FS round trip per iteration.
+  *
+  * Both are EAGER: calling the strategy runs a Spark job at composition
+  * time (that is the point — the materialized snapshot is what lets the
+  * lineage be dropped).
+  */
+sealed trait Checkpointer {
+
+  /** Materialize `df` and return a plan-truncated frame over the stored
+    * partitions. */
+  def apply(df: DataFrame): DataFrame
+}
+
+object Checkpointer {
+
+  /** Executor-local block storage; fast, lost with the executor. */
+  case object Local extends Checkpointer {
+    override def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /** Fault-tolerant checkpoint into `sparkContext.setCheckpointDir`.
+    * Fails fast with an actionable message if no directory is set (Spark's
+    * own error only surfaces at job time, deep in the first iteration). */
+  case object Reliable extends Checkpointer {
+    override def apply(df: DataFrame): DataFrame = {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "Checkpointer.Reliable requires sparkContext.setCheckpointDir(...) " +
+          "pointing at a fault-tolerant filesystem before the first " +
+          "iteration runs")
+      df.checkpoint()
+    }
+  }
+}

@@ -806,6 +806,32 @@ object SparkEntry {
     "q_g5_components" -> ((s, dir) =>
       GraphOps.connectedComponents(heteroEdges(s, dir)).orderBy("id")),
 
+    // ---- G6: weighted shortest paths (Bellman-Ford by iterated min-join)
+    // from customers 0..9 over the heterogeneous graph with exact-quarter
+    // edge weights ((key % 8)/4 + 1 — exact in binary, so every path sum
+    // and min is bit-identical across engines and the doubles compare
+    // directly, no rounding). Supplier edges are present but unreachable
+    // from the seeds — absent from the output on both sides. ----
+    "q_g6_shortest_paths" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        (col("c_custkey").cast("long") * 4).as("start_id"),
+        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"),
+        ((col("c_custkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
+      val supp = t(s, dir, "supplier").select(
+        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"),
+        ((col("s_suppkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
+      val nat = t(s, dir, "nation").select(
+        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
+        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"),
+        ((col("n_nationkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
+      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 10)
+        .select((col("c_custkey").cast("long") * 4).as("id"))
+      GraphOps.shortestPaths(cust.unionByName(supp).unionByName(nat),
+        seeds, Some("w"))
+        .orderBy("id")
+    }),
+
     // ---- G4: triangle counting on the part co-occurrence graph (parts
     // sharing an order, 5% order subset to bound the clique expansion —
     // every ≥3-part order contributes triangles). Degree-ordered wedge
@@ -1689,6 +1715,26 @@ object SparkEntry {
         |  SELECT r_regionkey*4+3, r_regionkey FROM region)
         |SELECT id, min(id) OVER (PARTITION BY rk) AS component
         |FROM nodes ORDER BY id""".stripMargin,
+
+    // The hetero graph is a leveled DAG (customer→nation→region), so the
+    // oracle computes the relaxation level by level. Weights are exact
+    // binary quarters, so distances compare as raw doubles — no rounding.
+    "q_g6_shortest_paths" ->
+      """WITH seeds AS (
+        |  SELECT c_custkey*4 AS id FROM customer WHERE c_custkey < 10),
+        |ce AS (SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst,
+        |       (c_custkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM customer),
+        |ne AS (SELECT n_nationkey*4+2 AS src, n_regionkey*4+3 AS dst,
+        |       (n_nationkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM nation),
+        |d0 AS (SELECT id, CAST(0 AS DOUBLE) AS dist FROM seeds),
+        |d1 AS (SELECT ce.dst AS id, min(d0.dist + ce.w) AS dist
+        |       FROM d0 JOIN ce ON d0.id = ce.src GROUP BY ce.dst),
+        |d2 AS (SELECT ne.dst AS id, min(d1.dist + ne.w) AS dist
+        |       FROM d1 JOIN ne ON d1.id = ne.src GROUP BY ne.dst)
+        |SELECT id, dist FROM d0
+        |UNION ALL SELECT id, dist FROM d1
+        |UNION ALL SELECT id, dist FROM d2
+        |ORDER BY id""".stripMargin,
 
     // PPR unrolled like q_g3, with reset/dangling mass flowing to the seed
     // indicator s(v) instead of 1/N; (1 - 0.85) written as the expression

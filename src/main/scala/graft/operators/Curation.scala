@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointer
 import graft.functions.GraftFunctions
 
 /** One-call corpus curation — the end-to-end composition a training-data
@@ -27,13 +28,14 @@ import graft.functions.GraftFunctions
   *
   * Scale notes: each stage is the already-audited operator — no new
   * shuffle shapes. Every stage's surviving ID SET is materialized once
-  * via `localCheckpoint` (tiny: one id per doc), so each expensive stage
-  * executes exactly once even though its result feeds both the next stage
-  * and the report's anti-join diffs — the naive lazy composition
-  * re-executed the dedup DAG per consumer, measured ~2.5× slower. This
-  * makes the operator EAGER at composition time (like the other
-  * materializing pipelines here); the returned frames are cheap
-  * semi-joins of `docs` against the checkpointed ids.
+  * via the supplied [[graft.Checkpointer]] (tiny: one id per doc), so
+  * each expensive stage executes exactly once even though its result
+  * feeds both the next stage and the report's anti-join diffs — the
+  * naive lazy composition re-executed the dedup DAG per consumer,
+  * measured ~2.5× slower. This makes the operator EAGER at composition
+  * time (like the other materializing pipelines here); the returned
+  * frames are cheap semi-joins of `docs` against the checkpointed ids.
+  * Pass `Checkpointer.Reliable` for fault-tolerant multi-hour runs.
   */
 object Curation {
 
@@ -43,32 +45,33 @@ object Curation {
       minWords: Int = 50, dedupThreshold: Double = 0.8,
       contaminationShingle: Int = 8,
       quotaGroupCol: Option[String] = None,
-      quotaPerGroup: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+      quotaPerGroup: Int = Int.MaxValue,
+      ckpt: Checkpointer = Checkpointer.Local): (DataFrame, DataFrame) = {
 
     def restrict(idSet: DataFrame): DataFrame =
       docs.join(idSet, Seq(idCol), "left_semi")
 
     // 1. quality
-    val qIds = docs.filter(
+    val qIds = ckpt(docs.filter(
         GraftFunctions.gopher_rules(col(textCol), minWords).getField("pass"))
-      .select(col(idCol)).localCheckpoint()
+      .select(col(idCol)))
     // 2. dedup (exact + near) among quality survivors
-    val dIds = Dedup.dedupedRows(restrict(qIds), textCol, idCol,
-        dedupThreshold)
-      .select(col(idCol)).localCheckpoint()
+    val dIds = ckpt(Dedup.dedupedRows(restrict(qIds), textCol, idCol,
+        dedupThreshold, ckpt = ckpt)
+      .select(col(idCol)))
     // 3. decontamination
-    val cIds = Decontaminate.decontaminate(restrict(dIds), textCol, idCol,
-        bench, benchTextCol, benchIdCol, contaminationShingle)
-      .select(col(idCol)).localCheckpoint()
+    val cIds = ckpt(Decontaminate.decontaminate(restrict(dIds), textCol,
+        idCol, bench, benchTextCol, benchIdCol, contaminationShingle)
+      .select(col(idCol)))
     // 4. quota
-    val keptIds = (quotaGroupCol match {
+    val keptIds = ckpt((quotaGroupCol match {
       case Some(g) =>
         Sampling.weightedSamplePerGroup(
           restrict(cIds).withColumn("_w",
             GraftFunctions.token_count_ws(col(textCol)).cast("double")),
           g, idCol, "_w", quotaPerGroup)
       case None => restrict(cIds)
-    }).select(col(idCol)).localCheckpoint()
+    }).select(col(idCol)))
 
     def dropped(before: DataFrame, after: DataFrame, stage: String) =
       before.join(after, Seq(idCol), "left_anti")

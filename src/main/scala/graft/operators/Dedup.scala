@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointer
 import graft.functions.VectorFunctions
 
 /** Large-scale document deduplication — the LLM-data-pipeline operator set
@@ -195,22 +196,23 @@ object Dedup {
     * spread over the leading bands; the join never goes all-pairs. */
   def simhashNearDups(
       fingerprints: DataFrame, idCol: String, maxHamming: Int = 3,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     // The band self-join evaluates its input subtree once per side, which
     // recomputes the whole fingerprint pipeline (token explode + 64-column
     // aggregation — the expensive part). Fingerprints are tiny ((id, 64-bit)
     // per doc), so materializing them first makes the join read a cached
     // table twice instead of recomputing — measured ~2× at sf0.1.
-    // CAVEATS of the default: localCheckpoint() runs a Spark job EAGERLY at
-    // composition time, and stores the partitions non-fault-tolerantly on
-    // executors — on a cluster, losing an executor after the checkpoint
-    // fails the job instead of recomputing. Pass materialize = false and
-    // persist the fingerprints yourself (e.g. StorageLevel.DISK_ONLY, or a
-    // reliable checkpoint dir) for long-running cluster deployments.
+    // CAVEATS of the default: the checkpoint runs a Spark job EAGERLY at
+    // composition time, and Checkpointer.Local stores the partitions
+    // non-fault-tolerantly on executors — on a cluster, losing an executor
+    // after the checkpoint fails the job instead of recomputing. Pass
+    // Checkpointer.Reliable (with sparkContext.setCheckpointDir) for
+    // long-running cluster deployments, or materialize = false to persist
+    // the fingerprints yourself.
     val fps =
-      if (materialize) fingerprints.select(col(idCol), col("simhash"))
-        .localCheckpoint()
+      if (materialize) ckpt(fingerprints.select(col(idCol), col("simhash")))
       else fingerprints
     val nBands = maxHamming + 1
     val base = 64 / nBands
@@ -268,18 +270,22 @@ object Dedup {
     * shortcuts `comp ← comp(comp)`), converging in O(log diameter) rounds
     * instead of O(diameter) — the difference between 10 and 10,000 rounds
     * on a long dup chain. Each round is two shuffles on uniformly-hashed
-    * ids; lineage is truncated per round with localCheckpoint so plans
+    * ids; lineage is truncated per round with the supplied
+    * [[graft.Checkpointer]] (local blocks by default; pass
+    * `Checkpointer.Reliable` for fault-tolerant cluster runs) so plans
     * don't grow exponentially. This is the standard large-graph CC shape
     * (cf. the large-star/small-star family) expressed in DataFrames.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
-      pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint()
+      pairs: DataFrame, maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val edges = ckpt(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = ckpt(
+      vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
     // labels only ever decrease, so an unchanged sum(comp) is a fixpoint —
     // a single-column aggregate beats a join-based diff as the convergence
     // probe.
@@ -296,11 +302,10 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("comp"))
       // pointer jump: comp ← comp's comp (path halving)
-      val jumped = hopped
+      val jumped = ckpt(hopped
         .join(hopped.select(col("id").as("comp"), col("comp").as("_cc")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("_cc"), col("comp")).as("comp"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("_cc"), col("comp")).as("comp")))
       val curSum = jumped.agg(sum(col("comp"))).head().get(0)
       converged = prevSum.contains(curSum)
       prevSum = Some(curSum)
@@ -327,7 +332,8 @@ object Dedup {
   def dedupCorpus(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 16, bands: Int = 4,
-      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     // exact groups: map every doc to its group keeper — a window min over
     // the content hash (ONE scan + one shuffle on the hash; the
     // groupBy-then-self-join alternative scans and hashes the corpus twice)
@@ -344,7 +350,8 @@ object Dedup {
     val pairs = minhashNearDups(reps, textCol, idCol, threshold,
       numHashes, bands, shingleSize, maxBucketSize)
       .select("id_a", "id_b")
-    val comps = connectedComponents(reps.select(col(idCol)), idCol, pairs)
+    val comps = connectedComponents(reps.select(col(idCol)), idCol, pairs,
+        ckpt = ckpt)
       .select(col("id").as("_rep"), col("comp").as("_near_keeper"))
     // compose: doc → exact keeper → near keeper
     val decisions = exactMap
@@ -360,9 +367,10 @@ object Dedup {
   /** The surviving rows of [[dedupCorpus]]: one original row per elected
     * keeper. */
   def dedupedRows(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame =
     df.join(
-      dedupCorpus(df, textCol, idCol, threshold)
+      dedupCorpus(df, textCol, idCol, threshold, ckpt = ckpt)
         .filter(col("reason") === "kept")
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpointer
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,16 +18,13 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` truncates lineage so iteration depth never compounds
   * the plan.
   *
-  * localCheckpoint caveats (shared by every iterative operator here):
-  * checkpointed partitions live in executor block-manager storage and are
-  * released by the ContextCleaner only after the referencing Datasets are
-  * garbage-collected — a long-lived driver session running many iterative
-  * jobs should expect intermediate rank/frontier snapshots to linger until
-  * the next GC cycle. And the storage is non-fault-tolerant: losing an
-  * executor mid-computation fails the job instead of recomputing (the same
-  * trade documented on `Dedup.simhashNearDups`); for multi-hour cluster
-  * runs, substitute a reliable `checkpoint()` via
-  * `sparkContext.setCheckpointDir`.
+  * Every iterative operator takes a [[graft.Checkpointer]] for its
+  * per-round lineage truncation. The default ([[Checkpointer.Local]]) is
+  * executor-local block storage — fast, but non-fault-tolerant (an
+  * executor loss mid-run fails the job) and released only when the
+  * referencing Datasets are garbage-collected. Multi-hour cluster runs
+  * should pass [[Checkpointer.Reliable]] after
+  * `sparkContext.setCheckpointDir` to a fault-tolerant path.
   */
 object GraphOps {
 
@@ -57,11 +55,12 @@ object GraphOps {
     * the graph-surface entry point for [[Dedup.connectedComponents]]'
     * min-label propagation + pointer jumping (O(log diameter) rounds).
     * Output: (`id`, `component`); isolated endpoints label themselves. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     val vertices = edges.select(col(StartId).as("id"))
       .unionAll(edges.select(col(EndId).as("id"))).distinct()
     val pairs = edges.select(col(StartId).as("id_a"), col(EndId).as("id_b"))
-    Dedup.connectedComponents(vertices, "id", pairs, maxIter)
+    Dedup.connectedComponents(vertices, "id", pairs, maxIter, ckpt)
       .select(col("id"), col("comp").as("component"))
   }
 
@@ -79,45 +78,48 @@ object GraphOps {
     * table plus a partial-aggregated groupBy on the destination — AQE
     * broadcasts the rank side when it fits, so the edge table never
     * re-shuffles across iterations. The dangling sum is a 1-row aggregate
-    * on the rank vector. `localCheckpoint` per iteration truncates the
-    * lineage so plan depth stays constant; the edge/degree tables are
-    * checkpointed once up front so they are not re-derived each round.
-    * Skewed in-degree (a celebrity node) is a groupBy — map-side combine
-    * absorbs it.
+    * on the rank vector, folded back in as a broadcast crossJoin so each
+    * iteration is ONE job (the checkpoint), not a scalar-collect job plus
+    * the rank job. Per-iteration checkpoints truncate the lineage so plan
+    * depth stays constant; the edge/degree tables are checkpointed once up
+    * front so they are not re-derived each round. Skewed in-degree (a
+    * celebrity node) is a groupBy — map-side combine absorbs it.
     *
     * Returns (`id`, `rank`); ranks sum to 1 over the node set (all
     * endpoints of `edges`, plus `nodes` if supplied for isolated
     * vertices). */
   def pageRank(edges: DataFrame, damping: Double = 0.85,
-      iterations: Int = 10, nodes: Option[DataFrame] = None): DataFrame = {
+      iterations: Int = 10, nodes: Option[DataFrame] = None,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
-    val e = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
-      .localCheckpoint()
+    val e = ckpt(edges.select(col(StartId).as("src"), col(EndId).as("dst")))
     val endpoints = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
-    val n = nodes.fold(endpoints)(extra =>
+    val n = ckpt(nodes.fold(endpoints)(extra =>
         endpoints.unionAll(extra.select(col(extra.columns.head).as("id"))))
-      .distinct().localCheckpoint()
+      .distinct())
     val nNodes = n.count().toDouble
-    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).localCheckpoint()
-    var ranks = n.withColumn("rank", lit(1.0 / nNodes)).localCheckpoint()
+    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("_deg")))
+    var ranks = ckpt(n.withColumn("rank", lit(1.0 / nNodes)))
     var i = 0
     while (i < iterations) {
-      // rank mass on dangling nodes (no out-edges) — redistributed uniformly
+      // rank mass on dangling nodes (no out-edges) — redistributed
+      // uniformly. A 1-row aggregate carried into the plan as a broadcast
+      // crossJoin, not collected to the driver.
       val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("_dangling"))
       val inflow = ranks
         .join(e, ranks("id") === e("src"))
         .join(deg, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("_deg")).as("_in"))
-      ranks = n.join(inflow, Seq("id"), "left")
+      ranks = ckpt(n.join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / nNodes) +
             lit(damping) * (coalesce(col("_in"), lit(0.0)) +
-              lit(dangling / nNodes))).as("rank"))
-        .localCheckpoint()
+              col("_dangling") / lit(nNodes))).as("rank")))
       i += 1
     }
     ranks
@@ -135,40 +137,41 @@ object GraphOps {
     * shape and scale behaviour as [[pageRank]] — the seed indicator is one
     * extra column on the node table, joined once. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+      damping: Double = 0.85, iterations: Int = 10,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
-    val e = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
-      .localCheckpoint()
+    val e = ckpt(edges.select(col(StartId).as("src"), col(EndId).as("dst")))
     val n = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
-    val seedSet = seeds.select(col(seeds.columns.head).as("id")).distinct()
-      .localCheckpoint()
+    val seedSet = ckpt(
+      seeds.select(col(seeds.columns.head).as("id")).distinct())
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "seeds must be non-empty")
     // node table with the reset weight s(v), checkpointed once
-    val ns = n.join(seedSet.withColumn("_s", lit(1.0 / nSeeds)), Seq("id"),
-        "left")
-      .select(col("id"), coalesce(col("_s"), lit(0.0)).as("_s"))
-      .localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).localCheckpoint()
-    var ranks = ns.select(col("id"), col("_s").as("rank")).localCheckpoint()
+    val ns = ckpt(n.join(seedSet.withColumn("_s", lit(1.0 / nSeeds)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(0.0)).as("_s")))
+    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("_deg")))
+    var ranks = ckpt(ns.select(col("id"), col("_s").as("rank")))
     var i = 0
     while (i < iterations) {
+      // dangling mass returns to the seed distribution — folded in as a
+      // 1-row broadcast, same one-job-per-iteration shape as [[pageRank]]
       val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("_dangling"))
       val inflow = ranks
         .join(e, ranks("id") === e("src"))
         .join(deg, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("_deg")).as("_in"))
-      ranks = ns.join(inflow, Seq("id"), "left")
+      ranks = ckpt(ns.join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit(1.0 - damping) * col("_s") +
             lit(damping) * (coalesce(col("_in"), lit(0.0)) +
-              lit(dangling) * col("_s"))).as("rank"))
-        .localCheckpoint()
+              col("_dangling") * col("_s"))).as("rank")))
       i += 1
     }
     ranks
@@ -190,7 +193,8 @@ object GraphOps {
     * standard distributed triangle algorithm. Joins are plain equi-joins
     * (AQE handles residual skew); the oriented edge list is checkpointed
     * once and reused by both sides of the wedge join. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     // canonical undirected edge list: a < b, dedup, no self-loops
     val canon = edges.select(
         least(col(StartId), col(EndId)).as("a"),
@@ -215,8 +219,8 @@ object GraphOps {
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e._dd").as("_dd"))
-      .localCheckpoint()
-    val x = oriented.alias("x")
+    val orientedCk = ckpt(oriented)
+    val x = orientedCk.alias("x")
     val y = oriented.alias("y")
     // wedges (u; v, w) with v before w in (deg, id) order — the closing
     // edge, if present, is oriented exactly v → w
@@ -225,7 +229,7 @@ object GraphOps {
           (col("x._dd") === col("y._dd") && col("x.dst") < col("y.dst"))))
       .select(col("x.src").as("u"), col("x.dst").as("v"),
         col("y.dst").as("w"))
-    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val closing = orientedCk.select(col("src").as("v"), col("dst").as("w"))
     val triangles = wedges.join(closing, Seq("v", "w"))
     triangles
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
@@ -239,25 +243,90 @@ object GraphOps {
     * @param seeds one-column DataFrame of starting node ids (column name
     *              irrelevant; first column is used).
     */
-  def kHop(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+  def kHop(edges: DataFrame, seeds: DataFrame, hops: Int,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     require(hops >= 0, "hops must be >= 0")
     val e = edges.select(col(StartId), col(EndId))
-    var reached = seeds.select(col(seeds.columns.head).as("id")).distinct()
-      .withColumn("hop", lit(0))
-      .localCheckpoint()
+    var reached = ckpt(
+      seeds.select(col(seeds.columns.head).as("id")).distinct()
+        .withColumn("hop", lit(0)))
     var frontier = reached
     var h = 1
     while (h <= hops && !frontier.isEmpty) {
       // expand the PREVIOUS frontier only, then keep first-reach rows
-      val next = frontier.join(e, frontier("id") === e(StartId))
+      val next = ckpt(frontier.join(e, frontier("id") === e(StartId))
         .select(col(EndId).as("id")).distinct()
         .join(reached.select("id"), Seq("id"), "left_anti")
-        .withColumn("hop", lit(h))
-        .localCheckpoint()
-      reached = reached.unionByName(next).localCheckpoint()
+        .withColumn("hop", lit(h)))
+      reached = ckpt(reached.unionByName(next))
       frontier = next
       h += 1
     }
     reached
+  }
+
+  /** Multi-source WEIGHTED shortest paths — Bellman-Ford as iterated
+    * min-distance relaxation over the edge table (the join shape [[kHop]]
+    * uses, carrying a distance instead of a hop count). The canonical
+    * post-import Cypher workload the reference defers to Neo4j
+    * (`graph_db_builder.py:126-128`), in-engine.
+    *
+    * Each round relaxes EVERY edge: dist'(v) = min(dist(v), min over u→v
+    * of dist(u) + w(u,v)), starting from dist = 0 on the seeds, until a
+    * fixpoint (distances and the reachable set both stop changing) or
+    * `maxIter`. Unreachable nodes are absent from the output (no
+    * infinities). With `weightCol = None` every edge costs 1 and the
+    * result is BFS hop distance as a double.
+    *
+    * Scale notes (100 TB edge table): each iteration is one equi-join of
+    * the distance vector (≤ |V| rows) against the edges plus a
+    * partial-aggregated min-groupBy on the destination — the same
+    * AQE-broadcasts-the-small-side shape as [[pageRank]], so the edge
+    * table never re-shuffles. Rounds are bounded by the weighted-path hop
+    * diameter, not |V|; the fixpoint probe is a 2-scalar aggregate.
+    * Distances only ever decrease and each is a min over exact per-path
+    * sums, so the fixpoint (count, sum) compare is exact, not
+    * tolerance-based.
+    *
+    * Negative edge weights relax correctly (Bellman-Ford), but a
+    * reachable negative cycle never converges — `maxIter` then bounds the
+    * work and the result is the best distance found within that many
+    * hops.
+    *
+    * @param seeds one-column DataFrame of source node ids.
+    * @return (`id`, `dist`) for every node reachable from any seed;
+    *         seeds themselves at distance 0. */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+      weightCol: Option[String] = None, maxIter: Int = 50,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = ckpt(edges.select(col(StartId).as("src"), col(EndId).as("dst"),
+      w.as("_w")))
+    var dist = ckpt(seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("dist", lit(0.0)))
+    var prev = Option.empty[(Long, Any)]
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("_w")).as("_cand"))
+      // full outer: newly reached nodes enter, settled nodes keep their
+      // distance; nothing ever stores an infinity
+      dist = ckpt(dist.join(relaxed, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(
+            coalesce(col("dist"), col("_cand")),
+            coalesce(col("_cand"), col("dist"))).as("dist")))
+      // distances only decrease and the node set only grows, so an
+      // unchanged (count, sum) is a fixpoint
+      val probe = dist.agg(count(lit(1)), sum(col("dist"))).head()
+      val cur = (probe.getLong(0), probe.get(1))
+      converged = prev.contains(cur)
+      prev = Some(cur)
+      i += 1
+    }
+    dist
   }
 }

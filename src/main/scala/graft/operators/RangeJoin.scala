@@ -56,12 +56,21 @@ object RangeJoin {
       leftTsCol: String, rightTsCol: String, lookback: Column): DataFrame = {
     require(leftTsCol != rightTsCol,
       "rename ts columns apart so both survive in the output")
-    val keyCond = keyCols.map(k => left(k) === right(k)).reduce(_ && _)
+    // alias both sides so self-joins (both inputs derived from one source)
+    // resolve key equality across the two join legs instead of to the same
+    // attribute — without this Spark logs a "trivially true equals
+    // predicate" warning on every such plan
+    val l = left.alias("_graft_l")
+    val r = right.alias("_graft_r")
+    val keyCond =
+      keyCols.map(k => col(s"_graft_l.$k") === col(s"_graft_r.$k"))
+        .reduce(_ && _)
     val cond = keyCond &&
-      right(rightTsCol) >= left(leftTsCol) - lookback &&
-      right(rightTsCol) <= left(leftTsCol)
+      col(s"_graft_r.$rightTsCol") >= col(s"_graft_l.$leftTsCol") - lookback &&
+      col(s"_graft_r.$rightTsCol") <= col(s"_graft_l.$leftTsCol")
     val rightCols = right.columns.filterNot(keyCols.contains).toSeq
-    left.join(right, cond, "inner")
-      .select(left.columns.toSeq.map(left(_)) ++ rightCols.map(right(_)): _*)
+    l.join(r, cond, "inner")
+      .select(left.columns.toSeq.map(c => col(s"_graft_l.$c")) ++
+        rightCols.map(c => col(s"_graft_r.$c")): _*)
   }
 }

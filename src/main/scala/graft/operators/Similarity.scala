@@ -100,7 +100,8 @@ object Similarity {
     * [[ivfIndex]] when exact reproducibility matters more than recall. */
   def refineCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
-      centroids: DataFrame, iterations: Int = 1): DataFrame = {
+      centroids: DataFrame, iterations: Int = 1,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     var cents = centroids
     for (_ <- 1 to iterations) {
@@ -116,10 +117,9 @@ object Similarity {
         .select(col("centroid_id"),
           transform(col("_pm"), x => x.getField("_m").cast("float"))
             .as("_newv"))
-      cents = cents.join(means, Seq("centroid_id"), "left")
+      cents = ckpt(cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
-          coalesce(col("_newv"), col("_centv")).as("_centv"))
-        .localCheckpoint()
+          coalesce(col("_newv"), col("_centv")).as("_centv")))
     }
     cents
   }

@@ -150,4 +150,53 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
   }
+
+  test("shortestPaths: weighted relaxation beats fewer-hop paths") {
+    // 0→1 direct costs 10; 0→2→1 costs 2 — the weighted answer is NOT BFS
+    val g = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 0.5))
+      .toDF("start_id", "end_id", "w")
+    val d = GraphOps.shortestPaths(g, Seq(0L).toDF("id"), Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(0L -> 0.0, 1L -> 2.0, 2L -> 1.0, 3L -> 2.5))
+  }
+
+  test("shortestPaths: unweighted default is BFS hop distance; " +
+      "unreachable nodes absent; cycles converge") {
+    val d = GraphOps.shortestPaths(edges, Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 4↔5 cycle and 9 are unreachable from 0
+    assert(d == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    val cyc = GraphOps.shortestPaths(edges, Seq(4L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cyc == Map(4L -> 0.0, 5L -> 1.0))
+  }
+
+  test("shortestPaths: multi-seed takes the per-node minimum") {
+    val g = Seq((0L, 1L, 4.0), (7L, 1L, 1.0)).toDF("start_id", "end_id", "w")
+    val d = GraphOps.shortestPaths(g, Seq(0L, 7L).toDF("id"), Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(0L -> 0.0, 7L -> 0.0, 1L -> 1.0))
+  }
+
+  test("Checkpointer.Reliable: fails fast without a dir, then matches " +
+      "Local bit-for-bit once one is set") {
+    val g = Seq((1L, 0L), (1L, 2L), (3L, 2L), (4L, 5L), (9L, 2L))
+      .toDF("start_id", "end_id")
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        GraphOps.pageRank(g, iterations = 2, ckpt = Checkpointer.Reliable)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val local = GraphOps.pageRank(g, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reliable = GraphOps.pageRank(g, iterations = 3,
+        ckpt = Checkpointer.Reliable)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reliable == local) // same IEEE doubles, different storage only
+    val cc = GraphOps.connectedComponents(g, ckpt = Checkpointer.Reliable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 0L,
+      4L -> 4L, 5L -> 4L))
+  }
 }
