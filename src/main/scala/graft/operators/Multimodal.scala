@@ -136,23 +136,18 @@ object Multimodal {
       case None => byteHistogramFeatures(bytes)
     }
 
-  /** Batched per-partition feature extraction over a binary column — the
-    * Scala analogue of a Pandas `mapInPandas` decode stage: one iterator
-    * pass per partition, no per-row task overhead, payload stays off the
-    * driver. Appends `features: array<float>`. */
-  def extractFeatures(df: DataFrame, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType), nullable = false))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(row.toSeq :+ decodeFeatures(bytes).toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  /** Distributed feature extraction over a binary column — the decode
+    * stage a Pandas `mapInPandas` would run, as a Scala UDF so the plan
+    * STAYS inside Catalyst: no `df.rdd` round-trip, so column pruning and
+    * filter pushdown flow through the decode (a downstream
+    * `select(features)` still prunes the other source columns at the
+    * scan), and the surrounding projections keep whole-stage codegen.
+    * Appends `features: array<float>`. */
+  def extractFeatures(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("features", featuresUdf(col(binCol)))
+
+  private val featuresUdf =
+    udf((bytes: Array[Byte]) => decodeFeatures(bytes))
 
   /** Encode a solid-colour RGB PNG (test/fixture generator — the inverse of
     * [[decodeImage]], also pure JDK). */
@@ -176,21 +171,12 @@ object Multimodal {
     * per-partition batched map as [[extractFeatures]]. Exists so decode
     * pipelines can be driven at any SF without shipping image fixtures. */
   def synthesizePngs(df: DataFrame, widthCol: String, heightCol: String,
-      rCol: String, gCol: String, bCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+
-      StructField(outCol, BinaryType, nullable = false))
-    val Seq(wi, hi, ri, gi, bi) =
-      Seq(widthCol, heightCol, rCol, gCol, bCol).map(df.schema.fieldIndex)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        Row.fromSeq(row.toSeq :+ encodeSolidPng(
-          row.getInt(wi), row.getInt(hi),
-          row.getInt(ri), row.getInt(gi), row.getInt(bi)))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      rCol: String, gCol: String, bCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, pngUdf(
+      col(widthCol), col(heightCol), col(rCol), col(gCol), col(bCol)))
+
+  private val pngUdf = udf(
+    (w: Int, h: Int, r: Int, g: Int, b: Int) => encodeSolidPng(w, h, r, g, b))
 
   /** Decoded-audio summary: format header + RMS amplitude over all PCM
     * samples. */
@@ -258,50 +244,31 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Batched per-partition audio decode: appends a nullable
+  /** Output-struct row of [[extractAudioInfo]] — field names are the
+    * column contract. */
+  final case class AudioColumn(
+      sample_rate: Int, channels: Int, n_frames: Long, rms: Double)
+
+  /** Distributed audio decode: appends a nullable
     * `audio: struct(sample_rate, channels, n_frames, rms)` column (null
-    * where the payload is not decodable audio). Same narrow
-    * `mapPartitions` shape as [[extractFeatures]]. */
-  def extractAudioInfo(df: DataFrame, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val audioType = StructType(Seq(
-      StructField("sample_rate", IntegerType, nullable = false),
-      StructField("channels", IntegerType, nullable = false),
-      StructField("n_frames", LongType, nullable = false),
-      StructField("rms", DoubleType, nullable = false)))
-    val outSchema = StructType(df.schema.fields :+
-      StructField("audio", audioType, nullable = true))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val info = decodeAudio(row.getAs[Array[Byte]](binIdx))
-          .map(a => Row(a.sampleRate, a.channels, a.frames, a.rms))
-          .orNull
-        Row.fromSeq(row.toSeq :+ info)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+    * where the payload is not decodable audio). Same stays-in-Catalyst
+    * UDF shape as [[extractFeatures]]. */
+  def extractAudioInfo(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("audio", audioUdf(col(binCol)))
+
+  private val audioUdf = udf((bytes: Array[Byte]) =>
+    decodeAudio(bytes).map(a =>
+      AudioColumn(a.sampleRate, a.channels, a.frames, a.rms)))
 
   /** Distributed WAV synthesis: append `outCol: binary` holding constant-
     * amplitude mono PCM of per-row (sampleRate, nFrames, amplitude) —
     * executor-side, the audio twin of [[synthesizePngs]]. */
   def synthesizeWavs(df: DataFrame, rateCol: String, framesCol: String,
-      ampCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+
-      StructField(outCol, BinaryType, nullable = false))
-    val Seq(ri, fi, ai) =
-      Seq(rateCol, framesCol, ampCol).map(df.schema.fieldIndex)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val amp = row.getInt(ai).toShort
-        Row.fromSeq(row.toSeq :+ encodePcmWav(
-          row.getInt(ri), Array.fill(row.getInt(fi))(amp)))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      ampCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, wavUdf(col(rateCol), col(framesCol), col(ampCol)))
+
+  private val wavUdf = udf((rate: Int, frames: Int, amp: Int) =>
+    encodePcmWav(rate, Array.fill(frames)(amp.toShort)))
 
   // ---------------------------------------------------------------------
   // Video container metadata (REAL — header parsing, no codec needed).
@@ -453,32 +420,22 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Batched per-partition video-metadata extraction: appends a nullable
+  /** Output-struct row of [[extractVideoMeta]] — field names are the
+    * column contract. */
+  final case class VideoColumn(
+      container: String, width: Int, height: Int, duration_ms: Long,
+      n_tracks: Int)
+
+  /** Distributed video-metadata extraction: appends a nullable
     * `video: struct(container, width, height, duration_ms, n_tracks)`
-    * column. Same narrow `mapPartitions` shape as [[extractFeatures]] —
+    * column. Same stays-in-Catalyst UDF shape as [[extractFeatures]] —
     * payloads never shuffle, and only header bytes are read. */
-  def extractVideoMeta(df: DataFrame, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val videoType = StructType(Seq(
-      StructField("container", StringType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("duration_ms", LongType, nullable = false),
-      StructField("n_tracks", IntegerType, nullable = false)))
-    val outSchema = StructType(df.schema.fields :+
-      StructField("video", videoType, nullable = true))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val info = decodeVideoMeta(row.getAs[Array[Byte]](binIdx))
-          .map(v => Row(v.container, v.width, v.height, v.durationMs,
-            v.nTracks))
-          .orNull
-        Row.fromSeq(row.toSeq :+ info)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def extractVideoMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("video", videoUdf(col(binCol)))
+
+  private val videoUdf = udf((bytes: Array[Byte]) =>
+    decodeVideoMeta(bytes).map(v =>
+      VideoColumn(v.container, v.width, v.height, v.durationMs, v.nTracks)))
 
   /** Encode a minimal valid ISO-BMFF (MP4) header: `ftyp` + `moov(mvhd +
     * trak(tkhd))` + empty `mdat` (fixture generator — the inverse of
@@ -547,26 +504,15 @@ object Multimodal {
     * holding an MP4 header when `containerCol` = "mp4", else an AVI header
     * (25 fps) — executor-side, the video twin of [[synthesizePngs]]. */
   def synthesizeVideos(df: DataFrame, containerCol: String, widthCol: String,
-      heightCol: String, durMsCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+
-      StructField(outCol, BinaryType, nullable = false))
-    val Seq(ci, wi, hi, di) =
-      Seq(containerCol, widthCol, heightCol, durMsCol).map(df.schema.fieldIndex)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val durMs = row.getLong(di)
-        val bytes =
-          if (row.getString(ci) == "mp4")
-            encodeMp4Stub(row.getInt(wi), row.getInt(hi), durMs)
-          else // 25 fps: 40 ms per frame
-            encodeAviStub(row.getInt(wi), row.getInt(hi), 40000,
-              (durMs / 40).toInt)
-        Row.fromSeq(row.toSeq :+ bytes)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      heightCol: String, durMsCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, videoStubUdf(
+      col(containerCol), col(widthCol), col(heightCol), col(durMsCol)))
+
+  private val videoStubUdf = udf(
+    (container: String, w: Int, h: Int, durMs: Long) =>
+      if (container == "mp4") encodeMp4Stub(w, h, durMs)
+      else // 25 fps: 40 ms per frame
+        encodeAviStub(w, h, 40000, (durMs / 40).toInt))
 
   /** MP4 sample table: absolute byte ranges of every media sample
     * ("frame"), recovered from the `stsz`/`stsc`/`stco` boxes. */
@@ -669,36 +615,36 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** One sampled frame of [[sampleVideoFrames]] — field names are the
+    * column contract. */
+  final case class FrameSlice(frame_idx: Int, frame_bytes: Array[Byte])
+
   /** REAL frame sampling for MP4 payloads: resolve the sample table and
     * emit every `stride`-th sample's exact (compressed) bytes as one row —
     * `frame_idx` is the sample index, `frame_bytes` the codec payload.
     * Non-MP4 / table-less payloads produce no rows (compose with
-    * [[sampleFrames]] for a byte-slicing fallback). Narrow per-partition
-    * map + explode: payloads never shuffle, each output row carries only
-    * its own frame's bytes. */
+    * [[sampleFrames]] for a byte-slicing fallback). A UDF produces the
+    * per-payload frame array and a Catalyst `explode` fans it out —
+    * stays in the plan, payloads never shuffle, each output row carries
+    * only its own frame's bytes (the transient per-payload array is
+    * bounded by the payload size, which already sat in one row). */
   def sampleVideoFrames(df: DataFrame, binCol: String,
       stride: Int = 1): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame_bytes", BinaryType, nullable = false)))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        val bytes = row.getAs[Array[Byte]](binIdx)
-        parseMp4Samples(bytes) match {
-          case Some(st) =>
-            (0 until st.sizes.length by stride).iterator.map { i =>
-              val frame = java.util.Arrays.copyOfRange(bytes,
-                st.offsets(i).toInt, (st.offsets(i) + st.sizes(i)).toInt)
-              Row.fromSeq(row.toSeq ++ Seq(i, frame))
-            }
-          case None => Iterator.empty
-        }
+    val slices = udf { (bytes: Array[Byte]) =>
+      parseMp4Samples(bytes) match {
+        case Some(st) =>
+          (0 until st.sizes.length by stride).map { i =>
+            FrameSlice(i, java.util.Arrays.copyOfRange(bytes,
+              st.offsets(i).toInt, (st.offsets(i) + st.sizes(i)).toInt))
+          }
+        case None => Seq.empty[FrameSlice]
       }
     }
-    spark.createDataFrame(rdd, outSchema)
+    df.withColumn("_graft_frame", explode(slices(col(binCol))))
+      .withColumn("frame_idx", col("_graft_frame.frame_idx"))
+      .withColumn("frame_bytes", col("_graft_frame.frame_bytes"))
+      .drop("_graft_frame")
   }
 
   /** Encode a minimal ISO-BMFF file whose `mdat` holds the given samples,
