@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, GraphOps}
+
+/** CLI for the post-import analytics and curation tiers — the workload the
+  * reference hands to Neo4j after export ("query it in Cypher",
+  * `graph_db_builder.py:126-128`), runnable in-engine without writing
+  * Scala. Composes with [[BuildGraphDb]]: point `--edges` at a staged
+  * `relationships/<TYPE>` directory (any parquet with
+  * `start_id`/`end_id`), or any parquet with those columns.
+  *
+  * Usage:
+  *   runMain graft.Analyze <command> [options]
+  *
+  * Commands:
+  *   degrees     --edges <dir> [--direction out|in|total] [-o <outDir>]
+  *   pagerank    --edges <dir> [--iterations N] [--damping D] [-o <outDir>]
+  *   components  --edges <dir> [-o <outDir>]
+  *   triangles   --edges <dir> [-o <outDir>]
+  *   khop        --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
+  *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w] [-o <outDir>]
+  *   curate      --docs <dir> --bench <dir> [--text-col text]
+  *               [--id-col doc_id] [--min-words N] [--quota-group <col>]
+  *               [--quota N] -o <outDir>   (writes corpus/ and report/)
+  *
+  * Common options: `--master local[N]`, `--checkpoint-dir <dir>` (switches
+  * every iterative operator to the fault-tolerant
+  * [[Checkpointer.Reliable]] — pass an HDFS/S3 path on a cluster).
+  * Without `-o`, graph results print to stdout (top 100 rows) instead of
+  * being written.
+  */
+object Analyze {
+
+  private[graft] case class Args(
+      command: String = "",
+      edges: String = "",
+      docs: String = "",
+      bench: String = "",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      direction: String = "out",
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      hops: Int = 3,
+      seeds: Seq[Long] = Nil,
+      weightCol: Option[String] = None,
+      minWords: Int = 50,
+      quotaGroup: Option[String] = None,
+      quota: Int = Int.MaxValue,
+      outDir: String = "",
+      checkpointDir: Option[String] = None,
+      master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
+
+  private val usage =
+    "usage: <degrees|pagerank|components|triangles|khop|paths|curate> " +
+      "--edges <dir> | --docs <dir> --bench <dir> [options]"
+
+  private[graft] def parse(argv: List[String]): Args = {
+    require(argv.nonEmpty, usage)
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--edges" :: v :: t => loop(t, acc.copy(edges = v))
+      case "--docs" :: v :: t => loop(t, acc.copy(docs = v))
+      case "--bench" :: v :: t => loop(t, acc.copy(bench = v))
+      case "--text-col" :: v :: t => loop(t, acc.copy(textCol = v))
+      case "--id-col" :: v :: t => loop(t, acc.copy(idCol = v))
+      case "--direction" :: v :: t => loop(t, acc.copy(direction = v))
+      case "--iterations" :: v :: t => loop(t, acc.copy(iterations = v.toInt))
+      case "--damping" :: v :: t => loop(t, acc.copy(damping = v.toDouble))
+      case "--hops" :: v :: t => loop(t, acc.copy(hops = v.toInt))
+      case "--seeds" :: v :: t =>
+        loop(t, acc.copy(seeds = v.split(",").toSeq.map(_.trim.toLong)))
+      case "--weight-col" :: v :: t => loop(t, acc.copy(weightCol = Some(v)))
+      case "--min-words" :: v :: t => loop(t, acc.copy(minWords = v.toInt))
+      case "--quota-group" :: v :: t => loop(t, acc.copy(quotaGroup = Some(v)))
+      case "--quota" :: v :: t => loop(t, acc.copy(quota = v.toInt))
+      case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
+      case "--checkpoint-dir" :: v :: t =>
+        loop(t, acc.copy(checkpointDir = Some(v)))
+      case "--master" :: v :: t => loop(t, acc.copy(master = v))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown argument '$other'; $usage")
+    }
+    loop(argv.tail, Args(command = argv.head))
+  }
+
+  /** Core dispatch, session-agnostic (main owns the session; tests pass
+    * the shared one). Returns the result frame for graph commands, the
+    * curated corpus for `curate`. */
+  private[graft] def run(args: Args, spark: SparkSession): DataFrame = {
+    val ckpt = args.checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        Checkpointer.Reliable
+      case None => Checkpointer.Local
+    }
+    def edges: DataFrame = {
+      require(args.edges.nonEmpty, s"${args.command} needs --edges <dir>")
+      spark.read.parquet(args.edges)
+    }
+    def seedsDf: DataFrame = {
+      require(args.seeds.nonEmpty,
+        s"${args.command} needs --seeds <id,id,...>")
+      import spark.implicits._
+      args.seeds.toDF("id")
+    }
+    val result = args.command match {
+      case "degrees" => GraphOps.degrees(edges, args.direction)
+      case "pagerank" =>
+        GraphOps.pageRank(edges, args.damping, args.iterations, ckpt = ckpt)
+      case "components" => GraphOps.connectedComponents(edges, ckpt = ckpt)
+      case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
+      case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
+      case "paths" =>
+        GraphOps.shortestPaths(edges, seedsDf, args.weightCol, ckpt = ckpt)
+      case "curate" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty,
+          "curate needs --docs <dir> and --bench <dir>")
+        require(args.outDir.nonEmpty, "curate needs -o <outDir>")
+        val (corpus, report) = Curation.curateCorpus(
+          spark.read.parquet(args.docs), args.textCol, args.idCol,
+          spark.read.parquet(args.bench), args.textCol, args.idCol,
+          minWords = args.minWords, quotaGroupCol = args.quotaGroup,
+          quotaPerGroup = args.quota, ckpt = ckpt)
+        corpus.write.mode("overwrite").parquet(s"${args.outDir}/corpus")
+        report.write.mode("overwrite").parquet(s"${args.outDir}/report")
+        println(s"[analyze] curate: wrote ${args.outDir}/corpus and " +
+          s"${args.outDir}/report")
+        report.groupBy("stage", "decision").agg(count(lit(1)).as("n"))
+          .orderBy("stage").show(20, truncate = false)
+        corpus
+      case other =>
+        throw new IllegalArgumentException(s"unknown command '$other'; $usage")
+    }
+    if (args.command != "curate") {
+      if (args.outDir.nonEmpty) {
+        result.write.mode("overwrite")
+          .parquet(s"${args.outDir}/${args.command}")
+        println(s"[analyze] ${args.command}: wrote " +
+          s"${args.outDir}/${args.command}")
+      } else result.show(100, truncate = false)
+    }
+    result
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toList)
+    val spark = SparkSession.builder()
+      .master(args.master)
+      .appName(s"graft-analyze-${args.command}")
+      .config("spark.sql.shuffle.partitions",
+        math.max(Runtime.getRuntime.availableProcessors, 4).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try { run(args, spark); () }
+    finally spark.stop()
+  }
+}

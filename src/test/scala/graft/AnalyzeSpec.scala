@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.Analyze.parse
+
+/** Analytics/curation CLI: arg grammar + graph metrics and a curation run
+  * driven end-to-end from argv against the shared session. */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEdges(): String = {
+    val dir = Files.createTempDirectory("graft-analyze").toString
+    // 0→1→2→3 chain + 4↔5 cycle, with a weight column
+    Seq((0L, 1L, 4.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (4L, 5L, 1.0),
+        (5L, 4L, 1.0), (0L, 2L, 10.0))
+      .toDF("start_id", "end_id", "w")
+      .write.parquet(s"$dir/edges")
+    dir
+  }
+
+  test("arg parsing: command word, options, unknown-arg rejection") {
+    val a = parse(List("pagerank", "--edges", "/e", "--iterations", "5",
+      "--damping", "0.9", "-o", "/out", "--checkpoint-dir", "/ck"))
+    assert(a.command == "pagerank" && a.edges == "/e" && a.iterations == 5 &&
+      a.damping == 0.9 && a.outDir == "/out" &&
+      a.checkpointDir.contains("/ck"))
+    val s = parse(List("khop", "--edges", "/e", "--seeds", "1, 2,3"))
+    assert(s.seeds == Seq(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException](
+      parse(List("degrees", "--bogus")))
+    assert(e.getMessage.contains("--bogus"))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("frobnicate", "--edges", "/e")), spark))
+  }
+
+  test("graph commands run from argv and write parquet results") {
+    val dir = writeEdges()
+    Analyze.run(parse(List("degrees", "--edges", s"$dir/edges",
+      "-o", s"$dir/o1")), spark)
+    val deg = spark.read.parquet(s"$dir/o1/degrees")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg(0L) == 2L && deg(1L) == 1L)
+
+    Analyze.run(parse(List("paths", "--edges", s"$dir/edges", "--seeds", "0",
+      "--weight-col", "w", "-o", s"$dir/o2")), spark)
+    val dist = spark.read.parquet(s"$dir/o2/paths")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 0→1→2 (5.0) beats 0→2 direct (10.0)
+    assert(dist == Map(0L -> 0.0, 1L -> 4.0, 2L -> 5.0, 3L -> 6.0))
+
+    val pr = Analyze.run(parse(List("pagerank", "--edges", s"$dir/edges",
+      "--iterations", "3")), spark)
+    assert(math.abs(pr.agg(sum("rank")).head().getDouble(0) - 1.0) < 1e-12)
+
+    val cc = Analyze.run(parse(List("components", "--edges", s"$dir/edges")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(3L) == 0L && cc(5L) == 4L)
+  }
+
+  test("curate runs end-to-end from argv: corpus + attributed report") {
+    val dir = Files.createTempDirectory("graft-analyze-cur").toString
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks away to find some more interesting things to do today " * 3
+    val other = "completely different subject matter entirely about " +
+      "cooking pasta with garlic butter sauce and fresh basil leaves " * 3
+    Seq((1L, good + "alpha"), (2L, good + "alpha"), // exact dup pair
+        (3L, "short junk"),                         // fails min-words
+        (4L, other + "omega"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Seq((100L, "held out benchmark prompt nothing shared here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/bench")
+    Analyze.run(parse(List("curate", "--docs", s"$dir/docs", "--bench",
+      s"$dir/bench", "--min-words", "20", "-o", s"$dir/out")), spark)
+    val kept = spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // 2 deduped against 1, 3 quality-dropped
+    val report = spark.read.parquet(s"$dir/out/report")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(report(3L)._1 == "quality" && report(2L)._1 == "dedup" &&
+      report(1L) == ("kept", "kept"))
+  }
+}
