@@ -44,10 +44,21 @@ object Bench {
           (name, sorted(sorted.length / 2), sorted.head, sorted.last)
         }
       }
-    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+    // 3 significant figures: the driver's artifact keeps only the head of
+    // this line, so every byte in the queries map costs coverage — short
+    // keys (q_ stripped) + 3-sig-fig medians keep all ~75 per-query
+    // timings inside the survivable prefix; the verbose spread map rides
+    // LAST so truncation only ever costs the min/max detail.
+    def sig3(x: Double): String =
+      BigDecimal(x).round(new java.math.MathContext(3))
+        .bigDecimal.toPlainString
+    def short(k: String): String = k.stripPrefix("q_")
+    val qs = results
+      .map { case (k, med, _, _) => "\"" + short(k) + "\":" + sig3(med) }
       .mkString("{", ",", "}")
     val spread = results
-      .map { case (k, _, lo, hi) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+      .map { case (k, _, lo, hi) =>
+        "\"" + short(k) + "\":[" + sig3(lo) + "," + sig3(hi) + "]" }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, med, _, _) if med < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -55,8 +66,9 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
     // cpus + shuffle partitions ride in the JSON line so round-over-round
-    // comparisons are config-matched
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"errors":$errors,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfDir"}""")
+    // comparisons are config-matched; scalars go before the maps so they
+    // always survive
+    println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec","iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfDir","errors":$errors,"queries":$qs,"spread":$spread}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }
