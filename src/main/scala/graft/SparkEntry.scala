@@ -594,6 +594,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X5g: REAL image resize — synthesize solid PNGs, resize through
+    // the nearest-neighbor decode→scale→re-encode kernel to a fixed 9×7,
+    // then decode AGAIN: dimensions become the literal target and a solid
+    // colour survives any interpolation exactly, so the oracle is pure
+    // doc_id arithmetic (same scheme as q_x5c). ----
+    "q_x5g_image_resize" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") % 16) + 1).cast("int").as("w"),
+        ((col("doc_id") % 11) + 2).cast("int").as("h"),
+        (col("doc_id") % 256).cast("int").as("r"),
+        ((col("doc_id") * 7) % 256).cast("int").as("g"),
+        ((col("doc_id") * 13) % 256).cast("int").as("b"))
+      val png = Multimodal.synthesizePngs(spec, "w", "h", "r", "g", "b",
+        "payload")
+      val resized = Multimodal.resizeImages(png, "payload", 9, 7, "small")
+      Multimodal.extractFeatures(resized, "small")
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("bands"),
+          round(element_at(col("features"), 4) * 255).cast("long").as("mean_r"),
+          round(element_at(col("features"), 5) * 255).cast("long").as("mean_g"),
+          round(element_at(col("features"), 6) * 255).cast("long").as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X5d: REAL audio decode — distributed WAV synthesis (format +
     // constant amplitude derived from doc_id) → javax.sound decode →
     // (sample_rate, channels, n_frames, rms). Constant-amplitude PCM has
@@ -1455,6 +1481,18 @@ object SparkEntry {
       """SELECT doc_id,
         |(doc_id % 16) + 1 AS width,
         |(doc_id % 11) + 2 AS height,
+        |CAST(3 AS BIGINT) AS bands,
+        |doc_id % 256 AS mean_r,
+        |(doc_id * 7) % 256 AS mean_g,
+        |(doc_id * 13) % 256 AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Resized dimensions are the literal 9×7 target; a solid colour is
+    // interpolation-invariant, so means are the source doc_id arithmetic.
+    "q_x5g_image_resize" ->
+      """SELECT doc_id,
+        |CAST(9 AS BIGINT) AS width,
+        |CAST(7 AS BIGINT) AS height,
         |CAST(3 AS BIGINT) AS bands,
         |doc_id % 256 AS mean_r,
         |(doc_id * 7) % 256 AS mean_g,

@@ -102,6 +102,60 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Real image resize: decode (same header-peek decompression-bomb guard
+    * as [[decodeImage]]), scale to `width × height` with NEAREST-NEIGHBOR
+    * interpolation (deterministic across JVMs — no filtering kernel
+    * variation), re-encode as PNG onto an RGB raster (alpha is dropped).
+    * None for null/non-image/corrupt/over-budget payloads — the same
+    * total-function contract as every decoder here. */
+  def resizeImage(bytes: Array[Byte], width: Int, height: Int,
+      maxPixels: Long = DefaultMaxPixels): Option[Array[Byte]] = {
+    require(width >= 1 && height >= 1, "target dimensions must be >= 1")
+    require(width.toLong * height <= maxPixels,
+      "target raster exceeds the pixel budget")
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+          val img = reader.read(0)
+          if (img == null) return None
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, width, height, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed resize over a binary column: appends `outCol: binary`
+    * holding the re-encoded PNG (null where the payload didn't decode).
+    * Same stays-in-Catalyst UDF shape as [[extractFeatures]] — the
+    * standard pre-processing step before a vision-model training
+    * pipeline, so payload bytes shrink BEFORE any shuffle/export. */
+  def resizeImages(df: DataFrame, binCol: String, width: Int, height: Int,
+      outCol: String): DataFrame = {
+    val resize = udf((bytes: Array[Byte]) => resizeImage(bytes, width, height))
+    df.withColumn(outCol, resize(col(binCol)))
+  }
+
   /** Fallback kernel for payloads no installed codec understands:
     * deterministic byte-histogram moments. Keeps mixed-modality corpora
     * total — every payload yields a feature vector. */

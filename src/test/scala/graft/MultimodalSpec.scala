@@ -130,6 +130,36 @@ class MultimodalSpec extends SparkSpec {
     assert(math.round(rows(1)(5) * 255) == 5)
   }
 
+  test("resizeImage: real decode→scale→re-encode, solid colour exact") {
+    val png = Multimodal.encodeSolidPng(16, 10, 40, 80, 120)
+    val small = Multimodal.resizeImage(png, 4, 3).get
+    val info = Multimodal.decodeImage(small).get
+    assert(info.width == 4 && info.height == 3 && info.bands == 3)
+    assert(info.means.map(m => math.round(m * 255)).toSeq == Seq(40, 80, 120))
+    // upscale too — nearest-neighbor of a solid stays solid
+    val big = Multimodal.decodeImage(Multimodal.resizeImage(png, 33, 21).get).get
+    assert(big.width == 33 && big.height == 21)
+    assert(big.means.map(m => math.round(m * 255)).toSeq == Seq(40, 80, 120))
+    // non-image payloads map to None; hostile targets are rejected eagerly
+    assert(Multimodal.resizeImage("not a png".getBytes, 4, 4).isEmpty)
+    assert(Multimodal.resizeImage(null, 4, 4).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.resizeImage(png, 0, 4))
+    intercept[IllegalArgumentException](
+      Multimodal.resizeImage(png, 1 << 20, 1 << 20))
+  }
+
+  test("resizeImages: distributed column resize, nulls for non-images") {
+    val df = Seq(
+        (1L, Multimodal.encodeSolidPng(8, 8, 200, 100, 50)),
+        (2L, "junk payload".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.resizeImages(df, "payload", 5, 6, "small")
+      .orderBy("id").select(col("small")).collect()
+    val info = Multimodal.decodeImage(out(0).getAs[Array[Byte]](0)).get
+    assert(info.width == 5 && info.height == 6)
+    assert(out(1).isNullAt(0))
+  }
+
   test("decodeAudio: real WAV decode recovers format and RMS") {
     // full-scale square wave: RMS is exactly the amplitude
     val wav = Multimodal.encodePcmWav(16000, Array.fill(200)(1200.toShort))
