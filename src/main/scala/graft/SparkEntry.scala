@@ -640,6 +640,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X5h: REAL audio resample — synthesize WAVs (per-doc rate ∈
+    // {8k..14k}, constant amplitude), resample all to 6 kHz by
+    // nearest-neighbor frame selection, decode again: rate is the literal
+    // target, frame count is exact integer arithmetic
+    // ⌊frames·6000/rate⌋, and a constant-amplitude signal keeps RMS ==
+    // amp through any frame selection — fully arithmetic oracle. ----
+    "q_x5h_audio_resample" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 2000).cast("int").as("rate"),
+        (lit(100) + col("doc_id") % 50).cast("int").as("frames"),
+        ((col("doc_id") % 900) + 1).cast("int").as("amp"))
+      val wav = Multimodal.synthesizeWavs(spec, "rate", "frames", "amp",
+        "payload")
+      val res = Multimodal.resampleAudios(wav, "payload", 6000, "resampled")
+      Multimodal.extractAudioInfo(res, "resampled")
+        .select(col("doc_id"),
+          col("audio.sample_rate").cast("long").as("sample_rate"),
+          col("audio.channels").cast("long").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          round(col("audio.rms")).cast("long").as("amp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X6f: deterministic weighted sampling (Efraimidis–Spirakis
     // bottom-k) — 3 length-weighted winners per language. Seeded-hash
     // uniforms aren't ANSI-expressible → rows-only. ----
@@ -1497,6 +1520,18 @@ object SparkEntry {
         |doc_id % 256 AS mean_r,
         |(doc_id * 7) % 256 AS mean_g,
         |(doc_id * 13) % 256 AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Resampled rate is the literal 6 kHz target; the frame count is the
+    // integer expression the kernel computes; constant amplitude keeps
+    // RMS == amp through nearest-neighbor frame selection.
+    "q_x5h_audio_resample" ->
+      """SELECT doc_id,
+        |CAST(6000 AS BIGINT) AS sample_rate,
+        |CAST(1 AS BIGINT) AS channels,
+        |((100 + doc_id % 50) * 6000) // (8000 + (doc_id % 4) * 2000)
+        |  AS n_frames,
+        |(doc_id % 900) + 1 AS amp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Constant-amplitude PCM: RMS == amplitude exactly (sqrt of a perfect

@@ -278,6 +278,72 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Real audio resample to `targetRate` by nearest-neighbor frame
+    * selection (output frame j reads input frame ⌊j·inRate/outRate⌋ —
+    * deterministic integer arithmetic, no filter kernel), re-encoded as
+    * 16-bit PCM WAV. Output frame count is ⌊frames·outRate/inRate⌋.
+    * Multi-channel input is averaged to mono first (the common
+    * speech-pipeline normalization). None for payloads [[decodeAudio]]
+    * would reject. The JDK's own converters refuse arbitrary rate
+    * changes, so the mapping is explicit — which is also what makes it
+    * reproducible anywhere. */
+  def resampleAudio(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+    require(targetRate >= 1, "targetRate must be >= 1")
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val signed =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed || fmt.getSampleSizeInBits != 16) return None
+        val channels = fmt.getChannels
+        val inRate = fmt.getSampleRate.toInt
+        if (inRate <= 0) return None
+        val big = fmt.isBigEndian
+        val raw = in.readAllBytes()
+        val nFrames = raw.length / fmt.getFrameSize
+        if (nFrames == 0) return None
+        // mono mix-down, then nearest-neighbor index map
+        val mono = new Array[Short](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L
+          var c = 0
+          while (c < channels) {
+            val i = f * fmt.getFrameSize + c * 2
+            val s =
+              if (big) ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort
+              else ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort
+            acc += s
+            c += 1
+          }
+          mono(f) = (acc / channels).toShort
+          f += 1
+        }
+        val nOut = ((nFrames.toLong * targetRate) / inRate).toInt
+        if (nOut == 0) return None
+        val out = new Array[Short](nOut)
+        var j = 0
+        while (j < nOut) {
+          out(j) = mono(((j.toLong * inRate) / targetRate).toInt)
+          j += 1
+        }
+        Some(encodePcmWav(targetRate, out))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed resample over a binary column: appends `outCol: binary`
+    * (null where not decodable) — the audio twin of [[resizeImages]],
+    * same stays-in-Catalyst UDF shape. */
+  def resampleAudios(df: DataFrame, binCol: String, targetRate: Int,
+      outCol: String): DataFrame = {
+    val resample = udf((bytes: Array[Byte]) => resampleAudio(bytes, targetRate))
+    df.withColumn(outCol, resample(col(binCol)))
+  }
+
   /** Encode 16-bit signed little-endian mono PCM as WAV (test/fixture
     * generator — the inverse of [[decodeAudio]], also pure JDK). */
   def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {

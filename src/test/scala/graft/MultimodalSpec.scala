@@ -160,6 +160,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("resampleAudio: nearest-neighbor rate change, stereo mix-down") {
+    // constant amplitude survives any frame selection exactly
+    val wav = Multimodal.encodePcmWav(12000, Array.fill(300)(700.toShort))
+    val down = Multimodal.decodeAudio(
+      Multimodal.resampleAudio(wav, 6000).get).get
+    assert(down.sampleRate == 6000 && down.frames == 150L && down.rms == 700.0)
+    val up = Multimodal.decodeAudio(
+      Multimodal.resampleAudio(wav, 18000).get).get
+    assert(up.sampleRate == 18000 && up.frames == 450L && up.rms == 700.0)
+    // exact 2:1 downsample of an alternating signal keeps only even frames
+    val alt = Array.tabulate(100)(i => if (i % 2 == 0) 500.toShort
+      else (-500).toShort)
+    val half = Multimodal.decodeAudio(
+      Multimodal.resampleAudio(Multimodal.encodePcmWav(8000, alt), 4000).get).get
+    assert(half.frames == 50L && half.rms == 500.0)
+    // stereo input mixes to mono before resampling: (100 + 300)/2 = 200
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](4 * 80)
+    (0 until 80).foreach { f =>
+      pcm(4 * f) = 100; pcm(4 * f + 1) = 0       // L = 100 (LE)
+      pcm(4 * f + 2) = 44; pcm(4 * f + 3) = 1    // R = 300 (LE)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 80),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val mono = Multimodal.decodeAudio(
+      Multimodal.resampleAudio(bos.toByteArray, 8000).get).get
+    assert(mono.channels == 1 && mono.frames == 80L && mono.rms == 200.0)
+    // rejections
+    assert(Multimodal.resampleAudio("not audio".getBytes, 8000).isEmpty)
+    assert(Multimodal.resampleAudio(null, 8000).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.resampleAudio(wav, 0))
+  }
+
   test("decodeAudio: real WAV decode recovers format and RMS") {
     // full-scale square wave: RMS is exactly the amplitude
     val wav = Multimodal.encodePcmWav(16000, Array.fill(200)(1200.toShort))
