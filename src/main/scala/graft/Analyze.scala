@@ -21,7 +21,8 @@ import graft.operators.{Curation, GraphOps}
   *   components  --edges <dir> [-o <outDir>]
   *   triangles   --edges <dir> [-o <outDir>]
   *   khop        --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
-  *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w] [-o <outDir>]
+  *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w]
+  *               [--max-iter N] [-o <outDir>]
   *   curate      --docs <dir> --bench <dir> [--text-col text]
   *               [--id-col doc_id] [--min-words N] [--quota-group <col>]
   *               [--quota N] -o <outDir>   (writes corpus/ and report/)
@@ -45,6 +46,7 @@ object Analyze {
       iterations: Int = 10,
       damping: Double = 0.85,
       hops: Int = 3,
+      maxIter: Int = 50,
       seeds: Seq[Long] = Nil,
       weightCol: Option[String] = None,
       minWords: Int = 50,
@@ -71,6 +73,7 @@ object Analyze {
       case "--iterations" :: v :: t => loop(t, acc.copy(iterations = v.toInt))
       case "--damping" :: v :: t => loop(t, acc.copy(damping = v.toDouble))
       case "--hops" :: v :: t => loop(t, acc.copy(hops = v.toInt))
+      case "--max-iter" :: v :: t => loop(t, acc.copy(maxIter = v.toInt))
       case "--seeds" :: v :: t =>
         loop(t, acc.copy(seeds = v.split(",").toSeq.map(_.trim.toLong)))
       case "--weight-col" :: v :: t => loop(t, acc.copy(weightCol = Some(v)))
@@ -115,7 +118,8 @@ object Analyze {
       case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
       case "paths" =>
-        GraphOps.shortestPaths(edges, seedsDf, args.weightCol, ckpt = ckpt)
+        GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
+          args.maxIter, ckpt)
       case "curate" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty,
           "curate needs --docs <dir> and --bench <dir>")

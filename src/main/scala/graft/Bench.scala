@@ -60,7 +60,8 @@ object Bench {
       .map { case (k, _, lo, hi) =>
         "\"" + short(k) + "\":[" + sig3(lo) + "," + sig3(hi) + "]" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, med, _, _) if med < 0 => s"\"" + k + "\"" }
+    val errors = results
+      .collect { case (k, med, _, _) if med < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val ok = results.collect { case (_, med, _, _) if med >= 0 => med }
     val total = if (ok.nonEmpty) ok.sum else 0.0

@@ -221,7 +221,7 @@ object GraphOps {
         col("e._dd").as("_dd"))
     val orientedCk = ckpt(oriented)
     val x = orientedCk.alias("x")
-    val y = oriented.alias("y")
+    val y = orientedCk.alias("y")
     // wedges (u; v, w) with v before w in (deg, id) order — the closing
     // edge, if present, is oriented exactly v → w
     val wedges = x.join(y, col("x.src") === col("y.src") &&
@@ -327,6 +327,12 @@ object GraphOps {
       prev = Some(cur)
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"shortestPaths stopped at maxIter=$maxIter without reaching a " +
+          "fixpoint — distances beyond that relaxation depth are upper " +
+          "bounds, not shortest. Raise maxIter (weighted hop diameter), " +
+          "or check for a reachable negative cycle.")
     dist
   }
 }

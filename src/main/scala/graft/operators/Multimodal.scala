@@ -40,6 +40,12 @@ object Multimodal {
     * of INT_RGB raster, comfortably inside an executor task's share. */
   val DefaultMaxPixels: Long = 64L * 1024 * 1024
 
+  /** Resampled-audio budget: outputs whose frame count exceeds this are
+    * rejected before allocating — 64 M mono 16-bit frames ≈ 128 MB,
+    * same order as the decoded-raster budget. Also keeps the frame count
+    * far from Int overflow. */
+  val DefaultMaxFrames: Long = 64L * 1024 * 1024
+
   /** Wrap a binary column with its typed metadata struct. */
   def withMediaMetadata(df: DataFrame, binCol: String, mediaType: String): DataFrame =
     df.withColumn("media_meta", struct(
@@ -196,7 +202,17 @@ object Multimodal {
     * filter pushdown flow through the decode (a downstream
     * `select(features)` still prunes the other source columns at the
     * scan), and the surrounding projections keep whole-stage codegen.
-    * Appends `features: array<float>`. */
+    * Appends `features: array<float>`.
+    *
+    * The UDF is DELIBERATELY left deterministic: marking it
+    * nondeterministic would stop Catalyst duplicating the decode into a
+    * filter that references `features`, but it would also block EVERY
+    * filter (e.g. on an id or metadata column) from pushing through this
+    * projection to the scan — decoding the whole corpus to answer a
+    * filtered query, the far worse trade at 100 TB. If you filter
+    * directly on decoded output, materialize (persist/checkpoint) the
+    * result first so the decode runs once. Applies to every decode/encode
+    * column in this object. */
   def extractFeatures(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("features", featuresUdf(col(binCol)))
 
@@ -284,10 +300,14 @@ object Multimodal {
     * 16-bit PCM WAV. Output frame count is ⌊frames·outRate/inRate⌋.
     * Multi-channel input is averaged to mono first (the common
     * speech-pipeline normalization). None for payloads [[decodeAudio]]
-    * would reject. The JDK's own converters refuse arbitrary rate
-    * changes, so the mapping is explicit — which is also what makes it
-    * reproducible anywhere. */
-  def resampleAudio(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+    * would reject, and for outputs whose frame count would exceed
+    * `maxFrames` — the audio twin of [[DefaultMaxPixels]]: a small WAV
+    * upsampled to an absurd rate must not allocate an unbounded buffer,
+    * and the count itself is kept in Long so it cannot wrap. The JDK's
+    * own converters refuse arbitrary rate changes, so the mapping is
+    * explicit — which is also what makes it reproducible anywhere. */
+  def resampleAudio(bytes: Array[Byte], targetRate: Int,
+      maxFrames: Long = DefaultMaxFrames): Option[Array[Byte]] = {
     require(targetRate >= 1, "targetRate must be >= 1")
     if (bytes == null || bytes.length < 12) return None
     try {
@@ -322,8 +342,9 @@ object Multimodal {
           mono(f) = (acc / channels).toShort
           f += 1
         }
-        val nOut = ((nFrames.toLong * targetRate) / inRate).toInt
-        if (nOut == 0) return None
+        val nOutL = (nFrames.toLong * targetRate) / inRate
+        if (nOutL == 0 || nOutL > maxFrames) return None
+        val nOut = nOutL.toInt
         val out = new Array[Short](nOut)
         var j = 0
         while (j < nOut) {
