@@ -17,7 +17,8 @@ import graft.operators.{Curation, GraphOps}
   *
   * Commands:
   *   degrees     --edges <dir> [--direction out|in|total] [-o <outDir>]
-  *   pagerank    --edges <dir> [--iterations N] [--damping D] [-o <outDir>]
+  *   pagerank    --edges <dir> [--iterations N] [--damping D]
+  *               [--weight-col w] [-o <outDir>]
   *   components  --edges <dir> [-o <outDir>]
   *   triangles   --edges <dir> [-o <outDir>]
   *   khop        --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
@@ -113,7 +114,8 @@ object Analyze {
     val result = args.command match {
       case "degrees" => GraphOps.degrees(edges, args.direction)
       case "pagerank" =>
-        GraphOps.pageRank(edges, args.damping, args.iterations, ckpt = ckpt)
+        GraphOps.pageRank(edges, args.damping, args.iterations, ckpt = ckpt,
+          weightCol = args.weightCol)
       case "components" => GraphOps.connectedComponents(edges, ckpt = ckpt)
       case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)

@@ -51,6 +51,26 @@ object SparkEntry {
     cust.unionByName(supp).unionByName(nat)
   }
 
+  /** [[heteroEdges]] with exact-quarter edge weights ((key % 8)/4 + 1 —
+    * exact binary fractions, so weight sums are order-independent and
+    * oracle arithmetic needs no rounding). Shared by G6 shortest paths
+    * and G3c weighted PageRank. */
+  private def weightedHeteroEdges(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(
+      (col("c_custkey").cast("long") * 4).as("start_id"),
+      (col("c_nationkey").cast("long") * 4 + 2).as("end_id"),
+      ((col("c_custkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
+    val supp = t(s, dir, "supplier").select(
+      (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+      (col("s_nationkey").cast("long") * 4 + 2).as("end_id"),
+      ((col("s_suppkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
+    val nat = t(s, dir, "nation").select(
+      (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
+      (col("n_regionkey").cast("long") * 4 + 3).as("end_id"),
+      ((col("n_nationkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
+    cust.unionByName(supp).unionByName(nat)
+  }
+
   /** The graph-spec fixture (FIXTURES.md §2) over the TPC-H-ish tables,
     * in the reference's config grammar. */
   def fixtureYaml(dir: String): String =
@@ -862,24 +882,22 @@ object SparkEntry {
     // directly, no rounding). Supplier edges are present but unreachable
     // from the seeds — absent from the output on both sides. ----
     "q_g6_shortest_paths" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").select(
-        (col("c_custkey").cast("long") * 4).as("start_id"),
-        (col("c_nationkey").cast("long") * 4 + 2).as("end_id"),
-        ((col("c_custkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
-      val supp = t(s, dir, "supplier").select(
-        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
-        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"),
-        ((col("s_suppkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
-      val nat = t(s, dir, "nation").select(
-        (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
-        (col("n_regionkey").cast("long") * 4 + 3).as("end_id"),
-        ((col("n_nationkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
       val seeds = t(s, dir, "customer").filter(col("c_custkey") < 10)
         .select((col("c_custkey").cast("long") * 4).as("id"))
-      GraphOps.shortestPaths(cust.unionByName(supp).unionByName(nat),
-        seeds, Some("w"))
+      GraphOps.shortestPaths(weightedHeteroEdges(s, dir), seeds, Some("w"))
         .orderBy("id")
     }),
+
+    // ---- G3c: WEIGHTED PageRank — transition probability proportional to
+    // edge weight (w/Σw per source) instead of uniform; same 3-iteration
+    // power method, oracled by the same unrolled-SQL scheme as q_g3 with
+    // weight-sum out-degrees. Exact-quarter weights make the degree sums
+    // order-independent. ----
+    "q_g3c_pagerank_weighted" -> ((s, dir) =>
+      GraphOps.pageRank(weightedHeteroEdges(s, dir), damping = 0.85,
+        iterations = 3, weightCol = Some("w"))
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")),
 
     // ---- G4: triangle counting on the part co-occurrence graph (parts
     // sharing an order, 5% order subset to bound the clique expansion —
@@ -1788,6 +1806,50 @@ object SparkEntry {
         |  SELECT r_regionkey*4+3, r_regionkey FROM region)
         |SELECT id, min(id) OVER (PARTITION BY rk) AS component
         |FROM nodes ORDER BY id""".stripMargin,
+
+    // q_g3's unrolled 3-iteration power method with weight-sum
+    // out-degrees and rank·w/Σw inflow terms; ROUND(_, 8) absorbs
+    // summation-order ulps exactly as in q_g3.
+    "q_g3c_pagerank_weighted" ->
+      """WITH e AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst,
+        |         (c_custkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, s_nationkey*4+2,
+        |         (s_suppkey % 8) / CAST(4 AS DOUBLE) + 1 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3,
+        |         (n_nationkey % 8) / CAST(4 AS DOUBLE) + 1 FROM nation),
+        |n AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |deg AS (SELECT src, sum(w) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
+        |d0 AS (SELECT COALESCE(sum(r), 0) AS s FROM r0
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r1 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |         + (SELECT s FROM d0)/(SELECT nn FROM c)) AS r
+        |       FROM n LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r0.r*e.w/deg.d) AS s FROM e
+        |         JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id)),
+        |d1 AS (SELECT COALESCE(sum(r), 0) AS s FROM r1
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r2 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |         + (SELECT s FROM d1)/(SELECT nn FROM c)) AS r
+        |       FROM n LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r1.r*e.w/deg.d) AS s FROM e
+        |         JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id)),
+        |d2 AS (SELECT COALESCE(sum(r), 0) AS s FROM r2
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |r3 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
+        |         + (SELECT s FROM d2)/(SELECT nn FROM c)) AS r
+        |       FROM n LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r2.r*e.w/deg.d) AS s FROM e
+        |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+        |         GROUP BY e.dst) f USING (id))
+        |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
 
     // The hetero graph is a leveled DAG (customer→nation→region), so the
     // oracle computes the relaxation level by level. Weights are exact

@@ -85,22 +85,34 @@ object GraphOps {
     * front so they are not re-derived each round. Skewed in-degree (a
     * celebrity node) is a groupBy — map-side combine absorbs it.
     *
+    * With `weightCol`, transition probability follows edge weight instead
+    * of being uniform over out-edges: rank flows u→v in proportion
+    * w(u,v)/Σ_w(u,·) (weights must be positive — a vertex whose outgoing
+    * weights sum to zero would divide by zero). Unweighted keeps the
+    * exact original expression (count-based out-degree), so existing
+    * results are bit-identical.
+    *
     * Returns (`id`, `rank`); ranks sum to 1 over the node set (all
     * endpoints of `edges`, plus `nodes` if supplied for isolated
     * vertices). */
   def pageRank(edges: DataFrame, damping: Double = 0.85,
       iterations: Int = 10, nodes: Option[DataFrame] = None,
-      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+      ckpt: Checkpointer = Checkpointer.Local,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
-    val e = ckpt(edges.select(col(StartId).as("src"), col(EndId).as("dst")))
+    val e = ckpt(edges.select(
+      col(StartId).as("src") +: col(EndId).as("dst") +:
+        weightCol.map(w => col(w).cast("double").as("_w")).toSeq: _*))
     val endpoints = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
     val n = ckpt(nodes.fold(endpoints)(extra =>
         endpoints.unionAll(extra.select(col(extra.columns.head).as("id"))))
       .distinct())
     val nNodes = n.count().toDouble
-    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("_deg")))
+    // out-"degree": edge count unweighted, outgoing weight sum weighted
+    val deg = ckpt(e.groupBy("src").agg(
+      weightCol.fold(count(lit(1)).as("_deg"))(_ => sum(col("_w")).as("_deg"))))
     var ranks = ckpt(n.withColumn("rank", lit(1.0 / nNodes)))
     var i = 0
     while (i < iterations) {
@@ -109,11 +121,14 @@ object GraphOps {
       // crossJoin, not collected to the driver.
       val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0)).as("_dangling"))
+      val flow = weightCol
+        .fold(col("rank") / col("_deg"))(_ =>
+          col("rank") * col("_w") / col("_deg"))
       val inflow = ranks
         .join(e, ranks("id") === e("src"))
         .join(deg, Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("_deg")).as("_in"))
+        .agg(sum(flow).as("_in"))
       ranks = ckpt(n.join(inflow, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.lit
 
 import graft.operators.GraphOps
 
@@ -149,6 +150,30 @@ class GraphOpsSpec extends SparkSpec {
     val out = GraphOps.kHop(edges, Seq(0L, 2L).toDF("id"), 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+  }
+
+  test("pageRank weighted: flow follows edge weight; constant weights " +
+      "reproduce unweighted bit-for-bit") {
+    // 0 → 1 (w=3) and 0 → 2 (w=1); 1 and 2 dangling. One iteration:
+    // d0 = r(1)+r(2) = 2/3; r1(1) = 0.05 + 0.85·(1/3·3/4 + (2/3)/3)
+    val g = Seq((0L, 1L, 3.0), (0L, 2L, 1.0)).toDF("start_id", "end_id", "w")
+    val r = GraphOps.pageRank(g, iterations = 1, weightCol = Some("w"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    val base = 0.05 + 0.85 * (2.0 / 3.0 / 3.0)
+    assert(math.abs(r(0L) - base) < 1e-12)
+    assert(math.abs(r(1L) - (base + 0.85 * (1.0 / 3.0 * 3.0 / 4.0))) < 1e-12)
+    assert(math.abs(r(2L) - (base + 0.85 * (1.0 / 3.0 / 4.0))) < 1e-12)
+    // constant weight 2.0: (r·2)/(2k) == r/k exactly in IEEE — identical
+    // doubles to the unweighted path
+    val g2 = Seq((1L, 0L), (1L, 2L), (3L, 2L), (4L, 5L), (9L, 2L))
+      .toDF("start_id", "end_id")
+    val unw = GraphOps.pageRank(g2, iterations = 4)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    val cw = GraphOps.pageRank(g2.withColumn("w", lit(2.0)), iterations = 4,
+        weightCol = Some("w"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(cw == unw)
   }
 
   test("shortestPaths: weighted relaxation beats fewer-hop paths") {
