@@ -17,7 +17,9 @@ object ExplainPlans {
       else Seq("q_revenue_per_nation", "q_j2_jointable_edges", "q_q1_agg",
         "q_x2c_simhash_neardups", "q_x7_decontaminate", "q_x6b_hash_sample",
         "q_g3_pagerank", "q_x9_tfidf", "q_x7b_decontaminate_hashed",
-        "q_st3_interval_join", "q_g1_degrees")
+        "q_st3_interval_join", "q_g1_degrees", "q_g6_shortest_paths",
+        "q_g3c_pagerank_weighted", "q_x5g_image_resize",
+        "q_x5h_audio_resample")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

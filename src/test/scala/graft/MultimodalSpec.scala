@@ -196,6 +196,25 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.resampleAudio(wav, 0))
   }
 
+  test("decode stages stay inside Catalyst: no RDD scan barrier, and " +
+      "metadata filters push through the decode to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planshape")
+    Seq((1L, Multimodal.encodeSolidPng(4, 4, 9, 9, 9)),
+        (2L, Multimodal.encodeSolidPng(5, 5, 7, 7, 7)))
+      .toDF("id", "payload").write.parquet(s"$dir/media")
+    val decoded = Multimodal.extractFeatures(
+      spark.read.parquet(s"$dir/media"), "payload")
+      .filter(col("id") === 1L)
+    val physical = decoded.queryExecution.executedPlan.toString
+    // the old df.rdd round-trip materialized as "Scan ExistingRDD" and
+    // severed pushdown; the UDF form must keep one parquet scan with the
+    // id predicate pushed into it
+    assert(!physical.contains("ExistingRDD"), physical)
+    assert(physical.contains("PushedFilters: [IsNotNull(id), EqualTo(id,1)]"),
+      physical)
+    assert(decoded.count() == 1)
+  }
+
   test("decodeAudio: real WAV decode recovers format and RMS") {
     // full-scale square wave: RMS is exactly the amplitude
     val wav = Multimodal.encodePcmWav(16000, Array.fill(200)(1200.toShort))
