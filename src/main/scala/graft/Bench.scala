@@ -67,9 +67,11 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
     // cpus + shuffle partitions ride in the JSON line so round-over-round
-    // comparisons are config-matched; scalars go before the maps so they
-    // always survive
-    println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec","iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfDir","errors":$errors,"queries":$qs,"spread":$spread}""")
+    // comparisons are config-matched. Field order is survival order for a
+    // head-truncated artifact: total + errors + the full queries map
+    // first, small config scalars next, the verbose spread map last.
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec","errors":$errors,"queries":$qs,"iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfName","spread":$spread}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }

@@ -463,6 +463,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X2f: fuzzy-string (Levenshtein) near-dup over 24-char text
+    // prefixes — runs the BLOCKED path (length bands ±1), whose candidates
+    // are provably lossless for the distance bound, against an all-pairs
+    // SQL oracle: a green row certifies the blocking drops nothing. ----
+    "q_x2f_edit_neardups" -> ((s, dir) =>
+      Dedup.editDistanceNearDups(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "text", "doc_id", maxDist = 5, prefixLen = 24)
+        .orderBy("id_a", "id_b")),
+
     // ---- X2d: embedding-cosine near-dup pairs (exact over subset) ----
     "q_x2d_cosine_neardups" -> ((s, dir) =>
       Dedup.cosineNearDups(
@@ -874,6 +884,13 @@ object SparkEntry {
     // ground truth. ----
     "q_g5_components" -> ((s, dir) =>
       GraphOps.connectedComponents(heteroEdges(s, dir)).orderBy("id")),
+
+    // ---- G7: degree distribution — the histogram a graph-shape sanity
+    // check starts with (hub detection, power-law eyeballing). ----
+    "q_g7_degree_hist" -> ((s, dir) =>
+      GraphOps.degrees(heteroEdges(s, dir), "in")
+        .groupBy("degree").agg(count(lit(1)).as("n"))
+        .orderBy("degree")),
 
     // ---- G6: weighted shortest paths (Bellman-Ford by iterated min-join)
     // from customers 0..9 over the heterogeneous graph with exact-quarter
@@ -1422,6 +1439,18 @@ object SparkEntry {
         |    AS cosine_e4, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // All-pairs reference for the blocked Levenshtein path: a hash match
+    // proves the length-band candidate generation is lossless.
+    "q_x2f_edit_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(trim(text), 1, 24) AS k
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS edit_distance
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_x2d_cosine_neardups" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |prod AS (
@@ -1806,6 +1835,17 @@ object SparkEntry {
         |  SELECT r_regionkey*4+3, r_regionkey FROM region)
         |SELECT id, min(id) OVER (PARTITION BY rk) AS component
         |FROM nodes ORDER BY id""".stripMargin,
+
+    "q_g7_degree_hist" ->
+      """WITH e AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+        |deg AS (SELECT dst AS id, count(*) AS degree FROM e GROUP BY dst)
+        |SELECT degree, count(*) AS n FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin,
 
     // q_g3's unrolled 3-iteration power method with weight-sum
     // out-degrees and rank·w/Σw inflow terms; ROUND(_, 8) absorbs

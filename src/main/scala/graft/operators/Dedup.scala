@@ -375,6 +375,50 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Fuzzy-string near-dup: pairs whose trimmed-text PREFIXES (first
+    * `prefixLen` chars) are within Levenshtein distance `maxDist` — the
+    * title/short-field dedup modality (MinHash needs token overlap;
+    * edit distance catches typo-level variants of short strings).
+    *
+    * Candidate blocking is lossless: edit distance ≤ d implies length
+    * difference ≤ d, so strings are banded by ⌊len/(d+1)⌋ and one side
+    * probes its own band ±1 — every qualifying pair shares a band pair,
+    * no all-pairs join, and the exact `levenshtein` verification runs
+    * only on candidates. Each pair is generated at most once (the probe
+    * set's three bands are distinct), so no dedup pass is needed.
+    * `bruteForce = true` skips blocking (small inputs / oracle checks).
+    *
+    * Scale notes (100 TB): band cardinality ~ prefixLen/(d+1) is tiny, so
+    * this relies on the standard groupBy/AQE skew handling of hot bands;
+    * Levenshtein is codegen'd (Spark built-in) and runs on bounded
+    * `prefixLen` inputs, so per-pair cost is capped. */
+  def editDistanceNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, prefixLen: Int = 32,
+      bruteForce: Boolean = false): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    val d = df.select(col(idCol),
+      substring(trim(col(textCol)), 1, prefixLen).as("_k"))
+    val joined =
+      if (bruteForce)
+        d.select(col(idCol).as("id_a"), col("_k").as("_ka"))
+          .crossJoin(d.select(col(idCol).as("id_b"), col("_k").as("_kb")))
+          .filter(col("id_a") < col("id_b"))
+      else {
+        val band = floor(length(col("_k")) / (maxDist + 1)).cast("long")
+        val a = d.select(col(idCol).as("id_a"), col("_k").as("_ka"),
+          explode(array(band - 1, band, band + 1)).as("_band"))
+        val b = d.select(col(idCol).as("id_b"), col("_k").as("_kb"),
+          band.as("_band"))
+        a.join(b, Seq("_band")).filter(col("id_a") < col("id_b"))
+      }
+    joined
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ka"), col("_kb")).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") <= maxDist)
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold`, candidates
     * blocked by random-hyperplane bucket (similar vectors collide with high
     * probability; `probes` extra buckets via bit flips would raise recall —

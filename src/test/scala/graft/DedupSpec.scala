@@ -245,6 +245,31 @@ class DedupSpec extends SparkSpec {
     assert(blocked == Set((0L, 1L)))
   }
 
+  test("editDistanceNearDups: known distances, lossless length-band " +
+      "blocking ≡ brute force") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),          // distance 3
+      (3L, "kitten"),                           // exact dup of 1
+      (4L, "kittens"),                          // distance 1 to kitten
+      (5L, "completely unrelated text here"),
+      (6L, "abc"), (7L, "abcdef"))              // distance 3, bands differ
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDups(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 3L, (1L, 3L) -> 0L, (1L, 4L) -> 1L,
+      (2L, 3L) -> 3L, (2L, 4L) -> 3L, // sitting↔kittens: 3 substitutions
+      (3L, 4L) -> 1L, (6L, 7L) -> 3L))
+    // blocked ≡ brute force on real text, incl. prefix truncation
+    val real = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(col("doc_id") < 200)
+    def pairs(bf: Boolean) =
+      Dedup.editDistanceNearDups(real, "text", "doc_id", maxDist = 5,
+        prefixLen = 24, bruteForce = bf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = pairs(bf = false)
+    assert(blocked == pairs(bf = true) && blocked.nonEmpty)
+  }
+
   test("multiprobe LSH recall >= exact-bucket recall on real embeddings") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .filter(col("vec_id") < 200)
