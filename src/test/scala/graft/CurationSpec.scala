@@ -61,4 +61,21 @@ class CurationSpec extends SparkSpec {
     assert(kept2.select("doc_id").as[Long].collect().sorted.toSeq ==
       kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("curateCorpus under Checkpointer.Reliable matches Local") {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString)
+    val bench = Seq((100L, "held out eval question nothing shared"))
+      .toDF("qid", "question")
+    val docs = Seq(
+      (1L, "en", longClean), (2L, "en", longClean), (3L, "en", "too short"))
+      .toDF("doc_id", "lang", "text")
+    def verdicts(ckpt: Checkpointer) =
+      Curation.curateCorpus(docs, "text", "doc_id", bench, "question",
+        "qid", minWords = 5, ckpt = ckpt)._2
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+        .toMap
+    assert(verdicts(Checkpointer.Reliable) == verdicts(Checkpointer.Local))
+  }
 }

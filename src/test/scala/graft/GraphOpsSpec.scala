@@ -196,6 +196,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(cyc == Map(4L -> 0.0, 5L -> 1.0))
   }
 
+  test("shortestPaths: negative edges relax (Bellman-Ford), " +
+      "negative cycles stop at maxIter") {
+    // 0→1 (5), 0→2 (1), 2→1 (-3): best path to 1 costs -2
+    val g = Seq((0L, 1L, 5.0), (0L, 2L, 1.0), (2L, 1L, -3.0))
+      .toDF("start_id", "end_id", "w")
+    val d = GraphOps.shortestPaths(g, Seq(0L).toDF("id"), Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(0L -> 0.0, 1L -> -2.0, 2L -> 1.0))
+    // a reachable negative cycle terminates via maxIter, not divergence
+    val cyc = Seq((0L, 1L, 1.0), (1L, 0L, -2.0)).toDF("start_id", "end_id", "w")
+    val bounded = GraphOps.shortestPaths(cyc, Seq(0L).toDF("id"), Some("w"),
+      maxIter = 4)
+    assert(bounded.count() == 2) // finished; distances are depth-4 bounds
+  }
+
   test("shortestPaths: multi-seed takes the per-node minimum") {
     val g = Seq((0L, 1L, 4.0), (7L, 1L, 1.0)).toDF("start_id", "end_id", "w")
     val d = GraphOps.shortestPaths(g, Seq(0L, 7L).toDF("id"), Some("w"))
