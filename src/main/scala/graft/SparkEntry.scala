@@ -897,7 +897,8 @@ object SparkEntry {
     // edge weights ((key % 8)/4 + 1 — exact in binary, so every path sum
     // and min is bit-identical across engines and the doubles compare
     // directly, no rounding). Supplier edges are present but unreachable
-    // from the seeds — absent from the output on both sides. ----
+    // from the seeds — absent from the output on both sides. The `via`
+    // predecessor (min qualifying id on ties) is oracle-checked too. ----
     "q_g6_shortest_paths" -> ((s, dir) => {
       val seeds = t(s, dir, "customer").filter(col("c_custkey") < 10)
         .select((col("c_custkey").cast("long") * 4).as("id"))
@@ -1893,7 +1894,8 @@ object SparkEntry {
 
     // The hetero graph is a leveled DAG (customer→nation→region), so the
     // oracle computes the relaxation level by level. Weights are exact
-    // binary quarters, so distances compare as raw doubles — no rounding.
+    // binary quarters, so distances compare as raw doubles — no rounding
+    // — and the `via` attainment equality (d + w = dist) is exact too.
     "q_g6_shortest_paths" ->
       """WITH seeds AS (
         |  SELECT c_custkey*4 AS id FROM customer WHERE c_custkey < 10),
@@ -1901,14 +1903,22 @@ object SparkEntry {
         |       (c_custkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM customer),
         |ne AS (SELECT n_nationkey*4+2 AS src, n_regionkey*4+3 AS dst,
         |       (n_nationkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM nation),
-        |d0 AS (SELECT id, CAST(0 AS DOUBLE) AS dist FROM seeds),
+        |d0 AS (SELECT id, CAST(0 AS DOUBLE) AS dist, id AS via FROM seeds),
         |d1 AS (SELECT ce.dst AS id, min(d0.dist + ce.w) AS dist
         |       FROM d0 JOIN ce ON d0.id = ce.src GROUP BY ce.dst),
-        |d2 AS (SELECT ne.dst AS id, min(d1.dist + ne.w) AS dist
-        |       FROM d1 JOIN ne ON d1.id = ne.src GROUP BY ne.dst)
-        |SELECT id, dist FROM d0
-        |UNION ALL SELECT id, dist FROM d1
-        |UNION ALL SELECT id, dist FROM d2
+        |v1 AS (SELECT d1.id, d1.dist, min(ce.src) AS via
+        |       FROM d1 JOIN ce ON ce.dst = d1.id
+        |       JOIN d0 ON d0.id = ce.src
+        |       WHERE d0.dist + ce.w = d1.dist GROUP BY d1.id, d1.dist),
+        |d2 AS (SELECT ne.dst AS id, min(v1.dist + ne.w) AS dist
+        |       FROM v1 JOIN ne ON v1.id = ne.src GROUP BY ne.dst),
+        |v2 AS (SELECT d2.id, d2.dist, min(ne.src) AS via
+        |       FROM d2 JOIN ne ON ne.dst = d2.id
+        |       JOIN v1 ON v1.id = ne.src
+        |       WHERE v1.dist + ne.w = d2.dist GROUP BY d2.id, d2.dist)
+        |SELECT id, dist, via FROM d0
+        |UNION ALL SELECT id, dist, via FROM v1
+        |UNION ALL SELECT id, dist, via FROM v2
         |ORDER BY id""".stripMargin,
 
     // PPR unrolled like q_g3, with reset/dangling mass flowing to the seed

@@ -308,9 +308,16 @@ object GraphOps {
     * work and the result is the best distance found within that many
     * hops.
     *
+    * Paths are reconstructable: `via` is the predecessor on a shortest
+    * path (the smallest qualifying predecessor id when several shortest
+    * paths tie — deterministic on any cluster); seeds point at
+    * themselves. Walking `via` backwards from any node yields a shortest
+    * path without storing per-node path arrays (which would be quadratic
+    * on long paths).
+    *
     * @param seeds one-column DataFrame of source node ids.
-    * @return (`id`, `dist`) for every node reachable from any seed;
-    *         seeds themselves at distance 0. */
+    * @return (`id`, `dist`, `via`) for every node reachable from any
+    *         seed; seeds themselves at distance 0 with `via = id`. */
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
       weightCol: Option[String] = None, maxIter: Int = 50,
       ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
@@ -319,21 +326,29 @@ object GraphOps {
     val e = ckpt(edges.select(col(StartId).as("src"), col(EndId).as("dst"),
       w.as("_w")))
     var dist = ckpt(seeds.select(col(seeds.columns.head).as("id")).distinct()
-      .withColumn("dist", lit(0.0)))
+      .select(col("id"), lit(0.0).as("dist"), col("id").as("via")))
     var prev = Option.empty[(Long, Any)]
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // min over struct(dist, via): lexicographic, so the winner is the
+      // minimum distance with the smallest predecessor breaking ties
       val relaxed = dist.join(e, dist("id") === e("src"))
         .groupBy(col("dst").as("id"))
-        .agg(min(col("dist") + col("_w")).as("_cand"))
+        .agg(min(struct((col("dist") + col("_w")).as("dist"),
+          col("src").as("via"))).as("_c"))
       // full outer: newly reached nodes enter, settled nodes keep their
-      // distance; nothing ever stores an infinity
+      // distance; nothing ever stores an infinity. The current best must
+      // be NULL (not a struct of nulls — that compares non-null) when the
+      // row only exists on the relaxed side.
+      val curBest = when(col("dist").isNotNull,
+        struct(col("dist"), col("via")))
       dist = ckpt(dist.join(relaxed, Seq("id"), "full_outer")
         .select(col("id"),
-          least(
-            coalesce(col("dist"), col("_cand")),
-            coalesce(col("_cand"), col("dist"))).as("dist")))
+          least(coalesce(curBest, col("_c")),
+            coalesce(col("_c"), curBest)).as("_b"))
+        .select(col("id"), col("_b.dist").as("dist"),
+          col("_b.via").as("via")))
       // distances only decrease and the node set only grows, so an
       // unchanged (count, sum) is a fixpoint
       val probe = dist.agg(count(lit(1)), sum(col("dist"))).head()

@@ -180,9 +180,14 @@ class GraphOpsSpec extends SparkSpec {
     // 0→1 direct costs 10; 0→2→1 costs 2 — the weighted answer is NOT BFS
     val g = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 0.5))
       .toDF("start_id", "end_id", "w")
-    val d = GraphOps.shortestPaths(g, Seq(0L).toDF("id"), Some("w"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(d == Map(0L -> 0.0, 1L -> 2.0, 2L -> 1.0, 3L -> 2.5))
+    val rows = GraphOps.shortestPaths(g, Seq(0L).toDF("id"), Some("w"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(rows.view.mapValues(_._1).toMap ==
+      Map(0L -> 0.0, 1L -> 2.0, 2L -> 1.0, 3L -> 2.5))
+    // predecessors reconstruct the winning path 0→2→1→3 (seed via = self)
+    assert(rows(0L)._2 == 0L && rows(2L)._2 == 0L &&
+      rows(1L)._2 == 2L && rows(3L)._2 == 1L)
   }
 
   test("shortestPaths: unweighted default is BFS hop distance; " +
