@@ -756,6 +756,17 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---- X4i: unigram-LM perplexity (CCNet-style quality filter) —
+    // self-trained unigram model, per-doc avg log-prob + perplexity.
+    // ln + cross-engine summation order → both compared floats are
+    // integerized (the e4 pattern). ----
+    "q_x4i_unigram_ppl" -> ((s, dir) =>
+      Relevance.unigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("doc_len"),
+          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
+        .orderBy("doc_id")),
+
     // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
@@ -1737,6 +1748,27 @@ object SparkEntry {
         |WHERE tf.token IN ('data', 'model', 'the')
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, tf.doc_id""".stripMargin,
+
+    // Self-trained unigram model: p(t) = n/total in double on both
+    // engines; the e4 integerization absorbs ln-libm and sum-order ulps.
+    "q_x4i_unigram_ppl" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |uni AS (SELECT token, sum(tf) AS n FROM tf GROUP BY token),
+        |tot AS (SELECT sum(n) AS total FROM uni),
+        |per AS (SELECT tf.doc_id, sum(tf.tf) AS doc_len,
+        |          sum(tf.tf * ln(uni.n / tot.total)) AS lp
+        |        FROM tf JOIN uni USING (token), tot GROUP BY tf.doc_id)
+        |SELECT doc_id, doc_len,
+        |  CAST(floor(lp / doc_len * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS log_prob_e4,
+        |  CAST(floor(exp(-(lp / doc_len)) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ppl_e4
+        |FROM per ORDER BY doc_id""".stripMargin,
 
     // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.

@@ -76,6 +76,41 @@ object Relevance {
         col("_len").as("doc_len"), col("idf"), col("bm25"))
   }
 
+  /** Per-document unigram language-model perplexity — the classic
+    * LM-based quality filter (CCNet-style): train a unigram model on the
+    * corpus itself (p(t) = count(t)/total tokens), score each document by
+    * `ppl = exp(−Σ tf·ln p(t) / len)`. Boilerplate and natural text score
+    * low; random or out-of-domain token soup scores high, so filtering on
+    * a ppl band is a standard curation signal.
+    *
+    * Scale notes (100 TB): identical shuffle shape to [[tfidf]] — the
+    * (doc, token) frequencies partial-agg map-side, the unigram table
+    * aggregates the already-distinct pairs, the total joins in as a 1-row
+    * broadcast. Self-scoring means no OOV (every token has corpus mass),
+    * so no smoothing constant leaks into the math; to score against a
+    * FOREIGN reference corpus, join the reference's unigram table instead
+    * and add smoothing.
+    *
+    * @return (doc_id, doc_len, log_prob — the per-token average ln p,
+    *          ppl = exp(−log_prob)) */
+  def unigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val unigram = tf.groupBy("token").agg(sum("tf").as("_n"))
+    val total = unigram.agg(sum("_n").as("_total"))
+    tf.join(unigram, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("doc_len"),
+        sum(col("tf") * log(col("_n") / col("_total"))).as("_lp"))
+      .select(col("doc_id"), col("doc_len"),
+        (col("_lp") / col("doc_len")).as("log_prob"),
+        exp(-(col("_lp") / col("doc_len"))).as("ppl"))
+  }
+
   /** BM25 document search: rank docs for a literal query string by the sum
     * of their BM25 weights over the query's (distinct) terms — the sparse
     * retrieval counterpart of [[Similarity.bruteForceTopK]]. Ties break by

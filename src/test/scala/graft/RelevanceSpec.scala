@@ -71,6 +71,24 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("unigramPerplexity: hand-computed on a closed vocabulary") {
+    val d = Seq((1L, "a a a"), (2L, "b")).toDF("id", "text")
+    val out = Relevance.unigramPerplexity(d, "id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // unigram: a→3, b→1, total 4
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - math.log(0.75)) < 1e-12)
+    assert(math.abs(out(1L)._3 - 4.0 / 3.0) < 1e-12) // exp(-ln 3/4)
+    assert(math.abs(out(2L)._2 - math.log(0.25)) < 1e-12)
+    assert(math.abs(out(2L)._3 - 4.0) < 1e-12)
+    // uniform corpus → every doc at perplexity = vocab size
+    val u = Seq((1L, "x y"), (2L, "y x")).toDF("id", "text")
+    Relevance.unigramPerplexity(u, "id", "text").collect()
+      .foreach(r => assert(math.abs(r.getDouble(3) - 2.0) < 1e-12))
+  }
+
   test("tfidf composes lazily — no eager jobs at definition time") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Relevance.tfidf(docs, "id", "text") // compose only
