@@ -44,21 +44,28 @@ object Bench {
           (name, sorted(sorted.length / 2), sorted.head, sorted.last)
         }
       }
-    // 3 significant figures: the driver's artifact keeps only the head of
-    // this line, so every byte in the queries map costs coverage — short
-    // keys (q_ stripped) + 3-sig-fig medians keep all ~75 per-query
+    // Compact numbers: the driver's artifact keeps only the head of this
+    // line, so every byte in the queries map costs coverage — short keys
+    // (q_ stripped) + trimmed 2-decimal medians (run-to-run noise is an
+    // order of magnitude above the third decimal) keep all ~80 per-query
     // timings inside the survivable prefix; the verbose spread map rides
     // LAST so truncation only ever costs the min/max detail.
     def sig3(x: Double): String =
       BigDecimal(x).round(new java.math.MathContext(3))
         .bigDecimal.toPlainString
+    def fmt(x: Double): String = {
+      val s = f"$x%.2f"
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     def short(k: String): String = k.stripPrefix("q_")
     val qs = results
-      .map { case (k, med, _, _) => "\"" + short(k) + "\":" + sig3(med) }
+      .map { case (k, med, _, _) => "\"" + short(k) + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, lo, hi) =>
-        "\"" + short(k) + "\":[" + sig3(lo) + "," + sig3(hi) + "]" }
+        "\"" + short(k) + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
       .mkString("{", ",", "}")
     val errors = results
       .collect { case (k, med, _, _) if med < 0 => "\"" + short(k) + "\"" }
