@@ -53,8 +53,11 @@ object Bench {
     def sig3(x: Double): String =
       BigDecimal(x).round(new java.math.MathContext(3))
         .bigDecimal.toPlainString
+    // Locale.ROOT: the default-locale interpolator would emit "1,50" on
+    // comma-decimal JVMs and corrupt the JSON line
     def fmt(x: Double): String = {
-      val s = f"$x%.2f"
+      val s = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(x))
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s

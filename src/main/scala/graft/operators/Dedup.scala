@@ -413,10 +413,14 @@ object Dedup {
           band.as("_band"))
         a.join(b, Seq("_band")).filter(col("id_a") < col("id_b"))
       }
+    // the threshold overload early-exits the DP once distance exceeds
+    // maxDist (returning -1) — O(maxDist·prefixLen) per pair instead of
+    // O(prefixLen²), which is the verification hot path
     joined
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("_ka"), col("_kb")).cast("long").as("edit_distance"))
-      .filter(col("edit_distance") <= maxDist)
+        levenshtein(col("_ka"), col("_kb"), maxDist).cast("long")
+          .as("edit_distance"))
+      .filter(col("edit_distance") =!= -1)
   }
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold`, candidates

@@ -110,9 +110,21 @@ object GraphOps {
         endpoints.unionAll(extra.select(col(extra.columns.head).as("id"))))
       .distinct())
     val nNodes = n.count().toDouble
-    // out-"degree": edge count unweighted, outgoing weight sum weighted
+    // out-"degree": edge count unweighted, outgoing weight sum weighted.
+    // A null or non-positive weight sum would silently turn ranks into
+    // NaN (0/0) or leak mass (null flow rows vanish from the sum while
+    // the node still isn't dangling) — fail the job with a pointed error
+    // instead, at the single materialization of the degree table.
     val deg = ckpt(e.groupBy("src").agg(
-      weightCol.fold(count(lit(1)).as("_deg"))(_ => sum(col("_w")).as("_deg"))))
+        weightCol.fold(count(lit(1)).as("_deg"))(_ =>
+          sum(col("_w")).as("_deg")))
+      .select(col("src"),
+        (if (weightCol.isEmpty) col("_deg")
+         else when(col("_deg").isNotNull && col("_deg") > 0, col("_deg"))
+           .otherwise(raise_error(concat(
+             lit("pageRank: outgoing weight sum must be positive, got "),
+             col("_deg").cast("string"), lit(" for src="),
+             col("src").cast("string"))))).as("_deg")))
     var ranks = ckpt(n.withColumn("rank", lit(1.0 / nNodes)))
     var i = 0
     while (i < iterations) {
@@ -309,11 +321,14 @@ object GraphOps {
     * hops.
     *
     * Paths are reconstructable: `via` is the predecessor on a shortest
-    * path (the smallest qualifying predecessor id when several shortest
-    * paths tie — deterministic on any cluster); seeds point at
-    * themselves. Walking `via` backwards from any node yields a shortest
-    * path without storing per-node path arrays (which would be quadratic
-    * on long paths).
+    * path — set in the earliest round that achieves the node's final
+    * distance, smallest qualifying predecessor id on within-round ties,
+    * and never replaced by later equal-cost candidates (strict-
+    * improvement updates keep the pointer graph acyclic). Deterministic
+    * on any cluster; seeds point at themselves. Walking `via` backwards
+    * from any node therefore terminates at a seed (absent an unconverged
+    * negative cycle), without storing per-node path arrays (which would
+    * be quadratic on long paths).
     *
     * @param seeds one-column DataFrame of source node ids.
     * @return (`id`, `dist`, `via`) for every node reachable from any
@@ -340,13 +355,22 @@ object GraphOps {
       // full outer: newly reached nodes enter, settled nodes keep their
       // distance; nothing ever stores an infinity. The current best must
       // be NULL (not a struct of nulls — that compares non-null) when the
-      // row only exists on the relaxed side.
+      // row only exists on the relaxed side. The predecessor updates ONLY
+      // on a STRICT distance improvement — an equal-distance candidate
+      // from a later round must not replace it, or two equal-cost nodes
+      // can end up as each other's `via` (a reconstruction cycle, the
+      // classic Bellman-Ford predecessor pitfall with zero/negative
+      // edges). Strict improvement keeps the via graph acyclic: every
+      // pointer was set when its target already held a strictly smaller
+      // final distance.
       val curBest = when(col("dist").isNotNull,
         struct(col("dist"), col("via")))
       dist = ckpt(dist.join(relaxed, Seq("id"), "full_outer")
         .select(col("id"),
-          least(coalesce(curBest, col("_c")),
-            coalesce(col("_c"), curBest)).as("_b"))
+          when(curBest.isNull, col("_c"))
+            .when(col("_c").isNull, curBest)
+            .when(col("_c.dist") < col("dist"), col("_c"))
+            .otherwise(curBest).as("_b"))
         .select(col("id"), col("_b.dist").as("dist"),
           col("_b.via").as("via")))
       // distances only decrease and the node set only grows, so an

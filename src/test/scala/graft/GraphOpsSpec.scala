@@ -201,6 +201,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(cyc == Map(4L -> 0.0, 5L -> 1.0))
   }
 
+  test("shortestPaths: equal-cost zero/negative edges cannot create a " +
+      "via reconstruction cycle") {
+    // 9→5 (1), 5→3 (0), 3→5 (0): rounds keep presenting 5 with an
+    // equal-cost candidate via 3 — a lexicographic tie-break would set
+    // via(5)=3 while via(3)=5 and strand reconstruction in a loop
+    val g = Seq((9L, 5L, 1.0), (5L, 3L, 0.0), (3L, 5L, 0.0))
+      .toDF("start_id", "end_id", "w")
+    val via = GraphOps.shortestPaths(g, Seq(9L).toDF("id"), Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(via == Map(9L -> 9L, 5L -> 9L, 3L -> 5L)) // walks end at seed
+    // negative-edge variant of the same trap
+    val gn = Seq((9L, 5L, 1.0), (5L, 3L, 1.0), (3L, 5L, -1.0))
+      .toDF("start_id", "end_id", "w")
+    val vn = GraphOps.shortestPaths(gn, Seq(9L).toDF("id"), Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(vn == Map(9L -> 9L, 5L -> 9L, 3L -> 5L))
+  }
+
+  test("pageRank weighted: non-positive weight sums fail fast, not NaN") {
+    val g = Seq((0L, 1L, 0.0), (0L, 2L, 0.0), (3L, 0L, 1.0))
+      .toDF("start_id", "end_id", "w")
+    val e = intercept[Exception] {
+      GraphOps.pageRank(g, iterations = 1, weightCol = Some("w")).collect()
+    }
+    assert(e.getMessage.contains("outgoing weight sum must be positive"))
+  }
+
   test("shortestPaths: negative edges relax (Bellman-Ford), " +
       "negative cycles stop at maxIter") {
     // 0→1 (5), 0→2 (1), 2→1 (-3): best path to 1 costs -2
