@@ -756,6 +756,27 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---- X4j: document chunking — fixed-size overlapping character
+    // windows (context-window fitting / RAG indexing); pure
+    // projection+explode arithmetic, fully SQL-expressible. ----
+    "q_x4j_chunking" -> ((s, dir) =>
+      Chunking.chunkDocs(t(s, dir, "documents"), "text", "doc_id",
+        size = 120, overlap = 20)
+        .select(col("doc_id"), col("chunk_id"),
+          col("chunk_len").cast("long").as("chunk_len"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- X6g: sequence packing — concatenate each language's docs in id
+    // order and cut every 4096 chars; each doc gets its start-offset bin
+    // and how many bins it spans. Window cumsum → fully oracle-able. ----
+    "q_x6g_pack_budget" -> ((s, dir) =>
+      Sampling.packByBudget(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", budget = 4096)
+        .select(col("lang"), col("doc_id"), col("start_offset"),
+          col("bin"), col("spans"))
+        .orderBy("lang", "doc_id")),
+
     // ---- X4i: unigram-LM perplexity (CCNet-style quality filter) —
     // self-trained unigram model, per-doc avg log-prob + perplexity.
     // ln + cross-engine summation order → both compared floats are
@@ -1748,6 +1769,40 @@ object SparkEntry {
         |WHERE tf.token IN ('data', 'model', 'the')
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, tf.doc_id""".stripMargin,
+
+    // Chunk count = max(1, ceil((len − overlap)/stride)); both engines
+    // compute the count in double from the same integers and slice with
+    // the same 1-based substring semantics.
+    "q_x4j_chunking" ->
+      """SELECT doc_id, chunk_id,
+        |  CAST(length(substring(text, CAST(chunk_id*100 + 1 AS INT), 120))
+        |    AS BIGINT) AS chunk_len,
+        |  substring(text, CAST(chunk_id*100 + 1 AS INT), 120) AS chunk_text
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(1, ceil((length(text) - 20)
+        |        / CAST(100 AS DOUBLE))) AS BIGINT) - 1)) AS chunk_id
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same window cumsum on both engines; bins are floor(offset/budget)
+    // in double (offsets ≪ 2^53, so the division is exact enough to
+    // floor identically).
+    "q_x6g_pack_budget" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM documents)
+        |SELECT lang, doc_id,
+        |  CAST(run - n_chars AS BIGINT) AS start_offset,
+        |  CAST(floor((run - n_chars) / CAST(4096 AS DOUBLE)) AS BIGINT)
+        |    AS bin,
+        |  CAST(floor((run - 1) / CAST(4096 AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor((run - n_chars) / CAST(4096 AS DOUBLE)) AS BIGINT)
+        |    + 1 AS spans
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
 
     // Self-trained unigram model: p(t) = n/total in double on both
     // engines; the e4 integerization absorbs ln-libm and sum-order ulps.

@@ -122,6 +122,33 @@ object Sampling {
     * gets independent verdicts. Weights are per-source keep-fractions —
     * for "epochs"-style up-weighting > 1, pre-duplicate with distinct ids
     * upstream. */
+  /** Sequence packing by cumulative budget: conceptually concatenate the
+    * group's documents in `idCol` order and cut the stream every `budget`
+    * weight units (tokens) — each doc is assigned the bin its START
+    * offset falls in, exactly how an LLM training pipeline packs
+    * documents into fixed-length sequences. Returns per-doc
+    * (`start_offset` within the group's stream, `bin`, `spans` = how many
+    * bins the doc touches — 1 means it fits its sequence without
+    * crossing a boundary).
+    *
+    * Deterministic: ordering is the explicit `idCol`, independent of
+    * partitioning. The window runs PER GROUP (`groupCol` — shard, lang,
+    * source); packing a whole 100 TB corpus in one global window would
+    * serialize on one task, so group first (as real pipelines do per
+    * shard) and the window parallelizes per group like any keyed window. */
+  def packByBudget(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runningEnd = sum(col(weightCol)).over(w)
+    df.withColumn("start_offset", (runningEnd - col(weightCol)).cast("long"))
+      .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
+      .withColumn("spans",
+        (floor((runningEnd - 1) / budget).cast("long")
+          - col("bin") + 1))
+  }
+
   def mixture(sources: Seq[(DataFrame, Double)], idCol: String,
       seed: Long = 42L): DataFrame = {
     require(sources.nonEmpty, "mixture needs at least one source")

@@ -1,4 +1,6 @@
 package graft
+// (Chunking/packing tests live at the end of this suite — corpus-shaping
+// operators share the sampling fixtures.)
 
 import org.apache.spark.sql.functions._
 
@@ -227,5 +229,36 @@ class SamplingSpec extends SparkSpec {
       Seq(("x", 2L), ("y", 1L)))
     assert(g2.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("z", 1L)))
+  }
+
+  test("chunkDocs: exact overlapping windows, short/empty docs get one " +
+      "chunk") {
+    val df = Seq((1L, "abcdefghij"), (2L, "ab"), (3L, ""))
+      .toDF("id", "text")
+    val out = operators.Chunking.chunkDocs(df, "text", "id",
+        size = 4, overlap = 1)
+      .select("id", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // stride 3 over 10 chars → ceil(9/3) = 3 chunks: 1-4, 4-7, 7-10
+    assert(out == Map(
+      (1L, 0L) -> "abcd", (1L, 1L) -> "defg", (1L, 2L) -> "ghij",
+      (2L, 0L) -> "ab", (3L, 0L) -> ""))
+    intercept[IllegalArgumentException](
+      operators.Chunking.chunkDocs(df, "text", "id", 4, 4))
+  }
+
+  test("packByBudget: offset bins and boundary spans, per group") {
+    val df = Seq(
+      ("en", 1L, 3000L), ("en", 2L, 2000L), ("en", 3L, 100L),
+      ("fr", 9L, 5000L))
+      .toDF("lang", "id", "w")
+    val out = Sampling.packByBudget(df, "lang", "id", "w", budget = 4096)
+      .select("id", "start_offset", "bin", "spans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (0L, 0L, 1L))      // 0..2999 inside bin 0
+    assert(out(2L) == (3000L, 0L, 2L))   // 3000..4999 crosses into bin 1
+    assert(out(3L) == (5000L, 1L, 1L))
+    assert(out(9L) == (0L, 0L, 2L))      // fr stream restarts at 0
   }
 }
