@@ -54,10 +54,12 @@ object Bench {
       BigDecimal(x).round(new java.math.MathContext(3))
         .bigDecimal.toPlainString
     // Locale.ROOT: the default-locale interpolator would emit "1,50" on
-    // comma-decimal JVMs and corrupt the JSON line
+    // comma-decimal JVMs and corrupt the JSON line. Sub-second queries
+    // keep 2 decimals; above 1 s run-to-run noise dwarfs the second
+    // decimal, so 1 is plenty and the saved bytes buy map coverage.
     def fmt(x: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f",
-        Double.box(x))
+      val pattern = if (x < 1.0 && x > -1.0) "%.2f" else "%.1f"
+      val s = String.format(java.util.Locale.ROOT, pattern, Double.box(x))
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s

@@ -966,6 +966,26 @@ object SparkEntry {
       GraphOps.triangleCounts(edges).orderBy("id")
     }),
 
+    // ---- G8: common-neighbor link prediction (Adamic–Adar) on the part
+    // co-occurrence graph — non-adjacent part pairs that share ≥2
+    // co-purchase partners, scored Σ 1/ln(deg(z)). Float sum → e4
+    // integerization. ----
+    "q_g8_link_prediction" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.linkPrediction(edges, minCommon = 2)
+        .select(col("id_a"), col("id_b"), col("common"),
+          floor(col("adamic_adar") * lit(1e4) + lit(0.5)).as("aa_e4"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
     // synthesis (dimensions + duration derived from doc_id, container
     // alternating by parity) → ISO-BMFF / RIFF header parse → (container,
@@ -1923,6 +1943,29 @@ object SparkEntry {
         |  SELECT r_regionkey*4+3, r_regionkey FROM region)
         |SELECT id, min(id) OVER (PARTITION BY rk) AS component
         |FROM nodes ORDER BY id""".stripMargin,
+
+    // Same wedge expansion in SQL; the e4 integerization absorbs the
+    // Σ 1/ln(deg) summation-order ulps.
+    "q_g8_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT a.pk AS x, b.pk AS y FROM li a JOIN li b
+        |      ON a.ok = b.ok AND a.pk < b.pk),
+        |canon AS (SELECT DISTINCT least(x,y) AS a, greatest(x,y) AS b
+        |          FROM e WHERE x <> y),
+        |nbr AS (SELECT a AS z, b AS n FROM canon
+        |        UNION ALL SELECT b, a FROM canon),
+        |deg AS (SELECT z, count(*) AS d FROM nbr GROUP BY z),
+        |wedge AS (SELECT x.n AS u, y.n AS v, x.z AS z
+        |          FROM nbr x JOIN nbr y ON x.z = y.z AND x.n < y.n),
+        |sc AS (SELECT u, v, count(*) AS common,
+        |         sum(CAST(1 AS DOUBLE) / ln(CAST(deg.d AS DOUBLE))) AS aa
+        |       FROM wedge JOIN deg ON deg.z = wedge.z GROUP BY u, v)
+        |SELECT sc.u AS id_a, sc.v AS id_b, sc.common,
+        |  CAST(floor(sc.aa * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS aa_e4
+        |FROM sc LEFT JOIN canon ON canon.a = sc.u AND canon.b = sc.v
+        |WHERE canon.a IS NULL AND sc.common >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_g7_degree_hist" ->
       """WITH e AS (

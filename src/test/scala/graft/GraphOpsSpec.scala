@@ -176,6 +176,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(cw == unw)
   }
 
+  test("linkPrediction: common neighbors + Adamic-Adar on a 4-cycle; " +
+      "adjacency excluded; hub cap prunes wedges") {
+    // square 1-2-3-4-1: the only non-adjacent pairs are the diagonals
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("start_id", "end_id")
+    val out = GraphOps.linkPrediction(sq)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(out((1L, 3L))._1 == 2L)
+    assert(math.abs(out((1L, 3L))._2 - 2.0 / math.log(2.0)) < 1e-12)
+    // star 0-{1..5} plus 1-2: every leaf pair's sole common neighbor is
+    // the hub; capping the hub degree below 5 leaves nothing predictable
+    val star = (1L to 5L).map(i => (0L, i)) :+ (1L, 2L)
+    val sdf = star.toDF("start_id", "end_id")
+    val uncapped = GraphOps.linkPrediction(sdf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == (for (i <- 1L to 5L; j <- i + 1 to 5L
+      if !(i == 1 && j == 2)) yield (i, j)).toSet)
+    assert(GraphOps.linkPrediction(sdf, maxHubDegree = Some(3)).isEmpty)
+  }
+
   test("shortestPaths: weighted relaxation beats fewer-hop paths") {
     // 0→1 direct costs 10; 0→2→1 costs 2 — the weighted answer is NOT BFS
     val g = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 0.5))
