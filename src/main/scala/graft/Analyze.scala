@@ -22,6 +22,8 @@ import graft.operators.{Curation, GraphOps}
   *   components  --edges <dir> [-o <outDir>]
   *   triangles   --edges <dir> [-o <outDir>]
   *   khop        --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
+  *   linkpred    --edges <dir> [--min-common N] [--max-hub-degree N]
+  *               [-o <outDir>]
   *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w]
   *               [--max-iter N] [-o <outDir>]
   *   curate      --docs <dir> --bench <dir> [--text-col text]
@@ -51,6 +53,8 @@ object Analyze {
       seeds: Seq[Long] = Nil,
       weightCol: Option[String] = None,
       minWords: Int = 50,
+      minCommon: Int = 1,
+      maxHubDegree: Option[Int] = None,
       quotaGroup: Option[String] = None,
       quota: Int = Int.MaxValue,
       outDir: String = "",
@@ -79,6 +83,9 @@ object Analyze {
         loop(t, acc.copy(seeds = v.split(",").toSeq.map(_.trim.toLong)))
       case "--weight-col" :: v :: t => loop(t, acc.copy(weightCol = Some(v)))
       case "--min-words" :: v :: t => loop(t, acc.copy(minWords = v.toInt))
+      case "--min-common" :: v :: t => loop(t, acc.copy(minCommon = v.toInt))
+      case "--max-hub-degree" :: v :: t =>
+        loop(t, acc.copy(maxHubDegree = Some(v.toInt)))
       case "--quota-group" :: v :: t => loop(t, acc.copy(quotaGroup = Some(v)))
       case "--quota" :: v :: t => loop(t, acc.copy(quota = v.toInt))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
@@ -119,6 +126,8 @@ object Analyze {
       case "components" => GraphOps.connectedComponents(edges, ckpt = ckpt)
       case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
+      case "linkpred" =>
+        GraphOps.linkPrediction(edges, args.minCommon, args.maxHubDegree)
       case "paths" =>
         GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
           args.maxIter, ckpt)

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * Chunk i covers 1-based character positions `[i·stride + 1, i·stride +
   * size]` with `stride = size − overlap`; the last chunk is the first one
   * whose window reaches the end of the text (it may be shorter than
-  * `size`). Empty/short documents yield exactly one chunk. Everything is
-  * a narrow projection + explode of a per-row `sequence` — no shuffle, no
-  * UDF, fully whole-stage-codegen, and the chunk count is derived
-  * arithmetic so the fan-out is plannable.
+  * `size`). Empty/short documents yield exactly one chunk; a NULL text
+  * yields one chunk with NULL `chunk_text` (the row is preserved, not
+  * dropped). Everything is a narrow projection + explode of a per-row
+  * `sequence` — no shuffle, no UDF, fully whole-stage-codegen, and the
+  * chunk count is derived arithmetic so the fan-out is plannable.
   *
   * Scale notes (100 TB): output row count is Σ ceil((len−overlap)/stride)
   * — bounded by corpus size / stride. Chunk text is re-sliced from the
@@ -30,8 +31,12 @@ object Chunking {
     require(overlap >= 0 && overlap < size,
       "overlap must be in [0, size)")
     val stride = size - overlap
+    // coalesce: length(NULL) is null, and explode(sequence(0, null))
+    // would silently DROP the document instead of emitting its one
+    // null-text chunk
     val nChunks = greatest(lit(1L),
-      ceil((length(col(textCol)) - overlap) / lit(stride)).cast("long"))
+      ceil((coalesce(length(col(textCol)), lit(0)) - overlap) / lit(stride))
+        .cast("long"))
     df.withColumn("chunk_id",
         explode(sequence(lit(0L), nChunks - 1)))
       .withColumn("chunk_text",

@@ -290,19 +290,18 @@ object GraphOps {
       .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
     val deg = nbr.groupBy("z").agg(count(lit(1)).as("_d"))
     val degKept = maxHubDegree.fold(deg)(cap => deg.filter(col("_d") <= cap))
-    // hub cap prunes neighbor LISTS before the self-join — the point is
-    // to never generate a hub's deg² wedges, not to drop them afterwards
-    val nbrKept =
-      if (maxHubDegree.isEmpty) nbr
-      else nbr.join(degKept.select(col("z")), Seq("z"), "left_semi")
+    // one degree join BEFORE the self-join does double duty: the hub cap
+    // prunes neighbor lists so a hub's deg² wedges are never generated,
+    // and each wedge row already carries its z's degree — no second join
+    // against the (much larger) expanded wedge table
+    val nbrD = nbr.join(degKept, Seq("z"))
+    val x = nbrD.alias("x")
+    val y = nbrD.alias("y")
     // wedge u–z–v (u < v): every common neighbor z contributes one row
-    val x = nbrKept.alias("x")
-    val y = nbrKept.alias("y")
     val scores = x.join(y, col("x.z") === col("y.z") &&
         col("x.n") < col("y.n"))
       .select(col("x.n").as("id_a"), col("y.n").as("id_b"),
-        col("x.z").as("z"))
-      .join(degKept.withColumnRenamed("z", "_dz"), col("z") === col("_dz"))
+        col("x._d").as("_d"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"),
         sum(lit(1.0) / log(col("_d"))).as("adamic_adar"))

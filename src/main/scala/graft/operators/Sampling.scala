@@ -116,12 +116,6 @@ object Sampling {
       .drop(rn)
   }
 
-  /** Weighted dataset mixture: per-source deterministic Bernoulli at the
-    * source's weight, then union (missing columns null-fill). Seeds are
-    * decorrelated per source so a row appearing in two sources (same id)
-    * gets independent verdicts. Weights are per-source keep-fractions —
-    * for "epochs"-style up-weighting > 1, pre-duplicate with distinct ids
-    * upstream. */
   /** Sequence packing by cumulative budget: conceptually concatenate the
     * group's documents in `idCol` order and cut the stream every `budget`
     * weight units (tokens) — each doc is assigned the bin its START
@@ -131,17 +125,28 @@ object Sampling {
     * bins the doc touches — 1 means it fits its sequence without
     * crossing a boundary).
     *
-    * Deterministic: ordering is the explicit `idCol`, independent of
-    * partitioning. The window runs PER GROUP (`groupCol` — shard, lang,
-    * source); packing a whole 100 TB corpus in one global window would
-    * serialize on one task, so group first (as real pipelines do per
-    * shard) and the window parallelizes per group like any keyed window. */
+    * Deterministic IFF `idCol` is unique within each group (the same
+    * total-ordering precondition as [[stratifiedTopK]]) — tied ids would
+    * cumsum in arrival order. Weights must be positive: a null or
+    * non-positive weight raises at execution (zero-length docs should be
+    * dropped or floored upstream — a zero weight on a bin boundary would
+    * silently produce spans = 0). The window runs PER GROUP (`groupCol`
+    * — shard, lang, source); packing a whole 100 TB corpus in one global
+    * window would serialize on one task, so group first (as real
+    * pipelines do per shard) and the window parallelizes per group like
+    * any keyed window. */
   def packByBudget(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, budget: Long): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
+    val wchecked = when(col(weightCol).isNotNull && col(weightCol) > 0,
+        col(weightCol))
+      .otherwise(raise_error(concat(
+        lit(s"packByBudget: $weightCol must be positive, got "),
+        col(weightCol).cast("string"), lit(s" for $idCol="),
+        col(idCol).cast("string"))))
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val runningEnd = sum(col(weightCol)).over(w)
+    val runningEnd = sum(wchecked).over(w)
     df.withColumn("start_offset", (runningEnd - col(weightCol)).cast("long"))
       .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
       .withColumn("spans",
@@ -149,6 +154,12 @@ object Sampling {
           - col("bin") + 1))
   }
 
+  /** Weighted dataset mixture: per-source deterministic Bernoulli at the
+    * source's weight, then union (missing columns null-fill). Seeds are
+    * decorrelated per source so a row appearing in two sources (same id)
+    * gets independent verdicts. Weights are per-source keep-fractions —
+    * for "epochs"-style up-weighting > 1, pre-duplicate with distinct ids
+    * upstream. */
   def mixture(sources: Seq[(DataFrame, Double)], idCol: String,
       seed: Long = 42L): DataFrame = {
     require(sources.nonEmpty, "mixture needs at least one source")

@@ -19,7 +19,7 @@ object ExplainPlans {
         "q_g3_pagerank", "q_x9_tfidf", "q_x7b_decontaminate_hashed",
         "q_st3_interval_join", "q_g1_degrees", "q_g6_shortest_paths",
         "q_g3c_pagerank_weighted", "q_x5g_image_resize",
-        "q_x5h_audio_resample")
+        "q_x5h_audio_resample", "q_g8_link_prediction", "q_x4j_chunking")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

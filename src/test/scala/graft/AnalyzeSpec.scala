@@ -58,6 +58,12 @@ class AnalyzeSpec extends SparkSpec {
     val cc = Analyze.run(parse(List("components", "--edges", s"$dir/edges")), spark)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc(3L) == 0L && cc(5L) == 4L)
+
+    // chain 0-1-2-3 (+0-2 edge): 1,3 share neighbor 2; 0,2 adjacent
+    val lp = Analyze.run(parse(List("linkpred", "--edges", s"$dir/edges",
+      "--min-common", "1")), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lp.contains((1L, 3L)) && !lp.contains((0L, 2L)))
   }
 
   test("curate runs end-to-end from argv: corpus + attributed report") {

@@ -245,6 +245,11 @@ class SamplingSpec extends SparkSpec {
       (2L, 0L) -> "ab", (3L, 0L) -> ""))
     intercept[IllegalArgumentException](
       operators.Chunking.chunkDocs(df, "text", "id", 4, 4))
+    // null text keeps its row (one chunk, null text) instead of vanishing
+    val withNull = Seq((9L, Option.empty[String])).toDF("id", "text")
+    val nr = operators.Chunking.chunkDocs(withNull, "text", "id", 4, 1)
+      .select("id", "chunk_id", "chunk_text").collect()
+    assert(nr.length == 1 && nr(0).getLong(1) == 0L && nr(0).isNullAt(2))
   }
 
   test("packByBudget: offset bins and boundary spans, per group") {
@@ -260,5 +265,11 @@ class SamplingSpec extends SparkSpec {
     assert(out(2L) == (3000L, 0L, 2L))   // 3000..4999 crosses into bin 1
     assert(out(3L) == (5000L, 1L, 1L))
     assert(out(9L) == (0L, 0L, 2L))      // fr stream restarts at 0
+    // zero/negative/null weights fail fast instead of corrupting bins
+    val bad = Seq(("en", 1L, 0L)).toDF("lang", "id", "w")
+    val e = intercept[Exception] {
+      Sampling.packByBudget(bad, "lang", "id", "w", 100).collect()
+    }
+    assert(e.getMessage.contains("must be positive"))
   }
 }
