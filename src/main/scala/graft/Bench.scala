@@ -58,7 +58,7 @@ object Bench {
     // keep 2 decimals; above 1 s run-to-run noise dwarfs the second
     // decimal, so 1 is plenty and the saved bytes buy map coverage.
     def fmt(x: Double): String = {
-      val pattern = if (x < 1.0 && x > -1.0) "%.2f" else "%.1f"
+      val pattern = if (x < 0.5 && x > -0.5) "%.2f" else "%.1f"
       val s = String.format(java.util.Locale.ROOT, pattern, Double.box(x))
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
@@ -83,7 +83,7 @@ object Bench {
     // head-truncated artifact: total + errors + the full queries map
     // first, small config scalars next, the verbose spread map last.
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec","errors":$errors,"queries":$qs,"iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfName","spread":$spread}""")
+    println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec","queries":$qs,"errors":$errors,"iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfName","spread":$spread}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }

@@ -519,6 +519,18 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"),
           count(lit(1)).as("n_docs"))),
 
+    // ---- X4d2: the same exact interpolated percentiles PER GROUP — the
+    // per-language corpus-shape report (partial-agg groupBy, one shuffle
+    // on the group key). ----
+    "q_x4d2_pctl_by_lang" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
     // ---- X4e: text cleaning — PII redaction (synthetic email/IP injected
     // per row so every row exercises replacement) + repetition ratio ----
     "q_x4e_clean_repetition" -> ((s, dir) => {
@@ -1540,6 +1552,13 @@ object SparkEntry {
         |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
         |ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "q_x4d2_pctl_by_lang" ->
+      """SELECT lang,
+        |ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |count(*) AS n_docs FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_x4e_clean_repetition" ->
       """WITH dirty AS (

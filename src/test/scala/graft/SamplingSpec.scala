@@ -252,6 +252,24 @@ class SamplingSpec extends SparkSpec {
     assert(nr.length == 1 && nr(0).getLong(1) == 0L && nr(0).isNullAt(2))
   }
 
+  test("chunkDocs: chunks reconstruct the original text (real corpus)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val original = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val size = 37
+    val overlap = 9
+    val rebuilt = operators.Chunking.chunkDocs(docs, "text", "doc_id",
+        size, overlap)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val ordered = rows.sortBy(_.getLong(1)).map(_.getString(2))
+        id -> (ordered.head +: ordered.tail.map(_.drop(overlap))).mkString
+      }
+    assert(rebuilt == original) // overlap dedup + concat is lossless
+  }
+
   test("packByBudget: offset bins and boundary spans, per group") {
     val df = Seq(
       ("en", 1L, 3000L), ("en", 2L, 2000L), ("en", 3L, 100L),
