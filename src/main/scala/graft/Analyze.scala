@@ -24,6 +24,7 @@ import graft.operators.{Curation, GraphOps}
   *   khop        --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
   *   linkpred    --edges <dir> [--min-common N] [--max-hub-degree N]
   *               [-o <outDir>]
+  *   kcore       --edges <dir> [--k N] [-o <outDir>]
   *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w]
   *               [--max-iter N] [-o <outDir>]
   *   curate      --docs <dir> --bench <dir> [--text-col text]
@@ -55,6 +56,7 @@ object Analyze {
       minWords: Int = 50,
       minCommon: Int = 1,
       maxHubDegree: Option[Int] = None,
+      kCore: Int = 2,
       quotaGroup: Option[String] = None,
       quota: Int = Int.MaxValue,
       outDir: String = "",
@@ -84,6 +86,7 @@ object Analyze {
       case "--weight-col" :: v :: t => loop(t, acc.copy(weightCol = Some(v)))
       case "--min-words" :: v :: t => loop(t, acc.copy(minWords = v.toInt))
       case "--min-common" :: v :: t => loop(t, acc.copy(minCommon = v.toInt))
+      case "--k" :: v :: t => loop(t, acc.copy(kCore = v.toInt))
       case "--max-hub-degree" :: v :: t =>
         loop(t, acc.copy(maxHubDegree = Some(v.toInt)))
       case "--quota-group" :: v :: t => loop(t, acc.copy(quotaGroup = Some(v)))
@@ -128,6 +131,7 @@ object Analyze {
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
       case "linkpred" =>
         GraphOps.linkPrediction(edges, args.minCommon, args.maxHubDegree)
+      case "kcore" => GraphOps.kCore(edges, args.kCore, ckpt = ckpt)
       case "paths" =>
         GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
           args.maxIter, ckpt)

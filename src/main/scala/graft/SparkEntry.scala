@@ -998,6 +998,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- G9: k-core membership on the part co-occurrence graph —
+    // iterative peeling isn't ANSI-expressible (per-round degree recount
+    // over a shrinking subgraph), so rows-only; the peeling semantics are
+    // pinned by GraphOpsSpec (K4+pendant, path-to-empty, cycle-stable). ----
+    "q_g9_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.kCore(edges, k = 4).orderBy("id")
+    }),
+
     // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
     // synthesis (dimensions + duration derived from doc_id, container
     // alternating by parity) → ISO-BMFF / RIFF header parse → (container,

@@ -263,6 +263,59 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** K-core decomposition membership: the nodes of the maximal subgraph
+    * in which every node has degree ≥ `k` (undirected; direction,
+    * parallel edges and self-loops ignored) — the standard
+    * dense-region / spam-farm / community-scaffold filter.
+    *
+    * Iterative peeling: drop every node with current degree < k, recount
+    * degrees on the surviving subgraph, repeat to fixpoint. The result is
+    * unique (the k-core is well-defined), so the iteration order doesn't
+    * matter — only the number of rounds does, and each round is one
+    * degree groupBy + two semi-joins on the shrinking edge set. Lineage
+    * is truncated per round with the supplied [[graft.Checkpointer]].
+    *
+    * Scale notes (100 TB): the edge set only ever SHRINKS, so per-round
+    * cost is bounded by the current core candidate, not the input; rounds
+    * are bounded by the peeling depth (small on real graphs — hubs
+    * survive, fringes fall off in the first rounds). The convergence
+    * probe is an exact count.
+    *
+    * @return one-column DataFrame `id` of k-core members (empty when the
+    *         graph has no k-core). */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = ckpt(canon)
+    var prevEdges = -1L
+    var curEdges = e.count()
+    var i = 0
+    while (curEdges != prevEdges && curEdges > 0 && i < maxIter) {
+      val deg = e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("_d"))
+      val keep = deg.filter(col("_d") >= k).select("id")
+      e = ckpt(e
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+      prevEdges = curEdges
+      curEdges = e.count()
+      i += 1
+    }
+    if (curEdges != prevEdges && curEdges > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore stopped at maxIter=$maxIter before the peeling fixpoint " +
+          "(long path-like fringes peel two nodes per round) — the " +
+          "result is a SUPERSET of the k-core. Raise maxIter.")
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .distinct()
+  }
+
   /** Common-neighbor link prediction over an UNDIRECTED graph (direction
     * ignored, parallel edges and self-loops dropped): for every
     * NON-ADJACENT pair sharing at least `minCommon` neighbors, the

@@ -176,6 +176,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(cw == unw)
   }
 
+  test("kCore: peels fringes to the dense core; path graphs peel to " +
+      "empty over many rounds") {
+    // K4 {0,1,2,3} with a pendant chain 3-10-11: 3-core = the K4 exactly
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val g = (k4 ++ Seq((3L, 10L), (10L, 11L))).toDF("start_id", "end_id")
+    assert(GraphOps.kCore(g, 3).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L))
+    // 2-core of a pure path is empty — needs length/2 peeling rounds
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("start_id", "end_id")
+    assert(GraphOps.kCore(path, 2).isEmpty)
+    // 2-core of a cycle is the whole cycle (nothing peels)
+    val cyc = ((0L until 5L).map(i => (i, (i + 1) % 5))).toDF(
+      "start_id", "end_id")
+    assert(GraphOps.kCore(cyc, 2).count() == 5)
+    // 1-core = all non-isolated endpoints, single round
+    assert(GraphOps.kCore(path, 1).count() == 10)
+  }
+
   test("linkPrediction: common neighbors + Adamic-Adar on a 4-cycle; " +
       "adjacency excluded; hub cap prunes wedges") {
     // square 1-2-3-4-1: the only non-adjacent pairs are the diagonals
