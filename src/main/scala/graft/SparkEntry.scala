@@ -380,6 +380,25 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- X2h: duplicate-n-gram fraction — the substring-duplication
+    // signal (within-doc repeats count every occurrence) ----
+    "q_x2h_dup_ngrams" -> ((s, dir) =>
+      Dedup.duplicateNgramStats(t(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, minCount = 2)
+        .orderBy("doc_id")),
+
+    // ---- X2g: paragraph-level boilerplate removal — a shared footer is
+    // injected into every doc so the dedup demonstrably strips it from all
+    // but its first corpus-wide occurrence, preserving paragraph order ----
+    "q_x2g_para_dedup" -> ((s, dir) => {
+      val docs2 = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 40), lit("\n"),
+          lit("Subscribe to our newsletter today!"), lit("\n"),
+          substring(col("text"), 41, 40)).as("text"))
+      Dedup.dedupParagraphs(docs2, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // ---- X1b: near-dup clustering (connected components → keeper id) ----
     "q_x1b_dedup_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1423,6 +1442,75 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = p.id_b
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         |ORDER BY p.id_a""".stripMargin,
+
+    // Positional trigram rebuild (all OCCURRENCES — no DISTINCT, unlike
+    // q_x7), corpus-wide counts, per-doc duplicated fraction ×1e6.
+    "q_x2h_dup_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |), sh AS (
+        |  SELECT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |), cnt AS (
+        |  SELECT sh, count(*) AS c FROM sh GROUP BY sh
+        |), per AS (
+        |  SELECT s.doc_id, count(*) AS n_ngrams,
+        |    sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh s JOIN cnt ON cnt.sh = s.sh
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(CASE WHEN coalesce(p.n_ngrams, 0) = 0 THEN 0
+        |       ELSE floor(CAST(p.n_dup AS DOUBLE) / p.n_ngrams * 1e6 + 0.5)
+        |       END AS BIGINT) AS dup_frac_e6
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // First-occurrence election mirrored as a row_number window over
+    // (doc_id, pos); reassembly = ordered string_agg. The winner order is
+    // total, so both engines elect identical keepers.
+    "q_x2g_para_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) ||
+        |    'Subscribe to our newsletter today!' || chr(10) ||
+        |    substr(text, 41, 40) AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, u.pos, u.para
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS arr
+        |        FROM docs2),
+        |       LATERAL (SELECT unnest(arr) AS para,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |  WHERE trim(u.para) <> ''
+        |), kept AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS total FROM paras GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(t.total, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+        |    AS n_dropped
+        |FROM documents d
+        |LEFT JOIN totals t USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Edges exist only between consecutive ids, so components are
     // gaps-and-islands: component = latest island-start ≤ doc_id.

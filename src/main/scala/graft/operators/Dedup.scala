@@ -456,4 +456,95 @@ object Dedup {
         VectorFunctions.cosine(col("_va"), col("_vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Duplicate-n-gram statistics (the Lee et al. "Deduplicating Training
+    * Data" substring-duplication signal at n-gram granularity): for every
+    * document, the number of n-gram OCCURRENCES (repeats within a doc
+    * count every time) whose n-gram appears at least `minCount` times
+    * corpus-wide, and the duplicated fraction. High `dup_frac` flags
+    * template spam / mirrored text that document- and paragraph-level
+    * dedup both miss.
+    *
+    * Scale notes (100 TB): occurrences shuffle as `(sha2, id)` — 40-byte
+    * rows however long the n-grams are; the count groupBy is a partial
+    * aggregate; the count join is an equi-join on the hash (no broadcast
+    * assumption — both sides are corpus-sized). Nothing is quadratic.
+    *
+    * @return one row per input row:
+    *         `(id, n_ngrams, n_dup, dup_frac_e6)` — the fraction is
+    *         emitted integerized (×1e6, half-up) so downstream threshold
+    *         filters are bit-stable across engines. */
+  def duplicateNgramStats(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, minCount: Int = 2): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("_id"),
+        explode(shingles(col(textCol), shingleSize)).as("_sh"))
+      .select(col("_id"), sha2(col("_sh"), 256).as("_h"))
+    val counts = occ.groupBy("_h").agg(count(lit(1)).as("_cnt"))
+    val perDoc = occ.join(counts, "_h")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("_cnt") >= minCount, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === perDoc("_id"), "left").drop("_id")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_ngrams"), lit(0L)) === 0L, lit(0L))
+          .otherwise(floor(col("n_dup").cast("double") / col("n_ngrams")
+            * 1e6 + 0.5).cast("long"))
+          .as("dup_frac_e6"))
+  }
+
+  /** Paragraph-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * pass): split every document on `sep`, keep only the FIRST corpus-wide
+    * occurrence of each distinct non-blank paragraph — "first" = smallest
+    * `(id, position)`, a total order, so the result is unique and
+    * partitioning-independent — and reassemble each document from its
+    * surviving paragraphs in original order, joined with `joiner`.
+    *
+    * This is the sub-document counterpart of [[exact]]: navigation chrome,
+    * cookie banners and licence footers repeat across millions of pages
+    * whose full texts are all distinct, so document-level dedup never
+    * touches them.
+    *
+    * Scale notes (100 TB): the dedup groupBy keys on `sha2(paragraph)`,
+    * so shuffle rows for the argmin are (32B hash, id, pos) — paragraph
+    * TEXT never shuffles in the winner-election stage; the only wide text
+    * movement is the final per-document reassembly groupBy, whose input
+    * is already pruned to surviving paragraphs. `min(struct)` is a
+    * partial aggregate (map-side combine on both groupBys).
+    *
+    * @return one row per input row: `(id, clean_text, n_kept, n_dropped)`
+    *         with `clean_text = ""` when every paragraph was boilerplate
+    *         (or the text was blank/NULL). */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", joiner: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("_pos", "_para")))
+      .filter(length(trim(col("_para"))) > 0)
+    val winners = paras
+      .groupBy(sha2(col("_para"), 256).as("_h"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+      .select(col("_w._id").as("_id"), col("_w._pos").as("_pos"))
+    val rebuilt = paras
+      .join(winners, Seq("_id", "_pos"), "left_semi")
+      .groupBy("_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_para")))),
+            p => p.getField("_para")),
+          joiner).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = paras.groupBy("_id").agg(count(lit(1)).as("_total"))
+    df.select(col(idCol))
+      .join(totals, col(idCol) === totals("_id"), "left").drop("_id")
+      .join(rebuilt, col(idCol) === rebuilt("_id"), "left").drop("_id")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

@@ -283,4 +283,50 @@ class DedupSpec extends SparkSpec {
     assert(probed <= exact)     // and never invent pairs
     assert(probed > 0)
   }
+
+  test("duplicateNgramStats: within-doc repeats count, short docs zero, " +
+      "partitioning-independent") {
+    val docs = Seq(
+      (1L, "a b c d"),   // trigrams: "a b c" (corpus c=2), "b c d" (c=1)
+      (2L, "a b c x"),   // "a b c" dup, "b c x" unique
+      (3L, "z z z z"),   // "z z z" twice → self-duplicated
+      (4L, "short")      // fewer than 3 tokens
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateNgramStats(d, "text", "doc_id", shingleSize = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = run(docs)
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((2L, 1L, 500000L)))
+    assert(out(3L) == ((2L, 2L, 1000000L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+    assert(run(docs.repartition(5)) == out)
+  }
+
+  test("dedupParagraphs: first corpus-wide occurrence wins, order kept, " +
+      "all-boilerplate docs come back empty") {
+    val docs = Seq(
+      (1L, "alpha one\nSUBSCRIBE NOW\nbeta two"),
+      (2L, "gamma three\nSUBSCRIBE NOW\ndelta four"), // footer dropped
+      (3L, "SUBSCRIBE NOW"),                          // only boilerplate
+      (4L, "epsilon five\nepsilon five\nzeta six"),   // within-doc dup
+      (5L, "  \n\nalpha one"),                        // blanks + stolen para
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha one\nSUBSCRIBE NOW\nbeta two", 3L, 0L)))
+    assert(out(2L) == (("gamma three\ndelta four", 2L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+    assert(out(4L) == (("epsilon five\nzeta six", 2L, 1L)))
+    assert(out(5L) == (("", 0L, 1L)))
+    assert(out(6L) == (("", 0L, 0L)))
+    // winner election is a total order => partitioning-independent
+    val re = Dedup.dedupParagraphs(docs.repartition(7), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(re == out)
+  }
 }
