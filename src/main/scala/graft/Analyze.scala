@@ -25,6 +25,7 @@ import graft.operators.{Curation, GraphOps}
   *   linkpred    --edges <dir> [--min-common N] [--max-hub-degree N]
   *               [-o <outDir>]
   *   kcore       --edges <dir> [--k N] [-o <outDir>]
+  *   communities --edges <dir> [--iterations N] [-o <outDir>]
   *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w]
   *               [--max-iter N] [-o <outDir>]
   *   curate      --docs <dir> --bench <dir> [--text-col text]
@@ -132,6 +133,8 @@ object Analyze {
       case "linkpred" =>
         GraphOps.linkPrediction(edges, args.minCommon, args.maxHubDegree)
       case "kcore" => GraphOps.kCore(edges, args.kCore, ckpt = ckpt)
+      case "communities" =>
+        GraphOps.labelPropagation(edges, args.iterations, ckpt = ckpt)
       case "paths" =>
         GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
           args.maxIter, ckpt)

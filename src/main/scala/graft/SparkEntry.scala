@@ -1017,6 +1017,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- G10: label-propagation communities on the part co-occurrence
+    // graph — 2 synchronous rounds (deterministic min-label tie-break), so
+    // the oracle can unroll them exactly in SQL ----
+    "q_g10_lpa" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.labelPropagation(edges, iters = 2).orderBy("id")
+    }),
+
     // ---- G9: k-core membership on the part co-occurrence graph —
     // iterative peeling isn't ANSI-expressible (per-round degree recount
     // over a shrinking subgraph), so rows-only; the peeling semantics are
@@ -2223,6 +2239,31 @@ object SparkEntry {
 
     // Canonical a<b edges; each triangle (a<b<c) found once by the triple
     // join, credited to all three vertices.
+    // Both LPA rounds unrolled: round 1 over distinct neighbor ids (every
+    // count is 1, so argmax = min neighbor), round 2 over the round-1
+    // labels; argmax-with-min-tie-break = row_number (count DESC, label).
+    "q_g10_lpa" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |r1 AS (SELECT dst AS id, src AS lbl, count(*) AS c
+        |       FROM adj GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (
+        |  SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |  FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT a.dst AS id, l.lbl, count(*) AS c
+        |       FROM adj a JOIN l1 l ON l.id = a.src GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (
+        |  SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |  FROM r2) WHERE rn = 1)
+        |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin,
+
     "q_g4_triangles" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -316,6 +316,49 @@ object GraphOps {
       .distinct()
   }
 
+  /** Community detection by synchronous label propagation (LPA): every
+    * node starts labelled with its own id; each round, every node adopts
+    * the most frequent label among its neighbors, ties broken toward the
+    * SMALLEST label — a total order, so every round is deterministic and
+    * partitioning-independent (the classic async-LPA nondeterminism is
+    * traded for a fixed `iters` round count; synchronous LPA can
+    * oscillate on bipartite structures, which a fixed round count also
+    * resolves deterministically).
+    *
+    * Scale notes (100 TB): each round is ONE equi-join (labels ⋈
+    * adjacency — AQE broadcasts the label side when it is small) and two
+    * partial aggregates: the (node, label) count, and the argmax as
+    * `min(struct(-count, label))` — both map-side combinable; neither
+    * the adjacency nor any candidate set is ever quadratic. Lineage is
+    * truncated per round with the supplied [[graft.Checkpointer]].
+    *
+    * @return (`id`, `community`) for every edge endpoint; nodes in the
+    *         same converged label share a community. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = ckpt(canon.select(col("a").as("_src"), col("b").as("_dst"))
+      .unionAll(canon.select(col("b").as("_src"), col("a").as("_dst"))))
+    var labels = adj.select(col("_dst").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+    for (_ <- 1 to iters) {
+      val counts = adj
+        .join(labels.withColumnRenamed("id", "_src"), Seq("_src"))
+        .groupBy(col("_dst").as("id"), col("community"))
+        .agg(count(lit(1)).as("_c"))
+      labels = ckpt(counts
+        .groupBy("id")
+        .agg(min(struct((-col("_c")).as("_nc"), col("community")))
+          .as("_w"))
+        .select(col("id"), col("_w.community").as("community")))
+    }
+    labels
+  }
+
   /** Common-neighbor link prediction over an UNDIRECTED graph (direction
     * ignored, parallel edges and self-loops dropped): for every
     * NON-ADJACENT pair sharing at least `minCommon` neighbors, the

@@ -194,6 +194,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(path, 1).count() == 10)
   }
 
+  test("labelPropagation: bridged cliques settle into per-clique " +
+      "communities; deterministic across partitionings") {
+    // two K3s {1,2,3} and {10,11,12} joined by the bridge 3-10; hand-run
+    // sync-LPA (min-label ties): stable from round 4 at {1,2,3}->1,
+    // {10,11,12}->3 — the bridge does NOT merge the cliques
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("start_id", "end_id")
+    val out = GraphOps.labelPropagation(g, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    val re = GraphOps.labelPropagation(g.repartition(7), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+    // round 1 on distinct-label neighborhoods = min neighbor id
+    val r1 = GraphOps.labelPropagation(g, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("linkPrediction: common neighbors + Adamic-Adar on a 4-cycle; " +
       "adjacency excluded; hub cap prunes wedges") {
     // square 1-2-3-4-1: the only non-adjacent pairs are the diagonals
