@@ -26,6 +26,7 @@ import graft.operators.{Curation, GraphOps}
   *               [-o <outDir>]
   *   kcore       --edges <dir> [--k N] [-o <outDir>]
   *   communities --edges <dir> [--iterations N] [-o <outDir>]
+  *   harmonic    --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
   *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w]
   *               [--max-iter N] [-o <outDir>]
   *   curate      --docs <dir> --bench <dir> [--text-col text]
@@ -135,6 +136,8 @@ object Analyze {
       case "kcore" => GraphOps.kCore(edges, args.kCore, ckpt = ckpt)
       case "communities" =>
         GraphOps.labelPropagation(edges, args.iterations, ckpt = ckpt)
+      case "harmonic" =>
+        GraphOps.harmonicCentrality(edges, seedsDf, args.hops, ckpt)
       case "paths" =>
         GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
           args.maxIter, ckpt)

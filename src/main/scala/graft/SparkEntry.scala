@@ -1017,6 +1017,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- G11: sampled harmonic centrality on the part co-occurrence
+    // graph — 3 landmark seeds, 6-hop cap; the compared sum is Σ 60/d,
+    // EXACT integer arithmetic (60 = lcm(1..6)), so no float ever enters
+    // the hash ----
+    "q_g11_harmonic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      val seeds = edges.select(col("start_id").as("id"))
+        .unionAll(edges.select(col("end_id").as("id")))
+        .distinct().orderBy("id").limit(3)
+      GraphOps.seedDistances(edges, seeds, maxHops = 6)
+        .filter(col("d") > 0)
+        .groupBy("id")
+        .agg(sum(expr("60 div d")).as("harmonic_x60"),
+          count(lit(1)).as("n_reached"))
+        .orderBy("id")
+    }),
+
     // ---- G10: label-propagation communities on the part co-occurrence
     // graph — 2 synchronous rounds (deterministic min-label tie-break), so
     // the oracle can unroll them exactly in SQL ----
@@ -2239,6 +2264,29 @@ object SparkEntry {
 
     // Canonical a<b edges; each triangle (a<b<c) found once by the triple
     // join, credited to all three vertices.
+    // Recursive BFS enumeration capped at 6 hops (UNION dedup keeps it
+    // finite), min distance per (node, seed), then the exact-integer
+    // harmonic sum. BFS first-reach == enumerate-then-min.
+    "q_g11_harmonic" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT src AS id FROM adj ORDER BY id LIMIT 3),
+        |bfs(id, seed, d) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT a.dst, b.seed, b.d + 1
+        |  FROM bfs b JOIN adj a ON a.src = b.id
+        |  WHERE b.d < 6),
+        |md AS (SELECT id, seed, min(d) AS d FROM bfs GROUP BY 1, 2)
+        |SELECT id, CAST(sum(60 // d) AS BIGINT) AS harmonic_x60,
+        |  count(*) AS n_reached
+        |FROM md WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
+
     // Both LPA rounds unrolled: round 1 over distinct neighbor ids (every
     // count is 1, so argmax = min neighbor), round 2 over the round-1
     // labels; argmax-with-min-tie-break = row_number (count DESC, label).

@@ -359,6 +359,65 @@ object GraphOps {
     labels
   }
 
+  /** Per-seed BFS hop distances: for every (reachable node, seed) pair
+    * within `maxHops`, the exact hop distance — the primitive under
+    * sampled centrality estimators ([[harmonicCentrality]]) and
+    * "distance-to-landmark" features. Unlike [[kHop]] (which collapses
+    * seeds into one frontier), state is keyed `(id, seed)` so each seed's
+    * distance field survives.
+    *
+    * Scale notes (100 TB): state is one row per (node, seed) pair — the
+    * reason sampled centrality uses a BOUNDED seed set; with `s` seeds
+    * the state is at most `s·|V|`, never edge-sized times seeds. Each
+    * round is frontier ⋈ adjacency (AQE broadcasts the shrinking
+    * frontier) plus a distinct and an anti-join, all keyed (id, seed);
+    * the edge table never re-shuffles (it is checkpointed once). BFS
+    * first-reach minimality makes per-round dedup exact.
+    *
+    * @return (`id`, `seed`, `d`) with `d = 0` for the seeds themselves;
+    *         pairs farther than `maxHops` (or unreachable) are absent. */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      ckpt: Checkpointer = Checkpointer.Local,
+      directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val fwd = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+    val both = if (directed) fwd else fwd.unionAll(
+      edges.select(col(EndId).as("src"), col(StartId).as("dst")))
+    val adj = ckpt(both.filter(col("src") =!= col("dst")).distinct())
+    var dist = ckpt(seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), col("id").as("seed"), lit(0).as("d")))
+    var frontier = dist
+    var i = 0
+    while (i < maxHops && !frontier.isEmpty) {
+      frontier = ckpt(frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("dst").as("id"), col("seed"), (col("d") + 1).as("d"))
+        .distinct()
+        .join(dist, Seq("id", "seed"), "left_anti"))
+      dist = ckpt(dist.unionAll(frontier))
+      i += 1
+    }
+    dist
+  }
+
+  /** Harmonic centrality from a seed set: `Σ_seeds 1/d(seed, v)` over
+    * seeds at finite nonzero distance — the centrality variant that is
+    * well-defined on disconnected graphs (unreachable seeds contribute
+    * 0, not ∞). With sampled seeds this is the standard estimator
+    * (rescale by |V|/|seeds| for the exact-expectation form); `maxHops`
+    * bounds the state (distant seeds contribute ≤ 1/maxHops each, so
+    * truncation error is small and explicit).
+    *
+    * @return (`id`, `harmonic`, `n_reached`) for every node reached by
+    *         at least one other seed. */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 10, ckpt: Checkpointer = Checkpointer.Local,
+      directed: Boolean = false): DataFrame =
+    seedDistances(edges, seeds, maxHops, ckpt, directed)
+      .filter(col("d") > 0)
+      .groupBy("id")
+      .agg(sum(lit(1.0) / col("d")).as("harmonic"),
+        count(lit(1)).as("n_reached"))
+
   /** Common-neighbor link prediction over an UNDIRECTED graph (direction
     * ignored, parallel edges and self-loops dropped): for every
     * NON-ADJACENT pair sharing at least `minCommon` neighbors, the

@@ -194,6 +194,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(path, 1).count() == 10)
   }
 
+  test("seedDistances + harmonicCentrality: path graph closed form, " +
+      "hop cap, directed mode, partition invariance") {
+    // path 1-2-3-4-5, seeds {1,5}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("start_id", "end_id")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val h = GraphOps.harmonicCentrality(path, seeds, maxHops = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(h(1L) == ((0.25, 1L)))                  // only seed 5 at d=4
+    assert(h(2L) == ((1.0 + 1.0 / 3, 2L)))
+    assert(h(3L) == ((1.0, 2L)))                   // 1/2 + 1/2
+    assert(h(4L) == ((1.0 / 3 + 1.0, 2L)))
+    assert(h(5L) == ((0.25, 1L)))
+    // hop cap: d > 2 pairs vanish; node 1 unreached by any other seed
+    val capped = GraphOps.harmonicCentrality(path, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(!capped.contains(1L) && capped(3L) == ((1.0, 2L)))
+    // directed: edges only flow forward from seed 1
+    val d = GraphOps.harmonicCentrality(
+      Seq((1L, 2L), (2L, 3L)).toDF("start_id", "end_id"),
+      Seq(1L).toDF("id"), maxHops = 5, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(2L -> 1.0, 3L -> 0.5))
+    val re = GraphOps.harmonicCentrality(path.repartition(7), seeds,
+      maxHops = 10).collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(re == h)
+  }
+
   test("labelPropagation: bridged cliques settle into per-clique " +
       "communities; deterministic across partitionings") {
     // two K3s {1,2,3} and {10,11,12} joined by the bridge 3-10; hand-run
