@@ -573,6 +573,20 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---- X7c: SEMANTIC decontamination — corpus embeddings vs a held-out
+    // bench slice (vec_id % 97 == 0), broadcast nested-loop cosine; the
+    // paraphrase-leakage sibling of q_x7 ----
+    "q_x7c_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
+      Decontaminate.semanticContaminationPairs(
+          e.filter(col("vec_id") % 97 =!= 0), "embedding", "vec_id",
+          e.filter(col("vec_id") % 97 === 0), "embedding", "vec_id",
+          threshold = 0.35)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- X6: stratified curation quota — keep the k best docs per
     // stratum under an explicit total ordering ----
     "q_x6_stratified_topk" -> ((s, dir) =>
@@ -1747,6 +1761,26 @@ object SparkEntry {
         |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // Same unnest-pair cosine rebuild as q_x2d, but corpus × bench
+    // instead of the upper triangle.
+    "q_x7c_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id < 2000),
+        |prod AS (
+        |  SELECT doc_id, bench_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+        |  FROM (SELECT d.vec_id AS doc_id, b.vec_id AS bench_id,
+        |          unnest(d.embedding) AS x, unnest(b.embedding) AS y
+        |        FROM e d JOIN e b
+        |          ON d.vec_id % 97 <> 0 AND b.vec_id % 97 = 0)
+        |  GROUP BY doc_id, bench_id)
+        |SELECT doc_id, bench_id,
+        |  ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+        |FROM prod WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.35
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     "q_x6_stratified_topk" ->
       """SELECT lang, doc_id, n_chars FROM (

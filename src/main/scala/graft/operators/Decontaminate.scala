@@ -113,4 +113,63 @@ object Decontaminate {
       .select(col("doc_id").as("_flagged_id")).distinct()
     docs.join(flagged, docs(idCol) === col("_flagged_id"), "left_anti")
   }
+
+  /** Embedding-space decontamination: (corpus doc, benchmark doc, cosine)
+    * for every pair with cosine ≥ `threshold` — the semantic sibling of
+    * [[contaminationPairs]] that catches PARAPHRASED eval leakage no
+    * n-gram overlap can see (translated benchmark items, reworded
+    * questions, number-substituted math problems).
+    *
+    * Scale notes (100 TB corpus vs ~10^4-embedding benchmark): default is
+    * a broadcast nested loop — the bench side ships to every executor
+    * once and the corpus NEVER shuffles; per-row cost is O(|bench|·dim)
+    * codegen'd flops. When the bench side is too large for that, pass
+    * `bits = Some(b)`: both sides hash to random-hyperplane buckets and
+    * only colliding pairs are scored (recall < 1; `probes` single-bit
+    * flips on the bench side claw back borderline pairs, each probe a
+    * disjoint bucket so no pair is ever produced twice).
+    *
+    * Output: `doc_id`, `bench_id`, `cosine`. */
+  def semanticContaminationPairs(
+      docs: DataFrame, vecCol: String, idCol: String,
+      bench: DataFrame, benchVecCol: String, benchIdCol: String,
+      threshold: Double, bits: Option[Int] = None,
+      probes: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions
+    val d0 = docs.select(col(idCol).as("doc_id"), col(vecCol).as("_vd"))
+    val b0 = bench.select(col(benchIdCol).as("bench_id"),
+      col(benchVecCol).as("_vb"))
+    val joined = bits match {
+      case None => d0.crossJoin(broadcast(b0))
+      case Some(nb) =>
+        val probeBuckets = {
+          val bb = VectorFunctions.hyperplane_bucket(col("_vb"), nb)
+          array((bb +: (0 until math.min(probes, nb)).map(p =>
+            bb.bitwiseXOR(lit(1 << p)))): _*)
+        }
+        d0.withColumn("_bk",
+            VectorFunctions.hyperplane_bucket(col("_vd"), nb))
+          .join(broadcast(b0.select(col("bench_id"), col("_vb"),
+            explode(probeBuckets).as("_bk"))), Seq("_bk"))
+          .drop("_bk")
+    }
+    joined
+      .select(col("doc_id"), col("bench_id"),
+        VectorFunctions.cosine(col("_vd"), col("_vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The corpus minus every doc flagged by
+    * [[semanticContaminationPairs]] — same anti-join projection as
+    * [[decontaminate]], keyed on embeddings instead of shingles. */
+  def decontaminateSemantic(
+      docs: DataFrame, vecCol: String, idCol: String,
+      bench: DataFrame, benchVecCol: String, benchIdCol: String,
+      threshold: Double, bits: Option[Int] = None,
+      probes: Int = 0): DataFrame = {
+    val flagged = semanticContaminationPairs(docs, vecCol, idCol,
+      bench, benchVecCol, benchIdCol, threshold, bits, probes)
+      .select(col("doc_id").as("_flagged_id")).distinct()
+    docs.join(flagged, docs(idCol) === col("_flagged_id"), "left_anti")
+  }
 }

@@ -85,6 +85,40 @@ class DecontaminateSpec extends SparkSpec {
     assert(guarded.count() == 0) // shared-instruction shingles dropped
   }
 
+  test("semantic decontamination: aligned embeddings flagged, orthogonal " +
+      "kept; bucketed path finds identical vectors; anti-join removes") {
+    import org.apache.spark.sql.functions._
+    val corpusVecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),   // parallel to bench 100 -> flagged
+      (2L, Array(0f, 1f, 0f, 0f)),   // orthogonal -> clean
+      (3L, Array(0.9f, 0.1f, 0f, 0f)) // near-parallel -> flagged
+    ).toDF("doc_id", "embedding")
+    val benchVecs = Seq((100L, Array(2f, 0f, 0f, 0f)))
+      .toDF("qid", "embedding")
+    val pairs = Decontaminate.semanticContaminationPairs(
+      corpusVecs, "embedding", "doc_id", benchVecs, "embedding", "qid",
+      threshold = 0.9)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L), (3L, 100L)))
+    val clean = Decontaminate.decontaminateSemantic(
+      corpusVecs, "embedding", "doc_id", benchVecs, "embedding", "qid",
+      threshold = 0.9).select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+    // bucketed path: identical directions share every hyperplane bucket
+    val bucketed = Decontaminate.semanticContaminationPairs(
+      corpusVecs, "embedding", "doc_id", benchVecs, "embedding", "qid",
+      threshold = 0.9, bits = Some(6), probes = 2)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(bucketed.contains((1L, 100L)))
+    assert(bucketed.subsetOf(pairs)) // blocking never invents pairs
+    // probes only ever ADD candidate pairs
+    val noProbe = Decontaminate.semanticContaminationPairs(
+      corpusVecs, "embedding", "doc_id", benchVecs, "embedding", "qid",
+      threshold = 0.9, bits = Some(6))
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(noProbe.subsetOf(bucketed))
+  }
+
   test("empty benchmark flags nothing") {
     val empty = Seq.empty[(Long, String)].toDF("qid", "question")
     assert(Decontaminate.contaminationPairs(
