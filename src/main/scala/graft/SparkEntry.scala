@@ -595,6 +595,15 @@ object SparkEntry {
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
 
+    // ---- X6h: temperature-scaled per-language sampling weights
+    // (alpha = 1/T = 0.5 → sqrt path, IEEE-exact on every engine) ----
+    "q_x6h_temperature" -> ((s, dir) =>
+      Sampling.temperatureWeights(t(s, dir, "documents"), "lang", 0.5, 1000L)
+        .select(col("lang"), col("n"),
+          floor(col("p") * 1e6 + 0.5).cast("long").as("p_e6"),
+          floor(col("rate") * 1e6 + 0.5).cast("long").as("rate_e6"))
+        .orderBy("lang")),
+
     // ---- X6b: deterministic content-id Bernoulli sample (xxhash64 — not
     // ANSI; determinism + fraction pinned in SamplingSpec) ----
     "q_x6b_hash_sample" -> ((s, dir) =>
@@ -1781,6 +1790,18 @@ object SparkEntry {
         |  ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
         |FROM prod WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.35
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // sqrt is correctly rounded by IEEE-754 on both engines; the sums and
+    // ratios are integerized ×1e6 so no raw double reaches the hash.
+    "q_x6h_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS sc FROM c),
+        |t AS (SELECT sum(sc) AS tot FROM s)
+        |SELECT lang, n,
+        |  CAST(floor(sc / tot * 1e6 + 0.5) AS BIGINT) AS p_e6,
+        |  CAST(floor(least(CAST(1 AS DOUBLE), 1000 * sc / tot / n) * 1e6
+        |    + 0.5) AS BIGINT) AS rate_e6
+        |FROM s, t ORDER BY lang""".stripMargin,
 
     "q_x6_stratified_topk" ->
       """SELECT lang, doc_id, n_chars FROM (

@@ -167,4 +167,52 @@ object Sampling {
       .map { case ((df, w), i) => hashSample(df, idCol, w, seed + 7919L * i) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Temperature-scaled per-group sampling weights — the multilingual /
+    * multi-source rebalancing standard (mC4, XLM-R): group sampling
+    * probability ∝ n^alpha with `alpha = 1/T ∈ (0, 1]`, which up-weights
+    * small groups relative to their natural share (alpha = 1 reproduces
+    * it; alpha → 0 approaches uniform-over-groups). `targetTotal` is the
+    * desired output size; the per-group keep-rate is capped at 1 (a small
+    * group can saturate — re-run with a lower target or accept the
+    * shortfall, this function reports the cap honestly).
+    *
+    * One partial-agg groupBy + a 1-row broadcast crossJoin for the
+    * normalizer — no window, no driver-side state. `alpha = 0.5` is
+    * computed via `sqrt`, which IEEE-754 guarantees correctly rounded
+    * (bit-identical on every engine), unlike the `pow` general path.
+    *
+    * @return (`group`, `n`, `p`, `rate`): natural count, temperature-
+    *         scaled probability (sums to 1), capped keep-fraction. */
+  def temperatureWeights(df: DataFrame, groupCol: String, alpha: Double,
+      targetTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(targetTotal > 0, "targetTotal must be > 0")
+    val scale: Column => Column =
+      if (alpha == 0.5) sqrt(_)
+      else if (alpha == 1.0) identity
+      else pow(_, alpha)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("_s", scale(col("n").cast("double")))
+    counts.crossJoin(broadcast(counts.agg(sum(col("_s")).as("_tot"))))
+      .select(col(groupCol), col("n"),
+        (col("_s") / col("_tot")).as("p"),
+        least(lit(1.0),
+          lit(targetTotal.toDouble) * col("_s") / col("_tot") / col("n"))
+          .as("rate"))
+  }
+
+  /** [[temperatureWeights]] applied: deterministic per-group Bernoulli
+    * ([[hashSample]] semantics — seeded id-hash, so reproducible across
+    * runs and cluster sizes) at each group's temperature rate. The rate
+    * table is group-count-sized → broadcast; the corpus never shuffles. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetTotal: Long, seed: Long = 42L): DataFrame = {
+    val rates = temperatureWeights(df, groupCol, alpha, targetTotal)
+      .select(col(groupCol), col("rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(idCol), seed) <
+        (col("rate") * Buckets).cast("long"))
+      .drop("rate")
+  }
 }

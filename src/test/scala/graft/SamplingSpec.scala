@@ -270,6 +270,43 @@ class SamplingSpec extends SparkSpec {
     assert(rebuilt == original) // overlap dedup + concat is lossless
   }
 
+  test("temperatureWeights: sqrt rebalancing closed form, probs sum to 1, " +
+      "cap saturates, alpha=1 reproduces natural shares") {
+    // group sizes 1, 4, 16 -> sqrt scores 1, 2, 4 (tot 7)
+    val rows = (1 to 1).map(i => ("a", i)) ++ (1 to 4).map(i => ("b", i)) ++
+      (1 to 16).map(i => ("c", i))
+    val df = rows.toDF("src", "k")
+      .select(col("src"), (col("k") + when(col("src") === "b", 100)
+        .when(col("src") === "c", 200).otherwise(0)).as("id"))
+    val w = Sampling.temperatureWeights(df, "src", 0.5, 7L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(w("a")._1 == 1L && w("b")._1 == 4L && w("c")._1 == 16L)
+    assert(math.abs(w("a")._2 - 1.0 / 7) < 1e-12)
+    assert(math.abs(w("b")._2 - 2.0 / 7) < 1e-12)
+    assert(math.abs(w("c")._2 - 4.0 / 7) < 1e-12)
+    // rate = target * p / n: small groups get the highest keep-rate
+    assert(math.abs(w("a")._3 - 1.0) < 1e-12)       // 7·(1/7)/1
+    assert(math.abs(w("b")._3 - 0.5) < 1e-12)       // 7·(2/7)/4
+    assert(math.abs(w("c")._3 - 0.25) < 1e-12)      // 7·(4/7)/16
+    // enormous target saturates every cap at exactly 1.0
+    val cap = Sampling.temperatureWeights(df, "src", 0.5, 1000000L)
+      .collect().map(_.getDouble(3))
+    assert(cap.forall(_ == 1.0))
+    // alpha = 1 keeps natural proportions: p == n / N
+    val nat = Sampling.temperatureWeights(df, "src", 1.0, 7L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(nat("c") - 16.0 / 21) < 1e-12)
+    // application: rate-1 groups pass through; sampling is deterministic
+    val s1 = Sampling.temperatureSample(df, "src", "id", 0.5, 1000000L)
+    assert(s1.count() == df.count())
+    val s2 = Sampling.temperatureSample(df, "src", "id", 0.5, 7L)
+      .select("id").as[Long].collect().toSet
+    val s3 = Sampling.temperatureSample(df.repartition(5), "src", "id",
+      0.5, 7L).select("id").as[Long].collect().toSet
+    assert(s2 == s3)
+  }
+
   test("packByBudget: offset bins and boundary spans, per group") {
     val df = Seq(
       ("en", 1L, 3000L), ("en", 2L, 2000L), ("en", 3L, 100L),
