@@ -64,7 +64,20 @@ object Bench {
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    def short(k: String): String = k.stripPrefix("q_")
+    // Tier id + last token for 3+-token names ("x5g_image_resize" →
+    // "x5g_resize"): with 90+ queries the full names alone overflow the
+    // artifact head. Collisions (would be silent data loss) fall back to
+    // the full name.
+    def short(k: String): String = {
+      val full = k.stripPrefix("q_")
+      val toks = full.split('_')
+      if (toks.length >= 3) toks.head + "_" + toks.last else full
+    }
+    locally {
+      val shorts = results.map(r => short(r._1))
+      require(shorts.distinct.size == shorts.size,
+        "bench key abbreviation collided; lengthen the colliding names")
+    }
     val qs = results
       .map { case (k, med, _, _) => "\"" + short(k) + "\":" + fmt(med) }
       .mkString("{", ",", "}")
