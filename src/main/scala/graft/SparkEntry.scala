@@ -595,6 +595,21 @@ object SparkEntry {
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
 
+    // ---- X6i: per-domain cap — synthetic crawl URLs (host = source ×
+    // doc_id%7), keep the 3 longest docs per host; the content-farm
+    // throttle of a crawl-curation pipeline ----
+    "q_x6i_domain_cap" -> ((s, dir) => {
+      val withUrl = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        concat(lit("https://"), col("source"), lit("-"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("url"))
+      Curation.domainCap(withUrl, "url", 3,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "host", "n_chars")
+        .orderBy("host", "doc_id")
+    }),
+
     // ---- X6h: temperature-scaled per-language sampling weights
     // (alpha = 1/T = 0.5 → sqrt path, IEEE-exact on every engine) ----
     "q_x6h_temperature" -> ((s, dir) =>
@@ -1790,6 +1805,27 @@ object SparkEntry {
         |  ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
         |FROM prod WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.35
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Same character-class regex (portable across Java regex / RE2),
+    // same row_number cap.
+    "q_x6i_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract(url,
+        |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)
+        |      AS host
+        |  FROM u)
+        |SELECT doc_id, host, n_chars FROM (
+        |  SELECT doc_id, host, n_chars,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM h)
+        |WHERE rn <= 3 ORDER BY host, doc_id""".stripMargin,
 
     // sqrt is correctly rounded by IEEE-754 on both engines; the sums and
     // ratios are integerized ×1e6 so no raw double reaches the hash.

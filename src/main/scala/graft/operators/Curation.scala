@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Checkpointer
@@ -88,4 +88,31 @@ object Curation {
 
     (restrict(keptIds), report)
   }
+
+  /** The host part of a URL — scheme and userinfo stripped, everything
+    * before the first `/`, `:` (port), `?` or `#`. A plain character-class
+    * regex (no lookarounds, no backreferences) so the SAME pattern parses
+    * identically under Java regex, RE2, and DuckDB — web-crawl curation
+    * must agree with offline audits about what "the domain" was. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+
+  /** Per-domain document cap — the crawl-curation rule that stops a
+    * single site (content farm, mirror network) from dominating a
+    * training mix no matter how many URLs it serves. Keeps the `k` best
+    * docs per host under the caller's explicit total `ordering` (make it
+    * total — e.g. quality DESC, id — so the kept set is deterministic).
+    *
+    * Scale notes (100 TB): host extraction is a narrow codegen'd regex;
+    * the cap is [[Sampling.stratifiedTopK]] — ONE shuffle on the host
+    * key, per-partition row_number, no global sort. Hot hosts are single
+    * groups by design (that is what is being capped); AQE's skew
+    * handling splits oversized host partitions.
+    *
+    * @return the input rows that survive the cap, plus a `host` column. */
+  def domainCap(docs: DataFrame, urlCol: String, k: Int,
+      ordering: Seq[Column]): DataFrame =
+    Sampling.stratifiedTopK(
+      docs.withColumn("host", urlHost(col(urlCol))), "host", k, ordering)
 }

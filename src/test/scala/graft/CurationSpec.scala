@@ -62,6 +62,33 @@ class CurationSpec extends SparkSpec {
       kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("domainCap: host parsing handles scheme/userinfo/port/path; cap " +
+      "keeps the k best per host deterministically") {
+    import org.apache.spark.sql.functions._
+    val urls = Seq(
+      (1L, "https://a.com/x", 10),
+      (2L, "http://user@b.org:8080/p?q#f", 10),
+      (3L, "c.net/path", 10),
+      (4L, "https://d.io", 10),
+      (5L, "https://a.com/y", 30),
+      (6L, "https://a.com/z", 20)
+    ).toDF("doc_id", "url", "score")
+    val hosts = urls.select(col("doc_id"),
+        Curation.urlHost(col("url")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(hosts == Map(1L -> "a.com", 2L -> "b.org", 3L -> "c.net",
+      4L -> "d.io", 5L -> "a.com", 6L -> "a.com"))
+    val kept = Curation.domainCap(urls, "url", 2,
+      Seq(col("score").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    // a.com keeps its two best (5: score 30, 6: score 20); 1 is dropped
+    assert(kept == Set(2L, 3L, 4L, 5L, 6L))
+    val re = Curation.domainCap(urls.repartition(5), "url", 2,
+      Seq(col("score").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == kept)
+  }
+
   test("curateCorpus under Checkpointer.Reliable matches Local") {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
