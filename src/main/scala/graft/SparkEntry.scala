@@ -550,6 +550,16 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    // ---- X4l: blocklist filter — word-boundary banned-term hits
+    // (portable plain-alternation regex) + the C4-style keep flag ----
+    "q_x4l_blocklist" -> ((s, dir) => {
+      val terms = Seq("slow", "dup", "big data")
+      t(s, dir, "documents").select(col("doc_id"),
+          GF.blocklist_hits(col("text"), terms).as("n_hits"),
+          GF.blocklist_ok(col("text"), terms).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X4e: text cleaning — PII redaction (synthetic email/IP injected
     // per row so every row exercises replacement) + repetition ratio ----
     "q_x4e_clean_repetition" -> ((s, dir) => {
@@ -1055,6 +1065,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- G12: local clustering coefficient on the part co-occurrence
+    // graph — exact-integer inputs (tri, deg) through one correctly-
+    // rounded division, so the e6 integerization is engine-stable ----
+    "q_g12_clustering" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.clusteringCoefficients(edges)
+        .select(col("id"), col("degree"), col("n_triangles"),
+          floor(col("clustering") * 1e6 + 0.5).cast("long").as("c_e6"))
+        .orderBy("id")
+    }),
+
     // ---- G11: sampled harmonic centrality on the part co-occurrence
     // graph — 3 landmark seeds, 6-hop cap; the compared sum is Σ 60/d,
     // EXACT integer arithmetic (60 = lcm(1..6)), so no float ever enters
@@ -1521,6 +1550,15 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = p.id_b
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         |ORDER BY p.id_a""".stripMargin,
+
+    // Same plain-alternation pattern under RE2; list length = hit count.
+    "q_x4l_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(slow|dup|big data)\b', 1)) AS INTEGER) AS n_hits,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(slow|dup|big data)\b', 1)) = 0 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Positional trigram rebuild (all OCCURRENCES — no DISTINCT, unlike
     // q_x7), corpus-wide counts, per-doc duplicated fraction ×1e6.
@@ -2355,6 +2393,35 @@ object SparkEntry {
 
     // Canonical a<b edges; each triangle (a<b<c) found once by the triple
     // join, credited to all three vertices.
+    // q_g4's triangle rebuild + a degree count; the coefficient repeats
+    // the exact double-op sequence of the Spark side (2·tri / d(d−1),
+    // then ×1e6 + 0.5, floor) so both engines round identically.
+    "q_g12_clustering" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT id, count(*) AS degree FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tcnt AS (SELECT id, count(*) AS n_tri FROM (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY id)
+        |SELECT d.id, d.degree,
+        |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d.degree < 2 THEN 0
+        |    ELSE floor(CAST(2 AS DOUBLE) * coalesce(t.n_tri, 0)
+        |      / (d.degree * (d.degree - 1)) * 1e6 + 0.5)
+        |    END AS BIGINT) AS c_e6
+        |FROM deg d LEFT JOIN tcnt t USING (id)
+        |ORDER BY d.id""".stripMargin,
+
     // Recursive BFS enumeration capped at 6 hops (UNION dedup keeps it
     // finite), min distance per (node, seed), then the exact-integer
     // harmonic sum. BFS first-reach == enumerate-then-min.

@@ -167,6 +167,28 @@ object GraftFunctions {
     "es" -> Seq(" el ", " de ", " que ", " los ", " y "),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** C4-style banned-word filter: the number of word-boundary matches of
+    * any blocklist term in the lowercased text (phrases allowed). Terms
+    * are restricted to `[a-z0-9' -]` so the generated alternation is a
+    * PLAIN regex — no metacharacters, no lookarounds — and therefore
+    * parses identically under Java regex (Spark) and RE2 (DuckDB, Go
+    * tooling): a curation decision must be reproducible by whatever
+    * engine audits it later. One narrow codegen'd pass; no shuffle. */
+  def blocklist_hits(c: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
+    terms.foreach { t =>
+      require(t.matches("[a-z0-9' -]+"),
+        s"blocklist term '$t' must be lowercase [a-z0-9' -] only " +
+          "(keeps the pattern engine-portable)")
+    }
+    val pat = "\\b(" + terms.mkString("|") + ")\\b"
+    size(regexp_extract_all(lower(c), lit(pat), lit(1)))
+  }
+
+  /** True when the text has NO blocklist hits — the filter predicate. */
+  def blocklist_ok(c: Column, terms: Seq[String]): Column =
+    blocklist_hits(c, terms) === 0
+
   def lang_id(c: Column): Column = {
     val padded = concat(lit(" "), lower(c), lit(" "))
     val scores = LangMarkers.map { case (lang, markers) =>

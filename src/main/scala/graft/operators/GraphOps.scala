@@ -263,6 +263,32 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient: `c(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`
+    * over the undirected simple graph — how close each node's
+    * neighborhood is to a clique (1 = clique member, 0 = star center).
+    * Nodes with degree < 2 get 0. Composes [[triangleCounts]] (degree-
+    * oriented wedge join, O(m^1.5) bound) with the degree aggregate —
+    * no new shuffle shapes; the division is a narrow projection.
+    *
+    * @return (`id`, `degree`, `n_triangles`, `clustering`). */
+  def clusteringCoefficients(edges: DataFrame,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, ckpt), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)))
+          .as("clustering"))
+  }
+
   /** K-core decomposition membership: the nodes of the maximal subgraph
     * in which every node has degree ≥ `k` (undirected; direction,
     * parallel edges and self-loops ignored) — the standard

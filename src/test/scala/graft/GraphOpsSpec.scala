@@ -176,6 +176,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(cw == unw)
   }
 
+  test("clusteringCoefficients: clique = 1, path middle = 0, " +
+      "triangle-with-pendant = 1/3, degree-1 nodes = 0") {
+    val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j))
+      .toDF("start_id", "end_id")
+    val ck4 = GraphOps.clusteringCoefficients(k4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(ck4.size == 4 && ck4.values.forall(_ == ((3L, 3L, 1.0))))
+    // triangle 1-2-3 with pendant 3-4: node 3 has deg 3, 1 triangle
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("start_id", "end_id")
+    val c = GraphOps.clusteringCoefficients(tp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(c(1L) == ((2L, 1L, 1.0)) && c(2L) == ((2L, 1L, 1.0)))
+    assert(c(3L) == ((3L, 1L, 2.0 * 1 / (3 * 2))))
+    assert(c(4L) == ((1L, 0L, 0.0)))
+    // path middle node: deg 2, no triangles -> 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("start_id", "end_id")
+    val cp = GraphOps.clusteringCoefficients(path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cp == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+  }
+
   test("kCore: peels fringes to the dense core; path graphs peel to " +
       "empty over many rounds") {
     // K4 {0,1,2,3} with a pendant chain 3-10-11: 3-core = the K4 exactly

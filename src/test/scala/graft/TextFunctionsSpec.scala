@@ -136,6 +136,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3) == 0.0)
   }
 
+  test("blocklist: word-boundary hits (no substring bleed), phrases, " +
+      "case folding, keep flag, hostile terms rejected") {
+    val terms = Seq("spam", "click here")
+    val rows = Seq(
+      (1L, "pure SPAM and more spam"),        // 2 hits (case-folded)
+      (2L, "antispam spammer specials"),      // substrings only -> 0
+      (3L, "please Click Here now"),          // phrase hit
+      (4L, "clean prose about engines")
+    ).toDF("id", "text")
+    val out = rows.select(col("id"),
+        GF.blocklist_hits(col("text"), terms).as("h"),
+        GF.blocklist_ok(col("text"), terms).as("ok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((2, false)))
+    assert(out(2L) == ((0, true)))
+    assert(out(3L) == ((1, false)))
+    assert(out(4L) == ((0, true)))
+    intercept[IllegalArgumentException] {
+      GF.blocklist_hits(col("text"), Seq("a.b|.*"))
+    }
+  }
+
   test("lang_id markers") {
     val df = Seq(
       "the cat and the dog of the house",
