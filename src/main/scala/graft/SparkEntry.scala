@@ -1109,6 +1109,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G13: sampled closeness centrality — same 3-landmark BFS as
+    // G11; sum_dist and n_reached are exact integers and closeness_e6
+    // integerizes the one correctly-rounded double division ----
+    "q_g13_closeness" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      val seeds = edges.select(col("start_id").as("id"))
+        .unionAll(edges.select(col("end_id").as("id")))
+        .distinct().orderBy("id").limit(3)
+      GraphOps.closenessCentrality(edges, seeds, maxHops = 6)
+        .select(col("id"), col("sum_dist"), col("n_reached"),
+          floor(col("closeness") * lit(1e6) + lit(0.5)).as("closeness_e6"))
+        .orderBy("id")
+    }),
+
     // ---- G10: label-propagation communities on the part co-occurrence
     // graph — 2 synchronous rounds (deterministic min-label tie-break), so
     // the oracle can unroll them exactly in SQL ----
@@ -1290,7 +1312,60 @@ object SparkEntry {
         .select(col("user_id"),
           unix_timestamp(col("w_start")).as("sess_start_epoch"),
           col("n_events"), round(col("sum_value"), 2).as("sum_value"))
-        .orderBy("user_id", "sess_start_epoch"))
+        .orderBy("user_id", "sess_start_epoch")),
+
+    // ---- V1: declarative data-quality report — every rule evaluated in
+    // ONE aggregation pass (map-side partials, 1-row intermediate); the
+    // Unique rule is the only one needing a (single-column) shuffle. The
+    // regex sticks to the portable subset so Java regex ≡ RE2. ----
+    "q_v1_validate" -> ((s, dir) =>
+      Validate.report(t(s, dir, "orders"), Seq(
+        Validate.NotNull("o_orderkey"), Validate.Unique("o_orderkey"),
+        Validate.NotNull("o_custkey"),
+        Validate.InSet("o_orderstatus", Seq("O", "F", "P")),
+        Validate.InRange("o_totalprice", 0.0, 1e6),
+        Validate.Matches("o_orderpriority", "^[1-5]-[A-Z ]+$")))
+        .orderBy("rule")),
+
+    // ---- V1b: row-level quarantine tags — narrow projection appending
+    // the failed-rule list per row; counts by tag-set certify the
+    // annotate path against the SQL rebuild. ----
+    "q_v1b_quarantine" -> ((s, dir) =>
+      Validate.annotate(t(s, dir, "orders"), Seq(
+        Validate.InSet("o_orderstatus", Seq("O", "F")),
+        Validate.InRange("o_totalprice", 0.0, 150000.0)))
+        .select(col("o_orderkey"),
+          concat_ws(",", col("violations")).as("tags"))
+        .orderBy("o_orderkey")),
+
+    // ---- CDC: snapshot diff between two deterministic "snapshots"
+    // derived from orders (drop-by-modulus + an exact +1.0 price bump)
+    // so the diff exercises all four classes; compared doubles are
+    // either passed through or shifted by an exactly-representable
+    // amount — no rounding needed for the hash compare. ----
+    "q_cdc_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val cur = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      SnapshotDiff.diff(prev, cur, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_cdc_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val cur = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      SnapshotDiff.diffStats(prev, cur, "o_orderkey")
+        .orderBy("change")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2445,6 +2520,30 @@ object SparkEntry {
         |  count(*) AS n_reached
         |FROM md WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
 
+    // Same recursive BFS as q_g11; closeness = n/Σd is ONE double
+    // division (correctly rounded on every IEEE engine), integerized e6.
+    "q_g13_closeness" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT src AS id FROM adj ORDER BY id LIMIT 3),
+        |bfs(id, seed, d) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT a.dst, b.seed, b.d + 1
+        |  FROM bfs b JOIN adj a ON a.src = b.id
+        |  WHERE b.d < 6),
+        |md AS (SELECT id, seed, min(d) AS d FROM bfs GROUP BY 1, 2)
+        |SELECT id, CAST(sum(d) AS BIGINT) AS sum_dist,
+        |  count(*) AS n_reached,
+        |  CAST(floor(CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE)
+        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS closeness_e6
+        |FROM md WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
+
     // Both LPA rounds unrolled: round 1 over distinct neighbor ids (every
     // count is 1, so argmax = min neighbor), round 2 over the round-1
     // labels; argmax-with-min-tie-break = row_number (count DESC, label).
@@ -2609,6 +2708,100 @@ object SparkEntry {
         |  CAST(floor(date_part('epoch', min(ts))) AS BIGINT) AS sess_start_epoch,
         |  count(*) AS n_events, ROUND(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start_epoch""".stripMargin
+        |ORDER BY user_id, sess_start_epoch""".stripMargin,
+
+    // Each rule's violation count rebuilt as a conditional aggregate;
+    // sums CAST AS BIGINT (DuckDB integer sums are HUGEINT). "column" and
+    // "rows" quoted — both are keywords there.
+    "q_v1_validate" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v0,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL
+        |      OR (o_totalprice >= 0 AND o_totalprice <= 1000000)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL
+        |      OR regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v5
+        |  FROM orders)
+        |SELECT rule, "column", n AS "rows", violations,
+        |  violations = 0 AS pass
+        |FROM (
+        |  SELECT 'not_null(o_orderkey)' AS rule, 'o_orderkey' AS "column",
+        |    n, v0 AS violations FROM agg
+        |  UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', n, v1 FROM agg
+        |  UNION ALL SELECT 'not_null(o_custkey)', 'o_custkey', n, v2 FROM agg
+        |  UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', n, v3
+        |    FROM agg
+        |  UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', n, v4
+        |    FROM agg
+        |  UNION ALL SELECT 'matches(o_orderpriority)', 'o_orderpriority', n,
+        |    v5 FROM agg)
+        |ORDER BY rule""".stripMargin,
+
+    "q_v1b_quarantine" ->
+      """SELECT o_orderkey,
+        |  concat_ws(',',
+        |    CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus IN ('O','F') THEN NULL
+        |      ELSE 'in_set(o_orderstatus)' END,
+        |    CASE WHEN o_totalprice IS NULL
+        |      OR (o_totalprice >= 0 AND o_totalprice <= 150000)
+        |      THEN NULL ELSE 'in_range(o_totalprice)' END) AS tags
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Full-outer rebuild of the snapshot diff; null-safe compares via
+    // IS NOT DISTINCT FROM; +1.0 is exactly representable so compared
+    // doubles are bit-identical on both engines.
+    "q_cdc_diff" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |      THEN o_totalprice + CAST(1 AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |d AS (
+        |  SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+        |    CASE WHEN p.o_orderkey IS NULL THEN 'added'
+        |         WHEN c.o_orderkey IS NULL THEN 'removed'
+        |         WHEN p.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
+        |          AND p.o_totalprice IS NOT DISTINCT FROM c.o_totalprice
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS change,
+        |    c.o_orderstatus, c.o_totalprice
+        |  FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey)
+        |SELECT * FROM d WHERE change <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cdc_stats" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |      THEN o_totalprice + CAST(1 AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CASE WHEN p.o_orderkey IS NULL THEN 'added'
+        |         WHEN c.o_orderkey IS NULL THEN 'removed'
+        |         WHEN p.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
+        |          AND p.o_totalprice IS NOT DISTINCT FROM c.o_totalprice
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS change,
+        |  count(*) AS n
+        |FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey
+        |GROUP BY 1 ORDER BY change""".stripMargin
   )
 }

@@ -444,6 +444,26 @@ object GraphOps {
       .agg(sum(lit(1.0) / col("d")).as("harmonic"),
         count(lit(1)).as("n_reached"))
 
+  /** Closeness centrality over the same sampled-seed BFS as
+    * [[harmonicCentrality]]: for each node, `n_reached / Σ d` over the
+    * seeds it reaches within `maxHops` (0 seeds reached → node absent —
+    * closeness of an isolated node is undefined, not 0). Unlike the
+    * harmonic form this is the classic Bavelas measure; the harmonic
+    * form is preferred on disconnected graphs, both are offered. Same
+    * scale shape: state bounded by |seeds|·|V|, one groupBy at the end;
+    * the division is a single correctly-rounded double op, so results
+    * reproduce bit-for-bit on any engine. */
+  def closenessCentrality(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 10, ckpt: Checkpointer = Checkpointer.Local,
+      directed: Boolean = false): DataFrame =
+    seedDistances(edges, seeds, maxHops, ckpt, directed)
+      .filter(col("d") > 0)
+      .groupBy("id")
+      .agg(sum(col("d")).cast("long").as("sum_dist"),
+        count(lit(1)).as("n_reached"))
+      .withColumn("closeness",
+        col("n_reached").cast("double") / col("sum_dist"))
+
   /** Common-neighbor link prediction over an UNDIRECTED graph (direction
     * ignored, parallel edges and self-loops dropped): for every
     * NON-ADJACENT pair sharing at least `minCommon` neighbors, the

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the QC gate an ETL engine runs
+  * before promoting a staged table (the reference's pipeline has no
+  * validation at all: a malformed source row surfaces as a KeyError deep
+  * inside the staging loop, `graph_db_builder.py:491-543`; here the rules
+  * are explicit, named, and reported).
+  *
+  * A [[Validate.Rule]] names a column-level expectation. [[Validate.report]]
+  * evaluates ALL rules in ONE aggregation pass over the input and returns a
+  * per-rule result frame `(rule, column, rows, violations, pass)` — the
+  * artifact a pipeline gates on (`report.filter(!col("pass")).isEmpty`).
+  * [[Validate.annotate]] is the row-level counterpart: it appends a
+  * `violations array<string>` column naming each row-local rule the row
+  * fails, so bad rows can be routed to a quarantine sink instead of
+  * aborting the load.
+  *
+  * Scale: every rule except [[Validate.Unique]] is a row-local predicate —
+  * the report is a single scan with map-side partial aggregation and a
+  * 1-row result (no shuffle of data rows). `Unique` needs a distinct
+  * count, which Catalyst plans as a two-phase aggregate on the checked
+  * column only (the narrowest possible shuffle: one column, partial
+  * distinct per partition). `annotate` is a pure narrow projection.
+  * Regex patterns are validated to a portable subset so a rule written
+  * here evaluates identically under Java regex and RE2-family engines.
+  */
+object Validate {
+
+  /** A named expectation on one column. `name` must be unique per run. */
+  sealed trait Rule {
+    def name: String
+    def column: String
+    /** Row-level pass predicate, or None for dataset-level rules. */
+    private[operators] def rowPredicate: Option[Column]
+  }
+
+  /** Column must contain no nulls. */
+  final case class NotNull(column: String) extends Rule {
+    val name = s"not_null($column)"
+    private[operators] def rowPredicate = Some(col(column).isNotNull)
+  }
+
+  /** Non-null values must be unique (nulls don't count as duplicates —
+    * pair with [[NotNull]] for a primary-key check). Violations = number
+    * of surplus rows beyond one per distinct value. */
+  final case class Unique(column: String) extends Rule {
+    val name = s"unique($column)"
+    private[operators] def rowPredicate = None
+  }
+
+  /** Non-null numeric values must satisfy `lo <= x <= hi` (null passes —
+    * nullability is [[NotNull]]'s job, keeping each violation count
+    * attributable to exactly one rule). */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Rule {
+    require(lo <= hi, s"InRange($column): lo $lo > hi $hi")
+    val name = s"in_range($column)"
+    private[operators] def rowPredicate =
+      Some(col(column).isNull || (col(column) >= lo && col(column) <= hi))
+  }
+
+  /** Non-null values must be one of `values`. */
+  final case class InSet(column: String, values: Seq[String]) extends Rule {
+    require(values.nonEmpty, s"InSet($column): empty value set")
+    val name = s"in_set($column)"
+    private[operators] def rowPredicate =
+      Some(col(column).isNull || col(column).isin(values: _*))
+  }
+
+  /** Non-null values must match `pattern` (unanchored find, like `rlike`
+    * and RE2 `regexp_matches` — anchor with `^...$` for a full match).
+    * The pattern is restricted to a portable subset (literals, character
+    * classes, anchors, `.`, repetition, alternation, grouping) so the rule
+    * means the same thing under Java regex and RE2: no backreferences, no
+    * lookaround, no inline flags. */
+  final case class Matches(column: String, pattern: String) extends Rule {
+    require(!pattern.contains("(?") && !raw"\\\d".r.findFirstIn(pattern).isDefined,
+      s"Matches($column): lookaround/backreferences are not portable " +
+        s"across regex engines: $pattern")
+    val name = s"matches($column)"
+    private[operators] def rowPredicate =
+      Some(col(column).isNull || col(column).rlike(pattern))
+  }
+
+  /** Escape hatch: any row-local boolean expression over the input's
+    * columns. `label` keys the report row. */
+  final case class Satisfies(label: String, column: String, predicate: Column)
+      extends Rule {
+    val name = s"satisfies($label)"
+    private[operators] def rowPredicate = Some(predicate)
+  }
+
+  /** Evaluate every rule in one aggregation pass. Returns one row per
+    * rule, in the given rule order:
+    * `(rule string, column string, rows long, violations long,
+    *   pass boolean)`. */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "report: no rules given")
+    val names = rules.map(_.name)
+    require(names.distinct.size == names.size,
+      s"report: duplicate rule names: ${names.diff(names.distinct).mkString(", ")}")
+
+    // one conditional-sum (or distinct-count deficit) per rule, all in a
+    // single agg → single scan, 1-row intermediate
+    val violationCols = rules.zipWithIndex.map { case (r, i) =>
+      (r.rowPredicate match {
+        case Some(pred) =>
+          coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L))
+        case None => // Unique: surplus rows beyond one per distinct value
+          coalesce(count(col(r.column)) -
+            count_distinct(col(r.column)), lit(0L))
+      }).as(s"_v$i")
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), violationCols: _*)
+
+    // explode the 1-row agg into one report row per rule (driver-free
+    // pivot-to-rows over the aggregated columns)
+    val ruleStructs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+        col(s"_v$i").as("violations"))
+    }
+    one.select(col("_rows").as("rows"),
+        explode(array(ruleStructs: _*)).as("_r"))
+      .select(col("_r.rule").as("rule"), col("_r.column").as("column"),
+        col("rows"), col("_r.violations").as("violations"),
+        (col("_r.violations") === 0L).as("pass"))
+  }
+
+  /** Append a `violations array<string>` column listing the name of each
+    * ROW-LOCAL rule the row fails (empty array = clean row). Dataset-level
+    * rules ([[Unique]]) are skipped — they have no per-row meaning without
+    * a corpus-wide shuffle; check them via [[report]]. Narrow projection:
+    * no shuffle, stays in whole-stage codegen. */
+  def annotate(df: DataFrame, rules: Seq[Rule],
+      outputCol: String = "violations"): DataFrame = {
+    val rowRules = rules.flatMap(r => r.rowPredicate.map(p => (r.name, p)))
+    val failed = rowRules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }
+    df.withColumn(outputCol,
+      if (failed.isEmpty) array().cast("array<string>")
+      else filter(array(failed: _*), x => x.isNotNull))
+  }
+}

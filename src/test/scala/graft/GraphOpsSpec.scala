@@ -249,6 +249,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(re == h)
   }
 
+  test("closenessCentrality: path graph closed form, unreached absent, " +
+      "harmonic-consistent n_reached") {
+    // path 1-2-3-4-5, seeds {1,5}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("start_id", "end_id")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val c = GraphOps.closenessCentrality(path, seeds, maxHops = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(c(1L) == ((4L, 1L, 0.25)))       // seed 5 at d=4
+    assert(c(2L) == ((4L, 2L, 0.5)))        // d=1 (seed1) + d=3 (seed5)
+    assert(c(3L) == ((4L, 2L, 0.5)))        // 2 + 2
+    assert(c(4L) == ((4L, 2L, 0.5)))        // 3 + 1
+    assert(c(5L) == ((4L, 1L, 0.25)))
+    // isolated node: absent (closeness undefined, not zero)
+    val iso = GraphOps.closenessCentrality(
+      Seq((1L, 2L)).toDF("start_id", "end_id"),
+      Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(iso == Set(2L)) // seed itself has only d=0 rows → absent too
+  }
+
   test("labelPropagation: bridged cliques settle into per-clique " +
       "communities; deterministic across partitionings") {
     // two K3s {1,2,3} and {10,11,12} joined by the bridge 3-10; hand-run

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SnapshotDiff
+
+/** CDC diff between staged snapshots: classification, null-safety,
+  * schema-drift tolerance, partition invariance. */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def prev = Seq(
+    (1L, Some("a"), Some(10.0)),
+    (2L, Some("b"), Some(20.0)),
+    (3L, Some("c"), None),
+    (4L, None, Some(40.0))
+  ).toDF("id", "name", "score")
+
+  private def cur = Seq(
+    (1L, Some("a"), Some(10.0)),  // unchanged
+    (2L, Some("B"), Some(20.0)),  // changed (name)
+    (3L, Some("c"), Some(30.0)),  // changed (null -> value)
+    (5L, Some("e"), Some(50.0))   // added; 4 removed
+  ).toDF("id", "name", "score")
+
+  test("diff: added/removed/changed classified, unchanged dropped") {
+    val d = SnapshotDiff.diff(prev, cur, "id")
+    val m = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("diff: payload carries CURRENT values, null for removed") {
+    val d = SnapshotDiff.diff(prev, cur, "id")
+    val byId = d.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(5L).getString(2) == "e" && byId(5L).getDouble(3) == 50.0)
+    assert(byId(3L).getDouble(3) == 30.0)
+    assert(byId(4L).isNullAt(2) && byId(4L).isNullAt(3))
+  }
+
+  test("diff: null==null is unchanged (null-safe compare)") {
+    val p = Seq((1L, Option.empty[String])).toDF("id", "v")
+    val c = Seq((1L, Option.empty[String])).toDF("id", "v")
+    assert(SnapshotDiff.diff(p, c, "id").count() == 0)
+  }
+
+  test("diff: keepUnchanged + compareCols narrowing") {
+    val all = SnapshotDiff.diff(prev, cur, "id", keepUnchanged = true)
+    assert(all.count() == 5)
+    // comparing only score: the name-only change on id 2 disappears
+    val scoreOnly = SnapshotDiff.diff(prev, cur, "id",
+      compareCols = Seq("score"))
+    val m = scoreOnly.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!m.contains(2L) && m(3L) == "changed")
+  }
+
+  test("diff: schema drift — column only in current is ignored") {
+    val c2 = cur.withColumn("extra", lit(1))
+    val d = SnapshotDiff.diff(prev, c2, "id")
+    assert(!d.columns.contains("extra"))
+    assert(d.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("diff: fail-fast on unknown compare column / no shared columns") {
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(prev, cur, "id", compareCols = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(prev.select("id"), cur.select("id"), "id")
+    }
+  }
+
+  test("diffStats: counts per class, partitioning-independent") {
+    val s1 = SnapshotDiff.diffStats(prev.repartition(1), cur.repartition(7),
+      "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = SnapshotDiff.diffStats(prev.repartition(5), cur.repartition(2),
+      "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 1L))
+    assert(s1 == s2)
+  }
+}

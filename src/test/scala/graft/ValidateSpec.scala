@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Validate
+import graft.operators.Validate._
+
+/** Declarative QC rules: one-pass report + row-level quarantine tags. */
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    (Some(1L), Some("O"), Some(10.0), Some("1-URGENT")),
+    (Some(2L), Some("F"), Some(-5.0), Some("2-HIGH")),   // range fail
+    (Some(2L), Some("X"), Some(20.0), Some("bad")),      // dup id, bad set+regex
+    (None,     None,      None,       None)              // nulls
+  ).toDF("id", "status", "price", "prio")
+
+  private def rules = Seq(
+    NotNull("id"), Unique("id"),
+    InSet("status", Seq("O", "F", "P")),
+    InRange("price", 0.0, 100.0),
+    Matches("prio", "^[1-5]-[A-Z]+$"))
+
+  test("report: per-rule violation counts, one pass, rule order kept") {
+    val rep = Validate.report(sample, rules)
+    val rows = rep.collect().map(r =>
+      r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(rows.map(_._1).toSeq == rules.map(_.name)) // input order
+    val m = rows.toMap
+    assert(m("not_null(id)") == ((4L, 1L, false)))
+    assert(m("unique(id)") == ((4L, 1L, false)))   // 3 non-null, 2 distinct
+    assert(m("in_set(status)") == ((4L, 1L, false)))  // "X"; null passes
+    assert(m("in_range(price)") == ((4L, 1L, false))) // -5.0
+    assert(m("matches(prio)") == ((4L, 1L, false)))   // "bad"
+  }
+
+  test("report: clean table passes every rule") {
+    val clean = Seq((1L, "O"), (2L, "F")).toDF("id", "status")
+    val rep = Validate.report(clean,
+      Seq(NotNull("id"), Unique("id"), InSet("status", Seq("O", "F"))))
+    assert(rep.collect().forall(_.getBoolean(4)))
+    assert(rep.collect().forall(_.getLong(3) == 0L))
+  }
+
+  test("report: result is partitioning-independent") {
+    val a = Validate.report(sample.repartition(1), rules).collect().toSeq
+    val b = Validate.report(sample.repartition(7), rules).collect().toSeq
+    assert(a == b)
+  }
+
+  test("annotate: rows tagged with exactly their failed row-local rules") {
+    val out = Validate.annotate(sample, rules)
+    assert(out.columns.contains("violations"))
+    val tags = out.select(col("id"), col("violations"))
+      .collect()
+      .map(r => (Option(r.get(0)), r.getSeq[String](1).sorted.toList))
+    // dup-id row: Unique is dataset-level → NOT tagged per-row
+    assert(tags.count(_._2.contains("unique(id)")) == 0)
+    val badRow = tags.find(t => t._2.contains("in_set(status)")).get
+    assert(badRow._2 == List("in_set(status)", "matches(prio)"))
+    val nullRow = tags.find(_._1.isEmpty).get
+    assert(nullRow._2 == List("not_null(id)")) // null passes range/set/regex
+    val cleanRow = tags.find(_._1.contains(1L)).get
+    assert(cleanRow._2.isEmpty)
+  }
+
+  test("annotate: quarantine routing splits clean from dirty") {
+    val out = Validate.annotate(sample, rules)
+    val clean = out.filter(size(col("violations")) === 0)
+    val dirty = out.filter(size(col("violations")) > 0)
+    assert(clean.count() + dirty.count() == 4L)
+    assert(clean.count() == 1L) // only (1, O, 10.0, 1-URGENT) is fully clean
+  }
+
+  test("Satisfies: arbitrary cross-column predicate") {
+    val df = Seq((1L, 5.0, 4.0), (2L, 3.0, 9.0)).toDF("id", "hi", "lo")
+    val rep = Validate.report(df,
+      Seq(Satisfies("hi_ge_lo", "hi", col("hi") >= col("lo"))))
+    assert(rep.collect().head.getLong(3) == 1L) // row 2 fails
+  }
+
+  test("fail-fast: duplicate rule names, empty rules, bad ranges") {
+    intercept[IllegalArgumentException] {
+      Validate.report(sample, Seq(NotNull("id"), NotNull("id")))
+    }
+    intercept[IllegalArgumentException] { Validate.report(sample, Nil) }
+    intercept[IllegalArgumentException] { InRange("x", 5.0, 1.0) }
+    intercept[IllegalArgumentException] { InSet("x", Nil) }
+    intercept[IllegalArgumentException] { Matches("x", "(?i)abc") }
+  }
+}
