@@ -1338,6 +1338,50 @@ object SparkEntry {
           concat_ws(",", col("violations")).as("tags"))
         .orderBy("o_orderkey")),
 
+    // ---- O1: robust (Tukey-fence) outlier flags on the long-tailed
+    // event values per type — exact interpolated quartiles (percentile ≡
+    // DuckDB quantile_cont, the q_x4d equivalence), fences integerized
+    // e4; only flagged rows emitted ----
+    "q_o1_outliers_iqr" -> ((s, dir) =>
+      Outliers.iqr(t(s, dir, "events")
+          .select("event_id", "event_type", "value"),
+        "value", Seq("event_type"), k = 1.5)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(col("lo_fence") * lit(1e4) + lit(0.5)).as("lo_e4"),
+          floor(col("hi_fence") * lit(1e4) + lit(0.5)).as("hi_e4"))
+        .orderBy("event_id")),
+
+    // ---- O2: z-score outliers on order totals per status — μ/σ drift
+    // between engines' partial-agg merge orders is absorbed by e4
+    // integerization; totals are ~uniform on [1e3, 5e5] so |z| caps near
+    // 1.73 — 1.7 flags the tails (2.5 would be structurally empty) ----
+    "q_o2_outliers_z" -> ((s, dir) =>
+      Outliers.zscore(t(s, dir, "orders"), "o_totalprice",
+        Seq("o_orderstatus"), threshold = 1.7)
+        .filter(col("is_outlier"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          floor(col("zscore") * lit(1e4) + lit(0.5)).as("z_e4"))
+        .orderBy("o_orderkey")),
+
+    // ---- X4n: PMI bigram collocations — the phrase-mining signal; the
+    // bigram stream is a narrow array zip (no positional self-join on
+    // the Spark side; the oracle rebuilds positionally) ----
+    "q_x4n_pmi" -> ((s, dir) =>
+      Relevance.pmiBigrams(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 25)
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          floor(col("pmi") * lit(1e4) + lit(0.5)).as("pmi_e4"))
+        .orderBy("w1", "w2")),
+
+    // ---- X6j: quantile-calibrated quality threshold — keep the top 30%
+    // of docs by length; cutoff = ONE exact percentile (broadcast back),
+    // corpus never shuffles ----
+    "q_x6j_top_fraction" -> ((s, dir) =>
+      Sampling.keepTopFraction(t(s, dir, "documents"), "n_chars", 0.3)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // ---- CDC: snapshot diff between two deterministic "snapshots"
     // derived from orders (drop-by-modulus + an exact +1.0 price bump)
     // so the diff exercises all four classes; compared doubles are
@@ -2757,6 +2801,75 @@ object SparkEntry {
         |      OR (o_totalprice >= 0 AND o_totalprice <= 150000)
         |      THEN NULL ELSE 'in_range(o_totalprice)' END) AS tags
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Tukey fences from quantile_cont (≡ Spark percentile — same
+    // interpolation formula, bit-equal); fence arithmetic mirrors the
+    // Spark association q1 − k·(q3−q1) exactly.
+    "q_o1_outliers_iqr" ->
+      """WITH q AS (
+        |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
+        |         q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi FROM q)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST(floor(f.lo * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lo_e4,
+        |  CAST(floor(f.hi * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS hi_e4
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value < f.lo OR e.value > f.hi
+        |ORDER BY e.event_id""".stripMargin,
+
+    // z = (x − μ)/σ with sample stddev; e4-integerized to absorb
+    // partial-agg merge-order ulps.
+    "q_o2_outliers_z" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, avg(o_totalprice) AS mu,
+        |         stddev_samp(o_totalprice) AS sigma
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+        |  CAST(floor((o.o_totalprice - s.mu) / s.sigma * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z_e4
+        |FROM orders o JOIN s USING (o_orderstatus)
+        |WHERE s.sigma IS NOT NULL AND s.sigma <> 0
+        |  AND abs((o.o_totalprice - s.mu) / s.sigma) > CAST(1.7 AS DOUBLE)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // PMI rebuilt positionally: adjacent-token pairs via
+    // generate_subscripts; association order mirrors the Spark query:
+    // (c_ab·t·t) / ((bt·c_a)·c_b), both engines left-assoc.
+    "q_x4n_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u),
+        |uc AS (SELECT tk AS w, count(*) AS c FROM tok GROUP BY tk),
+        |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+        |bg AS (
+        |  SELECT a.tk AS w1, b.tk AS w2
+        |  FROM tok a JOIN tok b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+        |bt AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS b FROM bc)
+        |SELECT bc.w1, bc.w2, bc.c_ab, u1.c AS c_a, u2.c AS c_b,
+        |  CAST(floor(ln((CAST(bc.c_ab AS DOUBLE) * tt.t * tt.t)
+        |      / (bt.b * u1.c * u2.c)) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_e4
+        |FROM bc
+        |JOIN uc u1 ON u1.w = bc.w1
+        |JOIN uc u2 ON u2.w = bc.w2, tt, bt
+        |WHERE bc.c_ab >= 25
+        |ORDER BY bc.w1, bc.w2""".stripMargin,
+
+    // Cutoff = quantile_cont(0.7) (≡ Spark exact percentile); ties at
+    // the cutoff kept on both sides.
+    "q_x6j_top_fraction" ->
+      """WITH c AS (SELECT quantile_cont(n_chars, 0.7) AS cut
+        |           FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, c
+        |WHERE n_chars >= c.cut ORDER BY doc_id""".stripMargin,
 
     // Full-outer rebuild of the snapshot diff; null-safe compares via
     // IS NOT DISTINCT FROM; +1.0 is exactly representable so compared

@@ -111,6 +111,54 @@ object Relevance {
         exp(-(col("_lp") / col("doc_len"))).as("ppl"))
   }
 
+  /** Pointwise-mutual-information bigram collocations — the phrase-mining
+    * primitive ("new york", "machine learning") for tokenizer-vocabulary
+    * construction and phrase-aware indexing:
+    *
+    *   pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    *            = ln( c_ab·T² / (B·c_a·c_b) )
+    *
+    * with unigram probabilities over the T token occurrences and bigram
+    * probability over the B adjacent pairs. `minCount` drops rare pairs
+    * (PMI's well-known bias: a typo pair seen once scores astronomically).
+    *
+    * Scale: bigrams come from a NARROW per-row array zip (no positional
+    * self-join — the token stream never joins against itself), then one
+    * partial-agg groupBy; unigram counts join in on each side's token
+    * (vocab-sized build side), totals as a 1-row broadcast. Hot function
+    * words are groupBy keys → AQE splits them.
+    *
+    * @return (w1, w2, c_ab, c_a, c_b, pmi), one row per surviving bigram */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("_arr"))
+    val uni = toks.select(explode(col("_arr")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totalT = uni.agg(sum("c").as("_t"))
+    // sequence(1, n) DESCENDS when n < 1 — filter single-token docs out
+    // first (they contribute no bigrams anyway)
+    val bigrams = toks.filter(size(col("_arr")) >= 2).select(explode(expr(
+      "transform(sequence(1, size(_arr) - 1), " +
+        "i -> struct(element_at(_arr, i) AS w1, " +
+        "element_at(_arr, i + 1) AS w2))")).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val totalB = bc.agg(sum("c_ab").as("_bt"))
+    bc.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totalT))
+      .crossJoin(broadcast(totalB))
+      // association order mirrors the oracle SQL exactly: (c_ab·t·t) /
+      // ((bt·c_a)·c_b), left-assoc in both engines
+      .withColumn("pmi", log(
+        (col("c_ab").cast("double") * col("_t") * col("_t")) /
+          (col("_bt").cast("double") * col("c_a") * col("c_b"))))
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi")
+  }
+
   /** BM25 document search: rank docs for a literal query string by the sum
     * of their BM25 weights over the query's (distinct) terms — the sparse
     * retrieval counterpart of [[Similarity.bruteForceTopK]]. Ties break by

@@ -215,4 +215,30 @@ object Sampling {
         (col("rate") * Buckets).cast("long"))
       .drop("rate")
   }
+
+  /** Score-threshold calibration: keep rows whose `scoreCol` is at or
+    * above the corpus's (1 − fraction) quantile — "keep the best 30% by
+    * quality score" without knowing the score distribution in advance
+    * (the quality-classifier keep-rate knob every curation recipe has).
+    * Rows tied AT the cutoff are all kept, so the realized fraction can
+    * exceed `fraction` under heavy ties (deterministic — never a random
+    * tie-break). Null scores drop.
+    *
+    * Scale: the cutoff is ONE exact-percentile aggregate (1-row result,
+    * broadcast back); the corpus itself never shuffles — plan is
+    * scan → broadcast-join → filter. For sketchy-precision-at-scale use
+    * `exact = false` (t-digest `approx_percentile`, bounded state). */
+  def keepTopFraction(df: DataFrame, scoreCol: String, fraction: Double,
+      exact: Boolean = true): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      "fraction must be in (0, 1]")
+    val p = 1.0 - fraction
+    val cutoff =
+      if (exact) df.agg(expr(s"percentile($scoreCol, $p)").as("_cut"))
+      else df.agg(percentile_approx(col(scoreCol), lit(p), lit(10000))
+        .as("_cut"))
+    df.crossJoin(broadcast(cutoff))
+      .filter(col(scoreCol) >= col("_cut"))
+      .drop("_cut")
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Outliers
+
+/** Outlier flagging: z-score and Tukey-fence semantics. */
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore: global group, known distribution") {
+    // 0,10 repeated → mu=5, sigma≈5.13; 100 is the outlier
+    val df = (Seq.fill(10)(0.0) ++ Seq.fill(10)(10.0) ++ Seq(100.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Outliers.zscore(df, "v", Nil, threshold = 3.0)
+    val flagged = out.filter(col("is_outlier"))
+      .select("v").as[Double].collect().toSeq
+    assert(flagged == Seq(100.0))
+    assert(out.count() == 21) // passthrough keeps every row
+  }
+
+  test("zscore: per-group stats are independent; zero-sigma group safe") {
+    val df = Seq(
+      ("a", 0.0), ("a", 0.0), ("a", 10.0), ("a", 0.1), ("a", -0.1),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0) // sigma = 0
+    ).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val out = Outliers.zscore(df, "v", Seq("g"), threshold = 1.5)
+    assert(out.filter(col("g") === "b" && col("is_outlier")).count() == 0)
+    assert(out.filter(col("g") === "b").count() == 3)
+    val aFlagged = out.filter(col("g") === "a" && col("is_outlier"))
+      .select("v").as[Double].collect().toSeq
+    assert(aFlagged == Seq(10.0))
+  }
+
+  test("iqr: Tukey fences flag exactly the far value; nulls never flag") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, Some(v)) }
+      .toDF("id", "v")
+      .unionByName(Seq((99L, Option.empty[Double])).toDF("id", "v"))
+    val out = Outliers.iqr(df, "v", Nil, k = 1.5)
+    val flagged = out.filter(col("is_outlier"))
+      .select("v").as[Double].collect().toSeq
+    assert(flagged == Seq(100.0))
+    assert(out.filter(col("id") === 99L).count() == 1)
+    assert(out.filter(col("id") === 99L && col("is_outlier")).count() == 0)
+  }
+
+  test("iqr: approximate mode agrees on a clear-cut outlier") {
+    val df = ((1 to 1000).map(_.toDouble) ++ Seq(1e9)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val ex = Outliers.iqr(df, "v", Nil).filter(col("is_outlier"))
+      .select("v").as[Double].collect().toSet
+    val ap = Outliers.iqr(df, "v", Nil, exact = false)
+      .filter(col("is_outlier")).select("v").as[Double].collect().toSet
+    assert(ex == Set(1e9) && ap == Set(1e9))
+  }
+
+  test("results are partitioning-independent") {
+    val df = (Seq.fill(20)(1.0) ++ Seq(50.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    def run(parts: Int) = Outliers.iqr(df.repartition(parts), "v", Nil)
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(run(1) == run(7))
+  }
+
+  test("fail-fast on non-positive threshold/k") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Outliers.zscore(df, "v", Nil, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] { Outliers.iqr(df, "v", Nil, k = -1) }
+  }
+}

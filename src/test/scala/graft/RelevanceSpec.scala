@@ -89,6 +89,32 @@ class RelevanceSpec extends SparkSpec {
       .foreach(r => assert(math.abs(r.getDouble(3) - 2.0) < 1e-12))
   }
 
+  test("pmiBigrams: hand-computed association, minCount prune, " +
+      "single-token docs safe") {
+    // "x y" ×4 and "x z" ×1 (+ a single-token doc that must not crash):
+    // T=10 tokens, B=5 bigrams; unigrams x→5, y→4, z→1
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"),
+      (5L, "x z"), (6L, "solo")).toDF("id", "text")
+    val out = Relevance.pmiBigrams(d, "id", "text", minCount = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // T counts "solo" too: x→5, y→4, z→1, solo→1, T=11; B=5
+    val T = 11.0
+    val xy = out(("x", "y"))
+    assert(xy._1 == 4L && xy._2 == 5L && xy._3 == 4L)
+    assert(math.abs(xy._4 - math.log(4.0 * T * T / (5.0 * 5.0 * 4.0)))
+      < 1e-12)
+    val xz = out(("x", "z"))
+    assert(math.abs(xz._4 - math.log(1.0 * T * T / (5.0 * 5.0 * 1.0)))
+      < 1e-12)
+    // minCount prunes the singleton pair
+    val pruned = Relevance.pmiBigrams(d, "id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("x", "y")))
+  }
+
   test("tfidf composes lazily — no eager jobs at definition time") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Relevance.tfidf(docs, "id", "text") // compose only

@@ -327,4 +327,29 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be positive"))
   }
+
+  test("keepTopFraction: exact quantile cutoff, ties kept, " +
+      "partition invariance") {
+    // scores 1..10: top 30% cutoff = percentile(0.7) = 7.3 → keep 8,9,10
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val kept = Sampling.keepTopFraction(df, "score", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(8L, 9L, 10L))
+    // fraction 1.0 keeps everything
+    assert(Sampling.keepTopFraction(df, "score", 1.0).count() == 10)
+    // ties AT the cutoff all survive (deterministic over-keep)
+    val tied = Seq.fill(8)(1.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v) } ++ Seq((100L, 2.0), (101L, 2.0))
+    val tkept = Sampling.keepTopFraction(tied.toDF("id", "score"),
+      "score", 0.2).select("id").as[Long].collect().toSet
+    assert(tkept == Set(100L, 101L))
+    val p1 = Sampling.keepTopFraction(df.repartition(1), "score", 0.3)
+      .select("id").as[Long].collect().toSet
+    val p7 = Sampling.keepTopFraction(df.repartition(7), "score", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] {
+      Sampling.keepTopFraction(df, "score", 0.0)
+    }
+  }
 }
