@@ -369,6 +369,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // ---- X2i: incremental dedup — the daily-increment path: docs < 400
+    // play the indexed corpus (signatures only), the rest arrive as the
+    // new batch. Rows-only (xxhash64 signatures aren't in DuckDB); the
+    // chain/cluster semantics are pinned by DedupSpec. ----
+    "q_x2i_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400 && col("doc_id") < 800)
+      val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 16, 3)
+      Dedup.incrementalDedup(sigs, corpus, batch, "text", "doc_id",
+        threshold = 0.2, bands = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- X2b: exact n-gram Jaccard on explicit pairs ----
     "q_x2b_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -364,6 +364,111 @@ object Dedup {
     decisions
   }
 
+  /** INCREMENTAL near-dedup — the daily-increment path: dedupe a NEW
+    * batch against an already-indexed corpus without re-processing the
+    * corpus. The corpus is touched only through (a) its precomputed
+    * MinHash signature index ([[minhashSignatures]] output, persisted
+    * between runs) and (b) id-targeted text fetches for the handful of
+    * verified candidates — at 100 TB the alternative (re-running dedup
+    * over corpus+batch) re-shingles everything ever ingested, every day.
+    *
+    * Candidate generation is the same banded-LSH bucket join, over the
+    * UNION of the stored index and the new batch's signatures, but only
+    * buckets containing at least one new doc expand pairs — an all-old
+    * bucket was already resolved when its docs were ingested. Verified
+    * pairs cluster via [[connectedComponents]] so chains resolve (new A ≈
+    * new B ≈ corpus C drops BOTH A and B); a component containing any
+    * corpus doc keeps the corpus doc (smallest corpus id), an all-new
+    * component keeps its smallest id.
+    *
+    * Corpus and batch ids must be disjoint (they share one id space).
+    *
+    * Scale: the candidate text fetch joins `corpusDocs` against a
+    * candidate-id set that is tiny by construction (bucket-capped), so
+    * AQE broadcasts it — the corpus is scanned once with a semi-join
+    * filter, never shuffled. To roll the index forward, union the kept
+    * new docs' signatures onto `corpusSigs` (they are the
+    * [[minhashSignatures]] rows of the batch, filtered by the report).
+    *
+    * @param corpusSigs stored index: `idCol` + `mh_*` signature columns
+    * @param corpusDocs (`idCol`, `textCol`) of the corpus (id-addressed)
+    * @return one row per NEW doc: (doc_id, keeper_id, reason ∈
+    *         corpus | batch | kept) */
+  def incrementalDedup(
+      corpusSigs: DataFrame, corpusDocs: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val mhCols = corpusSigs.columns.filter(_.startsWith("mh_"))
+    require(mhCols.length == numHashes,
+      s"corpusSigs has ${mhCols.length} mh_* columns, expected $numHashes " +
+        "— the stored index and this call must agree on numHashes")
+    val newSigs = minhashSignatures(newDocs, textCol, idCol,
+      numHashes, shingleSize)
+    val keys = bandedKeys(corpusSigs, idCol, bands)
+      .withColumn("_new", lit(false))
+      .unionByName(bandedKeys(newSigs, idCol, bands)
+        .withColumn("_new", lit(true)))
+    // bucket-local expansion, but only buckets a new doc landed in
+    val buckets = keys
+      .groupBy(col("bandkey"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("_new"))).as("_ms"))
+      .filter(size(col("_ms")) > 1 && size(col("_ms")) <= maxBucketSize &&
+        exists(col("_ms"), m => m.getField("_new")))
+      .select(array_sort(col("_ms")).as("_ms")) // struct sort: by id first
+    val cands = buckets
+      .select(explode(flatten(transform(col("_ms"), (x, i) =>
+        transform(slice(col("_ms"), i + 2, size(col("_ms"))),
+          y => struct(x.getField("id").as("id_a"),
+            y.getField("id").as("id_b"),
+            x.getField("_new").as("new_a"),
+            y.getField("_new").as("new_b")))))).as("_p"))
+      .select(col("_p.*"))
+      .filter(col("new_a") || col("new_b"))
+      .distinct()
+    // exact-Jaccard verification: candidate texts fetched by id (the
+    // candidate set is bucket-capped-small → AQE broadcasts it)
+    val texts = corpusDocs.select(col(idCol).as("_tid"),
+        col(textCol).as("_txt"))
+      .unionByName(newDocs.select(col(idCol).as("_tid"),
+        col(textCol).as("_txt")))
+    val verified = ckpt(cands
+      .join(texts.withColumnsRenamed(Map("_tid" -> "id_a", "_txt" -> "_ta")),
+        Seq("id_a"))
+      .join(texts.withColumnsRenamed(Map("_tid" -> "id_b", "_txt" -> "_tb")),
+        Seq("id_b"))
+      .filter(jaccard(col("_ta"), col("_tb"), shingleSize) >= threshold)
+      .select(col("id_a"), col("id_b"), col("new_a"), col("new_b")))
+    // cluster so chains resolve; corpus members win their component
+    val members = verified.select(col("id_a").as("id"), col("new_a").as("_n"))
+      .unionByName(verified.select(col("id_b").as("id"),
+        col("new_b").as("_n")))
+      .distinct()
+    val comps = connectedComponents(members.select(col("id")), "id",
+      verified.select("id_a", "id_b"), ckpt = ckpt)
+    // a component with any corpus member elects a corpus keeper (the
+    // coalesce picks the min CORPUS id first), so keeper-is-corpus is a
+    // per-component aggregate — no join back against the corpus table
+    val keepers = comps.join(members, Seq("id"))
+      .groupBy(col("comp"))
+      .agg(coalesce(min(when(!col("_n"), col("id"))), min(col("id")))
+        .as("_keeper"),
+        max(when(!col("_n"), lit(1)).otherwise(lit(0)))
+          .as("_has_corpus"))
+    val clustered = comps.join(keepers, Seq("comp"))
+      .select(col("id"), col("_keeper"), col("_has_corpus"))
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(clustered.withColumnsRenamed(Map("id" -> "doc_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_keeper"), col("doc_id")).as("keeper_id"),
+        when(col("_keeper").isNull || col("_keeper") === col("doc_id"),
+          "kept")
+          .when(col("_has_corpus") === 1, "corpus")
+          .otherwise("batch").as("reason"))
+  }
+
   /** The surviving rows of [[dedupCorpus]]: one original row per elected
     * keeper. */
   def dedupedRows(df: DataFrame, textCol: String, idCol: String,

@@ -212,6 +212,64 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupedRows(clean, "text", "doc_id").count() == 2)
   }
 
+  test("incrementalDedup: corpus dup dropped, chain resolves to corpus, " +
+      "all-new cluster keeps min id, clean doc kept") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "completely different words about spark query engines and plans"))
+      .toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(corpus, "text", "doc_id",
+      numHashes = 16, shingleSize = 3)
+    val batch = Seq(
+      // near-dup of corpus 10 (one word changed)
+      (20L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      // near-dup of 20 but NOT directly of 10 — chain must still → corpus
+      (21L, "a quick brown fox jumps over the lazy cat near the river bank"),
+      // all-new dup pair: 22 ≈ 23, unrelated to corpus
+      (22L, "orange mango banana papaya guava lychee melon kiwi fruit salad"),
+      (23L, "orange mango banana papaya guava lychee melon kiwi fruit bowl"),
+      // clean
+      (24L, "unrelated text mentioning distributed storage layers and logs"))
+      .toDF("doc_id", "text")
+    val report = Dedup.incrementalDedup(corpusSigs, corpus, batch,
+      "text", "doc_id", threshold = 0.5, bands = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(report.size == 5) // one verdict per new doc
+    assert(report(20L) == ((10L, "corpus")))
+    assert(report(21L) == ((10L, "corpus"))) // via the 20-21 chain
+    assert(report(22L) == ((22L, "kept")))
+    assert(report(23L) == ((22L, "batch")))
+    assert(report(24L) == ((24L, "kept")))
+    // rolling the index forward: kept sigs union cleanly onto the index
+    val keptIds = report.filter(_._2._2 == "kept").keys.toSet
+    val newSigs = Dedup.minhashSignatures(batch, "text", "doc_id", 16, 3)
+      .filter(col("doc_id").isin(keptIds.toSeq: _*))
+    val updated = corpusSigs.unionByName(newSigs)
+    assert(updated.count() == corpus.count() + keptIds.size)
+    // re-ingestion: the same content arriving under fresh ids is now
+    // fully absorbed by the rolled-forward index (every doc → corpus)
+    val rolledCorpus = corpus.unionByName(
+      batch.filter(col("doc_id").isin(keptIds.toSeq: _*)))
+    val batch2 = batch.withColumn("doc_id", col("doc_id") + 100)
+    val again = Dedup.incrementalDedup(updated, rolledCorpus, batch2,
+      "text", "doc_id", threshold = 0.5, bands = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(again(122L) == ((22L, "corpus"))) // exact re-arrival
+    assert(again(124L) == ((24L, "corpus")))
+    assert(again(120L)._2 == "corpus")
+  }
+
+  test("incrementalDedup: numHashes mismatch with stored index fails fast") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val sigs8 = Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(sigs8, corpus, corpus, "text", "doc_id",
+        numHashes = 16)
+    }
+  }
+
   test("connectedComponents: min-label clusters with isolated vertices") {
     val vertices = (1L to 7L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
