@@ -340,6 +340,21 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- §2.5+: event-time RANGE window — per-user rolling 1-hour
+    // count/sum (the per-entity feature-engineering staple; rows-frame
+    // running totals are q_window_running). Epoch seconds via integer
+    // floor on both engines (the q_st2b rounding trap). ----
+    "q_window_rolling_time" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+      e.select(col("event_id"), col("user_id"), col("es"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum("value").over(w), 2).as("sum_1h"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -533,6 +548,17 @@ object SparkEntry {
           round(GF.quality_score(col("text")), 4).as("quality"),
           round(GF.stopword_ratio(col("text")), 6).as("stop_ratio"),
           GF.token_count_bpe(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    // ---- X4o: language ID alone, ORACLED — the oracle rebuilds the
+    // marker profile and reproduces the (score, lang) struct-max via a
+    // "digit:lang" string greatest (single-digit scores make
+    // lexicographic ≡ numeric; the string tie-break equals the struct
+    // tie-break). The composite q_x4b stays rows-only for its other
+    // columns. ----
+    "q_x4o_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), GF.lang_id(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
     // ---- X4c: vocabulary building (top-k token counts) ----
@@ -2815,6 +2841,71 @@ object SparkEntry {
         |      OR (o_totalprice >= 0 AND o_totalprice <= 150000)
         |      THEN NULL ELSE 'in_range(o_totalprice)' END) AS tags
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // RANGE frame over integer epoch seconds (inclusive both ends on
+    // both engines); ties (same second, same user) are frame peers.
+    "q_window_rolling_time" ->
+      """SELECT event_id, user_id, es,
+        |  count(*) OVER w AS n_1h,
+        |  ROUND(sum(value) OVER w, 2) AS sum_1h
+        |FROM (SELECT event_id, user_id,
+        |        (epoch_ns(ts) // 1000000000) AS es, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, es, event_id""".stripMargin,
+
+    // Marker-profile language ID: per-language presence counts over the
+    // padded lowered text; argmax-with-max-lang-tie-break reproduced as
+    // greatest() over 'digit:lang' strings (scores are 0..5, single
+    // digit → lexicographic ≡ (score, lang) struct order).
+    "q_x4o_langid" ->
+      """WITH p AS (
+        |  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN position(' the ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' and ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' of ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position('ing ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' to ' IN t) > 0 THEN 1 ELSE 0 END)
+        |      AS s_en,
+        |    (CASE WHEN position(' der ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' und ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' die ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position('sch' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' ist ' IN t) > 0 THEN 1 ELSE 0 END)
+        |      AS s_de,
+        |    (CASE WHEN position(' le ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' la ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' et ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' les ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' des ' IN t) > 0 THEN 1 ELSE 0 END)
+        |      AS s_fr,
+        |    (CASE WHEN position(' el ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' de ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' que ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' los ' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' y ' IN t) > 0 THEN 1 ELSE 0 END)
+        |      AS s_es,
+        |    (CASE WHEN position('的' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position('是' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position('了' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position('在' IN t) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position('我' IN t) > 0 THEN 1 ELSE 0 END)
+        |      AS s_zh
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN g LIKE '0%' THEN 'und' ELSE substr(g, 3) END
+        |    AS lang_guess
+        |FROM (
+        |  SELECT doc_id, greatest(
+        |    CAST(s_en AS VARCHAR) || ':en',
+        |    CAST(s_de AS VARCHAR) || ':de',
+        |    CAST(s_fr AS VARCHAR) || ':fr',
+        |    CAST(s_es AS VARCHAR) || ':es',
+        |    CAST(s_zh AS VARCHAR) || ':zh') AS g
+        |  FROM s)
+        |ORDER BY doc_id""".stripMargin,
 
     // Tukey fences from quantile_cont (≡ Spark percentile — same
     // interpolation formula, bit-equal); fence arithmetic mirrors the
