@@ -669,28 +669,34 @@ object SparkEntry {
           floor(col("rate") * 1e6 + 0.5).cast("long").as("rate_e6"))
         .orderBy("lang")),
 
-    // ---- X6b: deterministic content-id Bernoulli sample (xxhash64 — not
-    // ANSI; determinism + fraction pinned in SamplingSpec) ----
+    // ---- X6b: deterministic content-id Bernoulli sample. The query runs
+    // the engine-portable hash mode (md5-48bit — see PortableHash) so the
+    // oracle recomputes the exact membership in DuckDB; the xxhash64
+    // default path is pinned by SamplingSpec (determinism + fraction). ----
     "q_x6b_hash_sample" -> ((s, dir) =>
-      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.1)
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.1,
+          portable = true)
         .select("doc_id")
         .orderBy("doc_id")),
 
     // ---- X6d: deterministic per-group example sampling (custom bottom-k
-    // typed aggregate; seeded hash → rows-only) ----
+    // typed aggregate), portable-hash mode → the oracle re-ranks by the
+    // same md5-derived hash ----
     "q_x6d_sample_per_lang" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy("lang")
-        .agg(GF.sample_k(col("doc_id"), 3).as("sample_ids"))
+        .agg(GF.sample_k(col("doc_id"), 3, portable = true).as("sample_ids"))
         .select(col("lang"), concat_ws(",", col("sample_ids").cast("array<string>"))
           .as("sample_ids"))
         .orderBy("lang")),
 
     // ---- X6c: train/test split summary — disjoint + exhaustive by
-    // construction (spec-pinned); sizes here are hash-dependent ----
+    // construction (spec-pinned); portable-hash mode makes the split
+    // sizes oracle-recomputable ----
     "q_x6c_train_test_split" -> ((s, dir) => {
       val (train, test) =
-        Sampling.trainTestSplit(t(s, dir, "documents"), "doc_id", 0.2)
+        Sampling.trainTestSplit(t(s, dir, "documents"), "doc_id", 0.2,
+          portable = true)
       train.agg(count(lit(1)).as("n")).select(lit("train").as("split"), col("n"))
         .unionByName(
           test.agg(count(lit(1)).as("n")).select(lit("test").as("split"), col("n")))
@@ -813,11 +819,14 @@ object SparkEntry {
     }),
 
     // ---- X6f: deterministic weighted sampling (Efraimidis–Spirakis
-    // bottom-k) — 3 length-weighted winners per language. Seeded-hash
-    // uniforms aren't ANSI-expressible → rows-only. ----
+    // bottom-k) — 3 length-weighted winners per language, portable-hash
+    // mode: the oracle rebuilds u = (h48+1)/2^48 and re-ranks by
+    // −ln(u)/w. Only the SELECTION is compared (ids + integer weights,
+    // never the float key), so libm ln differences can't flake the row. ----
     "q_x6f_weighted_sample" -> ((s, dir) =>
       Sampling.weightedSamplePerGroup(
-        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 3)
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 3,
+        portable = true)
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
 
@@ -2043,6 +2052,58 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+
+    // The portable-hash oracles below recompute the engine's md5-48bit
+    // seeded hash exactly: DuckDB parses '0x'-prefixed hex string casts,
+    // so CAST(concat('0x', substr(md5('<seed>:<id>'),1,12)) AS BIGINT)
+    // equals Spark's conv(substr(md5(...),1,12),16,10) bit-for-bit.
+    "q_x6b_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(concat('0x',
+        |    substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
+        |  % 1000000 < 100000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_x6c_train_test_split" ->
+      """WITH b AS (
+        |  SELECT CAST(concat('0x',
+        |      substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
+        |    % 1000000 AS bkt
+        |  FROM documents)
+        |SELECT 'test' AS split, count(*) AS n FROM b WHERE bkt < 200000
+        |UNION ALL
+        |SELECT 'train' AS split, count(*) AS n FROM b WHERE bkt >= 200000
+        |ORDER BY split""".stripMargin,
+
+    "q_x6d_sample_per_lang" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    CAST(concat('0x',
+        |      substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, string_agg(doc_id, ',' ORDER BY h, doc_id) AS sample_ids
+        |FROM r WHERE rn <= 3 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Selection-only compare (ids + integer weights; the float ES key is
+    // never emitted): u = (h48+1)/2^48, key = -ln(u)/w, bottom-3 per lang.
+    "q_x6f_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    -ln((CAST(concat('0x',
+        |        substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT) + 1)
+        |      / 281474976710656.0) / n_chars AS wkey
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY wkey, doc_id) AS rn
+        |  FROM k)
+        |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
 
     "q_x5_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,

@@ -28,10 +28,12 @@ object GraftFunctions {
   /** Deterministic fixed-k per-group id sample (bottom-k by seeded hash;
     * see [[SampleK]]) — same members every run on any cluster, O(k) state
     * per group. */
-  def sample_k(c: Column, k: Int, seed: Long = 42L): Column = {
+  def sample_k(c: Column, k: Int, seed: Long = 42L,
+      portable: Boolean = false): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(
-      SampleK(ColumnShim.expression(c), k, seed).toAggregateExpression())
+      SampleK(ColumnShim.expression(c), k, seed, portable)
+        .toAggregateExpression())
   }
 
   /** Rolling-hash 64-bit document fingerprint. */

@@ -24,6 +24,7 @@ case class SampleK(
     child: Expression,
     k: Int,
     seed: Long = 42L,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SampleK.State] {
@@ -54,7 +55,13 @@ case class SampleK(
     val v = child.eval(input)
     if (v != null) {
       val id = v.asInstanceOf[Number].longValue()
-      state.offer(SampleK.hash64(id, seed), id)
+      // portable: md5-derived 48-bit hash — non-negative, so the signed
+      // (hash, id) buffer order below equals the unsigned/SQL order and
+      // the sample is re-derivable in any engine (see PortableHash)
+      val h =
+        if (portable) PortableHash.hash48(id.toString, seed)
+        else SampleK.hash64(id, seed)
+      state.offer(h, id)
     }
     state
   }

@@ -28,26 +28,34 @@ object Sampling {
   /** Hash-space resolution: membership granularity is 1e-6. */
   private val Buckets = 1000000L
 
-  /** Seeded uniform bucket in [0, Buckets) from a stable id. */
-  private def hashBucket(id: Column, seed: Long): Column =
-    pmod(xxhash64(lit(seed), id), lit(Buckets))
+  /** Seeded uniform bucket in [0, Buckets) from a stable id.
+    * `portable = true` swaps xxhash64 for the md5-derived
+    * [[graft.functions.PortableHash]] — ~3× slower per row but
+    * recomputable bit-identically in any SQL engine (membership audits,
+    * cross-engine reconciliation). Both are narrow codegen'd maps. */
+  private def hashBucket(id: Column, seed: Long,
+      portable: Boolean = false): Column =
+    if (portable)
+      graft.functions.PortableHash.hash48(id, seed) % Buckets
+    else pmod(xxhash64(lit(seed), id), lit(Buckets))
 
   /** Deterministic Bernoulli sample: keeps rows whose seeded id-hash bucket
     * falls below `fraction`. Same id + seed → same verdict, always. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    df.filter(hashBucket(col(idCol), seed) < (fraction * Buckets).toLong)
+    df.filter(hashBucket(col(idCol), seed, portable)
+      < (fraction * Buckets).toLong)
   }
 
   /** Deterministic, disjoint, exhaustive (train, test) split over one hash
     * space: test = bucket < cut, train = the rest. Adding data later never
     * moves an existing row across the boundary. */
   def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L, portable: Boolean = false): (DataFrame, DataFrame) = {
     require(testFraction >= 0.0 && testFraction <= 1.0,
       "testFraction must be in [0, 1]")
-    val bucket = hashBucket(col(idCol), seed)
+    val bucket = hashBucket(col(idCol), seed, portable)
     val cut = (testFraction * Buckets).toLong
     (df.filter(bucket >= cut), df.filter(bucket < cut))
   }
@@ -68,13 +76,14 @@ object Sampling {
     * exchange; no global sort materializes. Use [[weightedSamplePerGroup]]
     * when k rows PER GROUP are wanted. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-      k: Int, seed: Long = 42L): DataFrame = {
+      k: Int, seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     // id tie-break: duplicate (id, weight) rows share an ES key, and
     // without a total order TakeOrderedAndProject would pick by partition
     // arrival — breaking the reproducibility contract
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("_graft_wkey", esKey(col(idCol), col(weightCol), seed))
+      .withColumn("_graft_wkey",
+        esKey(col(idCol), col(weightCol), seed, portable))
       .orderBy(col("_graft_wkey"), col(idCol))
       .limit(k)
       .drop("_graft_wkey")
@@ -83,22 +92,34 @@ object Sampling {
   /** Per-group [[weightedSample]]: k weighted winners per group via a
     * windowed rank over the same ES keys (one shuffle on the group key). */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
-      weightCol: String, k: Int, seed: Long = 42L): DataFrame = {
+      weightCol: String, k: Int, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val rn = "_graft_wrn"
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(esKey(col(idCol), col(weightCol), seed), col(idCol))
+      .orderBy(esKey(col(idCol), col(weightCol), seed, portable), col(idCol))
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) <= k)
       .drop(rn)
   }
 
-  /** Efraimidis–Spirakis key −ln(u)/w, u ∈ (0, 1] from the seeded 64-bit
-    * id hash (top 53 bits → uniform double, +1 ulp so u is never 0). */
-  private def esKey(id: Column, weight: Column, seed: Long): Column = {
-    val u = (shiftrightunsigned(xxhash64(lit(seed), id), 11) + 1) *
-      lit(1.1102230246251565e-16) // 2^-53
+  /** Efraimidis–Spirakis key −ln(u)/w, u ∈ (0, 1] from the seeded id hash
+    * (default: xxhash64's top 53 bits → uniform double, +1 ulp so u is
+    * never 0; portable: the md5-derived 48-bit hash over 2^48 — see
+    * [[graft.functions.PortableHash]]). The key only ever drives an ORDER
+    * (bottom-k selection), never a value compare, so sub-ulp libm `ln`
+    * differences across engines cannot flip membership unless two keys
+    * collide to within 1 ulp — which distinct ids make astronomically
+    * unlikely. */
+  private def esKey(id: Column, weight: Column, seed: Long,
+      portable: Boolean = false): Column = {
+    val u =
+      if (portable)
+        (graft.functions.PortableHash.hash48(id, seed) + 1) /
+          lit(graft.functions.PortableHash.Space.toDouble)
+      else (shiftrightunsigned(xxhash64(lit(seed), id), 11) + 1) *
+        lit(1.1102230246251565e-16) // 2^-53
     -log(u) / weight
   }
 

@@ -42,6 +42,73 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(corpus, "id", 1.0).count() == 10000)
   }
 
+  test("PortableHash: JVM twin is bit-identical to the column form") {
+    import graft.functions.PortableHash
+    val got = corpus.limit(500)
+      .select(col("id"), PortableHash.hash48(col("id"), 42L).as("h"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (id, h) =>
+      assert(h == PortableHash.hash48(id.toString, 42L), s"id=$id")
+      assert(h >= 0 && h < PortableHash.Space)
+    }
+  }
+
+  test("portable mode: same semantics as default (fraction, nesting, " +
+      "determinism), membership recomputable from the JVM hash") {
+    import graft.functions.PortableHash
+    val s = Sampling.hashSample(corpus, "id", 0.2, portable = true)
+      .select("id").as[Long].collect().toSet
+    // exact membership = hash bucket < 200000, re-derived off-Spark
+    val want = (0L until 10000L)
+      .filter(id => PortableHash.hash48(id.toString, 42L) % 1000000L < 200000L)
+      .toSet
+    assert(s == want)
+    val small = Sampling.hashSample(corpus, "id", 0.1, portable = true)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(s)) // nested like the default mode
+    val (train, test) =
+      Sampling.trainTestSplit(corpus, "id", 0.25, portable = true)
+    val tr = train.select("id").as[Long].collect().toSet
+    val te = test.select("id").as[Long].collect().toSet
+    assert(tr.intersect(te).isEmpty && tr.size + te.size == 10000)
+  }
+
+  test("sample_k portable: winners are the k smallest md5-48 hashes") {
+    import graft.functions.PortableHash
+    val got = corpus
+      .withColumn("g", col("id") % 4)
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions
+        .sample_k(col("id"), 5, portable = true).as("ids"))
+      .as[(Long, Array[Long])].collect().toMap
+    (0L until 4L).foreach { g =>
+      val members = (0L until 10000L).filter(_ % 4 == g)
+      val want = members
+        .sortBy(id => (PortableHash.hash48(id.toString, 42L), id))
+        .take(5).toArray
+      assert(got(g).sameElements(want), s"group $g")
+    }
+  }
+
+  test("weightedSamplePerGroup portable: selection matches the ES " +
+      "bottom-k recomputed from the portable hash") {
+    import graft.functions.PortableHash
+    val weighted = corpus.withColumn("w", (col("id") % 97 + 1).cast("long"))
+    val got = Sampling.weightedSamplePerGroup(
+        weighted.withColumn("g", col("id") % 3), "g", "id", "w", k = 4,
+        portable = true)
+      .select("g", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 3L).foreach { g =>
+      val want = (0L until 10000L).filter(_ % 3 == g).map { id =>
+        val u = (PortableHash.hash48(id.toString, 42L) + 1).toDouble /
+          PortableHash.Space.toDouble
+        (-math.log(u) / (id % 97 + 1).toDouble, id)
+      }.sorted.take(4).map(_._2).toSet
+      assert(got(g) == want, s"group $g")
+    }
+  }
+
   test("trainTestSplit: disjoint, exhaustive, stable under data growth") {
     val (train, test) = Sampling.trainTestSplit(corpus, "id", 0.25)
     val trainIds = train.select("id").as[Long].collect().toSet
