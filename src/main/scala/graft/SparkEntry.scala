@@ -377,9 +377,13 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("keeper_id")),
 
-    // ---- X2: MinHash+LSH near-dup (xxhash64 sigs — not ANSI) ----
+    // ---- X2: MinHash+LSH near-dup, portable-hash mode — the oracle
+    // recomputes signatures (md5-48 base + Carter–Wegman permutations mod
+    // 2^31−1), bands, candidate pairs, AND the exact-Jaccard verify in
+    // DuckDB. The xxhash64 kernel default stays spec-covered (DedupSpec)
+    // and drives q_x2i. ----
     "q_x2_minhash_neardups" -> ((s, dir) =>
-      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+      Dedup.minhashNearDupsPortable(t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
@@ -443,14 +447,16 @@ object SparkEntry {
     }),
 
     // ---- X2e: MinHash LSH bucket-overflow side-channel — the drop report
-    // that keeps the maxBucketSize cap honest (0 overflow on a healthy
-    // corpus; xxhash buckets → rows-only gate) ----
+    // that keeps the maxBucketSize cap honest. Portable-hash mode with
+    // maxBucketSize = 1 so the report is NON-ZERO (every shared bucket
+    // counts as overflow) and the oracle recomputes the exact counts —
+    // a zero-row report would be a vacuous gate. ----
     "q_x2e_minhash_overflow" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(
+      val sigs = Dedup.minhashSignaturesPortable(
         t(s, dir, "documents"), "text", "doc_id",
         numHashes = 16, shingleSize = 3)
-      Dedup.minhashBucketOverflow(sigs, "doc_id", bands = 4,
-        maxBucketSize = 1000)
+      Dedup.minhashBucketOverflowPortable(sigs, "doc_id", bands = 4,
+        maxBucketSize = 1)
         .agg(count(lit(1)).as("n_overflow_buckets"),
           coalesce(sum(col("n_ids")), lit(0L)).as("n_overflow_members"))
     }),
@@ -1461,9 +1467,87 @@ object SparkEntry {
     })
   )
 
+  /** Shared CTE prefix for the portable-MinHash oracles: positional
+    * trigram rebuild → md5-48 base hash mod 2^31−1 → the SAME seed-derived
+    * Carter–Wegman coefficients the Spark path uses (interpolated below,
+    * so the two can never drift) → 4-hash band signatures. */
+  private lazy val minhashPortableCtes: String = {
+    val values = graft.operators.Dedup.portableCoeffs(16, 42L).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.tk, u.pos
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(trim(text), '\\s+') AS arr
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(arr) AS tk,
+       |                generate_subscripts(arr, 1) AS pos) u
+       |), sh AS (
+       |  SELECT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+       |  FROM tok a
+       |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |), hs AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(concat(42, ':', sh)), 1, 12))
+       |      AS BIGINT) % 2147483647 AS h
+       |  FROM sh
+       |), coef(i, a, b) AS (VALUES $values),
+       |mh AS (
+       |  SELECT hs.doc_id, coef.i,
+       |    min((hs.h * coef.a + coef.b) % 2147483647) AS mh
+       |  FROM hs CROSS JOIN coef GROUP BY hs.doc_id, coef.i
+       |), band AS (
+       |  SELECT doc_id, (i // 4) AS band,
+       |    string_agg(mh, ',' ORDER BY i) AS sig
+       |  FROM mh GROUP BY doc_id, (i // 4)
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_s2_schema_peek" ->
       "SELECT * FROM customer ORDER BY c_custkey LIMIT 1",
+
+    // Portable-MinHash LSH end-to-end: candidates from shared band
+    // signatures, verified with exact trigram-set Jaccard ≥ 0.2.
+    "q_x2_minhash_neardups" ->
+      s"""$minhashPortableCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y
+         |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
+         |), dsh AS (
+         |  SELECT DISTINCT doc_id, sh FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.id_a
+         |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+         |  GROUP BY c.id_a, c.id_b
+         |)
+         |SELECT c.id_a, c.id_b,
+         |  ROUND(CAST(i.n_inter AS DOUBLE)
+         |    / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+         |FROM cand c
+         |JOIN sizes sa ON sa.doc_id = c.id_a
+         |JOIN sizes sb ON sb.doc_id = c.id_b
+         |JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |WHERE CAST(i.n_inter AS DOUBLE)
+         |  / (sa.n + sb.n - i.n_inter) >= 0.2
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    // Overflow report with maxBucketSize = 1: every bucket shared by ≥ 2
+    // docs counts, so the side-channel is exercised with non-zero output.
+    "q_x2e_minhash_overflow" ->
+      s"""$minhashPortableCtes,
+         |over AS (
+         |  SELECT band, sig, count(*) AS n_ids FROM band
+         |  GROUP BY band, sig HAVING count(*) > 1
+         |)
+         |SELECT count(*) AS n_overflow_buckets,
+         |  CAST(coalesce(sum(n_ids), 0) AS BIGINT) AS n_overflow_members
+         |FROM over""".stripMargin,
 
     "q_s3_scan_region" ->
       "SELECT * FROM region ORDER BY r_regionkey",

@@ -111,8 +111,16 @@ object Dedup {
     * dedup ([[exact]]) or a re-shingle catches them; the drop is surfaced
     * via [[minhashBucketOverflow]], never silent. */
   def minhashCandidates(signatures: DataFrame, idCol: String, bands: Int,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val buckets = bandedKeys(signatures, idCol, bands)
+      maxBucketSize: Int = 1000): DataFrame =
+    expandBuckets(bandedKeys(signatures, idCol, bands), idCol, maxBucketSize)
+
+  /** Bucket-local ordered-pair expansion shared by the xxhash64 and
+    * portable banding paths: (bandkey, id) rows → distinct (id_a < id_b)
+    * candidate pairs, oversized buckets dropped (see [[minhashCandidates]]
+    * scaladoc for why the cap is safe and how drops surface). */
+  private def expandBuckets(keys: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val buckets = keys
       .groupBy(col("bandkey"))
       .agg(collect_list(col(idCol)).as("_ids"))
       .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucketSize)
@@ -153,6 +161,112 @@ object Dedup {
       shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
     val cands = minhashCandidates(sigs, idCol, bands, maxBucketSize)
+    val docs = df.select(col(idCol), col(textCol))
+    cands
+      .join(docs.withColumnsRenamed(Map(idCol -> "id_a", textCol -> "_ta")),
+        Seq("id_a"))
+      .join(docs.withColumnsRenamed(Map(idCol -> "id_b", textCol -> "_tb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        jaccard(col("_ta"), col("_tb"), shingleSize))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- engine-portable MinHash (audit mode) ----------------------------
+  // Same LSH pipeline as minhashNearDups, but every hash is re-derivable
+  // from the SQL-standard surface of any engine (md5 — see
+  // graft.functions.PortableHash): base h = md5-48(shingle) mod P31, then
+  // k Carter–Wegman permutations (a_i·h + b_i) mod P31. An auditor (or the
+  // correctness oracle) can therefore recompute signatures, bands, and the
+  // final pair set bit-identically in DuckDB/Trino/anything. The xxhash64
+  // one-pass kernel stays the default — this path pays an explode + a
+  // shuffle on id + md5 per shingle, worth it only when cross-engine
+  // reproducibility is the point.
+
+  /** 2^31 − 1 (prime): the permutation modulus. Products stay < 2^62, so
+    * the arithmetic is exact in any engine's checked 64-bit integers. */
+  val PortableP: Long = 2147483647L
+
+  /** Seed-derived Carter–Wegman coefficients (a_i ∈ [1, P−1], b_i ∈
+    * [0, P−1]) — shared by the Spark path and the generated oracle SQL. */
+  def portableCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = graft.functions.PortableHash.hash48(s"a$i", seed) %
+        (PortableP - 1) + 1
+      val b = graft.functions.PortableHash.hash48(s"b$i", seed) % PortableP
+      (a, b)
+    }
+
+  /** [[minhashSignatures]], portable mode: same (id, mh_0..mh_{k−1})
+    * schema, same no-row rule for docs with < shingleSize tokens. The
+    * affine permutations are NOT monotone in h (mod P31 wraps), so the k
+    * minima land on different shingles — the property banding relies on. */
+  def minhashSignaturesPortable(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int, seed: Long = 42L): DataFrame = {
+    val coeffs = portableCoeffs(numHashes, seed)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("_h") * a + b) % PortableP).as(s"mh_$i")
+    }
+    df.filter(col(textCol).isNotNull &&
+        graft.functions.GraftFunctions.token_count_ws(col(textCol))
+          >= shingleSize)
+      .select(col(idCol),
+        explode(shingles(col(textCol), shingleSize)).as("_sh"))
+      .select(col(idCol),
+        (graft.functions.PortableHash.hash48(col("_sh"), seed) % PortableP)
+          .as("_h"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Portable banded keys: the band SIGNATURE ITSELF as a string
+    * ("band:mh,mh,..."), not an xxhash64 of it — strings any engine can
+    * rebuild. Key size is r longs rendered as text; fine for audit mode. */
+  private def bandedKeysPortable(signatures: DataFrame, idCol: String,
+      bands: Int): DataFrame = {
+    val mhCols = signatures.columns.filter(_.startsWith("mh_"))
+    require(mhCols.length % bands == 0, "bands must divide numHashes")
+    val r = mhCols.length / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(":", lit(b) +:
+        mhCols.slice(b * r, (b + 1) * r).map(col).toIndexedSeq: _*)
+        .as(s"_band_$b")
+    }
+    signatures
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b =>
+        col(s"_band_$b")): _*)).as("bandkey"))
+  }
+
+  /** [[minhashCandidates]] over portable banded keys. */
+  def minhashCandidatesPortable(signatures: DataFrame, idCol: String,
+      bands: Int, maxBucketSize: Int = 1000): DataFrame =
+    expandBuckets(bandedKeysPortable(signatures, idCol, bands), idCol,
+      maxBucketSize)
+
+  /** [[minhashBucketOverflow]] over portable banded keys (band index is
+    * the key's prefix). */
+  def minhashBucketOverflowPortable(signatures: DataFrame, idCol: String,
+      bands: Int, maxBucketSize: Int = 1000): DataFrame =
+    bandedKeysPortable(signatures, idCol, bands)
+      .groupBy(col("bandkey"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucketSize)
+      .select(split(col("bandkey"), ":").getItem(0).cast("int").as("band"),
+        col("n_ids"))
+
+  /** X2, portable mode: candidates from portable LSH, verified with the
+    * same exact Jaccard. Output: (id_a, id_b, jaccard). */
+  def minhashNearDupsPortable(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignaturesPortable(df, textCol, idCol, numHashes,
+      shingleSize, seed)
+    val cands = minhashCandidatesPortable(sigs, idCol, bands, maxBucketSize)
     val docs = df.select(col(idCol), col(textCol))
     cands
       .join(docs.withColumnsRenamed(Map(idCol -> "id_a", textCol -> "_ta")),

@@ -51,6 +51,51 @@ class DedupSpec extends SparkSpec {
     assert(s0 == s1)
   }
 
+  test("portable minhash: same contract as the kernel path (exact dup " +
+      "collides, unrelated doesn't), partition-invariant") {
+    val pairs = Dedup.minhashNearDupsPortable(docs, "text", "doc_id",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val repart = Dedup.minhashNearDupsPortable(docs.repartition(7),
+        "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(repart == pairs)
+  }
+
+  test("portable minhash signatures: JVM-recomputable, and the affine " +
+      "permutations are non-monotone (minima land on different shingles)") {
+    import graft.functions.PortableHash
+    val P = Dedup.PortableP
+    val coeffs = Dedup.portableCoeffs(16, 42L)
+    // every a_i in [1, P-1], b_i in [0, P-1], all distinct
+    coeffs.foreach { case (a, b) =>
+      assert(a >= 1 && a < P && b >= 0 && b < P)
+    }
+    assert(coeffs.distinct.size == coeffs.size)
+    val sigs = Dedup.minhashSignaturesPortable(docs, "text", "doc_id", 16, 3)
+      .orderBy("doc_id").collect()
+    // recompute doc 0's signature off-Spark from the raw text
+    val text0 = docs.orderBy("doc_id").select("text").as[String].head()
+    val toks = text0.trim.split("\\s+")
+    val shingleHashes = (0 to toks.length - 3)
+      .map(i => toks.slice(i, i + 3).mkString(" "))
+      .map(sh => PortableHash.hash48(sh, 42L) % P)
+    val want = coeffs.map { case (a, b) =>
+      shingleHashes.map(h => (h * a + b) % P).min
+    }
+    val got = sigs(0).toSeq.drop(1).map(_.asInstanceOf[Long])
+    assert(got == want)
+    // non-monotone: the winning shingle must differ across hash functions
+    // (a monotone family would pick the same argmin 16 times — the bug
+    // that turns MinHash into single-shingle equality)
+    val argmins = coeffs.map { case (a, b) =>
+      shingleHashes.zipWithIndex.minBy { case (h, _) => (h * a + b) % P }._2
+    }
+    assert(argmins.distinct.size > 1)
+  }
+
   test("simhash: identical -> hamming 0; near dup closer than unrelated") {
     val fps = Dedup.simhash64(docs, "text", "doc_id")
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
