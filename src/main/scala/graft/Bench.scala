@@ -64,29 +64,40 @@ object Bench {
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    // Tier id + last token for 3+-token names ("x5g_image_resize" →
-    // "x5g_resize"): with 90+ queries the full names alone overflow the
-    // artifact head. Collisions (would be silent data loss) fall back to
-    // the full name.
+    // Tier id alone ("x5g_image_resize" → "x5g") when that is unique
+    // across the suite — at 107+ queries even tier+last-token keys push
+    // the errors array past the artifact's 2000-char survival head. The
+    // tier prefix is the stable identity (names' tails get reworded);
+    // rare tier collisions fall back to tier_last, then the full name.
     def short(k: String): String = {
+      val full = k.stripPrefix("q_")
+      val toks = full.split('_')
+      if (toks.length >= 2) toks.head else full
+    }
+    def shortLong(k: String): String = {
       val full = k.stripPrefix("q_")
       val toks = full.split('_')
       if (toks.length >= 3) toks.head + "_" + toks.last else full
     }
-    locally {
-      val shorts = results.map(r => short(r._1))
-      require(shorts.distinct.size == shorts.size,
+    val keyOf: Map[String, String] = {
+      val names = results.map(_._1)
+      val byTier = names.groupBy(short)
+      val tierKeys = names.map { n =>
+        n -> (if (byTier(short(n)).size == 1) short(n) else shortLong(n))
+      }.toMap
+      require(tierKeys.values.toSeq.distinct.size == names.size,
         "bench key abbreviation collided; lengthen the colliding names")
+      tierKeys
     }
     val qs = results
-      .map { case (k, med, _, _) => "\"" + short(k) + "\":" + fmt(med) }
+      .map { case (k, med, _, _) => "\"" + keyOf(k) + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, lo, hi) =>
-        "\"" + short(k) + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
+        "\"" + keyOf(k) + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
       .mkString("{", ",", "}")
     val errors = results
-      .collect { case (k, med, _, _) if med < 0 => "\"" + short(k) + "\"" }
+      .collect { case (k, med, _, _) if med < 0 => "\"" + keyOf(k) + "\"" }
       .mkString("[", ",", "]")
     val ok = results.collect { case (_, med, _, _) if med >= 0 => med }
     val total = if (ok.nonEmpty) ok.sum else 0.0

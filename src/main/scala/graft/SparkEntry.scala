@@ -476,6 +476,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- X2j: SimHash near-dup, portable-hash mode — the oracle
+    // rebuilds the 48-bit md5-48 vote fingerprints AND the full
+    // Hamming-≤8 pair set brute-force in DuckDB, while the engine side
+    // still goes through the lossless pigeonhole blocking (banded over
+    // the real 48 bits). The one-pass xxhash64 kernel default stays on
+    // q_x2c. ----
+    "q_x2j_simhash_portable" -> ((s, dir) => {
+      val fps = Dedup.simhash48Portable(t(s, dir, "documents"), "text",
+        "doc_id")
+      Dedup.simhashNearDups(fps, "doc_id", maxHamming = 8,
+          materialize = false, bits = 48)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- X3: brute-force cosine top-k (exact ANN baseline) ----
     "q_x3_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1202,9 +1217,12 @@ object SparkEntry {
       GraphOps.labelPropagation(edges, iters = 2).orderBy("id")
     }),
 
-    // ---- G9: k-core membership on the part co-occurrence graph —
-    // iterative peeling isn't ANSI-expressible (per-round degree recount
-    // over a shrinking subgraph), so rows-only; the peeling semantics are
+    // ---- G9: k-core membership on the part co-occurrence graph. The
+    // oracle unrolls the peeling as a fixed 12-round CTE chain: peeling
+    // past the fixpoint is the identity, and this graph reaches its
+    // fixpoint in 8 rounds at sf0.01 (measured; the margin absorbs data
+    // regen drift), so the bounded unroll is EXACT — same trick as the
+    // unrolled PageRank power method. Peeling semantics are additionally
     // pinned by GraphOpsSpec (K4+pendant, path-to-empty, cycle-stable). ----
     "q_g9_kcore" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1503,6 +1521,40 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Unrolled k-core peeling (G9): each round re-derives degrees on the
+    * surviving edge set and drops nodes below k. Peeling past the
+    * fixpoint is the identity, so a fixed unroll ≥ the fixpoint depth is
+    * exact — 12 rounds against the measured 8 at sf0.01. Generated
+    * programmatically so round count is a one-line change. */
+  private lazy val kcoreUnrolledOracle: String = {
+    val rounds = 12
+    // MATERIALIZED is load-bearing: every round references the previous
+    // round TWICE, so DuckDB's default CTE inlining would expand e12 into
+    // 2^12 copies of the base scan (observed as an fd-exhaustion blowup).
+    val base =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(a.pk, b.pk) AS a,
+        |              greatest(a.pk, b.pk) AS b
+        |       FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk)""".stripMargin
+    val chain = (1 to rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, count(*) AS c FROM (
+         |      SELECT a AS id FROM e${i - 1}
+         |      UNION ALL SELECT b FROM e${i - 1}) GROUP BY id)
+         |  WHERE c >= 4),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i x ON x.id = e.a JOIN k$i y ON y.id = e.b)""".stripMargin
+    }.mkString
+    base + chain +
+      s"""
+         |SELECT DISTINCT id FROM (
+         |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_s2_schema_peek" ->
       "SELECT * FROM customer ORDER BY c_custkey LIMIT 1",
@@ -1548,6 +1600,44 @@ object SparkEntry {
          |SELECT count(*) AS n_overflow_buckets,
          |  CAST(coalesce(sum(n_ids), 0) AS BIGINT) AS n_overflow_members
          |FROM over""".stripMargin,
+
+    // Portable-SimHash near-dups: rebuild the 48-bit md5-48 vote
+    // fingerprints, then the full Hamming-≤8 pair set brute-force (the
+    // n² is DuckDB-side only; the engine blocks on pigeonhole bands).
+    // MATERIALIZED on tok/fp: fp is referenced twice by the self-join
+    // and default CTE inlining would duplicate the whole vote pipeline.
+    "q_x2j_simhash_portable" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, u.tk FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |    FROM documents WHERE text IS NOT NULL),
+        |    LATERAL (SELECT unnest(arr) AS tk) u
+        |  WHERE u.tk <> ''
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat(42, ':', tk)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM tok
+        |), v AS (
+        |  SELECT doc_id, g.j,
+        |    sum(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN generate_series(0, 47) g(j)
+        |  GROUP BY doc_id, g.j
+        |), fp0 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE 0 END) AS BIGINT) AS fp
+        |  FROM v GROUP BY doc_id
+        |), fp AS MATERIALIZED (
+        |  SELECT d.doc_id, COALESCE(fp0.fp, 0) AS fp
+        |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        |  LEFT JOIN fp0 USING (doc_id)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_s3_scan_region" ->
       "SELECT * FROM region ORDER BY r_regionkey",
@@ -2564,6 +2654,8 @@ object SparkEntry {
         |FROM sc LEFT JOIN canon ON canon.a = sc.u AND canon.b = sc.v
         |WHERE canon.a IS NULL AND sc.common >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_g9_kcore" -> kcoreUnrolledOracle,
 
     "q_g7_degree_hist" ->
       """WITH e AS (

@@ -300,19 +300,67 @@ object Dedup {
           ColumnShim.expression(col(textCol)))).as("simhash"))
   }
 
+  /** [[simhash64]], engine-portable audit mode: a 48-bit fingerprint whose
+    * per-token hash is the SQL-rebuildable md5-48
+    * ([[graft.functions.PortableHash]]), so an auditor (or the correctness
+    * oracle) can recompute every fingerprint — and therefore every
+    * near-dup pair — bit-identically in DuckDB/Trino/anything. Bit j of
+    * the fingerprint is 1 iff the ±1 vote sum over whitespace-token
+    * OCCURRENCES (multiplicity counts, same as the kernel) is positive.
+    *
+    * Pays an explode + a 48-column vote aggregation (one shuffle on id)
+    * where the default xxhash64 kernel is a narrow one-pass map — use it
+    * when cross-engine reproducibility is the point, not throughput.
+    * Null-text docs are dropped; docs with no non-empty token fingerprint
+    * as 0L (both rules shared with [[simhash64]]). Output: (idCol,
+    * `simhash`) — band-compatible with [[simhashNearDups]] (the 16 always-
+    * zero high bits just make their bands collide, which blocking treats
+    * as candidates to verify, never as results). */
+  def simhash48Portable(df: DataFrame, textCol: String, idCol: String,
+      seed: Long = 42L): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+    val votes = (0 until 48).map { j =>
+      sum(when(shiftrightunsigned(col("_h"), j).bitwiseAND(lit(1L)) === 1L,
+        1L).otherwise(-1L)).as(s"_v$j")
+    }
+    val fpBits = (0 until 48).map { j =>
+      when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fps = base
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("_tk"))
+      .filter(col("_tk") =!= "")
+      .select(col(idCol),
+        graft.functions.PortableHash.hash48(col("_tk"), seed).as("_h"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fpBits.as("simhash"))
+    base.select(col(idCol))
+      .join(fps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   /** SimHash near-dups: Hamming distance ≤ `maxHamming` between
     * fingerprints. Candidate generation blocks on `maxHamming + 1` bit
     * bands: by pigeonhole, any pair differing in ≤ maxHamming of 64 bits
     * must match EXACTLY in at least one band — so blocking is lossless for
     * the requested radius (a fixed 4-quadrant split only guarantees
     * Hamming ≤ 3 and silently drops wider pairs whose flipped bits spread
-    * across all quadrants). Band widths are ⌊64/(h+1)⌋ with the remainder
-    * spread over the leading bands; the join never goes all-pairs. */
+    * across all quadrants). Band widths are ⌊bits/(h+1)⌋ with the
+    * remainder spread over the leading bands; the join never goes
+    * all-pairs.
+    *
+    * `bits` is the fingerprint width to band over (default 64). Pass the
+    * REAL width for narrower fingerprints ([[simhash48Portable]] → 48):
+    * banding a 48-bit value over 64 bits puts the always-zero high bits
+    * into bands of their own, and an all-identical band is an all-pairs
+    * candidate bucket — correct (verify filters it) but quadratic. */
   def simhashNearDups(
       fingerprints: DataFrame, idCol: String, maxHamming: Int = 3,
       materialize: Boolean = true,
-      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+      ckpt: Checkpointer = Checkpointer.Local, bits: Int = 64): DataFrame = {
+    require(bits >= 2 && bits <= 64, "bits must be in [2, 64]")
+    require(maxHamming >= 0 && maxHamming < bits,
+      "maxHamming must be in [0, bits)")
     // The band self-join evaluates its input subtree once per side, which
     // recomputes the whole fingerprint pipeline (token explode + 64-column
     // aggregation — the expensive part). Fingerprints are tiny ((id, 64-bit)
@@ -329,8 +377,8 @@ object Dedup {
       if (materialize) ckpt(fingerprints.select(col(idCol), col("simhash")))
       else fingerprints
     val nBands = maxHamming + 1
-    val base = 64 / nBands
-    val rem = 64 % nBands
+    val base = bits / nBands
+    val rem = bits % nBands
     val bandCols = (0 until nBands).map { b =>
       val off = b * base + math.min(b, rem)
       val width = base + (if (b < rem) 1 else 0)

@@ -210,6 +210,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashNearDups(fps, "doc_id", maxHamming = 4).count() == 0)
   }
 
+  test("simhash48Portable: 48-bit range, dup/near-dup ordering, empty " +
+      "text -> 0, banded pairs (bits=48) ≡ brute-force Hamming") {
+    val docs2 = docs.unionByName(Seq((5L, "   ")).toDF("doc_id", "text"))
+    val fps = Dedup.simhash48Portable(docs2, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val byId = fps.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.values.forall(f => f >= 0L && f < (1L << 48)))
+    assert(byId(0L) == byId(1L)) // identical text, identical fingerprint
+    assert(byId(5L) == 0L)       // whitespace-only doc
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(byId(0L), byId(2L)) < ham(byId(0L), byId(3L)))
+    // banding over the true 48 bits finds exactly the brute-force pairs
+    val fpDf = Dedup.simhash48Portable(docs2, "text", "doc_id")
+    for (h <- Seq(4, 12)) {
+      val banded = Dedup.simhashNearDups(fpDf, "doc_id", maxHamming = h,
+          materialize = false, bits = 48)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        a <- byId.keys; b <- byId.keys if a < b
+        if ham(byId(a), byId(b)) <= h
+      } yield (a, b)).toSet
+      assert(banded == brute, s"maxHamming=$h")
+    }
+  }
+
+  test("simhash48Portable column hash agrees with the JVM hash48 twin") {
+    // the oracle rebuilds fingerprints from md5 — the column/JVM twin
+    // equality is the property the whole portable mode stands on
+    val toks = Seq("alpha", "beta", "ümlaut").toDF("tk")
+    val fromCol = toks.select(
+      graft.functions.PortableHash.hash48(col("tk"), 42L)).as[Long]
+      .collect().toSeq
+    val fromJvm = Seq("alpha", "beta", "ümlaut")
+      .map(graft.functions.PortableHash.hash48(_, 42L))
+    assert(fromCol == fromJvm)
+  }
+
   test("minhashCandidates caps degenerate buckets; overflow is reported") {
     // 10k identical docs: every band-bucket holds all 10k ids. Uncapped,
     // that's one 50M-pair explode in a single task; capped, candidates are
