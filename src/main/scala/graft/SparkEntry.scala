@@ -658,6 +658,20 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---- X7d: decontamination behind the Bloom prefilter — identical
+    // output to q_x7 by construction (no false negatives; false
+    // positives die in the exact verify), so it shares q_x7's oracle.
+    // numBits is sized small here so the filter is exercised, not
+    // degenerate ----
+    "q_x7d_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.contaminationPairsBloom(
+        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
+        shingleSize = 3, minOverlap = 1, numBits = 1 << 16)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- X6: stratified curation quota — keep the k best docs per
     // stratum under an explicit total ordering ----
     "q_x6_stratified_topk" -> ((s, dir) =>
@@ -2142,6 +2156,28 @@ object SparkEntry {
         |      array_length(regexp_split_to_array(trim(dirty), '\s+'))
         |  END, 6) AS rep_ratio
         |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // The Bloom-prefiltered path is output-identical to the exact path
+    // (prefilter is a provable superset, verify is exact) — same oracle.
+    "q_x7d_decontaminate_bloom" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |)
+        |SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+        |FROM sh d JOIN sh b ON d.sh = b.sh
+        |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // Trigram shingles rebuilt positionally (tok ⋈ pos+1 ⋈ pos+2), distinct
     // per doc, then corpus⋈bench on the shingle string — mirrors

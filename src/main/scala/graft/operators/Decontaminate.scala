@@ -100,6 +100,49 @@ object Decontaminate {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** [[contaminationPairs]] behind a Bloom-filter prefilter — the THIRD
+    * scale tier. Broadcast sizes per bench shingle: exact path ≈ the
+    * string (~30 B), hashed path 8 B, Bloom ~10 BITS. Three stages,
+    * exact end result:
+    *
+    *  1. BUILD: one aggregate row of `binary` — every bench doc folds its
+    *     shingles into a partition-local bitset ([[graft.functions
+    *     .BloomShingleAgg]]), partials OR-merge. No explode, no shuffle
+    *     beyond the tiny all-to-one merge.
+    *  2. PREFILTER: the corpus streams past the broadcast filter inside
+    *     whole-stage codegen ([[graft.functions.BloomCountShingles]] —
+    *     a narrow per-row probe, the shingle stream never materializes).
+    *     Docs with zero probing shingles are provably clean and drop
+    *     here; survivors are true candidates plus the Bloom
+    *     false-positive fraction (~(1 − e^(−kn/m))^k).
+    *  3. VERIFY: [[contaminationPairs]] on the survivors only — false
+    *     positives cannot reach the output.
+    *
+    * The Bloom build ignores `maxBenchDocFreq` (a stop-shingle can't be
+    * identified inside a bitset) — that filter applies at the verify
+    * stage, so the prefilter passes a superset and the result is still
+    * exact. */
+  def contaminationPairsBloom(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      shingleSize: Int, minOverlap: Int = 1,
+      numBits: Int = 1 << 22, numHashes: Int = 5,
+      maxBenchDocFreq: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val bloom = bench
+      .agg(ColumnShim.column(graft.functions.BloomShingleAgg(
+        ColumnShim.expression(col(benchTextCol)), shingleSize, numBits,
+        numHashes).toAggregateExpression()).as("_bloom"))
+    val candidates = docs.crossJoin(broadcast(bloom))
+      .filter(ColumnShim.column(graft.functions.BloomCountShingles(
+        ColumnShim.expression(col(textCol)),
+        ColumnShim.expression(col("_bloom")), shingleSize, numHashes)) > 0)
+      .drop("_bloom")
+    contaminationPairs(candidates, textCol, idCol,
+      bench, benchTextCol, benchIdCol, shingleSize, minOverlap,
+      maxBenchDocFreq)
+  }
+
   /** The corpus minus every doc flagged by [[contaminationPairs]] — the
     * "clean training set" projection (anti-join on flagged ids). */
   def decontaminate(

@@ -124,4 +124,48 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.contaminationPairs(
       corpus, "text", "doc_id", empty, "question", "qid", 4).count() == 0)
   }
+
+  test("bloom prefilter path ≡ exact path, even when the filter is " +
+      "saturated (64 bits → every probe positive → verify still exact)") {
+    for (bits <- Seq(64, 1 << 14); minOv <- Seq(1, 3)) {
+      val exact = Decontaminate.contaminationPairs(
+        corpus, "text", "doc_id", bench, "question", "qid",
+        shingleSize = 4, minOverlap = minOv)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      val bloomed = Decontaminate.contaminationPairsBloom(
+        corpus, "text", "doc_id", bench, "question", "qid",
+        shingleSize = 4, minOverlap = minOv, numBits = bits)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      assert(bloomed == exact, s"numBits=$bits minOverlap=$minOv diverged")
+    }
+  }
+
+  test("bloom prefilter drops provably-clean docs before the join") {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val bloom = bench.agg(ColumnShim.column(
+      graft.functions.BloomShingleAgg(
+        ColumnShim.expression(col("question")), 4, 1 << 14, 5)
+        .toAggregateExpression()).as("_bloom"))
+    val counts = corpus.crossJoin(broadcast(bloom))
+      .select(col("doc_id"), ColumnShim.column(
+        graft.functions.BloomCountShingles(
+          ColumnShim.expression(col("text")),
+          ColumnShim.expression(col("_bloom")), 4, 5)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(1L) > 0)  // contaminated doc probes positive
+    assert(counts(2L) == 0) // clean doc is pruned by the prefilter alone
+  }
+
+  test("bloom build state merges across partitions (repartitioned bench " +
+      "builds the same filter)") {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.functions.col
+    def build(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(ColumnShim.column(graft.functions.BloomShingleAgg(
+        ColumnShim.expression(col("question")), 4, 1 << 10, 5)
+        .toAggregateExpression()).as("b"))
+        .head().getAs[Array[Byte]]("b")
+    assert(java.util.Arrays.equals(build(bench), build(bench.repartition(7))))
+  }
 }
