@@ -658,6 +658,28 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---- X4p: model-based quality scoring — hashed-feature linear
+    // classifier (fastText shape) under the engine-portable md5-48
+    // hashing trick and the seed-derived audit weight table, so the
+    // oracle rebuilds features, weights, and scores; e6-integerized
+    // against summation-order ulps ----
+    "q_x4p_quality_model" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // Milli-scaled INTEGER-VALUED weights: a sum of ≤2^53 integers in
+      // doubles is exact and ORDER-INDEPENDENT, so the only rounding is
+      // the final division — bit-identical across engines (the [-1,1]
+      // float weights put 2 of 500 docs on an e6 floor boundary where
+      // summation order flipped the last digit). floor(score*1e3) of the
+      // milli score equals floor(real_score*1e6).
+      val wMilli = QualityModel.seededWeights(s, 1024)
+        .select(col("feature_id"), round(col("weight") * 1000, 0).as("weight"))
+      QualityModel.scoreHashedLinear(d, "text", "doc_id", wMilli, 1024)
+        .select(col("doc_id"),
+          floor(col("score") * 1e3 + 0.5).cast("long").as("score_e6"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X7d: decontamination behind the Bloom prefilter — identical
     // output to q_x7 by construction (no false negatives; false
     // positives die in the exact verify), so it shares q_x7's oracle.
@@ -2156,6 +2178,39 @@ object SparkEntry {
         |      array_length(regexp_split_to_array(trim(dirty), '\s+'))
         |  END, 6) AS rep_ratio
         |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // Hashed-feature linear scorer: rebuild feature ids (md5-48 mod
+    // 1024), the seeded weight table (md5-48 of "w:<f>" affine-mapped to
+    // [-1,1]), and the per-doc mean; e6-integerized.
+    "q_x4p_quality_model" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |    FROM documents WHERE text IS NOT NULL),
+        |    LATERAL (SELECT unnest(arr) AS tk) u
+        |  WHERE u.tk <> ''
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat(42, ':', tk)), 1, 12))
+        |      AS BIGINT) % 1024 AS feature_id
+        |  FROM tok
+        |), w AS (
+        |  SELECT g.f AS feature_id,
+        |    CAST(CAST(concat('0x', substr(md5(concat(42, ':', 'w:', g.f)),
+        |        1, 12)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS weight
+        |  FROM generate_series(0, 1023) g(f)
+        |), s AS (
+        |  SELECT f.doc_id, sum(w.weight) / count(*) AS score,
+        |    count(*) AS n
+        |  FROM f JOIN w USING (feature_id) GROUP BY f.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(floor(COALESCE(s.score, 0) * 1e3 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS score_e6,
+        |  COALESCE(s.n, 0) AS n_tokens
+        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        |LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The Bloom-prefiltered path is output-identical to the exact path
     // (prefilter is a provable superset, verify is exact) — same oracle.
