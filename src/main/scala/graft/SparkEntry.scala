@@ -1028,6 +1028,18 @@ object SparkEntry {
     // the similarity tier; deterministic (hash-derived signs), rows-only
     // (seeded-hash signs aren't ANSI-expressible). Projected norms ride
     // along as evidence the kernel ran. ----
+    // ---- X3g: JL projection, portable mode — md5-parity signs, so the
+    // oracle rebuilds every projected element; exploded to (vec_id, j,
+    // v_e4) with the float rounding mirrored on both sides ----
+    "q_x3g_project_portable" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(VF.random_project_portable(col("embedding"), 16))
+            .as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          floor(col("v").cast("double") * 1e4 + 0.5).cast("long").as("v_e4"))
+        .orderBy("vec_id", "j")),
+
     "q_x3f_random_project" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -2178,6 +2190,31 @@ object SparkEntry {
         |      array_length(regexp_split_to_array(trim(dirty), '\s+'))
         |  END, 6) AS rep_ratio
         |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // Portable JL projection: ±1 sign = parity of md5-48("42:i,j"),
+    // out_j = Σᵢ ±xᵢ · (1/√16), rounded through FLOAT exactly as the
+    // kernel does (the float rounding also absorbs summation-order ulps),
+    // then e4-integerized. i is 0-based in the kernel, 1-based from
+    // generate_subscripts — hence u.i - 1.
+    "q_x3g_project_portable" ->
+      """WITH el AS (
+        |  SELECT vec_id, u.x, u.i
+        |  FROM (SELECT vec_id, embedding AS arr FROM embeddings),
+        |    LATERAL (SELECT unnest(arr) AS x,
+        |             generate_subscripts(arr, 1) AS i) u
+        |), s AS (
+        |  SELECT vec_id, g.j,
+        |    sum(CASE WHEN (CAST(concat('0x',
+        |          substr(md5(concat(42, ':', u.i - 1, ',', g.j)), 1, 12))
+        |          AS BIGINT) & 1) = 0
+        |        THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END) AS acc
+        |  FROM el u CROSS JOIN generate_series(0, 15) g(j)
+        |  GROUP BY vec_id, g.j
+        |)
+        |SELECT vec_id, j,
+        |  CAST(floor(CAST(CAST(acc * CAST(0.25 AS DOUBLE) AS FLOAT)
+        |    AS DOUBLE) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_e4
+        |FROM s ORDER BY vec_id, j""".stripMargin,
 
     // Hashed-feature linear scorer: rebuild feature ids (md5-48 mod
     // 1024), the seeded weight table (md5-48 of "w:<f>" affine-mapped to

@@ -42,6 +42,14 @@ object VectorFunctions {
   def random_project(a: Column, outDim: Int, seed: Long = 42L): Column =
     ColumnShim.column(RandomProject(ColumnShim.expression(a), outDim, seed))
 
+  /** [[random_project]], engine-portable audit mode: ±1 signs from md5-48
+    * parity so any engine can rebuild the projection (n·outDim MD5 calls
+    * per row — use for cross-engine audits, not throughput). */
+  def random_project_portable(a: Column, outDim: Int,
+      seed: Long = 42L): Column =
+    ColumnShim.column(RandomProjectPortable(
+      ColumnShim.expression(a), outDim, seed))
+
   /** Symmetric int8 quantization → struct(scale: float, q: binary): 4×
     * smaller than fp32 — the storage/broadcast lever for embedding
     * corpora at 100 TB. Recall cost is bounded by the per-element error

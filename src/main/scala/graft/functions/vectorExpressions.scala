@@ -152,6 +152,34 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** [[RandomProjectPortable]] kernel: the same Rademacher projection as
+    * [[randomProject]], but signs come from the engine-portable md5-48
+    * parity ([[PortableHash.hash48]] of "i,j") and accumulation runs in
+    * FIXED index order — so the oracle (or any engine) can rebuild every
+    * output bit-identically up to its own summation order, absorbed by
+    * the final float rounding. ~n·outDim MD5 calls per row: audit mode,
+    * not the throughput path. */
+  def randomProjectPortable(arr: ArrayData, isFloat: Boolean, outDim: Int,
+      seed: Long): ArrayData = {
+    val n = arr.numElements()
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val h = PortableHash.hash48(i.toString + "," + j, seed)
+        acc += (if ((h & 1L) == 0L) x else -x)
+        i += 1
+      }
+      out(j) = (acc * scale).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Symmetric int8 quantization: scale = max|x|/127 (1 for the zero
     * vector), qᵢ = round(xᵢ/scale) ∈ [−127, 127]. One quarter the bytes of
     * fp32 — the storage/broadcast scale lever for 100 TB embedding
@@ -283,6 +311,34 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long)
       s"graft.functions.VectorKernels.randomProject($c, $isFloat, $outDim, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+}
+
+/** [[RandomProject]], engine-portable audit mode: md5-parity signs (see
+  * [[VectorKernels.randomProjectPortable]]). Interpreted-eval path would
+  * suffice for audit runs, but codegen keeps it composable with the rest
+  * of the vector tier. */
+case class RandomProjectPortable(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(outDim >= 1, "outDim must be >= 1")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "random_project_portable"
+
+  private lazy val isFloat =
+    VecCodegen.elemAccessor(child.dataType) == "getFloat"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.randomProjectPortable(input.asInstanceOf[ArrayData],
+      isFloat, outDim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.randomProjectPortable($c, $isFloat, $outDim, ${seed}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RandomProjectPortable =
     copy(child = newChild)
 }
 

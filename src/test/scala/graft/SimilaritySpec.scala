@@ -186,6 +186,34 @@ class SimilaritySpec extends SparkSpec {
     assert(alt != p1.head._2)
   }
 
+  test("random_project_portable: JVM-rebuildable signs, same JL contract") {
+    import graft.functions.{VectorFunctions => VFn}
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("id", "v")
+    val p = vecs.select($"id", VFn.random_project_portable($"v", 4).as("p"))
+      .orderBy("id").as[(Long, Seq[Float])].collect()
+    // hand-rebuild row 0 from the portable hash parity — the property the
+    // DuckDB oracle stands on
+    val v0 = Array.tabulate(8)(d => math.sin(0 * 8 + d).toFloat)
+    val expected = (0 until 4).map { j =>
+      val acc = (0 until 8).map { i =>
+        val sign =
+          if ((graft.functions.PortableHash.hash48(s"$i,$j", 42L) & 1L) == 0L)
+            1.0 else -1.0
+        sign * v0(i)
+      }.sum
+      (acc * (1.0 / math.sqrt(4.0))).toFloat
+    }
+    assert(p.head._2 == expected)
+    // norm preserved on average, like the default kernel
+    val ratios = vecs.select(
+      (VFn.l2_norm(VFn.random_project_portable($"v", 4)) / VFn.l2_norm($"v"))
+        .as("r")).as[Double].collect()
+    val mean = ratios.map(r => r * r).sum / ratios.length
+    assert(mean > 0.4 && mean < 1.6, s"squared-norm ratio mean $mean")
+  }
+
   test("rrfFuse: consensus ids outrank single-list ids, exact reciprocals") {
     val dense = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val sparse = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
