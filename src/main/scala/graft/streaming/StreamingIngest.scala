@@ -72,6 +72,40 @@ object StreamingIngest {
       }
       .start()
 
+  /** ST5: stream-stream equi-join with watermarks and an event-time range
+    * bound — the enrichment shape (impressions ⋈ clicks, requests ⋈
+    * responses): each left row matches right rows with the same key whose
+    * event time lands in [left ts, left ts + `within`].
+    *
+    * The range predicate is load-bearing for state size: with only an
+    * equi-condition Spark must retain EVERY past row of both sides
+    * forever; with watermarks + the time bound it provably expires state
+    * older than watermark − `within` (state is per-key-partitioned, so
+    * the join scales horizontally like any shuffled stream op).
+    *
+    * Column layout: left columns first, then the right side's `rightTs`
+    * and `payloadCols`; the right key column is dropped (it equals the
+    * left's). Inner join — unmatched rows expire silently; use the
+    * built-in left-outer stream join when unmatched-left emission is
+    * needed. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermark: String,
+      within: String): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be named apart (both '$leftTs') — " +
+        "rename one side so the joined row can carry both timestamps")
+    val l = left.withWatermark(leftTs, watermark).alias("_gl")
+    val r = right.withWatermark(rightTs, watermark).alias("_gr")
+    val rightKeep = right.columns.filter(c => c != key).toSeq
+    l.join(r,
+        col(s"_gl.$key") === col(s"_gr.$key") &&
+          col(s"_gr.$rightTs") >= col(s"_gl.$leftTs") &&
+          col(s"_gr.$rightTs") <= col(s"_gl.$leftTs") +
+            expr(s"INTERVAL $within"))
+      .select(left.columns.map(c => col(s"_gl.$c")).toIndexedSeq ++
+        rightKeep.map(c => col(s"_gr.$c")): _*)
+  }
+
   /** Custom keyed state via mapGroupsWithState: a continuously-updated
     * per-user running aggregate — the engine's hook for arbitrary stateful
     * stream logic beyond built-in windows (SURVEY §2.8). Each micro-batch

@@ -121,6 +121,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST5: stream-stream join matches within the range bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamingIngest.streamStreamJoin(
+      impressions.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts", "target"),
+      key = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
+      watermark = "1 hour", within = "10 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("st5_out").outputMode("append").start()
+    try {
+      impressions.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00"), "in-window"),   // +5 min → match
+        (2L, ts("2024-01-01 10:30:00"), "too-late"),    // +30 min → no
+        (3L, ts("2024-01-01 10:05:00"), "no-impression"))
+      q.processAllAvailable()
+      // advance both watermarks so state for the hour flushes
+      impressions.addData((99L, ts("2024-01-01 13:00:00")))
+      clicks.addData((99L, ts("2024-01-01 13:00:00"), "wm"))
+      q.processAllAvailable()
+      val out = spark.table("st5_out")
+        .filter(col("ad_id") < 99L)
+        .select("ad_id", "target").as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "in-window")))
+      // joined row carries both timestamps and drops the dup key column
+      assert(spark.table("st5_out").columns.toSeq ==
+        Seq("ad_id", "imp_ts", "click_ts", "target"))
+    } finally q.stop()
+  }
+
   test("topk_freq works inside a streaming aggregation (sketch state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
