@@ -32,6 +32,14 @@ import graft.operators.{Curation, GraphOps}
   *   curate      --docs <dir> --bench <dir> [--text-col text]
   *               [--id-col doc_id] [--min-words N] [--quota-group <col>]
   *               [--quota N] -o <outDir>   (writes corpus/ and report/)
+  *   decontaminate --docs <dir> --bench <dir> [--shingle-size N]
+  *               [--mode exact|hashed|bloom] [-o <outDir>]
+  *               (the clean corpus: docs minus eval-overlap flags)
+  *   score       --docs <dir> --weights <dir> [--dim N] [--text-col text]
+  *               [--id-col doc_id] [-o <outDir>]
+  *               (hashed-feature linear quality score + keep probability;
+  *               --weights is a (feature_id, weight) parquet — a trained
+  *               model's export)
   *
   * Common options: `--master local[N]`, `--checkpoint-dir <dir>` (switches
   * every iterative operator to the fault-tolerant
@@ -61,6 +69,10 @@ object Analyze {
       kCore: Int = 2,
       quotaGroup: Option[String] = None,
       quota: Int = Int.MaxValue,
+      weights: String = "",
+      dim: Int = 1024,
+      shingleSize: Int = 3,
+      mode: String = "exact",
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -93,6 +105,10 @@ object Analyze {
         loop(t, acc.copy(maxHubDegree = Some(v.toInt)))
       case "--quota-group" :: v :: t => loop(t, acc.copy(quotaGroup = Some(v)))
       case "--quota" :: v :: t => loop(t, acc.copy(quota = v.toInt))
+      case "--weights" :: v :: t => loop(t, acc.copy(weights = v))
+      case "--dim" :: v :: t => loop(t, acc.copy(dim = v.toInt))
+      case "--shingle-size" :: v :: t => loop(t, acc.copy(shingleSize = v.toInt))
+      case "--mode" :: v :: t => loop(t, acc.copy(mode = v))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
         loop(t, acc.copy(checkpointDir = Some(v)))
@@ -141,6 +157,38 @@ object Analyze {
       case "paths" =>
         GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
           args.maxIter, ckpt)
+      case "decontaminate" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty,
+          "decontaminate needs --docs <dir> and --bench <dir>")
+        val docs = spark.read.parquet(args.docs)
+        val bench = spark.read.parquet(args.bench)
+        val flagged = (args.mode match {
+          case "exact" => graft.operators.Decontaminate.contaminationPairs(
+            docs, args.textCol, args.idCol, bench, args.textCol, args.idCol,
+            args.shingleSize)
+          case "hashed" =>
+            graft.operators.Decontaminate.contaminationPairsHashed(
+              docs, args.textCol, args.idCol, bench, args.textCol,
+              args.idCol, args.shingleSize)
+          case "bloom" =>
+            graft.operators.Decontaminate.contaminationPairsBloom(
+              docs, args.textCol, args.idCol, bench, args.textCol,
+              args.idCol, args.shingleSize)
+          case other => throw new IllegalArgumentException(
+            s"unknown --mode '$other' (exact|hashed|bloom)")
+        }).select(col("doc_id").as("_flagged_id")).distinct()
+        docs.join(flagged, docs(args.idCol) === col("_flagged_id"),
+          "left_anti")
+
+      case "score" =>
+        require(args.docs.nonEmpty, "score needs --docs <dir>")
+        require(args.weights.nonEmpty,
+          "score needs --weights <dir> — a (feature_id, weight) parquet")
+        graft.operators.QualityModel.keepProbability(
+          graft.operators.QualityModel.scoreHashedLinear(
+            spark.read.parquet(args.docs), args.textCol, args.idCol,
+            spark.read.parquet(args.weights), args.dim))
+
       case "curate" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty,
           "curate needs --docs <dir> and --bench <dir>")

@@ -89,4 +89,40 @@ class AnalyzeSpec extends SparkSpec {
     assert(report(3L)._1 == "quality" && report(2L)._1 == "dedup" &&
       report(1L) == ("kept", "kept"))
   }
+
+  test("decontaminate runs from argv in all three modes, same clean set") {
+    val dir = Files.createTempDirectory("graft-analyze-dec").toString
+    Seq((1L, "what is the capital of france paris is the answer today"),
+        (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Seq((100L, "what is the capital of france paris is the answer"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/bench")
+    for (mode <- Seq("exact", "hashed", "bloom")) {
+      val clean = Analyze.run(parse(List("decontaminate",
+        "--docs", s"$dir/docs", "--bench", s"$dir/bench",
+        "--shingle-size", "4", "--mode", mode,
+        "-o", s"$dir/out-$mode")), spark)
+      assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L),
+        s"mode=$mode")
+    }
+    intercept[IllegalArgumentException](Analyze.run(parse(List(
+      "decontaminate", "--docs", s"$dir/docs", "--bench", s"$dir/bench",
+      "--mode", "psychic")), spark))
+  }
+
+  test("score runs from argv against a weights parquet") {
+    val dir = Files.createTempDirectory("graft-analyze-sc").toString
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    graft.operators.QualityModel.seededWeights(spark, 64)
+      .write.parquet(s"$dir/weights")
+    val out = Analyze.run(parse(List("score", "--docs", s"$dir/docs",
+      "--weights", s"$dir/weights", "--dim", "64",
+      "-o", s"$dir/out")), spark)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "score", "n_tokens", "p_keep"))
+    val rows = spark.read.parquet(s"$dir/out/score")
+    assert(rows.count() == 2)
+    assert(rows.filter(col("p_keep") <= 0 || col("p_keep") >= 1).count() == 0)
+  }
 }
