@@ -330,6 +330,19 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy("status", "priority")),
 
+    // ---- rollup: hierarchical subtotals (the cube sibling — prefix
+    // groupings only) ----
+    "q_rollup_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
     // ---- window: running total (frame-bounded window function) ----
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -725,6 +738,16 @@ object SparkEntry {
           floor(col("p") * 1e6 + 0.5).cast("long").as("p_e6"),
           floor(col("rate") * 1e6 + 0.5).cast("long").as("rate_e6"))
         .orderBy("lang")),
+
+    // ---- X6k: percentile-rank score normalization per group — the
+    // signal-calibration step before mixing sources; exact rank
+    // arithmetic so the oracle matches bit-for-bit ----
+    "q_x6k_score_normalize" -> ((s, dir) =>
+      Sampling.percentileNormalize(t(s, dir, "documents"), "n_chars",
+          Some("lang"))
+        .select(col("doc_id"), col("lang"),
+          floor(col("pr") * 1e6 + 0.5).cast("long").as("pr_e6"))
+        .orderBy("doc_id")),
 
     // ---- X6b: deterministic content-id Bernoulli sample. The query runs
     // the engine-portable hash mode (md5-48bit — see PortableHash) so the
@@ -1840,6 +1863,22 @@ object SparkEntry {
         |count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_rollup_orders" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |COALESCE(o_orderpriority, 'ALL') AS priority,
+        |count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    // percent_rank is exact small-integer arithmetic — ties share a rank
+    // on both engines, no tie-break column needed.
+    "q_x6k_score_normalize" ->
+      """SELECT doc_id, lang,
+        |  CAST(floor(PERCENT_RANK() OVER (PARTITION BY lang
+        |    ORDER BY n_chars) * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS pr_e6
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,

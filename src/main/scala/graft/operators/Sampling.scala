@@ -262,4 +262,31 @@ object Sampling {
       .filter(col(scoreCol) >= col("_cut"))
       .drop("_cut")
   }
+
+  /** Percentile-rank score normalization: append `pr` = percent_rank of
+    * `scoreCol` within each `groupCol` partition (corpus-wide when
+    * `groupCol` is None) — the "make heterogeneous quality signals
+    * comparable" step before mixing sources: a perplexity in [20, 800]
+    * and a classifier logit in [−4, 4] both land in [0, 1] with the same
+    * meaning ("fraction of the group scored below").
+    *
+    * percent_rank = (rank − 1)/(n − 1) with ANSI rank ties (tied scores
+    * share a rank), 0 for singleton groups — exact small-integer
+    * arithmetic, identical on every engine. Ties need no tie-break
+    * column: tied rows get the same pr by definition.
+    *
+    * Scale: one window sort per group. Fine when groups are bounded
+    * (per-language, per-source); for a single corpus-wide group at
+    * extreme scale prefer [[keepTopFraction]] (one percentile aggregate,
+    * no sort) when the goal is just a cut. */
+  def percentileNormalize(df: DataFrame, scoreCol: String,
+      groupCol: Option[String] = None): DataFrame = {
+    val w = groupCol match {
+      case Some(g) => org.apache.spark.sql.expressions.Window
+        .partitionBy(col(g)).orderBy(col(scoreCol))
+      case None => org.apache.spark.sql.expressions.Window
+        .partitionBy().orderBy(col(scoreCol))
+    }
+    df.withColumn("pr", percent_rank().over(w))
+  }
 }

@@ -419,4 +419,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.keepTopFraction(df, "score", 0.0)
     }
   }
+
+  test("percentileNormalize: [0,1] range, tied scores share a rank, " +
+      "singleton group -> 0, per-group independence") {
+    val df = Seq(
+      ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 20.0), ("en", 4L, 40.0),
+      ("fr", 5L, 999.0))
+      .toDF("lang", "id", "score")
+    val out = Sampling.percentileNormalize(df, "score", Some("lang"))
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == out(3L))           // ties share percent_rank
+    assert(out(2L) == 1.0 / 3.0)         // rank 2 of 4 → (2-1)/(4-1)
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.0)               // singleton group
+    // corpus-wide mode: one global ordering
+    val g = Sampling.percentileNormalize(df, "score", None)
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    assert(g(5L) == 1.0)
+  }
 }
