@@ -102,8 +102,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RandomProject(exprs.head, d.toInt,
           if (exprs.length > 2) lit(2) else 42L)
       }))
+    ext.injectFunction((FunctionIdentifier("bloom_count_shingles"),
+      info("bloom_count_shingles",
+        "bloom_count_shingles(text, bloom, n, k) - shingles of text whose " +
+          "k probe bits are all set in the bloom binary."),
+      exprs => {
+        if (exprs.length != 4)
+          throw new IllegalArgumentException(
+            s"bloom_count_shingles takes (text, bloom, n, k), got " +
+              s"${exprs.length} argument(s)")
+        def lit(i: Int): Int = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"bloom_count_shingles argument ${i + 1} must be an integer " +
+              s"literal, got: $other")
+        }
+        BloomCountShingles(exprs.head, exprs(1), lit(2), lit(3))
+      }))
     // aggregate functions register bare — the analyzer wraps them in an
     // AggregateExpression during resolution (same as built-in percentile)
+    ext.injectFunction((FunctionIdentifier("bloom_shingle_agg"),
+      info("bloom_shingle_agg",
+        "bloom_shingle_agg(text, n[, numBits[, k]]) - aggregate a shingle " +
+          "Bloom filter bitset over a corpus as binary."),
+      exprs => {
+        if (exprs.length < 2 || exprs.length > 4)
+          throw new IllegalArgumentException(
+            s"bloom_shingle_agg takes (text, n[, numBits[, k]]), got " +
+              s"${exprs.length} argument(s)")
+        def lit(i: Int): Int = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"bloom_shingle_agg argument ${i + 1} must be an integer " +
+              s"literal, got: $other")
+        }
+        BloomShingleAgg(exprs.head, lit(1),
+          if (exprs.length > 2) lit(2) else 1 << 22,
+          if (exprs.length > 3) lit(3) else 5)
+      }))
     ext.injectFunction((FunctionIdentifier("sample_k"),
       info("sample_k",
         "sample_k(id, k) - deterministic k-sample of ids per group " +

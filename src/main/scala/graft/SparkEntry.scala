@@ -377,7 +377,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- fingerprint64 rolling-hash (no ANSI equivalent) ----
+    // ---- fingerprint64 rolling-hash — oracled EXACTLY: the 31-poly mod
+    // 2^64 over UTF-8 bytes is rebuilt in DuckDB as an ordered HUGEINT
+    // list_reduce (wrap-around via explicit mod; signed view at the end)
+    // ----
     "q_text_fingerprint" -> ((s, dir) => {
       GF.register(s)
       t(s, dir, "documents")
@@ -1898,6 +1901,38 @@ object SparkEntry {
       """SELECT sha256(text) AS content_sha256, min(doc_id) AS keeper_id,
         |count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    // The EXACT Fingerprint64 hash (31-polynomial mod 2^64 over UTF-8
+    // bytes, seed 1125899906842597), not a portable stand-in: HUGEINT
+    // list_reduce with explicit wrap, reinterpreted signed at the end.
+    // Empty text folds nothing (fp = seed); null text stays null.
+    "q_text_fingerprint" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |  WHERE text IS NOT NULL
+        |), e AS (
+        |  SELECT doc_id, u.i,
+        |    CAST(concat('0x', substr(hx, u.i * 2 - 1, 2)) AS INTEGER) AS byte
+        |  FROM b, LATERAL (SELECT unnest(range(1, length(hx) // 2 + 1)) AS i) u
+        |), f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list(CAST(byte AS HUGEINT) ORDER BY i)),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT)
+        |      AS h
+        |  FROM e GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE CAST(CASE
+        |      WHEN COALESCE(f.h, 1125899906842597::HUGEINT)
+        |        >= 9223372036854775808::HUGEINT
+        |      THEN COALESCE(f.h, 1125899906842597::HUGEINT)
+        |        - 18446744073709551616::HUGEINT
+        |      ELSE COALESCE(f.h, 1125899906842597::HUGEINT) END AS BIGINT)
+        |  END AS fp
+        |FROM documents d LEFT JOIN f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // IVF is deterministic end-to-end (fixed-k hash-sampled centroids,
     // double cosine, id tie-breaks), so even the ANN path gets an exact

@@ -19,7 +19,9 @@ object ExplainPlans {
         "q_g3_pagerank", "q_x9_tfidf", "q_x7b_decontaminate_hashed",
         "q_st3_interval_join", "q_g1_degrees", "q_g6_shortest_paths",
         "q_g3c_pagerank_weighted", "q_x5g_image_resize",
-        "q_x5h_audio_resample", "q_g8_link_prediction", "q_x4j_chunking")
+        "q_x5h_audio_resample", "q_g8_link_prediction", "q_x4j_chunking",
+        "q_x7d_decontaminate_bloom", "q_x4p_quality_model",
+        "q_x2j_simhash_portable", "q_x6k_score_normalize")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

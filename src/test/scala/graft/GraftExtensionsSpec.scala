@@ -123,6 +123,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq(("x", 5L), ("y", 3L)))
   }
 
+  test("bloom agg + probe work from pure SQL (build once, probe rows)") {
+    import spark.implicits._
+    Seq("the quick brown fox", "the quick brown dog")
+      .toDF("q").createOrReplaceTempView("bench_sql")
+    Seq((1L, "a sentence with the quick brown fox inside"),
+        (2L, "nothing shared at all here"))
+      .toDF("id", "t").createOrReplaceTempView("corpus_sql")
+    val out = spark.sql(
+      """SELECT c.id,
+        |  bloom_count_shingles(c.t, b.bl, 3, 5) AS n
+        |FROM corpus_sql c CROSS JOIN
+        |  (SELECT bloom_shingle_agg(q, 3, 1024, 5) AS bl
+        |   FROM bench_sql) b
+        |ORDER BY c.id""".stripMargin)
+      .as[(Long, Int)].collect().toSeq
+    assert(out.head._2 > 0)     // overlapping doc probes positive
+    assert(out(1)._2 == 0)      // disjoint doc provably clean
+  }
+
   test("non-literal shingle size fails with a clear message") {
     val e = intercept[Exception](
       spark.sql("SELECT token_shingles('a b', 1 + 1)").head())
