@@ -494,15 +494,15 @@ object SparkEntry {
 
     // ---- X2j: SimHash near-dup, portable-hash mode — the oracle
     // rebuilds the 48-bit md5-48 vote fingerprints AND the full
-    // Hamming-≤8 pair set brute-force in DuckDB, while the engine side
+    // Hamming-≤6 pair set brute-force in DuckDB, while the engine side
     // still goes through the lossless pigeonhole blocking (banded over
-    // the real 48 bits). The one-pass xxhash64 kernel default stays on
-    // q_x2c. ----
+    // the real 48 bits; radius 6/48 ≡ the 64-bit tier's 8/64
+    // selectivity — wider radii fatten every band bucket). The one-pass
+    // xxhash64 kernel default stays on q_x2c. ----
     "q_x2j_simhash_portable" -> ((s, dir) => {
       val fps = Dedup.simhash48Portable(t(s, dir, "documents"), "text",
         "doc_id")
-      Dedup.simhashNearDups(fps, "doc_id", maxHamming = 8,
-          materialize = false, bits = 48)
+      Dedup.simhashNearDups(fps, "doc_id", maxHamming = 6, bits = 48)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     }),
@@ -1710,7 +1710,7 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 8
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 6
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_s3_scan_region" ->

@@ -175,6 +175,49 @@ object TextKernels {
     fp
   }
 
+  /** One-pass PORTABLE SimHash-48 kernel: same whitespace byte scan as
+    * [[simHash64]], but each token hashes with the engine-portable md5-48
+    * ([[PortableHash.hash48]] — bit-identical to the column form, so the
+    * DuckDB oracle can rebuild every fingerprint). Replaces the explode →
+    * 48-column vote aggregation with a narrow map: the token stream never
+    * materializes and nothing shuffles. Token set is identical to
+    * `split(trim(s), "\\s+")` minus empties (the byte scan never emits
+    * empty tokens). Token-less text → 0L. */
+  def simHash48Portable(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](48)
+    var i = 0
+    var start = -1
+    while (i <= bytes.length) {
+      val ws = i == bytes.length || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' ||
+          b == '\r'
+      }
+      if (ws) {
+        if (start >= 0) {
+          val tok = new String(bytes, start, i - start,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val h = PortableHash.hash48(tok, seed)
+          var b = 0
+          while (b < 48) {
+            counts(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
+            b += 1
+          }
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 48) {
+      if (counts(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
   /** English stopword list shared by the regex and kernel paths. */
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",

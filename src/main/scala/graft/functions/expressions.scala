@@ -81,6 +81,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass PORTABLE SimHash-48 ([[TextKernels.simHash48Portable]]):
+  * md5-48 token hashes so the fingerprint is rebuildable in any engine,
+  * with the same narrow-map shape as [[SimHash64]]. */
+case class SimHash48Portable(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash48_portable"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simHash48Portable(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.simHash48Portable($c, ${seed}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash48Portable =
+    copy(child = newChild)
+}
+
 /** One-pass MinHash signature as a codegen'd expression
   * ([[TextKernels.minhashSignature]]): `array<long>` of `numHashes`
   * seeded minimums over the text's `shingleSize`-token shingles; empty

@@ -308,35 +308,20 @@ object Dedup {
     * the fingerprint is 1 iff the ±1 vote sum over whitespace-token
     * OCCURRENCES (multiplicity counts, same as the kernel) is positive.
     *
-    * Pays an explode + a 48-column vote aggregation (one shuffle on id)
-    * where the default xxhash64 kernel is a narrow one-pass map — use it
-    * when cross-engine reproducibility is the point, not throughput.
-    * Null-text docs are dropped; docs with no non-empty token fingerprint
-    * as 0L (both rules shared with [[simhash64]]). Output: (idCol,
-    * `simhash`) — band-compatible with [[simhashNearDups]] (the 16 always-
-    * zero high bits just make their bands collide, which blocking treats
-    * as candidates to verify, never as results). */
+    * Same narrow one-pass kernel shape as the default (MD5 per token in
+    * place — [[graft.functions.TextKernels.simHash48Portable]]; ~2× the
+    * hash cost of xxhash64, zero extra shuffles). Null-text docs are
+    * dropped; docs with no non-empty token fingerprint as 0L (both rules
+    * shared with [[simhash64]]). Output: (idCol, `simhash`) —
+    * band-compatible with [[simhashNearDups]]; pass `bits = 48` there so
+    * the always-zero high bits don't band into degenerate buckets. */
   def simhash48Portable(df: DataFrame, textCol: String, idCol: String,
       seed: Long = 42L): DataFrame = {
-    val base = df.filter(col(textCol).isNotNull)
-    val votes = (0 until 48).map { j =>
-      sum(when(shiftrightunsigned(col("_h"), j).bitwiseAND(lit(1L)) === 1L,
-        1L).otherwise(-1L)).as(s"_v$j")
-    }
-    val fpBits = (0 until 48).map { j =>
-      when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val fps = base
-      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("_tk"))
-      .filter(col("_tk") =!= "")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        graft.functions.PortableHash.hash48(col("_tk"), seed).as("_h"))
-      .groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fpBits.as("simhash"))
-    base.select(col(idCol))
-      .join(fps, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+        ColumnShim.column(graft.functions.SimHash48Portable(
+          ColumnShim.expression(col(textCol)), seed)).as("simhash"))
   }
 
   /** SimHash near-dups: Hamming distance ≤ `maxHamming` between
