@@ -478,10 +478,14 @@ object SparkEntry {
     }),
 
     // ---- X1c: end-to-end dedup pipeline (exact → LSH → verify → CC →
-    // keeper election), decision counts by reason (minhash → rows-only) ----
+    // keeper election), decision counts by reason. Portable-hash mode:
+    // the oracle rebuilds EVERY stage in DuckDB — exact keepers, the
+    // md5-48 LSH pairs at ≥ 0.8, a 6-round min-label propagation unroll
+    // (component diameter is 2 at sf0.01; propagation past the fixpoint
+    // is the identity), and the keeper/reason composition. ----
     "q_x1c_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.8)
+        threshold = 0.8, portable = true)
         .groupBy("reason").agg(count(lit(1)).as("n"))
         .orderBy("reason")),
 
@@ -1562,15 +1566,18 @@ object SparkEntry {
   /** Shared CTE prefix for the portable-MinHash oracles: positional
     * trigram rebuild → md5-48 base hash mod 2^31−1 → the SAME seed-derived
     * Carter–Wegman coefficients the Spark path uses (interpolated below,
-    * so the two can never drift) → 4-hash band signatures. */
-  private lazy val minhashPortableCtes: String = {
+    * so the two can never drift) → 4-hash band signatures. `lead` CTEs
+    * (if any) are injected before `tok`; `docsRel` is the relation the
+    * token rebuild reads (must expose doc_id, text). */
+  private def minhashPortableCtes(lead: String = "",
+      docsRel: String = "documents"): String = {
     val values = graft.operators.Dedup.portableCoeffs(16, 42L).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH tok AS (
+    s"""WITH ${lead}tok AS (
        |  SELECT doc_id, u.tk, u.pos
        |  FROM (SELECT doc_id,
        |          regexp_split_to_array(trim(text), '\\s+') AS arr
-       |        FROM documents),
+       |        FROM $docsRel),
        |       LATERAL (SELECT unnest(arr) AS tk,
        |                generate_subscripts(arr, 1) AS pos) u
        |), sh AS (
@@ -1636,7 +1643,7 @@ object SparkEntry {
     // Portable-MinHash LSH end-to-end: candidates from shared band
     // signatures, verified with exact trigram-set Jaccard ≥ 0.2.
     "q_x2_minhash_neardups" ->
-      s"""$minhashPortableCtes,
+      s"""${minhashPortableCtes()},
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM band x JOIN band y
@@ -1663,10 +1670,73 @@ object SparkEntry {
          |  / (sa.n + sb.n - i.n_inter) >= 0.2
          |ORDER BY c.id_a, c.id_b""".stripMargin,
 
+    // The whole dedup pipeline, stage by stage: exact keepers (window
+    // min per text), portable LSH + exact-Jaccard ≥ 0.8 pairs among the
+    // exact representatives, connected components as a 6-round min-label
+    // unroll (MATERIALIZED — each round reads the previous twice), then
+    // the keeper/reason composition dedupCorpus emits.
+    "q_x1c_dedup_pipeline" -> {
+      val lead =
+        """ek AS (
+          |  SELECT doc_id,
+          |    min(doc_id) OVER (PARTITION BY text) AS exact_keeper
+          |  FROM documents
+          |), reps AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  JOIN ek ON ek.doc_id = d.doc_id AND ek.exact_keeper = d.doc_id
+          |), """.stripMargin
+      val ccRounds = (1 to 6).map { i =>
+        s""",
+           |l$i AS MATERIALIZED (
+           |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT eadj.src AS id, min(l2.comp) AS mc
+           |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
+           |    GROUP BY eadj.src) m USING (id))""".stripMargin
+      }.mkString
+      s"""${minhashPortableCtes(lead, "reps")},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y
+         |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
+         |), dsh AS (
+         |  SELECT DISTINCT doc_id, sh FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.id_a
+         |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+         |  GROUP BY c.id_a, c.id_b
+         |), pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  WHERE CAST(i.n_inter AS DOUBLE)
+         |    / (sa.n + sb.n - i.n_inter) >= 0.8
+         |), eadj AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), l0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, doc_id AS comp FROM reps
+         |)$ccRounds,
+         |dec AS (
+         |  SELECT ek.doc_id,
+         |    CASE WHEN ek.doc_id = n.comp THEN 'kept'
+         |         WHEN ek.doc_id <> ek.exact_keeper THEN 'exact'
+         |         ELSE 'near' END AS reason
+         |  FROM ek JOIN l6 n ON n.id = ek.exact_keeper)
+         |SELECT reason, count(*) AS n FROM dec
+         |GROUP BY reason ORDER BY reason""".stripMargin
+    },
+
     // Overflow report with maxBucketSize = 1: every bucket shared by ≥ 2
     // docs counts, so the side-channel is exercised with non-zero output.
     "q_x2e_minhash_overflow" ->
-      s"""$minhashPortableCtes,
+      s"""${minhashPortableCtes()},
          |over AS (
          |  SELECT band, sig, count(*) AS n_ids FROM band
          |  GROUP BY band, sig HAVING count(*) > 1

@@ -480,7 +480,8 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
-      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+      ckpt: Checkpointer = Checkpointer.Local,
+      portable: Boolean = false): DataFrame = {
     // exact groups: map every doc to its group keeper — a window min over
     // the content hash (ONE scan + one shuffle on the hash; the
     // groupBy-then-self-join alternative scans and hashes the corpus twice)
@@ -494,8 +495,14 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi")
     // near-dup pairs among representatives → clusters → cluster keeper
-    val pairs = minhashNearDups(reps, textCol, idCol, threshold,
-      numHashes, bands, shingleSize, maxBucketSize)
+    // (portable = the md5-48 LSH audit mode — same pipeline, every stage
+    // rebuildable in SQL, which is how the q_x1c oracle checks this)
+    val pairs = (if (portable)
+      minhashNearDupsPortable(reps, textCol, idCol, threshold,
+        numHashes, bands, shingleSize, maxBucketSize)
+    else
+      minhashNearDups(reps, textCol, idCol, threshold,
+        numHashes, bands, shingleSize, maxBucketSize))
       .select("id_a", "id_b")
     val comps = connectedComponents(reps.select(col(idCol)), idCol, pairs,
         ckpt = ckpt)
