@@ -46,7 +46,8 @@ object Curation {
       contaminationShingle: Int = 8,
       quotaGroupCol: Option[String] = None,
       quotaPerGroup: Int = Int.MaxValue,
-      ckpt: Checkpointer = Checkpointer.Local): (DataFrame, DataFrame) = {
+      ckpt: Checkpointer = Checkpointer.Local,
+      portableDedup: Boolean = false): (DataFrame, DataFrame) = {
 
     def restrict(idSet: DataFrame): DataFrame =
       docs.join(idSet, Seq(idCol), "left_semi")
@@ -57,7 +58,7 @@ object Curation {
       .select(col(idCol)))
     // 2. dedup (exact + near) among quality survivors
     val dIds = ckpt(Dedup.dedupedRows(restrict(qIds), textCol, idCol,
-        dedupThreshold, ckpt = ckpt)
+        dedupThreshold, ckpt = ckpt, portable = portableDedup)
       .select(col(idCol)))
     // 3. decontamination
     val cIds = ckpt(Decontaminate.decontaminate(restrict(dIds), textCol,

@@ -627,9 +627,11 @@ object Dedup {
     * keeper. */
   def dedupedRows(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8,
-      ckpt: Checkpointer = Checkpointer.Local): DataFrame =
+      ckpt: Checkpointer = Checkpointer.Local,
+      portable: Boolean = false): DataFrame =
     df.join(
-      dedupCorpus(df, textCol, idCol, threshold, ckpt = ckpt)
+      dedupCorpus(df, textCol, idCol, threshold, ckpt = ckpt,
+        portable = portable)
         .filter(col("reason") === "kept")
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi")
