@@ -406,15 +406,17 @@ object SparkEntry {
 
     // ---- X2i: incremental dedup — the daily-increment path: docs < 400
     // play the indexed corpus (signatures only), the rest arrive as the
-    // new batch. Rows-only (xxhash64 signatures aren't in DuckDB); the
-    // chain/cluster semantics are pinned by DedupSpec. ----
+    // new batch. Portable-hash mode: the oracle rebuilds the stored
+    // index, the new-doc-only bucket expansion, the ≥ 0.2 verify, the
+    // cluster chain resolution, and the corpus-first keeper election. ----
     "q_x2i_incremental_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val corpus = d.filter(col("doc_id") < 400)
       val batch = d.filter(col("doc_id") >= 400 && col("doc_id") < 800)
-      val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 16, 3)
+      val sigs = Dedup.minhashSignaturesPortable(corpus, "text", "doc_id",
+        16, 3)
       Dedup.incrementalDedup(sigs, corpus, batch, "text", "doc_id",
-        threshold = 0.2, bands = 8)
+        threshold = 0.2, bands = 8, portable = true)
         .orderBy("doc_id")
     }),
 
@@ -1574,7 +1576,7 @@ object SparkEntry {
     * (if any) are injected before `tok`; `docsRel` is the relation the
     * token rebuild reads (must expose doc_id, text). */
   private def minhashPortableCtes(lead: String = "",
-      docsRel: String = "documents"): String = {
+      docsRel: String = "documents", perBand: Int = 4): String = {
     val values = graft.operators.Dedup.portableCoeffs(16, 42L).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""WITH ${lead}tok AS (
@@ -1600,9 +1602,9 @@ object SparkEntry {
        |    min((hs.h * coef.a + coef.b) % 2147483647) AS mh
        |  FROM hs CROSS JOIN coef GROUP BY hs.doc_id, coef.i
        |), band AS (
-       |  SELECT doc_id, (i // 4) AS band,
+       |  SELECT doc_id, (i // $perBand) AS band,
        |    string_agg(mh, ',' ORDER BY i) AS sig
-       |  FROM mh GROUP BY doc_id, (i // 4)
+       |  FROM mh GROUP BY doc_id, (i // $perBand)
        |)""".stripMargin
   }
 
@@ -1673,6 +1675,81 @@ object SparkEntry {
          |WHERE CAST(i.n_inter AS DOUBLE)
          |  / (sa.n + sb.n - i.n_inter) >= 0.2
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    // The incremental-dedup increment, stage by stage: portable
+    // signatures over corpus ∪ batch (8 bands of 2), bucket expansion
+    // restricted to capped buckets with a new member, exact-Jaccard
+    // ≥ 0.2 verify, a 6-round CC unroll over the verified pairs
+    // (component diameter is 2 at sf0.01), and the corpus-first keeper
+    // election per component.
+    "q_x2i_incremental_dedup" -> {
+      val lead =
+        """allx AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 800
+          |), """.stripMargin
+      val ccRounds = (1 to 6).map { i =>
+        s""",
+           |l$i AS MATERIALIZED (
+           |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT eadj.src AS id, min(l2.comp) AS mc
+           |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
+           |    GROUP BY eadj.src) m USING (id))""".stripMargin
+      }.mkString
+      s"""${minhashPortableCtes(lead, "allx", perBand = 2)},
+         |bsz AS (
+         |  SELECT band, sig, count(*) AS n FROM band GROUP BY band, sig
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y
+         |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
+         |  JOIN bsz ON bsz.band = x.band AND bsz.sig = x.sig
+         |  WHERE bsz.n <= 1000 AND (x.doc_id >= 400 OR y.doc_id >= 400)
+         |), dsh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, sh FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.id_a
+         |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+         |  GROUP BY c.id_a, c.id_b
+         |), vp AS MATERIALIZED (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  WHERE CAST(i.n_inter AS DOUBLE)
+         |    / (sa.n + sb.n - i.n_inter) >= 0.2
+         |), eadj AS (
+         |  SELECT id_a AS src, id_b AS dst FROM vp
+         |  UNION ALL SELECT id_b, id_a FROM vp
+         |), l0 AS MATERIALIZED (
+         |  SELECT DISTINCT id, id AS comp FROM (
+         |    SELECT id_a AS id FROM vp UNION ALL SELECT id_b FROM vp)
+         |)$ccRounds,
+         |keepers AS (
+         |  SELECT comp,
+         |    COALESCE(min(CASE WHEN id < 400 THEN id END), min(id))
+         |      AS keeper,
+         |    max(CASE WHEN id < 400 THEN 1 ELSE 0 END) AS has_corpus
+         |  FROM l6 GROUP BY comp
+         |), clustered AS (
+         |  SELECT l6.id, k.keeper, k.has_corpus
+         |  FROM l6 JOIN keepers k USING (comp)
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(c.keeper, d.doc_id) AS keeper_id,
+         |  CASE WHEN c.keeper IS NULL OR c.keeper = d.doc_id THEN 'kept'
+         |       WHEN c.has_corpus = 1 THEN 'corpus'
+         |       ELSE 'batch' END AS reason
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE doc_id >= 400 AND doc_id < 800) d
+         |LEFT JOIN clustered c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // The whole curation pipeline, stage by stage: Gopher quality rules
     // (q_x4g's rebuild), exact keepers, portable-LSH dedup among the

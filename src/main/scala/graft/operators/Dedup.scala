@@ -553,16 +553,25 @@ object Dedup {
       textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
-      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+      ckpt: Checkpointer = Checkpointer.Local,
+      portable: Boolean = false): DataFrame = {
     val mhCols = corpusSigs.columns.filter(_.startsWith("mh_"))
     require(mhCols.length == numHashes,
       s"corpusSigs has ${mhCols.length} mh_* columns, expected $numHashes " +
         "— the stored index and this call must agree on numHashes")
-    val newSigs = minhashSignatures(newDocs, textCol, idCol,
-      numHashes, shingleSize)
-    val keys = bandedKeys(corpusSigs, idCol, bands)
+    // portable: corpusSigs must be minhashSignaturesPortable output and
+    // the batch side signs/bands the same way (md5-48 audit mode — the
+    // q_x2i oracle rebuilds the whole increment in SQL)
+    val newSigs =
+      if (portable) minhashSignaturesPortable(newDocs, textCol, idCol,
+        numHashes, shingleSize)
+      else minhashSignatures(newDocs, textCol, idCol, numHashes, shingleSize)
+    def keysOf(sigs: DataFrame) =
+      if (portable) bandedKeysPortable(sigs, idCol, bands)
+      else bandedKeys(sigs, idCol, bands)
+    val keys = keysOf(corpusSigs)
       .withColumn("_new", lit(false))
-      .unionByName(bandedKeys(newSigs, idCol, bands)
+      .unionByName(keysOf(newSigs)
         .withColumn("_new", lit(true)))
     // bucket-local expansion, but only buckets a new doc landed in
     val buckets = keys
