@@ -583,14 +583,17 @@ object SparkEntry {
           round(avg(length(col("text"))), 4).as("avg_len"))
         .orderBy("lang")),
 
-    // ---- X4b: language-ID heuristic + quality scoring (no ANSI equiv) ----
+    // ---- X4b: language-ID heuristic + quality scoring — the composite
+    // report, fully oracled: lang via q_x4o's marker rebuild, quality as
+    // exact 0.25 bands over the profile counters, BPE-ish count as alnum
+    // runs + loose non-alnum chars ----
     "q_x4b_lang_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
           GF.lang_id(col("text")).as("lang_guess"),
           round(GF.quality_score(col("text")), 4).as("quality"),
           round(GF.stopword_ratio(col("text")), 6).as("stop_ratio"),
-          GF.token_count_bpe(col("text")).as("n_bpeish"))
+          GF.token_count_bpe(col("text")).cast("long").as("n_bpeish"))
         .orderBy("doc_id")),
 
     // ---- X4o: language ID alone, ORACLED — the oracle rebuilds the
@@ -1607,6 +1610,59 @@ object SparkEntry {
        |  FROM mh GROUP BY doc_id, (i // $perBand)
        |)""".stripMargin
   }
+
+  /** Shared lang-ID CTE chain (p → s → lg): per-doc marker-presence
+    * scores and the argmax-with-max-lang-tie-break as greatest() over
+    * 'digit:lang' strings. Used by q_x4o (standalone) and q_x4b (the
+    * composite report). */
+  private lazy val langGuessCtes: String =
+    """p AS (
+      |  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN position(' the ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' and ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' of ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position('ing ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' to ' IN t) > 0 THEN 1 ELSE 0 END)
+      |      AS s_en,
+      |    (CASE WHEN position(' der ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' und ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' die ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position('sch' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' ist ' IN t) > 0 THEN 1 ELSE 0 END)
+      |      AS s_de,
+      |    (CASE WHEN position(' le ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' la ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' et ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' les ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' des ' IN t) > 0 THEN 1 ELSE 0 END)
+      |      AS s_fr,
+      |    (CASE WHEN position(' el ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' de ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' que ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' los ' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position(' y ' IN t) > 0 THEN 1 ELSE 0 END)
+      |      AS s_es,
+      |    (CASE WHEN position('的' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position('是' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position('了' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position('在' IN t) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN position('我' IN t) > 0 THEN 1 ELSE 0 END)
+      |      AS s_zh
+      |  FROM p),
+      |lg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN g LIKE '0%' THEN 'und' ELSE substr(g, 3) END
+      |      AS lang_guess
+      |  FROM (
+      |    SELECT doc_id, greatest(
+      |      CAST(s_en AS VARCHAR) || ':en',
+      |      CAST(s_de AS VARCHAR) || ':de',
+      |      CAST(s_fr AS VARCHAR) || ':fr',
+      |      CAST(s_es AS VARCHAR) || ':es',
+      |      CAST(s_zh AS VARCHAR) || ':zh') AS g
+      |    FROM s))""".stripMargin
 
   /** Unrolled k-core peeling (G9): each round re-derives degrees on the
     * surviving edge set and drops nodes below k. Peeling past the
@@ -3566,53 +3622,50 @@ object SparkEntry {
     // greatest() over 'digit:lang' strings (scores are 0..5, single
     // digit → lexicographic ≡ (score, lang) struct order).
     "q_x4o_langid" ->
-      """WITH p AS (
-        |  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN position(' the ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' and ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' of ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position('ing ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' to ' IN t) > 0 THEN 1 ELSE 0 END)
-        |      AS s_en,
-        |    (CASE WHEN position(' der ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' und ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' die ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position('sch' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' ist ' IN t) > 0 THEN 1 ELSE 0 END)
-        |      AS s_de,
-        |    (CASE WHEN position(' le ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' la ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' et ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' les ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' des ' IN t) > 0 THEN 1 ELSE 0 END)
-        |      AS s_fr,
-        |    (CASE WHEN position(' el ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' de ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' que ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' los ' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position(' y ' IN t) > 0 THEN 1 ELSE 0 END)
-        |      AS s_es,
-        |    (CASE WHEN position('的' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position('是' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position('了' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position('在' IN t) > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN position('我' IN t) > 0 THEN 1 ELSE 0 END)
-        |      AS s_zh
-        |  FROM p)
-        |SELECT doc_id,
-        |  CASE WHEN g LIKE '0%' THEN 'und' ELSE substr(g, 3) END
-        |    AS lang_guess
-        |FROM (
-        |  SELECT doc_id, greatest(
-        |    CAST(s_en AS VARCHAR) || ':en',
-        |    CAST(s_de AS VARCHAR) || ':de',
-        |    CAST(s_fr AS VARCHAR) || ':fr',
-        |    CAST(s_es AS VARCHAR) || ':es',
-        |    CAST(s_zh AS VARCHAR) || ':zh') AS g
-        |  FROM s)
+      s"""WITH $langGuessCtes
+        |SELECT doc_id, lang_guess FROM lg
         |ORDER BY doc_id""".stripMargin,
+
+    // The composite lang/quality report: lang ID (q_x4o's rebuild) plus
+    // the kernel's profile counters in SQL — quality is a sum of exact
+    // 0.25 bands, stop_ratio a small-rational ROUND, n_bpeish = alnum
+    // runs + non-alnum non-ws chars.
+    "q_x4b_lang_quality" ->
+      s"""WITH $langGuessCtes,
+        |prof AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+        |      AS n_toks,
+        |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
+        |    length(regexp_replace(text, '[^!-:-@\\[-`{-~]', '', 'g'))
+        |      AS n_punct,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
+        |        'is','are','was','it','that','this','for','on','with','as',
+        |        'be','by','at'))) AS n_stop,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        |      + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+        |      AS n_bpeish
+        |  FROM documents)
+        |SELECT p.doc_id, lg.lang_guess,
+        |  ROUND(
+        |    CASE WHEN p.n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END
+        |    + CASE WHEN p.n_toks > 0
+        |        AND (p.n_nonws * 1.0 / p.n_toks) BETWEEN 2.0 AND 12.0
+        |      THEN 0.25 ELSE 0 END
+        |    + CASE WHEN p.n_toks > 0
+        |        AND p.n_stop * 1.0 / p.n_toks > 0.01
+        |      THEN 0.25 ELSE 0 END
+        |    + CASE WHEN (CASE WHEN p.n_chars = 0 THEN 0.0
+        |        ELSE p.n_punct * 1.0 / p.n_chars END) < 0.2
+        |      THEN 0.25 ELSE 0 END, 4) AS quality,
+        |  ROUND(CASE WHEN p.n_toks = 0 THEN 0.0
+        |    ELSE p.n_stop * 1.0 / p.n_toks END, 6) AS stop_ratio,
+        |  CAST(p.n_bpeish AS BIGINT) AS n_bpeish
+        |FROM prof p JOIN lg ON lg.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     // Tukey fences from quantile_cont (≡ Spark percentile — same
     // interpolation formula, bit-equal); fence arithmetic mirrors the
