@@ -807,7 +807,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- X5b: batched per-partition feature extraction (stub codec) ----
+    // ---- X5b: batched per-partition feature extraction (stub codec) —
+    // text payloads are no image, so the byte-histogram fallback runs;
+    // the oracle reproduces its float32 accumulation step by step ----
     "q_x5b_media_features" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -2225,6 +2227,34 @@ object SparkEntry {
       """SELECT sha256(text) AS content_sha256, min(doc_id) AS keeper_id,
         |count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    // The stub-codec fallback feature, reproduced to the BIT: f0 is a
+    // float32 sequential accumulation (bytes at positions ≡ 0 mod 8,
+    // each /255f), so the oracle list_reduces with a CAST-to-FLOAT per
+    // step — per-step rounding included — before the final /len and
+    // ROUND.
+    "q_x5b_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, n, u.i,
+        |    CAST(concat('0x', substr(hx, u.i * 2 - 1, 2)) AS INTEGER) AS byte
+        |  FROM b, LATERAL (SELECT unnest(range(1, length(hx) // 2 + 1)) AS i) u
+        |  WHERE (u.i - 1) % 8 = 0
+        |), f AS (
+        |  SELECT doc_id, any_value(n) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS FLOAT),
+        |        list(CAST(CAST(byte AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT)
+        |          ORDER BY i)),
+        |      (acc, x) -> CAST(acc + x AS FLOAT)) AS s
+        |  FROM e GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  ROUND(CAST(CAST(s / CAST(n AS FLOAT) AS FLOAT) AS DOUBLE), 4)
+        |    AS f0
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // The EXACT Fingerprint64 hash (31-polynomial mod 2^64 over UTF-8
     // bytes, seed 1125899906842597), not a portable stand-in: HUGEINT
