@@ -175,6 +175,59 @@ object TextKernels {
     fp
   }
 
+  private val portableCoeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  /** One-pass PORTABLE MinHash kernel: same shingle walk as
+    * [[minhashSignature]], but the shingle hash is the engine-portable
+    * md5-48 mod 2^31−1 and the k minima run over the seed-derived
+    * Carter–Wegman permutations ([[graft.operators.Dedup.portableCoeffs]]
+    * — recomputed here from the same [[PortableHash.hash48]] primitives
+    * and memoized, so the two can never drift). Bit-identical to the
+    * explode + k-column min-aggregation formulation, as a narrow map.
+    * Empty array when the text has fewer than `n` tokens. */
+  def minhashSignaturePortable(s: UTF8String, n: Int, k: Int,
+      seed: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val P = 2147483647L
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
+    val count = toks.length - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val coeffs = portableCoeffCache.computeIfAbsent((k, seed), { ks =>
+      val out = new Array[Long](2 * ks._1)
+      var i = 0
+      while (i < ks._1) {
+        out(2 * i) = PortableHash.hash48(s"a$i", ks._2) % (P - 1) + 1
+        out(2 * i + 1) = PortableHash.hash48(s"b$i", ks._2) % P
+        i += 1
+      }
+      out
+    })
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var w = 0
+    while (w < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(w + j))
+        j += 1
+      }
+      val h = PortableHash.hash48(sb.toString, seed) % P
+      var i = 0
+      while (i < k) {
+        val v = (h * coeffs(2 * i) + coeffs(2 * i + 1)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(x => x: Any))
+  }
+
   /** One-pass PORTABLE SimHash-48 kernel: same whitespace byte scan as
     * [[simHash64]], but each token hashes with the engine-portable md5-48
     * ([[PortableHash.hash48]] — bit-identical to the column form, so the

@@ -81,6 +81,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass PORTABLE MinHash signature
+  * ([[TextKernels.minhashSignaturePortable]]): md5-48 shingle hashes +
+  * Carter–Wegman minima, rebuildable in any engine, with the same narrow
+  * shape as [[MinHashSignature]]. */
+case class MinHashSignaturePortable(child: Expression, shingleSize: Int,
+    numHashes: Int, seed: Long) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature_portable"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignaturePortable(input.asInstanceOf[UTF8String],
+      shingleSize, numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minhashSignaturePortable($c, " +
+        s"$shingleSize, $numHashes, ${seed}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignaturePortable =
+    copy(child = newChild)
+}
+
 /** One-pass PORTABLE SimHash-48 ([[TextKernels.simHash48Portable]]):
   * md5-48 token hashes so the fingerprint is rebuildable in any engine,
   * with the same narrow-map shape as [[SimHash64]]. */

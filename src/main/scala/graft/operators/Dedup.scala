@@ -201,24 +201,23 @@ object Dedup {
   /** [[minhashSignatures]], portable mode: same (id, mh_0..mh_{k−1})
     * schema, same no-row rule for docs with < shingleSize tokens. The
     * affine permutations are NOT monotone in h (mod P31 wraps), so the k
-    * minima land on different shingles — the property banding relies on. */
+    * minima land on different shingles — the property banding relies on.
+    * Computed by the one-pass [[graft.functions.MinHashSignaturePortable]]
+    * kernel (MD5 per shingle in place — ~2× the hash cost of the
+    * xxhash64 default, zero extra shuffles; the previous explode +
+    * k-column min-aggregation shuffled every shingle hash). */
   def minhashSignaturesPortable(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int, seed: Long = 42L): DataFrame = {
-    val coeffs = portableCoeffs(numHashes, seed)
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("_h") * a + b) % PortableP).as(s"mh_$i")
-    }
-    df.filter(col(textCol).isNotNull &&
-        graft.functions.GraftFunctions.token_count_ws(col(textCol))
-          >= shingleSize)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        explode(shingles(col(textCol), shingleSize)).as("_sh"))
-      .select(col(idCol),
-        (graft.functions.PortableHash.hash48(col("_sh"), seed) % PortableP)
-          .as("_h"))
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
+        ColumnShim.column(graft.functions.MinHashSignaturePortable(
+          ColumnShim.expression(col(textCol)), shingleSize, numHashes,
+          seed)).as("_sig"))
+      .filter(size(col("_sig")) === numHashes)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("_sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** Portable banded keys: the band SIGNATURE ITSELF as a string
