@@ -27,6 +27,7 @@ import graft.operators.{Curation, GraphOps}
   *   kcore       --edges <dir> [--k N] [-o <outDir>]
   *   communities --edges <dir> [--iterations N] [-o <outDir>]
   *   harmonic    --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
+  *   betweenness --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
   *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w]
   *               [--max-iter N] [-o <outDir>]
   *   curate      --docs <dir> --bench <dir> [--text-col text]
@@ -154,6 +155,8 @@ object Analyze {
         GraphOps.labelPropagation(edges, args.iterations, ckpt = ckpt)
       case "harmonic" =>
         GraphOps.harmonicCentrality(edges, seedsDf, args.hops, ckpt)
+      case "betweenness" =>
+        GraphOps.betweennessCentrality(edges, seedsDf, args.hops, ckpt)
       case "paths" =>
         GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
           args.maxIter, ckpt)

@@ -1290,6 +1290,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G14: sampled betweenness (truncated Brandes) — same 3-seed
+    // co-occurrence graph as G13; σ are exact integers, δ the one
+    // floating sweep, e4-integerized. The oracle unrolls forward layers
+    // AND the backward dependency sweep. ----
+    "q_g14_betweenness" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      val seeds = edges.select(col("start_id").as("id"))
+        .unionAll(edges.select(col("end_id").as("id")))
+        .distinct().orderBy("id").limit(3)
+      GraphOps.betweennessCentrality(edges, seeds, maxHops = 4)
+        .select(col("id"),
+          floor(col("betweenness") * 1e4 + 0.5).cast("long").as("bc_e4"),
+          col("n_seeds"))
+        .orderBy("id")
+    }),
+
     // ---- G10: label-propagation communities on the part co-occurrence
     // graph — 2 synchronous rounds (deterministic min-label tie-break), so
     // the oracle can unroll them exactly in SQL ----
@@ -1665,6 +1689,79 @@ object SparkEntry {
       |      CAST(s_es AS VARCHAR) || ':es',
       |      CAST(s_zh AS VARCHAR) || ':zh') AS g
       |    FROM s))""".stripMargin
+
+  /** Unrolled truncated-Brandes betweenness (G14, maxHops = 4): forward
+    * layers carry exact-integer σ; the backward sweep accumulates
+    * δ = Σ σ_v/σ_w (1 + δ_w) layer by layer. MATERIALIZED throughout —
+    * every layer feeds both its successor and the backward sweep. */
+  private lazy val betweennessUnrolledOracle: String = {
+    val hops = 4
+    val base =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
+        |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e WHERE a <> b
+        |  UNION ALL SELECT b, a FROM e WHERE a <> b),
+        |l0 AS MATERIALIZED (
+        |  SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma FROM (
+        |    SELECT DISTINCT id FROM (
+        |      SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        |    ORDER BY id LIMIT 3)),
+        |r0 AS MATERIALIZED (SELECT seed, id FROM l0)""".stripMargin
+    val fwd = (1 to hops).map { k =>
+      s""",
+         |l$k AS MATERIALIZED (
+         |  SELECT p.seed, adj.dst AS id, sum(p.sigma) AS sigma
+         |  FROM l${k - 1} p JOIN adj ON adj.src = p.id
+         |  LEFT JOIN r${k - 1} r ON r.seed = p.seed AND r.id = adj.dst
+         |  WHERE r.id IS NULL
+         |  GROUP BY p.seed, adj.dst),
+         |r$k AS MATERIALIZED (
+         |  SELECT seed, id FROM r${k - 1}
+         |  UNION ALL SELECT seed, id FROM l$k)""".stripMargin
+    }.mkString
+    val back = (1 until hops).reverse.map { d =>
+      val wDelta =
+        if (d == hops - 1) "CAST(0 AS DOUBLE)"
+        else s"COALESCE(bd${d + 1}.delta, 0)"
+      val bJoin =
+        if (d == hops - 1) ""
+        else
+          s"""
+             |  LEFT JOIN bd${d + 1} ON bd${d + 1}.seed = w.seed
+             |    AND bd${d + 1}.id = w.id""".stripMargin
+      s""",
+         |bd$d AS MATERIALIZED (
+         |  SELECT v.seed, v.id,
+         |    sum(CAST(v.sigma AS DOUBLE) / w.sigma * (1 + $wDelta))
+         |      AS delta
+         |  FROM l$d v JOIN adj ON adj.src = v.id
+         |  JOIN l${d + 1} w ON w.seed = v.seed AND w.id = adj.dst$bJoin
+         |  GROUP BY v.seed, v.id)""".stripMargin
+    }.mkString
+    val contribs = (1 until hops)
+      .map(d => s"SELECT seed, id, delta FROM bd$d").mkString(
+        "", "\n  UNION ALL ", "")
+    base + fwd + back +
+      s""",
+         |basez AS (
+         |  SELECT r.seed, r.id, CAST(0 AS DOUBLE) AS delta
+         |  FROM r$hops r LEFT JOIN l0 ON l0.seed = r.seed AND l0.id = r.id
+         |  WHERE l0.id IS NULL),
+         |allc AS (
+         |  SELECT seed, id, delta FROM basez
+         |  UNION ALL $contribs
+         |)
+         |SELECT id,
+         |  CAST(floor(sum(delta) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |    AS bc_e4,
+         |  count(DISTINCT seed) AS n_seeds
+         |FROM allc GROUP BY id ORDER BY id""".stripMargin
+  }
 
   /** Unrolled k-core peeling (G9): each round re-derives degrees on the
     * surviving edge set and drops nodes below k. Peeling past the
@@ -3212,6 +3309,8 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_g9_kcore" -> kcoreUnrolledOracle,
+
+    "q_g14_betweenness" -> betweennessUnrolledOracle,
 
     "q_g7_degree_hist" ->
       """WITH e AS (

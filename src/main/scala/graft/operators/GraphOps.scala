@@ -464,6 +464,88 @@ object GraphOps {
       .withColumn("closeness",
         col("n_reached").cast("double") / col("sum_dist"))
 
+  /** Sampled betweenness centrality (truncated Brandes): how often each
+    * node sits INSIDE the shortest paths from the sampled seeds — the
+    * broker/bottleneck measure the degree/closeness family can't see.
+    * For every seed, a layered BFS carries σ (shortest-path counts,
+    * exact integers); the backward sweep accumulates dependencies
+    * δ(v) = Σ_{w ∈ next layer, v→w} σ(v)/σ(w) · (1 + δ(w)), and
+    * betweenness(v) = Σ_seeds δ_s(v) over non-seed v (rescale by
+    * |V|/|seeds| for the expectation form; `maxHops` truncation is the
+    * standard k-bounded variant).
+    *
+    * Scale notes (100 TB): identical state discipline to
+    * [[seedDistances]] — per-round state is (node, seed) rows, never
+    * edge-sized × seeds; forward and backward are each ≤ `maxHops`
+    * rounds of one frontier⋈adjacency join + one partial-agg groupBy
+    * (AQE broadcasts the layer side); the adjacency is checkpointed
+    * once. σ sums are exact longs; only δ is floating.
+    *
+    * @return (`id`, `betweenness`, `n_seeds` — seeds whose BFS reached
+    *         the node at d ≥ 1); every reached non-seed node gets a row
+    *         (0.0 when never interior to a path). */
+  def betweennessCentrality(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 6, ckpt: Checkpointer = Checkpointer.Local,
+      directed: Boolean = false): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val fwd = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+    val both = if (directed) fwd else fwd.unionAll(
+      edges.select(col(EndId).as("src"), col(StartId).as("dst")))
+    val adj = ckpt(both.filter(col("src") =!= col("dst")).distinct())
+    val seed0 = ckpt(seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), col("id").as("seed"), lit(1L).as("sigma")))
+    val layers = scala.collection.mutable.ArrayBuffer(seed0)
+    var reached = seed0.select("id", "seed")
+    var continue = true
+    var i = 0
+    while (continue && i < maxHops) {
+      val cur = layers.last
+      val nxt = ckpt(cur.join(adj, cur("id") === adj("src"))
+        .select(col("dst").as("id"), col("seed"), col("sigma"))
+        .join(reached, Seq("id", "seed"), "left_anti")
+        .groupBy("id", "seed").agg(sum(col("sigma")).as("sigma")))
+      if (nxt.isEmpty) continue = false
+      else {
+        layers += nxt
+        reached = ckpt(reached.unionByName(nxt.select("id", "seed")))
+        i += 1
+      }
+    }
+    val dMax = layers.length - 1
+    // backward dependency sweep: δ of the deepest layer is 0; each
+    // shallower layer pulls from its successors' (σ, δ)
+    var deltaNext = layers(dMax).select(col("id"), col("seed"),
+      lit(0.0).as("delta"))
+    val contribs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var d = dMax - 1
+    while (d >= 1) {
+      val wSide = layers(d + 1)
+        .join(deltaNext, Seq("id", "seed"), "left")
+        .select(col("id").as("_wid"), col("seed").as("_wseed"),
+          col("sigma").as("_wsigma"),
+          coalesce(col("delta"), lit(0.0)).as("_wdelta"))
+      val v = layers(d)
+      val dNew = ckpt(v.join(adj, v("id") === adj("src"))
+        .join(wSide, col("dst") === col("_wid") &&
+          v("seed") === col("_wseed"))
+        .groupBy(v("id").as("id"), v("seed").as("seed"))
+        .agg(sum(col("sigma").cast("double") / col("_wsigma") *
+          (lit(1.0) + col("_wdelta"))).as("delta")))
+      if (d >= 1) contribs += dNew
+      deltaNext = dNew
+      d -= 1
+    }
+    // every reached non-seed node gets a row, 0.0 when never interior
+    val base = reached.join(seed0.select(col("id"), col("seed")),
+        Seq("id", "seed"), "left_anti")
+      .select(col("id"), col("seed"), lit(0.0).as("delta"))
+    (base +: contribs.toSeq).reduce(_ unionByName _)
+      .groupBy("id", "seed").agg(sum(col("delta")).as("delta"))
+      .groupBy("id")
+      .agg(sum(col("delta")).as("betweenness"),
+        count(lit(1)).as("n_seeds"))
+  }
+
   /** Common-neighbor link prediction over an UNDIRECTED graph (direction
     * ignored, parallel edges and self-loops dropped): for every
     * NON-ADJACENT pair sharing at least `minCommon` neighbors, the

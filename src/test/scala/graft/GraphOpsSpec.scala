@@ -271,6 +271,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(iso == Set(2L)) // seed itself has only d=0 rows → absent too
   }
 
+  test("betweennessCentrality: path and diamond closed forms, hop " +
+      "truncation, partition invariance") {
+    // path 1-2-3-4-5, ALL nodes as seeds: full Brandes. Closed form for
+    // a 5-path (undirected, per-pair counted from both endpoints):
+    // bc(2) = bc(4) = 6, bc(3) = 8, endpoints 0.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("start_id", "end_id")
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val bc = GraphOps.betweennessCentrality(path, all, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc(1L) == 0.0 && bc(5L) == 0.0)
+    assert(bc(2L) == 6.0 && bc(4L) == 6.0)
+    assert(bc(3L) == 8.0)
+    // diamond 1-2-4, 1-3-4 from seed 1: two equal shortest paths to 4,
+    // so 2 and 3 each carry δ = σ_v/σ_4 · (1+0) = 1/2
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("start_id", "end_id")
+    val d1 = GraphOps.betweennessCentrality(diamond, Seq(1L).toDF("id"),
+      maxHops = 5).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d1(2L) == 0.5 && d1(3L) == 0.5 && d1(4L) == 0.0)
+    // hop truncation: maxHops = 1 sees no interior nodes from seed 1
+    val t1 = GraphOps.betweennessCentrality(path, Seq(1L).toDF("id"),
+      maxHops = 1).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t1 == Map(2L -> 0.0))
+    // partition invariance
+    val re = GraphOps.betweennessCentrality(path.repartition(7), all,
+      maxHops = 10).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == bc)
+  }
+
   test("labelPropagation: bridged cliques settle into per-clique " +
       "communities; deterministic across partitionings") {
     // two K3s {1,2,3} and {10,11,12} joined by the bridge 3-10; hand-run
