@@ -368,6 +368,19 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST6: regular-grid resample + LOCF gap fill — per-user hourly
+    // grid over the event stream; bucket arithmetic is exact longs, the
+    // carried average e4-integerized ----
+    "q_st6_resample_locf" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      TimeSeries.resampleLocf(e, "user_id", "es", "value",
+          intervalSec = 3600L)
+        .select(col("user_id"), col("bucket_ts"), col("n_events"),
+          floor(col("v_filled") * 1e4 + 0.5).cast("long").as("v_filled_e4"))
+        .orderBy("user_id", "bucket_ts")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -3736,6 +3749,35 @@ object SparkEntry {
 
     // RANGE frame over integer epoch seconds (inclusive both ends on
     // both engines); ties (same second, same user) are frame peers.
+    // Grid rebuild via per-entity range(); LOCF as IGNORE NULLS
+    // last_value over the ordered grid. v_filled is never null (the
+    // entity's first bucket is observed by construction).
+    "q_st6_resample_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, value
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id,
+        |    CAST(floor(es / 3600.0) * 3600 AS BIGINT) AS bucket_ts,
+        |    avg(value) AS v_avg, count(*) AS n_events
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, u.b AS bucket_ts
+        |  FROM span, LATERAL (SELECT unnest(range(lo, hi + 3600, 3600))
+        |    AS b) u)
+        |SELECT g.user_id, g.bucket_ts,
+        |  COALESCE(o.n_events, 0) AS n_events,
+        |  CAST(floor(last_value(o.v_avg IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket_ts
+        |    ROWS UNBOUNDED PRECEDING) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS v_filled_e4
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
+        |ORDER BY g.user_id, g.bucket_ts""".stripMargin,
+
     "q_window_rolling_time" ->
       """SELECT event_id, user_id, es,
         |  count(*) OVER w AS n_1h,
