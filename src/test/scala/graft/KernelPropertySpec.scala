@@ -1,90 +1,104 @@
 package graft
 
+import org.scalatest.funsuite.AnyFunSuite
+
 import org.apache.spark.unsafe.types.UTF8String
-import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.{BloomKernel, PortableHash, TextKernels}
+import graft.functions.{BitKernels, SampleK, TextKernels}
 
-/** Property tests pinning the one-pass kernels against independent naive
-  * reimplementations over randomized inputs — the kernels back oracle
-  * SQL, so drift here silently breaks driver correctness rows. */
-class KernelPropertySpec extends SparkSpec {
+/** Property tests pinning the fused/bounded kernels against brute-force
+  * reference implementations over seeded-random inputs — no Spark session
+  * needed, so hundreds of cases run in milliseconds. */
+class KernelPropertySpec extends AnyFunSuite {
 
-  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
-    6 -> Gen.alphaNumChar,
-    2 -> Gen.const(' '),
-    1 -> Gen.oneOf('\t', '\n', '.', ',', 'é', 'ü', '中'),
-    1 -> Gen.const('\r'))).map(_.mkString)
+  private val rng = new scala.util.Random(20260812L)
 
-  private def check(prop: Prop): Unit = {
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
-    assert(res.passed, res.status.toString)
+  // ---- TextProfile vs the regex formulations it replaced ----
+
+  private val alphabet: Array[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toArray ++
+      Array(' ', ' ', ' ', '\t', '\n', '\r', '\f', '',
+        '.', ',', '!', '?', ';', '@', '[', '`', '~', '-',
+        'é', 'ß', '中', 'Ω')
+
+  private def randomText(): String = {
+    val len = rng.nextInt(60)
+    Array.fill(len)(alphabet(rng.nextInt(alphabet.length))).mkString
   }
 
-  private def toks(s: String): Array[String] =
-    s.split("\\s+").filter(_.nonEmpty)
-
-  test("simHash48Portable ≡ naive vote accumulation") {
-    check(Prop.forAll(textGen) { s =>
-      val naive = {
-        val counts = new Array[Int](48)
-        toks(s).foreach { t =>
-          val h = PortableHash.hash48(t, 42L)
-          (0 until 48).foreach { b =>
-            counts(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
-          }
-        }
-        (0 until 48).map(b => if (counts(b) > 0) 1L << b else 0L).sum
-      }
-      TextKernels.simHash48Portable(UTF8String.fromString(s), 42L) == naive
-    })
+  test("textProfile matches regex-reference counters on 300 random texts") {
+    for (_ <- 1 to 300) {
+      val s = randomText()
+      val row = TextKernels.textProfile(UTF8String.fromString(s))
+      val trimmed = s.trim
+      val toks =
+        if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+      assert(row.getInt(0) == s.codePointCount(0, s.length), s"n_chars '$s'")
+      assert(row.getInt(1) == toks.length, s"n_tokens '$s'")
+      val nonws = "\\s+".r.replaceAllIn(s, "")
+      assert(row.getInt(2) == nonws.codePointCount(0, nonws.length),
+        s"n_nonws '$s'")
+      assert(row.getInt(3) == "[\\p{Punct}]".r.findAllIn(s).size,
+        s"n_punct '$s'")
+      assert(row.getInt(4) == "[A-Z]".r.findAllIn(s).size, s"n_upper '$s'")
+      val stopSet = TextKernels.EnglishStopwords.toSet
+      assert(row.getInt(5) ==
+        toks.count(t => stopSet.contains(t.toLowerCase)), s"n_stop '$s'")
+      assert(row.getInt(6) ==
+        "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(s).size, s"n_bpeish '$s'")
+    }
   }
 
-  test("minhashSignaturePortable ≡ naive shingle/CW formulation") {
-    val P = 2147483647L
-    val coeffs = graft.operators.Dedup.portableCoeffs(16, 42L)
-    check(Prop.forAll(textGen) { s =>
-      val t = toks(s)
-      val shingleList = (0 to t.length - 3).map(i =>
-        s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
-      val naive: Seq[Long] =
-        if (shingleList.isEmpty) Seq.empty
-        else coeffs.map { case (a, b) =>
-          shingleList.map { sh =>
-            val h = PortableHash.hash48(sh, 42L) % P
-            (h * a + b) % P
-          }.min
-        }
-      val kernel = TextKernels.minhashSignaturePortable(
-        UTF8String.fromString(s), 3, 16, 42L)
-      (0 until kernel.numElements()).map(kernel.getLong).toSeq == naive
-    })
+  // ---- Morton interleave: bijectivity and block locality ----
+
+  private def deinterleaveEven(z: Long): Long = {
+    var x = z & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+    (x | (x >>> 16)) & 0xFFFFFFFFL
   }
 
-  test("fingerprint64 ≡ naive BigInt 31-polynomial mod 2^64") {
-    val M = BigInt(1) << 64
-    check(Prop.forAll(textGen) { s =>
-      val naive = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        .foldLeft(BigInt(1125899906842597L)) { (acc, b) =>
-          (acc * 31 + (b & 0xff)) mod M
-        }
-      val signed =
-        if (naive >= (BigInt(1) << 63)) (naive - M).toLong else naive.toLong
-      TextKernels.fingerprint64(UTF8String.fromString(s)) == signed
-    })
+  test("morton2 is a bijection on 32-bit pairs (deinterleave inverts)") {
+    for (_ <- 1 to 500) {
+      val a = rng.nextLong() & 0xFFFFFFFFL
+      val b = rng.nextLong() & 0xFFFFFFFFL
+      val z = BitKernels.morton2(a, b)
+      assert(deinterleaveEven(z) == a, s"even lane of morton2($a, $b)")
+      assert(deinterleaveEven(z >>> 1) == b, s"odd lane of morton2($a, $b)")
+    }
   }
 
-  test("bloom has no false negatives: every built shingle probes positive") {
-    check(Prop.forAll(textGen) { s =>
-      val u = UTF8String.fromString(s)
-      val nShingles = TextKernels.shingles(u, 3).numElements()
-      val bits = new Array[Long](1 << 6) // deliberately tiny (4096 bits)
-      BloomKernel.setShingleBits(bits, u, 3, 5)
-      val bytes = java.nio.ByteBuffer.allocate(bits.length * 8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bytes.asLongBuffer().put(bits)
-      BloomKernel.countMatchingShingles(u, bytes.array(), 3, 5) == nShingles
-    })
+  test("morton2 block locality: points in an aligned 2^k block share a z-range") {
+    val k = 5 // 32×32 block starting at (96, 160)
+    val (bx, by) = (96L, 160L)
+    val base = BitKernels.morton2(bx, by)
+    for (_ <- 1 to 200) {
+      val z = BitKernels.morton2(bx + rng.nextInt(1 << k),
+        by + rng.nextInt(1 << k))
+      assert(z >= base && z < base + (1L << (2 * k)))
+    }
+  }
+
+  // ---- SampleK vs brute-force bottom-k, across arbitrary merges ----
+
+  test("SampleK state equals brute-force k-smallest-hash under splits+merges") {
+    for (_ <- 1 to 200) {
+      val n = rng.nextInt(60)
+      val ids = List.fill(n)(rng.nextInt(2000).toLong - 1000L)
+      val k = 1 + rng.nextInt(24) // > 16 exercises the buffer-growth path
+      val cut = if (ids.isEmpty) 0 else rng.nextInt(ids.length + 1)
+      val (p1, p2) = ids.splitAt(cut)
+      val s1 = new SampleK.State(k)
+      val s2 = new SampleK.State(k)
+      p1.foreach(id => s1.offer(SampleK.hash64(id, 42L), id))
+      p2.foreach(id => s2.offer(SampleK.hash64(id, 42L), id))
+      s2.foreach((h, id) => s1.offer(h, id))
+      val expected = ids.distinct
+        .map(id => (SampleK.hash64(id, 42L), id)).sorted.take(k).map(_._2)
+      assert(s1.sortedIds.toSeq == expected,
+        s"ids=$ids k=$k cut=$cut")
+    }
   }
 }
