@@ -444,6 +444,25 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- X2k: n-gram containment — the subset-duplication signal
+    // (a doc embedded in a larger one scores ≈ 1.0 where Jaccard
+    // dilutes); adversarial probe: each doc vs its own first half ----
+    "q_x2k_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val halves = d.select((col("doc_id") + 100000L).as("doc_id"),
+        substring(col("text"), 1, 60).as("text"))
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .join(halves.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 100000L)
+      Dedup.ngramContainmentPairs(pairs,
+          d.select("doc_id", "text").unionByName(halves),
+          "text", "doc_id", shingleSize = 3)
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          round(col("c_a_in_b"), 6).as("c_a_in_b"),
+          round(col("c_b_in_a"), 6).as("c_b_in_a"))
+        .orderBy("id_a")
+    }),
+
     // ---- X2h: duplicate-n-gram fraction — the substring-duplication
     // signal (within-doc repeats count every occurrence) ----
     "q_x2h_dup_ngrams" -> ((s, dir) =>
@@ -1843,6 +1862,44 @@ object SparkEntry {
          |WHERE CAST(i.n_inter AS DOUBLE)
          |  / (sa.n + sb.n - i.n_inter) >= 0.2
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    // Containment: positional trigram sets for each doc AND its 60-char
+    // prefix twin, pairwise intersection, both directional ratios.
+    "q_x2k_containment" ->
+      """WITH allx AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 1, 60) FROM documents
+        |), tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM allx),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b
+        |    ON b.doc_id = a.doc_id + 100000 AND b.sh = a.sh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.doc_id AS id_a, d.doc_id + 100000 AS id_b,
+        |  COALESCE(i.n_inter, 0) AS n_inter,
+        |  ROUND(CASE WHEN COALESCE(sa.n, 0) = 0 THEN 0.0
+        |    ELSE COALESCE(i.n_inter, 0) * 1.0 / sa.n END, 6) AS c_a_in_b,
+        |  ROUND(CASE WHEN COALESCE(sb.n, 0) = 0 THEN 0.0
+        |    ELSE COALESCE(i.n_inter, 0) * 1.0 / sb.n END, 6) AS c_b_in_a
+        |FROM documents d
+        |LEFT JOIN sizes sa ON sa.doc_id = d.doc_id
+        |LEFT JOIN sizes sb ON sb.doc_id = d.doc_id + 100000
+        |LEFT JOIN inter i ON i.id_a = d.doc_id
+        |ORDER BY id_a""".stripMargin,
 
     // The incremental-dedup increment, stage by stage: portable
     // signatures over corpus ∪ batch (8 bands of 2), bucket expansion

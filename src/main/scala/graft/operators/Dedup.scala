@@ -392,6 +392,35 @@ object Dedup {
       .distinct()
   }
 
+  /** N-gram CONTAINMENT over explicit pairs — the subset-duplication
+    * signal Jaccard misses: a doc fully embedded in a 10× larger one has
+    * Jaccard ≈ 0.1 but containment ≈ 1.0 (Broder's C(A,B) = |A∩B|/|A|).
+    * The quote-inclusion / page-wrapper / aggregation-site case every
+    * crawl dedup hits. Emits BOTH directions plus the shared-shingle
+    * count: (id_a, id_b, n_inter, c_a_in_b, c_b_in_a); docs with no
+    * shingles (shorter than the shingle window) yield 0.0, not null.
+    * Same narrow shape as [[ngramJaccardPairs]] — two id joins against
+    * the pair list, per-row set intersection in codegen. */
+  def ngramContainmentPairs(
+      pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    val sa = array_distinct(shingles(col("_ta"), shingleSize))
+    val sb = array_distinct(shingles(col("_tb"), shingleSize))
+    val inter = size(array_intersect(sa, sb))
+    pairs
+      .join(d.withColumnsRenamed(Map(idCol -> "id_a", textCol -> "_ta")),
+        Seq("id_a"))
+      .join(d.withColumnsRenamed(Map(idCol -> "id_b", textCol -> "_tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        inter.cast("long").as("n_inter"),
+        when(size(sa) === 0, lit(0.0))
+          .otherwise(inter.cast("double") / size(sa)).as("c_a_in_b"),
+        when(size(sb) === 0, lit(0.0))
+          .otherwise(inter.cast("double") / size(sb)).as("c_b_in_a"))
+  }
+
   /** N-gram Jaccard near-dup over explicit pairs (id_a, id_b) — the exact
     * verification kernel exposed standalone (X2 variant). */
   def ngramJaccardPairs(

@@ -210,6 +210,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashNearDups(fps, "doc_id", maxHamming = 4).count() == 0)
   }
 
+  test("containment: embedded doc scores 1.0 into its host where " +
+      "Jaccard dilutes; short docs score 0, not null") {
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val embedded = "gamma delta epsilon zeta"   // a contiguous slice
+    val corpus = Seq((1L, embedded), (2L, host), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramContainmentPairs(pairs, corpus, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (nInter, cAinB, cBinA) = out((1L, 2L))
+    assert(cAinB == 1.0)            // every embedded trigram is in the host
+    assert(nInter == 2L)            // 4 tokens → 2 trigrams
+    assert(cBinA == 2.0 / 8)        // host has 8 trigrams
+    // Jaccard on the same pair is far below 1 — the signal containment adds
+    val j = Dedup.ngramJaccardPairs(pairs.limit(1), corpus, "text",
+      "doc_id", 3).head().getDouble(2)
+    assert(j == 2.0 / 8)
+    // doc 3 has no trigram: both ratios 0.0, no nulls
+    assert(out((3L, 2L)) == ((0L, 0.0, 0.0)))
+  }
+
   test("simhash48Portable: 48-bit range, dup/near-dup ordering, empty " +
       "text -> 0, banded pairs (bits=48) ≡ brute-force Hamming") {
     val docs2 = docs.unionByName(Seq((5L, "   ")).toDF("doc_id", "text"))
