@@ -21,7 +21,8 @@ object ExplainPlans {
         "q_g3c_pagerank_weighted", "q_x5g_image_resize",
         "q_x5h_audio_resample", "q_g8_link_prediction", "q_x4j_chunking",
         "q_x7d_decontaminate_bloom", "q_x4p_quality_model",
-        "q_x2j_simhash_portable", "q_x6k_score_normalize")
+        "q_x2j_simhash_portable", "q_x6k_score_normalize",
+        "q_g14_betweenness", "q_st6_resample_locf", "q_x2k_containment")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
