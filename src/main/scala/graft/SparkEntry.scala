@@ -1322,6 +1322,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G15: per-seed eccentricity — the sampled diameter estimator
+    // over the same 3-seed BFS; exact integers end to end ----
+    "q_g15_eccentricity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      val seeds = edges.select(col("start_id").as("id"))
+        .unionAll(edges.select(col("end_id").as("id")))
+        .distinct().orderBy("id").limit(3)
+      GraphOps.eccentricity(edges, seeds, maxHops = 6)
+        .orderBy("seed")
+    }),
+
     // ---- G14: sampled betweenness (truncated Brandes) — same 3-seed
     // co-occurrence graph as G13; σ are exact integers, δ the one
     // floating sweep, e4-integerized. The oracle unrolls forward layers
@@ -1721,6 +1740,45 @@ object SparkEntry {
       |      CAST(s_es AS VARCHAR) || ':es',
       |      CAST(s_zh AS VARCHAR) || ':zh') AS g
       |    FROM s))""".stripMargin
+
+  /** Unrolled 6-hop seed BFS (G15): reached (seed, id, d) triples per
+    * round; eccentricity = max layer per seed, n_reached the d > 0
+    * count. Same MATERIALIZED discipline as the other unrolls. */
+  private lazy val eccentricityUnrolledOracle: String = {
+    val hops = 6
+    val base =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
+        |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e WHERE a <> b
+        |  UNION ALL SELECT b, a FROM e WHERE a <> b),
+        |f0 AS MATERIALIZED (
+        |  SELECT id AS seed, id, 0 AS d FROM (
+        |    SELECT DISTINCT id FROM (
+        |      SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        |    ORDER BY id LIMIT 3)),
+        |r0 AS MATERIALIZED (SELECT seed, id, d FROM f0)""".stripMargin
+    val rounds = (1 to hops).map { k =>
+      s""",
+         |f$k AS MATERIALIZED (
+         |  SELECT DISTINCT p.seed, adj.dst AS id, $k AS d
+         |  FROM f${k - 1} p JOIN adj ON adj.src = p.id
+         |  LEFT JOIN r${k - 1} r ON r.seed = p.seed AND r.id = adj.dst
+         |  WHERE r.id IS NULL),
+         |r$k AS MATERIALIZED (
+         |  SELECT seed, id, d FROM r${k - 1}
+         |  UNION ALL SELECT seed, id, d FROM f$k)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT seed, CAST(max(d) AS BIGINT) AS eccentricity,
+         |  count(CASE WHEN d > 0 THEN 1 END) AS n_reached
+         |FROM r$hops GROUP BY seed ORDER BY seed""".stripMargin
+  }
 
   /** Unrolled truncated-Brandes betweenness (G14, maxHops = 4): forward
     * layers carry exact-integer σ; the backward sweep accumulates
@@ -3381,6 +3439,8 @@ object SparkEntry {
     "q_g9_kcore" -> kcoreUnrolledOracle,
 
     "q_g14_betweenness" -> betweennessUnrolledOracle,
+
+    "q_g15_eccentricity" -> eccentricityUnrolledOracle,
 
     "q_g7_degree_hist" ->
       """WITH e AS (

@@ -444,6 +444,20 @@ object GraphOps {
       .agg(sum(lit(1.0) / col("d")).as("harmonic"),
         count(lit(1)).as("n_reached"))
 
+  /** Per-seed eccentricity (bounded): the farthest BFS distance each
+    * seed observes within `maxHops`, plus how many nodes it reached —
+    * the sampled diameter/radius estimator (true eccentricity when the
+    * BFS exhausts inside the cap, a lower bound otherwise; max over
+    * seeds lower-bounds the graph diameter). One groupBy over the
+    * [[seedDistances]] state. */
+  def eccentricity(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 10, ckpt: Checkpointer = Checkpointer.Local,
+      directed: Boolean = false): DataFrame =
+    seedDistances(edges, seeds, maxHops, ckpt, directed)
+      .groupBy("seed")
+      .agg(max(col("d")).cast("long").as("eccentricity"),
+        count(when(col("d") > 0, 1)).as("n_reached"))
+
   /** Closeness centrality over the same sampled-seed BFS as
     * [[harmonicCentrality]]: for each node, `n_reached / Σ d` over the
     * seeds it reaches within `maxHops` (0 seeds reached → node absent —

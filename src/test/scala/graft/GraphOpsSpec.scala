@@ -301,6 +301,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(re == bc)
   }
 
+  test("eccentricity: path closed form, truncation lower-bounds, " +
+      "disconnected seed") {
+    // path 1-2-3-4-5: ecc(1) = 4, ecc(3) = 2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("start_id", "end_id")
+    val out = GraphOps.eccentricity(path, Seq(1L, 3L).toDF("id"),
+      maxHops = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 4L)))
+    assert(out(3L) == ((2L, 4L)))
+    // truncation: the cap clamps the observable eccentricity
+    val capped = GraphOps.eccentricity(path, Seq(1L).toDF("id"),
+      maxHops = 2).head()
+    assert(capped.getLong(1) == 2L && capped.getLong(2) == 2L)
+    // isolated seed: eccentricity 0, nothing reached
+    val iso = GraphOps.eccentricity(path, Seq(99L).toDF("id"), maxHops = 3)
+      .head()
+    assert(iso.getLong(1) == 0L && iso.getLong(2) == 0L)
+  }
+
   test("labelPropagation: bridged cliques settle into per-clique " +
       "communities; deterministic across partitionings") {
     // two K3s {1,2,3} and {10,11,12} joined by the bridge 3-10; hand-run
