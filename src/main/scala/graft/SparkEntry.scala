@@ -1322,6 +1322,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G16: degree assortativity — exact integer moments, ONE double
+    // formula at the end (e6-integerized against nothing: the moments
+    // are identical longs on both engines, so the division and sqrt are
+    // the same correctly-rounded ops; e6 floor only guards the compare)
+    // ----
+    "q_g16_assortativity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.degreeAssortativity(edges)
+        .select(floor(col("r") * 1e6 + 0.5).cast("long").as("r_e6"),
+          col("n_edges"), col("n_nodes"))
+    }),
+
     // ---- G15: per-seed eccentricity — the sampled diameter estimator
     // over the same 3-seed BFS; exact integers end to end ----
     "q_g15_eccentricity" -> ((s, dir) => {
@@ -3441,6 +3461,38 @@ object SparkEntry {
     "q_g14_betweenness" -> betweennessUnrolledOracle,
 
     "q_g15_eccentricity" -> eccentricityUnrolledOracle,
+
+    // Assortativity from the same exact-integer moments; both engines run
+    // the identical double formula over identical longs.
+    "q_g16_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
+        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |        FROM lineitem WHERE l_orderkey % 20 = 0) a
+        |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |        FROM lineitem WHERE l_orderkey % 20 = 0) b
+        |    ON b.ok = a.ok AND a.pk < b.pk),
+        |nbr AS (
+        |  SELECT a AS u, b AS v FROM e WHERE a <> b
+        |  UNION ALL SELECT b, a FROM e WHERE a <> b),
+        |deg AS (SELECT u AS id, count(*) AS d FROM nbr GROUP BY u),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(du.d) AS sx, sum(dv.d) AS sy,
+        |    sum(du.d * dv.d) AS sxy,
+        |    sum(du.d * du.d) AS sxx, sum(dv.d * dv.d) AS syy
+        |  FROM nbr
+        |  JOIN deg du ON du.id = nbr.u
+        |  JOIN deg dv ON dv.id = nbr.v)
+        |SELECT
+        |  CAST(floor(
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r_e6,
+        |  CAST(n / 2 AS BIGINT) AS n_edges,
+        |  (SELECT count(*) FROM deg) AS n_nodes
+        |FROM m""".stripMargin,
 
     "q_g7_degree_hist" ->
       """WITH e AS (

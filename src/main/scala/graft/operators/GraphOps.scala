@@ -444,6 +444,49 @@ object GraphOps {
       .agg(sum(lit(1.0) / col("d")).as("harmonic"),
         count(lit(1)).as("n_reached"))
 
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the undirected edge list — do hubs attach to hubs (> 0, social
+    * graphs) or to leaves (< 0, hub-and-spoke / star topologies)? The
+    * one-number structure diagnostic that tells you whether hub-capping
+    * (e.g. [[linkPrediction]]'s `maxHubDegree`) will bite.
+    *
+    * Computed from exact integer moments (each edge contributes both
+    * orientations, the standard symmetrization): one degree groupBy, one
+    * broadcast-degree join back, one 1-row aggregate — the corpus of
+    * edges never shuffles twice. Returns one row (`r`, `n_edges`,
+    * `n_nodes`); `r` is null for degree-regular graphs (zero variance).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbr = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(canon.select(col("b").as("u"), col("a").as("v")))
+    val deg = nbr.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+    val pairs = nbr
+      .join(deg.withColumnsRenamed(Map("id" -> "u", "d" -> "du")), Seq("u"))
+      .join(deg.withColumnsRenamed(Map("id" -> "v", "d" -> "dv")), Seq("v"))
+    val m = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("du")).cast("long").as("sx"),
+      sum(col("dv")).cast("long").as("sy"),
+      sum(col("du") * col("dv")).cast("long").as("sxy"),
+      sum(col("du") * col("du")).cast("long").as("sxx"),
+      sum(col("dv") * col("dv")).cast("long").as("syy"))
+    val denom =
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    m.select(
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / denom)
+        .as("r"),
+      (col("n") / 2).cast("long").as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("r"), col("n_edges"), col("n_nodes"))
+  }
+
   /** Per-seed eccentricity (bounded): the farthest BFS distance each
     * seed observes within `maxHops`, plus how many nodes it reached —
     * the sampled diameter/radius estimator (true eccentricity when the

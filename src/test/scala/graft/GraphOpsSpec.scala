@@ -301,6 +301,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(re == bc)
   }
 
+  test("degreeAssortativity: star is perfectly disassortative, regular " +
+      "graph has undefined r, bipartite-regular is -1-free") {
+    // star 0-{1,2,3}: every edge joins deg 3 with deg 1 → r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("start_id", "end_id")
+    val s = GraphOps.degreeAssortativity(star).head()
+    assert(s.getDouble(0) == -1.0)
+    assert(s.getLong(1) == 3L && s.getLong(2) == 4L)
+    // 4-cycle: degree-regular → zero variance → null r
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("start_id", "end_id")
+    val c = GraphOps.degreeAssortativity(cycle).head()
+    assert(c.isNullAt(0))
+    assert(c.getLong(1) == 4L)
+    // direction/parallel/self-loop hygiene: same result canonicalized
+    val messy = Seq((1L, 0L), (0L, 1L), (0L, 2L), (2L, 0L), (0L, 3L),
+      (3L, 3L)).toDF("start_id", "end_id")
+    assert(GraphOps.degreeAssortativity(messy).head().getDouble(0) == -1.0)
+  }
+
   test("eccentricity: path closed form, truncation lower-bounds, " +
       "disconnected seed") {
     // path 1-2-3-4-5: ecc(1) = 4, ecc(3) = 2
