@@ -1322,11 +1322,12 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    // ---- G16: degree assortativity — exact integer moments, ONE double
-    // formula at the end (e6-integerized against nothing: the moments
-    // are identical longs on both engines, so the division and sqrt are
-    // the same correctly-rounded ops; e6 floor only guards the compare)
-    // ----
+    // ---- G16: degree assortativity — exact decimal(38,0) moments (long
+    // sums would wrap for ~1e9-degree hubs at scale), then ONE double
+    // Pearson formula; the oracle mirrors the same double evaluation
+    // order (cast each exact sum to DOUBLE, then n*sxy - sx*sy), so both
+    // engines run the same correctly-rounded IEEE ops; e6 floor only
+    // guards the compare ----
     "q_g16_assortativity" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 20 === 0)
@@ -2072,7 +2073,7 @@ object SparkEntry {
           |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
           |      AS n_toks,
           |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
-          |    length(regexp_replace(text, '[^!-:-@\[-`{-~]', '', 'g'))
+          |    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
           |      AS n_punct,
           |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
           |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
@@ -2156,7 +2157,7 @@ object SparkEntry {
          |), counts AS (
          |  SELECT lang, count(*) AS n FROM dec GROUP BY lang
          |)
-         |SELECT stage, n FROM (
+         |SELECT stage, CAST(n AS BIGINT) AS n FROM (
          |  SELECT 'quality' AS stage,
          |    (SELECT count(*) FROM corpus) - (SELECT count(*) FROM g) AS n
          |  UNION ALL SELECT 'dedup',
@@ -2247,7 +2248,7 @@ object SparkEntry {
          |FROM over""".stripMargin,
 
     // Portable-SimHash near-dups: rebuild the 48-bit md5-48 vote
-    // fingerprints, then the full Hamming-≤8 pair set brute-force (the
+    // fingerprints, then the full Hamming-≤6 pair set brute-force (the
     // n² is DuckDB-side only; the engine blocks on pigeonhole bands).
     // MATERIALIZED on tok/fp: fp is referenced twice by the self-join
     // and default CTE inlining would duplicate the whole vote pipeline.
@@ -3324,7 +3325,7 @@ object SparkEntry {
         |       GROUP BY doc_id, token),
         |uni AS (SELECT token, sum(tf) AS n FROM tf GROUP BY token),
         |tot AS (SELECT sum(n) AS total FROM uni),
-        |per AS (SELECT tf.doc_id, sum(tf.tf) AS doc_len,
+        |per AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS doc_len,
         |          sum(tf.tf * ln(uni.n / tot.total)) AS lp
         |        FROM tf JOIN uni USING (token), tot GROUP BY tf.doc_id)
         |SELECT doc_id, doc_len,
@@ -3361,7 +3362,8 @@ object SparkEntry {
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
         |       GROUP BY doc_id, token),
-        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+        |         FROM tf GROUP BY doc_id),
         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
         |n AS (SELECT count(*) AS n FROM documents),
         |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
@@ -3486,9 +3488,12 @@ object SparkEntry {
         |  JOIN deg dv ON dv.id = nbr.v)
         |SELECT
         |  CAST(floor(
-        |    CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1e6
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r_e6,
         |  CAST(n / 2 AS BIGINT) AS n_edges,
         |  (SELECT count(*) FROM deg) AS n_nodes
@@ -3979,7 +3984,7 @@ object SparkEntry {
         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
         |      AS n_toks,
         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
-        |    length(regexp_replace(text, '[^!-:-@\\[-`{-~]', '', 'g'))
+        |    length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
         |      AS n_punct,
         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
         |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
@@ -3990,7 +3995,7 @@ object SparkEntry {
         |      AS n_bpeish
         |  FROM documents)
         |SELECT p.doc_id, lg.lang_guess,
-        |  ROUND(
+        |  CAST(ROUND(
         |    CASE WHEN p.n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END
         |    + CASE WHEN p.n_toks > 0
         |        AND (p.n_nonws * 1.0 / p.n_toks) BETWEEN 2.0 AND 12.0
@@ -4000,7 +4005,7 @@ object SparkEntry {
         |      THEN 0.25 ELSE 0 END
         |    + CASE WHEN (CASE WHEN p.n_chars = 0 THEN 0.0
         |        ELSE p.n_punct * 1.0 / p.n_chars END) < 0.2
-        |      THEN 0.25 ELSE 0 END, 4) AS quality,
+        |      THEN 0.25 ELSE 0 END, 4) AS DOUBLE) AS quality,
         |  ROUND(CASE WHEN p.n_toks = 0 THEN 0.0
         |    ELSE p.n_stop * 1.0 / p.n_toks END, 6) AS stop_ratio,
         |  CAST(p.n_bpeish AS BIGINT) AS n_bpeish
