@@ -467,20 +467,25 @@ object GraphOps {
     val pairs = nbr
       .join(deg.withColumnsRenamed(Map("id" -> "u", "d" -> "du")), Seq("u"))
       .join(deg.withColumnsRenamed(Map("id" -> "v", "d" -> "dv")), Seq("v"))
+    // Moment sums in decimal(38,0), not long: a single du*dv product fits
+    // a long (degrees are bounded by |V|), but the SUM over edges wraps
+    // silently in non-ANSI mode once hub degrees reach ~1e9 at 100 TB
+    // scale. The Pearson formula then runs in double over the exact sums
+    // (values < 2^53 at any plausible scale once divided out).
+    val dec = "decimal(38,0)"
     val m = pairs.agg(
-      count(lit(1)).as("n"),
-      sum(col("du")).cast("long").as("sx"),
-      sum(col("dv")).cast("long").as("sy"),
-      sum(col("du") * col("dv")).cast("long").as("sxy"),
-      sum(col("du") * col("du")).cast("long").as("sxx"),
-      sum(col("dv") * col("dv")).cast("long").as("syy"))
+      count(lit(1)).cast("double").as("n"),
+      sum(col("du").cast(dec)).cast("double").as("sx"),
+      sum(col("dv").cast(dec)).cast("double").as("sy"),
+      sum((col("du") * col("dv")).cast(dec)).cast("double").as("sxy"),
+      sum((col("du") * col("du")).cast(dec)).cast("double").as("sxx"),
+      sum((col("dv") * col("dv")).cast(dec)).cast("double").as("syy"))
     val denom =
-      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-        (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")))
     m.select(
       when(denom === 0.0, lit(null).cast("double"))
-        .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
-          .cast("double") / denom)
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / denom)
         .as("r"),
       (col("n") / 2).cast("long").as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
