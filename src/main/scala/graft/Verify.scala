@@ -47,6 +47,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest log: one line per Verify run, so tools/check_oracle.py can
+    // tell which dumps in an accumulated out dir came from the current
+    // build and which are leftovers of an older one (a filtered re-dump
+    // leaves stale siblings that otherwise read as phantom regressions).
+    def gitOut(cmd: String*): String =
+      try scala.sys.process.Process(Seq("git") ++ cmd).!!.trim
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    val sha = gitOut("rev-parse", "HEAD")
+    val dirty = gitOut("status", "--porcelain").nonEmpty
+    val dumped = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
+    val line = s"""{"git_sha": ${q(sha)}, "dirty": $dirty, "ts_ms": ${
+      System.currentTimeMillis}, "queries": [${
+      dumped.map(q).mkString(", ")}]}""" + "\n"
+    Files.writeString(Paths.get(s"$outDir/manifest.jsonl"), line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }
