@@ -102,12 +102,23 @@ object Bench {
     val ok = results.collect { case (_, med, _, _) if med >= 0 => med }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
-    // cpus + shuffle partitions ride in the JSON line so round-over-round
-    // comparisons are config-matched. Field order is survival order for a
-    // head-truncated artifact: total + errors + the full queries map
-    // first, small config scalars next, the verbose spread map last.
+    // The driver's artifact keeps the LAST 2000 chars of stdout (tail
+    // truncation — r5's artifact lost the line's head plus the errors
+    // field and never parsed), and sbt's "[success] ..." footer rides in
+    // that window too. So the whole line must fit ~1900 chars: the
+    // verbose spread map goes to a local file instead of stdout, and
+    // field order is reversed-importance so a future overflow sheds
+    // config scalars, never errors/total/queries (the critical fields
+    // sit nearest the END of the line, which is the surviving end).
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec","queries":$qs,"errors":$errors,"iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfName","spread":$spread}""")
+    val line = s"""{"metric":"total","unit":"sec","iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfName","queries":$qs,"errors":$errors,"value":${sig3(total)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"sf":"$sfName","total":${sig3(total)},"spread":$spread}""")
+    catch { case _: Throwable => () }
+    if (line.length > 1900) System.err.println(
+      s"[bench] WARNING json line ${line.length} chars > 1900 tail budget")
+    println(line)
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }
