@@ -97,6 +97,13 @@ object StreamingIngest {
     val l = left.withWatermark(leftTs, watermark).alias("_gl")
     val r = right.withWatermark(rightTs, watermark).alias("_gr")
     val rightKeep = right.columns.filter(c => c != key).toSeq
+    // Same guard as the ts collision, generalized: a right payload column
+    // sharing a name with any left column would emit duplicate output
+    // names and ambiguous-reference failures one operator downstream.
+    val clash = rightKeep.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"right-side column(s) ${clash.mkString(", ")} collide with left " +
+        "columns — rename (e.g. prefix) the right payload before joining")
     l.join(r,
         col(s"_gl.$key") === col(s"_gr.$key") &&
           col(s"_gr.$rightTs") >= col(s"_gl.$leftTs") &&
