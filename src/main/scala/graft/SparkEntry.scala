@@ -545,6 +545,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- X2l: SemDeDup — embedding-space near-dup collapse (IVF cells →
+    // within-cell cosine pairs → connected components → min-id keeper).
+    // The synthetic embeddings have no natural near-dups (max pairwise
+    // cosine 0.51), so the query unions in exact-ANGLE duplicates:
+    // ×2.0f-scaled copies. Binary scaling is exact in float and cosine
+    // is scale-invariant down to the last bit (products/sums/sqrt all
+    // scale by exact powers of two), so both engines see IDENTICAL
+    // doubles — τ=0.95 sits in a [0.52, 1.0] gap with no boundary risk,
+    // and each copy provably lands in its original's cell. ----
+    "q_x2l_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 1000).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+              .as("embedding")))
+      Dedup.semanticDedup(corpus, "embedding", "vec_id",
+          threshold = 0.95, numCells = 32)
+        .orderBy("doc_id")
+    }),
+
     // ---- X3: brute-force cosine top-k (exact ANN baseline) ----
     "q_x3_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2284,6 +2305,77 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup rebuild: same augmented corpus (×2-scaled copies — exact
+    // in float), hash-ranked centroids, argmax assignment (q_x3b's
+    // pattern), within-cell cosine pairs, then 3 unrolled CC min-adoption
+    // rounds (components are size ≤ 2 — fixpoint depth 1, margin 3;
+    // MATERIALIZED so the chain doesn't re-inline the assignment twice
+    // per round).
+    "q_x2l_semantic_dedup" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
+        |    SELECT vec_id, embedding FROM corpus
+        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |    LIMIT 32)),
+        |asn0 AS (
+        |  SELECT c.vec_id, c.embedding, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |asn AS MATERIALIZED (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(a.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(b.embedding) y)))) AS cosine
+        |  FROM asn a JOIN asn b
+        |    ON b.centroid_id = a.centroid_id AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM pr WHERE cosine >= 0.95),
+        |eadj AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |l0 AS MATERIALIZED (
+        |  SELECT vec_id AS id, vec_id AS comp FROM corpus),
+        |l1 AS MATERIALIZED (
+        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT eadj.src AS id, min(l2.comp) AS mc
+        |    FROM eadj JOIN l0 l2 ON l2.id = eadj.dst
+        |    GROUP BY eadj.src) m USING (id)),
+        |l2 AS MATERIALIZED (
+        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT eadj.src AS id, min(l2.comp) AS mc
+        |    FROM eadj JOIN l1 l2 ON l2.id = eadj.dst
+        |    GROUP BY eadj.src) m USING (id)),
+        |l3 AS MATERIALIZED (
+        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT eadj.src AS id, min(l2.comp) AS mc
+        |    FROM eadj JOIN l2 l2 ON l2.id = eadj.dst
+        |    GROUP BY eadj.src) m USING (id))
+        |SELECT id AS doc_id, comp AS keeper_id,
+        |  CASE WHEN id = comp THEN 'kept' ELSE 'semantic' END AS reason
+        |FROM l3 ORDER BY doc_id""".stripMargin,
 
     "q_s3_scan_region" ->
       "SELECT * FROM region ORDER BY r_regionkey",

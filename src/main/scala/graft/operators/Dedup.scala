@@ -845,4 +845,73 @@ object Dedup {
         (coalesce(col("_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
           .as("n_dropped"))
   }
+
+  /** SemDeDup-style EMBEDDING-SPACE deduplication (Abbas et al. 2023):
+    * partition the corpus into IVF cells via the deterministic
+    * hash-sampled coarse quantizer ([[Similarity.ivfIndex]]), form
+    * candidate pairs only WITHIN a cell, keep pairs with cosine ≥
+    * `threshold`, cluster them with [[connectedComponents]], and elect
+    * the minimum id per cluster as the keeper. Catches paraphrases and
+    * re-encodings that share no surface n-grams — the semantic sibling
+    * of [[dedupCorpus]]'s lexical MinHash pass.
+    *
+    * Cells whose population exceeds `maxCellSize` contribute NO pairs
+    * (every member is kept) — the same explicit-cap-over-silent-n²
+    * policy as the MinHash bucket cap; audit skipped cells with
+    * [[semanticDedupCellStats]] and raise `numCells` until none
+    * overflow. Determinism: centroids are hash-ranked ids (no RNG),
+    * assignment tie-breaks on centroid id, keepers on doc id — the
+    * whole pipeline is rebuildable in ANSI SQL, which is how the
+    * `q_x2l_semantic_dedup` oracle checks it.
+    *
+    * Scale notes (100 TB): the centroid table is `numCells` rows —
+    * broadcast; assignment is one narrow n·k pass; the within-cell
+    * self-join shuffles on `centroid_id` once and its output is bounded
+    * by `numCells · maxCellSize²` — size `numCells ≈ n/200` so expected
+    * cells stay O(100). Component state is (id, comp) pairs — tiny;
+    * pass [[Checkpointer.Reliable]] for multi-hour runs.
+    *
+    * @return one row per input row:
+    *         `(doc_id, keeper_id, reason ∈ kept | semantic)` */
+  def semanticDedup(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, numCells: Int = 256, maxCellSize: Int = 10000,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val (_, assigned0) = Similarity.ivfIndex(df, vecCol, idCol, numCells)
+    // materialized once: feeds both sides of the self-join AND the cell
+    // census — lazy composition would run the n·k assignment three times
+    val assigned = ckpt(assigned0.select(
+      col("centroid_id"), col(idCol), col(vecCol)))
+    val inCap = assigned.join(
+      assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("_csz"))
+        .filter(col("_csz") <= maxCellSize)
+        .select(col("centroid_id")),
+      Seq("centroid_id"), "left_semi")
+    val pairs = inCap
+      .select(col("centroid_id"), col(idCol).as("id_a"),
+        col(vecCol).as("_va"))
+      .join(inCap.select(col("centroid_id"), col(idCol).as("id_b"),
+        col(vecCol).as("_vb")), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(df.select(col(idCol)), idCol, pairs, ckpt = ckpt)
+      .select(col("id").as("doc_id"), col("comp").as("keeper_id"),
+        when(col("id") === col("comp"), "kept")
+          .otherwise("semantic").as("reason"))
+  }
+
+  /** Cell census for [[semanticDedup]] tuning: one row per IVF cell with
+    * its population and whether the cap skipped it. `sum(n·(n-1)/2)` over
+    * the non-skipped rows is the exact pair-verification workload. */
+  def semanticDedupCellStats(
+      df: DataFrame, vecCol: String, idCol: String,
+      numCells: Int = 256, maxCellSize: Int = 10000): DataFrame = {
+    val (_, assigned) = Similarity.ivfIndex(df, vecCol, idCol, numCells)
+    assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("centroid_id"), col("n"),
+        (col("n") > maxCellSize).as("skipped"))
+  }
 }

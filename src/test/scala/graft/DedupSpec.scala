@@ -491,4 +491,46 @@ class DedupSpec extends SparkSpec {
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(re == out)
   }
+
+  test("semanticDedup: near-dup embedding cluster collapses to min id, " +
+      "chains resolve transitively, distinct vectors all kept") {
+    // cluster {0,1,2}: 1 and 2 are tiny perturbations of 0 (pairwise
+    // cosine > 0.999); {5,6}: a second chain; 3 and 4 are orthogonal
+    // singletons. numCells=1 → everything shares a cell, so the result
+    // is exact (no approximation to reason about).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0.01f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)),
+      (5L, Array(0f, 0.3f, 0.3f, 1f)),
+      (6L, Array(0f, 0.3f, 0.31f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        threshold = 0.99, numCells = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out == Map(
+      0L -> ((0L, "kept")), 1L -> ((0L, "semantic")),
+      2L -> ((0L, "semantic")), 3L -> ((3L, "kept")),
+      4L -> ((4L, "kept")), 5L -> ((5L, "kept")),
+      6L -> ((5L, "semantic"))))
+  }
+
+  test("semanticDedup: overflowed cells contribute no pairs; " +
+      "cell stats report the skip") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)), (2L, Array(1f, 0.002f)))
+      .toDF("vec_id", "embedding")
+    // cap 2 < cell population 3 → the single cell is skipped, all kept
+    val capped = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        threshold = 0.99, numCells = 1, maxCellSize = 2)
+      .collect().map(r => (r.getString(2)))
+    assert(capped.length == 3 && capped.forall(_ == "kept"))
+    val stats = Dedup.semanticDedupCellStats(vecs, "embedding", "vec_id",
+        numCells = 1, maxCellSize = 2).collect()
+    assert(stats.length == 1 && stats.head.getAs[Long]("n") == 3L &&
+      stats.head.getAs[Boolean]("skipped"))
+  }
 }
