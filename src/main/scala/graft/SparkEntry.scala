@@ -995,6 +995,21 @@ object SparkEntry {
       report.groupBy("stage").agg(count(lit(1)).as("n")).orderBy("stage")
     }),
 
+    // ---- X10b: curation with α=0.5 TEMPERATURE mixing in the quota
+    // stage — per-lang keep rate ∝ √n/Σ√n toward 150 total, seeded
+    // portable Bernoulli so the oracle rebuilds membership doc by doc ----
+    "q_x10b_curate_temperature" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (_, report) = Curation.curateCorpus(
+        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
+        minWords = 20, dedupThreshold = 0.8, contaminationShingle = 3,
+        quotaGroupCol = Some("lang"), portableDedup = true,
+        temperatureAlpha = Some(0.5), temperatureTarget = 150L,
+        portableSample = true)
+      report.groupBy("stage").agg(count(lit(1)).as("n")).orderBy("stage")
+    }),
+
     // ---- X4h: heavy hitters via the Misra–Gries typed aggregate —
     // bounded O(capacity) state instead of a full vocabulary groupBy. The
     // corpus vocabulary fits the capacity, so the sketch runs in its exact
@@ -1730,6 +1745,108 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Shared CTE chain of the curation-pipeline oracles (q_x10*): quality
+    * gate (Gopher rules) → exact keepers → portable LSH + Jaccard pairs →
+    * 6-round CC unroll → decontamination → per-lang survivor counts
+    * (`counts`). Each q_x10 variant appends its own quota-stage tail. */
+  private lazy val curationOracleCtes: String = {
+    val lead =
+      """corpus AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0
+        |), benchd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |), gs AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_toks,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+        |    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+        |      AS n_punct,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
+        |        'is','are','was','it','that','this','for','on','with','as',
+        |        'be','by','at'))) AS n_stop
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id, text, lang FROM gs
+        |  WHERE n_toks BETWEEN 20 AND 100000 AND n_toks > 0
+        |    AND (n_nonws * 1.0 / n_toks) BETWEEN 3.0 AND 10.0
+        |    AND n_stop >= 2 AND n_punct * 1.0 / n_toks < 0.5
+        |), ek AS (
+        |  SELECT doc_id, text, lang,
+        |    min(doc_id) OVER (PARTITION BY text) AS exact_keeper
+        |  FROM g
+        |), reps AS (
+        |  SELECT doc_id, text, lang FROM ek WHERE doc_id = exact_keeper
+        |), """.stripMargin
+    val ccRounds = (1 to 6).map { i =>
+      s""",
+         |l$i AS MATERIALIZED (
+         |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT eadj.src AS id, min(l2.comp) AS mc
+         |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
+         |    GROUP BY eadj.src) m USING (id))""".stripMargin
+    }.mkString
+    s"""${minhashPortableCtes(lead, "reps")},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM band x JOIN band y
+       |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
+       |), dsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, sh FROM sh
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN dsh a ON a.doc_id = c.id_a
+       |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+       |  GROUP BY c.id_a, c.id_b
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  WHERE CAST(i.n_inter AS DOUBLE)
+       |    / (sa.n + sb.n - i.n_inter) >= 0.8
+       |), eadj AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), l0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, doc_id AS comp FROM reps
+       |)$ccRounds,
+       |ded AS MATERIALIZED (
+       |  SELECT ek.doc_id, ek.lang FROM ek
+       |  JOIN l6 n ON n.id = ek.exact_keeper
+       |  WHERE ek.doc_id = n.comp
+       |), btok AS (
+       |  SELECT doc_id, u.tk, u.pos
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(trim(text), '\\s+') AS arr
+       |        FROM benchd),
+       |       LATERAL (SELECT unnest(arr) AS tk,
+       |                generate_subscripts(arr, 1) AS pos) u
+       |), bsh AS (
+       |  SELECT DISTINCT a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+       |  FROM btok a
+       |  JOIN btok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN btok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |), flag AS (
+       |  SELECT DISTINCT s.doc_id
+       |  FROM dsh s JOIN ded ON ded.doc_id = s.doc_id
+       |  JOIN bsh ON bsh.sh = s.sh
+       |), dec AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang FROM ded d
+       |  LEFT JOIN flag f ON f.doc_id = d.doc_id
+       |  WHERE f.doc_id IS NULL
+       |), counts AS (
+       |  SELECT lang, count(*) AS n FROM dec GROUP BY lang
+       |)""".stripMargin
+  }
+
   /** Shared lang-ID CTE chain (p → s → lg): per-doc marker-presence
     * scores and the argmax-with-max-lang-tie-break as greatest() over
     * 'digit:lang' strings. Used by q_x4o (standalone) and q_x4b (the
@@ -2082,102 +2199,8 @@ object SparkEntry {
     // bench slice (reusing the rep shingles — dedup survivors are reps),
     // and the quota stage as per-group count arithmetic. Rows with n = 0
     // are filtered to mirror the groupBy over an attributed report.
-    "q_x10_curate" -> {
-      val lead =
-        """corpus AS (
-          |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0
-          |), benchd AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
-          |), gs AS (
-          |  SELECT doc_id, text, lang,
-          |    CASE WHEN trim(text) = '' THEN 0
-          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-          |      AS n_toks,
-          |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
-          |    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
-          |      AS n_punct,
-          |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-          |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
-          |        'is','are','was','it','that','this','for','on','with','as',
-          |        'be','by','at'))) AS n_stop
-          |  FROM corpus
-          |), g AS (
-          |  SELECT doc_id, text, lang FROM gs
-          |  WHERE n_toks BETWEEN 20 AND 100000 AND n_toks > 0
-          |    AND (n_nonws * 1.0 / n_toks) BETWEEN 3.0 AND 10.0
-          |    AND n_stop >= 2 AND n_punct * 1.0 / n_toks < 0.5
-          |), ek AS (
-          |  SELECT doc_id, text, lang,
-          |    min(doc_id) OVER (PARTITION BY text) AS exact_keeper
-          |  FROM g
-          |), reps AS (
-          |  SELECT doc_id, text, lang FROM ek WHERE doc_id = exact_keeper
-          |), """.stripMargin
-      val ccRounds = (1 to 6).map { i =>
-        s""",
-           |l$i AS MATERIALIZED (
-           |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-           |  FROM l${i - 1} l LEFT JOIN (
-           |    SELECT eadj.src AS id, min(l2.comp) AS mc
-           |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
-           |    GROUP BY eadj.src) m USING (id))""".stripMargin
-      }.mkString
-      s"""${minhashPortableCtes(lead, "reps")},
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y
-         |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
-         |), dsh AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id, sh FROM sh
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.id_a
-         |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
-         |  GROUP BY c.id_a, c.id_b
-         |), pairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN sizes sa ON sa.doc_id = c.id_a
-         |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-         |  WHERE CAST(i.n_inter AS DOUBLE)
-         |    / (sa.n + sb.n - i.n_inter) >= 0.8
-         |), eadj AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs
-         |), l0 AS MATERIALIZED (
-         |  SELECT doc_id AS id, doc_id AS comp FROM reps
-         |)$ccRounds,
-         |ded AS MATERIALIZED (
-         |  SELECT ek.doc_id, ek.lang FROM ek
-         |  JOIN l6 n ON n.id = ek.exact_keeper
-         |  WHERE ek.doc_id = n.comp
-         |), btok AS (
-         |  SELECT doc_id, u.tk, u.pos
-         |  FROM (SELECT doc_id,
-         |          regexp_split_to_array(trim(text), '\\s+') AS arr
-         |        FROM benchd),
-         |       LATERAL (SELECT unnest(arr) AS tk,
-         |                generate_subscripts(arr, 1) AS pos) u
-         |), bsh AS (
-         |  SELECT DISTINCT a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-         |  FROM btok a
-         |  JOIN btok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |  JOIN btok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-         |), flag AS (
-         |  SELECT DISTINCT s.doc_id
-         |  FROM dsh s JOIN ded ON ded.doc_id = s.doc_id
-         |  JOIN bsh ON bsh.sh = s.sh
-         |), dec AS MATERIALIZED (
-         |  SELECT d.doc_id, d.lang FROM ded d
-         |  LEFT JOIN flag f ON f.doc_id = d.doc_id
-         |  WHERE f.doc_id IS NULL
-         |), counts AS (
-         |  SELECT lang, count(*) AS n FROM dec GROUP BY lang
-         |)
+    "q_x10_curate" ->
+      s"""$curationOracleCtes
          |SELECT stage, CAST(n AS BIGINT) AS n FROM (
          |  SELECT 'quality' AS stage,
          |    (SELECT count(*) FROM corpus) - (SELECT count(*) FROM g) AS n
@@ -2190,8 +2213,37 @@ object SparkEntry {
          |       0) FROM counts)
          |  UNION ALL SELECT 'kept',
          |    (SELECT COALESCE(sum(least(n, 40)), 0) FROM counts)
-         |) WHERE n > 0 ORDER BY stage""".stripMargin
-    },
+         |) WHERE n > 0 ORDER BY stage""".stripMargin,
+
+    // Temperature tail: per-lang keep rate least(1, T·√n/Σ√n/n) exactly
+    // as the engine computes it (same IEEE ops over the same exact
+    // integer n), membership via the portable md5-48 bucket; the rate
+    // threshold truncates (Spark double→long cast ≡ floor for
+    // non-negative).
+    "q_x10b_curate_temperature" ->
+      s"""$curationOracleCtes,
+         |rates AS (
+         |  SELECT lang, least(CAST(1 AS DOUBLE),
+         |    150 * sqrt(CAST(n AS DOUBLE)) /
+         |    (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM counts) / n) AS rate
+         |  FROM counts
+         |), tkept AS (
+         |  SELECT d.doc_id FROM dec d JOIN rates r USING (lang)
+         |  WHERE CAST(concat('0x',
+         |      substr(md5(concat(42, ':', d.doc_id)), 1, 12)) AS BIGINT)
+         |    % 1000000 < CAST(floor(r.rate * 1000000) AS BIGINT)
+         |)
+         |SELECT stage, CAST(n AS BIGINT) AS n FROM (
+         |  SELECT 'quality' AS stage,
+         |    (SELECT count(*) FROM corpus) - (SELECT count(*) FROM g) AS n
+         |  UNION ALL SELECT 'dedup',
+         |    (SELECT count(*) FROM g) - (SELECT count(*) FROM ded)
+         |  UNION ALL SELECT 'decontamination',
+         |    (SELECT count(*) FROM ded) - (SELECT count(*) FROM dec)
+         |  UNION ALL SELECT 'temperature',
+         |    (SELECT count(*) FROM dec) - (SELECT count(*) FROM tkept)
+         |  UNION ALL SELECT 'kept', (SELECT count(*) FROM tkept)
+         |) WHERE n > 0 ORDER BY stage""".stripMargin,
 
     // The whole dedup pipeline, stage by stage: exact keepers (window
     // min per text), portable LSH + exact-Jaccard ≥ 0.8 pairs among the

@@ -19,7 +19,13 @@ import graft.functions.GraftFunctions
   *  4. QUOTA (optional): deterministic weighted sample of at most
   *     `quotaPerGroup` docs per `quotaGroupCol`
   *     ([[Sampling.weightedSamplePerGroup]], weight = token count — longer
-  *     docs preferred under the cap).
+  *     docs preferred under the cap). Setting `temperatureAlpha` swaps
+  *     the hard cap for α-temperature mixing
+  *     ([[Sampling.temperatureSample]]): each group keeps a seeded
+  *     Bernoulli fraction proportional to `n^α / Σ n^α`, flattening the
+  *     group distribution toward `temperatureTarget` total docs — the
+  *     standard multi-source rebalance knob of training-data recipes.
+  *     Its drops are reported under stage `temperature`.
   *
   * Returns (curated corpus, decision report). The report has one row per
   * INPUT doc: (doc_id, stage, decision) where stage ∈ quality | dedup |
@@ -47,7 +53,14 @@ object Curation {
       quotaGroupCol: Option[String] = None,
       quotaPerGroup: Int = Int.MaxValue,
       ckpt: Checkpointer = Checkpointer.Local,
-      portableDedup: Boolean = false): (DataFrame, DataFrame) = {
+      portableDedup: Boolean = false,
+      temperatureAlpha: Option[Double] = None,
+      temperatureTarget: Long = 0L,
+      sampleSeed: Long = 42L,
+      portableSample: Boolean = false): (DataFrame, DataFrame) = {
+    require(temperatureAlpha.isEmpty || quotaGroupCol.isDefined,
+      "temperatureAlpha needs quotaGroupCol — temperature mixing is " +
+        "defined over a group column")
 
     def restrict(idSet: DataFrame): DataFrame =
       docs.join(idSet, Seq(idCol), "left_semi")
@@ -64,14 +77,19 @@ object Curation {
     val cIds = ckpt(Decontaminate.decontaminate(restrict(dIds), textCol,
         idCol, bench, benchTextCol, benchIdCol, contaminationShingle)
       .select(col(idCol)))
-    // 4. quota
-    val keptIds = ckpt((quotaGroupCol match {
-      case Some(g) =>
+    // 4. quota — hard per-group cap by default, temperature mixing opt-in
+    val quotaStage =
+      if (temperatureAlpha.isDefined) "temperature" else "quota"
+    val keptIds = ckpt(((quotaGroupCol, temperatureAlpha) match {
+      case (Some(g), Some(a)) =>
+        Sampling.temperatureSample(restrict(cIds), g, idCol, a,
+          temperatureTarget, sampleSeed, portableSample)
+      case (Some(g), None) =>
         Sampling.weightedSamplePerGroup(
           restrict(cIds).withColumn("_w",
             GraftFunctions.token_count_ws(col(textCol)).cast("double")),
           g, idCol, "_w", quotaPerGroup)
-      case None => restrict(cIds)
+      case (None, _) => restrict(cIds)
     }).select(col(idCol)))
 
     def dropped(before: DataFrame, after: DataFrame, stage: String) =
@@ -82,7 +100,7 @@ object Curation {
     val report = dropped(docs.select(col(idCol)), qIds, "quality")
       .unionByName(dropped(qIds, dIds, "dedup"))
       .unionByName(dropped(dIds, cIds, "decontamination"))
-      .unionByName(dropped(cIds, keptIds, "quota"))
+      .unionByName(dropped(cIds, keptIds, quotaStage))
       .unionByName(keptIds
         .select(col(idCol).as("doc_id"), lit("kept").as("stage"),
           lit("kept").as("decision")))

@@ -228,11 +228,12 @@ object Sampling {
     * runs and cluster sizes) at each group's temperature rate. The rate
     * table is group-count-sized → broadcast; the corpus never shuffles. */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
-      alpha: Double, targetTotal: Long, seed: Long = 42L): DataFrame = {
+      alpha: Double, targetTotal: Long, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     val rates = temperatureWeights(df, groupCol, alpha, targetTotal)
       .select(col(groupCol), col("rate"))
     df.join(broadcast(rates), Seq(groupCol))
-      .filter(hashBucket(col(idCol), seed) <
+      .filter(hashBucket(col(idCol), seed, portable) <
         (col("rate") * Buckets).cast("long"))
       .drop("rate")
   }

@@ -62,6 +62,46 @@ class CurationSpec extends SparkSpec {
       kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("curateCorpus: temperature mode rebalances groups, attributes " +
+      "drops to the temperature stage, matches temperatureSample") {
+    val bench = Seq((9L, "zzz qqq yyy xxx www")).toDF("qid", "question")
+    // 40 en docs vs 10 fr docs, all clean/distinct — temperature α=0.5
+    // toward 25 total keeps ∝ √n: en rate 25·√40/(√40+√10)/40 ≈ 0.42,
+    // fr rate 25·√10/(√40+√10)/10 ≈ 0.83 — fr keeps a HIGHER fraction.
+    val docs = ((1L to 40L).map(i => (i, "en",
+        longClean + s" alpha$i beta$i gamma$i delta$i epsilon$i")) ++
+      (101L to 110L).map(i => (i, "fr",
+        longClean + s" omega$i psi$i chi$i phi$i upsilon$i")))
+      .toDF("doc_id", "lang", "text")
+    val (kept, report) = Curation.curateCorpus(
+      docs, "text", "doc_id", bench, "question", "qid",
+      minWords = 5, quotaGroupCol = Some("lang"),
+      temperatureAlpha = Some(0.5), temperatureTarget = 25L)
+    val byStage = report.groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("temperature") && !byStage.contains("quota"))
+    assert(byStage("temperature") + byStage("kept") == 50L)
+    // the composed stage IS temperatureSample over the decon survivors
+    // (all 50 docs survive the earlier stages here)
+    val direct = graft.operators.Sampling.temperatureSample(
+        docs, "lang", "doc_id", 0.5, 25L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == direct)
+    // fr's realized keep fraction must exceed en's (the rebalance point)
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptByLang.getOrElse("fr", 0L) * 40L >
+      keptByLang.getOrElse("en", 0L) * 10L)
+  }
+
+  test("curateCorpus: temperatureAlpha without quotaGroupCol fails fast") {
+    val df = Seq((1L, "en", longClean)).toDF("doc_id", "lang", "text")
+    intercept[IllegalArgumentException] {
+      Curation.curateCorpus(df, "text", "doc_id", df, "text", "doc_id",
+        temperatureAlpha = Some(0.5), temperatureTarget = 10L)
+    }
+  }
+
   test("domainCap: host parsing handles scheme/userinfo/port/path; cap " +
       "keeps the k best per host deterministically") {
     import org.apache.spark.sql.functions._
