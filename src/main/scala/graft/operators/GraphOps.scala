@@ -769,7 +769,10 @@ object GraphOps {
         .select(col("id"), col("_b.dist").as("dist"),
           col("_b.via").as("via")))
       // distances only decrease and the node set only grows, so an
-      // unchanged (count, sum) is a fixpoint
+      // unchanged (count, sum) is a fixpoint. The probe scans the
+      // partitions ckpt just materialized — cost is one task-launch
+      // round trip, scale-independent (trade analysis in SCALE.md
+      // "Iteration and fault tolerance").
       val probe = dist.agg(count(lit(1)), sum(col("dist"))).head()
       val cur = (probe.getLong(0), probe.get(1))
       converged = prev.contains(cur)
