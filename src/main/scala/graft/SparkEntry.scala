@@ -545,6 +545,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- X2m: duplicate-SPAN removal — delete corpus-duplicated trigram
+    // passages, keep the rest of each doc (the Lee-et-al rewrite; X2h is
+    // the read-only audit of the same signal) ----
+    "q_x2m_dup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, minCount = 2)
+        .orderBy("doc_id")),
+
     // ---- X2l: SemDeDup — embedding-space near-dup collapse (IVF cells →
     // within-cell cosine pairs → connected components → min-id keeper).
     // The synthetic embeddings have no natural near-dups (max pairwise
@@ -2797,6 +2805,50 @@ object SparkEntry {
         |       ELSE floor(CAST(p.n_dup AS DOUBLE) / p.n_ngrams * 1e6 + 0.5)
         |       END AS BIGINT) AS dup_frac_e6
         |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Span removal: positional trigram rebuild (q_x2h's), coverage =
+    // each duplicated occurrence's 3 token positions, survivors
+    // reassembled by ordered string_agg (whitespace canonicalizes to
+    // single spaces on both engines by construction).
+    "q_x2m_dup_span_removal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |  WHERE length(u.tk) > 0
+        |), sh AS (
+        |  SELECT a.doc_id, a.pos, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |), cnt AS (
+        |  SELECT sh, count(*) AS c FROM sh GROUP BY sh
+        |), cov AS (
+        |  SELECT DISTINCT s.doc_id, s.pos + d.d AS tp
+        |  FROM sh s JOIN cnt ON cnt.sh = s.sh AND cnt.c >= 2,
+        |       LATERAL (SELECT unnest([0, 1, 2]) AS d) d
+        |), keptt AS (
+        |  SELECT t.doc_id, t.pos, t.tk
+        |  FROM tok t LEFT JOIN cov
+        |    ON cov.doc_id = t.doc_id AND cov.tp = t.pos
+        |  WHERE cov.doc_id IS NULL
+        |), reb AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM keptt GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(t.n, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed
+        |FROM documents d
+        |LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // First-occurrence election mirrored as a row_number window over

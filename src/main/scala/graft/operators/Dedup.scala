@@ -546,6 +546,70 @@ object Dedup {
     decisions
   }
 
+  /** Duplicate-SPAN removal — the surgical half of Lee et al.'s
+    * "Deduplicating Training Data": instead of dropping whole documents,
+    * DELETE the duplicated passages and keep the rest. A token is removed
+    * iff it is covered by at least one n-gram occurrence whose n-gram
+    * appears ≥ `minCount` times corpus-wide; the survivors are rejoined
+    * in original order with single spaces (whitespace runs canonicalize —
+    * the same normalization every shingle stage here applies).
+    * [[duplicateNgramStats]] is the read-only audit of the same signal;
+    * this is the rewrite.
+    *
+    * Scale notes (100 TB): n-gram occurrences shuffle as
+    * `(sha2, id, pos)` — 48-byte rows regardless of text length; the
+    * corpus-wide count is a partial aggregate; coverage expansion is a
+    * bounded explode (n rows per duplicated occurrence); the rebuild
+    * groups by doc id once. Nothing is quadratic and raw text never
+    * shuffles — only token-position pairs of docs that actually contain
+    * duplicated spans reach the anti-join.
+    *
+    * @return one row per input row:
+    *         `(id, clean_text, n_tokens, n_removed)` — `clean_text = ""`
+    *         when every token sat in a duplicated span (or the text was
+    *         blank/NULL). */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, minCount: Int = 2): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("_id"),
+        posexplode(shingles(col(textCol), shingleSize))
+          .as(Seq("_pos", "_sh")))
+      .select(col("_id"), col("_pos"), sha2(col("_sh"), 256).as("_h"))
+    val dupHashes = occ.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select(col("_h"))
+    val covered = occ.join(dupHashes, Seq("_h"), "left_semi")
+      .select(col("_id"),
+        explode(sequence(col("_pos"),
+          col("_pos") + lit(shingleSize - 1))).as("_tp"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(trim(col(textCol)), "\\s+"))
+          .as(Seq("_tp", "_tk")))
+      .filter(length(col("_tk")) > 0)
+    val rebuilt = toks
+      .join(covered, Seq("_id", "_tp"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
+            t => t.getField("_tk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("_total"))
+    df.select(col(idCol))
+      .join(totals, col(idCol) === totals("_id"), "left").drop("_id")
+      .join(rebuilt, col(idCol) === rebuilt("_id"), "left").drop("_id")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("_total"), lit(0L)).as("n_tokens"),
+        (coalesce(col("_total"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** INCREMENTAL near-dedup — the daily-increment path: dedupe a NEW
     * batch against an already-indexed corpus without re-processing the
     * corpus. The corpus is touched only through (a) its precomputed

@@ -492,6 +492,31 @@ class DedupSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("removeDuplicateSpans: corpus-duplicated trigrams deleted, unique " +
+      "text kept in order; within-doc repeats count; short/blank pass " +
+      "through") {
+    val docs = Seq(
+      (1L, "alpha beta gamma unique one two three"),
+      (2L, "alpha beta gamma other words entirely here"),
+      // within-doc repeat: 'x y z' occurs twice in doc 3 alone
+      (3L, "x y z padding tokens x y z"),
+      (4L, "tiny doc"), // shorter than the shingle — untouched
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id",
+        shingleSize = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // 'alpha beta gamma' is cross-doc duplicated → its 3 tokens vanish
+    // from both docs; everything else survives in original order
+    assert(out(1L) == (("unique one two three", 7L, 3L)))
+    assert(out(2L) == (("other words entirely here", 7L, 3L)))
+    // both occurrences of the within-doc repeat are removed
+    assert(out(3L) == (("padding tokens", 8L, 6L)))
+    assert(out(4L) == (("tiny doc", 2L, 0L)))
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
   test("semanticDedup: near-dup embedding cluster collapses to min id, " +
       "chains resolve transitively, distinct vectors all kept") {
     // cluster {0,1,2}: 1 and 2 are tiny perturbations of 0 (pairwise
