@@ -1090,6 +1090,21 @@ object SparkEntry {
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
         .orderBy("doc_id")),
 
+    // ---- X4q: CCNet-style per-language perplexity buckets — ntile(3)
+    // over the INTEGERIZED ppl (identical longs on both engines, q_x4i's
+    // proven kernel) with doc_id tie-break, so the tiling is a total
+    // order and head/middle/tail agree bit-for-bit ----
+    "q_x4q_ppl_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = Relevance.unigramPerplexity(d, "doc_id", "text")
+        .select(col("doc_id"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).cast("long").as("ppl_e4"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Sampling.scoreBuckets(scored, "ppl_e4", "doc_id",
+          nBuckets = 3, groupCol = Some("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
@@ -3530,6 +3545,34 @@ object SparkEntry {
         |  CAST(floor(exp(-(lp / doc_len)) * 1e4 + CAST(0.5 AS DOUBLE))
         |    AS BIGINT) AS ppl_e4
         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // q_x4i's ppl kernel → integerized score → per-lang ntile with
+    // doc_id tie-break (same total order both engines).
+    "q_x4q_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |uni AS (SELECT token, sum(tf) AS n FROM tf GROUP BY token),
+        |tot AS (SELECT sum(n) AS total FROM uni),
+        |per AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS doc_len,
+        |          sum(tf.tf * ln(uni.n / tot.total)) AS lp
+        |        FROM tf JOIN uni USING (token), tot GROUP BY tf.doc_id),
+        |ppl AS (SELECT doc_id,
+        |          CAST(floor(exp(-(lp / doc_len)) * 1e4
+        |            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ppl_e4
+        |        FROM per),
+        |b AS (
+        |  SELECT d.doc_id, p.ppl_e4, d.lang,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY p.ppl_e4, d.doc_id) AS BIGINT) AS bucket
+        |  FROM documents d JOIN ppl p USING (doc_id))
+        |SELECT doc_id, ppl_e4, lang, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket_label
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.

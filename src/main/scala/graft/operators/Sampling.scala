@@ -238,6 +238,41 @@ object Sampling {
       .drop("rate")
   }
 
+  /** CCNet-style score bucketing (Wenzek et al. 2020): label every row
+    * with its `scoreCol` ntile WITHIN `groupCol` (corpus-wide when None)
+    * — the head/middle/tail split CCNet applies to per-language LM
+    * perplexity, where `head` = best (LOWEST score). The window orders by
+    * (score, `idCol`) — a TOTAL order, so the tiling is deterministic and
+    * engine-portable even under score ties; pass an integerized score
+    * (e.g. `ppl_e4`) when the buckets must agree bit-for-bit across
+    * engines.
+    *
+    * Scale: one window sort per group — the same cost envelope as
+    * [[percentileNormalize]]; for a pure keep/drop cut at extreme scale
+    * prefer [[keepTopFraction]] (one percentile aggregate, no sort).
+    *
+    * @param labels bucket names, first = lowest scores; must have
+    *               `nBuckets` entries (default head/middle/tail for 3).
+    * @return input rows + (`bucket` 1-based long, `bucket_label`) */
+  def scoreBuckets(df: DataFrame, scoreCol: String, idCol: String,
+      nBuckets: Int = 3, groupCol: Option[String] = None,
+      labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    require(labels.length == nBuckets,
+      s"labels has ${labels.length} entries, expected $nBuckets")
+    val w = (groupCol match {
+      case Some(g) => org.apache.spark.sql.expressions.Window
+        .partitionBy(col(g))
+      case None => org.apache.spark.sql.expressions.Window.partitionBy()
+    }).orderBy(col(scoreCol), col(idCol))
+    val labelExpr = labels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, i)) =>
+        when(col("bucket") === (i + 1), lit(name)).otherwise(acc)
+    }
+    df.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("bucket_label", labelExpr)
+  }
+
   /** Score-threshold calibration: keep rows whose `scoreCol` is at or
     * above the corpus's (1 − fraction) quantile — "keep the best 30% by
     * quality score" without knowing the score distribution in advance

@@ -438,4 +438,39 @@ class SamplingSpec extends SparkSpec {
       .select("id", "pr").as[(Long, Double)].collect().toMap
     assert(g(5L) == 1.0)
   }
+
+  test("scoreBuckets: per-group tertiles with deterministic tie-break, " +
+      "head = lowest score, sizes differ by at most one") {
+    // en: 7 docs (buckets 3/2/2), fr: 3 docs (1/1/1); two tied scores in
+    // en must land deterministically by id
+    val rows = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 20L), (4L, "en", 30L),
+      (5L, "en", 40L), (6L, "en", 50L), (7L, "en", 60L),
+      (11L, "fr", 5L), (12L, "fr", 6L), (13L, "fr", 7L))
+      .toDF("id", "lang", "score")
+    val out = Sampling.scoreBuckets(rows, "score", "id",
+        nBuckets = 3, groupCol = Some("lang"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("bucket"), r.getAs[String]("bucket_label")))).toMap
+    // en ordered (score, id): 1,2,3 | 4,5 | 6,7
+    assert(out(1L) == ((1L, "head")) && out(2L) == ((1L, "head")) &&
+      out(3L) == ((1L, "head")))
+    assert(out(4L) == ((2L, "middle")) && out(5L) == ((2L, "middle")))
+    assert(out(6L) == ((3L, "tail")) && out(7L) == ((3L, "tail")))
+    assert(out(11L) == ((1L, "head")) && out(12L) == ((2L, "middle")) &&
+      out(13L) == ((3L, "tail")))
+  }
+
+  test("scoreBuckets: label arity fails fast; custom bucket count works") {
+    val rows = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Sampling.scoreBuckets(rows, "score", "id", nBuckets = 4)
+    }
+    val quartiles = Sampling.scoreBuckets(rows, "score", "id",
+        nBuckets = 4, labels = Seq("q1", "q2", "q3", "q4"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("bucket_label"))
+      .toMap
+    assert(quartiles == Map(1L -> "q1", 2L -> "q2", 3L -> "q3", 4L -> "q4"))
+  }
 }
