@@ -615,6 +615,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3h: product-quantization ANN (Jégou et al. 2011) — 64-dim
+    // floats → m=8 codes over a k=16 hash-sampled codebook (RNG-free, so
+    // fully oracle-rebuildable); search is codegen'd ADC table lookups,
+    // never the raw vectors. The e4-integerized distance guards the
+    // compare; ranks use raw doubles (x3b precedent) ----
+    "q_x3h_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+      Similarity.pqTopK(e.filter(col("vec_id") < 8), cb, enc,
+          "embedding", "vec_id", m = 8, k = 16, topK = 5)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X2f: fuzzy-string (Levenshtein) near-dup over 24-char text
     // prefixes — runs the BLOCKED path (length bands ±1), whose candidates
     // are provably lossless for the distance bound, against an all-pairs
@@ -2755,6 +2773,69 @@ object SparkEntry {
         |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ rebuild: hash-ranked 16-row codebook with dense ranks, per-sub
+    // slices, argmin-L2² encoding, query distance tables, and the ADC
+    // sum as an ORDERED 8-term chain (list(d ORDER BY sub) then explicit
+    // left-to-right addition — bit-identical to the codegen kernel's
+    // fold).
+    "q_x3h_pq_topk" ->
+      """WITH cb0 AS (
+        |  SELECT vec_id, embedding,
+        |    row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
+        |      AS code
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |        LIMIT 16)),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |cb AS MATERIALIZED (
+        |  SELECT subs.sub, cb0.code,
+        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
+        |      AS cw
+        |  FROM cb0 CROSS JOIN subs),
+        |encd0 AS (
+        |  SELECT e.vec_id, cb.sub, cb.code,
+        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+        |     FROM (SELECT
+        |         unnest(list_slice(e.embedding,
+        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
+        |         unnest(cb.cw) y)) AS d
+        |  FROM embeddings e CROSS JOIN cb),
+        |enc AS MATERIALIZED (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d, code) rn FROM encd0)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |      WHERE vec_id < 8),
+        |dt0 AS MATERIALIZED (
+        |  SELECT q.query_id, cb.sub, cb.code,
+        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+        |     FROM (SELECT
+        |         unnest(list_slice(q.embedding,
+        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
+        |         unnest(cb.cw) y)) AS d
+        |  FROM q CROSS JOIN cb),
+        |terms AS (
+        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
+        |  FROM enc en JOIN dt0 d0 ON d0.sub = en.sub AND d0.code = en.code
+        |  WHERE d0.query_id <> en.vec_id
+        |  GROUP BY d0.query_id, en.vec_id),
+        |sc AS (
+        |  SELECT query_id, vec_id,
+        |    ds[1] + ds[2] + ds[3] + ds[4]
+        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
+        |  FROM terms)
+        |SELECT query_id, vec_id,
+        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS adist_e4,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adist, vec_id) AS rank FROM sc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_x2b_ngram_jaccard" ->

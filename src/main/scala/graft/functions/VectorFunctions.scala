@@ -22,6 +22,16 @@ object VectorFunctions {
   def l2_norm(a: Column): Column =
     ColumnShim.column(ArrayNorm2(ColumnShim.expression(a)))
 
+  /** Σ (aᵢ−bᵢ)² (double) — squared L2 distance. Null on length mismatch. */
+  def l2sq(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayL2Sq(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** PQ asymmetric distance: Σ_s dtable[s·k + codes[s]] (double). */
+  def adc(codes: Column, dtable: Column, k: Int): Column =
+    ColumnShim.column(ArrayAdc(
+      ColumnShim.expression(codes), ColumnShim.expression(dtable), k))
+
   /** Cosine similarity ∈ [-1,1]; null-safe zero-vector guard → null. */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2_norm(a) * l2_norm(b)

@@ -121,6 +121,130 @@ case class ArrayNorm2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Σ (aᵢ−bᵢ)² in double, strict left-to-right — the squared-L2 distance
+  * kernel of product quantization (no sqrt: argmin and additivity over
+  * subspaces both survive the square). Null if either side is null or
+  * lengths differ. */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_l2sq"
+
+  private lazy val leftAcc = VecCodegen.elemAccessor(left.dataType)
+  private lazy val rightAcc = VecCodegen.elemAccessor(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val fl = leftAcc == "getFloat"
+    val fr = rightAcc == "getFloat"
+    while (i < n) {
+      val x = if (fl) aa.getFloat(i).toDouble else aa.getDouble(i)
+      val y = if (fr) bb.getFloat(i).toDouble else bb.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == $b.numElements()) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.$leftAcc($i)
+         |      - (double) $b.$rightAcc($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Asymmetric-distance computation (ADC) gather-sum of product
+  * quantization: Σ_s dtable[s·k + codes[s]], strict left-to-right in
+  * double — the approximate distance between a query's per-subspace
+  * distance table (m·k doubles) and a PQ-encoded vector (m small ints).
+  * Null if either input is null or any index falls outside the table
+  * (code ≥ k or table shorter than m·k). */
+case class ArrayAdc(codes: Expression, dtable: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = dtable
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_adc"
+
+  override protected def nullSafeEval(c: Any, t: Any): Any = {
+    val cc = c.asInstanceOf[ArrayData]
+    val tt = t.asInstanceOf[ArrayData]
+    val m = cc.numElements()
+    val tn = tt.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val code = cc.getInt(s)
+      val idx = s * k + code
+      if (code < 0 || code >= k || idx >= tn) return null
+      acc += tt.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val tn = ctx.freshName("tn")
+      val acc = ctx.freshName("acc")
+      val code = ctx.freshName("code")
+      val idx = ctx.freshName("idx")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $m = $c.numElements();
+         |int $tn = $t.numElements();
+         |double $acc = 0.0;
+         |boolean $bad = false;
+         |for (int $s = 0; $s < $m && !$bad; $s++) {
+         |  int $code = $c.getInt($s);
+         |  int $idx = $s * $k + $code;
+         |  if ($code < 0 || $code >= $k || $idx >= $tn) {
+         |    $bad = true;
+         |  } else {
+         |    $acc += $t.getDouble($idx);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAdc =
+    copy(codes = newLeft, dtable = newRight)
+}
+
 /** Static kernels shared by the interpreted and generated paths of the
   * quantization expressions. */
 object VectorKernels {

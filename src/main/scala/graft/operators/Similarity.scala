@@ -159,6 +159,114 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector space
+    * splits into `m` contiguous subspaces; each gets `k` codewords —
+    * here a deterministic hash-ranked sample of corpus rows (the same
+    * RNG-free multiplicative-hash trick as [[ivfIndex]], so the whole
+    * codec is ANSI-SQL-rebuildable for the oracle), each sampled row
+    * sliced into its m subvectors. `code` is the dense 0-based rank in
+    * the sample order — the array slot ADC indexes into.
+    *
+    * Scale: m·k rows total, corpus-independent — always broadcastable.
+    * Vector dim must be divisible by `m` (checked at build, on k rows).
+    *
+    * @return (`sub` 0-based, `code` 0-based, `codeword` float array) */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int): DataFrame = {
+    require(m >= 1 && k >= 2, "need m >= 1 subspaces and k >= 2 codewords")
+    val ranked = corpus
+      .select(col(idCol), col(vecCol),
+        pmod(col(idCol) * lit(2654435761L), lit(4294967296L)).as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("_h"), col(idCol))) - 1)
+          .cast("int"))
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    ranked
+      .select(col("code"),
+        when(size(col(vecCol)) % m =!= 0,
+          raise_error(concat(lit("pq: vector dim "),
+            size(col(vecCol)).cast("string"),
+            lit(s" not divisible by m=$m"))))
+          .otherwise(col(vecCol)).as(vecCol))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col(vecCol))
+      .select(col("sub"), col("code"),
+        slice(col(vecCol), col("sub") * dsub + 1, dsub).as("codeword"))
+  }
+
+  /** PQ-encode the corpus: per vector, per subspace, the argmin-L2²
+    * codeword (tie-break smallest code — deterministic), gathered into
+    * one `codes` array ordered by subspace. This is the 100 TB storage
+    * story: a 64-dim float vector (256 B) becomes m=8 ints — the encoded
+    * corpus rides in a fraction of the scan and shuffle budget, and ADC
+    * search never touches the original vectors.
+    *
+    * Shuffle shape: broadcast codebook join (narrow, n·m·k codegen'd
+    * kernel evaluations) → per-(id, sub) partial-agg argmin (n·m tiny
+    * rows) → per-id gather (n rows). One-time index-build cost.
+    *
+    * @return (`id`, `codes` array<int> of length m) */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      codebooks: DataFrame, m: Int): DataFrame = {
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(codebooks))
+      .select(col(idCol), col("sub"), col("code"),
+        VectorFunctions.l2sq(
+          slice(col(vecCol), col("sub") * dsub + 1, dsub),
+          col("codeword")).as("_d"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("_d"), col("code"))).as("_best"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("_best.code")
+        .as("code")))).as("_sc"))
+      .select(col(idCol),
+        transform(col("_sc"), x => x.getField("code")).as("codes"))
+  }
+
+  /** PQ top-k search via asymmetric distance computation: each query
+    * precomputes its (m·k)-entry subspace distance table against the
+    * broadcast codebook, then every encoded vector's approximate
+    * distance is m table lookups ([[VectorFunctions.adc]], codegen'd) —
+    * no float vector is ever read at search time. Approximate on two
+    * axes (quantized corpus, exact query side); rank ties break on id.
+    *
+    * Scale: dtables are |Q|·m·k doubles — broadcast; the corpus-side
+    * scan is narrow over (id, codes); only the final per-query window
+    * shuffles, and only (query_id, id, dist) rows.
+    *
+    * @return (`query_id`, `vec_id`, `adist`, `rank`) top `topK` rows per
+    *         query by ascending approximate distance */
+  def pqTopK(queries: DataFrame, codebooks: DataFrame, encoded: DataFrame,
+      vecCol: String, idCol: String, m: Int, k: Int,
+      topK: Int): DataFrame = {
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    val dtables = queries
+      .select(col(idCol).as("query_id"), col(vecCol))
+      .crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("sub"), col("code"),
+        VectorFunctions.l2sq(
+          slice(col(vecCol), col("sub") * dsub + 1, dsub),
+          col("codeword")).as("_d"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"),
+        col("_d").as("d")))).as("_scd"))
+      .select(col("query_id"),
+        transform(col("_scd"), x => x.getField("d")).as("_dtable"))
+    val scored = encoded
+      .crossJoin(broadcast(dtables))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        VectorFunctions.adc(col("codes"), col("_dtable"), k).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009): each
     * list contributes `1/(c + rank)` per member, summed per id — the
     * standard way to combine dense ([[bruteForceTopK]]/[[ivfTopK]]) and

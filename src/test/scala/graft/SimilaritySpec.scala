@@ -273,4 +273,72 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall > 0.2, s"recall $recall too low at sf0.01")
   }
+
+  test("l2sq and adc kernels: exact values, null guards") {
+    val r = Seq(1).toDF("x").select(
+      VectorFunctions.l2sq(array(lit(1f), lit(2f)), array(lit(4f), lit(6f)))
+        .as("d"),
+      VectorFunctions.l2sq(array(lit(1f)), array(lit(1f), lit(2f)))
+        .as("mismatch"),
+      // dtable for m=2, k=2: [s0c0, s0c1, s1c0, s1c1]; codes [1, 0]
+      // → dtable[0*2+1] + dtable[1*2+0] = 20 + 30
+      VectorFunctions.adc(array(lit(1), lit(0)),
+        array(lit(10d), lit(20d), lit(30d), lit(40d)), k = 2).as("adc"),
+      VectorFunctions.adc(array(lit(2), lit(0)),
+        array(lit(10d), lit(20d), lit(30d), lit(40d)), k = 2)
+        .as("oob")).head()
+    assert(r.getDouble(0) == 25.0) // 3² + 4²
+    assert(r.isNullAt(1))
+    assert(r.getDouble(2) == 50.0)
+    assert(r.isNullAt(3)) // code ≥ k → null, never a wild read
+  }
+
+  test("pq codec: codebook shape, dense codes, encode picks the exact " +
+      "codeword for sampled rows, dim-divisibility fails fast") {
+    val dim8 = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(dim8, "embedding", "vec_id",
+      m = 2, k = 4)
+    val rows = cb.collect()
+    assert(rows.length == 8) // m·k
+    assert(rows.map(_.getAs[Int]("code")).toSet == Set(0, 1, 2, 3))
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("codeword").length == 4))
+    // every corpus row IS a sampled codeword here (k = n), so each
+    // encodes to its own codeword in every subspace: per-row codes are
+    // constant arrays and distinct across rows
+    val enc = Similarity.pqEncode(dim8, "embedding", "vec_id", cb, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("codes")).toMap
+    assert(enc.size == 4)
+    assert(enc.values.forall(c => c.length == 2 && c.distinct.length == 1))
+    assert(enc.values.map(_.head).toSeq.sorted == Seq(0, 1, 2, 3))
+    intercept[Exception] {
+      Similarity.pqCodebooks(
+        Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", m = 2, k = 2).collect()
+    }
+  }
+
+  test("pqTopK: near-identical twin ranks first with near-zero distance") {
+    // two tight clusters + noise; query 0's twin (id 10) shares its
+    // codes, so ADC distance equals the query's own quantization
+    // residual — far below any cross-cluster distance
+    val base = Array.tabulate(8)(j => j.toFloat)
+    val far = Array.tabulate(8)(j => (100 - j).toFloat)
+    val vecs = Seq(
+      (0L, base), (10L, base.map(x => x + 0.01f)),
+      (20L, far), (21L, far.map(x => x + 0.01f)),
+      (30L, Array.tabulate(8)(j => (j * j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      m = 4, k = 4)
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", cb, m = 4)
+    val top = Similarity.pqTopK(
+        vecs.filter(col("vec_id") === 0L), cb, enc,
+        "embedding", "vec_id", m = 4, k = 4, topK = 2)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("vec_id") == 10L)
+    assert(top.head.getAs[Double]("adist") <
+      top.last.getAs[Double]("adist"))
+  }
 }
