@@ -1587,6 +1587,27 @@ object SparkEntry {
         .orderBy("p_partkey", "band_id")
     }),
 
+    // ---- J6: interval-OVERLAP join (both sides intervals) — bucketed
+    // equi-join with canonical-bucket dedup-free pair emission; the
+    // all-pairs SQL oracle certifies the bucketing loses nothing AND
+    // duplicates nothing. Intervals derive deterministically from
+    // shipdate + keyed length ----
+    "q_j6_interval_overlap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def side(m: Int, p: String) = {
+        val d0 = unix_date(to_date(col("l_shipdate"))).cast("long")
+        li.filter(col("l_orderkey") % 120 === m)
+          .select(col("l_orderkey").as(s"${p}_ok"),
+            col("l_linenumber").cast("long").as(s"${p}_ln"),
+            d0.as(s"${p}_s"),
+            (d0 + col("l_orderkey") % 20 + 3).as(s"${p}_e"))
+      }
+      RangeJoin.intervalOverlapJoin(
+          side(0, "a"), "a_s", "a_e", side(7, "b"), "b_s", "b_e",
+          bucketWidth = 16.0)
+        .orderBy("a_ok", "a_ln", "b_ok", "b_ln")
+    }),
+
     // ---- ST3b/J5b: keyed time-interval join (batch twin of the
     // stream-stream join) — purchases in the hour before each click ----
     "q_st3_interval_join" -> ((s, dir) => {
@@ -4127,6 +4148,25 @@ object SparkEntry {
         |  AS bands(band_id, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |ORDER BY p_partkey, band_id""".stripMargin,
+
+    "q_j6_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS a_ok, CAST(l_linenumber AS BIGINT) AS a_ln,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS a_s,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |      + l_orderkey % 20 + 3 AS BIGINT) AS a_e
+        |  FROM lineitem WHERE l_orderkey % 120 = 0),
+        |b AS (
+        |  SELECT l_orderkey AS b_ok, CAST(l_linenumber AS BIGINT) AS b_ln,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS b_s,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |      + l_orderkey % 20 + 3 AS BIGINT) AS b_e
+        |  FROM lineitem WHERE l_orderkey % 120 = 7)
+        |SELECT a_ok, a_ln, a_s, a_e, b_ok, b_ln, b_s, b_e
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_ok, a_ln, b_ok, b_ln""".stripMargin,
 
     "q_st3_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,

@@ -36,6 +36,44 @@ object RangeJoin {
       .drop(bucket)
   }
 
+  /** Interval-OVERLAP join — both sides are intervals, matched when they
+    * intersect: `aStart <= bEnd AND bStart <= aEnd` (closed bounds).
+    * Same bucketing idea as [[pointInInterval]], but since BOTH sides
+    * replicate into every bucket they cover, a pair meeting in several
+    * buckets would duplicate — so each pair is emitted only from its
+    * CANONICAL bucket, the one containing `max(aStart, bStart)` (the
+    * first bucket where both are present). That makes the join
+    * duplicate-free by construction: no distinct pass over the output,
+    * which at scale would be a second full shuffle.
+    *
+    * Cost: |rows|·(len/width) replicated rows per side into a hash
+    * equi-join on the bucket id; pick `bucketWidth` near the typical
+    * interval length. Column names must be disjoint across the sides
+    * (pre-rename one side). */
+  def intervalOverlapJoin(
+      left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} exist on both sides — rename " +
+        "one side before joining")
+    val bucket = "_graft_bucket"
+    def buckets(df: DataFrame, s: String, e: String) =
+      df.withColumn(bucket, explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+    buckets(left, lStartCol, lEndCol)
+      .join(buckets(right, rStartCol, rEndCol), Seq(bucket))
+      .filter(col(lStartCol) <= col(rEndCol) &&
+        col(rStartCol) <= col(lEndCol))
+      .filter(col(bucket) ===
+        floor(greatest(col(lStartCol), col(rStartCol)) / bucketWidth)
+          .cast("long"))
+      .drop(bucket)
+  }
+
   /** Keyed time-interval join: each left row pairs with every right row of
     * the same key whose timestamp falls in `[left.ts − lookback, left.ts]`
     * — "all purchases in the hour before each click". Columns other than

@@ -56,4 +56,36 @@ class RangeJoinSpec extends SparkSpec {
       lit(60L)).queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), plan)
   }
+
+  test("intervalOverlapJoin: exact closed-bound overlap semantics, " +
+      "duplicate-free across shared buckets, clash fail-fast") {
+    val a = Seq(
+      (1L, 0.0, 100.0),   // spans many 10-wide buckets
+      (2L, 35.0, 40.0),
+      (3L, 200.0, 210.0)) // overlaps nothing on the right
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, 50.0, 60.0),  // overlaps 1 in several buckets — must emit ONCE
+      (11L, 40.0, 45.0),  // touches 2 at the closed bound 40
+      (12L, 100.0, 120.0), // touches 1 exactly at 100
+      (13L, 150.0, 160.0)) // overlaps nothing
+      .toDF("b_id", "b_s", "b_e")
+    val got = RangeJoin.intervalOverlapJoin(
+        a, "a_s", "a_e", b, "b_s", "b_e", bucketWidth = 10.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // brute-force truth: every (a, b) with a_s <= b_e && b_s <= a_e
+    val truth = for {
+      (ai, as_, ae) <- Seq((1L, 0.0, 100.0), (2L, 35.0, 40.0),
+        (3L, 200.0, 210.0))
+      (bi, bs, be) <- Seq((10L, 50.0, 60.0), (11L, 40.0, 45.0),
+        (12L, 100.0, 120.0), (13L, 150.0, 160.0))
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)
+    assert(got.sorted == truth.sorted) // no dups (Seq compare), no misses
+    assert(got.contains((1L, 12L))) // closed-bound touch kept
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapJoin(a, "a_s", "a_e",
+        b.withColumnRenamed("b_s", "a_s"), "a_s", "b_e", 10.0)
+    }
+  }
 }
