@@ -1244,6 +1244,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G17: deterministic random walks (DeepWalk corpus) over the
+    // symmetrized hetero graph — every step choice is a seeded md5-48
+    // hash mod out-degree, so the oracle replays the exact trajectories
+    // step by step ----
+    "q_g17_random_walks" -> ((s, dir) => {
+      val e = heteroEdges(s, dir)
+      val sym = e.unionByName(e.select(col("end_id").as("start_id"),
+        col("start_id").as("end_id")))
+      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 40)
+        .select((col("c_custkey").cast("long") * 4).as("id"))
+      GraphOps.randomWalks(sym, seeds, walkLength = 4)
+        .orderBy("walk_id", "step")
+    }),
+
     // ---- G3b: personalized PageRank — reset and dangling mass return to
     // the seed distribution (customers 0..9); ranks measure proximity to
     // the seeds. Same unrolled-SQL oracle scheme as q_g3. ----
@@ -3722,6 +3736,43 @@ object SparkEntry {
     // The 3-iteration power method unrolled: rank'(v) = 0.15/N + 0.85 *
     // (inflow + dangling/N). Both sides compute in IEEE double from the
     // same uniform start vector; ROUND(_, 8) absorbs summation-order ulps.
+    // Walk replay: ranked/deg'd symmetric adjacency, then 4 unrolled
+    // steps, each picking rank = md5-48("42:wid:t:node") mod degree —
+    // byte-identical to the engine's PortableHash.hash48 string.
+    "q_g17_random_walks" -> {
+      val steps = (1 to 4).map { t =>
+        s""",
+           |w$t AS MATERIALIZED (
+           |  SELECT w.walk_id, a.dst AS node
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+           |   AND a.r = CAST(concat('0x', substr(md5(concat(
+           |       42, ':', w.walk_id, ':', $t, ':', w.node)), 1, 12))
+           |     AS BIGINT) % a.deg)""".stripMargin
+      }.mkString
+      val unions = (1 to 4).map { t =>
+        s"""
+           |UNION ALL SELECT walk_id, $t, node FROM w$t""".stripMargin
+      }.mkString
+      s"""WITH e0 AS (
+         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+         |  UNION ALL
+         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+         |e AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM e),
+         |w0 AS (SELECT c_custkey*4 AS walk_id, c_custkey*4 AS node
+         |       FROM customer WHERE c_custkey < 40)$steps
+         |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+         |  SELECT walk_id, 0 AS step, node FROM w0$unions)
+         |ORDER BY walk_id, step""".stripMargin
+    },
+
     "q_g3_pagerank" ->
       """WITH e AS (
         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer

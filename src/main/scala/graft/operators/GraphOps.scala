@@ -687,6 +687,52 @@ object GraphOps {
     reached
   }
 
+  /** DETERMINISTIC random walks (the DeepWalk/node2vec corpus-generation
+    * primitive, p = q = 1): one walk per seed, `walkLength` steps, where
+    * the step from node u at time t follows the out-neighbor ranked
+    * `H(seed, walk_id, t, u) mod outdeg(u)` — a seeded content hash
+    * ([[graft.functions.PortableHash.hash48]]), NOT an RNG, so the same
+    * inputs give the same walks on any cluster layout, reruns are
+    * reproducible, and the whole trajectory set is ANSI-SQL-rebuildable
+    * (the `q_g17_random_walks` oracle unrolls the steps). Walks stop
+    * early at sink nodes (no out-edges) — symmetrize the edge table for
+    * node2vec-style undirected corpora.
+    *
+    * Scale notes (100 TB): the adjacency ranks/degrees are ONE window
+    * pass over the deduplicated edge table (rank and degree share the
+    * same partition — one shuffle), checkpointed once and re-joined each
+    * step; per-step state is exactly one row per live walk, so each round
+    * is a walk-set ⋈ edges equi-join that AQE broadcast-sizes. Step
+    * count is the bound, never |V|.
+    *
+    * @return (`walk_id` = seed id, `step` 0-based, `node`) — step 0 is
+    *         the seed itself. */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, walkLength: Int,
+      seed: Long = 42L,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(walkLength >= 1, "walkLength must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = ckpt(edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+      .distinct()
+      .withColumn("_r", (row_number().over(bySrc) - 1).cast("long"))
+      .withColumn("_deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))).cast("long")))
+    var cur = ckpt(seeds.select(col(seeds.columns.head).as("walk_id"))
+      .distinct()
+      .select(col("walk_id"), col("walk_id").as("node")))
+    var out = cur.withColumn("step", lit(0L))
+    for (t <- 1 to walkLength) {
+      val choice = graft.functions.PortableHash.hash48(
+        concat_ws(":", col("walk_id"), lit(t), col("node")), seed)
+      cur = ckpt(cur.join(adj, cur("node") === adj("src"))
+        .filter(col("_r") === pmod(choice, col("_deg")))
+        .select(col("walk_id"), col("dst").as("node")))
+      out = out.unionByName(cur.withColumn("step", lit(t.toLong)))
+    }
+    out
+  }
+
   /** Multi-source WEIGHTED shortest paths — Bellman-Ford as iterated
     * min-distance relaxation over the edge table (the join shape [[kHop]]
     * uses, carrying a distance instead of a hop count). The canonical

@@ -480,4 +480,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 0L,
       4L -> 4L, 5L -> 4L))
   }
+
+  test("randomWalks: steps replay the hash choice exactly, sinks stop " +
+      "the walk, reruns are identical") {
+    // 1 → {2, 3}, 2 → {1, 3}, 3 → {} (sink)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L))
+      .toDF("start_id", "end_id")
+    val seeds = Seq(1L).toDF("id")
+    val out = GraphOps.randomWalks(edges, seeds, walkLength = 3, seed = 42L)
+      .orderBy("step").collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("node"))
+    // replay with the JVM hash twin against dst-ranked adjacency
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L))
+    var node = 1L
+    var expected = Seq(0L -> 1L)
+    var t = 1
+    var alive = true
+    while (t <= 3 && alive) {
+      adj.get(node) match {
+        case Some(nbrs) =>
+          val h = graft.functions.PortableHash.hash48(s"1:$t:$node", 42L)
+          node = nbrs((h % nbrs.length).toInt)
+          expected :+= t.toLong -> node
+          t += 1
+        case None => alive = false // sink: walk ends early
+      }
+    }
+    assert(out.toSeq == expected)
+    // deterministic: a second run (different partitioning) is identical
+    val again = GraphOps.randomWalks(edges.repartition(7), seeds,
+        walkLength = 3, seed = 42L)
+      .orderBy("step").collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("node"))
+    assert(again.toSeq == out.toSeq)
+    // a different seed changes at least the hash inputs' trajectory space
+    // without breaking the walk invariants: consecutive steps are edges
+    val other = GraphOps.randomWalks(edges, seeds, walkLength = 3,
+        seed = 7L).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("node")))
+      .sortBy(_._1)
+    other.sliding(2).foreach { case Array((_, u), (_, v)) =>
+      assert(adj.getOrElse(u, Seq()).contains(v)) }
+  }
 }
