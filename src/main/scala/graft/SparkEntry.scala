@@ -574,6 +574,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X2n: INCREMENTAL SemDeDup — a new batch (real tail vectors +
+    // scaled-copy dup injections of corpus AND batch vectors) against the
+    // stored IVF index of the first 400; corpus-dup, batch-dup, and kept
+    // reasons all exercised ----
+    "q_x2n_incr_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, index) = Similarity.ivfIndex(corpus, "embedding",
+        "vec_id", k = 32)
+      def x2(c: Column) =
+        transform(c, x => (x * lit(2.0f)).cast("float")).as("embedding")
+      val batch = e.filter(col("vec_id") >= 400)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") < 400 &&
+            col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000).as("vec_id"), x2(col("embedding"))))
+        .unionByName(e.filter(col("vec_id") === 450)
+          .select(lit(2000L).as("vec_id"), x2(col("embedding"))))
+      Dedup.incrementalSemanticDedup(cents, index, batch,
+          "embedding", "vec_id", threshold = 0.95)
+        .orderBy("doc_id")
+    }),
+
     // ---- X3: brute-force cosine top-k (exact ANN baseline) ----
     "q_x3_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2504,6 +2528,103 @@ object SparkEntry {
         |SELECT id AS doc_id, comp AS keeper_id,
         |  CASE WHEN id = comp THEN 'kept' ELSE 'semantic' END AS reason
         |FROM l3 ORDER BY doc_id""".stripMargin,
+
+    // Incremental-SemDeDup rebuild: assignment of corpus ∪ batch to the
+    // CORPUS-built centroids, new-involving within-cell pairs, 3-round
+    // CC unroll, corpus-first keeper election mirrored as the coalesce
+    // aggregate.
+    "q_x2n_incr_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, FALSE AS isnew FROM embeddings
+        |  WHERE vec_id < 400),
+        |batch AS MATERIALIZED (
+        |  SELECT vec_id, embedding, TRUE AS isnew FROM embeddings
+        |  WHERE vec_id >= 400
+        |  UNION ALL
+        |  SELECT vec_id + 1000,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)), TRUE
+        |  FROM embeddings WHERE vec_id < 400 AND vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT 2000,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)), TRUE
+        |  FROM embeddings WHERE vec_id = 450),
+        |allv AS MATERIALIZED (
+        |  SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
+        |    SELECT vec_id, embedding FROM corpus
+        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |    LIMIT 32)),
+        |asn0 AS (
+        |  SELECT c.vec_id, c.embedding, c.isnew, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM allv c CROSS JOIN cent ct),
+        |asn AS MATERIALIZED (
+        |  SELECT vec_id, embedding, isnew, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.isnew AS new_a, b.isnew AS new_b,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(a.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(b.embedding) y)))) AS cosine
+        |  FROM asn a JOIN asn b
+        |    ON b.centroid_id = a.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE a.isnew OR b.isnew),
+        |pairs AS (SELECT id_a, id_b, new_a, new_b FROM pr
+        |          WHERE cosine >= 0.95),
+        |mem AS (
+        |  SELECT id_a AS id, new_a AS isnew FROM pairs
+        |  UNION SELECT id_b, new_b FROM pairs),
+        |eadj AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |l0 AS MATERIALIZED (SELECT id, id AS comp FROM mem),
+        |l1 AS MATERIALIZED (
+        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT eadj.src AS id, min(l2.comp) AS mc
+        |    FROM eadj JOIN l0 l2 ON l2.id = eadj.dst
+        |    GROUP BY eadj.src) m USING (id)),
+        |l2 AS MATERIALIZED (
+        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT eadj.src AS id, min(l2.comp) AS mc
+        |    FROM eadj JOIN l1 l2 ON l2.id = eadj.dst
+        |    GROUP BY eadj.src) m USING (id)),
+        |l3 AS MATERIALIZED (
+        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT eadj.src AS id, min(l2.comp) AS mc
+        |    FROM eadj JOIN l2 l2 ON l2.id = eadj.dst
+        |    GROUP BY eadj.src) m USING (id)),
+        |keep AS (
+        |  SELECT l3.comp,
+        |    coalesce(min(CASE WHEN NOT m.isnew THEN m.id END), min(m.id))
+        |      AS keeper,
+        |    max(CASE WHEN NOT m.isnew THEN 1 ELSE 0 END) AS hc
+        |  FROM l3 JOIN mem m ON m.id = l3.id GROUP BY l3.comp),
+        |cl AS (
+        |  SELECT l3.id, k.keeper, k.hc FROM l3
+        |  JOIN keep k USING (comp))
+        |SELECT b.vec_id AS doc_id,
+        |  COALESCE(cl.keeper, b.vec_id) AS keeper_id,
+        |  CASE WHEN cl.keeper IS NULL OR cl.keeper = b.vec_id THEN 'kept'
+        |       WHEN cl.hc = 1 THEN 'corpus' ELSE 'batch' END AS reason
+        |FROM batch b LEFT JOIN cl ON cl.id = b.vec_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_s3_scan_region" ->
       "SELECT * FROM region ORDER BY r_regionkey",

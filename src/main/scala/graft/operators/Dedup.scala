@@ -966,6 +966,83 @@ object Dedup {
           .otherwise("semantic").as("reason"))
   }
 
+  /** INCREMENTAL [[semanticDedup]] — the daily-increment path for
+    * embedding space, mirroring [[incrementalDedup]]'s contract: dedupe a
+    * NEW batch against an already-indexed corpus touching the corpus only
+    * through its STORED IVF index (the `(centroids, assigned)` pair
+    * [[Similarity.ivfIndex]] built at ingest). New vectors assign to the
+    * stored centroids; only cells receiving at least one new vector
+    * expand pairs (an all-old cell was resolved when its members were
+    * ingested), and only pairs involving a new vector are checked. Chains
+    * resolve via [[connectedComponents]]; a component containing any
+    * corpus vector keeps the smallest CORPUS id, an all-new component its
+    * smallest id. Corpus and batch ids must be disjoint.
+    *
+    * To roll the index forward, union the kept new rows of the batch
+    * assignment onto `corpusIndex` (they are exactly its rows for the
+    * `kept` report ids).
+    *
+    * Scale: the corpus re-enters as its assignment rows semi-joined down
+    * to TOUCHED cells only — at a daily-batch rate that is a vanishing
+    * fraction of the index; everything else is [[semanticDedup]]'s
+    * audited shuffle shapes.
+    *
+    * @param centroids   stored quantizer (`centroid_id`, `_centv`)
+    * @param corpusIndex stored assignment (`centroid_id`, idCol, vecCol)
+    * @return one row per NEW vector:
+    *         `(doc_id, keeper_id, reason ∈ corpus | batch | kept)` */
+  def incrementalSemanticDedup(
+      centroids: DataFrame, corpusIndex: DataFrame,
+      newVecs: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, maxCellSize: Int = 10000,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val newAssigned = ckpt(
+      Similarity.assignToCentroids(newVecs, vecCol, idCol, centroids)
+        .select(col("centroid_id"), col(idCol), col(vecCol)))
+    val touched = newAssigned.select(col("centroid_id")).distinct()
+    val members0 = ckpt(corpusIndex
+      .join(touched, Seq("centroid_id"), "left_semi")
+      .select(col("centroid_id"), col(idCol), col(vecCol),
+        lit(false).as("_new"))
+      .unionByName(newAssigned.withColumn("_new", lit(true))))
+    val inCap = members0.join(
+      members0.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("_csz"))
+        .filter(col("_csz") <= maxCellSize)
+        .select(col("centroid_id")),
+      Seq("centroid_id"), "left_semi")
+    val pairs = ckpt(inCap
+      .select(col("centroid_id"), col(idCol).as("id_a"),
+        col(vecCol).as("_va"), col("_new").as("new_a"))
+      .join(inCap.select(col("centroid_id"), col(idCol).as("id_b"),
+        col(vecCol).as("_vb"), col("_new").as("new_b")), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("new_a") || col("new_b"))
+      .filter(VectorFunctions.cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("new_a"), col("new_b")))
+    val members = pairs.select(col("id_a").as("id"), col("new_a").as("_n"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("new_b").as("_n")))
+      .distinct()
+    val comps = connectedComponents(members.select(col("id")), idCol = "id",
+      pairs.select("id_a", "id_b"), ckpt = ckpt)
+    val keepers = comps.join(members, Seq("id"))
+      .groupBy(col("comp"))
+      .agg(coalesce(min(when(!col("_n"), col("id"))), min(col("id")))
+        .as("_keeper"),
+        max(when(!col("_n"), lit(1)).otherwise(lit(0))).as("_has_corpus"))
+    val clustered = comps.join(keepers, Seq("comp"))
+      .select(col("id"), col("_keeper"), col("_has_corpus"))
+    newVecs.select(col(idCol).as("doc_id"))
+      .join(clustered.withColumnsRenamed(Map("id" -> "doc_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_keeper"), col("doc_id")).as("keeper_id"),
+        when(col("_keeper").isNull || col("_keeper") === col("doc_id"),
+          "kept")
+          .when(col("_has_corpus") === 1, "corpus")
+          .otherwise("batch").as("reason"))
+  }
+
   /** Cell census for [[semanticDedup]] tuning: one row per IVF cell with
     * its population and whether the cap skipped it. `sum(n·(n-1)/2)` over
     * the non-skipped rows is the exact pair-verification workload. */

@@ -543,6 +543,28 @@ class DedupSpec extends SparkSpec {
       6L -> ((5L, "semantic"))))
   }
 
+  test("incrementalSemanticDedup: corpus wins its component, all-new " +
+      "clusters keep min id, chains collapse, clean batch rows kept") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val (cents, index) = graft.operators.Similarity.ivfIndex(
+      corpus, "embedding", "vec_id", k = 2)
+    val batch = Seq(
+      (10L, Array(1f, 0.01f, 0f, 0f)),  // ≈ corpus 1
+      (11L, Array(1f, 0.02f, 0f, 0f)),  // ≈ corpus 1 AND ≈ 10 (chain)
+      (12L, Array(0f, 0f, 1f, 0f)),     // novel — kept
+      (13L, Array(0f, 0f, 1f, 0.01f))   // ≈ 12: all-new cluster
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.incrementalSemanticDedup(cents, index, batch,
+        "embedding", "vec_id", threshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == Map(
+      10L -> ((1L, "corpus")), 11L -> ((1L, "corpus")),
+      12L -> ((12L, "kept")), 13L -> ((12L, "batch"))))
+  }
+
   test("semanticDedup: overflowed cells contribute no pairs; " +
       "cell stats report the skip") {
     val vecs = Seq(
