@@ -267,6 +267,56 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF-PQ search — the composed billion-scale recipe: probe the
+    * `nProbe` nearest IVF cells per query (coarse quantizer bounds the
+    * candidate set), then rank ONLY those cells' members by PQ asymmetric
+    * distance (codes, never float vectors). The two-level structure is
+    * what a 100 TB corpus actually ships: centroids + codebooks broadcast
+    * (corpus-independent), the encoded index is m ints per vector, and a
+    * query touches |corpus|·nProbe/numCells codes.
+    *
+    * `assignedEncoded` joins the IVF assignment with the PQ codes:
+    * (`centroid_id`, idCol, `codes`) — build once at ingest from
+    * [[ivfIndex]]'s assignment and [[pqEncode]]'s output.
+    *
+    * @return (`query_id`, `vec_id`, `adist`, `rank`) top `topK` per query
+    *         by ascending approximate distance (ties on id) */
+  def ivfPqTopK(queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, assignedEncoded: DataFrame,
+      vecCol: String, idCol: String, m: Int, k: Int,
+      topK: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol))
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        VectorFunctions.cosine(col(vecCol), col("_centv")).as("_csim"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("_csim").desc, col("centroid_id"))))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    val dtables = q.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("sub"), col("code"),
+        VectorFunctions.l2sq(
+          slice(col(vecCol), col("sub") * dsub + 1, dsub),
+          col("codeword")).as("_d"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"),
+        col("_d").as("d")))).as("_scd"))
+      .select(col("query_id"),
+        transform(col("_scd"), x => x.getField("d")).as("_dtable"))
+    val scored = assignedEncoded
+      .join(probed, Seq("centroid_id"))
+      .join(broadcast(dtables), Seq("query_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        VectorFunctions.adc(col("codes"), col("_dtable"), k).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009): each
     * list contributes `1/(c + rank)` per member, summed per id — the
     * standard way to combine dense ([[bruteForceTopK]]/[[ivfTopK]]) and

@@ -319,6 +319,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: probing every cell reproduces pqTopK exactly; narrow " +
+      "probes stay well-formed") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    val (cents, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id", 8)
+    val cb = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 8, k = 8)
+    val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+      "vec_id", m = 8, k = 8, topK = 5, nProbe = 8)
+    val flat = Similarity.pqTopK(q, cb, enc, "embedding", "vec_id",
+      m = 8, k = 8, topK = 5)
+    assert(key(full) == key(flat)) // all cells probed ⇒ same candidates
+    val narrow = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+      "vec_id", m = 8, k = 8, topK = 5, nProbe = 1)
+    val perQuery = narrow.groupBy("query_id").count().collect()
+      .map(_.getLong(1))
+    assert(perQuery.forall(_ <= 5) && perQuery.nonEmpty)
+  }
+
   test("pqTopK: near-identical twin ranks first with near-zero distance") {
     // two tight clusters + noise; query 0's twin (id 10) shares its
     // codes, so ADC distance equals the query's own quantization
