@@ -30,6 +30,13 @@ import graft.operators.{Curation, GraphOps}
   *   betweenness --edges <dir> --seeds 1,2,3 [--hops N] [-o <outDir>]
   *   paths       --edges <dir> --seeds 1,2,3 [--weight-col w]
   *               [--max-iter N] [-o <outDir>]
+  *   walks       --edges <dir> --seeds 1,2,3 [--walk-length N]
+  *               [--hash-seed S] [-o <outDir>]
+  *               (deterministic DeepWalk trajectories — hash-chosen
+  *               steps, reproducible on any cluster)
+  *   semdedup    --vectors <dir> [--vec-col embedding] [--id-col vec_id]
+  *               [--threshold T] [--cells N] [-o <outDir>]
+  *               (embedding-space dedup report: doc_id, keeper, reason)
   *   curate      --docs <dir> --bench <dir> [--text-col text]
   *               [--id-col doc_id] [--min-words N] [--quota-group <col>]
   *               [--quota N] -o <outDir>   (writes corpus/ and report/)
@@ -74,6 +81,12 @@ object Analyze {
       dim: Int = 1024,
       shingleSize: Int = 3,
       mode: String = "exact",
+      walkLength: Int = 10,
+      hashSeed: Long = 42L,
+      vectors: String = "",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      cells: Int = 256,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -110,6 +123,12 @@ object Analyze {
       case "--dim" :: v :: t => loop(t, acc.copy(dim = v.toInt))
       case "--shingle-size" :: v :: t => loop(t, acc.copy(shingleSize = v.toInt))
       case "--mode" :: v :: t => loop(t, acc.copy(mode = v))
+      case "--walk-length" :: v :: t => loop(t, acc.copy(walkLength = v.toInt))
+      case "--hash-seed" :: v :: t => loop(t, acc.copy(hashSeed = v.toLong))
+      case "--vectors" :: v :: t => loop(t, acc.copy(vectors = v))
+      case "--vec-col" :: v :: t => loop(t, acc.copy(vecCol = v))
+      case "--threshold" :: v :: t => loop(t, acc.copy(threshold = v.toDouble))
+      case "--cells" :: v :: t => loop(t, acc.copy(cells = v.toInt))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
         loop(t, acc.copy(checkpointDir = Some(v)))
@@ -160,6 +179,18 @@ object Analyze {
       case "paths" =>
         GraphOps.shortestPaths(edges, seedsDf, args.weightCol,
           args.maxIter, ckpt)
+      case "walks" =>
+        GraphOps.randomWalks(edges, seedsDf, args.walkLength,
+          args.hashSeed, ckpt)
+      case "semdedup" =>
+        require(args.vectors.nonEmpty, "semdedup needs --vectors <dir>")
+        // id default flips to vec_id for the vector table; an explicit
+        // --id-col wins (the text-tier default doc_id only applies when
+        // the user never set the flag)
+        graft.operators.Dedup.semanticDedup(
+          spark.read.parquet(args.vectors), args.vecCol,
+          if (args.idCol == "doc_id") "vec_id" else args.idCol,
+          args.threshold, args.cells, ckpt = ckpt)
       case "decontaminate" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty,
           "decontaminate needs --docs <dir> and --bench <dir>")

@@ -22,7 +22,12 @@ object ExplainPlans {
         "q_x5h_audio_resample", "q_g8_link_prediction", "q_x4j_chunking",
         "q_x7d_decontaminate_bloom", "q_x4p_quality_model",
         "q_x2j_simhash_portable", "q_x6k_score_normalize",
-        "q_g14_betweenness", "q_st6_resample_locf", "q_x2k_containment")
+        "q_g14_betweenness", "q_st6_resample_locf", "q_x2k_containment",
+        // round-6 additions
+        "q_x2l_semantic_dedup", "q_x2m_dup_span_removal",
+        "q_x2n_incr_semantic", "q_x3h_pq_topk", "q_x3i_ivfpq_topk",
+        "q_x4q_ppl_buckets", "q_j6_interval_overlap",
+        "q_g17_random_walks", "q_x10b_curate_temperature")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -125,4 +125,38 @@ class AnalyzeSpec extends SparkSpec {
     assert(rows.count() == 2)
     assert(rows.filter(col("p_keep") <= 0 || col("p_keep") >= 1).count() == 0)
   }
+
+  test("walks runs from argv: trajectories start at seeds and follow edges") {
+    val dir = writeEdges()
+    Analyze.run(parse(List("walks", "--edges", s"$dir/edges",
+      "--seeds", "0,4", "--walk-length", "3", "-o", s"$dir/ow")), spark)
+    val rows = spark.read.parquet(s"$dir/ow/walks").collect()
+      .map(r => (r.getAs[Long]("walk_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("node")))
+    val byWalk = rows.groupBy(_._1)
+    assert(byWalk.keySet == Set(0L, 4L))
+    // step 0 is the seed; the 4↔5 cycle walk never dies (full length)
+    assert(rows.contains((0L, 0L, 0L)) && rows.contains((4L, 0L, 4L)))
+    assert(byWalk(4L).length == 4) // steps 0..3
+    val adj = Map(0L -> Set(1L, 2L), 1L -> Set(2L), 2L -> Set(3L),
+      4L -> Set(5L), 5L -> Set(4L))
+    byWalk.values.foreach { w =>
+      w.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, u), (_, _, v)) => assert(adj(u).contains(v))
+        case _ => ()
+      }
+    }
+  }
+
+  test("semdedup runs from argv over a vectors parquet") {
+    val dir = Files.createTempDirectory("graft-analyze-sem").toString
+    Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0.001f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    Analyze.run(parse(List("semdedup", "--vectors", s"$dir/vecs",
+      "--threshold", "0.99", "--cells", "1", "-o", s"$dir/os")), spark)
+    val out = spark.read.parquet(s"$dir/os/semdedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == Map(1L -> ((1L, "kept")), 2L -> ((1L, "semantic")),
+      3L -> ((3L, "kept"))))
+  }
 }
