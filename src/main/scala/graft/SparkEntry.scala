@@ -381,6 +381,20 @@ object SparkEntry {
         .orderBy("user_id", "bucket_ts")
     }),
 
+    // ---- ST7: regular-grid resample + LINEAR interpolation — same grid
+    // as ST6, gap buckets get the lerp between bracketing observations;
+    // the lerp expression shape is mirrored exactly in the oracle so the
+    // IEEE double math is bit-identical, then e4-integerized ----
+    "q_st7_resample_interp" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      TimeSeries.resampleInterp(e, "user_id", "es", "value",
+          intervalSec = 3600L)
+        .select(col("user_id"), col("bucket_ts"), col("n_events"),
+          floor(col("v_interp") * 1e4 + 0.5).cast("long").as("v_interp_e4"))
+        .orderBy("user_id", "bucket_ts")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -4601,6 +4615,48 @@ object SparkEntry {
         |FROM grid g LEFT JOIN obs o
         |  ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
         |ORDER BY g.user_id, g.bucket_ts""".stripMargin,
+
+    // ST7: identical CTE chain to q_st6; the gap-bucket lerp is written
+    // with the same operand shape as the Spark projection (pv + (nv-pv)
+    // * dt/span) so the double arithmetic matches bit-for-bit.
+    "q_st7_resample_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, value
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id,
+        |    CAST(floor(es / 3600.0) * 3600 AS BIGINT) AS bucket_ts,
+        |    avg(value) AS v_avg, count(*) AS n_events
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, u.b AS bucket_ts
+        |  FROM span, LATERAL (SELECT unnest(range(lo, hi + 3600, 3600))
+        |    AS b) u),
+        |brk AS (
+        |  SELECT g.user_id, g.bucket_ts,
+        |    COALESCE(o.n_events, 0) AS n_events, o.v_avg,
+        |    last_value(o.v_avg IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN o.v_avg IS NOT NULL
+        |      THEN g.bucket_ts END IGNORE NULLS) OVER wb AS pt,
+        |    first_value(o.v_avg IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN o.v_avg IS NOT NULL
+        |      THEN g.bucket_ts END IGNORE NULLS) OVER wf AS nt
+        |  FROM grid g LEFT JOIN obs o
+        |    ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
+        |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket_ts, n_events,
+        |  CAST(floor((CASE WHEN v_avg IS NOT NULL THEN v_avg
+        |    ELSE pv + (nv - pv) * CAST(bucket_ts - pt AS DOUBLE)
+        |      / CAST(nt - pt AS DOUBLE) END) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS v_interp_e4
+        |FROM brk
+        |ORDER BY user_id, bucket_ts""".stripMargin,
 
     "q_window_rolling_time" ->
       """SELECT event_id, user_id, es,

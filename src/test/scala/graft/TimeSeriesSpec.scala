@@ -46,5 +46,38 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeries.resampleLocf(events, "entity", "es", "value", 0L)
     }
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleInterp(events, "entity", "es", "value", 0L)
+    }
+  }
+
+  test("interp: gap buckets get the lerp between bracketing observations") {
+    // A's gap at 3600 sits exactly halfway between avg 15 (t=0) and
+    // 40 (t=7200) → 27.5; observed buckets keep their own average.
+    val out = TimeSeries.resampleInterp(events, "entity", "es", "value",
+        3600L)
+      .orderBy("entity", "bucket_ts").collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(1)).toSeq == Seq(0L, 3600L, 7200L))
+    assert(a.map(_.getDouble(4)).toSeq == Seq(15.0, 27.5, 40.0))
+    assert(a(1).isNullAt(3)) // gap row's own average stays null
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.map(r => (r.getLong(1), r.getDouble(4))).toSeq ==
+      Seq((3600L, 7.0)))
+  }
+
+  test("interp: multi-bucket gap walks the line; partition-invariant") {
+    // one observation at t=0 (v=0) and one at t=4h (v=40): interior
+    // gaps at 1h/2h/3h must read 10/20/30.
+    val line = Seq(("c", 10L, 0.0), ("c", 14500L, 40.0))
+      .toDF("entity", "es", "value")
+    val vals = TimeSeries.resampleInterp(line, "entity", "es", "value",
+        3600L)
+      .orderBy("bucket_ts").collect().map(_.getDouble(4)).toSeq
+    assert(vals == Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+    val re = TimeSeries.resampleInterp(line.repartition(5), "entity",
+        "es", "value", 3600L)
+      .orderBy("bucket_ts").collect().map(_.getDouble(4)).toSeq
+    assert(re == vals)
   }
 }
