@@ -1316,6 +1316,17 @@ object SparkEntry {
         .orderBy("walk_id", "step")
     }),
 
+    // ---- G18: HITS hubs & authorities over the directed hetero graph —
+    // 3 L1-normalized power iterations; the oracle unrolls each half-step
+    // (auth sum, normalize, hub sum, normalize) as MATERIALIZED CTEs and
+    // ROUND(_, 8) absorbs summation-order ulps, as with PageRank ----
+    "q_g18_hits" -> ((s, dir) => {
+      GraphOps.hits(heteroEdges(s, dir), iterations = 3)
+        .select(col("id"), round(col("hub"), 8).as("hub"),
+          round(col("auth"), 8).as("auth"))
+        .orderBy("id")
+    }),
+
     // ---- G3b: personalized PageRank — reset and dangling mass return to
     // the seed distribution (customers 0..9); ranks measure proximity to
     // the seeds. Same unrolled-SQL oracle scheme as q_g3. ----
@@ -4024,6 +4035,44 @@ object SparkEntry {
          |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
          |  SELECT walk_id, 0 AS step, node FROM w0$unions)
          |ORDER BY walk_id, step""".stripMargin
+    },
+
+    // HITS: each iteration's two half-steps unrolled — raw auth inflow,
+    // L1 normalize, raw hub outflow, L1 normalize — with the normalizer
+    // as a scalar subquery over the raw CTE (DuckDB's group-sum order
+    // differs from Spark's; ROUND 8 absorbs it, the PageRank precedent).
+    "q_g18_hits" -> {
+      val iters = (1 to 3).map { i =>
+        val p = i - 1
+        s""",
+           |ar$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, sum(s$p.hub) AS a FROM e
+           |  JOIN s$p ON s$p.id = e.src GROUP BY e.dst),
+           |a$i AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(r.a, 0) / (SELECT sum(a) FROM ar$i)
+           |    AS auth
+           |  FROM n LEFT JOIN ar$i r USING (id)),
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.src AS id, sum(a$i.auth) AS h FROM e
+           |  JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
+           |s$i AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(r.h, 0) / (SELECT sum(h) FROM hr$i)
+           |    AS hub, a$i.auth
+           |  FROM n LEFT JOIN hr$i r USING (id)
+           |  JOIN a$i ON a$i.id = n.id)""".stripMargin
+      }.mkString
+      s"""WITH e AS (
+         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+         |  UNION ALL
+         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+         |n AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |s0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub,
+         |       CAST(1 AS DOUBLE) AS auth FROM n)$iters
+         |SELECT id, ROUND(hub, 8) AS hub, ROUND(auth, 8) AS auth
+         |FROM s3 ORDER BY id""".stripMargin
     },
 
     "q_g3_pagerank" ->

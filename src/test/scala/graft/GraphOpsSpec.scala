@@ -123,6 +123,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(1L) > r(7L)) // 1 has inflow, 7 only base + dangling share
   }
 
+  test("hits: star graph — center is the sole authority, leaves the " +
+      "symmetric hubs; both scores L1-normalized") {
+    val star = (1L to 4L).map(i => (i, 0L)).toDF("start_id", "end_id")
+    val r = GraphOps.hits(star, iterations = 5).collect()
+      .map(row => row.getLong(0) ->
+        (row.getDouble(1), row.getDouble(2))).toMap
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-12) // Σ hub = 1
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-12) // Σ auth = 1
+    assert(math.abs(r(0L)._2 - 1.0) < 1e-12) // only in-edge target
+    assert(r(0L)._1 == 0.0) // no out-edges → hub 0
+    assert((1L to 4L).forall(i => math.abs(r(i)._1 - 0.25) < 1e-12))
+    assert((1L to 4L).forall(i => r(i)._2 == 0.0))
+  }
+
+  test("hits: one iteration matches the hand-computed closed form") {
+    // 0→2, 1→2, 1→3. auth' = (0,0,2,1)/3; hub' = (2/3, 1, ...)/(5/3)
+    val g = Seq((0L, 2L), (1L, 2L), (1L, 3L)).toDF("start_id", "end_id")
+    val r = GraphOps.hits(g, iterations = 1).collect()
+      .map(row => row.getLong(0) ->
+        (row.getDouble(1), row.getDouble(2))).toMap
+    assert(math.abs(r(2L)._2 - 2.0 / 3) < 1e-12)
+    assert(math.abs(r(3L)._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(r(0L)._1 - (2.0 / 3) / (5.0 / 3)) < 1e-12)
+    assert(math.abs(r(1L)._1 - 1.0 / (5.0 / 3)) < 1e-12)
+    assert(r(0L)._2 == 0.0 && r(1L)._2 == 0.0)
+    assert(r(2L)._1 == 0.0 && r(3L)._1 == 0.0)
+  }
+
+  test("hits: mutual reinforcement — the hub pointing at both " +
+      "authorities beats the single-target hub") {
+    // 0→{2,3}, 1→2: after 2+ rounds hub(0) > hub(1) even though both
+    // hit authority 2, because 0 also feeds 3.
+    val g = Seq((0L, 2L), (0L, 3L), (1L, 2L)).toDF("start_id", "end_id")
+    val r = GraphOps.hits(g, iterations = 3).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r(0L) > r(1L))
+    // and authority 2 (two hubs) beats authority 3 (one hub)
+    val a = GraphOps.hits(g, iterations = 3).collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(a(2L) > a(3L))
+  }
+
   test("kHop: min-hop labels, no revisits, bounded depth") {
     val seeds = Seq(0L).toDF("id")
     val out = GraphOps.kHop(edges, seeds, 2).orderBy("hop").collect()
