@@ -1327,6 +1327,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G19: Luby maximal independent set over the (symmetrized)
+    // hetero graph — per-round strict-local-min selection on the
+    // portable md5-48 priority, so the oracle replays every round
+    // exactly; mis_round certifies the round structure too ----
+    "q_g19_mis" -> ((s, dir) => {
+      GraphOps.maximalIndependentSet(heteroEdges(s, dir), seed = 42L)
+        .orderBy("id")
+    }),
+
     // ---- G3b: personalized PageRank — reset and dangling mass return to
     // the seed distribution (customers 0..9); ranks measure proximity to
     // the seeds. Same unrolled-SQL oracle scheme as q_g3. ----
@@ -4035,6 +4044,49 @@ object SparkEntry {
          |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
          |  SELECT walk_id, 0 AS step, node FROM w0$unions)
          |ORDER BY walk_id, step""".stripMargin
+    },
+
+    // Luby MIS: 8 unrolled rounds (fixpoint at sf0.01 is 4 — unrolling
+    // past it is the identity). Each round: neighbor-min of the md5-48
+    // priority over still-active nodes, strict-min (or isolated)
+    // selection, then selected + their neighbors leave the active set.
+    "q_g19_mis" -> {
+      val rounds = (1 to 8).map { r =>
+        val p = r - 1
+        s""",
+           |s$r AS MATERIALIZED (
+           |  SELECT a.id FROM a$p a
+           |  LEFT JOIN (
+           |    SELECT s.src AS id, min(t.p) AS m
+           |    FROM sym s JOIN a$p t ON t.id = s.dst
+           |    GROUP BY s.src) nm ON nm.id = a.id
+           |  WHERE nm.m IS NULL OR a.p < nm.m),
+           |a$r AS MATERIALIZED (
+           |  SELECT a.id, a.p FROM a$p a
+           |  WHERE a.id NOT IN (SELECT id FROM s$r)
+           |    AND a.id NOT IN (SELECT s.dst FROM sym s
+           |      JOIN s$r x ON x.id = s.src))""".stripMargin
+      }.mkString
+      val unions = (2 to 8).map { r =>
+        s"""
+           |  UNION ALL SELECT id, $r AS mis_round FROM s$r""".stripMargin
+      }.mkString
+      s"""WITH e0 AS (
+         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+         |  UNION ALL
+         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+         |  WHERE src <> dst),
+         |a0 AS MATERIALIZED (
+         |  SELECT id, CAST(concat('0x', substr(md5(concat(
+         |      42, ':', id)), 1, 12)) AS BIGINT) AS p
+         |  FROM (SELECT DISTINCT src AS id FROM sym))$rounds
+         |SELECT id, CAST(mis_round AS BIGINT) AS mis_round
+         |FROM (SELECT id, 1 AS mis_round FROM s1$unions)
+         |ORDER BY id""".stripMargin
     },
 
     // HITS: each iteration's two half-steps unrolled — raw auth inflow,

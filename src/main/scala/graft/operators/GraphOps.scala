@@ -399,6 +399,83 @@ object GraphOps {
       .distinct()
   }
 
+  /** Maximal independent set by Luby's algorithm (Luby 1986) with a
+    * DETERMINISTIC priority — the distributed-coordination primitive
+    * (conflict-free task scheduling, graph coloring seeds, landmark
+    * selection). Each round, every still-active node whose priority is a
+    * strict minimum among its active neighbors joins the set; it and its
+    * neighbors then leave the graph. Priority is
+    * [[graft.functions.PortableHash.hash48]](id, seed) — a seeded
+    * content hash, not an RNG — so reruns, any partitioning, and the SQL
+    * oracle all select the identical set, and changing `seed` yields a
+    * different (still valid) MIS.
+    *
+    * Edge direction is ignored; self-loops are dropped. Nodes with no
+    * surviving edge (and any extra ids in `nodes`) have no neighbors, so
+    * they are selected in round 1.
+    *
+    * Scale notes (100 TB edge table): a round is one adjacency ⋈ active
+    * equi-join + a partial-agg neighbor-min groupBy + two anti-joins —
+    * never a candidate explosion; Luby terminates in O(log n) rounds in
+    * expectation (each round removes a constant fraction of edges), and
+    * per-round state is one row per still-active node, checkpointed.
+    * Loop control reads one scalar count per round. A priority TIE
+    * between neighbors (probability ≤ m/2^48) could stall a round; that
+    * stall is detected and thrown, never returned as a silent non-
+    * maximal set.
+    *
+    * @return (`id`, `mis_round` — the 1-based round the member was
+    *         selected); members only. */
+  def maximalIndependentSet(edges: DataFrame, seed: Long = 42L,
+      maxRounds: Int = 40, nodes: Option[DataFrame] = None,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e0 = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+    val sym = ckpt(e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    val endpoints = sym.select(col("src").as("id"))
+    val n = nodes.fold(endpoints: DataFrame)(extra =>
+      endpoints.unionAll(extra.select(col(extra.columns.head).as("id"))))
+      .distinct()
+    var active = ckpt(n.select(col("id"),
+      graft.functions.PortableHash.hash48(col("id"), seed).as("_p")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var out = spark.emptyDataset[(Long, Long)].toDF("id", "mis_round")
+    var round = 1
+    var activeCount = active.count()
+    while (activeCount > 0) {
+      if (round > maxRounds) throw new IllegalStateException(
+        s"maximalIndependentSet: $activeCount nodes still undecided " +
+          s"after maxRounds=$maxRounds — a neighbor priority tie " +
+          "(p≈m/2^48) or too-low maxRounds; change seed or raise it")
+      // min active-neighbor priority per active node (inactive srcs are
+      // dropped by the left join from `active` below)
+      val nbrMin = sym
+        .join(active.select(col("id").as("dst"), col("_p").as("_pd")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("_pd").as("_m"))
+      val selected = ckpt(active.join(nbrMin, Seq("id"), "left")
+        .filter(col("_m").isNull || col("_p") < col("_m"))
+        .select("id"))
+      val selCount = selected.count()
+      if (selCount == 0) throw new IllegalStateException(
+        s"maximalIndependentSet: round $round selected nothing with " +
+          s"$activeCount nodes active — neighbor priority tie " +
+          "(probability ≤ m/2^48); change seed")
+      out = out.unionAll(
+        selected.select(col("id"), lit(round.toLong).as("mis_round")))
+      val removed = selected
+        .unionAll(sym.join(selected.withColumnRenamed("id", "src"),
+          Seq("src"), "left_semi").select(col("dst").as("id")))
+      active = ckpt(active.join(removed.distinct(), Seq("id"), "left_anti"))
+      activeCount = active.count()
+      round += 1
+    }
+    out
+  }
+
   /** Community detection by synchronous label propagation (LPA): every
     * node starts labelled with its own id; each round, every node adopts
     * the most frequent label among its neighbors, ties broken toward the

@@ -165,6 +165,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(a(2L) > a(3L))
   }
 
+  test("maximalIndependentSet: independent AND maximal on a ring; " +
+      "isolated nodes join in round 1; rerun/partition invariant") {
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+      .toDF("start_id", "end_id")
+    val iso = Seq(99L).toDF("id")
+    val mis = GraphOps.maximalIndependentSet(ring, nodes = Some(iso))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = mis.keySet
+    // independence: no ring edge has both endpoints in the set
+    assert((0L until 12L).forall(i =>
+      !(members(i) && members((i + 1) % 12))))
+    // maximality: every non-member has a member neighbor
+    assert((0L until 12L).forall(i => members(i) ||
+      members((i + 11) % 12) || members((i + 1) % 12)))
+    assert(mis(99L) == 1L) // no neighbors → first round
+    val rerun = GraphOps.maximalIndependentSet(ring.repartition(7),
+        nodes = Some(iso))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rerun == mis)
+  }
+
+  test("maximalIndependentSet: star center and leaves never coexist; " +
+      "another seed still yields a valid MIS") {
+    val star = (1L to 6L).map(i => (0L, i)).toDF("start_id", "end_id")
+    for (seed <- Seq(42L, 7L)) {
+      val m = GraphOps.maximalIndependentSet(star, seed = seed)
+        .collect().map(_.getLong(0)).toSet
+      // either {center} or all leaves — both are the only valid MISes
+      assert(m == Set(0L) || m == (1L to 6L).toSet)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.maximalIndependentSet(star, maxRounds = 0)
+    }
+  }
+
   test("kHop: min-hop labels, no revisits, bounded depth") {
     val seeds = Seq(0L).toDF("id")
     val out = GraphOps.kHop(edges, seeds, 2).orderBy("hop").collect()
