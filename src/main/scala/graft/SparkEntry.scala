@@ -1316,6 +1316,20 @@ object SparkEntry {
         .orderBy("walk_id", "step")
     }),
 
+    // ---- G17b: node2vec second-order biased walks — weights (return 1,
+    // common 4, explore 2) are exact integers, so the cumulative-range
+    // choice is replayed verbatim by the oracle; step 1 degenerates to
+    // uniform (prev = seed ⇒ every neighbor is "common") ----
+    "q_g17b_node2vec_walks" -> ((s, dir) => {
+      val e = heteroEdges(s, dir)
+      val sym = e.unionByName(e.select(col("end_id").as("start_id"),
+        col("start_id").as("end_id")))
+      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 40)
+        .select((col("c_custkey").cast("long") * 4).as("id"))
+      GraphOps.biasedRandomWalks(sym, seeds, walkLength = 4)
+        .orderBy("walk_id", "step")
+    }),
+
     // ---- G18: HITS hubs & authorities over the directed hetero graph —
     // 3 L1-normalized power iterations; the oracle unrolls each half-step
     // (auth sum, normalize, hub sum, normalize) as MATERIALIZED CTEs and
@@ -4040,6 +4054,54 @@ object SparkEntry {
          |    count(*) OVER (PARTITION BY src) AS deg
          |  FROM e),
          |w0 AS (SELECT c_custkey*4 AS walk_id, c_custkey*4 AS node
+         |       FROM customer WHERE c_custkey < 40)$steps
+         |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+         |  SELECT walk_id, 0 AS step, node FROM w0$unions)
+         |ORDER BY walk_id, step""".stripMargin
+    },
+
+    // node2vec: each unrolled step scores the current node's neighbors
+    // (return 1 / common 4 / explore 2 — EXISTS probes the prev→dst
+    // edge), lays them on an exact cumulative-weight line ordered by
+    // dst, and lands the md5-48 pick in its range. Integer arithmetic
+    // throughout — no rounding anywhere.
+    "q_g17b_node2vec_walks" -> {
+      val steps = (1 to 4).map { t =>
+        val p = t - 1
+        s""",
+           |c$t AS MATERIALIZED (
+           |  SELECT w.walk_id, w.node, w.prev, a.dst,
+           |    CASE WHEN a.dst = w.prev THEN 1
+           |      WHEN EXISTS (SELECT 1 FROM e x
+           |        WHERE x.src = w.prev AND x.dst = a.dst) THEN 4
+           |      ELSE 2 END AS wt
+           |  FROM w$p w JOIN e a ON a.src = w.node),
+           |w$t AS MATERIALIZED (
+           |  SELECT walk_id, dst AS node, node AS prev FROM (
+           |    SELECT walk_id, node, dst, wt,
+           |      sum(wt) OVER (PARTITION BY walk_id ORDER BY dst
+           |        ROWS UNBOUNDED PRECEDING) AS cum,
+           |      sum(wt) OVER (PARTITION BY walk_id) AS tot
+           |    FROM c$t)
+           |  WHERE (CAST(concat('0x', substr(md5(concat(
+           |      42, ':', walk_id, ':', $t, ':', node)), 1, 12))
+           |    AS BIGINT) % tot) BETWEEN cum - wt AND cum - 1)""".stripMargin
+      }.mkString
+      val unions = (1 to 4).map { t =>
+        s"""
+           |UNION ALL SELECT walk_id, $t, node FROM w$t""".stripMargin
+      }.mkString
+      s"""WITH e0 AS (
+         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+         |  UNION ALL
+         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+         |  WHERE src <> dst),
+         |w0 AS (SELECT c_custkey*4 AS walk_id, c_custkey*4 AS node,
+         |       c_custkey*4 AS prev
          |       FROM customer WHERE c_custkey < 40)$steps
          |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
          |  SELECT walk_id, 0 AS step, node FROM w0$unions)

@@ -867,6 +867,76 @@ object GraphOps {
     out
   }
 
+  /** SECOND-ORDER biased walks (node2vec, Grover & Leskovec 2016): the
+    * step from node u, having arrived from s, weights each out-neighbor
+    * x by its relation to s —
+    *
+    *   `returnWeight`   x = s            (node2vec's 1/p)
+    *   `commonWeight`   s→x edge exists  (distance 1 from s)
+    *   `exploreWeight`  otherwise        (node2vec's 1/q)
+    *
+    * Weights are INTEGERS (the (1/p, 1, 1/q) triple up to scale — any
+    * positive rationals reduce to this), so the choice is exact
+    * cumulative-range arithmetic: neighbor ranges ordered by dst, pick =
+    * H(seed, walk, t, u) mod Σweights ([[graft.functions.PortableHash]]
+    * — content hash, not RNG). Same determinism story as
+    * [[randomWalks]]: rerun-, partitioning-, and oracle-reproducible.
+    * Step 1 has s = the seed itself, so every neighbor scores
+    * `commonWeight` (≡ uniform — node2vec's uniform first step). Walks
+    * stop at sinks; symmetrize the edges for undirected corpora.
+    *
+    * Scale notes (100 TB): per step, candidates = one walk-set ⋈ edges
+    * equi-join (Σ outdeg of live-walk nodes rows, never |V|²); the
+    * s-adjacency test is a second equi-join against the same edge table
+    * on (prev, dst) — no neighbor-set materialization per node; the
+    * cumulative ranges are one per-walk window over each node's
+    * neighbors. State per step is one row per live walk, checkpointed.
+    *
+    * @return (`walk_id` = seed id, `step` 0-based, `node`). */
+  def biasedRandomWalks(edges: DataFrame, seeds: DataFrame,
+      walkLength: Int, returnWeight: Long = 1L, commonWeight: Long = 4L,
+      exploreWeight: Long = 2L, seed: Long = 42L,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(walkLength >= 1, "walkLength must be >= 1")
+    require(returnWeight > 0 && commonWeight > 0 && exploreWeight > 0,
+      "all three weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val e = ckpt(edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+      .filter(col(StartId) =!= col(EndId)).distinct())
+    var cur = ckpt(seeds.select(col(seeds.columns.head).as("walk_id"))
+      .distinct()
+      .select(col("walk_id"), col("walk_id").as("node"),
+        col("walk_id").as("prev")))
+    var out = cur.select(col("walk_id"), col("node"))
+      .withColumn("step", lit(0L))
+    val byWalk = Window.partitionBy(col("walk_id"))
+    for (t <- 1 to walkLength) {
+      val cand = cur.join(e, cur("node") === e("src"))
+        .select(col("walk_id"), col("node"), col("prev"), col("dst"))
+      val marked = cand
+        .join(e.select(col("src").as("prev"), col("dst"),
+          lit(1).as("_adj")), Seq("prev", "dst"), "left")
+        .select(col("walk_id"), col("node"), col("prev"), col("dst"),
+          when(col("dst") === col("prev"), lit(returnWeight))
+            .when(col("_adj").isNotNull, lit(commonWeight))
+            .otherwise(lit(exploreWeight)).as("_w"))
+      val ranged = marked
+        .withColumn("_cum", sum("_w").over(byWalk.orderBy(col("dst"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_tot", sum("_w").over(byWalk))
+      val pick = pmod(graft.functions.PortableHash.hash48(
+        concat_ws(":", col("walk_id"), lit(t), col("node")), seed),
+        col("_tot"))
+      cur = ckpt(ranged
+        .filter(pick >= col("_cum") - col("_w") && pick < col("_cum"))
+        .select(col("walk_id"), col("dst").as("node"),
+          col("node").as("prev")))
+      out = out.unionByName(cur.select(col("walk_id"), col("node"))
+        .withColumn("step", lit(t.toLong)))
+    }
+    out
+  }
+
   /** Multi-source WEIGHTED shortest paths — Bellman-Ford as iterated
     * min-distance relaxation over the edge table (the join shape [[kHop]]
     * uses, carrying a distance instead of a hop count). The canonical

@@ -599,4 +599,69 @@ class GraphOpsSpec extends SparkSpec {
     other.sliding(2).foreach { case Array((_, u), (_, v)) =>
       assert(adj.getOrElse(u, Seq()).contains(v)) }
   }
+
+  test("biasedRandomWalks: extreme return weight oscillates, extreme " +
+      "explore weight marches down the path") {
+    // undirected path 0—1—2—3 (symmetrized)
+    val p = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val sym = (p ++ p.map(_.swap)).toDF("start_id", "end_id")
+    val seeds = Seq(0L).toDF("id")
+    // return dominates: after reaching 1, every pick lands in the huge
+    // return range (miss probability 2/(1e9+2) per step, and the hash
+    // picks are fixed by the seed — asserted exactly below)
+    val ret = GraphOps.biasedRandomWalks(sym, seeds, walkLength = 4,
+        returnWeight = 1000000000L, commonWeight = 1L, exploreWeight = 1L)
+      .orderBy("step").collect().map(_.getAs[Long]("node")).toSeq
+    assert(ret == Seq(0L, 1L, 0L, 1L, 0L))
+    // explore dominates: from 1 (prev 0), neighbor 2 is distance-2 from
+    // 0 → explore weight wins every pick; the walk marches to 3 and
+    // then bounces between 2 and 3 (3's only neighbor is 2)
+    val exp = GraphOps.biasedRandomWalks(sym, seeds, walkLength = 3,
+        returnWeight = 1L, commonWeight = 1L,
+        exploreWeight = 1000000000L)
+      .orderBy("step").collect().map(_.getAs[Long]("node")).toSeq
+    assert(exp == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("biasedRandomWalks: steps replay the cumulative-range choice " +
+      "exactly; partition-invariant; sinks stop") {
+    // triangle 1-2-3 plus tail 3→4 (directed; 4 is a sink)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (3L, 4L)).toDF("start_id", "end_id")
+    val seeds = Seq(1L).toDF("id")
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L))
+    val edgeSet = Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (3L, 4L))
+    val out = GraphOps.biasedRandomWalks(edges, seeds, walkLength = 5,
+        returnWeight = 1L, commonWeight = 4L, exploreWeight = 2L,
+        seed = 42L)
+      .orderBy("step").collect().map(_.getAs[Long]("node")).toSeq
+    // JVM replay: weight each neighbor vs prev, walk the cum ranges
+    var node = 1L; var prev = 1L
+    var expected = Seq(1L); var t = 1; var alive = true
+    while (t <= 5 && alive) {
+      adj.get(node) match {
+        case Some(nbrs) =>
+          val wts = nbrs.map(x => if (x == prev) 1L
+            else if (edgeSet((prev, x))) 4L else 2L)
+          val pick = graft.functions.PortableHash
+            .hash48(s"1:$t:$node", 42L) % wts.sum
+          val idx = wts.scanLeft(0L)(_ + _).tail.indexWhere(pick < _)
+          prev = node; node = nbrs(idx)
+          expected :+= node; t += 1
+        case None => alive = false
+      }
+    }
+    assert(out == expected)
+    val again = GraphOps.biasedRandomWalks(edges.repartition(7), seeds,
+        walkLength = 5, returnWeight = 1L, commonWeight = 4L,
+        exploreWeight = 2L, seed = 42L)
+      .orderBy("step").collect().map(_.getAs[Long]("node")).toSeq
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      GraphOps.biasedRandomWalks(edges, seeds, walkLength = 1,
+        returnWeight = 0L)
+    }
+  }
 }
