@@ -1094,6 +1094,22 @@ object SparkEntry {
       report.groupBy("stage").agg(count(lit(1)).as("n")).orderBy("stage")
     }),
 
+    // ---- X11: DSIR importance resampling — select the 100 raw docs
+    // most target-like (target = the English subset) by hashed-unigram
+    // importance weights with Gumbel-top-k. Both hashes are portable
+    // md5-48; ranking is on the e4-integerized perturbed score, so the
+    // oracle rebuilds models, weights, Gumbels, and the exact pick. ----
+    "q_x11_dsir" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.dsirSample(d,
+          d.filter(col("lang") === "en").select("doc_id"),
+          "doc_id", "text", k = 100, numBuckets = 1024)
+        .select(col("id").as("doc_id"),
+          floor(col("lw") * lit(1e4) + lit(0.5)).cast("long").as("lw_e4"),
+          col("score_e4"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X4h: heavy hitters via the Misra–Gries typed aggregate —
     // bounded O(capacity) state instead of a full vocabulary groupBy. The
     // corpus vocabulary fits the capacity, so the sketch runs in its exact
@@ -2412,6 +2428,54 @@ object SparkEntry {
          |    (SELECT count(*) FROM dec) - (SELECT count(*) FROM tkept)
          |  UNION ALL SELECT 'kept', (SELECT count(*) FROM tkept)
          |) WHERE n > 0 ORDER BY stage""".stripMargin,
+
+    // DSIR: hashed-unigram (md5-48 mod 1024) bucket models with Laplace
+    // smoothing on target (lang='en') and raw; per-doc log-ratio weight;
+    // Gumbel from the id hash ((h+0.5)/2^48); rank on the e4-integerized
+    // perturbed score with doc-id tie-break, take 100. ln/exp and the
+    // e4 pattern are the proven q_x4i machinery.
+    "q_x11_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(concat(
+        |      42, ':', token)), 1, 12)) AS BIGINT) % 1024 AS b,
+        |    count(*) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT b, sum(c) AS tn FROM feat
+        |       WHERE doc_id IN (SELECT doc_id FROM documents
+        |                        WHERE lang = 'en')
+        |       GROUP BY b),
+        |rc AS (SELECT b, sum(c) AS rn FROM feat GROUP BY b),
+        |tt AS (SELECT sum(tn) AS t FROM tc),
+        |rt AS (SELECT sum(rn) AS t FROM rc),
+        |ratio AS (
+        |  SELECT r.b,
+        |    ln(CAST(COALESCE(t.tn, 0) + 1 AS DOUBLE)
+        |       / ((SELECT t FROM tt) + 1024))
+        |    - ln(CAST(r.rn + 1 AS DOUBLE)
+        |       / ((SELECT t FROM rt) + 1024)) AS lr
+        |  FROM rc r LEFT JOIN tc t USING (b)),
+        |lw AS (
+        |  SELECT f.doc_id, sum(f.c * ratio.lr) AS lw
+        |  FROM feat f JOIN ratio USING (b) GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(lw * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS lw_e4,
+        |    CAST(floor((lw - ln(-ln(
+        |      (CAST(concat('0x', substr(md5(concat(43, ':', doc_id)),
+        |        1, 12)) AS BIGINT) + CAST(0.5 AS DOUBLE))
+        |      / 281474976710656.0))) * 1e4 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS score_e4
+        |  FROM lw)
+        |SELECT doc_id, lw_e4, score_e4 FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY score_e4 DESC, doc_id) AS rn FROM sc)
+        |WHERE rn <= 100
+        |ORDER BY doc_id""".stripMargin,
 
     // The whole dedup pipeline, stage by stage: exact keepers (window
     // min per text), portable LSH + exact-Jaccard ≥ 0.8 pairs among the

@@ -325,4 +325,87 @@ object Sampling {
     }
     df.withColumn("pr", percent_rank().over(w))
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): choose raw documents
+    * that LOOK LIKE a target corpus, by importance weights over hashed
+    * token features.
+    *
+    *  1. featurize: token → md5-48 bucket in [0, `numBuckets`) — the
+    *     hashed bag-of-ngrams of the paper, n = 1;
+    *  2. fit two Laplace-smoothed bucket models: p̂ on `targetIds`' docs,
+    *     q̂ on all of `docs`;
+    *  3. per doc, log importance weight `lw = Σ_b c_b·(ln p̂(b) − ln q̂(b))`;
+    *  4. Gumbel-top-`k` resample: keep the k largest
+    *     `lw + Gumbel(md5-48(id))` — sampling WITHOUT replacement from
+    *     the importance distribution, the paper's estimator, not a
+    *     deterministic head that would pile onto one mode.
+    *
+    * Every stochastic choice is a seeded content hash (feature buckets:
+    * `seed`; Gumbel uniforms: `seed + 1` on the doc id), so the selection
+    * is rerun/partition-reproducible and SQL-auditable. Ranking happens
+    * on the e4-INTEGERIZED perturbed score with doc-id tie-break — a
+    * total order over exact longs, so engines agree bit-for-bit.
+    *
+    * Scale notes (100 TB raw corpus): tokenize+bucket is one narrow map;
+    * both models are `numBuckets`-row aggregates (partial-agg, then a
+    * BROADCAST of ≤ numBuckets rows — the raw corpus never reshuffles to
+    * be scored); the top-k is a global sort LIMIT k, which Spark executes
+    * as per-partition top-k + a k-row driver merge. Raw text never
+    * shuffles: only (doc, bucket, count) rows move.
+    *
+    * Size `numBuckets` WELL BELOW the target corpus' token count: the
+    * Laplace denominators are (total + numBuckets), so a bucket count
+    * larger than the token mass washes the model toward uniform and the
+    * weights toward 0 (at web scale the paper's 10⁴ buckets is
+    * comfortably inside this; a 100-doc curated target is not).
+    *
+    * @param targetIds one-column DataFrame of doc ids belonging to the
+    *                  target distribution (usually a small curated set).
+    * @return the k selected rows: (`id`, `lw` — the unperturbed log
+    *         importance weight, `score_e4` — integerized lw + Gumbel,
+    *         the ranking key). */
+  def dsirSample(docs: DataFrame, targetIds: DataFrame, idCol: String,
+      textCol: String, k: Int, numBuckets: Int = 1024,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    val feat = docs
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .select(col("id"),
+        (graft.functions.PortableHash.hash48(col("token"), seed)
+          % numBuckets).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+    val tgt = targetIds
+      .select(col(targetIds.columns.head).as("id")).distinct()
+    val tCounts = feat.join(tgt, Seq("id"), "left_semi")
+      .groupBy("b").agg(sum("c").as("tn"))
+    val rCounts = feat.groupBy("b").agg(sum("c").as("rn"))
+    val tTotal = tCounts.agg(sum("tn").as("tt"))
+    val rTotal = rCounts.agg(sum("rn").as("rt"))
+    // log-ratio per bucket: ≤ numBuckets rows, explicitly broadcast so
+    // the (doc, bucket) table joins map-side
+    val ratio = rCounts.join(tCounts, Seq("b"), "left")
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(col("b"),
+        (log((coalesce(col("tn"), lit(0L)) + lit(1))
+            .cast("double") / (col("tt") + numBuckets)) -
+          log((col("rn") + lit(1)).cast("double")
+            / (col("rt") + numBuckets))).as("lr"))
+    val lw = feat.join(broadcast(ratio), Seq("b"))
+      .groupBy("id").agg(sum(col("c") * col("lr")).as("lw"))
+    // Gumbel(0,1) = −ln(−ln u), u ∈ (0,1) from the id hash — +0.5
+    // keeps u strictly inside the interval
+    val u = (graft.functions.PortableHash.hash48(col("id"), seed + 1)
+      .cast("double") + lit(0.5)) / lit(PortableHash48Space)
+    lw.select(col("id"), col("lw"),
+        floor((col("lw") - log(-log(u))) * lit(1e4) + lit(0.5))
+          .cast("long").as("score_e4"))
+      .orderBy(col("score_e4").desc, col("id"))
+      .limit(k)
+  }
+
+  private val PortableHash48Space: Double =
+    graft.functions.PortableHash.Space.toDouble
 }

@@ -473,4 +473,35 @@ class SamplingSpec extends SparkSpec {
       .toMap
     assert(quartiles == Map(1L -> "q1", 2L -> "q2", 3L -> "q3", 4L -> "q4"))
   }
+
+  test("dsirSample: target-like docs outrank dissimilar ones; exactly " +
+      "k rows; rerun/partition invariant") {
+    // targets (1, 2) and their echoes (3, 4) speak one vocabulary; the
+    // raw corpus is dominated by six alien docs with disjoint token
+    // soup, so target tokens are rare in raw (big positive log-ratio)
+    // and alien tokens score hard negative. numBuckets must sit below
+    // the corpus token mass or Laplace smoothing washes the tiny target
+    // model out. Separation is O(±300) — dwarfs any Gumbel draw — so
+    // the top 4 must be exactly the target-vocabulary docs 1-4.
+    val like = "the cat sat on the mat " * 50
+    val docs = (Seq(1L -> like, 2L -> like, 3L -> like, 4L -> like)
+      ++ (5L to 10L).map(d =>
+        d -> ((1 to 12).map(i => s"zzq${d}x$i ").mkString * 25)))
+      .toDF("doc_id", "text")
+    val tgt = Seq(1L, 2L).toDF("doc_id")
+    val out = Sampling.dsirSample(docs, tgt, "doc_id", "text", k = 4,
+        numBuckets = 64)
+      .collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_.getDouble(1) > 0)) // target-like ⇒ lw > 0
+    val rerun = Sampling.dsirSample(docs.repartition(7), tgt, "doc_id",
+        "text", k = 4, numBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(rerun.toSeq ==
+      out.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.dsirSample(docs, tgt, "doc_id", "text", k = 0)
+    }
+  }
 }
