@@ -34,6 +34,23 @@ import graft.operators.{Curation, GraphOps}
   *               [--hash-seed S] [-o <outDir>]
   *               (deterministic DeepWalk trajectories — hash-chosen
   *               steps, reproducible on any cluster)
+  *   node2vec    --edges <dir> --seeds 1,2,3 [--walk-length N]
+  *               [--return-weight W] [--common-weight W]
+  *               [--explore-weight W] [--hash-seed S] [-o <outDir>]
+  *               (second-order biased walks; integer weights ≡
+  *               node2vec's (1/p, 1, 1/q) up to scale)
+  *   hits        --edges <dir> [--iterations N] [-o <outDir>]
+  *               (hub/authority scores, L1-normalized)
+  *   mis         --edges <dir> [--hash-seed S] [-o <outDir>]
+  *               (deterministic Luby maximal independent set)
+  *   resample    --docs <dir> --entity-col e --ts-col t --value-col v
+  *               [--interval SEC] [--mode locf|interp] [-o <outDir>]
+  *               (regular-grid resample; ts must be epoch seconds)
+  *   dsir        --docs <dir> --target <dir> [--text-col text]
+  *               [--id-col doc_id] [--top-k K] [--dim BUCKETS]
+  *               [--hash-seed S] [-o <outDir>]
+  *               (DSIR importance resampling toward the target corpus;
+  *               --target is a parquet whose first column is doc ids)
   *   semdedup    --vectors <dir> [--vec-col embedding] [--id-col vec_id]
   *               [--threshold T] [--cells N] [-o <outDir>]
   *               (embedding-space dedup report: doc_id, keeper, reason)
@@ -83,6 +100,15 @@ object Analyze {
       mode: String = "exact",
       walkLength: Int = 10,
       hashSeed: Long = 42L,
+      returnWeight: Long = 1L,
+      commonWeight: Long = 4L,
+      exploreWeight: Long = 2L,
+      target: String = "",
+      topK: Int = 1000,
+      entityCol: String = "",
+      tsCol: String = "",
+      valueCol: String = "",
+      intervalSec: Long = 3600L,
       vectors: String = "",
       vecCol: String = "embedding",
       threshold: Double = 0.95,
@@ -125,6 +151,18 @@ object Analyze {
       case "--mode" :: v :: t => loop(t, acc.copy(mode = v))
       case "--walk-length" :: v :: t => loop(t, acc.copy(walkLength = v.toInt))
       case "--hash-seed" :: v :: t => loop(t, acc.copy(hashSeed = v.toLong))
+      case "--return-weight" :: v :: t =>
+        loop(t, acc.copy(returnWeight = v.toLong))
+      case "--common-weight" :: v :: t =>
+        loop(t, acc.copy(commonWeight = v.toLong))
+      case "--explore-weight" :: v :: t =>
+        loop(t, acc.copy(exploreWeight = v.toLong))
+      case "--target" :: v :: t => loop(t, acc.copy(target = v))
+      case "--top-k" :: v :: t => loop(t, acc.copy(topK = v.toInt))
+      case "--entity-col" :: v :: t => loop(t, acc.copy(entityCol = v))
+      case "--ts-col" :: v :: t => loop(t, acc.copy(tsCol = v))
+      case "--value-col" :: v :: t => loop(t, acc.copy(valueCol = v))
+      case "--interval" :: v :: t => loop(t, acc.copy(intervalSec = v.toLong))
       case "--vectors" :: v :: t => loop(t, acc.copy(vectors = v))
       case "--vec-col" :: v :: t => loop(t, acc.copy(vecCol = v))
       case "--threshold" :: v :: t => loop(t, acc.copy(threshold = v.toDouble))
@@ -182,6 +220,32 @@ object Analyze {
       case "walks" =>
         GraphOps.randomWalks(edges, seedsDf, args.walkLength,
           args.hashSeed, ckpt)
+      case "node2vec" =>
+        GraphOps.biasedRandomWalks(edges, seedsDf, args.walkLength,
+          args.returnWeight, args.commonWeight, args.exploreWeight,
+          args.hashSeed, ckpt)
+      case "hits" => GraphOps.hits(edges, args.iterations, ckpt = ckpt)
+      case "mis" =>
+        GraphOps.maximalIndependentSet(edges, args.hashSeed, ckpt = ckpt)
+      case "resample" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "resample needs --docs, --entity-col, --ts-col, --value-col")
+        val ts = spark.read.parquet(args.docs)
+        args.mode match {
+          case "exact" | "locf" => graft.operators.TimeSeries.resampleLocf(
+            ts, args.entityCol, args.tsCol, args.valueCol, args.intervalSec)
+          case "interp" => graft.operators.TimeSeries.resampleInterp(
+            ts, args.entityCol, args.tsCol, args.valueCol, args.intervalSec)
+          case other => throw new IllegalArgumentException(
+            s"unknown --mode '$other' (locf|interp)")
+        }
+      case "dsir" =>
+        require(args.docs.nonEmpty && args.target.nonEmpty,
+          "dsir needs --docs <dir> and --target <dir>")
+        graft.operators.Sampling.dsirSample(
+          spark.read.parquet(args.docs), spark.read.parquet(args.target),
+          args.idCol, args.textCol, args.topK, args.dim, args.hashSeed)
       case "semdedup" =>
         require(args.vectors.nonEmpty, "semdedup needs --vectors <dir>")
         // id default flips to vec_id for the vector table; an explicit

@@ -159,4 +159,42 @@ class AnalyzeSpec extends SparkSpec {
     assert(out == Map(1L -> ((1L, "kept")), 2L -> ((1L, "semantic")),
       3L -> ((3L, "kept"))))
   }
+
+  test("hits, mis, and node2vec run from argv over the edges parquet") {
+    val dir = writeEdges()
+    val h = Analyze.run(parse(List("hits", "--edges", s"$dir/edges",
+      "--iterations", "3")), spark)
+    assert(math.abs(h.agg(sum("hub")).head().getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(h.agg(sum("auth")).head().getDouble(0) - 1.0) < 1e-12)
+    val m = Analyze.run(parse(List("mis", "--edges", s"$dir/edges")), spark)
+      .collect().map(_.getLong(0)).toSet
+    // valid MIS over {0-1,1-2,2-3,4-5,0-2 undirected}: no adjacent pair
+    val und = Set((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (0L, 2L))
+    assert(und.forall { case (a, b) => !(m(a) && m(b)) })
+    assert(m.nonEmpty)
+    val w = Analyze.run(parse(List("node2vec", "--edges", s"$dir/edges",
+      "--seeds", "4", "--walk-length", "3", "--return-weight", "9")), spark)
+      .orderBy("step").collect().map(_.getAs[Long]("node")).toSeq
+    assert(w == Seq(4L, 5L, 4L, 5L)) // 4↔5 cycle: only path regardless
+  }
+
+  test("resample and dsir run from argv over docs parquet") {
+    val dir = Files.createTempDirectory("graft-analyze-rs").toString
+    Seq(("a", 100L, 10.0), ("a", 7300L, 40.0))
+      .toDF("m", "es", "v").write.parquet(s"$dir/ts")
+    val li = Analyze.run(parse(List("resample", "--docs", s"$dir/ts",
+      "--entity-col", "m", "--ts-col", "es", "--value-col", "v",
+      "--mode", "interp")), spark)
+      .orderBy("bucket_ts").collect().map(_.getDouble(4)).toSeq
+    assert(li == Seq(10.0, 25.0, 40.0)) // lerp through the 3600 gap
+    val docs = (Seq(1L -> ("alpha beta " * 30), 2L -> ("alpha beta " * 30))
+      ++ (3L to 8L).map(d => d -> (s"noise${d}a noise${d}b " * 30)))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs")
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$dir/tgt")
+    val top = Analyze.run(parse(List("dsir", "--docs", s"$dir/docs",
+      "--target", s"$dir/tgt", "--top-k", "2", "--dim", "32")), spark)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L)) // the two target-vocabulary docs win
+  }
 }
