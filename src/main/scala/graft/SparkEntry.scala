@@ -395,6 +395,20 @@ object SparkEntry {
         .orderBy("user_id", "bucket_ts")
     }),
 
+    // ---- ST8: per-entity EWMA — one in-Catalyst left fold per user;
+    // the oracle replays the identical double chain with list_reduce
+    // over the (es, event_id)-ordered values, e4-integerized ----
+    "q_st8_ewma" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      TimeSeries.ewma(e, "user_id", "es", "event_id", "value",
+          alpha = 0.2)
+        .select(col("user_id"), col("es"), col("event_id"), col("v"),
+          floor(col("ewma") * lit(1e4) + lit(0.5)).cast("long")
+            .as("ewma_e4"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -1804,6 +1818,18 @@ object SparkEntry {
         Validate.InRange("o_totalprice", 0.0, 1e6),
         Validate.Matches("o_orderpriority", "^[1-5]-[A-Z ]+$")))
         .orderBy("rule")),
+
+    // ---- V2: column profiler — one-scan per-column summary (nulls,
+    // distinct, numeric min/max/mean, string length stats); every value
+    // derives from exact integer sums, so the e4 integerization is
+    // lossless ----
+    "q_v2_profile" -> ((s, dir) =>
+      Validate.profile(t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("col_name"), col("metric"),
+          floor(col("value") * lit(1e4) + lit(0.5)).cast("long")
+            .as("value_e4"))
+        .orderBy("col_name", "metric")),
 
     // ---- V1b: row-level quarantine tags — narrow projection appending
     // the failed-rule list per row; counts by tag-set certify the
@@ -4801,6 +4827,46 @@ object SparkEntry {
         |    v5 FROM agg)
         |ORDER BY rule""".stripMargin,
 
+    // Profiler: per-column scalar aggregates UNIONed to rows; every
+    // value is integer-derived (counts, lengths, exact sums / counts),
+    // so the e4 view is lossless on both engines.
+    "q_v2_profile" -> {
+      def base(c: String) =
+        s"""SELECT '$c' AS col_name, 'nulls' AS metric,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    AS value FROM documents
+           |UNION ALL SELECT '$c', 'distinct',
+           |  CAST(count(DISTINCT $c) AS DOUBLE) FROM documents""".stripMargin
+      def num(c: String) =
+        s"""${base(c)}
+           |UNION ALL SELECT '$c', 'min', CAST(min($c) AS DOUBLE)
+           |  FROM documents
+           |UNION ALL SELECT '$c', 'max', CAST(max($c) AS DOUBLE)
+           |  FROM documents
+           |UNION ALL SELECT '$c', 'mean', CAST(avg($c) AS DOUBLE)
+           |  FROM documents""".stripMargin
+      def str(c: String) =
+        s"""${base(c)}
+           |UNION ALL SELECT '$c', 'min_len',
+           |  CAST(min(length($c)) AS DOUBLE) FROM documents
+           |UNION ALL SELECT '$c', 'max_len',
+           |  CAST(max(length($c)) AS DOUBLE) FROM documents
+           |UNION ALL SELECT '$c', 'avg_len',
+           |  CAST(avg(length($c)) AS DOUBLE) FROM documents""".stripMargin
+      s"""WITH m AS (
+         |${num("doc_id")}
+         |UNION ALL ${str("text")}
+         |UNION ALL ${str("lang")}
+         |UNION ALL ${str("source")}
+         |UNION ALL ${num("n_chars")}
+         |UNION ALL SELECT '_table', 'rows', CAST(count(*) AS DOUBLE)
+         |  FROM documents)
+         |SELECT col_name, metric,
+         |  CAST(floor(value * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |    AS value_e4
+         |FROM m ORDER BY col_name, metric""".stripMargin
+    },
+
     "q_v1b_quarantine" ->
       """SELECT o_orderkey,
         |  concat_ws(',',
@@ -4884,6 +4950,30 @@ object SparkEntry {
         |    AS BIGINT) AS v_interp_e4
         |FROM brk
         |ORDER BY user_id, bucket_ts""".stripMargin,
+
+    // EWMA: the per-entity fold replayed as list_reduce over the
+    // per-user value list sliced to each row's rank — same operand
+    // shape (0.2*x + 0.8*acc) and same (es, event_id) total order, so
+    // the double chain matches bit-for-bit before integerization.
+    "q_st8_ewma" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    (epoch_ns(ts) // 1000000000) AS es, value
+        |  FROM events),
+        |ord AS (
+        |  SELECT user_id, es, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS rn
+        |  FROM ev),
+        |ls AS (
+        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
+        |  FROM ev GROUP BY user_id)
+        |SELECT o.user_id, o.es, o.event_id, o.value AS v,
+        |  CAST(floor(list_reduce(l.vs[1:o.rn],
+        |    (acc, x) -> 0.2*x + 0.8*acc) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ewma_e4
+        |FROM ord o JOIN ls l USING (user_id)
+        |ORDER BY o.user_id, o.es, o.event_id""".stripMargin,
 
     "q_window_rolling_time" ->
       """SELECT event_id, user_id, es,

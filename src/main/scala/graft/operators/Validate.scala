@@ -144,4 +144,63 @@ object Validate {
       if (failed.isEmpty) array().cast("array<string>")
       else filter(array(failed: _*), x => x.isNotNull))
   }
+
+  /** Column profile — the exploratory twin of [[report]]: instead of
+    * checking named expectations, MEASURE each column and return the
+    * summary a pipeline author writes rules from (and a drift monitor
+    * diffs run-over-run): per column `nulls` and `distinct`, plus
+    * `min`/`max`/`mean` for numeric columns and `min_len`/`max_len`/
+    * `avg_len` for strings; one `(_table, rows)` row for the total.
+    *
+    * All metrics are doubles (exact for the integer-derived ones); other
+    * column types get the base metrics only.
+    *
+    * Scale: ONE scan. With `exact = true` the multi-column distinct
+    * plans as Catalyst's Expand (one pass, rows × profiled columns wide
+    * before partial aggregation) — fine for tens of columns; profile a
+    * 1000-column table with `exact = false`, which swaps in
+    * `approx_count_distinct` (HLL, no Expand) and keeps everything else
+    * identical. Result is metric-count rows from a 1-row aggregate —
+    * nothing driver-side.
+    *
+    * @return (`col_name`, `metric`, `value` double). */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns given")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"profile: no such column '$c'"))
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val metrics: Seq[(String, String, Column)] = cols.flatMap { c =>
+      val base = Seq(
+        (c, "nulls",
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .cast("double")),
+        (c, "distinct",
+          (if (exact) count_distinct(col(c))
+           else approx_count_distinct(col(c))).cast("double")))
+      val typed = df.schema(c).dataType match {
+        case _: NumericType => Seq(
+          (c, "min", min(col(c)).cast("double")),
+          (c, "max", max(col(c)).cast("double")),
+          (c, "mean", avg(col(c)).cast("double")))
+        case StringType => Seq(
+          (c, "min_len", min(length(col(c))).cast("double")),
+          (c, "max_len", max(length(col(c))).cast("double")),
+          (c, "avg_len", avg(length(col(c))).cast("double")))
+        case _ => Seq.empty
+      }
+      base ++ typed
+    } :+ (("_table", "rows", count(lit(1)).cast("double")))
+    val aggs = metrics.zipWithIndex.map { case ((_, _, m), i) =>
+      m.as(s"_m$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = metrics.zipWithIndex.map { case ((c, name, _), i) =>
+      struct(lit(c).as("col_name"), lit(name).as("metric"),
+        col(s"_m$i").as("value"))
+    }
+    one.select(explode(array(rows: _*)).as("_p"))
+      .select(col("_p.col_name").as("col_name"),
+        col("_p.metric").as("metric"), col("_p.value").as("value"))
+  }
 }

@@ -66,6 +66,27 @@ class TimeSeriesSpec extends SparkSpec {
       Seq((3600L, 7.0)))
   }
 
+  test("ewma: hand-computed chain, same-ts ties ordered by id, " +
+      "partition-invariant, alpha validated") {
+    // a: 10, 20, 40 → α=0.5: 10, 15, 27.5; the two t=1 rows order by id
+    val ev = Seq(("a", 0L, 1L, 10.0), ("a", 1L, 2L, 20.0),
+      ("a", 1L, 3L, 40.0), ("b", 5L, 4L, 7.0))
+      .toDF("entity", "es", "eid", "v")
+    val out = TimeSeries.ewma(ev, "entity", "es", "eid", "v", alpha = 0.5)
+      .orderBy("entity", "es", "eid").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", 1L, 10.0), ("a", 2L, 15.0),
+      ("a", 3L, 27.5), ("b", 4L, 7.0)))
+    val re = TimeSeries.ewma(ev.repartition(7), "entity", "es", "eid",
+        "v", alpha = 0.5)
+      .orderBy("entity", "es", "eid").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(4)))
+    assert(re.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(ev, "entity", "es", "eid", "v", alpha = 0.0)
+    }
+  }
+
   test("interp: multi-bucket gap walks the line; partition-invariant") {
     // one observation at t=0 (v=0) and one at t=4h (v=40): interior
     // gaps at 1h/2h/3h must read 10/20/30.

@@ -89,4 +89,30 @@ class ValidateSpec extends SparkSpec {
     intercept[IllegalArgumentException] { InSet("x", Nil) }
     intercept[IllegalArgumentException] { Matches("x", "(?i)abc") }
   }
+
+  test("profile: typed metrics per column, nulls counted, rows row; " +
+      "approx mode keeps the shape; unknown column fails fast") {
+    val df = Seq((1L, Some("ab"), 2.0), (2L, None, 4.0),
+      (3L, Some("wxyz"), 6.0)).toDF("id", "s", "x")
+    val p = Validate.profile(df, Seq("id", "s", "x"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(p(("_table", "rows")) == 3.0)
+    assert(p(("id", "nulls")) == 0.0 && p(("id", "distinct")) == 3.0)
+    assert(p(("id", "min")) == 1.0 && p(("id", "max")) == 3.0 &&
+      p(("id", "mean")) == 2.0)
+    assert(p(("s", "nulls")) == 1.0 && p(("s", "distinct")) == 2.0)
+    assert(p(("s", "min_len")) == 2.0 && p(("s", "max_len")) == 4.0 &&
+      p(("s", "avg_len")) == 3.0)
+    assert(p(("x", "mean")) == 4.0)
+    val approx = Validate.profile(df, Seq("id"), exact = false)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet == p.keySet.filter {
+      case (c, _) => c == "id" || c == "_table" })
+    assert(approx(("id", "distinct")) == 3.0) // HLL exact at tiny n
+    intercept[IllegalArgumentException] {
+      Validate.profile(df, Seq("nope"))
+    }
+  }
 }
