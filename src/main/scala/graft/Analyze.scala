@@ -245,7 +245,8 @@ object Analyze {
           "dsir needs --docs <dir> and --target <dir>")
         graft.operators.Sampling.dsirSample(
           spark.read.parquet(args.docs), spark.read.parquet(args.target),
-          args.idCol, args.textCol, args.topK, args.dim, args.hashSeed)
+          args.idCol, args.textCol, args.topK, args.dim, args.hashSeed,
+          ckpt)
       case "semdedup" =>
         require(args.vectors.nonEmpty, "semdedup needs --vectors <dir>")
         // id default flips to vec_id for the vector table; an explicit

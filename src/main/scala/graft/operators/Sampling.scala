@@ -367,16 +367,19 @@ object Sampling {
     *         the ranking key). */
   def dsirSample(docs: DataFrame, targetIds: DataFrame, idCol: String,
       textCol: String, k: Int, numBuckets: Int = 1024,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(numBuckets >= 2, "numBuckets must be >= 2")
-    val feat = docs
+    // materialized once: three consumers (both models + the scoring
+    // join) would otherwise each re-run the tokenize scan of the corpus
+    val feat = ckpt(docs
       .select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .select(col("id"),
         (graft.functions.PortableHash.hash48(col("token"), seed)
           % numBuckets).as("b"))
-      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c")))
     val tgt = targetIds
       .select(col(targetIds.columns.head).as("id")).distinct()
     val tCounts = feat.join(tgt, Seq("id"), "left_semi")

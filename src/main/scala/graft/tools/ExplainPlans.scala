@@ -27,7 +27,10 @@ object ExplainPlans {
         "q_x2l_semantic_dedup", "q_x2m_dup_span_removal",
         "q_x2n_incr_semantic", "q_x3h_pq_topk", "q_x3i_ivfpq_topk",
         "q_x4q_ppl_buckets", "q_j6_interval_overlap",
-        "q_g17_random_walks", "q_x10b_curate_temperature")
+        "q_g17_random_walks", "q_x10b_curate_temperature",
+        // round-6 second-wave additions
+        "q_st7_resample_interp", "q_st8_ewma", "q_g17b_node2vec_walks",
+        "q_g18_hits", "q_g19_mis", "q_x11_dsir", "q_v2_profile")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
