@@ -409,6 +409,34 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST9: exact rolling median over the last 10 events per user —
+    // values pre-scaled to integer cents so every median (odd frame:
+    // middle element; even: middle-pair mean) is exact at .5 granularity;
+    // med_e1 = med·10 is pure integer on both engines, no float compare ----
+    "q_st9_rolling_median" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      TimeSeries.rollingMedian(e, "user_id", "es", "event_id", "cents",
+          nRows = 10)
+        .select(col("user_id"), col("es"), col("event_id"),
+          col("v").cast("long").as("cents"),
+          (col("med") * 10).cast("long").as("med_e1"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
+    // ---- ST10: EWMA-residual anomaly flag — prediction is the PREVIOUS
+    // row's EWMA (q_st8's bit-exact fold), residual e4-integerized, and
+    // the 3σ test runs in decimal(38,0) exact arithmetic (oracle uses
+    // HUGEINT) so the boolean can never flip on a float ulp ----
+    "q_st10_ewma_anomaly" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      TimeSeries.ewmaAnomaly(e, "user_id", "es", "event_id", "value",
+          alpha = 0.2, z = 3)
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -1211,6 +1239,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X4r: bigram-LM perplexity — Laplace-smoothed bigram model
+    // trained on the corpus, word-order-aware twin of q_x4i. The ln
+    // operand shape is mirrored exactly in the oracle; outputs are
+    // e4-integerized (x4i's proven pattern). ----
+    "q_x4r_bigram_ppl" -> ((s, dir) =>
+      Relevance.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
+        .orderBy("doc_id")),
+
     // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
@@ -1633,6 +1672,23 @@ object SparkEntry {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
       GraphOps.kCore(edges, k = 4).orderBy("id")
+    }),
+
+    // ---- G20: k-truss edge peeling on the same co-occurrence graph as
+    // G9 — every surviving edge sits in ≥ k−2 triangles among survivors.
+    // The oracle unrolls the peeling as a MATERIALIZED CTE chain like
+    // k-core; fixpoint depth is measured at sf0.01 with margin. ----
+    "q_g20_ktruss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.kTruss(edges, k = 4).orderBy("a", "b")
     }),
 
     // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
@@ -2256,9 +2312,46 @@ object SparkEntry {
          |ORDER BY id""".stripMargin
   }
 
+  /** k-truss peeling unrolled like [[kcoreUnrolledOracle]] — each round
+    * enumerates triangles in canonical a<b<c orientation, credits the
+    * three edges, and keeps support ≥ k−2 = 2. Peeling past the fixpoint
+    * is the identity; this graph reaches it in 2 rounds at sf0.01
+    * (measured), so the 6-round unroll is EXACT with margin. */
+  private lazy val ktrussUnrolledOracle: String = {
+    val rounds = 6
+    val base =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(a.pk, b.pk) AS a,
+        |              greatest(a.pk, b.pk) AS b
+        |       FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk)""".stripMargin
+    val chain = (1 to rounds).map { i =>
+      s""",
+         |t$i AS MATERIALIZED (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM e${i - 1} e1 JOIN e${i - 1} e2
+         |    ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |s$i AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS sup FROM (
+         |    SELECT a, b FROM t$i
+         |    UNION ALL SELECT a, c FROM t$i
+         |    UNION ALL SELECT b, c FROM t$i) GROUP BY a, b),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e JOIN s$i s
+         |    ON s.a = e.a AND s.b = e.b WHERE s.sup >= 2)""".stripMargin
+    }.mkString
+    base + chain +
+      s"""
+         |SELECT a, b FROM e$rounds ORDER BY a, b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_s2_schema_peek" ->
       "SELECT * FROM customer ORDER BY c_custkey LIMIT 1",
+
+    "q_g20_ktruss" -> ktrussUnrolledOracle,
 
     // Portable-MinHash LSH end-to-end: candidates from shared band
     // signatures, verified with exact trigram-set Jaccard ≥ 0.2.
@@ -4067,6 +4160,35 @@ object SparkEntry {
         |    ELSE 'tail' END AS bucket_label
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Bigram LM: Laplace (c_ab+1)/(c1+V) with the exact ln operand shape
+    // of the Spark side; bigrams via 1-based positional list indexing
+    // (both engines), outputs e4-integerized like q_x4i.
+    "q_x4r_bigram_ppl" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
+        |cb AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c_ab) AS c1 FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (
+        |  SELECT unnest(a) AS t FROM arr)),
+        |dtf AS (SELECT doc_id, w1, w2, count(*) AS btf FROM bg
+        |        GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT d.doc_id, CAST(sum(d.btf) AS BIGINT) AS n_bigrams,
+        |    sum(d.btf * ln((cb.c_ab + CAST(1 AS DOUBLE))
+        |      / CAST(cx.c1 + v.v AS DOUBLE))) AS lp
+        |  FROM dtf d JOIN cb USING (w1, w2) JOIN cx USING (w1), v
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(floor(lp / n_bigrams * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS log_prob_e4,
+        |  CAST(floor(exp(-(lp / n_bigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ppl_e4
+        |FROM per ORDER BY doc_id""".stripMargin,
+
     // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.
     "q_x9_tfidf" ->
@@ -4974,6 +5096,63 @@ object SparkEntry {
         |    AS BIGINT) AS ewma_e4
         |FROM ord o JOIN ls l USING (user_id)
         |ORDER BY o.user_id, o.es, o.event_id""".stripMargin,
+
+    // Rolling median over integer cents: same explicit index math as the
+    // operator (sorted frame, middle element / middle-pair), so med_e1
+    // (= med·10) is pure integer arithmetic on both engines.
+    "q_st9_rolling_median" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |win AS (
+        |  SELECT user_id, es, event_id, cents,
+        |    list_sort(list(cents) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS vs
+        |  FROM ev)
+        |SELECT user_id, es, event_id, cents,
+        |  CASE WHEN len(vs) % 2 = 1 THEN vs[(len(vs) + 1) // 2] * 10
+        |       ELSE (vs[len(vs) // 2] + vs[len(vs) // 2 + 1]) * 5
+        |  END AS med_e1
+        |FROM win ORDER BY user_id, es, event_id""".stripMargin,
+
+    // EWMA-residual anomaly: prediction replays q_st8's fold over the
+    // first rn−1 values; the 3σ test is exact HUGEINT arithmetic over
+    // e4 residual moments (Spark side: decimal(38,0)) — output stays
+    // BIGINT/BOOLEAN. LEFT JOIN keeps single-event users (null flag).
+    "q_st10_ewma_anomaly" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    (epoch_ns(ts) // 1000000000) AS es, value
+        |  FROM events),
+        |ord AS (
+        |  SELECT user_id, es, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS rn
+        |  FROM ev),
+        |ls AS (
+        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
+        |  FROM ev GROUP BY user_id),
+        |sm AS (
+        |  SELECT o.user_id, o.es, o.event_id, o.value AS v,
+        |    CASE WHEN o.rn = 1 THEN NULL
+        |      ELSE CAST(floor((o.value - list_reduce(l.vs[1:o.rn - 1],
+        |        (acc, x) -> 0.2*x + 0.8*acc)) * 1e4
+        |        + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS resid_e
+        |  FROM ord o JOIN ls l USING (user_id)),
+        |st AS (
+        |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(resid_e) AS HUGEINT) AS s1,
+        |    sum(CAST(resid_e AS HUGEINT) * resid_e) AS s2
+        |  FROM sm WHERE resid_e IS NOT NULL GROUP BY user_id)
+        |SELECT s.user_id, s.es, s.event_id, s.v, s.resid_e,
+        |  CASE WHEN s.resid_e IS NULL THEN FALSE
+        |    ELSE st.n * st.n * CAST(s.resid_e AS HUGEINT) * s.resid_e
+        |      > 9 * (st.n * st.s2 - st.s1 * st.s1) END AS is_anom
+        |FROM sm s LEFT JOIN st USING (user_id)
+        |ORDER BY s.user_id, s.es, s.event_id""".stripMargin,
 
     "q_window_rolling_time" ->
       """SELECT event_id, user_id, es,

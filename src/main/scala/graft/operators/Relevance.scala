@@ -111,6 +111,60 @@ object Relevance {
         exp(-(col("_lp") / col("doc_len"))).as("ppl"))
   }
 
+  /** Per-document BIGRAM language-model perplexity — the word-order-aware
+    * sharpening of [[unigramPerplexity]]: a Laplace-smoothed bigram model
+    * trained on the corpus itself,
+    *
+    *   p(w₂ | w₁) = (c(w₁,w₂) + 1) / (c(w₁·) + V)
+    *
+    * with c(w₁·) the count of bigrams starting at w₁ and V the corpus
+    * vocabulary size, scored as `ppl = exp(−Σ tf·ln p / n_bigrams)`.
+    * Shuffled or template-stitched text that unigram ppl cannot separate
+    * from prose (same token histogram!) scores high here — the standard
+    * second-stage LM quality filter. Documents under two tokens have no
+    * bigrams and are omitted. Self-scoring keeps every document bigram
+    * in-vocabulary; the +1 smoothing is what makes the same model
+    * servable against held-out text.
+    *
+    * Scale notes (100 TB): bigrams come from a NARROW per-row array zip
+    * (never a positional self-join), then partial-agg groupBys for the
+    * model and per-doc frequencies; the model joins back on the bigram
+    * key (vocab²-bounded but count-sparse), context counts on w₁, and V
+    * as a 1-row broadcast. Hot function-word bigrams are groupBy/join
+    * keys → AQE splits them.
+    *
+    * @return (doc_id, n_bigrams, log_prob — the per-bigram average ln p,
+    *          ppl = exp(−log_prob)) */
+  def bigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("_arr"))
+    val vocab = toks.select(explode(col("_arr")).as("w"))
+      .agg(countDistinct(col("w")).as("_v"))
+    val bigrams = toks.filter(size(col("_arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_arr) - 1), " +
+          "i -> struct(element_at(_arr, i) AS w1, " +
+          "element_at(_arr, i + 1) AS w2))")).as("_b"))
+      .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val ctx = model.groupBy("w1").agg(sum("c_ab").as("c1"))
+    val dtf = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("btf"))
+    // ln operand shape mirrored exactly in the oracle SQL:
+    // (c_ab + 1.0) / CAST(c1 + v AS DOUBLE)
+    dtf.join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum(col("btf")).as("n_bigrams"),
+        sum(col("btf") * log((col("c_ab") + lit(1.0)) /
+          (col("c1") + col("_v")).cast("double"))).as("_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_lp") / col("n_bigrams")).as("log_prob"),
+        exp(-(col("_lp") / col("n_bigrams"))).as("ppl"))
+  }
+
   /** Pointwise-mutual-information bigram collocations — the phrase-mining
     * primitive ("new york", "machine learning") for tokenizer-vocabulary
     * construction and phrase-aware indexing:

@@ -133,6 +133,105 @@ object TimeSeries {
     *
     * @return (`entityCol`, `tsSecCol`, `idCol`, `v` — the raw value,
     *         `ewma`). */
+  /** Exact rolling median over the last `nRows` events per entity
+    * (ordered by `tsSecCol` with `idCol` tie-break — a TOTAL order, so
+    * the frame content is partition-invariant). The robust twin of the
+    * rolling mean: spike-immune baselines for monitoring and feature
+    * grids.
+    *
+    * The median is computed EXPLICITLY — sort the frame, index the
+    * middle, average the middle pair on even frames — rather than via an
+    * engine `percentile`/`median` aggregate, so the interpolation
+    * semantics are pinned by this code, not by whichever quantile
+    * convention the engine ships (engines disagree on even-count
+    * interpolation; explicit index math is portable). Feed an
+    * integer-valued column (e.g. cents) and every median is exact at
+    * .5 granularity — no float comparison anywhere.
+    *
+    * Scale notes (100 TB event tables): one hash shuffle on the entity
+    * key, then a per-entity window sort — the same shape as running
+    * totals. Per-row state is the `nRows`-element frame (collect +
+    * sort_array inside codegen), so memory is O(nRows) per row, NOT
+    * O(entity series); cost is O(n·w·log w) per entity — fine for the
+    * small frames rolling stats use. Entities parallelize; AQE splits
+    * skewed ones.
+    *
+    * @return (`entityCol`, `tsSecCol`, `idCol`, `v` — the raw value,
+    *         `med` — exact rolling median as double). */
+  def rollingMedian(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, nRows: Int): DataFrame = {
+    require(nRows >= 1, "nRows must be >= 1")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol), col(idCol))
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    val vs = sort_array(collect_list(col(valueCol).cast("double")).over(w))
+    val n = size(vs)
+    val med = when(n % 2 === 1,
+        element_at(vs, ((n + 1) / lit(2)).cast("int")))
+      .otherwise((element_at(vs, (n / lit(2)).cast("int")) +
+        element_at(vs, (n / lit(2) + 1).cast("int"))) / 2.0)
+    df.select(col(entityCol), col(tsSecCol), col(idCol),
+      col(valueCol).cast("double").as("v"), med.as("med"))
+  }
+
+  /** EWMA-residual anomaly detection per entity — the classic streaming
+    * outlier flag (monitoring, sensor QC, fraud velocity): predict each
+    * point with the PREVIOUS point's EWMA, then flag residuals beyond
+    * `z` population standard deviations of the entity's own residuals.
+    *
+    * The flag is computed in EXACT integer/decimal arithmetic: residuals
+    * are integerized at `scale` (default 1e4), and the threshold test
+    *
+    *   n²·r² > z²·(n·Σr² − (Σr)²)
+    *
+    * is evaluated in decimal(38,0) — no float comparison, so the flag is
+    * bit-identical on any engine and any partitioning (a residual ulp
+    * away from z·σ can never flip it).
+    *
+    * Scale notes (100 TB): one entity-key shuffle for the EWMA fold
+    * (see [[ewma]]), a lag window in the same partitioning, one
+    * partial-agg groupBy for the moment sums, and a broadcast-sized
+    * per-entity stats join. Decimal moments cannot overflow below
+    * ~10^19 events per entity.
+    *
+    * @return (`entityCol`, `tsSecCol`, `idCol`, `v`, `resid_e` — the
+    *         scaled integer residual (null on each entity's first
+    *         event, which has no prediction), `is_anom` — false on
+    *         first events). */
+  def ewmaAnomaly(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, alpha: Double, z: Int = 3,
+      scale: Double = 1e4): DataFrame = {
+    require(z >= 1, "z must be >= 1")
+    require(scale > 0, "scale must be > 0")
+    val sm = ewma(df, entityCol, tsSecCol, idCol, valueCol, alpha)
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol), col(idCol))
+    val resid = sm.select(col(entityCol), col(tsSecCol), col(idCol),
+      col("v"),
+      floor((col("v") - lag(col("ewma"), 1).over(w)) * scale + 0.5)
+        .cast("long").as("resid_e"))
+    val dec = "decimal(38,0)"
+    val stats = resid.filter(col("resid_e").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum(col("resid_e")).cast(dec).as("_s1"),
+        sum(col("resid_e").cast(dec) * col("resid_e").cast(dec))
+          .as("_s2"))
+    resid.join(stats, Seq(entityCol), "left")
+      .select(col(entityCol), col(tsSecCol), col(idCol), col("v"),
+        col("resid_e"),
+        // a first event has no prediction — not anomalous (false, not
+        // null: a nullable boolean round-trips differently through
+        // parquet/pandas on different engines)
+        when(col("resid_e").isNull, lit(false))
+          .otherwise(
+            col("_n") * col("_n") * col("resid_e").cast(dec) *
+              col("resid_e").cast(dec) >
+            lit(z * z) * (col("_n") * col("_s2") -
+              col("_s1") * col("_s1")))
+          .as("is_anom"))
+  }
+
   def ewma(df: DataFrame, entityCol: String, tsSecCol: String,
       idCol: String, valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")

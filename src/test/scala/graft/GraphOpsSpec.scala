@@ -295,6 +295,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(path, 1).count() == 10)
   }
 
+  test("kTruss: K4 survives 4-truss, pendant and bridge edges peel; " +
+      "triangle-free graphs empty; cascade peeling") {
+    // K4 {0..3} + pendant edge (3,10): 4-truss = the K4's 6 edges
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val g = (k4 ++ Seq((3L, 10L))).toDF("start_id", "end_id")
+    val out = GraphOps.kTruss(g, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == k4.toSet)
+    // two triangles sharing edge (0,1): every edge is in exactly one
+    // triangle except the shared one — 3-truss keeps all 5 edges,
+    // 4-truss needs 2 triangles per edge: only after the fringe peels
+    // does the shared edge lose ITS support too → empty (cascade)
+    val bowtie = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L))
+      .toDF("start_id", "end_id")
+    assert(GraphOps.kTruss(bowtie, 3).count() == 5)
+    assert(GraphOps.kTruss(bowtie, 4).isEmpty)
+    // a path has no triangles → 3-truss already empty
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("start_id", "end_id")
+    assert(GraphOps.kTruss(path, 3).isEmpty)
+    intercept[IllegalArgumentException] { GraphOps.kTruss(path, 2) }
+  }
+
   test("seedDistances + harmonicCentrality: path graph closed form, " +
       "hop cap, directed mode, partition invariance") {
     // path 1-2-3-4-5, seeds {1,5}

@@ -89,6 +89,25 @@ class RelevanceSpec extends SparkSpec {
       .foreach(r => assert(math.abs(r.getDouble(3) - 2.0) < 1e-12))
   }
 
+  test("bigramPerplexity: hand-computed Laplace model; single-token " +
+      "docs omitted") {
+    // bigrams: doc1 (a,b)×2 + (b,a); doc2 (a,b). model: c(a,b)=3,
+    // c(b,a)=1; contexts a→3, b→1; V={a,b,c}=3
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("id", "text")
+    val out = Relevance.bigramPerplexity(d, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // "c" has no bigrams
+    // P(b|a) = (3+1)/(3+3) = 2/3;  P(a|b) = (1+1)/(1+3) = 1/2
+    val lp1 = (2 * math.log(2.0 / 3.0) + math.log(0.5)) / 3.0
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - lp1) < 1e-12)
+    assert(math.abs(out(1L)._3 - math.exp(-lp1)) < 1e-12)
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._3 - 1.5) < 1e-12) // exp(−ln 2/3)
+  }
+
   test("pmiBigrams: hand-computed association, minCount prune, " +
       "single-token docs safe") {
     // "x y" ×4 and "x z" ×1 (+ a single-token doc that must not crash):

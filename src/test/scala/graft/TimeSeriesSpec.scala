@@ -87,6 +87,49 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("rollingMedian: odd/even frames, frame cap, tie order, " +
+      "partition invariance") {
+    // a: values 10, 30, 20, 90 with a 2-row frame: med = 10, 20, 25, 55
+    val ev = Seq(("a", 0L, 1L, 10.0), ("a", 1L, 2L, 30.0),
+      ("a", 2L, 3L, 20.0), ("a", 3L, 4L, 90.0))
+      .toDF("entity", "es", "eid", "v")
+    val two = TimeSeries.rollingMedian(ev, "entity", "es", "eid", "v", 2)
+      .orderBy("es").collect().map(_.getDouble(4))
+    assert(two.toSeq == Seq(10.0, 20.0, 25.0, 55.0))
+    // 3-row frame: 10, 20, 20, 30 (middle of the sorted triple)
+    val three = TimeSeries.rollingMedian(ev, "entity", "es", "eid", "v", 3)
+      .orderBy("es").collect().map(_.getDouble(4))
+    assert(three.toSeq == Seq(10.0, 20.0, 20.0, 30.0))
+    val re = TimeSeries.rollingMedian(ev.repartition(7), "entity", "es",
+        "eid", "v", 3).orderBy("es").collect().map(_.getDouble(4))
+    assert(re.toSeq == three.toSeq)
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingMedian(ev, "entity", "es", "eid", "v", 0)
+    }
+  }
+
+  test("ewmaAnomaly: spike flagged against the entity's own residual " +
+      "spread; first event null residual and false flag; " +
+      "partition invariance") {
+    // entity a: a flat series with one huge spike — only the spike (and
+    // the correction right after it) can exceed 3σ of the residuals
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 10.0, 500.0, 10.0, 10.0,
+      10.0, 10.0, 10.0, 10.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, i.toLong, v) }.toDF("entity", "es", "eid", "v")
+    val out = TimeSeries.ewmaAnomaly(ev, "entity", "es", "eid", "v",
+        alpha = 0.2, z = 3)
+      .orderBy("es").collect()
+    assert(out.head.isNullAt(4) && !out.head.getBoolean(5))
+    val flagged = out.filter(_.getBoolean(5)).map(_.getLong(1)).toSet
+    assert(flagged.contains(5L)) // the spike itself
+    assert(!flagged.exists(_ > 6L)) // tail of the decay is not anomalous
+    val re = TimeSeries.ewmaAnomaly(ev.repartition(5), "entity", "es",
+        "eid", "v", alpha = 0.2, z = 3)
+      .orderBy("es").collect().map(r => (r.getLong(1), r.getBoolean(5)))
+    assert(re.toSeq == out.map(r => (r.getLong(1), r.getBoolean(5))).toSeq)
+  }
+
   test("interp: multi-bucket gap walks the line; partition-invariant") {
     // one observation at t=0 (v=0) and one at t=4h (v=40): interior
     // gaps at 1h/2h/3h must read 10/20/30.
