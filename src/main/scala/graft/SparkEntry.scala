@@ -1359,6 +1359,25 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // ---- X12: cluster topic labeling by class-TF-IDF (the BERTopic
+    // reduction): IVF cells over the document embeddings (doc_id ≡ vec_id
+    // in the synthetic corpus) become topics; each cell is labeled by its
+    // top-5 c-TF-IDF terms. Ranking is on the INTEGERIZED score with a
+    // term tie-break, so the top-k selection is engine-exact; the oracle
+    // rebuilds the hash-ranked centroid pick, the cosine assignment, and
+    // the ln operand shape verbatim. ----
+    "q_x12_cluster_topics" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, assigned) = Similarity.ivfIndex(
+        e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+        k = 8)
+      Relevance.clusterTopics(
+        assigned.select(col("vec_id").as("doc_id"),
+          col("centroid_id").as("cluster_id")),
+        t(s, dir, "documents"), "doc_id", "text", topK = 5)
+        .orderBy("cluster_id", "rnk")
+    }),
+
     // ---- G3: PageRank over a heterogeneous graph (customer→nation,
     // supplier→nation, nation→region; node ids namespaced by ×4+tag so key
     // spaces don't collide). 3 iterations so the oracle can unroll the
@@ -4231,6 +4250,54 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
         |WHERE tf.doc_id < 20
         |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
+    // c-TF-IDF rebuild: hash-ranked centroid pick (LIMIT 8) → cosine
+    // cell assignment (same tie-break as the Spark max-struct) → the
+    // exact ln operand shape of Relevance.clusterTopics, integerized;
+    // top-5 per cluster by (score_e DESC, term).
+    "q_x12_cluster_topics" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
+        |    SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |    LIMIT 8)),
+        |asn0 AS (
+        |  SELECT e.vec_id, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM embeddings e CROSS JOIN cent ct),
+        |asn AS MATERIALIZED (
+        |  SELECT vec_id AS doc_id, centroid_id AS cluster_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
+        |  WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tfc AS MATERIALIZED (
+        |  SELECT a.cluster_id, t.term, count(*) AS tf
+        |  FROM tok t JOIN asn a USING (doc_id)
+        |  GROUP BY a.cluster_id, t.term),
+        |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f
+        |       FROM tfc GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot,
+        |               count(DISTINCT cluster_id) AS nc FROM tfc),
+        |scored AS (
+        |  SELECT c.cluster_id, c.term, c.tf,
+        |    CAST(floor(c.tf * ln(CAST(1 AS DOUBLE) +
+        |        (CAST(t.tot AS DOUBLE) / t.nc) / f.f)
+        |      * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_e
+        |  FROM tfc c JOIN ft f USING (term) CROSS JOIN tot t)
+        |SELECT cluster_id, rnk, term, tf, score_e FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY score_e DESC, term) AS rnk FROM scored)
+        |WHERE rnk <= 5
+        |ORDER BY cluster_id, rnk""".stripMargin,
 
     // The 3-iteration power method unrolled: rank'(v) = 0.15/N + 0.85 *
     // (inflow + dangling/N). Both sides compute in IEEE double from the

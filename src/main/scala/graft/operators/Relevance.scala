@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics relevance weighting — TF-IDF and BM25 over the
@@ -163,6 +164,62 @@ object Relevance {
       .select(col("doc_id"), col("n_bigrams"),
         (col("_lp") / col("n_bigrams")).as("log_prob"),
         exp(-(col("_lp") / col("n_bigrams"))).as("ppl"))
+  }
+
+  /** Cluster topic labeling by class-TF-IDF (the BERTopic reduction,
+    * Grootendorst 2022): given a document→cluster assignment (e.g. from
+    * [[Similarity.ivfIndex]] cells over document embeddings), score each
+    * (cluster, term) by
+    *
+    *   score(t, c) = tf(t, c) · ln(1 + A / f(t))
+    *
+    * where tf(t,c) is the term's count inside the cluster, f(t) its
+    * corpus count, and A the average token mass per cluster — terms
+    * frequent IN the cluster but rare elsewhere rise, glue words sink.
+    * The top `topK` terms per cluster are the cluster's topic label.
+    *
+    * Ranking happens on the INTEGERIZED score (`floor(score·rankScale +
+    * 0.5)` with term tie-break) — a total order over exact longs, so the
+    * selected top-k is identical on any engine and partitioning (a raw
+    * float rank could flip on a summation-order ulp).
+    *
+    * Scale notes (100 TB): two partial-agg groupBys ((cluster, term) and
+    * term), corpus totals as a 1-row broadcast, one window over
+    * (cluster)-partitioned scores — vocabulary-sized, not corpus-sized,
+    * after the first aggregation. The assignment join is doc-keyed; hot
+    * terms are groupBy keys → AQE splits them.
+    *
+    * @param assign (`idCol`, cluster_id) — one row per document
+    * @return (cluster_id, rnk 1..topK, term, tf, score_e — the
+    *         integerized c-TF-IDF score). */
+  def clusterTopics(assign: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, topK: Int, rankScale: Double = 1e4): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .join(assign.select(col(idCol).as("doc_id"), col("cluster_id")),
+        Seq("doc_id"))
+    val tfc = toks.groupBy("cluster_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val ft = tfc.groupBy("term").agg(sum("tf").as("_f"))
+    val tot = tfc.agg(sum("tf").as("_tot"),
+      countDistinct("cluster_id").as("_nc"))
+    // ln operand shape mirrored exactly in the oracle SQL:
+    // tf · ln(1 + (CAST(tot AS DOUBLE) / nc) / f) · scale + 0.5
+    val scored = tfc.join(ft, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_id"), col("term"), col("tf"),
+        floor(col("tf") * log(lit(1.0) +
+            (col("_tot").cast("double") / col("_nc")) / col("_f")) *
+          rankScale + 0.5).cast("long").as("score_e"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score_e").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("cluster_id"), col("rnk"), col("term"), col("tf"),
+        col("score_e"))
   }
 
   /** Pointwise-mutual-information bigram collocations — the phrase-mining

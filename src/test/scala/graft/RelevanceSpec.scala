@@ -134,6 +134,37 @@ class RelevanceSpec extends SparkSpec {
     assert(pruned == Set(("x", "y")))
   }
 
+  test("clusterTopics: hand-computed c-TF-IDF, glue word sinks, " +
+      "topK cut and tie-break") {
+    // Cluster 10: docs about "cat"; cluster 20: docs about "dog";
+    // "the" is glue (appears everywhere, high f → low score).
+    val d = Seq(
+      (1L, "cat cat the"),
+      (2L, "cat the"),
+      (3L, "dog dog the"),
+      (4L, "dog the")).toDF("id", "text")
+    val asn = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("id", "cluster_id")
+    val out = Relevance.clusterTopics(asn, d, "id", "text", topK = 1)
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("rnk"), r.getAs[String]("term"),
+          r.getAs[Long]("tf"), r.getAs[Long]("score_e"))))
+      .toMap
+    // tf(cat,10)=3, f(cat)=3; tot=10 tokens, nc=2 → A=5
+    // score(cat,10) = 3·ln(1+5/3); score(the,10) = 2·ln(1+5/4)
+    val catE = math.floor(3 * math.log(1 + 5.0 / 3) * 1e4 + 0.5).toLong
+    assert(out(10L) == ((1L, "cat", 3L, catE)))
+    val dogE = math.floor(3 * math.log(1 + 5.0 / 3) * 1e4 + 0.5).toLong
+    assert(out(20L) == ((1L, "dog", 3L, dogE)))
+    // topK=2 exposes the glue word below the topic term, never above
+    val top2 = Relevance.clusterTopics(asn, d, "id", "text", topK = 2)
+      .collect().map(r => (r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("rnk")) -> r.getAs[String]("term")).toMap
+    assert(top2((10L, 2L)) == "the" && top2((20L, 2L)) == "the")
+    assert(top2.size == 4)
+  }
+
   test("tfidf composes lazily — no eager jobs at definition time") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Relevance.tfidf(docs, "id", "text") // compose only
