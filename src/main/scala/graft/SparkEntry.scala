@@ -1378,6 +1378,28 @@ object SparkEntry {
         .orderBy("cluster_id", "rnk")
     }),
 
+    // ---- X13: BPE merge induction (Sennrich et al. 2016) — learn the
+    // first 8 merges over the documents corpus. All iteration state is
+    // vocabulary-sized; the argmax is a total order (count desc, pair
+    // asc), so the learned table is partitioning-exact and the oracle
+    // replays every round with a list_reduce fold. ----
+    "q_x13_bpe_merges" -> ((s, dir) => {
+      val (merges, _) = Tokenizer.bpeMerges(t(s, dir, "documents"), "text",
+        numMerges = 8)
+      merges.select(col("merge_rank"), col("left").as("lhs"),
+          col("right").as("rhs"), col("pair_count"))
+        .orderBy("merge_rank")
+    }),
+
+    // ---- X13b: apply the learned segmentation — per-doc word + subword
+    // totals under the 8-merge vocabulary (the token-budget number a
+    // packing stage consumes) ----
+    "q_x13b_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (_, vocab) = Tokenizer.bpeMerges(d, "text", numMerges = 8)
+      Tokenizer.bpeEncode(d, "doc_id", "text", vocab).orderBy("doc_id")
+    }),
+
     // ---- G3: PageRank over a heterogeneous graph (customer→nation,
     // supplier→nation, nation→region; node ids namespaced by ×4+tag so key
     // spaces don't collide). 3 iterations so the oracle can unroll the
@@ -2366,7 +2388,64 @@ object SparkEntry {
          |SELECT a, b FROM e$rounds ORDER BY a, b""".stripMargin
   }
 
+  /** Unrolled BPE rounds shared by the x13 oracles: round k counts
+    * adjacent pairs on vocab v(k-1), picks the (cnt DESC, l, r) argmax
+    * bK, and re-segments into vK with a seeded list_reduce fold — the
+    * seed-with-first-element semantics coincide with the engine's
+    * empty-accumulator fold because its first step always appends. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val head =
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |v0 AS MATERIALIZED (
+        |  SELECT word, regexp_extract_all(word, '.') || ['</w>'] AS syms, wc
+        |  FROM (SELECT word, count(*) AS wc FROM w
+        |        WHERE len(word) > 0 GROUP BY word)),""".stripMargin
+    val rs = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM v${k - 1}, unnest(range(1, len(syms))) t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT word,
+         |    list_reduce(list_transform(syms, s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+         |        THEN acc[:len(acc)-1] || [b.l || b.r]
+         |        ELSE acc || x END) AS syms,
+         |    wc
+         |  FROM v${k - 1} CROSS JOIN b$k b),""".stripMargin
+    }.mkString("\n")
+    s"$head\n$rs"
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // BPE rebuild: 8 unrolled (pairs → argmax → fold) rounds; the merge
+    // table is the union of the per-round argmax rows.
+    "q_x13_bpe_merges" -> (bpeOracleCtes(8) + "\n" +
+      (1 to 8).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs," +
+            s" cnt AS pair_count FROM b$k")
+        .mkString("sel AS (\n", "\nUNION ALL\n", ")\n") +
+      "SELECT merge_rank, lhs, rhs, pair_count FROM sel ORDER BY merge_rank"),
+
+    // Encode rebuild: final vocab v8 joined back to the corpus words;
+    // OOV fallback mirrored (coalesce to len+1) though the training
+    // corpus is the encoded corpus here.
+    "q_x13b_bpe_encode" -> (bpeOracleCtes(8) + "\n" +
+      """seg AS (SELECT word, len(syms) AS sl FROM v8),
+        |dw AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(coalesce(s.sl, len(d.word) + 1)) AS BIGINT) AS n_subwords
+        |FROM dw d LEFT JOIN seg s USING (word)
+        |WHERE len(d.word) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q_s2_schema_peek" ->
       "SELECT * FROM customer ORDER BY c_custkey LIMIT 1",
 
