@@ -437,6 +437,44 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST11: classical seasonal decomposition (trend + seasonal +
+    // residual) per user over integer cents — trend is an exact-long
+    // 7-row centered window sum divided once; the detrended series is
+    // e4-integerized BEFORE the per-(user, phase) seasonal mean, so no
+    // distributed double summation exists anywhere in the plan ----
+    "q_st11_seasonal" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      TimeSeries.seasonalDecompose(e, "user_id", "es", "event_id",
+          "cents", period = 7, halfWindow = 3)
+        .select(col("user_id"), col("es"), col("event_id"),
+          col("v").as("cents"), col("phase"),
+          floor(col("trend") * lit(1e4) + lit(0.5)).cast("long")
+            .as("trend_e4"),
+          floor(col("seasonal") * lit(1e4) + lit(0.5)).cast("long")
+            .as("seasonal_e4"),
+          floor(col("resid") * lit(1e4) + lit(0.5)).cast("long")
+            .as("resid_e4"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
+    // ---- ST12: two-sided CUSUM change detection per user — the whole
+    // statistic chain is exact integer/decimal arithmetic (values in
+    // cents, recurrences n-scaled so the reference mean needs no
+    // division), so every flag is bit-identical on any engine ----
+    "q_st12_cusum" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      TimeSeries.cusum(e, "user_id", "es", "event_id", "cents",
+          slack = 2000L, threshold = 20000L)
+        .select(col("user_id"), col("es"), col("event_id"),
+          col("v").as("cents"), col("sp").cast("long").as("sp_cn"),
+          col("sn").cast("long").as("sn_cn"), col("is_change"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -5299,6 +5337,83 @@ object SparkEntry {
         |      > 9 * (st.n * st.s2 - st.s1 * st.s1) END AS is_anom
         |FROM sm s LEFT JOIN st USING (user_id)
         |ORDER BY s.user_id, s.es, s.event_id""".stripMargin,
+
+    // ST11 rebuild: same windows in the same (user, es, event_id) order;
+    // trend = HUGEINT frame sum / 7.0 (exact-to-double below 2^53),
+    // detrended e4-integerized before the phase mean so both engines
+    // divide identical exact longs; resid operand order mirrored.
+    "q_st11_seasonal" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, es, event_id, cents,
+        |    CAST((row_number() OVER wo - 1) % 7 AS BIGINT) AS phase,
+        |    CASE WHEN count(*) OVER wf = 7
+        |      THEN sum(cents) OVER wf / CAST(7 AS DOUBLE) END AS trend
+        |  FROM ev
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY es, event_id),
+        |    wf AS (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        |  SELECT *, CAST(floor((cents - trend) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e4 FROM b),
+        |se AS (
+        |  SELECT user_id, phase,
+        |    CASE WHEN count(d_e4) > 0
+        |      THEN CAST(sum(d_e4) AS BIGINT) / count(d_e4) / 1e4
+        |    END AS seasonal
+        |  FROM d GROUP BY user_id, phase)
+        |SELECT d.user_id, d.es, d.event_id, d.cents, d.phase,
+        |  CAST(floor(d.trend * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS trend_e4,
+        |  CAST(floor(se.seasonal * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS seasonal_e4,
+        |  CAST(floor((d.cents - d.trend - se.seasonal) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS resid_e4
+        |FROM d JOIN se USING (user_id, phase)
+        |ORDER BY user_id, es, event_id""".stripMargin,
+
+    // CUSUM replay: per-row fold over the (es, event_id)-ordered e-value
+    // slice, seeded by a prepended 0 (≡ the engine's empty-accumulator
+    // fold); all arithmetic HUGEINT-exact, alarm test n-scaled.
+    "q_st12_cusum" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS s1
+        |  FROM ev GROUP BY user_id),
+        |ord AS (
+        |  SELECT user_id, es, event_id, cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS rn
+        |  FROM ev),
+        |ls AS (
+        |  SELECT user_id,
+        |    list(CAST(cents AS HUGEINT) ORDER BY es, event_id) AS cs
+        |  FROM ev GROUP BY user_id),
+        |r AS (
+        |  SELECT o.user_id, o.es, o.event_id, o.cents, s.n,
+        |    list_reduce([CAST(0 AS HUGEINT)] ||
+        |        list_transform(l.cs[1:o.rn], x -> x * s.n - s.s1),
+        |      (acc, x) -> greatest(CAST(0 AS HUGEINT),
+        |        acc + x - 2000 * s.n)) AS sp,
+        |    list_reduce([CAST(0 AS HUGEINT)] ||
+        |        list_transform(l.cs[1:o.rn], x -> x * s.n - s.s1),
+        |      (acc, x) -> greatest(CAST(0 AS HUGEINT),
+        |        acc - x - 2000 * s.n)) AS sn
+        |  FROM ord o JOIN ls l USING (user_id) JOIN st s USING (user_id))
+        |SELECT user_id, es, event_id, cents,
+        |  CAST(sp AS BIGINT) AS sp_cn, CAST(sn AS BIGINT) AS sn_cn,
+        |  (sp > 20000 * n OR sn > 20000 * n) AS is_change
+        |FROM r
+        |ORDER BY user_id, es, event_id""".stripMargin,
 
     "q_window_rolling_time" ->
       """SELECT event_id, user_id, es,

@@ -259,4 +259,127 @@ object TimeSeries {
         col("_e.i").as(idCol), col("_e.v").as("v"),
         col("_e.s").as("ewma"))
   }
+
+  /** Two-sided CUSUM change detection (Page 1954) per entity — the
+    * level-shift detector that catches slow drifts a point-anomaly flag
+    * ([[ewmaAnomaly]]) misses: S⁺ accumulates evidence the series runs
+    * ABOVE its reference mean, S⁻ below, both draining by the slack per
+    * step and clamping at zero.
+    *
+    * Everything is EXACT integer arithmetic — no float ever enters:
+    * `valueCol` must be integer-valued (callers pre-scale, the
+    * [[rollingMedian]] convention), and the recurrences run scaled by
+    * the entity's event count n so the reference mean needs no division:
+    *
+    *   e_i = v_i·n − Σv,   S±_i = max(0, S±_(i−1) ± e_i − slack·n)
+    *
+    * in decimal(38,0), with the alarm test `S± > threshold·n` — all
+    * exact, so flags are bit-identical on any engine and partitioning.
+    *
+    * Scale notes (100 TB): one entity-key shuffle; each entity's fold is
+    * a single in-Catalyst `aggregate` over its own (bounded) event
+    * array — the same per-entity state shape as [[ewma]], parallel
+    * across entities. Decimal moments cannot overflow below ~10^19
+    * value·events per entity.
+    *
+    * @param slack drift allowance per step, in `valueCol` units
+    * @param threshold alarm level, in `valueCol` units
+    * @return (`entityCol`, `tsSecCol`, `idCol`, `v`, `sp`, `sn` — the
+    *         n-scaled CUSUM statistics as decimal(38,0), `is_change`). */
+  def cusum(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, slack: Long,
+      threshold: Long): DataFrame = {
+    require(slack >= 0, "slack must be >= 0")
+    require(threshold > 0, "threshold must be > 0")
+    val dec = "decimal(38,0)"
+    val seq = df
+      .filter(col(tsSecCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(
+        sort_array(collect_list(struct(
+          col(tsSecCol).as("t"), col(idCol).as("i"),
+          col(valueCol).cast("long").as("c")))).as("_seq"),
+        count(lit(1)).cast(dec).as("_n"),
+        sum(col(valueCol).cast("long")).cast(dec).as("_s1"))
+    val zero = lit(0).cast(dec)
+    def e(x: org.apache.spark.sql.Column) =
+      x.getField("c").cast(dec) * col("_n") - col("_s1")
+    val kn = lit(slack).cast(dec) * col("_n")
+    val folded = aggregate(
+      col("_seq"),
+      expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, i: BIGINT, " +
+        "c: BIGINT, sp: DECIMAL(38,0), sn: DECIMAL(38,0)>>)"),
+      (acc, x) => concat(acc, array(struct(
+        x.getField("t").as("t"), x.getField("i").as("i"),
+        x.getField("c").as("c"),
+        greatest(zero,
+          when(size(acc) === 0, zero)
+            .otherwise(element_at(acc, -1).getField("sp")) +
+          e(x) - kn).as("sp"),
+        greatest(zero,
+          when(size(acc) === 0, zero)
+            .otherwise(element_at(acc, -1).getField("sn")) -
+          e(x) - kn).as("sn")))))
+    val hn = lit(threshold).cast(dec) * col("_n")
+    seq.select(col(entityCol), col("_n"), col("_s1"),
+        explode(folded).as("_e"))
+      .select(col(entityCol), col("_e.t").as(tsSecCol),
+        col("_e.i").as(idCol), col("_e.c").as("v"),
+        col("_e.sp").as("sp"), col("_e.sn").as("sn"),
+        (col("_e.sp") > hn || col("_e.sn") > hn).as("is_change"))
+  }
+
+  /** Classical seasonal decomposition (the moving-average STL
+    * reduction): value = trend + seasonal + residual, per entity, on a
+    * row-regular series (callers resample first — composes with
+    * [[resampleLocf]]). Trend is the centered (2·`halfWindow`+1)-row
+    * moving mean (null at the edges where the window is incomplete);
+    * the seasonal term is the per-(entity, row-index mod `period`) mean
+    * of the detrended series; the residual is what remains.
+    *
+    * Engine-portable determinism: `valueCol` must be integer-valued
+    * (pre-scaled), so the trend is an exact-long window sum divided
+    * once; the detrended value is e4-integerized BEFORE the seasonal
+    * mean, so that mean is again an exact-long sum divided once —
+    * no distributed double summation anywhere.
+    *
+    * Scale notes (100 TB): two windows in the SAME (entity, time)
+    * partitioning (one frame sum, one row_number) and one broadcast-
+    * sized per-(entity, phase) aggregate joined back — entities
+    * parallelize, AQE splits skewed ones.
+    *
+    * @return (`entityCol`, `tsSecCol`, `idCol`, `v`, `phase`, `trend`,
+    *         `seasonal`, `resid`) — trend/resid null on edge rows. */
+  def seasonalDecompose(df: DataFrame, entityCol: String,
+      tsSecCol: String, idCol: String, valueCol: String, period: Int,
+      halfWindow: Int): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    require(halfWindow >= 1, "halfWindow must be >= 1")
+    val span = 2 * halfWindow + 1
+    val order = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol), col(idCol))
+    val frame = order.rowsBetween(-halfWindow, halfWindow)
+    val base = df
+      .filter(col(tsSecCol).isNotNull)
+      .select(col(entityCol), col(tsSecCol), col(idCol),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("phase",
+        pmod(row_number().over(order) - 1, lit(period)).cast("long"))
+      .withColumn("trend",
+        when(count(lit(1)).over(frame) === span,
+          sum(col("v")).over(frame) / lit(span.toDouble)))
+      .withColumn("_d_e4",
+        floor((col("v") - col("trend")) * lit(1e4) + lit(0.5))
+          .cast("long"))
+    val seas = base
+      .groupBy(col(entityCol), col("phase"))
+      .agg(when(count(col("_d_e4")) > 0,
+          sum(col("_d_e4")) / count(col("_d_e4")) / lit(1e4))
+        .as("seasonal"))
+    base.join(seas, Seq(entityCol, "phase"))
+      .select(col(entityCol), col(tsSecCol), col(idCol), col("v"),
+        col("phase"), col("trend"),
+        col("seasonal"),
+        (col("v") - col("trend") - col("seasonal")).as("resid"))
+  }
 }

@@ -130,6 +130,85 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re.toSeq == out.map(r => (r.getLong(1), r.getBoolean(5))).toSeq)
   }
 
+  test("cusum: hand-computed level shift, clamp at zero, exact flags") {
+    // A: three at 10 then two at 22 (n=5, Σ=74, e = c·5−74):
+    //   e = −24,−24,−24,+36,+36; slack·n = 10; threshold·n = 50
+    //   S⁺: 0,0,0,26,52 → only the last row crosses 50
+    //   S⁻: 14,28,42,0,0 → never crosses
+    val d = Seq(("a", 1L, 1L, 10L), ("a", 2L, 2L, 10L), ("a", 3L, 3L, 10L),
+      ("a", 4L, 4L, 22L), ("a", 5L, 5L, 22L))
+      .toDF("entity", "es", "eid", "c")
+    val out = TimeSeries.cusum(d, "entity", "es", "eid", "c",
+        slack = 2L, threshold = 10L)
+      .orderBy("es").collect()
+      .map(r => (r.getDecimal(4).longValueExact(),
+        r.getDecimal(5).longValueExact(), r.getBoolean(6)))
+    assert(out.toSeq == Seq((0L, 14L, false), (0L, 28L, false),
+      (0L, 42L, false), (26L, 0L, false), (52L, 0L, true)))
+    // a flat series never alarms and both statistics stay clamped at 0
+    val flat = Seq(("b", 1L, 1L, 10L), ("b", 2L, 2L, 10L),
+      ("b", 3L, 3L, 10L)).toDF("entity", "es", "eid", "c")
+    val f = TimeSeries.cusum(flat, "entity", "es", "eid", "c", 0L, 1L)
+      .collect().map(r => (r.getDecimal(4).longValueExact(),
+        r.getDecimal(5).longValueExact(), r.getBoolean(6)))
+    assert(f.forall(_ == ((0L, 0L, false))))
+  }
+
+  test("cusum is partition-invariant") {
+    val d = Seq(("a", 1L, 1L, 10L), ("a", 2L, 2L, 30L), ("a", 3L, 3L, 50L),
+      ("b", 1L, 4L, 5L), ("b", 2L, 5L, 500L))
+      .toDF("entity", "es", "eid", "c")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cusum(df, "entity", "es", "eid", "c", 1L, 5L)
+        .orderBy("entity", "es").collect()
+        .map(r => (r.getString(0), r.getDecimal(4).longValueExact(),
+          r.getDecimal(5).longValueExact(), r.getBoolean(6))).toSeq
+    assert(run(d) == run(d.repartition(7)))
+  }
+
+  test("seasonalDecompose: alternating series splits into trend + " +
+      "seasonal, edges null") {
+    // period 2, halfWindow 1 over [10,20,10,20,10]: trend 40/3, 50/3,
+    // 40/3 on interior rows; phase0 seasonal from row2 only, phase1
+    // from rows 1 and 3.
+    val d = Seq(("a", 1L, 1L, 10L), ("a", 2L, 2L, 20L), ("a", 3L, 3L, 10L),
+      ("a", 4L, 4L, 20L), ("a", 5L, 5L, 10L))
+      .toDF("entity", "es", "eid", "c")
+    val out = TimeSeries.seasonalDecompose(d, "entity", "es", "eid", "c",
+        period = 2, halfWindow = 1)
+      .orderBy("es").collect()
+    val phases = out.map(_.getLong(4)).toSeq
+    assert(phases == Seq(0L, 1L, 0L, 1L, 0L))
+    assert(out(0).isNullAt(5) && out(4).isNullAt(5)) // edge trend null
+    // trend(r1)=(10+20+10)/3=40/3; trend(r2)=(20+10+20)/3=50/3;
+    // trend(r3)=(10+20+10)/3=40/3
+    assert(math.abs(out(1).getDouble(5) - 40.0 / 3) < 1e-12)
+    assert(math.abs(out(2).getDouble(5) - 50.0 / 3) < 1e-12)
+    // detrended e4: r1 → +66667, r2 → −66667, r3 → +66667
+    val d1 = math.floor((20L - 40.0 / 3) * 1e4 + 0.5) // +66667
+    val d2 = math.floor((10L - 50.0 / 3) * 1e4 + 0.5) // −66667
+    val seas0 = d2 / 1 / 1e4
+    val seas1 = (d1 + d1) / 2 / 1e4
+    assert(math.abs(out(2).getDouble(6) - seas0) < 1e-12)
+    assert(math.abs(out(1).getDouble(6) - seas1) < 1e-12)
+    // resid = (v − trend) − seasonal on interior rows, null on edges
+    assert(out(0).isNullAt(7))
+    assert(math.abs(out(2).getDouble(7) -
+      ((10L - 50.0 / 3) - seas0)) < 1e-12)
+  }
+
+  test("seasonalDecompose is partition-invariant") {
+    val d = (1L to 30L).map(i => ("a", i, i, (i % 5) * 10 + i / 7))
+      .toDF("entity", "es", "eid", "c")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.seasonalDecompose(df, "entity", "es", "eid", "c", 5, 2)
+        .orderBy("es").collect()
+        .map(r => (r.getLong(1), r.getLong(4),
+          if (r.isNullAt(7)) Long.MinValue
+          else math.floor(r.getDouble(7) * 1e4 + 0.5).toLong)).toSeq
+    assert(run(d) == run(d.repartition(9)))
+  }
+
   test("interp: multi-bucket gap walks the line; partition-invariant") {
     // one observation at t=0 (v=0) and one at t=4h (v=40): interior
     // gaps at 1h/2h/3h must read 10/20/30.
