@@ -54,6 +54,19 @@ import graft.operators.{Curation, GraphOps}
   *   semdedup    --vectors <dir> [--vec-col embedding] [--id-col vec_id]
   *               [--threshold T] [--cells N] [-o <outDir>]
   *               (embedding-space dedup report: doc_id, keeper, reason)
+  *   topics      --docs <dir> --vectors <dir> [--text-col text]
+  *               [--id-col doc_id] [--cells N] [--top-k K] [-o <outDir>]
+  *               (c-TF-IDF topic labels per IVF cell; embedding ids
+  *               must match doc ids)
+  *   bpe         --docs <dir> [--text-col text] [--merges N] [-o <outDir>]
+  *               (learn a BPE merge table over the corpus)
+  *   cusum       --docs <dir> --entity-col e --ts-col t --id-col i
+  *               --value-col v [--slack K] [--alarm H] [-o <outDir>]
+  *               (two-sided CUSUM level-shift flags; value must be
+  *               integer-valued — pre-scale floats)
+  *   seasonal    --docs <dir> --entity-col e --ts-col t --id-col i
+  *               --value-col v [--period P] [--half-window H]
+  *               [-o <outDir>]   (trend + seasonal + residual)
   *   curate      --docs <dir> --bench <dir> [--text-col text]
   *               [--id-col doc_id] [--min-words N] [--quota-group <col>]
   *               [--quota N] -o <outDir>   (writes corpus/ and report/)
@@ -113,6 +126,11 @@ object Analyze {
       vecCol: String = "embedding",
       threshold: Double = 0.95,
       cells: Int = 256,
+      merges: Int = 8,
+      slack: Long = 0L,
+      alarm: Long = 1L,
+      period: Int = 7,
+      halfWindow: Int = 3,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -167,6 +185,11 @@ object Analyze {
       case "--vec-col" :: v :: t => loop(t, acc.copy(vecCol = v))
       case "--threshold" :: v :: t => loop(t, acc.copy(threshold = v.toDouble))
       case "--cells" :: v :: t => loop(t, acc.copy(cells = v.toInt))
+      case "--merges" :: v :: t => loop(t, acc.copy(merges = v.toInt))
+      case "--slack" :: v :: t => loop(t, acc.copy(slack = v.toLong))
+      case "--alarm" :: v :: t => loop(t, acc.copy(alarm = v.toLong))
+      case "--period" :: v :: t => loop(t, acc.copy(period = v.toInt))
+      case "--half-window" :: v :: t => loop(t, acc.copy(halfWindow = v.toInt))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
         loop(t, acc.copy(checkpointDir = Some(v)))
@@ -279,6 +302,41 @@ object Analyze {
         docs.join(flagged, docs(args.idCol) === col("_flagged_id"),
           "left_anti")
 
+      case "topics" =>
+        require(args.docs.nonEmpty && args.vectors.nonEmpty,
+          "topics needs --docs <dir> and --vectors <dir> (embeddings " +
+            "whose ids match the doc ids)")
+        val vecs = spark.read.parquet(args.vectors)
+        val vid = if (args.idCol == "doc_id") "vec_id" else args.idCol
+        val (_, assigned) = graft.operators.Similarity.ivfIndex(
+          vecs.select(col(vid), col(args.vecCol)), args.vecCol, vid,
+          args.cells)
+        graft.operators.Relevance.clusterTopics(
+          assigned.select(col(vid).as(args.idCol),
+            col("centroid_id").as("cluster_id")),
+          spark.read.parquet(args.docs), args.idCol, args.textCol,
+          args.topK)
+      case "bpe" =>
+        require(args.docs.nonEmpty, "bpe needs --docs <dir>")
+        val (mergeTable, _) = graft.operators.Tokenizer.bpeMerges(
+          spark.read.parquet(args.docs), args.textCol, args.merges, ckpt)
+        mergeTable
+      case "cusum" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "cusum needs --docs, --entity-col, --ts-col, --value-col " +
+            "(value must be integer-valued — pre-scale floats)")
+        graft.operators.TimeSeries.cusum(spark.read.parquet(args.docs),
+          args.entityCol, args.tsCol, args.idCol, args.valueCol,
+          args.slack, args.alarm)
+      case "seasonal" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "seasonal needs --docs, --entity-col, --ts-col, --value-col " +
+            "(value must be integer-valued — pre-scale floats)")
+        graft.operators.TimeSeries.seasonalDecompose(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.valueCol, args.period, args.halfWindow)
       case "score" =>
         require(args.docs.nonEmpty, "score needs --docs <dir>")
         require(args.weights.nonEmpty,

@@ -197,4 +197,42 @@ class AnalyzeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(top == Set(1L, 2L)) // the two target-vocabulary docs win
   }
+
+  test("bpe, cusum, seasonal, and topics run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-nx").toString
+    Seq((1L, "ab ab"), (2L, "ab abc")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    val m = Analyze.run(parse(List("bpe", "--docs", s"$dir/docs",
+      "--merges", "2")), spark)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m.toSeq == Seq(("a", "b"), ("ab", "</w>")))
+
+    Seq(("a", 1L, 1L, 10L), ("a", 2L, 2L, 10L), ("a", 3L, 3L, 10L),
+      ("a", 4L, 4L, 22L), ("a", 5L, 5L, 22L))
+      .toDF("m", "es", "eid", "c").write.parquet(s"$dir/ts2")
+    val flags = Analyze.run(parse(List("cusum", "--docs", s"$dir/ts2",
+      "--entity-col", "m", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "c", "--slack", "2", "--alarm", "10")), spark)
+      .orderBy("es").collect().map(_.getBoolean(6)).toSeq
+    assert(flags == Seq(false, false, false, false, true))
+
+    val sd = Analyze.run(parse(List("seasonal", "--docs", s"$dir/ts2",
+      "--entity-col", "m", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "c", "--period", "2", "--half-window", "1")), spark)
+      .orderBy("es").collect()
+    assert(sd.length == 5 && sd(0).isNullAt(5) && !sd(1).isNullAt(5))
+
+    // 2 well-separated embedding clusters with matching doc ids
+    val vecs = Seq(1L -> Array(1f, 0f), 2L -> Array(0.9f, 0.1f),
+      3L -> Array(0f, 1f), 4L -> Array(0.1f, 0.9f))
+      .toDF("vec_id", "embedding")
+    vecs.write.parquet(s"$dir/vecs")
+    Seq((1L, "cat cat"), (2L, "cat"), (3L, "dog dog"), (4L, "dog"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/tdocs")
+    val tp = Analyze.run(parse(List("topics", "--docs", s"$dir/tdocs",
+      "--vectors", s"$dir/vecs", "--cells", "2", "--top-k", "1")), spark)
+      .collect().map(r => r.getString(2)).toSet
+    assert(tp == Set("cat", "dog"))
+  }
 }
