@@ -475,6 +475,27 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST13: Holt double exponential smoothing — level + trend +
+    // one-step forecast per user; the fold re-derives l_t inside the
+    // trend arm (see TimeSeries.holt) so the oracle's list-accumulator
+    // replay is term-by-term IEEE-identical, then e4-integerized ----
+    "q_st13_holt" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      TimeSeries.holt(e, "user_id", "es", "event_id", "value",
+          alpha = 0.2, beta = 0.1)
+        .select(col("user_id"), col("es"), col("event_id"), col("v"),
+          floor(col("level") * lit(1e4) + lit(0.5)).cast("long")
+            .as("level_e4"),
+          floor(col("trend") * lit(1e4) + lit(0.5)).cast("long")
+            .as("trend_e4"),
+          floor(col("forecast") * lit(1e4) + lit(0.5)).cast("long")
+            .as("forecast_e4"),
+          floor(col("resid") * lit(1e4) + lit(0.5)).cast("long")
+            .as("resid_e4"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -1314,8 +1335,12 @@ object SparkEntry {
 
     // ---- X3d: MMR diversity re-rank over the search stage's top-20 —
     // greedy per-query trade-off between relevance and redundancy (λ=0.7).
-    // Iterative float greedy isn't ANSI-expressible → rows-only check;
-    // MmrSpec pins hand-computed selections. ----
+    // Fully oracled: the greedy argmax compares raw doubles with a
+    // vec_id tie-break and both engines' cosine chains are bit-identical
+    // (the q_x3 precedent), so the oracle unrolls the 5 selection rounds
+    // with the incremental max-penalty update. The (1−λ) factor is
+    // spelled (1.0 − 0.7) on BOTH sides — the scala subtraction yields
+    // 0.30000000000000004, not the 0.3 literal. ----
     "q_x3d_mmr_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 8)
@@ -1325,7 +1350,8 @@ object SparkEntry {
         e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       Similarity.mmrRerank(withVecs, "query_id", "vec_id", "embedding",
         "cosine", k = 5, lambda = 0.7)
-        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+        .select(col("query_id"), col("vec_id"),
+          col("mmr_rank").cast("long").as("mmr_rank"),
           round(col("mmr_score"), 6).as("mmr_score"))
         .orderBy("query_id", "mmr_rank")
     }),
@@ -2459,7 +2485,71 @@ object SparkEntry {
     s"$head\n$rs"
   }
 
+  /** Unrolled MMR greedy (see q_x3d): candidate top-20 per query, then
+    * `k` selection rounds — per round a raw-double argmax with vec_id
+    * tie-break (both engines' cosine chains are bit-identical) and an
+    * incremental greatest(pen, cos(cand, selected)) penalty update that
+    * mirrors mmrRerank's maxSel array. λ constants are spelled exactly
+    * as the scala doubles: 0.7 and (1.0 − 0.7) = 0.30000000000000004. */
+  private def mmrOracle(k: Int): String = {
+    def cos(a: String, b: String) =
+      s"""((SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+         |       FROM (SELECT unnest($a.cv) x, unnest($b.cv) y)) /
+         |     (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+         |       FROM (SELECT unnest($a.cv) x))) *
+         |      sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+         |       FROM (SELECT unnest($b.cv) y)))))""".stripMargin
+    val score = "CAST(0.7 AS DOUBLE)*sim - " +
+      "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))*pen"
+    val head =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c0 AS (SELECT vec_id, embedding AS cv FROM embeddings),
+        |prod AS (
+        |  SELECT query_id, vec_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+        |  FROM (SELECT query_id, vec_id, unnest(qv) AS x, unnest(cv) AS y
+        |        FROM q JOIN c0 ON query_id <> vec_id)
+        |  GROUP BY query_id, vec_id),
+        |c1 AS MATERIALIZED (
+        |  SELECT r.query_id, r.vec_id, r.cosine AS sim, e.embedding AS cv,
+        |    CAST(0 AS DOUBLE) AS pen
+        |  FROM (SELECT query_id, vec_id,
+        |          dot / (sqrt(qq) * sqrt(cc)) AS cosine,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id)
+        |            AS rank
+        |        FROM prod) r
+        |  JOIN embeddings e ON e.vec_id = r.vec_id
+        |  WHERE r.rank <= 20)""".stripMargin
+    val rounds = (1 to k).flatMap { r =>
+      val sel =
+        s"""s$r AS MATERIALIZED (
+           |  SELECT query_id, vec_id, cv, $score AS score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $score DESC, vec_id) AS rn FROM c$r)
+           |  WHERE rn = 1)""".stripMargin
+      val next = if (r == k) Nil else Seq(
+        s"""c${r + 1} AS MATERIALIZED (
+           |  SELECT a.query_id, a.vec_id, a.sim, a.cv,
+           |    greatest(a.pen, ${cos("a", "s")}) AS pen
+           |  FROM c$r a JOIN s$r s USING (query_id)
+           |  WHERE a.vec_id <> s.vec_id)""".stripMargin)
+      sel +: next
+    }.mkString(",\n")
+    val unioned = (1 to k).map(r =>
+        s"SELECT query_id, vec_id, CAST($r AS BIGINT) AS mmr_rank,\n" +
+          s"  ROUND(score, 6) AS mmr_score FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"$head,\n$rounds\n$unioned\nORDER BY query_id, mmr_rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // Greedy MMR unroll — see mmrOracle.
+    "q_x3d_mmr_rerank" -> mmrOracle(5),
 
     // BPE rebuild: 8 unrolled (pairs → argmax → fold) rounds; the merge
     // table is the union of the per-round argmax rows.
@@ -5337,6 +5427,54 @@ object SparkEntry {
         |      > 9 * (st.n * st.s2 - st.s1 * st.s1) END AS is_anom
         |FROM sm s LEFT JOIN st USING (user_id)
         |ORDER BY s.user_id, s.es, s.event_id""".stripMargin,
+
+    // Holt replay: per-row fold over (es, event_id)-ordered value slices
+    // with a LIST accumulator [l, b] — a struct accumulator would let the
+    // trend arm read the just-written level in DuckDB 1.0 and compute a
+    // different series; the engine-side fold re-derives l_t inline the
+    // same way. Forecast/resid via lag in the same window.
+    "q_st13_holt" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    (epoch_ns(ts) // 1000000000) AS es, value
+        |  FROM events),
+        |ord AS (
+        |  SELECT user_id, es, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS rn
+        |  FROM ev),
+        |ls AS (
+        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
+        |  FROM ev GROUP BY user_id),
+        |f AS (
+        |  SELECT o.user_id, o.es, o.event_id, o.value AS v,
+        |    list_reduce(list_transform(l.vs[1:o.rn],
+        |        v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE)]),
+        |      (acc, x) -> [
+        |        CAST(0.2 AS DOUBLE)*x[1]
+        |          + CAST(0.8 AS DOUBLE)*(acc[1] + acc[2]),
+        |        CAST(0.1 AS DOUBLE)*((CAST(0.2 AS DOUBLE)*x[1]
+        |            + CAST(0.8 AS DOUBLE)*(acc[1] + acc[2])) - acc[1])
+        |          + CAST(0.9 AS DOUBLE)*acc[2]
+        |      ]) AS hw
+        |  FROM ord o JOIN ls l USING (user_id)),
+        |g AS (
+        |  SELECT user_id, es, event_id, v,
+        |    hw[1] AS level, hw[2] AS trend,
+        |    lag(hw[1]) OVER w + lag(hw[2]) OVER w AS forecast
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id))
+        |SELECT user_id, es, event_id, v,
+        |  CAST(floor(level * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS level_e4,
+        |  CAST(floor(trend * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS trend_e4,
+        |  CAST(floor(forecast * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS forecast_e4,
+        |  CAST(floor((v - forecast) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS resid_e4
+        |FROM g
+        |ORDER BY user_id, es, event_id""".stripMargin,
 
     // ST11 rebuild: same windows in the same (user, es, event_id) order;
     // trend = HUGEINT frame sum / 7.0 (exact-to-double below 2^53),

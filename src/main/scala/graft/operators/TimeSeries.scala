@@ -260,6 +260,70 @@ object TimeSeries {
         col("_e.s").as("ewma"))
   }
 
+  /** Holt's linear-trend double exponential smoothing per entity — the
+    * forecasting step up from [[ewma]] when the series drifts (an EWMA
+    * systematically lags a trending series; Holt tracks the slope):
+    *
+    *   l_t = α·x_t + (1−α)·(l_(t−1) + b_(t−1))
+    *   b_t = β·(l_t − l_(t−1)) + (1−β)·b_(t−1)
+    *
+    * seeded l_1 = x_1, b_1 = 0. The one-step-ahead forecast for row t is
+    * l_(t−1) + b_(t−1) (null on each entity's first row), and `resid`
+    * is the forecast error — the input to a downstream anomaly rule.
+    *
+    * The fold deliberately RE-DERIVES l_t inside the b_t arm instead of
+    * referencing the sibling struct field: oracle replays must spell
+    * the recurrence the same way (a fold accumulator that lets one
+    * field read its just-written sibling computes a DIFFERENT series —
+    * DuckDB 1.0 struct folds do exactly that, which is why the oracle
+    * uses a list accumulator), and the duplicated subexpression makes
+    * both engines' IEEE chains identical term by term.
+    *
+    * Scale notes (100 TB): identical shape to [[ewma]] — one entity-key
+    * shuffle, one in-Catalyst fold, plus a lag window in the SAME
+    * (entity, time) partitioning for the forecast shift. Per-entity
+    * memory = own series; use the streaming tier for unbounded keys. */
+  def holt(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    val seq = df
+      .filter(col(tsSecCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsSecCol).as("t"), col(idCol).as("i"),
+        col(valueCol).cast("double").as("v")))).as("_seq"))
+    def lNew(acc: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column) =
+      lit(alpha) * e.getField("v") + lit(1.0 - alpha) *
+        (element_at(acc, -1).getField("l") +
+          element_at(acc, -1).getField("b"))
+    val folded = aggregate(
+      col("_seq"),
+      expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, i: BIGINT, " +
+        "v: DOUBLE, l: DOUBLE, b: DOUBLE>>)"),
+      (acc, e) => concat(acc, array(struct(
+        e.getField("t").as("t"), e.getField("i").as("i"),
+        e.getField("v").as("v"),
+        when(size(acc) === 0, e.getField("v"))
+          .otherwise(lNew(acc, e)).as("l"),
+        when(size(acc) === 0, lit(0.0))
+          .otherwise(lit(beta) *
+            (lNew(acc, e) - element_at(acc, -1).getField("l")) +
+            lit(1.0 - beta) * element_at(acc, -1).getField("b"))
+          .as("b")))))
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol), col(idCol))
+    seq.select(col(entityCol), explode(folded).as("_e"))
+      .select(col(entityCol), col("_e.t").as(tsSecCol),
+        col("_e.i").as(idCol), col("_e.v").as("v"),
+        col("_e.l").as("level"), col("_e.b").as("trend"))
+      .withColumn("forecast",
+        lag(col("level"), 1).over(w) + lag(col("trend"), 1).over(w))
+      .withColumn("resid", col("v") - col("forecast"))
+  }
+
   /** Two-sided CUSUM change detection (Page 1954) per entity — the
     * level-shift detector that catches slow drifts a point-anomaly flag
     * ([[ewmaAnomaly]]) misses: S⁺ accumulates evidence the series runs

@@ -10,6 +10,10 @@ case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Rows for the timeout-emitting sessionizer ([[StreamingIngest.expiringSessions]]). */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class MeteredEvent(user_id: Long, ts: java.sql.Timestamp, v: Long)
+case class CusumState(sp: Long, sn: Long)
+case class CusumFlag(user_id: Long, ts: java.sql.Timestamp, v: Long,
+  sp: Long, sn: Long, is_change: Boolean)
 case class OpenSession(startMicros: Long, endMicros: Long, n: Long, sum: Double)
 case class CompletedSession(user_id: Long, sess_start: java.sql.Timestamp,
     sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -192,5 +196,47 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col(userCol), col("w.start").as("w_start"),
         col("w.end").as("w_end"), col("n_events"), col("sum_value"))
+  }
+
+  /** Streaming two-sided CUSUM — the ONLINE form of
+    * [[graft.operators.TimeSeries.cusum]]: the reference level is a
+    * fixed, known `target` (online CUSUM cannot see the full-series
+    * mean; callers supply the in-control level from history or the
+    * batch operator), and the per-key state is exactly two longs:
+    *
+    *   S⁺ += (v − target − slack), clamp 0;  S⁻ += (target − v − slack)
+    *
+    * emitted once per event (Append-safe), flagged when either side
+    * crosses `threshold`. `v` must be integer-valued (pre-scale floats,
+    * the batch convention) so the statistics are exact longs — no float
+    * state ever ages in the store.
+    *
+    * Scale notes: state is 16 bytes per ACTIVE entity regardless of
+    * stream length; events within a micro-batch fold in (ts, then
+    * arrival) order. No watermark needed — the recurrence is
+    * order-sensitive only within a key, and keyed state carries across
+    * triggers. */
+  def streamingCusum(events: Dataset[MeteredEvent], target: Long,
+      slack: Long, threshold: Long): Dataset[CusumFlag] = {
+    require(slack >= 0, "slack must be >= 0")
+    require(threshold > 0, "threshold must be > 0")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[MeteredEvent],
+            state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.v)).map { e =>
+            s = CusumState(
+              math.max(0L, s.sp + (e.v - target - slack)),
+              math.max(0L, s.sn + (target - e.v - slack)))
+            CusumFlag(uid, e.ts, e.v, s.sp, s.sn,
+              s.sp > threshold || s.sn > threshold)
+          }
+          state.update(s)
+          out.iterator
+      }
   }
 }

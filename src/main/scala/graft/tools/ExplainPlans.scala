@@ -30,7 +30,10 @@ object ExplainPlans {
         "q_g17_random_walks", "q_x10b_curate_temperature",
         // round-6 second-wave additions
         "q_st7_resample_interp", "q_st8_ewma", "q_g17b_node2vec_walks",
-        "q_g18_hits", "q_g19_mis", "q_x11_dsir", "q_v2_profile")
+        "q_g18_hits", "q_g19_mis", "q_x11_dsir", "q_v2_profile",
+        // round-6 third-wave additions
+        "q_x12_cluster_topics", "q_x13_bpe_merges", "q_x13b_bpe_encode",
+        "q_st11_seasonal", "q_st12_cusum", "q_st13_holt")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

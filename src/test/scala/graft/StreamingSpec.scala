@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SessionEvent, StreamingIngest, UserEvent}
+import graft.streaming.{MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
 
 /** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
   * tests over MemoryStream (SURVEY.md §5 item 5). */
@@ -277,5 +277,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out(0).getAs[Long]("n_events") == 2L) // user1 first session
     assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("ST6s: streamingCusum carries exact state across triggers and " +
+      "matches the batch recurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MeteredEvent]
+    // target 10, slack 2, threshold 10 over 10,10,22,22 (one key):
+    // S⁺: max(0, −2)=0, 0, 10, 20 → crosses only at the 4th event
+    val out = StreamingIngest.streamingCusum(mem.toDS(), target = 10L,
+      slack = 2L, threshold = 10L)
+    val q = out.writeStream.format("memory")
+      .queryName("st6s_out").outputMode("append").start()
+    try {
+      mem.addData(
+        MeteredEvent(1L, ts("2024-01-01 10:00:00"), 10L),
+        MeteredEvent(1L, ts("2024-01-01 10:01:00"), 10L))
+      q.processAllAvailable()
+      // second trigger: state (0,0) must carry over, not reset
+      mem.addData(
+        MeteredEvent(1L, ts("2024-01-01 10:02:00"), 22L),
+        MeteredEvent(1L, ts("2024-01-01 10:03:00"), 22L))
+      q.processAllAvailable()
+      val rows = spark.table("st6s_out").orderBy("ts").collect()
+        .map(r => (r.getAs[Long]("sp"), r.getAs[Boolean]("is_change")))
+      assert(rows.toSeq == Seq((0L, false), (0L, false), (10L, false),
+        (20L, true)))
+      // a second key is independent state
+      mem.addData(MeteredEvent(2L, ts("2024-01-01 10:00:30"), 25L))
+      q.processAllAvailable()
+      val k2 = spark.table("st6s_out").filter($"user_id" === 2L).collect()
+      assert(k2.length == 1 && k2.head.getAs[Long]("sp") == 13L)
+      assert(k2.head.getAs[Boolean]("is_change"))
+    } finally q.stop()
   }
 }

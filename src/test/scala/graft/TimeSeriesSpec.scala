@@ -130,6 +130,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re.toSeq == out.map(r => (r.getLong(1), r.getBoolean(5))).toSeq)
   }
 
+  test("holt: hand-computed level/trend chain, forecast lag, " +
+      "partition invariance") {
+    // α=0.5, β=0.3 over [10,12,14,16]:
+    //   l: 10, 11, 12.65, 14.6775;  b: 0, 0.3, 0.705, 1.10175
+    //   forecast: null, 10, 11.3, 13.355
+    val d = Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 12.0),
+      ("a", 3L, 3L, 14.0), ("a", 4L, 4L, 16.0))
+      .toDF("entity", "es", "eid", "v")
+    val out = TimeSeries.holt(d, "entity", "es", "eid", "v",
+        alpha = 0.5, beta = 0.3)
+      .orderBy("es").collect()
+    val ls = out.map(_.getDouble(4)).toSeq
+    val bs = out.map(_.getDouble(5)).toSeq
+    assert(ls.zip(Seq(10.0, 11.0, 12.65, 14.6775))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(bs.zip(Seq(0.0, 0.3, 0.705, 1.10175))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out(0).isNullAt(6) && out(0).isNullAt(7))
+    assert(math.abs(out(2).getDouble(6) - 11.3) < 1e-12)
+    assert(math.abs(out(3).getDouble(7) - (16.0 - 13.355)) < 1e-12)
+    val re = TimeSeries.holt(d.repartition(5), "entity", "es", "eid", "v",
+        alpha = 0.5, beta = 0.3)
+      .orderBy("es").collect().map(_.getDouble(4)).toSeq
+    assert(re == ls) // exact: same fold order regardless of partitioning
+  }
+
   test("cusum: hand-computed level shift, clamp at zero, exact flags") {
     // A: three at 10 then two at 22 (n=5, Σ=74, e = c·5−74):
     //   e = −24,−24,−24,+36,+36; slack·n = 10; threshold·n = 50
