@@ -496,6 +496,66 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST14: per-entity autocorrelation at lags 1..3 — values milli-
+    // integerized so all moment sums are exact (the g16 Pearson shape);
+    // acf e4-integerized for the compare ----
+    "q_st14_acf" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      TimeSeries.autocorrelation(e, "user_id", "es", "event_id", "v",
+          maxLag = 3)
+        .select(col("user_id"), col("lag"), col("n_pairs"),
+          floor(col("acf") * lit(1e4) + lit(0.5)).cast("long")
+            .as("acf_e4"))
+        .orderBy("user_id", "lag")
+    }),
+
+    // ---- ST15: view → click → purchase funnel, 30-day window from the
+    // anchor; timestamps are epoch seconds so the whole fold is exact
+    // integer arithmetic ----
+    "q_st15_funnel" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      Funnel.windowFunnel(e, "user_id", "es", "event_id", "event_type",
+          Seq("view", "click", "purchase"), windowSec = 2592000L)
+        .select(col("user_id"), col("max_stage"), col("t_first"),
+          col("t_last"), col("dur_sec"))
+        .orderBy("user_id")
+    }),
+
+    // ---- V3: PSI distribution drift between the even- and odd-id halves
+    // of the events table (a deterministic two-snapshot split); per-bin
+    // contribution e6-integerized, counts exact ----
+    "q_v3_psi" -> ((s, dir) => {
+      val e = events(s, dir)
+      SnapshotDiff.psiDrift(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "value", nBins = 10, lo = 0.0, hi = 500.0)
+        .select(col("bin"), col("n_prev"), col("n_cur"),
+          floor(col("psi") * lit(1e6) + lit(0.5)).cast("long")
+            .as("psi_e6"))
+        .orderBy("bin")
+    }),
+
+    // ---- X9d: per-doc top-3 keywords by TF-IDF — ranking on the
+    // e6-integerized score with token tie-break, so the cut is exact ----
+    "q_x9d_keywords" -> ((s, dir) =>
+      Relevance.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .filter(col("doc_id") < 40)
+        .orderBy("doc_id", "rank")),
+
+    // ---- J7: co-occurrence edges — parts sharing an order, baskets
+    // wider than 10 distinct parts excluded (reported via the overflow
+    // frame, spec-checked), pairs seen ≥ 2 times kept ----
+    "q_j7_cooccurrence" -> ((s, dir) => {
+      val (edges, _) = RelPipeline.cooccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxGroupSize = 10, minCount = 2L)
+      edges.orderBy("start_id", "end_id")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -5475,6 +5535,164 @@ object SparkEntry {
         |    AS resid_e4
         |FROM g
         |ORDER BY user_id, es, event_id""".stripMargin,
+
+    // ACF rebuild: all lag pairs from ONE window partitioning, moment
+    // sums HUGEINT-exact over the milli-integerized values, then the
+    // g16 Pearson double formula; the null guard is on the variance
+    // PRODUCT (zero or sub-ulp negative → null) on both sides.
+    "q_st14_acf" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS x
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, x,
+        |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+        |    lag(x, 3) OVER w AS y3
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |p AS (
+        |  SELECT user_id, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, lag, count(*) AS np,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM p GROUP BY user_id, lag)
+        |SELECT user_id, CAST(lag AS BIGINT) AS lag,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CASE WHEN np < 2
+        |      OR (n*sxx - sx*sx) * (n*syy - sy*sy) <= CAST(0 AS DOUBLE)
+        |    THEN NULL
+        |    ELSE CAST(floor((n*sxy - sx*sy)
+        |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS acf_e4
+        |FROM m
+        |ORDER BY user_id, lag""".stripMargin,
+
+    // Funnel replay: per-user fold over the (es, event_id)-ordered
+    // funnel-typed events with a LIST accumulator of 3 stage epochs
+    // (-1 = unset), seeded by list_prepend (≡ the engine's init array);
+    // each CASE reads the PREVIOUS accumulator — the list-literal
+    // rebuild has no sibling-mutation hazard (the Holt lesson).
+    "q_st15_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, event_id,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      ELSE 3 END AS k
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |ls AS (
+        |  SELECT user_id,
+        |    list_reduce(list_prepend(
+        |      [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)],
+        |      list([es, event_id, CAST(k AS BIGINT)]
+        |        ORDER BY es, event_id)),
+        |      (acc, x) -> [
+        |        CASE WHEN acc[1] != -1 THEN acc[1]
+        |             WHEN x[3] = 1 THEN x[1] ELSE -1 END,
+        |        CASE WHEN acc[2] != -1 THEN acc[2]
+        |             WHEN x[3] = 2 AND acc[1] != -1
+        |               AND x[1] - acc[1] <= 2592000 THEN x[1]
+        |             ELSE -1 END,
+        |        CASE WHEN acc[3] != -1 THEN acc[3]
+        |             WHEN x[3] = 3 AND acc[2] != -1
+        |               AND x[1] - acc[1] <= 2592000 THEN x[1]
+        |             ELSE -1 END]) AS f
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN f[3] != -1 THEN 3 WHEN f[2] != -1 THEN 2
+        |    ELSE 1 END AS BIGINT) AS max_stage,
+        |  f[1] AS t_first,
+        |  CASE WHEN f[3] != -1 THEN f[3] WHEN f[2] != -1 THEN f[2]
+        |    ELSE f[1] END AS t_last,
+        |  CASE WHEN f[3] != -1 THEN f[3] WHEN f[2] != -1 THEN f[2]
+        |    ELSE f[1] END - f[1] AS dur_sec
+        |FROM ls
+        |WHERE f[1] != -1
+        |ORDER BY user_id""".stripMargin,
+
+    // PSI rebuild: identical bin expression (clamped fixed-width over
+    // [0, 500)), add-one-smoothed shares as two double divisions, one
+    // ln of the ratio — every operand shape mirrored.
+    "q_v3_psi" ->
+      """WITH b AS (SELECT unnest(range(10)) AS bin),
+        |pc AS (
+        |  SELECT CAST(least(greatest(floor(
+        |      (value - CAST(0.0 AS DOUBLE)) * CAST(10.0 AS DOUBLE)
+        |        / CAST(500.0 AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE)), CAST(9.0 AS DOUBLE)) AS BIGINT)
+        |      AS bin,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS nc
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT b.bin,
+        |    CAST(coalesce(np, 0) AS BIGINT) AS n_prev,
+        |    CAST(coalesce(nc, 0) AS BIGINT) AS n_cur
+        |  FROM b LEFT JOIN pc USING (bin)),
+        |t AS (
+        |  SELECT CAST(sum(n_prev) AS BIGINT) AS tp,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc
+        |  FROM j),
+        |f AS (
+        |  SELECT bin, n_prev, n_cur,
+        |    CAST(n_prev + 1 AS DOUBLE) / CAST(tp + 10 AS DOUBLE) AS pp,
+        |    CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS pc
+        |  FROM j, t)
+        |SELECT bin, n_prev, n_cur,
+        |  CAST(floor((pp - pc) * ln(pp / pc) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS psi_e6
+        |FROM f
+        |ORDER BY bin""".stripMargin,
+
+    // Top-terms rebuild: q_x9_tfidf's score chain e6-integerized, then
+    // the same (score_e6 DESC, token) row_number cut.
+    "q_x9d_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    CAST(floor(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1) * 1e6
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_e6
+        |  FROM tf JOIN dfreq USING (token), n),
+        |r AS (
+        |  SELECT doc_id, token, tf, score_e6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_e6 DESC, token) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, score_e6
+        |FROM r
+        |WHERE rank <= 3 AND doc_id < 40
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // Co-occurrence rebuild: distinct members, size gate ≤ 10, canonical
+    // a < b self-join, pair counts ≥ 2.
+    "q_j7_cooccurrence" ->
+      """WITH m AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT g, count(*) AS n FROM m GROUP BY g),
+        |k AS (SELECT m.g, m.i FROM m JOIN sz USING (g) WHERE sz.n <= 10)
+        |SELECT a.i AS start_id, b.i AS end_id,
+        |  CAST(count(*) AS BIGINT) AS weight
+        |FROM k a JOIN k b ON a.g = b.g AND a.i < b.i
+        |GROUP BY a.i, b.i
+        |HAVING count(*) >= 2
+        |ORDER BY start_id, end_id""".stripMargin,
 
     // ST11 rebuild: same windows in the same (user, es, event_id) order;
     // trend = HUGEINT frame sum / 7.0 (exact-to-double below 2^53),

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-event funnel analysis over the events table — "who reached
+  * view → click → purchase, and how far did everyone else get?": the
+  * conversion query behind product analytics and, for corpus curation,
+  * the behavioral filter that keeps only entities exhibiting a full
+  * interaction sequence (reference builds the graph these queries run
+  * on; this runs them in-engine — graph_db_builder.py:28 positions the
+  * staging output for exactly this kind of downstream traversal).
+  *
+  * Semantics (deterministic, anchored-greedy): events fold per entity in
+  * (ts, id) order; stage 1 matches the entity's EARLIEST stage-1 event,
+  * and stage k > 1 matches the earliest stages(k-1)-typed event at-or-
+  * after the stage k−1 match (fold order breaks ts ties by `idCol`)
+  * whose distance from the stage-1 anchor is ≤ `windowSec`. Anchoring at
+  * the first stage-1 event makes the result independent of any later
+  * candidate chains — the same contract as ClickHouse's windowFunnel
+  * without its `strict_increase` option, and replayable as a plain
+  * left-to-right fold in ANSI SQL.
+  *
+  * Scale notes (100 TB event tables): one entity-key shuffle; the fold
+  * state is `stages.length` longs regardless of series length, carried
+  * in-Catalyst (`aggregate`, no UDF). Irrelevant event types are
+  * filtered BEFORE the shuffle — only funnel-typed events move. Entities
+  * parallelize; per-entity memory is its own funnel-typed events.
+  */
+object Funnel {
+
+  /** @param stages   distinct event-type names, funnel order.
+    * @param windowSec max seconds between the stage-1 anchor and any
+    *                  later stage match.
+    * @return one row per entity having ≥1 stage-1 event:
+    *         (`entityCol`, `max_stage`, `stage_ts` — array of matched
+    *         epoch-second timestamps (null past `max_stage`), `t_first`,
+    *         `t_last`, `dur_sec` — last−first, 0 for single-stage). */
+  def windowFunnel(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, typeCol: String, stages: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(stages.distinct.size == stages.size,
+      "stage types must be distinct (an event must match at most one stage)")
+    require(windowSec >= 0, "windowSec must be >= 0")
+    val L = stages.size
+    // stage index is resolved BEFORE the shuffle: only funnel events move
+    val typed = df
+      .filter(col(tsSecCol).isNotNull && col(typeCol).isin(stages: _*))
+      .select(col(entityCol),
+        struct(col(tsSecCol).cast("long").as("t"),
+          col(idCol).cast("long").as("i"),
+          stages.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+            when(col(typeCol) === s, lit((k + 1).toLong)).otherwise(acc)
+          }.as("k")).as("_e"))
+    val unset = lit(-1L)
+    val seq = typed.groupBy(col(entityCol))
+      .agg(sort_array(collect_list(col("_e"))).as("_seq"))
+    // acc = L matched epoch-seconds, -1 = unset; a fresh array is built
+    // per event (no in-place mutation), so stage k's condition reads the
+    // PREVIOUS acc — the same old-accumulator contract the oracle's
+    // list_reduce list-literal replay has.
+    val folded = aggregate(
+      col("_seq"),
+      array(Seq.fill(L)(unset): _*),
+      (acc, e) => transform(acc, (t, i) => {
+        val matches = e.getField("k") === (i + 1)
+        val prevSet = i === 0 || element_at(acc, i) =!= unset
+        val inWindow = i === 0 ||
+          e.getField("t") - element_at(acc, 1) <= lit(windowSec)
+        when(t =!= unset, t)
+          .otherwise(when(matches && prevSet && inWindow,
+            e.getField("t")).otherwise(unset))
+      }))
+    seq.select(col(entityCol), folded.as("_f"))
+      .filter(element_at(col("_f"), 1) =!= unset)
+      .select(col(entityCol),
+        aggregate(col("_f"), lit(0L),
+          (n, t) => when(t =!= unset, n + 1).otherwise(n)).as("max_stage"),
+        transform(col("_f"), t =>
+          when(t =!= unset, t)).as("stage_ts"))
+      .withColumn("t_first", element_at(col("stage_ts"), 1))
+      .withColumn("t_last",
+        element_at(col("stage_ts"), col("max_stage").cast("int")))
+      .withColumn("dur_sec", col("t_last") - col("t_first"))
+  }
+}

@@ -95,4 +95,55 @@ object RelPipeline {
       .select(lit("missing_end").as("reason"), col(StartId), col(EndId))
     noStart.unionByName(noEnd)
   }
+
+  /** J7: co-occurrence edge inference — derive item↔item edges from a
+    * shared-group fact table (parts co-purchased in an order, tags
+    * co-applied to a doc): the third edge strategy next to J1's key
+    * joins and J2's explicit join tables, for when the relationship is
+    * IMPLIED by transactions rather than declared by schema. Edges are
+    * undirected, canonicalized `start_id < end_id`, weighted by the
+    * number of distinct groups containing both items.
+    *
+    * Scale notes (100 TB fact tables): the quadratic step is bounded
+    * BEFORE it happens — groups are deduped to distinct (group, item),
+    * sized with one partial-agg count, and groups wider than
+    * `maxGroupSize` are EXCLUDED from pairing (a 10⁶-item group would
+    * emit 10¹² pairs; a size cap is the standard market-basket guard).
+    * Excluded groups are reported, not silently dropped: the second
+    * frame returns (group, n_items) for every skipped group — the
+    * [[Dedup]] `minhashBucketOverflow` side-channel pattern. Pair
+    * expansion is a bucket-local self-join on the group key; the pair
+    * aggregation partial-aggs map-side. `minCount` prunes the long tail
+    * of coincidental pairs at the reducer.
+    *
+    * @return (edges (`start_id`, `end_id`, `weight`),
+    *         overflow (`group`, `n_items`)). */
+  def cooccurrenceEdges(facts: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int, minCount: Long = 1L,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local)
+      : (DataFrame, DataFrame) = {
+    require(maxGroupSize >= 2, "maxGroupSize must be >= 2")
+    require(minCount >= 1, "minCount must be >= 1")
+    // materialized: consumed by sizes AND the size-gate join (and the
+    // gated result again by both self-join sides) — without the cut the
+    // output-alias renames defeat exchange reuse and the distinct
+    // subtree runs three times
+    val members = ckpt(facts
+      .select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+      .distinct())
+    val sizes = members.groupBy("_g").agg(count(lit(1)).as("n_items"))
+    val overflow = sizes.filter(col("n_items") > maxGroupSize)
+      .select(col("_g").as("group"), col("n_items"))
+    val kept = ckpt(members
+      .join(sizes.filter(col("n_items") <= maxGroupSize).select("_g"),
+        Seq("_g")))
+    val a = kept.select(col("_g"), col("_i").as(StartId))
+    val b = kept.select(col("_g"), col("_i").as(EndId))
+    val edges = a.join(b, Seq("_g"))
+      .filter(col(StartId) < col(EndId))
+      .groupBy(col(StartId), col(EndId))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minCount)
+    (edges, overflow)
+  }
 }

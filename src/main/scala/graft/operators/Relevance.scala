@@ -44,6 +44,35 @@ object Relevance {
       .drop("_n")
   }
 
+  /** Per-document top-`k` keywords by TF-IDF — the one-line "what is
+    * this document about" summary used for corpus browsing, topic
+    * sanity checks, and keyword-conditioned sampling (the per-DOC
+    * analogue of [[clusterTopics]]' per-cluster labels).
+    *
+    * Deterministic ordering: scores are e6-integerized BEFORE ranking
+    * (`floor(tfidf·1e6 + 0.5)`) with the token string as tie-break, so
+    * the cut is identical across engines and partitionings — a raw-
+    * double `ORDER BY` would let an ulp pick different keywords.
+    *
+    * Scale notes (100 TB): one extra window on `(doc)` over the
+    * [[tfidf]] output — same partitioning as the `(doc, token)` tf
+    * aggregation, per-partition state is one doc's vocabulary.
+    *
+    * @return (`doc_id`, `rank` 1..k, `token`, `tf`, `score_e6`). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("token"))
+    tfidf(docs, idCol, textCol)
+      .withColumn("score_e6",
+        floor(col("tfidf") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("score_e6"))
+  }
+
   /** Per-(doc, token) Okapi BM25 weight:
     * `idf_bm25 = ln(1 + (N − df + 0.5)/(df + 0.5))`, saturated term
     * frequency `tf·(k1+1)/(tf + k1·(1 − b + b·len/avgLen))` with the

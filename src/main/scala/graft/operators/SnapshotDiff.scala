@@ -79,4 +79,63 @@ object SnapshotDiff {
       compareCols: Seq[String] = Nil): DataFrame =
     diff(previous, current, idCol, compareCols, keepUnchanged = true)
       .groupBy("change").agg(count(lit(1)).as("n"))
+
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard distribution-drift gate ([[diff]] catches
+    * row churn; this catches the subtler "same rows, shifted values"
+    * regression that silently degrades a model trained on the corpus):
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * over `nBins` fixed-width bins on [`lo`, `hi`) (outliers clamp into
+    * the edge bins — they count as drift mass, not dropped rows), with
+    * add-one smoothing so empty bins stay finite: p_i = (c_i + 1) /
+    * (n + nBins). Conventional read: < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted.
+    *
+    * Engine-portable determinism: bin assignment and counts are exact
+    * integer ops; each bin's contribution is TWO double divisions, one
+    * `ln` of a double ratio, and one product — no distributed float
+    * summation (the final PSI total is the caller's `sum` over
+    * `nBins` rows, driver-bounded).
+    *
+    * Scale notes (100 TB): each snapshot partial-aggs to ≤ `nBins` rows
+    * map-side (bin id is a narrow projection); the join of two
+    * ≤ `nBins`-row sides + the 1-row totals is broadcast-sized. The two
+    * input scans are the only data-sized work, and they prune to one
+    * column each.
+    *
+    * @return one row per bin: (`bin`, `n_prev`, `n_cur`, `p_prev`,
+    *         `p_cur`, `psi` — this bin's contribution). */
+  def psiDrift(previous: DataFrame, current: DataFrame, valueCol: String,
+      nBins: Int, lo: Double, hi: Double,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    require(lo < hi, s"lo must be < hi (got [$lo, $hi))")
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .select(least(greatest(
+          floor((col(valueCol) - lit(lo)) * lit(nBins.toDouble) /
+            lit(hi - lo)), lit(0.0)), lit((nBins - 1).toDouble))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val spark = previous.sparkSession
+    val bins = spark.range(nBins).select(col("id").as("bin"))
+    // materialized once: both the totals row and the output consume it,
+    // and its upstream is the two data-sized snapshot scans
+    val joined = ckpt(bins
+      .join(binned(previous, "n_prev"), Seq("bin"), "left")
+      .join(binned(current, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+    val totals = joined.agg(sum("n_prev").as("_tp"), sum("n_cur").as("_tc"))
+    def share(n: String, t: String) =
+      (col(n) + 1).cast("double") / (col(t) + lit(nBins.toLong)).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_prev"), col("n_cur"),
+        share("n_prev", "_tp").as("p_prev"),
+        share("n_cur", "_tc").as("p_cur"))
+      .withColumn("psi",
+        (col("p_prev") - col("p_cur")) * log(col("p_prev") / col("p_cur")))
+  }
 }

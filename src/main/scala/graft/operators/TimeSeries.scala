@@ -446,4 +446,65 @@ object TimeSeries {
         col("seasonal"),
         (col("v") - col("trend") - col("seasonal")).as("resid"))
   }
+
+  /** Per-entity autocorrelation function at lags 1..`maxLag` — the
+    * periodicity probe that picks [[seasonalDecompose]]'s period and
+    * flags self-similar (bot-like) event streams: Pearson correlation
+    * between each entity's series and its own lag-h shift, over the
+    * overlapping pairs.
+    *
+    * Engine-portable determinism: `valueCol` must be integer-valued
+    * (pre-scaled, the [[cusum]] convention); all five moment sums are
+    * then exact decimal(38,0) — order-independent across partitionings
+    * — and the Pearson formula runs once in double over the exact sums
+    * (the [[graft.operators.GraphOps.degreeAssortativity]] shape, so
+    * no sum can wrap at hub scale and no float accumulates).
+    *
+    * Scale notes (100 TB): one (entity, time) window partitioning
+    * carries ALL `maxLag` lag columns (one shuffle, not one per lag);
+    * the lag pairs then partial-agg down to (entity, lag) — `maxLag`
+    * rows per entity leave the map side. Nothing is ever entity-series
+    * sized after the window.
+    *
+    * @return (`entityCol`, `lag`, `n_pairs`, `acf`) — `acf` null when
+    *         either side of a lag pair set is constant (zero variance)
+    *         or fewer than 2 pairs overlap. */
+  def autocorrelation(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol), col(idCol))
+    val lagged = df
+      .filter(col(tsSecCol).isNotNull)
+      .select(Seq(col(entityCol), col(valueCol).cast("long").as("_x")) ++
+        (1 to maxLag).map(h =>
+          lag(col(valueCol).cast("long"), h).over(w).as(s"_y$h")): _*)
+    val pairs = lagged
+      .select(col(entityCol), explode(array((1 to maxLag).map(h =>
+        struct(lit(h).cast("long").as("lag"), col("_x").as("x"),
+          col(s"_y$h").as("y"))): _*)).as("_p"))
+      .select(col(entityCol), col("_p.lag").as("lag"),
+        col("_p.x").as("x"), col("_p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val m = pairs.groupBy(col(entityCol), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("x").cast(dec)).cast("double").as("_sx"),
+      sum(col("y").cast(dec)).cast("double").as("_sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("_sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("_sxx"),
+      sum((col("y") * col("y")).cast(dec)).cast("double").as("_syy"))
+    // guard on the PRODUCT, not the sqrt: a zero-variance side makes it
+    // exactly 0, and a >2^53 rounding artifact could make it (tiny)
+    // negative — sqrt of which is engine-divergent NaN territory
+    val prod =
+      (col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+        (col("_n") * col("_syy") - col("_sy") * col("_sy"))
+    m.select(col(entityCol), col("lag"), col("n_pairs"),
+      when(col("n_pairs") < 2 || prod <= 0.0, lit(null).cast("double"))
+        .otherwise(
+          (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / sqrt(prod))
+        .as("acf"))
+  }
 }

@@ -14,6 +14,10 @@ case class MeteredEvent(user_id: Long, ts: java.sql.Timestamp, v: Long)
 case class CusumState(sp: Long, sn: Long)
 case class CusumFlag(user_id: Long, ts: java.sql.Timestamp, v: Long,
   sp: Long, sn: Long, is_change: Boolean)
+case class HoltState(level: Double, trend: Double)
+case class HoltPoint(user_id: Long, ts: java.sql.Timestamp, v: Double,
+  level: Double, trend: Double, forecast: Option[Double],
+  resid: Option[Double])
 case class OpenSession(startMicros: Long, endMicros: Long, n: Long, sum: Double)
 case class CompletedSession(user_id: Long, sess_start: java.sql.Timestamp,
     sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -236,6 +240,50 @@ object StreamingIngest {
               s.sp > threshold || s.sn > threshold)
           }
           state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming Holt double exponential smoothing — the ONLINE form of
+    * [[graft.operators.TimeSeries.holt]]: per-key state is exactly
+    * (level, trend); each event first yields the one-step forecast
+    * `l + b` from the PRE-update state (None on a key's first event —
+    * the same contract as the batch operator's null first row), then
+    * folds itself in with the identical recurrence (the trend arm
+    * re-derives l_t, so online and batch runs over the same prefix
+    * produce bit-identical state).
+    *
+    * Scale notes: 16 bytes of state per ACTIVE entity; events within a
+    * micro-batch fold in (ts, then value) order; no watermark needed —
+    * keyed state carries across triggers, the order sensitivity is
+    * within-key only. */
+  def streamingHolt(events: Dataset[SessionEvent], alpha: Double,
+      beta: Double): Dataset[HoltPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[SessionEvent],
+            state: GroupState[HoltState]) =>
+          var s = state.getOption
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            .map { e =>
+              val (next, fc) = s match {
+                case None => (HoltState(e.value, 0.0), None)
+                case Some(HoltState(l, b)) =>
+                  val lNew = alpha * e.value + (1.0 - alpha) * (l + b)
+                  (HoltState(lNew,
+                    beta * ((alpha * e.value + (1.0 - alpha) * (l + b))
+                      - l) + (1.0 - beta) * b), Some(l + b))
+              }
+              s = Some(next)
+              HoltPoint(uid, e.ts, e.value, next.level, next.trend,
+                fc, fc.map(e.value - _))
+            }
+          s.foreach(state.update)
           out.iterator
       }
   }

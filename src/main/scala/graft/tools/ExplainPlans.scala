@@ -33,7 +33,10 @@ object ExplainPlans {
         "q_g18_hits", "q_g19_mis", "q_x11_dsir", "q_v2_profile",
         // round-6 third-wave additions
         "q_x12_cluster_topics", "q_x13_bpe_merges", "q_x13b_bpe_encode",
-        "q_st11_seasonal", "q_st12_cusum", "q_st13_holt")
+        "q_st11_seasonal", "q_st12_cusum", "q_st13_holt",
+        // round-6 fourth-wave additions
+        "q_st14_acf", "q_st15_funnel", "q_v3_psi", "q_x9d_keywords",
+        "q_j7_cooccurrence")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Funnel
+
+/** ST15 windowed funnel — anchored-greedy stage matching (see
+  * [[Funnel.windowFunnel]] scaladoc for the contract). */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stages = Seq("view", "click", "purchase")
+
+  private def run(rows: Seq[(Long, Long, Long, String)], window: Long = 100L) =
+    Funnel.windowFunnel(
+      rows.toDF("user", "es", "eid", "etype"),
+      "user", "es", "eid", "etype", stages, window)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("full funnel, partial funnels, and stage order enforcement") {
+    val out = run(Seq(
+      // u1 completes: view@10 → click@20 → purchase@30
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "purchase"),
+      // u2 stalls at click; a purchase BEFORE the click can't count
+      (2L, 5L, 4L, "purchase"), (2L, 10L, 5L, "view"),
+      (2L, 15L, 6L, "click"),
+      // u3 views only
+      (3L, 50L, 7L, "view"),
+      // u4 has clicks/purchases but never a view — no funnel row
+      (4L, 1L, 8L, "click"), (4L, 2L, 9L, "purchase")))
+    assert(out(1L) == ((3L, 10L, 30L, 20L)))
+    assert(out(2L) == ((2L, 10L, 15L, 5L)))
+    assert(out(3L) == ((1L, 50L, 50L, 0L)))
+    assert(!out.contains(4L))
+  }
+
+  test("anchor is the EARLIEST stage-1 event and the window binds " +
+      "later stages to it") {
+    // anchor view@10; purchase@115 is outside 10+100 even though a
+    // second view@50 would have admitted it — anchored semantics
+    val out = run(Seq(
+      (1L, 10L, 1L, "view"), (1L, 50L, 2L, "view"),
+      (1L, 60L, 3L, "click"), (1L, 115L, 4L, "purchase")))
+    assert(out(1L) == ((2L, 10L, 60L, 50L)))
+    // widen the window: same events now complete
+    val wide = run(Seq(
+      (1L, 10L, 1L, "view"), (1L, 50L, 2L, "view"),
+      (1L, 60L, 3L, "click"), (1L, 115L, 4L, "purchase")), window = 105L)
+    assert(wide(1L) == ((3L, 10L, 115L, 105L)))
+  }
+
+  test("each stage matches its EARLIEST eligible event; ties break by " +
+      "id; irrelevant types ignored; partition-invariant") {
+    val rows = Seq(
+      (1L, 10L, 2L, "view"), (1L, 10L, 1L, "view"), // tie → eid 1 first
+      (1L, 12L, 3L, "error"), (1L, 20L, 4L, "click"),
+      (1L, 25L, 5L, "click"), (1L, 30L, 6L, "purchase"))
+    val out = Funnel.windowFunnel(rows.toDF("user", "es", "eid", "etype"),
+      "user", "es", "eid", "etype", stages, 100L).collect()
+    assert(out.length == 1)
+    // stage_ts carries the per-stage matches: view@10, click@20 (not 25)
+    val st = out.head.getAs[scala.collection.Seq[Any]]("stage_ts")
+    assert(st.toSeq == Seq(10L, 20L, 30L))
+    val re = Funnel.windowFunnel(
+      rows.toDF("user", "es", "eid", "etype").repartition(5),
+      "user", "es", "eid", "etype", stages, 100L).collect()
+    assert(re.head.getAs[scala.collection.Seq[Any]]("stage_ts").toSeq ==
+      st.toSeq)
+  }
+
+  test("fail-fast on duplicate stage types and empty stages") {
+    val d = Seq((1L, 1L, 1L, "view")).toDF("user", "es", "eid", "etype")
+    intercept[IllegalArgumentException] {
+      Funnel.windowFunnel(d, "user", "es", "eid", "etype",
+        Seq("view", "view"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.windowFunnel(d, "user", "es", "eid", "etype", Nil, 10L)
+    }
+  }
+}

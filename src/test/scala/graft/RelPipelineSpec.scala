@@ -63,4 +63,28 @@ class RelPipelineSpec extends SparkSpec {
       Row("missing_end", 2L, 99L),
       Row("missing_start", 7L, 10L)))
   }
+
+  test("cooccurrenceEdges: canonical pairs, duplicate facts dedup, " +
+      "size cap reported not silently dropped, minCount prunes") {
+    // group 1: items {10, 20, 30}; group 2: {10, 20} (10 twice — one
+    // membership); group 3: {1..5} — over the cap of 4
+    val facts = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 10L), (2L, 20L),
+      (3L, 1L), (3L, 2L), (3L, 3L), (3L, 4L), (3L, 5L))
+      .toDF("g", "item")
+    val (edges, overflow) = RelPipeline.cooccurrenceEdges(
+      facts, "g", "item", maxGroupSize = 4)
+    val e = edges.orderBy("start_id", "end_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (10,20) in groups 1 and 2; (10,30), (20,30) only in group 1;
+    // nothing from the capped group 3
+    assert(e.toSeq == Seq((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+    assert(overflow.collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 5L)))
+    val (strong, _) = RelPipeline.cooccurrenceEdges(
+      facts, "g", "item", maxGroupSize = 4, minCount = 2L)
+    assert(strong.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq((10L, 20L, 2L)))
+  }
 }

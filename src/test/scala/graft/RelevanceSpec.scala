@@ -165,6 +165,25 @@ class RelevanceSpec extends SparkSpec {
     assert(top2.size == 4)
   }
 
+  test("topTerms: e6-integerized ranking, token tie-break, k cut") {
+    // doc 1: tf(a)=2 > tf(b)=1; idf(a)=idf(b)? df(a)=1, df(b)=3 → a wins
+    // on idf too. docs 2/3 are "b c"/"c b" — identical scores for b and
+    // c (tf=1, df(b)=3, df(c)=2): c outranks b on idf; ties inside a
+    // doc would fall to the token order.
+    val top = Relevance.topTerms(docs, "id", "text", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rank"), r.getAs[String]("token"))).toMap
+    assert(top(1L) == ((1L, "a")))
+    assert(top(2L) == ((1L, "c")) && top(3L) == ((1L, "c")))
+    // exact tie (same tf, same df): lexicographic token tie-break
+    val tie = Seq((1L, "z y")).toDF("id", "text")
+    val t2 = Relevance.topTerms(tie, "id", "text", k = 2)
+      .orderBy("rank").collect().map(_.getAs[String]("token")).toSeq
+    assert(t2 == Seq("y", "z"))
+    assert(Relevance.topTerms(docs, "id", "text", k = 2)
+      .groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2L))
+  }
+
   test("tfidf composes lazily — no eager jobs at definition time") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Relevance.tfidf(docs, "id", "text") // compose only

@@ -79,4 +79,29 @@ class SnapshotDiffSpec extends SparkSpec {
       "unchanged" -> 1L))
     assert(s1 == s2)
   }
+
+  test("psiDrift: identical snapshots score 0, a shifted bin pair " +
+      "contributes symmetrically, outliers clamp into edge bins") {
+    val a = Seq(1.0, 1.0, 5.0, 5.0, 9.0).toDF("v")
+    val same = SnapshotDiff.psiDrift(a, a, "v", nBins = 5, lo = 0.0,
+      hi = 10.0).collect()
+    assert(same.length == 5)
+    assert(same.forall(_.getDouble(5) == 0.0)) // p == q in every bin
+    // shift the 9.0 to 1.0: bins 0 and 4 move by one count each
+    val b = Seq(1.0, 1.0, 5.0, 5.0, 1.0).toDF("v")
+    val drift = SnapshotDiff.psiDrift(a, b, "v", nBins = 5, lo = 0.0,
+      hi = 10.0).orderBy("bin").collect()
+    // bin 0: p=(2+1)/10, q=(3+1)/10; bin 4: p=(1+1)/10, q=(0+1)/10
+    val psi0 = (0.3 - 0.4) * math.log(0.3 / 0.4)
+    val psi4 = (0.2 - 0.1) * math.log(0.2 / 0.1)
+    assert(math.abs(drift(0).getDouble(5) - psi0) < 1e-12)
+    assert(math.abs(drift(4).getDouble(5) - psi4) < 1e-12)
+    assert(drift(2).getDouble(5) == 0.0) // untouched bin
+    // clamp: -100 joins bin 0, +100 joins bin 4 — not dropped
+    val c = Seq(-100.0, 100.0).toDF("v")
+    val edges = SnapshotDiff.psiDrift(c, c, "v", nBins = 5, lo = 0.0,
+      hi = 10.0).orderBy("bin").collect()
+    assert(edges(0).getLong(1) == 1L && edges(4).getLong(1) == 1L)
+    assert((1 to 3).forall(edges(_).getLong(1) == 0L))
+  }
 }

@@ -311,4 +311,43 @@ class StreamingSpec extends SparkSpec {
       assert(k2.head.getAs[Boolean]("is_change"))
     } finally q.stop()
   }
+
+  test("ST13s: streamingHolt state carries across triggers and matches " +
+      "the batch recurrence bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingIngest.streamingHolt(mem.toDS(), alpha = 0.5,
+      beta = 0.3)
+    val q = out.writeStream.format("memory")
+      .queryName("st13s_out").outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00"), 10.0),
+        SessionEvent(1L, ts("2024-01-01 10:01:00"), 12.0))
+      q.processAllAvailable()
+      // trigger boundary here — state (l=11, b=0.3) must carry over
+      mem.addData(
+        SessionEvent(1L, ts("2024-01-01 10:02:00"), 14.0),
+        SessionEvent(1L, ts("2024-01-01 10:03:00"), 16.0))
+      q.processAllAvailable()
+      val rows = spark.table("st13s_out").orderBy("ts").collect()
+      // the online chain must equal the batch operator's, bit-for-bit —
+      // same recurrence, same l_t re-derivation in the trend arm
+      val batch = graft.operators.TimeSeries.holt(
+        Seq((1L, 0L, 1L, 10.0), (1L, 60L, 2L, 12.0),
+          (1L, 120L, 3L, 14.0), (1L, 180L, 4L, 16.0))
+          .toDF("user_id", "es", "eid", "v"),
+        "user_id", "es", "eid", "v", alpha = 0.5, beta = 0.3)
+        .orderBy("es").collect()
+      assert(rows.map(_.getAs[Double]("level")).toSeq ==
+        batch.map(_.getDouble(4)).toSeq)
+      assert(rows.map(_.getAs[Double]("trend")).toSeq ==
+        batch.map(_.getDouble(5)).toSeq)
+      assert(rows.head.isNullAt(5) && batch.head.isNullAt(6))
+      assert(rows.drop(1).map(_.getAs[Double]("forecast")).toSeq ==
+        batch.drop(1).map(_.getDouble(6)).toSeq)
+      assert(rows.drop(1).map(_.getAs[Double]("resid")).toSeq ==
+        batch.drop(1).map(_.getDouble(7)).toSeq)
+    } finally q.stop()
+  }
 }

@@ -249,4 +249,35 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("bucket_ts").collect().map(_.getDouble(4)).toSeq
     assert(re == vals)
   }
+
+  test("autocorrelation: linear ramp r=1, alternating r=-1, constant " +
+      "null, <2 pairs null, missing pairs absent, partition-invariant") {
+    val ramp = (1L to 5L).map(i => ("r", i, i, i)).toDF(
+      "entity", "es", "eid", "v")
+    val alt = (1L to 5L).map(i => ("a", i, i,
+      if (i % 2 == 1) 1L else -1L)).toDF("entity", "es", "eid", "v")
+    val const = (1L to 4L).map(i => ("c", i, i, 7L)).toDF(
+      "entity", "es", "eid", "v")
+    val short = Seq(("s", 1L, 1L, 1L), ("s", 2L, 2L, 9L)).toDF(
+      "entity", "es", "eid", "v")
+    val d = ramp.unionAll(alt).unionAll(const).unionAll(short)
+    val out = TimeSeries.autocorrelation(d, "entity", "es", "eid", "v",
+        maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out(("r", 1L)) == ((4L, Some(1.0)))) // exact: all sums integer
+    assert(out(("r", 2L)) == ((3L, Some(1.0))))
+    assert(out(("a", 1L)) == ((4L, Some(-1.0))))
+    assert(out(("a", 2L))._2 == Some(1.0))
+    assert(out(("c", 1L))._2 == None) // zero variance
+    assert(out(("s", 1L)) == ((1L, None))) // one pair — undefined
+    assert(!out.contains(("s", 2L))) // no overlapping pairs at all
+    val re = TimeSeries.autocorrelation(d.repartition(7), "entity", "es",
+        "eid", "v", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(re == out) // exact equality — moment sums are decimal
+  }
 }
