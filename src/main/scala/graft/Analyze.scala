@@ -131,12 +131,26 @@ object Analyze {
       alarm: Long = 1L,
       period: Int = 7,
       halfWindow: Int = 3,
+      maxLag: Int = 3,
+      typeCol: String = "event_type",
+      stages: Seq[String] = Nil,
+      windowSec: Long = 2592000L,
+      alpha: Double = 0.2,
+      beta: Double = 0.1,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0,
+      groupCol: String = "",
+      itemCol: String = "",
+      maxGroupSize: Int = 100,
+      minCount: Long = 1L,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
 
   private val usage =
-    "usage: <degrees|pagerank|components|triangles|khop|paths|curate> " +
+    "usage: <degrees|pagerank|components|triangles|khop|paths|curate|" +
+      "acf|funnel|holt|psi|keywords|cooccur|...> " +
       "--edges <dir> | --docs <dir> --bench <dir> [options]"
 
   private[graft] def parse(argv: List[String]): Args = {
@@ -190,6 +204,21 @@ object Analyze {
       case "--alarm" :: v :: t => loop(t, acc.copy(alarm = v.toLong))
       case "--period" :: v :: t => loop(t, acc.copy(period = v.toInt))
       case "--half-window" :: v :: t => loop(t, acc.copy(halfWindow = v.toInt))
+      case "--max-lag" :: v :: t => loop(t, acc.copy(maxLag = v.toInt))
+      case "--type-col" :: v :: t => loop(t, acc.copy(typeCol = v))
+      case "--stages" :: v :: t =>
+        loop(t, acc.copy(stages = v.split(',').toSeq.map(_.trim)))
+      case "--window-sec" :: v :: t => loop(t, acc.copy(windowSec = v.toLong))
+      case "--alpha" :: v :: t => loop(t, acc.copy(alpha = v.toDouble))
+      case "--beta" :: v :: t => loop(t, acc.copy(beta = v.toDouble))
+      case "--bins" :: v :: t => loop(t, acc.copy(bins = v.toInt))
+      case "--lo" :: v :: t => loop(t, acc.copy(lo = v.toDouble))
+      case "--hi" :: v :: t => loop(t, acc.copy(hi = v.toDouble))
+      case "--group-col" :: v :: t => loop(t, acc.copy(groupCol = v))
+      case "--item-col" :: v :: t => loop(t, acc.copy(itemCol = v))
+      case "--max-group-size" :: v :: t =>
+        loop(t, acc.copy(maxGroupSize = v.toInt))
+      case "--min-count" :: v :: t => loop(t, acc.copy(minCount = v.toLong))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
         loop(t, acc.copy(checkpointDir = Some(v)))
@@ -337,6 +366,54 @@ object Analyze {
         graft.operators.TimeSeries.seasonalDecompose(
           spark.read.parquet(args.docs), args.entityCol, args.tsCol,
           args.idCol, args.valueCol, args.period, args.halfWindow)
+      case "holt" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "holt needs --docs, --entity-col, --ts-col, --value-col")
+        graft.operators.TimeSeries.holt(spark.read.parquet(args.docs),
+          args.entityCol, args.tsCol, args.idCol, args.valueCol,
+          args.alpha, args.beta)
+      case "acf" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "acf needs --docs, --entity-col, --ts-col, --value-col " +
+            "(value must be integer-valued — pre-scale floats)")
+        graft.operators.TimeSeries.autocorrelation(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.valueCol, args.maxLag)
+      case "funnel" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.stages.nonEmpty,
+          "funnel needs --docs, --entity-col, --ts-col, --stages <a,b,c>")
+        graft.operators.Funnel.windowFunnel(spark.read.parquet(args.docs),
+          args.entityCol, args.tsCol, args.idCol, args.typeCol,
+          args.stages, args.windowSec)
+      case "psi" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty &&
+          args.valueCol.nonEmpty,
+          "psi needs --docs <previous dir>, --bench <current dir>, " +
+            "--value-col, --lo, --hi")
+        graft.operators.SnapshotDiff.psiDrift(
+          spark.read.parquet(args.docs), spark.read.parquet(args.bench),
+          args.valueCol, args.bins, args.lo, args.hi, ckpt)
+      case "keywords" =>
+        require(args.docs.nonEmpty, "keywords needs --docs <dir>")
+        graft.operators.Relevance.topTerms(spark.read.parquet(args.docs),
+          args.idCol, args.textCol, args.topK)
+      case "cooccur" =>
+        require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
+          args.itemCol.nonEmpty,
+          "cooccur needs --docs <facts dir>, --group-col, --item-col")
+        val (coEdges, coOverflow) = graft.operators.RelPipeline
+          .cooccurrenceEdges(spark.read.parquet(args.docs), args.groupCol,
+            args.itemCol, args.maxGroupSize, args.minCount, ckpt)
+        if (args.outDir.nonEmpty) {
+          coOverflow.write.mode("overwrite")
+            .parquet(s"${args.outDir}/cooccur_overflow")
+          println(s"[analyze] cooccur: wrote " +
+            s"${args.outDir}/cooccur_overflow")
+        }
+        coEdges
       case "score" =>
         require(args.docs.nonEmpty, "score needs --docs <dir>")
         require(args.weights.nonEmpty,

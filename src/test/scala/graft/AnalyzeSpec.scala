@@ -235,4 +235,51 @@ class AnalyzeSpec extends SparkSpec {
       .collect().map(r => r.getString(2)).toSet
     assert(tp == Set("cat", "dog"))
   }
+
+  test("acf, funnel, holt, psi, keywords, and cooccur run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w4").toString
+    (1L to 5L).map(i => ("a", i, i, i)).toDF("m", "es", "eid", "c")
+      .write.parquet(s"$dir/ts")
+    val acf = Analyze.run(parse(List("acf", "--docs", s"$dir/ts",
+      "--entity-col", "m", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "c", "--max-lag", "2")), spark)
+      .orderBy("lag").collect().map(_.getDouble(3)).toSeq
+    assert(acf == Seq(1.0, 1.0)) // linear ramp — exact
+
+    Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "b"))
+      .toDF("user", "es", "eid", "etype").write.parquet(s"$dir/ev")
+    val fu = Analyze.run(parse(List("funnel", "--docs", s"$dir/ev",
+      "--entity-col", "user", "--ts-col", "es", "--id-col", "eid",
+      "--type-col", "etype", "--stages", "a,b", "--window-sec", "100")),
+      spark).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fu == Map(1L -> 2L)) // u2 never hit stage 'a'
+
+    val ho = Analyze.run(parse(List("holt", "--docs", s"$dir/ts",
+      "--entity-col", "m", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "c", "--alpha", "1.0", "--beta", "0.0")), spark)
+      .orderBy("es").collect()
+    assert(ho.map(_.getDouble(4)).toSeq == (1 to 5).map(_.toDouble))
+
+    Seq(1.0, 9.0).toDF("v").write.parquet(s"$dir/prev")
+    Seq(1.0, 1.0).toDF("v").write.parquet(s"$dir/cur")
+    val psi = Analyze.run(parse(List("psi", "--docs", s"$dir/prev",
+      "--bench", s"$dir/cur", "--value-col", "v", "--bins", "2",
+      "--lo", "0", "--hi", "10")), spark).orderBy("bin").collect()
+    assert(psi.length == 2 && psi(0).getLong(1) == 1L &&
+      psi(0).getLong(2) == 2L && psi(1).getDouble(5) > 0.0)
+
+    Seq((1L, "cat cat mat"), (2L, "cat")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/kd")
+    val kw = Analyze.run(parse(List("keywords", "--docs", s"$dir/kd",
+      "--top-k", "1")), spark).orderBy("doc_id").collect()
+      .map(_.getString(2)).toSeq
+    assert(kw == Seq("cat", "cat"))
+
+    Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+      .toDF("g", "i").write.parquet(s"$dir/facts")
+    val co = Analyze.run(parse(List("cooccur", "--docs", s"$dir/facts",
+      "--group-col", "g", "--item-col", "i", "--max-group-size", "5")),
+      spark).collect()
+    assert(co.length == 1 && co.head.getLong(2) == 2L)
+  }
 }
