@@ -496,6 +496,29 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST16: Holt–Winters additive (α=0.3, β=0.2, γ=0.3, m=3) — the
+    // oracle replays the fold with an [n, l, b, s1..s3] list accumulator
+    // and spells every 1−x factor as the subtraction (1−0.3 is NOT the
+    // 0.7 literal's double) ----
+    "q_st16_holt_winters" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      TimeSeries.holtWinters(e, "user_id", "es", "event_id", "value",
+          alpha = 0.3, beta = 0.2, gamma = 0.3, period = 3)
+        .select(col("user_id"), col("es"), col("event_id"), col("v"),
+          floor(col("level") * lit(1e4) + lit(0.5)).cast("long")
+            .as("level_e4"),
+          floor(col("trend") * lit(1e4) + lit(0.5)).cast("long")
+            .as("trend_e4"),
+          floor(col("seasonal") * lit(1e4) + lit(0.5)).cast("long")
+            .as("seasonal_e4"),
+          floor(col("forecast") * lit(1e4) + lit(0.5)).cast("long")
+            .as("forecast_e4"),
+          floor(col("resid") * lit(1e4) + lit(0.5)).cast("long")
+            .as("resid_e4"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- ST14: per-entity autocorrelation at lags 1..3 — values milli-
     // integerized so all moment sums are exact (the g16 Pearson shape);
     // acf e4-integerized for the compare ----
@@ -1364,6 +1387,31 @@ object SparkEntry {
     // e4-integerized (x4i's proven pattern). ----
     "q_x4r_bigram_ppl" -> ((s, dir) =>
       Relevance.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
+        .orderBy("doc_id")),
+
+    // ---- V4: Benford first-digit audit over milli-integerized prices —
+    // digit from the INTEGER's decimal string (portable where float
+    // formatting and log10-at-power-boundaries are not) ----
+    "q_v4_benford" -> ((s, dir) =>
+      Validate.benford(
+          t(s, dir, "lineitem").select(
+            floor(col("l_extendedprice") * 1000 + 0.5).cast("long")
+              .as("v")),
+          "v")
+        .select(col("digit"), col("n"),
+          floor(col("p_expected") * lit(1e6) + lit(0.5)).as("p_exp_e6"),
+          floor(col("p_observed") * lit(1e6) + lit(0.5)).as("p_obs_e6"),
+          floor(col("chi2") * lit(1e6) + lit(0.5)).as("chi2_e6"))
+        .orderBy("digit")),
+
+    // ---- X14: interpolated Kneser–Ney bigram perplexity (d=0.75) —
+    // the proper-smoothing upgrade of q_x4r; same e4 contract ----
+    "q_x14_kn_ppl" -> ((s, dir) =>
+      Relevance.knBigramPerplexity(t(s, dir, "documents"), "doc_id",
+          "text")
         .select(col("doc_id"), col("n_bigrams"),
           floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
@@ -4475,6 +4523,74 @@ object SparkEntry {
         |    AS BIGINT) AS ppl_e4
         |FROM per ORDER BY doc_id""".stripMargin,
 
+    // Benford rebuild: identical milli-integerization, leading digit
+    // via integer-to-VARCHAR substr, expected/χ² operand shapes
+    // mirrored ((n − N·p)·dup / (N·p)).
+    "q_v4_benford" ->
+      """WITH d AS (SELECT unnest(range(1, 10)) AS digit),
+        |v AS (
+        |  SELECT CAST(floor(l_extendedprice * 1000
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+        |  FROM lineitem),
+        |c0 AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+        |      AS digit,
+        |    count(*) AS n
+        |  FROM v WHERE v > 0 GROUP BY 1),
+        |j AS (
+        |  SELECT d.digit, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |  FROM d LEFT JOIN c0 USING (digit)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM j),
+        |f AS (
+        |  SELECT digit, n,
+        |    log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) AS p,
+        |    CAST(n AS DOUBLE) AS nd, CAST(nn AS DOUBLE) AS big
+        |  FROM j, t)
+        |SELECT digit, n,
+        |  CAST(floor(p * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS p_exp_e6,
+        |  CAST(floor(nd / big * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS p_obs_e6,
+        |  CAST(floor((nd - big * p) * (nd - big * p) / (big * p) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi2_e6
+        |FROM f
+        |ORDER BY digit""".stripMargin,
+
+    // Kneser–Ney rebuild: same bigram tables as q_x4r plus the
+    // continuation counts; the interpolated-P operand chain mirrors the
+    // Spark association left-to-right (max-discount term + ((d·n1f)/c1)
+    // · (n1b/tt)); e4 absorbs ln/sum-order ulps (the q_x4r precedent).
+    "q_x14_kn_ppl" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
+        |cb AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c_ab) AS c1, count(*) AS n1f FROM cb
+        |       GROUP BY 1),
+        |ct AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM cb),
+        |dtf AS (SELECT doc_id, w1, w2, count(*) AS btf FROM bg
+        |        GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT d.doc_id, CAST(sum(d.btf) AS BIGINT) AS n_bigrams,
+        |    sum(d.btf * ln(
+        |      greatest(cb.c_ab - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+        |        / CAST(cx.c1 AS DOUBLE)
+        |      + CAST(0.75 AS DOUBLE) * cx.n1f / CAST(cx.c1 AS DOUBLE)
+        |        * (ct.n1b / CAST(tt.tt AS DOUBLE)))) AS lp
+        |  FROM dtf d JOIN cb USING (w1, w2) JOIN cx USING (w1)
+        |    JOIN ct USING (w2), tt
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(floor(lp / n_bigrams * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS log_prob_e4,
+        |  CAST(floor(exp(-(lp / n_bigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ppl_e4
+        |FROM per ORDER BY doc_id""".stripMargin,
+
     // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.
     "q_x9_tfidf" ->
@@ -5534,6 +5650,64 @@ object SparkEntry {
         |  CAST(floor((v - forecast) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
         |    AS resid_e4
         |FROM g
+        |ORDER BY user_id, es, event_id""".stripMargin,
+
+    // Holt–Winters replay: [n, l, b, s1, s2, s3, f] LIST accumulator
+    // seeded by a prepended zero-state (n=0 selects the init branch ≡
+    // the engine's empty-acc case); every arm re-derives l_t inline and
+    // every 1−x factor is the spelled-out subtraction — the scala
+    // double of 1−0.3 is NOT the 0.7 literal.
+    "q_st16_holt_winters" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    (epoch_ns(ts) // 1000000000) AS es, value
+        |  FROM events),
+        |ord AS (
+        |  SELECT user_id, es, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS rn
+        |  FROM ev),
+        |ls AS (
+        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
+        |  FROM ev GROUP BY user_id),
+        |f AS (
+        |  SELECT o.user_id, o.es, o.event_id, o.value AS v,
+        |    list_reduce(list_prepend(
+        |        [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0],
+        |        list_transform(l.vs[1:o.rn], v -> [CAST(v AS DOUBLE)])),
+        |      (acc, x) -> CASE WHEN acc[1] = 0 THEN
+        |        [CAST(1 AS DOUBLE), x[1], 0, 0, 0, 0, NULL]
+        |      ELSE [
+        |        acc[1] + CAST(1 AS DOUBLE),
+        |        CAST(0.3 AS DOUBLE)*(x[1] - acc[4])
+        |          + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+        |            *(acc[2] + acc[3]),
+        |        CAST(0.2 AS DOUBLE)*((CAST(0.3 AS DOUBLE)*(x[1] - acc[4])
+        |            + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+        |              *(acc[2] + acc[3]))
+        |            - acc[2])
+        |          + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE))*acc[3],
+        |        acc[5], acc[6],
+        |        CAST(0.3 AS DOUBLE)*(x[1]
+        |            - (CAST(0.3 AS DOUBLE)*(x[1] - acc[4])
+        |            + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+        |              *(acc[2] + acc[3])))
+        |          + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))*acc[4],
+        |        acc[2] + acc[3] + acc[4]
+        |      ] END) AS hw
+        |  FROM ord o JOIN ls l USING (user_id))
+        |SELECT user_id, es, event_id, v,
+        |  CAST(floor(hw[2] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS level_e4,
+        |  CAST(floor(hw[3] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS trend_e4,
+        |  CAST(floor(hw[6] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS seasonal_e4,
+        |  CAST(floor(hw[7] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS forecast_e4,
+        |  CAST(floor((v - hw[7]) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS resid_e4
+        |FROM f
         |ORDER BY user_id, es, event_id""".stripMargin,
 
     // ACF rebuild: all lag pairs from ONE window partitioning, moment

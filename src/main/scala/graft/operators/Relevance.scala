@@ -195,6 +195,65 @@ object Relevance {
         exp(-(col("_lp") / col("n_bigrams"))).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form) — the standard n-gram LM
+    * smoothing, a materially better quality signal than add-one
+    * ([[bigramPerplexity]]): continuation probability ranks words by
+    * how many CONTEXTS they follow, not raw frequency, so boilerplate
+    * that repeats one collocation ("san francisco") stops looking
+    * fluent everywhere:
+    *
+    *   P(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *              + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with discount `d` (conventionally 0.75). All five count tables
+    * derive from one bigram aggregation; every in-corpus bigram has
+    * c ≥ 1 and the discounted mass keeps P > 0, so no extra smoothing
+    * floor is needed. Per-doc score = mean −ln P over the doc's
+    * bigrams, `ppl = exp` of it (the [[bigramPerplexity]] contract;
+    * docs with < 2 tokens drop out).
+    *
+    * Scale notes (100 TB): the corpus-sized work is the bigram
+    * explode + two partial-agg groupBys; everything after is
+    * vocabulary-sized (model/context/continuation tables) joined back
+    * on token keys, type totals a 1-row broadcast. Same join graph as
+    * [[bigramPerplexity]] plus one vocabulary-sized groupBy. */
+  def knBigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("_arr"))
+    val bigrams = toks.filter(size(col("_arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_arr) - 1), " +
+          "i -> struct(element_at(_arr, i) AS w1, " +
+          "element_at(_arr, i + 1) AS w2))")).as("_b"))
+      .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    // N1+(w1·) is model's row count per w1 — distinct continuations
+    val ctx = model.groupBy("w1")
+      .agg(sum("c_ab").as("c1"), count(lit(1)).as("n1f"))
+    val cont = model.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = model.agg(count(lit(1)).as("_tt"))
+    val dtf = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("btf"))
+    // operand shapes mirrored exactly in the oracle SQL
+    val p = greatest(col("c_ab") - lit(discount), lit(0.0)) /
+        col("c1").cast("double") +
+      lit(discount) * col("n1f") / col("c1").cast("double") *
+        (col("n1b") / col("_tt").cast("double"))
+    dtf.join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(sum(col("btf")).as("n_bigrams"),
+        sum(col("btf") * log(p)).as("_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_lp") / col("n_bigrams")).as("log_prob"),
+        exp(-(col("_lp") / col("n_bigrams"))).as("ppl"))
+  }
+
   /** Cluster topic labeling by class-TF-IDF (the BERTopic reduction,
     * Grootendorst 2022): given a document→cluster assignment (e.g. from
     * [[Similarity.ivfIndex]] cells over document embeddings), score each

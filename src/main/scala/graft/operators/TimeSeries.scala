@@ -324,6 +324,83 @@ object TimeSeries {
       .withColumn("resid", col("v") - col("forecast"))
   }
 
+  /** Holt–Winters additive triple exponential smoothing per entity —
+    * the seasonal step up from [[holt]] (which lags any series with a
+    * repeating cycle): level, trend, and a rotating `period`-slot
+    * seasonal state,
+    *
+    *   l_t = α·(x_t − s_(t−m)) + (1−α)·(l_(t−1) + b_(t−1))
+    *   b_t = β·(l_t − l_(t−1)) + (1−β)·b_(t−1)
+    *   s_t = γ·(x_t − l_t) + (1−γ)·s_(t−m)
+    *
+    * seeded l_1 = x_1, b_1 = 0, all seasonal slots 0 (the data-free
+    * seed — the first cycle learns the profile from scratch, which
+    * keeps the recurrence a pure fold the oracle can replay). The
+    * one-step forecast for row t is l_(t−1) + b_(t−1) + s_(t−m) (null
+    * on each entity's first row).
+    *
+    * Every arm RE-DERIVES l_t inline rather than reading a sibling
+    * field (the [[holt]] discipline — identical IEEE chains in both
+    * engines, and no struct-accumulator sibling-mutation hazard in the
+    * oracle's list replay).
+    *
+    * Scale notes (100 TB): identical shape to [[holt]] — one entity-key
+    * shuffle, one in-Catalyst fold; the carried state is `period` + 2
+    * doubles per fold step. Per-entity memory = own series; use the
+    * streaming tier for unbounded keys. */
+  def holtWinters(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, alpha: Double, beta: Double,
+      gamma: Double, period: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0, 1]")
+    require(period >= 2, "period must be >= 2")
+    val m = period
+    val seq = df
+      .filter(col(tsSecCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsSecCol).as("t"), col(idCol).as("i"),
+        col(valueCol).cast("double").as("v")))).as("_seq"))
+    type C = org.apache.spark.sql.Column
+    def prev(acc: C) = element_at(acc, -1)
+    def sUsed(acc: C) = element_at(prev(acc).getField("ss"), 1)
+    def lNew(acc: C, e: C) =
+      lit(alpha) * (e.getField("v") - sUsed(acc)) + lit(1.0 - alpha) *
+        (prev(acc).getField("l") + prev(acc).getField("b"))
+    val folded = aggregate(
+      col("_seq"),
+      expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, i: BIGINT, " +
+        "v: DOUBLE, l: DOUBLE, b: DOUBLE, sv: DOUBLE, fc: DOUBLE, " +
+        "ss: ARRAY<DOUBLE>>>)"),
+      (acc, e) => concat(acc, array(struct(
+        e.getField("t").as("t"), e.getField("i").as("i"),
+        e.getField("v").as("v"),
+        when(size(acc) === 0, e.getField("v"))
+          .otherwise(lNew(acc, e)).as("l"),
+        when(size(acc) === 0, lit(0.0))
+          .otherwise(lit(beta) * (lNew(acc, e) - prev(acc).getField("l"))
+            + lit(1.0 - beta) * prev(acc).getField("b")).as("b"),
+        when(size(acc) === 0, lit(0.0))
+          .otherwise(lit(gamma) * (e.getField("v") - lNew(acc, e))
+            + lit(1.0 - gamma) * sUsed(acc)).as("sv"),
+        when(size(acc) === 0, lit(null).cast("double"))
+          .otherwise(prev(acc).getField("l") + prev(acc).getField("b")
+            + sUsed(acc)).as("fc"),
+        when(size(acc) === 0,
+            array(Seq.fill(m)(lit(0.0)): _*))
+          .otherwise(concat(
+            slice(prev(acc).getField("ss"), 2, m - 1),
+            array(lit(gamma) * (e.getField("v") - lNew(acc, e))
+              + lit(1.0 - gamma) * sUsed(acc)))).as("ss")))))
+    seq.select(col(entityCol), explode(folded).as("_e"))
+      .select(col(entityCol), col("_e.t").as(tsSecCol),
+        col("_e.i").as(idCol), col("_e.v").as("v"),
+        col("_e.l").as("level"), col("_e.b").as("trend"),
+        col("_e.sv").as("seasonal"), col("_e.fc").as("forecast"),
+        (col("_e.v") - col("_e.fc")).as("resid"))
+  }
+
   /** Two-sided CUSUM change detection (Page 1954) per entity — the
     * level-shift detector that catches slow drifts a point-anomaly flag
     * ([[ewmaAnomaly]]) misses: S⁺ accumulates evidence the series runs

@@ -203,4 +203,47 @@ object Validate {
       .select(col("_p.col_name").as("col_name"),
         col("_p.metric").as("metric"), col("_p.value").as("value"))
   }
+
+  /** Benford's-law first-digit audit — the classic fabricated-data /
+    * corrupted-feed tripwire for naturally-occurring positive amounts
+    * (prices, populations, file sizes): the leading significant digit
+    * of organic multi-scale data follows P(d) = log10(1 + 1/d); clerical
+    * padding, unit bugs, and synthetic fills don't. Emits one row per
+    * digit with observed count, both shares, and the Pearson χ²
+    * contribution (n_d − N·p_d)²/(N·p_d) — the caller sums it and
+    * compares against the χ²(8 df) cutoff of their chosen α.
+    *
+    * `valueCol` must be INTEGER-valued and is filtered to > 0 (the
+    * pre-scaled convention — scaling by a power of ten never changes
+    * the leading digit). The digit is taken from the integer's decimal
+    * string — integer formatting is engine-portable where float
+    * formatting and `log10`-near-power-boundaries are not.
+    *
+    * Scale notes (100 TB): one column-pruned scan partial-aggs to ≤ 9
+    * rows map-side; the totals row is a 1-row broadcast. Nothing else
+    * moves.
+    *
+    * @return (`digit` 1..9, `n`, `p_expected`, `p_observed`, `chi2`) —
+    *         digits the data never hits still appear (n = 0, their full
+    *         expected mass as χ²). */
+  def benford(df: DataFrame, valueCol: String,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
+    val spark = df.sparkSession
+    val digits = spark.range(1, 10).select(col("id").as("digit"))
+    val counts = ckpt(digits.join(
+      df.filter(col(valueCol) > 0)
+        .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n")),
+      Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n")))
+    val total = counts.agg(sum("n").as("_N"))
+    val pExp = log10(lit(1.0) + lit(1.0) / col("digit"))
+    val dev = col("n").cast("double") - col("_N").cast("double") * pExp
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), pExp.as("p_expected"),
+        (col("n").cast("double") / col("_N").cast("double"))
+          .as("p_observed"),
+        (dev * dev / (col("_N").cast("double") * pExp)).as("chi2"))
+  }
 }

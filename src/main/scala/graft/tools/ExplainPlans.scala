@@ -36,7 +36,8 @@ object ExplainPlans {
         "q_st11_seasonal", "q_st12_cusum", "q_st13_holt",
         // round-6 fourth-wave additions
         "q_st14_acf", "q_st15_funnel", "q_v3_psi", "q_x9d_keywords",
-        "q_j7_cooccurrence")
+        "q_j7_cooccurrence", "q_st16_holt_winters", "q_x14_kn_ppl",
+        "q_v4_benford")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -165,6 +165,30 @@ class RelevanceSpec extends SparkSpec {
     assert(top2.size == 4)
   }
 
+  test("knBigramPerplexity: hand-computed interpolated KN, short docs " +
+      "drop, continuation mass distinguishes contexts") {
+    // corpus "a b a b" + "b c": model (a,b):2 (b,a):1 (b,c):1
+    //   ctx a: c1=2 n1f=1; b: c1=2 n1f=2; cont all n1b=1; tt=3
+    //   P(b|a) = 1.25/2 + .75·1/2·(1/3) = 0.75
+    //   P(a|b) = 0.25/2 + .75·2/2·(1/3) = 0.375 = P(c|b)
+    val d = Seq((1L, "a b a b"), (2L, "b c"), (3L, "solo"))
+      .toDF("id", "text")
+    val out = Relevance.knBigramPerplexity(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L)) // < 2 tokens — no bigrams
+    val lp1 = (2 * math.log(0.75) + math.log(0.375)) / 3
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - lp1) < 1e-12)
+    assert(out(2L)._1 == 1L &&
+      math.abs(out(2L)._2 - math.log(0.375)) < 1e-12)
+    // the add-one model can't tell P(a|b) from P(c|b) apart from counts
+    // alone either — but KN keeps P > 0 purely from discounted mass:
+    assert(0.375 > 0.0 && out(2L)._2 < 0.0)
+    intercept[IllegalArgumentException] {
+      Relevance.knBigramPerplexity(d, "id", "text", discount = 1.0)
+    }
+  }
+
   test("topTerms: e6-integerized ranking, token tie-break, k cut") {
     // doc 1: tf(a)=2 > tf(b)=1; idf(a)=idf(b)? df(a)=1, df(b)=3 → a wins
     // on idf too. docs 2/3 are "b c"/"c b" — identical scores for b and

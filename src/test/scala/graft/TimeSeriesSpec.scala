@@ -156,6 +156,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re == ls) // exact: same fold order regardless of partitioning
   }
 
+  test("holtWinters: hand-computed level/trend/seasonal chain, " +
+      "forecast uses the consumed slot, partition invariance") {
+    // α=0.5, β=0.3, γ=0.4, m=2 over [10,12,14,16]:
+    //   l: 10, 11, 12.65, 14.4775;  b: 0, 0.3, 0.705, 1.04175
+    //   s: 0, 0.4, 0.54, 0.849;     fc: null, 10, 11.3, 13.755
+    val d = Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 12.0),
+      ("a", 3L, 3L, 14.0), ("a", 4L, 4L, 16.0))
+      .toDF("entity", "es", "eid", "v")
+    val out = TimeSeries.holtWinters(d, "entity", "es", "eid", "v",
+        alpha = 0.5, beta = 0.3, gamma = 0.4, period = 2)
+      .orderBy("es").collect()
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val ls = out.map(_.getDouble(4))
+    val bs = out.map(_.getDouble(5))
+    val ss = out.map(_.getDouble(6))
+    assert(ls.zip(Seq(10.0, 11.0, 12.65, 14.4775)).forall((near _).tupled))
+    assert(bs.zip(Seq(0.0, 0.3, 0.705, 1.04175)).forall((near _).tupled))
+    assert(ss.zip(Seq(0.0, 0.4, 0.54, 0.849)).forall((near _).tupled))
+    assert(out(0).isNullAt(7) && out(0).isNullAt(8))
+    assert(near(out(1).getDouble(7), 10.0))
+    assert(near(out(3).getDouble(7), 13.755)) // consumed slot is s_2=0.4
+    assert(near(out(3).getDouble(8), 16.0 - 13.755))
+    val re = TimeSeries.holtWinters(d.repartition(5), "entity", "es",
+        "eid", "v", alpha = 0.5, beta = 0.3, gamma = 0.4, period = 2)
+      .orderBy("es").collect().map(_.getDouble(4)).toSeq
+    assert(re == ls.toSeq) // exact: same fold order regardless
+  }
+
   test("cusum: hand-computed level shift, clamp at zero, exact flags") {
     // A: three at 10 then two at 22 (n=5, Σ=74, e = c·5−74):
     //   e = −24,−24,−24,+36,+36; slack·n = 10; threshold·n = 50

@@ -115,4 +115,25 @@ class ValidateSpec extends SparkSpec {
       Validate.profile(df, Seq("nope"))
     }
   }
+
+  test("benford: leading digit from the integer, non-positive filtered, " +
+      "absent digits keep full expected mass, chi2 hand-checked") {
+    import spark.implicits._
+    // digits: 123→1, 19→1, 2→2, 999→9; 0 and −5 drop
+    val df = Seq(123L, 19L, 2L, 999L, 0L, -5L).toDF("v")
+    val out = Validate.benford(df, "v").orderBy("digit").collect()
+    assert(out.length == 9)
+    val byDigit = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDigit(1L) == 2L && byDigit(2L) == 1L && byDigit(9L) == 1L)
+    assert((3L to 8L).forall(byDigit(_) == 0L))
+    val r1 = out(0)
+    val p1 = math.log10(1.0 + 1.0 / 1)
+    assert(math.abs(r1.getDouble(2) - p1) < 1e-15)
+    assert(r1.getDouble(3) == 0.5) // 2 of 4
+    val dev = 2.0 - 4.0 * p1
+    assert(math.abs(r1.getDouble(4) - dev * dev / (4.0 * p1)) < 1e-12)
+    // a digit with n=0 contributes its whole expected mass N·p
+    val p3 = math.log10(1.0 + 1.0 / 3)
+    assert(math.abs(out(2).getDouble(4) - 4.0 * p3) < 1e-12)
+  }
 }
