@@ -1392,6 +1392,17 @@ object SparkEntry {
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
         .orderBy("doc_id")),
 
+    // ---- V5: SCD2 history — collapse each user's event_type log into
+    // validity intervals (gaps-and-islands); run_seq disambiguates
+    // same-second run boundaries ----
+    "q_v5_scd2" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      SnapshotDiff.scd2(e, "user_id", "es", "event_id",
+          Seq("event_type"))
+        .orderBy("user_id", "run_seq")
+    }),
+
     // ---- V4: Benford first-digit audit over milli-integerized prices —
     // digit from the INTEGER's decimal string (portable where float
     // formatting and log10-at-power-boundaries are not) ----
@@ -4522,6 +4533,39 @@ object SparkEntry {
         |  CAST(floor(exp(-(lp / n_bigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
         |    AS BIGINT) AS ppl_e4
         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // SCD2 rebuild: the same gaps-and-islands — null-safe change flag
+    // (IS DISTINCT FROM), running segment sum in the same (user, es,
+    // event_id) order, lead over the per-key runs by segment id.
+    "q_v5_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, event_id,
+        |    event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, es, event_id, event_type,
+        |    CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (
+        |  SELECT user_id, es, event_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS seg
+        |  FROM l),
+        |r AS (
+        |  SELECT user_id, seg, min(es) AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_obs,
+        |    min(event_type) AS event_type
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS run_seq,
+        |  valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  n_obs, event_type
+        |FROM r
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+        |ORDER BY user_id, run_seq""".stripMargin,
 
     // Benford rebuild: identical milli-integerization, leading digit
     // via integer-to-VARCHAR substr, expected/χ² operand shapes

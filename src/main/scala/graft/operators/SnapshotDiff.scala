@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff — change-data-capture between two versions of a staged
@@ -79,6 +80,56 @@ object SnapshotDiff {
       compareCols: Seq[String] = Nil): DataFrame =
     diff(previous, current, idCol, compareCols, keepUnchanged = true)
       .groupBy("change").agg(count(lit(1)).as("n"))
+
+  /** SCD2 history build — collapse a (key, ts, attributes) observation
+    * log into slowly-changing-dimension validity intervals: one row per
+    * maximal run of consecutive identical attribute values (the
+    * gaps-and-islands reduction), `valid_to` = the next run's start,
+    * null on each key's current row. [[diff]] answers "what changed
+    * between two snapshots"; this builds the full AS-OF dimension table
+    * an [[AsOfJoin]] then queries.
+    *
+    * Change detection is null-safe (`<=>`): a null attribute value is a
+    * distinct state, not a wildcard. Within a run the attributes are
+    * constant by construction, so the emitted value is exact (`min` —
+    * deterministic, no `first()` order sensitivity).
+    *
+    * Scale notes (100 TB logs): one key shuffle carries BOTH windows
+    * (lag + running segment sum share the (key, ts, id) sort) and the
+    * (key, segment) aggregation; the `valid_to` lead runs over the
+    * already-collapsed runs — segment-count-sized, not observation-
+    * sized. Keys parallelize; AQE splits hot ones.
+    *
+    * @return (`keyCol`, `run_seq` 1.., `valid_from`, `valid_to`,
+    *         `n_obs`, attribute cols) — one row per run in observation
+    *         order, `valid_to` null = still current. `run_seq` is the
+    *         unambiguous per-key order even when ts ties straddle a run
+    *         boundary (two runs CAN share a start second). */
+  def scd2(df: DataFrame, keyCol: String, tsSecCol: String, idCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "scd2 needs at least one attribute column")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsSecCol), col(idCol))
+    val chg = valueCols.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) // first row: lag is null → not <=> → new run
+    val seg = df
+      .filter(col(tsSecCol).isNotNull)
+      .withColumn("_seg",
+        sum(when(chg, 1L).otherwise(0L)).over(w))
+    val runs = seg.groupBy(col(keyCol), col("_seg"))
+      .agg(min(col(tsSecCol)).as("valid_from"),
+        count(lit(1)).as("n_obs") +:
+          valueCols.map(c => min(col(c)).as(c)): _*)
+    // order by the segment id, not valid_from: with ts ties across a
+    // run boundary two runs can share a start second, and the segment
+    // id is the observation order by construction
+    val runW = Window.partitionBy(col(keyCol)).orderBy(col("_seg"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(runW))
+      .withColumn("run_seq", row_number().over(runW).cast("long"))
+      .select(Seq(col(keyCol), col("run_seq"), col("valid_from"),
+        col("valid_to"), col("n_obs")) ++ valueCols.map(col): _*)
+  }
 
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard distribution-drift gate ([[diff]] catches

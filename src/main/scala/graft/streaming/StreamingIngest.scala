@@ -14,6 +14,11 @@ case class MeteredEvent(user_id: Long, ts: java.sql.Timestamp, v: Long)
 case class CusumState(sp: Long, sn: Long)
 case class CusumFlag(user_id: Long, ts: java.sql.Timestamp, v: Long,
   sp: Long, sn: Long, is_change: Boolean)
+case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+  event_type: String)
+case class FunnelState(slots: Seq[Long])
+case class StageAdvance(user_id: Long, ts: java.sql.Timestamp,
+  stage: Int, t_first_sec: Long, dur_sec: Long)
 case class HoltState(level: Double, trend: Double)
 case class HoltPoint(user_id: Long, ts: java.sql.Timestamp, v: Double,
   level: Double, trend: Double, forecast: Option[Double],
@@ -241,6 +246,58 @@ object StreamingIngest {
           }
           state.update(s)
           out.iterator
+      }
+  }
+
+  /** Streaming funnel — the ONLINE form of
+    * [[graft.operators.Funnel.windowFunnel]]: per-key state is the
+    * `stages.length` matched-epoch slots (−1 unset), and instead of a
+    * per-entity summary row the stream emits one [[StageAdvance]] the
+    * moment a stage fills — the live conversion-event feed (batch
+    * answers "how far did everyone get", this fires "user X just
+    * reached stage k" as it happens). Same anchored-greedy contract:
+    * stage 1 anchors at the key's earliest stage-1 event, later stages
+    * must land within `windowSec` of the anchor; a key whose funnel
+    * state never advances emits nothing.
+    *
+    * Scale notes: state is `|stages|` longs per ACTIVE key; events
+    * within a micro-batch fold in (ts, type) order; irrelevant types
+    * are filtered before the keyed state op so only funnel-typed
+    * events shuffle. No watermark needed — keyed state carries across
+    * triggers and the fold is order-sensitive within a key only. */
+  def streamingFunnel(events: Dataset[FunnelEvent], stages: Seq[String],
+      windowSec: Long): Dataset[StageAdvance] = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(stages.distinct.size == stages.size,
+      "stage types must be distinct")
+    require(windowSec >= 0, "windowSec must be >= 0")
+    import events.sparkSession.implicits._
+    val idx = stages.zipWithIndex.toMap
+    events
+      .filter(e => idx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          val slots = state.getOption
+            .getOrElse(FunnelState(Seq.fill(stages.size)(-1L)))
+            .slots.toArray
+          val out = Seq.newBuilder[StageAdvance]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            .foreach { e =>
+              val k = idx(e.event_type)
+              val t = e.ts.getTime / 1000L
+              val prevSet = k == 0 || slots(k - 1) != -1L
+              val inWindow = k == 0 || t - slots(0) <= windowSec
+              if (slots(k) == -1L && prevSet && inWindow) {
+                slots(k) = t
+                out += StageAdvance(uid, e.ts, k + 1, slots(0),
+                  t - slots(0))
+              }
+            }
+          state.update(FunnelState(slots.toSeq))
+          out.result().iterator
       }
   }
 

@@ -80,6 +80,38 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("scd2: runs collapse with null-safe change detection, " +
+      "same-second boundaries keep order via run_seq, open row null") {
+    // key 1: A@1 A@2 B@3 B@3(id tie) A@5 — runs A[1,3) B[3,5) A[5,∞)
+    // key 2: null@1 null@2 C@3 — null is a STATE: runs null[1,3) C[3,∞)
+    val d = Seq(
+      (1L, 1L, 1L, Some("A")), (1L, 2L, 2L, Some("A")),
+      (1L, 3L, 3L, Some("B")), (1L, 3L, 4L, Some("B")),
+      (1L, 5L, 5L, Some("A")),
+      (2L, 1L, 6L, None), (2L, 2L, 7L, None), (2L, 3L, 8L, Some("C")))
+      .toDF("k", "es", "eid", "v")
+    val out = SnapshotDiff.scd2(d, "k", "es", "eid", Seq("v"))
+      .orderBy("k", "run_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        Option(r.getString(5))))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 3L, 2L, Some("A")),
+      (1L, 2L, 3L, 5L, 2L, Some("B")),
+      (1L, 3L, 5L, -1L, 1L, Some("A")),
+      (2L, 1L, 1L, 3L, 2L, None),
+      (2L, 2L, 3L, -1L, 1L, Some("C"))))
+    // partition invariance: the run structure is order-exact
+    val re = SnapshotDiff.scd2(d.repartition(7), "k", "es", "eid",
+        Seq("v"))
+      .orderBy("k", "run_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq == out.map(t => (t._1, t._2, t._3)).toSeq)
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.scd2(d, "k", "es", "eid", Nil)
+    }
+  }
+
   test("psiDrift: identical snapshots score 0, a shifted bin pair " +
       "contributes symmetrically, outliers clamp into edge bins") {
     val a = Seq(1.0, 1.0, 5.0, 5.0, 9.0).toDF("v")

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
+import graft.streaming.{FunnelEvent, MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
 
 /** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
   * tests over MemoryStream (SURVEY.md §5 item 5). */
@@ -309,6 +309,45 @@ class StreamingSpec extends SparkSpec {
       val k2 = spark.table("st6s_out").filter($"user_id" === 2L).collect()
       assert(k2.length == 1 && k2.head.getAs[Long]("sp") == 13L)
       assert(k2.head.getAs[Boolean]("is_change"))
+    } finally q.stop()
+  }
+
+  test("ST15s: streamingFunnel emits stage advances across triggers " +
+      "with the batch operator's anchored-window contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val out = StreamingIngest.streamingFunnel(mem.toDS(),
+      Seq("view", "click", "purchase"), windowSec = 100L)
+    val q = out.writeStream.format("memory")
+      .queryName("st15s_out").outputMode("append").start()
+    try {
+      // batch 1: click before any view emits nothing; view anchors
+      mem.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "click"),
+        FunnelEvent(1L, ts("2024-01-01 10:00:10"), "view"))
+      q.processAllAvailable()
+      val b1 = spark.table("st15s_out").collect()
+      assert(b1.map(r => (r.getAs[Int]("stage"))).toSeq == Seq(1))
+      // batch 2: click advances (state carried); duplicate view ignored;
+      // purchase at anchor+110 > 100 s window never fires
+      mem.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:30"), "click"),
+        FunnelEvent(1L, ts("2024-01-01 10:00:40"), "view"),
+        FunnelEvent(1L, ts("2024-01-01 10:02:00"), "purchase"))
+      q.processAllAvailable()
+      val b2 = spark.table("st15s_out").orderBy("ts").collect()
+      assert(b2.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2))
+      assert(b2(1).getAs[Long]("dur_sec") == 20L)
+      // independent key completes inside one batch
+      mem.addData(
+        FunnelEvent(2L, ts("2024-01-01 11:00:00"), "view"),
+        FunnelEvent(2L, ts("2024-01-01 11:00:05"), "click"),
+        FunnelEvent(2L, ts("2024-01-01 11:00:09"), "purchase"))
+      q.processAllAvailable()
+      val k2 = spark.table("st15s_out").filter($"user_id" === 2L)
+        .orderBy("ts").collect()
+      assert(k2.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2, 3))
+      assert(k2(2).getAs[Long]("dur_sec") == 9L)
     } finally q.stop()
   }
 
