@@ -1392,6 +1392,38 @@ object SparkEntry {
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
         .orderBy("doc_id")),
 
+    // ---- ST18: dominant ACF period per user (lags 2..3 of the ST14
+    // moments) — the automated period pick for ST11/ST16 ----
+    "q_st18_dominant_period" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      TimeSeries.dominantPeriod(e, "user_id", "es", "event_id", "v",
+          maxLag = 3, minLag = 2)
+        .select(col("user_id"), col("period"), col("n_pairs"),
+          floor(col("acf") * lit(1e4) + lit(0.5)).cast("long")
+            .as("acf_e4"))
+        .orderBy("user_id")
+    }),
+
+    // ---- ST17: rolling z-score over a 12-row window — exact decimal
+    // frame moments, variance-product null guard (the ACF discipline),
+    // cent-integerized input ----
+    "q_st17_rolling_z" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      TimeSeries.rollingZscore(e, "user_id", "es", "event_id", "v",
+          window = 12)
+        .select(col("user_id"), col("es"), col("event_id"), col("v"),
+          floor(col("mean") * lit(1e4) + lit(0.5)).cast("long")
+            .as("mean_e4"),
+          floor(col("sd") * lit(1e4) + lit(0.5)).cast("long")
+            .as("sd_e4"),
+          floor(col("z") * lit(1e4) + lit(0.5)).cast("long").as("z_e4"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- V5: SCD2 history — collapse each user's event_type log into
     // validity intervals (gaps-and-islands); run_seq disambiguates
     // same-second run boundaries ----
@@ -2664,6 +2696,37 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"$head,\n$rounds\n$unioned\nORDER BY query_id, mmr_rank"
   }
+
+  /** Shared moment CTEs for the ACF-family oracles (q_st14, q_st18):
+    * milli-integerized values, all lag pairs from one window
+    * partitioning, HUGEINT-exact sums cast to double. */
+  private val acfMomentCtes: String =
+    """ev AS (
+      |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+      |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |      AS x
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, x,
+      |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+      |    lag(x, 3) OVER w AS y3
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |p AS (
+      |  SELECT user_id, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, lag, count(*) AS np,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      |  FROM p GROUP BY user_id, lag)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -4534,6 +4597,45 @@ object SparkEntry {
         |    AS BIGINT) AS ppl_e4
         |FROM per ORDER BY doc_id""".stripMargin,
 
+    // Rolling z rebuild: same 12-row frame in the same (user, es,
+    // event_id) order; HUGEINT frame sums cast to double, mirrored
+    // mean/variance/z operand shapes, variance-product guard.
+    "q_st17_rolling_z" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, es, event_id, v,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(CAST(v AS HUGEINT)) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) OVER w AS DOUBLE) AS s2
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, es, event_id, v,
+        |  CASE WHEN n = 12 THEN
+        |    CAST(floor(s1 / CAST(n AS DOUBLE) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS mean_e4,
+        |  CASE WHEN n = 12
+        |      AND CAST(n AS DOUBLE) * s2 - s1 * s1 >= CAST(0 AS DOUBLE)
+        |    THEN CAST(floor(
+        |      sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |          - CAST(1 AS DOUBLE)))) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS sd_e4,
+        |  CASE WHEN n = 12
+        |      AND CAST(n AS DOUBLE) * s2 - s1 * s1 > CAST(0 AS DOUBLE)
+        |    THEN CAST(floor(
+        |      (v - s1 / CAST(n AS DOUBLE))
+        |        / sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+        |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |            - CAST(1 AS DOUBLE)))) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS z_e4
+        |FROM f
+        |ORDER BY user_id, es, event_id""".stripMargin,
+
     // SCD2 rebuild: the same gaps-and-islands — null-safe change flag
     // (IS DISTINCT FROM), running segment sum in the same (user, es,
     // event_id) order, lead over the per-key runs by segment id.
@@ -5759,32 +5861,7 @@ object SparkEntry {
     // g16 Pearson double formula; the null guard is on the variance
     // PRODUCT (zero or sub-ulp negative → null) on both sides.
     "q_st14_acf" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS x
-        |  FROM events),
-        |l AS (
-        |  SELECT user_id, x,
-        |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
-        |    lag(x, 3) OVER w AS y3
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-        |p AS (
-        |  SELECT user_id, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
-        |  UNION ALL
-        |  SELECT user_id, 2, x, y2 FROM l WHERE y2 IS NOT NULL
-        |  UNION ALL
-        |  SELECT user_id, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
-        |m AS (
-        |  SELECT user_id, lag, count(*) AS np,
-        |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
-        |  FROM p GROUP BY user_id, lag)
+      s"""WITH $acfMomentCtes
         |SELECT user_id, CAST(lag AS BIGINT) AS lag,
         |  CAST(np AS BIGINT) AS n_pairs,
         |  CASE WHEN np < 2
@@ -5795,6 +5872,31 @@ object SparkEntry {
         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS acf_e4
         |FROM m
         |ORDER BY user_id, lag""".stripMargin,
+
+    // Dominant period: the same moment CTEs, acf as a raw double, then
+    // the argmax on the e6-integerized score with smallest-lag
+    // tie-break — the engine's exact total order.
+    "q_st18_dominant_period" ->
+      s"""WITH $acfMomentCtes,
+        |a AS (
+        |  SELECT user_id, lag, np,
+        |    (n*sxy - sx*sy)
+        |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS acf
+        |  FROM m
+        |  WHERE np >= 2
+        |    AND (n*sxx - sx*sx) * (n*syy - sy*sy) > CAST(0 AS DOUBLE)),
+        |r AS (
+        |  SELECT user_id, lag, np, acf,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY
+        |      CAST(floor(acf * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |        DESC, lag) AS rn
+        |  FROM a WHERE lag >= 2)
+        |SELECT user_id, CAST(lag AS BIGINT) AS period,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(floor(acf * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS acf_e4
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // Funnel replay: per-user fold over the (es, event_id)-ordered
     // funnel-typed events with a LIST accumulator of 3 stage epochs

@@ -324,6 +324,53 @@ object TimeSeries {
       .withColumn("resid", col("v") - col("forecast"))
   }
 
+  /** Rolling z-score (Bollinger-band reduction) per entity — "how far
+    * is this point from its own recent window", the fixed-window
+    * complement of [[ewmaAnomaly]]'s exponential memory: over the last
+    * `window` rows, sample mean and sample std, z = (x − mean)/sd.
+    * Null until the window fills and when the window is constant
+    * (zero variance) — a partial window's z reads artificially hot.
+    *
+    * Engine-portable determinism: `valueCol` must be integer-valued
+    * (the [[cusum]] convention); both frame sums are exact
+    * decimal(38,0) (order-independent), and the variance guard tests
+    * the exact-moment PRODUCT n·Σx² − (Σx)², not a sqrt — the
+    * [[autocorrelation]] discipline.
+    *
+    * Scale notes (100 TB): ONE (entity, time) window partitioning
+    * carries both frame sums and the count; per-partition state is the
+    * `window`-row frame. No join, no second shuffle.
+    *
+    * @return (`entityCol`, `tsSecCol`, `idCol`, `v`, `mean`, `sd`,
+    *         `z`) — mean/sd/z null until the frame holds `window`
+    *         rows; z additionally null on zero variance. */
+  def rollingZscore(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val dec = "decimal(38,0)"
+    val frame = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol), col(idCol))
+      .rowsBetween(-(window - 1), 0)
+    val base = df
+      .filter(col(tsSecCol).isNotNull)
+      .select(col(entityCol), col(tsSecCol), col(idCol),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("_n", count(lit(1)).over(frame))
+      .withColumn("_s1",
+        sum(col("v").cast(dec)).over(frame).cast("double"))
+      .withColumn("_s2",
+        sum((col("v") * col("v")).cast(dec)).over(frame).cast("double"))
+    val nD = col("_n").cast("double")
+    val mean = col("_s1") / nD
+    val varNum = nD * col("_s2") - col("_s1") * col("_s1")
+    val sd = sqrt(varNum / (nD * (nD - lit(1.0))))
+    val full = col("_n") === window
+    base.select(col(entityCol), col(tsSecCol), col(idCol), col("v"),
+      when(full, mean).as("mean"),
+      when(full && varNum >= 0.0, sd).as("sd"),
+      when(full && varNum > 0.0, (col("v") - mean) / sd).as("z"))
+  }
+
   /** Holt–Winters additive triple exponential smoothing per entity —
     * the seasonal step up from [[holt]] (which lags any series with a
     * repeating cycle): level, trend, and a rotating `period`-slot
@@ -583,5 +630,39 @@ object TimeSeries {
         .otherwise(
           (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / sqrt(prod))
         .as("acf"))
+  }
+
+  /** Dominant-period pick over [[autocorrelation]] — the automated
+    * "what period should [[seasonalDecompose]] / [[holtWinters]] use"
+    * answer: per entity, the lag in [`minLag`, `maxLag`] with the
+    * highest autocorrelation. Lag 1 is excluded by default (`minLag` =
+    * 2): any smooth series is trivially lag-1-correlated; a seasonal
+    * period of 1 is no season.
+    *
+    * The argmax ranks on the e6-INTEGERIZED acf with smallest-lag
+    * tie-break — a total order over exact longs (the [[Relevance
+    * .topTerms]] discipline; a raw-double ORDER BY could flip the
+    * pick on an ulp). Entities whose every candidate lag is null
+    * (constant series, too few pairs) drop out.
+    *
+    * Scale notes: [[autocorrelation]]'s two shuffles plus one window
+    * over the ≤ (maxLag − minLag + 1)-row per-entity candidates.
+    *
+    * @return (`entityCol`, `period`, `n_pairs`, `acf`). */
+  def dominantPeriod(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, maxLag: Int,
+      minLag: Int = 2): DataFrame = {
+    require(minLag >= 1 && minLag <= maxLag,
+      s"need 1 <= minLag <= maxLag (got [$minLag, $maxLag])")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("_acf_e6").desc, col("lag"))
+    autocorrelation(df, entityCol, tsSecCol, idCol, valueCol, maxLag)
+      .filter(col("lag") >= minLag && col("acf").isNotNull)
+      .withColumn("_acf_e6",
+        floor(col("acf") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(entityCol), col("lag").as("period"), col("n_pairs"),
+        col("acf"))
   }
 }

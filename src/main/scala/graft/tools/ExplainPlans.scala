@@ -37,7 +37,8 @@ object ExplainPlans {
         // round-6 fourth-wave additions
         "q_st14_acf", "q_st15_funnel", "q_v3_psi", "q_x9d_keywords",
         "q_j7_cooccurrence", "q_st16_holt_winters", "q_x14_kn_ppl",
-        "q_v4_benford", "q_v5_scd2")
+        "q_v4_benford", "q_v5_scd2", "q_st17_rolling_z",
+        "q_st18_dominant_period")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

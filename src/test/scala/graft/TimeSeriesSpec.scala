@@ -156,6 +156,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re == ls) // exact: same fold order regardless of partitioning
   }
 
+  test("dominantPeriod: alternator picks 2, integerized tie → smallest " +
+      "lag, constant entity drops out, lag-1 excluded") {
+    val alt = (1L to 6L).map(i => ("alt", i, i,
+      if (i % 2 == 1) 5L else -5L))
+    val ramp = (1L to 6L).map(i => ("ramp", i, i + 10, i))
+    val const = (1L to 6L).map(i => ("const", i, i + 20, 3L))
+    val d = (alt ++ ramp ++ const).toDF("entity", "es", "eid", "v")
+    val out = TimeSeries.dominantPeriod(d, "entity", "es", "eid", "v",
+        maxLag = 3, minLag = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("alt") == 2L)  // lag2 r=+1 beats lag3 r=−1
+    assert(out("ramp") == 2L) // lag2 ≡ lag3 ≡ 1 → smallest-lag tie-break
+    assert(!out.contains("const")) // zero variance at every lag
+  }
+
+  test("rollingZscore: exact window moments, partial-window null, " +
+      "constant-window sd=0 with z null, partition invariance") {
+    // window 3 over [1,2,3,10] then a constant tail [5,5,5] on key b
+    val d = Seq(("a", 1L, 1L, 1L), ("a", 2L, 2L, 2L), ("a", 3L, 3L, 3L),
+      ("a", 4L, 4L, 10L),
+      ("b", 1L, 5L, 5L), ("b", 2L, 6L, 5L), ("b", 3L, 7L, 5L))
+      .toDF("entity", "es", "eid", "v")
+    val out = TimeSeries.rollingZscore(d, "entity", "es", "eid", "v",
+        window = 3)
+      .orderBy("entity", "es").collect()
+    assert(out(0).isNullAt(4) && out(1).isNullAt(4)) // frame not full
+    assert(out(2).getDouble(4) == 2.0 && out(2).getDouble(5) == 1.0 &&
+      out(2).getDouble(6) == 1.0) // [1,2,3]: mean 2, sd 1, z 1 — exact
+    assert(out(3).getDouble(4) == 5.0)
+    // [2,3,10]: varNum = 3·113 − 15² = 114 → sd = sqrt(114/6) = sqrt(19)
+    assert(math.abs(out(3).getDouble(5) - math.sqrt(19.0)) < 1e-12)
+    assert(math.abs(out(3).getDouble(6) - 5.0 / out(3).getDouble(5))
+      < 1e-12)
+    val b3 = out(6) // third row of the constant key
+    assert(b3.getDouble(5) == 0.0 && b3.isNullAt(6)) // sd 0, z undefined
+    val re = TimeSeries.rollingZscore(d.repartition(5), "entity", "es",
+        "eid", "v", window = 3)
+      .orderBy("entity", "es").collect()
+      .map(r => if (r.isNullAt(6)) None else Some(r.getDouble(6))).toSeq
+    assert(re == out.map(r =>
+      if (r.isNullAt(6)) None else Some(r.getDouble(6))).toSeq)
+  }
+
   test("holtWinters: hand-computed level/trend/seasonal chain, " +
       "forecast uses the consumed slot, partition invariance") {
     // α=0.5, β=0.3, γ=0.4, m=2 over [10,12,14,16]:
