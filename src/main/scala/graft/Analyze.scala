@@ -137,6 +137,8 @@ object Analyze {
       windowSec: Long = 2592000L,
       alpha: Double = 0.2,
       beta: Double = 0.1,
+      gamma: Double = 0.1,
+      windowRows: Int = 12,
       bins: Int = 10,
       lo: Double = 0.0,
       hi: Double = 1.0,
@@ -211,6 +213,9 @@ object Analyze {
       case "--window-sec" :: v :: t => loop(t, acc.copy(windowSec = v.toLong))
       case "--alpha" :: v :: t => loop(t, acc.copy(alpha = v.toDouble))
       case "--beta" :: v :: t => loop(t, acc.copy(beta = v.toDouble))
+      case "--gamma" :: v :: t => loop(t, acc.copy(gamma = v.toDouble))
+      case "--window-rows" :: v :: t =>
+        loop(t, acc.copy(windowRows = v.toInt))
       case "--bins" :: v :: t => loop(t, acc.copy(bins = v.toInt))
       case "--lo" :: v :: t => loop(t, acc.copy(lo = v.toDouble))
       case "--hi" :: v :: t => loop(t, acc.copy(hi = v.toDouble))
@@ -381,6 +386,48 @@ object Analyze {
         graft.operators.TimeSeries.autocorrelation(
           spark.read.parquet(args.docs), args.entityCol, args.tsCol,
           args.idCol, args.valueCol, args.maxLag)
+      case "period" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "period needs --docs, --entity-col, --ts-col, --value-col " +
+            "(value must be integer-valued — pre-scale floats)")
+        graft.operators.TimeSeries.dominantPeriod(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.valueCol, args.maxLag)
+      case "zscore" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "zscore needs --docs, --entity-col, --ts-col, --value-col " +
+            "(value must be integer-valued — pre-scale floats)")
+        graft.operators.TimeSeries.rollingZscore(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.valueCol, args.windowRows)
+      case "hw" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "hw needs --docs, --entity-col, --ts-col, --value-col")
+        graft.operators.TimeSeries.holtWinters(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.valueCol, args.alpha, args.beta,
+          args.gamma, args.period)
+      case "scd2" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.target.nonEmpty,
+          "scd2 needs --docs, --entity-col, --ts-col, --id-col and " +
+            "--target <comma-separated attribute columns>")
+        graft.operators.SnapshotDiff.scd2(spark.read.parquet(args.docs),
+          args.entityCol, args.tsCol, args.idCol,
+          args.target.split(',').toSeq.map(_.trim))
+      case "benford" =>
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty,
+          "benford needs --docs and --value-col (integer-valued — " +
+            "pre-scale floats)")
+        graft.operators.Validate.benford(spark.read.parquet(args.docs),
+          args.valueCol, ckpt)
+      case "knppl" =>
+        require(args.docs.nonEmpty, "knppl needs --docs <dir>")
+        graft.operators.Relevance.knBigramPerplexity(
+          spark.read.parquet(args.docs), args.idCol, args.textCol)
       case "funnel" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.stages.nonEmpty,

@@ -282,4 +282,47 @@ class AnalyzeSpec extends SparkSpec {
       spark).collect()
     assert(co.length == 1 && co.head.getLong(2) == 2L)
   }
+
+  test("period, zscore, hw, scd2, benford, and knppl run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w5").toString
+    (1L to 6L).map(i => ("a", i, i, if (i % 2 == 1) 5L else -5L))
+      .toDF("m", "es", "eid", "c").write.parquet(s"$dir/ts")
+    val p = Analyze.run(parse(List("period", "--docs", s"$dir/ts",
+      "--entity-col", "m", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "c", "--max-lag", "3")), spark).collect()
+    assert(p.length == 1 && p.head.getLong(1) == 2L)
+
+    val z = Analyze.run(parse(List("zscore", "--docs", s"$dir/ts",
+      "--entity-col", "m", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "c", "--window-rows", "3")), spark)
+      .orderBy("es").collect()
+    assert(z(0).isNullAt(6) && !z(2).isNullAt(6))
+
+    val hw = Analyze.run(parse(List("hw", "--docs", s"$dir/ts",
+      "--entity-col", "m", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "c", "--alpha", "0.5", "--beta", "0.3",
+      "--gamma", "0.4", "--period", "2")), spark)
+      .orderBy("es").collect()
+    assert(hw.length == 6 && hw(0).getDouble(4) == 5.0) // l_1 = x_1
+
+    Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "B"))
+      .toDF("k", "es", "eid", "st").write.parquet(s"$dir/log")
+    val sc = Analyze.run(parse(List("scd2", "--docs", s"$dir/log",
+      "--entity-col", "k", "--ts-col", "es", "--id-col", "eid",
+      "--target", "st")), spark).orderBy("run_seq").collect()
+    assert(sc.length == 2 && sc(0).getString(5) == "A" &&
+      sc(1).getLong(4) == 2L)
+
+    Seq(123L, 900L).toDF("v").write.parquet(s"$dir/amounts")
+    val bf = Analyze.run(parse(List("benford", "--docs", s"$dir/amounts",
+      "--value-col", "v")), spark).orderBy("digit").collect()
+    assert(bf.length == 9 && bf(0).getLong(1) == 1L &&
+      bf(8).getLong(1) == 1L)
+
+    Seq((1L, "a b a b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    val kn = Analyze.run(parse(List("knppl", "--docs", s"$dir/docs")),
+      spark).collect()
+    assert(kn.length == 1 && kn.head.getLong(1) == 3L)
+  }
 }
