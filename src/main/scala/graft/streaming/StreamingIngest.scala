@@ -20,6 +20,9 @@ case class FunnelState(slots: Seq[Long])
 case class StageAdvance(user_id: Long, ts: java.sql.Timestamp,
   stage: Int, t_first_sec: Long, dur_sec: Long)
 case class HoltState(level: Double, trend: Double)
+case class ZWindowState(buf: Seq[Long])
+case class ZPoint(user_id: Long, ts: java.sql.Timestamp, v: Long,
+  mean: Option[Double], sd: Option[Double], z: Option[Double])
 case class HoltPoint(user_id: Long, ts: java.sql.Timestamp, v: Double,
   level: Double, trend: Double, forecast: Option[Double],
   resid: Option[Double])
@@ -245,6 +248,54 @@ object StreamingIngest {
               s.sp > threshold || s.sn > threshold)
           }
           state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming rolling z-score — the ONLINE form of
+    * [[graft.operators.TimeSeries.rollingZscore]]: per-key state is
+    * the last `window` integer values (a `window`-long ring regardless
+    * of stream length); each event emits its z against the window
+    * ENDING at it, None until the ring fills and on zero variance —
+    * the batch operator's exact contract, and the same arithmetic
+    * (exact long sums, the identical double formula), so online and
+    * batch agree bit-for-bit on any shared prefix.
+    *
+    * Scale notes: 8·`window` bytes per ACTIVE key; events within a
+    * micro-batch fold in (ts, value) order; no watermark needed. */
+  def streamingZscore(events: Dataset[MeteredEvent],
+      window: Int): Dataset[ZPoint] = {
+    require(window >= 2, "window must be >= 2")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZWindowState, ZPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[MeteredEvent],
+            state: GroupState[ZWindowState]) =>
+          var buf = state.getOption.getOrElse(ZWindowState(Nil)).buf
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.v)).map { e =>
+            buf = (buf :+ e.v).takeRight(window)
+            if (buf.size < window) ZPoint(uid, e.ts, e.v, None, None, None)
+            else {
+              // exact long sums → the batch operator's double formula,
+              // same operand order
+              val nD = window.toDouble
+              val s1 = buf.sum.toDouble
+              val s2 = buf.map(x => x * x).sum.toDouble
+              val mean = s1 / nD
+              val varNum = nD * s2 - s1 * s1
+              val sd =
+                if (varNum >= 0.0) Some(math.sqrt(varNum / (nD * (nD - 1.0))))
+                else None
+              val z =
+                if (varNum > 0.0)
+                  Some((e.v - mean) / math.sqrt(varNum / (nD * (nD - 1.0))))
+                else None
+              ZPoint(uid, e.ts, e.v, Some(mean), sd, z)
+            }
+          }
+          state.update(ZWindowState(buf))
           out.iterator
       }
   }

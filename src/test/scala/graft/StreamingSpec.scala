@@ -351,6 +351,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST17s: streamingZscore ring carries across triggers and " +
+      "matches the batch operator bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MeteredEvent]
+    val out = StreamingIngest.streamingZscore(mem.toDS(), window = 3)
+    val q = out.writeStream.format("memory")
+      .queryName("st17s_out").outputMode("append").start()
+    try {
+      mem.addData(
+        MeteredEvent(1L, ts("2024-01-01 10:00:00"), 1L),
+        MeteredEvent(1L, ts("2024-01-01 10:01:00"), 2L))
+      q.processAllAvailable()
+      // ring [1,2] carries into the next trigger
+      mem.addData(
+        MeteredEvent(1L, ts("2024-01-01 10:02:00"), 3L),
+        MeteredEvent(1L, ts("2024-01-01 10:03:00"), 10L))
+      q.processAllAvailable()
+      val rows = spark.table("st17s_out").orderBy("ts").collect()
+      val batch = graft.operators.TimeSeries.rollingZscore(
+        Seq((1L, 0L, 1L, 1L), (1L, 60L, 2L, 2L), (1L, 120L, 3L, 3L),
+          (1L, 180L, 4L, 10L)).toDF("u", "es", "eid", "v"),
+        "u", "es", "eid", "v", window = 3)
+        .orderBy("es").collect()
+      def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      assert(rows.map(r => opt(r, 5)).toSeq ==
+        batch.map(r => opt(r, 6)).toSeq) // z column, incl. leading Nones
+      assert(rows.map(r => opt(r, 3)).toSeq ==
+        batch.map(r => opt(r, 4)).toSeq) // mean
+    } finally q.stop()
+  }
+
   test("ST13s: streamingHolt state carries across triggers and matches " +
       "the batch recurrence bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
