@@ -219,7 +219,8 @@ object Relevance {
     * on token keys, type totals a 1-row broadcast. Same join graph as
     * [[bigramPerplexity]] plus one vocabulary-sized groupBy. */
   def knBigramPerplexity(docs: DataFrame, idCol: String,
-      textCol: String, discount: Double = 0.75): DataFrame = {
+      textCol: String, discount: Double = 0.75,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("_arr"))
@@ -229,7 +230,11 @@ object Relevance {
           "i -> struct(element_at(_arr, i) AS w1, " +
           "element_at(_arr, i + 1) AS w2))")).as("_b"))
       .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
-    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    // the vocab-sized model is materialized ONCE: ctx/cont/types all
+    // derive from it, and without the cut each would re-run the
+    // corpus-sized bigram explode (5 corpus passes instead of 2)
+    val model = ckpt(
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")))
     // N1+(w1·) is model's row count per w1 — distinct continuations
     val ctx = model.groupBy("w1")
       .agg(sum("c_ab").as("c1"), count(lit(1)).as("n1f"))
