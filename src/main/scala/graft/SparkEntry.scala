@@ -1435,6 +1435,43 @@ object SparkEntry {
         .orderBy("user_id", "run_seq")
     }),
 
+    // ---- X6l: winsorize order prices into the [p05, p95] band — exact
+    // percentile cutoffs (quantile_cont parity), narrow clamp ----
+    "q_x6l_winsorize" -> ((s, dir) =>
+      Sampling.winsorize(t(s, dir, "orders"), "o_totalprice",
+          pLo = 0.05, pHi = 0.95)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice_w") * lit(1e4) + lit(0.5)).cast("long")
+            .as("w_e4"))
+        .orderBy("o_orderkey")),
+
+    // ---- V7: χ² independence of event_type × weekday — the weekday is
+    // pure integer epoch arithmetic ((days + 4) % 7; 1970-01-01 was a
+    // Thursday), never an engine-local calendar function ----
+    "q_v7_chi2" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        expr("(unix_timestamp(ts) div 86400 + 4) % 7").as("dow"))
+      Validate.chiSquareIndependence(e, "event_type", "dow")
+        .select(col("event_type"), col("dow"), col("n"),
+          floor(col("expected") * lit(1e6) + lit(0.5)).as("exp_e6"),
+          floor(col("chi2") * lit(1e6) + lit(0.5)).as("chi2_e6"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // ---- V6: exact two-sample KS between the even/odd event halves —
+    // the statistic is pure integer arithmetic until ONE final
+    // division; at_value is raw data passthrough ----
+    "q_v6_ks" -> ((s, dir) => {
+      val e = events(s, dir)
+      SnapshotDiff.ksTest(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1), "value")
+        .select(col("n_prev"), col("n_cur"),
+          floor(col("d_stat") * lit(1e6) + lit(0.5)).cast("long")
+            .as("d_e6"),
+          col("at_value"))
+    }),
+
     // ---- V4: Benford first-digit audit over milli-integerized prices —
     // digit from the INTEGER's decimal string (portable where float
     // formatting and log10-at-power-boundaries are not) ----
@@ -4668,6 +4705,82 @@ object SparkEntry {
         |FROM r
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
         |ORDER BY user_id, run_seq""".stripMargin,
+
+    // Winsorize rebuild: quantile_cont cutoffs (≡ Spark percentile,
+    // bit-equal interpolation), same least/greatest clamp.
+    "q_x6l_winsorize" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(floor(least(greatest(o_totalprice, c.lo), c.hi) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_e4
+        |FROM orders, c
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // χ² rebuild: same integer weekday, cell/marginal/total counts
+    // exact, mirrored expected/χ² shapes.
+    "q_v7_chi2" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (((epoch_ns(ts) // 1000000000) // 86400) + 4) % 7 AS dow
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, count(*) AS n FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ra
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cb
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        |f AS (
+        |  SELECT c.event_type, c.dow, c.n,
+        |    CAST(rt.ra AS DOUBLE) * CAST(ct.cb AS DOUBLE)
+        |      / CAST(t.nn AS DOUBLE) AS e
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), t)
+        |SELECT event_type, dow, n,
+        |  CAST(floor(e * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS exp_e6,
+        |  CAST(floor((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)
+        |    / e * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi2_e6
+        |FROM f
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // KS rebuild: distinct-value count tables, one cumulative window,
+    // HUGEINT cross-products, argmax by (gap DESC, v) — exact until the
+    // single final division.
+    "q_v6_ks" ->
+      """WITH c1 AS (
+        |  SELECT value AS v, count(*) AS k1 FROM events
+        |  WHERE event_id % 2 = 0 GROUP BY 1),
+        |c2 AS (
+        |  SELECT value AS v, count(*) AS k2 FROM events
+        |  WHERE event_id % 2 = 1 GROUP BY 1),
+        |m AS (
+        |  SELECT v, coalesce(k1, 0) AS k1, coalesce(k2, 0) AS k2
+        |  FROM c1 FULL OUTER JOIN c2 USING (v)),
+        |t AS (
+        |  SELECT CAST(sum(k1) AS HUGEINT) AS n1,
+        |    CAST(sum(k2) AS HUGEINT) AS n2
+        |  FROM m),
+        |g AS (
+        |  SELECT v,
+        |    CAST(sum(k1) OVER w AS HUGEINT) AS c1,
+        |    CAST(sum(k2) OVER w AS HUGEINT) AS c2
+        |  FROM m
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (
+        |  SELECT v, abs(c1 * t.n2 - c2 * t.n1) AS gap, t.n1, t.n2,
+        |    row_number() OVER (ORDER BY abs(c1 * t.n2 - c2 * t.n1) DESC,
+        |      v) AS rn
+        |  FROM g, t)
+        |SELECT CAST(n1 AS BIGINT) AS n_prev, CAST(n2 AS BIGINT) AS n_cur,
+        |  CAST(floor(CAST(gap AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e6,
+        |  v AS at_value
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // Benford rebuild: identical milli-integerization, leading digit
     // via integer-to-VARCHAR substr, expected/χ² operand shapes

@@ -299,6 +299,33 @@ object Sampling {
       .drop("_cut")
   }
 
+  /** Winsorization — clamp `valueCol` into its own [`pLo`, `pHi`]
+    * exact-percentile band (the outlier treatment that KEEPS rows where
+    * a filter would drop them: heavy-tail scores stop dominating
+    * downstream means/mixture weights but every document survives).
+    * Complements [[keepTopFraction]] (cut) and
+    * [[graft.operators.Outliers]] (flag).
+    *
+    * Both cutoffs come from ONE percentile aggregate (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, bit-equal interpolation —
+    * the [[keepTopFraction]] precedent) broadcast back; the clamp is a
+    * narrow codegen projection — the corpus never shuffles.
+    *
+    * @return input columns + `(valueCol)_w` — the clamped value. */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double,
+      pHi: Double): DataFrame = {
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1 (got [$pLo, $pHi])")
+    val cuts = df.agg(
+      expr(s"percentile($valueCol, $pLo)").as("_lo"),
+      expr(s"percentile($valueCol, $pHi)").as("_hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("_lo")),
+          col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Percentile-rank score normalization: append `pr` = percent_rank of
     * `scoreCol` within each `groupCol` partition (corpus-wide when
     * `groupCol` is None) — the "make heterogeneous quality signals

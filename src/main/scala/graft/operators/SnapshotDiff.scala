@@ -131,6 +131,61 @@ object SnapshotDiff {
         col("valid_to"), col("n_obs")) ++ valueCols.map(col): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between two snapshots of a
+    * numeric column — the binning-free companion of [[psiDrift]] (PSI
+    * answers "how much mass moved between my chosen bins"; KS answers
+    * "how far apart are the raw distributions", no bins to pick):
+    *
+    *   D = max over pooled values of |F̂₁(v) − F̂₂(v)|
+    *
+    * computed EXACTLY: D = max |c₁·n₂ − c₂·n₁| / (n₁·n₂) where the
+    * cumulative counts are integers and the cross-products accumulate
+    * in decimal(38,0) — the argmax is a total order over exact values
+    * (smallest v on ties), so the reported location can never flip on
+    * a float ulp. The single division to double happens once, on the
+    * 1-row result.
+    *
+    * Scale notes (100 TB): both inputs partial-agg to DISTINCT-VALUE-
+    * sized count tables before anything global happens; the cumulative
+    * window then runs over the merged distinct values on one partition
+    * — bounded by the column's cardinality, not its row count.
+    * Pre-quantize high-cardinality measures (milli-round) to bound it;
+    * for binned-by-construction columns this is already tiny.
+    *
+    * @return one row: (`n_prev`, `n_cur`, `d_stat`, `at_value` — the
+    *         pooled value where the gap peaks). */
+  def ksTest(previous: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as(out))
+    val merged = counts(previous, "k1")
+      .join(counts(current, "k2"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("k1"), lit(0L)).as("k1"),
+        coalesce(col("k2"), lit(0L)).as("k2"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = merged.agg(
+      sum("k1").cast(dec).as("_n1"), sum("k2").cast(dec).as("_n2"))
+    val gaps = merged
+      .withColumn("_c1", sum(col("k1")).over(cum).cast(dec))
+      .withColumn("_c2", sum(col("k2")).over(cum).cast(dec))
+      .crossJoin(broadcast(tot))
+      .withColumn("_gap",
+        abs(col("_c1") * col("_n2") - col("_c2") * col("_n1")))
+    val top = Window.orderBy(col("_gap").desc, col("v"))
+    gaps.withColumn("_rn", row_number().over(top))
+      .filter(col("_rn") === 1)
+      .select(col("_n1").cast("long").as("n_prev"),
+        col("_n2").cast("long").as("n_cur"),
+        (col("_gap").cast("double") /
+          (col("_n1").cast("double") * col("_n2").cast("double")))
+          .as("d_stat"),
+        col("v").as("at_value"))
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard distribution-drift gate ([[diff]] catches
     * row churn; this catches the subtler "same rows, shifted values"

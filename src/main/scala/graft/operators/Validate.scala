@@ -204,6 +204,42 @@ object Validate {
         col("_p.metric").as("metric"), col("_p.value").as("value"))
   }
 
+  /** Pearson χ² independence audit between two categorical columns —
+    * "is the event mix stable across weekdays / sources / shards", the
+    * categorical counterpart of [[benford]]: contingency cell counts,
+    * expected under independence e = rowTot·colTot/N, per-cell
+    * contribution (n − e)²/e. The caller sums `chi2` and compares to
+    * the χ²((R−1)(C−1)) cutoff.
+    *
+    * All totals are exact longs from ONE materialized cell table (three
+    * consumers — without the cut each re-runs the data-sized scan); the
+    * expected value and contribution are double arithmetic on exact
+    * integers, one cell at a time — no distributed float sum.
+    *
+    * Scale notes (100 TB): the scan partial-aggs to (cardinality A ×
+    * cardinality B) cells map-side; the marginals derive from the CELLS
+    * (cardinality-sized), never the data; totals are a 1-row broadcast.
+    *
+    * @return one row per OBSERVED cell: (`aCol`, `bCol`, `n`,
+    *         `expected`, `chi2`). Unobserved cells are absent (their
+    *         expected mass is the caller's structural-zero judgment,
+    *         not silently added). */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
+    val cells = ckpt(df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n")))
+    val rowT = cells.groupBy(col(aCol)).agg(sum("n").as("_ra"))
+    val colT = cells.groupBy(col(bCol)).agg(sum("n").as("_cb"))
+    val tot = cells.agg(sum("n").as("_N"))
+    val e = col("_ra").cast("double") * col("_cb").cast("double") /
+      col("_N").cast("double")
+    val dev = col("n").cast("double") - e
+    cells.join(rowT, Seq(aCol)).join(colT, Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol), col("n"), e.as("expected"),
+        (dev * dev / e).as("chi2"))
+  }
+
   /** Benford's-law first-digit audit — the classic fabricated-data /
     * corrupted-feed tripwire for naturally-occurring positive amounts
     * (prices, populations, file sizes): the leading significant digit

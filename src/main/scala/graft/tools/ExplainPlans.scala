@@ -38,7 +38,8 @@ object ExplainPlans {
         "q_st14_acf", "q_st15_funnel", "q_v3_psi", "q_x9d_keywords",
         "q_j7_cooccurrence", "q_st16_holt_winters", "q_x14_kn_ppl",
         "q_v4_benford", "q_v5_scd2", "q_st17_rolling_z",
-        "q_st18_dominant_period")
+        "q_st18_dominant_period", "q_v6_ks", "q_v7_chi2",
+        "q_x6l_winsorize")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -395,6 +395,21 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("must be positive"))
   }
 
+  test("winsorize: exact percentile clamp keeps every row, interior " +
+      "values untouched, bad bounds fail fast") {
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Sampling.winsorize(df, "v", 0.1, 0.9)
+      .orderBy("id").collect()
+    assert(out.length == 10) // clamp, never drop
+    // percentile interpolation over 1..10: p10 = 1.9, p90 = 9.1
+    assert(out.head.getDouble(2) == 1.9)
+    assert(out.last.getDouble(2) == 9.1)
+    assert(out(4).getDouble(2) == 5.0) // interior untouched
+    intercept[IllegalArgumentException] {
+      Sampling.winsorize(df, "v", 0.9, 0.1)
+    }
+  }
+
   test("keepTopFraction: exact quantile cutoff, ties kept, " +
       "partition invariance") {
     // scores 1..10: top 30% cutoff = percentile(0.7) = 7.3 → keep 8,9,10

@@ -112,6 +112,19 @@ class SnapshotDiffSpec extends SparkSpec {
     }
   }
 
+  test("ksTest: hand-computed D with smallest-value tie-break, " +
+      "identical samples D=0, exact statistic") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0).toDF("v")
+    val r = SnapshotDiff.ksTest(a, b, "v").head()
+    // cum gaps ×9: v=1:3, v=2:6, v=3:6, v=4:3, v=5:0 → D=6/9 at v=2
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 6.0 / 9.0)
+    assert(r.getDouble(3) == 2.0) // tie with v=3 broken to smallest
+    val same = SnapshotDiff.ksTest(a, a, "v").head()
+    assert(same.getDouble(2) == 0.0 && same.getDouble(3) == 1.0)
+  }
+
   test("psiDrift: identical snapshots score 0, a shifted bin pair " +
       "contributes symmetrically, outliers clamp into edge bins") {
     val a = Seq(1.0, 1.0, 5.0, 5.0, 9.0).toDF("v")

@@ -116,6 +116,24 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("chiSquareIndependence: hand-computed 2x2 cells, exact " +
+      "marginals, unobserved cells absent") {
+    import spark.implicits._
+    val df = Seq(("A", "X"), ("A", "X"), ("A", "Y"), ("A", "Y"),
+      ("B", "X"), ("B", "X")).toDF("a", "b")
+    val out = Validate.chiSquareIndependence(df, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 3) // (B, Y) never observed — absent
+    // N=6, row A=4 B=2, col X=4 Y=2: e(A,X)=16/6, e(A,Y)=8/6, e(B,X)=8/6
+    val eAX = 4.0 * 4.0 / 6.0
+    assert(out(("A", "X"))._1 == 2L)
+    assert(math.abs(out(("A", "X"))._2 - eAX) < 1e-12)
+    assert(math.abs(out(("A", "X"))._3 -
+      (2.0 - eAX) * (2.0 - eAX) / eAX) < 1e-12)
+    assert(math.abs(out(("B", "X"))._2 - 8.0 / 6.0) < 1e-12)
+  }
+
   test("benford: leading digit from the integer, non-positive filtered, " +
       "absent digits keep full expected mass, chi2 hand-checked") {
     import spark.implicits._
