@@ -1392,6 +1392,22 @@ object SparkEntry {
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
         .orderBy("doc_id")),
 
+    // ---- ST19: view→purchase lead-lag cross-correlation on a daily
+    // grid, lags −2..2 — a positive-lag peak means purchases trail
+    // views by that many days ----
+    "q_st19_ccf" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      TimeSeries.crossCorrelation(e, "user_id", "es", "v", "event_type",
+          typeA = "view", typeB = "purchase", intervalSec = 86400L,
+          maxLag = 2)
+        .select(col("user_id"), col("lag"), col("n_pairs"),
+          floor(col("ccf") * lit(1e4) + lit(0.5)).cast("long")
+            .as("ccf_e4"))
+        .orderBy("user_id", "lag")
+    }),
+
     // ---- ST18: dominant ACF period per user (lags 2..3 of the ST14
     // moments) — the automated period pick for ST11/ST16 ----
     "q_st18_dominant_period" -> ((s, dir) => {
@@ -5983,6 +5999,67 @@ object SparkEntry {
         |    ELSE CAST(floor((n*sxy - sx*sy)
         |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e4
         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS acf_e4
+        |FROM m
+        |ORDER BY user_id, lag""".stripMargin,
+
+    // CCF rebuild: bucket sums BIGINT-cast, dense range() grid 0-filled,
+    // one window carrying all five shift columns, then the shared
+    // moment/Pearson shapes (HUGEINT-exact, product guard).
+    "q_st19_ccf" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, event_type,
+        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |bk AS (
+        |  SELECT user_id, es // 86400 AS bucket,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN v ELSE 0 END)
+        |      AS BIGINT) AS xa,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)
+        |      AS BIGINT) AS xb
+        |  FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |       FROM bk GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        |      FROM sp),
+        |f AS (
+        |  SELECT g.user_id, g.bucket,
+        |    coalesce(xa, 0) AS xa, coalesce(xb, 0) AS xb
+        |  FROM g LEFT JOIN bk USING (user_id, bucket)),
+        |l AS (
+        |  SELECT user_id, xa,
+        |    lag(xb, 2) OVER w AS ym2, lag(xb, 1) OVER w AS ym1,
+        |    xb AS y0,
+        |    lead(xb, 1) OVER w AS yp1, lead(xb, 2) OVER w AS yp2
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+        |p AS (
+        |  SELECT user_id, -2 AS lag, xa AS x, ym2 AS y FROM l
+        |  WHERE ym2 IS NOT NULL
+        |  UNION ALL SELECT user_id, -1, xa, ym1 FROM l
+        |  WHERE ym1 IS NOT NULL
+        |  UNION ALL SELECT user_id, 0, xa, y0 FROM l
+        |  UNION ALL SELECT user_id, 1, xa, yp1 FROM l
+        |  WHERE yp1 IS NOT NULL
+        |  UNION ALL SELECT user_id, 2, xa, yp2 FROM l
+        |  WHERE yp2 IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, lag, count(*) AS np,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM p GROUP BY user_id, lag)
+        |SELECT user_id, CAST(lag AS BIGINT) AS lag,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CASE WHEN np < 2
+        |      OR (n*sxx - sx*sx) * (n*syy - sy*sy) <= CAST(0 AS DOUBLE)
+        |    THEN NULL
+        |    ELSE CAST(floor((n*sxy - sx*sy)
+        |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS ccf_e4
         |FROM m
         |ORDER BY user_id, lag""".stripMargin,
 

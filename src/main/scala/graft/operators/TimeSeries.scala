@@ -596,7 +596,6 @@ object TimeSeries {
   def autocorrelation(df: DataFrame, entityCol: String, tsSecCol: String,
       idCol: String, valueCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
-    val dec = "decimal(38,0)"
     val w = Window.partitionBy(col(entityCol))
       .orderBy(col(tsSecCol), col(idCol))
     val lagged = df
@@ -611,6 +610,19 @@ object TimeSeries {
       .select(col(entityCol), col("_p.lag").as("lag"),
         col("_p.x").as("x"), col("_p.y").as("y"))
       .filter(col("y").isNotNull)
+    pearsonByLag(pairs, entityCol).withColumnRenamed("r", "acf")
+  }
+
+  /** Shared Pearson stage for the lag-pair family ([[autocorrelation]],
+    * [[crossCorrelation]]): `pairs` = (`entityCol`, lag, x, y) with
+    * integer x/y; one (entity, lag) partial agg of exact decimal(38,0)
+    * moments, the correlation once in double, null-guard on the
+    * variance PRODUCT (a zero-variance side makes it exactly 0, and a
+    * >2^53 rounding artifact could make it tiny-negative — sqrt of
+    * which is engine-divergent NaN territory). */
+  private def pearsonByLag(pairs: DataFrame,
+      entityCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val m = pairs.groupBy(col(entityCol), col("lag")).agg(
       count(lit(1)).as("n_pairs"),
       count(lit(1)).cast("double").as("_n"),
@@ -619,9 +631,6 @@ object TimeSeries {
       sum((col("x") * col("y")).cast(dec)).cast("double").as("_sxy"),
       sum((col("x") * col("x")).cast(dec)).cast("double").as("_sxx"),
       sum((col("y") * col("y")).cast(dec)).cast("double").as("_syy"))
-    // guard on the PRODUCT, not the sqrt: a zero-variance side makes it
-    // exactly 0, and a >2^53 rounding artifact could make it (tiny)
-    // negative — sqrt of which is engine-divergent NaN territory
     val prod =
       (col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
         (col("_n") * col("_syy") - col("_sy") * col("_sy"))
@@ -629,7 +638,68 @@ object TimeSeries {
       when(col("n_pairs") < 2 || prod <= 0.0, lit(null).cast("double"))
         .otherwise(
           (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / sqrt(prod))
-        .as("acf"))
+        .as("r"))
+  }
+
+  /** Lead–lag cross-correlation between two event types per entity —
+    * "do purchases FOLLOW views, and by how many buckets?": both types'
+    * values bucket onto one `intervalSec` grid (0-filled — absence is
+    * signal for event intensity), then Pearson between x = `typeA` and
+    * y = `typeB` shifted by each lag in [−`maxLag`, `maxLag`]. A peak
+    * at positive lag means B trails A by that many buckets.
+    *
+    * Same exactness discipline as [[autocorrelation]]: integer-valued
+    * `valueCol` (pre-scaled), exact bucket sums, decimal moments, one
+    * double correlation, variance-product null guard.
+    *
+    * Scale notes (100 TB): the type filter and bucket partial-agg
+    * collapse events to (entity, bucket) BEFORE any window; the grid
+    * explode is bounded per entity by span/interval (the
+    * [[resampleLocf]] bound, never event count); ONE (entity, bucket)
+    * window carries all 2·maxLag+1 shift columns.
+    *
+    * @return (`entityCol`, `lag` −maxLag..maxLag, `n_pairs`, `ccf`). */
+  def crossCorrelation(df: DataFrame, entityCol: String,
+      tsSecCol: String, valueCol: String, typeCol: String,
+      typeA: String, typeB: String, intervalSec: Long,
+      maxLag: Int): DataFrame = {
+    require(intervalSec > 0, "intervalSec must be > 0")
+    require(maxLag >= 1, "maxLag must be >= 1")
+    require(typeA != typeB, "typeA and typeB must differ")
+    val buckets = df
+      .filter(col(tsSecCol).isNotNull &&
+        col(typeCol).isin(typeA, typeB))
+      .select(col(entityCol),
+        expr(s"$tsSecCol div $intervalSec").as("bucket"),
+        col(typeCol).as("_t"), col(valueCol).cast("long").as("_v"))
+      .groupBy(col(entityCol), col("bucket"))
+      .agg(
+        sum(when(col("_t") === typeA, col("_v")).otherwise(0L)).as("xa"),
+        sum(when(col("_t") === typeB, col("_v")).otherwise(0L)).as("xb"))
+    val span = buckets.groupBy(col(entityCol))
+      .agg(min("bucket").as("_b0"), max("bucket").as("_b1"))
+    val grid = span.select(col(entityCol),
+      explode(sequence(col("_b0"), col("_b1"))).as("bucket"))
+    val filled = grid.join(buckets, Seq(entityCol, "bucket"), "left")
+      .select(col(entityCol), col("bucket"),
+        coalesce(col("xa"), lit(0L)).as("xa"),
+        coalesce(col("xb"), lit(0L)).as("xb"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("bucket"))
+    def shifted(h: Int) =
+      if (h > 0) lead(col("xb"), h).over(w)
+      else if (h < 0) lag(col("xb"), -h).over(w)
+      else col("xb")
+    val lags = -maxLag to maxLag
+    val pairs = filled
+      .select(Seq(col(entityCol), col("xa")) ++
+        lags.map(h => shifted(h).as(s"_y$h")): _*)
+      .select(col(entityCol), explode(array(lags.map(h =>
+        struct(lit(h).cast("long").as("lag"), col("xa").as("x"),
+          col(s"_y$h").as("y"))): _*)).as("_p"))
+      .select(col(entityCol), col("_p.lag").as("lag"),
+        col("_p.x").as("x"), col("_p.y").as("y"))
+      .filter(col("y").isNotNull)
+    pearsonByLag(pairs, entityCol).withColumnRenamed("r", "ccf")
   }
 
   /** Dominant-period pick over [[autocorrelation]] — the automated

@@ -39,7 +39,7 @@ object ExplainPlans {
         "q_j7_cooccurrence", "q_st16_holt_winters", "q_x14_kn_ppl",
         "q_v4_benford", "q_v5_scd2", "q_st17_rolling_z",
         "q_st18_dominant_period", "q_v6_ks", "q_v7_chi2",
-        "q_x6l_winsorize")
+        "q_x6l_winsorize", "q_st19_ccf")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -156,6 +156,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re == ls) // exact: same fold order regardless of partitioning
   }
 
+  test("crossCorrelation: a B-trails-A-by-one series peaks at lag +1 " +
+      "with r exactly 1, edges shrink n_pairs, grid 0-fills") {
+    // A at t=0..5 with values 1..6; B identical but shifted one bucket
+    val a = (0L to 5L).map(t => ("u", t, "A", (t + 1).toDouble))
+    val b = (1L to 6L).map(t => ("u", t, "B", t.toDouble))
+    val d = (a ++ b).toDF("entity", "es", "etype", "v")
+    val out = TimeSeries.crossCorrelation(d, "entity", "es", "v",
+        "etype", typeA = "A", typeB = "B", intervalSec = 1L, maxLag = 1)
+      .orderBy("lag").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // grid spans 0..6 (7 buckets, 0-filled at the missing ends)
+    assert(out(0L)._1 == 7L && out(1L)._1 == 6L && out(-1L)._1 == 6L)
+    assert(out(1L)._2 == Some(1.0)) // perfect line — exact moments
+    assert(out(0L)._2.get < 1.0 && out(-1L)._2.get < 1.0)
+    intercept[IllegalArgumentException] {
+      TimeSeries.crossCorrelation(d, "entity", "es", "v", "etype",
+        "A", "A", 1L, 1)
+    }
+  }
+
   test("dominantPeriod: alternator picks 2, integerized tie → smallest " +
       "lag, constant entity drops out, lag-1 excluded") {
     val alt = (1L to 6L).map(i => ("alt", i, i,
