@@ -427,7 +427,39 @@ object Analyze {
       case "knppl" =>
         require(args.docs.nonEmpty, "knppl needs --docs <dir>")
         graft.operators.Relevance.knBigramPerplexity(
-          spark.read.parquet(args.docs), args.idCol, args.textCol)
+          spark.read.parquet(args.docs), args.idCol, args.textCol,
+          ckpt = ckpt)
+      case "ks" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty &&
+          args.valueCol.nonEmpty,
+          "ks needs --docs <previous dir>, --bench <current dir>, " +
+            "--value-col")
+        graft.operators.SnapshotDiff.ksTest(
+          spark.read.parquet(args.docs), spark.read.parquet(args.bench),
+          args.valueCol)
+      case "chi2" =>
+        require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
+          args.itemCol.nonEmpty,
+          "chi2 needs --docs, --group-col, --item-col (the two " +
+            "categorical columns)")
+        graft.operators.Validate.chiSquareIndependence(
+          spark.read.parquet(args.docs), args.groupCol, args.itemCol,
+          ckpt)
+      case "winsorize" =>
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty,
+          "winsorize needs --docs and --value-col")
+        graft.operators.Sampling.winsorize(spark.read.parquet(args.docs),
+          args.valueCol, args.lo, args.hi)
+      case "ccf" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty &&
+          args.stages.size == 2,
+          "ccf needs --docs, --entity-col, --ts-col, --value-col, " +
+            "--type-col, --stages <typeA,typeB>, --interval, --max-lag")
+        graft.operators.TimeSeries.crossCorrelation(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.valueCol, args.typeCol, args.stages.head, args.stages(1),
+          args.intervalSec, args.maxLag)
       case "funnel" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.stages.nonEmpty,

@@ -325,4 +325,35 @@ class AnalyzeSpec extends SparkSpec {
       spark).collect()
     assert(kn.length == 1 && kn.head.getLong(1) == 3L)
   }
+
+  test("ks, chi2, winsorize, and ccf run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w6").toString
+    Seq(1.0, 2.0, 3.0).toDF("v").write.parquet(s"$dir/p")
+    Seq(3.0, 4.0, 5.0).toDF("v").write.parquet(s"$dir/c")
+    val ks = Analyze.run(parse(List("ks", "--docs", s"$dir/p",
+      "--bench", s"$dir/c", "--value-col", "v")), spark).head()
+    assert(ks.getDouble(2) == 6.0 / 9.0)
+
+    Seq(("A", "X"), ("A", "Y"), ("B", "X")).toDF("a", "b")
+      .write.parquet(s"$dir/cat")
+    val c2 = Analyze.run(parse(List("chi2", "--docs", s"$dir/cat",
+      "--group-col", "a", "--item-col", "b")), spark).collect()
+    assert(c2.length == 3)
+
+    (1 to 10).map(_.toDouble).toDF("v").write.parquet(s"$dir/w")
+    val wz = Analyze.run(parse(List("winsorize", "--docs", s"$dir/w",
+      "--value-col", "v", "--lo", "0.1", "--hi", "0.9")), spark)
+      .agg(max("v_w"), min("v_w")).head()
+    assert(wz.getDouble(0) == 9.1 && wz.getDouble(1) == 1.9)
+
+    ((0L to 5L).map(t => ("u", t, "A", (t + 1).toDouble)) ++
+      (1L to 6L).map(t => ("u", t, "B", t.toDouble)))
+      .toDF("m", "es", "etype", "v").write.parquet(s"$dir/ccf")
+    val cc = Analyze.run(parse(List("ccf", "--docs", s"$dir/ccf",
+      "--entity-col", "m", "--ts-col", "es", "--value-col", "v",
+      "--type-col", "etype", "--stages", "A,B", "--interval", "1",
+      "--max-lag", "1")), spark).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(cc(1L) == 1.0)
+  }
 }
