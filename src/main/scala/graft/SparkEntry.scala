@@ -2000,6 +2000,51 @@ object SparkEntry {
       GraphOps.kTruss(edges, k = 4).orderBy("a", "b")
     }),
 
+    // ---- G21: Newman modularity of the 2-round LPA partition on the
+    // part co-occurrence graph — every moment (intra-edge count, degree
+    // sum, |E|) is an exact integer; q_c is two divisions per community,
+    // operand shapes mirrored by the oracle, e6-integerized. ----
+    "q_g21_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      val comm = GraphOps.labelPropagation(edges, iters = 2)
+      GraphOps.modularity(edges, comm)
+        .select(col("community"), col("n_nodes"), col("m_in"),
+          col("d_tot"),
+          floor(col("q_c") * lit(1e6) + lit(0.5)).cast("long")
+            .as("q_e6"))
+        .orderBy("community")
+    }),
+
+    // ---- G22: power-law degree exponent (continuous MLE) on the same
+    // graph — the log-sum is per-term 1e9-integerized over the distinct-
+    // degree histogram and summed exactly, so alpha is partition-order
+    // independent and the oracle rebuilds it bit-for-bit. ----
+    "q_g22_powerlaw" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.powerLawFit(edges)
+        .select(col("n_nodes"), col("d_min"),
+          floor(col("alpha") * lit(1e6) + lit(0.5)).cast("long")
+            .as("alpha_e6"),
+          floor(col("alpha_se") * lit(1e6) + lit(0.5)).cast("long")
+            .as("se_e6"))
+    }),
+
     // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
     // synthesis (dimensions + duration derived from doc_id, container
     // alternating by parity) → ISO-BMFF / RIFF header parse → (container,
@@ -5476,6 +5521,85 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
         |  FROM r2) WHERE rn = 1)
         |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin,
+
+    // Modularity rebuild: the q_g10 LPA unroll verbatim, then exact
+    // integer moments (intra-edge count, degree sums, |E|) and the same
+    // two-division q_c shape ((m_in/m) − (d/(2m))·(d/(2m))), e6.
+    "q_g21_modularity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |r1 AS (SELECT dst AS id, src AS lbl, count(*) AS c
+        |       FROM adj GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (
+        |  SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |  FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT a.dst AS id, l.lbl, count(*) AS c
+        |       FROM adj a JOIN l1 l ON l.id = a.src GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (
+        |  SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |  FROM r2) WHERE rn = 1),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |din AS (
+        |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS m_in
+        |  FROM e JOIN l2 la ON la.id = e.a JOIN l2 lb ON lb.id = e.b
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |dt AS (
+        |  SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg.d) AS BIGINT) AS d_tot
+        |  FROM deg JOIN l2 l ON l.id = deg.id GROUP BY 1)
+        |SELECT dt.community, dt.n_nodes,
+        |  CAST(coalesce(din.m_in, 0) AS BIGINT) AS m_in, dt.d_tot,
+        |  CAST(floor((CAST(coalesce(din.m_in, 0) AS DOUBLE)
+        |      / CAST(m.m AS DOUBLE)
+        |    - (CAST(dt.d_tot AS DOUBLE)
+        |        / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+        |      * (CAST(dt.d_tot AS DOUBLE)
+        |        / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q_e6
+        |FROM dt LEFT JOIN din USING (community), m
+        |ORDER BY community""".stripMargin,
+
+    // Power-law MLE rebuild: distinct-degree histogram, per-term
+    // 1e9-integerized ln summed in HUGEINT (exact, order-free), then
+    // alpha computed once and reused so (alpha − 1) matches Spark's
+    // compute-then-subtract double shape.
+    "q_g22_powerlaw" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+        |h AS (SELECT d, count(*) AS n_d FROM deg WHERE d >= 1 GROUP BY d),
+        |s AS (
+        |  SELECT CAST(sum(n_d) AS BIGINT) AS n_nodes,
+        |    sum(CAST(n_d AS HUGEINT)
+        |      * CAST(floor(ln(CAST(d AS DOUBLE) / CAST(1 AS DOUBLE)) * 1e9
+        |          + CAST(0.5 AS DOUBLE)) AS HUGEINT)) AS s_e9
+        |  FROM h),
+        |a AS (
+        |  SELECT n_nodes,
+        |    CASE WHEN s_e9 = 0 THEN NULL
+        |      ELSE CAST(1 AS DOUBLE) + CAST(n_nodes AS DOUBLE)
+        |        / (CAST(s_e9 AS DOUBLE) / 1e9) END AS alpha
+        |  FROM s)
+        |SELECT n_nodes, CAST(1 AS BIGINT) AS d_min,
+        |  CAST(floor(alpha * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS alpha_e6,
+        |  CAST(floor((alpha - CAST(1 AS DOUBLE))
+        |      / sqrt(CAST(n_nodes AS DOUBLE)) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS se_e6
+        |FROM a""".stripMargin,
 
     "q_g4_triangles" ->
       """WITH li AS (

@@ -1101,4 +1101,105 @@ object GraphOps {
           "or check for a reachable negative cycle.")
     dist
   }
+
+  /** Newman modularity of a node partition: per community `c`,
+    * `q_c = m_c/m − (d_c/(2m))²` where `m_c` counts intra-community
+    * edges, `d_c` sums member degrees, and `m` is the undirected edge
+    * count; the partition's modularity `Q = Σ q_c`. The quality score
+    * for [[labelPropagation]] / [[connectedComponents]] output — "are
+    * these communities denser than a degree-preserving random rewiring
+    * would make them?" (Q ≈ 0 random, 0.3+ strong structure).
+    *
+    * All moments (`m_c`, `d_c`, `m`, community sizes) are exact integer
+    * aggregates; `q_c` is the only floating step, two divisions per
+    * community at the very end. Nodes absent from `communities` are
+    * excluded (inner join) — pass a total labeling for whole-graph Q.
+    *
+    * Scale notes (100 TB): two groupBys over the canonicalized edge
+    * list (degree, intra-edge count) plus one membership join; the
+    * 1-row global `m` broadcasts via crossJoin exactly like
+    * [[degreeAssortativity]]'s moment row. Degree sums accumulate in
+    * decimal(38,0) — `d_c` is bounded by 2m, but non-ANSI long sums
+    * wrap silently and this is the op that runs right after a
+    * trillion-edge community detection.
+    *
+    * @return one row per community: (`community`, `n_nodes`, `m_in`,
+    *         `d_tot`, `q_c`) */
+  def modularity(edges: DataFrame, communities: DataFrame,
+      idCol: String = "id", commCol: String = "community"): DataFrame = {
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val comm = communities.select(col(idCol).as("_cid"),
+      col(commCol).as("_comm"))
+    val labeled = canon
+      .join(comm.withColumnsRenamed(Map("_cid" -> "a", "_comm" -> "_ca")),
+        Seq("a"))
+      .join(comm.withColumnsRenamed(Map("_cid" -> "b", "_comm" -> "_cb")),
+        Seq("b"))
+    val mRow = canon.agg(count(lit(1)).as("_m"))
+    val inEdges = labeled.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as(commCol)).agg(count(lit(1)).as("m_in"))
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("_d"))
+    val dTot = deg
+      .join(comm.withColumnRenamed("_cid", "id"), Seq("id"))
+      .groupBy(col("_comm").as(commCol))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("_d").cast("decimal(38,0)")).cast("long").as("d_tot"))
+    val twoM = lit(2.0) * col("_m").cast("double")
+    dTot.join(inEdges, Seq(commCol), "left")
+      .na.fill(0L, Seq("m_in"))
+      .crossJoin(mRow)
+      .select(col(commCol), col("n_nodes"), col("m_in"), col("d_tot"),
+        (col("m_in").cast("double") / col("_m").cast("double") -
+          (col("d_tot").cast("double") / twoM) *
+          (col("d_tot").cast("double") / twoM)).as("q_c"))
+  }
+
+  /** Continuous-MLE power-law exponent of the degree distribution:
+    * `alpha = 1 + n / Σ ln(d_i/dMin)` over nodes with degree ≥ `dMin`
+    * (Clauset–Shalizi–Newman's estimator), with standard error
+    * `(alpha−1)/√n`. The one-number tail diagnostic that says whether
+    * hub-capping / skew-salting will matter downstream: alpha ≤ 2.5
+    * means the hubs own the graph.
+    *
+    * The log-sum is accumulated EXACTLY: terms collapse onto the tiny
+    * distinct-degree histogram first, each `ln` is integerized to 1e9
+    * per term, and the weighted sum runs in decimal(38,0) — so the
+    * result is independent of partition/merge order (a raw double sum
+    * over a million nodes is not).
+    *
+    * Scale notes (100 TB): one degree groupBy (map-side combined), one
+    * groupBy onto the distinct-degree histogram (thousands of rows at
+    * any scale), one 1-row aggregate. Nothing edge-sized shuffles twice.
+    *
+    * @return one row: (`n_nodes`, `d_min`, `alpha`, `alpha_se`); alpha
+    *         is null when every degree equals `dMin` (zero log-mass). */
+  def powerLawFit(edges: DataFrame, dMin: Long = 1L): DataFrame = {
+    require(dMin >= 1L, "dMin must be >= 1")
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val hist = deg.filter(col("d") >= dMin)
+      .groupBy("d").agg(count(lit(1)).as("n_d"))
+    val lnE9 = floor(
+      log(col("d").cast("double") / lit(dMin.toDouble)) * lit(1e9) +
+        lit(0.5)).cast("decimal(38,0)")
+    val m = hist.agg(
+      sum(col("n_d").cast("decimal(38,0)")).cast("long").as("n_nodes"),
+      sum(col("n_d").cast("decimal(38,0)") * lnE9).as("_s_e9"))
+    m.select(col("n_nodes"), lit(dMin).as("d_min"),
+        when(col("_s_e9") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) + col("n_nodes").cast("double") /
+            (col("_s_e9").cast("double") / lit(1e9))).as("alpha"))
+      .withColumn("alpha_se",
+        (col("alpha") - lit(1.0)) / sqrt(col("n_nodes").cast("double")))
+  }
 }

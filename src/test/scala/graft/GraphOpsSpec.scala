@@ -686,4 +686,56 @@ class GraphOpsSpec extends SparkSpec {
         returnWeight = 0L)
     }
   }
+
+  test("modularity: disjoint triangles closed form, trivial partition " +
+    "zero, cut edges penalize, unlabeled nodes excluded") {
+    // two disjoint triangles, partition = the components:
+    // m = 6, per community m_c = 3, d_c = 6 → q_c = 3/6 − (6/12)² = 0.25
+    val tri2 = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L)).toDF("start_id", "end_id")
+    val parts = Seq((0L, 10L), (1L, 10L), (2L, 10L),
+      (3L, 20L), (4L, 20L), (5L, 20L)).toDF("id", "community")
+    val out = GraphOps.modularity(tri2, parts).orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq((10L, 3L, 3L, 6L, 0.25), (20L, 3L, 3L, 6L, 0.25)))
+    // the all-in-one partition always scores exactly 0
+    val one = parts.select($"id", lit(7L).as("community"))
+    assert(GraphOps.modularity(tri2, one).collect()
+      .map(_.getDouble(4)).toSeq == Seq(0.0))
+    // a single cut edge with singleton communities: m_in = 0 each,
+    // q_c = 0 − (1/2)² = −0.25 (Q = −0.5, the anti-community worst case)
+    val cut = Seq((0L, 1L)).toDF("start_id", "end_id")
+    val singletons = Seq((0L, 0L), (1L, 1L)).toDF("id", "community")
+    assert(GraphOps.modularity(cut, singletons).orderBy("community")
+      .collect().map(r => (r.getLong(2), r.getDouble(4))).toSeq ==
+      Seq((0L, -0.25), (0L, -0.25)))
+    // nodes missing from the labeling drop out (inner membership join)
+    assert(GraphOps.modularity(tri2, parts.filter($"id" < 3))
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("powerLawFit: star closed form, dMin filter, degree-regular " +
+    "graph yields null alpha") {
+    // star 0–{1,2,3,4}: degrees 4,1,1,1,1 → Σ ln d = ln 4 (per-term
+    // e9-integerized), alpha = 1 + 5/ln4, se = (alpha−1)/√5
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("start_id", "end_id")
+    val r = GraphOps.powerLawFit(star).collect().head
+    val ln4e9 = math.floor(math.log(4.0 / 1.0) * 1e9 + 0.5)
+    val alpha = 1.0 + 5.0 / (ln4e9 / 1e9)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == alpha)
+    assert(r.getDouble(3) == (alpha - 1.0) / math.sqrt(5.0))
+    // dMin = 2 keeps only the center (d=4): alpha = 1 + 1/ln(4/2)
+    val r2 = GraphOps.powerLawFit(star, dMin = 2L).collect().head
+    val ln2e9 = math.floor(math.log(4.0 / 2.0) * 1e9 + 0.5)
+    assert(r2.getLong(0) == 1L &&
+      r2.getDouble(2) == 1.0 + 1.0 / (ln2e9 / 1e9))
+    // every degree equal to dMin → zero log-mass → null (undefined MLE)
+    val cycle = Seq((0L, 1L), (1L, 0L)).toDF("start_id", "end_id")
+    val r3 = GraphOps.powerLawFit(cycle).collect().head
+    assert(r3.getLong(0) == 2L && r3.isNullAt(2) && r3.isNullAt(3))
+    intercept[IllegalArgumentException](GraphOps.powerLawFit(star, 0L))
+  }
 }
