@@ -547,6 +547,19 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- ST20: daily cohort retention over events — cohort/age/count
+    // cells are pure integer epoch arithmetic; the retention ratio is the
+    // single floating division, e6-integerized ----
+    "q_st20_cohort" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"))
+      Funnel.cohortRetention(e, "user_id", "es", bucketSec = 86400L)
+        .select(col("cohort"), col("age"), col("n_active"),
+          floor(col("retention") * lit(1e6) + lit(0.5)).cast("long")
+            .as("ret_e6"))
+        .orderBy("cohort", "age")
+    }),
+
     // ---- V3: PSI distribution drift between the even- and odd-id halves
     // of the events table (a deterministic two-snapshot split); per-bin
     // contribution e6-integerized, counts exact ----
@@ -6253,6 +6266,26 @@ object SparkEntry {
         |FROM ls
         |WHERE f[1] != -1
         |ORDER BY user_id""".stripMargin,
+
+    // Cohort rebuild: distinct (user, week) pairs, per-user min week,
+    // exact cell counts; the age-0 cell is the denominator, one double
+    // division, e6.
+    "q_st20_cohort" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS ent,
+        |    ((epoch_ns(ts) // 1000000000) // 86400) AS bk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT ent, min(bk) AS ck FROM b GROUP BY 1),
+        |a AS (
+        |  SELECT c.ck AS cohort, b.bk - c.ck AS age,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM b JOIN c USING (ent) GROUP BY 1, 2),
+        |s AS (SELECT cohort, n_active AS n0 FROM a WHERE age = 0)
+        |SELECT a.cohort, a.age, a.n_active,
+        |  CAST(floor(CAST(a.n_active AS DOUBLE) / CAST(s.n0 AS DOUBLE)
+        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ret_e6
+        |FROM a JOIN s USING (cohort)
+        |ORDER BY cohort, age""".stripMargin,
 
     // PSI rebuild: identical bin expression (clamped fixed-width over
     // [0, 500)), add-one-smoothed shares as two double divisions, one

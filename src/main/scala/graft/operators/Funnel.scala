@@ -84,4 +84,51 @@ object Funnel {
         element_at(col("stage_ts"), col("max_stage").cast("int")))
       .withColumn("dur_sec", col("t_last") - col("t_first"))
   }
+
+  /** Cohort retention matrix: entities are cohorted by the time bucket
+    * of their FIRST event (`cohort = min(ts div bucketSec)`), and each
+    * cell counts how many of them were active again `age` buckets later
+    * — the "week-N retention" table behind every activation dashboard,
+    * and for corpus curation the recurrence filter ("keep entities
+    * still active k periods after first sight").
+    *
+    * Everything is integer arithmetic (epoch-second `div`, exact
+    * distinct counts); `retention = n_active / cohort_size` is the one
+    * floating division, computed last. The age-0 cell is the cohort
+    * size by construction (an entity is always active in its own first
+    * bucket), so retention at age 0 is exactly 1.0.
+    *
+    * Scale notes (100 TB event tables): (entity, bucket) pairs dedupe
+    * with a partial-aggregated distinct BEFORE anything joins, so the
+    * shuffled volume is active-entity-buckets, not raw events; the
+    * cohort min and the join back are both entity-keyed (one shuffle
+    * partitioning reused), and the cohort-size denominator rides a
+    * cohort-partitioned window over the already-aggregated matrix
+    * (thousands of rows) — the raw table is scanned once.
+    *
+    * @param bucketSec cohort/activity bucket width in seconds (default
+    *                  one week).
+    * @return (`cohort`, `age`, `n_active`, `retention`) — `cohort` in
+    *         bucket units (epoch-sec div `bucketSec`), one row per
+    *         (cohort, age) with ≥1 active entity. */
+  def cohortRetention(df: DataFrame, entityCol: String, tsSecCol: String,
+      bucketSec: Long = 604800L): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be > 0")
+    val b = df
+      .filter(col(entityCol).isNotNull && col(tsSecCol).isNotNull)
+      .select(col(entityCol).as("_ent"),
+        expr(s"CAST($tsSecCol AS BIGINT) div $bucketSec").as("_bk"))
+      .distinct()
+    val cohort = b.groupBy("_ent").agg(min(col("_bk")).as("_ck"))
+    val aged = b.join(cohort, Seq("_ent"))
+      .groupBy(col("_ck").as("cohort"), (col("_bk") - col("_ck")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+    aged
+      .withColumn("_n0",
+        max(when(col("age") === 0, col("n_active"))).over(w))
+      .select(col("cohort"), col("age"), col("n_active"),
+        (col("n_active").cast("double") / col("_n0").cast("double"))
+          .as("retention"))
+  }
 }

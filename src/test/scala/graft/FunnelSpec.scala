@@ -79,4 +79,36 @@ class FunnelSpec extends SparkSpec {
       Funnel.windowFunnel(d, "user", "es", "eid", "etype", Nil, 10L)
     }
   }
+
+  test("cohortRetention: hand-built two-cohort matrix, same-bucket " +
+    "dedup, null rows dropped, age-0 retention exactly 1.0") {
+    val day = 86400L
+    def at(d: Long, off: Long = 12L) = d * day + off
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      // cohort day-0: A active d0,d1,d2 (d0 twice — must dedupe),
+      // B active d0,d2; C active d0 only
+      (1L, at(0)), (1L, at(0, 99L)), (1L, at(1)), (1L, at(2)),
+      (2L, at(0)), (2L, at(2)),
+      (3L, at(0)),
+      // cohort day-1: D active d1,d3
+      (4L, at(1)), (4L, at(3)),
+      // noise: null entity / null ts rows are filtered out
+      (null, at(0)), (5L, null))
+      .toDF("user", "es")
+    val out = Funnel.cohortRetention(rows, "user", "es", bucketSec = day)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      (0L, 0L) -> (3L, 1.0),
+      (0L, 1L) -> (1L, 1.0 / 3.0),
+      (0L, 2L) -> (2L, 2.0 / 3.0),
+      (1L, 0L) -> (1L, 1.0),
+      (1L, 2L) -> (1L, 1.0)))
+    // user 5 (null ts only) contributes no cohort anywhere
+    assert(!out.keySet.exists(_._1 > 1L))
+    intercept[IllegalArgumentException] {
+      Funnel.cohortRetention(rows, "user", "es", bucketSec = 0L)
+    }
+  }
 }
