@@ -1501,6 +1501,18 @@ object SparkEntry {
           col("at_value"))
     }),
 
+    // ---- V8: Gini concentration of events-per-user — rank-sum moments
+    // collapse onto the distinct-count histogram and sum exactly in
+    // decimal(38,0); the coefficient is ONE double division, e6 ----
+    "q_v8_gini" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      Validate.gini(perUser, "n_events")
+        .select(col("n"), col("total"),
+          floor(col("gini") * lit(1e6) + lit(0.5)).cast("long")
+            .as("gini_e6"))
+    }),
+
     // ---- V4: Benford first-digit audit over milli-integerized prices —
     // digit from the INTEGER's decimal string (portable where float
     // formatting and log10-at-power-boundaries are not) ----
@@ -4855,6 +4867,32 @@ object SparkEntry {
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e6,
         |  v AS at_value
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // Gini rebuild: per-user counts → value histogram → strictly-smaller
+    // cumulative window, rank-run moments in HUGEINT ((c·lt + c(c+1)/2)
+    // per distinct value), one double division, e6.
+    "q_v8_gini" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS v FROM events GROUP BY 1),
+        |h AS (SELECT v, count(*) AS c FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM h),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * CAST(v AS HUGEINT)) AS t,
+        |    sum(CAST(v AS HUGEINT)
+        |      * (CAST(c AS HUGEINT) * CAST(lt AS HUGEINT)
+        |        + (CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1)) // 2))
+        |      AS s1
+        |  FROM r)
+        |SELECT n, CAST(t AS BIGINT) AS total,
+        |  CAST(floor(CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * t AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * t AS DOUBLE) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS gini_e6
+        |FROM s""".stripMargin,
 
     // Benford rebuild: identical milli-integerization, leading digit
     // via integer-to-VARCHAR substr, expected/χ² operand shapes

@@ -282,4 +282,52 @@ object Validate {
           .as("p_observed"),
         (dev * dev / (col("_N").cast("double") * pExp)).as("chi2"))
   }
+
+  /** Gini coefficient of a non-negative integer-valued column — the
+    * concentration audit ("do 1% of the domains own 90% of the tokens?")
+    * that decides whether a corpus needs [[Sampling]] domain caps before
+    * training. 0 = perfectly even, → 1 = one row owns everything.
+    *
+    * Uses the rank-sum identity `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`
+    * but NEVER ranks the raw rows: equal values occupy a contiguous rank
+    * run, so each distinct value `v` (count `c`, `lt` rows strictly
+    * smaller) contributes `v·(c·lt + c(c+1)/2)` — an exact decimal(38,0)
+    * sum over the value histogram. The single floating division happens
+    * last, making the result partition-order independent and
+    * oracle-reproducible. Ties need no tiebreak: any permutation within
+    * an equal-value run has the same rank sum.
+    *
+    * Scale notes (100 TB): one map-side-combined groupBy collapses the
+    * data onto its distinct-value histogram; the cumulative window runs
+    * over THAT (thousands of rows for integer metrics, never data-sized
+    * — same shape as the KS statistic's cumulative table). Callers with
+    * fractional metrics pre-integerize (milli-scale) per the engine's
+    * float convention.
+    *
+    * @return one row: (`n`, `total`, `gini`); gini is null for an empty
+    *         input or an all-zero column (undefined mean). */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = hist.withColumn("_lt",
+      coalesce(sum(col("_c")).over(w), lit(0L)))
+    val c = col("_c").cast(dec)
+    val s1Term = col("_v").cast(dec) *
+      (c * col("_lt").cast(dec) + (c * (c + lit(1))).cast(dec) / 2)
+    val agg = ranked.agg(
+      sum(col("_c").cast(dec)).cast("long").as("n"),
+      sum(col("_c").cast(dec) * col("_v").cast(dec)).as("_t"),
+      sum(s1Term.cast(dec)).as("_s1"))
+    agg.select(col("n"), col("_t").cast("long").as("total"),
+      when(col("n") === 0 || col("_t") === 0, lit(null).cast("double"))
+        .otherwise(
+          (lit(2).cast(dec) * col("_s1") -
+            (col("n") + 1).cast(dec) * col("_t")).cast("double") /
+          (col("n").cast(dec) * col("_t")).cast("double"))
+        .as("gini"))
+  }
 }

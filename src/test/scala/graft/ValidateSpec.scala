@@ -154,4 +154,25 @@ class ValidateSpec extends SparkSpec {
     val p3 = math.log10(1.0 + 1.0 / 3)
     assert(math.abs(out(2).getDouble(4) - 4.0 * p3) < 1e-12)
   }
+
+  test("gini: uniform is 0, single-owner is (n−1)/n, tied ranks exact, " +
+    "all-zero column undefined") {
+    import spark.implicits._
+    def g(vs: Seq[Long]) =
+      Validate.gini(vs.toDF("v"), "v").collect().head
+    val even = g(Seq(5L, 5L, 5L, 5L))
+    assert(even.getLong(0) == 4L && even.getLong(1) == 20L &&
+      even.getDouble(2) == 0.0)
+    // one row owns everything: G = (2·40 − 5·10)/(4·10) = 0.75
+    val solo = g(Seq(0L, 0L, 0L, 10L))
+    assert(solo.getDouble(2) == 0.75)
+    // ties occupy a contiguous rank run: [1,1,2] → (2·9 − 4·4)/(3·4)
+    assert(g(Seq(1L, 1L, 2L)).getDouble(2) == 2.0 / 12.0)
+    // shuffling partitions cannot move the exact moments
+    val shuffled = Validate.gini(
+      Seq(1L, 1L, 2L).toDF("v").repartition(7), "v").collect().head
+    assert(shuffled.getDouble(2) == 2.0 / 12.0)
+    // all-zero mass: mean undefined → null
+    assert(g(Seq(0L, 0L)).isNullAt(2))
+  }
 }
