@@ -992,6 +992,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X4s: Flesch readability — exact regex-run counts (words /
+    // sentence marks / vowel groups, RE2-portable classes), the two
+    // classic scores e4-integerized ----
+    "q_x4s_readability" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), GF.reading_ease(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          floor(col("r.flesch") * lit(1e4) + lit(0.5)).cast("long")
+            .as("flesch_e4"),
+          floor(col("r.fk_grade") * lit(1e4) + lit(0.5)).cast("long")
+            .as("fk_e4"))
+        .orderBy("doc_id")),
+
     // ---- X7: benchmark decontamination — corpus docs sharing trigram
     // shingles with a held-out "benchmark" slice (doc_id % 97 == 0) ----
     "q_x7_decontaminate" -> ((s, dir) => {
@@ -4192,6 +4208,33 @@ object SparkEntry {
         |      array_length(regexp_split_to_array(trim(dirty), '\s+'))
         |  END, 6) AS rep_ratio
         |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // Readability rebuild: identical RE2-safe run patterns, exact
+    // counts, score shapes mirrored term-for-term ((206.835 − 1.015·ws)
+    // − 84.6·yw; (0.39·ws + 11.8·yw) − 15.59), e4.
+    "q_x4s_readability" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, s, y,
+        |    CAST(w AS DOUBLE) / CAST(s AS DOUBLE) AS ws,
+        |    CAST(y AS DOUBLE) / CAST(w AS DOUBLE) AS yw
+        |  FROM r)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences, CAST(y AS BIGINT) AS n_syllables,
+        |  CASE WHEN w = 0 THEN NULL ELSE
+        |    CAST(floor((CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * ws
+        |      - CAST(84.6 AS DOUBLE) * yw) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS flesch_e4,
+        |  CASE WHEN w = 0 THEN NULL ELSE
+        |    CAST(floor((CAST(0.39 AS DOUBLE) * ws + CAST(11.8 AS DOUBLE) * yw
+        |      - CAST(15.59 AS DOUBLE)) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS fk_e4
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Portable JL projection: ±1 sign = parity of md5-48("42:i,j"),
     // out_j = Σᵢ ±xᵢ · (1/√16), rounded through FLOAT exactly as the

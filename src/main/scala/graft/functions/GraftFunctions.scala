@@ -148,6 +148,38 @@ object GraftFunctions {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
   }
 
+  /** Flesch readability over engine-portable counts: words are
+    * alphabetic runs, sentences are `[.!?]+` runs (min 1), "syllables"
+    * the standard vowel-group proxy (`[aeiouy]+` runs, lowercased) —
+    * the classic curation signal for "is this prose a human could read
+    * or tag soup / legalese?" (CCNet buckets by an LM; this is the
+    * model-free sibling). All three counts are exact integers from
+    * codegen'd `regexp_extract_all`, kept RE2-compatible (plain classes,
+    * no lookarounds) so any engine re-auditing the corpus reproduces
+    * them; the two scores are a handful of double ops on top.
+    *
+    * @return struct (`n_words`, `n_sentences`, `n_syllables`, `flesch`,
+    *         `fk_grade`); scores are null for wordless text. Flesch
+    *         reading ease ≈ 90+ grade-school, < 30 academic;
+    *         Flesch–Kincaid grade is the US school-grade form. */
+  def reading_ease(c: Column): Column = {
+    val words = size(regexp_extract_all(c, lit("[A-Za-z]+"), lit(0)))
+    val sents = greatest(
+      size(regexp_extract_all(c, lit("[.!?]+"), lit(0))), lit(1))
+    val sylls = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
+    val ws = words.cast("double") / sents.cast("double")
+    val yw = sylls.cast("double") / words.cast("double")
+    val flesch = lit(206.835) - lit(1.015) * ws - lit(84.6) * yw
+    val grade = lit(0.39) * ws + lit(11.8) * yw - lit(15.59)
+    struct(words.cast("long").as("n_words"),
+      sents.cast("long").as("n_sentences"),
+      sylls.cast("long").as("n_syllables"),
+      when(words === 0, lit(null).cast("double")).otherwise(flesch)
+        .as("flesch"),
+      when(words === 0, lit(null).cast("double")).otherwise(grade)
+        .as("fk_grade"))
+  }
+
   /** Within-document token repetition ∈ [0,1]: 1 − |distinct tokens| /
     * |tokens| (0 for empty text) — the Gopher-style boilerplate signal
     * (navigation bars and spam repeat; prose doesn't). */

@@ -127,6 +127,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3) == "see v1.[IP]")
   }
 
+  test("reading_ease: hand-computed Flesch/FK closed form, sentence " +
+    "clamp, wordless text null") {
+    val rows = Seq(
+      "The cat sat. It ran!",  // 5 words, 2 sentence runs, 5 vowel groups
+      "no punctuation here",   // sentence count clamps to 1
+      "123 !!!")               // wordless → null scores
+      .toDF("s").select(GF.reading_ease(col("s")).as("r"))
+      .select("r.n_words", "r.n_sentences", "r.n_syllables", "r.flesch",
+        "r.fk_grade").collect()
+    assert(rows(0).getLong(0) == 5L && rows(0).getLong(1) == 2L &&
+      rows(0).getLong(2) == 5L)
+    val ws = 5.0 / 2.0
+    val yw = 5.0 / 5.0
+    assert(rows(0).getDouble(3) == 206.835 - 1.015 * ws - 84.6 * yw)
+    assert(rows(0).getDouble(4) == 0.39 * ws + 11.8 * yw - 15.59)
+    assert(rows(1).getLong(1) == 1L)
+    assert(rows(2).getLong(0) == 0L && rows(2).isNullAt(3) &&
+      rows(2).isNullAt(4))
+  }
+
   test("repetition_ratio: repeats score high, unique prose zero, empty zero") {
     val out = Seq("buy now buy now buy now", "all tokens here differ", "", "x")
       .toDF("s").select(GF.repetition_ratio(col("s"))).as[Double].collect()
