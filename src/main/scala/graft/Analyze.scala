@@ -43,6 +43,20 @@ import graft.operators.{Curation, GraphOps}
   *               (hub/authority scores, L1-normalized)
   *   mis         --edges <dir> [--hash-seed S] [-o <outDir>]
   *               (deterministic Luby maximal independent set)
+  *   modularity  --edges <dir> [--target <communities dir>]
+  *               [--iterations N] [-o <outDir>]
+  *               (Newman Q per community; scores a stored (id,
+  *               community) parquet, or runs LPA in-line first)
+  *   powerlaw    --edges <dir> [--min-count DMIN] [-o <outDir>]
+  *               (MLE degree-tail exponent alpha + standard error)
+  *   cohort      --docs <dir> --entity-col e --ts-col t
+  *               [--interval SEC] [-o <outDir>]
+  *               (retention matrix; ts must be epoch seconds —
+  *               86400 daily, 604800 weekly buckets)
+  *   gini        --docs <dir> --value-col v [-o <outDir>]
+  *               (concentration coefficient; integer-valued column)
+  *   readability --docs <dir> [--text-col text] [--id-col doc_id]
+  *               [-o <outDir>]  (Flesch / FK grade per doc)
   *   resample    --docs <dir> --entity-col e --ts-col t --value-col v
   *               [--interval SEC] [--mode locf|interp] [-o <outDir>]
   *               (regular-grid resample; ts must be epoch seconds)
@@ -284,6 +298,37 @@ object Analyze {
       case "hits" => GraphOps.hits(edges, args.iterations, ckpt = ckpt)
       case "mis" =>
         GraphOps.maximalIndependentSet(edges, args.hashSeed, ckpt = ckpt)
+      case "modularity" =>
+        // score a stored partition (--target, an (id, community) parquet)
+        // or label in-line first: the LPA-then-score one-liner
+        val communities =
+          if (args.target.nonEmpty) spark.read.parquet(args.target)
+          else GraphOps.labelPropagation(edges, args.iterations, ckpt)
+        GraphOps.modularity(edges, communities)
+      case "powerlaw" =>
+        GraphOps.powerLawFit(edges, dMin = args.minCount)
+      case "cohort" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty,
+          "cohort needs --docs, --entity-col, --ts-col (epoch seconds); " +
+            "--interval sets the bucket width (86400 daily, 604800 weekly)")
+        graft.operators.Funnel.cohortRetention(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.intervalSec)
+      case "gini" =>
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty,
+          "gini needs --docs and --value-col (integer-valued — " +
+            "pre-scale floats)")
+        graft.operators.Validate.gini(spark.read.parquet(args.docs),
+          args.valueCol)
+      case "readability" =>
+        require(args.docs.nonEmpty, "readability needs --docs <dir>")
+        spark.read.parquet(args.docs)
+          .select(col(args.idCol),
+            graft.functions.GraftFunctions.reading_ease(col(args.textCol))
+              .as("_r"))
+          .select(col(args.idCol), col("_r.n_words"), col("_r.n_sentences"),
+            col("_r.n_syllables"), col("_r.flesch"), col("_r.fk_grade"))
       case "resample" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.valueCol.nonEmpty,

@@ -356,4 +356,42 @@ class AnalyzeSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getDouble(3)).toMap
     assert(cc(1L) == 1.0)
   }
+
+  test("modularity, powerlaw, cohort, gini, and readability run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w7").toString
+    // two disjoint triangles: LPA-in-line and stored-partition paths
+    Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("start_id", "end_id").write.parquet(s"$dir/edges")
+    Seq((0L, 9L), (1L, 9L), (2L, 9L), (3L, 8L), (4L, 8L), (5L, 8L))
+      .toDF("id", "community").write.parquet(s"$dir/comm")
+    val q = Analyze.run(parse(List("modularity", "--edges", s"$dir/edges",
+      "--target", s"$dir/comm")), spark).collect()
+    assert(q.map(_.getDouble(4)).toSeq == Seq(0.25, 0.25))
+    val qInline = Analyze.run(parse(List("modularity", "--edges",
+      s"$dir/edges", "--iterations", "2")), spark)
+      .agg(sum("q_c")).head().getDouble(0)
+    assert(qInline == 0.5) // LPA finds the triangles themselves
+
+    val pl = Analyze.run(parse(List("powerlaw", "--edges", s"$dir/edges")),
+      spark).head()
+    assert(pl.getLong(0) == 6L && pl.getDouble(2) > 1.0)
+
+    Seq((1L, 0L), (1L, 86400L), (2L, 10L)).toDF("u", "es")
+      .write.parquet(s"$dir/ev")
+    val coh = Analyze.run(parse(List("cohort", "--docs", s"$dir/ev",
+      "--entity-col", "u", "--ts-col", "es", "--interval", "86400")), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(coh == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L))
+
+    Seq(0L, 0L, 10L).toDF("v").write.parquet(s"$dir/g")
+    val gi = Analyze.run(parse(List("gini", "--docs", s"$dir/g",
+      "--value-col", "v")), spark).head()
+    assert(gi.getDouble(2) == 2.0 / 3.0)
+
+    Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    val re = Analyze.run(parse(List("readability", "--docs", s"$dir/docs")),
+      spark).head()
+    assert(re.getLong(1) == 5L && re.getLong(2) == 2L)
+  }
 }
