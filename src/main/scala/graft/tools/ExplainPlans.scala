@@ -39,7 +39,10 @@ object ExplainPlans {
         "q_j7_cooccurrence", "q_st16_holt_winters", "q_x14_kn_ppl",
         "q_v4_benford", "q_v5_scd2", "q_st17_rolling_z",
         "q_st18_dominant_period", "q_v6_ks", "q_v7_chi2",
-        "q_x6l_winsorize", "q_st19_ccf")
+        "q_x6l_winsorize", "q_st19_ccf",
+        // round-6 sixth-wave additions
+        "q_g21_modularity", "q_g22_powerlaw", "q_st20_cohort",
+        "q_v8_gini", "q_x4s_readability")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
