@@ -175,5 +175,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val cap = if (exprs.length > 2) lit(2) else 4096
         TopKFreq(exprs.head, cap, lit(1))
       }))
+    ext.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch",
+        "cms_sketch(item, depth, width) - Count-Min sketch: depth x width " +
+          "counter matrix with one-sided point-frequency error."),
+      exprs => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"cms_sketch takes (item, depth, width), got ${exprs.length} " +
+              "argument(s)")
+        def lit(i: Int): Int = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            try v.toString.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"cms_sketch argument ${i + 1} must be an integer literal, " +
+                  s"got: $v")
+            }
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch argument ${i + 1} must be a literal, got: $other")
+        }
+        CmsSketch(exprs.head, lit(1), lit(2))
+      }))
   }
 }

@@ -560,6 +560,18 @@ object SparkEntry {
         .orderBy("cohort", "age")
     }),
 
+    // ---- ST21: gap-based sessionization of the events stream (1-hour
+    // silence closes a session) — boundaries, counts, and durations are
+    // pure integer epoch arithmetic over a (ts, id) total order ----
+    "q_st21_sessionize" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"))
+      Funnel.sessionStats(e, "user_id", "es", "event_id", gapSec = 3600L)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("t_start"), col("t_end"), col("dur_sec"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // ---- V3: PSI distribution drift between the even- and odd-id halves
     // of the events table (a deterministic two-snapshot split); per-bin
     // contribution e6-integerized, counts exact ----
@@ -1335,6 +1347,37 @@ object SparkEntry {
         .select(col("e.item").as("item"), col("e.min_count").as("n"))
         .orderBy(col("n").desc, col("item"))),
 
+    // ---- X15: Count-Min sketch over document tokens (portable md5-48
+    // rows, depth 3 × width 64) — every counter cell rebuilt in SQL, so
+    // the green row certifies the sketch bit-for-bit ----
+    "q_x15_cms" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .agg(GF.cms_sketch(col("tk"), depth = 3, width = 64, seed = 7L,
+          portable = true).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("d", "row")))
+        .select(col("d"), posexplode(col("row")).as(Seq("b", "cnt")))
+        .orderBy("d", "b")),
+
+    // ---- X15b: CMS point estimates for the 20 most frequent tokens —
+    // the min-over-rows probe runs column-side (element_at + least, no
+    // UDF) against the broadcast sketch; estimates are upper bounds,
+    // and the oracle recomputes them exactly ----
+    "q_x15b_cms_estimate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
+      val sk = toks.agg(GF.cms_sketch(col("tk"), depth = 3, width = 64,
+        seed = 7L, portable = true).as("sk"))
+      toks.groupBy("tk").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("tk")).limit(20)
+        .crossJoin(broadcast(sk))
+        .select(col("tk"), col("true_n"),
+          graft.functions.CmsSketch.estimateCol(col("sk"), col("tk"),
+            depth = 3, width = 64, seed = 7L, portable = true)
+            .as("est_n"))
+        .orderBy(col("true_n").desc, col("tk"))
+    }),
+
     // ---- X4g: Gopher-style hard quality rules — per-rule booleans so a
     // pipeline can log WHY a doc was dropped. minWords=20 fits the
     // synthetic corpus' length distribution (the default 50 is for web
@@ -1515,6 +1558,40 @@ object SparkEntry {
           floor(col("d_stat") * lit(1e6) + lit(0.5)).cast("long")
             .as("d_e6"),
           col("at_value"))
+    }),
+
+    // ---- V9: Welch unequal-variance t-test between the even/odd event
+    // halves over milli-integerized values — moments exact in
+    // decimal(38,0), t/df a fixed double-op chain, e4 ----
+    "q_v9_welch_t" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      SnapshotDiff.welchT(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1), "v")
+        .select(col("n_prev"), col("n_cur"),
+          floor(col("mean_prev") * lit(1e4) + lit(0.5)).cast("long")
+            .as("mp_e4"),
+          floor(col("mean_cur") * lit(1e4) + lit(0.5)).cast("long")
+            .as("mc_e4"),
+          floor(col("t_stat") * lit(1e4) + lit(0.5)).cast("long")
+            .as("t_e4"),
+          floor(col("df") * lit(1e4) + lit(0.5)).cast("long")
+            .as("df_e4"))
+    }),
+
+    // ---- V10: Mann–Whitney U rank test on the same split — rank-run
+    // arithmetic exact on the distinct-value histogram (2·U1 is an
+    // integer), z the single float, e4 ----
+    "q_v10_mannwhitney" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      SnapshotDiff.mannWhitneyU(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1), "v")
+        .select(col("n_prev"), col("n_cur"), col("u2_stat"),
+          floor(col("z_stat") * lit(1e4) + lit(0.5)).cast("long")
+            .as("z_e4"))
     }),
 
     // ---- V8: Gini concentration of events-per-user — rank-sum moments
@@ -4514,6 +4591,58 @@ object SparkEntry {
         |SELECT tk AS item, count(*) AS n FROM tok GROUP BY tk
         |ORDER BY n DESC, item LIMIT 10""".stripMargin,
 
+    // CMS rebuild: every (row, bucket) counter = count of tokens whose
+    // md5-48 under seed 7+d lands in the bucket — the exact portable-
+    // hash contract, zero-filled over the full depth × width grid.
+    "q_x15_cms" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |h AS (
+        |  SELECT dd.d,
+        |    CAST(concat('0x', substr(md5(concat(
+        |      CAST(7 + dd.d AS VARCHAR), ':', tk)), 1, 12)) AS BIGINT)
+        |      % 64 AS b
+        |  FROM tok, (SELECT unnest(range(3)) AS d) dd),
+        |c AS (SELECT d, b, count(*) AS n FROM h GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dd.d, bb.b
+        |  FROM (SELECT unnest(range(3)) AS d) dd,
+        |    (SELECT unnest(range(64)) AS b) bb)
+        |SELECT CAST(grid.d AS INTEGER) AS d, CAST(grid.b AS INTEGER)
+        |    AS b,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS cnt
+        |FROM grid LEFT JOIN c USING (d, b)
+        |ORDER BY d, b""".stripMargin,
+
+    // CMS estimate rebuild: same counters, min over the three probed
+    // cells per top-20 token — certifies the column-side probe path.
+    "q_x15b_cms_estimate" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |h AS (
+        |  SELECT dd.d,
+        |    CAST(concat('0x', substr(md5(concat(
+        |      CAST(7 + dd.d AS VARCHAR), ':', tk)), 1, 12)) AS BIGINT)
+        |      % 64 AS b
+        |  FROM tok, (SELECT unnest(range(3)) AS d) dd),
+        |c AS (SELECT d, b, count(*) AS n FROM h GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tk, count(*) AS true_n FROM tok GROUP BY 1
+        |  ORDER BY true_n DESC, tk LIMIT 20),
+        |probe AS (
+        |  SELECT top.tk, top.true_n, dd.d,
+        |    CAST(concat('0x', substr(md5(concat(
+        |      CAST(7 + dd.d AS VARCHAR), ':', top.tk)), 1, 12)) AS BIGINT)
+        |      % 64 AS b
+        |  FROM top, (SELECT unnest(range(3)) AS d) dd)
+        |SELECT tk, CAST(true_n AS BIGINT) AS true_n,
+        |  CAST(min(c.n) AS BIGINT) AS est_n
+        |FROM probe JOIN c USING (d, b)
+        |GROUP BY tk, true_n
+        |ORDER BY true_n DESC, tk""".stripMargin,
+
     // Rule inputs recomputed in SQL from the same definitions the fused
     // kernel uses: whitespace tokens, non-ws char count, ASCII punct
     // class, lowercased-whole-token stopword hits.
@@ -4910,6 +5039,93 @@ object SparkEntry {
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e6,
         |  v AS at_value
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // Welch rebuild: identical milli-integerization, exact HUGEINT
+    // moments per half, then the same double chain — (q − s²/n)/(n−1)
+    // variances, se², t, Welch–Satterthwaite df — operand for operand.
+    "q_v9_welch_t" ->
+      """WITH v AS (
+        |  SELECT event_id,
+        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM events),
+        |m1 AS (
+        |  SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+        |  FROM v WHERE event_id % 2 = 0 AND v IS NOT NULL),
+        |m2 AS (
+        |  SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+        |  FROM v WHERE event_id % 2 = 1 AND v IS NOT NULL),
+        |d AS (
+        |  SELECT CAST(m1.n AS BIGINT) AS n1, CAST(m2.n AS BIGINT) AS n2,
+        |    CAST(m1.n AS DOUBLE) AS n1d, CAST(m1.s AS DOUBLE) AS s1d,
+        |    CAST(m1.q AS DOUBLE) AS q1d,
+        |    CAST(m2.n AS DOUBLE) AS n2d, CAST(m2.s AS DOUBLE) AS s2d,
+        |    CAST(m2.q AS DOUBLE) AS q2d
+        |  FROM m1, m2),
+        |w AS (
+        |  SELECT n1, n2, n1d, n2d, s1d, s2d,
+        |    (q1d - s1d * s1d / n1d) / (n1d - 1.0) AS v1,
+        |    (q2d - s2d * s2d / n2d) / (n2d - 1.0) AS v2
+        |  FROM d),
+        |w2 AS (SELECT *, v1 / n1d + v2 / n2d AS se2 FROM w)
+        |SELECT n1 AS n_prev, n2 AS n_cur,
+        |  CAST(floor(s1d / n1d * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS mp_e4,
+        |  CAST(floor(s2d / n2d * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS mc_e4,
+        |  CAST(floor((s1d / n1d - s2d / n2d) / sqrt(se2) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t_e4,
+        |  CAST(floor(se2 * se2
+        |    / ((v1 / n1d) * (v1 / n1d) / (n1d - 1.0)
+        |      + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS df_e4
+        |FROM w2""".stripMargin,
+
+    // Mann–Whitney rebuild: distinct-value histogram with per-side
+    // counts, strictly-smaller cumulative window, exact 2·R1 and tie
+    // moments in HUGEINT, z's double shape mirrored.
+    "q_v10_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT event_id,
+        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM events),
+        |h AS (
+        |  SELECT v AS val,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
+        |  FROM v WHERE v IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(k1 AS HUGEINT) AS k1,
+        |    CAST(k1 + k2 AS HUGEINT) AS c,
+        |    CAST(coalesce(sum(k1 + k2) OVER (ORDER BY val
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS HUGEINT) AS lt,
+        |    CAST(k2 AS HUGEINT) AS k2
+        |  FROM h),
+        |a AS (
+        |  SELECT sum(k1) AS n1, sum(k2) AS n2,
+        |    sum(k1 * (lt * 2 + c + 1)) AS r2,
+        |    sum(c * c * c - c) AS tie
+        |  FROM r),
+        |b AS (
+        |  SELECT CAST(n1 AS BIGINT) AS n_prev, CAST(n2 AS BIGINT)
+        |      AS n_cur,
+        |    r2 - n1 * (n1 + 1) AS u2,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(n1 + n2 AS DOUBLE) AS nnd, CAST(tie AS DOUBLE) AS tied
+        |  FROM a),
+        |f AS (
+        |  SELECT *, n1d * n2d * ((nnd + 1.0)
+        |    - tied / (nnd * (nnd - 1.0))) AS var12
+        |  FROM b)
+        |SELECT n_prev, n_cur, CAST(u2 AS BIGINT) AS u2_stat,
+        |  CAST(floor((CAST(u2 AS DOUBLE) - n1d * n2d)
+        |    / (2.0 * sqrt(var12 / 12.0)) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z_e4
+        |FROM f""".stripMargin,
 
     // Gini rebuild: per-user counts → value histogram → strictly-smaller
     // cumulative window, rank-run moments in HUGEINT ((c·lt + c(c+1)/2)
@@ -6367,6 +6583,34 @@ object SparkEntry {
         |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ret_e6
         |FROM a JOIN s USING (cohort)
         |ORDER BY cohort, age""".stripMargin,
+
+    // Sessionize rebuild: same (ts, id) total order, lag boundary flag
+    // (strictly-greater gap), running sum session number, per-session
+    // integer aggregates — exact arithmetic end to end.
+    "q_st21_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    (epoch_ns(ts) // 1000000000) AS es
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN lag(es) OVER w IS NULL
+        |      OR es - lag(es) OVER w > 3600 THEN 1 ELSE 0 END AS nf
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (
+        |  SELECT user_id, es,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(es) AS BIGINT) AS t_start,
+        |  CAST(max(es) AS BIGINT) AS t_end,
+        |  CAST(max(es) - min(es) AS BIGINT) AS dur_sec
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     // PSI rebuild: identical bin expression (clamped fixed-width over
     // [0, 500)), add-one-smoothed shares as two double divisions, one

@@ -49,6 +49,18 @@ object GraftFunctions {
       TopKFreq(ColumnShim.expression(c), capacity, k).toAggregateExpression())
   }
 
+  /** Count-Min sketch build (see [[CmsSketch]]): `depth`×`width` counter
+    * matrix as `array<array<bigint>>`, mergeable, O(depth·width) state
+    * per group. Probe with [[CmsSketch.estimateCol]] (column, codegen)
+    * or [[CmsSketch.estimate]] (JVM). */
+  def cms_sketch(c: Column, depth: Int = 4, width: Int = 1024,
+      seed: Long = 42L, portable: Boolean = false): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      CmsSketch(ColumnShim.expression(c), depth, width, seed, portable)
+        .toAggregateExpression())
+  }
+
   // ---- text analysis over the fused one-pass TextProfile expression ----
   // Every counter below projects a field off TextProfile(c); identical
   // trees collapse to ONE kernel evaluation per row under whole-stage

@@ -85,6 +85,55 @@ object Funnel {
       .withColumn("dur_sec", col("t_last") - col("t_first"))
   }
 
+  /** Gap-based sessionization: split each entity's event stream into
+    * sessions wherever the silence between consecutive events exceeds
+    * `gapSec` — the batch twin of the streaming session windows
+    * (`StreamingIngest.sessionAgg`), and the standard pre-aggregation
+    * for dwell-time, bounce, and per-visit curation features.
+    *
+    * Semantics (deterministic): events order per entity by
+    * (`tsSecCol`, `idCol`) — a TOTAL order, so ts ties cannot flip
+    * session boundaries between runs or partitionings. A session starts
+    * at the entity's first event and wherever `ts − prev_ts > gapSec`
+    * (strictly greater: a gap of exactly `gapSec` stays in-session, the
+    * same closed bound as the streaming session windows). `session_seq`
+    * numbers an entity's sessions from 1 in time order.
+    *
+    * Scale notes (100 TB event tables): ONE entity-key shuffle; the
+    * boundary lag and the running session count ride the SAME
+    * (entity) window partitioning, and [[sessionStats]]' per-session
+    * aggregation groups on a prefix of that key (partial-agg, map-side
+    * combine). Per-entity memory is the window frame row, not the
+    * series; entities parallelize.
+    */
+  def sessionize(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, gapSec: Long): DataFrame = {
+    require(gapSec >= 0, "gapSec must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol).cast("long"), col(idCol).cast("long"))
+    val prev = lag(col(tsSecCol).cast("long"), 1).over(w)
+    df.filter(col(entityCol).isNotNull && col(tsSecCol).isNotNull)
+      .withColumn("_new_session",
+        when(prev.isNull ||
+          col(tsSecCol).cast("long") - prev > gapSec, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("_new_session")).over(w))
+      .drop("_new_session")
+  }
+
+  /** Per-session summary over [[sessionize]]'s output: event count,
+    * start/end epoch-seconds, and duration (0 for single-event
+    * sessions). One partial-agg groupBy on (entity, session_seq) — a
+    * prefix-compatible regrouping of the sessionize shuffle. */
+  def sessionStats(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, gapSec: Long): DataFrame =
+    sessionize(df, entityCol, tsSecCol, idCol, gapSec)
+      .groupBy(col(entityCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsSecCol).cast("long")).as("t_start"),
+        max(col(tsSecCol).cast("long")).as("t_end"))
+      .withColumn("dur_sec", col("t_end") - col("t_start"))
+
   /** Cohort retention matrix: entities are cohorted by the time bucket
     * of their FIRST event (`cohort = min(ts div bucketSec)`), and each
     * cell counts how many of them were active again `age` buckets later

@@ -244,4 +244,129 @@ object SnapshotDiff {
       .withColumn("psi",
         (col("p_prev") - col("p_cur")) * log(col("p_prev") / col("p_cur")))
   }
+
+  /** Welch's unequal-variance t-test between two snapshots of a numeric
+    * column — the mean-shift drift gate ([[ksTest]] catches any
+    * distributional change; this answers the narrower "did the MEAN
+    * move, given unequal variances?" with a classical test statistic).
+    *
+    * Engine-portable determinism: pass an INTEGER-valued column (the
+    * repo convention — pre-integerize, e.g. `floor(x*1000 + 0.5)`).
+    * Count, sum, and sum-of-squares then accumulate EXACTLY in
+    * decimal(38,0) (partition-order-independent, no float summation);
+    * mean, variance, t, and the Welch–Satterthwaite df are a fixed
+    * handful of double ops on those exact moments, so an oracle
+    * mirroring the operand shapes reproduces them bit-for-bit.
+    *
+    * Scale notes (100 TB): each snapshot partial-aggs to ONE row
+    * map-side (no shuffle of data rows — the only exchanges move two
+    * 1-row partials); scans prune to the value column.
+    *
+    * @return one row: (`n_prev`, `n_cur`, `mean_prev`, `mean_cur`,
+    *         `t_stat`, `df`) — `t_stat`/`df` null when either side has
+    *         < 2 rows or both sample variances are 0. */
+  def welchT(previous: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def moments(df: DataFrame, tag: String): DataFrame = df
+      .select(col(valueCol).cast(dec).as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(count(lit(1)).cast(dec).as(s"_n$tag"),
+        sum(col("_v")).cast(dec).as(s"_s$tag"),
+        sum(col("_v") * col("_v")).cast(dec).as(s"_q$tag"))
+    def d(name: String) = col(name).cast("double")
+    // sample variance from exact moments: (q − s²/n) / (n − 1)
+    def varOf(tag: String) =
+      (d(s"_q$tag") - d(s"_s$tag") * d(s"_s$tag") / d(s"_n$tag")) /
+        (d(s"_n$tag") - lit(1.0))
+    // every division sits inside a lazily-evaluated `when` branch whose
+    // condition proves the divisor non-zero — ANSI mode errors on ANY
+    // numeric division by zero, including doubles
+    moments(previous, "1").crossJoin(broadcast(moments(current, "2")))
+      .withColumn("_se2",
+        when(col("_n1") >= 2 && col("_n2") >= 2,
+          varOf("1") / d("_n1") + varOf("2") / d("_n2")))
+      .select(
+        col("_n1").cast("long").as("n_prev"),
+        col("_n2").cast("long").as("n_cur"),
+        when(col("_n1") >= 1, d("_s1") / d("_n1")).as("mean_prev"),
+        when(col("_n2") >= 1, d("_s2") / d("_n2")).as("mean_cur"),
+        when(col("_se2").isNotNull && col("_se2") > 0,
+          (d("_s1") / d("_n1") - d("_s2") / d("_n2")) / sqrt(col("_se2")))
+          .as("t_stat"),
+        when(col("_se2").isNotNull && col("_se2") > 0,
+          col("_se2") * col("_se2") /
+            ((varOf("1") / d("_n1")) * (varOf("1") / d("_n1")) /
+              (d("_n1") - lit(1.0)) +
+             (varOf("2") / d("_n2")) * (varOf("2") / d("_n2")) /
+              (d("_n2") - lit(1.0))))
+          .as("df"))
+  }
+
+  /** Mann–Whitney U rank test between two snapshots — the
+    * distribution-free "did values shift?" companion to [[welchT]]
+    * (no normality assumption; robust to the heavy tails that wreck a
+    * t-test on web-scale quality scores).
+    *
+    * Exact rank arithmetic on the DISTINCT-VALUE histogram (the
+    * [[graft.operators.Validate.gini]] rank-run discipline): equal
+    * values occupy a contiguous rank run, so the rank sum of side 1 is
+    * Σ c1·(2·lt + c + 1) / 2 over distinct values (`lt` = combined
+    * count strictly below, `c` = combined count at the value) — kept
+    * ×2 in decimal(38,0) so nothing is ever a .5 float. The normal
+    * approximation's variance carries the standard tie correction
+    * Σ(c³−c), also exact; `z` is the only float, computed last with
+    * mirrored operand shapes.
+    *
+    * Scale notes (100 TB): both sides partial-agg to distinct-value
+    * histograms before anything joins (the ksTest shape); the
+    * cumulative window runs over the merged histogram, value-count-
+    * sized, not row-count-sized.
+    *
+    * @return one row: (`n_prev`, `n_cur`, `u2_stat` — 2·U₁ exact,
+    *         `z_stat` — null when the tie-corrected variance is 0). */
+  def mannWhitneyU(previous: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as(out))
+    val merged = counts(previous, "k1")
+      .join(counts(current, "k2"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("k1"), lit(0L)).cast(dec).as("k1"),
+        coalesce(col("k2"), lit(0L)).cast(dec).as("k2"))
+      .withColumn("c", (col("k1") + col("k2")).cast(dec))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = merged.withColumn("lt",
+      coalesce(sum(col("c")).over(cum), lit(0L)).cast(dec))
+    val agg = ranked.agg(
+      sum(col("k1")).cast(dec).as("_n1"),
+      sum(col("k2")).cast(dec).as("_n2"),
+      // 2·R1 = Σ c1·(2·lt + c + 1) — exact
+      sum(col("k1") * (col("lt") * 2 + col("c") + 1)).cast(dec).as("_r2"),
+      // tie correction Σ(c³ − c) — exact
+      sum(col("c") * col("c") * col("c") - col("c")).cast(dec).as("_tie"))
+    def d(name: String) = col(name).cast("double")
+    agg
+      // 2·U1 = 2·R1 − n1·(n1+1); centered 2·(U1 − n1n2/2) = 2U1 − n1n2
+      .withColumn("_u2", (col("_r2") - col("_n1") * (col("_n1") + 1))
+        .cast(dec))
+      .withColumn("_nn", (col("_n1") + col("_n2")).cast(dec))
+      // 12·Var(U) = n1·n2·((n+1) − Σ(c³−c)/(n·(n−1)))  (as doubles);
+      // guarded: ANSI errors on double division by zero when n < 2
+      .withColumn("_var12",
+        when(col("_nn") >= 2,
+          d("_n1") * d("_n2") * ((d("_nn") + lit(1.0)) -
+            d("_tie") / (d("_nn") * (d("_nn") - lit(1.0))))))
+      .select(
+        col("_n1").cast("long").as("n_prev"),
+        col("_n2").cast("long").as("n_cur"),
+        col("_u2").cast("long").as("u2_stat"),
+        when(col("_var12") > 0,
+          (d("_u2") - d("_n1") * d("_n2")) /
+            (lit(2.0) * sqrt(col("_var12") / lit(12.0))))
+          .as("z_stat"))
+  }
 }

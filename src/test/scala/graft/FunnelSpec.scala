@@ -111,4 +111,43 @@ class FunnelSpec extends SparkSpec {
       Funnel.cohortRetention(rows, "user", "es", bucketSec = 0L)
     }
   }
+
+  test("sessionize: gap splits, closed bound, ts-tie total order, " +
+      "per-entity independence, partition invariance") {
+    val rows = Seq(
+      // u1: events at 0, 50, 100 (gaps ≤ 60 stay), then 200 (gap 100
+      // opens session 2), then exactly-60 gap at 260 stays in-session
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 100L, 3L),
+      (1L, 200L, 4L), (1L, 260L, 5L),
+      // u2: single event
+      (2L, 7L, 6L),
+      // u1 ts-tie at 200: eid 40 < 4? no — use a distinct ts tie on u3
+      (3L, 10L, 7L), (3L, 10L, 8L), (3L, 100L, 9L))
+    val df = rows.toDF("user", "es", "eid")
+    val stats = Funnel.sessionStats(df, "user", "es", "eid", gapSec = 60L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats == Map(
+      (1L, 1L) -> (3L, 0L, 100L, 100L),
+      (1L, 2L) -> (2L, 200L, 260L, 60L),
+      (2L, 1L) -> (1L, 7L, 7L, 0L),
+      (3L, 1L) -> (2L, 10L, 10L, 0L),
+      (3L, 2L) -> (1L, 100L, 100L, 0L)))
+    // row-level: session_seq assigned in (ts, id) order
+    val seq = Funnel.sessionize(df, "user", "es", "eid", gapSec = 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(seq((1L, 4L)) == 2L && seq((1L, 3L)) == 1L)
+    // partition invariance: same result from a different layout
+    val shuffled = Funnel.sessionStats(df.repartition(7, $"eid"),
+        "user", "es", "eid", gapSec = 60L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(shuffled == stats)
+    intercept[IllegalArgumentException] {
+      Funnel.sessionize(df, "user", "es", "eid", gapSec = -1L)
+    }
+  }
 }

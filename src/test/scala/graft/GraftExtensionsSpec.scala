@@ -123,6 +123,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq(("x", 5L), ("y", 3L)))
   }
 
+  test("cms_sketch works as a SQL aggregate") {
+    import spark.implicits._
+    (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
+      .toDF("tk").createOrReplaceTempView("cmst")
+    val sk = spark.sql("SELECT cms_sketch(tk, 2, 64) AS sk FROM cmst")
+      .head().getSeq[scala.collection.Seq[Long]](0)
+    assert(sk.length == 2 && sk.forall(_.length == 64))
+    assert(sk.forall(_.sum == 9L))
+    intercept[Exception] {
+      spark.sql("SELECT cms_sketch(tk, 2) FROM cmst").collect()
+    }
+  }
+
   test("bloom agg + probe work from pure SQL (build once, probe rows)") {
     import spark.implicits._
     Seq("the quick brown fox", "the quick brown dog")

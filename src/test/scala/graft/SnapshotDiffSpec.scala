@@ -149,4 +149,66 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(edges(0).getLong(1) == 1L && edges(4).getLong(1) == 1L)
     assert((1 to 3).forall(edges(_).getLong(1) == 0L))
   }
+
+  test("welchT: hand-computed t/df on unequal variances, degenerate " +
+      "guards, partition invariance") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(2L, 4L, 6L, 8L, 10L).toDF("v")
+    val r = SnapshotDiff.welchT(a, b, "v").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(2) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-12)
+    // var1 = 5/3, var2 = 10; se2 = 5/12 + 2 = 29/12
+    assert(math.abs(r.getDouble(4) - (-3.5 / math.sqrt(29.0 / 12.0)))
+      < 1e-12)
+    val se2 = 29.0 / 12.0
+    val dfExp = se2 * se2 /
+      ((5.0 / 12.0) * (5.0 / 12.0) / 3.0 + 2.0 * 2.0 / 4.0)
+    assert(math.abs(r.getDouble(5) - dfExp) < 1e-12)
+    // single-row side → t/df null
+    val tiny = SnapshotDiff.welchT(Seq(7L).toDF("v"), b, "v")
+      .collect().head
+    assert(tiny.isNullAt(4) && tiny.isNullAt(5))
+    // zero variance on both sides → se2 = 0 → null
+    val flat = SnapshotDiff.welchT(
+      Seq(5L, 5L, 5L).toDF("v"), Seq(9L, 9L).toDF("v"), "v")
+      .collect().head
+    assert(flat.isNullAt(4) && flat.isNullAt(5))
+    // partition invariance: exact decimal moments → identical doubles
+    val rp = SnapshotDiff.welchT(a.repartition(7), b.repartition(5), "v")
+      .collect().head
+    assert(rp.getDouble(4) == r.getDouble(4) &&
+      rp.getDouble(5) == r.getDouble(5))
+  }
+
+  test("mannWhitneyU: tie-free and tied rank runs hand-computed, " +
+      "all-equal variance → null z, partition invariance") {
+    // disjoint halves: U1 = 0, z = -9 / (2·sqrt(63/12))
+    val r1 = SnapshotDiff.mannWhitneyU(
+      Seq(1L, 2L, 3L).toDF("v"), Seq(4L, 5L, 6L).toDF("v"), "v")
+      .collect().head
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 3L)
+    assert(r1.getLong(2) == 0L)
+    assert(math.abs(r1.getDouble(3) -
+      (-9.0 / (2.0 * math.sqrt(63.0 / 12.0)))) < 1e-12)
+    // ties: [1,2,2] vs [2,3] → R1 = 7 (2s share rank 3), 2U1 = 2,
+    // tie moment 24, var12 = 28.8
+    val r2 = SnapshotDiff.mannWhitneyU(
+      Seq(1L, 2L, 2L).toDF("v"), Seq(2L, 3L).toDF("v"), "v")
+      .collect().head
+    assert(r2.getLong(2) == 2L)
+    assert(math.abs(r2.getDouble(3) -
+      (-4.0 / (2.0 * math.sqrt(28.8 / 12.0)))) < 1e-12)
+    // every value identical → tie correction zeroes the variance
+    val r3 = SnapshotDiff.mannWhitneyU(
+      Seq(4L, 4L).toDF("v"), Seq(4L, 4L, 4L).toDF("v"), "v")
+      .collect().head
+    assert(r3.isNullAt(3))
+    // partition invariance: exact integer rank runs
+    val rp = SnapshotDiff.mannWhitneyU(
+      Seq(1L, 2L, 2L).toDF("v").repartition(4),
+      Seq(2L, 3L).toDF("v").repartition(3), "v").collect().head
+    assert(rp.getLong(2) == r2.getLong(2) &&
+      rp.getDouble(3) == r2.getDouble(3))
+  }
 }
