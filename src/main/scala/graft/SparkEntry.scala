@@ -572,6 +572,35 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ---- ST22: per-entity OLS trend — slope/intercept/r² of the milli-
+    // integerized value over day offsets from each entity's first
+    // observation; moments exact decimal, one double closed form ----
+    "q_st22_linear_trend" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      TimeSeries.linearTrend(e, "user_id", "es", "v", xUnitSec = 86400L)
+        .select(col("user_id"), col("n"),
+          floor(col("slope") * lit(1e4) + lit(0.5)).cast("long")
+            .as("slope_e4"),
+          floor(col("intercept") * lit(1e2) + lit(0.5)).cast("long")
+            .as("icept_e2"),
+          floor(col("r2") * lit(1e6) + lit(0.5)).cast("long")
+            .as("r2_e6"))
+        .orderBy("user_id")
+    }),
+
+    // ---- ST23: RFM segmentation of customers over their orders —
+    // recency anchored at the global max order date (pure function of
+    // the data), monetary in exact cents, quantile-band scores ----
+    "q_st23_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("es"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      Funnel.rfm(o, "o_custkey", "es", "cents", nTiles = 5)
+        .orderBy("o_custkey")
+    }),
+
     // ---- V3: PSI distribution drift between the even- and odd-id halves
     // of the events table (a deterministic two-snapshot split); per-bin
     // contribution e6-integerized, counts exact ----
@@ -6435,6 +6464,124 @@ object SparkEntry {
         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS acf_e4
         |FROM m
         |ORDER BY user_id, lag""".stripMargin,
+
+    // RFM rebuild: per-customer aggregate, global-max reference instant,
+    // quantile_cont cutoffs (≡ Spark percentile interpolation, the
+    // winsorize-proven parity), band = 1 + #cutoffs strictly below;
+    // every sum BIGINT-cast (HUGEINT discipline).
+    "q_st23_rfm" ->
+      """WITH src AS (
+        |  SELECT o_custkey,
+        |    (epoch_ns(o_orderdate) // 1000000000) AS es,
+        |    CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |per AS (
+        |  SELECT o_custkey, max(es) AS last_es,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary
+        |  FROM src GROUP BY 1),
+        |base AS (
+        |  SELECT o_custkey,
+        |    (SELECT max(last_es) FROM per) - last_es AS recency_sec,
+        |    frequency, monetary
+        |  FROM per),
+        |cuts AS (
+        |  SELECT
+        |    quantile_cont(recency_sec, 0.2) AS rc0,
+        |    quantile_cont(recency_sec, 0.4) AS rc1,
+        |    quantile_cont(recency_sec, 0.6) AS rc2,
+        |    quantile_cont(recency_sec, 0.8) AS rc3,
+        |    quantile_cont(frequency, 0.2) AS fc0,
+        |    quantile_cont(frequency, 0.4) AS fc1,
+        |    quantile_cont(frequency, 0.6) AS fc2,
+        |    quantile_cont(frequency, 0.8) AS fc3,
+        |    quantile_cont(monetary, 0.2) AS mc0,
+        |    quantile_cont(monetary, 0.4) AS mc1,
+        |    quantile_cont(monetary, 0.6) AS mc2,
+        |    quantile_cont(monetary, 0.8) AS mc3
+        |  FROM base),
+        |scored AS (
+        |  SELECT b.o_custkey, b.recency_sec, b.frequency, b.monetary,
+        |    6 - (1
+        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc0
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc1
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc2
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc3
+        |          THEN 1 ELSE 0 END) AS r_score,
+        |    1
+        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc0
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc1
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc2
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc3
+        |          THEN 1 ELSE 0 END AS f_score,
+        |    1
+        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc0
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc1
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc2
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc3
+        |          THEN 1 ELSE 0 END AS m_score
+        |  FROM base b CROSS JOIN cuts c)
+        |SELECT o_custkey, recency_sec, frequency, monetary,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |    AS rfm_code
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+
+    // OLS trend rebuild: day offsets from each entity's first
+    // observation via exact integer floor division, HUGEINT moments cast
+    // to double, the same closed-form slope/intercept/r² shapes with
+    // variance guards (never post-hoc NaN checks).
+    "q_st22_linear_trend" ->
+      """WITH src AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |xy AS (
+        |  SELECT user_id,
+        |    (es - min(es) OVER (PARTITION BY user_id)) // 86400 AS x,
+        |    v AS y
+        |  FROM src),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM xy GROUP BY user_id)
+        |SELECT user_id, nn AS n,
+        |  CASE WHEN nn < 2 OR n*sxx - sx*sx <= CAST(0 AS DOUBLE)
+        |    THEN NULL
+        |    ELSE CAST(floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS slope_e4,
+        |  CASE WHEN nn < 2 OR n*sxx - sx*sx <= CAST(0 AS DOUBLE)
+        |    THEN NULL
+        |    ELSE CAST(floor(
+        |      (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 1e2
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS icept_e2,
+        |  CASE WHEN nn < 2 OR n*sxx - sx*sx <= CAST(0 AS DOUBLE)
+        |      OR n*syy - sy*sy <= CAST(0 AS DOUBLE)
+        |    THEN NULL
+        |    ELSE CAST(floor(
+        |      (n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e6
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS r2_e6
+        |FROM m ORDER BY user_id""".stripMargin,
 
     // CCF rebuild: bucket sums BIGINT-cast, dense range() grid 0-filled,
     // one window carrying all five shift columns, then the shared

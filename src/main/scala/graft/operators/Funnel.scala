@@ -180,4 +180,67 @@ object Funnel {
         (col("n_active").cast("double") / col("_n0").cast("double"))
           .as("retention"))
   }
+
+  /** RFM segmentation — the classic customer-value tiling (recency /
+    * frequency / monetary), and for corpus curation the same shape as
+    * "segment sources by how fresh, prolific, and substantial they are".
+    *
+    * Per entity: `recency_sec` = reference instant − last activity
+    * (reference = the GLOBAL max of `tsSecCol`, so the result is a pure
+    * function of the data, not of the wall clock), `frequency` = event
+    * count, `monetary` = exact integer sum of `amountCol` (caller
+    * pre-scales floats — cents, not dollars-as-double: a double sum is
+    * partition-order dependent). Scores tile each metric into `nTiles`
+    * quantile bands via exact interpolated percentile cutoffs (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`); score `nTiles` is best —
+    * most recent, most frequent, highest spend — and boundary ties land
+    * on the LOWER band deterministically (value > cutoff moves up).
+    *
+    * Scale notes (100 TB order tables): one entity-key shuffle for the
+    * per-entity aggregate; the reference instant and the 3·(nTiles−1)
+    * cutoffs are 1-row aggregates broadcast back — the entity table is
+    * never globally sorted and never single-partitions (the reason this
+    * is percentile-cut, not corpus-wide ntile). Scoring is a narrow
+    * codegen comparison chain.
+    *
+    * @return (`entityCol`, `recency_sec`, `frequency`, `monetary`,
+    *         `r_score`, `f_score`, `m_score`, `rfm_code` = r·100+f·10+m). */
+  def rfm(df: DataFrame, entityCol: String, tsSecCol: String,
+      amountCol: String, nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2 && nTiles <= 100,
+      s"nTiles must be in [2, 100] (got $nTiles)")
+    val per = df
+      .filter(col(entityCol).isNotNull && col(tsSecCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(max(col(tsSecCol).cast("long")).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("long")).as("monetary"))
+    val asOf = per.agg(max(col("_last")).as("_asof"))
+    val base = per.crossJoin(broadcast(asOf))
+      .select(col(entityCol), (col("_asof") - col("_last")).as("recency_sec"),
+        col("frequency"), col("monetary"))
+    val ps = (1 until nTiles).map(k => k.toDouble / nTiles)
+    val cutCols = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile(recency_sec, $p)").as(s"_rc$i") } ++
+      ps.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile(frequency, $p)").as(s"_fc$i") } ++
+      ps.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile(monetary, $p)").as(s"_mc$i") }
+    val cuts = base.agg(cutCols.head, cutCols.tail: _*)
+    // band index = 1 + #cutoffs strictly below the value; recency
+    // inverts (freshest = highest score)
+    def band(v: String, pfx: String) = (ps.indices
+      .map(i => when(col(v).cast("double") > col(s"_$pfx$i"), 1L)
+        .otherwise(0L))
+      .reduce(_ + _) + lit(1L)).cast("long")
+    base.crossJoin(broadcast(cuts))
+      .select(col(entityCol), col("recency_sec"), col("frequency"),
+        col("monetary"),
+        (lit(nTiles + 1L) - band("recency_sec", "rc")).as("r_score"),
+        band("frequency", "fc").as("f_score"),
+        band("monetary", "mc").as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
 }

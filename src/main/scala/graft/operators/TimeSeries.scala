@@ -641,6 +641,69 @@ object TimeSeries {
         .as("r"))
   }
 
+  /** Per-entity ordinary-least-squares trend — "is this metric drifting,
+    * and how fast?": slope, intercept, and r² of `valueCol` against time,
+    * the scalar trend detector feeding drift dashboards and the seasonal
+    * family ([[seasonalDecompose]], [[holtWinters]]).
+    *
+    * Exactness discipline (the [[autocorrelation]] contract): `valueCol`
+    * must be integer-valued (pre-scaled by the caller); x is the epoch
+    * offset from the ENTITY's first observation integer-divided by
+    * `xUnitSec` (centering keeps x² sums small and makes the intercept
+    * "level at entity start" — slope is unchanged by the shift); all five
+    * moments accumulate exact in decimal(38,0); the closed-form slope /
+    * intercept / r² run once in double; null-guards sit on the variance
+    * terms, not post-hoc NaN checks (sqrt/division of a rounding artifact
+    * is engine-divergent).
+    *
+    * Scale notes (100 TB): the per-entity x-origin rides a whole-frame
+    * window on the SAME entity key the moment aggregation shuffles on, so
+    * the exchange is reused — one shuffle total; moments partial-agg
+    * map-side; output is entity-sized. Nothing driver-side.
+    *
+    * @return (`entityCol`, `n`, `slope` — value-units per `xUnitSec`,
+    *         `intercept` — level at the entity's first observation,
+    *         `r2`; slope/intercept null when n < 2 or x has no spread,
+    *         r2 additionally null when y is constant). */
+  def linearTrend(df: DataFrame, entityCol: String, tsSecCol: String,
+      valueCol: String, xUnitSec: Long = 86400L): DataFrame = {
+    require(xUnitSec >= 1L, "xUnitSec must be >= 1")
+    val dec = "decimal(38,0)"
+    val wAll = Window.partitionBy(col(entityCol))
+    // Integer `div`, never float-divide-then-cast: Spark's double→long
+    // cast truncates while DuckDB's rounds — the one arithmetic shape
+    // that cannot be mirrored in an oracle.
+    val xy = df
+      .filter(col(tsSecCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(entityCol),
+        (col(tsSecCol).cast("long") -
+          min(col(tsSecCol).cast("long")).over(wAll)).as("_diff"),
+        col(valueCol).cast("long").as("_y"))
+      .select(col(entityCol), expr(s"_diff div ${xUnitSec}L").as("_x"),
+        col("_y"))
+    val m = xy.groupBy(col(entityCol)).agg(
+      count(lit(1)).as("n"),
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("_x").cast(dec)).cast("double").as("_sx"),
+      sum(col("_y").cast(dec)).cast("double").as("_sy"),
+      sum((col("_x") * col("_y")).cast(dec)).cast("double").as("_sxy"),
+      sum((col("_x") * col("_x")).cast(dec)).cast("double").as("_sxx"),
+      sum((col("_y") * col("_y")).cast(dec)).cast("double").as("_syy"))
+    val xVar = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val yVar = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val cov = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val slope = cov / xVar
+    m.select(col(entityCol), col("n"),
+      when(col("n") < 2 || xVar <= 0.0, lit(null).cast("double"))
+        .otherwise(slope).as("slope"),
+      when(col("n") < 2 || xVar <= 0.0, lit(null).cast("double"))
+        .otherwise((col("_sy") - slope * col("_sx")) / col("_n"))
+        .as("intercept"),
+      when(col("n") < 2 || xVar <= 0.0 || yVar <= 0.0,
+          lit(null).cast("double"))
+        .otherwise(cov * cov / (xVar * yVar)).as("r2"))
+  }
+
   /** Lead–lag cross-correlation between two event types per entity —
     * "do purchases FOLLOW views, and by how many buckets?": both types'
     * values bucket onto one `intervalSec` grid (0-filled — absence is

@@ -150,4 +150,37 @@ class FunnelSpec extends SparkSpec {
       Funnel.sessionize(df, "user", "es", "eid", gapSec = -1L)
     }
   }
+
+  test("rfm: distinct metrics rank into bands, recency inverted, " +
+      "boundary ties share the lower band, partition-invariant") {
+    // five customers with strictly increasing activity: c5 is the most
+    // recent, most frequent, highest-spend → 555; c1 the opposite → 111
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(k => (s"c$c", (c * 500 + k * 100).toLong, c * 10L))
+    }.toDF("cust", "es", "amt")
+    val out = Funnel.rfm(orders, "cust", "es", "amt", nTiles = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))
+      .toMap
+    // asof = c5's last order (3000); recency strictly falls with c
+    assert(out("c1") == ((2400L, 1L, 10L, 111L)))
+    assert(out("c3") == ((1200L, 3L, 90L, 333L))) // 3 orders × 30
+    assert(out("c5") == ((0L, 5L, 250L, 555L)))   // 5 orders × 50
+    // boundary ties: monetary [10,10,20,30] at nTiles=2 → median 15,
+    // both 10s share band 1, both above-median rows band 2
+    val tied = Seq(("a", 10L, 10L), ("b", 20L, 10L), ("c", 30L, 20L),
+      ("d", 40L, 30L)).toDF("cust", "es", "amt")
+    val m2 = Funnel.rfm(tied, "cust", "es", "amt", nTiles = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(m2 == Map("a" -> 1L, "b" -> 1L, "c" -> 2L, "d" -> 2L))
+    val re = Funnel.rfm(orders.repartition(7), "cust", "es", "amt",
+        nTiles = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))
+      .toMap
+    assert(re == out) // exact — integer metrics, broadcast cutoffs
+    intercept[IllegalArgumentException] {
+      Funnel.rfm(orders, "cust", "es", "amt", nTiles = 1)
+    }
+  }
 }

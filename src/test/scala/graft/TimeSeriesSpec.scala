@@ -372,4 +372,36 @@ class TimeSeriesSpec extends SparkSpec {
       .toMap
     assert(re == out) // exact equality — moment sums are decimal
   }
+
+  test("linearTrend: exact line recovered, constant-y slope 0 with r2 " +
+      "null, n<2 null, no-x-spread null, partition-invariant") {
+    // entity L: y = 7 + 3x on day offsets (es shifted by an arbitrary
+    // base — centering must absorb it); all moments integer-exact
+    val line = (0L to 4L).map(i =>
+      ("L", 1234567L + i * 86400L, 7L + 3L * i)).toDF("e", "es", "v")
+    val const = (0L to 3L).map(i => ("C", i * 86400L, 9L)).toDF(
+      "e", "es", "v")
+    val single = Seq(("S", 86400L, 5L)).toDF("e", "es", "v")
+    val dupX = Seq(("D", 100L, 1L), ("D", 200L, 8L)).toDF("e", "es", "v")
+    val d = line.unionAll(const).unionAll(single).unionAll(dupX)
+    val out = TimeSeries.linearTrend(d, "e", "es", "v", xUnitSec = 86400L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(out("L") == ((5L, Some(3.0), Some(7.0), Some(1.0))))
+    assert(out("C") == ((4L, Some(0.0), Some(9.0), None))) // y constant
+    assert(out("S") == ((1L, None, None, None)))
+    // D's two observations land in the same day bucket — x has no spread
+    assert(out("D") == ((2L, None, None, None)))
+    val re = TimeSeries.linearTrend(d.repartition(7), "e", "es", "v",
+        xUnitSec = 86400L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(re == out) // exact — decimal moments, one double closed form
+  }
 }
