@@ -633,6 +633,24 @@ object SparkEntry {
       edges.orderBy("start_id", "end_id")
     }),
 
+    // ---- J8: association rules over the J7 baskets — directed
+    // confidence/lift with the probability universe = the gated baskets;
+    // strengths e6-integerized, counts exact ----
+    "q_j8_assoc_rules" -> ((s, dir) => {
+      val (rules, _) = RelPipeline.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxGroupSize = 10, minCount = 2L, minConfidence = 0.08)
+      rules.select(col("antecedent"), col("consequent"), col("pair_n"),
+          col("ante_n"), col("cons_n"), col("n_baskets"),
+          floor(col("support") * lit(1e6) + lit(0.5)).cast("long")
+            .as("support_e6"),
+          floor(col("confidence") * lit(1e6) + lit(0.5)).cast("long")
+            .as("conf_e6"),
+          floor(col("lift") * lit(1e6) + lit(0.5)).cast("long")
+            .as("lift_e6"))
+        .orderBy("antecedent", "consequent")
+    }),
+
     // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
     "q_f1_ascii_fold" -> ((s, dir) => {
       GF.register(s)
@@ -6832,6 +6850,46 @@ object SparkEntry {
         |GROUP BY a.i, b.i
         |HAVING count(*) >= 2
         |ORDER BY start_id, end_id""".stripMargin,
+
+    // Association-rule rebuild: the J7 basket CTEs verbatim, directed
+    // pairs, n_baskets/item counts from the same gated universe, lift
+    // cross-products HUGEINT before the one double division, the
+    // confidence gate applied on the identical double shape.
+    "q_j8_assoc_rules" ->
+      """WITH m AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT g, count(*) AS n FROM m GROUP BY g),
+        |k AS (SELECT m.g, m.i FROM m JOIN sz USING (g) WHERE sz.n <= 10),
+        |nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_baskets
+        |       FROM k),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ic FROM k
+        |       GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS antecedent, b.i AS consequent,
+        |    CAST(count(*) AS BIGINT) AS pair_n
+        |  FROM k a JOIN k b ON a.g = b.g AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT p.antecedent, p.consequent, p.pair_n,
+        |    ia.ic AS ante_n, ib.ic AS cons_n, nb.n_baskets
+        |  FROM p
+        |  JOIN ic ia ON p.antecedent = ia.i
+        |  JOIN ic ib ON p.consequent = ib.i
+        |  CROSS JOIN nb)
+        |SELECT antecedent, consequent, pair_n, ante_n, cons_n, n_baskets,
+        |  CAST(floor(CAST(pair_n AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS support_e6,
+        |  CAST(floor(CAST(pair_n AS DOUBLE) / CAST(ante_n AS DOUBLE)
+        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS conf_e6,
+        |  CAST(floor(
+        |    CAST(CAST(n_baskets AS HUGEINT) * pair_n AS DOUBLE)
+        |      / CAST(CAST(ante_n AS HUGEINT) * cons_n AS DOUBLE)
+        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lift_e6
+        |FROM r
+        |WHERE CAST(pair_n AS DOUBLE) / CAST(ante_n AS DOUBLE)
+        |  >= CAST(0.08 AS DOUBLE)
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     // ST11 rebuild: same windows in the same (user, es, event_id) order;
     // trend = HUGEINT frame sum / 7.0 (exact-to-double below 2^53),

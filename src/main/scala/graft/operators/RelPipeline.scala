@@ -124,10 +124,27 @@ object RelPipeline {
       : (DataFrame, DataFrame) = {
     require(maxGroupSize >= 2, "maxGroupSize must be >= 2")
     require(minCount >= 1, "minCount must be >= 1")
-    // materialized: consumed by sizes AND the size-gate join (and the
-    // gated result again by both self-join sides) — without the cut the
-    // output-alias renames defeat exchange reuse and the distinct
-    // subtree runs three times
+    val (kept, overflow) =
+      gatedMembers(facts, groupCol, itemCol, maxGroupSize, ckpt)
+    val a = kept.select(col("_g"), col("_i").as(StartId))
+    val b = kept.select(col("_g"), col("_i").as(EndId))
+    val edges = a.join(b, Seq("_g"))
+      .filter(col(StartId) < col(EndId))
+      .groupBy(col(StartId), col(EndId))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minCount)
+    (edges, overflow)
+  }
+
+  /** Shared basket prep for [[cooccurrenceEdges]] / [[associationRules]]:
+    * distinct (group, item) members, size-gated at `maxGroupSize` with
+    * the excluded groups reported. Both frames checkpointed — members is
+    * consumed by sizes AND the gate join, and the gated result by every
+    * downstream consumer (without the cut the output-alias renames
+    * defeat exchange reuse and the distinct subtree runs three times). */
+  private def gatedMembers(facts: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int, ckpt: graft.Checkpointer)
+      : (DataFrame, DataFrame) = {
     val members = ckpt(facts
       .select(col(groupCol).as("_g"), col(itemCol).as("_i"))
       .distinct())
@@ -137,13 +154,74 @@ object RelPipeline {
     val kept = ckpt(members
       .join(sizes.filter(col("n_items") <= maxGroupSize).select("_g"),
         Seq("_g")))
-    val a = kept.select(col("_g"), col("_i").as(StartId))
-    val b = kept.select(col("_g"), col("_i").as(EndId))
-    val edges = a.join(b, Seq("_g"))
-      .filter(col(StartId) < col(EndId))
-      .groupBy(col(StartId), col(EndId))
-      .agg(count(lit(1)).as("weight"))
-      .filter(col("weight") >= minCount)
-    (edges, overflow)
+    (kept, overflow)
+  }
+
+  /** Association-rule mining over the same gated baskets as
+    * [[cooccurrenceEdges]] — the market-basket step AFTER co-occurrence:
+    * not just "a and b appear together" but the directed "baskets with a
+    * also contain b" with the three standard strengths — `support` =
+    * P(a∧b), `confidence` = P(b|a), `lift` = P(a∧b)/(P(a)·P(b)) (> 1 ⇒
+    * genuinely associated, < 1 ⇒ substitutes). Rules emit in BOTH
+    * directions (a→b and b→a differ in confidence).
+    *
+    * The probability universe is the GATED baskets (groups wider than
+    * `maxGroupSize` excluded AND reported) — counts, supports, and lifts
+    * are all consistent with the pair counts, never mixed between the
+    * raw and gated corpus.
+    *
+    * Exactness: all counts are exact longs; the lift cross-products run
+    * in decimal(38,0) BEFORE the one double division (n_baskets·pair_n
+    * overflows a long at ~10¹⁰ baskets); confidence/support are single
+    * double divisions of exact longs — every shape mirrorable in ANSI
+    * SQL.
+    *
+    * Scale notes (100 TB fact tables): the [[cooccurrenceEdges]] guards
+    * verbatim (distinct → size gate → bucket-local pair join, partial-agg
+    * everywhere); `n_baskets` is a 1-row aggregate broadcast back; the
+    * item-count joins are item-dimension-sized equi-joins left to AQE.
+    *
+    * @return (rules (`antecedent`, `consequent`, `pair_n`, `ante_n`,
+    *         `cons_n`, `n_baskets`, `support`, `confidence`, `lift`),
+    *         overflow (`group`, `n_items`)). */
+  def associationRules(facts: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int, minCount: Long = 1L,
+      minConfidence: Double = 0.0,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local)
+      : (DataFrame, DataFrame) = {
+    require(maxGroupSize >= 2, "maxGroupSize must be >= 2")
+    require(minCount >= 1, "minCount must be >= 1")
+    require(minConfidence >= 0.0 && minConfidence <= 1.0,
+      s"minConfidence must be in [0, 1] (got $minConfidence)")
+    val dec = "decimal(38,0)"
+    val (kept, overflow) =
+      gatedMembers(facts, groupCol, itemCol, maxGroupSize, ckpt)
+    val nBaskets = kept.agg(countDistinct(col("_g")).as("n_baskets"))
+    val itemC = kept.groupBy(col("_i")).agg(count(lit(1)).as("_ic"))
+    val pairs = kept.select(col("_g"), col("_i").as("antecedent"))
+      .join(kept.select(col("_g"), col("_i").as("consequent")), Seq("_g"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val confidence =
+      col("pair_n").cast("double") / col("ante_n").cast("double")
+    val rules = pairs
+      .join(itemC.select(col("_i").as("antecedent"),
+        col("_ic").as("ante_n")), Seq("antecedent"))
+      .join(itemC.select(col("_i").as("consequent"),
+        col("_ic").as("cons_n")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .filter(confidence >= lit(minConfidence))
+      .select(col("antecedent"), col("consequent"), col("pair_n"),
+        col("ante_n"), col("cons_n"), col("n_baskets"),
+        (col("pair_n").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        confidence.as("confidence"),
+        ((col("n_baskets").cast(dec) * col("pair_n").cast(dec))
+          .cast("double") /
+          (col("ante_n").cast(dec) * col("cons_n").cast(dec))
+            .cast("double")).as("lift"))
+    (rules, overflow)
   }
 }

@@ -87,4 +87,47 @@ class RelPipelineSpec extends SparkSpec {
     assert(strong.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getLong(2))).toSeq == Seq((10L, 20L, 2L)))
   }
+
+  test("associationRules: hand-computed support/confidence/lift, both " +
+      "directions, gated universe, thresholds, partition-invariant") {
+    // baskets: b1={A,B,C} b2={A,B} b3={A,C} b4={A}; b5 has 4 items —
+    // excluded by the size gate, so the universe is 4 baskets with
+    // item counts A=4, B=2, C=2
+    val facts = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "A"),
+      (5L, "B"), (5L, "D"), (5L, "E"), (5L, "F"))
+      .toDF("g", "item")
+    val (rules, overflow) = RelPipeline.associationRules(
+      facts, "g", "item", maxGroupSize = 3)
+    val r = rules.collect().map(x => (x.getString(0), x.getString(1)) ->
+      (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+        x.getDouble(6), x.getDouble(7), x.getDouble(8))).toMap
+    // A→B: pair 2 of 4 baskets, conf 2/4, lift 4·2/(4·2) = 1
+    assert(r(("A", "B")) == ((2L, 4L, 2L, 4L, 0.5, 0.5, 1.0)))
+    // B→A: same pair, conf 2/2 = 1
+    assert(r(("B", "A")) == ((2L, 2L, 4L, 4L, 0.5, 1.0, 1.0)))
+    // B→C: together only in b1 — conf 1/2, lift 4/(2·2) = 1
+    assert(r(("B", "C")) == ((1L, 2L, 2L, 4L, 0.25, 0.5, 1.0)))
+    assert(r.size == 6) // A↔B, A↔C, B↔C, both directions
+    assert(overflow.collect().map(x =>
+      (x.getLong(0), x.getLong(1))).toSeq == Seq((5L, 4L)))
+    // confidence gate keeps only the certain antecedents (B→A, C→A)
+    val (sure, _) = RelPipeline.associationRules(
+      facts, "g", "item", maxGroupSize = 3, minConfidence = 0.6)
+    assert(sure.collect().map(x => (x.getString(0), x.getString(1)))
+      .toSet == Set(("B", "A"), ("C", "A")))
+    // pair-count gate drops the single-basket B↔C
+    val (freq, _) = RelPipeline.associationRules(
+      facts, "g", "item", maxGroupSize = 3, minCount = 2L)
+    assert(freq.count() == 4)
+    val re = RelPipeline.associationRules(
+      facts.repartition(7), "g", "item", maxGroupSize = 3)._1
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getDouble(6), x.getDouble(7), x.getDouble(8))).toMap
+    assert(re == r) // exact — integer counts, decimal cross-products
+  }
 }
