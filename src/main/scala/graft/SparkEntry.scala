@@ -633,6 +633,19 @@ object SparkEntry {
       edges.orderBy("start_id", "end_id")
     }),
 
+    // ---- O3: Pareto skyline of parts — cheapest-for-their-size
+    // frontier (minimize price cents, maximize size via negation);
+    // bucket-prune + exact refine, dominance on exact integers ----
+    "q_o3_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long")
+          .as("price_cents"),
+        (-col("p_size")).cast("long").as("neg_size"))
+      Skyline.skyline2D(p, "price_cents", "neg_size")
+        .select(col("p_partkey"), col("price_cents"), col("neg_size"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- J8: association rules over the J7 baskets — directed
     // confidence/lift with the probability universe = the gated baskets;
     // strengths e6-integerized, counts exact ----
@@ -6850,6 +6863,26 @@ object SparkEntry {
         |GROUP BY a.i, b.i
         |HAVING count(*) >= 2
         |ORDER BY start_id, end_id""".stripMargin,
+
+    // Skyline rebuild: the textbook NOT EXISTS dominance predicate —
+    // O(n²) is fine for the oracle at sf0.01; dominance compares exact
+    // integers so the frontier membership is engine-independent.
+    "q_o3_skyline" ->
+      """WITH s AS (
+        |  SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS price_cents,
+        |    CAST(-p_size AS BIGINT) AS neg_size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, neg_size
+        |FROM s r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s o
+        |  WHERE o.price_cents <= r.price_cents
+        |    AND o.neg_size <= r.neg_size
+        |    AND (o.price_cents < r.price_cents
+        |      OR o.neg_size < r.neg_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     // Association-rule rebuild: the J7 basket CTEs verbatim, directed
     // pairs, n_baskets/item counts from the same gated universe, lift
