@@ -633,6 +633,18 @@ object SparkEntry {
       edges.orderBy("start_id", "end_id")
     }),
 
+    // ---- ST24: first/last-touch attribution — every purchase credits
+    // the first and last view/click inside a 14-day lookback; one RANGE
+    // window per entity, exact epoch arithmetic ----
+    "q_st24_attribution" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      Funnel.attribution(e, "user_id", "es", "event_id", "event_type",
+          convType = "purchase", touchTypes = Seq("view", "click"),
+          lookbackSec = 1209600L)
+        .orderBy("user_id", "conv_id")
+    }),
+
     // ---- O3: Pareto skyline of parts — cheapest-for-their-size
     // frontier (minimize price cents, maximize size via negation);
     // bucket-prune + exact refine, dominance on exact integers ----
@@ -6863,6 +6875,42 @@ object SparkEntry {
         |GROUP BY a.i, b.i
         |HAVING count(*) >= 2
         |ORDER BY start_id, end_id""".stripMargin,
+
+    // Attribution rebuild: the struct min/max becomes a packed
+    // es·10⁷+event_id sortable key (ids < 10⁵ at every SF, so the
+    // packing preserves the (ts, id) lexicographic order), decoded by
+    // integer div/mod; touch types rejoined by unique event_id; the
+    // same RANGE frame.
+    "q_st24_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    event_type
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view', 'click')),
+        |wnd AS (
+        |  SELECT user_id, event_id, es, event_type,
+        |    min(CASE WHEN event_type IN ('view', 'click')
+        |      THEN es * 10000000 + event_id END) OVER w AS fk,
+        |    max(CASE WHEN event_type IN ('view', 'click')
+        |      THEN es * 10000000 + event_id END) OVER w AS lk,
+        |    count(CASE WHEN event_type IN ('view', 'click')
+        |      THEN 1 END) OVER w AS n_touches
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 1209600 PRECEDING AND CURRENT ROW)),
+        |conv AS (
+        |  SELECT user_id, event_id AS conv_id, es AS conv_ts,
+        |    CAST(n_touches AS BIGINT) AS n_touches,
+        |    fk % 10000000 AS first_id, fk // 10000000 AS first_ts,
+        |    lk % 10000000 AS last_id, lk // 10000000 AS last_ts
+        |  FROM wnd WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.conv_id, c.conv_ts, c.n_touches,
+        |  c.first_id, c.first_ts, f.event_type AS first_type,
+        |  c.last_id, c.last_ts, l.event_type AS last_type
+        |FROM conv c
+        |LEFT JOIN events f ON c.first_id = f.event_id
+        |LEFT JOIN events l ON c.last_id = l.event_id
+        |ORDER BY c.user_id, c.conv_id""".stripMargin,
 
     // Skyline rebuild: the textbook NOT EXISTS dominance predicate —
     // O(n²) is fine for the oracle at sf0.01; dominance compares exact

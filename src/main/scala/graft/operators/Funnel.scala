@@ -181,6 +181,57 @@ object Funnel {
           .as("retention"))
   }
 
+  /** Conversion attribution — for every conversion event, which touch
+    * gets the credit: the FIRST and LAST `touchTypes` event whose
+    * timestamp falls in `[conversion − lookbackSec, conversion]`
+    * (value-based window, so a same-second touch is eligible regardless
+    * of id order; "first"/"last" break exact ts ties by `idCol` — ids
+    * are the total-order tiebreak everywhere in this engine). Emits one
+    * row per conversion with both attributions and the eligible-touch
+    * count; conversions with no touch in the window keep nulls (they
+    * are the "dark" conversions a marketing report must still count).
+    *
+    * Scale notes (100 TB event tables): non-participating event types
+    * are filtered BEFORE the entity shuffle; both attributions and the
+    * touch count ride ONE (entity, ts) RANGE window — the carried state
+    * is two structs and a counter per frame, never the touch list. The
+    * conversion filter happens after the window (a conversion needs its
+    * preceding touches in-frame), so the shuffled volume is touches +
+    * conversions — the funnel-relevant slice, not the raw stream.
+    *
+    * @return (`entityCol`, `conv_id`, `conv_ts`, `n_touches`,
+    *         `first_id`, `first_ts`, `first_type`,
+    *         `last_id`, `last_ts`, `last_type`). */
+  def attribution(df: DataFrame, entityCol: String, tsSecCol: String,
+      idCol: String, typeCol: String, convType: String,
+      touchTypes: Seq[String], lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"convType '$convType' must not also be a touch type")
+    require(lookbackSec > 0, "lookbackSec must be > 0")
+    val relevant = df.filter(col(typeCol) === convType ||
+      col(typeCol).isin(touchTypes: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol).cast("long"))
+      .rangeBetween(-lookbackSec, 0)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsSecCol).cast("long").as("ts"), col(idCol).as("id"),
+        col(typeCol).as("tp")))
+    relevant
+      .select(col(entityCol), col(idCol), col(tsSecCol), col(typeCol),
+        min(touch).over(w).as("_first"),
+        max(touch).over(w).as("_last"),
+        count(touch).over(w).as("n_touches"))
+      .filter(col(typeCol) === convType)
+      .select(col(entityCol), col(idCol).as("conv_id"),
+        col(tsSecCol).cast("long").as("conv_ts"), col("n_touches"),
+        col("_first.id").as("first_id"), col("_first.ts").as("first_ts"),
+        col("_first.tp").as("first_type"),
+        col("_last.id").as("last_id"), col("_last.ts").as("last_ts"),
+        col("_last.tp").as("last_type"))
+  }
+
   /** RFM segmentation — the classic customer-value tiling (recency /
     * frequency / monetary), and for corpus curation the same shape as
     * "segment sources by how fresh, prolific, and substantial they are".

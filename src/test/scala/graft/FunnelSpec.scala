@@ -151,6 +151,52 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("attribution: first/last touch inside the lookback, same-second " +
+      "touches eligible, dark conversions keep nulls, later touches " +
+      "never credited, partition-invariant") {
+    val d = Seq(
+      // u1: view(1)@100, click(2)@200, purchase(3)@250 — both in window
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "click"),
+      (1L, 3L, 250L, "purchase"),
+      // u1 second purchase(4)@1150, lookback 1000 → window [150, 1150]
+      // drops view@100, keeps click@200
+      (1L, 4L, 1150L, "purchase"),
+      // u2: touch at the SAME second as the purchase is eligible (RANGE
+      // frame), and a later touch(7)@400 is not
+      (2L, 5L, 300L, "view"), (2L, 6L, 300L, "purchase"),
+      (2L, 7L, 400L, "click"),
+      // u3: dark conversion — nearest touch outside the lookback
+      (3L, 8L, 100L, "view"), (3L, 9L, 5000L, "purchase"),
+      // noise type never participates
+      (1L, 10L, 240L, "error"))
+      .toDF("user", "eid", "es", "tp")
+    val out = Funnel.attribution(d, "user", "es", "eid", "tp",
+        "purchase", Seq("view", "click"), lookbackSec = 1000L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(7)) -1L else r.getLong(7),
+        if (r.isNullAt(6)) "-" else r.getString(6),
+        if (r.isNullAt(9)) "-" else r.getString(9)))
+      .toMap
+    assert(out(3L) == ((2L, 1L, 2L, "view", "click")))
+    assert(out(4L) == ((1L, 2L, 2L, "click", "click")))
+    assert(out(6L) == ((1L, 5L, 5L, "view", "view"))) // same-second
+    assert(out(9L) == ((0L, -1L, -1L, "-", "-")))     // dark
+    val re = Funnel.attribution(d.repartition(7), "user", "es", "eid",
+        "tp", "purchase", Seq("view", "click"), lookbackSec = 1000L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(7)) -1L else r.getLong(7),
+        if (r.isNullAt(6)) "-" else r.getString(6),
+        if (r.isNullAt(9)) "-" else r.getString(9)))
+      .toMap
+    assert(re == out)
+    intercept[IllegalArgumentException] {
+      Funnel.attribution(d, "user", "es", "eid", "tp", "purchase",
+        Seq("purchase"), 1000L)
+    }
+  }
+
   test("rfm: distinct metrics rank into bands, recency inverted, " +
       "boundary ties share the lower band, partition-invariant") {
     // five customers with strictly increasing activity: c5 is the most
