@@ -633,6 +633,21 @@ object SparkEntry {
       edges.orderBy("start_id", "end_id")
     }),
 
+    // ---- V11: pairwise correlation matrix over lineitem's numeric
+    // columns — one scan, exact decimal moments, e6-integerized r ----
+    "q_v11_corr_matrix" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("price"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc"),
+        floor(col("l_tax") * 10000 + 0.5).cast("long").as("tax"))
+      Validate.correlationMatrix(li, Seq("qty", "price", "disc", "tax"))
+        .select(col("col_a"), col("col_b"), col("n"),
+          floor(col("r") * lit(1e6) + lit(0.5)).cast("long").as("r_e6"))
+        .orderBy("col_a", "col_b")
+    }),
+
     // ---- ST24: first/last-touch attribution — every purchase credits
     // the first and last view/click inside a 14-day lookback; one RANGE
     // window per entity, exact epoch arithmetic ----
@@ -6875,6 +6890,65 @@ object SparkEntry {
         |GROUP BY a.i, b.i
         |HAVING count(*) >= 2
         |ORDER BY start_id, end_id""".stripMargin,
+
+    // Correlation-matrix rebuild: one HUGEINT moments CTE, six pair
+    // rows by UNION ALL, the mirrored (n·q−s²) variance/covariance
+    // shapes with the product guard.
+    "q_v11_corr_matrix" ->
+      """WITH src AS (
+        |  SELECT
+        |    CAST(floor(l_quantity * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS price,
+        |    CAST(floor(l_discount * 10000 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS disc,
+        |    CAST(floor(l_tax * 10000 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS tax
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(qty AS HUGEINT)) AS DOUBLE) AS s_qty,
+        |    CAST(sum(CAST(qty AS HUGEINT) * qty) AS DOUBLE) AS q_qty,
+        |    CAST(sum(CAST(price AS HUGEINT)) AS DOUBLE) AS s_price,
+        |    CAST(sum(CAST(price AS HUGEINT) * price) AS DOUBLE)
+        |      AS q_price,
+        |    CAST(sum(CAST(disc AS HUGEINT)) AS DOUBLE) AS s_disc,
+        |    CAST(sum(CAST(disc AS HUGEINT) * disc) AS DOUBLE) AS q_disc,
+        |    CAST(sum(CAST(tax AS HUGEINT)) AS DOUBLE) AS s_tax,
+        |    CAST(sum(CAST(tax AS HUGEINT) * tax) AS DOUBLE) AS q_tax,
+        |    CAST(sum(CAST(qty AS HUGEINT) * price) AS DOUBLE) AS x_qp,
+        |    CAST(sum(CAST(qty AS HUGEINT) * disc) AS DOUBLE) AS x_qd,
+        |    CAST(sum(CAST(qty AS HUGEINT) * tax) AS DOUBLE) AS x_qt,
+        |    CAST(sum(CAST(price AS HUGEINT) * disc) AS DOUBLE) AS x_pd,
+        |    CAST(sum(CAST(price AS HUGEINT) * tax) AS DOUBLE) AS x_pt,
+        |    CAST(sum(CAST(disc AS HUGEINT) * tax) AS DOUBLE) AS x_dt
+        |  FROM src),
+        |p AS (
+        |  SELECT 'qty' AS col_a, 'price' AS col_b, cnt, n,
+        |    s_qty AS sa, q_qty AS qa, s_price AS sb, q_price AS qb,
+        |    x_qp AS xab FROM m
+        |  UNION ALL SELECT 'qty', 'disc', cnt, n,
+        |    s_qty, q_qty, s_disc, q_disc, x_qd FROM m
+        |  UNION ALL SELECT 'qty', 'tax', cnt, n,
+        |    s_qty, q_qty, s_tax, q_tax, x_qt FROM m
+        |  UNION ALL SELECT 'price', 'disc', cnt, n,
+        |    s_price, q_price, s_disc, q_disc, x_pd FROM m
+        |  UNION ALL SELECT 'price', 'tax', cnt, n,
+        |    s_price, q_price, s_tax, q_tax, x_pt FROM m
+        |  UNION ALL SELECT 'disc', 'tax', cnt, n,
+        |    s_disc, q_disc, s_tax, q_tax, x_dt FROM m)
+        |SELECT col_a, col_b, cnt AS n,
+        |  CASE WHEN cnt < 2
+        |      OR (n*qa - sa*sa) * (n*qb - sb*sb) <= CAST(0 AS DOUBLE)
+        |    THEN NULL
+        |    ELSE CAST(floor((n*xab - sa*sb)
+        |      / sqrt((n*qa - sa*sa) * (n*qb - sb*sb)) * 1e6
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS r_e6
+        |FROM p ORDER BY col_a, col_b""".stripMargin,
 
     // Attribution rebuild: the struct min/max becomes a packed
     // es·10⁷+event_id sortable key (ids < 10⁵ at every SF, so the

@@ -330,4 +330,55 @@ object Validate {
           (col("n").cast(dec) * col("_t")).cast("double"))
         .as("gini"))
   }
+
+  /** Pairwise Pearson correlation matrix over `cols` — the one-scan
+    * multicollinearity audit ("which signals are redundant?") feeding
+    * feature selection and drift comparisons. Columns must be
+    * integer-valued (pre-scaled by the caller — the engine-wide
+    * exactness discipline): every moment accumulates exact in
+    * decimal(38,0) in ONE aggregate over one scan, and each pair's
+    * correlation runs once in double with the variance-PRODUCT null
+    * guard (the [[graft.operators.TimeSeries.autocorrelation]]
+    * contract). Rows with a null in ANY of `cols` are dropped
+    * (listwise-complete — every pair sees the same n, so the matrix is
+    * positive-semidefinite-consistent).
+    *
+    * Scale notes (100 TB): one narrow scan, one partial-agg to a single
+    * row of k·(k+3)/2 moments; the pair explosion happens on that 1-row
+    * frame — nothing shuffles but the aggregate tree.
+    *
+    * @return (`col_a`, `col_b`, `n`, `r`) for each pair in `cols` order
+    *         (i < j), r null when either side has zero variance. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns (got ${cols.size})")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val dec = "decimal(38,0)"
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val singles = cols.flatMap(c => Seq(
+      sum(col(c).cast(dec)).cast("double").as(s"_s_$c"),
+      sum((col(c) * col(c)).cast(dec)).cast("double").as(s"_q_$c")))
+    val pairsIdx = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val crosses = pairsIdx.map { case (a, b) =>
+      sum((col(a) * col(b)).cast(dec)).cast("double").as(s"_x_${a}_$b") }
+    val aggCols = count(lit(1)).as("_cnt") +:
+      count(lit(1)).cast("double").as("_n") +: (singles ++ crosses)
+    val m = complete.agg(aggCols.head, aggCols.tail: _*)
+    val pairRows = pairsIdx.map { case (a, b) =>
+      val va = col("_n") * col(s"_q_$a") - col(s"_s_$a") * col(s"_s_$a")
+      val vb = col("_n") * col(s"_q_$b") - col(s"_s_$b") * col(s"_s_$b")
+      val cov = col("_n") * col(s"_x_${a}_$b") -
+        col(s"_s_$a") * col(s"_s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("_cnt").as("n"),
+        when(col("_cnt") < 2 || va * vb <= 0.0,
+            lit(null).cast("double"))
+          .otherwise(cov / sqrt(va * vb)).as("r"))
+    }
+    m.select(explode(array(pairRows: _*)).as("_p"))
+      .select(col("_p.col_a").as("col_a"), col("_p.col_b").as("col_b"),
+        col("_p.n").as("n"), col("_p.r").as("r"))
+  }
 }

@@ -175,4 +175,39 @@ class ValidateSpec extends SparkSpec {
     // all-zero mass: mean undefined → null
     assert(g(Seq(0L, 0L)).isNullAt(2))
   }
+
+  test("correlationMatrix: exact ±1 on linear columns, null vs a " +
+      "constant, listwise null drop, partition-invariant, fail-fast") {
+    val base = (1L to 5L).map(i => (i, 2 * i, 10 - i, 7L))
+      .toDF("x", "y", "z", "w")
+    // a row with ANY null drops entirely (listwise) — n stays 5
+    val withNull = base.unionAll(
+      Seq((null.asInstanceOf[java.lang.Long], 99L, 99L, 99L))
+        .toDF("x", "y", "z", "w")
+        .select(col("x").cast("long"), col("y"), col("z"), col("w")))
+    val out = Validate.correlationMatrix(withNull,
+        Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out.size == 6)
+    assert(out(("x", "y")) == ((5L, Some(1.0))))  // y = 2x, exact
+    assert(out(("x", "z")) == ((5L, Some(-1.0)))) // z = 10 - x
+    assert(out(("y", "z")) == ((5L, Some(-1.0))))
+    assert(out(("x", "w")) == ((5L, None)))       // w constant
+    assert(out(("y", "w"))._2 == None)
+    assert(out(("z", "w"))._2 == None)
+    val re = Validate.correlationMatrix(withNull.repartition(7),
+        Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(re == out) // exact — decimal moments
+    intercept[IllegalArgumentException] {
+      Validate.correlationMatrix(base, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Validate.correlationMatrix(base, Seq("x", "x"))
+    }
+  }
 }
