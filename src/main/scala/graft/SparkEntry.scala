@@ -590,6 +590,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- ST25: Theil–Sen robust trend — median pairwise slope per
+    // entity on the same day-offset x as ST22; the cap (2000) never
+    // binds at test SFs so the oracle needn't replicate it ----
+    "q_st25_theil_sen" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      val (tr, _) = TimeSeries.theilSenTrend(e, "user_id", "es", "v",
+        xUnitSec = 86400L, maxPoints = 2000)
+      tr.select(col("user_id"), col("n_points"), col("n_pairs"),
+          floor(col("slope") * lit(1e4) + lit(0.5)).cast("long")
+            .as("slope_e4"),
+          floor(col("intercept") * lit(1e2) + lit(0.5)).cast("long")
+            .as("icept_e2"))
+        .orderBy("user_id")
+    }),
+
     // ---- ST23: RFM segmentation of customers over their orders —
     // recency anchored at the global max order date (pure function of
     // the data), monetary in exact cents, quantile-band scores ----
@@ -6522,6 +6539,47 @@ object SparkEntry {
         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS acf_e4
         |FROM m
         |ORDER BY user_id, lag""".stripMargin,
+
+    // Theil–Sen rebuild: same day-offset xy CTE as ST22, pair slopes by
+    // entity-local self-join (x strictly increasing), exact-interpolated
+    // medians (quantile_cont ≡ Spark percentile on identical doubles —
+    // the q_o1 parity), intercept = median(y − slope·x).
+    "q_st25_theil_sen" ->
+      """WITH src AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |xy AS (
+        |  SELECT user_id,
+        |    (es - min(es) OVER (PARTITION BY user_id)) // 86400 AS x,
+        |    v AS y
+        |  FROM src),
+        |sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points
+        |       FROM xy GROUP BY 1),
+        |k AS (SELECT xy.user_id, xy.x, xy.y, sz.n_points
+        |      FROM xy JOIN sz USING (user_id)
+        |      WHERE sz.n_points <= 2000),
+        |p AS (
+        |  SELECT a.user_id, a.n_points,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+        |  FROM k a JOIN k b ON a.user_id = b.user_id AND a.x < b.x),
+        |med AS (
+        |  SELECT user_id, max(n_points) AS n_points,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    quantile_cont(s, 0.5) AS slope
+        |  FROM p GROUP BY 1),
+        |ic AS (
+        |  SELECT k.user_id,
+        |    quantile_cont(k.y - med.slope * k.x, 0.5) AS intercept
+        |  FROM k JOIN med USING (user_id) GROUP BY k.user_id)
+        |SELECT med.user_id, med.n_points, med.n_pairs,
+        |  CAST(floor(med.slope * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS slope_e4,
+        |  CAST(floor(ic.intercept * 1e2 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS icept_e2
+        |FROM med JOIN ic USING (user_id)
+        |ORDER BY med.user_id""".stripMargin,
 
     // RFM rebuild: per-customer aggregate, global-max reference instant,
     // quantile_cont cutoffs (≡ Spark percentile interpolation, the

@@ -704,6 +704,78 @@ object TimeSeries {
         .otherwise(cov * cov / (xVar * yVar)).as("r2"))
   }
 
+  /** Per-entity Theil–Sen robust trend — the outlier-immune complement
+    * to [[linearTrend]] (one wild value swings an OLS slope; the median
+    * of pairwise slopes shrugs it off; breakdown point ≈ 29%).
+    *
+    * slope = median over all point pairs (x₁ < x₂) of (y₂−y₁)/(x₂−x₁);
+    * intercept = median of (y − slope·x). Same input contract as
+    * [[linearTrend]]: integer `valueCol`, x = epoch offset from the
+    * entity's first observation integer-`div` `xUnitSec` (same-x pairs
+    * are excluded — their slope is undefined). Medians are exact
+    * interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); every per-pair double is a function of exact
+    * integers, so the whole statistic is engine/partition-exact.
+    *
+    * Scale notes (100 TB): the pair expansion is quadratic PER ENTITY —
+    * the [[graft.operators.RelPipeline.cooccurrenceEdges]] cap
+    * discipline applies: entities wider than `maxPoints` observations
+    * are EXCLUDED from the estimate and reported in the second frame
+    * (first `maxPoints` in (x, y) order would silently change the
+    * statistic; refusing loudly is the honest contract). The pair join
+    * is entity-local (equi-join on the entity key); medians partial-agg
+    * per entity.
+    *
+    * @return (trends (`entityCol`, `n_points`, `n_pairs`, `slope`,
+    *         `intercept`) — entities with no valid pair (single point,
+    *         or every observation in one x bucket) have no trend and
+    *         emit no row, overflow (`entityCol`, `n_points`) for capped
+    *         entities). */
+  def theilSenTrend(df: DataFrame, entityCol: String, tsSecCol: String,
+      valueCol: String, xUnitSec: Long = 86400L,
+      maxPoints: Int = 2000): (DataFrame, DataFrame) = {
+    require(xUnitSec >= 1L, "xUnitSec must be >= 1")
+    require(maxPoints >= 2, s"maxPoints must be >= 2 (got $maxPoints)")
+    val wAll = Window.partitionBy(col(entityCol))
+    val xy = df
+      .filter(col(tsSecCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(entityCol),
+        (col(tsSecCol).cast("long") -
+          min(col(tsSecCol).cast("long")).over(wAll)).as("_diff"),
+        col(valueCol).cast("long").as("_y"))
+      .select(col(entityCol), expr(s"_diff div ${xUnitSec}L").as("_x"),
+        col("_y"))
+    val sizes = xy.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_points"))
+    val overflow = sizes.filter(col("n_points") > maxPoints)
+      .select(col(entityCol), col("n_points"))
+    val kept = xy.join(
+      sizes.filter(col("n_points") <= maxPoints)
+        .select(col(entityCol), col("n_points")),
+      Seq(entityCol))
+    val a = kept.select(col(entityCol), col("n_points"),
+      col("_x").as("_x1"), col("_y").as("_y1"))
+    val b = kept.select(col(entityCol), col("_x").as("_x2"),
+      col("_y").as("_y2"))
+    val slopes = a.join(b, Seq(entityCol))
+      .filter(col("_x1") < col("_x2"))
+      .select(col(entityCol), col("n_points"),
+        ((col("_y2") - col("_y1")).cast("double") /
+          (col("_x2") - col("_x1")).cast("double")).as("_s"))
+    val med = slopes.groupBy(col(entityCol))
+      .agg(max(col("n_points")).as("n_points"),
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(_s, 0.5)").as("slope"))
+    val trends = kept
+      .join(med.select(col(entityCol), col("slope")), Seq(entityCol))
+      .groupBy(col(entityCol))
+      .agg(expr("percentile(_y - slope * _x, 0.5)").as("intercept"))
+      .join(med, Seq(entityCol), "right")
+      .select(col(entityCol), col("n_points"), col("n_pairs"),
+        col("slope"), col("intercept"))
+    (trends, overflow)
+  }
+
   /** Lead–lag cross-correlation between two event types per entity —
     * "do purchases FOLLOW views, and by how many buckets?": both types'
     * values bucket onto one `intervalSec` grid (0-filled — absence is

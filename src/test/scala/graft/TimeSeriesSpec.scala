@@ -404,4 +404,37 @@ class TimeSeriesSpec extends SparkSpec {
       .toMap
     assert(re == out) // exact — decimal moments, one double closed form
   }
+
+  test("theilSenTrend: outlier-immune slope, same-x pairs excluded, " +
+      "pairless entities absent, cap reported, partition-invariant") {
+    // R: y = x with one wild outlier — 6 of 10 pair slopes are exactly
+    // 1, so the median shrugs off the spike (OLS would not)
+    val robust = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 100L))
+      .map { case (x, y) => ("R", x * 86400L, y) }
+    // S: two same-x points and one ahead — slopes [+2, -2], median 0
+    val sameX = Seq(("S", 0L, 1L), ("S", 10L, 5L), ("S", 86400L, 3L))
+    // P: single point — no pair, no row
+    val single = Seq(("P", 0L, 7L))
+    val d = (robust ++ sameX ++ single).toDF("e", "es", "v")
+    val (tr, over) = TimeSeries.theilSenTrend(d, "e", "es", "v",
+      xUnitSec = 86400L, maxPoints = 2000)
+    val out = tr.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("R") == ((5L, 10L, 1.0, 0.0)))
+    assert(out("S") == ((3L, 2L, 0.0, 3.0))) // icept: med(1, 5, 3)
+    assert(!out.contains("P"))
+    assert(over.count() == 0)
+    // cap: R has 5 points — excluded and reported at maxPoints = 4
+    val (tr2, over2) = TimeSeries.theilSenTrend(d, "e", "es", "v",
+      xUnitSec = 86400L, maxPoints = 4)
+    assert(!tr2.collect().map(_.getString(0)).contains("R"))
+    assert(over2.collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("R", 5L)))
+    val (re, _) = TimeSeries.theilSenTrend(d.repartition(7), "e", "es",
+      "v", xUnitSec = 86400L, maxPoints = 2000)
+    assert(re.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap == out)
+  }
 }
