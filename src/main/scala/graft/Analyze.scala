@@ -92,6 +92,36 @@ import graft.operators.{Curation, GraphOps}
   *               (hashed-feature linear quality score + keep probability;
   *               --weights is a (feature_id, weight) parquet — a trained
   *               model's export)
+  *   trend       --docs <dir> --entity-col e --ts-col t --value-col v
+  *               [--x-unit SEC] [-o <outDir>]
+  *               (per-entity OLS slope/intercept/r²; integer value)
+  *   theilsen    --docs <dir> --entity-col e --ts-col t --value-col v
+  *               [--x-unit SEC] [--max-points N] [-o <outDir>]
+  *               (robust median-of-slopes trend; capped entities are
+  *               reported to <outDir>/theilsen_overflow)
+  *   rfm         --docs <dir> --entity-col e --ts-col t --value-col amt
+  *               [--tiles N] [-o <outDir>]
+  *               (recency/frequency/monetary quantile scores)
+  *   sessions    --docs <dir> --entity-col e --ts-col t --id-col i
+  *               [--interval GAP_SEC] [-o <outDir>]
+  *               (gap-based sessionization summary)
+  *   attribution --docs <dir> --entity-col e --ts-col t --id-col i
+  *               --type-col c --stages <convType,touch1,touch2,...>
+  *               [--window-sec LOOKBACK] [-o <outDir>]
+  *               (first/last-touch credit per conversion)
+  *   assoc       --docs <facts dir> --group-col g --item-col i
+  *               [--max-group-size N] [--min-count N]
+  *               [--min-confidence C] [-o <outDir>]
+  *               (association rules; capped baskets reported to
+  *               <outDir>/assoc_overflow)
+  *   skyline     --docs <dir> --x-col x --y-col y [--buckets N]
+  *               [-o <outDir>]   (Pareto frontier, both axes minimized)
+  *   corr        --docs <dir> --target <col1,col2,...> [-o <outDir>]
+  *               (pairwise Pearson matrix; integer-valued columns)
+  *   welch       --docs <prev dir> --bench <cur dir> --value-col v
+  *               [-o <outDir>]   (Welch two-sample t drift test)
+  *   mannwhitney --docs <prev dir> --bench <cur dir> --value-col v
+  *               [-o <outDir>]   (rank-sum drift test, exact ties)
   *
   * Common options: `--master local[N]`, `--checkpoint-dir <dir>` (switches
   * every iterative operator to the fault-tolerant
@@ -160,6 +190,13 @@ object Analyze {
       itemCol: String = "",
       maxGroupSize: Int = 100,
       minCount: Long = 1L,
+      minConfidence: Double = 0.0,
+      xCol: String = "",
+      yCol: String = "",
+      buckets: Int = 1024,
+      tiles: Int = 5,
+      maxPoints: Int = 2000,
+      xUnitSec: Long = 86400L,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -237,6 +274,15 @@ object Analyze {
       case "--item-col" :: v :: t => loop(t, acc.copy(itemCol = v))
       case "--max-group-size" :: v :: t =>
         loop(t, acc.copy(maxGroupSize = v.toInt))
+      case "--min-confidence" :: v :: t =>
+        loop(t, acc.copy(minConfidence = v.toDouble))
+      case "--x-col" :: v :: t => loop(t, acc.copy(xCol = v))
+      case "--y-col" :: v :: t => loop(t, acc.copy(yCol = v))
+      case "--buckets" :: v :: t => loop(t, acc.copy(buckets = v.toInt))
+      case "--tiles" :: v :: t => loop(t, acc.copy(tiles = v.toInt))
+      case "--max-points" :: v :: t =>
+        loop(t, acc.copy(maxPoints = v.toInt))
+      case "--x-unit" :: v :: t => loop(t, acc.copy(xUnitSec = v.toLong))
       case "--min-count" :: v :: t => loop(t, acc.copy(minCount = v.toLong))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
@@ -538,6 +584,96 @@ object Analyze {
             s"${args.outDir}/cooccur_overflow")
         }
         coEdges
+      case "trend" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "trend needs --docs, --entity-col, --ts-col, --value-col " +
+            "(value must be integer-valued — pre-scale floats)")
+        graft.operators.TimeSeries.linearTrend(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.valueCol, args.xUnitSec)
+      case "theilsen" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "theilsen needs --docs, --entity-col, --ts-col, --value-col " +
+            "(value must be integer-valued — pre-scale floats)")
+        val (tsTrends, tsOver) = graft.operators.TimeSeries.theilSenTrend(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.valueCol, args.xUnitSec, args.maxPoints)
+        if (args.outDir.nonEmpty) {
+          tsOver.write.mode("overwrite")
+            .parquet(s"${args.outDir}/theilsen_overflow")
+          println(s"[analyze] theilsen: wrote " +
+            s"${args.outDir}/theilsen_overflow")
+        }
+        tsTrends
+      case "rfm" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "rfm needs --docs, --entity-col, --ts-col, --value-col " +
+            "(the amount — integer-valued, e.g. cents)")
+        graft.operators.Funnel.rfm(spark.read.parquet(args.docs),
+          args.entityCol, args.tsCol, args.valueCol, args.tiles)
+      case "sessions" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty,
+          "sessions needs --docs, --entity-col, --ts-col, --id-col " +
+            "[--interval GAP_SEC]")
+        graft.operators.Funnel.sessionStats(spark.read.parquet(args.docs),
+          args.entityCol, args.tsCol, args.idCol, args.intervalSec)
+      case "attribution" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.stages.size >= 2,
+          "attribution needs --docs, --entity-col, --ts-col, --id-col, " +
+            "--type-col, --stages <convType,touchType1,...>, " +
+            "[--window-sec LOOKBACK]")
+        graft.operators.Funnel.attribution(spark.read.parquet(args.docs),
+          args.entityCol, args.tsCol, args.idCol, args.typeCol,
+          args.stages.head, args.stages.tail, args.windowSec)
+      case "assoc" =>
+        require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
+          args.itemCol.nonEmpty,
+          "assoc needs --docs <facts dir>, --group-col, --item-col " +
+            "[--max-group-size N] [--min-count N] [--min-confidence C]")
+        val (rules, aOver) = graft.operators.RelPipeline.associationRules(
+          spark.read.parquet(args.docs), args.groupCol, args.itemCol,
+          args.maxGroupSize, args.minCount, args.minConfidence, ckpt)
+        if (args.outDir.nonEmpty) {
+          aOver.write.mode("overwrite")
+            .parquet(s"${args.outDir}/assoc_overflow")
+          println(s"[analyze] assoc: wrote ${args.outDir}/assoc_overflow")
+        }
+        rules
+      case "skyline" =>
+        require(args.docs.nonEmpty && args.xCol.nonEmpty &&
+          args.yCol.nonEmpty,
+          "skyline needs --docs, --x-col, --y-col (both minimized — " +
+            "negate a column to maximize it) [--buckets N]")
+        graft.operators.Skyline.skyline2D(spark.read.parquet(args.docs),
+          args.xCol, args.yCol, args.buckets)
+      case "corr" =>
+        require(args.docs.nonEmpty && args.target.nonEmpty,
+          "corr needs --docs and --target <comma-separated " +
+            "integer-valued columns>")
+        graft.operators.Validate.correlationMatrix(
+          spark.read.parquet(args.docs),
+          args.target.split(',').toSeq.map(_.trim))
+      case "welch" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty &&
+          args.valueCol.nonEmpty,
+          "welch needs --docs <previous dir>, --bench <current dir>, " +
+            "--value-col (integer-valued — pre-scale floats)")
+        graft.operators.SnapshotDiff.welchT(
+          spark.read.parquet(args.docs), spark.read.parquet(args.bench),
+          args.valueCol)
+      case "mannwhitney" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty &&
+          args.valueCol.nonEmpty,
+          "mannwhitney needs --docs <previous dir>, --bench <current " +
+            "dir>, --value-col (integer-valued — pre-scale floats)")
+        graft.operators.SnapshotDiff.mannWhitneyU(
+          spark.read.parquet(args.docs), spark.read.parquet(args.bench),
+          args.valueCol)
       case "score" =>
         require(args.docs.nonEmpty, "score needs --docs <dir>")
         require(args.weights.nonEmpty,

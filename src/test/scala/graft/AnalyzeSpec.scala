@@ -394,4 +394,74 @@ class AnalyzeSpec extends SparkSpec {
       spark).head()
     assert(re.getLong(1) == 5L && re.getLong(2) == 2L)
   }
+
+  test("trend, theilsen, rfm, sessions, attribution, assoc, skyline, " +
+      "corr, welch, and mannwhitney run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w8").toString
+    // exact line y = 7 + 3x on day offsets
+    (0L to 4L).map(i => ("e", i * 86400L, 7L + 3L * i))
+      .toDF("u", "es", "v").write.parquet(s"$dir/line")
+    val tr = Analyze.run(parse(List("trend", "--docs", s"$dir/line",
+      "--entity-col", "u", "--ts-col", "es", "--value-col", "v")),
+      spark).head()
+    assert(tr.getDouble(2) == 3.0 && tr.getDouble(3) == 7.0)
+    val ts = Analyze.run(parse(List("theilsen", "--docs", s"$dir/line",
+      "--entity-col", "u", "--ts-col", "es", "--value-col", "v")),
+      spark).head()
+    assert(ts.getDouble(3) == 3.0 && ts.getDouble(4) == 7.0)
+
+    Seq(("c1", 100L, 10L), ("c2", 200L, 20L)).toDF("c", "es", "amt")
+      .write.parquet(s"$dir/orders")
+    val rf = Analyze.run(parse(List("rfm", "--docs", s"$dir/orders",
+      "--entity-col", "c", "--ts-col", "es", "--value-col", "amt",
+      "--tiles", "2")), spark)
+      .collect().map(r => r.getString(0) -> r.getLong(7)).toMap
+    // both customers order once — the frequency tie shares band 1
+    assert(rf == Map("c1" -> 111L, "c2" -> 212L))
+
+    Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 5000L))
+      .toDF("u", "eid", "es").write.parquet(s"$dir/sess")
+    val se = Analyze.run(parse(List("sessions", "--docs", s"$dir/sess",
+      "--entity-col", "u", "--ts-col", "es", "--id-col", "eid",
+      "--interval", "3600")), spark).collect()
+    assert(se.length == 2)
+
+    Seq((1L, 1L, 100L, "view"), (1L, 2L, 150L, "purchase"))
+      .toDF("u", "eid", "es", "tp").write.parquet(s"$dir/attr")
+    val at = Analyze.run(parse(List("attribution", "--docs",
+      s"$dir/attr", "--entity-col", "u", "--ts-col", "es", "--id-col",
+      "eid", "--type-col", "tp", "--stages", "purchase,view,click",
+      "--window-sec", "1000")), spark).head()
+    assert(at.getLong(1) == 2L && at.getLong(4) == 1L)
+
+    Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B")).toDF("g", "i")
+      .write.parquet(s"$dir/facts")
+    val ar = Analyze.run(parse(List("assoc", "--docs", s"$dir/facts",
+      "--group-col", "g", "--item-col", "i", "--max-group-size", "5")),
+      spark).collect()
+    assert(ar.length == 2 && ar.forall(_.getDouble(7) == 1.0))
+
+    Seq((1L, 5L, "a"), (2L, 3L, "b"), (3L, 4L, "c")).toDF("x", "y", "t")
+      .write.parquet(s"$dir/sky")
+    val sk = Analyze.run(parse(List("skyline", "--docs", s"$dir/sky",
+      "--x-col", "x", "--y-col", "y")), spark)
+      .collect().map(_.getString(2)).toSet
+    assert(sk == Set("a", "b"))
+
+    (1L to 5L).map(i => (i, 2 * i)).toDF("p", "q")
+      .write.parquet(s"$dir/num")
+    val co = Analyze.run(parse(List("corr", "--docs", s"$dir/num",
+      "--target", "p,q")), spark).head()
+    assert(co.getDouble(3) == 1.0)
+
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(s"$dir/prev")
+    Seq(4L, 5L, 6L).toDF("v").write.parquet(s"$dir/cur")
+    val we = Analyze.run(parse(List("welch", "--docs", s"$dir/prev",
+      "--bench", s"$dir/cur", "--value-col", "v")), spark).head()
+    assert(we.getLong(0) == 3L && we.getLong(1) == 3L)
+    val mw = Analyze.run(parse(List("mannwhitney", "--docs",
+      s"$dir/prev", "--bench", s"$dir/cur", "--value-col", "v")),
+      spark).head()
+    assert(mw.getLong(0) == 3L && mw.getLong(1) == 3L)
+  }
 }
