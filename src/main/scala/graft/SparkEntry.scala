@@ -22,14 +22,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table ships TIMESTAMP(NANOS) which Spark reads as long
-    * (nanosAsLong). Convert to a µs TimestampType column with integer
-    * division — double math would lose precision above 2^53 ns. */
+  /** The events table has shipped both TIMESTAMP(NANOS) — which Spark
+    * reads as long under nanosAsLong; convert with integer division,
+    * double math would lose precision above 2^53 ns — and plain µs
+    * timestamps, which Spark 4 infers as TIMESTAMP_NTZ (no
+    * isAdjustedToUTC flag). Normalize both to a µs TimestampType `ts`:
+    * the session timezone is UTC, so the NTZ cast is identity on the
+    * underlying micros, and µs-domain functions (`unix_micros`) accept
+    * the column again. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
@@ -648,6 +655,20 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         maxGroupSize = 10, minCount = 2L)
       edges.orderBy("start_id", "end_id")
+    }),
+
+    // ---- X2o: blocked record linkage — self-link parts on the brand
+    // block, word-set Jaccard ≥ 0.5 (fuzzy dedup mode: canonical
+    // unordered pairs); the 10⁶ block-pair cap never binds here ----
+    "q_x2o_link_records" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val (m, _) = Dedup.linkRecords(p, p, "p_partkey", "p_partkey",
+        "p_name", "p_name", Seq("p_brand"), Seq("p_brand"),
+        shingleSize = 1, threshold = 0.5, canonicalPairs = true)
+      m.select(col("id_l"), col("id_r"),
+          floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
+            .as("sim_e6"))
+        .orderBy("id_l", "id_r")
     }),
 
     // ---- V11: pairwise correlation matrix over lineitem's numeric
@@ -6948,6 +6969,39 @@ object SparkEntry {
         |GROUP BY a.i, b.i
         |HAVING count(*) >= 2
         |ORDER BY start_id, end_id""".stripMargin,
+
+    // Record-linkage rebuild: the x2b token-set CTEs on part names,
+    // brand-blocked canonical pairs, the same coalesce-intersection
+    // Jaccard shape, threshold on the identical double.
+    "q_x2o_link_records" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT p_partkey AS id,
+        |    unnest(regexp_split_to_array(trim(p_name), '\s+')) AS tk
+        |  FROM part),
+        |sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+        |pairs AS (
+        |  SELECT a.p_partkey AS id_l, b.p_partkey AS id_r
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        |inter AS (
+        |  SELECT p.id_l, p.id_r, count(*) AS ni
+        |  FROM pairs p
+        |  JOIN tok ta ON ta.id = p.id_l
+        |  JOIN tok tb ON tb.id = p.id_r AND tb.tk = ta.tk
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.id_l, p.id_r,
+        |    CAST(coalesce(i.ni, 0) AS DOUBLE)
+        |      / (sa.n + sb.n - coalesce(i.ni, 0)) AS sim
+        |  FROM pairs p
+        |  JOIN sizes sa ON sa.id = p.id_l
+        |  JOIN sizes sb ON sb.id = p.id_r
+        |  LEFT JOIN inter i ON i.id_l = p.id_l AND i.id_r = p.id_r)
+        |SELECT id_l, id_r,
+        |  CAST(floor(sim * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS sim_e6
+        |FROM j WHERE sim >= CAST(0.5 AS DOUBLE)
+        |ORDER BY id_l, id_r""".stripMargin,
 
     // Correlation-matrix rebuild: one HUGEINT moments CTE, six pair
     // rows by UNION ALL, the mirrored (n·q−s²) variance/covariance

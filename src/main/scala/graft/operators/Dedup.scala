@@ -436,6 +436,70 @@ object Dedup {
         jaccard(col("_ta"), col("_tb"), shingleSize).as("jaccard"))
   }
 
+  /** Blocked A↔B record linkage — the fuzzy complement to the
+    * reference's merge-by-id (graph_db_builder.py:493-497 dedups nodes
+    * on an exact `id_key`; real source systems disagree on ids, so the
+    * classic ETL step links records by BLOCKING on cheap exact keys and
+    * scoring the survivors with token-set similarity).
+    *
+    * Candidates = the equi-join of `left` and `right` on their block
+    * keys (positionally paired; a block key is "same nation + same name
+    * initial"-style cheap agreement); score = exact token-shingle
+    * Jaccard ([[jaccard]]); matches = score ≥ `threshold`. Set
+    * `canonicalPairs = true` for self-linkage (left == right) to emit
+    * each unordered pair once (`id_l < id_r`) — the fuzzy-dedup mode
+    * whose output feeds [[connectedComponents]] exactly like the X2
+    * near-dup pair frames.
+    *
+    * Scale notes (100 TB): the quadratic step is per-block and gated
+    * BEFORE it happens — blocks whose `n_left · n_right` exceeds
+    * `maxBlockPairs` are EXCLUDED from the join and reported in the
+    * second frame (the [[graft.operators.RelPipeline.cooccurrenceEdges]]
+    * overflow discipline; a degenerate block key would otherwise emit a
+    * cross join). Block sizes partial-agg map-side; the candidate join
+    * shuffles on the block key; the Jaccard is a narrow codegen
+    * expression per pair — raw text moves only into its own block.
+    *
+    * @return (matches (`id_l`, `id_r`, `sim`),
+    *         overflow (block key cols, `n_left`, `n_right`)). */
+  def linkRecords(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      leftText: String, rightText: String,
+      leftBlock: Seq[String], rightBlock: Seq[String],
+      shingleSize: Int = 1, threshold: Double = 0.5,
+      maxBlockPairs: Long = 1000000L,
+      canonicalPairs: Boolean = false): (DataFrame, DataFrame) = {
+    require(leftBlock.nonEmpty && leftBlock.size == rightBlock.size,
+      "leftBlock/rightBlock must be non-empty and positionally paired")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1] (got $threshold)")
+    require(maxBlockPairs >= 1, "maxBlockPairs must be >= 1")
+    val bks = leftBlock.indices.map(i => s"_bk$i")
+    val l = left.select(col(leftId).as("id_l") +:
+      col(leftText).as("_tl") +:
+      leftBlock.zipWithIndex.map { case (c, i) => col(c).as(s"_bk$i") }: _*)
+      .filter(bks.map(col(_).isNotNull).reduce(_ && _))
+    val r = right.select(col(rightId).as("id_r") +:
+      col(rightText).as("_tr") +:
+      rightBlock.zipWithIndex.map { case (c, i) => col(c).as(s"_bk$i") }: _*)
+      .filter(bks.map(col(_).isNotNull).reduce(_ && _))
+    val sizes = l.groupBy(bks.map(col): _*)
+      .agg(count(lit(1)).as("n_left"))
+      .join(r.groupBy(bks.map(col): _*)
+        .agg(count(lit(1)).as("n_right")), bks)
+    val overflow = sizes
+      .filter(col("n_left") * col("n_right") > maxBlockPairs)
+    val kept = sizes
+      .filter(col("n_left") * col("n_right") <= maxBlockPairs)
+      .select(bks.map(col): _*)
+    val matches = l.join(kept, bks).join(r, bks)
+      .filter(if (canonicalPairs) col("id_l") < col("id_r") else lit(true))
+      .select(col("id_l"), col("id_r"),
+        jaccard(col("_tl"), col("_tr"), shingleSize).as("sim"))
+      .filter(col("sim") >= lit(threshold))
+    (matches, overflow)
+  }
+
   /** Connected components over near-dup pairs — the clustering step that
     * turns pairwise matches into dedup decisions (every doc maps to the
     * minimum id reachable through near-dup edges; that min id is the

@@ -580,4 +580,45 @@ class DedupSpec extends SparkSpec {
     assert(stats.length == 1 && stats.head.getAs[Long]("n") == 3L &&
       stats.head.getAs[Boolean]("skipped"))
   }
+
+  test("linkRecords: blocked A-B matches above threshold, blocks never " +
+      "cross, self-link canonical pairs, degenerate block reported, " +
+      "partition-invariant") {
+    val left = Seq((1L, "acme corp", "US"), (2L, "globex inc", "US"),
+      (3L, "acme corp", "DE")).toDF("id", "name", "nation")
+    val right = Seq((10L, "acme corporation", "US"),
+      (11L, "globex inc", "US"), (12L, "acme corp", "FR"))
+      .toDF("id", "name", "nation")
+    val (m, over) = Dedup.linkRecords(left, right, "id", "id", "name",
+      "name", Seq("nation"), Seq("nation"), shingleSize = 1,
+      threshold = 0.3)
+    val got = m.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // {acme, corp} vs {acme, corporation} → 1/3; exact name → 1;
+    // id 3 (DE) and 12 (FR) block alone — never compared to anything
+    assert(got == Map((1L, 10L) -> 1.0 / 3.0, (2L, 11L) -> 1.0))
+    assert(over.count() == 0)
+    // self-linkage: identical names once, as (lower, higher)
+    val selfDf = Seq((1L, "red widget", "B"), (2L, "red widget", "B"),
+      (3L, "blue bolt", "B")).toDF("id", "name", "brand")
+    val (selfM, _) = Dedup.linkRecords(selfDf, selfDf, "id", "id",
+      "name", "name", Seq("brand"), Seq("brand"), shingleSize = 1,
+      threshold = 0.5, canonicalPairs = true)
+    assert(selfM.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 2L)))
+    // a degenerate block key (3·3 pairs > cap 8) is excluded AND
+    // reported, not silently cross-joined
+    val (gated, report) = Dedup.linkRecords(selfDf, selfDf, "id", "id",
+      "name", "name", Seq("brand"), Seq("brand"), shingleSize = 1,
+      threshold = 0.0, maxBlockPairs = 8L)
+    assert(gated.count() == 0)
+    assert(report.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("B", 3L, 3L)))
+    val (re, _) = Dedup.linkRecords(left.repartition(7),
+      right.repartition(3), "id", "id", "name", "name", Seq("nation"),
+      Seq("nation"), shingleSize = 1, threshold = 0.3)
+    assert(re.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap == got)
+  }
 }
