@@ -657,6 +657,14 @@ object SparkEntry {
       edges.orderBy("start_id", "end_id")
     }),
 
+    // ---- X6n: deterministic contrastive negatives — 3 hash-drawn
+    // non-matching partners per doc over the dense id range; every draw
+    // replayable (portable md5-48), self-hits and holes dropped ----
+    "q_x6n_negative_pairs" -> ((s, dir) =>
+      Sampling.negativePairs(t(s, dir, "documents"), "doc_id", k = 3,
+          seed = 42L)
+        .orderBy("doc_id", "j")),
+
     // ---- X2o: blocked record linkage — self-link parts on the brand
     // block, word-set Jaccard ≥ 0.5 (fuzzy dedup mode: canonical
     // unordered pairs); the 10⁶ block-pair cap never binds here ----
@@ -6969,6 +6977,25 @@ object SparkEntry {
         |GROUP BY a.i, b.i
         |HAVING count(*) >= 2
         |ORDER BY start_id, end_id""".stripMargin,
+
+    // Negative-pair rebuild: the md5-48 draw replayed verbatim over the
+    // observed id span; existence by join against the distinct ids,
+    // self-hits dropped on the same predicate.
+    "q_x6n_negative_pairs" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM ids),
+        |d AS (
+        |  SELECT doc_id, unnest(range(1, 4)) AS j FROM ids),
+        |c AS (
+        |  SELECT d.doc_id, CAST(d.j AS BIGINT) AS j,
+        |    s.lo + (CAST(concat('0x', substr(md5(concat(
+        |        42, ':', d.doc_id, ':', d.j)), 1, 12)) AS BIGINT)
+        |      % (s.hi - s.lo + 1)) AS neg_id
+        |  FROM d CROSS JOIN span s)
+        |SELECT c.doc_id, c.j, c.neg_id
+        |FROM c JOIN ids i ON i.doc_id = c.neg_id
+        |WHERE c.neg_id <> c.doc_id
+        |ORDER BY c.doc_id, c.j""".stripMargin,
 
     // Record-linkage rebuild: the x2b token-set CTEs on part names,
     // brand-blocked canonical pairs, the same coalesce-intersection

@@ -181,6 +181,48 @@ object Sampling {
     * gets independent verdicts. Weights are per-source keep-fractions —
     * for "epochs"-style up-weighting > 1, pre-duplicate with distinct ids
     * upstream. */
+  /** Deterministic negative-pair sampling — the contrastive-training
+    * primitive ("for every anchor, k random non-matching partners")
+    * without an RNG and without a corpus-wide sort: draw j = 1..k
+    * candidate ids per anchor as `lo + md5-48(anchor, j) mod span` over
+    * the OBSERVED id range, keep the draws that exist and aren't the
+    * anchor itself. Same anchor + seed → same negatives on any cluster,
+    * any partitioning, any engine (the [[graft.functions.PortableHash]]
+    * discipline — the oracle replays every draw).
+    *
+    * Contract: ids should be reasonably DENSE in [min, max] — each draw
+    * that lands on a hole or on the anchor is dropped, so sparse id
+    * spaces yield fewer than `k` negatives per anchor (documented
+    * honesty over silent redraw loops, which would break the closed-form
+    * replay). Draws are with replacement across j (collisions possible
+    * at tiny corpus sizes).
+    *
+    * Scale notes (100 TB): the id span is a 1-row broadcast; the
+    * existence check is one equi-join of the k-exploded anchors against
+    * the distinct-id table — hash-partitioned, no sort, no window;
+    * everything else is narrow codegen hashing.
+    *
+    * @return (`idCol` — the anchor, `j` 1..k, `neg_id`). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024] (got $k)")
+    val ids = df.select(col(idCol).cast("long").as("_cand")).distinct()
+    val span = ids.agg(min(col("_cand")).as("_lo"),
+      max(col("_cand")).as("_hi"))
+    val draws = ids.select(col("_cand").as(idCol))
+      .crossJoin(broadcast(span))
+      .select(col(idCol), col("_lo"), col("_hi"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col(idCol), col("j").cast("long").as("j"),
+        (col("_lo") + graft.functions.PortableHash.hash48(
+          concat_ws(":", col(idCol), col("j")), seed) %
+          (col("_hi") - col("_lo") + 1L)).as("neg_id"))
+    draws
+      .join(ids, draws("neg_id") === ids("_cand"))
+      .filter(col("neg_id") =!= col(idCol))
+      .select(col(idCol), col("j"), col("neg_id"))
+  }
+
   def mixture(sources: Seq[(DataFrame, Double)], idCol: String,
       seed: Long = 42L): DataFrame = {
     require(sources.nonEmpty, "mixture needs at least one source")

@@ -23,6 +23,10 @@ case class HoltState(level: Double, trend: Double)
 case class ZWindowState(buf: Seq[Long])
 case class ZPoint(user_id: Long, ts: java.sql.Timestamp, v: Long,
   mean: Option[Double], sd: Option[Double], z: Option[Double])
+case class GroupedToken(group: String, ts: java.sql.Timestamp,
+  item: String)
+case class HitterCounters(items: Map[String, Long])
+case class HeavyHitter(group: String, item: String, min_count: Long)
 case class HoltPoint(user_id: Long, ts: java.sql.Timestamp, v: Double,
   level: Double, trend: Double, forecast: Option[Double],
   resid: Option[Double])
@@ -393,6 +397,43 @@ object StreamingIngest {
             }
           s.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** Streaming heavy hitters — the ONLINE form of the `topk_freq`
+    * aggregate ([[graft.functions.TopKFreq]]): per-group state is the
+    * SAME Misra–Gries counter table (≤ `capacity` entries regardless of
+    * stream length), folded across triggers; each trigger re-emits the
+    * group's current top-`k` by (count desc, item asc) — the live
+    * trending-terms feed. Counts are the MG lower bounds with the
+    * classic `n/(capacity+1)` under-count; with `capacity` ≥ the
+    * group's distinct items the counters — and therefore the feed — are
+    * EXACT and bit-equal to the batch aggregate over the same prefix
+    * (spec-pinned).
+    *
+    * Scale notes: state is O(capacity) strings+longs per ACTIVE group;
+    * events fold in (ts, item) order within each micro-batch (the
+    * deterministic-fold discipline of every stateful op here); no
+    * watermark — counters accumulate for the group's lifetime. */
+  def streamingHeavyHitters(items: Dataset[GroupedToken], k: Int,
+      capacity: Int): Dataset[HeavyHitter] = {
+    require(capacity >= 1, "capacity must be >= 1")
+    require(k >= 1 && k <= capacity, "k must be in [1, capacity]")
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[HitterCounters, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, batch: Iterator[GroupedToken],
+            state: GroupState[HitterCounters]) =>
+          val st = new graft.functions.TopKFreq.State(capacity)
+          state.getOption.foreach(_.items.foreach { case (i, c) =>
+            st.add(i, c) })
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.item))
+            .foreach(e => st.offer(e.item, 1L))
+          state.update(HitterCounters(st.entries.toMap))
+          st.top(k).map { case (item, c) => HeavyHitter(g, item, c) }
+            .iterator
       }
   }
 }

@@ -519,4 +519,37 @@ class SamplingSpec extends SparkSpec {
       Sampling.dsirSample(docs, tgt, "doc_id", "text", k = 0)
     }
   }
+
+  test("negativePairs: JVM-twin draw replay, never self, holes drop, " +
+      "deterministic and partition-invariant") {
+    val dense = (0L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Sampling.negativePairs(dense, "doc_id", k = 2, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // exact replay: each surviving draw is lo + md5-48(id:j) mod span
+    out.foreach { case ((id, j), neg) =>
+      val expect = 0L +
+        graft.functions.PortableHash.hash48(s"$id:$j", 42L) % 10L
+      assert(neg == expect && neg != id && (0L to 9L).contains(neg))
+    }
+    // every (anchor, j) either replays to a self-hit (dropped) or is kept
+    val kept = (for { id <- 0L to 9L; j <- 1L to 2L } yield {
+      val d = graft.functions.PortableHash.hash48(s"$id:$j", 42L) % 10L
+      ((id, j), d)
+    }).filter { case ((id, _), d) => d != id }.toMap
+    assert(out == kept)
+    // sparse ids: draws landing in holes vanish, survivors stay valid
+    val sparse = Seq((0L, "a"), (100L, "b")).toDF("doc_id", "text")
+    val sp = Sampling.negativePairs(sparse, "doc_id", k = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(sp.forall { case (a, n) => a != n && Set(0L, 100L)(n) })
+    val re = Sampling.negativePairs(dense.repartition(7), "doc_id",
+        k = 2, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(re == out)
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(dense, "doc_id", k = 0)
+    }
+  }
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{FunnelEvent, MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
+import graft.streaming.{FunnelEvent, GroupedToken, MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
 
 /** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
   * tests over MemoryStream (SURVEY.md §5 item 5). */
@@ -420,5 +420,59 @@ class StreamingSpec extends SparkSpec {
       assert(rows.drop(1).map(_.getAs[Double]("resid")).toSeq ==
         batch.drop(1).map(_.getDouble(7)).toSeq)
     } finally q.stop()
+  }
+
+  test("streamingHeavyHitters: counters carry across triggers, groups " +
+      "stay independent, capped state matches the MG twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GroupedToken]
+    val out = StreamingIngest.streamingHeavyHitters(mem.toDS(), k = 2,
+      capacity = 10)
+    val q = out.writeStream.format("memory")
+      .queryName("hh_out").outputMode("update").start()
+    try {
+      mem.addData(
+        GroupedToken("en", ts("2024-01-01 10:00:00"), "a"),
+        GroupedToken("en", ts("2024-01-01 10:00:01"), "a"),
+        GroupedToken("en", ts("2024-01-01 10:00:02"), "b"),
+        GroupedToken("de", ts("2024-01-01 10:00:03"), "x"))
+      q.processAllAvailable()
+      mem.addData(
+        GroupedToken("en", ts("2024-01-01 10:01:00"), "b"),
+        GroupedToken("en", ts("2024-01-01 10:01:01"), "b"),
+        GroupedToken("en", ts("2024-01-01 10:01:02"), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // trigger 1 emits (a 2, b 1) + de's (x 1); trigger 2 re-emits en
+      // with carried counters (b 3, a 2) — capacity ≥ distinct → exact
+      assert(rows == Set(("en", "a", 2L), ("en", "b", 1L),
+        ("de", "x", 1L), ("en", "b", 3L)))
+    } finally q.stop()
+    // capped state: the stream's counters replay the MG twin exactly
+    val mem2 = MemoryStream[GroupedToken]
+    val out2 = StreamingIngest.streamingHeavyHitters(mem2.toDS(), k = 2,
+      capacity = 2)
+    val q2 = out2.writeStream.format("memory")
+      .queryName("hh_cap").outputMode("update").start()
+    try {
+      mem2.addData(
+        GroupedToken("g", ts("2024-01-01 10:00:00"), "a"),
+        GroupedToken("g", ts("2024-01-01 10:00:01"), "a"),
+        GroupedToken("g", ts("2024-01-01 10:00:02"), "b"))
+      q2.processAllAvailable()
+      mem2.addData(GroupedToken("g", ts("2024-01-01 10:01:00"), "c"))
+      q2.processAllAvailable()
+      val twin = new graft.functions.TopKFreq.State(2)
+      Seq("a", "a", "b", "c").foreach(twin.offer(_, 1L))
+      val want = twin.top(2).map { case (i, c) => ("g", i, c) }.toSet
+      val last = spark.table("hh_cap").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(want.subsetOf(last)) // trigger-2 emission ≡ the MG twin
+    } finally q2.stop()
+    intercept[IllegalArgumentException] {
+      StreamingIngest.streamingHeavyHitters(mem.toDS(), k = 3,
+        capacity = 2)
+    }
   }
 }
