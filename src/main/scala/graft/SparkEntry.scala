@@ -466,6 +466,23 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST26: seasonally-adjusted anomalies — the ST11 decomposition
+    // with each entity's residuals z-scored against their own spread;
+    // residuals e4-integerized before the moments so both engines score
+    // the identical integer series ----
+    "q_st26_seasonal_anomaly" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      TimeSeries.seasonalAnomaly(e, "user_id", "es", "event_id",
+          "cents", period = 7, halfWindow = 3, zThreshold = 3.0)
+        .select(col("user_id"), col("es"), col("event_id"), col("v"),
+          col("resid_e4"),
+          floor(col("z") * lit(1e4) + lit(0.5)).cast("long").as("z_e4"),
+          col("is_anomaly"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
     // ---- ST12: two-sided CUSUM change detection per user — the whole
     // statistic chain is exact integer/decimal arithmetic (values in
     // cents, recurrences n-scaled so the reference mean needs no
@@ -678,6 +695,16 @@ object SparkEntry {
             .as("sim_e6"))
         .orderBy("id_l", "id_r")
     }),
+
+    // ---- V12: per-source Shannon entropy of the language mix — the
+    // diversity audit; 1e9-integerized ln terms in decimal so the sum
+    // is partition-order independent ----
+    "q_v12_entropy" -> ((s, dir) =>
+      Validate.entropy(t(s, dir, "documents"), "source", "lang")
+        .select(col("source"), col("n"), col("n_distinct"),
+          floor(col("entropy_bits") * lit(1e6) + lit(0.5)).cast("long")
+            .as("entropy_e6"))
+        .orderBy("source")),
 
     // ---- V11: pairwise correlation matrix over lineitem's numeric
     // columns — one scan, exact decimal moments, e6-integerized r ----
@@ -922,7 +949,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
         e.filter(col("vec_id") % 25 === 0)
-          .select((col("vec_id") + 1000).as("vec_id"),
+          .select((col("vec_id") + 100000000L).as("vec_id"),
             transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
               .as("embedding")))
       Dedup.semanticDedup(corpus, "embedding", "vec_id",
@@ -946,9 +973,10 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
         .unionByName(e.filter(col("vec_id") < 400 &&
             col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000).as("vec_id"), x2(col("embedding"))))
+          .select((col("vec_id") + 100000000L).as("vec_id"),
+            x2(col("embedding"))))
         .unionByName(e.filter(col("vec_id") === 450)
-          .select(lit(2000L).as("vec_id"), x2(col("embedding"))))
+          .select(lit(200000000L).as("vec_id"), x2(col("embedding"))))
       Dedup.incrementalSemanticDedup(cents, index, batch,
           "embedding", "vec_id", threshold = 0.95)
         .orderBy("doc_id")
@@ -3476,7 +3504,7 @@ object SparkEntry {
       """WITH corpus AS MATERIALIZED (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000 AS vec_id,
+        |  SELECT vec_id + 100000000 AS vec_id,
         |    list_transform(embedding,
         |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)) AS embedding
         |  FROM embeddings WHERE vec_id % 25 = 0),
@@ -3549,12 +3577,12 @@ object SparkEntry {
         |  SELECT vec_id, embedding, TRUE AS isnew FROM embeddings
         |  WHERE vec_id >= 400
         |  UNION ALL
-        |  SELECT vec_id + 1000,
+        |  SELECT vec_id + 100000000,
         |    list_transform(embedding,
         |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)), TRUE
         |  FROM embeddings WHERE vec_id < 400 AND vec_id % 50 = 0
         |  UNION ALL
-        |  SELECT 2000,
+        |  SELECT 200000000,
         |    list_transform(embedding,
         |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)), TRUE
         |  FROM embeddings WHERE vec_id = 450),
@@ -7030,6 +7058,28 @@ object SparkEntry {
         |FROM j WHERE sim >= CAST(0.5 AS DOUBLE)
         |ORDER BY id_l, id_r""".stripMargin,
 
+    // Entropy rebuild: (source, lang) counts, the same 1e9-integerized
+    // ln(c) terms summed HUGEINT, H = (ln N − Σ/1e9/N)/ln 2 mirrored.
+    "q_v12_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS nd,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CAST(c AS HUGEINT)
+        |      * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) AS se9
+        |  FROM c GROUP BY source)
+        |SELECT source, n, n_distinct,
+        |  CAST(floor((ln(nd) - se9 / 1e9 / nd) / ln(CAST(2.0 AS DOUBLE))
+        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS entropy_e6
+        |FROM m ORDER BY source""".stripMargin,
+
     // Correlation-matrix rebuild: one HUGEINT moments CTE, six pair
     // rows by UNION ALL, the mirrored (n·q−s²) variance/covariance
     // shapes with the product guard.
@@ -7222,6 +7272,63 @@ object SparkEntry {
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS resid_e4
         |FROM d JOIN se USING (user_id, phase)
         |ORDER BY user_id, es, event_id""".stripMargin,
+
+    // Seasonal-anomaly rebuild: the ST11 CTE chain, residuals
+    // e4-integerized, per-entity HUGEINT moments, the rollingZscore
+    // sample-sd z shape, flag by the identical double comparison.
+    "q_st26_seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, es, event_id, cents,
+        |    CAST((row_number() OVER wo - 1) % 7 AS BIGINT) AS phase,
+        |    CASE WHEN count(*) OVER wf = 7
+        |      THEN sum(cents) OVER wf / CAST(7 AS DOUBLE) END AS trend
+        |  FROM ev
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY es, event_id),
+        |    wf AS (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        |  SELECT *, CAST(floor((cents - trend) * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e4 FROM b),
+        |se AS (
+        |  SELECT user_id, phase,
+        |    CASE WHEN count(d_e4) > 0
+        |      THEN CAST(sum(d_e4) AS BIGINT) / count(d_e4) / 1e4
+        |    END AS seasonal
+        |  FROM d GROUP BY user_id, phase),
+        |rz AS (
+        |  SELECT d.user_id, d.es, d.event_id, d.cents,
+        |    CAST(floor((d.cents - d.trend - se.seasonal) * 1e4
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r4
+        |  FROM d JOIN se USING (user_id, phase)
+        |  WHERE d.trend IS NOT NULL AND se.seasonal IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(r4 AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(r4 AS HUGEINT) * r4) AS DOUBLE) AS s2
+        |  FROM rz GROUP BY user_id)
+        |SELECT rz.user_id, rz.es, rz.event_id, rz.cents AS v, rz.r4
+        |    AS resid_e4,
+        |  CASE WHEN nn < 2 OR nd*s2 - s1*s1 <= CAST(0 AS DOUBLE)
+        |    THEN NULL
+        |    ELSE CAST(floor((rz.r4 - s1/nd)
+        |      / sqrt((nd*s2 - s1*s1) / (nd*(nd - CAST(1 AS DOUBLE))))
+        |      * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS z_e4,
+        |  coalesce(
+        |    CASE WHEN nn < 2 OR nd*s2 - s1*s1 <= CAST(0 AS DOUBLE)
+        |      THEN NULL
+        |      ELSE abs((rz.r4 - s1/nd)
+        |        / sqrt((nd*s2 - s1*s1)
+        |          / (nd*(nd - CAST(1 AS DOUBLE)))))
+        |        > CAST(3.0 AS DOUBLE) END,
+        |    false) AS is_anomaly
+        |FROM rz JOIN m USING (user_id)
+        |ORDER BY rz.user_id, rz.es, rz.event_id""".stripMargin,
 
     // CUSUM replay: per-row fold over the (es, event_id)-ordered e-value
     // slice, seeded by a prepended 0 (≡ the engine's empty-accumulator

@@ -523,8 +523,14 @@ object Dedup {
         .unionByName(
           pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct())
+    // distinct: vertices form a SET. A duplicated vertex id would give
+    // the pointer-jump self-join a non-unique build key, and rows whose
+    // comp points at a duplicated id then MULTIPLY every round — an
+    // exponential row explosion (2^maxIter) from a single dup. One
+    // partial-agg here is the cheap insurance.
     var labels = ckpt(
-      vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
+      vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
+        .distinct())
     // labels only ever decrease, so an unchanged sum(comp) is a fixpoint —
     // a single-column aggregate beats a join-based diff as the convergence
     // probe.

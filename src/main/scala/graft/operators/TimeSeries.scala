@@ -704,6 +704,50 @@ object TimeSeries {
         .otherwise(cov * cov / (xVar * yVar)).as("r2"))
   }
 
+  /** Seasonally-adjusted anomaly detection — the composition every
+    * monitoring pipeline actually wants: [[seasonalDecompose]] strips
+    * trend + weekly shape, then each entity's RESIDUALS are z-scored
+    * against their own spread — a Sunday dip is normal, a Sunday spike
+    * flags. Residuals are e4-integerized BEFORE the moment aggregation
+    * (the engine-wide exactness discipline: the z both engines compute
+    * is over the identical integer series; z is scale-invariant so the
+    * e4 unit cancels), moments exact decimal(38,0), the z once in
+    * double with the [[rollingZscore]] sample-sd shapes and guards.
+    *
+    * Scale notes (100 TB): [[seasonalDecompose]]'s one (entity, time)
+    * partitioning + the entity-keyed moment aggregate and join — the
+    * moment table is entity-sized; nothing new shuffles.
+    *
+    * @return (`entityCol`, `tsSecCol`, `idCol`, `v`, `resid_e4`, `z` —
+    *         null when the entity has < 2 usable residuals or zero
+    *         spread, `is_anomaly` — false when z is null; edge rows
+    *         whose residual is undefined are dropped). */
+  def seasonalAnomaly(df: DataFrame, entityCol: String,
+      tsSecCol: String, idCol: String, valueCol: String, period: Int,
+      halfWindow: Int, zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0.0, s"zThreshold must be > 0 (got $zThreshold)")
+    val dec = "decimal(38,0)"
+    val r = seasonalDecompose(df, entityCol, tsSecCol, idCol, valueCol,
+        period, halfWindow)
+      .filter(col("resid").isNotNull)
+      .withColumn("_r4",
+        floor(col("resid") * lit(1e4) + lit(0.5)).cast("long"))
+    val m = r.groupBy(col(entityCol)).agg(
+      count(lit(1)).as("_n"),
+      count(lit(1)).cast("double").as("_nd"),
+      sum(col("_r4").cast(dec)).cast("double").as("_s1"),
+      sum((col("_r4") * col("_r4")).cast(dec)).cast("double").as("_s2"))
+    val varNum = col("_nd") * col("_s2") - col("_s1") * col("_s1")
+    val z = when(col("_n") < 2 || varNum <= 0.0,
+        lit(null).cast("double"))
+      .otherwise((col("_r4") - col("_s1") / col("_nd")) /
+        sqrt(varNum / (col("_nd") * (col("_nd") - 1.0))))
+    r.join(m, Seq(entityCol))
+      .select(col(entityCol), col(tsSecCol), col(idCol), col("v"),
+        col("_r4").as("resid_e4"), z.as("z"),
+        coalesce(abs(z) > lit(zThreshold), lit(false)).as("is_anomaly"))
+  }
+
   /** Per-entity Theil–Sen robust trend — the outlier-immune complement
     * to [[linearTrend]] (one wild value swings an OLS slope; the median
     * of pairwise slopes shrugs it off; breakdown point ≈ 29%).

@@ -331,6 +331,45 @@ object Validate {
         .as("gini"))
   }
 
+  /** Shannon entropy of a categorical column, per group — the
+    * "how diverse is this source's language/domain mix?" audit, and the
+    * balance check before mixture sampling (low entropy = one value
+    * dominates; log₂ units, so a uniform 2ᵏ-way mix scores exactly k).
+    *
+    * H = ln(N) − (Σ c·ln c)/N over the per-value counts c — the
+    * algebraically-identical regrouping of −Σ p·ln p that needs ONE
+    * pass over the count table and no per-row p division. Each `ln c`
+    * is 1e9-integerized and the c·ln c terms sum in decimal(38,0) (the
+    * powerLawFit discipline — a raw double sum is partial-agg
+    * merge-order dependent); the single division and the nats→bits
+    * scale happen once at the end.
+    *
+    * Scale notes (100 TB): one partial-agg to (group, value) counts,
+    * one partial-agg to group term-sums — the raw corpus never moves
+    * twice; both tables are cardinality-bounded, not row-bounded.
+    *
+    * @return (`groupCol`, `n`, `n_distinct`, `entropy_bits` — 0 for a
+    *         single-valued group; null rows are excluded). */
+  def entropy(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    val lnE9 = floor(log(col("_c").cast("double")) * lit(1e9) +
+      lit(0.5)).cast(dec)
+    counts.groupBy(col(groupCol)).agg(
+        sum(col("_c").cast(dec)).cast("double").as("_n"),
+        sum(col("_c").cast(dec)).cast("long").as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_c").cast(dec) * lnE9).as("_s_e9"))
+      .select(col(groupCol), col("n"), col("n_distinct"),
+        ((log(col("_n")) -
+          col("_s_e9").cast("double") / lit(1e9) / col("_n")) /
+          log(lit(2.0))).as("entropy_bits"))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` — the one-scan
     * multicollinearity audit ("which signals are redundant?") feeding
     * feature selection and drift comparisons. Columns must be

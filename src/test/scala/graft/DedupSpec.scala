@@ -383,6 +383,20 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents: duplicate vertex ids collapse to one row " +
+      "instead of multiplying through the pointer-jump self-join") {
+    // regression: a duplicated vertex id used to give the jump join a
+    // non-unique build key — rows pointing at the dup DOUBLED every
+    // round (2^maxIter explosion; surfaced by q_x2l at sf0.1 where a
+    // +1000 id offset collided with real ids)
+    val vertices = (Seq(1L, 2L, 3L) ++ Seq(2L, 2L, 3L)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(vertices, "id", pairs).collect()
+    assert(out.length == 3) // one row per DISTINCT vertex
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("connectedComponents: long chain converges via pointer jumping") {
     val n = 60L
     val vertices = (0L until n).toDF("id")

@@ -405,6 +405,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re == out) // exact — decimal moments, one double closed form
   }
 
+  test("seasonalAnomaly: the planted spike is the only flag, edge rows " +
+      "drop, constant residuals null out, partition-invariant") {
+    // perfect alternation 10/20 with one 90 spike at position 5 —
+    // residuals are ~0 everywhere else, so only the spike z-flags
+    val vals = Seq(10L, 20L, 10L, 20L, 10L, 90L, 10L, 20L, 10L, 20L,
+      10L)
+    val d = vals.zipWithIndex.map { case (v, i) =>
+      ("e", i.toLong, i.toLong, v) }.toDF("u", "es", "eid", "v")
+    val out = TimeSeries.seasonalAnomaly(d, "u", "es", "eid", "v",
+        period = 2, halfWindow = 1, zThreshold = 2.0)
+      .collect().map(r => r.getLong(1) ->
+        (r.isNullAt(5), r.getBoolean(6))).toMap
+    // halfWindow=1 trims one row each end
+    assert(!out.contains(0L) && !out.contains(10L))
+    assert(out.size == 9)
+    val flagged = out.filter(_._2._2).keySet
+    assert(flagged.forall(es => es >= 4L && es <= 6L) && flagged.nonEmpty)
+    assert(out.forall(!_._2._1)) // z defined everywhere (spread > 0)
+    // an entity whose residuals are ALL identical has no spread → no z,
+    // no flags
+    val flat = (0L to 6L).map(i => ("f", i, i, 10L))
+      .toDF("u", "es", "eid", "v")
+    val fz = TimeSeries.seasonalAnomaly(flat, "u", "es", "eid", "v",
+        period = 2, halfWindow = 1).collect()
+    assert(fz.forall(r => r.isNullAt(5) && !r.getBoolean(6)))
+    val re = TimeSeries.seasonalAnomaly(d.repartition(7), "u", "es",
+        "eid", "v", period = 2, halfWindow = 1, zThreshold = 2.0)
+      .collect().map(r => r.getLong(1) ->
+        (r.isNullAt(5), r.getBoolean(6))).toMap
+    assert(re == out)
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalAnomaly(d, "u", "es", "eid", "v", 2, 1,
+        zThreshold = 0.0)
+    }
+  }
+
   test("theilSenTrend: outlier-immune slope, same-x pairs excluded, " +
       "pairless entities absent, cap reported, partition-invariant") {
     // R: y = x with one wild outlier — 6 of 10 pair slopes are exactly

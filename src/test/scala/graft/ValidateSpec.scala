@@ -176,6 +176,30 @@ class ValidateSpec extends SparkSpec {
     assert(g(Seq(0L, 0L)).isNullAt(2))
   }
 
+  test("entropy: uniform mix scores log2(k) bits, single value ~0, " +
+      "nulls excluded, partition-invariant") {
+    val d = (Seq.fill(2)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")).map(("u", _)) ++
+      Seq.fill(5)(("s", "only")) ++
+      Seq(("n", "x"), ("n", null), (null, "y"))
+    val df = d.toDF("g", "v")
+    val out = Validate.entropy(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // uniform 4-way → 2 bits (±ln-integerization, ~1e-9)
+    assert(out("u")._1 == 8L && out("u")._2 == 4L)
+    assert(math.abs(out("u")._3 - 2.0) < 1e-8)
+    // one value → ~0 (can be an ulp either side of 0; e6 rounds to 0)
+    assert(out("s") == ((5L, 1L, out("s")._3)) &&
+      math.abs(out("s")._3) < 1e-8)
+    // null group rows and null values are both excluded
+    assert(out("n")._1 == 1L && !out.contains(null))
+    val re = Validate.entropy(df.repartition(7), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(re == out) // exact — integerized terms in decimal sums
+  }
+
   test("correlationMatrix: exact ±1 on linear columns, null vs a " +
       "constant, listwise null drop, partition-invariant, fail-fast") {
     val base = (1L to 5L).map(i => (i, 2 * i, 10 - i, 7L))
