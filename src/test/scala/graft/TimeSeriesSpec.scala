@@ -405,6 +405,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re == out) // exact — decimal moments, one double closed form
   }
 
+  test("interArrival: periodic B=-1, bursty hand moments exact, " +
+      "single-gap sentinel, gapless entities absent, " +
+      "partition-invariant") {
+    // P: perfectly periodic (all gaps 10) — sd 0, cv 0, B exactly −1
+    val periodic = (0L to 4L).map(i => ("P", i * 10L, i))
+    // B: gaps [1,1,1,97] — s1=100, s2=9412 → sd exactly 48, mean 25
+    val bursty = Seq(0L, 1L, 2L, 3L, 100L).zipWithIndex.map {
+      case (t, i) => ("B", t, i.toLong) }
+    val one = Seq(("O", 0L, 0L), ("O", 7L, 1L)) // single gap
+    val lone = Seq(("L", 5L, 0L))               // no gaps at all
+    val d = (periodic ++ bursty ++ one ++ lone).toDF("e", "es", "eid")
+    val out = TimeSeries.interArrival(d, "e", "es", "eid")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out("P") == ((4L, 10.0, 0.0, 0.0, -1.0)))
+    assert(out("B") == ((4L, 25.0, 48.0, 1.92, (48.0 - 25.0) / 73.0)))
+    assert(out("O") == ((1L, 7.0, 0.0, 0.0, -1.0)))
+    assert(!out.contains("L"))
+    val re = TimeSeries.interArrival(d.repartition(7), "e", "es", "eid")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(re == out) // exact — integer gaps, decimal moments
+  }
+
   test("seasonalAnomaly: the planted spike is the only flag, edge rows " +
       "drop, constant residuals null out, partition-invariant") {
     // perfect alternation 10/20 with one 90 spike at position 5 —
