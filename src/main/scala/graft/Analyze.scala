@@ -122,6 +122,17 @@ import graft.operators.{Curation, GraphOps}
   *               [-o <outDir>]   (Welch two-sample t drift test)
   *   mannwhitney --docs <prev dir> --bench <cur dir> --value-col v
   *               [-o <outDir>]   (rank-sum drift test, exact ties)
+  *   anomaly     --docs <dir> --entity-col e --ts-col t --id-col i
+  *               --value-col v [--period P] [--half-window H]
+  *               [--z-threshold Z] [-o <outDir>]
+  *               (seasonally-adjusted residual z-flags)
+  *   interarrival --docs <dir> --entity-col e --ts-col t --id-col i
+  *               [-o <outDir>]  (gap mean/sd/cv + burstiness)
+  *   entropy     --docs <dir> --group-col g --value-col v [-o <outDir>]
+  *               (per-group Shannon diversity, bits)
+  *   negatives   --docs <dir> [--id-col doc_id] [--top-k K]
+  *               [--hash-seed S] [-o <outDir>]
+  *               (deterministic contrastive negative pairs)
   *
   * Common options: `--master local[N]`, `--checkpoint-dir <dir>` (switches
   * every iterative operator to the fault-tolerant
@@ -197,6 +208,7 @@ object Analyze {
       tiles: Int = 5,
       maxPoints: Int = 2000,
       xUnitSec: Long = 86400L,
+      zThreshold: Double = 3.0,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -283,6 +295,8 @@ object Analyze {
       case "--max-points" :: v :: t =>
         loop(t, acc.copy(maxPoints = v.toInt))
       case "--x-unit" :: v :: t => loop(t, acc.copy(xUnitSec = v.toLong))
+      case "--z-threshold" :: v :: t =>
+        loop(t, acc.copy(zThreshold = v.toDouble))
       case "--min-count" :: v :: t => loop(t, acc.copy(minCount = v.toLong))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
@@ -584,6 +598,36 @@ object Analyze {
             s"${args.outDir}/cooccur_overflow")
         }
         coEdges
+      case "anomaly" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty && args.valueCol.nonEmpty,
+          "anomaly needs --docs, --entity-col, --ts-col, --id-col, " +
+            "--value-col [--period P] [--half-window H] " +
+            "[--z-threshold Z]")
+        graft.operators.TimeSeries.seasonalAnomaly(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.valueCol, args.period, args.halfWindow,
+          args.zThreshold)
+      case "interarrival" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty,
+          "interarrival needs --docs, --entity-col, --ts-col, --id-col")
+        graft.operators.TimeSeries.interArrival(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol)
+      case "entropy" =>
+        require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
+          args.valueCol.nonEmpty,
+          "entropy needs --docs, --group-col, --value-col")
+        graft.operators.Validate.entropy(spark.read.parquet(args.docs),
+          args.groupCol, args.valueCol)
+      case "negatives" =>
+        require(args.docs.nonEmpty,
+          "negatives needs --docs [--id-col doc_id] [--top-k K] " +
+            "[--hash-seed S]")
+        graft.operators.Sampling.negativePairs(
+          spark.read.parquet(args.docs), args.idCol, args.topK,
+          args.hashSeed)
       case "trend" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.valueCol.nonEmpty,

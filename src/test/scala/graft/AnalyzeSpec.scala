@@ -464,4 +464,29 @@ class AnalyzeSpec extends SparkSpec {
       spark).head()
     assert(mw.getLong(0) == 3L && mw.getLong(1) == 3L)
   }
+
+  test("anomaly, interarrival, entropy, and negatives run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w9").toString
+    (0L to 8L).map(i => ("e", i, i, if (i == 4L) 90L else 10L))
+      .toDF("u", "es", "eid", "v").write.parquet(s"$dir/ts")
+    val an = Analyze.run(parse(List("anomaly", "--docs", s"$dir/ts",
+      "--entity-col", "u", "--ts-col", "es", "--id-col", "eid",
+      "--value-col", "v", "--period", "2", "--half-window", "1",
+      "--z-threshold", "1.5")), spark).collect()
+    assert(an.length == 7 && an.exists(_.getBoolean(6)))
+    val ia = Analyze.run(parse(List("interarrival", "--docs",
+      s"$dir/ts", "--entity-col", "u", "--ts-col", "es", "--id-col",
+      "eid")), spark).head()
+    assert(ia.getLong(1) == 8L && ia.getDouble(2) == 1.0)
+    Seq(("g", "x"), ("g", "x"), ("g", "y"), ("g", "y")).toDF("s", "l")
+      .write.parquet(s"$dir/cat2")
+    val en = Analyze.run(parse(List("entropy", "--docs", s"$dir/cat2",
+      "--group-col", "s", "--value-col", "l")), spark).head()
+    assert(en.getLong(1) == 4L && math.abs(en.getDouble(3) - 1.0) < 1e-8)
+    (0L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs2")
+    val ng = Analyze.run(parse(List("negatives", "--docs",
+      s"$dir/docs2", "--top-k", "2")), spark).collect()
+    assert(ng.nonEmpty && ng.forall(r => r.getLong(0) != r.getLong(2)))
+  }
 }
