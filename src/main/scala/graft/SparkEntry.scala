@@ -744,6 +744,17 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    // ---- ST28: top-20 frequent 3-event behavioral sequences — type
+    // n-grams over each user's (ts, id)-ordered stream, deterministic
+    // (count desc, sequence asc) ranking ----
+    "q_st28_frequent_seqs" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      Funnel.frequentSequences(e, "user_id", "es", "event_id",
+          "event_type", n = 3, topK = 20)
+        .orderBy("rank")
+    }),
+
     // ---- ST24: first/last-touch attribution — every purchase credits
     // the first and last view/click inside a 14-day lookback; one RANGE
     // window per entity, exact epoch arithmetic ----
@@ -7164,6 +7175,31 @@ object SparkEntry {
         |      / sqrt((n*qa - sa*sa) * (n*qb - sb*sb)) * 1e6
         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS r_e6
         |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+    // Frequent-sequence rebuild: the same leads window, '>'-joined
+    // n-grams, identical deterministic ranking.
+    "q_st28_frequent_seqs" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    event_type
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM src
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |c AS (
+        |  SELECT concat(t0, '>', t1, '>', t2) AS sequence,
+        |    CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT sequence, n_occ,
+        |  CAST(row_number() OVER (ORDER BY n_occ DESC, sequence)
+        |    AS BIGINT) AS rank
+        |FROM c
+        |ORDER BY n_occ DESC, sequence
+        |LIMIT 20""".stripMargin,
 
     // Attribution rebuild: the struct min/max becomes a packed
     // es·10⁷+event_id sortable key (ids < 10⁵ at every SF, so the

@@ -181,6 +181,43 @@ object Funnel {
           .as("retention"))
   }
 
+  /** Top-k frequent event-type sequences — "what do users actually DO,
+    * in order?": every run of `n` consecutive events per entity (over
+    * the (ts, id) total order) becomes a `>`-joined type n-gram, counted
+    * corpus-wide — the behavioral-pattern mining that motivates funnel
+    * definitions instead of assuming them. Ranking is deterministic:
+    * (count desc, sequence asc).
+    *
+    * Scale notes (100 TB event tables): one entity-key window for the
+    * leads (runs never cross entities), one partial-agg count; the
+    * ranking window runs over the COUNT table, which is bounded by the
+    * type-vocabulary to the n-th power (125 rows for 5 types at n = 3),
+    * never by event volume.
+    *
+    * @return (`sequence`, `n_occ`, `rank` 1..topK). */
+  def frequentSequences(df: DataFrame, entityCol: String,
+      tsSecCol: String, idCol: String, typeCol: String, n: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 8, s"n must be in [2, 8] (got $n)")
+    require(topK >= 1, "topK must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol).cast("long"), col(idCol))
+    val leads = (1 until n).map(i => lead(col(typeCol), i).over(w))
+    val counts = df
+      .select(concat_ws(">", col(typeCol) +: leads: _*).as("sequence"),
+        leads.map(_.isNotNull).reduce(_ && _).as("_full"))
+      .filter(col("_full"))
+      .groupBy(col("sequence"))
+      .agg(count(lit(1)).as("n_occ"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("sequence"))
+    counts
+      .select(col("sequence"), col("n_occ"),
+        row_number().over(rankW).cast("long").as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Conversion attribution — for every conversion event, which touch
     * gets the credit: the FIRST and LAST `touchTypes` event whose
     * timestamp falls in `[conversion − lookbackSec, conversion]`

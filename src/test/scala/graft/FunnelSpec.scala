@@ -151,6 +151,37 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("frequentSequences: counts n-grams per entity order, ties rank " +
+      "lexicographically, topK cuts, runs never cross entities, " +
+      "partition-invariant") {
+    val d = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (1L, 4L, 40L, "b"), (1L, 5L, 50L, "a"),
+      (2L, 6L, 10L, "c"), (2L, 7L, 20L, "c"), (2L, 8L, 30L, "c"),
+      (2L, 9L, 40L, "c"),
+      (3L, 10L, 5L, "z")) // single event — no 3-gram
+      .toDF("u", "eid", "es", "tp")
+    val out = Funnel.frequentSequences(d, "u", "es", "eid", "tp",
+        n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    // a>b>a ×2 and c>c>c ×2 tie — lexicographic break; b>a>b ×1 third;
+    // nothing crosses u1's trailing 'a' into u2's 'c's or touches 'z'
+    assert(out.toSeq == Seq(("a>b>a", 2L, 1L), ("c>c>c", 2L, 2L),
+      ("b>a>b", 1L, 3L)))
+    val cut = Funnel.frequentSequences(d, "u", "es", "eid", "tp",
+      n = 3, topK = 2)
+    assert(cut.count() == 2)
+    val re = Funnel.frequentSequences(d.repartition(7), "u", "es",
+        "eid", "tp", n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(re.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] {
+      Funnel.frequentSequences(d, "u", "es", "eid", "tp", n = 1)
+    }
+  }
+
   test("attribution: first/last touch inside the lookback, same-second " +
       "touches eligible, dark conversions keep nulls, later touches " +
       "never credited, partition-invariant") {
