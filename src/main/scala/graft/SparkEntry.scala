@@ -719,6 +719,23 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // ---- O4: median/MAD robust outliers on event values per type —
+    // the 50%-breakdown detector; k=1.3 suits the uniform-ish values
+    // (3.5 is the normal-data convention) ----
+    "q_o4_outliers_mad" -> ((s, dir) =>
+      Outliers.mad(t(s, dir, "events")
+          .select("event_id", "event_type", "value"),
+        "value", Seq("event_type"), k = 1.3)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(col("med") * lit(1e4) + lit(0.5)).cast("long")
+            .as("med_e4"),
+          floor(col("mad") * lit(1e4) + lit(0.5)).cast("long")
+            .as("mad_e4"),
+          floor(col("robust_z") * lit(1e4) + lit(0.5)).cast("long")
+            .as("rz_e4"))
+        .orderBy("event_id")),
+
     // ---- V12: per-source Shannon entropy of the language mix — the
     // diversity audit; 1e9-integerized ln terms in decimal so the sum
     // is partition-order independent ----
@@ -7094,6 +7111,34 @@ object SparkEntry {
         |    AS sim_e6
         |FROM j WHERE sim >= CAST(0.5 AS DOUBLE)
         |ORDER BY id_l, id_r""".stripMargin,
+
+    // MAD rebuild: two quantile_cont passes (median, then median of
+    // deviations), the same 0.6745 consistency shape, flag on the
+    // identical double comparison.
+    "q_o4_outliers_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |ad AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM ad GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST(floor(m.med * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS med_e4,
+        |  CAST(floor(d.mad * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS mad_e4,
+        |  CAST(floor(0.6745 * (e.value - m.med) / d.mad * 1e4
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rz_e4
+        |FROM events e
+        |JOIN med m USING (event_type)
+        |JOIN md d USING (event_type)
+        |WHERE d.mad <> 0
+        |  AND abs(0.6745 * (e.value - m.med) / d.mad)
+        |    > CAST(1.3 AS DOUBLE)
+        |ORDER BY e.event_id""".stripMargin,
 
     // Entropy rebuild: (source, lang) counts, the same 1e9-integerized
     // ln(c) terms summed HUGEINT, H = (ln N − Σ/1e9/N)/ln 2 mirrored.

@@ -70,6 +70,45 @@ object Outliers {
       .drop("_q1", "_q3")
   }
 
+  /** Median/MAD robust outliers — the detector that survives what
+    * breaks the other two: [[zscore]]'s mean AND sd are dragged by the
+    * very outliers being hunted (masking), and [[iqr]]'s quartiles move
+    * under 25% contamination; the median and the median absolute
+    * deviation have the maximum 50% breakdown point. Flags
+    * |0.6745·(v − med)/MAD| > `k` (0.6745 is the normal-consistency
+    * constant, so `k` reads in σ-equivalents; Iglewicz–Hoaglin suggest
+    * 3.5 for normal-ish data — heavy-tailed uniform mixes want lower).
+    *
+    * Exactness: both medians are exact interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont` — the q_o1-proven parity);
+    * every downstream op is the same double arithmetic on both engines.
+    * A zero-MAD group (> 50% of values identical) yields null
+    * `robust_z` and flags nothing — the degenerate case is explicit,
+    * not a division artifact.
+    *
+    * Scale notes (100 TB): two percentile aggregates (the second pass
+    * is inherent — deviations need the median first), each broadcast
+    * back; the corpus never shuffles, mirroring [[iqr]].
+    *
+    * @return input + (`med`, `mad`, `robust_z`, `is_outlier`). */
+  def mad(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double = 3.5): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val med = grouped(df, groupCols)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = joinStats(df, med, groupCols)
+    val madStats = grouped(
+        withMed.withColumn("_adev", abs(col(valueCol) - col("med"))),
+        groupCols)
+      .agg(expr("percentile(_adev, 0.5)").as("mad"))
+    val rz = lit(0.6745) * (col(valueCol) - col("med")) / col("mad")
+    joinStats(withMed, madStats, groupCols)
+      .withColumn("robust_z",
+        when(col("mad") === 0.0, lit(null).cast("double")).otherwise(rz))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > lit(k), lit(false)))
+  }
+
   private def grouped(df: DataFrame, groupCols: Seq[String]) =
     if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
 

@@ -71,4 +71,32 @@ class OutliersSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Outliers.iqr(df, "v", Nil, k = -1) }
   }
+
+  test("mad: spike flags while the median ignores it, zero-MAD group " +
+      "flags nothing, global mode, partition-invariant") {
+    // g: med 3, MAD 1 → the 100 scores rz = 0.6745·97; everything else
+    // stays within ±1.35
+    val d = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)) ++
+      Seq(5.0, 5.0, 5.0, 9.0).map(("z", _)))
+      .toDF("grp", "v")
+    val out = Outliers.mad(d, "v", Seq("grp"), k = 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5))).toMap
+    assert(out(("g", 100.0)) == ((Some(0.6745 * 97.0), true)))
+    assert(out(("g", 1.0)) == ((Some(0.6745 * -2.0), false)))
+    assert(out(("g", 3.0)) == ((Some(0.0), false)))
+    // z: >50% identical → MAD 0 → null rz, nothing flags (even the 9)
+    assert(out(("z", 9.0)) == ((None, false)))
+    // global mode: one corpus-wide median
+    val g = Outliers.mad(d, "v", Nil, k = 3.5)
+      .filter(col("is_outlier")).collect()
+    assert(g.map(_.getDouble(1)).toSeq == Seq(100.0))
+    val re = Outliers.mad(d.repartition(7), "v", Seq("grp"), k = 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5))).toMap
+    assert(re == out) // exact — interpolated medians + pure double ops
+    intercept[IllegalArgumentException] { Outliers.mad(d, "v", Nil, 0.0) }
+  }
 }
