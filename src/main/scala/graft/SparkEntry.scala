@@ -761,6 +761,18 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    // ---- ST29: event-type transition matrix — per-state next-event
+    // probabilities over each user's ordered stream ----
+    "q_st29_transitions" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      Funnel.transitionMatrix(e, "user_id", "es", "event_id",
+          "event_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          floor(col("p") * lit(1e6) + lit(0.5)).cast("long").as("p_e6"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // ---- ST28: top-20 frequent 3-event behavioral sequences — type
     // n-grams over each user's (ts, id)-ordered stream, deterministic
     // (count desc, sequence asc) ranking ----
@@ -7220,6 +7232,29 @@ object SparkEntry {
         |      / sqrt((n*qa - sa*sa) * (n*qb - sb*sb)) * 1e6
         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS r_e6
         |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+    // Transition-matrix rebuild: same lead window, per-state sum by a
+    // second window over the tiny transition table; n exact, p one
+    // double division of exact longs.
+    "q_st29_transitions" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
+        |    event_type
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS to_type
+        |  FROM src),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE to_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(floor(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p_e6
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // Frequent-sequence rebuild: the same leads window, '>'-joined
     // n-grams, identical deterministic ranking.

@@ -218,6 +218,38 @@ object Funnel {
       .filter(col("rank") <= topK)
   }
 
+  /** Event-type transition matrix — the first-order Markov view of the
+    * stream ("after a view, 31% click"): counts every consecutive
+    * (current → next) type pair per entity over the (ts, id) total
+    * order and normalizes per current state — the numbers behind Sankey
+    * flows and next-event baselines, and the 2-gram special case of
+    * [[frequentSequences]] WITH probabilities.
+    *
+    * Scale notes (100 TB): one entity-key window for the lead + one
+    * partial-agg count; the per-state normalization window runs over
+    * the transition table (type-vocabulary², e.g. 25 rows for 5 types),
+    * never event volume.
+    *
+    * @return (`from_type`, `to_type`, `n`, `p` — n / Σ n over the same
+    *         `from_type`). */
+  def transitionMatrix(df: DataFrame, entityCol: String,
+      tsSecCol: String, idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsSecCol).cast("long"), col(idCol))
+    val counts = df
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wState = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      (col("n").cast("double") /
+        sum(col("n")).over(wState).cast("double")).as("p"))
+  }
+
   /** Conversion attribution — for every conversion event, which touch
     * gets the credit: the FIRST and LAST `touchTypes` event whose
     * timestamp falls in `[conversion − lookbackSec, conversion]`

@@ -182,6 +182,29 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix: per-state probabilities, entity boundaries " +
+      "never pair, partition-invariant") {
+    val d = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (1L, 4L, 40L, "b"),
+      (2L, 5L, 10L, "a"), (2L, 6L, 20L, "c"))
+      .toDF("u", "eid", "es", "tp")
+    val out = Funnel.transitionMatrix(d, "u", "es", "eid", "tp")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // a→b ×2 and a→c ×1 share state a; u1's trailing b never pairs
+    // with u2's leading a
+    assert(out == Map(
+      ("a", "b") -> ((2L, 2.0 / 3.0)),
+      ("a", "c") -> ((1L, 1.0 / 3.0)),
+      ("b", "a") -> ((1L, 1.0))))
+    val re = Funnel.transitionMatrix(d.repartition(7), "u", "es",
+        "eid", "tp")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(re == out)
+  }
+
   test("attribution: first/last touch inside the lookback, same-second " +
       "touches eligible, dark conversions keep nulls, later touches " +
       "never credited, partition-invariant") {
