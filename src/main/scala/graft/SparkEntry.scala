@@ -736,6 +736,18 @@ object SparkEntry {
             .as("rz_e4"))
         .orderBy("event_id")),
 
+    // ---- V13: join-key skew report for lineitem's part key — the
+    // pre-flight numbers (heaviest share, count Gini) that pick between
+    // hash join, salting, and broadcast ----
+    "q_v13_skew_report" -> ((s, dir) =>
+      Validate.skewReport(t(s, dir, "lineitem"), "l_partkey")
+        .select(col("n_rows"), col("n_keys"), col("max_count"),
+          floor(col("max_share") * lit(1e6) + lit(0.5)).cast("long")
+            .as("share_e6"),
+          floor(col("count_gini") * lit(1e6) + lit(0.5)).cast("long")
+            .as("gini_e6"))
+        .orderBy("n_rows")),
+
     // ---- V12: per-source Shannon entropy of the language mix — the
     // diversity audit; 1e9-integerized ln terms in decimal so the sum
     // is partition-order independent ----
@@ -7151,6 +7163,43 @@ object SparkEntry {
         |  AND abs(0.6745 * (e.value - m.med) / d.mad)
         |    > CAST(1.3 AS DOUBLE)
         |ORDER BY e.event_id""".stripMargin,
+
+    // Skew-report rebuild: per-key counts, then the v8 gini rank-run
+    // shapes over the count HISTOGRAM plus the 1-row max/share stats.
+    "q_v13_skew_report" ->
+      """WITH k AS (
+        |  SELECT l_partkey, count(*) AS c FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT c AS v, count(*) AS hc FROM k GROUP BY 1),
+        |r AS (
+        |  SELECT v, hc,
+        |    coalesce(sum(hc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS lt
+        |  FROM h),
+        |s AS (
+        |  SELECT CAST(sum(hc) AS BIGINT) AS n,
+        |    sum(CAST(hc AS HUGEINT) * CAST(v AS HUGEINT)) AS t,
+        |    sum(CAST(v AS HUGEINT)
+        |      * (CAST(hc AS HUGEINT) * CAST(lt AS HUGEINT)
+        |        + (CAST(hc AS HUGEINT) * (CAST(hc AS HUGEINT) + 1))
+        |          // 2)) AS s1
+        |  FROM r),
+        |st AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_count
+        |  FROM k)
+        |SELECT st.n_rows, st.n_keys, st.max_count,
+        |  CAST(floor(CAST(st.max_count AS DOUBLE)
+        |    / CAST(st.n_rows AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS share_e6,
+        |  CAST(floor(
+        |    CAST(2 * s.s1 - (CAST(s.n AS HUGEINT) + 1) * s.t AS DOUBLE)
+        |    / CAST(CAST(s.n AS HUGEINT) * s.t AS DOUBLE) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS gini_e6
+        |FROM st CROSS JOIN s
+        |ORDER BY n_rows""".stripMargin,
 
     // Entropy rebuild: (source, lang) counts, the same 1e9-integerized
     // ln(c) terms summed HUGEINT, H = (ln N − Σ/1e9/N)/ln 2 mirrored.

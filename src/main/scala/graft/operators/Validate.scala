@@ -331,6 +331,39 @@ object Validate {
         .as("gini"))
   }
 
+  /** Join-key skew report — the pre-flight check before any big join or
+    * aggregation at scale: "how concentrated is this key?" One row of
+    * the numbers that decide between a plain hash join, salting, and a
+    * broadcast: total rows, distinct keys, the heaviest key's count and
+    * share, and the [[gini]] concentration of the per-key count
+    * distribution (0 = perfectly uniform keys, →1 = one key owns the
+    * table).
+    *
+    * Exactness: counts exact longs; `max_share` is one double division;
+    * the Gini runs on the per-key count HISTOGRAM through [[gini]]'s
+    * exact rank-run arithmetic.
+    *
+    * Scale notes (100 TB): one partial-agg to the per-key count table,
+    * then two 1-row aggregates (the count histogram [[gini]] feeds on is
+    * distinct-COUNT-VALUE-sized — tiny); nothing returns to the driver.
+    *
+    * @return one row: (`n_rows`, `n_keys`, `max_count`, `max_share`,
+    *         `count_gini` — null when every key count is 0-mass). */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
+    val stats = counts.agg(
+      sum(col("_c")).cast("long").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("_c")).as("max_count"))
+    stats.crossJoin(broadcast(
+        gini(counts, "_c").select(col("gini").as("count_gini"))))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        (col("max_count").cast("double") / col("n_rows").cast("double"))
+          .as("max_share"),
+        col("count_gini"))
+  }
+
   /** Shannon entropy of a categorical column, per group — the
     * "how diverse is this source's language/domain mix?" audit, and the
     * balance check before mixture sampling (low entropy = one value

@@ -200,6 +200,27 @@ class ValidateSpec extends SparkSpec {
     assert(re == out) // exact — integerized terms in decimal sums
   }
 
+  test("skewReport: hand-built skew, uniform keys gini 0, nulls " +
+      "excluded, partition-invariant") {
+    // keys: a×6, b×1, c×1 — 8 rows, heaviest share 6/8, count
+    // histogram {1: 2 keys, 6: 1 key}
+    val d = (Seq.fill(6)("a") ++ Seq("b", "c") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val r = Validate.skewReport(d, "k").head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L &&
+      r.getLong(2) == 6L && r.getDouble(3) == 0.75)
+    // counts [1,1,6]: gini = (2·(1·0+... ) hand value via the gini op
+    val g = Validate.gini(Seq(1L, 1L, 6L).toDF("v"), "v")
+      .head().getDouble(2)
+    assert(r.getDouble(4) == g)
+    // perfectly uniform keys → count gini exactly 0
+    val u = Validate.skewReport(
+      (1 to 4).flatMap(i => Seq.fill(3)(s"k$i")).toDF("k"), "k").head()
+    assert(u.getDouble(4) == 0.0 && u.getDouble(3) == 0.25)
+    val re = Validate.skewReport(d.repartition(7), "k").head()
+    assert(re.toSeq == r.toSeq)
+  }
+
   test("correlationMatrix: exact ±1 on linear columns, null vs a " +
       "constant, listwise null drop, partition-invariant, fail-fast") {
     val base = (1L to 5L).map(i => (i, 2 * i, 10 - i, 7L))
