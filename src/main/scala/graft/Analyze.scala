@@ -133,6 +133,17 @@ import graft.operators.{Curation, GraphOps}
   *   negatives   --docs <dir> [--id-col doc_id] [--top-k K]
   *               [--hash-seed S] [-o <outDir>]
   *               (deterministic contrastive negative pairs)
+  *   sequences   --docs <dir> --entity-col e --ts-col t --id-col i
+  *               --type-col c [--n N] [--top-k K] [-o <outDir>]
+  *               (top-k frequent event-type n-grams)
+  *   transitions --docs <dir> --entity-col e --ts-col t --id-col i
+  *               --type-col c [-o <outDir>]
+  *               (first-order Markov transition matrix)
+  *   outliers    --docs <dir> --value-col v [--group-col g]
+  *               [--mode iqr|z|mad] [--k-factor K] [--z-threshold Z]
+  *               [-o <outDir>]   (three outlier detectors, one surface)
+  *   skew        --docs <dir> --group-col <join key> [-o <outDir>]
+  *               (join-key concentration report)
   *
   * Common options: `--master local[N]`, `--checkpoint-dir <dir>` (switches
   * every iterative operator to the fault-tolerant
@@ -209,6 +220,8 @@ object Analyze {
       maxPoints: Int = 2000,
       xUnitSec: Long = 86400L,
       zThreshold: Double = 3.0,
+      nGram: Int = 3,
+      kFactor: Double = 1.5,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -294,16 +307,25 @@ object Analyze {
       case "--tiles" :: v :: t => loop(t, acc.copy(tiles = v.toInt))
       case "--max-points" :: v :: t =>
         loop(t, acc.copy(maxPoints = v.toInt))
-      case "--x-unit" :: v :: t => loop(t, acc.copy(xUnitSec = v.toLong))
-      case "--z-threshold" :: v :: t =>
-        loop(t, acc.copy(zThreshold = v.toDouble))
       case "--min-count" :: v :: t => loop(t, acc.copy(minCount = v.toLong))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
         loop(t, acc.copy(checkpointDir = Some(v)))
       case "--master" :: v :: t => loop(t, acc.copy(master = v))
+      // the match above is at the JVM method-size limit — later flags
+      // live in a second tier (loopB) chained on fallthrough
+      case other => loopB(other, acc)
+    }
+    def loopB(rest: List[String], acc: Args): Args = rest match {
+      case "--x-unit" :: v :: t => loop(t, acc.copy(xUnitSec = v.toLong))
+      case "--z-threshold" :: v :: t =>
+        loop(t, acc.copy(zThreshold = v.toDouble))
+      case "--n" :: v :: t => loop(t, acc.copy(nGram = v.toInt))
+      case "--k-factor" :: v :: t =>
+        loop(t, acc.copy(kFactor = v.toDouble))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument '$other'; $usage")
+      case Nil => acc
     }
     loop(argv.tail, Args(command = argv.head))
   }
@@ -598,6 +620,47 @@ object Analyze {
             s"${args.outDir}/cooccur_overflow")
         }
         coEdges
+      case "sequences" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty,
+          "sequences needs --docs, --entity-col, --ts-col, --id-col, " +
+            "--type-col [--n N] [--top-k K]")
+        graft.operators.Funnel.frequentSequences(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.typeCol, args.nGram, args.topK)
+      case "transitions" =>
+        require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
+          args.tsCol.nonEmpty,
+          "transitions needs --docs, --entity-col, --ts-col, --id-col, " +
+            "--type-col")
+        graft.operators.Funnel.transitionMatrix(
+          spark.read.parquet(args.docs), args.entityCol, args.tsCol,
+          args.idCol, args.typeCol)
+      case "outliers" =>
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty,
+          "outliers needs --docs, --value-col " +
+            "[--group-col g] [--mode iqr|z|mad] [--k-factor K] " +
+            "[--z-threshold Z]")
+        val oGroups =
+          if (args.groupCol.isEmpty) Nil else Seq(args.groupCol)
+        args.mode match {
+          case "iqr" | "exact" => graft.operators.Outliers.iqr(
+            spark.read.parquet(args.docs), args.valueCol, oGroups,
+            args.kFactor)
+          case "z" => graft.operators.Outliers.zscore(
+            spark.read.parquet(args.docs), args.valueCol, oGroups,
+            args.zThreshold)
+          case "mad" => graft.operators.Outliers.mad(
+            spark.read.parquet(args.docs), args.valueCol, oGroups,
+            args.zThreshold)
+          case other => throw new IllegalArgumentException(
+            s"unknown outlier mode '$other' (iqr|z|mad)")
+        }
+      case "skew" =>
+        require(args.docs.nonEmpty && args.groupCol.nonEmpty,
+          "skew needs --docs and --group-col <join key>")
+        graft.operators.Validate.skewReport(
+          spark.read.parquet(args.docs), args.groupCol)
       case "anomaly" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.valueCol.nonEmpty,

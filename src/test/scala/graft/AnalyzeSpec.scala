@@ -489,4 +489,30 @@ class AnalyzeSpec extends SparkSpec {
       s"$dir/docs2", "--top-k", "2")), spark).collect()
     assert(ng.nonEmpty && ng.forall(r => r.getLong(0) != r.getLong(2)))
   }
+
+  test("sequences, transitions, outliers, and skew run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w10").toString
+    Seq((1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"))
+      .toDF("u", "eid", "es", "tp").write.parquet(s"$dir/ev")
+    val sq = Analyze.run(parse(List("sequences", "--docs", s"$dir/ev",
+      "--entity-col", "u", "--ts-col", "es", "--id-col", "eid",
+      "--type-col", "tp", "--n", "2")), spark).collect()
+    assert(sq.map(_.getString(0)).toSet == Set("a>b", "b>a"))
+    val tr = Analyze.run(parse(List("transitions", "--docs", s"$dir/ev",
+      "--entity-col", "u", "--ts-col", "es", "--id-col", "eid",
+      "--type-col", "tp")), spark).collect()
+    assert(tr.length == 2 && tr.forall(_.getDouble(3) == 1.0))
+    (Seq.fill(9)(10.0) ++ Seq(1000.0)).toDF("v")
+      .write.parquet(s"$dir/vals")
+    for (mode <- Seq("iqr", "z", "mad")) {
+      val o = Analyze.run(parse(List("outliers", "--docs",
+        s"$dir/vals", "--value-col", "v", "--mode", mode)), spark)
+      assert(o.columns.contains("is_outlier"), mode)
+    }
+    Seq.fill(5)("hot").padTo(6, "cold").toDF("k")
+      .write.parquet(s"$dir/keys")
+    val sk = Analyze.run(parse(List("skew", "--docs", s"$dir/keys",
+      "--group-col", "k")), spark).head()
+    assert(sk.getLong(0) == 6L && sk.getLong(2) == 5L)
+  }
 }
