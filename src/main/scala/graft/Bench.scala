@@ -44,15 +44,17 @@ object Bench {
           (name, sorted(sorted.length / 2), sorted.head, sorted.last)
         }
       }
-    // Compact numbers: the driver's artifact keeps only the head of this
-    // line, so every byte in the queries map costs coverage — short keys
-    // (q_ stripped) + trimmed 2-decimal medians (run-to-run noise is an
-    // order of magnitude above the third decimal) keep all ~80 per-query
-    // timings inside the survivable prefix; the verbose spread map rides
-    // LAST so truncation only ever costs the min/max detail.
+    // Compact numbers: the driver's artifact keeps only 2000 chars, so
+    // every byte in the queries map costs coverage. At 185+ queries even
+    // 2-decimal seconds overflow, so per-query medians are INTEGER
+    // CENTISECONDS (self-described by "qunit":"cs" — 0.24 s → 24), which
+    // is also honest to the ~10 ms run-to-run noise floor; the total
+    // stays in seconds per the driver contract, and the verbose
+    // spread/config detail goes to target/bench_full.json.
     def sig3(x: Double): String =
       BigDecimal(x).round(new java.math.MathContext(3))
         .bigDecimal.toPlainString
+    def fmtCs(x: Double): String = math.round(x * 100).toString
     // Locale.ROOT: the default-locale interpolator would emit "1,50" on
     // comma-decimal JVMs and corrupt the JSON line. Sub-second queries
     // keep 2 decimals; above 1 s run-to-run noise dwarfs the second
@@ -90,7 +92,7 @@ object Bench {
       tierKeys
     }
     val qs = results
-      .map { case (k, med, _, _) => "\"" + keyOf(k) + "\":" + fmt(med) }
+      .map { case (k, med, _, _) => "\"" + keyOf(k) + "\":" + fmtCs(med) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, lo, hi) =>
@@ -111,10 +113,12 @@ object Bench {
     // config scalars, never errors/total/queries (the critical fields
     // sit nearest the END of the line, which is the surviving end).
     val sfName = sfDir.split('/').last
-    val line = s"""{"metric":"total","unit":"sec","iters":$iters,"cpus":$cpus,"shuffle_partitions":$parts,"sf":"$sfName","queries":$qs,"errors":$errors,"value":${sig3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","qunit":"cs","sf":"$sfName","queries":$qs,"errors":$errors,"value":${sig3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"sf":"$sfName","total":${sig3(total)},"spread":$spread}""")
+      s"""{"sf":"$sfName","iters":$iters,"cpus":$cpus,""" +
+        s""""shuffle_partitions":$parts,"total":${sig3(total)},""" +
+        s""""spread":$spread}""")
     catch { case _: Throwable => () }
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING json line ${line.length} chars > 1900 tail budget")
