@@ -130,9 +130,10 @@ import graft.operators.{Curation, GraphOps}
   *               [-o <outDir>]  (gap mean/sd/cv + burstiness)
   *   entropy     --docs <dir> --group-col g --value-col v [-o <outDir>]
   *               (per-group Shannon diversity, bits)
-  *   negatives   --docs <dir> [--id-col doc_id] [--top-k K]
+  *   negatives   --docs <dir> [--id-col doc_id] [--per-anchor K]
   *               [--hash-seed S] [-o <outDir>]
-  *               (deterministic contrastive negative pairs)
+  *               (deterministic contrastive negative pairs; default 5
+  *               negatives per anchor)
   *   sequences   --docs <dir> --entity-col e --ts-col t --id-col i
   *               --type-col c [--n N] [--top-k K] [-o <outDir>]
   *               (top-k frequent event-type n-grams)
@@ -140,8 +141,10 @@ import graft.operators.{Curation, GraphOps}
   *               --type-col c [-o <outDir>]
   *               (first-order Markov transition matrix)
   *   outliers    --docs <dir> --value-col v [--group-col g]
-  *               [--mode iqr|z|mad] [--k-factor K] [--z-threshold Z]
-  *               [-o <outDir>]   (three outlier detectors, one surface)
+  *               [--mode iqr|z|mad] [--k-factor K — iqr fence
+  *               multiplier] [--z-threshold Z — z AND mad cut, both in
+  *               σ-equivalents] [-o <outDir>]
+  *               (three outlier detectors, one surface)
   *   skew        --docs <dir> --group-col <join key> [-o <outDir>]
   *               (join-key concentration report)
   *
@@ -222,6 +225,7 @@ object Analyze {
       zThreshold: Double = 3.0,
       nGram: Int = 3,
       kFactor: Double = 1.5,
+      negPerAnchor: Int = 5,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -323,6 +327,8 @@ object Analyze {
       case "--n" :: v :: t => loop(t, acc.copy(nGram = v.toInt))
       case "--k-factor" :: v :: t =>
         loop(t, acc.copy(kFactor = v.toDouble))
+      case "--per-anchor" :: v :: t =>
+        loop(t, acc.copy(negPerAnchor = v.toInt))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument '$other'; $usage")
       case Nil => acc
@@ -623,24 +629,24 @@ object Analyze {
       case "sequences" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty,
-          "sequences needs --docs, --entity-col, --ts-col, --id-col, " +
-            "--type-col [--n N] [--top-k K]")
+          "sequences needs --docs, --entity-col, --ts-col " +
+            "[--id-col i] [--type-col c] [--n N] [--top-k K]")
         graft.operators.Funnel.frequentSequences(
           spark.read.parquet(args.docs), args.entityCol, args.tsCol,
           args.idCol, args.typeCol, args.nGram, args.topK)
       case "transitions" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty,
-          "transitions needs --docs, --entity-col, --ts-col, --id-col, " +
-            "--type-col")
+          "transitions needs --docs, --entity-col, --ts-col " +
+            "[--id-col i] [--type-col c]")
         graft.operators.Funnel.transitionMatrix(
           spark.read.parquet(args.docs), args.entityCol, args.tsCol,
           args.idCol, args.typeCol)
       case "outliers" =>
         require(args.docs.nonEmpty && args.valueCol.nonEmpty,
-          "outliers needs --docs, --value-col " +
-            "[--group-col g] [--mode iqr|z|mad] [--k-factor K] " +
-            "[--z-threshold Z]")
+          "outliers needs --docs, --value-col [--group-col g] " +
+            "[--mode iqr|z|mad] [--k-factor K (iqr)] " +
+            "[--z-threshold Z (z and mad, σ-equivalents)]")
         val oGroups =
           if (args.groupCol.isEmpty) Nil else Seq(args.groupCol)
         args.mode match {
@@ -664,8 +670,8 @@ object Analyze {
       case "anomaly" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.valueCol.nonEmpty,
-          "anomaly needs --docs, --entity-col, --ts-col, --id-col, " +
-            "--value-col [--period P] [--half-window H] " +
+          "anomaly needs --docs, --entity-col, --ts-col, --value-col " +
+            "[--id-col i] [--period P] [--half-window H] " +
             "[--z-threshold Z]")
         graft.operators.TimeSeries.seasonalAnomaly(
           spark.read.parquet(args.docs), args.entityCol, args.tsCol,
@@ -674,7 +680,7 @@ object Analyze {
       case "interarrival" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty,
-          "interarrival needs --docs, --entity-col, --ts-col, --id-col")
+          "interarrival needs --docs, --entity-col, --ts-col [--id-col i]")
         graft.operators.TimeSeries.interArrival(
           spark.read.parquet(args.docs), args.entityCol, args.tsCol,
           args.idCol)
@@ -686,10 +692,10 @@ object Analyze {
           args.groupCol, args.valueCol)
       case "negatives" =>
         require(args.docs.nonEmpty,
-          "negatives needs --docs [--id-col doc_id] [--top-k K] " +
+          "negatives needs --docs [--id-col doc_id] [--per-anchor K] " +
             "[--hash-seed S]")
         graft.operators.Sampling.negativePairs(
-          spark.read.parquet(args.docs), args.idCol, args.topK,
+          spark.read.parquet(args.docs), args.idCol, args.negPerAnchor,
           args.hashSeed)
       case "trend" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
@@ -724,16 +730,16 @@ object Analyze {
       case "sessions" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty,
-          "sessions needs --docs, --entity-col, --ts-col, --id-col " +
-            "[--interval GAP_SEC]")
+          "sessions needs --docs, --entity-col, --ts-col " +
+            "[--id-col i] [--interval GAP_SEC]")
         graft.operators.Funnel.sessionStats(spark.read.parquet(args.docs),
           args.entityCol, args.tsCol, args.idCol, args.intervalSec)
       case "attribution" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.stages.size >= 2,
-          "attribution needs --docs, --entity-col, --ts-col, --id-col, " +
-            "--type-col, --stages <convType,touchType1,...>, " +
-            "[--window-sec LOOKBACK]")
+          "attribution needs --docs, --entity-col, --ts-col, " +
+            "--stages <convType,touchType1,...> [--id-col i] " +
+            "[--type-col c] [--window-sec LOOKBACK]")
         graft.operators.Funnel.attribution(spark.read.parquet(args.docs),
           args.entityCol, args.tsCol, args.idCol, args.typeCol,
           args.stages.head, args.stages.tail, args.windowSec)

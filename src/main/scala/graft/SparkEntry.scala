@@ -7289,7 +7289,7 @@ object SparkEntry {
       """WITH src AS (
         |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
         |    event_type
-        |  FROM events),
+        |  FROM events WHERE event_type IS NOT NULL),
         |s AS (
         |  SELECT event_type AS from_type,
         |    lead(event_type, 1) OVER (PARTITION BY user_id
@@ -7311,7 +7311,7 @@ object SparkEntry {
       """WITH src AS (
         |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
         |    event_type
-        |  FROM events),
+        |  FROM events WHERE event_type IS NOT NULL),
         |s AS (
         |  SELECT user_id, event_type AS t0,
         |    lead(event_type, 1) OVER w AS t1,

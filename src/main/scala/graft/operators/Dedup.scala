@@ -470,7 +470,8 @@ object Dedup {
       leftBlock: Seq[String], rightBlock: Seq[String],
       shingleSize: Int = 1, threshold: Double = 0.5,
       maxBlockPairs: Long = 1000000L,
-      canonicalPairs: Boolean = false): (DataFrame, DataFrame) = {
+      canonicalPairs: Boolean = false,
+      ckpt: Checkpointer = Checkpointer.Local): (DataFrame, DataFrame) = {
     require(leftBlock.nonEmpty && leftBlock.size == rightBlock.size,
       "leftBlock/rightBlock must be non-empty and positionally paired")
     require(threshold >= 0.0 && threshold <= 1.0,
@@ -479,15 +480,18 @@ object Dedup {
     val bks = leftBlock.indices.map(i => s"_bk$i")
     // token SETS are computed once per record BEFORE the pair join —
     // the per-pair work is two array ops, not two shingle pipelines
-    // (measured 8M-pair blocks: per-pair shingling dominated the join)
-    val l = left.select(col(leftId).as("id_l") +:
+    // (measured 8M-pair blocks: per-pair shingling dominated the join).
+    // Checkpointed: each side feeds BOTH its block-size aggregate and
+    // the match join — without the cut the scan + shingle subtree runs
+    // twice per side (the gatedMembers re-evaluation discipline).
+    val l = ckpt(left.select(col(leftId).as("id_l") +:
       array_distinct(shingles(col(leftText), shingleSize)).as("_ta") +:
       leftBlock.zipWithIndex.map { case (c, i) => col(c).as(s"_bk$i") }: _*)
-      .filter(bks.map(col(_).isNotNull).reduce(_ && _))
-    val r = right.select(col(rightId).as("id_r") +:
+      .filter(bks.map(col(_).isNotNull).reduce(_ && _)))
+    val r = ckpt(right.select(col(rightId).as("id_r") +:
       array_distinct(shingles(col(rightText), shingleSize)).as("_tb") +:
       rightBlock.zipWithIndex.map { case (c, i) => col(c).as(s"_bk$i") }: _*)
-      .filter(bks.map(col(_).isNotNull).reduce(_ && _))
+      .filter(bks.map(col(_).isNotNull).reduce(_ && _)))
     val sizes = l.groupBy(bks.map(col): _*)
       .agg(count(lit(1)).as("n_left"))
       .join(r.groupBy(bks.map(col): _*)

@@ -111,7 +111,7 @@ object Funnel {
     require(gapSec >= 0, "gapSec must be >= 0")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(entityCol))
-      .orderBy(col(tsSecCol).cast("long"), col(idCol).cast("long"))
+      .orderBy(col(tsSecCol).cast("long"), col(idCol))
     val prev = lag(col(tsSecCol).cast("long"), 1).over(w)
     df.filter(col(entityCol).isNotNull && col(tsSecCol).isNotNull)
       .withColumn("_new_session",
@@ -204,7 +204,12 @@ object Funnel {
       .partitionBy(col(entityCol))
       .orderBy(col(tsSecCol).cast("long"), col(idCol))
     val leads = (1 until n).map(i => lead(col(typeCol), i).over(w))
+    // null-typed events are dropped BEFORE the window: concat_ws skips
+    // nulls, so a null head would silently count an (n−1)-gram as an
+    // n-gram (and diverge from any SQL rebuild, where concat keeps the
+    // separator)
     val counts = df
+      .filter(col(typeCol).isNotNull)
       .select(concat_ws(">", col(typeCol) +: leads: _*).as("sequence"),
         leads.map(_.isNotNull).reduce(_ && _).as("_full"))
       .filter(col("_full"))
@@ -238,6 +243,7 @@ object Funnel {
       .partitionBy(col(entityCol))
       .orderBy(col(tsSecCol).cast("long"), col(idCol))
     val counts = df
+      .filter(col(typeCol).isNotNull) // the frequentSequences discipline
       .select(col(typeCol).as("from_type"),
         lead(col(typeCol), 1).over(w).as("to_type"))
       .filter(col("to_type").isNotNull)

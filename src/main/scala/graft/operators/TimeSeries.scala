@@ -634,9 +634,9 @@ object TimeSeries {
       count(lit(1)).cast("double").as("_n"),
       sum(col("x").cast(dec)).cast("double").as("_sx"),
       sum(col("y").cast(dec)).cast("double").as("_sy"),
-      sum((col("x") * col("y")).cast(dec)).cast("double").as("_sxy"),
-      sum((col("x") * col("x")).cast(dec)).cast("double").as("_sxx"),
-      sum((col("y") * col("y")).cast(dec)).cast("double").as("_syy"))
+      sum(col("x").cast(dec) * col("y").cast(dec)).cast("double").as("_sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast("double").as("_sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).cast("double").as("_syy"))
     val prod =
       (col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
         (col("_n") * col("_syy") - col("_sy") * col("_sy"))
@@ -692,9 +692,9 @@ object TimeSeries {
       count(lit(1)).cast("double").as("_n"),
       sum(col("_x").cast(dec)).cast("double").as("_sx"),
       sum(col("_y").cast(dec)).cast("double").as("_sy"),
-      sum((col("_x") * col("_y")).cast(dec)).cast("double").as("_sxy"),
-      sum((col("_x") * col("_x")).cast(dec)).cast("double").as("_sxx"),
-      sum((col("_y") * col("_y")).cast(dec)).cast("double").as("_syy"))
+      sum(col("_x").cast(dec) * col("_y").cast(dec)).cast("double").as("_sxy"),
+      sum(col("_x").cast(dec) * col("_x").cast(dec)).cast("double").as("_sxx"),
+      sum(col("_y").cast(dec) * col("_y").cast(dec)).cast("double").as("_syy"))
     val xVar = col("_n") * col("_sxx") - col("_sx") * col("_sx")
     val yVar = col("_n") * col("_syy") - col("_sy") * col("_sy")
     val cov = col("_n") * col("_sxy") - col("_sx") * col("_sy")
@@ -747,7 +747,7 @@ object TimeSeries {
       count(lit(1)).as("n_gaps"),
       count(lit(1)).cast("double").as("_n"),
       sum(col("_g").cast(dec)).cast("double").as("_s1"),
-      sum((col("_g") * col("_g")).cast(dec)).cast("double").as("_s2"))
+      sum(col("_g").cast(dec) * col("_g").cast(dec)).cast("double").as("_s2"))
     val varNum = col("_n") * col("_s2") - col("_s1") * col("_s1")
     val mean = col("_s1") / col("_n")
     val sd = sqrt(varNum / (col("_n") * (col("_n") - 1.0)))
@@ -793,7 +793,7 @@ object TimeSeries {
       count(lit(1)).as("_n"),
       count(lit(1)).cast("double").as("_nd"),
       sum(col("_r4").cast(dec)).cast("double").as("_s1"),
-      sum((col("_r4") * col("_r4")).cast(dec)).cast("double").as("_s2"))
+      sum(col("_r4").cast(dec) * col("_r4").cast(dec)).cast("double").as("_s2"))
     val varNum = col("_nd") * col("_s2") - col("_s1") * col("_s1")
     val z = when(col("_n") < 2 || varNum <= 0.0,
         lit(null).cast("double"))

@@ -429,12 +429,12 @@ object Validate {
       .select(cols.map(c => col(c).cast("long").as(c)): _*)
     val singles = cols.flatMap(c => Seq(
       sum(col(c).cast(dec)).cast("double").as(s"_s_$c"),
-      sum((col(c) * col(c)).cast(dec)).cast("double").as(s"_q_$c")))
+      sum(col(c).cast(dec) * col(c).cast(dec)).cast("double").as(s"_q_$c")))
     val pairsIdx = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
     val crosses = pairsIdx.map { case (a, b) =>
-      sum((col(a) * col(b)).cast(dec)).cast("double").as(s"_x_${a}_$b") }
+      sum(col(a).cast(dec) * col(b).cast(dec)).cast("double").as(s"_x_${a}_$b") }
     val aggCols = count(lit(1)).as("_cnt") +:
       count(lit(1)).cast("double").as("_n") +: (singles ++ crosses)
     val m = complete.agg(aggCols.head, aggCols.tail: _*)

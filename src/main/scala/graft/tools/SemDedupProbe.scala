@@ -22,7 +22,7 @@ object SemDedupProbe {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
       e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000).as("vec_id"),
+        .select((col("vec_id") + 100000000L).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
             .as("embedding")))
     println(s"corpus=${corpus.count()}")
