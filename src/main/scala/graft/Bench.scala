@@ -122,6 +122,13 @@ object Bench {
     catch { case _: Throwable => () }
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING json line ${line.length} chars > 1900 tail budget")
+    // The line also lands UNPREFIXED in target/bench.json: sbt wraps
+    // stdout in "[info] ", which left the driver's `parsed` field null
+    // through r6 even when every key survived the tail (VERDICT r6 §2).
+    // The file is the robust channel; stdout remains the contract one.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    catch { case _: Throwable => () }
     println(line)
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)

@@ -317,7 +317,11 @@ object SparkEntry {
     }),
 
     // ---- A4b: sketch aggregates (HLL) — implementation-specific values,
-    // rows-only gate; error bound asserted in AggregatesSpec ----
+    // rows-only gate BY DESIGN (documented no_oracle floor): HLL
+    // register contents are engine-private, so the correctness story is
+    // AggregatesSpec's error-bound property test (estimate within the
+    // published HLL rel-error of the exact distinct count) — do not
+    // re-litigate; there is no portable value to hash-compare. ----
     "q_a4b_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .agg(
@@ -981,7 +985,11 @@ object SparkEntry {
         .groupBy("reason").agg(count(lit(1)).as("n"))
         .orderBy("reason")),
 
-    // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI) ----
+    // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI, so
+    // rows-only BY DESIGN: DuckDB has no xxhash64 to rebuild the
+    // fingerprints). Its oracled twin is q_x2j (portable md5-48 mode,
+    // same blocking + Hamming pipeline, green) — do not re-litigate
+    // this row; the kernel default keeps xxhash64 for speed. ----
     "q_x2c_simhash_neardups" -> ((s, dir) => {
       val fps = Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")
       Dedup.simhashNearDups(fps, "doc_id", maxHamming = 8)
@@ -1939,6 +1947,10 @@ object SparkEntry {
           floor(col("v").cast("double") * 1e4 + 0.5).cast("long").as("v_e4"))
         .orderBy("vec_id", "j")),
 
+    // ---- X3f: JL random projection, splitmix64-seeded — rows-only BY
+    // DESIGN (no_oracle floor: DuckDB cannot replay splitmix64). Its
+    // oracled twin is q_x3g (portable md5-48 Gaussian pairs, same
+    // projection algebra, green) — do not re-litigate this row. ----
     "q_x3f_random_project" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -6724,7 +6736,8 @@ object SparkEntry {
         |    CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
         |      AS BIGINT) AS cents
         |  FROM orders
-        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
         |per AS (
         |  SELECT o_custkey, max(es) AS last_es,
         |    CAST(count(*) AS BIGINT) AS frequency,
@@ -7331,22 +7344,28 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     // Attribution rebuild: the struct min/max becomes a packed
-    // es·10⁷+event_id sortable key (ids < 10⁵ at every SF, so the
-    // packing preserves the (ts, id) lexicographic order), decoded by
-    // integer div/mod; touch types rejoined by unique event_id; the
-    // same RANGE frame.
+    // HUGEINT es·10¹²+event_id sortable key (HUGEINT because
+    // es·10¹² exceeds BIGINT; 10¹² leaves event_id headroom to a
+    // trillion events — the silent-id-assumption class that bit
+    // q_x2l's +1000 is structurally off the table), decoded by
+    // integer div/mod and cast back to BIGINT; touch types rejoined
+    // by unique event_id; the same RANGE frame. ts IS NOT NULL
+    // mirrors the operator's null-ts drop.
     "q_st24_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
         |    event_type
         |  FROM events
-        |  WHERE event_type IN ('purchase', 'view', 'click')),
+        |  WHERE ts IS NOT NULL
+        |    AND event_type IN ('purchase', 'view', 'click')),
         |wnd AS (
         |  SELECT user_id, event_id, es, event_type,
         |    min(CASE WHEN event_type IN ('view', 'click')
-        |      THEN es * 10000000 + event_id END) OVER w AS fk,
+        |      THEN CAST(es AS HUGEINT) * 1000000000000 + event_id
+        |      END) OVER w AS fk,
         |    max(CASE WHEN event_type IN ('view', 'click')
-        |      THEN es * 10000000 + event_id END) OVER w AS lk,
+        |      THEN CAST(es AS HUGEINT) * 1000000000000 + event_id
+        |      END) OVER w AS lk,
         |    count(CASE WHEN event_type IN ('view', 'click')
         |      THEN 1 END) OVER w AS n_touches
         |  FROM ev
@@ -7355,8 +7374,10 @@ object SparkEntry {
         |conv AS (
         |  SELECT user_id, event_id AS conv_id, es AS conv_ts,
         |    CAST(n_touches AS BIGINT) AS n_touches,
-        |    fk % 10000000 AS first_id, fk // 10000000 AS first_ts,
-        |    lk % 10000000 AS last_id, lk // 10000000 AS last_ts
+        |    CAST(fk % 1000000000000 AS BIGINT) AS first_id,
+        |    CAST(fk // 1000000000000 AS BIGINT) AS first_ts,
+        |    CAST(lk % 1000000000000 AS BIGINT) AS last_id,
+        |    CAST(lk // 1000000000000 AS BIGINT) AS last_ts
         |  FROM wnd WHERE event_type = 'purchase')
         |SELECT c.user_id, c.conv_id, c.conv_ts, c.n_touches,
         |  c.first_id, c.first_ts, f.event_type AS first_type,

@@ -496,8 +496,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_left"))
       .join(r.groupBy(bks.map(col): _*)
         .agg(count(lit(1)).as("n_right")), bks)
+    // overflow frame speaks the CALLER's column names (the docstring's
+    // "(block key cols, n_left, n_right)" contract) — the internal _bk*
+    // join aliases never escape
     val overflow = sizes
       .filter(col("n_left") * col("n_right") > maxBlockPairs)
+      .select(bks.zip(leftBlock).map { case (b, c) => col(b).as(c) } ++
+        Seq(col("n_left"), col("n_right")): _*)
     val kept = sizes
       .filter(col("n_left") * col("n_right") <= maxBlockPairs)
       .select(bks.map(col): _*)

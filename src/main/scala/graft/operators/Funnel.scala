@@ -284,8 +284,11 @@ object Funnel {
     require(!touchTypes.contains(convType),
       s"convType '$convType' must not also be a touch type")
     require(lookbackSec > 0, "lookbackSec must be > 0")
-    val relevant = df.filter(col(typeCol) === convType ||
-      col(typeCol).isin(touchTypes: _*))
+    // null-ts rows would otherwise enter the RANGE frame with
+    // engine-specific null-ordering semantics (the interArrival /
+    // linearTrend filter discipline)
+    val relevant = df.filter(col(tsSecCol).isNotNull &&
+      (col(typeCol) === convType || col(typeCol).isin(touchTypes: _*)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(entityCol))
       .orderBy(col(tsSecCol).cast("long"))

@@ -207,16 +207,29 @@ object Sampling {
       seed: Long = 42L): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024] (got $k)")
     val ids = df.select(col(idCol).cast("long").as("_cand")).distinct()
+    // Loud-refusal span guard: `_hi - _lo` wrapping negative means the
+    // observed range overflows Long, and a span > 2^48 would silently
+    // bias every draw into the low [lo, lo + 2^48) slice (hash48 emits
+    // 48 bits). Both fail the job with a plan-level raise_error instead
+    // of producing plausible-looking garbage; the check rides the same
+    // 1-row broadcast the draws already consume, so it costs nothing.
+    val diff = col("_hi") - col("_lo")
     val span = ids.agg(min(col("_cand")).as("_lo"),
       max(col("_cand")).as("_hi"))
+      .select(col("_lo"), col("_hi"),
+        when(diff < 0L || diff >= (1L << 48), raise_error(concat(
+          lit("negativePairs: id span [" ), col("_lo"), lit(", "),
+          col("_hi"), lit("] overflows Long or exceeds 2^48 — " +
+            "re-key ids into a dense range first"))))
+          .otherwise(diff + 1L).as("_span"))
     val draws = ids.select(col("_cand").as(idCol))
       .crossJoin(broadcast(span))
-      .select(col(idCol), col("_lo"), col("_hi"),
+      .select(col(idCol), col("_lo"), col("_span"),
         explode(sequence(lit(1), lit(k))).as("j"))
       .select(col(idCol), col("j").cast("long").as("j"),
         (col("_lo") + graft.functions.PortableHash.hash48(
           concat_ws(":", col(idCol), col("j")), seed) %
-          (col("_hi") - col("_lo") + 1L)).as("neg_id"))
+          col("_span")).as("neg_id"))
     draws
       .join(ids, draws("neg_id") === ids("_cand"))
       .filter(col("neg_id") =!= col(idCol))

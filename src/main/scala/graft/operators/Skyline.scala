@@ -38,9 +38,16 @@ object Skyline {
   /** @param xCol,yCol numeric, both minimized, null rows dropped.
     * @param buckets   x-range prune resolution (more = tighter prune,
     *                  still one tiny aggregate either way).
+    * @param ckpt      materializes the pruned CANDIDATE set (skyline-
+    *                  sized, not corpus-sized) — it feeds both the
+    *                  per-x refine aggregate and the final join, and
+    *                  without the cut the whole scan+bucket+prune
+    *                  subtree re-executes for each (the linkRecords
+    *                  re-evaluation discipline, Dedup.scala).
     * @return the input rows (all columns) on the skyline. */
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val span = rows.agg(min(col(xCol).cast("double")).as("_xlo"),
@@ -57,10 +64,10 @@ object Skyline {
     val thr = bucketed.groupBy(col("_bk"))
       .agg(min(col(yCol).cast("double")).as("_bmin"))
       .select(col("_bk"), min(col("_bmin")).over(wPrefix).as("_thr"))
-    val candidates = bucketed
+    val candidates = ckpt(bucketed
       .join(broadcast(thr), Seq("_bk"))
       .filter(col("_thr").isNull ||
-        col(yCol).cast("double") < col("_thr"))
+        col(yCol).cast("double") < col("_thr")))
     // exact refine on the candidate set: per-x min-y, then the strict-
     // prefix min over distinct x only (candidate-sized window)
     val perX = candidates.groupBy(col(xCol).as("_x"))

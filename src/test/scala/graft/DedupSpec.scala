@@ -626,6 +626,9 @@ class DedupSpec extends SparkSpec {
       "name", "name", Seq("brand"), Seq("brand"), shingleSize = 1,
       threshold = 0.0, maxBlockPairs = 8L)
     assert(gated.count() == 0)
+    // the overflow frame speaks the CALLER's block column names, not
+    // the internal _bk* join aliases (the docstring contract)
+    assert(report.columns.toSeq == Seq("brand", "n_left", "n_right"))
     assert(report.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("B", 3L, 3L)))

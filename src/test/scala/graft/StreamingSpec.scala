@@ -279,6 +279,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("sessionAgg batch plan ≡ session_window, including the exact-gap " +
+      "boundary (an event at exactly prev + gap MERGES: session_window's " +
+      "overlap test is inclusive of the window end)") {
+    // 10:00 and 11:00 are EXACTLY the 1-hour gap apart — the one input
+    // where a > vs >= merge rule diverges (native session_window merges
+    // them; pinned here empirically); plus a dense run, a sub-second
+    // offset, and a second user.
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 11:00:00"), 1L, 2.0), // boundary: MERGES
+      (ts("2024-01-01 13:30:00"), 1L, 3.0), // gap > 1h: new session
+      (Timestamp.valueOf("2024-01-01 13:59:59.750"), 1L, 4.0),
+      (ts("2024-01-01 10:20:00"), 2L, 9.0)).toDF("ts", "user_id", "value")
+    val fast = StreamingIngest.sessionAgg(df, "ts", "user_id", "1 hour")
+      .orderBy("user_id", "w_start").collect()
+    val native = df
+      .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "w_start").collect()
+    assert(fast.toSeq == native.toSeq)
+    assert(fast.length == 3) // u1: {10:00,11:00}, {13:30,13:59:59.750}, u2
+  }
+
   test("ST6s: streamingCusum carries exact state across triggers and " +
       "matches the batch recurrence") {
     implicit val sqlCtx = spark.sqlContext
