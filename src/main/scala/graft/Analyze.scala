@@ -47,6 +47,14 @@ import graft.operators.{Curation, GraphOps}
   *               [--iterations N] [-o <outDir>]
   *               (Newman Q per community; scores a stored (id,
   *               community) parquet, or runs LPA in-line first)
+  *   louvain     --edges <dir> [--iterations FINE] [--coarse-rounds N]
+  *               [--hash-seed S] [-o <outDir>]
+  *               (two-level modularity-greedy communities; score the
+  *               result with `modularity --target`)
+  *   split       --docs <dir> --strata-col c [--id-col doc_id]
+  *               [--val-k N] [--test-k N] [--hash-seed S] [-o <outDir>]
+  *               (stratified train/val/test split, exact per-stratum
+  *               quotas, hash-deterministic membership)
   *   powerlaw    --edges <dir> [--min-count DMIN] [-o <outDir>]
   *               (MLE degree-tail exponent alpha + standard error)
   *   cohort      --docs <dir> --entity-col e --ts-col t
@@ -226,6 +234,10 @@ object Analyze {
       nGram: Int = 3,
       kFactor: Double = 1.5,
       negPerAnchor: Int = 5,
+      coarseRounds: Int = 8,
+      valK: Int = 0,
+      testK: Int = 0,
+      strataCol: String = "",
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -277,23 +289,6 @@ object Analyze {
       case "--ts-col" :: v :: t => loop(t, acc.copy(tsCol = v))
       case "--value-col" :: v :: t => loop(t, acc.copy(valueCol = v))
       case "--interval" :: v :: t => loop(t, acc.copy(intervalSec = v.toLong))
-      case "--vectors" :: v :: t => loop(t, acc.copy(vectors = v))
-      case "--vec-col" :: v :: t => loop(t, acc.copy(vecCol = v))
-      case "--threshold" :: v :: t => loop(t, acc.copy(threshold = v.toDouble))
-      case "--cells" :: v :: t => loop(t, acc.copy(cells = v.toInt))
-      case "--merges" :: v :: t => loop(t, acc.copy(merges = v.toInt))
-      case "--slack" :: v :: t => loop(t, acc.copy(slack = v.toLong))
-      case "--alarm" :: v :: t => loop(t, acc.copy(alarm = v.toLong))
-      case "--period" :: v :: t => loop(t, acc.copy(period = v.toInt))
-      case "--half-window" :: v :: t => loop(t, acc.copy(halfWindow = v.toInt))
-      case "--max-lag" :: v :: t => loop(t, acc.copy(maxLag = v.toInt))
-      case "--type-col" :: v :: t => loop(t, acc.copy(typeCol = v))
-      case "--stages" :: v :: t =>
-        loop(t, acc.copy(stages = v.split(',').toSeq.map(_.trim)))
-      case "--window-sec" :: v :: t => loop(t, acc.copy(windowSec = v.toLong))
-      case "--alpha" :: v :: t => loop(t, acc.copy(alpha = v.toDouble))
-      case "--beta" :: v :: t => loop(t, acc.copy(beta = v.toDouble))
-      case "--gamma" :: v :: t => loop(t, acc.copy(gamma = v.toDouble))
       case "--window-rows" :: v :: t =>
         loop(t, acc.copy(windowRows = v.toInt))
       case "--bins" :: v :: t => loop(t, acc.copy(bins = v.toInt))
@@ -321,6 +316,23 @@ object Analyze {
       case other => loopB(other, acc)
     }
     def loopB(rest: List[String], acc: Args): Args = rest match {
+      case "--vectors" :: v :: t => loop(t, acc.copy(vectors = v))
+      case "--vec-col" :: v :: t => loop(t, acc.copy(vecCol = v))
+      case "--threshold" :: v :: t => loop(t, acc.copy(threshold = v.toDouble))
+      case "--cells" :: v :: t => loop(t, acc.copy(cells = v.toInt))
+      case "--merges" :: v :: t => loop(t, acc.copy(merges = v.toInt))
+      case "--slack" :: v :: t => loop(t, acc.copy(slack = v.toLong))
+      case "--alarm" :: v :: t => loop(t, acc.copy(alarm = v.toLong))
+      case "--period" :: v :: t => loop(t, acc.copy(period = v.toInt))
+      case "--half-window" :: v :: t => loop(t, acc.copy(halfWindow = v.toInt))
+      case "--max-lag" :: v :: t => loop(t, acc.copy(maxLag = v.toInt))
+      case "--type-col" :: v :: t => loop(t, acc.copy(typeCol = v))
+      case "--stages" :: v :: t =>
+        loop(t, acc.copy(stages = v.split(',').toSeq.map(_.trim)))
+      case "--window-sec" :: v :: t => loop(t, acc.copy(windowSec = v.toLong))
+      case "--alpha" :: v :: t => loop(t, acc.copy(alpha = v.toDouble))
+      case "--beta" :: v :: t => loop(t, acc.copy(beta = v.toDouble))
+      case "--gamma" :: v :: t => loop(t, acc.copy(gamma = v.toDouble))
       case "--x-unit" :: v :: t => loop(t, acc.copy(xUnitSec = v.toLong))
       case "--z-threshold" :: v :: t =>
         loop(t, acc.copy(zThreshold = v.toDouble))
@@ -329,6 +341,11 @@ object Analyze {
         loop(t, acc.copy(kFactor = v.toDouble))
       case "--per-anchor" :: v :: t =>
         loop(t, acc.copy(negPerAnchor = v.toInt))
+      case "--coarse-rounds" :: v :: t =>
+        loop(t, acc.copy(coarseRounds = v.toInt))
+      case "--val-k" :: v :: t => loop(t, acc.copy(valK = v.toInt))
+      case "--test-k" :: v :: t => loop(t, acc.copy(testK = v.toInt))
+      case "--strata-col" :: v :: t => loop(t, acc.copy(strataCol = v))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument '$other'; $usage")
       case Nil => acc
@@ -369,6 +386,18 @@ object Analyze {
       case "kcore" => GraphOps.kCore(edges, args.kCore, ckpt = ckpt)
       case "communities" =>
         GraphOps.labelPropagation(edges, args.iterations, ckpt = ckpt)
+      case "louvain" =>
+        GraphOps.louvainMultiLevel(edges, fineRounds = args.iterations,
+          coarseRounds = args.coarseRounds, seed = args.hashSeed,
+          ckpt = ckpt)
+      case "split" =>
+        require(args.docs.nonEmpty && args.strataCol.nonEmpty &&
+          (args.valK > 0 || args.testK > 0),
+          "split needs --docs, --strata-col, and --val-k/--test-k " +
+            "(exact per-stratum quotas; rest becomes train)")
+        graft.operators.Sampling.stratifiedSplit(
+          spark.read.parquet(args.docs), args.strataCol, args.idCol,
+          args.valK, args.testK, args.hashSeed)
       case "harmonic" =>
         GraphOps.harmonicCentrality(edges, seedsDf, args.hops, ckpt)
       case "betweenness" =>

@@ -1401,6 +1401,17 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // ---- X6p: stratified train/val/test split — exact per-language
+    // quotas (4 test + 3 val per lang, hash-ordered, rest train);
+    // portable-hash mode so the oracle re-ranks the same md5-48 buckets.
+    // SamplingSpec pins quota exactness, small-stratum fill order, and
+    // id-stability under growth. ----
+    "q_x6p_stratified_split" -> ((s, dir) =>
+      Sampling.stratifiedSplit(t(s, dir, "documents"), "lang", "doc_id",
+          valK = 3, testK = 4, portable = true)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")),
+
     // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
     "q_x5_media_meta" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
@@ -2411,6 +2422,70 @@ object SparkEntry {
             .as("se_e6"))
     }),
 
+    // ---- G23: two-level Louvain community detection on the same part
+    // co-occurrence graph as G10 — 4 synchronous modularity-greedy
+    // rounds on the "ugug" schedule (ungated coalescing rounds
+    // alternating with md5-48-parity-gated ones; exact integer gain
+    // comparison), a coarsen into the weighted community supergraph,
+    // 4 weighted rounds there, labels projected back. The oracle
+    // unrolls every round as a CTE exactly like the LPA/k-core
+    // unrolls (weighted rounds sum w instead of counting).
+    // GraphOpsSpec pins the planted two-clique recovery and
+    // weighted/coarsened behavior; the modularity win over q_g10's
+    // LPA partition is recorded by q_g23b below. ----
+    "q_g23_louvain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.louvainMultiLevel(edges).orderBy("id")
+    }),
+
+    // ---- G23b: the Louvain-vs-LPA modularity scoreboard on the hetero
+    // graph — both partitions scored by the same exact-moment
+    // modularity, 1 row each, Q integerized at e6. The row ORDER pins
+    // the claim: louvain's whole-graph Q must not lose to LPA's. ----
+    "q_g23b_louvain_vs_lpa" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      // Whole-graph Q from EXACT integer moments (Σm_in, Σd_tot²)
+      // rather than a double sum over per-community q_c — the latter is
+      // summation-order-dependent and would flake the e6 floor.
+      val mRow = broadcast(edges.select(
+          least(col("start_id"), col("end_id")).as("a"),
+          greatest(col("start_id"), col("end_id")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .agg(count(lit(1)).as("_m")))
+      def q(method: String, labels: org.apache.spark.sql.DataFrame) =
+        GraphOps.modularity(edges, labels)
+          .agg(sum(col("m_in").cast("decimal(38,0)")).as("_sin"),
+            sum(col("d_tot").cast("decimal(19,0)") *
+              col("d_tot").cast("decimal(19,0)")).as("_sd2"),
+            count(lit(1)).as("n_comms"))
+          .crossJoin(mRow)
+          .select(lit(method).as("method"),
+            floor((col("_sin").cast("double") / col("_m").cast("double") -
+              col("_sd2").cast("double") /
+                (col("_m").cast("double") * col("_m").cast("double") * 4))
+              * lit(1e6) + lit(0.5)).cast("long").as("q_e6"),
+            col("n_comms"))
+      q("louvain", GraphOps.louvainMultiLevel(edges))
+        .unionAll(q("lpa", GraphOps.labelPropagation(edges, iters = 2)))
+        .orderBy("method")
+    }),
+
     // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
     // synthesis (dimensions + duration derived from doc_id, container
     // alternating by parity) → ISO-BMFF / RIFF header parse → (container,
@@ -3191,6 +3266,93 @@ object SparkEntry {
       |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
       |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
       |  FROM p GROUP BY user_id, lag)""".stripMargin
+
+  /** One unrolled Louvain move round (see q_g23): k_{i→c} from
+    * adjacency ⋈ labels, Σ_c from labels ⋈ degrees, the exact integer
+    * score 2m·k_{i→c} − k_i·(Σ_c − [c=cur]·k_i) in HUGEINT, argmax by
+    * (s DESC, c), then the md5-48 parity gate byte-identical to the
+    * engine's PortableHash.hash48("42:<id>") — ungated rounds
+    * ('u' in the schedule) skip the gate and move every node. `pfx`
+    * namespaces the fine ("") vs coarse ("c") level; weighted rounds
+    * sum `w` where unweighted ones count. */
+  private def louvainRoundSql(r: Int, pfx: String, adj: String,
+      deg: String, weighted: Boolean, gated: Boolean): String = {
+    val kic =
+      if (weighted) s"sum($adj.w)" else "CAST(count(*) AS HUGEINT)"
+    val pick =
+      if (gated)
+        s"""CASE WHEN (CAST(concat('0x', substr(md5(concat(42, ':',
+           |        id)), 1, 12)) AS BIGINT) + $r) % 2 = 0
+           |      THEN c ELSE cur END""".stripMargin
+      else "c"
+    s""",
+       |${pfx}kin$r AS (SELECT $adj.dst AS id, l.lbl AS c, $kic AS kic
+       |  FROM $adj JOIN ${pfx}l$r l ON l.id = $adj.src GROUP BY 1, 2),
+       |${pfx}cand$r AS (SELECT id, c, max(kic) AS kic FROM (
+       |    SELECT id, c, kic FROM ${pfx}kin$r
+       |    UNION ALL SELECT id, lbl, CAST(0 AS HUGEINT) FROM ${pfx}l$r)
+       |  GROUP BY 1, 2),
+       |${pfx}tot$r AS (SELECT l.lbl AS c, sum($deg.k) AS tot
+       |  FROM ${pfx}l$r l JOIN $deg ON $deg.id = l.id GROUP BY 1),
+       |${pfx}sc$r AS (SELECT cand.id, cand.c, cur.lbl AS cur,
+       |    2 * m.m * cand.kic - $deg.k *
+       |      (tot.tot - CASE WHEN cand.c = cur.lbl THEN $deg.k
+       |                 ELSE CAST(0 AS HUGEINT) END) AS s
+       |  FROM ${pfx}cand$r cand
+       |  JOIN ${pfx}l$r cur ON cur.id = cand.id
+       |  JOIN $deg ON $deg.id = cand.id
+       |  JOIN ${pfx}tot$r tot ON tot.c = cand.c, m),
+       |${pfx}b$r AS (SELECT id, c, cur FROM (
+       |    SELECT id, c, cur,
+       |      row_number() OVER (PARTITION BY id ORDER BY s DESC, c)
+       |        AS rn
+       |    FROM ${pfx}sc$r) WHERE rn = 1),
+       |${pfx}l${r + 1} AS MATERIALIZED (SELECT id,
+       |    $pick AS lbl
+       |  FROM ${pfx}b$r)""".stripMargin
+  }
+
+  /** The full q_g23 two-level Louvain unroll up to `fin(id, lbl)`:
+    * co-occurrence graph, 4 fine rounds on the "ugug" alternating
+    * schedule, coarsen into the weighted community supergraph
+    * (self-loops count TWICE in coarse degree — the convention under
+    * which coarsening preserves Q), 4 weighted coarse rounds (same
+    * schedule), then projection back down. */
+  private def louvainOracleCtes: String = {
+    val fine =
+      (0 until 4).map(r =>
+        louvainRoundSql(r, "", "adj", "deg", false, gated = r % 2 == 1))
+        .mkString
+    val coarse =
+      (0 until 4).map(r =>
+        louvainRoundSql(r, "c", "cadj", "cdeg", true, gated = r % 2 == 1))
+        .mkString
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |  WHERE l_orderkey % 20 = 0),
+       |e AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS MATERIALIZED (SELECT src AS id,
+       |    CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+       |l0 AS (SELECT id, id AS lbl FROM deg)$fine,
+       |ce AS MATERIALIZED (SELECT least(la.lbl, lb.lbl) AS a,
+       |    greatest(la.lbl, lb.lbl) AS b, CAST(count(*) AS HUGEINT) AS w
+       |  FROM e JOIN l4 la ON la.id = e.a JOIN l4 lb ON lb.id = e.b
+       |  GROUP BY 1, 2),
+       |cadj AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM ce WHERE a <> b
+       |  UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
+       |cdeg AS MATERIALIZED (SELECT id, sum(w) AS k FROM (
+       |  SELECT src AS id, w FROM cadj
+       |  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b) GROUP BY 1),
+       |cl0 AS (SELECT id, id AS lbl FROM cdeg)$coarse,
+       |fin AS MATERIALIZED (
+       |  SELECT f.id, c.lbl FROM l4 f JOIN cl4 c ON c.id = f.lbl)"""
+      .stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -4747,6 +4909,24 @@ object SparkEntry {
         |SELECT 'train' AS split, count(*) AS n FROM b WHERE bkt >= 200000
         |ORDER BY split""".stripMargin,
 
+    "q_x6p_stratified_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x',
+        |      substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
+        |      % 1000000 AS bkt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY bkt, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rn <= 4 THEN 'test'
+        |       WHEN rn <= 7 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "q_x6d_sample_per_lang" ->
       """WITH h AS (
         |  SELECT lang, doc_id,
@@ -6158,6 +6338,56 @@ object SparkEntry {
         |      / sqrt(CAST(n_nodes AS DOUBLE)) * 1e6
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS se_e6
         |FROM a""".stripMargin,
+
+    // Louvain rebuild — see louvainOracleCtes/louvainRoundSql: 8 fine
+    // rounds, coarsen, 8 weighted coarse rounds, projection.
+    "q_g23_louvain" ->
+      s"""${louvainOracleCtes}
+         |SELECT id, lbl AS community FROM fin ORDER BY id""".stripMargin,
+
+    // Scoreboard rebuild: the two-level louvain unroll plus the q_g10
+    // LPA-2 unroll (p-prefixed CTEs), each scored from exact integer
+    // moments Σm_in / Σd_tot² with the engine's double shape
+    // (S_in/m − S_d2/(m·m·4))·1e6.
+    "q_g23b_louvain_vs_lpa" ->
+      s"""${louvainOracleCtes},
+         |p1 AS (SELECT id, lbl FROM (
+         |  SELECT dst AS id, src AS lbl,
+         |    row_number() OVER (PARTITION BY dst
+         |      ORDER BY count(*) DESC, src) AS rn
+         |  FROM adj GROUP BY dst, src) WHERE rn = 1),
+         |p2 AS MATERIALIZED (SELECT id, lbl FROM (
+         |  SELECT a.dst AS id, l.lbl,
+         |    row_number() OVER (PARTITION BY a.dst
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM adj a JOIN p1 l ON l.id = a.src
+         |  GROUP BY a.dst, l.lbl) WHERE rn = 1),
+         |qlou AS (SELECT 'louvain' AS method,
+         |    (SELECT CAST(count(*) AS HUGEINT) FROM e
+         |     JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
+         |     WHERE la.lbl = lb.lbl) AS sin,
+         |    (SELECT sum(d * d) FROM (
+         |      SELECT sum(deg.k) AS d FROM fin l
+         |      JOIN deg ON deg.id = l.id GROUP BY l.lbl)) AS sd2,
+         |    (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM fin)
+         |      AS n_comms),
+         |qlpa AS (SELECT 'lpa' AS method,
+         |    (SELECT CAST(count(*) AS HUGEINT) FROM e
+         |     JOIN p2 la ON la.id = e.a JOIN p2 lb ON lb.id = e.b
+         |     WHERE la.lbl = lb.lbl) AS sin,
+         |    (SELECT sum(d * d) FROM (
+         |      SELECT sum(deg.k) AS d FROM p2 l
+         |      JOIN deg ON deg.id = l.id GROUP BY l.lbl)) AS sd2,
+         |    (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM p2)
+         |      AS n_comms)
+         |SELECT method,
+         |  CAST(floor((CAST(sin AS DOUBLE) / CAST(m.m AS DOUBLE)
+         |    - CAST(sd2 AS DOUBLE) / (CAST(m.m AS DOUBLE)
+         |        * CAST(m.m AS DOUBLE) * 4)) * 1e6
+         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q_e6,
+         |  n_comms
+         |FROM (SELECT * FROM qlou UNION ALL SELECT * FROM qlpa), m
+         |ORDER BY method""".stripMargin,
 
     "q_g4_triangles" ->
       """WITH li AS (

@@ -686,7 +686,7 @@ object GraphOps {
         .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / denom)
         .as("r"),
       (col("n") / 2).cast("long").as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(col("r"), col("n_edges"), col("n_nodes"))
   }
 
@@ -1157,6 +1157,225 @@ object GraphOps {
         (col("m_in").cast("double") / col("_m").cast("double") -
           (col("d_tot").cast("double") / twoM) *
           (col("d_tot").cast("double") / twoM)).as("q_c"))
+  }
+
+  /** Modularity-greedy community detection (the Louvain local-move
+    * phase): every node starts in its own community; each round, every
+    * gated node moves to the neighbor community with the best modularity
+    * gain. The gain comparison is EXACT integer arithmetic — moving `i`
+    * to community `c` beats moving it to `c'` iff
+    * `2m·k_{i→c} − k_i·Σ_c > 2m·k_{i→c'} − k_i·Σ_c'` (the common
+    * `ΔQ` terms cancel), with `Σ_c` the community's total degree after
+    * removing `i`, all in decimal(38,0) — so the partition is
+    * rerun-identical and oracle-rebuildable, no floating point until
+    * [[modularity]] scores the result. Staying put is itself a candidate
+    * (score of the current community with `i` removed), ties break
+    * toward the SMALLEST community id — a total order.
+    *
+    * Synchronous moves can oscillate (two adjacent nodes swapping
+    * communities forever), so each round only HALF the nodes may move:
+    * node `i` is gated on `(md5₄₈("seed:i") + round) % 2 == 0` — the
+    * same engine-portable [[graft.functions.PortableHash]] priority as
+    * the G19 MIS tier, so rounds unroll in plain SQL and every engine
+    * replays the identical move sequence. Self-loops (present after
+    * [[louvainCoarsen]]) ride along with their node: they add to `m` and
+    * contribute 2w to the node's degree, but never to `k_{i→c}`, so they
+    * shift every candidate's score equally and cannot distort a move.
+    *
+    * Scale notes (100 TB): each round is one labels ⋈ adjacency join
+    * plus three map-side-combinable aggregates — `k_{i→c}` (edge-keyed),
+    * `Σ_c` (node-keyed), and the per-node argmax `min(struct(-score,
+    * community))`; the 1-row `m` folds in as a broadcast crossJoin
+    * ([[modularity]]'s idiom). Nothing is ever quadratic in nodes and
+    * the adjacency is checkpointed once. Lineage truncates per round via
+    * `ckpt`.
+    *
+    * @param edges      (`start_id`, `end_id`) [+ `weightCol`]; direction
+    *                   ignored, parallel edges' weights sum, self-loops
+    *                   allowed (coarsened input)
+    * @param rounds     fixed synchronous move rounds (each node is gated
+    *                   in every other round, so `rounds = 4` gives every
+    *                   node two move opportunities)
+    * @param weightCol  optional integer edge-weight column (defaults to
+    *                   weight 1 — the level-0 simple graph)
+    * @return (`id`, `community`) for every edge endpoint */
+  def louvain(edges: DataFrame, rounds: Int = 4, seed: Long = 42L,
+      weightCol: Option[String] = None,
+      ckpt: Checkpointer = Checkpointer.Local,
+      schedule: String = ""): DataFrame = {
+    // 'u' rounds let EVERY node move (fast coalescing, but adjacent
+    // nodes can swap); 'g' rounds gate on md5-48 parity (slower,
+    // oscillation-free). Empirically "ugug" reaches the same Q as
+    // twice as many all-gated rounds (SCALE.md louvain note). The
+    // plain `rounds` form is all-gated.
+    val sched =
+      if (schedule.nonEmpty) schedule else "g" * rounds
+    require(sched.nonEmpty && sched.forall(c => c == 'u' || c == 'g'),
+      s"schedule must be nonempty over {u, g}, got '$sched'")
+    val dec = "decimal(38,0)"
+    // Unweighted input is a SIMPLE graph (parallel edges collapse, the
+    // [[labelPropagation]]/[[modularity]] convention); with `weightCol`
+    // parallel edges' weights sum — the coarsened-graph semantics.
+    // canon materializes ONCE: pairs/selfs/deg/m all derive from it,
+    // and m folds into EVERY round — an unmaterialized canon would
+    // re-execute the upstream graph build per round (measured 16×
+    // at sf0.1 before this ckpt).
+    val canon = ckpt(weightCol match {
+      case Some(wc) => edges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"),
+          col(wc).cast(dec).as("_w"))
+        .groupBy("a", "b").agg(sum("_w").as("_w"))
+      case None => edges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"))
+        .distinct()
+        .select(col("a"), col("b"), lit(1).cast(dec).as("_w"))
+    })
+    val pairs = canon.filter(col("a") =!= col("b"))
+    val selfs = canon.filter(col("a") === col("b"))
+      .select(col("a").as("id"), col("_w"))
+    // adj derives narrowly from the materialized canon (two projected
+    // passes per use) — cheaper than a second edge-sized
+    // materialization at these stage counts.
+    val adj = pairs.select(col("a").as("_src"), col("b").as("_dst"),
+        col("_w"))
+      .unionAll(pairs.select(col("b").as("_src"), col("a").as("_dst"),
+        col("_w")))
+    // degree: incident pair weights + 2× self-loop weight (the
+    // convention under which louvainCoarsen preserves Q exactly).
+    // Labels CARRY the degree so rounds never re-join it.
+    val deg = adj.select(col("_src").as("id"), col("_w"))
+      .unionAll(selfs.select(col("id"), (col("_w") * 2).as("_w")))
+      .groupBy("id").agg(sum("_w").as("_k"))
+    val mRow = ckpt(canon.agg(sum("_w").as("_m")))
+    var labels = ckpt(deg.select(col("id"), col("id").as("community"),
+      col("_k")))
+    for (round <- 0 until sched.length) {
+      val isGated = sched.charAt(round) == 'g'
+      // In a gated round only the parity half can move — filter FIRST
+      // so the edge join, scoring, and argmax all run on half the
+      // data; the ungated half passes through via the final union.
+      def gate(c: org.apache.spark.sql.Column) =
+        if (!isGated) lit(true)
+        else pmod(graft.functions.PortableHash.hash48(c, seed) +
+          lit(round.toLong), lit(2L)) === 0
+      val gated = if (isGated) labels.filter(gate(col("id"))) else labels
+      // Σ_c: total degree per community (over ALL members; the score
+      // subtracts k_i when c is i's own community).
+      val tot = labels.groupBy("community").agg(sum("_k").as("_tot"))
+      // k_{i→c} for gated nodes: incoming weight per neighbor
+      // community, with a zero-weight stay row unioned BEFORE the one
+      // aggregation so staying always competes (isolated-in-community
+      // nodes have no kin row for their own label).
+      val gatedAdj =
+        if (isGated) adj.filter(gate(col("_dst"))) else adj
+      val cand = gatedAdj
+        .join(labels.select(col("id").as("_src"), col("community")),
+          Seq("_src"))
+        .select(col("_dst").as("id"), col("community"), col("_w"))
+        .unionAll(gated.select(col("id"), col("community"),
+          lit(0).cast(dec).as("_w")))
+        .groupBy("id", "community").agg(sum("_w").as("_kic"))
+      val scored = cand
+        .join(gated.select(col("id"), col("community").as("_cur"),
+          col("_k")), Seq("id"))
+        .join(tot, Seq("community"))
+        .crossJoin(broadcast(mRow))
+        .select(col("id"), col("community"), col("_k"),
+          (col("_m") * 2 * col("_kic") - col("_k") *
+            (col("_tot") - when(col("community") === col("_cur"),
+              col("_k")).otherwise(lit(0).cast(dec)))).as("_s"))
+      val best = scored.groupBy("id")
+        .agg(min(struct((-col("_s")).as("_ns"), col("community")))
+          .as("_b"), max("_k").as("_k"))
+        .select(col("id"), col("_b.community").as("community"),
+          col("_k"))
+      labels = ckpt(
+        if (isGated) best.unionAll(labels.filter(!gate(col("id"))))
+        else best)
+    }
+    labels.select(col("id"), col("community"))
+  }
+
+  /** Community contraction (the Louvain coarsening phase): collapse a
+    * labeled graph into its community supergraph — one node per
+    * community, inter-community edge weights summed, intra-community
+    * weight (internal pair edges + member self-loops) folded into a
+    * self-loop per supernode. Under [[louvain]]'s degree convention
+    * (self-loop counts twice) the coarse graph has the SAME modularity
+    * landscape as the fine one, so `louvain(coarsen(...))` is the
+    * classic multi-level pass; join the returned labels back through
+    * the fine labels to project communities down.
+    *
+    * Scale notes (100 TB): two membership equi-joins (labels broadcast
+    * when small, shuffle-hash otherwise) and one groupBy on the
+    * re-keyed edge list — strictly cheaper than any [[louvain]] round
+    * on the same input.
+    *
+    * @return (`start_id`, `end_id`, `weight`) with
+    *         `start_id <= end_id`; self-loops carry intra weight */
+  def louvainCoarsen(edges: DataFrame, labels: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
+    val dec = "decimal(38,0)"
+    // Same input convention as [[louvain]]: unweighted = simple graph.
+    val canon = weightCol match {
+      case Some(wc) => edges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"),
+          col(wc).cast(dec).as("_w"))
+      case None => edges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"))
+        .distinct()
+        .select(col("a"), col("b"), lit(1).cast(dec).as("_w"))
+    }
+    val comm = labels.select(col("id"), col("community"))
+    canon
+      .join(comm.withColumnsRenamed(
+        Map("id" -> "a", "community" -> "_ca")), Seq("a"))
+      .join(comm.withColumnsRenamed(
+        Map("id" -> "b", "community" -> "_cb")), Seq("b"))
+      .select(least(col("_ca"), col("_cb")).as(StartId),
+        greatest(col("_ca"), col("_cb")).as(EndId), col("_w"))
+      .groupBy(StartId, EndId).agg(sum("_w").as("weight"))
+  }
+
+  /** The classic two-phase Louvain: [[louvain]] local moves on the
+    * input graph, [[louvainCoarsen]] into the community supergraph,
+    * weighted local moves there, then labels projected back down — the
+    * coarse phase merges whole communities, which single-level gated
+    * moves reach only slowly (one node per round crosses a boundary).
+    * On the co-occurrence benchmark graph the default 4+4 alternating
+    * schedule scores whole-graph Q 0.502 at sf0.01 / 0.495 at sf0.1 —
+    * past sync-LPA's 0.452 / 0.473 (`q_g23b` pins the ordering) and
+    * equal to 8+8 all-gated rounds at half the cost.
+    *
+    * Scale notes (100 TB): the coarse graph is communities-sized —
+    * orders of magnitude smaller than the input — so the second phase
+    * is nearly free; the projection is one equi-join on the fine
+    * community key (AQE broadcasts the coarse labels). Total cost ≈
+    * `fineRounds` louvain rounds + one coarsen.
+    *
+    * @return (`id`, `community`) — community ids are coarse-phase
+    *         labels (fine community ids that survived the merge) */
+  def louvainMultiLevel(edges: DataFrame, fineRounds: Int = 4,
+      coarseRounds: Int = 4, seed: Long = 42L,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    // Alternating ungated/gated rounds ("ugug…"): the ungated rounds
+    // coalesce singleton communities fast, the gated rounds converge
+    // without swap oscillation — measured equal-Q to 2× all-gated
+    // rounds at half the cost (SCALE.md louvain note).
+    def sched(n: Int): String =
+      (0 until n).map(i => if (i % 2 == 0) 'u' else 'g').mkString
+    val fine = ckpt(louvain(edges, fineRounds, seed, None, ckpt,
+      schedule = sched(fineRounds)))
+    val coarse = louvainCoarsen(edges, fine)
+    val up = louvain(coarse, coarseRounds, seed, Some("weight"), ckpt,
+        schedule = sched(coarseRounds))
+      .select(col("id").as("_cid"), col("community").as("_c2"))
+    fine.join(up, fine("community") === up("_cid"))
+      .select(col("id"), col("_c2").as("community"))
   }
 
   /** Continuous-MLE power-law exponent of the degree distribution:

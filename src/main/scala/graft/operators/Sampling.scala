@@ -60,6 +60,48 @@ object Sampling {
     (df.filter(bucket >= cut), df.filter(bucket < cut))
   }
 
+  /** Stratified train/val/test split with EXACT per-stratum quotas: in
+    * every stratum, the `testK` rows with the smallest seeded id-hash
+    * become `test`, the next `valK` become `val`, the rest `train` —
+    * the "held-out set with k docs per language/source, the remainder
+    * trains" convenience that [[trainTestSplit]] (fractional, global)
+    * and [[stratifiedTopK]] (quota, but score-ordered and single-split)
+    * each cover only half of. Selection order is the hash, so
+    * membership is pseudorandom but fully deterministic: same ids +
+    * seed → same split on any cluster, any partitioning, any engine
+    * (with `portable = true` the hash is the md5-48
+    * [[graft.functions.PortableHash]] an external warehouse can
+    * recompute). Strata smaller than `testK + valK` fill test first,
+    * then val, and leave no train rows — quotas are exact, never
+    * proportional fallbacks, so downstream eval-set sizes are stable
+    * as data grows (a new row lands in train unless its hash beats an
+    * incumbent's).
+    *
+    * Scale notes (100 TB): ONE window (rank over the stratum by hash)
+    * — the same shape and caveat as [[stratifiedTopK]]: the window
+    * parallelizes across strata but serializes within one, so a
+    * mega-stratum gates on a single task's sort. With quotas ≪ stratum
+    * size, pre-filter cheap: rows whose hash bucket exceeds
+    * ~(quota/|stratum|)·2^k margins can't win — compose with
+    * [[hashSample]] upstream when strata are billions of rows.
+    *
+    * @return input + `split` column (`test` | `val` | `train`) */
+  def stratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+      valK: Int, testK: Int, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(valK >= 0 && testK >= 0 && valK + testK > 0,
+      "valK and testK must be >= 0 with a positive sum")
+    val rn = "_graft_srn"
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol), seed, portable), col(idCol))
+    df.withColumn(rn, row_number().over(w))
+      .withColumn("split",
+        when(col(rn) <= testK, lit("test"))
+          .when(col(rn) <= testK + valK, lit("val"))
+          .otherwise(lit("train")))
+      .drop(rn)
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis bottom-k): each row gets key = −ln(u)/w with u a seeded
     * uniform from the id hash, and the k smallest keys win — the exact

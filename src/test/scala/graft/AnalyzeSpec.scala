@@ -395,6 +395,33 @@ class AnalyzeSpec extends SparkSpec {
     assert(re.getLong(1) == 5L && re.getLong(2) == 2L)
   }
 
+  test("louvain and split run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w12").toString
+    // bridged K3s: louvain must recover the two cliques
+    Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("start_id", "end_id").write.parquet(s"$dir/edges")
+    val lv = Analyze.run(parse(List("louvain", "--edges", s"$dir/edges",
+      "--iterations", "4", "--coarse-rounds", "2")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(lv).size == 1 &&
+      Set(10L, 11L, 12L).map(lv).size == 1 &&
+      lv(1L) != lv(10L))
+
+    (0L until 40L).map(i => (i, s"L${i % 2}")).toDF("doc_id", "lang")
+      .write.parquet(s"$dir/docs2")
+    val sp = Analyze.run(parse(List("split", "--docs", s"$dir/docs2",
+      "--strata-col", "lang", "--val-k", "2", "--test-k", "3")), spark)
+      .groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(sp == Map(("L0", "test") -> 3L, ("L0", "val") -> 2L,
+      ("L0", "train") -> 15L, ("L1", "test") -> 3L, ("L1", "val") -> 2L,
+      ("L1", "train") -> 15L))
+    intercept[IllegalArgumentException](Analyze.run(parse(List("split",
+      "--docs", s"$dir/docs2")), spark))
+  }
+
   test("trend, theilsen, rfm, sessions, attribution, assoc, skyline, " +
       "corr, welch, and mannwhitney run from argv") {
     val dir = Files.createTempDirectory("graft-analyze-w8").toString

@@ -715,6 +715,55 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("louvain: planted two-community graph recovered, deterministic " +
+    "across partitionings, beats singletons") {
+    // two K3s {1,2,3} / {10,11,12} joined by the bridge 3-10: merging
+    // the cliques scores Q = 0, keeping them apart Q = 2·(3/7 − (7/14)²)
+    // ≈ 0.357 — greedy moves must find the two-clique partition
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("start_id", "end_id")
+    val out = GraphOps.louvain(g, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    val c1 = Set(1L, 2L, 3L).map(out)
+    val c2 = Set(10L, 11L, 12L).map(out)
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2,
+      s"expected the two planted cliques as communities, got $out")
+    val q = GraphOps.modularity(g, GraphOps.louvain(g, rounds = 4))
+      .agg(org.apache.spark.sql.functions.sum("q_c")).head().getDouble(0)
+    assert(math.abs(q - (2.0 * (3.0 / 7.0 - 0.25))) < 1e-12)
+    // partitioning must not change the result (gated synchronous moves)
+    val re = GraphOps.louvain(g.repartition(7), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+  }
+
+  test("louvainCoarsen: supergraph weights exact; weighted louvain on " +
+    "the coarse graph groups heavy pairs") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("start_id", "end_id")
+    val lbl = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "community")
+    // 3 intra edges per clique → self-loops of weight 3; one bridge
+    val coarse = GraphOps.louvainCoarsen(g, lbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).longValueExact())).toSet
+    assert(coarse == Set((1L, 1L, 3L), (1L, 10L, 1L), (10L, 10L, 3L)))
+    // weighted louvain over a coarse-style graph: supernodes 1-2 and
+    // 3-4 tied by weight-10 edges, a weight-1 cross link — heavy pairs
+    // must pair up (self-loops ride along without distorting moves)
+    val wg = Seq((1L, 2L, 10L), (3L, 4L, 10L), (2L, 3L, 1L),
+      (1L, 1L, 5L), (4L, 4L, 5L))
+      .toDF("start_id", "end_id", "w")
+    val wout = GraphOps.louvain(wg, rounds = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wout.keySet == Set(1L, 2L, 3L, 4L))
+    assert(wout(1L) == wout(2L) && wout(3L) == wout(4L) &&
+      wout(1L) != wout(3L), s"expected heavy pairs grouped, got $wout")
+  }
+
   test("powerLawFit: star closed form, dMin filter, degree-regular " +
     "graph yields null alpha") {
     // star 0–{1,2,3,4}: degrees 4,1,1,1,1 → Σ ln d = ln 4 (per-term

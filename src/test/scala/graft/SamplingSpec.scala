@@ -140,6 +140,44 @@ class SamplingSpec extends SparkSpec {
     assert(!out.columns.contains("_graft_rn")) // helper column dropped
   }
 
+  test("stratifiedSplit: exact per-stratum quotas, test-first fill on " +
+      "short strata, growth never reassigns, portable replay") {
+    import graft.functions.PortableHash
+    val docs = corpus.withColumn("lang",
+      concat(lit("L"), (col("id") % 5).cast("string")))
+    val out = Sampling.stratifiedSplit(docs, "lang", "id",
+        valK = 3, testK = 4, portable = true)
+      .select("id", "lang", "split")
+      .as[(Long, String, String)].collect()
+    // exact quotas in every full stratum
+    val byLang = out.groupBy(_._2)
+    byLang.values.foreach { rows =>
+      assert(rows.count(_._3 == "test") == 4)
+      assert(rows.count(_._3 == "val") == 3)
+      assert(rows.count(_._3 == "train") == rows.length - 7)
+    }
+    // membership re-derived off-Spark: per stratum, the 4 smallest
+    // (md5-48 % 1e6, id) keys are test, the next 3 val
+    (0L until 5L).foreach { g =>
+      val members = (0L until 10000L).filter(_ % 5 == g)
+        .sortBy(id => (PortableHash.hash48(id.toString, 42L) % 1000000L, id))
+      val want = (members.take(4).map(_ -> "test") ++
+        members.slice(4, 7).map(_ -> "val")).sortBy(_._1)
+      val got = out.filter(r => r._2 == s"L$g" && r._3 != "train")
+        .map(r => r._1 -> r._3).toSeq.sortBy(_._1)
+      assert(got == want, s"stratum L$g")
+    }
+    // short stratum: test quota fills before val, nothing trains
+    val tiny = Seq((1L, "xx"), (2L, "xx"), (3L, "xx"), (4L, "xx"),
+      (5L, "xx"), (6L, "xx")).toDF("id", "lang")
+    val tinyOut = Sampling.stratifiedSplit(tiny, "lang", "id", 3, 4)
+      .select("split").as[String].collect()
+    assert(tinyOut.count(_ == "test") == 4 &&
+      tinyOut.count(_ == "val") == 2 && !tinyOut.contains("train"))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit(tiny, "lang", "id", 0, 0))
+  }
+
   test("mixture: weights control per-source keep rates; schemas null-fill") {
     val a = (0 until 4000).map(i => (i.toLong, "web")).toDF("id", "src")
     val b = (10000 until 14000).map(i => (i.toLong, 1.5)).toDF("id", "score")
