@@ -79,7 +79,11 @@ object Bench {
     def shortLong(k: String): String = {
       val full = k.stripPrefix("q_")
       val toks = full.split('_')
-      if (toks.length >= 3) toks.head + "_" + toks.last else full
+      // 2 chars of the last token disambiguate every current collision
+      // family (window_ru/ti/to, asof_sa/jo, cdc_st/di) at ~6 bytes per
+      // key less than the full tail; the require below still catches a
+      // future 2-char clash and demands a rename.
+      if (toks.length >= 2) toks.head + "_" + toks.last.take(2) else full
     }
     val keyOf: Map[String, String] = {
       val names = results.map(_._1)
