@@ -55,6 +55,10 @@ import graft.operators.{Curation, GraphOps}
   *               [--val-k N] [--test-k N] [--hash-seed S] [-o <outDir>]
   *               (stratified train/val/test split, exact per-stratum
   *               quotas, hash-deterministic membership)
+  *   quantiles   --docs <dir> --value-col v [--group-col g]
+  *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
+  *               (mergeable HDR-histogram quantile sketch over
+  *               non-negative integers; ~1/N relative error)
   *   powerlaw    --edges <dir> [--min-count DMIN] [-o <outDir>]
   *               (MLE degree-tail exponent alpha + standard error)
   *   cohort      --docs <dir> --entity-col e --ts-col t
@@ -234,6 +238,8 @@ object Analyze {
       nGram: Int = 3,
       kFactor: Double = 1.5,
       negPerAnchor: Int = 5,
+      subBuckets: Int = 16,
+      qsList: Seq[Double] = Seq(0.5, 0.9, 0.99),
       coarseRounds: Int = 8,
       valK: Int = 0,
       testK: Int = 0,
@@ -346,6 +352,10 @@ object Analyze {
       case "--val-k" :: v :: t => loop(t, acc.copy(valK = v.toInt))
       case "--test-k" :: v :: t => loop(t, acc.copy(testK = v.toInt))
       case "--strata-col" :: v :: t => loop(t, acc.copy(strataCol = v))
+      case "--sub-buckets" :: v :: t =>
+        loop(t, acc.copy(subBuckets = v.toInt))
+      case "--qs" :: v :: t =>
+        loop(t, acc.copy(qsList = v.split(',').toSeq.map(_.trim.toDouble)))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument '$other'; $usage")
       case Nil => acc
@@ -390,6 +400,15 @@ object Analyze {
         GraphOps.louvainMultiLevel(edges, fineRounds = args.iterations,
           coarseRounds = args.coarseRounds, seed = args.hashSeed,
           ckpt = ckpt)
+      case "quantiles" =>
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty,
+          "quantiles needs --docs and --value-col (non-negative " +
+            "integers); --group-col, --qs 0.5,0.99, --sub-buckets N " +
+            "optional")
+        graft.operators.Quantiles.hdrQuantiles(
+          spark.read.parquet(args.docs), args.valueCol, args.qsList,
+          args.subBuckets,
+          Option(args.groupCol).filter(_.nonEmpty))
       case "split" =>
         require(args.docs.nonEmpty && args.strataCol.nonEmpty &&
           (args.valK > 0 || args.testK > 0),

@@ -752,6 +752,19 @@ object SparkEntry {
             .as("gini_e6"))
         .orderBy("n_rows")),
 
+    // ---- V14: mergeable HDR quantile sketch over price cents per
+    // return flag — the bounded-state p50/p95/p99 (exact integer
+    // octave/sub-bucket math from bin-string length, so the sketch is
+    // partition-order independent AND engine-portable; contrast
+    // q_x4d's exact sort-based percentiles) ----
+    "q_v14_hdr_quantiles" -> ((s, dir) =>
+      Quantiles.hdrQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          (col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents", Seq(0.5, 0.95, 0.99), k = 16,
+        groupCol = Some("l_returnflag"))
+        .orderBy("l_returnflag", "q_e6")),
+
     // ---- V12: per-source Shannon entropy of the language mix — the
     // diversity audit; 1e9-integerized ln terms in decimal so the sum
     // is partition-order independent ----
@@ -7443,6 +7456,55 @@ object SparkEntry {
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS gini_e6
         |FROM st CROSS JOIN s
         |ORDER BY n_rows""".stripMargin,
+
+    // HDR sketch rebuild: identical integer bucket math — octave from
+    // the bin-string length, linear sub-bucket and ceil-div lower
+    // bound via `//`, rank = (q_e6·n + 999999) // 1e6, first bucket
+    // with cum ≥ rank per (flag, q).
+    "q_v14_hdr_quantiles" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT g, e,
+        |    CAST(((v - (CAST(1 AS BIGINT) << e)) * 16)
+        |      // (CAST(1 AS BIGINT) << e) AS INTEGER) AS sub
+        |  FROM (SELECT g, v, length(bin(v)) - 1 AS e
+        |        FROM src WHERE v IS NOT NULL AND v > 0)),
+        |hist AS (
+        |  SELECT g, e, sub, CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(1 AS BIGINT) << e)
+        |      + (sub * (CAST(1 AS BIGINT) << e) + 15) // 16 AS lo
+        |  FROM b GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT g, e, sub, lo,
+        |    CAST(sum(n) OVER (PARTITION BY g ORDER BY e, sub)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS nt
+        |  FROM hist),
+        |qs AS (SELECT CAST(unnest([500000, 950000, 990000]) AS BIGINT)
+        |       AS q_e6),
+        |audit AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_negative,
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero
+        |  FROM src GROUP BY 1),
+        |pick AS (
+        |  SELECT g, q_e6, lo, nt,
+        |    row_number() OVER (PARTITION BY g, q_e6 ORDER BY e, sub)
+        |      AS rn
+        |  FROM cum CROSS JOIN qs
+        |  WHERE cum >= (q_e6 * nt + 999999) // 1000000)
+        |SELECT p.g AS l_returnflag, p.q_e6, p.lo AS est, p.nt AS n,
+        |  a.n_null, a.n_negative, a.n_zero
+        |FROM pick p JOIN audit a ON a.g = p.g
+        |WHERE p.rn = 1
+        |ORDER BY l_returnflag, q_e6""".stripMargin,
 
     // Entropy rebuild: (source, lang) counts, the same 1e9-integerized
     // ln(c) terms summed HUGEINT, H = (ln N − Σ/1e9/N)/ln 2 mirrored.

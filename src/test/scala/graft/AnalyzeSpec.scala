@@ -395,7 +395,7 @@ class AnalyzeSpec extends SparkSpec {
     assert(re.getLong(1) == 5L && re.getLong(2) == 2L)
   }
 
-  test("louvain and split run from argv") {
+  test("louvain, split, and quantiles run from argv") {
     val dir = Files.createTempDirectory("graft-analyze-w12").toString
     // bridged K3s: louvain must recover the two cliques
     Seq((1L, 2L), (1L, 3L), (2L, 3L),
@@ -420,6 +420,15 @@ class AnalyzeSpec extends SparkSpec {
       ("L1", "train") -> 15L))
     intercept[IllegalArgumentException](Analyze.run(parse(List("split",
       "--docs", s"$dir/docs2")), spark))
+
+    // quantiles: 1,2,3,4 at k=1 → p50 bucket e1, lower bound 2
+    Seq(1L, 2L, 3L, 4L).toDF("v").write.parquet(s"$dir/vals")
+    val qn = Analyze.run(parse(List("quantiles", "--docs", s"$dir/vals",
+      "--value-col", "v", "--qs", "0.5", "--sub-buckets", "1")), spark)
+      .head()
+    assert(qn.getLong(0) == 500000L && qn.getLong(1) == 2L)
+    intercept[IllegalArgumentException](Analyze.run(parse(List(
+      "quantiles", "--docs", s"$dir/vals")), spark))
   }
 
   test("trend, theilsen, rfm, sessions, attribution, assoc, skyline, " +
