@@ -130,6 +130,9 @@ import graft.operators.{Curation, GraphOps}
   *               [-o <outDir>]   (Pareto frontier, both axes minimized)
   *   corr        --docs <dir> --target <col1,col2,...> [-o <outDir>]
   *               (pairwise Pearson matrix; integer-valued columns)
+  *   spearman    --docs <dir> --x-col a --y-col b [-o <outDir>]
+  *               (rank correlation — the outlier-proof monotonic
+  *               association; integer-valued columns)
   *   welch       --docs <prev dir> --bench <cur dir> --value-col v
   *               [-o <outDir>]   (Welch two-sample t drift test)
   *   mannwhitney --docs <prev dir> --bench <cur dir> --value-col v
@@ -819,6 +822,12 @@ object Analyze {
         graft.operators.Validate.correlationMatrix(
           spark.read.parquet(args.docs),
           args.target.split(',').toSeq.map(_.trim))
+      case "spearman" =>
+        require(args.docs.nonEmpty && args.xCol.nonEmpty &&
+          args.yCol.nonEmpty,
+          "spearman needs --docs, --x-col, --y-col (integer-valued)")
+        graft.operators.Validate.spearman(
+          spark.read.parquet(args.docs), args.xCol, args.yCol)
       case "welch" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty &&
           args.valueCol.nonEmpty,

@@ -775,6 +775,22 @@ object SparkEntry {
             .as("entropy_e6"))
         .orderBy("source")),
 
+    // ---- V15: Spearman rank correlation of quantity vs price — the
+    // outlier-proof monotonic-association audit; doubled average-tie
+    // ranks from the distinct-value histogram (integers end to end),
+    // exact decimal moments, one double division ----
+    "q_v15_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("price"))
+      Validate.spearman(li, "qty", "price")
+        .select(col("n"),
+          floor(col("rho") * lit(1e6) + lit(0.5)).cast("long")
+            .as("rho_e6"))
+        .orderBy("n")
+    }),
+
     // ---- V11: pairwise correlation matrix over lineitem's numeric
     // columns — one scan, exact decimal moments, e6-integerized r ----
     "q_v11_corr_matrix" -> ((s, dir) => {
@@ -7531,6 +7547,54 @@ object SparkEntry {
     // Correlation-matrix rebuild: one HUGEINT moments CTE, six pair
     // rows by UNION ALL, the mirrored (n·q−s²) variance/covariance
     // shapes with the product guard.
+    // Spearman rebuild: per-side distinct-value histogram + strictly-
+    // smaller cumulative window (the gini/skew rank-run shape), the
+    // SAME doubled tie rank 2·lt + cnt + 1, HUGEINT moments, and the
+    // engine's double rho shape, e6.
+    "q_v15_spearman" ->
+      """WITH src AS (
+        |  SELECT
+        |    CAST(floor(l_quantity * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |hx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM src
+        |       GROUP BY 1),
+        |rx AS (SELECT x,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS ru
+        |  FROM hx),
+        |hy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM src
+        |       GROUP BY 1),
+        |ry AS (SELECT y,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS rv
+        |  FROM hy),
+        |j AS (SELECT rx.ru, ry.rv FROM src
+        |      JOIN rx ON rx.x = src.x JOIN ry ON ry.y = src.y),
+        |mm AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(ru AS HUGEINT)) AS DOUBLE) AS su,
+        |    CAST(sum(CAST(rv AS HUGEINT)) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(ru AS HUGEINT) * CAST(rv AS HUGEINT))
+        |      AS DOUBLE) AS suv,
+        |    CAST(sum(CAST(ru AS HUGEINT) * CAST(ru AS HUGEINT))
+        |      AS DOUBLE) AS suu,
+        |    CAST(sum(CAST(rv AS HUGEINT) * CAST(rv AS HUGEINT))
+        |      AS DOUBLE) AS svv
+        |  FROM j)
+        |SELECT cnt AS n,
+        |  CAST(floor(
+        |    (n * suv - su * sv)
+        |      / sqrt((n * suu - su * su) * (n * svv - sv * sv)) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rho_e6
+        |FROM mm ORDER BY n""".stripMargin,
+
     "q_v11_corr_matrix" ->
       """WITH src AS (
         |  SELECT

@@ -453,4 +453,60 @@ object Validate {
       .select(col("_p.col_a").as("col_a"), col("_p.col_b").as("col_b"),
         col("_p.n").as("n"), col("_p.r").as("r"))
   }
+
+  /** Spearman rank correlation of two integer-valued columns — the
+    * monotonic-association audit that survives outliers and nonlinear
+    * scalings where Pearson ([[correlationMatrix]]) does not. Average
+    * tie ranks are DOUBLED so they stay integers (`r₂ = 2·lt + cnt +
+    * 1` for a value with `cnt` copies and `lt` smaller rows; the ×2
+    * cancels inside the correlation), and come from the [[gini]]
+    * rank-run trick: a cumulative window over the DISTINCT-VALUE
+    * histogram, never a row-level rank — so no per-row window sort at
+    * any scale. Moments then accumulate exactly in decimal(38,0)
+    * (`r₂ ≤ 2n`, so `Σ r₂ᵤ·r₂ᵥ ≤ 4n³` — inside decimal range beyond
+    * 10^11 rows) and rho runs once in double with the
+    * variance-product null guard. Rows with a null in either column
+    * drop (pairwise-complete).
+    *
+    * Scale notes (100 TB): two value-histogram aggregates (map-side
+    * combined), two cumulative windows over those SMALL distinct
+    * tables, two equi-joins back, one 1-row moment aggregate.
+    *
+    * @return one row: (`n`, `rho`); rho null when either side is
+    *         constant. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val complete = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+    def rank2(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      complete.groupBy(col(c)).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_lt", coalesce(sum("_cnt").over(w), lit(0L)))
+        .select(col(c), (col("_lt") * 2 + col("_cnt") + 1).as(s"_r$c"))
+    }
+    val ranked = complete
+      .join(rank2("_x"), Seq("_x"))
+      .join(rank2("_y"), Seq("_y"))
+    val m = ranked.agg(
+      count(lit(1)).as("_cnt"),
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("_r_x").cast(dec)).cast("double").as("_su"),
+      sum(col("_r_y").cast(dec)).cast("double").as("_sv"),
+      sum(col("_r_x").cast(dec) * col("_r_y").cast(dec)).cast("double")
+        .as("_suv"),
+      sum(col("_r_x").cast(dec) * col("_r_x").cast(dec)).cast("double")
+        .as("_suu"),
+      sum(col("_r_y").cast(dec) * col("_r_y").cast(dec)).cast("double")
+        .as("_svv"))
+    val vu = col("_n") * col("_suu") - col("_su") * col("_su")
+    val vv = col("_n") * col("_svv") - col("_sv") * col("_sv")
+    val cov = col("_n") * col("_suv") - col("_su") * col("_sv")
+    m.select(col("_cnt").as("n"),
+      when(col("_cnt") < 2 || vu * vv <= 0.0, lit(null).cast("double"))
+        .otherwise(cov / sqrt(vu * vv)).as("rho"))
+  }
 }

@@ -429,6 +429,13 @@ class AnalyzeSpec extends SparkSpec {
     assert(qn.getLong(0) == 500000L && qn.getLong(1) == 2L)
     intercept[IllegalArgumentException](Analyze.run(parse(List(
       "quantiles", "--docs", s"$dir/vals")), spark))
+
+    // spearman: (1,2,3)→(30,10,20) permutation scores exactly −0.5
+    Seq((1L, 30L), (2L, 10L), (3L, 20L)).toDF("a", "b")
+      .write.parquet(s"$dir/xy")
+    val sm = Analyze.run(parse(List("spearman", "--docs", s"$dir/xy",
+      "--x-col", "a", "--y-col", "b")), spark).head()
+    assert(sm.getLong(0) == 3L && sm.getDouble(1) == -0.5)
   }
 
   test("trend, theilsen, rfm, sessions, attribution, assoc, skyline, " +

@@ -255,4 +255,34 @@ class ValidateSpec extends SparkSpec {
       Validate.correlationMatrix(base, Seq("x", "x"))
     }
   }
+
+  test("spearman: monotone ±1 under nonlinear scaling, permutation " +
+      "closed form, tie ranks exact, nulls drop, constant null") {
+    // y = x³ is nonlinear but monotone: Pearson < 1, Spearman = 1
+    val cubes = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 64L), (5L, 125L))
+      .toDF("x", "y")
+    val r1 = Validate.spearman(cubes, "x", "y").head()
+    assert(r1.getLong(0) == 5L && r1.getDouble(1) == 1.0)
+    val rNeg = Validate.spearman(
+      cubes.select($"x", (-$"y").as("y")), "x", "y").head()
+    assert(rNeg.getDouble(1) == -1.0)
+    // permutation (1,2,3)→(30,10,20): 1 − 6·Σd²/(n(n²−1)) = −0.5
+    val perm = Seq((1L, 30L), (2L, 10L), (3L, 20L)).toDF("x", "y")
+    assert(Validate.spearman(perm, "x", "y").head().getDouble(1) == -0.5)
+    // ties: tied x values share the doubled average rank; identical
+    // tie structure on both sides → exactly 1
+    val ties = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L))
+      .toDF("x", "y")
+    assert(Validate.spearman(ties, "x", "y").head().getDouble(1) == 1.0)
+    // nulls drop pairwise; constant side → null rho
+    val withNull = Seq[(java.lang.Long, java.lang.Long)]((1L, 1L),
+      (2L, null), (3L, 3L)).toDF("x", "y")
+    val rn = Validate.spearman(withNull, "x", "y").head()
+    assert(rn.getLong(0) == 2L && rn.getDouble(1) == 1.0)
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    assert(Validate.spearman(const, "x", "y").head().isNullAt(1))
+    // partition invariance — exact decimal moments
+    val re = Validate.spearman(cubes.repartition(7), "x", "y").head()
+    assert(re.getDouble(1) == 1.0)
+  }
 }
