@@ -27,6 +27,10 @@ case class GroupedToken(group: String, ts: java.sql.Timestamp,
   item: String)
 case class HitterCounters(items: Map[String, Long])
 case class HeavyHitter(group: String, item: String, min_count: Long)
+case class GroupedValue(group: String, ts: java.sql.Timestamp, v: Long)
+case class HdrBuckets(counts: Map[String, Long])
+case class QuantileEstimate(group: String, q_e6: Long, est: Long,
+  n: Long)
 case class HoltPoint(user_id: Long, ts: java.sql.Timestamp, v: Double,
   level: Double, trend: Double, forecast: Option[Double],
   resid: Option[Double])
@@ -469,6 +473,70 @@ object StreamingIngest {
           state.update(HitterCounters(st.entries.toMap))
           st.top(k).map { case (item, c) => HeavyHitter(g, item, c) }
             .iterator
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Quantiles.hdrQuantiles]]: the
+    * per-group HDR bucket-count table lives as `mapGroupsWithState`
+    * state and every trigger re-emits the current quantile estimates —
+    * the online p50/p95/p99 dashboard over an unbounded value stream.
+    * Bucket math is the JVM twin of the batch column form (octave from
+    * the highest set bit, linear sub-bucket and ceil-div lower bound
+    * in integer arithmetic), so the estimates after trigger `t` are
+    * BIT-EQUAL to batch `hdrQuantiles` over the prefix — the pinned
+    * twin discipline of [[streamingHoltSmooth]]/[[streamingHeavyHitters]].
+    * Counts are commutative, so no per-batch sort is needed (unlike
+    * the order-sensitive stateful ops above). Non-positive values are
+    * dropped entirely (the batch audit columns have no per-trigger
+    * meaning here); `n` counts POSITIVE values only.
+    *
+    * Scale notes: state is ≤ 64·k (bucket, count) entries per active
+    * group — bounded for the group's lifetime regardless of stream
+    * volume; no watermark (counts accumulate forever, the sketch's
+    * point). */
+  def streamingQuantiles(values: Dataset[GroupedValue], qs: Seq[Double],
+      k: Int = 16): Dataset[QuantileEstimate] = {
+    require(k >= 1, "k must be >= 1")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val qe6s = qs.map(q => math.round(q * 1e6))
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[HdrBuckets, QuantileEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, batch: Iterator[GroupedValue],
+            state: GroupState[HdrBuckets]) =>
+          val counts = scala.collection.mutable.Map[String, Long]()
+          state.getOption.foreach(_.counts.foreach { case (b, c) =>
+            counts(b) = c })
+          batch.foreach { gv =>
+            if (gv.v > 0) {
+              val e = 63 - java.lang.Long.numberOfLeadingZeros(gv.v)
+              val sub = ((gv.v - (1L << e)) * k) / (1L << e)
+              val key = s"$e:$sub"
+              counts(key) = counts.getOrElse(key, 0L) + 1L
+            }
+          }
+          state.update(HdrBuckets(counts.toMap))
+          if (counts.isEmpty) Iterator.empty
+          else {
+            val buckets = counts.toSeq
+              .map { case (key, c) =>
+                val Array(e, sub) = key.split(':').map(_.toInt)
+                ((e, sub), c)
+              }.sortBy(_._1)
+            val n = buckets.map(_._2).sum
+            qe6s.map { qe6 =>
+              val rank = (qe6 * n + 999999L) / 1000000L
+              var cum = 0L
+              val ((e, sub), _) = buckets.find { case (_, c) =>
+                cum += c; cum >= rank
+              }.get
+              val lo = (1L << e) + (sub.toLong * (1L << e) + k - 1) / k
+              QuantileEstimate(g, qe6, lo, n)
+            }.iterator
+          }
       }
   }
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{FunnelEvent, GroupedToken, MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
+import graft.streaming.{FunnelEvent, GroupedToken, GroupedValue, MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
 
 /** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
   * tests over MemoryStream (SURVEY.md §5 item 5). */
@@ -498,6 +498,50 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingIngest.streamingHeavyHitters(mem.toDS(), k = 3,
         capacity = 2)
+    }
+  }
+
+  test("streamingQuantiles: per-trigger estimates are bit-equal to the " +
+      "batch sketch over the prefix; buckets carry; non-positive drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GroupedValue]
+    val out = StreamingIngest.streamingQuantiles(mem.toDS(),
+      qs = Seq(0.5, 0.99), k = 4)
+    val q = out.writeStream.format("memory")
+      .queryName("hdr_out").outputMode("update").start()
+    try {
+      val t1 = (1L to 10L).map(v =>
+        GroupedValue("g", ts("2024-01-01 10:00:00"), v))
+      mem.addData(t1 :+ GroupedValue("g", ts("2024-01-01 10:00:01"), 0L)
+        :+ GroupedValue("h", ts("2024-01-01 10:00:02"), 100L): _*)
+      q.processAllAvailable()
+      val afterT1 = spark.table("hdr_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // batch twin over the same prefix (0 excluded, n counts positives)
+      def batchTwin(vals: Seq[Long]): Map[Long, (Long, Long)] =
+        graft.operators.Quantiles.hdrQuantiles(
+            vals.toDF("v"), "v", Seq(0.5, 0.99), k = 4)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val twin1 = batchTwin(1L to 10L)
+      assert(afterT1(("g", 500000L)) == twin1(500000L))
+      assert(afterT1(("g", 990000L)) == twin1(990000L))
+      // 100 → octave 6, sub ⌊36·4/64⌋=2, lower bound 64+⌈2·64/4⌉=96
+      assert(afterT1(("h", 500000L))._1 == 96L)
+      // trigger 2: buckets carry — estimates move to the union prefix
+      mem.addData((11L to 40L).map(v =>
+        GroupedValue("g", ts("2024-01-01 10:01:00"), v)): _*)
+      q.processAllAvailable()
+      val afterT2 = spark.table("hdr_out").collect()
+        .filter(r => r.getString(0) == "g" && r.getLong(3) == 40L)
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      val twin2 = batchTwin(1L to 40L)
+      assert(afterT2(500000L) == twin2(500000L))
+      assert(afterT2(990000L) == twin2(990000L))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamingIngest.streamingQuantiles(mem.toDS(), qs = Seq(1.5))
     }
   }
 }
