@@ -407,7 +407,7 @@ object Analyze {
         require(args.docs.nonEmpty && args.valueCol.nonEmpty,
           "quantiles needs --docs and --value-col (non-negative " +
             "integers); --group-col, --qs 0.5,0.99, --sub-buckets N " +
-            "optional")
+            "(a power of two) optional")
         graft.operators.Quantiles.hdrQuantiles(
           spark.read.parquet(args.docs), args.valueCol, args.qsList,
           args.subBuckets,

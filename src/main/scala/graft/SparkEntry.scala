@@ -6368,8 +6368,9 @@ object SparkEntry {
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS se_e6
         |FROM a""".stripMargin,
 
-    // Louvain rebuild — see louvainOracleCtes/louvainRoundSql: 8 fine
-    // rounds, coarsen, 8 weighted coarse rounds, projection.
+    // Louvain rebuild — see louvainOracleCtes/louvainRoundSql: 4 fine
+    // rounds (ugug), coarsen, 4 weighted coarse rounds, projection —
+    // matching louvainMultiLevel's 4+4 alternating schedule exactly.
     "q_g23_louvain" ->
       s"""${louvainOracleCtes}
          |SELECT id, lbl AS community FROM fin ORDER BY id""".stripMargin,
@@ -7484,14 +7485,19 @@ object SparkEntry {
         |  FROM lineitem),
         |b AS (
         |  SELECT g, e,
-        |    CAST(((v - (CAST(1 AS BIGINT) << e)) * 16)
-        |      // (CAST(1 AS BIGINT) << e) AS INTEGER) AS sub
+        |    CAST(CASE WHEN e >= 4
+        |      THEN (v - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+        |      ELSE (v - (CAST(1 AS BIGINT) << e)) << (4 - e)
+        |      END AS INTEGER) AS sub
         |  FROM (SELECT g, v, length(bin(v)) - 1 AS e
         |        FROM src WHERE v IS NOT NULL AND v > 0)),
         |hist AS (
         |  SELECT g, e, sub, CAST(count(*) AS BIGINT) AS n,
         |    (CAST(1 AS BIGINT) << e)
-        |      + (sub * (CAST(1 AS BIGINT) << e) + 15) // 16 AS lo
+        |      + CASE WHEN e >= 4
+        |        THEN CAST(sub AS BIGINT) << (e - 4)
+        |        ELSE (sub * (CAST(1 AS BIGINT) << e) + 15) // 16
+        |        END AS lo
         |  FROM b GROUP BY 1, 2, 3),
         |cum AS (
         |  SELECT g, e, sub, lo,

@@ -219,7 +219,10 @@ object StreamingIngest {
     * `prev + gap` MERGES — session_window's overlap test is inclusive
     * of the window end, verified empirically in `StreamingSpec`'s
     * boundary test, and matching the DuckDB oracle's `diff > gap` new-
-    * session rule), but ~40× faster at high
+    * session rule; null users form one ordinary group on BOTH paths,
+    * null timestamps are dropped by both — the native path via the
+    * SessionWindowing rule's injected isnotnull filter), but ~40×
+    * faster at high
     * partition counts: `session_window`'s batch path is a sort-based
     * merging aggregation that r6's driver bench measured at 33.5 s for
     * 60k events at 32 shuffle partitions, vs 0.9 s for this plan on the
@@ -239,8 +242,13 @@ object StreamingIngest {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(userCol)).orderBy(col(tsCol))
       val prev = lag(col(tsCol), 1).over(w)
+      // Only null TIMESTAMPS are dropped — Catalyst's SessionWindowing
+      // rule injects the same isnotnull(ts) filter on the native path.
+      // Null USER keys are kept: groupBy and Window.partitionBy both
+      // treat null as one ordinary group, so the paths agree
+      // (StreamingSpec pins this with a null-user/null-ts input).
       events
-        .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+        .filter(col(tsCol).isNotNull)
         .withColumn("_new_s",
           when(prev.isNull || col(tsCol) > prev + iv, 1L).otherwise(0L))
         .withColumn("_sid", sum(col("_new_s")).over(w))
@@ -496,7 +504,9 @@ object StreamingIngest {
     * point). */
   def streamingQuantiles(values: Dataset[GroupedValue], qs: Seq[Double],
       k: Int = 16): Dataset[QuantileEstimate] = {
-    require(k >= 1, "k must be >= 1")
+    require(k >= 1 && (k & (k - 1)) == 0,
+      s"k (sub-buckets per octave) must be a power of two, got $k")
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(k.toLong)
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
     val qe6s = qs.map(q => math.round(q * 1e6))
@@ -513,7 +523,10 @@ object StreamingIngest {
           batch.foreach { gv =>
             if (gv.v > 0) {
               val e = 63 - java.lang.Long.numberOfLeadingZeros(gv.v)
-              val sub = ((gv.v - (1L << e)) * k) / (1L << e)
+              // Pure-shift sub-bucket (the batch column form's twin):
+              // a multiply-then-divide would wrap past v ≈ 2^63/k.
+              val d = gv.v - (1L << e)
+              val sub = if (e >= b) d >> (e - b) else d << (b - e)
               val key = s"$e:$sub"
               counts(key) = counts.getOrElse(key, 0L) + 1L
             }
@@ -533,7 +546,9 @@ object StreamingIngest {
               val ((e, sub), _) = buckets.find { case (_, c) =>
                 cum += c; cum >= rank
               }.get
-              val lo = (1L << e) + (sub.toLong * (1L << e) + k - 1) / k
+              val lo = (1L << e) +
+                (if (e >= b) sub.toLong << (e - b)
+                 else (sub.toLong * (1L << e) + k - 1) / k)
               QuantileEstimate(g, qe6, lo, n)
             }.iterator
           }

@@ -81,5 +81,55 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.hdrQuantiles(df, "v", Seq(1.5), 4, Some("g")))
     intercept[IllegalArgumentException](
       Quantiles.hdrHistogram(df, "v", 0, Some("g")))
+    intercept[IllegalArgumentException](
+      Quantiles.hdrHistogram(df, "v", 3, Some("g"))) // not a power of 2
+  }
+
+  test("hdrQuantiles: a group with ONLY excluded rows still surfaces " +
+      "(null estimate, audit counts filled) — never silently dropped") {
+    val df = Seq[(String, java.lang.Long)](("a", 4L), ("a", 8L),
+      ("c", null), ("c", 0L), ("c", -3L))
+      .toDF("g", "v")
+    val out = Quantiles.hdrQuantiles(df, "v", Seq(0.5, 1.0), k = 4,
+      Some("g")).collect()
+    val cRows = out.filter(_.getString(0) == "c")
+    assert(cRows.length == 2, "one row per requested q for group c")
+    cRows.foreach { r =>
+      assert(r.isNullAt(2), "estimate is null, not fabricated")
+      assert(r.getLong(3) == 0L) // n positive
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((1L, 1L, 1L)))
+    }
+    // ungrouped all-excluded input: one row per q, not an empty frame
+    val allEx = Seq[java.lang.Long](null, 0L).toDF("v")
+    val ue = Quantiles.hdrQuantiles(allEx, "v", Seq(0.9), k = 4).collect()
+    assert(ue.length == 1 && ue(0).isNullAt(1) && ue(0).getLong(2) == 0L &&
+      ue(0).getLong(3) == 1L && ue(0).getLong(5) == 1L)
+  }
+
+  test("bucket math is overflow-safe across the full positive Long " +
+      "range (epoch nanos, Long.MaxValue)") {
+    // A multiply-then-divide sub-bucket wraps past v ≈ 2^63/k; the
+    // shift form must place every value in a bucket whose bounds
+    // actually contain it.
+    val vs = Seq(1790000000000000000L, // epoch-nanos territory, e=60
+      (1L << 62) + 1L, Long.MaxValue)  // e=62 extremes
+    val df = vs.toDF("v")
+    val h = Quantiles.hdrHistogram(df, "v", k = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(3))) // (e, lo)
+    h.foreach { case (e, lo) =>
+      assert(lo > 0L, s"lo wrapped negative at e=$e")
+      val width = 1L << (e - 4)
+      assert(vs.exists(v => lo <= v && v - lo < width),
+        s"bucket (e=$e, lo=$lo) contains none of the inputs")
+    }
+    // per-value: single-row sketches put each v inside its own bucket
+    vs.foreach { v =>
+      val r = Quantiles.hdrQuantiles(Seq(v).toDF("v"), "v", Seq(1.0),
+        k = 16).head()
+      val est = r.getLong(1)
+      assert(est > 0L && est <= v, s"v=$v est=$est")
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      assert(v - est < (1L << (e - 4)), s"v=$v est=$est outside bucket")
+    }
   }
 }

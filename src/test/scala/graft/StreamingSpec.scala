@@ -304,6 +304,29 @@ class StreamingSpec extends SparkSpec {
     assert(fast.length == 3) // u1: {10:00,11:00}, {13:30,13:59:59.750}, u2
   }
 
+  test("sessionAgg batch plan ≡ session_window on NULL keys: null users " +
+      "form one ordinary group on both paths; null timestamps are " +
+      "dropped by both (SessionWindowing injects isnotnull(ts))") {
+    val df = Seq[(Timestamp, java.lang.Long, Double)](
+      (ts("2024-01-01 10:00:00"), null, 1.0),  // null-user session 1
+      (ts("2024-01-01 10:10:00"), null, 2.0),
+      (ts("2024-01-01 14:00:00"), null, 3.0),  // null-user session 2
+      (null, 1L, 99.0),                        // null ts: dropped
+      (null, null, 98.0),                      // null ts: dropped
+      (ts("2024-01-01 10:00:00"), 1L, 5.0)).toDF("ts", "user_id", "value")
+    val fast = StreamingIngest.sessionAgg(df, "ts", "user_id", "1 hour")
+      .orderBy(col("user_id").asc_nulls_first, col("w_start")).collect()
+    val native = df
+      .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id").asc_nulls_first, col("w_start")).collect()
+    assert(fast.toSeq == native.toSeq)
+    assert(fast.length == 3) // null-user ×2, user-1 ×1; null-ts rows gone
+    assert(fast(0).isNullAt(0) && fast(0).getAs[Long]("n_events") == 2L)
+  }
+
   test("ST6s: streamingCusum carries exact state across triggers and " +
       "matches the batch recurrence") {
     implicit val sqlCtx = spark.sqlContext
