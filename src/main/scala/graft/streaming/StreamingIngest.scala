@@ -29,6 +29,8 @@ case class HitterCounters(items: Map[String, Long])
 case class HeavyHitter(group: String, item: String, min_count: Long)
 case class GroupedValue(group: String, ts: java.sql.Timestamp, v: Long)
 case class HdrBuckets(counts: Map[String, Long])
+case class PsiBins(counts: Map[Int, Long])
+case class PsiPoint(group: String, n: Long, psi: Double)
 case class QuantileEstimate(group: String, q_e6: Long, est: Long,
   n: Long)
 case class HoltPoint(user_id: Long, ts: java.sql.Timestamp, v: Double,
@@ -552,6 +554,75 @@ object StreamingIngest {
               QuantileEstimate(g, qe6, lo, n)
             }.iterator
           }
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.SnapshotDiff.psiDrift]]: the
+    * ONLINE drift monitor. The reference window is a FROZEN per-bin
+    * count vector (the `n_prev` column of a batch `psiDrift` run, or
+    * any blessed historical histogram) shipped in the task closure;
+    * per-group current-window bin counts live as `flatMapGroupsWithState`
+    * state, and every trigger re-emits the group's total PSI against
+    * the baseline — the "is today's ingest drifting off the corpus we
+    * trained on" dashboard number, per source.
+    *
+    * Bin assignment, add-one smoothing, and the per-bin
+    * `(p−q)·ln(p/q)` term are the EXACT double-op shapes of the batch
+    * operator (same operand order), and the `nBins` terms sum in fixed
+    * ascending-bin order on one JVM — so the emitted PSI after trigger
+    * `t` is BIT-EQUAL to summing batch `psiDrift`'s `psi` column in
+    * bin order over the stream prefix (pinned in `StreamingSpec`), the
+    * [[streamingQuantiles]] twin discipline. Counts are commutative:
+    * no per-batch sort, no watermark (the current window accumulates
+    * for the group's lifetime; restart the query to re-window).
+    *
+    * Scale notes: state is ≤ `nBins` (bin, count) entries per active
+    * group regardless of stream volume; the baseline vector is
+    * `nBins` longs broadcast once with the closure, never joined. */
+  def streamingPsi(values: Dataset[GroupedValue], baseline: Seq[Long],
+      nBins: Int, lo: Double, hi: Double): Dataset[PsiPoint] = {
+    require(nBins >= 2, "nBins must be >= 2")
+    require(lo < hi, s"lo must be < hi (got [$lo, $hi))")
+    require(baseline.length == nBins,
+      s"baseline must have exactly nBins=$nBins counts, got ${baseline.length}")
+    require(baseline.forall(_ >= 0L), "baseline counts must be >= 0")
+    val base = baseline.toArray
+    val tPrev = base.sum
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[PsiBins, PsiPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, batch: Iterator[GroupedValue],
+            state: GroupState[PsiBins]) =>
+          val counts = scala.collection.mutable.Map[Int, Long]()
+          state.getOption.foreach(_.counts.foreach { case (b, c) =>
+            counts(b) = c })
+          batch.foreach { gv =>
+            // the batch column form verbatim: ((v − lo)·nBins)/(hi−lo),
+            // floored, clamped into the edge bins
+            val raw = math.floor(
+              (gv.v.toDouble - lo) * nBins.toDouble / (hi - lo))
+            val bin = math.min(math.max(raw, 0.0),
+              (nBins - 1).toDouble).toLong.toInt
+            counts(bin) = counts.getOrElse(bin, 0L) + 1L
+          }
+          state.update(PsiBins(counts.toMap))
+          val tCur = counts.valuesIterator.sum
+          var psi = 0.0
+          var i = 0
+          while (i < nBins) {
+            val pPrev = (base(i) + 1L).toDouble / (tPrev + nBins.toLong).toDouble
+            val pCur = (counts.getOrElse(i, 0L) + 1L).toDouble /
+              (tCur + nBins.toLong).toDouble
+            // StrictMath, not Math: Spark's `log` column function is
+            // StrictMath.log (platform-pinned), and Math.log's hardware
+            // intrinsic can differ by one ulp — enough to break the
+            // bit-equal twin contract.
+            psi += (pPrev - pCur) * java.lang.StrictMath.log(pPrev / pCur)
+            i += 1
+          }
+          Iterator.single(PsiPoint(g, tCur, psi))
       }
   }
 }

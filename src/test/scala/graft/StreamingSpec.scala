@@ -567,4 +567,60 @@ class StreamingSpec extends SparkSpec {
       StreamingIngest.streamingQuantiles(mem.toDS(), qs = Seq(1.5))
     }
   }
+
+  test("streamingPsi: per-trigger PSI is bit-equal to summing batch " +
+      "psiDrift's bins over the prefix; counts carry across triggers; " +
+      "outliers clamp into edge bins") {
+    implicit val sqlCtx = spark.sqlContext
+    val nBins = 4
+    val (lo, hi) = (0.0, 40.0)
+    // frozen reference window: near-uniform counts over [0, 40)
+    val prevVals = Seq(1L, 5L, 12L, 18L, 22L, 28L, 31L, 39L)
+    val base = {
+      val m = prevVals.groupBy(v => math.min(math.max(math.floor(
+        (v.toDouble - lo) * nBins / (hi - lo)), 0.0), 3.0).toInt)
+      (0 until nBins).map(b => m.getOrElse(b, Seq()).size.toLong)
+    }
+    def batchPsi(cur: Seq[Long]): Double =
+      graft.operators.SnapshotDiff.psiDrift(
+          prevVals.toDF("v"), cur.toDF("v"), "v", nBins, lo, hi)
+        .orderBy("bin").collect()
+        .foldLeft(0.0)((acc, r) => acc + r.getAs[Double]("psi"))
+    val mem = MemoryStream[GroupedValue]
+    val out = StreamingIngest.streamingPsi(mem.toDS(), base, nBins, lo, hi)
+    val q = out.writeStream.format("memory")
+      .queryName("psi_out").outputMode("update").start()
+    try {
+      // trigger 1: skewed batch for g (all low bins), plus an outlier
+      // at 99 that must CLAMP into the top bin, not drop; group h is
+      // near-baseline-shaped
+      val t1g = Seq(1L, 2L, 3L, 7L, 99L)
+      mem.addData(t1g.map(v => GroupedValue("g", ts("2024-01-01 10:00:00"), v))
+        :+ GroupedValue("h", ts("2024-01-01 10:00:01"), 15L): _*)
+      q.processAllAvailable()
+      val afterT1 = spark.table("psi_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(afterT1(("g", 5L)) == batchPsi(t1g)) // bit-equal, incl clamp
+      assert(afterT1(("h", 1L)) == batchPsi(Seq(15L)))
+      // trigger 2: counts carry — PSI moves to the union prefix
+      val t2g = Seq(11L, 21L, 33L, 38L)
+      mem.addData(t2g.map(v =>
+        GroupedValue("g", ts("2024-01-01 10:01:00"), v)): _*)
+      q.processAllAvailable()
+      val afterT2 = spark.table("psi_out").collect()
+        .filter(r => r.getString(0) == "g" && r.getLong(1) == 9L)
+        .map(r => r.getDouble(2))
+      assert(afterT2.nonEmpty && afterT2.head == batchPsi(t1g ++ t2g))
+      // drifted-vs-matching sanity: g's skew scores worse than h's fit
+      assert(afterT1(("g", 5L)) > afterT1(("h", 1L)))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamingIngest.streamingPsi(mem.toDS(), Seq(1L, 2L), nBins = 4,
+        lo = 0.0, hi = 1.0) // baseline length != nBins
+    }
+    intercept[IllegalArgumentException] {
+      StreamingIngest.streamingPsi(mem.toDS(), Seq(1L, 2L), nBins = 2,
+        lo = 5.0, hi = 5.0)
+    }
+  }
 }
