@@ -1377,6 +1377,29 @@ object SparkEntry {
         .orderBy("host", "doc_id")
     }),
 
+    // ---- X6u: URL canonicalization — the pre-dedup key normalizer:
+    // fragment/case/default-port/tracking-param identities collapse
+    // re-crawled variants of one page to ONE dedup key (portable
+    // character-class regexes; remaining params keep their order) ----
+    "q_x6u_canonical_url" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW."), upper(col("source")),
+            lit(".COM:80/Doc/"), id,
+            lit("?utm_source=feed&page=2&gclid=abc#top")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://"), col("source"), lit(".com:443#Sec-"), id))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), col("source"), lit(".com/doc/"), id,
+            lit("?utm_medium=x&id="), id, lit("&fbclid=z")))
+        .otherwise(concat(lit("http://"), col("source"),
+          lit(".com:8080/doc/"), id))
+      d.select(col("doc_id"),
+          Curation.canonicalizeUrl(url).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X6h: temperature-scaled per-language sampling weights
     // (alpha = 1/T = 0.5 → sqrt path, IEEE-exact on every engine) ----
     "q_x6h_temperature" -> ((s, dir) =>
@@ -4895,6 +4918,56 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM h)
         |WHERE rn <= 3 ORDER BY host, doc_id""".stripMargin,
+
+    // Canonicalization rebuilt step-for-step: same fragment strip,
+    // lowercased scheme://host[:port] prefix, default-port drops,
+    // tracking-param list_filter (same character-class alternation),
+    // original param order preserved, empty path → '/'.
+    "q_x6u_canonical_url" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/Doc/'
+        |        || CAST(doc_id AS VARCHAR)
+        |        || '?utm_source=feed&page=2&gclid=abc#top'
+        |      WHEN 1 THEN 'https://' || source || '.com:443#Sec-'
+        |        || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN 'https://' || source || '.com/doc/'
+        |        || CAST(doc_id AS VARCHAR) || '?utm_medium=x&id='
+        |        || CAST(doc_id AS VARCHAR) || '&fbclid=z'
+        |      ELSE 'http://' || source || '.com:8080/doc/'
+        |        || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM src),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS pfx,
+        |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+        |      AS rest
+        |  FROM nf),
+        |p2 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(pfx,
+        |      '^(http://[^/?#]*):80$', '\1'),
+        |      '^(https://[^/?#]*):443$', '\1') AS np,
+        |    regexp_replace(rest, '[?].*', '') AS path,
+        |    CASE WHEN position('?' IN rest) > 0
+        |      THEN regexp_replace(rest, '^[^?]*[?]', '') ELSE '' END AS q
+        |  FROM parts),
+        |p3 AS (
+        |  SELECT doc_id, np, path,
+        |    -- array_to_string of an EMPTY list is NULL in DuckDB (it
+        |    -- would null the final concat): coalesce back to ''
+        |    coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid)=')),
+        |      '&'), '') AS qs
+        |  FROM p2)
+        |SELECT doc_id,
+        |  np || (CASE WHEN path = '' AND np <> '' THEN '/' ELSE path END)
+        |     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
+        |FROM p3 ORDER BY doc_id""".stripMargin,
 
     // sqrt is correctly rounded by IEEE-754 on both engines; the sums and
     // ratios are integerized ×1e6 so no raw double reaches the hash.

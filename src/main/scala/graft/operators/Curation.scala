@@ -117,6 +117,58 @@ object Curation {
     regexp_extract(url,
       "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
 
+  /** Query parameters that identify a CLICK, not a RESOURCE — the
+    * standard tracking params stripped before URL-keyed dedup. Plain
+    * alternation of character classes (no lookarounds) so the same
+    * pattern means the same thing under Java regex and RE2/DuckDB. */
+  val trackingParamPattern: String =
+    "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid)="
+
+  /** Canonical form of an absolute http(s) URL — the pre-dedup key
+    * normalizer: the same page fetched as
+    * `HTTP://Example.COM:80/p?utm_source=feed&q=1#top` and
+    * `http://example.com/p?q=1` must collapse to ONE dedup key, or
+    * URL-level dedup silently keeps both copies. Applied before
+    * [[urlHost]]/[[domainCap]] and before any URL-keyed exact dedup.
+    *
+    * Normalizations (each a deliberate, RFC-safe identity): fragment
+    * stripped (never sent to the server); scheme and host lowercased
+    * (case-insensitive per RFC 3986); default ports `:80`/`:443`
+    * dropped for http/https (non-default ports kept); tracking query
+    * params ([[trackingParamPattern]]) removed with the REMAINING
+    * params kept in their original order (reordering could merge
+    * semantically distinct URLs on servers that care); empty path
+    * becomes `/`. Path case and userinfo are preserved — both can be
+    * semantically significant. Scheme-less inputs pass through with
+    * only the fragment/query rules applied (garbage stays visibly
+    * garbage rather than being guessed at).
+    *
+    * Scale notes (100 TB): a fixed chain of codegen'd regex ops plus
+    * one bounded higher-order filter over the split query — narrow,
+    * per-row, no shuffle; every regex is a portable character-class
+    * pattern so DuckDB/warehouse audits reproduce the key bit-for-bit. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lowercase ONLY the scheme://host[:port] prefix; the rest (path,
+    // query) keeps its case
+    val prefix = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(http://[^/?#]*):80$", "$1"),
+      "^(https://[^/?#]*):443$", "$1")
+    val path = regexp_replace(rest, "[?].*", "")
+    val query = when(rest.contains("?"),
+      regexp_replace(rest, "^[^?]*[?]", "")).otherwise(lit(""))
+    val kept = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern))
+    val qs = array_join(kept, "&")
+    concat(noPort,
+      when(path === "" && noPort =!= "", lit("/")).otherwise(path),
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
   /** Per-domain document cap — the crawl-curation rule that stops a
     * single site (content farm, mirror network) from dominating a
     * training mix no matter how many URLs it serves. Keeps the `k` best

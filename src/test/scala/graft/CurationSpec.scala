@@ -145,4 +145,41 @@ class CurationSpec extends SparkSpec {
         .toMap
     assert(verdicts(Checkpointer.Reliable) == verdicts(Checkpointer.Local))
   }
+
+  test("canonicalizeUrl: fragment, case, default-port, and tracking-param " +
+      "identities collapse; path case, param order, userinfo, and " +
+      "non-default ports survive") {
+    val cases = Seq(
+      // the flagship identity: every normalization at once
+      "HTTP://Example.COM:80/Path/A?utm_source=x&q=1&gclid=z#frag" ->
+        "http://example.com/Path/A?q=1",
+      // https default port + empty path + fragment
+      "https://A.com:443#Sec" -> "https://a.com/",
+      // only tracking params → the '?' disappears entirely
+      "https://a.com/p?utm_campaign=z&fbclid=y" -> "https://a.com/p",
+      // remaining params keep their original order (never sorted)
+      "https://a.com/p?b=2&a=1" -> "https://a.com/p?b=2&a=1",
+      // non-default port is semantic: kept
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // path case is semantic: kept (only scheme://host lowercases)
+      "https://A.com/CaseSensitive" -> "https://a.com/CaseSensitive",
+      // userinfo preserved (lowercased with the prefix, like the host)
+      "https://user@a.com/x" -> "https://user@a.com/x",
+      // a param NAMED like tracking mid-value is kept (anchored match)
+      "https://a.com/p?page=utm_source" -> "https://a.com/p?page=utm_source",
+      // scheme-less input: only fragment/query rules apply, no guessed '/'
+      "a.com/x?utm_medium=m#f" -> "a.com/x")
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"canonicalizeUrl($in) = ${out(in)}, want $want")
+    }
+    // idempotence: canonical form is a fixpoint
+    val once = cases.map(_._2).toDF("url")
+      .select(col("url"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect()
+    once.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
 }
