@@ -1457,7 +1457,8 @@ object SparkEntry {
     // quotas (4 test + 3 val per lang, hash-ordered, rest train);
     // portable-hash mode so the oracle re-ranks the same md5-48 buckets.
     // SamplingSpec pins quota exactness, small-stratum fill order, and
-    // id-stability under growth. ----
+    // the growth contract (quota SIZES stable; a better-ranked
+    // newcomer displaces the largest-key incumbent). ----
     "q_x6p_stratified_split" -> ((s, dir) =>
       Sampling.stratifiedSplit(t(s, dir, "documents"), "lang", "doc_id",
           valK = 3, testK = 4, portable = true)
@@ -4920,9 +4921,10 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY host, doc_id""".stripMargin,
 
     // Canonicalization rebuilt step-for-step: same fragment strip,
-    // lowercased scheme://host[:port] prefix, default-port drops,
-    // tracking-param list_filter (same character-class alternation),
-    // original param order preserved, empty path → '/'.
+    // lowercased scheme and host[:port] (userinfo case preserved per
+    // RFC 3986 §3.2.1), default-port drops, tracking-param list_filter
+    // (same character-class alternation), original param order
+    // preserved, empty path → '/'.
     "q_x6u_canonical_url" ->
       """WITH src AS (
         |  SELECT doc_id,
@@ -4941,20 +4943,32 @@ object SparkEntry {
         |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM src),
         |parts AS (
         |  SELECT doc_id,
+        |    regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://') AS hs,
         |    lower(regexp_extract(u,
-        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS pfx,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
         |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
         |      AS rest
         |  FROM nf),
+        |p1 AS (
+        |  SELECT doc_id, hs, scheme, rest,
+        |    regexp_extract(auth, '^([^@]*@)', 1) AS ui,
+        |    lower(regexp_replace(auth, '^[^@]*@', '')) AS hp
+        |  FROM parts),
         |p2 AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(pfx,
-        |      '^(http://[^/?#]*):80$', '\1'),
-        |      '^(https://[^/?#]*):443$', '\1') AS np,
+        |    CASE WHEN hs THEN scheme || '://' || ui ||
+        |      (CASE WHEN scheme = 'http'
+        |          THEN regexp_replace(hp, ':80$', '')
+        |        WHEN scheme = 'https'
+        |          THEN regexp_replace(hp, ':443$', '')
+        |        ELSE hp END)
+        |      ELSE '' END AS np,
         |    regexp_replace(rest, '[?].*', '') AS path,
         |    CASE WHEN position('?' IN rest) > 0
         |      THEN regexp_replace(rest, '^[^?]*[?]', '') ELSE '' END AS q
-        |  FROM parts),
+        |  FROM p1),
         |p3 AS (
         |  SELECT doc_id, np, path,
         |    -- array_to_string of an EMPTY list is NULL in DuckDB (it
@@ -7595,11 +7609,16 @@ object SparkEntry {
         |      AS rn
         |  FROM cum CROSS JOIN qs
         |  WHERE cum >= (q_e6 * nt + 999999) // 1000000)
-        |SELECT p.g AS l_returnflag, p.q_e6, p.lo AS est, p.nt AS n,
+        |-- engine shape mirrored: the output shell is audit × qs (a
+        |-- group whose rows are ALL excluded still emits est NULL,
+        |-- n 0 with its audit counts), estimates LEFT JOIN in
+        |SELECT a.g AS l_returnflag, q.q_e6 AS q_e6, p.lo AS est,
+        |  coalesce(p.nt, CAST(0 AS BIGINT)) AS n,
         |  a.n_null, a.n_negative, a.n_zero
-        |FROM pick p JOIN audit a ON a.g = p.g
-        |WHERE p.rn = 1
-        |ORDER BY l_returnflag, q_e6""".stripMargin,
+        |FROM audit a CROSS JOIN qs q
+        |LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p
+        |  ON p.g = a.g AND p.q_e6 = q.q_e6
+        |ORDER BY 1, 2""".stripMargin,
 
     // Entropy rebuild: (source, lang) counts, the same 1e9-integerized
     // ln(c) terms summed HUGEINT, H = (ln N − Σ/1e9/N)/ln 2 mirrored.

@@ -139,7 +139,9 @@ object Curation {
     * params kept in their original order (reordering could merge
     * semantically distinct URLs on servers that care); empty path
     * becomes `/`. Path case and userinfo are preserved — both can be
-    * semantically significant. Scheme-less inputs pass through with
+    * semantically significant (userinfo is case-sensitive per RFC 3986
+    * §3.2.1, so only the scheme and host[:port] halves of the
+    * authority lowercase). Scheme-less inputs pass through with
     * only the fragment/query rules applied (garbage stays visibly
     * garbage rather than being guessed at).
     *
@@ -149,15 +151,25 @@ object Curation {
     * pattern so DuckDB/warehouse audits reproduce the key bit-for-bit. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
-    // lowercase ONLY the scheme://host[:port] prefix; the rest (path,
-    // query) keeps its case
-    val prefix = lower(regexp_extract(noFrag,
-      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    // lowercase ONLY the scheme and host[:port]; userinfo (anything
+    // before the first '@' of the authority — '@' cannot appear
+    // unencoded inside userinfo per RFC 3986) and the rest (path,
+    // query) keep their case
+    val hasScheme = noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostPort = lower(regexp_replace(auth, "^[^@]*@", ""))
     val rest = regexp_replace(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val noPort = regexp_replace(
-      regexp_replace(prefix, "^(http://[^/?#]*):80$", "$1"),
-      "^(https://[^/?#]*):443$", "$1")
+    val hostNoPort =
+      when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort)
+    val noPort = when(hasScheme,
+      concat(scheme, lit("://"), userinfo, hostNoPort)).otherwise(lit(""))
     val path = regexp_replace(rest, "[?].*", "")
     val query = when(rest.contains("?"),
       regexp_replace(rest, "^[^?]*[?]", "")).otherwise(lit(""))

@@ -1152,7 +1152,7 @@ object GraphOps {
     val twoM = lit(2.0) * col("_m").cast("double")
     dTot.join(inEdges, Seq(commCol), "left")
       .na.fill(0L, Seq("m_in"))
-      .crossJoin(mRow)
+      .crossJoin(broadcast(mRow))
       .select(col(commCol), col("n_nodes"), col("m_in"), col("d_tot"),
         (col("m_in").cast("double") / col("_m").cast("double") -
           (col("d_tot").cast("double") / twoM) *

@@ -47,7 +47,9 @@ object Outliers {
 
   /** Per-group Tukey-fence flags: outlier ⇔ x < Q1 − k·IQR or
     * x > Q3 + k·IQR (k = 1.5 classic, 3.0 "far out"). Null values are
-    * never flagged. */
+    * never flagged. Exact `percentile` here is an oracle-parity choice
+    * (DuckDB `quantile_cont` equivalence); at 100 TB the bounded-state
+    * percentile path is [[Quantiles.hdrQuantiles]]. */
   def iqr(df: DataFrame, valueCol: String, groupCols: Seq[String],
       k: Double = 1.5, exact: Boolean = true): DataFrame = {
     require(k > 0, "k must be > 0")
@@ -88,7 +90,10 @@ object Outliers {
     *
     * Scale notes (100 TB): two percentile aggregates (the second pass
     * is inherent — deviations need the median first), each broadcast
-    * back; the corpus never shuffles, mirroring [[iqr]].
+    * back; the corpus never shuffles, mirroring [[iqr]]. Exact
+    * `percentile` buffers each group's values — an oracle-parity
+    * choice; swap in [[Quantiles.hdrQuantiles]] for the bounded-state
+    * sketch when group cardinality is unbounded.
     *
     * @return input + (`med`, `mad`, `robust_z`, `is_outlier`). */
   def mad(df: DataFrame, valueCol: String, groupCols: Seq[String],

@@ -97,6 +97,12 @@ object Quantiles {
     val b = requirePow2(k)
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
+    // q keys live as round(q·1e6): two qs that collide there (e.g.
+    // 0.9999995 and 0.9999996) would silently merge, and literal
+    // duplicates would duplicate every (group, q_e6) output row via the
+    // crossJoin + left join below — reject both up front.
+    require(qs.map(q => math.round(q * 1e6)).distinct.size == qs.size,
+      "quantiles must be distinct after rounding to 1e-6")
     val gcols = groupCol.toSeq.map(col)
     val gnames = groupCol.toSeq
     val v = col(valueCol).cast("long")

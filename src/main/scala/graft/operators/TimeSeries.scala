@@ -392,10 +392,17 @@ object TimeSeries {
     * one-step forecast for row t is l_(t−1) + b_(t−1) + s_(t−m) (null
     * on each entity's first row).
     *
-    * Every arm RE-DERIVES l_t inline rather than reading a sibling
-    * field (the [[holt]] discipline — identical IEEE chains in both
-    * engines, and no struct-accumulator sibling-mutation hazard in the
-    * oracle's list replay).
+    * l_t is derived ONCE per step and let-bound via a single-element
+    * `transform` (the lambda variable), then referenced by the b/s/ss
+    * arms — the IEEE chain is identical to inline re-derivation (same
+    * ops on the same inputs), but the interpreted fold pays the level
+    * recurrence once instead of four times, and the rotating seasonal
+    * state lives ONCE in the accumulator struct instead of being
+    * copied into (and re-copied with) every emitted row. r7's official
+    * bench showed the old shape (per-row `ss` arrays → O(len²·m)
+    * copies under the grow-by-concat accumulator) amplifying driver GC
+    * pressure into an 8× outlier; this shape cuts the copied bytes to
+    * O(len²) flat structs + O(len·m) seasonal slots.
     *
     * Scale notes (100 TB): identical shape to [[holt]] — one entity-key
     * shuffle, one in-Catalyst fold; the carried state is `period` + 2
@@ -415,38 +422,43 @@ object TimeSeries {
       .agg(sort_array(collect_list(struct(
         col(tsSecCol).as("t"), col(idCol).as("i"),
         col(valueCol).cast("double").as("v")))).as("_seq"))
-    type C = org.apache.spark.sql.Column
-    def prev(acc: C) = element_at(acc, -1)
-    def sUsed(acc: C) = element_at(prev(acc).getField("ss"), 1)
-    def lNew(acc: C, e: C) =
-      lit(alpha) * (e.getField("v") - sUsed(acc)) + lit(1.0 - alpha) *
-        (prev(acc).getField("l") + prev(acc).getField("b"))
+    val outT = "ARRAY<STRUCT<t: BIGINT, i: BIGINT, v: DOUBLE, " +
+      "l: DOUBLE, b: DOUBLE, sv: DOUBLE, fc: DOUBLE>>"
     val folded = aggregate(
       col("_seq"),
-      expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, i: BIGINT, " +
-        "v: DOUBLE, l: DOUBLE, b: DOUBLE, sv: DOUBLE, fc: DOUBLE, " +
-        "ss: ARRAY<DOUBLE>>>)"),
-      (acc, e) => concat(acc, array(struct(
-        e.getField("t").as("t"), e.getField("i").as("i"),
-        e.getField("v").as("v"),
-        when(size(acc) === 0, e.getField("v"))
-          .otherwise(lNew(acc, e)).as("l"),
-        when(size(acc) === 0, lit(0.0))
-          .otherwise(lit(beta) * (lNew(acc, e) - prev(acc).getField("l"))
-            + lit(1.0 - beta) * prev(acc).getField("b")).as("b"),
-        when(size(acc) === 0, lit(0.0))
-          .otherwise(lit(gamma) * (e.getField("v") - lNew(acc, e))
-            + lit(1.0 - gamma) * sUsed(acc)).as("sv"),
-        when(size(acc) === 0, lit(null).cast("double"))
-          .otherwise(prev(acc).getField("l") + prev(acc).getField("b")
-            + sUsed(acc)).as("fc"),
-        when(size(acc) === 0,
-            array(Seq.fill(m)(lit(0.0)): _*))
-          .otherwise(concat(
-            slice(prev(acc).getField("ss"), 2, m - 1),
-            array(lit(gamma) * (e.getField("v") - lNew(acc, e))
-              + lit(1.0 - gamma) * sUsed(acc)))).as("ss")))))
-    seq.select(col(entityCol), explode(folded).as("_e"))
+      expr(s"named_struct('out', CAST(array() AS $outT), " +
+        s"'ss', array_repeat(CAST(0.0 AS DOUBLE), $m))"),
+      (acc, e) => {
+        val out = acc.getField("out")
+        val ss = acc.getField("ss")
+        val first = size(out) === 0
+        val prevRow = element_at(out, -1)
+        val pl = prevRow.getField("l")
+        val pb = prevRow.getField("b")
+        val sU = element_at(ss, 1)
+        val v = e.getField("v")
+        val lN = when(first, v)
+          .otherwise(lit(alpha) * (v - sU) + lit(1.0 - alpha) * (pl + pb))
+        // let-bind l_t once: transform's lambda variable evaluates lN
+        // a single time, every arm below reads the bound value
+        element_at(transform(array(lN), lT => struct(
+          concat(out, array(struct(
+            e.getField("t").as("t"), e.getField("i").as("i"), v.as("v"),
+            lT.as("l"),
+            when(first, lit(0.0))
+              .otherwise(lit(beta) * (lT - pl) + lit(1.0 - beta) * pb)
+              .as("b"),
+            when(first, lit(0.0))
+              .otherwise(lit(gamma) * (v - lT) + lit(1.0 - gamma) * sU)
+              .as("sv"),
+            when(first, lit(null).cast("double"))
+              .otherwise(pl + pb + sU).as("fc")))).as("out"),
+          concat(slice(ss, 2, m - 1), array(
+            when(first, lit(0.0))
+              .otherwise(lit(gamma) * (v - lT) + lit(1.0 - gamma) * sU)))
+            .as("ss"))), 1)
+      })
+    seq.select(col(entityCol), explode(folded.getField("out")).as("_e"))
       .select(col(entityCol), col("_e.t").as(tsSecCol),
         col("_e.i").as(idCol), col("_e.v").as("v"),
         col("_e.l").as("level"), col("_e.b").as("trend"),

@@ -163,7 +163,9 @@ class CurationSpec extends SparkSpec {
       "http://a.com:8080/x" -> "http://a.com:8080/x",
       // path case is semantic: kept (only scheme://host lowercases)
       "https://A.com/CaseSensitive" -> "https://a.com/CaseSensitive",
-      // userinfo preserved (lowercased with the prefix, like the host)
+      // userinfo is case-SENSITIVE (RFC 3986 §3.2.1): its case survives
+      // even though the host around it lowercases
+      "https://Alice@A.com/x" -> "https://Alice@a.com/x",
       "https://user@a.com/x" -> "https://user@a.com/x",
       // a param NAMED like tracking mid-value is kept (anchored match)
       "https://a.com/p?page=utm_source" -> "https://a.com/p?page=utm_source",

@@ -141,7 +141,8 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("stratifiedSplit: exact per-stratum quotas, test-first fill on " +
-      "short strata, growth never reassigns, portable replay") {
+      "short strata, growth-stable SIZES with displacement semantics, " +
+      "portable replay") {
     import graft.functions.PortableHash
     val docs = corpus.withColumn("lang",
       concat(lit("L"), (col("id") % 5).cast("string")))
@@ -167,6 +168,30 @@ class SamplingSpec extends SparkSpec {
         .map(r => r._1 -> r._3).toSeq.sortBy(_._1)
       assert(got == want, s"stratum L$g")
     }
+    // growth: quota SIZES are stable but membership is NOT — a new row
+    // whose hash key ranks inside the test quota DISPLACES the
+    // incumbent with the largest key (test→val, val→train). This is
+    // the deliberate fixed-size contract; use trainTestSplit's
+    // fraction threshold when growth-stable membership matters.
+    val members0 = (0L until 10000L).filter(_ % 5 == 0)
+      .sortBy(id => (PortableHash.hash48(id.toString, 42L) % 1000000L, id))
+    val cutKey = PortableHash.hash48(members0(3).toString, 42L) % 1000000L
+    val newId = (10000L until 100000L by 5L)
+      .find(id => PortableHash.hash48(id.toString, 42L) % 1000000L < cutKey)
+      .get // a fresh L0 row that out-ranks the current 4th test member
+    val grown = docs.unionByName(
+      Seq((newId, s"doc$newId")).toDF("id", "txt")
+        .withColumn("lang", lit("L0")))
+    val grownOut = Sampling.stratifiedSplit(grown, "lang", "id",
+        valK = 3, testK = 4, portable = true)
+      .filter(col("lang") === "L0").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    val oldTest = members0.take(4).toSet
+    assert(grownOut.values.count(_ == "test") == 4) // size stable
+    assert(grownOut(newId) == "test") // newcomer enters by rank
+    val displaced = members0(3) // largest-key incumbent falls out
+    assert(oldTest.contains(displaced) && grownOut(displaced) == "val")
+
     // short stratum: test quota fills before val, nothing trains
     val tiny = Seq((1L, "xx"), (2L, "xx"), (3L, "xx"), (4L, "xx"),
       (5L, "xx"), (6L, "xx")).toDF("id", "lang")
