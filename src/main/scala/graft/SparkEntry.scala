@@ -1173,6 +1173,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3j: ANN index persistence — build the q_x3i index ONCE,
+    // save it as parquet (vectors partitioned by centroid_id), load it
+    // back, and query the STORED index. Shares q_x3i's oracle: the
+    // round-trip must be row-identical to the in-memory path. This is
+    // how a 100 TB corpus actually serves retrieval: quantizers train
+    // at ingest, every later run re-queries the parquet index. ----
+    "q_x3j_index_reuse" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val ixDir = sys.props("java.io.tmpdir") +
+        s"/graft_ann_index_${dir.split('/').filter(_.nonEmpty).last}"
+      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16)
+      val ix = Similarity.loadIndex(s, ixDir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X2f: fuzzy-string (Levenshtein) near-dup over 24-char text
     // prefixes — runs the BLOCKED path (length bands ±1), whose candidates
     // are provably lossless for the distance bound, against an all-pairs
@@ -3407,6 +3435,104 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** IVF-PQ rebuilt step-for-step in DuckDB — shared by q_x3i (build
+    * in memory, query) and q_x3j (save to parquet, load, query): the
+    * persisted index must return the exact same rows. */
+  private val ivfPqOracleSql: String =
+    """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
+        |    SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |    LIMIT 32)),
+        |casn0 AS (
+        |  SELECT c.vec_id, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM embeddings c CROSS JOIN cent ct),
+        |cell AS MATERIALIZED (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM casn0)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |      WHERE vec_id < 8),
+        |probe0 AS (
+        |  SELECT q.query_id, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM q CROSS JOIN cent ct),
+        |probed AS (
+        |  SELECT query_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
+        |  WHERE rn <= 8),
+        |cb0 AS (
+        |  SELECT vec_id, embedding,
+        |    row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
+        |      AS code
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |        LIMIT 16)),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |cb AS MATERIALIZED (
+        |  SELECT subs.sub, cb0.code,
+        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
+        |      AS cw
+        |  FROM cb0 CROSS JOIN subs),
+        |encd0 AS (
+        |  SELECT e.vec_id, cb.sub, cb.code,
+        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+        |     FROM (SELECT
+        |         unnest(list_slice(e.embedding,
+        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
+        |         unnest(cb.cw) y)) AS d
+        |  FROM embeddings e CROSS JOIN cb),
+        |enc AS MATERIALIZED (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d, code) rn FROM encd0)
+        |  WHERE rn = 1),
+        |dt0 AS MATERIALIZED (
+        |  SELECT q.query_id, cb.sub, cb.code,
+        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+        |     FROM (SELECT
+        |         unnest(list_slice(q.embedding,
+        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
+        |         unnest(cb.cw) y)) AS d
+        |  FROM q CROSS JOIN cb),
+        |terms AS (
+        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
+        |  FROM enc en
+        |  JOIN cell ce ON ce.vec_id = en.vec_id
+        |  JOIN probed p ON p.centroid_id = ce.centroid_id
+        |  JOIN dt0 d0 ON d0.query_id = p.query_id
+        |    AND d0.sub = en.sub AND d0.code = en.code
+        |  WHERE d0.query_id <> en.vec_id
+        |  GROUP BY d0.query_id, en.vec_id),
+        |sc AS (
+        |  SELECT query_id, vec_id,
+        |    ds[1] + ds[2] + ds[3] + ds[4]
+        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
+        |  FROM terms)
+        |SELECT query_id, vec_id,
+        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS adist_e4,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adist, vec_id) AS rank FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // Greedy MMR unroll — see mmrOracle.
@@ -4335,100 +4461,12 @@ object SparkEntry {
     // IVF-PQ rebuild: x3b's cell assignment + probing composed with
     // x3h's codebook/encoding/distance tables; candidates restricted to
     // probed cells before the ordered ADC chain.
-    "q_x3i_ivfpq_topk" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
-        |    SELECT vec_id, embedding FROM embeddings
-        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |    LIMIT 32)),
-        |casn0 AS (
-        |  SELECT c.vec_id, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM embeddings c CROSS JOIN cent ct),
-        |cell AS MATERIALIZED (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM casn0)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-        |      WHERE vec_id < 8),
-        |probe0 AS (
-        |  SELECT q.query_id, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM q CROSS JOIN cent ct),
-        |probed AS (
-        |  SELECT query_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
-        |  WHERE rn <= 8),
-        |cb0 AS (
-        |  SELECT vec_id, embedding,
-        |    row_number() OVER (
-        |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
-        |      AS code
-        |  FROM (SELECT vec_id, embedding FROM embeddings
-        |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |        LIMIT 16)),
-        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-        |cb AS MATERIALIZED (
-        |  SELECT subs.sub, cb0.code,
-        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
-        |      AS cw
-        |  FROM cb0 CROSS JOIN subs),
-        |encd0 AS (
-        |  SELECT e.vec_id, cb.sub, cb.code,
-        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
-        |     FROM (SELECT
-        |         unnest(list_slice(e.embedding,
-        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
-        |         unnest(cb.cw) y)) AS d
-        |  FROM embeddings e CROSS JOIN cb),
-        |enc AS MATERIALIZED (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY d, code) rn FROM encd0)
-        |  WHERE rn = 1),
-        |dt0 AS MATERIALIZED (
-        |  SELECT q.query_id, cb.sub, cb.code,
-        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
-        |     FROM (SELECT
-        |         unnest(list_slice(q.embedding,
-        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
-        |         unnest(cb.cw) y)) AS d
-        |  FROM q CROSS JOIN cb),
-        |terms AS (
-        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
-        |  FROM enc en
-        |  JOIN cell ce ON ce.vec_id = en.vec_id
-        |  JOIN probed p ON p.centroid_id = ce.centroid_id
-        |  JOIN dt0 d0 ON d0.query_id = p.query_id
-        |    AND d0.sub = en.sub AND d0.code = en.code
-        |  WHERE d0.query_id <> en.vec_id
-        |  GROUP BY d0.query_id, en.vec_id),
-        |sc AS (
-        |  SELECT query_id, vec_id,
-        |    ds[1] + ds[2] + ds[3] + ds[4]
-        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
-        |  FROM terms)
-        |SELECT query_id, vec_id,
-        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS adist_e4,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |  ORDER BY adist, vec_id) AS rank FROM sc)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x3i and x3j share ONE oracle: the save/load round-trip is
+    // semantically a no-op (floats round-trip parquet bit-exactly), so
+    // the stored-index query must reproduce the in-memory result rows
+    "q_x3i_ivfpq_topk" -> ivfPqOracleSql,
+
+    "q_x3j_index_reuse" -> ivfPqOracleSql,
 
     "q_x2b_ngram_jaccard" ->
       """WITH tok AS (

@@ -436,4 +436,53 @@ object Similarity {
       out.result().iterator
     }.toDF("query_id", "vec_id", "mmr_rank", "mmr_score")
   }
+
+  /** A loaded on-disk ANN index: IVF coarse quantizer + PQ codebooks +
+    * the assigned-and-encoded corpus, plus the codec geometry needed to
+    * query it ([[ivfPqTopK]]'s `m`/`k`). */
+  final case class AnnIndex(centroids: DataFrame, codebooks: DataFrame,
+      assignedEncoded: DataFrame, m: Int, k: Int)
+
+  /** Persist an IVF-PQ index as parquet — the retrieval counterpart of
+    * the incremental-dedup discipline: a 100 TB corpus trains its
+    * quantizers ONCE at ingest and every later run (and every other
+    * engine — it is all plain parquet) re-queries the stored index
+    * instead of re-deriving centroids, codebooks, and n·m·k encode
+    * passes per call.
+    *
+    * Layout under `dir`: `centroids/` and `codebooks/` (k and m·k rows —
+    * broadcast-sized forever), `meta/` (one row: m, k), and `vectors/`
+    * — the (centroid_id, id, codes) table written PARTITIONED BY
+    * centroid_id, so a query that probes `nProbe` of the k cells scans
+    * only those directories (static partition pruning at read; at
+    * cluster scale, dynamic partition pruning from the probed-cells
+    * join). Codes are m small ints per vector: the float corpus never
+    * ships to the serving side at all. */
+  def saveIndex(dir: String, centroids: DataFrame, codebooks: DataFrame,
+      assignedEncoded: DataFrame, m: Int, k: Int): Unit = {
+    val spark = centroids.sparkSession
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    assignedEncoded.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/vectors")
+    import spark.implicits._
+    Seq((m, k)).toDF("m", "k").write.mode("overwrite")
+      .parquet(s"$dir/meta")
+  }
+
+  /** Load a [[saveIndex]] layout. `centroid_id` comes back from the
+    * partition directories (cast to long — partition columns read as the
+    * inferred narrow type); everything else round-trips parquet
+    * bit-exactly, so a query against the loaded index returns the same
+    * rows as against the just-built one. */
+  def loadIndex(spark: SparkSession, dir: String): AnnIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val vectors = spark.read.parquet(s"$dir/vectors")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    AnnIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      vectors,
+      meta.getAs[Int]("m"), meta.getAs[Int]("k"))
+  }
 }

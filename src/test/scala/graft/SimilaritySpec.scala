@@ -343,6 +343,39 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery.forall(_ <= 5) && perQuery.nonEmpty)
   }
 
+  test("saveIndex/loadIndex: build once, query twice — stored-index " +
+      "results bit-equal to the in-memory path; geometry round-trips") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    val (cents, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id", 8)
+    val cb = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 8, k = 8)
+    val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_ix").toString
+    Similarity.saveIndex(dir, cents, cb, ae, m = 8, k = 8)
+    val ix = Similarity.loadIndex(spark, dir)
+    assert(ix.m == 8 && ix.k == 8)
+    // the partitioned vectors table restores centroid_id as a column
+    assert(ix.assignedEncoded.columns.toSet ==
+      Set("centroid_id", "vec_id", "codes"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val inMem = rows(Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+      "vec_id", m = 8, k = 8, topK = 5, nProbe = 3))
+    val stored1 = rows(Similarity.ivfPqTopK(q, ix.centroids, ix.codebooks,
+      ix.assignedEncoded, "embedding", "vec_id", m = ix.m, k = ix.k,
+      topK = 5, nProbe = 3))
+    val stored2 = rows(Similarity.ivfPqTopK(q, ix.centroids, ix.codebooks,
+      ix.assignedEncoded, "embedding", "vec_id", m = ix.m, k = ix.k,
+      topK = 5, nProbe = 3))
+    assert(stored1 == inMem) // bit-equal incl. the double adist
+    assert(stored2 == stored1) // re-query without rebuild: stable
+  }
+
   test("pqTopK: near-identical twin ranks first with near-zero distance") {
     // two tight clusters + noise; query 0's twin (id 10) shares its
     // codes, so ADC distance equals the query's own quantization
