@@ -2527,6 +2527,25 @@ object SparkEntry {
       GraphOps.louvainMultiLevel(edges).orderBy("id")
     }),
 
+    // ---- G24: Leiden-refined Louvain on the same graph — the q_g23
+    // partition with every internally disconnected community split
+    // into its connected parts (min-label CC over intra edges), so the
+    // output is guaranteed connected and Q ≥ q_g23's by construction.
+    // The oracle replays the g23 unroll then the refinement as a
+    // recursive min-label reachability CTE. ----
+    "q_g24_leiden" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.alias("a")
+      val b = li.alias("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      GraphOps.leiden(edges).orderBy("id")
+    }),
+
     // ---- G23b: the Louvain-vs-LPA modularity scoreboard on the hetero
     // graph — both partitions scored by the same exact-moment
     // modularity, 1 row each, Q integerized at e6. The row ORDER pins
@@ -6499,6 +6518,31 @@ object SparkEntry {
     "q_g23_louvain" ->
       s"""${louvainOracleCtes}
          |SELECT id, lbl AS community FROM fin ORDER BY id""".stripMargin,
+
+    // Leiden refinement replayed on top of the g23 unroll: intra-
+    // community adjacency, then min-label reachability as a recursive
+    // CTE — the `r.lbl < a.dst` guard is safe (the component minimum
+    // is below every other member id, so its propagation is never
+    // pruned) and keeps the pair set to (id, lbl ≤ id) rows. The
+    // engine's pointer-jumping CC converges to the same min ids.
+    "q_g24_leiden" ->
+      s"""${louvainOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |iadj AS MATERIALIZED (
+         |  SELECT e.a AS src, e.b AS dst FROM e
+         |    JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
+         |    WHERE la.lbl = lb.lbl
+         |  UNION ALL
+         |  SELECT e.b, e.a FROM e
+         |    JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
+         |    WHERE la.lbl = lb.lbl),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM fin
+         |  UNION
+         |  SELECT a.dst AS id, r.lbl FROM reach r
+         |  JOIN iadj a ON a.src = r.id
+         |  WHERE r.lbl < a.dst)
+         |SELECT id, min(lbl) AS community FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
 
     // Scoreboard rebuild: the two-level louvain unroll plus the q_g10
     // LPA-2 unroll (p-prefixed CTEs), each scored from exact integer

@@ -1202,7 +1202,8 @@ object GraphOps {
   def louvain(edges: DataFrame, rounds: Int = 4, seed: Long = 42L,
       weightCol: Option[String] = None,
       ckpt: Checkpointer = Checkpointer.Local,
-      schedule: String = ""): DataFrame = {
+      schedule: String = "",
+      initLabels: Option[DataFrame] = None): DataFrame = {
     // 'u' rounds let EVERY node move (fast coalescing, but adjacent
     // nodes can swap); 'g' rounds gate on md5-48 parity (slower,
     // oscillation-free). Empirically "ugug" reaches the same Q as
@@ -1249,8 +1250,19 @@ object GraphOps {
       .unionAll(selfs.select(col("id"), (col("_w") * 2).as("_w")))
       .groupBy("id").agg(sum("_w").as("_k"))
     val mRow = ckpt(canon.agg(sum("_w").as("_m")))
-    var labels = ckpt(deg.select(col("id"), col("id").as("community"),
-      col("_k")))
+    // Default seed: every node its own community. `initLabels` starts
+    // the moves from a caller-supplied partition instead — the Leiden
+    // aggregated-phase seed, where each supernode begins in the
+    // community its parts came from rather than alone.
+    var labels = ckpt(initLabels match {
+      case Some(init) => deg
+        .join(init.select(col("id"), col("community").as("_ic")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("_ic"), col("id")).as("community"),
+          col("_k"))
+      case None => deg.select(col("id"), col("id").as("community"),
+        col("_k"))
+    })
     for (round <- 0 until sched.length) {
       val isGated = sched.charAt(round) == 'g'
       // In a gated round only the parity half can move — filter FIRST
@@ -1377,6 +1389,82 @@ object GraphOps {
     fine.join(up, fine("community") === up("_cid"))
       .select(col("id"), col("_c2").as("community"))
   }
+
+  /** Leiden refinement pass (Traag, Waltman & van Eck 2019's
+    * connectivity guarantee, as a standalone operator): split every
+    * INTERNALLY DISCONNECTED community into its connected parts.
+    * Plain Louvain can strand one: when a community's articulation
+    * node moves out, the members it used to connect keep the shared
+    * label with no path between them — the defect the Leiden paper is
+    * about. The split is exact min-label connected components
+    * ([[Dedup.connectedComponents]]'s pointer-jumping) restricted to
+    * INTRA-community edges, so parts never cross community boundaries
+    * and each part's new community id is its minimum member node id.
+    *
+    * Splitting a disconnected community never lowers modularity: its
+    * internal edge count is unchanged (no intra edges between the
+    * parts — they are disconnected) while the Σd_tot² penalty strictly
+    * decreases ((d₁+d₂)² > d₁²+d₂²), so Q strictly increases whenever
+    * the pass changes anything.
+    *
+    * Scale notes (100 TB): two membership equi-joins restrict the edge
+    * list (labels broadcast when small), then O(log diameter)
+    * pointer-jumping rounds of two shuffles each over intra edges
+    * only — strictly cheaper than one Louvain round on the same graph.
+    *
+    * @return (`id`, `community`) — connected-part labels (min member) */
+  def leidenRefine(edges: DataFrame, labels: DataFrame,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val canon = edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col("id"), col("community"))
+    val intra = canon
+      .join(lab.withColumnsRenamed(
+        Map("id" -> "a", "community" -> "_ca")), Seq("a"))
+      .join(lab.withColumnsRenamed(
+        Map("id" -> "b", "community" -> "_cb")), Seq("b"))
+      .filter(col("_ca") === col("_cb"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    Dedup.connectedComponents(lab.select(col("id")), "id", intra,
+        ckpt = ckpt)
+      .select(col("id"), col("comp").as("community"))
+  }
+
+  /** Louvain with the Leiden connectivity guarantee:
+    * [[louvainMultiLevel]] followed by one [[leidenRefine]] pass, so
+    * the returned partition (a) has every community internally
+    * connected and (b) scores modularity ≥ the plain two-level result
+    * BY CONSTRUCTION — refining a partition either changes nothing or
+    * strictly raises Q (see [[leidenRefine]]), never lowers it.
+    *
+    * Why refine AFTER the pipeline rather than between the phases (the
+    * paper's placement): mid-pipeline refinement re-seeds the
+    * aggregated phase and the outcome is graph-dependent under a fixed
+    * synchronous round budget — measured on the q_g23 co-occurrence
+    * graph it WON at sf0.01 (Q 0.5046 vs 0.5031 post-refined, seeded
+    * all-gated coarse schedule via [[louvain]]'s `initLabels`) but
+    * LOST at sf0.001 (0.473 vs 0.499), because the refined supergraph
+    * walks a different move trajectory with no monotonicity promise.
+    * The post-pipeline composition is the one with a theorem: never
+    * worse than [[louvainMultiLevel]], always connected. Callers who
+    * want the paper's placement can compose
+    * `leidenRefine → louvainCoarsen → louvain(initLabels) → project`
+    * from the public pieces.
+    *
+    * Scale notes (100 TB): [[louvainMultiLevel]]'s cost plus one
+    * refinement (O(log diameter) pointer-jump rounds over intra-
+    * community edges — cheaper than one Louvain round).
+    *
+    * @return (`id`, `community`) with every community internally
+    *         connected; community ids are minimum member node ids */
+  def leiden(edges: DataFrame, fineRounds: Int = 4,
+      coarseRounds: Int = 4, seed: Long = 42L,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame =
+    leidenRefine(edges,
+      ckpt(louvainMultiLevel(edges, fineRounds, coarseRounds, seed, ckpt)),
+      ckpt)
 
   /** Continuous-MLE power-law exponent of the degree distribution:
     * `alpha = 1 + n / Σ ln(d_i/dMin)` over nodes with degree ≥ `dMin`

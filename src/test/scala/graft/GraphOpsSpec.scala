@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, countDistinct, lit}
 
 import graft.operators.GraphOps
 
@@ -762,6 +762,76 @@ class GraphOpsSpec extends SparkSpec {
     assert(wout.keySet == Set(1L, 2L, 3L, 4L))
     assert(wout(1L) == wout(2L) && wout(3L) == wout(4L) &&
       wout(1L) != wout(3L), s"expected heavy pairs grouped, got $wout")
+  }
+
+  test("leidenRefine: a planted internally disconnected community " +
+    "splits into its connected parts and modularity strictly rises; " +
+    "connected communities pass through") {
+    // two disjoint triangles SHARE one label — the planted Louvain
+    // defect (no path between them inside the community); a third
+    // triangle is its own, connected, community
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("start_id", "end_id")
+    val bad = Seq((0L, 99L), (1L, 99L), (2L, 99L),
+      (3L, 99L), (4L, 99L), (5L, 99L),
+      (10L, 7L), (11L, 7L), (12L, 7L)).toDF("id", "community")
+    val out = GraphOps.leidenRefine(g, bad)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each connected part gets its min member id; boundaries hold
+    assert(Set(0L, 1L, 2L).map(out) == Set(0L))
+    assert(Set(3L, 4L, 5L).map(out) == Set(3L))
+    assert(Set(10L, 11L, 12L).map(out) == Set(10L))
+    def q(lbl: org.apache.spark.sql.DataFrame) =
+      GraphOps.modularity(g, lbl)
+        .agg(org.apache.spark.sql.functions.sum("q_c"))
+        .head().getDouble(0)
+    assert(q(GraphOps.leidenRefine(g, bad)) > q(bad))
+  }
+
+  test("leiden: plain louvainMultiLevel leaves internally disconnected " +
+    "communities on the benchmark graph; leiden returns none and never " +
+    "scores below it") {
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+      .filter($"l_orderkey" % 20 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val a = li.alias("a"); val b = li.alias("b")
+    val edges = a.join(b,
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      .cache()
+    def nDisconnected(lbl: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.leidenRefine(edges, lbl)
+        .withColumnRenamed("community", "part")
+        .join(lbl, Seq("id"))
+        .groupBy("community")
+        .agg(countDistinct(col("part")).as("np"))
+        .filter(col("np") > 1).count()
+    def q(lbl: org.apache.spark.sql.DataFrame) =
+      GraphOps.modularity(edges, lbl)
+        .agg(org.apache.spark.sql.functions.sum("q_c"))
+        .head().getDouble(0)
+    val lou = GraphOps.louvainMultiLevel(edges).cache()
+    assert(nDisconnected(lou) > 0, // the trap plain Louvain fails
+      "expected the benchmark graph to strand disconnected communities")
+    val lei = GraphOps.leiden(edges).cache()
+    assert(nDisconnected(lei) == 0)
+    assert(q(lei) >= q(lou)) // refinement never costs modularity
+  }
+
+  test("louvain initLabels: a seeded optimal partition is a fixpoint " +
+    "under gated rounds") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("start_id", "end_id")
+    val seed = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "community")
+    val out = GraphOps.louvain(g, rounds = 2, schedule = "gg",
+        initLabels = Some(seed))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"seeded optimum must not move, got $out")
   }
 
   test("powerLawFit: star closed form, dMin filter, degree-regular " +
