@@ -36,6 +36,11 @@ case class QuantileEstimate(group: String, q_e6: Long, est: Long,
 case class HoltPoint(user_id: Long, ts: java.sql.Timestamp, v: Double,
   level: Double, trend: Double, forecast: Option[Double],
   resid: Option[Double])
+case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+  event_id: Long, event_type: String)
+case class LastTyped(tsMs: Long, event_id: Long, event_type: String)
+case class TransitionPair(user_id: Long, from_type: String,
+  to_type: String)
 case class OpenSession(startMicros: Long, endMicros: Long, n: Long, sum: Double)
 case class CompletedSession(user_id: Long, sess_start: java.sql.Timestamp,
     sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -623,6 +628,56 @@ object StreamingIngest {
             i += 1
           }
           Iterator.single(PsiPoint(g, tCur, psi))
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Funnel.transitionMatrix]]'s
+    * pair-generation stage — the one analytics family that had no
+    * incremental form: per-entity state is exactly the LAST seen
+    * (ts, id, type); each arriving event with a predecessor emits one
+    * (from_type → to_type) pair. The emitted pair stream aggregated by
+    * (from, to) — a stateless count plus the per-state normalization,
+    * the batch operator's own tail — IS the live transition matrix.
+    * The stateful stage stays a pair emitter deliberately: a second
+    * stateful aggregation cannot chain behind `flatMapGroupsWithState`
+    * in one query, and the pair stream is the reusable surface (Sankey
+    * feeds, per-entity sequence audit, downstream windowed matrices).
+    *
+    * Twin contract: events fold in (ts, id) order within each
+    * micro-batch (the deterministic-fold discipline of every stateful
+    * op here) and null-typed events drop BEFORE pairing
+    * ([[graft.operators.Funnel.frequentSequences]]'s discipline), so a
+    * null never breaks a from→to adjacency — the batch filter
+    * semantics exactly. With in-order arrival across triggers the
+    * cumulative pair multiset equals the batch window's lead pairs
+    * (spec-pinned bit-equal, including the normalized `p` doubles).
+    *
+    * Scale notes: state is ONE (ts, id, type) per ACTIVE entity —
+    * constant per key regardless of stream length; no watermark (an
+    * entity's chain never expires — bound key cardinality upstream or
+    * add a timeout wrapper when entities are unbounded). */
+  def streamingTransitions(
+      events: Dataset[TypedEvent]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTyped, TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[TypedEvent],
+            state: GroupState[LastTyped]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionPair]
+          batch.toSeq
+            .filter(_.event_type != null)
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach { e =>
+              last.foreach(p =>
+                out += TransitionPair(uid, p.event_type, e.event_type))
+              last = Some(LastTyped(e.ts.getTime, e.event_id,
+                e.event_type))
+            }
+          last.foreach(state.update)
+          out.result().iterator
       }
   }
 }

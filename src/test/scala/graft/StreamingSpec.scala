@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{FunnelEvent, GroupedToken, GroupedValue, MeteredEvent, SessionEvent, StreamingIngest, UserEvent}
+import graft.streaming.{FunnelEvent, GroupedToken, GroupedValue, MeteredEvent, SessionEvent, StreamingIngest, TypedEvent, UserEvent}
 
 /** ST1 streaming dedup-by-id ingest + ST2 windowed aggregation — micro-batch
   * tests over MemoryStream (SURVEY.md §5 item 5). */
@@ -622,5 +622,56 @@ class StreamingSpec extends SparkSpec {
       StreamingIngest.streamingPsi(mem.toDS(), Seq(1L, 2L), nBins = 2,
         lo = 5.0, hi = 5.0)
     }
+  }
+
+  test("ST29s: streamingTransitions pairs carry across triggers, drop " +
+      "null types before pairing, and aggregate to the batch " +
+      "transition matrix bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    val out = StreamingIngest.streamingTransitions(mem.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("st29s_out").outputMode("append").start()
+    try {
+      mem.addData(
+        TypedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        TypedEvent(1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+        TypedEvent(2L, ts("2024-01-01 10:00:30"), 3L, "view"))
+      q.processAllAvailable()
+      // trigger boundary — user 1 holds "click", user 2 holds "view";
+      // the null-typed event must not break user 2's view→click chain
+      mem.addData(
+        TypedEvent(1L, ts("2024-01-01 10:02:00"), 4L, "buy"),
+        TypedEvent(2L, ts("2024-01-01 10:03:00"), 5L, "view"),
+        TypedEvent(2L, ts("2024-01-01 10:03:30"), 6L, null),
+        TypedEvent(2L, ts("2024-01-01 10:04:00"), 7L, "click"))
+      q.processAllAvailable()
+      val wState = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      val streamed = spark.table("st29s_out")
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") /
+            sum(col("n")).over(wState).cast("double")).as("p"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // the batch operator over the SAME events (same null included)
+      val batch = graft.operators.Funnel.transitionMatrix(
+        Seq((1L, 0L, 1L, "view"), (1L, 60L, 2L, "click"),
+          (1L, 120L, 4L, "buy"),
+          (2L, 30L, 3L, "view"), (2L, 180L, 5L, "view"),
+          (2L, 210L, 6L, null), (2L, 240L, 7L, "click"))
+          .toDF("user_id", "es", "eid", "etype"),
+        "user_id", "es", "eid", "etype")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // sanity on the expected flows: view→{view, click}, click→buy
+      assert(batch.map(t => (t._1, t._2)) ==
+        Set(("view", "view"), ("view", "click"), ("click", "buy")))
+    } finally q.stop()
   }
 }
