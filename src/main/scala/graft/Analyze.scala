@@ -51,6 +51,11 @@ import graft.operators.{Curation, GraphOps}
   *               [--hash-seed S] [-o <outDir>]
   *               (two-level modularity-greedy communities; score the
   *               result with `modularity --target`)
+  *   leiden      --edges <dir> [--iterations FINE] [--coarse-rounds N]
+  *               [--hash-seed S] [-o <outDir>]
+  *               (louvain + Leiden refinement: every returned
+  *               community is internally connected and Q never drops
+  *               below the louvain result)
   *   split       --docs <dir> --strata-col c [--id-col doc_id]
   *               [--val-k N] [--test-k N] [--hash-seed S] [-o <outDir>]
   *               (stratified train/val/test split, exact per-stratum
@@ -401,6 +406,10 @@ object Analyze {
         GraphOps.labelPropagation(edges, args.iterations, ckpt = ckpt)
       case "louvain" =>
         GraphOps.louvainMultiLevel(edges, fineRounds = args.iterations,
+          coarseRounds = args.coarseRounds, seed = args.hashSeed,
+          ckpt = ckpt)
+      case "leiden" =>
+        GraphOps.leiden(edges, fineRounds = args.iterations,
           coarseRounds = args.coarseRounds, seed = args.hashSeed,
           ckpt = ckpt)
       case "quantiles" =>

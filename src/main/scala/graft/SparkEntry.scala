@@ -1493,6 +1493,18 @@ object SparkEntry {
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")),
 
+    // ---- X6q: deterministic epoch-order shuffle — dense 0-based
+    // training positions in (portable hash, id) order WITHOUT a
+    // single-partition sort (order-aligned hash buckets + broadcast
+    // prefix-sum offsets + per-bucket rank); the oracle is the naive
+    // one-window form the engine must reproduce exactly. ----
+    "q_x6q_epoch_order" -> ((s, dir) =>
+      Sampling.epochOrder(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", seed = 42L, portable = true)
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos")),
+
     // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
     "q_x5_media_meta" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
@@ -5064,6 +5076,20 @@ object SparkEntry {
     // seeded hash exactly: DuckDB parses '0x'-prefixed hex string casts,
     // so CAST(concat('0x', substr(md5('<seed>:<id>'),1,12)) AS BIGINT)
     // equals Spark's conv(substr(md5(...),1,12),16,10) bit-for-bit.
+    // Epoch order rebuilt as the naive global window the engine's
+    // bucketed two-phase form must equal row-for-row.
+    "q_x6q_epoch_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x',
+        |        substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
+        |      % 1000000 AS key
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
+        |    AS pos
+        |FROM k ORDER BY pos""".stripMargin,
+
     "q_x6b_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(concat('0x',

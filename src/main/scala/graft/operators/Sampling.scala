@@ -102,6 +102,52 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Deterministic epoch-order assignment — the seeded GLOBAL shuffle a
+    * training run needs for its data order: every row gets a dense
+    * 0-based `pos` in (seeded id-hash, id) order, reproducible across
+    * runs, partitionings, and engines (`portable` mode). Hash order
+    * interleaves sources/domains by construction — no long same-domain
+    * runs — which is the point of shuffling training data; re-seeding
+    * gives the next epoch's independent order.
+    *
+    * The dense global index costs NO single-partition sort (the naive
+    * `row_number() OVER (ORDER BY hash)` collapses the corpus into one
+    * task): the hash space splits into `buckets` ORDER-ALIGNED slices,
+    * per-bucket counts (one tiny aggregate) prefix-sum into bucket
+    * offsets on a broadcast-sized frame, and
+    * pos = offset + rank-within-bucket − 1 — a window partitioned BY
+    * BUCKET, fully distributed.
+    *
+    * Scale notes (100 TB): one shuffle on the bucket key for the
+    * window plus one map-side-combined counts aggregate; set `buckets`
+    * ≫ cluster cores (default 4096) so the windows parallelize; the
+    * hash is uniform, so buckets are skewless by construction. Writers
+    * consume `orderBy(pos)` shards or `repartitionByRange` on it.
+    *
+    * @return input + `pos` (0-based dense long, a permutation) */
+  def epochOrder(df: DataFrame, idCol: String, seed: Long = 42L,
+      portable: Boolean = false, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val keyed = df
+      .withColumn("_graft_ek", hashBucket(col(idCol), seed, portable))
+      .withColumn("_graft_eb", // integer div: Column./ would go double
+        expr(s"(_graft_ek * ${buckets}L) div ${Buckets}L"))
+    val offsets = keyed.groupBy(col("_graft_eb"))
+      .agg(count(lit(1)).as("_graft_en"))
+      .withColumn("_graft_eoff",
+        coalesce(sum(col("_graft_en")).over(
+          Window.orderBy(col("_graft_eb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_graft_en")
+    val w = Window.partitionBy(col("_graft_eb"))
+      .orderBy(col("_graft_ek"), col(idCol))
+    keyed
+      .join(broadcast(offsets), Seq("_graft_eb"))
+      .withColumn("pos",
+        col("_graft_eoff") + row_number().over(w).cast("long") - 1L)
+      .drop("_graft_eb", "_graft_ek", "_graft_eoff")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis bottom-k): each row gets key = −ln(u)/w with u a seeded
     * uniform from the id hash, and the k smallest keys win — the exact

@@ -408,6 +408,14 @@ class AnalyzeSpec extends SparkSpec {
       Set(10L, 11L, 12L).map(lv).size == 1 &&
       lv(1L) != lv(10L))
 
+    // leiden: same recovery (already-connected communities pass the
+    // refinement untouched, labels re-keyed to min member ids)
+    val ld = Analyze.run(parse(List("leiden", "--edges", s"$dir/edges",
+      "--iterations", "4", "--coarse-rounds", "2")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ld == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+
     (0L until 40L).map(i => (i, s"L${i % 2}")).toDF("doc_id", "lang")
       .write.parquet(s"$dir/docs2")
     val sp = Analyze.run(parse(List("split", "--docs", s"$dir/docs2",

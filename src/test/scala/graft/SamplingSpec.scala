@@ -124,6 +124,34 @@ class SamplingSpec extends SparkSpec {
     assert(trainIds.intersect(testGrownIds.filter(_ < 10000L)) == Set.empty)
   }
 
+  test("epochOrder: a dense 0-based permutation equal to the naive " +
+      "global hash order, invariant to partitioning and bucket count, " +
+      "JVM-replayable in portable mode") {
+    import graft.functions.PortableHash
+    val out = Sampling.epochOrder(corpus, "id", seed = 7L,
+        portable = true, buckets = 64)
+      .select("id", "pos").as[(Long, Long)].collect()
+    // dense permutation: every position 0..n−1 exactly once
+    assert(out.map(_._2).sorted.toSeq == (0L until 10000L))
+    // equals the naive single-window order, replayed off-Spark
+    val naive = (0L until 10000L)
+      .sortBy(id => (PortableHash.hash48(id.toString, 7L) % 1000000L, id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, pos) =>
+      assert(pos == naive(id), s"id $id: pos $pos != naive ${naive(id)}")
+    }
+    // bucket count is an implementation knob, never a semantics knob
+    val alt = Sampling.epochOrder(corpus.repartition(13), "id",
+        seed = 7L, portable = true, buckets = 3)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(out.toMap == alt)
+    // a different seed is a different epoch order
+    val epoch2 = Sampling.epochOrder(corpus, "id", seed = 8L,
+        portable = true)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(epoch2 != out.toMap)
+  }
+
   test("stratifiedTopK: exact k per stratum, short strata kept whole") {
     val docs = Seq(
       ("en", 1L, 50L), ("en", 2L, 90L), ("en", 3L, 70L), ("en", 4L, 90L),
