@@ -34,9 +34,19 @@ sealed trait Checkpointer {
 
 object Checkpointer {
 
-  /** Executor-local block storage; fast, lost with the executor. */
+  /** Executor-local block storage; fast, lost with the executor.
+    *
+    * The checkpointed frame's statistics are RESET to the measured
+    * block sizes ([[org.apache.spark.sql.graft.CheckpointStats]]):
+    * Spark's checkpoint otherwise inherits the parent plan's ESTIMATED
+    * stats, whose sizeInBytes is a product over every join in the
+    * round — after N checkpointed rounds the driver multiplies
+    * million-bit BigInts per planning pass (measured 0.4 s → 6.9 s
+    * per CC round before the reset, executors idle throughout). */
   case object Local extends Checkpointer {
-    override def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+    override def apply(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.CheckpointStats.resetToMeasured(
+        df.localCheckpoint())
   }
 
   /** Fault-tolerant checkpoint into `sparkContext.setCheckpointDir`.
@@ -48,7 +58,11 @@ object Checkpointer {
         "Checkpointer.Reliable requires sparkContext.setCheckpointDir(...) " +
           "pointing at a fault-tolerant filesystem before the first " +
           "iteration runs")
-      df.checkpoint()
+      // Same stats reset as Local (no measured blocks for external-FS
+      // checkpoints → stats drop to the leaf default; AQE re-plans
+      // those joins from runtime sizes).
+      org.apache.spark.sql.graft.CheckpointStats.resetToMeasured(
+        df.checkpoint())
     }
   }
 }
