@@ -48,11 +48,12 @@ import graft.operators.{Curation, GraphOps}
   *               (Newman Q per community; scores a stored (id,
   *               community) parquet, or runs LPA in-line first)
   *   louvain     --edges <dir> [--iterations FINE] [--coarse-rounds N]
-  *               [--hash-seed S] [-o <outDir>]
+  *               [--hash-seed S] [--weight-col w] [-o <outDir>]
   *               (two-level modularity-greedy communities; score the
-  *               result with `modularity --target`)
+  *               result with `modularity --target`; --weight-col runs
+  *               weighted modularity on integer edge weights)
   *   leiden      --edges <dir> [--iterations FINE] [--coarse-rounds N]
-  *               [--hash-seed S] [-o <outDir>]
+  *               [--hash-seed S] [--weight-col w] [-o <outDir>]
   *               (louvain + Leiden refinement: every returned
   *               community is internally connected and Q never drops
   *               below the louvain result)
@@ -407,11 +408,11 @@ object Analyze {
       case "louvain" =>
         GraphOps.louvainMultiLevel(edges, fineRounds = args.iterations,
           coarseRounds = args.coarseRounds, seed = args.hashSeed,
-          ckpt = ckpt)
+          weightCol = args.weightCol, ckpt = ckpt)
       case "leiden" =>
         GraphOps.leiden(edges, fineRounds = args.iterations,
           coarseRounds = args.coarseRounds, seed = args.hashSeed,
-          ckpt = ckpt)
+          weightCol = args.weightCol, ckpt = ckpt)
       case "quantiles" =>
         require(args.docs.nonEmpty && args.valueCol.nonEmpty,
           "quantiles needs --docs and --value-col (non-negative " +

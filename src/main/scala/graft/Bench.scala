@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Fail fast on a non-numeric CPU count: local[$cpus] would still start
+    // (e.g. local[*]), silently corrupting the unquoted cpus JSON field in
+    // both output channels.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,15 +30,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the documented bounded-frame global windows emit a
+    // "WindowExec: No Partition Defined" WARN per execution, and the r8
+    // flood (thousands of lines, stderr) evicted the compact JSON line
+    // from the driver's 2000-char tail — BENCH_r08 parsed:null.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup pass at the smallest SF: JIT-compiles the generated code for
     // every query plan so timed numbers measure the engine, not first-call
-    // JVM warmup (standard benchmark hygiene; untimed).
+    // JVM warmup (standard benchmark hygiene; untimed). Its wall time is
+    // recorded as a machine-load sentinel (`warmup_sec` in the full
+    // record): the pass does identical work every round, so a loaded box
+    // shows up as an inflated warmup before any timed number is read.
     val warmDir = "/root/testdata/sf0.001"
+    val warm0 = System.nanoTime()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
     // Timed pass: materialize through the noop sink so every projected
     // column is computed — .count() would let Catalyst prune most of the
     // work for scan/window-shaped queries. Each query runs `iters` times;
@@ -85,7 +97,8 @@ object Bench {
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","unit":"sec","qunit":"cs",""" +
       s""""sf":"$sfName","cpus":$cpus,"shuffle_partitions":$parts,""" +
-      s""""iters":$iters,"queries":$qs,"iters_cs":$itersMap,""" +
+      s""""iters":$iters,"warmup_sec":${sig3(warmupSec)},""" +
+      s""""queries":$qs,"iters_cs":$itersMap,""" +
       s""""errors":$errors,"value":${sig3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), full + "\n")
@@ -100,8 +113,12 @@ object Bench {
       s""""value":${sig3(total)}}"""
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING json line ${line.length} chars > 1900 tail budget")
-    println(line)
+    // Stop FIRST, print LAST: spark.stop() tears down executors and can
+    // log (r8's tail ended in post-line WindowExec WARNs from in-flight
+    // tasks) — the compact line must be the provably-final stdout write.
     spark.stop()
+    println(line)
+    System.out.flush()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

@@ -58,10 +58,15 @@ object Checkpointer {
         "Checkpointer.Reliable requires sparkContext.setCheckpointDir(...) " +
           "pointing at a fault-tolerant filesystem before the first " +
           "iteration runs")
-      // Same stats reset as Local (no measured blocks for external-FS
-      // checkpoints → stats drop to the leaf default; AQE re-plans
-      // those joins from runtime sizes).
-      org.apache.spark.sql.graft.CheckpointStats.resetToMeasured(
+      // External-FS checkpoints have no measured blocks in the local
+      // block manager, so a Local-style measured reset would floor every
+      // frame to the leaf default and suppress auto-broadcasts the
+      // inherited estimates allowed (a silent regression with AQE off).
+      // Instead the inherited estimate is KEPT unless pathological
+      // (compounding size-product BigInts — the defect this shim fixes),
+      // in which case it drops to the leaf default and AQE-on
+      // deployments re-plan from runtime sizes.
+      org.apache.spark.sql.graft.CheckpointStats.resetIfPathological(
         df.checkpoint())
     }
   }

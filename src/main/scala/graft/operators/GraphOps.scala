@@ -1373,6 +1373,7 @@ object GraphOps {
     *         labels (fine community ids that survived the merge) */
   def louvainMultiLevel(edges: DataFrame, fineRounds: Int = 4,
       coarseRounds: Int = 4, seed: Long = 42L,
+      weightCol: Option[String] = None,
       ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
     // Alternating ungated/gated rounds ("ugug…"): the ungated rounds
     // coalesce singleton communities fast, the gated rounds converge
@@ -1380,9 +1381,12 @@ object GraphOps {
     // rounds at half the cost (SCALE.md louvain note).
     def sched(n: Int): String =
       (0 until n).map(i => if (i % 2 == 0) 'u' else 'g').mkString
-    val fine = ckpt(louvain(edges, fineRounds, seed, None, ckpt,
+    val fine = ckpt(louvain(edges, fineRounds, seed, weightCol, ckpt,
       schedule = sched(fineRounds)))
-    val coarse = louvainCoarsen(edges, fine)
+    // The coarse graph is ALWAYS weighted (inter-community edge weights
+    // sum on coarsening), so the second phase runs weighted regardless
+    // of whether the fine level was.
+    val coarse = louvainCoarsen(edges, fine, weightCol)
     val up = louvain(coarse, coarseRounds, seed, Some("weight"), ckpt,
         schedule = sched(coarseRounds))
       .select(col("id").as("_cid"), col("community").as("_c2"))
@@ -1411,6 +1415,13 @@ object GraphOps {
     * list (labels broadcast when small), then O(log diameter)
     * pointer-jumping rounds of two shuffles each over intra edges
     * only — strictly cheaper than one Louvain round on the same graph.
+    *
+    * Takes no `weightCol`: connectivity splitting is weight-blind —
+    * only edge PRESENCE matters to connected parts, and the
+    * modularity-monotonicity argument holds verbatim with weighted
+    * degrees ((d₁+d₂)² > d₁²+d₂² for positive weighted d) — so
+    * weighted pipelines pass their edge frame through unchanged and
+    * the extra column is simply not read.
     *
     * @return (`id`, `community`) — connected-part labels (min member) */
   def leidenRefine(edges: DataFrame, labels: DataFrame,
@@ -1461,9 +1472,11 @@ object GraphOps {
     *         connected; community ids are minimum member node ids */
   def leiden(edges: DataFrame, fineRounds: Int = 4,
       coarseRounds: Int = 4, seed: Long = 42L,
+      weightCol: Option[String] = None,
       ckpt: Checkpointer = Checkpointer.Local): DataFrame =
     leidenRefine(edges,
-      ckpt(louvainMultiLevel(edges, fineRounds, coarseRounds, seed, ckpt)),
+      ckpt(louvainMultiLevel(edges, fineRounds, coarseRounds, seed,
+        weightCol, ckpt)),
       ckpt)
 
   /** Continuous-MLE power-law exponent of the degree distribution:

@@ -50,13 +50,48 @@ object CheckpointStats {
     // LogicalRDD leaf, so the match is total in practice.
     val replaced = cdf.queryExecution.analyzed match {
       case l: LogicalRDD =>
+        // getRDDStorageInfo is backed by the ASYNC AppStatusStore: right
+        // after an eager checkpoint the block-update events may not have
+        // drained, so the RDD can be absent or PARTIALLY reported. A
+        // zero/implausibly-small reading is therefore treated as "not
+        // measured" (None → leaf default), never floored up to a tiny
+        // positive size — a 1-byte stat on a multi-GB frame would flip
+        // auto-broadcast on and OOM the driver, strictly worse than the
+        // conservative default.
         val measured = storage.find(_.id == l.rdd.id)
-          .map(i => BigInt(i.memSize + i.diskSize).max(1))
+          .map(i => BigInt(i.memSize + i.diskSize))
+          .filter(_ > 0)
         new LogicalRDD(l.output, l.rdd, l.outputPartitioning,
           l.outputOrdering, l.isStreaming, l.stream)(
           session, measured.map(s => Statistics(sizeInBytes = s)), None)
       case other => other
     }
     Dataset.ofRows(session, replaced)
+  }
+
+  /** For checkpoints whose blocks are NOT in the local block manager
+    * (reliable checkpoints on an external FS): keep the INHERITED
+    * estimate unless it is pathological. Dropping inherited stats
+    * unconditionally would floor every reliably-checkpointed frame to
+    * the leaf default, silently suppressing auto-broadcasts that the
+    * estimates allowed — a perf regression in non-AQE deployments. The
+    * pathology test is the estimate's bit length: an honest byte count
+    * fits in well under 64 bits (a yottabyte is 2^80) and even one
+    * join's size product over two 100 TB inputs stays under ~2^94;
+    * the compounding estimate products this shim exists for were
+    * measured at 527k → 27.8M bits per Leiden round. Reading
+    * `originStats` here is free — it was materialized at checkpoint
+    * time — so the check never triggers a stats computation. */
+  def resetIfPathological(df: org.apache.spark.sql.DataFrame,
+      maxBits: Int = 128): org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val session = cdf.sparkSession.asInstanceOf[SparkSession]
+    cdf.queryExecution.analyzed match {
+      case l: LogicalRDD if l.stats.sizeInBytes.bitLength > maxBits =>
+        Dataset.ofRows(session,
+          new LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(session, None, None))
+      case _ => df
+    }
   }
 }

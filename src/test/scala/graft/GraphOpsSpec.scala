@@ -819,6 +819,51 @@ class GraphOpsSpec extends SparkSpec {
     assert(q(lei) >= q(lou)) // refinement never costs modularity
   }
 
+  test("leiden weightCol: edge weights change the partition — heavy " +
+    "pairs pull together across the unweighted community boundary") {
+    // 6-cycle 1-2-3-4-13-14-1 with HEAVY weights on the (1,2) (3,4)
+    // (13,14) edges and weight-1 links between them: unweighted sees a
+    // regular cycle (weights invisible), weighted must co-assign every
+    // heavy pair — 20:1 inside vs outside mass makes splitting a heavy
+    // pair strictly modularity-negative. The pair ids are chosen with
+    // DIFFERING md5-48 gate parity (1/2 → 1/0, 3/4 → 0/1, 13/14 →
+    // 0/1): a mutually-best pair with EQUAL parity moves in lockstep in
+    // every round — swapping labels in ungated rounds, both-or-neither
+    // in gated ones — and never coalesces under a fixed budget; the
+    // gated rounds exist exactly to break this tie, and they can only
+    // do it when the parities differ.
+    val cycle = Seq(
+      (1L, 2L, 20L), (3L, 4L, 20L), (13L, 14L, 20L),
+      (2L, 3L, 1L), (4L, 13L, 1L), (14L, 1L, 1L))
+    val g = cycle.toDF("start_id", "end_id", "w")
+    val weighted = GraphOps.leiden(g, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(1L) == weighted(2L) && weighted(3L) == weighted(4L)
+      && weighted(13L) == weighted(14L),
+      s"heavy pairs must share a community, got $weighted")
+    // the heavy pairs are distinct communities (merging two pairs adds
+    // only a weight-1 edge against a squared-degree penalty)
+    assert(Set(weighted(1L), weighted(3L), weighted(13L)).size == 3)
+    val unweighted = GraphOps.leiden(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted != unweighted,
+      "weights must change the partition on the planted cycle")
+    // weighted Q (scored on the weighted graph) beats the unweighted
+    // partition's weighted Q — the point of threading weightCol
+    def q(lbl: Map[Long, Long]): Double = {
+      val m = cycle.map(_._3).sum.toDouble
+      val inW = cycle
+        .filter { case (a, b, _) => lbl(a) == lbl(b) }.map(_._3).sum
+      val deg = cycle.flatMap { case (a, b, w) =>
+          Seq(a -> w.toDouble, b -> w.toDouble) }
+        .groupBy(_._1).map { case (id, ws) => id -> ws.map(_._2).sum }
+      val d2 = deg.groupBy { case (id, _) => lbl(id) }
+        .map { case (_, ds) => math.pow(ds.values.sum, 2) }.sum
+      inW / m - d2 / (4.0 * m * m)
+    }
+    assert(q(weighted) > q(unweighted))
+  }
+
   test("louvain initLabels: a seeded optimal partition is a fixpoint " +
     "under gated rounds") {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
