@@ -1619,6 +1619,23 @@ object SparkEntry {
         .select(col("doc_id"), col("pos"))
         .orderBy("pos")),
 
+    // ---- X6r: the full shuffle-then-pack training-prep story — TWO
+    // independent epoch orders in one pass (hash over (id, epoch)),
+    // each epoch's ordered stream packed into 4096-char sequences by
+    // cumulative budget. Oracle: naive per-epoch global window over
+    // the replayed md5-48 keys + the same running-sum cuts. ----
+    "q_x6r_epoch_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .filter(col("n_chars") > 0)
+      val ordered = Sampling.epochOrderMulti(d, "doc_id", epochs = 2,
+        seed = 42L, portable = true)
+      Sampling.packByBudget(ordered, "epoch", "pos", "n_chars",
+          budget = 4096)
+        .select(col("epoch"), col("doc_id"), col("pos"),
+          col("start_offset"), col("bin"), col("spans"))
+        .orderBy("epoch", "pos")
+    }),
+
     // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
     "q_x5_media_meta" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
@@ -5354,6 +5371,38 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
         |    AS pos
         |FROM k ORDER BY pos""".stripMargin,
+
+    // Multi-epoch shuffle + pack rebuilt: md5-48 over "<seed>:<id>:
+    // <epoch>" (the negativePairs key shape), naive per-epoch global
+    // window for pos, then packByBudget's running-sum cuts at 4096
+    // replayed with integer window arithmetic.
+    "q_x6r_epoch_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+        |ep AS (
+        |  SELECT doc_id, n_chars, unnest(range(0, 2)) AS epoch FROM d),
+        |k AS (
+        |  SELECT doc_id, n_chars, epoch,
+        |    CAST(concat('0x', substr(md5(concat(
+        |        42, ':', doc_id, ':', epoch)), 1, 12)) AS BIGINT)
+        |      % 1000000 AS key
+        |  FROM ep),
+        |o AS (
+        |  SELECT doc_id, n_chars, epoch,
+        |    CAST(row_number() OVER (PARTITION BY epoch
+        |      ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM k),
+        |p AS (
+        |  SELECT epoch, doc_id, pos, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY epoch ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rend
+        |  FROM o)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, pos,
+        |  CAST(rend - n_chars AS BIGINT) AS start_offset,
+        |  CAST((rend - n_chars) // 4096 AS BIGINT) AS bin,
+        |  CAST((rend - 1) // 4096 - (rend - n_chars) // 4096 + 1
+        |    AS BIGINT) AS spans
+        |FROM p ORDER BY epoch, pos""".stripMargin,
 
     "q_x6b_hash_sample" ->
       """SELECT doc_id FROM documents

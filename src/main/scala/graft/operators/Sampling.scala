@@ -148,6 +148,60 @@ object Sampling {
       .drop("_graft_eb", "_graft_ek", "_graft_eoff")
   }
 
+  /** Multi-epoch [[epochOrder]] in ONE pass over the corpus: every row
+    * appears once per `epoch` ∈ [0, epochs) with an independent
+    * seeded order per epoch — the hash key covers (id, epoch), so
+    * epoch orders are decorrelated by construction and `pos` is a
+    * dense 0-based permutation WITHIN each epoch. This is the
+    * training-run shape ("E epochs, each its own shuffle") produced as
+    * one frame a writer can range-shard by (epoch, pos) — feed it to
+    * [[packByBudget]] grouped on `epoch` and ordered by `pos` for the
+    * full shuffle-then-pack data-prep story (`q_x6r_epoch_pack`).
+    *
+    * Same no-single-partition-sort construction as [[epochOrder]],
+    * with (epoch, bucket) as the window key: the offsets frame grows
+    * to epochs·buckets rows — still broadcast-sized for any sane E —
+    * and the E× row multiplication happens AFTER the scan (explode),
+    * so the corpus is read once, not E times.
+    *
+    * @return input × epochs + (`epoch` 0-based long, `pos` dense
+    *         0-based long per epoch) */
+  def epochOrderMulti(df: DataFrame, idCol: String, epochs: Int,
+      seed: Long = 42L, portable: Boolean = false,
+      buckets: Int = 4096): DataFrame = {
+    require(epochs >= 1 && epochs <= 1024,
+      s"epochs must be in [1, 1024] (got $epochs)")
+    require(buckets >= 1, "buckets must be >= 1")
+    // Key = hash48/xxhash64 over (id, epoch) under one seed — the
+    // md5("<seed>:<id>:<epoch>") form the negativePairs oracle replays.
+    val key =
+      if (portable) graft.functions.PortableHash.hash48(
+        concat_ws(":", col(idCol).cast("string"),
+          col("epoch").cast("string")), seed) % Buckets
+      else pmod(xxhash64(lit(seed), col(idCol), col("epoch")),
+        lit(Buckets))
+    val keyed = df
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit((epochs - 1).toLong))))
+      .withColumn("_graft_ek", key)
+      .withColumn("_graft_eb",
+        expr(s"(_graft_ek * ${buckets}L) div ${Buckets}L"))
+    val offsets = keyed.groupBy(col("epoch"), col("_graft_eb"))
+      .agg(count(lit(1)).as("_graft_en"))
+      .withColumn("_graft_eoff",
+        coalesce(sum(col("_graft_en")).over(
+          Window.partitionBy(col("epoch")).orderBy(col("_graft_eb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_graft_en")
+    val w = Window.partitionBy(col("epoch"), col("_graft_eb"))
+      .orderBy(col("_graft_ek"), col(idCol))
+    keyed
+      .join(broadcast(offsets), Seq("epoch", "_graft_eb"))
+      .withColumn("pos",
+        col("_graft_eoff") + row_number().over(w).cast("long") - 1L)
+      .drop("_graft_eb", "_graft_ek", "_graft_eoff")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis bottom-k): each row gets key = −ln(u)/w with u a seeded
     * uniform from the id hash, and the k smallest keys win — the exact

@@ -559,7 +559,7 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("Checkpointer.Reliable: fails fast without a dir, then matches " +
-      "Local bit-for-bit once one is set") {
+      "Local up to summation order once one is set") {
     val g = Seq((1L, 0L), (1L, 2L), (3L, 2L), (4L, 5L), (9L, 2L))
       .toDF("start_id", "end_id")
     if (spark.sparkContext.getCheckpointDir.isEmpty)
@@ -573,7 +573,16 @@ class GraphOpsSpec extends SparkSpec {
     val reliable = GraphOps.pageRank(g, iterations = 3,
         ckpt = Checkpointer.Reliable)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(reliable == local) // same IEEE doubles, different storage only
+    // Last-ulp tolerance, NOT bit-equality: Reliable keeps inherited
+    // plan statistics (only pathological ones reset), so its broadcast
+    // decisions — and with them double summation ORDER — can differ
+    // from Local's measured-stats plans. Same math, different
+    // association; exact-integer operators (CC below) stay bit-equal.
+    assert(reliable.keySet == local.keySet)
+    reliable.foreach { case (id, r) =>
+      assert(math.abs(r - local(id)) <= math.ulp(local(id)) * 4,
+        s"id $id: $r vs ${local(id)}")
+    }
     val cc = GraphOps.connectedComponents(g, ckpt = Checkpointer.Reliable)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 0L,

@@ -152,6 +152,38 @@ class SamplingSpec extends SparkSpec {
     assert(epoch2 != out.toMap)
   }
 
+  test("epochOrderMulti: per-epoch dense permutations in one pass, " +
+      "decorrelated across epochs, JVM-replayable, partition-invariant") {
+    import graft.functions.PortableHash
+    val out = Sampling.epochOrderMulti(corpus, "id", epochs = 3,
+        seed = 7L, portable = true, buckets = 64)
+      .select("epoch", "id", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 30000)
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (ep, rows) =>
+      // dense permutation per epoch
+      assert(rows.map(_._3).sorted.toSeq == (0L until 10000L))
+      // equals the naive per-epoch window over md5-48("7:<id>:<ep>")
+      val naive = (0L until 10000L)
+        .sortBy(id =>
+          (PortableHash.hash48(s"$id:$ep", 7L) % 1000000L, id))
+        .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+      rows.foreach { case (_, id, pos) =>
+        assert(pos == naive(id), s"epoch $ep id $id: $pos != ${naive(id)}")
+      }
+    }
+    // epochs are different orders (decorrelated keys)
+    assert(byEpoch(0L).map(r => r._2 -> r._3).toMap !=
+      byEpoch(1L).map(r => r._2 -> r._3).toMap)
+    // bucket count / partitioning: knobs, not semantics
+    val alt = Sampling.epochOrderMulti(corpus.repartition(13), "id",
+        epochs = 3, seed = 7L, portable = true, buckets = 3)
+      .select("epoch", "id", "pos").as[(Long, Long, Long)].collect()
+    assert(alt.map(r => (r._1, r._2) -> r._3).toMap ==
+      out.map(r => (r._1, r._2) -> r._3).toMap)
+  }
+
   test("stratifiedTopK: exact k per stratum, short strata kept whole") {
     val docs = Seq(
       ("en", 1L, 50L), ("en", 2L, 90L), ("en", 3L, 70L), ("en", 4L, 90L),
