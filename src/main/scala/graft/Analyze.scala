@@ -57,6 +57,12 @@ import graft.operators.{Curation, GraphOps}
   *               (louvain + Leiden refinement: every returned
   *               community is internally connected and Q never drops
   *               below the louvain result)
+  *   incremental --edges <all dir> --delta <new-edges dir>
+  *               --target <stored labels dir> [--iterations N]
+  *               [--hops N] [--weight-col w] [-o <outDir>]
+  *               (delta-local community maintenance: only the delta's
+  *               hops-neighborhood re-runs seeded gated moves; write
+  *               the output back over the labels store)
   *   split       --docs <dir> --strata-col c [--id-col doc_id]
   *               [--val-k N] [--test-k N] [--hash-seed S] [-o <outDir>]
   *               (stratified train/val/test split, exact per-stratum
@@ -207,6 +213,7 @@ object Analyze {
       commonWeight: Long = 4L,
       exploreWeight: Long = 2L,
       target: String = "",
+      delta: String = "",
       topK: Int = 1000,
       entityCol: String = "",
       tsCol: String = "",
@@ -299,6 +306,7 @@ object Analyze {
       case "--explore-weight" :: v :: t =>
         loop(t, acc.copy(exploreWeight = v.toLong))
       case "--target" :: v :: t => loop(t, acc.copy(target = v))
+      case "--delta" :: v :: t => loop(t, acc.copy(delta = v))
       case "--top-k" :: v :: t => loop(t, acc.copy(topK = v.toInt))
       case "--entity-col" :: v :: t => loop(t, acc.copy(entityCol = v))
       case "--ts-col" :: v :: t => loop(t, acc.copy(tsCol = v))
@@ -413,6 +421,16 @@ object Analyze {
         GraphOps.leiden(edges, fineRounds = args.iterations,
           coarseRounds = args.coarseRounds, seed = args.hashSeed,
           weightCol = args.weightCol, ckpt = ckpt)
+      case "incremental" =>
+        require(args.edges.nonEmpty && args.delta.nonEmpty &&
+          args.target.nonEmpty,
+          "incremental needs --edges <all dir>, --delta <new-edges " +
+            "dir>, and --target <stored (id, community) labels dir>")
+        GraphOps.incrementalCommunities(edges,
+          spark.read.parquet(args.delta),
+          spark.read.parquet(args.target),
+          rounds = args.iterations, hops = args.hops,
+          seed = args.hashSeed, weightCol = args.weightCol, ckpt = ckpt)
       case "quantiles" =>
         require(args.docs.nonEmpty && args.valueCol.nonEmpty,
           "quantiles needs --docs and --value-col (non-negative " +

@@ -2704,6 +2704,37 @@ object SparkEntry {
       GraphOps.leiden(edges, weightCol = Some("weight")).orderBy("id")
     }),
 
+    // ---- G25: delta-local incremental community maintenance — stored
+    // labels are the min-label CC of the OLD co-occurrence graph
+    // (orders ≡ 0 mod 40); a DELTA of new orders (≡ 20 mod 200)
+    // arrives; only the delta's 2-hop region re-runs 2 seeded gated
+    // Louvain rounds, everything else keeps its stored label
+    // verbatim. Oracle: recursive-CTE CC for the seed + unrolled
+    // 2-hop region + the seeded gated round unroll + the kept/region
+    // union. ----
+    "q_g25_incr_communities" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      def pairsOf(orders: DataFrame) = {
+        val a = orders.alias("a"); val b = orders.alias("b")
+        a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+      }
+      val old = pairsOf(li.filter(col("ok") % 40 === 0))
+      val delta = pairsOf(li.filter(col("ok") % 200 === 20))
+      val all = pairsOf(li.filter(
+        col("ok") % 40 === 0 || col("ok") % 200 === 20))
+      val oldPairs = old.select(col("start_id").as("id_a"),
+        col("end_id").as("id_b"))
+      val vold = old.select(col("start_id").as("id"))
+        .unionAll(old.select(col("end_id").as("id"))).distinct()
+      val prev = Dedup.connectedComponents(vold, "id", oldPairs)
+        .select(col("id"), col("comp").as("community"))
+      GraphOps.incrementalCommunities(all, delta, prev,
+        rounds = 2, hops = 2).orderBy("id")
+    }),
+
     // ---- G23b: the Louvain-vs-LPA modularity scoreboard on the hetero
     // graph — both partitions scored by the same exact-moment
     // modularity, 1 row each, Q integerized at e6. The row ORDER pins
@@ -6883,6 +6914,73 @@ object SparkEntry {
          |  WHERE r.lbl < a.dst)
          |SELECT id, min(lbl) AS community FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
+
+    // Incremental-maintenance rebuild: recursive min-label CC over the
+    // old graph (the stored labels), unrolled 2-hop region from the
+    // delta endpoints over the symmetrized full graph, the induced
+    // subgraph's 2 seeded gated rounds (louvainRoundSql with l0 =
+    // coalesce(stored, id)), then kept ∪ region with the engine's
+    // new→old→singleton coalesce.
+    "q_g25_incr_communities" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |eold AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % 40 = 0),
+         |edel AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % 200 = 20),
+         |eall AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % 40 = 0 OR a.ok % 200 = 20),
+         |vold AS (SELECT DISTINCT id FROM (
+         |  SELECT a AS id FROM eold UNION ALL SELECT b FROM eold)),
+         |oadj AS MATERIALIZED (SELECT a AS src, b AS dst FROM eold
+         |  UNION ALL SELECT b, a FROM eold),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM vold
+         |  UNION
+         |  SELECT a.dst AS id, r.lbl FROM reach r
+         |  JOIN oadj a ON a.src = r.id
+         |  WHERE r.lbl < a.dst),
+         |prev AS MATERIALIZED (
+         |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+         |seeds AS (SELECT DISTINCT id FROM (
+         |  SELECT a AS id FROM edel UNION ALL SELECT b FROM edel)),
+         |sadj AS MATERIALIZED (SELECT a AS src, b AS dst FROM eall
+         |  UNION ALL SELECT b, a FROM eall),
+         |h1 AS (SELECT DISTINCT sadj.dst AS id
+         |  FROM sadj JOIN seeds ON sadj.src = seeds.id),
+         |h2 AS (SELECT DISTINCT sadj.dst AS id
+         |  FROM sadj JOIN h1 ON sadj.src = h1.id),
+         |region AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT id FROM seeds UNION ALL SELECT id FROM h1
+         |  UNION ALL SELECT id FROM h2)),
+         |e AS MATERIALIZED (SELECT eall.a, eall.b FROM eall
+         |  JOIN region ra ON ra.id = eall.a
+         |  JOIN region rb ON rb.id = eall.b),
+         |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |deg AS MATERIALIZED (SELECT src AS id,
+         |  CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+         |l0 AS (SELECT deg.id, coalesce(p.lbl, deg.id) AS lbl
+         |  FROM deg LEFT JOIN prev p USING (id))${
+           (0 until 2).map(r => louvainRoundSql(r, "", "adj", "deg",
+             false, gated = true)).mkString},
+         |out_kept AS (
+         |  SELECT p.id, p.lbl AS community FROM prev p
+         |  WHERE p.id NOT IN (SELECT id FROM region)),
+         |out_region AS (
+         |  SELECT r.id, coalesce(l.lbl, p.lbl, r.id) AS community
+         |  FROM region r
+         |  LEFT JOIN l2 l USING (id)
+         |  LEFT JOIN prev p USING (id))
+         |SELECT id, community FROM out_kept
+         |UNION ALL
+         |SELECT id, community FROM out_region
+         |ORDER BY id""".stripMargin,
 
     // Weighted Leiden rebuild: the weighted two-level unroll over the
     // q_j7 co-occurrence graph, then the same recursive min-label

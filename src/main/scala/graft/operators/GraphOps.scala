@@ -1479,6 +1479,94 @@ object GraphOps {
         weightCol, ckpt)),
       ckpt)
 
+  /** Delta-local incremental community maintenance — the arrival-time
+    * answer to "edges landed; which labels change?": re-run seeded
+    * gated Louvain moves ONLY on the subgraph within `hops` of the
+    * delta's endpoints, leaving every other node's stored label
+    * untouched. The seed discipline is [[louvain]]'s `initLabels`
+    * (each region node starts in its stored community; unseen nodes
+    * start singleton), so a delta that lands inside existing
+    * communities is a move-round fixpoint and changes nothing, while
+    * a genuinely new cluster coalesces locally.
+    *
+    * The locality is an explicit approximation: moves are scored on
+    * the INDUCED region subgraph, so region-boundary edges don't pull
+    * — the standard local-refinement trade. Raise `hops` to widen the
+    * blast radius toward full recompute; periodic full [[leiden]]
+    * runs remain the consolidation story (same discipline as ANN
+    * index retrain after [[graft.operators.Similarity.updateIndex]]
+    * drift).
+    *
+    * Scale notes (100 TB): cost scales with the DELTA NEIGHBORHOOD,
+    * never the corpus — `hops` BFS rounds (frontier-sized equi-joins)
+    * + `rounds` Louvain rounds over the region subgraph + two
+    * membership joins; the stored labels frame is touched only by one
+    * anti-join and one left join. This is the streaming-twin
+    * discipline applied to community labels
+    * ([[graft.streaming.StreamingIngest.streamingCommunities]] is the
+    * foreachBatch loop over this primitive).
+    *
+    * @param allEdges   the FULL accumulated edge set (old ∪ delta)
+    * @param deltaEdges the newly arrived edges (its endpoints seed
+    *                   the region)
+    * @param prevLabels stored (`id`, `community`) from the previous
+    *                   run
+    * @param rounds     gated move rounds; the default 4 gives every
+    *                   node two move opportunities — a mutually-best
+    *                   pair that swap-oscillates through its first
+    *                   opportunity needs the second to coalesce (the
+    *                   spec's planted {0,0,1}-parity triangle)
+    * @return (`id`, `community`) for prevLabels ∪ region nodes */
+  def incrementalCommunities(allEdges: DataFrame, deltaEdges: DataFrame,
+      prevLabels: DataFrame, rounds: Int = 4, hops: Int = 2,
+      seed: Long = 42L, weightCol: Option[String] = None,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val dec = "decimal(38,0)"
+    // Same input convention as louvain: unweighted = simple graph,
+    // weighted = parallel edge weights sum.
+    val canon = ckpt(weightCol match {
+      case Some(wc) => allEdges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"),
+          col(wc).cast(dec).as("_w"))
+        .groupBy("a", "b").agg(sum("_w").as("_w"))
+      case None => allEdges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"))
+        .distinct()
+    })
+    val sym = canon.select(col("a").as(StartId), col("b").as(EndId))
+      .unionAll(canon.select(col("b").as(StartId), col("a").as(EndId)))
+    val seeds = deltaEdges.select(col(StartId).as("id"))
+      .unionAll(deltaEdges.select(col(EndId).as("id"))).distinct()
+    val region = ckpt(kHop(sym, seeds, hops, ckpt).select("id"))
+    val sub = canon
+      .join(region.withColumnRenamed("id", "a"), Seq("a"))
+      .join(region.withColumnRenamed("id", "b"), Seq("b"))
+    val subEdges = weightCol match {
+      case Some(_) => sub.select(col("a").as(StartId),
+        col("b").as(EndId), col("_w"))
+      case None => sub.select(col("a").as(StartId), col("b").as(EndId))
+    }
+    val prev = prevLabels.select(col("id"), col("community"))
+    val relabeled = louvain(subEdges, rounds, seed,
+      weightCol = weightCol.map(_ => "_w"), ckpt = ckpt,
+      schedule = "g" * rounds, initLabels = Some(prev))
+    // Region nodes with no induced edge (all neighbors outside) never
+    // reach louvain — they keep their stored label, or start singleton
+    // if brand new.
+    val kept = prev.join(region, Seq("id"), "left_anti")
+    val regionOut = region
+      .join(relabeled.withColumnRenamed("community", "_new"),
+        Seq("id"), "left")
+      .join(prev.withColumnRenamed("community", "_old"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_new"), col("_old"), col("id")).as("community"))
+    kept.unionByName(regionOut)
+  }
+
   /** Continuous-MLE power-law exponent of the degree distribution:
     * `alpha = 1 + n / Σ ln(d_i/dMin)` over nodes with degree ≥ `dMin`
     * (Clauset–Shalizi–Newman's estimator), with standard error

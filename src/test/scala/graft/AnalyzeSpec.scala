@@ -416,6 +416,19 @@ class AnalyzeSpec extends SparkSpec {
     assert(ld == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
 
+    // incremental: an in-community delta against the stored leiden
+    // labels is a fixpoint — and the flag gate fails loudly
+    Seq((1L, 2L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/delta")
+    ld.toSeq.toDF("id", "community").write.parquet(s"$dir/labels")
+    val inc = Analyze.run(parse(List("incremental",
+      "--edges", s"$dir/edges", "--delta", s"$dir/delta",
+      "--target", s"$dir/labels", "--iterations", "4")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == ld)
+    intercept[IllegalArgumentException](Analyze.run(parse(List(
+      "incremental", "--edges", s"$dir/edges")), spark))
+
     (0L until 40L).map(i => (i, s"L${i % 2}")).toDF("doc_id", "lang")
       .write.parquet(s"$dir/docs2")
     val sp = Analyze.run(parse(List("split", "--docs", s"$dir/docs2",

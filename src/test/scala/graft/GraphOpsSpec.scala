@@ -873,6 +873,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(q(weighted) > q(unweighted))
   }
 
+  test("incrementalCommunities: delta-local relabel — untouched nodes " +
+    "keep stored labels verbatim, a new clique coalesces, an " +
+    "in-community delta is a fixpoint") {
+    // old graph: triangles {1,2,3} and {10,11,12}; stored labels from
+    // a full run
+    val old = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("start_id", "end_id")
+    val prev = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "community")
+    // delta: a brand-new triangle {20,21,22} bridged to node 3
+    val delta = Seq((20L, 21L), (20L, 22L), (21L, 22L), (3L, 20L))
+      .toDF("start_id", "end_id")
+    val all = old.unionByName(delta)
+    // 4 gated rounds: the {20,21,22} gate parities are {0,0,1}, and a
+    // same-parity pair (20,21) swap-oscillates through its first two
+    // opportunities before the third round's richer neighborhood
+    // (22 already merged) breaks the tie — 2 rounds would strand it.
+    val out = GraphOps.incrementalCommunities(all, delta, prev,
+        rounds = 4, hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 22L))
+    // {10,11,12} is outside the delta's 2-hop region (the bridge stops
+    // at 3 → 1,2) — stored labels survive VERBATIM
+    assert(Set(10L, 11L, 12L).forall(id => out(id) == prev
+      .filter(col("id") === id).head().getLong(1)))
+    // the new triangle coalesces into one community of its own
+    assert(out(20L) == out(21L) && out(21L) == out(22L))
+    assert(Set(1L, 2L, 3L).map(out) != Set(out(20L)))
+    // old triangle {1,2,3} is in-region but already optimal — fixpoint
+    assert(Set(1L, 2L, 3L).map(out).size == 1)
+    // a delta INSIDE an existing community changes nothing at all
+    val sameDelta = Seq((1L, 2L)).toDF("start_id", "end_id")
+    val noop = GraphOps.incrementalCommunities(old, sameDelta, prev,
+        rounds = 4, hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("louvain initLabels: a seeded optimal partition is a fixpoint " +
     "under gated rounds") {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),

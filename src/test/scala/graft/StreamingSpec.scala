@@ -674,4 +674,51 @@ class StreamingSpec extends SparkSpec {
         Set(("view", "view"), ("view", "click"), ("click", "buy")))
     } finally q.stop()
   }
+
+  test("streamingCommunities: labels store maintained incrementally — " +
+      "cold start = plain louvain, arrivals = the batch primitive " +
+      "bit-for-bit, untouched communities stable across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_comm").toString
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("start_id", "end_id")
+    val q = StreamingIngest.streamingCommunities(stream,
+      s"$tmp/edges", s"$tmp/labels", s"$tmp/ckpt")
+    try {
+      // batch 1: two triangles — cold start
+      val b1 = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+        (10L, 11L), (10L, 12L), (11L, 12L))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      def labels(): Map[Long, Long] =
+        spark.read.parquet(s"$tmp/labels")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val l1 = labels()
+      val cold = graft.operators.GraphOps.louvain(
+          b1.toDF("start_id", "end_id"), rounds = 4, schedule = "gggg")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l1 == cold) // cold start IS plain gated louvain
+      assert(Set(1L, 2L, 3L).map(l1).size == 1)
+      assert(Set(10L, 11L, 12L).map(l1).size == 1)
+      assert(l1(1L) != l1(10L))
+      // batch 2: a new bridged triangle — incremental maintenance
+      val b2 = Seq((20L, 21L), (20L, 22L), (21L, 22L), (3L, 20L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val l2 = labels()
+      // twin: the batch primitive folded by hand over the same stores
+      val twin = graft.operators.GraphOps.incrementalCommunities(
+          (b1 ++ b2).toDF("start_id", "end_id"),
+          b2.toDF("start_id", "end_id"),
+          l1.toSeq.toDF("id", "community"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l2 == twin, s"stored=$l2 twin=$twin")
+      // untouched community keeps its stored labels verbatim
+      assert(Set(10L, 11L, 12L).forall(id => l2(id) == l1(id)))
+      // the new triangle is one community of its own
+      assert(Set(20L, 21L, 22L).map(l2).size == 1)
+      assert(l2(20L) != l2(3L))
+    } finally q.stop()
+  }
 }
