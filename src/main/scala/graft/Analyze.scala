@@ -67,6 +67,32 @@ import graft.operators.{Curation, GraphOps}
   *               [--val-k N] [--test-k N] [--hash-seed S] [-o <outDir>]
   *               (stratified train/val/test split, exact per-stratum
   *               quotas, hash-deterministic membership)
+  *   shuffle     --docs <dir> [--id-col doc_id] [--epochs E]
+  *               [--hash-seed S] [-o <outDir>]
+  *               (deterministic training-order shuffle: dense 0-based
+  *               `pos` per epoch, no single-partition sort; --epochs>1
+  *               emits every epoch's independent order in one pass)
+  *   pack        --docs <dir> --group-col g --value-col w
+  *               [--id-col doc_id] [--budget TOKENS] [-o <outDir>]
+  *               (sequence packing by cumulative budget: per-group
+  *               stream cut every --budget weight units — run after
+  *               `shuffle` with --group-col epoch --id-col pos)
+  *   annbuild    --vectors <dir> --target <index dir>
+  *               [--vec-col embedding] [--id-col vec_id] [--cells N]
+  *               [--pq-m M] [--pq-k K]
+  *               (train + persist the partition-pruned IVF-PQ index;
+  *               prints the one-row build summary incl. the mean
+  *               assignment cosine the drift report baselines on)
+  *   annupdate   --vectors <delta dir> --target <index dir>
+  *               [--vec-col embedding] [--id-col vec_id] [-o <outDir>]
+  *               (absorb new vectors against the FROZEN quantizers —
+  *               delta-only encode + partitioned append; returns the
+  *               one-row drift report: retrain when cosine_drift grows)
+  *   annquery    --vectors <queries dir> --target <index dir>
+  *               [--vec-col embedding] [--id-col vec_id] [--top-k K]
+  *               [--probes N] [-o <outDir>]
+  *               (IVF-PQ search against the stored index; scans only
+  *               the probed partitions, codes not floats)
   *   quantiles   --docs <dir> --value-col v [--group-col g]
   *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
   *               (mergeable HDR-histogram quantile sketch over
@@ -255,6 +281,11 @@ object Analyze {
       kFactor: Double = 1.5,
       negPerAnchor: Int = 5,
       subBuckets: Int = 16,
+      pqM: Int = 8,
+      pqK: Int = 16,
+      probes: Int = 8,
+      epochs: Int = 1,
+      budget: Long = 4096L,
       qsList: Seq[Double] = Seq(0.5, 0.9, 0.99),
       coarseRounds: Int = 8,
       valK: Int = 0,
@@ -307,6 +338,11 @@ object Analyze {
         loop(t, acc.copy(exploreWeight = v.toLong))
       case "--target" :: v :: t => loop(t, acc.copy(target = v))
       case "--delta" :: v :: t => loop(t, acc.copy(delta = v))
+      case "--pq-m" :: v :: t => loop(t, acc.copy(pqM = v.toInt))
+      case "--pq-k" :: v :: t => loop(t, acc.copy(pqK = v.toInt))
+      case "--probes" :: v :: t => loop(t, acc.copy(probes = v.toInt))
+      case "--epochs" :: v :: t => loop(t, acc.copy(epochs = v.toInt))
+      case "--budget" :: v :: t => loop(t, acc.copy(budget = v.toLong))
       case "--top-k" :: v :: t => loop(t, acc.copy(topK = v.toInt))
       case "--entity-col" :: v :: t => loop(t, acc.copy(entityCol = v))
       case "--ts-col" :: v :: t => loop(t, acc.copy(tsCol = v))
@@ -516,6 +552,62 @@ object Analyze {
           spark.read.parquet(args.docs), spark.read.parquet(args.target),
           args.idCol, args.textCol, args.topK, args.dim, args.hashSeed,
           ckpt)
+      case "shuffle" =>
+        require(args.docs.nonEmpty, "shuffle needs --docs <dir>")
+        if (args.epochs > 1)
+          graft.operators.Sampling.epochOrderMulti(
+            spark.read.parquet(args.docs), args.idCol, args.epochs,
+            args.hashSeed)
+        else graft.operators.Sampling.epochOrder(
+          spark.read.parquet(args.docs), args.idCol, args.hashSeed)
+      case "pack" =>
+        require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
+          args.valueCol.nonEmpty,
+          "pack needs --docs <dir>, --group-col (shard/epoch), and " +
+            "--value-col (positive integer token counts); --id-col " +
+            "orders the stream, --budget sets the sequence length")
+        graft.operators.Sampling.packByBudget(
+          spark.read.parquet(args.docs), args.groupCol, args.idCol,
+          args.valueCol, args.budget)
+      case "annbuild" =>
+        require(args.vectors.nonEmpty && args.target.nonEmpty,
+          "annbuild needs --vectors <dir> and --target <index dir>")
+        val idc = if (args.idCol == "doc_id") "vec_id" else args.idCol
+        val corpus = spark.read.parquet(args.vectors)
+        val (cents, assigned) = graft.operators.Similarity.ivfIndex(
+          corpus, args.vecCol, idc, args.cells)
+        val cb = graft.operators.Similarity.pqCodebooks(
+          corpus, args.vecCol, idc, args.pqM, args.pqK)
+        val enc = graft.operators.Similarity.pqEncode(
+          corpus, args.vecCol, idc, cb, args.pqM)
+        val ae = assigned.select(col("centroid_id"), col(idc))
+          .join(enc, Seq(idc))
+        val meanCos = assigned.agg(avg(col("assign_cosine")))
+          .head().getDouble(0)
+        graft.operators.Similarity.saveIndex(args.target, cents, cb, ae,
+          args.pqM, args.pqK, meanCos)
+        import spark.implicits._
+        Seq((corpus.count(), args.cells.toLong, args.pqM.toLong,
+            args.pqK.toLong, meanCos))
+          .toDF("n_vectors", "cells", "pq_m", "pq_k",
+            "mean_assign_cosine")
+      case "annupdate" =>
+        require(args.vectors.nonEmpty && args.target.nonEmpty,
+          "annupdate needs --vectors <delta dir> and --target " +
+            "<index dir>")
+        graft.operators.Similarity.updateIndex(spark, args.target,
+          spark.read.parquet(args.vectors), args.vecCol,
+          if (args.idCol == "doc_id") "vec_id" else args.idCol)
+      case "annquery" =>
+        require(args.vectors.nonEmpty && args.target.nonEmpty,
+          "annquery needs --vectors <queries dir> and --target " +
+            "<index dir>")
+        val ix = graft.operators.Similarity.loadIndex(spark, args.target)
+        graft.operators.Similarity.ivfPqTopK(
+          spark.read.parquet(args.vectors), ix.centroids, ix.codebooks,
+          ix.assignedEncoded, args.vecCol,
+          if (args.idCol == "doc_id") "vec_id" else args.idCol,
+          ix.m, ix.k, args.topK, args.probes)
       case "semdedup" =>
         require(args.vectors.nonEmpty, "semdedup needs --vectors <dir>")
         // id default flips to vec_id for the vector table; an explicit

@@ -579,4 +579,54 @@ class AnalyzeSpec extends SparkSpec {
       "--group-col", "k")), spark).head()
     assert(sk.getLong(0) == 6L && sk.getLong(2) == 5L)
   }
+
+  test("shuffle, pack, and the ann index lifecycle run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-w13").toString
+    (0L until 20L).map(i => (i, 100L + i)).toDF("doc_id", "n_tok")
+      .write.parquet(s"$dir/docs")
+    // shuffle: dense permutation; multi-epoch doubles the rows with a
+    // dense permutation per epoch
+    val sh = Analyze.run(parse(List("shuffle", "--docs", s"$dir/docs")),
+      spark).collect()
+    assert(sh.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until 20L))
+    val sh2 = Analyze.run(parse(List("shuffle", "--docs", s"$dir/docs",
+      "--epochs", "2")), spark)
+    assert(sh2.count() == 40)
+    assert(sh2.groupBy("epoch").count().collect()
+      .forall(_.getLong(1) == 20L))
+    // pack: shuffle --epochs 2 | pack by epoch/pos — every row binned,
+    // bins cut at the budget
+    sh2.write.parquet(s"$dir/shuffled")
+    val pk = Analyze.run(parse(List("pack", "--docs", s"$dir/shuffled",
+      "--group-col", "epoch", "--id-col", "pos", "--value-col", "n_tok",
+      "--budget", "500")), spark)
+    assert(pk.count() == 40)
+    assert(pk.agg(org.apache.spark.sql.functions.max("bin")).head()
+      .getLong(0) >= 3) // 20 docs × ~110 tok / 500 ≈ 4+ bins per epoch
+    intercept[IllegalArgumentException](Analyze.run(parse(List("pack",
+      "--docs", s"$dir/shuffled")), spark))
+    // ann lifecycle: build on half the vectors, update with the rest,
+    // query the stored index — same frozen quantizers, so the result
+    // equals the one-pass encode (the q_x3k claim, via argv)
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    e.filter(col("vec_id") < 300).write.parquet(s"$dir/vec_base")
+    e.filter(col("vec_id") >= 300).write.parquet(s"$dir/vec_delta")
+    e.filter(col("vec_id") < 4).write.parquet(s"$dir/vec_q")
+    val built = Analyze.run(parse(List("annbuild",
+      "--vectors", s"$dir/vec_base", "--target", s"$dir/ix",
+      "--cells", "8", "--pq-m", "8", "--pq-k", "8")), spark).head()
+    assert(built.getLong(0) == 300L && built.getDouble(4) > 0)
+    val upd = Analyze.run(parse(List("annupdate",
+      "--vectors", s"$dir/vec_delta", "--target", s"$dir/ix")), spark)
+      .head()
+    assert(upd.getLong(0) == e.filter(col("vec_id") >= 300).count())
+    assert(math.abs(upd.getDouble(3)) < 0.5) // in-distribution delta
+    val hits = Analyze.run(parse(List("annquery",
+      "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
+      "--top-k", "5", "--probes", "3")), spark)
+    val perQuery = hits.groupBy("query_id").count().collect()
+    assert(perQuery.length == 4 && perQuery.forall(_.getLong(1) == 5L))
+    intercept[IllegalArgumentException](Analyze.run(parse(List(
+      "annbuild", "--vectors", s"$dir/vec_base")), spark))
+  }
 }
