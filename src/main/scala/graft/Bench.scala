@@ -48,6 +48,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
+    // Second load sentinel: the OS 1-minute load average at the start
+    // and end of the timed pass ("-1" off-Linux). A healthy dedicated
+    // box sits near the worker count; a loaded box shows numbers far
+    // above it — corroborating (or exonerating) an inflated warmup.
+    def loadAvg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(' ')(0)
+      catch { case _: Throwable => "-1" }
+    val load0 = loadAvg()
     // Timed pass: materialize through the noop sink so every projected
     // column is computed — .count() would let Catalyst prune most of the
     // work for scan/window-shaped queries. Each query runs `iters` times;
@@ -98,6 +107,7 @@ object Bench {
     val full = s"""{"metric":"total","unit":"sec","qunit":"cs",""" +
       s""""sf":"$sfName","cpus":$cpus,"shuffle_partitions":$parts,""" +
       s""""iters":$iters,"warmup_sec":${sig3(warmupSec)},""" +
+      s""""loadavg_start":$load0,"loadavg_end":${loadAvg()},""" +
       s""""queries":$qs,"iters_cs":$itersMap,""" +
       s""""errors":$errors,"value":${sig3(total)}}"""
     try java.nio.file.Files.writeString(
