@@ -42,7 +42,11 @@ object ExplainPlans {
         "q_x6l_winsorize", "q_st19_ccf",
         // round-6 sixth-wave additions
         "q_g21_modularity", "q_g22_powerlaw", "q_st20_cohort",
-        "q_v8_gini", "q_x4s_readability")
+        "q_v8_gini", "q_x4s_readability",
+        // round-9 additions
+        "q_x3j_index_reuse", "q_x3k_index_update", "q_x3l_recall_audit",
+        "q_x6r_epoch_pack", "q_g24b_leiden_weighted",
+        "q_g25_incr_communities")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
