@@ -41,7 +41,6 @@ object CheckpointStats {
       org.apache.spark.sql.DataFrame = {
     val cdf = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
     val session = cdf.sparkSession.asInstanceOf[SparkSession]
-    val storage = session.sparkContext.getRDDStorageInfo
     // Direct match, NOT TreeNode.transform: LogicalRDD's case-class
     // equality spans only its first parameter list (output, rdd, …) —
     // a node rebuilt with different originStats compares EQUAL, so
@@ -50,23 +49,39 @@ object CheckpointStats {
     // LogicalRDD leaf, so the match is total in practice.
     val replaced = cdf.queryExecution.analyzed match {
       case l: LogicalRDD =>
-        // getRDDStorageInfo is backed by the ASYNC AppStatusStore: right
-        // after an eager checkpoint the block-update events may not have
-        // drained, so the RDD can be absent or PARTIALLY reported. A
-        // zero/implausibly-small reading is therefore treated as "not
-        // measured" (None → leaf default), never floored up to a tiny
-        // positive size — a 1-byte stat on a multi-GB frame would flip
-        // auto-broadcast on and OOM the driver, strictly worse than the
-        // conservative default.
-        val measured = storage.find(_.id == l.rdd.id)
-          .map(i => BigInt(i.memSize + i.diskSize))
-          .filter(_ > 0)
         new LogicalRDD(l.output, l.rdd, l.outputPartitioning,
           l.outputOrdering, l.isStreaming, l.stream)(
-          session, measured.map(s => Statistics(sizeInBytes = s)), None)
+          session, measuredBytes(session, l.rdd.id)
+            .map(s => Statistics(sizeInBytes = s)), None)
       case other => other
     }
     Dataset.ofRows(session, replaced)
+  }
+
+  /** The RDD's stored byte size, read SYNCHRONOUSLY from the
+    * BlockManagerMaster — NOT `sc.getRDDStorageInfo`, which is backed
+    * by the async AppStatusStore event bus: right after an eager
+    * checkpoint its events may not have drained, so the RDD could read
+    * absent or PARTIALLY reported, and a partial undercount landing
+    * under the auto-broadcast threshold would broadcast a multi-GB
+    * frame (driver OOM). Executors report block stores to the master
+    * with a synchronous `tellMaster` RPC as part of the store itself,
+    * so by the time the checkpoint action has returned, the master's
+    * table is authoritative. A zero reading (nothing stored — e.g. a
+    * reliable checkpoint on an external FS) still maps to None: the
+    * caller falls back to the conservative leaf default rather than a
+    * fabricated tiny size. */
+  private def measuredBytes(session: SparkSession,
+      rddId: Int): Option[BigInt] = {
+    val bytes =
+      try org.apache.spark.SparkEnv.get.blockManager.master
+        .getStorageStatus.iterator
+        .flatMap(_.rddBlocks.collect {
+          case (id: org.apache.spark.storage.RDDBlockId, s)
+              if id.rddId == rddId => BigInt(s.memSize) + BigInt(s.diskSize)
+        }).sum
+      catch { case scala.util.control.NonFatal(_) => BigInt(0) }
+    Some(bytes).filter(_ > 0)
   }
 
   /** For checkpoints whose blocks are NOT in the local block manager
