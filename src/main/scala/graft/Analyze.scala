@@ -296,7 +296,7 @@ object Analyze {
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
 
   private val usage =
-    "usage: <degrees|pagerank|components|triangles|khop|paths|curate|" +
+    "usage: <degrees|pagerank|components|scc|triangles|khop|paths|curate|" +
       "acf|funnel|holt|psi|keywords|cooccur|...> " +
       "--edges <dir> | --docs <dir> --bench <dir> [options]"
 
@@ -442,6 +442,9 @@ object Analyze {
         GraphOps.pageRank(edges, args.damping, args.iterations, ckpt = ckpt,
           weightCol = args.weightCol)
       case "components" => GraphOps.connectedComponents(edges, ckpt = ckpt)
+      case "scc" =>
+        GraphOps.stronglyConnectedComponents(edges,
+          maxIter = args.maxIter, ckpt = ckpt)
       case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
       case "linkpred" =>

@@ -58,6 +58,25 @@ object SparkEntry {
     cust.unionByName(supp).unionByName(nat)
   }
 
+  /** [[heteroEdges]] made cyclic for the SCC query: back-edges
+    * region → nation (every nation) and nation → customer (customers
+    * with `c_custkey % 3 == 0` only). Each region's {region, its
+    * nations, its key-divisible-by-3 customers} is then one strongly
+    * connected component, while suppliers and the remaining customers
+    * stay singletons (they point in but nothing points back) — a
+    * structure with both large SCCs and a big DAG fringe, so the
+    * forward–backward split's pair refinement actually exercises. */
+  private def sccEdges(s: SparkSession, dir: String): DataFrame = {
+    val back = t(s, dir, "nation").select(
+      (col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
+      (col("n_nationkey").cast("long") * 4 + 2).as("end_id"))
+    val natCust = t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select((col("c_nationkey").cast("long") * 4 + 2).as("start_id"),
+        (col("c_custkey").cast("long") * 4).as("end_id"))
+    heteroEdges(s, dir).unionByName(back).unionByName(natCust)
+  }
+
   /** [[heteroEdges]] with exact-quarter edge weights ((key % 8)/4 + 1 —
     * exact binary fractions, so weight sums are order-independent and
     * oracle arithmetic needs no rounding). Shared by G6 shortest paths
@@ -2348,6 +2367,17 @@ object SparkEntry {
     // ground truth. ----
     "q_g5_components" -> ((s, dir) =>
       GraphOps.connectedComponents(heteroEdges(s, dir)).orderBy("id")),
+
+    // ---- G26: strongly connected components on the cyclic hetero
+    // graph (region→nation and nation→customer back-edges planted, so
+    // each region core is one real SCC and the supplier/customer
+    // fringe stays singleton). Oracle: full directed transitive
+    // closure by recursive CTE, then scc(v) = min u with reach(v,u)
+    // AND reach(u,v) — the definition itself, independent of the
+    // engine's forward–backward split. ----
+    "q_g26_scc" -> ((s, dir) =>
+      GraphOps.stronglyConnectedComponents(sccEdges(s, dir))
+        .orderBy("id")),
 
     // ---- G7: degree distribution — the histogram a graph-shape sanity
     // check starts with (hub detection, power-law eyeballing). ----
@@ -6506,6 +6536,34 @@ object SparkEntry {
         |  SELECT r_regionkey*4+3, r_regionkey FROM region)
         |SELECT id, min(id) OVER (PARTITION BY rk) AS component
         |FROM nodes ORDER BY id""".stripMargin,
+
+    // SCC by definition: reach = directed transitive closure (the
+    // recursive UNION dedups, so it terminates at the closure), then
+    // each node's least mutually-reachable partner. (v, v) ∈ reach
+    // seeds every node, so singletons label themselves.
+    "q_g26_scc" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+        |SELECT r1.a AS id, min(r1.b) AS scc
+        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |GROUP BY r1.a ORDER BY id""".stripMargin,
 
     // Same wedge expansion in SQL; the e4 integerization absorbs the
     // Σ 1/ln(deg) summation-order ulps.

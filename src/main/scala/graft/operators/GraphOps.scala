@@ -1586,6 +1586,133 @@ object GraphOps {
     *
     * @return one row: (`n_nodes`, `d_min`, `alpha`, `alpha_se`); alpha
     *         is null when every degree equals `dMin` (zero log-mass). */
+  /** Least label with a directed path TO each node (forward min-label
+    * propagation over `edges(src, dst)`, labels flowing src → dst):
+    * the hop adopts the min in-neighbour label, then the pointer jump
+    * rewrites lbl ← lbl(lbl) — both sound because the invariant
+    * "lbl(v) has a directed path to v" is transitive (lbl(v) = u with
+    * u ⇝ v and lbl(u) = w with w ⇝ u gives w ⇝ v), so the jump
+    * compresses label chains exactly as in
+    * [[Dedup.connectedComponents]] and the fixpoint lands in
+    * O(log diameter) rounds, not diameter. Labels are per-node
+    * non-increasing, so an unchanged sum(lbl) certifies the global
+    * fixpoint — the same single-column convergence probe as CC.
+    * Backward propagation (least label each node can REACH) is this
+    * with src/dst swapped. Returns (`id`, `lbl`). */
+  private def dirMinProp(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int, ckpt: Checkpointer): DataFrame = {
+    var labels = ckpt(nodes.select(col("id"), col("id").as("lbl")))
+    var prevSum = Option.empty[Any]
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "src", "lbl" -> "_nl")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("_nl")).as("_nbr"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("_nbr"), col("lbl"))).as("lbl"))
+      val jumped = ckpt(hopped
+        .join(hopped.select(col("id").as("lbl"), col("lbl").as("_ll")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("_ll"), col("lbl")).as("lbl")))
+      val curSum = jumped.agg(sum(col("lbl"))).head().get(0)
+      converged = prevSum.contains(curSum)
+      prevSum = Some(curSum)
+      labels = jumped
+      i += 1
+    }
+    labels
+  }
+
+  /** Strongly connected components over a DIRECTED edge table: each
+    * node labelled with the smallest node id in its SCC (its
+    * mutual-reachability class). Data-parallel forward–backward split
+    * (Fleischer/Hendrickson/Pinar's divide-and-conquer recast as label
+    * propagation, the framing of Slota et al.'s Multistep): per outer
+    * round, over edges internal to the current class partition,
+    *
+    *   F(v) = least id with a path to v   (forward [[dirMinProp]])
+    *   B(v) = least id v has a path to    (backward — reversed edges)
+    *
+    * F(v) = B(v) = m certifies v ↔ m, hence v ∈ SCC(m); and all of
+    * SCC(m) shares both labels (mutually reachable nodes see the same
+    * reacher and reachable sets within the class), so extraction takes
+    * whole SCCs, never fragments. Each class's minimum id m has
+    * F(m) = B(m) = m, so every round retires at least one SCC per
+    * class. Survivors re-key their class by the (F, B) PAIR — equal
+    * F AND equal B is necessary for two nodes to share an SCC (their
+    * reacher/reachable sets coincide), so the split never separates an
+    * SCC, while it shatters DAG-like residue: a pure path keeps
+    * per-node distinct B, splits into singletons after round 1, and
+    * finishes in round 2, where single-label coloring would grind
+    * through n rounds. The pair is NOT sufficient (two parallel
+    * branches r → v → s, r → w → s give v and w equal (F, B) but no
+    * cycle — the spec pins this), which is exactly why extraction
+    * demands F = B rather than trusting the pair as a final label.
+    * Cross-class edges are dropped permanently — sound because classes
+    * only ever refine and an SCC never spans two classes.
+    *
+    * Scale notes (100 TB edge table): everything is equi-joins and
+    * partial-aggregated groupBys on the label frame (|V| rows, small
+    * against edges) — AQE broadcasts label sides that fit; no
+    * driver-side data beyond the two scalar probes per inner round
+    * (sum) and one count per outer round. Inner loops are
+    * O(log diameter) via pointer jumping; outer rounds collapse on the
+    * pair split (real graphs: a handful). The live edge set only
+    * shrinks — each round's filter drops cross-class edges for good,
+    * so late rounds run on the shrinking core, not the whole graph.
+    * Per-iteration checkpoints truncate lineage (measured stats via
+    * [[org.apache.spark.sql.graft.CheckpointStats]] keep the planner's
+    * broadcast decisions honest across rounds). Self-loops are dropped
+    * up front (SCC-irrelevant); `maxRounds` guards adversarial
+    * SCC-chain topologies with a fail-fast rather than silently
+    * emitting unfinished labels.
+    *
+    * Output: (`id`, `scc`) over all edge endpoints. */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 20,
+      maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var live = ckpt(edges
+      .select(col(StartId).as("src"), col(EndId).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    // vertex set from the UNFILTERED edges: a node whose only edge is
+    // its self-loop must still label itself (F = B = id, round 1)
+    var remaining = ckpt(edges.select(col(StartId).as("id"))
+      .unionAll(edges.select(col(EndId).as("id"))).distinct())
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var nRemaining = remaining.count()
+    var round = 0
+    while (nRemaining > 0 && round < maxRounds) {
+      val f = dirMinProp(remaining, live, maxIter, ckpt)
+        .withColumnRenamed("lbl", "f")
+      val b = dirMinProp(remaining,
+        live.select(col("dst").as("src"), col("src").as("dst")),
+        maxIter, ckpt).withColumnRenamed("lbl", "b")
+      val fb = ckpt(f.join(b, Seq("id")))
+      done += fb.filter(col("f") === col("b"))
+        .select(col("id"), col("f").as("scc"))
+      val rest = fb.filter(col("f") =!= col("b"))
+      remaining = ckpt(rest.select("id"))
+      live = ckpt(live
+        .join(rest.withColumnsRenamed(
+          Map("id" -> "src", "f" -> "_fs", "b" -> "_bs")), Seq("src"))
+        .join(rest.withColumnsRenamed(
+          Map("id" -> "dst", "f" -> "_fd", "b" -> "_bd")), Seq("dst"))
+        .filter(col("_fs") === col("_fd") && col("_bs") === col("_bd"))
+        .select("src", "dst"))
+      nRemaining = remaining.count()
+      round += 1
+    }
+    require(nRemaining == 0,
+      s"SCC did not converge in $maxRounds rounds ($nRemaining nodes " +
+        "unresolved) — raise maxRounds (adversarial SCC-chain depth)")
+    done.reduceOption(_ unionByName _)
+      .getOrElse(remaining.select(col("id"), col("id").as("scc")))
+  }
+
   def powerLawFit(edges: DataFrame, dMin: Long = 1L): DataFrame = {
     require(dMin >= 1L, "dMin must be >= 1")
     val canon = edges.select(

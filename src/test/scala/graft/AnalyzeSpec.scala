@@ -59,6 +59,13 @@ class AnalyzeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc(3L) == 0L && cc(5L) == 4L)
 
+    // direction matters here: the 0→1→2→3 chain is all singletons
+    // (weakly one component, per the assert above) — only 4↔5 fuses
+    val scc = Analyze.run(parse(List("scc", "--edges", s"$dir/edges")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L))
+
     // chain 0-1-2-3 (+0-2 edge): 1,3 share neighbor 2; 0,2 adjacent
     val lp = Analyze.run(parse(List("linkpred", "--edges", s"$dir/edges",
       "--min-common", "1")), spark)

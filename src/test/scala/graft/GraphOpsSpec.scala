@@ -950,4 +950,62 @@ class GraphOpsSpec extends SparkSpec {
     assert(r3.getLong(0) == 2L && r3.isNullAt(2) && r3.isNullAt(3))
     intercept[IllegalArgumentException](GraphOps.powerLawFit(star, 0L))
   }
+
+  private def sccMap(g: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    GraphOps.stronglyConnectedComponents(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc: cycles keep min label, one-way bridge does not merge") {
+    // 3-cycle {1,2,3} → bridge → 2-cycle {4,5}; direction matters:
+    // 4 reaches nothing in the triangle, so the bridge stays a cut
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L))
+      .toDF("start_id", "end_id")
+    assert(sccMap(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L))
+  }
+
+  test("scc: pure path DAG is all singletons (pair split, not n rounds)") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("start_id", "end_id")
+    assert(sccMap(g) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L))
+    // a path needs outer rounds ≈ 2 under the (F, B) split; maxRounds=2
+    // must therefore succeed where single-label coloring would need 5
+    assert(GraphOps.stronglyConnectedComponents(g, maxRounds = 2)
+      .count() == 5L)
+  }
+
+  test("scc: equal (F, B) pair on parallel branches must NOT merge") {
+    // 1→2→0 and 1→3→0: nodes 2 and 3 share F=1 (only 1 reaches them)
+    // and B=0 (0 is the least node both reach) but there is no cycle —
+    // an algorithm that trusted the (F, B) pair as a final label would
+    // fuse them; extraction must demand F = B
+    val g = Seq((1L, 2L), (2L, 0L), (1L, 3L), (3L, 0L))
+      .toDF("start_id", "end_id")
+    assert(sccMap(g) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("scc: self-loops are SCC-irrelevant but their nodes still label") {
+    val g = Seq((7L, 7L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("start_id", "end_id")
+    assert(sccMap(g) == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("scc: disconnected directed graphs resolve independently") {
+    val g = Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L), (5L, 6L))
+      .toDF("start_id", "end_id")
+    assert(sccMap(g) == Map(1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L,
+      5L -> 5L, 6L -> 6L))
+  }
+
+  test("scc: partition invariance") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 1L)).toDF("start_id", "end_id")
+    val one = sccMap(g.repartition(1))
+    val many = sccMap(g.repartition(13))
+    assert(one == many)
+    // 6 joins nothing: it feeds the triangle but nothing points back
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+  }
 }
