@@ -967,6 +967,10 @@ object Analyze {
         graft.operators.SnapshotDiff.mannWhitneyU(
           spark.read.parquet(args.docs), spark.read.parquet(args.bench),
           args.valueCol)
+      case "scrub" =>
+        require(args.docs.nonEmpty, "scrub needs --docs <dir>")
+        graft.operators.Curation.scrubPii(
+          spark.read.parquet(args.docs), args.textCol)
       case "score" =>
         require(args.docs.nonEmpty, "score needs --docs <dir>")
         require(args.weights.nonEmpty,

@@ -1441,6 +1441,29 @@ object SparkEntry {
     // ---- X4s: Flesch readability — exact regex-run counts (words /
     // sentence marks / vowel groups, RE2-portable classes), the two
     // classic scores e4-integerized ----
+    // ---- X4t: PII scrubbing — emails/IPv4/SSN/phone → typed tokens
+    // with per-category audit counts. Known PII is injected per doc
+    // (id-keyed, so ground truth is deterministic) on top of whatever
+    // the raw text happens to contain; the oracle replays the staged
+    // regex fold verbatim (the patterns are the Java∩RE2 subset, so
+    // DuckDB's RE2 executes the identical semantics) and md5 pins the
+    // scrubbed text byte-for-byte. ----
+    "q_x4t_pii_scrub" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or 10."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".0.7 tel +1 (555) 123-4567 ssn 123-45-6789")).as("text"))
+      Curation.scrubPii(aug, "text")
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("n_ssns").cast("long").as("n_ssns"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("text_scrubbed").cast("binary")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_x4s_readability" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), GF.reading_ease(col("text")).as("r"))
@@ -5160,6 +5183,38 @@ object SparkEntry {
         |      array_length(regexp_split_to_array(trim(dirty), '\s+'))
         |  END, 6) AS rep_ratio
         |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // PII-scrub rebuild: the same four-stage fold, each stage counting
+    // on the previous stage's output then replacing globally; the
+    // pattern strings are interpolated from the engine's own constants
+    // (Java∩RE2 subset), so both engines execute identical regexes.
+    "q_x4t_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
+         |    '@example.com or 10.' || (doc_id % 256)::VARCHAR ||
+         |    '.0.7 tel +1 (555) 123-4567 ssn 123-45-6789' AS t0
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(t0, '${Curation.EmailRe}'))
+         |    AS n_emails,
+         |  regexp_replace(t0, '${Curation.EmailRe}', '<EMAIL>', 'g')
+         |    AS t1 FROM aug),
+         |s2 AS (SELECT doc_id, n_emails,
+         |  len(regexp_extract_all(t1, '${Curation.IpV4Re}')) AS n_ips,
+         |  regexp_replace(t1, '${Curation.IpV4Re}', '<IP>', 'g')
+         |    AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, n_emails, n_ips,
+         |  len(regexp_extract_all(t2, '${Curation.SsnRe}')) AS n_ssns,
+         |  regexp_replace(t2, '${Curation.SsnRe}', '<SSN>', 'g')
+         |    AS t3 FROM s2),
+         |s4 AS (SELECT doc_id, n_emails, n_ips, n_ssns,
+         |  len(regexp_extract_all(t3, '${Curation.PhoneRe}'))
+         |    AS n_phones,
+         |  regexp_replace(t3, '${Curation.PhoneRe}', '<PHONE>', 'g')
+         |    AS t4 FROM s3)
+         |SELECT doc_id, n_emails, n_ips, n_ssns, n_phones,
+         |  md5(t4) AS scrub_md5
+         |FROM s4 ORDER BY doc_id""".stripMargin,
 
     // Readability rebuild: identical RE2-safe run patterns, exact
     // counts, score shapes mirrored term-for-term ((206.835 − 1.015·ws)

@@ -117,6 +117,22 @@ class AnalyzeSpec extends SparkSpec {
       "--mode", "psychic")), spark))
   }
 
+  test("scrub runs from argv: PII redacted, audit counts attached") {
+    val dir = Files.createTempDirectory("graft-analyze-pii").toString
+    Seq((1L, "reach me at jo@corp.example.com or (555) 123-4567"),
+        (2L, "nothing sensitive here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val out = Analyze.run(parse(List("scrub", "--docs", s"$dir/docs",
+      "-o", s"$dir/out")), spark)
+      .select("doc_id", "text_scrubbed", "n_emails", "n_phones")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("reach me at <EMAIL> or <PHONE>", 1, 1)))
+    assert(out(2L) == (("nothing sensitive here", 0, 0)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("scrub")), spark))
+  }
+
   test("score runs from argv against a weights parquet") {
     val dir = Files.createTempDirectory("graft-analyze-sc").toString
     Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))

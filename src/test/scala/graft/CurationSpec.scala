@@ -184,4 +184,59 @@ class CurationSpec extends SparkSpec {
     once.foreach(r => assert(r.getString(1) == r.getString(0),
       s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
   }
+
+  private def scrub1(text: String): (String, Int, Int, Int, Int) = {
+    val r = Curation.scrubPii(Seq(text).toDF("text"), "text")
+      .select("text_scrubbed", "n_emails", "n_ips", "n_ssns", "n_phones")
+      .head()
+    (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+  }
+
+  test("scrubPii: each category redacts and counts") {
+    assert(scrub1("mail a.b+tag@sub.example.org now") ==
+      ("mail <EMAIL> now", 1, 0, 0, 0))
+    assert(scrub1("host 192.168.0.1 up") == ("host <IP> up", 0, 1, 0, 0))
+    assert(scrub1("ssn 123-45-6789.") == ("ssn <SSN>.", 0, 0, 1, 0))
+    assert(scrub1("call +49 (0) 30-123456 or (555) 123-4567 or " +
+      "555-123-4567") ==
+      ("call <PHONE> or <PHONE> or <PHONE>", 0, 0, 0, 3))
+  }
+
+  test("scrubPii: staged order never double-counts a span") {
+    // digits inside the email are the email's, not an SSN/phone
+    assert(scrub1("bob.555-12-3456@x.com") == ("<EMAIL>", 1, 0, 0, 0))
+    // an SSN is not re-counted by the dashed-phone branch
+    assert(scrub1("id 078-05-1120 x") == ("id <SSN> x", 0, 0, 1, 0))
+    // an IP-host email is NOT an email (alpha TLD required): the IP
+    // stage gets the quad, the local part survives
+    assert(scrub1("u@10.0.0.1") == ("u@<IP>", 0, 1, 0, 0))
+  }
+
+  test("scrubPii: near-misses stay untouched") {
+    val misses = Seq(
+      "not an email: a@b, a@@c.com trailing@",
+      "octet 999.1.1.1 is no address",
+      "date 2024-01-15 and 12-34-5678",
+      "sum 123-4567 and plain 5551234567")
+    misses.foreach { s =>
+      val (t, e, i, n, p) = scrub1(s)
+      // 999.1.1.1: no valid first-octet parse starts at a word boundary
+      assert((e, i, n, p) == ((0, 0, 0, 0)), s"false positive on: $s")
+      assert(t == s)
+    }
+    // pinned RE2-subset limitation (no lookahead): a 5-component
+    // version string loses its leading quad — the dot after "4" is a
+    // non-word char, so \b holds there
+    assert(scrub1("version 1.2.3.4.5") == ("version <IP>.5", 0, 1, 0, 0))
+  }
+
+  test("scrubPii: counts survive on multi-hit documents, cols pass through") {
+    val df = Seq((7L, "a@b.co c@d.io 10.0.0.1 10.0.0.2 ok"))
+      .toDF("doc_id", "text")
+    val out = Curation.scrubPii(df, "text").head()
+    assert(out.getAs[Long]("doc_id") == 7L)
+    assert(out.getAs[Int]("n_emails") == 2 && out.getAs[Int]("n_ips") == 2)
+    assert(out.getAs[String]("text_scrubbed") ==
+      "<EMAIL> <EMAIL> <IP> <IP> ok")
+  }
 }
