@@ -2402,6 +2402,15 @@ object SparkEntry {
       GraphOps.stronglyConnectedComponents(sccEdges(s, dir))
         .orderBy("id")),
 
+    // ---- G26b: the condensation DAG over those SCCs — every edge of
+    // the quotient graph (cust/supp singletons feeding their region
+    // core; intra-core edges collapse away). ----
+    "q_g26b_condensation" -> ((s, dir) => {
+      val e = sccEdges(s, dir)
+      GraphOps.condensation(e, GraphOps.stronglyConnectedComponents(e))
+        .orderBy("src_scc", "dst_scc")
+    }),
+
     // ---- G7: degree distribution — the histogram a graph-shape sanity
     // check starts with (hub detection, power-law eyeballing). ----
     "q_g7_degree_hist" -> ((s, dir) =>
@@ -6619,6 +6628,36 @@ object SparkEntry {
         |SELECT r1.a AS id, min(r1.b) AS scc
         |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         |GROUP BY r1.a ORDER BY id""".stripMargin,
+
+    // Same closure-derived SCC labels, then the quotient edge set.
+    "q_g26b_condensation" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |scc AS MATERIALIZED (
+        |  SELECT r1.a AS id, min(r1.b) AS scc
+        |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  GROUP BY r1.a)
+        |SELECT DISTINCT sa.scc AS src_scc, sb.scc AS dst_scc
+        |FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
+        |WHERE sa.scc <> sb.scc
+        |ORDER BY src_scc, dst_scc""".stripMargin,
 
     // Same wedge expansion in SQL; the e4 integerization absorbs the
     // Σ 1/ln(deg) summation-order ulps.

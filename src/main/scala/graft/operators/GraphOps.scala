@@ -1713,6 +1713,29 @@ object GraphOps {
       .getOrElse(remaining.select(col("id"), col("id").as("scc")))
   }
 
+  /** Condensation of a directed graph under an SCC labelling (from
+    * [[stronglyConnectedComponents]]): the quotient graph with one node
+    * per SCC and a distinct edge per ordered pair of distinct SCCs that
+    * any original edge connects. Always a DAG (a cycle between two
+    * condensation nodes would make their SCCs one) — the structure
+    * topological analyses run on after collapsing cycles.
+    *
+    * Scale: two equi-joins of the edge table against the label frame
+    * (|V| rows — AQE broadcasts it when it fits) and a distinct on the
+    * (scc, scc) pairs, which partial-aggregates map-side; intra-SCC
+    * edges — the bulk of a cyclic graph — are filtered before the
+    * shuffle. Output: (`src_scc`, `dst_scc`). */
+  def condensation(edges: DataFrame, sccLabels: DataFrame): DataFrame = {
+    val l = sccLabels.select(col("id"), col("scc"))
+    edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+      .join(l.withColumnsRenamed(Map("id" -> "src", "scc" -> "src_scc")),
+        Seq("src"))
+      .join(l.withColumnsRenamed(Map("id" -> "dst", "scc" -> "dst_scc")),
+        Seq("dst"))
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .select(col("src_scc"), col("dst_scc")).distinct()
+  }
+
   def powerLawFit(edges: DataFrame, dMin: Long = 1L): DataFrame = {
     require(dMin >= 1L, "dMin must be >= 1")
     val canon = edges.select(

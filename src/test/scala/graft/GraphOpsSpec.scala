@@ -998,6 +998,17 @@ class GraphOpsSpec extends SparkSpec {
       5L -> 5L, 6L -> 6L))
   }
 
+  test("scc condensation: quotient DAG, intra-SCC edges collapse") {
+    // triangle {1,2,3} → 2-cycle {4,5} → sink 6, plus feeder 0 → 1;
+    // parallel original edges between the same SCC pair collapse to one
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (1L, 4L),
+      (4L, 5L), (5L, 4L), (5L, 6L), (0L, 1L)).toDF("start_id", "end_id")
+    val dag = GraphOps.condensation(g,
+      GraphOps.stronglyConnectedComponents(g))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dag == Set((1L, 4L), (4L, 6L), (0L, 1L)))
+  }
+
   test("scc: partition invariance") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 4L), (6L, 1L)).toDF("start_id", "end_id")
