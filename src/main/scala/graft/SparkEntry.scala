@@ -1258,6 +1258,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3m: residual IVF-PQ — the FAISS design proper: PQ encodes
+    // v − centroid(v), so the m×k codebook budget resolves the residual
+    // ball instead of the raw vector space; the ADC table becomes
+    // cell-dependent on the query side. Same quantizer-sample
+    // determinism as q_x3i, so the oracle replays the whole codec
+    // including the residual arithmetic, association-exact. (Recall on
+    // THIS corpus is honestly worse than raw PQ — random embeddings
+    // have no structure for the coarse stage to explain; the planted-
+    // cluster SimilaritySpec case shows the regime where it wins.) ----
+    "q_x3m_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooksResidual(e, "embedding", "vec_id",
+        assigned, cents, m = 8, k = 16)
+      val enc = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
+        assigned, cents, cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 8), cents,
+          cb, ae, "embedding", "vec_id", m = 8, k = 16, topK = 5,
+          nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3j: ANN index persistence — build the q_x3i index ONCE,
     // save it as parquet (vectors partitioned by centroid_id), load it
     // back, and query the STORED index. Shares q_x3i's oracle: the
@@ -1321,16 +1349,28 @@ object SparkEntry {
         .join(enc, Seq("vec_id"))
       val ivfpq = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
         "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
+      val rcb = Similarity.pqCodebooksResidual(e, "embedding", "vec_id",
+        assigned, cents, m = 8, k = 16)
+      val renc = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
+        assigned, cents, rcb, m = 8)
+      val rae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(renc, Seq("vec_id"))
+      val resid = Similarity.ivfPqResidualTopK(q, cents, rcb, rae,
+        "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
       val per = Similarity.recallAtK(exact, ivf)
         .withColumnRenamed("n_hits", "ivf_hits")
         .join(Similarity.recallAtK(exact, ivfpq)
           .select(col("query_id"), col("n_hits").as("ivfpq_hits")),
           Seq("query_id"))
+        .join(Similarity.recallAtK(exact, resid)
+          .select(col("query_id"), col("n_hits").as("resid_hits")),
+          Seq("query_id"))
       per.select(col("query_id"), col("n_exact"), col("ivf_hits"),
-          col("ivfpq_hits"))
+          col("ivfpq_hits"), col("resid_hits"))
         .unionByName(per.agg(lit(-1L).as("query_id"),
           sum("n_exact").as("n_exact"), sum("ivf_hits").as("ivf_hits"),
-          sum("ivfpq_hits").as("ivfpq_hits")))
+          sum("ivfpq_hits").as("ivfpq_hits"),
+          sum("resid_hits").as("resid_hits")))
         .orderBy("query_id")
     }),
 
@@ -3762,7 +3802,7 @@ object SparkEntry {
     * frozen-quantizer append converges to. The CTE prefix (through
     * `sc(query_id, vec_id, adist)`) is also the ivfpq leg of the
     * q_x3l recall audit. */
-  private def ivfPqOracleCtesFrom(trainWhere: String): String =
+  private def ivfCoarseCtesFrom(trainWhere: String): String =
     s"""WITH cent AS (
         |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
         |    SELECT vec_id, embedding FROM embeddings $trainWhere
@@ -3806,7 +3846,12 @@ object SparkEntry {
         |  FROM (SELECT vec_id, embedding FROM embeddings $trainWhere
         |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
         |        LIMIT 16)),
-        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub)"""
+      .stripMargin
+
+  private def ivfPqOracleCtesFrom(trainWhere: String): String =
+    ivfCoarseCtesFrom(trainWhere) +
+    s""",
         |cb AS MATERIALIZED (
         |  SELECT subs.sub, cb0.code,
         |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
@@ -3862,6 +3907,91 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def ivfPqOracleSql: String = ivfPqOracleSqlFrom("")
+
+  /** Residual IVF-PQ CTE suffix (q_x3m, and the residual leg of
+    * q_x3l): assumes [[ivfCoarseCtesFrom]]'s cent/cell/q/probed/cb0/
+    * subs in scope. Codebooks carry BOTH the sampled row's sub-slice
+    * and its own centroid's, so every distance is Σ ((x−a) − (y−b))²
+    * with the exact association the engine's fused kernel uses
+    * ((x−c) − w, w = y−b prebuilt in double); the query-side table is
+    * keyed by (query_id, centroid_id) — residual ADC's cell
+    * dependence — and terms join on the cell. Ends at
+    * `rsc(query_id, vec_id, adist)`. */
+  private def ivfPqResidualSuffixCtes: String =
+    s""",
+        |cbr AS MATERIALIZED (
+        |  SELECT subs.sub, cb0.code,
+        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
+        |      AS sv,
+        |    list_slice(sct.cv, subs.sub * 8 + 1, subs.sub * 8 + 8)
+        |      AS scv
+        |  FROM cb0
+        |  JOIN cell sce ON sce.vec_id = cb0.vec_id
+        |  JOIN cent sct ON sct.centroid_id = sce.centroid_id
+        |  CROSS JOIN subs),
+        |rencd0 AS (
+        |  SELECT e.vec_id, cbr.sub, cbr.code,
+        |    (SELECT sum(((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
+        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE)))
+        |            * ((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
+        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE))))
+        |     FROM (SELECT
+        |         unnest(list_slice(e.embedding,
+        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) x,
+        |         unnest(list_slice(ecv.cv,
+        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) a,
+        |         unnest(cbr.sv) y,
+        |         unnest(cbr.scv) b)) AS d
+        |  FROM embeddings e
+        |  JOIN cell ece ON ece.vec_id = e.vec_id
+        |  JOIN cent ecv ON ecv.centroid_id = ece.centroid_id
+        |  CROSS JOIN cbr),
+        |renc AS MATERIALIZED (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d, code) rn FROM rencd0)
+        |  WHERE rn = 1),
+        |rdt0 AS MATERIALIZED (
+        |  SELECT q.query_id, p.centroid_id, cbr.sub, cbr.code,
+        |    (SELECT sum(((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
+        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE)))
+        |            * ((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
+        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE))))
+        |     FROM (SELECT
+        |         unnest(list_slice(q.embedding,
+        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) x,
+        |         unnest(list_slice(pcv.cv,
+        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) a,
+        |         unnest(cbr.sv) y,
+        |         unnest(cbr.scv) b)) AS d
+        |  FROM q
+        |  JOIN probed p ON p.query_id = q.query_id
+        |  JOIN cent pcv ON pcv.centroid_id = p.centroid_id
+        |  CROSS JOIN cbr),
+        |rterms AS (
+        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
+        |  FROM renc en
+        |  JOIN cell ce ON ce.vec_id = en.vec_id
+        |  JOIN rdt0 d0 ON d0.centroid_id = ce.centroid_id
+        |    AND d0.sub = en.sub AND d0.code = en.code
+        |  WHERE d0.query_id <> en.vec_id
+        |  GROUP BY d0.query_id, en.vec_id),
+        |rsc AS (
+        |  SELECT query_id, vec_id,
+        |    ds[1] + ds[2] + ds[3] + ds[4]
+        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
+        |  FROM rterms)""".stripMargin
+
+  private def ivfPqResidualOracleSql: String =
+    ivfCoarseCtesFrom("") + ivfPqResidualSuffixCtes +
+      """
+        |SELECT query_id, vec_id,
+        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS adist_e4,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adist, vec_id) AS rank FROM rsc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -4796,6 +4926,8 @@ object SparkEntry {
     // the stored-index query must reproduce the in-memory result rows
     "q_x3i_ivfpq_topk" -> ivfPqOracleSql,
 
+    "q_x3m_ivfpq_residual" -> ivfPqResidualOracleSql,
+
     "q_x3j_index_reuse" -> ivfPqOracleSql,
 
     // Incremental-update rebuild: identical pipeline, but the
@@ -4810,11 +4942,16 @@ object SparkEntry {
     // the exact leg is q_x3's all-pairs cosine. Hits by left-join
     // membership; sums cast back from HUGEINT.
     "q_x3l_recall_audit" ->
-      (ivfPqOracleCtesFrom("") + """,
+      (ivfPqOracleCtesFrom("") + ivfPqResidualSuffixCtes + """,
         |pq5 AS (
         |  SELECT query_id, vec_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adist, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 5),
+        |rpq5 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, vec_id) AS rank FROM rsc)
         |  WHERE rank <= 5),
         |probed3 AS (
         |  SELECT query_id, centroid_id FROM (
@@ -4859,19 +4996,25 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
         |      AS BIGINT) AS ivf_hits,
         |    CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ivfpq_hits
+        |      AS BIGINT) AS ivfpq_hits,
+        |    CAST(sum(CASE WHEN rq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS resid_hits
         |  FROM exact5 x
         |  LEFT JOIN ivf5 iv ON iv.query_id = x.query_id
         |    AND iv.vec_id = x.vec_id
         |  LEFT JOIN pq5 pq ON pq.query_id = x.query_id
         |    AND pq.vec_id = x.vec_id
+        |  LEFT JOIN rpq5 rq ON rq.query_id = x.query_id
+        |    AND rq.vec_id = x.vec_id
         |  GROUP BY x.query_id)
-        |SELECT query_id, n_exact, ivf_hits, ivfpq_hits FROM per
+        |SELECT query_id, n_exact, ivf_hits, ivfpq_hits, resid_hits
+        |FROM per
         |UNION ALL
         |SELECT CAST(-1 AS BIGINT) AS query_id,
         |  CAST(sum(n_exact) AS BIGINT) AS n_exact,
         |  CAST(sum(ivf_hits) AS BIGINT) AS ivf_hits,
-        |  CAST(sum(ivfpq_hits) AS BIGINT) AS ivfpq_hits FROM per
+        |  CAST(sum(ivfpq_hits) AS BIGINT) AS ivfpq_hits,
+        |  CAST(sum(resid_hits) AS BIGINT) AS resid_hits FROM per
         |ORDER BY query_id""".stripMargin),
 
     "q_x2b_ngram_jaccard" ->

@@ -27,6 +27,14 @@ object VectorFunctions {
     ColumnShim.column(ArrayL2Sq(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Σ ((xᵢ−cᵢ) − wᵢ)² (double) — residual-PQ distance of `x`'s
+    * residual against centroid `c`, measured against residual codeword
+    * `w`, in one fused codegen loop (no residual array materialized).
+    * Null on any length mismatch. */
+  def l2sqResid(x: Column, c: Column, w: Column): Column =
+    ColumnShim.column(ArrayL2SqResid(ColumnShim.expression(x),
+      ColumnShim.expression(c), ColumnShim.expression(w)))
+
   /** PQ asymmetric distance: Σ_s dtable[s·k + codes[s]] (double). */
   def adc(codes: Column, dtable: Column, k: Int): Column =
     ColumnShim.column(ArrayAdc(

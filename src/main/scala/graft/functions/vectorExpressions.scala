@@ -181,6 +181,77 @@ case class ArrayL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ ((xᵢ−cᵢ) − wᵢ)² in double, strict left-to-right — the residual-PQ
+  * distance kernel: the vector's residual against its coarse centroid
+  * `c`, measured against a residual codeword `w`, without ever
+  * materializing the residual array (one fused loop instead of a
+  * CodegenFallback `zip_with` allocation per row·sub·code combo). The
+  * association (x − c) − w is fixed and mirrored verbatim by the
+  * DuckDB oracle's ((x − c) − (y − b)) formulation, where w = y − b is
+  * prebuilt in double — identical double ops in identical order, so
+  * distances are bit-equal. Null if any input is null or lengths
+  * differ. */
+case class ArrayL2SqResid(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_l2sq_resid"
+
+  private lazy val xAcc = VecCodegen.elemAccessor(first.dataType)
+  private lazy val cAcc = VecCodegen.elemAccessor(second.dataType)
+  private lazy val wAcc = VecCodegen.elemAccessor(third.dataType)
+
+  override protected def nullSafeEval(x: Any, c: Any, w: Any): Any = {
+    val xa = x.asInstanceOf[ArrayData]
+    val ca = c.asInstanceOf[ArrayData]
+    val wa = w.asInstanceOf[ArrayData]
+    val n = xa.numElements()
+    if (n != ca.numElements() || n != wa.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val fx = xAcc == "getFloat"
+    val fc = cAcc == "getFloat"
+    val fw = wAcc == "getFloat"
+    while (i < n) {
+      val xv = if (fx) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val cv = if (fc) ca.getFloat(i).toDouble else ca.getDouble(i)
+      val wv = if (fw) wa.getFloat(i).toDouble else wa.getDouble(i)
+      val d = (xv - cv) - wv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, c, w) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n == $c.numElements() && $n == $w.numElements()) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ((double) $x.$xAcc($i)
+         |      - (double) $c.$cAcc($i)) - (double) $w.$wAcc($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): ArrayL2SqResid =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Asymmetric-distance computation (ADC) gather-sum of product
   * quantization: Σ_s dtable[s·k + codes[s]], strict left-to-right in
   * double — the approximate distance between a query's per-subspace

@@ -473,4 +473,68 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("adist") <
       top.last.getAs[Double]("adist"))
   }
+
+  test("residual PQ beats raw PQ on clustered data; codec is well-formed") {
+    // Planted structure: 16 well-separated clusters with DENSE centers
+    // (±10 mixed-sign patterns across all 64 dims — so every PQ
+    // subspace sees 16 distinct cluster subvectors, not zeros), each
+    // point = center + one of 4 small periodic perturbation patterns.
+    // Raw PQ's 16 codewords per subspace must spend themselves covering
+    // the 16 cluster patterns, so within a cluster its reconstruction
+    // collapses to ~the center and the within-cluster ranking signal
+    // drowns in quantization error. After the coarse assign the
+    // residual is a difference of two small perturbation patterns — a
+    // tiny per-subspace set the residual codebook resolves nearly
+    // exactly. This is THE case residual encoding exists for (and the
+    // mirror of q_x3l's structureless-corpus negative result).
+    val n = 480
+    val dim = 64
+    val vecs = (0 until n).map { id =>
+      val cluster = id / 30
+      val variant = id % 4
+      val v = Array.tabulate(dim) { i =>
+        val sign = if (((i + 7) * (cluster + 13)) % 5 <= 2) 1f else -1f
+        val pert = 0.2f * (((i + variant) % 4) - 1.5f)
+        10f * sign + pert
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 30 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(q, vecs, "embedding", "vec_id",
+      k = 5)
+    val (cents, assigned) = Similarity.ivfIndex(vecs, "embedding",
+      "vec_id", k = 32)
+    val cbRaw = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      m = 8, k = 16)
+    val encRaw = Similarity.pqEncode(vecs, "embedding", "vec_id", cbRaw,
+      m = 8)
+    val aeRaw = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(encRaw, Seq("vec_id"))
+    val raw = Similarity.ivfPqTopK(q, cents, cbRaw, aeRaw, "embedding",
+      "vec_id", m = 8, k = 16, topK = 5, nProbe = 4)
+    val cbRes = Similarity.pqCodebooksResidual(vecs, "embedding",
+      "vec_id", assigned, cents, m = 8, k = 16)
+    val encRes = Similarity.pqEncodeResidual(vecs, "embedding", "vec_id",
+      assigned, cents, cbRes, m = 8)
+    val aeRes = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(encRes, Seq("vec_id"))
+    val res = Similarity.ivfPqResidualTopK(q, cents, cbRes, aeRes,
+      "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 4)
+    // codec well-formedness: m codes per vector, codes within [0, k)
+    val shape = encRes.select(size(col("codes")).as("m"),
+      array_max(col("codes")).as("hi"), array_min(col("codes")).as("lo"))
+      .agg(min("m"), max("m"), max("hi"), min("lo")).head()
+    assert(shape.getInt(0) == 8 && shape.getInt(1) == 8)
+    assert(shape.getInt(2) < 16 && shape.getInt(3) >= 0)
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      Similarity.recallAtK(exact, approx)
+        .agg(sum("n_hits")).head().getLong(0)
+    val (rawHits, resHits) = (hits(raw), hits(res))
+    info(s"recall@5 over 16 queries: residual $resHits/80, raw $rawHits/80")
+    assert(resHits > rawHits,
+      s"residual PQ must beat raw PQ on clustered data: " +
+        s"residual $resHits vs raw $rawHits of ${16 * 5}")
+    assert(resHits >= 40,
+      s"residual PQ should resolve most within-cluster ranks: $resHits/80")
+  }
 }
