@@ -1374,6 +1374,23 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- O5: multivariate HBOS outliers over four lineitem features —
+    // a row is flagged when it sits in rare histogram bins across
+    // several features at once (no single feature need be extreme).
+    // The score is the exact integer product Π maxcount/count carried
+    // in decimal(38,0) with ONE double division at the end, so the
+    // oracle (HUGEINT products, same single division) is bit-equal
+    // without any libm log parity concerns. ----
+    "q_o5_hbos" -> ((s, dir) =>
+      Outliers.hbos(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          bins = 20, threshold = 4.5)
+        .filter(col("is_outlier"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"),
+          floor(col("hbos") * lit(1e6) + lit(0.5)).as("hbos_e6"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- X2f: fuzzy-string (Levenshtein) near-dup over 24-char text
     // prefixes — runs the BLOCKED path (length bands ±1), whose candidates
     // are provably lossless for the distance bound, against an all-pairs
@@ -8362,6 +8379,61 @@ object SparkEntry {
         |  AND abs(0.6745 * (e.value - m.med) / d.mad)
         |    > CAST(1.3 AS DOUBLE)
         |ORDER BY e.event_id""".stripMargin,
+
+    // HBOS rebuild: identical bin arithmetic (width computed first,
+    // v = max clamps into the top bin), per-feature bin counts, then
+    // the EXACT integer products — HUGEINT (the BIGINT product of four
+    // 60k-scale maxcounts overflows int64) mirroring the engine's
+    // decimal(38,0) — with the same single double division.
+    "q_o5_hbos" ->
+      """WITH st AS (
+        |  SELECT CAST(min(l_quantity) AS DOUBLE) q0,
+        |    CAST(max(l_quantity) AS DOUBLE) q1,
+        |    CAST(min(l_extendedprice) AS DOUBLE) p0,
+        |    CAST(max(l_extendedprice) AS DOUBLE) p1,
+        |    CAST(min(l_discount) AS DOUBLE) d0,
+        |    CAST(max(l_discount) AS DOUBLE) d1,
+        |    CAST(min(l_tax) AS DOUBLE) t0,
+        |    CAST(max(l_tax) AS DOUBLE) t1
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN q1 = q0 THEN 0 ELSE least(floor(
+        |      (CAST(l_quantity AS DOUBLE) - q0) / ((q1 - q0) / 20)),
+        |      19) END AS bq,
+        |    CASE WHEN p1 = p0 THEN 0 ELSE least(floor(
+        |      (CAST(l_extendedprice AS DOUBLE) - p0) / ((p1 - p0) / 20)),
+        |      19) END AS bp,
+        |    CASE WHEN d1 = d0 THEN 0 ELSE least(floor(
+        |      (CAST(l_discount AS DOUBLE) - d0) / ((d1 - d0) / 20)),
+        |      19) END AS bd,
+        |    CASE WHEN t1 = t0 THEN 0 ELSE least(floor(
+        |      (CAST(l_tax AS DOUBLE) - t0) / ((t1 - t0) / 20)),
+        |      19) END AS bt
+        |  FROM lineitem CROSS JOIN st),
+        |cq AS (SELECT bq, count(*) c FROM b GROUP BY 1),
+        |mq AS (SELECT max(c) m FROM cq),
+        |cp AS (SELECT bp, count(*) c FROM b GROUP BY 1),
+        |mp AS (SELECT max(c) m FROM cp),
+        |cd AS (SELECT bd, count(*) c FROM b GROUP BY 1),
+        |md AS (SELECT max(c) m FROM cd),
+        |ct AS (SELECT bt, count(*) c FROM b GROUP BY 1),
+        |mt AS (SELECT max(c) m FROM ct),
+        |sc AS (
+        |  SELECT b.l_orderkey, b.l_linenumber,
+        |    CAST(CAST(mq.m AS HUGEINT) * CAST(mp.m AS HUGEINT)
+        |      * CAST(md.m AS HUGEINT) * CAST(mt.m AS HUGEINT) AS DOUBLE)
+        |    / CAST(CAST(cq.c AS HUGEINT) * CAST(cp.c AS HUGEINT)
+        |      * CAST(cd.c AS HUGEINT) * CAST(ct.c AS HUGEINT) AS DOUBLE)
+        |      AS hbos
+        |  FROM b JOIN cq USING (bq) JOIN cp USING (bp)
+        |    JOIN cd USING (bd) JOIN ct USING (bt)
+        |  CROSS JOIN mq CROSS JOIN mp CROSS JOIN md CROSS JOIN mt)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(floor(hbos * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS hbos_e6
+        |FROM sc WHERE hbos >= CAST(4.5 AS DOUBLE)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // Skew-report rebuild: per-key counts, then the v8 gini rank-run
     // shapes over the count HISTOGRAM plus the 1-row max/share stats.

@@ -114,6 +114,77 @@ object Outliers {
         coalesce(abs(col("robust_z")) > lit(k), lit(false)))
   }
 
+  /** Histogram-based outlier score (HBOS, Goldstein & Dengel 2012) —
+    * the MULTIVARIATE flavor the per-column detectors can't express: a
+    * row is suspicious when it sits in rare histogram bins across
+    * several features at once, even if no single feature is extreme.
+    * Per feature, an equal-width `bins`-bin histogram over [min, max];
+    * the row's score is the inverse relative likelihood
+    *
+    *   hbos = Π_f maxcount_f / count_f(bin_f(v))
+    *
+    * — exp of the classic Σ log(max/count) formulation, hence the SAME
+    * ranking and the same flags at `threshold` = exp(log-threshold),
+    * but computable EXACTLY: both products are integers, carried in
+    * decimal(38,0) (the ≤ 7-feature cap keeps 10^5-sized counts inside
+    * 38 digits), with one double division at the end — no `log` in
+    * either engine, so oracle parity never hangs on a libm ulp. The
+    * modal row scores exactly 1.
+    *
+    * Conventions: a null feature value contributes a neutral factor 1
+    * (scored by its other features, never flagged on missingness); a
+    * constant feature (min = max) puts every row in bin 0 — factor 1
+    * for all; `v = max` clamps into the top bin.
+    *
+    * Scale notes (100 TB): one global 1-row min/max aggregate
+    * (broadcast back), one tiny per-feature bin-count groupBy (`bins`
+    * rows — map-side combine collapses each partition to ≤ bins rows),
+    * and per-feature BROADCAST joins of those bin tables — the corpus
+    * itself never shuffles, mirroring the other detectors.
+    *
+    * @return input + (`hbos` double, `is_outlier` = hbos ≥ threshold) */
+  def hbos(df: DataFrame, featureCols: Seq[String], bins: Int = 10,
+      threshold: Double = 1e4): DataFrame = {
+    require(featureCols.nonEmpty && featureCols.size <= 7,
+      "hbos needs 1..7 feature columns (decimal-exact product bound)")
+    require(bins >= 1, "bins must be >= 1")
+    require(threshold > 0, "threshold must be > 0")
+    val aggs = featureCols.flatMap(f => Seq(
+      min(col(f)).cast("double").as(s"_min_$f"),
+      max(col(f)).cast("double").as(s"_max_$f")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    def binOf(f: String): Column = {
+      val w = (col(s"_max_$f") - col(s"_min_$f")) / lit(bins)
+      when(col(f).isNull, lit(null))
+        .when(col(s"_max_$f") === col(s"_min_$f"), lit(0))
+        .otherwise(least(
+          floor((col(f).cast("double") - col(s"_min_$f")) / w),
+          lit(bins - 1)).cast("int"))
+    }
+    val withBins = featureCols.foldLeft(df.crossJoin(broadcast(stats))) {
+      (acc, f) => acc.withColumn(s"_bin_$f", binOf(f))
+    }
+    val scored = featureCols.foldLeft(withBins) { (acc, f) =>
+      val counts = withBins.groupBy(col(s"_bin_$f"))
+        .agg(count(lit(1)).as(s"_cnt_$f"))
+        .filter(col(s"_bin_$f").isNotNull)
+      val withMax = counts.crossJoin(broadcast(
+        counts.agg(max(col(s"_cnt_$f")).as(s"_maxcnt_$f"))))
+      acc.join(broadcast(withMax), Seq(s"_bin_$f"), "left")
+    }
+    val num = featureCols.map(f =>
+        coalesce(col(s"_maxcnt_$f"), lit(1L)).cast("decimal(38,0)"))
+      .reduce(_ * _)
+    val den = featureCols.map(f =>
+        coalesce(col(s"_cnt_$f"), lit(1L)).cast("decimal(38,0)"))
+      .reduce(_ * _)
+    scored
+      .withColumn("hbos", num.cast("double") / den.cast("double"))
+      .withColumn("is_outlier", col("hbos") >= lit(threshold))
+      .drop(featureCols.flatMap(f => Seq(s"_min_$f", s"_max_$f",
+        s"_bin_$f", s"_cnt_$f", s"_maxcnt_$f")): _*)
+  }
+
   private def grouped(df: DataFrame, groupCols: Seq[String]) =
     if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
 

@@ -47,7 +47,7 @@ object ExplainPlans {
         "q_x3j_index_reuse", "q_x3k_index_update", "q_x3l_recall_audit",
         "q_x6r_epoch_pack", "q_g24b_leiden_weighted",
         "q_g25_incr_communities", "q_g26_scc", "q_x4t_pii_scrub",
-        "q_x3m_ivfpq_residual")
+        "q_x3m_ivfpq_residual", "q_o5_hbos")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

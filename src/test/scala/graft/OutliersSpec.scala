@@ -99,4 +99,49 @@ class OutliersSpec extends SparkSpec {
     assert(re == out) // exact — interpolated medians + pure double ops
     intercept[IllegalArgumentException] { Outliers.mad(d, "v", Nil, 0.0) }
   }
+
+  test("hbos: exact inverse-likelihood products, clamp, multivariate") {
+    // feature a: nine 0.0s + one 10.0 → bins [0,1):9 rows, top bin:1 row
+    // feature b: mirrors a on the same rows → the (10,10) row is rare in
+    // BOTH features: hbos = (9/1)·(9/1) = 81; modal rows = 1 exactly
+    val d = ((1 to 9).map(i => (i.toLong, 0.0, 0.0)) :+ (10L, 10.0, 10.0))
+      .toDF("id", "a", "b")
+    val out = Outliers.hbos(d, Seq("a", "b"), bins = 10, threshold = 80.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("hbos"), r.getAs[Boolean]("is_outlier")))).toMap
+    assert(out(10L) == ((81.0, true))) // v = max clamps into the top bin
+    (1 to 9).foreach(i => assert(out(i.toLong) == ((1.0, false))))
+  }
+
+  test("hbos: null features are neutral, constant features score 1") {
+    val d = Seq((1L, Some(0.0), 5.0), (2L, Some(0.0), 5.0),
+        (3L, Some(9.0), 5.0), (4L, None, 5.0))
+      .toDF("id", "a", "c")
+    val out = Outliers.hbos(d, Seq("a", "c"), bins = 3, threshold = 2.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("hbos")).toMap
+    // a: [0,3):2 rows, top bin:1 row, max 2; c constant → factor 1
+    assert(out(1L) == 1.0 && out(2L) == 1.0)
+    assert(out(3L) == 2.0)
+    assert(out(4L) == 1.0) // null a → neutral; constant c → neutral
+  }
+
+  test("hbos: partitioning-independent, fail-fast guards") {
+    val d = (1 to 100).map(i => (i.toLong, (i % 13).toDouble,
+      (i % 7).toDouble)).toDF("id", "x", "y")
+    val one = Outliers.hbos(d.repartition(1), Seq("x", "y"), bins = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("hbos")).toMap
+    val many = Outliers.hbos(d.repartition(17), Seq("x", "y"), bins = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("hbos")).toMap
+    assert(one == many)
+    intercept[IllegalArgumentException] { Outliers.hbos(d, Nil) }
+    intercept[IllegalArgumentException] {
+      Outliers.hbos(d, Seq.fill(8)("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Outliers.hbos(d, Seq("x"), bins = 0)
+    }
+  }
 }
