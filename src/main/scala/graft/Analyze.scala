@@ -194,7 +194,7 @@ import graft.operators.{Curation, GraphOps}
   *               --type-col c [-o <outDir>]
   *               (first-order Markov transition matrix)
   *   outliers    --docs <dir> --value-col v [--group-col g]
-  *               [--mode iqr|z|mad] [--k-factor K — iqr fence
+  *               [--mode iqr|z|mad|hbos] [--k-factor K — iqr fence
   *               multiplier] [--z-threshold Z — z AND mad cut, both in
   *               σ-equivalents] [-o <outDir>]
   *               (three outlier detectors, one surface)
@@ -819,7 +819,7 @@ object Analyze {
       case "outliers" =>
         require(args.docs.nonEmpty && args.valueCol.nonEmpty,
           "outliers needs --docs, --value-col [--group-col g] " +
-            "[--mode iqr|z|mad] [--k-factor K (iqr)] " +
+            "[--mode iqr|z|mad|hbos] [--k-factor K (iqr)] " +
             "[--z-threshold Z (z and mad, σ-equivalents)]")
         val oGroups =
           if (args.groupCol.isEmpty) Nil else Seq(args.groupCol)
@@ -833,8 +833,17 @@ object Analyze {
           case "mad" => graft.operators.Outliers.mad(
             spark.read.parquet(args.docs), args.valueCol, oGroups,
             args.zThreshold)
+          case "hbos" =>
+            // multivariate: --value-col takes a comma list of features;
+            // --threshold's semdedup-tuned 0.95 default would flag every
+            // row (the modal hbos score is exactly 1), so the unset
+            // default flips to the operator's 1e4 — an explicit flag wins
+            graft.operators.Outliers.hbos(
+              spark.read.parquet(args.docs),
+              args.valueCol.split(',').toSeq.map(_.trim), args.bins,
+              if (args.threshold == 0.95) 1e4 else args.threshold)
           case other => throw new IllegalArgumentException(
-            s"unknown outlier mode '$other' (iqr|z|mad)")
+            s"unknown outlier mode '$other' (iqr|z|mad|hbos)")
         }
       case "skew" =>
         require(args.docs.nonEmpty && args.groupCol.nonEmpty,

@@ -596,6 +596,13 @@ class AnalyzeSpec extends SparkSpec {
         s"$dir/vals", "--value-col", "v", "--mode", mode)), spark)
       assert(o.columns.contains("is_outlier"), mode)
     }
+    // hbos: comma-list features, explicit threshold wins the flip
+    Seq.fill(9)((10.0, 10.0)).padTo(10, (1000.0, 1000.0))
+      .toDF("a", "b").write.parquet(s"$dir/vals2")
+    val hb = Analyze.run(parse(List("outliers", "--docs", s"$dir/vals2",
+      "--value-col", "a,b", "--mode", "hbos", "--threshold", "80")),
+      spark)
+    assert(hb.filter(col("is_outlier")).count() == 1)
     Seq.fill(5)("hot").padTo(6, "cold").toDF("k")
       .write.parquet(s"$dir/keys")
     val sk = Analyze.run(parse(List("skew", "--docs", s"$dir/keys",
