@@ -1545,6 +1545,29 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---- X7e: per-doc contamination fraction — the graded number a
+    // threshold policy ("drop when > X% of a doc's 3-grams appear in
+    // any benchmark") is tuned on; same corpus/bench split as q_x7. ----
+    "q_x7e_contamination_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.contaminationReport(
+        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        d.filter(col("doc_id") % 97 === 0), "text", shingleSize = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          floor(col("contaminated_frac") * lit(1e6) + lit(0.5))
+            .as("frac_e6"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- V16: functional-dependency violation report — does
+    // l_partkey determine l_suppkey? (No: parts ship from several
+    // suppliers; every violating part surfaces with its supplier
+    // cardinality and row coverage.) ----
+    "q_v16_fd_violations" -> ((s, dir) =>
+      Validate.fdViolations(t(s, dir, "lineitem"),
+          Seq("l_partkey"), "l_suppkey")
+        .orderBy("l_partkey")),
+
     // ---- X7c: SEMANTIC decontamination — corpus embeddings vs a held-out
     // bench slice (vec_id % 97 == 0), broadcast nested-loop cosine; the
     // paraphrase-leakage sibling of q_x7 ----
@@ -5514,6 +5537,52 @@ object SparkEntry {
         |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // Same shingle construction as q_x7; bench collapses to its
+    // distinct shingle set, corpus side left-joins and aggregates.
+    "q_x7e_contamination_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |), bsh AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+        |), rep AS (
+        |  SELECT d.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS n_contaminated
+        |  FROM sh d LEFT JOIN bsh b ON b.sh = d.sh
+        |  WHERE d.doc_id % 97 <> 0
+        |  GROUP BY 1)
+        |SELECT doc_id, n_shingles,
+        |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+        |  CAST(floor(CAST(n_contaminated AS DOUBLE)
+        |    / CAST(n_shingles AS DOUBLE) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS frac_e6
+        |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // FD check rebuild: distinct dependent count + explicit null-state
+    // flag, violations only.
+    "q_v16_fd_violations" ->
+      """SELECT l_partkey,
+        |  (count(DISTINCT l_suppkey)
+        |    + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END))
+        |    AS n_dep_values,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_partkey IS NOT NULL
+        |GROUP BY 1
+        |HAVING (count(DISTINCT l_suppkey)
+        |  + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)) > 1
+        |ORDER BY l_partkey""".stripMargin,
 
     // Same unnest-pair cosine rebuild as q_x2d, but corpus × bench
     // instead of the upper triangle.

@@ -157,6 +157,46 @@ object Decontaminate {
     docs.join(flagged, docs(idCol) === col("_flagged_id"), "left_anti")
   }
 
+  /** Per-document contamination FRACTION — the graded report behind
+    * [[decontaminate]]'s binary verdict, and the number threshold-based
+    * policies (e.g. "drop when > 10% of a doc's n-grams appear in any
+    * benchmark") are tuned on: for each corpus doc, its distinct
+    * shingle count, how many of those shingles appear anywhere in the
+    * benchmark, and the ratio. A doc shorter than `shingleSize` tokens
+    * has no shingles and no row — it cannot overlap, and emitting a
+    * 0/0 row would invent a fraction.
+    *
+    * Scale notes (100 TB corpus): the bench side collapses to its
+    * DISTINCT shingle set and broadcasts (one string per shingle —
+    * for benchmarks too large for that, hash both sides first as in
+    * [[contaminationPairsHashed]]); the corpus-side aggregate is a
+    * per-doc groupBy with map-side combine. The corpus text never
+    * shuffles — only (doc_id, shingle) pairs.
+    *
+    * @return (`doc_id`, `n_shingles`, `n_contaminated`,
+    *         `contaminated_frac`) */
+  def contaminationReport(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String,
+      shingleSize: Int, broadcastBench: Boolean = true): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
+        .as("_sh"))
+    val b0 = bench.select(
+        explode(array_distinct(
+          Dedup.shingles(col(benchTextCol), shingleSize))).as("_sh"))
+      .distinct()
+    val b = if (broadcastBench) broadcast(b0) else b0
+    d.join(b.withColumn("_hit", lit(1)), Seq("_sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double"))
+  }
+
   /** Embedding-space decontamination: (corpus doc, benchmark doc, cosine)
     * for every pair with cosine ≥ `threshold` — the semantic sibling of
     * [[contaminationPairs]] that catches PARAPHRASED eval leakage no

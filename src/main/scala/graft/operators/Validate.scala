@@ -349,6 +349,34 @@ object Validate {
     *
     * @return one row: (`n_rows`, `n_keys`, `max_count`, `max_share`,
     *         `count_gini` — null when every key count is 0-mass). */
+  /** Functional-dependency violation report — the profiling check
+    * behind "should det → dep hold?": every determinant-column value
+    * combination that maps to MORE than one dependent value, with the
+    * dependent cardinality and the row count it covers. A null
+    * dependent counts as its own value (a group with {null, 'x'} IS a
+    * violation — the FD claims one value, the data shows two states);
+    * rows with a null determinant are excluded (SQL-standard FD
+    * semantics: nulls don't determine anything).
+    *
+    * Scale notes (100 TB): one groupBy on the determinant columns —
+    * `count_distinct` is Spark's two-phase expand-aggregate, and the
+    * null flag is a plain max, both map-side combinable; output is
+    * violations only, so the frame that leaves the aggregation is the
+    * (usually tiny) defect list, not the key space.
+    *
+    * @return (detCols…, `n_dep_values`, `n_rows`), violations only */
+  def fdViolations(df: DataFrame, detCols: Seq[String],
+      depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "fdViolations needs >= 1 determinant col")
+    df.filter(detCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(detCols.map(col): _*)
+      .agg((countDistinct(col(depCol)) +
+          max(when(col(depCol).isNull, 1L).otherwise(0L)))
+          .as("n_dep_values"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_dep_values") > 1)
+  }
+
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))

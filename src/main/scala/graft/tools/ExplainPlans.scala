@@ -47,7 +47,8 @@ object ExplainPlans {
         "q_x3j_index_reuse", "q_x3k_index_update", "q_x3l_recall_audit",
         "q_x6r_epoch_pack", "q_g24b_leiden_weighted",
         "q_g25_incr_communities", "q_g26_scc", "q_x4t_pii_scrub",
-        "q_x3m_ivfpq_residual", "q_o5_hbos")
+        "q_x3m_ivfpq_residual", "q_o5_hbos",
+        "q_x7e_contamination_report", "q_v16_fd_violations")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -32,6 +32,27 @@ class DecontaminateSpec extends SparkSpec {
     assert(hit.getAs[Long]("n_overlap") >= 5) // long verbatim run
   }
 
+  test("contaminationReport: exact per-doc shingle fractions") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles {a b c, b c d} — one in bench
+      (2L, "x y z w v"),   // {x y z, y z w, z w v} — clean
+      (3L, "a b"))         // shorter than the shingle — no row
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "q b c d e")).toDF("qid", "q") // {q b c, b c d, c d e}
+    val rep = Decontaminate.contaminationReport(docs, "text", "doc_id",
+      bench, "q", shingleSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((3L, 0L, 0.0))))
+    // repeated shingles in a doc count once (distinct per doc)
+    val rep2 = Decontaminate.contaminationReport(
+      Seq((9L, "b c d b c d")).toDF("doc_id", "text"), "text", "doc_id",
+      bench, "q", shingleSize = 3).head()
+    // tokens b,c,d,b,c,d → distinct {b c d, c d b, d b c}; "b c d"
+    // appears twice but counts once
+    assert(rep2.getLong(1) == 3L && rep2.getLong(2) == 1L)
+  }
+
   test("decontaminate removes flagged docs and keeps the rest intact") {
     val clean = Decontaminate.decontaminate(
       corpus, "text", "doc_id", bench, "question", "qid", shingleSize = 4)

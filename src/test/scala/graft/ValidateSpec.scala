@@ -285,4 +285,29 @@ class ValidateSpec extends SparkSpec {
     val re = Validate.spearman(cubes.repartition(7), "x", "y").head()
     assert(re.getDouble(1) == 1.0)
   }
+
+  test("fdViolations: violating groups only, null semantics, multi-col") {
+    val d = Seq(
+      (Some("a"), "g1", Some("x")), (Some("a"), "g1", Some("x")),
+      (Some("b"), "g1", Some("x")), (Some("b"), "g1", Some("y")),
+      (Some("c"), "g1", Some("x")), (Some("c"), "g1", None),
+      (None, "g1", Some("z")), (None, "g1", Some("w")))
+      .toDF("det", "det2", "dep")
+    val out = Validate.fdViolations(d, Seq("det"), "dep")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // a → {x}: holds; b → {x, y}: violated; c → {x, null}: the null is
+    // a second observed state, so it violates; null determinants drop
+    assert(out == Map("b" -> ((2L, 2L)), "c" -> ((2L, 2L))))
+    // multi-column determinant: (det, det2) splits nothing new here
+    val out2 = Validate.fdViolations(d, Seq("det", "det2"), "dep")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out2 == Seq("b", "c"))
+    // partition invariance
+    assert(Validate.fdViolations(d.repartition(7), Seq("det"), "dep")
+      .collect().map(_.getString(0)).toSet == Set("b", "c"))
+    intercept[IllegalArgumentException] {
+      Validate.fdViolations(d, Nil, "dep")
+    }
+  }
 }
