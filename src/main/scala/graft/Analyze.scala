@@ -66,7 +66,10 @@ import graft.operators.{Curation, GraphOps}
   *   split       --docs <dir> --strata-col c [--id-col doc_id]
   *               [--val-k N] [--test-k N] [--hash-seed S] [-o <outDir>]
   *               (stratified train/val/test split, exact per-stratum
-  *               quotas, hash-deterministic membership)
+  *               quotas, hash-deterministic membership); or
+  *               --docs <dir> --cluster-col c [--test-fraction F]
+  *               [--hash-seed S] (leakage-safe: hashes the dedup
+  *               cluster id, duplicates never straddle train/test)
   *   shuffle     --docs <dir> [--id-col doc_id] [--epochs E]
   *               [--hash-seed S] [-o <outDir>]
   *               (deterministic training-order shuffle: dense 0-based
@@ -291,6 +294,8 @@ object Analyze {
       valK: Int = 0,
       testK: Int = 0,
       strataCol: String = "",
+      clusterCol: String = "",
+      testFraction: Double = 0.2,
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -405,6 +410,9 @@ object Analyze {
       case "--val-k" :: v :: t => loop(t, acc.copy(valK = v.toInt))
       case "--test-k" :: v :: t => loop(t, acc.copy(testK = v.toInt))
       case "--strata-col" :: v :: t => loop(t, acc.copy(strataCol = v))
+      case "--cluster-col" :: v :: t => loop(t, acc.copy(clusterCol = v))
+      case "--test-fraction" :: v :: t =>
+        loop(t, acc.copy(testFraction = v.toDouble))
       case "--sub-buckets" :: v :: t =>
         loop(t, acc.copy(subBuckets = v.toInt))
       case "--qs" :: v :: t =>
@@ -480,13 +488,24 @@ object Analyze {
           args.subBuckets,
           Option(args.groupCol).filter(_.nonEmpty))
       case "split" =>
-        require(args.docs.nonEmpty && args.strataCol.nonEmpty &&
-          (args.valK > 0 || args.testK > 0),
-          "split needs --docs, --strata-col, and --val-k/--test-k " +
-            "(exact per-stratum quotas; rest becomes train)")
-        graft.operators.Sampling.stratifiedSplit(
-          spark.read.parquet(args.docs), args.strataCol, args.idCol,
-          args.valK, args.testK, args.hashSeed)
+        if (args.clusterCol.nonEmpty) {
+          // leakage-safe: the verdict hashes the dedup CLUSTER id, so
+          // (near-)duplicates can never straddle train/test
+          require(args.docs.nonEmpty,
+            "split --cluster-col needs --docs (and optionally " +
+              "--test-fraction, --hash-seed)")
+          graft.operators.Sampling.splitByCluster(
+            spark.read.parquet(args.docs), args.clusterCol,
+            args.testFraction, args.hashSeed)
+        } else {
+          require(args.docs.nonEmpty && args.strataCol.nonEmpty &&
+            (args.valK > 0 || args.testK > 0),
+            "split needs --docs, --strata-col, and --val-k/--test-k " +
+              "(exact per-stratum quotas; rest becomes train)")
+          graft.operators.Sampling.stratifiedSplit(
+            spark.read.parquet(args.docs), args.strataCol, args.idCol,
+            args.valK, args.testK, args.hashSeed)
+        }
       case "harmonic" =>
         GraphOps.harmonicCentrality(edges, seedsDf, args.hops, ckpt)
       case "betweenness" =>

@@ -1357,6 +1357,13 @@ object SparkEntry {
         .join(renc, Seq("vec_id"))
       val resid = Similarity.ivfPqResidualTopK(q, cents, rcb, rae,
         "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
+      // two-stage leg: the same ADC stage, widened to a C=25 shortlist,
+      // then exact-cosine rerank — recall@5 becomes recall@25 of the
+      // cheap stage (the PQ codes prune, they no longer vote)
+      val rerank = Similarity.rerankTopK(
+        Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+          "vec_id", m = 8, k = 16, topK = 25, nProbe = 8),
+        q, e, "embedding", "vec_id", topK = 5)
       val per = Similarity.recallAtK(exact, ivf)
         .withColumnRenamed("n_hits", "ivf_hits")
         .join(Similarity.recallAtK(exact, ivfpq)
@@ -1365,13 +1372,42 @@ object SparkEntry {
         .join(Similarity.recallAtK(exact, resid)
           .select(col("query_id"), col("n_hits").as("resid_hits")),
           Seq("query_id"))
+        .join(Similarity.recallAtK(exact, rerank)
+          .select(col("query_id"), col("n_hits").as("rerank_hits")),
+          Seq("query_id"))
       per.select(col("query_id"), col("n_exact"), col("ivf_hits"),
-          col("ivfpq_hits"), col("resid_hits"))
+          col("ivfpq_hits"), col("resid_hits"), col("rerank_hits"))
         .unionByName(per.agg(lit(-1L).as("query_id"),
           sum("n_exact").as("n_exact"), sum("ivf_hits").as("ivf_hits"),
           sum("ivfpq_hits").as("ivfpq_hits"),
-          sum("resid_hits").as("resid_hits")))
+          sum("resid_hits").as("resid_hits"),
+          sum("rerank_hits").as("rerank_hits")))
         .orderBy("query_id")
+    }),
+
+    // ---- X3o: two-stage ANN serving — the same IVF-PQ ADC stage
+    // widened to a C=25 shortlist, then exact-cosine rerank of just
+    // those |Q|·C fetched vectors (broadcast shortlist; the corpus
+    // never shuffles). Rank-exact oracle: the full codec replay plus
+    // the same rerank window. ----
+    "q_x3o_rerank_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val shortlist = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+        "vec_id", m = 8, k = 16, topK = 25, nProbe = 8)
+      Similarity.rerankTopK(shortlist, q, e, "embedding", "vec_id",
+          topK = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- O5: multivariate HBOS outliers over four lineitem features —
@@ -1756,6 +1792,24 @@ object SparkEntry {
         .select(col("epoch"), col("doc_id"), col("pos"),
           col("start_offset"), col("bin"), col("spans"))
         .orderBy("epoch", "pos")
+    }),
+
+    // ---- X6s: leakage-safe split — the verdict hashes the dedup
+    // CLUSTER id (here Dedup.exact keeper ids joined back on content
+    // sha), so identical documents can never straddle train/test; a
+    // row-hash split would let them (SamplingSpec pins the
+    // counterexample). Portable hash → the oracle recomputes every
+    // verdict. ----
+    "q_x6s_leak_safe_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_sha256"))
+      val clusters = Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("content_sha256"), col("keeper_id").as("cluster"))
+      Sampling.splitByCluster(
+          d.join(clusters, Seq("content_sha256")), "cluster", 0.2,
+          portable = true)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy("doc_id")
     }),
 
     // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
@@ -4968,6 +5022,30 @@ object SparkEntry {
 
     "q_x3m_ivfpq_residual" -> ivfPqResidualOracleSql,
 
+    "q_x3o_rerank_topk" ->
+      (ivfPqOracleCtesFrom("") + """,
+        |rr25 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 25),
+        |rr0 AS (
+        |  SELECT r.query_id, r.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
+        |  FROM rr25 r
+        |  JOIN q ON q.query_id = r.query_id
+        |  JOIN embeddings e ON e.vec_id = r.vec_id)
+        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+        |  CAST(rk AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, vec_id) AS rk FROM rr0)
+        |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+
     "q_x3j_index_reuse" -> ivfPqOracleSql,
 
     // Incremental-update rebuild: identical pipeline, but the
@@ -4993,6 +5071,27 @@ object SparkEntry {
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adist, vec_id) AS rank FROM rsc)
         |  WHERE rank <= 5),
+        |rr25 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 25),
+        |rr0 AS (
+        |  SELECT r.query_id, r.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
+        |  FROM rr25 r
+        |  JOIN q ON q.query_id = r.query_id
+        |  JOIN embeddings e ON e.vec_id = r.vec_id),
+        |rr5 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk FROM rr0)
+        |  WHERE rk <= 5),
         |probed3 AS (
         |  SELECT query_id, centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -5038,7 +5137,9 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
         |      AS BIGINT) AS ivfpq_hits,
         |    CAST(sum(CASE WHEN rq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS resid_hits
+        |      AS BIGINT) AS resid_hits,
+        |    CAST(sum(CASE WHEN rr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rerank_hits
         |  FROM exact5 x
         |  LEFT JOIN ivf5 iv ON iv.query_id = x.query_id
         |    AND iv.vec_id = x.vec_id
@@ -5046,15 +5147,19 @@ object SparkEntry {
         |    AND pq.vec_id = x.vec_id
         |  LEFT JOIN rpq5 rq ON rq.query_id = x.query_id
         |    AND rq.vec_id = x.vec_id
+        |  LEFT JOIN rr5 rr ON rr.query_id = x.query_id
+        |    AND rr.vec_id = x.vec_id
         |  GROUP BY x.query_id)
-        |SELECT query_id, n_exact, ivf_hits, ivfpq_hits, resid_hits
+        |SELECT query_id, n_exact, ivf_hits, ivfpq_hits, resid_hits,
+        |  rerank_hits
         |FROM per
         |UNION ALL
         |SELECT CAST(-1 AS BIGINT) AS query_id,
         |  CAST(sum(n_exact) AS BIGINT) AS n_exact,
         |  CAST(sum(ivf_hits) AS BIGINT) AS ivf_hits,
         |  CAST(sum(ivfpq_hits) AS BIGINT) AS ivfpq_hits,
-        |  CAST(sum(resid_hits) AS BIGINT) AS resid_hits FROM per
+        |  CAST(sum(resid_hits) AS BIGINT) AS resid_hits,
+        |  CAST(sum(rerank_hits) AS BIGINT) AS rerank_hits FROM per
         |ORDER BY query_id""".stripMargin),
 
     "q_x2b_ngram_jaccard" ->
@@ -5757,6 +5862,19 @@ object SparkEntry {
         |  CAST((rend - 1) // 4096 - (rend - n_chars) // 4096 + 1
         |    AS BIGINT) AS spans
         |FROM p ORDER BY epoch, pos""".stripMargin,
+
+    // Leakage-safe split: the oracle rebuilds the dedup clusters (min
+    // doc_id per identical text) and recomputes the md5-48 verdict of
+    // the CLUSTER id — duplicates must land on one side by construction.
+    "q_x6s_leak_safe_split" ->
+      """WITH c AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster
+        |  FROM documents)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN CAST(concat('0x',
+        |      substr(md5(concat(42, ':', cluster)), 1, 12)) AS BIGINT)
+        |    % 1000000 < 200000 THEN 'test' ELSE 'train' END AS split
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_x6b_hash_sample" ->
       """SELECT doc_id FROM documents

@@ -60,6 +60,46 @@ object Sampling {
     (df.filter(bucket >= cut), df.filter(bucket < cut))
   }
 
+  /** Leakage-safe split: the verdict hashes the CLUSTER id, not the row
+    * id, so every member of a (near-)duplicate cluster lands on the same
+    * side — a near-duplicate of a test document can never appear in
+    * train. That's the split-leakage failure mode a row-hash split
+    * ([[trainTestSplit]]) cannot prevent: two near-identical documents
+    * hash independently and straddle the boundary, and the held-out set
+    * silently measures memorization (SamplingSpec pins the
+    * counterexample).
+    *
+    * `clusterCol` is any cluster assignment the dedup tier produces —
+    * [[Dedup.exact]] keeper ids joined back, [[Dedup.connectedComponents]]
+    * labels over minhash/simhash candidate pairs, or semantic-dedup
+    * cells. Singletons are their own cluster, so with clusters small
+    * relative to the corpus the test mass still concentrates around
+    * `testFraction`.
+    *
+    * Growth contract: the verdict is a pure function of (cluster value,
+    * seed) — ingesting more data never moves an existing cluster across
+    * the boundary. The caller's labeling discipline owns the one
+    * residual hazard: a min-id canonical label itself changes when a
+    * lower-id member arrives or two clusters merge (inherent to content
+    * clustering, not to the split).
+    *
+    * Scale (100 TB): a pure narrow map over whatever frame carries the
+    * cluster column — no shuffle, no join, fully codegen'd, and the
+    * predicate composes with parquet scan pushdown exactly like
+    * [[hashSample]].
+    *
+    * @return input + `split` column (`train` | `test`) */
+  def splitByCluster(df: DataFrame, clusterCol: String,
+      testFraction: Double, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      "testFraction must be in [0, 1]")
+    val cut = (testFraction * Buckets).toLong
+    df.withColumn("split",
+      when(hashBucket(col(clusterCol), seed, portable) < cut, lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** Stratified train/val/test split with EXACT per-stratum quotas: in
     * every stratum, the `testK` rows with the smallest seeded id-hash
     * become `test`, the next `valK` become `val`, the rest `train` —

@@ -493,6 +493,45 @@ object Similarity {
         sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
   }
 
+  /** Two-stage serving: exact-cosine re-rank of an approximate
+    * SHORTLIST — the standard answer to quantization recall loss. Any
+    * (query_id, vec_id) candidate frame works ([[ivfTopK]], [[pqTopK]],
+    * [[ivfPqTopK]], [[ivfPqResidualTopK]] at `topK = shortlist size`);
+    * the float vectors are fetched ONLY for the |Q|·C shortlisted rows
+    * and re-scored exactly, so recall@k of the composed search equals
+    * recall@C of the cheap stage — measured: the bench corpus's IVF-PQ
+    * recall@5 of 3/40 becomes 13/40 at sf0.1 (6/40 → 17/40 at
+    * sf0.01) through a C = 25 ADC shortlist
+    * (`q_x3l_recall_audit`'s `rerank_hits` leg keeps the live number;
+    * the PQ stage still prunes 2000 → 25, it just stops VOTING).
+    *
+    * Scale notes: the shortlist is retrieval fan-in (|Q|·C rows) and is
+    * BROADCAST against the corpus vector store, so the full-precision
+    * corpus is a narrow pruned scan — never shuffled, never crossed;
+    * only the |Q|·C survivors carry float vectors into the final
+    * per-query window. On the stored [[saveIndex]] layout the fetch is
+    * further partition-pruned by `centroid_id`.
+    *
+    * @return (`query_id`, `vec_id`, `cosine`, `rank`) top `topK` per
+    *         query by exact cosine (ties on id) */
+  def rerankTopK(shortlist: DataFrame, queries: DataFrame,
+      vectors: DataFrame, vecCol: String, idCol: String,
+      topK: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val fetched = vectors
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+      .join(broadcast(shortlist.select("query_id", "vec_id")),
+        Seq("vec_id"))
+    val scored = fetched.join(q, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009): each
     * list contributes `1/(c + rank)` per member, summed per id — the
     * standard way to combine dense ([[bruteForceTopK]]/[[ivfTopK]]) and

@@ -124,6 +124,63 @@ class SamplingSpec extends SparkSpec {
     assert(trainIds.intersect(testGrownIds.filter(_ < 10000L)) == Set.empty)
   }
 
+  test("splitByCluster: duplicate clusters never straddle the boundary " +
+      "(the row-hash counterexample), verdict pure in (cluster, seed)") {
+    import graft.operators.Dedup
+    // 1000 duplicate PAIRS: rows (2k, 2k+1) share a text.
+    val dups = (0 until 2000).map(i => (i.toLong, s"dup${i / 2}"))
+      .toDF("id", "txt")
+    // The failure mode being prevented: a row-hash split hashes the two
+    // members independently, so some pair straddles train/test and the
+    // held-out half measures memorization.
+    val (_, rowTest) = Sampling.trainTestSplit(dups, "id", 0.25)
+    val rowTestIds = rowTest.select("id").as[Long].collect().toSet
+    val straddling = (0 until 1000).count { k =>
+      rowTestIds.contains(2L * k) != rowTestIds.contains(2L * k + 1)
+    }
+    assert(straddling > 0, "fixture should straddle under a row-hash split")
+    // splitByCluster over Dedup.exact clusters (the q_x6s composition):
+    // both members carry the keeper id, so the verdict is shared.
+    val clusters = Dedup.exact(dups, "txt", "id")
+      .select(col("content_sha256"), col("keeper_id").as("cluster"))
+    val withCluster = dups
+      .select(col("id"), sha2(col("txt"), 256).as("content_sha256"))
+      .join(clusters, Seq("content_sha256"))
+    val split = Sampling.splitByCluster(withCluster, "cluster", 0.25)
+      .select("id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 2000)
+    val byCluster = split.groupBy(_._2)
+    assert(byCluster.forall(_._2.map(_._3).distinct.length == 1),
+      "every cluster must land entirely on one side")
+    // test mass still lands near the target fraction (clusters are small)
+    val testN = split.count(_._3 == "test").toDouble
+    assert(math.abs(testN / 2000 - 0.25) < 0.05, s"got ${testN / 2000}")
+    // growth: new clusters never move an existing cluster's verdict, and
+    // the verdict is recomputable from the JVM portable hash
+    val grown = (0 until 4000).map(i => (i.toLong, s"dup${i / 2}"))
+      .toDF("id", "txt")
+    val grownClusters = Dedup.exact(grown, "txt", "id")
+      .select(col("content_sha256"), col("keeper_id").as("cluster"))
+    val grownSplit = Sampling.splitByCluster(
+        grown.select(col("id"), sha2(col("txt"), 256).as("content_sha256"))
+          .join(grownClusters, Seq("content_sha256")),
+        "cluster", 0.25, portable = true)
+      .select("id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    val old = split.map(r => r._1 -> r._2).toMap
+    // same texts keep the same keeper → same cluster → same side; and in
+    // portable mode the verdict replays from md5-48 of the cluster id
+    import graft.functions.PortableHash
+    grownSplit.filter(r => old.contains(r._1)).foreach { r =>
+      assert(r._2 == old(r._1), s"cluster moved for id=${r._1}")
+      val want =
+        if (PortableHash.hash48(r._2.toString, 42L) % 1000000L < 250000L)
+          "test" else "train"
+      assert(r._3 == want, s"portable verdict mismatch for id=${r._1}")
+    }
+  }
+
   test("epochOrder: a dense 0-based permutation equal to the naive " +
       "global hash order, invariant to partitioning and bucket count, " +
       "JVM-replayable in portable mode") {

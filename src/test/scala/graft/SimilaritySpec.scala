@@ -474,6 +474,71 @@ class SimilaritySpec extends SparkSpec {
       top.last.getAs[Double]("adist"))
   }
 
+  test("rerankTopK: full-set rerank IS brute force bit-equal; a PQ " +
+      "shortlist reranked realizes exactly the shortlist's recall mass") {
+    // same planted-cluster construction as the residual-PQ test: PQ
+    // destroys within-cluster ranking, which is precisely what the
+    // exact rerank stage exists to recover
+    val n = 240
+    val dim = 64
+    val vecs = (0 until n).map { id =>
+      val cluster = id / 30
+      val variant = id % 4
+      val v = Array.tabulate(dim) { i =>
+        val sign = if (((i + 7) * (cluster + 13)) % 5 <= 2) 1f else -1f
+        10f * sign + 0.2f * (((i + variant) % 4) - 1.5f)
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 30 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(q, vecs, "embedding", "vec_id",
+      k = 5)
+    // degenerate shortlist = every candidate → rerank IS brute force,
+    // including bit-equal cosines (same kernel, same tie-break)
+    val all = Similarity.bruteForceTopK(q, vecs, "embedding", "vec_id",
+      k = n)
+    val rerankAll = Similarity.rerankTopK(all, q, vecs, "embedding",
+      "vec_id", topK = 5)
+    assert(rerankAll.orderBy("query_id", "rank").collect().toSeq ==
+      exact.orderBy("query_id", "rank").collect().toSeq)
+    // PQ shortlist leg
+    val (cents, assigned) = Similarity.ivfIndex(vecs, "embedding",
+      "vec_id", k = 16)
+    val cb = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      m = 8, k = 16)
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", cb, m = 8)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val adc5 = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+      "vec_id", m = 8, k = 16, topK = 5, nProbe = 4)
+    val short25 = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+      "vec_id", m = 8, k = 16, topK = 25, nProbe = 4)
+    val rr = Similarity.rerankTopK(short25, q, vecs, "embedding",
+      "vec_id", topK = 5)
+    // rerank returns only shortlisted candidates
+    val shortSet = short25.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val rrPairs = rr.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect()
+    rrPairs.foreach(p => assert(shortSet(p), s"$p not in shortlist"))
+    // THE theorem: rerank's top-5 contains every exact-top-5 member the
+    // shortlist caught (they have the highest true cosines, so they
+    // win the exact re-scoring) — recall@5 of the composed search
+    // equals recall@25 of the ADC stage, and can only beat raw ADC@5
+    val exactSet = exact.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val rrHits = rrPairs.count(exactSet)
+    val shortMass = shortSet.count(exactSet)
+    val adcHits = adc5.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().count(exactSet)
+    info(s"recall@5 over 16 queries: rerank $rrHits/80, " +
+      s"adc@5 $adcHits/80, shortlist mass $shortMass/80")
+    assert(rrHits == shortMass,
+      s"rerank must realize the shortlist's full recall mass: " +
+        s"$rrHits vs $shortMass")
+    assert(rrHits >= adcHits)
+  }
+
   test("residual PQ beats raw PQ on clustered data; codec is well-formed") {
     // Planted structure: 16 well-separated clusters with DENSE centers
     // (±10 mixed-sign patterns across all 64 dims — so every PQ
