@@ -93,9 +93,14 @@ import graft.operators.{Curation, GraphOps}
   *               one-row drift report: retrain when cosine_drift grows)
   *   annquery    --vectors <queries dir> --target <index dir>
   *               [--vec-col embedding] [--id-col vec_id] [--top-k K]
-  *               [--probes N] [-o <outDir>]
+  *               [--probes N] [--rerank C --corpus <vectors dir>]
+  *               [-o <outDir>]
   *               (IVF-PQ search against the stored index; scans only
-  *               the probed partitions, codes not floats)
+  *               the probed partitions, codes not floats. With
+  *               --rerank, the ADC stage returns a C-deep shortlist
+  *               and the full-precision --corpus vectors are fetched
+  *               for just those |Q|*C rows and re-scored exactly —
+  *               recall@k becomes recall@C of the code stage)
   *   quantiles   --docs <dir> --value-col v [--group-col g]
   *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
   *               (mergeable HDR-histogram quantile sketch over
@@ -296,6 +301,8 @@ object Analyze {
       strataCol: String = "",
       clusterCol: String = "",
       testFraction: Double = 0.2,
+      rerank: Int = 0,
+      corpus: String = "",
       outDir: String = "",
       checkpointDir: Option[String] = None,
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
@@ -411,6 +418,8 @@ object Analyze {
       case "--test-k" :: v :: t => loop(t, acc.copy(testK = v.toInt))
       case "--strata-col" :: v :: t => loop(t, acc.copy(strataCol = v))
       case "--cluster-col" :: v :: t => loop(t, acc.copy(clusterCol = v))
+      case "--rerank" :: v :: t => loop(t, acc.copy(rerank = v.toInt))
+      case "--corpus" :: v :: t => loop(t, acc.copy(corpus = v))
       case "--test-fraction" :: v :: t =>
         loop(t, acc.copy(testFraction = v.toDouble))
       case "--sub-buckets" :: v :: t =>
@@ -625,10 +634,23 @@ object Analyze {
           "annquery needs --vectors <queries dir> and --target " +
             "<index dir>")
         val ix = graft.operators.Similarity.loadIndex(spark, args.target)
-        graft.operators.Similarity.ivfPqTopK(
-          spark.read.parquet(args.vectors), ix.centroids, ix.codebooks,
-          ix.assignedEncoded, args.vecCol,
-          if (args.idCol == "doc_id") "vec_id" else args.idCol,
+        val annIdc = if (args.idCol == "doc_id") "vec_id" else args.idCol
+        val annQs = spark.read.parquet(args.vectors)
+        if (args.rerank > 0) {
+          // two-stage serving: C-deep ADC shortlist from the stored
+          // codes, then exact-cosine rerank over the fetched
+          // full-precision rows (the stored index has codes only)
+          require(args.corpus.nonEmpty,
+            "annquery --rerank needs --corpus <full-precision vectors>")
+          graft.operators.Similarity.rerankTopK(
+            graft.operators.Similarity.ivfPqTopK(annQs, ix.centroids,
+              ix.codebooks, ix.assignedEncoded, args.vecCol, annIdc,
+              ix.m, ix.k, args.rerank, args.probes),
+            annQs, spark.read.parquet(args.corpus), args.vecCol, annIdc,
+            args.topK)
+        } else graft.operators.Similarity.ivfPqTopK(
+          annQs, ix.centroids, ix.codebooks,
+          ix.assignedEncoded, args.vecCol, annIdc,
           ix.m, ix.k, args.topK, args.probes)
       case "semdedup" =>
         require(args.vectors.nonEmpty, "semdedup needs --vectors <dir>")

@@ -656,6 +656,25 @@ class AnalyzeSpec extends SparkSpec {
       "--top-k", "5", "--probes", "3")), spark)
     val perQuery = hits.groupBy("query_id").count().collect()
     assert(perQuery.length == 4 && perQuery.forall(_.getLong(1) == 5L))
+    // two-stage: --rerank widens the ADC stage to a C-deep shortlist
+    // and re-scores exactly against the full-precision corpus
+    val rr = Analyze.run(parse(List("annquery",
+      "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
+      "--top-k", "5", "--probes", "3",
+      "--rerank", "25", "--corpus", sf() + "/embeddings.parquet")),
+      spark)
+    val rrPer = rr.groupBy("query_id").count().collect()
+    assert(rrPer.length == 4 && rrPer.forall(_.getLong(1) == 5L))
+    // exact cosines, descending per query (the ADC stage only prunes)
+    val byQ = rr.select(col("query_id"), col("rank"), col("cosine"))
+      .collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    intercept[IllegalArgumentException](Analyze.run(parse(List(
+      "annquery", "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
+      "--rerank", "25")), spark)) // --rerank without --corpus
     intercept[IllegalArgumentException](Analyze.run(parse(List(
       "annbuild", "--vectors", s"$dir/vec_base")), spark))
   }
