@@ -1099,6 +1099,20 @@ object SparkEntry {
         .groupBy("reason").agg(count(lit(1)).as("n"))
         .orderBy("reason")),
 
+    // ---- X1d: quality-aware keeper election — same near-dup clusters
+    // as q_x1c, but the survivor is the longest member (highest
+    // n_chars, ties → lowest id) instead of the min-id label: what a
+    // production pipeline actually keeps. ----
+    "q_x1d_best_keeper" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clustered = Dedup.dedupCorpus(d, "text", "doc_id",
+          threshold = 0.8, portable = true)
+        .select(col("doc_id"), col("keeper_id").as("cluster"))
+        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      Dedup.electKeepers(clustered, "doc_id", "cluster", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI, so
     // rows-only BY DESIGN: DuckDB has no xxhash64 to rebuild the
     // fingerprints). Its oracled twin is q_x2j (portable md5-48 mode,
@@ -3258,6 +3272,65 @@ object SparkEntry {
     * so the two can never drift) → 4-hash band signatures. `lead` CTEs
     * (if any) are injected before `tok`; `docsRel` is the relation the
     * token rebuild reads (must expose doc_id, text). */
+  /** Shared dedup-pipeline oracle prefix (q_x1c, q_x1d): exact keepers
+    * (window min per text), portable LSH + exact-Jaccard ≥ 0.8 pairs
+    * among the exact representatives, connected components as a
+    * 6-round min-label unroll (MATERIALIZED — each round reads the
+    * previous twice). Ends at `fc(doc_id, exact_keeper, cluster)` —
+    * every document mapped to its near-dup cluster label. */
+  private def dedupClusterCtes: String = {
+    val lead =
+      """ek AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS exact_keeper
+        |  FROM documents
+        |), reps AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN ek ON ek.doc_id = d.doc_id AND ek.exact_keeper = d.doc_id
+        |), """.stripMargin
+    val ccRounds = (1 to 6).map { i =>
+      s""",
+         |l$i AS MATERIALIZED (
+         |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT eadj.src AS id, min(l2.comp) AS mc
+         |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
+         |    GROUP BY eadj.src) m USING (id))""".stripMargin
+    }.mkString
+    s"""${minhashPortableCtes(lead, "reps")},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM band x JOIN band y
+       |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
+       |), dsh AS (
+       |  SELECT DISTINCT doc_id, sh FROM sh
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN dsh a ON a.doc_id = c.id_a
+       |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+       |  GROUP BY c.id_a, c.id_b
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  WHERE CAST(i.n_inter AS DOUBLE)
+       |    / (sa.n + sb.n - i.n_inter) >= 0.8
+       |), eadj AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), l0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, doc_id AS comp FROM reps
+       |)$ccRounds,
+       |fc AS (
+       |  SELECT ek.doc_id, ek.exact_keeper, n.comp AS cluster
+       |  FROM ek JOIN l6 n ON n.id = ek.exact_keeper)""".stripMargin
+  }
+
   private def minhashPortableCtes(lead: String = "",
       docsRel: String = "documents", perBand: Int = 4): String = {
     val values = graft.operators.Dedup.portableCoeffs(16, 42L).zipWithIndex
@@ -4368,63 +4441,33 @@ object SparkEntry {
     // exact representatives, connected components as a 6-round min-label
     // unroll (MATERIALIZED — each round reads the previous twice), then
     // the keeper/reason composition dedupCorpus emits.
-    "q_x1c_dedup_pipeline" -> {
-      val lead =
-        """ek AS (
-          |  SELECT doc_id,
-          |    min(doc_id) OVER (PARTITION BY text) AS exact_keeper
-          |  FROM documents
-          |), reps AS (
-          |  SELECT d.doc_id, d.text FROM documents d
-          |  JOIN ek ON ek.doc_id = d.doc_id AND ek.exact_keeper = d.doc_id
-          |), """.stripMargin
-      val ccRounds = (1 to 6).map { i =>
-        s""",
-           |l$i AS MATERIALIZED (
-           |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-           |  FROM l${i - 1} l LEFT JOIN (
-           |    SELECT eadj.src AS id, min(l2.comp) AS mc
-           |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
-           |    GROUP BY eadj.src) m USING (id))""".stripMargin
-      }.mkString
-      s"""${minhashPortableCtes(lead, "reps")},
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y
-         |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
-         |), dsh AS (
-         |  SELECT DISTINCT doc_id, sh FROM sh
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.id_a
-         |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
-         |  GROUP BY c.id_a, c.id_b
-         |), pairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN sizes sa ON sa.doc_id = c.id_a
-         |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-         |  WHERE CAST(i.n_inter AS DOUBLE)
-         |    / (sa.n + sb.n - i.n_inter) >= 0.8
-         |), eadj AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs
-         |), l0 AS MATERIALIZED (
-         |  SELECT doc_id AS id, doc_id AS comp FROM reps
-         |)$ccRounds,
+    "q_x1c_dedup_pipeline" ->
+      s"""$dedupClusterCtes,
          |dec AS (
-         |  SELECT ek.doc_id,
-         |    CASE WHEN ek.doc_id = n.comp THEN 'kept'
-         |         WHEN ek.doc_id <> ek.exact_keeper THEN 'exact'
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id = cluster THEN 'kept'
+         |         WHEN doc_id <> exact_keeper THEN 'exact'
          |         ELSE 'near' END AS reason
-         |  FROM ek JOIN l6 n ON n.id = ek.exact_keeper)
+         |  FROM fc)
          |SELECT reason, count(*) AS n FROM dec
-         |GROUP BY reason ORDER BY reason""".stripMargin
-    },
+         |GROUP BY reason ORDER BY reason""".stripMargin,
+
+    // Keeper re-election: same clusters, the survivor is the
+    // highest-n_chars member (ties → lowest id) instead of the min-id
+    // label — the argmax window replays electKeepers' max-struct.
+    "q_x1d_best_keeper" ->
+      s"""$dedupClusterCtes,
+         |sc AS (
+         |  SELECT f.doc_id, f.cluster, d.n_chars
+         |  FROM fc f JOIN documents d USING (doc_id)),
+         |k AS (
+         |  SELECT cluster, doc_id AS keeper_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, doc_id) AS rn FROM sc)
+         |  WHERE rn = 1)
+         |SELECT s.doc_id, s.cluster, k.keeper_id,
+         |  s.doc_id = k.keeper_id AS is_kept
+         |FROM sc s JOIN k USING (cluster) ORDER BY s.doc_id""".stripMargin,
 
     // Overflow report with maxBucketSize = 1: every bucket shared by ≥ 2
     // docs counts, so the side-channel is exercised with non-zero output.

@@ -633,6 +633,37 @@ object Dedup {
     decisions
   }
 
+  /** Quality-aware keeper election: given ANY cluster assignment
+    * ([[dedupCorpus]] decisions, [[connectedComponents]] labels,
+    * [[semanticDedup]] cells) plus a per-row score, the keeper of each
+    * cluster is its highest-score member (ties → lowest id). Production
+    * dedup keeps the BEST copy of a near-duplicate cluster — longest,
+    * highest quality-model score, least boilerplate — not the
+    * lowest-id one; the min-id convention everywhere else in this file
+    * is for deterministic CLUSTER LABELS, which this reuses unchanged
+    * (the cluster column passes through verbatim, so membership stays
+    * stable while the survivor changes).
+    *
+    * Scale notes (100 TB): keeper election is a map-side-combinable
+    * groupBy down to ONE (cluster, keeper) row per cluster — the
+    * max-struct carries (score, -id), never text — then one hash join
+    * back on the cluster key; both shuffles move only (id, cluster,
+    * score)-width rows.
+    *
+    * @return (`idCol`, `clusterCol`, `keeper_id`, `is_kept`) one row
+    *         per input row */
+  def electKeepers(clustered: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame = {
+    val keepers = clustered
+      .groupBy(col(clusterCol))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("negid"))).as("_b"))
+      .select(col(clusterCol), (-col("_b.negid")).as("keeper_id"))
+    clustered.join(keepers, Seq(clusterCol))
+      .select(col(idCol), col(clusterCol), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).as("is_kept"))
+  }
+
   /** Duplicate-SPAN removal — the surgical half of Lee et al.'s
     * "Deduplicating Training Data": instead of dropping whole documents,
     * DELETE the duplicated passages and keep the rest. A token is removed

@@ -49,7 +49,8 @@ object ExplainPlans {
         "q_g25_incr_communities", "q_g26_scc", "q_x4t_pii_scrub",
         "q_x3m_ivfpq_residual", "q_o5_hbos",
         "q_x7e_contamination_report", "q_v16_fd_violations",
-        "q_x6s_leak_safe_split", "q_x3o_rerank_topk")
+        "q_x6s_leak_safe_split", "q_x3o_rerank_topk",
+        "q_x1d_best_keeper")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -638,4 +638,33 @@ class DedupSpec extends SparkSpec {
     assert(re.collect().map(r =>
       (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap == got)
   }
+
+  test("electKeepers: highest score wins, ties break to lowest id, " +
+      "cluster labels pass through, singletons keep themselves") {
+    // cluster 0: ids 0,1,2 with scores 10,30,30 → keeper 1 (tie 1 vs 2)
+    // cluster 5: ids 5,6 with scores 7,9        → keeper 6 (not min id)
+    // cluster 9: singleton id 9                 → keeper 9
+    val clustered = Seq(
+      (0L, 0L, 10L), (1L, 0L, 30L), (2L, 0L, 30L),
+      (5L, 5L, 7L), (6L, 5L, 9L),
+      (9L, 9L, 4L)).toDF("id", "cluster", "score")
+    val got = Dedup.electKeepers(clustered, "id", "cluster", "score")
+      .orderBy("id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L, false), (1L, 0L, 1L, true), (2L, 0L, 1L, false),
+      (5L, 5L, 6L, false), (6L, 5L, 6L, true),
+      (9L, 9L, 9L, true)))
+    // exactly one keeper per cluster, and membership is unchanged
+    val perCluster = got.groupBy(_._2)
+    assert(perCluster.forall(_._2.count(_._4) == 1))
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      clustered.select(col("id"), col("cluster"))
+        .as[(Long, Long)].collect().toMap)
+    // double scores work the same (quality-model outputs)
+    val d = Seq((0L, 0L, 0.25), (1L, 0L, 0.75)).toDF("id", "cluster", "q")
+    assert(Dedup.electKeepers(d, "id", "cluster", "q")
+      .filter(col("is_kept")).select("id").as[Long].collect().toSeq ==
+      Seq(1L))
+  }
 }
