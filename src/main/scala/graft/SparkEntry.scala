@@ -2324,6 +2324,20 @@ object SparkEntry {
           floor(col("bm25") * lit(1e4) + lit(0.5)).as("bm25_e4"))
         .orderBy("doc_id", "token")),
 
+    // ---- X9e: feature-hashed TF-IDF document vectors (the hashing
+    // trick) — text-only fixed-dim embeddings, no vocabulary, no model.
+    // e6-integerized weights make the per-bucket sums exact long
+    // arithmetic (order-free), so the unnormalized vector is oracle-
+    // rebuildable entry by entry; posexplode flattens the fixed-dim
+    // contract (every doc emits ALL 64 positions, zeros included). ----
+    "q_x9e_hashed_vectors" -> ((s, dir) =>
+      Relevance.hashedVectors(t(s, dir, "documents"), "doc_id", "text",
+          dim = 64, normalize = false)
+        .select(col("doc_id"), posexplode(col("vector")))
+        .select(col("doc_id"), col("pos").cast("long").as("j"),
+          floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("v_e6"))
+        .orderBy("doc_id", "j")),
+
     // ---- X3d: MMR diversity re-rank over the search stage's top-20 —
     // greedy per-query trade-off between relevance and redundancy (λ=0.7).
     // Fully oracled: the greedy argmax compares raw doubles with a
@@ -6693,6 +6707,41 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token), n
         |WHERE tf.doc_id < 20
         |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
+    // Hashing-trick vectors rebuilt entry by entry: md5-48 bucket
+    // (h % 64) and sign bit ((h >> 20) & 1), e6-integerized tf-idf
+    // weights summed as BIGINTs, zero-filled over the full 64-position
+    // grid per document.
+    "q_x9e_hashed_vectors" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token <> '' GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    CAST(concat('0x',
+        |      substr(md5(concat(42, ':', tf.token)), 1, 12)) AS BIGINT)
+        |      AS h,
+        |    CAST(floor(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1)
+        |      * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS we6
+        |  FROM tf JOIN dfreq USING (token), n),
+        |b AS (
+        |  SELECT doc_id, h % 64 AS j,
+        |    sum(CASE WHEN (h >> 20) & 1 = 1 THEN -we6 ELSE we6 END)
+        |      AS v_e6
+        |  FROM w GROUP BY doc_id, h % 64),
+        |grid AS (
+        |  SELECT d.doc_id, g.j
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d,
+        |    (SELECT unnest(range(0, 64)) AS j) g)
+        |SELECT grid.doc_id, CAST(grid.j AS BIGINT) AS j,
+        |  CAST(coalesce(b.v_e6, 0) AS BIGINT) AS v_e6
+        |FROM grid LEFT JOIN b ON b.doc_id = grid.doc_id AND b.j = grid.j
+        |ORDER BY grid.doc_id, grid.j""".stripMargin,
 
     // Every decimal literal is CAST AS DOUBLE (bare decimals are DECIMAL
     // in DuckDB → different evaluation order than Spark's IEEE doubles)

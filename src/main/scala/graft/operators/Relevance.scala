@@ -73,6 +73,72 @@ object Relevance {
         col("score_e6"))
   }
 
+  /** Feature-hashed TF-IDF document vectors — the hashing trick
+    * (Weinberger et al. 2009, "Feature Hashing for Large Scale
+    * Multitask Learning"): every token's smoothed tf-idf weight lands
+    * in bucket `hash(token) % dim` with a sign drawn from another hash
+    * bit (signed hashing keeps collisions unbiased in expectation), so
+    * the corpus embeds into a FIXED `dim` with no vocabulary table, no
+    * trained model, and no second pass — the text-only on-ramp to the
+    * whole vector tier ([[graft.operators.Similarity]] search,
+    * [[graft.operators.Dedup.semanticDedup]], ANN indexing) when no
+    * embedding model is in the loop.
+    *
+    * Determinism discipline: weights are e6-integerized
+    * (`floor(tfidf·1e6 + 0.5)`, the [[topTerms]] convention) BEFORE
+    * the per-bucket sum, so accumulation is exact long arithmetic —
+    * partition- and engine-order-free — and only then divided back to
+    * double. The bucket/sign hash is the portable md5-48
+    * ([[graft.functions.PortableHash]]), so the whole vector is
+    * rebuildable in ANSI SQL (the `q_x9e` oracle does).
+    *
+    * Scale notes (100 TB): [[tfidf]]'s two hash aggregations + 1-row
+    * broadcast are the only corpus-sized work; hashing is a narrow map
+    * on `(doc, token)` rows; vector assembly groups ≤ `dim` bucket
+    * rows per doc into one `dim`-float array (the higher-order
+    * builders run once per DOC, not per token, so CodegenFallback
+    * there is off the hot path). Docs with no tokens (empty/NULL
+    * text) still emit their all-zero row — downstream joins must not
+    * lose them.
+    *
+    * @return (`doc_id`, `vector` array<double> of length `dim`;
+    *         L2-normalized when `normalize`, zero vectors left as-is) */
+  def hashedVectors(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64, seed: Long = 42L,
+      normalize: Boolean = true): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val h = graft.functions.PortableHash.hash48(col("token"), seed)
+    val w = tfidf(docs, idCol, textCol)
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("_j"),
+        (when(shiftright(h, 20).bitwiseAND(lit(1L)) === 1L, lit(-1L))
+          .otherwise(lit(1L)) *
+          floor(col("tfidf") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("_we6"))
+    val sums = w.groupBy(col("doc_id"), col("_j"))
+      .agg(sum("_we6").as("_v"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("_j"), col("_v"))))
+        .as("_m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)), j =>
+          coalesce(element_at(col("_m"), j), lit(0L)).cast("double")
+            / 1e6).as("vector"))
+    val all = docs.select(col(idCol).as("doc_id"))
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("vector"), array_repeat(lit(0.0), lit(dim)))
+          .as("vector"))
+    if (!normalize) all
+    else {
+      val norm = sqrt(aggregate(col("vector"), lit(0.0),
+        (a, x) => a + x * x))
+      all.withColumn("vector",
+        when(norm > lit(0.0), transform(col("vector"), x => x / norm))
+          .otherwise(col("vector")))
+    }
+  }
+
   /** Per-(doc, token) Okapi BM25 weight:
     * `idf_bm25 = ln(1 + (N − df + 0.5)/(df + 0.5))`, saturated term
     * frequency `tf·(k1+1)/(tf + k1·(1 − b + b·len/avgLen))` with the

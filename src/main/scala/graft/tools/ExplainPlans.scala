@@ -50,7 +50,7 @@ object ExplainPlans {
         "q_x3m_ivfpq_residual", "q_o5_hbos",
         "q_x7e_contamination_report", "q_v16_fd_violations",
         "q_x6s_leak_safe_split", "q_x3o_rerank_topk",
-        "q_x1d_best_keeper")
+        "q_x1d_best_keeper", "q_x9e_hashed_vectors")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

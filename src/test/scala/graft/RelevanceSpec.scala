@@ -215,4 +215,51 @@ class RelevanceSpec extends SparkSpec {
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(after == before)
   }
+
+  test("hashedVectors: JVM hash replay of buckets and signs, identical " +
+      "texts embed identically, empty docs keep a zero row, unit norm") {
+    import graft.functions.PortableHash
+    val docs = Seq(
+      (0L, "alpha beta beta"),
+      (1L, "alpha beta beta"), // exact dup of 0 → identical vector
+      (2L, "gamma delta"),
+      (3L, "")) // no tokens → all-zero vector, row still present
+      .toDF("doc_id", "text")
+    val dim = 16
+    val raw = Relevance.hashedVectors(docs, "doc_id", "text", dim = dim,
+      normalize = false)
+    val got = raw.orderBy("doc_id")
+      .as[(Long, Seq[Double])].collect()
+    assert(got.length == 4 && got.forall(_._2.length == dim))
+    assert(got(0)._2 == got(1)._2) // same text, same vector
+    assert(got(3)._2.forall(_ == 0.0)) // empty text → zero vector
+    // replay entry by entry from the JVM twin hash + exact idf math:
+    // df(alpha)=2, df(beta)=2, df(gamma)=1, df(delta)=1, N=4
+    def we6(tf: Long, df: Long): Long =
+      math.floor(tf * (StrictMath.log(5.0 / (df + 1)) + 1) * 1e6 + 0.5)
+        .toLong
+    val expect = Array.fill(dim)(0L)
+    def add(token: String, tf: Long, df: Long): Unit = {
+      val h = PortableHash.hash48(token, 42L)
+      val sign = if (((h >> 20) & 1L) == 1L) -1L else 1L
+      expect((h % dim).toInt) += sign * we6(tf, df)
+    }
+    add("alpha", 1, 2); add("beta", 2, 2)
+    val doc0 = got(0)._2.map(v => math.floor(v * 1e6 + 0.5).toLong)
+    assert(doc0.toSeq == expect.toSeq,
+      s"doc0 ${doc0.toSeq} vs replay ${expect.toSeq}")
+    // normalized mode: unit norm for token-bearing docs, zero kept zero
+    val nrm = Relevance.hashedVectors(docs, "doc_id", "text", dim = dim)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    nrm.take(3).foreach { case (id, v) =>
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9, s"doc $id norm2 $n2")
+    }
+    assert(nrm(3)._2.forall(_ == 0.0))
+    // partition invariance: exact long sums → identical vectors
+    val rep = Relevance.hashedVectors(docs.repartition(7), "doc_id",
+      "text", dim = dim, normalize = false)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    assert(rep.map(_._2.toSeq).toSeq == got.map(_._2.toSeq).toSeq)
+  }
 }
