@@ -639,6 +639,25 @@ class DedupSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap == got)
   }
 
+  test("text-only semantic dedup: hashedVectors feeds semanticDedup " +
+      "with no embedding model in the loop") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different subject matter entirely unrelated"),
+      (3L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val vecs = graft.operators.Relevance.hashedVectors(
+      docs, "doc_id", "text", dim = 64)
+    val m = Dedup.semanticDedup(vecs, "vector", "doc_id",
+        threshold = 0.8, numCells = 1)
+      .select(col("doc_id"), col("keeper_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(m(0L) == 0L && m(1L) == 0L && m(3L) == 0L,
+      s"near/exact textual dups must share the keeper: $m")
+    assert(m(2L) == 2L, s"unrelated doc must stand alone: $m")
+  }
+
   test("electKeepers: highest score wins, ties break to lowest id, " +
       "cluster labels pass through, singletons keep themselves") {
     // cluster 0: ids 0,1,2 with scores 10,30,30 → keeper 1 (tie 1 vs 2)
