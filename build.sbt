@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: with the default
+// LoggedOutput strategy sbt prepends "[info] " to every line, which is
+// exactly what kept the bench driver's JSON tail-parse failing for three
+// rounds (the compact line was provably last and present — see
+// Bench.scala's channel contract — but arrived as "[info] {json}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -75,6 +75,11 @@ import graft.operators.{Curation, GraphOps}
   *               (deterministic training-order shuffle: dense 0-based
   *               `pos` per epoch, no single-partition sort; --epochs>1
   *               emits every epoch's independent order in one pass)
+  *   curriculum  --docs <dir> --value-col <difficulty score> [--epochs E]
+  *               [--id-col doc_id] [--hash-seed S] [-o <outDir>]
+  *               (competence-based curriculum: epoch e shuffles the
+  *               easiest-ranked growing fraction of the corpus —
+  *               feed to pack for the easy→hard training-prep story)
   *   pack        --docs <dir> --group-col g --value-col w
   *               [--id-col doc_id] [--budget TOKENS] [-o <outDir>]
   *               (sequence packing by cumulative budget: per-group
@@ -101,6 +106,20 @@ import graft.operators.{Curation, GraphOps}
   *               and the full-precision --corpus vectors are fetched
   *               for just those |Q|*C rows and re-scored exactly —
   *               recall@k becomes recall@C of the code stage)
+  *   anncompact  --target <index dir> [-o <outDir>]
+  *               (rewrite the fragmented vectors/ layout one file per
+  *               cell after repeated annupdate appends —
+  *               query-identical — and return the one-row maintenance
+  *               report incl. the drift-ledger-driven
+  *               retrain_recommended verdict)
+  *   topolevels  --edges <dir> [--max-iter N] [-o <outDir>]
+  *               (SCC → condensation → longest-path topological level
+  *               per SCC: dependency depth / parallel waves of the
+  *               cycle-collapsed graph)
+  *   imagededup  --docs <dir> [--bin-col payload] [--id-col doc_id]
+  *               [--max-hamming H] [-o <outDir>]
+  *               (perceptual dHash near-duplicate image pairs via the
+  *               shared Hamming-banding machinery)
   *   quantiles   --docs <dir> --value-col v [--group-col g]
   *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
   *               (mergeable HDR-histogram quantile sketch over
@@ -255,7 +274,11 @@ object Analyze {
       intervalSec: Long = 3600L,
       vectors: String = "",
       vecCol: String = "embedding",
-      threshold: Double = 0.95,
+      // None = the flag was never given. Call sites that want the
+      // semdedup-tuned default read `threshold`; hbos (whose score scale
+      // is unrelated) substitutes its own default ONLY when unset, so an
+      // explicit `--threshold 0.95` is honored everywhere.
+      thresholdOpt: Option[Double] = None,
       cells: Int = 256,
       merges: Int = 8,
       slack: Long = 0L,
@@ -302,10 +325,16 @@ object Analyze {
       clusterCol: String = "",
       testFraction: Double = 0.2,
       rerank: Int = 0,
+      maxHamming: Int = 2,
+      binCol: String = "payload",
       corpus: String = "",
       outDir: String = "",
       checkpointDir: Option[String] = None,
-      master: String = s"local[${Runtime.getRuntime.availableProcessors}]")
+      master: String = s"local[${Runtime.getRuntime.availableProcessors}]") {
+    /** The similarity-tier default (semdedup cosine cut) when the flag
+      * was never given; hbos reads [[thresholdOpt]] directly instead. */
+    def threshold: Double = thresholdOpt.getOrElse(0.95)
+  }
 
   private val usage =
     "usage: <degrees|pagerank|components|scc|triangles|khop|paths|curate|" +
@@ -371,6 +400,13 @@ object Analyze {
         loop(t, acc.copy(maxGroupSize = v.toInt))
       case "--min-confidence" :: v :: t =>
         loop(t, acc.copy(minConfidence = v.toDouble))
+      // the match above is at the JVM method-size limit (each case
+      // inlines an Args.copy call site that passes EVERY field) —
+      // later flags live in a second tier (loopB) chained on
+      // fallthrough
+      case other => loopB(other, acc)
+    }
+    def loopB(rest: List[String], acc: Args): Args = rest match {
       case "--x-col" :: v :: t => loop(t, acc.copy(xCol = v))
       case "--y-col" :: v :: t => loop(t, acc.copy(yCol = v))
       case "--buckets" :: v :: t => loop(t, acc.copy(buckets = v.toInt))
@@ -382,14 +418,10 @@ object Analyze {
       case "--checkpoint-dir" :: v :: t =>
         loop(t, acc.copy(checkpointDir = Some(v)))
       case "--master" :: v :: t => loop(t, acc.copy(master = v))
-      // the match above is at the JVM method-size limit — later flags
-      // live in a second tier (loopB) chained on fallthrough
-      case other => loopB(other, acc)
-    }
-    def loopB(rest: List[String], acc: Args): Args = rest match {
       case "--vectors" :: v :: t => loop(t, acc.copy(vectors = v))
       case "--vec-col" :: v :: t => loop(t, acc.copy(vecCol = v))
-      case "--threshold" :: v :: t => loop(t, acc.copy(threshold = v.toDouble))
+      case "--threshold" :: v :: t =>
+        loop(t, acc.copy(thresholdOpt = Some(v.toDouble)))
       case "--cells" :: v :: t => loop(t, acc.copy(cells = v.toInt))
       case "--merges" :: v :: t => loop(t, acc.copy(merges = v.toInt))
       case "--slack" :: v :: t => loop(t, acc.copy(slack = v.toLong))
@@ -419,6 +451,9 @@ object Analyze {
       case "--strata-col" :: v :: t => loop(t, acc.copy(strataCol = v))
       case "--cluster-col" :: v :: t => loop(t, acc.copy(clusterCol = v))
       case "--rerank" :: v :: t => loop(t, acc.copy(rerank = v.toInt))
+      case "--max-hamming" :: v :: t =>
+        loop(t, acc.copy(maxHamming = v.toInt))
+      case "--bin-col" :: v :: t => loop(t, acc.copy(binCol = v))
       case "--corpus" :: v :: t => loop(t, acc.copy(corpus = v))
       case "--test-fraction" :: v :: t =>
         loop(t, acc.copy(testFraction = v.toDouble))
@@ -462,6 +497,21 @@ object Analyze {
       case "scc" =>
         GraphOps.stronglyConnectedComponents(edges,
           maxIter = args.maxIter, ckpt = ckpt)
+      case "topolevels" =>
+        GraphOps.topologicalLevels(
+          GraphOps.condensation(edges,
+            GraphOps.stronglyConnectedComponents(edges,
+              maxIter = args.maxIter, ckpt = ckpt)),
+          maxIter = args.maxIter * 4, ckpt = ckpt)
+      case "imagededup" =>
+        require(args.docs.nonEmpty, "imagededup needs --docs <dir>")
+        graft.operators.Multimodal.imageNearDups(
+          spark.read.parquet(args.docs), args.binCol, args.idCol,
+          args.maxHamming, ckpt = ckpt)
+      case "anncompact" =>
+        require(args.target.nonEmpty,
+          "anncompact needs --target <index dir>")
+        graft.operators.Similarity.compactIndex(spark, args.target)
       case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
       case "linkpred" =>
@@ -591,6 +641,13 @@ object Analyze {
             args.hashSeed)
         else graft.operators.Sampling.epochOrder(
           spark.read.parquet(args.docs), args.idCol, args.hashSeed)
+      case "curriculum" =>
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty,
+          "curriculum needs --docs <dir> and --value-col <difficulty " +
+            "score, low = easy> (plus --epochs)")
+        graft.operators.Sampling.curriculumOrder(
+          spark.read.parquet(args.docs), args.idCol, args.valueCol,
+          args.epochs, seed = args.hashSeed)
       case "pack" =>
         require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
           args.valueCol.nonEmpty,
@@ -877,12 +934,13 @@ object Analyze {
           case "hbos" =>
             // multivariate: --value-col takes a comma list of features;
             // --threshold's semdedup-tuned 0.95 default would flag every
-            // row (the modal hbos score is exactly 1), so the unset
-            // default flips to the operator's 1e4 — an explicit flag wins
+            // row (the modal hbos score is exactly 1), so an UNSET flag
+            // (thresholdOpt == None) takes the operator's 1e4 while any
+            // explicit value — including 0.95 — wins
             graft.operators.Outliers.hbos(
               spark.read.parquet(args.docs),
               args.valueCol.split(',').toSeq.map(_.trim), args.bins,
-              if (args.threshold == 0.95) 1e4 else args.threshold)
+              args.thresholdOpt.getOrElse(1e4))
           case other => throw new IllegalArgumentException(
             s"unknown outlier mode '$other' (iqr|z|mad|hbos)")
         }

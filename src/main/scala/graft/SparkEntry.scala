@@ -160,7 +160,23 @@ object SparkEntry {
     * repeat invocations of the query (bench iterations) measure the
     * serving path against the parquet index. The directory carries the
     * pid so concurrent runs on one box never overwrite each other's
-    * index mid-read. */
+    * index mid-read; everything lives under `target/graft_ann/` (not
+    * java.io.tmpdir) and a shutdown hook deletes the per-pid root, so
+    * repeated rounds leave no disk creep behind. */
+  private lazy val annScratchRoot: String = {
+    val root = new java.io.File(
+      s"target/graft_ann/pid_${ProcessHandle.current().pid()}")
+    root.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    }))
+    root.getAbsolutePath
+  }
   private val annIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def x3jIndexDir(s: SparkSession, dir: String): String =
@@ -173,8 +189,7 @@ object SparkEntry {
       val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
       val ae = assigned.select(col("centroid_id"), col("vec_id"))
         .join(enc, Seq("vec_id"))
-      val ixDir = sys.props("java.io.tmpdir") +
-        s"/graft_ann_index_${ProcessHandle.current().pid()}_" +
+      val ixDir = annScratchRoot + "/index_" +
         dir.split('/').filter(_.nonEmpty).last
       Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16)
       ixDir
@@ -202,8 +217,7 @@ object SparkEntry {
         .join(enc, Seq("vec_id"))
       val meanCos = assigned.agg(avg(col("assign_cosine")))
         .head().getDouble(0)
-      val ixDir = sys.props("java.io.tmpdir") +
-        s"/graft_ann_base_${ProcessHandle.current().pid()}_" +
+      val ixDir = annScratchRoot + "/base_" +
         dir.split('/').filter(_.nonEmpty).last
       Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16, meanCos)
       ixDir
@@ -1341,6 +1355,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3p: index COMPACTION — the q_x3k fragmented layout (base
+    // encode + updateIndex append) rewritten one-file-per-cell by
+    // compactIndex, then queried. Compaction moves codes, never
+    // changes them, so the result is EXACTLY q_x3k's — and the oracle
+    // IS q_x3k's (the one-pass encode against the base-slice-trained
+    // quantizers). The timed body is the full maintenance path:
+    // copy + incremental absorb + compact + serve. ----
+    "q_x3p_compacted_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3kUpdatedIndexDir(s, dir)
+      Similarity.compactIndex(s, ixDir) // eager: rewrites vectors/
+      val ix = Similarity.loadIndex(s, ixDir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3l: recall@5 audit — the quality number the mechanical
     // oracles can't see: how many of the EXACT cosine top-5 the IVF
     // (q_x3b's 32 cells / nProbe 3) and IVF-PQ (q_x3i's nProbe 8,
@@ -1808,6 +1843,21 @@ object SparkEntry {
         .orderBy("epoch", "pos")
     }),
 
+    // ---- X6t: curriculum ordering — competence-based growing data
+    // window (epoch e draws the easiest c(e) fraction by EXACT
+    // difficulty rank, integer-arithmetic inclusion), seeded
+    // decorrelated shuffle within each window. Composes the quality
+    // tier with the shuffle-and-pack story; the oracle replays the
+    // rank, every integer inclusion verdict, and the md5-48 order. ----
+    "q_x6t_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      Sampling.curriculumOrder(d, "doc_id", "n_chars", epochs = 3,
+          startPermille = 250, seed = 42L, portable = true)
+        .select(col("epoch"), col("doc_id"), col("difficulty_rank"),
+          col("pos"))
+        .orderBy("epoch", "pos")
+    }),
+
     // ---- X6s: leakage-safe split — the verdict hashes the dedup
     // CLUSTER id (here Dedup.exact keeper ids joined back on content
     // sha), so identical documents can never straddle train/test; a
@@ -1898,6 +1948,32 @@ object SparkEntry {
           round(element_at(col("features"), 5) * 255).cast("long").as("mean_g"),
           round(element_at(col("features"), 6) * 255).cast("long").as("mean_b"))
         .orderBy("doc_id")
+    }),
+
+    // ---- X5i: image near-duplicate detection — the missing dedup
+    // modality (text MinHash/SimHash ✓, embeddings SemDeDup ✓, images
+    // here): dHash64 perceptual fingerprints over REAL decoded PNGs,
+    // then the shared SimHash Hamming-banding machinery. Fixture
+    // images are dHash-pattern PNGs whose hash equals a code that is
+    // pure doc_id arithmetic: groups of 4 docs share a 12-bit group
+    // value spread over bits 4..63 at 5× repetition (cross-group
+    // Hamming ≥ 5), member m = doc_id%4 sets bits 0..m-1 (in-group
+    // Hamming = |Δm|) — so near-dup pairs at radius 2 are exactly the
+    // equal-group-value pairs with |Δm| ≤ 2, DuckDB-checkable with no
+    // image decode on the oracle side. ----
+    "q_x5i_image_neardups" -> ((s, dir) => {
+      val groupTerms = (0 until 12).map(j =>
+        s"(shiftright((doc_id div 4) % 4096, $j) & 1) * ${31L << (4 + 5 * j)}L")
+        .mkString(" + ")
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        expr(s"shiftleft(1L, cast(doc_id % 4 as int)) - 1L + $groupTerms")
+          .as("code"))
+      val pngs = Multimodal.synthesizeDhashPatternPngs(spec, "code",
+        "payload").select("doc_id", "payload")
+      Multimodal.imageNearDups(pngs, "payload", "doc_id", maxHamming = 2)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- X5d: REAL audio decode — distributed WAV synthesis (format +
@@ -2571,6 +2647,19 @@ object SparkEntry {
       val e = sccEdges(s, dir)
       GraphOps.condensation(e, GraphOps.stronglyConnectedComponents(e))
         .orderBy("src_scc", "dst_scc")
+    }),
+
+    // ---- G26c: topological levels over the condensation DAG — the
+    // analysis users collapse cycles FOR: each SCC's longest-path
+    // depth from the sources (parallel execution waves / dependency
+    // staging). Oracle: WITH RECURSIVE walk extension over the
+    // closure-derived quotient edges, max walk length per node — the
+    // definition, independent of the engine's max-relaxation rounds. ----
+    "q_g26c_topo_levels" -> ((s, dir) => {
+      val e = sccEdges(s, dir)
+      GraphOps.topologicalLevels(GraphOps.condensation(e,
+          GraphOps.stronglyConnectedComponents(e)))
+        .orderBy("scc")
     }),
 
     // ---- G7: degree distribution — the histogram a graph-shape sanity
@@ -5110,6 +5199,9 @@ object SparkEntry {
     // still cover the whole corpus — exactly what the frozen-quantizer
     // append converges to.
     "q_x3k_index_update" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
+    // Compaction is query-identical by construction, so the compacted
+    // index answers to the SAME oracle as the fragmented one.
+    "q_x3p_compacted_index" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
 
     // Recall audit rebuild: the ivfpq CTE prefix supplies the PQ leg
     // (sc) plus the shared q/cent/cell/probe0; the IVF leg re-probes at
@@ -5920,6 +6012,38 @@ object SparkEntry {
         |    AS BIGINT) AS spans
         |FROM p ORDER BY epoch, pos""".stripMargin,
 
+    // Curriculum: exact difficulty rank by (n_chars, doc_id), integer
+    // competence inclusion (rank·1000·E ≤ n·(250·E + 750·(e+1))), then
+    // the replayed md5-48 per-epoch order — every verdict BIGINT-exact.
+    "q_x6t_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |      AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM d),
+        |ep AS (SELECT *, unnest(range(0, 3)) AS epoch FROM r),
+        |inc AS (
+        |  SELECT * FROM ep
+        |  WHERE rk * 3000 <= n * (750 + 750 * (epoch + 1))),
+        |k AS (
+        |  SELECT doc_id, rk, epoch,
+        |    CAST(concat('0x', substr(md5(concat(
+        |        42, ':', doc_id, ':', epoch)), 1, 12)) AS BIGINT)
+        |      % 1000000 AS key
+        |  FROM inc),
+        |o AS (
+        |  SELECT epoch, doc_id, rk,
+        |    CAST(row_number() OVER (PARTITION BY epoch
+        |      ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |  rk AS difficulty_rank, pos
+        |FROM o ORDER BY epoch, pos""".stripMargin,
+
     // Leakage-safe split: the oracle rebuilds the dedup clusters (min
     // doc_id per identical text) and recomputes the md5-48 verdict of
     // the CLUSTER id — duplicates must land on one side by construction.
@@ -6017,6 +6141,21 @@ object SparkEntry {
         |(doc_id * 7) % 256 AS mean_g,
         |(doc_id * 13) % 256 AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Near-dup pairs are pure doc_id arithmetic: the dHash of each
+    // pattern PNG equals its code by construction (spec-verified
+    // round-trip), codes share all 60 group bits iff the docs' 12-bit
+    // group values match, and member bits are nested prefixes so
+    // in-group Hamming is |Δm|. The oracle never decodes an image.
+    "q_x5i_image_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 4) % 4096 AS gc, doc_id % 4 AS m
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(abs(a.m - b.m) AS BIGINT) AS hamming
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND a.gc = b.gc AND abs(a.m - b.m) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Resized dimensions are the literal 9×7 target; a solid colour is
     // interpolation-invariant, so means are the source doc_id arithmetic.
@@ -7097,6 +7236,50 @@ object SparkEntry {
         |FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
         |WHERE sa.scc <> sb.scc
         |ORDER BY src_scc, dst_scc""".stripMargin,
+
+    // Same closure-derived quotient edges, then longest path by
+    // recursive walk extension: every quotient node seeds a 0-length
+    // walk, each edge extends by 1, the recursive UNION dedups
+    // (node, len) states so the walk set is finite on a DAG, and
+    // max(len) per node IS the topological level.
+    "q_g26c_topo_levels" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |scc AS MATERIALIZED (
+        |  SELECT r1.a AS id, min(r1.b) AS scc
+        |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  GROUP BY r1.a),
+        |q AS MATERIALIZED (
+        |  SELECT DISTINCT sa.scc AS src_scc, sb.scc AS dst_scc
+        |  FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
+        |  WHERE sa.scc <> sb.scc),
+        |walks AS (
+        |  SELECT scc AS node, 0 AS len FROM (
+        |    SELECT DISTINCT s2 AS scc FROM (
+        |      SELECT src_scc AS s2 FROM q
+        |      UNION ALL SELECT dst_scc FROM q))
+        |  UNION
+        |  SELECT q.dst_scc, w.len + 1 FROM walks w
+        |  JOIN q ON q.src_scc = w.node)
+        |SELECT node AS scc, CAST(max(len) AS BIGINT) AS level
+        |FROM walks GROUP BY node ORDER BY scc""".stripMargin,
 
     // Same wedge expansion in SQL; the e4 integerization absorbs the
     // Σ 1/ln(deg) summation-order ulps.

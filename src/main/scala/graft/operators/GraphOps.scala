@@ -1623,6 +1623,16 @@ object GraphOps {
       labels = jumped
       i += 1
     }
+    // Fail fast on truncated propagation (mirrors the outer maxRounds
+    // guard in stronglyConnectedComponents): an unconverged F/B frame can
+    // carry DIFFERENT labels for members of one SCC, and the (F, B) pair
+    // split would then sever that SCC permanently — the outer
+    // nRemaining == 0 check still passes, silently returning wrong
+    // labels. Reachable via Analyze's scc mode with a small --max-iter
+    // or adversarially deep graphs.
+    require(converged,
+      s"min-label propagation did not converge in $maxIter iterations — " +
+        "raise maxIter (graph diameter exceeds 2^maxIter after jumps)")
     labels
   }
 
@@ -1734,6 +1744,68 @@ object GraphOps {
         Seq("dst"))
       .filter(col("src_scc") =!= col("dst_scc"))
       .select(col("src_scc"), col("dst_scc")).distinct()
+  }
+
+  /** Topological levels / longest-path depth over a DAG — the query
+    * users collapse cycles FOR: run it on [[condensation]]'s output and
+    * each SCC's level is its dependency depth (build staging, pipeline
+    * waves, "how far downstream is this cycle cluster"). `level(v)` =
+    * length of the longest path ending at v (sources are level 0), so
+    * equal-level nodes can execute as one parallel wave and max(level)
+    * is the DAG's critical-path length.
+    *
+    * Iterated max-relaxation (the Bellman-Ford shape on −1 weights):
+    * per round, every node takes `max(level, 1 + max incoming level)`;
+    * levels only grow and are bounded by depth, so an unchanged
+    * sum(level) certifies the fixpoint — the same single-column
+    * convergence probe as the propagation kernels. Rounds = DAG depth
+    * (condensation DAGs are shallow — depth is the longest
+    * inter-cluster chain, a handful in real dependency graphs).
+    *
+    * A CYCLE would relax forever (its levels climb every round), so
+    * hitting `maxIter` unconverged fail-fasts with the standard
+    * truncation contract — which doubles as a cheap acyclicity check:
+    * feeding a non-condensed cyclic graph throws instead of looping.
+    *
+    * Scale notes (100 TB): per round, one equi-join of the edge table
+    * against the node-sized level frame (AQE broadcasts it when it
+    * fits) and one map-side-combinable max groupBy; per-round
+    * checkpoints truncate lineage; driver traffic is the one scalar
+    * probe per round.
+    *
+    * Input: the quotient edge frame (`src_scc`, `dst_scc`) from
+    * [[condensation]]. Output: (`scc`, `level`). */
+  def topologicalLevels(dagEdges: DataFrame, maxIter: Int = 100,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val e = dagEdges.select(col("src_scc").as("src"),
+      col("dst_scc").as("dst"))
+    var levels = ckpt(e.select(col("src").as("scc"))
+      .unionAll(e.select(col("dst").as("scc"))).distinct()
+      .select(col("scc"), lit(0L).as("level")))
+    var prevSum = Option.empty[Any]
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val incoming = e
+        .join(levels.withColumnsRenamed(
+          Map("scc" -> "src", "level" -> "_sl")), Seq("src"))
+        .groupBy(col("dst").as("scc"))
+        .agg(max(col("_sl") + 1).as("_in"))
+      levels = ckpt(levels.join(incoming, Seq("scc"), "left")
+        .select(col("scc"),
+          greatest(col("level"), coalesce(col("_in"), col("level")))
+            .as("level")))
+      val curSum = levels.agg(sum(col("level"))).head().get(0)
+      converged = prevSum.contains(curSum)
+      prevSum = Some(curSum)
+      i += 1
+    }
+    require(converged,
+      s"topologicalLevels did not converge in $maxIter iterations — " +
+        "the input has a cycle (not a condensation DAG) or its depth " +
+        "exceeds maxIter")
+    levels
   }
 
   def powerLawFit(edges: DataFrame, dMin: Long = 1L): DataFrame = {

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Checkpointer
+
 /** Multimodal columns (BASELINE.json north_star): image/audio/video payloads
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs batched per partition.
@@ -247,6 +249,165 @@ object Multimodal {
 
   private val pngUdf = udf(
     (w: Int, h: Int, r: Int, g: Int, b: Int) => encodeSolidPng(w, h, r, g, b))
+
+  /** 64-bit perceptual difference hash (dHash) of an image payload —
+    * the missing dedup modality (text has MinHash/SimHash, embeddings
+    * have SemDeDup; this covers the IMAGE bytes themselves). The
+    * classic dHash: box-average the decoded raster onto a 9×8
+    * luminance grid, then bit r·8+c = 1 iff cell (r, c+1) is brighter
+    * than cell (r, c) — 8 horizontal gradient signs per row × 8 rows.
+    * Gradient SIGNS survive re-encoding, uniform brightness/contrast
+    * shifts, and small resizes, so near-identical images land within a
+    * few Hamming bits while distinct images are ~32 bits apart — the
+    * same fingerprint geometry as text SimHash, which is why the
+    * banding machinery is shared ([[Dedup.simhashNearDups]]).
+    *
+    * Exact-integer discipline: cell luminance totals accumulate raw
+    * band samples into a Long in fixed raster order, and the
+    * brighter-than compare cross-multiplies totals by pixel counts
+    * (`sumR·areaL > sumL·areaR`) — no float averages, so the hash is
+    * bit-reproducible across JVMs and partitionings. Cells are the
+    * floor-boundary grid `[⌊c·w/9⌋, ⌊(c+1)·w/9⌋)`; images narrower
+    * than the grid re-sample the single spanning pixel (a degenerate
+    * cell widens to one pixel). Same decompression-bomb guard and
+    * total-function contract as [[decodeImage]]: None for
+    * null/corrupt/over-budget payloads, never throws. */
+  def dHash64(bytes: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[Long] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+          val img = reader.read(0)
+          if (img == null) return None
+          val raster = img.getRaster
+          val nb = raster.getNumBands
+          // sums(r)(c): summed luminance of grid cell (r, c); areas: its
+          // pixel count (cells differ by ±1 column/row of pixels when
+          // w % 9 != 0 — the cross-multiplied compare stays exact)
+          val sums = Array.ofDim[Long](8, 9)
+          val areas = Array.ofDim[Long](8, 9)
+          var gr = 0
+          while (gr < 8) {
+            val y0 = (gr.toLong * h / 8).toInt
+            val y1 = math.max(y0 + 1, ((gr + 1).toLong * h / 8).toInt)
+              .min(h)
+            var gc = 0
+            while (gc < 9) {
+              val x0 = (gc.toLong * w / 9).toInt
+              val x1 = math.max(x0 + 1, ((gc + 1).toLong * w / 9).toInt)
+                .min(w)
+              var s = 0L
+              var y = y0
+              while (y < math.max(y1, y0 + 1)) {
+                val yy = math.min(y, h - 1)
+                var x = x0
+                while (x < math.max(x1, x0 + 1)) {
+                  val xx = math.min(x, w - 1)
+                  var b = 0
+                  while (b < nb) { s += raster.getSample(xx, yy, b); b += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              sums(gr)(gc) = s
+              areas(gr)(gc) =
+                (math.max(y1, y0 + 1) - y0).toLong *
+                  (math.max(x1, x0 + 1) - x0)
+              gc += 1
+            }
+            gr += 1
+          }
+          var hash = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (sums(r)(c + 1) * areas(r)(c) >
+                  sums(r)(c) * areas(r)(c + 1))
+                hash |= 1L << (r * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          Some(hash)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed [[dHash64]] over a binary column: (idCol, `simhash`) —
+    * the output column is NAMED for [[Dedup.simhashNearDups]]'s banding
+    * contract, because an image fingerprint IS a 64-bit Hamming-space
+    * point exactly like a text SimHash. Payloads that don't decode are
+    * dropped (no fingerprint — same rule as null-text docs in
+    * [[Dedup.simhash64]]). Narrow per-partition decode; the payload
+    * bytes never shuffle. */
+  def imageHashes(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), dhashUdf(col(binCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  private val dhashUdf = udf((bytes: Array[Byte]) => dHash64(bytes))
+
+  /** Image near-duplicate pairs: [[imageHashes]] →
+    * [[Dedup.simhashNearDups]] Hamming blocking — lossless banded
+    * candidate generation (pigeonhole over maxHamming+1 bands), never
+    * all-pairs; output (id_a, id_b, hamming). The default radius 2 is
+    * tighter than text's 3: 64 gradient signs flip more reluctantly
+    * than token votes, so re-encoded/brightness-shifted copies sit at
+    * Hamming 0-2 while unrelated images are ~32 apart. */
+  def imageNearDups(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 2, materialize: Boolean = true,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame =
+    Dedup.simhashNearDups(imageHashes(df, binCol, idCol), idCol,
+      maxHamming, materialize, ckpt)
+
+  /** Encode the 9×8 gray PNG whose [[dHash64]] is EXACTLY `code` —
+    * the oracle-expressible fixture generator for the image-dedup
+    * queries (the [[encodeSolidPng]] discipline, but for dHash: a
+    * solid image hashes to 0, so patterns carry the signal). Row r is
+    * a brightness walk from 128 stepping ±8 per column as bit r·8+c
+    * of `code` directs; the grid is exactly one pixel per dHash cell,
+    * r=g=b keeps luminance proportional to the written value, and ±8
+    * steps make every adjacent compare strict — so the hash reads the
+    * code back bit-for-bit and near-dup structure becomes pure
+    * integer arithmetic on the codes (DuckDB-checkable). */
+  def encodeDhashPatternPng(code: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var v = 128
+      img.setRGB(0, r, (v << 16) | (v << 8) | v)
+      var c = 0
+      while (c < 8) {
+        v += (if (((code >>> (r * 8 + c)) & 1L) == 1L) 8 else -8)
+        img.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed [[encodeDhashPatternPng]] over a long code column. */
+  def synthesizeDhashPatternPngs(df: DataFrame, codeCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol, dhashPatternUdf(col(codeCol)))
+
+  private val dhashPatternUdf =
+    udf((code: Long) => encodeDhashPatternPng(code))
 
   /** Decoded-audio summary: format header + RMS amplitude over all PCM
     * samples. */

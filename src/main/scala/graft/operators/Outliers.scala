@@ -137,10 +137,15 @@ object Outliers {
     * for all; `v = max` clamps into the top bin.
     *
     * Scale notes (100 TB): one global 1-row min/max aggregate
-    * (broadcast back), one tiny per-feature bin-count groupBy (`bins`
-    * rows — map-side combine collapses each partition to ≤ bins rows),
-    * and per-feature BROADCAST joins of those bin tables — the corpus
-    * itself never shuffles, mirroring the other detectors.
+    * (broadcast back), then ONE melt-shaped (feature, bin) groupBy —
+    * a narrow explode to F rows per input row that map-side-combines
+    * down to ≤ F·bins rows per partition — builds every feature's bin
+    * table in a single corpus scan (the previous per-feature groupBy
+    * re-derived the binned frame F times), and per-feature BROADCAST
+    * joins of those tiny tables score the rows — the corpus itself
+    * never shuffles, mirroring the other detectors. The combined
+    * count table (≤ 7·bins rows) is locally checkpointed so the F
+    * broadcast sides read it instead of each re-running the melt scan.
     *
     * @return input + (`hbos` double, `is_outlier` = hbos ≥ threshold) */
   def hbos(df: DataFrame, featureCols: Seq[String], bins: Int = 10,
@@ -164,13 +169,23 @@ object Outliers {
     val withBins = featureCols.foldLeft(df.crossJoin(broadcast(stats))) {
       (acc, f) => acc.withColumn(s"_bin_$f", binOf(f))
     }
-    val scored = featureCols.foldLeft(withBins) { (acc, f) =>
-      val counts = withBins.groupBy(col(s"_bin_$f"))
-        .agg(count(lit(1)).as(s"_cnt_$f"))
-        .filter(col(s"_bin_$f").isNotNull)
-      val withMax = counts.crossJoin(broadcast(
-        counts.agg(max(col(s"_cnt_$f")).as(s"_maxcnt_$f"))))
-      acc.join(broadcast(withMax), Seq(s"_bin_$f"), "left")
+    val binStructs = featureCols.zipWithIndex.map { case (f, i) =>
+      struct(lit(i).as("fi"), col(s"_bin_$f").as("bin")) }
+    val allCounts = withBins
+      .select(explode(array(binStructs: _*)).as("_fb"))
+      .select(col("_fb.fi").as("_fi"), col("_fb.bin").as("_bin"))
+      .filter(col("_bin").isNotNull)
+      .groupBy("_fi", "_bin").agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint()
+    val maxPerFeature = allCounts.groupBy("_fi")
+      .agg(max(col("_cnt")).as("_maxcnt"))
+    val countsWithMax = allCounts.join(maxPerFeature, Seq("_fi"))
+    val scored = featureCols.zipWithIndex.foldLeft(withBins) {
+      case (acc, (f, i)) =>
+        val t = countsWithMax.filter(col("_fi") === i)
+          .select(col("_bin").as(s"_bin_$f"), col("_cnt").as(s"_cnt_$f"),
+            col("_maxcnt").as(s"_maxcnt_$f"))
+        acc.join(broadcast(t), Seq(s"_bin_$f"), "left")
     }
     val num = featureCols.map(f =>
         coalesce(col(s"_maxcnt_$f"), lit(1L)).cast("decimal(38,0)"))

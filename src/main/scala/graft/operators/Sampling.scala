@@ -242,6 +242,120 @@ object Sampling {
       .drop("_graft_eb", "_graft_ek", "_graft_eoff")
   }
 
+  /** Curriculum ordering — the quality-scheduled composition of the
+    * shuffle-and-pack story: epoch e draws from the EASIEST
+    * `competence(e)` fraction of the corpus (a growing data window,
+    * the Bengio/Platanios competence-based curriculum), shuffled
+    * within the window by the standard decorrelated per-epoch seeded
+    * hash order. Feed the result to [[packByBudget]] grouped on
+    * `epoch` ordered by `pos` and you have the full easy→hard
+    * training-prep pipeline with a deterministic, engine-replayable
+    * order.
+    *
+    * Difficulty is the EXACT dense 1-based rank of `scoreCol`
+    * ascending (low score = easy; negate upstream for the opposite),
+    * ties broken by id. Competence grows linearly from
+    * `startPermille`/1000 at epoch 0 to exactly 1 at the final epoch;
+    * inclusion is decided in pure integer arithmetic —
+    * keep iff `rank·1000·E ≤ n·(startPermille·E +
+    * (1000−startPermille)·(e+1))` — so the oracle replays every
+    * verdict with BIGINT math, no float thresholds.
+    *
+    * The global rank costs NO single-partition sort (the same
+    * discipline as [[epochOrder]]'s dense pos): score space splits
+    * into `rankBuckets` ORDER-ALIGNED equal-width slices between the
+    * global min/max (one 1-row aggregate, broadcast back), per-bucket
+    * counts prefix-sum into offsets on a broadcast-sized frame, and
+    * rank = offset + row_number within the bucket. Equal-width
+    * bucketing is skew-prone on pathological score distributions
+    * (all-equal scores collapse to ONE bucket and its window
+    * serializes — correct, but degraded; pre-discretize such scores
+    * upstream); for typical quality scores the buckets spread fine.
+    *
+    * Scale notes (100 TB): one corpus scan (the epoch explosion
+    * happens after the scan and AFTER the inclusion filter prunes
+    * early epochs to their windows), one shuffle for the rank window,
+    * one for the per-epoch pos window; everything joined back is
+    * broadcast-sized. Early epochs emit only their window — total
+    * output rows are Σ_e n·c(e) ≈ n·E·(1+c0)/2, cheaper than
+    * [[epochOrderMulti]]'s n·E.
+    *
+    * @return input × included epochs + (`difficulty_rank` 1-based,
+    *         `epoch` 0-based long, `pos` dense 0-based long per epoch) */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+      epochs: Int, startPermille: Int = 250, seed: Long = 42L,
+      portable: Boolean = false, buckets: Int = 4096,
+      rankBuckets: Int = 1024): DataFrame = {
+    require(epochs >= 1 && epochs <= 1024,
+      s"epochs must be in [1, 1024] (got $epochs)")
+    require(startPermille >= 1 && startPermille <= 1000,
+      s"startPermille must be in [1, 1000] (got $startPermille)")
+    require(buckets >= 1 && rankBuckets >= 1,
+      "buckets and rankBuckets must be >= 1")
+    val scored = df.filter(col(scoreCol).isNotNull)
+    // --- exact global difficulty rank, distributed ---
+    val ext = scored.agg(
+      min(col(scoreCol).cast("double")).as("_lo"),
+      max(col(scoreCol).cast("double")).as("_hi"),
+      count(lit(1)).as("_n"))
+    val bucketed = scored.crossJoin(broadcast(ext))
+      .withColumn("_graft_rb",
+        when(col("_hi") === col("_lo"), lit(1L))
+          .otherwise(width_bucket(col(scoreCol).cast("double"),
+            col("_lo"), col("_hi"), lit(rankBuckets))))
+      // width_bucket sends v == hi to bucket rankBuckets+1; clamp in
+      .withColumn("_graft_rb",
+        least(col("_graft_rb"), lit(rankBuckets.toLong)))
+    val rankOffsets = bucketed.groupBy(col("_graft_rb"))
+      .agg(count(lit(1)).as("_rn"))
+      .withColumn("_graft_roff",
+        coalesce(sum(col("_rn")).over(
+          Window.orderBy(col("_graft_rb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_rn")
+    val rw = Window.partitionBy(col("_graft_rb"))
+      .orderBy(col(scoreCol), col(idCol))
+    val ranked = bucketed
+      .join(broadcast(rankOffsets), Seq("_graft_rb"))
+      .withColumn("difficulty_rank",
+        col("_graft_roff") + row_number().over(rw).cast("long"))
+      .drop("_graft_rb", "_graft_roff", "_lo", "_hi")
+    // --- competence window per epoch (integer-exact inclusion) ---
+    val e1000 = 1000L * epochs
+    val included = ranked
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit((epochs - 1).toLong))))
+      .filter(col("difficulty_rank") * e1000 <=
+        col("_n") * (lit(startPermille.toLong * epochs) +
+          lit((1000L - startPermille)) * (col("epoch") + 1)))
+      .drop("_n")
+    // --- decorrelated seeded order within each epoch's window ---
+    val key =
+      if (portable) graft.functions.PortableHash.hash48(
+        concat_ws(":", col(idCol).cast("string"),
+          col("epoch").cast("string")), seed) % Buckets
+      else pmod(xxhash64(lit(seed), col(idCol), col("epoch")),
+        lit(Buckets))
+    val keyed = included
+      .withColumn("_graft_ek", key)
+      .withColumn("_graft_eb",
+        expr(s"(_graft_ek * ${buckets}L) div ${Buckets}L"))
+    val offsets = keyed.groupBy(col("epoch"), col("_graft_eb"))
+      .agg(count(lit(1)).as("_graft_en"))
+      .withColumn("_graft_eoff",
+        coalesce(sum(col("_graft_en")).over(
+          Window.partitionBy(col("epoch")).orderBy(col("_graft_eb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_graft_en")
+    val w = Window.partitionBy(col("epoch"), col("_graft_eb"))
+      .orderBy(col("_graft_ek"), col(idCol))
+    keyed
+      .join(broadcast(offsets), Seq("epoch", "_graft_eb"))
+      .withColumn("pos",
+        col("_graft_eoff") + row_number().over(w).cast("long") - 1L)
+      .drop("_graft_eb", "_graft_ek", "_graft_eoff")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis bottom-k): each row gets key = −ln(u)/w with u a seeded
     * uniform from the id hash, and the k smallest keys win — the exact

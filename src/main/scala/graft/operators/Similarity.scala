@@ -659,7 +659,8 @@ object Similarity {
     * the baseline [[updateIndex]]'s drift metric compares against. */
   final case class AnnIndex(centroids: DataFrame, codebooks: DataFrame,
       assignedEncoded: DataFrame, m: Int, k: Int,
-      meanAssignCosine: Double = Double.NaN)
+      meanAssignCosine: Double = Double.NaN,
+      assignCosineStd: Double = Double.NaN)
 
   /** Persist an IVF-PQ index as parquet — the retrieval counterpart of
     * the incremental-dedup discipline: a 100 TB corpus trains its
@@ -678,16 +679,21 @@ object Similarity {
     * ships to the serving side at all. */
   def saveIndex(dir: String, centroids: DataFrame, codebooks: DataFrame,
       assignedEncoded: DataFrame, m: Int, k: Int,
-      meanAssignCosine: Double = Double.NaN): Unit = {
+      meanAssignCosine: Double = Double.NaN,
+      assignCosineStd: Double = Double.NaN): Unit = {
     val spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     assignedEncoded.write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$dir/vectors")
     import spark.implicits._
-    Seq((m, k, meanAssignCosine))
-      .toDF("m", "k", "mean_assign_cosine").write.mode("overwrite")
-      .parquet(s"$dir/meta")
+    // assign_cosine_std calibrates [[compactIndex]]'s default retrain
+    // tolerance (2σ of the build-time assignment-cosine distribution);
+    // NaN means "not recorded" and the policy falls back to an absolute
+    // band.
+    Seq((m, k, meanAssignCosine, assignCosineStd))
+      .toDF("m", "k", "mean_assign_cosine", "assign_cosine_std")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[saveIndex]] layout. `centroid_id` comes back from the
@@ -699,13 +705,15 @@ object Similarity {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val vectors = spark.read.parquet(s"$dir/vectors")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
+    def optD(name: String): Double =
+      if (meta.schema.fieldNames.contains(name)) meta.getAs[Double](name)
+      else Double.NaN
     AnnIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
       vectors,
       meta.getAs[Int]("m"), meta.getAs[Int]("k"),
-      if (meta.schema.fieldNames.contains("mean_assign_cosine"))
-        meta.getAs[Double]("mean_assign_cosine") else Double.NaN)
+      optD("mean_assign_cosine"), optD("assign_cosine_std"))
   }
 
   /** Incremental index maintenance — the retrieval twin of the
@@ -732,12 +740,32 @@ object Similarity {
     * simultaneous writer to the same `dir` (parquet append), matching
     * the one-writer ingest discipline the layout assumes.
     *
+    * ID CONTRACT (caller-owned, like the one-writer rule): delta ids
+    * must be NEW — the append never reconciles against the stored
+    * layout, so re-ingesting a `vec_id` already in the index leaves two
+    * live rows for it and BOTH surface in [[ivfPqTopK]] results. The
+    * cheap default trusts the ingest pipeline (an id check would scan
+    * the stored corpus on every delta); pass `checkIdOverlap = true` to
+    * fail fast instead — one broadcast-delta semi-join against the
+    * stored `vectors/` layout (delta ids are broadcast-sized in any
+    * sane incremental ingest), run BEFORE anything is appended.
+    *
     * @return one row: (`n_added`, `delta_mean_assign_cosine`,
     *         `build_mean_assign_cosine`, `cosine_drift` — null when
     *         the stored meta has no build-time mean) */
   def updateIndex(spark: SparkSession, dir: String, delta: DataFrame,
-      vecCol: String, idCol: String): DataFrame = {
+      vecCol: String, idCol: String,
+      checkIdOverlap: Boolean = false): DataFrame = {
     val ix = loadIndex(spark, dir)
+    if (checkIdOverlap) {
+      val nDup = ix.assignedEncoded
+        .join(broadcast(delta.select(col(idCol)).distinct()), Seq(idCol),
+          "left_semi")
+        .count()
+      require(nDup == 0L,
+        s"updateIndex: $nDup delta id(s) already present in $dir/vectors " +
+          s"— re-ingesting an id leaves duplicate live rows (id contract)")
+    }
     val assigned = assignToCentroids(delta, vecCol, idCol, ix.centroids)
     val enc = pqEncode(delta, vecCol, idCol, ix.codebooks, ix.m)
     val ae = assigned.select(col(idCol), col("centroid_id"),
@@ -751,11 +779,122 @@ object Similarity {
     val build =
       if (ix.meanAssignCosine.isNaN) lit(null).cast("double")
       else lit(ix.meanAssignCosine)
-    cached.agg(
+    val report = cached.agg(
       count(lit(1)).as("n_added"),
       avg(col("assign_cosine")).as("delta_mean_assign_cosine"))
       .select(col("n_added"), col("delta_mean_assign_cosine"),
         build.as("build_mean_assign_cosine"),
         (build - col("delta_mean_assign_cosine")).as("cosine_drift"))
+      .localCheckpoint()
+    // Ledger the batch for [[compactIndex]]'s retrain policy: one tiny
+    // row per ingest, so the drift signal survives across processes
+    // instead of evaporating with the returned frame.
+    report.select(col("n_added"), col("delta_mean_assign_cosine"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/drift_log")
+    report
+  }
+
+  /** Compact a [[saveIndex]] layout in place after repeated
+    * [[updateIndex]] appends: every append writes one parquet fragment
+    * set into the partition directories its delta lands in, so a
+    * daily-ingest serving index accumulates small files until scan
+    * efficiency dies (file-open overhead + tiny row groups defeat the
+    * vectorized reader). Rewrites `dir/vectors` clustered by
+    * `centroid_id` — one writer task per cell, so each partition
+    * directory collapses to a single file — then swaps the rewrite in.
+    * The rows (id, codes, centroid_id) are untouched: a query against
+    * the compacted index returns EXACTLY what the fragmented one did
+    * (the spec asserts bit-equality; q_x3p's oracle is q_x3k's).
+    *
+    * RETRAIN POLICY (the consumer of [[updateIndex]]'s `cosine_drift`,
+    * which until now was reported but never acted on): every
+    * [[updateIndex]] call appends its one-row report to
+    * `dir/drift_log/`, and compaction — the natural maintenance point —
+    * reads the whole log and recommends. `retrain_recommended` is true
+    * when the n_added-weighted mean assignment cosine of ALL absorbed
+    * deltas has fallen more than `driftTolerance` below the build-time
+    * mean recorded by [[saveIndex]] — the documented default tolerance
+    * is 2× the build-time assignment-cosine STANDARD DEVIATION when
+    * [[saveIndex]] recorded one (a delta population whose mean sits
+    * outside 2σ of the build distribution is structurally new mass the
+    * frozen centroids cannot cover), falling back to `0.05` absolute.
+    * Once recommended, rebuild quantizers with a fresh [[saveIndex]];
+    * the deltas-weighted mean (not the last delta alone) means one
+    * outlier batch does not trigger a retrain but sustained drift does.
+    * Null when there is no log or no recorded build mean.
+    *
+    * Scale notes (100 TB): the rewrite is one shuffle of the codes
+    * table (m bytes + id per row — the floats never ship), exactly the
+    * cost profile of a parquet table compaction job; the drift log is
+    * one tiny row per ingest batch. Same one-writer contract as
+    * [[updateIndex]] — the delete+swap is not atomic against concurrent
+    * readers of the SAME index directory; serve from a snapshot copy or
+    * pause reads during maintenance.
+    *
+    * @return one row: (`n_rows`, `files_before`, `files_after`,
+    *         `n_deltas_absorbed`, `delta_weighted_mean_cosine`,
+    *         `build_mean_assign_cosine`, `cosine_drift`,
+    *         `drift_tolerance`, `retrain_recommended`) */
+  def compactIndex(spark: SparkSession, dir: String,
+      driftTolerance: Double = Double.NaN): DataFrame = {
+    val ix = loadIndex(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vecPath = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val fs = vecPath.getFileSystem(conf)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(vecPath)
+    // Stage the rewrite next to the live layout (same filesystem ⇒ the
+    // final swap is a metadata move), clustered by cell so each
+    // partition directory lands as one file; localCheckpoint pins the
+    // row count read from the OLD layout before it is deleted.
+    val nRows = ix.assignedEncoded.count()
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_tmp")
+    fs.delete(tmp, true): Unit
+    ix.assignedEncoded
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(tmp.toString)
+    fs.delete(vecPath, true): Unit
+    require(fs.rename(tmp, vecPath),
+      s"compactIndex: rename $tmp -> $vecPath failed (rewrite left in " +
+        "the tmp path; no data lost)")
+    val after = dataFiles(vecPath)
+    val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
+    val (nDeltas, deltaMean) =
+      if (fs.exists(logPath)) {
+        val r = spark.read.parquet(logPath.toString)
+          .agg(count(lit(1)),
+            sum(col("n_added") * col("delta_mean_assign_cosine")) /
+              sum(col("n_added"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+      } else (0L, Double.NaN)
+    val buildMean = ix.meanAssignCosine
+    val tol =
+      if (!driftTolerance.isNaN) driftTolerance
+      else if (!ix.assignCosineStd.isNaN) 2.0 * ix.assignCosineStd
+      else 0.05
+    val drift =
+      if (deltaMean.isNaN || buildMean.isNaN) Double.NaN
+      else buildMean - deltaMean
+    def d(x: Double) =
+      if (x.isNaN) lit(null).cast("double") else lit(x)
+    spark.range(1).select(
+      lit(nRows).as("n_rows"),
+      lit(before).as("files_before"),
+      lit(after).as("files_after"),
+      lit(nDeltas).as("n_deltas_absorbed"),
+      d(deltaMean).as("delta_weighted_mean_cosine"),
+      d(buildMean).as("build_mean_assign_cosine"),
+      d(drift).as("cosine_drift"),
+      lit(tol).as("drift_tolerance"),
+      (if (drift.isNaN) lit(null).cast("boolean")
+       else lit(drift > tol)).as("retrain_recommended"))
   }
 }

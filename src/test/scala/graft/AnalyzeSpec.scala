@@ -603,6 +603,17 @@ class AnalyzeSpec extends SparkSpec {
       "--value-col", "a,b", "--mode", "hbos", "--threshold", "80")),
       spark)
     assert(hb.filter(col("is_outlier")).count() == 1)
+    // an EXPLICIT --threshold 0.95 must be honored, not silently
+    // remapped to the hbos default (every hbos score ≥ 1 → all flagged)
+    val hb95 = Analyze.run(parse(List("outliers", "--docs", s"$dir/vals2",
+      "--value-col", "a,b", "--mode", "hbos", "--threshold", "0.95")),
+      spark)
+    assert(hb95.filter(col("is_outlier")).count() == 10)
+    // unset flag still takes the operator's 1e4 (only the rare row's
+    // 81·81 score would need to beat it — nothing does here)
+    val hbDef = Analyze.run(parse(List("outliers", "--docs",
+      s"$dir/vals2", "--value-col", "a,b", "--mode", "hbos")), spark)
+    assert(hbDef.filter(col("is_outlier")).count() == 0)
     Seq.fill(5)("hot").padTo(6, "cold").toDF("k")
       .write.parquet(s"$dir/keys")
     val sk = Analyze.run(parse(List("skew", "--docs", s"$dir/keys",
@@ -677,5 +688,47 @@ class AnalyzeSpec extends SparkSpec {
       "--rerank", "25")), spark)) // --rerank without --corpus
     intercept[IllegalArgumentException](Analyze.run(parse(List(
       "annbuild", "--vectors", s"$dir/vec_base")), spark))
+    // anncompact: fragmented update layout collapses, query-identical,
+    // ledger-driven retrain verdict present
+    val sorted = hits.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rep = Analyze.run(parse(List("anncompact",
+      "--target", s"$dir/ix")), spark).head()
+    assert(rep.getLong(0) == e.count())
+    assert(rep.getLong(2) < rep.getLong(1)) // files shrank
+    assert(rep.getLong(3) == 1L) // one annupdate in the ledger
+    assert(!rep.isNullAt(8)) // verdict is decidable (mean recorded)
+    val hits2 = Analyze.run(parse(List("annquery",
+      "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
+      "--top-k", "5", "--probes", "3", "-o", s"$dir/h2")), spark)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hits2 == sorted)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("anncompact")), spark))
+  }
+
+  test("topolevels and imagededup run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-tl").toString
+    // chain with a cycle head: {0,1} collapse, then 2 -> 3
+    Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 3L))
+      .toDF("start_id", "end_id").write.parquet(s"$dir/edges")
+    val tl = Analyze.run(parse(List("topolevels", "--edges",
+      s"$dir/edges")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tl == Map(0L -> 0L, 2L -> 1L, 3L -> 2L))
+    // imagededup over synthesized pattern PNGs: 1~2 (Hamming 1), 3 far
+    val base = 0x00FF00FF00FF00FFL
+    import graft.operators.Multimodal
+    Multimodal.synthesizeDhashPatternPngs(
+      Seq((1L, base), (2L, base ^ 4L), (3L, ~base))
+        .toDF("doc_id", "code"), "code", "payload")
+      .select("doc_id", "payload").write.parquet(s"$dir/imgs")
+    val pairs = Analyze.run(parse(List("imagededup", "--docs",
+      s"$dir/imgs", "--max-hamming", "2")), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("imagededup")), spark))
   }
 }

@@ -1009,6 +1009,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(dag == Set((1L, 4L), (4L, 6L), (0L, 1L)))
   }
 
+  test("topologicalLevels: longest-path depth on a known DAG; cycles " +
+      "fail fast; composes with condensation") {
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L), (3L, 5L))
+      .toDF("src_scc", "dst_scc")
+    val lv = GraphOps.topologicalLevels(dag).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // level = LONGEST path in: 3 sits at 2 (via 1->2->3), not 1
+    assert(lv == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 3L))
+    // a cycle can never converge — fail fast instead of spinning
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src_scc", "dst_scc")
+    val ex = intercept[IllegalArgumentException](
+      GraphOps.topologicalLevels(cyc, maxIter = 10).count())
+    assert(ex.getMessage.contains("cycle"))
+    // end-to-end: triangle {1,2,3} -> 2-cycle {4,5} -> sink 6, feeder
+    // 0 -> 1: condensation nodes {0,1,4,6} chain 0 -> 1 -> 4 -> 6
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (1L, 4L),
+      (4L, 5L), (5L, 4L), (5L, 6L), (0L, 1L)).toDF("start_id", "end_id")
+    val lv2 = GraphOps.topologicalLevels(GraphOps.condensation(g,
+        GraphOps.stronglyConnectedComponents(g))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv2 == Map(0L -> 0L, 1L -> 1L, 4L -> 2L, 6L -> 3L))
+  }
+
+  test("scc: truncated inner propagation fails fast, not wrong labels") {
+    // maxIter=1 can never certify the inner fixpoint (certification
+    // needs one unchanged-sum round), so dirMinProp must throw instead
+    // of returning half-propagated F/B labels that would sever an SCC
+    val g = Seq((1L, 2L), (2L, 1L)).toDF("start_id", "end_id")
+    val ex = intercept[IllegalArgumentException](
+      GraphOps.stronglyConnectedComponents(g, maxIter = 1).count())
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("scc: partition invariance") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 4L), (6L, 1L)).toDF("start_id", "end_id")

@@ -406,4 +406,53 @@ class MultimodalSpec extends SparkSpec {
       stride = 2).select("frame_idx").as[Int].collect()
     assert(frames.toSeq == Seq(0, 2, 4, 6, 8))
   }
+
+  test("dHash64: pattern PNG reads its code back bit-for-bit") {
+    for (code <- Seq(0L, -1L, 0x0123456789ABCDEFL, 0x8000000000000001L,
+        42L)) {
+      assert(Multimodal.dHash64(
+        Multimodal.encodeDhashPatternPng(code)).contains(code),
+        s"code $code must round-trip")
+    }
+    // solid image: no gradients anywhere -> all-zero hash
+    assert(Multimodal.dHash64(
+      Multimodal.encodeSolidPng(30, 20, 77, 77, 77)).contains(0L))
+    // total-function contract
+    assert(Multimodal.dHash64(null).isEmpty)
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("dHash64: scale- and box-average-invariant for replicated pixels") {
+    // a 10x-upscaled copy (nearest neighbor replicates pixels, so every
+    // 9x8 box average equals the source pixel) hashes identically — the
+    // resized-copy near-dup case
+    val code = 0xA5C3F00F12345678L
+    val small = Multimodal.encodeDhashPatternPng(code)
+    val big = Multimodal.resizeImage(small, 90, 80).get
+    assert(Multimodal.dHash64(big).contains(code))
+  }
+
+  test("imageNearDups: near-identical images pair, distinct ones don't") {
+    val base = 0x0F0F0F0F0F0F0F0FL
+    val oneFlip = base ^ (1L << 17)
+    val twoFlip = base ^ (1L << 3) ^ (1L << 40)
+    val distinct = ~base // Hamming 64 from base
+    val imgs = Seq(
+      (1L, base), (2L, oneFlip), (3L, twoFlip), (4L, distinct))
+      .toDF("id", "code")
+    val pngs = Multimodal.synthesizeDhashPatternPngs(imgs, "code",
+      "payload").select("id", "payload")
+    val pairs = Multimodal.imageNearDups(pngs, "payload", "id",
+        maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // 1-2 at hamming 1, 1-3 at 2; 2-3 is 3 bits (excluded at radius 2),
+    // 4 pairs with nothing
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 2)))
+    // undecodable rows drop out of the fingerprint frame entirely
+    val withJunk = pngs.unionByName(Seq((9L, "junk".getBytes))
+      .toDF("id", "payload"))
+    assert(Multimodal.imageHashes(withJunk, "payload", "id")
+      .count() == 4)
+  }
 }

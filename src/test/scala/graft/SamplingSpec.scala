@@ -241,6 +241,48 @@ class SamplingSpec extends SparkSpec {
       out.map(r => (r._1, r._2) -> r._3).toMap)
   }
 
+  test("curriculumOrder: growing competence window by exact rank, " +
+      "integer inclusion, dense per-epoch shuffle, partition-invariant") {
+    // ids 1..10, score = id (so rank == id); E=2, start 500‰:
+    // epoch0 keeps rank·2000 ≤ 10·(1000+500) → rank ≤ 7; epoch1 all 10
+    val d = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "s")
+    val out = Sampling.curriculumOrder(d, "id", "s", epochs = 2,
+        startPermille = 500, seed = 7L)
+      .select("epoch", "id", "difficulty_rank", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    val e0 = out.filter(_._1 == 0L)
+    val e1 = out.filter(_._1 == 1L)
+    assert(e0.map(_._2).sorted.toSeq == (1L to 7L))
+    assert(e1.map(_._2).sorted.toSeq == (1L to 10L))
+    assert(e0.map(_._4).sorted.toSeq == (0L until 7L))
+    assert(e1.map(_._4).sorted.toSeq == (0L until 10L))
+    assert(out.forall(r => r._3 == r._2), "rank == id by construction")
+    // partition/bucket/rankBucket counts are knobs, not semantics —
+    // and ties (1000 distinct scores over 10k ids) break by id
+    val big = corpus.withColumn("s", (col("id") * 37 % 1000).cast("double"))
+    val a = Sampling.curriculumOrder(big, "id", "s", epochs = 3,
+        startPermille = 250, seed = 7L, portable = true, buckets = 64)
+      .select("epoch", "id", "pos").as[(Long, Long, Long)].collect()
+    val b = Sampling.curriculumOrder(big.repartition(13), "id", "s",
+        epochs = 3, startPermille = 250, seed = 7L, portable = true,
+        buckets = 3, rankBuckets = 17)
+      .select("epoch", "id", "pos").as[(Long, Long, Long)].collect()
+    assert(a.map(r => (r._1, r._2) -> r._3).toMap ==
+      b.map(r => (r._1, r._2) -> r._3).toMap)
+    // windows grow: strict nesting up to the full final epoch, and the
+    // epoch-0 size is the exact integer competence (rank ≤ n/2)
+    val byE = a.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byE(2L).size == 10000)
+    assert(byE(0L).subsetOf(byE(1L)) && byE(1L).subsetOf(byE(2L)))
+    assert(byE(0L).size == 5000)
+    assert(byE(1L).size == 7500)
+    // all-equal scores collapse to one rank bucket: id-order ranks,
+    // correct (degraded) rather than wrong
+    val eq = Sampling.curriculumOrder(d.withColumn("s", lit(1.0)), "id",
+        "s", epochs = 2).select("difficulty_rank").as[Long].collect()
+    assert(eq.length == 16 && eq.max == 10L) // 6 (rank≤6.25) + all 10
+  }
+
   test("stratifiedTopK: exact k per stratum, short strata kept whole") {
     val docs = Seq(
       ("en", 1L, 50L), ("en", 2L, 90L), ("en", 3L, 70L), ("en", 4L, 90L),

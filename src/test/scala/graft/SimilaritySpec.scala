@@ -451,6 +451,112 @@ class SimilaritySpec extends SparkSpec {
       s"orthogonal delta must read as drift, got ${report2.getDouble(3)}")
   }
 
+  test("updateIndex: checkIdOverlap rejects a re-ingested vec_id before " +
+      "anything is appended; fresh ids pass the guard") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val base = e.filter(col("vec_id") < 100)
+    val (cents, assigned) = Similarity.ivfIndex(base, "embedding",
+      "vec_id", 4)
+    val cb = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 8, k = 8)
+    val enc = Similarity.pqEncode(base, "embedding", "vec_id", cb, m = 8)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_ovl").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 8, k = 8)
+    // delta overlaps the stored layout on id 50 → fail fast, no append
+    val overlapping = e.filter(col("vec_id") === 50 ||
+      col("vec_id") === 200)
+    val before = spark.read.parquet(dir + "/vectors").count()
+    val ex = intercept[IllegalArgumentException](Similarity.updateIndex(
+      spark, dir, overlapping, "embedding", "vec_id",
+      checkIdOverlap = true).count())
+    assert(ex.getMessage.contains("already present"))
+    assert(spark.read.parquet(dir + "/vectors").count() == before,
+      "guard must fire BEFORE the append")
+    // disjoint delta passes the guard and appends
+    val fresh = e.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+    val rep = Similarity.updateIndex(spark, dir, fresh, "embedding",
+      "vec_id", checkIdOverlap = true).head()
+    assert(rep.getLong(0) == fresh.count())
+    assert(spark.read.parquet(dir + "/vectors").count() ==
+      before + fresh.count())
+  }
+
+  test("compactIndex: fragmented appends collapse to one file per cell, " +
+      "query-identical; drift ledger drives the retrain recommendation") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val base = e.filter(col("vec_id") < 200)
+    val (cents, assigned) = Similarity.ivfIndex(base, "embedding",
+      "vec_id", 8)
+    val cb = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 8, k = 8)
+    val enc = Similarity.pqEncode(base, "embedding", "vec_id", cb, m = 8)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val stats = assigned.agg(avg(col("assign_cosine")),
+      stddev_pop(col("assign_cosine"))).head()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_cmp").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 8, k = 8,
+      stats.getDouble(0), stats.getDouble(1))
+    // two fragmenting appends, each its own parquet fragment set
+    Similarity.updateIndex(spark, dir,
+      e.filter(col("vec_id") >= 200 && col("vec_id") < 300),
+      "embedding", "vec_id").collect()
+    Similarity.updateIndex(spark, dir, e.filter(col("vec_id") >= 300),
+      "embedding", "vec_id").collect()
+    val q = e.filter(col("vec_id") < 4)
+    def rows(ix: Similarity.AnnIndex) =
+      Similarity.ivfPqTopK(q, ix.centroids, ix.codebooks,
+        ix.assignedEncoded, "embedding", "vec_id", m = ix.m, k = ix.k,
+        topK = 5, nProbe = 3)
+        .select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val beforeRows = rows(Similarity.loadIndex(spark, dir))
+    val rep = Similarity.compactIndex(spark, dir).head()
+    assert(rep.getLong(0) == e.count(), "row count preserved")
+    val nCells = spark.read.parquet(s"$dir/vectors")
+      .select("centroid_id").distinct().count()
+    assert(rep.getLong(2) < rep.getLong(1),
+      s"must shrink: ${rep.getLong(1)} -> ${rep.getLong(2)}")
+    assert(rep.getLong(2) == nCells, "one file per populated cell")
+    assert(rows(Similarity.loadIndex(spark, dir)) == beforeRows,
+      "compaction must be query-identical (bit-equal)")
+    // ledger: both appends recorded; in-distribution deltas -> no retrain
+    assert(rep.getLong(3) == 2L)
+    assert(!rep.getBoolean(8))
+    // planted drift: orthogonal-axis deltas push the weighted delta mean
+    // far below the build mean -> retrain recommended
+    def axisVec(axis: Int, wob: Int) = Array.tabulate(8)(j =>
+      if (j == axis) 1f else if (j == (axis + 1) % 8) 0.02f * wob else 0f)
+    val base2 = (0 until 16).map(i => (i.toLong, axisVec(0, i % 4)))
+      .toDF("vec_id", "embedding")
+    val delta2 = (100 until 116).map(i => (i.toLong, axisVec(4, i % 4)))
+      .toDF("vec_id", "embedding")
+    val (c2, a2) = Similarity.ivfIndex(base2, "embedding", "vec_id", 2)
+    val cb2 = Similarity.pqCodebooks(base2, "embedding", "vec_id",
+      m = 4, k = 2)
+    val enc2 = Similarity.pqEncode(base2, "embedding", "vec_id", cb2,
+      m = 4)
+    val ae2 = a2.select(col("centroid_id"), col("vec_id"))
+      .join(enc2, Seq("vec_id"))
+    val st2 = a2.agg(avg(col("assign_cosine")),
+      stddev_pop(col("assign_cosine"))).head()
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ann_cmp2").toString + "/ix"
+    Similarity.saveIndex(dir2, c2, cb2, ae2, m = 4, k = 2,
+      st2.getDouble(0), st2.getDouble(1))
+    Similarity.updateIndex(spark, dir2, delta2, "embedding", "vec_id")
+      .collect()
+    val rep2 = Similarity.compactIndex(spark, dir2).head()
+    assert(rep2.getBoolean(8),
+      s"orthogonal delta must recommend retrain: drift=${rep2.get(6)} " +
+        s"tol=${rep2.get(7)}")
+  }
+
   test("pqTopK: near-identical twin ranks first with near-zero distance") {
     // two tight clusters + noise; query 0's twin (id 10) shares its
     // codes, so ADC distance equals the query's own quantization
