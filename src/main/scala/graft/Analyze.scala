@@ -112,6 +112,11 @@ import graft.operators.{Curation, GraphOps}
   *               query-identical — and return the one-row maintenance
   *               report incl. the drift-ledger-driven
   *               retrain_recommended verdict)
+  *   sccinc      --delta <new-edges dir> --target <stored labels dir>
+  *               --quotient <stored condensation dir> [-o <outDir>]
+  *               (EXACT incremental SCC maintenance: quotient-sized
+  *               per-batch cost, never re-reads the accumulated
+  *               edges; returns the refreshed (id, scc) labels)
   *   topolevels  --edges <dir> [--max-iter N] [-o <outDir>]
   *               (SCC → condensation → longest-path topological level
   *               per SCC: dependency depth / parallel waves of the
@@ -327,6 +332,7 @@ object Analyze {
       rerank: Int = 0,
       maxHamming: Int = 2,
       binCol: String = "payload",
+      quotient: String = "",
       corpus: String = "",
       outDir: String = "",
       checkpointDir: Option[String] = None,
@@ -454,6 +460,7 @@ object Analyze {
       case "--max-hamming" :: v :: t =>
         loop(t, acc.copy(maxHamming = v.toInt))
       case "--bin-col" :: v :: t => loop(t, acc.copy(binCol = v))
+      case "--quotient" :: v :: t => loop(t, acc.copy(quotient = v))
       case "--corpus" :: v :: t => loop(t, acc.copy(corpus = v))
       case "--test-fraction" :: v :: t =>
         loop(t, acc.copy(testFraction = v.toDouble))
@@ -537,6 +544,20 @@ object Analyze {
           spark.read.parquet(args.target),
           rounds = args.iterations, hops = args.hops,
           seed = args.hashSeed, weightCol = args.weightCol, ckpt = ckpt)
+      case "sccinc" =>
+        // exact incremental SCC: --delta carries the NEW edges only
+        // (the primitive never reads the accumulated edge table —
+        // that's its point); the stored labels and condensation are
+        // the state it updates
+        require(args.delta.nonEmpty && args.target.nonEmpty &&
+          args.quotient.nonEmpty,
+          "sccinc needs --delta <new-edges dir>, --target <stored " +
+            "(id, scc) labels dir>, and --quotient <stored (src_scc, " +
+            "dst_scc) condensation dir>; returns refreshed labels")
+        GraphOps.incrementalScc(spark.read.parquet(args.delta),
+          spark.read.parquet(args.target),
+          spark.read.parquet(args.quotient),
+          maxIter = args.maxIter, ckpt = ckpt).labels
       case "quantiles" =>
         require(args.docs.nonEmpty && args.valueCol.nonEmpty,
           "quantiles needs --docs and --value-col (non-negative " +

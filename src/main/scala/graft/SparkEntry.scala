@@ -2649,6 +2649,28 @@ object SparkEntry {
         .orderBy("src_scc", "dst_scc")
     }),
 
+    // ---- G26d: EXACT incremental SCC maintenance — the base graph
+    // (everything but the nation→customer back-edges) is labelled and
+    // condensed first, then the back-edges arrive as the delta and
+    // incrementalScc merges the affected SCCs on the QUOTIENT-sized
+    // problem only. Oracle: q_g26's full-graph closure-derived SCC —
+    // the incremental result must be bit-identical to the full
+    // recompute (the theorem, checked end-to-end at both SFs). ----
+    "q_g26d_incr_scc" -> ((s, dir) => {
+      val natCust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select((col("c_nationkey").cast("long") * 4 + 2).as("start_id"),
+          (col("c_custkey").cast("long") * 4).as("end_id"))
+      val back = t(s, dir, "nation").select(
+        (col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
+        (col("n_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val base = heteroEdges(s, dir).unionByName(back)
+      val baseLabels = GraphOps.stronglyConnectedComponents(base)
+      val st = GraphOps.incrementalScc(natCust, baseLabels,
+        GraphOps.condensation(base, baseLabels))
+      st.labels.orderBy("id")
+    }),
+
     // ---- G26c: topological levels over the condensation DAG — the
     // analysis users collapse cycles FOR: each SCC's longest-path
     // depth from the sources (parallel execution waves / dependency
@@ -7236,6 +7258,34 @@ object SparkEntry {
         |FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
         |WHERE sa.scc <> sb.scc
         |ORDER BY src_scc, dst_scc""".stripMargin,
+
+    // The incremental result must equal the FULL recompute — so the
+    // oracle is q_g26's verbatim: the closure-derived SCC of the whole
+    // edge set, back-edges included. Any severed or over-merged SCC
+    // from the quotient composition hash-mismatches here.
+    "q_g26d_incr_scc" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+        |SELECT r1.a AS id, min(r1.b) AS scc
+        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |GROUP BY r1.a ORDER BY id""".stripMargin,
 
     // Same closure-derived quotient edges, then longest path by
     // recursive walk extension: every quotient node seeds a 0-length

@@ -1746,6 +1746,83 @@ object GraphOps {
       .select(col("src_scc"), col("dst_scc")).distinct()
   }
 
+  /** The updated state of an append-only SCC maintenance step: the new
+    * full labelling and the new condensation, both EXACTLY what a full
+    * recompute over (old ∪ delta) edges would produce. */
+  final case class SccState(labels: DataFrame, quotient: DataFrame)
+
+  /** Incremental SCC maintenance under APPEND-ONLY edge arrivals — the
+    * [[incrementalCommunities]] discipline applied to G26, but here the
+    * incremental result is EXACT, not a local approximation, by a
+    * standard theorem: adding edges only ever MERGES SCCs (mutual
+    * reachability is monotone in the edge set), and two old SCCs merge
+    * iff their quotient nodes become mutually reachable in
+    * (old condensation ∪ delta projected to old labels) — the old
+    * condensation preserves reachability among old SCCs, and every new
+    * path factors through it plus delta edges. So the maintenance step
+    * runs [[stronglyConnectedComponents]] on a QUOTIENT-SIZED graph
+    * (|old SCCs touched| + |delta| rows, not |V| + |E|) and composes:
+    * new(v) = qLabel(old(v)). Labels stay "min node id in the SCC"
+    * because the quotient SCC's min over old labels (each the min of
+    * its members) and new node ids IS the global min — bit-identical
+    * to the full recompute (the spec asserts it).
+    *
+    * Delta endpoints unseen in `prevLabels` enter as their own
+    * quotient nodes (a brand-new node is its own SCC until proven
+    * otherwise); old SCCs touching no quotient edge keep their label
+    * verbatim via the left join. The returned quotient is the
+    * condensation of the quotient problem under the new labels, which
+    * equals the new full condensation (every inter-SCC edge of the
+    * full graph projects into the quotient problem), so the state the
+    * next delta needs is maintained without ever re-reading the
+    * accumulated edge table — the whole point at 100 TB: per-batch
+    * cost is condensation-sized + delta-sized, never corpus-sized.
+    *
+    * @param deltaEdges   newly arrived (`start_id`, `end_id`) rows
+    * @param prevLabels   (`id`, `scc`) from the previous step
+    * @param prevQuotient (`src_scc`, `dst_scc`) from the previous step
+    * @return the new labels (all old ids + new delta endpoints) and
+    *         the new condensation */
+  def incrementalScc(deltaEdges: DataFrame, prevLabels: DataFrame,
+      prevQuotient: DataFrame, maxRounds: Int = 20, maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): SccState = {
+    val l = prevLabels.select(col("id"), col("scc"))
+    val d = deltaEdges.select(col(StartId).as("src"), col(EndId).as("dst"))
+    // Project delta endpoints onto old labels; unseen ids label
+    // themselves (their own singleton quotient node).
+    val proj = d
+      .join(l.withColumnsRenamed(Map("id" -> "src", "scc" -> "_ss")),
+        Seq("src"), "left")
+      .join(l.withColumnsRenamed(Map("id" -> "dst", "scc" -> "_ds")),
+        Seq("dst"), "left")
+      .select(coalesce(col("_ss"), col("src")).as(StartId),
+        coalesce(col("_ds"), col("dst")).as(EndId))
+    val qEdges = ckpt(prevQuotient
+      .select(col("src_scc").as(StartId), col("dst_scc").as(EndId))
+      .unionAll(proj)
+      .filter(col(StartId) =!= col(EndId)).distinct())
+    val qLabels = ckpt(stronglyConnectedComponents(qEdges, maxRounds,
+      maxIter, ckpt))
+    // Compose old labels through the quotient result; untouched SCCs
+    // (absent from the quotient problem) keep their label verbatim.
+    val composedOld = l
+      .join(qLabels.select(col("id").as("scc"), col("scc").as("_new")),
+        Seq("scc"), "left")
+      .select(col("id"), coalesce(col("_new"), col("scc")).as("scc"))
+    // Brand-new nodes: delta endpoints with no previous label. The
+    // left join + coalesce covers a node whose only delta edge is a
+    // self-loop — it never reaches the (self-loop-filtered) quotient
+    // problem but must still label itself, matching the full
+    // recompute's unfiltered vertex set.
+    val newNodes = d.select(col("src").as("id"))
+      .unionAll(d.select(col("dst").as("id"))).distinct()
+      .join(l.select("id"), Seq("id"), "left_anti")
+      .join(qLabels.withColumnRenamed("scc", "_qs"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_qs"), col("id")).as("scc"))
+    val labels = ckpt(composedOld.unionByName(newNodes))
+    SccState(labels, condensation(qEdges, qLabels))
+  }
+
   /** Topological levels / longest-path depth over a DAG — the query
     * users collapse cycles FOR: run it on [[condensation]]'s output and
     * each SCC's level is its dependency depth (build staging, pipeline

@@ -738,4 +738,63 @@ object StreamingIngest {
         }
       }
       .start()
+
+  /** Incremental SCC maintenance on edge arrivals — the
+    * [[streamingCommunities]] loop over
+    * [[graft.operators.GraphOps.incrementalScc]], with one crucial
+    * upgrade: the incremental step is EXACT (append-only edges only
+    * merge SCCs — see the primitive's theorem note), so the stored
+    * labels are bit-equal to a full recompute after every trigger,
+    * not a local approximation needing periodic consolidation.
+    *
+    * Two parquet stores ARE the state: (`id`, `scc`) labels and the
+    * (`src_scc`, `dst_scc`) condensation — the quotient store is what
+    * makes each trigger condensation-sized + delta-sized instead of
+    * corpus-sized: after the cold-start batch (full
+    * [[graft.operators.GraphOps.stronglyConnectedComponents]] over the
+    * accumulated store), the accumulated edge table is NEVER re-read;
+    * the append to `edgesDir` is durability only (cold restart,
+    * audits). At-least-once batch redelivery is absorbed twice over:
+    * the quotient union runs `distinct`, and re-applying an already
+    * merged delta is a fixpoint (SCCs only merge once).
+    *
+    * Both stores localCheckpoint before either overwrite — the
+    * incremental plan reads the same parquet paths it replaces. */
+  def streamingScc(edges: DataFrame, edgesDir: String,
+      labelsDir: String, quotientDir: String, checkpointDir: String,
+      maxRounds: Int = 20,
+      maxIter: Int = 25): org.apache.spark.sql.streaming.StreamingQuery =
+    edges
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.select(col("start_id"), col("end_id"))
+          .localCheckpoint()
+        if (!delta.isEmpty) {
+          delta.write.mode("append").parquet(edgesDir)
+          val marker =
+            new org.apache.hadoop.fs.Path(s"$labelsDir/_SUCCESS")
+          val havePrev = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(marker)
+          val (labels, quotient) =
+            if (havePrev) {
+              val st = graft.operators.GraphOps.incrementalScc(delta,
+                spark.read.parquet(labelsDir),
+                spark.read.parquet(quotientDir), maxRounds, maxIter)
+              (st.labels, st.quotient)
+            } else {
+              val all = spark.read.parquet(edgesDir)
+              val lb = graft.operators.GraphOps
+                .stronglyConnectedComponents(all, maxRounds, maxIter)
+              (lb, graft.operators.GraphOps.condensation(all, lb))
+            }
+          val lc = labels.localCheckpoint()
+          val qc = quotient.localCheckpoint()
+          lc.write.mode("overwrite").parquet(labelsDir)
+          qc.write.mode("overwrite").parquet(quotientDir)
+        }
+      }
+      .start()
 }

@@ -730,5 +730,23 @@ class AnalyzeSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1)))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("imagededup")), spark))
+    // sccinc: stored labels + condensation, delta closes the cycle —
+    // refreshed labels equal the full recompute
+    import graft.operators.GraphOps
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("start_id", "end_id")
+    val bl = GraphOps.stronglyConnectedComponents(chain)
+    bl.write.parquet(s"$dir/scc_labels")
+    GraphOps.condensation(chain, bl).write.parquet(s"$dir/scc_quot")
+    Seq((4L, 1L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/scc_delta")
+    val inc = Analyze.run(parse(List("sccinc",
+      "--delta", s"$dir/scc_delta", "--target", s"$dir/scc_labels",
+      "--quotient", s"$dir/scc_quot")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("sccinc", "--delta", s"$dir/scc_delta")),
+        spark))
   }
 }

@@ -1009,6 +1009,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(dag == Set((1L, 4L), (4L, 6L), (0L, 1L)))
   }
 
+  test("incrementalScc: quotient composition equals the full recompute " +
+      "bit-for-bit; untouched SCCs keep labels; reapply is a fixpoint") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (7L, 8L)).toDF("start_id", "end_id")
+    val bl = GraphOps.stronglyConnectedComponents(base)
+    val bq = GraphOps.condensation(base, bl)
+    // 5→1 closes the big cycle {1,2,3,4,5}; 8→9 adds a brand-new node;
+    // 10→10 is a self-loop-only new node (must still label itself)
+    val delta = Seq((5L, 1L), (8L, 9L), (10L, 10L))
+      .toDF("start_id", "end_id")
+    val st = GraphOps.incrementalScc(delta, bl, bq)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = toMap(GraphOps.stronglyConnectedComponents(
+      base.unionByName(delta)))
+    assert(toMap(st.labels) == full)
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(full).toSet == Set(1L))
+    assert(full(10L) == 10L)
+    // quotient store = the full condensation under the new labels
+    val fullQ = GraphOps.condensation(base.unionByName(delta),
+        GraphOps.stronglyConnectedComponents(base.unionByName(delta)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st.quotient.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == fullQ)
+    // untouched SCC {7,8}... 8→9 touches it but must not relabel it
+    assert(toMap(st.labels)(7L) == toMap(bl)(7L))
+    // at-least-once: reapplying the same delta is a fixpoint
+    val st2 = GraphOps.incrementalScc(delta, st.labels, st.quotient)
+    assert(toMap(st2.labels) == toMap(st.labels))
+    assert(st2.quotient.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == fullQ)
+  }
+
   test("topologicalLevels: longest-path depth on a known DAG; cycles " +
       "fail fast; composes with condensation") {
     val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L), (3L, 5L))

@@ -721,4 +721,51 @@ class StreamingSpec extends SparkSpec {
       assert(l2(20L) != l2(3L))
     } finally q.stop()
   }
+
+  test("streamingScc: exact maintenance — cold start = full SCC, " +
+      "arrivals merge on the quotient, every trigger equals the full " +
+      "recompute bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_scc").toString
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("start_id", "end_id")
+    val q = StreamingIngest.streamingScc(stream,
+      s"$tmp/edges", s"$tmp/labels", s"$tmp/quotient", s"$tmp/ckpt")
+    try {
+      def store(dir: String): Map[Long, Long] =
+        spark.read.parquet(s"$tmp/$dir")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def fullScc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+        graft.operators.GraphOps.stronglyConnectedComponents(
+            edges.toDF("start_id", "end_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch 1: 3-cycle {1,2,3} -> path 4 -> 5, separate 2-cycle {7,8}
+      val b1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+        (7L, 8L), (8L, 7L))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val l1 = store("labels")
+      assert(l1 == fullScc(b1)) // cold start IS the full SCC
+      assert(l1(3L) == 1L && l1(4L) == 4L && l1(8L) == 7L)
+      // batch 2: 5 -> 1 closes the big cycle {1,2,3,4,5}; a brand-new
+      // node 9 hangs off the untouched {7,8} SCC
+      val b2 = Seq((5L, 1L), (8L, 9L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val l2 = store("labels")
+      assert(l2 == fullScc(b1 ++ b2),
+        "incremental trigger must equal the full recompute")
+      assert(Set(1L, 2L, 3L, 4L, 5L).map(l2).toSet == Set(1L))
+      assert(l2(7L) == 7L && l2(8L) == 7L && l2(9L) == 9L)
+      // quotient store equals the full condensation
+      val fullQ = graft.operators.GraphOps.condensation(
+          (b1 ++ b2).toDF("start_id", "end_id"),
+          l2.toSeq.toDF("id", "scc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val storedQ = spark.read.parquet(s"$tmp/quotient")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(storedQ == fullQ, s"stored=$storedQ full=$fullQ")
+    } finally q.stop()
+  }
 }
