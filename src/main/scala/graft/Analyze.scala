@@ -125,6 +125,10 @@ import graft.operators.{Curation, GraphOps}
   *               [--max-hamming H] [-o <outDir>]
   *               (perceptual dHash near-duplicate image pairs via the
   *               shared Hamming-banding machinery)
+  *   audiodedup  --docs <dir> [--bin-col payload] [--id-col doc_id]
+  *               [--max-hamming H] [-o <outDir>]
+  *               (energy-envelope fingerprint near-duplicate audio
+  *               pairs via the same Hamming-banding machinery)
   *   quantiles   --docs <dir> --value-col v [--group-col g]
   *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
   *               (mergeable HDR-histogram quantile sketch over
@@ -513,6 +517,11 @@ object Analyze {
       case "imagededup" =>
         require(args.docs.nonEmpty, "imagededup needs --docs <dir>")
         graft.operators.Multimodal.imageNearDups(
+          spark.read.parquet(args.docs), args.binCol, args.idCol,
+          args.maxHamming, ckpt = ckpt)
+      case "audiodedup" =>
+        require(args.docs.nonEmpty, "audiodedup needs --docs <dir>")
+        graft.operators.Multimodal.audioNearDups(
           spark.read.parquet(args.docs), args.binCol, args.idCol,
           args.maxHamming, ckpt = ckpt)
       case "anncompact" =>

@@ -1976,6 +1976,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- X5j: audio near-duplicate detection — the last dedup
+    // modality (text ✓, embeddings ✓, images ✓, audio here):
+    // energy-envelope fingerprints over REAL synthesized-and-decoded
+    // WAVs, then the shared SimHash Hamming-banding machinery. Fixture
+    // clips are amplitude-pattern WAVs whose fingerprint equals a code
+    // that is the q_x5i doc_id arithmetic verbatim (groups of 4 share
+    // a 12-bit group value at 5× repetition, member m = doc_id%4 sets
+    // a nested bit prefix), so near-dup pairs at radius 2 are exactly
+    // the equal-group pairs with |Δm| ≤ 2 — DuckDB-checkable with no
+    // audio decode on the oracle side. ----
+    "q_x5j_audio_neardups" -> ((s, dir) => {
+      val groupTerms = (0 until 12).map(j =>
+        s"(shiftright((doc_id div 4) % 4096, $j) & 1) * ${31L << (4 + 5 * j)}L")
+        .mkString(" + ")
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        expr(s"shiftleft(1L, cast(doc_id % 4 as int)) - 1L + $groupTerms")
+          .as("code"))
+      val wavs = Multimodal.synthesizeAudioPatternWavs(spec, "code",
+        "payload").select("doc_id", "payload")
+      Multimodal.audioNearDups(wavs, "payload", "doc_id", maxHamming = 2)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- X5d: REAL audio decode — distributed WAV synthesis (format +
     // constant amplitude derived from doc_id) → javax.sound decode →
     // (sample_rate, channels, n_frames, rms). Constant-amplitude PCM has
@@ -6170,6 +6195,20 @@ object SparkEntry {
     // group values match, and member bits are nested prefixes so
     // in-group Hamming is |Δm|. The oracle never decodes an image.
     "q_x5i_image_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 4) % 4096 AS gc, doc_id % 4 AS m
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(abs(a.m - b.m) AS BIGINT) AS hamming
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND a.gc = b.gc AND abs(a.m - b.m) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same scheme as q_x5i, for sound: the audio fingerprint of each
+    // pattern WAV equals its code by construction (spec-verified
+    // round-trip), so near-dup pairs are the same pure doc_id
+    // arithmetic — the oracle never decodes audio.
+    "q_x5j_audio_neardups" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id // 4) % 4096 AS gc, doc_id % 4 AS m
         |  FROM documents)

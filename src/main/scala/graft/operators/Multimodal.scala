@@ -572,6 +572,164 @@ object Multimodal {
   private val wavUdf = udf((rate: Int, frames: Int, amp: Int) =>
     encodePcmWav(rate, Array.fill(frames)(amp.toShort)))
 
+  /** 64-bit audio perceptual fingerprint — the audio member of the
+    * dedup-fingerprint family ([[dHash64]] for images,
+    * [[Dedup.simhash64]] for text): an energy-envelope dHash over the
+    * mono PCM. The signal is mixed to mono (the [[resampleAudio]]
+    * normalization), cut into a row-major 8×9 grid of 72 equal time
+    * slices (row r = coarse segment, column c = its 9 sub-windows in
+    * time order), each cell accumulating the EXACT Long sum of
+    * |sample|; bit r·8+c is the sign of the horizontal envelope
+    * gradient, compared cross-multiplied by cell frame counts
+    * (`sumR·nL > sumL·nR`) — no float averages, so the fingerprint is
+    * bit-reproducible across JVMs and partitionings. The envelope
+    * shape survives uniform gain (both sides of every compare scale
+    * together) and nearest-neighbor resampling (frame duplication and
+    * selection preserve per-slice means), so re-encoded / re-leveled /
+    * resampled copies land within a few Hamming bits while unrelated
+    * audio is ~32 apart — the same fingerprint geometry as text
+    * SimHash, which is why the banding machinery is shared
+    * ([[graft.operators.Dedup.simhashNearDups]]). Clips shorter than
+    * the grid widen degenerate cells to one frame (the [[dHash64]]
+    * rule). Same total-function contract as [[decodeAudio]]: None for
+    * null / corrupt / non-16-bit-PCM payloads and for clips longer
+    * than `maxFrames`; never throws. */
+  def audioHash64(bytes: Array[Byte],
+      maxFrames: Long = DefaultMaxFrames): Option[Long] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val signed =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed || fmt.getSampleSizeInBits != 16) return None
+        val channels = fmt.getChannels
+        val big = fmt.isBigEndian
+        val raw = in.readAllBytes()
+        val nFrames = raw.length / fmt.getFrameSize
+        if (nFrames == 0 || nFrames.toLong > maxFrames) return None
+        val mono = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L
+          var c = 0
+          while (c < channels) {
+            val i = f * fmt.getFrameSize + c * 2
+            val s =
+              if (big) ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort
+              else ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort
+            acc += s
+            c += 1
+          }
+          mono(f) = math.abs(acc / channels)
+          f += 1
+        }
+        // sums(i)/ns(i): |amplitude| total and frame count of time
+        // slice i of 72 (row-major 8 rows × 9 columns)
+        val sums = new Array[Long](72)
+        val ns = new Array[Long](72)
+        var i = 0
+        while (i < 72) {
+          val x0 = (i.toLong * nFrames / 72).toInt
+          val x1 = math.max(x0 + 1, ((i + 1).toLong * nFrames / 72).toInt)
+            .min(nFrames)
+          var s = 0L
+          var x = x0
+          while (x < math.max(x1, x0 + 1)) {
+            s += mono(math.min(x, nFrames - 1))
+            x += 1
+          }
+          sums(i) = s
+          ns(i) = (math.max(x1, x0 + 1) - x0).toLong
+          i += 1
+        }
+        var hash = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            val l = r * 9 + c
+            if (sums(l + 1) * ns(l) > sums(l) * ns(l + 1))
+              hash |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(hash)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed [[audioHash64]] over a binary column: (idCol,
+    * `simhash`) — output column NAMED for
+    * [[graft.operators.Dedup.simhashNearDups]]'s banding contract (an
+    * audio fingerprint IS a 64-bit Hamming-space point exactly like a
+    * text SimHash or image dHash). Undecodable payloads are dropped;
+    * narrow per-partition decode, the payload bytes never shuffle. */
+  def audioHashes(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), audioHashUdf(col(binCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  private val audioHashUdf = udf((bytes: Array[Byte]) => audioHash64(bytes))
+
+  /** Audio near-duplicate pairs: [[audioHashes]] →
+    * [[graft.operators.Dedup.simhashNearDups]] Hamming blocking —
+    * lossless banded candidate generation, never all-pairs; output
+    * (id_a, id_b, hamming). Radius 2 matches [[imageNearDups]]: 64
+    * envelope-gradient signs flip reluctantly, so re-encoded /
+    * resampled copies sit at Hamming 0–2 while unrelated clips are
+    * ~32 apart. */
+  def audioNearDups(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 2, materialize: Boolean = true,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame =
+    Dedup.simhashNearDups(audioHashes(df, binCol, idCol), idCol,
+      maxHamming, materialize, ckpt)
+
+  /** Encode the mono WAV whose [[audioHash64]] is EXACTLY `code` — the
+    * oracle-expressible fixture generator for the audio-dedup queries
+    * (the [[encodeDhashPatternPng]] discipline for sound: constant
+    * audio hashes to 0, so amplitude patterns carry the signal). Each
+    * of the 8 rows is an amplitude walk from 1024 stepping ±64 per
+    * column as bit r·8+c of `code` directs; every cell is
+    * `framesPerCell` constant-amplitude frames aligned exactly with
+    * the 72-slice grid, amplitudes stay in [512, 1536] (no clipping,
+    * always positive so |s| = s), and ±64 steps make every adjacent
+    * compare strict — the hash reads the code back bit-for-bit and
+    * near-dup structure becomes pure integer arithmetic on the codes
+    * (DuckDB-checkable). */
+  def encodeAudioPatternWav(code: Long, framesPerCell: Int = 8,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(framesPerCell >= 1, "framesPerCell must be >= 1")
+    val out = new Array[Short](72 * framesPerCell)
+    var r = 0
+    while (r < 8) {
+      var v = 1024
+      var c = 0
+      while (c < 9) {
+        if (c > 0)
+          v += (if (((code >>> (r * 8 + c - 1)) & 1L) == 1L) 64 else -64)
+        var k = 0
+        while (k < framesPerCell) {
+          out((r * 9 + c) * framesPerCell + k) = v.toShort
+          k += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    encodePcmWav(sampleRate, out)
+  }
+
+  /** Distributed [[encodeAudioPatternWav]] over a long code column. */
+  def synthesizeAudioPatternWavs(df: DataFrame, codeCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol, audioPatternUdf(col(codeCol)))
+
+  private val audioPatternUdf =
+    udf((code: Long) => encodeAudioPatternWav(code))
+
   // ---------------------------------------------------------------------
   // Video container metadata (REAL — header parsing, no codec needed).
   // The JDK ships no video codec, so frame DECODE stays out of scope, but

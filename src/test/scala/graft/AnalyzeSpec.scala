@@ -730,6 +730,17 @@ class AnalyzeSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1)))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("imagededup")), spark))
+    // audiodedup over synthesized pattern WAVs: same shape as images
+    Multimodal.synthesizeAudioPatternWavs(
+      Seq((1L, base), (2L, base ^ 4L), (3L, ~base))
+        .toDF("doc_id", "code"), "code", "payload")
+      .select("doc_id", "payload").write.parquet(s"$dir/wavs")
+    val apairs = Analyze.run(parse(List("audiodedup", "--docs",
+      s"$dir/wavs", "--max-hamming", "2")), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(apairs.toSeq == Seq((1L, 2L, 1)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("audiodedup")), spark))
     // sccinc: stored labels + condensation, delta closes the cycle —
     // refreshed labels equal the full recompute
     import graft.operators.GraphOps

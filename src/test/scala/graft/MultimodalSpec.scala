@@ -455,4 +455,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageHashes(withJunk, "payload", "id")
       .count() == 4)
   }
+
+  test("audioHash64: pattern WAV reads its code back bit-for-bit; " +
+      "duration- and resample-invariant") {
+    for (code <- Seq(0L, -1L, 0x0123456789ABCDEFL, 0x8000000000000001L,
+        42L)) {
+      assert(Multimodal.audioHash64(
+        Multimodal.encodeAudioPatternWav(code)).contains(code),
+        s"code $code must round-trip")
+      // a longer clip with the same envelope (more frames per cell)
+      // hashes identically — the re-encoded-copy near-dup case
+      assert(Multimodal.audioHash64(
+        Multimodal.encodeAudioPatternWav(code, framesPerCell = 5))
+        .contains(code))
+    }
+    // constant audio: no envelope gradients -> all-zero hash
+    assert(Multimodal.audioHash64(
+      Multimodal.encodePcmWav(8000, Array.fill(400)(700.toShort)))
+      .contains(0L))
+    // nearest-neighbor resample preserves per-slice means exactly
+    val code = 0xA5C3F00F12345678L
+    val wav = Multimodal.encodeAudioPatternWav(code)
+    val up = Multimodal.resampleAudio(wav, 16000).get
+    assert(Multimodal.audioHash64(up).contains(code))
+    // total-function contract
+    assert(Multimodal.audioHash64(null).isEmpty)
+    assert(Multimodal.audioHash64("not audio at all".getBytes).isEmpty)
+  }
+
+  test("audioNearDups: near-identical clips pair, distinct ones don't") {
+    val base = 0x0F0F0F0F0F0F0F0FL
+    val clips = Seq(
+      (1L, base), (2L, base ^ (1L << 17)),
+      (3L, base ^ (1L << 3) ^ (1L << 40)), (4L, ~base))
+      .toDF("id", "code")
+    val wavs = Multimodal.synthesizeAudioPatternWavs(clips, "code",
+      "payload").select("id", "payload")
+    val pairs = Multimodal.audioNearDups(wavs, "payload", "id",
+        maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 2)))
+    // undecodable rows drop out of the fingerprint frame entirely
+    val withJunk = wavs.unionByName(Seq((9L, "junk".getBytes))
+      .toDF("id", "payload"))
+    assert(Multimodal.audioHashes(withJunk, "payload", "id")
+      .count() == 4)
+  }
 }
