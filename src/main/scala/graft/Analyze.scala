@@ -121,6 +121,16 @@ import graft.operators.{Curation, GraphOps}
   *               (SCC → condensation → longest-path topological level
   *               per SCC: dependency depth / parallel waves of the
   *               cycle-collapsed graph)
+  *   dagreach    --edges <dir> [--direction out|in] [--max-iter N]
+  *               [-o <outDir>]
+  *               (SCC → condensation → exact reachable-descendant
+  *               count per SCC by path-doubling closure; --direction
+  *               in counts ancestors — upstream blast radius)
+  *   reach       --edges <dir> --seeds <id,id,...> [--max-iter N]
+  *               [-o <outDir>]
+  *               (bit-parallel multi-source reachability: ≤64 landmark
+  *               seeds propagate as one 64-bit mask per node —
+  *               64 BFSs for the price of one)
   *   imagededup  --docs <dir> [--bin-col payload] [--id-col doc_id]
   *               [--max-hamming H] [-o <outDir>]
   *               (perceptual dHash near-duplicate image pairs via the
@@ -514,6 +524,15 @@ object Analyze {
             GraphOps.stronglyConnectedComponents(edges,
               maxIter = args.maxIter, ckpt = ckpt)),
           maxIter = args.maxIter * 4, ckpt = ckpt)
+      case "dagreach" =>
+        GraphOps.descendantCounts(
+          GraphOps.condensation(edges,
+            GraphOps.stronglyConnectedComponents(edges,
+              maxIter = args.maxIter, ckpt = ckpt)),
+          reverse = args.direction == "in", ckpt = ckpt)
+      case "reach" =>
+        GraphOps.landmarkReachability(edges, seedsDf,
+          maxIter = args.maxIter, ckpt = ckpt)
       case "imagededup" =>
         require(args.docs.nonEmpty, "imagededup needs --docs <dir>")
         graft.operators.Multimodal.imageNearDups(

@@ -2709,6 +2709,32 @@ object SparkEntry {
         .orderBy("scc")
     }),
 
+    // ---- G26e: exact descendant counts over the condensation DAG —
+    // the impact-analysis query users collapse cycles FOR ("how many
+    // downstream cycle clusters break"): path-doubling transitive
+    // closure on the quotient, O(log depth) rounds. Oracle: the g26
+    // closure-derived quotient edges + recursive reachability count
+    // per source — the definition. ----
+    "q_g26e_desc_counts" -> ((s, dir) => {
+      val e = sccEdges(s, dir)
+      GraphOps.descendantCounts(GraphOps.condensation(e,
+          GraphOps.stronglyConnectedComponents(e)))
+        .orderBy("scc")
+    }),
+
+    // ---- G27: bit-parallel multi-source reachability — 64 landmark
+    // BFSs as ONE mask propagation (bit i of reach_mask ⇔ landmark i
+    // reaches the node; bit order = landmark id rank). Landmarks: the
+    // 5 region nodes of the cyclic hetero graph. Oracle: recursive
+    // closure from each landmark, mask rebuilt by summing 2^bit —
+    // the definition, bit-exact. ----
+    "q_g27_landmark_reach" -> ((s, dir) => {
+      val lms = t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") * 4 + 3).as("id"))
+      GraphOps.landmarkReachability(sccEdges(s, dir), lms)
+        .orderBy("id")
+    }),
+
     // ---- G7: degree distribution — the histogram a graph-shape sanity
     // check starts with (hub detection, power-law eyeballing). ----
     "q_g7_degree_hist" -> ((s, dir) =>
@@ -7369,6 +7395,87 @@ object SparkEntry {
         |  JOIN q ON q.src_scc = w.node)
         |SELECT node AS scc, CAST(max(len) AS BIGINT) AS level
         |FROM walks GROUP BY node ORDER BY scc""".stripMargin,
+
+    // Descendant counts = the closure-derived quotient edges (q_g26c's
+    // skeleton), then a recursive reachability walk counted per source
+    // SCC — sinks LEFT-JOIN to 0.
+    "q_g26e_desc_counts" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |scc AS MATERIALIZED (
+        |  SELECT r1.a AS id, min(r1.b) AS scc
+        |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  GROUP BY r1.a),
+        |q AS MATERIALIZED (
+        |  SELECT DISTINCT sa.scc AS src_scc, sb.scc AS dst_scc
+        |  FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
+        |  WHERE sa.scc <> sb.scc),
+        |qn AS (SELECT DISTINCT s2 AS scc FROM (
+        |  SELECT src_scc AS s2 FROM q UNION ALL SELECT dst_scc FROM q)),
+        |qr AS (
+        |  SELECT src_scc AS a, dst_scc AS b FROM q
+        |  UNION
+        |  SELECT r.a, q.dst_scc FROM qr r JOIN q ON q.src_scc = r.b)
+        |SELECT qn.scc, CAST(coalesce(c.n, 0) AS BIGINT) AS n_desc
+        |FROM qn LEFT JOIN (
+        |  SELECT a, count(*) AS n FROM qr WHERE a <> b GROUP BY a) c
+        |  ON c.a = qn.scc
+        |ORDER BY scc""".stripMargin,
+
+    // Landmark masks rebuilt from the per-landmark recursive closure:
+    // bit b of reach_mask ⇔ the b-th-smallest landmark id reaches the
+    // node (self included — the BFS-source convention); unreached
+    // nodes carry mask 0 via the LEFT JOIN.
+    "q_g27_landmark_reach" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |lm AS MATERIALIZED (
+        |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS b
+        |  FROM (SELECT DISTINCT r_regionkey*4+3 AS id FROM region)),
+        |reach AS (
+        |  SELECT id AS lm_id, id AS node FROM lm
+        |  UNION
+        |  SELECT r.lm_id, e.dst FROM reach r JOIN e ON e.src = r.node),
+        |m AS (
+        |  SELECT r.node AS id,
+        |    sum((1::BIGINT) << lm.b) AS reach_mask,
+        |    count(*) AS n_landmarks
+        |  FROM reach r JOIN lm ON lm.id = r.lm_id GROUP BY r.node)
+        |SELECT v.id,
+        |  CAST(coalesce(m.reach_mask, 0) AS BIGINT) AS reach_mask,
+        |  CAST(coalesce(m.n_landmarks, 0) AS BIGINT) AS n_landmarks
+        |FROM v LEFT JOIN m ON m.id = v.id
+        |ORDER BY 1""".stripMargin,
 
     // Same wedge expansion in SQL; the e4 integerization absorbs the
     // Σ 1/ln(deg) summation-order ulps.

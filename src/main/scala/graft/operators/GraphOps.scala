@@ -1885,6 +1885,122 @@ object GraphOps {
     levels
   }
 
+  /** Exact per-node reachable-descendant counts over a DAG — the
+    * impact-analysis query on [[condensation]]'s output ("how many
+    * downstream cycle clusters break if this one changes"). Computes
+    * the full transitive closure by PATH DOUBLING — reach' = reach ∪
+    * (reach ⋈ reach) — so rounds are O(log depth), not O(depth), with
+    * an unchanged pair count certifying the fixpoint. Output:
+    * (`scc`, `n_desc`) for every node of the quotient edge frame,
+    * self excluded; sinks report 0. `reverse = true` counts ancestors
+    * instead (upstream blast radius).
+    *
+    * Converges on any edge frame (a cyclic graph's closure is still
+    * finite), but it materializes the closure PAIR SET — that is
+    * output complexity, not waste, and the intended input is the SCC
+    * quotient: millions of rows when the raw graph is billions. For
+    * node-level reachability questions on the raw 100 TB graph use
+    * [[landmarkReachability]] — 64 sources per pass, Long-per-node
+    * state, no pair materialization. */
+  def descendantCounts(dagEdges: DataFrame, reverse: Boolean = false,
+      maxIter: Int = 30,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val e0 = dagEdges.select(col("src_scc").as("a"),
+      col("dst_scc").as("b"))
+    val e = if (reverse) e0.select(col("b").as("a"), col("a").as("b"))
+      else e0
+    val nodes = e.select(col("a").as("scc"))
+      .unionAll(e.select(col("b").as("scc"))).distinct()
+    var reach = ckpt(e.filter(col("a") =!= col("b")).distinct())
+    var prev = -1L
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val hops = reach.select(col("a").as("_mid"), col("b").as("_c"))
+      reach = ckpt(reach.unionAll(
+          reach.join(hops, reach("b") === hops("_mid"))
+            .select(col("a"), col("_c").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+      val cur = reach.count()
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    require(converged,
+      s"descendantCounts did not converge in $maxIter doubling rounds " +
+        "— the closure is still growing (depth > 2^maxIter is not " +
+        "plausible; check the input)")
+    nodes
+      .join(reach.groupBy(col("a").as("scc"))
+        .agg(count(lit(1)).as("_n")), Seq("scc"), "left")
+      .select(col("scc"), coalesce(col("_n"), lit(0L)).as("n_desc"))
+  }
+
+  /** Multi-source reachability in ONE propagation — the bit-parallel
+    * BFS trick: up to 64 landmark sources get bit positions (rank by
+    * landmark id — deterministic), every node carries a 64-bit mask of
+    * "which landmarks reach me" (a landmark reaches itself, the
+    * BFS-source convention), and each round ORs masks forward along
+    * edges. 64 BFSs for the price of one: per round, one equi-join of
+    * the edge table against the node-sized mask frame (AQE broadcasts
+    * it when it fits) plus a map-side-combinable BIT_OR groupBy. Set
+    * bits only ever grow and are bounded by 64·|V|, so an unchanged
+    * sum(bit_count) certifies the fixpoint; cycles are fine (masks are
+    * monotone). Output: (`id`, `reach_mask`, `n_landmarks`) for every
+    * node of the edge frame.
+    *
+    * The landmark frame is collected to the driver for bit assignment
+    * — bounded by the bit width (≤ 64 rows), not the data; 65+
+    * distinct landmarks fail fast before anything large moves. At
+    * 100 TB this answers "which of these 64 hub/root/seed nodes
+    * reaches each of N billion nodes" in O(diameter) rounds with one
+    * Long of state per node — the building block for landmark-label
+    * distance oracles and lineage audits, where per-source BFS would
+    * cost 64 separate traversals. */
+  def landmarkReachability(edges: DataFrame, landmarks: DataFrame,
+      maxIter: Int = 50,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val ids = landmarks.select(col("id").cast("long").as("id"))
+      .distinct().orderBy("id").limit(65)
+      .collect().map(_.getLong(0))
+    require(ids.nonEmpty && ids.length <= 64,
+      s"landmarks must be 1..64 distinct ids (got ${
+        if (ids.length > 64) "65+" else "0"})")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lm = ids.zipWithIndex
+      .map { case (id, b) => (id, 1L << b) }.toSeq.toDF("id", "_bit")
+    val vertices = edges.select(col(StartId).as("id"))
+      .unionAll(edges.select(col(EndId).as("id"))).distinct()
+    var masks = ckpt(vertices.join(broadcast(lm), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_bit"), lit(0L)).as("reach_mask")))
+    var prev = Option.empty[Any]
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val incoming = edges
+        .select(col(StartId).as("src"), col(EndId).as("id"))
+        .join(masks.withColumnsRenamed(
+          Map("id" -> "src", "reach_mask" -> "_m")), Seq("src"))
+        .groupBy("id").agg(expr("bit_or(_m)").as("_in"))
+      masks = ckpt(masks.join(incoming, Seq("id"), "left")
+        .select(col("id"), col("reach_mask")
+          .bitwiseOR(coalesce(col("_in"), lit(0L))).as("reach_mask")))
+      val cur = masks.agg(sum(expr("bit_count(reach_mask)"))).head().get(0)
+      converged = prev.contains(cur)
+      prev = Some(cur)
+      i += 1
+    }
+    require(converged,
+      s"landmarkReachability did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; results would be truncated")
+    masks.select(col("id"), col("reach_mask"),
+      expr("bit_count(reach_mask)").cast("long").as("n_landmarks"))
+  }
+
   def powerLawFit(edges: DataFrame, dMin: Long = 1L): DataFrame = {
     require(dMin >= 1L, "dMin must be >= 1")
     val canon = edges.select(

@@ -759,5 +759,24 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("sccinc", "--delta", s"$dir/scc_delta")),
         spark))
+    // dagreach over the same cycle-headed chain: {0,1} collapse, so
+    // the quotient is 0 -> 2 -> 3
+    val dr = Analyze.run(parse(List("dagreach", "--edges",
+      s"$dir/edges")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dr == Map(0L -> 2L, 2L -> 1L, 3L -> 0L))
+    val da = Analyze.run(parse(List("dagreach", "--edges",
+      s"$dir/edges", "--direction", "in")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(da == Map(0L -> 0L, 2L -> 1L, 3L -> 2L))
+    // reach from argv: landmarks 0 (bit 0) and 2 (bit 1)
+    val rm = Analyze.run(parse(List("reach", "--edges", s"$dir/edges",
+      "--seeds", "0,2")), spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rm == Map(0L -> (1L, 1L), 1L -> (1L, 1L), 2L -> (3L, 2L),
+      3L -> (3L, 2L)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("reach", "--edges", s"$dir/edges")), spark))
   }
 }

@@ -1042,6 +1042,60 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == fullQ)
   }
 
+  test("descendantCounts: exact closure sizes on a known DAG; reverse " +
+      "counts ancestors; duplicates and cycles are safe") {
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L), (3L, 5L),
+      (1L, 2L)).toDF("src_scc", "dst_scc") // duplicate edge dedups
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(GraphOps.descendantCounts(dag)) ==
+      Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 0L))
+    assert(toMap(GraphOps.descendantCounts(dag, reverse = true)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 0L, 5L -> 4L))
+    // cyclic input: the closure is still finite (self excluded)
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src_scc", "dst_scc")
+    assert(toMap(GraphOps.descendantCounts(cyc)) ==
+      Map(1L -> 1L, 2L -> 1L))
+    // composes with condensation: collapse {0,1}, then 2 -> 3
+    val g = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 3L))
+      .toDF("start_id", "end_id")
+    val labels = GraphOps.stronglyConnectedComponents(g)
+    assert(toMap(GraphOps.descendantCounts(
+      GraphOps.condensation(g, labels))) ==
+      Map(0L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("landmarkReachability: bit-parallel masks match per-source BFS; " +
+      "64 landmarks fill all bits incl. the sign bit; >64 fails fast") {
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("start_id", "end_id")
+    val r = GraphOps.landmarkReachability(e,
+        Seq(1L, 4L).toDF("id"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    // bit 0 = landmark 1 (smaller id), bit 1 = landmark 4
+    assert(r == Map(
+      1L -> (1L, 1L), 2L -> (1L, 1L), 3L -> (1L, 1L),
+      4L -> (3L, 2L), 5L -> (3L, 2L)))
+    // cycle: masks stay monotone and converge
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("start_id", "end_id")
+    val rc = GraphOps.landmarkReachability(cyc, Seq(2L).toDF("id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rc == Map(1L -> 1L, 2L -> 1L))
+    // 64 landmarks on a star: the hub ORs every bit -> mask -1L
+    val star = (0L until 64L).map(i => (i, 1000L))
+      .toDF("start_id", "end_id")
+    val hub = GraphOps.landmarkReachability(star,
+        (0L until 64L).toDF("id"))
+      .filter(col("id") === 1000L).head()
+    assert(hub.getLong(1) == -1L && hub.getLong(2) == 64L)
+    // >64 distinct landmarks fail fast
+    intercept[IllegalArgumentException](GraphOps.landmarkReachability(
+      star, (0L until 65L).toDF("id")))
+    intercept[IllegalArgumentException](GraphOps.landmarkReachability(
+      star, spark.emptyDataFrame.withColumn("id", lit(1L))))
+  }
+
   test("topologicalLevels: longest-path depth on a known DAG; cycles " +
       "fail fast; composes with condensation") {
     val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L), (3L, 5L))
