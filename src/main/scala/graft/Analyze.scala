@@ -697,6 +697,14 @@ object Analyze {
         graft.operators.Sampling.curriculumOrder(
           spark.read.parquet(args.docs), args.idCol, args.valueCol,
           args.epochs, seed = args.hashSeed)
+      case "lenbatch" =>
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty &&
+          args.quota != Int.MaxValue,
+          "lenbatch needs --docs <dir>, --value-col <length column>, " +
+            "and --quota <rows per batch>")
+        graft.operators.Sampling.lengthGroupedBatches(
+          spark.read.parquet(args.docs), args.idCol, args.valueCol,
+          args.quota)
       case "pack" =>
         require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
           args.valueCol.nonEmpty,
@@ -1127,6 +1135,10 @@ object Analyze {
       case "scrub" =>
         require(args.docs.nonEmpty, "scrub needs --docs <dir>")
         graft.operators.Curation.scrubPii(
+          spark.read.parquet(args.docs), args.textCol)
+      case "htmltext" =>
+        require(args.docs.nonEmpty, "htmltext needs --docs <dir>")
+        graft.operators.Curation.extractMainText(
           spark.read.parquet(args.docs), args.textCol)
       case "score" =>
         require(args.docs.nonEmpty, "score needs --docs <dir>")

@@ -1606,6 +1606,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X4u: HTML main-text extraction — the WET-file reduction
+    // every web-crawl pipeline runs first: drop script/style/comment
+    // payloads, keep paragraph structure via block-closer newlines,
+    // strip tags, decode the common entities (&amp; last), normalize
+    // whitespace. Each doc's text is wrapped in a deterministic HTML
+    // shell (id-keyed script/nav/anchor boilerplate + entity bait) so
+    // every row exercises every stage; the oracle rebuilds the shell
+    // and replays the staged Java∩RE2 regex fold verbatim, md5
+    // pinning the extracted text byte-for-byte. ----
+    "q_x4u_html_extract" -> ((s, dir) => {
+      val html = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = "),
+        col("doc_id"),
+        lit(";</script><style>.c { color: red }</style></head>" +
+          "<body><!-- nav "), col("doc_id"),
+        lit(" --><h1>Title "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"f\">copy &amp;lt; paste &lt;here&gt;" +
+          "&nbsp;&#39;now&quot;</div><a href=\"http://ex.org/"),
+        col("doc_id"), lit("\">link</a><br/></body></html>"))
+        .as("html"))
+      Curation.extractMainText(html, "html")
+        .select(col("doc_id"),
+          col("n_scripts").cast("long").as("n_scripts"),
+          col("n_links").cast("long").as("n_links"),
+          col("n_tags").cast("long").as("n_tags"),
+          md5(col("main_text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_x4s_readability" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), GF.reading_ease(col("text")).as("r"))
@@ -1856,6 +1887,20 @@ object SparkEntry {
         .select(col("epoch"), col("doc_id"), col("difficulty_rank"),
           col("pos"))
         .orderBy("epoch", "pos")
+    }),
+
+    // ---- X6v: length-grouped batching — fixed-size batches cut along
+    // the (length, id) order so pad-to-batch-max waste collapses; the
+    // per-batch padding audit is the deliverable (padding_waste =
+    // max_len·n_rows − sum_len). Distributed rank (no single-partition
+    // sort); oracle replays the total order and every batch stat. ----
+    "q_x6v_length_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      Sampling.paddingWaste(
+          Sampling.lengthGroupedBatches(docs, "doc_id", "len", 32),
+          "len")
+        .orderBy("batch_id")
     }),
 
     // ---- X6s: leakage-safe split — the verdict hashes the dedup
@@ -5735,6 +5780,59 @@ object SparkEntry {
          |  md5(t4) AS scrub_md5
          |FROM s4 ORDER BY doc_id""".stripMargin,
 
+    // HTML shell rebuilt by string concat, then the staged regex fold
+    // replayed verbatim (shared Java∩RE2 patterns interpolated from
+    // the engine constants; chr(10) is the newline replacement —
+    // single-quoted SQL keeps backslashes literal, so '\n' in a
+    // PATTERN is RE2's newline escape while a REPLACEMENT needs the
+    // real character).
+    "q_x4u_html_extract" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, '<html><head><title>Doc ' || doc_id::VARCHAR
+         |    || '</title><script type="text/javascript">var x = '
+         |    || doc_id::VARCHAR
+         |    || ';</script><style>.c { color: red }</style></head>'
+         |    || '<body><!-- nav ' || doc_id::VARCHAR
+         |    || ' --><h1>Title ' || doc_id::VARCHAR
+         |    || '</h1><p>' || text
+         |    || '</p><div class="f">copy &amp;lt; paste &lt;here&gt;'
+         |    || '&nbsp;&#39;now&quot;</div><a href="http://ex.org/'
+         |    || doc_id::VARCHAR || '">link</a><br/></body></html>'
+         |    AS t0
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(t0, '${Curation.HtmlScriptRe}'))
+         |    AS n_scripts,
+         |  regexp_replace(regexp_replace(regexp_replace(t0,
+         |    '${Curation.HtmlScriptRe}', '', 'g'),
+         |    '${Curation.HtmlStyleRe}', '', 'g'),
+         |    '${Curation.HtmlCommentRe}', '', 'g') AS t1 FROM aug),
+         |s2 AS (SELECT doc_id, n_scripts,
+         |  len(regexp_extract_all(t1, '${Curation.HtmlLinkRe}'))
+         |    AS n_links,
+         |  regexp_replace(t1, '${Curation.HtmlBlockSepRe}', chr(10),
+         |    'g') AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, n_scripts, n_links,
+         |  len(regexp_extract_all(t2, '${Curation.HtmlTagRe}'))
+         |    AS n_tags,
+         |  regexp_replace(t2, '${Curation.HtmlTagRe}', '', 'g')
+         |    AS t3 FROM s2),
+         |s4 AS (SELECT doc_id, n_scripts, n_links, n_tags,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(t3,
+         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+         |    '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+         |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t4 FROM s3),
+         |s5 AS (SELECT doc_id, n_scripts, n_links, n_tags,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(t4,
+         |    '[ \\t\\r]+', ' ', 'g'),
+         |    ' ?\\n ?', chr(10), 'g'),
+         |    '\\n{3,}', chr(10) || chr(10), 'g'),
+         |    '^[ \\n]+|[ \\n]+$$', '', 'g') AS t5 FROM s4)
+         |SELECT doc_id, n_scripts, n_links, n_tags, md5(t5) AS text_md5
+         |FROM s5 ORDER BY doc_id""".stripMargin,
+
     // Readability rebuild: identical RE2-safe run patterns, exact
     // counts, score shapes mirrored term-for-term ((206.835 − 1.015·ws)
     // − 84.6·yw; (0.39·ws + 11.8·yw) − 15.59), e4.
@@ -6084,6 +6182,25 @@ object SparkEntry {
         |  CAST((rend - 1) // 4096 - (rend - n_chars) // 4096 + 1
         |    AS BIGINT) AS spans
         |FROM p ORDER BY epoch, pos""".stripMargin,
+
+    // Length batches: the same total order (len, doc_id) numbered and
+    // cut every 32 rows; batch stats and the waste identity replayed
+    // in BIGINT (sums cast back down — DuckDB promotes sum to
+    // HUGEINT).
+    "q_x6v_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (
+        |  SELECT len,
+        |    (row_number() OVER (ORDER BY len, doc_id) - 1) // 32
+        |      AS batch_id
+        |  FROM d)
+        |SELECT batch_id, count(*) AS n_rows, max(len) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(max(len) * count(*) - sum(len) AS BIGINT)
+        |    AS padding_waste
+        |FROM r GROUP BY batch_id ORDER BY batch_id""".stripMargin,
 
     // Curriculum: exact difficulty rank by (n_chars, doc_id), integer
     // competence inclusion (rank·1000·E ≤ n·(250·E + 750·(e+1))), then

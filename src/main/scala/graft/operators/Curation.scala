@@ -251,6 +251,75 @@ object Curation {
     * nested unbounded quantifiers, so java.util.regex is linear here
     * too). Appends `outCol`, `n_emails`, `n_ips`, `n_ssns`,
     * `n_phones`; original columns pass through untouched. */
+  /** HTML-extraction patterns shared by [[extractMainText]] and its
+    * oracle — the [[EmailRe]] discipline: Java∩RE2 subset only
+    * (non-greedy `.*?`, inline `(?is)` flags, `\b`, explicit ASCII
+    * classes — NO `\s`, whose class differs between the engines on
+    * `\x0B`), so DuckDB/Go/C++ replay the strip byte-identically. */
+  val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlLinkRe = "(?i)<a\\b"
+  val HtmlBlockSepRe = "(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|ul|" +
+    "ol|table|tr|td|th|blockquote|section|article|header|footer|" +
+    "title)[ \\t]*>"
+  val HtmlTagRe = "(?s)<[^>]*>"
+
+  /** Extract readable main text from raw HTML — the first stage of
+    * every web-crawl training pipeline (the WET-file reduction):
+    * script/style/comment payloads are DROPPED (their text is code,
+    * not prose), block-level closers become newlines so paragraph
+    * structure survives, remaining tags are stripped, the five
+    * ubiquitous character entities decode (`&amp;` LAST, so
+    * `&amp;lt;` correctly yields the literal `&lt;`), and whitespace
+    * normalizes (runs of spaces/tabs/CRs collapse, space-padded
+    * newlines tighten, 3+ blank lines become one paragraph break,
+    * ends trim). Appends `outCol` plus the audit counts a crawl
+    * triage reads before any sample: `n_scripts` (script blocks —
+    * a spike flags JS-heavy app shells with no prose), `n_links`
+    * (anchor density — boilerplate/nav detection), `n_tags`
+    * (markup mass).
+    *
+    * Deliberately a FIXED-ORDER staged regex fold (scripts → styles →
+    * comments → links counted → block separators → tags → entities →
+    * whitespace), each stage reading the text as the previous stage
+    * left it — the [[scrubPii]] determinism contract, and the whole
+    * fold uses the shared Java∩RE2 pattern subset so the DuckDB
+    * oracle replays it verbatim and md5 pins the output
+    * byte-for-byte.
+    *
+    * Scale notes (100 TB crawl): one narrow projection per document —
+    * every stage is a codegen'd regexp_replace/extract_all fused into
+    * one whole-stage-codegen scan, no shuffle, no UDF; the patterns
+    * have no nested unbounded quantifiers, so matching is linear even
+    * on adversarial markup (and literally linear in RE2-engine
+    * replays). NOT a DOM parser by design: malformed crawl HTML
+    * breaks real parsers, while the regex reduction is total. */
+  def extractMainText(docs: DataFrame, htmlCol: String,
+      outCol: String = "main_text"): DataFrame = {
+    val t0 = col(htmlCol)
+    val nScripts = size(regexp_extract_all(t0, lit(HtmlScriptRe), lit(0)))
+    val t1 = regexp_replace(
+      regexp_replace(regexp_replace(t0, HtmlScriptRe, ""),
+        HtmlStyleRe, ""), HtmlCommentRe, "")
+    val nLinks = size(regexp_extract_all(t1, lit(HtmlLinkRe), lit(0)))
+    val t2 = regexp_replace(t1, HtmlBlockSepRe, "\n")
+    val nTags = size(regexp_extract_all(t2, lit(HtmlTagRe), lit(0)))
+    val t3 = regexp_replace(t2, HtmlTagRe, "")
+    val t4 = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(t3) { case (t, (e, c)) => regexp_replace(t, e, c) }
+    val t5 = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(t4, "[ \\t\\r]+", " "),
+          " ?\\n ?", "\n"),
+        "\\n{3,}", "\n\n"),
+      "^[ \\n]+|[ \\n]+$", "")
+    docs.withColumns(Map(
+      "n_scripts" -> nScripts, "n_links" -> nLinks, "n_tags" -> nTags,
+      outCol -> t5))
+  }
+
   def scrubPii(docs: DataFrame, textCol: String,
       outCol: String = "text_scrubbed"): DataFrame = {
     val stages = Seq(

@@ -356,6 +356,80 @@ object Sampling {
       .drop("_graft_eb", "_graft_ek", "_graft_eoff")
   }
 
+  /** Length-grouped batch assignment — the padding-efficiency trick
+    * every fixed-shape training loop wants: rows sort by
+    * (`lenCol`, `idCol`) and fixed-size batches cut along that order,
+    * so each batch holds near-equal lengths and the pad-to-batch-max
+    * waste collapses (random batching pads every batch to its longest
+    * straggler). Deterministic and partitioning-independent: the id
+    * tie-break makes the order total, so the same corpus always yields
+    * the same batches.
+    *
+    * The dense global rank costs NO single-partition sort — the
+    * [[curriculumOrder]] discipline: the length space splits into
+    * `rankBuckets` ORDER-ALIGNED equal-width slices between the global
+    * min/max (one 1-row aggregate, broadcast back), per-bucket counts
+    * prefix-sum into offsets on a broadcast-sized frame, and
+    * rank = offset + row_number within the bucket. Length
+    * distributions are bounded and well-spread in practice; an
+    * all-equal-length corpus collapses to one bucket whose window
+    * serializes (correct, just degraded).
+    *
+    * Scale notes (100 TB): one shuffle for the rank window plus two
+    * broadcast-sized joins; `batch_id` then feeds
+    * `repartitionByRange(col("batch_id"))` writers so whole batches
+    * land contiguously. Null lengths are excluded (a row with no
+    * length cannot take a padding slot).
+    *
+    * @return input + `batch_id` (0-based long; the last batch may be
+    *         partial) */
+  def lengthGroupedBatches(df: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int, rankBuckets: Int = 1024): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    require(rankBuckets >= 1, "rankBuckets must be >= 1")
+    val rows = df.filter(col(lenCol).isNotNull)
+    val ext = rows.agg(
+      min(col(lenCol).cast("double")).as("_lo"),
+      max(col(lenCol).cast("double")).as("_hi"))
+    val bucketed = rows.crossJoin(broadcast(ext))
+      .withColumn("_graft_lb",
+        when(col("_hi") === col("_lo"), lit(1L))
+          .otherwise(width_bucket(col(lenCol).cast("double"),
+            col("_lo"), col("_hi"), lit(rankBuckets))))
+      .withColumn("_graft_lb",
+        least(col("_graft_lb"), lit(rankBuckets.toLong)))
+    val offsets = bucketed.groupBy(col("_graft_lb"))
+      .agg(count(lit(1)).as("_ln"))
+      .withColumn("_graft_loff",
+        coalesce(sum(col("_ln")).over(
+          Window.orderBy(col("_graft_lb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_ln")
+    val w = Window.partitionBy(col("_graft_lb"))
+      .orderBy(col(lenCol), col(idCol))
+    bucketed
+      .join(broadcast(offsets), Seq("_graft_lb"))
+      .withColumn("_graft_lr",
+        col("_graft_loff") + row_number().over(w).cast("long"))
+      .withColumn("batch_id",
+        expr(s"(_graft_lr - 1L) div ${batchSize}L"))
+      .drop("_graft_lb", "_graft_loff", "_graft_lr", "_lo", "_hi")
+  }
+
+  /** Per-batch padding audit over a [[lengthGroupedBatches]] result
+    * (or ANY batch assignment — run it on a random assignment to see
+    * what length grouping saves): `padding_waste` = the pad tokens a
+    * pad-to-batch-max collator burns, `max_len`·`n_rows` − `sum_len`.
+    * One map-side-combinable aggregate. */
+  def paddingWaste(batched: DataFrame, lenCol: String,
+      batchCol: String = "batch_id"): DataFrame =
+    batched.groupBy(col(batchCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col(lenCol)).cast("long").as("max_len"),
+        sum(col(lenCol).cast("long")).as("sum_len"))
+      .withColumn("padding_waste",
+        col("max_len") * col("n_rows") - col("sum_len"))
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis bottom-k): each row gets key = −ln(u)/w with u a seeded
     * uniform from the id hash, and the k smallest keys win — the exact

@@ -185,6 +185,36 @@ class CurationSpec extends SparkSpec {
       s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
   }
 
+  private def extract1(html: String): (String, Int, Int, Int) = {
+    val r = Curation.extractMainText(Seq(html).toDF("html"), "html")
+      .select("main_text", "n_scripts", "n_links", "n_tags").head()
+    (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  test("extractMainText: scripts/styles/comments drop their PAYLOAD, " +
+      "block closers keep paragraph structure, entities decode") {
+    val (t, s, l, g) = extract1(
+      "<html><head><script>var secret = 1;</script>" +
+        "<STYLE>.x{}</STYLE></head><body><!-- hidden -->" +
+        "<h1>Title</h1><p>Para one.</p><p>Para &amp; two.</p>" +
+        "<a href=\"http://x.org\">link text</a></body></html>")
+    assert(t == "Title\nPara one.\nPara & two.\nlink text")
+    assert(!t.contains("secret") && !t.contains("hidden"))
+    assert(s == 1 && l == 1)
+    assert(g > 0) // remaining non-block tags were stripped and counted
+    // &amp; decodes LAST: double-encoded &amp;lt; yields the literal
+    // entity text, never a real '<'
+    assert(extract1("<p>a &amp;lt; b</p>")._1 == "a &lt; b")
+    // whitespace: runs collapse, space-padded newlines tighten, 3+
+    // blank lines become one paragraph break, ends trim
+    assert(extract1("<div>  a\t b </div><br><br><br><p>  c  </p>")._1
+      == "a b\n\nc")
+    // uppercase/attribute-heavy script still drops
+    assert(extract1(
+      "<SCRIPT type=\"x\" async>while(1){}</SCRIPT><p>ok</p>") ==
+      (("ok", 1, 0, 1)))
+  }
+
   private def scrub1(text: String): (String, Int, Int, Int, Int) = {
     val r = Curation.scrubPii(Seq(text).toDF("text"), "text")
       .select("text_scrubbed", "n_emails", "n_ips", "n_ssns", "n_phones")

@@ -774,4 +774,36 @@ class SamplingSpec extends SparkSpec {
       Sampling.negativePairs(dense, "doc_id", k = 0)
     }
   }
+
+  test("lengthGroupedBatches: batches cut along the (len, id) order; " +
+      "paddingWaste audits pad-to-max cost; nulls and ties behave") {
+    val d = Seq((1L, 10L), (2L, 5L), (3L, 12L), (4L, 7L), (5L, 9L),
+      (6L, 5L)).toDF("id", "len")
+    val b = Sampling.lengthGroupedBatches(d, "id", "len", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("batch_id"))
+      .toMap
+    // order by (len, id): 5@2, 5@6, 7@4, 9@5, 10@1, 12@3
+    assert(b == Map(2L -> 0L, 6L -> 0L, 4L -> 1L, 5L -> 1L,
+      1L -> 2L, 3L -> 2L))
+    val w = Sampling.paddingWaste(
+        Sampling.lengthGroupedBatches(d, "id", "len", 2), "len")
+      .collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("max_len"),
+          r.getAs[Long]("sum_len"), r.getAs[Long]("padding_waste"))))
+      .toMap
+    assert(w == Map(0L -> ((2L, 5L, 10L, 0L)), 1L -> ((2L, 9L, 16L, 2L)),
+      2L -> ((2L, 12L, 22L, 2L))))
+    // partial last batch; null lengths drop; all-equal lengths hit the
+    // degenerate single-bucket path and still number densely
+    val odd = Seq((1L, Some(4L)), (2L, None), (3L, Some(4L)),
+      (4L, Some(4L))).toDF("id", "len")
+    val ob = Sampling.lengthGroupedBatches(odd, "id", "len", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("batch_id"))
+      .toMap
+    assert(ob == Map(1L -> 0L, 3L -> 0L, 4L -> 1L))
+    intercept[IllegalArgumentException] {
+      Sampling.lengthGroupedBatches(d, "id", "len", 0)
+    }
+  }
 }
