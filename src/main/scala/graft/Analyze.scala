@@ -543,6 +543,16 @@ object Analyze {
         graft.operators.Multimodal.audioNearDups(
           spark.read.parquet(args.docs), args.binCol, args.idCol,
           args.maxHamming, ckpt = ckpt)
+      case "audiostats" =>
+        require(args.docs.nonEmpty, "audiostats needs --docs <dir>")
+        graft.operators.Multimodal.extractAudioQuality(
+          spark.read.parquet(args.docs), args.binCol)
+      case "schemadrift" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty,
+          "schemadrift needs --docs <previous dir> and --bench " +
+            "<current dir>")
+        graft.operators.SnapshotDiff.schemaDrift(
+          spark.read.parquet(args.docs), spark.read.parquet(args.bench))
       case "anncompact" =>
         require(args.target.nonEmpty,
           "anncompact needs --target <index dir>")

@@ -2066,6 +2066,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- X5k: audio quality triage — exact integer clipping /
+    // silence / peak / level counts over the raw PCM samples; fixture
+    // WAVs are constant-amplitude with every 7th doc pinned to full
+    // scale (clipping) and small amps falling under the silence
+    // threshold, so every stat is pure doc_id arithmetic. ----
+    "q_x5k_audio_quality" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 2000).cast("int").as("rate"),
+        (lit(100) + col("doc_id") % 50).cast("int").as("frames"),
+        when(col("doc_id") % 7 === 0, lit(32767))
+          .otherwise((col("doc_id") % 900) + 1).cast("int").as("amp"))
+      val wav = Multimodal.synthesizeWavs(spec, "rate", "frames", "amp",
+        "payload")
+      Multimodal.extractAudioQuality(wav, "payload")
+        .select(col("doc_id"),
+          col("audio_q.n_samples").as("n_samples"),
+          col("audio_q.n_clipped").as("n_clipped"),
+          col("audio_q.n_silent").as("n_silent"),
+          col("audio_q.peak").as("peak"),
+          col("audio_q.sum_abs").as("sum_abs"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- V17: schema drift report — the metadata contract check a
+    // scheduled ingest runs before trusting a new drop: one projection
+    // plays "previous" (doc_id, n_chars bigint, text), the other
+    // "current" (doc_id, n_chars double, lang) — one added, one
+    // removed, one type-changed column; the oracle is the literal
+    // expected report. ----
+    "q_v17_schema_drift" -> ((s, dir) => {
+      val prev = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      val cur = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("double").as("n_chars"), col("lang"))
+      SnapshotDiff.schemaDrift(prev, cur).orderBy("col_name", "change")
+    }),
+
     // ---- X5h: REAL audio resample — synthesize WAVs (per-doc rate ∈
     // {8k..14k}, constant amplitude), resample all to 6 kHz by
     // nearest-neighbor frame selection, decode again: rate is the literal
@@ -6372,6 +6409,34 @@ object SparkEntry {
         |(doc_id * 7) % 256 AS mean_g,
         |(doc_id * 13) % 256 AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Constant-amplitude fixtures make every quality stat doc_id
+    // arithmetic: full-scale docs clip on every sample, small-amp docs
+    // sit entirely under the 327 silence threshold, peak IS the
+    // amplitude and sum_abs its product with the frame count.
+    "q_x5k_audio_quality" ->
+      """SELECT doc_id,
+        |CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+        |CAST(CASE WHEN doc_id % 7 = 0 THEN 100 + doc_id % 50 ELSE 0
+        |  END AS BIGINT) AS n_clipped,
+        |CAST(CASE WHEN doc_id % 7 <> 0 AND (doc_id % 900) + 1 <= 327
+        |  THEN 100 + doc_id % 50 ELSE 0 END AS BIGINT) AS n_silent,
+        |CAST(CASE WHEN doc_id % 7 = 0 THEN 32767
+        |  ELSE (doc_id % 900) + 1 END AS BIGINT) AS peak,
+        |CAST((CASE WHEN doc_id % 7 = 0 THEN 32767
+        |  ELSE (doc_id % 900) + 1 END) * (100 + doc_id % 50)
+        |  AS BIGINT) AS sum_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The drift report is fully determined by the two projections, so
+    // the oracle is the literal expected rows.
+    "q_v17_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('lang', 'added', CAST(NULL AS VARCHAR), 'string'),
+        |  ('n_chars', 'type_changed', 'bigint', 'double'),
+        |  ('text', 'removed', 'string', CAST(NULL AS VARCHAR)))
+        |  AS t(col_name, change, prev_type, cur_type)
+        |ORDER BY col_name, change""".stripMargin,
 
     // Resampled rate is the literal 6 kHz target; the frame count is the
     // integer expression the kernel computes; constant amplitude keeps

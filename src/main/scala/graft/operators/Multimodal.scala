@@ -730,6 +730,73 @@ object Multimodal {
   private val audioPatternUdf =
     udf((code: Long) => encodeAudioPatternWav(code))
 
+  /** Output-struct row of [[extractAudioQuality]] — field names are
+    * the column contract. All EXACT integer counts over the raw
+    * 16-bit samples (every channel, no mixdown — clipping is a
+    * per-sample event), so quality verdicts are bit-reproducible:
+    * `n_clipped` counts full-scale samples (±32767/−32768 — a spike
+    * means hot mastering or transcoding damage), `n_silent` counts
+    * |s| ≤ threshold (silence/dropout fraction), `peak` is max |s|
+    * (headroom), `sum_abs` the |amplitude| total (mean level =
+    * sum_abs / n_samples, left to the caller — keeping the struct
+    * integer-exact). */
+  final case class AudioQuality(n_samples: Long, n_clipped: Long,
+      n_silent: Long, peak: Long, sum_abs: Long)
+
+  /** Per-payload audio quality triage stats — the decode-side
+    * companion to [[decodeAudio]]'s RMS: one streaming pass over the
+    * PCM, integer-exact counts only (see [[AudioQuality]]). Same
+    * total-function contract: None for null / corrupt / non-16-bit
+    * PCM payloads; never throws. */
+  def audioQuality(bytes: Array[Byte],
+      silenceThreshold: Int = 327): Option[AudioQuality] = {
+    require(silenceThreshold >= 0, "silenceThreshold must be >= 0")
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val signed =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed || fmt.getSampleSizeInBits != 16) return None
+        val big = fmt.isBigEndian
+        val buf = new Array[Byte](fmt.getFrameSize * 1024)
+        var n = 0L; var clipped = 0L; var silent = 0L
+        var peak = 0L; var sumAbs = 0L
+        var read = in.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s =
+              if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+              else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+            val a = math.abs(s.toLong)
+            n += 1
+            if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+            if (a <= silenceThreshold) silent += 1
+            if (a > peak) peak = a
+            sumAbs += a
+            i += 2
+          }
+          read = in.read(buf)
+        }
+        if (n == 0) return None
+        Some(AudioQuality(n, clipped, silent, peak, sumAbs))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed [[audioQuality]]: appends a nullable `audio_q` struct
+    * (null where the payload is not decodable 16-bit PCM). Narrow
+    * per-partition decode, payload bytes never shuffle. */
+  def extractAudioQuality(df: DataFrame, binCol: String,
+      silenceThreshold: Int = 327): DataFrame = {
+    val qUdf = udf((bytes: Array[Byte]) =>
+      audioQuality(bytes, silenceThreshold))
+    df.withColumn("audio_q", qUdf(col(binCol)))
+  }
+
   // ---------------------------------------------------------------------
   // Video container metadata (REAL — header parsing, no codec needed).
   // The JDK ships no video codec, so frame DECODE stays out of scope, but

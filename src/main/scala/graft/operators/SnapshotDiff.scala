@@ -369,4 +369,38 @@ object SnapshotDiff {
             (lit(2.0) * sqrt(col("_var12") / lit(12.0))))
           .as("z_stat"))
   }
+
+  /** Schema drift report between two snapshots — the metadata
+    * companion to [[diff]], which compares VALUES over the shared
+    * schema and deliberately ignores drifted columns: one row per
+    * added / removed / type-changed column (empty when the schemas
+    * agree), ordered facts for the contract check every scheduled
+    * ingest runs before trusting a new drop. Nullability flips are
+    * intentionally ignored (Spark nullability is advisory — it
+    * changes with join shapes, not source contracts).
+    *
+    * Runs on driver-side METADATA only (`StructType`, never data): no
+    * scan, no shuffle — free at any corpus size. Pair a non-empty
+    * report with [[graft.plans.SchemaMerge]] to reconcile before
+    * [[diff]].
+    *
+    * @return (`col_name`, `change` ∈ added|removed|type_changed,
+    *         `prev_type`, `cur_type`) */
+  def schemaDrift(previous: DataFrame, current: DataFrame): DataFrame = {
+    val spark = current.sparkSession
+    import spark.implicits._
+    val p = previous.schema.map(f => f.name -> f.dataType.simpleString)
+    val c = current.schema.map(f => f.name -> f.dataType.simpleString)
+    val pm = p.toMap
+    val cm = c.toMap
+    val added = c.collect { case (n, t) if !pm.contains(n) =>
+      (n, "added", null: String, t) }
+    val removed = p.collect { case (n, t) if !cm.contains(n) =>
+      (n, "removed", t, null: String) }
+    val changed = c.collect {
+      case (n, t) if pm.contains(n) && pm(n) != t =>
+        (n, "type_changed", pm(n), t) }
+    (added ++ removed ++ changed)
+      .toDF("col_name", "change", "prev_type", "cur_type")
+  }
 }

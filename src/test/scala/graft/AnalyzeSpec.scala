@@ -741,6 +741,22 @@ class AnalyzeSpec extends SparkSpec {
     assert(apairs.toSeq == Seq((1L, 2L, 1)))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("audiodedup")), spark))
+    // audiostats: quality struct over the same WAV fixtures
+    val stats = Analyze.run(parse(List("audiostats", "--docs",
+      s"$dir/wavs")), spark)
+      .select(col("doc_id"), col("audio_q.n_samples"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(1L -> 576L, 2L -> 576L, 3L -> 576L))
+    // schemadrift: metadata-only contract check from argv
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/sd_prev")
+    Seq((1L, 2.0)).toDF("id", "v").write.parquet(s"$dir/sd_cur")
+    val sd = Analyze.run(parse(List("schemadrift", "--docs",
+      s"$dir/sd_prev", "--bench", s"$dir/sd_cur")), spark)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(sd.toSeq == Seq(("v", "type_changed")))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("schemadrift", "--docs",
+        s"$dir/sd_prev")), spark))
     // sccinc: stored labels + condensation, delta closes the cycle —
     // refreshed labels equal the full recompute
     import graft.operators.GraphOps

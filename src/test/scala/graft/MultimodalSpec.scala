@@ -483,6 +483,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHash64("not audio at all".getBytes).isEmpty)
   }
 
+  test("audioQuality: exact clipping/silence/peak/level counts") {
+    val wav = Multimodal.encodePcmWav(8000, Array[Short](0, 100, -327,
+      328, 32767, -32768, -5000))
+    val q = Multimodal.audioQuality(wav).get
+    // silent: 0, 100, |-327| (<= 327); clipped: ±full scale; peak is
+    // |-32768| = 32768; sum_abs exact
+    assert(q == Multimodal.AudioQuality(7L, 2L, 3L, 32768L,
+      0L + 100 + 327 + 328 + 32767 + 32768 + 5000))
+    // threshold is a parameter
+    assert(Multimodal.audioQuality(wav, silenceThreshold = 0).get
+      .n_silent == 1L)
+    // total-function contract
+    assert(Multimodal.audioQuality(null).isEmpty)
+    assert(Multimodal.audioQuality("junk".getBytes).isEmpty)
+    // distributed: struct column, null for undecodable payloads
+    val rows = Seq((1L, wav), (2L, "junk".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.extractAudioQuality(rows, "payload")
+      .select(col("id"), col("audio_q.n_clipped")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> Some(2L), 2L -> None))
+  }
+
   test("audioNearDups: near-identical clips pair, distinct ones don't") {
     val base = 0x0F0F0F0F0F0F0F0FL
     val clips = Seq(

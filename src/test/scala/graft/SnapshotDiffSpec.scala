@@ -211,4 +211,25 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(rp.getLong(2) == r2.getLong(2) &&
       rp.getDouble(3) == r2.getDouble(3))
   }
+
+  test("schemaDrift: added/removed/type-changed columns; empty when " +
+      "schemas agree; nullability ignored") {
+    val prev = Seq((1L, "a", 2L)).toDF("id", "name", "n")
+    val cur = Seq((1L, 2.0, true)).toDF("id", "n", "flag")
+    val drift = SnapshotDiff.schemaDrift(prev, cur)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(drift == Set(
+      ("flag", "added", None, Some("boolean")),
+      ("name", "removed", Some("string"), None),
+      ("n", "type_changed", Some("bigint"), Some("double"))))
+    // identical schemas -> empty report, even when VALUES differ
+    assert(SnapshotDiff.schemaDrift(prev,
+      Seq((9L, "z", 0L)).toDF("id", "name", "n")).count() == 0)
+    // nullability flips alone do not report
+    val nn = prev.select(col("id"),
+      coalesce(col("name"), lit("x")).as("name"), col("n"))
+    assert(SnapshotDiff.schemaDrift(prev, nn).count() == 0)
+  }
 }
