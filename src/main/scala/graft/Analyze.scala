@@ -543,6 +543,11 @@ object Analyze {
         graft.operators.Multimodal.audioNearDups(
           spark.read.parquet(args.docs), args.binCol, args.idCol,
           args.maxHamming, ckpt = ckpt)
+      case "videodedup" =>
+        require(args.docs.nonEmpty, "videodedup needs --docs <dir>")
+        graft.operators.Multimodal.videoNearDups(
+          spark.read.parquet(args.docs), args.binCol, args.idCol,
+          args.maxHamming, ckpt = ckpt)
       case "audiostats" =>
         require(args.docs.nonEmpty, "audiostats needs --docs <dir>")
         graft.operators.Multimodal.extractAudioQuality(

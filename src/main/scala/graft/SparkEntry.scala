@@ -2046,6 +2046,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- X5l: video near-duplicate detection — completes the dedup
+    // modality grid (text ✓ embeddings ✓ images ✓ audio ✓ video
+    // here): SimHash of portable frame-payload hashes over REAL
+    // ISO-BMFF sample tables, then the shared Hamming banding.
+    // Fixture videos share 64 group-keyed coded frames with 0–3
+    // member-keyed extras, so trimmed/extended copies land within
+    // radius 8 while distinct groups sit ~24 bits apart; the oracle
+    // rebuilds the frame strings, replays the 48-bit md5 hash and the
+    // strict-majority vote, and computes all-pairs Hamming — a full
+    // independent reimplementation, exact to the bit. ----
+    "q_x5l_video_neardups" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        expr("concat(" +
+          "transform(sequence(0, 63), i -> concat('f:', " +
+          "cast(doc_id div 4 as string), ':', cast(i as string))), " +
+          "filter(transform(sequence(0, 2), j -> if(j < doc_id % 4, " +
+          "concat('m:', cast(doc_id as string), ':', " +
+          "cast(j as string)), null)), x -> x is not null))")
+          .as("frames"))
+      val vids = Multimodal.synthesizeSampleVideos(spec, "frames",
+        "payload").select("doc_id", "payload")
+      Multimodal.videoNearDups(vids, "payload", "doc_id",
+          maxHamming = 8, portable = true)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- X5d: REAL audio decode — distributed WAV synthesis (format +
     // constant amplitude derived from doc_id) → javax.sound decode →
     // (sample_rate, channels, n_frames, rms). Constant-amplitude PCM has
@@ -6396,6 +6424,44 @@ object SparkEntry {
         |  CAST(abs(a.m - b.m) AS BIGINT) AS hamming
         |FROM d a JOIN d b
         |  ON a.doc_id < b.doc_id AND a.gc = b.gc AND abs(a.m - b.m) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full independent rebuild: same frame strings, same 48-bit md5
+    // hash (single-quoted SQL keeps nothing to escape here), same
+    // strict-majority vote per bit position via a range(48) melt, then
+    // all-pairs xor popcount — no banding needed at oracle scale, and
+    // banding is lossless so the pair sets agree exactly.
+    "q_x5l_video_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id,
+        |    'f:' || g::VARCHAR || ':' || i::VARCHAR AS s
+        |  FROM d, range(64) t(i)
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'm:' || doc_id::VARCHAR || ':' || j::VARCHAR
+        |  FROM d, range(3) t(j) WHERE j < m),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('42:' || s), 1, 12))
+        |      AS BIGINT) AS fh
+        |  FROM fr),
+        |nb AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        |bc AS (
+        |  SELECT doc_id, b, sum((fh >> b) & 1) AS c
+        |  FROM h, range(48) t(b) GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT bc.doc_id,
+        |    CAST(sum(CASE WHEN 2 * c > n THEN (1::BIGINT << b)
+        |      ELSE 0 END) AS BIGINT) AS f
+        |  FROM bc JOIN nb ON nb.doc_id = bc.doc_id
+        |  GROUP BY bc.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Resized dimensions are the literal 9×7 target; a solid colour is

@@ -1174,6 +1174,74 @@ object Multimodal {
       .drop("_graft_frame")
   }
 
+  /** 48/64-bit video perceptual fingerprint — the video member of the
+    * dedup-fingerprint family, completing the modality grid (text ✓
+    * embeddings ✓ images ✓ audio ✓ video now ✓): a SimHash over the
+    * hashes of the container's SAMPLE PAYLOADS ([[sampleVideoFrames]]
+    * slices — no codec ships in the JDK, so the unit of identity is
+    * the coded frame bytes, which is exactly what survives
+    * re-containering, trimming, and frame-dropping transcodes that
+    * keep the codec stream). Bit b of the fingerprint is the strict
+    * majority vote of bit b across frame hashes, so the fingerprint
+    * is frame-ORDER-invariant (set semantics) and a copy sharing most
+    * coded frames lands a few Hamming bits away while unrelated
+    * videos sit ~bits/2 apart — the shared
+    * [[graft.operators.Dedup.simhashNearDups]] geometry.
+    *
+    * `portable = true` hashes frames with
+    * [[graft.functions.PortableHash]] (48 bits) so a DuckDB/Trino
+    * audit recomputes every fingerprint bit-identically; the default
+    * is codegen'd xxhash64 (64 bits).
+    *
+    * Scale notes (100 TB): frame slicing is a narrow per-partition
+    * map (payload bytes never shuffle — only (id, 64-bit hash) rows
+    * do); the majority vote is ONE groupBy with `bits` map-side-
+    * combinable sums, the text-SimHash aggregation shape. */
+  def videoFingerprints(df: DataFrame, binCol: String, idCol: String,
+      portable: Boolean = false, seed: Long = 42L): DataFrame = {
+    val bits = if (portable) 48 else 64
+    val frames = sampleVideoFrames(df, binCol)
+    val hashed = frames.select(col(idCol),
+      (if (portable)
+        graft.functions.PortableHash.hash48(
+          col("frame_bytes").cast("string"), seed)
+      else xxhash64(col("frame_bytes"))).as("_fh"))
+    val bitSums = (0 until bits).map(b =>
+      sum(shiftright(col("_fh"), b).bitwiseAND(lit(1L))).as(s"_c$b"))
+    val agg = hashed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), bitSums: _*)
+    val fp = (0 until bits).map(b =>
+      when(col(s"_c$b") * 2 > col("_n"), lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _) // disjoint bits: + is OR
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Video near-duplicate pairs: [[videoFingerprints]] →
+    * [[graft.operators.Dedup.simhashNearDups]] Hamming blocking.
+    * Radius defaults wider than images/audio (8): frame-set edits
+    * (trim, drop, extend) move several majority bits at once, while
+    * unrelated videos still sit ~bits/2 away. */
+  def videoNearDups(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 8, portable: Boolean = false,
+      materialize: Boolean = true,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame =
+    Dedup.simhashNearDups(
+      videoFingerprints(df, binCol, idCol, portable), idCol,
+      maxHamming, materialize, ckpt, bits = if (portable) 48 else 64)
+
+  /** Distributed [[encodeMp4WithSamples]] over an `array<string>`
+    * frame column (frames encode UTF-8) — the fixture generator that
+    * makes video-dedup structure oracle-expressible: the oracle
+    * rebuilds the same frame strings and replays the portable hash. */
+  def synthesizeSampleVideos(df: DataFrame, framesCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol, sampleVideoUdf(col(framesCol)))
+
+  private val sampleVideoUdf = udf((frames: Seq[String]) =>
+    encodeMp4WithSamples(4, 4, 1000L,
+      frames.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toArray))
+
   /** Encode a minimal ISO-BMFF file whose `mdat` holds the given samples,
     * with a full `stbl` sample table (`stsz`/`stsc`/`stco`, one chunk) —
     * fixture generator for [[parseMp4Samples]]/[[sampleVideoFrames]]. */

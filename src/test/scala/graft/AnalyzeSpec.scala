@@ -741,6 +741,20 @@ class AnalyzeSpec extends SparkSpec {
     assert(apairs.toSeq == Seq((1L, 2L, 1)))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("audiodedup")), spark))
+    // videodedup: two videos sharing all coded frames pair at 0
+    import graft.operators.Multimodal.encodeMp4WithSamples
+    val fs = (0 until 64).map(i => s"f:$i".getBytes("UTF-8")).toArray
+    Seq((1L, encodeMp4WithSamples(4, 4, 1000L, fs)),
+      (2L, encodeMp4WithSamples(8, 8, 2000L, fs)),
+      (3L, encodeMp4WithSamples(4, 4, 1000L,
+        (0 until 64).map(i => s"z:$i".getBytes("UTF-8")).toArray)))
+      .toDF("doc_id", "payload").write.parquet(s"$dir/vids")
+    val vpairs = Analyze.run(parse(List("videodedup", "--docs",
+      s"$dir/vids", "--max-hamming", "8")), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(vpairs.toSeq == Seq((1L, 2L, 0)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("videodedup")), spark))
     // audiostats: quality struct over the same WAV fixtures
     val stats = Analyze.run(parse(List("audiostats", "--docs",
       s"$dir/wavs")), spark)

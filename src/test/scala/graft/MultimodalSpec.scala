@@ -483,6 +483,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHash64("not audio at all".getBytes).isEmpty)
   }
 
+  test("videoFingerprints: strict-majority SimHash over frame-payload " +
+      "hashes — order-invariant, portable twin matches, trims stay " +
+      "near and strangers far") {
+    def mp4(frames: Seq[String]) = Multimodal.encodeMp4WithSamples(
+      4, 4, 1000L, frames.map(_.getBytes("UTF-8")).toArray)
+    val base = (0 until 64).map(i => s"f:0:$i")
+    val vids = Seq(
+      (1L, mp4(base)),
+      (2L, mp4(base.reverse)), // same set, different order
+      (3L, mp4(base :+ "m:3:0")), // one extra coded frame
+      (4L, mp4((0 until 64).map(i => s"f:9:$i")))) // different group
+      .toDF("id", "payload")
+    val fp = Multimodal.videoFingerprints(vids, "payload", "id",
+        portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "frame order must not matter")
+    // hand-rolled majority vote over the JVM twin hashes
+    val hs = base.map(s =>
+      graft.functions.PortableHash.hash48(s, 42L))
+    val expected = (0 until 48).map { b =>
+      if (2 * hs.count(h => ((h >> b) & 1L) == 1L) > hs.size) 1L << b
+      else 0L
+    }.sum
+    assert(fp(1L) == expected)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) <= 8, "trim/extend stays within radius")
+    assert(ham(fp(1L), fp(4L)) > 8, "strangers stay far")
+    // the pair surface: banding finds exactly the close pairs
+    val pairs = Multimodal.videoNearDups(vids, "payload", "id",
+        maxHamming = 8, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("audioQuality: exact clipping/silence/peak/level counts") {
     val wav = Multimodal.encodePcmWav(8000, Array[Short](0, 100, -327,
       328, 32767, -32768, -5000))
