@@ -50,7 +50,14 @@ object ExplainPlans {
         "q_x3m_ivfpq_residual", "q_o5_hbos",
         "q_x7e_contamination_report", "q_v16_fd_violations",
         "q_x6s_leak_safe_split", "q_x3o_rerank_topk",
-        "q_x1d_best_keeper", "q_x9e_hashed_vectors")
+        "q_x1d_best_keeper", "q_x9e_hashed_vectors",
+        // round-10 additions
+        "q_x5i_image_neardups", "q_x5j_audio_neardups",
+        "q_x5k_audio_quality", "q_x5l_video_neardups",
+        "q_x4u_html_extract", "q_x6v_length_batches",
+        "q_x6t_curriculum", "q_x3p_compacted_index",
+        "q_g26c_topo_levels", "q_g26d_incr_scc", "q_g26e_desc_counts",
+        "q_g27_landmark_reach", "q_v17_schema_drift")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
