@@ -3331,6 +3331,41 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- J4d: FORWARD as-of join — first purchase at or after each
+    // click (next-scheduled-event direction); DuckDB's native ASOF
+    // with the inequality flipped is the oracle. ----
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"),
+          round(col("value"), 2).as("purchase_value"),
+          col("tsu").as("purchase_tsu"))
+      AsOfJoin.asofJoinForward(clicks, purchases, Seq("user_id"), "tsu",
+        Seq("purchase_value", "purchase_tsu"))
+        .orderBy("event_id")
+    }),
+
+    // ---- J4e: NEAREST as-of join — smallest |Δts| purchase per
+    // click, backward on exact ties (the pandas merge_asof
+    // "nearest" convention); oracle: LATERAL argmin ordered by
+    // (|Δ|, ts). ----
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"),
+          round(col("value"), 2).as("purchase_value"),
+          col("tsu").as("purchase_tsu"))
+      AsOfJoin.asofJoinNearest(clicks, purchases, Seq("user_id"), "tsu",
+        Seq("purchase_value", "purchase_tsu"))
+        .orderBy("event_id")
+    }),
+
     // ---- as-of join, hot-key-salted variant: same semantics, window
     // partitioned by (key, ts-range bucket) so one hot key parallelizes ----
     "q_asof_join_salted" -> ((s, dir) => {
@@ -8319,6 +8354,38 @@ object SparkEntry {
         |       p.purchase_value, p.tsu AS purchase_tsu
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.tsu >= p.tsu
+        |ORDER BY c.event_id""".stripMargin,
+
+    // DuckDB's native ASOF with the inequality flipped: first
+    // following right row, inclusive.
+    "q_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+        |            event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, tsu FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsu,
+        |       p.purchase_value, p.tsu AS purchase_tsu
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsu <= p.tsu
+        |ORDER BY c.event_id""".stripMargin,
+
+    // Nearest = LATERAL argmin over (|Δts|, ts): the ts tiebreak keeps
+    // the backward row on exact |Δ| ties — the engine's convention.
+    "q_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+        |            event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, tsu FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsu,
+        |       q.purchase_value, q.purchase_tsu
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT purchase_value, tsu AS purchase_tsu FROM p
+        |  WHERE p.user_id = c.user_id
+        |  ORDER BY abs(p.tsu - c.tsu), p.tsu LIMIT 1) q ON true
         |ORDER BY c.event_id""".stripMargin,
 
     // identical oracle to q_asof_join — the salted plan must be

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (time-travel) join: match each left row to the most recent right
   * row with `right.ts <= left.ts` within the same partition key — the
@@ -65,6 +65,103 @@ object AsOfJoin {
     val carried = unioned.withColumn(rVals,
       last(col(rVals), ignoreNulls = true).over(w))
     carried.filter(col(isRight) === 0)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"$rVals.$c").as(c)): _*)
+  }
+
+  /** Forward as-of join — each left row takes the FIRST right row at or
+    * after its timestamp (`l.ts <= r.ts`, inclusive), the
+    * next-scheduled-event direction of [[asofJoin]]'s
+    * latest-state-before: "the next maintenance window after this
+    * alert", "the first price tick after this order". Same
+    * union-plus-window reduction and the same single-shuffle cost —
+    * the window just runs time-REVERSED (ts desc, right-before-left on
+    * ties keeps the match inclusive), carrying the nearest FOLLOWING
+    * right row backward onto each left row. Matches DuckDB
+    * `ASOF JOIN ... ON l.ts <= r.ts` exactly (the oracle's form). */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(right.columns.contains),
+      "valueCols must exist in right")
+    val isRight = "_graft_is_right"
+    val rVals = "_graft_rvals"
+    val rStructType = StructType(valueCols.map(c => right.schema(c)))
+    val taggedLeft = left.withColumn(isRight, lit(0))
+      .withColumn(rVals, lit(null).cast(rStructType))
+    val taggedRight = {
+      val base = right.select((keyCols :+ tsCol).map(col) :+
+        struct(valueCols.map(col): _*).as(rVals): _*)
+      leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+        .foldLeft(base.withColumn(isRight, lit(1))) { (df, c) =>
+          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+        }
+    }
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(isRight).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned.withColumn(rVals, last(col(rVals), ignoreNulls = true).over(w))
+      .filter(col(isRight) === 0)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"$rVals.$c").as(c)): _*)
+  }
+
+  /** Nearest as-of join — each left row takes the right row with the
+    * SMALLEST |Δts| (backward wins exact ties, the pandas
+    * `merge_asof(direction="nearest")` convention): sensor alignment,
+    * closest-quote attribution. Both direction candidates come from
+    * TWO windows over the SAME key partitioning, so Catalyst plans ONE
+    * exchange with two sorts — still a single shuffle over |L|+|R|
+    * rows; the pick between candidates is a codegen'd scalar compare.
+    * `tsCol` must be numeric (epoch micros/millis — cast timestamps
+    * first): nearest needs distance arithmetic, the
+    * [[asofJoinSalted]] caveat. */
+  def asofJoinNearest(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(right.columns.contains),
+      "valueCols must exist in right")
+    val isRight = "_graft_is_right"
+    val rVals = "_graft_rvals"
+    val rTs = "_graft_rts"
+    val rStructType = StructType(
+      valueCols.map(c => right.schema(c)) :+
+        StructField(rTs, right.schema(tsCol).dataType))
+    val taggedLeft = left.withColumn(isRight, lit(0))
+      .withColumn(rVals, lit(null).cast(rStructType))
+    val taggedRight = {
+      val base = right.select((keyCols :+ tsCol).map(col) :+
+        struct(valueCols.map(col) :+ col(tsCol).as(rTs): _*)
+          .as(rVals): _*)
+      leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+        .foldLeft(base.withColumn(isRight, lit(1))) { (df, c) =>
+          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+        }
+    }
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val back = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(isRight).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(isRight).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = unioned
+      .withColumn("_graft_b", last(col(rVals), ignoreNulls = true).over(back))
+      .withColumn("_graft_f", last(col(rVals), ignoreNulls = true).over(fwd))
+      .withColumn(rVals,
+        when(col("_graft_b").isNull, col("_graft_f"))
+          .when(col("_graft_f").isNull, col("_graft_b"))
+          // backward distance ts − b.ts vs forward f.ts − ts; <= keeps
+          // the backward row on exact ties
+          .when(col(tsCol) - col(s"_graft_b.$rTs") <=
+            col(s"_graft_f.$rTs") - col(tsCol), col("_graft_b"))
+          .otherwise(col("_graft_f")))
+    picked.filter(col(isRight) === 0)
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"$rVals.$c").as(c)): _*)
   }

@@ -25,6 +25,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3) == Row(4L, "B", 150L, null)) // B's only quote is later
   }
 
+  test("forward variant matches the first quote at or after each trade") {
+    val out = AsOfJoin.asofJoinForward(trades, quotes, Seq("sym"), "ts",
+        Seq("px"))
+      .orderBy("trade_id").collect()
+    assert(out(0) == Row(1L, "A", 100L, 2.0))  // next quote@200
+    assert(out(1) == Row(2L, "A", 205L, 3.0))  // tie: quote@205 counts (<=)
+    assert(out(2) == Row(3L, "A", 300L, null)) // nothing follows
+    assert(out(3) == Row(4L, "B", 150L, 9.0))  // B's quote@400
+  }
+
+  test("nearest variant takes the smallest |Δts|; backward wins ties") {
+    val out = AsOfJoin.asofJoinNearest(trades, quotes, Seq("sym"), "ts",
+        Seq("px"))
+      .orderBy("trade_id").collect()
+    assert(out(0) == Row(1L, "A", 100L, 1.0))  // |100-90|=10 < |200-100|
+    assert(out(1) == Row(2L, "A", 205L, 3.0))  // exact hit
+    assert(out(2) == Row(3L, "A", 300L, 3.0))  // only backward exists
+    assert(out(3) == Row(4L, "B", 150L, 9.0))  // only forward exists
+    // exact-tie pin: backward candidate wins
+    val l = Seq((1L, "K", 100L)).toDF("id", "k", "ts")
+    val r = Seq(("K", 90L, 1.0), ("K", 110L, 2.0)).toDF("k", "ts", "px")
+    assert(AsOfJoin.asofJoinNearest(l, r, Seq("k"), "ts", Seq("px"))
+      .head() == Row(1L, "K", 100L, 1.0))
+  }
+
   test("left rows are never dropped or duplicated") {
     val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "ts", Seq("px"))
     assert(out.count() == 4)
