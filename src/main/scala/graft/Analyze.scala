@@ -558,6 +558,12 @@ object Analyze {
             "<current dir>")
         graft.operators.SnapshotDiff.schemaDrift(
           spark.read.parquet(args.docs), spark.read.parquet(args.bench))
+      case "anndelete" =>
+        require(args.target.nonEmpty && args.vectors.nonEmpty,
+          "anndelete needs --target <index dir> and --vectors <ids " +
+            "parquet>; --id-col names the id column (default doc_id)")
+        graft.operators.Similarity.deleteFromIndex(spark, args.target,
+          spark.read.parquet(args.vectors), args.idCol)
       case "anncompact" =>
         require(args.target.nonEmpty,
           "anncompact needs --target <index dir>")

@@ -1376,6 +1376,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3q: tombstone deletes — the erasure side of the serving
+    // lifecycle (build → serve → update → compact → DELETE): every
+    // vec_id ≡ 1 (mod 5) is tombstoned on the q_x3k updated index,
+    // and serving must behave as if those rows were never encoded —
+    // no rewrite, the anti-join does it. Oracle: the q_x3p rebuild
+    // with the deleted ids excluded before ranking. ----
+    "q_x3q_deleted_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3kUpdatedIndexDir(s, dir)
+      Similarity.deleteFromIndex(s, ixDir,
+          e.filter(col("vec_id") % 5 === 1).select("vec_id"), "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      val ix = Similarity.loadIndex(s, ixDir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3l: recall@5 audit — the quality number the mechanical
     // oracles can't see: how many of the EXACT cosine top-5 the IVF
     // (q_x3b's 32 cells / nProbe 3) and IVF-PQ (q_x3i's nProbe 8,
@@ -5420,6 +5442,20 @@ object SparkEntry {
     // Compaction is query-identical by construction, so the compacted
     // index answers to the SAME oracle as the fragmented one.
     "q_x3p_compacted_index" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
+
+    // The q_x3p rebuild with the tombstoned ids excluded BEFORE the
+    // ranking — a deleted row must not occupy a rank.
+    "q_x3q_deleted_index" ->
+      (ivfPqOracleCtesFrom("WHERE vec_id < 300") +
+        """
+          |SELECT query_id, vec_id,
+          |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+          |    AS adist_e4,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |  ORDER BY adist, vec_id) AS rank
+          |  FROM sc WHERE vec_id % 5 <> 1)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // Recall audit rebuild: the ivfpq CTE prefix supplies the PQ leg
     // (sc) plus the shared q/cent/cell/probe0; the IVF leg re-probes at

@@ -703,8 +703,21 @@ object Similarity {
     * rows as against the just-built one. */
   def loadIndex(spark: SparkSession, dir: String): AnnIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    val vectors = spark.read.parquet(s"$dir/vectors")
+    val vectors0 = spark.read.parquet(s"$dir/vectors")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
+    // Tombstones ([[deleteFromIndex]]) anti-join out here, so EVERY
+    // consumer of the loaded index — serve, rerank, compaction —
+    // sees the post-delete corpus; the join side is the delete set
+    // (small, auto-broadcast by AQE).
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val tombFs = tombPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vectors =
+      if (tombFs.exists(tombPath)) {
+        val tomb = spark.read.parquet(tombPath.toString)
+        vectors0.join(tomb.select(tomb.columns.head).distinct(),
+          Seq(tomb.columns.head), "left_anti")
+      } else vectors0
     def optD(name: String): Double =
       if (meta.schema.fieldNames.contains(name)) meta.getAs[Double](name)
       else Double.NaN
@@ -835,6 +848,35 @@ object Similarity {
     *         `n_deltas_absorbed`, `delta_weighted_mean_cosine`,
     *         `build_mean_assign_cosine`, `cosine_drift`,
     *         `drift_tolerance`, `retrain_recommended`) */
+  /** Delete vectors from a stored index WITHOUT rewriting it — the
+    * tombstone side of the serving lifecycle (right-to-erasure,
+    * content takedown): the ids append to `dir/tombstones/` and
+    * [[loadIndex]] anti-joins them out, so every consumer — serve,
+    * rerank, the next compaction — behaves as if the rows were never
+    * encoded. [[compactIndex]] purges them PHYSICALLY (its rewrite
+    * reads the filtered view) and clears the tombstone set; a crash
+    * between the rewrite and the clear is safe — a tombstone for an
+    * already-purged row is a no-op anti-join key.
+    *
+    * Caller-owned caveats, like the layout's one-writer rule:
+    * re-adding a tombstoned id via [[updateIndex]] stays dead until a
+    * compaction purges the tombstone first; deleting an id absent
+    * from the index is a harmless no-op. Cost: delta-sized write +
+    * two tiny counts — the index is NOT rewritten (that is the
+    * point; at 100 TB a per-delete rewrite would be the bug).
+    *
+    * @return one-row report (n_deleted_now, n_tombstones_total) */
+  def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): DataFrame = {
+    val del = ids.select(col(idCol)).distinct()
+    del.write.mode("append").parquet(s"$dir/tombstones")
+    val total = spark.read.parquet(s"$dir/tombstones")
+      .distinct().count()
+    spark.range(1).select(
+      lit(del.count()).as("n_deleted_now"),
+      lit(total).as("n_tombstones_total"))
+  }
+
   def compactIndex(spark: SparkSession, dir: String,
       driftTolerance: Double = Double.NaN): DataFrame = {
     val ix = loadIndex(spark, dir)
@@ -866,6 +908,17 @@ object Similarity {
       s"compactIndex: rename $tmp -> $vecPath failed (rewrite left in " +
         "the tmp path; no data lost)")
     val after = dataFiles(vecPath)
+    // The rewrite read the tombstone-filtered view (loadIndex), so the
+    // deletes are now physical — clear the tombstone set. Purging
+    // AFTER the rename is crash-safe: a leftover tombstone for an
+    // already-purged row is a no-op anti-join key.
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val purged =
+      if (fs.exists(tombPath)) {
+        val n = spark.read.parquet(tombPath.toString).distinct().count()
+        fs.delete(tombPath, true): Unit
+        n
+      } else 0L
     val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
     val (nDeltas, deltaMean) =
       if (fs.exists(logPath)) {
@@ -889,6 +942,7 @@ object Similarity {
       lit(nRows).as("n_rows"),
       lit(before).as("files_before"),
       lit(after).as("files_after"),
+      lit(purged).as("n_tombstones_purged"),
       lit(nDeltas).as("n_deltas_absorbed"),
       d(deltaMean).as("delta_weighted_mean_cosine"),
       d(buildMean).as("build_mean_assign_cosine"),

@@ -696,8 +696,8 @@ class AnalyzeSpec extends SparkSpec {
       "--target", s"$dir/ix")), spark).head()
     assert(rep.getLong(0) == e.count())
     assert(rep.getLong(2) < rep.getLong(1)) // files shrank
-    assert(rep.getLong(3) == 1L) // one annupdate in the ledger
-    assert(!rep.isNullAt(8)) // verdict is decidable (mean recorded)
+    assert(rep.getLong(4) == 1L) // one annupdate in the ledger
+    assert(!rep.isNullAt(9)) // verdict is decidable (mean recorded)
     val hits2 = Analyze.run(parse(List("annquery",
       "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
       "--top-k", "5", "--probes", "3", "-o", s"$dir/h2")), spark)
@@ -706,6 +706,21 @@ class AnalyzeSpec extends SparkSpec {
     assert(hits2 == sorted)
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("anncompact")), spark))
+    // anndelete: tombstoned ids leave the serving surface from argv
+    val victim = sorted.head._2
+    Seq(victim).toDF("vec_id").write.parquet(s"$dir/vec_dead")
+    val drep = Analyze.run(parse(List("anndelete",
+      "--vectors", s"$dir/vec_dead", "--target", s"$dir/ix",
+      "--id-col", "vec_id")), spark).head()
+    assert(drep.getLong(0) == 1L && drep.getLong(1) == 1L)
+    val hits3 = Analyze.run(parse(List("annquery",
+      "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
+      "--top-k", "5", "--probes", "3")), spark)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!hits3.contains(victim))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("anndelete", "--target", s"$dir/ix")),
+        spark))
   }
 
   test("topolevels and imagededup run from argv") {

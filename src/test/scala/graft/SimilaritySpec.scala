@@ -526,8 +526,9 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.loadIndex(spark, dir)) == beforeRows,
       "compaction must be query-identical (bit-equal)")
     // ledger: both appends recorded; in-distribution deltas -> no retrain
-    assert(rep.getLong(3) == 2L)
-    assert(!rep.getBoolean(8))
+    assert(rep.getLong(4) == 2L)
+    assert(!rep.getBoolean(9))
+    assert(rep.getLong(3) == 0L, "no tombstones -> nothing purged")
     // planted drift: orthogonal-axis deltas push the weighted delta mean
     // far below the build mean -> retrain recommended
     def axisVec(axis: Int, wob: Int) = Array.tabulate(8)(j =>
@@ -552,9 +553,50 @@ class SimilaritySpec extends SparkSpec {
     Similarity.updateIndex(spark, dir2, delta2, "embedding", "vec_id")
       .collect()
     val rep2 = Similarity.compactIndex(spark, dir2).head()
-    assert(rep2.getBoolean(8),
-      s"orthogonal delta must recommend retrain: drift=${rep2.get(6)} " +
-        s"tol=${rep2.get(7)}")
+    assert(rep2.getBoolean(9),
+      s"orthogonal delta must recommend retrain: drift=${rep2.get(7)} " +
+        s"tol=${rep2.get(8)}")
+  }
+
+  test("deleteFromIndex: tombstoned ids vanish from serving without a " +
+      "rewrite; compaction purges them physically and clears the set") {
+    val e = (0 until 32).map(i =>
+        (i.toLong, Array.tabulate(8)(j => ((i * 8 + j) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+      "vec_id", k = 4)
+    val cb = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 4,
+      k = 4)
+    val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_del").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 4, k = 4)
+    val q = e.filter(col("vec_id") < 2)
+    def served(): Set[Long] = {
+      val ix = Similarity.loadIndex(spark, dir)
+      Similarity.ivfPqTopK(q, ix.centroids, ix.codebooks,
+          ix.assignedEncoded, "embedding", "vec_id", m = 4, k = 4,
+          topK = 32, nProbe = 4)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    val before = served()
+    val dead = Seq(3L, 7L, 11L).toDF("vec_id")
+    val rep = Similarity.deleteFromIndex(spark, dir, dead, "vec_id")
+      .head()
+    assert(rep.getLong(0) == 3L && rep.getLong(1) == 3L)
+    val after = served()
+    assert(after == before -- Set(3L, 7L, 11L))
+    // absent-id delete is a no-op; totals accumulate distinct
+    Similarity.deleteFromIndex(spark, dir, Seq(3L, 999L).toDF("vec_id"),
+      "vec_id").collect()
+    assert(served() == after)
+    // compaction purges physically and clears the tombstone set
+    val crep = Similarity.compactIndex(spark, dir).head()
+    assert(crep.getLong(3) == 4L, "purged distinct tombstones")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(served() == after, "purge must be serving-invariant")
   }
 
   test("pqTopK: near-identical twin ranks first with near-zero distance") {
