@@ -558,6 +558,14 @@ object Analyze {
             "<current dir>")
         graft.operators.SnapshotDiff.schemaDrift(
           spark.read.parquet(args.docs), spark.read.parquet(args.bench))
+      case "intervals" =>
+        require(args.docs.nonEmpty && args.groupCol.nonEmpty &&
+          args.xCol.nonEmpty && args.yCol.nonEmpty,
+          "intervals needs --docs <dir>, --group-col <key>, --x-col " +
+            "<start>, --y-col <end>; --slack sets the merge gap")
+        graft.operators.Funnel.mergeIntervals(
+          spark.read.parquet(args.docs), args.groupCol, args.xCol,
+          args.yCol, args.slack)
       case "anndelete" =>
         require(args.target.nonEmpty && args.vectors.nonEmpty,
           "anndelete needs --target <index dir> and --vectors <ids " +

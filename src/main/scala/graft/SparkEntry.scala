@@ -717,6 +717,22 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ---- ST30: interval coalescing — gaps-and-islands over INTERVALS
+    // (the interval-set twin of ST21's point-event sessionization):
+    // order-key-derived integer intervals per customer bucket,
+    // running-max-end island detection with a merge gap of 2. Exact
+    // integer arithmetic throughout; the oracle replays the windowed
+    // running max and the same strict boundary rule. ----
+    "q_st30_interval_merge" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("k"),
+          (col("o_orderkey") % 997).cast("long").as("ivl_start"))
+        .withColumn("ivl_end",
+          col("ivl_start") + col("ivl_start") % 13)
+      Funnel.mergeIntervals(iv, "k", "ivl_start", "ivl_end", minGap = 2)
+        .orderBy("k", "island_seq")
+    }),
+
     // ---- ST22: per-entity OLS trend — slope/intercept/r² of the milli-
     // integerized value over day offsets from each entity's first
     // observation; moments exact decimal, one double closed form ----
@@ -9231,6 +9247,39 @@ object SparkEntry {
         |  CAST(max(es) - min(es) AS BIGINT) AS dur_sec
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // Interval islands: the same running-max-of-previous-ends boundary
+    // rule (ROWS … AND 1 PRECEDING), same strict > gap compare, same
+    // (start, end) total order — exact integers end to end.
+    "q_st30_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT o_custkey % 50 AS k,
+        |    o_orderkey % 997 AS s,
+        |    (o_orderkey % 997) + (o_orderkey % 997) % 13 AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT k, s, e,
+        |    max(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT k, s, e,
+        |    CASE WHEN pmax IS NULL OR s - pmax > 2 THEN 1 ELSE 0 END
+        |      AS nf
+        |  FROM m),
+        |isl AS (
+        |  SELECT k, s, e,
+        |    sum(nf) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island_seq
+        |  FROM f)
+        |SELECT k, CAST(island_seq AS BIGINT) AS island_seq,
+        |  CAST(min(s) AS BIGINT) AS island_start,
+        |  CAST(max(e) AS BIGINT) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM isl GROUP BY k, island_seq
+        |ORDER BY k, island_seq""".stripMargin,
 
     // PSI rebuild: identical bin expression (clamped fixed-width over
     // [0, 500)), add-one-smoothed shares as two double divisions, one

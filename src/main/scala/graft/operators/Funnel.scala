@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-event funnel analysis over the events table — "who reached
@@ -133,6 +134,53 @@ object Funnel {
         min(col(tsSecCol).cast("long")).as("t_start"),
         max(col(tsSecCol).cast("long")).as("t_end"))
       .withColumn("dur_sec", col("t_end") - col("t_start"))
+
+  /** Interval coalescing (gaps-and-islands over INTERVALS — the
+    * interval-set twin of point-event [[sessionize]]): per key, merge
+    * every group of transitively overlapping-or-touching intervals
+    * into one island. The classic availability/maintenance-window/
+    * validity-range consolidation: total covered time, booking
+    * overlap, SLA union. Intervals within `minGap` of each other merge
+    * too (`next_start − running_max_end ≤ minGap` stays in-island:
+    * with the default 0, touching intervals [1,3],[3,5] coalesce).
+    *
+    * Semantics (deterministic): intervals order per key by
+    * (`startCol`, `endCol`) — a new island begins where an interval's
+    * start exceeds the running max of all previous ends by more than
+    * `minGap`; the running max (not just the previous end) is what
+    * makes containment chains like [1,10],[2,3],[4,12] ONE island.
+    * Zero-length and contained intervals are fine; `end < start` rows
+    * fail fast (corrupt data must not silently merge worlds).
+    *
+    * Scale notes (100 TB): ONE key shuffle; the running max, the
+    * island numbering, and the final per-island aggregate all ride
+    * the same (key) partitioning (the [[sessionize]] discipline).
+    *
+    * @return one row per (key, island): `island_seq` (1-based),
+    *         `island_start`, `island_end`, `n_merged` */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, minGap: Long = 0L): DataFrame = {
+    require(minGap >= 0, "minGap must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(startCol).cast("long"), col(endCol).cast("long"))
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val prevMaxEnd = max(e).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col(keyCol).isNotNull && s.isNotNull && e.isNotNull)
+      // a filter (not an unused column) so pruning can't elide the check
+      .filter(when(e < s, raise_error(
+        concat(lit("mergeIntervals: end < start for key "),
+          col(keyCol).cast("string")))).otherwise(lit(true)))
+      .withColumn("_new_island",
+        when(prevMaxEnd.isNull || s - prevMaxEnd > minGap, 1L)
+          .otherwise(0L))
+      .withColumn("island_seq", sum(col("_new_island")).over(w))
+      .groupBy(col(keyCol), col("island_seq"))
+      .agg(min(s).as("island_start"), max(e).as("island_end"),
+        count(lit(1)).as("n_merged"))
+  }
 
   /** Cohort retention matrix: entities are cohorted by the time bucket
     * of their FIRST event (`cohort = min(ts div bucketSec)`), and each

@@ -283,4 +283,29 @@ class FunnelSpec extends SparkSpec {
       Funnel.rfm(orders, "cust", "es", "amt", nTiles = 1)
     }
   }
+
+  test("mergeIntervals: containment chains collapse via the running " +
+      "max; touching merge at gap 0; keys isolate; bad rows throw") {
+    def run(rows: Seq[(String, Long, Long)], gap: Long = 0L) =
+      Funnel.mergeIntervals(rows.toDF("k", "s", "e"), "k", "s", "e", gap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // [1,10] contains [2,3]; [4,12] overlaps the RUNNING max (10), not
+    // the previous end (3) — one island, the case a lag-based rule gets
+    // wrong
+    assert(run(Seq(("a", 1L, 10L), ("a", 2L, 3L), ("a", 4L, 12L))) ==
+      Map(("a", 1L) -> ((1L, 12L, 3L))))
+    // touching intervals coalesce at gap 0; a gap of 1 does not
+    assert(run(Seq(("a", 1L, 3L), ("a", 3L, 5L), ("a", 7L, 9L))) ==
+      Map(("a", 1L) -> ((1L, 5L, 2L)), ("a", 2L) -> ((7L, 9L, 1L))))
+    // minGap bridges small holes
+    assert(run(Seq(("a", 1L, 3L), ("a", 5L, 6L)), gap = 2L) ==
+      Map(("a", 1L) -> ((1L, 6L, 2L))))
+    // keys isolate; zero-length intervals are fine
+    assert(run(Seq(("a", 1L, 1L), ("b", 1L, 2L))) ==
+      Map(("a", 1L) -> ((1L, 1L, 1L)), ("b", 1L) -> ((1L, 2L, 1L))))
+    // end < start fails fast instead of silently merging worlds
+    intercept[Exception] { run(Seq(("a", 5L, 1L))) }
+  }
 }
