@@ -786,6 +786,17 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("schemadrift", "--docs",
         s"$dir/sd_prev")), spark))
+    // intervals: containment chain coalesces from argv
+    Seq(("a", 1L, 10L), ("a", 2L, 3L), ("a", 4L, 12L), ("a", 20L, 21L))
+      .toDF("k", "s", "e").write.parquet(s"$dir/ivl")
+    val isl = Analyze.run(parse(List("intervals", "--docs", s"$dir/ivl",
+      "--group-col", "k", "--x-col", "s", "--y-col", "e")), spark)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(isl == Map(1L -> ((1L, 12L)), 2L -> ((20L, 21L))))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("intervals", "--docs", s"$dir/ivl")),
+        spark))
     // sccinc: stored labels + condensation, delta closes the cycle —
     // refreshed labels equal the full recompute
     import graft.operators.GraphOps
