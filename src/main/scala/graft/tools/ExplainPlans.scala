@@ -57,7 +57,9 @@ object ExplainPlans {
         "q_x4u_html_extract", "q_x6v_length_batches",
         "q_x6t_curriculum", "q_x3p_compacted_index",
         "q_g26c_topo_levels", "q_g26d_incr_scc", "q_g26e_desc_counts",
-        "q_g27_landmark_reach", "q_v17_schema_drift")
+        "q_g27_landmark_reach", "q_v17_schema_drift",
+        "q_asof_forward", "q_asof_nearest", "q_x3q_deleted_index",
+        "q_st30_interval_merge")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
