@@ -464,7 +464,9 @@ object Multimodal {
     * would reject, and for outputs whose frame count would exceed
     * `maxFrames` — the audio twin of [[DefaultMaxPixels]]: a small WAV
     * upsampled to an absurd rate must not allocate an unbounded buffer,
-    * and the count itself is kept in Long so it cannot wrap. The JDK's
+    * and the count itself is kept in Long so it cannot wrap. The INPUT
+    * is budgeted too, from the header's declared frame count, before
+    * any PCM materializes (same bound). The JDK's
     * own converters refuse arbitrary rate changes, so the mapping is
     * explicit — which is also what makes it reproducible anywhere. */
   def resampleAudio(bytes: Array[Byte], targetRate: Int,
@@ -483,6 +485,10 @@ object Multimodal {
         val inRate = fmt.getSampleRate.toInt
         if (inRate <= 0) return None
         val big = fmt.isBigEndian
+        // Input-side bomb guard (same budget as the output): reject
+        // from the header's declared frame count before materializing.
+        if (in.getFrameLength <= 0 || in.getFrameLength > maxFrames)
+          return None
         val raw = in.readAllBytes()
         val nFrames = raw.length / fmt.getFrameSize
         if (nFrames == 0) return None
@@ -607,6 +613,12 @@ object Multimodal {
         if (!signed || fmt.getSampleSizeInBits != 16) return None
         val channels = fmt.getChannels
         val big = fmt.isBigEndian
+        // Guard BEFORE materializing: the header's frame length is
+        // known for the container formats the JDK reads (WAV/AIFF/AU),
+        // so an over-budget payload is rejected without allocating its
+        // PCM — the decodeImage bomb-guard discipline.
+        val declared = in.getFrameLength
+        if (declared <= 0 || declared > maxFrames) return None
         val raw = in.readAllBytes()
         val nFrames = raw.length / fmt.getFrameSize
         if (nFrames == 0 || nFrames.toLong > maxFrames) return None

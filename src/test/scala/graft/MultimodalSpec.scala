@@ -481,6 +481,11 @@ class MultimodalSpec extends SparkSpec {
     // total-function contract
     assert(Multimodal.audioHash64(null).isEmpty)
     assert(Multimodal.audioHash64("not audio at all".getBytes).isEmpty)
+    // bomb guard rejects from the DECLARED frame count, pre-allocation
+    val wav576 = Multimodal.encodeAudioPatternWav(0L)
+    assert(Multimodal.audioHash64(wav576, maxFrames = 100).isEmpty)
+    assert(Multimodal.resampleAudio(wav576, 8000,
+      maxFrames = 100).isEmpty)
   }
 
   test("videoFingerprints: strict-majority SimHash over frame-payload " +
