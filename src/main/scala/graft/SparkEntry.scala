@@ -733,6 +733,27 @@ object SparkEntry {
         .orderBy("k", "island_seq")
     }),
 
+    // ---- ST30b: EXACT incremental island maintenance — two thirds of
+    // the intervals are merged first, the rest arrive as the delta and
+    // absorb into the stored islands (islands+delta-sized work, the
+    // history never re-read). Oracle: q_st30's full-merge SQL VERBATIM
+    // — the absorbed store must be bit-identical to the full
+    // recompute, n_merged included. ----
+    "q_st30b_interval_absorb" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("k"),
+          (col("o_orderkey") % 997).cast("long").as("ivl_start"),
+          col("o_orderkey"))
+        .withColumn("ivl_end", col("ivl_start") + col("ivl_start") % 13)
+      val base = iv.filter(col("o_orderkey") % 3 =!= 0)
+      val delta = iv.filter(col("o_orderkey") % 3 === 0)
+      Funnel.absorbIntervals(
+          Funnel.mergeIntervals(base, "k", "ivl_start", "ivl_end",
+            minGap = 2),
+          delta, "k", "ivl_start", "ivl_end", minGap = 2)
+        .orderBy("k", "island_seq")
+    }),
+
     // ---- ST22: per-entity OLS trend — slope/intercept/r² of the milli-
     // integerized value over day offsets from each entity's first
     // observation; moments exact decimal, one double closed form ----
@@ -9252,6 +9273,39 @@ object SparkEntry {
     // rule (ROWS … AND 1 PRECEDING), same strict > gap compare, same
     // (start, end) total order — exact integers end to end.
     "q_st30_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT o_custkey % 50 AS k,
+        |    o_orderkey % 997 AS s,
+        |    (o_orderkey % 997) + (o_orderkey % 997) % 13 AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT k, s, e,
+        |    max(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT k, s, e,
+        |    CASE WHEN pmax IS NULL OR s - pmax > 2 THEN 1 ELSE 0 END
+        |      AS nf
+        |  FROM m),
+        |isl AS (
+        |  SELECT k, s, e,
+        |    sum(nf) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island_seq
+        |  FROM f)
+        |SELECT k, CAST(island_seq AS BIGINT) AS island_seq,
+        |  CAST(min(s) AS BIGINT) AS island_start,
+        |  CAST(max(e) AS BIGINT) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM isl GROUP BY k, island_seq
+        |ORDER BY k, island_seq""".stripMargin,
+
+    // The incremental absorb must equal the FULL merge — so the oracle
+    // is q_st30's verbatim; any lost count or mis-bridged gap from the
+    // stored-islands composition hash-mismatches here.
+    "q_st30b_interval_absorb" ->
       """WITH iv AS (
         |  SELECT o_custkey % 50 AS k,
         |    o_orderkey % 997 AS s,

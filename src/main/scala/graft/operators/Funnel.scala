@@ -159,7 +159,12 @@ object Funnel {
     * @return one row per (key, island): `island_seq` (1-based),
     *         `island_start`, `island_end`, `n_merged` */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
-      endCol: String, minGap: Long = 0L): DataFrame = {
+      endCol: String, minGap: Long = 0L): DataFrame =
+    mergeIntervalsCore(df, keyCol, startCol, endCol, minGap, lit(1L))
+
+  private def mergeIntervalsCore(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String, minGap: Long,
+      weight: org.apache.spark.sql.Column): DataFrame = {
     require(minGap >= 0, "minGap must be >= 0")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
@@ -173,13 +178,48 @@ object Funnel {
       .filter(when(e < s, raise_error(
         concat(lit("mergeIntervals: end < start for key "),
           col(keyCol).cast("string")))).otherwise(lit(true)))
+      .withColumn("_graft_w", weight)
       .withColumn("_new_island",
         when(prevMaxEnd.isNull || s - prevMaxEnd > minGap, 1L)
           .otherwise(0L))
       .withColumn("island_seq", sum(col("_new_island")).over(w))
       .groupBy(col(keyCol), col("island_seq"))
       .agg(min(s).as("island_start"), max(e).as("island_end"),
-        count(lit(1)).as("n_merged"))
+        sum(col("_graft_w")).as("n_merged"))
+  }
+
+  /** EXACT incremental maintenance of [[mergeIntervals]]'s island
+    * store under APPEND-ONLY interval arrivals — the incremental-SCC
+    * theorem shape, for time ranges: new intervals only ever MERGE
+    * islands (coverage is monotone in the input set), and the stored
+    * islands preserve coverage exactly, so re-merging
+    * (stored islands ∪ delta) equals the full recompute over every
+    * interval ever seen — bit-for-bit, `n_merged` included (each
+    * stored island carries its original count; the delta's rows count
+    * 1 each). Per-batch cost is islands+delta-sized; the accumulated
+    * interval history is NEVER re-read. Re-absorbing an
+    * already-absorbed delta is a fixpoint (a covered interval merges
+    * into its own island and adds… nothing new topologically — but it
+    * DOES increment `n_merged`, so at-least-once redelivery must be
+    * deduplicated upstream when exact counts matter; the streaming
+    * twin's edge append + distinct does this for exact replays).
+    *
+    * @param islands prior output: (`keyCol`, island_start, island_end,
+    *                n_merged)
+    * @param delta   newly arrived raw (`keyCol`, startCol, endCol) */
+  def absorbIntervals(islands: DataFrame, delta: DataFrame,
+      keyCol: String, startCol: String, endCol: String,
+      minGap: Long = 0L): DataFrame = {
+    val stored = islands.select(col(keyCol),
+      col("island_start").as("_graft_s"),
+      col("island_end").as("_graft_e"),
+      col("n_merged").cast("long").as("_graft_n"))
+    val fresh = delta.select(col(keyCol),
+      col(startCol).cast("long").as("_graft_s"),
+      col(endCol).cast("long").as("_graft_e"),
+      lit(1L).as("_graft_n"))
+    mergeIntervalsCore(stored.unionByName(fresh), keyCol, "_graft_s",
+      "_graft_e", minGap, col("_graft_n"))
   }
 
   /** Cohort retention matrix: entities are cohorted by the time bucket

@@ -760,6 +760,62 @@ object StreamingIngest {
     *
     * Both stores localCheckpoint before either overwrite — the
     * incremental plan reads the same parquet paths it replaces. */
+  /** Interval-island maintenance on interval arrivals — the
+    * [[streamingScc]] loop over
+    * [[graft.operators.Funnel.absorbIntervals]], and EXACT by the same
+    * append-only-merge theorem shape (new intervals only merge
+    * islands; stored islands preserve coverage AND carry their
+    * original counts): after every completed trigger the islands
+    * store is bit-equal to a full [[graft.operators.Funnel
+    * .mergeIntervals]] over every interval ever seen. Cold start =
+    * full merge over the accumulated raw store; afterwards each
+    * trigger is islands+delta-sized and the raw append is durability
+    * only.
+    *
+    * `n_merged` exactness needs each batch applied ONCE, so a
+    * per-batchId marker under `rawDir/_batches/` (underscore-prefixed
+    * — invisible to parquet readers) makes redelivery of a COMPLETED
+    * batch a no-op. A crash strictly mid-batch can still double-apply
+    * its delta; recovery is mechanical because the raw store holds
+    * ground truth — delete the islands store and the next trigger
+    * cold-starts an exact rebuild. */
+  def streamingIntervals(intervals: DataFrame, rawDir: String,
+      islandsDir: String, checkpointDir: String, keyCol: String,
+      startCol: String, endCol: String,
+      minGap: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    intervals
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.select(col(keyCol), col(startCol), col(endCol))
+          .localCheckpoint()
+        if (!delta.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$rawDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            delta.write.mode("append").parquet(rawDir)
+            val sMark =
+              new org.apache.hadoop.fs.Path(s"$islandsDir/_SUCCESS")
+            val islands =
+              if (fs.exists(sMark))
+                graft.operators.Funnel.absorbIntervals(
+                  spark.read.parquet(islandsDir), delta, keyCol,
+                  startCol, endCol, minGap)
+              else
+                graft.operators.Funnel.mergeIntervals(
+                  spark.read.parquet(rawDir), keyCol, startCol, endCol,
+                  minGap)
+            islands.localCheckpoint()
+              .write.mode("overwrite").parquet(islandsDir)
+            fs.mkdirs(marker): Unit
+          }
+        }
+      }
+      .start()
+
   def streamingScc(edges: DataFrame, edgesDir: String,
       labelsDir: String, quotientDir: String, checkpointDir: String,
       maxRounds: Int = 20,

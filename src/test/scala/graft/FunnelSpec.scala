@@ -308,4 +308,25 @@ class FunnelSpec extends SparkSpec {
     // end < start fails fast instead of silently merging worlds
     intercept[Exception] { run(Seq(("a", 5L, 1L))) }
   }
+
+  test("absorbIntervals: delta absorption equals the full re-merge " +
+      "bit-for-bit, n_merged included; bridges sum stored counts") {
+    def m(rows: Seq[(String, Long, Long)], gap: Long) =
+      Funnel.mergeIntervals(rows.toDF("k", "s", "e"), "k", "s", "e", gap)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val base = Seq(("a", 1L, 3L), ("a", 2L, 4L), ("a", 10L, 12L),
+      ("b", 0L, 1L))
+    val delta = Seq(("a", 6L, 9L), ("a", 30L, 31L), ("c", 5L, 6L))
+    val absorbed = Funnel.absorbIntervals(m(base, 2L),
+      delta.toDF("k", "s", "e"), "k", "s", "e", minGap = 2L)
+    assert(toMap(absorbed) == toMap(m(base ++ delta, 2L)))
+    // the bridge: [6,9] joins [1,4] (gap 2) and [10,12] — counts sum
+    // 2 (stored) + 1 (stored) + 1 (delta) = 4
+    assert(toMap(absorbed)(("a", 1L)) == ((1L, 12L, 4L)))
+    // brand-new key in the delta islands on its own
+    assert(toMap(absorbed)(("c", 1L)) == ((5L, 6L, 1L)))
+  }
 }

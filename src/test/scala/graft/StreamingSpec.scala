@@ -722,6 +722,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIntervals: exact island maintenance — cold start = " +
+      "full merge, arrivals absorb islands+delta-sized, every trigger " +
+      "equals the full recompute bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivl").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val stream = mem.toDF().toDF("k", "s", "e")
+    val q = StreamingIngest.streamingIntervals(stream,
+      s"$tmp/raw", s"$tmp/islands", s"$tmp/ckpt", "k", "s", "e",
+      minGap = 2L)
+    try {
+      def store(): Map[(String, Long), (Long, Long, Long)] =
+        spark.read.parquet(s"$tmp/islands").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      def full(rows: Seq[(String, Long, Long)]) =
+        graft.operators.Funnel.mergeIntervals(
+            rows.toDF("k", "s", "e"), "k", "s", "e", minGap = 2L)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val b1 = Seq(("a", 1L, 3L), ("a", 10L, 12L), ("b", 0L, 1L))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(store() == full(b1)) // cold start IS the full merge
+      // batch 2 bridges a's islands and opens a new key
+      val b2 = Seq(("a", 5L, 9L), ("c", 7L, 8L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val s2 = store()
+      assert(s2 == full(b1 ++ b2),
+        "incremental trigger must equal the full recompute")
+      assert(s2(("a", 1L)) == ((1L, 12L, 3L))) // counts sum exactly
+    } finally q.stop()
+  }
+
   test("streamingScc: exact maintenance — cold start = full SCC, " +
       "arrivals merge on the quotient, every trigger equals the full " +
       "recompute bit-for-bit") {
