@@ -78,8 +78,9 @@ import graft.operators.{Curation, GraphOps}
   *   curriculum  --docs <dir> --value-col <difficulty score> [--epochs E]
   *               [--id-col doc_id] [--hash-seed S] [-o <outDir>]
   *               (competence-based curriculum: epoch e shuffles the
-  *               easiest-ranked growing fraction of the corpus —
-  *               feed to pack for the easy→hard training-prep story)
+  *               easiest-ranked c(e) = sp/1000 + (1−sp/1000)(e+1)/E
+  *               fraction of the corpus, reaching 1 at the last epoch
+  *               — feed to pack for the easy→hard training-prep story)
   *   pack        --docs <dir> --group-col g --value-col w
   *               [--id-col doc_id] [--budget TOKENS] [-o <outDir>]
   *               (sequence packing by cumulative budget: per-group

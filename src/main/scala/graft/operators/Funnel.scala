@@ -149,8 +149,12 @@ object Funnel {
     * start exceeds the running max of all previous ends by more than
     * `minGap`; the running max (not just the previous end) is what
     * makes containment chains like [1,10],[2,3],[4,12] ONE island.
-    * Zero-length and contained intervals are fine; `end < start` rows
-    * fail fast (corrupt data must not silently merge worlds).
+    * Zero-length and contained intervals are fine. Corrupt rows fail
+    * fast — `end < start` AND null `start`/`end` on a keyed row both
+    * raise (a silently dropped null endpoint would remove coverage
+    * from the islands, the same silent-world-change the `end < start`
+    * guard exists to prevent); null-KEY rows are dropped (an unkeyed
+    * interval belongs to no world — the [[sessionize]] rule).
     *
     * Scale notes (100 TB): ONE key shuffle; the running max, the
     * island numbering, and the final per-island aggregate all ride
@@ -173,11 +177,13 @@ object Funnel {
     val e = col(endCol).cast("long")
     val prevMaxEnd = max(e).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
-    df.filter(col(keyCol).isNotNull && s.isNotNull && e.isNotNull)
-      // a filter (not an unused column) so pruning can't elide the check
-      .filter(when(e < s, raise_error(
-        concat(lit("mergeIntervals: end < start for key "),
-          col(keyCol).cast("string")))).otherwise(lit(true)))
+    df.filter(col(keyCol).isNotNull)
+      // a filter (not an unused column) so pruning can't elide the
+      // check; null endpoints are corrupt (not droppable) — dropping
+      // one would silently shrink island coverage
+      .filter(when(s.isNull || e.isNull || e < s, raise_error(
+        concat(lit("mergeIntervals: null endpoint or end < start for " +
+          "key "), col(keyCol).cast("string")))).otherwise(lit(true)))
       .withColumn("_graft_w", weight)
       .withColumn("_new_island",
         when(prevMaxEnd.isNull || s - prevMaxEnd > minGap, 1L)

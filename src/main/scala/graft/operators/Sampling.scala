@@ -254,12 +254,16 @@ object Sampling {
     *
     * Difficulty is the EXACT dense 1-based rank of `scoreCol`
     * ascending (low score = easy; negate upstream for the opposite),
-    * ties broken by id. Competence grows linearly from
-    * `startPermille`/1000 at epoch 0 to exactly 1 at the final epoch;
-    * inclusion is decided in pure integer arithmetic —
-    * keep iff `rank·1000·E ≤ n·(startPermille·E +
-    * (1000−startPermille)·(e+1))` — so the oracle replays every
-    * verdict with BIGINT math, no float thresholds.
+    * ties broken by id. The competence window grows linearly in the
+    * epoch with floor `startPermille`/1000:
+    * `c(e) = sp/1000 + (1 − sp/1000)·(e+1)/E` — epoch 0 already draws
+    * `sp/1000 + (1 − sp/1000)/E` (NOT the bare floor: with the
+    * defaults E = 3, sp = 250 that is 50% of the corpus), and the
+    * final epoch draws exactly 1. Inclusion is decided in pure
+    * integer arithmetic — keep iff `rank·1000·E ≤ n·(startPermille·E
+    * + (1000−startPermille)·(e+1))` (the same formula cleared of
+    * denominators) — so the oracle replays every verdict with BIGINT
+    * math, no float thresholds.
     *
     * The global rank costs NO single-partition sort (the same
     * discipline as [[epochOrder]]'s dense pos): score space splits
@@ -290,8 +294,12 @@ object Sampling {
       s"epochs must be in [1, 1024] (got $epochs)")
     require(startPermille >= 1 && startPermille <= 1000,
       s"startPermille must be in [1, 1000] (got $startPermille)")
-    require(buckets >= 1 && rankBuckets >= 1,
-      "buckets and rankBuckets must be >= 1")
+    // upper bound: the rank/pos offset frames are broadcast and their
+    // prefix-sum windows run UNPARTITIONED — fine at 2^20 rows, a real
+    // single-partition sort if a caller passes 10^8
+    require(buckets >= 1 && buckets <= (1 << 20) &&
+        rankBuckets >= 1 && rankBuckets <= (1 << 20),
+      "buckets and rankBuckets must be in [1, 2^20]")
     val scored = df.filter(col(scoreCol).isNotNull)
     // --- exact global difficulty rank, distributed ---
     val ext = scored.agg(
@@ -386,7 +394,10 @@ object Sampling {
   def lengthGroupedBatches(df: DataFrame, idCol: String, lenCol: String,
       batchSize: Int, rankBuckets: Int = 1024): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
-    require(rankBuckets >= 1, "rankBuckets must be >= 1")
+    // same bound as [[curriculumOrder]]: the offset frame's prefix-sum
+    // window is unpartitioned — bounded only if rankBuckets is
+    require(rankBuckets >= 1 && rankBuckets <= (1 << 20),
+      "rankBuckets must be in [1, 2^20]")
     val rows = df.filter(col(lenCol).isNotNull)
     val ext = rows.agg(
       min(col(lenCol).cast("double")).as("_lo"),

@@ -686,6 +686,15 @@ object Similarity {
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     assignedEncoded.write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$dir/vectors")
+    // A rebuild resets the maintenance state alongside meta: the drift
+    // ledger measured the OLD quantizers (a stale ledger would latch
+    // retrain_recommended forever after one drifting era), and every
+    // row just written is live by definition (a stale tombstone would
+    // silently anti-join valid new rows out of serving).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/drift_log"), true): Unit
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true): Unit
     import spark.implicits._
     // assign_cosine_std calibrates [[compactIndex]]'s default retrain
     // tolerance (2σ of the build-time assignment-cosine distribution);
@@ -801,8 +810,11 @@ object Similarity {
       .localCheckpoint()
     // Ledger the batch for [[compactIndex]]'s retrain policy: one tiny
     // row per ingest, so the drift signal survives across processes
-    // instead of evaporating with the returned frame.
-    report.select(col("n_added"), col("delta_mean_assign_cosine"))
+    // instead of evaporating with the returned frame. `n_batches` lets
+    // compaction roll the log up into ONE weighted summary row without
+    // losing the absorbed-batch count.
+    report.select(col("n_added"), col("delta_mean_assign_cosine"),
+        lit(1L).as("n_batches"))
       .coalesce(1).write.mode("append").parquet(s"$dir/drift_log")
     report
   }
@@ -839,7 +851,13 @@ object Similarity {
     * Scale notes (100 TB): the rewrite is one shuffle of the codes
     * table (m bytes + id per row — the floats never ship), exactly the
     * cost profile of a parquet table compaction job; the drift log is
-    * one tiny row per ingest batch. Same one-writer contract as
+    * one tiny row per ingest batch, and compaction ROLLS IT UP into a
+    * single summary row in a single file (weighted mean + batch count
+    * are sufficient statistics — the policy verdict is unchanged, the
+    * per-ingest small files are gone); [[saveIndex]] DELETES the
+    * ledger and the tombstone set, so the recommendation always
+    * reflects deltas absorbed since the last quantizer build, never a
+    * stale pre-rebuild era. Same one-writer contract as
     * [[updateIndex]] — the delete+swap is not atomic against concurrent
     * readers of the SAME index directory; serve from a snapshot copy or
     * pause reads during maintenance.
@@ -920,14 +938,40 @@ object Similarity {
         n
       } else 0L
     val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
-    val (nDeltas, deltaMean) =
+    val (nDeltas, nLedger, deltaMean) =
       if (fs.exists(logPath)) {
-        val r = spark.read.parquet(logPath.toString)
-          .agg(count(lit(1)),
+        val raw = spark.read.parquet(logPath.toString)
+        // pre-r11 ledgers have no n_batches column: each row was one
+        // ingest batch
+        val log =
+          if (raw.schema.fieldNames.contains("n_batches")) raw
+          else raw.withColumn("n_batches", lit(1L))
+        val r = log.agg(sum(col("n_batches")), sum(col("n_added")),
             sum(col("n_added") * col("delta_mean_assign_cosine")) /
               sum(col("n_added"))).head()
-        (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
-      } else (0L, Double.NaN)
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      } else (0L, 0L, Double.NaN)
+    // Roll the ledger up into ONE summary row in ONE file — the
+    // weighted mean and batch count are sufficient statistics for the
+    // retrain policy, and a per-ingest-file ledger on a daily serving
+    // index is exactly the small-file pathology this pass exists to
+    // fix for vectors/. (saveIndex/retrain DELETES the ledger — the
+    // policy always reflects deltas absorbed since the last quantizer
+    // build, never across rebuilds.)
+    if (nDeltas > 0L && !deltaMean.isNaN) {
+      import spark.implicits._
+      val tmpLog =
+        new org.apache.hadoop.fs.Path(s"$dir/drift_log_compact_tmp")
+      fs.delete(tmpLog, true): Unit
+      Seq((nLedger, deltaMean, nDeltas))
+        .toDF("n_added", "delta_mean_assign_cosine", "n_batches")
+        .coalesce(1).write.parquet(tmpLog.toString)
+      fs.delete(logPath, true): Unit
+      require(fs.rename(tmpLog, logPath),
+        s"compactIndex: rename $tmpLog -> $logPath failed")
+    }
     val buildMean = ix.meanAssignCosine
     val tol =
       if (!driftTolerance.isNaN) driftTolerance

@@ -775,10 +775,14 @@ object StreamingIngest {
     * `n_merged` exactness needs each batch applied ONCE, so a
     * per-batchId marker under `rawDir/_batches/` (underscore-prefixed
     * — invisible to parquet readers) makes redelivery of a COMPLETED
-    * batch a no-op. A crash strictly mid-batch can still double-apply
-    * its delta; recovery is mechanical because the raw store holds
-    * ground truth — delete the islands store and the next trigger
-    * cold-starts an exact rebuild. */
+    * batch a no-op, and the raw append itself is IDEMPOTENT: each
+    * batch overwrites its own `rawDir/batch=<id>/` subpath, so a
+    * crash between the raw write and the marker cannot duplicate
+    * ground-truth rows on redelivery (an append to a shared directory
+    * would). A crash strictly mid-batch can still double-apply the
+    * delta to the ISLANDS store; recovery is mechanical because the
+    * raw store holds exact ground truth — delete the islands store
+    * and the next trigger cold-starts an exact rebuild. */
   def streamingIntervals(intervals: DataFrame, rawDir: String,
       islandsDir: String, checkpointDir: String, keyCol: String,
       startCol: String, endCol: String,
@@ -796,7 +800,10 @@ object StreamingIngest {
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
-            delta.write.mode("append").parquet(rawDir)
+            // batchId-keyed overwrite: redelivery after a crash
+            // replaces (never duplicates) this batch's raw rows
+            delta.write.mode("overwrite")
+              .parquet(s"$rawDir/batch=$batchId")
             val sMark =
               new org.apache.hadoop.fs.Path(s"$islandsDir/_SUCCESS")
             val islands =

@@ -307,6 +307,18 @@ class FunnelSpec extends SparkSpec {
       Map(("a", 1L) -> ((1L, 1L, 1L)), ("b", 1L) -> ((1L, 2L, 1L))))
     // end < start fails fast instead of silently merging worlds
     intercept[Exception] { run(Seq(("a", 5L, 1L))) }
+    // a null endpoint on a keyed row is corrupt too — dropping it would
+    // silently shrink island coverage; null KEYS drop (unkeyed rows
+    // belong to no world)
+    def runN(rows: Seq[(String, java.lang.Long, java.lang.Long)]) =
+      Funnel.mergeIntervals(rows.toDF("k", "s", "e"), "k", "s", "e", 0L)
+        .collect()
+    intercept[Exception] { runN(Seq(("a", 1L, null))) }
+    intercept[Exception] { runN(Seq(("a", null, 3L))) }
+    assert(Funnel.mergeIntervals(
+        Seq((null.asInstanceOf[String], 1L, 3L), ("b", 1L, 2L))
+          .toDF("k", "s", "e"), "k", "s", "e", 0L)
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
   test("absorbIntervals: delta absorption equals the full re-merge " +

@@ -805,5 +805,16 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.lengthGroupedBatches(d, "id", "len", 0)
     }
+    // rankBuckets is the only bound on the unpartitioned offset-frame
+    // windows: a pathological 10^8 would degrade to a real
+    // single-partition sort, so it fails fast instead
+    intercept[IllegalArgumentException] {
+      Sampling.lengthGroupedBatches(d, "id", "len", 2,
+        rankBuckets = (1 << 20) + 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(d.withColumnRenamed("len", "s"), "id",
+        "s", epochs = 2, rankBuckets = (1 << 20) + 1)
+    }
   }
 }

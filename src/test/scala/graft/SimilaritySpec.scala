@@ -529,6 +529,28 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.getLong(4) == 2L)
     assert(!rep.getBoolean(9))
     assert(rep.getLong(3) == 0L, "no tombstones -> nothing purged")
+    // compaction rolls the ledger up to ONE summary row in ONE file,
+    // with the batch count and weighted mean preserved as sufficient
+    // statistics — a later compaction still reports both absorbed
+    // batches and the same weighted drift
+    val ledger = spark.read.parquet(s"$dir/drift_log").collect()
+    assert(ledger.length == 1 && ledger.head.getLong(2) == 2L)
+    assert(new java.io.File(s"$dir/drift_log").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    val repAgain = Similarity.compactIndex(spark, dir).head()
+    assert(repAgain.getLong(4) == 2L,
+      "rolled-up ledger keeps the absorbed-batch count")
+    assert(repAgain.getDouble(5) == rep.getDouble(5),
+      "rolled-up ledger keeps the weighted delta mean")
+    // a rebuild into the same dir resets the maintenance state: the
+    // ledger measured the OLD quantizers (stale latch) and every
+    // fresh-written row is live by definition
+    Similarity.saveIndex(dir, cents, cb, ae, m = 8, k = 8,
+      stats.getDouble(0), stats.getDouble(1))
+    assert(!new java.io.File(s"$dir/drift_log").exists(),
+      "saveIndex clears the drift ledger")
+    assert(Similarity.compactIndex(spark, dir).head().isNullAt(9),
+      "no ledger -> no recommendation")
     // planted drift: orthogonal-axis deltas push the weighted delta mean
     // far below the build mean -> retrain recommended
     def axisVec(axis: Int, wob: Int) = Array.tabulate(8)(j =>
