@@ -1,13 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
-import graft.config.GraphConfig
-import graft.functions.{GraftFunctions => GF, VectorFunctions => VF}
-import graft.operators._
-import graft.streaming.StreamingIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the EXT LLM-pipeline operators), each with matching
@@ -16,10262 +9,43 @@ import graft.streaming.StreamingIngest
   * Determinism rules (SURVEY.md §5/§7): every query ends in an explicit
   * orderBy over a key; float aggregates are rounded; timestamps are
   * emitted as epoch seconds to dodge µs-vs-ns parquet physical types.
+  *
+  * The query/oracle definitions live in per-tier objects under
+  * `entries/` (QueriesEtl, QueriesGraph, ...); this object assembles
+  * them into the two driver-facing maps. Tier maps are disjoint by
+  * construction (names are prefixed per tier) — asserted in
+  * SparkEntrySpec.
   */
 object SparkEntry {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** The events table has shipped both TIMESTAMP(NANOS) — which Spark
-    * reads as long under nanosAsLong; convert with integer division,
-    * double math would lose precision above 2^53 ns — and plain µs
-    * timestamps, which Spark 4 infers as TIMESTAMP_NTZ (no
-    * isAdjustedToUTC flag). Normalize both to a µs TimestampType `ts`:
-    * the session timezone is UTC, so the NTZ cast is identity on the
-    * underlying micros, and µs-domain functions (`unix_micros`) accept
-    * the column again. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
-  }
-
-  /** Heterogeneous analytics graph shared by the G3/G3b/G5 queries:
-    * customer→nation, supplier→nation, nation→region, with node ids
-    * namespaced by ×4 + type tag so the key spaces can't collide. The
-    * oracles re-derive the same edges in SQL. */
-  private def heteroEdges(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer").select(
-      (col("c_custkey").cast("long") * 4).as("start_id"),
-      (col("c_nationkey").cast("long") * 4 + 2).as("end_id"))
-    val supp = t(s, dir, "supplier").select(
-      (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
-      (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
-    val nat = t(s, dir, "nation").select(
-      (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
-      (col("n_regionkey").cast("long") * 4 + 3).as("end_id"))
-    cust.unionByName(supp).unionByName(nat)
-  }
-
-  /** [[heteroEdges]] made cyclic for the SCC query: back-edges
-    * region → nation (every nation) and nation → customer (customers
-    * with `c_custkey % 3 == 0` only). Each region's {region, its
-    * nations, its key-divisible-by-3 customers} is then one strongly
-    * connected component, while suppliers and the remaining customers
-    * stay singletons (they point in but nothing points back) — a
-    * structure with both large SCCs and a big DAG fringe, so the
-    * forward–backward split's pair refinement actually exercises. */
-  private def sccEdges(s: SparkSession, dir: String): DataFrame = {
-    val back = t(s, dir, "nation").select(
-      (col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
-      (col("n_nationkey").cast("long") * 4 + 2).as("end_id"))
-    val natCust = t(s, dir, "customer")
-      .filter(col("c_custkey") % 3 === 0)
-      .select((col("c_nationkey").cast("long") * 4 + 2).as("start_id"),
-        (col("c_custkey").cast("long") * 4).as("end_id"))
-    heteroEdges(s, dir).unionByName(back).unionByName(natCust)
-  }
-
-  /** [[heteroEdges]] with exact-quarter edge weights ((key % 8)/4 + 1 —
-    * exact binary fractions, so weight sums are order-independent and
-    * oracle arithmetic needs no rounding). Shared by G6 shortest paths
-    * and G3c weighted PageRank. */
-  private def weightedHeteroEdges(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer").select(
-      (col("c_custkey").cast("long") * 4).as("start_id"),
-      (col("c_nationkey").cast("long") * 4 + 2).as("end_id"),
-      ((col("c_custkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
-    val supp = t(s, dir, "supplier").select(
-      (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
-      (col("s_nationkey").cast("long") * 4 + 2).as("end_id"),
-      ((col("s_suppkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
-    val nat = t(s, dir, "nation").select(
-      (col("n_nationkey").cast("long") * 4 + 2).as("start_id"),
-      (col("n_regionkey").cast("long") * 4 + 3).as("end_id"),
-      ((col("n_nationkey").cast("long") % 8) / lit(4.0) + lit(1.0)).as("w"))
-    cust.unionByName(supp).unionByName(nat)
-  }
-
-  /** The graph-spec fixture (FIXTURES.md §2) over the TPC-H-ish tables,
-    * in the reference's config grammar. */
-  def fixtureYaml(dir: String): String =
-    s"""Database:
-       |  name: TpchGraph
-       |  version: "0.1"
-       |  author: graft
-       |Sources:
-       |  TPCH:
-       |    source type: parquet
-       |    path: $dir
-       |Nodes:
-       |  Customer:
-       |    sources:
-       |      TPCH: { table: customer, id_key: c_custkey, uri_key: c_name }
-       |  Order:
-       |    sources:
-       |      TPCH: { table: orders, id_key: o_orderkey }
-       |  Part:
-       |    sources:
-       |      TPCH: { table: part, id_key: p_partkey, uri_key: p_name }
-       |  Nation:
-       |    sources:
-       |      TPCH: { table: nation, id_key: n_nationkey, uri_key: n_name }
-       |Relationships:
-       |  CUSTOMER_PLACED_ORDER:
-       |    sources:
-       |      TPCH:
-       |        type: foreign_key
-       |        start: { node: Customer, table: customer, key: c_custkey }
-       |        end: { node: Order, table: orders, key: o_custkey }
-       |  ORDER_CONTAINS_PART:
-       |    start_node: Order
-       |    end_node: Part
-       |    sources:
-       |      TPCH:
-       |        type: join_table
-       |        table: lineitem
-       |        from_field: l_orderkey
-       |        to_field: l_partkey
-       |  CUSTOMER_IN_NATION:
-       |    sources:
-       |      TPCH:
-       |        type: foreign_key
-       |        start: { node: Customer, table: customer, key: c_nationkey }
-       |        end: { node: Nation, table: nation, key: n_nationkey }
-       |""".stripMargin
 
   /** Flagship: full config-compiled graph build (scan → project → union →
     * merge-by-id → fk/join-table edges) → per-label stats. */
   def entry(spark: SparkSession): DataFrame =
-    graphBuild(spark, "/root/testdata/sf0.001")
-
-  private def graphBuild(s: SparkSession, dir: String): DataFrame = {
-    val cfg = GraphConfig.fromYaml(fixtureYaml(dir))
-    GraphBuilder.build(s, cfg).stats(s)
-  }
-
-  /** q_x3j's stored ANN index: built + saved ONCE per (process, dataset
-    * dir) — production trains quantizers at ingest, not per query, so
-    * repeat invocations of the query (bench iterations) measure the
-    * serving path against the parquet index. The directory carries the
-    * pid so concurrent runs on one box never overwrite each other's
-    * index mid-read; everything lives under `target/graft_ann/` (not
-    * java.io.tmpdir) and a shutdown hook deletes the per-pid root, so
-    * repeated rounds leave no disk creep behind. */
-  private lazy val annScratchRoot: String = {
-    val root = new java.io.File(
-      s"target/graft_ann/pid_${ProcessHandle.current().pid()}")
-    root.mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root)
-    }))
-    root.getAbsolutePath
-  }
-  private val annIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def x3jIndexDir(s: SparkSession, dir: String): String =
-    annIndexDirs.computeIfAbsent(dir, _ => {
-      val e = t(s, dir, "embeddings")
-      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
-        "vec_id", k = 32)
-      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
-        m = 8, k = 16)
-      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
-      val ae = assigned.select(col("centroid_id"), col("vec_id"))
-        .join(enc, Seq("vec_id"))
-      val ixDir = annScratchRoot + "/index_" +
-        dir.split('/').filter(_.nonEmpty).last
-      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16)
-      ixDir
-    })
-
-  /** q_x3k's updated index: a BASE index trained and encoded on the
-    * `vec_id < 300` slice (memoized per dataset, like [[x3jIndexDir]]),
-    * copied to a fresh per-invocation directory, then the remaining
-    * vectors absorbed via [[Similarity.updateIndex]] — frozen
-    * quantizers, delta-only encode, partitioned append. Fresh copy per
-    * call because the append mutates the layout in place; the copy +
-    * update + query IS what the bench row measures (the incremental
-    * ingest path), while quantizer training stays out of the timed
-    * body. Returns the updated index directory. */
-  private val x3kInvocation = new java.util.concurrent.atomic.AtomicLong()
-  private def x3kUpdatedIndexDir(s: SparkSession, dir: String): String = {
-    val base = annIndexDirs.computeIfAbsent(dir + "#x3k_base", _ => {
-      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
-        "vec_id", k = 32)
-      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
-        m = 8, k = 16)
-      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
-      val ae = assigned.select(col("centroid_id"), col("vec_id"))
-        .join(enc, Seq("vec_id"))
-      val meanCos = assigned.agg(avg(col("assign_cosine")))
-        .head().getDouble(0)
-      val ixDir = annScratchRoot + "/base_" +
-        dir.split('/').filter(_.nonEmpty).last
-      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16, meanCos)
-      ixDir
-    })
-    val dst = base + "_upd" + x3kInvocation.incrementAndGet()
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(base), fs,
-      new org.apache.hadoop.fs.Path(dst), false, conf)
-    Similarity.updateIndex(s, dst,
-      t(s, dir, "embeddings").filter(col("vec_id") >= 300),
-      "embedding", "vec_id")
-      .write.format("noop").mode("overwrite").save()
-    dst
-  }
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- S2: schema-peek scan (limit pushed into the scan) ----
-    "q_s2_schema_peek" -> ((s, dir) =>
-      t(s, dir, "customer").orderBy("c_custkey").limit(1)),
-
-    // ---- S3: full-table scan ----
-    "q_s3_scan_region" -> ((s, dir) =>
-      t(s, dir, "region").orderBy("r_regionkey")),
-
-    // ---- P1/P2: field-alignment projection with null-fill ----
-    "q_p1_project_nullfill" -> ((s, dir) => {
-      val target = graft.plans.SchemaMerge.mergeFields(Seq(
-        t(s, dir, "customer").schema,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("extra_field",
-            org.apache.spark.sql.types.StringType)))))
-      NodePipeline.projectToSchema(t(s, dir, "customer"), target)
-        .orderBy("c_custkey")
-    }),
-
-    // ---- A1+A3+A2: schema merge, multi-source union, merge-by-id ----
-    "q_a2_union_merge" -> ((s, dir) => {
-      val src0 = t(s, dir, "customer").select("c_custkey", "c_name")
-      val src1 = t(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice")).as("total_spent"))
-      NodePipeline.buildNodeTable(Seq(src0, src1), "c_custkey")
-        .select(col("c_custkey"), col("c_name"), col("n_orders"),
-          round(col("total_spent"), 2).as("total_spent"))
-        .orderBy("c_custkey")
-    }),
-
-    // ---- J1: foreign_key relationship join ----
-    "q_j1_fk_edges" -> ((s, dir) =>
-      RelPipeline.foreignKeyEdges(
-        t(s, dir, "customer"), "c_custkey", "c_custkey",
-        t(s, dir, "orders"), "o_custkey", "o_orderkey",
-        endProps = Seq("o_totalprice"))
-        .orderBy("start_id", "end_id")),
-
-    // ---- J1b: fk join where the join key ≠ the start node's id — start_id
-    // must resolve to the Customer id (c_custkey), not the nation fk; edge
-    // props carried from BOTH sides ----
-    "q_j1b_fk_edges_resolved" -> ((s, dir) =>
-      RelPipeline.foreignKeyEdges(
-        t(s, dir, "customer"), "c_nationkey", "c_custkey",
-        t(s, dir, "nation"), "n_nationkey", "n_nationkey",
-        startProps = Seq("c_mktsegment"), endProps = Seq("n_name"))
-        .orderBy("start_id", "end_id")),
-
-    // ---- J2: join_table relationship with endpoint validation ----
-    "q_j2_jointable_edges" -> ((s, dir) =>
-      RelPipeline.joinTableEdges(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        t(s, dir, "orders"), "o_orderkey",
-        t(s, dir, "part"), "p_partkey")
-        .distinct()
-        .orderBy("start_id", "end_id")),
-
-    // ---- J2b: join_table edges carrying edge properties ----
-    "q_j2b_jointable_props" -> ((s, dir) =>
-      RelPipeline.joinTableEdges(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        t(s, dir, "orders"), "o_orderkey",
-        t(s, dir, "part"), "p_partkey",
-        props = Seq("l_linenumber", "l_quantity"))
-        .select(col("start_id"), col("end_id"),
-          col("l_linenumber").cast("long").as("l_linenumber"),
-          round(col("l_quantity"), 2).as("l_quantity"))
-        .orderBy("start_id", "end_id", "l_linenumber")),
-
-    // ---- J3/QC: dangling-edge anti-join report ----
-    "q_j3_dangling_edges" -> ((s, dir) =>
-      RelPipeline.danglingEdges(
-        events(s, dir), "user_id", "user_id",
-        t(s, dir, "customer"), "c_custkey",
-        t(s, dir, "supplier"), "s_suppkey")
-        .groupBy("reason").agg(count(lit(1)).as("n"))
-        .orderBy("reason")),
-
-    // ---- full config-compiled graph build + A4 stats ----
-    "q_graph_build" -> ((s, dir) => graphBuild(s, dir)),
-
-    // ---- G1: per-node degree over a built edge table (the first Cypher
-    // query anyone runs post-import, in-engine instead) ----
-    "q_g1_degrees" -> ((s, dir) =>
-      GraphOps.degrees(
-        RelPipeline.foreignKeyEdges(
-          t(s, dir, "customer"), "c_custkey", "c_custkey",
-          t(s, dir, "orders"), "o_custkey", "o_orderkey"),
-        "out")
-        .orderBy("id")),
-
-    // ---- G2: k-hop reachability (BFS as iterated joins) across the
-    // heterogeneous customer→order→part graph; node ids live in disjoint
-    // ranges via type offsets ----
-    "q_g2_khop" -> ((s, dir) => {
-      val custOrder = RelPipeline.foreignKeyEdges(
-        t(s, dir, "customer"), "c_custkey", "c_custkey",
-        t(s, dir, "orders"), "o_custkey", "o_orderkey")
-        .select(col("start_id"), (col("end_id") + 1000000000L).as("end_id"))
-      val orderPart = RelPipeline.joinTableEdges(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        t(s, dir, "orders"), "o_orderkey",
-        t(s, dir, "part"), "p_partkey")
-        .select((col("start_id") + 1000000000L).as("start_id"),
-          (col("end_id") + 2000000000L).as("end_id"))
-      val seeds = t(s, dir, "customer")
-        .filter(col("c_custkey") < 5).select("c_custkey")
-      GraphOps.kHop(custOrder.unionByName(orderPart), seeds, hops = 2)
-        .orderBy("hop", "id")
-    }),
-
-    // ---- A4: aggregation suite over the fact table (TPC-H Q1 shape) ----
-    "q_q1_agg" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
-
-    // ---- multi-way join + agg (broadcast dims) ----
-    "q_revenue_per_nation" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy("n_name")
-    }),
-
-    // ---- set ops: intersect / except (reference had only union — A3) ----
-    "q_set_ops" -> ((s, dir) => {
-      val buyers = t(s, dir, "orders").select(col("o_custkey").as("k"))
-      val machinery = t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "MACHINERY")
-        .select(col("c_custkey").as("k"))
-      val both = machinery.intersect(buyers)
-        .select(lit("machinery_buyer").as("set_kind"), col("k"))
-      val dormant = machinery.except(buyers)
-        .select(lit("machinery_no_orders").as("set_kind"), col("k"))
-      both.unionByName(dormant).orderBy("set_kind", "k")
-    }),
-
-    // ---- pivot: long→wide aggregation ----
-    "q_pivot_status" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .select(col("o_orderpriority"), col("F").as("n_f"),
-          col("O").as("n_o"), col("P").as("n_p"))
-        .orderBy("o_orderpriority")),
-
-    // ---- window: top-k per group ----
-    "q_window_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
-    }),
-
-    // ---- A4b: sketch aggregates (HLL) — implementation-specific values,
-    // rows-only gate BY DESIGN (documented no_oracle floor): HLL
-    // register contents are engine-private, so the correctness story is
-    // AggregatesSpec's error-bound property test (estimate within the
-    // published HLL rel-error of the exact distinct count) — do not
-    // re-litigate; there is no portable value to hash-compare. ----
-    "q_a4b_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          count(lit(1)).as("n_rows"))),
-
-    // ---- cube: multi-dimensional aggregate (subtotals + grand total) ----
-    "q_cube_orders" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("total"))
-        .orderBy("status", "priority")),
-
-    // ---- rollup: hierarchical subtotals (the cube sibling — prefix
-    // groupings only) ----
-    "q_rollup_orders" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("total"))
-        .orderBy("status", "priority")),
-
-    // ---- window: running total (frame-bounded window function) ----
-    "q_window_running" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          round(sum("o_totalprice").over(w), 2).as("running_total"))
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    // ---- §2.5+: event-time RANGE window — per-user rolling 1-hour
-    // count/sum (the per-entity feature-engineering staple; rows-frame
-    // running totals are q_window_running). Epoch seconds via integer
-    // floor on both engines (the q_st2b rounding trap). ----
-    "q_window_rolling_time" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"), col("user_id"),
-        unix_timestamp(col("ts")).as("es"), col("value"))
-      val w = Window.partitionBy("user_id").orderBy("es")
-        .rangeBetween(-3600, Window.currentRow)
-      e.select(col("event_id"), col("user_id"), col("es"),
-          count(lit(1)).over(w).as("n_1h"),
-          round(sum("value").over(w), 2).as("sum_1h"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST6: regular-grid resample + LOCF gap fill — per-user hourly
-    // grid over the event stream; bucket arithmetic is exact longs, the
-    // carried average e4-integerized ----
-    "q_st6_resample_locf" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"),
-        unix_timestamp(col("ts")).as("es"), col("value"))
-      TimeSeries.resampleLocf(e, "user_id", "es", "value",
-          intervalSec = 3600L)
-        .select(col("user_id"), col("bucket_ts"), col("n_events"),
-          floor(col("v_filled") * 1e4 + 0.5).cast("long").as("v_filled_e4"))
-        .orderBy("user_id", "bucket_ts")
-    }),
-
-    // ---- ST7: regular-grid resample + LINEAR interpolation — same grid
-    // as ST6, gap buckets get the lerp between bracketing observations;
-    // the lerp expression shape is mirrored exactly in the oracle so the
-    // IEEE double math is bit-identical, then e4-integerized ----
-    "q_st7_resample_interp" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"),
-        unix_timestamp(col("ts")).as("es"), col("value"))
-      TimeSeries.resampleInterp(e, "user_id", "es", "value",
-          intervalSec = 3600L)
-        .select(col("user_id"), col("bucket_ts"), col("n_events"),
-          floor(col("v_interp") * 1e4 + 0.5).cast("long").as("v_interp_e4"))
-        .orderBy("user_id", "bucket_ts")
-    }),
-
-    // ---- ST8: per-entity EWMA — one in-Catalyst left fold per user;
-    // the oracle replays the identical double chain with list_reduce
-    // over the (es, event_id)-ordered values, e4-integerized ----
-    "q_st8_ewma" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("value"))
-      TimeSeries.ewma(e, "user_id", "es", "event_id", "value",
-          alpha = 0.2)
-        .select(col("user_id"), col("es"), col("event_id"), col("v"),
-          floor(col("ewma") * lit(1e4) + lit(0.5)).cast("long")
-            .as("ewma_e4"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST9: exact rolling median over the last 10 events per user —
-    // values pre-scaled to integer cents so every median (odd frame:
-    // middle element; even: middle-pair mean) is exact at .5 granularity;
-    // med_e1 = med·10 is pure integer on both engines, no float compare ----
-    "q_st9_rolling_median" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      TimeSeries.rollingMedian(e, "user_id", "es", "event_id", "cents",
-          nRows = 10)
-        .select(col("user_id"), col("es"), col("event_id"),
-          col("v").cast("long").as("cents"),
-          (col("med") * 10).cast("long").as("med_e1"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST10: EWMA-residual anomaly flag — prediction is the PREVIOUS
-    // row's EWMA (q_st8's bit-exact fold), residual e4-integerized, and
-    // the 3σ test runs in decimal(38,0) exact arithmetic (oracle uses
-    // HUGEINT) so the boolean can never flip on a float ulp ----
-    "q_st10_ewma_anomaly" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("value"))
-      TimeSeries.ewmaAnomaly(e, "user_id", "es", "event_id", "value",
-          alpha = 0.2, z = 3)
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST11: classical seasonal decomposition (trend + seasonal +
-    // residual) per user over integer cents — trend is an exact-long
-    // 7-row centered window sum divided once; the detrended series is
-    // e4-integerized BEFORE the per-(user, phase) seasonal mean, so no
-    // distributed double summation exists anywhere in the plan ----
-    "q_st11_seasonal" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      TimeSeries.seasonalDecompose(e, "user_id", "es", "event_id",
-          "cents", period = 7, halfWindow = 3)
-        .select(col("user_id"), col("es"), col("event_id"),
-          col("v").as("cents"), col("phase"),
-          floor(col("trend") * lit(1e4) + lit(0.5)).cast("long")
-            .as("trend_e4"),
-          floor(col("seasonal") * lit(1e4) + lit(0.5)).cast("long")
-            .as("seasonal_e4"),
-          floor(col("resid") * lit(1e4) + lit(0.5)).cast("long")
-            .as("resid_e4"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST26: seasonally-adjusted anomalies — the ST11 decomposition
-    // with each entity's residuals z-scored against their own spread;
-    // residuals e4-integerized before the moments so both engines score
-    // the identical integer series ----
-    "q_st26_seasonal_anomaly" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      TimeSeries.seasonalAnomaly(e, "user_id", "es", "event_id",
-          "cents", period = 7, halfWindow = 3, zThreshold = 3.0)
-        .select(col("user_id"), col("es"), col("event_id"), col("v"),
-          col("resid_e4"),
-          floor(col("z") * lit(1e4) + lit(0.5)).cast("long").as("z_e4"),
-          col("is_anomaly"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST27: inter-arrival burstiness per user — exact integer gaps
-    // over the (ts, id) order, decimal moments, Goh–Barabási B ----
-    "q_st27_interarrival" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"))
-      TimeSeries.interArrival(e, "user_id", "es", "event_id")
-        .select(col("user_id"), col("n_gaps"),
-          floor(col("gap_mean") * lit(1e2) + lit(0.5)).cast("long")
-            .as("mean_e2"),
-          floor(col("gap_sd") * lit(1e2) + lit(0.5)).cast("long")
-            .as("sd_e2"),
-          floor(col("cv") * lit(1e6) + lit(0.5)).cast("long")
-            .as("cv_e6"),
-          floor(col("burstiness") * lit(1e6) + lit(0.5)).cast("long")
-            .as("b_e6"))
-        .orderBy("user_id")
-    }),
-
-    // ---- ST12: two-sided CUSUM change detection per user — the whole
-    // statistic chain is exact integer/decimal arithmetic (values in
-    // cents, recurrences n-scaled so the reference mean needs no
-    // division), so every flag is bit-identical on any engine ----
-    "q_st12_cusum" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      TimeSeries.cusum(e, "user_id", "es", "event_id", "cents",
-          slack = 2000L, threshold = 20000L)
-        .select(col("user_id"), col("es"), col("event_id"),
-          col("v").as("cents"), col("sp").cast("long").as("sp_cn"),
-          col("sn").cast("long").as("sn_cn"), col("is_change"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST13: Holt double exponential smoothing — level + trend +
-    // one-step forecast per user; the fold re-derives l_t inside the
-    // trend arm (see TimeSeries.holt) so the oracle's list-accumulator
-    // replay is term-by-term IEEE-identical, then e4-integerized ----
-    "q_st13_holt" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("value"))
-      TimeSeries.holt(e, "user_id", "es", "event_id", "value",
-          alpha = 0.2, beta = 0.1)
-        .select(col("user_id"), col("es"), col("event_id"), col("v"),
-          floor(col("level") * lit(1e4) + lit(0.5)).cast("long")
-            .as("level_e4"),
-          floor(col("trend") * lit(1e4) + lit(0.5)).cast("long")
-            .as("trend_e4"),
-          floor(col("forecast") * lit(1e4) + lit(0.5)).cast("long")
-            .as("forecast_e4"),
-          floor(col("resid") * lit(1e4) + lit(0.5)).cast("long")
-            .as("resid_e4"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST16: Holt–Winters additive (α=0.3, β=0.2, γ=0.3, m=3) — the
-    // oracle replays the fold with an [n, l, b, s1..s3] list accumulator
-    // and spells every 1−x factor as the subtraction (1−0.3 is NOT the
-    // 0.7 literal's double) ----
-    "q_st16_holt_winters" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("value"))
-      TimeSeries.holtWinters(e, "user_id", "es", "event_id", "value",
-          alpha = 0.3, beta = 0.2, gamma = 0.3, period = 3)
-        .select(col("user_id"), col("es"), col("event_id"), col("v"),
-          floor(col("level") * lit(1e4) + lit(0.5)).cast("long")
-            .as("level_e4"),
-          floor(col("trend") * lit(1e4) + lit(0.5)).cast("long")
-            .as("trend_e4"),
-          floor(col("seasonal") * lit(1e4) + lit(0.5)).cast("long")
-            .as("seasonal_e4"),
-          floor(col("forecast") * lit(1e4) + lit(0.5)).cast("long")
-            .as("forecast_e4"),
-          floor(col("resid") * lit(1e4) + lit(0.5)).cast("long")
-            .as("resid_e4"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- ST14: per-entity autocorrelation at lags 1..3 — values milli-
-    // integerized so all moment sums are exact (the g16 Pearson shape);
-    // acf e4-integerized for the compare ----
-    "q_st14_acf" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
-      TimeSeries.autocorrelation(e, "user_id", "es", "event_id", "v",
-          maxLag = 3)
-        .select(col("user_id"), col("lag"), col("n_pairs"),
-          floor(col("acf") * lit(1e4) + lit(0.5)).cast("long")
-            .as("acf_e4"))
-        .orderBy("user_id", "lag")
-    }),
-
-    // ---- ST15: view → click → purchase funnel, 30-day window from the
-    // anchor; timestamps are epoch seconds so the whole fold is exact
-    // integer arithmetic ----
-    "q_st15_funnel" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("event_type"))
-      Funnel.windowFunnel(e, "user_id", "es", "event_id", "event_type",
-          Seq("view", "click", "purchase"), windowSec = 2592000L)
-        .select(col("user_id"), col("max_stage"), col("t_first"),
-          col("t_last"), col("dur_sec"))
-        .orderBy("user_id")
-    }),
-
-    // ---- ST20: daily cohort retention over events — cohort/age/count
-    // cells are pure integer epoch arithmetic; the retention ratio is the
-    // single floating division, e6-integerized ----
-    "q_st20_cohort" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"),
-        unix_timestamp(col("ts")).as("es"))
-      Funnel.cohortRetention(e, "user_id", "es", bucketSec = 86400L)
-        .select(col("cohort"), col("age"), col("n_active"),
-          floor(col("retention") * lit(1e6) + lit(0.5)).cast("long")
-            .as("ret_e6"))
-        .orderBy("cohort", "age")
-    }),
-
-    // ---- ST21: gap-based sessionization of the events stream (1-hour
-    // silence closes a session) — boundaries, counts, and durations are
-    // pure integer epoch arithmetic over a (ts, id) total order ----
-    "q_st21_sessionize" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"))
-      Funnel.sessionStats(e, "user_id", "es", "event_id", gapSec = 3600L)
-        .select(col("user_id"), col("session_seq"), col("n_events"),
-          col("t_start"), col("t_end"), col("dur_sec"))
-        .orderBy("user_id", "session_seq")
-    }),
-
-    // ---- ST30: interval coalescing — gaps-and-islands over INTERVALS
-    // (the interval-set twin of ST21's point-event sessionization):
-    // order-key-derived integer intervals per customer bucket,
-    // running-max-end island detection with a merge gap of 2. Exact
-    // integer arithmetic throughout; the oracle replays the windowed
-    // running max and the same strict boundary rule. ----
-    "q_st30_interval_merge" -> ((s, dir) => {
-      val iv = t(s, dir, "orders")
-        .select((col("o_custkey") % 50).as("k"),
-          (col("o_orderkey") % 997).cast("long").as("ivl_start"))
-        .withColumn("ivl_end",
-          col("ivl_start") + col("ivl_start") % 13)
-      Funnel.mergeIntervals(iv, "k", "ivl_start", "ivl_end", minGap = 2)
-        .orderBy("k", "island_seq")
-    }),
-
-    // ---- ST30b: EXACT incremental island maintenance — two thirds of
-    // the intervals are merged first, the rest arrive as the delta and
-    // absorb into the stored islands (islands+delta-sized work, the
-    // history never re-read). Oracle: q_st30's full-merge SQL VERBATIM
-    // — the absorbed store must be bit-identical to the full
-    // recompute, n_merged included. ----
-    "q_st30b_interval_absorb" -> ((s, dir) => {
-      val iv = t(s, dir, "orders")
-        .select((col("o_custkey") % 50).as("k"),
-          (col("o_orderkey") % 997).cast("long").as("ivl_start"),
-          col("o_orderkey"))
-        .withColumn("ivl_end", col("ivl_start") + col("ivl_start") % 13)
-      val base = iv.filter(col("o_orderkey") % 3 =!= 0)
-      val delta = iv.filter(col("o_orderkey") % 3 === 0)
-      Funnel.absorbIntervals(
-          Funnel.mergeIntervals(base, "k", "ivl_start", "ivl_end",
-            minGap = 2),
-          delta, "k", "ivl_start", "ivl_end", minGap = 2)
-        .orderBy("k", "island_seq")
-    }),
-
-    // ---- ST22: per-entity OLS trend — slope/intercept/r² of the milli-
-    // integerized value over day offsets from each entity's first
-    // observation; moments exact decimal, one double closed form ----
-    "q_st22_linear_trend" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
-      TimeSeries.linearTrend(e, "user_id", "es", "v", xUnitSec = 86400L)
-        .select(col("user_id"), col("n"),
-          floor(col("slope") * lit(1e4) + lit(0.5)).cast("long")
-            .as("slope_e4"),
-          floor(col("intercept") * lit(1e2) + lit(0.5)).cast("long")
-            .as("icept_e2"),
-          floor(col("r2") * lit(1e6) + lit(0.5)).cast("long")
-            .as("r2_e6"))
-        .orderBy("user_id")
-    }),
-
-    // ---- ST25: Theil–Sen robust trend — median pairwise slope per
-    // entity on the same day-offset x as ST22; the cap (2000) never
-    // binds at test SFs so the oracle needn't replicate it ----
-    "q_st25_theil_sen" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
-      val (tr, _) = TimeSeries.theilSenTrend(e, "user_id", "es", "v",
-        xUnitSec = 86400L, maxPoints = 2000)
-      tr.select(col("user_id"), col("n_points"), col("n_pairs"),
-          floor(col("slope") * lit(1e4) + lit(0.5)).cast("long")
-            .as("slope_e4"),
-          floor(col("intercept") * lit(1e2) + lit(0.5)).cast("long")
-            .as("icept_e2"))
-        .orderBy("user_id")
-    }),
-
-    // ---- ST23: RFM segmentation of customers over their orders —
-    // recency anchored at the global max order date (pure function of
-    // the data), monetary in exact cents, quantile-band scores ----
-    "q_st23_rfm" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_custkey"),
-        unix_timestamp(col("o_orderdate")).as("es"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      Funnel.rfm(o, "o_custkey", "es", "cents", nTiles = 5)
-        .orderBy("o_custkey")
-    }),
-
-    // ---- V3: PSI distribution drift between the even- and odd-id halves
-    // of the events table (a deterministic two-snapshot split); per-bin
-    // contribution e6-integerized, counts exact ----
-    "q_v3_psi" -> ((s, dir) => {
-      val e = events(s, dir)
-      SnapshotDiff.psiDrift(
-          e.filter(col("event_id") % 2 === 0),
-          e.filter(col("event_id") % 2 === 1),
-          "value", nBins = 10, lo = 0.0, hi = 500.0)
-        .select(col("bin"), col("n_prev"), col("n_cur"),
-          floor(col("psi") * lit(1e6) + lit(0.5)).cast("long")
-            .as("psi_e6"))
-        .orderBy("bin")
-    }),
-
-    // ---- X9d: per-doc top-3 keywords by TF-IDF — ranking on the
-    // e6-integerized score with token tie-break, so the cut is exact ----
-    "q_x9d_keywords" -> ((s, dir) =>
-      Relevance.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
-        .filter(col("doc_id") < 40)
-        .orderBy("doc_id", "rank")),
-
-    // ---- J7: co-occurrence edges — parts sharing an order, baskets
-    // wider than 10 distinct parts excluded (reported via the overflow
-    // frame, spec-checked), pairs seen ≥ 2 times kept ----
-    "q_j7_cooccurrence" -> ((s, dir) => {
-      val (edges, _) = RelPipeline.cooccurrenceEdges(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        maxGroupSize = 10, minCount = 2L)
-      edges.orderBy("start_id", "end_id")
-    }),
-
-    // ---- X6n: deterministic contrastive negatives — 3 hash-drawn
-    // non-matching partners per doc over the dense id range; every draw
-    // replayable (portable md5-48), self-hits and holes dropped ----
-    "q_x6n_negative_pairs" -> ((s, dir) =>
-      Sampling.negativePairs(t(s, dir, "documents"), "doc_id", k = 3,
-          seed = 42L)
-        .orderBy("doc_id", "j")),
-
-    // ---- X2o: blocked record linkage — self-link parts on the brand
-    // block, word-set Jaccard ≥ 0.5 (fuzzy dedup mode: canonical
-    // unordered pairs); the 10⁶ block-pair cap never binds here ----
-    "q_x2o_link_records" -> ((s, dir) => {
-      // blocking = brand + name's first token (standard linkage
-      // practice: cheap exact agreements first; verified to keep the
-      // identical ≥0.5 match set while cutting candidate pairs ~25×)
-      val p = t(s, dir, "part").withColumn("_tok1",
-        split(trim(col("p_name")), "\\s+").getItem(0))
-      val (m, _) = Dedup.linkRecords(p, p, "p_partkey", "p_partkey",
-        "p_name", "p_name", Seq("p_brand", "_tok1"),
-        Seq("p_brand", "_tok1"),
-        shingleSize = 1, threshold = 0.5, canonicalPairs = true)
-      m.select(col("id_l"), col("id_r"),
-          floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
-            .as("sim_e6"))
-        .orderBy("id_l", "id_r")
-    }),
-
-    // ---- O4: median/MAD robust outliers on event values per type —
-    // the 50%-breakdown detector; k=1.3 suits the uniform-ish values
-    // (3.5 is the normal-data convention) ----
-    "q_o4_outliers_mad" -> ((s, dir) =>
-      Outliers.mad(t(s, dir, "events")
-          .select("event_id", "event_type", "value"),
-        "value", Seq("event_type"), k = 1.3)
-        .filter(col("is_outlier"))
-        .select(col("event_id"), col("event_type"), col("value"),
-          floor(col("med") * lit(1e4) + lit(0.5)).cast("long")
-            .as("med_e4"),
-          floor(col("mad") * lit(1e4) + lit(0.5)).cast("long")
-            .as("mad_e4"),
-          floor(col("robust_z") * lit(1e4) + lit(0.5)).cast("long")
-            .as("rz_e4"))
-        .orderBy("event_id")),
-
-    // ---- V13: join-key skew report for lineitem's part key — the
-    // pre-flight numbers (heaviest share, count Gini) that pick between
-    // hash join, salting, and broadcast ----
-    "q_v13_skew_report" -> ((s, dir) =>
-      Validate.skewReport(t(s, dir, "lineitem"), "l_partkey")
-        .select(col("n_rows"), col("n_keys"), col("max_count"),
-          floor(col("max_share") * lit(1e6) + lit(0.5)).cast("long")
-            .as("share_e6"),
-          floor(col("count_gini") * lit(1e6) + lit(0.5)).cast("long")
-            .as("gini_e6"))
-        .orderBy("n_rows")),
-
-    // ---- V14: mergeable HDR quantile sketch over price cents per
-    // return flag — the bounded-state p50/p95/p99 (exact integer
-    // octave/sub-bucket math from bin-string length, so the sketch is
-    // partition-order independent AND engine-portable; contrast
-    // q_x4d's exact sort-based percentiles) ----
-    "q_v14_hdr_quantiles" -> ((s, dir) =>
-      Quantiles.hdrQuantiles(
-        t(s, dir, "lineitem").select(col("l_returnflag"),
-          (col("l_extendedprice") * 100).cast("long").as("cents")),
-        "cents", Seq(0.5, 0.95, 0.99), k = 16,
-        groupCol = Some("l_returnflag"))
-        .orderBy("l_returnflag", "q_e6")),
-
-    // ---- V12: per-source Shannon entropy of the language mix — the
-    // diversity audit; 1e9-integerized ln terms in decimal so the sum
-    // is partition-order independent ----
-    "q_v12_entropy" -> ((s, dir) =>
-      Validate.entropy(t(s, dir, "documents"), "source", "lang")
-        .select(col("source"), col("n"), col("n_distinct"),
-          floor(col("entropy_bits") * lit(1e6) + lit(0.5)).cast("long")
-            .as("entropy_e6"))
-        .orderBy("source")),
-
-    // ---- V15: Spearman rank correlation of quantity vs price — the
-    // outlier-proof monotonic-association audit; doubled average-tie
-    // ranks from the distinct-value histogram (integers end to end),
-    // exact decimal moments, one double division ----
-    "q_v15_spearman" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
-        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty"),
-        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-          .as("price"))
-      Validate.spearman(li, "qty", "price")
-        .select(col("n"),
-          floor(col("rho") * lit(1e6) + lit(0.5)).cast("long")
-            .as("rho_e6"))
-        .orderBy("n")
-    }),
-
-    // ---- V11: pairwise correlation matrix over lineitem's numeric
-    // columns — one scan, exact decimal moments, e6-integerized r ----
-    "q_v11_corr_matrix" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
-        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty"),
-        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-          .as("price"),
-        floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc"),
-        floor(col("l_tax") * 10000 + 0.5).cast("long").as("tax"))
-      Validate.correlationMatrix(li, Seq("qty", "price", "disc", "tax"))
-        .select(col("col_a"), col("col_b"), col("n"),
-          floor(col("r") * lit(1e6) + lit(0.5)).cast("long").as("r_e6"))
-        .orderBy("col_a", "col_b")
-    }),
-
-    // ---- ST29: event-type transition matrix — per-state next-event
-    // probabilities over each user's ordered stream ----
-    "q_st29_transitions" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("event_type"))
-      Funnel.transitionMatrix(e, "user_id", "es", "event_id",
-          "event_type")
-        .select(col("from_type"), col("to_type"), col("n"),
-          floor(col("p") * lit(1e6) + lit(0.5)).cast("long").as("p_e6"))
-        .orderBy("from_type", "to_type")
-    }),
-
-    // ---- ST28: top-20 frequent 3-event behavioral sequences — type
-    // n-grams over each user's (ts, id)-ordered stream, deterministic
-    // (count desc, sequence asc) ranking ----
-    "q_st28_frequent_seqs" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("event_type"))
-      Funnel.frequentSequences(e, "user_id", "es", "event_id",
-          "event_type", n = 3, topK = 20)
-        .orderBy("rank")
-    }),
-
-    // ---- ST24: first/last-touch attribution — every purchase credits
-    // the first and last view/click inside a 14-day lookback; one RANGE
-    // window per entity, exact epoch arithmetic ----
-    "q_st24_attribution" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("event_type"))
-      Funnel.attribution(e, "user_id", "es", "event_id", "event_type",
-          convType = "purchase", touchTypes = Seq("view", "click"),
-          lookbackSec = 1209600L)
-        .orderBy("user_id", "conv_id")
-    }),
-
-    // ---- O3: Pareto skyline of parts — cheapest-for-their-size
-    // frontier (minimize price cents, maximize size via negation);
-    // bucket-prune + exact refine, dominance on exact integers ----
-    "q_o3_skyline" -> ((s, dir) => {
-      val p = t(s, dir, "part").select(col("p_partkey"),
-        floor(col("p_retailprice") * 100 + 0.5).cast("long")
-          .as("price_cents"),
-        (-col("p_size")).cast("long").as("neg_size"))
-      Skyline.skyline2D(p, "price_cents", "neg_size")
-        .select(col("p_partkey"), col("price_cents"), col("neg_size"))
-        .orderBy("p_partkey")
-    }),
-
-    // ---- J8: association rules over the J7 baskets — directed
-    // confidence/lift with the probability universe = the gated baskets;
-    // strengths e6-integerized, counts exact ----
-    "q_j8_assoc_rules" -> ((s, dir) => {
-      val (rules, _) = RelPipeline.associationRules(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        maxGroupSize = 10, minCount = 2L, minConfidence = 0.08)
-      rules.select(col("antecedent"), col("consequent"), col("pair_n"),
-          col("ante_n"), col("cons_n"), col("n_baskets"),
-          floor(col("support") * lit(1e6) + lit(0.5)).cast("long")
-            .as("support_e6"),
-          floor(col("confidence") * lit(1e6) + lit(0.5)).cast("long")
-            .as("conf_e6"),
-          floor(col("lift") * lit(1e6) + lit(0.5)).cast("long")
-            .as("lift_e6"))
-        .orderBy("antecedent", "consequent")
-    }),
-
-    // ---- F1: ascii_fold native expression (no ANSI equivalent) ----
-    "q_f1_ascii_fold" -> ((s, dir) => {
-      GF.register(s)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          GF.ascii_fold(concat(lit("Café—"), col("text"))).as("folded"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- fingerprint64 rolling-hash — oracled EXACTLY: the 31-poly mod
-    // 2^64 over UTF-8 bytes is rebuilt in DuckDB as an ordered HUGEINT
-    // list_reduce (wrap-around via explicit mod; signed view at the end)
-    // ----
-    "q_text_fingerprint" -> ((s, dir) => {
-      GF.register(s)
-      t(s, dir, "documents")
-        .select(col("doc_id"), GF.fingerprint64(col("text")).as("fp"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X1: exact dedup ----
-    "q_x1_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("keeper_id")),
-
-    // ---- X2: MinHash+LSH near-dup, portable-hash mode — the oracle
-    // recomputes signatures (md5-48 base + Carter–Wegman permutations mod
-    // 2^31−1), bands, candidate pairs, AND the exact-Jaccard verify in
-    // DuckDB. The xxhash64 kernel default stays spec-covered (DedupSpec)
-    // and drives q_x2i. ----
-    "q_x2_minhash_neardups" -> ((s, dir) =>
-      Dedup.minhashNearDupsPortable(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.2)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
-
-    // ---- X2i: incremental dedup — the daily-increment path: docs < 400
-    // play the indexed corpus (signatures only), the rest arrive as the
-    // new batch. Portable-hash mode: the oracle rebuilds the stored
-    // index, the new-doc-only bucket expansion, the ≥ 0.2 verify, the
-    // cluster chain resolution, and the corpus-first keeper election. ----
-    "q_x2i_incremental_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val corpus = d.filter(col("doc_id") < 400)
-      val batch = d.filter(col("doc_id") >= 400 && col("doc_id") < 800)
-      val sigs = Dedup.minhashSignaturesPortable(corpus, "text", "doc_id",
-        16, 3)
-      Dedup.incrementalDedup(sigs, corpus, batch, "text", "doc_id",
-        threshold = 0.2, bands = 8, portable = true)
-        .orderBy("doc_id")
-    }),
-
-    // ---- X2b: exact n-gram Jaccard on explicit pairs ----
-    "q_x2b_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val pairs = d.select(col("doc_id").as("id_a"))
-        .join(d.select(col("doc_id").as("id_b")),
-          col("id_b") === col("id_a") + 1)
-      Dedup.ngramJaccardPairs(pairs, d, "text", "doc_id", shingleSize = 1)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a")
-    }),
-
-    // ---- X2k: n-gram containment — the subset-duplication signal
-    // (a doc embedded in a larger one scores ≈ 1.0 where Jaccard
-    // dilutes); adversarial probe: each doc vs its own first half ----
-    "q_x2k_containment" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val halves = d.select((col("doc_id") + 100000L).as("doc_id"),
-        substring(col("text"), 1, 60).as("text"))
-      val pairs = d.select(col("doc_id").as("id_a"))
-        .join(halves.select(col("doc_id").as("id_b")),
-          col("id_b") === col("id_a") + 100000L)
-      Dedup.ngramContainmentPairs(pairs,
-          d.select("doc_id", "text").unionByName(halves),
-          "text", "doc_id", shingleSize = 3)
-        .select(col("id_a"), col("id_b"), col("n_inter"),
-          round(col("c_a_in_b"), 6).as("c_a_in_b"),
-          round(col("c_b_in_a"), 6).as("c_b_in_a"))
-        .orderBy("id_a")
-    }),
-
-    // ---- X2h: duplicate-n-gram fraction — the substring-duplication
-    // signal (within-doc repeats count every occurrence) ----
-    "q_x2h_dup_ngrams" -> ((s, dir) =>
-      Dedup.duplicateNgramStats(t(s, dir, "documents"), "text", "doc_id",
-          shingleSize = 3, minCount = 2)
-        .orderBy("doc_id")),
-
-    // ---- X2g: paragraph-level boilerplate removal — a shared footer is
-    // injected into every doc so the dedup demonstrably strips it from all
-    // but its first corpus-wide occurrence, preserving paragraph order ----
-    "q_x2g_para_dedup" -> ((s, dir) => {
-      val docs2 = t(s, dir, "documents").select(col("doc_id"),
-        concat(
-          substring(col("text"), 1, 40), lit("\n"),
-          lit("Subscribe to our newsletter today!"), lit("\n"),
-          substring(col("text"), 41, 40)).as("text"))
-      Dedup.dedupParagraphs(docs2, "text", "doc_id").orderBy("doc_id")
-    }),
-
-    // ---- X1b: near-dup clustering (connected components → keeper id) ----
-    "q_x1b_dedup_clusters" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val pairs = d.select(col("doc_id").as("id_a"))
-        .join(d.select(col("doc_id").as("id_b")),
-          col("id_b") === col("id_a") + 1)
-      val edges = Dedup.ngramJaccardPairs(pairs, d, "text", "doc_id", 1)
-        .filter(col("jaccard") >= 0.6)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(d, "doc_id", edges)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X2e: MinHash LSH bucket-overflow side-channel — the drop report
-    // that keeps the maxBucketSize cap honest. Portable-hash mode with
-    // maxBucketSize = 1 so the report is NON-ZERO (every shared bucket
-    // counts as overflow) and the oracle recomputes the exact counts —
-    // a zero-row report would be a vacuous gate. ----
-    "q_x2e_minhash_overflow" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignaturesPortable(
-        t(s, dir, "documents"), "text", "doc_id",
-        numHashes = 16, shingleSize = 3)
-      Dedup.minhashBucketOverflowPortable(sigs, "doc_id", bands = 4,
-        maxBucketSize = 1)
-        .agg(count(lit(1)).as("n_overflow_buckets"),
-          coalesce(sum(col("n_ids")), lit(0L)).as("n_overflow_members"))
-    }),
-
-    // ---- X1c: end-to-end dedup pipeline (exact → LSH → verify → CC →
-    // keeper election), decision counts by reason. Portable-hash mode:
-    // the oracle rebuilds EVERY stage in DuckDB — exact keepers, the
-    // md5-48 LSH pairs at ≥ 0.8, a 6-round min-label propagation unroll
-    // (component diameter is 2 at sf0.01; propagation past the fixpoint
-    // is the identity), and the keeper/reason composition. ----
-    "q_x1c_dedup_pipeline" -> ((s, dir) =>
-      Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.8, portable = true)
-        .groupBy("reason").agg(count(lit(1)).as("n"))
-        .orderBy("reason")),
-
-    // ---- X1d: quality-aware keeper election — same near-dup clusters
-    // as q_x1c, but the survivor is the longest member (highest
-    // n_chars, ties → lowest id) instead of the min-id label: what a
-    // production pipeline actually keeps. ----
-    "q_x1d_best_keeper" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val clustered = Dedup.dedupCorpus(d, "text", "doc_id",
-          threshold = 0.8, portable = true)
-        .select(col("doc_id"), col("keeper_id").as("cluster"))
-        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      Dedup.electKeepers(clustered, "doc_id", "cluster", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // ---- X2c: SimHash near-dup (xxhash64-based — not ANSI, so
-    // rows-only BY DESIGN: DuckDB has no xxhash64 to rebuild the
-    // fingerprints). Its oracled twin is q_x2j (portable md5-48 mode,
-    // same blocking + Hamming pipeline, green) — do not re-litigate
-    // this row; the kernel default keeps xxhash64 for speed. ----
-    "q_x2c_simhash_neardups" -> ((s, dir) => {
-      val fps = Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")
-      Dedup.simhashNearDups(fps, "doc_id", maxHamming = 8)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- X2j: SimHash near-dup, portable-hash mode — the oracle
-    // rebuilds the 48-bit md5-48 vote fingerprints AND the full
-    // Hamming-≤6 pair set brute-force in DuckDB, while the engine side
-    // still goes through the lossless pigeonhole blocking (banded over
-    // the real 48 bits; radius 6/48 ≡ the 64-bit tier's 8/64
-    // selectivity — wider radii fatten every band bucket). The one-pass
-    // xxhash64 kernel default stays on q_x2c. ----
-    "q_x2j_simhash_portable" -> ((s, dir) => {
-      val fps = Dedup.simhash48Portable(t(s, dir, "documents"), "text",
-        "doc_id")
-      Dedup.simhashNearDups(fps, "doc_id", maxHamming = 6, bits = 48)
-        .withColumn("hamming", col("hamming").cast("long"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- X2m: duplicate-SPAN removal — delete corpus-duplicated trigram
-    // passages, keep the rest of each doc (the Lee-et-al rewrite; X2h is
-    // the read-only audit of the same signal) ----
-    "q_x2m_dup_span_removal" -> ((s, dir) =>
-      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "text", "doc_id",
-          shingleSize = 3, minCount = 2)
-        .orderBy("doc_id")),
-
-    // ---- X2l: SemDeDup — embedding-space near-dup collapse (IVF cells →
-    // within-cell cosine pairs → connected components → min-id keeper).
-    // The synthetic embeddings have no natural near-dups (max pairwise
-    // cosine 0.51), so the query unions in exact-ANGLE duplicates:
-    // ×2.0f-scaled copies. Binary scaling is exact in float and cosine
-    // is scale-invariant down to the last bit (products/sums/sqrt all
-    // scale by exact powers of two), so both engines see IDENTICAL
-    // doubles — τ=0.95 sits in a [0.52, 1.0] gap with no boundary risk,
-    // and each copy provably lands in its original's cell. ----
-    "q_x2l_semantic_dedup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
-        e.filter(col("vec_id") % 25 === 0)
-          .select((col("vec_id") + 100000000L).as("vec_id"),
-            transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
-              .as("embedding")))
-      Dedup.semanticDedup(corpus, "embedding", "vec_id",
-          threshold = 0.95, numCells = 32)
-        .orderBy("doc_id")
-    }),
-
-    // ---- X2n: INCREMENTAL SemDeDup — a new batch (real tail vectors +
-    // scaled-copy dup injections of corpus AND batch vectors) against the
-    // stored IVF index of the first 400; corpus-dup, batch-dup, and kept
-    // reasons all exercised ----
-    "q_x2n_incr_semantic" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val corpus = e.filter(col("vec_id") < 400)
-        .select(col("vec_id"), col("embedding"))
-      val (cents, index) = Similarity.ivfIndex(corpus, "embedding",
-        "vec_id", k = 32)
-      def x2(c: Column) =
-        transform(c, x => (x * lit(2.0f)).cast("float")).as("embedding")
-      val batch = e.filter(col("vec_id") >= 400)
-        .select(col("vec_id"), col("embedding"))
-        .unionByName(e.filter(col("vec_id") < 400 &&
-            col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 100000000L).as("vec_id"),
-            x2(col("embedding"))))
-        .unionByName(e.filter(col("vec_id") === 450)
-          .select(lit(200000000L).as("vec_id"), x2(col("embedding"))))
-      Dedup.incrementalSemanticDedup(cents, index, batch,
-          "embedding", "vec_id", threshold = 0.95)
-        .orderBy("doc_id")
-    }),
-
-    // ---- X3: brute-force cosine top-k (exact ANN baseline) ----
-    "q_x3_cosine_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-        e.filter(col("vec_id") < 8), e, "embedding", "vec_id", k = 5)
-        .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3b: IVF two-stage ANN (deterministic — exact oracle) ----
-    "q_x3b_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (centroids, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id",
-        k = 32)
-      Similarity.ivfTopK(e.filter(col("vec_id") < 8), centroids, assigned,
-        "embedding", "vec_id", k = 5, nProbe = 3)
-        .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3c: top-k over the int8-quantized corpus — the 4×-smaller
-    // storage/broadcast path. Fully oracle-checkable: the dequantized
-    // vectors are bit-identical across engines (q = floor(x/scale + 0.5)
-    // clamped — JVM Math.round spelled out so DuckDB's half-away round()
-    // never enters — and q·scale is exact in double, then rounded to
-    // float), and the compared cosine is integerized (floor(x·1e4+0.5))
-    // to absorb summation-order ulps. ----
-    "q_x3c_quantized_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val deq = e.select(col("vec_id"),
-        VF.dequantize8(VF.quantize8(col("embedding"))).as("embedding"))
-      Similarity.bruteForceTopK(
-        deq.filter(col("vec_id") < 8), deq, "embedding", "vec_id", k = 5)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("cosine") * lit(1e4) + lit(0.5)).as("cosine_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3h: product-quantization ANN (Jégou et al. 2011) — 64-dim
-    // floats → m=8 codes over a k=16 hash-sampled codebook (RNG-free, so
-    // fully oracle-rebuildable); search is codegen'd ADC table lookups,
-    // never the raw vectors. The e4-integerized distance guards the
-    // compare; ranks use raw doubles (x3b precedent) ----
-    "q_x3h_pq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
-        m = 8, k = 16)
-      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
-      Similarity.pqTopK(e.filter(col("vec_id") < 8), cb, enc,
-          "embedding", "vec_id", m = 8, k = 16, topK = 5)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3i: IVF-PQ — the composed billion-scale ANN recipe: coarse
-    // probe (8 of 32 cells) bounds candidates, PQ-ADC ranks them without
-    // reading a float vector ----
-    "q_x3i_ivfpq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
-        "vec_id", k = 32)
-      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
-        m = 8, k = 16)
-      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
-      val ae = assigned.select(col("centroid_id"), col("vec_id"))
-        .join(enc, Seq("vec_id"))
-      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), cents, cb, ae,
-          "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3m: residual IVF-PQ — the FAISS design proper: PQ encodes
-    // v − centroid(v), so the m×k codebook budget resolves the residual
-    // ball instead of the raw vector space; the ADC table becomes
-    // cell-dependent on the query side. Same quantizer-sample
-    // determinism as q_x3i, so the oracle replays the whole codec
-    // including the residual arithmetic, association-exact. (Recall on
-    // THIS corpus is honestly worse than raw PQ — random embeddings
-    // have no structure for the coarse stage to explain; the planted-
-    // cluster SimilaritySpec case shows the regime where it wins.) ----
-    "q_x3m_ivfpq_residual" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
-        "vec_id", k = 32)
-      val cb = Similarity.pqCodebooksResidual(e, "embedding", "vec_id",
-        assigned, cents, m = 8, k = 16)
-      val enc = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
-        assigned, cents, cb, m = 8)
-      val ae = assigned.select(col("centroid_id"), col("vec_id"))
-        .join(enc, Seq("vec_id"))
-      Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 8), cents,
-          cb, ae, "embedding", "vec_id", m = 8, k = 16, topK = 5,
-          nProbe = 8)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3j: ANN index persistence — build the q_x3i index ONCE,
-    // save it as parquet (vectors partitioned by centroid_id), load it
-    // back, and query the STORED index. Shares q_x3i's oracle: the
-    // round-trip must be row-identical to the in-memory path. This is
-    // how a 100 TB corpus actually serves retrieval: quantizers train
-    // at ingest, every later run re-queries the parquet index — so the
-    // build+save runs once per (process, dataset) via x3jIndexDir and
-    // repeat invocations (bench iterations) measure SERVING, exactly
-    // like production. The first Verify call still exercises the full
-    // save path. ----
-    "q_x3j_index_reuse" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val ix = Similarity.loadIndex(s, x3jIndexDir(s, dir))
-      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
-          ix.codebooks, ix.assignedEncoded,
-          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3k: INCREMENTAL index update — base index trained+encoded
-    // on vec_id < 300, the rest absorbed by updateIndex (frozen
-    // quantizers, delta-only encode, partitioned append), then the
-    // UPDATED index queried. Oracle: the full-corpus encode against
-    // the SAME base-slice-trained quantizers — per-row-deterministic
-    // assignment/encoding makes the incremental result EXACTLY equal
-    // to the one-pass rebuild, which is the whole claim. ----
-    "q_x3k_index_update" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val ix = Similarity.loadIndex(s, x3kUpdatedIndexDir(s, dir))
-      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
-          ix.codebooks, ix.assignedEncoded,
-          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3p: index COMPACTION — the q_x3k fragmented layout (base
-    // encode + updateIndex append) rewritten one-file-per-cell by
-    // compactIndex, then queried. Compaction moves codes, never
-    // changes them, so the result is EXACTLY q_x3k's — and the oracle
-    // IS q_x3k's (the one-pass encode against the base-slice-trained
-    // quantizers). The timed body is the full maintenance path:
-    // copy + incremental absorb + compact + serve. ----
-    "q_x3p_compacted_index" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val ixDir = x3kUpdatedIndexDir(s, dir)
-      Similarity.compactIndex(s, ixDir) // eager: rewrites vectors/
-      val ix = Similarity.loadIndex(s, ixDir)
-      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
-          ix.codebooks, ix.assignedEncoded,
-          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3q: tombstone deletes — the erasure side of the serving
-    // lifecycle (build → serve → update → compact → DELETE): every
-    // vec_id ≡ 1 (mod 5) is tombstoned on the q_x3k updated index,
-    // and serving must behave as if those rows were never encoded —
-    // no rewrite, the anti-join does it. Oracle: the q_x3p rebuild
-    // with the deleted ids excluded before ranking. ----
-    "q_x3q_deleted_index" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val ixDir = x3kUpdatedIndexDir(s, dir)
-      Similarity.deleteFromIndex(s, ixDir,
-          e.filter(col("vec_id") % 5 === 1).select("vec_id"), "vec_id")
-        .write.format("noop").mode("overwrite").save()
-      val ix = Similarity.loadIndex(s, ixDir)
-      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
-          ix.codebooks, ix.assignedEncoded,
-          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
-        .select(col("query_id"), col("vec_id"),
-          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- X3l: recall@5 audit — the quality number the mechanical
-    // oracles can't see: how many of the EXACT cosine top-5 the IVF
-    // (q_x3b's 32 cells / nProbe 3) and IVF-PQ (q_x3i's nProbe 8,
-    // m=8, k=16) paths actually return, per query + a query_id=-1
-    // totals row. Every leg is deterministic, so the audit itself is
-    // exact-oracled — the number an operator tunes nProbe/m/k by. ----
-    "q_x3l_recall_audit" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 8)
-      val exact = Similarity.bruteForceTopK(q, e, "embedding", "vec_id",
-        k = 5)
-      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
-        "vec_id", k = 32)
-      val ivf = Similarity.ivfTopK(q, cents, assigned, "embedding",
-        "vec_id", k = 5, nProbe = 3)
-      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
-        m = 8, k = 16)
-      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
-      val ae = assigned.select(col("centroid_id"), col("vec_id"))
-        .join(enc, Seq("vec_id"))
-      val ivfpq = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
-        "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
-      val rcb = Similarity.pqCodebooksResidual(e, "embedding", "vec_id",
-        assigned, cents, m = 8, k = 16)
-      val renc = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
-        assigned, cents, rcb, m = 8)
-      val rae = assigned.select(col("centroid_id"), col("vec_id"))
-        .join(renc, Seq("vec_id"))
-      val resid = Similarity.ivfPqResidualTopK(q, cents, rcb, rae,
-        "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
-      // two-stage leg: the same ADC stage, widened to a C=25 shortlist,
-      // then exact-cosine rerank — recall@5 becomes recall@25 of the
-      // cheap stage (the PQ codes prune, they no longer vote)
-      val rerank = Similarity.rerankTopK(
-        Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
-          "vec_id", m = 8, k = 16, topK = 25, nProbe = 8),
-        q, e, "embedding", "vec_id", topK = 5)
-      val per = Similarity.recallAtK(exact, ivf)
-        .withColumnRenamed("n_hits", "ivf_hits")
-        .join(Similarity.recallAtK(exact, ivfpq)
-          .select(col("query_id"), col("n_hits").as("ivfpq_hits")),
-          Seq("query_id"))
-        .join(Similarity.recallAtK(exact, resid)
-          .select(col("query_id"), col("n_hits").as("resid_hits")),
-          Seq("query_id"))
-        .join(Similarity.recallAtK(exact, rerank)
-          .select(col("query_id"), col("n_hits").as("rerank_hits")),
-          Seq("query_id"))
-      per.select(col("query_id"), col("n_exact"), col("ivf_hits"),
-          col("ivfpq_hits"), col("resid_hits"), col("rerank_hits"))
-        .unionByName(per.agg(lit(-1L).as("query_id"),
-          sum("n_exact").as("n_exact"), sum("ivf_hits").as("ivf_hits"),
-          sum("ivfpq_hits").as("ivfpq_hits"),
-          sum("resid_hits").as("resid_hits"),
-          sum("rerank_hits").as("rerank_hits")))
-        .orderBy("query_id")
-    }),
-
-    // ---- X3o: two-stage ANN serving — the same IVF-PQ ADC stage
-    // widened to a C=25 shortlist, then exact-cosine rerank of just
-    // those |Q|·C fetched vectors (broadcast shortlist; the corpus
-    // never shuffles). Rank-exact oracle: the full codec replay plus
-    // the same rerank window. ----
-    "q_x3o_rerank_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 8)
-      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
-        "vec_id", k = 32)
-      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
-        m = 8, k = 16)
-      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
-      val ae = assigned.select(col("centroid_id"), col("vec_id"))
-        .join(enc, Seq("vec_id"))
-      val shortlist = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
-        "vec_id", m = 8, k = 16, topK = 25, nProbe = 8)
-      Similarity.rerankTopK(shortlist, q, e, "embedding", "vec_id",
-          topK = 5)
-        .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- O5: multivariate HBOS outliers over four lineitem features —
-    // a row is flagged when it sits in rare histogram bins across
-    // several features at once (no single feature need be extreme).
-    // The score is the exact integer product Π maxcount/count carried
-    // in decimal(38,0) with ONE double division at the end, so the
-    // oracle (HUGEINT products, same single division) is bit-equal
-    // without any libm log parity concerns. ----
-    "q_o5_hbos" -> ((s, dir) =>
-      Outliers.hbos(t(s, dir, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-          bins = 20, threshold = 4.5)
-        .filter(col("is_outlier"))
-        .select(col("l_orderkey"), col("l_linenumber").cast("long")
-            .as("l_linenumber"),
-          floor(col("hbos") * lit(1e6) + lit(0.5)).as("hbos_e6"))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // ---- X2f: fuzzy-string (Levenshtein) near-dup over 24-char text
-    // prefixes — runs the BLOCKED path (length bands ±1), whose candidates
-    // are provably lossless for the distance bound, against an all-pairs
-    // SQL oracle: a green row certifies the blocking drops nothing. ----
-    "q_x2f_edit_neardups" -> ((s, dir) =>
-      Dedup.editDistanceNearDups(
-        t(s, dir, "documents").filter(col("doc_id") < 300),
-        "text", "doc_id", maxDist = 5, prefixLen = 24)
-        .orderBy("id_a", "id_b")),
-
-    // ---- X2d: embedding-cosine near-dup pairs (exact over subset) ----
-    "q_x2d_cosine_neardups" -> ((s, dir) =>
-      Dedup.cosineNearDups(
-        t(s, dir, "embeddings").filter(col("vec_id") < 500),
-        "embedding", "vec_id", threshold = 0.35, bruteForce = true)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-        .orderBy("id_a", "id_b")),
-
-    // ---- X4: text statistics per language ----
-    "q_x4_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          round(avg(col("n_chars")), 4).as("avg_chars"),
-          round(avg(GF.token_count_ws(col("text"))), 4).as("avg_tokens"),
-          round(avg(length(col("text"))), 4).as("avg_len"))
-        .orderBy("lang")),
-
-    // ---- X4b: language-ID heuristic + quality scoring — the composite
-    // report, fully oracled: lang via q_x4o's marker rebuild, quality as
-    // exact 0.25 bands over the profile counters, BPE-ish count as alnum
-    // runs + loose non-alnum chars ----
-    "q_x4b_lang_quality" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          GF.lang_id(col("text")).as("lang_guess"),
-          round(GF.quality_score(col("text")), 4).as("quality"),
-          round(GF.stopword_ratio(col("text")), 6).as("stop_ratio"),
-          GF.token_count_bpe(col("text")).cast("long").as("n_bpeish"))
-        .orderBy("doc_id")),
-
-    // ---- X4o: language ID alone, ORACLED — the oracle rebuilds the
-    // marker profile and reproduces the (score, lang) struct-max via a
-    // "digit:lang" string greatest (single-digit scores make
-    // lexicographic ≡ numeric; the string tie-break equals the struct
-    // tie-break). The composite q_x4b stays rows-only for its other
-    // columns. ----
-    "q_x4o_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), GF.lang_id(col("text")).as("lang_guess"))
-        .orderBy("doc_id")),
-
-    // ---- X4c: vocabulary building (top-k token counts) ----
-    "q_x4c_vocab_topk" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
-        .groupBy("tk").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tk"))
-        .limit(20)),
-
-    // ---- X4d: exact length percentiles (corpus statistics) ----
-    "q_x4d_length_percentiles" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .agg(
-          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
-          round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"),
-          count(lit(1)).as("n_docs"))),
-
-    // ---- X4d2: the same exact interpolated percentiles PER GROUP — the
-    // per-language corpus-shape report (partial-agg groupBy, one shuffle
-    // on the group key). ----
-    "q_x4d2_pctl_by_lang" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(
-          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("lang")),
-
-    // ---- X4l: blocklist filter — word-boundary banned-term hits
-    // (portable plain-alternation regex) + the C4-style keep flag ----
-    "q_x4l_blocklist" -> ((s, dir) => {
-      val terms = Seq("slow", "dup", "big data")
-      t(s, dir, "documents").select(col("doc_id"),
-          GF.blocklist_hits(col("text"), terms).as("n_hits"),
-          GF.blocklist_ok(col("text"), terms).as("kept"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X4e: text cleaning — PII redaction (synthetic email/IP injected
-    // per row so every row exercises replacement) + repetition ratio ----
-    "q_x4e_clean_repetition" -> ((s, dir) => {
-      val dirty = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("mail u"), col("doc_id"), lit("@ex.org ip 10.0.0."),
-          col("doc_id") % 256, lit(" "), col("text")).as("dirty"))
-      dirty.select(col("doc_id"),
-        GF.redact_pii(col("dirty")).as("redacted"),
-        round(GF.repetition_ratio(col("dirty")), 6).as("rep_ratio"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X4s: Flesch readability — exact regex-run counts (words /
-    // sentence marks / vowel groups, RE2-portable classes), the two
-    // classic scores e4-integerized ----
-    // ---- X4t: PII scrubbing — emails/IPv4/SSN/phone → typed tokens
-    // with per-category audit counts. Known PII is injected per doc
-    // (id-keyed, so ground truth is deterministic) on top of whatever
-    // the raw text happens to contain; the oracle replays the staged
-    // regex fold verbatim (the patterns are the Java∩RE2 subset, so
-    // DuckDB's RE2 executes the identical semantics) and md5 pins the
-    // scrubbed text byte-for-byte. ----
-    "q_x4t_pii_scrub" -> ((s, dir) => {
-      val aug = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"), lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com or 10."),
-          (col("doc_id") % 256).cast("string"),
-          lit(".0.7 tel +1 (555) 123-4567 ssn 123-45-6789")).as("text"))
-      Curation.scrubPii(aug, "text")
-        .select(col("doc_id"),
-          col("n_emails").cast("long").as("n_emails"),
-          col("n_ips").cast("long").as("n_ips"),
-          col("n_ssns").cast("long").as("n_ssns"),
-          col("n_phones").cast("long").as("n_phones"),
-          md5(col("text_scrubbed").cast("binary")).as("scrub_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X4u: HTML main-text extraction — the WET-file reduction
-    // every web-crawl pipeline runs first: drop script/style/comment
-    // payloads, keep paragraph structure via block-closer newlines,
-    // strip tags, decode the common entities (&amp; last), normalize
-    // whitespace. Each doc's text is wrapped in a deterministic HTML
-    // shell (id-keyed script/nav/anchor boilerplate + entity bait) so
-    // every row exercises every stage; the oracle rebuilds the shell
-    // and replays the staged Java∩RE2 regex fold verbatim, md5
-    // pinning the extracted text byte-for-byte. ----
-    "q_x4u_html_extract" -> ((s, dir) => {
-      val html = t(s, dir, "documents").select(col("doc_id"), concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><script type=\"text/javascript\">var x = "),
-        col("doc_id"),
-        lit(";</script><style>.c { color: red }</style></head>" +
-          "<body><!-- nav "), col("doc_id"),
-        lit(" --><h1>Title "), col("doc_id"),
-        lit("</h1><p>"), col("text"),
-        lit("</p><div class=\"f\">copy &amp;lt; paste &lt;here&gt;" +
-          "&nbsp;&#39;now&quot;</div><a href=\"http://ex.org/"),
-        col("doc_id"), lit("\">link</a><br/></body></html>"))
-        .as("html"))
-      Curation.extractMainText(html, "html")
-        .select(col("doc_id"),
-          col("n_scripts").cast("long").as("n_scripts"),
-          col("n_links").cast("long").as("n_links"),
-          col("n_tags").cast("long").as("n_tags"),
-          md5(col("main_text").cast("binary")).as("text_md5"))
-        .orderBy("doc_id")
-    }),
-
-    "q_x4s_readability" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), GF.reading_ease(col("text")).as("r"))
-        .select(col("doc_id"),
-          col("r.n_words").as("n_words"),
-          col("r.n_sentences").as("n_sentences"),
-          col("r.n_syllables").as("n_syllables"),
-          floor(col("r.flesch") * lit(1e4) + lit(0.5)).cast("long")
-            .as("flesch_e4"),
-          floor(col("r.fk_grade") * lit(1e4) + lit(0.5)).cast("long")
-            .as("fk_e4"))
-        .orderBy("doc_id")),
-
-    // ---- X7: benchmark decontamination — corpus docs sharing trigram
-    // shingles with a held-out "benchmark" slice (doc_id % 97 == 0) ----
-    "q_x7_decontaminate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Decontaminate.contaminationPairs(
-        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
-        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
-        shingleSize = 3, minOverlap = 1)
-        .orderBy("doc_id", "bench_id")
-    }),
-
-    // ---- X7e: per-doc contamination fraction — the graded number a
-    // threshold policy ("drop when > X% of a doc's 3-grams appear in
-    // any benchmark") is tuned on; same corpus/bench split as q_x7. ----
-    "q_x7e_contamination_report" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Decontaminate.contaminationReport(
-        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
-        d.filter(col("doc_id") % 97 === 0), "text", shingleSize = 3)
-        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
-          floor(col("contaminated_frac") * lit(1e6) + lit(0.5))
-            .as("frac_e6"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- V16: functional-dependency violation report — does
-    // l_partkey determine l_suppkey? (No: parts ship from several
-    // suppliers; every violating part surfaces with its supplier
-    // cardinality and row coverage.) ----
-    "q_v16_fd_violations" -> ((s, dir) =>
-      Validate.fdViolations(t(s, dir, "lineitem"),
-          Seq("l_partkey"), "l_suppkey")
-        .orderBy("l_partkey")),
-
-    // ---- X7c: SEMANTIC decontamination — corpus embeddings vs a held-out
-    // bench slice (vec_id % 97 == 0), broadcast nested-loop cosine; the
-    // paraphrase-leakage sibling of q_x7 ----
-    "q_x7c_semantic_decon" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
-      Decontaminate.semanticContaminationPairs(
-          e.filter(col("vec_id") % 97 =!= 0), "embedding", "vec_id",
-          e.filter(col("vec_id") % 97 === 0), "embedding", "vec_id",
-          threshold = 0.35)
-        .select(col("doc_id"), col("bench_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("doc_id", "bench_id")
-    }),
-
-    // ---- X4p: model-based quality scoring — hashed-feature linear
-    // classifier (fastText shape) under the engine-portable md5-48
-    // hashing trick and the seed-derived audit weight table, so the
-    // oracle rebuilds features, weights, and scores; e6-integerized
-    // against summation-order ulps ----
-    "q_x4p_quality_model" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      // Milli-scaled INTEGER-VALUED weights: a sum of ≤2^53 integers in
-      // doubles is exact and ORDER-INDEPENDENT, so the only rounding is
-      // the final division — bit-identical across engines (the [-1,1]
-      // float weights put 2 of 500 docs on an e6 floor boundary where
-      // summation order flipped the last digit). floor(score*1e3) of the
-      // milli score equals floor(real_score*1e6).
-      val wMilli = QualityModel.seededWeights(s, 1024)
-        .select(col("feature_id"), round(col("weight") * 1000, 0).as("weight"))
-      QualityModel.scoreHashedLinear(d, "text", "doc_id", wMilli, 1024)
-        .select(col("doc_id"),
-          floor(col("score") * 1e3 + 0.5).cast("long").as("score_e6"),
-          col("n_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X7d: decontamination behind the Bloom prefilter — identical
-    // output to q_x7 by construction (no false negatives; false
-    // positives die in the exact verify), so it shares q_x7's oracle.
-    // numBits is sized small here so the filter is exercised, not
-    // degenerate ----
-    "q_x7d_decontaminate_bloom" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Decontaminate.contaminationPairsBloom(
-        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
-        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
-        shingleSize = 3, minOverlap = 1, numBits = 1 << 16)
-        .orderBy("doc_id", "bench_id")
-    }),
-
-    // ---- X6: stratified curation quota — keep the k best docs per
-    // stratum under an explicit total ordering ----
-    "q_x6_stratified_topk" -> ((s, dir) =>
-      Sampling.stratifiedTopK(t(s, dir, "documents"), "lang", 5,
-        Seq(col("n_chars").desc, col("doc_id")))
-        .select("lang", "doc_id", "n_chars")
-        .orderBy("lang", "doc_id")),
-
-    // ---- X6i: per-domain cap — synthetic crawl URLs (host = source ×
-    // doc_id%7), keep the 3 longest docs per host; the content-farm
-    // throttle of a crawl-curation pipeline ----
-    "q_x6i_domain_cap" -> ((s, dir) => {
-      val withUrl = t(s, dir, "documents").select(
-        col("doc_id"), col("n_chars"),
-        concat(lit("https://"), col("source"), lit("-"),
-          (col("doc_id") % 7).cast("string"), lit(".example.com/p/"),
-          col("doc_id").cast("string")).as("url"))
-      Curation.domainCap(withUrl, "url", 3,
-          Seq(col("n_chars").desc, col("doc_id")))
-        .select("doc_id", "host", "n_chars")
-        .orderBy("host", "doc_id")
-    }),
-
-    // ---- X6u: URL canonicalization — the pre-dedup key normalizer:
-    // fragment/case/default-port/tracking-param identities collapse
-    // re-crawled variants of one page to ONE dedup key (portable
-    // character-class regexes; remaining params keep their order) ----
-    "q_x6u_canonical_url" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val id = col("doc_id").cast("string")
-      val url = when(col("doc_id") % 4 === 0,
-          concat(lit("HTTP://WWW."), upper(col("source")),
-            lit(".COM:80/Doc/"), id,
-            lit("?utm_source=feed&page=2&gclid=abc#top")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("https://"), col("source"), lit(".com:443#Sec-"), id))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("https://"), col("source"), lit(".com/doc/"), id,
-            lit("?utm_medium=x&id="), id, lit("&fbclid=z")))
-        .otherwise(concat(lit("http://"), col("source"),
-          lit(".com:8080/doc/"), id))
-      d.select(col("doc_id"),
-          Curation.canonicalizeUrl(url).as("canonical"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X6h: temperature-scaled per-language sampling weights
-    // (alpha = 1/T = 0.5 → sqrt path, IEEE-exact on every engine) ----
-    "q_x6h_temperature" -> ((s, dir) =>
-      Sampling.temperatureWeights(t(s, dir, "documents"), "lang", 0.5, 1000L)
-        .select(col("lang"), col("n"),
-          floor(col("p") * 1e6 + 0.5).cast("long").as("p_e6"),
-          floor(col("rate") * 1e6 + 0.5).cast("long").as("rate_e6"))
-        .orderBy("lang")),
-
-    // ---- X6k: percentile-rank score normalization per group — the
-    // signal-calibration step before mixing sources; exact rank
-    // arithmetic so the oracle matches bit-for-bit ----
-    "q_x6k_score_normalize" -> ((s, dir) =>
-      Sampling.percentileNormalize(t(s, dir, "documents"), "n_chars",
-          Some("lang"))
-        .select(col("doc_id"), col("lang"),
-          floor(col("pr") * 1e6 + 0.5).cast("long").as("pr_e6"))
-        .orderBy("doc_id")),
-
-    // ---- X6b: deterministic content-id Bernoulli sample. The query runs
-    // the engine-portable hash mode (md5-48bit — see PortableHash) so the
-    // oracle recomputes the exact membership in DuckDB; the xxhash64
-    // default path is pinned by SamplingSpec (determinism + fraction). ----
-    "q_x6b_hash_sample" -> ((s, dir) =>
-      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.1,
-          portable = true)
-        .select("doc_id")
-        .orderBy("doc_id")),
-
-    // ---- X6d: deterministic per-group example sampling (custom bottom-k
-    // typed aggregate), portable-hash mode → the oracle re-ranks by the
-    // same md5-derived hash ----
-    "q_x6d_sample_per_lang" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(GF.sample_k(col("doc_id"), 3, portable = true).as("sample_ids"))
-        .select(col("lang"), concat_ws(",", col("sample_ids").cast("array<string>"))
-          .as("sample_ids"))
-        .orderBy("lang")),
-
-    // ---- X6c: train/test split summary — disjoint + exhaustive by
-    // construction (spec-pinned); portable-hash mode makes the split
-    // sizes oracle-recomputable ----
-    "q_x6c_train_test_split" -> ((s, dir) => {
-      val (train, test) =
-        Sampling.trainTestSplit(t(s, dir, "documents"), "doc_id", 0.2,
-          portable = true)
-      train.agg(count(lit(1)).as("n")).select(lit("train").as("split"), col("n"))
-        .unionByName(
-          test.agg(count(lit(1)).as("n")).select(lit("test").as("split"), col("n")))
-        .orderBy("split")
-    }),
-
-    // ---- X6p: stratified train/val/test split — exact per-language
-    // quotas (4 test + 3 val per lang, hash-ordered, rest train);
-    // portable-hash mode so the oracle re-ranks the same md5-48 buckets.
-    // SamplingSpec pins quota exactness, small-stratum fill order, and
-    // the growth contract (quota SIZES stable; a better-ranked
-    // newcomer displaces the largest-key incumbent). ----
-    "q_x6p_stratified_split" -> ((s, dir) =>
-      Sampling.stratifiedSplit(t(s, dir, "documents"), "lang", "doc_id",
-          valK = 3, testK = 4, portable = true)
-        .select("doc_id", "lang", "split")
-        .orderBy("doc_id")),
-
-    // ---- X6q: deterministic epoch-order shuffle — dense 0-based
-    // training positions in (portable hash, id) order WITHOUT a
-    // single-partition sort (order-aligned hash buckets + broadcast
-    // prefix-sum offsets + per-bucket rank); the oracle is the naive
-    // one-window form the engine must reproduce exactly. ----
-    "q_x6q_epoch_order" -> ((s, dir) =>
-      Sampling.epochOrder(
-          t(s, dir, "documents").select(col("doc_id")),
-          "doc_id", seed = 42L, portable = true)
-        .select(col("doc_id"), col("pos"))
-        .orderBy("pos")),
-
-    // ---- X6r: the full shuffle-then-pack training-prep story — TWO
-    // independent epoch orders in one pass (hash over (id, epoch)),
-    // each epoch's ordered stream packed into 4096-char sequences by
-    // cumulative budget. Oracle: naive per-epoch global window over
-    // the replayed md5-48 keys + the same running-sum cuts. ----
-    "q_x6r_epoch_pack" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        .filter(col("n_chars") > 0)
-      val ordered = Sampling.epochOrderMulti(d, "doc_id", epochs = 2,
-        seed = 42L, portable = true)
-      Sampling.packByBudget(ordered, "epoch", "pos", "n_chars",
-          budget = 4096)
-        .select(col("epoch"), col("doc_id"), col("pos"),
-          col("start_offset"), col("bin"), col("spans"))
-        .orderBy("epoch", "pos")
-    }),
-
-    // ---- X6t: curriculum ordering — competence-based growing data
-    // window (epoch e draws the easiest c(e) fraction by EXACT
-    // difficulty rank, integer-arithmetic inclusion), seeded
-    // decorrelated shuffle within each window. Composes the quality
-    // tier with the shuffle-and-pack story; the oracle replays the
-    // rank, every integer inclusion verdict, and the md5-48 order. ----
-    "q_x6t_curriculum" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      Sampling.curriculumOrder(d, "doc_id", "n_chars", epochs = 3,
-          startPermille = 250, seed = 42L, portable = true)
-        .select(col("epoch"), col("doc_id"), col("difficulty_rank"),
-          col("pos"))
-        .orderBy("epoch", "pos")
-    }),
-
-    // ---- X6v: length-grouped batching — fixed-size batches cut along
-    // the (length, id) order so pad-to-batch-max waste collapses; the
-    // per-batch padding audit is the deliverable (padding_waste =
-    // max_len·n_rows − sum_len). Distributed rank (no single-partition
-    // sort); oracle replays the total order and every batch stat. ----
-    "q_x6v_length_batches" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        length(col("text")).cast("long").as("len"))
-      Sampling.paddingWaste(
-          Sampling.lengthGroupedBatches(docs, "doc_id", "len", 32),
-          "len")
-        .orderBy("batch_id")
-    }),
-
-    // ---- X6s: leakage-safe split — the verdict hashes the dedup
-    // CLUSTER id (here Dedup.exact keeper ids joined back on content
-    // sha), so identical documents can never straddle train/test; a
-    // row-hash split would let them (SamplingSpec pins the
-    // counterexample). Portable hash → the oracle recomputes every
-    // verdict. ----
-    "q_x6s_leak_safe_split" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), sha2(col("text"), 256).as("content_sha256"))
-      val clusters = Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
-        .select(col("content_sha256"), col("keeper_id").as("cluster"))
-      Sampling.splitByCluster(
-          d.join(clusters, Seq("content_sha256")), "cluster", 0.2,
-          portable = true)
-        .select(col("doc_id"), col("cluster"), col("split"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X5: multimodal metadata plumbing (binary + typed struct) ----
-    "q_x5_media_meta" -> ((s, dir) => {
-      val bin = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.withMediaMetadata(bin, "payload", "text/plain")
-        .select(col("doc_id"),
-          col("media_meta.media_type").as("media_type"),
-          col("media_meta.n_bytes").as("n_bytes"),
-          col("media_meta.checksum").as("checksum"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X5b: batched per-partition feature extraction (stub codec) —
-    // text payloads are no image, so the byte-histogram fallback runs;
-    // the oracle reproduces its float32 accumulation step by step ----
-    "q_x5b_media_features" -> ((s, dir) => {
-      val bin = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.extractFeatures(bin, "payload")
-        .select(col("doc_id"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X5c: REAL image decode — distributed PNG synthesis (dimensions +
-    // colour derived from doc_id) → javax.imageio decode → (w, h, bands,
-    // channel means). The oracle recomputes the expected values purely
-    // arithmetically, so the decode round-trip is hash-checked. ----
-    "q_x5c_image_features" -> ((s, dir) => {
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        ((col("doc_id") % 16) + 1).cast("int").as("w"),
-        ((col("doc_id") % 11) + 2).cast("int").as("h"),
-        (col("doc_id") % 256).cast("int").as("r"),
-        ((col("doc_id") * 7) % 256).cast("int").as("g"),
-        ((col("doc_id") * 13) % 256).cast("int").as("b"))
-      val png = Multimodal.synthesizePngs(spec, "w", "h", "r", "g", "b",
-        "payload")
-      Multimodal.extractFeatures(png, "payload")
-        .select(col("doc_id"),
-          element_at(col("features"), 1).cast("long").as("width"),
-          element_at(col("features"), 2).cast("long").as("height"),
-          element_at(col("features"), 3).cast("long").as("bands"),
-          round(element_at(col("features"), 4) * 255).cast("long").as("mean_r"),
-          round(element_at(col("features"), 5) * 255).cast("long").as("mean_g"),
-          round(element_at(col("features"), 6) * 255).cast("long").as("mean_b"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X5g: REAL image resize — synthesize solid PNGs, resize through
-    // the nearest-neighbor decode→scale→re-encode kernel to a fixed 9×7,
-    // then decode AGAIN: dimensions become the literal target and a solid
-    // colour survives any interpolation exactly, so the oracle is pure
-    // doc_id arithmetic (same scheme as q_x5c). ----
-    "q_x5g_image_resize" -> ((s, dir) => {
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        ((col("doc_id") % 16) + 1).cast("int").as("w"),
-        ((col("doc_id") % 11) + 2).cast("int").as("h"),
-        (col("doc_id") % 256).cast("int").as("r"),
-        ((col("doc_id") * 7) % 256).cast("int").as("g"),
-        ((col("doc_id") * 13) % 256).cast("int").as("b"))
-      val png = Multimodal.synthesizePngs(spec, "w", "h", "r", "g", "b",
-        "payload")
-      val resized = Multimodal.resizeImages(png, "payload", 9, 7, "small")
-      Multimodal.extractFeatures(resized, "small")
-        .select(col("doc_id"),
-          element_at(col("features"), 1).cast("long").as("width"),
-          element_at(col("features"), 2).cast("long").as("height"),
-          element_at(col("features"), 3).cast("long").as("bands"),
-          round(element_at(col("features"), 4) * 255).cast("long").as("mean_r"),
-          round(element_at(col("features"), 5) * 255).cast("long").as("mean_g"),
-          round(element_at(col("features"), 6) * 255).cast("long").as("mean_b"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X5i: image near-duplicate detection — the missing dedup
-    // modality (text MinHash/SimHash ✓, embeddings SemDeDup ✓, images
-    // here): dHash64 perceptual fingerprints over REAL decoded PNGs,
-    // then the shared SimHash Hamming-banding machinery. Fixture
-    // images are dHash-pattern PNGs whose hash equals a code that is
-    // pure doc_id arithmetic: groups of 4 docs share a 12-bit group
-    // value spread over bits 4..63 at 5× repetition (cross-group
-    // Hamming ≥ 5), member m = doc_id%4 sets bits 0..m-1 (in-group
-    // Hamming = |Δm|) — so near-dup pairs at radius 2 are exactly the
-    // equal-group-value pairs with |Δm| ≤ 2, DuckDB-checkable with no
-    // image decode on the oracle side. ----
-    "q_x5i_image_neardups" -> ((s, dir) => {
-      val groupTerms = (0 until 12).map(j =>
-        s"(shiftright((doc_id div 4) % 4096, $j) & 1) * ${31L << (4 + 5 * j)}L")
-        .mkString(" + ")
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        expr(s"shiftleft(1L, cast(doc_id % 4 as int)) - 1L + $groupTerms")
-          .as("code"))
-      val pngs = Multimodal.synthesizeDhashPatternPngs(spec, "code",
-        "payload").select("doc_id", "payload")
-      Multimodal.imageNearDups(pngs, "payload", "doc_id", maxHamming = 2)
-        .select(col("id_a"), col("id_b"),
-          col("hamming").cast("long").as("hamming"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- X5j: audio near-duplicate detection — the last dedup
-    // modality (text ✓, embeddings ✓, images ✓, audio here):
-    // energy-envelope fingerprints over REAL synthesized-and-decoded
-    // WAVs, then the shared SimHash Hamming-banding machinery. Fixture
-    // clips are amplitude-pattern WAVs whose fingerprint equals a code
-    // that is the q_x5i doc_id arithmetic verbatim (groups of 4 share
-    // a 12-bit group value at 5× repetition, member m = doc_id%4 sets
-    // a nested bit prefix), so near-dup pairs at radius 2 are exactly
-    // the equal-group pairs with |Δm| ≤ 2 — DuckDB-checkable with no
-    // audio decode on the oracle side. ----
-    "q_x5j_audio_neardups" -> ((s, dir) => {
-      val groupTerms = (0 until 12).map(j =>
-        s"(shiftright((doc_id div 4) % 4096, $j) & 1) * ${31L << (4 + 5 * j)}L")
-        .mkString(" + ")
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        expr(s"shiftleft(1L, cast(doc_id % 4 as int)) - 1L + $groupTerms")
-          .as("code"))
-      val wavs = Multimodal.synthesizeAudioPatternWavs(spec, "code",
-        "payload").select("doc_id", "payload")
-      Multimodal.audioNearDups(wavs, "payload", "doc_id", maxHamming = 2)
-        .select(col("id_a"), col("id_b"),
-          col("hamming").cast("long").as("hamming"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- X5l: video near-duplicate detection — completes the dedup
-    // modality grid (text ✓ embeddings ✓ images ✓ audio ✓ video
-    // here): SimHash of portable frame-payload hashes over REAL
-    // ISO-BMFF sample tables, then the shared Hamming banding.
-    // Fixture videos share 64 group-keyed coded frames with 0–3
-    // member-keyed extras, so trimmed/extended copies land within
-    // radius 8 while distinct groups sit ~24 bits apart; the oracle
-    // rebuilds the frame strings, replays the 48-bit md5 hash and the
-    // strict-majority vote, and computes all-pairs Hamming — a full
-    // independent reimplementation, exact to the bit. ----
-    "q_x5l_video_neardups" -> ((s, dir) => {
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        expr("concat(" +
-          "transform(sequence(0, 63), i -> concat('f:', " +
-          "cast(doc_id div 4 as string), ':', cast(i as string))), " +
-          "filter(transform(sequence(0, 2), j -> if(j < doc_id % 4, " +
-          "concat('m:', cast(doc_id as string), ':', " +
-          "cast(j as string)), null)), x -> x is not null))")
-          .as("frames"))
-      val vids = Multimodal.synthesizeSampleVideos(spec, "frames",
-        "payload").select("doc_id", "payload")
-      Multimodal.videoNearDups(vids, "payload", "doc_id",
-          maxHamming = 8, portable = true)
-        .select(col("id_a"), col("id_b"),
-          col("hamming").cast("long").as("hamming"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- X5d: REAL audio decode — distributed WAV synthesis (format +
-    // constant amplitude derived from doc_id) → javax.sound decode →
-    // (sample_rate, channels, n_frames, rms). Constant-amplitude PCM has
-    // RMS exactly equal to the amplitude, so the oracle is arithmetic. ----
-    "q_x5d_audio_features" -> ((s, dir) => {
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        (lit(8000) + (col("doc_id") % 4) * 2000).cast("int").as("rate"),
-        (lit(100) + col("doc_id") % 50).cast("int").as("frames"),
-        ((col("doc_id") % 900) + 1).cast("int").as("amp"))
-      val wav = Multimodal.synthesizeWavs(spec, "rate", "frames", "amp",
-        "payload")
-      Multimodal.extractAudioInfo(wav, "payload")
-        .select(col("doc_id"),
-          col("audio.sample_rate").cast("long").as("sample_rate"),
-          col("audio.channels").cast("long").as("channels"),
-          col("audio.n_frames").as("n_frames"),
-          round(col("audio.rms")).cast("long").as("amp"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X5k: audio quality triage — exact integer clipping /
-    // silence / peak / level counts over the raw PCM samples; fixture
-    // WAVs are constant-amplitude with every 7th doc pinned to full
-    // scale (clipping) and small amps falling under the silence
-    // threshold, so every stat is pure doc_id arithmetic. ----
-    "q_x5k_audio_quality" -> ((s, dir) => {
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        (lit(8000) + (col("doc_id") % 4) * 2000).cast("int").as("rate"),
-        (lit(100) + col("doc_id") % 50).cast("int").as("frames"),
-        when(col("doc_id") % 7 === 0, lit(32767))
-          .otherwise((col("doc_id") % 900) + 1).cast("int").as("amp"))
-      val wav = Multimodal.synthesizeWavs(spec, "rate", "frames", "amp",
-        "payload")
-      Multimodal.extractAudioQuality(wav, "payload")
-        .select(col("doc_id"),
-          col("audio_q.n_samples").as("n_samples"),
-          col("audio_q.n_clipped").as("n_clipped"),
-          col("audio_q.n_silent").as("n_silent"),
-          col("audio_q.peak").as("peak"),
-          col("audio_q.sum_abs").as("sum_abs"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- V17: schema drift report — the metadata contract check a
-    // scheduled ingest runs before trusting a new drop: one projection
-    // plays "previous" (doc_id, n_chars bigint, text), the other
-    // "current" (doc_id, n_chars double, lang) — one added, one
-    // removed, one type-changed column; the oracle is the literal
-    // expected report. ----
-    "q_v17_schema_drift" -> ((s, dir) => {
-      val prev = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), col("text"))
-      val cur = t(s, dir, "documents").select(col("doc_id"),
-        col("n_chars").cast("double").as("n_chars"), col("lang"))
-      SnapshotDiff.schemaDrift(prev, cur).orderBy("col_name", "change")
-    }),
-
-    // ---- X5h: REAL audio resample — synthesize WAVs (per-doc rate ∈
-    // {8k..14k}, constant amplitude), resample all to 6 kHz by
-    // nearest-neighbor frame selection, decode again: rate is the literal
-    // target, frame count is exact integer arithmetic
-    // ⌊frames·6000/rate⌋, and a constant-amplitude signal keeps RMS ==
-    // amp through any frame selection — fully arithmetic oracle. ----
-    "q_x5h_audio_resample" -> ((s, dir) => {
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        (lit(8000) + (col("doc_id") % 4) * 2000).cast("int").as("rate"),
-        (lit(100) + col("doc_id") % 50).cast("int").as("frames"),
-        ((col("doc_id") % 900) + 1).cast("int").as("amp"))
-      val wav = Multimodal.synthesizeWavs(spec, "rate", "frames", "amp",
-        "payload")
-      val res = Multimodal.resampleAudios(wav, "payload", 6000, "resampled")
-      Multimodal.extractAudioInfo(res, "resampled")
-        .select(col("doc_id"),
-          col("audio.sample_rate").cast("long").as("sample_rate"),
-          col("audio.channels").cast("long").as("channels"),
-          col("audio.n_frames").as("n_frames"),
-          round(col("audio.rms")).cast("long").as("amp"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X6f: deterministic weighted sampling (Efraimidis–Spirakis
-    // bottom-k) — 3 length-weighted winners per language, portable-hash
-    // mode: the oracle rebuilds u = (h48+1)/2^48 and re-ranks by
-    // −ln(u)/w. Only the SELECTION is compared (ids + integer weights,
-    // never the float key), so libm ln differences can't flake the row. ----
-    "q_x6f_weighted_sample" -> ((s, dir) =>
-      Sampling.weightedSamplePerGroup(
-        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 3,
-        portable = true)
-        .select("lang", "doc_id", "n_chars")
-        .orderBy("lang", "doc_id")),
-
-    // ---- X10: one-call corpus curation (quality → dedup → decontaminate
-    // → per-lang quota) — the end-to-end composition; output is the
-    // decision report aggregated per stage. Portable-dedup mode makes
-    // stages 1–3 SQL-rebuildable; the quota stage's PER-STAGE COUNT is
-    // pure arithmetic (min(n_g, 40) kept per group) even though its
-    // member choice (ES sampling, libm pow) isn't — exactly what the
-    // aggregated report needs. ----
-    "q_x10_curate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val (_, report) = Curation.curateCorpus(
-        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
-        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
-        minWords = 20, dedupThreshold = 0.8, contaminationShingle = 3,
-        quotaGroupCol = Some("lang"), quotaPerGroup = 40,
-        portableDedup = true)
-      report.groupBy("stage").agg(count(lit(1)).as("n")).orderBy("stage")
-    }),
-
-    // ---- X10b: curation with α=0.5 TEMPERATURE mixing in the quota
-    // stage — per-lang keep rate ∝ √n/Σ√n toward 150 total, seeded
-    // portable Bernoulli so the oracle rebuilds membership doc by doc ----
-    "q_x10b_curate_temperature" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val (_, report) = Curation.curateCorpus(
-        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
-        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
-        minWords = 20, dedupThreshold = 0.8, contaminationShingle = 3,
-        quotaGroupCol = Some("lang"), portableDedup = true,
-        temperatureAlpha = Some(0.5), temperatureTarget = 150L,
-        portableSample = true)
-      report.groupBy("stage").agg(count(lit(1)).as("n")).orderBy("stage")
-    }),
-
-    // ---- X11: DSIR importance resampling — select the 100 raw docs
-    // most target-like (target = the English subset) by hashed-unigram
-    // importance weights with Gumbel-top-k. Both hashes are portable
-    // md5-48; ranking is on the e4-integerized perturbed score, so the
-    // oracle rebuilds models, weights, Gumbels, and the exact pick. ----
-    "q_x11_dsir" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Sampling.dsirSample(d,
-          d.filter(col("lang") === "en").select("doc_id"),
-          "doc_id", "text", k = 100, numBuckets = 1024)
-        .select(col("id").as("doc_id"),
-          floor(col("lw") * lit(1e4) + lit(0.5)).cast("long").as("lw_e4"),
-          col("score_e4"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X4h: heavy hitters via the Misra–Gries typed aggregate —
-    // bounded O(capacity) state instead of a full vocabulary groupBy. The
-    // corpus vocabulary fits the capacity, so the sketch runs in its exact
-    // regime and the oracle is plain SQL top-k. ----
-    "q_x4h_heavy_hitters" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
-        .agg(GF.topk_freq(col("tk"), 10, 1024).as("hh"))
-        .select(explode(col("hh")).as("e"))
-        .select(col("e.item").as("item"), col("e.min_count").as("n"))
-        .orderBy(col("n").desc, col("item"))),
-
-    // ---- X15: Count-Min sketch over document tokens (portable md5-48
-    // rows, depth 3 × width 64) — every counter cell rebuilt in SQL, so
-    // the green row certifies the sketch bit-for-bit ----
-    "q_x15_cms" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
-        .agg(GF.cms_sketch(col("tk"), depth = 3, width = 64, seed = 7L,
-          portable = true).as("sk"))
-        .select(posexplode(col("sk")).as(Seq("d", "row")))
-        .select(col("d"), posexplode(col("row")).as(Seq("b", "cnt")))
-        .orderBy("d", "b")),
-
-    // ---- X15b: CMS point estimates for the 20 most frequent tokens —
-    // the min-over-rows probe runs column-side (element_at + least, no
-    // UDF) against the broadcast sketch; estimates are upper bounds,
-    // and the oracle recomputes them exactly ----
-    "q_x15b_cms_estimate" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
-      val sk = toks.agg(GF.cms_sketch(col("tk"), depth = 3, width = 64,
-        seed = 7L, portable = true).as("sk"))
-      toks.groupBy("tk").agg(count(lit(1)).as("true_n"))
-        .orderBy(col("true_n").desc, col("tk")).limit(20)
-        .crossJoin(broadcast(sk))
-        .select(col("tk"), col("true_n"),
-          graft.functions.CmsSketch.estimateCol(col("sk"), col("tk"),
-            depth = 3, width = 64, seed = 7L, portable = true)
-            .as("est_n"))
-        .orderBy(col("true_n").desc, col("tk"))
-    }),
-
-    // ---- X4g: Gopher-style hard quality rules — per-rule booleans so a
-    // pipeline can log WHY a doc was dropped. minWords=20 fits the
-    // synthetic corpus' length distribution (the default 50 is for web
-    // pages). Booleans cast to int for a type-stable oracle compare. ----
-    "q_x4g_gopher_rules" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          GF.gopher_rules(col("text"), minWords = 20).as("g"))
-        .select(col("doc_id"),
-          col("g.words_ok").cast("int").as("words_ok"),
-          col("g.mean_word_ok").cast("int").as("mean_word_ok"),
-          col("g.stopwords_ok").cast("int").as("stopwords_ok"),
-          col("g.symbol_ok").cast("int").as("symbol_ok"),
-          col("g.pass").cast("int").as("pass"))
-        .orderBy("doc_id")),
-
-    // ---- X7b: decontamination via the hashed prefilter — broadcast 8-byte
-    // shingle hashes instead of strings, exact string verify on survivors.
-    // Same oracle as q_x7: the result must be EXACTLY the exact-path's. ----
-    "q_x7b_decontaminate_hashed" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Decontaminate.contaminationPairsHashed(
-        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
-        d.filter(col("doc_id") % 97 === 0), "text", "doc_id",
-        shingleSize = 3, minOverlap = 1)
-        .orderBy("doc_id", "bench_id")
-    }),
-
-    // ---- X4j: document chunking — fixed-size overlapping character
-    // windows (context-window fitting / RAG indexing); pure
-    // projection+explode arithmetic, fully SQL-expressible. ----
-    "q_x4j_chunking" -> ((s, dir) =>
-      Chunking.chunkDocs(t(s, dir, "documents"), "text", "doc_id",
-        size = 120, overlap = 20)
-        .select(col("doc_id"), col("chunk_id"),
-          col("chunk_len").cast("long").as("chunk_len"), col("chunk_text"))
-        .orderBy("doc_id", "chunk_id")),
-
-    // ---- X6g: sequence packing — concatenate each language's docs in id
-    // order and cut every 4096 chars; each doc gets its start-offset bin
-    // and how many bins it spans. Window cumsum → fully oracle-able. ----
-    "q_x6g_pack_budget" -> ((s, dir) =>
-      Sampling.packByBudget(t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars")),
-        "lang", "doc_id", "n_chars", budget = 4096)
-        .select(col("lang"), col("doc_id"), col("start_offset"),
-          col("bin"), col("spans"))
-        .orderBy("lang", "doc_id")),
-
-    // ---- X4i: unigram-LM perplexity (CCNet-style quality filter) —
-    // self-trained unigram model, per-doc avg log-prob + perplexity.
-    // ln + cross-engine summation order → both compared floats are
-    // integerized (the e4 pattern). ----
-    "q_x4i_unigram_ppl" -> ((s, dir) =>
-      Relevance.unigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("doc_len"),
-          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
-          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
-        .orderBy("doc_id")),
-
-    // ---- X4q: CCNet-style per-language perplexity buckets — ntile(3)
-    // over the INTEGERIZED ppl (identical longs on both engines, q_x4i's
-    // proven kernel) with doc_id tie-break, so the tiling is a total
-    // order and head/middle/tail agree bit-for-bit ----
-    "q_x4q_ppl_buckets" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val scored = Relevance.unigramPerplexity(d, "doc_id", "text")
-        .select(col("doc_id"),
-          floor(col("ppl") * lit(1e4) + lit(0.5)).cast("long").as("ppl_e4"))
-        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      Sampling.scoreBuckets(scored, "ppl_e4", "doc_id",
-          nBuckets = 3, groupCol = Some("lang"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X4r: bigram-LM perplexity — Laplace-smoothed bigram model
-    // trained on the corpus, word-order-aware twin of q_x4i. The ln
-    // operand shape is mirrored exactly in the oracle; outputs are
-    // e4-integerized (x4i's proven pattern). ----
-    "q_x4r_bigram_ppl" -> ((s, dir) =>
-      Relevance.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n_bigrams"),
-          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
-          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
-        .orderBy("doc_id")),
-
-    // ---- ST19: view→purchase lead-lag cross-correlation on a daily
-    // grid, lags −2..2 — a positive-lag peak means purchases trail
-    // views by that many days ----
-    "q_st19_ccf" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"),
-        unix_timestamp(col("ts")).as("es"), col("event_type"),
-        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
-      TimeSeries.crossCorrelation(e, "user_id", "es", "v", "event_type",
-          typeA = "view", typeB = "purchase", intervalSec = 86400L,
-          maxLag = 2)
-        .select(col("user_id"), col("lag"), col("n_pairs"),
-          floor(col("ccf") * lit(1e4) + lit(0.5)).cast("long")
-            .as("ccf_e4"))
-        .orderBy("user_id", "lag")
-    }),
-
-    // ---- ST18: dominant ACF period per user (lags 2..3 of the ST14
-    // moments) — the automated period pick for ST11/ST16 ----
-    "q_st18_dominant_period" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
-      TimeSeries.dominantPeriod(e, "user_id", "es", "event_id", "v",
-          maxLag = 3, minLag = 2)
-        .select(col("user_id"), col("period"), col("n_pairs"),
-          floor(col("acf") * lit(1e4) + lit(0.5)).cast("long")
-            .as("acf_e4"))
-        .orderBy("user_id")
-    }),
-
-    // ---- ST17: rolling z-score over a 12-row window — exact decimal
-    // frame moments, variance-product null guard (the ACF discipline),
-    // cent-integerized input ----
-    "q_st17_rolling_z" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 100 + 0.5).cast("long").as("v"))
-      TimeSeries.rollingZscore(e, "user_id", "es", "event_id", "v",
-          window = 12)
-        .select(col("user_id"), col("es"), col("event_id"), col("v"),
-          floor(col("mean") * lit(1e4) + lit(0.5)).cast("long")
-            .as("mean_e4"),
-          floor(col("sd") * lit(1e4) + lit(0.5)).cast("long")
-            .as("sd_e4"),
-          floor(col("z") * lit(1e4) + lit(0.5)).cast("long").as("z_e4"))
-        .orderBy("user_id", "es", "event_id")
-    }),
-
-    // ---- V5: SCD2 history — collapse each user's event_type log into
-    // validity intervals (gaps-and-islands); run_seq disambiguates
-    // same-second run boundaries ----
-    "q_v5_scd2" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("es"), col("event_type"))
-      SnapshotDiff.scd2(e, "user_id", "es", "event_id",
-          Seq("event_type"))
-        .orderBy("user_id", "run_seq")
-    }),
-
-    // ---- X6l: winsorize order prices into the [p05, p95] band — exact
-    // percentile cutoffs (quantile_cont parity), narrow clamp ----
-    "q_x6l_winsorize" -> ((s, dir) =>
-      Sampling.winsorize(t(s, dir, "orders"), "o_totalprice",
-          pLo = 0.05, pHi = 0.95)
-        .select(col("o_orderkey"),
-          floor(col("o_totalprice_w") * lit(1e4) + lit(0.5)).cast("long")
-            .as("w_e4"))
-        .orderBy("o_orderkey")),
-
-    // ---- V7: χ² independence of event_type × weekday — the weekday is
-    // pure integer epoch arithmetic ((days + 4) % 7; 1970-01-01 was a
-    // Thursday), never an engine-local calendar function ----
-    "q_v7_chi2" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_type"),
-        expr("(unix_timestamp(ts) div 86400 + 4) % 7").as("dow"))
-      Validate.chiSquareIndependence(e, "event_type", "dow")
-        .select(col("event_type"), col("dow"), col("n"),
-          floor(col("expected") * lit(1e6) + lit(0.5)).as("exp_e6"),
-          floor(col("chi2") * lit(1e6) + lit(0.5)).as("chi2_e6"))
-        .orderBy("event_type", "dow")
-    }),
-
-    // ---- V6: exact two-sample KS between the even/odd event halves —
-    // the statistic is pure integer arithmetic until ONE final
-    // division; at_value is raw data passthrough ----
-    "q_v6_ks" -> ((s, dir) => {
-      val e = events(s, dir)
-      SnapshotDiff.ksTest(
-          e.filter(col("event_id") % 2 === 0),
-          e.filter(col("event_id") % 2 === 1), "value")
-        .select(col("n_prev"), col("n_cur"),
-          floor(col("d_stat") * lit(1e6) + lit(0.5)).cast("long")
-            .as("d_e6"),
-          col("at_value"))
-    }),
-
-    // ---- V9: Welch unequal-variance t-test between the even/odd event
-    // halves over milli-integerized values — moments exact in
-    // decimal(38,0), t/df a fixed double-op chain, e4 ----
-    "q_v9_welch_t" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"),
-        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
-      SnapshotDiff.welchT(
-          e.filter(col("event_id") % 2 === 0),
-          e.filter(col("event_id") % 2 === 1), "v")
-        .select(col("n_prev"), col("n_cur"),
-          floor(col("mean_prev") * lit(1e4) + lit(0.5)).cast("long")
-            .as("mp_e4"),
-          floor(col("mean_cur") * lit(1e4) + lit(0.5)).cast("long")
-            .as("mc_e4"),
-          floor(col("t_stat") * lit(1e4) + lit(0.5)).cast("long")
-            .as("t_e4"),
-          floor(col("df") * lit(1e4) + lit(0.5)).cast("long")
-            .as("df_e4"))
-    }),
-
-    // ---- V10: Mann–Whitney U rank test on the same split — rank-run
-    // arithmetic exact on the distinct-value histogram (2·U1 is an
-    // integer), z the single float, e4 ----
-    "q_v10_mannwhitney" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"),
-        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
-      SnapshotDiff.mannWhitneyU(
-          e.filter(col("event_id") % 2 === 0),
-          e.filter(col("event_id") % 2 === 1), "v")
-        .select(col("n_prev"), col("n_cur"), col("u2_stat"),
-          floor(col("z_stat") * lit(1e4) + lit(0.5)).cast("long")
-            .as("z_e4"))
-    }),
-
-    // ---- V8: Gini concentration of events-per-user — rank-sum moments
-    // collapse onto the distinct-count histogram and sum exactly in
-    // decimal(38,0); the coefficient is ONE double division, e6 ----
-    "q_v8_gini" -> ((s, dir) => {
-      val perUser = events(s, dir).groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"))
-      Validate.gini(perUser, "n_events")
-        .select(col("n"), col("total"),
-          floor(col("gini") * lit(1e6) + lit(0.5)).cast("long")
-            .as("gini_e6"))
-    }),
-
-    // ---- V4: Benford first-digit audit over milli-integerized prices —
-    // digit from the INTEGER's decimal string (portable where float
-    // formatting and log10-at-power-boundaries are not) ----
-    "q_v4_benford" -> ((s, dir) =>
-      Validate.benford(
-          t(s, dir, "lineitem").select(
-            floor(col("l_extendedprice") * 1000 + 0.5).cast("long")
-              .as("v")),
-          "v")
-        .select(col("digit"), col("n"),
-          floor(col("p_expected") * lit(1e6) + lit(0.5)).as("p_exp_e6"),
-          floor(col("p_observed") * lit(1e6) + lit(0.5)).as("p_obs_e6"),
-          floor(col("chi2") * lit(1e6) + lit(0.5)).as("chi2_e6"))
-        .orderBy("digit")),
-
-    // ---- X14: interpolated Kneser–Ney bigram perplexity (d=0.75) —
-    // the proper-smoothing upgrade of q_x4r; same e4 contract ----
-    "q_x14_kn_ppl" -> ((s, dir) =>
-      Relevance.knBigramPerplexity(t(s, dir, "documents"), "doc_id",
-          "text")
-        .select(col("doc_id"), col("n_bigrams"),
-          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
-          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
-        .orderBy("doc_id")),
-
-    // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
-    // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
-    // the aggregation still runs over the whole corpus (df and N are
-    // corpus-global). ----
-    "q_x9_tfidf" -> ((s, dir) =>
-      Relevance.tfidf(t(s, dir, "documents"), "doc_id", "text")
-        .filter(col("doc_id") < 20)
-        .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          round(col("tfidf"), 6).as("tfidf"))
-        .orderBy("doc_id", "token")),
-
-    // ---- X8b: Okapi BM25 weights (k1=1.2, b=0.75). The compared column
-    // is integerized (floor(x·1e4+0.5) → BIGINT) so the driver's hash
-    // compare is immune to libm ln / decimal-literal evaluation drift
-    // between DuckDB builds — a 6-decimal ROUND proved one driver-DuckDB
-    // upgrade away from flaking (r4's only red row). ----
-    "q_x9b_bm25" -> ((s, dir) =>
-      Relevance.bm25(t(s, dir, "documents"), "doc_id", "text")
-        .filter(col("doc_id") < 20)
-        .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          col("doc_len"),
-          floor(col("bm25") * lit(1e4) + lit(0.5)).as("bm25_e4"))
-        .orderBy("doc_id", "token")),
-
-    // ---- X9e: feature-hashed TF-IDF document vectors (the hashing
-    // trick) — text-only fixed-dim embeddings, no vocabulary, no model.
-    // e6-integerized weights make the per-bucket sums exact long
-    // arithmetic (order-free), so the unnormalized vector is oracle-
-    // rebuildable entry by entry; posexplode flattens the fixed-dim
-    // contract (every doc emits ALL 64 positions, zeros included). ----
-    "q_x9e_hashed_vectors" -> ((s, dir) =>
-      Relevance.hashedVectors(t(s, dir, "documents"), "doc_id", "text",
-          dim = 64, normalize = false)
-        .select(col("doc_id"), posexplode(col("vector")))
-        .select(col("doc_id"), col("pos").cast("long").as("j"),
-          floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("v_e6"))
-        .orderBy("doc_id", "j")),
-
-    // ---- X3d: MMR diversity re-rank over the search stage's top-20 —
-    // greedy per-query trade-off between relevance and redundancy (λ=0.7).
-    // Fully oracled: the greedy argmax compares raw doubles with a
-    // vec_id tie-break and both engines' cosine chains are bit-identical
-    // (the q_x3 precedent), so the oracle unrolls the 5 selection rounds
-    // with the incremental max-penalty update. The (1−λ) factor is
-    // spelled (1.0 − 0.7) on BOTH sides — the scala subtraction yields
-    // 0.30000000000000004, not the 0.3 literal. ----
-    "q_x3d_mmr_rerank" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val qs = e.filter(col("vec_id") < 8)
-      val top = Similarity.bruteForceTopK(qs, e, "embedding", "vec_id",
-        k = 20)
-      val withVecs = top.join(
-        e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      Similarity.mmrRerank(withVecs, "query_id", "vec_id", "embedding",
-        "cosine", k = 5, lambda = 0.7)
-        .select(col("query_id"), col("vec_id"),
-          col("mmr_rank").cast("long").as("mmr_rank"),
-          round(col("mmr_score"), 6).as("mmr_score"))
-        .orderBy("query_id", "mmr_rank")
-    }),
-
-    // ---- histogram: fixed-width value binning (corpus statistics the
-    // reference's post-import Cypher would do) ----
-    "q_histogram_prices" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select((floor(col("l_extendedprice") / 5000) * 5000)
-          .cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .orderBy("bucket")),
-
-    // ---- X3f: JL random projection — shrink embeddings 128→16 before
-    // the similarity tier; deterministic (hash-derived signs), rows-only
-    // (seeded-hash signs aren't ANSI-expressible). Projected norms ride
-    // along as evidence the kernel ran. ----
-    // ---- X3g: JL projection, portable mode — md5-parity signs, so the
-    // oracle rebuilds every projected element; exploded to (vec_id, j,
-    // v_e4) with the float rounding mirrored on both sides ----
-    "q_x3g_project_portable" -> ((s, dir) =>
-      t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          posexplode(VF.random_project_portable(col("embedding"), 16))
-            .as(Seq("j", "v")))
-        .select(col("vec_id"), col("j").cast("long").as("j"),
-          floor(col("v").cast("double") * 1e4 + 0.5).cast("long").as("v_e4"))
-        .orderBy("vec_id", "j")),
-
-    // ---- X3f: JL random projection, splitmix64-seeded — rows-only BY
-    // DESIGN (no_oracle floor: DuckDB cannot replay splitmix64). Its
-    // oracled twin is q_x3g (portable md5-48 Gaussian pairs, same
-    // projection algebra, green) — do not re-litigate this row. ----
-    "q_x3f_random_project" -> ((s, dir) =>
-      t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          VF.random_project(col("embedding"), 16).as("proj"))
-        .select(col("vec_id"), size(col("proj")).as("dim"),
-          round(VF.l2_norm(col("proj")), 4).as("norm"))
-        .orderBy("vec_id")),
-
-    // ---- X3e: hybrid retrieval — RRF fusion of the dense cosine top-20
-    // (query vector = embedding 0) and the sparse BM25 top-20 over the
-    // same id space. RRF scores are sums of exact reciprocals, identical
-    // across engines, so the fusion is fully oracle-checkable. ----
-    "q_x3e_hybrid_rrf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val dense = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") === 0), emb, "embedding", "vec_id", k = 20)
-        .select(col("vec_id").as("id"), col("rank"))
-      // global window is fine: it ranks the (bounded) scored hit list,
-      // not the corpus
-      val sparse = Relevance.searchBm25(t(s, dir, "documents"), "doc_id",
-        "text", "data model the", k = 100000)
-        .select(col("doc_id").as("id"), round(col("score"), 6).as("_s"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("_s").desc, col("id"))))
-        .filter(col("rank") <= 20).select("id", "rank")
-      Similarity.rrfFuse(Seq(dense, sparse), "id", "rank", k = 10)
-        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"),
-          col("n_lists"))
-        .orderBy(col("rrf_score").desc, col("id"))
-    }),
-
-    // ---- X9c: BM25 document search — rank docs for a fixed query string
-    // (sparse-retrieval counterpart of the X3 dense search). k covers the
-    // whole corpus so the oracle compare has no top-k boundary to straddle
-    // on float ulps; ordering is by the ROUNDED score for the same reason.
-    // ----
-    "q_x9c_bm25_search" -> ((s, dir) =>
-      Relevance.searchBm25(t(s, dir, "documents"), "doc_id", "text",
-        "data model the", k = 100000)
-        .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))),
-
-    // ---- X12: cluster topic labeling by class-TF-IDF (the BERTopic
-    // reduction): IVF cells over the document embeddings (doc_id ≡ vec_id
-    // in the synthetic corpus) become topics; each cell is labeled by its
-    // top-5 c-TF-IDF terms. Ranking is on the INTEGERIZED score with a
-    // term tie-break, so the top-k selection is engine-exact; the oracle
-    // rebuilds the hash-ranked centroid pick, the cosine assignment, and
-    // the ln operand shape verbatim. ----
-    "q_x12_cluster_topics" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (_, assigned) = Similarity.ivfIndex(
-        e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
-        k = 8)
-      Relevance.clusterTopics(
-        assigned.select(col("vec_id").as("doc_id"),
-          col("centroid_id").as("cluster_id")),
-        t(s, dir, "documents"), "doc_id", "text", topK = 5)
-        .orderBy("cluster_id", "rnk")
-    }),
-
-    // ---- X13: BPE merge induction (Sennrich et al. 2016) — learn the
-    // first 8 merges over the documents corpus. All iteration state is
-    // vocabulary-sized; the argmax is a total order (count desc, pair
-    // asc), so the learned table is partitioning-exact and the oracle
-    // replays every round with a list_reduce fold. ----
-    "q_x13_bpe_merges" -> ((s, dir) => {
-      val (merges, _) = Tokenizer.bpeMerges(t(s, dir, "documents"), "text",
-        numMerges = 8)
-      merges.select(col("merge_rank"), col("left").as("lhs"),
-          col("right").as("rhs"), col("pair_count"))
-        .orderBy("merge_rank")
-    }),
-
-    // ---- X13b: apply the learned segmentation — per-doc word + subword
-    // totals under the 8-merge vocabulary (the token-budget number a
-    // packing stage consumes) ----
-    "q_x13b_bpe_encode" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val (_, vocab) = Tokenizer.bpeMerges(d, "text", numMerges = 8)
-      Tokenizer.bpeEncode(d, "doc_id", "text", vocab).orderBy("doc_id")
-    }),
-
-    // ---- G3: PageRank over a heterogeneous graph (customer→nation,
-    // supplier→nation, nation→region; node ids namespaced by ×4+tag so key
-    // spaces don't collide). 3 iterations so the oracle can unroll the
-    // power iteration in plain SQL; dangling mass (regions have no
-    // out-edges) redistributes uniformly. ----
-    "q_g3_pagerank" -> ((s, dir) => {
-      GraphOps.pageRank(heteroEdges(s, dir),
-        damping = 0.85, iterations = 3)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // ---- G17: deterministic random walks (DeepWalk corpus) over the
-    // symmetrized hetero graph — every step choice is a seeded md5-48
-    // hash mod out-degree, so the oracle replays the exact trajectories
-    // step by step ----
-    "q_g17_random_walks" -> ((s, dir) => {
-      val e = heteroEdges(s, dir)
-      val sym = e.unionByName(e.select(col("end_id").as("start_id"),
-        col("start_id").as("end_id")))
-      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 40)
-        .select((col("c_custkey").cast("long") * 4).as("id"))
-      GraphOps.randomWalks(sym, seeds, walkLength = 4)
-        .orderBy("walk_id", "step")
-    }),
-
-    // ---- G17b: node2vec second-order biased walks — weights (return 1,
-    // common 4, explore 2) are exact integers, so the cumulative-range
-    // choice is replayed verbatim by the oracle; step 1 degenerates to
-    // uniform (prev = seed ⇒ every neighbor is "common") ----
-    "q_g17b_node2vec_walks" -> ((s, dir) => {
-      val e = heteroEdges(s, dir)
-      val sym = e.unionByName(e.select(col("end_id").as("start_id"),
-        col("start_id").as("end_id")))
-      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 40)
-        .select((col("c_custkey").cast("long") * 4).as("id"))
-      GraphOps.biasedRandomWalks(sym, seeds, walkLength = 4)
-        .orderBy("walk_id", "step")
-    }),
-
-    // ---- G18: HITS hubs & authorities over the directed hetero graph —
-    // 3 L1-normalized power iterations; the oracle unrolls each half-step
-    // (auth sum, normalize, hub sum, normalize) as MATERIALIZED CTEs and
-    // ROUND(_, 8) absorbs summation-order ulps, as with PageRank ----
-    "q_g18_hits" -> ((s, dir) => {
-      GraphOps.hits(heteroEdges(s, dir), iterations = 3)
-        .select(col("id"), round(col("hub"), 8).as("hub"),
-          round(col("auth"), 8).as("auth"))
-        .orderBy("id")
-    }),
-
-    // ---- G19: Luby maximal independent set over the (symmetrized)
-    // hetero graph — per-round strict-local-min selection on the
-    // portable md5-48 priority, so the oracle replays every round
-    // exactly; mis_round certifies the round structure too ----
-    "q_g19_mis" -> ((s, dir) => {
-      GraphOps.maximalIndependentSet(heteroEdges(s, dir), seed = 42L)
-        .orderBy("id")
-    }),
-
-    // ---- G3b: personalized PageRank — reset and dangling mass return to
-    // the seed distribution (customers 0..9); ranks measure proximity to
-    // the seeds. Same unrolled-SQL oracle scheme as q_g3. ----
-    "q_g3b_ppr" -> ((s, dir) => {
-      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 10)
-        .select((col("c_custkey").cast("long") * 4).as("id"))
-      GraphOps.personalizedPageRank(heteroEdges(s, dir), seeds,
-        damping = 0.85, iterations = 3)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // ---- G5: connected components on the heterogeneous graph — every
-    // region's customers/suppliers/nations form one component. The oracle
-    // derives each node's component from the known structure (min id per
-    // region group), checking the generic min-label propagation against
-    // ground truth. ----
-    "q_g5_components" -> ((s, dir) =>
-      GraphOps.connectedComponents(heteroEdges(s, dir)).orderBy("id")),
-
-    // ---- G26: strongly connected components on the cyclic hetero
-    // graph (region→nation and nation→customer back-edges planted, so
-    // each region core is one real SCC and the supplier/customer
-    // fringe stays singleton). Oracle: full directed transitive
-    // closure by recursive CTE, then scc(v) = min u with reach(v,u)
-    // AND reach(u,v) — the definition itself, independent of the
-    // engine's forward–backward split. ----
-    "q_g26_scc" -> ((s, dir) =>
-      GraphOps.stronglyConnectedComponents(sccEdges(s, dir))
-        .orderBy("id")),
-
-    // ---- G26b: the condensation DAG over those SCCs — every edge of
-    // the quotient graph (cust/supp singletons feeding their region
-    // core; intra-core edges collapse away). ----
-    "q_g26b_condensation" -> ((s, dir) => {
-      val e = sccEdges(s, dir)
-      GraphOps.condensation(e, GraphOps.stronglyConnectedComponents(e))
-        .orderBy("src_scc", "dst_scc")
-    }),
-
-    // ---- G26d: EXACT incremental SCC maintenance — the base graph
-    // (everything but the nation→customer back-edges) is labelled and
-    // condensed first, then the back-edges arrive as the delta and
-    // incrementalScc merges the affected SCCs on the QUOTIENT-sized
-    // problem only. Oracle: q_g26's full-graph closure-derived SCC —
-    // the incremental result must be bit-identical to the full
-    // recompute (the theorem, checked end-to-end at both SFs). ----
-    "q_g26d_incr_scc" -> ((s, dir) => {
-      val natCust = t(s, dir, "customer")
-        .filter(col("c_custkey") % 3 === 0)
-        .select((col("c_nationkey").cast("long") * 4 + 2).as("start_id"),
-          (col("c_custkey").cast("long") * 4).as("end_id"))
-      val back = t(s, dir, "nation").select(
-        (col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
-        (col("n_nationkey").cast("long") * 4 + 2).as("end_id"))
-      val base = heteroEdges(s, dir).unionByName(back)
-      val baseLabels = GraphOps.stronglyConnectedComponents(base)
-      val st = GraphOps.incrementalScc(natCust, baseLabels,
-        GraphOps.condensation(base, baseLabels))
-      st.labels.orderBy("id")
-    }),
-
-    // ---- G26c: topological levels over the condensation DAG — the
-    // analysis users collapse cycles FOR: each SCC's longest-path
-    // depth from the sources (parallel execution waves / dependency
-    // staging). Oracle: WITH RECURSIVE walk extension over the
-    // closure-derived quotient edges, max walk length per node — the
-    // definition, independent of the engine's max-relaxation rounds. ----
-    "q_g26c_topo_levels" -> ((s, dir) => {
-      val e = sccEdges(s, dir)
-      GraphOps.topologicalLevels(GraphOps.condensation(e,
-          GraphOps.stronglyConnectedComponents(e)))
-        .orderBy("scc")
-    }),
-
-    // ---- G26e: exact descendant counts over the condensation DAG —
-    // the impact-analysis query users collapse cycles FOR ("how many
-    // downstream cycle clusters break"): path-doubling transitive
-    // closure on the quotient, O(log depth) rounds. Oracle: the g26
-    // closure-derived quotient edges + recursive reachability count
-    // per source — the definition. ----
-    "q_g26e_desc_counts" -> ((s, dir) => {
-      val e = sccEdges(s, dir)
-      GraphOps.descendantCounts(GraphOps.condensation(e,
-          GraphOps.stronglyConnectedComponents(e)))
-        .orderBy("scc")
-    }),
-
-    // ---- G27: bit-parallel multi-source reachability — 64 landmark
-    // BFSs as ONE mask propagation (bit i of reach_mask ⇔ landmark i
-    // reaches the node; bit order = landmark id rank). Landmarks: the
-    // 5 region nodes of the cyclic hetero graph. Oracle: recursive
-    // closure from each landmark, mask rebuilt by summing 2^bit —
-    // the definition, bit-exact. ----
-    "q_g27_landmark_reach" -> ((s, dir) => {
-      val lms = t(s, dir, "region")
-        .select((col("r_regionkey").cast("long") * 4 + 3).as("id"))
-      GraphOps.landmarkReachability(sccEdges(s, dir), lms)
-        .orderBy("id")
-    }),
-
-    // ---- G7: degree distribution — the histogram a graph-shape sanity
-    // check starts with (hub detection, power-law eyeballing). ----
-    "q_g7_degree_hist" -> ((s, dir) =>
-      GraphOps.degrees(heteroEdges(s, dir), "in")
-        .groupBy("degree").agg(count(lit(1)).as("n"))
-        .orderBy("degree")),
-
-    // ---- G6: weighted shortest paths (Bellman-Ford by iterated min-join)
-    // from customers 0..9 over the heterogeneous graph with exact-quarter
-    // edge weights ((key % 8)/4 + 1 — exact in binary, so every path sum
-    // and min is bit-identical across engines and the doubles compare
-    // directly, no rounding). Supplier edges are present but unreachable
-    // from the seeds — absent from the output on both sides. The `via`
-    // predecessor (min qualifying id on ties) is oracle-checked too. ----
-    "q_g6_shortest_paths" -> ((s, dir) => {
-      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 10)
-        .select((col("c_custkey").cast("long") * 4).as("id"))
-      GraphOps.shortestPaths(weightedHeteroEdges(s, dir), seeds, Some("w"))
-        .orderBy("id")
-    }),
-
-    // ---- G3c: WEIGHTED PageRank — transition probability proportional to
-    // edge weight (w/Σw per source) instead of uniform; same 3-iteration
-    // power method, oracled by the same unrolled-SQL scheme as q_g3 with
-    // weight-sum out-degrees. Exact-quarter weights make the degree sums
-    // order-independent. ----
-    "q_g3c_pagerank_weighted" -> ((s, dir) =>
-      GraphOps.pageRank(weightedHeteroEdges(s, dir), damping = 0.85,
-        iterations = 3, weightCol = Some("w"))
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")),
-
-    // ---- G4: triangle counting on the part co-occurrence graph (parts
-    // sharing an order, 5% order subset to bound the clique expansion —
-    // every ≥3-part order contributes triangles). Degree-ordered wedge
-    // enumeration; the oracle triple-joins the canonical edge list. ----
-    "q_g4_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.triangleCounts(edges).orderBy("id")
-    }),
-
-    // ---- G8: common-neighbor link prediction (Adamic–Adar) on the part
-    // co-occurrence graph — non-adjacent part pairs that share ≥2
-    // co-purchase partners, scored Σ 1/ln(deg(z)). Float sum → e4
-    // integerization. ----
-    "q_g8_link_prediction" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.linkPrediction(edges, minCommon = 2)
-        .select(col("id_a"), col("id_b"), col("common"),
-          floor(col("adamic_adar") * lit(1e4) + lit(0.5)).as("aa_e4"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- G12: local clustering coefficient on the part co-occurrence
-    // graph — exact-integer inputs (tri, deg) through one correctly-
-    // rounded division, so the e6 integerization is engine-stable ----
-    "q_g12_clustering" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.clusteringCoefficients(edges)
-        .select(col("id"), col("degree"), col("n_triangles"),
-          floor(col("clustering") * 1e6 + 0.5).cast("long").as("c_e6"))
-        .orderBy("id")
-    }),
-
-    // ---- G11: sampled harmonic centrality on the part co-occurrence
-    // graph — 3 landmark seeds, 6-hop cap; the compared sum is Σ 60/d,
-    // EXACT integer arithmetic (60 = lcm(1..6)), so no float ever enters
-    // the hash ----
-    "q_g11_harmonic" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      val seeds = edges.select(col("start_id").as("id"))
-        .unionAll(edges.select(col("end_id").as("id")))
-        .distinct().orderBy("id").limit(3)
-      GraphOps.seedDistances(edges, seeds, maxHops = 6)
-        .filter(col("d") > 0)
-        .groupBy("id")
-        .agg(sum(expr("60 div d")).as("harmonic_x60"),
-          count(lit(1)).as("n_reached"))
-        .orderBy("id")
-    }),
-
-    // ---- G13: sampled closeness centrality — same 3-landmark BFS as
-    // G11; sum_dist and n_reached are exact integers and closeness_e6
-    // integerizes the one correctly-rounded double division ----
-    "q_g13_closeness" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      val seeds = edges.select(col("start_id").as("id"))
-        .unionAll(edges.select(col("end_id").as("id")))
-        .distinct().orderBy("id").limit(3)
-      GraphOps.closenessCentrality(edges, seeds, maxHops = 6)
-        .select(col("id"), col("sum_dist"), col("n_reached"),
-          floor(col("closeness") * lit(1e6) + lit(0.5)).as("closeness_e6"))
-        .orderBy("id")
-    }),
-
-    // ---- G16: degree assortativity — exact decimal(38,0) moments (long
-    // sums would wrap for ~1e9-degree hubs at scale), then ONE double
-    // Pearson formula; the oracle mirrors the same double evaluation
-    // order (cast each exact sum to DOUBLE, then n*sxy - sx*sy), so both
-    // engines run the same correctly-rounded IEEE ops; e6 floor only
-    // guards the compare ----
-    "q_g16_assortativity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.degreeAssortativity(edges)
-        .select(floor(col("r") * 1e6 + 0.5).cast("long").as("r_e6"),
-          col("n_edges"), col("n_nodes"))
-    }),
-
-    // ---- G15: per-seed eccentricity — the sampled diameter estimator
-    // over the same 3-seed BFS; exact integers end to end ----
-    "q_g15_eccentricity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      val seeds = edges.select(col("start_id").as("id"))
-        .unionAll(edges.select(col("end_id").as("id")))
-        .distinct().orderBy("id").limit(3)
-      GraphOps.eccentricity(edges, seeds, maxHops = 6)
-        .orderBy("seed")
-    }),
-
-    // ---- G14: sampled betweenness (truncated Brandes) — same 3-seed
-    // co-occurrence graph as G13; σ are exact integers, δ the one
-    // floating sweep, e4-integerized. The oracle unrolls forward layers
-    // AND the backward dependency sweep. ----
-    "q_g14_betweenness" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      val seeds = edges.select(col("start_id").as("id"))
-        .unionAll(edges.select(col("end_id").as("id")))
-        .distinct().orderBy("id").limit(3)
-      GraphOps.betweennessCentrality(edges, seeds, maxHops = 4)
-        .select(col("id"),
-          floor(col("betweenness") * 1e4 + 0.5).cast("long").as("bc_e4"),
-          col("n_seeds"))
-        .orderBy("id")
-    }),
-
-    // ---- G10: label-propagation communities on the part co-occurrence
-    // graph — 2 synchronous rounds (deterministic min-label tie-break), so
-    // the oracle can unroll them exactly in SQL ----
-    "q_g10_lpa" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.labelPropagation(edges, iters = 2).orderBy("id")
-    }),
-
-    // ---- G9: k-core membership on the part co-occurrence graph. The
-    // oracle unrolls the peeling as a fixed 12-round CTE chain: peeling
-    // past the fixpoint is the identity, and this graph reaches its
-    // fixpoint in 8 rounds at sf0.01 (measured; the margin absorbs data
-    // regen drift), so the bounded unroll is EXACT — same trick as the
-    // unrolled PageRank power method. Peeling semantics are additionally
-    // pinned by GraphOpsSpec (K4+pendant, path-to-empty, cycle-stable). ----
-    "q_g9_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.kCore(edges, k = 4).orderBy("id")
-    }),
-
-    // ---- G20: k-truss edge peeling on the same co-occurrence graph as
-    // G9 — every surviving edge sits in ≥ k−2 triangles among survivors.
-    // The oracle unrolls the peeling as a MATERIALIZED CTE chain like
-    // k-core; fixpoint depth is measured at sf0.01 with margin. ----
-    "q_g20_ktruss" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.kTruss(edges, k = 4).orderBy("a", "b")
-    }),
-
-    // ---- G21: Newman modularity of the 2-round LPA partition on the
-    // part co-occurrence graph — every moment (intra-edge count, degree
-    // sum, |E|) is an exact integer; q_c is two divisions per community,
-    // operand shapes mirrored by the oracle, e6-integerized. ----
-    "q_g21_modularity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      val comm = GraphOps.labelPropagation(edges, iters = 2)
-      GraphOps.modularity(edges, comm)
-        .select(col("community"), col("n_nodes"), col("m_in"),
-          col("d_tot"),
-          floor(col("q_c") * lit(1e6) + lit(0.5)).cast("long")
-            .as("q_e6"))
-        .orderBy("community")
-    }),
-
-    // ---- G22: power-law degree exponent (continuous MLE) on the same
-    // graph — the log-sum is per-term 1e9-integerized over the distinct-
-    // degree histogram and summed exactly, so alpha is partition-order
-    // independent and the oracle rebuilds it bit-for-bit. ----
-    "q_g22_powerlaw" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.powerLawFit(edges)
-        .select(col("n_nodes"), col("d_min"),
-          floor(col("alpha") * lit(1e6) + lit(0.5)).cast("long")
-            .as("alpha_e6"),
-          floor(col("alpha_se") * lit(1e6) + lit(0.5)).cast("long")
-            .as("se_e6"))
-    }),
-
-    // ---- G23: two-level Louvain community detection on the same part
-    // co-occurrence graph as G10 — 4 synchronous modularity-greedy
-    // rounds on the "ugug" schedule (ungated coalescing rounds
-    // alternating with md5-48-parity-gated ones; exact integer gain
-    // comparison), a coarsen into the weighted community supergraph,
-    // 4 weighted rounds there, labels projected back. The oracle
-    // unrolls every round as a CTE exactly like the LPA/k-core
-    // unrolls (weighted rounds sum w instead of counting).
-    // GraphOpsSpec pins the planted two-clique recovery and
-    // weighted/coarsened behavior; the modularity win over q_g10's
-    // LPA partition is recorded by q_g23b below. ----
-    "q_g23_louvain" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.louvainMultiLevel(edges).orderBy("id")
-    }),
-
-    // ---- G24: Leiden-refined Louvain on the same graph — the q_g23
-    // partition with every internally disconnected community split
-    // into its connected parts (min-label CC over intra edges), so the
-    // output is guaranteed connected and Q ≥ q_g23's by construction.
-    // The oracle replays the g23 unroll then the refinement as a
-    // recursive min-label reachability CTE. ----
-    "q_g24_leiden" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      GraphOps.leiden(edges).orderBy("id")
-    }),
-
-    // ---- G24b: WEIGHTED Leiden on the q_j7 co-occurrence graph — the
-    // real-user shape: parts sharing ≥2 orders, edge weight = shared
-    // order count, so strongly co-bought parts pull harder than
-    // one-off pairings. weightCol threads the weights through both
-    // louvain levels (fine rounds sum w instead of counting; coarsen
-    // sums fine w); the refinement is weight-blind (connectivity).
-    // Oracle: the weighted unroll (louvainWeightedOracleCtes) + the
-    // g24 recursive min-label refinement replay. ----
-    "q_g24b_leiden_weighted" -> ((s, dir) => {
-      val (edges, _) = RelPipeline.cooccurrenceEdges(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        maxGroupSize = 10, minCount = 2L)
-      GraphOps.leiden(edges, weightCol = Some("weight")).orderBy("id")
-    }),
-
-    // ---- G25: delta-local incremental community maintenance — stored
-    // labels are the min-label CC of the OLD co-occurrence graph
-    // (orders ≡ 0 mod 40); a DELTA of new orders (≡ 20 mod 200)
-    // arrives; only the delta's 2-hop region re-runs 2 seeded gated
-    // Louvain rounds, everything else keeps its stored label
-    // verbatim. Oracle: recursive-CTE CC for the seed + unrolled
-    // 2-hop region + the seeded gated round unroll + the kept/region
-    // union. ----
-    "q_g25_incr_communities" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      def pairsOf(orders: DataFrame) = {
-        val a = orders.alias("a"); val b = orders.alias("b")
-        a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      }
-      val old = pairsOf(li.filter(col("ok") % 40 === 0))
-      val delta = pairsOf(li.filter(col("ok") % 200 === 20))
-      val all = pairsOf(li.filter(
-        col("ok") % 40 === 0 || col("ok") % 200 === 20))
-      val oldPairs = old.select(col("start_id").as("id_a"),
-        col("end_id").as("id_b"))
-      val vold = old.select(col("start_id").as("id"))
-        .unionAll(old.select(col("end_id").as("id"))).distinct()
-      val prev = Dedup.connectedComponents(vold, "id", oldPairs)
-        .select(col("id"), col("comp").as("community"))
-      GraphOps.incrementalCommunities(all, delta, prev,
-        rounds = 2, hops = 2).orderBy("id")
-    }),
-
-    // ---- G23b: the Louvain-vs-LPA modularity scoreboard on the hetero
-    // graph — both partitions scored by the same exact-moment
-    // modularity, 1 row each, Q integerized at e6. The row ORDER pins
-    // the claim: louvain's whole-graph Q must not lose to LPA's. ----
-    "q_g23b_louvain_vs_lpa" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.alias("a")
-      val b = li.alias("b")
-      val edges = a.join(b,
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
-      // Whole-graph Q from EXACT integer moments (Σm_in, Σd_tot²)
-      // rather than a double sum over per-community q_c — the latter is
-      // summation-order-dependent and would flake the e6 floor.
-      val mRow = broadcast(edges.select(
-          least(col("start_id"), col("end_id")).as("a"),
-          greatest(col("start_id"), col("end_id")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-        .agg(count(lit(1)).as("_m")))
-      def q(method: String, labels: org.apache.spark.sql.DataFrame) =
-        GraphOps.modularity(edges, labels)
-          .agg(sum(col("m_in").cast("decimal(38,0)")).as("_sin"),
-            sum(col("d_tot").cast("decimal(19,0)") *
-              col("d_tot").cast("decimal(19,0)")).as("_sd2"),
-            count(lit(1)).as("n_comms"))
-          .crossJoin(mRow)
-          .select(lit(method).as("method"),
-            floor((col("_sin").cast("double") / col("_m").cast("double") -
-              col("_sd2").cast("double") /
-                (col("_m").cast("double") * col("_m").cast("double") * 4))
-              * lit(1e6) + lit(0.5)).cast("long").as("q_e6"),
-            col("n_comms"))
-      q("louvain", GraphOps.louvainMultiLevel(edges))
-        .unionAll(q("lpa", GraphOps.labelPropagation(edges, iters = 2)))
-        .orderBy("method")
-    }),
-
-    // ---- X5e: REAL video-container metadata — distributed MP4/AVI header
-    // synthesis (dimensions + duration derived from doc_id, container
-    // alternating by parity) → ISO-BMFF / RIFF header parse → (container,
-    // w, h, duration_ms, n_tracks). AVI synthesis runs at 25 fps, so its
-    // recovered duration is frames×40 ms — the oracle mirrors both paths
-    // arithmetically. ----
-    "q_x5e_video_meta" -> ((s, dir) => {
-      val spec = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, lit("mp4")).otherwise(lit("avi"))
-          .as("container"),
-        ((col("doc_id") % 320) + 16).cast("int").as("w"),
-        ((col("doc_id") % 240) + 16).cast("int").as("h"),
-        (((col("doc_id") % 100) + 1) * 40).cast("long").as("dur_ms"))
-      val vids = Multimodal.synthesizeVideos(spec, "container", "w", "h",
-        "dur_ms", "payload")
-      Multimodal.extractVideoMeta(vids, "payload")
-        .select(col("doc_id"),
-          col("video.container").as("container"),
-          col("video.width").cast("long").as("width"),
-          col("video.height").cast("long").as("height"),
-          col("video.duration_ms").as("duration_ms"),
-          col("video.n_tracks").cast("long").as("n_tracks"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- X5f: REAL MP4 frame sampling — per-row synthesis of an MP4 with
-    // a full stsz/stsc/stco sample table (frame count + sizes derived from
-    // doc_id), then every 2nd sample's exact byte range re-extracted via
-    // the table. The oracle regenerates index + length arithmetically. ----
-    "q_x5f_frame_sample" -> ((s, dir) => {
-      import s.implicits._
-      val withPayload = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val nf = (id % 4 + 2).toInt
-          val samples = Array.tabulate(nf) { i =>
-            Array.fill(((id + i) % 50 + 10).toInt)(((id + i) % 256).toByte)
-          }
-          (id, Multimodal.encodeMp4WithSamples(64, 48, 1000, samples))
-        }.toDF("doc_id", "payload")
-      Multimodal.sampleVideoFrames(withPayload, "payload", stride = 2)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          length(col("frame_bytes")).cast("long").as("frame_len"))
-        .orderBy("doc_id", "frame_idx")
-    }),
-
-    // ---- as-of join: point-in-time lookup (custom composed operator) ----
-    "q_asof_join" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "tsu")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"),
-          round(col("value"), 2).as("purchase_value"),
-          col("tsu").as("purchase_tsu"))
-      AsOfJoin.asofJoin(clicks, purchases, Seq("user_id"), "tsu",
-        Seq("purchase_value", "purchase_tsu"))
-        .orderBy("event_id")
-    }),
-
-    // ---- J4d: FORWARD as-of join — first purchase at or after each
-    // click (next-scheduled-event direction); DuckDB's native ASOF
-    // with the inequality flipped is the oracle. ----
-    "q_asof_forward" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "tsu")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"),
-          round(col("value"), 2).as("purchase_value"),
-          col("tsu").as("purchase_tsu"))
-      AsOfJoin.asofJoinForward(clicks, purchases, Seq("user_id"), "tsu",
-        Seq("purchase_value", "purchase_tsu"))
-        .orderBy("event_id")
-    }),
-
-    // ---- J4e: NEAREST as-of join — smallest |Δts| purchase per
-    // click, backward on exact ties (the pandas merge_asof
-    // "nearest" convention); oracle: LATERAL argmin ordered by
-    // (|Δ|, ts). ----
-    "q_asof_nearest" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "tsu")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"),
-          round(col("value"), 2).as("purchase_value"),
-          col("tsu").as("purchase_tsu"))
-      AsOfJoin.asofJoinNearest(clicks, purchases, Seq("user_id"), "tsu",
-        Seq("purchase_value", "purchase_tsu"))
-        .orderBy("event_id")
-    }),
-
-    // ---- as-of join, hot-key-salted variant: same semantics, window
-    // partitioned by (key, ts-range bucket) so one hot key parallelizes ----
-    "q_asof_join_salted" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "tsu")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"),
-          round(col("value"), 2).as("purchase_value"),
-          col("tsu").as("purchase_tsu"))
-      AsOfJoin.asofJoinSalted(clicks, purchases, Seq("user_id"), "tsu",
-        Seq("purchase_value", "purchase_tsu"), numBuckets = 16)
-        .orderBy("event_id")
-    }),
-
-    // ---- range join: point-in-interval via bucketed equi-join ----
-    "q_range_join" -> ((s, dir) => {
-      import s.implicits._
-      val bands = Seq((1L, 0.0, 120.0), (2L, 100.0, 260.0), (3L, 250.0, 1000.0))
-        .toDF("band_id", "lo", "hi")
-      RangeJoin.pointInInterval(
-        t(s, dir, "part"), "p_retailprice", bands, "lo", "hi",
-        bucketWidth = 50.0)
-        .select(col("p_partkey"), col("band_id"))
-        .orderBy("p_partkey", "band_id")
-    }),
-
-    // ---- J6: interval-OVERLAP join (both sides intervals) — bucketed
-    // equi-join with canonical-bucket dedup-free pair emission; the
-    // all-pairs SQL oracle certifies the bucketing loses nothing AND
-    // duplicates nothing. Intervals derive deterministically from
-    // shipdate + keyed length ----
-    "q_j6_interval_overlap" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      def side(m: Int, p: String) = {
-        val d0 = unix_date(to_date(col("l_shipdate"))).cast("long")
-        li.filter(col("l_orderkey") % 120 === m)
-          .select(col("l_orderkey").as(s"${p}_ok"),
-            col("l_linenumber").cast("long").as(s"${p}_ln"),
-            d0.as(s"${p}_s"),
-            (d0 + col("l_orderkey") % 20 + 3).as(s"${p}_e"))
-      }
-      RangeJoin.intervalOverlapJoin(
-          side(0, "a"), "a_s", "a_e", side(7, "b"), "b_s", "b_e",
-          bucketWidth = 16.0)
-        .orderBy("a_ok", "a_ln", "b_ok", "b_ln")
-    }),
-
-    // ---- ST3b/J5b: keyed time-interval join (batch twin of the
-    // stream-stream join) — purchases in the hour before each click ----
-    "q_st3_interval_join" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "tsu")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu").as("p_tsu"),
-          round(col("value"), 2).as("p_value"))
-      RangeJoin.intervalJoin(clicks, purchases, Seq("user_id"),
-        "tsu", "p_tsu", lit(3600000000L))
-        .orderBy("event_id", "p_tsu", "p_value")
-    }),
-
-    // ---- F4: JSON property extraction (semi-structured columns) ----
-    "q_json_props" -> ((s, dir) =>
-      events(s, dir)
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-          round(avg("k"), 4).as("avg_k"))
-        .orderBy("event_type")),
-
-    // ---- F4: date-part extraction + aggregation ----
-    "q_date_parts" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
-          month(col("o_orderdate")).cast("long").as("m"))
-        .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
-        .orderBy("y", "m")),
-
-    // ---- ST2 (batch mode): tumbling-window event aggregation ----
-    "q_st2_events_window" -> ((s, dir) =>
-      StreamingIngest.windowedEventAgg(
-        events(s, dir), "ts", "event_type", "1 hour")
-        .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
-          col("event_type"), col("n_events"),
-          round(col("sum_value"), 2).as("sum_value"))
-        .orderBy("w_start_epoch", "event_type")),
-
-    // ---- ST2c (batch mode): sliding-window event aggregation — every
-    // event lands in duration/slide = 4 overlapping windows ----
-    "q_st2c_events_sliding" -> ((s, dir) =>
-      StreamingIngest.windowedEventAgg(
-        events(s, dir), "ts", "event_type", "1 hour",
-        slide = Some("15 minutes"))
-        .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
-          col("event_type"), col("n_events"),
-          round(col("sum_value"), 2).as("sum_value"))
-        .orderBy("w_start_epoch", "event_type")),
-
-    // ---- ST2b (batch mode): session windows per user ----
-    "q_st2b_events_session" -> ((s, dir) =>
-      StreamingIngest.sessionAgg(events(s, dir), "ts", "user_id", "1 hour")
-        .select(col("user_id"),
-          unix_timestamp(col("w_start")).as("sess_start_epoch"),
-          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
-        .orderBy("user_id", "sess_start_epoch")),
-
-    // ---- V1: declarative data-quality report — every rule evaluated in
-    // ONE aggregation pass (map-side partials, 1-row intermediate); the
-    // Unique rule is the only one needing a (single-column) shuffle. The
-    // regex sticks to the portable subset so Java regex ≡ RE2. ----
-    "q_v1_validate" -> ((s, dir) =>
-      Validate.report(t(s, dir, "orders"), Seq(
-        Validate.NotNull("o_orderkey"), Validate.Unique("o_orderkey"),
-        Validate.NotNull("o_custkey"),
-        Validate.InSet("o_orderstatus", Seq("O", "F", "P")),
-        Validate.InRange("o_totalprice", 0.0, 1e6),
-        Validate.Matches("o_orderpriority", "^[1-5]-[A-Z ]+$")))
-        .orderBy("rule")),
-
-    // ---- V2: column profiler — one-scan per-column summary (nulls,
-    // distinct, numeric min/max/mean, string length stats); every value
-    // derives from exact integer sums, so the e4 integerization is
-    // lossless ----
-    "q_v2_profile" -> ((s, dir) =>
-      Validate.profile(t(s, dir, "documents"),
-          Seq("doc_id", "text", "lang", "source", "n_chars"))
-        .select(col("col_name"), col("metric"),
-          floor(col("value") * lit(1e4) + lit(0.5)).cast("long")
-            .as("value_e4"))
-        .orderBy("col_name", "metric")),
-
-    // ---- V1b: row-level quarantine tags — narrow projection appending
-    // the failed-rule list per row; counts by tag-set certify the
-    // annotate path against the SQL rebuild. ----
-    "q_v1b_quarantine" -> ((s, dir) =>
-      Validate.annotate(t(s, dir, "orders"), Seq(
-        Validate.InSet("o_orderstatus", Seq("O", "F")),
-        Validate.InRange("o_totalprice", 0.0, 150000.0)))
-        .select(col("o_orderkey"),
-          concat_ws(",", col("violations")).as("tags"))
-        .orderBy("o_orderkey")),
-
-    // ---- O1: robust (Tukey-fence) outlier flags on the long-tailed
-    // event values per type — exact interpolated quartiles (percentile ≡
-    // DuckDB quantile_cont, the q_x4d equivalence), fences integerized
-    // e4; only flagged rows emitted ----
-    "q_o1_outliers_iqr" -> ((s, dir) =>
-      Outliers.iqr(t(s, dir, "events")
-          .select("event_id", "event_type", "value"),
-        "value", Seq("event_type"), k = 1.5)
-        .filter(col("is_outlier"))
-        .select(col("event_id"), col("event_type"), col("value"),
-          floor(col("lo_fence") * lit(1e4) + lit(0.5)).as("lo_e4"),
-          floor(col("hi_fence") * lit(1e4) + lit(0.5)).as("hi_e4"))
-        .orderBy("event_id")),
-
-    // ---- O2: z-score outliers on order totals per status — μ/σ drift
-    // between engines' partial-agg merge orders is absorbed by e4
-    // integerization; totals are ~uniform on [1e3, 5e5] so |z| caps near
-    // 1.73 — 1.7 flags the tails (2.5 would be structurally empty) ----
-    "q_o2_outliers_z" -> ((s, dir) =>
-      Outliers.zscore(t(s, dir, "orders"), "o_totalprice",
-        Seq("o_orderstatus"), threshold = 1.7)
-        .filter(col("is_outlier"))
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-          floor(col("zscore") * lit(1e4) + lit(0.5)).as("z_e4"))
-        .orderBy("o_orderkey")),
-
-    // ---- X4n: PMI bigram collocations — the phrase-mining signal; the
-    // bigram stream is a narrow array zip (no positional self-join on
-    // the Spark side; the oracle rebuilds positionally) ----
-    "q_x4n_pmi" -> ((s, dir) =>
-      Relevance.pmiBigrams(t(s, dir, "documents"), "doc_id", "text",
-        minCount = 25)
-        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
-          floor(col("pmi") * lit(1e4) + lit(0.5)).as("pmi_e4"))
-        .orderBy("w1", "w2")),
-
-    // ---- X6j: quantile-calibrated quality threshold — keep the top 30%
-    // of docs by length; cutoff = ONE exact percentile (broadcast back),
-    // corpus never shuffles ----
-    "q_x6j_top_fraction" -> ((s, dir) =>
-      Sampling.keepTopFraction(t(s, dir, "documents"), "n_chars", 0.3)
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")),
-
-    // ---- CDC: snapshot diff between two deterministic "snapshots"
-    // derived from orders (drop-by-modulus + an exact +1.0 price bump)
-    // so the diff exercises all four classes; compared doubles are
-    // either passed through or shifted by an exactly-representable
-    // amount — no rounding needed for the hash compare. ----
-    "q_cdc_diff" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val cur = o.filter(col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
-            .otherwise(col("o_totalprice")).as("o_totalprice"))
-      SnapshotDiff.diff(prev, cur, "o_orderkey")
-        .orderBy("o_orderkey")
-    }),
-
-    "q_cdc_stats" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val cur = o.filter(col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
-            .otherwise(col("o_totalprice")).as("o_totalprice"))
-      SnapshotDiff.diffStats(prev, cur, "o_orderkey")
-        .orderBy("change")
-    })
-  )
-
-  /** Shared CTE prefix for the portable-MinHash oracles: positional
-    * trigram rebuild → md5-48 base hash mod 2^31−1 → the SAME seed-derived
-    * Carter–Wegman coefficients the Spark path uses (interpolated below,
-    * so the two can never drift) → 4-hash band signatures. `lead` CTEs
-    * (if any) are injected before `tok`; `docsRel` is the relation the
-    * token rebuild reads (must expose doc_id, text). */
-  /** Shared dedup-pipeline oracle prefix (q_x1c, q_x1d): exact keepers
-    * (window min per text), portable LSH + exact-Jaccard ≥ 0.8 pairs
-    * among the exact representatives, connected components as a
-    * 6-round min-label unroll (MATERIALIZED — each round reads the
-    * previous twice). Ends at `fc(doc_id, exact_keeper, cluster)` —
-    * every document mapped to its near-dup cluster label. */
-  private def dedupClusterCtes: String = {
-    val lead =
-      """ek AS (
-        |  SELECT doc_id,
-        |    min(doc_id) OVER (PARTITION BY text) AS exact_keeper
-        |  FROM documents
-        |), reps AS (
-        |  SELECT d.doc_id, d.text FROM documents d
-        |  JOIN ek ON ek.doc_id = d.doc_id AND ek.exact_keeper = d.doc_id
-        |), """.stripMargin
-    val ccRounds = (1 to 6).map { i =>
-      s""",
-         |l$i AS MATERIALIZED (
-         |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-         |  FROM l${i - 1} l LEFT JOIN (
-         |    SELECT eadj.src AS id, min(l2.comp) AS mc
-         |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
-         |    GROUP BY eadj.src) m USING (id))""".stripMargin
-    }.mkString
-    s"""${minhashPortableCtes(lead, "reps")},
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM band x JOIN band y
-       |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
-       |), dsh AS (
-       |  SELECT DISTINCT doc_id, sh FROM sh
-       |), sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-       |), inter AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-       |  FROM cand c
-       |  JOIN dsh a ON a.doc_id = c.id_a
-       |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
-       |  GROUP BY c.id_a, c.id_b
-       |), pairs AS (
-       |  SELECT c.id_a, c.id_b
-       |  FROM cand c
-       |  JOIN sizes sa ON sa.doc_id = c.id_a
-       |  JOIN sizes sb ON sb.doc_id = c.id_b
-       |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-       |  WHERE CAST(i.n_inter AS DOUBLE)
-       |    / (sa.n + sb.n - i.n_inter) >= 0.8
-       |), eadj AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b, id_a FROM pairs
-       |), l0 AS MATERIALIZED (
-       |  SELECT doc_id AS id, doc_id AS comp FROM reps
-       |)$ccRounds,
-       |fc AS (
-       |  SELECT ek.doc_id, ek.exact_keeper, n.comp AS cluster
-       |  FROM ek JOIN l6 n ON n.id = ek.exact_keeper)""".stripMargin
-  }
-
-  private def minhashPortableCtes(lead: String = "",
-      docsRel: String = "documents", perBand: Int = 4): String = {
-    val values = graft.operators.Dedup.portableCoeffs(16, 42L).zipWithIndex
-      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH ${lead}tok AS (
-       |  SELECT doc_id, u.tk, u.pos
-       |  FROM (SELECT doc_id,
-       |          regexp_split_to_array(trim(text), '\\s+') AS arr
-       |        FROM $docsRel),
-       |       LATERAL (SELECT unnest(arr) AS tk,
-       |                generate_subscripts(arr, 1) AS pos) u
-       |), sh AS (
-       |  SELECT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-       |  FROM tok a
-       |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-       |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-       |), hs AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(concat(42, ':', sh)), 1, 12))
-       |      AS BIGINT) % 2147483647 AS h
-       |  FROM sh
-       |), coef(i, a, b) AS (VALUES $values),
-       |mh AS (
-       |  SELECT hs.doc_id, coef.i,
-       |    min((hs.h * coef.a + coef.b) % 2147483647) AS mh
-       |  FROM hs CROSS JOIN coef GROUP BY hs.doc_id, coef.i
-       |), band AS (
-       |  SELECT doc_id, (i // $perBand) AS band,
-       |    string_agg(mh, ',' ORDER BY i) AS sig
-       |  FROM mh GROUP BY doc_id, (i // $perBand)
-       |)""".stripMargin
-  }
-
-  /** Shared CTE chain of the curation-pipeline oracles (q_x10*): quality
-    * gate (Gopher rules) → exact keepers → portable LSH + Jaccard pairs →
-    * 6-round CC unroll → decontamination → per-lang survivor counts
-    * (`counts`). Each q_x10 variant appends its own quota-stage tail. */
-  private lazy val curationOracleCtes: String = {
-    val lead =
-      """corpus AS (
-        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0
-        |), benchd AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
-        |), gs AS (
-        |  SELECT doc_id, text, lang,
-        |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-        |      AS n_toks,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
-        |    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
-        |      AS n_punct,
-        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
-        |        'is','are','was','it','that','this','for','on','with','as',
-        |        'be','by','at'))) AS n_stop
-        |  FROM corpus
-        |), g AS (
-        |  SELECT doc_id, text, lang FROM gs
-        |  WHERE n_toks BETWEEN 20 AND 100000 AND n_toks > 0
-        |    AND (n_nonws * 1.0 / n_toks) BETWEEN 3.0 AND 10.0
-        |    AND n_stop >= 2 AND n_punct * 1.0 / n_toks < 0.5
-        |), ek AS (
-        |  SELECT doc_id, text, lang,
-        |    min(doc_id) OVER (PARTITION BY text) AS exact_keeper
-        |  FROM g
-        |), reps AS (
-        |  SELECT doc_id, text, lang FROM ek WHERE doc_id = exact_keeper
-        |), """.stripMargin
-    val ccRounds = (1 to 6).map { i =>
-      s""",
-         |l$i AS MATERIALIZED (
-         |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-         |  FROM l${i - 1} l LEFT JOIN (
-         |    SELECT eadj.src AS id, min(l2.comp) AS mc
-         |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
-         |    GROUP BY eadj.src) m USING (id))""".stripMargin
-    }.mkString
-    s"""${minhashPortableCtes(lead, "reps")},
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM band x JOIN band y
-       |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
-       |), dsh AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, sh FROM sh
-       |), sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-       |), inter AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-       |  FROM cand c
-       |  JOIN dsh a ON a.doc_id = c.id_a
-       |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
-       |  GROUP BY c.id_a, c.id_b
-       |), pairs AS (
-       |  SELECT c.id_a, c.id_b
-       |  FROM cand c
-       |  JOIN sizes sa ON sa.doc_id = c.id_a
-       |  JOIN sizes sb ON sb.doc_id = c.id_b
-       |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-       |  WHERE CAST(i.n_inter AS DOUBLE)
-       |    / (sa.n + sb.n - i.n_inter) >= 0.8
-       |), eadj AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b, id_a FROM pairs
-       |), l0 AS MATERIALIZED (
-       |  SELECT doc_id AS id, doc_id AS comp FROM reps
-       |)$ccRounds,
-       |ded AS MATERIALIZED (
-       |  SELECT ek.doc_id, ek.lang FROM ek
-       |  JOIN l6 n ON n.id = ek.exact_keeper
-       |  WHERE ek.doc_id = n.comp
-       |), btok AS (
-       |  SELECT doc_id, u.tk, u.pos
-       |  FROM (SELECT doc_id,
-       |          regexp_split_to_array(trim(text), '\\s+') AS arr
-       |        FROM benchd),
-       |       LATERAL (SELECT unnest(arr) AS tk,
-       |                generate_subscripts(arr, 1) AS pos) u
-       |), bsh AS (
-       |  SELECT DISTINCT a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-       |  FROM btok a
-       |  JOIN btok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-       |  JOIN btok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-       |), flag AS (
-       |  SELECT DISTINCT s.doc_id
-       |  FROM dsh s JOIN ded ON ded.doc_id = s.doc_id
-       |  JOIN bsh ON bsh.sh = s.sh
-       |), dec AS MATERIALIZED (
-       |  SELECT d.doc_id, d.lang FROM ded d
-       |  LEFT JOIN flag f ON f.doc_id = d.doc_id
-       |  WHERE f.doc_id IS NULL
-       |), counts AS (
-       |  SELECT lang, count(*) AS n FROM dec GROUP BY lang
-       |)""".stripMargin
-  }
-
-  /** Shared lang-ID CTE chain (p → s → lg): per-doc marker-presence
-    * scores and the argmax-with-max-lang-tie-break as greatest() over
-    * 'digit:lang' strings. Used by q_x4o (standalone) and q_x4b (the
-    * composite report). */
-  private lazy val langGuessCtes: String =
-    """p AS (
-      |  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
-      |s AS (
-      |  SELECT doc_id,
-      |    (CASE WHEN position(' the ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' and ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' of ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position('ing ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' to ' IN t) > 0 THEN 1 ELSE 0 END)
-      |      AS s_en,
-      |    (CASE WHEN position(' der ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' und ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' die ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position('sch' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' ist ' IN t) > 0 THEN 1 ELSE 0 END)
-      |      AS s_de,
-      |    (CASE WHEN position(' le ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' la ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' et ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' les ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' des ' IN t) > 0 THEN 1 ELSE 0 END)
-      |      AS s_fr,
-      |    (CASE WHEN position(' el ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' de ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' que ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' los ' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position(' y ' IN t) > 0 THEN 1 ELSE 0 END)
-      |      AS s_es,
-      |    (CASE WHEN position('的' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position('是' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position('了' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position('在' IN t) > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN position('我' IN t) > 0 THEN 1 ELSE 0 END)
-      |      AS s_zh
-      |  FROM p),
-      |lg AS (
-      |  SELECT doc_id,
-      |    CASE WHEN g LIKE '0%' THEN 'und' ELSE substr(g, 3) END
-      |      AS lang_guess
-      |  FROM (
-      |    SELECT doc_id, greatest(
-      |      CAST(s_en AS VARCHAR) || ':en',
-      |      CAST(s_de AS VARCHAR) || ':de',
-      |      CAST(s_fr AS VARCHAR) || ':fr',
-      |      CAST(s_es AS VARCHAR) || ':es',
-      |      CAST(s_zh AS VARCHAR) || ':zh') AS g
-      |    FROM s))""".stripMargin
-
-  /** Unrolled 6-hop seed BFS (G15): reached (seed, id, d) triples per
-    * round; eccentricity = max layer per seed, n_reached the d > 0
-    * count. Same MATERIALIZED discipline as the other unrolls. */
-  private lazy val eccentricityUnrolledOracle: String = {
-    val hops = 6
-    val base =
-      """WITH li AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem WHERE l_orderkey % 20 = 0),
-        |e AS MATERIALIZED (
-        |  SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
-        |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk),
-        |adj AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM e WHERE a <> b
-        |  UNION ALL SELECT b, a FROM e WHERE a <> b),
-        |f0 AS MATERIALIZED (
-        |  SELECT id AS seed, id, 0 AS d FROM (
-        |    SELECT DISTINCT id FROM (
-        |      SELECT a AS id FROM e UNION ALL SELECT b FROM e)
-        |    ORDER BY id LIMIT 3)),
-        |r0 AS MATERIALIZED (SELECT seed, id, d FROM f0)""".stripMargin
-    val rounds = (1 to hops).map { k =>
-      s""",
-         |f$k AS MATERIALIZED (
-         |  SELECT DISTINCT p.seed, adj.dst AS id, $k AS d
-         |  FROM f${k - 1} p JOIN adj ON adj.src = p.id
-         |  LEFT JOIN r${k - 1} r ON r.seed = p.seed AND r.id = adj.dst
-         |  WHERE r.id IS NULL),
-         |r$k AS MATERIALIZED (
-         |  SELECT seed, id, d FROM r${k - 1}
-         |  UNION ALL SELECT seed, id, d FROM f$k)""".stripMargin
-    }.mkString
-    base + rounds +
-      s"""
-         |SELECT seed, CAST(max(d) AS BIGINT) AS eccentricity,
-         |  count(CASE WHEN d > 0 THEN 1 END) AS n_reached
-         |FROM r$hops GROUP BY seed ORDER BY seed""".stripMargin
-  }
-
-  /** Unrolled truncated-Brandes betweenness (G14, maxHops = 4): forward
-    * layers carry exact-integer σ; the backward sweep accumulates
-    * δ = Σ σ_v/σ_w (1 + δ_w) layer by layer. MATERIALIZED throughout —
-    * every layer feeds both its successor and the backward sweep. */
-  private lazy val betweennessUnrolledOracle: String = {
-    val hops = 4
-    val base =
-      """WITH li AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem WHERE l_orderkey % 20 = 0),
-        |e AS MATERIALIZED (
-        |  SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
-        |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk),
-        |adj AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM e WHERE a <> b
-        |  UNION ALL SELECT b, a FROM e WHERE a <> b),
-        |l0 AS MATERIALIZED (
-        |  SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma FROM (
-        |    SELECT DISTINCT id FROM (
-        |      SELECT a AS id FROM e UNION ALL SELECT b FROM e)
-        |    ORDER BY id LIMIT 3)),
-        |r0 AS MATERIALIZED (SELECT seed, id FROM l0)""".stripMargin
-    val fwd = (1 to hops).map { k =>
-      s""",
-         |l$k AS MATERIALIZED (
-         |  SELECT p.seed, adj.dst AS id, sum(p.sigma) AS sigma
-         |  FROM l${k - 1} p JOIN adj ON adj.src = p.id
-         |  LEFT JOIN r${k - 1} r ON r.seed = p.seed AND r.id = adj.dst
-         |  WHERE r.id IS NULL
-         |  GROUP BY p.seed, adj.dst),
-         |r$k AS MATERIALIZED (
-         |  SELECT seed, id FROM r${k - 1}
-         |  UNION ALL SELECT seed, id FROM l$k)""".stripMargin
-    }.mkString
-    val back = (1 until hops).reverse.map { d =>
-      val wDelta =
-        if (d == hops - 1) "CAST(0 AS DOUBLE)"
-        else s"COALESCE(bd${d + 1}.delta, 0)"
-      val bJoin =
-        if (d == hops - 1) ""
-        else
-          s"""
-             |  LEFT JOIN bd${d + 1} ON bd${d + 1}.seed = w.seed
-             |    AND bd${d + 1}.id = w.id""".stripMargin
-      s""",
-         |bd$d AS MATERIALIZED (
-         |  SELECT v.seed, v.id,
-         |    sum(CAST(v.sigma AS DOUBLE) / w.sigma * (1 + $wDelta))
-         |      AS delta
-         |  FROM l$d v JOIN adj ON adj.src = v.id
-         |  JOIN l${d + 1} w ON w.seed = v.seed AND w.id = adj.dst$bJoin
-         |  GROUP BY v.seed, v.id)""".stripMargin
-    }.mkString
-    val contribs = (1 until hops)
-      .map(d => s"SELECT seed, id, delta FROM bd$d").mkString(
-        "", "\n  UNION ALL ", "")
-    base + fwd + back +
-      s""",
-         |basez AS (
-         |  SELECT r.seed, r.id, CAST(0 AS DOUBLE) AS delta
-         |  FROM r$hops r LEFT JOIN l0 ON l0.seed = r.seed AND l0.id = r.id
-         |  WHERE l0.id IS NULL),
-         |allc AS (
-         |  SELECT seed, id, delta FROM basez
-         |  UNION ALL $contribs
-         |)
-         |SELECT id,
-         |  CAST(floor(sum(delta) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-         |    AS bc_e4,
-         |  count(DISTINCT seed) AS n_seeds
-         |FROM allc GROUP BY id ORDER BY id""".stripMargin
-  }
-
-  /** Unrolled k-core peeling (G9): each round re-derives degrees on the
-    * surviving edge set and drops nodes below k. Peeling past the
-    * fixpoint is the identity, so a fixed unroll ≥ the fixpoint depth is
-    * exact — 12 rounds against the measured 8 at sf0.01. Generated
-    * programmatically so round count is a one-line change. */
-  private lazy val kcoreUnrolledOracle: String = {
-    val rounds = 12
-    // MATERIALIZED is load-bearing: every round references the previous
-    // round TWICE, so DuckDB's default CTE inlining would expand e12 into
-    // 2^12 copies of the base scan (observed as an fd-exhaustion blowup).
-    val base =
-      """WITH li AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem WHERE l_orderkey % 20 = 0),
-        |e0 AS MATERIALIZED (SELECT DISTINCT least(a.pk, b.pk) AS a,
-        |              greatest(a.pk, b.pk) AS b
-        |       FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk)""".stripMargin
-    val chain = (1 to rounds).map { i =>
-      s""",
-         |k$i AS MATERIALIZED (SELECT id FROM (
-         |    SELECT id, count(*) AS c FROM (
-         |      SELECT a AS id FROM e${i - 1}
-         |      UNION ALL SELECT b FROM e${i - 1}) GROUP BY id)
-         |  WHERE c >= 4),
-         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
-         |  JOIN k$i x ON x.id = e.a JOIN k$i y ON y.id = e.b)""".stripMargin
-    }.mkString
-    base + chain +
-      s"""
-         |SELECT DISTINCT id FROM (
-         |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
-         |ORDER BY id""".stripMargin
-  }
-
-  /** k-truss peeling unrolled like [[kcoreUnrolledOracle]] — each round
-    * enumerates triangles in canonical a<b<c orientation, credits the
-    * three edges, and keeps support ≥ k−2 = 2. Peeling past the fixpoint
-    * is the identity; this graph reaches it in 2 rounds at sf0.01
-    * (measured), so the 6-round unroll is EXACT with margin. */
-  private lazy val ktrussUnrolledOracle: String = {
-    val rounds = 6
-    val base =
-      """WITH li AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem WHERE l_orderkey % 20 = 0),
-        |e0 AS MATERIALIZED (SELECT DISTINCT least(a.pk, b.pk) AS a,
-        |              greatest(a.pk, b.pk) AS b
-        |       FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk)""".stripMargin
-    val chain = (1 to rounds).map { i =>
-      s""",
-         |t$i AS MATERIALIZED (
-         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
-         |  FROM e${i - 1} e1 JOIN e${i - 1} e2
-         |    ON e2.a = e1.a AND e2.b > e1.b
-         |  JOIN e${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
-         |s$i AS MATERIALIZED (
-         |  SELECT a, b, count(*) AS sup FROM (
-         |    SELECT a, b FROM t$i
-         |    UNION ALL SELECT a, c FROM t$i
-         |    UNION ALL SELECT b, c FROM t$i) GROUP BY a, b),
-         |e$i AS MATERIALIZED (
-         |  SELECT e.a, e.b FROM e${i - 1} e JOIN s$i s
-         |    ON s.a = e.a AND s.b = e.b WHERE s.sup >= 2)""".stripMargin
-    }.mkString
-    base + chain +
-      s"""
-         |SELECT a, b FROM e$rounds ORDER BY a, b""".stripMargin
-  }
-
-  /** Unrolled BPE rounds shared by the x13 oracles: round k counts
-    * adjacent pairs on vocab v(k-1), picks the (cnt DESC, l, r) argmax
-    * bK, and re-segments into vK with a seeded list_reduce fold — the
-    * seed-with-first-element semantics coincide with the engine's
-    * empty-accumulator fold because its first step always appends. */
-  private def bpeOracleCtes(rounds: Int): String = {
-    val head =
-      """WITH w AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |  FROM documents),
-        |v0 AS MATERIALIZED (
-        |  SELECT word, regexp_extract_all(word, '.') || ['</w>'] AS syms, wc
-        |  FROM (SELECT word, count(*) AS wc FROM w
-        |        WHERE len(word) > 0 GROUP BY word)),""".stripMargin
-    val rs = (1 to rounds).map { k =>
-      s"""p$k AS (
-         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
-         |  FROM v${k - 1}, unnest(range(1, len(syms))) t(i)
-         |  GROUP BY 1, 2),
-         |b$k AS MATERIALIZED (
-         |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |v$k AS MATERIALIZED (
-         |  SELECT word,
-         |    list_reduce(list_transform(syms, s -> [s]),
-         |      (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
-         |        THEN acc[:len(acc)-1] || [b.l || b.r]
-         |        ELSE acc || x END) AS syms,
-         |    wc
-         |  FROM v${k - 1} CROSS JOIN b$k b),""".stripMargin
-    }.mkString("\n")
-    s"$head\n$rs"
-  }
-
-  /** Unrolled MMR greedy (see q_x3d): candidate top-20 per query, then
-    * `k` selection rounds — per round a raw-double argmax with vec_id
-    * tie-break (both engines' cosine chains are bit-identical) and an
-    * incremental greatest(pen, cos(cand, selected)) penalty update that
-    * mirrors mmrRerank's maxSel array. λ constants are spelled exactly
-    * as the scala doubles: 0.7 and (1.0 − 0.7) = 0.30000000000000004. */
-  private def mmrOracle(k: Int): String = {
-    def cos(a: String, b: String) =
-      s"""((SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-         |       FROM (SELECT unnest($a.cv) x, unnest($b.cv) y)) /
-         |     (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-         |       FROM (SELECT unnest($a.cv) x))) *
-         |      sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-         |       FROM (SELECT unnest($b.cv) y)))))""".stripMargin
-    val score = "CAST(0.7 AS DOUBLE)*sim - " +
-      "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))*pen"
-    val head =
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |           FROM embeddings WHERE vec_id < 8),
-        |c0 AS (SELECT vec_id, embedding AS cv FROM embeddings),
-        |prod AS (
-        |  SELECT query_id, vec_id,
-        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
-        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
-        |  FROM (SELECT query_id, vec_id, unnest(qv) AS x, unnest(cv) AS y
-        |        FROM q JOIN c0 ON query_id <> vec_id)
-        |  GROUP BY query_id, vec_id),
-        |c1 AS MATERIALIZED (
-        |  SELECT r.query_id, r.vec_id, r.cosine AS sim, e.embedding AS cv,
-        |    CAST(0 AS DOUBLE) AS pen
-        |  FROM (SELECT query_id, vec_id,
-        |          dot / (sqrt(qq) * sqrt(cc)) AS cosine,
-        |          row_number() OVER (PARTITION BY query_id
-        |            ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id)
-        |            AS rank
-        |        FROM prod) r
-        |  JOIN embeddings e ON e.vec_id = r.vec_id
-        |  WHERE r.rank <= 20)""".stripMargin
-    val rounds = (1 to k).flatMap { r =>
-      val sel =
-        s"""s$r AS MATERIALIZED (
-           |  SELECT query_id, vec_id, cv, $score AS score FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id
-           |      ORDER BY $score DESC, vec_id) AS rn FROM c$r)
-           |  WHERE rn = 1)""".stripMargin
-      val next = if (r == k) Nil else Seq(
-        s"""c${r + 1} AS MATERIALIZED (
-           |  SELECT a.query_id, a.vec_id, a.sim, a.cv,
-           |    greatest(a.pen, ${cos("a", "s")}) AS pen
-           |  FROM c$r a JOIN s$r s USING (query_id)
-           |  WHERE a.vec_id <> s.vec_id)""".stripMargin)
-      sel +: next
-    }.mkString(",\n")
-    val unioned = (1 to k).map(r =>
-        s"SELECT query_id, vec_id, CAST($r AS BIGINT) AS mmr_rank,\n" +
-          s"  ROUND(score, 6) AS mmr_score FROM s$r")
-      .mkString("\nUNION ALL ")
-    s"$head,\n$rounds\n$unioned\nORDER BY query_id, mmr_rank"
-  }
-
-  /** Shared moment CTEs for the ACF-family oracles (q_st14, q_st18):
-    * milli-integerized values, all lag pairs from one window
-    * partitioning, HUGEINT-exact sums cast to double. */
-  private val acfMomentCtes: String =
-    """ev AS (
-      |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-      |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-      |      AS x
-      |  FROM events),
-      |l AS (
-      |  SELECT user_id, x,
-      |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
-      |    lag(x, 3) OVER w AS y3
-      |  FROM ev
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-      |p AS (
-      |  SELECT user_id, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
-      |  UNION ALL
-      |  SELECT user_id, 2, x, y2 FROM l WHERE y2 IS NOT NULL
-      |  UNION ALL
-      |  SELECT user_id, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
-      |m AS (
-      |  SELECT user_id, lag, count(*) AS np,
-      |    CAST(count(*) AS DOUBLE) AS n,
-      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
-      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
-      |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-      |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
-      |  FROM p GROUP BY user_id, lag)""".stripMargin
-
-  /** One unrolled Louvain move round (see q_g23): k_{i→c} from
-    * adjacency ⋈ labels, Σ_c from labels ⋈ degrees, the exact integer
-    * score 2m·k_{i→c} − k_i·(Σ_c − [c=cur]·k_i) in HUGEINT, argmax by
-    * (s DESC, c), then the md5-48 parity gate byte-identical to the
-    * engine's PortableHash.hash48("42:<id>") — ungated rounds
-    * ('u' in the schedule) skip the gate and move every node. `pfx`
-    * namespaces the fine ("") vs coarse ("c") level; weighted rounds
-    * sum `w` where unweighted ones count. */
-  private def louvainRoundSql(r: Int, pfx: String, adj: String,
-      deg: String, weighted: Boolean, gated: Boolean): String = {
-    val kic =
-      if (weighted) s"sum($adj.w)" else "CAST(count(*) AS HUGEINT)"
-    val pick =
-      if (gated)
-        s"""CASE WHEN (CAST(concat('0x', substr(md5(concat(42, ':',
-           |        id)), 1, 12)) AS BIGINT) + $r) % 2 = 0
-           |      THEN c ELSE cur END""".stripMargin
-      else "c"
-    s""",
-       |${pfx}kin$r AS (SELECT $adj.dst AS id, l.lbl AS c, $kic AS kic
-       |  FROM $adj JOIN ${pfx}l$r l ON l.id = $adj.src GROUP BY 1, 2),
-       |${pfx}cand$r AS (SELECT id, c, max(kic) AS kic FROM (
-       |    SELECT id, c, kic FROM ${pfx}kin$r
-       |    UNION ALL SELECT id, lbl, CAST(0 AS HUGEINT) FROM ${pfx}l$r)
-       |  GROUP BY 1, 2),
-       |${pfx}tot$r AS (SELECT l.lbl AS c, sum($deg.k) AS tot
-       |  FROM ${pfx}l$r l JOIN $deg ON $deg.id = l.id GROUP BY 1),
-       |${pfx}sc$r AS (SELECT cand.id, cand.c, cur.lbl AS cur,
-       |    2 * m.m * cand.kic - $deg.k *
-       |      (tot.tot - CASE WHEN cand.c = cur.lbl THEN $deg.k
-       |                 ELSE CAST(0 AS HUGEINT) END) AS s
-       |  FROM ${pfx}cand$r cand
-       |  JOIN ${pfx}l$r cur ON cur.id = cand.id
-       |  JOIN $deg ON $deg.id = cand.id
-       |  JOIN ${pfx}tot$r tot ON tot.c = cand.c, m),
-       |${pfx}b$r AS (SELECT id, c, cur FROM (
-       |    SELECT id, c, cur,
-       |      row_number() OVER (PARTITION BY id ORDER BY s DESC, c)
-       |        AS rn
-       |    FROM ${pfx}sc$r) WHERE rn = 1),
-       |${pfx}l${r + 1} AS MATERIALIZED (SELECT id,
-       |    $pick AS lbl
-       |  FROM ${pfx}b$r)""".stripMargin
-  }
-
-  /** The full q_g23 two-level Louvain unroll up to `fin(id, lbl)`:
-    * co-occurrence graph, 4 fine rounds on the "ugug" alternating
-    * schedule, coarsen into the weighted community supergraph
-    * (self-loops count TWICE in coarse degree — the convention under
-    * which coarsening preserves Q), 4 weighted coarse rounds (same
-    * schedule), then projection back down. */
-  private def louvainOracleCtes: String = {
-    val fine =
-      (0 until 4).map(r =>
-        louvainRoundSql(r, "", "adj", "deg", false, gated = r % 2 == 1))
-        .mkString
-    val coarse =
-      (0 until 4).map(r =>
-        louvainRoundSql(r, "c", "cadj", "cdeg", true, gated = r % 2 == 1))
-        .mkString
-    s"""WITH li AS (
-       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-       |  WHERE l_orderkey % 20 = 0),
-       |e AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
-       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
-       |        UNION ALL SELECT b, a FROM e),
-       |deg AS MATERIALIZED (SELECT src AS id,
-       |    CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY 1),
-       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
-       |l0 AS (SELECT id, id AS lbl FROM deg)$fine,
-       |ce AS MATERIALIZED (SELECT least(la.lbl, lb.lbl) AS a,
-       |    greatest(la.lbl, lb.lbl) AS b, CAST(count(*) AS HUGEINT) AS w
-       |  FROM e JOIN l4 la ON la.id = e.a JOIN l4 lb ON lb.id = e.b
-       |  GROUP BY 1, 2),
-       |cadj AS MATERIALIZED (
-       |  SELECT a AS src, b AS dst, w FROM ce WHERE a <> b
-       |  UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
-       |cdeg AS MATERIALIZED (SELECT id, sum(w) AS k FROM (
-       |  SELECT src AS id, w FROM cadj
-       |  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b) GROUP BY 1),
-       |cl0 AS (SELECT id, id AS lbl FROM cdeg)$coarse,
-       |fin AS MATERIALIZED (
-       |  SELECT f.id, c.lbl FROM l4 f JOIN cl4 c ON c.id = f.lbl)"""
-      .stripMargin
-  }
-
-  /** The WEIGHTED two-level Louvain unroll (q_g24b) over the q_j7
-    * co-occurrence graph: edge weight = shared-order count, BOTH levels
-    * run weighted rounds (kic sums w, degrees sum incident w, m = Σw —
-    * the same total at both levels since coarsening preserves weight
-    * mass), same "ugug" schedule and md5-48 gate as the unweighted
-    * unroll. Ends at `fin(id, lbl)` with `e(a, b, w)` still in scope
-    * for the refinement replay. */
-  private def louvainWeightedOracleCtes: String = {
-    val fine =
-      (0 until 4).map(r =>
-        louvainRoundSql(r, "", "adj", "deg", true, gated = r % 2 == 1))
-        .mkString
-    val coarse =
-      (0 until 4).map(r =>
-        louvainRoundSql(r, "c", "cadj", "cdeg", true, gated = r % 2 == 1))
-        .mkString
-    s"""WITH mem AS (
-       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
-       |sz AS (SELECT g, count(*) AS n FROM mem GROUP BY g),
-       |kept AS (SELECT mem.g, mem.i FROM mem JOIN sz USING (g)
-       |  WHERE sz.n <= 10),
-       |e AS MATERIALIZED (
-       |  SELECT a.i AS a, b.i AS b, CAST(count(*) AS HUGEINT) AS w
-       |  FROM kept a JOIN kept b ON a.g = b.g AND a.i < b.i
-       |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       |adj AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e
-       |        UNION ALL SELECT b, a, w FROM e),
-       |deg AS MATERIALIZED (SELECT src AS id, sum(w) AS k
-       |  FROM adj GROUP BY 1),
-       |m AS (SELECT sum(w) AS m FROM e),
-       |l0 AS (SELECT id, id AS lbl FROM deg)$fine,
-       |ce AS MATERIALIZED (SELECT least(la.lbl, lb.lbl) AS a,
-       |    greatest(la.lbl, lb.lbl) AS b, sum(e.w) AS w
-       |  FROM e JOIN l4 la ON la.id = e.a JOIN l4 lb ON lb.id = e.b
-       |  GROUP BY 1, 2),
-       |cadj AS MATERIALIZED (
-       |  SELECT a AS src, b AS dst, w FROM ce WHERE a <> b
-       |  UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
-       |cdeg AS MATERIALIZED (SELECT id, sum(w) AS k FROM (
-       |  SELECT src AS id, w FROM cadj
-       |  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b) GROUP BY 1),
-       |cl0 AS (SELECT id, id AS lbl FROM cdeg)$coarse,
-       |fin AS MATERIALIZED (
-       |  SELECT f.id, c.lbl FROM l4 f JOIN cl4 c ON c.id = f.lbl)"""
-      .stripMargin
-  }
-
-  /** IVF-PQ rebuilt step-for-step in DuckDB — shared by q_x3i (build
-    * in memory, query), q_x3j (save to parquet, load, query), and
-    * q_x3k (build on a base slice, incrementally absorb the rest):
-    * the persisted/updated index must return the exact same rows.
-    * `trainWhere` restricts the rows the QUANTIZERS (centroids +
-    * codebooks) are sampled from — assignment and encoding always run
-    * over the whole corpus, which is exactly what updateIndex's
-    * frozen-quantizer append converges to. The CTE prefix (through
-    * `sc(query_id, vec_id, adist)`) is also the ivfpq leg of the
-    * q_x3l recall audit. */
-  private def ivfCoarseCtesFrom(trainWhere: String): String =
-    s"""WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
-        |    SELECT vec_id, embedding FROM embeddings $trainWhere
-        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |    LIMIT 32)),
-        |casn0 AS (
-        |  SELECT c.vec_id, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM embeddings c CROSS JOIN cent ct),
-        |cell AS MATERIALIZED (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM casn0)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-        |      WHERE vec_id < 8),
-        |probe0 AS (
-        |  SELECT q.query_id, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM q CROSS JOIN cent ct),
-        |probed AS (
-        |  SELECT query_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
-        |  WHERE rn <= 8),
-        |cb0 AS (
-        |  SELECT vec_id, embedding,
-        |    row_number() OVER (
-        |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
-        |      AS code
-        |  FROM (SELECT vec_id, embedding FROM embeddings $trainWhere
-        |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |        LIMIT 16)),
-        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub)"""
-      .stripMargin
-
-  private def ivfPqOracleCtesFrom(trainWhere: String): String =
-    ivfCoarseCtesFrom(trainWhere) +
-    s""",
-        |cb AS MATERIALIZED (
-        |  SELECT subs.sub, cb0.code,
-        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
-        |      AS cw
-        |  FROM cb0 CROSS JOIN subs),
-        |encd0 AS (
-        |  SELECT e.vec_id, cb.sub, cb.code,
-        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
-        |     FROM (SELECT
-        |         unnest(list_slice(e.embedding,
-        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
-        |         unnest(cb.cw) y)) AS d
-        |  FROM embeddings e CROSS JOIN cb),
-        |enc AS MATERIALIZED (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY d, code) rn FROM encd0)
-        |  WHERE rn = 1),
-        |dt0 AS MATERIALIZED (
-        |  SELECT q.query_id, cb.sub, cb.code,
-        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
-        |     FROM (SELECT
-        |         unnest(list_slice(q.embedding,
-        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
-        |         unnest(cb.cw) y)) AS d
-        |  FROM q CROSS JOIN cb),
-        |terms AS (
-        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
-        |  FROM enc en
-        |  JOIN cell ce ON ce.vec_id = en.vec_id
-        |  JOIN probed p ON p.centroid_id = ce.centroid_id
-        |  JOIN dt0 d0 ON d0.query_id = p.query_id
-        |    AND d0.sub = en.sub AND d0.code = en.code
-        |  WHERE d0.query_id <> en.vec_id
-        |  GROUP BY d0.query_id, en.vec_id),
-        |sc AS (
-        |  SELECT query_id, vec_id,
-        |    ds[1] + ds[2] + ds[3] + ds[4]
-        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
-        |  FROM terms)""".stripMargin
-
-  private def ivfPqOracleSqlFrom(trainWhere: String): String =
-    ivfPqOracleCtesFrom(trainWhere) +
-      """
-        |SELECT query_id, vec_id,
-        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS adist_e4,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |  ORDER BY adist, vec_id) AS rank FROM sc)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  private def ivfPqOracleSql: String = ivfPqOracleSqlFrom("")
-
-  /** Residual IVF-PQ CTE suffix (q_x3m, and the residual leg of
-    * q_x3l): assumes [[ivfCoarseCtesFrom]]'s cent/cell/q/probed/cb0/
-    * subs in scope. Codebooks carry BOTH the sampled row's sub-slice
-    * and its own centroid's, so every distance is Σ ((x−a) − (y−b))²
-    * with the exact association the engine's fused kernel uses
-    * ((x−c) − w, w = y−b prebuilt in double); the query-side table is
-    * keyed by (query_id, centroid_id) — residual ADC's cell
-    * dependence — and terms join on the cell. Ends at
-    * `rsc(query_id, vec_id, adist)`. */
-  private def ivfPqResidualSuffixCtes: String =
-    s""",
-        |cbr AS MATERIALIZED (
-        |  SELECT subs.sub, cb0.code,
-        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
-        |      AS sv,
-        |    list_slice(sct.cv, subs.sub * 8 + 1, subs.sub * 8 + 8)
-        |      AS scv
-        |  FROM cb0
-        |  JOIN cell sce ON sce.vec_id = cb0.vec_id
-        |  JOIN cent sct ON sct.centroid_id = sce.centroid_id
-        |  CROSS JOIN subs),
-        |rencd0 AS (
-        |  SELECT e.vec_id, cbr.sub, cbr.code,
-        |    (SELECT sum(((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
-        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE)))
-        |            * ((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
-        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE))))
-        |     FROM (SELECT
-        |         unnest(list_slice(e.embedding,
-        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) x,
-        |         unnest(list_slice(ecv.cv,
-        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) a,
-        |         unnest(cbr.sv) y,
-        |         unnest(cbr.scv) b)) AS d
-        |  FROM embeddings e
-        |  JOIN cell ece ON ece.vec_id = e.vec_id
-        |  JOIN cent ecv ON ecv.centroid_id = ece.centroid_id
-        |  CROSS JOIN cbr),
-        |renc AS MATERIALIZED (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY d, code) rn FROM rencd0)
-        |  WHERE rn = 1),
-        |rdt0 AS MATERIALIZED (
-        |  SELECT q.query_id, p.centroid_id, cbr.sub, cbr.code,
-        |    (SELECT sum(((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
-        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE)))
-        |            * ((CAST(x AS DOUBLE) - CAST(a AS DOUBLE))
-        |              - (CAST(y AS DOUBLE) - CAST(b AS DOUBLE))))
-        |     FROM (SELECT
-        |         unnest(list_slice(q.embedding,
-        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) x,
-        |         unnest(list_slice(pcv.cv,
-        |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) a,
-        |         unnest(cbr.sv) y,
-        |         unnest(cbr.scv) b)) AS d
-        |  FROM q
-        |  JOIN probed p ON p.query_id = q.query_id
-        |  JOIN cent pcv ON pcv.centroid_id = p.centroid_id
-        |  CROSS JOIN cbr),
-        |rterms AS (
-        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
-        |  FROM renc en
-        |  JOIN cell ce ON ce.vec_id = en.vec_id
-        |  JOIN rdt0 d0 ON d0.centroid_id = ce.centroid_id
-        |    AND d0.sub = en.sub AND d0.code = en.code
-        |  WHERE d0.query_id <> en.vec_id
-        |  GROUP BY d0.query_id, en.vec_id),
-        |rsc AS (
-        |  SELECT query_id, vec_id,
-        |    ds[1] + ds[2] + ds[3] + ds[4]
-        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
-        |  FROM rterms)""".stripMargin
-
-  private def ivfPqResidualOracleSql: String =
-    ivfCoarseCtesFrom("") + ivfPqResidualSuffixCtes +
-      """
-        |SELECT query_id, vec_id,
-        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS adist_e4,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |  ORDER BY adist, vec_id) AS rank FROM rsc)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  def oracleSql: Map[String, String] = Map(
-
-    // Greedy MMR unroll — see mmrOracle.
-    "q_x3d_mmr_rerank" -> mmrOracle(5),
-
-    // BPE rebuild: 8 unrolled (pairs → argmax → fold) rounds; the merge
-    // table is the union of the per-round argmax rows.
-    "q_x13_bpe_merges" -> (bpeOracleCtes(8) + "\n" +
-      (1 to 8).map(k =>
-          s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs," +
-            s" cnt AS pair_count FROM b$k")
-        .mkString("sel AS (\n", "\nUNION ALL\n", ")\n") +
-      "SELECT merge_rank, lhs, rhs, pair_count FROM sel ORDER BY merge_rank"),
-
-    // Encode rebuild: final vocab v8 joined back to the corpus words;
-    // OOV fallback mirrored (coalesce to len+1) though the training
-    // corpus is the encoded corpus here.
-    "q_x13b_bpe_encode" -> (bpeOracleCtes(8) + "\n" +
-      """seg AS (SELECT word, len(syms) AS sl FROM v8),
-        |dw AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |  FROM documents)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |  CAST(sum(coalesce(s.sl, len(d.word) + 1)) AS BIGINT) AS n_subwords
-        |FROM dw d LEFT JOIN seg s USING (word)
-        |WHERE len(d.word) > 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    "q_s2_schema_peek" ->
-      "SELECT * FROM customer ORDER BY c_custkey LIMIT 1",
-
-    "q_g20_ktruss" -> ktrussUnrolledOracle,
-
-    // Portable-MinHash LSH end-to-end: candidates from shared band
-    // signatures, verified with exact trigram-set Jaccard ≥ 0.2.
-    "q_x2_minhash_neardups" ->
-      s"""${minhashPortableCtes()},
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y
-         |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
-         |), dsh AS (
-         |  SELECT DISTINCT doc_id, sh FROM sh
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.id_a
-         |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
-         |  GROUP BY c.id_a, c.id_b
-         |)
-         |SELECT c.id_a, c.id_b,
-         |  ROUND(CAST(i.n_inter AS DOUBLE)
-         |    / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-         |FROM cand c
-         |JOIN sizes sa ON sa.doc_id = c.id_a
-         |JOIN sizes sb ON sb.doc_id = c.id_b
-         |JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-         |WHERE CAST(i.n_inter AS DOUBLE)
-         |  / (sa.n + sb.n - i.n_inter) >= 0.2
-         |ORDER BY c.id_a, c.id_b""".stripMargin,
-
-    // Containment: positional trigram sets for each doc AND its 60-char
-    // prefix twin, pairwise intersection, both directional ratios.
-    "q_x2k_containment" ->
-      """WITH allx AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, substr(text, 1, 60) FROM documents
-        |), tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM allx),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-        |  FROM tok a
-        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM sh a JOIN sh b
-        |    ON b.doc_id = a.doc_id + 100000 AND b.sh = a.sh
-        |  GROUP BY 1, 2
-        |)
-        |SELECT d.doc_id AS id_a, d.doc_id + 100000 AS id_b,
-        |  COALESCE(i.n_inter, 0) AS n_inter,
-        |  ROUND(CASE WHEN COALESCE(sa.n, 0) = 0 THEN 0.0
-        |    ELSE COALESCE(i.n_inter, 0) * 1.0 / sa.n END, 6) AS c_a_in_b,
-        |  ROUND(CASE WHEN COALESCE(sb.n, 0) = 0 THEN 0.0
-        |    ELSE COALESCE(i.n_inter, 0) * 1.0 / sb.n END, 6) AS c_b_in_a
-        |FROM documents d
-        |LEFT JOIN sizes sa ON sa.doc_id = d.doc_id
-        |LEFT JOIN sizes sb ON sb.doc_id = d.doc_id + 100000
-        |LEFT JOIN inter i ON i.id_a = d.doc_id
-        |ORDER BY id_a""".stripMargin,
-
-    // The incremental-dedup increment, stage by stage: portable
-    // signatures over corpus ∪ batch (8 bands of 2), bucket expansion
-    // restricted to capped buckets with a new member, exact-Jaccard
-    // ≥ 0.2 verify, a 6-round CC unroll over the verified pairs
-    // (component diameter is 2 at sf0.01), and the corpus-first keeper
-    // election per component.
-    "q_x2i_incremental_dedup" -> {
-      val lead =
-        """allx AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id < 800
-          |), """.stripMargin
-      val ccRounds = (1 to 6).map { i =>
-        s""",
-           |l$i AS MATERIALIZED (
-           |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-           |  FROM l${i - 1} l LEFT JOIN (
-           |    SELECT eadj.src AS id, min(l2.comp) AS mc
-           |    FROM eadj JOIN l${i - 1} l2 ON l2.id = eadj.dst
-           |    GROUP BY eadj.src) m USING (id))""".stripMargin
-      }.mkString
-      s"""${minhashPortableCtes(lead, "allx", perBand = 2)},
-         |bsz AS (
-         |  SELECT band, sig, count(*) AS n FROM band GROUP BY band, sig
-         |), cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y
-         |    ON y.band = x.band AND y.sig = x.sig AND x.doc_id < y.doc_id
-         |  JOIN bsz ON bsz.band = x.band AND bsz.sig = x.sig
-         |  WHERE bsz.n <= 1000 AND (x.doc_id >= 400 OR y.doc_id >= 400)
-         |), dsh AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id, sh FROM sh
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |  FROM cand c
-         |  JOIN dsh a ON a.doc_id = c.id_a
-         |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
-         |  GROUP BY c.id_a, c.id_b
-         |), vp AS MATERIALIZED (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN sizes sa ON sa.doc_id = c.id_a
-         |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-         |  WHERE CAST(i.n_inter AS DOUBLE)
-         |    / (sa.n + sb.n - i.n_inter) >= 0.2
-         |), eadj AS (
-         |  SELECT id_a AS src, id_b AS dst FROM vp
-         |  UNION ALL SELECT id_b, id_a FROM vp
-         |), l0 AS MATERIALIZED (
-         |  SELECT DISTINCT id, id AS comp FROM (
-         |    SELECT id_a AS id FROM vp UNION ALL SELECT id_b FROM vp)
-         |)$ccRounds,
-         |keepers AS (
-         |  SELECT comp,
-         |    COALESCE(min(CASE WHEN id < 400 THEN id END), min(id))
-         |      AS keeper,
-         |    max(CASE WHEN id < 400 THEN 1 ELSE 0 END) AS has_corpus
-         |  FROM l6 GROUP BY comp
-         |), clustered AS (
-         |  SELECT l6.id, k.keeper, k.has_corpus
-         |  FROM l6 JOIN keepers k USING (comp)
-         |)
-         |SELECT d.doc_id,
-         |  COALESCE(c.keeper, d.doc_id) AS keeper_id,
-         |  CASE WHEN c.keeper IS NULL OR c.keeper = d.doc_id THEN 'kept'
-         |       WHEN c.has_corpus = 1 THEN 'corpus'
-         |       ELSE 'batch' END AS reason
-         |FROM (SELECT doc_id FROM documents
-         |      WHERE doc_id >= 400 AND doc_id < 800) d
-         |LEFT JOIN clustered c ON c.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
-
-    // The whole curation pipeline, stage by stage: Gopher quality rules
-    // (q_x4g's rebuild), exact keepers, portable-LSH dedup among the
-    // representatives (6-round CC unroll), trigram decontamination vs the
-    // bench slice (reusing the rep shingles — dedup survivors are reps),
-    // and the quota stage as per-group count arithmetic. Rows with n = 0
-    // are filtered to mirror the groupBy over an attributed report.
-    "q_x10_curate" ->
-      s"""$curationOracleCtes
-         |SELECT stage, CAST(n AS BIGINT) AS n FROM (
-         |  SELECT 'quality' AS stage,
-         |    (SELECT count(*) FROM corpus) - (SELECT count(*) FROM g) AS n
-         |  UNION ALL SELECT 'dedup',
-         |    (SELECT count(*) FROM g) - (SELECT count(*) FROM ded)
-         |  UNION ALL SELECT 'decontamination',
-         |    (SELECT count(*) FROM ded) - (SELECT count(*) FROM dec)
-         |  UNION ALL SELECT 'quota',
-         |    (SELECT COALESCE(sum(CASE WHEN n > 40 THEN n - 40 ELSE 0 END),
-         |       0) FROM counts)
-         |  UNION ALL SELECT 'kept',
-         |    (SELECT COALESCE(sum(least(n, 40)), 0) FROM counts)
-         |) WHERE n > 0 ORDER BY stage""".stripMargin,
-
-    // Temperature tail: per-lang keep rate least(1, T·√n/Σ√n/n) exactly
-    // as the engine computes it (same IEEE ops over the same exact
-    // integer n), membership via the portable md5-48 bucket; the rate
-    // threshold truncates (Spark double→long cast ≡ floor for
-    // non-negative).
-    "q_x10b_curate_temperature" ->
-      s"""$curationOracleCtes,
-         |rates AS (
-         |  SELECT lang, least(CAST(1 AS DOUBLE),
-         |    150 * sqrt(CAST(n AS DOUBLE)) /
-         |    (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM counts) / n) AS rate
-         |  FROM counts
-         |), tkept AS (
-         |  SELECT d.doc_id FROM dec d JOIN rates r USING (lang)
-         |  WHERE CAST(concat('0x',
-         |      substr(md5(concat(42, ':', d.doc_id)), 1, 12)) AS BIGINT)
-         |    % 1000000 < CAST(floor(r.rate * 1000000) AS BIGINT)
-         |)
-         |SELECT stage, CAST(n AS BIGINT) AS n FROM (
-         |  SELECT 'quality' AS stage,
-         |    (SELECT count(*) FROM corpus) - (SELECT count(*) FROM g) AS n
-         |  UNION ALL SELECT 'dedup',
-         |    (SELECT count(*) FROM g) - (SELECT count(*) FROM ded)
-         |  UNION ALL SELECT 'decontamination',
-         |    (SELECT count(*) FROM ded) - (SELECT count(*) FROM dec)
-         |  UNION ALL SELECT 'temperature',
-         |    (SELECT count(*) FROM dec) - (SELECT count(*) FROM tkept)
-         |  UNION ALL SELECT 'kept', (SELECT count(*) FROM tkept)
-         |) WHERE n > 0 ORDER BY stage""".stripMargin,
-
-    // DSIR: hashed-unigram (md5-48 mod 1024) bucket models with Laplace
-    // smoothing on target (lang='en') and raw; per-doc log-ratio weight;
-    // Gumbel from the id hash ((h+0.5)/2^48); rank on the e4-integerized
-    // perturbed score with doc-id tie-break, take 100. ln/exp and the
-    // e4 pattern are the proven q_x4i machinery.
-    "q_x11_dsir" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |feat AS (
-        |  SELECT doc_id, CAST(concat('0x', substr(md5(concat(
-        |      42, ':', token)), 1, 12)) AS BIGINT) % 1024 AS b,
-        |    count(*) AS c
-        |  FROM tok GROUP BY 1, 2),
-        |tc AS (SELECT b, sum(c) AS tn FROM feat
-        |       WHERE doc_id IN (SELECT doc_id FROM documents
-        |                        WHERE lang = 'en')
-        |       GROUP BY b),
-        |rc AS (SELECT b, sum(c) AS rn FROM feat GROUP BY b),
-        |tt AS (SELECT sum(tn) AS t FROM tc),
-        |rt AS (SELECT sum(rn) AS t FROM rc),
-        |ratio AS (
-        |  SELECT r.b,
-        |    ln(CAST(COALESCE(t.tn, 0) + 1 AS DOUBLE)
-        |       / ((SELECT t FROM tt) + 1024))
-        |    - ln(CAST(r.rn + 1 AS DOUBLE)
-        |       / ((SELECT t FROM rt) + 1024)) AS lr
-        |  FROM rc r LEFT JOIN tc t USING (b)),
-        |lw AS (
-        |  SELECT f.doc_id, sum(f.c * ratio.lr) AS lw
-        |  FROM feat f JOIN ratio USING (b) GROUP BY 1),
-        |sc AS (
-        |  SELECT doc_id,
-        |    CAST(floor(lw * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS lw_e4,
-        |    CAST(floor((lw - ln(-ln(
-        |      (CAST(concat('0x', substr(md5(concat(43, ':', doc_id)),
-        |        1, 12)) AS BIGINT) + CAST(0.5 AS DOUBLE))
-        |      / 281474976710656.0))) * 1e4 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS score_e4
-        |  FROM lw)
-        |SELECT doc_id, lw_e4, score_e4 FROM (
-        |  SELECT *, row_number() OVER (
-        |    ORDER BY score_e4 DESC, doc_id) AS rn FROM sc)
-        |WHERE rn <= 100
-        |ORDER BY doc_id""".stripMargin,
-
-    // The whole dedup pipeline, stage by stage: exact keepers (window
-    // min per text), portable LSH + exact-Jaccard ≥ 0.8 pairs among the
-    // exact representatives, connected components as a 6-round min-label
-    // unroll (MATERIALIZED — each round reads the previous twice), then
-    // the keeper/reason composition dedupCorpus emits.
-    "q_x1c_dedup_pipeline" ->
-      s"""$dedupClusterCtes,
-         |dec AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id = cluster THEN 'kept'
-         |         WHEN doc_id <> exact_keeper THEN 'exact'
-         |         ELSE 'near' END AS reason
-         |  FROM fc)
-         |SELECT reason, count(*) AS n FROM dec
-         |GROUP BY reason ORDER BY reason""".stripMargin,
-
-    // Keeper re-election: same clusters, the survivor is the
-    // highest-n_chars member (ties → lowest id) instead of the min-id
-    // label — the argmax window replays electKeepers' max-struct.
-    "q_x1d_best_keeper" ->
-      s"""$dedupClusterCtes,
-         |sc AS (
-         |  SELECT f.doc_id, f.cluster, d.n_chars
-         |  FROM fc f JOIN documents d USING (doc_id)),
-         |k AS (
-         |  SELECT cluster, doc_id AS keeper_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY cluster
-         |      ORDER BY n_chars DESC, doc_id) AS rn FROM sc)
-         |  WHERE rn = 1)
-         |SELECT s.doc_id, s.cluster, k.keeper_id,
-         |  s.doc_id = k.keeper_id AS is_kept
-         |FROM sc s JOIN k USING (cluster) ORDER BY s.doc_id""".stripMargin,
-
-    // Overflow report with maxBucketSize = 1: every bucket shared by ≥ 2
-    // docs counts, so the side-channel is exercised with non-zero output.
-    "q_x2e_minhash_overflow" ->
-      s"""${minhashPortableCtes()},
-         |over AS (
-         |  SELECT band, sig, count(*) AS n_ids FROM band
-         |  GROUP BY band, sig HAVING count(*) > 1
-         |)
-         |SELECT count(*) AS n_overflow_buckets,
-         |  CAST(coalesce(sum(n_ids), 0) AS BIGINT) AS n_overflow_members
-         |FROM over""".stripMargin,
-
-    // Portable-SimHash near-dups: rebuild the 48-bit md5-48 vote
-    // fingerprints, then the full Hamming-≤6 pair set brute-force (the
-    // n² is DuckDB-side only; the engine blocks on pigeonhole bands).
-    // MATERIALIZED on tok/fp: fp is referenced twice by the self-join
-    // and default CTE inlining would duplicate the whole vote pipeline.
-    "q_x2j_simhash_portable" ->
-      """WITH tok AS MATERIALIZED (
-        |  SELECT doc_id, u.tk FROM (
-        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |    FROM documents WHERE text IS NOT NULL),
-        |    LATERAL (SELECT unnest(arr) AS tk) u
-        |  WHERE u.tk <> ''
-        |), h AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(concat(42, ':', tk)), 1, 12))
-        |      AS BIGINT) AS h
-        |  FROM tok
-        |), v AS (
-        |  SELECT doc_id, g.j,
-        |    sum(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h CROSS JOIN generate_series(0, 47) g(j)
-        |  GROUP BY doc_id, g.j
-        |), fp0 AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
-        |             ELSE 0 END) AS BIGINT) AS fp
-        |  FROM v GROUP BY doc_id
-        |), fp AS MATERIALIZED (
-        |  SELECT d.doc_id, COALESCE(fp0.fp, 0) AS fp
-        |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
-        |  LEFT JOIN fp0 USING (doc_id)
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 6
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // SemDeDup rebuild: same augmented corpus (×2-scaled copies — exact
-    // in float), hash-ranked centroids, argmax assignment (q_x3b's
-    // pattern), within-cell cosine pairs, then 3 unrolled CC min-adoption
-    // rounds (components are size ≤ 2 — fixpoint depth 1, margin 3;
-    // MATERIALIZED so the chain doesn't re-inline the assignment twice
-    // per round).
-    "q_x2l_semantic_dedup" ->
-      """WITH corpus AS MATERIALIZED (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000000 AS vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)) AS embedding
-        |  FROM embeddings WHERE vec_id % 25 = 0),
-        |cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
-        |    SELECT vec_id, embedding FROM corpus
-        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |    LIMIT 32)),
-        |asn0 AS (
-        |  SELECT c.vec_id, c.embedding, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM corpus c CROSS JOIN cent ct),
-        |asn AS MATERIALIZED (
-        |  SELECT vec_id, embedding, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
-        |  WHERE rn = 1),
-        |pr AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(a.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(b.embedding) y)))) AS cosine
-        |  FROM asn a JOIN asn b
-        |    ON b.centroid_id = a.centroid_id AND a.vec_id < b.vec_id),
-        |pairs AS (SELECT id_a, id_b FROM pr WHERE cosine >= 0.95),
-        |eadj AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |l0 AS MATERIALIZED (
-        |  SELECT vec_id AS id, vec_id AS comp FROM corpus),
-        |l1 AS MATERIALIZED (
-        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-        |  FROM l0 l LEFT JOIN (
-        |    SELECT eadj.src AS id, min(l2.comp) AS mc
-        |    FROM eadj JOIN l0 l2 ON l2.id = eadj.dst
-        |    GROUP BY eadj.src) m USING (id)),
-        |l2 AS MATERIALIZED (
-        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-        |  FROM l1 l LEFT JOIN (
-        |    SELECT eadj.src AS id, min(l2.comp) AS mc
-        |    FROM eadj JOIN l1 l2 ON l2.id = eadj.dst
-        |    GROUP BY eadj.src) m USING (id)),
-        |l3 AS MATERIALIZED (
-        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-        |  FROM l2 l LEFT JOIN (
-        |    SELECT eadj.src AS id, min(l2.comp) AS mc
-        |    FROM eadj JOIN l2 l2 ON l2.id = eadj.dst
-        |    GROUP BY eadj.src) m USING (id))
-        |SELECT id AS doc_id, comp AS keeper_id,
-        |  CASE WHEN id = comp THEN 'kept' ELSE 'semantic' END AS reason
-        |FROM l3 ORDER BY doc_id""".stripMargin,
-
-    // Incremental-SemDeDup rebuild: assignment of corpus ∪ batch to the
-    // CORPUS-built centroids, new-involving within-cell pairs, 3-round
-    // CC unroll, corpus-first keeper election mirrored as the coalesce
-    // aggregate.
-    "q_x2n_incr_semantic" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding, FALSE AS isnew FROM embeddings
-        |  WHERE vec_id < 400),
-        |batch AS MATERIALIZED (
-        |  SELECT vec_id, embedding, TRUE AS isnew FROM embeddings
-        |  WHERE vec_id >= 400
-        |  UNION ALL
-        |  SELECT vec_id + 100000000,
-        |    list_transform(embedding,
-        |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)), TRUE
-        |  FROM embeddings WHERE vec_id < 400 AND vec_id % 50 = 0
-        |  UNION ALL
-        |  SELECT 200000000,
-        |    list_transform(embedding,
-        |      x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT)), TRUE
-        |  FROM embeddings WHERE vec_id = 450),
-        |allv AS MATERIALIZED (
-        |  SELECT * FROM corpus UNION ALL SELECT * FROM batch),
-        |cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
-        |    SELECT vec_id, embedding FROM corpus
-        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |    LIMIT 32)),
-        |asn0 AS (
-        |  SELECT c.vec_id, c.embedding, c.isnew, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM allv c CROSS JOIN cent ct),
-        |asn AS MATERIALIZED (
-        |  SELECT vec_id, embedding, isnew, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
-        |  WHERE rn = 1),
-        |pr AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    a.isnew AS new_a, b.isnew AS new_b,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(a.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(b.embedding) y)))) AS cosine
-        |  FROM asn a JOIN asn b
-        |    ON b.centroid_id = a.centroid_id AND a.vec_id < b.vec_id
-        |  WHERE a.isnew OR b.isnew),
-        |pairs AS (SELECT id_a, id_b, new_a, new_b FROM pr
-        |          WHERE cosine >= 0.95),
-        |mem AS (
-        |  SELECT id_a AS id, new_a AS isnew FROM pairs
-        |  UNION SELECT id_b, new_b FROM pairs),
-        |eadj AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |l0 AS MATERIALIZED (SELECT id, id AS comp FROM mem),
-        |l1 AS MATERIALIZED (
-        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-        |  FROM l0 l LEFT JOIN (
-        |    SELECT eadj.src AS id, min(l2.comp) AS mc
-        |    FROM eadj JOIN l0 l2 ON l2.id = eadj.dst
-        |    GROUP BY eadj.src) m USING (id)),
-        |l2 AS MATERIALIZED (
-        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-        |  FROM l1 l LEFT JOIN (
-        |    SELECT eadj.src AS id, min(l2.comp) AS mc
-        |    FROM eadj JOIN l1 l2 ON l2.id = eadj.dst
-        |    GROUP BY eadj.src) m USING (id)),
-        |l3 AS MATERIALIZED (
-        |  SELECT l.id, least(l.comp, COALESCE(m.mc, l.comp)) AS comp
-        |  FROM l2 l LEFT JOIN (
-        |    SELECT eadj.src AS id, min(l2.comp) AS mc
-        |    FROM eadj JOIN l2 l2 ON l2.id = eadj.dst
-        |    GROUP BY eadj.src) m USING (id)),
-        |keep AS (
-        |  SELECT l3.comp,
-        |    coalesce(min(CASE WHEN NOT m.isnew THEN m.id END), min(m.id))
-        |      AS keeper,
-        |    max(CASE WHEN NOT m.isnew THEN 1 ELSE 0 END) AS hc
-        |  FROM l3 JOIN mem m ON m.id = l3.id GROUP BY l3.comp),
-        |cl AS (
-        |  SELECT l3.id, k.keeper, k.hc FROM l3
-        |  JOIN keep k USING (comp))
-        |SELECT b.vec_id AS doc_id,
-        |  COALESCE(cl.keeper, b.vec_id) AS keeper_id,
-        |  CASE WHEN cl.keeper IS NULL OR cl.keeper = b.vec_id THEN 'kept'
-        |       WHEN cl.hc = 1 THEN 'corpus' ELSE 'batch' END AS reason
-        |FROM batch b LEFT JOIN cl ON cl.id = b.vec_id
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_s3_scan_region" ->
-      "SELECT * FROM region ORDER BY r_regionkey",
-
-    "q_p1_project_nullfill" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-        |CAST(NULL AS VARCHAR) AS extra_field
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q_a2_union_merge" ->
-      """SELECT c_custkey, MAX(c_name) AS c_name, MAX(n_orders) AS n_orders,
-        |ROUND(MAX(total_spent), 2) AS total_spent FROM (
-        |  SELECT c_custkey, c_name, CAST(NULL AS BIGINT) AS n_orders,
-        |         CAST(NULL AS DOUBLE) AS total_spent FROM customer
-        |  UNION ALL
-        |  SELECT o_custkey, NULL, count(*), sum(o_totalprice)
-        |  FROM orders GROUP BY o_custkey
-        |) GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
-
-    "q_j1_fk_edges" ->
-      """SELECT c_custkey AS start_id, o_orderkey AS end_id, o_totalprice
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |ORDER BY start_id, end_id""".stripMargin,
-
-    "q_j1b_fk_edges_resolved" ->
-      """SELECT c_custkey AS start_id, n_nationkey AS end_id,
-        |c_mktsegment, n_name
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY start_id, end_id""".stripMargin,
-
-    "q_j2_jointable_edges" ->
-      """SELECT DISTINCT l_orderkey AS start_id, l_partkey AS end_id
-        |FROM lineitem
-        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
-        |  AND l_partkey IN (SELECT p_partkey FROM part)
-        |ORDER BY start_id, end_id""".stripMargin,
-
-    "q_j2b_jointable_props" ->
-      """SELECT l_orderkey AS start_id, l_partkey AS end_id,
-        |CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |ROUND(l_quantity, 2) AS l_quantity
-        |FROM lineitem
-        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
-        |  AND l_partkey IN (SELECT p_partkey FROM part)
-        |ORDER BY start_id, end_id, l_linenumber""".stripMargin,
-
-    "q_j3_dangling_edges" ->
-      """SELECT reason, count(*) AS n FROM (
-        |  SELECT 'missing_start' AS reason FROM events
-        |  WHERE user_id NOT IN (SELECT c_custkey FROM customer)
-        |  UNION ALL
-        |  SELECT 'missing_end' AS reason FROM events
-        |  WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
-        |) GROUP BY reason ORDER BY reason""".stripMargin,
-
-    "q_graph_build" ->
-      """SELECT kind, label, n FROM (
-        |  SELECT 'node' AS kind, 'Customer' AS label, count(DISTINCT c_custkey) AS n FROM customer
-        |  UNION ALL SELECT 'node', 'Order', count(DISTINCT o_orderkey) FROM orders
-        |  UNION ALL SELECT 'node', 'Part', count(DISTINCT p_partkey) FROM part
-        |  UNION ALL SELECT 'node', 'Nation', count(DISTINCT n_nationkey) FROM nation
-        |  UNION ALL SELECT 'rel', 'CUSTOMER_PLACED_ORDER', count(*)
-        |    FROM customer JOIN orders ON c_custkey = o_custkey
-        |  UNION ALL SELECT 'rel', 'ORDER_CONTAINS_PART', count(*)
-        |    FROM lineitem
-        |    WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
-        |      AND l_partkey IN (SELECT p_partkey FROM part)
-        |  UNION ALL SELECT 'rel', 'CUSTOMER_IN_NATION', count(*)
-        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |) ORDER BY kind, label""".stripMargin,
-
-    "q_g1_degrees" ->
-      """SELECT c_custkey AS id, count(*) AS degree
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY 1 ORDER BY id""".stripMargin,
-
-    "q_g2_khop" ->
-      """WITH e AS (
-        |  SELECT c_custkey AS s, o_orderkey + 1000000000 AS d
-        |  FROM customer JOIN orders ON c_custkey = o_custkey
-        |  UNION ALL
-        |  SELECT l_orderkey + 1000000000, l_partkey + 2000000000
-        |  FROM lineitem
-        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
-        |    AND l_partkey IN (SELECT p_partkey FROM part)
-        |), seeds AS (
-        |  SELECT c_custkey AS id FROM customer WHERE c_custkey < 5
-        |), h1 AS (
-        |  SELECT DISTINCT e.d AS id FROM e JOIN seeds ON e.s = seeds.id
-        |), h2 AS (
-        |  SELECT DISTINCT e.d AS id FROM e JOIN h1 ON e.s = h1.id
-        |)
-        |SELECT id, 0 AS hop FROM seeds
-        |UNION ALL
-        |SELECT id, 1 FROM h1 WHERE id NOT IN (SELECT id FROM seeds)
-        |UNION ALL
-        |SELECT id, 2 FROM h2 WHERE id NOT IN (SELECT id FROM seeds)
-        |  AND id NOT IN (SELECT id FROM h1)
-        |ORDER BY hop, id""".stripMargin,
-
-    "q_q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |ROUND(sum(l_quantity), 2) AS sum_qty,
-        |ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-        |ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |ROUND(avg(l_quantity), 4) AS avg_qty,
-        |ROUND(avg(l_discount), 4) AS avg_disc,
-        |count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q_revenue_per_nation" ->
-      """SELECT n_name,
-        |ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-
-    "q_set_ops" ->
-      """SELECT 'machinery_buyer' AS set_kind, k FROM (
-        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
-        |  INTERSECT SELECT o_custkey FROM orders)
-        |UNION ALL
-        |SELECT 'machinery_no_orders', k FROM (
-        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
-        |  EXCEPT SELECT o_custkey FROM orders)
-        |ORDER BY set_kind, k""".stripMargin,
-
-    "q_pivot_status" ->
-      """SELECT o_orderpriority,
-        |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-        |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-        |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    "q_window_topk" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
-
-    "q_cube_orders" ->
-      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-        |COALESCE(o_orderpriority, 'ALL') AS priority,
-        |count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin,
-
-    "q_rollup_orders" ->
-      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-        |COALESCE(o_orderpriority, 'ALL') AS priority,
-        |count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin,
-
-    // percent_rank is exact small-integer arithmetic — ties share a rank
-    // on both engines, no tie-break column needed.
-    "q_x6k_score_normalize" ->
-      """SELECT doc_id, lang,
-        |  CAST(floor(PERCENT_RANK() OVER (PARTITION BY lang
-        |    ORDER BY n_chars) * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS pr_e6
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_window_running" ->
-      """SELECT o_custkey, o_orderkey,
-        |ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |  ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-
-    // NFKD fold ≡ strip_accents + drop-non-ASCII on this corpus (document
-    // text is pure ASCII; only the injected prefix exercises the fold).
-    "q_f1_ascii_fold" ->
-      """SELECT doc_id,
-        |regexp_replace(strip_accents('Café—' || text), '[^\x00-\x7F]', '', 'g')
-        |  AS folded
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_x1_dedup_exact" ->
-      """SELECT sha256(text) AS content_sha256, min(doc_id) AS keeper_id,
-        |count(*) AS n_dups
-        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
-
-    // The stub-codec fallback feature, reproduced to the BIT: f0 is a
-    // float32 sequential accumulation (bytes at positions ≡ 0 mod 8,
-    // each /255f), so the oracle list_reduces with a CAST-to-FLOAT per
-    // step — per-step rounding included — before the final /len and
-    // ROUND.
-    "q_x5b_media_features" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |    octet_length(encode(text)) AS n
-        |  FROM documents
-        |), e AS (
-        |  SELECT doc_id, n, u.i,
-        |    CAST(concat('0x', substr(hx, u.i * 2 - 1, 2)) AS INTEGER) AS byte
-        |  FROM b, LATERAL (SELECT unnest(range(1, length(hx) // 2 + 1)) AS i) u
-        |  WHERE (u.i - 1) % 8 = 0
-        |), f AS (
-        |  SELECT doc_id, any_value(n) AS n,
-        |    list_reduce(list_prepend(CAST(0 AS FLOAT),
-        |        list(CAST(CAST(byte AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT)
-        |          ORDER BY i)),
-        |      (acc, x) -> CAST(acc + x AS FLOAT)) AS s
-        |  FROM e GROUP BY doc_id
-        |)
-        |SELECT doc_id,
-        |  ROUND(CAST(CAST(s / CAST(n AS FLOAT) AS FLOAT) AS DOUBLE), 4)
-        |    AS f0
-        |FROM f ORDER BY doc_id""".stripMargin,
-
-    // The EXACT Fingerprint64 hash (31-polynomial mod 2^64 over UTF-8
-    // bytes, seed 1125899906842597), not a portable stand-in: HUGEINT
-    // list_reduce with explicit wrap, reinterpreted signed at the end.
-    // Empty text folds nothing (fp = seed); null text stays null.
-    "q_text_fingerprint" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
-        |  WHERE text IS NOT NULL
-        |), e AS (
-        |  SELECT doc_id, u.i,
-        |    CAST(concat('0x', substr(hx, u.i * 2 - 1, 2)) AS INTEGER) AS byte
-        |  FROM b, LATERAL (SELECT unnest(range(1, length(hx) // 2 + 1)) AS i) u
-        |), f AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |        list(CAST(byte AS HUGEINT) ORDER BY i)),
-        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT)
-        |      AS h
-        |  FROM e GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CASE WHEN d.text IS NULL THEN NULL
-        |    ELSE CAST(CASE
-        |      WHEN COALESCE(f.h, 1125899906842597::HUGEINT)
-        |        >= 9223372036854775808::HUGEINT
-        |      THEN COALESCE(f.h, 1125899906842597::HUGEINT)
-        |        - 18446744073709551616::HUGEINT
-        |      ELSE COALESCE(f.h, 1125899906842597::HUGEINT) END AS BIGINT)
-        |  END AS fp
-        |FROM documents d LEFT JOIN f USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // IVF is deterministic end-to-end (fixed-k hash-sampled centroids,
-    // double cosine, id tie-breaks), so even the ANN path gets an exact
-    // oracle. The centroid CTE mirrors Similarity.ivfIndex: k smallest by
-    // multiplicative hash of the id.
-    "q_x3b_ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
-        |    SELECT vec_id, embedding FROM embeddings
-        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |    LIMIT 32)),
-        |corpus AS (SELECT vec_id, embedding FROM embeddings),
-        |asn0 AS (
-        |  SELECT c.vec_id, c.embedding, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(c.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM corpus c CROSS JOIN cent ct),
-        |asn AS (
-        |  SELECT vec_id, embedding, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv
-        |      FROM embeddings WHERE vec_id < 8),
-        |probe0 AS (
-        |  SELECT q.query_id, q.qv, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(q.qv) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(q.qv) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM q CROSS JOIN cent ct),
-        |probed AS (
-        |  SELECT query_id, qv, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
-        |  WHERE rn <= 3),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(p.qv) x, unnest(a.embedding) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(p.qv) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(a.embedding) y)))) AS cosine
-        |  FROM probed p JOIN asn a ON a.centroid_id = p.centroid_id
-        |    AND a.vec_id <> p.query_id)
-        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // PQ rebuild: hash-ranked 16-row codebook with dense ranks, per-sub
-    // slices, argmin-L2² encoding, query distance tables, and the ADC
-    // sum as an ORDERED 8-term chain (list(d ORDER BY sub) then explicit
-    // left-to-right addition — bit-identical to the codegen kernel's
-    // fold).
-    "q_x3h_pq_topk" ->
-      """WITH cb0 AS (
-        |  SELECT vec_id, embedding,
-        |    row_number() OVER (
-        |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
-        |      AS code
-        |  FROM (SELECT vec_id, embedding FROM embeddings
-        |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |        LIMIT 16)),
-        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-        |cb AS MATERIALIZED (
-        |  SELECT subs.sub, cb0.code,
-        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
-        |      AS cw
-        |  FROM cb0 CROSS JOIN subs),
-        |encd0 AS (
-        |  SELECT e.vec_id, cb.sub, cb.code,
-        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
-        |     FROM (SELECT
-        |         unnest(list_slice(e.embedding,
-        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
-        |         unnest(cb.cw) y)) AS d
-        |  FROM embeddings e CROSS JOIN cb),
-        |enc AS MATERIALIZED (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY d, code) rn FROM encd0)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-        |      WHERE vec_id < 8),
-        |dt0 AS MATERIALIZED (
-        |  SELECT q.query_id, cb.sub, cb.code,
-        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
-        |     FROM (SELECT
-        |         unnest(list_slice(q.embedding,
-        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
-        |         unnest(cb.cw) y)) AS d
-        |  FROM q CROSS JOIN cb),
-        |terms AS (
-        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
-        |  FROM enc en JOIN dt0 d0 ON d0.sub = en.sub AND d0.code = en.code
-        |  WHERE d0.query_id <> en.vec_id
-        |  GROUP BY d0.query_id, en.vec_id),
-        |sc AS (
-        |  SELECT query_id, vec_id,
-        |    ds[1] + ds[2] + ds[3] + ds[4]
-        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
-        |  FROM terms)
-        |SELECT query_id, vec_id,
-        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS adist_e4,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |  ORDER BY adist, vec_id) AS rank FROM sc)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // IVF-PQ rebuild: x3b's cell assignment + probing composed with
-    // x3h's codebook/encoding/distance tables; candidates restricted to
-    // probed cells before the ordered ADC chain.
-    // x3i and x3j share ONE oracle: the save/load round-trip is
-    // semantically a no-op (floats round-trip parquet bit-exactly), so
-    // the stored-index query must reproduce the in-memory result rows
-    "q_x3i_ivfpq_topk" -> ivfPqOracleSql,
-
-    "q_x3m_ivfpq_residual" -> ivfPqResidualOracleSql,
-
-    "q_x3o_rerank_topk" ->
-      (ivfPqOracleCtesFrom("") + """,
-        |rr25 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist, vec_id) AS rank FROM sc)
-        |  WHERE rank <= 25),
-        |rr0 AS (
-        |  SELECT r.query_id, r.vec_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
-        |  FROM rr25 r
-        |  JOIN q ON q.query_id = r.query_id
-        |  JOIN embeddings e ON e.vec_id = r.vec_id)
-        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
-        |  CAST(rk AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |  ORDER BY cosine DESC, vec_id) AS rk FROM rr0)
-        |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
-
-    "q_x3j_index_reuse" -> ivfPqOracleSql,
-
-    // Incremental-update rebuild: identical pipeline, but the
-    // quantizers sample only the base slice while assignment/encoding
-    // still cover the whole corpus — exactly what the frozen-quantizer
-    // append converges to.
-    "q_x3k_index_update" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
-    // Compaction is query-identical by construction, so the compacted
-    // index answers to the SAME oracle as the fragmented one.
-    "q_x3p_compacted_index" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
-
-    // The q_x3p rebuild with the tombstoned ids excluded BEFORE the
-    // ranking — a deleted row must not occupy a rank.
-    "q_x3q_deleted_index" ->
-      (ivfPqOracleCtesFrom("WHERE vec_id < 300") +
-        """
-          |SELECT query_id, vec_id,
-          |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-          |    AS adist_e4,
-          |  CAST(rank AS BIGINT) AS rank
-          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-          |  ORDER BY adist, vec_id) AS rank
-          |  FROM sc WHERE vec_id % 5 <> 1)
-          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
-
-    // Recall audit rebuild: the ivfpq CTE prefix supplies the PQ leg
-    // (sc) plus the shared q/cent/cell/probe0; the IVF leg re-probes at
-    // nProbe 3 with exact cosine inside probed cells (q_x3b's shape);
-    // the exact leg is q_x3's all-pairs cosine. Hits by left-join
-    // membership; sums cast back from HUGEINT.
-    "q_x3l_recall_audit" ->
-      (ivfPqOracleCtesFrom("") + ivfPqResidualSuffixCtes + """,
-        |pq5 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist, vec_id) AS rank FROM sc)
-        |  WHERE rank <= 5),
-        |rpq5 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist, vec_id) AS rank FROM rsc)
-        |  WHERE rank <= 5),
-        |rr25 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist, vec_id) AS rank FROM sc)
-        |  WHERE rank <= 25),
-        |rr0 AS (
-        |  SELECT r.query_id, r.vec_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
-        |  FROM rr25 r
-        |  JOIN q ON q.query_id = r.query_id
-        |  JOIN embeddings e ON e.vec_id = r.vec_id),
-        |rr5 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, vec_id) AS rk FROM rr0)
-        |  WHERE rk <= 5),
-        |probed3 AS (
-        |  SELECT query_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
-        |  WHERE rn <= 3),
-        |iv0 AS (
-        |  SELECT p.query_id, ce.vec_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
-        |  FROM probed3 p
-        |  JOIN cell ce ON ce.centroid_id = p.centroid_id
-        |  JOIN q ON q.query_id = p.query_id
-        |  JOIN embeddings e ON e.vec_id = ce.vec_id
-        |  WHERE ce.vec_id <> p.query_id),
-        |ivf5 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, vec_id) AS rk FROM iv0)
-        |  WHERE rk <= 5),
-        |ex0 AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
-        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
-        |exact5 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, vec_id) AS rk FROM ex0)
-        |  WHERE rk <= 5),
-        |per AS (
-        |  SELECT x.query_id,
-        |    CAST(count(*) AS BIGINT) AS n_exact,
-        |    CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ivf_hits,
-        |    CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ivfpq_hits,
-        |    CAST(sum(CASE WHEN rq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS resid_hits,
-        |    CAST(sum(CASE WHEN rr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS rerank_hits
-        |  FROM exact5 x
-        |  LEFT JOIN ivf5 iv ON iv.query_id = x.query_id
-        |    AND iv.vec_id = x.vec_id
-        |  LEFT JOIN pq5 pq ON pq.query_id = x.query_id
-        |    AND pq.vec_id = x.vec_id
-        |  LEFT JOIN rpq5 rq ON rq.query_id = x.query_id
-        |    AND rq.vec_id = x.vec_id
-        |  LEFT JOIN rr5 rr ON rr.query_id = x.query_id
-        |    AND rr.vec_id = x.vec_id
-        |  GROUP BY x.query_id)
-        |SELECT query_id, n_exact, ivf_hits, ivfpq_hits, resid_hits,
-        |  rerank_hits
-        |FROM per
-        |UNION ALL
-        |SELECT CAST(-1 AS BIGINT) AS query_id,
-        |  CAST(sum(n_exact) AS BIGINT) AS n_exact,
-        |  CAST(sum(ivf_hits) AS BIGINT) AS ivf_hits,
-        |  CAST(sum(ivfpq_hits) AS BIGINT) AS ivfpq_hits,
-        |  CAST(sum(resid_hits) AS BIGINT) AS resid_hits,
-        |  CAST(sum(rerank_hits) AS BIGINT) AS rerank_hits FROM per
-        |ORDER BY query_id""".stripMargin),
-
-    "q_x2b_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
-        |  FROM documents
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |), inter AS (
-        |  SELECT p.id_a, p.id_b, count(*) AS n_inter
-        |  FROM pairs p
-        |  JOIN tok ta ON ta.doc_id = p.id_a
-        |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
-        |  GROUP BY p.id_a, p.id_b
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
-        |)
-        |SELECT p.id_a, p.id_b,
-        |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
-        |        (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
-        |FROM pairs p
-        |JOIN sizes sa ON sa.doc_id = p.id_a
-        |JOIN sizes sb ON sb.doc_id = p.id_b
-        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
-        |ORDER BY p.id_a""".stripMargin,
-
-    // Same plain-alternation pattern under RE2; list length = hit count.
-    "q_x4l_blocklist" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text),
-        |    '\b(slow|dup|big data)\b', 1)) AS INTEGER) AS n_hits,
-        |  len(regexp_extract_all(lower(text),
-        |    '\b(slow|dup|big data)\b', 1)) = 0 AS kept
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Positional trigram rebuild (all OCCURRENCES — no DISTINCT, unlike
-    // q_x7), corpus-wide counts, per-doc duplicated fraction ×1e6.
-    "q_x2h_dup_ngrams" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |), sh AS (
-        |  SELECT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-        |  FROM tok a
-        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |), cnt AS (
-        |  SELECT sh, count(*) AS c FROM sh GROUP BY sh
-        |), per AS (
-        |  SELECT s.doc_id, count(*) AS n_ngrams,
-        |    sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup
-        |  FROM sh s JOIN cnt ON cnt.sh = s.sh
-        |  GROUP BY s.doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
-        |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
-        |  CAST(CASE WHEN coalesce(p.n_ngrams, 0) = 0 THEN 0
-        |       ELSE floor(CAST(p.n_dup AS DOUBLE) / p.n_ngrams * 1e6 + 0.5)
-        |       END AS BIGINT) AS dup_frac_e6
-        |FROM documents d LEFT JOIN per p USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // Span removal: positional trigram rebuild (q_x2h's), coverage =
-    // each duplicated occurrence's 3 token positions, survivors
-    // reassembled by ordered string_agg (whitespace canonicalizes to
-    // single spaces on both engines by construction).
-    "q_x2m_dup_span_removal" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |  WHERE length(u.tk) > 0
-        |), sh AS (
-        |  SELECT a.doc_id, a.pos, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-        |  FROM tok a
-        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |), cnt AS (
-        |  SELECT sh, count(*) AS c FROM sh GROUP BY sh
-        |), cov AS (
-        |  SELECT DISTINCT s.doc_id, s.pos + d.d AS tp
-        |  FROM sh s JOIN cnt ON cnt.sh = s.sh AND cnt.c >= 2,
-        |       LATERAL (SELECT unnest([0, 1, 2]) AS d) d
-        |), keptt AS (
-        |  SELECT t.doc_id, t.pos, t.tk
-        |  FROM tok t LEFT JOIN cov
-        |    ON cov.doc_id = t.doc_id AND cov.tp = t.pos
-        |  WHERE cov.doc_id IS NULL
-        |), reb AS (
-        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
-        |    count(*) AS n_kept
-        |  FROM keptt GROUP BY doc_id
-        |), tot AS (
-        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  COALESCE(r.clean_text, '') AS clean_text,
-        |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
-        |  CAST(COALESCE(t.n, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
-        |    AS n_removed
-        |FROM documents d
-        |LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // First-occurrence election mirrored as a row_number window over
-    // (doc_id, pos); reassembly = ordered string_agg. The winner order is
-    // total, so both engines elect identical keepers.
-    "q_x2g_para_dedup" ->
-      """WITH docs2 AS (
-        |  SELECT doc_id,
-        |    substr(text, 1, 40) || chr(10) ||
-        |    'Subscribe to our newsletter today!' || chr(10) ||
-        |    substr(text, 41, 40) AS text
-        |  FROM documents
-        |), paras AS (
-        |  SELECT doc_id, u.pos, u.para
-        |  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS arr
-        |        FROM docs2),
-        |       LATERAL (SELECT unnest(arr) AS para,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |  WHERE trim(u.para) <> ''
-        |), kept AS (
-        |  SELECT doc_id, pos, para,
-        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
-        |  FROM paras
-        |), rebuilt AS (
-        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
-        |    count(*) AS n_kept
-        |  FROM kept WHERE rn = 1 GROUP BY doc_id
-        |), totals AS (
-        |  SELECT doc_id, count(*) AS total FROM paras GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  coalesce(r.clean_text, '') AS clean_text,
-        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-        |  CAST(coalesce(t.total, 0) - coalesce(r.n_kept, 0) AS BIGINT)
-        |    AS n_dropped
-        |FROM documents d
-        |LEFT JOIN totals t USING (doc_id)
-        |LEFT JOIN rebuilt r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // Edges exist only between consecutive ids, so components are
-    // gaps-and-islands: component = latest island-start ≤ doc_id.
-    "q_x1b_dedup_clusters" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
-        |  FROM documents
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |), inter AS (
-        |  SELECT p.id_a, p.id_b, count(*) AS n_inter
-        |  FROM pairs p
-        |  JOIN tok ta ON ta.doc_id = p.id_a
-        |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
-        |  GROUP BY p.id_a, p.id_b
-        |), sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        |edges AS (
-        |  SELECT p.id_a, p.id_b
-        |  FROM pairs p
-        |  JOIN sizes sa ON sa.doc_id = p.id_a
-        |  JOIN sizes sb ON sb.doc_id = p.id_b
-        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
-        |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
-        |        (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.6
-        |), marks AS (
-        |  SELECT d.doc_id,
-        |    CASE WHEN e.id_a IS NULL THEN d.doc_id END AS island_start
-        |  FROM documents d LEFT JOIN edges e ON e.id_b = d.doc_id)
-        |SELECT doc_id,
-        |  max(island_start) OVER (ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) AS component
-        |FROM marks ORDER BY doc_id""".stripMargin,
-
-    "q_x3_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |           FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
-        |prod AS (
-        |  SELECT query_id, vec_id,
-        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
-        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
-        |  FROM (SELECT query_id, vec_id, unnest(qv) AS x, unnest(cv) AS y
-        |        FROM q JOIN c ON query_id <> vec_id)
-        |  GROUP BY query_id, vec_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id,
-        |    dot / (sqrt(qq) * sqrt(cc)) AS cosine,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id) AS rank
-        |  FROM prod)
-        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // int8 quantization reproduced exactly: scale = float(max|x|/127) (1
-    // for the zero vector), q = clamp(floor(x/scale + 0.5), ±127) — the
-    // spelled-out JVM Math.round, NOT DuckDB round() (half-away differs on
-    // negatives) — and q·scale is exact in double (7-bit × 24-bit mantissa
-    // fits 53) so the FLOAT cast reproduces Scala's Byte*Float to the bit.
-    "q_x3c_quantized_topk" ->
-      """WITH sc AS (
-        |  SELECT vec_id, embedding,
-        |    CASE WHEN list_max(list_transform(embedding,
-        |             x -> abs(CAST(x AS DOUBLE)))) = 0
-        |         THEN CAST(1 AS FLOAT)
-        |         ELSE CAST(list_max(list_transform(embedding,
-        |             x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE)
-        |           AS FLOAT) END AS scale
-        |  FROM embeddings),
-        |dq AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x ->
-        |      CAST(GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
-        |          floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
-        |            + CAST(0.5 AS DOUBLE))))
-        |        * CAST(scale AS DOUBLE) AS FLOAT)) AS v
-        |  FROM sc),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 8),
-        |prod AS (
-        |  SELECT query_id, vec_id,
-        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
-        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
-        |  FROM (SELECT query_id, c.vec_id, unnest(qv) AS x, unnest(c.v) AS y
-        |        FROM q JOIN dq c ON query_id <> c.vec_id)
-        |  GROUP BY query_id, vec_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id,
-        |    dot / (sqrt(qq) * sqrt(cc)) AS cosine,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id) AS rank
-        |  FROM prod)
-        |SELECT query_id, vec_id,
-        |  CAST(floor(cosine * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS cosine_e4, rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // All-pairs reference for the blocked Levenshtein path: a hash match
-    // proves the length-band candidate generation is lossless.
-    "q_x2f_edit_neardups" ->
-      """WITH d AS (
-        |  SELECT doc_id, substr(trim(text), 1, 24) AS k
-        |  FROM documents WHERE doc_id < 300)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS edit_distance
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.k, b.k) <= 5
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_x2d_cosine_neardups" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
-        |prod AS (
-        |  SELECT id_a, id_b,
-        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
-        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
-        |  FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |          unnest(a.embedding) AS x, unnest(b.embedding) AS y
-        |        FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |  GROUP BY id_a, id_b)
-        |SELECT id_a, id_b, ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
-        |FROM prod WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_x4_text_stats" ->
-      """SELECT lang, count(*) AS n_docs,
-        |ROUND(avg(n_chars), 4) AS avg_chars,
-        |ROUND(avg(CASE WHEN length(trim(text)) = 0 THEN 0
-        |  ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END), 4)
-        |  AS avg_tokens,
-        |ROUND(avg(length(text)), 4) AS avg_len
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q_x4c_vocab_topk" ->
-      """WITH tok AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
-        |  FROM documents)
-        |SELECT tk, count(*) AS n FROM tok GROUP BY tk
-        |ORDER BY n DESC, tk LIMIT 20""".stripMargin,
-
-    "q_x4d_length_percentiles" ->
-      """SELECT ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
-        |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
-        |ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
-        |count(*) AS n_docs FROM documents""".stripMargin,
-
-    "q_x4d2_pctl_by_lang" ->
-      """SELECT lang,
-        |ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
-        |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
-        |count(*) AS n_docs FROM documents
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q_x4e_clean_repetition" ->
-      """WITH dirty AS (
-        |  SELECT doc_id,
-        |    'mail u' || doc_id || '@ex.org ip 10.0.0.' || (doc_id % 256)
-        |      || ' ' || text AS dirty
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(dirty,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted,
-        |  ROUND(CASE WHEN length(trim(dirty)) = 0 THEN 0.0
-        |    ELSE 1.0 -
-        |      CAST(array_length(list_distinct(
-        |        regexp_split_to_array(trim(dirty), '\s+'))) AS DOUBLE) /
-        |      array_length(regexp_split_to_array(trim(dirty), '\s+'))
-        |  END, 6) AS rep_ratio
-        |FROM dirty ORDER BY doc_id""".stripMargin,
-
-    // PII-scrub rebuild: the same four-stage fold, each stage counting
-    // on the previous stage's output then replacing globally; the
-    // pattern strings are interpolated from the engine's own constants
-    // (Java∩RE2 subset), so both engines execute identical regexes.
-    "q_x4t_pii_scrub" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
-         |    '@example.com or 10.' || (doc_id % 256)::VARCHAR ||
-         |    '.0.7 tel +1 (555) 123-4567 ssn 123-45-6789' AS t0
-         |  FROM documents),
-         |s1 AS (SELECT doc_id,
-         |  len(regexp_extract_all(t0, '${Curation.EmailRe}'))
-         |    AS n_emails,
-         |  regexp_replace(t0, '${Curation.EmailRe}', '<EMAIL>', 'g')
-         |    AS t1 FROM aug),
-         |s2 AS (SELECT doc_id, n_emails,
-         |  len(regexp_extract_all(t1, '${Curation.IpV4Re}')) AS n_ips,
-         |  regexp_replace(t1, '${Curation.IpV4Re}', '<IP>', 'g')
-         |    AS t2 FROM s1),
-         |s3 AS (SELECT doc_id, n_emails, n_ips,
-         |  len(regexp_extract_all(t2, '${Curation.SsnRe}')) AS n_ssns,
-         |  regexp_replace(t2, '${Curation.SsnRe}', '<SSN>', 'g')
-         |    AS t3 FROM s2),
-         |s4 AS (SELECT doc_id, n_emails, n_ips, n_ssns,
-         |  len(regexp_extract_all(t3, '${Curation.PhoneRe}'))
-         |    AS n_phones,
-         |  regexp_replace(t3, '${Curation.PhoneRe}', '<PHONE>', 'g')
-         |    AS t4 FROM s3)
-         |SELECT doc_id, n_emails, n_ips, n_ssns, n_phones,
-         |  md5(t4) AS scrub_md5
-         |FROM s4 ORDER BY doc_id""".stripMargin,
-
-    // HTML shell rebuilt by string concat, then the staged regex fold
-    // replayed verbatim (shared Java∩RE2 patterns interpolated from
-    // the engine constants; chr(10) is the newline replacement —
-    // single-quoted SQL keeps backslashes literal, so '\n' in a
-    // PATTERN is RE2's newline escape while a REPLACEMENT needs the
-    // real character).
-    "q_x4u_html_extract" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id, '<html><head><title>Doc ' || doc_id::VARCHAR
-         |    || '</title><script type="text/javascript">var x = '
-         |    || doc_id::VARCHAR
-         |    || ';</script><style>.c { color: red }</style></head>'
-         |    || '<body><!-- nav ' || doc_id::VARCHAR
-         |    || ' --><h1>Title ' || doc_id::VARCHAR
-         |    || '</h1><p>' || text
-         |    || '</p><div class="f">copy &amp;lt; paste &lt;here&gt;'
-         |    || '&nbsp;&#39;now&quot;</div><a href="http://ex.org/'
-         |    || doc_id::VARCHAR || '">link</a><br/></body></html>'
-         |    AS t0
-         |  FROM documents),
-         |s1 AS (SELECT doc_id,
-         |  len(regexp_extract_all(t0, '${Curation.HtmlScriptRe}'))
-         |    AS n_scripts,
-         |  regexp_replace(regexp_replace(regexp_replace(t0,
-         |    '${Curation.HtmlScriptRe}', '', 'g'),
-         |    '${Curation.HtmlStyleRe}', '', 'g'),
-         |    '${Curation.HtmlCommentRe}', '', 'g') AS t1 FROM aug),
-         |s2 AS (SELECT doc_id, n_scripts,
-         |  len(regexp_extract_all(t1, '${Curation.HtmlLinkRe}'))
-         |    AS n_links,
-         |  regexp_replace(t1, '${Curation.HtmlBlockSepRe}', chr(10),
-         |    'g') AS t2 FROM s1),
-         |s3 AS (SELECT doc_id, n_scripts, n_links,
-         |  len(regexp_extract_all(t2, '${Curation.HtmlTagRe}'))
-         |    AS n_tags,
-         |  regexp_replace(t2, '${Curation.HtmlTagRe}', '', 'g')
-         |    AS t3 FROM s2),
-         |s4 AS (SELECT doc_id, n_scripts, n_links, n_tags,
-         |  regexp_replace(regexp_replace(regexp_replace(
-         |  regexp_replace(regexp_replace(regexp_replace(t3,
-         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-         |    '&quot;', '"', 'g'), '&#39;', '''', 'g'),
-         |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t4 FROM s3),
-         |s5 AS (SELECT doc_id, n_scripts, n_links, n_tags,
-         |  regexp_replace(regexp_replace(regexp_replace(
-         |  regexp_replace(t4,
-         |    '[ \\t\\r]+', ' ', 'g'),
-         |    ' ?\\n ?', chr(10), 'g'),
-         |    '\\n{3,}', chr(10) || chr(10), 'g'),
-         |    '^[ \\n]+|[ \\n]+$$', '', 'g') AS t5 FROM s4)
-         |SELECT doc_id, n_scripts, n_links, n_tags, md5(t5) AS text_md5
-         |FROM s5 ORDER BY doc_id""".stripMargin,
-
-    // Readability rebuild: identical RE2-safe run patterns, exact
-    // counts, score shapes mirrored term-for-term ((206.835 − 1.015·ws)
-    // − 84.6·yw; (0.39·ws + 11.8·yw) − 15.59), e4.
-    "q_x4s_readability" ->
-      """WITH r AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
-        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
-        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, w, s, y,
-        |    CAST(w AS DOUBLE) / CAST(s AS DOUBLE) AS ws,
-        |    CAST(y AS DOUBLE) / CAST(w AS DOUBLE) AS yw
-        |  FROM r)
-        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
-        |  CAST(s AS BIGINT) AS n_sentences, CAST(y AS BIGINT) AS n_syllables,
-        |  CASE WHEN w = 0 THEN NULL ELSE
-        |    CAST(floor((CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * ws
-        |      - CAST(84.6 AS DOUBLE) * yw) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS flesch_e4,
-        |  CASE WHEN w = 0 THEN NULL ELSE
-        |    CAST(floor((CAST(0.39 AS DOUBLE) * ws + CAST(11.8 AS DOUBLE) * yw
-        |      - CAST(15.59 AS DOUBLE)) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS fk_e4
-        |FROM d ORDER BY doc_id""".stripMargin,
-
-    // Portable JL projection: ±1 sign = parity of md5-48("42:i,j"),
-    // out_j = Σᵢ ±xᵢ · (1/√16), rounded through FLOAT exactly as the
-    // kernel does (the float rounding also absorbs summation-order ulps),
-    // then e4-integerized. i is 0-based in the kernel, 1-based from
-    // generate_subscripts — hence u.i - 1.
-    "q_x3g_project_portable" ->
-      """WITH el AS (
-        |  SELECT vec_id, u.x, u.i
-        |  FROM (SELECT vec_id, embedding AS arr FROM embeddings),
-        |    LATERAL (SELECT unnest(arr) AS x,
-        |             generate_subscripts(arr, 1) AS i) u
-        |), s AS (
-        |  SELECT vec_id, g.j,
-        |    sum(CASE WHEN (CAST(concat('0x',
-        |          substr(md5(concat(42, ':', u.i - 1, ',', g.j)), 1, 12))
-        |          AS BIGINT) & 1) = 0
-        |        THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END) AS acc
-        |  FROM el u CROSS JOIN generate_series(0, 15) g(j)
-        |  GROUP BY vec_id, g.j
-        |)
-        |SELECT vec_id, j,
-        |  CAST(floor(CAST(CAST(acc * CAST(0.25 AS DOUBLE) AS FLOAT)
-        |    AS DOUBLE) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_e4
-        |FROM s ORDER BY vec_id, j""".stripMargin,
-
-    // Hashed-feature linear scorer: rebuild feature ids (md5-48 mod
-    // 1024), the seeded weight table (md5-48 of "w:<f>" affine-mapped to
-    // [-1,1]), and the per-doc mean; e6-integerized.
-    "q_x4p_quality_model" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk FROM (
-        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |    FROM documents WHERE text IS NOT NULL),
-        |    LATERAL (SELECT unnest(arr) AS tk) u
-        |  WHERE u.tk <> ''
-        |), f AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(concat(42, ':', tk)), 1, 12))
-        |      AS BIGINT) % 1024 AS feature_id
-        |  FROM tok
-        |), w AS (
-        |  SELECT g.f AS feature_id,
-        |    CAST(CAST(concat('0x', substr(md5(concat(42, ':', 'w:', g.f)),
-        |        1, 12)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS weight
-        |  FROM generate_series(0, 1023) g(f)
-        |), s AS (
-        |  SELECT f.doc_id, sum(w.weight) / count(*) AS score,
-        |    count(*) AS n
-        |  FROM f JOIN w USING (feature_id) GROUP BY f.doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CAST(floor(COALESCE(s.score, 0) * 1e3 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS score_e6,
-        |  COALESCE(s.n, 0) AS n_tokens
-        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
-        |LEFT JOIN s USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // The Bloom-prefiltered path is output-identical to the exact path
-    // (prefilter is a provable superset, verify is exact) — same oracle.
-    "q_x7d_decontaminate_bloom" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id,
-        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-        |  FROM tok a
-        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |)
-        |SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
-        |FROM sh d JOIN sh b ON d.sh = b.sh
-        |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Trigram shingles rebuilt positionally (tok ⋈ pos+1 ⋈ pos+2), distinct
-    // per doc, then corpus⋈bench on the shingle string — mirrors
-    // Decontaminate.contaminationPairs exactly.
-    "q_x7_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id,
-        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-        |  FROM tok a
-        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |)
-        |SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
-        |FROM sh d JOIN sh b ON d.sh = b.sh
-        |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Same shingle construction as q_x7; bench collapses to its
-    // distinct shingle set, corpus side left-joins and aggregates.
-    "q_x7e_contamination_report" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id,
-        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-        |  FROM tok a
-        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |), bsh AS (
-        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
-        |), rep AS (
-        |  SELECT d.doc_id, count(*) AS n_shingles,
-        |    sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS n_contaminated
-        |  FROM sh d LEFT JOIN bsh b ON b.sh = d.sh
-        |  WHERE d.doc_id % 97 <> 0
-        |  GROUP BY 1)
-        |SELECT doc_id, n_shingles,
-        |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
-        |  CAST(floor(CAST(n_contaminated AS DOUBLE)
-        |    / CAST(n_shingles AS DOUBLE) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS frac_e6
-        |FROM rep ORDER BY doc_id""".stripMargin,
-
-    // FD check rebuild: distinct dependent count + explicit null-state
-    // flag, violations only.
-    "q_v16_fd_violations" ->
-      """SELECT l_partkey,
-        |  (count(DISTINCT l_suppkey)
-        |    + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END))
-        |    AS n_dep_values,
-        |  count(*) AS n_rows
-        |FROM lineitem
-        |WHERE l_partkey IS NOT NULL
-        |GROUP BY 1
-        |HAVING (count(DISTINCT l_suppkey)
-        |  + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)) > 1
-        |ORDER BY l_partkey""".stripMargin,
-
-    // Same unnest-pair cosine rebuild as q_x2d, but corpus × bench
-    // instead of the upper triangle.
-    "q_x7c_semantic_decon" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings
-        |           WHERE vec_id < 2000),
-        |prod AS (
-        |  SELECT doc_id, bench_id,
-        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
-        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
-        |  FROM (SELECT d.vec_id AS doc_id, b.vec_id AS bench_id,
-        |          unnest(d.embedding) AS x, unnest(b.embedding) AS y
-        |        FROM e d JOIN e b
-        |          ON d.vec_id % 97 <> 0 AND b.vec_id % 97 = 0)
-        |  GROUP BY doc_id, bench_id)
-        |SELECT doc_id, bench_id,
-        |  ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
-        |FROM prod WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.35
-        |ORDER BY doc_id, bench_id""".stripMargin,
-
-    // Same character-class regex (portable across Java regex / RE2),
-    // same row_number cap.
-    "q_x6i_domain_cap" ->
-      """WITH u AS (
-        |  SELECT doc_id, n_chars,
-        |    'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
-        |    '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, n_chars,
-        |    regexp_extract(url,
-        |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)
-        |      AS host
-        |  FROM u)
-        |SELECT doc_id, host, n_chars FROM (
-        |  SELECT doc_id, host, n_chars,
-        |    row_number() OVER (PARTITION BY host
-        |      ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM h)
-        |WHERE rn <= 3 ORDER BY host, doc_id""".stripMargin,
-
-    // Canonicalization rebuilt step-for-step: same fragment strip,
-    // lowercased scheme and host[:port] (userinfo case preserved per
-    // RFC 3986 §3.2.1), default-port drops, tracking-param list_filter
-    // (same character-class alternation), original param order
-    // preserved, empty path → '/'.
-    "q_x6u_canonical_url" ->
-      """WITH src AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 4 AS INTEGER)
-        |      WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/Doc/'
-        |        || CAST(doc_id AS VARCHAR)
-        |        || '?utm_source=feed&page=2&gclid=abc#top'
-        |      WHEN 1 THEN 'https://' || source || '.com:443#Sec-'
-        |        || CAST(doc_id AS VARCHAR)
-        |      WHEN 2 THEN 'https://' || source || '.com/doc/'
-        |        || CAST(doc_id AS VARCHAR) || '?utm_medium=x&id='
-        |        || CAST(doc_id AS VARCHAR) || '&fbclid=z'
-        |      ELSE 'http://' || source || '.com:8080/doc/'
-        |        || CAST(doc_id AS VARCHAR) END AS url
-        |  FROM documents),
-        |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM src),
-        |parts AS (
-        |  SELECT doc_id,
-        |    regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://') AS hs,
-        |    lower(regexp_extract(u,
-        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_extract(u,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-        |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
-        |      AS rest
-        |  FROM nf),
-        |p1 AS (
-        |  SELECT doc_id, hs, scheme, rest,
-        |    regexp_extract(auth, '^([^@]*@)', 1) AS ui,
-        |    lower(regexp_replace(auth, '^[^@]*@', '')) AS hp
-        |  FROM parts),
-        |p2 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN hs THEN scheme || '://' || ui ||
-        |      (CASE WHEN scheme = 'http'
-        |          THEN regexp_replace(hp, ':80$', '')
-        |        WHEN scheme = 'https'
-        |          THEN regexp_replace(hp, ':443$', '')
-        |        ELSE hp END)
-        |      ELSE '' END AS np,
-        |    regexp_replace(rest, '[?].*', '') AS path,
-        |    CASE WHEN position('?' IN rest) > 0
-        |      THEN regexp_replace(rest, '^[^?]*[?]', '') ELSE '' END AS q
-        |  FROM p1),
-        |p3 AS (
-        |  SELECT doc_id, np, path,
-        |    -- array_to_string of an EMPTY list is NULL in DuckDB (it
-        |    -- would null the final concat): coalesce back to ''
-        |    coalesce(array_to_string(list_filter(string_split(q, '&'),
-        |      x -> x <> '' AND NOT regexp_matches(x,
-        |        '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid)=')),
-        |      '&'), '') AS qs
-        |  FROM p2)
-        |SELECT doc_id,
-        |  np || (CASE WHEN path = '' AND np <> '' THEN '/' ELSE path END)
-        |     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
-        |FROM p3 ORDER BY doc_id""".stripMargin,
-
-    // sqrt is correctly rounded by IEEE-754 on both engines; the sums and
-    // ratios are integerized ×1e6 so no raw double reaches the hash.
-    "q_x6h_temperature" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |s AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS sc FROM c),
-        |t AS (SELECT sum(sc) AS tot FROM s)
-        |SELECT lang, n,
-        |  CAST(floor(sc / tot * 1e6 + 0.5) AS BIGINT) AS p_e6,
-        |  CAST(floor(least(CAST(1 AS DOUBLE), 1000 * sc / tot / n) * 1e6
-        |    + 0.5) AS BIGINT) AS rate_e6
-        |FROM s, t ORDER BY lang""".stripMargin,
-
-    "q_x6_stratified_topk" ->
-      """SELECT lang, doc_id, n_chars FROM (
-        |  SELECT lang, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
-
-    // The portable-hash oracles below recompute the engine's md5-48bit
-    // seeded hash exactly: DuckDB parses '0x'-prefixed hex string casts,
-    // so CAST(concat('0x', substr(md5('<seed>:<id>'),1,12)) AS BIGINT)
-    // equals Spark's conv(substr(md5(...),1,12),16,10) bit-for-bit.
-    // Epoch order rebuilt as the naive global window the engine's
-    // bucketed two-phase form must equal row-for-row.
-    "q_x6q_epoch_order" ->
-      """WITH k AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x',
-        |        substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
-        |      % 1000000 AS key
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
-        |    AS pos
-        |FROM k ORDER BY pos""".stripMargin,
-
-    // Multi-epoch shuffle + pack rebuilt: md5-48 over "<seed>:<id>:
-    // <epoch>" (the negativePairs key shape), naive per-epoch global
-    // window for pos, then packByBudget's running-sum cuts at 4096
-    // replayed with integer window arithmetic.
-    "q_x6r_epoch_pack" ->
-      """WITH d AS (
-        |  SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
-        |ep AS (
-        |  SELECT doc_id, n_chars, unnest(range(0, 2)) AS epoch FROM d),
-        |k AS (
-        |  SELECT doc_id, n_chars, epoch,
-        |    CAST(concat('0x', substr(md5(concat(
-        |        42, ':', doc_id, ':', epoch)), 1, 12)) AS BIGINT)
-        |      % 1000000 AS key
-        |  FROM ep),
-        |o AS (
-        |  SELECT doc_id, n_chars, epoch,
-        |    CAST(row_number() OVER (PARTITION BY epoch
-        |      ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
-        |  FROM k),
-        |p AS (
-        |  SELECT epoch, doc_id, pos, n_chars,
-        |    sum(n_chars) OVER (PARTITION BY epoch ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rend
-        |  FROM o)
-        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, pos,
-        |  CAST(rend - n_chars AS BIGINT) AS start_offset,
-        |  CAST((rend - n_chars) // 4096 AS BIGINT) AS bin,
-        |  CAST((rend - 1) // 4096 - (rend - n_chars) // 4096 + 1
-        |    AS BIGINT) AS spans
-        |FROM p ORDER BY epoch, pos""".stripMargin,
-
-    // Length batches: the same total order (len, doc_id) numbered and
-    // cut every 32 rows; batch stats and the waste identity replayed
-    // in BIGINT (sums cast back down — DuckDB promotes sum to
-    // HUGEINT).
-    "q_x6v_length_batches" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
-        |  FROM documents),
-        |r AS (
-        |  SELECT len,
-        |    (row_number() OVER (ORDER BY len, doc_id) - 1) // 32
-        |      AS batch_id
-        |  FROM d)
-        |SELECT batch_id, count(*) AS n_rows, max(len) AS max_len,
-        |  CAST(sum(len) AS BIGINT) AS sum_len,
-        |  CAST(max(len) * count(*) - sum(len) AS BIGINT)
-        |    AS padding_waste
-        |FROM r GROUP BY batch_id ORDER BY batch_id""".stripMargin,
-
-    // Curriculum: exact difficulty rank by (n_chars, doc_id), integer
-    // competence inclusion (rank·1000·E ≤ n·(250·E + 750·(e+1))), then
-    // the replayed md5-48 per-epoch order — every verdict BIGINT-exact.
-    "q_x6t_curriculum" ->
-      """WITH d AS (
-        |  SELECT doc_id, n_chars FROM documents
-        |  WHERE n_chars IS NOT NULL),
-        |r AS (
-        |  SELECT doc_id, n_chars,
-        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
-        |      AS rk,
-        |    CAST(count(*) OVER () AS BIGINT) AS n
-        |  FROM d),
-        |ep AS (SELECT *, unnest(range(0, 3)) AS epoch FROM r),
-        |inc AS (
-        |  SELECT * FROM ep
-        |  WHERE rk * 3000 <= n * (750 + 750 * (epoch + 1))),
-        |k AS (
-        |  SELECT doc_id, rk, epoch,
-        |    CAST(concat('0x', substr(md5(concat(
-        |        42, ':', doc_id, ':', epoch)), 1, 12)) AS BIGINT)
-        |      % 1000000 AS key
-        |  FROM inc),
-        |o AS (
-        |  SELECT epoch, doc_id, rk,
-        |    CAST(row_number() OVER (PARTITION BY epoch
-        |      ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
-        |  FROM k)
-        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
-        |  rk AS difficulty_rank, pos
-        |FROM o ORDER BY epoch, pos""".stripMargin,
-
-    // Leakage-safe split: the oracle rebuilds the dedup clusters (min
-    // doc_id per identical text) and recomputes the md5-48 verdict of
-    // the CLUSTER id — duplicates must land on one side by construction.
-    "q_x6s_leak_safe_split" ->
-      """WITH c AS (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster
-        |  FROM documents)
-        |SELECT doc_id, cluster,
-        |  CASE WHEN CAST(concat('0x',
-        |      substr(md5(concat(42, ':', cluster)), 1, 12)) AS BIGINT)
-        |    % 1000000 < 200000 THEN 'test' ELSE 'train' END AS split
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    "q_x6b_hash_sample" ->
-      """SELECT doc_id FROM documents
-        |WHERE CAST(concat('0x',
-        |    substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
-        |  % 1000000 < 100000
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_x6c_train_test_split" ->
-      """WITH b AS (
-        |  SELECT CAST(concat('0x',
-        |      substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
-        |    % 1000000 AS bkt
-        |  FROM documents)
-        |SELECT 'test' AS split, count(*) AS n FROM b WHERE bkt < 200000
-        |UNION ALL
-        |SELECT 'train' AS split, count(*) AS n FROM b WHERE bkt >= 200000
-        |ORDER BY split""".stripMargin,
-
-    "q_x6p_stratified_split" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang,
-        |    CAST(concat('0x',
-        |      substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT)
-        |      % 1000000 AS bkt
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY bkt, doc_id) AS rn
-        |  FROM h)
-        |SELECT doc_id, lang,
-        |  CASE WHEN rn <= 4 THEN 'test'
-        |       WHEN rn <= 7 THEN 'val'
-        |       ELSE 'train' END AS split
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "q_x6d_sample_per_lang" ->
-      """WITH h AS (
-        |  SELECT lang, doc_id,
-        |    CAST(concat('0x',
-        |      substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT) AS h
-        |  FROM documents),
-        |r AS (
-        |  SELECT lang, doc_id, h,
-        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
-        |  FROM h)
-        |SELECT lang, string_agg(doc_id, ',' ORDER BY h, doc_id) AS sample_ids
-        |FROM r WHERE rn <= 3 GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // Selection-only compare (ids + integer weights; the float ES key is
-    // never emitted): u = (h48+1)/2^48, key = -ln(u)/w, bottom-3 per lang.
-    "q_x6f_weighted_sample" ->
-      """WITH k AS (
-        |  SELECT lang, doc_id, n_chars,
-        |    -ln((CAST(concat('0x',
-        |        substr(md5(concat(42, ':', doc_id)), 1, 12)) AS BIGINT) + 1)
-        |      / 281474976710656.0) / n_chars AS wkey
-        |  FROM documents
-        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
-        |SELECT lang, doc_id, n_chars FROM (
-        |  SELECT lang, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY wkey, doc_id) AS rn
-        |  FROM k)
-        |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
-
-    "q_x5_media_meta" ->
-      """SELECT doc_id, 'text/plain' AS media_type,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |sha256(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Expected image features are pure doc_id arithmetic (solid-colour PNG:
-    // decoded means are exactly the fill channels) — the Spark side really
-    // encodes + ImageIO-decodes every payload.
-    "q_x5c_image_features" ->
-      """SELECT doc_id,
-        |(doc_id % 16) + 1 AS width,
-        |(doc_id % 11) + 2 AS height,
-        |CAST(3 AS BIGINT) AS bands,
-        |doc_id % 256 AS mean_r,
-        |(doc_id * 7) % 256 AS mean_g,
-        |(doc_id * 13) % 256 AS mean_b
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Near-dup pairs are pure doc_id arithmetic: the dHash of each
-    // pattern PNG equals its code by construction (spec-verified
-    // round-trip), codes share all 60 group bits iff the docs' 12-bit
-    // group values match, and member bits are nested prefixes so
-    // in-group Hamming is |Δm|. The oracle never decodes an image.
-    "q_x5i_image_neardups" ->
-      """WITH d AS (
-        |  SELECT doc_id, (doc_id // 4) % 4096 AS gc, doc_id % 4 AS m
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(abs(a.m - b.m) AS BIGINT) AS hamming
-        |FROM d a JOIN d b
-        |  ON a.doc_id < b.doc_id AND a.gc = b.gc AND abs(a.m - b.m) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Same scheme as q_x5i, for sound: the audio fingerprint of each
-    // pattern WAV equals its code by construction (spec-verified
-    // round-trip), so near-dup pairs are the same pure doc_id
-    // arithmetic — the oracle never decodes audio.
-    "q_x5j_audio_neardups" ->
-      """WITH d AS (
-        |  SELECT doc_id, (doc_id // 4) % 4096 AS gc, doc_id % 4 AS m
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(abs(a.m - b.m) AS BIGINT) AS hamming
-        |FROM d a JOIN d b
-        |  ON a.doc_id < b.doc_id AND a.gc = b.gc AND abs(a.m - b.m) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Full independent rebuild: same frame strings, same 48-bit md5
-    // hash (single-quoted SQL keeps nothing to escape here), same
-    // strict-majority vote per bit position via a range(48) melt, then
-    // all-pairs xor popcount — no banding needed at oracle scale, and
-    // banding is lossless so the pair sets agree exactly.
-    "q_x5l_video_neardups" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m
-        |  FROM documents),
-        |fr AS (
-        |  SELECT doc_id,
-        |    'f:' || g::VARCHAR || ':' || i::VARCHAR AS s
-        |  FROM d, range(64) t(i)
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    'm:' || doc_id::VARCHAR || ':' || j::VARCHAR
-        |  FROM d, range(3) t(j) WHERE j < m),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5('42:' || s), 1, 12))
-        |      AS BIGINT) AS fh
-        |  FROM fr),
-        |nb AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
-        |bc AS (
-        |  SELECT doc_id, b, sum((fh >> b) & 1) AS c
-        |  FROM h, range(48) t(b) GROUP BY doc_id, b),
-        |fp AS (
-        |  SELECT bc.doc_id,
-        |    CAST(sum(CASE WHEN 2 * c > n THEN (1::BIGINT << b)
-        |      ELSE 0 END) AS BIGINT) AS f
-        |  FROM bc JOIN nb ON nb.doc_id = bc.doc_id
-        |  GROUP BY bc.doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.f, b.f)) <= 8
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Resized dimensions are the literal 9×7 target; a solid colour is
-    // interpolation-invariant, so means are the source doc_id arithmetic.
-    "q_x5g_image_resize" ->
-      """SELECT doc_id,
-        |CAST(9 AS BIGINT) AS width,
-        |CAST(7 AS BIGINT) AS height,
-        |CAST(3 AS BIGINT) AS bands,
-        |doc_id % 256 AS mean_r,
-        |(doc_id * 7) % 256 AS mean_g,
-        |(doc_id * 13) % 256 AS mean_b
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Constant-amplitude fixtures make every quality stat doc_id
-    // arithmetic: full-scale docs clip on every sample, small-amp docs
-    // sit entirely under the 327 silence threshold, peak IS the
-    // amplitude and sum_abs its product with the frame count.
-    "q_x5k_audio_quality" ->
-      """SELECT doc_id,
-        |CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
-        |CAST(CASE WHEN doc_id % 7 = 0 THEN 100 + doc_id % 50 ELSE 0
-        |  END AS BIGINT) AS n_clipped,
-        |CAST(CASE WHEN doc_id % 7 <> 0 AND (doc_id % 900) + 1 <= 327
-        |  THEN 100 + doc_id % 50 ELSE 0 END AS BIGINT) AS n_silent,
-        |CAST(CASE WHEN doc_id % 7 = 0 THEN 32767
-        |  ELSE (doc_id % 900) + 1 END AS BIGINT) AS peak,
-        |CAST((CASE WHEN doc_id % 7 = 0 THEN 32767
-        |  ELSE (doc_id % 900) + 1 END) * (100 + doc_id % 50)
-        |  AS BIGINT) AS sum_abs
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // The drift report is fully determined by the two projections, so
-    // the oracle is the literal expected rows.
-    "q_v17_schema_drift" ->
-      """SELECT * FROM (VALUES
-        |  ('lang', 'added', CAST(NULL AS VARCHAR), 'string'),
-        |  ('n_chars', 'type_changed', 'bigint', 'double'),
-        |  ('text', 'removed', 'string', CAST(NULL AS VARCHAR)))
-        |  AS t(col_name, change, prev_type, cur_type)
-        |ORDER BY col_name, change""".stripMargin,
-
-    // Resampled rate is the literal 6 kHz target; the frame count is the
-    // integer expression the kernel computes; constant amplitude keeps
-    // RMS == amp through nearest-neighbor frame selection.
-    "q_x5h_audio_resample" ->
-      """SELECT doc_id,
-        |CAST(6000 AS BIGINT) AS sample_rate,
-        |CAST(1 AS BIGINT) AS channels,
-        |((100 + doc_id % 50) * 6000) // (8000 + (doc_id % 4) * 2000)
-        |  AS n_frames,
-        |(doc_id % 900) + 1 AS amp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Constant-amplitude PCM: RMS == amplitude exactly (sqrt of a perfect
-    // square is exact in IEEE double), so every field is doc_id arithmetic.
-    "q_x5d_audio_features" ->
-      """SELECT doc_id,
-        |8000 + (doc_id % 4) * 2000 AS sample_rate,
-        |CAST(1 AS BIGINT) AS channels,
-        |100 + doc_id % 50 AS n_frames,
-        |(doc_id % 900) + 1 AS amp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Exact regime (capacity ≥ |vocab|): MG counts equal true counts, and
-    // the (count desc, item) tie-break matches on both sides.
-    "q_x4h_heavy_hitters" ->
-      """WITH tok AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
-        |  FROM documents)
-        |SELECT tk AS item, count(*) AS n FROM tok GROUP BY tk
-        |ORDER BY n DESC, item LIMIT 10""".stripMargin,
-
-    // CMS rebuild: every (row, bucket) counter = count of tokens whose
-    // md5-48 under seed 7+d lands in the bucket — the exact portable-
-    // hash contract, zero-filled over the full depth × width grid.
-    "q_x15_cms" ->
-      """WITH tok AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
-        |  FROM documents),
-        |h AS (
-        |  SELECT dd.d,
-        |    CAST(concat('0x', substr(md5(concat(
-        |      CAST(7 + dd.d AS VARCHAR), ':', tk)), 1, 12)) AS BIGINT)
-        |      % 64 AS b
-        |  FROM tok, (SELECT unnest(range(3)) AS d) dd),
-        |c AS (SELECT d, b, count(*) AS n FROM h GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT dd.d, bb.b
-        |  FROM (SELECT unnest(range(3)) AS d) dd,
-        |    (SELECT unnest(range(64)) AS b) bb)
-        |SELECT CAST(grid.d AS INTEGER) AS d, CAST(grid.b AS INTEGER)
-        |    AS b,
-        |  CAST(coalesce(c.n, 0) AS BIGINT) AS cnt
-        |FROM grid LEFT JOIN c USING (d, b)
-        |ORDER BY d, b""".stripMargin,
-
-    // CMS estimate rebuild: same counters, min over the three probed
-    // cells per top-20 token — certifies the column-side probe path.
-    "q_x15b_cms_estimate" ->
-      """WITH tok AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
-        |  FROM documents),
-        |h AS (
-        |  SELECT dd.d,
-        |    CAST(concat('0x', substr(md5(concat(
-        |      CAST(7 + dd.d AS VARCHAR), ':', tk)), 1, 12)) AS BIGINT)
-        |      % 64 AS b
-        |  FROM tok, (SELECT unnest(range(3)) AS d) dd),
-        |c AS (SELECT d, b, count(*) AS n FROM h GROUP BY 1, 2),
-        |top AS (
-        |  SELECT tk, count(*) AS true_n FROM tok GROUP BY 1
-        |  ORDER BY true_n DESC, tk LIMIT 20),
-        |probe AS (
-        |  SELECT top.tk, top.true_n, dd.d,
-        |    CAST(concat('0x', substr(md5(concat(
-        |      CAST(7 + dd.d AS VARCHAR), ':', top.tk)), 1, 12)) AS BIGINT)
-        |      % 64 AS b
-        |  FROM top, (SELECT unnest(range(3)) AS d) dd)
-        |SELECT tk, CAST(true_n AS BIGINT) AS true_n,
-        |  CAST(min(c.n) AS BIGINT) AS est_n
-        |FROM probe JOIN c USING (d, b)
-        |GROUP BY tk, true_n
-        |ORDER BY true_n DESC, tk""".stripMargin,
-
-    // Rule inputs recomputed in SQL from the same definitions the fused
-    // kernel uses: whitespace tokens, non-ws char count, ASCII punct
-    // class, lowercased-whole-token stopword hits.
-    "q_x4g_gopher_rules" ->
-      ("""WITH s AS (
-        |  SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-        |      AS n_toks,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
-        |    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
-        |      AS n_punct,
-        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
-        |        'is','are','was','it','that','this','for','on','with','as',
-        |        'be','by','at'))) AS n_stop
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN n_toks BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
-        |    AS words_ok,
-        |  CASE WHEN n_toks > 0
-        |        AND (n_nonws * 1.0 / n_toks) BETWEEN 3.0 AND 10.0
-        |       THEN 1 ELSE 0 END AS mean_word_ok,
-        |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS stopwords_ok,
-        |  CASE WHEN n_toks > 0 AND n_punct * 1.0 / n_toks < 0.5
-        |       THEN 1 ELSE 0 END AS symbol_ok,
-        |  CASE WHEN n_toks BETWEEN 20 AND 100000
-        |        AND n_toks > 0
-        |        AND (n_nonws * 1.0 / n_toks) BETWEEN 3.0 AND 10.0
-        |        AND n_stop >= 2
-        |        AND n_punct * 1.0 / n_toks < 0.5
-        |       THEN 1 ELSE 0 END AS pass
-        |FROM s ORDER BY doc_id""").stripMargin,
-
-    // Identical oracle to q_x7 — the hashed prefilter must be
-    // semantics-invariant (collisions die in the exact verify stage).
-    "q_x7b_decontaminate_hashed" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id,
-        |    a.tk || ' ' || b.tk || ' ' || c.tk AS sh
-        |  FROM tok a
-        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |)
-        |SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
-        |FROM sh d JOIN sh b ON d.sh = b.sh
-        |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    "q_histogram_prices" ->
-      """SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT)
-        |  AS bucket, count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
-
-    // Dense leg mirrors the q_x3 oracle; sparse leg mirrors q_x9c; RRF
-    // reciprocals are exact doubles on both engines, so the fused top-10
-    // set and order are deterministic.
-    "q_x3e_hybrid_rrf" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (SELECT vec_id, embedding AS cv FROM embeddings
-        |      WHERE vec_id <> 0),
-        |prod AS (
-        |  SELECT vec_id,
-        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
-        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
-        |  FROM (SELECT vec_id, unnest(qv) AS x, unnest(cv) AS y
-        |        FROM q JOIN c ON true)
-        |  GROUP BY vec_id),
-        |dense AS (
-        |  SELECT vec_id AS id,
-        |    row_number() OVER (ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC,
-        |      vec_id) AS rank
-        |  FROM prod QUALIFY rank <= 20),
-        |tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |al AS (SELECT avg(doc_len) AS avg_len FROM lens),
-        |scored AS (
-        |  SELECT tf.doc_id AS id,
-        |    ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
-        |        / (dfreq.df + CAST(0.5 AS DOUBLE)))
-        |      * (tf.tf * CAST(2.2 AS DOUBLE))
-        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |          + CAST(0.75 AS DOUBLE) * lens.doc_len
-        |          / al.avg_len))), 6) AS s
-        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
-        |  WHERE tf.token IN ('data', 'model', 'the')
-        |  GROUP BY tf.doc_id),
-        |sparse AS (
-        |  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank
-        |  FROM scored QUALIFY rank <= 20),
-        |fused AS (
-        |  SELECT id, CAST(1.0 AS DOUBLE)/(60 + rank) AS r FROM dense
-        |  UNION ALL SELECT id, CAST(1.0 AS DOUBLE)/(60 + rank) FROM sparse),
-        |topk AS (
-        |  SELECT id, sum(r) AS s, count(*) AS n_lists FROM fused
-        |  GROUP BY id ORDER BY s DESC, id LIMIT 10)
-        |SELECT id, ROUND(s, 6) AS rrf_score, n_lists FROM topk
-        |ORDER BY rrf_score DESC, id""".stripMargin,
-
-    "q_x9c_bm25_search" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
-        |SELECT tf.doc_id,
-        |  ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
-        |      / (dfreq.df + CAST(0.5 AS DOUBLE)))
-        |    * (tf.tf * CAST(2.2 AS DOUBLE))
-        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |        + CAST(0.75 AS DOUBLE) * lens.doc_len
-        |        / al.avg_len))), 6) AS score
-        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
-        |WHERE tf.token IN ('data', 'model', 'the')
-        |GROUP BY tf.doc_id
-        |ORDER BY score DESC, tf.doc_id""".stripMargin,
-
-    // Chunk count = max(1, ceil((len − overlap)/stride)); both engines
-    // compute the count in double from the same integers and slice with
-    // the same 1-based substring semantics.
-    "q_x4j_chunking" ->
-      """SELECT doc_id, chunk_id,
-        |  CAST(length(substring(text, CAST(chunk_id*100 + 1 AS INT), 120))
-        |    AS BIGINT) AS chunk_len,
-        |  substring(text, CAST(chunk_id*100 + 1 AS INT), 120) AS chunk_text
-        |FROM (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(0,
-        |      CAST(greatest(1, ceil((length(text) - 20)
-        |        / CAST(100 AS DOUBLE))) AS BIGINT) - 1)) AS chunk_id
-        |  FROM documents)
-        |ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // Same window cumsum on both engines; bins are floor(offset/budget)
-    // in double (offsets ≪ 2^53, so the division is exact enough to
-    // floor identically).
-    "q_x6g_pack_budget" ->
-      """WITH p AS (
-        |  SELECT lang, doc_id, n_chars,
-        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-        |  FROM documents)
-        |SELECT lang, doc_id,
-        |  CAST(run - n_chars AS BIGINT) AS start_offset,
-        |  CAST(floor((run - n_chars) / CAST(4096 AS DOUBLE)) AS BIGINT)
-        |    AS bin,
-        |  CAST(floor((run - 1) / CAST(4096 AS DOUBLE)) AS BIGINT)
-        |    - CAST(floor((run - n_chars) / CAST(4096 AS DOUBLE)) AS BIGINT)
-        |    + 1 AS spans
-        |FROM p ORDER BY lang, doc_id""".stripMargin,
-
-    // Self-trained unigram model: p(t) = n/total in double on both
-    // engines; the e4 integerization absorbs ln-libm and sum-order ulps.
-    "q_x4i_unigram_ppl" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |uni AS (SELECT token, sum(tf) AS n FROM tf GROUP BY token),
-        |tot AS (SELECT sum(n) AS total FROM uni),
-        |per AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS doc_len,
-        |          sum(tf.tf * ln(uni.n / tot.total)) AS lp
-        |        FROM tf JOIN uni USING (token), tot GROUP BY tf.doc_id)
-        |SELECT doc_id, doc_len,
-        |  CAST(floor(lp / doc_len * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS log_prob_e4,
-        |  CAST(floor(exp(-(lp / doc_len)) * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS ppl_e4
-        |FROM per ORDER BY doc_id""".stripMargin,
-
-    // q_x4i's ppl kernel → integerized score → per-lang ntile with
-    // doc_id tie-break (same total order both engines).
-    "q_x4q_ppl_buckets" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |uni AS (SELECT token, sum(tf) AS n FROM tf GROUP BY token),
-        |tot AS (SELECT sum(n) AS total FROM uni),
-        |per AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS doc_len,
-        |          sum(tf.tf * ln(uni.n / tot.total)) AS lp
-        |        FROM tf JOIN uni USING (token), tot GROUP BY tf.doc_id),
-        |ppl AS (SELECT doc_id,
-        |          CAST(floor(exp(-(lp / doc_len)) * 1e4
-        |            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ppl_e4
-        |        FROM per),
-        |b AS (
-        |  SELECT d.doc_id, p.ppl_e4, d.lang,
-        |    CAST(ntile(3) OVER (PARTITION BY d.lang
-        |      ORDER BY p.ppl_e4, d.doc_id) AS BIGINT) AS bucket
-        |  FROM documents d JOIN ppl p USING (doc_id))
-        |SELECT doc_id, ppl_e4, lang, bucket,
-        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-        |    ELSE 'tail' END AS bucket_label
-        |FROM b ORDER BY doc_id""".stripMargin,
-
-    // Bigram LM: Laplace (c_ab+1)/(c1+V) with the exact ln operand shape
-    // of the Spark side; bigrams via 1-based positional list indexing
-    // (both engines), outputs e4-integerized like q_x4i.
-    "q_x4r_bigram_ppl" ->
-      """WITH arr AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
-        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
-        |cb AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
-        |cx AS (SELECT w1, sum(c_ab) AS c1 FROM cb GROUP BY 1),
-        |v AS (SELECT count(DISTINCT t) AS v FROM (
-        |  SELECT unnest(a) AS t FROM arr)),
-        |dtf AS (SELECT doc_id, w1, w2, count(*) AS btf FROM bg
-        |        GROUP BY 1, 2, 3),
-        |per AS (
-        |  SELECT d.doc_id, CAST(sum(d.btf) AS BIGINT) AS n_bigrams,
-        |    sum(d.btf * ln((cb.c_ab + CAST(1 AS DOUBLE))
-        |      / CAST(cx.c1 + v.v AS DOUBLE))) AS lp
-        |  FROM dtf d JOIN cb USING (w1, w2) JOIN cx USING (w1), v
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id, n_bigrams,
-        |  CAST(floor(lp / n_bigrams * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS log_prob_e4,
-        |  CAST(floor(exp(-(lp / n_bigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS ppl_e4
-        |FROM per ORDER BY doc_id""".stripMargin,
-
-    // Rolling z rebuild: same 12-row frame in the same (user, es,
-    // event_id) order; HUGEINT frame sums cast to double, mirrored
-    // mean/variance/z operand shapes, variance-product guard.
-    "q_st17_rolling_z" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS v
-        |  FROM events),
-        |f AS (
-        |  SELECT user_id, es, event_id, v,
-        |    count(*) OVER w AS n,
-        |    CAST(sum(CAST(v AS HUGEINT)) OVER w AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(v AS HUGEINT) * v) OVER w AS DOUBLE) AS s2
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
-        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, es, event_id, v,
-        |  CASE WHEN n = 12 THEN
-        |    CAST(floor(s1 / CAST(n AS DOUBLE) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS mean_e4,
-        |  CASE WHEN n = 12
-        |      AND CAST(n AS DOUBLE) * s2 - s1 * s1 >= CAST(0 AS DOUBLE)
-        |    THEN CAST(floor(
-        |      sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
-        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
-        |          - CAST(1 AS DOUBLE)))) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS sd_e4,
-        |  CASE WHEN n = 12
-        |      AND CAST(n AS DOUBLE) * s2 - s1 * s1 > CAST(0 AS DOUBLE)
-        |    THEN CAST(floor(
-        |      (v - s1 / CAST(n AS DOUBLE))
-        |        / sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
-        |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
-        |            - CAST(1 AS DOUBLE)))) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS z_e4
-        |FROM f
-        |ORDER BY user_id, es, event_id""".stripMargin,
-
-    // SCD2 rebuild: the same gaps-and-islands — null-safe change flag
-    // (IS DISTINCT FROM), running segment sum in the same (user, es,
-    // event_id) order, lead over the per-key runs by segment id.
-    "q_v5_scd2" ->
-      """WITH ev AS (
-        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, event_id,
-        |    event_type
-        |  FROM events),
-        |l AS (
-        |  SELECT user_id, es, event_id, event_type,
-        |    CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
-        |      THEN 1 ELSE 0 END AS chg
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-        |s AS (
-        |  SELECT user_id, es, event_id, event_type,
-        |    sum(chg) OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id) AS seg
-        |  FROM l),
-        |r AS (
-        |  SELECT user_id, seg, min(es) AS valid_from,
-        |    CAST(count(*) AS BIGINT) AS n_obs,
-        |    min(event_type) AS event_type
-        |  FROM s GROUP BY 1, 2)
-        |SELECT user_id,
-        |  CAST(row_number() OVER w2 AS BIGINT) AS run_seq,
-        |  valid_from,
-        |  lead(valid_from) OVER w2 AS valid_to,
-        |  n_obs, event_type
-        |FROM r
-        |WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
-        |ORDER BY user_id, run_seq""".stripMargin,
-
-    // Winsorize rebuild: quantile_cont cutoffs (≡ Spark percentile,
-    // bit-equal interpolation), same least/greatest clamp.
-    "q_x6l_winsorize" ->
-      """WITH c AS (
-        |  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
-        |    quantile_cont(o_totalprice, 0.95) AS hi
-        |  FROM orders)
-        |SELECT o_orderkey,
-        |  CAST(floor(least(greatest(o_totalprice, c.lo), c.hi) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_e4
-        |FROM orders, c
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // χ² rebuild: same integer weekday, cell/marginal/total counts
-    // exact, mirrored expected/χ² shapes.
-    "q_v7_chi2" ->
-      """WITH ev AS (
-        |  SELECT event_type,
-        |    (((epoch_ns(ts) // 1000000000) // 86400) + 4) % 7 AS dow
-        |  FROM events),
-        |cells AS (
-        |  SELECT event_type, dow, count(*) AS n FROM ev GROUP BY 1, 2),
-        |rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ra
-        |       FROM cells GROUP BY 1),
-        |ct AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cb
-        |       FROM cells GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
-        |f AS (
-        |  SELECT c.event_type, c.dow, c.n,
-        |    CAST(rt.ra AS DOUBLE) * CAST(ct.cb AS DOUBLE)
-        |      / CAST(t.nn AS DOUBLE) AS e
-        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), t)
-        |SELECT event_type, dow, n,
-        |  CAST(floor(e * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS exp_e6,
-        |  CAST(floor((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)
-        |    / e * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi2_e6
-        |FROM f
-        |ORDER BY event_type, dow""".stripMargin,
-
-    // KS rebuild: distinct-value count tables, one cumulative window,
-    // HUGEINT cross-products, argmax by (gap DESC, v) — exact until the
-    // single final division.
-    "q_v6_ks" ->
-      """WITH c1 AS (
-        |  SELECT value AS v, count(*) AS k1 FROM events
-        |  WHERE event_id % 2 = 0 GROUP BY 1),
-        |c2 AS (
-        |  SELECT value AS v, count(*) AS k2 FROM events
-        |  WHERE event_id % 2 = 1 GROUP BY 1),
-        |m AS (
-        |  SELECT v, coalesce(k1, 0) AS k1, coalesce(k2, 0) AS k2
-        |  FROM c1 FULL OUTER JOIN c2 USING (v)),
-        |t AS (
-        |  SELECT CAST(sum(k1) AS HUGEINT) AS n1,
-        |    CAST(sum(k2) AS HUGEINT) AS n2
-        |  FROM m),
-        |g AS (
-        |  SELECT v,
-        |    CAST(sum(k1) OVER w AS HUGEINT) AS c1,
-        |    CAST(sum(k2) OVER w AS HUGEINT) AS c2
-        |  FROM m
-        |  WINDOW w AS (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |r AS (
-        |  SELECT v, abs(c1 * t.n2 - c2 * t.n1) AS gap, t.n1, t.n2,
-        |    row_number() OVER (ORDER BY abs(c1 * t.n2 - c2 * t.n1) DESC,
-        |      v) AS rn
-        |  FROM g, t)
-        |SELECT CAST(n1 AS BIGINT) AS n_prev, CAST(n2 AS BIGINT) AS n_cur,
-        |  CAST(floor(CAST(gap AS DOUBLE)
-        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e6,
-        |  v AS at_value
-        |FROM r WHERE rn = 1""".stripMargin,
-
-    // Welch rebuild: identical milli-integerization, exact HUGEINT
-    // moments per half, then the same double chain — (q − s²/n)/(n−1)
-    // variances, se², t, Welch–Satterthwaite df — operand for operand.
-    "q_v9_welch_t" ->
-      """WITH v AS (
-        |  SELECT event_id,
-        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS v
-        |  FROM events),
-        |m1 AS (
-        |  SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
-        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
-        |  FROM v WHERE event_id % 2 = 0 AND v IS NOT NULL),
-        |m2 AS (
-        |  SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
-        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
-        |  FROM v WHERE event_id % 2 = 1 AND v IS NOT NULL),
-        |d AS (
-        |  SELECT CAST(m1.n AS BIGINT) AS n1, CAST(m2.n AS BIGINT) AS n2,
-        |    CAST(m1.n AS DOUBLE) AS n1d, CAST(m1.s AS DOUBLE) AS s1d,
-        |    CAST(m1.q AS DOUBLE) AS q1d,
-        |    CAST(m2.n AS DOUBLE) AS n2d, CAST(m2.s AS DOUBLE) AS s2d,
-        |    CAST(m2.q AS DOUBLE) AS q2d
-        |  FROM m1, m2),
-        |w AS (
-        |  SELECT n1, n2, n1d, n2d, s1d, s2d,
-        |    (q1d - s1d * s1d / n1d) / (n1d - 1.0) AS v1,
-        |    (q2d - s2d * s2d / n2d) / (n2d - 1.0) AS v2
-        |  FROM d),
-        |w2 AS (SELECT *, v1 / n1d + v2 / n2d AS se2 FROM w)
-        |SELECT n1 AS n_prev, n2 AS n_cur,
-        |  CAST(floor(s1d / n1d * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS mp_e4,
-        |  CAST(floor(s2d / n2d * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS mc_e4,
-        |  CAST(floor((s1d / n1d - s2d / n2d) / sqrt(se2) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t_e4,
-        |  CAST(floor(se2 * se2
-        |    / ((v1 / n1d) * (v1 / n1d) / (n1d - 1.0)
-        |      + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS df_e4
-        |FROM w2""".stripMargin,
-
-    // Mann–Whitney rebuild: distinct-value histogram with per-side
-    // counts, strictly-smaller cumulative window, exact 2·R1 and tie
-    // moments in HUGEINT, z's double shape mirrored.
-    "q_v10_mannwhitney" ->
-      """WITH v AS (
-        |  SELECT event_id,
-        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS v
-        |  FROM events),
-        |h AS (
-        |  SELECT v AS val,
-        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
-        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
-        |  FROM v WHERE v IS NOT NULL GROUP BY 1),
-        |r AS (
-        |  SELECT CAST(k1 AS HUGEINT) AS k1,
-        |    CAST(k1 + k2 AS HUGEINT) AS c,
-        |    CAST(coalesce(sum(k1 + k2) OVER (ORDER BY val
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS HUGEINT) AS lt,
-        |    CAST(k2 AS HUGEINT) AS k2
-        |  FROM h),
-        |a AS (
-        |  SELECT sum(k1) AS n1, sum(k2) AS n2,
-        |    sum(k1 * (lt * 2 + c + 1)) AS r2,
-        |    sum(c * c * c - c) AS tie
-        |  FROM r),
-        |b AS (
-        |  SELECT CAST(n1 AS BIGINT) AS n_prev, CAST(n2 AS BIGINT)
-        |      AS n_cur,
-        |    r2 - n1 * (n1 + 1) AS u2,
-        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
-        |    CAST(n1 + n2 AS DOUBLE) AS nnd, CAST(tie AS DOUBLE) AS tied
-        |  FROM a),
-        |f AS (
-        |  SELECT *, n1d * n2d * ((nnd + 1.0)
-        |    - tied / (nnd * (nnd - 1.0))) AS var12
-        |  FROM b)
-        |SELECT n_prev, n_cur, CAST(u2 AS BIGINT) AS u2_stat,
-        |  CAST(floor((CAST(u2 AS DOUBLE) - n1d * n2d)
-        |    / (2.0 * sqrt(var12 / 12.0)) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z_e4
-        |FROM f""".stripMargin,
-
-    // Gini rebuild: per-user counts → value histogram → strictly-smaller
-    // cumulative window, rank-run moments in HUGEINT ((c·lt + c(c+1)/2)
-    // per distinct value), one double division, e6.
-    "q_v8_gini" ->
-      """WITH u AS (
-        |  SELECT user_id, count(*) AS v FROM events GROUP BY 1),
-        |h AS (SELECT v, count(*) AS c FROM u GROUP BY 1),
-        |r AS (
-        |  SELECT v, c,
-        |    coalesce(sum(c) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
-        |  FROM h),
-        |s AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n,
-        |    sum(CAST(c AS HUGEINT) * CAST(v AS HUGEINT)) AS t,
-        |    sum(CAST(v AS HUGEINT)
-        |      * (CAST(c AS HUGEINT) * CAST(lt AS HUGEINT)
-        |        + (CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1)) // 2))
-        |      AS s1
-        |  FROM r)
-        |SELECT n, CAST(t AS BIGINT) AS total,
-        |  CAST(floor(CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * t AS DOUBLE)
-        |    / CAST(CAST(n AS HUGEINT) * t AS DOUBLE) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS gini_e6
-        |FROM s""".stripMargin,
-
-    // Benford rebuild: identical milli-integerization, leading digit
-    // via integer-to-VARCHAR substr, expected/χ² operand shapes
-    // mirrored ((n − N·p)·dup / (N·p)).
-    "q_v4_benford" ->
-      """WITH d AS (SELECT unnest(range(1, 10)) AS digit),
-        |v AS (
-        |  SELECT CAST(floor(l_extendedprice * 1000
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
-        |  FROM lineitem),
-        |c0 AS (
-        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
-        |      AS digit,
-        |    count(*) AS n
-        |  FROM v WHERE v > 0 GROUP BY 1),
-        |j AS (
-        |  SELECT d.digit, CAST(coalesce(n, 0) AS BIGINT) AS n
-        |  FROM d LEFT JOIN c0 USING (digit)),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM j),
-        |f AS (
-        |  SELECT digit, n,
-        |    log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) AS p,
-        |    CAST(n AS DOUBLE) AS nd, CAST(nn AS DOUBLE) AS big
-        |  FROM j, t)
-        |SELECT digit, n,
-        |  CAST(floor(p * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS p_exp_e6,
-        |  CAST(floor(nd / big * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS p_obs_e6,
-        |  CAST(floor((nd - big * p) * (nd - big * p) / (big * p) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi2_e6
-        |FROM f
-        |ORDER BY digit""".stripMargin,
-
-    // Kneser–Ney rebuild: same bigram tables as q_x4r plus the
-    // continuation counts; the interpolated-P operand chain mirrors the
-    // Spark association left-to-right (max-discount term + ((d·n1f)/c1)
-    // · (n1b/tt)); e4 absorbs ln/sum-order ulps (the q_x4r precedent).
-    "q_x14_kn_ppl" ->
-      """WITH arr AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
-        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
-        |cb AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
-        |cx AS (SELECT w1, sum(c_ab) AS c1, count(*) AS n1f FROM cb
-        |       GROUP BY 1),
-        |ct AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY 1),
-        |tt AS (SELECT count(*) AS tt FROM cb),
-        |dtf AS (SELECT doc_id, w1, w2, count(*) AS btf FROM bg
-        |        GROUP BY 1, 2, 3),
-        |per AS (
-        |  SELECT d.doc_id, CAST(sum(d.btf) AS BIGINT) AS n_bigrams,
-        |    sum(d.btf * ln(
-        |      greatest(cb.c_ab - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
-        |        / CAST(cx.c1 AS DOUBLE)
-        |      + CAST(0.75 AS DOUBLE) * cx.n1f / CAST(cx.c1 AS DOUBLE)
-        |        * (ct.n1b / CAST(tt.tt AS DOUBLE)))) AS lp
-        |  FROM dtf d JOIN cb USING (w1, w2) JOIN cx USING (w1)
-        |    JOIN ct USING (w2), tt
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id, n_bigrams,
-        |  CAST(floor(lp / n_bigrams * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS log_prob_e4,
-        |  CAST(floor(exp(-(lp / n_bigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS ppl_e4
-        |FROM per ORDER BY doc_id""".stripMargin,
-
-    // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
-    // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.
-    "q_x9_tfidf" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT count(*) AS n FROM documents)
-        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-        |  ROUND(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
-        |FROM tf JOIN dfreq USING (token), n
-        |WHERE tf.doc_id < 20
-        |ORDER BY tf.doc_id, tf.token""".stripMargin,
-
-    // Hashing-trick vectors rebuilt entry by entry: md5-48 bucket
-    // (h % 64) and sign bit ((h >> 20) & 1), e6-integerized tf-idf
-    // weights summed as BIGINTs, zero-filled over the full 64-position
-    // grid per document.
-    "q_x9e_hashed_vectors" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       WHERE token <> '' GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |w AS (
-        |  SELECT tf.doc_id,
-        |    CAST(concat('0x',
-        |      substr(md5(concat(42, ':', tf.token)), 1, 12)) AS BIGINT)
-        |      AS h,
-        |    CAST(floor(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1)
-        |      * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS we6
-        |  FROM tf JOIN dfreq USING (token), n),
-        |b AS (
-        |  SELECT doc_id, h % 64 AS j,
-        |    sum(CASE WHEN (h >> 20) & 1 = 1 THEN -we6 ELSE we6 END)
-        |      AS v_e6
-        |  FROM w GROUP BY doc_id, h % 64),
-        |grid AS (
-        |  SELECT d.doc_id, g.j
-        |  FROM (SELECT DISTINCT doc_id FROM documents) d,
-        |    (SELECT unnest(range(0, 64)) AS j) g)
-        |SELECT grid.doc_id, CAST(grid.j AS BIGINT) AS j,
-        |  CAST(coalesce(b.v_e6, 0) AS BIGINT) AS v_e6
-        |FROM grid LEFT JOIN b ON b.doc_id = grid.doc_id AND b.j = grid.j
-        |ORDER BY grid.doc_id, grid.j""".stripMargin,
-
-    // Every decimal literal is CAST AS DOUBLE (bare decimals are DECIMAL
-    // in DuckDB → different evaluation order than Spark's IEEE doubles)
-    // and the compared score is integerized — see the query comment.
-    "q_x9b_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
-        |         FROM tf GROUP BY doc_id),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
-        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, lens.doc_len,
-        |  CAST(floor(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
-        |        / (dfreq.df + CAST(0.5 AS DOUBLE)))
-        |    * (tf.tf * CAST(2.2 AS DOUBLE))
-        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |        + CAST(0.75 AS DOUBLE) * lens.doc_len / al.avg_len))
-        |    * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS bm25_e4
-        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
-        |WHERE tf.doc_id < 20
-        |ORDER BY tf.doc_id, tf.token""".stripMargin,
-
-    // c-TF-IDF rebuild: hash-ranked centroid pick (LIMIT 8) → cosine
-    // cell assignment (same tie-break as the Spark max-struct) → the
-    // exact ln operand shape of Relevance.clusterTopics, integerized;
-    // top-5 per cluster by (score_e DESC, term).
-    "q_x12_cluster_topics" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
-        |    SELECT vec_id, embedding FROM embeddings
-        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-        |    LIMIT 8)),
-        |asn0 AS (
-        |  SELECT e.vec_id, ct.centroid_id,
-        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(e.embedding) x, unnest(ct.cv) y)) /
-        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-        |       FROM (SELECT unnest(e.embedding) x))) *
-        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
-        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM embeddings e CROSS JOIN cent ct),
-        |asn AS MATERIALIZED (
-        |  SELECT vec_id AS doc_id, centroid_id AS cluster_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
-        |  WHERE rn = 1),
-        |tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tfc AS MATERIALIZED (
-        |  SELECT a.cluster_id, t.term, count(*) AS tf
-        |  FROM tok t JOIN asn a USING (doc_id)
-        |  GROUP BY a.cluster_id, t.term),
-        |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f
-        |       FROM tfc GROUP BY term),
-        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot,
-        |               count(DISTINCT cluster_id) AS nc FROM tfc),
-        |scored AS (
-        |  SELECT c.cluster_id, c.term, c.tf,
-        |    CAST(floor(c.tf * ln(CAST(1 AS DOUBLE) +
-        |        (CAST(t.tot AS DOUBLE) / t.nc) / f.f)
-        |      * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_e
-        |  FROM tfc c JOIN ft f USING (term) CROSS JOIN tot t)
-        |SELECT cluster_id, rnk, term, tf, score_e FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
-        |    ORDER BY score_e DESC, term) AS rnk FROM scored)
-        |WHERE rnk <= 5
-        |ORDER BY cluster_id, rnk""".stripMargin,
-
-    // The 3-iteration power method unrolled: rank'(v) = 0.15/N + 0.85 *
-    // (inflow + dangling/N). Both sides compute in IEEE double from the
-    // same uniform start vector; ROUND(_, 8) absorbs summation-order ulps.
-    // Walk replay: ranked/deg'd symmetric adjacency, then 4 unrolled
-    // steps, each picking rank = md5-48("42:wid:t:node") mod degree —
-    // byte-identical to the engine's PortableHash.hash48 string.
-    "q_g17_random_walks" -> {
-      val steps = (1 to 4).map { t =>
-        s""",
-           |w$t AS MATERIALIZED (
-           |  SELECT w.walk_id, a.dst AS node
-           |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
-           |   AND a.r = CAST(concat('0x', substr(md5(concat(
-           |       42, ':', w.walk_id, ':', $t, ':', w.node)), 1, 12))
-           |     AS BIGINT) % a.deg)""".stripMargin
-      }.mkString
-      val unions = (1 to 4).map { t =>
-        s"""
-           |UNION ALL SELECT walk_id, $t, node FROM w$t""".stripMargin
-      }.mkString
-      s"""WITH e0 AS (
-         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-         |  UNION ALL
-         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-         |  UNION ALL
-         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-         |e AS (SELECT DISTINCT src, dst FROM
-         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
-         |adj AS MATERIALIZED (
-         |  SELECT src, dst,
-         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
-         |    count(*) OVER (PARTITION BY src) AS deg
-         |  FROM e),
-         |w0 AS (SELECT c_custkey*4 AS walk_id, c_custkey*4 AS node
-         |       FROM customer WHERE c_custkey < 40)$steps
-         |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
-         |  SELECT walk_id, 0 AS step, node FROM w0$unions)
-         |ORDER BY walk_id, step""".stripMargin
-    },
-
-    // node2vec: each unrolled step scores the current node's neighbors
-    // (return 1 / common 4 / explore 2 — EXISTS probes the prev→dst
-    // edge), lays them on an exact cumulative-weight line ordered by
-    // dst, and lands the md5-48 pick in its range. Integer arithmetic
-    // throughout — no rounding anywhere.
-    "q_g17b_node2vec_walks" -> {
-      val steps = (1 to 4).map { t =>
-        val p = t - 1
-        s""",
-           |c$t AS MATERIALIZED (
-           |  SELECT w.walk_id, w.node, w.prev, a.dst,
-           |    CASE WHEN a.dst = w.prev THEN 1
-           |      WHEN EXISTS (SELECT 1 FROM e x
-           |        WHERE x.src = w.prev AND x.dst = a.dst) THEN 4
-           |      ELSE 2 END AS wt
-           |  FROM w$p w JOIN e a ON a.src = w.node),
-           |w$t AS MATERIALIZED (
-           |  SELECT walk_id, dst AS node, node AS prev FROM (
-           |    SELECT walk_id, node, dst, wt,
-           |      sum(wt) OVER (PARTITION BY walk_id ORDER BY dst
-           |        ROWS UNBOUNDED PRECEDING) AS cum,
-           |      sum(wt) OVER (PARTITION BY walk_id) AS tot
-           |    FROM c$t)
-           |  WHERE (CAST(concat('0x', substr(md5(concat(
-           |      42, ':', walk_id, ':', $t, ':', node)), 1, 12))
-           |    AS BIGINT) % tot) BETWEEN cum - wt AND cum - 1)""".stripMargin
-      }.mkString
-      val unions = (1 to 4).map { t =>
-        s"""
-           |UNION ALL SELECT walk_id, $t, node FROM w$t""".stripMargin
-      }.mkString
-      s"""WITH e0 AS (
-         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-         |  UNION ALL
-         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-         |  UNION ALL
-         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
-         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
-         |  WHERE src <> dst),
-         |w0 AS (SELECT c_custkey*4 AS walk_id, c_custkey*4 AS node,
-         |       c_custkey*4 AS prev
-         |       FROM customer WHERE c_custkey < 40)$steps
-         |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
-         |  SELECT walk_id, 0 AS step, node FROM w0$unions)
-         |ORDER BY walk_id, step""".stripMargin
-    },
-
-    // Luby MIS: 8 unrolled rounds (fixpoint at sf0.01 is 4 — unrolling
-    // past it is the identity). Each round: neighbor-min of the md5-48
-    // priority over still-active nodes, strict-min (or isolated)
-    // selection, then selected + their neighbors leave the active set.
-    "q_g19_mis" -> {
-      val rounds = (1 to 8).map { r =>
-        val p = r - 1
-        s""",
-           |s$r AS MATERIALIZED (
-           |  SELECT a.id FROM a$p a
-           |  LEFT JOIN (
-           |    SELECT s.src AS id, min(t.p) AS m
-           |    FROM sym s JOIN a$p t ON t.id = s.dst
-           |    GROUP BY s.src) nm ON nm.id = a.id
-           |  WHERE nm.m IS NULL OR a.p < nm.m),
-           |a$r AS MATERIALIZED (
-           |  SELECT a.id, a.p FROM a$p a
-           |  WHERE a.id NOT IN (SELECT id FROM s$r)
-           |    AND a.id NOT IN (SELECT s.dst FROM sym s
-           |      JOIN s$r x ON x.id = s.src))""".stripMargin
-      }.mkString
-      val unions = (2 to 8).map { r =>
-        s"""
-           |  UNION ALL SELECT id, $r AS mis_round FROM s$r""".stripMargin
-      }.mkString
-      s"""WITH e0 AS (
-         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-         |  UNION ALL
-         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-         |  UNION ALL
-         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
-         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
-         |  WHERE src <> dst),
-         |a0 AS MATERIALIZED (
-         |  SELECT id, CAST(concat('0x', substr(md5(concat(
-         |      42, ':', id)), 1, 12)) AS BIGINT) AS p
-         |  FROM (SELECT DISTINCT src AS id FROM sym))$rounds
-         |SELECT id, CAST(mis_round AS BIGINT) AS mis_round
-         |FROM (SELECT id, 1 AS mis_round FROM s1$unions)
-         |ORDER BY id""".stripMargin
-    },
-
-    // HITS: each iteration's two half-steps unrolled — raw auth inflow,
-    // L1 normalize, raw hub outflow, L1 normalize — with the normalizer
-    // as a scalar subquery over the raw CTE (DuckDB's group-sum order
-    // differs from Spark's; ROUND 8 absorbs it, the PageRank precedent).
-    "q_g18_hits" -> {
-      val iters = (1 to 3).map { i =>
-        val p = i - 1
-        s""",
-           |ar$i AS MATERIALIZED (
-           |  SELECT e.dst AS id, sum(s$p.hub) AS a FROM e
-           |  JOIN s$p ON s$p.id = e.src GROUP BY e.dst),
-           |a$i AS MATERIALIZED (
-           |  SELECT n.id, COALESCE(r.a, 0) / (SELECT sum(a) FROM ar$i)
-           |    AS auth
-           |  FROM n LEFT JOIN ar$i r USING (id)),
-           |hr$i AS MATERIALIZED (
-           |  SELECT e.src AS id, sum(a$i.auth) AS h FROM e
-           |  JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
-           |s$i AS MATERIALIZED (
-           |  SELECT n.id, COALESCE(r.h, 0) / (SELECT sum(h) FROM hr$i)
-           |    AS hub, a$i.auth
-           |  FROM n LEFT JOIN hr$i r USING (id)
-           |  JOIN a$i ON a$i.id = n.id)""".stripMargin
-      }.mkString
-      s"""WITH e AS (
-         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-         |  UNION ALL
-         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-         |  UNION ALL
-         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-         |n AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-         |s0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub,
-         |       CAST(1 AS DOUBLE) AS auth FROM n)$iters
-         |SELECT id, ROUND(hub, 8) AS hub, ROUND(auth, 8) AS auth
-         |FROM s3 ORDER BY id""".stripMargin
-    },
-
-    "q_g3_pagerank" ->
-      """WITH e AS (
-        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-        |  UNION ALL
-        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |  UNION ALL
-        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-        |n AS (SELECT DISTINCT id FROM
-        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
-        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
-        |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
-        |d0 AS (SELECT COALESCE(sum(r), 0) AS s FROM r0
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r1 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
-        |         + (SELECT s FROM d0)/(SELECT nn FROM c)) AS r
-        |       FROM n LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r0.r/deg.d) AS s FROM e
-        |         JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id)),
-        |d1 AS (SELECT COALESCE(sum(r), 0) AS s FROM r1
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r2 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
-        |         + (SELECT s FROM d1)/(SELECT nn FROM c)) AS r
-        |       FROM n LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r1.r/deg.d) AS s FROM e
-        |         JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id)),
-        |d2 AS (SELECT COALESCE(sum(r), 0) AS s FROM r2
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r3 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
-        |         + (SELECT s FROM d2)/(SELECT nn FROM c)) AS r
-        |       FROM n LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r2.r/deg.d) AS s FROM e
-        |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id))
-        |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
-
-    // Ground truth from the known topology: a node's component is the
-    // smallest namespaced id sharing its region.
-    "q_g5_components" ->
-      """WITH nodes AS (
-        |  SELECT c_custkey*4 AS id, n_regionkey AS rk
-        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
-        |  UNION ALL
-        |  SELECT s_suppkey*4+1, n_regionkey
-        |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
-        |  UNION ALL
-        |  SELECT n_nationkey*4+2, n_regionkey FROM nation
-        |  UNION ALL
-        |  SELECT r_regionkey*4+3, r_regionkey FROM region)
-        |SELECT id, min(id) OVER (PARTITION BY rk) AS component
-        |FROM nodes ORDER BY id""".stripMargin,
-
-    // SCC by definition: reach = directed transitive closure (the
-    // recursive UNION dedups, so it terminates at the closure), then
-    // each node's least mutually-reachable partner. (v, v) ∈ reach
-    // seeds every node, so singletons label themselves.
-    "q_g26_scc" ->
-      """WITH RECURSIVE e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
-        |    FROM customer
-        |    UNION ALL
-        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |    UNION ALL
-        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
-        |    UNION ALL
-        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
-        |    UNION ALL
-        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
-        |    WHERE c_custkey % 3 = 0)),
-        |v AS (SELECT DISTINCT id FROM (
-        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |reach AS (
-        |  SELECT id AS a, id AS b FROM v
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
-        |SELECT r1.a AS id, min(r1.b) AS scc
-        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-        |GROUP BY r1.a ORDER BY id""".stripMargin,
-
-    // Same closure-derived SCC labels, then the quotient edge set.
-    "q_g26b_condensation" ->
-      """WITH RECURSIVE e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
-        |    FROM customer
-        |    UNION ALL
-        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |    UNION ALL
-        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
-        |    UNION ALL
-        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
-        |    UNION ALL
-        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
-        |    WHERE c_custkey % 3 = 0)),
-        |v AS (SELECT DISTINCT id FROM (
-        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |reach AS (
-        |  SELECT id AS a, id AS b FROM v
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-        |scc AS MATERIALIZED (
-        |  SELECT r1.a AS id, min(r1.b) AS scc
-        |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-        |  GROUP BY r1.a)
-        |SELECT DISTINCT sa.scc AS src_scc, sb.scc AS dst_scc
-        |FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
-        |WHERE sa.scc <> sb.scc
-        |ORDER BY src_scc, dst_scc""".stripMargin,
-
-    // The incremental result must equal the FULL recompute — so the
-    // oracle is q_g26's verbatim: the closure-derived SCC of the whole
-    // edge set, back-edges included. Any severed or over-merged SCC
-    // from the quotient composition hash-mismatches here.
-    "q_g26d_incr_scc" ->
-      """WITH RECURSIVE e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
-        |    FROM customer
-        |    UNION ALL
-        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |    UNION ALL
-        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
-        |    UNION ALL
-        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
-        |    UNION ALL
-        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
-        |    WHERE c_custkey % 3 = 0)),
-        |v AS (SELECT DISTINCT id FROM (
-        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |reach AS (
-        |  SELECT id AS a, id AS b FROM v
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
-        |SELECT r1.a AS id, min(r1.b) AS scc
-        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-        |GROUP BY r1.a ORDER BY id""".stripMargin,
-
-    // Same closure-derived quotient edges, then longest path by
-    // recursive walk extension: every quotient node seeds a 0-length
-    // walk, each edge extends by 1, the recursive UNION dedups
-    // (node, len) states so the walk set is finite on a DAG, and
-    // max(len) per node IS the topological level.
-    "q_g26c_topo_levels" ->
-      """WITH RECURSIVE e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
-        |    FROM customer
-        |    UNION ALL
-        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |    UNION ALL
-        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
-        |    UNION ALL
-        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
-        |    UNION ALL
-        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
-        |    WHERE c_custkey % 3 = 0)),
-        |v AS (SELECT DISTINCT id FROM (
-        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |reach AS (
-        |  SELECT id AS a, id AS b FROM v
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-        |scc AS MATERIALIZED (
-        |  SELECT r1.a AS id, min(r1.b) AS scc
-        |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-        |  GROUP BY r1.a),
-        |q AS MATERIALIZED (
-        |  SELECT DISTINCT sa.scc AS src_scc, sb.scc AS dst_scc
-        |  FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
-        |  WHERE sa.scc <> sb.scc),
-        |walks AS (
-        |  SELECT scc AS node, 0 AS len FROM (
-        |    SELECT DISTINCT s2 AS scc FROM (
-        |      SELECT src_scc AS s2 FROM q
-        |      UNION ALL SELECT dst_scc FROM q))
-        |  UNION
-        |  SELECT q.dst_scc, w.len + 1 FROM walks w
-        |  JOIN q ON q.src_scc = w.node)
-        |SELECT node AS scc, CAST(max(len) AS BIGINT) AS level
-        |FROM walks GROUP BY node ORDER BY scc""".stripMargin,
-
-    // Descendant counts = the closure-derived quotient edges (q_g26c's
-    // skeleton), then a recursive reachability walk counted per source
-    // SCC — sinks LEFT-JOIN to 0.
-    "q_g26e_desc_counts" ->
-      """WITH RECURSIVE e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
-        |    FROM customer
-        |    UNION ALL
-        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |    UNION ALL
-        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
-        |    UNION ALL
-        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
-        |    UNION ALL
-        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
-        |    WHERE c_custkey % 3 = 0)),
-        |v AS (SELECT DISTINCT id FROM (
-        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |reach AS (
-        |  SELECT id AS a, id AS b FROM v
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-        |scc AS MATERIALIZED (
-        |  SELECT r1.a AS id, min(r1.b) AS scc
-        |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-        |  GROUP BY r1.a),
-        |q AS MATERIALIZED (
-        |  SELECT DISTINCT sa.scc AS src_scc, sb.scc AS dst_scc
-        |  FROM e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
-        |  WHERE sa.scc <> sb.scc),
-        |qn AS (SELECT DISTINCT s2 AS scc FROM (
-        |  SELECT src_scc AS s2 FROM q UNION ALL SELECT dst_scc FROM q)),
-        |qr AS (
-        |  SELECT src_scc AS a, dst_scc AS b FROM q
-        |  UNION
-        |  SELECT r.a, q.dst_scc FROM qr r JOIN q ON q.src_scc = r.b)
-        |SELECT qn.scc, CAST(coalesce(c.n, 0) AS BIGINT) AS n_desc
-        |FROM qn LEFT JOIN (
-        |  SELECT a, count(*) AS n FROM qr WHERE a <> b GROUP BY a) c
-        |  ON c.a = qn.scc
-        |ORDER BY scc""".stripMargin,
-
-    // Landmark masks rebuilt from the per-landmark recursive closure:
-    // bit b of reach_mask ⇔ the b-th-smallest landmark id reaches the
-    // node (self included — the BFS-source convention); unreached
-    // nodes carry mask 0 via the LEFT JOIN.
-    "q_g27_landmark_reach" ->
-      """WITH RECURSIVE e AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
-        |    FROM customer
-        |    UNION ALL
-        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |    UNION ALL
-        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
-        |    UNION ALL
-        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
-        |    UNION ALL
-        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
-        |    WHERE c_custkey % 3 = 0)),
-        |v AS (SELECT DISTINCT id FROM (
-        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |lm AS MATERIALIZED (
-        |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS b
-        |  FROM (SELECT DISTINCT r_regionkey*4+3 AS id FROM region)),
-        |reach AS (
-        |  SELECT id AS lm_id, id AS node FROM lm
-        |  UNION
-        |  SELECT r.lm_id, e.dst FROM reach r JOIN e ON e.src = r.node),
-        |m AS (
-        |  SELECT r.node AS id,
-        |    sum((1::BIGINT) << lm.b) AS reach_mask,
-        |    count(*) AS n_landmarks
-        |  FROM reach r JOIN lm ON lm.id = r.lm_id GROUP BY r.node)
-        |SELECT v.id,
-        |  CAST(coalesce(m.reach_mask, 0) AS BIGINT) AS reach_mask,
-        |  CAST(coalesce(m.n_landmarks, 0) AS BIGINT) AS n_landmarks
-        |FROM v LEFT JOIN m ON m.id = v.id
-        |ORDER BY 1""".stripMargin,
-
-    // Same wedge expansion in SQL; the e4 integerization absorbs the
-    // Σ 1/ln(deg) summation-order ulps.
-    "q_g8_link_prediction" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |            FROM lineitem WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT a.pk AS x, b.pk AS y FROM li a JOIN li b
-        |      ON a.ok = b.ok AND a.pk < b.pk),
-        |canon AS (SELECT DISTINCT least(x,y) AS a, greatest(x,y) AS b
-        |          FROM e WHERE x <> y),
-        |nbr AS (SELECT a AS z, b AS n FROM canon
-        |        UNION ALL SELECT b, a FROM canon),
-        |deg AS (SELECT z, count(*) AS d FROM nbr GROUP BY z),
-        |wedge AS (SELECT x.n AS u, y.n AS v, x.z AS z
-        |          FROM nbr x JOIN nbr y ON x.z = y.z AND x.n < y.n),
-        |sc AS (SELECT u, v, count(*) AS common,
-        |         sum(CAST(1 AS DOUBLE) / ln(CAST(deg.d AS DOUBLE))) AS aa
-        |       FROM wedge JOIN deg ON deg.z = wedge.z GROUP BY u, v)
-        |SELECT sc.u AS id_a, sc.v AS id_b, sc.common,
-        |  CAST(floor(sc.aa * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS aa_e4
-        |FROM sc LEFT JOIN canon ON canon.a = sc.u AND canon.b = sc.v
-        |WHERE canon.a IS NULL AND sc.common >= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_g9_kcore" -> kcoreUnrolledOracle,
-
-    "q_g14_betweenness" -> betweennessUnrolledOracle,
-
-    "q_g15_eccentricity" -> eccentricityUnrolledOracle,
-
-    // Assortativity from the same exact-integer moments; both engines run
-    // the identical double formula over identical longs.
-    "q_g16_assortativity" ->
-      """WITH e AS (
-        |  SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
-        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |        FROM lineitem WHERE l_orderkey % 20 = 0) a
-        |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |        FROM lineitem WHERE l_orderkey % 20 = 0) b
-        |    ON b.ok = a.ok AND a.pk < b.pk),
-        |nbr AS (
-        |  SELECT a AS u, b AS v FROM e WHERE a <> b
-        |  UNION ALL SELECT b, a FROM e WHERE a <> b),
-        |deg AS (SELECT u AS id, count(*) AS d FROM nbr GROUP BY u),
-        |m AS (
-        |  SELECT count(*) AS n,
-        |    sum(du.d) AS sx, sum(dv.d) AS sy,
-        |    sum(du.d * dv.d) AS sxy,
-        |    sum(du.d * du.d) AS sxx, sum(dv.d * dv.d) AS syy
-        |  FROM nbr
-        |  JOIN deg du ON du.id = nbr.u
-        |  JOIN deg dv ON dv.id = nbr.v)
-        |SELECT
-        |  CAST(floor(
-        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r_e6,
-        |  CAST(n / 2 AS BIGINT) AS n_edges,
-        |  (SELECT count(*) FROM deg) AS n_nodes
-        |FROM m""".stripMargin,
-
-    "q_g7_degree_hist" ->
-      """WITH e AS (
-        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-        |  UNION ALL
-        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |  UNION ALL
-        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-        |deg AS (SELECT dst AS id, count(*) AS degree FROM e GROUP BY dst)
-        |SELECT degree, count(*) AS n FROM deg
-        |GROUP BY degree ORDER BY degree""".stripMargin,
-
-    // q_g3's unrolled 3-iteration power method with weight-sum
-    // out-degrees and rank·w/Σw inflow terms; ROUND(_, 8) absorbs
-    // summation-order ulps exactly as in q_g3.
-    "q_g3c_pagerank_weighted" ->
-      """WITH e AS (
-        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst,
-        |         (c_custkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM customer
-        |  UNION ALL
-        |  SELECT s_suppkey*4+1, s_nationkey*4+2,
-        |         (s_suppkey % 8) / CAST(4 AS DOUBLE) + 1 FROM supplier
-        |  UNION ALL
-        |  SELECT n_nationkey*4+2, n_regionkey*4+3,
-        |         (n_nationkey % 8) / CAST(4 AS DOUBLE) + 1 FROM nation),
-        |n AS (SELECT DISTINCT id FROM
-        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
-        |deg AS (SELECT src, sum(w) AS d FROM e GROUP BY src),
-        |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
-        |d0 AS (SELECT COALESCE(sum(r), 0) AS s FROM r0
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r1 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
-        |         + (SELECT s FROM d0)/(SELECT nn FROM c)) AS r
-        |       FROM n LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r0.r*e.w/deg.d) AS s FROM e
-        |         JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id)),
-        |d1 AS (SELECT COALESCE(sum(r), 0) AS s FROM r1
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r2 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
-        |         + (SELECT s FROM d1)/(SELECT nn FROM c)) AS r
-        |       FROM n LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r1.r*e.w/deg.d) AS s FROM e
-        |         JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id)),
-        |d2 AS (SELECT COALESCE(sum(r), 0) AS s FROM r2
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r3 AS (SELECT n.id, (1 - 0.85)/(SELECT nn FROM c) + 0.85*(COALESCE(f.s, 0)
-        |         + (SELECT s FROM d2)/(SELECT nn FROM c)) AS r
-        |       FROM n LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r2.r*e.w/deg.d) AS s FROM e
-        |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id))
-        |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
-
-    // The hetero graph is a leveled DAG (customer→nation→region), so the
-    // oracle computes the relaxation level by level. Weights are exact
-    // binary quarters, so distances compare as raw doubles — no rounding
-    // — and the `via` attainment equality (d + w = dist) is exact too.
-    "q_g6_shortest_paths" ->
-      """WITH seeds AS (
-        |  SELECT c_custkey*4 AS id FROM customer WHERE c_custkey < 10),
-        |ce AS (SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst,
-        |       (c_custkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM customer),
-        |ne AS (SELECT n_nationkey*4+2 AS src, n_regionkey*4+3 AS dst,
-        |       (n_nationkey % 8) / CAST(4 AS DOUBLE) + 1 AS w FROM nation),
-        |d0 AS (SELECT id, CAST(0 AS DOUBLE) AS dist, id AS via FROM seeds),
-        |d1 AS (SELECT ce.dst AS id, min(d0.dist + ce.w) AS dist
-        |       FROM d0 JOIN ce ON d0.id = ce.src GROUP BY ce.dst),
-        |v1 AS (SELECT d1.id, d1.dist, min(ce.src) AS via
-        |       FROM d1 JOIN ce ON ce.dst = d1.id
-        |       JOIN d0 ON d0.id = ce.src
-        |       WHERE d0.dist + ce.w = d1.dist GROUP BY d1.id, d1.dist),
-        |d2 AS (SELECT ne.dst AS id, min(v1.dist + ne.w) AS dist
-        |       FROM v1 JOIN ne ON v1.id = ne.src GROUP BY ne.dst),
-        |v2 AS (SELECT d2.id, d2.dist, min(ne.src) AS via
-        |       FROM d2 JOIN ne ON ne.dst = d2.id
-        |       JOIN v1 ON v1.id = ne.src
-        |       WHERE v1.dist + ne.w = d2.dist GROUP BY d2.id, d2.dist)
-        |SELECT id, dist, via FROM d0
-        |UNION ALL SELECT id, dist, via FROM v1
-        |UNION ALL SELECT id, dist, via FROM v2
-        |ORDER BY id""".stripMargin,
-
-    // PPR unrolled like q_g3, with reset/dangling mass flowing to the seed
-    // indicator s(v) instead of 1/N; (1 - 0.85) written as the expression
-    // so both engines produce the identical IEEE double.
-    "q_g3b_ppr" ->
-      """WITH e AS (
-        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-        |  UNION ALL
-        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-        |  UNION ALL
-        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-        |n AS (SELECT DISTINCT id FROM
-        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |sd AS (SELECT c_custkey*4 AS id FROM customer WHERE c_custkey < 10),
-        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
-        |sv AS (SELECT n.id,
-        |         CASE WHEN sd.id IS NOT NULL THEN 1.0/(SELECT ns FROM sc)
-        |              ELSE 0.0 END AS s
-        |       FROM n LEFT JOIN sd ON sd.id = n.id),
-        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
-        |r0 AS (SELECT id, s AS r FROM sv),
-        |d0 AS (SELECT COALESCE(sum(r), 0) AS m FROM r0
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r1 AS (SELECT sv.id, (1 - 0.85)*sv.s + 0.85*(COALESCE(f.v, 0)
-        |         + (SELECT m FROM d0)*sv.s) AS r
-        |       FROM sv LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r0.r/deg.d) AS v FROM e
-        |         JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id)),
-        |d1 AS (SELECT COALESCE(sum(r), 0) AS m FROM r1
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r2 AS (SELECT sv.id, (1 - 0.85)*sv.s + 0.85*(COALESCE(f.v, 0)
-        |         + (SELECT m FROM d1)*sv.s) AS r
-        |       FROM sv LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r1.r/deg.d) AS v FROM e
-        |         JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id)),
-        |d2 AS (SELECT COALESCE(sum(r), 0) AS m FROM r2
-        |       WHERE id NOT IN (SELECT src FROM e)),
-        |r3 AS (SELECT sv.id, (1 - 0.85)*sv.s + 0.85*(COALESCE(f.v, 0)
-        |         + (SELECT m FROM d2)*sv.s) AS r
-        |       FROM sv LEFT JOIN (
-        |         SELECT e.dst AS id, sum(r2.r/deg.d) AS v FROM e
-        |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
-        |         GROUP BY e.dst) f USING (id))
-        |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
-
-    // Canonical a<b edges; each triangle (a<b<c) found once by the triple
-    // join, credited to all three vertices.
-    // q_g4's triangle rebuild + a degree count; the coefficient repeats
-    // the exact double-op sequence of the Spark side (2·tri / d(d−1),
-    // then ×1e6 + 0.5, floor) so both engines round identically.
-    "q_g12_clustering" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT id, count(*) AS degree FROM (
-        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
-        |tri AS (
-        |  SELECT e1.a, e1.b, e2.b AS c
-        |  FROM e e1
-        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
-        |tcnt AS (SELECT id, count(*) AS n_tri FROM (
-        |  SELECT a AS id FROM tri
-        |  UNION ALL SELECT b FROM tri
-        |  UNION ALL SELECT c FROM tri) GROUP BY id)
-        |SELECT d.id, d.degree,
-        |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
-        |  CAST(CASE WHEN d.degree < 2 THEN 0
-        |    ELSE floor(CAST(2 AS DOUBLE) * coalesce(t.n_tri, 0)
-        |      / (d.degree * (d.degree - 1)) * 1e6 + 0.5)
-        |    END AS BIGINT) AS c_e6
-        |FROM deg d LEFT JOIN tcnt t USING (id)
-        |ORDER BY d.id""".stripMargin,
-
-    // Recursive BFS enumeration capped at 6 hops (UNION dedup keeps it
-    // finite), min distance per (node, seed), then the exact-integer
-    // harmonic sum. BFS first-reach == enumerate-then-min.
-    "q_g11_harmonic" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |adj AS (SELECT a AS src, b AS dst FROM e
-        |        UNION ALL SELECT b, a FROM e),
-        |seeds AS (SELECT DISTINCT src AS id FROM adj ORDER BY id LIMIT 3),
-        |bfs(id, seed, d) AS (
-        |  SELECT id, id, 0 FROM seeds
-        |  UNION
-        |  SELECT a.dst, b.seed, b.d + 1
-        |  FROM bfs b JOIN adj a ON a.src = b.id
-        |  WHERE b.d < 6),
-        |md AS (SELECT id, seed, min(d) AS d FROM bfs GROUP BY 1, 2)
-        |SELECT id, CAST(sum(60 // d) AS BIGINT) AS harmonic_x60,
-        |  count(*) AS n_reached
-        |FROM md WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
-
-    // Same recursive BFS as q_g11; closeness = n/Σd is ONE double
-    // division (correctly rounded on every IEEE engine), integerized e6.
-    "q_g13_closeness" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |adj AS (SELECT a AS src, b AS dst FROM e
-        |        UNION ALL SELECT b, a FROM e),
-        |seeds AS (SELECT DISTINCT src AS id FROM adj ORDER BY id LIMIT 3),
-        |bfs(id, seed, d) AS (
-        |  SELECT id, id, 0 FROM seeds
-        |  UNION
-        |  SELECT a.dst, b.seed, b.d + 1
-        |  FROM bfs b JOIN adj a ON a.src = b.id
-        |  WHERE b.d < 6),
-        |md AS (SELECT id, seed, min(d) AS d FROM bfs GROUP BY 1, 2)
-        |SELECT id, CAST(sum(d) AS BIGINT) AS sum_dist,
-        |  count(*) AS n_reached,
-        |  CAST(floor(CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE)
-        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS closeness_e6
-        |FROM md WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
-
-    // Both LPA rounds unrolled: round 1 over distinct neighbor ids (every
-    // count is 1, so argmax = min neighbor), round 2 over the round-1
-    // labels; argmax-with-min-tie-break = row_number (count DESC, label).
-    "q_g10_lpa" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |adj AS (SELECT a AS src, b AS dst FROM e
-        |        UNION ALL SELECT b, a FROM e),
-        |r1 AS (SELECT dst AS id, src AS lbl, count(*) AS c
-        |       FROM adj GROUP BY 1, 2),
-        |l1 AS (SELECT id, lbl FROM (
-        |  SELECT id, lbl,
-        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-        |  FROM r1) WHERE rn = 1),
-        |r2 AS (SELECT a.dst AS id, l.lbl, count(*) AS c
-        |       FROM adj a JOIN l1 l ON l.id = a.src GROUP BY 1, 2),
-        |l2 AS (SELECT id, lbl FROM (
-        |  SELECT id, lbl,
-        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-        |  FROM r2) WHERE rn = 1)
-        |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin,
-
-    // Modularity rebuild: the q_g10 LPA unroll verbatim, then exact
-    // integer moments (intra-edge count, degree sums, |E|) and the same
-    // two-division q_c shape ((m_in/m) − (d/(2m))·(d/(2m))), e6.
-    "q_g21_modularity" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |adj AS (SELECT a AS src, b AS dst FROM e
-        |        UNION ALL SELECT b, a FROM e),
-        |r1 AS (SELECT dst AS id, src AS lbl, count(*) AS c
-        |       FROM adj GROUP BY 1, 2),
-        |l1 AS (SELECT id, lbl FROM (
-        |  SELECT id, lbl,
-        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-        |  FROM r1) WHERE rn = 1),
-        |r2 AS (SELECT a.dst AS id, l.lbl, count(*) AS c
-        |       FROM adj a JOIN l1 l ON l.id = a.src GROUP BY 1, 2),
-        |l2 AS (SELECT id, lbl FROM (
-        |  SELECT id, lbl,
-        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-        |  FROM r2) WHERE rn = 1),
-        |deg AS (SELECT id, count(*) AS d FROM (
-        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
-        |din AS (
-        |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS m_in
-        |  FROM e JOIN l2 la ON la.id = e.a JOIN l2 lb ON lb.id = e.b
-        |  WHERE la.lbl = lb.lbl GROUP BY 1),
-        |dt AS (
-        |  SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
-        |    CAST(sum(deg.d) AS BIGINT) AS d_tot
-        |  FROM deg JOIN l2 l ON l.id = deg.id GROUP BY 1)
-        |SELECT dt.community, dt.n_nodes,
-        |  CAST(coalesce(din.m_in, 0) AS BIGINT) AS m_in, dt.d_tot,
-        |  CAST(floor((CAST(coalesce(din.m_in, 0) AS DOUBLE)
-        |      / CAST(m.m AS DOUBLE)
-        |    - (CAST(dt.d_tot AS DOUBLE)
-        |        / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
-        |      * (CAST(dt.d_tot AS DOUBLE)
-        |        / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q_e6
-        |FROM dt LEFT JOIN din USING (community), m
-        |ORDER BY community""".stripMargin,
-
-    // Power-law MLE rebuild: distinct-degree histogram, per-term
-    // 1e9-integerized ln summed in HUGEINT (exact, order-free), then
-    // alpha computed once and reused so (alpha − 1) matches Spark's
-    // compute-then-subtract double shape.
-    "q_g22_powerlaw" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT id, count(*) AS d FROM (
-        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
-        |h AS (SELECT d, count(*) AS n_d FROM deg WHERE d >= 1 GROUP BY d),
-        |s AS (
-        |  SELECT CAST(sum(n_d) AS BIGINT) AS n_nodes,
-        |    sum(CAST(n_d AS HUGEINT)
-        |      * CAST(floor(ln(CAST(d AS DOUBLE) / CAST(1 AS DOUBLE)) * 1e9
-        |          + CAST(0.5 AS DOUBLE)) AS HUGEINT)) AS s_e9
-        |  FROM h),
-        |a AS (
-        |  SELECT n_nodes,
-        |    CASE WHEN s_e9 = 0 THEN NULL
-        |      ELSE CAST(1 AS DOUBLE) + CAST(n_nodes AS DOUBLE)
-        |        / (CAST(s_e9 AS DOUBLE) / 1e9) END AS alpha
-        |  FROM s)
-        |SELECT n_nodes, CAST(1 AS BIGINT) AS d_min,
-        |  CAST(floor(alpha * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS alpha_e6,
-        |  CAST(floor((alpha - CAST(1 AS DOUBLE))
-        |      / sqrt(CAST(n_nodes AS DOUBLE)) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS se_e6
-        |FROM a""".stripMargin,
-
-    // Louvain rebuild — see louvainOracleCtes/louvainRoundSql: 4 fine
-    // rounds (ugug), coarsen, 4 weighted coarse rounds, projection —
-    // matching louvainMultiLevel's 4+4 alternating schedule exactly.
-    "q_g23_louvain" ->
-      s"""${louvainOracleCtes}
-         |SELECT id, lbl AS community FROM fin ORDER BY id""".stripMargin,
-
-    // Leiden refinement replayed on top of the g23 unroll: intra-
-    // community adjacency, then min-label reachability as a recursive
-    // CTE — the `r.lbl < a.dst` guard is safe (the component minimum
-    // is below every other member id, so its propagation is never
-    // pruned) and keeps the pair set to (id, lbl ≤ id) rows. The
-    // engine's pointer-jumping CC converges to the same min ids.
-    "q_g24_leiden" ->
-      s"""${louvainOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |iadj AS MATERIALIZED (
-         |  SELECT e.a AS src, e.b AS dst FROM e
-         |    JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
-         |    WHERE la.lbl = lb.lbl
-         |  UNION ALL
-         |  SELECT e.b, e.a FROM e
-         |    JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
-         |    WHERE la.lbl = lb.lbl),
-         |reach AS (
-         |  SELECT id, id AS lbl FROM fin
-         |  UNION
-         |  SELECT a.dst AS id, r.lbl FROM reach r
-         |  JOIN iadj a ON a.src = r.id
-         |  WHERE r.lbl < a.dst)
-         |SELECT id, min(lbl) AS community FROM reach
-         |GROUP BY id ORDER BY id""".stripMargin,
-
-    // Incremental-maintenance rebuild: recursive min-label CC over the
-    // old graph (the stored labels), unrolled 2-hop region from the
-    // delta endpoints over the symmetrized full graph, the induced
-    // subgraph's 2 seeded gated rounds (louvainRoundSql with l0 =
-    // coalesce(stored, id)), then kept ∪ region with the engine's
-    // new→old→singleton coalesce.
-    "q_g25_incr_communities" ->
-      s"""WITH RECURSIVE li AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-         |  FROM lineitem),
-         |eold AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
-         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-         |  WHERE a.ok % 40 = 0),
-         |edel AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
-         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-         |  WHERE a.ok % 200 = 20),
-         |eall AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
-         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-         |  WHERE a.ok % 40 = 0 OR a.ok % 200 = 20),
-         |vold AS (SELECT DISTINCT id FROM (
-         |  SELECT a AS id FROM eold UNION ALL SELECT b FROM eold)),
-         |oadj AS MATERIALIZED (SELECT a AS src, b AS dst FROM eold
-         |  UNION ALL SELECT b, a FROM eold),
-         |reach AS (
-         |  SELECT id, id AS lbl FROM vold
-         |  UNION
-         |  SELECT a.dst AS id, r.lbl FROM reach r
-         |  JOIN oadj a ON a.src = r.id
-         |  WHERE r.lbl < a.dst),
-         |prev AS MATERIALIZED (
-         |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
-         |seeds AS (SELECT DISTINCT id FROM (
-         |  SELECT a AS id FROM edel UNION ALL SELECT b FROM edel)),
-         |sadj AS MATERIALIZED (SELECT a AS src, b AS dst FROM eall
-         |  UNION ALL SELECT b, a FROM eall),
-         |h1 AS (SELECT DISTINCT sadj.dst AS id
-         |  FROM sadj JOIN seeds ON sadj.src = seeds.id),
-         |h2 AS (SELECT DISTINCT sadj.dst AS id
-         |  FROM sadj JOIN h1 ON sadj.src = h1.id),
-         |region AS MATERIALIZED (SELECT DISTINCT id FROM (
-         |  SELECT id FROM seeds UNION ALL SELECT id FROM h1
-         |  UNION ALL SELECT id FROM h2)),
-         |e AS MATERIALIZED (SELECT eall.a, eall.b FROM eall
-         |  JOIN region ra ON ra.id = eall.a
-         |  JOIN region rb ON rb.id = eall.b),
-         |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
-         |  UNION ALL SELECT b, a FROM e),
-         |deg AS MATERIALIZED (SELECT src AS id,
-         |  CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY 1),
-         |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
-         |l0 AS (SELECT deg.id, coalesce(p.lbl, deg.id) AS lbl
-         |  FROM deg LEFT JOIN prev p USING (id))${
-           (0 until 2).map(r => louvainRoundSql(r, "", "adj", "deg",
-             false, gated = true)).mkString},
-         |out_kept AS (
-         |  SELECT p.id, p.lbl AS community FROM prev p
-         |  WHERE p.id NOT IN (SELECT id FROM region)),
-         |out_region AS (
-         |  SELECT r.id, coalesce(l.lbl, p.lbl, r.id) AS community
-         |  FROM region r
-         |  LEFT JOIN l2 l USING (id)
-         |  LEFT JOIN prev p USING (id))
-         |SELECT id, community FROM out_kept
-         |UNION ALL
-         |SELECT id, community FROM out_region
-         |ORDER BY id""".stripMargin,
-
-    // Weighted Leiden rebuild: the weighted two-level unroll over the
-    // q_j7 co-occurrence graph, then the same recursive min-label
-    // refinement replay as q_g24 (connectivity is weight-blind, so the
-    // intra adjacency drops w).
-    "q_g24b_leiden_weighted" ->
-      s"""${louvainWeightedOracleCtes
-             .replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |iadj AS MATERIALIZED (
-         |  SELECT e.a AS src, e.b AS dst FROM e
-         |    JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
-         |    WHERE la.lbl = lb.lbl
-         |  UNION ALL
-         |  SELECT e.b, e.a FROM e
-         |    JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
-         |    WHERE la.lbl = lb.lbl),
-         |reach AS (
-         |  SELECT id, id AS lbl FROM fin
-         |  UNION
-         |  SELECT a.dst AS id, r.lbl FROM reach r
-         |  JOIN iadj a ON a.src = r.id
-         |  WHERE r.lbl < a.dst)
-         |SELECT id, min(lbl) AS community FROM reach
-         |GROUP BY id ORDER BY id""".stripMargin,
-
-    // Scoreboard rebuild: the two-level louvain unroll plus the q_g10
-    // LPA-2 unroll (p-prefixed CTEs), each scored from exact integer
-    // moments Σm_in / Σd_tot² with the engine's double shape
-    // (S_in/m − S_d2/(m·m·4))·1e6.
-    "q_g23b_louvain_vs_lpa" ->
-      s"""${louvainOracleCtes},
-         |p1 AS (SELECT id, lbl FROM (
-         |  SELECT dst AS id, src AS lbl,
-         |    row_number() OVER (PARTITION BY dst
-         |      ORDER BY count(*) DESC, src) AS rn
-         |  FROM adj GROUP BY dst, src) WHERE rn = 1),
-         |p2 AS MATERIALIZED (SELECT id, lbl FROM (
-         |  SELECT a.dst AS id, l.lbl,
-         |    row_number() OVER (PARTITION BY a.dst
-         |      ORDER BY count(*) DESC, l.lbl) AS rn
-         |  FROM adj a JOIN p1 l ON l.id = a.src
-         |  GROUP BY a.dst, l.lbl) WHERE rn = 1),
-         |qlou AS (SELECT 'louvain' AS method,
-         |    (SELECT CAST(count(*) AS HUGEINT) FROM e
-         |     JOIN fin la ON la.id = e.a JOIN fin lb ON lb.id = e.b
-         |     WHERE la.lbl = lb.lbl) AS sin,
-         |    (SELECT sum(d * d) FROM (
-         |      SELECT sum(deg.k) AS d FROM fin l
-         |      JOIN deg ON deg.id = l.id GROUP BY l.lbl)) AS sd2,
-         |    (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM fin)
-         |      AS n_comms),
-         |qlpa AS (SELECT 'lpa' AS method,
-         |    (SELECT CAST(count(*) AS HUGEINT) FROM e
-         |     JOIN p2 la ON la.id = e.a JOIN p2 lb ON lb.id = e.b
-         |     WHERE la.lbl = lb.lbl) AS sin,
-         |    (SELECT sum(d * d) FROM (
-         |      SELECT sum(deg.k) AS d FROM p2 l
-         |      JOIN deg ON deg.id = l.id GROUP BY l.lbl)) AS sd2,
-         |    (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM p2)
-         |      AS n_comms)
-         |SELECT method,
-         |  CAST(floor((CAST(sin AS DOUBLE) / CAST(m.m AS DOUBLE)
-         |    - CAST(sd2 AS DOUBLE) / (CAST(m.m AS DOUBLE)
-         |        * CAST(m.m AS DOUBLE) * 4)) * 1e6
-         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q_e6,
-         |  n_comms
-         |FROM (SELECT * FROM qlou UNION ALL SELECT * FROM qlpa), m
-         |ORDER BY method""".stripMargin,
-
-    "q_g4_triangles" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |tri AS (
-        |  SELECT e1.a, e1.b, e2.b AS c
-        |  FROM e e1
-        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
-        |SELECT id, count(*) AS n_triangles FROM (
-        |  SELECT a AS id FROM tri
-        |  UNION ALL SELECT b FROM tri
-        |  UNION ALL SELECT c FROM tri)
-        |GROUP BY id ORDER BY id""".stripMargin,
-
-    // Both container paths recover header fields exactly, so every column
-    // is doc_id arithmetic — the Spark side really encodes + parses the
-    // ISO-BMFF / RIFF structures per row.
-    "q_x5e_video_meta" ->
-      """SELECT doc_id,
-        |CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
-        |(doc_id % 320) + 16 AS width,
-        |(doc_id % 240) + 16 AS height,
-        |((doc_id % 100) + 1) * 40 AS duration_ms,
-        |CAST(1 AS BIGINT) AS n_tracks
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Frame indices 0, 2, ... below the per-doc frame count; lengths are
-    // the same doc_id arithmetic the synthesis used — the Spark side
-    // really writes and re-parses the ISO-BMFF sample table per row.
-    "q_x5f_frame_sample" ->
-      """WITH fx AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(0, doc_id % 4 + 1, 2)) AS i
-        |  FROM documents)
-        |SELECT doc_id, i AS frame_idx, (doc_id + i) % 50 + 10 AS frame_len
-        |FROM fx ORDER BY doc_id, frame_idx""".stripMargin,
-
-    "q_asof_join" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
-        |            event_type, value FROM events),
-        |c AS (SELECT event_id, user_id, tsu FROM ev
-        |      WHERE event_type = 'click'),
-        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, c.tsu,
-        |       p.purchase_value, p.tsu AS purchase_tsu
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.tsu >= p.tsu
-        |ORDER BY c.event_id""".stripMargin,
-
-    // DuckDB's native ASOF with the inequality flipped: first
-    // following right row, inclusive.
-    "q_asof_forward" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
-        |            event_type, value FROM events),
-        |c AS (SELECT event_id, user_id, tsu FROM ev
-        |      WHERE event_type = 'click'),
-        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, c.tsu,
-        |       p.purchase_value, p.tsu AS purchase_tsu
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.tsu <= p.tsu
-        |ORDER BY c.event_id""".stripMargin,
-
-    // Nearest = LATERAL argmin over (|Δts|, ts): the ts tiebreak keeps
-    // the backward row on exact |Δ| ties — the engine's convention.
-    "q_asof_nearest" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
-        |            event_type, value FROM events),
-        |c AS (SELECT event_id, user_id, tsu FROM ev
-        |      WHERE event_type = 'click'),
-        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, c.tsu,
-        |       q.purchase_value, q.purchase_tsu
-        |FROM c LEFT JOIN LATERAL (
-        |  SELECT purchase_value, tsu AS purchase_tsu FROM p
-        |  WHERE p.user_id = c.user_id
-        |  ORDER BY abs(p.tsu - c.tsu), p.tsu LIMIT 1) q ON true
-        |ORDER BY c.event_id""".stripMargin,
-
-    // identical oracle to q_asof_join — the salted plan must be
-    // semantics-invariant
-    "q_asof_join_salted" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
-        |            event_type, value FROM events),
-        |c AS (SELECT event_id, user_id, tsu FROM ev
-        |      WHERE event_type = 'click'),
-        |p AS (SELECT user_id, tsu, ROUND(value, 2) AS purchase_value
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, c.tsu,
-        |       p.purchase_value, p.tsu AS purchase_tsu
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.tsu >= p.tsu
-        |ORDER BY c.event_id""".stripMargin,
-
-    "q_range_join" ->
-      """SELECT p_partkey, band_id
-        |FROM part
-        |JOIN (VALUES (1, 0.0, 120.0), (2, 100.0, 260.0), (3, 250.0, 1000.0))
-        |  AS bands(band_id, lo, hi)
-        |  ON p_retailprice >= lo AND p_retailprice < hi
-        |ORDER BY p_partkey, band_id""".stripMargin,
-
-    "q_j6_interval_overlap" ->
-      """WITH a AS (
-        |  SELECT l_orderkey AS a_ok, CAST(l_linenumber AS BIGINT) AS a_ln,
-        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      AS a_s,
-        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
-        |      + l_orderkey % 20 + 3 AS BIGINT) AS a_e
-        |  FROM lineitem WHERE l_orderkey % 120 = 0),
-        |b AS (
-        |  SELECT l_orderkey AS b_ok, CAST(l_linenumber AS BIGINT) AS b_ln,
-        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      AS b_s,
-        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
-        |      + l_orderkey % 20 + 3 AS BIGINT) AS b_e
-        |  FROM lineitem WHERE l_orderkey % 120 = 7)
-        |SELECT a_ok, a_ln, a_s, a_e, b_ok, b_ln, b_s, b_e
-        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
-        |ORDER BY a_ok, a_ln, b_ok, b_ln""".stripMargin,
-
-    "q_st3_interval_join" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
-        |            event_type, value FROM events),
-        |c AS (SELECT event_id, user_id, tsu FROM ev
-        |      WHERE event_type = 'click'),
-        |p AS (SELECT user_id, tsu AS p_tsu, ROUND(value, 2) AS p_value
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, c.tsu, p.p_tsu, p.p_value
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.p_tsu >= c.tsu - 3600000000 AND p.p_tsu <= c.tsu
-        |ORDER BY 1, 4, 5""".stripMargin,
-
-    "q_json_props" ->
-      """SELECT event_type, count(*) AS n,
-        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        |  AS sum_k,
-        |ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
-        |  AS avg_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q_date_parts" ->
-      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
-        |CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
-        |count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_st2_events_window" ->
-      """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT)
-        |  AS w_start_epoch,
-        |event_type, count(*) AS n_events,
-        |ROUND(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Sliding windows via explicit expansion: each event belongs to the 4
-    // 15-min-aligned window starts in (ts - 1h, ts]. epoch_ns floors to
-    // seconds with integer division (date_part('epoch') ROUNDS sub-second
-    // timestamps — the trap from q_st2b).
-    "q_st2c_events_sliding" ->
-      """SELECT w_start_epoch, event_type, count(*) AS n_events,
-        |ROUND(sum(value), 2) AS sum_value
-        |FROM (
-        |  SELECT ((epoch_ns(ts) // 1000000000) // 900) * 900 - k * 900
-        |           AS w_start_epoch,
-        |         event_type, value
-        |  FROM events
-        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_st2b_events_session" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), sess AS (
-        |  SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked)
-        |SELECT user_id,
-        |  CAST(floor(date_part('epoch', min(ts))) AS BIGINT) AS sess_start_epoch,
-        |  count(*) AS n_events, ROUND(sum(value), 2) AS sum_value
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start_epoch""".stripMargin,
-
-    // Each rule's violation count rebuilt as a conditional aggregate;
-    // sums CAST AS BIGINT (DuckDB integer sums are HUGEINT). "column" and
-    // "rows" quoted — both are keywords there.
-    "q_v1_validate" ->
-      """WITH agg AS (
-        |  SELECT count(*) AS n,
-        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS v0,
-        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
-        |      AS BIGINT) AS v1,
-        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS v2,
-        |    CAST(sum(CASE WHEN o_orderstatus IS NULL
-        |      OR o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS v3,
-        |    CAST(sum(CASE WHEN o_totalprice IS NULL
-        |      OR (o_totalprice >= 0 AND o_totalprice <= 1000000)
-        |      THEN 0 ELSE 1 END) AS BIGINT) AS v4,
-        |    CAST(sum(CASE WHEN o_orderpriority IS NULL
-        |      OR regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-        |      THEN 0 ELSE 1 END) AS BIGINT) AS v5
-        |  FROM orders)
-        |SELECT rule, "column", n AS "rows", violations,
-        |  violations = 0 AS pass
-        |FROM (
-        |  SELECT 'not_null(o_orderkey)' AS rule, 'o_orderkey' AS "column",
-        |    n, v0 AS violations FROM agg
-        |  UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', n, v1 FROM agg
-        |  UNION ALL SELECT 'not_null(o_custkey)', 'o_custkey', n, v2 FROM agg
-        |  UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', n, v3
-        |    FROM agg
-        |  UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', n, v4
-        |    FROM agg
-        |  UNION ALL SELECT 'matches(o_orderpriority)', 'o_orderpriority', n,
-        |    v5 FROM agg)
-        |ORDER BY rule""".stripMargin,
-
-    // Profiler: per-column scalar aggregates UNIONed to rows; every
-    // value is integer-derived (counts, lengths, exact sums / counts),
-    // so the e4 view is lossless on both engines.
-    "q_v2_profile" -> {
-      def base(c: String) =
-        s"""SELECT '$c' AS col_name, 'nulls' AS metric,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-           |    AS value FROM documents
-           |UNION ALL SELECT '$c', 'distinct',
-           |  CAST(count(DISTINCT $c) AS DOUBLE) FROM documents""".stripMargin
-      def num(c: String) =
-        s"""${base(c)}
-           |UNION ALL SELECT '$c', 'min', CAST(min($c) AS DOUBLE)
-           |  FROM documents
-           |UNION ALL SELECT '$c', 'max', CAST(max($c) AS DOUBLE)
-           |  FROM documents
-           |UNION ALL SELECT '$c', 'mean', CAST(avg($c) AS DOUBLE)
-           |  FROM documents""".stripMargin
-      def str(c: String) =
-        s"""${base(c)}
-           |UNION ALL SELECT '$c', 'min_len',
-           |  CAST(min(length($c)) AS DOUBLE) FROM documents
-           |UNION ALL SELECT '$c', 'max_len',
-           |  CAST(max(length($c)) AS DOUBLE) FROM documents
-           |UNION ALL SELECT '$c', 'avg_len',
-           |  CAST(avg(length($c)) AS DOUBLE) FROM documents""".stripMargin
-      s"""WITH m AS (
-         |${num("doc_id")}
-         |UNION ALL ${str("text")}
-         |UNION ALL ${str("lang")}
-         |UNION ALL ${str("source")}
-         |UNION ALL ${num("n_chars")}
-         |UNION ALL SELECT '_table', 'rows', CAST(count(*) AS DOUBLE)
-         |  FROM documents)
-         |SELECT col_name, metric,
-         |  CAST(floor(value * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-         |    AS value_e4
-         |FROM m ORDER BY col_name, metric""".stripMargin
-    },
-
-    "q_v1b_quarantine" ->
-      """SELECT o_orderkey,
-        |  concat_ws(',',
-        |    CASE WHEN o_orderstatus IS NULL
-        |      OR o_orderstatus IN ('O','F') THEN NULL
-        |      ELSE 'in_set(o_orderstatus)' END,
-        |    CASE WHEN o_totalprice IS NULL
-        |      OR (o_totalprice >= 0 AND o_totalprice <= 150000)
-        |      THEN NULL ELSE 'in_range(o_totalprice)' END) AS tags
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    // RANGE frame over integer epoch seconds (inclusive both ends on
-    // both engines); ties (same second, same user) are frame peers.
-    // Grid rebuild via per-entity range(); LOCF as IGNORE NULLS
-    // last_value over the ordered grid. v_filled is never null (the
-    // entity's first bucket is observed by construction).
-    "q_st6_resample_locf" ->
-      """WITH ev AS (
-        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, value
-        |  FROM events),
-        |obs AS (
-        |  SELECT user_id,
-        |    CAST(floor(es / 3600.0) * 3600 AS BIGINT) AS bucket_ts,
-        |    avg(value) AS v_avg, count(*) AS n_events
-        |  FROM ev GROUP BY 1, 2),
-        |span AS (
-        |  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
-        |  FROM obs GROUP BY 1),
-        |grid AS (
-        |  SELECT user_id, u.b AS bucket_ts
-        |  FROM span, LATERAL (SELECT unnest(range(lo, hi + 3600, 3600))
-        |    AS b) u)
-        |SELECT g.user_id, g.bucket_ts,
-        |  COALESCE(o.n_events, 0) AS n_events,
-        |  CAST(floor(last_value(o.v_avg IGNORE NULLS) OVER (
-        |    PARTITION BY g.user_id ORDER BY g.bucket_ts
-        |    ROWS UNBOUNDED PRECEDING) * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS v_filled_e4
-        |FROM grid g LEFT JOIN obs o
-        |  ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
-        |ORDER BY g.user_id, g.bucket_ts""".stripMargin,
-
-    // ST7: identical CTE chain to q_st6; the gap-bucket lerp is written
-    // with the same operand shape as the Spark projection (pv + (nv-pv)
-    // * dt/span) so the double arithmetic matches bit-for-bit.
-    "q_st7_resample_interp" ->
-      """WITH ev AS (
-        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, value
-        |  FROM events),
-        |obs AS (
-        |  SELECT user_id,
-        |    CAST(floor(es / 3600.0) * 3600 AS BIGINT) AS bucket_ts,
-        |    avg(value) AS v_avg, count(*) AS n_events
-        |  FROM ev GROUP BY 1, 2),
-        |span AS (
-        |  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
-        |  FROM obs GROUP BY 1),
-        |grid AS (
-        |  SELECT user_id, u.b AS bucket_ts
-        |  FROM span, LATERAL (SELECT unnest(range(lo, hi + 3600, 3600))
-        |    AS b) u),
-        |brk AS (
-        |  SELECT g.user_id, g.bucket_ts,
-        |    COALESCE(o.n_events, 0) AS n_events, o.v_avg,
-        |    last_value(o.v_avg IGNORE NULLS) OVER wb AS pv,
-        |    last_value(CASE WHEN o.v_avg IS NOT NULL
-        |      THEN g.bucket_ts END IGNORE NULLS) OVER wb AS pt,
-        |    first_value(o.v_avg IGNORE NULLS) OVER wf AS nv,
-        |    first_value(CASE WHEN o.v_avg IS NOT NULL
-        |      THEN g.bucket_ts END IGNORE NULLS) OVER wf AS nt
-        |  FROM grid g LEFT JOIN obs o
-        |    ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
-        |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
-        |      ROWS UNBOUNDED PRECEDING),
-        |    wf AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, bucket_ts, n_events,
-        |  CAST(floor((CASE WHEN v_avg IS NOT NULL THEN v_avg
-        |    ELSE pv + (nv - pv) * CAST(bucket_ts - pt AS DOUBLE)
-        |      / CAST(nt - pt AS DOUBLE) END) * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS v_interp_e4
-        |FROM brk
-        |ORDER BY user_id, bucket_ts""".stripMargin,
-
-    // EWMA: the per-entity fold replayed as list_reduce over the
-    // per-user value list sliced to each row's rank — same operand
-    // shape (0.2*x + 0.8*acc) and same (es, event_id) total order, so
-    // the double chain matches bit-for-bit before integerization.
-    "q_st8_ewma" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |    (epoch_ns(ts) // 1000000000) AS es, value
-        |  FROM events),
-        |ord AS (
-        |  SELECT user_id, es, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id) AS rn
-        |  FROM ev),
-        |ls AS (
-        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
-        |  FROM ev GROUP BY user_id)
-        |SELECT o.user_id, o.es, o.event_id, o.value AS v,
-        |  CAST(floor(list_reduce(l.vs[1:o.rn],
-        |    (acc, x) -> 0.2*x + 0.8*acc) * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS ewma_e4
-        |FROM ord o JOIN ls l USING (user_id)
-        |ORDER BY o.user_id, o.es, o.event_id""".stripMargin,
-
-    // Rolling median over integer cents: same explicit index math as the
-    // operator (sorted frame, middle element / middle-pair), so med_e1
-    // (= med·10) is pure integer arithmetic on both engines.
-    "q_st9_rolling_median" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS cents
-        |  FROM events),
-        |win AS (
-        |  SELECT user_id, es, event_id, cents,
-        |    list_sort(list(cents) OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id
-        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS vs
-        |  FROM ev)
-        |SELECT user_id, es, event_id, cents,
-        |  CASE WHEN len(vs) % 2 = 1 THEN vs[(len(vs) + 1) // 2] * 10
-        |       ELSE (vs[len(vs) // 2] + vs[len(vs) // 2 + 1]) * 5
-        |  END AS med_e1
-        |FROM win ORDER BY user_id, es, event_id""".stripMargin,
-
-    // EWMA-residual anomaly: prediction replays q_st8's fold over the
-    // first rn−1 values; the 3σ test is exact HUGEINT arithmetic over
-    // e4 residual moments (Spark side: decimal(38,0)) — output stays
-    // BIGINT/BOOLEAN. LEFT JOIN keeps single-event users (null flag).
-    "q_st10_ewma_anomaly" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |    (epoch_ns(ts) // 1000000000) AS es, value
-        |  FROM events),
-        |ord AS (
-        |  SELECT user_id, es, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id) AS rn
-        |  FROM ev),
-        |ls AS (
-        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
-        |  FROM ev GROUP BY user_id),
-        |sm AS (
-        |  SELECT o.user_id, o.es, o.event_id, o.value AS v,
-        |    CASE WHEN o.rn = 1 THEN NULL
-        |      ELSE CAST(floor((o.value - list_reduce(l.vs[1:o.rn - 1],
-        |        (acc, x) -> 0.2*x + 0.8*acc)) * 1e4
-        |        + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS resid_e
-        |  FROM ord o JOIN ls l USING (user_id)),
-        |st AS (
-        |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
-        |    CAST(sum(resid_e) AS HUGEINT) AS s1,
-        |    sum(CAST(resid_e AS HUGEINT) * resid_e) AS s2
-        |  FROM sm WHERE resid_e IS NOT NULL GROUP BY user_id)
-        |SELECT s.user_id, s.es, s.event_id, s.v, s.resid_e,
-        |  CASE WHEN s.resid_e IS NULL THEN FALSE
-        |    ELSE st.n * st.n * CAST(s.resid_e AS HUGEINT) * s.resid_e
-        |      > 9 * (st.n * st.s2 - st.s1 * st.s1) END AS is_anom
-        |FROM sm s LEFT JOIN st USING (user_id)
-        |ORDER BY s.user_id, s.es, s.event_id""".stripMargin,
-
-    // Holt replay: per-row fold over (es, event_id)-ordered value slices
-    // with a LIST accumulator [l, b] — a struct accumulator would let the
-    // trend arm read the just-written level in DuckDB 1.0 and compute a
-    // different series; the engine-side fold re-derives l_t inline the
-    // same way. Forecast/resid via lag in the same window.
-    "q_st13_holt" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |    (epoch_ns(ts) // 1000000000) AS es, value
-        |  FROM events),
-        |ord AS (
-        |  SELECT user_id, es, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id) AS rn
-        |  FROM ev),
-        |ls AS (
-        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
-        |  FROM ev GROUP BY user_id),
-        |f AS (
-        |  SELECT o.user_id, o.es, o.event_id, o.value AS v,
-        |    list_reduce(list_transform(l.vs[1:o.rn],
-        |        v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE)]),
-        |      (acc, x) -> [
-        |        CAST(0.2 AS DOUBLE)*x[1]
-        |          + CAST(0.8 AS DOUBLE)*(acc[1] + acc[2]),
-        |        CAST(0.1 AS DOUBLE)*((CAST(0.2 AS DOUBLE)*x[1]
-        |            + CAST(0.8 AS DOUBLE)*(acc[1] + acc[2])) - acc[1])
-        |          + CAST(0.9 AS DOUBLE)*acc[2]
-        |      ]) AS hw
-        |  FROM ord o JOIN ls l USING (user_id)),
-        |g AS (
-        |  SELECT user_id, es, event_id, v,
-        |    hw[1] AS level, hw[2] AS trend,
-        |    lag(hw[1]) OVER w + lag(hw[2]) OVER w AS forecast
-        |  FROM f
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id))
-        |SELECT user_id, es, event_id, v,
-        |  CAST(floor(level * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS level_e4,
-        |  CAST(floor(trend * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS trend_e4,
-        |  CAST(floor(forecast * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS forecast_e4,
-        |  CAST(floor((v - forecast) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS resid_e4
-        |FROM g
-        |ORDER BY user_id, es, event_id""".stripMargin,
-
-    // Holt–Winters replay: [n, l, b, s1, s2, s3, f] LIST accumulator
-    // seeded by a prepended zero-state (n=0 selects the init branch ≡
-    // the engine's empty-acc case); every arm re-derives l_t inline and
-    // every 1−x factor is the spelled-out subtraction — the scala
-    // double of 1−0.3 is NOT the 0.7 literal.
-    "q_st16_holt_winters" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |    (epoch_ns(ts) // 1000000000) AS es, value
-        |  FROM events),
-        |ord AS (
-        |  SELECT user_id, es, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id) AS rn
-        |  FROM ev),
-        |ls AS (
-        |  SELECT user_id, list(value ORDER BY es, event_id) AS vs
-        |  FROM ev GROUP BY user_id),
-        |f AS (
-        |  SELECT o.user_id, o.es, o.event_id, o.value AS v,
-        |    list_reduce(list_prepend(
-        |        [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0],
-        |        list_transform(l.vs[1:o.rn], v -> [CAST(v AS DOUBLE)])),
-        |      (acc, x) -> CASE WHEN acc[1] = 0 THEN
-        |        [CAST(1 AS DOUBLE), x[1], 0, 0, 0, 0, NULL]
-        |      ELSE [
-        |        acc[1] + CAST(1 AS DOUBLE),
-        |        CAST(0.3 AS DOUBLE)*(x[1] - acc[4])
-        |          + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))
-        |            *(acc[2] + acc[3]),
-        |        CAST(0.2 AS DOUBLE)*((CAST(0.3 AS DOUBLE)*(x[1] - acc[4])
-        |            + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))
-        |              *(acc[2] + acc[3]))
-        |            - acc[2])
-        |          + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE))*acc[3],
-        |        acc[5], acc[6],
-        |        CAST(0.3 AS DOUBLE)*(x[1]
-        |            - (CAST(0.3 AS DOUBLE)*(x[1] - acc[4])
-        |            + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))
-        |              *(acc[2] + acc[3])))
-        |          + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))*acc[4],
-        |        acc[2] + acc[3] + acc[4]
-        |      ] END) AS hw
-        |  FROM ord o JOIN ls l USING (user_id))
-        |SELECT user_id, es, event_id, v,
-        |  CAST(floor(hw[2] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS level_e4,
-        |  CAST(floor(hw[3] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS trend_e4,
-        |  CAST(floor(hw[6] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS seasonal_e4,
-        |  CAST(floor(hw[7] * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS forecast_e4,
-        |  CAST(floor((v - hw[7]) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS resid_e4
-        |FROM f
-        |ORDER BY user_id, es, event_id""".stripMargin,
-
-    // ACF rebuild: all lag pairs from ONE window partitioning, moment
-    // sums HUGEINT-exact over the milli-integerized values, then the
-    // g16 Pearson double formula; the null guard is on the variance
-    // PRODUCT (zero or sub-ulp negative → null) on both sides.
-    "q_st14_acf" ->
-      s"""WITH $acfMomentCtes
-        |SELECT user_id, CAST(lag AS BIGINT) AS lag,
-        |  CAST(np AS BIGINT) AS n_pairs,
-        |  CASE WHEN np < 2
-        |      OR (n*sxx - sx*sx) * (n*syy - sy*sy) <= CAST(0 AS DOUBLE)
-        |    THEN NULL
-        |    ELSE CAST(floor((n*sxy - sx*sy)
-        |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS acf_e4
-        |FROM m
-        |ORDER BY user_id, lag""".stripMargin,
-
-    // Theil–Sen rebuild: same day-offset xy CTE as ST22, pair slopes by
-    // entity-local self-join (x strictly increasing), exact-interpolated
-    // medians (quantile_cont ≡ Spark percentile on identical doubles —
-    // the q_o1 parity), intercept = median(y − slope·x).
-    "q_st25_theil_sen" ->
-      """WITH src AS (
-        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS v
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |xy AS (
-        |  SELECT user_id,
-        |    (es - min(es) OVER (PARTITION BY user_id)) // 86400 AS x,
-        |    v AS y
-        |  FROM src),
-        |sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points
-        |       FROM xy GROUP BY 1),
-        |k AS (SELECT xy.user_id, xy.x, xy.y, sz.n_points
-        |      FROM xy JOIN sz USING (user_id)
-        |      WHERE sz.n_points <= 2000),
-        |p AS (
-        |  SELECT a.user_id, a.n_points,
-        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
-        |  FROM k a JOIN k b ON a.user_id = b.user_id AND a.x < b.x),
-        |med AS (
-        |  SELECT user_id, max(n_points) AS n_points,
-        |    CAST(count(*) AS BIGINT) AS n_pairs,
-        |    quantile_cont(s, 0.5) AS slope
-        |  FROM p GROUP BY 1),
-        |ic AS (
-        |  SELECT k.user_id,
-        |    quantile_cont(k.y - med.slope * k.x, 0.5) AS intercept
-        |  FROM k JOIN med USING (user_id) GROUP BY k.user_id)
-        |SELECT med.user_id, med.n_points, med.n_pairs,
-        |  CAST(floor(med.slope * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS slope_e4,
-        |  CAST(floor(ic.intercept * 1e2 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS icept_e2
-        |FROM med JOIN ic USING (user_id)
-        |ORDER BY med.user_id""".stripMargin,
-
-    // RFM rebuild: per-customer aggregate, global-max reference instant,
-    // quantile_cont cutoffs (≡ Spark percentile interpolation, the
-    // winsorize-proven parity), band = 1 + #cutoffs strictly below;
-    // every sum BIGINT-cast (HUGEINT discipline).
-    "q_st23_rfm" ->
-      """WITH src AS (
-        |  SELECT o_custkey,
-        |    (epoch_ns(o_orderdate) // 1000000000) AS es,
-        |    CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS cents
-        |  FROM orders
-        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-        |    AND o_totalprice IS NOT NULL),
-        |per AS (
-        |  SELECT o_custkey, max(es) AS last_es,
-        |    CAST(count(*) AS BIGINT) AS frequency,
-        |    CAST(sum(cents) AS BIGINT) AS monetary
-        |  FROM src GROUP BY 1),
-        |base AS (
-        |  SELECT o_custkey,
-        |    (SELECT max(last_es) FROM per) - last_es AS recency_sec,
-        |    frequency, monetary
-        |  FROM per),
-        |cuts AS (
-        |  SELECT
-        |    quantile_cont(recency_sec, 0.2) AS rc0,
-        |    quantile_cont(recency_sec, 0.4) AS rc1,
-        |    quantile_cont(recency_sec, 0.6) AS rc2,
-        |    quantile_cont(recency_sec, 0.8) AS rc3,
-        |    quantile_cont(frequency, 0.2) AS fc0,
-        |    quantile_cont(frequency, 0.4) AS fc1,
-        |    quantile_cont(frequency, 0.6) AS fc2,
-        |    quantile_cont(frequency, 0.8) AS fc3,
-        |    quantile_cont(monetary, 0.2) AS mc0,
-        |    quantile_cont(monetary, 0.4) AS mc1,
-        |    quantile_cont(monetary, 0.6) AS mc2,
-        |    quantile_cont(monetary, 0.8) AS mc3
-        |  FROM base),
-        |scored AS (
-        |  SELECT b.o_custkey, b.recency_sec, b.frequency, b.monetary,
-        |    6 - (1
-        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc0
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc1
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc2
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.recency_sec AS DOUBLE) > c.rc3
-        |          THEN 1 ELSE 0 END) AS r_score,
-        |    1
-        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc0
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc1
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc2
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.frequency AS DOUBLE) > c.fc3
-        |          THEN 1 ELSE 0 END AS f_score,
-        |    1
-        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc0
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc1
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc2
-        |          THEN 1 ELSE 0 END
-        |      + CASE WHEN CAST(b.monetary AS DOUBLE) > c.mc3
-        |          THEN 1 ELSE 0 END AS m_score
-        |  FROM base b CROSS JOIN cuts c)
-        |SELECT o_custkey, recency_sec, frequency, monetary,
-        |  CAST(r_score AS BIGINT) AS r_score,
-        |  CAST(f_score AS BIGINT) AS f_score,
-        |  CAST(m_score AS BIGINT) AS m_score,
-        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
-        |    AS rfm_code
-        |FROM scored ORDER BY o_custkey""".stripMargin,
-
-    // OLS trend rebuild: day offsets from each entity's first
-    // observation via exact integer floor division, HUGEINT moments cast
-    // to double, the same closed-form slope/intercept/r² shapes with
-    // variance guards (never post-hoc NaN checks).
-    "q_st22_linear_trend" ->
-      """WITH src AS (
-        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS v
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |xy AS (
-        |  SELECT user_id,
-        |    (es - min(es) OVER (PARTITION BY user_id)) // 86400 AS x,
-        |    v AS y
-        |  FROM src),
-        |m AS (
-        |  SELECT user_id, CAST(count(*) AS BIGINT) AS nn,
-        |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
-        |  FROM xy GROUP BY user_id)
-        |SELECT user_id, nn AS n,
-        |  CASE WHEN nn < 2 OR n*sxx - sx*sx <= CAST(0 AS DOUBLE)
-        |    THEN NULL
-        |    ELSE CAST(floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS slope_e4,
-        |  CASE WHEN nn < 2 OR n*sxx - sx*sx <= CAST(0 AS DOUBLE)
-        |    THEN NULL
-        |    ELSE CAST(floor(
-        |      (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 1e2
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS icept_e2,
-        |  CASE WHEN nn < 2 OR n*sxx - sx*sx <= CAST(0 AS DOUBLE)
-        |      OR n*syy - sy*sy <= CAST(0 AS DOUBLE)
-        |    THEN NULL
-        |    ELSE CAST(floor(
-        |      (n*sxy - sx*sy) * (n*sxy - sx*sy)
-        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e6
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS r2_e6
-        |FROM m ORDER BY user_id""".stripMargin,
-
-    // CCF rebuild: bucket sums BIGINT-cast, dense range() grid 0-filled,
-    // one window carrying all five shift columns, then the shared
-    // moment/Pearson shapes (HUGEINT-exact, product guard).
-    "q_st19_ccf" ->
-      """WITH ev AS (
-        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, event_type,
-        |    CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS v
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
-        |bk AS (
-        |  SELECT user_id, es // 86400 AS bucket,
-        |    CAST(sum(CASE WHEN event_type = 'view' THEN v ELSE 0 END)
-        |      AS BIGINT) AS xa,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)
-        |      AS BIGINT) AS xb
-        |  FROM ev GROUP BY 1, 2),
-        |sp AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
-        |       FROM bk GROUP BY 1),
-        |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
-        |      FROM sp),
-        |f AS (
-        |  SELECT g.user_id, g.bucket,
-        |    coalesce(xa, 0) AS xa, coalesce(xb, 0) AS xb
-        |  FROM g LEFT JOIN bk USING (user_id, bucket)),
-        |l AS (
-        |  SELECT user_id, xa,
-        |    lag(xb, 2) OVER w AS ym2, lag(xb, 1) OVER w AS ym1,
-        |    xb AS y0,
-        |    lead(xb, 1) OVER w AS yp1, lead(xb, 2) OVER w AS yp2
-        |  FROM f
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
-        |p AS (
-        |  SELECT user_id, -2 AS lag, xa AS x, ym2 AS y FROM l
-        |  WHERE ym2 IS NOT NULL
-        |  UNION ALL SELECT user_id, -1, xa, ym1 FROM l
-        |  WHERE ym1 IS NOT NULL
-        |  UNION ALL SELECT user_id, 0, xa, y0 FROM l
-        |  UNION ALL SELECT user_id, 1, xa, yp1 FROM l
-        |  WHERE yp1 IS NOT NULL
-        |  UNION ALL SELECT user_id, 2, xa, yp2 FROM l
-        |  WHERE yp2 IS NOT NULL),
-        |m AS (
-        |  SELECT user_id, lag, count(*) AS np,
-        |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
-        |  FROM p GROUP BY user_id, lag)
-        |SELECT user_id, CAST(lag AS BIGINT) AS lag,
-        |  CAST(np AS BIGINT) AS n_pairs,
-        |  CASE WHEN np < 2
-        |      OR (n*sxx - sx*sx) * (n*syy - sy*sy) <= CAST(0 AS DOUBLE)
-        |    THEN NULL
-        |    ELSE CAST(floor((n*sxy - sx*sy)
-        |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS ccf_e4
-        |FROM m
-        |ORDER BY user_id, lag""".stripMargin,
-
-    // Dominant period: the same moment CTEs, acf as a raw double, then
-    // the argmax on the e6-integerized score with smallest-lag
-    // tie-break — the engine's exact total order.
-    "q_st18_dominant_period" ->
-      s"""WITH $acfMomentCtes,
-        |a AS (
-        |  SELECT user_id, lag, np,
-        |    (n*sxy - sx*sy)
-        |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS acf
-        |  FROM m
-        |  WHERE np >= 2
-        |    AND (n*sxx - sx*sx) * (n*syy - sy*sy) > CAST(0 AS DOUBLE)),
-        |r AS (
-        |  SELECT user_id, lag, np, acf,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY
-        |      CAST(floor(acf * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |        DESC, lag) AS rn
-        |  FROM a WHERE lag >= 2)
-        |SELECT user_id, CAST(lag AS BIGINT) AS period,
-        |  CAST(np AS BIGINT) AS n_pairs,
-        |  CAST(floor(acf * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS acf_e4
-        |FROM r WHERE rn = 1
-        |ORDER BY user_id""".stripMargin,
-
-    // Funnel replay: per-user fold over the (es, event_id)-ordered
-    // funnel-typed events with a LIST accumulator of 3 stage epochs
-    // (-1 = unset), seeded by list_prepend (≡ the engine's init array);
-    // each CASE reads the PREVIOUS accumulator — the list-literal
-    // rebuild has no sibling-mutation hazard (the Holt lesson).
-    "q_st15_funnel" ->
-      """WITH ev AS (
-        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS es, event_id,
-        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-        |      ELSE 3 END AS k
-        |  FROM events
-        |  WHERE event_type IN ('view', 'click', 'purchase')),
-        |ls AS (
-        |  SELECT user_id,
-        |    list_reduce(list_prepend(
-        |      [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)],
-        |      list([es, event_id, CAST(k AS BIGINT)]
-        |        ORDER BY es, event_id)),
-        |      (acc, x) -> [
-        |        CASE WHEN acc[1] != -1 THEN acc[1]
-        |             WHEN x[3] = 1 THEN x[1] ELSE -1 END,
-        |        CASE WHEN acc[2] != -1 THEN acc[2]
-        |             WHEN x[3] = 2 AND acc[1] != -1
-        |               AND x[1] - acc[1] <= 2592000 THEN x[1]
-        |             ELSE -1 END,
-        |        CASE WHEN acc[3] != -1 THEN acc[3]
-        |             WHEN x[3] = 3 AND acc[2] != -1
-        |               AND x[1] - acc[1] <= 2592000 THEN x[1]
-        |             ELSE -1 END]) AS f
-        |  FROM ev GROUP BY user_id)
-        |SELECT user_id,
-        |  CAST(CASE WHEN f[3] != -1 THEN 3 WHEN f[2] != -1 THEN 2
-        |    ELSE 1 END AS BIGINT) AS max_stage,
-        |  f[1] AS t_first,
-        |  CASE WHEN f[3] != -1 THEN f[3] WHEN f[2] != -1 THEN f[2]
-        |    ELSE f[1] END AS t_last,
-        |  CASE WHEN f[3] != -1 THEN f[3] WHEN f[2] != -1 THEN f[2]
-        |    ELSE f[1] END - f[1] AS dur_sec
-        |FROM ls
-        |WHERE f[1] != -1
-        |ORDER BY user_id""".stripMargin,
-
-    // Cohort rebuild: distinct (user, week) pairs, per-user min week,
-    // exact cell counts; the age-0 cell is the denominator, one double
-    // division, e6.
-    "q_st20_cohort" ->
-      """WITH b AS (
-        |  SELECT DISTINCT user_id AS ent,
-        |    ((epoch_ns(ts) // 1000000000) // 86400) AS bk
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |c AS (SELECT ent, min(bk) AS ck FROM b GROUP BY 1),
-        |a AS (
-        |  SELECT c.ck AS cohort, b.bk - c.ck AS age,
-        |    CAST(count(*) AS BIGINT) AS n_active
-        |  FROM b JOIN c USING (ent) GROUP BY 1, 2),
-        |s AS (SELECT cohort, n_active AS n0 FROM a WHERE age = 0)
-        |SELECT a.cohort, a.age, a.n_active,
-        |  CAST(floor(CAST(a.n_active AS DOUBLE) / CAST(s.n0 AS DOUBLE)
-        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ret_e6
-        |FROM a JOIN s USING (cohort)
-        |ORDER BY cohort, age""".stripMargin,
-
-    // Sessionize rebuild: same (ts, id) total order, lag boundary flag
-    // (strictly-greater gap), running sum session number, per-session
-    // integer aggregates — exact arithmetic end to end.
-    "q_st21_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id,
-        |    (epoch_ns(ts) // 1000000000) AS es
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |f AS (
-        |  SELECT user_id, event_id, es,
-        |    CASE WHEN lag(es) OVER w IS NULL
-        |      OR es - lag(es) OVER w > 3600 THEN 1 ELSE 0 END AS nf
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-        |s AS (
-        |  SELECT user_id, es,
-        |    sum(nf) OVER (PARTITION BY user_id ORDER BY es, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_seq
-        |  FROM f)
-        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(min(es) AS BIGINT) AS t_start,
-        |  CAST(max(es) AS BIGINT) AS t_end,
-        |  CAST(max(es) - min(es) AS BIGINT) AS dur_sec
-        |FROM s GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin,
-
-    // Interval islands: the same running-max-of-previous-ends boundary
-    // rule (ROWS … AND 1 PRECEDING), same strict > gap compare, same
-    // (start, end) total order — exact integers end to end.
-    "q_st30_interval_merge" ->
-      """WITH iv AS (
-        |  SELECT o_custkey % 50 AS k,
-        |    o_orderkey % 997 AS s,
-        |    (o_orderkey % 997) + (o_orderkey % 997) % 13 AS e
-        |  FROM orders),
-        |m AS (
-        |  SELECT k, s, e,
-        |    max(e) OVER (PARTITION BY k ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS pmax
-        |  FROM iv),
-        |f AS (
-        |  SELECT k, s, e,
-        |    CASE WHEN pmax IS NULL OR s - pmax > 2 THEN 1 ELSE 0 END
-        |      AS nf
-        |  FROM m),
-        |isl AS (
-        |  SELECT k, s, e,
-        |    sum(nf) OVER (PARTITION BY k ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS island_seq
-        |  FROM f)
-        |SELECT k, CAST(island_seq AS BIGINT) AS island_seq,
-        |  CAST(min(s) AS BIGINT) AS island_start,
-        |  CAST(max(e) AS BIGINT) AS island_end,
-        |  CAST(count(*) AS BIGINT) AS n_merged
-        |FROM isl GROUP BY k, island_seq
-        |ORDER BY k, island_seq""".stripMargin,
-
-    // The incremental absorb must equal the FULL merge — so the oracle
-    // is q_st30's verbatim; any lost count or mis-bridged gap from the
-    // stored-islands composition hash-mismatches here.
-    "q_st30b_interval_absorb" ->
-      """WITH iv AS (
-        |  SELECT o_custkey % 50 AS k,
-        |    o_orderkey % 997 AS s,
-        |    (o_orderkey % 997) + (o_orderkey % 997) % 13 AS e
-        |  FROM orders),
-        |m AS (
-        |  SELECT k, s, e,
-        |    max(e) OVER (PARTITION BY k ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS pmax
-        |  FROM iv),
-        |f AS (
-        |  SELECT k, s, e,
-        |    CASE WHEN pmax IS NULL OR s - pmax > 2 THEN 1 ELSE 0 END
-        |      AS nf
-        |  FROM m),
-        |isl AS (
-        |  SELECT k, s, e,
-        |    sum(nf) OVER (PARTITION BY k ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS island_seq
-        |  FROM f)
-        |SELECT k, CAST(island_seq AS BIGINT) AS island_seq,
-        |  CAST(min(s) AS BIGINT) AS island_start,
-        |  CAST(max(e) AS BIGINT) AS island_end,
-        |  CAST(count(*) AS BIGINT) AS n_merged
-        |FROM isl GROUP BY k, island_seq
-        |ORDER BY k, island_seq""".stripMargin,
-
-    // PSI rebuild: identical bin expression (clamped fixed-width over
-    // [0, 500)), add-one-smoothed shares as two double divisions, one
-    // ln of the ratio — every operand shape mirrored.
-    "q_v3_psi" ->
-      """WITH b AS (SELECT unnest(range(10)) AS bin),
-        |pc AS (
-        |  SELECT CAST(least(greatest(floor(
-        |      (value - CAST(0.0 AS DOUBLE)) * CAST(10.0 AS DOUBLE)
-        |        / CAST(500.0 AS DOUBLE)),
-        |      CAST(0.0 AS DOUBLE)), CAST(9.0 AS DOUBLE)) AS BIGINT)
-        |      AS bin,
-        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS np,
-        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS nc
-        |  FROM events GROUP BY 1),
-        |j AS (
-        |  SELECT b.bin,
-        |    CAST(coalesce(np, 0) AS BIGINT) AS n_prev,
-        |    CAST(coalesce(nc, 0) AS BIGINT) AS n_cur
-        |  FROM b LEFT JOIN pc USING (bin)),
-        |t AS (
-        |  SELECT CAST(sum(n_prev) AS BIGINT) AS tp,
-        |    CAST(sum(n_cur) AS BIGINT) AS tc
-        |  FROM j),
-        |f AS (
-        |  SELECT bin, n_prev, n_cur,
-        |    CAST(n_prev + 1 AS DOUBLE) / CAST(tp + 10 AS DOUBLE) AS pp,
-        |    CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS pc
-        |  FROM j, t)
-        |SELECT bin, n_prev, n_cur,
-        |  CAST(floor((pp - pc) * ln(pp / pc) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS psi_e6
-        |FROM f
-        |ORDER BY bin""".stripMargin,
-
-    // Top-terms rebuild: q_x9_tfidf's score chain e6-integerized, then
-    // the same (score_e6 DESC, token) row_number cut.
-    "q_x9d_keywords" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.token, tf.tf,
-        |    CAST(floor(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1) * 1e6
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_e6
-        |  FROM tf JOIN dfreq USING (token), n),
-        |r AS (
-        |  SELECT doc_id, token, tf, score_e6,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score_e6 DESC, token) AS rank
-        |  FROM sc)
-        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, score_e6
-        |FROM r
-        |WHERE rank <= 3 AND doc_id < 40
-        |ORDER BY doc_id, rank""".stripMargin,
-
-    // Co-occurrence rebuild: distinct members, size gate ≤ 10, canonical
-    // a < b self-join, pair counts ≥ 2.
-    "q_j7_cooccurrence" ->
-      """WITH m AS (
-        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
-        |sz AS (SELECT g, count(*) AS n FROM m GROUP BY g),
-        |k AS (SELECT m.g, m.i FROM m JOIN sz USING (g) WHERE sz.n <= 10)
-        |SELECT a.i AS start_id, b.i AS end_id,
-        |  CAST(count(*) AS BIGINT) AS weight
-        |FROM k a JOIN k b ON a.g = b.g AND a.i < b.i
-        |GROUP BY a.i, b.i
-        |HAVING count(*) >= 2
-        |ORDER BY start_id, end_id""".stripMargin,
-
-    // Negative-pair rebuild: the md5-48 draw replayed verbatim over the
-    // observed id span; existence by join against the distinct ids,
-    // self-hits dropped on the same predicate.
-    "q_x6n_negative_pairs" ->
-      """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
-        |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM ids),
-        |d AS (
-        |  SELECT doc_id, unnest(range(1, 4)) AS j FROM ids),
-        |c AS (
-        |  SELECT d.doc_id, CAST(d.j AS BIGINT) AS j,
-        |    s.lo + (CAST(concat('0x', substr(md5(concat(
-        |        42, ':', d.doc_id, ':', d.j)), 1, 12)) AS BIGINT)
-        |      % (s.hi - s.lo + 1)) AS neg_id
-        |  FROM d CROSS JOIN span s)
-        |SELECT c.doc_id, c.j, c.neg_id
-        |FROM c JOIN ids i ON i.doc_id = c.neg_id
-        |WHERE c.neg_id <> c.doc_id
-        |ORDER BY c.doc_id, c.j""".stripMargin,
-
-    // Record-linkage rebuild: the x2b token-set CTEs on part names,
-    // brand-blocked canonical pairs, the same coalesce-intersection
-    // Jaccard shape, threshold on the identical double.
-    "q_x2o_link_records" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT p_partkey AS id,
-        |    unnest(regexp_split_to_array(trim(p_name), '\s+')) AS tk
-        |  FROM part),
-        |sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
-        |pairs AS (
-        |  SELECT a.p_partkey AS id_l, b.p_partkey AS id_r
-        |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand
-        |    AND regexp_split_to_array(trim(a.p_name), '\s+')[1]
-        |      = regexp_split_to_array(trim(b.p_name), '\s+')[1]
-        |    AND a.p_partkey < b.p_partkey),
-        |inter AS (
-        |  SELECT p.id_l, p.id_r, count(*) AS ni
-        |  FROM pairs p
-        |  JOIN tok ta ON ta.id = p.id_l
-        |  JOIN tok tb ON tb.id = p.id_r AND tb.tk = ta.tk
-        |  GROUP BY 1, 2),
-        |j AS (
-        |  SELECT p.id_l, p.id_r,
-        |    CAST(coalesce(i.ni, 0) AS DOUBLE)
-        |      / (sa.n + sb.n - coalesce(i.ni, 0)) AS sim
-        |  FROM pairs p
-        |  JOIN sizes sa ON sa.id = p.id_l
-        |  JOIN sizes sb ON sb.id = p.id_r
-        |  LEFT JOIN inter i ON i.id_l = p.id_l AND i.id_r = p.id_r)
-        |SELECT id_l, id_r,
-        |  CAST(floor(sim * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS sim_e6
-        |FROM j WHERE sim >= CAST(0.5 AS DOUBLE)
-        |ORDER BY id_l, id_r""".stripMargin,
-
-    // MAD rebuild: two quantile_cont passes (median, then median of
-    // deviations), the same 0.6745 consistency shape, flag on the
-    // identical double comparison.
-    "q_o4_outliers_mad" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM events GROUP BY 1),
-        |ad AS (
-        |  SELECT e.event_type, abs(e.value - m.med) AS adev
-        |  FROM events e JOIN med m USING (event_type)),
-        |md AS (
-        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
-        |  FROM ad GROUP BY 1)
-        |SELECT e.event_id, e.event_type, e.value,
-        |  CAST(floor(m.med * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS med_e4,
-        |  CAST(floor(d.mad * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS mad_e4,
-        |  CAST(floor(0.6745 * (e.value - m.med) / d.mad * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rz_e4
-        |FROM events e
-        |JOIN med m USING (event_type)
-        |JOIN md d USING (event_type)
-        |WHERE d.mad <> 0
-        |  AND abs(0.6745 * (e.value - m.med) / d.mad)
-        |    > CAST(1.3 AS DOUBLE)
-        |ORDER BY e.event_id""".stripMargin,
-
-    // HBOS rebuild: identical bin arithmetic (width computed first,
-    // v = max clamps into the top bin), per-feature bin counts, then
-    // the EXACT integer products — HUGEINT (the BIGINT product of four
-    // 60k-scale maxcounts overflows int64) mirroring the engine's
-    // decimal(38,0) — with the same single double division.
-    "q_o5_hbos" ->
-      """WITH st AS (
-        |  SELECT CAST(min(l_quantity) AS DOUBLE) q0,
-        |    CAST(max(l_quantity) AS DOUBLE) q1,
-        |    CAST(min(l_extendedprice) AS DOUBLE) p0,
-        |    CAST(max(l_extendedprice) AS DOUBLE) p1,
-        |    CAST(min(l_discount) AS DOUBLE) d0,
-        |    CAST(max(l_discount) AS DOUBLE) d1,
-        |    CAST(min(l_tax) AS DOUBLE) t0,
-        |    CAST(max(l_tax) AS DOUBLE) t1
-        |  FROM lineitem),
-        |b AS (
-        |  SELECT l_orderkey, l_linenumber,
-        |    CASE WHEN q1 = q0 THEN 0 ELSE least(floor(
-        |      (CAST(l_quantity AS DOUBLE) - q0) / ((q1 - q0) / 20)),
-        |      19) END AS bq,
-        |    CASE WHEN p1 = p0 THEN 0 ELSE least(floor(
-        |      (CAST(l_extendedprice AS DOUBLE) - p0) / ((p1 - p0) / 20)),
-        |      19) END AS bp,
-        |    CASE WHEN d1 = d0 THEN 0 ELSE least(floor(
-        |      (CAST(l_discount AS DOUBLE) - d0) / ((d1 - d0) / 20)),
-        |      19) END AS bd,
-        |    CASE WHEN t1 = t0 THEN 0 ELSE least(floor(
-        |      (CAST(l_tax AS DOUBLE) - t0) / ((t1 - t0) / 20)),
-        |      19) END AS bt
-        |  FROM lineitem CROSS JOIN st),
-        |cq AS (SELECT bq, count(*) c FROM b GROUP BY 1),
-        |mq AS (SELECT max(c) m FROM cq),
-        |cp AS (SELECT bp, count(*) c FROM b GROUP BY 1),
-        |mp AS (SELECT max(c) m FROM cp),
-        |cd AS (SELECT bd, count(*) c FROM b GROUP BY 1),
-        |md AS (SELECT max(c) m FROM cd),
-        |ct AS (SELECT bt, count(*) c FROM b GROUP BY 1),
-        |mt AS (SELECT max(c) m FROM ct),
-        |sc AS (
-        |  SELECT b.l_orderkey, b.l_linenumber,
-        |    CAST(CAST(mq.m AS HUGEINT) * CAST(mp.m AS HUGEINT)
-        |      * CAST(md.m AS HUGEINT) * CAST(mt.m AS HUGEINT) AS DOUBLE)
-        |    / CAST(CAST(cq.c AS HUGEINT) * CAST(cp.c AS HUGEINT)
-        |      * CAST(cd.c AS HUGEINT) * CAST(ct.c AS HUGEINT) AS DOUBLE)
-        |      AS hbos
-        |  FROM b JOIN cq USING (bq) JOIN cp USING (bp)
-        |    JOIN cd USING (bd) JOIN ct USING (bt)
-        |  CROSS JOIN mq CROSS JOIN mp CROSS JOIN md CROSS JOIN mt)
-        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |  CAST(floor(hbos * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS hbos_e6
-        |FROM sc WHERE hbos >= CAST(4.5 AS DOUBLE)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    // Skew-report rebuild: per-key counts, then the v8 gini rank-run
-    // shapes over the count HISTOGRAM plus the 1-row max/share stats.
-    "q_v13_skew_report" ->
-      """WITH k AS (
-        |  SELECT l_partkey, count(*) AS c FROM lineitem
-        |  WHERE l_partkey IS NOT NULL GROUP BY 1),
-        |h AS (SELECT c AS v, count(*) AS hc FROM k GROUP BY 1),
-        |r AS (
-        |  SELECT v, hc,
-        |    coalesce(sum(hc) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS lt
-        |  FROM h),
-        |s AS (
-        |  SELECT CAST(sum(hc) AS BIGINT) AS n,
-        |    sum(CAST(hc AS HUGEINT) * CAST(v AS HUGEINT)) AS t,
-        |    sum(CAST(v AS HUGEINT)
-        |      * (CAST(hc AS HUGEINT) * CAST(lt AS HUGEINT)
-        |        + (CAST(hc AS HUGEINT) * (CAST(hc AS HUGEINT) + 1))
-        |          // 2)) AS s1
-        |  FROM r),
-        |st AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
-        |    CAST(count(*) AS BIGINT) AS n_keys,
-        |    CAST(max(c) AS BIGINT) AS max_count
-        |  FROM k)
-        |SELECT st.n_rows, st.n_keys, st.max_count,
-        |  CAST(floor(CAST(st.max_count AS DOUBLE)
-        |    / CAST(st.n_rows AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS share_e6,
-        |  CAST(floor(
-        |    CAST(2 * s.s1 - (CAST(s.n AS HUGEINT) + 1) * s.t AS DOUBLE)
-        |    / CAST(CAST(s.n AS HUGEINT) * s.t AS DOUBLE) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS gini_e6
-        |FROM st CROSS JOIN s
-        |ORDER BY n_rows""".stripMargin,
-
-    // HDR sketch rebuild: identical integer bucket math — octave from
-    // the bin-string length, linear sub-bucket and ceil-div lower
-    // bound via `//`, rank = (q_e6·n + 999999) // 1e6, first bucket
-    // with cum ≥ rank per (flag, q).
-    "q_v14_hdr_quantiles" ->
-      """WITH src AS (
-        |  SELECT l_returnflag AS g,
-        |    CAST(l_extendedprice * 100 AS BIGINT) AS v
-        |  FROM lineitem),
-        |b AS (
-        |  SELECT g, e,
-        |    CAST(CASE WHEN e >= 4
-        |      THEN (v - (CAST(1 AS BIGINT) << e)) >> (e - 4)
-        |      ELSE (v - (CAST(1 AS BIGINT) << e)) << (4 - e)
-        |      END AS INTEGER) AS sub
-        |  FROM (SELECT g, v, length(bin(v)) - 1 AS e
-        |        FROM src WHERE v IS NOT NULL AND v > 0)),
-        |hist AS (
-        |  SELECT g, e, sub, CAST(count(*) AS BIGINT) AS n,
-        |    (CAST(1 AS BIGINT) << e)
-        |      + CASE WHEN e >= 4
-        |        THEN CAST(sub AS BIGINT) << (e - 4)
-        |        ELSE (sub * (CAST(1 AS BIGINT) << e) + 15) // 16
-        |        END AS lo
-        |  FROM b GROUP BY 1, 2, 3),
-        |cum AS (
-        |  SELECT g, e, sub, lo,
-        |    CAST(sum(n) OVER (PARTITION BY g ORDER BY e, sub)
-        |      AS BIGINT) AS cum,
-        |    CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS nt
-        |  FROM hist),
-        |qs AS (SELECT CAST(unnest([500000, 950000, 990000]) AS BIGINT)
-        |       AS q_e6),
-        |audit AS (
-        |  SELECT g,
-        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_null,
-        |    CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_negative,
-        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_zero
-        |  FROM src GROUP BY 1),
-        |pick AS (
-        |  SELECT g, q_e6, lo, nt,
-        |    row_number() OVER (PARTITION BY g, q_e6 ORDER BY e, sub)
-        |      AS rn
-        |  FROM cum CROSS JOIN qs
-        |  WHERE cum >= (q_e6 * nt + 999999) // 1000000)
-        |-- engine shape mirrored: the output shell is audit × qs (a
-        |-- group whose rows are ALL excluded still emits est NULL,
-        |-- n 0 with its audit counts), estimates LEFT JOIN in
-        |SELECT a.g AS l_returnflag, q.q_e6 AS q_e6, p.lo AS est,
-        |  coalesce(p.nt, CAST(0 AS BIGINT)) AS n,
-        |  a.n_null, a.n_negative, a.n_zero
-        |FROM audit a CROSS JOIN qs q
-        |LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p
-        |  ON p.g = a.g AND p.q_e6 = q.q_e6
-        |ORDER BY 1, 2""".stripMargin,
-
-    // Entropy rebuild: (source, lang) counts, the same 1e9-integerized
-    // ln(c) terms summed HUGEINT, H = (ln N − Σ/1e9/N)/ln 2 mirrored.
-    "q_v12_entropy" ->
-      """WITH c AS (
-        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents
-        |  WHERE source IS NOT NULL AND lang IS NOT NULL
-        |  GROUP BY 1, 2),
-        |m AS (
-        |  SELECT source,
-        |    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS nd,
-        |    CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(count(*) AS BIGINT) AS n_distinct,
-        |    CAST(sum(CAST(c AS HUGEINT)
-        |      * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9
-        |          + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) AS se9
-        |  FROM c GROUP BY source)
-        |SELECT source, n, n_distinct,
-        |  CAST(floor((ln(nd) - se9 / 1e9 / nd) / ln(CAST(2.0 AS DOUBLE))
-        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS entropy_e6
-        |FROM m ORDER BY source""".stripMargin,
-
-    // Correlation-matrix rebuild: one HUGEINT moments CTE, six pair
-    // rows by UNION ALL, the mirrored (n·q−s²) variance/covariance
-    // shapes with the product guard.
-    // Spearman rebuild: per-side distinct-value histogram + strictly-
-    // smaller cumulative window (the gini/skew rank-run shape), the
-    // SAME doubled tie rank 2·lt + cnt + 1, HUGEINT moments, and the
-    // engine's double rho shape, e6.
-    "q_v15_spearman" ->
-      """WITH src AS (
-        |  SELECT
-        |    CAST(floor(l_quantity * 100 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS x,
-        |    CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS y
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-        |hx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM src
-        |       GROUP BY 1),
-        |rx AS (SELECT x,
-        |    2 * coalesce(sum(cnt) OVER (ORDER BY x
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      + cnt + 1 AS ru
-        |  FROM hx),
-        |hy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM src
-        |       GROUP BY 1),
-        |ry AS (SELECT y,
-        |    2 * coalesce(sum(cnt) OVER (ORDER BY y
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      + cnt + 1 AS rv
-        |  FROM hy),
-        |j AS (SELECT rx.ru, ry.rv FROM src
-        |      JOIN rx ON rx.x = src.x JOIN ry ON ry.y = src.y),
-        |mm AS (SELECT
-        |    CAST(count(*) AS BIGINT) AS cnt,
-        |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(ru AS HUGEINT)) AS DOUBLE) AS su,
-        |    CAST(sum(CAST(rv AS HUGEINT)) AS DOUBLE) AS sv,
-        |    CAST(sum(CAST(ru AS HUGEINT) * CAST(rv AS HUGEINT))
-        |      AS DOUBLE) AS suv,
-        |    CAST(sum(CAST(ru AS HUGEINT) * CAST(ru AS HUGEINT))
-        |      AS DOUBLE) AS suu,
-        |    CAST(sum(CAST(rv AS HUGEINT) * CAST(rv AS HUGEINT))
-        |      AS DOUBLE) AS svv
-        |  FROM j)
-        |SELECT cnt AS n,
-        |  CAST(floor(
-        |    (n * suv - su * sv)
-        |      / sqrt((n * suu - su * su) * (n * svv - sv * sv)) * 1e6
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rho_e6
-        |FROM mm ORDER BY n""".stripMargin,
-
-    "q_v11_corr_matrix" ->
-      """WITH src AS (
-        |  SELECT
-        |    CAST(floor(l_quantity * 100 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS qty,
-        |    CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS price,
-        |    CAST(floor(l_discount * 10000 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS disc,
-        |    CAST(floor(l_tax * 10000 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS tax
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
-        |m AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
-        |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(qty AS HUGEINT)) AS DOUBLE) AS s_qty,
-        |    CAST(sum(CAST(qty AS HUGEINT) * qty) AS DOUBLE) AS q_qty,
-        |    CAST(sum(CAST(price AS HUGEINT)) AS DOUBLE) AS s_price,
-        |    CAST(sum(CAST(price AS HUGEINT) * price) AS DOUBLE)
-        |      AS q_price,
-        |    CAST(sum(CAST(disc AS HUGEINT)) AS DOUBLE) AS s_disc,
-        |    CAST(sum(CAST(disc AS HUGEINT) * disc) AS DOUBLE) AS q_disc,
-        |    CAST(sum(CAST(tax AS HUGEINT)) AS DOUBLE) AS s_tax,
-        |    CAST(sum(CAST(tax AS HUGEINT) * tax) AS DOUBLE) AS q_tax,
-        |    CAST(sum(CAST(qty AS HUGEINT) * price) AS DOUBLE) AS x_qp,
-        |    CAST(sum(CAST(qty AS HUGEINT) * disc) AS DOUBLE) AS x_qd,
-        |    CAST(sum(CAST(qty AS HUGEINT) * tax) AS DOUBLE) AS x_qt,
-        |    CAST(sum(CAST(price AS HUGEINT) * disc) AS DOUBLE) AS x_pd,
-        |    CAST(sum(CAST(price AS HUGEINT) * tax) AS DOUBLE) AS x_pt,
-        |    CAST(sum(CAST(disc AS HUGEINT) * tax) AS DOUBLE) AS x_dt
-        |  FROM src),
-        |p AS (
-        |  SELECT 'qty' AS col_a, 'price' AS col_b, cnt, n,
-        |    s_qty AS sa, q_qty AS qa, s_price AS sb, q_price AS qb,
-        |    x_qp AS xab FROM m
-        |  UNION ALL SELECT 'qty', 'disc', cnt, n,
-        |    s_qty, q_qty, s_disc, q_disc, x_qd FROM m
-        |  UNION ALL SELECT 'qty', 'tax', cnt, n,
-        |    s_qty, q_qty, s_tax, q_tax, x_qt FROM m
-        |  UNION ALL SELECT 'price', 'disc', cnt, n,
-        |    s_price, q_price, s_disc, q_disc, x_pd FROM m
-        |  UNION ALL SELECT 'price', 'tax', cnt, n,
-        |    s_price, q_price, s_tax, q_tax, x_pt FROM m
-        |  UNION ALL SELECT 'disc', 'tax', cnt, n,
-        |    s_disc, q_disc, s_tax, q_tax, x_dt FROM m)
-        |SELECT col_a, col_b, cnt AS n,
-        |  CASE WHEN cnt < 2
-        |      OR (n*qa - sa*sa) * (n*qb - sb*sb) <= CAST(0 AS DOUBLE)
-        |    THEN NULL
-        |    ELSE CAST(floor((n*xab - sa*sb)
-        |      / sqrt((n*qa - sa*sa) * (n*qb - sb*sb)) * 1e6
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS r_e6
-        |FROM p ORDER BY col_a, col_b""".stripMargin,
-
-    // Transition-matrix rebuild: same lead window, per-state sum by a
-    // second window over the tiny transition table; n exact, p one
-    // double division of exact longs.
-    "q_st29_transitions" ->
-      """WITH src AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    event_type
-        |  FROM events WHERE event_type IS NOT NULL),
-        |s AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id) AS to_type
-        |  FROM src),
-        |c AS (
-        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        |  FROM s WHERE to_type IS NOT NULL
-        |  GROUP BY 1, 2)
-        |SELECT from_type, to_type, n,
-        |  CAST(floor(CAST(n AS DOUBLE)
-        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
-        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p_e6
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
-
-    // Frequent-sequence rebuild: the same leads window, '>'-joined
-    // n-grams, identical deterministic ranking.
-    "q_st28_frequent_seqs" ->
-      """WITH src AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    event_type
-        |  FROM events WHERE event_type IS NOT NULL),
-        |s AS (
-        |  SELECT user_id, event_type AS t0,
-        |    lead(event_type, 1) OVER w AS t1,
-        |    lead(event_type, 2) OVER w AS t2
-        |  FROM src
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-        |c AS (
-        |  SELECT concat(t0, '>', t1, '>', t2) AS sequence,
-        |    CAST(count(*) AS BIGINT) AS n_occ
-        |  FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-        |  GROUP BY 1)
-        |SELECT sequence, n_occ,
-        |  CAST(row_number() OVER (ORDER BY n_occ DESC, sequence)
-        |    AS BIGINT) AS rank
-        |FROM c
-        |ORDER BY n_occ DESC, sequence
-        |LIMIT 20""".stripMargin,
-
-    // Attribution rebuild: the struct min/max becomes a packed
-    // HUGEINT es·10¹²+event_id sortable key (HUGEINT because
-    // es·10¹² exceeds BIGINT; 10¹² leaves event_id headroom to a
-    // trillion events — the silent-id-assumption class that bit
-    // q_x2l's +1000 is structurally off the table), decoded by
-    // integer div/mod and cast back to BIGINT; touch types rejoined
-    // by unique event_id; the same RANGE frame. ts IS NOT NULL
-    // mirrors the operator's null-ts drop.
-    "q_st24_attribution" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    event_type
-        |  FROM events
-        |  WHERE ts IS NOT NULL
-        |    AND event_type IN ('purchase', 'view', 'click')),
-        |wnd AS (
-        |  SELECT user_id, event_id, es, event_type,
-        |    min(CASE WHEN event_type IN ('view', 'click')
-        |      THEN CAST(es AS HUGEINT) * 1000000000000 + event_id
-        |      END) OVER w AS fk,
-        |    max(CASE WHEN event_type IN ('view', 'click')
-        |      THEN CAST(es AS HUGEINT) * 1000000000000 + event_id
-        |      END) OVER w AS lk,
-        |    count(CASE WHEN event_type IN ('view', 'click')
-        |      THEN 1 END) OVER w AS n_touches
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY es
-        |    RANGE BETWEEN 1209600 PRECEDING AND CURRENT ROW)),
-        |conv AS (
-        |  SELECT user_id, event_id AS conv_id, es AS conv_ts,
-        |    CAST(n_touches AS BIGINT) AS n_touches,
-        |    CAST(fk % 1000000000000 AS BIGINT) AS first_id,
-        |    CAST(fk // 1000000000000 AS BIGINT) AS first_ts,
-        |    CAST(lk % 1000000000000 AS BIGINT) AS last_id,
-        |    CAST(lk // 1000000000000 AS BIGINT) AS last_ts
-        |  FROM wnd WHERE event_type = 'purchase')
-        |SELECT c.user_id, c.conv_id, c.conv_ts, c.n_touches,
-        |  c.first_id, c.first_ts, f.event_type AS first_type,
-        |  c.last_id, c.last_ts, l.event_type AS last_type
-        |FROM conv c
-        |LEFT JOIN events f ON c.first_id = f.event_id
-        |LEFT JOIN events l ON c.last_id = l.event_id
-        |ORDER BY c.user_id, c.conv_id""".stripMargin,
-
-    // Skyline rebuild: the textbook NOT EXISTS dominance predicate —
-    // O(n²) is fine for the oracle at sf0.01; dominance compares exact
-    // integers so the frontier membership is engine-independent.
-    "q_o3_skyline" ->
-      """WITH s AS (
-        |  SELECT p_partkey,
-        |    CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE))
-        |      AS BIGINT) AS price_cents,
-        |    CAST(-p_size AS BIGINT) AS neg_size
-        |  FROM part)
-        |SELECT p_partkey, price_cents, neg_size
-        |FROM s r
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM s o
-        |  WHERE o.price_cents <= r.price_cents
-        |    AND o.neg_size <= r.neg_size
-        |    AND (o.price_cents < r.price_cents
-        |      OR o.neg_size < r.neg_size))
-        |ORDER BY p_partkey""".stripMargin,
-
-    // Association-rule rebuild: the J7 basket CTEs verbatim, directed
-    // pairs, n_baskets/item counts from the same gated universe, lift
-    // cross-products HUGEINT before the one double division, the
-    // confidence gate applied on the identical double shape.
-    "q_j8_assoc_rules" ->
-      """WITH m AS (
-        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
-        |sz AS (SELECT g, count(*) AS n FROM m GROUP BY g),
-        |k AS (SELECT m.g, m.i FROM m JOIN sz USING (g) WHERE sz.n <= 10),
-        |nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_baskets
-        |       FROM k),
-        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ic FROM k
-        |       GROUP BY i),
-        |p AS (
-        |  SELECT a.i AS antecedent, b.i AS consequent,
-        |    CAST(count(*) AS BIGINT) AS pair_n
-        |  FROM k a JOIN k b ON a.g = b.g AND a.i <> b.i
-        |  GROUP BY 1, 2
-        |  HAVING count(*) >= 2),
-        |r AS (
-        |  SELECT p.antecedent, p.consequent, p.pair_n,
-        |    ia.ic AS ante_n, ib.ic AS cons_n, nb.n_baskets
-        |  FROM p
-        |  JOIN ic ia ON p.antecedent = ia.i
-        |  JOIN ic ib ON p.consequent = ib.i
-        |  CROSS JOIN nb)
-        |SELECT antecedent, consequent, pair_n, ante_n, cons_n, n_baskets,
-        |  CAST(floor(CAST(pair_n AS DOUBLE) / CAST(n_baskets AS DOUBLE)
-        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS support_e6,
-        |  CAST(floor(CAST(pair_n AS DOUBLE) / CAST(ante_n AS DOUBLE)
-        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS conf_e6,
-        |  CAST(floor(
-        |    CAST(CAST(n_baskets AS HUGEINT) * pair_n AS DOUBLE)
-        |      / CAST(CAST(ante_n AS HUGEINT) * cons_n AS DOUBLE)
-        |    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lift_e6
-        |FROM r
-        |WHERE CAST(pair_n AS DOUBLE) / CAST(ante_n AS DOUBLE)
-        |  >= CAST(0.08 AS DOUBLE)
-        |ORDER BY antecedent, consequent""".stripMargin,
-
-    // ST11 rebuild: same windows in the same (user, es, event_id) order;
-    // trend = HUGEINT frame sum / 7.0 (exact-to-double below 2^53),
-    // detrended e4-integerized before the phase mean so both engines
-    // divide identical exact longs; resid operand order mirrored.
-    "q_st11_seasonal" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS cents
-        |  FROM events),
-        |b AS (
-        |  SELECT user_id, es, event_id, cents,
-        |    CAST((row_number() OVER wo - 1) % 7 AS BIGINT) AS phase,
-        |    CASE WHEN count(*) OVER wf = 7
-        |      THEN sum(cents) OVER wf / CAST(7 AS DOUBLE) END AS trend
-        |  FROM ev
-        |  WINDOW wo AS (PARTITION BY user_id ORDER BY es, event_id),
-        |    wf AS (PARTITION BY user_id ORDER BY es, event_id
-        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |d AS (
-        |  SELECT *, CAST(floor((cents - trend) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e4 FROM b),
-        |se AS (
-        |  SELECT user_id, phase,
-        |    CASE WHEN count(d_e4) > 0
-        |      THEN CAST(sum(d_e4) AS BIGINT) / count(d_e4) / 1e4
-        |    END AS seasonal
-        |  FROM d GROUP BY user_id, phase)
-        |SELECT d.user_id, d.es, d.event_id, d.cents, d.phase,
-        |  CAST(floor(d.trend * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS trend_e4,
-        |  CAST(floor(se.seasonal * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS seasonal_e4,
-        |  CAST(floor((d.cents - d.trend - se.seasonal) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS resid_e4
-        |FROM d JOIN se USING (user_id, phase)
-        |ORDER BY user_id, es, event_id""".stripMargin,
-
-    // Inter-arrival rebuild: lag gaps in the same (es, event_id) order,
-    // HUGEINT moments, mirrored mean/sd/cv/B shapes with the guards
-    // emitting the exact sentinel integers (0 / 0 / −1e6).
-    "q_st27_interarrival" ->
-      """WITH src AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es
-        |  FROM events WHERE ts IS NOT NULL),
-        |g AS (
-        |  SELECT user_id, es - lag(es) OVER (PARTITION BY user_id
-        |    ORDER BY es, event_id) AS gp
-        |  FROM src),
-        |gg AS (SELECT user_id, gp FROM g WHERE gp IS NOT NULL),
-        |m AS (
-        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-        |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(gp AS HUGEINT)) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(gp AS HUGEINT) * gp) AS DOUBLE) AS s2
-        |  FROM gg GROUP BY user_id)
-        |SELECT user_id, n_gaps,
-        |  CAST(floor(s1/n * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |    AS mean_e2,
-        |  CASE WHEN n_gaps < 2 OR n*s2 - s1*s1 <= CAST(0 AS DOUBLE)
-        |    THEN CAST(0 AS BIGINT)
-        |    ELSE CAST(floor(sqrt((n*s2 - s1*s1)
-        |      / (n*(n - CAST(1 AS DOUBLE)))) * 1e2
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS sd_e2,
-        |  CASE WHEN n_gaps < 2 OR n*s2 - s1*s1 <= CAST(0 AS DOUBLE)
-        |      OR s1/n = CAST(0 AS DOUBLE)
-        |    THEN CAST(0 AS BIGINT)
-        |    ELSE CAST(floor(sqrt((n*s2 - s1*s1)
-        |      / (n*(n - CAST(1 AS DOUBLE)))) / (s1/n) * 1e6
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS cv_e6,
-        |  CASE WHEN n_gaps < 2 OR n*s2 - s1*s1 <= CAST(0 AS DOUBLE)
-        |    THEN CAST(-1000000 AS BIGINT)
-        |    ELSE CAST(floor(
-        |      (sqrt((n*s2 - s1*s1) / (n*(n - CAST(1 AS DOUBLE)))) - s1/n)
-        |      / (sqrt((n*s2 - s1*s1) / (n*(n - CAST(1 AS DOUBLE))))
-        |        + s1/n)
-        |      * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS b_e6
-        |FROM m ORDER BY user_id""".stripMargin,
-
-    // Seasonal-anomaly rebuild: the ST11 CTE chain, residuals
-    // e4-integerized, per-entity HUGEINT moments, the rollingZscore
-    // sample-sd z shape, flag by the identical double comparison.
-    "q_st26_seasonal_anomaly" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS cents
-        |  FROM events),
-        |b AS (
-        |  SELECT user_id, es, event_id, cents,
-        |    CAST((row_number() OVER wo - 1) % 7 AS BIGINT) AS phase,
-        |    CASE WHEN count(*) OVER wf = 7
-        |      THEN sum(cents) OVER wf / CAST(7 AS DOUBLE) END AS trend
-        |  FROM ev
-        |  WINDOW wo AS (PARTITION BY user_id ORDER BY es, event_id),
-        |    wf AS (PARTITION BY user_id ORDER BY es, event_id
-        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |d AS (
-        |  SELECT *, CAST(floor((cents - trend) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_e4 FROM b),
-        |se AS (
-        |  SELECT user_id, phase,
-        |    CASE WHEN count(d_e4) > 0
-        |      THEN CAST(sum(d_e4) AS BIGINT) / count(d_e4) / 1e4
-        |    END AS seasonal
-        |  FROM d GROUP BY user_id, phase),
-        |rz AS (
-        |  SELECT d.user_id, d.es, d.event_id, d.cents,
-        |    CAST(floor((d.cents - d.trend - se.seasonal) * 1e4
-        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r4
-        |  FROM d JOIN se USING (user_id, phase)
-        |  WHERE d.trend IS NOT NULL AND se.seasonal IS NOT NULL),
-        |m AS (
-        |  SELECT user_id, CAST(count(*) AS BIGINT) AS nn,
-        |    CAST(count(*) AS DOUBLE) AS nd,
-        |    CAST(sum(CAST(r4 AS HUGEINT)) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(r4 AS HUGEINT) * r4) AS DOUBLE) AS s2
-        |  FROM rz GROUP BY user_id)
-        |SELECT rz.user_id, rz.es, rz.event_id, rz.cents AS v, rz.r4
-        |    AS resid_e4,
-        |  CASE WHEN nn < 2 OR nd*s2 - s1*s1 <= CAST(0 AS DOUBLE)
-        |    THEN NULL
-        |    ELSE CAST(floor((rz.r4 - s1/nd)
-        |      / sqrt((nd*s2 - s1*s1) / (nd*(nd - CAST(1 AS DOUBLE))))
-        |      * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS z_e4,
-        |  coalesce(
-        |    CASE WHEN nn < 2 OR nd*s2 - s1*s1 <= CAST(0 AS DOUBLE)
-        |      THEN NULL
-        |      ELSE abs((rz.r4 - s1/nd)
-        |        / sqrt((nd*s2 - s1*s1)
-        |          / (nd*(nd - CAST(1 AS DOUBLE)))))
-        |        > CAST(3.0 AS DOUBLE) END,
-        |    false) AS is_anomaly
-        |FROM rz JOIN m USING (user_id)
-        |ORDER BY rz.user_id, rz.es, rz.event_id""".stripMargin,
-
-    // CUSUM replay: per-row fold over the (es, event_id)-ordered e-value
-    // slice, seeded by a prepended 0 (≡ the engine's empty-accumulator
-    // fold); all arithmetic HUGEINT-exact, alarm test n-scaled.
-    "q_st12_cusum" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS es,
-        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
-        |      AS cents
-        |  FROM events),
-        |st AS (
-        |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
-        |    CAST(sum(cents) AS HUGEINT) AS s1
-        |  FROM ev GROUP BY user_id),
-        |ord AS (
-        |  SELECT user_id, es, event_id, cents,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY es, event_id) AS rn
-        |  FROM ev),
-        |ls AS (
-        |  SELECT user_id,
-        |    list(CAST(cents AS HUGEINT) ORDER BY es, event_id) AS cs
-        |  FROM ev GROUP BY user_id),
-        |r AS (
-        |  SELECT o.user_id, o.es, o.event_id, o.cents, s.n,
-        |    list_reduce([CAST(0 AS HUGEINT)] ||
-        |        list_transform(l.cs[1:o.rn], x -> x * s.n - s.s1),
-        |      (acc, x) -> greatest(CAST(0 AS HUGEINT),
-        |        acc + x - 2000 * s.n)) AS sp,
-        |    list_reduce([CAST(0 AS HUGEINT)] ||
-        |        list_transform(l.cs[1:o.rn], x -> x * s.n - s.s1),
-        |      (acc, x) -> greatest(CAST(0 AS HUGEINT),
-        |        acc - x - 2000 * s.n)) AS sn
-        |  FROM ord o JOIN ls l USING (user_id) JOIN st s USING (user_id))
-        |SELECT user_id, es, event_id, cents,
-        |  CAST(sp AS BIGINT) AS sp_cn, CAST(sn AS BIGINT) AS sn_cn,
-        |  (sp > 20000 * n OR sn > 20000 * n) AS is_change
-        |FROM r
-        |ORDER BY user_id, es, event_id""".stripMargin,
-
-    "q_window_rolling_time" ->
-      """SELECT event_id, user_id, es,
-        |  count(*) OVER w AS n_1h,
-        |  ROUND(sum(value) OVER w, 2) AS sum_1h
-        |FROM (SELECT event_id, user_id,
-        |        (epoch_ns(ts) // 1000000000) AS es, value FROM events)
-        |WINDOW w AS (PARTITION BY user_id ORDER BY es
-        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, es, event_id""".stripMargin,
-
-    // Marker-profile language ID: per-language presence counts over the
-    // padded lowered text; argmax-with-max-lang-tie-break reproduced as
-    // greatest() over 'digit:lang' strings (scores are 0..5, single
-    // digit → lexicographic ≡ (score, lang) struct order).
-    "q_x4o_langid" ->
-      s"""WITH $langGuessCtes
-        |SELECT doc_id, lang_guess FROM lg
-        |ORDER BY doc_id""".stripMargin,
-
-    // The composite lang/quality report: lang ID (q_x4o's rebuild) plus
-    // the kernel's profile counters in SQL — quality is a sum of exact
-    // 0.25 bands, stop_ratio a small-rational ROUND, n_bpeish = alnum
-    // runs + non-alnum non-ws chars.
-    "q_x4b_lang_quality" ->
-      s"""WITH $langGuessCtes,
-        |prof AS (
-        |  SELECT doc_id,
-        |    length(text) AS n_chars,
-        |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-        |      AS n_toks,
-        |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
-        |    length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
-        |      AS n_punct,
-        |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-        |      x -> lower(x) IN ('the','a','an','and','or','of','to','in',
-        |        'is','are','was','it','that','this','for','on','with','as',
-        |        'be','by','at'))) AS n_stop,
-        |    len(regexp_extract_all(text, '[A-Za-z0-9]+'))
-        |      + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-        |      AS n_bpeish
-        |  FROM documents)
-        |SELECT p.doc_id, lg.lang_guess,
-        |  CAST(ROUND(
-        |    CASE WHEN p.n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0 END
-        |    + CASE WHEN p.n_toks > 0
-        |        AND (p.n_nonws * 1.0 / p.n_toks) BETWEEN 2.0 AND 12.0
-        |      THEN 0.25 ELSE 0 END
-        |    + CASE WHEN p.n_toks > 0
-        |        AND p.n_stop * 1.0 / p.n_toks > 0.01
-        |      THEN 0.25 ELSE 0 END
-        |    + CASE WHEN (CASE WHEN p.n_chars = 0 THEN 0.0
-        |        ELSE p.n_punct * 1.0 / p.n_chars END) < 0.2
-        |      THEN 0.25 ELSE 0 END, 4) AS DOUBLE) AS quality,
-        |  ROUND(CASE WHEN p.n_toks = 0 THEN 0.0
-        |    ELSE p.n_stop * 1.0 / p.n_toks END, 6) AS stop_ratio,
-        |  CAST(p.n_bpeish AS BIGINT) AS n_bpeish
-        |FROM prof p JOIN lg ON lg.doc_id = p.doc_id
-        |ORDER BY p.doc_id""".stripMargin,
-
-    // Tukey fences from quantile_cont (≡ Spark percentile — same
-    // interpolation formula, bit-equal); fence arithmetic mirrors the
-    // Spark association q1 − k·(q3−q1) exactly.
-    "q_o1_outliers_iqr" ->
-      """WITH q AS (
-        |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
-        |         quantile_cont(value, 0.75) AS q3
-        |  FROM events GROUP BY event_type),
-        |f AS (
-        |  SELECT event_type, q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
-        |         q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi FROM q)
-        |SELECT e.event_id, e.event_type, e.value,
-        |  CAST(floor(f.lo * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lo_e4,
-        |  CAST(floor(f.hi * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS hi_e4
-        |FROM events e JOIN f USING (event_type)
-        |WHERE e.value < f.lo OR e.value > f.hi
-        |ORDER BY e.event_id""".stripMargin,
-
-    // z = (x − μ)/σ with sample stddev; e4-integerized to absorb
-    // partial-agg merge-order ulps.
-    "q_o2_outliers_z" ->
-      """WITH s AS (
-        |  SELECT o_orderstatus, avg(o_totalprice) AS mu,
-        |         stddev_samp(o_totalprice) AS sigma
-        |  FROM orders GROUP BY o_orderstatus)
-        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
-        |  CAST(floor((o.o_totalprice - s.mu) / s.sigma * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z_e4
-        |FROM orders o JOIN s USING (o_orderstatus)
-        |WHERE s.sigma IS NOT NULL AND s.sigma <> 0
-        |  AND abs((o.o_totalprice - s.mu) / s.sigma) > CAST(1.7 AS DOUBLE)
-        |ORDER BY o.o_orderkey""".stripMargin,
-
-    // PMI rebuilt positionally: adjacent-token pairs via
-    // generate_subscripts; association order mirrors the Spark query:
-    // (c_ab·t·t) / ((bt·c_a)·c_b), both engines left-assoc.
-    "q_x4n_pmi" ->
-      """WITH tok AS (
-        |  SELECT doc_id, u.tk, u.pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u),
-        |uc AS (SELECT tk AS w, count(*) AS c FROM tok GROUP BY tk),
-        |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
-        |bg AS (
-        |  SELECT a.tk AS w1, b.tk AS w2
-        |  FROM tok a JOIN tok b
-        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
-        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
-        |bt AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS b FROM bc)
-        |SELECT bc.w1, bc.w2, bc.c_ab, u1.c AS c_a, u2.c AS c_b,
-        |  CAST(floor(ln((CAST(bc.c_ab AS DOUBLE) * tt.t * tt.t)
-        |      / (bt.b * u1.c * u2.c)) * 1e4
-        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_e4
-        |FROM bc
-        |JOIN uc u1 ON u1.w = bc.w1
-        |JOIN uc u2 ON u2.w = bc.w2, tt, bt
-        |WHERE bc.c_ab >= 25
-        |ORDER BY bc.w1, bc.w2""".stripMargin,
-
-    // Cutoff = quantile_cont(0.7) (≡ Spark exact percentile); ties at
-    // the cutoff kept on both sides.
-    "q_x6j_top_fraction" ->
-      """WITH c AS (SELECT quantile_cont(n_chars, 0.7) AS cut
-        |           FROM documents)
-        |SELECT doc_id, lang, n_chars FROM documents, c
-        |WHERE n_chars >= c.cut ORDER BY doc_id""".stripMargin,
-
-    // Full-outer rebuild of the snapshot diff; null-safe compares via
-    // IS NOT DISTINCT FROM; +1.0 is exactly representable so compared
-    // doubles are bit-identical on both engines.
-    "q_cdc_diff" ->
-      """WITH prev AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |  WHERE o_orderkey % 10 <> 0),
-        |cur AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 3 = 0
-        |      THEN o_totalprice + CAST(1 AS DOUBLE)
-        |      ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 7 <> 0),
-        |d AS (
-        |  SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
-        |    CASE WHEN p.o_orderkey IS NULL THEN 'added'
-        |         WHEN c.o_orderkey IS NULL THEN 'removed'
-        |         WHEN p.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
-        |          AND p.o_totalprice IS NOT DISTINCT FROM c.o_totalprice
-        |           THEN 'unchanged'
-        |         ELSE 'changed' END AS change,
-        |    c.o_orderstatus, c.o_totalprice
-        |  FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey)
-        |SELECT * FROM d WHERE change <> 'unchanged'
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_cdc_stats" ->
-      """WITH prev AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |  WHERE o_orderkey % 10 <> 0),
-        |cur AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 3 = 0
-        |      THEN o_totalprice + CAST(1 AS DOUBLE)
-        |      ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 7 <> 0)
-        |SELECT CASE WHEN p.o_orderkey IS NULL THEN 'added'
-        |         WHEN c.o_orderkey IS NULL THEN 'removed'
-        |         WHEN p.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
-        |          AND p.o_totalprice IS NOT DISTINCT FROM c.o_totalprice
-        |           THEN 'unchanged'
-        |         ELSE 'changed' END AS change,
-        |  count(*) AS n
-        |FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey
-        |GROUP BY 1 ORDER BY change""".stripMargin
-  )
+    EntryData.graphBuild(spark, "/root/testdata/sf0.001")
+
+  /** The graph-spec fixture (FIXTURES.md §2) over the TPC-H-ish tables,
+    * in the reference's config grammar. */
+  def fixtureYaml(dir: String): String = EntryData.fixtureYaml(dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesEtl.queries ++
+    QueriesGraph.queries ++
+    QueriesTimeSeries.queries ++
+    QueriesValidate.queries ++
+    QueriesDedup.queries ++
+    QueriesSimilarity.queries ++
+    QueriesText.queries ++
+    QueriesMultimodal.queries ++
+    QueriesSampling.queries
+
+  def oracleSql: Map[String, String] =
+    QueriesEtl.oracles ++
+    QueriesGraph.oracles ++
+    QueriesTimeSeries.oracles ++
+    QueriesValidate.oracles ++
+    QueriesDedup.oracles ++
+    QueriesSimilarity.oracles ++
+    QueriesText.oracles ++
+    QueriesMultimodal.oracles ++
+    QueriesSampling.oracles
 }

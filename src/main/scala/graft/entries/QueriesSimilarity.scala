@@ -1,0 +1,802 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.GraphConfig
+import graft.functions.{GraftFunctions => GF, VectorFunctions => VF}
+import graft.operators._
+import graft.streaming.StreamingIngest
+
+/** ANN serving lifecycle X3 (brute/IVF/PQ topK, rerank, index build/update/compact/delete) — one slice of the [[SparkEntry]] driver contract
+  * (16 queries). Chunks moved verbatim from SparkEntry.scala;
+  * the assembled `queries`/`oracleSql` maps are unchanged. */
+private[graft] object QueriesSimilarity {
+  import EntryData._
+  import OracleCtes._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X3: brute-force cosine top-k (exact ANN baseline) ----
+    "q_x3_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 8), e, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3b: IVF two-stage ANN (deterministic — exact oracle) ----
+    "q_x3b_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (centroids, assigned) = Similarity.ivfIndex(e, "embedding", "vec_id",
+        k = 32)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 8), centroids, assigned,
+        "embedding", "vec_id", k = 5, nProbe = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3c: top-k over the int8-quantized corpus — the 4×-smaller
+    // storage/broadcast path. Fully oracle-checkable: the dequantized
+    // vectors are bit-identical across engines (q = floor(x/scale + 0.5)
+    // clamped — JVM Math.round spelled out so DuckDB's half-away round()
+    // never enters — and q·scale is exact in double, then rounded to
+    // float), and the compared cosine is integerized (floor(x·1e4+0.5))
+    // to absorb summation-order ulps. ----
+    "q_x3c_quantized_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val deq = e.select(col("vec_id"),
+        VF.dequantize8(VF.quantize8(col("embedding"))).as("embedding"))
+      Similarity.bruteForceTopK(
+        deq.filter(col("vec_id") < 8), deq, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("cosine") * lit(1e4) + lit(0.5)).as("cosine_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3h: product-quantization ANN (Jégou et al. 2011) — 64-dim
+    // floats → m=8 codes over a k=16 hash-sampled codebook (RNG-free, so
+    // fully oracle-rebuildable); search is codegen'd ADC table lookups,
+    // never the raw vectors. The e4-integerized distance guards the
+    // compare; ranks use raw doubles (x3b precedent) ----
+    "q_x3h_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+      Similarity.pqTopK(e.filter(col("vec_id") < 8), cb, enc,
+          "embedding", "vec_id", m = 8, k = 16, topK = 5)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3i: IVF-PQ — the composed billion-scale ANN recipe: coarse
+    // probe (8 of 32 cells) bounds candidates, PQ-ADC ranks them without
+    // reading a float vector ----
+    "q_x3i_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), cents, cb, ae,
+          "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3m: residual IVF-PQ — the FAISS design proper: PQ encodes
+    // v − centroid(v), so the m×k codebook budget resolves the residual
+    // ball instead of the raw vector space; the ADC table becomes
+    // cell-dependent on the query side. Same quantizer-sample
+    // determinism as q_x3i, so the oracle replays the whole codec
+    // including the residual arithmetic, association-exact. (Recall on
+    // THIS corpus is honestly worse than raw PQ — random embeddings
+    // have no structure for the coarse stage to explain; the planted-
+    // cluster SimilaritySpec case shows the regime where it wins.) ----
+    "q_x3m_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooksResidual(e, "embedding", "vec_id",
+        assigned, cents, m = 8, k = 16)
+      val enc = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
+        assigned, cents, cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 8), cents,
+          cb, ae, "embedding", "vec_id", m = 8, k = 16, topK = 5,
+          nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3j: ANN index persistence — build the q_x3i index ONCE,
+    // save it as parquet (vectors partitioned by centroid_id), load it
+    // back, and query the STORED index. Shares q_x3i's oracle: the
+    // round-trip must be row-identical to the in-memory path. This is
+    // how a 100 TB corpus actually serves retrieval: quantizers train
+    // at ingest, every later run re-queries the parquet index — so the
+    // build+save runs once per (process, dataset) via x3jIndexDir and
+    // repeat invocations (bench iterations) measure SERVING, exactly
+    // like production. The first Verify call still exercises the full
+    // save path. ----
+    "q_x3j_index_reuse" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ix = Similarity.loadIndex(s, x3jIndexDir(s, dir))
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3k: INCREMENTAL index update — base index trained+encoded
+    // on vec_id < 300, the rest absorbed by updateIndex (frozen
+    // quantizers, delta-only encode, partitioned append), then the
+    // UPDATED index queried. Oracle: the full-corpus encode against
+    // the SAME base-slice-trained quantizers — per-row-deterministic
+    // assignment/encoding makes the incremental result EXACTLY equal
+    // to the one-pass rebuild, which is the whole claim. ----
+    "q_x3k_index_update" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ix = Similarity.loadIndex(s, x3kUpdatedIndexDir(s, dir))
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3p: index COMPACTION — the q_x3k fragmented layout (base
+    // encode + updateIndex append) rewritten one-file-per-cell by
+    // compactIndex, then queried. Compaction moves codes, never
+    // changes them, so the result is EXACTLY q_x3k's — and the oracle
+    // IS q_x3k's (the one-pass encode against the base-slice-trained
+    // quantizers). The timed body is the full maintenance path:
+    // copy + incremental absorb + compact + serve. ----
+    "q_x3p_compacted_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3kUpdatedIndexDir(s, dir)
+      Similarity.compactIndex(s, ixDir) // eager: rewrites vectors/
+      val ix = Similarity.loadIndex(s, ixDir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3q: tombstone deletes — the erasure side of the serving
+    // lifecycle (build → serve → update → compact → DELETE): every
+    // vec_id ≡ 1 (mod 5) is tombstoned on the q_x3k updated index,
+    // and serving must behave as if those rows were never encoded —
+    // no rewrite, the anti-join does it. Oracle: the q_x3p rebuild
+    // with the deleted ids excluded before ranking. ----
+    "q_x3q_deleted_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3kUpdatedIndexDir(s, dir)
+      Similarity.deleteFromIndex(s, ixDir,
+          e.filter(col("vec_id") % 5 === 1).select("vec_id"), "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      val ix = Similarity.loadIndex(s, ixDir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3l: recall@5 audit — the quality number the mechanical
+    // oracles can't see: how many of the EXACT cosine top-5 the IVF
+    // (q_x3b's 32 cells / nProbe 3) and IVF-PQ (q_x3i's nProbe 8,
+    // m=8, k=16) paths actually return, per query + a query_id=-1
+    // totals row. Every leg is deterministic, so the audit itself is
+    // exact-oracled — the number an operator tunes nProbe/m/k by. ----
+    "q_x3l_recall_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(q, e, "embedding", "vec_id",
+        k = 5)
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val ivf = Similarity.ivfTopK(q, cents, assigned, "embedding",
+        "vec_id", k = 5, nProbe = 3)
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val ivfpq = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+        "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
+      val rcb = Similarity.pqCodebooksResidual(e, "embedding", "vec_id",
+        assigned, cents, m = 8, k = 16)
+      val renc = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
+        assigned, cents, rcb, m = 8)
+      val rae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(renc, Seq("vec_id"))
+      val resid = Similarity.ivfPqResidualTopK(q, cents, rcb, rae,
+        "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
+      // two-stage leg: the same ADC stage, widened to a C=25 shortlist,
+      // then exact-cosine rerank — recall@5 becomes recall@25 of the
+      // cheap stage (the PQ codes prune, they no longer vote)
+      val rerank = Similarity.rerankTopK(
+        Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+          "vec_id", m = 8, k = 16, topK = 25, nProbe = 8),
+        q, e, "embedding", "vec_id", topK = 5)
+      val per = Similarity.recallAtK(exact, ivf)
+        .withColumnRenamed("n_hits", "ivf_hits")
+        .join(Similarity.recallAtK(exact, ivfpq)
+          .select(col("query_id"), col("n_hits").as("ivfpq_hits")),
+          Seq("query_id"))
+        .join(Similarity.recallAtK(exact, resid)
+          .select(col("query_id"), col("n_hits").as("resid_hits")),
+          Seq("query_id"))
+        .join(Similarity.recallAtK(exact, rerank)
+          .select(col("query_id"), col("n_hits").as("rerank_hits")),
+          Seq("query_id"))
+      per.select(col("query_id"), col("n_exact"), col("ivf_hits"),
+          col("ivfpq_hits"), col("resid_hits"), col("rerank_hits"))
+        .unionByName(per.agg(lit(-1L).as("query_id"),
+          sum("n_exact").as("n_exact"), sum("ivf_hits").as("ivf_hits"),
+          sum("ivfpq_hits").as("ivfpq_hits"),
+          sum("resid_hits").as("resid_hits"),
+          sum("rerank_hits").as("rerank_hits")))
+        .orderBy("query_id")
+    }),
+
+    // ---- X3o: two-stage ANN serving — the same IVF-PQ ADC stage
+    // widened to a C=25 shortlist, then exact-cosine rerank of just
+    // those |Q|·C fetched vectors (broadcast shortlist; the corpus
+    // never shuffles). Rank-exact oracle: the full codec replay plus
+    // the same rerank window. ----
+    "q_x3o_rerank_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val shortlist = Similarity.ivfPqTopK(q, cents, cb, ae, "embedding",
+        "vec_id", m = 8, k = 16, topK = 25, nProbe = 8)
+      Similarity.rerankTopK(shortlist, q, e, "embedding", "vec_id",
+          topK = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3d: MMR diversity re-rank over the search stage's top-20 —
+    // greedy per-query trade-off between relevance and redundancy (λ=0.7).
+    // Fully oracled: the greedy argmax compares raw doubles with a
+    // vec_id tie-break and both engines' cosine chains are bit-identical
+    // (the q_x3 precedent), so the oracle unrolls the 5 selection rounds
+    // with the incremental max-penalty update. The (1−λ) factor is
+    // spelled (1.0 − 0.7) on BOTH sides — the scala subtraction yields
+    // 0.30000000000000004, not the 0.3 literal. ----
+    "q_x3d_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 8)
+      val top = Similarity.bruteForceTopK(qs, e, "embedding", "vec_id",
+        k = 20)
+      val withVecs = top.join(
+        e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Similarity.mmrRerank(withVecs, "query_id", "vec_id", "embedding",
+        "cosine", k = 5, lambda = 0.7)
+        .select(col("query_id"), col("vec_id"),
+          col("mmr_rank").cast("long").as("mmr_rank"),
+          round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy("query_id", "mmr_rank")
+    }),
+
+    // ---- X3f: JL random projection — shrink embeddings 128→16 before
+    // the similarity tier; deterministic (hash-derived signs), rows-only
+    // (seeded-hash signs aren't ANSI-expressible). Projected norms ride
+    // along as evidence the kernel ran. ----
+    // ---- X3g: JL projection, portable mode — md5-parity signs, so the
+    // oracle rebuilds every projected element; exploded to (vec_id, j,
+    // v_e4) with the float rounding mirrored on both sides ----
+    "q_x3g_project_portable" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(VF.random_project_portable(col("embedding"), 16))
+            .as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          floor(col("v").cast("double") * 1e4 + 0.5).cast("long").as("v_e4"))
+        .orderBy("vec_id", "j")),
+
+    // ---- X3f: JL random projection, splitmix64-seeded — rows-only BY
+    // DESIGN (no_oracle floor: DuckDB cannot replay splitmix64). Its
+    // oracled twin is q_x3g (portable md5-48 Gaussian pairs, same
+    // projection algebra, green) — do not re-litigate this row. ----
+    "q_x3f_random_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VF.random_project(col("embedding"), 16).as("proj"))
+        .select(col("vec_id"), size(col("proj")).as("dim"),
+          round(VF.l2_norm(col("proj")), 4).as("norm"))
+        .orderBy("vec_id")),
+
+    // ---- X3e: hybrid retrieval — RRF fusion of the dense cosine top-20
+    // (query vector = embedding 0) and the sparse BM25 top-20 over the
+    // same id space. RRF scores are sums of exact reciprocals, identical
+    // across engines, so the fusion is fully oracle-checkable. ----
+    "q_x3e_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "embedding", "vec_id", k = 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      // global window is fine: it ranks the (bounded) scored hit list,
+      // not the corpus
+      val sparse = Relevance.searchBm25(t(s, dir, "documents"), "doc_id",
+        "text", "data model the", k = 100000)
+        .select(col("doc_id").as("id"), round(col("score"), 6).as("_s"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("_s").desc, col("id"))))
+        .filter(col("rank") <= 20).select("id", "rank")
+      Similarity.rrfFuse(Seq(dense, sparse), "id", "rank", k = 10)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"),
+          col("n_lists"))
+        .orderBy(col("rrf_score").desc, col("id"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    // Greedy MMR unroll — see mmrOracle.
+    "q_x3d_mmr_rerank" -> mmrOracle(5),
+
+    // IVF is deterministic end-to-end (fixed-k hash-sampled centroids,
+    // double cosine, id tie-breaks), so even the ANN path gets an exact
+    // oracle. The centroid CTE mirrors Similarity.ivfIndex: k smallest by
+    // multiplicative hash of the id.
+    "q_x3b_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
+        |    SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |    LIMIT 32)),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |asn0 AS (
+        |  SELECT c.vec_id, c.embedding, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(c.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |asn AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM asn0)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |probe0 AS (
+        |  SELECT q.query_id, q.qv, ct.centroid_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.qv) x, unnest(ct.cv) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.qv) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(ct.cv) y)))) AS csim
+        |  FROM q CROSS JOIN cent ct),
+        |probed AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(p.qv) x, unnest(a.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(p.qv) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(a.embedding) y)))) AS cosine
+        |  FROM probed p JOIN asn a ON a.centroid_id = p.centroid_id
+        |    AND a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ rebuild: hash-ranked 16-row codebook with dense ranks, per-sub
+    // slices, argmin-L2² encoding, query distance tables, and the ADC
+    // sum as an ORDERED 8-term chain (list(d ORDER BY sub) then explicit
+    // left-to-right addition — bit-identical to the codegen kernel's
+    // fold).
+    "q_x3h_pq_topk" ->
+      """WITH cb0 AS (
+        |  SELECT vec_id, embedding,
+        |    row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
+        |      AS code
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |        LIMIT 16)),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |cb AS MATERIALIZED (
+        |  SELECT subs.sub, cb0.code,
+        |    list_slice(cb0.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8)
+        |      AS cw
+        |  FROM cb0 CROSS JOIN subs),
+        |encd0 AS (
+        |  SELECT e.vec_id, cb.sub, cb.code,
+        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+        |     FROM (SELECT
+        |         unnest(list_slice(e.embedding,
+        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
+        |         unnest(cb.cw) y)) AS d
+        |  FROM embeddings e CROSS JOIN cb),
+        |enc AS MATERIALIZED (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d, code) rn FROM encd0)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |      WHERE vec_id < 8),
+        |dt0 AS MATERIALIZED (
+        |  SELECT q.query_id, cb.sub, cb.code,
+        |    (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+        |     FROM (SELECT
+        |         unnest(list_slice(q.embedding,
+        |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
+        |         unnest(cb.cw) y)) AS d
+        |  FROM q CROSS JOIN cb),
+        |terms AS (
+        |  SELECT d0.query_id, en.vec_id, list(d0.d ORDER BY en.sub) AS ds
+        |  FROM enc en JOIN dt0 d0 ON d0.sub = en.sub AND d0.code = en.code
+        |  WHERE d0.query_id <> en.vec_id
+        |  GROUP BY d0.query_id, en.vec_id),
+        |sc AS (
+        |  SELECT query_id, vec_id,
+        |    ds[1] + ds[2] + ds[3] + ds[4]
+        |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
+        |  FROM terms)
+        |SELECT query_id, vec_id,
+        |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS adist_e4,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adist, vec_id) AS rank FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ rebuild: x3b's cell assignment + probing composed with
+    // x3h's codebook/encoding/distance tables; candidates restricted to
+    // probed cells before the ordered ADC chain.
+    // x3i and x3j share ONE oracle: the save/load round-trip is
+    // semantically a no-op (floats round-trip parquet bit-exactly), so
+    // the stored-index query must reproduce the in-memory result rows
+    "q_x3i_ivfpq_topk" -> ivfPqOracleSql,
+
+    "q_x3m_ivfpq_residual" -> ivfPqResidualOracleSql,
+
+    "q_x3o_rerank_topk" ->
+      (ivfPqOracleCtesFrom("") + """,
+        |rr25 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 25),
+        |rr0 AS (
+        |  SELECT r.query_id, r.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
+        |  FROM rr25 r
+        |  JOIN q ON q.query_id = r.query_id
+        |  JOIN embeddings e ON e.vec_id = r.vec_id)
+        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+        |  CAST(rk AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, vec_id) AS rk FROM rr0)
+        |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "q_x3j_index_reuse" -> ivfPqOracleSql,
+
+    // Incremental-update rebuild: identical pipeline, but the
+    // quantizers sample only the base slice while assignment/encoding
+    // still cover the whole corpus — exactly what the frozen-quantizer
+    // append converges to.
+    "q_x3k_index_update" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
+
+    // Compaction is query-identical by construction, so the compacted
+    // index answers to the SAME oracle as the fragmented one.
+    "q_x3p_compacted_index" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
+
+    // The q_x3p rebuild with the tombstoned ids excluded BEFORE the
+    // ranking — a deleted row must not occupy a rank.
+    "q_x3q_deleted_index" ->
+      (ivfPqOracleCtesFrom("WHERE vec_id < 300") +
+        """
+          |SELECT query_id, vec_id,
+          |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+          |    AS adist_e4,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |  ORDER BY adist, vec_id) AS rank
+          |  FROM sc WHERE vec_id % 5 <> 1)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // Recall audit rebuild: the ivfpq CTE prefix supplies the PQ leg
+    // (sc) plus the shared q/cent/cell/probe0; the IVF leg re-probes at
+    // nProbe 3 with exact cosine inside probed cells (q_x3b's shape);
+    // the exact leg is q_x3's all-pairs cosine. Hits by left-join
+    // membership; sums cast back from HUGEINT.
+    "q_x3l_recall_audit" ->
+      (ivfPqOracleCtesFrom("") + ivfPqResidualSuffixCtes + """,
+        |pq5 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 5),
+        |rpq5 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, vec_id) AS rank FROM rsc)
+        |  WHERE rank <= 5),
+        |rr25 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 25),
+        |rr0 AS (
+        |  SELECT r.query_id, r.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
+        |  FROM rr25 r
+        |  JOIN q ON q.query_id = r.query_id
+        |  JOIN embeddings e ON e.vec_id = r.vec_id),
+        |rr5 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk FROM rr0)
+        |  WHERE rk <= 5),
+        |probed3 AS (
+        |  SELECT query_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY csim DESC, centroid_id) rn FROM probe0)
+        |  WHERE rn <= 3),
+        |iv0 AS (
+        |  SELECT p.query_id, ce.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
+        |  FROM probed3 p
+        |  JOIN cell ce ON ce.centroid_id = p.centroid_id
+        |  JOIN q ON q.query_id = p.query_id
+        |  JOIN embeddings e ON e.vec_id = ce.vec_id
+        |  WHERE ce.vec_id <> p.query_id),
+        |ivf5 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk FROM iv0)
+        |  WHERE rk <= 5),
+        |ex0 AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x, unnest(e.embedding) y)) /
+        |    (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) x))) *
+        |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |       FROM (SELECT unnest(e.embedding) y)))) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |exact5 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk FROM ex0)
+        |  WHERE rk <= 5),
+        |per AS (
+        |  SELECT x.query_id,
+        |    CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ivf_hits,
+        |    CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ivfpq_hits,
+        |    CAST(sum(CASE WHEN rq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS resid_hits,
+        |    CAST(sum(CASE WHEN rr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rerank_hits
+        |  FROM exact5 x
+        |  LEFT JOIN ivf5 iv ON iv.query_id = x.query_id
+        |    AND iv.vec_id = x.vec_id
+        |  LEFT JOIN pq5 pq ON pq.query_id = x.query_id
+        |    AND pq.vec_id = x.vec_id
+        |  LEFT JOIN rpq5 rq ON rq.query_id = x.query_id
+        |    AND rq.vec_id = x.vec_id
+        |  LEFT JOIN rr5 rr ON rr.query_id = x.query_id
+        |    AND rr.vec_id = x.vec_id
+        |  GROUP BY x.query_id)
+        |SELECT query_id, n_exact, ivf_hits, ivfpq_hits, resid_hits,
+        |  rerank_hits
+        |FROM per
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS query_id,
+        |  CAST(sum(n_exact) AS BIGINT) AS n_exact,
+        |  CAST(sum(ivf_hits) AS BIGINT) AS ivf_hits,
+        |  CAST(sum(ivfpq_hits) AS BIGINT) AS ivfpq_hits,
+        |  CAST(sum(resid_hits) AS BIGINT) AS resid_hits,
+        |  CAST(sum(rerank_hits) AS BIGINT) AS rerank_hits FROM per
+        |ORDER BY query_id""".stripMargin),
+
+    "q_x3_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+        |prod AS (
+        |  SELECT query_id, vec_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+        |  FROM (SELECT query_id, vec_id, unnest(qv) AS x, unnest(cv) AS y
+        |        FROM q JOIN c ON query_id <> vec_id)
+        |  GROUP BY query_id, vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    dot / (sqrt(qq) * sqrt(cc)) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id) AS rank
+        |  FROM prod)
+        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // int8 quantization reproduced exactly: scale = float(max|x|/127) (1
+    // for the zero vector), q = clamp(floor(x/scale + 0.5), ±127) — the
+    // spelled-out JVM Math.round, NOT DuckDB round() (half-away differs on
+    // negatives) — and q·scale is exact in double (7-bit × 24-bit mantissa
+    // fits 53) so the FLOAT cast reproduces Scala's Byte*Float to the bit.
+    "q_x3c_quantized_topk" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) = 0
+        |         THEN CAST(1 AS FLOAT)
+        |         ELSE CAST(list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE)
+        |           AS FLOAT) END AS scale
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
+        |          floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
+        |            + CAST(0.5 AS DOUBLE))))
+        |        * CAST(scale AS DOUBLE) AS FLOAT)) AS v
+        |  FROM sc),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 8),
+        |prod AS (
+        |  SELECT query_id, vec_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+        |  FROM (SELECT query_id, c.vec_id, unnest(qv) AS x, unnest(c.v) AS y
+        |        FROM q JOIN dq c ON query_id <> c.vec_id)
+        |  GROUP BY query_id, vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    dot / (sqrt(qq) * sqrt(cc)) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, vec_id) AS rank
+        |  FROM prod)
+        |SELECT query_id, vec_id,
+        |  CAST(floor(cosine * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS cosine_e4, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Portable JL projection: ±1 sign = parity of md5-48("42:i,j"),
+    // out_j = Σᵢ ±xᵢ · (1/√16), rounded through FLOAT exactly as the
+    // kernel does (the float rounding also absorbs summation-order ulps),
+    // then e4-integerized. i is 0-based in the kernel, 1-based from
+    // generate_subscripts — hence u.i - 1.
+    "q_x3g_project_portable" ->
+      """WITH el AS (
+        |  SELECT vec_id, u.x, u.i
+        |  FROM (SELECT vec_id, embedding AS arr FROM embeddings),
+        |    LATERAL (SELECT unnest(arr) AS x,
+        |             generate_subscripts(arr, 1) AS i) u
+        |), s AS (
+        |  SELECT vec_id, g.j,
+        |    sum(CASE WHEN (CAST(concat('0x',
+        |          substr(md5(concat(42, ':', u.i - 1, ',', g.j)), 1, 12))
+        |          AS BIGINT) & 1) = 0
+        |        THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END) AS acc
+        |  FROM el u CROSS JOIN generate_series(0, 15) g(j)
+        |  GROUP BY vec_id, g.j
+        |)
+        |SELECT vec_id, j,
+        |  CAST(floor(CAST(CAST(acc * CAST(0.25 AS DOUBLE) AS FLOAT)
+        |    AS DOUBLE) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_e4
+        |FROM s ORDER BY vec_id, j""".stripMargin,
+
+    // Dense leg mirrors the q_x3 oracle; sparse leg mirrors q_x9c; RRF
+    // reciprocals are exact doubles on both engines, so the fused top-10
+    // set and order are deterministic.
+    "q_x3e_hybrid_rrf" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings
+        |      WHERE vec_id <> 0),
+        |prod AS (
+        |  SELECT vec_id,
+        |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+        |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+        |  FROM (SELECT vec_id, unnest(qv) AS x, unnest(cv) AS y
+        |        FROM q JOIN c ON true)
+        |  GROUP BY vec_id),
+        |dense AS (
+        |  SELECT vec_id AS id,
+        |    row_number() OVER (ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC,
+        |      vec_id) AS rank
+        |  FROM prod QUALIFY rank <= 20),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens),
+        |scored AS (
+        |  SELECT tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |        / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |      * (tf.tf * CAST(2.2 AS DOUBLE))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * lens.doc_len
+        |          / al.avg_len))), 6) AS s
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |  WHERE tf.token IN ('data', 'model', 'the')
+        |  GROUP BY tf.doc_id),
+        |sparse AS (
+        |  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank
+        |  FROM scored QUALIFY rank <= 20),
+        |fused AS (
+        |  SELECT id, CAST(1.0 AS DOUBLE)/(60 + rank) AS r FROM dense
+        |  UNION ALL SELECT id, CAST(1.0 AS DOUBLE)/(60 + rank) FROM sparse),
+        |topk AS (
+        |  SELECT id, sum(r) AS s, count(*) AS n_lists FROM fused
+        |  GROUP BY id ORDER BY s DESC, id LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS rrf_score, n_lists FROM topk
+        |ORDER BY rrf_score DESC, id""".stripMargin,
+  )
+}
