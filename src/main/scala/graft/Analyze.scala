@@ -118,6 +118,18 @@ import graft.operators.{Curation, GraphOps}
   *               (EXACT incremental SCC maintenance: quotient-sized
   *               per-batch cost, never re-reads the accumulated
   *               edges; returns the refreshed (id, scc) labels)
+  *   sccdec      --edges <remaining-edges dir> --delta <deleted-edges
+  *               dir> --target <stored labels dir> --quotient <stored
+  *               condensation dir> [-o <outDir>]
+  *               (EXACT decremental SCC maintenance — the takedown
+  *               twin of sccinc: re-splits only the touched SCCs'
+  *               internal subgraph; returns the refreshed labels)
+  *   neighagg    --edges <dir> --docs <features dir> --value-col
+  *               f1,f2,... [--id-col id] [--hops K] [--direction
+  *               in|out|both] [--mode sum|max|min|mean] [-o <outDir>]
+  *               (K-round neighborhood feature aggregation — message
+  *               passing; --mode defaults to sum, --direction to the
+  *               CLI-wide default out = push against edge direction)
   *   topolevels  --edges <dir> [--max-iter N] [-o <outDir>]
   *               (SCC → condensation → longest-path topological level
   *               per SCC: dependency depth / parallel waves of the
@@ -616,6 +628,33 @@ object Analyze {
           spark.read.parquet(args.target),
           spark.read.parquet(args.quotient),
           maxIter = args.maxIter, ckpt = ckpt).labels
+      case "sccdec" =>
+        // exact decremental SCC: --edges is the POST-delete edge table
+        // (ground truth for the touched regions), --delta the deleted
+        // rows; only SCCs incident to a delete are re-derived
+        require(args.edges.nonEmpty && args.delta.nonEmpty &&
+          args.target.nonEmpty && args.quotient.nonEmpty,
+          "sccdec needs --edges <remaining-edges dir>, --delta " +
+            "<deleted-edges dir>, --target <stored (id, scc) labels " +
+            "dir>, and --quotient <stored condensation dir>; returns " +
+            "refreshed labels")
+        GraphOps.decrementalScc(edges, spark.read.parquet(args.delta),
+          spark.read.parquet(args.target),
+          spark.read.parquet(args.quotient),
+          maxIter = args.maxIter, ckpt = ckpt).labels
+      case "neighagg" =>
+        // k-round message passing; --value-col takes a comma list of
+        // feature columns, --hops the round count, --mode the
+        // aggregator (the sampling default "exact" means unset → sum)
+        require(args.docs.nonEmpty && args.valueCol.nonEmpty,
+          "neighagg needs --edges <dir>, --docs <features dir>, and " +
+            "--value-col <f1,f2,...>; --hops sets rounds, --mode the " +
+            "aggregator (sum|max|min|mean), --direction in|out|both")
+        GraphOps.neighborAgg(edges, spark.read.parquet(args.docs),
+          args.idCol, args.valueCol.split(',').toSeq.map(_.trim),
+          rounds = args.hops, direction = args.direction,
+          agg = if (args.mode == "exact") "sum" else args.mode,
+          ckpt = ckpt)
       case "quantiles" =>
         require(args.docs.nonEmpty && args.valueCol.nonEmpty,
           "quantiles needs --docs and --value-col (non-negative " +

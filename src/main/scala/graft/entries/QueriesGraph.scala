@@ -169,6 +169,53 @@ private[graft] object QueriesGraph {
       st.labels.orderBy("id")
     }),
 
+    // ---- G26f: EXACT decremental SCC maintenance — the takedown twin
+    // of G26d: the full cyclic graph is labelled and condensed first,
+    // then half the nation→customer back-edges (c_custkey % 6 == 0)
+    // and the region→nation back-edges of every fifth nation are
+    // DELETED; decrementalScc re-splits only the touched SCCs'
+    // internal subgraph (customers fall out of their region core to
+    // singletons; the deleted nations carry their remaining customers
+    // off as separate SCCs). Oracle: the full-graph closure SCC over
+    // the post-delete edge set — the decremental result must be
+    // bit-identical to the full recompute. ----
+    "q_g26f_decr_scc" -> ((s, dir) => {
+      val all = sccEdges(s, dir)
+      val deleted = t(s, dir, "customer")
+        .filter(col("c_custkey") % 6 === 0)
+        .select((col("c_nationkey").cast("long") * 4 + 2).as("start_id"),
+          (col("c_custkey").cast("long") * 4).as("end_id"))
+        .unionByName(t(s, dir, "nation")
+          .filter(col("n_nationkey") % 5 === 0)
+          .select((col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
+            (col("n_nationkey").cast("long") * 4 + 2).as("end_id")))
+      val remaining = all.join(deleted, Seq("start_id", "end_id"),
+        "left_anti")
+      val bl = GraphOps.stronglyConnectedComponents(all)
+      val st = GraphOps.decrementalScc(remaining, deleted, bl,
+        GraphOps.condensation(all, bl))
+      st.labels.orderBy("id")
+    }),
+
+    // ---- G28: k-round neighborhood feature aggregation (message
+    // passing) over the hetero graph — every node's integer features
+    // (id % 97, id % 13) summed over in-neighbors for 2 rounds, the
+    // GCN-shape training-prep step. Exact BIGINT arithmetic; nodes
+    // with no contributing neighbor are NULL per round (presented as
+    // −1 so both engines hash identically). Oracle: the 2-round
+    // hand-unrolled LEFT JOIN + GROUP BY rebuild. ----
+    "q_g28_neighbor_agg" -> ((s, dir) => {
+      val e = heteroEdges(s, dir)
+      val nodes = e.select(col("start_id").as("id"))
+        .unionByName(e.select(col("end_id").as("id"))).distinct()
+      val f = nodes.select(col("id"), (col("id") % 97).as("fv"),
+        (col("id") % 13).as("fw"))
+      GraphOps.neighborAgg(e, f, "id", Seq("fv", "fw"), rounds = 2)
+        .select(col("id"), coalesce(col("fv_r2"), lit(-1L)).as("fv_r2"),
+          coalesce(col("fw_r2"), lit(-1L)).as("fw_r2"))
+        .orderBy("id")
+    }),
+
     // ---- G26c: topological levels over the condensation DAG — the
     // analysis users collapse cycles FOR: each SCC's longest-path
     // depth from the sources (parallel execution waves / dependency
@@ -975,6 +1022,65 @@ private[graft] object QueriesGraph {
         |SELECT r1.a AS id, min(r1.b) AS scc
         |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         |GROUP BY r1.a ORDER BY id""".stripMargin,
+
+    // The decremental result must equal the FULL recompute over the
+    // post-delete edge set — so the oracle is q_g26's closure SCC with
+    // the deleted back-edges excluded at the source: any unsplit SCC,
+    // lost member, or stale quotient-composed label hash-mismatches.
+    "q_g26f_decr_scc" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    WHERE n_nationkey % 5 <> 0
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+        |SELECT r1.a AS id, min(r1.b) AS scc
+        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |GROUP BY r1.a ORDER BY id""".stripMargin,
+
+    // 2-round message passing unrolled by hand: round r is one LEFT
+    // JOIN of the vertex set against (edges ⋈ round r−1 features) +
+    // GROUP BY — SQL aggregates skip NULLs and return NULL on empty
+    // groups, exactly the engine's per-round semantics; everything is
+    // BIGINT-exact; −1 presents the no-neighbor NULLs.
+    "q_g28_neighbor_agg" ->
+      """WITH e AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |f0 AS (SELECT id, id % 97 AS fv, id % 13 AS fw FROM v),
+        |r1 AS (
+        |  SELECT v.id, sum(f0.fv) AS fv, sum(f0.fw) AS fw
+        |  FROM v LEFT JOIN e ON e.dst = v.id
+        |         LEFT JOIN f0 ON f0.id = e.src
+        |  GROUP BY v.id),
+        |r2 AS (
+        |  SELECT v.id, sum(r1.fv) AS fv, sum(r1.fw) AS fw
+        |  FROM v LEFT JOIN e ON e.dst = v.id
+        |         LEFT JOIN r1 ON r1.id = e.src
+        |  GROUP BY v.id)
+        |SELECT id, CAST(coalesce(fv, -1) AS BIGINT) AS fv_r2,
+        |  CAST(coalesce(fw, -1) AS BIGINT) AS fw_r2
+        |FROM r2 ORDER BY id""".stripMargin,
 
     // Same closure-derived quotient edges, then longest path by
     // recursive walk extension: every quotient node seeds a 0-length

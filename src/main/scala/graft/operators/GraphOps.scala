@@ -1823,6 +1823,122 @@ object GraphOps {
     SccState(labels, condensation(qEdges, qLabels))
   }
 
+  /** Decremental SCC maintenance under edge DELETIONS — the takedown /
+    * right-to-erasure twin of [[incrementalScc]], and EXACT by the
+    * refinement theorem: deleting edges only ever SPLITS SCCs (mutual
+    * reachability is monotone), and any post-delete cycle through a
+    * node stays inside its old SCC — a cross-SCC detour would have
+    * made those SCCs one BEFORE the delete (remaining ⊆ old edges) —
+    * so the post-delete partition is computed exactly by re-running
+    * [[stronglyConnectedComponents]] on the INTERNAL remaining edges
+    * of the touched SCCs only. Labels stay "min node id in the SCC"
+    * (each refined SCC is a subset of its old SCC), so the result is
+    * bit-identical to a full recompute over `remainingEdges` — the
+    * q_g26d discipline, on the delete side.
+    *
+    * Work is delta-proportional (the G25 region discipline): only
+    * SCCs incident to a deleted edge are touched. Labels re-derive
+    * only for SCCs that lost an INTERNAL edge (an inter-SCC delete
+    * cannot change membership); the quotient rebuilds only for pairs
+    * incident to ANY touched SCC — pairs between two untouched SCCs
+    * survive verbatim (their witness edge cannot have been deleted:
+    * deleted endpoints are touched by definition). Endpoints of
+    * deleted edges that lose their LAST remaining edge leave the
+    * labelling entirely, matching the full recompute's vertex set
+    * (= endpoints of the remaining edges); only delete endpoints can
+    * become isolated, so the check is delta-sized. Deletes of edges
+    * unknown to `prevLabels` are no-ops, and a "deleted" edge still
+    * present in `remainingEdges` costs work but never correctness —
+    * the touched regions re-derive from remaining-edge ground truth.
+    *
+    * Scale notes (100 TB): the touched-SCC frames are delta-sized and
+    * broadcast; the one corpus-sized input, `remainingEdges`, is
+    * scanned ONCE and immediately filtered by two joins against the
+    * touched-membership frame (broadcast when the touched region is
+    * small; with an scc-bucketed edge store this is partition
+    * pruning) — the FB-split then runs on the touched subgraph only.
+    *
+    * @param remainingEdges the post-delete edge table — ground truth
+    * @param deletedEdges   the (`start_id`, `end_id`) rows removed
+    * @param prevLabels     (`id`, `scc`) from the previous step
+    * @param prevQuotient   (`src_scc`, `dst_scc`) from the previous step
+    * @return the new labels and condensation, bit-identical to a full
+    *         recompute over `remainingEdges` */
+  def decrementalScc(remainingEdges: DataFrame, deletedEdges: DataFrame,
+      prevLabels: DataFrame, prevQuotient: DataFrame,
+      maxRounds: Int = 20, maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): SccState = {
+    val l = prevLabels.select(col("id"), col("scc"))
+    val del = deletedEdges
+      .select(col(StartId).as("src"), col(EndId).as("dst")).distinct()
+    // Old SCCs of the deleted endpoints (inner: unknown ids are no-ops).
+    val delLab = del
+      .join(l.withColumnsRenamed(Map("id" -> "src", "scc" -> "_ss")),
+        Seq("src"))
+      .join(l.withColumnsRenamed(Map("id" -> "dst", "scc" -> "_ds")),
+        Seq("dst"))
+      .localCheckpoint()
+    // tInt: SCCs that lost an internal edge (membership may split);
+    // tAll: every SCC incident to a delete (quotient pairs may vanish).
+    val tInt = delLab.filter(col("_ss") === col("_ds"))
+      .select(col("_ss").as("scc")).distinct().localCheckpoint()
+    val tAll = delLab.select(col("_ss").as("scc"))
+      .unionAll(delLab.select(col("_ds").as("scc")))
+      .distinct().localCheckpoint()
+    // Members of touched SCCs, then the remaining edges incident to
+    // them (the ONE pass over the corpus-sized table), old SCCs kept.
+    val touched = ckpt(l.join(broadcast(tAll), Seq("scc"), "left_semi"))
+    val rem = remainingEdges
+      .select(col(StartId).as("src"), col(EndId).as("dst"))
+    val eT = ckpt(rem
+      .join(touched.withColumnsRenamed(Map("id" -> "src", "scc" -> "_ss")),
+        Seq("src"), "left")
+      .join(touched.withColumnsRenamed(Map("id" -> "dst", "scc" -> "_ds")),
+        Seq("dst"), "left")
+      .filter(col("_ss").isNotNull || col("_ds").isNotNull))
+    // Re-split: SCC over the internal remaining edges of tInt SCCs
+    // (exact by the refinement theorem). Members with no internal edge
+    // left become their own singletons via the coalesce.
+    val intEdges = eT
+      .filter(col("_ss") === col("_ds"))
+      .join(broadcast(tInt.withColumnRenamed("scc", "_ss")), Seq("_ss"))
+      .select(col("src").as(StartId), col("dst").as(EndId))
+    val subLabels =
+      stronglyConnectedComponents(intEdges, maxRounds, maxIter, ckpt)
+    val splitMembers = l.join(broadcast(tInt), Seq("scc"), "left_semi")
+    val relabeled = splitMembers.select("id")
+      .join(subLabels.withColumnRenamed("scc", "_ns"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_ns"), col("id")).as("scc"))
+    val kept = l.join(broadcast(tInt), Seq("scc"), "left_anti")
+      .select("id", "scc")
+    // Delete endpoints with no remaining incident edge leave the vertex
+    // set (every remaining edge of a delete endpoint is in eT, so the
+    // anti-join is complete and delta-sized).
+    val isolated = delLab.select(col("src").as("id"))
+      .unionAll(delLab.select(col("dst").as("id"))).distinct()
+      .join(eT.select(col("src").as("id"))
+        .unionAll(eT.select(col("dst").as("id"))).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint()
+    val labels = ckpt(kept.unionByName(relabeled)
+      .join(broadcast(isolated), Seq("id"), "left_anti"))
+    // Quotient: pairs fully outside the touched set survive verbatim;
+    // everything incident to it rebuilds from the remaining edges under
+    // the NEW labels. The two sides are disjoint (labels are min member
+    // ids, so a refined label never equals an untouched SCC's label).
+    val keptQ = prevQuotient.select(col("src_scc"), col("dst_scc"))
+      .join(broadcast(tAll.withColumnRenamed("scc", "src_scc")),
+        Seq("src_scc"), "left_anti")
+      .join(broadcast(tAll.withColumnRenamed("scc", "dst_scc")),
+        Seq("dst_scc"), "left_anti")
+    val rebuiltQ = condensation(
+      eT.select(col("src").as(StartId), col("dst").as(EndId)), labels)
+    // the anti-joins move their key first — restore canonical order for
+    // positional consumers before the union
+    SccState(labels, ckpt(keptQ.select("src_scc", "dst_scc")
+      .unionByName(rebuiltQ)))
+  }
+
   /** Topological levels / longest-path depth over a DAG — the query
     * users collapse cycles FOR: run it on [[condensation]]'s output and
     * each SCC's level is its dependency depth (build staging, pipeline
@@ -2024,5 +2140,75 @@ object GraphOps {
             (col("_s_e9").cast("double") / lit(1e9))).as("alpha"))
       .withColumn("alpha_se",
         (col("alpha") - lit(1.0)) / sqrt(col("n_nodes").cast("double")))
+  }
+
+  /** k-round neighborhood feature aggregation (message passing) — the
+    * graph-augmented training-data prep step the structural tier never
+    * covered: each round, every node replaces its feature vector with
+    * an aggregate (`sum`/`max`/`min`/`mean`) of its neighbors' CURRENT
+    * values — `in` pulls along edge direction (src→dst), `out` against
+    * it, `both` over the symmetrized edge set. After k rounds each
+    * node's columns summarize its k-hop neighborhood (the GCN/
+    * GraphSAGE aggregation shape, without the learned weights).
+    *
+    * Semantics (oracle-replayable): a node with NO contributing
+    * neighbor in a round gets NULL that round (standard SQL aggregate
+    * over an empty group), and NULL values never contribute (SQL
+    * aggregates skip them) — so the whole operator unrolls to k
+    * exact join+GROUP BY layers. Keep features integral (long) when
+    * bit-reproducibility across engines matters: `sum`/`max`/`min`
+    * stay in exact BIGINT arithmetic through every round; `mean`
+    * divides per round in double (use sum + a final degree division
+    * when an exact mean is wanted — one float op, oracle-safe).
+    *
+    * Scale notes (100 TB): per round, ONE equi-join of the edge table
+    * against the node-sized feature frame (AQE broadcasts it when it
+    * fits) and one map-side-combinable groupBy on the destination —
+    * the [[landmarkReachability]] shape with arithmetic instead of
+    * BIT_OR; the vertex set rides a left join so feature-less rounds
+    * keep every node; per-round checkpoints truncate lineage. Rounds
+    * are bounded (k ≤ 16) — this is a feature builder, not a fixpoint.
+    *
+    * @return (`id`, one `<feat>_r<k>` column per input feature) */
+  def neighborAgg(edges: DataFrame, features: DataFrame, idCol: String,
+      featCols: Seq[String], rounds: Int = 1, direction: String = "in",
+      agg: String = "sum",
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16] (got $rounds)")
+    require(featCols.nonEmpty, "need at least one feature column")
+    val aggFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      agg match {
+        case "sum" => sum
+        case "max" => max
+        case "min" => min
+        case "mean" => avg
+        case other => throw new IllegalArgumentException(
+          s"agg must be sum|max|min|mean (got $other)")
+      }
+    val fwd = edges.select(col(StartId).as("src"), col(EndId).as("dst"))
+    val msg = direction match {
+      case "in" => fwd
+      case "out" => fwd.select(col("dst").as("src"), col("src").as("dst"))
+      case "both" => fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      case other => throw new IllegalArgumentException(
+        s"direction must be in|out|both (got $other)")
+    }
+    val names = featCols.map(f => f -> s"_graft_$f").toMap
+    var cur = ckpt(features.select(
+      (col(idCol).as("id") +:
+        featCols.map(f => col(f).as(names(f)))): _*))
+    val vertices = cur.select("id")
+    for (_ <- 1 to rounds) {
+      val agged = msg
+        .join(cur.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(aggFn(col(names(featCols.head))).as(names(featCols.head)),
+          featCols.tail.map(f => aggFn(col(names(f))).as(names(f))): _*)
+      cur = ckpt(vertices.join(agged, Seq("id"), "left"))
+    }
+    cur.select((col("id") +:
+      featCols.map(f => col(names(f)).as(s"${f}_r$rounds"))): _*)
   }
 }

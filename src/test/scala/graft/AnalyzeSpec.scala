@@ -815,6 +815,40 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("sccinc", "--delta", s"$dir/scc_delta")),
         spark))
+    // sccdec: the takedown twin — deleting the closing edge splits the
+    // cycle back to singletons; refreshed labels = full recompute
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("start_id", "end_id")
+    val cl = GraphOps.stronglyConnectedComponents(cyc)
+    cl.write.parquet(s"$dir/sccd_labels")
+    GraphOps.condensation(cyc, cl).write.parquet(s"$dir/sccd_quot")
+    Seq((4L, 1L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/sccd_del")
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/sccd_rem")
+    val dec = Analyze.run(parse(List("sccdec",
+      "--edges", s"$dir/sccd_rem", "--delta", s"$dir/sccd_del",
+      "--target", s"$dir/sccd_labels",
+      "--quotient", s"$dir/sccd_quot")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dec == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("sccdec", "--edges", s"$dir/sccd_rem")),
+        spark))
+    // neighagg: 1-round sum over in-neighbors from argv
+    Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "f")
+      .write.parquet(s"$dir/na_feat")
+    Seq((1L, 3L), (2L, 3L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/na_edges")
+    val na = Analyze.run(parse(List("neighagg",
+      "--edges", s"$dir/na_edges", "--docs", s"$dir/na_feat",
+      "--value-col", "f", "--id-col", "id", "--hops", "1",
+      "--direction", "in")), spark)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(na == Map(1L -> None, 2L -> None, 3L -> Some(30L)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("neighagg", "--edges", s"$dir/na_edges")),
+        spark))
     // dagreach over the same cycle-headed chain: {0,1} collapse, so
     // the quotient is 0 -> 2 -> 3
     val dr = Analyze.run(parse(List("dagreach", "--edges",

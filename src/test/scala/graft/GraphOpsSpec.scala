@@ -1042,6 +1042,93 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == fullQ)
   }
 
+  test("decrementalScc: splits, singletons, non-splits, bridge deletes, " +
+      "and isolated endpoints all equal the full recompute bit-for-bit") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def check(all: Seq[(Long, Long)], deleted: Seq[(Long, Long)]): Unit = {
+      val g = all.toDF("start_id", "end_id")
+      val l = GraphOps.stronglyConnectedComponents(g)
+      val q = GraphOps.condensation(g, l)
+      val remaining = all.filterNot(deleted.contains)
+        .toDF("start_id", "end_id")
+      val st = GraphOps.decrementalScc(remaining,
+        deleted.toDF("start_id", "end_id"), l, q)
+      val fullL = GraphOps.stronglyConnectedComponents(remaining)
+      assert(toMap(st.labels) == toMap(fullL),
+        s"labels diverge for delete $deleted")
+      assert(toSet(st.quotient) ==
+        toSet(GraphOps.condensation(remaining, fullL)),
+        s"quotient diverges for delete $deleted")
+    }
+    // SCC {1,2,3,4} with internal 2-cycles; deleting 2→3 splits it in
+    // TWO ({1,2} and {3,4} — 4→1 becomes a mere quotient edge)
+    val ring = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 1L), (5L, 6L), (6L, 5L), (4L, 5L))
+    check(ring, Seq((2L, 3L)))
+    // deleting the only closing edge of a 3-cycle splits to SINGLETONS
+    check(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)), Seq((3L, 1L)))
+    // redundant internal edge: delete does NOT split (labels verbatim)
+    check(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)), Seq((2L, 1L)))
+    // bridge between two SCCs: quotient-only change, labels untouched
+    check(ring, Seq((4L, 5L)))
+    // an endpoint losing its LAST edge leaves the vertex set entirely
+    check(Seq((1L, 2L), (2L, 1L), (2L, 9L)), Seq((2L, 9L)))
+    // multi-delete across categories at once
+    check(ring, Seq((2L, 3L), (4L, 5L), (6L, 5L)))
+    // unknown-edge delete is a no-op; spurious delete (edge still
+    // present) costs work, never correctness
+    check(ring, Seq((100L, 200L)))
+    val g = ring.toDF("start_id", "end_id")
+    val l = GraphOps.stronglyConnectedComponents(g)
+    val st = GraphOps.decrementalScc(g,
+      Seq((2L, 3L)).toDF("start_id", "end_id"), l,
+      GraphOps.condensation(g, l))
+    assert(toMap(st.labels) == toMap(l))
+  }
+
+  test("neighborAgg: k-round message passing matches hand-unrolled " +
+      "joins; directions; empty-neighborhood NULLs; mean") {
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("start_id", "end_id")
+    val f = Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 300L, 3L),
+      (4L, 4000L, 4L)).toDF("id", "v", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+        .toSeq
+    // 1 round, in-direction (src→dst pull): 3 ← {1,2,4}; 4 ← {3};
+    // 1 and 2 have no in-neighbors → NULL
+    assert(rows(GraphOps.neighborAgg(e, f, "id", Seq("v", "w"))) == Seq(
+      (1L, None, None), (2L, None, None),
+      (3L, Some(10L + 20L + 4000L), Some(1L + 2L + 4L)),
+      (4L, Some(300L), Some(3L))))
+    // 2 rounds: round-2 aggregates round-1 values; NULLs don't count
+    assert(rows(GraphOps.neighborAgg(e, f, "id", Seq("v", "w"),
+      rounds = 2)) == Seq(
+      (1L, None, None), (2L, None, None),
+      (3L, Some(300L), Some(3L)),       // only 4 contributed round-1
+      (4L, Some(4030L), Some(7L))))
+    // out-direction pushes against the edges; max aggregator
+    assert(rows(GraphOps.neighborAgg(e, f, "id", Seq("v", "w"),
+      direction = "out", agg = "max")) == Seq(
+      (1L, Some(300L), Some(3L)), (2L, Some(300L), Some(3L)),
+      (3L, Some(4000L), Some(4L)), (4L, Some(300L), Some(3L))))
+    // mean divides per round; both directions double the 3↔4 pair
+    val m = GraphOps.neighborAgg(e, f, "id", Seq("v"),
+      direction = "both", agg = "mean").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 300.0 && m(3L) == (10.0 + 20.0 + 4000.0 + 4000.0) / 4)
+    intercept[IllegalArgumentException] {
+      GraphOps.neighborAgg(e, f, "id", Seq("v"), rounds = 17)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.neighborAgg(e, f, "id", Seq("v"), agg = "median")
+    }
+  }
+
   test("descendantCounts: exact closure sizes on a known DAG; reverse " +
       "counts ancestors; duplicates and cycles are safe") {
     val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L), (3L, 5L),
