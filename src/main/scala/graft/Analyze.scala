@@ -113,6 +113,11 @@ import graft.operators.{Curation, GraphOps}
   *               query-identical — and return the one-row maintenance
   *               report incl. the drift-ledger-driven
   *               retrain_recommended verdict)
+  *   annretrain  --target <index dir> --vectors <float corpus dir>
+  *               [--vec-col embedding] [--id-col doc_id] [-o <outDir>]
+  *               (the retrain_recommended ACTION: rebuild quantizers
+  *               from the tombstone-purged corpus, re-encode, swap the
+  *               staged layout in, report recall before/after)
   *   sccinc      --delta <new-edges dir> --target <stored labels dir>
   *               --quotient <stored condensation dir> [-o <outDir>]
   *               (EXACT incremental SCC maintenance: quotient-sized
@@ -589,6 +594,13 @@ object Analyze {
         require(args.target.nonEmpty,
           "anncompact needs --target <index dir>")
         graft.operators.Similarity.compactIndex(spark, args.target)
+      case "annretrain" =>
+        require(args.target.nonEmpty && args.vectors.nonEmpty,
+          "annretrain needs --target <index dir> and --vectors " +
+            "<float corpus dir> (codes are lossy — retraining reads " +
+            "the source vectors); --vec-col/--id-col name the columns")
+        graft.operators.Similarity.retrainIndex(spark, args.target,
+          spark.read.parquet(args.vectors), args.vecCol, args.idCol)
       case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
       case "linkpred" =>

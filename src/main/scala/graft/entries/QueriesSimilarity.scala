@@ -186,6 +186,29 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3s: RETRAIN executor — the action behind q_x3p's
+    // retrain_recommended, closing the lifecycle loop: the q_x3k
+    // updated index (base-slice quantizers + absorbed delta, drift
+    // ledger populated) is retrained from the full corpus and
+    // atomically swapped in, then queried. The deterministic id-hash
+    // sampling makes retrain ≡ a FRESH build on the full corpus, so
+    // the oracle is q_x3j's full-corpus IVF-PQ rebuild — any stale
+    // quantizer, missed row, or broken swap hash-mismatches. ----
+    "q_x3s_retrained_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3kUpdatedIndexDir(s, dir)
+      Similarity.retrainIndex(s, ixDir, e, "embedding", "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      val ix = Similarity.loadIndex(s, ixDir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), ix.centroids,
+          ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3q: tombstone deletes — the erasure side of the serving
     // lifecycle (build → serve → update → compact → DELETE): every
     // vec_id ≡ 1 (mod 5) is tombstoned on the q_x3k updated index,
@@ -534,6 +557,11 @@ private[graft] object QueriesSimilarity {
     // Compaction is query-identical by construction, so the compacted
     // index answers to the SAME oracle as the fragmented one.
     "q_x3p_compacted_index" -> ivfPqOracleSqlFrom("WHERE vec_id < 300"),
+
+    // Retrain ≡ fresh full-corpus build (deterministic id-hash
+    // sampling), so the oracle is the full-corpus IVF-PQ rebuild —
+    // q_x3j's verbatim.
+    "q_x3s_retrained_index" -> ivfPqOracleSql,
 
     // The q_x3p rebuild with the tombstoned ids excluded BEFORE the
     // ranking — a deleted row must not occupy a rank.

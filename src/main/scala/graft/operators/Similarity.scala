@@ -895,6 +895,116 @@ object Similarity {
       lit(total).as("n_tombstones_total"))
   }
 
+  /** Retrain executor — the ACTION behind [[compactIndex]]'s
+    * `retrain_recommended`, closing the lifecycle loop (build → serve
+    * → update → drift ledger → compact → recommend → RETRAIN):
+    * rebuilds the coarse quantizer and PQ codebooks from `corpus`
+    * (the caller-owned float table — codes are lossy, so retraining
+    * needs the source vectors; same deterministic id-hash sampling
+    * discipline as [[ivfIndex]]/[[pqCodebooks]], so a retrain on
+    * corpus C is BIT-IDENTICAL to a fresh build on C), re-encodes
+    * everything, stages the new layout beside the old one, and swaps
+    * it in. Stored tombstones are applied to `corpus` BEFORE
+    * training (erased rows must not shape the new quantizers) and the
+    * swap starts a clean era: no drift ledger, no tombstones — the
+    * next recommendation reflects only post-retrain deltas.
+    *
+    * The returned one-row report carries the recall audit the judge
+    * of a retrain wants: measured recall@`recallK` (vs exact brute
+    * force over the live corpus, [[recallAtK]]'s protocol) on a
+    * deterministic id-hash-ranked sample of `sampleQueries` corpus
+    * vectors, BEFORE and AFTER — sustained drift shows up as
+    * `n_hits_after > n_hits_before` at fixed `nProbe`.
+    *
+    * Scale notes (100 TB): training cost is the [[saveIndex]] build
+    * path (one corpus pass per stage, quantizer frames broadcast-
+    * sized); the recall audit is |sample|·|corpus| brute force —
+    * keep `sampleQueries` small, it is an audit, not a benchmark;
+    * the stage-and-rename swap never leaves a half-written layout at
+    * the serving path (same one-writer/pause-reads contract as
+    * [[compactIndex]]).
+    *
+    * @return one row: (`n_corpus`, `n_tombstones_purged`, `k_cells`,
+    *         `m`, `k_codewords`, `n_exact`, `n_hits_before`,
+    *         `n_hits_after`) */
+  def retrainIndex(spark: SparkSession, dir: String, corpus: DataFrame,
+      vecCol: String, idCol: String, sampleQueries: Int = 8,
+      recallK: Int = 5, nProbe: Int = 3): DataFrame = {
+    require(sampleQueries >= 1 && sampleQueries <= 256,
+      "sampleQueries must be in [1, 256] — this is an audit sample")
+    val ix = loadIndex(spark, dir)
+    val kCells = ix.centroids.count().toInt
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val (live, purged) =
+      if (fs.exists(tombPath)) {
+        val tomb = spark.read.parquet(tombPath.toString)
+          .select(col(tomb1(spark, tombPath)).as(idCol)).distinct()
+        (corpus.join(tomb, Seq(idCol), "left_anti").localCheckpoint(),
+          tomb.count())
+      } else (corpus, 0L)
+    val qs = live
+      .withColumn("_h",
+        pmod(col(idCol) * lit(2654435761L), lit(4294967296L)))
+      .orderBy(col("_h"), col(idCol)).limit(sampleQueries).drop("_h")
+      .localCheckpoint()
+    val exact = bruteForceTopK(qs, live, vecCol, idCol, recallK)
+      .localCheckpoint()
+    def hits(index: AnnIndex): Long = {
+      val ap = ivfPqTopK(qs, index.centroids, index.codebooks,
+        index.assignedEncoded, vecCol, idCol, m = index.m, k = index.k,
+        topK = recallK, nProbe = nProbe)
+      recallAtK(exact, ap)
+        .agg(sum(col("n_hits"))).head().getLong(0)
+    }
+    val hitsBefore = hits(ix)
+    // Rebuild — the saveIndex path verbatim, so retrain ≡ fresh build.
+    val (cents, assigned) = ivfIndex(live, vecCol, idCol, kCells)
+    val cb = pqCodebooks(live, vecCol, idCol, ix.m, ix.k)
+    val enc = pqEncode(live, vecCol, idCol, cb, ix.m)
+    val ae = assigned.select(col(idCol), col("centroid_id"),
+        col("assign_cosine"))
+      .join(enc, Seq(idCol))
+    val st = assigned.agg(avg(col("assign_cosine")),
+      stddev_pop(col("assign_cosine"))).head()
+    val tmp = s"${dir}_retrain_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmpPath, true): Unit
+    saveIndex(tmp, cents, cb,
+      ae.select(col(idCol), col("codes"), col("centroid_id")),
+      ix.m, ix.k, st.getDouble(0), st.getDouble(1))
+    // Swap: old layout aside, staged layout in, old layout gone. A
+    // crash between the renames leaves dir absent but both layouts on
+    // disk — recovery is one rename, no data lost.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val oldPath = new org.apache.hadoop.fs.Path(s"${dir}_retrain_old")
+    fs.delete(oldPath, true): Unit
+    require(fs.rename(dirPath, oldPath),
+      s"retrainIndex: rename $dirPath -> $oldPath failed")
+    require(fs.rename(tmpPath, dirPath),
+      s"retrainIndex: rename $tmpPath -> $dirPath failed " +
+        s"(old layout preserved at $oldPath)")
+    fs.delete(oldPath, true): Unit
+    val hitsAfter = hits(loadIndex(spark, dir))
+    val nExact = exact.count()
+    spark.range(1).select(
+      lit(live.count()).as("n_corpus"),
+      lit(purged).as("n_tombstones_purged"),
+      lit(kCells).as("k_cells"),
+      lit(ix.m).as("m"),
+      lit(ix.k).as("k_codewords"),
+      lit(nExact).as("n_exact"),
+      lit(hitsBefore).as("n_hits_before"),
+      lit(hitsAfter).as("n_hits_after"))
+  }
+
+  // first column name of a stored tombstone set (written by
+  // deleteFromIndex under the caller's id column name)
+  private def tomb1(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): String =
+    spark.read.parquet(p.toString).columns.head
+
   def compactIndex(spark: SparkSession, dir: String,
       driftTolerance: Double = Double.NaN): DataFrame = {
     val ix = loadIndex(spark, dir)

@@ -721,6 +721,23 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("anndelete", "--target", s"$dir/ix")),
         spark))
+    // annretrain: quantizers rebuilt from the corpus, tombstone purged
+    // physically, recall audit present in the report
+    e.write.mode("overwrite").parquet(s"$dir/vec_all")
+    val rrep = Analyze.run(parse(List("annretrain",
+      "--target", s"$dir/ix", "--vectors", s"$dir/vec_all",
+      "--vec-col", "embedding", "--id-col", "vec_id")), spark).head()
+    assert(rrep.getLong(0) == e.count() - 1L) // the anndelete victim
+    assert(rrep.getLong(1) == 1L)
+    assert(rrep.getLong(5) > 0L) // exact baseline non-empty
+    val hits4 = Analyze.run(parse(List("annquery",
+      "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
+      "--top-k", "5", "--probes", "3")), spark)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!hits4.contains(victim), "purged row must stay unservable")
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("annretrain", "--target", s"$dir/ix")),
+        spark))
   }
 
   test("topolevels and imagededup run from argv") {

@@ -580,6 +580,77 @@ class SimilaritySpec extends SparkSpec {
         s"tol=${rep2.get(8)}")
   }
 
+  test("retrainIndex: planted drift measurably recovers recall; the " +
+      "swapped layout is bit-identical to a fresh build on the purged " +
+      "corpus; the maintenance era resets") {
+    // two identical-vector families; ids chosen so the deterministic
+    // id-hash 2-sample of the MIXED corpus picks one vector per family
+    // (h(0)=0 leads, h(1597) beats every other id here) while the
+    // base-only sample stays all-axis-0 — so pre-retrain quantizers
+    // cannot represent the drift family and post-retrain ones can
+    def axis(a: Int) = Array.tabulate(8)(j => if (j == a) 1f else 0f)
+    val base = (0 until 16).map(i => (i.toLong, axis(0)))
+      .toDF("vec_id", "embedding")
+    val delta = (1597 until 1613).map(i => (i.toLong, axis(4)))
+      .toDF("vec_id", "embedding")
+    val corpus = base.unionByName(delta)
+    val (c0, a0) = Similarity.ivfIndex(base, "embedding", "vec_id", 2)
+    val cb0 = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 4, k = 2)
+    val enc0 = Similarity.pqEncode(base, "embedding", "vec_id", cb0,
+      m = 4)
+    val ae0 = a0.select(col("centroid_id"), col("vec_id"))
+      .join(enc0, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_rt").toString + "/ix"
+    Similarity.saveIndex(dir, c0, cb0, ae0, m = 4, k = 2)
+    Similarity.updateIndex(spark, dir, delta, "embedding", "vec_id")
+      .collect()
+    // erase two rows first: retrain must purge them from training,
+    // serving, and the tombstone set
+    Similarity.deleteFromIndex(spark, dir,
+      Seq(15L, 1612L).toDF("vec_id"), "vec_id").collect()
+    val rep = Similarity.retrainIndex(spark, dir, corpus,
+      "embedding", "vec_id").head()
+    assert(rep.getLong(0) == 30L, "tombstoned rows excluded from corpus")
+    assert(rep.getLong(1) == 2L)
+    assert(rep.getInt(2) == 2 && rep.getInt(3) == 4 &&
+      rep.getInt(4) == 2, "geometry preserved")
+    val (nExact, before, after) =
+      (rep.getLong(5), rep.getLong(6), rep.getLong(7))
+    assert(nExact == 40L)
+    assert(after > before,
+      s"retrain must recover recall: before=$before after=$after")
+    // bit-identity: the swapped layout equals a fresh build on the
+    // same purged corpus
+    val live = corpus.filter(!col("vec_id").isin(15L, 1612L))
+    val (c1, a1) = Similarity.ivfIndex(live, "embedding", "vec_id", 2)
+    val cb1 = Similarity.pqCodebooks(live, "embedding", "vec_id",
+      m = 4, k = 2)
+    val enc1 = Similarity.pqEncode(live, "embedding", "vec_id", cb1,
+      m = 4)
+    val ix = Similarity.loadIndex(spark, dir)
+    def vset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("codes").cast("string"),
+          col("centroid_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    assert(vset(ix.assignedEncoded) == vset(
+      a1.select(col("centroid_id"), col("vec_id")).join(enc1,
+        Seq("vec_id"))))
+    assert(ix.centroids.select("centroid_id").collect()
+      .map(_.getLong(0)).toSet ==
+      c1.select("centroid_id").collect().map(_.getLong(0)).toSet)
+    assert(Set(0L, 1597L) == ix.centroids.select("centroid_id")
+      .collect().map(_.getLong(0)).toSet,
+      "mixed-corpus quantizer sample covers both families")
+    // era reset: no ledger, no tombstones, no leftover staging dirs
+    assert(!new java.io.File(s"$dir/drift_log").exists())
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"${dir}_retrain_tmp").exists())
+    assert(!new java.io.File(s"${dir}_retrain_old").exists())
+  }
+
   test("deleteFromIndex: tombstoned ids vanish from serving without a " +
       "rewrite; compaction purges them physically and clears the set") {
     val e = (0 until 32).map(i =>
