@@ -823,6 +823,67 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming ANN index ingest — the foreachBatch twin of
+    * [[graft.operators.Similarity.updateIndex]], completing the
+    * streaming-twin grid (every other incremental primitive already
+    * had one: G26s, ST30b): each trigger encodes the delta against the
+    * stored index's frozen quantizers, appends to the partitioned
+    * `vectors/` layout, and ledgers the batch to `drift_log/` — so a
+    * streaming corpus drives the full serving lifecycle, retrain
+    * recommendation included.
+    *
+    * Exactly-once per batch via the ST30b marker discipline: a
+    * per-batchId marker under `indexDir/_batches/` (underscore-
+    * prefixed — invisible to parquet readers) makes redelivery of a
+    * COMPLETED batch a no-op — vital here because updateIndex is an
+    * APPEND (a double-applied batch would leave duplicate live rows,
+    * the documented id-contract violation). A crash strictly
+    * mid-batch can still leave a partial append; recovery follows the
+    * updateIndex id contract (tombstone the batch's ids, re-ingest).
+    *
+    * Compaction threshold checked per trigger: with `maxFragments` >
+    * 0, a trigger that leaves more than that many parquet fragments
+    * under `vectors/` runs [[graft.operators.Similarity.compactIndex]]
+    * inline — the maintenance cadence a daily-ingest serving index
+    * needs, without an external scheduler. 0 disables (default:
+    * compaction stays an explicit operational decision). */
+  def streamingAnnIngest(deltas: DataFrame, indexDir: String,
+      checkpointDir: String, vecCol: String, idCol: String,
+      maxFragments: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    deltas
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.select(col(idCol), col(vecCol))
+          .localCheckpoint()
+        if (!delta.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$indexDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            // eager by construction: the append + ledger happen inside
+            graft.operators.Similarity.updateIndex(spark, indexDir,
+              delta, vecCol, idCol): Unit
+            fs.mkdirs(marker): Unit
+            if (maxFragments > 0) {
+              val vecPath =
+                new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+              val it = fs.listFiles(vecPath, true)
+              var n = 0
+              while (it.hasNext) {
+                if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+              }
+              if (n > maxFragments)
+                graft.operators.Similarity
+                  .compactIndex(spark, indexDir): Unit
+            }
+          }
+        }
+      }
+      .start()
+
   def streamingScc(edges: DataFrame, edgesDir: String,
       labelsDir: String, quotientDir: String, checkpointDir: String,
       maxRounds: Int = 20,
