@@ -144,6 +144,12 @@ import graft.operators.{Curation, GraphOps}
   *               (SCC → condensation → exact reachable-descendant
   *               count per SCC by path-doubling closure; --direction
   *               in counts ancestors — upstream blast radius)
+  *   bridges     --edges <dir> [--max-iter N] [-o <outDir>]
+  *               (undirected cut edges by definition-exact per-edge
+  *               avoid-that-edge reachability — output-complexity,
+  *               run it on quotient-sized graphs)
+  *   articulation --edges <dir> [--max-iter N] [-o <outDir>]
+  *               (undirected cut vertices — the node twin of bridges)
   *   reach       --edges <dir> --seeds <id,id,...> [--max-iter N]
   *               [-o <outDir>]
   *               (bit-parallel multi-source reachability: ≤64 landmark
@@ -551,6 +557,11 @@ object Analyze {
       case "reach" =>
         GraphOps.landmarkReachability(edges, seedsDf,
           maxIter = args.maxIter, ckpt = ckpt)
+      case "bridges" =>
+        GraphOps.bridges(edges, maxIter = args.maxIter, ckpt = ckpt)
+      case "articulation" =>
+        GraphOps.articulationPoints(edges, maxIter = args.maxIter,
+          ckpt = ckpt)
       case "imagededup" =>
         require(args.docs.nonEmpty, "imagededup needs --docs <dir>")
         graft.operators.Multimodal.imageNearDups(

@@ -216,6 +216,42 @@ private[graft] object QueriesGraph {
         .orderBy("id")
     }),
 
+    // ---- G29: bridges (cut edges) — the undirected connectivity QC
+    // query: a star of 10-cycles (orders keys mod 100; node 5 of block
+    // 0 hubs to every other block's entry node), so each hub spoke is
+    // a genuine bridge while the in-block cycle edges are not. Exact
+    // by definition (per-edge avoid-that-edge reachability, the
+    // output-complexity probe-keyed propagation); oracle replays the
+    // definition as a recursive CTE over (edge, node) states. ----
+    "q_g29_bridges" -> ((s, dir) => {
+      val r = t(s, dir, "orders")
+        .select((col("o_orderkey") % 100).cast("long").as("r"))
+        .distinct()
+      val blockBase = col("r") - (col("r") % 10)
+      val cyc = r.select(col("r").as("start_id"),
+        (blockBase + ((col("r") % 10) + 1) % 10).as("end_id"))
+      val hub = r.filter(col("r") % 10 === 0 && col("r") >= 10)
+        .select(lit(5L).as("start_id"), col("r").as("end_id"))
+      GraphOps.bridges(cyc.unionByName(hub)).orderBy("a", "b")
+    }),
+
+    // ---- G29b: articulation points (cut vertices) over the same
+    // star-of-cycles graph — the hub node and every block entry must
+    // cut; in-cycle nodes must not. Oracle: the definition (per
+    // candidate, avoid-that-node reachability from its min neighbor,
+    // articulation iff some neighbor is unreached). ----
+    "q_g29b_articulation" -> ((s, dir) => {
+      val r = t(s, dir, "orders")
+        .select((col("o_orderkey") % 100).cast("long").as("r"))
+        .distinct()
+      val blockBase = col("r") - (col("r") % 10)
+      val cyc = r.select(col("r").as("start_id"),
+        (blockBase + ((col("r") % 10) + 1) % 10).as("end_id"))
+      val hub = r.filter(col("r") % 10 === 0 && col("r") >= 10)
+        .select(lit(5L).as("start_id"), col("r").as("end_id"))
+      GraphOps.articulationPoints(cyc.unionByName(hub)).orderBy("id")
+    }),
+
     // ---- G26c: topological levels over the condensation DAG — the
     // analysis users collapse cycles FOR: each SCC's longest-path
     // depth from the sources (parallel execution waves / dependency
@@ -1051,6 +1087,70 @@ private[graft] object QueriesGraph {
         |SELECT r1.a AS id, min(r1.b) AS scc
         |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         |GROUP BY r1.a ORDER BY id""".stripMargin,
+
+    // Bridge definition replayed verbatim: reach(a,b,·) = nodes
+    // reachable from a never crossing {a,b}; bridge iff b unreached.
+    // The recursive UNION dedups (a,b,node) states so the walk set is
+    // finite; the graph derivation is shared with the engine exactly.
+    "q_g29_bridges" ->
+      """WITH RECURSIVE rr AS MATERIALIZED (
+        |  SELECT DISTINCT o_orderkey % 100 AS r FROM orders),
+        |e0 AS MATERIALIZED (
+        |  SELECT r AS s, (r - r % 10) + ((r % 10) + 1) % 10 AS d
+        |  FROM rr
+        |  UNION ALL
+        |  SELECT 5, r FROM rr WHERE r % 10 = 0 AND r >= 10),
+        |ce AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0 WHERE s <> d),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM ce
+        |  UNION ALL SELECT b, a FROM ce),
+        |reach AS (
+        |  SELECT a, b, a AS node FROM ce
+        |  UNION
+        |  SELECT re.a, re.b, ad.dst
+        |  FROM reach re JOIN adj ad ON ad.src = re.node
+        |  WHERE NOT (least(ad.src, ad.dst) = re.a
+        |    AND greatest(ad.src, ad.dst) = re.b))
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+        |FROM ce WHERE NOT EXISTS (
+        |  SELECT 1 FROM reach rc
+        |  WHERE rc.a = ce.a AND rc.b = ce.b AND rc.node = ce.b)
+        |ORDER BY a, b""".stripMargin,
+
+    // Articulation definition replayed verbatim: reach(c,·) = nodes
+    // reachable from c's min neighbor never entering c; articulation
+    // iff some neighbor of c is unreached.
+    "q_g29b_articulation" ->
+      """WITH RECURSIVE rr AS MATERIALIZED (
+        |  SELECT DISTINCT o_orderkey % 100 AS r FROM orders),
+        |e0 AS MATERIALIZED (
+        |  SELECT r AS s, (r - r % 10) + ((r % 10) + 1) % 10 AS d
+        |  FROM rr
+        |  UNION ALL
+        |  SELECT 5, r FROM rr WHERE r % 10 = 0 AND r >= 10),
+        |ce AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0 WHERE s <> d),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM ce
+        |  UNION ALL SELECT b, a FROM ce),
+        |cand AS MATERIALIZED (
+        |  SELECT src AS c, min(dst) AS node FROM adj
+        |  GROUP BY src HAVING count(DISTINCT dst) >= 2),
+        |reach AS (
+        |  SELECT c, node FROM cand
+        |  UNION
+        |  SELECT re.c, ad.dst
+        |  FROM reach re JOIN adj ad ON ad.src = re.node
+        |  WHERE ad.dst <> re.c)
+        |SELECT DISTINCT CAST(j.src AS BIGINT) AS id
+        |FROM adj j JOIN cand ON j.src = cand.c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM reach rc
+        |  WHERE rc.c = j.src AND rc.node = j.dst)
+        |ORDER BY id""".stripMargin,
 
     // 2-round message passing unrolled by hand: round r is one LEFT
     // JOIN of the vertex set against (edges ⋈ round r−1 features) +

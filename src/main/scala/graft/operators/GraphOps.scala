@@ -2142,6 +2142,105 @@ object GraphOps {
         (col("alpha") - lit(1.0)) / sqrt(col("n_nodes").cast("double")))
   }
 
+  /** Bridges of an UNDIRECTED graph — the cut-edge QC query users
+    * collapse cycles for (run it on [[condensation]]'s output treated
+    * undirected, or any small derived graph): an edge whose removal
+    * disconnects its endpoints — the single points of failure in a
+    * dependency/connectivity structure. Exact, by the definition
+    * itself: per candidate edge {a,b}, propagate reachability from `a`
+    * through every edge EXCEPT {a,b}; the edge is a bridge iff `b` is
+    * never reached. Deterministic — no spanning tree, no randomized
+    * XOR trick.
+    *
+    * Scale notes: the probe-keyed state is (edge, node) — |E|·|V|
+    * worst case, so this is an OUTPUT-COMPLEXITY operator intended for
+    * the SCC quotient / QC-sized graphs (hundreds of thousands of
+    * rows), not a raw 100 TB edge table; per round ONE join of the
+    * state against the symmetric adjacency + distinct (partial-agg),
+    * rounds = diameter, per-round checkpoints, sum-stable count probe
+    * with the standard fail-fast on `maxIter`.
+    *
+    * @return the bridge edges as canonical pairs (`a` < `b`) */
+  def bridges(edges: DataFrame, maxIter: Int = 50,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val canon = ckpt(edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val adj = ckpt(canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var reach = ckpt(canon.withColumn("node", col("a")))
+    var n = reach.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val step = reach.join(adj, col("node") === col("src"))
+        .filter(!(least(col("src"), col("dst")) === col("a") &&
+          greatest(col("src"), col("dst")) === col("b")))
+        .select(col("a"), col("b"), col("dst").as("node"))
+      val nxt = ckpt(reach.unionByName(step).distinct())
+      val m = nxt.count()
+      converged = m == n
+      n = m
+      reach = nxt
+      i += 1
+    }
+    require(converged,
+      s"bridges did not converge in $maxIter rounds — raise maxIter " +
+        "(graph diameter exceeds the bound)")
+    canon.join(
+      reach.filter(col("node") === col("b")).select("a", "b"),
+      Seq("a", "b"), "left_anti")
+  }
+
+  /** Articulation points (cut vertices) of an UNDIRECTED graph — the
+    * node twin of [[bridges]]: a node whose removal disconnects its
+    * component. Exact by definition: per candidate node `c` (degree
+    * ≥ 2 — a leaf can never cut), propagate reachability from c's
+    * MINIMUM neighbor through every node EXCEPT `c`; `c` is an
+    * articulation point iff some neighbor of `c` is never reached
+    * (the neighbors fall into ≥ 2 components without `c`).
+    *
+    * Same output-complexity contract as [[bridges]] ((candidate,
+    * node) state — run it on quotient-sized graphs), same per-round
+    * shape and fail-fast.
+    *
+    * @return one `id` row per articulation point */
+  def articulationPoints(edges: DataFrame, maxIter: Int = 50,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val canon = ckpt(edges.select(
+        least(col(StartId), col(EndId)).as("a"),
+        greatest(col(StartId), col(EndId)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val adj = ckpt(canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
+    val nbrs = adj.select(col("src").as("c"), col("dst").as("node"))
+    val cand = nbrs.groupBy("c").agg(
+        countDistinct(col("node")).as("_d"), min(col("node")).as("node"))
+      .filter(col("_d") >= 2).drop("_d")
+    var reach = ckpt(cand)
+    var n = reach.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val step = reach.join(adj, col("node") === col("src"))
+        .filter(col("dst") =!= col("c"))
+        .select(col("c"), col("dst").as("node"))
+      val nxt = ckpt(reach.unionByName(step).distinct())
+      val m = nxt.count()
+      converged = m == n
+      n = m
+      reach = nxt
+      i += 1
+    }
+    require(converged,
+      s"articulationPoints did not converge in $maxIter rounds — " +
+        "raise maxIter (graph diameter exceeds the bound)")
+    nbrs.join(cand.select("c"), Seq("c"), "left_semi")
+      .join(reach, Seq("c", "node"), "left_anti")
+      .select(col("c").as("id")).distinct()
+  }
+
   /** k-round neighborhood feature aggregation (message passing) — the
     * graph-augmented training-data prep step the structural tier never
     * covered: each round, every node replaces its feature vector with

@@ -852,6 +852,19 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("sccdec", "--edges", s"$dir/sccd_rem")),
         spark))
+    // bridges + articulation from argv: two triangles joined by one
+    // edge — the joiner cuts, its endpoints cut
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 4L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/cut_edges")
+    val brg = Analyze.run(parse(List("bridges", "--edges",
+      s"$dir/cut_edges")), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brg == Set((3L, 4L)))
+    val art = Analyze.run(parse(List("articulation", "--edges",
+      s"$dir/cut_edges")), spark)
+      .collect().map(_.getLong(0)).toSet
+    assert(art == Set(3L, 4L))
     // neighagg: 1-round sum over in-neighbors from argv
     Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "f")
       .write.parquet(s"$dir/na_feat")

@@ -1089,6 +1089,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(toMap(st.labels) == toMap(l))
   }
 
+  test("bridges and articulationPoints: definition-exact cut edges and " +
+      "cut vertices on known graphs; direction and duplicates ignored") {
+    def br(e: Seq[(Long, Long)]) =
+      GraphOps.bridges(e.toDF("start_id", "end_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ap(e: Seq[(Long, Long)]) =
+      GraphOps.articulationPoints(e.toDF("start_id", "end_id"))
+        .collect().map(_.getLong(0)).toSet
+    // two triangles joined by one edge: the joiner is the only bridge,
+    // its endpoints the only articulation points
+    val twoTri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L))
+    assert(br(twoTri) == Set((3L, 4L)))
+    assert(ap(twoTri) == Set(3L, 4L))
+    // chain: every edge is a bridge, every interior node cuts
+    assert(br(Seq((1L, 2L), (2L, 3L))) == Set((1L, 2L), (2L, 3L)))
+    assert(ap(Seq((1L, 2L), (2L, 3L))) == Set(2L))
+    // a pure cycle has no bridge and no articulation point
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(br(cyc).isEmpty && ap(cyc).isEmpty)
+    // direction and duplicates are ignored; self-loops never count
+    assert(br(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))) ==
+      Set((1L, 2L)))
+    // cycle with a chord: still 2-edge-connected
+    assert(br(cyc :+ ((1L, 3L))).isEmpty)
+    // disconnected components are independent
+    assert(br(twoTri ++ Seq((10L, 11L))) == Set((3L, 4L), (10L, 11L)))
+    assert(ap(twoTri ++ Seq((10L, 11L), (11L, 12L))) ==
+      Set(3L, 4L, 11L))
+  }
+
   test("neighborAgg: k-round message passing matches hand-unrolled " +
       "joins; directions; empty-neighborhood NULLs; mean") {
     val e = Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 3L))
