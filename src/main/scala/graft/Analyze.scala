@@ -113,6 +113,11 @@ import graft.operators.{Curation, GraphOps}
   *               query-identical — and return the one-row maintenance
   *               report incl. the drift-ledger-driven
   *               retrain_recommended verdict)
+  *   intervaldel --docs <stored islands dir> --bench <post-delete raw
+  *               dir> --delta <deleted rows dir> --group-col k
+  *               --x-col s --y-col e [--slack GAP] [-o <outDir>]
+  *               (decremental island maintenance: only the deleted
+  *               rows' keys re-merge from the raw ground truth)
   *   annretrain  --target <index dir> --vectors <float corpus dir>
   *               [--vec-col embedding] [--id-col doc_id] [-o <outDir>]
   *               (the retrain_recommended ACTION: rebuild quantizers
@@ -594,6 +599,18 @@ object Analyze {
             "<start>, --y-col <end>; --slack sets the merge gap")
         graft.operators.Funnel.mergeIntervals(
           spark.read.parquet(args.docs), args.groupCol, args.xCol,
+          args.yCol, args.slack)
+      case "intervaldel" =>
+        require(args.docs.nonEmpty && args.bench.nonEmpty &&
+          args.delta.nonEmpty && args.groupCol.nonEmpty &&
+          args.xCol.nonEmpty && args.yCol.nonEmpty,
+          "intervaldel needs --docs <stored islands dir>, --bench " +
+            "<post-delete raw dir>, --delta <deleted rows dir>, " +
+            "--group-col <key>, --x-col <start>, --y-col <end>; " +
+            "--slack sets the merge gap")
+        graft.operators.Funnel.deleteIntervals(
+          spark.read.parquet(args.docs), spark.read.parquet(args.bench),
+          spark.read.parquet(args.delta), args.groupCol, args.xCol,
           args.yCol, args.slack)
       case "anndelete" =>
         require(args.target.nonEmpty && args.vectors.nonEmpty,

@@ -293,6 +293,28 @@ private[graft] object QueriesTimeSeries {
         .orderBy("k", "island_seq")
     }),
 
+    // ---- ST30c: decremental island maintenance — the takedown twin
+    // of ST30b: every seventh order's interval is DELETED from the
+    // stored islands; islands are per-key independent, so only the
+    // touched keys re-merge from the post-delete raw store (deletes
+    // can split islands — no islands-only composition exists). Oracle:
+    // q_st30's full-merge SQL over the post-delete set — bit-identical
+    // including n_merged. ----
+    "q_st30c_interval_delete" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("k"),
+          (col("o_orderkey") % 997).cast("long").as("ivl_start"),
+          col("o_orderkey"))
+        .withColumn("ivl_end", col("ivl_start") + col("ivl_start") % 13)
+      Funnel.deleteIntervals(
+          Funnel.mergeIntervals(iv, "k", "ivl_start", "ivl_end",
+            minGap = 2),
+          iv.filter(col("o_orderkey") % 7 =!= 0),
+          iv.filter(col("o_orderkey") % 7 === 0),
+          "k", "ivl_start", "ivl_end", minGap = 2)
+        .orderBy("k", "island_seq")
+    }),
+
     // ---- ST22: per-entity OLS trend — slope/intercept/r² of the milli-
     // integerized value over day offsets from each entity's first
     // observation; moments exact decimal, one double closed form ----
@@ -1212,6 +1234,40 @@ private[graft] object QueriesTimeSeries {
         |    o_orderkey % 997 AS s,
         |    (o_orderkey % 997) + (o_orderkey % 997) % 13 AS e
         |  FROM orders),
+        |m AS (
+        |  SELECT k, s, e,
+        |    max(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT k, s, e,
+        |    CASE WHEN pmax IS NULL OR s - pmax > 2 THEN 1 ELSE 0 END
+        |      AS nf
+        |  FROM m),
+        |isl AS (
+        |  SELECT k, s, e,
+        |    sum(nf) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island_seq
+        |  FROM f)
+        |SELECT k, CAST(island_seq AS BIGINT) AS island_seq,
+        |  CAST(min(s) AS BIGINT) AS island_start,
+        |  CAST(max(e) AS BIGINT) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM isl GROUP BY k, island_seq
+        |ORDER BY k, island_seq""".stripMargin,
+
+    // The decremental result must equal the FULL merge over the
+    // post-delete set — q_st30's SQL with the deleted rows excluded at
+    // the source: an unsplit island, stale count, or lost key
+    // hash-mismatches.
+    "q_st30c_interval_delete" ->
+      """WITH iv AS (
+        |  SELECT o_custkey % 50 AS k,
+        |    o_orderkey % 997 AS s,
+        |    (o_orderkey % 997) + (o_orderkey % 997) % 13 AS e
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
         |m AS (
         |  SELECT k, s, e,
         |    max(e) OVER (PARTITION BY k ORDER BY s, e

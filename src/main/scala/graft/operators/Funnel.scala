@@ -228,6 +228,46 @@ object Funnel {
       "_graft_e", minGap, col("_graft_n"))
   }
 
+  /** Decremental island maintenance under interval DELETIONS — the
+    * takedown twin of [[absorbIntervals]] (the G26f discipline for
+    * time ranges): removing an interval can SPLIT an island or shrink
+    * its ends, so unlike the append side there is no islands-only
+    * composition — but islands are per-key INDEPENDENT, so exactness
+    * only costs recomputing the TOUCHED KEYS from the raw ground
+    * truth: keys with no deleted interval keep their stored islands
+    * verbatim; keys with one re-merge from `rawRemaining` (the
+    * post-delete interval store — [[graft.streaming.StreamingIngest
+    * .streamingIntervals]]'s `rawDir` is exactly this). Bit-identical
+    * to a full [[mergeIntervals]] over the post-delete set, `n_merged`
+    * included.
+    *
+    * Scale notes (100 TB): the touched-key frame is delta-sized and
+    * broadcast; the raw store is scanned once with the touched-key
+    * semi-join pushed into it (key-partitioned interval stores prune
+    * to the touched partitions); the re-merge shuffles only the
+    * touched keys' rows. A key whose every interval is deleted leaves
+    * the island store entirely — matching the full recompute.
+    *
+    * @param islands      prior [[mergeIntervals]] output
+    * @param rawRemaining the post-delete raw intervals — ground truth
+    * @param deleted      the (`keyCol`, startCol, endCol) rows removed
+    *                     (only `keyCol` decides which keys rebuild) */
+  def deleteIntervals(islands: DataFrame, rawRemaining: DataFrame,
+      deleted: DataFrame, keyCol: String, startCol: String,
+      endCol: String, minGap: Long = 0L): DataFrame = {
+    val touched = deleted.select(col(keyCol)).distinct()
+    val kept = islands
+      .join(broadcast(touched), Seq(keyCol), "left_anti")
+      .select(col(keyCol), col("island_seq"), col("island_start"),
+        col("island_end"), col("n_merged"))
+    val rebuilt = mergeIntervals(
+      rawRemaining.join(broadcast(touched), Seq(keyCol), "left_semi"),
+      keyCol, startCol, endCol, minGap)
+      .select(col(keyCol), col("island_seq"), col("island_start"),
+        col("island_end"), col("n_merged"))
+    kept.unionByName(rebuilt)
+  }
+
   /** Cohort retention matrix: entities are cohorted by the time bucket
     * of their FIRST event (`cohort = min(ts div bucketSec)`), and each
     * cell counts how many of them were active again `age` buckets later

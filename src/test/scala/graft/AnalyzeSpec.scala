@@ -814,6 +814,25 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("intervals", "--docs", s"$dir/ivl")),
         spark))
+    // intervaldel: deleting the containing interval splits a's island
+    Analyze.run(parse(List("intervals", "--docs", s"$dir/ivl",
+      "--group-col", "k", "--x-col", "s", "--y-col", "e",
+      "-o", s"$dir/ivl_islands")), spark)
+    Seq(("a", 1L, 10L)).toDF("k", "s", "e")
+      .write.parquet(s"$dir/ivl_del")
+    Seq(("a", 2L, 3L), ("a", 4L, 12L), ("a", 20L, 21L))
+      .toDF("k", "s", "e").write.parquet(s"$dir/ivl_rem")
+    val dIsl = Analyze.run(parse(List("intervaldel",
+      "--docs", s"$dir/ivl_islands/intervals", "--bench", s"$dir/ivl_rem",
+      "--delta", s"$dir/ivl_del", "--group-col", "k",
+      "--x-col", "s", "--y-col", "e")), spark)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(dIsl == Map(1L -> ((2L, 3L)), 2L -> ((4L, 12L)),
+      3L -> ((20L, 21L))))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("intervaldel", "--docs",
+        s"$dir/ivl_islands/intervals")), spark))
     // sccinc: stored labels + condensation, delta closes the cycle —
     // refreshed labels equal the full recompute
     import graft.operators.GraphOps

@@ -341,4 +341,36 @@ class FunnelSpec extends SparkSpec {
     // brand-new key in the delta islands on its own
     assert(toMap(absorbed)(("c", 1L)) == ((5L, 6L, 1L)))
   }
+
+  test("deleteIntervals: splits, shrinks, and key removals equal the " +
+      "full re-merge; untouched keys keep stored islands verbatim") {
+    def m(rows: Seq[(String, Long, Long)], gap: Long) =
+      Funnel.mergeIntervals(rows.toDF("k", "s", "e"), "k", "s", "e", gap)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val all = Seq(("a", 1L, 3L), ("a", 3L, 5L), ("a", 5L, 7L),
+      ("b", 0L, 2L), ("b", 10L, 11L), ("c", 4L, 6L))
+    // delete the middle of a's chain (island SPLITS), all of c (key
+    // leaves the store); b untouched
+    val deleted = Seq(("a", 3L, 5L), ("c", 4L, 6L))
+    val remaining = all.filterNot(deleted.contains)
+    val out = Funnel.deleteIntervals(m(all, 0L),
+      remaining.toDF("k", "s", "e"), deleted.toDF("k", "s", "e"),
+      "k", "s", "e", minGap = 0L)
+    assert(toMap(out) == toMap(m(remaining, 0L)),
+      "decremental ≡ full re-merge bit-for-bit")
+    assert(toMap(out)(("a", 1L)) == ((1L, 3L, 1L)) &&
+      toMap(out)(("a", 2L)) == ((5L, 7L, 1L)), "island split in two")
+    assert(!toMap(out).contains(("c", 1L)), "fully-deleted key leaves")
+    assert(toMap(out)(("b", 1L)) == ((0L, 2L, 1L)) &&
+      toMap(out)(("b", 2L)) == ((10L, 11L, 1L)))
+    // delete that only SHRINKS an end
+    val d2 = Seq(("a", 5L, 7L))
+    val r2 = all.filterNot(d2.contains)
+    assert(toMap(Funnel.deleteIntervals(m(all, 0L),
+        r2.toDF("k", "s", "e"), d2.toDF("k", "s", "e"),
+        "k", "s", "e", 0L)) == toMap(m(r2, 0L)))
+  }
 }
