@@ -57,6 +57,45 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(' ')(0)
       catch { case _: Throwable => "-1" }
     val load0 = loadAvg()
+    // Third (and sharpest) load sentinel: per-query CO-TENANT CPU share
+    // measured directly from /proc/stat. The 1-min loadavg is a point
+    // sample with a ~60 s decay — r10's q_g26d posted three consistent
+    // interference-inflated iterations while its own loadavg samples
+    // read ~2.1, and only a judge parity re-run refuted them. Busy-tick
+    // deltas over the query's exact wall window can't miss a CPU-bound
+    // competitor: cpu_other_pct = (Δbusy_total − Δthis_jvm) / Δticks_all
+    // — the fraction of the BOX's cpu capacity burned by everything
+    // that isn't this benchmark. Quiet box ≈ 0–2 (kernel housekeeping);
+    // a co-tenant burning 4 of 32 cores reads ≈ 12.5 for exactly the
+    // queries it overlapped.
+    def cpuTicks(): (Long, Long) =
+      try {
+        val first = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/stat")).linesIterator.next()
+        val n = first.trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = n(3) + (if (n.length > 4) n(4) else 0L)
+        (n.sum - idle, n.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
+    def selfTicks(): Long =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat"))
+        // comm can contain spaces/parens — fields resume after the
+        // last ')'; utime/stime are fields 14/15 (1-based) = indices
+        // 11/12 of the remainder
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(' ')
+        rest(11).toLong + rest(12).toLong
+      } catch { case _: Throwable => -1L }
+    def otherPct(busy0: Long, all0: Long, self0: Long): String = {
+      val (busy1, all1) = cpuTicks()
+      val self1 = selfTicks()
+      if (busy0 < 0 || busy1 < 0 || self0 < 0 || self1 < 0 ||
+          all1 <= all0) "-1"
+      else {
+        val other = math.max(0L, (busy1 - busy0) - (self1 - self0))
+        f"${100.0 * other / (all1 - all0)}%.1f".replace(',', '.')
+      }
+    }
     // Timed pass: materialize through the noop sink so every projected
     // column is computed — .count() would let Catalyst prune most of the
     // work for scan/window-shaped queries. Each query runs `iters` times;
@@ -74,10 +113,12 @@ object Bench {
     // spike adjudicate as box noise, no parity re-run needed (recipe in
     // SCALE.md).
     val pass0 = System.nanoTime()
-    val results: Seq[(String, Double, Seq[Double], Long, String)] =
+    val results: Seq[(String, Double, Seq[Double], Long, String, String)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val startCs = (System.nanoTime() - pass0) / 10000000L
         val loadAtStart = loadAvg()
+        val (busy0, all0) = cpuTicks()
+        val self0 = selfTicks()
         val times = (0 until iters).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -86,10 +127,13 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
             -1.0 }
         }
-        if (times.exists(_ < 0)) (name, -1.0, times, startCs, loadAtStart)
+        val other = otherPct(busy0, all0, self0)
+        if (times.exists(_ < 0))
+          (name, -1.0, times, startCs, loadAtStart, other)
         else {
           val sorted = times.sorted
-          (name, sorted(sorted.length / 2), times, startCs, loadAtStart)
+          (name, sorted(sorted.length / 2), times, startCs, loadAtStart,
+            other)
         }
       }
     def sig3(x: Double): String =
@@ -99,9 +143,9 @@ object Bench {
     // ~10 ms run-to-run noise floor and JSON-cheap.
     def fmtCs(x: Double): String = math.round(x * 100).toString
     val errors = results
-      .collect { case (k, med, _, _, _) if med < 0 => "\"" + k + "\"" }
+      .collect { case (k, med, _, _, _, _) if med < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val ok = results.collect { case (_, med, _, _, _) if med >= 0 => med }
+    val ok = results.collect { case (_, med, _, _, _, _) if med >= 0 => med }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val (maxName, maxMed) = results.filter(_._2 >= 0) match {
       case Seq() => ("none", 0.0)
@@ -111,16 +155,18 @@ object Bench {
     val sfName = sfDir.split('/').last
     // Full record: per-query medians + every iteration, full names.
     val qs = results
-      .map { case (k, med, _, _, _) => "\"" + k + "\":" + fmtCs(med) }
+      .map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmtCs(med) }
       .mkString("{", ",", "}")
     val itersMap = results
-      .map { case (k, _, ts, _, _) =>
+      .map { case (k, _, ts, _, _, _) =>
         "\"" + k + "\":" + ts.map(fmtCs).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    // [start_cs_offset_into_timed_pass, loadavg_1min_at_start] per query.
+    // [start_cs_offset_into_timed_pass, loadavg_1min_at_start,
+    //  cpu_other_pct_over_the_query_window] per query — the third field
+    // is the direct co-tenant measure; see the cpuTicks comment.
     val qMeta = results
-      .map { case (k, _, _, startCs, ld) =>
-        "\"" + k + "\":[" + startCs + "," + ld + "]" }
+      .map { case (k, _, _, startCs, ld, op) =>
+        "\"" + k + "\":[" + startCs + "," + ld + "," + op + "]" }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","unit":"sec","qunit":"cs",""" +
       s""""sf":"$sfName","cpus":$cpus,"shuffle_partitions":$parts,""" +
