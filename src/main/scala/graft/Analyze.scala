@@ -199,6 +199,13 @@ import graft.operators.{Curation, GraphOps}
   *               must match doc ids)
   *   bpe         --docs <dir> [--text-col text] [--merges N] [-o <outDir>]
   *               (learn a BPE merge table over the corpus)
+  *   codeextract --docs <dir> [--text-col text] [-o <outDir>]
+  *               (split fenced code blocks out of markdown: code_text,
+  *               prose_text, n_fences, code_chars, fence_langs)
+  *   zipf        --docs <dir> [--text-col text] [--min-common F]
+  *               [-o <outDir>]
+  *               (Zipf power-law alpha over token frequencies — the
+  *               corpus-health number; f_min = --min-common)
   *   cusum       --docs <dir> --entity-col e --ts-col t --id-col i
   *               --value-col v [--slack K] [--alarm H] [-o <outDir>]
   *               (two-sided CUSUM level-shift flags; value must be
@@ -926,6 +933,17 @@ object Analyze {
         val (mergeTable, _) = graft.operators.Tokenizer.bpeMerges(
           spark.read.parquet(args.docs), args.textCol, args.merges, ckpt)
         mergeTable
+      case "codeextract" =>
+        require(args.docs.nonEmpty, "codeextract needs --docs <dir>; " +
+          "--text-col names the markdown column (default text)")
+        graft.operators.Curation.extractCodeBlocks(
+          spark.read.parquet(args.docs), args.textCol)
+      case "zipf" =>
+        require(args.docs.nonEmpty, "zipf needs --docs <dir>; " +
+          "--text-col names the text column, --min-common sets f_min")
+        graft.operators.Relevance.zipfAlpha(
+          spark.read.parquet(args.docs), args.textCol,
+          args.minCommon.toLong)
       case "cusum" =>
         require(args.docs.nonEmpty && args.entityCol.nonEmpty &&
           args.tsCol.nonEmpty && args.valueCol.nonEmpty,

@@ -178,6 +178,45 @@ private[graft] object QueriesText {
         .orderBy("doc_id")
     }),
 
+    // ---- X4v: fenced code-block extraction — the code/prose split a
+    // mixed markdown corpus needs before quality scoring (code and
+    // prose take different models). Deterministic markdown built from
+    // the documents table (every doc gets 2 fences, every 4th a third
+    // sql fence); the staged Java∩RE2 fold is replayed verbatim by
+    // the oracle and md5 pins both outputs byte-for-byte. ----
+    "q_x4v_code_extract" -> ((s, dir) => {
+      val md = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("# doc\n\n"), substring(col("text"), 1, 60),
+        lit("\n```"),
+        when(col("doc_id") % 3 === 0, lit("python"))
+          .when(col("doc_id") % 3 === 1, lit("scala"))
+          .otherwise(lit("")),
+        lit("\n"), substring(col("text"), 20, 45),
+        lit("\n```\n"), substring(col("text"), 60, 30),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\n```sql\nSELECT "),
+            (col("doc_id") % 97).cast("string"), lit(";\n```")))
+          .otherwise(lit(""))).as("md"))
+      Curation.extractCodeBlocks(md, "md")
+        .select(col("doc_id"), col("n_fences"), col("code_chars"),
+          md5(col("code_text").cast("binary")).as("code_md5"),
+          md5(col("prose_text").cast("binary")).as("prose_md5"),
+          col("fence_langs"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- X4w: Zipf power-law fit over token frequencies — the
+    // corpus-health alpha a pretraining mix report leads with (the
+    // text twin of q_g22's degree fit, same 1e9-integerized exact
+    // log-sum discipline, fMin = 2 drops hapax legomena). ----
+    "q_x4w_zipf" -> ((s, dir) =>
+      Relevance.zipfAlpha(t(s, dir, "documents"), "text", fMin = 2L)
+        .select(col("n_types"), col("f_min"),
+          floor(col("alpha") * lit(1e6) + lit(0.5)).cast("long")
+            .as("alpha_e6"),
+          floor(col("alpha_se") * lit(1e6) + lit(0.5)).cast("long")
+            .as("se_e6"))),
+
     "q_x4s_readability" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), GF.reading_ease(col("text")).as("r"))
@@ -777,6 +816,78 @@ private[graft] object QueriesText {
          |    '^[ \\n]+|[ \\n]+$$', '', 'g') AS t5 FROM s4)
          |SELECT doc_id, n_scripts, n_links, n_tags, md5(t5) AS text_md5
          |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // The code-fence fold replayed stage-for-stage with the SAME
+    // interpolated pattern (the x4u discipline): group extractions for
+    // bodies/infos, the fence-strip + whitespace normalize for prose,
+    // md5 pinning both byte-for-byte; empty-list array_to_string
+    // coalesces to '' (DuckDB returns NULL).
+    "q_x4v_code_extract" ->
+      s"""WITH md AS (
+         |  SELECT doc_id,
+         |    '# doc' || chr(10) || chr(10) || substr(text, 1, 60)
+         |    || chr(10) || '```'
+         |    || CASE WHEN doc_id % 3 = 0 THEN 'python'
+         |            WHEN doc_id % 3 = 1 THEN 'scala' ELSE '' END
+         |    || chr(10) || substr(text, 20, 45)
+         |    || chr(10) || '```' || chr(10) || substr(text, 60, 30)
+         |    || CASE WHEN doc_id % 4 = 0
+         |         THEN chr(10) || '```sql' || chr(10) || 'SELECT '
+         |           || (doc_id % 97)::VARCHAR || ';' || chr(10) || '```'
+         |         ELSE '' END AS t0
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(t0, '${Curation.CodeFenceRe}', 1)
+         |      AS infos,
+         |    regexp_extract_all(t0, '${Curation.CodeFenceRe}', 2)
+         |      AS bodies,
+         |    regexp_replace(regexp_replace(regexp_replace(t0,
+         |      '${Curation.CodeFenceRe}', ' ', 'g'),
+         |      '[ \\t\\r]+', ' ', 'g'),
+         |      '^[ \\n]+|[ \\n]+$$', '', 'g') AS prose
+         |  FROM md)
+         |SELECT doc_id,
+         |  CAST(len(bodies) AS BIGINT) AS n_fences,
+         |  CAST(length(coalesce(array_to_string(bodies, ''), ''))
+         |    AS BIGINT) AS code_chars,
+         |  md5(coalesce(array_to_string(bodies, chr(10) || chr(10)), ''))
+         |    AS code_md5,
+         |  md5(prose) AS prose_md5,
+         |  coalesce(array_to_string(
+         |    list_transform(infos, z -> trim(z)), ','), '')
+         |    AS fence_langs
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // Zipf fit rebuild — q_g22's exact-integer log-sum shape over the
+    // token-frequency histogram instead of the degree histogram.
+    "q_x4w_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |tok2 AS (SELECT tk FROM tok WHERE length(tk) > 0),
+        |freq AS (SELECT tk, count(*) AS f FROM tok2 GROUP BY tk),
+        |h AS (SELECT f, count(*) AS n_f FROM freq WHERE f >= 2
+        |  GROUP BY f),
+        |s AS (
+        |  SELECT CAST(sum(n_f) AS BIGINT) AS n_types,
+        |    sum(CAST(n_f AS HUGEINT)
+        |      * CAST(floor(ln(CAST(f AS DOUBLE) / CAST(2 AS DOUBLE))
+        |          * 1e9 + CAST(0.5 AS DOUBLE)) AS HUGEINT)) AS s_e9
+        |  FROM h),
+        |a AS (
+        |  SELECT n_types,
+        |    CASE WHEN s_e9 = 0 THEN NULL
+        |      ELSE CAST(1 AS DOUBLE) + CAST(n_types AS DOUBLE)
+        |        / (CAST(s_e9 AS DOUBLE) / 1e9) END AS alpha
+        |  FROM s)
+        |SELECT n_types, CAST(2 AS BIGINT) AS f_min,
+        |  CAST(floor(alpha * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS alpha_e6,
+        |  CAST(floor((alpha - CAST(1 AS DOUBLE))
+        |      / sqrt(CAST(n_types AS DOUBLE)) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS se_e6
+        |FROM a""".stripMargin,
 
     // Readability rebuild: identical RE2-safe run patterns, exact
     // counts, score shapes mirrored term-for-term ((206.835 − 1.015·ws)

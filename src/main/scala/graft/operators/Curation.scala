@@ -265,6 +265,13 @@ object Curation {
     "title)[ \\t]*>"
   val HtmlTagRe = "(?s)<[^>]*>"
 
+  /** Fenced code-block pattern shared by [[extractCodeBlocks]] and its
+    * oracle — same Java∩RE2 contract as the HTML set: inline `(?s)`,
+    * non-greedy body, explicit classes. Group 1 = the info string
+    * (language tag), group 2 = the block body; non-greedy matching is
+    * total and deterministic on malformed/unclosed fences. */
+  val CodeFenceRe = "(?s)```([^`\\n]*)\\n(.*?)```"
+
   /** Extract readable main text from raw HTML — the first stage of
     * every web-crawl training pipeline (the WET-file reduction):
     * script/style/comment payloads are DROPPED (their text is code,
@@ -318,6 +325,45 @@ object Curation {
     docs.withColumns(Map(
       "n_scripts" -> nScripts, "n_links" -> nLinks, "n_tags" -> nTags,
       outCol -> t5))
+  }
+
+  /** Split fenced code blocks out of markdown/README-style documents —
+    * the code-corpus triage step between HTML reduction
+    * ([[extractMainText]]) and text quality scoring: code and prose
+    * need DIFFERENT quality models (punctuation ratios, stopword
+    * density, and repetition scores are meaningless on code), so a
+    * mixed document must be split before either pipeline sees it.
+    *
+    * Appends: `code_text` (block bodies joined by blank lines),
+    * `prose_text` (the document with fences removed, whitespace
+    * normalized), `n_fences`, `code_chars` (exact body chars), and
+    * `fence_langs` (the fence info strings in order, comma-joined —
+    * the language census a code-mix report groups on).
+    *
+    * Same determinism contract as [[extractMainText]]: a fixed-order
+    * staged regex fold over the shared Java∩RE2 [[CodeFenceRe]], so
+    * the DuckDB oracle replays it verbatim and md5 pins both outputs
+    * byte-for-byte; malformed markup (unclosed fences, nested
+    * backticks) degrades deterministically, never throws.
+    *
+    * Scale notes (100 TB): one narrow codegen'd projection per
+    * document — regexp_extract_all + regexp_replace fused into one
+    * whole-stage-codegen scan, no shuffle, no UDF. */
+  def extractCodeBlocks(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val infos = regexp_extract_all(t, lit(CodeFenceRe), lit(1))
+    val bodies = regexp_extract_all(t, lit(CodeFenceRe), lit(2))
+    val prose = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, CodeFenceRe, " "),
+        "[ \\t\\r]+", " "),
+      "^[ \\n]+|[ \\n]+$", "")
+    docs.withColumns(Map(
+      "code_text" -> array_join(bodies, "\n\n"),
+      "prose_text" -> prose,
+      "n_fences" -> size(bodies).cast("long"),
+      "code_chars" -> length(array_join(bodies, "")).cast("long"),
+      "fence_langs" -> array_join(transform(infos, x => trim(x)), ",")))
   }
 
   def scrubPii(docs: DataFrame, textCol: String,

@@ -447,4 +447,48 @@ object Relevance {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Zipf power-law fit over the corpus token-frequency distribution —
+    * the text-side twin of the degree power law
+    * ([[GraphOps.powerLawFit]]), and the corpus-health number a
+    * pretraining mix report leads with: natural language sits near
+    * α ≈ 2 (Zipf); heavily templated/boilerplate corpora read far
+    * higher, scraped tag soup far lower. Continuous MLE (Clauset-
+    * Shirley-Newman): α = 1 + n / Σ ln(f_i / f_min) over token types
+    * with frequency ≥ `fMin`, `alpha_se` = (α−1)/√n.
+    *
+    * Determinism discipline copied from the degree fit verbatim: the
+    * log-sum is per-term 1e9-integerized over the DISTINCT-FREQUENCY
+    * histogram (types-with-frequency-f counts) and summed exactly in
+    * decimal, so α is partition-order independent and the oracle
+    * rebuilds it bit-for-bit; one double division at the end.
+    *
+    * Scale notes (100 TB): token counts partial-aggregate map-side;
+    * the histogram groups on the frequency VALUE (thousands of rows,
+    * not vocabulary-sized); the final fold is one 1-row aggregate.
+    *
+    * @return one row: (`n_types`, `f_min`, `alpha`, `alpha_se` —
+    *         alpha null when every kept type has frequency `fMin`) */
+  def zipfAlpha(docs: DataFrame, textCol: String,
+      fMin: Long = 1L): DataFrame = {
+    require(fMin >= 1L, "fMin must be >= 1")
+    val freq = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("tk").agg(count(lit(1)).as("f"))
+    val hist = freq.filter(col("f") >= fMin)
+      .groupBy("f").agg(count(lit(1)).as("n_f"))
+    val lnE9 = floor(
+      log(col("f").cast("double") / lit(fMin.toDouble)) * lit(1e9) +
+        lit(0.5)).cast("decimal(38,0)")
+    val m = hist.agg(
+      sum(col("n_f").cast("decimal(38,0)")).cast("long").as("n_types"),
+      sum(col("n_f").cast("decimal(38,0)") * lnE9).as("_s_e9"))
+    m.select(col("n_types"), lit(fMin).as("f_min"),
+        when(col("_s_e9") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) + col("n_types").cast("double") /
+            (col("_s_e9").cast("double") / lit(1e9))).as("alpha"))
+      .withColumn("alpha_se",
+        (col("alpha") - lit(1.0)) / sqrt(col("n_types").cast("double")))
+  }
 }

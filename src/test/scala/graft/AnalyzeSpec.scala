@@ -231,6 +231,22 @@ class AnalyzeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2)))
     assert(m.toSeq == Seq(("a", "b"), ("ab", "</w>")))
 
+    // codeextract: the fence splits from argv
+    Seq((1L, "p\n```py\nx=1\n```\nq")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/md")
+    val ce = Analyze.run(parse(List("codeextract", "--docs",
+      s"$dir/md")), spark)
+      .select("n_fences", "code_text", "fence_langs").head()
+    assert(ce.getLong(0) == 1L && ce.getString(1) == "x=1\n" &&
+      ce.getString(2) == "py")
+    // zipf: hand-counted alpha from argv (a:4, b:2 at f_min 2)
+    Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/zipf")
+    val z = Analyze.run(parse(List("zipf", "--docs", s"$dir/zipf",
+      "--min-common", "2")), spark).head()
+    assert(z.getLong(0) == 2L && z.getLong(1) == 2L &&
+      !z.isNullAt(2))
+
     Seq(("a", 1L, 1L, 10L), ("a", 2L, 2L, 10L), ("a", 3L, 3L, 10L),
       ("a", 4L, 4L, 22L), ("a", 5L, 5L, 22L))
       .toDF("m", "es", "eid", "c").write.parquet(s"$dir/ts2")

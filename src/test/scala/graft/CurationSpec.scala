@@ -215,6 +215,37 @@ class CurationSpec extends SparkSpec {
       (("ok", 1, 0, 1)))
   }
 
+  private def code1(md: String): (String, String, Long, Long, String) = {
+    val r = Curation.extractCodeBlocks(Seq(md).toDF("md"), "md")
+      .select("code_text", "prose_text", "n_fences", "code_chars",
+        "fence_langs").head()
+    (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getString(4))
+  }
+
+  test("extractCodeBlocks: fences split out with langs and exact char " +
+      "counts; unclosed/malformed fences degrade deterministically") {
+    val (code, prose, n, chars, langs) = code1(
+      "# T\n\nintro text\n```python\nprint(1)\n```\nmid\n```\nx = 2\n" +
+        "```\ntail")
+    // bodies keep their exact bytes INCLUDING the trailing newline the
+    // closer sits after
+    assert(code == "print(1)\n\n\nx = 2\n")
+    assert(n == 2L && chars == 15L) // "print(1)\n" (9) + "x = 2\n" (6)
+    assert(langs == "python,")
+    assert(prose == "# T\n\nintro text\n \nmid\n \ntail")
+    // no fences: everything is prose, empty code
+    assert(code1("just prose") == (("", "just prose", 0L, 0L, "")))
+    // unclosed fence never matches (non-greedy needs the closer) —
+    // total, not an error
+    val (c2, p2, n2, _, _) = code1("a\n```py\nnever closed")
+    assert(c2 == "" && n2 == 0L && p2.contains("never closed"))
+    // info strings trim; blank-line bodies keep exact bytes
+    val (c3, _, n3, ch3, l3) = code1("```  sql  \nSELECT 1;\n\n```x")
+    assert(c3 == "SELECT 1;\n\n" && n3 == 1L && ch3 == 11L &&
+      l3 == "sql")
+  }
+
   private def scrub1(text: String): (String, Int, Int, Int, Int) = {
     val r = Curation.scrubPii(Seq(text).toDF("text"), "text")
       .select("text_scrubbed", "n_emails", "n_ips", "n_ssns", "n_phones")

@@ -208,6 +208,26 @@ class RelevanceSpec extends SparkSpec {
       .groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2L))
   }
 
+  test("zipfAlpha: exact integerized MLE on a hand-counted corpus; " +
+      "fMin filters; degenerate flat distribution yields null alpha") {
+    // freqs: a:4, b:2, c:1 → fMin=2 keeps a,b; s_e9 is the exact
+    // integerized ln(4/2) + ln(2/2) the engine sums in decimal
+    val d = Seq((1L, "a a b"), (2L, "a a b c")).toDF("id", "text")
+    val r = Relevance.zipfAlpha(d, "text", fMin = 2L).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    val sE9 = math.floor(StrictMath.log(2.0) * 1e9 + 0.5)
+    val alpha = 1.0 + 2.0 / (sE9 / 1e9)
+    assert(r.getDouble(2) == alpha)
+    assert(r.getDouble(3) == (alpha - 1.0) / math.sqrt(2.0))
+    // every kept type at exactly fMin → zero log mass → null alpha
+    val flat = Seq((1L, "x y"), (2L, "x y")).toDF("id", "text")
+    val rf = Relevance.zipfAlpha(flat, "text", fMin = 2L).head()
+    assert(rf.getLong(0) == 2L && rf.isNullAt(2) && rf.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Relevance.zipfAlpha(d, "text", fMin = 0L)
+    }
+  }
+
   test("tfidf composes lazily — no eager jobs at definition time") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Relevance.tfidf(docs, "id", "text") // compose only
