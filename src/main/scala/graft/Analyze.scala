@@ -199,6 +199,11 @@ import graft.operators.{Curation, GraphOps}
   *               must match doc ids)
   *   bpe         --docs <dir> [--text-col text] [--merges N] [-o <outDir>]
   *               (learn a BPE merge table over the corpus)
+  *   unigram     --docs <dir> [--text-col text] [--iterations R]
+  *               [--top-k V] [-o <outDir>]
+  *               (unigram-LM tokenizer vocab: substring candidates →
+  *               hard-EM over Viterbi segmentations → (piece, count,
+  *               cost) — the SentencePiece estimator beside bpe)
   *   codeextract --docs <dir> [--text-col text] [-o <outDir>]
   *               (split fenced code blocks out of markdown: code_text,
   *               prose_text, n_fences, code_chars, fence_langs)
@@ -933,6 +938,14 @@ object Analyze {
         val (mergeTable, _) = graft.operators.Tokenizer.bpeMerges(
           spark.read.parquet(args.docs), args.textCol, args.merges, ckpt)
         mergeTable
+      case "unigram" =>
+        require(args.docs.nonEmpty, "unigram needs --docs <dir>; " +
+          "--iterations sets EM rounds (≤16), --top-k the multi-char " +
+          "vocab budget, --text-col the column")
+        graft.operators.Tokenizer.unigramTrain(
+          spark.read.parquet(args.docs), args.textCol,
+          rounds = math.min(args.iterations, 16),
+          maxVocab = args.topK, ckpt = ckpt)
       case "codeextract" =>
         require(args.docs.nonEmpty, "codeextract needs --docs <dir>; " +
           "--text-col names the markdown column (default text)")

@@ -507,6 +507,19 @@ private[graft] object QueriesText {
       Tokenizer.bpeEncode(d, "doc_id", "text", vocab).orderBy("doc_id")
     }),
 
+    // ---- X13c: unigram-LM (SentencePiece-style) candidate vocabulary
+    // — the substring-frequency seed the EM estimator prunes: every
+    // length ≤ 3 substring occurrence-weighted by word count, single
+    // chars unconditional, top-50 multi-char by the (freq, piece)
+    // total order. The EM/Viterbi stages are spec-verified against
+    // exhaustive enumeration (float log-costs aren't oracle-exact);
+    // the candidate stage is pure integer arithmetic and fully
+    // SQL-rebuilt here. ----
+    "q_x13c_unigram_candidates" -> ((s, dir) =>
+      Tokenizer.unigramCandidates(t(s, dir, "documents"), "text",
+        maxPieceLen = 3, minFreq = 5L, maxVocab = 50)
+        .orderBy(col("freq").desc, col("piece"))),
+
     // ---- X4n: PMI bigram collocations — the phrase-mining signal; the
     // bigram stream is a narrow array zip (no positional self-join on
     // the Spark side; the oracle rebuilds positionally) ----
@@ -527,6 +540,36 @@ private[graft] object QueriesText {
             s" cnt AS pair_count FROM b$k")
         .mkString("sel AS (\n", "\nUNION ALL\n", ")\n") +
       "SELECT merge_rank, lhs, rhs, pair_count FROM sel ORDER BY merge_rank"),
+
+    // Candidate-vocabulary rebuild: the same nested substring
+    // explosion (range is end-exclusive — +1 mirrors sequence's
+    // inclusive bound), exact integer sums, the same (freq, piece)
+    // total order for the top-V cut, single chars unioned in whole.
+    "q_x13c_unigram_candidates" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS word
+        |  FROM documents),
+        |w AS (SELECT word, count(*) AS wc FROM tok
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(
+        |      range(1, length(word) + 1), s ->
+        |    list_transform(
+        |      range(1, least(3, length(word) - s + 1) + 1), l ->
+        |      substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER))))))
+        |    AS piece, wc
+        |  FROM w),
+        |f AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
+        |  FROM p GROUP BY piece),
+        |multi AS (
+        |  SELECT piece, freq FROM f
+        |  WHERE length(piece) > 1 AND freq >= 5
+        |  ORDER BY freq DESC, piece LIMIT 50),
+        |chars AS (SELECT piece, freq FROM f WHERE length(piece) = 1)
+        |SELECT piece, freq FROM
+        |  (SELECT * FROM chars UNION ALL SELECT * FROM multi)
+        |ORDER BY freq DESC, piece""".stripMargin,
 
     // Encode rebuild: final vocab v8 joined back to the corpus words;
     // OOV fallback mirrored (coalesce to len+1) though the training

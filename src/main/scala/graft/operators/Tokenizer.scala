@@ -124,4 +124,212 @@ object Tokenizer {
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("_len"), length(col("word")) + lit(1)))
           .as("n_subwords"))
+
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece-style) — the OTHER standard
+  // subword inducer beside BPE: pieces carry probabilities and a word
+  // segments as the Viterbi (min −ln p) path over its substrings,
+  // rather than by replaying greedy merges. Same structural scaling
+  // discipline as [[bpeMerges]]: every stage after the one corpus scan
+  // is VOCABULARY-sized — the candidate table, the EM counts, and the
+  // per-distinct-word Viterbi all live on (word, wc); the corpus never
+  // shuffles. The Viterbi DP itself is a codegen `aggregate` fold over
+  // character positions (array-of-struct accumulator, L-way unrolled
+  // relaxation, second fold for the backtrack) — no UDF.
+  // ------------------------------------------------------------------
+
+  /** Candidate piece vocabulary for the unigram LM: every substring of
+    * length 1..`maxPieceLen` of every corpus word, occurrence-weighted
+    * by word count (a substring occurring twice in one word counts
+    * twice), then the top `maxVocab` multi-character pieces by
+    * (freq desc, piece asc — a total order) PLUS every single
+    * character unconditionally (single chars keep segmentation total,
+    * the SentencePiece invariant). Fully SQL-expressible — the oracle
+    * rebuilds it exactly.
+    *
+    * Scale notes (100 TB): substring explosion runs on the DISTINCT
+    * word table (≤ len·L pieces per word); the top-V is
+    * TakeOrderedAndProject (per-partition top-V, no full sort).
+    *
+    * @return (`piece`, `freq`) */
+  def unigramCandidates(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, minFreq: Long = 2L,
+      maxVocab: Int = 4096): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8] (got $maxPieceLen)")
+    require(minFreq >= 1L && maxVocab >= 1, "minFreq/maxVocab >= 1")
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val subs = flatten(transform(
+      sequence(lit(1), length(col("word"))),
+      s => transform(
+        sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - s + 1)),
+        l => col("word").substr(s, l))))
+    val pieces = words
+      .select(explode(subs).as("piece"), col("wc"))
+      .groupBy("piece").agg(sum("wc").as("freq"))
+    val multi = pieces
+      .filter(length(col("piece")) > 1 && col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("piece"))
+      .limit(maxVocab)
+    pieces.filter(length(col("piece")) === 1).unionByName(multi)
+  }
+
+  /** Viterbi-segment the DISTINCT words of `words` (`word`, `wc`)
+    * under a piece cost table: min total cost over all segmentations
+    * into vocabulary pieces of length ≤ `maxPieceLen`; COST TIES keep
+    * the SHORTER piece at the boundary (the relaxation scans l = 1..L
+    * and replaces only on strictly smaller cost — deterministic and
+    * partitioning-invariant). Single characters absent from the vocab
+    * cost `unkCost` (segmentation stays TOTAL on unseen alphabets —
+    * the SentencePiece invariant, priced like a one-occurrence piece).
+    *
+    * Pure expression DP — the [[bpeMerges]] fold discipline pushed to
+    * dynamic programming: forward pass folds positions into an
+    * array<struct<cost, back>> accumulator with an L-way unrolled
+    * relaxation; the backtrack folds again, jumping `back` chars per
+    * step. Runs on the distinct-word frame with the cost map
+    * broadcast as ONE map-typed row.
+    *
+    * @return (`word`, `wc`, `pieces` array, `cost` double) */
+  def viterbiSegment(words: DataFrame, vocabCosts: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8] (got $maxPieceLen)")
+    val vmapRow = vocabCosts.agg(
+      map_from_arrays(collect_list(col("piece")),
+        collect_list(col("cost").cast("double"))).as("_vmap"))
+    // unk cost: one more than the worst vocab cost — any in-vocab
+    // piece is preferred, unseen chars stay finite and total (the
+    // coalesce covers a degenerate empty vocab)
+    val unkRow = vocabCosts.agg(
+      coalesce(max(col("cost").cast("double")) + lit(1.0), lit(1.0))
+        .as("_unk"))
+    val dpStep: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column = (acc, i) => {
+      val cands = (1 to maxPieceLen).map { l =>
+        val prev = element_at(acc, i - lit(l) + 1)
+        val raw = element_at(col("_vmap"),
+          col("word").substr(i - lit(l) + 1, lit(l)))
+        val pieceCost =
+          if (l == 1) coalesce(raw, col("_unk")) else raw
+        when(i >= lit(l) && pieceCost.isNotNull && prev.isNotNull,
+          struct((prev.getField("cost") + pieceCost).as("cost"),
+            lit(l).as("back")))
+          .otherwise(lit(null))
+      }
+      val best = cands.reduce((a, b) =>
+        when(a.isNull, b)
+          .when(b.isNull, a)
+          .when(b.getField("cost") < a.getField("cost"), b)
+          .otherwise(a))
+      concat(acc, array(best))
+    }
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0.0).as("cost"), lit(0).as("back"))),
+      dpStep)
+    val back = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(length(col("word")).as("pos"),
+        array().cast("array<string>").as("pieces")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val l = element_at(col("_dp"), pos + 1).getField("back")
+        when(pos > 0, struct(
+          (pos - l).as("pos"),
+          concat(array(col("word").substr(pos - l + 1, l)),
+            acc.getField("pieces")).as("pieces")))
+          .otherwise(acc)
+      })
+    words
+      .crossJoin(broadcast(vmapRow))
+      .crossJoin(broadcast(unkRow))
+      .withColumn("_dp", dp)
+      .select(col("word"), col("wc"),
+        back.getField("pieces").as("pieces"),
+        element_at(col("_dp"), length(col("word")) + 1)
+          .getField("cost").as("cost"))
+  }
+
+  /** Hard-EM unigram-LM training (the SentencePiece estimator with
+    * Viterbi counts instead of full forward–backward): initialize
+    * piece counts from [[unigramCandidates]] frequencies, then each
+    * round (1) prices pieces at `cost = ln(total) − ln(count)`
+    * (−ln p, StrictMath doubles — the engine's `log`), (2) Viterbi-
+    * segments the distinct words, (3) re-estimates counts from the
+    * segmentation with add-one smoothing (every piece stays alive and
+    * priced — hard-EM zeroes would otherwise lock pieces out
+    * permanently). Counts monotonically concentrate on reused pieces;
+    * rounds are bounded, not a fixpoint probe (the standard EM
+    * practice).
+    *
+    * Scale notes (100 TB): every round is vocabulary-sized — the cost
+    * map is ONE map-typed broadcast row, the segmentation runs on
+    * distinct words, the re-count is one explode + partial agg.
+    *
+    * @return final (`piece`, `count`, `cost`) */
+  def unigramTrain(docs: DataFrame, textCol: String, rounds: Int = 3,
+      maxPieceLen: Int = 4, minFreq: Long = 2L, maxVocab: Int = 4096,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16] (got $rounds)")
+    val words = ckpt(docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc")))
+    var vocab = ckpt(unigramCandidates(docs, textCol, maxPieceLen,
+      minFreq, maxVocab).withColumnRenamed("freq", "count"))
+    for (_ <- 1 to rounds) {
+      val priced = withCosts(vocab)
+      val seg = viterbiSegment(words, priced, maxPieceLen)
+      val counts = seg
+        .select(explode(col("pieces")).as("piece"), col("wc"))
+        .groupBy("piece").agg(sum("wc").as("_n"))
+      vocab = ckpt(vocab.select("piece")
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"),
+          (coalesce(col("_n"), lit(0L)) + 1L).as("count")))
+    }
+    withCosts(vocab)
+  }
+
+  /** Price a (`piece`, `count`) vocab: `cost = ln(Σcount) − ln(count)`
+    * (= −ln p), via the engine's StrictMath `log` so JVM twins can
+    * reproduce costs bit-for-bit. */
+  def withCosts(vocab: DataFrame): DataFrame = {
+    val total = vocab.agg(sum(col("count")).as("_t"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("piece"), col("count"),
+        (log(col("_t").cast("double")) -
+          log(col("count").cast("double"))).as("cost"))
+  }
+
+  /** Apply a trained unigram vocab: per-doc word/piece totals and the
+    * summed Viterbi cost (the corpus "encoding cost" a tokenizer
+    * comparison reads). The distinct words segment ONCE and broadcast
+    * back — the [[bpeEncode]] discipline; the corpus never shuffles.
+    *
+    * @return (`idCol`, `n_words`, `n_pieces`, `cost` double) */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocabCosts: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val docWords = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+"))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+    val seg = viterbiSegment(
+      docWords.groupBy("word").agg(count(lit(1)).as("wc")),
+      vocabCosts, maxPieceLen)
+    docWords
+      .join(broadcast(seg.select(col("word"),
+        size(col("pieces")).as("_np"), col("cost").as("_c"))),
+        Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_np")).cast("long").as("n_pieces"),
+        sum(col("_c")).as("cost"))
+  }
 }

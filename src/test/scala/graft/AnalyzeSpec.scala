@@ -231,6 +231,11 @@ class AnalyzeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2)))
     assert(m.toSeq == Seq(("a", "b"), ("ab", "</w>")))
 
+    // unigram: EM-trained piece vocab from argv; reused pieces priced
+    val uni = Analyze.run(parse(List("unigram", "--docs", s"$dir/docs",
+      "--iterations", "2", "--top-k", "8")), spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni.contains("ab") && uni("ab") > uni("c"))
     // codeextract: the fence splits from argv
     Seq((1L, "p\n```py\nx=1\n```\nq")).toDF("doc_id", "text")
       .write.parquet(s"$dir/md")

@@ -57,4 +57,99 @@ class TokenizerSpec extends SparkSpec {
     assert(merges.columns.toSeq ==
       Seq("merge_rank", "left", "right", "pair_count"))
   }
+
+  test("unigramCandidates: occurrence-weighted substring counts, " +
+      "single chars unconditional, top-V by (freq, piece)") {
+    // "abab"×2, "ba"×1: substrings of abab (L=3): a×2,b×2,ab×2,ba×1,
+    // aba×1,bab×1 per occurrence, ×2 docs-count... hand-count below
+    val d = Seq((1L, "abab abab ba")).toDF("id", "text")
+    val out = Tokenizer.unigramCandidates(d, "text", maxPieceLen = 3,
+        minFreq = 2L, maxVocab = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // abab (wc 2): a@1,a@3 b@2,b@4 ab@1,ab@3 ba@2 aba@1 bab@2;
+    // ba (wc 1): b@1 a@2 ba@1
+    assert(out("a") == 5L && out("b") == 5L)
+    // multi-char, freq ≥ 2, top-2 by (freq desc, piece): ab(4), aba(2)
+    // beats ba(3)? no — ba freq 3 > aba 2 → top-2 = ab(4), ba(3)
+    assert(out.get("ab").contains(4L) && out.get("ba").contains(3L))
+    assert(!out.contains("aba") && !out.contains("bab"))
+    // single chars always survive even below minFreq
+    val tiny = Tokenizer.unigramCandidates(
+        Seq((1L, "xy")).toDF("id", "text"), "text", 3, 5L, 4)
+      .collect().map(_.getString(0)).toSet
+    assert(tiny == Set("x", "y"))
+  }
+
+  test("viterbiSegment: cost equals exhaustive left-folded enumeration " +
+      "bit-for-bit; pieces concat to the word; unseen chars price as " +
+      "unk; partitioning-invariant") {
+    val priced = Tokenizer.withCosts(Seq(("a", 10L), ("b", 5L),
+      ("ab", 8L), ("ba", 2L), ("aba", 1L), ("bb", 7L))
+      .toDF("piece", "count"))
+    val costs = priced.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val unk = costs.values.max + 1.0
+    // all segmentations, cost summed LEFT-TO-RIGHT (the DP's
+    // association) — min over the same doubles is bit-equal
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val p = w.take(l)
+        val known = if (l == 1) true else costs.contains(p)
+        if (known) segs(w.drop(l)).map(p +: _) else Seq.empty
+      }
+    def segCost(s: Seq[String]): Double =
+      s.foldLeft(0.0)((acc, p) =>
+        acc + costs.getOrElse(p, if (p.length == 1) unk
+          else Double.NaN))
+    val words = Seq("abab", "aababa", "bbbb", "a", "xyza", "abba")
+    val out = Tokenizer.viterbiSegment(
+        words.map(w => (w, 1L)).toDF("word", "wc").repartition(7),
+        priced, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[String](2), r.getDouble(3)))).toMap
+    for (w <- words) {
+      val (pieces, cost) = out(w)
+      assert(pieces.mkString("") == w, s"concat invariant broke on $w")
+      val expected = segs(w).map(segCost).min
+      assert(cost == expected,
+        s"$w: dp=$cost enumerated=$expected")
+      assert(cost == segCost(pieces), "reported cost prices its pieces")
+    }
+    // unseen chars: "xyza" must still segment (unk-priced singles)
+    assert(out("xyza")._1.forall(_.length == 1))
+    // partition invariance: same frame, one partition
+    val one = Tokenizer.viterbiSegment(
+        words.map(w => (w, 1L)).toDF("word", "wc").repartition(1),
+        priced, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[String](2), r.getDouble(3)))).toMap
+    assert(one == out)
+  }
+
+  test("unigramTrain + unigramEncode: planted repetition concentrates " +
+      "mass on the reused piece and compresses below characters") {
+    val d = Seq((1L, "abab abab abab ab"), (2L, "abab ab abab"),
+      (3L, "zq")).toDF("id", "text")
+    val vocab = Tokenizer.unigramTrain(d, "text", rounds = 3,
+      maxPieceLen = 4, minFreq = 2L, maxVocab = 16)
+    val counts = vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the reused multi-char piece dominates the singles it replaces
+    assert(counts.getOrElse("abab", 0L) + counts.getOrElse("ab", 0L) >
+      counts("a") && counts.keySet.contains("abab"))
+    val enc = Tokenizer.unigramEncode(d, "id", "text", vocab,
+        maxPieceLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // doc 1: 4 words, 16 chars — multi-char pieces must compress
+    assert(enc(0)._2 == 4L && enc(0)._3 < 16L)
+    // unseen-alphabet doc stays total: 1 word, ≤ 2 unk-priced singles
+    assert(enc(2)._2 == 1L && enc(2)._3 <= 2L)
+    // determinism: retrain yields the identical vocab
+    val again = Tokenizer.unigramTrain(d, "text", rounds = 3,
+        maxPieceLen = 4, minFreq = 2L, maxVocab = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
 }
