@@ -59,7 +59,12 @@ object ExplainPlans {
         "q_g26c_topo_levels", "q_g26d_incr_scc", "q_g26e_desc_counts",
         "q_g27_landmark_reach", "q_v17_schema_drift",
         "q_asof_forward", "q_asof_nearest", "q_x3q_deleted_index",
-        "q_st30_interval_merge")
+        "q_st30_interval_merge",
+        // round-11 additions
+        "q_g26f_decr_scc", "q_g28_neighbor_agg", "q_g29_bridges",
+        "q_g29b_articulation", "q_x3s_retrained_index",
+        "q_st30c_interval_delete", "q_x4v_code_extract", "q_x4w_zipf",
+        "q_x13c_unigram_candidates")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
