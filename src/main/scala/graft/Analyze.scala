@@ -258,6 +258,9 @@ import graft.operators.{Curation, GraphOps}
   *   spearman    --docs <dir> --x-col a --y-col b [-o <outDir>]
   *               (rank correlation — the outlier-proof monotonic
   *               association; integer-valued columns)
+  *   kendall     --docs <dir> --x-col a --y-col b [-o <outDir>]
+  *               (Kendall τ-b — tie-adjusted concordance over the
+  *               joint value histogram; feed aggregated frames)
   *   welch       --docs <prev dir> --bench <cur dir> --value-col v
   *               [-o <outDir>]   (Welch two-sample t drift test)
   *   mannwhitney --docs <prev dir> --bench <cur dir> --value-col v
@@ -1255,6 +1258,14 @@ object Analyze {
           args.yCol.nonEmpty,
           "spearman needs --docs, --x-col, --y-col (integer-valued)")
         graft.operators.Validate.spearman(
+          spark.read.parquet(args.docs), args.xCol, args.yCol)
+      case "kendall" =>
+        require(args.docs.nonEmpty && args.xCol.nonEmpty &&
+          args.yCol.nonEmpty,
+          "kendall needs --docs, --x-col, --y-col (integer-valued; " +
+            "cell-pair cost is quadratic in DISTINCT (x, y) cells — " +
+            "feed aggregated/binned frames)")
+        graft.operators.Validate.kendallTau(
           spark.read.parquet(args.docs), args.xCol, args.yCol)
       case "welch" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty &&

@@ -100,6 +100,27 @@ private[graft] object QueriesValidate {
         .orderBy("n")
     }),
 
+    // ---- V18: Kendall τ-b over per-bucket order aggregates (spend
+    // vs order count) — the third association audit beside Pearson
+    // and Spearman; concordance counted EXACTLY over the joint
+    // value-histogram cell pairs (never an O(n²) row pass), ties
+    // adjusted from the marginal histograms, everything integral
+    // until one double division ----
+    "q_v18_kendall" -> ((s, dir) => {
+      val g = t(s, dir, "orders")
+        .select((col("o_custkey") % 500).as("b"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("_cents"))
+        .groupBy("b")
+        .agg(expr("sum(_cents) div 100000").as("x"),
+          count(lit(1)).as("y"))
+      Validate.kendallTau(g, "x", "y")
+        .select(col("n"), col("n_conc"), col("n_disc"),
+          floor(col("tau") * lit(1e6) + lit(0.5)).cast("long")
+            .as("tau_e6"))
+        .orderBy("n")
+    }),
+
     // ---- V11: pairwise correlation matrix over lineitem's numeric
     // columns — one scan, exact decimal moments, e6-integerized r ----
     "q_v11_corr_matrix" -> ((s, dir) => {
@@ -926,6 +947,44 @@ private[graft] object QueriesValidate {
     // shapes with the product guard.
     // Spearman rebuild: per-side distinct-value histogram + strictly-
     // smaller cumulative window (the gini/skew rank-run shape), the
+    // Kendall rebuild: same joint-histogram cell-pair classification
+    // (row-value comparison keeps each unordered cell pair once), the
+    // same doubled-integer tie terms, HUGEINT products, and the same
+    // final association: (nc − nd) · 2 / √(du·dv).
+    "q_v18_kendall" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 500 AS b,
+        |    CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT b, CAST(sum(cents) // 100000 AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM o GROUP BY b),
+        |h AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+        |  FROM g GROUP BY x, y),
+        |cd AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |        OR (a.x > b.x AND a.y > b.y)
+        |      THEN a.c * b.c ELSE 0 END), 0) AS nc,
+        |    coalesce(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |        OR (a.x > b.x AND a.y < b.y)
+        |      THEN a.c * b.c ELSE 0 END), 0) AS nd
+        |  FROM h a JOIN h b ON (a.x, a.y) < (b.x, b.y)),
+        |nn AS (SELECT coalesce(sum(c), 0) AS n FROM h),
+        |tx AS (SELECT coalesce(sum(t * (t - 1)), 0) AS tx2 FROM (
+        |  SELECT sum(c) AS t FROM h GROUP BY x)),
+        |ty AS (SELECT coalesce(sum(t * (t - 1)), 0) AS ty2 FROM (
+        |  SELECT sum(c) AS t FROM h GROUP BY y))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS n_conc,
+        |  CAST(nd AS BIGINT) AS n_disc,
+        |  CAST(floor(CAST(nc - nd AS DOUBLE) * CAST(2 AS DOUBLE)
+        |      / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+        |        * CAST(n * (n - 1) - ty2 AS DOUBLE)) * 1e6
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tau_e6
+        |FROM nn, cd, tx, ty ORDER BY n""".stripMargin,
+
     // SAME doubled tie rank 2·lt + cnt + 1, HUGEINT moments, and the
     // engine's double rho shape, e6.
     "q_v15_spearman" ->

@@ -537,4 +537,72 @@ object Validate {
       when(col("_cnt") < 2 || vu * vv <= 0.0, lit(null).cast("double"))
         .otherwise(cov / sqrt(vu * vv)).as("rho"))
   }
+
+  /** Kendall τ-b rank correlation — the third association audit beside
+    * Pearson ([[correlationMatrix]]) and Spearman: counts CONCORDANT
+    * vs DISCORDANT pairs, with the tie-adjusted denominator
+    * √((n₀−n₁)(n₀−n₂)). More robust than Spearman to a few wild ranks
+    * (pair counts move by 1, squared rank gaps explode) and the
+    * standard drift audit when both columns are ordinal.
+    *
+    * EXACT, with no O(n²) pass over rows: concordance depends only on
+    * the JOINT (x, y) VALUE histogram — a pair of distinct cells
+    * (c₁, c₂ rows) contributes c₁·c₂ pairs wholesale, same-cell pairs
+    * tie in both. So the quadratic work runs over distinct-cell PAIRS
+    * (output complexity: intended for aggregated/bounded-cardinality
+    * frames — pre-bin raw measures, as every rank audit here does);
+    * tie terms n₁/n₂ come from the marginal histograms. All counts
+    * accumulate in decimal(38,0); τ runs once in double.
+    *
+    * Scale notes: one histogram aggregate (map-side combined), one
+    * cell-pair nested-loop join (broadcast — the histogram is small
+    * by contract), two marginal aggregates, a 1-row fold.
+    *
+    * @return one row: (`n`, `n_conc`, `n_disc`, `tau` — null when a
+    *         side is constant) */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy("_x", "_y").agg(count(lit(1)).cast(dec).as("_c"))
+      .localCheckpoint()
+    val a = h.select(col("_x").as("_xa"), col("_y").as("_ya"),
+      col("_c").as("_ca"))
+    val b = h.select(col("_x").as("_xb"), col("_y").as("_yb"),
+      col("_c").as("_cb"))
+    val pairs = a.join(broadcast(b),
+      struct(col("_xa"), col("_ya")) < struct(col("_xb"), col("_yb")))
+    val cd = pairs.agg(
+      sum(when((col("_xa") < col("_xb") && col("_ya") < col("_yb")) ||
+          (col("_xa") > col("_xb") && col("_ya") > col("_yb")),
+        col("_ca") * col("_cb")).otherwise(lit(0).cast(dec)))
+        .as("_nc"),
+      sum(when((col("_xa") < col("_xb") && col("_ya") > col("_yb")) ||
+          (col("_xa") > col("_xb") && col("_ya") < col("_yb")),
+        col("_ca") * col("_cb")).otherwise(lit(0).cast(dec)))
+        .as("_nd"))
+    def tiePairs(c: String) = h.groupBy(col(c))
+      .agg(sum(col("_c")).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - 1)),
+        lit(0).cast(dec)).as("_tp2")) // 2× the tie pairs
+    val nRow = h.agg(coalesce(sum(col("_c")), lit(0).cast(dec)).as("_n"))
+    val m = nRow.crossJoin(cd)
+      .crossJoin(tiePairs("_x").withColumnRenamed("_tp2", "_tx2"))
+      .crossJoin(tiePairs("_y").withColumnRenamed("_tp2", "_ty2"))
+    // everything ×2 until the end so the arithmetic stays integral:
+    // 2n₀ = n(n−1), 2n₁ = Σtₓ(tₓ−1), 2n₂ = Σt_y(t_y−1)
+    val n02 = col("_n") * (col("_n") - 1)
+    val du = (n02 - col("_tx2")).cast("double")
+    val dv = (n02 - col("_ty2")).cast("double")
+    m.select(col("_n").cast("long").as("n"),
+      coalesce(col("_nc"), lit(0).cast(dec)).cast("long").as("n_conc"),
+      coalesce(col("_nd"), lit(0).cast(dec)).cast("long").as("n_disc"),
+      when(du <= 0.0 || dv <= 0.0, lit(null).cast("double"))
+        .otherwise(
+          (coalesce(col("_nc"), lit(0).cast(dec)) -
+            coalesce(col("_nd"), lit(0).cast(dec))).cast("double") * 2.0 /
+            sqrt(du * dv)).as("tau"))
+  }
 }

@@ -501,6 +501,13 @@ class AnalyzeSpec extends SparkSpec {
     val sm = Analyze.run(parse(List("spearman", "--docs", s"$dir/xy",
       "--x-col", "a", "--y-col", "b")), spark).head()
     assert(sm.getLong(0) == 3L && sm.getDouble(1) == -0.5)
+    // kendall on the same permutation: 1 concordant, 2 discordant
+    val kd = Analyze.run(parse(List("kendall", "--docs", s"$dir/xy",
+      "--x-col", "a", "--y-col", "b")), spark).head()
+    assert(kd.getLong(0) == 3L && kd.getLong(1) == 1L &&
+      kd.getLong(2) == 2L && kd.getDouble(3) == -1.0 / 3.0)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("kendall", "--docs", s"$dir/xy")), spark))
   }
 
   test("trend, theilsen, rfm, sessions, attribution, assoc, skyline, " +

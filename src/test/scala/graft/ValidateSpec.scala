@@ -286,6 +286,41 @@ class ValidateSpec extends SparkSpec {
     assert(re.getDouble(1) == 1.0)
   }
 
+  test("kendallTau: ±1 on monotone data, hand-counted tie case, " +
+      "nulls drop, constant null, partition invariance") {
+    val up = Seq((1L, 1L), (2L, 8L), (3L, 27L)).toDF("x", "y")
+    val r1 = Validate.kendallTau(up, "x", "y").head()
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 3L &&
+      r1.getLong(2) == 0L && r1.getDouble(3) == 1.0)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Validate.kendallTau(down, "x", "y").head().getDouble(3)
+      == -1.0)
+    // hand-counted τ-b with ties: cells (1,1)×1 (1,2)×1 (2,2)×2 —
+    // nc = 2 (the (1,1)-(2,2) cell pair), nd = 0; 2n₀ = 12,
+    // Σtx(tx−1) = 4, Σty(ty−1) = 6 → τ = 2·2/√(8·6)
+    val ties = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 2L))
+      .toDF("x", "y")
+    val rt = Validate.kendallTau(ties, "x", "y").head()
+    assert(rt.getLong(0) == 4L && rt.getLong(1) == 2L &&
+      rt.getLong(2) == 0L)
+    assert(rt.getDouble(3) == 2.0 * 2.0 / math.sqrt(8.0 * 6.0))
+    // pairwise-complete; a constant side nulls tau but keeps counts
+    val withNull = Seq[(java.lang.Long, java.lang.Long)]((1L, 1L),
+      (2L, null), (3L, 3L)).toDF("x", "y")
+    val rn = Validate.kendallTau(withNull, "x", "y").head()
+    assert(rn.getLong(0) == 2L && rn.getDouble(3) == 1.0)
+    assert(Validate.kendallTau(
+      Seq((1L, 7L), (2L, 7L)).toDF("x", "y"), "x", "y")
+      .head().isNullAt(3))
+    // discordant counts are exact too: one swap in four
+    val swap = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L))
+      .toDF("x", "y")
+    val rs = Validate.kendallTau(swap, "x", "y").head()
+    assert(rs.getLong(1) == 5L && rs.getLong(2) == 1L)
+    assert(Validate.kendallTau(ties.repartition(7), "x", "y")
+      .head().getDouble(3) == rt.getDouble(3))
+  }
+
   test("fdViolations: violating groups only, null semantics, multi-col") {
     val d = Seq(
       (Some("a"), "g1", Some("x")), (Some("a"), "g1", Some("x")),
