@@ -839,6 +839,61 @@ class StreamingSpec extends SparkSpec {
     assert(frags == cells, "inline compaction collapsed to one file/cell")
   }
 
+  test("streamingSccCdc: exact labels under interleaved adds and " +
+      "deletes — every trigger equals the full recompute over the " +
+      "effective edge set; same-batch del beats add; re-add resurrects") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_cdc").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingIngest.streamingSccCdc(
+      mem.toDF().toDF("op", "start_id", "end_id"),
+      s"$tmp/edges", s"$tmp/dels", s"$tmp/labels", s"$tmp/quotient",
+      s"$tmp/ckpt")
+    try {
+      def labels(): Map[Long, Long] =
+        spark.read.parquet(s"$tmp/labels").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def full(edges: Seq[(Long, Long)]): Map[Long, Long] =
+        graft.operators.GraphOps.stronglyConnectedComponents(
+            edges.toDF("start_id", "end_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch 1: adds only — 4-cycle {1..4} + 2-cycle {7,8}; plus an
+      // edge 9→10 added AND deleted in the SAME batch (del must win)
+      mem.addData(Seq(("add", 1L, 2L), ("add", 2L, 3L), ("add", 3L, 4L),
+        ("add", 4L, 1L), ("add", 7L, 8L), ("add", 8L, 7L),
+        ("add", 9L, 10L), ("del", 9L, 10L)): _*)
+      q.processAllAvailable()
+      val eff1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+        (7L, 8L), (8L, 7L))
+      assert(labels() == full(eff1))
+      assert(!labels().contains(9L), "same-batch del beats add")
+      // batch 2: mixed — delete the cycle closer (SPLIT to a chain)
+      // and add a new 2-cycle in the same trigger
+      mem.addData(Seq(("del", 4L, 1L), ("add", 20L, 21L),
+        ("add", 21L, 20L)): _*)
+      q.processAllAvailable()
+      val eff2 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 7L),
+        (20L, 21L), (21L, 20L))
+      assert(labels() == full(eff2))
+      assert(Set(1L, 2L, 3L, 4L).map(labels()).size == 4, "cycle split")
+      // batch 3: re-add the deleted closer — the SCC resurrects
+      mem.addData(("add", 4L, 1L))
+      q.processAllAvailable()
+      val eff3 = eff2 :+ ((4L, 1L))
+      assert(labels() == full(eff3))
+      assert(Set(1L, 2L, 3L, 4L).map(labels()).size == 1, "re-merged")
+      // quotient store equals the full condensation throughout
+      val fullQ = graft.operators.GraphOps.condensation(
+          eff3.toDF("start_id", "end_id"),
+          eff3.toDF("start_id", "end_id").transform(df =>
+            graft.operators.GraphOps.stronglyConnectedComponents(df)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(spark.read.parquet(s"$tmp/quotient").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == fullQ)
+    } finally q.stop()
+  }
+
   test("streamingScc: exact maintenance — cold start = full SCC, " +
       "arrivals merge on the quotient, every trigger equals the full " +
       "recompute bit-for-bit") {
