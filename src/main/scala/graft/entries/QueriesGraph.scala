@@ -216,6 +216,42 @@ private[graft] object QueriesGraph {
         .orderBy("id")
     }),
 
+    // ---- G26g: one CDC maintenance step — the exact composition the
+    // streaming twin applies per trigger: start from the BASE graph's
+    // labels (everything but the nation→customer back-edges), ADD
+    // those back-edges through incrementalScc (merges the region
+    // cores), then DELETE the g26f edge set through decrementalScc
+    // (splits them back apart) — two exact steps, so the result must
+    // be bit-identical to a full recompute over the effective edge
+    // set. Oracle: q_g26f's closure SCC verbatim (same effective
+    // set). ----
+    "q_g26g_cdc_scc" -> ((s, dir) => {
+      val natCust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select((col("c_nationkey").cast("long") * 4 + 2).as("start_id"),
+          (col("c_custkey").cast("long") * 4).as("end_id"))
+      val back = t(s, dir, "nation").select(
+        (col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
+        (col("n_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val base = heteroEdges(s, dir).unionByName(back)
+      val deleted = t(s, dir, "customer")
+        .filter(col("c_custkey") % 6 === 0)
+        .select((col("c_nationkey").cast("long") * 4 + 2).as("start_id"),
+          (col("c_custkey").cast("long") * 4).as("end_id"))
+        .unionByName(t(s, dir, "nation")
+          .filter(col("n_nationkey") % 5 === 0)
+          .select((col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
+            (col("n_nationkey").cast("long") * 4 + 2).as("end_id")))
+      val baseLabels = GraphOps.stronglyConnectedComponents(base)
+      val afterAdd = GraphOps.incrementalScc(natCust, baseLabels,
+        GraphOps.condensation(base, baseLabels))
+      val remaining = base.unionByName(natCust)
+        .join(deleted, Seq("start_id", "end_id"), "left_anti")
+      val st = GraphOps.decrementalScc(remaining, deleted,
+        afterAdd.labels, afterAdd.quotient)
+      st.labels.orderBy("id")
+    }),
+
     // ---- G29: bridges (cut edges) — the undirected connectivity QC
     // query: a star of 10-cycles (orders keys mod 100; node 5 of block
     // 0 hubs to every other block's entry node), so each hub spoke is
@@ -1151,6 +1187,35 @@ private[graft] object QueriesGraph {
         |  SELECT 1 FROM reach rc
         |  WHERE rc.c = j.src AND rc.node = j.dst)
         |ORDER BY id""".stripMargin,
+
+    // The CDC composition (add step then delete step, each exact) must
+    // land on the same effective edge set as q_g26f — so its oracle is
+    // q_g26f's closure SCC verbatim; any error compounding across the
+    // two maintenance steps hash-mismatches here.
+    "q_g26g_cdc_scc" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |    UNION ALL
+        |    SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation
+        |    UNION ALL
+        |    SELECT n_regionkey*4+3, n_nationkey*4+2 FROM nation
+        |    WHERE n_nationkey % 5 <> 0
+        |    UNION ALL
+        |    SELECT c_nationkey*4+2, c_custkey*4 FROM customer
+        |    WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0)),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+        |SELECT r1.a AS id, min(r1.b) AS scc
+        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |GROUP BY r1.a ORDER BY id""".stripMargin,
 
     // 2-round message passing unrolled by hand: round r is one LEFT
     // JOIN of the vertex set against (edges ⋈ round r−1 features) +
