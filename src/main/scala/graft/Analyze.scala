@@ -123,6 +123,14 @@ import graft.operators.{Curation, GraphOps}
   *               (the retrain_recommended ACTION: rebuild quantizers
   *               from the tombstone-purged corpus, re-encode, swap the
   *               staged layout in, report recall before/after)
+  *   commdec     --edges <remaining-edges dir> --delta <deleted-edges
+  *               dir> --target <stored (id, community) labels dir>
+  *               [--iterations R] [--weight-col w] [-o <outDir>]
+  *               (decremental community maintenance — the takedown
+  *               twin of `incremental`: touched communities rebuild
+  *               from remaining-edge ground truth with gated rounds
+  *               from singleton seeds; everyone else keeps their
+  *               stored label verbatim)
   *   sccinc      --delta <new-edges dir> --target <stored labels dir>
   *               --quotient <stored condensation dir> [-o <outDir>]
   *               (EXACT incremental SCC maintenance: quotient-sized
@@ -168,6 +176,12 @@ import graft.operators.{Curation, GraphOps}
   *               [--max-hamming H] [-o <outDir>]
   *               (energy-envelope fingerprint near-duplicate audio
   *               pairs via the same Hamming-banding machinery)
+  *   audiostats  --docs <dir> [--bin-col payload] [-o <outDir>]
+  *               (decode-side audio quality triage: exact clipping /
+  *               silence / peak / level counts as an audio_q struct)
+  *   imagestats  --docs <dir> [--bin-col payload] [-o <outDir>]
+  *               (decode-side image quality triage: exact exposure /
+  *               contrast / solid verdicts as an image_q struct)
   *   quantiles   --docs <dir> --value-col v [--group-col g]
   *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
   *               (mergeable HDR-histogram quantile sketch over
@@ -601,6 +615,13 @@ object Analyze {
         require(args.docs.nonEmpty, "audiostats needs --docs <dir>")
         graft.operators.Multimodal.extractAudioQuality(
           spark.read.parquet(args.docs), args.binCol)
+      case "imagestats" =>
+        // image quality triage — audiostats' image twin: exact integer
+        // luma verdicts (exposure counts, histogram bounds, modal
+        // count) as a nullable image_q struct
+        require(args.docs.nonEmpty, "imagestats needs --docs <dir>")
+        graft.operators.Multimodal.extractImageQuality(
+          spark.read.parquet(args.docs), args.binCol)
       case "schemadrift" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty,
           "schemadrift needs --docs <previous dir> and --bench " +
@@ -668,6 +689,22 @@ object Analyze {
           spark.read.parquet(args.delta),
           spark.read.parquet(args.target),
           rounds = args.iterations, hops = args.hops,
+          seed = args.hashSeed, weightCol = args.weightCol, ckpt = ckpt)
+      case "commdec" =>
+        // decremental community maintenance — the takedown twin of
+        // `incremental`: --edges is the POST-delete edge table (ground
+        // truth), --delta the deleted rows; only communities holding a
+        // deleted endpoint rebuild (gated rounds from singleton seeds
+        // over their induced remaining subgraph)
+        require(args.edges.nonEmpty && args.delta.nonEmpty &&
+          args.target.nonEmpty,
+          "commdec needs --edges <remaining-edges dir>, --delta " +
+            "<deleted-edges dir>, and --target <stored (id, " +
+            "community) labels dir>; returns refreshed labels")
+        GraphOps.decrementalCommunities(edges,
+          spark.read.parquet(args.delta),
+          spark.read.parquet(args.target),
+          rounds = args.iterations,
           seed = args.hashSeed, weightCol = args.weightCol, ckpt = ckpt)
       case "sccinc" =>
         // exact incremental SCC: --delta carries the NEW edges only

@@ -67,12 +67,15 @@ object Bench {
     // — the fraction of the BOX's cpu capacity burned by everything
     // that isn't this benchmark. Quiet box ≈ 0–2 (kernel housekeeping);
     // a co-tenant burning 4 of 32 cores reads ≈ 12.5 for exactly the
-    // queries it overlapped.
+    // queries it overlapped. Only the first 8 /proc/stat fields
+    // (through steal) enter the totals: guest/guest_nice are already
+    // folded into user/nice on Linux, so summing them double-counts VM
+    // guest time and deflates every percentage on virtualized hosts.
     def cpuTicks(): (Long, Long) =
       try {
         val first = java.nio.file.Files.readString(
           java.nio.file.Paths.get("/proc/stat")).linesIterator.next()
-        val n = first.trim.split("\\s+").drop(1).map(_.toLong)
+        val n = first.trim.split("\\s+").drop(1).take(8).map(_.toLong)
         val idle = n(3) + (if (n.length > 4) n(4) else 0L)
         (n.sum - idle, n.sum)
       } catch { case _: Throwable => (-1L, -1L) }
@@ -96,6 +99,83 @@ object Bench {
         f"${100.0 * other / (all1 - all0)}%.1f".replace(',', '.')
       }
     }
+    // Fourth sentinel family — the VICTIM's STALLS, per iteration. The
+    // r11 official record carried ~140 s of inflation (q_st25 47.5 s
+    // official vs 5.3 s parity) that cpu_other_pct read as ≤0.6: the
+    // contention never burned visible CPU ticks (cgroup throttling of
+    // this JVM, memory-bandwidth/LLC pressure, IO stall — none appear
+    // as other-process busy time in /proc/stat). These channels DO
+    // appear as pressure-stall time on the victim itself, so each
+    // iteration records deltas of:
+    //   - /proc/pressure/{cpu,memory,io} `some total=` µs — kernel PSI:
+    //     time ANY runnable/blocked task waited on that resource
+    //     (catches throttling, bandwidth and IO victimization
+    //     identically, whoever caused them);
+    //   - JVM GC time (GarbageCollectorMXBean) — self-inflicted memory
+    //     pressure, needed to separate "box squeezed us" from "we
+    //     squeezed ourselves";
+    //   - cgroup v2 cpu.stat `throttled_usec` for THIS process's cgroup
+    //     — the direct quota-throttle counter, when present.
+    // All sampled per ITERATION (not per query window): a one-iteration
+    // burst stays attributable instead of being diluted by the quiet
+    // iterations (the r11 "What's wrong #3" fix). -1 = unreadable.
+    def psiSomeUs(res: String): Long =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"/proc/pressure/$res"))
+        txt.linesIterator.find(_.startsWith("some")) match {
+          case Some(l) =>
+            val i = l.indexOf("total=")
+            if (i < 0) -1L else l.substring(i + 6).trim.toLong
+          case None => -1L
+        }
+      } catch { case _: Throwable => -1L }
+    def gcMs(): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+      } catch { case _: Throwable => -1L }
+    // Resolve this process's cpu-throttle counter once. cgroup v2:
+    // "0::<path>" in /proc/self/cgroup → /sys/fs/cgroup<path>/cpu.stat
+    // (`throttled_usec`, µs). cgroup v1 (this box family): the cpu
+    // controller's /sys/fs/cgroup/cpu<path>/cpu.stat (`throttled_time`,
+    // ns). Both normalized to µs by the reader below.
+    val cgroupCpuStat: Option[(java.nio.file.Path, String, Long)] =
+      try {
+        val self = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/cgroup"))
+        val v2 = self.linesIterator.collectFirst {
+          case l if l.startsWith("0::") =>
+            (java.nio.file.Paths.get(
+              "/sys/fs/cgroup" + l.stripPrefix("0::").trim + "/cpu.stat"),
+              "throttled_usec", 1L)
+        }.filter(t => java.nio.file.Files.isReadable(t._1))
+        val v1 = self.linesIterator.collectFirst {
+          case l if l.matches("\\d+:cpu(,cpuacct)?:.*") =>
+            (java.nio.file.Paths.get("/sys/fs/cgroup/cpu" +
+              l.split(':').last + "/cpu.stat"), "throttled_time", 1000L)
+        }.filter(t => java.nio.file.Files.isReadable(t._1))
+        v2.orElse(v1)
+      } catch { case _: Throwable => None }
+    def throttledUs(): Long =
+      cgroupCpuStat.fold(-1L) { case (p, key, div) =>
+        try {
+          java.nio.file.Files.readString(p).linesIterator
+            .find(_.startsWith(key))
+            .map(_.split("\\s+")(1).toLong / div).getOrElse(-1L)
+        } catch { case _: Throwable => -1L }
+      }
+    // One snapshot of every stall counter; `-` of two snapshots gives
+    // the per-iteration [psi_cpu_ms, psi_mem_ms, psi_io_ms, gc_ms,
+    // throttled_ms] delta row (element-wise, -1-propagating).
+    def stallSnap(): Array[Long] = Array(
+      psiSomeUs("cpu"), psiSomeUs("memory"), psiSomeUs("io"),
+      gcMs() * 1000L, throttledUs())
+    def stallDeltaMs(a: Array[Long], b: Array[Long]): Array[Long] =
+      a.indices.map { i =>
+        if (a(i) < 0 || b(i) < 0) -1L else (b(i) - a(i)) / 1000L
+      }.toArray
     // Timed pass: materialize through the noop sink so every projected
     // column is computed — .count() would let Catalyst prune most of the
     // work for scan/window-shaped queries. Each query runs `iters` times;
@@ -113,28 +193,37 @@ object Bench {
     // spike adjudicate as box noise, no parity re-run needed (recipe in
     // SCALE.md).
     val pass0 = System.nanoTime()
-    val results: Seq[(String, Double, Seq[Double], Long, String, String)] =
+    final case class QRec(name: String, median: Double,
+      times: Seq[Double], startCs: Long, load: String, other: String,
+      iterStalls: Seq[Array[Long]], iterOther: Seq[String])
+    val results: Seq[QRec] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val startCs = (System.nanoTime() - pass0) / 10000000L
         val loadAtStart = loadAvg()
         val (busy0, all0) = cpuTicks()
         val self0 = selfTicks()
-        val times = (0 until iters).map { _ =>
+        val perIter = (0 until iters).map { _ =>
+          val s0 = stallSnap()
+          val (ibusy0, iall0) = cpuTicks()
+          val iself0 = selfTicks()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9 }
-          catch { case t: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-            -1.0 }
+          val sec =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite")
+              .save()
+              (System.nanoTime() - t0) / 1e9 }
+            catch { case t: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+              -1.0 }
+          val iOther = otherPct(ibusy0, iall0, iself0)
+          (sec, stallDeltaMs(s0, stallSnap()), iOther)
         }
+        val times = perIter.map(_._1)
         val other = otherPct(busy0, all0, self0)
-        if (times.exists(_ < 0))
-          (name, -1.0, times, startCs, loadAtStart, other)
-        else {
-          val sorted = times.sorted
-          (name, sorted(sorted.length / 2), times, startCs, loadAtStart,
-            other)
-        }
+        val med =
+          if (times.exists(_ < 0)) -1.0
+          else { val sorted = times.sorted; sorted(sorted.length / 2) }
+        QRec(name, med, times, startCs, loadAtStart, other,
+          perIter.map(_._2), perIter.map(_._3))
       }
     def sig3(x: Double): String =
       BigDecimal(x).round(new java.math.MathContext(3))
@@ -143,37 +232,53 @@ object Bench {
     // ~10 ms run-to-run noise floor and JSON-cheap.
     def fmtCs(x: Double): String = math.round(x * 100).toString
     val errors = results
-      .collect { case (k, med, _, _, _, _) if med < 0 => "\"" + k + "\"" }
+      .collect { case r if r.median < 0 => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val ok = results.collect { case (_, med, _, _, _, _) if med >= 0 => med }
+    val ok = results.collect { case r if r.median >= 0 => r.median }
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val (maxName, maxMed) = results.filter(_._2 >= 0) match {
+    val (maxName, maxMed) = results.filter(_.median >= 0) match {
       case Seq() => ("none", 0.0)
-      case rs => val m = rs.maxBy(_._2); (m._1, m._2)
+      case rs => val m = rs.maxBy(_.median); (m.name, m.median)
     }
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
     val sfName = sfDir.split('/').last
     // Full record: per-query medians + every iteration, full names.
     val qs = results
-      .map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmtCs(med) }
+      .map { r => "\"" + r.name + "\":" + fmtCs(r.median) }
       .mkString("{", ",", "}")
     val itersMap = results
-      .map { case (k, _, ts, _, _, _) =>
-        "\"" + k + "\":" + ts.map(fmtCs).mkString("[", ",", "]") }
+      .map { r =>
+        "\"" + r.name + "\":" + r.times.map(fmtCs).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // [start_cs_offset_into_timed_pass, loadavg_1min_at_start,
     //  cpu_other_pct_over_the_query_window] per query — the third field
     // is the direct co-tenant measure; see the cpuTicks comment.
     val qMeta = results
-      .map { case (k, _, _, startCs, ld, op) =>
-        "\"" + k + "\":[" + startCs + "," + ld + "," + op + "]" }
+      .map { r =>
+        "\"" + r.name + "\":[" + r.startCs + "," + r.load + "," +
+          r.other + "]" }
+      .mkString("{", ",", "}")
+    // Per-iteration stall rows, aligned 1:1 with iters_cs:
+    // [psi_cpu_some_ms, psi_mem_some_ms, psi_io_some_ms, jvm_gc_ms,
+    //  cgroup_throttled_ms, cpu_other_pct] per iteration. The
+    // adjudication recipe (SCALE.md) keys on stall-share of the
+    // iteration's wall — an inflated iteration with flat cpu_other but
+    // elevated PSI/throttle/GC deltas self-adjudicates as the non-CPU
+    // contention class the r11 official record hid.
+    val stallMap = results
+      .map { r =>
+        val rows = r.iterStalls.zip(r.iterOther).map { case (st, op) =>
+          (st.map(_.toString) :+ op).mkString("[", ",", "]")
+        }
+        "\"" + r.name + "\":" + rows.mkString("[", ",", "]")
+      }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","unit":"sec","qunit":"cs",""" +
       s""""sf":"$sfName","cpus":$cpus,"shuffle_partitions":$parts,""" +
       s""""iters":$iters,"warmup_sec":${sig3(warmupSec)},""" +
       s""""loadavg_start":$load0,"loadavg_end":${loadAvg()},""" +
       s""""queries":$qs,"iters_cs":$itersMap,""" +
-      s""""qstart_load":$qMeta,""" +
+      s""""qstart_load":$qMeta,"iters_stall":$stallMap,""" +
       s""""errors":$errors,"value":${sig3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), full + "\n")
@@ -194,6 +299,6 @@ object Bench {
     spark.stop()
     println(line)
     System.out.flush()
-    if (results.exists(_._2 < 0)) sys.exit(1)
+    if (results.exists(_.median < 0)) sys.exit(1)
   }
 }

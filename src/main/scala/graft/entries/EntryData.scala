@@ -149,6 +149,46 @@ private[graft] object EntryData {
     GraphBuilder.build(s, cfg).stats(s)
   }
 
+  /** q_g26d/f/g's shared SCC fixtures: base labels + condensation of
+    * (a) the "base" graph (heteroEdges + region→nation back-edges —
+    * the world before the nation→customer delta arrives) and (b) the
+    * full cyclic [[sccEdges]] graph, computed ONCE per (session,
+    * dataset) and localCheckpoint-pinned — the q_x3j "build once,
+    * time serving" discipline applied to graph maintenance. The three
+    * maintenance rows exist to time their MAINTENANCE step
+    * (incremental merge, decremental re-split, the CDC composition);
+    * rebuilding the base labels in-row re-times what q_g26_scc
+    * already times, and at ~9 s per synchronous-round SCC that
+    * rebuild was ~2/3 of q_g26g's cost (r11 verdict). Keyed on the
+    * session identity too: localCheckpoint blocks die with their
+    * session, so a cached frame must never leak across test-suite
+    * sessions. */
+  private val sccStateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, GraphOps.SccState]()
+  private def cachedSccState(s: SparkSession, dir: String, key: String)(
+      edges: => DataFrame): GraphOps.SccState =
+    sccStateCache.computeIfAbsent(
+      s"$key@$dir@${System.identityHashCode(s)}", _ => {
+        val e = edges
+        val labels = GraphOps.stronglyConnectedComponents(e)
+          .localCheckpoint()
+        GraphOps.SccState(labels,
+          GraphOps.condensation(e, labels).localCheckpoint())
+      })
+  /** Labels + condensation of the PRE-DELTA base graph (no
+    * nation→customer back-edges) — q_g26d/q_g26g's starting state. */
+  def baseSccState(s: SparkSession, dir: String): GraphOps.SccState =
+    cachedSccState(s, dir, "base") {
+      val back = t(s, dir, "nation").select(
+        (col("n_regionkey").cast("long") * 4 + 3).as("start_id"),
+        (col("n_nationkey").cast("long") * 4 + 2).as("end_id"))
+      heteroEdges(s, dir).unionByName(back)
+    }
+  /** Labels + condensation of the FULL cyclic graph — q_g26f's
+    * starting state. */
+  def fullSccState(s: SparkSession, dir: String): GraphOps.SccState =
+    cachedSccState(s, dir, "full")(sccEdges(s, dir))
+
   /** q_x3j's stored ANN index: built + saved ONCE per (process, dataset
     * dir) — production trains quantizers at ingest, not per query, so
     * repeat invocations of the query (bench iterations) measure the

@@ -213,6 +213,39 @@ private[graft] object QueriesMultimodal {
         .orderBy("doc_id")
     }),
 
+    // ---- X5m: image quality triage — the image twin of X5k: per-doc
+    // gradient PNGs (w, h, base, steps all doc_id arithmetic; every
+    // ninth doc a SOLID), REAL decode, then exact integer luma
+    // verdicts: exposure counts at the 250/5 thresholds, histogram
+    // bounds (contrast spread), modal count (solid detection). Gray
+    // pixels make luma == the written value exactly (1000·v div 1000),
+    // so the oracle re-derives every count from the (x, y) grid. ----
+    "q_x5m_image_quality" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        (lit(4) + col("doc_id") % 13).cast("int").as("w"),
+        (lit(2) + col("doc_id") % 7).cast("int").as("h"),
+        (col("doc_id") % 200).cast("int").as("base"),
+        when(col("doc_id") % 9 === 0, lit(0)).otherwise(lit(7))
+          .cast("int").as("sx"),
+        when(col("doc_id") % 9 === 0, lit(0)).otherwise(lit(13))
+          .cast("int").as("sy"))
+      val png = Multimodal.synthesizeGradientPngs(spec, "w", "h",
+        "base", "sx", "sy", "payload")
+      Multimodal.extractImageQuality(png, "payload")
+        .select(col("doc_id"),
+          col("image_q.width").cast("long").as("width"),
+          col("image_q.height").cast("long").as("height"),
+          col("image_q.n_pixels").as("n_pixels"),
+          col("image_q.n_over").as("n_over"),
+          col("image_q.n_under").as("n_under"),
+          col("image_q.luma_min").cast("long").as("luma_min"),
+          col("image_q.luma_max").cast("long").as("luma_max"),
+          col("image_q.n_modal").as("n_modal"),
+          when(col("image_q.n_modal") === col("image_q.n_pixels"),
+            lit(1L)).otherwise(lit(0L)).as("is_solid"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X5h: REAL audio resample — synthesize WAVs (per-doc rate ∈
     // {8k..14k}, constant amplitude), resample all to 6 kHz by
     // nearest-neighbor frame selection, decode again: rate is the literal
@@ -426,6 +459,40 @@ private[graft] object QueriesMultimodal {
         |  ELSE (doc_id % 900) + 1 END) * (100 + doc_id % 50)
         |  AS BIGINT) AS sum_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The gradient fixture's pixel luma is (base + x·sx + y·sy) mod 256
+    // exactly (gray r=g=b makes the BT.601 fixed-point a no-op), so
+    // every verdict re-derives from the (x, y) grid: cross join two
+    // bounded ranges (max w = 16, max h = 8), aggregate per doc, modal
+    // count from the per-value histogram.
+    "q_x5m_image_quality" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+        |    2 + doc_id % 7 AS h, doc_id % 200 AS base,
+        |    CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 7 END AS sx,
+        |    CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 13 END AS sy
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h,
+        |    CAST((d.base + x.x * d.sx + y.y * d.sy) % 256 AS BIGINT) AS v
+        |  FROM d, range(17) x(x), range(9) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |agg AS (SELECT doc_id, w, h,
+        |    CAST(count(*) AS BIGINT) AS n_pixels,
+        |    CAST(sum(CASE WHEN v >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_over,
+        |    CAST(sum(CASE WHEN v <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_under,
+        |    min(v) AS luma_min, max(v) AS luma_max
+        |  FROM px GROUP BY 1, 2, 3),
+        |modal AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS n_modal
+        |  FROM (SELECT doc_id, v, count(*) AS c FROM px
+        |        GROUP BY doc_id, v) GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, n_pixels, n_over, n_under,
+        |  luma_min, luma_max, n_modal,
+        |  CAST(CASE WHEN n_modal = n_pixels THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_solid
+        |FROM agg a JOIN modal USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Resampled rate is the literal 6 kHz target; the frame count is the
     // integer expression the kernel computes; constant amplitude keeps

@@ -1567,6 +1567,110 @@ object GraphOps {
     kept.unionByName(regionOut)
   }
 
+  /** Decremental community maintenance under edge DELETIONS — the
+    * takedown twin of [[incrementalCommunities]], completing the
+    * maintenance grid for community labels (the [[decrementalScc]] /
+    * [[graft.operators.Funnel.deleteIntervals]] discipline): on
+    * delete, the TOUCHED communities — those holding an endpoint of a
+    * deleted edge — re-derive from remaining-edge ground truth, while
+    * every other node keeps its stored label verbatim.
+    *
+    * Unlike the SCC side there is no refinement theorem to lean on
+    * (modularity partitions are not monotone under deletion), so the
+    * re-derivation is the honest one: the touched communities'
+    * members re-run `rounds` GATED Louvain move rounds from SINGLETON
+    * seeds over their induced remaining subgraph. Singleton seeds —
+    * not stored labels — because a deletion can DISCONNECT a stored
+    * community, and seeded moves would leave both halves sharing a
+    * label with zero connecting edges (the phantom-community bug
+    * [[leidenRefine]] exists to kill); rebuilt from singletons, each
+    * connected cluster coalesces separately. Members left with no
+    * induced remaining edge become singletons (their community
+    * dissolved around them — they stand alone until the next
+    * maintenance round or the periodic full [[leiden]]
+    * consolidation, the same story as the incremental side). Node
+    * rows persist: deleting an EDGE never deletes a node's label row
+    * (contrast [[decrementalScc]], whose vertex-set contract follows
+    * the edge table).
+    *
+    * The locality is the same explicit approximation as the
+    * incremental side, one step tighter: moves are scored on the
+    * subgraph INDUCED on the touched communities' members, so
+    * boundary edges into untouched communities don't pull. Deletes of
+    * edges whose endpoints are unknown to `prevLabels` are no-ops; a
+    * "deleted" edge still present in `remainingEdges` costs work but
+    * never correctness (ground truth wins).
+    *
+    * Scale notes (100 TB): the touched-community frame is delta-sized
+    * and broadcast into both membership joins; `remainingEdges` — the
+    * one corpus-sized input — is scanned ONCE and immediately
+    * filtered to the members' induced subgraph (with a
+    * community-bucketed edge store this is partition pruning); the
+    * Louvain rounds run on that subgraph only; the stored labels
+    * frame is touched by one semi-join and one anti-join. This is
+    * [[graft.streaming.StreamingIngest.streamingCommunitiesCdc]]'s
+    * per-trigger delete step.
+    *
+    * @param remainingEdges the post-delete edge table — ground truth
+    * @param deletedEdges   the (`start_id`, `end_id`) rows removed
+    *                       (endpoints select the touched communities)
+    * @param prevLabels     stored (`id`, `community`)
+    * @param rounds         gated move rounds for the rebuild (the
+    *                       [[incrementalCommunities]] default: two
+    *                       move opportunities per node)
+    * @return (`id`, `community`) for every prevLabels node */
+  def decrementalCommunities(remainingEdges: DataFrame,
+      deletedEdges: DataFrame, prevLabels: DataFrame, rounds: Int = 4,
+      seed: Long = 42L, weightCol: Option[String] = None,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val dec = "decimal(38,0)"
+    val prev = prevLabels.select(col("id"), col("community"))
+    val delIds = deletedEdges.select(col(StartId).as("id"))
+      .unionAll(deletedEdges.select(col(EndId).as("id"))).distinct()
+    // Touched communities: stored communities of the deleted-edge
+    // endpoints (inner join — unknown endpoints are no-ops).
+    val tc = delIds.join(prev, Seq("id"))
+      .select("community").distinct().localCheckpoint()
+    val members = ckpt(prev.join(broadcast(tc), Seq("community"),
+      "left_semi"))
+    // Same input convention as louvain: unweighted = simple graph,
+    // weighted = parallel edge weights sum. ONE pass over the
+    // corpus-sized remaining table, then induced on the members.
+    val canon = weightCol match {
+      case Some(wc) => remainingEdges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"),
+          col(wc).cast(dec).as("_w"))
+        .groupBy("a", "b").agg(sum("_w").as("_w"))
+      case None => remainingEdges.select(
+          least(col(StartId), col(EndId)).as("a"),
+          greatest(col(StartId), col(EndId)).as("b"))
+        .distinct()
+    }
+    val mem = members.select("id")
+    val sub = ckpt(canon
+      .join(mem.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(mem.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+    val subEdges = weightCol match {
+      case Some(_) => sub.select(col("a").as(StartId),
+        col("b").as(EndId), col("_w"))
+      case None => sub.select(col("a").as(StartId), col("b").as(EndId))
+    }
+    val relabeled = louvain(subEdges, rounds, seed,
+      weightCol = weightCol.map(_ => "_w"), ckpt = ckpt,
+      schedule = "g" * rounds)
+    // the anti/semi-joins move their key first — restore (id,
+    // community) order for positional consumers before the union
+    val kept = prev.join(broadcast(tc), Seq("community"), "left_anti")
+      .select("id", "community")
+    val membersOut = mem
+      .join(relabeled.withColumnRenamed("community", "_new"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_new"), col("id")).as("community"))
+    kept.unionByName(membersOut)
+  }
+
   /** Continuous-MLE power-law exponent of the degree distribution:
     * `alpha = 1 + n / Σ ln(d_i/dMin)` over nodes with degree ≥ `dMin`
     * (Clauset–Shalizi–Newman's estimator), with standard error

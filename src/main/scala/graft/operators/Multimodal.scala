@@ -809,6 +809,140 @@ object Multimodal {
     df.withColumn("audio_q", qUdf(col(binCol)))
   }
 
+  /** Output-struct row of [[extractImageQuality]] — field names are
+    * the column contract. All EXACT integer counts over the decoded
+    * pixels' integer luma (ITU-R BT.601 fixed-point:
+    * `(299·r + 587·g + 114·b) div 1000`; gray payloads use the sample
+    * directly — for r=g=b the two agree exactly, since
+    * 1000·v div 1000 = v), so quality verdicts are bit-reproducible:
+    * `n_over`/`n_under` count luma ≥/≤ the exposure thresholds
+    * (blown highlights / crushed shadows), `luma_min`/`luma_max`
+    * bound the histogram (spread = contrast; a narrow band means a
+    * low-contrast scan), `n_modal` is the most frequent luma's count
+    * (`n_modal == n_pixels` ⇔ solid; near-equality catches
+    * letterboxed blanks and single-color placeholders). Width/height
+    * ride along so extreme-aspect filters stay one select away. */
+  final case class ImageQuality(width: Int, height: Int,
+      n_pixels: Long, n_over: Long, n_under: Long, luma_min: Int,
+      luma_max: Int, n_modal: Long)
+
+  /** Per-payload image quality triage stats — the image twin of
+    * [[audioQuality]] (X5k's decode-side gate, for pixels): one
+    * streaming pass over the raster, integer-exact counts only (see
+    * [[ImageQuality]]). Same total-function contract and
+    * decompression-bomb guard as [[decodeImage]]: None for null /
+    * corrupt / non-image / over-budget payloads; never throws. */
+  def imageQuality(bytes: Array[Byte], overThreshold: Int = 250,
+      underThreshold: Int = 5,
+      maxPixels: Long = DefaultMaxPixels): Option[ImageQuality] = {
+    require(overThreshold >= 0 && overThreshold <= 255,
+      "overThreshold must be in [0, 255]")
+    require(underThreshold >= 0 && underThreshold <= 255,
+      "underThreshold must be in [0, 255]")
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+          val img = reader.read(0)
+          if (img == null) return None
+          val raster = img.getRaster
+          val nb = raster.getNumBands
+          val hist = new Array[Long](256)
+          var over = 0L; var under = 0L
+          var lMin = 255; var lMax = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val luma =
+                if (nb >= 3)
+                  (299 * raster.getSample(x, y, 0) +
+                    587 * raster.getSample(x, y, 1) +
+                    114 * raster.getSample(x, y, 2)) / 1000
+                else raster.getSample(x, y, 0)
+              val l = if (luma < 0) 0 else if (luma > 255) 255 else luma
+              hist(l) += 1
+              if (l >= overThreshold) over += 1
+              if (l <= underThreshold) under += 1
+              if (l < lMin) lMin = l
+              if (l > lMax) lMax = l
+              x += 1
+            }
+            y += 1
+          }
+          var modal = 0L
+          var i = 0
+          while (i < 256) {
+            if (hist(i) > modal) modal = hist(i)
+            i += 1
+          }
+          Some(ImageQuality(w, h, w.toLong * h, over, under, lMin,
+            lMax, modal))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed [[imageQuality]]: appends a nullable `image_q` struct
+    * (null where the payload didn't decode). Narrow per-partition
+    * decode, payload bytes never shuffle — the curation pattern is
+    * extract → filter on the integer verdict columns → only THEN pay
+    * for embedding/export on the survivors. */
+  def extractImageQuality(df: DataFrame, binCol: String,
+      overThreshold: Int = 250, underThreshold: Int = 5): DataFrame = {
+    val qUdf = udf((bytes: Array[Byte]) =>
+      imageQuality(bytes, overThreshold, underThreshold))
+    df.withColumn("image_q", qUdf(col(binCol)))
+  }
+
+  /** Encode the `w`×`h` gray-gradient PNG with pixel value
+    * `(base + x·stepX + y·stepY) mod 256` (written r=g=b) — the
+    * oracle-expressible fixture generator for the image-QUALITY
+    * queries (the [[encodeDhashPatternPng]] discipline, but with the
+    * full 0–255 luma range in play so exposure/contrast/solid
+    * verdicts all exercise: stepX=stepY=0 makes a solid, a wrapping
+    * gradient crosses both exposure thresholds, and every pixel's
+    * luma is pure integer arithmetic on (x, y) — DuckDB-checkable). */
+  def encodeGradientPng(w: Int, h: Int, base: Int, stepX: Int,
+      stepY: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, "dimensions must be >= 1")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = java.lang.Math.floorMod(base + x * stepX + y * stepY, 256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed [[encodeGradientPng]] over integer spec columns. */
+  def synthesizeGradientPngs(df: DataFrame, wCol: String, hCol: String,
+      baseCol: String, stepXCol: String, stepYCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol, gradientPngUdf(col(wCol), col(hCol),
+      col(baseCol), col(stepXCol), col(stepYCol)))
+
+  private val gradientPngUdf =
+    udf((w: Int, h: Int, base: Int, sx: Int, sy: Int) =>
+      encodeGradientPng(w, h, base, sx, sy))
+
   // ---------------------------------------------------------------------
   // Video container metadata (REAL — header parsing, no codec needed).
   // The JDK ships no video codec, so frame DECODE stays out of scope, but

@@ -1050,11 +1050,21 @@ object Similarity {
     val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
     val (nDeltas, nLedger, deltaMean) =
       if (fs.exists(logPath)) {
-        val raw = spark.read.parquet(logPath.toString)
+        // mergeSchema: a MIXED ledger (pre-r11 2-col files beside new
+        // 3-col appends) would otherwise infer its schema from
+        // whichever file footer is read first — old rows would read
+        // n_batches as null and sum() would skip them, silently
+        // undercounting the rolled-up batch total. With the merged
+        // schema, per-row coalesce(n_batches, 1) restores the pre-r11
+        // contract (one row = one ingest batch).
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(logPath.toString)
         // pre-r11 ledgers have no n_batches column: each row was one
         // ingest batch
         val log =
-          if (raw.schema.fieldNames.contains("n_batches")) raw
+          if (raw.schema.fieldNames.contains("n_batches"))
+            raw.withColumn("n_batches",
+              coalesce(col("n_batches").cast("long"), lit(1L)))
           else raw.withColumn("n_batches", lit(1L))
         val r = log.agg(sum(col("n_batches")), sum(col("n_added")),
             sum(col("n_added") * col("delta_mean_assign_cosine")) /
@@ -1078,9 +1088,21 @@ object Similarity {
       Seq((nLedger, deltaMean, nDeltas))
         .toDF("n_added", "delta_mean_assign_cosine", "n_batches")
         .coalesce(1).write.parquet(tmpLog.toString)
-      fs.delete(logPath, true): Unit
+      // Recoverable swap (the retrainIndex discipline): rename the live
+      // ledger ASIDE first, then promote the summary, then drop the old
+      // copy — a crash at any point leaves at least one complete ledger
+      // on disk (old aside or new live), never the delete-then-rename
+      // window that would silently reset retrain_recommended evidence.
+      val oldLog =
+        new org.apache.hadoop.fs.Path(s"$dir/drift_log_compact_old")
+      fs.delete(oldLog, true): Unit
+      require(fs.rename(logPath, oldLog),
+        s"compactIndex: rename $logPath -> $oldLog failed (ledger " +
+          "untouched)")
       require(fs.rename(tmpLog, logPath),
-        s"compactIndex: rename $tmpLog -> $logPath failed")
+        s"compactIndex: rename $tmpLog -> $logPath failed (previous " +
+          s"ledger preserved at $oldLog — rename it back to recover)")
+      fs.delete(oldLog, true): Unit
     }
     val buildMean = ix.meanAssignCosine
     val tol =

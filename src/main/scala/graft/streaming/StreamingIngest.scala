@@ -782,11 +782,22 @@ object StreamingIngest {
     * would). A crash strictly mid-batch can still double-apply the
     * delta to the ISLANDS store; recovery is mechanical because the
     * raw store holds exact ground truth — delete the islands store
-    * and the next trigger cold-starts an exact rebuild. */
+    * and the next trigger cold-starts an exact rebuild.
+    *
+    * LAYOUT (breaking change vs the pre-r11 flat append): the raw
+    * store is `batch=<id>/` partition subdirectories. A pre-r11 FLAT
+    * rawDir that starts receiving `batch=` subdirs becomes a mixed
+    * layout Spark's partition discovery cannot read consistently
+    * (cold-start rebuilds could fail or silently drop the partition
+    * column), so the first trigger REFUSES a rawDir holding loose
+    * root-level data files — migrate once by moving them into a
+    * `batch=-1/` subdirectory (any id below the stream's first batch),
+    * after which cold start reads the full history again. */
   def streamingIntervals(intervals: DataFrame, rawDir: String,
       islandsDir: String, checkpointDir: String, keyCol: String,
       startCol: String, endCol: String,
-      minGap: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+      minGap: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
     intervals
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -799,6 +810,8 @@ object StreamingIngest {
             s"$rawDir/_batches/$batchId")
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true))
+            requireBatchLayout(fs, rawDir, "streamingIntervals")
           if (!fs.exists(marker)) {
             // batchId-keyed overwrite: redelivery after a crash
             // replaces (never duplicates) this batch's raw rows
@@ -822,6 +835,165 @@ object StreamingIngest {
         }
       }
       .start()
+  }
+
+  /** Interval-island maintenance under a CDC interval stream — adds
+    * AND deletes interleaved, the takedown-complete upgrade of
+    * [[streamingIntervals]] and the interval-side twin of
+    * [[streamingSccCdc]]: each trigger applies its additions through
+    * [[graft.operators.Funnel.absorbIntervals]] (exact: appends only
+    * merge) and its deletions through
+    * [[graft.operators.Funnel.deleteIntervals]] (exact: touched keys
+    * re-merge from remaining-interval ground truth), so after every
+    * completed trigger the islands store is bit-equal to a full
+    * [[graft.operators.Funnel.mergeIntervals]] over the EFFECTIVE
+    * interval set. The CDC store is SET-semantics on the interval
+    * identity (`key`, `start`, `end`): the latest operation per
+    * identity wins, a delete beats an add in the same batch, and
+    * re-adding a deleted interval resurrects it — so `n_merged`
+    * counts LIVE DISTINCT intervals per island (contrast the
+    * append-only twin's multiset counts, where redelivered duplicates
+    * are deduplicated by the marker, not the store).
+    *
+    * Ground truth lives in two batchId-keyed op stores
+    * (`rawDir/batch=<id>/`, `delsDir/batch=<id>/` — idempotent
+    * overwrites) reconciled latest-wins; a per-batchId marker makes
+    * completed-batch redelivery a no-op, and a mid-batch crash
+    * recovers mechanically (delete the islands store → the next
+    * trigger cold-rebuilds from the reconciled ground truth).
+    *
+    * Scale notes (100 TB): add-only triggers are islands+delta-sized
+    * after the reconciliation fold; the fold itself is one
+    * identity-keyed groupBy over the op stores (key-partitioned
+    * stores make it partition-local) — the price of delete
+    * capability, paid once per trigger; the delete step's re-merge
+    * shuffles only the touched keys' rows (the
+    * [[graft.operators.Funnel.deleteIntervals]] contract). */
+  def streamingIntervalsCdc(events: DataFrame, rawDir: String,
+      delsDir: String, islandsDir: String, checkpointDir: String,
+      keyCol: String, startCol: String, endCol: String,
+      minGap: Long = 0L, opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col(keyCol), col(startCol), col(endCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$rawDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, rawDir, "streamingIntervalsCdc")
+            requireBatchLayout(fs, delsDir, "streamingIntervalsCdc")
+          }
+          if (!fs.exists(marker)) {
+            val adds = b.filter(col("_op") === "add")
+              .select(col(keyCol), col(startCol), col(endCol))
+              .distinct().localCheckpoint()
+            val dels = b.filter(col("_op") === "del")
+              .select(col(keyCol), col(startCol), col(endCol))
+              .distinct().localCheckpoint()
+            val nDels = dels.count()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$rawDir/batch=$batchId")
+            if (nDels > 0L)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            def store(dir: String, op: Int) =
+              spark.read.parquet(dir).select(col(keyCol), col(startCol),
+                col(endCol), col("batch").cast("long").as("_b"),
+                lit(op).as("_o"))
+            // latest op per interval identity; del beats add within
+            // one batch (the _d tiebreaker, streamingSccCdc's fold).
+            // excludeThisBatch = the PRE-batch live set.
+            def remaining(excludeThisBatch: Boolean) = {
+              val haveAdds =
+                fs.exists(new org.apache.hadoop.fs.Path(rawDir))
+              val haveDels =
+                fs.exists(new org.apache.hadoop.fs.Path(delsDir))
+              val empty = adds.limit(0)
+                .select(col(keyCol), col(startCol), col(endCol),
+                  lit(-1L).as("_b"), lit(0).as("_o"))
+              val u = (if (haveAdds) store(rawDir, 1) else empty)
+                .unionByName(if (haveDels) store(delsDir, 0) else empty)
+              (if (excludeThisBatch) u.filter(col("_b") =!= batchId)
+               else u)
+                .groupBy(keyCol, startCol, endCol)
+                .agg(max(struct(col("_b"), (lit(1) - col("_o")).as("_d"),
+                  col("_o"))).as("_m"))
+                .filter(col("_m._o") === 1)
+                .select(keyCol, startCol, endCol)
+            }
+            val sMark =
+              new org.apache.hadoop.fs.Path(s"$islandsDir/_SUCCESS")
+            val islands =
+              if (fs.exists(sMark)) {
+                val live = remaining(excludeThisBatch = false)
+                  .localCheckpoint()
+                // the ADD delta the store hasn't absorbed yet: this
+                // batch's adds that are live after the fold (a
+                // same-batch delete must not reach the absorb) AND
+                // were NOT live before it (re-adding a still-live
+                // interval must not double its n_merged count — set
+                // semantics; the pre-batch fold is the price of the
+                // exactness claim, paid only on add-bearing triggers)
+                val newLive = adds
+                  .join(live, Seq(keyCol, startCol, endCol), "left_semi")
+                  .join(remaining(excludeThisBatch = true),
+                    Seq(keyCol, startCol, endCol), "left_anti")
+                  .localCheckpoint()
+                val st1 =
+                  if (newLive.isEmpty)
+                    spark.read.parquet(islandsDir)
+                  else graft.operators.Funnel.absorbIntervals(
+                    spark.read.parquet(islandsDir), newLive, keyCol,
+                    startCol, endCol, minGap)
+                if (nDels == 0L) st1
+                else graft.operators.Funnel.deleteIntervals(st1, live,
+                  dels, keyCol, startCol, endCol, minGap)
+              } else
+                graft.operators.Funnel.mergeIntervals(
+                  remaining(excludeThisBatch = false),
+                  keyCol, startCol, endCol, minGap)
+            islands.localCheckpoint()
+              .write.mode("overwrite").parquet(islandsDir)
+            fs.mkdirs(marker): Unit
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Refuse a raw store whose root holds loose data files beside (or
+    * about to gain) `batch=<id>/` subdirectories — the mixed layout
+    * breaks Spark's partition discovery (inconsistent directory depth)
+    * or silently loses the `batch` column depending on which files are
+    * listed first. Checked once per started query, before the first
+    * write. Underscore/dot-prefixed entries (markers, _SUCCESS, CRC
+    * sidecars) are ignored, as parquet readers ignore them. */
+  private def requireBatchLayout(fs: org.apache.hadoop.fs.FileSystem,
+      rawDir: String, who: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rawDir)
+    if (fs.exists(root)) {
+      val loose = fs.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          !(st.isDirectory && n.startsWith("batch="))
+      }
+      require(loose.isEmpty,
+        s"$who: raw store $rawDir holds ${loose.length} loose root " +
+          s"entr(ies) (e.g. ${loose.head.getPath.getName}) beside the " +
+          "batch=<id>/ layout — a pre-partitioned (flat-append) store. " +
+          "Migrate once: move the loose files into a batch=-1/ " +
+          "subdirectory, then restart the stream.")
+    }
+  }
 
   /** Streaming ANN index ingest — the foreachBatch twin of
     * [[graft.operators.Similarity.updateIndex]], completing the
@@ -832,14 +1004,22 @@ object StreamingIngest {
     * streaming corpus drives the full serving lifecycle, retrain
     * recommendation included.
     *
-    * Exactly-once per batch via the ST30b marker discipline: a
-    * per-batchId marker under `indexDir/_batches/` (underscore-
-    * prefixed — invisible to parquet readers) makes redelivery of a
-    * COMPLETED batch a no-op — vital here because updateIndex is an
-    * APPEND (a double-applied batch would leave duplicate live rows,
-    * the documented id-contract violation). A crash strictly
-    * mid-batch can still leave a partial append; recovery follows the
-    * updateIndex id contract (tombstone the batch's ids, re-ingest).
+    * Exactly-once per batch via a TWO-PHASE marker discipline under
+    * `indexDir/_batches/` (underscore-prefixed — invisible to parquet
+    * readers): `<id>.started` lands BEFORE the append, `<id>` after,
+    * so every redelivery is unambiguous. Final marker present →
+    * completed batch, no-op. Started marker without final → a crash
+    * mid-batch, where a PARTIAL append may exist — the trigger
+    * SELF-HEALS by running the documented id-contract recovery
+    * mechanically: tombstone the batch's ids
+    * ([[graft.operators.Similarity.deleteFromIndex]]), purge them
+    * physically ([[graft.operators.Similarity.compactIndex]] — also
+    * clears the tombstones, so the re-applied ids come back live),
+    * then re-apply the batch. Neither marker → first delivery, no
+    * healing cost. The one residue: if the crash hit between the
+    * drift-ledger append and the final marker, the healed re-apply
+    * ledgers the batch twice — a policy-weight skew only (the drift
+    * verdict weights by n_added; labels and served rows stay exact).
     *
     * Compaction threshold checked per trigger: with `maxFragments` >
     * 0, a trigger that leaves more than that many parquet fragments
@@ -860,13 +1040,25 @@ object StreamingIngest {
         if (!delta.isEmpty) {
           val marker = new org.apache.hadoop.fs.Path(
             s"$indexDir/_batches/$batchId")
+          val started = new org.apache.hadoop.fs.Path(
+            s"$indexDir/_batches/$batchId.started")
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
+            if (fs.exists(started)) {
+              // redelivery after a mid-batch crash: a partial append
+              // may exist — tombstone this batch's ids and purge them
+              // physically, then fall through to a clean re-apply
+              graft.operators.Similarity.deleteFromIndex(spark,
+                indexDir, delta.select(col(idCol)), idCol): Unit
+              graft.operators.Similarity.compactIndex(spark,
+                indexDir): Unit
+            } else fs.mkdirs(started): Unit
             // eager by construction: the append + ledger happen inside
             graft.operators.Similarity.updateIndex(spark, indexDir,
               delta, vecCol, idCol): Unit
             fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
             if (maxFragments > 0) {
               val vecPath =
                 new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
@@ -992,6 +1184,120 @@ object StreamingIngest {
             val qc = quotient.localCheckpoint()
             lc.write.mode("overwrite").parquet(labelsDir)
             qc.write.mode("overwrite").parquet(quotientDir)
+            fs.mkdirs(marker): Unit
+          }
+        }
+      }
+      .start()
+
+  /** Community-label maintenance under a CDC edge stream — adds AND
+    * deletes interleaved, the takedown-complete upgrade of
+    * [[streamingCommunities]] and the community-side twin of
+    * [[streamingSccCdc]]: each trigger applies its additions through
+    * [[graft.operators.GraphOps.incrementalCommunities]] (seeded
+    * gated moves over the delta's hop-region) and then its deletions
+    * through [[graft.operators.GraphOps.decrementalCommunities]]
+    * (touched communities rebuilt from remaining-edge ground truth),
+    * so the stored labels track the EFFECTIVE edge set. Within a
+    * batch, deletes win over adds of the same edge (the primitive
+    * application order — the add lands, then the delete-side rebuild
+    * runs on ground truth that excludes it); across batches the
+    * latest operation wins, so re-adding a deleted edge resurrects it
+    * and its region re-coalesces. Unlike the SCC twin there is no
+    * bit-equality theorem — community maintenance is the documented
+    * delta-local approximation on BOTH sides, with periodic full
+    * [[graft.operators.GraphOps.leiden]] runs as the consolidation
+    * story.
+    *
+    * Ground truth lives in two batchId-keyed op stores
+    * (`edgesDir/batch=<id>/`, `delsDir/batch=<id>/` — idempotent
+    * overwrites) reconciled latest-wins per edge; a per-batchId
+    * marker makes completed-batch redelivery a no-op, and a
+    * mid-batch crash recovers mechanically (delete the labels store →
+    * cold rebuild). The incremental step needs the full effective
+    * edge set (its hop-region induces from it), so every trigger pays
+    * one reconciliation fold over the op stores — the cost
+    * [[streamingCommunities]] already paid reading its accumulated
+    * append store, now delete-aware. The add-step reconciliation
+    * EXCLUDES the current batch's deletes (the world the adds land
+    * in); the delete step reconciles everything. */
+  def streamingCommunitiesCdc(events: DataFrame, edgesDir: String,
+      delsDir: String, labelsDir: String, checkpointDir: String,
+      opCol: String = "op", rounds: Int = 4,
+      hops: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col("start_id"), col("end_id")).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$labelsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            val adds = b.filter(col("_op") === "add")
+              .select("start_id", "end_id").localCheckpoint()
+            val dels = b.filter(col("_op") === "del")
+              .select("start_id", "end_id").localCheckpoint()
+            val nDels = dels.count()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$edgesDir/batch=$batchId")
+            if (nDels > 0L)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            def store(dir: String, op: Int) =
+              spark.read.parquet(dir).select(col("start_id"),
+                col("end_id"), col("batch").cast("long").as("_b"),
+                lit(op).as("_o"))
+            // Latest op per edge. `asOfAdds` drops the CURRENT batch's
+            // deletes from the fold — the effective set the add step
+            // lands in (del still beats add within one batch because
+            // the delete step re-derives from the FULL fold after).
+            def effective(asOfAdds: Boolean) = {
+              val haveAdds =
+                fs.exists(new org.apache.hadoop.fs.Path(edgesDir))
+              val haveDels =
+                fs.exists(new org.apache.hadoop.fs.Path(delsDir))
+              val empty = adds.limit(0)
+                .select(col("start_id"), col("end_id"),
+                  lit(-1L).as("_b"), lit(0).as("_o"))
+              val delRows =
+                if (!haveDels) empty
+                else if (asOfAdds) store(delsDir, 0)
+                  .filter(col("_b") =!= batchId)
+                else store(delsDir, 0)
+              (if (haveAdds) store(edgesDir, 1) else empty)
+                .unionByName(delRows)
+                .groupBy("start_id", "end_id")
+                .agg(max(struct(col("_b"), (lit(1) - col("_o")).as("_d"),
+                  col("_o"))).as("_m"))
+                .filter(col("_m._o") === 1)
+                .select("start_id", "end_id")
+            }
+            val sMark =
+              new org.apache.hadoop.fs.Path(s"$labelsDir/_SUCCESS")
+            val labels =
+              if (fs.exists(sMark)) {
+                val prev = spark.read.parquet(labelsDir)
+                val l1 =
+                  if (adds.isEmpty) prev
+                  else graft.operators.GraphOps.incrementalCommunities(
+                    effective(asOfAdds = true), adds, prev,
+                    rounds = rounds, hops = hops)
+                if (nDels == 0L) l1
+                else graft.operators.GraphOps.decrementalCommunities(
+                  effective(asOfAdds = false), dels, l1,
+                  rounds = rounds)
+              } else
+                graft.operators.GraphOps.louvain(
+                  effective(asOfAdds = false), rounds = rounds,
+                  schedule = "g" * rounds)
+            labels.localCheckpoint()
+              .write.mode("overwrite").parquet(labelsDir)
             fs.mkdirs(marker): Unit
           }
         }

@@ -821,6 +821,20 @@ class AnalyzeSpec extends SparkSpec {
       .select(col("doc_id"), col("audio_q.n_samples"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stats == Map(1L -> 576L, 2L -> 576L, 3L -> 576L))
+    // imagestats: the image-quality twin from argv — a solid and a
+    // wrapping strip, verdicts pinned by hand
+    Seq((1L, graft.operators.Multimodal.encodeGradientPng(3, 2, 200, 0, 0)),
+      (2L, graft.operators.Multimodal.encodeGradientPng(4, 1, 250, 2, 0)))
+      .toDF("doc_id", "payload").write.parquet(s"$dir/pngs")
+    val iq = Analyze.run(parse(List("imagestats", "--docs",
+      s"$dir/pngs")), spark)
+      .select(col("doc_id"), col("image_q.n_modal"),
+        col("image_q.n_over"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(iq == Map(1L -> ((6L, 0L)), 2L -> ((1L, 3L))))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("imagestats")), spark))
     // schemadrift: metadata-only contract check from argv
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/sd_prev")
     Seq((1L, 2.0)).toDF("id", "v").write.parquet(s"$dir/sd_cur")
@@ -898,6 +912,28 @@ class AnalyzeSpec extends SparkSpec {
     assert(dec == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("sccdec", "--edges", s"$dir/sccd_rem")),
+        spark))
+    // commdec: decremental community maintenance from argv — severing
+    // the barbell bridge splits the stored community in two; the
+    // untouched community survives verbatim
+    Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L).toDF("id", "community")
+      .write.parquet(s"$dir/cd_labels")
+    Seq((3L, 4L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/cd_del")
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/cd_rem")
+    val cdec = Analyze.run(parse(List("commdec",
+      "--edges", s"$dir/cd_rem", "--delta", s"$dir/cd_del",
+      "--target", s"$dir/cd_labels", "--iterations", "4")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cdec(1L) == cdec(2L) && cdec(2L) == cdec(3L))
+    assert(cdec(4L) == cdec(5L) && cdec(5L) == cdec(6L))
+    assert(cdec(1L) != cdec(4L))
+    assert(Set(10L, 11L, 12L).forall(id => cdec(id) == 10L))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("commdec", "--edges", s"$dir/cd_rem")),
         spark))
     // bridges + articulation from argv: two triangles joined by one
     // edge — the joiner cuts, its endpoints cut

@@ -912,6 +912,47 @@ class GraphOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("decrementalCommunities: touched communities rebuild from " +
+    "remaining-edge ground truth — a severed community splits, fully " +
+    "stripped members become singletons, untouched labels survive " +
+    "verbatim, unknown deletes are no-ops") {
+    // old graph: barbell {1,2,3}–(3,4)–{4,5,6} (one stored community),
+    // triangle {10,11,12}, triangle {20,21,22}; labels from CC
+    val old = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("start_id", "end_id")
+    val prev = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L).toDF("id", "community")
+    // delete the bridge (splits the barbell) and ALL of {10,11,12}'s
+    // edges (strips that community bare)
+    val deleted = Seq((3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("start_id", "end_id")
+    val remaining = old.join(deleted, Seq("start_id", "end_id"),
+      "left_anti")
+    val out = GraphOps.decrementalCommunities(remaining, deleted, prev,
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every stored node keeps a label row — edge deletion never
+    // deletes a node
+    assert(out.keySet == prev.collect().map(_.getLong(0)).toSet)
+    // untouched community {20,21,22}: stored labels VERBATIM
+    assert(Set(20L, 21L, 22L).forall(id => out(id) == 20L))
+    // the severed barbell re-coalesces as TWO communities
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) == out(5L) && out(5L) == out(6L))
+    assert(out(1L) != out(4L), "severed halves must not share a label")
+    // fully-stripped members stand alone as singletons
+    assert(out(10L) == 10L && out(11L) == 11L && out(12L) == 12L)
+    // deletes with endpoints unknown to the store are no-ops
+    val noop = GraphOps.decrementalCommunities(old,
+        Seq((100L, 101L)).toDF("start_id", "end_id"), prev, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == prev.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("louvain initLabels: a seeded optimal partition is a fixpoint " +
     "under gated rounds") {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),

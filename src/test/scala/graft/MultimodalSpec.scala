@@ -545,6 +545,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> Some(2L), 2L -> None))
   }
 
+  test("imageQuality: exact exposure/contrast/solid verdicts — " +
+    "hand-computed pins on crafted rasters") {
+    // solid 3×2 at luma 200: modal = every pixel, zero spread
+    val solid = Multimodal.encodeGradientPng(3, 2, 200, 0, 0)
+    assert(Multimodal.imageQuality(solid).get ==
+      Multimodal.ImageQuality(3, 2, 6L, 0L, 0L, 200, 200, 6L))
+    // 4×1 strip 250,252,254,0 (wraps at 256): three over-exposed, one
+    // under-exposed, modal 1
+    val strip = Multimodal.encodeGradientPng(4, 1, 250, 2, 0)
+    assert(Multimodal.imageQuality(strip).get ==
+      Multimodal.ImageQuality(4, 1, 4L, 3L, 1L, 0, 254, 1L))
+    // thresholds are parameters: over ≥ 254 drops two of the three
+    assert(Multimodal.imageQuality(strip, overThreshold = 254,
+      underThreshold = 0).get.n_over == 1L)
+    // 2×2 with sx=5, sy=5: values 10,15,15,20 — modal counts the tie
+    val sq = Multimodal.encodeGradientPng(2, 2, 10, 5, 5)
+    val q = Multimodal.imageQuality(sq).get
+    assert(q.n_pixels == 4L && q.luma_min == 10 && q.luma_max == 20 &&
+      q.n_modal == 2L && q.n_under == 0L)
+    // total-function contract + bomb guard
+    assert(Multimodal.imageQuality(null).isEmpty)
+    assert(Multimodal.imageQuality("junk".getBytes).isEmpty)
+    assert(Multimodal.imageQuality(solid, maxPixels = 4L).isEmpty)
+    // distributed: struct column, null for undecodable payloads
+    val rows = Seq((1L, strip), (2L, "junk".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.extractImageQuality(rows, "payload")
+      .select(col("id"), col("image_q.n_over")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> Some(3L), 2L -> None))
+    // the dHash pattern PNG (RGB path, r=g=b) agrees with the written
+    // brightness walk: luma == v exactly under the BT.601 fixed point
+    val pat = Multimodal.encodeDhashPatternPng(0L) // all-down walk
+    val pq = Multimodal.imageQuality(pat).get
+    assert(pq.width == 9 && pq.height == 8)
+    assert(pq.luma_max == 128 && pq.luma_min == 64) // 128 − 8·8
+  }
+
   test("audioNearDups: near-identical clips pair, distinct ones don't") {
     val base = 0x0F0F0F0F0F0F0F0FL
     val clips = Seq(

@@ -894,6 +894,144 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCommunitiesCdc: labels under interleaved adds and " +
+      "deletes — cold start on the effective set, triggers equal the " +
+      "hand-folded incremental→decremental composition, same-batch " +
+      "del beats add, re-add re-coalesces") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_commcdc").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingIngest.streamingCommunitiesCdc(
+      mem.toDF().toDF("op", "start_id", "end_id"),
+      s"$tmp/edges", s"$tmp/dels", s"$tmp/labels", s"$tmp/ckpt")
+    try {
+      def labels(): Map[Long, Long] =
+        spark.read.parquet(s"$tmp/labels").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch 1: two triangles, plus an edge added AND deleted in the
+      // SAME batch — cold start must run on the effective set
+      mem.addData(Seq(("add", 1L, 2L), ("add", 1L, 3L), ("add", 2L, 3L),
+        ("add", 10L, 11L), ("add", 10L, 12L), ("add", 11L, 12L),
+        ("add", 1L, 50L), ("del", 1L, 50L)): _*)
+      q.processAllAvailable()
+      val eff1 = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+        (10L, 11L), (10L, 12L), (11L, 12L))
+      val l1 = labels()
+      val cold = graft.operators.GraphOps.louvain(
+          eff1.toDF("start_id", "end_id"), rounds = 4,
+          schedule = "gggg")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l1 == cold, "cold start IS gated louvain on the effective set")
+      assert(!l1.contains(50L), "same-batch del beats add")
+      // batch 2: mixed — sever {1,2,3} down to the (1,2) edge and add
+      // a new triangle in the same trigger
+      val adds2 = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+      val dels2 = Seq((1L, 3L), (2L, 3L))
+      mem.addData((adds2.map(e => ("add", e._1, e._2)) ++
+        dels2.map(e => ("del", e._1, e._2))): _*)
+      q.processAllAvailable()
+      val l2 = labels()
+      // twin: the batch primitives folded by hand in the trigger's
+      // order — adds land in the pre-del world, deletes rebuild from
+      // final ground truth
+      val effAsOfAdds = eff1 ++ adds2
+      val effFinal = effAsOfAdds.filterNot(dels2.contains)
+      val afterAdd = graft.operators.GraphOps.incrementalCommunities(
+        effAsOfAdds.toDF("start_id", "end_id"),
+        adds2.toDF("start_id", "end_id"),
+        l1.toSeq.toDF("id", "community"))
+      val twin = graft.operators.GraphOps.decrementalCommunities(
+          effFinal.toDF("start_id", "end_id"),
+          dels2.toDF("start_id", "end_id"), afterAdd)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l2 == twin, s"stored=$l2 twin=$twin")
+      // untouched community keeps stored labels; severed node 3 is a
+      // singleton; the new triangle is one community
+      assert(Set(10L, 11L, 12L).forall(id => l2(id) == l1(id)))
+      assert(l2(3L) == 3L && l2(1L) == l2(2L) && l2(1L) != 3L)
+      assert(Set(20L, 21L, 22L).map(l2).size == 1)
+      // batch 3: re-add the severed edges — the community re-coalesces
+      mem.addData(Seq(("add", 1L, 3L), ("add", 2L, 3L)): _*)
+      q.processAllAvailable()
+      val l3 = labels()
+      assert(Set(1L, 2L, 3L).map(l3).size == 1, "re-add re-coalesces")
+      assert(Set(10L, 11L, 12L).forall(id => l3(id) == l1(id)))
+    } finally q.stop()
+  }
+
+  test("streamingIntervalsCdc: islands under interleaved adds and " +
+      "deletes — every trigger equals the full merge over the live " +
+      "set bit-for-bit; same-batch del beats add; re-adding a live " +
+      "interval never double-counts; re-add after delete resurrects; " +
+      "redelivery absorbed once") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivlcdc").toString
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val q = StreamingIngest.streamingIntervalsCdc(
+      mem.toDF().toDF("op", "k", "s", "e"),
+      s"$tmp/raw", s"$tmp/dels", s"$tmp/islands", s"$tmp/ckpt",
+      "k", "s", "e", minGap = 2L)
+    try {
+      def store(): Map[(String, Long), (Long, Long, Long)] =
+        spark.read.parquet(s"$tmp/islands").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      def full(rows: Seq[(String, Long, Long)]) =
+        graft.operators.Funnel.mergeIntervals(
+            rows.toDF("k", "s", "e"), "k", "s", "e", minGap = 2L)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // batch 1: adds plus a same-batch add+del on key c (del wins)
+      mem.addData(Seq(("add", "a", 1L, 3L), ("add", "a", 10L, 12L),
+        ("add", "b", 0L, 1L), ("add", "c", 7L, 8L),
+        ("del", "c", 7L, 8L)): _*)
+      q.processAllAvailable()
+      val live1 = Seq(("a", 1L, 3L), ("a", 10L, 12L), ("b", 0L, 1L))
+      assert(store() == full(live1), "cold start on the live set")
+      // batch 2: bridge a's islands, DELETE one of them, and re-add
+      // the still-live b interval (must not double n_merged)
+      mem.addData(Seq(("add", "a", 5L, 9L), ("del", "a", 10L, 12L),
+        ("add", "b", 0L, 1L)): _*)
+      q.processAllAvailable()
+      val live2 = Seq(("a", 1L, 3L), ("a", 5L, 9L), ("b", 0L, 1L))
+      val s2 = store()
+      assert(s2 == full(live2), s"trigger ≠ full merge: $s2")
+      assert(s2(("a", 1L)) == ((1L, 9L, 2L)), "deleted interval gone")
+      assert(s2(("b", 1L)) == ((0L, 1L, 1L)),
+        "re-added live interval must count once")
+      // batch 3: resurrect the deleted interval
+      mem.addData(("add", "a", 10L, 12L))
+      q.processAllAvailable()
+      val live3 = live2 :+ (("a", 10L, 12L))
+      assert(store() == full(live3), "re-add resurrects")
+      assert(store()(("a", 1L)) == ((1L, 12L, 3L)))
+    } finally q.stop()
+    // redelivery: a fresh checkpoint restarts batch ids — the marker
+    // makes the re-sent first batch a no-op
+    val before = store2(s"$tmp/islands")
+    val mem2 = MemoryStream[(String, String, Long, Long)]
+    val q2 = StreamingIngest.streamingIntervalsCdc(
+      mem2.toDF().toDF("op", "k", "s", "e"),
+      s"$tmp/raw", s"$tmp/dels", s"$tmp/islands", s"$tmp/ckpt2",
+      "k", "s", "e", minGap = 2L)
+    try {
+      mem2.addData(Seq(("add", "a", 1L, 3L), ("add", "a", 10L, 12L),
+        ("add", "b", 0L, 1L), ("add", "c", 7L, 8L),
+        ("del", "c", 7L, 8L)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(store2(s"$tmp/islands") == before,
+      "redelivered batch absorbed once")
+  }
+
+  private def store2(dir: String): Map[(String, Long), (Long, Long, Long)] =
+    spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
   test("streamingScc: exact maintenance — cold start = full SCC, " +
       "arrivals merge on the quotient, every trigger equals the full " +
       "recompute bit-for-bit") {
