@@ -520,6 +520,31 @@ private[graft] object QueriesText {
         maxPieceLen = 3, minFreq = 5L, maxVocab = 50)
         .orderBy(col("freq").desc, col("piece"))),
 
+    // ---- X13d: unigram ENCODE with integerized piece costs — the
+    // Viterbi path onto the driver's hash gate (q_x13c oracles only
+    // the candidate stage; the EM/Viterbi stages were spec-proven):
+    // candidate pieces priced at floor((ln T − ln freq)·1e6 + 0.5)
+    // BIGINT (the g22/x4w integerization discipline), so every DP
+    // sum/comparison is exact integer arithmetic in BOTH engines and
+    // the oracle replays the relaxation verbatim — reachable-state
+    // recursion for dp, the smallest-l-at-the-minimum backpointer
+    // rule, and the backtrack piece counts. ----
+    "q_x13d_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Tokenizer.unigramCandidates(docs, "text",
+        maxPieceLen = 3, minFreq = 5L, maxVocab = 50)
+      val tot = cand.agg(sum(col("freq")).as("_t"))
+      val priced = cand.crossJoin(broadcast(tot)).select(col("piece"),
+        floor((log(col("_t").cast("double")) -
+          log(col("freq").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").cast("double").as("cost"))
+      Tokenizer.unigramEncode(docs, "doc_id", "text", priced,
+          maxPieceLen = 3)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("cost").cast("long").as("cost_e6"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X4n: PMI bigram collocations — the phrase-mining signal; the
     // bigram stream is a narrow array zip (no positional self-join on
     // the Spark side; the oracle rebuilds positionally) ----
@@ -570,6 +595,92 @@ private[graft] object QueriesText {
         |SELECT piece, freq FROM
         |  (SELECT * FROM chars UNION ALL SELECT * FROM multi)
         |ORDER BY freq DESC, piece""".stripMargin,
+
+    // Encode rebuild: the x13c candidate CTEs, integer costs
+    // floor((ln T − ln freq)·1e6 + 0.5), then the Viterbi DP replayed
+    // as reachable-state recursion (UNION dedups equal states; costs
+    // are BIGINT so min/compare are exact in both engines), the
+    // engine's smallest-l-at-the-minimum backpointer, and a recursive
+    // backtrack for the piece counts. unk = max cost + 1 (single
+    // chars only), mirroring viterbiSegment's fallback.
+    "q_x13d_unigram_encode" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS word
+        |  FROM documents),
+        |w AS (SELECT word, count(*) AS wc FROM tok
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(
+        |      range(1, length(word) + 1), s ->
+        |    list_transform(
+        |      range(1, least(3, length(word) - s + 1) + 1), l ->
+        |      substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER))))))
+        |    AS piece, wc
+        |  FROM w),
+        |f AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
+        |  FROM p GROUP BY piece),
+        |multi AS (
+        |  SELECT piece, freq FROM f
+        |  WHERE length(piece) > 1 AND freq >= 5
+        |  ORDER BY freq DESC, piece LIMIT 50),
+        |chars AS (SELECT piece, freq FROM f WHERE length(piece) = 1),
+        |vocab AS (
+        |  SELECT * FROM chars UNION ALL SELECT * FROM multi),
+        |tt AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM vocab),
+        |vc AS (SELECT piece,
+        |    CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(freq AS DOUBLE)))
+        |      * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+        |  FROM vocab, tt),
+        |unk AS (SELECT max(c) + 1 AS u FROM vc),
+        |grid AS (
+        |  SELECT w.word, CAST(s.s AS INTEGER) AS s,
+        |    CAST(l.l AS INTEGER) AS l,
+        |    substr(w.word, CAST(s.s AS INTEGER), CAST(l.l AS INTEGER))
+        |      AS piece
+        |  FROM w, range(1, 65) s(s), range(1, 4) l(l)
+        |  WHERE s.s + l.l - 1 <= length(w.word)),
+        |pc AS (
+        |  SELECT g.word, g.s, g.l,
+        |    coalesce(v.c, CASE WHEN g.l = 1 THEN unk.u END) AS c
+        |  FROM grid g LEFT JOIN vc v ON v.piece = g.piece, unk
+        |  WHERE v.c IS NOT NULL OR g.l = 1),
+        |seg AS (
+        |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM w
+        |  UNION
+        |  SELECT s.word, s.pos + p2.l, s.cost + p2.c
+        |  FROM seg s JOIN pc p2
+        |    ON p2.word = s.word AND p2.s = s.pos + 1),
+        |dp AS (SELECT word, pos, min(cost) AS cost FROM seg
+        |  GROUP BY word, pos),
+        |bk AS (
+        |  SELECT d.word, d.pos, min(p2.l) AS back
+        |  FROM dp d
+        |  JOIN pc p2 ON p2.word = d.word AND p2.s = d.pos - p2.l + 1
+        |  JOIN dp prev ON prev.word = d.word AND prev.pos = d.pos - p2.l
+        |  WHERE prev.cost + p2.c = d.cost AND d.pos > 0
+        |  GROUP BY d.word, d.pos),
+        |bt AS (
+        |  SELECT word, CAST(length(word) AS INTEGER) AS pos, 0 AS np
+        |  FROM w
+        |  UNION ALL
+        |  SELECT b.word, CAST(b.pos - k.back AS INTEGER), b.np + 1
+        |  FROM bt b JOIN bk k ON k.word = b.word AND k.pos = b.pos
+        |  WHERE b.pos > 0),
+        |ws AS (
+        |  SELECT b.word, b.np, d.cost
+        |  FROM bt b JOIN dp d
+        |    ON d.word = b.word AND d.pos = length(b.word)
+        |  WHERE b.pos = 0),
+        |dw AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(s2.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(s2.cost) AS BIGINT) AS cost_e6
+        |FROM dw JOIN ws s2 USING (word)
+        |WHERE length(dw.word) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Encode rebuild: final vocab v8 joined back to the corpus words;
     // OOV fallback mirrored (coalesce to len+1) though the training
