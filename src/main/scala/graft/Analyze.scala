@@ -182,6 +182,9 @@ import graft.operators.{Curation, GraphOps}
   *   imagestats  --docs <dir> [--bin-col payload] [-o <outDir>]
   *               (decode-side image quality triage: exact exposure /
   *               contrast / solid verdicts as an image_q struct)
+  *   videostats  --docs <dir> [--bin-col payload] [-o <outDir>]
+  *               (container-side video quality triage: sample-table
+  *               verdicts + integer bitrate as a video_q struct)
   *   quantiles   --docs <dir> --value-col v [--group-col g]
   *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
   *               (mergeable HDR-histogram quantile sketch over
@@ -621,6 +624,13 @@ object Analyze {
         // count) as a nullable image_q struct
         require(args.docs.nonEmpty, "imagestats needs --docs <dir>")
         graft.operators.Multimodal.extractImageQuality(
+          spark.read.parquet(args.docs), args.binCol)
+      case "videostats" =>
+        // video quality triage — completes the per-modality grid:
+        // sample-table verdicts + integer-division bitrate as a
+        // nullable video_q struct
+        require(args.docs.nonEmpty, "videostats needs --docs <dir>")
+        graft.operators.Multimodal.extractVideoQuality(
           spark.read.parquet(args.docs), args.binCol)
       case "schemadrift" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty,
@@ -1069,6 +1079,12 @@ object Analyze {
       case "knppl" =>
         require(args.docs.nonEmpty, "knppl needs --docs <dir>")
         graft.operators.Relevance.knBigramPerplexity(
+          spark.read.parquet(args.docs), args.idCol, args.textCol,
+          ckpt = ckpt)
+      case "knppl3" =>
+        // interpolated KN at order 3 — knppl one rung up the ladder
+        require(args.docs.nonEmpty, "knppl3 needs --docs <dir>")
+        graft.operators.Relevance.knTrigramPerplexity(
           spark.read.parquet(args.docs), args.idCol, args.textCol,
           ckpt = ckpt)
       case "ks" =>

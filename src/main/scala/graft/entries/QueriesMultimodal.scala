@@ -246,6 +246,45 @@ private[graft] object QueriesMultimodal {
         .orderBy("doc_id")
     }),
 
+    // ---- X5n: video quality triage — the video member of the
+    // per-modality quality grid (X5k audio, X5m image): real MP4s
+    // with full sample tables synthesized from doc_id arithmetic
+    // (q_x5f's fixture shape; every 11th doc carries a ZERO-byte
+    // first sample — the corruption counter must catch it), then
+    // exact integer verdicts from the parsed stsz table: sample
+    // count/bytes/bounds, zero-sample count, integer-division
+    // bitrate. ----
+    "q_x5n_video_quality" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val nf = (id % 4 + 2).toInt
+          val samples = Array.tabulate(nf) { i =>
+            val len =
+              if (id % 11 == 0 && i == 0) 0
+              else ((id + i) % 50 + 10).toInt
+            Array.fill(len)(((id + i) % 256).toByte)
+          }
+          (id, Multimodal.encodeMp4WithSamples(64, 48,
+            500L + (id % 10) * 100L, samples))
+        }.toDF("doc_id", "payload")
+      Multimodal.extractVideoQuality(withPayload, "payload")
+        .select(col("doc_id"),
+          col("video_q.container").as("container"),
+          col("video_q.width").cast("long").as("width"),
+          col("video_q.height").cast("long").as("height"),
+          col("video_q.duration_ms").as("duration_ms"),
+          col("video_q.n_tracks").cast("long").as("n_tracks"),
+          col("video_q.n_samples").as("n_samples"),
+          col("video_q.media_bytes").as("media_bytes"),
+          col("video_q.min_sample").as("min_sample"),
+          col("video_q.max_sample").as("max_sample"),
+          col("video_q.n_zero").as("n_zero"),
+          col("video_q.bitrate_bps").as("bitrate_bps"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X5h: REAL audio resample — synthesize WAVs (per-doc rate ∈
     // {8k..14k}, constant amplitude), resample all to 6 kHz by
     // nearest-neighbor frame selection, decode again: rate is the literal
@@ -459,6 +498,34 @@ private[graft] object QueriesMultimodal {
         |  ELSE (doc_id % 900) + 1 END) * (100 + doc_id % 50)
         |  AS BIGINT) AS sum_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Every verdict re-derives from the fixture arithmetic: per-doc
+    // sample sizes via a bounded range (nf ≤ 5), the zero-sample
+    // override for every 11th doc, header constants, and the engine's
+    // integer-division bitrate mirrored with DuckDB's `//`.
+    "q_x5n_video_quality" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS nf,
+        |    500 + (doc_id % 10) * 100 AS dur
+        |  FROM documents),
+        |sz AS (SELECT d.doc_id, d.nf, d.dur,
+        |    CASE WHEN d.doc_id % 11 = 0 AND i.i = 0 THEN 0
+        |         ELSE (d.doc_id + i.i) % 50 + 10 END AS s
+        |  FROM d, range(6) i(i) WHERE i.i < d.nf),
+        |agg AS (SELECT doc_id, dur,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(s) AS BIGINT) AS media_bytes,
+        |    CAST(min(s) AS BIGINT) AS min_sample,
+        |    CAST(max(s) AS BIGINT) AS max_sample,
+        |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero
+        |  FROM sz GROUP BY 1, 2)
+        |SELECT doc_id, 'mp4' AS container, CAST(64 AS BIGINT) AS width,
+        |  CAST(48 AS BIGINT) AS height, CAST(dur AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(1 AS BIGINT) AS n_tracks, n_samples, media_bytes,
+        |  min_sample, max_sample, n_zero,
+        |  CAST(media_bytes * 8000 // dur AS BIGINT) AS bitrate_bps
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // The gradient fixture's pixel luma is (base + x·sx + y·sy) mod 256
     // exactly (gray r=g=b makes the BT.601 fixed-point a no-op), so

@@ -417,6 +417,18 @@ private[graft] object QueriesText {
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
         .orderBy("doc_id")),
 
+    // ---- X14b: interpolated Kneser–Ney TRIGRAM perplexity (d=0.75) —
+    // the n-gram ladder completed: top order discounts raw trigram
+    // counts, lower orders are continuation-type distributions all
+    // derived from ONE trigram aggregation; same e4 contract ----
+    "q_x14b_kn_trigram_ppl" -> ((s, dir) =>
+      Relevance.knTrigramPerplexity(t(s, dir, "documents"), "doc_id",
+          "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
+        .orderBy("doc_id")),
+
     // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
@@ -1347,6 +1359,51 @@ private[graft] object QueriesText {
         |  CAST(floor(lp / n_bigrams * 1e4 + CAST(0.5 AS DOUBLE))
         |    AS BIGINT) AS log_prob_e4,
         |  CAST(floor(exp(-(lp / n_bigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ppl_e4
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Trigram KN rebuild: one trigram type table feeds every
+    // continuation level (mid = distinct-w1 counts per (w2,w3), its
+    // per-w2 rollup, the per-w3 type counts, the type total), operand
+    // associations mirrored exactly; same positional-unnest trigram
+    // stream and e4 floor as q_x14.
+    "q_x14b_kn_trigram_ppl" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3
+        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 1)) AS i) u),
+        |ctg AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+        |        GROUP BY 1, 2, 3),
+        |cx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n1f12
+        |       FROM ctg GROUP BY 1, 2),
+        |mid AS (SELECT w2, w3, count(*) AS n1b23 FROM ctg GROUP BY 1, 2),
+        |mcx AS (SELECT w2, sum(n1b23) AS m2, count(*) AS d2 FROM mid
+        |        GROUP BY 1),
+        |low AS (SELECT w3, count(*) AS n1b3 FROM mid GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM mid),
+        |dtf AS (SELECT doc_id, w1, w2, w3, count(*) AS ttf FROM tg
+        |        GROUP BY 1, 2, 3, 4),
+        |per AS (
+        |  SELECT d.doc_id, CAST(sum(d.ttf) AS BIGINT) AS n_trigrams,
+        |    sum(d.ttf * ln(
+        |      greatest(ctg.c123 - CAST(0.75 AS DOUBLE),
+        |          CAST(0 AS DOUBLE)) / CAST(cx.c12 AS DOUBLE)
+        |      + CAST(0.75 AS DOUBLE) * cx.n1f12 / CAST(cx.c12 AS DOUBLE)
+        |        * (greatest(mid.n1b23 - CAST(0.75 AS DOUBLE),
+        |              CAST(0 AS DOUBLE)) / CAST(mcx.m2 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * mcx.d2
+        |            / CAST(mcx.m2 AS DOUBLE)
+        |            * (low.n1b3 / CAST(tt.tt AS DOUBLE))))) AS lp
+        |  FROM dtf d JOIN ctg USING (w1, w2, w3) JOIN cx USING (w1, w2)
+        |    JOIN mid USING (w2, w3) JOIN mcx USING (w2)
+        |    JOIN low USING (w3), tt
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_trigrams,
+        |  CAST(floor(lp / n_trigrams * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS log_prob_e4,
+        |  CAST(floor(exp(-(lp / n_trigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
         |    AS BIGINT) AS ppl_e4
         |FROM per ORDER BY doc_id""".stripMargin,
 

@@ -1431,6 +1431,65 @@ object Multimodal {
     bb.array()
   }
 
+  /** Output-struct row of [[extractVideoQuality]] — field names are
+    * the column contract. All EXACT integers: header metadata
+    * (container/dimensions/duration/tracks) plus sample-table verdicts
+    * — `n_samples`/`media_bytes` from the parsed `stsz` table,
+    * `min_sample`/`max_sample` bound the coded-frame size distribution
+    * (a max orders of magnitude over the median means a corrupt or
+    * hostile table; a tiny max on a long duration means a stub),
+    * `n_zero` counts zero-byte samples (table corruption), and
+    * `bitrate_bps` = media_bytes·8·1000 div duration_ms — the
+    * bitrate/duration sanity number a curation filter thresholds
+    * (integer division; −1 when duration is 0). Payloads without a
+    * parseable sample table (AVI, table-less MP4) keep the header
+    * fields and report n_samples = 0, min/max = −1, bitrate = −1. */
+  final case class VideoQuality(container: String, width: Int,
+      height: Int, duration_ms: Long, n_tracks: Int, n_samples: Long,
+      media_bytes: Long, min_sample: Long, max_sample: Long,
+      n_zero: Long, bitrate_bps: Long)
+
+  /** Per-payload video quality triage stats — the video member of the
+    * per-modality quality grid (audio [[audioQuality]], image
+    * [[imageQuality]]): header metadata + one pass over the parsed
+    * sample-size table, integer-exact only (see [[VideoQuality]]).
+    * Same total-function contract as [[decodeVideoMeta]]: None for
+    * null / corrupt / non-video payloads; never throws. No codec is
+    * involved — everything derives from the container structures
+    * [[parseMp4Samples]] already recovers. */
+  def videoQuality(bytes: Array[Byte]): Option[VideoQuality] =
+    decodeVideoMeta(bytes).map { v =>
+      val st =
+        if (v.container == "mp4") parseMp4Samples(bytes) else None
+      st match {
+        case Some(t) if t.sizes.nonEmpty =>
+          var mb = 0L; var mn = Long.MaxValue; var mx = -1L
+          var nz = 0L
+          t.sizes.foreach { sz =>
+            mb += sz
+            if (sz < mn) mn = sz
+            if (sz > mx) mx = sz
+            if (sz == 0L) nz += 1
+          }
+          val br =
+            if (v.durationMs > 0) mb * 8L * 1000L / v.durationMs
+            else -1L
+          VideoQuality(v.container, v.width, v.height, v.durationMs,
+            v.nTracks, t.sizes.length.toLong, mb, mn, mx, nz, br)
+        case _ =>
+          VideoQuality(v.container, v.width, v.height, v.durationMs,
+            v.nTracks, 0L, 0L, -1L, -1L, 0L, -1L)
+      }
+    }
+
+  /** Distributed [[videoQuality]]: appends a nullable `video_q` struct
+    * (null where the payload is not a parseable container). Narrow
+    * per-partition header parse, payload bytes never shuffle. */
+  def extractVideoQuality(df: DataFrame, binCol: String): DataFrame = {
+    val qUdf = udf((bytes: Array[Byte]) => videoQuality(bytes))
+    df.withColumn("video_q", qUdf(col(binCol)))
+  }
+
   /** Frame-sampling fallback for payloads WITHOUT a parseable sample
     * table: split the payload into `frameSize`-byte slices and keep every
     * `stride`-th — same output shape as [[sampleVideoFrames]], used when

@@ -325,6 +325,90 @@ object Relevance {
         exp(-(col("_lp") / col("n_bigrams"))).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring — the n-gram ladder's
+    * next rung above [[knBigramPerplexity]] (Chen & Goodman 1998's
+    * interpolated form at order 3): the top order discounts raw
+    * trigram counts and backs off, recursively, into CONTINUATION
+    * distributions,
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3) − d, 0)/c(w1w2·)
+    *                + d·N1+(w1w2·)/c(w1w2·) · Pmid(w3|w2)
+    *   Pmid(w3|w2) = max(N1+(·w2w3) − d, 0)/N1+(·w2·)
+    *                + d·D1+(w2·)/N1+(·w2·) · Plow(w3)
+    *   Plow(w3)    = N1+(·w3) / N1+(··)
+    *
+    * where every lower-order table is a TYPE count over the trigram
+    * model (the textbook continuation-counting discipline): N1+(·w2w3)
+    * = distinct w1 preceding (w2, w3); N1+(·w2·) = Σ of those over w3;
+    * D1+(w2·) = distinct (w2, w3) continuation types per w2; N1+(·w3)
+    * = distinct w2 with (w2, w3) a continuation type; N1+(··) = total
+    * continuation types. Deriving the whole ladder from ONE trigram
+    * aggregation keeps the model self-contained (no separate bigram
+    * pass whose edge effects — final bigrams of each doc — would
+    * desynchronize the tables). Every in-corpus trigram has c ≥ 1 and
+    * N1+(·w2w3) ≥ 1, so P > 0 with no extra floor. Docs with < 3
+    * tokens have no trigrams and drop out (the bigram contract, one
+    * order up).
+    *
+    * Scale notes (100 TB): corpus-sized work = one narrow per-row
+    * trigram zip (never a positional self-join) + two partial-agg
+    * groupBys (model, per-doc frequencies); everything else is
+    * vocabulary-sized tables joined back on token keys, the type
+    * total a 1-row broadcast — [[knBigramPerplexity]]'s join graph
+    * plus two vocabulary-sized groupBys.
+    *
+    * @return (doc_id, n_trigrams, log_prob — the per-trigram average
+    *         ln P, ppl = exp(−log_prob)) */
+  def knTrigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("_arr"))
+    val tris = toks.filter(size(col("_arr")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_arr) - 2), " +
+          "i -> struct(element_at(_arr, i) AS w1, " +
+          "element_at(_arr, i + 1) AS w2, " +
+          "element_at(_arr, i + 2) AS w3))")).as("_t"))
+      .select(col("doc_id"), col("_t.w1").as("w1"),
+        col("_t.w2").as("w2"), col("_t.w3").as("w3"))
+    // ONE materialization feeds every lower-order type table — without
+    // the cut each would re-run the corpus-sized trigram explode
+    val model = ckpt(tris.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123")))
+    val ctx = model.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n1f12"))
+    val mid = ckpt(model.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("n1b23")))
+    val midCtx = mid.groupBy("w2")
+      .agg(sum("n1b23").as("m2"), count(lit(1)).as("d2"))
+    val low = mid.groupBy("w3").agg(count(lit(1)).as("n1b3"))
+    val types = mid.agg(count(lit(1)).as("_tt"))
+    val dtf = tris.groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("ttf"))
+    // operand shapes mirrored exactly in the oracle SQL
+    val plow = col("n1b3") / col("_tt").cast("double")
+    val pmid = greatest(col("n1b23") - lit(discount), lit(0.0)) /
+        col("m2").cast("double") +
+      lit(discount) * col("d2") / col("m2").cast("double") * plow
+    val p = greatest(col("c123") - lit(discount), lit(0.0)) /
+        col("c12").cast("double") +
+      lit(discount) * col("n1f12") / col("c12").cast("double") * pmid
+    dtf.join(model, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(midCtx, Seq("w2"))
+      .join(low, Seq("w3"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(sum(col("ttf")).as("n_trigrams"),
+        sum(col("ttf") * log(p)).as("_lp"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("_lp") / col("n_trigrams")).as("log_prob"),
+        exp(-(col("_lp") / col("n_trigrams"))).as("ppl"))
+  }
+
   /** Cluster topic labeling by class-TF-IDF (the BERTopic reduction,
     * Grootendorst 2022): given a document→cluster assignment (e.g. from
     * [[Similarity.ivfIndex]] cells over document embeddings), score each

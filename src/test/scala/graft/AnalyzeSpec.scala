@@ -835,6 +835,18 @@ class AnalyzeSpec extends SparkSpec {
     assert(iq == Map(1L -> ((6L, 0L)), 2L -> ((1L, 3L))))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("imagestats")), spark))
+    // videostats: sample-table quality verdicts from argv
+    Seq((1L, graft.operators.Multimodal.encodeMp4WithSamples(320, 240,
+        2000L, Array(Array.fill(5)(1.toByte), Array.fill(7)(2.toByte)))))
+      .toDF("doc_id", "payload").write.parquet(s"$dir/mp4s")
+    val vq = Analyze.run(parse(List("videostats", "--docs",
+      s"$dir/mp4s")), spark)
+      .select(col("doc_id"), col("video_q.media_bytes"),
+        col("video_q.bitrate_bps"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(vq.toSeq == Seq((1L, 12L, 48L)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("videostats")), spark))
     // schemadrift: metadata-only contract check from argv
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/sd_prev")
     Seq((1L, 2.0)).toDF("id", "v").write.parquet(s"$dir/sd_cur")

@@ -583,6 +583,38 @@ class MultimodalSpec extends SparkSpec {
     assert(pq.luma_max == 128 && pq.luma_min == 64) // 128 − 8·8
   }
 
+  test("videoQuality: exact sample-table verdicts, table-less " +
+    "fallback, hand-computed pins") {
+    // 3 samples of 5/0/7 bytes, 2000 ms: media = 12, one zero sample,
+    // bitrate = 12·8000/2000 = 48
+    val mp4 = Multimodal.encodeMp4WithSamples(320, 240, 2000L,
+      Array(Array.fill(5)(1.toByte), Array.empty[Byte],
+        Array.fill(7)(2.toByte)))
+    assert(Multimodal.videoQuality(mp4).get ==
+      Multimodal.VideoQuality("mp4", 320, 240, 2000L, 1, 3L, 12L,
+        0L, 7L, 1L, 48L))
+    // integer division truncates: 12 bytes over 7000 ms = 13 bps
+    val odd = Multimodal.encodeMp4WithSamples(320, 240, 7000L,
+      Array(Array.fill(12)(1.toByte)))
+    assert(Multimodal.videoQuality(odd).get.bitrate_bps == 13L)
+    // table-less containers keep header fields, report the fallback
+    val avi = Multimodal.encodeAviStub(640, 480, 40000, 100, 1)
+    assert(Multimodal.videoQuality(avi).get ==
+      Multimodal.VideoQuality("avi", 640, 480, 4000L, 1, 0L, 0L,
+        -1L, -1L, 0L, -1L))
+    // total-function contract
+    assert(Multimodal.videoQuality(null).isEmpty)
+    assert(Multimodal.videoQuality("junk-not-a-container".getBytes)
+      .isEmpty)
+    // distributed: struct column, null for undecodable payloads
+    val rows = Seq((1L, mp4), (2L, "junk".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.extractVideoQuality(rows, "payload")
+      .select(col("id"), col("video_q.n_zero")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> Some(1L), 2L -> None))
+  }
+
   test("audioNearDups: near-identical clips pair, distinct ones don't") {
     val base = 0x0F0F0F0F0F0F0F0FL
     val clips = Seq(

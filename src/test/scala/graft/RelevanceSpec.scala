@@ -189,6 +189,32 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("knTrigramPerplexity: hand-computed interpolated KN at order 3, " +
+      "short docs drop, lower orders are continuation types") {
+    // corpus "a b a b a" + "b a c":
+    //   model (a,b,a):2 (b,a,b):1 (b,a,c):1
+    //   ctx (a,b): c12=2 n1f=1; (b,a): c12=2 n1f=2
+    //   mid types (b,a):1 (a,b):1 (a,c):1; mcx b: m2=1 d2=1;
+    //   a: m2=2 d2=2; low all 1; tt=3
+    //   Pmid(a|b) = .25/1 + .75·1/1·(1/3) = 0.5
+    //   P(a|ab)   = 1.25/2 + .75·1/2·0.5 = 0.8125
+    //   Pmid(b|a) = .25/2 + .75·2/2·(1/3) = 0.375 = Pmid(c|a)
+    //   P(b|ba)   = .25/2 + .75·2/2·0.375 = 0.40625 = P(c|ba)
+    val d = Seq((1L, "a b a b a"), (2L, "b a c"), (3L, "x y"))
+      .toDF("id", "text")
+    val out = Relevance.knTrigramPerplexity(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L)) // < 3 tokens — no trigrams
+    val lp1 = (2 * math.log(0.8125) + math.log(0.40625)) / 3
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - lp1) < 1e-12)
+    assert(out(2L)._1 == 1L &&
+      math.abs(out(2L)._2 - math.log(0.40625)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Relevance.knTrigramPerplexity(d, "id", "text", discount = 0.0)
+    }
+  }
+
   test("topTerms: e6-integerized ranking, token tie-break, k cut") {
     // doc 1: tf(a)=2 > tf(b)=1; idf(a)=idf(b)? df(a)=1, df(b)=3 → a wins
     // on idf too. docs 2/3 are "b c"/"c b" — identical scores for b and
