@@ -185,6 +185,15 @@ import graft.operators.{Curation, GraphOps}
   *   videostats  --docs <dir> [--bin-col payload] [-o <outDir>]
   *               (container-side video quality triage: sample-table
   *               verdicts + integer bitrate as a video_q struct)
+  *   neighmaint  --edges <post-change edges dir> --delta <changed rows
+  *               dir> --docs <features dir> --target <stored aggregate
+  *               dir> --value-col f1,f2,... [--id-col id] [--hops K]
+  *               [--direction in|out|both] [--mode sum|max|min|mean]
+  *               [-o <outDir>]
+  *               (EXACT neighborAgg maintenance — adds, deletes, or
+  *               both in one call: only the changed edges' K-hop
+  *               forward closure recomputes, over its own in-closure
+  *               subgraph, from ground truth)
   *   quantiles   --docs <dir> --value-col v [--group-col g]
   *               [--qs 0.5,0.99] [--sub-buckets N] [-o <outDir>]
   *               (mergeable HDR-histogram quantile sketch over
@@ -753,6 +762,27 @@ object Analyze {
             "--value-col <f1,f2,...>; --hops sets rounds, --mode the " +
             "aggregator (sum|max|min|mean), --direction in|out|both")
         GraphOps.neighborAgg(edges, spark.read.parquet(args.docs),
+          args.idCol, args.valueCol.split(',').toSeq.map(_.trim),
+          rounds = args.hops, direction = args.direction,
+          agg = if (args.mode == "exact") "sum" else args.mode,
+          ckpt = ckpt)
+      case "neighmaint" =>
+        // exact neighborAgg maintenance — adds, deletes, or both:
+        // --edges is the post-change table (ground truth), --delta the
+        // changed rows, --docs the base features, --target the stored
+        // aggregate frame
+        require(args.edges.nonEmpty && args.delta.nonEmpty &&
+          args.docs.nonEmpty && args.target.nonEmpty &&
+          args.valueCol.nonEmpty,
+          "neighmaint needs --edges <post-change edges dir>, --delta " +
+            "<changed rows dir>, --docs <features dir>, --target " +
+            "<stored aggregate dir>, and --value-col <f1,f2,...>; " +
+            "--hops sets rounds, --mode the aggregator, --direction " +
+            "in|out|both")
+        GraphOps.maintainNeighborAgg(edges,
+          spark.read.parquet(args.delta),
+          spark.read.parquet(args.docs),
+          spark.read.parquet(args.target),
           args.idCol, args.valueCol.split(',').toSeq.map(_.trim),
           rounds = args.hops, direction = args.direction,
           agg = if (args.mode == "exact") "sum" else args.mode,

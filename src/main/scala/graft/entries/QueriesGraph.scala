@@ -218,6 +218,57 @@ private[graft] object QueriesGraph {
         .orderBy("id")
     }),
 
+    // ---- G28b: EXACT incremental maintenance of the G28 feature
+    // store — the supplier→nation edges arrive as a delta on top of
+    // the customer/nation base graph; only the delta heads' 1-hop
+    // forward closure recomputes, over its own 2-step in-closure
+    // subgraph, from ground truth. Oracle: q_g28's full-graph rebuild
+    // verbatim — the maintained store must be bit-identical (exact
+    // integer sums; the locality theorem, checked end-to-end). ----
+    "q_g28b_neighbor_agg_incr" -> ((s, dir) => {
+      val all = heteroEdges(s, dir)
+      val delta = t(s, dir, "supplier").select(
+        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val base = all.join(delta, Seq("start_id", "end_id"), "left_anti")
+      val nodes = all.select(col("start_id").as("id"))
+        .unionByName(all.select(col("end_id").as("id"))).distinct()
+      val f = nodes.select(col("id"), (col("id") % 97).as("fv"),
+        (col("id") % 13).as("fw"))
+      val prev = GraphOps.neighborAgg(base, f, "id", Seq("fv", "fw"),
+        rounds = 2)
+      GraphOps.maintainNeighborAgg(all, delta, f, prev, "id",
+          Seq("fv", "fw"), rounds = 2)
+        .select(col("id"), coalesce(col("fv_r2"), lit(-1L)).as("fv_r2"),
+          coalesce(col("fw_r2"), lit(-1L)).as("fw_r2"))
+        .orderBy("id")
+    }),
+
+    // ---- G28c: the delete twin — the supplier edges are REMOVED
+    // from the full graph and the same primitive (ground truth =
+    // remaining, changed = deleted) refreshes the store. Oracle: the
+    // 2-round rebuild over the remaining edge set, full-graph vertex
+    // set. ----
+    "q_g28c_neighbor_agg_decr" -> ((s, dir) => {
+      val all = heteroEdges(s, dir)
+      val deleted = t(s, dir, "supplier").select(
+        (col("s_suppkey").cast("long") * 4 + 1).as("start_id"),
+        (col("s_nationkey").cast("long") * 4 + 2).as("end_id"))
+      val remaining = all.join(deleted, Seq("start_id", "end_id"),
+        "left_anti")
+      val nodes = all.select(col("start_id").as("id"))
+        .unionByName(all.select(col("end_id").as("id"))).distinct()
+      val f = nodes.select(col("id"), (col("id") % 97).as("fv"),
+        (col("id") % 13).as("fw"))
+      val prev = GraphOps.neighborAgg(all, f, "id", Seq("fv", "fw"),
+        rounds = 2)
+      GraphOps.maintainNeighborAgg(remaining, deleted, f, prev, "id",
+          Seq("fv", "fw"), rounds = 2)
+        .select(col("id"), coalesce(col("fv_r2"), lit(-1L)).as("fv_r2"),
+          coalesce(col("fw_r2"), lit(-1L)).as("fw_r2"))
+        .orderBy("id")
+    }),
+
     // ---- G26g: one CDC maintenance step — the exact composition the
     // streaming twin applies per trigger: start from the BASE graph's
     // labels (everything but the nation→customer back-edges), ADD
@@ -1282,6 +1333,66 @@ private[graft] object QueriesGraph {
         |  SELECT v.id, sum(r1.fv) AS fv, sum(r1.fw) AS fw
         |  FROM v LEFT JOIN e ON e.dst = v.id
         |         LEFT JOIN r1 ON r1.id = e.src
+        |  GROUP BY v.id)
+        |SELECT id, CAST(coalesce(fv, -1) AS BIGINT) AS fv_r2,
+        |  CAST(coalesce(fw, -1) AS BIGINT) AS fw_r2
+        |FROM r2 ORDER BY id""".stripMargin,
+
+    // Maintenance ≡ full recompute (the locality theorem): the
+    // incremental row's oracle is q_g28's full-graph rebuild verbatim.
+    "q_g28b_neighbor_agg_incr" ->
+      """WITH e AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |f0 AS (SELECT id, id % 97 AS fv, id % 13 AS fw FROM v),
+        |r1 AS (
+        |  SELECT v.id, sum(f0.fv) AS fv, sum(f0.fw) AS fw
+        |  FROM v LEFT JOIN e ON e.dst = v.id
+        |         LEFT JOIN f0 ON f0.id = e.src
+        |  GROUP BY v.id),
+        |r2 AS (
+        |  SELECT v.id, sum(r1.fv) AS fv, sum(r1.fw) AS fw
+        |  FROM v LEFT JOIN e ON e.dst = v.id
+        |         LEFT JOIN r1 ON r1.id = e.src
+        |  GROUP BY v.id)
+        |SELECT id, CAST(coalesce(fv, -1) AS BIGINT) AS fv_r2,
+        |  CAST(coalesce(fw, -1) AS BIGINT) AS fw_r2
+        |FROM r2 ORDER BY id""".stripMargin,
+
+    // The delete twin's rebuild: remaining edges (no supplier rows) but
+    // the FULL graph's vertex/feature set — the store never drops a
+    // node row on an edge delete.
+    "q_g28c_neighbor_agg_decr" ->
+      """WITH e AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+        |erem AS (
+        |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |f0 AS (SELECT id, id % 97 AS fv, id % 13 AS fw FROM v),
+        |r1 AS (
+        |  SELECT v.id, sum(f0.fv) AS fv, sum(f0.fw) AS fw
+        |  FROM v LEFT JOIN erem e1 ON e1.dst = v.id
+        |         LEFT JOIN f0 ON f0.id = e1.src
+        |  GROUP BY v.id),
+        |r2 AS (
+        |  SELECT v.id, sum(r1.fv) AS fv, sum(r1.fw) AS fw
+        |  FROM v LEFT JOIN erem e2 ON e2.dst = v.id
+        |         LEFT JOIN r1 ON r1.id = e2.src
         |  GROUP BY v.id)
         |SELECT id, CAST(coalesce(fv, -1) AS BIGINT) AS fv_r2,
         |  CAST(coalesce(fw, -1) AS BIGINT) AS fw_r2

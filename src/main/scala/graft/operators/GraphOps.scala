@@ -2414,4 +2414,97 @@ object GraphOps {
     cur.select((col("id") +:
       featCols.map(f => col(names(f)).as(s"${f}_r$rounds"))): _*)
   }
+
+  /** EXACT maintenance of a [[neighborAgg]] feature store under edge
+    * CHANGES — adds, deletes, or both in one call, because message
+    * passing has a LOCALITY THEOREM the other stores lack: the
+    * round-r value of node v depends only on the base features of
+    * v's ≤ r-step in-neighborhood, so an edge change can alter
+    * round-r values ONLY for nodes within r−1 message-direction hops
+    * of a changed edge's head. Recomputing exactly that forward
+    * closure from ground truth — over its own r-step in-closure
+    * subgraph — reproduces the full recompute BIT-IDENTICALLY (exact
+    * integer features; the spec and oracle assert it), with no
+    * append-only/delete-only asymmetry: pass `groundTruthEdges` =
+    * the post-change edge table and `changedEdges` = whatever rows
+    * were added, deleted, or both (a CDC trigger passes the union).
+    *
+    * The in-closure depth argument (why the sub-run is exact): a node
+    * read at round k sits ≤ r−k reverse hops from the affected set,
+    * so closing the reverse neighborhood to depth r covers every
+    * (node, round) pair the affected outputs transitively read; the
+    * outermost layer contributes only base features, which are ground
+    * truth. Values the sub-run computes for too-deep nodes can be
+    * wrong (their in-edges are cut) — they are never read and never
+    * emitted (only affected rows replace stored ones).
+    *
+    * Scale notes (100 TB): the affected and closure frames are
+    * change-neighborhood-sized and broadcast into the semi-joins; the
+    * corpus-sized edge table is scanned twice (one forward closure,
+    * one induced-subgraph cut — an edge store bucketed by dst prunes
+    * both); the sub-run's `rounds` join+groupBy rounds touch only the
+    * closure subgraph; the stored aggregate frame is touched by one
+    * anti-join and one union. Cost scales with the CHANGED
+    * NEIGHBORHOOD, never the graph.
+    *
+    * @param groundTruthEdges the post-change edge table
+    * @param changedEdges     the added and/or deleted rows (heads
+    *                         seed the affected closure)
+    * @param features         the base feature table (`idCol`,
+    *                         `featCols`) — same frame `prevAgg` was
+    *                         built from
+    * @param prevAgg          stored [[neighborAgg]] output
+    *                         (`id`, `<f>_r<rounds>`...)
+    * @return refreshed (`id`, `<f>_r<rounds>`...), bit-identical to
+    *         [[neighborAgg]] over `groundTruthEdges` */
+  def maintainNeighborAgg(groundTruthEdges: DataFrame,
+      changedEdges: DataFrame, features: DataFrame, prevAgg: DataFrame,
+      idCol: String, featCols: Seq[String], rounds: Int = 1,
+      direction: String = "in", agg: String = "sum",
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16] (got $rounds)")
+    def toMsg(e: DataFrame) = {
+      val fwd = e.select(col(StartId).as("src"), col(EndId).as("dst"))
+      direction match {
+        case "in" => fwd
+        case "out" => fwd.select(col("dst").as("src"),
+          col("src").as("dst"))
+        case "both" => fwd.unionAll(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        case other => throw new IllegalArgumentException(
+          s"direction must be in|out|both (got $other)")
+      }
+    }
+    val msg = ckpt(toMsg(groundTruthEdges))
+    val heads = toMsg(changedEdges).select(col("dst").as("id")).distinct()
+    // forward closure: nodes whose round-r value can change
+    val affected = ckpt(kHop(
+      msg.select(col("src").as(StartId), col("dst").as(EndId)),
+      heads, rounds - 1, ckpt).select("id"))
+    // reverse closure to depth r: everything the affected outputs read
+    val closure = ckpt(kHop(
+      msg.select(col("dst").as(StartId), col("src").as(EndId)),
+      affected, rounds, ckpt).select("id"))
+    val subEdges = msg
+      .join(broadcast(closure.withColumnRenamed("id", "src")),
+        Seq("src"), "left_semi")
+      .join(broadcast(closure.withColumnRenamed("id", "dst")),
+        Seq("dst"), "left_semi")
+      .select(col("src").as(StartId), col("dst").as(EndId))
+    val subFeatures = features
+      .join(broadcast(closure.withColumnRenamed("id", idCol)),
+        Seq(idCol), "left_semi")
+    val sub = neighborAgg(subEdges, subFeatures, idCol, featCols,
+      rounds, direction = "in", agg = agg, ckpt = ckpt)
+    val outCols = featCols.map(f => s"${f}_r$rounds")
+    // anti/semi joins move their key first — keep the stored column
+    // order for positional consumers
+    val kept = prevAgg
+      .join(broadcast(affected), Seq("id"), "left_anti")
+      .select((col("id") +: outCols.map(col)): _*)
+    val refreshed = sub.join(broadcast(affected), Seq("id"), "left_semi")
+      .select((col("id") +: outCols.map(col)): _*)
+    kept.unionByName(refreshed)
+  }
 }

@@ -971,6 +971,29 @@ class AnalyzeSpec extends SparkSpec {
       "--direction", "in")), spark)
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(na == Map(1L -> None, 2L -> None, 3L -> Some(30L)))
+    // neighmaint: exact maintenance from argv — add edge (1,3) to the
+    // stored 1-round sum store; only node 3's row refreshes
+    Seq((2L, 3L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/nm_base")
+    Seq((1L, 3L), (2L, 3L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/nm_all")
+    Seq((1L, 3L)).toDF("start_id", "end_id")
+      .write.parquet(s"$dir/nm_delta")
+    Analyze.run(parse(List("neighagg",
+      "--edges", s"$dir/nm_base", "--docs", s"$dir/na_feat",
+      "--value-col", "f", "--id-col", "id", "--hops", "1",
+      "--direction", "in")), spark)
+      .write.parquet(s"$dir/nm_prev")
+    val nm = Analyze.run(parse(List("neighmaint",
+      "--edges", s"$dir/nm_all", "--delta", s"$dir/nm_delta",
+      "--docs", s"$dir/na_feat", "--target", s"$dir/nm_prev",
+      "--value-col", "f", "--id-col", "id", "--hops", "1",
+      "--direction", "in")), spark)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(nm == Map(1L -> None, 2L -> None, 3L -> Some(30L)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("neighmaint", "--edges", s"$dir/nm_all")),
+        spark))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("neighagg", "--edges", s"$dir/na_edges")),
         spark))

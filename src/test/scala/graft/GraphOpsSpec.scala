@@ -912,6 +912,59 @@ class GraphOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("maintainNeighborAgg: adds, deletes, and mixed changes all " +
+    "equal the full recompute bit-for-bit; untouched rows survive; " +
+    "null semantics preserved") {
+    // chain 1→2→3→4 with side feeds 10→2, 11→3; features = id
+    val all = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 2L), (11L, 3L))
+      .toDF("start_id", "end_id")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L)
+    val f = nodes.toDF("id").select(col("id"), col("id").as("fv"))
+    def full(e: org.apache.spark.sql.DataFrame, r: Int) =
+      GraphOps.neighborAgg(e, f, "id", Seq("fv"), rounds = r)
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // ADD: delta (10,2),(11,3) on top of the chain
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("start_id", "end_id")
+    val delta = Seq((10L, 2L), (11L, 3L)).toDF("start_id", "end_id")
+    val prevAdd = GraphOps.neighborAgg(base, f, "id", Seq("fv"),
+      rounds = 2)
+    val incr = GraphOps.maintainNeighborAgg(all, delta, f, prevAdd,
+        "id", Seq("fv"), rounds = 2)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(incr == full(all, 2), s"incr=$incr full=${full(all, 2)}")
+    // DELETE: same primitive, ground truth = remaining
+    val prevDel = GraphOps.neighborAgg(all, f, "id", Seq("fv"),
+      rounds = 2)
+    val decr = GraphOps.maintainNeighborAgg(base, delta, f, prevDel,
+        "id", Seq("fv"), rounds = 2)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(decr == full(base, 2))
+    // sources keep NULL (no in-edges) through maintenance
+    assert(incr(1L).isEmpty && incr(10L).isEmpty && decr(11L).isEmpty)
+    // MIXED in one call: add (11,3) while deleting (10,2)
+    val ground = Seq((1L, 2L), (2L, 3L), (3L, 4L), (11L, 3L))
+      .toDF("start_id", "end_id")
+    val changed = Seq((10L, 2L), (11L, 3L)).toDF("start_id", "end_id")
+    val prevMixed = GraphOps.neighborAgg(all.join(
+        Seq((11L, 3L)).toDF("start_id", "end_id"),
+        Seq("start_id", "end_id"), "left_anti"),
+      f, "id", Seq("fv"), rounds = 2)
+    val mixed = GraphOps.maintainNeighborAgg(ground, changed, f,
+        prevMixed, "id", Seq("fv"), rounds = 2)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(mixed == full(ground, 2))
+    // a non-sum aggregator rides the same machinery
+    val prevMax = GraphOps.neighborAgg(base, f, "id", Seq("fv"),
+      rounds = 2, agg = "max")
+    val maxed = GraphOps.maintainNeighborAgg(all, delta, f, prevMax,
+        "id", Seq("fv"), rounds = 2, agg = "max")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val fullMax = GraphOps.neighborAgg(all, f, "id", Seq("fv"),
+        rounds = 2, agg = "max")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(maxed == fullMax)
+  }
+
   test("decrementalCommunities: touched communities rebuild from " +
     "remaining-edge ground truth — a severed community splits, fully " +
     "stripped members become singletons, untouched labels survive " +
