@@ -1304,6 +1304,91 @@ object StreamingIngest {
       }
       .start()
 
+  /** Message-passing feature store under a CDC edge stream — the
+    * streaming twin of [[graft.operators.GraphOps.maintainNeighborAgg]],
+    * and the simplest CDC twin in the grid because the batch primitive
+    * already takes adds and deletes through ONE signature (the
+    * locality theorem has no add/delete asymmetry): each trigger folds
+    * the two batchId-keyed op stores latest-wins (the
+    * [[streamingSccCdc]] discipline — same-batch del beats add,
+    * re-adds resurrect) and hands the primitive the effective edge
+    * set as ground truth plus the WHOLE batch (adds ∪ dels) as the
+    * changed rows, so after every completed trigger the stored
+    * aggregates are bit-equal to a full [[graft.operators.GraphOps
+    * .neighborAgg]] over the effective edges. `features` is the
+    * static base-feature frame (ground truth, re-read per trigger by
+    * reference). Cold start = one full run.
+    *
+    * Scale notes (100 TB): per trigger, one latest-wins fold over the
+    * op stores plus the primitive's change-neighborhood-sized work;
+    * the stored aggregate frame is overwritten whole (node-sized, not
+    * edge-sized); per-batchId markers make redelivery a no-op. */
+  def streamingNeighborAgg(events: DataFrame, features: DataFrame,
+      edgesDir: String, delsDir: String, aggDir: String,
+      checkpointDir: String, idCol: String, featCols: Seq[String],
+      rounds: Int = 1, direction: String = "in", agg: String = "sum",
+      opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col("start_id"), col("end_id")).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$aggDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            val adds = b.filter(col("_op") === "add")
+              .select("start_id", "end_id").localCheckpoint()
+            val dels = b.filter(col("_op") === "del")
+              .select("start_id", "end_id").localCheckpoint()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$edgesDir/batch=$batchId")
+            if (!dels.isEmpty)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            def store(dir: String, op: Int) =
+              spark.read.parquet(dir).select(col("start_id"),
+                col("end_id"), col("batch").cast("long").as("_b"),
+                lit(op).as("_o"))
+            val haveAdds =
+              fs.exists(new org.apache.hadoop.fs.Path(edgesDir))
+            val haveDels =
+              fs.exists(new org.apache.hadoop.fs.Path(delsDir))
+            val empty = adds.limit(0)
+              .select(col("start_id"), col("end_id"),
+                lit(-1L).as("_b"), lit(0).as("_o"))
+            val effective = (if (haveAdds) store(edgesDir, 1) else empty)
+              .unionByName(if (haveDels) store(delsDir, 0) else empty)
+              .groupBy("start_id", "end_id")
+              .agg(max(struct(col("_b"), (lit(1) - col("_o")).as("_d"),
+                col("_o"))).as("_m"))
+              .filter(col("_m._o") === 1)
+              .select("start_id", "end_id")
+              .localCheckpoint()
+            val sMark =
+              new org.apache.hadoop.fs.Path(s"$aggDir/_SUCCESS")
+            val changed = adds.unionByName(dels)
+            val next =
+              if (fs.exists(sMark))
+                graft.operators.GraphOps.maintainNeighborAgg(effective,
+                  changed, features, spark.read.parquet(aggDir),
+                  idCol, featCols, rounds, direction, agg)
+              else
+                graft.operators.GraphOps.neighborAgg(effective,
+                  features, idCol, featCols, rounds, direction, agg)
+            next.localCheckpoint()
+              .write.mode("overwrite").parquet(aggDir)
+            fs.mkdirs(marker): Unit
+          }
+        }
+      }
+      .start()
+
   def streamingScc(edges: DataFrame, edgesDir: String,
       labelsDir: String, quotientDir: String, checkpointDir: String,
       maxRounds: Int = 20,

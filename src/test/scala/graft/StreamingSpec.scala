@@ -1032,6 +1032,60 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
 
+  test("streamingNeighborAgg: feature store under interleaved adds " +
+      "and deletes — every trigger equals the full recompute over the " +
+      "effective edge set bit-for-bit; redelivery absorbed once") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_nagg").toString
+    val f = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("id")
+      .select(col("id"), col("id").as("fv"))
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingIngest.streamingNeighborAgg(
+      mem.toDF().toDF("op", "start_id", "end_id"), f,
+      s"$tmp/edges", s"$tmp/dels", s"$tmp/agg", s"$tmp/ckpt",
+      "id", Seq("fv"), rounds = 2)
+    try {
+      def store(): Map[Long, Option[Any]] =
+        spark.read.parquet(s"$tmp/agg").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      def full(edges: Seq[(Long, Long)]): Map[Long, Option[Any]] =
+        graft.operators.GraphOps.neighborAgg(
+            edges.toDF("start_id", "end_id"), f, "id", Seq("fv"),
+            rounds = 2)
+          .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      // trigger 1: the chain, plus a same-batch add+del edge
+      mem.addData(Seq(("add", 1L, 2L), ("add", 2L, 3L), ("add", 3L, 4L),
+        ("add", 10L, 2L), ("del", 10L, 2L)): _*)
+      q.processAllAvailable()
+      val eff1 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      assert(store() == full(eff1), "cold start on the effective set")
+      // trigger 2: mixed — resurrect (10,2), add (11,3), delete (3,4)
+      mem.addData(Seq(("add", 10L, 2L), ("add", 11L, 3L),
+        ("del", 3L, 4L)): _*)
+      q.processAllAvailable()
+      val eff2 = Seq((1L, 2L), (2L, 3L), (10L, 2L), (11L, 3L))
+      assert(store() == full(eff2),
+        "mixed trigger ≡ full recompute over the effective set")
+    } finally q.stop()
+    // redelivery under a fresh checkpoint: batch 0 re-sends — marker
+    // makes it a no-op
+    val before = spark.read.parquet(s"$tmp/agg").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val q2 = StreamingIngest.streamingNeighborAgg(
+      mem2.toDF().toDF("op", "start_id", "end_id"), f,
+      s"$tmp/edges", s"$tmp/dels", s"$tmp/agg", s"$tmp/ckpt2",
+      "id", Seq("fv"), rounds = 2)
+    try {
+      mem2.addData(("add", 1L, 2L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$tmp/agg").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap == before,
+      "redelivered batch absorbed once")
+  }
+
   test("streamingScc: exact maintenance — cold start = full SCC, " +
       "arrivals merge on the quotient, every trigger equals the full " +
       "recompute bit-for-bit") {
