@@ -1076,6 +1076,87 @@ object StreamingIngest {
       }
       .start()
 
+  /** ANN index maintenance under a CDC vector stream — adds AND
+    * deletes interleaved, the takedown-complete upgrade of
+    * [[streamingAnnIngest]] and the ANN member of the CDC-twin grid:
+    * per trigger, additions encode against the frozen quantizers
+    * through [[graft.operators.Similarity.updateIndex]] and deletions
+    * tombstone through [[graft.operators.Similarity.deleteFromIndex]],
+    * IN THAT ORDER — so a same-batch delete beats its add (the
+    * tombstone lands after the append and the row is born dead).
+    * Re-adding a previously deleted id RESURRECTS it: when any add id
+    * is currently tombstoned, the trigger runs
+    * [[graft.operators.Similarity.compactIndex]] FIRST — the physical
+    * purge is what makes clearing the tombstone safe (clearing alone
+    * would resurrect the old stale row beside the new one, the
+    * documented duplicate-live-rows id-contract violation).
+    * Resurrections are rare relative to adds and deletes, which is
+    * the asymmetry that pricing them at one inline compaction
+    * accepts.
+    *
+    * Crash safety is [[streamingAnnIngest]]'s two-phase marker
+    * discipline verbatim: `<id>.started` before any mutation, `<id>`
+    * after all of them; a started-without-final redelivery self-heals
+    * by tombstoning the batch's add ids, compacting (physical purge +
+    * tombstone clear), and re-applying the whole batch — deletions
+    * re-tombstone idempotently. */
+  def streamingAnnCdc(events: DataFrame, indexDir: String,
+      checkpointDir: String, vecCol: String, idCol: String,
+      opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col(idCol), col(vecCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$indexDir/_batches/$batchId")
+          val started = new org.apache.hadoop.fs.Path(
+            s"$indexDir/_batches/$batchId.started")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            val adds = b.filter(col("_op") === "add")
+              .select(col(idCol), col(vecCol)).localCheckpoint()
+            val dels = b.filter(col("_op") === "del")
+              .select(col(idCol)).distinct().localCheckpoint()
+            if (fs.exists(started)) {
+              // mid-batch crash redelivery: purge any partial append
+              if (!adds.isEmpty) {
+                graft.operators.Similarity.deleteFromIndex(spark,
+                  indexDir, adds.select(col(idCol)), idCol): Unit
+                graft.operators.Similarity.compactIndex(spark,
+                  indexDir): Unit
+              }
+            } else fs.mkdirs(started): Unit
+            val tombPath =
+              new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+            if (!adds.isEmpty) {
+              // resurrection check: a tombstoned re-add needs the old
+              // rows physically gone before its tombstone clears
+              val needPurge = fs.exists(tombPath) &&
+                !spark.read.parquet(tombPath.toString)
+                  .join(broadcast(adds.select(col(idCol))), Seq(idCol),
+                    "left_semi")
+                  .isEmpty
+              if (needPurge)
+                graft.operators.Similarity.compactIndex(spark,
+                  indexDir): Unit
+              graft.operators.Similarity.updateIndex(spark, indexDir,
+                adds, vecCol, idCol): Unit
+            }
+            if (!dels.isEmpty)
+              graft.operators.Similarity.deleteFromIndex(spark,
+                indexDir, dels, idCol): Unit
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+
   /** EXACT SCC maintenance under a CDC edge stream — adds AND deletes
     * interleaved, the takedown-complete upgrade of [[streamingScc]]:
     * each trigger applies its additions through

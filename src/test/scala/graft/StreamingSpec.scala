@@ -839,6 +839,69 @@ class StreamingSpec extends SparkSpec {
     assert(frags == cells, "inline compaction collapsed to one file/cell")
   }
 
+  test("streamingAnnCdc: index under interleaved adds and deletes — " +
+      "same-batch del beats add, deletes tombstone, re-add resurrects " +
+      "via inline purge with no duplicate live rows, redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    def vec(i: Long) = Seq.tabulate(8)(j => ((i * 8 + j) % 13).toFloat)
+    val base = (0L until 16L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_anncdc").toString
+    val ix = s"$tmp/ix"
+    val (c, a) = Similarity.ivfIndex(base, "embedding", "vec_id", 2)
+    val cb = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 4, k = 2)
+    val enc = Similarity.pqEncode(base, "embedding", "vec_id", cb, m = 4)
+    Similarity.saveIndex(ix, c, cb,
+      a.select(col("centroid_id"), col("vec_id")).join(enc, Seq("vec_id")),
+      m = 4, k = 2, 0.9)
+    def live(): Set[Long] = {
+      val v = spark.read.parquet(s"$ix/vectors").select("vec_id")
+      val t = new java.io.File(s"$ix/tombstones")
+      (if (t.exists)
+        v.join(spark.read.parquet(s"$ix/tombstones"), Seq("vec_id"),
+          "left_anti")
+      else v).collect().map(_.getLong(0)).toSet
+    }
+    val mem = MemoryStream[(String, Long, Seq[Float])]
+    val q = StreamingIngest.streamingAnnCdc(
+      mem.toDF().toDF("op", "vec_id", "embedding"),
+      ix, s"$tmp/ckpt", "embedding", "vec_id")
+    try {
+      // t1: adds 100..103 plus a same-batch add+del of 200 (born dead)
+      mem.addData((Seq(("add", 200L, vec(200L)), ("del", 200L, null: Seq[Float])) ++
+        (100L until 104L).map(i => ("add", i, vec(i)))): _*)
+      q.processAllAvailable()
+      assert(live() == ((0L until 16L) ++ (100L until 104L)).toSet)
+      // t2: delete 101 — tombstoned, not rewritten
+      mem.addData(("del", 101L, null: Seq[Float]))
+      q.processAllAvailable()
+      assert(!live().contains(101L))
+      // t3: re-add 101 — resurrection via inline purge; exactly ONE
+      // live row afterwards (the stale pre-delete row must be gone)
+      mem.addData(("add", 101L, vec(101L)))
+      q.processAllAvailable()
+      assert(live().contains(101L))
+      assert(spark.read.parquet(s"$ix/vectors")
+        .filter(col("vec_id") === 101L).count() == 1L,
+        "no duplicate live rows after resurrection")
+      assert(!live().contains(200L), "born-dead id stays dead")
+    } finally q.stop()
+    // redelivery under a fresh checkpoint: batch 0 re-sends — no-op
+    val before = live()
+    val mem2 = MemoryStream[(String, Long, Seq[Float])]
+    val q2 = StreamingIngest.streamingAnnCdc(
+      mem2.toDF().toDF("op", "vec_id", "embedding"),
+      ix, s"$tmp/ckpt2", "embedding", "vec_id")
+    try {
+      mem2.addData(("add", 100L, vec(100L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(live() == before, "redelivered batch absorbed once")
+  }
+
   test("streamingSccCdc: exact labels under interleaved adds and " +
       "deletes — every trigger equals the full recompute over the " +
       "effective edge set; same-batch del beats add; re-add resurrects") {
