@@ -584,7 +584,8 @@ private[graft] object OracleCtes {
     * namespaces the fine ("") vs coarse ("c") level; weighted rounds
     * sum `w` where unweighted ones count. */
   def louvainRoundSql(r: Int, pfx: String, adj: String,
-      deg: String, weighted: Boolean, gated: Boolean): String = {
+      deg: String, weighted: Boolean, gated: Boolean,
+      mTable: String = "m"): String = {
     val kic =
       if (weighted) s"sum($adj.w)" else "CAST(count(*) AS HUGEINT)"
     val pick =
@@ -603,13 +604,13 @@ private[graft] object OracleCtes {
        |${pfx}tot$r AS (SELECT l.lbl AS c, sum($deg.k) AS tot
        |  FROM ${pfx}l$r l JOIN $deg ON $deg.id = l.id GROUP BY 1),
        |${pfx}sc$r AS (SELECT cand.id, cand.c, cur.lbl AS cur,
-       |    2 * m.m * cand.kic - $deg.k *
+       |    2 * $mTable.m * cand.kic - $deg.k *
        |      (tot.tot - CASE WHEN cand.c = cur.lbl THEN $deg.k
        |                 ELSE CAST(0 AS HUGEINT) END) AS s
        |  FROM ${pfx}cand$r cand
        |  JOIN ${pfx}l$r cur ON cur.id = cand.id
        |  JOIN $deg ON $deg.id = cand.id
-       |  JOIN ${pfx}tot$r tot ON tot.c = cand.c, m),
+       |  JOIN ${pfx}tot$r tot ON tot.c = cand.c, $mTable),
        |${pfx}b$r AS (SELECT id, c, cur FROM (
        |    SELECT id, c, cur,
        |      row_number() OVER (PARTITION BY id ORDER BY s DESC, c)

@@ -804,6 +804,45 @@ private[graft] object QueriesGraph {
         rounds = 2).orderBy("id")
     }),
 
+    // ---- G25g: one CDC community-maintenance step — the exact
+    // composition streamingCommunitiesCdc applies on a mixed trigger:
+    // start from the stored CC labels of the old graph (mod-40
+    // orders), ADD the delta orders' pairs (mod-200 ≡ 20) through
+    // incrementalCommunities (the adds land in the pre-delete world —
+    // the asOfAdds fold), then DELETE the mod-120 orders' cliques
+    // through decrementalCommunities from effective-remaining ground
+    // truth. Oracle: both stage unrolls composed — q_g25's seeded
+    // region rounds feeding q_g25f's singleton touched-community
+    // rounds (separate m tables per stage's subgraph). ----
+    "q_g25g_cdc_communities" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      def pairsOf(orders: DataFrame) = {
+        val a = orders.alias("a"); val b = orders.alias("b")
+        a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
+          .distinct()
+      }
+      val old = pairsOf(li.filter(col("ok") % 40 === 0))
+      val delta = pairsOf(li.filter(col("ok") % 200 === 20))
+      val all = pairsOf(li.filter(
+        col("ok") % 40 === 0 || col("ok") % 200 === 20))
+      val edel = pairsOf(li.filter(col("ok") % 120 === 0))
+      val remaining = all.join(edel, Seq("start_id", "end_id"),
+        "left_anti")
+      val oldPairs = old.select(col("start_id").as("id_a"),
+        col("end_id").as("id_b"))
+      val vold = old.select(col("start_id").as("id"))
+        .unionAll(old.select(col("end_id").as("id"))).distinct()
+      val prev = Dedup.connectedComponents(vold, "id", oldPairs)
+        .select(col("id"), col("comp").as("community"))
+      val inter = GraphOps.incrementalCommunities(all, delta, prev,
+        rounds = 2, hops = 2)
+      GraphOps.decrementalCommunities(remaining, edel, inter,
+        rounds = 2).orderBy("id")
+    }),
+
     // ---- G23b: the Louvain-vs-LPA modularity scoreboard on the hetero
     // graph — both partitions scored by the same exact-moment
     // modularity, 1 row each, Q integerized at e6. The row ORDER pins
@@ -1996,6 +2035,102 @@ private[graft] object QueriesGraph {
          |SELECT id, community FROM out_kept
          |UNION ALL
          |SELECT id, community FROM out_region
+         |ORDER BY id""".stripMargin,
+
+    // CDC composition rebuild: q_g25's seeded-region unroll (the add
+    // stage, over the pre-delete world) feeding q_g25f's
+    // singleton-seeded touched-community unroll (the delete stage,
+    // over effective-remaining ground truth) — each stage with its own
+    // subgraph's m table (the mTable parameter on louvainRoundSql).
+    "q_g25g_cdc_communities" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |eold AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % 40 = 0),
+         |edelta AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % 200 = 20),
+         |eall AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % 40 = 0 OR a.ok % 200 = 20),
+         |edel AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % 120 = 0),
+         |erem AS MATERIALIZED (SELECT a, b FROM eall
+         |  WHERE NOT EXISTS (SELECT 1 FROM edel
+         |    WHERE edel.a = eall.a AND edel.b = eall.b)),
+         |vold AS (SELECT DISTINCT id FROM (
+         |  SELECT a AS id FROM eold UNION ALL SELECT b FROM eold)),
+         |oadj AS MATERIALIZED (SELECT a AS src, b AS dst FROM eold
+         |  UNION ALL SELECT b, a FROM eold),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM vold
+         |  UNION
+         |  SELECT a.dst AS id, r.lbl FROM reach r
+         |  JOIN oadj a ON a.src = r.id
+         |  WHERE r.lbl < a.dst),
+         |prev AS MATERIALIZED (
+         |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+         |seeds AS (SELECT DISTINCT id FROM (
+         |  SELECT a AS id FROM edelta UNION ALL SELECT b FROM edelta)),
+         |sadj AS MATERIALIZED (SELECT a AS src, b AS dst FROM eall
+         |  UNION ALL SELECT b, a FROM eall),
+         |h1 AS (SELECT DISTINCT sadj.dst AS id
+         |  FROM sadj JOIN seeds ON sadj.src = seeds.id),
+         |h2 AS (SELECT DISTINCT sadj.dst AS id
+         |  FROM sadj JOIN h1 ON sadj.src = h1.id),
+         |region AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT id FROM seeds UNION ALL SELECT id FROM h1
+         |  UNION ALL SELECT id FROM h2)),
+         |e AS MATERIALIZED (SELECT eall.a, eall.b FROM eall
+         |  JOIN region ra ON ra.id = eall.a
+         |  JOIN region rb ON rb.id = eall.b),
+         |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |deg AS MATERIALIZED (SELECT src AS id,
+         |  CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+         |l0 AS (SELECT deg.id, coalesce(p.lbl, deg.id) AS lbl
+         |  FROM deg LEFT JOIN prev p USING (id))${
+           (0 until 2).map(r => louvainRoundSql(r, "", "adj", "deg",
+             false, gated = true)).mkString},
+         |inter AS MATERIALIZED (
+         |  SELECT p.id, p.lbl AS community FROM prev p
+         |  WHERE p.id NOT IN (SELECT id FROM region)
+         |  UNION ALL
+         |  SELECT r.id, coalesce(l.lbl, p.lbl, r.id) AS community
+         |  FROM region r
+         |  LEFT JOIN l2 l USING (id)
+         |  LEFT JOIN prev p USING (id)),
+         |tc AS MATERIALIZED (SELECT DISTINCT i.community AS lbl
+         |  FROM inter i
+         |  JOIN (SELECT a AS id FROM edel
+         |        UNION ALL SELECT b FROM edel) s2 ON s2.id = i.id),
+         |members AS MATERIALIZED (
+         |  SELECT i.id FROM inter i JOIN tc ON tc.lbl = i.community),
+         |de AS MATERIALIZED (SELECT erem.a, erem.b FROM erem
+         |  JOIN members ma ON ma.id = erem.a
+         |  JOIN members mb ON mb.id = erem.b),
+         |dadj AS MATERIALIZED (SELECT a AS src, b AS dst FROM de
+         |  UNION ALL SELECT b, a FROM de),
+         |ddeg AS MATERIALIZED (SELECT src AS id,
+         |  CAST(count(*) AS HUGEINT) AS k FROM dadj GROUP BY 1),
+         |dm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM de),
+         |dl0 AS (SELECT id, id AS lbl FROM ddeg)${
+           (0 until 2).map(r => louvainRoundSql(r, "d", "dadj", "ddeg",
+             false, gated = true, mTable = "dm")).mkString},
+         |out_kept AS (
+         |  SELECT i.id, i.community FROM inter i
+         |  WHERE i.community NOT IN (SELECT lbl FROM tc)),
+         |out_members AS (
+         |  SELECT mm.id, coalesce(l.lbl, mm.id) AS community
+         |  FROM members mm
+         |  LEFT JOIN dl2 l USING (id))
+         |SELECT id, community FROM out_kept
+         |UNION ALL
+         |SELECT id, community FROM out_members
          |ORDER BY id""".stripMargin,
 
     // Decremental-maintenance rebuild: recursive min-label CC over the
