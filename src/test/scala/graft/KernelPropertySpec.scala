@@ -101,4 +101,51 @@ class KernelPropertySpec extends AnyFunSuite {
         s"ids=$ids k=$k cut=$cut")
     }
   }
+
+  // ---- imageQuality: PNG round-trip vs the pixel-grid arithmetic ----
+
+  test("imageQuality matches the gradient-grid arithmetic reference on " +
+    "120 random (w, h, base, steps, thresholds)") {
+    import graft.operators.Multimodal
+    for (_ <- 1 to 120) {
+      val w = 1 + rng.nextInt(20)
+      val h = 1 + rng.nextInt(12)
+      val base = rng.nextInt(512) - 128 // negative bases exercise floorMod
+      val sx = rng.nextInt(40) - 20
+      val sy = rng.nextInt(40) - 20
+      val over = 200 + rng.nextInt(56)
+      val under = rng.nextInt(40)
+      val png = Multimodal.encodeGradientPng(w, h, base, sx, sy)
+      val q = Multimodal.imageQuality(png, over, under).get
+      val vals = for { y <- 0 until h; x <- 0 until w }
+        yield java.lang.Math.floorMod(base + x * sx + y * sy, 256)
+      val hist = vals.groupBy(identity).map(_._2.size)
+      assert(q == Multimodal.ImageQuality(w, h, w.toLong * h,
+        vals.count(_ >= over).toLong, vals.count(_ <= under).toLong,
+        vals.min, vals.max, hist.max.toLong),
+        s"w=$w h=$h base=$base sx=$sx sy=$sy over=$over under=$under")
+    }
+  }
+
+  // ---- videoQuality: MP4 round-trip vs the sample-table arithmetic ----
+
+  test("videoQuality matches the sample-table arithmetic reference on " +
+    "120 random (sizes, duration) incl. zero-size samples") {
+    import graft.operators.Multimodal
+    for (_ <- 1 to 120) {
+      val n = 1 + rng.nextInt(8)
+      val sizes = Array.fill(n)(
+        if (rng.nextInt(5) == 0) 0 else 1 + rng.nextInt(60))
+      val dur = rng.nextInt(5000).toLong // 0 exercises the -1 bitrate
+      val samples = sizes.map(sz => Array.fill(sz)(rng.nextInt.toByte))
+      val mp4 = Multimodal.encodeMp4WithSamples(64, 48, dur, samples)
+      val q = Multimodal.videoQuality(mp4).get
+      val mb = sizes.map(_.toLong).sum
+      assert(q == Multimodal.VideoQuality("mp4", 64, 48, dur, 1,
+        n.toLong, mb, sizes.min.toLong, sizes.max.toLong,
+        sizes.count(_ == 0).toLong,
+        if (dur > 0) mb * 8L * 1000L / dur else -1L),
+        s"sizes=${sizes.mkString(",")} dur=$dur")
+    }
+  }
 }
