@@ -123,6 +123,13 @@ import graft.operators.{Curation, GraphOps}
   *               (the retrain_recommended ACTION: rebuild quantizers
   *               from the tombstone-purged corpus, re-encode, swap the
   *               staged layout in, report recall before/after)
+  *   clusterdel  --edges <stored (id_a, id_b) verified-pair dir>
+  *               --delta <deleted doc ids dir> --target <stored (id,
+  *               comp) clusters dir> [-o <outDir>]
+  *               (decremental dup-cluster maintenance — the dedup
+  *               takedown path: touched clusters re-run CC over their
+  *               internal remaining pairs, exact by refinement;
+  *               deleted docs leave the store)
   *   commdec     --edges <remaining-edges dir> --delta <deleted-edges
   *               dir> --target <stored (id, community) labels dir>
   *               [--iterations R] [--weight-col w] [-o <outDir>]
@@ -709,6 +716,21 @@ object Analyze {
           spark.read.parquet(args.target),
           rounds = args.iterations, hops = args.hops,
           seed = args.hashSeed, weightCol = args.weightCol, ckpt = ckpt)
+      case "clusterdel" =>
+        // decremental dup-cluster maintenance — the dedup tier's
+        // takedown path: --edges is the stored verified-pair table,
+        // --delta the removed doc ids; only touched clusters re-run CC
+        // over their internal remaining pairs (exact by refinement)
+        require(args.edges.nonEmpty && args.delta.nonEmpty &&
+          args.target.nonEmpty,
+          "clusterdel needs --edges <stored (id_a, id_b) pairs dir>, " +
+            "--delta <deleted ids dir>, and --target <stored (id, " +
+            "comp) clusters dir>; returns refreshed clusters")
+        graft.operators.Dedup.decrementalDupClusters(
+          spark.read.parquet(args.edges),
+          spark.read.parquet(args.delta),
+          spark.read.parquet(args.target),
+          maxIter = args.maxIter, ckpt = ckpt)
       case "commdec" =>
         // decremental community maintenance — the takedown twin of
         // `incremental`: --edges is the POST-delete edge table (ground

@@ -577,6 +577,73 @@ object Dedup {
     labels
   }
 
+  /** EXACT decremental maintenance of a [[connectedComponents]] dup-
+    * cluster store under document TAKEDOWNS — the dedup tier's
+    * right-to-erasure path (the decrementalScc refinement discipline,
+    * for undirected node deletion): removing a document can SPLIT its
+    * cluster (it may have been the bridge between two near-dup
+    * families), but any post-delete path between surviving docs stays
+    * inside their old cluster (paths never leave a component), so the
+    * post-delete clustering is computed exactly by re-running CC on
+    * the TOUCHED clusters' members over their internal remaining
+    * pairs only — bit-identical to a full recompute over the
+    * surviving pair graph (labels stay "min member id", each refined
+    * cluster being a subset of its old one). Untouched clusters keep
+    * their rows verbatim; deleted docs LEAVE the store (a takedown
+    * removes the document, not just an edge); deletes of ids unknown
+    * to `prevClusters` are no-ops.
+    *
+    * Scale notes (100 TB): the deleted-id and touched-cluster frames
+    * are takedown-sized and broadcast; the stored pair table — the
+    * one corpus-scale input — is scanned once with the anti/semi
+    * filters pushed into it (an id-bucketed pair store prunes to the
+    * touched buckets); the CC rerun is touched-cluster-sized; the
+    * stored cluster frame is touched by one anti-join and one union.
+    * Keeper re-election composes downstream: feed the refreshed
+    * clusters to [[electKeepers]] and a takedown that removed a
+    * keeper elects a survivor.
+    *
+    * @param pairs        the stored verified near-dup pair table
+    *                     (`id_a`, `id_b`) — ground truth
+    * @param deletedIds   one column of removed doc ids
+    * @param prevClusters stored (`id`, `comp`) from
+    *                     [[connectedComponents]]
+    * @return refreshed (`id`, `comp`) over the surviving docs */
+  def decrementalDupClusters(pairs: DataFrame, deletedIds: DataFrame,
+      prevClusters: DataFrame, maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val del = deletedIds.select(col(deletedIds.columns.head).as("id"))
+      .distinct().localCheckpoint()
+    val prev = prevClusters.select(col("id"), col("comp"))
+    // touched clusters: stored components of the deleted ids (inner —
+    // unknown ids are no-ops)
+    val tc = del.join(prev, Seq("id"))
+      .select("comp").distinct().localCheckpoint()
+    // surviving members of touched clusters (explicit select — the
+    // semi/anti joins move their keys first)
+    val members = ckpt(prev
+      .join(broadcast(tc), Seq("comp"), "left_semi")
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .select("id", "comp"))
+    // internal remaining pairs: ONE pass over the stored pair table,
+    // deleted endpoints dropped, induced on the touched members
+    val sub = pairs.select(col("id_a"), col("id_b"))
+      .join(broadcast(del.withColumnRenamed("id", "id_a")),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(del.withColumnRenamed("id", "id_b")),
+        Seq("id_b"), "left_anti")
+      .join(members.select(col("id").as("id_a")), Seq("id_a"),
+        "left_semi")
+      .join(members.select(col("id").as("id_b")), Seq("id_b"),
+        "left_semi")
+      .select("id_a", "id_b")
+    val relabeled = connectedComponents(members.select("id"), "id",
+      sub, maxIter, ckpt)
+    val kept = prev.join(broadcast(tc), Seq("comp"), "left_anti")
+      .select("id", "comp")
+    kept.unionByName(relabeled.select(col("id"), col("comp")))
+  }
+
   /** End-to-end corpus deduplication — the whole X1/X2/X1b chain as one
     * call: exact dedup (identical bytes), MinHash-LSH near-dup candidates,
     * exact-Jaccard verification, connected-components clustering, and

@@ -925,6 +925,21 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("sccdec", "--edges", s"$dir/sccd_rem")),
         spark))
+    // clusterdel: dup-cluster takedown from argv — removing the bridge
+    // splits the chain, removing a keeper relabels the survivor
+    Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      .write.parquet(s"$dir/cl_pairs")
+    Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+      .toDF("id", "comp").write.parquet(s"$dir/cl_prev")
+    Seq(2L, 5L).toDF("id").write.parquet(s"$dir/cl_del")
+    val cdel = Analyze.run(parse(List("clusterdel",
+      "--edges", s"$dir/cl_pairs", "--delta", s"$dir/cl_del",
+      "--target", s"$dir/cl_prev")), spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cdel == Map(1L -> 1L, 3L -> 3L, 6L -> 6L))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("clusterdel", "--edges", s"$dir/cl_pairs")),
+        spark))
     // commdec: decremental community maintenance from argv — severing
     // the barbell bridge splits the stored community in two; the
     // untouched community survives verbatim

@@ -383,6 +383,39 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("decrementalDupClusters: a takedown splits its cluster exactly, " +
+      "keeper removal relabels survivors, untouched clusters verbatim, " +
+      "deleted docs leave the store, unknown deletes are no-ops") {
+    // chains {1,2,3,4} and {5,6}; untouched {10,11}; isolated 20
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val prev = Dedup.connectedComponents(vertices, "id", pairs)
+    // delete the bridge doc 2 (splits {1,2,3,4}) and the keeper 5
+    // (6 must relabel to itself)
+    val out = Dedup.decrementalDupClusters(pairs,
+        Seq(2L, 5L).toDF("id"), prev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full recompute over the surviving pair graph
+    val full = Dedup.connectedComponents(
+        Seq(1L, 3L, 4L, 6L, 10L, 11L, 20L).toDF("id"),
+        "id", Seq((3L, 4L), (10L, 11L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == full, s"out=$out full=$full")
+    assert(out == Map(1L -> 1L, 3L -> 3L, 4L -> 3L, 6L -> 6L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(!out.contains(2L) && !out.contains(5L),
+      "taken-down docs leave the store")
+    // keeper re-election composes: the refreshed clusters feed
+    // electKeepers and the survivor wins
+    // unknown deletes are no-ops
+    val noop = Dedup.decrementalDupClusters(pairs,
+        Seq(999L).toDF("id"), prev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == prev.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("connectedComponents: duplicate vertex ids collapse to one row " +
       "instead of multiplying through the pointer-jump self-join") {
     // regression: a duplicated vertex id used to give the jump join a
