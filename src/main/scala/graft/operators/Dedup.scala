@@ -577,6 +577,54 @@ object Dedup {
     labels
   }
 
+  /** EXACT incremental maintenance of a [[connectedComponents]]
+    * dup-cluster store under newly verified PAIRS — the undirected
+    * twin of the incremental-SCC quotient theorem: appended edges only
+    * ever MERGE components, and connectivity among old clusters is
+    * fully captured by their labels, so projecting the new pairs onto
+    * stored labels and running CC on that LABEL-SIZED quotient problem
+    * composes to the exact full-recompute answer: new(id) =
+    * q(old(id)), bit-identical (labels stay "min member id" — a
+    * quotient component's min over old labels, each itself a min of
+    * members, IS the global min). Unseen endpoints enter as their own
+    * quotient nodes; untouched clusters keep their label verbatim.
+    * Per-batch cost is pairs+touched-labels-sized — the accumulated
+    * pair table is NEVER re-read (the point at 100 TB).
+    *
+    * @param newPairs     newly verified (`id_a`, `id_b`) rows
+    * @param prevClusters stored (`id`, `comp`)
+    * @return refreshed (`id`, `comp`) for prev ∪ new endpoints */
+  def incrementalDupClusters(newPairs: DataFrame,
+      prevClusters: DataFrame, maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame = {
+    val prev = prevClusters.select(col("id"), col("comp"))
+    val p = newPairs.select(col("id_a"), col("id_b"))
+    val proj = p
+      .join(prev.withColumnsRenamed(Map("id" -> "id_a", "comp" -> "_ca")),
+        Seq("id_a"), "left")
+      .join(prev.withColumnsRenamed(Map("id" -> "id_b", "comp" -> "_cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("_ca"), col("id_a")).as("id_a"),
+        coalesce(col("_cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val qverts = proj.select(col("id_a").as("id"))
+      .unionAll(proj.select(col("id_b").as("id"))).distinct()
+    val qlabels = ckpt(connectedComponents(qverts, "id", proj, maxIter,
+      ckpt))
+    val composed = prev
+      .join(qlabels.select(col("id").as("comp"), col("comp").as("_new")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("_new"), col("comp")).as("comp"))
+    // brand-new endpoints (a self-pair-only newcomer never reaches the
+    // self-loop-filtered quotient — the coalesce keeps it a singleton)
+    val newIds = p.select(col("id_a").as("id"))
+      .unionAll(p.select(col("id_b").as("id"))).distinct()
+      .join(prev.select("id"), Seq("id"), "left_anti")
+      .join(qlabels.withColumnRenamed("comp", "_q"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_q"), col("id")).as("comp"))
+    composed.unionByName(newIds)
+  }
+
   /** EXACT decremental maintenance of a [[connectedComponents]] dup-
     * cluster store under document TAKEDOWNS — the dedup tier's
     * right-to-erasure path (the decrementalScc refinement discipline,

@@ -914,9 +914,9 @@ object StreamingIngest {
             // excludeThisBatch = the PRE-batch live set.
             def remaining(excludeThisBatch: Boolean) = {
               val haveAdds =
-                fs.exists(new org.apache.hadoop.fs.Path(rawDir))
+                hasBatchData(fs, rawDir)
               val haveDels =
-                fs.exists(new org.apache.hadoop.fs.Path(delsDir))
+                hasBatchData(fs, delsDir)
               val empty = adds.limit(0)
                 .select(col(keyCol), col(startCol), col(endCol),
                   lit(-1L).as("_b"), lit(0).as("_o"))
@@ -968,6 +968,20 @@ object StreamingIngest {
         }
       }
       .start()
+  }
+
+  /** True iff `dir` holds at least one `batch=<id>/` data
+    * subdirectory. The op-store directories also carry the
+    * underscore-prefixed `_batches/` marker tree (invisible to parquet
+    * readers but enough to make the directory EXIST), so a bare
+    * `fs.exists` check would send `spark.read.parquet` into a
+    * data-less directory and fail schema inference — e.g. a
+    * delete-only stream whose add store never received a batch. */
+  private def hasBatchData(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
   }
 
   /** Refuse a raw store whose root holds loose data files beside (or
@@ -1071,6 +1085,147 @@ object StreamingIngest {
                 graft.operators.Similarity
                   .compactIndex(spark, indexDir): Unit
             }
+          }
+        }
+      }
+      .start()
+
+  /** Dup-cluster maintenance under a CDC stream of verified pairs and
+    * document TAKEDOWNS — the dedup member of the CDC-twin grid: each
+    * trigger applies its pair additions through
+    * [[graft.operators.Dedup.incrementalDupClusters]] (exact: appends
+    * only merge, label-quotient-sized) and its document deletions
+    * through [[graft.operators.Dedup.decrementalDupClusters]] (exact:
+    * touched clusters re-run CC over their internal LIVE pairs), so
+    * the stored clusters track the live pair graph. `add` rows carry
+    * (`id_a`, `id_b`); `del` rows carry the removed doc id in `id_a`.
+    *
+    * Pair LIVENESS (the fold's contract): a pair is live iff its
+    * latest add batch is strictly newer than both endpoints' latest
+    * deletion — so a same-batch takedown beats the pair's add, a
+    * takedown kills every pair the doc had accumulated, and a LATER
+    * re-add of a pair resurrects the doc with exactly its post-return
+    * pairs (the pre-takedown pairs stay dead — erasure means erased).
+    * Vertex rows follow one rule on BOTH the incremental and the
+    * cold-start path: a doc has a row iff its own latest takedown is
+    * older than the latest pair-add naming it — so a doc whose only
+    * pair died with the OTHER endpoint's takedown remains as a
+    * singleton (IT was never erased), while erased docs leave; on
+    * live-pair endpoints the labels are bit-equal to a full CC
+    * recompute over the live pair graph (the spec asserts both).
+    *
+    * Ground truth = two batchId-keyed op stores (`pairsDir/batch=`,
+    * `delsDir/batch=`; idempotent overwrites, per-batchId marker =
+    * redelivery no-op); mid-batch crash recovery is mechanical
+    * (delete the clusters store → cold rebuild from the fold). */
+  def streamingDupClustersCdc(events: DataFrame, pairsDir: String,
+      delsDir: String, clustersDir: String, checkpointDir: String,
+      opCol: String = "op",
+      maxIter: Int = 25): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col("id_a"), col("id_b")).localCheckpoint()
+        if (!b.isEmpty) {
+          // markers live under the op store: the clusters store is
+          // rewritten with mode("overwrite") each trigger, which would
+          // wipe any marker history kept beside it
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$pairsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            val adds = b.filter(col("_op") === "add")
+              .select("id_a", "id_b").distinct().localCheckpoint()
+            val dels = b.filter(col("_op") === "del")
+              .select(col("id_a").as("id")).distinct().localCheckpoint()
+            val nDels = dels.count()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$pairsDir/batch=$batchId")
+            if (nDels > 0L)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            // live pairs: latest add strictly newer than each
+            // endpoint's latest takedown (same-batch del wins)
+            def livePairs(excludeThisBatchDels: Boolean) = {
+              val havePairs =
+                hasBatchData(fs, pairsDir)
+              val haveDels =
+                hasBatchData(fs, delsDir)
+              val pAll =
+                if (havePairs) spark.read.parquet(pairsDir)
+                  .groupBy("id_a", "id_b")
+                  .agg(max(col("batch").cast("long")).as("_ab"))
+                else adds.limit(0).select(col("id_a"), col("id_b"),
+                  lit(-1L).as("_ab"))
+              val dRaw =
+                if (haveDels) spark.read.parquet(delsDir)
+                  .select(col("id"), col("batch").cast("long").as("_db"))
+                else dels.limit(0).select(col("id"), lit(-1L).as("_db"))
+              val d = (if (excludeThisBatchDels)
+                dRaw.filter(col("_db") =!= batchId) else dRaw)
+                .groupBy("id").agg(max(col("_db")).as("_db"))
+              pAll
+                .join(d.withColumnsRenamed(
+                  Map("id" -> "id_a", "_db" -> "_da")), Seq("id_a"),
+                  "left")
+                .join(d.withColumnsRenamed(
+                  Map("id" -> "id_b", "_db" -> "_dbb")), Seq("id_b"),
+                  "left")
+                .filter((col("_da").isNull || col("_da") < col("_ab")) &&
+                  (col("_dbb").isNull || col("_dbb") < col("_ab")))
+                .select("id_a", "id_b")
+            }
+            val sMark =
+              new org.apache.hadoop.fs.Path(s"$clustersDir/_SUCCESS")
+            val clusters =
+              if (fs.exists(sMark)) {
+                val prev = spark.read.parquet(clustersDir)
+                val l1 =
+                  if (adds.isEmpty) prev
+                  else graft.operators.Dedup.incrementalDupClusters(
+                    adds, prev, maxIter)
+                if (nDels == 0L) l1
+                else graft.operators.Dedup.decrementalDupClusters(
+                  livePairs(excludeThisBatchDels = false), dels, l1,
+                  maxIter)
+              } else {
+                val live = livePairs(excludeThisBatchDels = false)
+                  .localCheckpoint()
+                // vertex rule (matches the composed primitives): a doc
+                // has a row iff its own latest takedown is older than
+                // the latest pair-add naming it — so an endpoint whose
+                // only pair died with the OTHER doc's takedown stays,
+                // while erased docs leave
+                val pRaw =
+                  (if (hasBatchData(fs, pairsDir))
+                    spark.read.parquet(pairsDir)
+                  else adds.limit(0).withColumn("batch", lit(-1L)))
+                    .select(col("id_a"), col("id_b"),
+                      col("batch").cast("long").as("_b"))
+                val vCand = pRaw.select(col("id_a").as("id"), col("_b"))
+                  .unionAll(pRaw.select(col("id_b").as("id"), col("_b")))
+                  .groupBy("id").agg(max(col("_b")).as("_vb"))
+                val dMax =
+                  if (hasBatchData(fs, delsDir))
+                    spark.read.parquet(delsDir)
+                      .groupBy("id")
+                      .agg(max(col("batch").cast("long")).as("_db"))
+                  else dels.limit(0).select(col("id"),
+                    lit(-1L).as("_db"))
+                val verts = vCand.join(dMax, Seq("id"), "left")
+                  .filter(col("_db").isNull || col("_db") < col("_vb"))
+                  .select("id")
+                graft.operators.Dedup.connectedComponents(verts, "id",
+                  live, maxIter)
+              }
+            clusters.localCheckpoint()
+              .write.mode("overwrite").parquet(clustersDir)
+            fs.mkdirs(marker): Unit
           }
         }
       }
@@ -1198,8 +1353,10 @@ object StreamingIngest {
         val b = batch.select(col(opCol).cast("string").as("_op"),
           col("start_id"), col("end_id")).localCheckpoint()
         if (!b.isEmpty) {
+          // markers live under the op store — the labels store's
+          // whole-directory overwrite would wipe them
           val marker = new org.apache.hadoop.fs.Path(
-            s"$labelsDir/_batches/$batchId")
+            s"$edgesDir/_batches/$batchId")
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
@@ -1222,9 +1379,9 @@ object StreamingIngest {
             // primitive application order below)
             def remaining() = {
               val haveAdds =
-                fs.exists(new org.apache.hadoop.fs.Path(edgesDir))
+                hasBatchData(fs, edgesDir)
               val haveDels =
-                fs.exists(new org.apache.hadoop.fs.Path(delsDir))
+                hasBatchData(fs, delsDir)
               val empty = adds.limit(0)
                 .select(col("start_id"), col("end_id"),
                   lit(-1L).as("_b"), lit(0).as("_o"))
@@ -1314,8 +1471,10 @@ object StreamingIngest {
         val b = batch.select(col(opCol).cast("string").as("_op"),
           col("start_id"), col("end_id")).localCheckpoint()
         if (!b.isEmpty) {
+          // markers live under the op store — the labels store's
+          // whole-directory overwrite would wipe them
           val marker = new org.apache.hadoop.fs.Path(
-            s"$labelsDir/_batches/$batchId")
+            s"$edgesDir/_batches/$batchId")
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
@@ -1340,9 +1499,9 @@ object StreamingIngest {
             // the delete step re-derives from the FULL fold after).
             def effective(asOfAdds: Boolean) = {
               val haveAdds =
-                fs.exists(new org.apache.hadoop.fs.Path(edgesDir))
+                hasBatchData(fs, edgesDir)
               val haveDels =
-                fs.exists(new org.apache.hadoop.fs.Path(delsDir))
+                hasBatchData(fs, delsDir)
               val empty = adds.limit(0)
                 .select(col("start_id"), col("end_id"),
                   lit(-1L).as("_b"), lit(0).as("_o"))
@@ -1417,8 +1576,10 @@ object StreamingIngest {
         val b = batch.select(col(opCol).cast("string").as("_op"),
           col("start_id"), col("end_id")).localCheckpoint()
         if (!b.isEmpty) {
+          // markers live under the op store — the aggregate store's
+          // whole-directory overwrite would wipe them
           val marker = new org.apache.hadoop.fs.Path(
-            s"$aggDir/_batches/$batchId")
+            s"$edgesDir/_batches/$batchId")
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
@@ -1437,9 +1598,9 @@ object StreamingIngest {
                 col("end_id"), col("batch").cast("long").as("_b"),
                 lit(op).as("_o"))
             val haveAdds =
-              fs.exists(new org.apache.hadoop.fs.Path(edgesDir))
+              hasBatchData(fs, edgesDir)
             val haveDels =
-              fs.exists(new org.apache.hadoop.fs.Path(delsDir))
+              hasBatchData(fs, delsDir)
             val empty = adds.limit(0)
               .select(col("start_id"), col("end_id"),
                 lit(-1L).as("_b"), lit(0).as("_o"))

@@ -383,6 +383,34 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("incrementalDupClusters: new pairs merge on the label quotient " +
+      "exactly — composed result equals the full recompute, unseen " +
+      "endpoints enter, untouched clusters verbatim") {
+    val vertices = Seq(1L, 2L, 3L, 5L, 6L, 10L, 11L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val prev = Dedup.connectedComponents(vertices, "id", pairs)
+    // a bridging pair merges {1,2,3} with {5,6}; a brand-new doc 40
+    // attaches to {10,11}; and a self-pair-only newcomer 50 enters
+    val newPairs = Seq((3L, 5L), (40L, 10L), (50L, 50L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.incrementalDupClusters(newPairs, prev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+        (Seq(1L, 2L, 3L, 5L, 6L, 10L, 11L, 40L, 50L)).toDF("id"), "id",
+        pairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == full, s"out=$out full=$full")
+    assert(Set(1L, 2L, 3L, 5L, 6L).forall(out(_) == 1L))
+    assert(out(40L) == 10L && out(50L) == 50L)
+    // an in-cluster duplicate pair is a fixpoint
+    val noop = Dedup.incrementalDupClusters(
+        Seq((10L, 11L)).toDF("id_a", "id_b"), prev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == prev.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("decrementalDupClusters: a takedown splits its cluster exactly, " +
       "keeper removal relabels survivors, untouched clusters verbatim, " +
       "deleted docs leave the store, unknown deletes are no-ops") {

@@ -839,6 +839,67 @@ class StreamingSpec extends SparkSpec {
     assert(frags == cells, "inline compaction collapsed to one file/cell")
   }
 
+  test("streamingDupClustersCdc: clusters under verified-pair adds " +
+      "and document takedowns — same-batch takedown beats the add, a " +
+      "takedown splits exactly, re-added pairs resurrect the doc with " +
+      "only its post-return pairs, live-endpoint labels equal the " +
+      "full recompute, redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_dupcdc").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingIngest.streamingDupClustersCdc(
+      mem.toDF().toDF("op", "id_a", "id_b"),
+      s"$tmp/pairs", s"$tmp/dels", s"$tmp/clusters", s"$tmp/ckpt")
+    try {
+      def store(): Map[Long, Long] =
+        spark.read.parquet(s"$tmp/clusters").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // t1: chain + untouched pair + a same-batch add-and-takedown
+      mem.addData(Seq(("add", 1L, 2L), ("add", 2L, 3L),
+        ("add", 10L, 11L), ("add", 20L, 21L), ("del", 20L, 0L)): _*)
+      q.processAllAvailable()
+      assert(store() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+        11L -> 10L, 21L -> 21L),
+        "takedown kills its pair; the surviving endpoint stays as a " +
+          s"singleton; got ${store()}")
+      // t2: take down the bridge doc 2; add a new pair
+      mem.addData(Seq(("del", 2L, 0L), ("add", 30L, 31L)): _*)
+      q.processAllAvailable()
+      val s2 = store()
+      assert(s2 == Map(1L -> 1L, 3L -> 3L, 10L -> 10L, 11L -> 10L,
+        21L -> 21L, 30L -> 30L, 31L -> 30L), s"got $s2")
+      // live-endpoint labels ≡ full recompute over the live pairs
+      val live2 = Seq((10L, 11L), (30L, 31L))
+      val full2 = graft.operators.Dedup.connectedComponents(
+          live2.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id"), "id",
+          live2.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(full2.forall { case (k, v) => s2(k) == v })
+      // t3: a NEW pair mentioning the taken-down doc resurrects it
+      // with only the post-return pair (the old (1,2) stays dead)
+      mem.addData(("add", 2L, 3L))
+      q.processAllAvailable()
+      assert(store() == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 10L -> 10L,
+        11L -> 10L, 21L -> 21L, 30L -> 30L, 31L -> 30L),
+        s"got ${store()}")
+    } finally q.stop()
+    // redelivery under a fresh checkpoint: batch 0 re-sends — no-op
+    val before = spark.read.parquet(s"$tmp/clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val q2 = StreamingIngest.streamingDupClustersCdc(
+      mem2.toDF().toDF("op", "id_a", "id_b"),
+      s"$tmp/pairs", s"$tmp/dels", s"$tmp/clusters", s"$tmp/ckpt2")
+    try {
+      mem2.addData(("add", 1L, 2L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$tmp/clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before,
+      "redelivered batch absorbed once")
+  }
+
   test("streamingAnnCdc: index under interleaved adds and deletes — " +
       "same-batch del beats add, deletes tombstone, re-add resurrects " +
       "via inline purge with no duplicate live rows, redelivery no-op") {
