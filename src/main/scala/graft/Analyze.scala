@@ -123,6 +123,11 @@ import graft.operators.{Curation, GraphOps}
   *               (the retrain_recommended ACTION: rebuild quantizers
   *               from the tombstone-purged corpus, re-encode, swap the
   *               staged layout in, report recall before/after)
+  *   scrubdecon  --docs <dir> --bench <dir> [--text-col text]
+  *               [--id-col doc_id] [--shingle-size N] [-o <outDir>]
+  *               (span-level decontamination: benchmark-overlapping
+  *               spans scrubbed in place, survivors reassembled —
+  *               the doc keeps its clean remainder)
   *   clusterdel  --edges <stored (id_a, id_b) verified-pair dir>
   *               --delta <deleted doc ids dir> --target <stored (id,
   *               comp) clusters dir> [-o <outDir>]
@@ -998,6 +1003,16 @@ object Analyze {
           spark.read.parquet(args.vectors), args.vecCol,
           if (args.idCol == "doc_id") "vec_id" else args.idCol,
           args.threshold, args.cells, ckpt = ckpt)
+      case "scrubdecon" =>
+        // span-level decontamination: scrub benchmark-overlapping
+        // spans in place instead of dropping whole documents
+        require(args.docs.nonEmpty && args.bench.nonEmpty,
+          "scrubdecon needs --docs <dir> and --bench <dir>; " +
+            "--shingle-size sets the overlap unit")
+        graft.operators.Decontaminate.scrubContaminatedSpans(
+          spark.read.parquet(args.docs), args.textCol, args.idCol,
+          spark.read.parquet(args.bench), args.textCol,
+          args.shingleSize)
       case "decontaminate" =>
         require(args.docs.nonEmpty && args.bench.nonEmpty,
           "decontaminate needs --docs <dir> and --bench <dir>")

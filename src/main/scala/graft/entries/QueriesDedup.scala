@@ -318,6 +318,18 @@ private[graft] object QueriesDedup {
         .orderBy("doc_id")
     }),
 
+    // ---- X7f: SPAN-level decontamination — the q_x2m kernel with the
+    // duplicate-hash set replaced by the bench slice's shingles: a doc
+    // quoting a benchmark item loses the quoted span, not the doc.
+    // Same corpus/bench split as q_x7. ----
+    "q_x7f_scrub_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.scrubContaminatedSpans(
+        d.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        d.filter(col("doc_id") % 97 === 0), "text", shingleSize = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- X7c: SEMANTIC decontamination — corpus embeddings vs a held-out
     // bench slice (vec_id % 97 == 0), broadcast nested-loop cosine; the
     // paraphrase-leakage sibling of q_x7 ----
@@ -856,6 +868,61 @@ private[graft] object QueriesDedup {
         |  CAST(COALESCE(t.n, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
         |    AS n_removed
         |FROM documents d
+        |LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The q_x2m rebuild with bench-shingle membership instead of the
+    // count-≥-2 dup set; shingle strings compare directly (the engine's
+    // sha256 equality is string equality).
+    "q_x7f_scrub_contamination" ->
+      """WITH corp AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 97 <> 0),
+        |tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM corp),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |  WHERE length(u.tk) > 0
+        |), sh AS (
+        |  SELECT a.doc_id, a.pos, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |), btok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents WHERE doc_id % 97 = 0),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |  WHERE length(u.tk) > 0
+        |), bsh AS (
+        |  SELECT DISTINCT a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+        |  FROM btok a
+        |  JOIN btok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN btok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |), cov AS (
+        |  SELECT DISTINCT s.doc_id, s.pos + d.d AS tp
+        |  FROM sh s JOIN bsh ON bsh.sh = s.sh,
+        |       LATERAL (SELECT unnest([0, 1, 2]) AS d) d
+        |), keptt AS (
+        |  SELECT t.doc_id, t.pos, t.tk
+        |  FROM tok t LEFT JOIN cov
+        |    ON cov.doc_id = t.doc_id AND cov.tp = t.pos
+        |  WHERE cov.doc_id IS NULL
+        |), reb AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM keptt GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(t.n, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed
+        |FROM corp d
         |LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

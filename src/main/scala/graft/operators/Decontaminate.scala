@@ -197,6 +197,73 @@ object Decontaminate {
           col("n_shingles").cast("double"))
   }
 
+  /** SPAN-level decontamination — scrub the contaminated text instead
+    * of dropping the document: every corpus token covered by a shingle
+    * that also appears in the benchmark is removed and the survivors
+    * reassemble in order (the [[graft.operators.Dedup
+    * .removeDuplicateSpans]] kernel, with the duplicate-hash set
+    * replaced by the BENCH shingle set). The middle ground between
+    * [[decontaminate]]'s whole-doc drop and keeping leakage: a long
+    * document that quotes one benchmark item loses the quote, not its
+    * other ten thousand tokens — the standard span-scrub policy for
+    * high-value documents.
+    *
+    * Scale notes (100 TB corpus vs ~10^5-shingle benchmark): the bench
+    * shingle hashes broadcast once (32-byte hashes, never text); the
+    * corpus pays one shingle explode + a broadcast semi-join + the
+    * per-doc reassembly groupBy — raw text shuffles ONCE, in the
+    * rebuild, and only for docs that keep at least one token. Coverage
+    * expansion is a bounded explode (shingleSize rows per CONTAMINATED
+    * occurrence only).
+    *
+    * @return one row per input doc: (`idCol`, `clean_text`,
+    *         `n_tokens`, `n_removed`) — clean_text is '' when every
+    *         token was covered */
+  def scrubContaminatedSpans(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    require(shingleSize >= 1, "shingleSize must be >= 1")
+    val benchHashes = bench.select(
+        explode(array_distinct(
+          Dedup.shingles(col(benchTextCol), shingleSize))).as("_sh"))
+      .select(sha2(col("_sh"), 256).as("_h")).distinct()
+    val occ = docs
+      .select(col(idCol).as("_id"),
+        posexplode(Dedup.shingles(col(textCol), shingleSize))
+          .as(Seq("_pos", "_sh")))
+      .select(col("_id"), col("_pos"), sha2(col("_sh"), 256).as("_h"))
+    val covered = occ.join(broadcast(benchHashes), Seq("_h"), "left_semi")
+      .select(col("_id"),
+        explode(sequence(col("_pos"),
+          col("_pos") + lit(shingleSize - 1))).as("_tp"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol).as("_id"),
+        posexplode(split(trim(col(textCol)), "\\s+"))
+          .as(Seq("_tp", "_tk")))
+      .filter(length(col("_tk")) > 0)
+    val rebuilt = toks
+      .join(covered, Seq("_id", "_tp"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
+            t => t.getField("_tk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("_total"))
+    docs.select(col(idCol))
+      .join(totals, col(idCol) === totals("_id"), "left").drop("_id")
+      .join(rebuilt, col(idCol) === rebuilt("_id"), "left").drop("_id")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("_total"), lit(0L)).as("n_tokens"),
+        (coalesce(col("_total"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Embedding-space decontamination: (corpus doc, benchmark doc, cosine)
     * for every pair with cosine ≥ `threshold` — the semantic sibling of
     * [[contaminationPairs]] that catches PARAPHRASED eval leakage no

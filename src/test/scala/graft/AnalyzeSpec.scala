@@ -115,6 +115,18 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Analyze.run(parse(List(
       "decontaminate", "--docs", s"$dir/docs", "--bench", s"$dir/bench",
       "--mode", "psychic")), spark))
+    // scrubdecon: span-level — doc 1 loses the quoted bench span but
+    // keeps its remainder instead of being dropped
+    val scrubbed = Analyze.run(parse(List("scrubdecon",
+      "--docs", s"$dir/docs", "--bench", s"$dir/bench",
+      "--shingle-size", "4")), spark)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(scrubbed(1L) == (("today", 10L)))
+    assert(scrubbed(2L)._2 == 0L)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("scrubdecon", "--docs", s"$dir/docs")),
+        spark))
   }
 
   test("scrub runs from argv: PII redacted, audit counts attached") {

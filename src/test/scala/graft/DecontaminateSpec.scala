@@ -21,6 +21,29 @@ class DecontaminateSpec extends SparkSpec {
     (3L, "the capital city grew quickly last year"))
     .toDF("doc_id", "text")
 
+  test("scrubContaminatedSpans: quoted benchmark spans are removed in " +
+      "place, clean docs untouched, fully-quoted docs empty out, " +
+      "short docs pass through") {
+    import org.apache.spark.sql.functions.col
+    val b = Seq((100L, "x y z w")).toDF("qid", "question")
+    val docs = Seq(
+      (1L, "p q x y z w r"), // quotes the bench — loses the quote
+      (2L, "hello world foo bar"), // clean
+      (3L, "x y z w"), // nothing but the quote
+      (4L, "hi yo")) // shorter than the shingle — no shingles
+      .toDF("doc_id", "text")
+    val out = Decontaminate.scrubContaminatedSpans(docs, "text",
+        "doc_id", b, "question", shingleSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // shingles at pos 2 ("x y z") and 3 ("y z w") match → tokens 2..5
+    // covered → "p q r" survives
+    assert(out(1L) == (("p q r", 7L, 4L)))
+    assert(out(2L) == (("hello world foo bar", 4L, 0L)))
+    assert(out(3L) == (("", 4L, 4L)))
+    assert(out(4L) == (("hi yo", 2L, 0L)))
+  }
+
   test("verbatim leakage is flagged; clean docs are not") {
     val pairs = Decontaminate.contaminationPairs(
       corpus, "text", "doc_id", bench, "question", "qid",
