@@ -826,9 +826,11 @@ object TimeSeries {
     * [[linearTrend]]: integer `valueCol`, x = epoch offset from the
     * entity's first observation integer-`div` `xUnitSec` (same-x pairs
     * are excluded — their slope is undefined). Medians are exact
-    * interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`); every per-pair double is a function of exact
-    * integers, so the whole statistic is engine/partition-exact.
+    * interpolated percentiles — lo (odd n) or 0.5·lo + 0.5·hi over the
+    * two middle ranks (even n), the identical association Spark's
+    * `percentile` and DuckDB's `quantile_cont` interpolate at p = 0.5 —
+    * and every per-pair double is a function of exact integers, so the
+    * whole statistic is engine/partition-exact.
     *
     * Scale notes (100 TB): the pair expansion is quadratic PER ENTITY —
     * the [[graft.operators.RelPipeline.cooccurrenceEdges]] cap
@@ -836,8 +838,13 @@ object TimeSeries {
     * are EXCLUDED from the estimate and reported in the second frame
     * (first `maxPoints` in (x, y) order would silently change the
     * statistic; refusing loudly is the honest contract). The pair join
-    * is entity-local (equi-join on the entity key); medians partial-agg
-    * per entity.
+    * is entity-local (equi-join on the entity key); medians are SORT-
+    * based (`row_number` + partition count over an entity-keyed window
+    * picks the middle ranks) — a spillable, codegen'd sort with O(1)
+    * per-row state, NOT the value-buffering `percentile` aggregate,
+    * whose ~n²/2-doubles-per-entity aggregation buffers made this the
+    * most allocation-intensive shape in the suite under memory
+    * pressure.
     *
     * @return (trends (`entityCol`, `n_points`, `n_pairs`, `slope`,
     *         `intercept`) — entities with no valid pair (single point,
@@ -875,15 +882,43 @@ object TimeSeries {
       .select(col(entityCol), col("n_points"),
         ((col("_y2") - col("_y1")).cast("double") /
           (col("_x2") - col("_x1")).cast("double")).as("_s"))
-    val med = slopes.groupBy(col(entityCol))
-      .agg(max(col("n_points")).as("n_points"),
-        count(lit(1)).as("n_pairs"),
-        expr("percentile(_s, 0.5)").as("slope"))
-    val trends = kept
+    // Sort-based exact median: rank within the entity, keep the middle
+    // one (odd n) or two (even n) rows — `_rn·2` is even, `_cnt+1` odd
+    // exactly when n is even, so |_rn·2 − (_cnt+1)| ≤ 1 selects
+    // precisely the middle rank(s); ties in the value order can swap
+    // ROWS between the middle ranks but never the VALUES read there.
+    // 0.5·lo + 0.5·hi is bit-equal to Spark `percentile(v, 0.5)`
+    // ((higher−position)·lo + (position−lower)·hi with both weights
+    // exactly 0.5) while the execution plan is shuffle + spillable sort
+    // instead of an aggregation buffer holding every value.
+    def sortMedian(values: DataFrame, vCol: String,
+        out: String): DataFrame = {
+      val wSort = Window.partitionBy(col(entityCol)).orderBy(col(vCol))
+      val wPart = Window.partitionBy(col(entityCol))
+      values
+        .select(col(entityCol), col(vCol),
+          row_number().over(wSort).as("_rn"),
+          count(lit(1)).over(wPart).as("_cnt"))
+        .filter(abs(col("_rn") * 2 - (col("_cnt") + 1)) <= 1)
+        .groupBy(col(entityCol))
+        .agg(max(col("_cnt")).as("_n"),
+          min(col(vCol)).as("_lo"), max(col(vCol)).as("_hi"))
+        .select(col(entityCol), col("_n"),
+          when(col("_n") % 2 === 1, col("_lo"))
+            .otherwise(lit(0.5) * col("_lo") + lit(0.5) * col("_hi"))
+            .as(out))
+    }
+    val med = sortMedian(slopes.select(col(entityCol), col("_s")), "_s",
+      "slope").withColumnRenamed("_n", "n_pairs")
+    val resid = kept
       .join(med.select(col(entityCol), col("slope")), Seq(entityCol))
-      .groupBy(col(entityCol))
-      .agg(expr("percentile(_y - slope * _x, 0.5)").as("intercept"))
-      .join(med, Seq(entityCol), "right")
+      .select(col(entityCol),
+        (col("_y").cast("double") -
+          col("slope") * col("_x").cast("double")).as("_r"))
+    val icept = sortMedian(resid, "_r", "intercept").drop("_n")
+    val trends = med
+      .join(sizes.select(col(entityCol), col("n_points")), Seq(entityCol))
+      .join(icept, Seq(entityCol))
       .select(col(entityCol), col("n_points"), col("n_pairs"),
         col("slope"), col("intercept"))
     (trends, overflow)
