@@ -159,16 +159,50 @@ private[graft] object EntryData {
     * (incremental merge, decremental re-split, the CDC composition);
     * rebuilding the base labels in-row re-times what q_g26_scc
     * already times, and at ~9 s per synchronous-round SCC that
-    * rebuild was ~2/3 of q_g26g's cost (r11 verdict). Keyed on the
-    * session identity too: localCheckpoint blocks die with their
-    * session, so a cached frame must never leak across test-suite
-    * sessions. */
+    * rebuild was ~2/3 of q_g26g's cost (r11 verdict). Keyed on a
+    * per-session UUID too (weak-keyed on the session object):
+    * localCheckpoint blocks die with their session, so a cached frame
+    * must never leak across test-suite sessions — the UUID can never
+    * collide or be reused (an identity hash could, after the old
+    * session is GC'd), and a context-end listener evicts the dead
+    * session's entries so stale references never outlive their
+    * blocks. */
   private val sccStateCache = new java.util.concurrent.ConcurrentHashMap[
     String, GraphOps.SccState]()
+  private val evictRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // One process-unique id per live session, held WEAKLY on the session
+  // object: identity semantics while the session is alive (SparkSession
+  // does not override equals), automatic clearing once it is GC'd, and
+  // a fresh UUID for any later session — unlike a raw identity hash,
+  // which the JVM may hand to a new object after the old one dies.
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionKey(s: SparkSession, tag: String): String = {
+    val uuid = sessionIds.synchronized {
+      var u = sessionIds.get(s)
+      if (u == null) {
+        u = java.util.UUID.randomUUID().toString
+        sessionIds.put(s, u): Unit
+      }
+      u
+    }
+    if (evictRegistered.add(uuid))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            sccStateCache.keySet.removeIf(_.endsWith(s"@$uuid"))
+            commPrevCache.keySet.removeIf(_.endsWith(s"@$uuid"))
+            evictRegistered.remove(uuid): Unit
+          }
+        })
+    s"$tag@$uuid"
+  }
   private def cachedSccState(s: SparkSession, dir: String, key: String)(
       edges: => DataFrame): GraphOps.SccState =
     sccStateCache.computeIfAbsent(
-      s"$key@$dir@${System.identityHashCode(s)}", _ => {
+      sessionKey(s, s"$key@$dir"), _ => {
         val e = edges
         val labels = GraphOps.stronglyConnectedComponents(e)
           .localCheckpoint()
@@ -200,7 +234,7 @@ private[graft] object EntryData {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def g25PrevLabels(s: SparkSession, dir: String): DataFrame =
     commPrevCache.computeIfAbsent(
-      s"g25@$dir@${System.identityHashCode(s)}", _ => {
+      sessionKey(s, s"g25@$dir"), _ => {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()

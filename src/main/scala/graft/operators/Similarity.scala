@@ -1048,6 +1048,18 @@ object Similarity {
         n
       } else 0L
     val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
+    // Self-heal a crash in a PREVIOUS compaction's ledger swap: the
+    // aside-rename window can leave no live drift_log but a complete
+    // copy at drift_log_compact_old. Restore it on entry — the swap
+    // below would otherwise fs.delete the aside copy unconditionally,
+    // destroying the only surviving ledger and silently resetting the
+    // retrain_recommended evidence.
+    val asideLog =
+      new org.apache.hadoop.fs.Path(s"$dir/drift_log_compact_old")
+    if (!fs.exists(logPath) && fs.exists(asideLog))
+      require(fs.rename(asideLog, logPath),
+        s"compactIndex: self-heal rename $asideLog -> $logPath failed " +
+          "(aside ledger untouched)")
     val (nDeltas, nLedger, deltaMean) =
       if (fs.exists(logPath)) {
         // mergeSchema: a MIXED ledger (pre-r11 2-col files beside new
@@ -1093,8 +1105,7 @@ object Similarity {
       // copy — a crash at any point leaves at least one complete ledger
       // on disk (old aside or new live), never the delete-then-rename
       // window that would silently reset retrain_recommended evidence.
-      val oldLog =
-        new org.apache.hadoop.fs.Path(s"$dir/drift_log_compact_old")
+      val oldLog = asideLog
       fs.delete(oldLog, true): Unit
       require(fs.rename(logPath, oldLog),
         s"compactIndex: rename $logPath -> $oldLog failed (ledger " +

@@ -859,8 +859,13 @@ object StreamingIngest {
     * (`rawDir/batch=<id>/`, `delsDir/batch=<id>/` — idempotent
     * overwrites) reconciled latest-wins; a per-batchId marker makes
     * completed-batch redelivery a no-op, and a mid-batch crash
-    * recovers mechanically (delete the islands store → the next
-    * trigger cold-rebuilds from the reconciled ground truth).
+    * self-heals via the two-phase `started`/final marker (the
+    * [[streamingAnnIngest]] discipline): a redelivery that finds
+    * `started` without the final marker cold-rebuilds the islands
+    * store from the reconciled ground truth instead of re-absorbing
+    * the delta — the absorb path is NOT idempotent (a re-absorbed
+    * interval would inflate its island's `n_merged`), unlike the
+    * dup/neighborAgg twins whose folds are.
     *
     * Scale notes (100 TB): add-only triggers are islands+delta-sized
     * after the reconciliation fold; the fold itself is one
@@ -892,6 +897,17 @@ object StreamingIngest {
             requireBatchLayout(fs, delsDir, "streamingIntervalsCdc")
           }
           if (!fs.exists(marker)) {
+            // Two-phase marker: `started` lands before any mutation.
+            // A redelivery that finds it knows the previous attempt
+            // may have overwritten the islands store already — the
+            // absorb below would then re-merge the same delta and
+            // inflate n_merged — so it takes the cold-rebuild branch
+            // (exact from reconciled ground truth; the op-store
+            // writes are idempotent overwrites either way).
+            val started = new org.apache.hadoop.fs.Path(
+              s"$rawDir/_batches/$batchId.started")
+            val midCrash = fs.exists(started)
+            if (!midCrash) fs.mkdirs(started): Unit
             val adds = b.filter(col("_op") === "add")
               .select(col(keyCol), col(startCol), col(endCol))
               .distinct().localCheckpoint()
@@ -933,7 +949,7 @@ object StreamingIngest {
             val sMark =
               new org.apache.hadoop.fs.Path(s"$islandsDir/_SUCCESS")
             val islands =
-              if (fs.exists(sMark)) {
+              if (fs.exists(sMark) && !midCrash) {
                 val live = remaining(excludeThisBatch = false)
                   .localCheckpoint()
                 // the ADD delta the store hasn't absorbed yet: this
@@ -958,12 +974,15 @@ object StreamingIngest {
                 else graft.operators.Funnel.deleteIntervals(st1, live,
                   dels, keyCol, startCol, endCol, minGap)
               } else
+                // cold start OR mid-crash redelivery: exact rebuild
+                // from the reconciled effective interval set
                 graft.operators.Funnel.mergeIntervals(
                   remaining(excludeThisBatch = false),
                   keyCol, startCol, endCol, minGap)
             islands.localCheckpoint()
               .write.mode("overwrite").parquet(islandsDir)
             fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
           }
         }
       }
@@ -1151,7 +1170,7 @@ object StreamingIngest {
                 .parquet(s"$delsDir/batch=$batchId")
             // live pairs: latest add strictly newer than each
             // endpoint's latest takedown (same-batch del wins)
-            def livePairs(excludeThisBatchDels: Boolean) = {
+            def livePairs() = {
               val havePairs =
                 hasBatchData(fs, pairsDir)
               val haveDels =
@@ -1166,9 +1185,7 @@ object StreamingIngest {
                 if (haveDels) spark.read.parquet(delsDir)
                   .select(col("id"), col("batch").cast("long").as("_db"))
                 else dels.limit(0).select(col("id"), lit(-1L).as("_db"))
-              val d = (if (excludeThisBatchDels)
-                dRaw.filter(col("_db") =!= batchId) else dRaw)
-                .groupBy("id").agg(max(col("_db")).as("_db"))
+              val d = dRaw.groupBy("id").agg(max(col("_db")).as("_db"))
               pAll
                 .join(d.withColumnsRenamed(
                   Map("id" -> "id_a", "_db" -> "_da")), Seq("id_a"),
@@ -1191,11 +1208,9 @@ object StreamingIngest {
                     adds, prev, maxIter)
                 if (nDels == 0L) l1
                 else graft.operators.Dedup.decrementalDupClusters(
-                  livePairs(excludeThisBatchDels = false), dels, l1,
-                  maxIter)
+                  livePairs(), dels, l1, maxIter)
               } else {
-                val live = livePairs(excludeThisBatchDels = false)
-                  .localCheckpoint()
+                val live = livePairs().localCheckpoint()
                 // vertex rule (matches the composed primitives): a doc
                 // has a row iff its own latest takedown is older than
                 // the latest pair-add naming it — so an endpoint whose
@@ -1245,9 +1260,16 @@ object StreamingIngest {
     * purge is what makes clearing the tombstone safe (clearing alone
     * would resurrect the old stale row beside the new one, the
     * documented duplicate-live-rows id-contract violation).
-    * Resurrections are rare relative to adds and deletes, which is
-    * the asymmetry that pricing them at one inline compaction
-    * accepts.
+    * Re-adding a currently LIVE id UPDATES it: the old row is
+    * tombstoned and physically purged in the same trigger before the
+    * new row appends (the append-only store's spelling of
+    * latest-wins), and same-id adds WITHIN one trigger fold to a
+    * single deterministic representative before any mutation — so
+    * after every completed trigger the index holds exactly one live
+    * row per live id, whatever the input stream did.
+    * Resurrections/updates are rare relative to plain adds and
+    * deletes, which is the asymmetry that pricing them at one inline
+    * compaction accepts.
     *
     * Crash safety is [[streamingAnnIngest]]'s two-phase marker
     * discipline verbatim: `<id>.started` before any mutation, `<id>`
@@ -1273,8 +1295,19 @@ object StreamingIngest {
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
+            // Fold adds to ONE row per id BEFORE touching the index:
+            // two adds of one id in a single trigger would otherwise
+            // append two live rows — the exact id-contract violation
+            // this twin exists to prevent. A trigger batch has no
+            // client-visible row order, so "latest" is undefined
+            // within it; the fold picks a deterministic representative
+            // (max by Spark's array ordering) — re-running the batch
+            // always yields the same index.
             val adds = b.filter(col("_op") === "add")
-              .select(col(idCol), col(vecCol)).localCheckpoint()
+              .select(col(idCol), col(vecCol))
+              .groupBy(col(idCol))
+              .agg(max(col(vecCol)).as(vecCol))
+              .localCheckpoint()
             val dels = b.filter(col("_op") === "del")
               .select(col(idCol)).distinct().localCheckpoint()
             if (fs.exists(started)) {
@@ -1288,17 +1321,35 @@ object StreamingIngest {
             } else fs.mkdirs(started): Unit
             val tombPath =
               new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+            val vecsPath =
+              new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
             if (!adds.isEmpty) {
+              val addIds = adds.select(col(idCol))
               // resurrection check: a tombstoned re-add needs the old
               // rows physically gone before its tombstone clears
-              val needPurge = fs.exists(tombPath) &&
+              val tombHit = fs.exists(tombPath) &&
                 !spark.read.parquet(tombPath.toString)
-                  .join(broadcast(adds.select(col(idCol))), Seq(idCol),
-                    "left_semi")
+                  .join(broadcast(addIds), Seq(idCol), "left_semi")
                   .isEmpty
-              if (needPurge)
+              // update-style re-add of a LIVE id: the old row must be
+              // tombstoned and physically purged before the append, or
+              // the trigger leaves two live rows for one id (the other
+              // CDC twins fold latest-wins per identity; the ANN store
+              // is append-only, so "latest wins" is delete-then-add)
+              val liveHit = fs.exists(vecsPath) &&
+                !spark.read.parquet(vecsPath.toString)
+                  .select(col(idCol))
+                  .join(broadcast(addIds), Seq(idCol), "left_semi")
+                  .isEmpty
+              if (tombHit || liveHit) {
+                // tombstoning ids with no stored row is a no-op, so
+                // covering ALL add ids is safe and catches both cases
+                if (liveHit)
+                  graft.operators.Similarity.deleteFromIndex(spark,
+                    indexDir, addIds, idCol): Unit
                 graft.operators.Similarity.compactIndex(spark,
                   indexDir): Unit
+              }
               graft.operators.Similarity.updateIndex(spark, indexDir,
                 adds, vecCol, idCol): Unit
             }

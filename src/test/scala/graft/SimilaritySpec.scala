@@ -542,6 +542,22 @@ class SimilaritySpec extends SparkSpec {
       "rolled-up ledger keeps the absorbed-batch count")
     assert(repAgain.getDouble(5) == rep.getDouble(5),
       "rolled-up ledger keeps the weighted delta mean")
+    // crash-window self-heal: a compaction that died between the
+    // aside-rename and the promote leaves NO live drift_log but a
+    // complete copy at drift_log_compact_old — the next compaction
+    // must rename it back on entry, not destroy it with the
+    // unconditional pre-swap delete
+    assert(new java.io.File(s"$dir/drift_log")
+      .renameTo(new java.io.File(s"$dir/drift_log_compact_old")),
+      "fixture: simulate the crash window")
+    val repHealed = Similarity.compactIndex(spark, dir).head()
+    assert(repHealed.getLong(4) == 2L,
+      "self-healed ledger keeps the absorbed-batch count")
+    assert(repHealed.getDouble(5) == rep.getDouble(5),
+      "self-healed ledger keeps the weighted delta mean")
+    assert(new java.io.File(s"$dir/drift_log").exists() &&
+      !new java.io.File(s"$dir/drift_log_compact_old").exists(),
+      "live ledger restored, aside copy gone")
     // a rebuild into the same dir resets the maintenance state: the
     // ledger measured the OLD quantizers (stale latch) and every
     // fresh-written row is live by definition

@@ -949,6 +949,22 @@ class StreamingSpec extends SparkSpec {
         .filter(col("vec_id") === 101L).count() == 1L,
         "no duplicate live rows after resurrection")
       assert(!live().contains(200L), "born-dead id stays dead")
+      // t4: TWO adds of one id in a single trigger — the batch fold
+      // must leave exactly one live row (id contract)
+      mem.addData(("add", 300L, vec(300L)), ("add", 300L, vec(301L)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$ix/vectors")
+        .filter(col("vec_id") === 300L).count() == 1L,
+        "same-trigger duplicate adds fold to one live row")
+      assert(live().contains(300L))
+      // t5: re-add of a currently LIVE id — update semantics: the old
+      // row is purged in the same trigger, never two live rows
+      mem.addData(("add", 102L, vec(777L)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$ix/vectors")
+        .filter(col("vec_id") === 102L).count() == 1L,
+        "live re-add replaces, not duplicates")
+      assert(live().contains(102L))
     } finally q.stop()
     // redelivery under a fresh checkpoint: batch 0 re-sends — no-op
     val before = live()
@@ -1149,6 +1165,30 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
     assert(store2(s"$tmp/islands") == before,
       "redelivered batch absorbed once")
+    // mid-batch crash: the previous attempt overwrote the islands
+    // store but died before the final marker (started left behind).
+    // Redelivery must COLD-REBUILD from the reconciled op stores —
+    // the absorb path would re-merge the same (already-absorbed)
+    // delta and inflate n_merged.
+    assert(new java.io.File(s"$tmp/raw/_batches/0").delete(),
+      "fixture: drop batch 0's final marker")
+    assert(new java.io.File(s"$tmp/raw/_batches/0.started").mkdirs())
+    val mem3 = MemoryStream[(String, String, Long, Long)]
+    val q3 = StreamingIngest.streamingIntervalsCdc(
+      mem3.toDF().toDF("op", "k", "s", "e"),
+      s"$tmp/raw", s"$tmp/dels", s"$tmp/islands", s"$tmp/ckpt3",
+      "k", "s", "e", minGap = 2L)
+    try {
+      mem3.addData(Seq(("add", "a", 1L, 3L), ("add", "a", 10L, 12L),
+        ("add", "b", 0L, 1L), ("add", "c", 7L, 8L),
+        ("del", "c", 7L, 8L)): _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(store2(s"$tmp/islands") == before,
+      "mid-crash redelivery cold-rebuilds instead of re-absorbing")
+    assert(new java.io.File(s"$tmp/raw/_batches/0").exists &&
+      !new java.io.File(s"$tmp/raw/_batches/0.started").exists,
+      "final marker restored, started cleared")
   }
 
   private def store2(dir: String): Map[(String, Long), (Long, Long, Long)] =
