@@ -123,6 +123,14 @@ import graft.operators.{Curation, GraphOps}
   *               (the retrain_recommended ACTION: rebuild quantizers
   *               from the tombstone-purged corpus, re-encode, swap the
   *               staged layout in, report recall before/after)
+  *   lexmaint    --docs <base corpus dir> [--delta <added docs dir>]
+  *               [--target <removed doc ids dir>] [--text-col text]
+  *               [--id-col doc_id] [-o <outDir>]
+  *               (exact lexical-index maintenance: build the serving
+  *               store from the base corpus, apply takedowns and
+  *               adds/replacements in one call, emit the served BM25
+  *               weights — bit-equal to a full rebuild over the
+  *               post-change corpus)
   *   scrubdecon  --docs <dir> --bench <dir> [--text-col text]
   *               [--id-col doc_id] [--shingle-size N] [-o <outDir>]
   *               (span-level decontamination: benchmark-overlapping
@@ -1003,6 +1011,26 @@ object Analyze {
           spark.read.parquet(args.vectors), args.vecCol,
           if (args.idCol == "doc_id") "vec_id" else args.idCol,
           args.threshold, args.cells, ckpt = ckpt)
+      case "lexmaint" =>
+        // exact lexical-index maintenance: --docs is the base corpus
+        // the store was built from, --delta the added/replacement
+        // docs, --target the removed doc ids; output = served BM25
+        // weights off the maintained store (≡ full rebuild)
+        require(args.docs.nonEmpty,
+          "lexmaint needs --docs <base corpus dir>; --delta <added " +
+            "docs dir> and --target <removed doc ids dir> are the " +
+            "change batch (either may be omitted)")
+        val lexIx = graft.operators.Relevance.buildLexIndex(
+          spark.read.parquet(args.docs), args.idCol, args.textCol)
+        val lexAdds =
+          if (args.delta.nonEmpty) spark.read.parquet(args.delta)
+          else spark.read.parquet(args.docs).limit(0)
+        val lexDels =
+          if (args.target.nonEmpty) spark.read.parquet(args.target)
+          else spark.read.parquet(args.docs).select(args.idCol).limit(0)
+        graft.operators.Relevance.bm25FromIndex(
+          graft.operators.Relevance.maintainLexIndex(
+            lexIx, lexAdds, lexDels, args.idCol, args.textCol))
       case "scrubdecon" =>
         // span-level decontamination: scrub benchmark-overlapping
         // spans in place instead of dropping whole documents
@@ -1149,9 +1177,16 @@ object Analyze {
           spark.read.parquet(args.docs), args.idCol, args.textCol,
           ckpt = ckpt)
       case "knppl3" =>
-        // interpolated KN at order 3 — knppl one rung up the ladder
-        require(args.docs.nonEmpty, "knppl3 needs --docs <dir>")
-        graft.operators.Relevance.knTrigramPerplexity(
+        // interpolated KN at order 3 — knppl one rung up the ladder;
+        // --mode modified switches to the Chen–Goodman/KenLM
+        // count-class discount estimator (d1/d2/d3+ per order)
+        require(args.docs.nonEmpty, "knppl3 needs --docs <dir>; " +
+          "--mode modified selects the d1/d2/d3+ estimator")
+        if (args.mode == "modified")
+          graft.operators.Relevance.knTrigramPerplexityModified(
+            spark.read.parquet(args.docs), args.idCol, args.textCol,
+            ckpt)
+        else graft.operators.Relevance.knTrigramPerplexity(
           spark.read.parquet(args.docs), args.idCol, args.textCol,
           ckpt = ckpt)
       case "ks" =>

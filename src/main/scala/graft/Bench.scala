@@ -176,6 +176,47 @@ object Bench {
       a.indices.map { i =>
         if (a(i) < 0 || b(i) < 0) -1L else (b(i) - a(i)) / 1000L
       }.toArray
+    // Fifth sentinel — the victim's SCHEDULER WAIT, per iteration. The
+    // r12 driver-record inflation signature (q_st25 84 s vs 4.8 s
+    // parity, q_x4r 21.9 s with one clean 5.7 s iteration) read FLAT
+    // on PSI, flat on throttle, and near-zero on cpu_other: whatever
+    // squeezed the box (cpuset-level core theft, LLC/memory-bandwidth
+    // contention from a sibling) never registered as pressure on the
+    // PSI plumbing this cgroup sees nor as foreign busy ticks.
+    // /proc/self/task/<tid>/schedstat field 2 is the kernel's
+    // run-delay for that thread — time it sat RUNNABLE with no core —
+    // which measures exactly "we had work and no CPU", whoever took
+    // it and however PSI is wired. Summed across all live tasks; a
+    // thread that exits takes its accumulated wait with it, so the
+    // per-iteration delta clamps at 0 (thread churn, not time
+    // travel). Complemented by one scaling_cur_freq sample per
+    // iteration: DVFS/thermal capping inflates wall with ALL stall
+    // channels flat, and a sagging frequency is its only witness.
+    def runDelayNs(): Long =
+      try {
+        var sum = 0L
+        val stream = java.nio.file.Files.list(
+          java.nio.file.Paths.get("/proc/self/task"))
+        try {
+          val it = stream.iterator()
+          while (it.hasNext) {
+            val p = it.next().resolve("schedstat")
+            try {
+              val parts = java.nio.file.Files.readString(p)
+                .trim.split("\\s+")
+              if (parts.length >= 2) sum += parts(1).toLong
+            } catch { case _: Throwable => () } // task exited mid-walk
+          }
+        } finally stream.close()
+        sum
+      } catch { case _: Throwable => -1L }
+    def runDelayDeltaMs(a: Long, b: Long): Long =
+      if (a < 0 || b < 0) -1L else math.max(0L, b - a) / 1000000L
+    def freqMhz(): Long =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq"))
+        .trim.toLong / 1000L
+      catch { case _: Throwable => -1L }
     // Timed pass: materialize through the noop sink so every projected
     // column is computed — .count() would let Catalyst prune most of the
     // work for scan/window-shaped queries. Each query runs `iters` times;
@@ -195,7 +236,8 @@ object Bench {
     val pass0 = System.nanoTime()
     final case class QRec(name: String, median: Double,
       times: Seq[Double], startCs: Long, load: String, other: String,
-      iterStalls: Seq[Array[Long]], iterOther: Seq[String])
+      iterStalls: Seq[Array[Long]], iterOther: Seq[String],
+      iterRunq: Seq[Long], iterFreq: Seq[Long])
     val results: Seq[QRec] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val startCs = (System.nanoTime() - pass0) / 10000000L
@@ -204,6 +246,7 @@ object Bench {
         val self0 = selfTicks()
         val perIter = (0 until iters).map { _ =>
           val s0 = stallSnap()
+          val rq0 = runDelayNs()
           val (ibusy0, iall0) = cpuTicks()
           val iself0 = selfTicks()
           val t0 = System.nanoTime()
@@ -215,7 +258,8 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
               -1.0 }
           val iOther = otherPct(ibusy0, iall0, iself0)
-          (sec, stallDeltaMs(s0, stallSnap()), iOther)
+          (sec, stallDeltaMs(s0, stallSnap()), iOther,
+            runDelayDeltaMs(rq0, runDelayNs()), freqMhz())
         }
         val times = perIter.map(_._1)
         val other = otherPct(busy0, all0, self0)
@@ -223,7 +267,8 @@ object Bench {
           if (times.exists(_ < 0)) -1.0
           else { val sorted = times.sorted; sorted(sorted.length / 2) }
         QRec(name, med, times, startCs, loadAtStart, other,
-          perIter.map(_._2), perIter.map(_._3))
+          perIter.map(_._2), perIter.map(_._3),
+          perIter.map(_._4), perIter.map(_._5))
       }
     def sig3(x: Double): String =
       BigDecimal(x).round(new java.math.MathContext(3))
@@ -260,15 +305,21 @@ object Bench {
       .mkString("{", ",", "}")
     // Per-iteration stall rows, aligned 1:1 with iters_cs:
     // [psi_cpu_some_ms, psi_mem_some_ms, psi_io_some_ms, jvm_gc_ms,
-    //  cgroup_throttled_ms, cpu_other_pct] per iteration. The
-    // adjudication recipe (SCALE.md) keys on stall-share of the
-    // iteration's wall — an inflated iteration with flat cpu_other but
-    // elevated PSI/throttle/GC deltas self-adjudicates as the non-CPU
-    // contention class the r11 official record hid.
+    //  cgroup_throttled_ms, cpu_other_pct, runq_delay_ms, freq_mhz]
+    // per iteration (r13 appends the last two — indices 0..5 are
+    // stable for older recipes). The adjudication recipe (SCALE.md)
+    // keys on stall-share of the iteration's wall — an inflated
+    // iteration with flat cpu_other but elevated PSI/throttle/GC
+    // deltas self-adjudicates as non-CPU contention, and one whose
+    // runq_delay_ms is a large share of wall (siblings flat)
+    // self-adjudicates as core theft/oversubscription even when every
+    // PSI channel reads flat (the r12 driver-record signature).
     val stallMap = results
       .map { r =>
-        val rows = r.iterStalls.zip(r.iterOther).map { case (st, op) =>
-          (st.map(_.toString) :+ op).mkString("[", ",", "]")
+        val rows = r.iterStalls.indices.map { i =>
+          (r.iterStalls(i).map(_.toString) :+ r.iterOther(i) :+
+            r.iterRunq(i).toString :+ r.iterFreq(i).toString)
+            .mkString("[", ",", "]")
         }
         "\"" + r.name + "\":" + rows.mkString("[", ",", "]")
       }

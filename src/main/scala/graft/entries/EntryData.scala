@@ -194,6 +194,7 @@ private[graft] object EntryData {
                 .SparkListenerApplicationEnd): Unit = {
             sccStateCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             commPrevCache.keySet.removeIf(_.endsWith(s"@$uuid"))
+            x1Cache.keySet.removeIf(_.endsWith(s"@$uuid"))
             evictRegistered.remove(uuid): Unit
           }
         })
@@ -232,6 +233,48 @@ private[graft] object EntryData {
     * stored-state seed each one previously re-derived in-row. */
   private val commPrevCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** q_x1e/q_x1g's shared fixtures — the [[baseSccState]] discipline
+    * for the dup-cluster maintenance family: the verified near-dup
+    * edge set of the (i, i+1) jaccard ≥ 0.6 chain plus the two stored
+    * cluster seeds (full-edge labels for the decremental row, the
+    * id_a%3≠0-subset labels for the CDC composition row), computed
+    * ONCE per (session, dataset) and localCheckpoint-pinned so the
+    * maintenance rows time their MAINTENANCE stages, not the shared
+    * seed each would otherwise re-derive in-row. */
+  private val x1Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def x1Cached(s: SparkSession, dir: String, key: String)(
+      f: => DataFrame): DataFrame =
+    x1Cache.computeIfAbsent(sessionKey(s, s"$key@$dir"),
+      _ => f.localCheckpoint())
+  /** The q_x1b chain's verified near-dup pair table (ground truth). */
+  def x1Edges(s: SparkSession, dir: String): DataFrame =
+    x1Cached(s, dir, "x1edges") {
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .join(d.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      Dedup.ngramJaccardPairs(pairs, d, "text", "doc_id", 1)
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b")
+    }
+  /** Stored cluster labels over the FULL pair table — q_x1e's
+    * pre-takedown world. */
+  def x1PrevFull(s: SparkSession, dir: String): DataFrame =
+    x1Cached(s, dir, "x1prevfull") {
+      Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
+        x1Edges(s, dir))
+    }
+  /** Stored cluster labels over the id_a%3≠0 pair subset — q_x1g's
+    * pre-maintenance world (the %3==0 pairs arrive as the CDC batch's
+    * adds). */
+  def x1PrevBase(s: SparkSession, dir: String): DataFrame =
+    x1Cached(s, dir, "x1prevbase") {
+      Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
+        x1Edges(s, dir).filter(col("id_a") % 3 =!= 0))
+    }
+
   def g25PrevLabels(s: SparkSession, dir: String): DataFrame =
     commPrevCache.computeIfAbsent(
       sessionKey(s, s"g25@$dir"), _ => {

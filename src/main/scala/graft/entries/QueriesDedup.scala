@@ -140,16 +140,32 @@ private[graft] object QueriesDedup {
     // surviving (i, i+1) edges — the full recompute the maintenance
     // must equal bit-for-bit. ----
     "q_x1e_decr_clusters" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val pairs = d.select(col("doc_id").as("id_a"))
-        .join(d.select(col("doc_id").as("id_b")),
-          col("id_b") === col("id_a") + 1)
-      val edges = Dedup.ngramJaccardPairs(pairs, d, "text", "doc_id", 1)
-        .filter(col("jaccard") >= 0.6)
-        .select("id_a", "id_b")
-      val prev = Dedup.connectedComponents(d, "doc_id", edges)
-      val deleted = d.filter(col("doc_id") % 7 === 0).select("doc_id")
+      val edges = x1Edges(s, dir)
+      val prev = x1PrevFull(s, dir)
+      val deleted = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0).select("doc_id")
       Dedup.decrementalDupClusters(edges, deleted, prev)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- X1g: the dup-cluster CDC composition — the g25g/g26g batch
+    // discipline applied to the dedup maintenance grid: from the
+    // shared fixture (stored labels of the id_a%3≠0 pair subset), ONE
+    // row composes incrementalDupClusters (the %3==0 pairs arrive as
+    // the batch's adds — exact on the label quotient) with
+    // decrementalDupClusters (every 7th doc taken down — exact by
+    // refinement over live-pair ground truth). The composed state is
+    // what the streaming CDC twin's fold maintains; the oracle is
+    // q_x1e's full island rebuild over the surviving docs and edges —
+    // the effective live pair set is identical. ----
+    "q_x1g_cdc_clusters" -> ((s, dir) => {
+      val edges = x1Edges(s, dir)
+      val inc = Dedup.incrementalDupClusters(
+        edges.filter(col("id_a") % 3 === 0), x1PrevBase(s, dir))
+      val deleted = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0).select("doc_id")
+      Dedup.decrementalDupClusters(edges, deleted, inc)
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     }),
@@ -1002,6 +1018,43 @@ private[graft] object QueriesDedup {
     // with no surviving incoming edge starts an island and the
     // running-max window IS the min-member component label.
     "q_x1e_decr_clusters" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |), inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN tok ta ON ta.doc_id = p.id_a
+        |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
+        |  GROUP BY p.id_a, p.id_b
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |edges AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+        |        (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.6
+        |    AND p.id_a % 7 <> 0 AND p.id_b % 7 <> 0
+        |), surv AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+        |marks AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN e.id_a IS NULL THEN d.doc_id END AS island_start
+        |  FROM surv d LEFT JOIN edges e ON e.id_b = d.doc_id)
+        |SELECT doc_id,
+        |  max(island_start) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS component
+        |FROM marks ORDER BY doc_id""".stripMargin,
+
+    // The CDC composition's effective live pair set is exactly
+    // q_x1e's (the %3 split only changes WHEN a pair arrived, not
+    // whether it is live), so its oracle is the same full island
+    // rebuild over surviving docs and edges.
+    "q_x1g_cdc_clusters" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
         |  FROM documents

@@ -429,6 +429,21 @@ private[graft] object QueriesText {
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
         .orderBy("doc_id")),
 
+    // ---- X14c: MODIFIED Kneser–Ney trigram perplexity — the ladder's
+    // last rung: count-class discounts d1/d2/d3+ estimated per order
+    // from its own count-of-counts n1..n4 (the Chen–Goodman/KenLM
+    // estimator), trigram level from raw counts, bigram level from
+    // continuation counts; every discount a fixed double expression
+    // of exact longs with operand association mirrored in the oracle.
+    // ----
+    "q_x14c_mkn_trigram_ppl" -> ((s, dir) =>
+      Relevance.knTrigramPerplexityModified(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
+        .orderBy("doc_id")),
+
     // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
@@ -452,6 +467,31 @@ private[graft] object QueriesText {
           col("doc_len"),
           floor(col("bm25") * lit(1e4) + lit(0.5)).as("bm25_e4"))
         .orderBy("doc_id", "token")),
+
+    // ---- X9f: lexical-index maintenance — build the serving store on
+    // a partial corpus, then ONE maintenance call: adds bring in the
+    // missing doc_id%7==3 group plus RE-ADDS of live %11==0 docs
+    // (replace semantics), takedowns remove doc_id%5==0 (adds win on
+    // the overlap — e.g. doc 10 is both). Served BM25 must be
+    // bit-identical to a full rebuild over the post-change corpus,
+    // which the oracle rebuilds directly: live ⇔ %5≠0 ∨ %7==3 ∨
+    // %11==0. Same e4 integerization as q_x9b. ----
+    "q_x9f_lex_maintenance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ix = Relevance.buildLexIndex(
+        d.filter(col("doc_id") % 7 =!= 3), "doc_id", "text")
+      val adds = d.filter(col("doc_id") % 7 === 3 ||
+        col("doc_id") % 11 === 0)
+      val dels = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+      val m = Relevance.maintainLexIndex(ix, adds, dels, "doc_id",
+        "text")
+      Relevance.bm25FromIndex(m)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("doc_len"),
+          floor(col("bm25") * lit(1e4) + lit(0.5)).as("bm25_e4"))
+        .orderBy("doc_id", "token")
+    }),
 
     // ---- X9e: feature-hashed TF-IDF document vectors (the hashing
     // trick) — text-only fixed-dim embeddings, no vocabulary, no model.
@@ -1407,6 +1447,88 @@ private[graft] object QueriesText {
         |    AS BIGINT) AS ppl_e4
         |FROM per ORDER BY doc_id""".stripMargin,
 
+    // Modified-KN rebuild: x14b's join graph plus the two
+    // count-of-counts CTEs and their discount rows; every CASE /
+    // quotient association mirrors the engine column expressions
+    // exactly (Y inlined per discount — identical doubles either way).
+    "q_x14c_mkn_trigram_ppl" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3
+        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 1)) AS i) u),
+        |ctg AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+        |        GROUP BY 1, 2, 3),
+        |cx AS (SELECT w1, w2, sum(c123) AS c12,
+        |         sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS k1t,
+        |         sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS k2t,
+        |         sum(CASE WHEN c123 >= 3 THEN 1 ELSE 0 END) AS k3t
+        |       FROM ctg GROUP BY 1, 2),
+        |mid AS (SELECT w2, w3, count(*) AS n1b23 FROM ctg GROUP BY 1, 2),
+        |mcx AS (SELECT w2, sum(n1b23) AS m2,
+        |          sum(CASE WHEN n1b23 = 1 THEN 1 ELSE 0 END) AS k1m,
+        |          sum(CASE WHEN n1b23 = 2 THEN 1 ELSE 0 END) AS k2m,
+        |          sum(CASE WHEN n1b23 >= 3 THEN 1 ELSE 0 END) AS k3m
+        |        FROM mid GROUP BY 1),
+        |low AS (SELECT w3, count(*) AS n1b3 FROM mid GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM mid),
+        |coct AS (SELECT
+        |    sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN c123 = 3 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN c123 = 4 THEN 1 ELSE 0 END) AS n4
+        |  FROM ctg),
+        |dt AS (SELECT
+        |    1.0 - 2.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n2 / n1 AS d1t,
+        |    2.0 - 3.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n3 / n2 AS d2t,
+        |    3.0 - 4.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n4 / n3 AS d3t
+        |  FROM coct),
+        |cocm AS (SELECT
+        |    sum(CASE WHEN n1b23 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN n1b23 = 2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN n1b23 = 3 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN n1b23 = 4 THEN 1 ELSE 0 END) AS n4
+        |  FROM mid),
+        |dm AS (SELECT
+        |    1.0 - 2.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n2 / n1 AS d1m,
+        |    2.0 - 3.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n3 / n2 AS d2m,
+        |    3.0 - 4.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n4 / n3 AS d3m
+        |  FROM cocm),
+        |dtf AS (SELECT doc_id, w1, w2, w3, count(*) AS ttf FROM tg
+        |        GROUP BY 1, 2, 3, 4),
+        |per AS (
+        |  SELECT d.doc_id, CAST(sum(d.ttf) AS BIGINT) AS n_trigrams,
+        |    sum(d.ttf * ln(
+        |      greatest(ctg.c123 - (CASE WHEN ctg.c123 = 1 THEN dt.d1t
+        |          WHEN ctg.c123 = 2 THEN dt.d2t ELSE dt.d3t END),
+        |          CAST(0 AS DOUBLE)) / CAST(cx.c12 AS DOUBLE)
+        |      + (dt.d1t * cx.k1t + dt.d2t * cx.k2t + dt.d3t * cx.k3t)
+        |          / CAST(cx.c12 AS DOUBLE)
+        |        * (greatest(mid.n1b23 - (CASE WHEN mid.n1b23 = 1
+        |              THEN dm.d1m WHEN mid.n1b23 = 2 THEN dm.d2m
+        |              ELSE dm.d3m END), CAST(0 AS DOUBLE))
+        |            / CAST(mcx.m2 AS DOUBLE)
+        |          + (dm.d1m * mcx.k1m + dm.d2m * mcx.k2m
+        |              + dm.d3m * mcx.k3m) / CAST(mcx.m2 AS DOUBLE)
+        |            * (low.n1b3 / CAST(tt.tt AS DOUBLE))))) AS lp
+        |  FROM dtf d JOIN ctg USING (w1, w2, w3) JOIN cx USING (w1, w2)
+        |    JOIN mid USING (w2, w3) JOIN mcx USING (w2)
+        |    JOIN low USING (w3), tt, dt, dm
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_trigrams,
+        |  CAST(floor(lp / n_trigrams * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS log_prob_e4,
+        |  CAST(floor(exp(-(lp / n_trigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ppl_e4
+        |FROM per ORDER BY doc_id""".stripMargin,
+
     // Whitespace tokenization on both sides; idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ROUND(_, 6) absorbs libm ulps between JVM and DuckDB ln.
     "q_x9_tfidf" ->
@@ -1462,6 +1584,37 @@ private[graft] object QueriesText {
     // Every decimal literal is CAST AS DOUBLE (bare decimals are DECIMAL
     // in DuckDB → different evaluation order than Spark's IEEE doubles)
     // and the compared score is integerized — see the query comment.
+    // Maintained-index rebuild: q_x9b's chain over the POST-CHANGE
+    // live corpus (takedowns %5==0 out, unless re-added: %7==3 new
+    // adds, %11==0 live re-adds with identical text — adds win) —
+    // maintenance must equal the full rebuild bit-for-bit, so the
+    // oracle IS the full rebuild.
+    "q_x9f_lex_maintenance" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 <> 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+        |         FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM d),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, lens.doc_len,
+        |  CAST(floor(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |        / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |    * (tf.tf * CAST(2.2 AS DOUBLE))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * lens.doc_len / al.avg_len))
+        |    * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS bm25_e4
+        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |WHERE tf.doc_id < 20
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
     "q_x9b_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,

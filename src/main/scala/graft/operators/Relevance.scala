@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,20 +146,128 @@ object Relevance {
     * count — computed from the same tokenization as `tf`, in the same
     * aggregation (no second scan). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromIndex(buildLexIndex(docs, idCol, textCol), k1, b)
+
+  /** The lexical serving store — the four frames that BM25/TF-IDF
+    * serving actually reads, materialized so corpus CHANGES maintain
+    * them instead of re-tokenizing 100 TB:
+    *
+    *   - `docs` (`doc_id`): the indexed-document registry — carries
+    *     docs whose text tokenized to nothing (they still count in N);
+    *   - `postings` (`doc_id`, `token`, `tf`): the inverted file;
+    *   - `lens` (`doc_id`, `doc_len`): per-doc token counts;
+    *   - `dfreq` (`token`, `df`): document frequencies.
+    *
+    * N and avgdl are NOT stored: both derive from `docs`/`lens` by a
+    * one-column aggregate at render time — integer-valued sums are
+    * exact in double below 2⁵³, so the derived stats are bit-equal to
+    * a fresh build's whatever maintenance history produced the frames
+    * (storing them as running deltas would be equal too, but derived
+    * scalars cannot drift out of sync with the frames they summarize).
+    */
+  final case class LexIndex(docs: DataFrame, postings: DataFrame,
+      lens: DataFrame, dfreq: DataFrame)
+
+  /** Tokenize `docs` once into a fresh [[LexIndex]] — the ground-truth
+    * build that [[maintainLexIndex]] keeps current and
+    * [[bm25FromIndex]]/[[tfidfFromIndex]] serve from. Same two hash
+    * aggregations as [[tfidf]] (the postings partial-agg map-side; df
+    * aggregates the already-distinct pairs). */
+  def buildLexIndex(docs: DataFrame, idCol: String,
+      textCol: String): LexIndex = {
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // doc length = sum of its term frequencies — derived from tf, not a
-    // second pass over the text
-    val lens = tf.groupBy("doc_id").agg(sum("tf").as("_len"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("_n"))
-    val avgLen = lens.agg(org.apache.spark.sql.functions.avg(col("_len"))
-      .as("_avg_len"))
-    tf.join(lens, Seq("doc_id"))
-      .join(dfreq, Seq("token"))
+    LexIndex(
+      docs = docs.select(col(idCol).as("doc_id")),
+      postings = tf,
+      // doc length = sum of its term frequencies — derived from tf,
+      // not a second pass over the text
+      lens = tf.groupBy("doc_id").agg(sum("tf").as("doc_len")),
+      dfreq = tf.groupBy("token").agg(count(lit(1)).as("df")))
+  }
+
+  /** EXACT maintenance of a [[LexIndex]] under document ADDS and
+    * TAKEDOWNS — the lexical serving store's member of the maintenance
+    * grid (ANN, SCC, communities, intervals, neighborAgg and dup
+    * clusters already have one): removals apply first and adds win,
+    * so an id present in both frames ends up live with its NEW
+    * content, and re-adding a currently live id REPLACES it
+    * (latest-wins, the [[graft.streaming.StreamingIngest]] CDC
+    * contract). Removing an id the index never saw is a no-op.
+    *
+    * Exactness: the refreshed index is frame-for-frame EQUAL to
+    * [[buildLexIndex]] over the post-change corpus — untouched docs'
+    * postings/lens rows pass through verbatim (two anti-joins), the
+    * removed docs' token counts are read from the INDEX (their text is
+    * gone — the erasure path must not need it), and `dfreq` absorbs
+    * the per-token doc-count deltas in exact long arithmetic (tokens
+    * ending at df = 0 leave; new tokens enter). Rendered scores are
+    * therefore bit-equal to a full rebuild's.
+    *
+    * Scale notes (100 TB): the changed-id set is change-batch-sized
+    * and broadcast into the two anti-joins and the leaving-postings
+    * semi-join — the posting store (the corpus-scale frame) is
+    * scanned once, never re-shuffled on its own keys; added text
+    * tokenizes delta-sized; the df merge is three vocabulary-sized
+    * full joins. Nothing touches untouched rows.
+    *
+    * @param addedDocs  new/updated documents (`idCol`, `textCol`)
+    * @param removedIds one column of taken-down doc ids */
+  def maintainLexIndex(ix: LexIndex, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String,
+      textCol: String): LexIndex = {
+    val remIds = removedIds
+      .select(col(removedIds.columns.head).as("doc_id")).distinct()
+    val addIds = addedDocs.select(col(idCol).as("doc_id")).distinct()
+    // every id whose OLD rows must leave: takedowns plus re-adds
+    // (replace = remove old + append new)
+    val gone = remIds.unionByName(addIds).distinct().localCheckpoint()
+    val oldP = ix.postings
+      .join(broadcast(gone), Seq("doc_id"), "left_semi")
+    val dfDec = oldP.groupBy("token").agg(count(lit(1)).as("_dec"))
+    val addTf = addedDocs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfInc = addTf.groupBy("token").agg(count(lit(1)).as("_inc"))
+    val newDf = ix.dfreq
+      .join(dfDec, Seq("token"), "full")
+      .join(dfInc, Seq("token"), "full")
+      .select(col("token"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("_dec"), lit(0L)) +
+          coalesce(col("_inc"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+    LexIndex(
+      docs = ix.docs.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .select("doc_id").unionByName(addIds),
+      postings = ix.postings
+        .join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .select("doc_id", "token", "tf")
+        .unionByName(addTf.select("doc_id", "token", "tf")),
+      lens = ix.lens.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .select("doc_id", "doc_len")
+        .unionByName(addTf.groupBy("doc_id")
+          .agg(sum("tf").as("doc_len"))),
+      dfreq = newDf)
+  }
+
+  /** Render per-(doc, token) BM25 from a [[LexIndex]] — the exact
+    * expression chain of the one-shot [[bm25]] (which routes through
+    * here), so scores served off a maintained index are bit-equal to
+    * a fresh build's. N and avgdl derive from the registry/lens
+    * frames as 1-row broadcast aggregates. */
+  def bm25FromIndex(ix: LexIndex, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val stats = ix.docs.agg(count(lit(1)).as("_n"))
+    val avgLen = ix.lens
+      .agg(org.apache.spark.sql.functions.avg(col("doc_len"))
+        .as("_avg_len"))
+    ix.postings
+      .join(ix.lens.withColumnRenamed("doc_len", "_len"), Seq("doc_id"))
+      .join(ix.dfreq, Seq("token"))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(avgLen))
       .withColumn("idf",
@@ -171,6 +279,18 @@ object Relevance {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("_len").as("doc_len"), col("idf"), col("bm25"))
   }
+
+  /** Render per-(doc, token) smoothed TF-IDF from a [[LexIndex]] —
+    * [[tfidf]]'s exact expression chain over the stored frames (same
+    * sklearn smoothing, same output shape), for serving off a
+    * [[maintainLexIndex]]-maintained store. */
+  def tfidfFromIndex(ix: LexIndex): DataFrame =
+    ix.postings.join(ix.dfreq, Seq("token"))
+      .crossJoin(broadcast(ix.docs.agg(count(lit(1)).as("_n"))))
+      .withColumn("idf", log((col("_n") + 1).cast("double") /
+        (col("df") + 1)) + 1)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .drop("_n")
 
   /** Per-document unigram language-model perplexity — the classic
     * LM-based quality filter (CCNet-style): train a unigram model on the
@@ -401,6 +521,135 @@ object Relevance {
       .join(midCtx, Seq("w2"))
       .join(low, Seq("w3"))
       .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(sum(col("ttf")).as("n_trigrams"),
+        sum(col("ttf") * log(p)).as("_lp"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("_lp") / col("n_trigrams")).as("log_prob"),
+        exp(-(col("_lp") / col("n_trigrams"))).as("ppl"))
+  }
+
+  /** MODIFIED Kneser–Ney trigram perplexity — [[knTrigramPerplexity]]
+    * with the production discount estimator (Chen & Goodman 1998 §3;
+    * what KenLM ships): instead of one fixed discount, each model
+    * order estimates THREE count-class discounts from its own
+    * count-of-counts n₁..n₄ (the number of n-grams seen exactly
+    * 1..4 times):
+    *
+    *   Y  = n₁ / (n₁ + 2·n₂)
+    *   D₁ = 1 − 2·Y·n₂/n₁,  D₂ = 2 − 3·Y·n₃/n₂,  D₃₊ = 3 − 4·Y·n₄/n₃
+    *
+    * A count-1 n-gram then gives back D₁ of its mass, count-2 gives
+    * D₂, count ≥ 3 gives D₃₊, and the interpolation weight becomes
+    * γ(ctx) = (D₁·N₁(ctx) + D₂·N₂(ctx) + D₃₊·N₃₊(ctx)) / total(ctx),
+    * where Nₖ(ctx) counts the context's continuations in count class
+    * k — so γ still routes EXACTLY the mass the discounts removed
+    * (the distribution stays normalized). The trigram level estimates
+    * from raw trigram counts; the bigram level from its
+    * CONTINUATION counts (the [[knTrigramPerplexity]] middle layer —
+    * modified KN discounts lower orders' type counts, not their raw
+    * counts); the unigram base stays the undiscounted continuation
+    * distribution. KenLM refuses corpora where n₁..n₃ = 0 at any
+    * order ("could not calculate discounts") — this does too, loudly,
+    * via a raise_error guard instead of a silent NaN.
+    *
+    * Exactness: n₁..n₄ and every Nₖ are exact longs; Y and the Ds are
+    * fixed double expressions of them with the operand association
+    * mirrored in the oracle SQL — identical doubles on both engines.
+    *
+    * Scale notes (100 TB): identical shuffle shape to
+    * [[knTrigramPerplexity]] — corpus-sized work is the one trigram
+    * zip and two partial-agg groupBys; the class-count columns ride
+    * the SAME aggregations that already build c12/m2 (zero extra
+    * shuffles); the two count-of-counts tables are 1-row broadcasts.
+    *
+    * @return (doc_id, n_trigrams, log_prob, ppl) — [[knTrigramPerplexity]]'s shape. */
+  def knTrigramPerplexityModified(docs: DataFrame, idCol: String,
+      textCol: String,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("_arr"))
+    val tris = toks.filter(size(col("_arr")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_arr) - 2), " +
+          "i -> struct(element_at(_arr, i) AS w1, " +
+          "element_at(_arr, i + 1) AS w2, " +
+          "element_at(_arr, i + 2) AS w3))")).as("_t"))
+      .select(col("doc_id"), col("_t.w1").as("w1"),
+        col("_t.w2").as("w2"), col("_t.w3").as("w3"))
+    val model = ckpt(tris.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123")))
+    def classCol(c: Column, k: Int): Column =
+      sum(when(if (k < 3) c === k.toLong else c >= 3L, lit(1L))
+        .otherwise(lit(0L)))
+    // per-context totals AND count-class continuation counts — the
+    // same aggregation that builds c12/m2 carries N1/N2/N3+
+    val ctx = model.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"),
+        classCol(col("c123"), 1).as("k1t"),
+        classCol(col("c123"), 2).as("k2t"),
+        classCol(col("c123"), 3).as("k3t"))
+    val mid = ckpt(model.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("n1b23")))
+    val midCtx = mid.groupBy("w2")
+      .agg(sum("n1b23").as("m2"),
+        classCol(col("n1b23"), 1).as("k1m"),
+        classCol(col("n1b23"), 2).as("k2m"),
+        classCol(col("n1b23"), 3).as("k3m"))
+    val low = mid.groupBy("w3").agg(count(lit(1)).as("n1b3"))
+    val types = mid.agg(count(lit(1)).as("_tt"))
+    // per-order count-of-counts → the three discounts, as a guarded
+    // 1-row broadcast (no driver read; the raise_error rides a filter
+    // so Catalyst cannot prune it)
+    def discounts(counts: DataFrame, cCol: String, sfx: String,
+        order: String): DataFrame = {
+      val coc = counts.agg(
+        classCol(col(cCol), 1).as("n1"),
+        classCol(col(cCol), 2).as("n2"),
+        sum(when(col(cCol) === 3L, lit(1L)).otherwise(lit(0L))).as("n3"),
+        sum(when(col(cCol) === 4L, lit(1L)).otherwise(lit(0L))).as("n4"))
+      val y = col("n1").cast("double") /
+        (col("n1") + lit(2L) * col("n2")).cast("double")
+      coc.filter(
+        when(col("n1") === 0L || col("n2") === 0L || col("n3") === 0L,
+          raise_error(lit(s"knTrigramPerplexityModified: $order " +
+            "count-of-counts n1..n3 must all be > 0 to estimate " +
+            "discounts (KenLM's precondition)")).cast("boolean"))
+          .otherwise(lit(true)))
+        .select(
+          (lit(1.0) - lit(2.0) * y * col("n2") / col("n1"))
+            .as(s"d1$sfx"),
+          (lit(2.0) - lit(3.0) * y * col("n3") / col("n2"))
+            .as(s"d2$sfx"),
+          (lit(3.0) - lit(4.0) * y * col("n4") / col("n3"))
+            .as(s"d3$sfx"))
+    }
+    val discTri = discounts(model, "c123", "t", "trigram")
+    val discMid = discounts(mid, "n1b23", "m", "bigram-continuation")
+    val dtf = tris.groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("ttf"))
+    // operand shapes mirrored exactly in the oracle SQL
+    val dTop = when(col("c123") === 1L, col("d1t"))
+      .when(col("c123") === 2L, col("d2t")).otherwise(col("d3t"))
+    val gTop = (col("d1t") * col("k1t") + col("d2t") * col("k2t") +
+      col("d3t") * col("k3t")) / col("c12").cast("double")
+    val dMid = when(col("n1b23") === 1L, col("d1m"))
+      .when(col("n1b23") === 2L, col("d2m")).otherwise(col("d3m"))
+    val gMid = (col("d1m") * col("k1m") + col("d2m") * col("k2m") +
+      col("d3m") * col("k3m")) / col("m2").cast("double")
+    val plow = col("n1b3") / col("_tt").cast("double")
+    val pmid = greatest(col("n1b23") - dMid, lit(0.0)) /
+      col("m2").cast("double") + gMid * plow
+    val p = greatest(col("c123") - dTop, lit(0.0)) /
+      col("c12").cast("double") + gTop * pmid
+    dtf.join(model, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(midCtx, Seq("w2"))
+      .join(low, Seq("w3"))
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(discTri))
+      .crossJoin(broadcast(discMid))
       .groupBy("doc_id")
       .agg(sum(col("ttf")).as("n_trigrams"),
         sum(col("ttf") * log(p)).as("_lp"))

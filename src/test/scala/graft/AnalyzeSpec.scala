@@ -129,6 +129,28 @@ class AnalyzeSpec extends SparkSpec {
         spark))
   }
 
+  test("lexmaint runs from argv: takedown + add maintained, served " +
+      "BM25 equals the full rebuild") {
+    val dir = Files.createTempDirectory("graft-analyze-lex").toString
+    Seq((1L, "a a b"), (2L, "b c"), (3L, "c b"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Seq((4L, "d b")).toDF("doc_id", "text").write.parquet(s"$dir/adds")
+    Seq(2L).toDF("doc_id").write.parquet(s"$dir/dels")
+    val served = Analyze.run(parse(List("lexmaint",
+      "--docs", s"$dir/docs", "--delta", s"$dir/adds",
+      "--target", s"$dir/dels", "-o", s"$dir/out")), spark)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getDouble(6)).toMap
+    val rebuilt = graft.operators.Relevance.bm25(
+      Seq((1L, "a a b"), (3L, "c b"), (4L, "d b"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getDouble(6)).toMap
+    assert(served == rebuilt)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("lexmaint")), spark))
+  }
+
   test("scrub runs from argv: PII redacted, audit counts attached") {
     val dir = Files.createTempDirectory("graft-analyze-pii").toString
     Seq((1L, "reach me at jo@corp.example.com or (555) 123-4567"),

@@ -215,6 +215,54 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("knTrigramPerplexityModified: hand-computed Chen-Goodman " +
+      "discounts per order, class-dependent discounting and gamma, " +
+      "degenerate count-of-counts refuse loudly") {
+    // single-trigram docs pin the model exactly: trigram counts
+    // {1,2,3,4,1,1} -> n1..n4 = 3,1,1,1 -> Y=.6, D1=.6, D2=.2, D3=.6;
+    // continuation counts (b,c)=3, (q,r)=1, (q,u)=2 -> n1..n4 =
+    // 1,1,1,0 -> Y=1/3, D1m=1/3, D2m=1, D3m=3
+    val d = (Seq((1L, "a b c")) ++
+      (2L to 3L).map(i => (i, "d b c")) ++
+      (4L to 6L).map(i => (i, "e b c")) ++
+      (7L to 10L).map(i => (i, "p q r")) ++
+      Seq((11L, "s q u"), (12L, "v q u"), (13L, "too short")))
+      .toDF("id", "text")
+    val out = Relevance.knTrigramPerplexityModified(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(13L))
+    // hand chain: pmid(c|b)=1/3 (count-3 fully discounted, gamma=1),
+    // pmid(r|q)=10/27, pmid(u|q)=13/27; tops below
+    val exp = Map(
+      1L -> 0.6, // .4 + .6*(1/3)
+      2L -> 14.0 / 15, // 1.8/2 + .1*(1/3)
+      4L -> 13.0 / 15, // 2.4/3 + .2*(1/3)
+      7L -> 163.0 / 180, // 3.4/4 + .15*(10/27)
+      11L -> 31.0 / 45) // .4 + .6*(13/27)
+    for ((id, p) <- exp)
+      assert(math.abs(out(id)._2 - math.log(p)) < 1e-12,
+        s"doc $id: ${out(id)._2} vs ln($p)")
+    assert(out(3L) == out(2L) && out(12L) == out(11L))
+    assert(out.values.forall(_._1 == 1L))
+    // every count class discounts differently — the single-discount
+    // model must NOT agree on a corpus with mixed classes
+    val single = Relevance.knTrigramPerplexity(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(single(1L) != out(1L)._2)
+    // all-singleton corpus: n2 = n3 = 0 -> KenLM's precondition fails
+    // and the guard raises instead of serving NaNs
+    val flat = Seq((1L, "a b c"), (2L, "d e f")).toDF("id", "text")
+    val err = intercept[Exception] {
+      Relevance.knTrigramPerplexityModified(flat, "id", "text")
+        .collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("count-of-counts") ||
+        (err.getCause != null &&
+          err.getCause.getMessage.contains("count-of-counts"))))
+  }
+
   test("topTerms: e6-integerized ranking, token tie-break, k cut") {
     // doc 1: tf(a)=2 > tf(b)=1; idf(a)=idf(b)? df(a)=1, df(b)=3 → a wins
     // on idf too. docs 2/3 are "b c"/"c b" — identical scores for b and
@@ -307,5 +355,55 @@ class RelevanceSpec extends SparkSpec {
       "text", dim = dim, normalize = false)
       .orderBy("doc_id").as[(Long, Seq[Double])].collect()
     assert(rep.map(_._2.toSeq).toSeq == got.map(_._2.toSeq).toSeq)
+  }
+
+  test("maintainLexIndex: takedown re-weights df and drops the doc's " +
+      "postings, adds win over same-call removals, live re-add " +
+      "replaces, unknown removal no-op — served BM25/TF-IDF bit-equal " +
+      "to the full rebuild") {
+    val base = Seq(
+      (1L, "a a b"),
+      (2L, "b c"),
+      (3L, "c b"),
+      (4L, "d d unique")).toDF("id", "text")
+    val ix = Relevance.buildLexIndex(base, "id", "text")
+    // one call: take down 4 (its 'unique'/'d' leave the vocabulary)
+    // and 99 (unknown — no-op); add 5 (new), re-add 2 with NEW text
+    // (replace), and 3 both removed AND re-added (adds win)
+    val adds = Seq((5L, "e b"), (2L, "c c f"), (3L, "c b"))
+      .toDF("id", "text")
+    val dels = Seq(4L, 99L, 3L).toDF("id")
+    val m = Relevance.maintainLexIndex(ix, adds, dels, "id", "text")
+    val post = Seq(
+      (1L, "a a b"),
+      (2L, "c c f"),
+      (3L, "c b"),
+      (5L, "e b")).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    val served = rows(Relevance.bm25FromIndex(m))
+    val rebuilt = rows(Relevance.bm25(post, "id", "text"))
+    assert(served == rebuilt,
+      "maintained index must serve the full rebuild bit-for-bit")
+    assert(!served.keySet.exists(_._1 == 4L), "taken-down doc gone")
+    assert(!served.keySet.exists(_._2 == "unique"),
+      "sole-doc tokens leave the vocabulary")
+    assert(served.keySet.filter(_._1 == 2L).map(_._2) == Set("c", "f"),
+      "re-added doc carries ONLY its new content")
+    assert(served.contains((3L, "c")), "add wins over same-call removal")
+    // df re-weighting: 'b' was in 3 of 4 docs, now 3 of 4 live docs
+    // (1, 3, 5) — and 'c' in docs 2 and 3
+    assert(served((1L, "b"))._2 == 3L)
+    assert(served((2L, "c"))._2 == 2L)
+    // the registry drives N: served idf must reflect 4 live docs
+    val tserved = Relevance.tfidfFromIndex(m).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        r.getAs[Double]("tfidf")).toMap
+    val trebuilt = Relevance.tfidf(post, "id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        r.getAs[Double]("tfidf")).toMap
+    assert(tserved == trebuilt, "tf-idf serves bit-equal too")
   }
 }
