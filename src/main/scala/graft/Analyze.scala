@@ -136,6 +136,12 @@ import graft.operators.{Curation, GraphOps}
   *               (span-level decontamination: benchmark-overlapping
   *               spans scrubbed in place, survivors reassembled —
   *               the doc keeps its clean remainder)
+  *   domattr     --docs <dir> --bench <dir> [--entity-col url]
+  *               [--text-col text] [--id-col doc_id]
+  *               [--shingle-size N] [-o <outDir>]
+  *               (per-domain contamination attribution: leaked-doc
+  *               and leaked-shingle fractions per host — the "which
+  *               source leaked the benchmark" decision table)
   *   clusterdel  --edges <stored (id_a, id_b) verified-pair dir>
   *               --delta <deleted doc ids dir> --target <stored (id,
   *               comp) clusters dir> [-o <outDir>]
@@ -1031,6 +1037,17 @@ object Analyze {
         graft.operators.Relevance.bm25FromIndex(
           graft.operators.Relevance.maintainLexIndex(
             lexIx, lexAdds, lexDels, args.idCol, args.textCol))
+      case "domattr" =>
+        // per-domain contamination attribution: which source leaked
+        // the benchmark — --entity-col names the URL column
+        require(args.docs.nonEmpty && args.bench.nonEmpty,
+          "domattr needs --docs <dir> and --bench <dir>; " +
+            "--entity-col <url column> (default url), --shingle-size N")
+        graft.operators.Decontaminate.contaminationByDomain(
+          spark.read.parquet(args.docs), args.textCol, args.idCol,
+          if (args.entityCol.nonEmpty) args.entityCol else "url",
+          spark.read.parquet(args.bench), args.textCol,
+          args.shingleSize)
       case "scrubdecon" =>
         // span-level decontamination: scrub benchmark-overlapping
         // spans in place instead of dropping whole documents

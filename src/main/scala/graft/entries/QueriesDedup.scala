@@ -346,6 +346,32 @@ private[graft] object QueriesDedup {
         .orderBy("doc_id")
     }),
 
+    // ---- X7g: per-domain contamination attribution — q_x7's
+    // corpus/bench split with the q_x6s synthetic URL per doc
+    // (source-(id%7).example.com hosts): the report rolls up per
+    // domain into leaked-doc and leaked-shingle fractions — the
+    // "which source leaked the benchmark" decision table. ----
+    "q_x7g_domain_attribution" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"),
+          concat(lit("https://"), col("source"), lit("-"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"))
+            .as("url"))
+      Decontaminate.contaminationByDomain(corpus, "text", "doc_id",
+          "url", d.filter(col("doc_id") % 97 === 0), "text",
+          shingleSize = 3)
+        .select(col("domain"), col("n_docs"),
+          col("n_contaminated_docs"), col("n_shingles"),
+          col("n_contaminated_shingles"),
+          floor(col("doc_frac") * lit(1e6) + lit(0.5)).cast("long")
+            .as("doc_frac_e6"),
+          floor(col("shingle_frac") * lit(1e6) + lit(0.5)).cast("long")
+            .as("shingle_frac_e6"))
+        .orderBy("domain")
+    }),
+
     // ---- X7c: SEMANTIC decontamination — corpus embeddings vs a held-out
     // bench slice (vec_id % 97 == 0), broadcast nested-loop cosine; the
     // paraphrase-leakage sibling of q_x7 ----
@@ -1135,6 +1161,64 @@ private[graft] object QueriesDedup {
         |WHERE d.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // Domain attribution rebuild: per-doc DISTINCT trigram shingles
+    // (the contaminationReport contract) left-joined to the bench's
+    // distinct shingle set, rolled up per synthetic host; zero-shingle
+    // docs count in n_docs with 0/0 mass; HUGEINT sums cast BIGINT;
+    // all-shingleless domains keep a NULL shingle_frac.
+    "q_x7g_domain_attribution" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    lower(source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.com') AS domain
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |tok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM c),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.tk || ' ' || b.tk || ' ' || c2.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2),
+        |btok AS (
+        |  SELECT doc_id, u.tk, u.pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents WHERE doc_id % 97 = 0),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u),
+        |bsh AS (
+        |  SELECT DISTINCT a.tk || ' ' || b.tk || ' ' || c2.tk AS sh
+        |  FROM btok a
+        |  JOIN btok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN btok c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2),
+        |per AS (
+        |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |    CAST(sum(CASE WHEN bsh.sh IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cont
+        |  FROM sh LEFT JOIN bsh USING (sh) GROUP BY 1),
+        |agg AS (
+        |  SELECT c.domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN COALESCE(per.n_cont, 0) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_docs,
+        |    CAST(sum(COALESCE(per.n_sh, 0)) AS BIGINT) AS n_shingles,
+        |    CAST(sum(COALESCE(per.n_cont, 0)) AS BIGINT)
+        |      AS n_contaminated_shingles
+        |  FROM c LEFT JOIN per USING (doc_id) GROUP BY 1)
+        |SELECT domain, n_docs, n_contaminated_docs, n_shingles,
+        |  n_contaminated_shingles,
+        |  CAST(floor(CAST(n_contaminated_docs AS DOUBLE) /
+        |      CAST(n_docs AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS doc_frac_e6,
+        |  CASE WHEN n_shingles > 0 THEN
+        |    CAST(floor(CAST(n_contaminated_shingles AS DOUBLE) /
+        |        CAST(n_shingles AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) END AS shingle_frac_e6
+        |FROM agg ORDER BY domain""".stripMargin,
 
     // Trigram shingles rebuilt positionally (tok ⋈ pos+1 ⋈ pos+2), distinct
     // per doc, then corpus⋈bench on the shingle string — mirrors

@@ -197,6 +197,56 @@ object Decontaminate {
           col("n_shingles").cast("double"))
   }
 
+  /** Per-domain contamination attribution — the "which source leaked
+    * the benchmark" report curators actually run after
+    * [[contaminationReport]] flags leakage: every document maps to its
+    * lowercased host ([[Curation.urlHost]] on `urlCol` — the same
+    * portable extraction [[Curation.domainCap]] keys on), and the
+    * per-doc report rolls up per domain: how many of the domain's docs
+    * leak at all, and what fraction of its shingle mass is benchmark
+    * text. A crawl source whose `doc_frac` is high gets DROPPED from
+    * the mix; one with a few hot docs gets span-scrubbed — this report
+    * is the decision input for that fork.
+    *
+    * Docs too short to form a single shingle carry 0/0 rows (they
+    * cannot leak at the shingle level) — they still count in `n_docs`,
+    * and a domain of only such docs reports a NULL `shingle_frac`
+    * rather than a fake zero.
+    *
+    * Scale notes (100 TB): [[contaminationReport]]'s broadcast
+    * semi-join shape unchanged (bench shingles broadcast, corpus
+    * scanned once); the host map is a narrow codegen'd regex; the
+    * rollup is one partial-agg groupBy on the domain key — hot
+    * domains are groupBy keys, AQE splits them.
+    *
+    * @return (`domain`, `n_docs`, `n_contaminated_docs`,
+    *         `n_shingles`, `n_contaminated_shingles`, `doc_frac`,
+    *         `shingle_frac` — null when the domain has no shingles) */
+  def contaminationByDomain(
+      docs: DataFrame, textCol: String, idCol: String, urlCol: String,
+      bench: DataFrame, benchTextCol: String,
+      shingleSize: Int, broadcastBench: Boolean = true): DataFrame = {
+    val rep = contaminationReport(docs, textCol, idCol, bench,
+      benchTextCol, shingleSize, broadcastBench)
+    docs.select(col(idCol).as("doc_id"),
+        lower(Curation.urlHost(col(urlCol))).as("domain"))
+      .join(rep, Seq("doc_id"), "left")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("n_contaminated"), lit(0L)) > 0L, lit(1L))
+          .otherwise(lit(0L))).as("n_contaminated_docs"),
+        sum(coalesce(col("n_shingles"), lit(0L))).as("n_shingles"),
+        sum(coalesce(col("n_contaminated"), lit(0L)))
+          .as("n_contaminated_shingles"))
+      .withColumn("doc_frac",
+        col("n_contaminated_docs").cast("double") /
+          col("n_docs").cast("double"))
+      .withColumn("shingle_frac",
+        when(col("n_shingles") > 0L,
+          col("n_contaminated_shingles").cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
   /** SPAN-level decontamination — scrub the contaminated text instead
     * of dropping the document: every corpus token covered by a shingle
     * that also appears in the benchmark is removed and the survivors

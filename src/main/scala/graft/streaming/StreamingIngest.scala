@@ -1719,4 +1719,135 @@ object StreamingIngest {
         }
       }
       .start()
+
+  /** Streaming span-level decontamination — the production shape of
+    * [[graft.operators.Decontaminate.scrubContaminatedSpans]]: corpus
+    * documents arrive as `op = "doc"` rows and are scrubbed against
+    * the ACCUMULATED benchmark store; benchmark updates (new eval
+    * sets arrive too) ride the SAME stream as `op = "bench"` rows,
+    * and the trigger that delivers them RE-SCRUBS exactly the stored
+    * docs the new shingles touch. Re-scrubs always run from the
+    * doc's ORIGINAL text — scrubbing is not compositional: a new
+    * bench shingle can span tokens an earlier scrub already removed,
+    * so scrub(scrub(t, A), B) ≠ scrub(t, A ∪ B).
+    *
+    * After every completed trigger the clean store is bit-equal to
+    * the batch `scrubContaminatedSpans(live docs, all bench rows)`:
+    * docs fold latest-wins per id (a re-sent id REPLACES its text
+    * and re-scrubs; same-trigger duplicates fold to one
+    * deterministic row first), while the bench store is a SET UNION
+    * of every eval row ever delivered (decontamination only grows —
+    * there is no benchmark-takedown path, and no doc-takedown either:
+    * erasure is the dedup twin's job).
+    *
+    * Ground truth = two batchId-keyed op stores (`docsDir/batch=`,
+    * `benchDir/batch=`; idempotent overwrites, the
+    * [[streamingIntervals]] layout discipline, marker tree under the
+    * docs op store). The whole fold is IDEMPOTENT given the op
+    * stores — the clean-store rewrite replaces exactly the recomputed
+    * ids with rows that are functions of ground truth alone — so a
+    * crash between the clean-store overwrite and the marker
+    * redelivers into the identical state; no two-phase marker needed,
+    * unlike the absorb-based intervals twin.
+    *
+    * Scale notes (100 TB): an add-only trigger scrubs the DELTA docs
+    * only, against broadcast bench shingle hashes (the
+    * scrubContaminatedSpans contract); a bench-bearing trigger adds
+    * ONE contamination probe of the doc ground truth against the
+    * bench DELTA's shingles (broadcast) to find the re-scrub set —
+    * the corpus scans once, only touched docs shuffle; untouched
+    * clean rows pass through an anti-join verbatim (an
+    * id-partitioned clean store would additionally prune the
+    * rewrite, the documented step-up at real scale). */
+  def streamingDecontaminate(events: DataFrame, docsDir: String,
+      benchDir: String, cleanDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col(idCol), col(textCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$docsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, docsDir, "streamingDecontaminate")
+            requireBatchLayout(fs, benchDir, "streamingDecontaminate")
+          }
+          if (!fs.exists(marker)) {
+            // same-trigger duplicate doc ids fold to one deterministic
+            // row — a trigger batch has no client-visible row order
+            val docs = b.filter(col("_op") === "doc")
+              .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+              .localCheckpoint()
+            val bench = b.filter(col("_op") === "bench")
+              .select(col(idCol), col(textCol)).distinct()
+              .localCheckpoint()
+            if (!docs.isEmpty)
+              docs.write.mode("overwrite")
+                .parquet(s"$docsDir/batch=$batchId")
+            if (!bench.isEmpty)
+              bench.write.mode("overwrite")
+                .parquet(s"$benchDir/batch=$batchId")
+            // latest-wins doc ground truth (re-sent ids replace)
+            def liveDocs(): DataFrame =
+              if (hasBatchData(fs, docsDir)) {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(idCol))
+                  .orderBy(col("batch").cast("long").desc)
+                spark.read.parquet(docsDir)
+                  .withColumn("_rn", row_number().over(w))
+                  .filter(col("_rn") === 1)
+                  .select(col(idCol), col(textCol))
+              } else docs.limit(0)
+            val benchAll =
+              if (hasBatchData(fs, benchDir))
+                spark.read.parquet(benchDir)
+                  .select(col(idCol), col(textCol))
+              else bench.limit(0)
+            val sMark =
+              new org.apache.hadoop.fs.Path(s"$cleanDir/_SUCCESS")
+            val clean =
+              if (fs.exists(sMark)) {
+                val live = liveDocs().localCheckpoint()
+                // stored docs the NEW bench shingles touch: their
+                // clean text is stale — re-scrub from ground truth
+                // against the FULL bench store
+                val affected =
+                  if (bench.isEmpty) live.select(col(idCol)).limit(0)
+                  else graft.operators.Decontaminate
+                    .contaminationPairs(live, textCol, idCol, bench,
+                      textCol, idCol, shingleSize)
+                    .select(col("doc_id").as(idCol)).distinct()
+                val redo = docs.select(col(idCol))
+                  .unionByName(affected).distinct().localCheckpoint()
+                val rescrubbed = graft.operators.Decontaminate
+                  .scrubContaminatedSpans(
+                    live.join(broadcast(redo), Seq(idCol), "left_semi"),
+                    textCol, idCol, benchAll, textCol, shingleSize)
+                spark.read.parquet(cleanDir)
+                  .join(broadcast(redo), Seq(idCol), "left_anti")
+                  .select(col(idCol), col("clean_text"),
+                    col("n_tokens"), col("n_removed"))
+                  .unionByName(rescrubbed)
+              } else
+                graft.operators.Decontaminate.scrubContaminatedSpans(
+                  liveDocs(), textCol, idCol, benchAll, textCol,
+                  shingleSize)
+            clean.localCheckpoint()
+              .write.mode("overwrite").parquet(cleanDir)
+            fs.mkdirs(marker): Unit
+          }
+        }
+      }
+      .start()
+  }
 }

@@ -115,6 +115,22 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Analyze.run(parse(List(
       "decontaminate", "--docs", s"$dir/docs", "--bench", s"$dir/bench",
       "--mode", "psychic")), spark))
+    // domattr: the per-domain attribution report off the same fixture
+    Seq((1L, "what is the capital of france paris is the answer today",
+        "https://leaky.example.com/1"),
+      (2L, "the quick brown fox jumps over the lazy dog",
+        "https://clean.example.org/2"))
+      .toDF("doc_id", "text", "url").write.parquet(s"$dir/docsu")
+    val attr = Analyze.run(parse(List("domattr",
+      "--docs", s"$dir/docsu", "--bench", s"$dir/bench",
+      "--shingle-size", "4")), spark)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(attr("leaky.example.com") == ((1L, 1L)) &&
+      attr("clean.example.org") == ((1L, 0L)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("domattr", "--docs", s"$dir/docsu")),
+        spark))
     // scrubdecon: span-level — doc 1 loses the quoted bench span but
     // keeps its remainder instead of being dropped
     val scrubbed = Analyze.run(parse(List("scrubdecon",

@@ -76,6 +76,32 @@ class DecontaminateSpec extends SparkSpec {
     assert(rep2.getLong(1) == 3L && rep2.getLong(2) == 1L)
   }
 
+  test("contaminationByDomain: leaked-doc and leaked-shingle fractions " +
+      "roll up per host; zero-shingle docs count in n_docs; an " +
+      "all-shingleless domain reports null shingle_frac") {
+    val docs = Seq(
+      (1L, "a b c d", "https://Evil.example.com/p/1"), // 2 sh, 1 hit
+      (2L, "x y z w v", "https://evil.example.com/p/2"), // 3 sh, clean
+      (3L, "a b", "https://evil.example.com/p/3"), // no shingle
+      (4L, "p q r s", "http://clean.example.org/a"), // 2 sh, clean
+      (5L, "hi", "https://tiny.example.net/")) // no shingle at all
+      .toDF("doc_id", "text", "url")
+    val bench = Seq((100L, "q b c d e")).toDF("qid", "q")
+    val out = Decontaminate.contaminationByDomain(docs, "text",
+      "doc_id", "url", bench, "q", shingleSize = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), if (r.isNullAt(6)) -1.0 else r.getDouble(6))))
+      .toMap
+    // host lowercased: doc 1's Evil host folds into evil.example.com
+    assert(out("evil.example.com") ==
+      ((3L, 1L, 5L, 1L, 1.0 / 3, 0.2)))
+    assert(out("clean.example.org") == ((1L, 0L, 2L, 0L, 0.0, 0.0)))
+    assert(out("tiny.example.net") == ((1L, 0L, 0L, 0L, 0.0, -1.0)),
+      "shingleless domain: null shingle_frac, not a fake zero")
+    assert(out.size == 3)
+  }
+
   test("decontaminate removes flagged docs and keeps the rest intact") {
     val clean = Decontaminate.decontaminate(
       corpus, "text", "doc_id", bench, "question", "qid", shingleSize = 4)

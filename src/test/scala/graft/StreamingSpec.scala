@@ -1296,4 +1296,82 @@ class StreamingSpec extends SparkSpec {
       assert(storedQ == fullQ, s"stored=$storedQ full=$fullQ")
     } finally q.stop()
   }
+
+  test("streamingDecontaminate: every trigger equals the batch scrub " +
+      "bit-for-bit; a new eval set re-scrubs exactly the touched docs " +
+      "from ORIGINAL text; doc re-send replaces; same-trigger dup " +
+      "folds; redelivery absorbed once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Decontaminate
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_decon").toString
+    val mem = MemoryStream[(String, Long, String)]
+    val q = StreamingIngest.streamingDecontaminate(
+      mem.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/bench", s"$tmp/clean", s"$tmp/ckpt",
+      shingleSize = 3)
+    def store(): Map[Long, (String, Long, Long)] =
+      spark.read.parquet(s"$tmp/clean").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    def full(docs: Seq[(Long, String)], bench: Seq[(Long, String)]) =
+      Decontaminate.scrubContaminatedSpans(
+          docs.toDF("doc_id", "text"), "text", "doc_id",
+          bench.toDF("doc_id", "text"), "text", 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val d1 = "intro alpha beta gamma outro end"
+    val d2 = "totally clean text here now"
+    val d3 = "delta epsilon zeta plus filler words"
+    val d4a = "dup one two three aa"
+    val d4b = "dup one two three bb"
+    val d1v2 = "delta epsilon zeta fresh tail words"
+    val bx = "alpha beta gamma"
+    val by = "delta epsilon zeta"
+    try {
+      // t1: two docs + the first eval set — doc 1 loses the quoted span
+      mem.addData(("doc", 1L, d1), ("doc", 2L, d2), ("bench", 100L, bx))
+      q.processAllAvailable()
+      val s1 = store()
+      assert(s1 == full(Seq((1L, d1), (2L, d2)), Seq((100L, bx))))
+      assert(s1(1L)._3 == 3L && s1(2L)._3 == 0L)
+      // t2: a doc containing a span the bench does NOT yet know, plus
+      // a same-trigger duplicate id (folds to ONE deterministic row)
+      mem.addData(("doc", 3L, d3), ("doc", 4L, d4a), ("doc", 4L, d4b))
+      q.processAllAvailable()
+      val d4 = if (d4a > d4b) d4a else d4b
+      val live2 = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      assert(store() == full(live2, Seq((100L, bx))))
+      assert(store()(3L)._3 == 0L, "unknown span survives for now")
+      // t3: the new eval set arrives — ONLY doc 3 is touched and it
+      // re-scrubs from its original text; 1/2/4 stay verbatim
+      mem.addData(("bench", 101L, by))
+      q.processAllAvailable()
+      val s3 = store()
+      assert(s3 == full(live2, Seq((100L, bx), (101L, by))))
+      assert(s3(3L)._3 == 3L, "the new span is scrubbed on re-scrub")
+      assert(s3(1L) == s1(1L) && s3(2L) == s1(2L), "untouched verbatim")
+      // t4: re-send doc 1 with NEW text containing the second span —
+      // replace semantics, scrubbed against the accumulated bench
+      mem.addData(("doc", 1L, d1v2))
+      q.processAllAvailable()
+      val live4 = Seq((1L, d1v2), (2L, d2), (3L, d3), (4L, d4))
+      val s4 = store()
+      assert(s4 == full(live4, Seq((100L, bx), (101L, by))))
+      assert(s4(1L)._3 == 3L && !s4(1L)._1.contains("delta"))
+    } finally q.stop()
+    // redelivery under a fresh checkpoint: batch 0 re-sends — marker
+    // makes it a no-op
+    val before = store()
+    val mem2 = MemoryStream[(String, Long, String)]
+    val q2 = StreamingIngest.streamingDecontaminate(
+      mem2.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/bench", s"$tmp/clean", s"$tmp/ckpt2",
+      shingleSize = 3)
+    try {
+      mem2.addData(("doc", 1L, d1), ("doc", 2L, d2), ("bench", 100L, bx))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(store() == before, "redelivered batch absorbed once")
+  }
 }
