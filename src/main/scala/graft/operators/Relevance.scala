@@ -254,6 +254,32 @@ object Relevance {
       dfreq = newDf)
   }
 
+  /** Persist a [[LexIndex]] as four parquet stores under `dir`
+    * (`docs/`, `postings/`, `lens/`, `dfreq/`). Each frame is
+    * localCheckpoint-pinned BEFORE any write so a read-modify-write
+    * cycle (maintain the index, overwrite the same layout — the
+    * streaming twin's trigger shape) never reads the directories it
+    * is replacing. */
+  def saveLexIndex(ix: LexIndex, dir: String): Unit = {
+    val d = ix.docs.localCheckpoint()
+    val p = ix.postings.localCheckpoint()
+    val l = ix.lens.localCheckpoint()
+    val f = ix.dfreq.localCheckpoint()
+    d.write.mode("overwrite").parquet(s"$dir/docs")
+    p.write.mode("overwrite").parquet(s"$dir/postings")
+    l.write.mode("overwrite").parquet(s"$dir/lens")
+    f.write.mode("overwrite").parquet(s"$dir/dfreq")
+  }
+
+  /** Load a [[saveLexIndex]] layout. */
+  def loadLexIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LexIndex =
+    LexIndex(
+      docs = spark.read.parquet(s"$dir/docs"),
+      postings = spark.read.parquet(s"$dir/postings"),
+      lens = spark.read.parquet(s"$dir/lens"),
+      dfreq = spark.read.parquet(s"$dir/dfreq"))
+
   /** Render per-(doc, token) BM25 from a [[LexIndex]] — the exact
     * expression chain of the one-shot [[bm25]] (which routes through
     * here), so scores served off a maintained index are bit-equal to

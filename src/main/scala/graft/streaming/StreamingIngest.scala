@@ -1720,6 +1720,130 @@ object StreamingIngest {
       }
       .start()
 
+  /** Lexical (BM25/TF-IDF) index maintenance under a CDC document
+    * stream — adds AND takedowns interleaved, the serving-store twin
+    * that completes the lexical tier's CDC story (every other store —
+    * ANN, SCC, communities, intervals, neighborAgg, dup clusters,
+    * decontamination — already has one): each trigger applies its
+    * batch through ONE
+    * [[graft.operators.Relevance.maintainLexIndex]] call and
+    * persists the refreshed four-frame layout
+    * ([[graft.operators.Relevance.saveLexIndex]]), so after every
+    * completed trigger the served BM25/TF-IDF weights are bit-equal
+    * to a full [[graft.operators.Relevance.buildLexIndex]] over the
+    * EFFECTIVE corpus.
+    *
+    * Fold contract (the CDC-grid standard): a doc is live iff its
+    * latest add batch is strictly newer than its latest takedown —
+    * a same-batch takedown beats the add (`maintainLexIndex` alone
+    * would let adds win, so the trigger subtracts same-batch del ids
+    * from the adds first), re-sending a live id REPLACES its content,
+    * and a LATER re-add of a taken-down id resurrects it with its new
+    * text (erasure means erased — the old postings never return).
+    * Same-trigger duplicate adds fold to one deterministic row.
+    *
+    * Ground truth = two batchId-keyed op stores (`docsDir/batch=`,
+    * `delsDir/batch=`; idempotent overwrites, layout-guarded, marker
+    * tree under the docs op store). The maintain step READS the
+    * serving layout it then overwrites, so it is NOT idempotent
+    * across a mid-batch crash — the two-phase `started`/final marker
+    * ([[streamingIntervalsCdc]]'s discipline) routes a crash
+    * redelivery to a cold rebuild from the reconciled fold instead.
+    *
+    * Scale notes (100 TB): per trigger the corpus-scale posting store
+    * is scanned once inside `maintainLexIndex` (broadcast anti/semi
+    * joins on the change-batch ids); added text tokenizes
+    * delta-sized; the df merge is vocabulary-sized. The full-layout
+    * rewrite is the store's own size — partitioning `postings/` by a
+    * doc-id bucket and rewriting only touched buckets is the
+    * documented step-up at real scale (the [[streamingDecontaminate]]
+    * caveat, same shape). */
+  def streamingLexIndex(events: DataFrame, docsDir: String,
+      delsDir: String, indexDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col(idCol), col(textCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$docsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, docsDir, "streamingLexIndex")
+            requireBatchLayout(fs, delsDir, "streamingLexIndex")
+          }
+          if (!fs.exists(marker)) {
+            val started = new org.apache.hadoop.fs.Path(
+              s"$docsDir/_batches/$batchId.started")
+            val midCrash = fs.exists(started)
+            if (!midCrash) fs.mkdirs(started): Unit
+            val dels = b.filter(col("_op") === "del")
+              .select(col(idCol)).distinct().localCheckpoint()
+            // same-trigger duplicates fold; same-batch del beats add
+            val adds = b.filter(col("_op") === "add")
+              .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+              .join(dels, Seq(idCol), "left_anti")
+              .localCheckpoint()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$docsDir/batch=$batchId")
+            if (!dels.isEmpty)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            // reconciled ground truth: live docs = latest add strictly
+            // newer than the latest takedown, latest text wins
+            def liveDocs(): DataFrame =
+              if (!hasBatchData(fs, docsDir)) adds.limit(0)
+              else {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(idCol))
+                  .orderBy(col("batch").cast("long").desc)
+                val latest = spark.read.parquet(docsDir)
+                  .withColumn("_rn", row_number().over(w))
+                  .filter(col("_rn") === 1)
+                  .select(col(idCol), col(textCol),
+                    col("batch").cast("long").as("_ab"))
+                val dMax =
+                  if (hasBatchData(fs, delsDir))
+                    spark.read.parquet(delsDir)
+                      .groupBy(idCol)
+                      .agg(max(col("batch").cast("long")).as("_db"))
+                  else dels.limit(0).withColumn("_db", lit(-1L))
+                latest.join(dMax, Seq(idCol), "left")
+                  .filter(col("_db").isNull || col("_db") < col("_ab"))
+                  .select(col(idCol), col(textCol))
+              }
+            val sMark = new org.apache.hadoop.fs.Path(
+              s"$indexDir/docs/_SUCCESS")
+            val ix =
+              if (fs.exists(sMark) && !midCrash)
+                graft.operators.Relevance.maintainLexIndex(
+                  graft.operators.Relevance.loadLexIndex(spark,
+                    indexDir),
+                  adds, dels, idCol, textCol)
+              else
+                // cold start OR mid-crash redelivery: exact rebuild
+                // from the reconciled effective corpus
+                graft.operators.Relevance.buildLexIndex(liveDocs(),
+                  idCol, textCol)
+            graft.operators.Relevance.saveLexIndex(ix, indexDir)
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming span-level decontamination — the production shape of
     * [[graft.operators.Decontaminate.scrubContaminatedSpans]]: corpus
     * documents arrive as `op = "doc"` rows and are scrubbed against

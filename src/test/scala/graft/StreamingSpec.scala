@@ -1297,6 +1297,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingLexIndex: served BM25 equals the full rebuild after " +
+      "every trigger; same-batch takedown beats the add; takedown " +
+      "re-weights df; re-add resurrects with new text only; re-send " +
+      "replaces; mid-crash redelivery cold-rebuilds; redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Relevance
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_lex").toString
+    val mem = MemoryStream[(String, Long, String)]
+    val q = StreamingIngest.streamingLexIndex(
+      mem.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/ix", s"$tmp/ckpt")
+    def served(): Map[(Long, String), (Long, Long, Long, Double, Double)] =
+      Relevance.bm25FromIndex(Relevance.loadLexIndex(spark, s"$tmp/ix"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+    def full(docs: Seq[(Long, String)]) =
+      Relevance.bm25(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+    try {
+      // t1: three docs plus a born-dead add+del of 9 (del beats add)
+      mem.addData(("add", 1L, "a a b"), ("add", 2L, "b c"),
+        ("add", 3L, "c b"), ("add", 9L, "x y"),
+        ("del", 9L, null: String))
+      q.processAllAvailable()
+      val live1 = Seq((1L, "a a b"), (2L, "b c"), (3L, "c b"))
+      assert(served() == full(live1), "cold start ≡ rebuild")
+      assert(!served().keySet.exists(_._1 == 9L), "born dead")
+      // t2: take down 2 — 'c' re-weights (df 2 → 1), N drops
+      mem.addData(("del", 2L, null: String))
+      q.processAllAvailable()
+      assert(served() == full(Seq((1L, "a a b"), (3L, "c b"))),
+        "maintained takedown ≡ rebuild (df and N re-weighted)")
+      // t3: resurrect 2 with NEW text and replace live 1 in one batch
+      mem.addData(("add", 2L, "d d"), ("add", 1L, "a b d"))
+      q.processAllAvailable()
+      val live3 = Seq((1L, "a b d"), (2L, "d d"), (3L, "c b"))
+      assert(served() == full(live3))
+      assert(served().keySet.filter(_._1 == 2L).map(_._2) == Set("d"),
+        "resurrected doc carries ONLY its new content")
+    } finally q.stop()
+    val before = served()
+    // fresh-checkpoint redelivery: batch 0 re-sends — marker no-op
+    val mem2 = MemoryStream[(String, Long, String)]
+    val q2 = StreamingIngest.streamingLexIndex(
+      mem2.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/ix", s"$tmp/ckpt2")
+    try {
+      mem2.addData(("add", 1L, "a a b"), ("add", 2L, "b c"),
+        ("add", 3L, "c b"), ("add", 9L, "x y"),
+        ("del", 9L, null: String))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(served() == before, "redelivered batch absorbed once")
+    // mid-crash redelivery: started without final marker — the
+    // maintain path would double-apply; the twin must cold-rebuild
+    assert(new java.io.File(s"$tmp/docs/_batches/0").delete(),
+      "fixture: drop batch 0's final marker")
+    assert(new java.io.File(s"$tmp/docs/_batches/0.started").mkdirs())
+    val mem3 = MemoryStream[(String, Long, String)]
+    val q3 = StreamingIngest.streamingLexIndex(
+      mem3.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/ix", s"$tmp/ckpt3")
+    try {
+      mem3.addData(("add", 1L, "a a b"), ("add", 2L, "b c"),
+        ("add", 3L, "c b"), ("add", 9L, "x y"),
+        ("del", 9L, null: String))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(served() == before,
+      "mid-crash redelivery cold-rebuilds from the fold")
+    assert(new java.io.File(s"$tmp/docs/_batches/0").exists &&
+      !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
+  }
+
   test("streamingDecontaminate: every trigger equals the batch scrub " +
       "bit-for-bit; a new eval set re-scrubs exactly the touched docs " +
       "from ORIGINAL text; doc re-send replaces; same-trigger dup " +
