@@ -211,6 +211,9 @@ import graft.operators.{Curation, GraphOps}
   *   videostats  --docs <dir> [--bin-col payload] [-o <outDir>]
   *               (container-side video quality triage: sample-table
   *               verdicts + integer bitrate as a video_q struct)
+  *   exifstats   --docs <dir> [--bin-col payload] [-o <outDir>]
+  *               (header-side EXIF/ICC triage: rotation, GPS PII,
+  *               capture DateTime, ICC mass as an exif_q struct)
   *   neighmaint  --edges <post-change edges dir> --delta <changed rows
   *               dir> --docs <features dir> --target <stored aggregate
   *               dir> --value-col f1,f2,... [--id-col id] [--hops K]
@@ -659,6 +662,12 @@ object Analyze {
         // count) as a nullable image_q struct
         require(args.docs.nonEmpty, "imagestats needs --docs <dir>")
         graft.operators.Multimodal.extractImageQuality(
+          spark.read.parquet(args.docs), args.binCol)
+      case "exifstats" =>
+        // EXIF/ICC header triage — the pre-decode verdicts: rotation,
+        // GPS PII, capture time, ICC mass as a nullable exif_q struct
+        require(args.docs.nonEmpty, "exifstats needs --docs <dir>")
+        graft.operators.Multimodal.extractExifTriage(
           spark.read.parquet(args.docs), args.binCol)
       case "videostats" =>
         // video quality triage — completes the per-modality grid:

@@ -195,6 +195,7 @@ private[graft] object EntryData {
             sccStateCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             commPrevCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             x1Cache.keySet.removeIf(_.endsWith(s"@$uuid"))
+            lexIxCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             evictRegistered.remove(uuid): Unit
           }
         })
@@ -274,6 +275,23 @@ private[graft] object EntryData {
       Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
         x1Edges(s, dir).filter(col("id_a") % 3 =!= 0))
     }
+
+  /** q_x9f's shared fixture: the lexical serving store built on the
+    * doc_id%7≠3 base corpus, localCheckpoint-pinned per (session,
+    * dataset) — the maintenance row times its MAINTENANCE call and
+    * the served render, not the base build (q_x9b already times the
+    * full build+render chain). */
+  private val lexIxCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Relevance.LexIndex]()
+  def x9fBaseIndex(s: SparkSession, dir: String): Relevance.LexIndex =
+    lexIxCache.computeIfAbsent(sessionKey(s, s"x9f@$dir"), _ => {
+      val ix = Relevance.buildLexIndex(
+        t(s, dir, "documents").filter(col("doc_id") % 7 =!= 3),
+        "doc_id", "text")
+      Relevance.LexIndex(ix.docs.localCheckpoint(),
+        ix.postings.localCheckpoint(), ix.lens.localCheckpoint(),
+        ix.dfreq.localCheckpoint())
+    })
 
   def g25PrevLabels(s: SparkSession, dir: String): DataFrame =
     commPrevCache.computeIfAbsent(

@@ -285,6 +285,49 @@ private[graft] object QueriesMultimodal {
         .orderBy("doc_id")
     }),
 
+    // ---- X5p: EXIF/ICC metadata triage — the header-only verdicts a
+    // vision pipeline filters on BEFORE decode: orientation (needs
+    // rotation), GPS presence (location PII), capture DateTime, ICC
+    // profile mass (summed across the two APP2 chunks the encoder
+    // always splits into), SOF dims. Fixtures are exact functions of
+    // doc_id (both TIFF byte orders exercised via the %2 split);
+    // every 13th payload truncates mid-header → null struct. ----
+    "q_x5p_exif_triage" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 30 + 8).cast("int").as("w"),
+        (col("doc_id") % 17 + 8).cast("int").as("h"),
+        (col("doc_id") % 8 + 1).cast("int").as("orient"),
+        (col("doc_id") % 5 === 0).as("gps"),
+        ((col("doc_id") % 4) * 64).cast("int").as("icc"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit("2024:01:"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lit(" 00:00:00"))).as("dt"),
+        (col("doc_id") % 2 === 0).as("le"))
+      val payload = Multimodal.synthesizeExifJpegs(spec, "w", "h",
+          "orient", "gps", "icc", "dt", "le", "img")
+        .withColumn("img",
+          when(col("doc_id") % 13 === 0, expr("substring(img, 1, 6)"))
+            .otherwise(col("img")))
+      // nullable verdict BOOLEANS integerize to 0/1 BIGINT: a null
+      // boolean round-trips as pandas None on the Spark side but NaN
+      // on the DuckDB side, and the driver's string-hash compare
+      // distinguishes them — numeric nulls are NaN on both
+      Multimodal.extractExifTriage(payload, "img")
+        .select(col("doc_id"),
+          col("exif_q").isNotNull.as("decodable"),
+          col("exif_q.width").as("width"),
+          col("exif_q.height").as("height"),
+          col("exif_q.orientation").as("orientation"),
+          col("exif_q.needs_rotation").cast("long")
+            .as("needs_rotation"),
+          col("exif_q.has_gps").cast("long").as("has_gps"),
+          col("exif_q.exif_datetime").as("exif_datetime"),
+          col("exif_q.icc_bytes").as("icc_bytes"),
+          col("exif_q.has_icc").cast("long").as("has_icc"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X5h: REAL audio resample — synthesize WAVs (per-doc rate ∈
     // {8k..14k}, constant amplitude), resample all to 6 kHz by
     // nearest-neighbor frame selection, decode again: rate is the literal
@@ -497,6 +540,30 @@ private[graft] object QueriesMultimodal {
         |CAST((CASE WHEN doc_id % 7 = 0 THEN 32767
         |  ELSE (doc_id % 900) + 1 END) * (100 + doc_id % 50)
         |  AS BIGINT) AS sum_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // EXIF triage rebuild: the fixture is a pure function of doc_id,
+    // so the oracle re-derives every verdict arithmetically — the
+    // engine's parse must recover exactly the encoded header (the
+    // q_x5n discipline); truncated payloads (%13) null every verdict.
+    "q_x5p_exif_triage" ->
+      """SELECT doc_id,
+        |  (doc_id % 13 <> 0) AS decodable,
+        |  CASE WHEN doc_id % 13 <> 0 THEN doc_id % 30 + 8 END AS width,
+        |  CASE WHEN doc_id % 13 <> 0 THEN doc_id % 17 + 8 END AS height,
+        |  CASE WHEN doc_id % 13 <> 0 THEN doc_id % 8 + 1 END
+        |    AS orientation,
+        |  CASE WHEN doc_id % 13 <> 0 THEN
+        |    CAST((doc_id % 8 + 1) >= 2 AS BIGINT) END AS needs_rotation,
+        |  CASE WHEN doc_id % 13 <> 0 THEN
+        |    CAST(doc_id % 5 = 0 AS BIGINT) END AS has_gps,
+        |  CASE WHEN doc_id % 13 <> 0 AND doc_id % 3 <> 0 THEN
+        |    '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |      || ' 00:00:00' END AS exif_datetime,
+        |  CASE WHEN doc_id % 13 <> 0 THEN (doc_id % 4) * 64 END
+        |    AS icc_bytes,
+        |  CASE WHEN doc_id % 13 <> 0 THEN
+        |    CAST((doc_id % 4) * 64 > 0 AS BIGINT) END AS has_icc
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Every verdict re-derives from the fixture arithmetic: per-doc

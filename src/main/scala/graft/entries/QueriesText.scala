@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** text analysis X4 + relevance/tokenizer tiers X9-X15 (quality, lang-id, TF-IDF/BM25, BPE, perplexity) — one slice of the [[SparkEntry]] driver contract
-  * (34 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (~41 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesText {
   import EntryData._
@@ -478,8 +478,7 @@ private[graft] object QueriesText {
     // %11==0. Same e4 integerization as q_x9b. ----
     "q_x9f_lex_maintenance" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val ix = Relevance.buildLexIndex(
-        d.filter(col("doc_id") % 7 =!= 3), "doc_id", "text")
+      val ix = x9fBaseIndex(s, dir)
       val adds = d.filter(col("doc_id") % 7 === 3 ||
         col("doc_id") % 11 === 0)
       val dels = d.filter(col("doc_id") % 5 === 0).select("doc_id")

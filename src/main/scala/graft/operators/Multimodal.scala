@@ -944,6 +944,256 @@ object Multimodal {
       encodeGradientPng(w, h, base, sx, sy))
 
   // ---------------------------------------------------------------------
+  // EXIF/ICC metadata triage (REAL — JPEG segment + TIFF IFD parsing, no
+  // codec needed). The verdicts a curation pipeline filters on BEFORE
+  // paying for decode live in plain header structures: orientation
+  // (tag 0x0112 — a 90°-rotated photo poisons vision training unless
+  // normalized), GPS IFD presence (tag 0x8825 — location PII that must
+  // be stripped before the corpus ships), capture DateTime (0x0132 —
+  // temporal dedup/filter key), embedded ICC profile mass (APP2 chunks
+  // — color-managed sources), and SOF dimensions. Header-only: the
+  // scan stops at SOS/EOI, so a 50 MB photo costs its first few KB.
+  // ---------------------------------------------------------------------
+
+  /** Header-level EXIF/ICC summary of a JPEG payload. `orientation`
+    * is the raw EXIF value 1–8 (None when no APP1/orientation tag);
+    * `iccBytes` sums the profile data across ALL APP2 chunks (large
+    * profiles ship split). */
+  final case class ExifInfo(width: Int, height: Int,
+      orientation: Option[Int], hasGps: Boolean,
+      exifDatetime: Option[String], iccBytes: Long)
+
+  /** Parse the JPEG header segments: SOF dims, first APP1 Exif TIFF
+    * block (both byte orders), APP2 ICC chunk mass. Returns None for
+    * non-JPEG payloads, truncated headers, or malformed segment
+    * structure — every offset is bounds-checked before the read (the
+    * decodeVideoMeta bomb-guard discipline). */
+  def parseExifHeader(bytes: Array[Byte]): Option[ExifInfo] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    try {
+      var off = 2
+      var w = -1; var h = -1
+      var orientation: Option[Int] = None
+      var hasGps = false
+      var dt: Option[String] = None
+      var icc = 0L
+      var sawExif = false
+      var done = false
+      while (!done && off + 2 <= bytes.length) {
+        if ((bytes(off) & 0xff) != 0xff) return None
+        val marker = bytes(off + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) done = true
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8))
+          off += 2
+        else {
+          if (off + 4 > bytes.length) return None
+          val len = ((bytes(off + 2) & 0xff) << 8) |
+            (bytes(off + 3) & 0xff)
+          if (len < 2 || off + 2 + len > bytes.length) return None
+          val p = off + 4
+          val plen = len - 2
+          if (marker == 0xe1 && plen >= 14 && !sawExif &&
+              bytes(p) == 'E' && bytes(p + 1) == 'x' &&
+              bytes(p + 2) == 'i' && bytes(p + 3) == 'f' &&
+              bytes(p + 4) == 0 && bytes(p + 5) == 0) {
+            sawExif = true
+            val t = p + 6
+            val tEnd = p + plen
+            val le =
+              if (bytes(t) == 'I' && bytes(t + 1) == 'I') Some(true)
+              else if (bytes(t) == 'M' && bytes(t + 1) == 'M')
+                Some(false)
+              else None
+            le.foreach { isLe =>
+              def r16(o: Int): Int =
+                if (o + 2 > tEnd) -1
+                else if (isLe) (bytes(o) & 0xff) |
+                  ((bytes(o + 1) & 0xff) << 8)
+                else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+              def r32(o: Int): Long =
+                if (o + 4 > tEnd) -1L
+                else if (isLe) (bytes(o) & 0xffL) |
+                  ((bytes(o + 1) & 0xffL) << 8) |
+                  ((bytes(o + 2) & 0xffL) << 16) |
+                  ((bytes(o + 3) & 0xffL) << 24)
+                else ((bytes(o) & 0xffL) << 24) |
+                  ((bytes(o + 1) & 0xffL) << 16) |
+                  ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+              if (r16(t + 2) == 42) {
+                val ifdOff = r32(t + 4)
+                if (ifdOff >= 8 && t + ifdOff + 2 <= tEnd) {
+                  val base = t + ifdOff.toInt
+                  val n = r16(base)
+                  var i = 0
+                  while (i >= 0 && i < n) {
+                    val e = base + 2 + i * 12
+                    if (e + 12 > tEnd) i = -2 // truncated IFD: stop
+                    else {
+                      val tag = r16(e)
+                      val typ = r16(e + 2)
+                      val cnt = r32(e + 4)
+                      if (tag == 0x0112 && typ == 3 && cnt == 1L)
+                        orientation = Some(r16(e + 8))
+                      else if (tag == 0x8825) hasGps = true
+                      else if (tag == 0x0132 && typ == 2 &&
+                          cnt >= 2L && cnt <= 64L) {
+                        val vo =
+                          if (cnt <= 4L) e + 8
+                          else t + r32(e + 8).toInt
+                        if (vo >= t && vo + cnt <= tEnd)
+                          dt = Some(new String(bytes, vo,
+                            cnt.toInt - 1,
+                            java.nio.charset.StandardCharsets.US_ASCII))
+                      }
+                      i += 1
+                    }
+                  }
+                }
+              }
+            }
+          } else if (marker == 0xe2 && plen >= 14 &&
+              new String(bytes, p, 11,
+                java.nio.charset.StandardCharsets.US_ASCII) ==
+                "ICC_PROFILE" && bytes(p + 11) == 0) {
+            icc += (plen - 14)
+          } else if ((marker == 0xc0 || marker == 0xc1 ||
+              marker == 0xc2) && plen >= 5 && w < 0) {
+            h = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
+            w = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+          }
+          off += 2 + len
+        }
+      }
+      if (w <= 0 || h <= 0) None
+      else Some(ExifInfo(w, h, orientation, hasGps, dt, icc))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Triage verdicts off [[parseExifHeader]] — the filter columns a
+    * vision-corpus pipeline applies before decode: `needs_rotation`
+    * (orientation 2–8), `has_gps` (location PII — strip before the
+    * corpus ships), the capture timestamp, ICC mass. */
+  final case class ExifTriage(width: Long, height: Long,
+      orientation: Option[Long], needs_rotation: Boolean,
+      has_gps: Boolean, exif_datetime: Option[String],
+      icc_bytes: Long, has_icc: Boolean)
+
+  def exifTriage(bytes: Array[Byte]): Option[ExifTriage] =
+    parseExifHeader(bytes).map { i =>
+      ExifTriage(i.width.toLong, i.height.toLong,
+        i.orientation.map(_.toLong), i.orientation.exists(_ >= 2),
+        i.hasGps, i.exifDatetime, i.iccBytes, i.iccBytes > 0L)
+    }
+
+  /** Distributed [[exifTriage]]: appends a nullable `exif_q` struct
+    * (null where the payload is not a parseable JPEG header). Narrow
+    * per-partition parse over the first header KBs; payload bytes
+    * never shuffle — filter on the verdict columns BEFORE paying for
+    * decode, rotation, or embedding. */
+  def extractExifTriage(df: DataFrame, binCol: String): DataFrame = {
+    val qUdf = udf((bytes: Array[Byte]) => exifTriage(bytes))
+    df.withColumn("exif_q", qUdf(col(binCol)))
+  }
+
+  /** Encode a minimal JPEG whose EXIF/ICC header fields are exact
+    * functions of the arguments — the oracle-expressible fixture for
+    * the triage queries (the [[encodeGradientPng]] discipline): SOI,
+    * one APP1 Exif TIFF block (ascending-tag IFD0: orientation 0x0112
+    * inline, DateTime 0x0132 by offset when `dateTime != null`, GPS
+    * IFD pointer 0x8825 to an empty GPS IFD when `hasGps`), the ICC
+    * mass split across TWO APP2 chunks whenever it is ≥ 2 bytes (the
+    * real-world multi-chunk shape — a single-chunk-only parser
+    * undercounts), SOF0 with the dimensions, EOI. `littleEndian`
+    * selects the TIFF byte order (both are legal and both occur in
+    * the wild). */
+  def encodeJpegExifStub(width: Int, height: Int, orientation: Int,
+      hasGps: Boolean, iccBytes: Int, dateTime: String,
+      littleEndian: Boolean): Array[Byte] = {
+    require(width >= 1 && width <= 65535 &&
+      height >= 1 && height <= 65535, "dims must be uint16")
+    require(orientation >= 1 && orientation <= 8,
+      "orientation must be the EXIF 1..8 range")
+    require(iccBytes >= 0 && iccBytes <= 60000,
+      "iccBytes must fit the two-chunk stub")
+    require(dateTime == null || dateTime.length == 19,
+      "dateTime must be the 19-char EXIF form or null")
+    val le = littleEndian
+    val nEntries = 1 + (if (dateTime != null) 1 else 0) +
+      (if (hasGps) 1 else 0)
+    val ifdSize = 2 + nEntries * 12 + 4
+    val dtOff = 8 + ifdSize
+    val gpsOff = dtOff + (if (dateTime != null) 20 else 0)
+    val tiff = new Array[Byte](gpsOff + (if (hasGps) 6 else 0))
+    def w16(o: Int, v: Int): Unit =
+      if (le) { tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte }
+      else { tiff(o) = (v >> 8).toByte; tiff(o + 1) = v.toByte }
+    def w32(o: Int, v: Int): Unit =
+      if (le) { tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte
+        tiff(o + 2) = (v >> 16).toByte; tiff(o + 3) = (v >> 24).toByte }
+      else { tiff(o) = (v >> 24).toByte; tiff(o + 1) = (v >> 16).toByte
+        tiff(o + 2) = (v >> 8).toByte; tiff(o + 3) = v.toByte }
+    tiff(0) = (if (le) 'I' else 'M').toByte
+    tiff(1) = tiff(0)
+    w16(2, 42); w32(4, 8)
+    var o = 8
+    w16(o, nEntries); o += 2
+    w16(o, 0x0112); w16(o + 2, 3); w32(o + 4, 1); w16(o + 8, orientation)
+    o += 12
+    if (dateTime != null) {
+      w16(o, 0x0132); w16(o + 2, 2); w32(o + 4, 20); w32(o + 8, dtOff)
+      o += 12
+      System.arraycopy(dateTime.getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII), 0, tiff, dtOff, 19)
+    }
+    if (hasGps) {
+      w16(o, 0x8825); w16(o + 2, 4); w32(o + 4, 1); w32(o + 8, gpsOff)
+      o += 12
+      w16(gpsOff, 0); w32(gpsOff + 2, 0) // empty GPS IFD
+    }
+    w32(o, 0) // next-IFD terminator
+    val bos = new java.io.ByteArrayOutputStream()
+    def b1(v: Int): Unit = bos.write(v & 0xff)
+    def b2(v: Int): Unit = { b1(v >> 8); b1(v) }
+    b1(0xff); b1(0xd8)
+    b1(0xff); b1(0xe1); b2(2 + 6 + tiff.length)
+    bos.write("Exif".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)); b1(0); b1(0)
+    bos.write(tiff, 0, tiff.length)
+    if (iccBytes > 0) {
+      val sizes =
+        if (iccBytes >= 2) Seq(iccBytes / 2, iccBytes - iccBytes / 2)
+        else Seq(iccBytes)
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        b1(0xff); b1(0xe2); b2(2 + 14 + sz)
+        bos.write("ICC_PROFILE".getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII)); b1(0)
+        b1(i + 1); b1(sizes.length)
+        var j = 0
+        while (j < sz) { b1(j % 251); j += 1 }
+      }
+    }
+    b1(0xff); b1(0xc0); b2(17); b1(8); b2(height); b2(width); b1(3)
+    var c = 1
+    while (c <= 3) { b1(c); b1(0x11); b1(0); c += 1 }
+    b1(0xff); b1(0xd9)
+    bos.toByteArray
+  }
+
+  /** Distributed [[encodeJpegExifStub]] over spec columns (`dtCol`
+    * may be null per row = no DateTime tag). */
+  def synthesizeExifJpegs(df: DataFrame, wCol: String, hCol: String,
+      orientCol: String, gpsCol: String, iccCol: String, dtCol: String,
+      leCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, exifJpegUdf(col(wCol), col(hCol),
+      col(orientCol), col(gpsCol), col(iccCol), col(dtCol), col(leCol)))
+
+  private val exifJpegUdf = udf((w: Int, h: Int, or: Int, gps: Boolean,
+      icc: Int, dt: String, le: Boolean) =>
+    encodeJpegExifStub(w, h, or, gps, icc, dt, le))
+
+  // ---------------------------------------------------------------------
   // Video container metadata (REAL — header parsing, no codec needed).
   // The JDK ships no video codec, so frame DECODE stays out of scope, but
   // the container metadata a pipeline filters on (dimensions, duration,

@@ -897,6 +897,20 @@ class AnalyzeSpec extends SparkSpec {
     assert(vq.toSeq == Seq((1L, 12L, 48L)))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("videostats")), spark))
+    // exifstats: header triage verdicts from argv
+    Seq((1L, graft.operators.Multimodal.encodeJpegExifStub(20, 10, 6,
+        hasGps = true, iccBytes = 64, dateTime = null,
+        littleEndian = false)))
+      .toDF("doc_id", "payload").write.parquet(s"$dir/jpegs")
+    val xq = Analyze.run(parse(List("exifstats", "--docs",
+      s"$dir/jpegs")), spark)
+      .select(col("doc_id"), col("exif_q.orientation"),
+        col("exif_q.has_gps"), col("exif_q.icc_bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))
+    assert(xq.toSeq == Seq((1L, 6L, true, 64L)))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("exifstats")), spark))
     // schemadrift: metadata-only contract check from argv
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/sd_prev")
     Seq((1L, 2.0)).toDF("id", "v").write.parquet(s"$dir/sd_cur")

@@ -634,4 +634,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHashes(withJunk, "payload", "id")
       .count() == 4)
   }
+
+  test("exifTriage: orientation/GPS/DateTime/ICC verdicts from the " +
+      "JPEG header in both byte orders; ICC sums across chunks; " +
+      "tag-less JPEG parses with null orientation; truncation and " +
+      "non-JPEG refuse") {
+    val dt = "2024:01:05 00:00:00"
+    val full = Multimodal.encodeJpegExifStub(20, 10, 6, hasGps = true,
+      iccBytes = 128, dateTime = dt, littleEndian = false)
+    val got = Multimodal.exifTriage(full).get
+    assert(got == Multimodal.ExifTriage(20L, 10L, Some(6L),
+      needs_rotation = true, has_gps = true, Some(dt), 128L,
+      has_icc = true))
+    // little-endian TIFF parses to the identical verdicts
+    val le = Multimodal.encodeJpegExifStub(20, 10, 6, hasGps = true,
+      iccBytes = 128, dateTime = dt, littleEndian = true)
+    assert(Multimodal.exifTriage(le).get == got)
+    // upright, no GPS, no DateTime, no ICC
+    val plain = Multimodal.encodeJpegExifStub(8, 9, 1, hasGps = false,
+      iccBytes = 0, dateTime = null, littleEndian = false)
+    assert(Multimodal.exifTriage(plain).get ==
+      Multimodal.ExifTriage(8L, 9L, Some(1L), needs_rotation = false,
+        has_gps = false, None, 0L, has_icc = false))
+    // hand-built JPEG with NO APP1 at all: dims parse, orientation null
+    val noExif = Array[Int](0xff, 0xd8,
+      0xff, 0xc0, 0x00, 0x11, 8, 0, 10, 0, 20, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0,
+      0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.exifTriage(noExif).get ==
+      Multimodal.ExifTriage(20L, 10L, None, needs_rotation = false,
+        has_gps = false, None, 0L, has_icc = false))
+    // refusals: truncated header, PNG magic, null
+    assert(Multimodal.exifTriage(full.take(6)).isEmpty)
+    assert(Multimodal.exifTriage(
+      Array[Int](0x89, 0x50, 0x4e, 0x47, 0, 0, 0, 0)
+        .map(_.toByte)).isEmpty)
+    assert(Multimodal.exifTriage(null).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.encodeJpegExifStub(1, 1, 0, hasGps = false,
+        iccBytes = 0, dateTime = null, littleEndian = false))
+  }
 }
