@@ -492,6 +492,22 @@ private[graft] object QueriesText {
         .orderBy("doc_id", "token")
     }),
 
+    // ---- X9h: BM25 SEARCH served off the maintained index — the
+    // lexical store's full lifecycle in one row (build on the base,
+    // maintain adds+takedowns, search the result): rankings must be
+    // bit-equal to q_x9c's search over the post-change corpus. ----
+    "q_x9h_lex_search_maintained" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val adds = d.filter(col("doc_id") % 7 === 3 ||
+        col("doc_id") % 11 === 0)
+      val dels = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+      val m = Relevance.maintainLexIndex(x9fBaseIndex(s, dir), adds,
+        dels, "doc_id", "text")
+      Relevance.searchBm25FromIndex(m, "data model the", k = 100000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- X9e: feature-hashed TF-IDF document vectors (the hashing
     // trick) — text-only fixed-dim embeddings, no vocabulary, no model.
     // e6-integerized weights make the per-bucket sums exact long
@@ -1248,6 +1264,34 @@ private[graft] object QueriesText {
         |        AND n_punct * 1.0 / n_toks < 0.5
         |       THEN 1 ELSE 0 END AS pass
         |FROM s ORDER BY doc_id""").stripMargin,
+
+    // The maintained-index search rebuild: q_x9c's chain over the
+    // post-change live corpus (the q_x9f live set).
+    "q_x9h_lex_search_maintained" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 <> 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM d),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |      / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |    * (tf.tf * CAST(2.2 AS DOUBLE))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * lens.doc_len
+        |        / al.avg_len))), 6) AS score
+        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |WHERE tf.token IN ('data', 'model', 'the')
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id""".stripMargin,
 
     "q_x9c_bm25_search" ->
       """WITH tok AS (

@@ -796,11 +796,29 @@ object Relevance {
     * TakeOrderedAndProject (per-partition top-k, no global sort). */
   def searchBm25(docs: DataFrame, idCol: String, textCol: String,
       query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchBm25FromIndex(buildLexIndex(docs, idCol, textCol), query, k,
+      k1, b)
+
+  /** [[searchBm25]] served off a (possibly [[maintainLexIndex]]-
+    * maintained) [[LexIndex]] — the QUERY path of the lexical serving
+    * store, completing its lifecycle (build → maintain → serve →
+    * search). The one-shot [[searchBm25]] routes through here, so
+    * search results off a maintained index are bit-equal to a fresh
+    * rebuild's.
+    *
+    * Scale notes (100 TB): Catalyst pushes the query-term filter
+    * through the token-keyed joins into BOTH the posting scan and the
+    * df lookup — only the query terms' postings ever leave the store
+    * (a token-sorted/bucketed posting layout turns that into an index
+    * seek); the ranking is a TakeOrderedAndProject top-k, never a
+    * full sort. */
+  def searchBm25FromIndex(ix: LexIndex, query: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query must contain at least one token")
-    bm25(docs, idCol, textCol, k1, b)
+    bm25FromIndex(ix, k1, b)
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id").agg(sum("bm25").as("score"))
       .orderBy(col("score").desc, col("doc_id"))

@@ -405,5 +405,11 @@ class RelevanceSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
         r.getAs[Double]("tfidf")).toMap
     assert(tserved == trebuilt, "tf-idf serves bit-equal too")
+    // search off the maintained store ≡ search over the rebuilt corpus
+    val sServed = Relevance.searchBm25FromIndex(m, "c b", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sRebuilt = Relevance.searchBm25(post, "id", "text", "c b",
+      k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sServed == sRebuilt, "search serves bit-equal too")
   }
 }
