@@ -1498,7 +1498,9 @@ object Analyze {
           .orderBy("stage").show(20, truncate = false)
         corpus
       case other =>
-        throw new IllegalArgumentException(s"unknown command '$other'; $usage")
+        AnalyzeMore.dispatch(args, spark).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown command '$other'; $usage"))
     }
     if (args.command != "curate") {
       if (args.outDir.nonEmpty) {

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Overflow dispatch for [[Analyze]] CLI commands. The primary
+  * command match in `Analyze.run` sits at the JVM's 64 KB
+  * bytecode-per-method ceiling (r12 verdict) — new commands land here
+  * and are tried from its default branch, so the established
+  * `--flag` surface (parsed once in `Analyze.parse`) keeps working
+  * without growing the saturated method. Returns None for commands
+  * this object does not know either, letting the caller raise the
+  * usual unknown-command error. */
+private[graft] object AnalyzeMore {
+
+  def dispatch(args: Analyze.Args,
+      spark: SparkSession): Option[DataFrame] = args.command match {
+    case "lmmaint" =>
+      // exact trigram-LM count-store maintenance: --docs is the base
+      // corpus the store was built from, --delta the added/replacement
+      // docs, --target the removed docs WITH their text (the store
+      // keeps no per-doc rows — erasure ships ground truth); output =
+      // served KN perplexity off the maintained store (≡ full rebuild)
+      require(args.docs.nonEmpty,
+        "lmmaint needs --docs <base corpus dir>; --delta <added docs " +
+          "dir> and --target <removed docs dir (with text)> are the " +
+          "change batch (either may be omitted)")
+      val base = spark.read.parquet(args.docs)
+      val lm = graft.operators.Relevance.buildTrigramLm(base,
+        args.idCol, args.textCol)
+      val adds =
+        if (args.delta.nonEmpty) spark.read.parquet(args.delta)
+        else base.limit(0)
+      val rems =
+        if (args.target.nonEmpty) spark.read.parquet(args.target)
+        else base.limit(0)
+      val m = graft.operators.Relevance.maintainTrigramLm(lm, adds,
+        rems, args.idCol, args.textCol)
+      val post = base
+        .join(rems.select(col(args.idCol)).unionByName(
+            adds.select(col(args.idCol))).distinct(),
+          Seq(args.idCol), "left_anti")
+        .select(col(args.idCol), col(args.textCol))
+        .unionByName(adds.select(col(args.idCol), col(args.textCol)))
+      Some(graft.operators.Relevance.knTrigramFromModel(m.model, post,
+        args.idCol, args.textCol))
+    case _ => None
+  }
+}

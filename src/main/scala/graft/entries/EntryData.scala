@@ -196,6 +196,7 @@ private[graft] object EntryData {
             commPrevCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             x1Cache.keySet.removeIf(_.endsWith(s"@$uuid"))
             lexIxCache.keySet.removeIf(_.endsWith(s"@$uuid"))
+            lmCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             evictRegistered.remove(uuid): Unit
           }
         })
@@ -283,6 +284,23 @@ private[graft] object EntryData {
     * full build+render chain). */
   private val lexIxCache = new java.util.concurrent.ConcurrentHashMap[
     String, Relevance.LexIndex]()
+
+  /** q_x14d's shared fixture: the trigram LM store built on the
+    * doc_id%7≠3 base corpus, localCheckpoint-pinned per (session,
+    * dataset) — the maintenance row times its MAINTENANCE call and
+    * the served scoring, not the base build (q_x14b already times the
+    * full build+score chain). */
+  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Relevance.TrigramLm]()
+  def x14dBaseLm(s: SparkSession, dir: String): Relevance.TrigramLm =
+    lmCache.computeIfAbsent(sessionKey(s, s"x14d@$dir"), _ => {
+      val lm = Relevance.buildTrigramLm(
+        t(s, dir, "documents").filter(col("doc_id") % 7 =!= 3),
+        "doc_id", "text")
+      Relevance.TrigramLm(lm.docs.localCheckpoint(),
+        lm.model.localCheckpoint())
+    })
+
   def x9fBaseIndex(s: SparkSession, dir: String): Relevance.LexIndex =
     lexIxCache.computeIfAbsent(sessionKey(s, s"x9f@$dir"), _ => {
       val ix = Relevance.buildLexIndex(

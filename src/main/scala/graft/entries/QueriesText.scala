@@ -444,6 +444,34 @@ private[graft] object QueriesText {
           floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
         .orderBy("doc_id")),
 
+    // ---- X14d: trigram-LM store maintenance — the n-gram model's
+    // member of the maintenance grid (q_x9f's fixture discipline):
+    // build the count store on the %7≠3 base corpus (cached), then
+    // ONE maintenance call — adds bring in the %7==3 group plus
+    // RE-ADDS of live %11==0 docs (whose old rows ship in
+    // removedDocs: the store keeps no per-doc counts, so erasure
+    // carries the ground-truth text), takedowns remove %5==0. Served
+    // KN perplexity over the post-change corpus must be bit-identical
+    // to a full rebuild, which the oracle computes directly: live ⇔
+    // %5≠0 ∨ %7==3 ∨ %11==0. Same e4 contract as q_x14b. ----
+    "q_x14d_lm_maintenance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm0 = x14dBaseLm(s, dir)
+      val adds = d.filter(col("doc_id") % 7 === 3 ||
+        col("doc_id") % 11 === 0)
+      val rems = d.filter(col("doc_id") % 7 =!= 3 &&
+        (col("doc_id") % 5 === 0 || col("doc_id") % 11 === 0))
+      val m = Relevance.maintainTrigramLm(lm0, adds, rems, "doc_id",
+        "text")
+      val live = d.filter(col("doc_id") % 5 =!= 0 ||
+        col("doc_id") % 7 === 3 || col("doc_id") % 11 === 0)
+      Relevance.knTrigramFromModel(m.model, live, "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
@@ -1564,6 +1592,54 @@ private[graft] object QueriesText {
         |  FROM dtf d JOIN ctg USING (w1, w2, w3) JOIN cx USING (w1, w2)
         |    JOIN mid USING (w2, w3) JOIN mcx USING (w2)
         |    JOIN low USING (w3), tt, dt, dm
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_trigrams,
+        |  CAST(floor(lp / n_trigrams * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS log_prob_e4,
+        |  CAST(floor(exp(-(lp / n_trigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ppl_e4
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Maintained-LM rebuild: q_x14b's exact chain over the POST-CHANGE
+    // live corpus (takedowns %5==0 out unless re-added; %7==3 new
+    // adds; %11==0 live re-adds with identical text) — a green row
+    // certifies the maintained count store serves bit-identically to
+    // a from-scratch build.
+    "q_x14d_lm_maintenance" ->
+      """WITH live AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 <> 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0),
+        |arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM live),
+        |tg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3
+        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 1)) AS i) u),
+        |ctg AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+        |        GROUP BY 1, 2, 3),
+        |cx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n1f12
+        |       FROM ctg GROUP BY 1, 2),
+        |mid AS (SELECT w2, w3, count(*) AS n1b23 FROM ctg GROUP BY 1, 2),
+        |mcx AS (SELECT w2, sum(n1b23) AS m2, count(*) AS d2 FROM mid
+        |        GROUP BY 1),
+        |low AS (SELECT w3, count(*) AS n1b3 FROM mid GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM mid),
+        |dtf AS (SELECT doc_id, w1, w2, w3, count(*) AS ttf FROM tg
+        |        GROUP BY 1, 2, 3, 4),
+        |per AS (
+        |  SELECT d.doc_id, CAST(sum(d.ttf) AS BIGINT) AS n_trigrams,
+        |    sum(d.ttf * ln(
+        |      greatest(ctg.c123 - CAST(0.75 AS DOUBLE),
+        |          CAST(0 AS DOUBLE)) / CAST(cx.c12 AS DOUBLE)
+        |      + CAST(0.75 AS DOUBLE) * cx.n1f12 / CAST(cx.c12 AS DOUBLE)
+        |        * (greatest(mid.n1b23 - CAST(0.75 AS DOUBLE),
+        |              CAST(0 AS DOUBLE)) / CAST(mcx.m2 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * mcx.d2
+        |            / CAST(mcx.m2 AS DOUBLE)
+        |            * (low.n1b3 / CAST(tt.tt AS DOUBLE))))) AS lp
+        |  FROM dtf d JOIN ctg USING (w1, w2, w3) JOIN cx USING (w1, w2)
+        |    JOIN mid USING (w2, w3) JOIN mcx USING (w2)
+        |    JOIN low USING (w3), tt
         |  GROUP BY d.doc_id)
         |SELECT doc_id, n_trigrams,
         |  CAST(floor(lp / n_trigrams * 1e4 + CAST(0.5 AS DOUBLE))

@@ -508,10 +508,22 @@ object Relevance {
   def knTrigramPerplexity(docs: DataFrame, idCol: String,
       textCol: String, discount: Double = 0.75,
       ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
-    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("_arr"))
-    val tris = toks.filter(size(col("_arr")) >= 3)
+    val tris = trigramRows(docs, idCol, textCol)
+    knTrigramFromModel(
+      tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
+      docs, idCol, textCol, discount, ckpt)
+  }
+
+  /** One narrow per-row trigram zip (never a positional self-join):
+    * (`doc_id`, w1, w2, w3), one output row per trigram OCCURRENCE.
+    * Docs with < 3 tokens have no trigrams and drop out. Shared by the
+    * one-shot perplexities, the [[TrigramLm]] store build, and its
+    * maintenance deltas so the extraction can never drift. */
+  private def trigramRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("_arr"))
+      .filter(size(col("_arr")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(_arr) - 2), " +
           "i -> struct(element_at(_arr, i) AS w1, " +
@@ -519,19 +531,44 @@ object Relevance {
           "element_at(_arr, i + 2) AS w3))")).as("_t"))
       .select(col("doc_id"), col("_t.w1").as("w1"),
         col("_t.w2").as("w2"), col("_t.w3").as("w3"))
+
+  /** Score `docs` with interpolated Kneser–Ney off a FIXED trigram
+    * count table — [[knTrigramPerplexity]]'s exact expression chain
+    * with the model supplied instead of rebuilt, so perplexities
+    * served off a [[maintainTrigramLm]]-maintained store are bit-equal
+    * to a fresh build's. Every lower-order continuation table derives
+    * from `model` alone (the self-contained-ladder discipline of
+    * [[knTrigramPerplexity]]).
+    *
+    * Contract: self-scoring — `docs` must be (drawn from) the corpus
+    * the model counts; a trigram absent from the model drops from the
+    * scoring inner join (`n_trigrams` reports the scored mass), and a
+    * document whose trigrams are ALL unseen drops out. To score a
+    * foreign corpus, add an OOV smoothing floor instead.
+    *
+    * Scale notes (100 TB): corpus-sized work = the one trigram zip of
+    * `docs` + its per-doc partial-agg groupBy; the model-derived
+    * tables are model-sized (vocabulary-bounded, corpus-sublinear),
+    * the type total a 1-row broadcast. */
+  def knTrigramFromModel(model: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
     // ONE materialization feeds every lower-order type table — without
-    // the cut each would re-run the corpus-sized trigram explode
-    val model = ckpt(tris.groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c123")))
-    val ctx = model.groupBy("w1", "w2")
+    // the cut each would re-run the model lineage (for a maintained
+    // store that is the whole maintenance DAG)
+    val m = ckpt(model.select(col("w1"), col("w2"), col("w3"),
+      col("c123").cast("long").as("c123")))
+    val ctx = m.groupBy("w1", "w2")
       .agg(sum("c123").as("c12"), count(lit(1)).as("n1f12"))
-    val mid = ckpt(model.groupBy("w2", "w3")
+    val mid = ckpt(m.groupBy("w2", "w3")
       .agg(count(lit(1)).as("n1b23")))
     val midCtx = mid.groupBy("w2")
       .agg(sum("n1b23").as("m2"), count(lit(1)).as("d2"))
     val low = mid.groupBy("w3").agg(count(lit(1)).as("n1b3"))
     val types = mid.agg(count(lit(1)).as("_tt"))
-    val dtf = tris.groupBy("doc_id", "w1", "w2", "w3")
+    val dtf = trigramRows(docs, idCol, textCol)
+      .groupBy("doc_id", "w1", "w2", "w3")
       .agg(count(lit(1)).as("ttf"))
     // operand shapes mirrored exactly in the oracle SQL
     val plow = col("n1b3") / col("_tt").cast("double")
@@ -541,7 +578,7 @@ object Relevance {
     val p = greatest(col("c123") - lit(discount), lit(0.0)) /
         col("c12").cast("double") +
       lit(discount) * col("n1f12") / col("c12").cast("double") * pmid
-    dtf.join(model, Seq("w1", "w2", "w3"))
+    dtf.join(m, Seq("w1", "w2", "w3"))
       .join(ctx, Seq("w1", "w2"))
       .join(mid, Seq("w2", "w3"))
       .join(midCtx, Seq("w2"))
@@ -554,6 +591,140 @@ object Relevance {
         (col("_lp") / col("n_trigrams")).as("log_prob"),
         exp(-(col("_lp") / col("n_trigrams"))).as("ppl"))
   }
+
+  /** Trigram language-model SERVING STORE: the raw trigram count table
+    * plus a live-document registry. `model` (w1, w2, w3, c123) is the
+    * single source of truth — every Kneser–Ney table (contexts,
+    * continuations, discounts) derives from it model-sized, so
+    * maintaining the counts maintains the whole ladder. `docs` (one
+    * `doc_id` column) records which documents the counts cover; the
+    * model itself stores NO per-document rows (unlike
+    * [[LexIndex.postings]]), which is what makes the store
+    * corpus-sublinear — and why the erasure path must ship the leaving
+    * text (see [[maintainTrigramLm]]). */
+  final case class TrigramLm(docs: DataFrame, model: DataFrame)
+
+  /** Tokenize `docs` once into a fresh [[TrigramLm]] — the ground-truth
+    * build [[maintainTrigramLm]] keeps current and
+    * [[knTrigramFromModel]] serves from. One corpus-sized trigram zip
+    * + one partial-agg groupBy ([[knTrigramPerplexity]]'s exact model
+    * aggregation). */
+  def buildTrigramLm(docs: DataFrame, idCol: String,
+      textCol: String): TrigramLm =
+    TrigramLm(
+      docs = docs.select(col(idCol).as("doc_id")),
+      model = trigramRows(docs, idCol, textCol)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")))
+
+  /** EXACT maintenance of a [[TrigramLm]] under document ADDS and
+    * TAKEDOWNS — the n-gram LM's member of the maintenance grid
+    * (lexical index, ANN, SCC, communities, intervals, neighborAgg,
+    * dup clusters all have one): trigram counts are SUBTRACTABLE, so
+    * the maintained model is the old counts plus the added documents'
+    * trigrams minus the removed documents' trigrams, rows reaching
+    * zero leave, in exact long arithmetic — frame-for-frame EQUAL to
+    * [[buildTrigramLm]] over the post-change corpus.
+    *
+    * Contract: the store keeps no per-document rows, so `removedDocs`
+    * must carry the GROUND-TRUTH text being erased (at takedown time
+    * the document is still in the corpus store — the CDC twin reads it
+    * from the op-store fold). Removing an id the registry never saw is
+    * a no-op (its rows are filtered out, nothing is subtracted).
+    * Re-adding a currently LIVE id REPLACES it, and therefore requires
+    * its old row in `removedDocs` — an add of a live id WITHOUT one
+    * fails loudly (a silent double-count is the corruption this store
+    * cannot detect later). A subtraction driving any count below zero
+    * (mis-specified erasure text) also fails loudly instead of
+    * quietly clamping. Same-call duplicate ids fold to one
+    * deterministic row first (max text — the CDC fold discipline).
+    *
+    * Scale notes (100 TB): changed-doc trigram extraction is
+    * delta-sized; the count merge is two model-sized full joins on
+    * trigram keys (vocabulary-bounded, corpus-sublinear — AQE
+    * co-partitions them); the registry checks are broadcast-gated on
+    * the change-batch ids; the corpus is never rescanned. The clash
+    * and negative-count guards ride the output as a 1-row broadcast
+    * filter and a per-row predicate — no driver-side action.
+    *
+    * @param addedDocs   new/updated documents (`idCol`, `textCol`)
+    * @param removedDocs taken-down documents WITH their text */
+  def maintainTrigramLm(lm: TrigramLm, addedDocs: DataFrame,
+      removedDocs: DataFrame, idCol: String,
+      textCol: String): TrigramLm = {
+    // same-call duplicates fold to one deterministic row per id
+    val adds = addedDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .groupBy("doc_id").agg(max(col("_text")).as("_text"))
+      .localCheckpoint()
+    val rems = removedDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .groupBy("doc_id").agg(max(col("_text")).as("_text"))
+      .localCheckpoint()
+    val remIds = rems.select("doc_id")
+    val addIds = adds.select("doc_id")
+    // unknown-id takedown no-ops: only registry-live rows subtract
+    val liveRems = rems
+      .join(lm.docs.select("doc_id"), Seq("doc_id"), "left_semi")
+    // fail fast on a re-add of a live id whose old row did not ship —
+    // a 1-row broadcast guard crossed into the output (the
+    // landmarkReachability fail-before-anything-moves discipline)
+    val guard = addIds
+      .join(lm.docs.select("doc_id")
+        .join(broadcast(remIds), Seq("doc_id"), "left_anti"),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("_clash"))
+      .filter(
+        when(col("_clash") > 0L,
+          raise_error(lit("maintainTrigramLm: re-add of a live id " +
+            "without its old row in removedDocs — the model stores " +
+            "no per-doc counts, so the leaving text must ship"))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+      .select(lit(1).as("_ok"))
+    val dec = trigramRows(liveRems, "doc_id", "_text")
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("_dec"))
+    val inc = trigramRows(adds, "doc_id", "_text")
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("_inc"))
+    val keys = Seq("w1", "w2", "w3")
+    val merged = lm.model
+      .join(dec, keys, "full")
+      .join(inc, keys, "full")
+      .select(col("w1"), col("w2"), col("w3"),
+        (coalesce(col("c123"), lit(0L)) - coalesce(col("_dec"), lit(0L))
+          + coalesce(col("_inc"), lit(0L))).as("c123"))
+      .filter(
+        when(col("c123") < 0L,
+          raise_error(lit("maintainTrigramLm: a trigram count went " +
+            "negative — removedDocs text does not match what the " +
+            "store counted (erasure must ship ground truth)"))
+            .cast("boolean"))
+          .otherwise(col("c123") > 0L))
+    TrigramLm(
+      docs = lm.docs.select("doc_id")
+        .join(broadcast(remIds.unionByName(addIds).distinct()),
+          Seq("doc_id"), "left_anti")
+        .unionByName(addIds),
+      model = merged.crossJoin(broadcast(guard)).drop("_ok"))
+  }
+
+  /** Persist a [[TrigramLm]] as two parquet stores under `dir`
+    * (`docs/`, `model/`), localCheckpoint-pinned BEFORE any write so a
+    * read-modify-write cycle (maintain, overwrite the same layout —
+    * the streaming twin's trigger shape) never reads the directories
+    * it is replacing. */
+  def saveTrigramLm(lm: TrigramLm, dir: String): Unit = {
+    val d = lm.docs.localCheckpoint()
+    val m = lm.model.localCheckpoint()
+    d.write.mode("overwrite").parquet(s"$dir/docs")
+    m.write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Load a [[saveTrigramLm]] layout. */
+  def loadTrigramLm(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TrigramLm =
+    TrigramLm(
+      docs = spark.read.parquet(s"$dir/docs"),
+      model = spark.read.parquet(s"$dir/model"))
 
   /** MODIFIED Kneser–Ney trigram perplexity — [[knTrigramPerplexity]]
     * with the production discount estimator (Chen & Goodman 1998 §3;

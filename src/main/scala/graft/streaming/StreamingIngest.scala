@@ -1844,6 +1844,143 @@ object StreamingIngest {
       .start()
   }
 
+  /** Trigram-LM count-store maintenance under a CDC document stream —
+    * the n-gram model's serving-store twin (the [[streamingLexIndex]]
+    * shape for [[graft.operators.Relevance.TrigramLm]]): each trigger
+    * applies its batch through ONE
+    * [[graft.operators.Relevance.maintainTrigramLm]] call and persists
+    * the refreshed two-frame layout
+    * ([[graft.operators.Relevance.saveTrigramLm]]), so after every
+    * completed trigger the stored counts — and every Kneser–Ney table
+    * derived from them — are bit-equal to a full
+    * [[graft.operators.Relevance.buildTrigramLm]] over the EFFECTIVE
+    * corpus.
+    *
+    * Fold contract (the CDC-grid standard): a doc is live iff its
+    * latest add batch is strictly newer than its latest takedown (a
+    * same-batch takedown beats the add), re-sending a live id REPLACES
+    * its content, a later re-add resurrects. The store keeps no
+    * per-document rows, so the erasure path recovers each leaving
+    * doc's text from the OP-STORE FOLD AS OF THE PREVIOUS BATCH
+    * (ground truth is still on disk at takedown time — exactly the
+    * [[graft.operators.Relevance.maintainTrigramLm]] contract); live
+    * re-adds ship their old rows the same way, so the maintain call's
+    * clash guard never fires from this twin.
+    *
+    * Ground truth = two batchId-keyed op stores (`docsDir/batch=`,
+    * `delsDir/batch=`; idempotent overwrites, layout-guarded, marker
+    * tree under the docs op store). The maintain step READS the
+    * serving layout it then overwrites, so a mid-batch crash
+    * redelivery routes to a cold rebuild from the reconciled fold via
+    * the two-phase `started`/final marker
+    * ([[streamingIntervalsCdc]]'s discipline).
+    *
+    * Scale notes (100 TB): per trigger the model-scale count store is
+    * read once inside `maintainTrigramLm` (two vocabulary-bounded
+    * full joins); changed-doc trigram extraction is delta-sized (the
+    * prev-live lookup prunes the op store to batches < this one and
+    * semi-joins on the change ids); the corpus is never rescanned.
+    * The full-layout rewrite is the store's own size — bucketing
+    * `model/` by a trigram hash and rewriting only touched buckets is
+    * the documented step-up at real scale. */
+  def streamingTrigramLm(events: DataFrame, docsDir: String,
+      delsDir: String, lmDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col(idCol), col(textCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$docsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, docsDir, "streamingTrigramLm")
+            requireBatchLayout(fs, delsDir, "streamingTrigramLm")
+          }
+          if (!fs.exists(marker)) {
+            val started = new org.apache.hadoop.fs.Path(
+              s"$docsDir/_batches/$batchId.started")
+            val midCrash = fs.exists(started)
+            if (!midCrash) fs.mkdirs(started): Unit
+            val dels = b.filter(col("_op") === "del")
+              .select(col(idCol)).distinct().localCheckpoint()
+            // same-trigger duplicates fold; same-batch del beats add
+            val adds = b.filter(col("_op") === "add")
+              .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+              .join(dels, Seq(idCol), "left_anti")
+              .localCheckpoint()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$docsDir/batch=$batchId")
+            if (!dels.isEmpty)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            // reconciled ground truth (optionally only batches BEFORE
+            // `limit` — the erasure path's prev-live lookup): live =
+            // latest add strictly newer than the latest takedown
+            def liveDocs(limit: Long = Long.MaxValue): DataFrame = {
+              val anyAdds = hasBatchData(fs, docsDir)
+              if (!anyAdds) adds.limit(0)
+              else {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(idCol))
+                  .orderBy(col("batch").cast("long").desc)
+                val latest = spark.read.parquet(docsDir)
+                  .filter(col("batch").cast("long") < limit)
+                  .withColumn("_rn", row_number().over(w))
+                  .filter(col("_rn") === 1)
+                  .select(col(idCol), col(textCol),
+                    col("batch").cast("long").as("_ab"))
+                val dMax =
+                  if (hasBatchData(fs, delsDir))
+                    spark.read.parquet(delsDir)
+                      .filter(col("batch").cast("long") < limit)
+                      .groupBy(idCol)
+                      .agg(max(col("batch").cast("long")).as("_db"))
+                  else dels.limit(0).withColumn("_db", lit(-1L))
+                latest.join(dMax, Seq(idCol), "left")
+                  .filter(col("_db").isNull || col("_db") < col("_ab"))
+                  .select(col(idCol), col(textCol))
+              }
+            }
+            val sMark = new org.apache.hadoop.fs.Path(
+              s"$lmDir/model/_SUCCESS")
+            val lm =
+              if (fs.exists(sMark) && !midCrash) {
+                // leaving text (takedowns + old rows of live re-adds)
+                // from the fold as of the PREVIOUS batch — this
+                // trigger's own writes are excluded by the < filter
+                val changed = dels
+                  .unionByName(adds.select(col(idCol))).distinct()
+                val leaving = liveDocs(batchId)
+                  .join(broadcast(changed), Seq(idCol), "left_semi")
+                  .localCheckpoint()
+                graft.operators.Relevance.maintainTrigramLm(
+                  graft.operators.Relevance.loadTrigramLm(spark, lmDir),
+                  adds, leaving, idCol, textCol)
+              } else
+                // cold start OR mid-crash redelivery: exact rebuild
+                // from the reconciled effective corpus
+                graft.operators.Relevance.buildTrigramLm(liveDocs(),
+                  idCol, textCol)
+            graft.operators.Relevance.saveTrigramLm(lm, lmDir)
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming span-level decontamination — the production shape of
     * [[graft.operators.Decontaminate.scrubContaminatedSpans]]: corpus
     * documents arrive as `op = "doc"` rows and are scrubbed against

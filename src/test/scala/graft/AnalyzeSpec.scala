@@ -167,6 +167,29 @@ class AnalyzeSpec extends SparkSpec {
       Analyze.run(parse(List("lexmaint")), spark))
   }
 
+  test("lmmaint runs from argv: takedown + add maintained, served KN " +
+      "perplexity equals the full rebuild") {
+    val dir = Files.createTempDirectory("graft-analyze-lm").toString
+    Seq((1L, "a b c d"), (2L, "b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Seq((4L, "a b c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/adds")
+    // removal ships ground truth text — the LM store's contract
+    Seq((2L, "b c d")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/rems")
+    val served = Analyze.run(parse(List("lmmaint",
+      "--docs", s"$dir/docs", "--delta", s"$dir/adds",
+      "--target", s"$dir/rems", "-o", s"$dir/out")), spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rebuilt = graft.operators.Relevance.knTrigramPerplexity(
+      Seq((1L, "a b c d"), (3L, "x y z w"), (4L, "a b c"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(served == rebuilt)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("lmmaint")), spark))
+  }
+
   test("scrub runs from argv: PII redacted, audit counts attached") {
     val dir = Files.createTempDirectory("graft-analyze-pii").toString
     Seq((1L, "reach me at jo@corp.example.com or (555) 123-4567"),

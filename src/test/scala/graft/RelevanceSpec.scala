@@ -412,4 +412,76 @@ class RelevanceSpec extends SparkSpec {
       k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sServed == sRebuilt, "search serves bit-equal too")
   }
+
+  test("maintainTrigramLm: counts subtract exactly — maintained model " +
+      "≡ full rebuild, zero-count trigrams leave, unknown removal " +
+      "no-op, live re-add replaces, served KN perplexity bit-equal") {
+    val base = Seq(
+      (1L, "a b c d"), // abc, bcd
+      (2L, "a b c"),   // abc
+      (3L, "x y z w"), // xyz, yzw
+      (4L, "a b"))     // < 3 tokens: no trigrams, but registry-live
+      .toDF("id", "text")
+    val lm = Relevance.buildTrigramLm(base, "id", "text")
+    // one call: take down 3 (xyz/yzw reach zero and LEAVE) and 99
+    // (unknown — its "q q q" must NOT subtract); re-add 2 with NEW
+    // text (its old row ships — replace semantics); add 5 (new)
+    val adds = Seq((2L, "b c d e"), (5L, "a b c")).toDF("id", "text")
+    val rems = Seq((3L, "x y z w"), (2L, "a b c"), (99L, "q q q"))
+      .toDF("id", "text")
+    val m = Relevance.maintainTrigramLm(lm, adds, rems, "id", "text")
+    val post = Seq(
+      (1L, "a b c d"),
+      (2L, "b c d e"),
+      (4L, "a b"),
+      (5L, "a b c")).toDF("id", "text")
+    val rebuilt = Relevance.buildTrigramLm(post, "id", "text")
+    def modelRows(t: Relevance.TrigramLm) = t.model.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val got = modelRows(m)
+    assert(got == modelRows(rebuilt),
+      "maintained counts must equal the full rebuild's")
+    assert(!got.contains(("x", "y", "z")), "zero-count trigram leaves")
+    assert(got(("a", "b", "c")) == 2L) // docs 1 and 5
+    assert(got(("b", "c", "d")) == 2L) // docs 1 and 2's new text
+    def registry(t: Relevance.TrigramLm) =
+      t.docs.collect().map(_.getLong(0)).toSet
+    assert(registry(m) == Set(1L, 2L, 4L, 5L))
+    // served perplexity off the maintained store ≡ one-shot rebuild
+    def ppl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val served = ppl(Relevance.knTrigramFromModel(m.model, post,
+      "id", "text"))
+    val oneShot = ppl(Relevance.knTrigramPerplexity(post, "id", "text"))
+    assert(served == oneShot,
+      "KN perplexity served off the maintained model must be bit-equal")
+    // duplicate rows in one call fold to one (no double subtraction)
+    val m2 = Relevance.maintainTrigramLm(lm,
+      adds.unionAll(adds), rems.unionAll(rems), "id", "text")
+    assert(modelRows(m2) == got, "same-call duplicate rows fold")
+  }
+
+  test("maintainTrigramLm fails loudly on a live re-add without its " +
+      "old row and on mismatched erasure text") {
+    val base = Seq((1L, "a b c d"), (2L, "x y z")).toDF("id", "text")
+    val lm = Relevance.buildTrigramLm(base, "id", "text")
+    val clash = intercept[Exception] {
+      Relevance.maintainTrigramLm(lm,
+        Seq((1L, "p q r s")).toDF("id", "text"),
+        base.limit(0), "id", "text").model.collect()
+    }
+    assert(clash.getMessage.contains("re-add of a live id") ||
+      clash.getCause != null &&
+        clash.getCause.getMessage.contains("re-add of a live id"))
+    val neg = intercept[Exception] {
+      Relevance.maintainTrigramLm(lm,
+        base.limit(0),
+        Seq((1L, "not the stored text")).toDF("id", "text"),
+        "id", "text").model.collect()
+    }
+    assert(neg.getMessage.contains("went negative") ||
+      neg.getCause != null &&
+        neg.getCause.getMessage.contains("went negative"))
+  }
 }

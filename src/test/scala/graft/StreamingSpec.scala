@@ -1375,6 +1375,105 @@ class StreamingSpec extends SparkSpec {
       !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
   }
 
+  test("streamingTrigramLm: stored counts equal the full rebuild after " +
+      "every trigger; same-batch takedown beats the add; takedown " +
+      "subtracts from the op-store fold (no per-doc rows in the " +
+      "store); re-add resurrects with new text only; re-send " +
+      "replaces; mid-crash redelivery cold-rebuilds; redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Relevance
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_lm").toString
+    val mem = MemoryStream[(String, Long, String)]
+    val q = StreamingIngest.streamingTrigramLm(
+      mem.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/lm", s"$tmp/ckpt")
+    def stored(): Map[(String, String, String), Long] =
+      spark.read.parquet(s"$tmp/lm/model").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(3)).toMap
+    def registry(): Set[Long] =
+      spark.read.parquet(s"$tmp/lm/docs").collect()
+        .map(_.getLong(0)).toSet
+    def full(docs: Seq[(Long, String)]): Map[(String, String, String), Long] =
+      Relevance.buildTrigramLm(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .model.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(3)).toMap
+    try {
+      // t1: three docs plus a born-dead add+del of 9 (del beats add)
+      mem.addData(("add", 1L, "a b c d"), ("add", 2L, "b c d"),
+        ("add", 3L, "x y z x y"), ("add", 9L, "p q r"),
+        ("del", 9L, null: String))
+      q.processAllAvailable()
+      val live1 = Seq((1L, "a b c d"), (2L, "b c d"),
+        (3L, "x y z x y"))
+      assert(stored() == full(live1), "cold start ≡ rebuild")
+      assert(!stored().contains(("p", "q", "r")), "born dead")
+      assert(registry() == Set(1L, 2L, 3L))
+      // t2: take down 2 — its 'b c d' subtracts FROM THE OP-STORE
+      // FOLD (the del op carries no text) and the count drops 2 → 1
+      mem.addData(("del", 2L, null: String))
+      q.processAllAvailable()
+      assert(stored() == full(Seq((1L, "a b c d"),
+        (3L, "x y z x y"))), "maintained takedown ≡ rebuild")
+      assert(stored()(("b", "c", "d")) == 1L)
+      assert(registry() == Set(1L, 3L))
+      // t3: resurrect 2 with NEW text and replace live 1 in one batch
+      // (the replace ships 1's old text from the prev-batch fold)
+      mem.addData(("add", 2L, "c d e f"), ("add", 1L, "a b c"))
+      q.processAllAvailable()
+      val live3 = Seq((1L, "a b c"), (2L, "c d e f"),
+        (3L, "x y z x y"))
+      assert(stored() == full(live3))
+      assert(!stored().contains(("b", "c", "d")),
+        "replaced doc's old trigrams leave; resurrected doc carries " +
+          "only its new content")
+      // served KN perplexity off the store ≡ the one-shot build
+      val servedPpl = Relevance.knTrigramFromModel(
+        Relevance.loadTrigramLm(spark, s"$tmp/lm").model,
+        live3.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val oneShot = Relevance.knTrigramPerplexity(
+        live3.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(servedPpl == oneShot)
+    } finally q.stop()
+    val before = stored()
+    // fresh-checkpoint redelivery: batch 0 re-sends — marker no-op
+    val mem2 = MemoryStream[(String, Long, String)]
+    val q2 = StreamingIngest.streamingTrigramLm(
+      mem2.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/lm", s"$tmp/ckpt2")
+    try {
+      mem2.addData(("add", 1L, "a b c d"), ("add", 2L, "b c d"),
+        ("add", 3L, "x y z x y"), ("add", 9L, "p q r"),
+        ("del", 9L, null: String))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(stored() == before, "redelivered batch absorbed once")
+    // mid-crash redelivery: started without final marker — the
+    // maintain path would double-apply; the twin must cold-rebuild
+    assert(new java.io.File(s"$tmp/docs/_batches/0").delete(),
+      "fixture: drop batch 0's final marker")
+    assert(new java.io.File(s"$tmp/docs/_batches/0.started").mkdirs())
+    val mem3 = MemoryStream[(String, Long, String)]
+    val q3 = StreamingIngest.streamingTrigramLm(
+      mem3.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/lm", s"$tmp/ckpt3")
+    try {
+      mem3.addData(("add", 1L, "a b c d"), ("add", 2L, "b c d"),
+        ("add", 3L, "x y z x y"), ("add", 9L, "p q r"),
+        ("del", 9L, null: String))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(stored() == before,
+      "mid-crash redelivery cold-rebuilds from the fold")
+    assert(new java.io.File(s"$tmp/docs/_batches/0").exists &&
+      !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
+  }
+
   test("streamingDecontaminate: every trigger equals the batch scrub " +
       "bit-for-bit; a new eval set re-scrubs exactly the touched docs " +
       "from ORIGINAL text; doc re-send replaces; same-trigger dup " +
