@@ -423,6 +423,8 @@ object Analyze {
       yCol: String = "",
       buckets: Int = 1024,
       tiles: Int = 5,
+      colsList: Seq[String] = Nil,
+      bits: Int = 8,
       maxPoints: Int = 2000,
       xUnitSec: Long = 86400L,
       zThreshold: Double = 3.0,
@@ -551,6 +553,9 @@ object Analyze {
       case "--type-col" :: v :: t => loop(t, acc.copy(typeCol = v))
       case "--stages" :: v :: t =>
         loop(t, acc.copy(stages = v.split(',').toSeq.map(_.trim)))
+      case "--cols" :: v :: t =>
+        loop(t, acc.copy(colsList = v.split(',').toSeq.map(_.trim)))
+      case "--bits" :: v :: t => loop(t, acc.copy(bits = v.toInt))
       case "--window-sec" :: v :: t => loop(t, acc.copy(windowSec = v.toLong))
       case "--alpha" :: v :: t => loop(t, acc.copy(alpha = v.toDouble))
       case "--beta" :: v :: t => loop(t, acc.copy(beta = v.toDouble))

@@ -44,6 +44,23 @@ private[graft] object AnalyzeMore {
         .unionByName(adds.select(col(args.idCol), col(args.textCol)))
       Some(graft.operators.Relevance.knTrigramFromModel(m.model, post,
         args.idCol, args.textCol))
+    case "zorder" =>
+      // Z-order (Morton) layout: --docs <table dir>, --cols a,b[,c]
+      // names the clustered integral columns, --bits the per-column
+      // resolution, --buckets the z-range bucket count; --mode stats
+      // emits the per-bucket min/max skipping envelope instead of the
+      // laid-out rows
+      require(args.docs.nonEmpty && args.colsList.nonEmpty,
+        "zorder needs --docs <table dir> and --cols <c1,c2,...>; " +
+          "--bits N (default 8), --buckets N, --mode rows|stats")
+      val laid = graft.operators.Layout.zOrderLayout(
+        spark.read.parquet(args.docs), args.colsList, args.bits,
+        args.buckets)
+      Some(args.mode match {
+        case "stats" => graft.operators.Layout.fileSkippingStats(
+          laid, "_bucket", args.colsList)
+        case _ => laid
+      })
     case _ => None
   }
 }

@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** sources, projection, joins (incl. as-of/range), merge/union, aggregates, windows, set ops, CDC, graph build — one slice of the [[SparkEntry]] driver contract
-  * (34 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (36 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesEtl {
   import EntryData._
@@ -421,9 +421,90 @@ private[graft] object QueriesEtl {
       SnapshotDiff.diffStats(prev, cur, "o_orderkey")
         .orderBy("change")
     }),
+
+    // ---- L1: Z-order (Morton) layout — the Delta/Iceberg OPTIMIZE
+    // ZORDER BY discipline as an operator: exact integer
+    // normalization (div, never a rounded double) against corpus
+    // min/max, bit-interleave, fixed z-range buckets. The stats pass
+    // runs over the WHOLE table (the layout is corpus-global); output
+    // bounded by the orderkey filter. ----
+    "q_l1_zorder_layout" -> ((s, dir) =>
+      Layout.zOrderLayout(t(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16)
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_z").as("zval"), col("_bucket").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- L2: file-skipping stats + verdicts — the parquet footer
+    // min/max envelope each written bucket would carry, and the
+    // row-group pruning rule (skip iff any queried column's envelope
+    // misses its range) for a 2-D box predicate; a green row
+    // certifies the whole layout→stats→prune pipeline end to end. ----
+    "q_l2_skipping_stats" -> ((s, dir) =>
+      Layout.skippingVerdicts(
+          Layout.fileSkippingStats(
+            Layout.zOrderLayout(t(s, dir, "lineitem"),
+              Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16),
+            "_bucket", Seq("l_partkey", "l_suppkey")),
+          Seq(("l_partkey", 10L, 50L), ("l_suppkey", 2L, 5L)))
+        .orderBy("bucket")),
   )
 
+  /** Shared oracle CTE chain for the two layout rows: corpus min/max
+    * stats, exact `//` normalization to 8 bits, the 16-term Morton
+    * interleave (generated so the bit positions can never drift from
+    * [[graft.operators.Layout.zValue]]), fixed z-range buckets. Ends
+    * at `zb(l_orderkey, l_linenumber, l_partkey, l_suppkey, zval,
+    * bucket)`. */
+  private lazy val zorderCtes: String = {
+    val terms = (0 until 8).map(i =>
+      s"(((np >> $i) & 1) << ${2 * i}) | (((ns >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    s"""WITH st AS (
+       |  SELECT CAST(min(l_partkey) AS BIGINT) AS mnp,
+       |    CAST(max(l_partkey) AS BIGINT) AS mxp,
+       |    CAST(min(l_suppkey) AS BIGINT) AS mns,
+       |    CAST(max(l_suppkey) AS BIGINT) AS mxs
+       |  FROM lineitem),
+       |nm AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    CASE WHEN mxp = mnp THEN 0 ELSE
+       |      (CAST(l_partkey AS BIGINT) - mnp) * 255 // (mxp - mnp)
+       |    END AS np,
+       |    CASE WHEN mxs = mns THEN 0 ELSE
+       |      (CAST(l_suppkey AS BIGINT) - mns) * 255 // (mxs - mns)
+       |    END AS ns
+       |  FROM lineitem, st),
+       |zb AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    ($terms) AS zval,
+       |    (($terms) * 16) // 65536 AS bucket
+       |  FROM nm)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_l1_zorder_layout" ->
+      s"""$zorderCtes
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(zval AS BIGINT) AS zval, CAST(bucket AS BIGINT) AS bucket
+         |FROM zb WHERE l_orderkey < 200
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_l2_skipping_stats" ->
+      s"""$zorderCtes
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+         |  CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
+         |  CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
+         |  CAST(min(l_suppkey) AS BIGINT) AS min_l_suppkey,
+         |  CAST(max(l_suppkey) AS BIGINT) AS max_l_suppkey,
+         |  CAST(CASE WHEN max(l_partkey) < 10 OR min(l_partkey) > 50
+         |    OR max(l_suppkey) < 2 OR min(l_suppkey) > 5
+         |    THEN 1 ELSE 0 END AS BIGINT) AS skipped
+         |FROM zb GROUP BY bucket
+         |ORDER BY bucket""".stripMargin,
+
     "q_s2_schema_peek" ->
       "SELECT * FROM customer ORDER BY c_custkey LIMIT 1",
 

@@ -190,6 +190,27 @@ class AnalyzeSpec extends SparkSpec {
       Analyze.run(parse(List("lmmaint")), spark))
   }
 
+  test("zorder runs from argv: rows mode emits z and bucket, stats " +
+      "mode the per-bucket envelope") {
+    val dir = Files.createTempDirectory("graft-analyze-z").toString
+    (for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y))
+      .toDF("x", "y").write.parquet(s"$dir/pts")
+    val rows = Analyze.run(parse(List("zorder",
+      "--docs", s"$dir/pts", "--cols", "x,y", "--bits", "3",
+      "--buckets", "4")), spark)
+    assert(rows.columns.contains("_z") && rows.columns.contains("_bucket"))
+    assert(rows.count() == 64L)
+    val stats = Analyze.run(parse(List("zorder",
+      "--docs", s"$dir/pts", "--cols", "x,y", "--bits", "3",
+      "--buckets", "4", "--mode", "stats", "-o", s"$dir/out")), spark)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        r.getAs[Long]("n_rows")).toMap
+    assert(stats.keySet == Set(0L, 1L, 2L, 3L) &&
+      stats.values.sum == 64L)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("zorder", "--docs", s"$dir/pts")), spark))
+  }
+
   test("scrub runs from argv: PII redacted, audit counts attached") {
     val dir = Files.createTempDirectory("graft-analyze-pii").toString
     Seq((1L, "reach me at jo@corp.example.com or (555) 123-4567"),

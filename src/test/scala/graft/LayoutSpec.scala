@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout + file-skipping math vs hand-computed Morton codes
+  * and brute-force pruning. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: hand-computed Morton interleave, bounds, degenerate k=1") {
+    // x=0b101, y=0b011 → bit i of x at 2i, of y at 2i+1:
+    // z = x0 + 2·y0 + 4·x1 + 8·y1 + 16·x2 + 32·y2
+    //   = 1  + 2    + 0    + 8    + 16    + 0 = 27
+    val df = Seq((5L, 3L)).toDF("x", "y")
+    val z = df.select(Layout.zValue(Seq(col("x"), col("y")), 3))
+      .head().getLong(0)
+    assert(z == 27L, s"got $z")
+    // max corner interleaves to all-ones
+    val zMax = Seq((7L, 7L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 3))
+      .head().getLong(0)
+    assert(zMax == 63L)
+    // k=1 is the identity on the low bits
+    val z1 = Seq(Tuple1(5L)).toDF("x")
+      .select(Layout.zValue(Seq(col("x")), 3)).head().getLong(0)
+    assert(z1 == 5L)
+    intercept[IllegalArgumentException](Layout.zValue(Nil, 3))
+    intercept[IllegalArgumentException](
+      Layout.zValue(Seq(col("x")), 63))
+  }
+
+  test("zOrderLayout: exact integer normalization (div, not rounded " +
+      "double), z and bucket in range, single-point domain maps to 0") {
+    val pts = for { x <- 0L to 16L; y <- 100L to 116L }
+      yield (x, y, 1L)
+    val df = pts.toDF("x", "y", "c")
+    val laid = Layout.zOrderLayout(df, Seq("x", "y"), bits = 4,
+      nBuckets = 16)
+    val rows = laid.select("x", "y", "_z", "_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (x, y, z, b) =>
+      // replay: norm = (v - min) * 15 div span (span 16 both dims)
+      val nx = (x - 0L) * 15L / 16L
+      val ny = (y - 100L) * 15L / 16L
+      val expect = (0 until 4).map(i =>
+        (((nx >> i) & 1L) << (2 * i)) | (((ny >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+      assert(z == expect, s"($x,$y): z=$z expect=$expect")
+      assert(b == z * 16L / 256L)
+      assert(z >= 0L && z < 256L && b >= 0L && b < 16L)
+    }
+    // single-point domain: span 0 → coordinate 0, never a div by zero
+    val flat = Seq((7L, 1L), (7L, 2L)).toDF("x", "y")
+    val fz = Layout.zOrderLayout(flat, Seq("x", "y"), 4, 4)
+      .select("_z").collect().map(_.getLong(0)).toSet
+    // x collapses to 0; y spans {1,2} → norms {0,15} → z ∈ {0, 170}
+    assert(fz == Set(0L, 170L), s"got $fz")
+  }
+
+  test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +
+      "force, and the z-order layout skips strictly more rows than a " +
+      "single-column sort for a 2-D box") {
+    val pts = for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)
+    val df = pts.toDF("x", "y")
+    val ranges = Seq(("x", 0L, 3L), ("y", 0L, 3L))
+    def skippedRows(laid: org.apache.spark.sql.DataFrame): Long =
+      Layout.skippingVerdicts(
+          Layout.fileSkippingStats(laid, "_bucket", Seq("x", "y")),
+          ranges)
+        .agg(sum(col("skipped") * col("n_rows"))).head().getLong(0)
+    val zLaid = Layout.zOrderLayout(df, Seq("x", "y"), 4, 16)
+    // brute force: a bucket is skippable iff it has no row in the box
+    val verdicts = Layout.skippingVerdicts(
+      Layout.fileSkippingStats(zLaid, "_bucket", Seq("x", "y")), ranges)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        r.getAs[Long]("skipped")).toMap
+    val brute = zLaid.groupBy("_bucket")
+      .agg(max(when(col("x").between(0, 3) && col("y").between(0, 3),
+        1L).otherwise(0L)).as("hit"))
+      .collect().map(r => r.getLong(0) -> (1L - r.getLong(1))).toMap
+    // stats-based pruning is CONSERVATIVE: it may keep a bucket whose
+    // envelope intersects the box without containing a row, but must
+    // never skip a bucket that has one
+    verdicts.foreach { case (b, s) =>
+      if (s == 1L) assert(brute(b) == 1L, s"bucket $b wrongly skipped")
+    }
+    // the 4×4 box lands entirely in z-bucket 0 (z < 16) → 15/16 skipped
+    val zSkipped = skippedRows(zLaid)
+    assert(zSkipped == 240L, s"z-order skipped $zSkipped of 256")
+    // single-column layout: bucket by x alone — y is shredded, the box
+    // touches 4 of 16 buckets → only 12/16 of the rows skip
+    val linear = df.withColumn("_bucket", col("x"))
+    val linSkipped = skippedRows(linear)
+    assert(linSkipped == 192L, s"linear skipped $linSkipped of 256")
+    assert(zSkipped > linSkipped,
+      "z-order must prune strictly more rows than the 1-D sort")
+  }
+}
