@@ -55,6 +55,38 @@ object Multimodal {
       length(col(binCol)).cast("long").as("n_bytes"),
       sha2(col(binCol), 256).as("checksum")))
 
+  /** Ingest raw media FILES into the opaque-binary-column shape every
+    * operator here consumes, via Spark's built-in `binaryFile` source
+    * — the on-ramp from a crawl/export directory (no row-at-a-time
+    * driver loop, no custom reader): one row per file with `path`,
+    * `file_name`, `mtime_sec`, the payload `bytes`, and the
+    * [[withMediaMetadata]] struct.
+    *
+    * Scale notes (100 TB): the `length <= maxBytes` guard is PUSHED
+    * INTO THE SOURCE (binaryFile supports length/path pushdown), so
+    * oversized files are skipped from directory metadata without
+    * reading a byte — the ingest-side twin of the decoders'
+    * decompression-bomb guards; `pathGlobFilter` prunes non-media
+    * files the same way. Listing parallelizes across executors
+    * (spark.sql.sources.parallelPartitionDiscovery), and each file
+    * lands whole in one task — binary payloads never split or
+    * shuffle here. */
+  def ingestBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*", mediaType: String = "image",
+      maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    require(maxBytes > 0, "maxBytes must be positive")
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+    withMediaMetadata(
+      raw.select(col("path"),
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("modificationTime").cast("long").as("mtime_sec"),
+        col("content").as("bytes")),
+      "bytes", mediaType)
+  }
+
   /** Decoded-image summary: dimensions, raster band count, per-band means
     * normalized to [0, 1] (band order is the raster's — R,G,B[,A] for the
     * common types). */

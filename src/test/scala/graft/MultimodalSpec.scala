@@ -674,4 +674,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodeJpegExifStub(1, 1, 0, hasGps = false,
         iccBytes = 0, dateTime = null, littleEndian = false))
   }
+
+  test("ingestBinaryFiles: binaryFile-source on-ramp — glob prunes " +
+      "non-media files, the length guard skips oversized payloads " +
+      "without reading them, and ingested bytes decode end to end") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_binfiles").toString
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), bytes): Unit
+    put("a.png", Multimodal.encodeSolidPng(4, 3, 255, 0, 0))
+    put("b.png", Multimodal.encodeSolidPng(7, 5, 0, 255, 0))
+    put("big.png", Multimodal.encodeGradientPng(64, 64, 7, 3, 5))
+    put("notes.txt", "not an image".getBytes("UTF-8"))
+    val got = Multimodal.ingestBinaryFiles(spark, dir, glob = "*.png")
+      .collect().map(r => r.getAs[String]("file_name") ->
+        r.getAs[Array[Byte]]("bytes")).toMap
+    assert(got.keySet == Set("a.png", "b.png", "big.png"),
+      "glob admits only the media files")
+    val info = Multimodal.decodeImage(got("b.png"))
+    assert(info.exists(i => i.width == 7 && i.height == 5),
+      "ingested bytes decode end to end")
+    // metadata struct rides along: n_bytes equals the payload length
+    val meta = Multimodal.ingestBinaryFiles(spark, dir, glob = "a.png")
+      .select("media_meta.n_bytes", "media_meta.media_type")
+      .head()
+    assert(meta.getLong(0) == got("a.png").length.toLong &&
+      meta.getString(1) == "image")
+    // oversized payloads prune on the pushed length filter
+    val cap = got("a.png").length
+      .max(got("b.png").length).toLong
+    val small = Multimodal.ingestBinaryFiles(spark, dir,
+      glob = "*.png", maxBytes = cap)
+      .collect().map(_.getAs[String]("file_name")).toSet
+    assert(small == Set("a.png", "b.png"),
+      s"length guard must drop big.png, kept $small")
+    intercept[IllegalArgumentException](
+      Multimodal.ingestBinaryFiles(spark, dir, maxBytes = 0L))
+  }
 }
