@@ -61,6 +61,20 @@ private[graft] object AnalyzeMore {
           laid, "_bucket", args.colsList)
         case _ => laid
       })
+    case "hilbert" =>
+      // Hilbert-curve layout (2-D): same surface as zorder but the
+      // curve index; --cols must name exactly two integral columns
+      require(args.docs.nonEmpty && args.colsList.size == 2,
+        "hilbert needs --docs <table dir> and --cols <x,y> (exactly " +
+          "two); --bits N (default 8), --buckets N, --mode rows|stats")
+      val hLaid = graft.operators.Layout.hilbertLayout(
+        spark.read.parquet(args.docs), args.colsList(0),
+        args.colsList(1), args.bits, args.buckets)
+      Some(args.mode match {
+        case "stats" => graft.operators.Layout.fileSkippingStats(
+          hLaid, "_bucket", args.colsList)
+        case _ => hLaid
+      })
     case _ => None
   }
 }

@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** sources, projection, joins (incl. as-of/range), merge/union, aggregates, windows, set ops, CDC, graph build — one slice of the [[SparkEntry]] driver contract
-  * (36 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (37 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesEtl {
   import EntryData._
@@ -437,6 +437,20 @@ private[graft] object QueriesEtl {
           col("_z").as("zval"), col("_bucket").as("bucket"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- L3: Hilbert-curve layout — the better-locality clustering
+    // (every unit step on the curve is a unit step on the grid, so
+    // bucket envelopes are tighter than Z-order's quadrant seams);
+    // the canonical xy2d state machine unrolled one level per column,
+    // mirrored level-for-level by the oracle's chained CTEs. ----
+    "q_l3_hilbert_layout" -> ((s, dir) =>
+      Layout.hilbertLayout(t(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", bits = 8, nBuckets = 16)
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_h").as("hval"), col("_bucket").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -484,7 +498,63 @@ private[graft] object QueriesEtl {
        |  FROM nm)""".stripMargin
   }
 
+  /** The Hilbert oracle: normalization per [[zorderCtes]], then the
+    * canonical xy2d state machine as one chained CTE per level
+    * (s = 128 down to 1) — quadrant digit `(3·rx) xor ry` weighted
+    * s², reflect-and-swap into the sub-quadrant frame — generated so
+    * the rotation can never drift from
+    * [[graft.operators.Layout.withHilbert]]. Ends at
+    * `hb(l_orderkey, l_linenumber, l_partkey, l_suppkey, hval,
+    * bucket)`. */
+  private lazy val hilbertCtes: String = {
+    val n1 = (1L << 8) - 1L // 255: the reflection constant
+    val levels = (0 until 8).map { k =>
+      val s = 1L << (7 - k)
+      s"""h${k + 1} AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    d + ${s * s} * xor(3 * rx, ry) AS d,
+         |    CASE WHEN ry = 0 THEN
+         |        (CASE WHEN rx = 1 THEN $n1 - y ELSE y END)
+         |      ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN
+         |        (CASE WHEN rx = 1 THEN $n1 - x ELSE x END)
+         |      ELSE y END AS y
+         |  FROM (SELECT *,
+         |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM h$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH st AS (
+       |  SELECT CAST(min(l_partkey) AS BIGINT) AS mnp,
+       |    CAST(max(l_partkey) AS BIGINT) AS mxp,
+       |    CAST(min(l_suppkey) AS BIGINT) AS mns,
+       |    CAST(max(l_suppkey) AS BIGINT) AS mxs
+       |  FROM lineitem),
+       |h0 AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    CASE WHEN mxp = mnp THEN 0 ELSE
+       |      (CAST(l_partkey AS BIGINT) - mnp) * 255 // (mxp - mnp)
+       |    END AS x,
+       |    CASE WHEN mxs = mns THEN 0 ELSE
+       |      (CAST(l_suppkey AS BIGINT) - mns) * 255 // (mxs - mns)
+       |    END AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem, st),
+       |$levels,
+       |hb AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    d AS hval, (d * 16) // 65536 AS bucket
+       |  FROM h8)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_l3_hilbert_layout" ->
+      s"""$hilbertCtes
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(hval AS BIGINT) AS hval, CAST(bucket AS BIGINT) AS bucket
+         |FROM hb WHERE l_orderkey < 200
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_l1_zorder_layout" ->
       s"""$zorderCtes
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

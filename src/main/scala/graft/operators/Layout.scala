@@ -97,6 +97,88 @@ object Layout {
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
   }
 
+  /** Append a 2-D HILBERT curve index `_h` over two already-normalized
+    * coordinate columns (each in [0, 2^bits)) — the better-locality
+    * alternative to [[zValue]]: the Hilbert traversal visits grid
+    * neighbors consecutively (every unit step on the curve is a unit
+    * step on the grid), so bucket envelopes are tighter than Z-order's
+    * quadrant jumps; it is what production clustering rewrites prefer
+    * for 2-D-heavy predicates. Classic bit-level state machine
+    * (level s from 2^(bits−1) down to 1: quadrant digit
+    * `(3·rx) xor ry` weighted s², then reflect+swap into the
+    * sub-quadrant's frame), UNROLLED one level per real column — named
+    * intermediates keep the expression tree linear in `bits` where a
+    * nested single expression would double per level.
+    *
+    * Mirrored level-for-level by the oracle's chained CTEs; pure
+    * integer ops throughout. */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits must be in [1, 31]")
+    val n = 1L << bits
+    var cur = df
+      .withColumn("_hx", col(xCol).cast("long"))
+      .withColumn("_hy", col(yCol).cast("long"))
+      .withColumn("_h", lit(0L))
+    var s = n >> 1
+    while (s > 0) {
+      val rx = when(col("_hx").bitwiseAND(lit(s)) > 0L, lit(1L))
+        .otherwise(lit(0L))
+      val ry = when(col("_hy").bitwiseAND(lit(s)) > 0L, lit(1L))
+        .otherwise(lit(0L))
+      cur = cur
+        .withColumn("_rx", rx)
+        .withColumn("_ry", ry)
+        .withColumn("_h", col("_h") +
+          lit(s * s) * (lit(3L) * col("_rx")).bitwiseXOR(col("_ry")))
+        // rotate into the sub-quadrant frame: reflect when (ry=0,rx=1),
+        // then swap x/y whenever ry=0 — the canonical xy2d rotation
+        .withColumn("_fx",
+          when(col("_ry") === 0L && col("_rx") === 1L,
+            lit(n - 1L) - col("_hx")).otherwise(col("_hx")))
+        .withColumn("_fy",
+          when(col("_ry") === 0L && col("_rx") === 1L,
+            lit(n - 1L) - col("_hy")).otherwise(col("_hy")))
+        .withColumn("_hx2",
+          when(col("_ry") === 0L, col("_fy")).otherwise(col("_fx")))
+        .withColumn("_hy2",
+          when(col("_ry") === 0L, col("_fx")).otherwise(col("_fy")))
+        .drop("_hx", "_hy", "_rx", "_ry", "_fx", "_fy")
+        .withColumnRenamed("_hx2", "_hx")
+        .withColumnRenamed("_hy2", "_hy")
+      s >>= 1
+    }
+    cur.drop("_hx", "_hy")
+  }
+
+  /** [[zOrderLayout]]'s shape on the Hilbert index: normalize the two
+    * integral columns against corpus min/max (exact `div`), compute
+    * `_h` via [[withHilbert]], bucket by fixed h-ranges. Same one
+    * stats scan + stateless projection — no shuffle until the write.
+    *
+    * @return input columns + `_h` + `_bucket` */
+  def hilbertLayout(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && 2 * bits <= 40,
+      "2*bits must be <= 40 so bucket math stays in long range")
+    val statExprs = Seq(xCol, yCol).flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"_min_$c"),
+      max(col(c)).cast("long").as(s"_max_$c")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*)
+    val withN = df.crossJoin(broadcast(stats))
+      .withColumn("_nx", normalizeToBits(col(xCol),
+        col(s"_min_$xCol"), col(s"_max_$xCol"), bits))
+      .withColumn("_ny", normalizeToBits(col(yCol),
+        col(s"_min_$yCol"), col(s"_max_$yCol"), bits))
+    withHilbert(withN, "_nx", "_ny", bits)
+      .withColumn("_bucket",
+        idiv(col("_h") * lit(nBuckets.toLong),
+          lit(1L << (2 * bits))))
+      .drop("_nx", "_ny")
+      .drop(Seq(xCol, yCol)
+        .flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
+  }
+
   /** Per-bucket min/max/count over the named columns — exactly the
     * footer statistics a parquet writer would persist for each file
     * of a `partitionBy(_bucket)` layout, and therefore exactly what a

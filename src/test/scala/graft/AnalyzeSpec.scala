@@ -209,6 +209,14 @@ class AnalyzeSpec extends SparkSpec {
       stats.values.sum == 64L)
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("zorder", "--docs", s"$dir/pts")), spark))
+    // hilbert: same surface, curve index column
+    val h = Analyze.run(parse(List("hilbert",
+      "--docs", s"$dir/pts", "--cols", "x,y", "--bits", "3",
+      "--buckets", "4")), spark)
+    assert(h.columns.contains("_h") && h.count() == 64L)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("hilbert", "--docs", s"$dir/pts",
+        "--cols", "x")), spark))
   }
 
   test("scrub runs from argv: PII redacted, audit counts attached") {

@@ -59,6 +59,82 @@ class LayoutSpec extends SparkSpec {
     assert(fz == Set(0L, 170L), s"got $fz")
   }
 
+  // canonical xy2d (the published bit-level state machine) — the
+  // reference the unrolled column implementation must reproduce
+  private def xy2d(nBits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    val n = 1L << nBits
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("withHilbert: equals the canonical xy2d on the full grid, is a " +
+      "bijection, and consecutive curve positions are grid neighbors " +
+      "(the locality property Z-order lacks)") {
+    val pts = for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y)
+    val got = Layout.withHilbert(pts.toDF("x", "y"), "x", "y", 4)
+      .select("x", "y", "_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == xy2d(4, x, y), s"($x,$y)")
+    }
+    assert(got.values.toSet == (0L until 256L).toSet, "bijection")
+    // every unit step along the curve is a unit step on the grid
+    val byH = got.toSeq.map { case ((x, y), h) => (h, x, y) }.sortBy(_._1)
+    byH.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump between h-consecutive cells ($x1,$y1)→($x2,$y2)")
+    }
+    // Z-order does NOT have this property on the same grid (quadrant
+    // seams jump) — the reason Hilbert envelopes are tighter
+    val zByH = pts.map { case (x, y) =>
+      val z = (0 until 4).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+      (z, x, y)
+    }.sortBy(_._1)
+    val zJumps = zByH.sliding(2).count {
+      case Seq((_, x1, y1), (_, x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(zJumps > 0, "sanity: the z traversal has seam jumps")
+  }
+
+  test("hilbertLayout: normalization + curve + bucket replay, and the " +
+      "2-D box prunes as well as z-order on the aligned grid") {
+    val pts = for { x <- 10L until 26L; y <- 100L until 116L }
+      yield (x, y)
+    val df = pts.toDF("x", "y")
+    val laid = Layout.hilbertLayout(df, "x", "y", bits = 4,
+      nBuckets = 16)
+    laid.select("x", "y", "_h", "_bucket").collect().foreach { r =>
+      val (x, y, h, b) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val nx = (x - 10L) * 15L / 15L // span 15: identity on the offset
+      val ny = (y - 100L) * 15L / 15L
+      assert(h == xy2d(4, nx, ny), s"($x,$y)")
+      assert(b == h * 16L / 256L)
+    }
+    // the [10..13]×[100..103] box is the curve's first 4×4 sub-square
+    // (h < 16 ⇒ bucket 0): 15 of 16 buckets skip, rows included
+    val verdicts = Layout.skippingVerdicts(
+      Layout.fileSkippingStats(laid, "_bucket", Seq("x", "y")),
+      Seq(("x", 10L, 13L), ("y", 100L, 103L)))
+    val skipped = verdicts
+      .agg(sum(col("skipped") * col("n_rows"))).head().getLong(0)
+    assert(skipped == 240L, s"hilbert skipped $skipped of 256")
+  }
+
   test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +
       "force, and the z-order layout skips strictly more rows than a " +
       "single-column sort for a 2-D box") {
