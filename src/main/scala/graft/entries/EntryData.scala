@@ -285,6 +285,25 @@ private[graft] object EntryData {
   private val lexIxCache = new java.util.concurrent.ConcurrentHashMap[
     String, Relevance.LexIndex]()
 
+  /** q_l4's shared fixture: the z-ordered, `_bucket`-partitioned
+    * lineitem store with its co-located skipping manifest, written
+    * ONCE per dataset under the scratch root — the pruned-scan row
+    * times the MANIFEST PROBE + PRUNED READ (the serving path), not
+    * the store build (q_l1/q_l2 already time the layout math). Keyed
+    * on the dataset only: disk artifacts outlive sessions. */
+  private val layoutDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def l4LayoutDir(s: SparkSession, dir: String): String =
+    layoutDirs.computeIfAbsent(dir, _ => {
+      val path = annScratchRoot + "/layout_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Layout.writeLayout(
+        Layout.zOrderLayout(t(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16),
+        path, Seq("l_partkey", "l_suppkey"))
+      path
+    })
+
   /** q_x14d's shared fixture: the trigram LM store built on the
     * doc_id%7≠3 base corpus, localCheckpoint-pinned per (session,
     * dataset) — the maintenance row times its MAINTENANCE call and

@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** sources, projection, joins (incl. as-of/range), merge/union, aggregates, windows, set ops, CDC, graph build — one slice of the [[SparkEntry]] driver contract
-  * (37 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (38 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesEtl {
   import EntryData._
@@ -435,7 +435,11 @@ private[graft] object QueriesEtl {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           col("_z").as("zval"), col("_bucket").as("bucket"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // total order: (orderkey, linenumber) is NOT unique in the
+        // synthetic lineitem — ties must sort identically on both
+        // engines, and rows tied on all four keys are fully identical
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")),
 
     // ---- L3: Hilbert-curve layout — the better-locality clustering
     // (every unit step on the curve is a unit step on the grid, so
@@ -449,7 +453,24 @@ private[graft] object QueriesEtl {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           col("_h").as("hval"), col("_bucket").as("bucket"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")),
+
+    // ---- L4: manifest-driven pruned scan — the layout loop CLOSED:
+    // the z-ordered store is written bucket-partitioned with its
+    // co-located stats manifest (cached fixture — this row times the
+    // serving path), the box predicate prunes buckets from the
+    // manifest, and only surviving partition dirs are read. A green
+    // row certifies the pruning rule is lossless end to end: the
+    // pruned read equals the oracle's full-table filter. ----
+    "q_l4_pruned_scan" -> ((s, dir) =>
+      Layout.prunedScan(s, l4LayoutDir(s, dir),
+          Seq(("l_partkey", 10L, 50L), ("l_suppkey", 2L, 5L)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_bucket").cast("long").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")),
 
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
@@ -548,19 +569,33 @@ private[graft] object QueriesEtl {
   }
 
   def oracles: Map[String, String] = Map(
+    // The pruned scan must return exactly the full-table filter (the
+    // conservative pruning rule is lossless); bucket assignment is
+    // re-derived through the shared z-order chain.
+    "q_l4_pruned_scan" ->
+      s"""$zorderCtes
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(bucket AS BIGINT) AS bucket
+         |FROM zb
+         |WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
+
     "q_l3_hilbert_layout" ->
       s"""$hilbertCtes
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  CAST(hval AS BIGINT) AS hval, CAST(bucket AS BIGINT) AS bucket
          |FROM hb WHERE l_orderkey < 200
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
 
     "q_l1_zorder_layout" ->
       s"""$zorderCtes
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  CAST(zval AS BIGINT) AS zval, CAST(bucket AS BIGINT) AS bucket
          |FROM zb WHERE l_orderkey < 200
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
 
     "q_l2_skipping_stats" ->
       s"""$zorderCtes

@@ -185,11 +185,53 @@ object Layout {
     * scan's file-skipping decision sees. One partial-agg groupBy. */
   def fileSkippingStats(laid: DataFrame, bucketCol: String,
       cols: Seq[String]): DataFrame =
-    laid.groupBy(col(bucketCol).as("bucket"))
+    laid.groupBy(col(bucketCol).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         cols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"min_$c"),
           max(col(c)).cast("long").as(s"max_$c"))): _*)
+
+  /** Persist a laid-out frame as a `_bucket`-partitioned parquet store
+    * with its skipping manifest co-located at `<path>/_stats` (an
+    * underscore-prefixed dir — hidden from the store's own file
+    * discovery, the `_SUCCESS` convention): ONE exchange
+    * (repartition on the partition column so each bucket writes as
+    * one file set), then the manifest derives from a RE-READ of the
+    * written store — stats can never disagree with the files they
+    * describe, which is the whole pruning contract. */
+  def writeLayout(laid: DataFrame, path: String,
+      statCols: Seq[String]): Unit = {
+    laid.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    val store = laid.sparkSession.read.parquet(path)
+    fileSkippingStats(store, "_bucket", statCols)
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Manifest-driven pruned read of a [[writeLayout]] store: apply the
+    * [[skippingVerdicts]] rule to the co-located stats, fetch the kept
+    * bucket ids to the driver (BOUNDED — one row per bucket, the
+    * landmark-fetch discipline, thousands not billions), and read ONLY
+    * those partition directories before applying the exact row
+    * predicate. Result rows are EQUAL to filtering the full store (the
+    * pruning rule is conservative — it never skips a bucket that
+    * holds a matching row); what pruning buys is the scan: untouched
+    * buckets' files are never opened, never listed into tasks. */
+  def prunedScan(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "prunedScan needs at least one range")
+    val stats = spark.read.parquet(s"$path/_stats")
+    val kept = skippingVerdicts(stats, ranges)
+      .filter(col("skipped") === 0L)
+      .select(col("bucket")).collect().map(_.getLong(0))
+    val scan =
+      if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(kept.map(b => s"$path/_bucket=$b"): _*)
+    ranges.foldLeft(scan) { case (d, (c, lo, hi)) =>
+      d.filter(col(c).between(lo, hi))
+    }
+  }
 
   /** Mark which buckets a conjunctive box predicate
     * `AND_i (lo_i <= col_i <= hi_i)` can SKIP from stats alone: a

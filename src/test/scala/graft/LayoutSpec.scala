@@ -135,6 +135,40 @@ class LayoutSpec extends SparkSpec {
     assert(skipped == 240L, s"hilbert skipped $skipped of 256")
   }
 
+  test("writeLayout + prunedScan: the pruned read equals the full " +
+      "filter, opens only surviving buckets, an out-of-domain box " +
+      "reads nothing, and stats agree with the written files") {
+    val pts = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)).toDF("x", "y")
+    val laid = Layout.zOrderLayout(pts, Seq("x", "y"), 4, 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout").toString + "/store"
+    Layout.writeLayout(laid, path, Seq("x", "y"))
+    val ranges = Seq(("x", 0L, 3L), ("y", 0L, 3L))
+    val pruned = Layout.prunedScan(spark, path, ranges)
+    val got = pruned.select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for { x <- 0L to 3L; y <- 0L to 3L }
+      yield (x, y)).toSet
+    assert(got == expect, "pruned scan ≡ full filter")
+    // the origin box lives entirely in bucket 0 — the scan must have
+    // opened exactly that partition directory
+    val opened = pruned.select(col("_bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(opened == Set(0L), s"opened $opened")
+    // the manifest was derived from the written store: stats row
+    // count equals the store's bucket count
+    val statBuckets = spark.read.parquet(s"$path/_stats").count()
+    val storeBuckets = spark.read.parquet(path)
+      .select("_bucket").distinct().count()
+    assert(statBuckets == storeBuckets)
+    // out-of-domain box: every bucket skips, zero rows, schema intact
+    val none = Layout.prunedScan(spark, path, Seq(("x", 100L, 200L)))
+    assert(none.count() == 0L && none.columns.contains("y"))
+    intercept[IllegalArgumentException](
+      Layout.prunedScan(spark, path, Nil))
+  }
+
   test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +
       "force, and the z-order layout skips strictly more rows than a " +
       "single-column sort for a 2-D box") {
