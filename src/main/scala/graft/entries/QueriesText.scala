@@ -472,6 +472,31 @@ private[graft] object QueriesText {
         .orderBy("doc_id")
     }),
 
+    // ---- X14e: MODIFIED-KN served off the maintained store — the
+    // production estimator (count-class discounts re-derived from the
+    // MAINTAINED counts' count-of-counts) after an adds-only
+    // maintenance call brings the %7==3 group into the q_x14d base
+    // store, making the effective corpus the FULL documents table: the
+    // oracle is q_x14c's proven chain, so a green row certifies the
+    // whole discount ladder survives maintenance bit-exactly. (The
+    // q_x14d takedown subset can't carry this row — its live corpus
+    // legitimately violates KenLM's n1..n3 > 0 precondition at the
+    // bigram-continuation order on sf0.01, and the engine refuses
+    // loudly, as designed. The removal path stays oracled by
+    // q_x14d's plain-KN row.) ----
+    "q_x14e_lm_maintained_mkn" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = Relevance.maintainTrigramLm(x14dBaseLm(s, dir),
+        d.filter(col("doc_id") % 7 === 3), d.limit(0), "doc_id",
+        "text")
+      Relevance.knTrigramFromModelModified(m.model, d, "doc_id",
+          "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
+          floor(col("ppl") * lit(1e4) + lit(0.5)).as("ppl_e4"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X8: TF-IDF term weighting (sparse-relevance counterpart of the
     // dense X3 similarity tier). Restricted to doc_id < 20 to bound output;
     // the aggregation still runs over the whole corpus (df and N are
@@ -650,6 +675,90 @@ private[graft] object QueriesText {
           floor(col("pmi") * lit(1e4) + lit(0.5)).as("pmi_e4"))
         .orderBy("w1", "w2")),
   )
+
+  /** Modified-KN oracle chain, parameterized on the corpus relation
+    * so the one-shot row (q_x14c, full documents) and the
+    * maintained-store row (q_x14e, post-change live subset) can
+    * never drift. Every CASE / quotient association mirrors the
+    * engine column expressions exactly (Y inlined per discount —
+    * identical doubles either way). */
+  private def mknOracle(lead: String, rel: String): String =
+    s"""WITH ${lead}arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        |  FROM $rel),
+        |tg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3
+        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 1)) AS i) u),
+        |ctg AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+        |        GROUP BY 1, 2, 3),
+        |cx AS (SELECT w1, w2, sum(c123) AS c12,
+        |         sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS k1t,
+        |         sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS k2t,
+        |         sum(CASE WHEN c123 >= 3 THEN 1 ELSE 0 END) AS k3t
+        |       FROM ctg GROUP BY 1, 2),
+        |mid AS (SELECT w2, w3, count(*) AS n1b23 FROM ctg GROUP BY 1, 2),
+        |mcx AS (SELECT w2, sum(n1b23) AS m2,
+        |          sum(CASE WHEN n1b23 = 1 THEN 1 ELSE 0 END) AS k1m,
+        |          sum(CASE WHEN n1b23 = 2 THEN 1 ELSE 0 END) AS k2m,
+        |          sum(CASE WHEN n1b23 >= 3 THEN 1 ELSE 0 END) AS k3m
+        |        FROM mid GROUP BY 1),
+        |low AS (SELECT w3, count(*) AS n1b3 FROM mid GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM mid),
+        |coct AS (SELECT
+        |    sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN c123 = 3 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN c123 = 4 THEN 1 ELSE 0 END) AS n4
+        |  FROM ctg),
+        |dt AS (SELECT
+        |    1.0 - 2.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n2 / n1 AS d1t,
+        |    2.0 - 3.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n3 / n2 AS d2t,
+        |    3.0 - 4.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n4 / n3 AS d3t
+        |  FROM coct),
+        |cocm AS (SELECT
+        |    sum(CASE WHEN n1b23 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN n1b23 = 2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN n1b23 = 3 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN n1b23 = 4 THEN 1 ELSE 0 END) AS n4
+        |  FROM mid),
+        |dm AS (SELECT
+        |    1.0 - 2.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n2 / n1 AS d1m,
+        |    2.0 - 3.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n3 / n2 AS d2m,
+        |    3.0 - 4.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
+        |      * n4 / n3 AS d3m
+        |  FROM cocm),
+        |dtf AS (SELECT doc_id, w1, w2, w3, count(*) AS ttf FROM tg
+        |        GROUP BY 1, 2, 3, 4),
+        |per AS (
+        |  SELECT d.doc_id, CAST(sum(d.ttf) AS BIGINT) AS n_trigrams,
+        |    sum(d.ttf * ln(
+        |      greatest(ctg.c123 - (CASE WHEN ctg.c123 = 1 THEN dt.d1t
+        |          WHEN ctg.c123 = 2 THEN dt.d2t ELSE dt.d3t END),
+        |          CAST(0 AS DOUBLE)) / CAST(cx.c12 AS DOUBLE)
+        |      + (dt.d1t * cx.k1t + dt.d2t * cx.k2t + dt.d3t * cx.k3t)
+        |          / CAST(cx.c12 AS DOUBLE)
+        |        * (greatest(mid.n1b23 - (CASE WHEN mid.n1b23 = 1
+        |              THEN dm.d1m WHEN mid.n1b23 = 2 THEN dm.d2m
+        |              ELSE dm.d3m END), CAST(0 AS DOUBLE))
+        |            / CAST(mcx.m2 AS DOUBLE)
+        |          + (dm.d1m * mcx.k1m + dm.d2m * mcx.k2m
+        |              + dm.d3m * mcx.k3m) / CAST(mcx.m2 AS DOUBLE)
+        |            * (low.n1b3 / CAST(tt.tt AS DOUBLE))))) AS lp
+        |  FROM dtf d JOIN ctg USING (w1, w2, w3) JOIN cx USING (w1, w2)
+        |    JOIN mid USING (w2, w3) JOIN mcx USING (w2)
+        |    JOIN low USING (w3), tt, dt, dm
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_trigrams,
+        |  CAST(floor(lp / n_trigrams * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS log_prob_e4,
+        |  CAST(floor(exp(-(lp / n_trigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT) AS ppl_e4
+        |FROM per ORDER BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // BPE rebuild: 8 unrolled (pairs → argmax → fold) rounds; the merge
@@ -1522,83 +1631,13 @@ private[graft] object QueriesText {
     // count-of-counts CTEs and their discount rows; every CASE /
     // quotient association mirrors the engine column expressions
     // exactly (Y inlined per discount — identical doubles either way).
-    "q_x14c_mkn_trigram_ppl" ->
-      """WITH arr AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |tg AS (
-        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3
-        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 1)) AS i) u),
-        |ctg AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
-        |        GROUP BY 1, 2, 3),
-        |cx AS (SELECT w1, w2, sum(c123) AS c12,
-        |         sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS k1t,
-        |         sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS k2t,
-        |         sum(CASE WHEN c123 >= 3 THEN 1 ELSE 0 END) AS k3t
-        |       FROM ctg GROUP BY 1, 2),
-        |mid AS (SELECT w2, w3, count(*) AS n1b23 FROM ctg GROUP BY 1, 2),
-        |mcx AS (SELECT w2, sum(n1b23) AS m2,
-        |          sum(CASE WHEN n1b23 = 1 THEN 1 ELSE 0 END) AS k1m,
-        |          sum(CASE WHEN n1b23 = 2 THEN 1 ELSE 0 END) AS k2m,
-        |          sum(CASE WHEN n1b23 >= 3 THEN 1 ELSE 0 END) AS k3m
-        |        FROM mid GROUP BY 1),
-        |low AS (SELECT w3, count(*) AS n1b3 FROM mid GROUP BY 1),
-        |tt AS (SELECT count(*) AS tt FROM mid),
-        |coct AS (SELECT
-        |    sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS n1,
-        |    sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS n2,
-        |    sum(CASE WHEN c123 = 3 THEN 1 ELSE 0 END) AS n3,
-        |    sum(CASE WHEN c123 = 4 THEN 1 ELSE 0 END) AS n4
-        |  FROM ctg),
-        |dt AS (SELECT
-        |    1.0 - 2.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
-        |      * n2 / n1 AS d1t,
-        |    2.0 - 3.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
-        |      * n3 / n2 AS d2t,
-        |    3.0 - 4.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
-        |      * n4 / n3 AS d3t
-        |  FROM coct),
-        |cocm AS (SELECT
-        |    sum(CASE WHEN n1b23 = 1 THEN 1 ELSE 0 END) AS n1,
-        |    sum(CASE WHEN n1b23 = 2 THEN 1 ELSE 0 END) AS n2,
-        |    sum(CASE WHEN n1b23 = 3 THEN 1 ELSE 0 END) AS n3,
-        |    sum(CASE WHEN n1b23 = 4 THEN 1 ELSE 0 END) AS n4
-        |  FROM mid),
-        |dm AS (SELECT
-        |    1.0 - 2.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
-        |      * n2 / n1 AS d1m,
-        |    2.0 - 3.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
-        |      * n3 / n2 AS d2m,
-        |    3.0 - 4.0 * (CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))
-        |      * n4 / n3 AS d3m
-        |  FROM cocm),
-        |dtf AS (SELECT doc_id, w1, w2, w3, count(*) AS ttf FROM tg
-        |        GROUP BY 1, 2, 3, 4),
-        |per AS (
-        |  SELECT d.doc_id, CAST(sum(d.ttf) AS BIGINT) AS n_trigrams,
-        |    sum(d.ttf * ln(
-        |      greatest(ctg.c123 - (CASE WHEN ctg.c123 = 1 THEN dt.d1t
-        |          WHEN ctg.c123 = 2 THEN dt.d2t ELSE dt.d3t END),
-        |          CAST(0 AS DOUBLE)) / CAST(cx.c12 AS DOUBLE)
-        |      + (dt.d1t * cx.k1t + dt.d2t * cx.k2t + dt.d3t * cx.k3t)
-        |          / CAST(cx.c12 AS DOUBLE)
-        |        * (greatest(mid.n1b23 - (CASE WHEN mid.n1b23 = 1
-        |              THEN dm.d1m WHEN mid.n1b23 = 2 THEN dm.d2m
-        |              ELSE dm.d3m END), CAST(0 AS DOUBLE))
-        |            / CAST(mcx.m2 AS DOUBLE)
-        |          + (dm.d1m * mcx.k1m + dm.d2m * mcx.k2m
-        |              + dm.d3m * mcx.k3m) / CAST(mcx.m2 AS DOUBLE)
-        |            * (low.n1b3 / CAST(tt.tt AS DOUBLE))))) AS lp
-        |  FROM dtf d JOIN ctg USING (w1, w2, w3) JOIN cx USING (w1, w2)
-        |    JOIN mid USING (w2, w3) JOIN mcx USING (w2)
-        |    JOIN low USING (w3), tt, dt, dm
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id, n_trigrams,
-        |  CAST(floor(lp / n_trigrams * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS log_prob_e4,
-        |  CAST(floor(exp(-(lp / n_trigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT) AS ppl_e4
-        |FROM per ORDER BY doc_id""".stripMargin,
+    "q_x14c_mkn_trigram_ppl" -> mknOracle("", "documents"),
+
+    // Maintained-store modified-KN: the adds-only maintenance makes
+    // the effective corpus the FULL table, so the oracle is exactly
+    // the one-shot q_x14c chain — any drift in the maintained counts'
+    // count-of-counts, discounts, or γ weights hash-mismatches.
+    "q_x14e_lm_maintained_mkn" -> mknOracle("", "documents"),
 
     // Maintained-LM rebuild: q_x14b's exact chain over the POST-CHANGE
     // live corpus (takedowns %5==0 out unless re-added; %7==3 new

@@ -764,29 +764,36 @@ object Relevance {
   def knTrigramPerplexityModified(docs: DataFrame, idCol: String,
       textCol: String,
       ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("_arr"))
-    val tris = toks.filter(size(col("_arr")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(_arr) - 2), " +
-          "i -> struct(element_at(_arr, i) AS w1, " +
-          "element_at(_arr, i + 1) AS w2, " +
-          "element_at(_arr, i + 2) AS w3))")).as("_t"))
-      .select(col("doc_id"), col("_t.w1").as("w1"),
-        col("_t.w2").as("w2"), col("_t.w3").as("w3"))
-    val model = ckpt(tris.groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c123")))
+    val tris = trigramRows(docs, idCol, textCol)
+    knTrigramFromModelModified(
+      tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
+      docs, idCol, textCol, ckpt)
+  }
+
+  /** Modified-KN scoring off a FIXED trigram count table — the
+    * [[knTrigramFromModel]] split applied to
+    * [[knTrigramPerplexityModified]]: the count-class discounts, the
+    * class-conditioned γ weights, and every continuation table all
+    * derive from `model` alone, so modified-KN perplexities served off
+    * a [[maintainTrigramLm]]-maintained store are bit-equal to a fresh
+    * build's. Same self-scoring contract and shuffle shape as
+    * [[knTrigramFromModel]]. */
+  def knTrigramFromModelModified(model: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String,
+      ckpt: graft.Checkpointer = graft.Checkpointer.Local): DataFrame = {
+    val model2 = ckpt(model.select(col("w1"), col("w2"), col("w3"),
+      col("c123").cast("long").as("c123")))
     def classCol(c: Column, k: Int): Column =
       sum(when(if (k < 3) c === k.toLong else c >= 3L, lit(1L))
         .otherwise(lit(0L)))
     // per-context totals AND count-class continuation counts — the
     // same aggregation that builds c12/m2 carries N1/N2/N3+
-    val ctx = model.groupBy("w1", "w2")
+    val ctx = model2.groupBy("w1", "w2")
       .agg(sum("c123").as("c12"),
         classCol(col("c123"), 1).as("k1t"),
         classCol(col("c123"), 2).as("k2t"),
         classCol(col("c123"), 3).as("k3t"))
-    val mid = ckpt(model.groupBy("w2", "w3")
+    val mid = ckpt(model2.groupBy("w2", "w3")
       .agg(count(lit(1)).as("n1b23")))
     val midCtx = mid.groupBy("w2")
       .agg(sum("n1b23").as("m2"),
@@ -821,9 +828,10 @@ object Relevance {
           (lit(3.0) - lit(4.0) * y * col("n4") / col("n3"))
             .as(s"d3$sfx"))
     }
-    val discTri = discounts(model, "c123", "t", "trigram")
+    val discTri = discounts(model2, "c123", "t", "trigram")
     val discMid = discounts(mid, "n1b23", "m", "bigram-continuation")
-    val dtf = tris.groupBy("doc_id", "w1", "w2", "w3")
+    val dtf = trigramRows(docs, idCol, textCol)
+      .groupBy("doc_id", "w1", "w2", "w3")
       .agg(count(lit(1)).as("ttf"))
     // operand shapes mirrored exactly in the oracle SQL
     val dTop = when(col("c123") === 1L, col("d1t"))
@@ -839,7 +847,7 @@ object Relevance {
       col("m2").cast("double") + gMid * plow
     val p = greatest(col("c123") - dTop, lit(0.0)) /
       col("c12").cast("double") + gTop * pmid
-    dtf.join(model, Seq("w1", "w2", "w3"))
+    dtf.join(model2, Seq("w1", "w2", "w3"))
       .join(ctx, Seq("w1", "w2"))
       .join(mid, Seq("w2", "w3"))
       .join(midCtx, Seq("w2"))

@@ -462,6 +462,34 @@ class RelevanceSpec extends SparkSpec {
     assert(modelRows(m2) == got, "same-call duplicate rows fold")
   }
 
+  test("knTrigramFromModelModified: modified-KN served off a " +
+      "maintained store equals the one-shot build (corpus hits every " +
+      "count class at both orders, so discounts exist)") {
+    // trigram counts: abc=3, bca=2, cab=2, xbc/pyz/qyz/ryz=1 →
+    // n1..n3 = 4,2,1; continuation counts: (b,c)=2, (y,z)=3,
+    // (c,a)=(a,b)=1 → n1..n3 = 2,1,1
+    val post = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "x b c"),
+      (3L, "p y z"),
+      (4L, "q y z"),
+      (5L, "r y z")).toDF("id", "text")
+    val lm0 = Relevance.buildTrigramLm(
+      post.filter(org.apache.spark.sql.functions.col("id") =!= 5L),
+      "id", "text")
+    val m = Relevance.maintainTrigramLm(lm0,
+      Seq((5L, "r y z")).toDF("id", "text"), post.limit(0),
+      "id", "text")
+    def ppl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val servedM = ppl(Relevance.knTrigramFromModelModified(m.model,
+      post, "id", "text"))
+    val oneShotM = ppl(Relevance.knTrigramPerplexityModified(post,
+      "id", "text"))
+    assert(servedM == oneShotM,
+      "modified-KN served off the maintained model must be bit-equal")
+  }
+
   test("maintainTrigramLm fails loudly on a live re-add without its " +
       "old row and on mismatched erasure text") {
     val base = Seq((1L, "a b c d"), (2L, "x y z")).toDF("id", "text")
