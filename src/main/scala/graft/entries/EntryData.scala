@@ -304,6 +304,36 @@ private[graft] object EntryData {
       path
     })
 
+  /** q_l5's base store (the l_orderkey%3≠0 two-thirds of lineitem,
+    * laid out and written once per dataset); each invocation COPIES
+    * it to a fresh dir (the x3k updated-index discipline — appends
+    * must not mutate the shared fixture) and appends the held-out
+    * third with the STORE's anchors. */
+  private val l5Invocation =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def l5AppendedLayoutDir(s: SparkSession, dir: String): String = {
+    val base = layoutDirs.computeIfAbsent(dir + "#l5_base", _ => {
+      val path = annScratchRoot + "/layout_base_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Layout.writeLayout(
+        Layout.zOrderLayout(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 3 =!= 0),
+          Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16),
+        path, Seq("l_partkey", "l_suppkey"))
+      path
+    })
+    val dst = base + "_app" + l5Invocation.incrementAndGet()
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(base), fs,
+      new org.apache.hadoop.fs.Path(dst), false, conf)
+    Layout.appendToLayout(s, dst,
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0),
+      Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16)
+    dst
+  }
+
   /** q_x14d's shared fixture: the trigram LM store built on the
     * doc_id%7≠3 base corpus, localCheckpoint-pinned per (session,
     * dataset) — the maintenance row times its MAINTENANCE call and

@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** sources, projection, joins (incl. as-of/range), merge/union, aggregates, windows, set ops, CDC, graph build — one slice of the [[SparkEntry]] driver contract
-  * (38 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (39 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesEtl {
   import EntryData._
@@ -472,6 +472,24 @@ private[graft] object QueriesEtl {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey",
           "l_suppkey")),
 
+    // ---- L5: layout APPEND maintenance — the maintenance-grid
+    // discipline for the layout store: the base store (the
+    // l_orderkey%3≠0 two-thirds, cached fixture) is copied and the
+    // held-out third appended with the STORE'S ORIGINAL anchors
+    // (recovered from the manifest), manifest refreshed by exact
+    // stats algebra. The pruned scan over the appended store must
+    // return the full-table filter — losslessness survives
+    // maintenance. Bucket assignment for EVERY row replays in the
+    // oracle with base-subset anchors + clamping. ----
+    "q_l5_layout_append" -> ((s, dir) =>
+      Layout.prunedScan(s, l5AppendedLayoutDir(s, dir),
+          Seq(("l_partkey", 10L, 50L), ("l_suppkey", 2L, 5L)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_bucket").cast("long").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -493,23 +511,37 @@ private[graft] object QueriesEtl {
     * [[graft.operators.Layout.zValue]]), fixed z-range buckets. Ends
     * at `zb(l_orderkey, l_linenumber, l_partkey, l_suppkey, zval,
     * bucket)`. */
-  private lazy val zorderCtes: String = {
+  private lazy val zorderCtes: String =
+    zorderCtesFor("lineitem", clamp = false)
+
+  /** Parameterized z-order chain: `statsSrc` is the relation the
+    * normalization ANCHORS come from (the corpus the store was BUILT
+    * on — q_l5's append contract pins them to the base subset), and
+    * `clamp` wraps each value in greatest/least against the anchors
+    * (mirroring [[graft.operators.Layout.appendToLayout]]'s
+    * out-of-domain clamping; a no-op for in-domain rows, so it is
+    * safe to apply uniformly). */
+  private def zorderCtesFor(statsSrc: String,
+      clamp: Boolean): String = {
     val terms = (0 until 8).map(i =>
       s"(((np >> $i) & 1) << ${2 * i}) | (((ns >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
+    def v(c: String, mn: String, mx: String) =
+      if (!clamp) s"CAST($c AS BIGINT)"
+      else s"greatest(least(CAST($c AS BIGINT), $mx), $mn)"
     s"""WITH st AS (
        |  SELECT CAST(min(l_partkey) AS BIGINT) AS mnp,
        |    CAST(max(l_partkey) AS BIGINT) AS mxp,
        |    CAST(min(l_suppkey) AS BIGINT) AS mns,
        |    CAST(max(l_suppkey) AS BIGINT) AS mxs
-       |  FROM lineitem),
+       |  FROM $statsSrc),
        |nm AS (
        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |    CASE WHEN mxp = mnp THEN 0 ELSE
-       |      (CAST(l_partkey AS BIGINT) - mnp) * 255 // (mxp - mnp)
+       |      (${v("l_partkey", "mnp", "mxp")} - mnp) * 255 // (mxp - mnp)
        |    END AS np,
        |    CASE WHEN mxs = mns THEN 0 ELSE
-       |      (CAST(l_suppkey AS BIGINT) - mns) * 255 // (mxs - mns)
+       |      (${v("l_suppkey", "mns", "mxs")} - mns) * 255 // (mxs - mns)
        |    END AS ns
        |  FROM lineitem, st),
        |zb AS (
@@ -569,6 +601,20 @@ private[graft] object QueriesEtl {
   }
 
   def oracles: Map[String, String] = Map(
+    // Appended-store pruned scan: anchors pinned to the BASE subset
+    // (the store's build corpus), every value clamped against them
+    // (no-op in-domain), result = the full-table filter.
+    "q_l5_layout_append" ->
+      s"""${zorderCtesFor(
+            "(SELECT * FROM lineitem WHERE l_orderkey % 3 <> 0)",
+            clamp = true)}
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(bucket AS BIGINT) AS bucket
+         |FROM zb
+         |WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
+
     // The pruned scan must return exactly the full-table filter (the
     // conservative pruning rule is lossless); bucket assignment is
     // re-derived through the shared z-order chain.

@@ -208,6 +208,75 @@ object Layout {
       .write.mode("overwrite").parquet(s"$path/_stats")
   }
 
+  /** EXACT append maintenance of a [[writeLayout]] store — the layout
+    * family's member of the maintenance grid: new rows are assigned
+    * with the STORE'S ORIGINAL normalization anchors (recovered from
+    * the manifest itself: the global min/max over bucket envelopes IS
+    * the build-time corpus min/max, since the manifest derives from
+    * the full store), appended into their partition directories, and
+    * the manifest refreshes by pure stats algebra — counts add,
+    * envelopes widen by least/greatest — WITHOUT rescanning a byte of
+    * the existing store.
+    *
+    * Anchor stability is the contract (the production semantics:
+    * appends never re-layout old files — re-clustering is an explicit
+    * rewrite): values outside the original domain CLAMP into the
+    * boundary cells for assignment, while the refreshed envelopes
+    * track the ACTUAL values, so [[prunedScan]] stays conservative
+    * and lossless over the appended store.
+    *
+    * Scale notes (100 TB): the manifest probe is bucket-count-sized;
+    * the delta lays out and writes delta-sized (one exchange on
+    * `_bucket`); the stats merge is two bucket-count-sized frames
+    * full-joined. Nothing touches existing files. */
+  def appendToLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame, cols: Seq[String], bits: Int,
+      nBuckets: Int): Unit = {
+    val k = cols.size
+    require(nBuckets >= 1 && k * bits <= 40,
+      "k*bits must be <= 40 so bucket math stays in long range")
+    val stats = spark.read.parquet(s"$path/_stats")
+    val anchorExprs = cols.flatMap(c => Seq(
+      min(col(s"min_$c")).as(s"_min_$c"),
+      max(col(s"max_$c")).as(s"_max_$c")))
+    val anchors = stats.agg(anchorExprs.head, anchorExprs.tail: _*)
+    val normed = cols.map { c =>
+      val v = greatest(least(col(c).cast("long"), col(s"_max_$c")),
+        col(s"_min_$c"))
+      normalizeToBits(v, col(s"_min_$c"), col(s"_max_$c"), bits)
+    }
+    val laidDelta = rows.crossJoin(broadcast(anchors))
+      .withColumn("_z", zValue(normed, bits))
+      .withColumn("_bucket",
+        idiv(col("_z") * lit(nBuckets.toLong), lit(1L << (k * bits))))
+      .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
+      .localCheckpoint() // appended files and manifest from ONE frame
+    laidDelta.repartition(col("_bucket"))
+      .write.mode("append").partitionBy("_bucket").parquet(path)
+    val deltaStats = fileSkippingStats(laidDelta, "_bucket", cols)
+    val mergedCols = col("bucket") +:
+      (coalesce(col("_n_old"), lit(0L)) +
+        coalesce(col("_n_new"), lit(0L))).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        least(coalesce(col(s"_mn_old_$c"), col(s"_mn_new_$c")),
+          coalesce(col(s"_mn_new_$c"), col(s"_mn_old_$c")))
+          .as(s"min_$c"),
+        greatest(coalesce(col(s"_mx_old_$c"), col(s"_mx_new_$c")),
+          coalesce(col(s"_mx_new_$c"), col(s"_mx_old_$c")))
+          .as(s"max_$c")))
+    def tag(df: DataFrame, sfx: String): DataFrame =
+      df.select(col("bucket") +:
+        col("n_rows").as(s"_n_$sfx") +:
+        cols.flatMap(c => Seq(
+          col(s"min_$c").as(s"_mn_${sfx}_$c"),
+          col(s"max_$c").as(s"_mx_${sfx}_$c"))): _*)
+    val merged = tag(stats, "old")
+      .join(tag(deltaStats, "new"), Seq("bucket"), "full")
+      .select(mergedCols: _*)
+      .localCheckpoint() // pinned BEFORE overwriting the dir it read
+    merged.write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
   /** Manifest-driven pruned read of a [[writeLayout]] store: apply the
     * [[skippingVerdicts]] rule to the co-located stats, fetch the kept
     * bucket ids to the driver (BOUNDED — one row per bucket, the

@@ -169,6 +169,49 @@ class LayoutSpec extends SparkSpec {
       Layout.prunedScan(spark, path, Nil))
   }
 
+  test("appendToLayout: delta assigned with the ORIGINAL anchors, " +
+      "manifest refreshed by exact stats algebra (no store rescan), " +
+      "out-of-domain values clamp for assignment but widen the " +
+      "envelope truthfully, pruned scan stays lossless") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)).toDF("x", "y")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout_app").toString + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"))
+    // delta: an in-domain point, a duplicate of an existing cell, and
+    // an OUT-OF-DOMAIN point (x=100 clamps to cell 15 for assignment)
+    val delta = Seq((2L, 2L), (15L, 15L), (100L, 3L)).toDF("x", "y")
+    Layout.appendToLayout(spark, path, delta, Seq("x", "y"), 4, 16)
+    val store = spark.read.parquet(path)
+    assert(store.count() == 259L)
+    // the manifest must equal a from-scratch stats pass over the
+    // appended store — certifying the merge algebra is exact
+    val manifest = spark.read.parquet(s"$path/_stats").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fresh = Layout.fileSkippingStats(store, "_bucket",
+      Seq("x", "y")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(manifest == fresh, "manifest ≡ fresh stats over the store")
+    // x=100 clamped into the max-x boundary cell's bucket, but the
+    // envelope records the TRUE value — the box (90..200, 0..15)
+    // must therefore still find it
+    val far = Layout.prunedScan(spark, path,
+      Seq(("x", 90L, 200L), ("y", 0L, 15L)))
+      .select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(far == Set((100L, 3L)), s"got $far")
+    // lossless over the appended store: origin box picks up the new
+    // in-domain point as a duplicate of cell (2,2)
+    val box = Layout.prunedScan(spark, path,
+      Seq(("x", 0L, 3L), ("y", 0L, 3L)))
+      .groupBy("x", "y").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(box.size == 16 && box((2L, 2L)) == 2L &&
+      box((0L, 0L)) == 1L)
+  }
+
   test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +
       "force, and the z-order layout skips strictly more rows than a " +
       "single-column sort for a 2-D box") {
