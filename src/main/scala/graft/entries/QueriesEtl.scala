@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** sources, projection, joins (incl. as-of/range), merge/union, aggregates, windows, set ops, CDC, graph build — one slice of the [[SparkEntry]] driver contract
-  * (39 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (40 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesEtl {
   import EntryData._
@@ -490,6 +490,27 @@ private[graft] object QueriesEtl {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey",
           "l_suppkey")),
 
+    // ---- L6: layout ERASURE maintenance — the right-to-erasure path
+    // composed onto the append row (the g25g batch-composition
+    // discipline): the appended store takes down every l_orderkey
+    // %10==7 row (only touched buckets rewrite, the manifest
+    // recounts), then the pruned scan must return the full-table
+    // filter minus the erased orders. ----
+    "q_l6_layout_erasure" -> ((s, dir) => {
+      val store = l5AppendedLayoutDir(s, dir)
+      Layout.deleteFromLayout(s, store,
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 === 7)
+          .select("l_orderkey"), "l_orderkey")
+      Layout.prunedScan(s, store,
+          Seq(("l_partkey", 10L, 50L), ("l_suppkey", 2L, 5L)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_bucket").cast("long").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")
+    }),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -612,6 +633,20 @@ private[graft] object QueriesEtl {
          |  CAST(bucket AS BIGINT) AS bucket
          |FROM zb
          |WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
+
+    // Post-erasure pruned scan: the append oracle minus the erased
+    // orders.
+    "q_l6_layout_erasure" ->
+      s"""${zorderCtesFor(
+            "(SELECT * FROM lineitem WHERE l_orderkey % 3 <> 0)",
+            clamp = true)}
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(bucket AS BIGINT) AS bucket
+         |FROM zb
+         |WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
+         |  AND l_orderkey % 10 <> 7
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
         .stripMargin,
 

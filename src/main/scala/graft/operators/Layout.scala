@@ -231,10 +231,15 @@ object Layout {
     * full-joined. Nothing touches existing files. */
   def appendToLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, cols: Seq[String], bits: Int,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, curve: String = "z"): Unit = {
     val k = cols.size
     require(nBuckets >= 1 && k * bits <= 40,
       "k*bits must be <= 40 so bucket math stays in long range")
+    require(curve == "z" || (curve == "hilbert" && k == 2),
+      "curve must be 'z', or 'hilbert' with exactly two columns — " +
+        "and must match the curve the store was BUILT with (the " +
+        "store records data, not its curve; mixing curves scatters " +
+        "the delta across unrelated buckets)")
     val stats = spark.read.parquet(s"$path/_stats")
     val anchorExprs = cols.flatMap(c => Seq(
       min(col(s"min_$c")).as(s"_min_$c"),
@@ -245,10 +250,23 @@ object Layout {
         col(s"_min_$c"))
       normalizeToBits(v, col(s"_min_$c"), col(s"_max_$c"), bits)
     }
-    val laidDelta = rows.crossJoin(broadcast(anchors))
-      .withColumn("_z", zValue(normed, bits))
+    // each curve keeps ITS index column name (`_z` / `_h`) so the
+    // delta's file schema matches the store it lands in
+    val indexed =
+      if (curve == "z")
+        rows.crossJoin(broadcast(anchors))
+          .withColumn("_z", zValue(normed, bits))
+      else
+        withHilbert(
+          rows.crossJoin(broadcast(anchors))
+            .withColumn("_cnx", normed(0))
+            .withColumn("_cny", normed(1)),
+          "_cnx", "_cny", bits)
+          .drop("_cnx", "_cny")
+    val idxCol = if (curve == "z") "_z" else "_h"
+    val laidDelta = indexed
       .withColumn("_bucket",
-        idiv(col("_z") * lit(nBuckets.toLong), lit(1L << (k * bits))))
+        idiv(col(idxCol) * lit(nBuckets.toLong), lit(1L << (k * bits))))
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
       .localCheckpoint() // appended files and manifest from ONE frame
     laidDelta.repartition(col("_bucket"))
@@ -275,6 +293,75 @@ object Layout {
       .select(mergedCols: _*)
       .localCheckpoint() // pinned BEFORE overwriting the dir it read
     merged.write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** EXACT takedown maintenance of a [[writeLayout]] store — the
+    * right-to-erasure path of the layout family (the [[appendToLayout]]
+    * counterpart): one store scan finds the rows to erase and their
+    * buckets (deleted ids broadcast into a semi-join), then ONLY the
+    * touched partition directories rewrite with their survivors
+    * (dynamic partition overwrite — untouched buckets' files are
+    * never opened for writing), buckets whose rows all die have their
+    * directories removed, and the manifest refreshes exactly:
+    * touched-bucket envelopes RECOUNT from the survivors (min/max is
+    * not subtractable — the recount is touched-bucket-sized, not
+    * store-sized), untouched rows pass through verbatim, zero-row
+    * buckets leave. Envelopes can only SHRINK, so [[prunedScan]]
+    * stays conservative and lossless; anchors for future appends
+    * shrink truthfully with them.
+    *
+    * Scale notes (100 TB): one store scan (the probe), one
+    * touched-bucket-sized rewrite, one bucket-count-sized manifest
+    * merge; the touched-bucket id list is a BOUNDED driver fetch
+    * (≤ nBuckets rows). */
+  def deleteFromLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, removedIds: DataFrame, idCol: String): Unit = {
+    val ids = removedIds
+      .select(col(removedIds.columns.head).as(idCol)).distinct()
+    val store = spark.read.parquet(path)
+    val touched = store.join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col("_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val touchedRows = store
+        .filter(col("_bucket").isin(touched.map(Long.box): _*))
+      val survivors = touchedRows
+        .join(broadcast(ids), Seq(idCol), "left_anti")
+        .localCheckpoint() // rewrite + stats from ONE frame, pinned
+        // BEFORE the partition dirs it was read from are replaced
+      val statCols = spark.read.parquet(s"$path/_stats").columns
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val survivorBuckets = survivors
+        .select(col("_bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val prevMode = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      try
+        survivors.repartition(col("_bucket"))
+          .write.mode("overwrite").partitionBy("_bucket").parquet(path)
+      finally prevMode match {
+        case Some(m) => spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // a fully-erased bucket writes no files under dynamic overwrite
+      // — its old directory must go explicitly
+      touched.filterNot(survivorBuckets).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_bucket=$b"),
+          true): Unit
+      }
+      val stats = spark.read.parquet(s"$path/_stats")
+      val kept = stats
+        .filter(!col("bucket").isin(touched.map(Long.box): _*))
+      val refreshed = fileSkippingStats(survivors, "_bucket", statCols)
+      val merged = kept.unionByName(refreshed).localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$path/_stats")
+    }
   }
 
   /** Manifest-driven pruned read of a [[writeLayout]] store: apply the

@@ -212,6 +212,78 @@ class LayoutSpec extends SparkSpec {
       box((0L, 0L)) == 1L)
   }
 
+  test("deleteFromLayout: only touched buckets rewrite, a fully " +
+      "erased bucket's directory leaves, the manifest recounts " +
+      "exactly, and the pruned scan stays lossless after erasure") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (y * 16L + x, x, y)).toDF("id", "x", "y")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout_del").toString + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"))
+    def bucketFiles(b: Long): Set[String] = {
+      val d = new java.io.File(s"$path/_bucket=$b")
+      if (!d.exists) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+        .toSet
+    }
+    val untouchedBefore = bucketFiles(15L)
+    // erase the whole origin 4×4 (bucket 0 dies entirely), one row of
+    // bucket 1 (cell (5,1) → x2=1 ⇒ bucket 1), and an unknown id
+    val doomed = ((for { x <- 0L until 4L; y <- 0L until 4L }
+      yield y * 16L + x) :+ (1L * 16L + 5L) :+ 9999L).toDF("id")
+    Layout.deleteFromLayout(spark, path, doomed, "id")
+    val store = spark.read.parquet(path)
+    assert(store.count() == 256L - 17L)
+    assert(bucketFiles(0L).isEmpty &&
+      !new java.io.File(s"$path/_bucket=0").exists,
+      "fully erased bucket's directory must leave")
+    assert(bucketFiles(15L) == untouchedBefore,
+      "untouched buckets' files must not rewrite")
+    // manifest ≡ a fresh stats pass over the post-erasure store
+    val manifest = spark.read.parquet(s"$path/_stats").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fresh = Layout.fileSkippingStats(store, "_bucket",
+      Seq("x", "y")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(manifest == fresh)
+    assert(!manifest.contains(0L) && manifest(1L).head == 15L)
+    // erased rows are gone from the pruned scan; survivors remain
+    val box = Layout.prunedScan(spark, path,
+      Seq(("x", 0L, 5L), ("y", 0L, 5L)))
+      .select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for { x <- 0L to 5L; y <- 0L to 5L
+      if !(x < 4 && y < 4) && !(x == 5 && y == 1) } yield (x, y)).toSet
+    assert(box == expect)
+  }
+
+  test("appendToLayout with curve=hilbert matches the store's curve " +
+      "and prunedScan serves the appended hilbert store") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L
+      if x + y > 0 } yield (x, y)).toDF("x", "y")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout_h").toString + "/store"
+    Layout.writeLayout(
+      Layout.hilbertLayout(base, "x", "y", 4, 16), path,
+      Seq("x", "y"))
+    Layout.appendToLayout(spark, path, Seq((0L, 0L)).toDF("x", "y"),
+      Seq("x", "y"), 4, 16, curve = "hilbert")
+    val got = Layout.prunedScan(spark, path,
+      Seq(("x", 0L, 3L), ("y", 0L, 3L)))
+      .select("x", "y", "_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet ==
+      (for { x <- 0L to 3L; y <- 0L to 3L } yield (x, y)).toSet)
+    // the appended point carries the curve's own index column and the
+    // canonical value for its cell
+    assert(got((0L, 0L)) == xy2d(4, 0L, 0L))
+    intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, path, base, Seq("x", "y"), 4, 16,
+        curve = "loop"))
+  }
+
   test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +
       "force, and the z-order layout skips strictly more rows than a " +
       "single-column sort for a 2-D box") {
