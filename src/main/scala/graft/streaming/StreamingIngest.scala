@@ -1981,6 +1981,144 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming CDC maintenance of a clustered layout store — the
+    * layout family joins the CDC grid: `op = "add"` rows (carrying
+    * the clustered value columns) land via
+    * [[graft.operators.Layout.appendToLayout]] under the store's
+    * ORIGINAL anchors, `op = "del"` ids leave via
+    * [[graft.operators.Layout.deleteFromLayout]]'s touched-bucket
+    * rewrite, and a re-sent id REPLACES its row (deletes first, adds
+    * win — the grid fold; same-batch del beats the add).
+    *
+    * Contract: after every completed trigger the store's ROW SET
+    * equals the op-store fold's live rows, and [[graft.operators
+    * .Layout.prunedScan]] over it is lossless. Bucket ASSIGNMENT is
+    * anchor-history-dependent by design (the [[graft.operators
+    * .Layout.appendToLayout]] anchor-stability contract — appends
+    * never re-layout old files), so the store is content-equal, not
+    * file-equal, to a fresh build; a cold start or mid-crash
+    * redelivery re-anchors via a full
+    * [[graft.operators.Layout.writeLayout]] rebuild from the fold
+    * (re-clustering is always legal — it preserves row content and
+    * losslessness). The append step is NOT idempotent, so the
+    * two-phase started/final marker routes crash redeliveries to
+    * that rebuild.
+    *
+    * Scale notes (100 TB): per trigger the delete probe scans the
+    * store once (broadcast semi-join on change ids) and rewrites
+    * only touched buckets; the append writes delta-sized; the
+    * manifest work is bucket-count-sized. The cold rebuild is the
+    * only store-sized write. */
+  def streamingLayout(events: DataFrame, addsDir: String,
+      delsDir: String, storeDir: String, checkpointDir: String,
+      cols: Seq[String], bits: Int, nBuckets: Int,
+      idCol: String = "id", opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op") +:
+          col(idCol) +: cols.map(col): _*).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$addsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, addsDir, "streamingLayout")
+            requireBatchLayout(fs, delsDir, "streamingLayout")
+          }
+          if (!fs.exists(marker)) {
+            val started = new org.apache.hadoop.fs.Path(
+              s"$addsDir/_batches/$batchId.started")
+            val midCrash = fs.exists(started)
+            if (!midCrash) fs.mkdirs(started): Unit
+            val dels = b.filter(col("_op") === "del")
+              .select(col(idCol)).distinct().localCheckpoint()
+            // same-trigger duplicates fold to one deterministic row;
+            // same-batch del beats add
+            val adds = b.filter(col("_op") === "add")
+              .groupBy(col(idCol))
+              .agg(max(struct(cols.map(col): _*)).as("_s"))
+              .select(col(idCol) +:
+                cols.map(c => col(s"_s.$c").as(c)): _*)
+              .join(dels, Seq(idCol), "left_anti")
+              .localCheckpoint()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$addsDir/batch=$batchId")
+            if (!dels.isEmpty)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            // reconciled live rows: latest add strictly newer than
+            // the latest takedown, latest values win
+            def liveRows(): DataFrame =
+              if (!hasBatchData(fs, addsDir)) adds.limit(0)
+              else {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(idCol))
+                  .orderBy(col("batch").cast("long").desc)
+                val latest = spark.read.parquet(addsDir)
+                  .withColumn("_rn", row_number().over(w))
+                  .filter(col("_rn") === 1)
+                  .select(col(idCol) +: cols.map(col) :+
+                    col("batch").cast("long").as("_ab"): _*)
+                val dMax =
+                  if (hasBatchData(fs, delsDir))
+                    spark.read.parquet(delsDir)
+                      .groupBy(idCol)
+                      .agg(max(col("batch").cast("long")).as("_db"))
+                  else dels.limit(0).withColumn("_db", lit(-1L))
+                latest.join(dMax, Seq(idCol), "left")
+                  .filter(col("_db").isNull || col("_db") < col("_ab"))
+                  .select(col(idCol) +: cols.map(col): _*)
+              }
+            val sMark = new org.apache.hadoop.fs.Path(
+              s"$storeDir/_stats/_SUCCESS")
+            if (fs.exists(sMark) && !midCrash) {
+              // deletes first (takedowns + old rows of re-adds),
+              // then the delta appends under the original anchors
+              val changed = dels
+                .unionByName(adds.select(col(idCol))).distinct()
+              graft.operators.Layout.deleteFromLayout(spark, storeDir,
+                changed, idCol)
+              if (!adds.isEmpty) {
+                // a batch that emptied the whole store leaves no
+                // anchors to append under — re-anchor from the delta
+                if (spark.read.parquet(s"$storeDir/_stats").isEmpty) {
+                  fs.delete(new org.apache.hadoop.fs.Path(storeDir),
+                    true): Unit
+                  graft.operators.Layout.writeLayout(
+                    graft.operators.Layout.zOrderLayout(adds, cols,
+                      bits, nBuckets), storeDir, cols)
+                } else
+                  graft.operators.Layout.appendToLayout(spark,
+                    storeDir, adds, cols, bits, nBuckets)
+              }
+            } else {
+              // cold start OR mid-crash redelivery: re-anchor via a
+              // full rebuild from the reconciled fold
+              val live = liveRows().localCheckpoint()
+              if (!live.isEmpty) {
+                fs.delete(new org.apache.hadoop.fs.Path(storeDir),
+                  true): Unit
+                graft.operators.Layout.writeLayout(
+                  graft.operators.Layout.zOrderLayout(live, cols,
+                    bits, nBuckets), storeDir, cols)
+              }
+            }
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming span-level decontamination — the production shape of
     * [[graft.operators.Decontaminate.scrubContaminatedSpans]]: corpus
     * documents arrive as `op = "doc"` rows and are scrubbed against

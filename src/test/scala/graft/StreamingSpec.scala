@@ -1474,6 +1474,88 @@ class StreamingSpec extends SparkSpec {
       !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
   }
 
+  test("streamingLayout: store rows equal the op-store fold after " +
+      "every trigger and the pruned scan stays lossless; same-batch " +
+      "del beats add; re-send replaces (old bucket row leaves); " +
+      "mid-crash redelivery rebuilds without duplicate appends; " +
+      "redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Layout
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_layout").toString
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamingIngest.streamingLayout(
+      mem.toDF().toDF("op", "id", "x", "y"),
+      s"$tmp/adds", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt",
+      Seq("x", "y"), bits = 4, nBuckets = 16)
+    def stored(): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$tmp/store")
+        .select("id", "x", "y").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      // t1: a 4×4 block + an outlier + a born-dead add+del of 99
+      val block = for { x <- 0L until 4L; y <- 0L until 4L }
+        yield ("add", y * 16L + x, x, y)
+      mem.addData(block :+ ("add", 300L, 15L, 15L) :+
+        ("add", 99L, 7L, 7L) :+ ("del", 99L, 0L, 0L): _*)
+      q.processAllAvailable()
+      assert(stored().size == 17 && !stored().contains(99L),
+        "born dead; cold build carries the fold")
+      assert(stored()(300L) == ((15L, 15L)))
+      // pruned scan lossless over the cold-built store
+      val box1 = Layout.prunedScan(spark, s"$tmp/store",
+        Seq(("x", 0L, 3L), ("y", 0L, 3L))).count()
+      assert(box1 == 16L)
+      // t2: take down two cells, re-send one id with NEW coordinates
+      mem.addData(("del", 0L, 0L, 0L), ("del", 17L, 0L, 0L),
+        ("add", 2L, 9L, 9L))
+      q.processAllAvailable()
+      val s2 = stored()
+      assert(s2.size == 15 && !s2.contains(0L) && !s2.contains(17L))
+      assert(s2(2L) == ((9L, 9L)),
+        "re-sent id carries only its new coordinates")
+      val box2 = Layout.prunedScan(spark, s"$tmp/store",
+        Seq(("x", 0L, 3L), ("y", 0L, 3L)))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(!box2.contains(2L) && box2.size == 13,
+        "the moved row left its old bucket's box")
+    } finally q.stop()
+    val before = stored()
+    // fresh-checkpoint redelivery: marker no-op
+    val mem2 = MemoryStream[(String, Long, Long, Long)]
+    val q2 = StreamingIngest.streamingLayout(
+      mem2.toDF().toDF("op", "id", "x", "y"),
+      s"$tmp/adds", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt2",
+      Seq("x", "y"), bits = 4, nBuckets = 16)
+    try {
+      mem2.addData(("add", 0L, 0L, 0L), ("add", 300L, 15L, 15L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(stored() == before, "redelivered batch absorbed once")
+    // mid-crash redelivery: the append path would duplicate rows —
+    // the twin must rebuild from the FULL fold instead (the
+    // redelivered stream restarts at batch 0, so the marker surgery
+    // targets batch 0; the fold still carries batch 1's ops)
+    assert(new java.io.File(s"$tmp/adds/_batches/0").delete())
+    assert(new java.io.File(s"$tmp/adds/_batches/0.started").mkdirs())
+    val mem3 = MemoryStream[(String, Long, Long, Long)]
+    val q3 = StreamingIngest.streamingLayout(
+      mem3.toDF().toDF("op", "id", "x", "y"),
+      s"$tmp/adds", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt3",
+      Seq("x", "y"), bits = 4, nBuckets = 16)
+    try {
+      mem3.addData((for { x <- 0L until 4L; y <- 0L until 4L }
+        yield ("add", y * 16L + x, x, y)) :+
+        ("add", 300L, 15L, 15L) :+ ("add", 99L, 7L, 7L) :+
+        ("del", 99L, 0L, 0L): _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(stored() == before,
+      "mid-crash redelivery rebuilds from the fold, no duplicates")
+    assert(new java.io.File(s"$tmp/adds/_batches/0").exists &&
+      !new java.io.File(s"$tmp/adds/_batches/0.started").exists)
+  }
+
   test("streamingDecontaminate: every trigger equals the batch scrub " +
       "bit-for-bit; a new eval set re-scrubs exactly the touched docs " +
       "from ORIGINAL text; doc re-send replaces; same-trigger dup " +
