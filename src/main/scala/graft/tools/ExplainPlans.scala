@@ -64,7 +64,13 @@ object ExplainPlans {
         "q_g26f_decr_scc", "q_g28_neighbor_agg", "q_g29_bridges",
         "q_g29b_articulation", "q_x3s_retrained_index",
         "q_st30c_interval_delete", "q_x4v_code_extract", "q_x4w_zipf",
-        "q_x13c_unigram_candidates")
+        "q_x13c_unigram_candidates",
+        // round-13 additions
+        "q_x9f_lex_maintenance", "q_x14d_lm_maintenance",
+        "q_x14e_lm_maintained_mkn", "q_l1_zorder_layout",
+        "q_l2_skipping_stats", "q_l3_hilbert_layout",
+        "q_l4_pruned_scan", "q_l5_layout_append",
+        "q_l6_layout_erasure")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
