@@ -436,8 +436,16 @@ private[graft] object QueriesText {
     // continuation counts; every discount a fixed double expression
     // of exact longs with operand association mirrored in the oracle.
     // ----
+    // The modified-KN rows run on the doc_id<100 corpus: the
+    // estimator NEEDS count-class diversity (n1..n3 > 0 at both
+    // orders — KenLM's own precondition, enforced loudly), and the
+    // synthetic corpus's vocabulary SATURATES at sf0.1 (5000 docs:
+    // count-1 continuation pairs vanish entirely), where the engine
+    // correctly refuses. The 100-doc prefix keeps every count class
+    // populated at all three SFs — measured, not assumed.
     "q_x14c_mkn_trigram_ppl" -> ((s, dir) =>
-      Relevance.knTrigramPerplexityModified(t(s, dir, "documents"),
+      Relevance.knTrigramPerplexityModified(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
           "doc_id", "text")
         .select(col("doc_id"), col("n_trigrams"),
           floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
@@ -472,21 +480,22 @@ private[graft] object QueriesText {
         .orderBy("doc_id")
     }),
 
-    // ---- X14e: MODIFIED-KN served off the maintained store — the
+    // ---- X14e: MODIFIED-KN served off a maintained store — the
     // production estimator (count-class discounts re-derived from the
     // MAINTAINED counts' count-of-counts) after an adds-only
-    // maintenance call brings the %7==3 group into the q_x14d base
-    // store, making the effective corpus the FULL documents table: the
-    // oracle is q_x14c's proven chain, so a green row certifies the
-    // whole discount ladder survives maintenance bit-exactly. (The
-    // q_x14d takedown subset can't carry this row — its live corpus
-    // legitimately violates KenLM's n1..n3 > 0 precondition at the
-    // bigram-continuation order on sf0.01, and the engine refuses
-    // loudly, as designed. The removal path stays oracled by
+    // maintenance call brings the %7==3 group into a base built on
+    // the rest, making the effective corpus exactly q_x14c's
+    // doc_id<100 corpus (same precondition note): the oracle is
+    // q_x14c's proven chain, so a green row certifies the whole
+    // discount ladder survives maintenance bit-exactly. (A takedown
+    // subset can't carry this row — removing docs only thins the
+    // count classes further; the removal path stays oracled by
     // q_x14d's plain-KN row.) ----
     "q_x14e_lm_maintained_mkn" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val m = Relevance.maintainTrigramLm(x14dBaseLm(s, dir),
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val lm0 = Relevance.buildTrigramLm(
+        d.filter(col("doc_id") % 7 =!= 3), "doc_id", "text")
+      val m = Relevance.maintainTrigramLm(lm0,
         d.filter(col("doc_id") % 7 === 3), d.limit(0), "doc_id",
         "text")
       Relevance.knTrigramFromModelModified(m.model, d, "doc_id",
@@ -1631,13 +1640,15 @@ private[graft] object QueriesText {
     // count-of-counts CTEs and their discount rows; every CASE /
     // quotient association mirrors the engine column expressions
     // exactly (Y inlined per discount — identical doubles either way).
-    "q_x14c_mkn_trigram_ppl" -> mknOracle("", "documents"),
+    "q_x14c_mkn_trigram_ppl" -> mknOracle("",
+      "(SELECT * FROM documents WHERE doc_id < 100)"),
 
     // Maintained-store modified-KN: the adds-only maintenance makes
     // the effective corpus the FULL table, so the oracle is exactly
     // the one-shot q_x14c chain — any drift in the maintained counts'
     // count-of-counts, discounts, or γ weights hash-mismatches.
-    "q_x14e_lm_maintained_mkn" -> mknOracle("", "documents"),
+    "q_x14e_lm_maintained_mkn" -> mknOracle("",
+      "(SELECT * FROM documents WHERE doc_id < 100)"),
 
     // Maintained-LM rebuild: q_x14b's exact chain over the POST-CHANGE
     // live corpus (takedowns %5==0 out unless re-added; %7==3 new
