@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** sources, projection, joins (incl. as-of/range), merge/union, aggregates, windows, set ops, CDC, graph build — one slice of the [[SparkEntry]] driver contract
-  * (40 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (42 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesEtl {
   import EntryData._
@@ -511,6 +511,21 @@ private[graft] object QueriesEtl {
           "l_suppkey")
     }),
 
+    // ---- L7: K-DIMENSIONAL Hilbert layout (Skilling transform) —
+    // 3 clustered columns, the realistic lakehouse case beyond the
+    // 2-D xy2d state machine; the oracle replays the published
+    // algorithm mutation by mutation in generated CTEs. ----
+    "q_l7_hilbert3_layout" -> ((s, dir) =>
+      Layout.hilbertLayoutK(t(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey", "l_linenumber"), bits = 4,
+          nBuckets = 8)
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_h").as("hval"), col("_bucket").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -621,7 +636,100 @@ private[graft] object QueriesEtl {
        |  FROM h8)""".stripMargin
   }
 
+  /** The k=3 Hilbert oracle: the Skilling transform mirrored mutation
+    * by mutation — per bit plane (8, 4, 2) an X0-invert CTE then one
+    * exchange CTE per remaining axis (the exchange mask t computed in
+    * a subquery exactly like the engine's `_t` column), then the
+    * sequential Gray decode, the trailing-axis correction, and the
+    * 12-term transpose interleave. Generated so the step order (which
+    * the algorithm depends on) can never drift from
+    * [[graft.operators.Layout.withHilbertK]]. Normalizes lineitem
+    * (l_partkey, l_suppkey, l_linenumber) to 4 bits; ends at
+    * `hb(l_orderkey, l_linenumber, l_partkey, l_suppkey, hval,
+    * bucket)`. */
+  private lazy val hilbert3Ctes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH st AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS mnp,
+        |    CAST(max(l_partkey) AS BIGINT) AS mxp,
+        |    CAST(min(l_suppkey) AS BIGINT) AS mns,
+        |    CAST(max(l_suppkey) AS BIGINT) AS mxs,
+        |    CAST(min(l_linenumber) AS BIGINT) AS mnl,
+        |    CAST(max(l_linenumber) AS BIGINT) AS mxl
+        |  FROM lineitem),
+        |s0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CASE WHEN mxp = mnp THEN 0 ELSE
+        |      (CAST(l_partkey AS BIGINT) - mnp) * 15 // (mxp - mnp)
+        |    END AS x0,
+        |    CASE WHEN mxs = mns THEN 0 ELSE
+        |      (CAST(l_suppkey AS BIGINT) - mns) * 15 // (mxs - mns)
+        |    END AS x1,
+        |    CASE WHEN mxl = mnl THEN 0 ELSE
+        |      (CAST(l_linenumber AS BIGINT) - mnl) * 15 // (mxl - mnl)
+        |    END AS x2
+        |  FROM lineitem, st)""".stripMargin)
+    val keys = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    var step = 0
+    def next(body: String): Unit = {
+      step += 1
+      sb.append(s",\ns$step AS (\n$body\n  FROM s${step - 1})")
+    }
+    for (q <- Seq(8L, 4L, 2L)) {
+      val p = q - 1
+      // i = 0: invert only (the self-exchange mask is zero)
+      next(s"""  SELECT $keys,
+              |    CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p)
+              |      ELSE x0 END AS x0, x1, x2""".stripMargin)
+      for (i <- 1 until 3) {
+        val xi = s"x$i"
+        val others = (1 until 3).filter(_ != i).map(j => s"x$j")
+        step += 1
+        sb.append(s""",
+           |s$step AS (
+           |  SELECT $keys,
+           |    CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p)
+           |      ELSE xor(x0, _t) END AS x0,
+           |    xor($xi, _t) AS $xi, ${others.mkString(", ")}
+           |  FROM (SELECT *,
+           |      CASE WHEN ($xi & $q) <> 0 THEN 0
+           |        ELSE xor(x0, $xi) & $p END AS _t
+           |    FROM s${step - 1}))""".stripMargin)
+      }
+    }
+    // sequential Gray decode, then the trailing-axis correction
+    next(s"""  SELECT $keys, x0, xor(x1, x0) AS x1, x2""")
+    next(s"""  SELECT $keys, x0, x1, xor(x2, x1) AS x2""")
+    val tExpr = Seq(8L, 4L, 2L).map(q =>
+      s"(CASE WHEN (x2 & $q) <> 0 THEN ${q - 1} ELSE 0 END)")
+      .reduce((a, b) => s"xor($a, $b)")
+    step += 1
+    sb.append(s""",
+       |s$step AS (
+       |  SELECT $keys, xor(x0, _gt) AS x0, xor(x1, _gt) AS x1,
+       |    xor(x2, _gt) AS x2
+       |  FROM (SELECT *, $tExpr AS _gt FROM s${step - 1}))"""
+      .stripMargin)
+    val terms = (for { i <- 0 until 3; b <- 0 until 4 } yield
+      s"(((x$i >> $b) & 1) << ${b * 3 + (2 - i)})").mkString(" | ")
+    sb.append(s""",
+       |hb AS (
+       |  SELECT $keys, ($terms) AS hval,
+       |    (($terms) * 8) // 4096 AS bucket
+       |  FROM s$step)""".stripMargin)
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_l7_hilbert3_layout" ->
+      s"""$hilbert3Ctes
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(hval AS BIGINT) AS hval, CAST(bucket AS BIGINT) AS bucket
+         |FROM hb WHERE l_orderkey < 200
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
+
     // Appended-store pruned scan: anchors pinned to the BASE subset
     // (the store's build corpus), every value clamped against them
     // (no-op in-domain), result = the full-table filter.

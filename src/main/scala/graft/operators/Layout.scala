@@ -151,6 +151,106 @@ object Layout {
     cur.drop("_hx", "_hy")
   }
 
+  /** K-DIMENSIONAL Hilbert index via the Skilling transform
+    * (J. Skilling, "Programming the Hilbert curve", AIP Conf. Proc.
+    * 707, 2004 — the published constant-space algorithm): coordinates
+    * (each in [0, 2^bits)) map to the curve index by the inverse-undo
+    * sweep (per bit plane Q from the top: invert X0 by Q−1 where
+    * X[i] has bit Q, else exchange X0/X[i] under the Q−1 mask), a
+    * Gray decode across axes, and the bit-plane interleave of the
+    * transposed result. Extends [[withHilbert]] beyond two
+    * dimensions — 3–4 clustered columns is the realistic lakehouse
+    * case; for k=2 the orientation differs from [[withHilbert]]'s
+    * xy2d but is an equally valid Hilbert traversal (the spec proves
+    * the defining property — every unit step on the curve is a unit
+    * grid step — in 2-D and 3-D directly).
+    *
+    * Each in-place mutation of the C algorithm lands as ONE named
+    * column assignment, so the step order (which the algorithm
+    * depends on) is explicit and the expression tree stays linear in
+    * `k·bits`. Appends `_h`. */
+  def withHilbertK(df: DataFrame, cols: Seq[String],
+      bits: Int): DataFrame = {
+    val n = cols.size
+    require(n >= 2, "withHilbertK needs at least two columns")
+    require(bits >= 1 && n * bits <= 62,
+      s"k*bits must be in [2, 62], got $n*$bits")
+    var cur = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"_hk$i", col(c).cast("long"))
+    }
+    def bitSet(i: Int, q: Long): Column =
+      col(s"_hk$i").bitwiseAND(lit(q)) =!= 0L
+    // inverse undo, top bit plane down to 2
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      // i = 0: the exchange degenerates (t = 0) — only the invert acts
+      cur = cur.withColumn("_hk0",
+        when(bitSet(0, q), col("_hk0").bitwiseXOR(lit(p)))
+          .otherwise(col("_hk0")))
+      for (i <- 1 until n) {
+        cur = cur
+          .withColumn("_t",
+            when(bitSet(i, q), lit(0L))
+              .otherwise(col("_hk0").bitwiseXOR(col(s"_hk$i"))
+                .bitwiseAND(lit(p))))
+          .withColumn("_hk0",
+            when(bitSet(i, q), col("_hk0").bitwiseXOR(lit(p)))
+              .otherwise(col("_hk0").bitwiseXOR(col("_t"))))
+          .withColumn(s"_hk$i",
+            col(s"_hk$i").bitwiseXOR(col("_t")))
+          .drop("_t")
+      }
+      q >>= 1
+    }
+    // Gray decode across axes
+    for (i <- 1 until n)
+      cur = cur.withColumn(s"_hk$i",
+        col(s"_hk$i").bitwiseXOR(col(s"_hk${i - 1}")))
+    var tAcc: Column = lit(0L)
+    var q2 = 1L << (bits - 1)
+    while (q2 > 1) {
+      tAcc = tAcc.bitwiseXOR(
+        when(bitSet(n - 1, q2), lit(q2 - 1L)).otherwise(lit(0L)))
+      q2 >>= 1
+    }
+    cur = cur.withColumn("_gt", tAcc)
+    for (i <- 0 until n)
+      cur = cur.withColumn(s"_hk$i",
+        col(s"_hk$i").bitwiseXOR(col("_gt")))
+    // interleave the transpose: X[i] bit q lands at h bit q*n+(n-1-i)
+    val terms = for { i <- 0 until n; b <- 0 until bits } yield
+      shiftleft(shiftright(col(s"_hk$i"), b).bitwiseAND(lit(1L)),
+        b * n + (n - 1 - i))
+    cur.withColumn("_h", terms.reduce(_.bitwiseOR(_)))
+      .drop("_gt")
+      .drop((0 until n).map(i => s"_hk$i"): _*)
+  }
+
+  /** [[hilbertLayout]] generalized to k ≥ 2 clustered columns via
+    * [[withHilbertK]] — same one-stats-scan normalization and fixed
+    * h-range buckets. */
+  def hilbertLayoutK(df: DataFrame, cols: Seq[String], bits: Int,
+      nBuckets: Int): DataFrame = {
+    val k = cols.size
+    require(nBuckets >= 1 && k * bits <= 40,
+      "k*bits must be <= 40 so bucket math stays in long range")
+    val statExprs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"_min_$c"),
+      max(col(c)).cast("long").as(s"_max_$c")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*)
+    val withN = cols.zipWithIndex.foldLeft(
+      df.crossJoin(broadcast(stats))) { case (d, (c, i)) =>
+      d.withColumn(s"_cn$i", normalizeToBits(col(c),
+        col(s"_min_$c"), col(s"_max_$c"), bits))
+    }
+    withHilbertK(withN, (0 until k).map(i => s"_cn$i"), bits)
+      .withColumn("_bucket",
+        idiv(col("_h") * lit(nBuckets.toLong), lit(1L << (k * bits))))
+      .drop((0 until k).map(i => s"_cn$i"): _*)
+      .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
+  }
+
   /** [[zOrderLayout]]'s shape on the Hilbert index: normalize the two
     * integral columns against corpus min/max (exact `div`), compute
     * `_h` via [[withHilbert]], bucket by fixed h-ranges. Same one

@@ -284,6 +284,91 @@ class LayoutSpec extends SparkSpec {
         curve = "loop"))
   }
 
+  // reference Skilling AxesToTranspose + interleave — the published
+  // C algorithm transcribed; the column implementation must match it
+  private def skilling(bits: Int, coords: Array[Long]): Long = {
+    val n = coords.length
+    val x = coords.clone()
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until n) x(i) ^= x(i - 1)
+    var t = 0L
+    var q2 = 1L << (bits - 1)
+    while (q2 > 1) { if ((x(n - 1) & q2) != 0) t ^= q2 - 1; q2 >>= 1 }
+    for (i <- 0 until n) x(i) ^= t
+    var h = 0L
+    for (i <- 0 until n; b <- 0 until bits)
+      h |= ((x(i) >> b) & 1L) << (b * n + (n - 1 - i))
+    h
+  }
+
+  test("withHilbertK: equals the reference Skilling transform on the " +
+      "full 3-D grid, is a bijection, and consecutive curve positions " +
+      "are grid neighbors in 3-D and 2-D") {
+    val pts3 = for { x <- 0L until 8L; y <- 0L until 8L;
+      z <- 0L until 8L } yield (x, y, z)
+    val got3 = Layout.withHilbertK(pts3.toDF("x", "y", "z"),
+        Seq("x", "y", "z"), 3)
+      .select("x", "y", "z", "_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    pts3.foreach { case (x, y, z) =>
+      assert(got3((x, y, z)) == skilling(3, Array(x, y, z)),
+        s"($x,$y,$z)")
+    }
+    assert(got3.values.toSet == (0L until 512L).toSet, "3-D bijection")
+    val byH3 = got3.toSeq.map { case ((x, y, z), h) => (h, x, y, z) }
+      .sortBy(_._1)
+    byH3.sliding(2).foreach { case Seq((_, a, b, c), (_, d, e, f)) =>
+      assert(math.abs(a - d) + math.abs(b - e) + math.abs(c - f) == 1L,
+        s"3-D jump ($a,$b,$c)→($d,$e,$f)")
+    }
+    // 2-D: a valid Hilbert traversal (orientation may differ from
+    // the xy2d convention — the defining property is what matters)
+    val pts2 = for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)
+    val got2 = Layout.withHilbertK(pts2.toDF("x", "y"),
+        Seq("x", "y"), 4)
+      .select("x", "y", "_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2.values.toSet == (0L until 256L).toSet, "2-D bijection")
+    got2.toSeq.map { case ((x, y), h) => (h, x, y) }.sortBy(_._1)
+      .sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L)
+      }
+    intercept[IllegalArgumentException](
+      Layout.withHilbertK(pts2.toDF("x", "y"), Seq("x"), 4))
+  }
+
+  test("hilbertLayoutK: 3-column normalization + curve + bucket " +
+      "replay, box pruning works in 3-D") {
+    val pts = for { x <- 5L until 13L; y <- 100L until 108L;
+      z <- 0L until 8L } yield (x, y, z)
+    val laid = Layout.hilbertLayoutK(pts.toDF("x", "y", "z"),
+      Seq("x", "y", "z"), bits = 3, nBuckets = 8)
+    laid.select("x", "y", "z", "_h", "_bucket").collect().foreach { r =>
+      val (x, y, z, h, b) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      // spans are 7 ⇒ (v−min)·7 div 7 is the identity on the offset
+      val expect = skilling(3, Array(x - 5L, y - 100L, z))
+      assert(h == expect && b == h * 8L / 512L, s"($x,$y,$z)")
+    }
+    // the first 64 curve steps fill one 4×4×4 octant — the box query
+    // over that octant prunes 7 of 8 buckets
+    val skipped = Layout.skippingVerdicts(
+      Layout.fileSkippingStats(laid, "_bucket", Seq("x", "y", "z")),
+      Seq(("x", 5L, 8L), ("y", 100L, 103L), ("z", 0L, 3L)))
+      .agg(sum(col("skipped") * col("n_rows"))).head().getLong(0)
+    assert(skipped == 448L, s"3-D box skipped $skipped of 512")
+  }
+
   test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +
       "force, and the z-order layout skips strictly more rows than a " +
       "single-column sort for a 2-D box") {
