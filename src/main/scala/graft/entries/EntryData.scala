@@ -263,19 +263,26 @@ private[graft] object EntryData {
     }
   /** Stored cluster labels over the FULL pair table — q_x1e's
     * pre-takedown world. */
-  def x1PrevFull(s: SparkSession, dir: String): DataFrame =
+  def x1PrevFull(s: SparkSession, dir: String): DataFrame = {
+    // materialize OUTSIDE x1Cached: x1Edges is a computeIfAbsent on
+    // the SAME map, and the CHM contract forbids the mapping function
+    // from touching the map (same-bin recursion can livelock or throw
+    // "Recursive update")
+    val e = x1Edges(s, dir)
     x1Cached(s, dir, "x1prevfull") {
-      Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
-        x1Edges(s, dir))
+      Dedup.connectedComponents(t(s, dir, "documents"), "doc_id", e)
     }
+  }
   /** Stored cluster labels over the id_a%3≠0 pair subset — q_x1g's
     * pre-maintenance world (the %3==0 pairs arrive as the CDC batch's
     * adds). */
-  def x1PrevBase(s: SparkSession, dir: String): DataFrame =
+  def x1PrevBase(s: SparkSession, dir: String): DataFrame = {
+    val e = x1Edges(s, dir) // outside x1Cached — see x1PrevFull
     x1Cached(s, dir, "x1prevbase") {
       Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
-        x1Edges(s, dir).filter(col("id_a") % 3 =!= 0))
+        e.filter(col("id_a") % 3 =!= 0))
     }
+  }
 
   /** q_x9f's shared fixture: the lexical serving store built on the
     * doc_id%7≠3 base corpus, localCheckpoint-pinned per (session,
@@ -308,9 +315,14 @@ private[graft] object EntryData {
     * laid out and written once per dataset); each invocation COPIES
     * it to a fresh dir (the x3k updated-index discipline — appends
     * must not mutate the shared fixture) and appends the held-out
-    * third with the STORE's anchors. */
+    * third with the STORE's anchors. The previous invocation's copy
+    * is deleted first — bench iterations run sequentially per query,
+    * and without the cleanup a 5-iteration pass over q_l5 + q_l6
+    * would pile up 10 full store copies per dataset. */
   private val l5Invocation =
     new java.util.concurrent.atomic.AtomicLong(0L)
+  private val l5LastDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def l5AppendedLayoutDir(s: SparkSession, dir: String): String = {
     val base = layoutDirs.computeIfAbsent(dir + "#l5_base", _ => {
       val path = annScratchRoot + "/layout_base_" +
@@ -325,6 +337,9 @@ private[graft] object EntryData {
     val dst = base + "_app" + l5Invocation.incrementAndGet()
     val conf = s.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val prev = l5LastDir.put(dir, dst)
+    if (prev != null)
+      fs.delete(new org.apache.hadoop.fs.Path(prev), true): Unit
     org.apache.hadoop.fs.FileUtil.copy(fs,
       new org.apache.hadoop.fs.Path(base), fs,
       new org.apache.hadoop.fs.Path(dst), false, conf)

@@ -686,13 +686,13 @@ private[graft] object QueriesText {
   )
 
   /** Modified-KN oracle chain, parameterized on the corpus relation
-    * so the one-shot row (q_x14c, full documents) and the
-    * maintained-store row (q_x14e, post-change live subset) can
+    * so the one-shot row (q_x14c) and the maintained-store row
+    * (q_x14e) — both on the count-diverse doc_id<100 prefix — can
     * never drift. Every CASE / quotient association mirrors the
     * engine column expressions exactly (Y inlined per discount —
     * identical doubles either way). */
-  private def mknOracle(lead: String, rel: String): String =
-    s"""WITH ${lead}arr AS (
+  private def mknOracle(rel: String): String =
+    s"""WITH arr AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
         |  FROM $rel),
         |tg AS (
@@ -1640,14 +1640,15 @@ private[graft] object QueriesText {
     // count-of-counts CTEs and their discount rows; every CASE /
     // quotient association mirrors the engine column expressions
     // exactly (Y inlined per discount — identical doubles either way).
-    "q_x14c_mkn_trigram_ppl" -> mknOracle("",
+    "q_x14c_mkn_trigram_ppl" -> mknOracle(
       "(SELECT * FROM documents WHERE doc_id < 100)"),
 
     // Maintained-store modified-KN: the adds-only maintenance makes
-    // the effective corpus the FULL table, so the oracle is exactly
-    // the one-shot q_x14c chain — any drift in the maintained counts'
-    // count-of-counts, discounts, or γ weights hash-mismatches.
-    "q_x14e_lm_maintained_mkn" -> mknOracle("",
+    // the effective corpus exactly the one-shot row's doc_id<100
+    // prefix, so the oracle is the same chain — any drift in the
+    // maintained counts' count-of-counts, discounts, or γ weights
+    // hash-mismatches.
+    "q_x14e_lm_maintained_mkn" -> mknOracle(
       "(SELECT * FROM documents WHERE doc_id < 100)"),
 
     // Maintained-LM rebuild: q_x14b's exact chain over the POST-CHANGE

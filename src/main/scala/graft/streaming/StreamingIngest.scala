@@ -1003,6 +1003,45 @@ object StreamingIngest {
       st.isDirectory && st.getPath.getName.startsWith("batch="))
   }
 
+  /** Latest-wins reconciliation of a batchId-keyed add/del op-store
+    * pair — the CDC grid's standard fold, shared by the lexical, LM
+    * and layout twins (one fix, one place; the decontamination twin's
+    * fold differs — it has no takedown store): one row per id from
+    * the NEWEST add batch below `limit` (the erasure paths pass the
+    * current batchId to see the state BEFORE their own writes), live
+    * iff that add is strictly newer than the id's latest takedown —
+    * a same-batch takedown beats the add. `empty` supplies the
+    * (id + payload) schema when the add store has no batches yet. */
+  private def latestWinsFold(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, addsDir: String,
+      delsDir: String, idCol: String, payload: Seq[String],
+      empty: => DataFrame,
+      limit: Long = Long.MaxValue): DataFrame =
+    if (!hasBatchData(fs, addsDir)) empty
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(col("batch").cast("long").desc)
+      val latest = spark.read.parquet(addsDir)
+        .filter(col("batch").cast("long") < limit)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col(idCol) +: payload.map(col) :+
+          col("batch").cast("long").as("_ab"): _*)
+      val dMax =
+        if (hasBatchData(fs, delsDir))
+          spark.read.parquet(delsDir)
+            .filter(col("batch").cast("long") < limit)
+            .groupBy(idCol)
+            .agg(max(col("batch").cast("long")).as("_db"))
+        else latest.limit(0).select(col(idCol))
+          .withColumn("_db", lit(-1L))
+      latest.join(dMax, Seq(idCol), "left")
+        .filter(col("_db").isNull || col("_db") < col("_ab"))
+        .select(col(idCol) +: payload.map(col): _*)
+    }
+
   /** Refuse a raw store whose root holds loose data files beside (or
     * about to gain) `batch=<id>/` subdirectories — the mixed layout
     * breaks Spark's partition discovery (inconsistent directory depth)
@@ -1801,27 +1840,8 @@ object StreamingIngest {
                 .parquet(s"$delsDir/batch=$batchId")
             // reconciled ground truth: live docs = latest add strictly
             // newer than the latest takedown, latest text wins
-            def liveDocs(): DataFrame =
-              if (!hasBatchData(fs, docsDir)) adds.limit(0)
-              else {
-                val w = org.apache.spark.sql.expressions.Window
-                  .partitionBy(col(idCol))
-                  .orderBy(col("batch").cast("long").desc)
-                val latest = spark.read.parquet(docsDir)
-                  .withColumn("_rn", row_number().over(w))
-                  .filter(col("_rn") === 1)
-                  .select(col(idCol), col(textCol),
-                    col("batch").cast("long").as("_ab"))
-                val dMax =
-                  if (hasBatchData(fs, delsDir))
-                    spark.read.parquet(delsDir)
-                      .groupBy(idCol)
-                      .agg(max(col("batch").cast("long")).as("_db"))
-                  else dels.limit(0).withColumn("_db", lit(-1L))
-                latest.join(dMax, Seq(idCol), "left")
-                  .filter(col("_db").isNull || col("_db") < col("_ab"))
-                  .select(col(idCol), col(textCol))
-              }
+            def liveDocs(): DataFrame = latestWinsFold(spark, fs,
+              docsDir, delsDir, idCol, Seq(textCol), adds.limit(0))
             val sMark = new org.apache.hadoop.fs.Path(
               s"$indexDir/docs/_SUCCESS")
             val ix =
@@ -1927,31 +1947,9 @@ object StreamingIngest {
             // reconciled ground truth (optionally only batches BEFORE
             // `limit` — the erasure path's prev-live lookup): live =
             // latest add strictly newer than the latest takedown
-            def liveDocs(limit: Long = Long.MaxValue): DataFrame = {
-              val anyAdds = hasBatchData(fs, docsDir)
-              if (!anyAdds) adds.limit(0)
-              else {
-                val w = org.apache.spark.sql.expressions.Window
-                  .partitionBy(col(idCol))
-                  .orderBy(col("batch").cast("long").desc)
-                val latest = spark.read.parquet(docsDir)
-                  .filter(col("batch").cast("long") < limit)
-                  .withColumn("_rn", row_number().over(w))
-                  .filter(col("_rn") === 1)
-                  .select(col(idCol), col(textCol),
-                    col("batch").cast("long").as("_ab"))
-                val dMax =
-                  if (hasBatchData(fs, delsDir))
-                    spark.read.parquet(delsDir)
-                      .filter(col("batch").cast("long") < limit)
-                      .groupBy(idCol)
-                      .agg(max(col("batch").cast("long")).as("_db"))
-                  else dels.limit(0).withColumn("_db", lit(-1L))
-                latest.join(dMax, Seq(idCol), "left")
-                  .filter(col("_db").isNull || col("_db") < col("_ab"))
-                  .select(col(idCol), col(textCol))
-              }
-            }
+            def liveDocs(limit: Long = Long.MaxValue): DataFrame =
+              latestWinsFold(spark, fs, docsDir, delsDir, idCol,
+                Seq(textCol), adds.limit(0), limit)
             val sMark = new org.apache.hadoop.fs.Path(
               s"$lmDir/model/_SUCCESS")
             val lm =
@@ -2056,27 +2054,8 @@ object StreamingIngest {
                 .parquet(s"$delsDir/batch=$batchId")
             // reconciled live rows: latest add strictly newer than
             // the latest takedown, latest values win
-            def liveRows(): DataFrame =
-              if (!hasBatchData(fs, addsDir)) adds.limit(0)
-              else {
-                val w = org.apache.spark.sql.expressions.Window
-                  .partitionBy(col(idCol))
-                  .orderBy(col("batch").cast("long").desc)
-                val latest = spark.read.parquet(addsDir)
-                  .withColumn("_rn", row_number().over(w))
-                  .filter(col("_rn") === 1)
-                  .select(col(idCol) +: cols.map(col) :+
-                    col("batch").cast("long").as("_ab"): _*)
-                val dMax =
-                  if (hasBatchData(fs, delsDir))
-                    spark.read.parquet(delsDir)
-                      .groupBy(idCol)
-                      .agg(max(col("batch").cast("long")).as("_db"))
-                  else dels.limit(0).withColumn("_db", lit(-1L))
-                latest.join(dMax, Seq(idCol), "left")
-                  .filter(col("_db").isNull || col("_db") < col("_ab"))
-                  .select(col(idCol) +: cols.map(col): _*)
-              }
+            def liveRows(): DataFrame = latestWinsFold(spark, fs,
+              addsDir, delsDir, idCol, cols, adds.limit(0))
             val sMark = new org.apache.hadoop.fs.Path(
               s"$storeDir/_stats/_SUCCESS")
             if (fs.exists(sMark) && !midCrash) {
@@ -2101,15 +2080,19 @@ object StreamingIngest {
               }
             } else {
               // cold start OR mid-crash redelivery: re-anchor via a
-              // full rebuild from the reconciled fold
+              // full rebuild from the reconciled fold. The old store
+              // clears UNCONDITIONALLY — if the live set is empty
+              // (e.g. the crashed batch took everything down),
+              // leaving the stale files would serve erased rows
+              // forever, since later triggers' change sets never
+              // name them again
               val live = liveRows().localCheckpoint()
-              if (!live.isEmpty) {
-                fs.delete(new org.apache.hadoop.fs.Path(storeDir),
-                  true): Unit
+              fs.delete(new org.apache.hadoop.fs.Path(storeDir),
+                true): Unit
+              if (!live.isEmpty)
                 graft.operators.Layout.writeLayout(
                   graft.operators.Layout.zOrderLayout(live, cols,
                     bits, nBuckets), storeDir, cols)
-              }
             }
             fs.mkdirs(marker): Unit
             fs.delete(started, true): Unit
