@@ -341,6 +341,10 @@ object Layout {
         "store records data, not its curve; mixing curves scatters " +
         "the delta across unrelated buckets)")
     val stats = spark.read.parquet(s"$path/_stats")
+    cols.foreach(c => require(stats.columns.contains(s"min_$c"),
+      s"appendToLayout: the manifest has no envelope for column " +
+        s"'$c' — the append must name exactly the columns the store " +
+        "was written with"))
     val anchorExprs = cols.flatMap(c => Seq(
       min(col(s"min_$c")).as(s"_min_$c"),
       max(col(s"max_$c")).as(s"_max_$c")))
@@ -476,7 +480,21 @@ object Layout {
   def prunedScan(spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Seq[(String, Long, Long)]): DataFrame = {
     require(ranges.nonEmpty, "prunedScan needs at least one range")
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    val fs = statsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(statsPath),
+      s"prunedScan: no skipping manifest at $statsPath — the store " +
+        "must be written by writeLayout (or carry its layout); a " +
+        "plain parquet directory cannot be manifest-pruned")
     val stats = spark.read.parquet(s"$path/_stats")
+    ranges.foreach { case (c, _, _) =>
+      require(stats.columns.contains(s"min_$c"),
+        s"prunedScan: the manifest has no envelope for column '$c' " +
+          s"(stat columns: ${stats.columns.filter(_.startsWith("min_"))
+            .map(_.stripPrefix("min_")).mkString(", ")}) — only " +
+          "columns named at writeLayout can prune")
+    }
     val kept = skippingVerdicts(stats, ranges)
       .filter(col("skipped") === 0L)
       .select(col("bucket")).collect().map(_.getLong(0))

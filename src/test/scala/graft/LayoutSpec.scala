@@ -167,6 +167,18 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() == 0L && none.columns.contains("y"))
     intercept[IllegalArgumentException](
       Layout.prunedScan(spark, path, Nil))
+    // fail fast, with a clear message, on a plain parquet dir (no
+    // manifest) and on a range over a column the manifest never saw
+    val bare = path + "_bare"
+    pts.write.parquet(bare)
+    val noManifest = intercept[IllegalArgumentException](
+      Layout.prunedScan(spark, bare, ranges))
+    assert(noManifest.getMessage.contains("no skipping manifest"))
+    val noCol = intercept[IllegalArgumentException](
+      Layout.prunedScan(spark, path, Seq(("zzz", 0L, 1L))))
+    assert(noCol.getMessage.contains("no envelope for column 'zzz'"))
+    intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, path, pts, Seq("zzz"), 4, 16))
   }
 
   test("appendToLayout: delta assigned with the ORIGINAL anchors, " +
