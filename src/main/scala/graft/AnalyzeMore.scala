@@ -75,6 +75,25 @@ private[graft] object AnalyzeMore {
           hLaid, "_bucket", args.colsList)
         case _ => hLaid
       })
+    case "pca" =>
+      // PCA over an embedding column: --vectors <dir>, --vec-col,
+      // --merges reused as k (component count), --iterations the
+      // power-iteration budget; --mode moments emits the exact
+      // second-moment model instead of the projections
+      require(args.vectors.nonEmpty,
+        "pca needs --vectors <dir>; --vec-col <col> (default " +
+          "embedding), --id-col <col>, --merges <k components>, " +
+          "--iterations N, --mode project|moments")
+      val vecs = spark.read.parquet(args.vectors)
+      Some(args.mode match {
+        case "moments" =>
+          graft.operators.Similarity.pcaMoments(vecs, args.vecCol)
+        case _ =>
+          val model = graft.operators.Similarity.pcaFit(vecs,
+            args.vecCol, k = args.merges, iters = args.iterations)
+          graft.operators.Similarity.pcaProject(vecs, args.idCol,
+            args.vecCol, model)
+      })
     case _ => None
   }
 }

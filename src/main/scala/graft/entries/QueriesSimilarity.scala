@@ -10,7 +10,7 @@ import graft.operators._
 import graft.streaming.StreamingIngest
 
 /** ANN serving lifecycle X3 (brute/IVF/PQ topK, rerank, index build/update/compact/delete) — one slice of the [[SparkEntry]] driver contract
-  * (16 queries). Chunks moved verbatim from SparkEntry.scala;
+  * (17 queries). Chunks moved verbatim from SparkEntry.scala;
   * the assembled `queries`/`oracleSql` maps are unchanged. */
 private[graft] object QueriesSimilarity {
   import EntryData._
@@ -387,9 +387,53 @@ private[graft] object QueriesSimilarity {
           col("n_lists"))
         .orderBy(col("rrf_score").desc, col("id"))
     }),
+
+    // ---- X3v: PCA second moments — the distributed half of the
+    // whitening/rotation preprocessing (OPQ-style quantizers,
+    // semantic dedup): e6-quantized components, every sum and
+    // upper-triangle product an EXACT long (partition-order-free),
+    // covariance one mirrored double expression, e9-integerized for
+    // the hash compare. The d×d eigensolve rides driver-side on this
+    // d²-row model (SimilaritySpec proves it against a planted
+    // principal axis). ----
+    "q_x3v_pca_moments" -> ((s, dir) =>
+      Similarity.pcaMoments(t(s, dir, "embeddings"), "embedding")
+        .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+          col("sp"),
+          floor(col("cov") * lit(1e9) + lit(0.5)).as("cov_e9"))
+        .orderBy("i", "j")),
   )
 
   def oracles: Map[String, String] = Map(
+    // Moments rebuilt with DuckDB list lambdas: identical e6
+    // quantization (float→double widening exact on both engines),
+    // exact BIGINT sums/products, the covariance's operand
+    // association mirrored term for term.
+    "q_x3v_pca_moments" ->
+      """WITH v6 AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(x * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, i - 1 AS i, v[i] AS x
+        |  FROM v6, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
+        |sums AS (SELECT i, sum(x) AS s, count(*) AS n FROM ex
+        |         GROUP BY i),
+        |pr AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+        |  FROM ex a JOIN ex b
+        |    ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(pr.i AS BIGINT) AS i, CAST(pr.j AS BIGINT) AS j,
+        |  si.n AS n, CAST(si.s AS BIGINT) AS s_i,
+        |  CAST(sj.s AS BIGINT) AS s_j, CAST(pr.sp AS BIGINT) AS sp,
+        |  CAST(floor(
+        |    (CAST(pr.sp AS DOUBLE) - CAST(si.s AS DOUBLE) * sj.s / si.n)
+        |      / si.n / CAST(1e12 AS DOUBLE) * 1e9
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cov_e9
+        |FROM pr JOIN sums si ON si.i = pr.i
+        |  JOIN sums sj ON sj.i = pr.j
+        |ORDER BY i, j""".stripMargin,
     // Greedy MMR unroll — see mmrOracle.
     "q_x3d_mmr_rerank" -> mmrOracle(5),
 

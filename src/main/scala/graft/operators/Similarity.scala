@@ -1138,4 +1138,145 @@ object Similarity {
       (if (drift.isNaN) lit(null).cast("boolean")
        else lit(drift > tol)).as("retrain_recommended"))
   }
+
+  /** EXACT-integer second-moment table for PCA over an embedding
+    * column — the distributed half of principal-component analysis
+    * (whitening/rotation is standard preprocessing for OPQ-style
+    * quantizers and semantic dedup): every component is e6-quantized
+    * (`floor(x·1e6 + 0.5)` as BIGINT — float→double widening is
+    * exact, so both engines quantize identically), and all moments
+    * accumulate in EXACT long arithmetic — per-dimension sums and the
+    * upper-triangle product sums Σ xᵢ·xⱼ (i ≤ j; e6 components of
+    * unit-scale embeddings keep n·xᵢ·xⱼ ≲ 2⁵¹ at bench scale, far
+    * from overflow) — so the model is partition-order-free and fully
+    * SQL-replayable. The covariance itself is one double expression
+    * of the exact longs, association mirrored in the oracle:
+    * `cov = (sp − sᵢ·sⱼ/n) / n / 1e12`.
+    *
+    * Scale notes (100 TB): corpus-sized work = one narrow per-row
+    * upper-triangle zip (d(d+1)/2 structs per row — the Gram
+    * shuffle; output is d²-bounded, never corpus-bounded, and the
+    * groupBy partial-aggregates map-side) + one posexplode for the
+    * per-dimension sums. d is the embedding width (64 here; a few
+    * thousand at most in practice) — the model is a d²-row frame.
+    *
+    * @return (i, j, n, s_i, s_j, sp, cov) for 0 ≤ i ≤ j < d */
+  def pcaMoments(vectors: DataFrame, vecCol: String): DataFrame = {
+    val v6 = vectors.select(expr(
+      s"transform($vecCol, x -> " +
+        "cast(floor(x * 1e6 + 0.5d) as bigint))").as("_v6"))
+    val ex = v6.select(posexplode(col("_v6")).as(Seq("i", "x")))
+    val sums = ex.groupBy("i")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    val prods = v6.select(explode(expr(
+      "flatten(transform(_v6, (x, i) -> " +
+        "transform(slice(_v6, i + 1, size(_v6) - i), (y, j) -> " +
+        "struct(i as i, i + j as j, x * y as p))))")).as("_p"))
+      .select(col("_p.i").as("i"), col("_p.j").as("j"),
+        col("_p.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sp"))
+    prods
+      .join(sums.select(col("i"), col("s").as("s_i"), col("n")),
+        Seq("i"))
+      .join(sums.select(col("i").as("j"), col("s").as("s_j")),
+        Seq("j"))
+      .select(col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), col("n"), col("s_i"),
+        col("s_j"), col("sp"),
+        ((col("sp").cast("double") -
+          col("s_i").cast("double") * col("s_j") / col("n")) /
+          col("n") / lit(1e12)).as("cov"))
+  }
+
+  /** A fitted PCA model: per-dimension means (of the e6-quantized
+    * components, descaled), the top-k components (rows, orthonormal),
+    * and their eigenvalues — all plain driver-side arrays; the d×d
+    * eigensolve is a DOCUMENTED BOUNDED driver step (the ≤64-landmark
+    * fetch discipline: d² covariance cells, never corpus rows). */
+  final case class PcaModel(means: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double])
+
+  /** Fit PCA: [[pcaMoments]] (distributed, exact) + power iteration
+    * with deflation on the collected d×d covariance (driver-side,
+    * DETERMINISTIC — a fixed all-ones start and a fixed iteration
+    * count, no data-dependent convergence test, so the same moments
+    * give bit-identical components on any cluster). Eigenvector sign
+    * is pinned: the largest-|weight| coordinate is made positive
+    * (v and −v span the same axis; the pin makes results
+    * comparable). */
+  def pcaFit(vectors: DataFrame, vecCol: String, k: Int,
+      iters: Int = 100): PcaModel = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val rows = pcaMoments(vectors, vecCol)
+      .select("i", "j", "n", "s_i", "sp").collect()
+    val d = rows.map(_.getLong(1)).max.toInt + 1
+    require(k <= d, s"k must be <= dim $d")
+    val n = rows.head.getLong(2).toDouble
+    val means = new Array[Double](d)
+    rows.foreach { r =>
+      if (r.getLong(0) == r.getLong(1))
+        means(r.getLong(0).toInt) = r.getLong(3) / n / 1e6
+    }
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val sp = r.getLong(4).toDouble
+      val cov = (sp - means(i) * 1e6 * n * means(j) * 1e6 / n) /
+        n / 1e12
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = new Array[Double](k)
+    val b = c.map(_.clone())
+    for (comp <- 0 until k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += b(i)(j) * v(j); j += 1 }
+          w(i) = acc; i += 1
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = if (nrm > 0) w.map(_ / nrm) else w
+        it += 1
+      }
+      // Rayleigh quotient on the deflated matrix
+      var lam = 0.0
+      for (i <- 0 until d; j <- 0 until d) lam += v(i) * b(i)(j) * v(j)
+      // sign pin: largest-|weight| coordinate positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(-_)
+      comps(comp) = v; eigs(comp) = lam
+      for (i <- 0 until d; j <- 0 until d) b(i)(j) -= lam * v(i) * v(j)
+    }
+    PcaModel(means, comps, eigs)
+  }
+
+  /** Project embeddings onto a fitted model top-k axes:
+    * y_c = Σᵢ w_ci · (xᵢ − meanᵢ), as one posexplode + a BROADCAST
+    * join on the (component, dimension, weight, mean) frame + a
+    * per-(id, component) partial-agg sum — narrow, corpus scanned
+    * once, no driver-side literals. Output (`idCol`, component
+    * 0..k−1, y). */
+  def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val spark = vectors.sparkSession
+    val compRows = for {
+      cIdx <- model.components.indices
+      i <- model.components(cIdx).indices
+    } yield (cIdx.toLong, i, model.components(cIdx)(i),
+      model.means(i))
+    val comps = spark.createDataFrame(compRows)
+      .toDF("component", "i", "w", "m")
+    vectors
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .join(broadcast(comps), Seq("i"))
+      .groupBy(col(idCol), col("component"))
+      .agg(sum((col("x").cast("double") - col("m")) * col("w"))
+        .as("y"))
+  }
 }

@@ -219,6 +219,24 @@ class AnalyzeSpec extends SparkSpec {
         "--cols", "x")), spark))
   }
 
+  test("pca runs from argv: moments mode emits the exact model, " +
+      "project mode the top-k projections") {
+    val dir = Files.createTempDirectory("graft-analyze-pca").toString
+    (0 until 20).map(t => (t.toLong,
+      Seq((0.6 * t / 10.0).toFloat, (0.8 * t / 10.0).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    val mom = Analyze.run(parse(List("pca",
+      "--vectors", s"$dir/vecs", "--mode", "moments")), spark)
+    assert(mom.count() == 3L) // (0,0), (0,1), (1,1)
+    val proj = Analyze.run(parse(List("pca",
+      "--vectors", s"$dir/vecs", "--id-col", "vec_id",
+      "--merges", "1", "-o", s"$dir/out")), spark)
+    assert(proj.count() == 20L &&
+      proj.columns.toSet == Set("vec_id", "component", "y"))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("pca")), spark))
+  }
+
   test("scrub runs from argv: PII redacted, audit counts attached") {
     val dir = Files.createTempDirectory("graft-analyze-pii").toString
     Seq((1L, "reach me at jo@corp.example.com or (555) 123-4567"),

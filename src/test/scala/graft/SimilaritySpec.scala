@@ -859,4 +859,69 @@ class SimilaritySpec extends SparkSpec {
     assert(resHits >= 40,
       s"residual PQ should resolve most within-cluster ranks: $resHits/80")
   }
+
+  test("pcaMoments: exact-integer sums and products, hand-computed, " +
+      "partition-order-free") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(5.0f, 6.0f))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    val m = rows(Similarity.pcaMoments(vecs, "embedding"))
+    assert(m.size == 3) // (0,0), (0,1), (1,1)
+    val (n00, s0, _, sp00, c00) = m((0L, 0L))
+    assert(n00 == 3L && s0 == 9000000L && sp00 == 35000000000000L)
+    assert(math.abs(c00 - 8.0 / 3.0) < 1e-9) // population var of 1,3,5
+    val (_, _, s1, sp01, _) = m((0L, 1L))
+    assert(s1 == 12000000L && sp01 == 44000000000000L)
+    assert(m((1L, 1L))._4 == 56000000000000L)
+    // exact longs => identical under any partitioning
+    assert(rows(Similarity.pcaMoments(vecs.repartition(5),
+      "embedding")) == m)
+  }
+
+  test("pcaFit + pcaProject: the top component recovers a planted " +
+      "principal axis, components are orthonormal with ordered " +
+      "eigenvalues, projections are centered and variance-ordered") {
+    // points along (0.6, 0.8) with small orthogonal jitter
+    val pts = (-10 to 10).map { t =>
+      val u = t / 10.0
+      val j = (t % 3) * 0.01 // deterministic jitter in (-0.8, 0.6)
+      (t.toLong + 10L,
+        Seq((0.6 * u - 0.8 * j).toFloat, (0.8 * u + 0.6 * j).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(df, "embedding", k = 2)
+    val v0 = model.components(0)
+    val align = math.abs(v0(0) * 0.6 + v0(1) * 0.8)
+    assert(align > 0.999, s"top axis ${v0.toSeq} vs (0.6, 0.8)")
+    // sign pin: the largest-|weight| coordinate is positive
+    assert(v0.maxBy(math.abs) > 0)
+    val v1 = model.components(1)
+    assert(math.abs(v0(0) * v1(0) + v0(1) * v1(1)) < 1e-6,
+      "components orthogonal")
+    assert(math.abs(v0.map(x => x * x).sum - 1.0) < 1e-9 &&
+      math.abs(v1.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    assert(model.eigenvalues(0) > 10 * model.eigenvalues(1),
+      s"planted axis dominates: ${model.eigenvalues.toSeq}")
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val y0 = pts.map(p => proj((p._1, 0L)))
+    val y1 = pts.map(p => proj((p._1, 1L)))
+    def meanOf(xs: Seq[Double]) = xs.sum / xs.size
+    def varOf(xs: Seq[Double]) = {
+      val mu = meanOf(xs); xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+    }
+    assert(math.abs(meanOf(y0)) < 1e-6 && math.abs(meanOf(y1)) < 1e-6,
+      "projections centered")
+    assert(varOf(y0) > 10 * varOf(y1), "variance ordered")
+    intercept[IllegalArgumentException](
+      Similarity.pcaFit(df, "embedding", k = 0))
+    intercept[IllegalArgumentException](
+      Similarity.pcaFit(df, "embedding", k = 5))
+  }
 }
