@@ -1262,6 +1262,24 @@ object Similarity {
     * per-(id, component) partial-agg sum — narrow, corpus scanned
     * once, no driver-side literals. Output (`idCol`, component
     * 0..k−1, y). */
+  /** Full-basis PCA ROTATION: project onto all d components and
+    * reassemble per-id vectors (component order, float — the
+    * embedding-column convention), i.e. the OPQ-P recipe (Ge et al.
+    * 2013's PCA-initialized orthogonal product quantization):
+    * decorrelate FIRST, then product-quantize, so PQ's per-subspace
+    * codebooks stop spending budget on cross-subspace correlation.
+    * The rotation is orthogonal and centering is a translation, so
+    * L2 geometry — and therefore the PQ/ADC ground truth — is
+    * preserved exactly; fit with `k = d`. One [[pcaProject]] pass +
+    * a per-id collect_list reassembly (d rows → one array). */
+  def pcaRotate(vectors: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame =
+    pcaProject(vectors, idCol, vecCol, model)
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("component"), col("y")))),
+        s => s.getField("y").cast("float")).as(vecCol))
+
   def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
       model: PcaModel): DataFrame = {
     val spark = vectors.sparkSession

@@ -924,4 +924,63 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.pcaFit(df, "embedding", k = 5))
   }
+
+  test("pcaRotate + PQ (the OPQ-P recipe): decorrelating before " +
+      "product quantization beats raw PQ on cross-subspace-correlated " +
+      "data, with L2 ground truth preserved by the rotation") {
+    // latent axes with concentrated variance, mixed ACROSS the PQ
+    // subspace boundary by 45-degree rotations of dim pairs (i, i+8):
+    // raw PQ (m=4 chunks of 4 dims) must then model each strong axis
+    // in two codebooks at once
+    val d = 16
+    def h(a: Long, b: Long): Double = {
+      val x = a * 2654435761L + b * 40503L
+      ((x % 1000L + 1000L) % 1000L) / 1000.0 - 0.5
+    }
+    val scales = Array(6.0, 5.0, 4.0, 3.0, 0.3, 0.3, 0.3, 0.3,
+      0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3)
+    val pts = (0L until 160L).map { r =>
+      val z = Array.tabulate(d)(i => h(r, i.toLong) * scales(i))
+      val x = new Array[Double](d)
+      val c = math.cos(math.Pi / 4); val sn = math.sin(math.Pi / 4)
+      for (i <- 0 until 8) {
+        x(i) = c * z(i) - sn * z(i + 8)
+        x(i + 8) = sn * z(i) + c * z(i + 8)
+      }
+      (r, x.map(_.toFloat).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    // L2 ground truth (exact, in-memory — the rotation preserves it)
+    val arr = pts.toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (p, q) => (p - q).toDouble * (p - q) }.sum
+    val queries = (0L until 16L).toSeq
+    val truth = queries.map { q =>
+      q -> pts.filter(_._1 != q)
+        .sortBy(p => (l2(arr(q), p._2), p._1)).take(5).map(_._1).toSet
+    }.toMap
+    def recall(topk: Map[Long, Set[Long]]): Int =
+      queries.map(q => (truth(q) & topk.getOrElse(q, Set())).size).sum
+    def pqRun(data: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val cb = Similarity.pqCodebooks(data, "embedding", "vec_id",
+        m = 4, k = 8)
+      val enc = Similarity.pqEncode(data, "embedding", "vec_id", cb,
+        m = 4)
+      Similarity.pqTopK(
+          data.filter(col("vec_id") < 16), cb, enc,
+          "embedding", "vec_id", m = 4, k = 8, topK = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1)
+        .map { case (q, rs) =>
+          q -> rs.map(_._2).filter(_ != q).take(5).toSet }
+    }
+    val rawHits = recall(pqRun(df))
+    val model = Similarity.pcaFit(df, "embedding", k = d)
+    val rot = Similarity.pcaRotate(df, "vec_id", "embedding", model)
+    val rotHits = recall(pqRun(rot))
+    info(s"recall@5 over 16 queries: rotated $rotHits/80, raw $rawHits/80")
+    assert(rotHits > rawHits,
+      s"PCA-rotated PQ must beat raw PQ on correlated data: " +
+        s"$rotHits vs $rawHits of 80")
+  }
 }
