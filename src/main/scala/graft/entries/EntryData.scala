@@ -307,7 +307,7 @@ private[graft] object EntryData {
       Layout.writeLayout(
         Layout.zOrderLayout(t(s, dir, "lineitem"),
           Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16),
-        path, Seq("l_partkey", "l_suppkey"))
+        path, Seq("l_partkey", "l_suppkey"), "z", 8, 16)
       path
     })
 
@@ -315,14 +315,14 @@ private[graft] object EntryData {
     * laid out and written once per dataset); each invocation COPIES
     * it to a fresh dir (the x3k updated-index discipline — appends
     * must not mutate the shared fixture) and appends the held-out
-    * third with the STORE's anchors. The previous invocation's copy
-    * is deleted first — bench iterations run sequentially per query,
-    * and without the cleanup a 5-iteration pass over q_l5 + q_l6
-    * would pile up 10 full store copies per dataset. */
+    * third with the STORE's anchors. Stale copies are NOT deleted
+    * eagerly — the previous invocation's returned DataFrame may still
+    * lazily reference its files (a deferred collect after the next
+    * build would hit FileNotFoundException) — they live under
+    * [[annScratchRoot]], whose shutdown hook removes everything;
+    * disk creep is bounded by iterations × one store copy. */
   private val l5Invocation =
     new java.util.concurrent.atomic.AtomicLong(0L)
-  private val l5LastDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def l5AppendedLayoutDir(s: SparkSession, dir: String): String = {
     val base = layoutDirs.computeIfAbsent(dir + "#l5_base", _ => {
       val path = annScratchRoot + "/layout_base_" +
@@ -331,21 +331,51 @@ private[graft] object EntryData {
         Layout.zOrderLayout(
           t(s, dir, "lineitem").filter(col("l_orderkey") % 3 =!= 0),
           Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16),
-        path, Seq("l_partkey", "l_suppkey"))
+        path, Seq("l_partkey", "l_suppkey"), "z", 8, 16)
       path
     })
     val dst = base + "_app" + l5Invocation.incrementAndGet()
     val conf = s.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
-    val prev = l5LastDir.put(dir, dst)
-    if (prev != null)
-      fs.delete(new org.apache.hadoop.fs.Path(prev), true): Unit
     org.apache.hadoop.fs.FileUtil.copy(fs,
       new org.apache.hadoop.fs.Path(base), fs,
       new org.apache.hadoop.fs.Path(dst), false, conf)
     Layout.appendToLayout(s, dst,
       t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0),
       Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16)
+    dst
+  }
+
+  /** q_l9's base store: the k-D SKILLING Hilbert layout
+    * ([[Layout.hilbertLayoutK]], curve `hilbertk`) over the
+    * l_orderkey%3≠0 two-thirds of lineitem on THREE clustered columns
+    * — the [[l5AppendedLayoutDir]] discipline applied to the k-D
+    * curve, proving maintenance parity (r13 stores built with the
+    * k-D curve were append-orphaned). Same copy-per-invocation +
+    * shutdown-hook cleanup story. */
+  private val l9Invocation =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def l9AppendedLayoutDir(s: SparkSession, dir: String): String = {
+    val kCols = Seq("l_partkey", "l_suppkey", "l_linenumber")
+    val base = layoutDirs.computeIfAbsent(dir + "#l9_base", _ => {
+      val path = annScratchRoot + "/layout_h3_base_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Layout.writeLayout(
+        Layout.hilbertLayoutK(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 3 =!= 0),
+          kCols, bits = 4, nBuckets = 8),
+        path, kCols, "hilbertk", 4, 8)
+      path
+    })
+    val dst = base + "_app" + l9Invocation.incrementAndGet()
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(base), fs,
+      new org.apache.hadoop.fs.Path(dst), false, conf)
+    Layout.appendToLayout(s, dst,
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0),
+      kCols, bits = 4, nBuckets = 8, curve = "hilbertk")
     dst
   }
 

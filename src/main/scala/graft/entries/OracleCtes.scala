@@ -720,10 +720,11 @@ private[graft] object OracleCtes {
     * frozen-quantizer append converges to. The CTE prefix (through
     * `sc(query_id, vec_id, adist)`) is also the ivfpq leg of the
     * q_x3l recall audit. */
-  def ivfCoarseCtesFrom(trainWhere: String): String =
-    s"""WITH cent AS (
+  def ivfCoarseCtesFrom(trainWhere: String,
+      corpus: String = "embeddings", prelude: String = ""): String =
+    s"""WITH $prelude cent AS (
         |  SELECT vec_id AS centroid_id, embedding AS cv FROM (
-        |    SELECT vec_id, embedding FROM embeddings $trainWhere
+        |    SELECT vec_id, embedding FROM $corpus $trainWhere
         |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
         |    LIMIT 32)),
         |casn0 AS (
@@ -734,13 +735,13 @@ private[graft] object OracleCtes {
         |       FROM (SELECT unnest(c.embedding) x))) *
         |     sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
         |       FROM (SELECT unnest(ct.cv) y)))) AS csim
-        |  FROM embeddings c CROSS JOIN cent ct),
+        |  FROM $corpus c CROSS JOIN cent ct),
         |cell AS MATERIALIZED (
         |  SELECT vec_id, centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY csim DESC, centroid_id) rn FROM casn0)
         |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |q AS (SELECT vec_id AS query_id, embedding FROM $corpus
         |      WHERE vec_id < 8),
         |probe0 AS (
         |  SELECT q.query_id, ct.centroid_id,
@@ -761,14 +762,15 @@ private[graft] object OracleCtes {
         |    row_number() OVER (
         |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
         |      AS code
-        |  FROM (SELECT vec_id, embedding FROM embeddings $trainWhere
+        |  FROM (SELECT vec_id, embedding FROM $corpus $trainWhere
         |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
         |        LIMIT 16)),
         |subs AS (SELECT unnest(generate_series(0, 7)) AS sub)"""
       .stripMargin
 
-  def ivfPqOracleCtesFrom(trainWhere: String): String =
-    ivfCoarseCtesFrom(trainWhere) +
+  def ivfPqOracleCtesFrom(trainWhere: String,
+      corpus: String = "embeddings", prelude: String = ""): String =
+    ivfCoarseCtesFrom(trainWhere, corpus, prelude) +
     s""",
         |cb AS MATERIALIZED (
         |  SELECT subs.sub, cb0.code,
@@ -783,7 +785,7 @@ private[graft] object OracleCtes {
         |         unnest(list_slice(e.embedding,
         |           cb.sub * 8 + 1, cb.sub * 8 + 8)) x,
         |         unnest(cb.cw) y)) AS d
-        |  FROM embeddings e CROSS JOIN cb),
+        |  FROM $corpus e CROSS JOIN cb),
         |enc AS MATERIALIZED (
         |  SELECT vec_id, sub, code FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
@@ -813,8 +815,9 @@ private[graft] object OracleCtes {
         |      + ds[5] + ds[6] + ds[7] + ds[8] AS adist
         |  FROM terms)""".stripMargin
 
-  def ivfPqOracleSqlFrom(trainWhere: String): String =
-    ivfPqOracleCtesFrom(trainWhere) +
+  def ivfPqOracleSqlFrom(trainWhere: String,
+      corpus: String = "embeddings", prelude: String = ""): String =
+    ivfPqOracleCtesFrom(trainWhere, corpus, prelude) +
       """
         |SELECT query_id, vec_id,
         |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)

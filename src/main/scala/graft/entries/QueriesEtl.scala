@@ -526,6 +526,24 @@ private[graft] object QueriesEtl {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey",
           "l_suppkey")),
 
+    // ---- L9: k-D Hilbert APPEND maintenance — the q_l5 discipline
+    // on the SKILLING curve (r13's k-D stores were append-orphaned):
+    // the 3-column base store (l_orderkey%3≠0, cached fixture) is
+    // copied, the held-out third appended under the store's persisted
+    // _meta anchors (curve=hilbertk validated against the identity),
+    // and the pruned scan over the maintained store must return the
+    // full-table filter — bucket assignment for EVERY row replays in
+    // the oracle with base-subset anchors + clamping through the
+    // generated Skilling CTEs. ----
+    "q_l9_hilbert3_append" -> ((s, dir) =>
+      Layout.prunedScan(s, l9AppendedLayoutDir(s, dir),
+          Seq(("l_partkey", 10L, 50L), ("l_suppkey", 2L, 5L)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_bucket").cast("long").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -647,27 +665,39 @@ private[graft] object QueriesEtl {
     * (l_partkey, l_suppkey, l_linenumber) to 4 bits; ends at
     * `hb(l_orderkey, l_linenumber, l_partkey, l_suppkey, hval,
     * bucket)`. */
-  private lazy val hilbert3Ctes: String = {
+  private lazy val hilbert3Ctes: String =
+    hilbert3CtesFor("lineitem", clamp = false)
+
+  /** Parameterized k=3 chain, mirroring [[zorderCtesFor]]: `statsSrc`
+    * pins the normalization ANCHORS to the corpus the store was BUILT
+    * on (q_l9's append contract), `clamp` mirrors
+    * [[graft.operators.Layout.appendToLayout]]'s out-of-domain
+    * clamping (a no-op in-domain, so safe to apply uniformly). */
+  private def hilbert3CtesFor(statsSrc: String,
+      clamp: Boolean): String = {
+    def v(c: String, mn: String, mx: String) =
+      if (!clamp) s"CAST($c AS BIGINT)"
+      else s"greatest(least(CAST($c AS BIGINT), $mx), $mn)"
     val sb = new StringBuilder
     sb.append(
-      """WITH st AS (
+      s"""WITH st AS (
         |  SELECT CAST(min(l_partkey) AS BIGINT) AS mnp,
         |    CAST(max(l_partkey) AS BIGINT) AS mxp,
         |    CAST(min(l_suppkey) AS BIGINT) AS mns,
         |    CAST(max(l_suppkey) AS BIGINT) AS mxs,
         |    CAST(min(l_linenumber) AS BIGINT) AS mnl,
         |    CAST(max(l_linenumber) AS BIGINT) AS mxl
-        |  FROM lineitem),
+        |  FROM $statsSrc),
         |s0 AS (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |    CASE WHEN mxp = mnp THEN 0 ELSE
-        |      (CAST(l_partkey AS BIGINT) - mnp) * 15 // (mxp - mnp)
+        |      (${v("l_partkey", "mnp", "mxp")} - mnp) * 15 // (mxp - mnp)
         |    END AS x0,
         |    CASE WHEN mxs = mns THEN 0 ELSE
-        |      (CAST(l_suppkey AS BIGINT) - mns) * 15 // (mxs - mns)
+        |      (${v("l_suppkey", "mns", "mxs")} - mns) * 15 // (mxs - mns)
         |    END AS x1,
         |    CASE WHEN mxl = mnl THEN 0 ELSE
-        |      (CAST(l_linenumber AS BIGINT) - mnl) * 15 // (mxl - mnl)
+        |      (${v("l_linenumber", "mnl", "mxl")} - mnl) * 15 // (mxl - mnl)
         |    END AS x2
         |  FROM lineitem, st)""".stripMargin)
     val keys = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
@@ -727,6 +757,20 @@ private[graft] object QueriesEtl {
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  CAST(hval AS BIGINT) AS hval, CAST(bucket AS BIGINT) AS bucket
          |FROM hb WHERE l_orderkey < 200
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
+
+    // k-D append: the Skilling chain with anchors pinned to the BASE
+    // subset and appendToLayout's clamp; result = the full-table
+    // filter with every bucket re-derived.
+    "q_l9_hilbert3_append" ->
+      s"""${hilbert3CtesFor(
+            "(SELECT * FROM lineitem WHERE l_orderkey % 3 <> 0)",
+            clamp = true)}
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(bucket AS BIGINT) AS bucket
+         |FROM hb
+         |WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
         .stripMargin,
 

@@ -388,6 +388,43 @@ private[graft] object QueriesSimilarity {
         .orderBy(col("rrf_score").desc, col("id"))
     }),
 
+    // ---- X3w: OPQ-ROTATED IVF-PQ serving — the rotation family wired
+    // into an indexed serving row: fit the closed-form Givens cascade
+    // (givensCascadeFit — bounded Jacobi sweep along the full
+    // butterfly, every angle a fixed-association double expression of
+    // the exact pcaMoments integers), rotate the corpus, then build
+    // and query the q_x3i IVF-PQ recipe on the ROTATED vectors. The
+    // oracle replays the ENTIRE chain — moments → covariance →
+    // per-stage angles/covariance updates → rotated floats → the
+    // proven IVF-PQ CTEs over them. pcaRotate (power-iteration PCA,
+    // the OPQ-P recipe proper) is this row's spec-proven sibling:
+    // its eigensolve is not ANSI-replayable, so the serving-path
+    // recall gain is asserted in SimilaritySpec instead. ----
+    "q_x3w_opq_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val stages = Similarity.givensCascadeFit(e, "embedding",
+        Seq(32, 16, 8, 4, 2, 1))
+      // the rotated corpus feeds four consumers (centroids, codebooks,
+      // encode, queries) — pin it once; at 100 TB this is the persisted
+      // rotated table an ingest pipeline would write anyway
+      val rot = Similarity.givensCascadeRotate(e, "vec_id", "embedding",
+        stages).localCheckpoint()
+      val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(rot, "embedding", "vec_id", cb,
+        m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      Similarity.ivfPqTopK(rot.filter(col("vec_id") < 8), cents, cb, ae,
+          "embedding", "vec_id", m = 8, k = 16, topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3v: PCA second moments — the distributed half of the
     // whitening/rotation preprocessing (OPQ-style quantizers,
     // semantic dedup): e6-quantized components, every sum and
@@ -404,7 +441,110 @@ private[graft] object QueriesSimilarity {
         .orderBy("i", "j")),
   )
 
+  /** Generated Givens-cascade CTE chain ending at
+    * `rotc(vec_id, embedding)` — the replay of
+    * [[graft.operators.Similarity.givensCascadeFit]] +
+    * [[graft.operators.Similarity.givensCascadeRotate]] mutation by
+    * mutation: q_x3v's exact-integer moments, the mirrored double
+    * covariance, then per butterfly stage the closed-form Jacobi
+    * angles (division + IEEE sqrt only — bit-equal across engines),
+    * the two-step exact-order covariance update (rows, then columns)
+    * feeding the NEXT stage's angles, and the per-element data
+    * rotation. Floats cast once at reassembly, matching the engine. */
+  private def givensCascadeCtes(d: Int, offsets: Seq[Int]): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""rv6 AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(x * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |rex AS (
+         |  SELECT vec_id, i - 1 AS i, v[i] AS x
+         |  FROM rv6, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
+         |rsums AS (SELECT i, sum(x) AS s, count(*) AS n FROM rex
+         |          GROUP BY i),
+         |rpr AS (
+         |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+         |  FROM rex a JOIN rex b
+         |    ON b.vec_id = a.vec_id AND b.i >= a.i
+         |  GROUP BY 1, 2),
+         |rcv AS (
+         |  SELECT rpr.i, rpr.j,
+         |    (CAST(rpr.sp AS DOUBLE) - CAST(si.s AS DOUBLE) * sj.s / si.n)
+         |      / si.n / CAST(1e12 AS DOUBLE) AS v
+         |  FROM rpr JOIN rsums si ON si.i = rpr.i
+         |    JOIN rsums sj ON sj.i = rpr.j),
+         |rc0 AS MATERIALIZED (
+         |  SELECT i, j, v FROM rcv
+         |  UNION ALL SELECT j, i, v FROM rcv WHERE i <> j),
+         |rx0 AS MATERIALIZED (
+         |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS v
+         |  FROM (SELECT vec_id, embedding AS arr FROM embeddings),
+         |    LATERAL (SELECT unnest(arr) AS x,
+         |             generate_subscripts(arr, 1) AS i) u)""".stripMargin)
+    offsets.zipWithIndex.foreach { case (o, t) =>
+      sb.append(s""",
+         |rag$t AS (
+         |  SELECT p, q, 1 / sqrt(1 + t * t) AS c,
+         |    t * (1 / sqrt(1 + t * t)) AS s
+         |  FROM (
+         |    SELECT p, q,
+         |      CASE WHEN apq = 0 THEN CAST(0 AS DOUBLE)
+         |        WHEN tau >= 0 THEN 1 / (tau + sqrt(1 + tau * tau))
+         |        ELSE -1 / (-tau + sqrt(1 + tau * tau)) END AS t
+         |    FROM (
+         |      SELECT g.p, g.q, cpq.v AS apq,
+         |        CASE WHEN cpq.v = 0 THEN CAST(0 AS DOUBLE)
+         |          ELSE (cqq.v - cpp.v) / (2 * cpq.v) END AS tau
+         |      FROM (SELECT CAST(r.i AS BIGINT) AS p,
+         |              CAST(r.i + $o AS BIGINT) AS q
+         |            FROM range($d) r(i) WHERE (r.i // $o) % 2 = 0) g
+         |      JOIN rc$t cpp ON cpp.i = g.p AND cpp.j = g.p
+         |      JOIN rc$t cqq ON cqq.i = g.q AND cqq.j = g.q
+         |      JOIN rc$t cpq ON cpq.i = g.p AND cpq.j = g.q))),
+         |ram$t AS MATERIALIZED (
+         |  SELECT p AS i, p AS lo, q AS mate, c, s FROM rag$t
+         |  UNION ALL SELECT q, p, p, c, s FROM rag$t),
+         |rx${t + 1} AS MATERIALIZED (
+         |  SELECT x.vec_id, x.i,
+         |    CASE WHEN a.i = a.lo THEN a.c * x.v - a.s * xm.v
+         |      ELSE a.s * xm.v + a.c * x.v END AS v
+         |  FROM rx$t x
+         |  JOIN ram$t a ON a.i = x.i
+         |  JOIN rx$t xm ON xm.vec_id = x.vec_id AND xm.i = a.mate)"""
+        .stripMargin)
+      if (t != offsets.size - 1) sb.append(s""",
+         |rt$t AS MATERIALIZED (
+         |  SELECT m.i, m.j,
+         |    CASE WHEN a.i = a.lo THEN a.c * m.v - a.s * mm.v
+         |      ELSE a.s * mm.v + a.c * m.v END AS v
+         |  FROM rc$t m
+         |  JOIN ram$t a ON a.i = m.i
+         |  JOIN rc$t mm ON mm.i = a.mate AND mm.j = m.j),
+         |rc${t + 1} AS MATERIALIZED (
+         |  SELECT m.i, m.j,
+         |    CASE WHEN a.i = a.lo THEN a.c * m.v - a.s * mm.v
+         |      ELSE a.s * mm.v + a.c * m.v END AS v
+         |  FROM rt$t m
+         |  JOIN ram$t a ON a.i = m.j
+         |  JOIN rt$t mm ON mm.i = m.i AND mm.j = a.mate)""".stripMargin)
+    }
+    sb.append(s""",
+       |rotc AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(list(v ORDER BY i),
+       |    y -> CAST(y AS FLOAT)) AS embedding
+       |  FROM rx${offsets.size} GROUP BY vec_id)""".stripMargin)
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
+    // The full rotated-serving replay: cascade CTEs produce the
+    // rotated corpus `rotc`, then the proven IVF-PQ chain runs over
+    // it verbatim (quantizer sampling is id-hash-driven, so it is
+    // content-independent and identical on both engines).
+    "q_x3w_opq_ivfpq" -> ivfPqOracleSqlFrom("", "rotc",
+      givensCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1)) + ","),
+
     // Moments rebuilt with DuckDB list lambdas: identical e6
     // quantization (float→double widening exact on both engines),
     // exact BIGINT sums/products, the covariance's operand

@@ -52,11 +52,26 @@ object Layout {
     * `((v − min) · (2^bits − 1)) div (max − min)` (zero when the
     * domain is a single point). The caller supplies the min/max
     * columns (one corpus aggregate, broadcast) so several
-    * normalizations share one stats pass. */
+    * normalizations share one stats pass.
+    *
+    * The product `span · (2^bits − 1)` must fit a long; a wide
+    * integral domain (epoch-microsecond timestamps span ~3·10¹⁵ —
+    * already past the bits=13 ceiling) would silently wrap NEGATIVE
+    * and break `_bucket=` partition paths, so the guard raises a
+    * clear error instead: pre-scale such columns (micros → seconds,
+    * doubles → coarser fixed-point) before layout — the curve needs
+    * ORDER, not magnitude, so coarsening costs nothing. */
   def normalizeToBits(v: Column, minC: Column, maxC: Column,
       bits: Int): Column = {
     val span = maxC.cast("long") - minC.cast("long")
+    val maxSpan = Long.MaxValue / ((1L << bits) - 1L)
     when(span === 0L, lit(0L))
+      .when(span > maxSpan,
+        raise_error(concat(
+          lit("normalizeToBits: domain span "), span.cast("string"),
+          lit(s" overflows long at bits=$bits (max $maxSpan) — " +
+            "pre-scale the column (e.g. epoch micros to seconds) " +
+            "before layout"))).cast("long"))
       .otherwise(idiv((v.cast("long") - minC.cast("long")) *
         lit((1L << bits) - 1L), span))
   }
@@ -291,6 +306,12 @@ object Layout {
           min(col(c)).cast("long").as(s"min_$c"),
           max(col(c)).cast("long").as(s"max_$c"))): _*)
 
+  /** The curve names a [[writeLayout]] store can record: Morton
+    * ([[zOrderLayout]]), 2-D xy2d Hilbert ([[hilbertLayout]]), and
+    * k-D Skilling Hilbert ([[hilbertLayoutK]] — a DIFFERENT 2-D
+    * orientation than xy2d, so the two must never mix). */
+  val curves: Set[String] = Set("z", "hilbert", "hilbertk")
+
   /** Persist a laid-out frame as a `_bucket`-partitioned parquet store
     * with its skipping manifest co-located at `<path>/_stats` (an
     * underscore-prefixed dir — hidden from the store's own file
@@ -298,57 +319,114 @@ object Layout {
     * (repartition on the partition column so each bucket writes as
     * one file set), then the manifest derives from a RE-READ of the
     * written store — stats can never disagree with the files they
-    * describe, which is the whole pruning contract. */
-  def writeLayout(laid: DataFrame, path: String,
-      statCols: Seq[String]): Unit = {
+    * describe, which is the whole pruning contract.
+    *
+    * A one-row `<path>/_meta` records the store's IDENTITY: the curve
+    * name, bits, bucket count, the ordered clustered columns, and the
+    * BUILD-TIME normalization anchors (corpus min/max per clustered
+    * column). [[appendToLayout]] validates its arguments against the
+    * identity and normalizes deltas against the PERSISTED anchors —
+    * the manifest's envelopes widen and shrink with maintenance, so
+    * re-deriving anchors from them would drift the curve for every
+    * later append (anchor stability is the append contract).
+    *
+    * `statCols` must be the clustered columns in clustering order —
+    * the columns the `_z`/`_h` index was computed over. */
+  def writeLayout(laid: DataFrame, path: String, statCols: Seq[String],
+      curve: String, bits: Int, nBuckets: Int): Unit = {
+    require(curves.contains(curve),
+      s"curve must be one of ${curves.mkString(", ")} (got '$curve')")
     laid.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
     val store = laid.sparkSession.read.parquet(path)
-    fileSkippingStats(store, "_bucket", statCols)
-      .write.mode("overwrite").parquet(s"$path/_stats")
+    val stats = fileSkippingStats(store, "_bucket", statCols)
+      .localCheckpoint()
+    stats.write.mode("overwrite").parquet(s"$path/_stats")
+    // build-time anchors: the manifest covers the full corpus here
+    // (and only here), so its envelope extrema ARE the build anchors
+    val anchorExprs = statCols.flatMap(c => Seq(
+      min(col(s"min_$c")).as(s"anchor_min_$c"),
+      max(col(s"max_$c")).as(s"anchor_max_$c")))
+    stats.agg(anchorExprs.head, anchorExprs.tail: _*)
+      .withColumn("curve", lit(curve))
+      .withColumn("bits", lit(bits.toLong))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+      .withColumn("cols", array(statCols.map(lit): _*))
+      .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
   /** EXACT append maintenance of a [[writeLayout]] store — the layout
     * family's member of the maintenance grid: new rows are assigned
-    * with the STORE'S ORIGINAL normalization anchors (recovered from
-    * the manifest itself: the global min/max over bucket envelopes IS
-    * the build-time corpus min/max, since the manifest derives from
-    * the full store), appended into their partition directories, and
-    * the manifest refreshes by pure stats algebra — counts add,
-    * envelopes widen by least/greatest — WITHOUT rescanning a byte of
-    * the existing store.
+    * with the STORE'S ORIGINAL normalization anchors (read from the
+    * persisted `_meta` — never re-derived from the manifest, whose
+    * envelopes drift with every out-of-domain append or erasure),
+    * appended into their partition directories, and the manifest
+    * refreshes by pure stats algebra — counts add, envelopes widen by
+    * least/greatest — WITHOUT rescanning a byte of the existing store.
     *
     * Anchor stability is the contract (the production semantics:
     * appends never re-layout old files — re-clustering is an explicit
     * rewrite): values outside the original domain CLAMP into the
     * boundary cells for assignment, while the refreshed envelopes
     * track the ACTUAL values, so [[prunedScan]] stays conservative
-    * and lossless over the appended store.
+    * and lossless over the appended store. The call's
+    * curve/bits/nBuckets/cols are VALIDATED against the store's
+    * `_meta` identity — an append under the wrong curve or column
+    * order would silently scatter the delta across unrelated buckets.
     *
-    * Scale notes (100 TB): the manifest probe is bucket-count-sized;
-    * the delta lays out and writes delta-sized (one exchange on
-    * `_bucket`); the stats merge is two bucket-count-sized frames
-    * full-joined. Nothing touches existing files. */
+    * Crash window: the widened manifest writes BEFORE the delta's
+    * data files. A crash between the two leaves envelopes wider than
+    * the files they describe — conservative by [[skippingVerdicts]]'
+    * min/max-only rule (pruning only KEEPS extra buckets; `n_rows` is
+    * informational), so [[prunedScan]] stays lossless and the append
+    * can simply re-run. The reverse order would let a pruned scan
+    * silently skip buckets holding already-landed rows.
+    *
+    * Scale notes (100 TB): the `_meta` probe is one row; the delta
+    * lays out and writes delta-sized (one exchange on `_bucket`); the
+    * stats merge is two bucket-count-sized frames full-joined.
+    * Nothing touches existing files. */
   def appendToLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, cols: Seq[String], bits: Int,
       nBuckets: Int, curve: String = "z"): Unit = {
     val k = cols.size
     require(nBuckets >= 1 && k * bits <= 40,
       "k*bits must be <= 40 so bucket math stays in long range")
-    require(curve == "z" || (curve == "hilbert" && k == 2),
-      "curve must be 'z', or 'hilbert' with exactly two columns — " +
-        "and must match the curve the store was BUILT with (the " +
-        "store records data, not its curve; mixing curves scatters " +
-        "the delta across unrelated buckets)")
+    require(curves.contains(curve),
+      s"curve must be one of ${curves.mkString(", ")} (got '$curve')")
+    require(curve != "hilbert" || k == 2,
+      "curve 'hilbert' is the 2-D xy2d state machine — use " +
+        "'hilbertk' (the Skilling transform) for k >= 3")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
+      s"appendToLayout: no layout identity at $path/_meta — the " +
+        "store must be written by writeLayout (which persists the " +
+        "curve and build-time anchors); appending blind would " +
+        "scatter the delta")
+    val metaDf = spark.read.parquet(s"$path/_meta")
+    val meta = metaDf.head()
+    val storeCurve = meta.getAs[String]("curve")
+    val storeBits = meta.getAs[Long]("bits").toInt
+    val storeN = meta.getAs[Long]("n_buckets").toInt
+    val storeCols = meta.getAs[scala.collection.Seq[String]]("cols")
+    require(storeCurve == curve && storeBits == bits &&
+      storeN == nBuckets && storeCols.toSeq == cols,
+      s"appendToLayout: the store at $path was built with " +
+        s"curve=$storeCurve, bits=$storeBits, nBuckets=$storeN, " +
+        s"cols=${storeCols.mkString("(", ", ", ")")} — the append " +
+        s"asked for curve=$curve, bits=$bits, nBuckets=$nBuckets, " +
+        s"cols=${cols.mkString("(", ", ", ")")}; a mismatched append " +
+        "would scatter the delta across unrelated buckets")
+    // the persisted BUILD-TIME anchors, as a 1-row broadcast frame
+    val anchors = metaDf.select(cols.flatMap(c => Seq(
+      col(s"anchor_min_$c").as(s"_min_$c"),
+      col(s"anchor_max_$c").as(s"_max_$c"))): _*)
     val stats = spark.read.parquet(s"$path/_stats")
     cols.foreach(c => require(stats.columns.contains(s"min_$c"),
       s"appendToLayout: the manifest has no envelope for column " +
         s"'$c' — the append must name exactly the columns the store " +
         "was written with"))
-    val anchorExprs = cols.flatMap(c => Seq(
-      min(col(s"min_$c")).as(s"_min_$c"),
-      max(col(s"max_$c")).as(s"_max_$c")))
-    val anchors = stats.agg(anchorExprs.head, anchorExprs.tail: _*)
     val normed = cols.map { c =>
       val v = greatest(least(col(c).cast("long"), col(s"_max_$c")),
         col(s"_min_$c"))
@@ -356,25 +434,32 @@ object Layout {
     }
     // each curve keeps ITS index column name (`_z` / `_h`) so the
     // delta's file schema matches the store it lands in
-    val indexed =
-      if (curve == "z")
+    val indexed = curve match {
+      case "z" =>
         rows.crossJoin(broadcast(anchors))
           .withColumn("_z", zValue(normed, bits))
-      else
+      case "hilbert" =>
         withHilbert(
           rows.crossJoin(broadcast(anchors))
             .withColumn("_cnx", normed(0))
             .withColumn("_cny", normed(1)),
           "_cnx", "_cny", bits)
           .drop("_cnx", "_cny")
+      case _ => // hilbertk: the Skilling transform, any k >= 2
+        withHilbertK(
+          normed.zipWithIndex.foldLeft(
+            rows.crossJoin(broadcast(anchors))) {
+            case (d, (n, i)) => d.withColumn(s"_cn$i", n)
+          },
+          (0 until k).map(i => s"_cn$i"), bits)
+          .drop((0 until k).map(i => s"_cn$i"): _*)
+    }
     val idxCol = if (curve == "z") "_z" else "_h"
     val laidDelta = indexed
       .withColumn("_bucket",
         idiv(col(idxCol) * lit(nBuckets.toLong), lit(1L << (k * bits))))
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
       .localCheckpoint() // appended files and manifest from ONE frame
-    laidDelta.repartition(col("_bucket"))
-      .write.mode("append").partitionBy("_bucket").parquet(path)
     val deltaStats = fileSkippingStats(laidDelta, "_bucket", cols)
     val mergedCols = col("bucket") +:
       (coalesce(col("_n_old"), lit(0L)) +
@@ -396,7 +481,10 @@ object Layout {
       .join(tag(deltaStats, "new"), Seq("bucket"), "full")
       .select(mergedCols: _*)
       .localCheckpoint() // pinned BEFORE overwriting the dir it read
+    // manifest FIRST, data second — see the crash-window note above
     merged.write.mode("overwrite").parquet(s"$path/_stats")
+    laidDelta.repartition(col("_bucket"))
+      .write.mode("append").partitionBy("_bucket").parquet(path)
   }
 
   /** EXACT takedown maintenance of a [[writeLayout]] store — the
@@ -411,8 +499,17 @@ object Layout {
     * not subtractable — the recount is touched-bucket-sized, not
     * store-sized), untouched rows pass through verbatim, zero-row
     * buckets leave. Envelopes can only SHRINK, so [[prunedScan]]
-    * stays conservative and lossless; anchors for future appends
-    * shrink truthfully with them.
+    * stays conservative and lossless; append anchors are unaffected
+    * (they live in `_meta`, pinned at build time).
+    *
+    * Crash window: a crash after the survivor rewrite but before the
+    * manifest overwrite leaves envelopes wider than the files — which
+    * is conservative (pruning only keeps extra buckets); a crash
+    * between an emptied directory's delete and the manifest overwrite
+    * leaves the manifest naming a directory that is gone — which
+    * [[prunedScan]] existence-filters (the bucket holds no rows by
+    * construction, so the filter is exact). Either way readers stay
+    * lossless and the erasure can simply re-run.
     *
     * Scale notes (100 TB): one store scan (the probe), one
     * touched-bucket-sized rewrite, one bucket-count-sized manifest
@@ -495,9 +592,17 @@ object Layout {
             .map(_.stripPrefix("min_")).mkString(", ")}) — only " +
           "columns named at writeLayout can prune")
     }
+    // existence-filter the kept list (bounded: one probe per kept
+    // bucket): a manifest row whose directory is gone is
+    // deleteFromLayout's crash window (emptied dirs delete before the
+    // manifest rewrites) — the bucket holds no rows by construction,
+    // so skipping it is EXACT, and the scan never hard-fails on a
+    // path the manifest still names
     val kept = skippingVerdicts(stats, ranges)
       .filter(col("skipped") === 0L)
       .select(col("bucket")).collect().map(_.getLong(0))
+      .filter(b => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")))
     val scan =
       if (kept.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.option("basePath", path)

@@ -1208,8 +1208,13 @@ object Similarity {
       iters: Int = 100): PcaModel = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
+    // consume pcaMoments' own `cov` column — the documented (and
+    // oracled) centered covariance `(sp − sᵢ·sⱼ/n) / n / 1e12` — so
+    // the eigensolve can never disagree with the moments it rides on
+    // (an earlier re-derivation here mis-associated the centering
+    // term and skewed the axes of any non-zero-mean corpus)
     val rows = pcaMoments(vectors, vecCol)
-      .select("i", "j", "n", "s_i", "sp").collect()
+      .select("i", "j", "n", "s_i", "cov").collect()
     val d = rows.map(_.getLong(1)).max.toInt + 1
     require(k <= d, s"k must be <= dim $d")
     val n = rows.head.getLong(2).toDouble
@@ -1221,9 +1226,7 @@ object Similarity {
     val c = Array.ofDim[Double](d, d)
     rows.foreach { r =>
       val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-      val sp = r.getLong(4).toDouble
-      val cov = (sp - means(i) * 1e6 * n * means(j) * 1e6 / n) /
-        n / 1e12
+      val cov = r.getDouble(4)
       c(i)(j) = cov; c(j)(i) = cov
     }
     val comps = Array.ofDim[Double](k, d)
@@ -1279,6 +1282,124 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("component"), col("y")))),
         s => s.getField("y").cast("float")).as(vecCol))
+
+  /** One stage of the closed-form OPQ cascade: d/2 DISJOINT Givens
+    * rotations along the butterfly pairing (i, i+offset), angles from
+    * the classic Jacobi closed form. `cos`/`sin` are indexed BY
+    * DIMENSION — both members of a pair carry the pair's angle — so
+    * the rotate step is a pure per-element expression. */
+  final case class GivensStage(offset: Int, cos: Array[Double],
+      sin: Array[Double])
+
+  /** Fit an OPQ-STYLE data-dependent orthogonal rotation as a bounded
+    * Jacobi sweep: for each butterfly offset (an FFT-style schedule —
+    * offsets (d/2, d/4, …, 1) let every dimension interact with every
+    * other transitively), diagonalize each disjoint (i, i+offset)
+    * covariance block with the CLOSED-FORM Jacobi angle
+    * (τ = (a_qq − a_pp)/(2·a_pq); t = sign(τ)/(|τ| + √(1+τ²));
+    * c = 1/√(1+t²); s = t·c — division and IEEE-correctly-rounded
+    * sqrt only, NO transcendentals and NO iteration), then update the
+    * covariance exactly (B = (G·A)·Gᵀ, two 2-term steps per cell) for
+    * the next stage's angles.
+    *
+    * This is the ORACLE-PORTABLE member of the rotation family: every
+    * double op is a fixed-association expression of [[pcaMoments]]'
+    * exact integers, so DuckDB replays the whole cascade bit-for-bit
+    * — its spec-proven sibling [[pcaRotate]] (full-basis PCA, the
+    * OPQ-P recipe proper) rides a power-iteration eigensolve that no
+    * ANSI engine can replay. Like Jacobi sweeps generally, each stage
+    * kills the swept blocks' correlation outright; cross-subspace
+    * structure (what PQ codebooks waste budget on) concentrates onto
+    * the diagonal within a few stages.
+    *
+    * Scale notes (100 TB): one [[pcaMoments]] pass (the corpus-sized
+    * work); the collect is d² covariance cells (the bounded-fetch
+    * discipline [[pcaFit]] documents); the sweep itself is
+    * d²·stages driver flops. */
+  def givensCascadeFit(vectors: DataFrame, vecCol: String,
+      offsets: Seq[Int]): Seq[GivensStage] = {
+    require(offsets.nonEmpty, "need at least one butterfly offset")
+    val cells = pcaMoments(vectors, vecCol)
+      .select("i", "j", "cov").collect()
+    val d = cells.map(_.getLong(1)).max.toInt + 1
+    offsets.foreach(o => require(o >= 1 && d % (2 * o) == 0,
+      s"offset $o must tile dim $d (d % (2*offset) == 0)"))
+    val a = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val c = r.getDouble(2); a(i)(j) = c; a(j)(i) = c
+    }
+    offsets.map { o =>
+      val pairs = (0 until d).filter(i => (i / o) % 2 == 0)
+        .map(i => (i, i + o))
+      val cs = new Array[Double](d); val sn = new Array[Double](d)
+      pairs.foreach { case (p, q) =>
+        val app = a(p)(p); val aqq = a(q)(q); val apq = a(p)(q)
+        val t =
+          if (apq == 0.0) 0.0
+          else {
+            val tau = (aqq - app) / (2.0 * apq)
+            if (tau >= 0.0) 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+            else -1.0 / (-tau + math.sqrt(1.0 + tau * tau))
+          }
+        val c = 1.0 / math.sqrt(1.0 + t * t)
+        val s = t * c
+        cs(p) = c; cs(q) = c; sn(p) = s; sn(q) = s
+      }
+      // exact-order covariance update for the next stage: rows first
+      // (T = G·A), then columns (B = T·Gᵀ) — the oracle mirrors both
+      // 2-term expressions operand for operand
+      val tm = a.map(_.clone())
+      pairs.foreach { case (p, q) =>
+        val c = cs(p); val s = sn(p)
+        var j = 0
+        while (j < d) {
+          tm(p)(j) = c * a(p)(j) - s * a(q)(j)
+          tm(q)(j) = s * a(p)(j) + c * a(q)(j)
+          j += 1
+        }
+      }
+      pairs.foreach { case (p, q) =>
+        val c = cs(p); val s = sn(p)
+        var i = 0
+        while (i < d) {
+          a(i)(p) = c * tm(i)(p) - s * tm(i)(q)
+          a(i)(q) = s * tm(i)(p) + c * tm(i)(q)
+          i += 1
+        }
+      }
+      GivensStage(o, cs, sn)
+    }
+  }
+
+  /** Apply a fitted [[givensCascadeFit]] cascade to an embedding
+    * column: per stage, y_p = c·x_p − s·x_q and y_q = s·x_p + c·x_q
+    * over the disjoint butterfly pairs — one stateless projection per
+    * stage (array element expressions over broadcast-free literal
+    * angles; no shuffle, no explode), double throughout, one float
+    * cast at the end (the embedding-column convention). Rotation-only
+    * (no centering): orthogonal maps preserve L2 exactly, so PQ/ADC
+    * ground truth is unchanged. */
+  def givensCascadeRotate(vectors: DataFrame, idCol: String,
+      vecCol: String, stages: Seq[GivensStage]): DataFrame = {
+    require(stages.nonEmpty, "need at least one fitted stage")
+    val d = stages.head.cos.length
+    val start = vectors.select(col(idCol),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_gr"))
+    val rotated = stages.foldLeft(start) { (df, st) =>
+      val elems = (0 until d).map { i =>
+        val c = lit(st.cos(i)); val s = lit(st.sin(i))
+        val xi = element_at(col("_gr"), i + 1)
+        if ((i / st.offset) % 2 == 0)
+          c * xi - s * element_at(col("_gr"), i + st.offset + 1)
+        else
+          s * element_at(col("_gr"), i - st.offset + 1) + c * xi
+      }
+      df.withColumn("_gr", array(elems: _*))
+    }
+    rotated.select(col(idCol),
+      expr("transform(_gr, x -> cast(x as float))").as(vecCol))
+  }
 
   def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
       model: PcaModel): DataFrame = {

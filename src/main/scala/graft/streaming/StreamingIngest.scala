@@ -2073,7 +2073,8 @@ object StreamingIngest {
                     true): Unit
                   graft.operators.Layout.writeLayout(
                     graft.operators.Layout.zOrderLayout(adds, cols,
-                      bits, nBuckets), storeDir, cols)
+                      bits, nBuckets), storeDir, cols, "z", bits,
+                    nBuckets)
                 } else
                   graft.operators.Layout.appendToLayout(spark,
                     storeDir, adds, cols, bits, nBuckets)
@@ -2092,7 +2093,8 @@ object StreamingIngest {
               if (!live.isEmpty)
                 graft.operators.Layout.writeLayout(
                   graft.operators.Layout.zOrderLayout(live, cols,
-                    bits, nBuckets), storeDir, cols)
+                    bits, nBuckets), storeDir, cols, "z", bits,
+                  nBuckets)
             }
             fs.mkdirs(marker): Unit
             fs.delete(started, true): Unit

@@ -143,7 +143,7 @@ class LayoutSpec extends SparkSpec {
     val laid = Layout.zOrderLayout(pts, Seq("x", "y"), 4, 16)
     val path = java.nio.file.Files
       .createTempDirectory("graft_layout").toString + "/store"
-    Layout.writeLayout(laid, path, Seq("x", "y"))
+    Layout.writeLayout(laid, path, Seq("x", "y"), "z", 4, 16)
     val ranges = Seq(("x", 0L, 3L), ("y", 0L, 3L))
     val pruned = Layout.prunedScan(spark, path, ranges)
     val got = pruned.select("x", "y").collect()
@@ -191,7 +191,7 @@ class LayoutSpec extends SparkSpec {
       .createTempDirectory("graft_layout_app").toString + "/store"
     Layout.writeLayout(
       Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
-      Seq("x", "y"))
+      Seq("x", "y"), "z", 4, 16)
     // delta: an in-domain point, a duplicate of an existing cell, and
     // an OUT-OF-DOMAIN point (x=100 clamps to cell 15 for assignment)
     val delta = Seq((2L, 2L), (15L, 15L), (100L, 3L)).toDF("x", "y")
@@ -233,7 +233,7 @@ class LayoutSpec extends SparkSpec {
       .createTempDirectory("graft_layout_del").toString + "/store"
     Layout.writeLayout(
       Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
-      Seq("x", "y"))
+      Seq("x", "y"), "z", 4, 16)
     def bucketFiles(b: Long): Set[String] = {
       val d = new java.io.File(s"$path/_bucket=$b")
       if (!d.exists) Set.empty
@@ -279,7 +279,7 @@ class LayoutSpec extends SparkSpec {
       .createTempDirectory("graft_layout_h").toString + "/store"
     Layout.writeLayout(
       Layout.hilbertLayout(base, "x", "y", 4, 16), path,
-      Seq("x", "y"))
+      Seq("x", "y"), "hilbert", 4, 16)
     Layout.appendToLayout(spark, path, Seq((0L, 0L)).toDF("x", "y"),
       Seq("x", "y"), 4, 16, curve = "hilbert")
     val got = Layout.prunedScan(spark, path,
@@ -379,6 +379,219 @@ class LayoutSpec extends SparkSpec {
       Seq(("x", 5L, 8L), ("y", 100L, 103L), ("z", 0L, 3L)))
       .agg(sum(col("skipped") * col("n_rows"))).head().getLong(0)
     assert(skipped == 448L, s"3-D box skipped $skipped of 512")
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    if (fs.exists(d)) fs.delete(d, true): Unit
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(src), fs, d, false, conf): Unit
+  }
+
+  test("appendToLayout: anchors come from the persisted _meta, not " +
+      "the drifted manifest — an out-of-domain append must not move " +
+      "later appends' bucket assignment") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)).toDF("x", "y")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout_anchor").toString + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"), "z", 4, 16)
+    val buildZ = Layout.zOrderLayout(base, Seq("x", "y"), 4, 16)
+      .filter(col("x") === 2L && col("y") === 2L)
+      .select("_z").head().getLong(0)
+    // append 1: out-of-domain x=100 — the manifest envelope for x
+    // widens to 100, which envelope-derived anchors would absorb
+    Layout.appendToLayout(spark, path,
+      Seq((100L, 3L)).toDF("x", "y"), Seq("x", "y"), 4, 16)
+    // append 2: the in-domain cell (2,2) must land EXACTLY where the
+    // build-time layout put it — anchor stability survives drift
+    Layout.appendToLayout(spark, path,
+      Seq((2L, 2L)).toDF("x", "y"), Seq("x", "y"), 4, 16)
+    val zs = spark.read.parquet(path)
+      .filter(col("x") === 2L && col("y") === 2L)
+      .select("_z").collect().map(_.getLong(0)).toSet
+    assert(zs == Set(buildZ),
+      s"appended (2,2) drifted: got $zs, build-time z was $buildZ")
+  }
+
+  test("appendToLayout: the store's _meta identity is validated — " +
+      "wrong curve, wrong bits, and a Skilling store fed the xy2d " +
+      "curve all fail fast with the stored identity in the message") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)).toDF("x", "y")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout_id").toString + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"), "z", 4, 16)
+    val delta = Seq((1L, 1L)).toDF("x", "y")
+    val wrongCurve = intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, path, delta, Seq("x", "y"), 4, 16,
+        curve = "hilbert"))
+    assert(wrongCurve.getMessage.contains("built with curve=z"))
+    intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, path, delta, Seq("x", "y"), 5, 16))
+    intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, path, delta, Seq("y", "x"), 4, 16))
+    // a k=2 store built with the SKILLING curve must refuse xy2d
+    val kPath = path + "_k2"
+    Layout.writeLayout(
+      Layout.hilbertLayoutK(base, Seq("x", "y"), 4, 16), kPath,
+      Seq("x", "y"), "hilbertk", 4, 16)
+    val mixed = intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, kPath, delta, Seq("x", "y"), 4, 16,
+        curve = "hilbert"))
+    assert(mixed.getMessage.contains("built with curve=hilbertk"))
+    // and a bare store with no _meta refuses appends outright
+    val bare = path + "_bare"
+    base.write.parquet(bare)
+    val noMeta = intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, bare, delta, Seq("x", "y"), 4, 16))
+    assert(noMeta.getMessage.contains("no layout identity"))
+  }
+
+  test("appendToLayout + deleteFromLayout on a k-D Skilling store: " +
+      "maintenance parity for curve=hilbertk (k=3)") {
+    val all = for { x <- 0L until 8L; y <- 0L until 8L;
+      z <- 0L until 8L } yield (x, y, z)
+    val (held, base) = all.partition { case (x, y, z) =>
+      (x + y + z) % 3L == 0L }
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout_hk").toString + "/store"
+    Layout.writeLayout(
+      Layout.hilbertLayoutK(base.toDF("x", "y", "z"),
+        Seq("x", "y", "z"), 3, 8), path,
+      Seq("x", "y", "z"), "hilbertk", 3, 8)
+    Layout.appendToLayout(spark, path, held.toDF("x", "y", "z"),
+      Seq("x", "y", "z"), 3, 8, curve = "hilbertk")
+    val store = spark.read.parquet(path)
+    assert(store.count() == 512L)
+    // manifest ≡ fresh stats over the appended store (exact algebra)
+    val manifest = spark.read.parquet(s"$path/_stats").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fresh = Layout.fileSkippingStats(store, "_bucket",
+      Seq("x", "y", "z")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(manifest == fresh)
+    // every appended row carries the store's own curve value — the
+    // Skilling index, not xy2d, not Morton
+    store.filter(col("x") === 3L && col("y") === 4L && col("z") === 5L)
+      .select("_h").collect().foreach { r =>
+        assert(r.getLong(0) == skilling(3, Array(3L, 4L, 5L)))
+      }
+    // pruned scan is lossless over the maintained store
+    val box = Layout.prunedScan(spark, path,
+      Seq(("x", 1L, 3L), ("y", 2L, 5L), ("z", 0L, 2L)))
+      .select("x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = all.filter { case (x, y, z) =>
+      x >= 1 && x <= 3 && y >= 2 && y <= 5 && z <= 2 }.toSet
+    assert(box == expect)
+    // erasure is curve-agnostic: takedown works on the k-D store too
+    // (a sibling store carrying an id column, then two rows erased)
+    val idPath = path + "_ids"
+    Layout.writeLayout(
+      Layout.hilbertLayoutK(
+        all.map { case (x, y, z) => (x * 64L + y * 8L + z, x, y, z) }
+          .toDF("id", "x", "y", "z"),
+        Seq("x", "y", "z"), 3, 8), idPath,
+      Seq("x", "y", "z"), "hilbertk", 3, 8)
+    Layout.deleteFromLayout(spark, idPath,
+      Seq(0L * 64L + 0L * 8L + 0L, 3L * 64L + 4L * 8L + 5L).toDF("id"),
+      "id")
+    val after = Layout.prunedScan(spark, idPath,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L), ("z", 0L, 7L)))
+    assert(after.count() == 510L)
+  }
+
+  test("append crash window: a crash between the widened manifest " +
+      "and the data files leaves a CONSERVATIVE store — pruned scans " +
+      "equal the pre-append filter, nothing is silently skipped") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)).toDF("x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layout_crash_a").toString
+    val path = root + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"), "z", 4, 16)
+    // snapshot the pre-append data, run the full append, then build
+    // the crash state: pre-append data + POST-append manifest — which
+    // is exactly what a crash between the two writes leaves on disk
+    // (the manifest writes first by design)
+    val crash = root + "/crash"
+    copyDir(path, crash)
+    Layout.appendToLayout(spark, path,
+      Seq((2L, 2L), (100L, 3L)).toDF("x", "y"), Seq("x", "y"), 4, 16)
+    copyDir(s"$path/_stats", s"$crash/_stats")
+    // in-domain box: the crash state serves the PRE-append rows — the
+    // appended duplicate of (2,2) is absent, every base row present
+    val box = Layout.prunedScan(spark, crash,
+      Seq(("x", 0L, 3L), ("y", 0L, 3L)))
+      .groupBy("x", "y").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(box.size == 16 && box.values.forall(_ == 1L),
+      "crash state must equal the pre-append filter")
+    // the widened envelope (x up to 100) keeps extra buckets but the
+    // scan stays clean: no rows, no error
+    val far = Layout.prunedScan(spark, crash,
+      Seq(("x", 90L, 200L), ("y", 0L, 15L)))
+    assert(far.count() == 0L)
+    // and re-running the append (the documented recovery) converges
+    Layout.appendToLayout(spark, crash,
+      Seq((2L, 2L), (100L, 3L)).toDF("x", "y"), Seq("x", "y"), 4, 16)
+    val healed = Layout.prunedScan(spark, crash,
+      Seq(("x", 90L, 200L), ("y", 0L, 15L)))
+      .select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(healed == Set((100L, 3L)))
+  }
+
+  test("delete crash window: a crash between an emptied bucket's " +
+      "directory delete and the manifest rewrite must not hard-fail " +
+      "readers — prunedScan existence-filters the stale manifest row") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (y * 16L + x, x, y)).toDF("id", "x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layout_crash_d").toString
+    val path = root + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"), "z", 4, 16)
+    // snapshot the PRE-delete manifest, erase the whole origin 4×4
+    // (bucket 0 dies), then restore the stale manifest — the crash
+    // state: directory gone, manifest still naming it
+    copyDir(s"$path/_stats", s"$root/stats_before")
+    val doomed = (for { x <- 0L until 4L; y <- 0L until 4L }
+      yield y * 16L + x).toDF("id")
+    Layout.deleteFromLayout(spark, path, doomed, "id")
+    assert(!new java.io.File(s"$path/_bucket=0").exists)
+    copyDir(s"$root/stats_before", s"$path/_stats")
+    // the stale manifest keeps bucket 0 for the origin box; the scan
+    // must skip the missing directory (it holds no rows by
+    // construction) instead of failing with PATH_NOT_FOUND
+    val box = Layout.prunedScan(spark, path,
+      Seq(("x", 0L, 5L), ("y", 0L, 5L)))
+      .select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for { x <- 0L to 5L; y <- 0L to 5L
+      if !(x < 4 && y < 4) } yield (x, y)).toSet
+    assert(box == expect, "survivors only, no crash")
+  }
+
+  test("normalizeToBits: a domain too wide for the bit budget raises " +
+      "a clear error instead of wrapping negative") {
+    val wide = Seq((0L, 0L), (3_000_000_000_000_000L, 1L))
+      .toDF("ts", "y")
+    val err = intercept[RuntimeException](
+      Layout.zOrderLayout(wide, Seq("ts", "y"), bits = 16,
+        nBuckets = 16).select("_z").collect())
+    assert(err.getMessage.contains("overflows long at bits=16"),
+      s"got: ${err.getMessage}")
   }
 
   test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +

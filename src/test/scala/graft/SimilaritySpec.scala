@@ -925,6 +925,36 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pcaFit(df, "embedding", k = 5))
   }
 
+  test("pcaFit on a NON-zero-mean corpus: the covariance comes from " +
+      "pcaMoments' centered cov, so a translated cloud recovers the " +
+      "same planted axis as the centered one") {
+    // the same planted-axis cloud as above, shifted far from the
+    // origin — the regression fixture for the mis-centered covariance
+    // (sᵢ·sⱼ/n² instead of sᵢ·sⱼ/n), which only zero-mean data hid
+    val pts = (-10 to 10).map { t =>
+      val u = t / 10.0
+      val j = (t % 3) * 0.01
+      (t.toLong + 10L,
+        Seq((5.0 + 0.6 * u - 0.8 * j).toFloat,
+          (7.0 + 0.8 * u + 0.6 * j).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(df, "embedding", k = 2)
+    val v0 = model.components(0)
+    val align = math.abs(v0(0) * 0.6 + v0(1) * 0.8)
+    assert(align > 0.999,
+      s"translated cloud's top axis ${v0.toSeq} vs (0.6, 0.8)")
+    assert(model.eigenvalues(0) > 10 * model.eigenvalues(1),
+      s"planted axis dominates: ${model.eigenvalues.toSeq}")
+    // and the fitted diagonal equals pcaMoments' own cov column
+    val momCov = Similarity.pcaMoments(df, "embedding")
+      .filter(col("i") === col("j")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val eigSum = model.eigenvalues.sum
+    assert(math.abs(eigSum - (momCov(0L) + momCov(1L))) < 1e-9,
+      "trace(cov) must equal the eigenvalue sum (full-rank fit)")
+  }
+
   test("pcaRotate + PQ (the OPQ-P recipe): decorrelating before " +
       "product quantization beats raw PQ on cross-subspace-correlated " +
       "data, with L2 ground truth preserved by the rotation") {
@@ -982,5 +1012,154 @@ class SimilaritySpec extends SparkSpec {
     assert(rotHits > rawHits,
       s"PCA-rotated PQ must beat raw PQ on correlated data: " +
         s"$rotHits vs $rawHits of 80")
+  }
+
+  // the cross-subspace-correlated fixture shared by the rotation
+  // tests: latent axes mixed ACROSS the m=4 PQ boundary by 45-degree
+  // rotations of dim pairs (i, i+8). Two variance layouts: the
+  // CONCENTRATED one (all strong latents in dims 0-3 — the shape PCA's
+  // variance ordering handles) and the SPREAD one (one strong latent
+  // per PQ subspace after un-mixing — the shape a pure rotation fixes
+  // outright, no reordering needed).
+  private def mixedFixture(scales: Array[Double])
+      : Seq[(Long, Seq[Float])] = {
+    val d = 16
+    def h(a: Long, b: Long): Double = {
+      val x = a * 2654435761L + b * 40503L
+      ((x % 1000L + 1000L) % 1000L) / 1000.0 - 0.5
+    }
+    (0L until 160L).map { r =>
+      val z = Array.tabulate(d)(i => h(r, i.toLong) * scales(i))
+      val x = new Array[Double](d)
+      val c = math.cos(math.Pi / 4); val sn = math.sin(math.Pi / 4)
+      for (i <- 0 until 8) {
+        x(i) = c * z(i) - sn * z(i + 8)
+        x(i + 8) = sn * z(i) + c * z(i + 8)
+      }
+      (r, x.map(_.toFloat).toSeq)
+    }
+  }
+  private val concScales = Array(6.0, 5.0, 4.0, 3.0, 0.3, 0.3, 0.3,
+    0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3)
+  private val spreadScales = Array(6.0, 0.3, 0.3, 0.3, 5.0, 0.3, 0.3,
+    0.3, 4.0, 0.3, 0.3, 0.3, 3.0, 0.3, 0.3, 0.3)
+
+  private def l2Truth(pts: Seq[(Long, Seq[Float])],
+      queries: Seq[Long]): Map[Long, Set[Long]] = {
+    val arr = pts.toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (p, q) => (p - q).toDouble * (p - q) }.sum
+    queries.map { q =>
+      q -> pts.filter(_._1 != q)
+        .sortBy(p => (l2(arr(q), p._2), p._1)).take(5).map(_._1).toSet
+    }.toMap
+  }
+
+  test("givensCascadeFit/Rotate: exactly orthogonal (pairwise L2 " +
+      "preserved), kills the planted cross-subspace correlation, and " +
+      "cascade-rotated PQ beats raw PQ") {
+    val pts = mixedFixture(spreadScales)
+    val df = pts.toDF("vec_id", "embedding")
+    val stages = Similarity.givensCascadeFit(df, "embedding",
+      Seq(8, 4, 2, 1))
+    val rot = Similarity.givensCascadeRotate(df, "vec_id", "embedding",
+      stages)
+    val rotMap = rot.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (p, q) => (p - q).toDouble * (p - q) }.sum
+    val arr = pts.toMap
+    for (a <- 0L until 10L; b <- (a + 1) to 10L) {
+      val raw = l2(arr(a), arr(b)); val rr = l2(rotMap(a), rotMap(b))
+      assert(math.abs(raw - rr) <= 1e-3 * (raw + 1.0),
+        s"L2($a,$b) must survive the rotation: $raw vs $rr")
+    }
+    // the planted (0, 8) mixing is gone: rotated covariance's
+    // cross-subspace cell collapses vs the raw one
+    def cov08(d2: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pcaMoments(d2, "embedding")
+        .filter(col("i") === 0L && col("j") === 8L)
+        .head().getDouble(6)
+    val rawC = math.abs(cov08(df)); val rotC = math.abs(cov08(rot))
+    assert(rotC < rawC / 10.0,
+      s"cascade must decorrelate the swept pair: |cov| $rawC -> $rotC")
+    // and the PQ payoff: same codebook budget, better recall
+    val queries = (0L until 16L).toSeq
+    val truth = l2Truth(pts, queries)
+    def recall(topk: Map[Long, Set[Long]]): Int =
+      queries.map(q => (truth(q) & topk.getOrElse(q, Set())).size).sum
+    def pqRun(data: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val cb = Similarity.pqCodebooks(data, "embedding", "vec_id",
+        m = 4, k = 8)
+      val enc = Similarity.pqEncode(data, "embedding", "vec_id", cb,
+        m = 4)
+      Similarity.pqTopK(
+          data.filter(col("vec_id") < 16), cb, enc,
+          "embedding", "vec_id", m = 4, k = 8, topK = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1)
+        .map { case (q, rs) =>
+          q -> rs.map(_._2).filter(_ != q).take(5).toSet }
+    }
+    val rawHits = recall(pqRun(df))
+    val rotHits = recall(pqRun(rot))
+    info(s"recall@5: cascade-rotated $rotHits/80, raw $rawHits/80")
+    assert(rotHits > rawHits,
+      s"cascade-rotated PQ must beat raw PQ: $rotHits vs $rawHits")
+    intercept[IllegalArgumentException](
+      Similarity.givensCascadeFit(df, "embedding", Seq(3)))
+    intercept[IllegalArgumentException](
+      Similarity.givensCascadeFit(df, "embedding", Nil))
+  }
+
+  test("rotations wired through the FULL ivfPqTopK serving path: the " +
+      "rotated index serves better recall than the raw one at the " +
+      "same quantizer budget (the OPQ serving composition)") {
+    val queries = (0L until 16L).toSeq
+    def recall(truth: Map[Long, Set[Long]],
+        topk: Map[Long, Set[Long]]): Int =
+      queries.map(q => (truth(q) & topk.getOrElse(q, Set())).size).sum
+    def serve(data: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val (cents, assigned) = Similarity.ivfIndex(data, "embedding",
+        "vec_id", k = 8)
+      val cb = Similarity.pqCodebooks(data, "embedding", "vec_id",
+        m = 4, k = 8)
+      val enc = Similarity.pqEncode(data, "embedding", "vec_id", cb,
+        m = 4)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      Similarity.ivfPqTopK(data.filter(col("vec_id") < 16), cents, cb,
+          ae, "embedding", "vec_id", m = 4, k = 8, topK = 6, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1)
+        .map { case (q, rs) =>
+          q -> rs.map(_._2).filter(_ != q).take(5).toSet }
+    }
+    // pcaRotate on the concentrated fixture (variance ordering is
+    // PCA's own strength)
+    val pcaPts = mixedFixture(concScales)
+    val pcaDf = pcaPts.toDF("vec_id", "embedding")
+    val pcaTruth = l2Truth(pcaPts, queries)
+    val pcaRaw = recall(pcaTruth, serve(pcaDf))
+    val model = Similarity.pcaFit(pcaDf, "embedding", k = 16)
+    val pcaHits = recall(pcaTruth, serve(
+      Similarity.pcaRotate(pcaDf, "vec_id", "embedding", model)))
+    // the cascade on the spread fixture (a pure rotation fixes it
+    // outright — no component reordering to lean on)
+    val casPts = mixedFixture(spreadScales)
+    val casDf = casPts.toDF("vec_id", "embedding")
+    val casTruth = l2Truth(casPts, queries)
+    val casRaw = recall(casTruth, serve(casDf))
+    val stages = Similarity.givensCascadeFit(casDf, "embedding",
+      Seq(8, 4, 2, 1))
+    val casHits = recall(casTruth, serve(
+      Similarity.givensCascadeRotate(casDf, "vec_id", "embedding",
+        stages)))
+    info(s"served recall@5: pca $pcaHits vs raw $pcaRaw; " +
+      s"cascade $casHits vs raw $casRaw (of 80)")
+    assert(pcaHits > pcaRaw,
+      s"pcaRotate-served IVF-PQ must beat raw: $pcaHits vs $pcaRaw")
+    assert(casHits > casRaw,
+      s"cascade-served IVF-PQ must beat raw: $casHits vs $casRaw")
   }
 }
