@@ -245,6 +245,26 @@ private[graft] object QueriesDedup {
           shingleSize = 3, minCount = 2)
         .orderBy("doc_id")),
 
+    // ---- X2p: corpus-wide duplicated-SPAN report — the Lee-et-al
+    // "every >= L-token substring appearing twice corpus-wide"
+    // primitive (q_x2m is the destructive twin, this is the audit):
+    // anchored on hashed 5-grams (bucketed, never all-pairs), maximal
+    // spans = merged runs of duplicated window starts, span text
+    // rebuilt positionally. A fixed sentence planted into every
+    // doc_id%17==0 document guarantees cross-document substrings at
+    // every SF; the oracle replays grams, counts, the island merge,
+    // and the text rebuild. ----
+    "q_x2p_dup_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" graft planted span alpha beta " +
+            "gamma delta epsilon zeta theta")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicatedSpans(d, "text", "doc_id", shingleSize = 5,
+          minCount = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- X2l: SemDeDup — embedding-space near-dup collapse (IVF cells →
     // within-cell cosine pairs → connected components → min-id keeper).
     // The synthetic embeddings have no natural near-dups (max pairwise
@@ -912,6 +932,63 @@ private[graft] object QueriesDedup {
         |FROM documents d
         |LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Duplicated-span report: positional 5-gram rebuild, corpus-wide
+    // counts, island merge at gaps <= 5 (lag + running sum — the
+    // engine's window mirrored), positional text rebuild.
+    "q_x2p_dup_spans" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' graft planted ' ||
+        |      'span alpha beta gamma delta epsilon zeta theta'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, u.tk, u.pos - 1 AS pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |          AS arr FROM docs2),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u
+        |  WHERE length(u.tk) > 0),
+        |sh AS (
+        |  SELECT a.doc_id, a.pos,
+        |    a.tk || ' ' || b.tk || ' ' || c.tk || ' ' || d.tk
+        |      || ' ' || e.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        |  JOIN tok e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+        |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+        |st AS (
+        |  SELECT s.doc_id, s.pos
+        |  FROM sh s JOIN cnt ON cnt.sh = s.sh AND cnt.c >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - coalesce(lag(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos), -100) > 5
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM st),
+        |isl2 AS (
+        |  SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, island, min(pos) AS span_start,
+        |    max(pos) + 4 AS span_end, count(*) AS n_windows
+        |  FROM isl2 GROUP BY doc_id, island),
+        |txt AS (
+        |  SELECT sp.doc_id, sp.span_start, sp.span_end, sp.n_windows,
+        |    string_agg(t.tk, ' ' ORDER BY t.pos) AS span_text
+        |  FROM sp JOIN tok t ON t.doc_id = sp.doc_id
+        |    AND t.pos BETWEEN sp.span_start AND sp.span_end
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |  CAST(span_end AS BIGINT) AS span_end,
+        |  CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens,
+        |  CAST(n_windows AS BIGINT) AS n_windows, span_text
+        |FROM txt
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // The q_x2m rebuild with bench-shingle membership instead of the
     // count-≥-2 dup set; shingle strings compare directly (the engine's

@@ -436,16 +436,17 @@ private[graft] object QueriesText {
     // continuation counts; every discount a fixed double expression
     // of exact longs with operand association mirrored in the oracle.
     // ----
-    // The modified-KN rows run on the doc_id<100 corpus: the
-    // estimator NEEDS count-class diversity (n1..n3 > 0 at both
-    // orders — KenLM's own precondition, enforced loudly), and the
-    // synthetic corpus's vocabulary SATURATES at sf0.1 (5000 docs:
-    // count-1 continuation pairs vanish entirely), where the engine
-    // correctly refuses. The 100-doc prefix keeps every count class
-    // populated at all three SFs — measured, not assumed.
+    // The modified-KN rows run on the FULL corpus carrying the
+    // count-diverse token tier (mknCorpus): the estimator NEEDS
+    // n1..n3 > 0 at both orders (KenLM's own precondition, enforced
+    // loudly), and the raw synthetic corpus's vocabulary SATURATES at
+    // sf0.1 — count-1 continuation pairs vanish and the engine
+    // correctly refuses. The deterministic per-doc tail guarantees
+    // every count class at EVERY SF, so the rows are bench-loaded on
+    // the whole table instead of fenced to a prefix (the r13 state).
     "q_x14c_mkn_trigram_ppl" -> ((s, dir) =>
       Relevance.knTrigramPerplexityModified(
-          t(s, dir, "documents").filter(col("doc_id") < 100),
+          mknCorpus(t(s, dir, "documents")),
           "doc_id", "text")
         .select(col("doc_id"), col("n_trigrams"),
           floor(col("log_prob") * lit(1e4) + lit(0.5)).as("log_prob_e4"),
@@ -484,15 +485,14 @@ private[graft] object QueriesText {
     // production estimator (count-class discounts re-derived from the
     // MAINTAINED counts' count-of-counts) after an adds-only
     // maintenance call brings the %7==3 group into a base built on
-    // the rest, making the effective corpus exactly q_x14c's
-    // doc_id<100 corpus (same precondition note): the oracle is
-    // q_x14c's proven chain, so a green row certifies the whole
-    // discount ladder survives maintenance bit-exactly. (A takedown
-    // subset can't carry this row — removing docs only thins the
-    // count classes further; the removal path stays oracled by
-    // q_x14d's plain-KN row.) ----
+    // the rest, making the effective corpus exactly q_x14c's full
+    // count-diverse corpus: the oracle is q_x14c's proven chain, so a
+    // green row certifies the whole discount ladder survives
+    // maintenance bit-exactly. (A takedown subset can't carry this
+    // row — removing docs only thins the count classes further; the
+    // removal path stays oracled by q_x14d's plain-KN row.) ----
     "q_x14e_lm_maintained_mkn" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val d = mknCorpus(t(s, dir, "documents"))
       val lm0 = Relevance.buildTrigramLm(
         d.filter(col("doc_id") % 7 =!= 3), "doc_id", "text")
       val m = Relevance.maintainTrigramLm(lm0,
@@ -568,6 +568,36 @@ private[graft] object QueriesText {
       Relevance.searchBm25FromIndex(m, "data model the", k = 100000)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- X9i: the lexical CDC COMPOSITION — the q_x1g batch
+    // discipline applied to the serving index (what the streaming
+    // lexical twin's per-trigger fold maintains): from the shared
+    // base fixture, TWO sequential maintenance batches with the
+    // twin's same-batch-del-beats-add fold. Batch 1 adds the %7==3
+    // group and takes down %5==0 (the fold drops adds the same batch
+    // kills), leaving live = %5≠0; batch 2 re-adds %11==0 (replace
+    // for live ids, resurrection for dead ones) and takes down
+    // %13==0. Served BM25 must be bit-identical to a full rebuild
+    // over the effective corpus: (%5≠0 ∨ %11==0) ∧ %13≠0. ----
+    "q_x9i_lex_cdc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b1adds = d.filter(col("doc_id") % 7 === 3 &&
+        col("doc_id") % 5 =!= 0)
+      val b1dels = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+      val m1 = Relevance.maintainLexIndex(x9fBaseIndex(s, dir),
+        b1adds, b1dels, "doc_id", "text")
+      val b2adds = d.filter(col("doc_id") % 11 === 0 &&
+        col("doc_id") % 13 =!= 0)
+      val b2dels = d.filter(col("doc_id") % 13 === 0).select("doc_id")
+      val m2 = Relevance.maintainLexIndex(m1, b2adds, b2dels,
+        "doc_id", "text")
+      Relevance.bm25FromIndex(m2)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("doc_len"),
+          floor(col("bm25") * lit(1e4) + lit(0.5)).as("bm25_e4"))
+        .orderBy("doc_id", "token")
     }),
 
     // ---- X9e: feature-hashed TF-IDF document vectors (the hashing
@@ -685,9 +715,81 @@ private[graft] object QueriesText {
         .orderBy("w1", "w2")),
   )
 
+  /** The COUNT-DIVERSE corpus the modified-KN rows run on: every
+    * document carries a deterministic 24-token tail of repeated
+    * groups — three `<d div 2>` triples (trigram count class 2), two
+    * `<d div 3>` triples (class 3), one `<d div 4>` triple (class 4),
+    * each preceded by a per-doc UNIQUE token (class 1, and the
+    * continuation-count classes 2/3/4 for the bigram order). The
+    * group mix is sized so the Chen–Goodman inequalities
+    * d2 = 2 − 3Y·n3/n2 > 0 and d3 = 3 − 4Y·n4/n3 > 0 hold with
+    * margin at EVERY scale factor: the raw corpus saturates at sf0.1
+    * (its surviving classes skew n3/n4 high — measured n2/n3/n4 =
+    * 2622/2020/1950, d2 = −0.07 — which the engine now refuses
+    * loudly), and the tail's ~2.5:1 n2:n3 and ~1.9:1 n3:n4 dominate
+    * it back into the valid region. Mirrored verbatim by
+    * [[mknCorpusSql]]. */
+  private def mknCorpus(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(col("text"),
+      lit(" knu"), col("doc_id").cast("string"),
+      lit(" kne"), expr("doc_id div 2").cast("string"),
+      lit(" knf"), expr("doc_id div 2").cast("string"),
+      lit(" kng"), expr("doc_id div 2").cast("string"),
+      lit(" kna"), col("doc_id").cast("string"),
+      lit(" knb"), expr("doc_id div 2").cast("string"),
+      lit(" knc"), expr("doc_id div 2").cast("string"),
+      lit(" knd"), expr("doc_id div 2").cast("string"),
+      lit(" kni"), col("doc_id").cast("string"),
+      lit(" knj"), expr("doc_id div 2").cast("string"),
+      lit(" knk"), expr("doc_id div 2").cast("string"),
+      lit(" knl"), expr("doc_id div 2").cast("string"),
+      lit(" knv"), col("doc_id").cast("string"),
+      lit(" knp"), expr("doc_id div 3").cast("string"),
+      lit(" knq"), expr("doc_id div 3").cast("string"),
+      lit(" knr"), expr("doc_id div 3").cast("string"),
+      lit(" knm"), col("doc_id").cast("string"),
+      lit(" knn"), expr("doc_id div 3").cast("string"),
+      lit(" kno"), expr("doc_id div 3").cast("string"),
+      lit(" knz"), expr("doc_id div 3").cast("string"),
+      lit(" knw"), col("doc_id").cast("string"),
+      lit(" kns"), expr("doc_id div 4").cast("string"),
+      lit(" knt"), expr("doc_id div 4").cast("string"),
+      lit(" knx"), expr("doc_id div 4").cast("string")).as("text"))
+
+  // this fragment is INJECTED into mknOracle's stripMargin'd template,
+  // so no line may START with '|' (stripMargin would eat one pipe of
+  // a leading '||') — every concat operator trails its line instead
+  private val mknCorpusSql: String =
+    """(SELECT doc_id, text ||
+      ' knu' || CAST(doc_id AS VARCHAR) ||
+      ' kne' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' knf' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' kng' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' kna' || CAST(doc_id AS VARCHAR) ||
+      ' knb' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' knc' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' knd' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' kni' || CAST(doc_id AS VARCHAR) ||
+      ' knj' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' knk' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' knl' || CAST(doc_id // 2 AS VARCHAR) ||
+      ' knv' || CAST(doc_id AS VARCHAR) ||
+      ' knp' || CAST(doc_id // 3 AS VARCHAR) ||
+      ' knq' || CAST(doc_id // 3 AS VARCHAR) ||
+      ' knr' || CAST(doc_id // 3 AS VARCHAR) ||
+      ' knm' || CAST(doc_id AS VARCHAR) ||
+      ' knn' || CAST(doc_id // 3 AS VARCHAR) ||
+      ' kno' || CAST(doc_id // 3 AS VARCHAR) ||
+      ' knz' || CAST(doc_id // 3 AS VARCHAR) ||
+      ' knw' || CAST(doc_id AS VARCHAR) ||
+      ' kns' || CAST(doc_id // 4 AS VARCHAR) ||
+      ' knt' || CAST(doc_id // 4 AS VARCHAR) ||
+      ' knx' || CAST(doc_id // 4 AS VARCHAR) AS text
+      FROM documents)"""
+
   /** Modified-KN oracle chain, parameterized on the corpus relation
     * so the one-shot row (q_x14c) and the maintained-store row
-    * (q_x14e) — both on the count-diverse doc_id<100 prefix — can
+    * (q_x14e) — both on the full count-diverse [[mknCorpus]] — can
     * never drift. Every CASE / quotient association mirrors the
     * engine column expressions exactly (Y inlined per discount —
     * identical doubles either way). */
@@ -1640,16 +1742,14 @@ private[graft] object QueriesText {
     // count-of-counts CTEs and their discount rows; every CASE /
     // quotient association mirrors the engine column expressions
     // exactly (Y inlined per discount — identical doubles either way).
-    "q_x14c_mkn_trigram_ppl" -> mknOracle(
-      "(SELECT * FROM documents WHERE doc_id < 100)"),
+    "q_x14c_mkn_trigram_ppl" -> mknOracle(mknCorpusSql),
 
     // Maintained-store modified-KN: the adds-only maintenance makes
-    // the effective corpus exactly the one-shot row's doc_id<100
-    // prefix, so the oracle is the same chain — any drift in the
-    // maintained counts' count-of-counts, discounts, or γ weights
-    // hash-mismatches.
-    "q_x14e_lm_maintained_mkn" -> mknOracle(
-      "(SELECT * FROM documents WHERE doc_id < 100)"),
+    // the effective corpus exactly the one-shot row's full
+    // count-diverse corpus, so the oracle is the same chain — any
+    // drift in the maintained counts' count-of-counts, discounts, or
+    // γ weights hash-mismatches.
+    "q_x14e_lm_maintained_mkn" -> mknOracle(mknCorpusSql),
 
     // Maintained-LM rebuild: q_x14b's exact chain over the POST-CHANGE
     // live corpus (takedowns %5==0 out unless re-added; %7==3 new
@@ -1763,6 +1863,37 @@ private[graft] object QueriesText {
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE doc_id % 5 <> 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+        |         FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM d),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, lens.doc_len,
+        |  CAST(floor(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |        / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |    * (tf.tf * CAST(2.2 AS DOUBLE))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * lens.doc_len / al.avg_len))
+        |    * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS bm25_e4
+        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |WHERE tf.doc_id < 20
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
+    // The CDC-composition rebuild: q_x9b's chain over the corpus the
+    // two folded batches leave live — (%5≠0 ∨ %11==0) ∧ %13≠0. Two
+    // sequential maintenance calls must compose to the same index a
+    // one-shot build over the effective corpus produces, bit-for-bit.
+    "q_x9i_lex_cdc" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE (doc_id % 5 <> 0 OR doc_id % 11 = 0)
+        |    AND doc_id % 13 <> 0),
         |tok AS (
         |  SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Checkpointer
@@ -841,6 +842,92 @@ object Dedup {
         coalesce(col("_total"), lit(0L)).as("n_tokens"),
         (coalesce(col("_total"), lit(0L)) -
           coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** CORPUS-WIDE duplicated-substring REPORT — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * primitive as a bucketed operator: every maximal token span whose
+    * every length-`shingleSize` window occurs at least `minCount`
+    * times ACROSS THE WHOLE CORPUS, per document, with positions and
+    * the span text. A substring of length ≥ L that appears twice has
+    * all its L-windows duplicated, and a duplicated L-window is itself
+    * such a substring — so the union of duplicated windows IS the
+    * union of all corpus-duplicated substrings of length ≥ L, and the
+    * emitted spans are its maximal runs. [[removeDuplicateSpans]] is
+    * the destructive twin (scrub instead of report); this is the audit
+    * a curation pipeline reviews before scrubbing.
+    *
+    * MAXIMALITY: each span is a maximal chain of duplicated window
+    * STARTS at gaps ≤ shingleSize (overlapping-or-touching windows
+    * merge); the window just before the span's first start and every
+    * window that would extend past its last are NOT duplicated (or
+    * fall off the document) — the property DedupSpec checks against a
+    * brute-force reference.
+    *
+    * Anchored on hashed L-grams, never all-pairs: the corpus-wide
+    * count is one partial-agg groupBy on `sha2(window)`; no text and
+    * no document pair ever shuffles together.
+    *
+    * Scale notes (100 TB): occurrences shuffle as (32B hash, id, pos);
+    * the run-merge window partitions BY DOCUMENT (bounded partitions,
+    * no global window); span text rebuilds only for positions inside
+    * duplicated spans — unduplicated text never moves.
+    *
+    * @return (id, span_start, span_end, n_tokens, n_windows,
+    *         span_text), token positions 0-based inclusive */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, minCount: Int = 2): DataFrame = {
+    require(shingleSize >= 1, "shingleSize must be >= 1")
+    require(minCount >= 2, "minCount must be >= 2 (a once-seen span " +
+      "is not duplicated)")
+    val occ = df
+      .select(col(idCol).as("_id"),
+        posexplode(shingles(col(textCol), shingleSize))
+          .as(Seq("_pos", "_sh")))
+      .select(col("_id"), col("_pos").cast("long").as("_pos"),
+        sha2(col("_sh"), 256).as("_h"))
+    val dupHashes = occ.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select(col("_h"))
+    val starts = occ.join(dupHashes, Seq("_h"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    // islands: a new span opens when the previous duplicated start is
+    // more than shingleSize back (windows no longer overlap or touch)
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val isl = starts
+      .withColumn("_new",
+        when(col("_pos") - coalesce(lag(col("_pos"), 1).over(w),
+          lit(Long.MinValue / 2)) > shingleSize.toLong, 1L)
+          .otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("_id"), col("_island"))
+      .agg(min(col("_pos")).as("span_start"),
+        (max(col("_pos")) + lit(shingleSize.toLong - 1L))
+          .as("span_end"),
+        count(lit(1)).as("n_windows"))
+    val toks = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(trim(col(textCol)), "\\s+"))
+          .as(Seq("_tp", "_tk")))
+      .filter(length(col("_tk")) > 0)
+      .select(col("_id"), col("_tp").cast("long").as("_tp"),
+        col("_tk"))
+    spans
+      .join(toks, toks("_id") === spans("_id") &&
+        col("_tp").between(col("span_start"), col("span_end")))
+      .drop(toks("_id"))
+      .groupBy(col("_id"), col("span_start"), col("span_end"))
+      .agg(first(col("n_windows")).as("n_windows"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
+            t => t.getField("_tk")),
+          " ").as("span_text"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens"),
+        col("n_windows"), col("span_text"))
   }
 
   /** INCREMENTAL near-dedup — the daily-increment path: dedupe a NEW

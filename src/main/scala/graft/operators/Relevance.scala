@@ -814,12 +814,27 @@ object Relevance {
         sum(when(col(cCol) === 4L, lit(1L)).otherwise(lit(0L))).as("n4"))
       val y = col("n1").cast("double") /
         (col("n1") + lit(2L) * col("n2")).cast("double")
+      // d1 = n1/(n1+2n2) is positive by algebra whenever n1, n2 > 0;
+      // d2/d3 can go NEGATIVE on count-of-counts a saturated corpus
+      // skews (n3 ≳ (2/3)·n2/Y or n4 ≳ (3/4)·n3/Y) — a negative
+      // discount makes the backoff mass γ negative and probabilities
+      // follow, so refuse loudly exactly where KenLM prints "could
+      // not calculate Kneser-Ney discounts" instead of serving NaNs
       coc.filter(
         when(col("n1") === 0L || col("n2") === 0L || col("n3") === 0L,
           raise_error(lit(s"knTrigramPerplexityModified: $order " +
             "count-of-counts n1..n3 must all be > 0 to estimate " +
             "discounts (KenLM's precondition)")).cast("boolean"))
           .otherwise(lit(true)))
+        .filter(
+          when(lit(2.0) - lit(3.0) * y * col("n3") / col("n2") <= 0.0
+              || lit(3.0) - lit(4.0) * y * col("n4") / col("n3") <= 0.0,
+            raise_error(lit(s"knTrigramPerplexityModified: $order " +
+              "count-of-counts give a non-positive d2 or d3 discount " +
+              "(KenLM's 'could not calculate discounts' condition) — " +
+              "the corpus's count classes are too skewed for the " +
+              "Chen-Goodman estimator")).cast("boolean"))
+            .otherwise(lit(true)))
         .select(
           (lit(1.0) - lit(2.0) * y * col("n2") / col("n1"))
             .as(s"d1$sfx"),

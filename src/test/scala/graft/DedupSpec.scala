@@ -747,4 +747,71 @@ class DedupSpec extends SparkSpec {
       .filter(col("is_kept")).select("id").as[Long].collect().toSeq ==
       Seq(1L))
   }
+
+  test("duplicatedSpans: equals the brute-force reference on a seeded " +
+      "small-vocab corpus, every span is maximal (no duplicated window " +
+      "extends it), and planted cross-document substrings surface") {
+    val L = 3
+    def tok(a: Long, b: Long): String =
+      "w" + (((a * 2654435761L + b * 40503L) % 7L + 7L) % 7L)
+    val planted = "alpha beta gamma delta epsilon zeta"
+    val docs = (0L until 30L).map { dd =>
+      val base = (0L until 20L).map(p => tok(dd, p)).mkString(" ")
+      val text =
+        if (dd % 5 == 0) base + " " + planted + " " + tok(dd, 99L)
+        else base
+      (dd, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "text", "doc_id",
+        shingleSize = L, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    // brute force: corpus-wide L-gram counts, duplicated starts,
+    // runs merged at gaps <= L
+    val toksOf = docs.map { case (dd, t) =>
+      dd -> t.split("\\s+").toSeq }.toMap
+    val grams = docs.flatMap { case (dd, _) =>
+      toksOf(dd).sliding(L).filter(_.size == L).zipWithIndex
+        .map { case (g, p) => (dd, p, g.mkString(" ")) } }
+    val counts = grams.groupBy(_._3).map { case (g, os) => g -> os.size }
+    val expect = grams.filter(g => counts(g._3) >= 2).groupBy(_._1)
+      .flatMap { case (dd, gs) =>
+        val ps = gs.map(_._2).sorted
+        val runs = scala.collection.mutable.ListBuffer[(Int, Int, Int)]()
+        var s = ps.head; var last = ps.head; var n = 1
+        ps.tail.foreach { p =>
+          if (p - last <= L) { last = p; n += 1 }
+          else { runs += ((s, last, n)); s = p; last = p; n = 1 }
+        }
+        runs += ((s, last, n))
+        runs.map { case (a, b, n2) =>
+          (dd, a.toLong, (b + L - 1).toLong, (b + L - a).toLong,
+            n2.toLong, toksOf(dd).slice(a, b + L).mkString(" ")) }
+      }.toSet
+    assert(got == expect, "spans must equal the brute-force reference")
+    // maximality: no duplicated window immediately left of the span,
+    // none that would extend past its last window
+    got.foreach { case (dd, a, b, _, _, _) =>
+      val ts = toksOf(dd)
+      def dup(p: Long): Boolean =
+        p >= 0 && p + L <= ts.size &&
+          counts.getOrElse(
+            ts.slice(p.toInt, p.toInt + L).mkString(" "), 0) >= 2
+      val lastStart = b - L + 1
+      assert(!(a - L to a - 1).exists(dup),
+        s"doc $dd span [$a,$b]: a duplicated window on the left " +
+          "should have merged in")
+      assert(!(lastStart + 1 to lastStart + L).exists(dup),
+        s"doc $dd span [$a,$b]: a duplicated window on the right " +
+          "should have merged in")
+    }
+    // the planted sentence is reported in every planted doc
+    docs.filter(_._1 % 5 == 0).foreach { case (dd, _) =>
+      assert(got.exists(s => s._1 == dd && s._6.contains(planted)),
+        s"doc $dd must report the planted span")
+    }
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedSpans(df, "text", "doc_id", minCount = 1))
+  }
 }

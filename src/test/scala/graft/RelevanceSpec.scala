@@ -261,6 +261,22 @@ class RelevanceSpec extends SparkSpec {
       (err.getMessage.contains("count-of-counts") ||
         (err.getCause != null &&
           err.getCause.getMessage.contains("count-of-counts"))))
+    // skewed count classes (n3 dwarfing n2) drive d2 = 2 - 3Y n3/n2
+    // negative — KenLM's "could not calculate discounts" condition;
+    // the guard must refuse instead of serving negative probabilities
+    val skew = ((0 until 50).flatMap(i =>
+      (0 until 3).map(r => (i * 10L + r, s"p$i q$i r$i"))) ++
+      Seq((9001L, "x1 y1 z1"), (9002L, "x2 y2 z2"),
+        (9003L, "x2 y2 z2"), (9004L, "g1 h h"), (9005L, "g2 h h"),
+        (9006L, "f1 k k"), (9007L, "f2 k k"), (9008L, "f3 k k")))
+      .toDF("id", "text")
+    val err2 = intercept[Exception] {
+      Relevance.knTrigramPerplexityModified(skew, "id", "text")
+        .collect()
+    }
+    val msg2 = Option(err2.getMessage).getOrElse("") +
+      Option(err2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("non-positive d2 or d3"), s"got: $msg2")
   }
 
   test("topTerms: e6-integerized ranking, token tie-break, k cut") {
