@@ -194,6 +194,35 @@ private[graft] object QueriesSampling {
         .orderBy("batch_id")
     }),
 
+    // ---- X6w: TOKEN-BUDGET batching — the fixed-COMPUTE collator
+    // contract (q_x6v cuts fixed-count batches): exact-integer length
+    // buckets, per-bucket capacity = budget div bucket_max (every
+    // batch's pad-to-max footprint provably fits), batches cut along
+    // the (len, id) order within each bucket, numbering offset by a
+    // broadcast-sized prefix sum. The per-batch padding audit is the
+    // deliverable. ----
+    "q_x6w_token_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      Sampling.paddingWaste(
+          Sampling.tokenBudgetBatches(docs, "doc_id", "len",
+            budget = 4096L, rankBuckets = 64),
+          "len")
+        .orderBy("batch_id")
+    }),
+
+    // ---- X6x: AUTO-REBATCH — pick the length-bucket granularity by
+    // MEASURED padding waste instead of guessing: one assignment +
+    // one audit per candidate, winner = argmin by (waste, batches,
+    // buckets). Fully deterministic, so the report itself oracles. ----
+    "q_x6x_auto_rebatch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      Sampling.autoRebatch(docs, "doc_id", "len", budget = 4096L,
+          candidates = Seq(4, 32, 256))
+        .orderBy("rank_buckets")
+    }),
+
     // ---- X6s: leakage-safe split — the verdict hashes the dedup
     // CLUSTER id (here Dedup.exact keeper ids joined back on content
     // sha), so identical documents can never straddle train/test; a
@@ -253,6 +282,70 @@ private[graft] object QueriesSampling {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
   )
+
+  /** Generated token-budget-batch CTE chain (budget 4096 over
+    * `length(text)`) for each candidate granularity, ending at
+    * `r<rb>(doc_id, len, batch_id)` — mirrors
+    * [[graft.operators.Sampling.tokenBudgetBatches]] integer for
+    * integer: exact `//` bucketing, per-bucket capacity
+    * `greatest(budget // bmax, 1)`, ceil-div batch counts, the
+    * prefix-sum offsets, the within-bucket (len, id) rank cut. */
+  private def tokenBatchCtes(rbs: Seq[Int]): String = {
+    val per = rbs.map { rb =>
+      s"""b$rb AS (
+         |  SELECT doc_id, len,
+         |    CASE WHEN hi = lo THEN 0
+         |      ELSE least(((len - lo) * $rb) // (hi - lo), ${rb - 1})
+         |    END AS bk
+         |  FROM d, ext),
+         |bs$rb AS (
+         |  SELECT bk, max(len) AS bmax, CAST(count(*) AS BIGINT) AS bn
+         |  FROM b$rb GROUP BY bk),
+         |bc$rb AS (
+         |  SELECT bk, bn, greatest(4096 // bmax, 1) AS cap FROM bs$rb),
+         |bo$rb AS (
+         |  SELECT bk, cap,
+         |    CAST(coalesce(sum((bn + cap - 1) // cap) OVER (
+         |      ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      1 PRECEDING), 0) AS BIGINT) AS boff
+         |  FROM bc$rb),
+         |r$rb AS (
+         |  SELECT x.doc_id, x.len,
+         |    o.boff + (row_number() OVER (PARTITION BY x.bk
+         |      ORDER BY x.len, x.doc_id) - 1) // o.cap AS batch_id
+         |  FROM b$rb x JOIN bo$rb o ON o.bk = x.bk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents),
+       |ext AS (SELECT min(len) AS lo, max(len) AS hi FROM d),
+       |$per""".stripMargin
+  }
+
+  private def tokenBatchOracle(rb: Int, finalSelect: String): String =
+    tokenBatchCtes(Seq(rb)) + "\n" + finalSelect
+
+  private def autoRebatchOracle(cands: Seq[Int]): String = {
+    val ws = cands.map { rb =>
+      s"""w$rb AS (
+         |  SELECT CAST($rb AS BIGINT) AS rank_buckets,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(coalesce(sum(mx * n - s), 0) AS BIGINT)
+         |      AS total_waste
+         |  FROM (SELECT batch_id, count(*) AS n, max(len) AS mx,
+         |        sum(len) AS s FROM r$rb GROUP BY batch_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = cands.map(rb => s"SELECT * FROM w$rb")
+      .mkString("\nUNION ALL ")
+    tokenBatchCtes(cands) + ",\n" + ws + s""",
+       |rep AS ($union)
+       |SELECT rank_buckets, n_batches, total_waste,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY total_waste,
+       |      n_batches, rank_buckets) = 1 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS chosen
+       |FROM rep ORDER BY rank_buckets""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     // percent_rank is exact small-integer arithmetic — ties share a rank
@@ -436,6 +529,22 @@ private[graft] object QueriesSampling {
         |  CAST(max(len) * count(*) - sum(len) AS BIGINT)
         |    AS padding_waste
         |FROM r GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
+    // Token-budget batches: exact-integer bucket, per-bucket capacity,
+    // prefix-sum offsets, within-bucket rank cut — replayed end to end
+    // (HUGEINT window sums cast back down).
+    "q_x6w_token_batches" -> tokenBatchOracle(64,
+      """SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  count(*) AS n_rows, max(len) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(max(len) * count(*) - sum(len) AS BIGINT)
+        |    AS padding_waste
+        |FROM r64 GROUP BY batch_id ORDER BY batch_id""".stripMargin),
+
+    // Auto-rebatch report: the token-batch chain replayed per
+    // candidate, waste totals unioned, argmin flagged by the same
+    // (waste, batches, buckets) order.
+    "q_x6x_auto_rebatch" -> autoRebatchOracle(Seq(4, 32, 256)),
 
     // Curriculum: exact difficulty rank by (n_chars, doc_id), integer
     // competence inclusion (rank·1000·E ≤ n·(250·E + 750·(e+1))), then

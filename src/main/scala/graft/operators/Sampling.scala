@@ -441,6 +441,100 @@ object Sampling {
       .withColumn("padding_waste",
         col("max_len") * col("n_rows") - col("sum_len"))
 
+  /** TOKEN-BUDGET batching — the production collator contract
+    * ([[lengthGroupedBatches]] cuts fixed-COUNT batches; training
+    * collators cut fixed-COMPUTE ones): rows bucket by length (EXACT
+    * integer bucketing, the normalizeToBits discipline — `div`, never
+    * width_bucket's double path, so the oracle replays it), each
+    * bucket's batch CAPACITY is `max(budget div bucket_max_len, 1)`
+    * (all members are ≤ the bucket max, so every batch's
+    * pad-to-batch-max footprint `n·max_len` provably fits `budget`),
+    * and batches cut along the (length, id) total order within each
+    * bucket. Restarting numbering at bucket boundaries costs at most
+    * one underfilled batch per bucket and keeps the whole operator
+    * embarrassingly parallel — no global greedy chain.
+    *
+    * Rows LONGER than the budget still land (in singleton batches via
+    * the capacity floor) — dropping data silently is never this
+    * layer's call; audit them with `max_len > budget` on the
+    * [[paddingWaste]] report.
+    *
+    * Scale notes (100 TB): one stats aggregate, one per-bucket rank
+    * window (bounded partitions), and a broadcast-sized prefix-sum
+    * over ≤ rankBuckets rows for the global batch offsets.
+    *
+    * @return input + `batch_id` (0-based long, globally unique) */
+  def tokenBudgetBatches(df: DataFrame, idCol: String, lenCol: String,
+      budget: Long, rankBuckets: Int = 1024): DataFrame = {
+    require(budget >= 1L, s"budget must be >= 1 (got $budget)")
+    require(rankBuckets >= 1 && rankBuckets <= (1 << 20),
+      "rankBuckets must be in [1, 2^20]")
+    val rows = df.filter(col(lenCol).isNotNull)
+    val ext = rows.agg(min(col(lenCol).cast("long")).as("_lo"),
+      max(col(lenCol).cast("long")).as("_hi"))
+    val bucketed = rows.crossJoin(broadcast(ext))
+      .withColumn("_graft_tb",
+        when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(
+            expr(s"((CAST($lenCol AS BIGINT) - _lo) * " +
+              s"${rankBuckets}L) div (_hi - _lo)"),
+            lit(rankBuckets.toLong - 1L))))
+    val caps = bucketed.groupBy(col("_graft_tb"))
+      .agg(max(col(lenCol).cast("long")).as("_bmax"),
+        count(lit(1)).as("_bn"))
+      .withColumn("_cap",
+        greatest(expr(s"${budget}L div _bmax"), lit(1L)))
+      .withColumn("_graft_boff",
+        coalesce(sum(expr("(_bn + _cap - 1L) div _cap")).over(
+          Window.orderBy(col("_graft_tb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_graft_tb", "_cap", "_graft_boff")
+    val w = Window.partitionBy(col("_graft_tb"))
+      .orderBy(col(lenCol), col(idCol))
+    bucketed
+      .join(broadcast(caps), Seq("_graft_tb"))
+      .withColumn("_graft_tr", row_number().over(w).cast("long"))
+      .withColumn("batch_id",
+        col("_graft_boff") + expr("(_graft_tr - 1L) div _cap"))
+      .drop("_graft_tb", "_cap", "_graft_boff", "_graft_tr",
+        "_lo", "_hi")
+  }
+
+  /** AUTO-REBATCH chooser: measure [[paddingWaste]] over
+    * [[tokenBudgetBatches]] for each candidate bucket granularity and
+    * flag the winner — argmin by (total padding waste, then fewer
+    * batches, then fewer buckets). Coarse buckets waste pad tokens
+    * (wide length spread inside a batch); needlessly fine ones
+    * fragment into underfilled batches — this measures instead of
+    * guessing, which is the whole point of the audit column.
+    * Deterministic end to end, so the report itself is
+    * oracle-checkable. One assignment + one audit aggregate per
+    * candidate; the report is candidates-sized.
+    *
+    * @return one row per candidate:
+    *         (rank_buckets, n_batches, total_waste, chosen 0/1) */
+  def autoRebatch(df: DataFrame, idCol: String, lenCol: String,
+      budget: Long, candidates: Seq[Int]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate")
+    require(candidates.distinct.size == candidates.size,
+      "candidates must be distinct")
+    val reports = candidates.map { rb =>
+      paddingWaste(
+          tokenBudgetBatches(df, idCol, lenCol, budget, rb), lenCol)
+        .agg(count(lit(1)).as("n_batches"),
+          coalesce(sum(col("padding_waste")), lit(0L))
+            .as("total_waste"))
+        .withColumn("rank_buckets", lit(rb.toLong))
+    }
+    val all = reports.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("total_waste"), col("n_batches"),
+      col("rank_buckets"))
+    all
+      .withColumn("chosen",
+        when(row_number().over(w) === 1, lit(1L)).otherwise(lit(0L)))
+      .select("rank_buckets", "n_batches", "total_waste", "chosen")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis bottom-k): each row gets key = −ln(u)/w with u a seeded
     * uniform from the id hash, and the k smallest keys win — the exact

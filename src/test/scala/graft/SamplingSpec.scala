@@ -817,4 +817,55 @@ class SamplingSpec extends SparkSpec {
         "s", epochs = 2, rankBuckets = (1 << 20) + 1)
     }
   }
+
+  test("tokenBudgetBatches: every multi-row batch's pad-to-max " +
+      "footprint fits the budget, overweight rows land as singletons, " +
+      "assignment is partition-invariant; autoRebatch flags the " +
+      "measured argmin") {
+    val rows = (0L until 200L).map(i => (i, 1L + (i * 37L) % 97L)) ++
+      Seq((900L, 500L), (901L, 480L)) // overweight vs budget 256
+    val df = rows.toDF("id", "len")
+    val batched = Sampling.tokenBudgetBatches(df, "id", "len",
+      budget = 256L, rankBuckets = 16)
+    assert(batched.count() == rows.size.toLong, "every row lands")
+    val audit = Sampling.paddingWaste(batched, "len").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("max_len"))))
+      .toMap
+    audit.values.foreach { case (n, mx) =>
+      assert(n * mx <= 256L || n == 1L,
+        s"batch footprint $n x $mx must fit the budget or be a " +
+          "singleton (capacity floor)")
+    }
+    // the two overweight rows are singletons in their own batches
+    val ow = batched.filter(col("id") >= 900L)
+      .select("id", "batch_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ow.size == 2 && ow.values.toSet.size == 2)
+    ow.values.foreach(b => assert(audit(b)._1 == 1L,
+      s"overweight batch $b must be a singleton"))
+    // deterministic under any partitioning
+    val again = Sampling.tokenBudgetBatches(df.repartition(7), "id",
+        "len", budget = 256L, rankBuckets = 16)
+      .select("id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == batched.select("id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // autoRebatch: one row per candidate, exactly one chosen, and the
+    // flag sits on the measured argmin
+    val rep = Sampling.autoRebatch(df, "id", "len", 256L,
+        Seq(2, 16, 64)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rep.length == 3 && rep.count(_._4 == 1L) == 1)
+    val best = rep.minBy(r => (r._3, r._2, r._1))
+    assert(best._4 == 1L,
+      s"chosen must be the (waste, batches, buckets) argmin: $rep")
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudgetBatches(df, "id", "len", budget = 0L))
+    intercept[IllegalArgumentException](
+      Sampling.autoRebatch(df, "id", "len", 256L, Seq(4, 4)))
+    intercept[IllegalArgumentException](
+      Sampling.autoRebatch(df, "id", "len", 256L, Nil))
+  }
 }
