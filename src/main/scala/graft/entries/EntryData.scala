@@ -197,6 +197,7 @@ private[graft] object EntryData {
             x1Cache.keySet.removeIf(_.endsWith(s"@$uuid"))
             lexIxCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             lmCache.keySet.removeIf(_.endsWith(s"@$uuid"))
+            wordStoreCache.keySet.removeIf(_.endsWith(s"@$uuid"))
             evictRegistered.remove(uuid): Unit
           }
         })
@@ -393,6 +394,22 @@ private[graft] object EntryData {
         "doc_id", "text")
       Relevance.TrigramLm(lm.docs.localCheckpoint(),
         lm.model.localCheckpoint())
+    })
+
+  /** q_x13e/q_x13f's shared fixture: the tokenizer word store built on
+    * the doc_id%7≠3 base corpus, localCheckpoint-pinned per (session,
+    * dataset) — the maintenance rows time their MAINTENANCE call plus
+    * the model-sized re-induction, not the base build (q_x13/q_x13c
+    * already time the full corpus-scan chains). */
+  private val wordStoreCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Tokenizer.WordStore]()
+  def x13eBaseWords(s: SparkSession, dir: String): Tokenizer.WordStore =
+    wordStoreCache.computeIfAbsent(sessionKey(s, s"x13e@$dir"), _ => {
+      val st = Tokenizer.buildWordStore(
+        t(s, dir, "documents").filter(col("doc_id") % 7 =!= 3),
+        "doc_id", "text")
+      Tokenizer.WordStore(st.docs.localCheckpoint(),
+        st.words.localCheckpoint())
     })
 
   def x9fBaseIndex(s: SparkSession, dir: String): Relevance.LexIndex =

@@ -455,11 +455,12 @@ private[graft] object OracleCtes {
     * bK, and re-segments into vK with a seeded list_reduce fold — the
     * seed-with-first-element semantics coincide with the engine's
     * empty-accumulator fold because its first step always appends. */
-  def bpeOracleCtes(rounds: Int): String = {
+  def bpeOracleCtes(rounds: Int,
+      corpus: String = "documents"): String = {
     val head =
-      """WITH w AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |  FROM documents),
+      s"""WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        |  FROM $corpus),
         |v0 AS MATERIALIZED (
         |  SELECT word, regexp_extract_all(word, '.') || ['</w>'] AS syms, wc
         |  FROM (SELECT word, count(*) AS wc FROM w

@@ -666,6 +666,45 @@ private[graft] object QueriesText {
       Tokenizer.bpeEncode(d, "doc_id", "text", vocab).orderBy("doc_id")
     }),
 
+    // ---- X13e: BPE merges off a MAINTAINED word store — the
+    // tokenizer vocabulary joins the maintenance grid (the last store
+    // without a story): the (word, wc) table is subtractable, so one
+    // maintenance call (adds %7==3 + re-adds of live %11==0 docs with
+    // old rows shipped, takedowns %5==0) updates it in exact long
+    // deltas, and the 8-merge induction re-runs MODEL-sized off the
+    // maintained counts — bit-identical to training on the effective
+    // corpus, which is exactly what the oracle rebuilds. ----
+    "q_x13e_bpe_maintained" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val adds = d.filter(col("doc_id") % 7 === 3 ||
+        col("doc_id") % 11 === 0)
+      val rems = d.filter(col("doc_id") % 7 =!= 3 &&
+        (col("doc_id") % 5 === 0 || col("doc_id") % 11 === 0))
+      val m = Tokenizer.maintainWordStore(x13eBaseWords(s, dir),
+        adds, rems, "doc_id", "text")
+      val (merges, _) = Tokenizer.bpeMergesFromWords(m.words,
+        numMerges = 8)
+      merges.select(col("merge_rank"), col("left").as("lhs"),
+          col("right").as("rhs"), col("pair_count"))
+        .orderBy("merge_rank")
+    }),
+
+    // ---- X13f: unigram candidates off the SAME maintained word
+    // store — the other inducer served from one maintained table (the
+    // whole point of making the store the shared source of truth). ----
+    "q_x13f_unigram_maintained" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val adds = d.filter(col("doc_id") % 7 === 3 ||
+        col("doc_id") % 11 === 0)
+      val rems = d.filter(col("doc_id") % 7 =!= 3 &&
+        (col("doc_id") % 5 === 0 || col("doc_id") % 11 === 0))
+      val m = Tokenizer.maintainWordStore(x13eBaseWords(s, dir),
+        adds, rems, "doc_id", "text")
+      Tokenizer.unigramCandidatesFromWords(m.words, maxPieceLen = 3,
+          minFreq = 5L, maxVocab = 50)
+        .orderBy(col("freq").desc, col("piece"))
+    }),
+
     // ---- X13c: unigram-LM (SentencePiece-style) candidate vocabulary
     // — the substring-frequency seed the EM estimator prunes: every
     // length ≤ 3 substring occurrence-weighted by word count, single
@@ -880,6 +919,47 @@ private[graft] object QueriesText {
             s" cnt AS pair_count FROM b$k")
         .mkString("sel AS (\n", "\nUNION ALL\n", ")\n") +
       "SELECT merge_rank, lhs, rhs, pair_count FROM sel ORDER BY merge_rank"),
+
+    // Maintained-store BPE: the q_x13 chain over the post-change live
+    // corpus — the maintained word table must induce the exact merges
+    // a fresh corpus build would.
+    "q_x13e_bpe_maintained" -> (OracleCtes.bpeOracleCtes(8,
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0 " +
+        "OR doc_id % 7 = 3 OR doc_id % 11 = 0)") + "\n" +
+      (1 to 8).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs," +
+            s" cnt AS pair_count FROM b$k")
+        .mkString("sel AS (\n", "\nUNION ALL\n", ")\n") +
+      "SELECT merge_rank, lhs, rhs, pair_count FROM sel ORDER BY merge_rank"),
+
+    // Maintained-store unigram candidates: the q_x13c chain over the
+    // post-change live corpus.
+    "q_x13f_unigram_maintained" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS word
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0),
+        |w AS (SELECT word, count(*) AS wc FROM tok
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(
+        |      range(1, length(word) + 1), s ->
+        |    list_transform(
+        |      range(1, least(3, length(word) - s + 1) + 1), l ->
+        |      substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER))))))
+        |    AS piece, wc
+        |  FROM w),
+        |f AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
+        |  FROM p GROUP BY piece),
+        |multi AS (
+        |  SELECT piece, freq FROM f
+        |  WHERE length(piece) > 1 AND freq >= 5
+        |  ORDER BY freq DESC, piece LIMIT 50),
+        |chars AS (SELECT piece, freq FROM f WHERE length(piece) = 1)
+        |SELECT piece, freq FROM
+        |  (SELECT * FROM chars UNION ALL SELECT * FROM multi)
+        |ORDER BY freq DESC, piece""".stripMargin,
 
     // Candidate-vocabulary rebuild: the same nested substring
     // explosion (range is end-exclusive — +1 mirrors sequence's

@@ -47,6 +47,112 @@ object Tokenizer {
         concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"),
         col("wc"))
 
+  /** The tokenizer-vocabulary SERVING STORE — the last maintenance-grid
+    * hole closed: both subword inducers ([[bpeMerges]] and the unigram
+    * candidate stage) derive everything from the (word, wc) frequency
+    * table, which is vocabulary-sized and SUBTRACTABLE, so it takes
+    * the [[graft.operators.Relevance.TrigramLm]] discipline verbatim:
+    * `words` (word, wc) is the single source of truth (no per-document
+    * rows — corpus-sublinear, which is why erasure must ship the
+    * leaving text), `docs` the live-id registry. Re-inducing merges or
+    * candidates from the maintained table is model-sized work — the
+    * corpus is never rescanned. */
+  final case class WordStore(docs: DataFrame, words: DataFrame)
+
+  /** One corpus scan → a fresh [[WordStore]] (the ground-truth build
+    * [[maintainWordStore]] keeps current). */
+  def buildWordStore(docs: DataFrame, idCol: String,
+      textCol: String): WordStore =
+    WordStore(
+      docs = docs.select(col(idCol).as("doc_id")),
+      words = docs
+        .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("wc")))
+
+  /** EXACT maintenance of a [[WordStore]] under document ADDS and
+    * TAKEDOWNS — word counts are subtractable, so the maintained table
+    * is old + added − removed in exact long arithmetic, zero-count
+    * words leaving: frame-for-frame EQUAL to [[buildWordStore]] over
+    * the post-change corpus. Contract = the TrigramLm store's:
+    * `removedDocs` carries the GROUND-TRUTH text being erased; an
+    * unknown-id takedown no-ops (registry semi-join); re-adding a LIVE
+    * id REPLACES it and requires its old row in `removedDocs` (a
+    * silent double-count is undetectable later — fail loudly);
+    * a subtraction driving a count negative fails loudly; same-call
+    * duplicate ids fold deterministically (max text, the CDC fold).
+    *
+    * Scale notes (100 TB): delta-sized tokenization, two
+    * vocabulary-sized full joins for the count merge, broadcast-gated
+    * registry checks; the corpus is never rescanned. */
+  def maintainWordStore(store: WordStore, addedDocs: DataFrame,
+      removedDocs: DataFrame, idCol: String,
+      textCol: String): WordStore = {
+    val adds = addedDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .groupBy("doc_id").agg(max(col("_text")).as("_text"))
+      .localCheckpoint()
+    val rems = removedDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .groupBy("doc_id").agg(max(col("_text")).as("_text"))
+      .localCheckpoint()
+    val remIds = rems.select("doc_id")
+    val addIds = adds.select("doc_id")
+    val liveRems = rems
+      .join(store.docs.select("doc_id"), Seq("doc_id"), "left_semi")
+    val guard = addIds
+      .join(store.docs.select("doc_id")
+        .join(broadcast(remIds), Seq("doc_id"), "left_anti"),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("_clash"))
+      .filter(
+        when(col("_clash") > 0L,
+          raise_error(lit("maintainWordStore: re-add of a live id " +
+            "without its old row in removedDocs — the word table " +
+            "stores no per-doc counts, so the leaving text must ship"))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+      .select(lit(1).as("_ok"))
+    def counts(d: DataFrame, as: String): DataFrame = d
+      .select(explode(split(trim(col("_text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as(as))
+    val merged = store.words
+      .join(counts(liveRems, "_dec"), Seq("word"), "full")
+      .join(counts(adds, "_inc"), Seq("word"), "full")
+      .select(col("word"),
+        (coalesce(col("wc"), lit(0L)) - coalesce(col("_dec"), lit(0L))
+          + coalesce(col("_inc"), lit(0L))).as("wc"))
+      .filter(
+        when(col("wc") < 0L,
+          raise_error(lit("maintainWordStore: a word count went " +
+            "negative — removedDocs text does not match what the " +
+            "store counted (erasure must ship ground truth)"))
+            .cast("boolean"))
+          .otherwise(col("wc") > 0L))
+    WordStore(
+      docs = store.docs.select("doc_id")
+        .join(broadcast(remIds.unionByName(addIds).distinct()),
+          Seq("doc_id"), "left_anti")
+        .unionByName(addIds),
+      words = merged.crossJoin(broadcast(guard)).drop("_ok"))
+  }
+
+  /** Persist / load a [[WordStore]] (`docs/`, `words/`) — the
+    * localCheckpoint-before-write discipline of the sibling stores. */
+  def saveWordStore(store: WordStore, dir: String): Unit = {
+    val d = store.docs.localCheckpoint()
+    val w = store.words.localCheckpoint()
+    d.write.mode("overwrite").parquet(s"$dir/docs")
+    w.write.mode("overwrite").parquet(s"$dir/words")
+  }
+
+  def loadWordStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): WordStore =
+    WordStore(
+      docs = spark.read.parquet(s"$dir/docs"),
+      words = spark.read.parquet(s"$dir/words"))
+
   /** Learn `numMerges` BPE merges over `docs(textCol)`.
     *
     * Returns `(merges, vocab)`: `merges` is the ordered merge table
@@ -56,12 +162,24 @@ object Tokenizer {
     * exhausts its pairs early (every word a single symbol), remaining
     * rounds are no-ops and the merge table simply ends short — the
     * sentinel guard keeps the plan total rather than annihilating the
-    * vocab on an empty cross join. */
+    * vocab on an empty cross join. Routes through
+    * [[bpeMergesFromWords]], so a [[maintainWordStore]]-maintained
+    * table induces bit-identical merges. */
   def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      ckpt: Checkpointer = Checkpointer.Local): (DataFrame, DataFrame) =
+    bpeMergesFromWords(
+      wordVocab(docs, textCol).select("word", "wc"), numMerges, ckpt)
+
+  /** [[bpeMerges]] from an existing (word, wc) table — the serving
+    * path of the [[WordStore]]: every merge round is vocab-sized, the
+    * corpus never enters. */
+  def bpeMergesFromWords(words: DataFrame, numMerges: Int,
       ckpt: Checkpointer = Checkpointer.Local): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val spark = docs.sparkSession
-    var vocab = ckpt(wordVocab(docs, textCol))
+    val spark = words.sparkSession
+    var vocab = ckpt(words.select(col("word"),
+      concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"),
+      col("wc")))
     val bests = Seq.newBuilder[DataFrame]
     for (k <- 1 to numMerges) {
       val prs = transform(
@@ -154,14 +272,24 @@ object Tokenizer {
     * @return (`piece`, `freq`) */
   def unigramCandidates(docs: DataFrame, textCol: String,
       maxPieceLen: Int = 4, minFreq: Long = 2L,
+      maxVocab: Int = 4096): DataFrame =
+    unigramCandidatesFromWords(
+      docs
+        .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("wc")),
+      maxPieceLen, minFreq, maxVocab)
+
+  /** [[unigramCandidates]] from an existing (word, wc) table — the
+    * unigram inducer's serving path off the [[WordStore]]; the
+    * one-shot routes through it so a maintained table seeds an
+    * identical candidate vocabulary. */
+  def unigramCandidatesFromWords(words: DataFrame,
+      maxPieceLen: Int = 4, minFreq: Long = 2L,
       maxVocab: Int = 4096): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 8,
       s"maxPieceLen must be in [1, 8] (got $maxPieceLen)")
     require(minFreq >= 1L && maxVocab >= 1, "minFreq/maxVocab >= 1")
-    val words = docs
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("wc"))
     val subs = flatten(transform(
       sequence(lit(1), length(col("word"))),
       s => transform(

@@ -127,6 +127,77 @@ class TokenizerSpec extends SparkSpec {
     assert(one == out)
   }
 
+  test("WordStore maintenance: maintained counts equal a rebuild over " +
+      "the post-change corpus, both inducers serve off it bit-equal, " +
+      "and the guards refuse corrupt maintenance") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "ab ab cd"), (2L, "ab ef"), (3L, "cd cd gh"),
+      (4L, "ab gh")).toDF("id", "text")
+    val store = Tokenizer.buildWordStore(base, "id", "text")
+    // takedown doc 3 (text ships), add doc 5, REPLACE doc 2 (old row
+    // ships; new text differs)
+    val adds = Seq((5L, "ij ab"), (2L, "kl kl")).toDF("id", "text")
+    val rems = Seq((3L, "cd cd gh"), (2L, "ab ef")).toDF("id", "text")
+    val m = Tokenizer.maintainWordStore(store, adds, rems, "id", "text")
+    val post = Seq((1L, "ab ab cd"), (2L, "kl kl"), (4L, "ab gh"),
+      (5L, "ij ab")).toDF("id", "text")
+    val fresh = Tokenizer.buildWordStore(post, "id", "text")
+    def wmap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wmap(m.words) == wmap(fresh.words),
+      "maintained word table ≡ rebuild")
+    assert(m.docs.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 5L))
+    // both inducers serve identically off the maintained table
+    val (mm, _) = Tokenizer.bpeMergesFromWords(m.words, numMerges = 3)
+    val (fm, _) = Tokenizer.bpeMerges(post, "text", numMerges = 3)
+    def mrows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("merge_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    assert(mrows(mm) == mrows(fm), "maintained merges ≡ fresh build")
+    val mc = Tokenizer.unigramCandidatesFromWords(m.words,
+      maxPieceLen = 2, minFreq = 2L, maxVocab = 10)
+    val fc = Tokenizer.unigramCandidates(post, "text",
+      maxPieceLen = 2, minFreq = 2L, maxVocab = 10)
+    def cmap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cmap(mc) == cmap(fc), "maintained candidates ≡ fresh build")
+    // unknown-id takedown no-ops (nothing subtracts)
+    val noop = Tokenizer.maintainWordStore(store,
+      base.limit(0), Seq((99L, "zz zz")).toDF("id", "text"),
+      "id", "text")
+    assert(wmap(noop.words) == wmap(store.words))
+    // live re-add WITHOUT its old row fails loudly
+    val clash = intercept[Exception] {
+      Tokenizer.maintainWordStore(store,
+        Seq((2L, "new text")).toDF("id", "text"), base.limit(0),
+        "id", "text").words.collect()
+    }
+    assert((Option(clash.getMessage).getOrElse("") +
+      Option(clash.getCause).map(_.getMessage).getOrElse(""))
+      .contains("re-add of a live id"))
+    // erasure text that doesn't match the counted truth fails loudly
+    val neg = intercept[Exception] {
+      Tokenizer.maintainWordStore(store, base.limit(0),
+        Seq((3L, "cd cd cd cd gh")).toDF("id", "text"),
+        "id", "text").words.collect()
+    }
+    assert((Option(neg.getMessage).getOrElse("") +
+      Option(neg.getCause).map(_.getMessage).getOrElse(""))
+      .contains("went negative"))
+    // save/load round-trip serves the same table
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_words").toString
+    Tokenizer.saveWordStore(m, dir)
+    val loaded = Tokenizer.loadWordStore(spark, dir)
+    assert(wmap(loaded.words) == wmap(m.words))
+    assert(loaded.docs.count() == 4L)
+    // zero-count words left the table entirely; survivors decremented
+    val mw = wmap(m.words)
+    assert(!mw.contains("ef") && mw("cd") == 1L && mw("kl") == 2L)
+  }
+
   test("unigramTrain + unigramEncode: planted repetition concentrates " +
       "mass on the reused piece and compresses below characters") {
     val d = Seq((1L, "abab abab abab ab"), (2L, "abab ab abab"),
