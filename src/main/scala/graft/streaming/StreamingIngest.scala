@@ -1979,6 +1979,88 @@ object StreamingIngest {
       .start()
   }
 
+  /** Tokenizer word-store maintenance under a CDC document stream —
+    * the [[streamingTrigramLm]] shape for
+    * [[graft.operators.Tokenizer.WordStore]] (the store both subword
+    * inducers derive from): each trigger applies its batch through ONE
+    * [[graft.operators.Tokenizer.maintainWordStore]] call and persists
+    * the two-frame layout, so after every completed trigger the stored
+    * (word, wc) table — and any BPE merge table or unigram candidate
+    * vocabulary re-induced from it — is bit-equal to a full
+    * [[graft.operators.Tokenizer.buildWordStore]] over the effective
+    * corpus. Fold contract, op stores, the prev-batch erasure-text
+    * recovery, and the two-phase crash marker are all the grid
+    * standard — see [[streamingTrigramLm]]; tokenizers retrain rarely,
+    * so in production this twin runs at a slow trigger and the
+    * re-induction runs on demand off the always-current table. */
+  def streamingWordStore(events: DataFrame, docsDir: String,
+      delsDir: String, storeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col(idCol), col(textCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$docsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, docsDir, "streamingWordStore")
+            requireBatchLayout(fs, delsDir, "streamingWordStore")
+          }
+          if (!fs.exists(marker)) {
+            val started = new org.apache.hadoop.fs.Path(
+              s"$docsDir/_batches/$batchId.started")
+            val midCrash = fs.exists(started)
+            if (!midCrash) fs.mkdirs(started): Unit
+            val dels = b.filter(col("_op") === "del")
+              .select(col(idCol)).distinct().localCheckpoint()
+            val adds = b.filter(col("_op") === "add")
+              .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+              .join(dels, Seq(idCol), "left_anti")
+              .localCheckpoint()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$docsDir/batch=$batchId")
+            if (!dels.isEmpty)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            def liveDocs(limit: Long = Long.MaxValue): DataFrame =
+              latestWinsFold(spark, fs, docsDir, delsDir, idCol,
+                Seq(textCol), adds.limit(0), limit)
+            val sMark = new org.apache.hadoop.fs.Path(
+              s"$storeDir/words/_SUCCESS")
+            val st =
+              if (fs.exists(sMark) && !midCrash) {
+                val changed = dels
+                  .unionByName(adds.select(col(idCol))).distinct()
+                val leaving = liveDocs(batchId)
+                  .join(broadcast(changed), Seq(idCol), "left_semi")
+                  .localCheckpoint()
+                graft.operators.Tokenizer.maintainWordStore(
+                  graft.operators.Tokenizer.loadWordStore(spark,
+                    storeDir),
+                  adds, leaving, idCol, textCol)
+              } else
+                graft.operators.Tokenizer.buildWordStore(liveDocs(),
+                  idCol, textCol)
+            graft.operators.Tokenizer.saveWordStore(st, storeDir)
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming CDC maintenance of a clustered layout store — the
     * layout family joins the CDC grid: `op = "add"` rows (carrying
     * the clustered value columns) land via

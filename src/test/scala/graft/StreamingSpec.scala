@@ -1474,6 +1474,90 @@ class StreamingSpec extends SparkSpec {
       !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
   }
 
+  test("streamingWordStore: stored word counts equal the full rebuild " +
+      "after every trigger; same-batch takedown beats the add; " +
+      "takedown subtracts from the op-store fold; re-send replaces; " +
+      "BPE merges re-induced off the store equal fresh training; " +
+      "mid-crash redelivery cold-rebuilds; redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Tokenizer
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_words").toString
+    val mem = MemoryStream[(String, Long, String)]
+    val q = StreamingIngest.streamingWordStore(
+      mem.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt")
+    def stored(): Map[String, Long] =
+      spark.read.parquet(s"$tmp/store/words").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def full(docs: Seq[(Long, String)]): Map[String, Long] =
+      Tokenizer.buildWordStore(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .words.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      // t1: three docs plus a born-dead add+del (del beats add)
+      mem.addData(("add", 1L, "ab ab cd"), ("add", 2L, "ab ef"),
+        ("add", 3L, "cd cd gh"), ("add", 9L, "zz zz"),
+        ("del", 9L, null: String))
+      q.processAllAvailable()
+      val live1 = Seq((1L, "ab ab cd"), (2L, "ab ef"),
+        (3L, "cd cd gh"))
+      assert(stored() == full(live1), "cold start ≡ rebuild")
+      assert(!stored().contains("zz"), "born dead")
+      // t2: take down 3 — counts subtract from the op-store fold
+      mem.addData(("del", 3L, null: String))
+      q.processAllAvailable()
+      assert(stored() == full(Seq((1L, "ab ab cd"), (2L, "ab ef"))))
+      assert(stored()("cd") == 1L && !stored().contains("gh"))
+      // t3: resurrect 3 with NEW text and replace live 2 in one batch
+      mem.addData(("add", 3L, "ij ij"), ("add", 2L, "kl"))
+      q.processAllAvailable()
+      val live3 = Seq((1L, "ab ab cd"), (2L, "kl"), (3L, "ij ij"))
+      assert(stored() == full(live3))
+      assert(!stored().contains("ef"), "replaced doc's words leave")
+      // merges re-induced off the maintained store ≡ fresh training
+      val st = Tokenizer.loadWordStore(spark, s"$tmp/store")
+      val (mm, _) = Tokenizer.bpeMergesFromWords(st.words, 3)
+      val (fm, _) = Tokenizer.bpeMerges(live3.toDF("doc_id", "text"),
+        "text", 3)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("merge_rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq
+      assert(rows(mm) == rows(fm))
+    } finally q.stop()
+    val before = stored()
+    // fresh-checkpoint redelivery: marker no-op
+    val mem2 = MemoryStream[(String, Long, String)]
+    val q2 = StreamingIngest.streamingWordStore(
+      mem2.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt2")
+    try {
+      mem2.addData(("add", 1L, "ab ab cd"), ("add", 2L, "ab ef"),
+        ("add", 3L, "cd cd gh"), ("add", 9L, "zz zz"),
+        ("del", 9L, null: String))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(stored() == before, "redelivered batch absorbed once")
+    // mid-crash redelivery: started without final marker → cold rebuild
+    assert(new java.io.File(s"$tmp/docs/_batches/0").delete())
+    assert(new java.io.File(s"$tmp/docs/_batches/0.started").mkdirs())
+    val mem3 = MemoryStream[(String, Long, String)]
+    val q3 = StreamingIngest.streamingWordStore(
+      mem3.toDF().toDF("op", "doc_id", "text"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt3")
+    try {
+      mem3.addData(("add", 1L, "ab ab cd"), ("add", 2L, "ab ef"),
+        ("add", 3L, "cd cd gh"), ("add", 9L, "zz zz"),
+        ("del", 9L, null: String))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(stored() == before,
+      "mid-crash redelivery cold-rebuilds from the fold")
+    assert(new java.io.File(s"$tmp/docs/_batches/0").exists &&
+      !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
+  }
+
   test("streamingLayout: store rows equal the op-store fold after " +
       "every trigger and the pruned scan stays lossless; same-batch " +
       "del beats add; re-send replaces (old bucket row leaves); " +
