@@ -604,9 +604,26 @@ object Layout {
       .filter(b => fs.exists(
         new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")))
     val scan =
-      if (kept.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.option("basePath", path)
-        .parquet(kept.map(b => s"$path/_bucket=$b"): _*)
+      if (kept.nonEmpty)
+        spark.read.option("basePath", path)
+          .parquet(kept.map(b => s"$path/_bucket=$b"): _*)
+      else {
+        // zero kept buckets: read SOME existing bucket dir just for
+        // the schema (underscore dirs hide _stats/_meta from a plain
+        // read, so a fully-pruned store would otherwise die with
+        // UNABLE_TO_INFER_SCHEMA); a store with NO bucket dirs at all
+        // (every row erased) has no recoverable row schema — refuse
+        // with the recovery path instead of an inference crash
+        val any = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .map(_.getPath).find(_.getName.startsWith("_bucket="))
+        require(any.nonEmpty,
+          s"prunedScan: the store at $path has no bucket directories " +
+            "left (every row erased) — its row schema is gone with " +
+            "them; rebuild via writeLayout before serving reads " +
+            "(the streaming twin does exactly this)")
+        spark.read.option("basePath", path)
+          .parquet(any.get.toString).limit(0)
+      }
     ranges.foldLeft(scan) { case (d, (c, lo, hi)) =>
       d.filter(col(c).between(lo, hi))
     }

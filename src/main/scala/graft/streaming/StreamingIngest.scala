@@ -2061,6 +2061,53 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming ANN SEARCH off the maintained index — the QUERY side of
+    * the retrieval lifecycle's streaming story (the ingest side is
+    * [[streamingAnnCdc]]): query vectors arrive as a stream, and each
+    * trigger serves its batch through ONE
+    * [[graft.operators.Similarity.ivfPqTopK]] pass against the index
+    * AS OF THE TRIGGER — [[graft.operators.Similarity.loadIndex]]
+    * re-reads the layout every batch, so results track maintenance
+    * (updates, deletes via the tombstone anti-join, compaction,
+    * retrains) with snapshot semantics: a trigger's results equal the
+    * batch query against the index state it loaded, bit for bit.
+    *
+    * Results land batchId-keyed (`outDir/batch=<id>`, idempotent
+    * overwrite), so a redelivered batch rewrites its own directory —
+    * no marker tree needed (search is read-only on the index).
+    *
+    * Single-writer interplay (COVERAGE.md contract): the trigger READS
+    * the index layout a maintenance writer may overwrite — run search
+    * triggers interleaved with maintenance under the same scheduler
+    * (the streaming runtime serializes foreachBatch bodies per query;
+    * across queries, point search at a snapshot copy or pause
+    * maintenance), exactly the discipline the bench fixtures follow.
+    *
+    * Scale notes (100 TB): per trigger the probed-cells join prunes
+    * the partitioned `vectors/` store to nProbe of k directories;
+    * queries are batch-sized and broadcast against them; the float
+    * corpus never ships (ADC on codes). */
+  def streamingAnnSearch(queries: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      topK: Int = 5, nProbe: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol), col(vecCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val ix = graft.operators.Similarity.loadIndex(spark, indexDir)
+          graft.operators.Similarity.ivfPqTopK(b, ix.centroids,
+              ix.codebooks, ix.assignedEncoded, vecCol, idCol,
+              m = ix.m, k = ix.k, topK = topK, nProbe = nProbe)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .start()
+
   /** Streaming CDC maintenance of a clustered layout store — the
     * layout family joins the CDC grid: `op = "add"` rows (carrying
     * the clustered value columns) land via

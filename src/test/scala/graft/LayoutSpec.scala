@@ -269,6 +269,14 @@ class LayoutSpec extends SparkSpec {
     val expect = (for { x <- 0L to 5L; y <- 0L to 5L
       if !(x < 4 && y < 4) && !(x == 5 && y == 1) } yield (x, y)).toSet
     assert(box == expect)
+    // erase EVERYTHING: no bucket dir survives, so the row schema is
+    // gone with the files — prunedScan refuses with the recovery path
+    // instead of dying on schema inference
+    Layout.deleteFromLayout(spark, path,
+      base.select("id"), "id")
+    val gone = intercept[IllegalArgumentException](
+      Layout.prunedScan(spark, path, Seq(("x", 0L, 5L))))
+    assert(gone.getMessage.contains("no bucket directories"))
   }
 
   test("appendToLayout with curve=hilbert matches the store's curve " +

@@ -1558,6 +1558,84 @@ class StreamingSpec extends SparkSpec {
       !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
   }
 
+  test("streamingAnnSearch: every trigger's results equal the batch " +
+      "query against the index AS OF the trigger; maintenance between " +
+      "triggers is visible; redelivery rewrites idempotently with " +
+      "snapshot semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    def h(a: Long, b: Long): Float =
+      (((a * 2654435761L + b * 40503L) % 1000L + 1000L) % 1000L) /
+        1000.0f - 0.5f
+    def vec(i: Long): Seq[Float] = (0 until 8).map(d => h(i, d.toLong))
+    val corpus = (100L until 140L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_annq").toString
+    val ixDir = s"$tmp/ix"
+    val (cents, assigned) = Similarity.ivfIndex(corpus, "embedding",
+      "vec_id", k = 4)
+    val cb = Similarity.pqCodebooks(corpus, "embedding", "vec_id",
+      m = 2, k = 4)
+    val enc = Similarity.pqEncode(corpus, "embedding", "vec_id", cb,
+      m = 2)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    Similarity.saveIndex(ixDir, cents, cb, ae, m = 2, k = 4)
+    val queries = (0L until 3L).map(i => (i, vec(i + 500L)))
+    def expect(): Set[(Long, Long, Int)] = {
+      val ix = Similarity.loadIndex(spark, ixDir)
+      Similarity.ivfPqTopK(queries.toDF("vec_id", "embedding"),
+          ix.centroids, ix.codebooks, ix.assignedEncoded,
+          "embedding", "vec_id", m = ix.m, k = ix.k, topK = 3,
+          nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSet
+    }
+    def got(b: Long): Set[(Long, Long, Int)] =
+      spark.read.parquet(s"$tmp/out/batch=$b").collect()
+        .map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSet
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingIngest.streamingAnnSearch(
+      mem.toDF().toDF("vec_id", "embedding"), ixDir, s"$tmp/out",
+      s"$tmp/ckpt", topK = 3, nProbe = 2)
+    try {
+      mem.addData(queries: _*)
+      q.processAllAvailable()
+      val exp1 = expect()
+      assert(got(0L) == exp1, "trigger 1 ≡ batch query on the base index")
+      // maintenance between triggers: absorb EXACT TWINS of the query
+      // vectors — ids BELOW the corpus range so the ADC tie-break
+      // (adist, vec_id) can't hide them behind code-identical
+      // neighbors — they must surface as hits on the next trigger
+      Similarity.updateIndex(spark, ixDir,
+          (10L until 13L).map(i => (i, vec(i - 10L + 500L)))
+            .toDF("vec_id", "embedding"), "embedding", "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      mem.addData(queries: _*)
+      q.processAllAvailable()
+      val exp2 = expect()
+      assert(got(1L) == exp2,
+        "trigger 2 ≡ batch query on the UPDATED index")
+      assert((10L until 13L).forall(id => got(1L).exists(_._2 == id)),
+        "the absorbed query twins serve as hits")
+      assert(got(1L) != got(0L))
+    } finally q.stop()
+    // fresh-checkpoint redelivery: batch 0 re-runs read-only and
+    // overwrites its own directory against the CURRENT index state —
+    // the documented snapshot semantics (search holds no marker tree)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingIngest.streamingAnnSearch(
+      mem2.toDF().toDF("vec_id", "embedding"), ixDir, s"$tmp/out",
+      s"$tmp/ckpt2", topK = 3, nProbe = 2)
+    try {
+      mem2.addData(queries: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got(0L) == expect(), "redelivery re-serves the snapshot")
+  }
+
   test("streamingLayout: store rows equal the op-store fold after " +
       "every trigger and the pruned scan stays lossless; same-batch " +
       "del beats add; re-send replaces (old bucket row leaves); " +
