@@ -254,6 +254,18 @@ import graft.operators.{Curation, GraphOps}
   *               must match doc ids)
   *   bpe         --docs <dir> [--text-col text] [--merges N] [-o <outDir>]
   *               (learn a BPE merge table over the corpus)
+  *   wordmaint   --docs <base dir> [--delta <added docs dir>]
+  *               [--target <removed docs dir (with text)>] [--merges N]
+  *               (maintain the tokenizer word store, re-induce merges)
+  *   dupspans    --docs <dir> [--shingle-size L] [--min-count N]
+  *               (maximal corpus-duplicated substring report)
+  *   tokenbatch  --docs <dir> [--cols <lenCol>] [--budget B]
+  *               [--buckets N] [--mode rows|waste]
+  *               (fixed-compute batches under a token budget)
+  *   autorebatch --docs <dir> --cols <candidates, e.g. 4,32,256>
+  *               [--budget B] (granularity by measured padding waste)
+  *   opqrotate   --vectors <dir> [--vec-col c] [--id-col c]
+  *               (oracle-portable OPQ Givens-cascade rotation)
   *   unigram     --docs <dir> [--text-col text] [--iterations R]
   *               [--top-k V] [-o <outDir>]
   *               (unigram-LM tokenizer vocab: substring candidates →

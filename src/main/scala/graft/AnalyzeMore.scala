@@ -94,6 +94,89 @@ private[graft] object AnalyzeMore {
           graft.operators.Similarity.pcaProject(vecs, args.idCol,
             args.vecCol, model)
       })
+    case "dupspans" =>
+      // corpus-wide duplicated-substring report (the Lee-et-al audit):
+      // --docs <dir>, --shingle-size L, --min-count N (>= 2)
+      require(args.docs.nonEmpty,
+        "dupspans needs --docs <corpus dir>; --id-col, --text-col, " +
+          "--shingle-size L (default 3), --min-count N (default 2)")
+      Some(graft.operators.Dedup.duplicatedSpans(
+        spark.read.parquet(args.docs), args.textCol, args.idCol,
+        args.shingleSize, math.max(args.minCount, 2L).toInt))
+    case "tokenbatch" =>
+      // token-budget batching: --docs <dir>, --cols <lenCol> (one
+      // integral column; omitted = length(--text-col)), --budget B,
+      // --buckets granularity; --mode waste emits the per-batch
+      // padding audit instead of the assignment
+      require(args.docs.nonEmpty,
+        "tokenbatch needs --docs <dir>; --cols <len column> (or " +
+          "--text-col to use its length), --budget TOKENS, " +
+          "--buckets N, --mode rows|waste")
+      val tb0 = spark.read.parquet(args.docs)
+      val (tbDf, lenCol) = args.colsList match {
+        case Seq(c) => (tb0, c)
+        case Nil => (tb0.withColumn("_graft_len",
+          length(col(args.textCol)).cast("long")), "_graft_len")
+        case _ => throw new IllegalArgumentException(
+          "tokenbatch takes at most ONE --cols column (the length)")
+      }
+      val batched = graft.operators.Sampling.tokenBudgetBatches(
+        tbDf, args.idCol, lenCol, args.budget, args.buckets)
+      Some(args.mode match {
+        case "waste" =>
+          graft.operators.Sampling.paddingWaste(batched, lenCol)
+        case _ => batched.drop("_graft_len")
+      })
+    case "autorebatch" =>
+      // waste-measured granularity chooser: --cols is the CANDIDATE
+      // bucket list (integers), e.g. --cols 4,32,256
+      require(args.docs.nonEmpty && args.colsList.nonEmpty,
+        "autorebatch needs --docs <dir> and --cols <candidate bucket " +
+          "counts, e.g. 4,32,256>; --budget TOKENS, --text-col for " +
+          "the length source")
+      val ar0 = spark.read.parquet(args.docs).withColumn("_graft_len",
+        length(col(args.textCol)).cast("long"))
+      Some(graft.operators.Sampling.autoRebatch(ar0, args.idCol,
+        "_graft_len", args.budget, args.colsList.map(_.trim.toInt)))
+    case "opqrotate" =>
+      // oracle-portable OPQ rotation (Givens butterfly cascade):
+      // --vectors <dir>; offsets derive from the embedding width
+      // (d/2, d/4, ... 1, keeping those that tile d)
+      require(args.vectors.nonEmpty,
+        "opqrotate needs --vectors <dir>; --vec-col (default " +
+          "embedding), --id-col")
+      val rv = spark.read.parquet(args.vectors)
+      val d = rv.select(size(col(args.vecCol))).head().getInt(0)
+      val offsets = Iterator.iterate(d / 2)(_ / 2)
+        .takeWhile(_ >= 1).filter(o => d % (2 * o) == 0).toSeq
+      require(offsets.nonEmpty,
+        s"opqrotate: embedding width $d admits no butterfly offsets")
+      val stages = graft.operators.Similarity.givensCascadeFit(
+        rv, args.vecCol, offsets)
+      Some(graft.operators.Similarity.givensCascadeRotate(
+        rv, args.idCol, args.vecCol, stages))
+    case "wordmaint" =>
+      // exact tokenizer word-store maintenance (the lmmaint surface):
+      // --docs base corpus, --delta added/replacement docs, --target
+      // removed docs WITH text; output = the BPE merge table
+      // re-induced off the maintained store (--merges rounds)
+      require(args.docs.nonEmpty,
+        "wordmaint needs --docs <base corpus dir>; --delta <added " +
+          "docs dir> and --target <removed docs dir (with text)> are " +
+          "the change batch (either may be omitted); --merges N")
+      val wBase = spark.read.parquet(args.docs)
+      val wStore = graft.operators.Tokenizer.buildWordStore(wBase,
+        args.idCol, args.textCol)
+      val wAdds =
+        if (args.delta.nonEmpty) spark.read.parquet(args.delta)
+        else wBase.limit(0)
+      val wRems =
+        if (args.target.nonEmpty) spark.read.parquet(args.target)
+        else wBase.limit(0)
+      val wM = graft.operators.Tokenizer.maintainWordStore(wStore,
+        wAdds, wRems, args.idCol, args.textCol)
+      Some(graft.operators.Tokenizer.bpeMergesFromWords(wM.words,
+        args.merges)._1)
     case _ => None
   }
 }

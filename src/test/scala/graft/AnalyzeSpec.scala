@@ -219,6 +219,91 @@ class AnalyzeSpec extends SparkSpec {
         "--cols", "x")), spark))
   }
 
+  test("dupspans runs from argv: maximal corpus-duplicated spans") {
+    val dir = Files.createTempDirectory("graft-analyze-ds").toString
+    Seq((1L, "p q r s t u"), (2L, "x p q r s y"), (3L, "a b c"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val spans = Analyze.run(parse(List("dupspans",
+      "--docs", s"$dir/docs", "--shingle-size", "3",
+      "--min-count", "2", "-o", s"$dir/out")), spark)
+      .collect().map(r => (r.getLong(0), r.getString(5))).toSet
+    // "p q r s" appears in docs 1 and 2 (two duplicated 3-gram
+    // windows merging into one maximal span per doc)
+    assert(spans == Set((1L, "p q r s"), (2L, "p q r s")))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("dupspans")), spark))
+  }
+
+  test("tokenbatch + autorebatch run from argv: budgeted batches, " +
+      "padding audit, measured-argmin report") {
+    val dir = Files.createTempDirectory("graft-analyze-tb").toString
+    (0L until 50L).map(i => (i, "w " * (1 + (i % 9)).toInt))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val b = Analyze.run(parse(List("tokenbatch",
+      "--docs", s"$dir/docs", "--budget", "40")), spark)
+    assert(b.columns.contains("batch_id") && b.count() == 50L)
+    val waste = Analyze.run(parse(List("tokenbatch",
+      "--docs", s"$dir/docs", "--budget", "40", "--mode", "waste",
+      "-o", s"$dir/out")), spark).collect()
+    assert(waste.forall { r =>
+      r.getAs[Long]("n_rows") * r.getAs[Long]("max_len") <= 40L ||
+        r.getAs[Long]("n_rows") == 1L })
+    val rep = Analyze.run(parse(List("autorebatch",
+      "--docs", s"$dir/docs", "--budget", "40", "--cols", "2,8,64",
+      "-o", s"$dir/out2")), spark).collect()
+    assert(rep.length == 3 &&
+      rep.count(_.getAs[Long]("chosen") == 1L) == 1)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("autorebatch", "--docs", s"$dir/docs")),
+        spark))
+  }
+
+  test("opqrotate runs from argv: rotated vectors preserve pairwise L2") {
+    val dir = Files.createTempDirectory("graft-analyze-opq").toString
+    val pts = (0L until 24L).map(i => (i,
+      Seq.tabulate(8)(d => ((i * 31 + d * 7) % 11 - 5).toFloat)))
+    pts.toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    val rot = Analyze.run(parse(List("opqrotate",
+      "--vectors", s"$dir/vecs", "--id-col", "vec_id",
+      "-o", s"$dir/out")), spark)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (p, q) => (p - q).toDouble * (p - q) }.sum
+    val arr = pts.toMap
+    for (a <- 0L until 5L; b2 <- (a + 1) to 5L) {
+      val raw = l2(arr(a), arr(b2)); val rr = l2(rot(a), rot(b2))
+      assert(math.abs(raw - rr) <= 1e-3 * (raw + 1.0))
+    }
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("opqrotate")), spark))
+  }
+
+  test("wordmaint runs from argv: merges off the maintained store " +
+      "equal fresh training on the post-change corpus") {
+    val dir = Files.createTempDirectory("graft-analyze-wm").toString
+    Seq((1L, "ab ab cd"), (2L, "ab ef"), (3L, "cd cd gh"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Seq((4L, "ij ab")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/adds")
+    Seq((3L, "cd cd gh")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/rems")
+    val served = Analyze.run(parse(List("wordmaint",
+      "--docs", s"$dir/docs", "--delta", s"$dir/adds",
+      "--target", s"$dir/rems", "--merges", "3",
+      "-o", s"$dir/out")), spark)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+    val (fresh, _) = graft.operators.Tokenizer.bpeMerges(
+      Seq((1L, "ab ab cd"), (2L, "ab ef"), (4L, "ij ab"))
+        .toDF("doc_id", "text"), "text", 3)
+    val exp = fresh.orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(served == exp)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("wordmaint")), spark))
+  }
+
   test("pca runs from argv: moments mode emits the exact model, " +
       "project mode the top-k projections") {
     val dir = Files.createTempDirectory("graft-analyze-pca").toString
