@@ -70,7 +70,12 @@ object ExplainPlans {
         "q_x14e_lm_maintained_mkn", "q_l1_zorder_layout",
         "q_l2_skipping_stats", "q_l3_hilbert_layout",
         "q_l4_pruned_scan", "q_l5_layout_append",
-        "q_l6_layout_erasure")
+        "q_l6_layout_erasure",
+        // round-14 additions
+        "q_l9_hilbert3_append", "q_x3w_opq_ivfpq", "q_x2p_dup_spans",
+        "q_x14c_mkn_trigram_ppl", "q_x9i_lex_cdc",
+        "q_x6w_token_batches", "q_x6x_auto_rebatch",
+        "q_x13e_bpe_maintained", "q_x13f_unigram_maintained")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
