@@ -170,6 +170,18 @@ private[graft] object QueriesDedup {
         .orderBy("doc_id")
     }),
 
+    // ---- X2q: LSH banding-tuning audit — which (bands, rowsPerBand)
+    // split of the 16-hash budget to run at 100 TB, measured on the
+    // actual corpus over ONE shared signature pass: candidate volume
+    // (the downstream verify bill), verified count at the target
+    // threshold, precision, and the theoretical S-curve probability
+    // at the threshold (repeated-multiplication fold — no libm pow,
+    // so both engines agree to the bit). ----
+    "q_x2q_banding_audit" -> ((s, dir) =>
+      Dedup.bandingAudit(t(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.2, bandsList = Seq(2, 4, 8))
+        .orderBy("bands")),
+
     // ---- X2e: MinHash LSH bucket-overflow side-channel — the drop report
     // that keeps the maxBucketSize cap honest. Portable-hash mode with
     // maxBucketSize = 1 so the report is NON-ZERO (every shared bucket
@@ -433,7 +445,83 @@ private[graft] object QueriesDedup {
     }),
   )
 
+  /** Generated banding-audit oracle: ONE shared portable-signature
+    * chain (tok/sh/hs/coef/mh from [[OracleCtes.minhashPortableCtes]]
+    * — its default `band` CTE is the bands=4 config), per-config band
+    * CTEs regrouping `mh` at the config's rows-per-band, bucket-size
+    * caps, distinct candidate pairs, the exact-Jaccard verify, and
+    * the S-curve theory column as a repeated-multiplication fold
+    * mirroring the engine's left-assoc double chain. */
+  private def bandingAuditOracle(threshold: String,
+      configs: Seq[(Int, Int)], maxBucket: Int): String = {
+    val extraBands = configs.filter(_._2 != 4).map { case (b, r) =>
+      s""",
+         |band$b AS (
+         |  SELECT doc_id, (i // $r) AS band,
+         |    string_agg(mh, ',' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, (i // $r))""".stripMargin
+    }.mkString
+    val perConfig = configs.map { case (b, r) =>
+      val bandRel = if (r == 4) "band" else s"band$b"
+      val tr = (1 to r).map(_ => s"CAST($threshold AS DOUBLE)")
+        .mkString(" * ")
+      val z = s"(CAST(1 AS DOUBLE) - ($tr))"
+      val qq = (1 to b).map(_ => z).mkString(" * ")
+      val p = s"(CAST(1 AS DOUBLE) - ($qq))"
+      s""",
+         |bsz$b AS (
+         |  SELECT band, sig, count(*) AS n FROM $bandRel
+         |  GROUP BY band, sig),
+         |cand$b AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM $bandRel x JOIN $bandRel y
+         |    ON y.band = x.band AND y.sig = x.sig
+         |    AND x.doc_id < y.doc_id
+         |  JOIN bsz$b z ON z.band = x.band AND z.sig = x.sig
+         |    AND z.n <= $maxBucket),
+         |ver$b AS (
+         |  SELECT CAST(i.n_inter AS DOUBLE)
+         |    / (sa.n + sb.n - i.n_inter) AS j
+         |  FROM cand$b c
+         |  JOIN szs sa ON sa.doc_id = c.id_a
+         |  JOIN szs sb ON sb.doc_id = c.id_b
+         |  JOIN (
+         |    SELECT c2.id_a, c2.id_b, count(*) AS n_inter
+         |    FROM cand$b c2
+         |    JOIN dsh a ON a.doc_id = c2.id_a
+         |    JOIN dsh b2 ON b2.doc_id = c2.id_b AND b2.sh = a.sh
+         |    GROUP BY c2.id_a, c2.id_b) i
+         |    ON i.id_a = c.id_a AND i.id_b = c.id_b),
+         |rep$b AS (
+         |  SELECT CAST($b AS BIGINT) AS bands,
+         |    CAST($r AS BIGINT) AS rows_per_band,
+         |    CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(coalesce(sum(CASE WHEN j >= $threshold
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified,
+         |    CAST(floor(($p) * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |      AS p_candidate_at_t_e6
+         |  FROM ver$b)""".stripMargin
+    }.mkString
+    val union = configs.map { case (b, _) => s"SELECT * FROM rep$b" }
+      .mkString("\nUNION ALL ")
+    s"""${OracleCtes.minhashPortableCtes()},
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |szs AS (SELECT doc_id, count(*) AS n FROM dsh
+       |        GROUP BY doc_id)$extraBands$perConfig
+       |SELECT bands, rows_per_band, n_candidates, n_verified,
+       |  CASE WHEN n_candidates > 0 THEN
+       |    CAST(floor(CAST(n_verified AS DOUBLE) / n_candidates * 1e6
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS precision_e6,
+       |  p_candidate_at_t_e6
+       |FROM ($union)
+       |ORDER BY bands""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_x2q_banding_audit" -> bandingAuditOracle("0.2",
+      Seq((2, 8), (4, 4), (8, 2)), 1000),
+
     // Portable-MinHash LSH end-to-end: candidates from shared band
     // signatures, verified with exact trigram-set Jaccard ≥ 0.2.
     "q_x2_minhash_neardups" ->

@@ -279,6 +279,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** LSH BANDING-TUNING audit — measure, don't guess, which
+    * (bands, rowsPerBand) split of the signature budget to run at
+    * 100 TB: for each candidate configuration over ONE shared
+    * portable-signature pass, the MEASURED candidate-pair count (the
+    * shuffle/verify bill the banding sends downstream), the verified
+    * count at the target Jaccard threshold, the precision, and the
+    * THEORETICAL S-curve candidate probability at the threshold,
+    * `P = 1 − (1 − t^r)^b`, computed by repeated multiplication with
+    * a fixed fold order (no `pow` — libm pow is not reproducible
+    * across engines; a left-folded product of the same doubles is).
+    * More bands (smaller r) moves the S-curve left: more candidates,
+    * higher recall, lower precision — this report quantifies the
+    * trade on the actual corpus.
+    *
+    * Scale notes (100 TB): signatures compute ONCE (the expensive
+    * shingle/MD5 pass) and are pinned; per configuration the banding
+    * is one narrow explode + bucket groupBy, and the verify joins
+    * fetch text only for candidate ids. The report is
+    * configurations-sized.
+    *
+    * @return one row per configuration: (bands, rows_per_band,
+    *         n_candidates, n_verified, precision_e6,
+    *         p_candidate_at_t_e6) */
+  def bandingAudit(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, bandsList: Seq[Int], numHashes: Int = 16,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(bandsList.nonEmpty && bandsList.distinct.size ==
+      bandsList.size, "bandsList must be non-empty and distinct")
+    bandsList.foreach(b => require(b >= 1 && numHashes % b == 0,
+      s"bands $b must divide numHashes $numHashes"))
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sigs = minhashSignaturesPortable(df, textCol, idCol, numHashes,
+      shingleSize, seed).localCheckpoint()
+    val docs = df.select(col(idCol), col(textCol))
+    bandsList.map { b =>
+      val r = numHashes / b
+      val cands = minhashCandidatesPortable(sigs, idCol, b,
+        maxBucketSize)
+      val verified = cands
+        .join(docs.withColumnsRenamed(
+          Map(idCol -> "id_a", textCol -> "_ta")), Seq("id_a"))
+        .join(docs.withColumnsRenamed(
+          Map(idCol -> "id_b", textCol -> "_tb")), Seq("id_b"))
+        .withColumn("_j", jaccard(col("_ta"), col("_tb"), shingleSize))
+      // S-curve at the threshold: left-folded products, the exact
+      // association the oracle's generated expression mirrors
+      var tr = 1.0
+      var i = 0
+      while (i < r) { tr = tr * threshold; i += 1 }
+      var q = 1.0
+      val z = 1.0 - tr
+      i = 0
+      while (i < b) { q = q * z; i += 1 }
+      val pTheory = 1.0 - q
+      verified.agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("_j") >= threshold, 1L)
+            .otherwise(0L)), lit(0L)).as("n_verified"))
+        .select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") > 0L,
+            floor(col("n_verified").cast("double") /
+              col("n_candidates") * 1e6 + 0.5).cast("long"))
+            .otherwise(lit(0L)).as("precision_e6"),
+          lit(math.floor(pTheory * 1e6 + 0.5).toLong)
+            .as("p_candidate_at_t_e6"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** SimHash 64-bit fingerprint: per token-hash bit b, sum ±1 across the
     * document's tokens; bit b of the fingerprint is 1 iff the sum is
     * positive. Computed by the one-pass [[graft.functions.SimHash64]]

@@ -748,6 +748,59 @@ class DedupSpec extends SparkSpec {
       Seq(1L))
   }
 
+  test("bandingAudit: candidate sets nest with band count, verified " +
+      "counts match the near-dup pipeline, the S-curve column is the " +
+      "hand-folded value, and guards refuse bad configs") {
+    // near-dup families at varied similarity so different bandings
+    // disagree: exact twins, 1-token edits, half-overlaps, singletons
+    val base = "the quick brown fox jumps over the lazy dog again and"
+    val docs = (Seq(
+      (1L, base), (2L, base), // exact twins
+      (3L, base + " more"), (4L, base + " most"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (6L, "alpha beta gamma delta epsilon zeta unrelated tail words"),
+      (7L, "completely different content with no shared trigrams one"),
+      (8L, "another unrelated document full of its own tokens two")))
+      .toDF("doc_id", "text")
+    val rep = Dedup.bandingAudit(docs, "text", "doc_id",
+        threshold = 0.2, bandsList = Seq(2, 4, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(rep.keySet == Set(2L, 4L, 8L))
+    assert(rep(2L)._1 == 8L && rep(4L)._1 == 4L && rep(8L)._1 == 2L,
+      "rows_per_band = numHashes / bands")
+    // a full-band match implies both half-band matches, so candidate
+    // counts nest as bands grow
+    assert(rep(2L)._2 <= rep(4L)._2 && rep(4L)._2 <= rep(8L)._2,
+      s"candidate counts must nest: $rep")
+    assert(rep(8L)._2 > 0L, "the twins must band together somewhere")
+    // verified count at bands=4 equals the near-dup pipeline's pairs
+    val pipeline = Dedup.minhashNearDupsPortable(docs, "text",
+      "doc_id", threshold = 0.2, numHashes = 16, bands = 4,
+      shingleSize = 3).count()
+    assert(rep(4L)._3 == pipeline,
+      s"audit verified (${rep(4L)._3}) ≡ pipeline pairs ($pipeline)")
+    // the theory column is the hand-folded S-curve at the threshold
+    def theory(b: Int, r: Int): Long = {
+      var tr = 1.0; var i = 0
+      while (i < r) { tr = tr * 0.2; i += 1 }
+      var q = 1.0; val z = 1.0 - tr; i = 0
+      while (i < b) { q = q * z; i += 1 }
+      math.floor((1.0 - q) * 1e6 + 0.5).toLong
+    }
+    assert(rep(2L)._5 == theory(2, 8) && rep(4L)._5 == theory(4, 4) &&
+      rep(8L)._5 == theory(8, 2))
+    // more bands move the S-curve left: higher candidate probability
+    assert(rep(2L)._5 < rep(4L)._5 && rep(4L)._5 < rep(8L)._5)
+    intercept[IllegalArgumentException](
+      Dedup.bandingAudit(docs, "text", "doc_id", 0.2, Seq(3)))
+    intercept[IllegalArgumentException](
+      Dedup.bandingAudit(docs, "text", "doc_id", 0.2, Seq(4, 4)))
+    intercept[IllegalArgumentException](
+      Dedup.bandingAudit(docs, "text", "doc_id", 0.2, Nil))
+  }
+
   test("duplicatedSpans: equals the brute-force reference on a seeded " +
       "small-vocab corpus, every span is maximal (no duplicated window " +
       "extends it), and planted cross-document substrings surface") {
