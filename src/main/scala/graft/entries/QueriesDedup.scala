@@ -1033,11 +1033,12 @@ private[graft] object QueriesDedup {
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, u.tk, u.pos - 1 AS pos
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
-        |          AS arr FROM docs2),
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |            t -> length(t) > 0) AS arr
+        |        FROM docs2),
         |       LATERAL (SELECT unnest(arr) AS tk,
-        |                generate_subscripts(arr, 1) AS pos) u
-        |  WHERE length(u.tk) > 0),
+        |                generate_subscripts(arr, 1) AS pos) u),
         |sh AS (
         |  SELECT a.doc_id, a.pos,
         |    a.tk || ' ' || b.tk || ' ' || c.tk || ' ' || d.tk

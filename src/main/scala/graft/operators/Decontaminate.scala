@@ -288,11 +288,15 @@ object Decontaminate {
         explode(sequence(col("_pos"),
           col("_pos") + lit(shingleSize - 1))).as("_tp"))
       .distinct()
+    // positions must index REAL tokens exactly like the shingle
+    // kernel (maximal non-\s runs, 0-based): filter BEFORE posexplode,
+    // or a tab/newline-prefixed text (Spark's trim strips spaces only)
+    // injects an empty token at position 0 and the coverage anti-join
+    // scrubs the wrong tokens
     val toks = docs
       .select(col(idCol).as("_id"),
-        posexplode(split(trim(col(textCol)), "\\s+"))
-          .as(Seq("_tp", "_tk")))
-      .filter(length(col("_tk")) > 0)
+        posexplode(filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as(Seq("_tp", "_tk")))
     val rebuilt = toks
       .join(covered, Seq("_id", "_tp"), "left_anti")
       .groupBy(col("_id"))

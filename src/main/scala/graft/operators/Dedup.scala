@@ -890,11 +890,15 @@ object Dedup {
         explode(sequence(col("_pos"),
           col("_pos") + lit(shingleSize - 1))).as("_tp"))
       .distinct()
+    // positions must index REAL tokens exactly like the shingle
+    // kernel does (maximal non-\s runs, 0-based): filter BEFORE
+    // posexplode, or a tab/newline-prefixed text (Spark's trim strips
+    // spaces only) injects an empty token at position 0 and the
+    // coverage anti-join deletes the wrong tokens
     val toks = df
       .select(col(idCol).as("_id"),
-        posexplode(split(trim(col(textCol)), "\\s+"))
-          .as(Seq("_tp", "_tk")))
-      .filter(length(col("_tk")) > 0)
+        posexplode(filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as(Seq("_tp", "_tk")))
     val rebuilt = toks
       .join(covered, Seq("_id", "_tp"), "left_anti")
       .groupBy(col("_id"))
@@ -974,16 +978,28 @@ object Dedup {
           .otherwise(0L))
       .withColumn("_island", sum(col("_new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // pinned: the spans frame feeds BOTH the text-rebuild join and
+    // the semi-join that bounds it — without the pin the whole
+    // corpus-wide count subtree would execute twice
     val spans = isl.groupBy(col("_id"), col("_island"))
       .agg(min(col("_pos")).as("span_start"),
         (max(col("_pos")) + lit(shingleSize.toLong - 1L))
           .as("span_end"),
         count(lit(1)).as("n_windows"))
+      .localCheckpoint()
+    // tokens indexed EXACTLY like the shingle kernel (maximal non-\s
+    // runs, 0-based over REAL tokens): the HOF filter runs BEFORE
+    // posexplode, so a \s-prefixed text (tab/newline survives Spark's
+    // space-only trim) can't inject an empty token at position 0 and
+    // shift every span's text one token left. Only span-bearing
+    // documents tokenize at all (the semi-join) — unduplicated text
+    // never moves, as the scale note promises.
     val toks = df
+      .join(spans.select(col("_id")).distinct(),
+        df(idCol) === col("_id"), "left_semi")
       .select(col(idCol).as("_id"),
-        posexplode(split(trim(col(textCol)), "\\s+"))
-          .as(Seq("_tp", "_tk")))
-      .filter(length(col("_tk")) > 0)
+        posexplode(filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as(Seq("_tp", "_tk")))
       .select(col("_id"), col("_tp").cast("long").as("_tp"),
         col("_tk"))
     spans

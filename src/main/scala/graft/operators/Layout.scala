@@ -47,6 +47,20 @@ object Layout {
   private def idiv(a: Column, b: Column): Column =
     call_function("div", a, b)
 
+  /** Layout identity carried as COLUMN METADATA on `_bucket` by the
+    * layout builders, so [[writeLayout]] can validate the caller's
+    * declared (curve, bits, nBuckets, cols) against how the frame was
+    * ACTUALLY built — a mis-declared identity would poison `_meta`
+    * and silently scatter every future append. */
+  private def identityMeta(curve: String, bits: Int, nBuckets: Int,
+      cols: Seq[String]): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft_curve", curve)
+      .putLong("graft_bits", bits.toLong)
+      .putLong("graft_buckets", nBuckets.toLong)
+      .putStringArray("graft_cols", cols.toArray)
+      .build()
+
   /** Normalize an integral column into [0, 2^bits) against corpus
     * [min, max] by exact integer arithmetic:
     * `((v − min) · (2^bits − 1)) div (max − min)` (zero when the
@@ -66,7 +80,11 @@ object Layout {
     val span = maxC.cast("long") - minC.cast("long")
     val maxSpan = Long.MaxValue / ((1L << bits) - 1L)
     when(span === 0L, lit(0L))
-      .when(span > maxSpan,
+      // span < 0 can only mean max − min itself WRAPPED (a signed
+      // domain wider than Long.MaxValue, e.g. full-range hashes) —
+      // the same overflow class as the product check below, caught
+      // before it can bypass that check
+      .when(span > maxSpan || span < 0L,
         raise_error(concat(
           lit("normalizeToBits: domain span "), span.cast("string"),
           lit(s" overflows long at bits=$bits (max $maxSpan) — " +
@@ -108,7 +126,8 @@ object Layout {
       .withColumn("_z", zValue(normed, bits))
       .withColumn("_bucket",
         idiv(col("_z") * lit(nBuckets.toLong),
-          lit(1L << (k * bits))))
+          lit(1L << (k * bits)))
+          .as("_bucket", identityMeta("z", bits, nBuckets, cols)))
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
   }
 
@@ -261,7 +280,8 @@ object Layout {
     }
     withHilbertK(withN, (0 until k).map(i => s"_cn$i"), bits)
       .withColumn("_bucket",
-        idiv(col("_h") * lit(nBuckets.toLong), lit(1L << (k * bits))))
+        idiv(col("_h") * lit(nBuckets.toLong), lit(1L << (k * bits)))
+          .as("_bucket", identityMeta("hilbertk", bits, nBuckets, cols)))
       .drop((0 until k).map(i => s"_cn$i"): _*)
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
   }
@@ -288,7 +308,9 @@ object Layout {
     withHilbert(withN, "_nx", "_ny", bits)
       .withColumn("_bucket",
         idiv(col("_h") * lit(nBuckets.toLong),
-          lit(1L << (2 * bits))))
+          lit(1L << (2 * bits)))
+          .as("_bucket",
+            identityMeta("hilbert", bits, nBuckets, Seq(xCol, yCol))))
       .drop("_nx", "_ny")
       .drop(Seq(xCol, yCol)
         .flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
@@ -336,6 +358,24 @@ object Layout {
       curve: String, bits: Int, nBuckets: Int): Unit = {
     require(curves.contains(curve),
       s"curve must be one of ${curves.mkString(", ")} (got '$curve')")
+    // the layout builders tag `_bucket` with how the frame was
+    // ACTUALLY built — a caller-declared identity that disagrees would
+    // poison `_meta` and silently scatter every future append, so the
+    // mismatch fails HERE; untagged frames (hand-built layouts) keep
+    // the caller's declaration
+    laid.schema.find(_.name == "_bucket").map(_.metadata)
+      .filter(_.contains("graft_curve")).foreach { m =>
+        val built = (m.getString("graft_curve"),
+          m.getLong("graft_bits"), m.getLong("graft_buckets"),
+          m.getStringArray("graft_cols").toSeq)
+        require(built == (curve, bits.toLong, nBuckets.toLong, statCols),
+          s"writeLayout: the frame was laid out with curve=${built._1}" +
+            s", bits=${built._2}, nBuckets=${built._3}, cols=" +
+            s"${built._4.mkString("(", ", ", ")")} but the caller " +
+            s"declared curve=$curve, bits=$bits, nBuckets=$nBuckets, " +
+            s"cols=${statCols.mkString("(", ", ", ")")} — a " +
+            "mis-declared identity would scatter every future append")
+      }
     laid.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
     val store = laid.sparkSession.read.parquet(path)

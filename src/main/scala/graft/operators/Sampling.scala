@@ -455,9 +455,11 @@ object Sampling {
     * embarrassingly parallel — no global greedy chain.
     *
     * Rows LONGER than the budget still land (in singleton batches via
-    * the capacity floor) — dropping data silently is never this
-    * layer's call; audit them with `max_len > budget` on the
-    * [[paddingWaste]] report.
+    * the capacity floor) — audit them with `max_len > budget` on the
+    * [[paddingWaste]] report. Rows with a NULL length are excluded,
+    * the [[lengthGroupedBatches]] policy: a row with no length cannot
+    * take a padding slot; reconcile counts upstream if nulls are
+    * possible.
     *
     * Scale notes (100 TB): one stats aggregate, one per-bucket rank
     * window (bounded partitions), and a broadcast-sized prefix-sum

@@ -813,7 +813,10 @@ class DedupSpec extends SparkSpec {
       val text =
         if (dd % 5 == 0) base + " " + planted + " " + tok(dd, 99L)
         else base
-      (dd, text)
+      // doc 0 gets a leading TAB (survives Spark's space-only trim):
+      // token positions must still index REAL tokens — the regression
+      // for the empty-leading-token off-by-one in the text rebuild
+      (dd, if (dd == 0L) "\t" + text else text)
     }
     val df = docs.toDF("doc_id", "text")
     val got = Dedup.duplicatedSpans(df, "text", "doc_id",
@@ -821,9 +824,10 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getString(5))).toSet
     // brute force: corpus-wide L-gram counts, duplicated starts,
-    // runs merged at gaps <= L
+    // runs merged at gaps <= L (REAL tokens only — maximal non-\s
+    // runs, like the shingle kernel)
     val toksOf = docs.map { case (dd, t) =>
-      dd -> t.split("\\s+").toSeq }.toMap
+      dd -> t.split("\\s+").toSeq.filter(_.nonEmpty) }.toMap
     val grams = docs.flatMap { case (dd, _) =>
       toksOf(dd).sliding(L).filter(_.size == L).zipWithIndex
         .map { case (g, p) => (dd, p, g.mkString(" ")) } }

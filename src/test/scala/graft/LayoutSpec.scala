@@ -460,6 +460,19 @@ class LayoutSpec extends SparkSpec {
     val noMeta = intercept[IllegalArgumentException](
       Layout.appendToLayout(spark, bare, delta, Seq("x", "y"), 4, 16))
     assert(noMeta.getMessage.contains("no layout identity"))
+    // a caller-declared identity that disagrees with how the frame
+    // was ACTUALLY laid out (the builders tag _bucket) fails at
+    // writeLayout — a mis-declared _meta would scatter later appends
+    val misPath = path + "_mis"
+    val laid = Layout.zOrderLayout(base, Seq("x", "y"), 8, 16)
+    val mis = intercept[IllegalArgumentException](
+      Layout.writeLayout(laid, misPath, Seq("x", "y"), "z", 4, 16))
+    assert(mis.getMessage.contains("laid out with curve=z, bits=8"))
+    intercept[IllegalArgumentException](
+      Layout.writeLayout(laid, misPath, Seq("x", "y"), "hilbert", 8,
+        16))
+    intercept[IllegalArgumentException](
+      Layout.writeLayout(laid, misPath, Seq("y", "x"), "z", 8, 16))
   }
 
   test("appendToLayout + deleteFromLayout on a k-D Skilling store: " +
@@ -600,6 +613,19 @@ class LayoutSpec extends SparkSpec {
         nBuckets = 16).select("_z").collect())
     assert(err.getMessage.contains("overflows long at bits=16"),
       s"got: ${err.getMessage}")
+    // a signed domain wider than Long.MaxValue: under ANSI (the
+    // Spark 4 default) the max - min subtraction itself throws
+    // ARITHMETIC_OVERFLOW; under non-ANSI it would wrap negative and
+    // the guard's span < 0 arm catches it — either way the failure is
+    // LOUD, never negative buckets
+    val wrapped = Seq((-5_000_000_000_000_000_000L, 0L),
+      (5_000_000_000_000_000_000L, 1L)).toDF("h", "y")
+    val err2 = intercept[RuntimeException](
+      Layout.zOrderLayout(wrapped, Seq("h", "y"), bits = 8,
+        nBuckets = 16).select("_z").collect())
+    assert(err2.getMessage.contains("overflows long") ||
+      err2.getMessage.contains("ARITHMETIC_OVERFLOW"),
+      s"got: ${err2.getMessage}")
   }
 
   test("fileSkippingStats + skippingVerdicts: verdicts equal brute " +
