@@ -430,6 +430,7 @@ object Analyze {
       itemCol: String = "",
       maxGroupSize: Int = 100,
       minCount: Long = 1L,
+      minCountSet: Boolean = false,
       minConfidence: Double = 0.0,
       xCol: String = "",
       yCol: String = "",
@@ -546,7 +547,8 @@ object Analyze {
       case "--tiles" :: v :: t => loop(t, acc.copy(tiles = v.toInt))
       case "--max-points" :: v :: t =>
         loop(t, acc.copy(maxPoints = v.toInt))
-      case "--min-count" :: v :: t => loop(t, acc.copy(minCount = v.toLong))
+      case "--min-count" :: v :: t =>
+        loop(t, acc.copy(minCount = v.toLong, minCountSet = true))
       case "-o" :: v :: t => loop(t, acc.copy(outDir = v))
       case "--checkpoint-dir" :: v :: t =>
         loop(t, acc.copy(checkpointDir = Some(v)))

@@ -100,9 +100,14 @@ private[graft] object AnalyzeMore {
       require(args.docs.nonEmpty,
         "dupspans needs --docs <corpus dir>; --id-col, --text-col, " +
           "--shingle-size L (default 3), --min-count N (default 2)")
+      // mode-local default 2 ONLY when --min-count was omitted (the
+      // global arg default is 1 for the power-law/assoc modes); an
+      // EXPLICIT --min-count 1 reaches the operator's own require and
+      // fails loudly instead of being silently clamped to 2
       Some(graft.operators.Dedup.duplicatedSpans(
         spark.read.parquet(args.docs), args.textCol, args.idCol,
-        args.shingleSize, math.max(args.minCount, 2L).toInt))
+        args.shingleSize,
+        if (args.minCountSet) args.minCount.toInt else 2))
     case "tokenbatch" =>
       // token-budget batching: --docs <dir>, --cols <lenCol> (one
       // integral column; omitted = length(--text-col)), --budget B,

@@ -520,4 +520,34 @@ private[graft] object EntryData {
       .write.format("noop").mode("overwrite").save()
     dst
   }
+
+  /** q_x3x's ROTATED persisted index (memoized per dataset, like
+    * [[x3jIndexDir]]): the q_x3w OPQ recipe — Givens-cascade fit,
+    * corpus rotated, IVF-PQ trained on the rotated vectors — but
+    * PERSISTED via [[Similarity.saveIndex]] WITH the rotation record,
+    * so serving rides [[Similarity.loadIndex]]'s basis check +
+    * [[Similarity.rotateQueries]]. Build runs once per (process,
+    * dataset); repeat invocations measure rotated SERVING, the
+    * production shape. */
+  def x3xRotatedIndexDir(s: SparkSession, dir: String): String =
+    annIndexDirs.computeIfAbsent(dir + "#x3x_rot", _ => {
+      val e = t(s, dir, "embeddings")
+      val stages = Similarity.givensCascadeFit(e, "embedding",
+        Seq(32, 16, 8, 4, 2, 1))
+      val rot = Similarity.givensCascadeRotate(e, "vec_id",
+        "embedding", stages).localCheckpoint()
+      val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(rot, "embedding", "vec_id", cb,
+        m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val ixDir = annScratchRoot + "/rotindex_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16,
+        rotation = stages)
+      ixDir
+    })
 }

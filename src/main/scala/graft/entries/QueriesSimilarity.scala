@@ -425,6 +425,25 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3x: the ROTATED index LIFECYCLE — q_x3w's OPQ recipe
+    // persisted (saveIndex WITH the rotation record) and served cold
+    // through loadIndex + rotateQueries + ivfPqTopK (serveTopK — the
+    // exact body the streaming search twin runs per trigger). Queries
+    // are RAW corpus vectors; the serving path brings them into the
+    // index basis itself. The oracle is q_x3w's inline chain verbatim
+    // — any dropped/mis-applied rotation in save, load, or serve
+    // hash-mismatches. ----
+    "q_x3x_rotated_lifecycle" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.serveTopK(s, x3xRotatedIndexDir(s, dir),
+          e.filter(col("vec_id") < 8), "embedding", "vec_id",
+          topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3v: PCA second moments — the distributed half of the
     // whitening/rotation preprocessing (OPQ-style quantizers,
     // semantic dedup): e6-quantized components, every sum and
@@ -543,6 +562,13 @@ private[graft] object QueriesSimilarity {
     // it verbatim (quantizer sampling is id-hash-driven, so it is
     // content-independent and identical on both engines).
     "q_x3w_opq_ivfpq" -> ivfPqOracleSqlFrom("", "rotc",
+      givensCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1)) + ","),
+
+    // The persisted rotated lifecycle must reproduce the inline chain
+    // row for row: save/load round-trips floats and Givens angles
+    // bit-exactly, and rotateQueries replays givensCascadeRotate —
+    // so the oracle IS q_x3w's.
+    "q_x3x_rotated_lifecycle" -> ivfPqOracleSqlFrom("", "rotc",
       givensCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1)) + ","),
 
     // Moments rebuilt with DuckDB list lambdas: identical e6

@@ -660,7 +660,8 @@ object Similarity {
   final case class AnnIndex(centroids: DataFrame, codebooks: DataFrame,
       assignedEncoded: DataFrame, m: Int, k: Int,
       meanAssignCosine: Double = Double.NaN,
-      assignCosineStd: Double = Double.NaN)
+      assignCosineStd: Double = Double.NaN,
+      rotation: Seq[GivensStage] = Nil)
 
   /** Persist an IVF-PQ index as parquet — the retrieval counterpart of
     * the incremental-dedup discipline: a 100 TB corpus trains its
@@ -680,7 +681,8 @@ object Similarity {
   def saveIndex(dir: String, centroids: DataFrame, codebooks: DataFrame,
       assignedEncoded: DataFrame, m: Int, k: Int,
       meanAssignCosine: Double = Double.NaN,
-      assignCosineStd: Double = Double.NaN): Unit = {
+      assignCosineStd: Double = Double.NaN,
+      rotation: Seq[GivensStage] = Nil): Unit = {
     val spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -696,12 +698,33 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/drift_log"), true): Unit
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true): Unit
     import spark.implicits._
+    // The ROTATION RECORD — the index's basis identity. An OPQ-built
+    // index ([[givensCascadeRotate]] corpus, quantizers trained on the
+    // rotated vectors) lives in the rotated basis; a query served raw
+    // against it computes distances across two bases and returns
+    // silently wrong neighbors. So the fitted stages persist WITH the
+    // index as plain (stage, offset, i, cos, sin) rows —
+    // parquet-trivial and oracle-replayable — and [[loadIndex]] hands
+    // them to every serving path ([[rotateQueries]]). Write order:
+    // rotation BEFORE meta — meta's `rotated` flag is the commit
+    // point, so a crash mid-save can never yield a flagged index
+    // without its record (the layout `_meta` validation discipline).
+    val rotPath = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    if (rotation.nonEmpty) {
+      rotation.zipWithIndex.flatMap { case (st, sIdx) =>
+        st.cos.indices.map(i =>
+          (sIdx.toLong, st.offset.toLong, i.toLong, st.cos(i),
+            st.sin(i)))
+      }.toDF("stage", "offset", "i", "cos", "sin")
+        .coalesce(1).write.mode("overwrite").parquet(rotPath.toString)
+    } else fs.delete(rotPath, true): Unit
     // assign_cosine_std calibrates [[compactIndex]]'s default retrain
     // tolerance (2σ of the build-time assignment-cosine distribution);
     // NaN means "not recorded" and the policy falls back to an absolute
     // band.
-    Seq((m, k, meanAssignCosine, assignCosineStd))
-      .toDF("m", "k", "mean_assign_cosine", "assign_cosine_std")
+    Seq((m, k, meanAssignCosine, assignCosineStd, rotation.nonEmpty))
+      .toDF("m", "k", "mean_assign_cosine", "assign_cosine_std",
+        "rotated")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -730,12 +753,82 @@ object Similarity {
     def optD(name: String): Double =
       if (meta.schema.fieldNames.contains(name)) meta.getAs[Double](name)
       else Double.NaN
+    // Basis identity: a `rotated` index REFUSES to load without its
+    // rotation record — serving raw queries against rotated quantizers
+    // is the silent-poisoning failure the flag exists to catch. Stores
+    // written before the flag existed read as un-rotated (they were).
+    val rotated = meta.schema.fieldNames.contains("rotated") &&
+      meta.getAs[Boolean]("rotated")
+    val rotation =
+      if (!rotated) Nil
+      else {
+        val rotPath = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+        val rotFs = rotPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(rotFs.exists(rotPath),
+          s"loadIndex: $dir/meta declares a ROTATED index but " +
+            s"$rotPath is missing — serving raw query vectors against " +
+            "rotated quantizers returns silently wrong neighbors; " +
+            "restore the rotation record or rebuild via saveIndex")
+        // bounded driver fetch: stages × d rows (the d²-cell
+        // discipline of givensCascadeFit)
+        val rows = spark.read.parquet(rotPath.toString)
+          .select("stage", "offset", "i", "cos", "sin")
+          .collect()
+        rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+          case (_, rs) =>
+            val d = rs.length
+            val cs = new Array[Double](d); val sn = new Array[Double](d)
+            var off = 0
+            rs.foreach { r =>
+              val i = r.getLong(2).toInt
+              cs(i) = r.getDouble(3); sn(i) = r.getDouble(4)
+              off = r.getLong(1).toInt
+            }
+            GivensStage(off, cs, sn)
+        }
+      }
     AnnIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
       vectors,
       meta.getAs[Int]("m"), meta.getAs[Int]("k"),
-      optD("mean_assign_cosine"), optD("assign_cosine_std"))
+      optD("mean_assign_cosine"), optD("assign_cosine_std"),
+      rotation)
+  }
+
+  /** Bring incoming vectors into a loaded index's BASIS: identity for
+    * an un-rotated index, the persisted [[GivensStage]] cascade
+    * ([[givensCascadeRotate]] — stateless per-element expressions, no
+    * shuffle) for a rotated one. EVERY consumer of [[loadIndex]] that
+    * feeds raw query or delta vectors to the quantizers must route
+    * them through here — [[serveTopK]], [[updateIndex]],
+    * [[retrainIndex]]'s audit, and the streaming search twin all do. */
+  def rotateQueries(index: AnnIndex, queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    if (index.rotation.isEmpty) queries
+    else {
+      val extra = queries.columns.filter(c => c != idCol && c != vecCol)
+      val rot = givensCascadeRotate(
+        queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+        index.rotation)
+      if (extra.isEmpty) rot
+      else queries.drop(vecCol).join(rot, Seq(idCol))
+    }
+
+  /** One-call serving path over a persisted index: [[loadIndex]] (the
+    * tombstone-filtered, rotation-checked snapshot), queries brought
+    * into the index basis via [[rotateQueries]], then [[ivfPqTopK]]
+    * with the stored codec geometry. This IS the body the streaming
+    * search twin runs per trigger — the batch row and the stream
+    * serve through the same code. */
+  def serveTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      vecCol: String, idCol: String, topK: Int = 5,
+      nProbe: Int = 8): DataFrame = {
+    val ix = loadIndex(spark, dir)
+    val q = rotateQueries(ix, queries, idCol, vecCol)
+    ivfPqTopK(q, ix.centroids, ix.codebooks, ix.assignedEncoded,
+      vecCol, idCol, m = ix.m, k = ix.k, topK = topK, nProbe = nProbe)
   }
 
   /** Incremental index maintenance — the retrieval twin of the
@@ -788,8 +881,13 @@ object Similarity {
         s"updateIndex: $nDup delta id(s) already present in $dir/vectors " +
           s"— re-ingesting an id leaves duplicate live rows (id contract)")
     }
-    val assigned = assignToCentroids(delta, vecCol, idCol, ix.centroids)
-    val enc = pqEncode(delta, vecCol, idCol, ix.codebooks, ix.m)
+    // deltas arrive in the ORIGINAL basis (the query contract): bring
+    // them into the index basis before assignment/encoding — absorbing
+    // raw vectors into a rotated index would split the store across
+    // two bases permanently
+    val deltaB = rotateQueries(ix, delta, idCol, vecCol)
+    val assigned = assignToCentroids(deltaB, vecCol, idCol, ix.centroids)
+    val enc = pqEncode(deltaB, vecCol, idCol, ix.codebooks, ix.m)
     val ae = assigned.select(col(idCol), col("centroid_id"),
         col("assign_cosine"))
       .join(enc, Seq(idCol))
@@ -952,7 +1050,10 @@ object Similarity {
     val exact = bruteForceTopK(qs, live, vecCol, idCol, recallK)
       .localCheckpoint()
     def hits(index: AnnIndex): Long = {
-      val ap = ivfPqTopK(qs, index.centroids, index.codebooks,
+      // audit queries are raw corpus vectors — serve them the way a
+      // user would: through the index-basis rotation
+      val ap = ivfPqTopK(rotateQueries(index, qs, idCol, vecCol),
+        index.centroids, index.codebooks,
         index.assignedEncoded, vecCol, idCol, m = index.m, k = index.k,
         topK = recallK, nProbe = nProbe)
       recallAtK(exact, ap)
@@ -960,9 +1061,17 @@ object Similarity {
     }
     val hitsBefore = hits(ix)
     // Rebuild — the saveIndex path verbatim, so retrain ≡ fresh build.
-    val (cents, assigned) = ivfIndex(live, vecCol, idCol, kCells)
-    val cb = pqCodebooks(live, vecCol, idCol, ix.m, ix.k)
-    val enc = pqEncode(live, vecCol, idCol, cb, ix.m)
+    // A rotated index KEEPS its rotation across retrain: the corpus
+    // (raw basis) rotates once, quantizers retrain on the rotated
+    // vectors, and the record carries over — refitting the rotation
+    // itself is the caller's choice (the pcaMoments-maintenance path),
+    // not a side effect of a quantizer refresh.
+    val liveB =
+      if (ix.rotation.isEmpty) live
+      else rotateQueries(ix, live, idCol, vecCol).localCheckpoint()
+    val (cents, assigned) = ivfIndex(liveB, vecCol, idCol, kCells)
+    val cb = pqCodebooks(liveB, vecCol, idCol, ix.m, ix.k)
+    val enc = pqEncode(liveB, vecCol, idCol, cb, ix.m)
     val ae = assigned.select(col(idCol), col("centroid_id"),
         col("assign_cosine"))
       .join(enc, Seq(idCol))
@@ -973,7 +1082,7 @@ object Similarity {
     fs.delete(tmpPath, true): Unit
     saveIndex(tmp, cents, cb,
       ae.select(col(idCol), col("codes"), col("centroid_id")),
-      ix.m, ix.k, st.getDouble(0), st.getDouble(1))
+      ix.m, ix.k, st.getDouble(0), st.getDouble(1), ix.rotation)
     // Swap: old layout aside, staged layout in, old layout gone. A
     // crash between the renames leaves dir absent but both layouts on
     // disk — recovery is one rename, no data lost.

@@ -2099,10 +2099,12 @@ object StreamingIngest {
         val spark = batch.sparkSession
         val b = batch.select(col(idCol), col(vecCol)).localCheckpoint()
         if (!b.isEmpty) {
-          val ix = graft.operators.Similarity.loadIndex(spark, indexDir)
-          graft.operators.Similarity.ivfPqTopK(b, ix.centroids,
-              ix.codebooks, ix.assignedEncoded, vecCol, idCol,
-              m = ix.m, k = ix.k, topK = topK, nProbe = nProbe)
+          // serveTopK = loadIndex (tombstone-filtered, rotation-
+          // checked) + rotateQueries + ivfPqTopK — the stream serves
+          // through the SAME code path as the batch serving row, so a
+          // rotated index can never be queried in the wrong basis here
+          graft.operators.Similarity.serveTopK(spark, indexDir, b,
+              vecCol, idCol, topK = topK, nProbe = nProbe)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }
       }

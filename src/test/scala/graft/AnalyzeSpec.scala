@@ -232,6 +232,16 @@ class AnalyzeSpec extends SparkSpec {
     assert(spans == Set((1L, "p q r s"), (2L, "p q r s")))
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("dupspans")), spark))
+    // omitted --min-count falls back to the documented default 2 ...
+    val dflt = Analyze.run(parse(List("dupspans",
+      "--docs", s"$dir/docs", "--shingle-size", "3")), spark)
+      .collect().map(r => (r.getLong(0), r.getString(5))).toSet
+    assert(dflt == Set((1L, "p q r s"), (2L, "p q r s")))
+    // ... but an EXPLICIT --min-count 1 is not silently clamped — it
+    // reaches the operator's require and fails loudly
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("dupspans", "--docs", s"$dir/docs",
+        "--shingle-size", "3", "--min-count", "1")), spark))
   }
 
   test("tokenbatch + autorebatch run from argv: budgeted batches, " +

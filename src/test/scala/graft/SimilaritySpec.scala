@@ -1112,6 +1112,97 @@ class SimilaritySpec extends SparkSpec {
       Similarity.givensCascadeFit(df, "embedding", Nil))
   }
 
+  test("rotated index LIFECYCLE: saveIndex persists the rotation and " +
+      "serveTopK/updateIndex bring raw vectors into the index basis; " +
+      "a flagged index without its record refuses to load") {
+    val pts = mixedFixture(spreadScales)
+    val df = pts.toDF("vec_id", "embedding")
+    val stages = Similarity.givensCascadeFit(df, "embedding",
+      Seq(8, 4, 2, 1))
+    val rot = Similarity.givensCascadeRotate(df, "vec_id", "embedding",
+      stages).localCheckpoint()
+    val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+      "vec_id", 4)
+    val cb = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+      m = 4, k = 8)
+    val enc = Similarity.pqEncode(rot, "embedding", "vec_id", cb, m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rot_ix").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 4, k = 8,
+      rotation = stages)
+    // the rotation record round-trips bit-exactly (plain doubles)
+    val ix = Similarity.loadIndex(spark, dir)
+    assert(ix.rotation.map(_.offset) == stages.map(_.offset))
+    assert(ix.rotation.zip(stages).forall { case (a, b) =>
+      a.cos.sameElements(b.cos) && a.sin.sameElements(b.sin) })
+    def rows(d2: org.apache.spark.sql.DataFrame) =
+      d2.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    // serveTopK with RAW queries ≡ the inline rotated chain, bit-equal
+    val inline = rows(Similarity.ivfPqTopK(
+      rot.filter(col("vec_id") < 4), cents, cb, ae, "embedding",
+      "vec_id", m = 4, k = 8, topK = 5, nProbe = 2))
+    val served = rows(Similarity.serveTopK(spark, dir,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2))
+    assert(served == inline,
+      "the persisted+loaded serve must replay the inline rotated chain")
+    // and the PRE-FIX bug (raw queries straight into ivfPqTopK) gives
+    // a DIFFERENT answer on this fixture — the guard is not vacuous
+    val rawServe = rows(Similarity.ivfPqTopK(
+      df.filter(col("vec_id") < 4), ix.centroids, ix.codebooks,
+      ix.assignedEncoded, "embedding", "vec_id", m = 4, k = 8,
+      topK = 5, nProbe = 2))
+    assert(rawServe != inline,
+      "fixture must make basis mismatch observable — raw serve " +
+        "accidentally equal would make this spec vacuous")
+    // updateIndex absorbs a RAW-basis delta: quantizers train on the
+    // rotated even slice, the odd slice lands via updateIndex, and the
+    // result equals a one-pass encode of the FULL rotated corpus
+    // against the same frozen quantizers
+    val evenRot = rot.filter(col("vec_id") % 2 === 0)
+    val (c2, a2) = Similarity.ivfIndex(evenRot, "embedding", "vec_id", 4)
+    val cb2 = Similarity.pqCodebooks(evenRot, "embedding", "vec_id",
+      m = 4, k = 8)
+    val e2 = Similarity.pqEncode(evenRot, "embedding", "vec_id", cb2,
+      m = 4)
+    val ae2 = a2.select(col("centroid_id"), col("vec_id"))
+      .join(e2, Seq("vec_id"))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_rot_upd").toString + "/ix"
+    Similarity.saveIndex(dir2, c2, cb2, ae2, m = 4, k = 8,
+      rotation = stages)
+    Similarity.updateIndex(spark, dir2,
+        df.filter(col("vec_id") % 2 === 1), "embedding", "vec_id")
+      .write.format("noop").mode("overwrite").save()
+    val aAll = Similarity.assignToCentroids(rot, "embedding", "vec_id",
+      c2)
+    val eAll = Similarity.pqEncode(rot, "embedding", "vec_id", cb2,
+      m = 4)
+    val aeAll = aAll.select(col("centroid_id"), col("vec_id"))
+      .join(eAll, Seq("vec_id"))
+    val updServed = rows(Similarity.serveTopK(spark, dir2,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2))
+    val rebuilt = rows(Similarity.ivfPqTopK(
+      rot.filter(col("vec_id") < 4), c2, cb2, aeAll, "embedding",
+      "vec_id", m = 4, k = 8, topK = 5, nProbe = 2))
+    assert(updServed == rebuilt,
+      "raw delta absorbed into the rotated basis must equal the " +
+        "one-pass rotated rebuild")
+    // identity poisoning refused: a rotated-flagged index whose
+    // rotation record is gone must fail FAST, not serve raw
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rotation"), true): Unit
+    intercept[IllegalArgumentException](Similarity.loadIndex(spark, dir))
+    intercept[IllegalArgumentException](Similarity.serveTopK(spark, dir,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id"))
+  }
+
   test("rotations wired through the FULL ivfPqTopK serving path: the " +
       "rotated index serves better recall than the raw one at the " +
       "same quantizer budget (the OPQ serving composition)") {

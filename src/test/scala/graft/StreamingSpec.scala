@@ -1636,6 +1636,62 @@ class StreamingSpec extends SparkSpec {
     assert(got(0L) == expect(), "redelivery re-serves the snapshot")
   }
 
+  test("streamingAnnSearch over a ROTATED index: raw query batches " +
+      "are brought into the index basis per trigger (the serveTopK " +
+      "path), bit-equal to the batch serving row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    def h(a: Long, b: Long): Float =
+      (((a * 2654435761L + b * 40503L) % 1000L + 1000L) % 1000L) /
+        1000.0f - 0.5f
+    def vec(i: Long): Seq[Float] = (0 until 8).map(d => h(i, d.toLong))
+    val corpus = (100L until 140L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_annrot").toString
+    val ixDir = s"$tmp/ix"
+    val stages = Similarity.givensCascadeFit(corpus, "embedding",
+      Seq(4, 2, 1))
+    val rot = Similarity.givensCascadeRotate(corpus, "vec_id",
+      "embedding", stages).localCheckpoint()
+    val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+      "vec_id", k = 4)
+    val cb = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+      m = 2, k = 4)
+    val enc = Similarity.pqEncode(rot, "embedding", "vec_id", cb, m = 2)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    Similarity.saveIndex(ixDir, cents, cb, ae, m = 2, k = 4,
+      rotation = stages)
+    val queries = (0L until 3L).map(i => (i, vec(i + 500L)))
+    def rows(d2: org.apache.spark.sql.DataFrame) =
+      d2.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSet
+    val expected = rows(Similarity.serveTopK(spark, ixDir,
+      queries.toDF("vec_id", "embedding"), "embedding", "vec_id",
+      topK = 3, nProbe = 2))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingIngest.streamingAnnSearch(
+      mem.toDF().toDF("vec_id", "embedding"), ixDir, s"$tmp/out",
+      s"$tmp/ckpt", topK = 3, nProbe = 2)
+    try {
+      mem.addData(queries: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows(spark.read.parquet(s"$tmp/out/batch=0"))
+    assert(got == expected,
+      "the stream must serve rotated queries exactly like the batch row")
+    // and the basis actually matters on this corpus: serving the raw
+    // batch against the rotated quantizers is a DIFFERENT answer
+    val ix = Similarity.loadIndex(spark, ixDir)
+    val rawServe = rows(Similarity.ivfPqTopK(
+      queries.toDF("vec_id", "embedding"), ix.centroids, ix.codebooks,
+      ix.assignedEncoded, "embedding", "vec_id", m = 2, k = 4,
+      topK = 3, nProbe = 2))
+    assert(rawServe != expected,
+      "fixture must make the basis mismatch observable")
+  }
+
   test("streamingLayout: store rows equal the op-store fold after " +
       "every trigger and the pruned scan stays lossless; same-batch " +
       "del beats add; re-send replaces (old bucket row leaves); " +
