@@ -259,6 +259,21 @@ import graft.operators.{Curation, GraphOps}
   *               (maintain the tokenizer word store, re-induce merges)
   *   dupspans    --docs <dir> [--shingle-size L] [--min-count N]
   *               (maximal corpus-duplicated substring report)
+  *   scrubspans  --docs <dir> [--shingle-size L] [--min-count N]
+  *               [--mode keepone|all] (duplicate-span scrub: keepone =
+  *               Lee et al. keep one canonical occurrence; all = the
+  *               destructive twin)
+  *   autotune    --docs <dir> --cols <band candidates, e.g. 2,4,8>
+  *               [--budget CANDIDATE_PAIRS] [--threshold T]
+  *               (measured banding auto-tune, then serve near-dups at
+  *               the winner)
+  *   layoutrecover --docs <layout store dir>
+  *               (resolve an interrupted appendToLayout stage: roll
+  *               back or forward, mechanically)
+  *   momentsmaint --vectors <base dir> [--delta <added dir>]
+  *               [--target <removed dir (with embeddings)>]
+  *               (maintain the exact PCA moment store — refit-ready
+  *               without a corpus rescan)
   *   tokenbatch  --docs <dir> [--cols <lenCol>] [--budget B]
   *               [--buckets N] [--mode rows|waste]
   *               (fixed-compute batches under a token budget)

@@ -182,6 +182,64 @@ private[graft] object AnalyzeMore {
         wAdds, wRems, args.idCol, args.textCol)
       Some(graft.operators.Tokenizer.bpeMergesFromWords(wM.words,
         args.merges)._1)
+    case "scrubspans" =>
+      // duplicate-span scrub: --docs <dir>, --shingle-size L,
+      // --min-count N (>= 2; dupspans' default discipline), --mode
+      // keepone (Lee et al. 2022 — one canonical occurrence survives,
+      // the default) | all (the destructive twin: every copy leaves)
+      require(args.docs.nonEmpty,
+        "scrubspans needs --docs <corpus dir>; --id-col, --text-col, " +
+          "--shingle-size L (default 3), --min-count N (default 2), " +
+          "--mode keepone|all")
+      val sd = spark.read.parquet(args.docs)
+      val sMc = if (args.minCountSet) args.minCount.toInt else 2
+      Some(args.mode match {
+        case "all" => graft.operators.Dedup.removeDuplicateSpans(
+          sd, args.textCol, args.idCol, args.shingleSize, sMc)
+        case _ => graft.operators.Dedup.scrubDuplicateSpansKeepOne(
+          sd, args.textCol, args.idCol, args.shingleSize, sMc)
+      })
+    case "autotune" =>
+      // measured banding auto-tune: --docs <dir>, --cols <candidate
+      // band counts, e.g. 2,4,8>, --budget <candidate-pair budget>,
+      // --threshold T (default 0.2 here — the near-dup tier's cut)
+      require(args.docs.nonEmpty && args.colsList.nonEmpty,
+        "autotune needs --docs <corpus dir> and --cols <candidate " +
+          "band counts, e.g. 2,4,8>; --budget CANDIDATE_PAIRS, " +
+          "--threshold T, --id-col, --text-col")
+      Some(graft.operators.Dedup.autoTunedNearDups(
+        spark.read.parquet(args.docs), args.textCol, args.idCol,
+        args.thresholdOpt.getOrElse(0.2),
+        args.colsList.map(_.trim.toInt), args.budget))
+    case "layoutrecover" =>
+      // mechanical append-ledger recovery: --docs <layout store dir>;
+      // prints (action, n_staged_files) — clean | rolled_back |
+      // completed
+      require(args.docs.nonEmpty,
+        "layoutrecover needs --docs <layout store dir> (the " +
+          "writeLayout path whose _append_pending stage to resolve)")
+      Some(graft.operators.Layout.recoverAppend(spark, args.docs))
+    case "momentsmaint" =>
+      // exact PCA-moment maintenance (the wordmaint surface for the
+      // rotation preprocessing): --vectors base corpus, --delta added
+      // vectors, --target removed vectors WITH embeddings; output =
+      // the maintained moment table (refit-ready, no corpus rescan)
+      require(args.vectors.nonEmpty,
+        "momentsmaint needs --vectors <base dir>; --delta <added " +
+          "vectors dir> and --target <removed vectors dir (with " +
+          "embeddings)> are the change batch (either may be " +
+          "omitted); --vec-col, --id-col")
+      val mBase = spark.read.parquet(args.vectors)
+      val mStore = graft.operators.Similarity.buildMomentsStore(
+        mBase, args.idCol, args.vecCol)
+      val mAdds =
+        if (args.delta.nonEmpty) spark.read.parquet(args.delta)
+        else mBase.limit(0)
+      val mRems =
+        if (args.target.nonEmpty) spark.read.parquet(args.target)
+        else mBase.limit(0)
+      Some(graft.operators.Similarity.maintainPcaMoments(mStore,
+        mAdds, mRems, args.idCol, args.vecCol).moments)
     case _ => None
   }
 }

@@ -312,6 +312,23 @@ private[graft] object EntryData {
       path
     })
 
+  /** q_l10's store: the l4 layout REBUILT with a membership sketch on
+    * `l_orderkey` — the point-lookup column is NOT clustered (the
+    * curve runs over partkey/suppkey), so min/max envelopes are
+    * useless for it and only the per-bucket bloom prunes. Built once
+    * per dataset; the serving row times the pruned point read. */
+  def l10BloomLayoutDir(s: SparkSession, dir: String): String =
+    layoutDirs.computeIfAbsent(dir + "#l10_bloom", _ => {
+      val path = annScratchRoot + "/layout_bloom_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Layout.writeLayout(
+        Layout.zOrderLayout(t(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16),
+        path, Seq("l_partkey", "l_suppkey"), "z", 8, 16,
+        bloomCols = Seq("l_orderkey"))
+      path
+    })
+
   /** q_l5's base store (the l_orderkey%3≠0 two-thirds of lineitem,
     * laid out and written once per dataset); each invocation COPIES
     * it to a fresh dir (the x3k updated-index discipline — appends

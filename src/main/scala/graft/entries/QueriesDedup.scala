@@ -182,6 +182,21 @@ private[graft] object QueriesDedup {
           threshold = 0.2, bandsList = Seq(2, 4, 8))
         .orderBy("bands")),
 
+    // ---- X2s: AUTO-TUNED near-dedup — the q_x2q audit closed into
+    // an action (the autoRebatch discipline): banding chosen by a
+    // deterministic argmin against a candidate BUDGET of 30 (gates
+    // bands=8 out at every SF — the within-budget argmax is
+    // exercised, not the fallback), near-dups served at the winner
+    // off the same signature pass. The oracle replays audit, choice,
+    // and the re-banded serve (scalar-subquery-dynamic banding). ----
+    "q_x2s_autotuned_neardups" -> ((s, dir) =>
+      Dedup.autoTunedNearDups(t(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.2, bandsList = Seq(2, 4, 8),
+          candidateBudget = 30L)
+        .select(col("bands"), col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // ---- X2e: MinHash LSH bucket-overflow side-channel — the drop report
     // that keeps the maxBucketSize cap honest. Portable-hash mode with
     // maxBucketSize = 1 so the report is NON-ZERO (every shared bucket
@@ -275,6 +290,26 @@ private[graft] object QueriesDedup {
       Dedup.duplicatedSpans(d, "text", "doc_id", shingleSize = 5,
           minCount = 2)
         .orderBy("doc_id", "span_start")
+    }),
+
+    // ---- X2r: KEEP-ONE duplicate-span scrub — Lee et al. 2022's
+    // actual ExactSubstr semantics over the q_x2p span report: one
+    // canonical occurrence per span family survives (smallest
+    // (doc_id, span_start)), every other occurrence is deleted.
+    // Same planted fixture as q_x2p so cross-document families exist
+    // at every SF; the oracle replays the report, the election (a
+    // row_number window over (doc_id, span_start)), the loser
+    // coverage, and the rebuild. ----
+    "q_x2r_scrub_keep_one" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" graft planted span alpha beta " +
+            "gamma delta epsilon zeta theta")))
+          .otherwise(col("text")).as("text"))
+      Dedup.scrubDuplicateSpansKeepOne(d, "text", "doc_id",
+          shingleSize = 5, minCount = 2)
+        .filter(col("n_removed") > 0L)
+        .orderBy("doc_id")
     }),
 
     // ---- X2l: SemDeDup — embedding-space near-dup collapse (IVF cells →
@@ -452,8 +487,12 @@ private[graft] object QueriesDedup {
     * caps, distinct candidate pairs, the exact-Jaccard verify, and
     * the S-curve theory column as a repeated-multiplication fold
     * mirroring the engine's left-assoc double chain. */
-  private def bandingAuditOracle(threshold: String,
-      configs: Seq[(Int, Int)], maxBucket: Int): String = {
+  /** Shared CTE chain of the banding oracles (q_x2q audit, q_x2s
+    * auto-tune): portable signatures + per-configuration banding,
+    * candidates, verification, and the per-config report relations
+    * `rep$b`. Returns (ctes, unionSelect). */
+  private def bandingAuditCore(threshold: String,
+      configs: Seq[(Int, Int)], maxBucket: Int): (String, String) = {
     val extraBands = configs.filter(_._2 != 4).map { case (b, r) =>
       s""",
          |band$b AS (
@@ -504,10 +543,17 @@ private[graft] object QueriesDedup {
     }.mkString
     val union = configs.map { case (b, _) => s"SELECT * FROM rep$b" }
       .mkString("\nUNION ALL ")
-    s"""${OracleCtes.minhashPortableCtes()},
+    (s"""${OracleCtes.minhashPortableCtes()},
        |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
        |szs AS (SELECT doc_id, count(*) AS n FROM dsh
-       |        GROUP BY doc_id)$extraBands$perConfig
+       |        GROUP BY doc_id)$extraBands$perConfig""".stripMargin,
+      union)
+  }
+
+  private def bandingAuditOracle(threshold: String,
+      configs: Seq[(Int, Int)], maxBucket: Int): String = {
+    val (ctes, union) = bandingAuditCore(threshold, configs, maxBucket)
+    s"""$ctes
        |SELECT bands, rows_per_band, n_candidates, n_verified,
        |  CASE WHEN n_candidates > 0 THEN
        |    CAST(floor(CAST(n_verified AS DOUBLE) / n_candidates * 1e6
@@ -518,9 +564,66 @@ private[graft] object QueriesDedup {
        |ORDER BY bands""".stripMargin
   }
 
+  /** The q_x2s auto-tune replay: the audit relations, the
+    * deterministic choice (budget gate → max verified → fewer
+    * candidates → fewer bands, exactly the engine's minBy key), then
+    * the near-dup chain RE-BANDED at the chosen rows_per_band — the
+    * scalar subquery makes the static SQL dynamic in the winner. */
+  private def autoTuneOracle(threshold: String,
+      configs: Seq[(Int, Int)], maxBucket: Int, budget: Long): String = {
+    val (ctes, union) = bandingAuditCore(threshold, configs, maxBucket)
+    s"""$ctes,
+       |audit AS (
+       |  SELECT bands, rows_per_band, n_candidates, n_verified
+       |  FROM ($union)),
+       |choice AS (
+       |  SELECT bands, rows_per_band FROM (
+       |    SELECT *, CASE WHEN n_candidates <= $budget
+       |      THEN 0 ELSE 1 END AS ob
+       |    FROM audit)
+       |  ORDER BY ob,
+       |    CASE WHEN ob = 0 THEN -n_verified ELSE 0 END,
+       |    n_candidates, bands
+       |  LIMIT 1),
+       |bandd AS (
+       |  SELECT doc_id,
+       |    (i // (SELECT rows_per_band FROM choice)) AS band,
+       |    string_agg(mh, ',' ORDER BY i) AS sig
+       |  FROM mh
+       |  GROUP BY doc_id, (i // (SELECT rows_per_band FROM choice))),
+       |bszd AS (SELECT band, sig, count(*) AS n FROM bandd
+       |         GROUP BY band, sig),
+       |candd AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandd x JOIN bandd y
+       |    ON y.band = x.band AND y.sig = x.sig
+       |    AND x.doc_id < y.doc_id
+       |  JOIN bszd z ON z.band = x.band AND z.sig = x.sig
+       |    AND z.n <= $maxBucket),
+       |interd AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM candd c
+       |  JOIN dsh a ON a.doc_id = c.id_a
+       |  JOIN dsh b2 ON b2.doc_id = c.id_b AND b2.sh = a.sh
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT (SELECT bands FROM choice) AS bands, c.id_a, c.id_b,
+       |  ROUND(CAST(i.n_inter AS DOUBLE)
+       |    / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+       |FROM candd c
+       |JOIN szs sa ON sa.doc_id = c.id_a
+       |JOIN szs sb ON sb.doc_id = c.id_b
+       |JOIN interd i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |WHERE CAST(i.n_inter AS DOUBLE)
+       |  / (sa.n + sb.n - i.n_inter) >= $threshold
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_x2q_banding_audit" -> bandingAuditOracle("0.2",
       Seq((2, 8), (4, 4), (8, 2)), 1000),
+
+    "q_x2s_autotuned_neardups" -> autoTuneOracle("0.2",
+      Seq((2, 8), (4, 4), (8, 2)), 1000, 30L),
 
     // Portable-MinHash LSH end-to-end: candidates from shared band
     // signatures, verified with exact trigram-set Jaccard ≥ 0.2.
@@ -1078,6 +1181,89 @@ private[graft] object QueriesDedup {
         |  CAST(n_windows AS BIGINT) AS n_windows, span_text
         |FROM txt
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // The q_x2p report replayed, then the keep-one election (a
+    // row_number window over (doc_id, span_start) per span_text
+    // family — same total order as the engine's min(struct)), loser
+    // coverage exploded, and the x7f-shape rebuild, filtered to the
+    // scrubbed docs.
+    "q_x2r_scrub_keep_one" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' graft planted ' ||
+        |      'span alpha beta gamma delta epsilon zeta theta'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, u.tk, u.pos - 1 AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |            t -> length(t) > 0) AS arr
+        |        FROM docs2),
+        |       LATERAL (SELECT unnest(arr) AS tk,
+        |                generate_subscripts(arr, 1) AS pos) u),
+        |sh AS (
+        |  SELECT a.doc_id, a.pos,
+        |    a.tk || ' ' || b.tk || ' ' || c.tk || ' ' || d.tk
+        |      || ' ' || e.tk AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        |  JOIN tok e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+        |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+        |st AS (
+        |  SELECT s.doc_id, s.pos
+        |  FROM sh s JOIN cnt ON cnt.sh = s.sh AND cnt.c >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - coalesce(lag(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos), -100) > 5
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM st),
+        |isl2 AS (
+        |  SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, island, min(pos) AS span_start,
+        |    max(pos) + 4 AS span_end
+        |  FROM isl2 GROUP BY doc_id, island),
+        |txt AS (
+        |  SELECT sp.doc_id, sp.span_start, sp.span_end,
+        |    string_agg(t.tk, ' ' ORDER BY t.pos) AS span_text
+        |  FROM sp JOIN tok t ON t.doc_id = sp.doc_id
+        |    AND t.pos BETWEEN sp.span_start AND sp.span_end
+        |  GROUP BY 1, 2, 3),
+        |fam AS (
+        |  SELECT doc_id, span_start, span_end,
+        |    row_number() OVER (PARTITION BY span_text
+        |      ORDER BY doc_id, span_start) AS rn
+        |  FROM txt),
+        |cov AS (
+        |  SELECT DISTINCT f.doc_id, u.tp
+        |  FROM fam f, LATERAL (SELECT unnest(range(f.span_start,
+        |    f.span_end + 1)) AS tp) u
+        |  WHERE f.rn > 1),
+        |keptt AS (
+        |  SELECT t.doc_id, t.pos, t.tk
+        |  FROM tok t LEFT JOIN cov
+        |    ON cov.doc_id = t.doc_id AND cov.tp = t.pos
+        |  WHERE cov.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM keptt GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(t.n, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed
+        |FROM docs2 d
+        |LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
+        |WHERE COALESCE(t.n, 0) - COALESCE(r.n_kept, 0) > 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The q_x2m rebuild with bench-shingle membership instead of the
     // count-≥-2 dup set; shingle strings compare directly (the engine's

@@ -544,6 +544,24 @@ private[graft] object QueriesEtl {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey",
           "l_suppkey")),
 
+    // ---- L10: POINT-LOOKUP pruning via the manifest's membership
+    // sketch — the commonest lakehouse read a min/max manifest can't
+    // serve: find one id in a store clustered on OTHER columns. The
+    // store records a per-bucket bloom on l_orderkey (writeLayout
+    // bloomCols); prunedScan's equality predicate probes it and opens
+    // only maybe-present buckets (a negative probe is a PROOF of
+    // absence — skips stay lossless). The oracle is the full-table
+    // filter: pruning must be semantically invisible. LayoutSpec
+    // asserts the bucket-open count actually collapses. ----
+    "q_l10_bloom_point_lookup" -> ((s, dir) =>
+      Layout.prunedScan(s, l10BloomLayoutDir(s, dir), Nil,
+          points = Seq(("l_orderkey", 7L)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_bucket").cast("long").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -811,6 +829,18 @@ private[graft] object QueriesEtl {
          |  CAST(bucket AS BIGINT) AS bucket
          |FROM zb
          |WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
+
+    // Bloom pruning is lossless by construction (a skip needs a
+    // negative membership probe — proof of absence), so the oracle is
+    // the plain full-table point filter with the replayed bucket.
+    "q_l10_bloom_point_lookup" ->
+      s"""$zorderCtes
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(bucket AS BIGINT) AS bucket
+         |FROM zb
+         |WHERE l_orderkey = 7
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
         .stripMargin,
 

@@ -425,6 +425,31 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3z: the streaming ANN SEARCH composition ORACLED — one
+    // batch row running the EXACT body streamingAnnSearch runs per
+    // trigger (serveTopK: loadIndex snapshot → rotateQueries →
+    // ivfPqTopK) against a fully MAINTAINED index: the q_x3k
+    // incremental-update fixture takes the %5==1 tombstones, COMPACTS
+    // (physical purge + ledger roll-up), and then serves the query
+    // batch. Oracle = the one-pass rebuild with tombstoned ids
+    // excluded before ranking (q_x3q's CTEs) — the q_x1g/q_x9i
+    // batch-composition discipline applied to the search side. ----
+    "q_x3z_streaming_search_composition" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3kUpdatedIndexDir(s, dir)
+      Similarity.deleteFromIndex(s, ixDir,
+          e.filter(col("vec_id") % 5 === 1).select("vec_id"), "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      Similarity.compactIndex(s, ixDir)
+        .write.format("noop").mode("overwrite").save()
+      Similarity.serveTopK(s, ixDir, e.filter(col("vec_id") < 8),
+          "embedding", "vec_id", topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3x: the ROTATED index LIFECYCLE — q_x3w's OPQ recipe
     // persisted (saveIndex WITH the rotation record) and served cold
     // through loadIndex + rotateQueries + ivfPqTopK (serveTopK — the
@@ -458,6 +483,30 @@ private[graft] object QueriesSimilarity {
           col("sp"),
           floor(col("cov") * lit(1e9) + lit(0.5)).as("cov_e9"))
         .orderBy("i", "j")),
+
+    // ---- X3y: MAINTAINED moments — the rotation preprocessing joins
+    // the maintenance grid: the moment store builds on the %4≠0 base,
+    // then ONE maintainPcaMoments call absorbs the %4==0 adds and
+    // erases the %3==0 slice of the base (ground-truth vectors ship,
+    // the word-store contract). Every sum is an exact long, so the
+    // maintained table — and any cascade/PCA refit off it — is
+    // BIT-equal to the one-shot moments over the effective corpus,
+    // which is exactly what the oracle computes (q_x3v's SQL over the
+    // effective WHERE). SimilaritySpec proves the refit equality. ----
+    "q_x3y_moments_maintained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val st0 = Similarity.buildMomentsStore(
+        e.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding")
+      val st = Similarity.maintainPcaMoments(st0,
+        e.filter(col("vec_id") % 4 === 0),
+        e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") % 3 === 0),
+        "vec_id", "embedding")
+      st.moments
+        .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+          col("sp"),
+          floor(col("cov") * lit(1e9) + lit(0.5)).as("cov_e9"))
+        .orderBy("i", "j")
+    }),
   )
 
   /** Generated Givens-cascade CTE chain ending at
@@ -600,6 +649,40 @@ private[graft] object QueriesSimilarity {
         |FROM pr JOIN sums si ON si.i = pr.i
         |  JOIN sums sj ON sj.i = pr.j
         |ORDER BY i, j""".stripMargin,
+
+    // The maintained store ≡ the one-shot moments over the EFFECTIVE
+    // corpus: (%4==0 adds) ∪ (%4≠0 base minus its %3==0 erasures) —
+    // q_x3v's replay with the effective WHERE.
+    "q_x3y_moments_maintained" ->
+      """WITH eff AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 4 = 0
+        |     OR (vec_id % 4 <> 0 AND vec_id % 3 <> 0)),
+        |v6 AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(x * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+        |  FROM eff),
+        |ex AS (
+        |  SELECT vec_id, i - 1 AS i, v[i] AS x
+        |  FROM v6, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
+        |sums AS (SELECT i, sum(x) AS s, count(*) AS n FROM ex
+        |         GROUP BY i),
+        |pr AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+        |  FROM ex a JOIN ex b
+        |    ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(pr.i AS BIGINT) AS i, CAST(pr.j AS BIGINT) AS j,
+        |  si.n AS n, CAST(si.s AS BIGINT) AS s_i,
+        |  CAST(sj.s AS BIGINT) AS s_j, CAST(pr.sp AS BIGINT) AS sp,
+        |  CAST(floor(
+        |    (CAST(pr.sp AS DOUBLE) - CAST(si.s AS DOUBLE) * sj.s / si.n)
+        |      / si.n / CAST(1e12 AS DOUBLE) * 1e9
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cov_e9
+        |FROM pr JOIN sums si ON si.i = pr.i
+        |  JOIN sums sj ON sj.i = pr.j
+        |ORDER BY i, j""".stripMargin,
+
     // Greedy MMR unroll — see mmrOracle.
     "q_x3d_mmr_rerank" -> mmrOracle(5),
 
@@ -775,6 +858,22 @@ private[graft] object QueriesSimilarity {
 
     // The q_x3p rebuild with the tombstoned ids excluded BEFORE the
     // ranking — a deleted row must not occupy a rank.
+    // The maintained-index serve (update + delete + compact + the
+    // serveTopK streaming body) answers to q_x3q's rebuild: compaction
+    // moves codes without changing them and serveTopK is loadIndex +
+    // ivfPqTopK on an un-rotated index.
+    "q_x3z_streaming_search_composition" ->
+      (ivfPqOracleCtesFrom("WHERE vec_id < 300") +
+        """
+          |SELECT query_id, vec_id,
+          |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+          |    AS adist_e4,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |  ORDER BY adist, vec_id) AS rank
+          |  FROM sc WHERE vec_id % 5 <> 1)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     "q_x3q_deleted_index" ->
       (ivfPqOracleCtesFrom("WHERE vec_id < 300") +
         """

@@ -39,6 +39,31 @@ object GraftFunctions {
   /** Rolling-hash 64-bit document fingerprint. */
   def fingerprint64(c: Column): Column = call_function("fingerprint64", c)
 
+  /** Per-group LONG-key Bloom sketch (binary; see [[BloomLongAgg]]) —
+    * the layout manifest's point-lookup membership column. */
+  def bloom_long(c: Column, numBits: Int = 1 << 13,
+      numHashes: Int = 5): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      BloomLongAgg(ColumnShim.expression(c), numBits, numHashes)
+        .toAggregateExpression())
+  }
+
+  /** Probe a [[bloom_long]] sketch: false ⇒ key certainly absent. */
+  def bloom_might_contain(bloom: Column, v: Column,
+      numHashes: Int = 5): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(BloomMightContainLong(
+      ColumnShim.expression(bloom), ColumnShim.expression(v), numHashes))
+  }
+
+  /** Bitwise-OR union of two equal-geometry sketches. */
+  def bloom_or(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(BloomOr(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
   /** Heavy hitters with bounded state (Misra–Gries; see [[TopKFreq]]):
     * top `k` items as `array<struct(item, min_count)>`. Counts are lower
     * bounds, off by at most n/(capacity+1); exact when `capacity` covers

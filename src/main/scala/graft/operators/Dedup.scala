@@ -314,6 +314,17 @@ object Dedup {
       "threshold must be in (0, 1]")
     val sigs = minhashSignaturesPortable(df, textCol, idCol, numHashes,
       shingleSize, seed).localCheckpoint()
+    bandingAuditFromSigs(sigs, df, textCol, idCol, threshold,
+      bandsList, numHashes, shingleSize, maxBucketSize)
+  }
+
+  /** [[bandingAudit]] over PRE-COMPUTED portable signatures — the
+    * share-one-pass entry [[autoTunedNearDups]] rides so audit and
+    * serving never re-shingle the corpus. */
+  private[graft] def bandingAuditFromSigs(sigs: DataFrame,
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, bandsList: Seq[Int], numHashes: Int,
+      shingleSize: Int, maxBucketSize: Int): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
     bandsList.map { b =>
       val r = numHashes / b
@@ -349,6 +360,65 @@ object Dedup {
           lit(math.floor(pTheory * 1e6 + 0.5).toLong)
             .as("p_candidate_at_t_e6"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** AUTO-TUNED near-dedup — close the measure→act loop on
+    * [[bandingAudit]] (the `autoRebatch` discipline: the knob is
+    * chosen by MEASUREMENT, not folklore): audit every candidate
+    * banding over ONE shared signature pass, pick the configuration
+    * by a deterministic rule against the caller's candidate BUDGET
+    * (the downstream verify bill a 100 TB run must cap), then serve
+    * the near-dup pairs at the chosen banding from the SAME pinned
+    * signatures.
+    *
+    * Decision rule (a pure argmin over the audit table — fully
+    * oracle-replayable): among configurations whose measured
+    * `n_candidates` fits `candidateBudget`, take the highest
+    * `n_verified` (the recall proxy; more true pairs surfaced), ties
+    * → fewer candidates, then fewer bands; if NO configuration fits,
+    * fall back to the cheapest (`n_candidates`, then bands) — the
+    * conservative degradation, never a silent budget blow-through.
+    *
+    * Scale notes (100 TB): one shingle/MD5 pass total; the audit adds
+    * one narrow banding + bucket groupBy per configuration; the
+    * choice is a configurations-sized driver fetch (≤ numHashes rows
+    * — the bounded-fetch discipline); serving re-bands the pinned
+    * signatures once at the winner.
+    *
+    * @return (bands, id_a, id_b, jaccard) — the winning banding on
+    *         every row so the choice audits with the pairs */
+  def autoTunedNearDups(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, bandsList: Seq[Int], candidateBudget: Long,
+      numHashes: Int = 16, shingleSize: Int = 3,
+      maxBucketSize: Int = 1000, seed: Long = 42L): DataFrame = {
+    require(candidateBudget >= 0L, "candidateBudget must be >= 0")
+    val sigs = minhashSignaturesPortable(df, textCol, idCol, numHashes,
+      shingleSize, seed).localCheckpoint()
+    val audit = bandingAuditFromSigs(sigs, df, textCol, idCol,
+      threshold, bandsList, numHashes, shingleSize, maxBucketSize)
+    // configurations-sized fetch: (bands, n_candidates, n_verified)
+    val rows = audit.select("bands", "n_candidates", "n_verified")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val within = rows.filter(_._2 <= candidateBudget)
+    val chosen =
+      if (within.nonEmpty)
+        within.minBy { case (b, nc, nv) => (-nv, nc, b) }
+      else rows.minBy { case (b, nc, _) => (nc, b) }
+    val bChosen = chosen._1.toInt
+    val cands = minhashCandidatesPortable(sigs, idCol, bChosen,
+      maxBucketSize)
+    val docs = df.select(col(idCol), col(textCol))
+    cands
+      .join(docs.withColumnsRenamed(
+        Map(idCol -> "id_a", textCol -> "_ta")), Seq("id_a"))
+      .join(docs.withColumnsRenamed(
+        Map(idCol -> "id_b", textCol -> "_tb")), Seq("id_b"))
+      .withColumn("jaccard",
+        jaccard(col("_ta"), col("_tb"), shingleSize))
+      .filter(col("jaccard") >= threshold)
+      .select(lit(chosen._1).as("bands"), col("id_a"), col("id_b"),
+        col("jaccard"))
   }
 
   /** SimHash 64-bit fingerprint: per token-hash bit b, sum ±1 across the
@@ -1016,6 +1086,79 @@ object Dedup {
       .select(col("_id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("n_tokens"),
         col("n_windows"), col("span_text"))
+  }
+
+  /** KEEP-ONE duplicate-span scrub — Lee et al. 2022's ACTUAL
+    * ExactSubstr semantics: of every corpus-duplicated maximal span
+    * family, ONE canonical occurrence survives and all others are
+    * deleted, so formerly-duplicated content keeps exactly one copy in
+    * the corpus ([[removeDuplicateSpans]] is the scorched-earth twin —
+    * it deletes EVERY occurrence and the content vanishes entirely).
+    * Families are [[duplicatedSpans]] rows grouped by span TEXT (equal
+    * maximal spans are the same content); the keeper is the smallest
+    * `(doc, span_start)` occurrence — the first-occurrence election
+    * discipline ([[electKeepers]]' deterministic tie-break, keyed on
+    * position instead of score). Spans within a document are disjoint
+    * by construction (maximal islands), so no token is contested
+    * between a keeper and a loser family.
+    *
+    * Scale notes (100 TB): rides [[duplicatedSpans]]' bucketed anchor
+    * pass; the family election groups span-table rows (corpus-dup
+    * volume, not corpus volume) on a 32-byte span-text hash — the
+    * span text itself never shuffles twice; loser coverage is a
+    * bounded explode (span length per loser); the rebuild is the
+    * [[removeDuplicateSpans]] group-by-doc pass.
+    *
+    * @return one row per input row:
+    *         `(id, clean_text, n_tokens, n_removed)` — whitespace
+    *         canonicalized like the destructive twin. */
+  def scrubDuplicateSpansKeepOne(df: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int = 5, minCount: Int = 2)
+      : DataFrame = {
+    val spans = duplicatedSpans(df, textCol, idCol, shingleSize,
+        minCount)
+      .withColumn("_fam", sha2(col("span_text"), 256))
+      .localCheckpoint() // feeds the election AND the loser coverage
+    val keepers = spans.groupBy(col("_fam"))
+      .agg(min(struct(col(idCol).as("_kid"),
+        col("span_start").as("_kst"))).as("_k"))
+      .select(col("_fam"), col("_k._kid").as("_kid"),
+        col("_k._kst").as("_kst"))
+    val losers = spans.join(keepers, Seq("_fam"))
+      .filter(!(col(idCol) === col("_kid") &&
+        col("span_start") === col("_kst")))
+    val covered = losers
+      .select(col(idCol).as("_id"),
+        explode(sequence(col("span_start"), col("span_end")))
+          .as("_tp"))
+      .distinct()
+    // token indexing EXACTLY like the shingle kernel (the HOF filter
+    // runs before posexplode — the \s-prefix regression class)
+    val toks = df
+      .select(col(idCol).as("_id"),
+        posexplode(filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as(Seq("_tp", "_tk")))
+      .select(col("_id"), col("_tp").cast("long").as("_tp"),
+        col("_tk"))
+    val rebuilt = toks
+      .join(covered, Seq("_id", "_tp"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
+            t => t.getField("_tk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("_total"))
+    df.select(col(idCol))
+      .join(totals, col(idCol) === totals("_id"), "left").drop("_id")
+      .join(rebuilt, col(idCol) === rebuilt("_id"), "left").drop("_id")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("_total"), lit(0L)).as("n_tokens"),
+        (coalesce(col("_total"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** INCREMENTAL near-dedup — the daily-increment path: dedupe a NEW

@@ -321,12 +321,19 @@ object Layout {
     * of a `partitionBy(_bucket)` layout, and therefore exactly what a
     * scan's file-skipping decision sees. One partial-agg groupBy. */
   def fileSkippingStats(laid: DataFrame, bucketCol: String,
-      cols: Seq[String]): DataFrame =
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 13, bloomHashes: Int = 5): DataFrame =
     laid.groupBy(col(bucketCol).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        cols.flatMap(c => Seq(
+        (cols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"min_$c"),
-          max(col(c)).cast("long").as(s"max_$c"))): _*)
+          max(col(c)).cast("long").as(s"max_$c"))) ++
+          // membership sketch per named point-lookup column — the
+          // Delta/Iceberg file-level bloom: an equality probe on a
+          // high-cardinality id prunes buckets min/max never could
+          bloomCols.map(c => graft.functions.GraftFunctions.bloom_long(
+            col(c).cast("long"), bloomBits, bloomHashes)
+            .as(s"bloom_$c"))): _*)
 
   /** The curve names a [[writeLayout]] store can record: Morton
     * ([[zOrderLayout]]), 2-D xy2d Hilbert ([[hilbertLayout]]), and
@@ -355,7 +362,11 @@ object Layout {
     * `statCols` must be the clustered columns in clustering order —
     * the columns the `_z`/`_h` index was computed over. */
   def writeLayout(laid: DataFrame, path: String, statCols: Seq[String],
-      curve: String, bits: Int, nBuckets: Int): Unit = {
+      curve: String, bits: Int, nBuckets: Int,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 13,
+      bloomHashes: Int = 5): Unit = {
+    bloomCols.foreach(c => require(laid.columns.contains(c),
+      s"writeLayout: bloom column '$c' is not in the frame"))
     require(curves.contains(curve),
       s"curve must be one of ${curves.mkString(", ")} (got '$curve')")
     // the layout builders tag `_bucket` with how the frame was
@@ -379,11 +390,15 @@ object Layout {
     laid.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
     val store = laid.sparkSession.read.parquet(path)
-    val stats = fileSkippingStats(store, "_bucket", statCols)
+    val stats = fileSkippingStats(store, "_bucket", statCols,
+        bloomCols, bloomBits, bloomHashes)
       .localCheckpoint()
     stats.write.mode("overwrite").parquet(s"$path/_stats")
     // build-time anchors: the manifest covers the full corpus here
-    // (and only here), so its envelope extrema ARE the build anchors
+    // (and only here), so its envelope extrema ARE the build anchors;
+    // the bloom geometry joins the identity so appends sketch their
+    // deltas with the SAME (bits, hashes) — the OR-merge algebra
+    // requires it
     val anchorExprs = statCols.flatMap(c => Seq(
       min(col(s"min_$c")).as(s"anchor_min_$c"),
       max(col(s"max_$c")).as(s"anchor_max_$c")))
@@ -392,6 +407,9 @@ object Layout {
       .withColumn("bits", lit(bits.toLong))
       .withColumn("n_buckets", lit(nBuckets.toLong))
       .withColumn("cols", array(statCols.map(lit): _*))
+      .withColumn("bloom_cols", array(bloomCols.map(lit): _*))
+      .withColumn("bloom_bits", lit(bloomBits.toLong))
+      .withColumn("bloom_hashes", lit(bloomHashes.toLong))
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -414,18 +432,31 @@ object Layout {
     * `_meta` identity — an append under the wrong curve or column
     * order would silently scatter the delta across unrelated buckets.
     *
-    * Crash window: the widened manifest writes BEFORE the delta's
-    * data files. A crash between the two leaves envelopes wider than
-    * the files they describe — conservative by [[skippingVerdicts]]'
-    * min/max-only rule (pruning only KEEPS extra buckets; `n_rows` is
-    * informational), so [[prunedScan]] stays lossless and the append
-    * can simply re-run. The reverse order would let a pruned scan
-    * silently skip buckets holding already-landed rows.
+    * SELF-HEALING (the delta-ledger protocol): the laid-out delta and
+    * the merged manifest STAGE under `<path>/_append_pending/`
+    * (underscore-hidden from store reads) and a `_COMMIT` marker is
+    * the commit point — only then does the append publish: manifest
+    * overwrite FIRST (a crash here leaves envelopes wider than the
+    * files, conservative by [[skippingVerdicts]]' min/max-only rule —
+    * pruning only KEEPS extra buckets), then the staged files MOVE
+    * into their bucket directories (atomic renames; a re-run skips
+    * already-landed files, so completion is idempotent and rows can
+    * never double-land), then the stage is cleared. A crash at ANY
+    * point resolves mechanically via [[recoverAppend]]: no `_COMMIT`
+    * → roll BACK (nothing published — drop the stage); `_COMMIT`
+    * present → roll FORWARD (replay the publish from the pinned
+    * stage). The manifest merge itself can never double-apply — it
+    * replays from the staged copy, not by re-merging — so `n_rows`
+    * stays exact across crashes (the pre-ledger re-run recipe
+    * permanently inflated the touched buckets' counts). A fresh
+    * append REFUSES to start while a stage is pending (single-writer
+    * discipline; resolve first).
     *
     * Scale notes (100 TB): the `_meta` probe is one row; the delta
     * lays out and writes delta-sized (one exchange on `_bucket`); the
-    * stats merge is two bucket-count-sized frames full-joined.
-    * Nothing touches existing files. */
+    * stats merge is two bucket-count-sized frames full-joined; the
+    * publish is one rename per staged file (metadata moves — same
+    * filesystem by construction). Nothing touches existing files. */
   def appendToLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, cols: Seq[String], bits: Int,
       nBuckets: Int, curve: String = "z"): Unit = {
@@ -439,6 +470,12 @@ object Layout {
         "'hilbertk' (the Skilling transform) for k >= 3")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    require(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_append_pending")),
+      s"appendToLayout: an interrupted append is staged at " +
+        s"$path/_append_pending — run recoverAppend($path) to roll " +
+        "it back or forward before appending again (single-writer " +
+        "discipline)")
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
       s"appendToLayout: no layout identity at $path/_meta — the " +
         "store must be written by writeLayout (which persists the " +
@@ -458,6 +495,23 @@ object Layout {
         s"asked for curve=$curve, bits=$bits, nBuckets=$nBuckets, " +
         s"cols=${cols.mkString("(", ", ", ")")}; a mismatched append " +
         "would scatter the delta across unrelated buckets")
+    // bloom geometry from the identity — deltas must sketch with the
+    // store's own (bits, hashes) or the OR-merge would be garbage
+    val bloomCols: Seq[String] =
+      if (meta.schema.fieldNames.contains("bloom_cols"))
+        meta.getAs[scala.collection.Seq[String]]("bloom_cols").toSeq
+      else Nil
+    val bloomBits =
+      if (meta.schema.fieldNames.contains("bloom_bits"))
+        meta.getAs[Long]("bloom_bits").toInt
+      else 1 << 13
+    val bloomHashes =
+      if (meta.schema.fieldNames.contains("bloom_hashes"))
+        meta.getAs[Long]("bloom_hashes").toInt
+      else 5
+    bloomCols.foreach(c => require(rows.columns.contains(c),
+      s"appendToLayout: the store sketches column '$c' but the delta " +
+        "does not carry it"))
     // the persisted BUILD-TIME anchors, as a 1-row broadcast frame
     val anchors = metaDf.select(cols.flatMap(c => Seq(
       col(s"anchor_min_$c").as(s"_min_$c"),
@@ -500,8 +554,9 @@ object Layout {
         idiv(col(idxCol) * lit(nBuckets.toLong), lit(1L << (k * bits))))
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
       .localCheckpoint() // appended files and manifest from ONE frame
-    val deltaStats = fileSkippingStats(laidDelta, "_bucket", cols)
-    val mergedCols = col("bucket") +:
+    val deltaStats = fileSkippingStats(laidDelta, "_bucket", cols,
+      bloomCols, bloomBits, bloomHashes)
+    val mergedCols = (col("bucket") +:
       (coalesce(col("_n_old"), lit(0L)) +
         coalesce(col("_n_new"), lit(0L))).as("n_rows") +:
       cols.flatMap(c => Seq(
@@ -510,21 +565,120 @@ object Layout {
           .as(s"min_$c"),
         greatest(coalesce(col(s"_mx_old_$c"), col(s"_mx_new_$c")),
           coalesce(col(s"_mx_new_$c"), col(s"_mx_old_$c")))
-          .as(s"max_$c")))
+          .as(s"max_$c")))) ++
+      // bloom union — pure algebra, no rescan: old ∪ delta per bucket
+      bloomCols.map(c =>
+        when(col(s"_bl_old_$c").isNull, col(s"_bl_new_$c"))
+          .when(col(s"_bl_new_$c").isNull, col(s"_bl_old_$c"))
+          .otherwise(graft.functions.GraftFunctions.bloom_or(
+            col(s"_bl_old_$c"), col(s"_bl_new_$c")))
+          .as(s"bloom_$c"))
     def tag(df: DataFrame, sfx: String): DataFrame =
-      df.select(col("bucket") +:
+      df.select((col("bucket") +:
         col("n_rows").as(s"_n_$sfx") +:
         cols.flatMap(c => Seq(
           col(s"min_$c").as(s"_mn_${sfx}_$c"),
-          col(s"max_$c").as(s"_mx_${sfx}_$c"))): _*)
+          col(s"max_$c").as(s"_mx_${sfx}_$c")))) ++
+        bloomCols.map(c =>
+          col(s"bloom_$c").as(s"_bl_${sfx}_$c")): _*)
     val merged = tag(stats, "old")
       .join(tag(deltaStats, "new"), Seq("bucket"), "full")
       .select(mergedCols: _*)
-      .localCheckpoint() // pinned BEFORE overwriting the dir it read
-    // manifest FIRST, data second — see the crash-window note above
-    merged.write.mode("overwrite").parquet(s"$path/_stats")
+    // STAGE: delta files + merged manifest land under the pending
+    // ledger (durable pins — no reader sees them: underscore dir),
+    // then the _COMMIT marker makes the publish decision durable
+    val pending = s"$path/_append_pending"
     laidDelta.repartition(col("_bucket"))
-      .write.mode("append").partitionBy("_bucket").parquet(path)
+      .write.partitionBy("_bucket").parquet(s"$pending/data")
+    merged.write.parquet(s"$pending/stats_merged")
+    fs.create(new org.apache.hadoop.fs.Path(s"$pending/_COMMIT"), true)
+      .close()
+    // PUBLISH — replayable from the stage at any point (recoverAppend)
+    completeAppend(spark, path, fs)
+  }
+
+  // The roll-forward half of the append ledger: manifest from the
+  // pinned staged copy FIRST (the conservative window), then every
+  // staged file renames into its bucket directory (skip-if-landed —
+  // idempotent), then the stage clears. Callable any number of times.
+  private def completeAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val pending = s"$path/_append_pending"
+    spark.read.parquet(s"$pending/stats_merged")
+      .write.mode("overwrite").parquet(s"$path/_stats")
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$pending/data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("_bucket="))
+        .foreach { bd =>
+          val target =
+            new org.apache.hadoop.fs.Path(path, bd.getPath.getName)
+          if (!fs.exists(target)) fs.mkdirs(target): Unit
+          fs.listStatus(bd.getPath)
+            .filter(f => f.isFile &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .foreach { f =>
+              val dst = new org.apache.hadoop.fs.Path(target,
+                f.getPath.getName)
+              // staged part names are unique (Spark task UUIDs); an
+              // existing dst means a previous publish attempt already
+              // landed this file — never rename over it
+              if (!fs.exists(dst))
+                require(fs.rename(f.getPath, dst),
+                  s"appendToLayout: publish rename ${f.getPath} -> " +
+                    s"$dst failed (stage intact — recoverAppend " +
+                    "resumes)")
+              else fs.delete(f.getPath, false): Unit
+            }
+        }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(pending), true): Unit
+  }
+
+  /** Mechanical recovery of an interrupted [[appendToLayout]] — the
+    * consumer of the delta ledger: inspects `<path>/_append_pending`
+    * and either rolls BACK (no `_COMMIT` marker: the append never
+    * decided to publish — nothing in the live store changed; the
+    * stage drops and the caller may simply re-append) or rolls
+    * FORWARD (`_COMMIT` present: the staged manifest and files are
+    * complete by construction — replay the publish, which is
+    * idempotent). Replaces the manual delete-then-retry recipe; safe
+    * to call on a clean store (no-op).
+    *
+    * @return one row: (`action` ∈ clean | rolled_back | completed,
+    *         `n_staged_files` — data files in the stage at entry) */
+  def recoverAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pendingPath =
+      new org.apache.hadoop.fs.Path(s"$path/_append_pending")
+    val fs = pendingPath.getFileSystem(conf)
+    def stagedFiles(): Long =
+      if (!fs.exists(pendingPath)) 0L
+      else {
+        val it = fs.listFiles(pendingPath, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+    val n = stagedFiles()
+    val action =
+      if (!fs.exists(pendingPath)) "clean"
+      else if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/_append_pending/_COMMIT"))) {
+        fs.delete(pendingPath, true): Unit
+        "rolled_back"
+      } else {
+        completeAppend(spark, path, fs)
+        "completed"
+      }
+    Seq((action, n)).toDF("action", "n_staged_files")
   }
 
   /** EXACT takedown maintenance of a [[writeLayout]] store — the
@@ -557,6 +711,14 @@ object Layout {
     * (≤ nBuckets rows). */
   def deleteFromLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, removedIds: DataFrame, idCol: String): Unit = {
+    val fsGuard = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!fsGuard.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_append_pending")),
+      s"deleteFromLayout: an interrupted append is staged at " +
+        s"$path/_append_pending — run recoverAppend($path) first; an " +
+        "erasure interleaved with a pending publish would let the " +
+        "staged manifest overwrite the recounted one")
     val ids = removedIds
       .select(col(removedIds.columns.head).as(idCol)).distinct()
     val store = spark.read.parquet(path)
@@ -574,6 +736,19 @@ object Layout {
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      // bloom geometry (if the store sketches): touched buckets
+      // RECOUNT their sketches from survivors — membership is not
+      // subtractable, exactly the min/max recount discipline
+      val metaPath = new org.apache.hadoop.fs.Path(s"$path/_meta")
+      val (bloomCols, bloomBits, bloomHashes) =
+        if (fs.exists(metaPath)) {
+          val m = spark.read.parquet(metaPath.toString).head()
+          if (m.schema.fieldNames.contains("bloom_cols"))
+            (m.getAs[scala.collection.Seq[String]]("bloom_cols").toSeq,
+              m.getAs[Long]("bloom_bits").toInt,
+              m.getAs[Long]("bloom_hashes").toInt)
+          else (Nil, 1 << 13, 5)
+        } else (Nil, 1 << 13, 5)
       val survivorBuckets = survivors
         .select(col("_bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet
@@ -599,7 +774,8 @@ object Layout {
       val stats = spark.read.parquet(s"$path/_stats")
       val kept = stats
         .filter(!col("bucket").isin(touched.map(Long.box): _*))
-      val refreshed = fileSkippingStats(survivors, "_bucket", statCols)
+      val refreshed = fileSkippingStats(survivors, "_bucket", statCols,
+        bloomCols, bloomBits, bloomHashes)
       val merged = kept.unionByName(refreshed).localCheckpoint()
       merged.write.mode("overwrite").parquet(s"$path/_stats")
     }
@@ -615,8 +791,10 @@ object Layout {
     * holds a matching row); what pruning buys is the scan: untouched
     * buckets' files are never opened, never listed into tasks. */
   def prunedScan(spark: org.apache.spark.sql.SparkSession, path: String,
-      ranges: Seq[(String, Long, Long)]): DataFrame = {
-    require(ranges.nonEmpty, "prunedScan needs at least one range")
+      ranges: Seq[(String, Long, Long)],
+      points: Seq[(String, Long)] = Nil): DataFrame = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "prunedScan needs at least one range or point predicate")
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = statsPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -632,13 +810,54 @@ object Layout {
             .map(_.stripPrefix("min_")).mkString(", ")}) — only " +
           "columns named at writeLayout can prune")
     }
+    // point predicates prune by the per-bucket MEMBERSHIP sketch (the
+    // bloom column writeLayout records for `bloomCols`) — an equality
+    // probe on a high-cardinality non-clustered id is the commonest
+    // lakehouse read and min/max envelopes never help it; a negative
+    // probe is a PROOF of absence, so the skip stays lossless. The
+    // envelope rule additionally applies when the column is also a
+    // clustered stat column.
+    val bloomHashes: Int =
+      if (points.isEmpty) 5
+      else {
+        val metaPath = new org.apache.hadoop.fs.Path(s"$path/_meta")
+        require(fs.exists(metaPath),
+          s"prunedScan: point predicates need the store identity at " +
+            s"$metaPath (writeLayout records the bloom geometry there)")
+        val m = spark.read.parquet(metaPath.toString).head()
+        points.foreach { case (c, _) =>
+          require(stats.columns.contains(s"bloom_$c"),
+            s"prunedScan: the manifest has no membership sketch for " +
+              s"column '$c' — name it in writeLayout's bloomCols to " +
+              "serve point lookups")
+        }
+        if (m.schema.fieldNames.contains("bloom_hashes"))
+          m.getAs[Long]("bloom_hashes").toInt
+        else 5
+      }
+    val verdicts0 =
+      if (ranges.nonEmpty) skippingVerdicts(stats, ranges)
+      else stats.withColumn("skipped", lit(0L))
+    val verdicts = points.foldLeft(verdicts0) { case (d, (c, v)) =>
+      val bloomMiss =
+        !graft.functions.GraftFunctions.bloom_might_contain(
+          col(s"bloom_$c"), lit(v), bloomHashes)
+      val envMiss =
+        if (stats.columns.contains(s"min_$c"))
+          col(s"max_$c") < lit(v) || col(s"min_$c") > lit(v)
+        else lit(false)
+      d.withColumn("skipped",
+        when(col("skipped") === 1L, lit(1L))
+          .when(bloomMiss || envMiss, lit(1L))
+          .otherwise(lit(0L)))
+    }
     // existence-filter the kept list (bounded: one probe per kept
     // bucket): a manifest row whose directory is gone is
     // deleteFromLayout's crash window (emptied dirs delete before the
     // manifest rewrites) — the bucket holds no rows by construction,
     // so skipping it is EXACT, and the scan never hard-fails on a
     // path the manifest still names
-    val kept = skippingVerdicts(stats, ranges)
+    val kept = verdicts
       .filter(col("skipped") === 0L)
       .select(col("bucket")).collect().map(_.getLong(0))
       .filter(b => fs.exists(
@@ -664,8 +883,11 @@ object Layout {
         spark.read.option("basePath", path)
           .parquet(any.get.toString).limit(0)
       }
-    ranges.foldLeft(scan) { case (d, (c, lo, hi)) =>
+    val ranged = ranges.foldLeft(scan) { case (d, (c, lo, hi)) =>
       d.filter(col(c).between(lo, hi))
+    }
+    points.foldLeft(ranged) { case (d, (c, v)) =>
+      d.filter(col(c) === lit(v))
     }
   }
 

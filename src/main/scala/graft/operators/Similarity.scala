@@ -1297,6 +1297,124 @@ object Similarity {
           col("n") / lit(1e12)).as("cov"))
   }
 
+  /** A maintainable [[pcaMoments]] store: the doc registry plus the
+    * exact-integer moment table. Every sum in the moments is an exact
+    * long — SUBTRACTABLE, like the trigram and word stores — so the
+    * rotation/whitening preprocessing ([[pcaFit]],
+    * [[givensCascadeFit]]) can refit off a maintained table without
+    * ever rescanning the corpus. */
+  final case class MomentsStore(docs: DataFrame, moments: DataFrame)
+
+  /** One corpus pass → a fresh [[MomentsStore]] (the ground truth
+    * [[maintainPcaMoments]] keeps current). */
+  def buildMomentsStore(vectors: DataFrame, idCol: String,
+      vecCol: String): MomentsStore =
+    MomentsStore(
+      docs = vectors.select(col(idCol).as("doc_id")),
+      moments = pcaMoments(vectors, vecCol))
+
+  /** EXACT maintenance of a [[MomentsStore]] under vector ADDS and
+    * TAKEDOWNS — moments are sums of per-row integer terms, so the
+    * maintained table is old + added − removed in exact long
+    * arithmetic, cell for cell EQUAL to [[pcaMoments]] over the
+    * post-change corpus (and `cov` is the same double expression of
+    * the same longs — bit-equal, so a refit off the maintained table
+    * is bit-identical to a refit off a rescan). Contract = the
+    * [[graft.operators.Tokenizer.maintainWordStore]] grid standard:
+    * `removedVecs` carries the GROUND-TRUTH vectors being erased; an
+    * unknown-id takedown no-ops (registry semi-join); re-adding a
+    * LIVE id requires its old row in `removedVecs` (fail loudly —
+    * the moment table stores no per-doc terms); a subtraction driving
+    * the count negative fails loudly; same-call duplicate ids fold
+    * deterministically (max vector, the CDC fold).
+    *
+    * Scale notes (100 TB): delta-sized moment passes (two narrow
+    * upper-triangle zips), one d²-row 3-way merge, broadcast-gated
+    * registry checks; the corpus is never rescanned. */
+  def maintainPcaMoments(store: MomentsStore, addedVecs: DataFrame,
+      removedVecs: DataFrame, idCol: String,
+      vecCol: String): MomentsStore = {
+    val adds = addedVecs
+      .select(col(idCol).as("doc_id"), col(vecCol).as("_v"))
+      .groupBy("doc_id").agg(max(col("_v")).as("_v"))
+      .localCheckpoint()
+    val rems = removedVecs
+      .select(col(idCol).as("doc_id"), col(vecCol).as("_v"))
+      .groupBy("doc_id").agg(max(col("_v")).as("_v"))
+      .localCheckpoint()
+    val remIds = rems.select("doc_id")
+    val addIds = adds.select("doc_id")
+    val liveRems = rems
+      .join(store.docs.select("doc_id"), Seq("doc_id"), "left_semi")
+    val guard = addIds
+      .join(store.docs.select("doc_id")
+        .join(broadcast(remIds), Seq("doc_id"), "left_anti"),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("_clash"))
+      .filter(
+        when(col("_clash") > 0L,
+          raise_error(lit("maintainPcaMoments: re-add of a live id " +
+            "without its old row in removedVecs — the moment table " +
+            "stores no per-doc terms, so the leaving vector must " +
+            "ship")).cast("boolean"))
+          .otherwise(lit(true)))
+      .select(lit(1).as("_ok"))
+    def mom(d: DataFrame, sfx: String): DataFrame =
+      pcaMoments(d.select(col("_v").as(vecCol)), vecCol)
+        .select(col("i"), col("j"), col("n").as(s"_n$sfx"),
+          col("s_i").as(s"_si$sfx"), col("s_j").as(s"_sj$sfx"),
+          col("sp").as(s"_sp$sfx"))
+    val merged = store.moments
+      .select("i", "j", "n", "s_i", "s_j", "sp")
+      .join(mom(adds, "a"), Seq("i", "j"), "full")
+      .join(mom(liveRems, "r"), Seq("i", "j"), "full")
+      .select(col("i"), col("j"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_na"), lit(0L)) -
+          coalesce(col("_nr"), lit(0L))).as("n"),
+        (coalesce(col("s_i"), lit(0L)) +
+          coalesce(col("_sia"), lit(0L)) -
+          coalesce(col("_sir"), lit(0L))).as("s_i"),
+        (coalesce(col("s_j"), lit(0L)) +
+          coalesce(col("_sja"), lit(0L)) -
+          coalesce(col("_sjr"), lit(0L))).as("s_j"),
+        (coalesce(col("sp"), lit(0L)) + coalesce(col("_spa"), lit(0L)) -
+          coalesce(col("_spr"), lit(0L))).as("sp"))
+      .filter(
+        when(col("n") < 0L,
+          raise_error(lit("maintainPcaMoments: a moment count went " +
+            "negative — removedVecs does not match what the store " +
+            "accumulated (erasure must ship ground truth)"))
+            .cast("boolean"))
+          .otherwise(col("n") > 0L))
+      // cov re-derives from the merged longs with pcaMoments' OWN
+      // association — bit-equal to the one-shot rebuild
+      .withColumn("cov",
+        (col("sp").cast("double") -
+          col("s_i").cast("double") * col("s_j") / col("n")) /
+          col("n") / lit(1e12))
+    MomentsStore(
+      docs = store.docs.select("doc_id")
+        .join(broadcast(remIds.unionByName(addIds).distinct()),
+          Seq("doc_id"), "left_anti")
+        .unionByName(addIds),
+      moments = merged.crossJoin(broadcast(guard)).drop("_ok"))
+  }
+
+  /** Persist / load a [[MomentsStore]] (`docs/`, `moments/`) — the
+    * localCheckpoint-before-write discipline of the sibling stores. */
+  def saveMomentsStore(store: MomentsStore, dir: String): Unit = {
+    val d = store.docs.localCheckpoint()
+    val m = store.moments.localCheckpoint()
+    d.write.mode("overwrite").parquet(s"$dir/docs")
+    m.write.mode("overwrite").parquet(s"$dir/moments")
+  }
+
+  def loadMomentsStore(spark: SparkSession,
+      dir: String): MomentsStore =
+    MomentsStore(
+      docs = spark.read.parquet(s"$dir/docs"),
+      moments = spark.read.parquet(s"$dir/moments"))
+
   /** A fitted PCA model: per-dimension means (of the e6-quantized
     * components, descaled), the top-k components (rows, orthonormal),
     * and their eigenvalues — all plain driver-side arrays; the d×d
@@ -1314,6 +1432,14 @@ object Similarity {
     * (v and −v span the same axis; the pin makes results
     * comparable). */
   def pcaFit(vectors: DataFrame, vecCol: String, k: Int,
+      iters: Int = 100): PcaModel =
+    pcaFitFromMoments(pcaMoments(vectors, vecCol), k, iters)
+
+  /** [[pcaFit]] off an existing moment table — the serving path of
+    * the [[MomentsStore]]: a maintained table refits WITHOUT a corpus
+    * rescan, bit-identical to the rescan fit (the maintained longs
+    * are cell-equal and `cov` shares the association). */
+  def pcaFitFromMoments(moments: DataFrame, k: Int,
       iters: Int = 100): PcaModel = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
@@ -1322,7 +1448,7 @@ object Similarity {
     // the eigensolve can never disagree with the moments it rides on
     // (an earlier re-derivation here mis-associated the centering
     // term and skewed the axes of any non-zero-mean corpus)
-    val rows = pcaMoments(vectors, vecCol)
+    val rows = moments
       .select("i", "j", "n", "s_i", "cov").collect()
     val d = rows.map(_.getLong(1)).max.toInt + 1
     require(k <= d, s"k must be <= dim $d")
@@ -1426,9 +1552,17 @@ object Similarity {
     * discipline [[pcaFit]] documents); the sweep itself is
     * d²·stages driver flops. */
   def givensCascadeFit(vectors: DataFrame, vecCol: String,
+      offsets: Seq[Int]): Seq[GivensStage] =
+    givensCascadeFitFromMoments(pcaMoments(vectors, vecCol), offsets)
+
+  /** [[givensCascadeFit]] off an existing moment table — the
+    * [[MomentsStore]] serving path: a maintained table refits the
+    * rotation without a corpus rescan, bit-identical to the rescan
+    * fit (same longs, same `cov` association, same sweep). */
+  def givensCascadeFitFromMoments(moments: DataFrame,
       offsets: Seq[Int]): Seq[GivensStage] = {
     require(offsets.nonEmpty, "need at least one butterfly offset")
-    val cells = pcaMoments(vectors, vecCol)
+    val cells = moments
       .select("i", "j", "cov").collect()
     val d = cells.map(_.getLong(1)).max.toInt + 1
     offsets.foreach(o => require(o >= 1 && d % (2 * o) == 0,

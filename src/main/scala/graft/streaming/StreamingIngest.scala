@@ -2061,6 +2061,91 @@ object StreamingIngest {
       .start()
   }
 
+  /** PCA-moment maintenance under a CDC embedding stream — the
+    * [[streamingWordStore]] shape for
+    * [[graft.operators.Similarity.MomentsStore]] (the exact-integer
+    * second-moment table the rotation/whitening fits ride): each
+    * trigger applies its batch through ONE
+    * [[graft.operators.Similarity.maintainPcaMoments]] call and
+    * persists the two-frame layout, so after every completed trigger
+    * the stored moments — and any [[graft.operators.Similarity
+    * .givensCascadeFitFromMoments]] /
+    * [[graft.operators.Similarity.pcaFitFromMoments]] refit off them
+    * — are bit-equal to a one-shot
+    * [[graft.operators.Similarity.pcaMoments]] over the effective
+    * corpus. Fold contract, op stores, prev-batch erasure-vector
+    * recovery, and the two-phase crash marker are the grid standard
+    * (see [[streamingTrigramLm]]); rotations refit rarely, so this
+    * twin runs at a slow trigger and the refit runs on demand off the
+    * always-current table. */
+  def streamingPcaMoments(events: DataFrame, docsDir: String,
+      delsDir: String, storeDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(opCol).cast("string").as("_op"),
+          col(idCol), col(vecCol)).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$docsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, docsDir, "streamingPcaMoments")
+            requireBatchLayout(fs, delsDir, "streamingPcaMoments")
+          }
+          if (!fs.exists(marker)) {
+            val started = new org.apache.hadoop.fs.Path(
+              s"$docsDir/_batches/$batchId.started")
+            val midCrash = fs.exists(started)
+            if (!midCrash) fs.mkdirs(started): Unit
+            val dels = b.filter(col("_op") === "del")
+              .select(col(idCol)).distinct().localCheckpoint()
+            val adds = b.filter(col("_op") === "add")
+              .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol))
+              .join(dels, Seq(idCol), "left_anti")
+              .localCheckpoint()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$docsDir/batch=$batchId")
+            if (!dels.isEmpty)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            def liveVecs(limit: Long = Long.MaxValue): DataFrame =
+              latestWinsFold(spark, fs, docsDir, delsDir, idCol,
+                Seq(vecCol), adds.limit(0), limit)
+            val sMark = new org.apache.hadoop.fs.Path(
+              s"$storeDir/moments/_SUCCESS")
+            val st =
+              if (fs.exists(sMark) && !midCrash) {
+                val changed = dels
+                  .unionByName(adds.select(col(idCol))).distinct()
+                val leaving = liveVecs(batchId)
+                  .join(broadcast(changed), Seq(idCol), "left_semi")
+                  .localCheckpoint()
+                graft.operators.Similarity.maintainPcaMoments(
+                  graft.operators.Similarity.loadMomentsStore(spark,
+                    storeDir),
+                  adds, leaving, idCol, vecCol)
+              } else
+                graft.operators.Similarity.buildMomentsStore(
+                  liveVecs(), idCol, vecCol)
+            graft.operators.Similarity.saveMomentsStore(st, storeDir)
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming ANN SEARCH off the maintained index — the QUERY side of
     * the retrieval lifecycle's streaming story (the ingest side is
     * [[streamingAnnCdc]]): query vectors arrive as a stream, and each

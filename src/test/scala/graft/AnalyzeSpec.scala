@@ -244,6 +244,88 @@ class AnalyzeSpec extends SparkSpec {
         "--shingle-size", "3", "--min-count", "1")), spark))
   }
 
+  test("scrubspans runs from argv: keepone keeps the canonical " +
+      "occurrence, all scrubs every copy") {
+    val dir = Files.createTempDirectory("graft-analyze-ss").toString
+    Seq((1L, "p q r s t u"), (2L, "x p q r s y"), (3L, "a b c"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    def clean(mode: String): Map[Long, String] =
+      Analyze.run(parse(List("scrubspans", "--docs", s"$dir/docs",
+        "--shingle-size", "3", "--mode", mode)), spark)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keepone = clean("keepone")
+    assert(keepone(1L) == "p q r s t u" && keepone(2L) == "x y",
+      "keeper (doc 1, earliest) keeps; the doc-2 copy scrubs")
+    val all = clean("all")
+    assert(!all.values.mkString(" | ").contains("p q r"),
+      "--mode all removes every copy (the destructive twin)")
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("scrubspans")), spark))
+  }
+
+  test("autotune runs from argv: winner banding on every row, pairs " +
+      "at the chosen setting") {
+    val dir = Files.createTempDirectory("graft-analyze-at").toString
+    val base = "the quick brown fox jumps over the lazy dog again and"
+    Seq((1L, base), (2L, base), (3L, base + " more"),
+      (4L, "completely different content with no shared trigrams"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val rows = Analyze.run(parse(List("autotune",
+      "--docs", s"$dir/docs", "--cols", "2,4,8",
+      "--budget", "1000000", "--threshold", "0.2")), spark).collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).distinct.length == 1,
+      "one winning bands value on every row")
+    assert(rows.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L),
+      "the exact twins surface as a pair")
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("autotune", "--docs", s"$dir/docs")),
+        spark))
+  }
+
+  test("layoutrecover + momentsmaint run from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-lr").toString
+    val base = (for { x <- 0L until 8L; y <- 0L until 8L }
+      yield (x, y)).toDF("x", "y")
+    graft.operators.Layout.writeLayout(
+      graft.operators.Layout.zOrderLayout(base, Seq("x", "y"), 3, 8),
+      s"$dir/store", Seq("x", "y"), "z", 3, 8)
+    val r0 = Analyze.run(parse(List("layoutrecover",
+      "--docs", s"$dir/store")), spark).head()
+    assert(r0.getString(0) == "clean")
+    assert(new java.io.File(s"$dir/store/_append_pending/data")
+      .mkdirs())
+    val r1 = Analyze.run(parse(List("layoutrecover",
+      "--docs", s"$dir/store")), spark).head()
+    assert(r1.getString(0) == "rolled_back")
+    // momentsmaint: maintained moments ≡ one-shot over the effective
+    // corpus
+    def vec(i: Long): Seq[Float] =
+      (0 until 4).map(d => ((i * 7 + d * 3) % 11).toFloat / 11f)
+    (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/vecs")
+    (6L until 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/adds")
+    (0L until 2L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/rems")
+    val mm = Analyze.run(parse(List("momentsmaint",
+      "--vectors", s"$dir/vecs", "--delta", s"$dir/adds",
+      "--target", s"$dir/rems", "--id-col", "vec_id")), spark)
+      .select("i", "j", "n", "s_i", "s_j", "sp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val eff = (2L until 8L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val oneShot = graft.operators.Similarity
+      .pcaMoments(eff, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(mm == oneShot)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("momentsmaint")), spark))
+  }
+
   test("tokenbatch + autorebatch run from argv: budgeted batches, " +
       "padding audit, measured-argmin report") {
     val dir = Files.createTempDirectory("graft-analyze-tb").toString

@@ -799,6 +799,38 @@ class DedupSpec extends SparkSpec {
       Dedup.bandingAudit(docs, "text", "doc_id", 0.2, Seq(4, 4)))
     intercept[IllegalArgumentException](
       Dedup.bandingAudit(docs, "text", "doc_id", 0.2, Nil))
+
+    // ---- the measure→act loop: autoTunedNearDups picks by the
+    // documented rule and serves EXACTLY the chosen banding's pairs
+    def pairsAt(b: Int): Set[(Long, Long)] =
+      Dedup.minhashNearDupsPortable(docs, "text", "doc_id",
+          threshold = 0.2, numHashes = 16, bands = b, shingleSize = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def tuned(budget: Long): (Long, Set[(Long, Long)]) = {
+      val rows = Dedup.autoTunedNearDups(docs, "text", "doc_id",
+          threshold = 0.2, bandsList = Seq(2, 4, 8),
+          candidateBudget = budget)
+        .collect()
+      val bs = rows.map(_.getLong(0)).distinct
+      assert(bs.length == 1, "one winning banding on every row")
+      (bs.head, rows.map(r => (r.getLong(1), r.getLong(2))).toSet)
+    }
+    // unbounded budget: every config fits — max verified wins, ties
+    // break to fewer candidates then fewer bands
+    val audit = rep.map { case (b, (_, nc, nv, _, _)) => (b, nc, nv) }
+      .toSeq
+    val expectUnbounded = audit
+      .minBy { case (b, nc, nv) => (-nv, nc, b) }._1
+    val (bU, pU) = tuned(Long.MaxValue >> 1)
+    assert(bU == expectUnbounded && pU == pairsAt(bU.toInt))
+    // zero budget: nothing fits — the conservative fallback takes the
+    // cheapest candidate bill
+    val expectFallback = audit.minBy { case (b, nc, _) => (nc, b) }._1
+    val (bF, pF) = tuned(0L)
+    assert(bF == expectFallback && pF == pairsAt(bF.toInt))
+    intercept[IllegalArgumentException](
+      Dedup.autoTunedNearDups(docs, "text", "doc_id", 0.2,
+        Seq(2, 4, 8), candidateBudget = -1L))
   }
 
   test("duplicatedSpans: equals the brute-force reference on a seeded " +
@@ -870,5 +902,43 @@ class DedupSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](
       Dedup.duplicatedSpans(df, "text", "doc_id", minCount = 1))
+  }
+
+  test("scrubDuplicateSpansKeepOne: every duplicated span family " +
+      "survives exactly once (smallest (doc, start) keeper), losers " +
+      "scrub, unique text untouched — incl. the within-doc repeat") {
+    val L = 3
+    val docs = Seq(
+      (1L, "u1 u2 p q r s u3 u4"), // keeper of family "p q r s"
+      (2L, "v1 p q r s v2"), // loser (doc 2 > doc 1)
+      (3L, "w1 w2 w3 w4 w5"), // no duplicated content
+      // within-doc repeat of family "a b c": first occurrence keeps
+      (4L, "a b c x1 x2 x3 x4 a b c"),
+      (5L, "")) // blank row passes through
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpansKeepOne(df, "text", "doc_id",
+        shingleSize = L, minCount = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) == (("u1 u2 p q r s u3 u4", 8L, 0L)),
+      "the elected keeper keeps its copy")
+    assert(out(2L) == (("v1 v2", 6L, 4L)),
+      "the loser occurrence scrubs, surrounding text survives")
+    assert(out(3L) == (("w1 w2 w3 w4 w5", 5L, 0L)))
+    assert(out(4L) == (("a b c x1 x2 x3 x4", 10L, 3L)),
+      "within-doc repeat: first occurrence keeps, second scrubs")
+    assert(out(5L) == (("", 0L, 0L)))
+    // the property proper: each family's span text appears in the
+    // scrubbed corpus exactly as many times as before MINUS (n_occ-1)
+    // — i.e. once per family here
+    val cleaned = out.values.map(_._1).mkString(" | ")
+    assert("p q r s".r.findAllIn(cleaned).size == 1)
+    assert("a b c".r.findAllIn(cleaned).size == 1)
+    // contrast with the destructive twin, which deletes EVERY copy
+    val gone = Dedup.removeDuplicateSpans(df, "text", "doc_id",
+        shingleSize = L, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!gone.values.mkString(" | ").contains("p q r s"))
   }
 }

@@ -541,9 +541,10 @@ class LayoutSpec extends SparkSpec {
       Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
       Seq("x", "y"), "z", 4, 16)
     // snapshot the pre-append data, run the full append, then build
-    // the crash state: pre-append data + POST-append manifest — which
-    // is exactly what a crash between the two writes leaves on disk
-    // (the manifest writes first by design)
+    // the crash state: pre-append data + POST-append manifest — the
+    // publish order (manifest first, then file moves) makes this the
+    // reader-visible window; the ledger spec covers the mechanical
+    // recovery, THIS spec proves the window itself is conservative
     val crash = root + "/crash"
     copyDir(path, crash)
     Layout.appendToLayout(spark, path,
@@ -562,7 +563,9 @@ class LayoutSpec extends SparkSpec {
     val far = Layout.prunedScan(spark, crash,
       Seq(("x", 90L, 200L), ("y", 0L, 15L)))
     assert(far.count() == 0L)
-    // and re-running the append (the documented recovery) converges
+    // and appending the same delta onto the window state converges
+    // row-wise (the pre-ledger recipe; recoverAppend is the exact
+    // path — this shows even the blunt re-run never loses rows)
     Layout.appendToLayout(spark, crash,
       Seq((2L, 2L), (100L, 3L)).toDF("x", "y"), Seq("x", "y"), 4, 16)
     val healed = Layout.prunedScan(spark, crash,
@@ -570,6 +573,177 @@ class LayoutSpec extends SparkSpec {
       .select("x", "y").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(healed == Set((100L, 3L)))
+  }
+
+  test("bloom point-lookup pruning: lossless, actually collapses the " +
+      "open set, survives append (OR-merge) and erasure (recount); " +
+      "guards refuse un-sketched columns and empty predicates") {
+    val base = (0L until 256L).map(i => (i, i % 16L, i / 16L))
+      .toDF("id", "x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layout_bloom").toString
+    val path = root + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"), "z", 4, 16, bloomCols = Seq("id"))
+    def lookup(v: Long): Set[(Long, Long, Long)] =
+      Layout.prunedScan(spark, path, Nil, points = Seq(("id", v)))
+        .select("id", "x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lookup(37L) == Set((37L, 5L, 2L)))
+    assert(lookup(9999L).isEmpty, "absent key returns no rows")
+    // the sketch actually prunes: probe the manifest exactly the way
+    // prunedScan does — the id is non-clustered, min/max would keep
+    // every bucket, the bloom keeps almost none
+    val stats = spark.read.parquet(s"$path/_stats")
+      .select("bucket", "bloom_id").collect()
+    val maybe = stats.count(r => graft.functions.BloomKernel
+      .mightContainLong(r.getAs[Array[Byte]](1), 37L, 5))
+    assert(maybe >= 1 && maybe <= 2,
+      s"16-key buckets at 8192 bits must probe ~1 bucket, got $maybe " +
+        s"of ${stats.length}")
+    // append: the delta's keys OR into the touched buckets' sketches
+    // (no rescan) — new id findable, old ids unaffected
+    Layout.appendToLayout(spark, path,
+      Seq((1000L, 3L, 4L)).toDF("id", "x", "y"), Seq("x", "y"), 4, 16)
+    assert(lookup(1000L) == Set((1000L, 3L, 4L)))
+    assert(lookup(37L) == Set((37L, 5L, 2L)))
+    // erasure: touched buckets RECOUNT their sketches from survivors
+    Layout.deleteFromLayout(spark, path, Seq(37L).toDF("id"), "id")
+    assert(lookup(37L).isEmpty)
+    assert(lookup(38L) == Set((38L, 6L, 2L)))
+    // the recount is real: 37's probe goes negative again (the OR
+    // algebra could never un-set bits; only the recount can)
+    val statsAfter = spark.read.parquet(s"$path/_stats")
+      .select("bucket", "bloom_id").collect()
+    val maybeAfter = statsAfter.count(r => graft.functions.BloomKernel
+      .mightContainLong(r.getAs[Array[Byte]](1), 37L, 5))
+    assert(maybeAfter == 0,
+      s"erased key must probe negative after the recount, got " +
+        s"$maybeAfter maybe-buckets")
+    // guards: a point predicate needs a sketched column; at least one
+    // predicate is required; un-sketched stores refuse points
+    intercept[IllegalArgumentException](
+      Layout.prunedScan(spark, path, Nil, points = Seq(("x", 3L))))
+    intercept[IllegalArgumentException](
+      Layout.prunedScan(spark, path, Nil))
+    val plain = root + "/plain"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), plain,
+      Seq("x", "y"), "z", 4, 16)
+    intercept[IllegalArgumentException](
+      Layout.prunedScan(spark, plain, Nil, points = Seq(("id", 37L))))
+    // ranges and points COMPOSE: the box gates the envelope, the
+    // sketch gates membership, rows equal the full filter
+    val boxed = Layout.prunedScan(spark, path,
+        Seq(("x", 0L, 7L)), points = Seq(("id", 38L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(boxed == Set(38L))
+  }
+
+  test("append ledger: an uncommitted stage rolls BACK, a committed " +
+      "stage rolls FORWARD (incl. partial publish), recovery is " +
+      "idempotent, a pending stage blocks writers, and n_rows stays " +
+      "EXACT across the crash") {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)).toDF("x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layout_ledger").toString
+    val path = root + "/store"
+    Layout.writeLayout(
+      Layout.zOrderLayout(base, Seq("x", "y"), 4, 16), path,
+      Seq("x", "y"), "z", 4, 16)
+    def statsOf(p: String): Set[(Long, Long, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$p/_stats").collect().map(r =>
+        (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+          r.getAs[Long]("min_y"), r.getAs[Long]("max_y"))).toSet
+    def rowsOf(p: String): Seq[(Long, Long)] =
+      spark.read.parquet(p).select("x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val stats0 = statsOf(path)
+    // ---- uncommitted stage (crash before _COMMIT): writers refuse,
+    // recovery rolls back, the live store is untouched
+    val fakePending = new java.io.File(s"$path/_append_pending/data")
+    assert(fakePending.mkdirs())
+    intercept[IllegalArgumentException](Layout.appendToLayout(spark,
+      path, Seq((2L, 2L)).toDF("x", "y"), Seq("x", "y"), 4, 16))
+    intercept[IllegalArgumentException](Layout.deleteFromLayout(spark,
+      path, Seq(0L).toDF("id"), "x"))
+    val r1 = Layout.recoverAppend(spark, path).head()
+    assert(r1.getString(0) == "rolled_back")
+    assert(!new java.io.File(s"$path/_append_pending").exists)
+    assert(statsOf(path) == stats0, "rollback leaves the store as-was")
+    assert(Layout.recoverAppend(spark, path).head()
+      .getString(0) == "clean")
+    // ---- committed stage (crash after _COMMIT, before/mid publish):
+    // snapshot the pre-append store, run the REAL append (staged file
+    // names land verbatim), then rebuild the crash state = snapshot +
+    // a committed stage holding exactly the files the append landed
+    val snap = root + "/snap"
+    copyDir(path, snap)
+    def bucketFiles(p: String): Map[String, Set[String]] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.getName).toSet).toMap
+    val before = bucketFiles(path)
+    Layout.appendToLayout(spark, path,
+      Seq((2L, 2L), (9L, 9L)).toDF("x", "y"), Seq("x", "y"), 4, 16)
+    assert(!new java.io.File(s"$path/_append_pending").exists,
+      "a completed append leaves no stage behind")
+    val after = bucketFiles(path)
+    val statsFinal = statsOf(path)
+    val rowsFinal = rowsOf(path)
+    // exact n_rows: 256 base + 2 delta (the pre-ledger re-run recipe
+    // inflated this)
+    assert(statsFinal.toSeq.map(_._2).sum == 258L)
+    def buildCrash(dst: String, landFirst: Boolean): Unit = {
+      copyDir(snap, dst)
+      copyDir(s"$path/_stats", s"$dst/_append_pending/stats_merged")
+      var landed = false
+      after.foreach { case (bucket, files) =>
+        val fresh = files -- before.getOrElse(bucket, Set())
+        fresh.foreach { name =>
+          val src = new java.io.File(s"$path/$bucket/$name")
+          if (landFirst && !landed) {
+            // simulate a crash MID-publish: this file already renamed
+            val d = new java.io.File(s"$dst/$bucket")
+            d.mkdirs()
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, name).toPath)
+            landed = true
+          } else {
+            val d = new java.io.File(s"$dst/_append_pending/data/$bucket")
+            d.mkdirs()
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, name).toPath)
+          }
+        }
+      }
+      assert(new java.io.File(s"$dst/_append_pending/_COMMIT")
+        .createNewFile())
+    }
+    for (partial <- Seq(false, true)) {
+      val crash = root + s"/crash_$partial"
+      buildCrash(crash, landFirst = partial)
+      intercept[IllegalArgumentException](Layout.appendToLayout(spark,
+        crash, Seq((3L, 3L)).toDF("x", "y"), Seq("x", "y"), 4, 16))
+      val r = Layout.recoverAppend(spark, crash).head()
+      assert(r.getString(0) == "completed")
+      assert(!new java.io.File(s"$crash/_append_pending").exists)
+      assert(rowsOf(crash) == rowsFinal,
+        s"roll-forward (partial=$partial) must converge to the " +
+          "completed append's rows")
+      assert(statsOf(crash) == statsFinal,
+        s"roll-forward (partial=$partial) manifest must be the " +
+          "staged one — counts exact, no double-merge")
+      // and the healed store accepts new appends again
+      Layout.appendToLayout(spark, crash,
+        Seq((5L, 5L)).toDF("x", "y"), Seq("x", "y"), 4, 16)
+      assert(statsOf(crash).toSeq.map(_._2).sum == 259L)
+    }
   }
 
   test("delete crash window: a crash between an emptied bucket's " +

@@ -1112,6 +1112,81 @@ class SimilaritySpec extends SparkSpec {
       Similarity.givensCascadeFit(df, "embedding", Nil))
   }
 
+  test("maintainPcaMoments: maintained table bit-equals the one-shot " +
+      "rebuild, cascade/PCA refits off it are stage-identical, " +
+      "unknown takedowns no-op, and the grid guards fire") {
+    val pts = mixedFixture(spreadScales)
+    val df = pts.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 4 =!= 0)
+    val adds = df.filter(col("vec_id") % 4 === 0)
+    val rems = df.filter(col("vec_id") % 4 =!= 0 &&
+      col("vec_id") % 3 === 0)
+    val st = Similarity.maintainPcaMoments(
+      Similarity.buildMomentsStore(base, "vec_id", "embedding"),
+      adds, rems, "vec_id", "embedding")
+    val eff = df.filter(col("vec_id") % 4 === 0 ||
+      (col("vec_id") % 4 =!= 0 && col("vec_id") % 3 =!= 0))
+    def cells(m: org.apache.spark.sql.DataFrame) =
+      m.select("i", "j", "n", "s_i", "s_j", "sp", "cov").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6)))).toMap
+    val maintained = cells(st.moments)
+    val oneShot = cells(Similarity.pcaMoments(eff, "embedding"))
+    assert(maintained == oneShot,
+      "maintained moments must BIT-equal the effective-corpus rebuild")
+    // registry tracks the effective ids
+    assert(st.docs.collect().map(_.getLong(0)).toSet ==
+      eff.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // refit WITHOUT a rescan ≡ refit off the rescan, stage for stage
+    val offs = Seq(8, 4, 2, 1)
+    val fromStore = Similarity.givensCascadeFitFromMoments(
+      st.moments, offs)
+    val fromScan = Similarity.givensCascadeFit(eff, "embedding", offs)
+    assert(fromStore.zip(fromScan).forall { case (a, b) =>
+      a.offset == b.offset && a.cos.sameElements(b.cos) &&
+        a.sin.sameElements(b.sin) },
+      "cascade refit off the maintained store must be bit-identical")
+    val pcaStore = Similarity.pcaFitFromMoments(st.moments, k = 2,
+      iters = 30)
+    val pcaScan = Similarity.pcaFit(eff, "embedding", k = 2,
+      iters = 30)
+    assert(pcaStore.means.sameElements(pcaScan.means) &&
+      pcaStore.components.zip(pcaScan.components)
+        .forall { case (a, b) => a.sameElements(b) })
+    // unknown-id takedown no-ops (registry semi-join)
+    val ghost = Similarity.maintainPcaMoments(st,
+      df.limit(0), df.filter(col("vec_id") === 99999L),
+      "vec_id", "embedding")
+    assert(cells(ghost.moments) == maintained)
+    // save/load round-trip serves the same refit
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_moments").toString + "/st"
+    Similarity.saveMomentsStore(st, dir)
+    val loaded = Similarity.loadMomentsStore(spark, dir)
+    assert(cells(loaded.moments) == maintained)
+    // guard: re-add of a LIVE id without its old row fails loudly
+    // (the store keeps no per-doc terms — a silent double-count
+    // would be undetectable later)
+    intercept[Exception] {
+      Similarity.maintainPcaMoments(st,
+        eff.limit(1), df.limit(0), "vec_id", "embedding")
+        .moments.collect()
+    }
+    // same-call duplicate ids fold deterministically (the CDC fold):
+    // adding a row twice in one batch counts once
+    val dupAdds = df.filter(col("vec_id") === 99999L) // none: baseline
+    val one = df.filter(col("vec_id") % 4 === 0).limit(1)
+    val viaDup = Similarity.maintainPcaMoments(
+      Similarity.buildMomentsStore(base, "vec_id", "embedding"),
+      one.unionByName(one), rems, "vec_id", "embedding")
+    val viaOne = Similarity.maintainPcaMoments(
+      Similarity.buildMomentsStore(base, "vec_id", "embedding"),
+      one, rems, "vec_id", "embedding")
+    assert(cells(viaDup.moments) == cells(viaOne.moments))
+    assert(dupAdds.isEmpty) // fixture sanity: 99999 is not an id
+  }
+
   test("rotated index LIFECYCLE: saveIndex persists the rotation and " +
       "serveTopK/updateIndex bring raw vectors into the index basis; " +
       "a flagged index without its record refuses to load") {
@@ -1193,6 +1268,41 @@ class SimilaritySpec extends SparkSpec {
     assert(updServed == rebuilt,
       "raw delta absorbed into the rotated basis must equal the " +
         "one-pass rotated rebuild")
+    // maintenance PRESERVES the basis identity: compaction rewrites
+    // vectors only (record intact, serve unchanged) and retrain
+    // rotates the rebuild corpus and carries the stages into the new
+    // era — the audit queries rotate per-index inside hits()
+    Similarity.compactIndex(spark, dir2)
+      .write.format("noop").mode("overwrite").save()
+    assert(Similarity.loadIndex(spark, dir2).rotation.nonEmpty)
+    assert(rows(Similarity.serveTopK(spark, dir2,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2)) == updServed,
+      "compaction must not change rotated serving results")
+    Similarity.retrainIndex(spark, dir2, df, "embedding", "vec_id",
+        sampleQueries = 2, recallK = 3, nProbe = 2)
+      .write.format("noop").mode("overwrite").save()
+    val retrained = Similarity.loadIndex(spark, dir2)
+    assert(retrained.rotation.map(_.offset) == stages.map(_.offset) &&
+      retrained.rotation.zip(stages).forall { case (a, b) =>
+        a.cos.sameElements(b.cos) && a.sin.sameElements(b.sin) },
+      "retrain must carry the rotation into the new era")
+    // retrain ≡ fresh build on the ROTATED corpus: serve equals the
+    // inline full-corpus rotated chain
+    val (cR, aR) = Similarity.ivfIndex(rot, "embedding", "vec_id", 4)
+    val cbR = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+      m = 4, k = 8)
+    val eR = Similarity.pqEncode(rot, "embedding", "vec_id", cbR,
+      m = 4)
+    val aeR = aR.select(col("centroid_id"), col("vec_id"))
+      .join(eR, Seq("vec_id"))
+    assert(rows(Similarity.serveTopK(spark, dir2,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqTopK(rot.filter(col("vec_id") < 4), cR,
+        cbR, aeR, "embedding", "vec_id", m = 4, k = 8, topK = 5,
+        nProbe = 2)),
+      "retrained rotated serve ≡ fresh rotated full-corpus build")
     // identity poisoning refused: a rotated-flagged index whose
     // rotation record is gone must fail FAST, not serve raw
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(

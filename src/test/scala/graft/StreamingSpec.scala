@@ -1558,6 +1558,73 @@ class StreamingSpec extends SparkSpec {
       !new java.io.File(s"$tmp/docs/_batches/0.started").exists)
   }
 
+  test("streamingPcaMoments: stored moments equal the one-shot " +
+      "rebuild over the fold after every trigger; takedown subtracts; " +
+      "re-send replaces; cascade refit off the store equals the " +
+      "rescan fit; redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    def h(a: Long, b: Long): Float =
+      (((a * 2654435761L + b * 40503L) % 1000L + 1000L) % 1000L) /
+        1000.0f - 0.5f
+    def vec(i: Long): Seq[Float] = (0 until 8).map(d => h(i, d.toLong))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_moments").toString
+    val mem = MemoryStream[(String, Long, Seq[Float])]
+    val q = StreamingIngest.streamingPcaMoments(
+      mem.toDF().toDF("op", "vec_id", "embedding"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt")
+    def stored(): Map[(Long, Long), (Long, Long, Long, Long)] =
+      spark.read.parquet(s"$tmp/store/moments").collect()
+        .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("s_i"),
+            r.getAs[Long]("s_j"), r.getAs[Long]("sp")))).toMap
+    def fullOf(rows: Seq[(Long, Seq[Float])])
+        : Map[(Long, Long), (Long, Long, Long, Long)] =
+      Similarity.pcaMoments(rows.toDF("vec_id", "embedding"),
+          "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+    try {
+      mem.addData(("add", 1L, vec(1L)), ("add", 2L, vec(2L)),
+        ("add", 3L, vec(3L)))
+      q.processAllAvailable()
+      assert(stored() == fullOf(Seq(1L, 2L, 3L).map(i => (i, vec(i)))),
+        "cold start ≡ rebuild")
+      // takedown subtracts exactly
+      mem.addData(("del", 3L, null: Seq[Float]))
+      q.processAllAvailable()
+      assert(stored() == fullOf(Seq(1L, 2L).map(i => (i, vec(i)))))
+      // re-send REPLACES: id 2 returns with DIFFERENT content
+      mem.addData(("add", 2L, vec(200L)), ("add", 4L, vec(4L)))
+      q.processAllAvailable()
+      val eff = Seq((1L, vec(1L)), (2L, vec(200L)), (4L, vec(4L)))
+      assert(stored() == fullOf(eff))
+      // the point of the store: refit WITHOUT a rescan, bit-identical
+      val st = Similarity.loadMomentsStore(spark, s"$tmp/store")
+      val offs = Seq(4, 2, 1)
+      val a = Similarity.givensCascadeFitFromMoments(st.moments, offs)
+      val b = Similarity.givensCascadeFit(
+        eff.toDF("vec_id", "embedding"), "embedding", offs)
+      assert(a.zip(b).forall { case (x, y) =>
+        x.offset == y.offset && x.cos.sameElements(y.cos) &&
+          x.sin.sameElements(y.sin) })
+    } finally q.stop()
+    val before = stored()
+    // fresh-checkpoint redelivery: marker no-op
+    val mem2 = MemoryStream[(String, Long, Seq[Float])]
+    val q2 = StreamingIngest.streamingPcaMoments(
+      mem2.toDF().toDF("op", "vec_id", "embedding"),
+      s"$tmp/docs", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt2")
+    try {
+      mem2.addData(("add", 1L, vec(1L)), ("add", 2L, vec(2L)),
+        ("add", 3L, vec(3L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(stored() == before, "redelivered batch absorbed once")
+  }
+
   test("streamingAnnSearch: every trigger's results equal the batch " +
       "query against the index AS OF the trigger; maintenance between " +
       "triggers is visible; redelivery rewrites idempotently with " +
