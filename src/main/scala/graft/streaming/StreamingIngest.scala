@@ -2226,7 +2226,8 @@ object StreamingIngest {
   def streamingLayout(events: DataFrame, addsDir: String,
       delsDir: String, storeDir: String, checkpointDir: String,
       cols: Seq[String], bits: Int, nBuckets: Int,
-      idCol: String = "id", opCol: String = "op")
+      idCol: String = "id", opCol: String = "op",
+      bloomCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val layoutChecked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -2290,7 +2291,7 @@ object StreamingIngest {
                   graft.operators.Layout.writeLayout(
                     graft.operators.Layout.zOrderLayout(adds, cols,
                       bits, nBuckets), storeDir, cols, "z", bits,
-                    nBuckets)
+                    nBuckets, bloomCols)
                 } else
                   graft.operators.Layout.appendToLayout(spark,
                     storeDir, adds, cols, bits, nBuckets)
@@ -2307,10 +2308,13 @@ object StreamingIngest {
               fs.delete(new org.apache.hadoop.fs.Path(storeDir),
                 true): Unit
               if (!live.isEmpty)
+                // bloomCols ride every (re)build so a sketched store
+                // never silently loses its point-lookup column across
+                // a cold start or re-anchoring rebuild
                 graft.operators.Layout.writeLayout(
                   graft.operators.Layout.zOrderLayout(live, cols,
                     bits, nBuckets), storeDir, cols, "z", bits,
-                  nBuckets)
+                  nBuckets, bloomCols)
             }
             fs.mkdirs(marker): Unit
             fs.delete(started, true): Unit

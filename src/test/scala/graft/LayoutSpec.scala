@@ -602,6 +602,14 @@ class LayoutSpec extends SparkSpec {
     assert(maybe >= 1 && maybe <= 2,
       s"16-key buckets at 8192 bits must probe ~1 bucket, got $maybe " +
         s"of ${stats.length}")
+    // and the SCAN itself opens only those buckets' files — the
+    // pruning is in the plan, not just the verdict math
+    val opened = Layout.prunedScan(spark, path, Nil,
+        points = Seq(("id", 37L)))
+      .inputFiles.map(_.split("/_bucket=")(1).split("/")(0)).distinct
+    assert(opened.length == maybe,
+      s"the point scan must open exactly the maybe-present bucket " +
+        s"dirs, opened ${opened.mkString(",")}")
     // append: the delta's keys OR into the touched buckets' sketches
     // (no rescan) — new id findable, old ids unaffected
     Layout.appendToLayout(spark, path,

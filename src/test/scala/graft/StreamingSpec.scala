@@ -1772,7 +1772,8 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingIngest.streamingLayout(
       mem.toDF().toDF("op", "id", "x", "y"),
       s"$tmp/adds", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt",
-      Seq("x", "y"), bits = 4, nBuckets = 16)
+      Seq("x", "y"), bits = 4, nBuckets = 16,
+      bloomCols = Seq("id"))
     def stored(): Map[Long, (Long, Long)] =
       spark.read.parquet(s"$tmp/store")
         .select("id", "x", "y").collect()
@@ -1804,6 +1805,15 @@ class StreamingSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet
       assert(!box2.contains(2L) && box2.size == 13,
         "the moved row left its old bucket's box")
+      // the twin carries the membership sketch: a point lookup on the
+      // non-clustered id serves through delete+append maintenance
+      assert(Layout.prunedScan(spark, s"$tmp/store", Nil,
+          points = Seq(("id", 2L)))
+        .select("x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((9L, 9L)))
+      assert(Layout.prunedScan(spark, s"$tmp/store", Nil,
+        points = Seq(("id", 17L))).isEmpty)
     } finally q.stop()
     val before = stored()
     // fresh-checkpoint redelivery: marker no-op
@@ -1811,7 +1821,8 @@ class StreamingSpec extends SparkSpec {
     val q2 = StreamingIngest.streamingLayout(
       mem2.toDF().toDF("op", "id", "x", "y"),
       s"$tmp/adds", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt2",
-      Seq("x", "y"), bits = 4, nBuckets = 16)
+      Seq("x", "y"), bits = 4, nBuckets = 16,
+      bloomCols = Seq("id"))
     try {
       mem2.addData(("add", 0L, 0L, 0L), ("add", 300L, 15L, 15L))
       q2.processAllAvailable()
@@ -1827,7 +1838,8 @@ class StreamingSpec extends SparkSpec {
     val q3 = StreamingIngest.streamingLayout(
       mem3.toDF().toDF("op", "id", "x", "y"),
       s"$tmp/adds", s"$tmp/dels", s"$tmp/store", s"$tmp/ckpt3",
-      Seq("x", "y"), bits = 4, nBuckets = 16)
+      Seq("x", "y"), bits = 4, nBuckets = 16,
+      bloomCols = Seq("id"))
     try {
       mem3.addData((for { x <- 0L until 4L; y <- 0L until 4L }
         yield ("add", y * 16L + x, x, y)) :+
@@ -1839,6 +1851,11 @@ class StreamingSpec extends SparkSpec {
       "mid-crash redelivery rebuilds from the fold, no duplicates")
     assert(new java.io.File(s"$tmp/adds/_batches/0").exists &&
       !new java.io.File(s"$tmp/adds/_batches/0.started").exists)
+    // the cold rebuild preserved the sketch — point lookups still serve
+    assert(Layout.prunedScan(spark, s"$tmp/store", Nil,
+        points = Seq(("id", 300L)))
+      .select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((15L, 15L)))
   }
 
   test("streamingDecontaminate: every trigger equals the batch scrub " +
