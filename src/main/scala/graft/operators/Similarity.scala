@@ -661,7 +661,8 @@ object Similarity {
       assignedEncoded: DataFrame, m: Int, k: Int,
       meanAssignCosine: Double = Double.NaN,
       assignCosineStd: Double = Double.NaN,
-      rotation: Seq[GivensStage] = Nil)
+      rotation: Seq[GivensStage] = Nil,
+      rotationMatrix: Option[PcaModel] = None)
 
   /** Persist an IVF-PQ index as parquet — the retrieval counterpart of
     * the incremental-dedup discipline: a 100 TB corpus trains its
@@ -682,7 +683,11 @@ object Similarity {
       assignedEncoded: DataFrame, m: Int, k: Int,
       meanAssignCosine: Double = Double.NaN,
       assignCosineStd: Double = Double.NaN,
-      rotation: Seq[GivensStage] = Nil): Unit = {
+      rotation: Seq[GivensStage] = Nil,
+      rotationMatrix: Option[PcaModel] = None): Unit = {
+    require(rotation.isEmpty || rotationMatrix.isEmpty,
+      "saveIndex: an index lives in ONE basis — pass the Givens " +
+        "cascade OR the PCA rotation model, not both")
     val spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -718,13 +723,35 @@ object Similarity {
       }.toDF("stage", "offset", "i", "cos", "sin")
         .coalesce(1).write.mode("overwrite").parquet(rotPath.toString)
     } else fs.delete(rotPath, true): Unit
+    // the MATRIX record (the pcaRotate / OPQ-P basis): d² weight
+    // cells + per-dim means + eigenvalues, one parquet row per cell —
+    // same write-before-meta commit discipline as the cascade
+    val rotMatPath =
+      new org.apache.hadoop.fs.Path(s"$dir/rotation_matrix")
+    rotationMatrix match {
+      case Some(model) =>
+        (for {
+          c <- model.components.indices
+          i <- model.components(c).indices
+        } yield (c.toLong, i.toLong, model.components(c)(i),
+          model.means(i), model.eigenvalues(c)))
+          .toDF("component", "i", "w", "mean_i", "eig")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(rotMatPath.toString)
+      case None => fs.delete(rotMatPath, true): Unit
+    }
     // assign_cosine_std calibrates [[compactIndex]]'s default retrain
     // tolerance (2σ of the build-time assignment-cosine distribution);
     // NaN means "not recorded" and the policy falls back to an absolute
     // band.
-    Seq((m, k, meanAssignCosine, assignCosineStd, rotation.nonEmpty))
+    val kind =
+      if (rotation.nonEmpty) "givens"
+      else if (rotationMatrix.nonEmpty) "matrix"
+      else "none"
+    Seq((m, k, meanAssignCosine, assignCosineStd,
+        rotation.nonEmpty || rotationMatrix.nonEmpty, kind))
       .toDF("m", "k", "mean_assign_cosine", "assign_cosine_std",
-        "rotated")
+        "rotated", "rotation_kind")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -759,17 +786,26 @@ object Similarity {
     // written before the flag existed read as un-rotated (they were).
     val rotated = meta.schema.fieldNames.contains("rotated") &&
       meta.getAs[Boolean]("rotated")
+    // stores flagged before the kind column existed are Givens-era
+    val kind =
+      if (!rotated) "none"
+      else if (meta.schema.fieldNames.contains("rotation_kind"))
+        meta.getAs[String]("rotation_kind")
+      else "givens"
+    def requireRecord(p: org.apache.hadoop.fs.Path): Unit = {
+      val rotFs =
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(rotFs.exists(p),
+        s"loadIndex: $dir/meta declares a ROTATED index but $p is " +
+          "missing — serving raw query vectors against rotated " +
+          "quantizers returns silently wrong neighbors; restore the " +
+          "rotation record or rebuild via saveIndex")
+    }
     val rotation =
-      if (!rotated) Nil
+      if (kind != "givens") Nil
       else {
         val rotPath = new org.apache.hadoop.fs.Path(s"$dir/rotation")
-        val rotFs = rotPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        require(rotFs.exists(rotPath),
-          s"loadIndex: $dir/meta declares a ROTATED index but " +
-            s"$rotPath is missing — serving raw query vectors against " +
-            "rotated quantizers returns silently wrong neighbors; " +
-            "restore the rotation record or rebuild via saveIndex")
+        requireRecord(rotPath)
         // bounded driver fetch: stages × d rows (the d²-cell
         // discipline of givensCascadeFit)
         val rows = spark.read.parquet(rotPath.toString)
@@ -788,13 +824,36 @@ object Similarity {
             GivensStage(off, cs, sn)
         }
       }
+    val rotationMatrix =
+      if (kind != "matrix") None
+      else {
+        val rotMatPath =
+          new org.apache.hadoop.fs.Path(s"$dir/rotation_matrix")
+        requireRecord(rotMatPath)
+        // bounded driver fetch: d² cells (the pcaFit discipline)
+        val rows = spark.read.parquet(rotMatPath.toString)
+          .select("component", "i", "w", "mean_i", "eig")
+          .collect()
+        val d = rows.map(_.getLong(1)).max.toInt + 1
+        val kComp = rows.map(_.getLong(0)).max.toInt + 1
+        val comps = Array.ofDim[Double](kComp, d)
+        val means = new Array[Double](d)
+        val eigs = new Array[Double](kComp)
+        rows.foreach { r =>
+          val c = r.getLong(0).toInt; val i = r.getLong(1).toInt
+          comps(c)(i) = r.getDouble(2)
+          means(i) = r.getDouble(3)
+          eigs(c) = r.getDouble(4)
+        }
+        Some(PcaModel(means, comps, eigs))
+      }
     AnnIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
       vectors,
       meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       optD("mean_assign_cosine"), optD("assign_cosine_std"),
-      rotation)
+      rotation, rotationMatrix)
   }
 
   /** Bring incoming vectors into a loaded index's BASIS: identity for
@@ -806,12 +865,20 @@ object Similarity {
     * [[retrainIndex]]'s audit, and the streaming search twin all do. */
   def rotateQueries(index: AnnIndex, queries: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    if (index.rotation.isEmpty) queries
+    if (index.rotation.isEmpty && index.rotationMatrix.isEmpty) queries
     else {
       val extra = queries.columns.filter(c => c != idCol && c != vecCol)
-      val rot = givensCascadeRotate(
-        queries.select(col(idCol), col(vecCol)), idCol, vecCol,
-        index.rotation)
+      val rot =
+        if (index.rotation.nonEmpty)
+          givensCascadeRotate(
+            queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+            index.rotation)
+        else
+          // the matrix basis (pcaRotate / OPQ-P): centering is a
+          // translation shared by corpus and queries, so serving
+          // geometry stays consistent inside the rotated frame
+          pcaRotate(queries.select(col(idCol), col(vecCol)), idCol,
+            vecCol, index.rotationMatrix.get)
       if (extra.isEmpty) rot
       else queries.drop(vecCol).join(rot, Seq(idCol))
     }
@@ -1067,7 +1134,7 @@ object Similarity {
     // itself is the caller's choice (the pcaMoments-maintenance path),
     // not a side effect of a quantizer refresh.
     val liveB =
-      if (ix.rotation.isEmpty) live
+      if (ix.rotation.isEmpty && ix.rotationMatrix.isEmpty) live
       else rotateQueries(ix, live, idCol, vecCol).localCheckpoint()
     val (cents, assigned) = ivfIndex(liveB, vecCol, idCol, kCells)
     val cb = pqCodebooks(liveB, vecCol, idCol, ix.m, ix.k)
@@ -1082,7 +1149,8 @@ object Similarity {
     fs.delete(tmpPath, true): Unit
     saveIndex(tmp, cents, cb,
       ae.select(col(idCol), col("codes"), col("centroid_id")),
-      ix.m, ix.k, st.getDouble(0), st.getDouble(1), ix.rotation)
+      ix.m, ix.k, st.getDouble(0), st.getDouble(1), ix.rotation,
+      ix.rotationMatrix)
     // Swap: old layout aside, staged layout in, old layout gone. A
     // crash between the renames leaves dir absent but both layouts on
     // disk — recovery is one rename, no data lost.

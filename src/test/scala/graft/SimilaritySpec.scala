@@ -1313,6 +1313,101 @@ class SimilaritySpec extends SparkSpec {
       df.filter(col("vec_id") < 4), "embedding", "vec_id"))
   }
 
+  test("MATRIX-rotated index lifecycle (pcaRotate / OPQ-P): saveIndex " +
+      "persists the d×d model, serveTopK/updateIndex bring raw " +
+      "vectors into the basis, maintenance carries it, refusal on a " +
+      "lost record") {
+    val pts = mixedFixture(spreadScales)
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(df, "embedding", k = 16, iters = 50)
+    val rot = Similarity.pcaRotate(df, "vec_id", "embedding", model)
+      .localCheckpoint()
+    val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+      "vec_id", 4)
+    val cb = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+      m = 4, k = 8)
+    val enc = Similarity.pqEncode(rot, "embedding", "vec_id", cb, m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrot_ix").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 4, k = 8,
+      rotationMatrix = Some(model))
+    // the model round-trips bit-exactly (plain doubles)
+    val ix = Similarity.loadIndex(spark, dir)
+    assert(ix.rotation.isEmpty && ix.rotationMatrix.nonEmpty)
+    val lm = ix.rotationMatrix.get
+    assert(lm.means.sameElements(model.means) &&
+      lm.eigenvalues.sameElements(model.eigenvalues) &&
+      lm.components.zip(model.components)
+        .forall { case (a, b) => a.sameElements(b) })
+    def rows(d2: org.apache.spark.sql.DataFrame) =
+      d2.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val inline = rows(Similarity.ivfPqTopK(
+      rot.filter(col("vec_id") < 4), cents, cb, ae, "embedding",
+      "vec_id", m = 4, k = 8, topK = 5, nProbe = 2))
+    val served = rows(Similarity.serveTopK(spark, dir,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2))
+    assert(served == inline,
+      "matrix-rotated serve must replay the inline chain")
+    val rawServe = rows(Similarity.ivfPqTopK(
+      df.filter(col("vec_id") < 4), ix.centroids, ix.codebooks,
+      ix.assignedEncoded, "embedding", "vec_id", m = 4, k = 8,
+      topK = 5, nProbe = 2))
+    assert(rawServe != inline, "fixture must expose the basis mismatch")
+    // raw delta absorbs into the matrix basis ≡ one-pass rotated
+    // rebuild against the same frozen quantizers (fresh base on < 150,
+    // the id contract: delta ids must be NEW)
+    val evenRot = rot.filter(col("vec_id") < 150)
+    val (c2, a2) = Similarity.ivfIndex(evenRot, "embedding", "vec_id", 4)
+    val cb2 = Similarity.pqCodebooks(evenRot, "embedding", "vec_id",
+      m = 4, k = 8)
+    val e2 = Similarity.pqEncode(evenRot, "embedding", "vec_id", cb2,
+      m = 4)
+    val ae2 = a2.select(col("centroid_id"), col("vec_id"))
+      .join(e2, Seq("vec_id"))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_mrot_upd").toString + "/ix"
+    Similarity.saveIndex(dir2, c2, cb2, ae2, m = 4, k = 8,
+      rotationMatrix = Some(model))
+    Similarity.updateIndex(spark, dir2,
+        df.filter(col("vec_id") >= 150), "embedding", "vec_id")
+      .write.format("noop").mode("overwrite").save()
+    val aAll = Similarity.assignToCentroids(rot, "embedding",
+      "vec_id", c2)
+    val eAll = Similarity.pqEncode(rot, "embedding", "vec_id", cb2,
+      m = 4)
+    val aeAll = aAll.select(col("centroid_id"), col("vec_id"))
+      .join(eAll, Seq("vec_id"))
+    assert(rows(Similarity.serveTopK(spark, dir2,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqTopK(rot.filter(col("vec_id") < 4), c2,
+        cb2, aeAll, "embedding", "vec_id", m = 4, k = 8, topK = 5,
+        nProbe = 2)),
+      "raw delta absorbed into the matrix basis ≡ rotated rebuild")
+    // retrain carries the matrix record into the new era
+    Similarity.retrainIndex(spark, dir2, df, "embedding", "vec_id",
+        sampleQueries = 2, recallK = 3, nProbe = 2)
+      .write.format("noop").mode("overwrite").save()
+    assert(Similarity.loadIndex(spark, dir2).rotationMatrix.nonEmpty)
+    // a lost record refuses at load
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rotation_matrix"),
+      true): Unit
+    intercept[IllegalArgumentException](Similarity.loadIndex(spark, dir))
+    // and both bases at once is refused at save
+    intercept[IllegalArgumentException](
+      Similarity.saveIndex(dir2 + "_x", cents, cb, ae, m = 4, k = 8,
+        rotation = Seq(Similarity.GivensStage(1, Array(1.0),
+          Array(0.0))),
+        rotationMatrix = Some(model)))
+  }
+
   test("rotations wired through the FULL ivfPqTopK serving path: the " +
       "rotated index serves better recall than the raw one at the " +
       "same quantizer budget (the OPQ serving composition)") {
