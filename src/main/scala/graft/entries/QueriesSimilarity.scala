@@ -469,6 +469,46 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3yz: the maintenance→refit→serving COMPOSITION — the
+    // reason the moment store exists, run end to end: maintain the
+    // moments (q_x3y's change batch), refit the Givens cascade OFF
+    // THE MAINTAINED TABLE (no corpus rescan), rotate the effective
+    // corpus, build IVF-PQ on it, serve. The oracle replays the
+    // WHOLE chain over the effective corpus — one-shot moments ≡
+    // maintained moments (q_x3y's claim) makes the refit identical,
+    // so any drift anywhere in maintain/refit/rotate/build/serve
+    // hash-mismatches. ----
+    "q_x3yz_maintained_refit_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val st0 = Similarity.buildMomentsStore(
+        e.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding")
+      val st = Similarity.maintainPcaMoments(st0,
+        e.filter(col("vec_id") % 4 === 0),
+        e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") % 3 === 0),
+        "vec_id", "embedding")
+      val stages = Similarity.givensCascadeFitFromMoments(st.moments,
+        Seq(32, 16, 8, 4, 2, 1))
+      val eff = e.filter(col("vec_id") % 4 === 0 ||
+        (col("vec_id") % 4 =!= 0 && col("vec_id") % 3 =!= 0))
+      val rot = Similarity.givensCascadeRotate(eff, "vec_id",
+        "embedding", stages).localCheckpoint()
+      val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(rot, "embedding", "vec_id", cb,
+        m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      Similarity.ivfPqTopK(rot.filter(col("vec_id") < 8), cents, cb,
+          ae, "embedding", "vec_id", m = 8, k = 16, topK = 5,
+          nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3v: PCA second moments — the distributed half of the
     // whitening/rotation preprocessing (OPQ-style quantizers,
     // semantic dedup): e6-quantized components, every sum and
@@ -519,13 +559,14 @@ private[graft] object QueriesSimilarity {
     * the two-step exact-order covariance update (rows, then columns)
     * feeding the NEXT stage's angles, and the per-element data
     * rotation. Floats cast once at reassembly, matching the engine. */
-  private def givensCascadeCtes(d: Int, offsets: Seq[Int]): String = {
+  private def givensCascadeCtes(d: Int, offsets: Seq[Int],
+      rel: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb.append(
       s"""rv6 AS (
          |  SELECT vec_id, list_transform(embedding, x ->
          |    CAST(floor(x * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
-         |  FROM embeddings),
+         |  FROM $rel),
          |rex AS (
          |  SELECT vec_id, i - 1 AS i, v[i] AS x
          |  FROM rv6, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
@@ -547,7 +588,7 @@ private[graft] object QueriesSimilarity {
          |  UNION ALL SELECT j, i, v FROM rcv WHERE i <> j),
          |rx0 AS MATERIALIZED (
          |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS v
-         |  FROM (SELECT vec_id, embedding AS arr FROM embeddings),
+         |  FROM (SELECT vec_id, embedding AS arr FROM $rel),
          |    LATERAL (SELECT unnest(arr) AS x,
          |             generate_subscripts(arr, 1) AS i) u)""".stripMargin)
     offsets.zipWithIndex.foreach { case (o, t) =>
@@ -619,6 +660,18 @@ private[graft] object QueriesSimilarity {
     // so the oracle IS q_x3w's.
     "q_x3x_rotated_lifecycle" -> ivfPqOracleSqlFrom("", "rotc",
       givensCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1)) + ","),
+
+    // The maintenance→refit→serving chain over the EFFECTIVE corpus:
+    // the cascade CTEs run from `eff` (maintained moments ≡ one-shot
+    // over eff, q_x3y), then the proven IVF-PQ chain over the rotated
+    // effective corpus.
+    "q_x3yz_maintained_refit_ivfpq" -> ivfPqOracleSqlFrom("", "rotc",
+      """eff AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 4 = 0
+        |     OR (vec_id % 4 <> 0 AND vec_id % 3 <> 0)),
+        |""".stripMargin +
+        givensCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1), "eff") + ","),
 
     // Moments rebuilt with DuckDB list lambdas: identical e6
     // quantization (float→double widening exact on both engines),

@@ -859,10 +859,15 @@ object Similarity {
   /** Bring incoming vectors into a loaded index's BASIS: identity for
     * an un-rotated index, the persisted [[GivensStage]] cascade
     * ([[givensCascadeRotate]] — stateless per-element expressions, no
-    * shuffle) for a rotated one. EVERY consumer of [[loadIndex]] that
-    * feeds raw query or delta vectors to the quantizers must route
-    * them through here — [[serveTopK]], [[updateIndex]],
-    * [[retrainIndex]]'s audit, and the streaming search twin all do. */
+    * shuffle) for a rotated one, or the persisted [[PcaModel]]
+    * ([[pcaRotate]] — posexplode + broadcast weights + id-keyed
+    * reassembly) for a matrix-rotated one. EVERY consumer of
+    * [[loadIndex]] that feeds raw query or delta vectors to the
+    * quantizers must route them through here — [[serveTopK]],
+    * [[updateIndex]], [[retrainIndex]]'s audit, and the streaming
+    * search twin all do. Query ids must be UNIQUE within a batch: the
+    * matrix path's reassembly is id-keyed (duplicate ids would sum
+    * their projections), matching [[updateIndex]]'s id contract. */
   def rotateQueries(index: AnnIndex, queries: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     if (index.rotation.isEmpty && index.rotationMatrix.isEmpty) queries
