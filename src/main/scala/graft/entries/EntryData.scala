@@ -538,6 +538,30 @@ private[graft] object EntryData {
     dst
   }
 
+  /** q_x3mz's RESIDUAL persisted index (memoized per dataset, like
+    * [[x3jIndexDir]]): the q_x3m FAISS-proper recipe — residual
+    * codebooks and codes against the coarse assignment — persisted
+    * via [[Similarity.saveIndex]] WITH the `pq_residual` codec
+    * identity, so serving rides [[Similarity.loadIndex]]'s encoding
+    * dispatch (the cell-dependent ADC, never the fixed table). */
+  def x3mzResidualIndexDir(s: SparkSession, dir: String): String =
+    annIndexDirs.computeIfAbsent(dir + "#x3mz_resid", _ => {
+      val e = t(s, dir, "embeddings")
+      val (cents, assigned) = Similarity.ivfIndex(e, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooksResidual(e, "embedding",
+        "vec_id", assigned, cents, m = 8, k = 16)
+      val enc = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
+        assigned, cents, cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val ixDir = annScratchRoot + "/residindex_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16,
+        residual = true)
+      ixDir
+    })
+
   /** q_x3x's ROTATED persisted index (memoized per dataset, like
     * [[x3jIndexDir]]): the q_x3w OPQ recipe — Givens-cascade fit,
     * corpus rotated, IVF-PQ trained on the rotated vectors — but

@@ -450,6 +450,25 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3mz: the RESIDUAL index LIFECYCLE — q_x3m's FAISS-proper
+    // recipe persisted with the `pq_residual` codec identity and
+    // served cold through serveTopK: loadIndex reads the encoding
+    // from meta and dispatches to the CELL-DEPENDENT ADC. Residual
+    // codes are byte-compatible with plain PQ codes on disk, so
+    // without the identity the store would silently decode through
+    // the wrong table — the oracle (q_x3m's full residual replay)
+    // hash-mismatches if the dispatch ever regresses. ----
+    "q_x3mz_residual_lifecycle" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.serveTopK(s, x3mzResidualIndexDir(s, dir),
+          e.filter(col("vec_id") < 8), "embedding", "vec_id",
+          topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3x: the ROTATED index LIFECYCLE — q_x3w's OPQ recipe
     // persisted (saveIndex WITH the rotation record) and served cold
     // through loadIndex + rotateQueries + ivfPqTopK (serveTopK — the
@@ -867,6 +886,12 @@ private[graft] object QueriesSimilarity {
     "q_x3i_ivfpq_topk" -> ivfPqOracleSql,
 
     "q_x3m_ivfpq_residual" -> ivfPqResidualOracleSql,
+
+    // The persisted residual lifecycle answers to the SAME full
+    // residual replay: save/load round-trips codes and floats
+    // bit-exactly and the codec identity routes serving to the
+    // cell-dependent ADC.
+    "q_x3mz_residual_lifecycle" -> ivfPqResidualOracleSql,
 
     "q_x3o_rerank_topk" ->
       (ivfPqOracleCtesFrom("") + """,

@@ -662,7 +662,8 @@ object Similarity {
       meanAssignCosine: Double = Double.NaN,
       assignCosineStd: Double = Double.NaN,
       rotation: Seq[GivensStage] = Nil,
-      rotationMatrix: Option[PcaModel] = None)
+      rotationMatrix: Option[PcaModel] = None,
+      residual: Boolean = false)
 
   /** Persist an IVF-PQ index as parquet — the retrieval counterpart of
     * the incremental-dedup discipline: a 100 TB corpus trains its
@@ -684,7 +685,8 @@ object Similarity {
       meanAssignCosine: Double = Double.NaN,
       assignCosineStd: Double = Double.NaN,
       rotation: Seq[GivensStage] = Nil,
-      rotationMatrix: Option[PcaModel] = None): Unit = {
+      rotationMatrix: Option[PcaModel] = None,
+      residual: Boolean = false): Unit = {
     require(rotation.isEmpty || rotationMatrix.isEmpty,
       "saveIndex: an index lives in ONE basis — pass the Givens " +
         "cascade OR the PCA rotation model, not both")
@@ -748,10 +750,16 @@ object Similarity {
       if (rotation.nonEmpty) "givens"
       else if (rotationMatrix.nonEmpty) "matrix"
       else "none"
+    // `encoding` is the CODEC identity: residual codes are byte-
+    // compatible with plain PQ codes on disk, so without the flag a
+    // persisted residual index would silently serve through the wrong
+    // ADC (fixed table instead of cell-dependent) — the same
+    // poisoning class as a lost rotation record
     Seq((m, k, meanAssignCosine, assignCosineStd,
-        rotation.nonEmpty || rotationMatrix.nonEmpty, kind))
+        rotation.nonEmpty || rotationMatrix.nonEmpty, kind,
+        if (residual) "pq_residual" else "pq"))
       .toDF("m", "k", "mean_assign_cosine", "assign_cosine_std",
-        "rotated", "rotation_kind")
+        "rotated", "rotation_kind", "encoding")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -847,13 +855,15 @@ object Similarity {
         }
         Some(PcaModel(means, comps, eigs))
       }
+    val residual = meta.schema.fieldNames.contains("encoding") &&
+      meta.getAs[String]("encoding") == "pq_residual"
     AnnIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
       vectors,
       meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       optD("mean_assign_cosine"), optD("assign_cosine_std"),
-      rotation, rotationMatrix)
+      rotation, rotationMatrix, residual)
   }
 
   /** Bring incoming vectors into a loaded index's BASIS: identity for
@@ -899,8 +909,16 @@ object Similarity {
       nProbe: Int = 8): DataFrame = {
     val ix = loadIndex(spark, dir)
     val q = rotateQueries(ix, queries, idCol, vecCol)
-    ivfPqTopK(q, ix.centroids, ix.codebooks, ix.assignedEncoded,
-      vecCol, idCol, m = ix.m, k = ix.k, topK = topK, nProbe = nProbe)
+    // codec identity from meta: residual codes decode through the
+    // cell-dependent ADC, never the fixed table
+    if (ix.residual)
+      ivfPqResidualTopK(q, ix.centroids, ix.codebooks,
+        ix.assignedEncoded, vecCol, idCol, m = ix.m, k = ix.k,
+        topK = topK, nProbe = nProbe)
+    else
+      ivfPqTopK(q, ix.centroids, ix.codebooks, ix.assignedEncoded,
+        vecCol, idCol, m = ix.m, k = ix.k, topK = topK,
+        nProbe = nProbe)
   }
 
   /** Incremental index maintenance — the retrieval twin of the
@@ -959,7 +977,15 @@ object Similarity {
     // two bases permanently
     val deltaB = rotateQueries(ix, delta, idCol, vecCol)
     val assigned = assignToCentroids(deltaB, vecCol, idCol, ix.centroids)
-    val enc = pqEncode(deltaB, vecCol, idCol, ix.codebooks, ix.m)
+    // codec identity: a residual store's deltas encode RESIDUALLY
+    // against the frozen quantizers — plain-PQ codes in a residual
+    // store would decode as garbage distances
+    val enc =
+      if (ix.residual)
+        pqEncodeResidual(deltaB, vecCol, idCol,
+          assigned.select(col(idCol), col("centroid_id")),
+          ix.centroids, ix.codebooks, ix.m)
+      else pqEncode(deltaB, vecCol, idCol, ix.codebooks, ix.m)
     val ae = assigned.select(col(idCol), col("centroid_id"),
         col("assign_cosine"))
       .join(enc, Seq(idCol))
@@ -1124,10 +1150,15 @@ object Similarity {
     def hits(index: AnnIndex): Long = {
       // audit queries are raw corpus vectors — serve them the way a
       // user would: through the index-basis rotation
-      val ap = ivfPqTopK(rotateQueries(index, qs, idCol, vecCol),
-        index.centroids, index.codebooks,
-        index.assignedEncoded, vecCol, idCol, m = index.m, k = index.k,
-        topK = recallK, nProbe = nProbe)
+      val qb = rotateQueries(index, qs, idCol, vecCol)
+      val ap =
+        if (index.residual)
+          ivfPqResidualTopK(qb, index.centroids, index.codebooks,
+            index.assignedEncoded, vecCol, idCol, m = index.m,
+            k = index.k, topK = recallK, nProbe = nProbe)
+        else ivfPqTopK(qb, index.centroids, index.codebooks,
+          index.assignedEncoded, vecCol, idCol, m = index.m,
+          k = index.k, topK = recallK, nProbe = nProbe)
       recallAtK(exact, ap)
         .agg(sum(col("n_hits"))).head().getLong(0)
     }
@@ -1142,8 +1173,18 @@ object Similarity {
       if (ix.rotation.isEmpty && ix.rotationMatrix.isEmpty) live
       else rotateQueries(ix, live, idCol, vecCol).localCheckpoint()
     val (cents, assigned) = ivfIndex(liveB, vecCol, idCol, kCells)
-    val cb = pqCodebooks(liveB, vecCol, idCol, ix.m, ix.k)
-    val enc = pqEncode(liveB, vecCol, idCol, cb, ix.m)
+    val cb =
+      if (ix.residual)
+        pqCodebooksResidual(liveB, vecCol, idCol,
+          assigned.select(col(idCol), col("centroid_id")), cents,
+          ix.m, ix.k)
+      else pqCodebooks(liveB, vecCol, idCol, ix.m, ix.k)
+    val enc =
+      if (ix.residual)
+        pqEncodeResidual(liveB, vecCol, idCol,
+          assigned.select(col(idCol), col("centroid_id")), cents, cb,
+          ix.m)
+      else pqEncode(liveB, vecCol, idCol, cb, ix.m)
     val ae = assigned.select(col(idCol), col("centroid_id"),
         col("assign_cosine"))
       .join(enc, Seq(idCol))
@@ -1155,7 +1196,7 @@ object Similarity {
     saveIndex(tmp, cents, cb,
       ae.select(col(idCol), col("codes"), col("centroid_id")),
       ix.m, ix.k, st.getDouble(0), st.getDouble(1), ix.rotation,
-      ix.rotationMatrix)
+      ix.rotationMatrix, ix.residual)
     // Swap: old layout aside, staged layout in, old layout gone. A
     // crash between the renames leaves dir absent but both layouts on
     // disk — recovery is one rename, no data lost.

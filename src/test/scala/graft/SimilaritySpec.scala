@@ -1408,6 +1408,80 @@ class SimilaritySpec extends SparkSpec {
         rotationMatrix = Some(model)))
   }
 
+  test("RESIDUAL index lifecycle: the pq_residual codec identity " +
+      "persists, serveTopK dispatches to the cell-dependent ADC, " +
+      "deltas encode residually, retrain keeps the encoding") {
+    val pts = mixedFixture(spreadScales)
+    val df = pts.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") < 150)
+    val (cents, assigned) = Similarity.ivfIndex(base, "embedding",
+      "vec_id", 4)
+    val cb = Similarity.pqCodebooksResidual(base, "embedding",
+      "vec_id", assigned, cents, m = 4, k = 8)
+    val enc = Similarity.pqEncodeResidual(base, "embedding", "vec_id",
+      assigned, cents, cb, m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_resid_ix").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 4, k = 8,
+      residual = true)
+    val ix = Similarity.loadIndex(spark, dir)
+    assert(ix.residual, "the codec identity round-trips")
+    def rows(d2: org.apache.spark.sql.DataFrame) =
+      d2.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val q = df.filter(col("vec_id") < 4)
+    val inline = rows(Similarity.ivfPqResidualTopK(q, cents, cb, ae,
+      "embedding", "vec_id", m = 4, k = 8, topK = 5, nProbe = 2))
+    assert(rows(Similarity.serveTopK(spark, dir, q, "embedding",
+      "vec_id", topK = 5, nProbe = 2)) == inline,
+      "persisted residual serve must replay the inline residual chain")
+    // the PRE-fix bug: the same codes through the FIXED-table ADC is
+    // a different (wrong) answer on this fixture
+    val wrongDecoder = rows(Similarity.ivfPqTopK(q, ix.centroids,
+      ix.codebooks, ix.assignedEncoded, "embedding", "vec_id",
+      m = 4, k = 8, topK = 5, nProbe = 2))
+    assert(wrongDecoder != inline,
+      "fixture must make the codec mismatch observable")
+    // deltas encode RESIDUALLY against the frozen quantizers:
+    // absorbed index ≡ one-pass residual encode of the full corpus
+    Similarity.updateIndex(spark, dir,
+        df.filter(col("vec_id") >= 150), "embedding", "vec_id")
+      .write.format("noop").mode("overwrite").save()
+    val aAll = Similarity.assignToCentroids(df, "embedding", "vec_id",
+      cents)
+    val eAll = Similarity.pqEncodeResidual(df, "embedding", "vec_id",
+      aAll.select(col("vec_id"), col("centroid_id")), cents, cb,
+      m = 4)
+    val aeAll = aAll.select(col("centroid_id"), col("vec_id"))
+      .join(eAll, Seq("vec_id"))
+    assert(rows(Similarity.serveTopK(spark, dir, q, "embedding",
+      "vec_id", topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqResidualTopK(q, cents, cb, aeAll,
+        "embedding", "vec_id", m = 4, k = 8, topK = 5, nProbe = 2)),
+      "residual delta absorb ≡ one-pass residual rebuild")
+    // retrain keeps the encoding and serves through the residual ADC
+    Similarity.retrainIndex(spark, dir, df, "embedding", "vec_id",
+        sampleQueries = 2, recallK = 3, nProbe = 2)
+      .write.format("noop").mode("overwrite").save()
+    val ix2 = Similarity.loadIndex(spark, dir)
+    assert(ix2.residual, "retrain must carry the codec identity")
+    val (cR, aR) = Similarity.ivfIndex(df, "embedding", "vec_id", 4)
+    val cbR = Similarity.pqCodebooksResidual(df, "embedding",
+      "vec_id", aR, cR, m = 4, k = 8)
+    val eR = Similarity.pqEncodeResidual(df, "embedding", "vec_id",
+      aR, cR, cbR, m = 4)
+    val aeR = aR.select(col("centroid_id"), col("vec_id"))
+      .join(eR, Seq("vec_id"))
+    assert(rows(Similarity.serveTopK(spark, dir, q, "embedding",
+      "vec_id", topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqResidualTopK(q, cR, cbR, aeR, "embedding",
+        "vec_id", m = 4, k = 8, topK = 5, nProbe = 2)),
+      "retrained residual index ≡ fresh residual full-corpus build")
+  }
+
   test("rotations wired through the FULL ivfPqTopK serving path: the " +
       "rotated index serves better recall than the raw one at the " +
       "same quantizer budget (the OPQ serving composition)") {
