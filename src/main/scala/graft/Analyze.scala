@@ -1035,22 +1035,33 @@ object Analyze {
         val ix = graft.operators.Similarity.loadIndex(spark, args.target)
         val annIdc = if (args.idCol == "doc_id") "vec_id" else args.idCol
         val annQs = spark.read.parquet(args.vectors)
+        // the index's BASIS and CODEC identities apply here exactly as
+        // in serveTopK: queries rotate into the index basis and
+        // residual stores decode through the cell-dependent ADC — the
+        // CLI must never be the raw-serve backdoor the library closed
+        val annQb = graft.operators.Similarity.rotateQueries(ix, annQs,
+          annIdc, args.vecCol)
+        def annShortlist(k0: Int) =
+          if (ix.residual)
+            graft.operators.Similarity.ivfPqResidualTopK(annQb,
+              ix.centroids, ix.codebooks, ix.assignedEncoded,
+              args.vecCol, annIdc, ix.m, ix.k, k0, args.probes)
+          else graft.operators.Similarity.ivfPqTopK(annQb,
+            ix.centroids, ix.codebooks, ix.assignedEncoded,
+            args.vecCol, annIdc, ix.m, ix.k, k0, args.probes)
         if (args.rerank > 0) {
           // two-stage serving: C-deep ADC shortlist from the stored
           // codes, then exact-cosine rerank over the fetched
-          // full-precision rows (the stored index has codes only)
+          // full-precision rows (the stored index has codes only;
+          // rerank runs entirely in the ORIGINAL space — raw queries
+          // against raw corpus — so no basis bridging is needed)
           require(args.corpus.nonEmpty,
             "annquery --rerank needs --corpus <full-precision vectors>")
           graft.operators.Similarity.rerankTopK(
-            graft.operators.Similarity.ivfPqTopK(annQs, ix.centroids,
-              ix.codebooks, ix.assignedEncoded, args.vecCol, annIdc,
-              ix.m, ix.k, args.rerank, args.probes),
+            annShortlist(args.rerank),
             annQs, spark.read.parquet(args.corpus), args.vecCol, annIdc,
             args.topK)
-        } else graft.operators.Similarity.ivfPqTopK(
-          annQs, ix.centroids, ix.codebooks,
-          ix.assignedEncoded, args.vecCol, annIdc,
-          ix.m, ix.k, args.topK, args.probes)
+        } else annShortlist(args.topK)
       case "semdedup" =>
         require(args.vectors.nonEmpty, "semdedup needs --vectors <dir>")
         // id default flips to vec_id for the vector table; an explicit

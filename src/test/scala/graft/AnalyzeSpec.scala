@@ -1065,6 +1065,50 @@ class AnalyzeSpec extends SparkSpec {
         spark))
   }
 
+  test("annquery honors the basis and codec identities: a rotated " +
+      "index and a residual index serve via the CLI exactly like " +
+      "serveTopK — never the raw backdoor") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-analyze-annid").toString
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    e.filter(col("vec_id") < 4).write.parquet(s"$dir/q")
+    def served(ix: String): Set[(Long, Long, Int)] =
+      Analyze.run(parse(List("annquery",
+        "--vectors", s"$dir/q", "--target", ix,
+        "--top-k", "5", "--probes", "3")), spark)
+        .select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lib(ix: String): Set[(Long, Long, Int)] =
+      Similarity.serveTopK(spark, ix, e.filter(col("vec_id") < 4),
+          "embedding", "vec_id", topK = 5, nProbe = 3)
+        .select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // rotated store
+    val stages = Similarity.givensCascadeFit(e, "embedding",
+      Seq(32, 16, 8, 4, 2, 1))
+    val rot = Similarity.givensCascadeRotate(e, "vec_id", "embedding",
+      stages).localCheckpoint()
+    val (cR, aR) = Similarity.ivfIndex(rot, "embedding", "vec_id", 8)
+    val cbR = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+      m = 8, k = 8)
+    val eR = Similarity.pqEncode(rot, "embedding", "vec_id", cbR, m = 8)
+    Similarity.saveIndex(s"$dir/ixrot", cR, cbR,
+      aR.select(col("centroid_id"), col("vec_id"))
+        .join(eR, Seq("vec_id")), m = 8, k = 8, rotation = stages)
+    assert(served(s"$dir/ixrot") == lib(s"$dir/ixrot"))
+    // residual store
+    val (cS, aS) = Similarity.ivfIndex(e, "embedding", "vec_id", 8)
+    val cbS = Similarity.pqCodebooksResidual(e, "embedding", "vec_id",
+      aS, cS, m = 8, k = 8)
+    val eS = Similarity.pqEncodeResidual(e, "embedding", "vec_id",
+      aS, cS, cbS, m = 8)
+    Similarity.saveIndex(s"$dir/ixres", cS, cbS,
+      aS.select(col("centroid_id"), col("vec_id"))
+        .join(eS, Seq("vec_id")), m = 8, k = 8, residual = true)
+    assert(served(s"$dir/ixres") == lib(s"$dir/ixres"))
+  }
+
   test("topolevels and imagededup run from argv") {
     val dir = Files.createTempDirectory("graft-analyze-tl").toString
     // chain with a cycle head: {0,1} collapse, then 2 -> 3
