@@ -1482,6 +1482,71 @@ class SimilaritySpec extends SparkSpec {
       "retrained residual index ≡ fresh residual full-corpus build")
   }
 
+  test("rotation and residual COMPOSE (the FAISS OPQ index proper): " +
+      "a rotated residual-encoded store serves raw queries through " +
+      "both identities — rotate first, then the cell-dependent ADC") {
+    val pts = mixedFixture(spreadScales)
+    val df = pts.toDF("vec_id", "embedding")
+    val stages = Similarity.givensCascadeFit(df, "embedding",
+      Seq(8, 4, 2, 1))
+    val rot = Similarity.givensCascadeRotate(df, "vec_id", "embedding",
+      stages).localCheckpoint()
+    val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+      "vec_id", 4)
+    val cb = Similarity.pqCodebooksResidual(rot, "embedding",
+      "vec_id", assigned, cents, m = 4, k = 8)
+    val enc = Similarity.pqEncodeResidual(rot, "embedding", "vec_id",
+      assigned, cents, cb, m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_opq_ix").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 4, k = 8,
+      rotation = stages, residual = true)
+    val ix = Similarity.loadIndex(spark, dir)
+    assert(ix.rotation.nonEmpty && ix.residual)
+    def rows(d2: org.apache.spark.sql.DataFrame) =
+      d2.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val inline = rows(Similarity.ivfPqResidualTopK(
+      rot.filter(col("vec_id") < 4), cents, cb, ae, "embedding",
+      "vec_id", m = 4, k = 8, topK = 5, nProbe = 2))
+    assert(rows(Similarity.serveTopK(spark, dir,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2)) == inline,
+      "raw queries must serve through rotation THEN residual ADC")
+    // updateIndex composes too: a raw delta rotates, then encodes
+    // residually against the frozen quantizers
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_opq_upd").toString + "/ix"
+    val baseRot = rot.filter(col("vec_id") < 150)
+    val (c2, a2) = Similarity.ivfIndex(baseRot, "embedding", "vec_id", 4)
+    val cb2 = Similarity.pqCodebooksResidual(baseRot, "embedding",
+      "vec_id", a2, c2, m = 4, k = 8)
+    val e2 = Similarity.pqEncodeResidual(baseRot, "embedding",
+      "vec_id", a2, c2, cb2, m = 4)
+    Similarity.saveIndex(dir2, c2, cb2,
+      a2.select(col("centroid_id"), col("vec_id"))
+        .join(e2, Seq("vec_id")), m = 4, k = 8,
+      rotation = stages, residual = true)
+    Similarity.updateIndex(spark, dir2,
+        df.filter(col("vec_id") >= 150), "embedding", "vec_id")
+      .write.format("noop").mode("overwrite").save()
+    val aAll = Similarity.assignToCentroids(rot, "embedding",
+      "vec_id", c2)
+    val eAll = Similarity.pqEncodeResidual(rot, "embedding", "vec_id",
+      aAll.select(col("vec_id"), col("centroid_id")), c2, cb2, m = 4)
+    assert(rows(Similarity.serveTopK(spark, dir2,
+      df.filter(col("vec_id") < 4), "embedding", "vec_id",
+      topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqResidualTopK(rot.filter(col("vec_id") < 4),
+        c2, cb2, aAll.select(col("centroid_id"), col("vec_id"))
+          .join(eAll, Seq("vec_id")), "embedding", "vec_id",
+        m = 4, k = 8, topK = 5, nProbe = 2)),
+      "composed raw-delta absorb ≡ one-pass rotated residual rebuild")
+  }
+
   test("rotations wired through the FULL ivfPqTopK serving path: the " +
       "rotated index serves better recall than the raw one at the " +
       "same quantizer budget (the OPQ serving composition)") {
