@@ -2150,12 +2150,14 @@ object StreamingIngest {
     * the retrieval lifecycle's streaming story (the ingest side is
     * [[streamingAnnCdc]]): query vectors arrive as a stream, and each
     * trigger serves its batch through ONE
-    * [[graft.operators.Similarity.ivfPqTopK]] pass against the index
-    * AS OF THE TRIGGER — [[graft.operators.Similarity.loadIndex]]
-    * re-reads the layout every batch, so results track maintenance
-    * (updates, deletes via the tombstone anti-join, compaction,
-    * retrains) with snapshot semantics: a trigger's results equal the
-    * batch query against the index state it loaded, bit for bit.
+    * [[graft.operators.Similarity.serveTopK]] pass against the index
+    * AS OF THE TRIGGER — loadIndex re-reads the layout every batch
+    * and the shared serving body honors the store's BASIS and CODEC
+    * identities (rotation record, residual encoding), so results
+    * track maintenance (updates, deletes via the tombstone anti-join,
+    * compaction, retrains, rotated/residual eras) with snapshot
+    * semantics: a trigger's results equal the batch query against the
+    * index state it loaded, bit for bit.
     *
     * Results land batchId-keyed (`outDir/batch=<id>`, idempotent
     * overwrite), so a redelivered batch rewrites its own directory —
