@@ -1161,6 +1161,60 @@ object Dedup {
           coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** A persisted MinHash signature index WITH its derivation
+    * identity: the signatures plus the (numHashes, shingleSize, seed,
+    * portable) tuple they were derived under. The identity matters
+    * because it is INVISIBLE in the frame — two indexes with
+    * identical schemas but different seeds or shingle sizes produce
+    * disjoint band keys, so a mismatched daily batch would generate
+    * garbage candidates and SILENTLY MISS duplicates (no error, no
+    * empty result — just quietly degraded dedup). Same poisoning
+    * class as the layout `_meta` and ANN rotation/codec records. */
+  final case class SigIndex(sigs: DataFrame, numHashes: Int,
+      shingleSize: Int, seed: Long, portable: Boolean)
+
+  /** Persist / load a [[SigIndex]] (`sigs/`, `meta/`) — the
+    * identity-beside-the-data discipline of the sibling stores.
+    * [[loadSigIndex]] cross-checks the meta against the frame (a
+    * hand-swapped sigs directory fails fast). */
+  def saveSigIndex(ix: SigIndex, dir: String): Unit = {
+    val s = ix.sigs.localCheckpoint()
+    val spark = s.sparkSession
+    s.write.mode("overwrite").parquet(s"$dir/sigs")
+    import spark.implicits._
+    Seq((ix.numHashes.toLong, ix.shingleSize.toLong, ix.seed,
+        ix.portable))
+      .toDF("num_hashes", "shingle_size", "seed", "portable")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadSigIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SigIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val n = meta.getAs[Long]("num_hashes").toInt
+    val mh = sigs.columns.count(_.startsWith("mh_"))
+    require(mh == n,
+      s"loadSigIndex: meta declares $n hashes but $dir/sigs carries " +
+        s"$mh mh_* columns — the store is internally inconsistent; " +
+        "rebuild via saveSigIndex")
+    SigIndex(sigs, n, meta.getAs[Long]("shingle_size").toInt,
+      meta.getAs[Long]("seed"), meta.getAs[Boolean]("portable"))
+  }
+
+  /** [[incrementalDedup]] off a persisted [[SigIndex]] — the batch's
+    * signatures derive under the STORE'S OWN identity (seed, shingle
+    * size, hash family), so the silent-miss window of hand-aligned
+    * arguments is closed: there are no arguments to misalign. */
+  def incrementalDedupFromIndex(ix: SigIndex, corpusDocs: DataFrame,
+      newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, bands: Int = 4,
+      maxBucketSize: Int = 1000,
+      ckpt: Checkpointer = Checkpointer.Local): DataFrame =
+    incrementalDedup(ix.sigs, corpusDocs, newDocs, textCol, idCol,
+      threshold, ix.numHashes, bands, ix.shingleSize, maxBucketSize,
+      ckpt, ix.portable, ix.seed)
+
   /** INCREMENTAL near-dedup — the daily-increment path: dedupe a NEW
     * batch against an already-indexed corpus without re-processing the
     * corpus. The corpus is touched only through (a) its precomputed
@@ -1197,17 +1251,21 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
       ckpt: Checkpointer = Checkpointer.Local,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, seed: Long = 42L): DataFrame = {
     val mhCols = corpusSigs.columns.filter(_.startsWith("mh_"))
     require(mhCols.length == numHashes,
       s"corpusSigs has ${mhCols.length} mh_* columns, expected $numHashes " +
         "— the stored index and this call must agree on numHashes")
     // portable: corpusSigs must be minhashSignaturesPortable output and
     // the batch side signs/bands the same way (md5-48 audit mode — the
-    // q_x2i oracle rebuilds the whole increment in SQL)
+    // q_x2i oracle rebuilds the whole increment in SQL). seed,
+    // shingleSize, and the portable/kernel choice are INVISIBLE in the
+    // sigs frame — only the caller can keep them aligned with the
+    // stored index, which is why [[incrementalDedupFromIndex]] exists
+    // (the identity rides the store and mismatch becomes impossible)
     val newSigs =
       if (portable) minhashSignaturesPortable(newDocs, textCol, idCol,
-        numHashes, shingleSize)
+        numHashes, shingleSize, seed)
       else minhashSignatures(newDocs, textCol, idCol, numHashes, shingleSize)
     def keysOf(sigs: DataFrame) =
       if (portable) bandedKeysPortable(sigs, idCol, bands)

@@ -365,6 +365,51 @@ class DedupSpec extends SparkSpec {
     assert(again(120L)._2 == "corpus")
   }
 
+  test("SigIndex: the persisted signature index carries its " +
+      "derivation identity, FromIndex closes the silent-miss window " +
+      "a hand-aligned seed leaves open, and a tampered store refuses") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (11L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    // a NON-default seed: exactly the knob a caller can silently lose
+    val ix = Dedup.SigIndex(
+      Dedup.minhashSignaturesPortable(corpus, "text", "doc_id",
+        numHashes = 16, shingleSize = 3, seed = 7L),
+      numHashes = 16, shingleSize = 3, seed = 7L, portable = true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sig_ix").toString + "/ix"
+    Dedup.saveSigIndex(ix, dir)
+    val loaded = Dedup.loadSigIndex(spark, dir)
+    assert(loaded.numHashes == 16 && loaded.shingleSize == 3 &&
+      loaded.seed == 7L && loaded.portable)
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy cat near the bank"),
+      (24L, "unrelated text mentioning distributed storage and logs"))
+      .toDF("doc_id", "text")
+    val viaStore = Dedup.incrementalDedupFromIndex(loaded, corpus,
+        batch, "text", "doc_id", threshold = 0.5, bands = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(viaStore(20L) == "corpus" && viaStore(24L) == "kept",
+      "the store-identity path finds the corpus dup")
+    // THE HAZARD the store closes: the same call hand-aligned with
+    // the DEFAULT seed signs the batch under a different hash family
+    // — same schema, no error, and the duplicate silently survives
+    val misaligned = Dedup.incrementalDedup(loaded.sigs, corpus,
+        batch, "text", "doc_id", threshold = 0.5, bands = 8,
+        portable = true /* seed left at its default 42 */)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(misaligned(20L) == "kept",
+      "the misaligned seed must demonstrably miss the duplicate — " +
+        "otherwise this spec is vacuous")
+    // a tampered store (sigs swapped for a different hash count)
+    // refuses at load instead of serving garbage candidates
+    Dedup.minhashSignaturesPortable(corpus, "text", "doc_id",
+        numHashes = 8, shingleSize = 3, seed = 7L)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    intercept[IllegalArgumentException](Dedup.loadSigIndex(spark, dir))
+  }
+
   test("incrementalDedup: numHashes mismatch with stored index fails fast") {
     val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val sigs8 = Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3)
