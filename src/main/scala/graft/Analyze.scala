@@ -274,6 +274,12 @@ import graft.operators.{Curation, GraphOps}
   *               [--target <removed dir (with embeddings)>]
   *               (maintain the exact PCA moment store — refit-ready
   *               without a corpus rescan)
+  *   incrdedup   --docs <corpus dir> --target <sig index dir>
+  *               [--delta <new batch dir>] [--threshold T]
+  *               [--shingle-size L] [--hash-seed S]
+  *               (daily-increment near-dedup off the persisted
+  *               signature index; the derivation identity rides the
+  *               store, so later batches cannot misalign)
   *   tokenbatch  --docs <dir> [--cols <lenCol>] [--budget B]
   *               [--buckets N] [--mode rows|waste]
   *               (fixed-compute batches under a token budget)

@@ -219,6 +219,48 @@ private[graft] object AnalyzeMore {
         "layoutrecover needs --docs <layout store dir> (the " +
           "writeLayout path whose _append_pending stage to resolve)")
       Some(graft.operators.Layout.recoverAppend(spark, args.docs))
+    case "incrdedup" =>
+      // daily-increment near-dedup off the persisted signature index:
+      // --docs <corpus docs dir>, --target <sig index dir> (built on
+      // first run, identity persisted beside the signatures), --delta
+      // <new batch dir> runs the increment (omitted = build/refresh
+      // only); --shingle-size L and --hash-seed S apply at BUILD time
+      // — afterwards the store's own identity governs every batch
+      require(args.docs.nonEmpty && args.target.nonEmpty,
+        "incrdedup needs --docs <corpus docs dir> and --target <sig " +
+          "index dir>; --delta <new batch dir> runs the increment; " +
+          "--threshold T (default 0.8), --shingle-size L, " +
+          "--hash-seed S (build-time only)")
+      val idCorpus = spark.read.parquet(args.docs)
+      val idMeta = new org.apache.hadoop.fs.Path(s"${args.target}/meta")
+      val idFs = idMeta
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sigIx =
+        if (idFs.exists(idMeta))
+          graft.operators.Dedup.loadSigIndex(spark, args.target)
+        else {
+          val built = graft.operators.Dedup.SigIndex(
+            graft.operators.Dedup.minhashSignaturesPortable(idCorpus,
+              args.textCol, args.idCol, numHashes = 16,
+              args.shingleSize, args.hashSeed),
+            numHashes = 16, shingleSize = args.shingleSize,
+            seed = args.hashSeed, portable = true)
+          graft.operators.Dedup.saveSigIndex(built, args.target)
+          built
+        }
+      Some(
+        if (args.delta.isEmpty) {
+          import spark.implicits._
+          Seq((sigIx.sigs.count(), sigIx.numHashes.toLong,
+              sigIx.shingleSize.toLong, sigIx.seed))
+            .toDF("n_signatures", "num_hashes", "shingle_size", "seed")
+        } else
+          // bands = 8 of the 16 hashes: the recall-leaning split (the
+          // q_x2q audit's highest-candidate config) — the increment's
+          // verify stage prunes false candidates exactly anyway
+          graft.operators.Dedup.incrementalDedupFromIndex(sigIx,
+            idCorpus, spark.read.parquet(args.delta), args.textCol,
+            args.idCol, args.thresholdOpt.getOrElse(0.8), bands = 8))
     case "momentsmaint" =>
       // exact PCA-moment maintenance (the wordmaint surface for the
       // rotation preprocessing): --vectors base corpus, --delta added

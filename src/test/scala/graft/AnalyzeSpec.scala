@@ -1109,6 +1109,31 @@ class AnalyzeSpec extends SparkSpec {
     assert(served(s"$dir/ixres") == lib(s"$dir/ixres"))
   }
 
+  test("incrdedup runs from argv: first call builds the identity-" +
+      "carrying index, later calls increment off the stored identity") {
+    val dir = Files.createTempDirectory("graft-analyze-id").toString
+    Seq((10L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (11L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Seq((20L, "the quick brown fox jumps over the lazy cat near the bank"),
+      (24L, "unrelated text mentioning distributed storage and logs"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    // build-only call (non-default seed — the identity that must ride)
+    val built = Analyze.run(parse(List("incrdedup",
+      "--docs", s"$dir/corpus", "--target", s"$dir/ix",
+      "--hash-seed", "7")), spark).head()
+    assert(built.getLong(0) == 2L && built.getLong(3) == 7L)
+    // increment: NO seed passed — the store's identity governs
+    val rep = Analyze.run(parse(List("incrdedup",
+      "--docs", s"$dir/corpus", "--target", s"$dir/ix",
+      "--delta", s"$dir/batch", "--threshold", "0.5")), spark)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rep(20L) == "corpus" && rep(24L) == "kept")
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("incrdedup", "--docs", s"$dir/corpus")),
+        spark))
+  }
+
   test("topolevels and imagededup run from argv") {
     val dir = Files.createTempDirectory("graft-analyze-tl").toString
     // chain with a cycle head: {0,1} collapse, then 2 -> 3
