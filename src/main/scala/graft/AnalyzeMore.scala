@@ -223,20 +223,27 @@ private[graft] object AnalyzeMore {
       // daily-increment near-dedup off the persisted signature index:
       // --docs <corpus docs dir>, --target <sig index dir> (built on
       // first run, identity persisted beside the signatures), --delta
-      // <new batch dir> runs the increment (omitted = build/refresh
-      // only); --shingle-size L and --hash-seed S apply at BUILD time
-      // — afterwards the store's own identity governs every batch
+      // <new batch dir> runs the increment; omitted --delta
+      // builds OR REFRESHES the store — an existing index re-signs
+      // the CURRENT --docs under its own stored identity and
+      // overwrites, so docs appended to the corpus after the first
+      // run can never silently miss signatures (the coverage half of
+      // the silent-miss class the SigIndex closes for identity);
+      // --shingle-size L and --hash-seed S apply at BUILD time only —
+      // afterwards the store's own identity governs every batch
       require(args.docs.nonEmpty && args.target.nonEmpty,
         "incrdedup needs --docs <corpus docs dir> and --target <sig " +
-          "index dir>; --delta <new batch dir> runs the increment; " +
+          "index dir>; --delta <new batch dir> runs the increment " +
+          "(omitted = build/refresh the store from --docs); " +
           "--threshold T (default 0.8), --shingle-size L, " +
           "--hash-seed S (build-time only)")
       val idCorpus = spark.read.parquet(args.docs)
       val idMeta = new org.apache.hadoop.fs.Path(s"${args.target}/meta")
       val idFs = idMeta
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idExists = idFs.exists(idMeta)
       val sigIx =
-        if (idFs.exists(idMeta))
+        if (idExists)
           graft.operators.Dedup.loadSigIndex(spark, args.target)
         else {
           val built = graft.operators.Dedup.SigIndex(
@@ -250,9 +257,28 @@ private[graft] object AnalyzeMore {
         }
       Some(
         if (args.delta.isEmpty) {
+          // refresh: an existing store re-signs the CURRENT corpus
+          // under its stored identity (seed/shingle/hash family ride
+          // the meta, not the argv) and overwrites — the first build
+          // above already covers the fresh-store case
+          val refreshed =
+            if (!idExists) sigIx
+            else {
+              val re = sigIx.copy(sigs =
+                if (sigIx.portable)
+                  graft.operators.Dedup.minhashSignaturesPortable(
+                    idCorpus, args.textCol, args.idCol, sigIx.numHashes,
+                    sigIx.shingleSize, sigIx.seed)
+                else
+                  graft.operators.Dedup.minhashSignatures(
+                    idCorpus, args.textCol, args.idCol, sigIx.numHashes,
+                    sigIx.shingleSize))
+              graft.operators.Dedup.saveSigIndex(re, args.target)
+              re
+            }
           import spark.implicits._
-          Seq((sigIx.sigs.count(), sigIx.numHashes.toLong,
-              sigIx.shingleSize.toLong, sigIx.seed))
+          Seq((refreshed.sigs.count(), refreshed.numHashes.toLong,
+              refreshed.shingleSize.toLong, refreshed.seed))
             .toDF("n_signatures", "num_hashes", "shingle_size", "seed")
         } else
           // bands = 8 of the 16 hashes: the recall-leaning split (the

@@ -306,12 +306,6 @@ object Dedup {
       threshold: Double, bandsList: Seq[Int], numHashes: Int = 16,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
       seed: Long = 42L): DataFrame = {
-    require(bandsList.nonEmpty && bandsList.distinct.size ==
-      bandsList.size, "bandsList must be non-empty and distinct")
-    bandsList.foreach(b => require(b >= 1 && numHashes % b == 0,
-      s"bands $b must divide numHashes $numHashes"))
-    require(threshold > 0.0 && threshold <= 1.0,
-      "threshold must be in (0, 1]")
     val sigs = minhashSignaturesPortable(df, textCol, idCol, numHashes,
       shingleSize, seed).localCheckpoint()
     bandingAuditFromSigs(sigs, df, textCol, idCol, threshold,
@@ -325,6 +319,17 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, bandsList: Seq[Int], numHashes: Int,
       shingleSize: Int, maxBucketSize: Int): DataFrame = {
+    // input validation lives HERE so every entry — bandingAudit and
+    // autoTunedNearDups — fails loudly with the same messages (an
+    // empty bandsList would otherwise die in reduce() with an opaque
+    // UnsupportedOperationException, and duplicate band counts would
+    // silently double audit rows)
+    require(bandsList.nonEmpty && bandsList.distinct.size ==
+      bandsList.size, "bandsList must be non-empty and distinct")
+    bandsList.foreach(b => require(b >= 1 && numHashes % b == 0,
+      s"bands $b must divide numHashes $numHashes"))
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
     val docs = df.select(col(idCol), col(textCol))
     bandsList.map { b =>
       val r = numHashes / b

@@ -588,6 +588,18 @@ object Layout {
     // ledger (durable pins — no reader sees them: underscore dir),
     // then the _COMMIT marker makes the publish decision durable
     val pending = s"$path/_append_pending"
+    // Stage ACQUISITION is the mutex, not the exists-check above (two
+    // concurrent appends can both pass an exists-then-write probe and
+    // interleave files into one stage, leaving a stats_merged that
+    // reflects only one delta): an atomic exclusive create of the
+    // stage marker — exactly one racer wins; the loser fails before
+    // writing anything. A crash right after acquisition leaves a
+    // markerless-of-_COMMIT stage that recoverAppend rolls back.
+    require(fs.createNewFile(
+      new org.apache.hadoop.fs.Path(s"$pending/_STAGE_LOCK")),
+      s"appendToLayout: another append just acquired the stage at " +
+        s"$pending (or an interrupted one holds it) — single-writer " +
+        s"discipline; run recoverAppend($path) if no writer is live")
     laidDelta.repartition(col("_bucket"))
       .write.partitionBy("_bucket").parquet(s"$pending/data")
     merged.write.parquet(s"$pending/stats_merged")
@@ -814,23 +826,30 @@ object Layout {
     // bloom column writeLayout records for `bloomCols`) — an equality
     // probe on a high-cardinality non-clustered id is the commonest
     // lakehouse read and min/max envelopes never help it; a negative
-    // probe is a PROOF of absence, so the skip stays lossless. The
-    // envelope rule additionally applies when the column is also a
-    // clustered stat column.
+    // probe is a PROOF of absence, so the skip stays lossless. A
+    // CLUSTERED stat column needs no sketch: its min/max envelope
+    // serves the equality losslessly (v outside [min, max] proves
+    // absence), so a point probe on it falls back to envelope-only
+    // pruning instead of being rejected. Only a column with NEITHER a
+    // bloom_<c> nor a min_<c>/max_<c> manifest column refuses.
+    points.foreach { case (c, _) =>
+      require(stats.columns.contains(s"bloom_$c") ||
+        stats.columns.contains(s"min_$c"),
+        s"prunedScan: the manifest has neither a membership sketch " +
+          s"nor a min/max envelope for column '$c' — name it in " +
+          "writeLayout's bloomCols (point lookups) or cols " +
+          "(clustering) to serve point predicates")
+    }
+    val sketchedPoints =
+      points.filter { case (c, _) => stats.columns.contains(s"bloom_$c") }
     val bloomHashes: Int =
-      if (points.isEmpty) 5
+      if (sketchedPoints.isEmpty) 5
       else {
         val metaPath = new org.apache.hadoop.fs.Path(s"$path/_meta")
         require(fs.exists(metaPath),
           s"prunedScan: point predicates need the store identity at " +
             s"$metaPath (writeLayout records the bloom geometry there)")
         val m = spark.read.parquet(metaPath.toString).head()
-        points.foreach { case (c, _) =>
-          require(stats.columns.contains(s"bloom_$c"),
-            s"prunedScan: the manifest has no membership sketch for " +
-              s"column '$c' — name it in writeLayout's bloomCols to " +
-              "serve point lookups")
-        }
         if (m.schema.fieldNames.contains("bloom_hashes"))
           m.getAs[Long]("bloom_hashes").toInt
         else 5
@@ -840,8 +859,10 @@ object Layout {
       else stats.withColumn("skipped", lit(0L))
     val verdicts = points.foldLeft(verdicts0) { case (d, (c, v)) =>
       val bloomMiss =
-        !graft.functions.GraftFunctions.bloom_might_contain(
-          col(s"bloom_$c"), lit(v), bloomHashes)
+        if (stats.columns.contains(s"bloom_$c"))
+          !graft.functions.GraftFunctions.bloom_might_contain(
+            col(s"bloom_$c"), lit(v), bloomHashes)
+        else lit(false)
       val envMiss =
         if (stats.columns.contains(s"min_$c"))
           col(s"max_$c") < lit(v) || col(s"min_$c") > lit(v)

@@ -876,6 +876,21 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.autoTunedNearDups(docs, "text", "doc_id", 0.2,
         Seq(2, 4, 8), candidateBudget = -1L))
+    // autoTunedNearDups shares bandingAudit's input validation (the
+    // r15 advice: the requires live in bandingAuditFromSigs so BOTH
+    // entries fail loudly, not in reduce() with an opaque error)
+    intercept[IllegalArgumentException](
+      Dedup.autoTunedNearDups(docs, "text", "doc_id", 0.2, Nil,
+        candidateBudget = 100L))
+    intercept[IllegalArgumentException](
+      Dedup.autoTunedNearDups(docs, "text", "doc_id", 0.2, Seq(4, 4),
+        candidateBudget = 100L))
+    intercept[IllegalArgumentException](
+      Dedup.autoTunedNearDups(docs, "text", "doc_id", 0.2, Seq(3),
+        candidateBudget = 100L))
+    intercept[IllegalArgumentException](
+      Dedup.autoTunedNearDups(docs, "text", "doc_id", 1.5, Seq(2, 4),
+        candidateBudget = 100L))
   }
 
   test("duplicatedSpans: equals the brute-force reference on a seeded " +

@@ -629,10 +629,23 @@ class LayoutSpec extends SparkSpec {
     assert(maybeAfter == 0,
       s"erased key must probe negative after the recount, got " +
         s"$maybeAfter maybe-buckets")
-    // guards: a point predicate needs a sketched column; at least one
-    // predicate is required; un-sketched stores refuse points
-    intercept[IllegalArgumentException](
-      Layout.prunedScan(spark, path, Nil, points = Seq(("x", 3L))))
+    // a point probe on a CLUSTERED stat column needs no sketch: its
+    // min/max envelope serves the equality losslessly (the r15-advice
+    // fallback) — rows equal the full filter, and the envelope still
+    // prunes the open set
+    val envPoint = Layout.prunedScan(spark, path, Nil,
+        points = Seq(("x", 3L)))
+    val envIds = envPoint.select("id").collect().map(_.getLong(0)).toSet
+    assert(envIds ==
+      ((0L until 256L).filter(_ % 16L == 3L).toSet + 1000L),
+      "envelope-only point probe must equal the full filter")
+    val envOpened = envPoint.inputFiles
+      .map(_.split("/_bucket=")(1).split("/")(0)).distinct
+    assert(envOpened.length < 16,
+      s"the x envelope must prune some of the 16 buckets, opened " +
+        s"${envOpened.length}")
+    // guards: at least one predicate is required; a column with
+    // NEITHER a sketch nor an envelope refuses
     intercept[IllegalArgumentException](
       Layout.prunedScan(spark, path, Nil))
     val plain = root + "/plain"
