@@ -562,6 +562,103 @@ private[graft] object EntryData {
       ixDir
     })
 
+  /** q_x3wz's OPQ index PROPER (memoized per dataset, like
+    * [[x3jIndexDir]]): ROTATION ∘ RESIDUAL — the q_x3w Givens cascade
+    * rotates the corpus, the q_x3m residual recipe trains on the
+    * ROTATED vectors (coarse cells, residual codebooks, residual
+    * codes all live in the rotated basis), and [[Similarity.saveIndex]]
+    * persists BOTH identities: the rotation record AND the
+    * `pq_residual` encoding flag. Serving must compose them —
+    * rotate raw queries into the index basis, then dispatch to the
+    * cell-dependent ADC; dropping either half returns silently wrong
+    * neighbors, which is exactly what the composed oracle catches. */
+  def x3wzOpqResidualIndexDir(s: SparkSession, dir: String): String =
+    annIndexDirs.computeIfAbsent(dir + "#x3wz_opq", _ => {
+      val e = t(s, dir, "embeddings")
+      val stages = Similarity.givensCascadeFit(e, "embedding",
+        Seq(32, 16, 8, 4, 2, 1))
+      val rot = Similarity.givensCascadeRotate(e, "vec_id",
+        "embedding", stages).localCheckpoint()
+      val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooksResidual(rot, "embedding",
+        "vec_id", assigned, cents, m = 8, k = 16)
+      val enc = Similarity.pqEncodeResidual(rot, "embedding", "vec_id",
+        assigned, cents, cb, m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val ixDir = annScratchRoot + "/opqindex_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16,
+        rotation = stages, residual = true)
+      ixDir
+    })
+
+  /** q_x3xm's MATRIX-basis persisted index (memoized per dataset,
+    * like [[x3jIndexDir]]): the `rotation_kind = "matrix"` serving
+    * path driver-gated with a PORTABLE matrix — the Givens cascade
+    * composed into its explicit d×d orthogonal form
+    * ([[Similarity.composeGivensMatrix]]) plus the exact-moment means
+    * (s_i / n / 1e6, [[Similarity.pcaFit]]'s own arithmetic), so the
+    * whole pcaRotate recipe — centering, d² weights, per-component
+    * projection sums, float reassembly — replays in the oracle. The
+    * corpus rotates through [[Similarity.pcaRotate]], quantizers
+    * train on the rotated vectors, and [[Similarity.saveIndex]]
+    * persists the d²-cell `rotation_matrix` record; serving rides
+    * loadIndex's matrix reconstruction + rotateQueries' pcaRotate
+    * dispatch. */
+  def x3xmMatrixIndexDir(s: SparkSession, dir: String): String =
+    annIndexDirs.computeIfAbsent(dir + "#x3xm_mat", _ => {
+      val e = t(s, dir, "embeddings")
+      val moments = Similarity.pcaMoments(e, "embedding")
+        .localCheckpoint()
+      val stages = Similarity.givensCascadeFitFromMoments(moments,
+        Seq(32, 16, 8, 4, 2, 1))
+      val d = 64
+      val mat = Similarity.composeGivensMatrix(stages, d)
+      val diag = moments.filter(col("i") === col("j"))
+        .select("i", "n", "s_i").collect()
+      val n = diag.head.getAs[Long]("n").toDouble
+      val means = new Array[Double](d)
+      diag.foreach(r =>
+        means(r.getAs[Long]("i").toInt) = r.getAs[Long]("s_i") / n / 1e6)
+      val model = Similarity.PcaModel(means, mat, new Array[Double](d))
+      val rot = Similarity.pcaRotate(e, "vec_id", "embedding", model)
+        .localCheckpoint()
+      val (cents, assigned) = Similarity.ivfIndex(rot, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(rot, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(rot, "embedding", "vec_id", cb,
+        m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val ixDir = annScratchRoot + "/matindex_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16,
+        rotationMatrix = Some(model))
+      ixDir
+    })
+
+  /** q_x2t's persisted MinHash signature index (memoized per dataset,
+    * like [[x3jIndexDir]]): q_x2i's portable corpus signatures saved
+    * WITH their derivation identity ((numHashes, shingleSize, seed,
+    * portable) ride the store, [[Dedup.saveSigIndex]]) — repeat
+    * invocations cold-load and run the increment, the daily-ingest
+    * serving shape. */
+  def x2tSigIndexDir(s: SparkSession, dir: String): String =
+    annIndexDirs.computeIfAbsent(dir + "#x2t_sig", _ => {
+      val corpus = t(s, dir, "documents").filter(col("doc_id") < 400)
+      val ix = Dedup.SigIndex(
+        Dedup.minhashSignaturesPortable(corpus, "text", "doc_id",
+          numHashes = 16, shingleSize = 3),
+        numHashes = 16, shingleSize = 3, seed = 42L, portable = true)
+      val ixDir = annScratchRoot + "/sigindex_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Dedup.saveSigIndex(ix, ixDir)
+      ixDir
+    })
+
   /** q_x3x's ROTATED persisted index (memoized per dataset, like
     * [[x3jIndexDir]]): the q_x3w OPQ recipe — Givens-cascade fit,
     * corpus rotated, IVF-PQ trained on the rotated vectors — but

@@ -838,8 +838,14 @@ private[graft] object OracleCtes {
     * ((x−c) − w, w = y−b prebuilt in double); the query-side table is
     * keyed by (query_id, centroid_id) — residual ADC's cell
     * dependence — and terms join on the cell. Ends at
-    * `rsc(query_id, vec_id, adist)`. */
-  def ivfPqResidualSuffixCtes: String =
+    * `rsc(query_id, vec_id, adist)`. `corpus` names the relation the
+    * ENCODING pass runs over — `rotc` for the OPQ (rotated) index
+    * replays, whose quantizers and codes all live in the rotated
+    * basis. */
+  def ivfPqResidualSuffixCtes: String = ivfPqResidualSuffixCtesFrom()
+
+  def ivfPqResidualSuffixCtesFrom(
+      corpus: String = "embeddings"): String =
     s""",
         |cbr AS MATERIALIZED (
         |  SELECT subs.sub, cb0.code,
@@ -864,7 +870,7 @@ private[graft] object OracleCtes {
         |           cbr.sub * 8 + 1, cbr.sub * 8 + 8)) a,
         |         unnest(cbr.sv) y,
         |         unnest(cbr.scv) b)) AS d
-        |  FROM embeddings e
+        |  FROM $corpus e
         |  JOIN cell ece ON ece.vec_id = e.vec_id
         |  JOIN cent ecv ON ecv.centroid_id = ece.centroid_id
         |  CROSS JOIN cbr),

@@ -68,6 +68,26 @@ private[graft] object QueriesDedup {
         .orderBy("doc_id")
     }),
 
+    // ---- X2t: the PERSISTED SigIndex round-trip — q_x2i's increment
+    // served off the saved store (the q_x3j shared-oracle discipline):
+    // the corpus signatures build ONCE per (process, dataset) and
+    // persist via saveSigIndex WITH their derivation identity; every
+    // invocation cold-loads the store (loadSigIndex's meta/frame
+    // cross-check) and runs incrementalDedupFromIndex, whose
+    // signature arguments come from the STORE, not the call site — no
+    // identity can misalign because none is passed. SHARES q_x2i's
+    // oracle verbatim: the stored-index path must reproduce the
+    // in-memory increment row for row. ----
+    "q_x2t_sigindex_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400 && col("doc_id") < 800)
+      val ix = Dedup.loadSigIndex(s, x2tSigIndexDir(s, dir))
+      Dedup.incrementalDedupFromIndex(ix, corpus, batch, "text",
+          "doc_id", threshold = 0.2, bands = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- X2b: exact n-gram Jaccard on explicit pairs ----
     "q_x2b_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -699,7 +719,16 @@ private[graft] object QueriesDedup {
     // ≥ 0.2 verify, a 6-round CC unroll over the verified pairs
     // (component diameter is 2 at sf0.01), and the corpus-first keeper
     // election per component.
-    "q_x2i_incremental_dedup" -> {
+    "q_x2i_incremental_dedup" -> x2iIncrementOracle,
+
+    // The persisted-store increment answers to the SAME replay: the
+    // SigIndex round-trips parquet bit-exactly and its meta carries
+    // exactly the (numHashes, shingleSize, seed, portable) the
+    // in-memory path passed by hand.
+    "q_x2t_sigindex_roundtrip" -> x2iIncrementOracle,
+  ) ++ oraclesRest
+
+  private lazy val x2iIncrementOracle: String = {
       val lead =
         """allx AS (
           |  SELECT doc_id, text FROM documents WHERE doc_id < 800
@@ -766,8 +795,9 @@ private[graft] object QueriesDedup {
          |      WHERE doc_id >= 400 AND doc_id < 800) d
          |LEFT JOIN clustered c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
-    },
+  }
 
+  private def oraclesRest: Map[String, String] = Map(
     // The whole dedup pipeline, stage by stage: exact keepers (window
     // min per text), portable LSH + exact-Jaccard ≥ 0.8 pairs among the
     // exact representatives, connected components as a 6-round min-label

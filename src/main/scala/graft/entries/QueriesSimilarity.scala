@@ -469,6 +469,28 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3wz: the FAISS OPQ index PROPER — rotation ∘ residual in
+    // ONE persisted lifecycle: the q_x3w Givens cascade rotates the
+    // corpus, the q_x3m residual recipe trains on the ROTATED
+    // vectors, saveIndex persists the cascade AND the `pq_residual`
+    // codec flag, and serveTopK serves RAW corpus queries cold —
+    // loadIndex refuses a flagged index without its record, the
+    // queries rotate into the index basis, the codes decode through
+    // the cell-dependent ADC. The oracle composes q_x3w's rotation
+    // CTEs with q_x3m's residual replay OVER THE ROTATED CORPUS; a
+    // dropped rotation, a wrong-codec dispatch, or an un-rotated
+    // residual table each hash-mismatch. ----
+    "q_x3wz_opq_residual_lifecycle" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.serveTopK(s, x3wzOpqResidualIndexDir(s, dir),
+          e.filter(col("vec_id") < 8), "embedding", "vec_id",
+          topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3x: the ROTATED index LIFECYCLE — q_x3w's OPQ recipe
     // persisted (saveIndex WITH the rotation record) and served cold
     // through loadIndex + rotateQueries + ivfPqTopK (serveTopK — the
@@ -480,6 +502,29 @@ private[graft] object QueriesSimilarity {
     "q_x3x_rotated_lifecycle" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.serveTopK(s, x3xRotatedIndexDir(s, dir),
+          e.filter(col("vec_id") < 8), "embedding", "vec_id",
+          topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3xm: the MATRIX-basis index LIFECYCLE — q_x3x's twin for
+    // rotation_kind = "matrix": the cascade composed into its
+    // explicit d×d orthogonal matrix (composeGivensMatrix — portable
+    // weights; the power-iteration pcaFit model stays spec-proven) +
+    // exact-moment means, corpus rotated through pcaRotate, IVF-PQ
+    // trained on the rotated vectors, saveIndex persisting the
+    // d²-cell rotation_matrix record. Serving is RAW queries through
+    // serveTopK: loadIndex rebuilds the PcaModel from the record
+    // (refusing a flagged index without it) and rotateQueries
+    // dispatches to pcaRotate — centering + projection + float
+    // reassembly all replayed by the oracle; a dropped record,
+    // mis-rebuilt matrix, or skipped centering hash-mismatches. ----
+    "q_x3xm_matrix_lifecycle" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.serveTopK(s, x3xmMatrixIndexDir(s, dir),
           e.filter(col("vec_id") < 8), "embedding", "vec_id",
           topK = 5, nProbe = 8)
         .select(col("query_id"), col("vec_id"),
@@ -665,6 +710,122 @@ private[graft] object QueriesSimilarity {
     sb.toString
   }
 
+  /** Generated MATRIX-basis rotation CTE chain ending at
+    * `rotc(vec_id, embedding)` — the replay of
+    * [[graft.operators.Similarity.composeGivensMatrix]] +
+    * [[graft.operators.Similarity.pcaRotate]]: the cascade's angles
+    * and covariance updates verbatim from [[givensCascadeCtes]]'
+    * scheme (minus the per-vector stage rotations — the matrix path
+    * never applies them), then the stage-by-stage matrix composition
+    * (m0 = identity; m_{t+1} the SAME two-term update, indexed by
+    * matrix row), the moment means (s / n / 1e6 — pcaFit's own
+    * association), and the projection y_c = Σᵢ (xᵢ − mᵢ)·w_ci as an
+    * ORDERED d-term addition chain (list(term ORDER BY i) then
+    * explicit left-to-right sums — Spark's hash aggregate accumulates
+    * the posexplode stream ascending-i with the same left fold), cast
+    * to float at reassembly exactly as the engine does. */
+  private def matrixCascadeCtes(d: Int, offsets: Seq[Int],
+      rel: String = "embeddings"): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""rv6 AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(x * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+         |  FROM $rel),
+         |rex AS (
+         |  SELECT vec_id, i - 1 AS i, v[i] AS x
+         |  FROM rv6, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
+         |rsums AS (SELECT i, sum(x) AS s, count(*) AS n FROM rex
+         |          GROUP BY i),
+         |rpr AS (
+         |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+         |  FROM rex a JOIN rex b
+         |    ON b.vec_id = a.vec_id AND b.i >= a.i
+         |  GROUP BY 1, 2),
+         |rcv AS (
+         |  SELECT rpr.i, rpr.j,
+         |    (CAST(rpr.sp AS DOUBLE) - CAST(si.s AS DOUBLE) * sj.s / si.n)
+         |      / si.n / CAST(1e12 AS DOUBLE) AS v
+         |  FROM rpr JOIN rsums si ON si.i = rpr.i
+         |    JOIN rsums sj ON sj.i = rpr.j),
+         |rc0 AS MATERIALIZED (
+         |  SELECT i, j, v FROM rcv
+         |  UNION ALL SELECT j, i, v FROM rcv WHERE i <> j),
+         |rx0 AS MATERIALIZED (
+         |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS v
+         |  FROM (SELECT vec_id, embedding AS arr FROM $rel),
+         |    LATERAL (SELECT unnest(arr) AS x,
+         |             generate_subscripts(arr, 1) AS i) u),
+         |m0 AS (
+         |  SELECT a.i AS i, b.i AS j,
+         |    CASE WHEN a.i = b.i THEN CAST(1 AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END AS v
+         |  FROM range($d) a(i), range($d) b(i))""".stripMargin)
+    offsets.zipWithIndex.foreach { case (o, t) =>
+      sb.append(s""",
+         |rag$t AS (
+         |  SELECT p, q, 1 / sqrt(1 + t * t) AS c,
+         |    t * (1 / sqrt(1 + t * t)) AS s
+         |  FROM (
+         |    SELECT p, q,
+         |      CASE WHEN apq = 0 THEN CAST(0 AS DOUBLE)
+         |        WHEN tau >= 0 THEN 1 / (tau + sqrt(1 + tau * tau))
+         |        ELSE -1 / (-tau + sqrt(1 + tau * tau)) END AS t
+         |    FROM (
+         |      SELECT g.p, g.q, cpq.v AS apq,
+         |        CASE WHEN cpq.v = 0 THEN CAST(0 AS DOUBLE)
+         |          ELSE (cqq.v - cpp.v) / (2 * cpq.v) END AS tau
+         |      FROM (SELECT CAST(r.i AS BIGINT) AS p,
+         |              CAST(r.i + $o AS BIGINT) AS q
+         |            FROM range($d) r(i) WHERE (r.i // $o) % 2 = 0) g
+         |      JOIN rc$t cpp ON cpp.i = g.p AND cpp.j = g.p
+         |      JOIN rc$t cqq ON cqq.i = g.q AND cqq.j = g.q
+         |      JOIN rc$t cpq ON cpq.i = g.p AND cpq.j = g.q))),
+         |ram$t AS MATERIALIZED (
+         |  SELECT p AS i, p AS lo, q AS mate, c, s FROM rag$t
+         |  UNION ALL SELECT q, p, p, c, s FROM rag$t),
+         |m${t + 1} AS MATERIALIZED (
+         |  SELECT x.i, x.j,
+         |    CASE WHEN a.i = a.lo THEN a.c * x.v - a.s * xm.v
+         |      ELSE a.s * xm.v + a.c * x.v END AS v
+         |  FROM m$t x
+         |  JOIN ram$t a ON a.i = x.i
+         |  JOIN m$t xm ON xm.i = a.mate AND xm.j = x.j)""".stripMargin)
+      if (t != offsets.size - 1) sb.append(s""",
+         |rt$t AS MATERIALIZED (
+         |  SELECT m.i, m.j,
+         |    CASE WHEN a.i = a.lo THEN a.c * m.v - a.s * mm.v
+         |      ELSE a.s * mm.v + a.c * m.v END AS v
+         |  FROM rc$t m
+         |  JOIN ram$t a ON a.i = m.i
+         |  JOIN rc$t mm ON mm.i = a.mate AND mm.j = m.j),
+         |rc${t + 1} AS MATERIALIZED (
+         |  SELECT m.i, m.j,
+         |    CASE WHEN a.i = a.lo THEN a.c * m.v - a.s * mm.v
+         |      ELSE a.s * mm.v + a.c * m.v END AS v
+         |  FROM rt$t m
+         |  JOIN ram$t a ON a.i = m.j
+         |  JOIN rt$t mm ON mm.i = m.i AND mm.j = a.mate)""".stripMargin)
+    }
+    val chain = (1 to d).map(i => s"ds[$i]").mkString(" + ")
+    sb.append(s""",
+       |pmean AS (SELECT i, CAST(s AS DOUBLE) / n / 1e6 AS m
+       |          FROM rsums),
+       |pterm AS (
+       |  SELECT x.vec_id, mm.i AS comp,
+       |    list((x.v - mn.m) * mm.v ORDER BY x.i) AS ds
+       |  FROM rx0 x
+       |  JOIN m${offsets.size} mm ON mm.j = x.i
+       |  JOIN pmean mn ON mn.i = x.i
+       |  GROUP BY x.vec_id, mm.i),
+       |rotc AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(list(y ORDER BY comp),
+       |    y -> CAST(y AS FLOAT)) AS embedding
+       |  FROM (SELECT vec_id, comp, $chain AS y FROM pterm)
+       |  GROUP BY vec_id)""".stripMargin)
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
     // The full rotated-serving replay: cascade CTEs produce the
     // rotated corpus `rotc`, then the proven IVF-PQ chain runs over
@@ -679,6 +840,33 @@ private[graft] object QueriesSimilarity {
     // so the oracle IS q_x3w's.
     "q_x3x_rotated_lifecycle" -> ivfPqOracleSqlFrom("", "rotc",
       givensCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1)) + ","),
+
+    // The OPQ composition: q_x3w's cascade CTEs rotate the corpus to
+    // `rotc`, then q_x3m's residual replay runs ENTIRELY over the
+    // rotated vectors — coarse cells, residual codebooks, cell-
+    // dependent query tables, the ordered 8-term ADC chain. Queries
+    // come from `rotc` exactly as serveTopK's rotateQueries produces
+    // them (same per-element cascade arithmetic, bit-equal).
+    "q_x3wz_opq_residual_lifecycle" ->
+      (ivfCoarseCtesFrom("", "rotc",
+        givensCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1)) + ",") +
+        ivfPqResidualSuffixCtesFrom("rotc") +
+        """
+          |SELECT query_id, vec_id,
+          |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+          |    AS adist_e4,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |  ORDER BY adist, vec_id) AS rank FROM rsc)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // The matrix-basis replay: cascade angles + covariance updates,
+    // the stage-by-stage matrix composition, moment means, and the
+    // pcaRotate projection (ordered 64-term chains, float cast at
+    // reassembly) produce `rotc`; the proven IVF-PQ chain runs over
+    // it verbatim.
+    "q_x3xm_matrix_lifecycle" -> ivfPqOracleSqlFrom("", "rotc",
+      matrixCascadeCtes(64, Seq(32, 16, 8, 4, 2, 1)) + ","),
 
     // The maintenance→refit→serving chain over the EFFECTIVE corpus:
     // the cascade CTEs run from `eff` (maintained moments ≡ one-shot

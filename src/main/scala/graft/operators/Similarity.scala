@@ -1729,6 +1729,47 @@ object Similarity {
     }
   }
 
+  /** Compose a fitted [[GivensStage]] cascade into its explicit d×d
+    * orthogonal matrix (row c = output component c) — the OPQ-P "P"
+    * in matrix form: M = G_S · … · G_1, accumulated stage by stage
+    * with the SAME two-term per-element expressions
+    * [[givensCascadeRotate]] applies to vectors, so every cell is a
+    * fixed-association double chain of the closed-form angles and the
+    * whole composition is oracle-replayable. Feeding the result to
+    * [[pcaRotate]] / [[saveIndex]]'s `rotationMatrix` gives the
+    * MATRIX-basis serving path portable weights (the power-iteration
+    * [[pcaFit]] model is spec-proven but not ANSI-replayable). Note:
+    * composed-then-applied differs from stage-by-stage application by
+    * association ulps — the two bases agree up to rounding, not bit
+    * for bit; an index lives in exactly ONE of them
+    * ([[saveIndex]]'s one-basis rule). */
+  def composeGivensMatrix(stages: Seq[GivensStage],
+      d: Int): Array[Array[Double]] = {
+    require(stages.nonEmpty, "need at least one fitted stage")
+    require(stages.forall(_.cos.length == d),
+      s"every stage must carry $d per-dimension angles")
+    var mat = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    stages.foreach { st =>
+      val next = Array.ofDim[Double](d, d)
+      var i = 0
+      while (i < d) {
+        val c = st.cos(i); val s = st.sin(i)
+        val lo = (i / st.offset) % 2 == 0
+        val mate = if (lo) i + st.offset else i - st.offset
+        var j = 0
+        while (j < d) {
+          next(i)(j) =
+            if (lo) c * mat(i)(j) - s * mat(mate)(j)
+            else s * mat(mate)(j) + c * mat(i)(j)
+          j += 1
+        }
+        i += 1
+      }
+      mat = next
+    }
+    mat
+  }
+
   /** Apply a fitted [[givensCascadeFit]] cascade to an embedding
     * column: per stage, y_p = c·x_p − s·x_q and y_q = s·x_p + c·x_q
     * over the disjoint butterfly pairs — one stateless projection per

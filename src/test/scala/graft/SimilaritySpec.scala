@@ -1408,6 +1408,47 @@ class SimilaritySpec extends SparkSpec {
         rotationMatrix = Some(model)))
   }
 
+  test("composeGivensMatrix: the explicit P is orthogonal, agrees " +
+      "with stage-by-stage cascade application up to association " +
+      "ulps, and guards refuse empty/mismatched stages") {
+    val df = mixedFixture(spreadScales).toDF("vec_id", "embedding")
+    val stages = Similarity.givensCascadeFit(df, "embedding",
+      Seq(8, 4, 2, 1))
+    val d = 16
+    val m = Similarity.composeGivensMatrix(stages, d)
+    // orthogonality: M·Mᵀ = I (each G is orthogonal, products stay so)
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => m(i)(k) * m(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-12,
+        s"M·Mᵀ[$i][$j] = $dot, expected $expect")
+    }
+    // agreement: applying the composed matrix (pcaRotate, zero means)
+    // matches the stage-by-stage cascade to association-ulp tolerance
+    // — same rotation, different float-level basis (the one-basis rule)
+    val model = Similarity.PcaModel(new Array[Double](d), m,
+      new Array[Double](d))
+    def vecs(f: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[Float]] =
+      f.collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toSeq).toMap
+    val viaMatrix = vecs(
+      Similarity.pcaRotate(df, "vec_id", "embedding", model))
+    val viaStages = vecs(
+      Similarity.givensCascadeRotate(df, "vec_id", "embedding", stages))
+    assert(viaMatrix.keySet == viaStages.keySet)
+    viaMatrix.foreach { case (id, vm) =>
+      vm.zip(viaStages(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-4,
+          s"composed vs cascade rotation diverged at id=$id: $a vs $b")
+      }
+    }
+    intercept[IllegalArgumentException](
+      Similarity.composeGivensMatrix(Nil, d))
+    intercept[IllegalArgumentException](
+      Similarity.composeGivensMatrix(stages, d + 1))
+  }
+
   test("RESIDUAL index lifecycle: the pq_residual codec identity " +
       "persists, serveTopK dispatches to the cell-dependent ADC, " +
       "deltas encode residually, retrain keeps the encoding") {
