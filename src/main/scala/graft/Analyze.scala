@@ -123,6 +123,13 @@ import graft.operators.{Curation, GraphOps}
   *               (the retrain_recommended ACTION: rebuild quantizers
   *               from the tombstone-purged corpus, re-encode, swap the
   *               staged layout in, report recall before/after)
+  *   annmaint    --target <index dir> --vectors <float corpus dir>
+  *               [--threshold TOL] [--vec-col embedding]
+  *               [--id-col doc_id] [-o <outDir>]
+  *               (the POLICY: compact, read the measured drift
+  *               verdict, retrain only when it recommends — one call
+  *               keeps a serving index healthy; --threshold overrides
+  *               the calibrated 2σ tolerance)
   *   lexmaint    --docs <base corpus dir> [--delta <added docs dir>]
   *               [--target <removed doc ids dir>] [--text-col text]
   *               [--id-col doc_id] [-o <outDir>]
@@ -759,6 +766,17 @@ object Analyze {
             "the source vectors); --vec-col/--id-col name the columns")
         graft.operators.Similarity.retrainIndex(spark, args.target,
           spark.read.parquet(args.vectors), args.vecCol, args.idCol)
+      case "annmaint" =>
+        // the self-driving maintenance policy: compact, read the
+        // measured drift verdict, retrain only when it says so —
+        // --threshold (if set) overrides the calibrated 2σ tolerance
+        require(args.target.nonEmpty && args.vectors.nonEmpty,
+          "annmaint needs --target <index dir> and --vectors <float " +
+            "corpus dir> (read only if the verdict retrains); " +
+            "--threshold overrides the drift tolerance")
+        graft.operators.Similarity.maintainIndex(spark, args.target,
+          spark.read.parquet(args.vectors), args.vecCol, args.idCol,
+          args.thresholdOpt.getOrElse(Double.NaN))
       case "triangles" => GraphOps.triangleCounts(edges, ckpt = ckpt)
       case "khop" => GraphOps.kHop(edges, seedsDf, args.hops, ckpt)
       case "linkpred" =>

@@ -562,6 +562,58 @@ private[graft] object EntryData {
       ixDir
     })
 
+  /** The q_x3n PLANTED-CLUSTER transform: v/8 + 0.5 in double, one
+    * float cast — a tight positive-orthant cluster (intra-cluster
+    * cosines near 1), fully oracle-replayable
+    * (`CAST(CAST(x AS DOUBLE) / 8 + 0.5 AS FLOAT)`). The drift
+    * policy's base index trains on clustered vectors so its recorded
+    * build mean is HIGH; a raw (random, zero-mean) delta then lands
+    * far from every centroid — honestly measured drift, not a rigged
+    * tolerance. */
+  def clusterVec(c: Column): Column =
+    transform(c, x =>
+      (x.cast("double") / lit(8.0) + lit(0.5)).cast("float"))
+
+  /** q_x3n's BASE index (memoized per dataset): IVF-PQ trained on the
+    * CLUSTERED `vec_id < 300` slice with the build-time assignment-
+    * cosine mean AND σ recorded — so [[Similarity.maintainIndex]]'s
+    * calibrated default tolerance (2σ) is what the policy rows
+    * exercise. Copied fresh per invocation ([[x3nCopiedDir]]) because
+    * maintenance mutates the layout in place. */
+  val x3nInvocation = new java.util.concurrent.atomic.AtomicLong()
+  def x3nBaseIndexDir(s: SparkSession, dir: String): String =
+    annIndexDirs.computeIfAbsent(dir + "#x3n_base", _ => {
+      val clus = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          clusterVec(col("embedding")).as("embedding"))
+      val (cents, assigned) = Similarity.ivfIndex(clus, "embedding",
+        "vec_id", k = 32)
+      val cb = Similarity.pqCodebooks(clus, "embedding", "vec_id",
+        m = 8, k = 16)
+      val enc = Similarity.pqEncode(clus, "embedding", "vec_id", cb,
+        m = 8)
+      val ae = assigned.select(col("centroid_id"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+      val st = assigned.agg(avg(col("assign_cosine")),
+        stddev_pop(col("assign_cosine"))).head()
+      val ixDir = annScratchRoot + "/x3nbase_" +
+        dir.split('/').filter(_.nonEmpty).last
+      Similarity.saveIndex(ixDir, cents, cb, ae, m = 8, k = 16,
+        st.getDouble(0), st.getDouble(1))
+      ixDir
+    })
+
+  def x3nCopiedDir(s: SparkSession, dir: String): String = {
+    val base = x3nBaseIndexDir(s, dir)
+    val dst = base + "_m" + x3nInvocation.incrementAndGet()
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(base), fs,
+      new org.apache.hadoop.fs.Path(dst), false, conf)
+    dst
+  }
+
   /** q_x3wz's OPQ index PROPER (memoized per dataset, like
     * [[x3jIndexDir]]): ROTATION ∘ RESIDUAL — the q_x3w Givens cascade
     * rotates the corpus, the q_x3m residual recipe trains on the

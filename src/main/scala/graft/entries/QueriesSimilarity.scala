@@ -573,6 +573,72 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3n: the DRIFT→RETRAIN POLICY CLOSED, benign branch — the
+    // lifecycle loop becomes self-driving: maintainIndex runs the
+    // compaction, READS the measured drift verdict against the
+    // calibrated 2σ tolerance, and acts. Base index trained on the
+    // planted CLUSTER (v/8 + 0.5 — build mean ≈ 1, σ tiny); the delta
+    // is MORE of the same cluster, so measured drift ≈ 0 < 2σ and the
+    // policy must NOT retrain — the quantizers stay the base-slice
+    // ones, which is exactly what the oracle asserts (trainWhere
+    // vec_id < 300 over the clustered corpus) along with the
+    // 'compacted' action literal the row emits from the report. ----
+    "q_x3n_policy_benign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3nCopiedDir(s, dir)
+      val delta = e.filter(col("vec_id") >= 300 && col("vec_id") < 600)
+        .select(col("vec_id"),
+          clusterVec(col("embedding")).as("embedding"))
+      Similarity.updateIndex(s, ixDir, delta, "embedding", "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      val corpus = e.filter(col("vec_id") < 600)
+        .select(col("vec_id"),
+          clusterVec(col("embedding")).as("embedding"))
+      val action = Similarity.maintainIndex(s, ixDir, corpus,
+        "embedding", "vec_id").head().getString(0)
+      Similarity.serveTopK(s, ixDir,
+          e.filter(col("vec_id") < 8).select(col("vec_id"),
+            clusterVec(col("embedding")).as("embedding")),
+          "embedding", "vec_id", topK = 5, nProbe = 8)
+        .select(lit(action).as("action"), col("query_id"),
+          col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- X3nd: the drift branch — same base, but the delta is the
+    // RAW zero-mean corpus slice: genuinely novel mass the clustered
+    // centroids cannot cover (delta mean assign cosine ≈ 0.1 vs the
+    // build's ≈ 1), so measured drift >> 2σ and maintainIndex MUST
+    // retrain: quantizers rebuild from the live mixed corpus and the
+    // atomic swap serves them. Oracle = the fresh full-corpus build
+    // over the mixed (clustered ∪ raw) corpus + the 'retrained'
+    // action literal — a policy that silently skips the retrain (or
+    // retrains on the benign branch) hash-mismatches its row. ----
+    "q_x3nd_policy_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3nCopiedDir(s, dir)
+      val delta = e.filter(col("vec_id") >= 300 && col("vec_id") < 600)
+      Similarity.updateIndex(s, ixDir, delta, "embedding", "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      val corpus = e.filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          clusterVec(col("embedding")).as("embedding"))
+        .unionByName(delta.select(col("vec_id"), col("embedding")))
+      val action = Similarity.maintainIndex(s, ixDir, corpus,
+        "embedding", "vec_id").head().getString(0)
+      Similarity.serveTopK(s, ixDir,
+          e.filter(col("vec_id") < 8).select(col("vec_id"),
+            clusterVec(col("embedding")).as("embedding")),
+          "embedding", "vec_id", topK = 5, nProbe = 8)
+        .select(lit(action).as("action"), col("query_id"),
+          col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3v: PCA second moments — the distributed half of the
     // whitening/rotation preprocessing (OPQ-style quantizers,
     // semantic dedup): e6-quantized components, every sum and
@@ -858,6 +924,51 @@ private[graft] object QueriesSimilarity {
           |  CAST(rank AS BIGINT) AS rank
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           |  ORDER BY adist, vec_id) AS rank FROM rsc)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // The benign policy branch: NO retrain happened, so serving must
+    // equal the frozen base-slice quantizers over the full clustered
+    // corpus (the q_x3k/q_x3p rebuild shape, clustered transform
+    // mirrored in double with one float cast) — plus the 'compacted'
+    // action the row emits from the measured report.
+    "q_x3n_policy_benign" ->
+      (ivfPqOracleCtesFrom("WHERE vec_id < 300", "clusc",
+        """clusc AS (
+          |  SELECT vec_id, list_transform(embedding, x ->
+          |    CAST(CAST(x AS DOUBLE) / 8 + 0.5 AS FLOAT)) AS embedding
+          |  FROM embeddings WHERE vec_id < 600),
+          |""".stripMargin) +
+        """
+          |SELECT 'compacted' AS action, query_id, vec_id,
+          |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+          |    AS adist_e4,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |  ORDER BY adist, vec_id) AS rank FROM sc)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // The drift policy branch: the retrain DID happen, so serving
+    // must equal a FRESH full build over the mixed (clustered base ∪
+    // raw delta) corpus — retrain ≡ fresh build by the deterministic
+    // id-hash sampling, the q_x3s discipline — plus the 'retrained'
+    // action literal.
+    "q_x3nd_policy_drift" ->
+      (ivfPqOracleCtesFrom("", "mixc",
+        """mixc AS (
+          |  SELECT vec_id, list_transform(embedding, x ->
+          |    CAST(CAST(x AS DOUBLE) / 8 + 0.5 AS FLOAT)) AS embedding
+          |  FROM embeddings WHERE vec_id < 300
+          |  UNION ALL
+          |  SELECT vec_id, embedding FROM embeddings
+          |  WHERE vec_id >= 300 AND vec_id < 600),
+          |""".stripMargin) +
+        """
+          |SELECT 'retrained' AS action, query_id, vec_id,
+          |  CAST(floor(adist * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+          |    AS adist_e4,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |  ORDER BY adist, vec_id) AS rank FROM sc)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // The matrix-basis replay: cascade angles + covariance updates,

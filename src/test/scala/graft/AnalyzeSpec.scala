@@ -1063,6 +1063,34 @@ class AnalyzeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analyze.run(parse(List("annretrain", "--target", s"$dir/ix")),
         spark))
+    // annmaint: the one-call policy. Fresh post-retrain ledger → null
+    // verdict → the conservative branch compacts only
+    val mrep = Analyze.run(parse(List("annmaint",
+      "--target", s"$dir/ix", "--vectors", s"$dir/vec_all",
+      "--vec-col", "embedding", "--id-col", "vec_id")), spark).head()
+    assert(mrep.getString(0) == "compacted",
+      "a ledgerless index must not retrain")
+    assert(mrep.isNullAt(mrep.fieldIndex("cosine_drift")))
+    // absorb a delta so the ledger has evidence, then force the
+    // retrain branch from argv with a negative tolerance override
+    val shifted = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    shifted.write.parquet(s"$dir/vec_shift")
+    Analyze.run(parse(List("annupdate",
+      "--vectors", s"$dir/vec_shift", "--target", s"$dir/ix")), spark)
+      .write.format("noop").mode("overwrite").save()
+    e.select("vec_id", "embedding").unionByName(shifted)
+      .write.parquet(s"$dir/vec_all2")
+    val mrep2 = Analyze.run(parse(List("annmaint",
+      "--target", s"$dir/ix", "--vectors", s"$dir/vec_all2",
+      "--vec-col", "embedding", "--id-col", "vec_id",
+      "--threshold", "-1000000")), spark).head()
+    assert(mrep2.getString(0) == "retrained",
+      "the forced-negative tolerance must dispatch the retrain")
+    assert(!mrep2.isNullAt(mrep2.fieldIndex("n_hits_after")))
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("annmaint", "--target", s"$dir/ix")),
+        spark))
   }
 
   test("annquery honors the basis and codec identities: a rotated " +

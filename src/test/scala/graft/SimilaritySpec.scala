@@ -1408,6 +1408,116 @@ class SimilaritySpec extends SparkSpec {
         rotationMatrix = Some(model)))
   }
 
+  test("maintainIndex: the drift→retrain loop closes on the MEASURED " +
+      "verdict — benign deltas compact only (quantizers frozen), " +
+      "novel mass retrains (≡ fresh build), explicit tolerance " +
+      "overrides both ways") {
+    val df = mixedFixture(spreadScales).toDF("vec_id", "embedding")
+    // planted cluster: v/8 + 0.5 (tight positive orthant, build mean
+    // assign cosine ≈ 1); the raw fixture vectors are the novel mass
+    def clus(d2: org.apache.spark.sql.DataFrame) =
+      d2.select(col("vec_id"), transform(col("embedding"), x =>
+        (x.cast("double") / lit(8.0) + lit(0.5)).cast("float"))
+        .as("embedding"))
+    val base = clus(df.filter(col("vec_id") < 100))
+    val (cents, assigned) = Similarity.ivfIndex(base, "embedding",
+      "vec_id", 4)
+    val cb = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 4, k = 8)
+    val enc = Similarity.pqEncode(base, "embedding", "vec_id", cb,
+      m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val st = assigned.agg(avg(col("assign_cosine")),
+      stddev_pop(col("assign_cosine"))).head()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint_ix").toString
+    val baseDir = root + "/base"
+    Similarity.saveIndex(baseDir, cents, cb, ae, m = 4, k = 8,
+      st.getDouble(0), st.getDouble(1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    def copyTo(name: String): String = {
+      val dst = s"$root/$name"
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(baseDir), fs,
+        new org.apache.hadoop.fs.Path(dst), false, conf)
+      dst
+    }
+    def rows(d2: org.apache.spark.sql.DataFrame) =
+      d2.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val q = clus(df.filter(col("vec_id") < 4))
+    // ---- benign: more of the same cluster — drift ≈ 0 < 2σ
+    val benignDelta = clus(df.filter(col("vec_id") >= 100))
+    val bDir = copyTo("benign")
+    Similarity.updateIndex(spark, bDir, benignDelta, "embedding",
+      "vec_id").write.format("noop").mode("overwrite").save()
+    val bRep = Similarity.maintainIndex(spark, bDir, clus(df),
+      "embedding", "vec_id").head()
+    assert(bRep.getString(0) == "compacted",
+      s"benign delta must not retrain, got ${bRep.getString(0)} " +
+        s"(drift ${bRep.get(1)}, tol ${bRep.getDouble(2)})")
+    assert(bRep.isNullAt(bRep.fieldIndex("n_hits_before")),
+      "compact-only branch carries no retrain audit")
+    // quantizers stayed frozen: serving equals the base-slice-trained
+    // one-pass rebuild over the full clustered corpus
+    val aAll = Similarity.assignToCentroids(clus(df), "embedding",
+      "vec_id", cents)
+    val eAll = Similarity.pqEncode(clus(df), "embedding", "vec_id",
+      cb, m = 4)
+    val aeAll = aAll.select(col("centroid_id"), col("vec_id"))
+      .join(eAll, Seq("vec_id"))
+    assert(rows(Similarity.serveTopK(spark, bDir, q, "embedding",
+      "vec_id", topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqTopK(q, cents, cb, aeAll, "embedding",
+        "vec_id", m = 4, k = 8, topK = 5, nProbe = 2)),
+      "benign branch must serve the frozen quantizers")
+    // ---- drift: raw zero-mean vectors — novel mass, drift >> 2σ
+    val driftDelta = df.filter(col("vec_id") >= 100)
+    val mixed = clus(df.filter(col("vec_id") < 100))
+      .unionByName(driftDelta)
+    val dDir = copyTo("drift")
+    Similarity.updateIndex(spark, dDir, driftDelta, "embedding",
+      "vec_id").write.format("noop").mode("overwrite").save()
+    val dRep = Similarity.maintainIndex(spark, dDir, mixed,
+      "embedding", "vec_id", sampleQueries = 2, recallK = 3,
+      nProbe = 2).head()
+    assert(dRep.getString(0) == "retrained",
+      s"novel mass must retrain, got ${dRep.getString(0)} " +
+        s"(drift ${dRep.get(1)}, tol ${dRep.getDouble(2)})")
+    assert(!dRep.isNullAt(dRep.fieldIndex("n_hits_after")),
+      "the retrain branch carries the recall audit")
+    // retrain ≡ fresh build on the mixed corpus
+    val (c2, a2) = Similarity.ivfIndex(mixed, "embedding", "vec_id", 4)
+    val cb2 = Similarity.pqCodebooks(mixed, "embedding", "vec_id",
+      m = 4, k = 8)
+    val e2 = Similarity.pqEncode(mixed, "embedding", "vec_id", cb2,
+      m = 4)
+    val ae2 = a2.select(col("centroid_id"), col("vec_id"))
+      .join(e2, Seq("vec_id"))
+    assert(rows(Similarity.serveTopK(spark, dDir, q, "embedding",
+      "vec_id", topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqTopK(q, c2, cb2, ae2, "embedding",
+        "vec_id", m = 4, k = 8, topK = 5, nProbe = 2)),
+      "the retrained index must equal a fresh build on the live corpus")
+    // ---- explicit tolerance overrides the calibrated default
+    val dDir2 = copyTo("drift_hi_tol")
+    Similarity.updateIndex(spark, dDir2, driftDelta, "embedding",
+      "vec_id").write.format("noop").mode("overwrite").save()
+    assert(Similarity.maintainIndex(spark, dDir2, mixed, "embedding",
+      "vec_id", driftTolerance = 1e9).head().getString(0)
+      == "compacted", "a huge tolerance must suppress the retrain")
+    val bDir2 = copyTo("benign_neg_tol")
+    Similarity.updateIndex(spark, bDir2, benignDelta, "embedding",
+      "vec_id").write.format("noop").mode("overwrite").save()
+    assert(Similarity.maintainIndex(spark, bDir2, clus(df),
+      "embedding", "vec_id", driftTolerance = -1e9,
+      sampleQueries = 2, recallK = 3, nProbe = 2).head().getString(0)
+      == "retrained", "a negative tolerance must force the retrain")
+  }
+
   test("composeGivensMatrix: the explicit P is orthogonal, agrees " +
       "with stage-by-stage cascade application up to association " +
       "ulps, and guards refuse empty/mismatched stages") {
