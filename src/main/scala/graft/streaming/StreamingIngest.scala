@@ -2174,6 +2174,115 @@ object StreamingIngest {
     * the partitioned `vectors/` store to nProbe of k directories;
     * queries are batch-sized and broadcast against them; the float
     * corpus never ships (ADC on codes). */
+  /** Daily-increment near-dedup under a STREAM of new documents — the
+    * [[graft.operators.Dedup.SigIndex]]'s CDC twin, the last serving
+    * store to join the maintained grid (it rolled forward batch-only
+    * until now): each trigger dedups its batch against the persisted
+    * signature index through
+    * [[graft.operators.Dedup.incrementalDedupFromIndex]] — the
+    * batch's signatures derive under the STORE'S OWN identity, so no
+    * trigger can misalign seed/shingle/hash family — writes the
+    * per-doc verdicts to `reportDir/batch=<id>/`, appends the KEPT
+    * docs to the corpus (`docsDir/batch=<id>/`), and rolls the index
+    * forward (the kept docs' signatures union onto the store). After
+    * every completed trigger the store equals the batch-mode
+    * increment fold applied in batch order, and its signatures equal
+    * a fresh signing of the live corpus (the spec asserts both).
+    *
+    * Exactly-once via the two-phase marker (the grid standard under
+    * `storeDir/_batches/`): final marker → no-op redelivery;
+    * `started` without final = crash mid-batch, where the sigs store
+    * may hold a PARTIAL roll-forward that would poison candidate
+    * generation (this batch's ids already banded as "old") — the
+    * trigger self-heals by RE-SIGNING the ground-truth corpus
+    * (batches before this one) under the stored identity and
+    * overwriting the store, then re-running the increment cleanly.
+    *
+    * Caller seeds `docsDir/batch=-1/` with the base corpus and
+    * [[graft.operators.Dedup.saveSigIndex]]es its signatures once.
+    *
+    * Scale notes (100 TB): steady state is batch-sized — the corpus
+    * is reached only through its stored signatures and id-targeted
+    * text fetches, never re-shingled; the crash-heal is the one full
+    * re-sign pass, paid only on an actual mid-batch redelivery (the
+    * same rebuild cost the word/LM twins accept). */
+  def streamingSigIndexDedup(newDocs: DataFrame, docsDir: String,
+      storeDir: String, reportDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, bands: Int = 4,
+      maxBucketSize: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    newDocs
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        // same-batch duplicate ids fold deterministically (max text —
+        // the CDC fold), matching the one-id-space corpus contract
+        val b = batch.select(col(idCol), col(textCol))
+          .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+          .localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$storeDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true))
+            requireBatchLayout(fs, docsDir, "streamingSigIndexDedup")
+          if (!fs.exists(marker)) {
+            val started = new org.apache.hadoop.fs.Path(
+              s"$storeDir/_batches/$batchId.started")
+            val midCrash = fs.exists(started)
+            if (!midCrash) fs.mkdirs(started): Unit
+            def sign(ix: Dedup.SigIndex, docs: DataFrame): DataFrame =
+              if (ix.portable)
+                Dedup.minhashSignaturesPortable(docs, textCol, idCol,
+                  ix.numHashes, ix.shingleSize, ix.seed)
+              else Dedup.minhashSignatures(docs, textCol, idCol,
+                ix.numHashes, ix.shingleSize)
+            def corpusBefore(): DataFrame = spark.read.parquet(docsDir)
+              .filter(col("batch").cast("long") < batchId)
+              .select(col(idCol), col(textCol))
+            if (midCrash) {
+              // restore the store to the pre-batch state from ground
+              // truth: the identity rides the meta, the signatures
+              // re-derive from the completed batches only
+              val ix0 = Dedup.loadSigIndex(spark, storeDir)
+              Dedup.saveSigIndex(
+                ix0.copy(sigs = sign(ix0, corpusBefore())), storeDir)
+            }
+            val ix = Dedup.loadSigIndex(spark, storeDir)
+            val corpus = corpusBefore().localCheckpoint()
+            val rep = Dedup.incrementalDedupFromIndex(ix, corpus, b,
+                textCol, idCol, threshold, bands, maxBucketSize)
+              .localCheckpoint()
+            rep.write.mode("overwrite")
+              .parquet(s"$reportDir/batch=$batchId")
+            val kept = b.join(rep.filter(col("reason") === "kept")
+                .select(col("doc_id").as(idCol)), Seq(idCol))
+              .localCheckpoint()
+            if (!kept.isEmpty) {
+              kept.write.mode("overwrite")
+                .parquet(s"$docsDir/batch=$batchId")
+              // roll forward: the kept docs' signatures (derived
+              // under the store identity) union onto the store —
+              // saveSigIndex's localCheckpoint pins the union before
+              // the overwrite touches the files it read
+              Dedup.saveSigIndex(
+                ix.copy(sigs = ix.sigs.unionByName(sign(ix, kept))),
+                storeDir)
+            }
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   def streamingAnnSearch(queries: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String,
       vecCol: String = "embedding", idCol: String = "vec_id",

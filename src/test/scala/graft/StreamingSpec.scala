@@ -1625,6 +1625,109 @@ class StreamingSpec extends SparkSpec {
     assert(stored() == before, "redelivered batch absorbed once")
   }
 
+  test("streamingSigIndexDedup: every trigger's verdicts equal the " +
+      "batch incrementalDedupFromIndex fold in batch order; kept " +
+      "docs roll the index forward (a later copy of a kept doc dies " +
+      "against it); store sigs ≡ fresh signing of the live corpus; " +
+      "redelivery no-op; mid-crash redelivery self-heals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_sigix").toString
+    val base = Seq((0L, "aa bb cc dd"), (1L, "ee ff gg hh"),
+      (2L, "ii jj kk ll"))
+    base.toDF("doc_id", "text").write.parquet(s"$tmp/docs/batch=-1")
+    def sigsOf(rows: Seq[(Long, String)]) =
+      Dedup.minhashSignaturesPortable(rows.toDF("doc_id", "text"),
+        "text", "doc_id", 16, 1)
+    Dedup.saveSigIndex(Dedup.SigIndex(sigsOf(base), 16, 1, 42L,
+      portable = true), s"$tmp/store")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingSigIndexDedup(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/docs", s"$tmp/store", s"$tmp/rep", s"$tmp/ckpt",
+      threshold = 0.5, bands = 8)
+    def report(batch: Long): Set[(Long, Long, String)] =
+      spark.read.parquet(s"$tmp/rep/batch=$batch").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"),
+          r.getAs[String]("reason"))).toSet
+    def expected(corpus: Seq[(Long, String)],
+        batch: Seq[(Long, String)]): Set[(Long, Long, String)] =
+      Dedup.incrementalDedupFromIndex(
+        Dedup.SigIndex(sigsOf(corpus), 16, 1, 42L, portable = true),
+        corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.5, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+    def storedSigs(): Set[Seq[Long]] =
+      spark.read.parquet(s"$tmp/store/sigs").collect()
+        .map(r => r.schema.fieldNames.sorted.toSeq
+          .map(f => r.getAs[Long](f))).toSet
+    def freshSigs(rows: Seq[(Long, String)]): Set[Seq[Long]] =
+      sigsOf(rows).collect()
+        .map(r => r.schema.fieldNames.sorted.toSeq
+          .map(f => r.getAs[Long](f))).toSet
+    // t1: 10 duplicates corpus doc 0; 11 is novel; 12 duplicates 11
+    // in the SAME batch (all-new chain: 11 keeps, 12 dies to it)
+    val b1 = Seq((10L, "aa bb cc dd"), (11L, "mm nn oo pp"),
+      (12L, "mm nn oo pp"))
+    val live1 = base :+ (11L -> "mm nn oo pp")
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(report(0L) == expected(base, b1),
+        "t1 verdicts ≡ the batch-mode increment")
+      assert(report(0L) == Set((10L, 0L, "corpus"), (11L, 11L, "kept"),
+        (12L, 11L, "batch")))
+      assert(storedSigs() == freshSigs(live1),
+        "t1 roll-forward ≡ fresh signing of the live corpus")
+      val afterT1 = storedSigs()
+      // fresh-checkpoint redelivery of batch 0: final marker → no-op
+      val mem2 = MemoryStream[(Long, String)]
+      val q2 = StreamingIngest.streamingSigIndexDedup(
+        mem2.toDF().toDF("doc_id", "text"),
+        s"$tmp/docs", s"$tmp/store", s"$tmp/rep", s"$tmp/ckpt2",
+        threshold = 0.5, bands = 8)
+      try {
+        mem2.addData(b1: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(storedSigs() == afterT1 && report(0L) == expected(base, b1),
+        "redelivered batch absorbed once")
+      // mid-crash redelivery: started-without-final → the store heals
+      // from ground truth (re-sign batches < 0: the base corpus),
+      // then the batch re-applies — same end state
+      assert(new java.io.File(s"$tmp/store/_batches/0").delete())
+      assert(
+        new java.io.File(s"$tmp/store/_batches/0.started").mkdirs())
+      val mem3 = MemoryStream[(Long, String)]
+      val q3 = StreamingIngest.streamingSigIndexDedup(
+        mem3.toDF().toDF("doc_id", "text"),
+        s"$tmp/docs", s"$tmp/store", s"$tmp/rep", s"$tmp/ckpt3",
+        threshold = 0.5, bands = 8)
+      try {
+        mem3.addData(b1: _*)
+        q3.processAllAvailable()
+      } finally q3.stop()
+      assert(storedSigs() == afterT1 && report(0L) == expected(base, b1),
+        "mid-crash redelivery self-heals to the same state")
+      assert(new java.io.File(s"$tmp/store/_batches/0").exists &&
+        !new java.io.File(s"$tmp/store/_batches/0.started").exists)
+      // t2 (on the ORIGINAL query — batch ids stay monotonic): 20
+      // duplicates the doc t1 KEPT — only the roll-forward can catch
+      // it; 21 is novel
+      val b2 = Seq((20L, "mm nn oo pp"), (21L, "qq rr ss tt"))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(report(1L) == expected(live1, b2),
+        "t2 verdicts ≡ the batch-mode fold off the rolled index")
+      assert(report(1L) == Set((20L, 11L, "corpus"),
+        (21L, 21L, "kept")))
+      assert(storedSigs() == freshSigs(live1 :+
+        (21L -> "qq rr ss tt")))
+    } finally q.stop()
+  }
+
   test("streamingAnnSearch: every trigger's results equal the batch " +
       "query against the index AS OF the trigger; maintenance between " +
       "triggers is visible; redelivery rewrites idempotently with " +
