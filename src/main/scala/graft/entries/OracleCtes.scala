@@ -584,6 +584,24 @@ private[graft] object OracleCtes {
     * ('u' in the schedule) skip the gate and move every node. `pfx`
     * namespaces the fine ("") vs coarse ("c") level; weighted rounds
     * sum `w` where unweighted ones count. */
+  /** One unrolled PageRank power round — the q_g3 oracle shape,
+    * parameterized so the warm-start (incremental) oracles replay the
+    * IDENTICAL per-round arithmetic over a different edge table and
+    * initial vector: dangling fold `<out>d` (rank mass on nodes with no
+    * out-edges) then the damped round `<out>` reading ranks from
+    * `prev`. Emitted WITHOUT a leading comma; callers join rounds with
+    * ",\n" inside their WITH list. */
+  def pageRankRoundSql(prev: String, out: String, e: String,
+      deg: String, n: String, c: String): String =
+    s"""${out}d AS (SELECT COALESCE(sum(r), 0) AS s FROM $prev
+       |       WHERE id NOT IN (SELECT src FROM $e)),
+       |$out AS (SELECT $n.id, (1 - 0.85)/(SELECT nn FROM $c) + 0.85*(COALESCE(f.s, 0)
+       |         + (SELECT s FROM ${out}d)/(SELECT nn FROM $c)) AS r
+       |       FROM $n LEFT JOIN (
+       |         SELECT $e.dst AS id, sum($prev.r/$deg.d) AS s FROM $e
+       |         JOIN $prev ON $prev.id = $e.src JOIN $deg ON $deg.src = $e.src
+       |         GROUP BY $e.dst) f USING (id))""".stripMargin
+
   def louvainRoundSql(r: Int, pfx: String, adj: String,
       deg: String, weighted: Boolean, gated: Boolean,
       mTable: String = "m"): String = {

@@ -59,6 +59,35 @@ private[graft] object QueriesGraph {
         .orderBy("id")
     }),
 
+    // ---- G3d: incremental PageRank — warm-start maintenance after an
+    // edge delta, the q_g3 family's missing maintenance row. Stored
+    // scores = q_g3's exact 3-round run on the base graph; the delta
+    // removes the supplier→nation edges for suppliers 0..9 (their nodes
+    // DROP — nothing points at a supplier), adds customer→region edges
+    // for customers < 20 (out-degree 1→2 on survivors) and part-keyed
+    // edges from a fresh 1000000+ id space (NEW nodes enter at the
+    // uniform share). Two warm rounds off the renormalized carry; the
+    // oracle unrolls base rounds r1..r3 then warm rounds w1..w2 with
+    // the identical round SQL (OracleCtes.pageRankRoundSql). ----
+    "q_g3d_pagerank_incremental" -> ((s, dir) => {
+      val base = heteroEdges(s, dir)
+      val stored = GraphOps.pageRank(base, damping = 0.85,
+        iterations = 3)
+      val adds = t(s, dir, "customer").filter(col("c_custkey") < 20)
+        .select((col("c_custkey").cast("long") * 4).as("start_id"),
+          ((col("c_custkey") % 5).cast("long") * 4 + 3).as("end_id"))
+      val newbies = t(s, dir, "part").filter(col("p_partkey") < 15)
+        .select((col("p_partkey").cast("long") + 1000000L).as("start_id"),
+          ((col("p_partkey") % 5).cast("long") * 4 + 3).as("end_id"))
+      val mutated = base
+        .filter(!(col("start_id") % 4 === 1 && col("start_id") < 40))
+        .unionByName(adds).unionByName(newbies)
+      GraphOps.incrementalPageRank(mutated, stored, damping = 0.85,
+        iterations = 2)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
     // ---- G17: deterministic random walks (DeepWalk corpus) over the
     // symmetrized hetero graph — every step choice is a seeded md5-48
     // hash mod out-degree, so the oracle replays the exact trajectories
@@ -1104,6 +1133,52 @@ private[graft] object QueriesGraph {
         |         JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
         |         GROUP BY e.dst) f USING (id))
         |SELECT id, ROUND(r, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    // q_g3's exact 3-round base replay (helper-generated rounds, same
+    // arithmetic — dangling CTEs named r<i>d), then the edge delta, the
+    // renormalized warm start off RAW (unrounded) r3, and two warm
+    // rounds over the mutated graph with the identical round SQL. A
+    // skipped renormalization, a stale degree table, or warm rounds
+    // run against the base edges all hash-mismatch.
+    "q_g3d_pagerank_incremental" -> {
+      val baseRounds = Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3"))
+        .map { case (p, o) =>
+          pageRankRoundSql(p, o, "e", "deg", "n", "c") }.mkString(",\n")
+      val warmRounds = Seq(("w0", "w1"), ("w1", "w2"))
+        .map { case (p, o) =>
+          pageRankRoundSql(p, o, "e2", "deg2", "n2", "c2") }
+        .mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+         |  UNION ALL
+         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+         |n AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
+         |$baseRounds,
+         |e2 AS (
+         |  SELECT src, dst FROM e WHERE NOT (src % 4 = 1 AND src < 40)
+         |  UNION ALL
+         |  SELECT c_custkey*4, (c_custkey % 5)*4 + 3 FROM customer
+         |  WHERE c_custkey < 20
+         |  UNION ALL
+         |  SELECT p_partkey + 1000000, (p_partkey % 5)*4 + 3 FROM part
+         |  WHERE p_partkey < 15),
+         |n2 AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |c2 AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n2),
+         |deg2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e2
+         |  GROUP BY src),
+         |wi AS (SELECT n2.id, COALESCE(r3.r, 1.0/(SELECT nn FROM c2)) AS r
+         |       FROM n2 LEFT JOIN r3 USING (id)),
+         |w0 AS (SELECT id, r/(SELECT sum(r) FROM wi) AS r FROM wi),
+         |$warmRounds
+         |SELECT id, ROUND(r, 8) AS rank FROM w2 ORDER BY id""".stripMargin
+    },
 
     // Ground truth from the known topology: a node's component is the
     // smallest namespaced id sharing its region.

@@ -123,6 +123,53 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(1L) > r(7L)) // 1 has inflow, 7 only base + dangling share
   }
 
+  test("incrementalPageRank: warm start beats cold start toward the " +
+      "mutated graph's fixed point at every round count and converges " +
+      "to the fresh-run scores; iterations=0 is the renormalized " +
+      "carry — mass 1, dropped node gone, new node at uniform share") {
+    // base: a 3-cycle with two feeders plus a 2-cycle appendage;
+    // delta drops 4→0 (node 4 vanishes — nothing points at it) and
+    // attaches NEW node 9 to the appendage
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (0L, 5L), (5L, 6L), (6L, 5L)).toDF("start_id", "end_id")
+    // damping 0.5 so the contraction (0.5^k) actually closes inside
+    // the round budget — at 0.85 the fixed point needs ~100+ rounds
+    val stored = GraphOps.pageRank(base, damping = 0.5, iterations = 30)
+      .localCheckpoint()
+    val mutated = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L),
+      (0L, 5L), (5L, 6L), (6L, 5L), (9L, 5L), (5L, 9L))
+      .toDF("start_id", "end_id")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val truth = m(GraphOps.pageRank(mutated, damping = 0.5,
+      iterations = 60))
+    def l1(a: Map[Long, Double]) = (a.keySet ++ truth.keySet).toSeq
+      .map(k => math.abs(a.getOrElse(k, 0.0) - truth.getOrElse(k, 0.0)))
+      .sum
+    for (k <- Seq(1, 2, 4)) {
+      val warm = l1(m(GraphOps.incrementalPageRank(mutated, stored,
+        damping = 0.5, iterations = k)))
+      val cold = l1(m(GraphOps.pageRank(mutated, damping = 0.5,
+        iterations = k)))
+      assert(warm < cold,
+        s"warm start closer than cold at k=$k ($warm vs $cold)")
+    }
+    assert(l1(m(GraphOps.incrementalPageRank(mutated, stored,
+        damping = 0.5, iterations = 30))) < 1e-9,
+      "warm start converges to the fresh-run fixed point")
+    val carry = m(GraphOps.incrementalPageRank(mutated, stored,
+      damping = 0.5, iterations = 0))
+    assert(math.abs(carry.values.sum - 1.0) < 1e-12, "mass renormalized")
+    assert(!carry.contains(4L), "dropped node's row is gone")
+    // new node enters at the uniform 1/7 share, then the one global
+    // normalization — replay the exact arithmetic
+    val storedM = m(stored)
+    val total = carry.keySet.toSeq
+      .map(k => storedM.getOrElse(k, 1.0 / 7)).sum
+    assert(math.abs(carry(9L) - (1.0 / 7) / total) < 1e-12,
+      "new node at the uniform share")
+  }
+
   test("hits: star graph — center is the sole authority, leaves the " +
       "symmetric hubs; both scores L1-normalized") {
     val star = (1L to 4L).map(i => (i, 0L)).toDF("start_id", "end_id")
