@@ -277,6 +277,11 @@ import graft.operators.{Curation, GraphOps}
   *   layoutrecover --docs <layout store dir>
   *               (resolve an interrupted appendToLayout stage: roll
   *               back or forward, mechanically)
+  *   layoutversions --docs <layout store dir>
+  *               [--mode snapshot|vacuum|recover|report]
+  *               [--budget KEEP_VERSIONS] (versioned-manifest
+  *               lifecycle: publish v1, purge below the kept horizon,
+  *               drop crash residue, or report the committed chain)
   *   momentsmaint --vectors <base dir> [--delta <added dir>]
   *               [--target <removed dir (with embeddings)>]
   *               (maintain the exact PCA moment store — refit-ready

@@ -219,6 +219,48 @@ private[graft] object AnalyzeMore {
         "layoutrecover needs --docs <layout store dir> (the " +
           "writeLayout path whose _append_pending stage to resolve)")
       Some(graft.operators.Layout.recoverAppend(spark, args.docs))
+    case "layoutversions" =>
+      // the versioned-manifest lifecycle: --docs <layout store dir>,
+      // --mode snapshot (publish v1) | vacuum (purge below the kept
+      // horizon; --budget = versions to keep, default 1) | recover
+      // (drop uncommitted residue) | report (default: the committed
+      // chain as (version, n_files, n_rows))
+      require(args.docs.nonEmpty,
+        "layoutversions needs --docs <layout store dir>; --mode " +
+          "snapshot|vacuum|recover|report, --budget KEEP_VERSIONS " +
+          "(vacuum only)")
+      import graft.operators.Layout
+      Some(args.mode match {
+        case "snapshot" =>
+          val v = Layout.snapshotLayout(spark, args.docs)
+          spark.range(1).select(lit("snapshotted").as("action"),
+            lit(v).as("version"))
+        case "vacuum" =>
+          Layout.vacuumLayout(spark, args.docs,
+            keepLast = args.budget.toInt)
+        case "recover" =>
+          Layout.recoverLayoutVersions(spark, args.docs)
+          spark.range(1).select(lit("recovered").as("action"),
+            lit(Layout.currentLayoutVersion(spark, args.docs))
+              .as("version"))
+        case _ =>
+          val cur = Layout.currentLayoutVersion(spark, args.docs)
+          require(cur >= 1, s"the store at ${args.docs} is not " +
+            "versioned — run --mode snapshot first")
+          (1L to cur).flatMap(n =>
+            if (new org.apache.hadoop.fs.Path(
+              s"${args.docs}/_versions/v$n/_COMMITTED").getFileSystem(
+              spark.sparkContext.hadoopConfiguration).exists(
+              new org.apache.hadoop.fs.Path(
+                s"${args.docs}/_versions/v$n/_COMMITTED")))
+              Some(Layout.layoutVersionManifest(spark, args.docs, n)
+                .agg(count(lit(1)).as("n_files"),
+                  sum("n_rows").as("n_rows"))
+                .select(lit(n).as("version"), col("n_files"),
+                  col("n_rows")))
+            else None)
+            .reduce(_ unionByName _)
+      })
     case "incrdedup" =>
       // daily-increment near-dedup off the persisted signature index:
       // --docs <corpus docs dir>, --target <sig index dir> (built on

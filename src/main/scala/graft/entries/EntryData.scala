@@ -341,7 +341,10 @@ private[graft] object EntryData {
     * disk creep is bounded by iterations × one store copy. */
   private val l5Invocation =
     new java.util.concurrent.atomic.AtomicLong(0L)
-  def l5AppendedLayoutDir(s: SparkSession, dir: String): String = {
+  // The shared l5/l11 base store (built once per dataset) and the
+  // copy-per-invocation step both fixtures run before mutating it.
+  private def l5BaseCopy(s: SparkSession, dir: String, sfx: String,
+      n: Long): String = {
     val base = layoutDirs.computeIfAbsent(dir + "#l5_base", _ => {
       val path = annScratchRoot + "/layout_base_" +
         dir.split('/').filter(_.nonEmpty).last
@@ -352,15 +355,39 @@ private[graft] object EntryData {
         path, Seq("l_partkey", "l_suppkey"), "z", 8, 16)
       path
     })
-    val dst = base + "_app" + l5Invocation.incrementAndGet()
+    val dst = base + sfx + n
     val conf = s.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
     org.apache.hadoop.fs.FileUtil.copy(fs,
       new org.apache.hadoop.fs.Path(base), fs,
       new org.apache.hadoop.fs.Path(dst), false, conf)
+    dst
+  }
+  def l5AppendedLayoutDir(s: SparkSession, dir: String): String = {
+    val dst = l5BaseCopy(s, dir, "_app", l5Invocation.incrementAndGet())
     Layout.appendToLayout(s, dst,
       t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0),
       Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16)
+    dst
+  }
+
+  /** q_l11's fixture: the l5 base store run through the VERSIONED
+    * lifecycle — snapshot v1, versioned append of the held-out third
+    * (v2), versioned erasure of every l_orderkey%10==7 row (v3). The
+    * row reads v1 AND v3 afterward, so a green oracle proves the v1
+    * snapshot still serves its exact pre-maintenance row set even
+    * though the erasure rewrote its buckets' live row set. */
+  private val l11Invocation =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def l11VersionedLayoutDir(s: SparkSession, dir: String): String = {
+    val dst = l5BaseCopy(s, dir, "_ver", l11Invocation.incrementAndGet())
+    Layout.snapshotLayout(s, dst): Unit
+    Layout.appendToLayoutVersioned(s, dst,
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0),
+      Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16): Unit
+    Layout.deleteFromLayoutVersioned(s, dst,
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 7)
+        .select("l_orderkey"), "l_orderkey"): Unit
     dst
   }
 

@@ -562,6 +562,27 @@ private[graft] object QueriesEtl {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey",
           "l_suppkey")),
 
+    // ---- L11: VERSIONED manifests — the snapshot-isolation
+    // milestone: the base store snapshots to v1, a versioned append
+    // publishes v2, a versioned erasure publishes v3, and THEN the
+    // row reads BOTH v1 and v3 through per-file pruned scans. v1's
+    // leg must equal the pre-maintenance corpus filter (the erasure
+    // rewrote its buckets' live rows, but v1's files are immutable —
+    // pinned readers need no localCheckpoint discipline); v3's leg
+    // must equal the appended-minus-erased corpus filter. ----
+    "q_l11_versioned_scan" -> ((s, dir) => {
+      val store = l11VersionedLayoutDir(s, dir)
+      def leg(v: Long, tag: String) =
+        Layout.prunedScanVersion(s, store,
+          Seq(("l_partkey", 10L, 50L), ("l_suppkey", 2L, 5L)),
+          version = v)
+          .select(lit(tag).as("ver"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      leg(1L, "v1").unionByName(leg(3L, "v3"))
+        .orderBy("ver", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")
+    }),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -842,6 +863,27 @@ private[graft] object QueriesEtl {
          |FROM zb
          |WHERE l_orderkey = 7
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin,
+
+    // v1 ≡ the base (l_orderkey%3≠0) corpus filter — untouched by the
+    // later erasure; v3 ≡ the full corpus filter minus the erased
+    // orders. A pin that leaks post-erasure rows into v1, or an
+    // erasure that fails to publish, hash-mismatches its leg.
+    "q_l11_versioned_scan" ->
+      """SELECT * FROM (
+        |  SELECT 'v1' AS ver, l_orderkey, l_linenumber, l_partkey,
+        |    l_suppkey
+        |  FROM lineitem
+        |  WHERE l_orderkey % 3 <> 0
+        |    AND l_partkey BETWEEN 10 AND 50
+        |    AND l_suppkey BETWEEN 2 AND 5
+        |  UNION ALL
+        |  SELECT 'v3', l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 <> 7
+        |    AND l_partkey BETWEEN 10 AND 50
+        |    AND l_suppkey BETWEEN 2 AND 5)
+        |ORDER BY ver, l_orderkey, l_linenumber, l_partkey, l_suppkey"""
         .stripMargin,
 
     "q_l3_hilbert_layout" ->

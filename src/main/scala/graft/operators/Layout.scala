@@ -460,6 +460,43 @@ object Layout {
   def appendToLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, cols: Seq[String], bits: Int,
       nBuckets: Int, curve: String = "z"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    require(currentLayoutVersion(spark, path) == 0L,
+      s"appendToLayout: the store at $path is VERSIONED — use " +
+        "appendToLayoutVersioned (the plain append publishes into " +
+        "the live manifest only, so the snapshot chain would " +
+        "silently stop covering the store)")
+    require(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_append_pending")),
+      s"appendToLayout: an interrupted append is staged at " +
+        s"$path/_append_pending — run recoverAppend($path) to roll " +
+        "it back or forward before appending again (single-writer " +
+        "discipline)")
+    val (laidDelta, bloomCols, bloomBits, bloomHashes) =
+      layDeltaWithIdentity(spark, path, rows, cols, bits, nBuckets,
+        curve, "appendToLayout")
+    val stats = spark.read.parquet(s"$path/_stats")
+    cols.foreach(c => require(stats.columns.contains(s"min_$c"),
+      s"appendToLayout: the manifest has no envelope for column " +
+        s"'$c' — the append must name exactly the columns the store " +
+        "was written with"))
+    appendPublish(spark, path, fs, laidDelta, stats, cols, bloomCols,
+      bloomBits, bloomHashes)
+  }
+
+  /** Shared delta-laying arithmetic of [[appendToLayout]] and
+    * [[appendToLayoutVersioned]]: validates the caller's declared
+    * identity against the persisted `_meta`, normalizes the delta
+    * under the BUILD-TIME anchors, assigns curve indexes and buckets,
+    * and pins the laid frame. One definition, so a versioned append
+    * can never assign buckets differently from the plain one. Returns
+    * (laid delta, bloom cols, bloom bits, bloom hashes). */
+  private def layDeltaWithIdentity(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, cols: Seq[String], bits: Int, nBuckets: Int,
+      curve: String, op: String)
+      : (DataFrame, Seq[String], Int, Int) = {
     val k = cols.size
     require(nBuckets >= 1 && k * bits <= 40,
       "k*bits must be <= 40 so bucket math stays in long range")
@@ -470,14 +507,8 @@ object Layout {
         "'hilbertk' (the Skilling transform) for k >= 3")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    require(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$path/_append_pending")),
-      s"appendToLayout: an interrupted append is staged at " +
-        s"$path/_append_pending — run recoverAppend($path) to roll " +
-        "it back or forward before appending again (single-writer " +
-        "discipline)")
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
-      s"appendToLayout: no layout identity at $path/_meta — the " +
+      s"$op: no layout identity at $path/_meta — the " +
         "store must be written by writeLayout (which persists the " +
         "curve and build-time anchors); appending blind would " +
         "scatter the delta")
@@ -489,7 +520,7 @@ object Layout {
     val storeCols = meta.getAs[scala.collection.Seq[String]]("cols")
     require(storeCurve == curve && storeBits == bits &&
       storeN == nBuckets && storeCols.toSeq == cols,
-      s"appendToLayout: the store at $path was built with " +
+      s"$op: the store at $path was built with " +
         s"curve=$storeCurve, bits=$storeBits, nBuckets=$storeN, " +
         s"cols=${storeCols.mkString("(", ", ", ")")} — the append " +
         s"asked for curve=$curve, bits=$bits, nBuckets=$nBuckets, " +
@@ -510,17 +541,12 @@ object Layout {
         meta.getAs[Long]("bloom_hashes").toInt
       else 5
     bloomCols.foreach(c => require(rows.columns.contains(c),
-      s"appendToLayout: the store sketches column '$c' but the delta " +
+      s"$op: the store sketches column '$c' but the delta " +
         "does not carry it"))
     // the persisted BUILD-TIME anchors, as a 1-row broadcast frame
     val anchors = metaDf.select(cols.flatMap(c => Seq(
       col(s"anchor_min_$c").as(s"_min_$c"),
       col(s"anchor_max_$c").as(s"_max_$c"))): _*)
-    val stats = spark.read.parquet(s"$path/_stats")
-    cols.foreach(c => require(stats.columns.contains(s"min_$c"),
-      s"appendToLayout: the manifest has no envelope for column " +
-        s"'$c' — the append must name exactly the columns the store " +
-        "was written with"))
     val normed = cols.map { c =>
       val v = greatest(least(col(c).cast("long"), col(s"_max_$c")),
         col(s"_min_$c"))
@@ -554,6 +580,18 @@ object Layout {
         idiv(col(idxCol) * lit(nBuckets.toLong), lit(1L << (k * bits))))
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
       .localCheckpoint() // appended files and manifest from ONE frame
+    (laidDelta, bloomCols, bloomBits, bloomHashes)
+  }
+
+  // The publish half of the PLAIN append: exact bucket-level stats
+  // algebra (counts add, envelopes widen, blooms OR-union), then the
+  // staged-commit ledger (`_append_pending` + `_COMMIT`) and the
+  // idempotent roll-forward.
+  private def appendPublish(spark: org.apache.spark.sql.SparkSession,
+      path: String, fs: org.apache.hadoop.fs.FileSystem,
+      laidDelta: DataFrame, stats: DataFrame, cols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int, bloomHashes: Int)
+      : Unit = {
     val deltaStats = fileSkippingStats(laidDelta, "_bucket", cols,
       bloomCols, bloomBits, bloomHashes)
     val mergedCols = (col("bucket") +:
@@ -725,6 +763,11 @@ object Layout {
       path: String, removedIds: DataFrame, idCol: String): Unit = {
     val fsGuard = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    require(currentLayoutVersion(spark, path) == 0L,
+      s"deleteFromLayout: the store at $path is VERSIONED — use " +
+        "deleteFromLayoutVersioned (the plain erasure rewrites " +
+        "bucket files IN PLACE, which would yank files out from " +
+        "under every pinned snapshot)")
     require(!fsGuard.exists(
       new org.apache.hadoop.fs.Path(s"$path/_append_pending")),
       s"deleteFromLayout: an interrupted append is staged at " +
@@ -925,5 +968,469 @@ object Layout {
       col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)
     }.reduce(_ || _)
     stats.withColumn("skipped", when(miss, lit(1L)).otherwise(lit(0L)))
+  }
+
+  // ──────────────────── versioned manifests (snapshots) ─────────────────
+  //
+  // The durability milestone on top of the live store: a committed
+  // chain of immutable snapshots under `<path>/_versions/v<n>/`, each a
+  // PER-FILE manifest (file list + per-file envelopes/sketches), with a
+  // single atomic marker create as the pointer swap. Once a store is
+  // versioned:
+  //
+  //  * data files are IMMUTABLE until vacuum — append only ADDS files,
+  //    erasure REWRITES touched buckets into new files and leaves the
+  //    old ones for pinned readers (physical purge = `vacuumLayout`,
+  //    the GDPR caveat a caller must know);
+  //  * a reader pins `currentLayoutVersion` once and reads THAT
+  //    manifest's files for as long as it likes — maintenance can
+  //    publish v+1 underneath it freely. This removes the documented
+  //    hold-localCheckpoint-across-maintenance reader discipline
+  //    (COVERAGE.md contract) for versioned stores;
+  //  * the PLAIN maintenance ops refuse (they mutate in place), and
+  //    the plain directory read is no longer meaningful after the
+  //    first versioned erasure (old and new files coexist) — all reads
+  //    go through [[readLayoutVersion]] / [[prunedScanVersion]].
+  //
+  // Commit protocol (the Iceberg discipline, from public designs): new
+  // data files land first (invisible — nothing references them), the
+  // manifest writes under `_versions/v<n+1>/` behind an exclusive
+  // `_LOCK` create, and the `_COMMITTED` marker create IS the commit
+  // point. A crash anywhere before the marker leaves the current
+  // version fully intact; `recoverLayoutVersions` sweeps the
+  // uncommitted residue and `vacuumLayout` sweeps orphaned data files.
+
+  /** Largest committed snapshot version at `path` (0 = the store is
+    * not versioned). One directory listing + one marker probe per
+    * version directory — metadata-only. */
+  def currentLayoutVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) 0L
+    else fs.listStatus(vroot)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v[0-9]+"))
+      .map(_.drop(1).toLong)
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/_versions/v$n/_COMMITTED")))
+      .foldLeft(0L)(math.max)
+  }
+
+  /** The committed per-file manifest of snapshot `version`: one row
+    * per data file — (`bucket`, `file` (store-relative path),
+    * `n_rows`, `min_<c>`/`max_<c>` per clustered column, `bloom_<c>`
+    * per sketched column). Refuses a version that was never committed
+    * or has been vacuumed (a pinned reader of a vacuumed snapshot
+    * must fail loudly, not read a half-swept file set). */
+  def layoutVersionManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long): DataFrame = {
+    require(version >= 1, s"snapshot versions start at 1 (got $version)")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_versions/v$version/_COMMITTED")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"layoutVersionManifest: no committed snapshot v$version at " +
+        s"$path — it was never published, or vacuumLayout dropped it; " +
+        s"current = ${currentLayoutVersion(spark, path)}")
+    spark.read.parquet(s"$path/_versions/v$version/manifest")
+  }
+
+  // Per-FILE skipping stats — the versioned twin of
+  // [[fileSkippingStats]], keyed by (bucket, store-relative file path)
+  // so a snapshot lists exactly the files it covers and pruning gets
+  // file granularity (strictly finer than the live manifest's
+  // bucket granularity).
+  private def perFileStats(storeRows: DataFrame, cols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int, bloomHashes: Int)
+      : DataFrame =
+    storeRows
+      .withColumn("file", regexp_extract(input_file_name(),
+        "(_bucket=[0-9]+/[^/]+)$", 1))
+      .groupBy(col("_bucket").cast("long").as("bucket"), col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        (cols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"min_$c"),
+          max(col(c)).cast("long").as(s"max_$c"))) ++
+          bloomCols.map(c => graft.functions.GraftFunctions.bloom_long(
+            col(c).cast("long"), bloomBits, bloomHashes)
+            .as(s"bloom_$c"))): _*)
+
+  // The pointer swap: exclusive `_LOCK` create (exactly one publisher
+  // per version number), manifest write, then the `_COMMITTED` marker
+  // create — the single atomic commit point readers key on.
+  private def publishLayoutVersion(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, n: Long,
+      manifest: DataFrame): Unit = {
+    val vdir = s"$path/_versions/v$n"
+    require(fs.createNewFile(
+      new org.apache.hadoop.fs.Path(s"$vdir/_LOCK")),
+      s"another writer is publishing v$n at $vdir (or a crashed " +
+        s"publish holds it) — single-writer discipline; run " +
+        s"recoverLayoutVersions($path) if no writer is live")
+    manifest.write.mode("overwrite").parquet(s"$vdir/manifest")
+    fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true)
+      .close()
+  }
+
+  // Shared bloom-geometry fetch from the store identity.
+  private def bloomGeometry(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Int, Int) = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    if (m.schema.fieldNames.contains("bloom_cols"))
+      (m.getAs[scala.collection.Seq[String]]("bloom_cols").toSeq,
+        m.getAs[Long]("bloom_bits").toInt,
+        m.getAs[Long]("bloom_hashes").toInt)
+    else (Nil, 1 << 13, 5)
+  }
+
+  /** Turn a [[writeLayout]] store into a VERSIONED store: publish
+    * snapshot v1 covering exactly the files on disk. One store scan
+    * (the per-file stats derive from a re-read, the writeLayout
+    * can-never-disagree contract); after this call all maintenance
+    * goes through the `*Versioned` ops and all reads through
+    * [[readLayoutVersion]] / [[prunedScanVersion]]. */
+  def snapshotLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
+      s"snapshotLayout: no layout identity at $path/_meta — the " +
+        "store must be written by writeLayout first")
+    require(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_append_pending")),
+      s"snapshotLayout: an interrupted plain append is staged at " +
+        s"$path/_append_pending — run recoverAppend($path) first so " +
+        "v1 covers a settled file set")
+    require(currentLayoutVersion(spark, path) == 0L,
+      s"snapshotLayout: the store at $path is already versioned — " +
+        "maintenance publishes snapshots itself; re-snapshotting " +
+        "would adopt orphaned (superseded or crash-staged) files")
+    val m = spark.read.parquet(s"$path/_meta").head()
+    val cols = m.getAs[scala.collection.Seq[String]]("cols").toSeq
+    val (bloomCols, bloomBits, bloomHashes) = bloomGeometry(spark, path)
+    val manifest = perFileStats(spark.read.parquet(path), cols,
+      bloomCols, bloomBits, bloomHashes).localCheckpoint()
+    publishLayoutVersion(fs, path, 1L, manifest)
+    1L
+  }
+
+  /** Full read of snapshot `version` (default: current) — the pinned
+    * view: exactly the manifest's files, by explicit path list, so
+    * later maintenance (which only ADDS files until vacuum) can never
+    * change or break this read. */
+  def readLayoutVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long = -1L): DataFrame = {
+    val v = resolveVersion(spark, path, version)
+    val files = layoutVersionManifest(spark, path, v)
+      .select("file").collect().map(_.getString(0))
+    require(files.nonEmpty,
+      s"readLayoutVersion: snapshot v$v of $path lists no files " +
+        "(every row erased) — its row schema is gone with them")
+    spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f").toIndexedSeq: _*)
+  }
+
+  private def resolveVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long): Long =
+    if (version > 0) version
+    else {
+      val cur = currentLayoutVersion(spark, path)
+      require(cur >= 1,
+        s"the store at $path is not versioned — snapshotLayout first")
+      cur
+    }
+
+  /** [[prunedScan]] against a PINNED snapshot: the same conservative
+    * verdict rule (range envelopes, point sketches/envelopes) applied
+    * to the per-file manifest — file granularity, strictly finer than
+    * the live manifest's bucket granularity — then an explicit-path
+    * read of only the kept files. No existence-filter is needed:
+    * committed manifests reference immutable files (the vacuum
+    * contract is to never drop a still-pinned version). */
+  def prunedScanVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String, ranges: Seq[(String, Long, Long)],
+      points: Seq[(String, Long)] = Nil, version: Long = -1L)
+      : DataFrame = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "prunedScanVersion needs at least one range or point predicate")
+    val v = resolveVersion(spark, path, version)
+    val manifest = layoutVersionManifest(spark, path, v)
+    ranges.foreach { case (c, _, _) =>
+      require(manifest.columns.contains(s"min_$c"),
+        s"prunedScanVersion: the manifest has no envelope for column " +
+          s"'$c' — only columns named at writeLayout can prune")
+    }
+    points.foreach { case (c, _) =>
+      require(manifest.columns.contains(s"bloom_$c") ||
+        manifest.columns.contains(s"min_$c"),
+        s"prunedScanVersion: the manifest has neither a membership " +
+          s"sketch nor a min/max envelope for column '$c' — name it " +
+          "in writeLayout's bloomCols (point lookups) or cols " +
+          "(clustering) to serve point predicates")
+    }
+    val (_, _, bloomHashes) =
+      if (points.exists { case (c, _) =>
+        manifest.columns.contains(s"bloom_$c") })
+        bloomGeometry(spark, path)
+      else (Nil, 0, 5)
+    val verdicts0 =
+      if (ranges.nonEmpty) skippingVerdicts(manifest, ranges)
+      else manifest.withColumn("skipped", lit(0L))
+    val verdicts = points.foldLeft(verdicts0) { case (d, (c, pv)) =>
+      val bloomMiss =
+        if (manifest.columns.contains(s"bloom_$c"))
+          !graft.functions.GraftFunctions.bloom_might_contain(
+            col(s"bloom_$c"), lit(pv), bloomHashes)
+        else lit(false)
+      val envMiss =
+        if (manifest.columns.contains(s"min_$c"))
+          col(s"max_$c") < lit(pv) || col(s"min_$c") > lit(pv)
+        else lit(false)
+      d.withColumn("skipped",
+        when(col("skipped") === 1L, lit(1L))
+          .when(bloomMiss || envMiss, lit(1L))
+          .otherwise(lit(0L)))
+    }
+    // kept FILES to the driver — manifest-sized (one row per file),
+    // the same bounded planning fetch every table format pays
+    val kept = verdicts.filter(col("skipped") === 0L)
+      .select("file").collect().map(_.getString(0))
+    val scan =
+      if (kept.nonEmpty)
+        spark.read.option("basePath", path)
+          .parquet(kept.map(f => s"$path/$f").toIndexedSeq: _*)
+      else {
+        val any = manifest.select("file").head(1)
+        require(any.nonEmpty,
+          s"prunedScanVersion: snapshot v$v of $path lists no files " +
+            "(every row erased) — its row schema is gone with them")
+        spark.read.option("basePath", path)
+          .parquet(s"$path/${any.head.getString(0)}").limit(0)
+      }
+    val ranged = ranges.foldLeft(scan) { case (d, (c, lo, hi)) =>
+      d.filter(col(c).between(lo, hi))
+    }
+    points.foldLeft(ranged) { case (d, (c, pv)) =>
+      d.filter(col(c) === lit(pv))
+    }
+  }
+
+  /** Versioned APPEND: lay the delta with the exact plain-append
+    * arithmetic ([[layDeltaWithIdentity]] — one definition of bucket
+    * assignment), land its files into the live bucket directories
+    * under their final unique names, and publish v+1 = v's manifest
+    * plus the new files' per-file rows. Existing files are never
+    * touched, so every pinned reader is unaffected; nothing
+    * references the new files until the `_COMMITTED` marker lands, so
+    * a crash anywhere leaves v fully intact (the staged/landed delta
+    * files become vacuum-sweepable orphans and the append simply
+    * re-runs). Returns the new version number. */
+  def appendToLayoutVersioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, cols: Seq[String], bits: Int, nBuckets: Int,
+      curve: String = "z"): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentLayoutVersion(spark, path)
+    require(v >= 1,
+      s"appendToLayoutVersioned: the store at $path is not " +
+        "versioned — snapshotLayout first (or use appendToLayout)")
+    val prev = layoutVersionManifest(spark, path, v).localCheckpoint()
+    cols.foreach(c => require(prev.columns.contains(s"min_$c"),
+      s"appendToLayoutVersioned: the manifest has no envelope for " +
+        s"column '$c' — the append must name exactly the columns the " +
+        "store was written with"))
+    val (laidDelta, bloomCols, bloomBits, bloomHashes) =
+      layDeltaWithIdentity(spark, path, rows, cols, bits, nBuckets,
+        curve, "appendToLayoutVersioned")
+    val stage = s"$path/_versions/v${v + 1}_stage"
+    require(fs.createNewFile(
+      new org.apache.hadoop.fs.Path(s"$stage/_STAGE_LOCK")),
+      s"appendToLayoutVersioned: another versioned maintenance op " +
+        s"holds the stage at $stage (or a crashed one does) — " +
+        s"single-writer discipline; run recoverLayoutVersions($path) " +
+        "if no writer is live")
+    laidDelta.repartition(col("_bucket"))
+      .write.partitionBy("_bucket").parquet(s"$stage/data")
+    // per-file rows from the STAGED files: the staged relative path
+    // (_bucket=<b>/<name>) IS the final relative path — names are
+    // task-UUID unique, only the directory changes at landing
+    val deltaRows = perFileStats(spark.read.parquet(s"$stage/data"),
+      cols, bloomCols, bloomBits, bloomHashes).localCheckpoint()
+    landStagedFiles(fs, path, s"$stage/data")
+    publishLayoutVersion(fs, path, v + 1,
+      prev.unionByName(deltaRows))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    v + 1
+  }
+
+  // Move every staged data file into its live bucket directory,
+  // skip-if-landed (idempotent — the completeAppend discipline).
+  private def landStagedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, dataRoot: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dataRoot)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_bucket="))
+      .foreach { bd =>
+        val target =
+          new org.apache.hadoop.fs.Path(path, bd.getPath.getName)
+        if (!fs.exists(target)) fs.mkdirs(target): Unit
+        fs.listStatus(bd.getPath)
+          .filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            val dst = new org.apache.hadoop.fs.Path(target,
+              f.getPath.getName)
+            if (!fs.exists(dst))
+              require(fs.rename(f.getPath, dst),
+                s"versioned publish rename ${f.getPath} -> $dst " +
+                  "failed (stage intact — re-run the op)")
+            else fs.delete(f.getPath, false): Unit
+          }
+      }
+  }
+
+  /** Versioned ERASURE: rewrite the touched buckets' SURVIVORS into
+    * new files and publish v+1 = v's manifest minus the touched
+    * buckets' old rows plus the new files. The old files stay on disk
+    * for pinned readers — the erased rows are logically gone from v+1
+    * on, but PHYSICALLY purged only by [[vacuumLayout]] once no kept
+    * snapshot references them (the right-to-erasure caller runs
+    * vacuum after the pinned horizon passes). A no-op (no touched
+    * bucket) publishes nothing and returns the current version.
+    * Returns the serving version number. */
+  def deleteFromLayoutVersioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      removedIds: DataFrame, idCol: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentLayoutVersion(spark, path)
+    require(v >= 1,
+      s"deleteFromLayoutVersioned: the store at $path is not " +
+        "versioned — snapshotLayout first (or use deleteFromLayout)")
+    val prev = layoutVersionManifest(spark, path, v).localCheckpoint()
+    val ids = removedIds
+      .select(col(removedIds.columns.head).as(idCol)).distinct()
+    // the MANIFEST-scoped live view, never the directory listing —
+    // dirs may hold superseded files and crash-staged orphans
+    val live = readLayoutVersion(spark, path, v)
+    val touched = live.join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col("_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return v
+    val survivors = live
+      .filter(col("_bucket").isin(touched.map(Long.box): _*))
+      .join(broadcast(ids), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val m = spark.read.parquet(s"$path/_meta").head()
+    val cols = m.getAs[scala.collection.Seq[String]]("cols").toSeq
+    val (bloomCols, bloomBits, bloomHashes) = bloomGeometry(spark, path)
+    val stage = s"$path/_versions/v${v + 1}_stage"
+    require(fs.createNewFile(
+      new org.apache.hadoop.fs.Path(s"$stage/_STAGE_LOCK")),
+      s"deleteFromLayoutVersioned: another versioned maintenance op " +
+        s"holds the stage at $stage (or a crashed one does) — run " +
+        s"recoverLayoutVersions($path) if no writer is live")
+    survivors.repartition(col("_bucket"))
+      .write.partitionBy("_bucket").parquet(s"$stage/data")
+    val newRows = perFileStats(spark.read.parquet(s"$stage/data"),
+      cols, bloomCols, bloomBits, bloomHashes).localCheckpoint()
+    landStagedFiles(fs, path, s"$stage/data")
+    publishLayoutVersion(fs, path, v + 1,
+      prev.filter(!col("bucket").isin(touched.map(Long.box): _*))
+        .unionByName(newRows))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    v + 1
+  }
+
+  /** Drop uncommitted residue from crashed versioned maintenance: any
+    * `_versions/v<n>` directory without its `_COMMITTED` marker
+    * (a publish that never reached its commit point — nothing ever
+    * referenced it) and any `v<n>_stage` directory (either its op
+    * crashed pre-commit, or it committed and only the stage cleanup
+    * was lost — landed files are referenced by the committed
+    * manifest, staged leftovers are duplicates either way). Data
+    * files the dropped residue had already landed become orphans for
+    * [[vacuumLayout]]. Safe on a clean store (no-op); single-writer:
+    * never run concurrently with a live maintenance op. */
+  def recoverLayoutVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) return
+    fs.listStatus(vroot).filter(_.isDirectory).foreach { d =>
+      val name = d.getPath.getName
+      val uncommitted = name.matches("v[0-9]+") &&
+        !fs.exists(new org.apache.hadoop.fs.Path(d.getPath,
+          "_COMMITTED"))
+      if (uncommitted || name.matches("v[0-9]+_stage"))
+        fs.delete(d.getPath, true): Unit
+    }
+  }
+
+  /** Physically purge what no KEPT snapshot references: keep the
+    * latest `keepLast` committed versions, drop every older version's
+    * manifest directory, sweep uncommitted residue
+    * ([[recoverLayoutVersions]]), and delete every data file no kept
+    * manifest lists — superseded pre-erasure files (the actual
+    * right-to-erasure purge) and crash orphans alike. Empty bucket
+    * directories leave with their last file. The referenced-file set
+    * is a manifest-sized driver fetch (one path per live file — the
+    * same planning-scale metadata every table format holds). Returns
+    * a one-row report (files_deleted, versions_dropped,
+    * current_version). Contract: never vacuum below a version a
+    * reader still pins. */
+  def vacuumLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepLast: Int = 1): DataFrame = {
+    require(keepLast >= 1, "vacuumLayout must keep at least the " +
+      "current version (keepLast >= 1)")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentLayoutVersion(spark, path)
+    require(cur >= 1,
+      s"vacuumLayout: the store at $path is not versioned")
+    recoverLayoutVersions(spark, path)
+    val keptVersions = (math.max(1L, cur - keepLast + 1) to cur)
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/_versions/v$n/_COMMITTED")))
+    val referenced: Set[String] = keptVersions
+      .flatMap(n => layoutVersionManifest(spark, path, n)
+        .select("file").collect().map(_.getString(0)))
+      .toSet
+    var filesDeleted = 0L
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_bucket="))
+      .foreach { bd =>
+        val bname = bd.getPath.getName
+        var remaining = 0
+        fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
+          val rel = s"$bname/${f.getPath.getName}"
+          if (!referenced.contains(rel)) {
+            fs.delete(f.getPath, false): Unit
+            filesDeleted += 1
+          } else remaining += 1
+        }
+        if (remaining == 0)
+          fs.delete(bd.getPath, true): Unit
+      }
+    var versionsDropped = 0L
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    fs.listStatus(vroot).filter(_.isDirectory).foreach { d =>
+      val name = d.getPath.getName
+      if (name.matches("v[0-9]+") &&
+        !keptVersions.contains(name.drop(1).toLong)) {
+        fs.delete(d.getPath, true): Unit
+        versionsDropped += 1
+      }
+    }
+    spark.range(1).select(lit(filesDeleted).as("files_deleted"),
+      lit(versionsDropped).as("versions_dropped"),
+      lit(cur).as("current_version"))
   }
 }

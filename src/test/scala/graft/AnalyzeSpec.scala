@@ -326,6 +326,34 @@ class AnalyzeSpec extends SparkSpec {
       Analyze.run(parse(List("momentsmaint")), spark))
   }
 
+  test("layoutversions runs the snapshot/report/vacuum/recover " +
+      "lifecycle from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-lv").toString
+    val base = (for { x <- 0L until 8L; y <- 0L until 8L }
+      yield (x * 8 + y, x, y)).toDF("id", "x", "y")
+    graft.operators.Layout.writeLayout(
+      graft.operators.Layout.zOrderLayout(base, Seq("x", "y"), 3, 8),
+      s"$dir/store", Seq("x", "y"), "z", 3, 8)
+    val snap = Analyze.run(parse(List("layoutversions",
+      "--docs", s"$dir/store", "--mode", "snapshot")), spark).head()
+    assert(snap.getString(0) == "snapshotted" && snap.getLong(1) == 1L)
+    graft.operators.Layout.deleteFromLayoutVersioned(spark,
+      s"$dir/store", Seq(0L, 1L).toDF("id"), "id"): Unit
+    val rep = Analyze.run(parse(List("layoutversions",
+      "--docs", s"$dir/store")), spark).orderBy("version").collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rep.head.getLong(2) == 64L && rep.last.getLong(2) == 62L)
+    val vac = Analyze.run(parse(List("layoutversions",
+      "--docs", s"$dir/store", "--mode", "vacuum",
+      "--budget", "1")), spark).head()
+    assert(vac.getAs[Long]("versions_dropped") == 1L)
+    val rec = Analyze.run(parse(List("layoutversions",
+      "--docs", s"$dir/store", "--mode", "recover")), spark).head()
+    assert(rec.getString(0) == "recovered" && rec.getLong(1) == 2L)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("layoutversions")), spark))
+  }
+
   test("tokenbatch + autorebatch run from argv: budgeted batches, " +
       "padding audit, measured-argmin report") {
     val dir = Files.createTempDirectory("graft-analyze-tb").toString

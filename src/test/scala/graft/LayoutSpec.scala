@@ -862,4 +862,175 @@ class LayoutSpec extends SparkSpec {
     assert(zSkipped > linSkipped,
       "z-order must prune strictly more rows than the 1-D sort")
   }
+
+  // ───────────────── versioned manifests (snapshots) ─────────────────
+
+  private def vRows(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Long)] =
+    df.select("id", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def vFixture(): (String, Set[(Long, Long, Long)]) = {
+    val base = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x * 16 + y, x, y)).toDF("id", "x", "y")
+    val laid = Layout.zOrderLayout(base, Seq("x", "y"), 4, 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vlayout").toString + "/store"
+    Layout.writeLayout(laid, path, Seq("x", "y"), "z", 4, 16,
+      bloomCols = Seq("id"))
+    (path, (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x * 16 + y, x, y)).toSet)
+  }
+
+  test("versioned layout: snapshots PIN — a v1 reader survives append " +
+      "and erasure untouched, with no localCheckpoint discipline; " +
+      "per-file pruned scans (ranges and bloom points) are lossless " +
+      "per version; plain maintenance and double snapshot refuse") {
+    val (path, baseSet) = vFixture()
+    assert(Layout.currentLayoutVersion(spark, path) == 0L)
+    assert(Layout.snapshotLayout(spark, path) == 1L)
+    assert(Layout.currentLayoutVersion(spark, path) == 1L)
+    val again = intercept[IllegalArgumentException](
+      Layout.snapshotLayout(spark, path))
+    assert(again.getMessage.contains("already versioned"))
+    assert(vRows(Layout.readLayoutVersion(spark, path)) == baseSet)
+    val deltaSet = (for { x <- 0L until 4L; y <- 0L until 4L }
+      yield (1000 + x * 4 + y, x, y)).toSet
+    val delta = deltaSet.toSeq.toDF("id", "x", "y")
+    assert(Layout.appendToLayoutVersioned(spark, path, delta,
+      Seq("x", "y"), 4, 16) == 2L)
+    val removed = (0L until 1100L).filter(_ % 5 == 0).toDF("id")
+    assert(Layout.deleteFromLayoutVersioned(spark, path, removed,
+      "id") == 3L)
+    // the pinned v1 view is byte-identical AFTER both maintenance ops
+    // — the claim that removes the reader discipline
+    assert(vRows(Layout.readLayoutVersion(spark, path, 1L)) == baseSet)
+    val v2Set = baseSet ++ deltaSet
+    val v3Set = v2Set.filterNot(_._1 % 5 == 0)
+    assert(vRows(Layout.readLayoutVersion(spark, path, 2L)) == v2Set)
+    assert(vRows(Layout.readLayoutVersion(spark, path)) == v3Set)
+    // pruned range scans ≡ that snapshot's full filter
+    val box = Seq(("x", 0L, 3L), ("y", 0L, 3L))
+    def inBox(t: (Long, Long, Long)) =
+      t._2 <= 3L && t._3 <= 3L
+    assert(vRows(Layout.prunedScanVersion(spark, path, box,
+      version = 1L)) == baseSet.filter(inBox))
+    assert(vRows(Layout.prunedScanVersion(spark, path, box)) ==
+      v3Set.filter(inBox))
+    // bloom point probes on the non-clustered id: present, erased
+    // (gone at v3, still served at v1), absent
+    assert(vRows(Layout.prunedScanVersion(spark, path, Nil,
+      Seq(("id", 7L)))) == Set((7L, 0L, 7L)))
+    assert(Layout.prunedScanVersion(spark, path, Nil,
+      Seq(("id", 5L))).count() == 0L)
+    assert(vRows(Layout.prunedScanVersion(spark, path, Nil,
+      Seq(("id", 5L)), version = 1L)) == Set((5L, 0L, 5L)))
+    assert(Layout.prunedScanVersion(spark, path, Nil,
+      Seq(("id", 999999L))).count() == 0L)
+    // the plain in-place ops refuse on a versioned store
+    val pa = intercept[IllegalArgumentException](
+      Layout.appendToLayout(spark, path, delta, Seq("x", "y"), 4, 16))
+    assert(pa.getMessage.contains("VERSIONED"))
+    val pd = intercept[IllegalArgumentException](
+      Layout.deleteFromLayout(spark, path, removed, "id"))
+    assert(pd.getMessage.contains("VERSIONED"))
+  }
+
+  test("versioned layout crash injection, both sides of the pointer " +
+      "swap: residue without _COMMITTED never moves the pointer and " +
+      "rolls back via recoverLayoutVersions; landed-but-unreferenced " +
+      "files are invisible to every versioned read; the marker create " +
+      "IS the commit") {
+    val (path, baseSet) = vFixture()
+    Layout.snapshotLayout(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // side 1 — crash BEFORE the marker: a publisher died holding v2's
+    // lock. The pointer must not move and v2 must refuse.
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_versions/v2/_LOCK"), true).close()
+    assert(Layout.currentLayoutVersion(spark, path) == 1L)
+    val refuse = intercept[IllegalArgumentException](
+      Layout.layoutVersionManifest(spark, path, 2L))
+    assert(refuse.getMessage.contains("no committed snapshot v2"))
+    assert(vRows(Layout.readLayoutVersion(spark, path)) == baseSet)
+    // a live append now CRASHES at the publish gate (files already
+    // landed — exactly the mid-flight window): the pointer still
+    // must not move
+    val deltaSet = (for { x <- 0L until 4L; y <- 0L until 4L }
+      yield (1000 + x * 4 + y, x, y)).toSet
+    val delta = deltaSet.toSeq.toDF("id", "x", "y")
+    val blocked = intercept[IllegalArgumentException](
+      Layout.appendToLayoutVersioned(spark, path, delta,
+        Seq("x", "y"), 4, 16))
+    assert(blocked.getMessage.contains("another writer is publishing"))
+    assert(Layout.currentLayoutVersion(spark, path) == 1L)
+    assert(vRows(Layout.readLayoutVersion(spark, path)) == baseSet,
+      "landed-but-unreferenced delta files are invisible")
+    // roll back the residue; the retried append commits v2 with no
+    // duplicates (the crashed attempt's landed files stay orphans —
+    // COUNT catches any adoption, a set compare would not)
+    Layout.recoverLayoutVersions(spark, path)
+    assert(Layout.appendToLayoutVersioned(spark, path, delta,
+      Seq("x", "y"), 4, 16) == 2L)
+    val v2 = Layout.readLayoutVersion(spark, path)
+    assert(vRows(v2) == baseSet ++ deltaSet)
+    assert(v2.count() == (baseSet.size + deltaSet.size).toLong,
+      "no orphan adopted, no duplicate row")
+    // side 2 — a crashed STAGE blocks the next op until recovered
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_versions/v3_stage/_STAGE_LOCK"), true).close()
+    val staged = intercept[IllegalArgumentException](
+      Layout.deleteFromLayoutVersioned(spark, path,
+        Seq(5L).toDF("id"), "id"))
+    assert(staged.getMessage.contains("holds the stage"))
+    Layout.recoverLayoutVersions(spark, path)
+    assert(Layout.deleteFromLayoutVersioned(spark, path,
+      Seq(5L).toDF("id"), "id") == 3L)
+    assert(vRows(Layout.readLayoutVersion(spark, path)) ==
+      (baseSet ++ deltaSet).filterNot(_._1 == 5L))
+    // a hand-planted orphan data file is invisible until vacuum
+    val b0 = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_bucket=0")).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_")).head
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$path/_bucket=0/orphan-${b0.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, b0, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(vRows(Layout.readLayoutVersion(spark, path)) ==
+      (baseSet ++ deltaSet).filterNot(_._1 == 5L))
+    Layout.vacuumLayout(spark, path, keepLast = 1)
+      .write.format("noop").mode("overwrite").save()
+    assert(!fs.exists(orphan), "vacuum swept the orphan")
+  }
+
+  test("vacuumLayout: keeps the pinned horizon, drops older " +
+      "manifests (vacuumed snapshots refuse loudly), and physically " +
+      "purges erased rows — after vacuum(1) the directory equals the " +
+      "current snapshot exactly") {
+    val (path, baseSet) = vFixture()
+    Layout.snapshotLayout(spark, path)
+    val deltaSet = (for { x <- 0L until 4L; y <- 0L until 4L }
+      yield (1000 + x * 4 + y, x, y)).toSet
+    Layout.appendToLayoutVersioned(spark, path,
+      deltaSet.toSeq.toDF("id", "x", "y"), Seq("x", "y"), 4, 16)
+    Layout.deleteFromLayoutVersioned(spark, path,
+      (0L until 1100L).filter(_ % 5 == 0).toDF("id"), "id")
+    val v3Set = (baseSet ++ deltaSet).filterNot(_._1 % 5 == 0)
+    val rep = Layout.vacuumLayout(spark, path, keepLast = 1).head()
+    assert(rep.getAs[Long]("versions_dropped") == 2L)
+    assert(rep.getAs[Long]("current_version") == 3L)
+    assert(rep.getAs[Long]("files_deleted") > 0L)
+    val gone = intercept[IllegalArgumentException](
+      Layout.readLayoutVersion(spark, path, 1L))
+    assert(gone.getMessage.contains("vacuumLayout dropped it") ||
+      gone.getMessage.contains("no committed snapshot"))
+    assert(vRows(Layout.readLayoutVersion(spark, path)) == v3Set)
+    // the physical purge claim: nothing but the current snapshot's
+    // files remain, so even a PLAIN directory read agrees — the
+    // erased rows are gone from disk, not just from the manifest
+    assert(vRows(spark.read.parquet(path)) == v3Set)
+    intercept[IllegalArgumentException](
+      Layout.vacuumLayout(spark, path, keepLast = 0))
+  }
 }
