@@ -282,6 +282,11 @@ import graft.operators.{Curation, GraphOps}
   *               [--budget KEEP_VERSIONS] (versioned-manifest
   *               lifecycle: publish v1, purge below the kept horizon,
   *               drop crash residue, or report the committed chain)
+  *   rankmaint   --docs <edge table dir> --target <rank store dir>
+  *               [--threshold DAMPING (build only)] [--budget ITERS]
+  *               (maintained PageRank store: cold build + save on
+  *               first run, warm-start maintenance off the store's
+  *               own damping afterwards)
   *   momentsmaint --vectors <base dir> [--delta <added dir>]
   *               [--target <removed dir (with embeddings)>]
   *               (maintain the exact PCA moment store — refit-ready
@@ -483,6 +488,7 @@ object Analyze {
       probes: Int = 8,
       epochs: Int = 1,
       budget: Long = 4096L,
+      budgetSet: Boolean = false,
       qsList: Seq[Double] = Seq(0.5, 0.9, 0.99),
       coarseRounds: Int = 8,
       valK: Int = 0,
@@ -550,7 +556,8 @@ object Analyze {
       case "--pq-k" :: v :: t => loop(t, acc.copy(pqK = v.toInt))
       case "--probes" :: v :: t => loop(t, acc.copy(probes = v.toInt))
       case "--epochs" :: v :: t => loop(t, acc.copy(epochs = v.toInt))
-      case "--budget" :: v :: t => loop(t, acc.copy(budget = v.toLong))
+      case "--budget" :: v :: t =>
+        loop(t, acc.copy(budget = v.toLong, budgetSet = true))
       case "--top-k" :: v :: t => loop(t, acc.copy(topK = v.toInt))
       case "--entity-col" :: v :: t => loop(t, acc.copy(entityCol = v))
       case "--ts-col" :: v :: t => loop(t, acc.copy(tsCol = v))

@@ -219,6 +219,41 @@ private[graft] object AnalyzeMore {
         "layoutrecover needs --docs <layout store dir> (the " +
           "writeLayout path whose _append_pending stage to resolve)")
       Some(graft.operators.Layout.recoverAppend(spark, args.docs))
+    case "rankmaint" =>
+      // maintained PageRank serving store: --docs <edge table dir>
+      // (start_id, end_id parquet) is the CURRENT graph, --target
+      // <rank store dir>. First run (no store) = cold pageRank +
+      // saveRankStore under --threshold damping (default 0.85);
+      // later runs warm-start off the store (its OWN damping — the
+      // identity rides the meta) and commit the next version.
+      // --budget = iterations (default 10 cold, 2 warm).
+      require(args.docs.nonEmpty && args.target.nonEmpty,
+        "rankmaint needs --docs <edge table dir> and --target <rank " +
+          "store dir>; --threshold DAMPING (build-time only), " +
+          "--budget ITERATIONS")
+      import graft.operators.GraphOps
+      val rmEdges = spark.read.parquet(args.docs)
+        .select("start_id", "end_id")
+      val rmFs = new org.apache.hadoop.fs.Path(args.target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rmCold = !rmFs.exists(
+        new org.apache.hadoop.fs.Path(s"${args.target}/meta"))
+      val rmScores =
+        if (rmCold) {
+          val d = args.thresholdOpt.getOrElse(0.85)
+          val s0 = GraphOps.pageRank(rmEdges, d,
+            if (args.budgetSet) args.budget.toInt else 10)
+          GraphOps.saveRankStore(spark, args.target, s0, d): Unit
+          s0
+        } else {
+          val warm = GraphOps.incrementalPageRankFromStore(spark,
+            args.target, rmEdges,
+            if (args.budgetSet) args.budget.toInt else 2)
+          GraphOps.saveRankStore(spark, args.target, warm,
+            GraphOps.loadRankStore(spark, args.target).damping): Unit
+          warm
+        }
+      Some(rmScores.orderBy("id"))
     case "layoutversions" =>
       // the versioned-manifest lifecycle: --docs <layout store dir>,
       // --mode snapshot (publish v1) | vacuum (purge below the kept

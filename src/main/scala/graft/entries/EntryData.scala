@@ -56,6 +56,34 @@ private[graft] object EntryData {
     cust.unionByName(supp).unionByName(nat)
   }
 
+  /** q_g3d/q_g3e's mutated hetero graph — the edge delta the
+    * incremental-PageRank rows warm-start over: DROP the
+    * supplier→nation edges for suppliers 0..9 (their nodes vanish —
+    * nothing points at a supplier), ADD customer→region edges for
+    * customers < 20 (out-degree 1→2 on survivors) and part-keyed
+    * edges from a fresh 1000000+ id space (new nodes). The oracles
+    * re-derive the same delta in SQL. */
+  def g3MutatedEdges(s: SparkSession, dir: String): DataFrame = {
+    val adds = t(s, dir, "customer").filter(col("c_custkey") < 20)
+      .select((col("c_custkey").cast("long") * 4).as("start_id"),
+        ((col("c_custkey") % 5).cast("long") * 4 + 3).as("end_id"))
+    val newbies = t(s, dir, "part").filter(col("p_partkey") < 15)
+      .select((col("p_partkey").cast("long") + 1000000L).as("start_id"),
+        ((col("p_partkey") % 5).cast("long") * 4 + 3).as("end_id"))
+    heteroEdges(s, dir)
+      .filter(!(col("start_id") % 4 === 1 && col("start_id") < 40))
+      .unionByName(adds).unionByName(newbies)
+  }
+
+  /** q_g3e's scratch rank-store dir — fresh per invocation (the
+    * store commits a version per save; a shared dir would chain
+    * versions across invocations). Lives under [[annScratchRoot]],
+    * removed by its shutdown hook. */
+  private val g3eInvocation =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def freshRankStoreDir(): String =
+    annScratchRoot + "/rankstore_" + g3eInvocation.incrementAndGet()
+
   /** [[heteroEdges]] made cyclic for the SCC query: back-edges
     * region → nation (every nation) and nation → customer (customers
     * with `c_custkey % 3 == 0` only). Each region's {region, its

@@ -70,20 +70,28 @@ private[graft] object QueriesGraph {
     // oracle unrolls base rounds r1..r3 then warm rounds w1..w2 with
     // the identical round SQL (OracleCtes.pageRankRoundSql). ----
     "q_g3d_pagerank_incremental" -> ((s, dir) => {
-      val base = heteroEdges(s, dir)
-      val stored = GraphOps.pageRank(base, damping = 0.85,
-        iterations = 3)
-      val adds = t(s, dir, "customer").filter(col("c_custkey") < 20)
-        .select((col("c_custkey").cast("long") * 4).as("start_id"),
-          ((col("c_custkey") % 5).cast("long") * 4 + 3).as("end_id"))
-      val newbies = t(s, dir, "part").filter(col("p_partkey") < 15)
-        .select((col("p_partkey").cast("long") + 1000000L).as("start_id"),
-          ((col("p_partkey") % 5).cast("long") * 4 + 3).as("end_id"))
-      val mutated = base
-        .filter(!(col("start_id") % 4 === 1 && col("start_id") < 40))
-        .unionByName(adds).unionByName(newbies)
-      GraphOps.incrementalPageRank(mutated, stored, damping = 0.85,
-        iterations = 2)
+      val stored = GraphOps.pageRank(heteroEdges(s, dir),
+        damping = 0.85, iterations = 3)
+      GraphOps.incrementalPageRank(g3MutatedEdges(s, dir), stored,
+        damping = 0.85, iterations = 2)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
+    // ---- G3e: the PERSISTED rank store round-trip — the q_x3j/q_x2t
+    // stored-path discipline applied to q_g3d: save the base scores
+    // WITH their damping identity, then warm-start OFF THE LOADED
+    // STORE (incrementalPageRankFromStore takes damping from the
+    // meta — the caller cannot misalign it). SHARES q_g3d's oracle
+    // verbatim, so any loss or drift through the store — a dropped
+    // version, a stale commit, a damping mix-up — hash-mismatches. ----
+    "q_g3e_rankstore_roundtrip" -> ((s, dir) => {
+      val storeDir = freshRankStoreDir()
+      GraphOps.saveRankStore(s, storeDir,
+        GraphOps.pageRank(heteroEdges(s, dir), damping = 0.85,
+          iterations = 3), damping = 0.85): Unit
+      GraphOps.incrementalPageRankFromStore(s, storeDir,
+        g3MutatedEdges(s, dir), iterations = 2)
         .select(col("id"), round(col("rank"), 8).as("rank"))
         .orderBy("id")
     }),
@@ -895,6 +903,50 @@ private[graft] object QueriesGraph {
     }),
   )
 
+  // q_g3d/q_g3e's shared oracle (the stored path must reproduce the
+  // in-memory warm start exactly): q_g3's 3-round base replay, the
+  // edge delta, the renormalized warm start off RAW (unrounded) r3,
+  // and two warm rounds with the identical round SQL.
+  private def g3dWarmStartSql: String = {
+    val baseRounds = Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3"))
+      .map { case (p, o) =>
+        pageRankRoundSql(p, o, "e", "deg", "n", "c") }.mkString(",\n")
+    val warmRounds = Seq(("w0", "w1"), ("w1", "w2"))
+      .map { case (p, o) =>
+        pageRankRoundSql(p, o, "e2", "deg2", "n2", "c2") }
+      .mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
+         |  UNION ALL
+         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
+         |n AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
+         |$baseRounds,
+         |e2 AS (
+         |  SELECT src, dst FROM e WHERE NOT (src % 4 = 1 AND src < 40)
+         |  UNION ALL
+         |  SELECT c_custkey*4, (c_custkey % 5)*4 + 3 FROM customer
+         |  WHERE c_custkey < 20
+         |  UNION ALL
+         |  SELECT p_partkey + 1000000, (p_partkey % 5)*4 + 3 FROM part
+         |  WHERE p_partkey < 15),
+         |n2 AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |c2 AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n2),
+         |deg2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e2
+         |  GROUP BY src),
+         |wi AS (SELECT n2.id, COALESCE(r3.r, 1.0/(SELECT nn FROM c2)) AS r
+         |       FROM n2 LEFT JOIN r3 USING (id)),
+         |w0 AS (SELECT id, r/(SELECT sum(r) FROM wi) AS r FROM wi),
+         |$warmRounds
+         |SELECT id, ROUND(r, 8) AS rank FROM w2 ORDER BY id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_g20_ktruss" -> ktrussUnrolledOracle,
 
@@ -1140,45 +1192,13 @@ private[graft] object QueriesGraph {
     // rounds over the mutated graph with the identical round SQL. A
     // skipped renormalization, a stale degree table, or warm rounds
     // run against the base edges all hash-mismatch.
-    "q_g3d_pagerank_incremental" -> {
-      val baseRounds = Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3"))
-        .map { case (p, o) =>
-          pageRankRoundSql(p, o, "e", "deg", "n", "c") }.mkString(",\n")
-      val warmRounds = Seq(("w0", "w1"), ("w1", "w2"))
-        .map { case (p, o) =>
-          pageRankRoundSql(p, o, "e2", "deg2", "n2", "c2") }
-        .mkString(",\n")
-      s"""WITH e AS (
-         |  SELECT c_custkey*4 AS src, c_nationkey*4+2 AS dst FROM customer
-         |  UNION ALL
-         |  SELECT s_suppkey*4+1, s_nationkey*4+2 FROM supplier
-         |  UNION ALL
-         |  SELECT n_nationkey*4+2, n_regionkey*4+3 FROM nation),
-         |n AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-         |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
-         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
-         |r0 AS (SELECT id, 1.0/(SELECT nn FROM c) AS r FROM n),
-         |$baseRounds,
-         |e2 AS (
-         |  SELECT src, dst FROM e WHERE NOT (src % 4 = 1 AND src < 40)
-         |  UNION ALL
-         |  SELECT c_custkey*4, (c_custkey % 5)*4 + 3 FROM customer
-         |  WHERE c_custkey < 20
-         |  UNION ALL
-         |  SELECT p_partkey + 1000000, (p_partkey % 5)*4 + 3 FROM part
-         |  WHERE p_partkey < 15),
-         |n2 AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
-         |c2 AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n2),
-         |deg2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e2
-         |  GROUP BY src),
-         |wi AS (SELECT n2.id, COALESCE(r3.r, 1.0/(SELECT nn FROM c2)) AS r
-         |       FROM n2 LEFT JOIN r3 USING (id)),
-         |w0 AS (SELECT id, r/(SELECT sum(r) FROM wi) AS r FROM wi),
-         |$warmRounds
-         |SELECT id, ROUND(r, 8) AS rank FROM w2 ORDER BY id""".stripMargin
-    },
+    "q_g3d_pagerank_incremental" -> g3dWarmStartSql,
+
+    // the stored-path twin MUST reproduce the in-memory warm start
+    // exactly — the shared oracle is the whole point (q_x3j/q_x2t
+    // discipline)
+    "q_g3e_rankstore_roundtrip" -> g3dWarmStartSql,
+
 
     // Ground truth from the known topology: a node's component is the
     // smallest namespaced id sharing its region.

@@ -222,6 +222,112 @@ object GraphOps {
       })
   }
 
+  /** A persisted PageRank score store — the serving-store discipline
+    * applied to the rank vector (the grid standard: every maintained
+    * store carries its derivation IDENTITY and commits atomically):
+    *
+    *   `<dir>/meta`              one row: the damping factor
+    *   `<dir>/scores/v<n>/`      immutable per-version (id, rank) sets
+    *   `<dir>/_commits/<n>_<tag>` empty marker — the COMMIT point
+    *
+    * The identity matters because a warm start under a different
+    * damping silently converges to the WRONG fixed point — same class
+    * as serving a rotated ANN index without its basis record:
+    * [[saveRankStore]] refuses a damping that disagrees with the
+    * persisted meta, and [[incrementalPageRankFromStore]] takes its
+    * damping FROM the store, so a caller cannot misalign it.
+    *
+    * Versions are immutable: a save writes `scores/v<n+1>` (overwrite
+    * mode — a crashed attempt's partial directory rewrites
+    * idempotently) and only then creates the commit marker, so a
+    * reader never observes a partial score set and a crash anywhere
+    * before the marker leaves the store at v<n> exactly. `tag` carries
+    * the streaming twin's batch id (batch-mode saves use "-"), which
+    * is what makes its redelivery check exact. */
+  case class RankStore(scores: DataFrame, damping: Double,
+      version: Long, tag: String)
+
+  /** Commit `scores` as the next version of the rank store at `dir`.
+    * Returns the committed version number. */
+  def saveRankStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, scores: DataFrame, damping: Double,
+      tag: String = "-"): Long = {
+    require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
+    require(!tag.contains("_") && tag.nonEmpty,
+      s"rank-store tags must be _-free and nonempty (got '$tag')")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (fs.exists(metaPath)) {
+      val stored = spark.read.parquet(s"$dir/meta")
+        .head().getAs[Double]("damping")
+      require(stored == damping,
+        s"saveRankStore: the store at $dir carries damping=$stored " +
+          s"but the save declared damping=$damping — a mixed-damping " +
+          "chain would warm-start toward the wrong fixed point; " +
+          "build a fresh store for a new damping")
+    } else
+      spark.range(1).select(lit(damping).as("damping"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    val n = currentRankVersion(fs, dir) + 1
+    val pinned = scores
+      .select(col(scores.columns.head).cast("long").as("id"),
+        col(scores.columns(1)).cast("double").as("rank"))
+      .localCheckpoint() // pin before any filesystem mutation
+    pinned.write.mode("overwrite").parquet(s"$dir/scores/v$n")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_commits/${n}_$tag"), true).close()
+    n
+  }
+
+  private def currentRankVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).filter(_.isFile)
+      .map(_.getPath.getName.split("_").head.toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Latest committed version of the rank store — fails fast on a
+    * storeless dir (a blind warm start from nothing is the bug the
+    * identity exists to prevent). */
+  def loadRankStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): RankStore = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")),
+      s"loadRankStore: no rank store at $dir (meta missing) — " +
+        "saveRankStore a converged pageRank first")
+    val n = currentRankVersion(fs, dir)
+    require(n >= 1,
+      s"loadRankStore: the store at $dir has no committed version")
+    val tag = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+      .map(_.getPath.getName)
+      .filter(_.split("_").head.toLong == n)
+      .head.split("_", 2).last
+    RankStore(spark.read.parquet(s"$dir/scores/v$n"),
+      spark.read.parquet(s"$dir/meta").head().getAs[Double]("damping"),
+      n, tag)
+  }
+
+  /** [[incrementalPageRank]] off the persisted store: load the latest
+    * committed scores, warm-start on `edges` under the STORE'S OWN
+    * damping (the caller cannot misalign the identity), and return
+    * the new scores — the q_x3j/q_x2t stored-path discipline: this
+    * must reproduce the in-memory warm start exactly. */
+  def incrementalPageRankFromStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      edges: DataFrame, iterations: Int = 2,
+      nodes: Option[DataFrame] = None,
+      ckpt: Checkpointer = Checkpointer.Local,
+      weightCol: Option[String] = None): DataFrame = {
+    val store = loadRankStore(spark, dir)
+    incrementalPageRank(edges, store.scores, store.damping, iterations,
+      nodes, ckpt, weightCol)
+  }
+
   /** Personalized PageRank: like [[pageRank]], but the (1−d) reset mass
     * and the dangling mass return to the SEED distribution (uniform over
     * `seeds`) instead of to all nodes —

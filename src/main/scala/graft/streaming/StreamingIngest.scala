@@ -2283,6 +2283,84 @@ object StreamingIngest {
       .start()
   }
 
+  /** PageRank under a STREAM of edge deltas — the
+    * [[graft.operators.GraphOps.RankStore]]'s CDC twin: each trigger
+    * appends its edge batch to the accumulated edge store
+    * (`edgesDir/batch=<id>/`, durability), warm-starts
+    * [[graft.operators.GraphOps.incrementalPageRank]] from the
+    * latest committed scores over the grown graph (under the STORE'S
+    * damping — the identity rides the meta, so no trigger can
+    * misalign it), and commits the result as the next immutable score
+    * version. After every completed trigger the served scores equal
+    * the batch-mode warm-start fold applied in batch order — to
+    * summation-order ulps: PageRank's inflow sums doubles, so two
+    * physically different but logically equal edge frames can differ
+    * in the last bit (the same caveat the q_g3-family oracles absorb
+    * with ROUND(8); the spec asserts per-node agreement at 1e-12).
+    *
+    * Exactly-once WITHOUT a separate marker store: the rank store's
+    * own commit tags carry the batch id — a committed version tagged
+    * with this batch means the batch fully applied (its edges wrote
+    * BEFORE the commit), so redelivery is a no-op; an uncommitted
+    * crash leaves the store at the previous version exactly (score
+    * versions are immutable, a partial `v<n+1>` is invisible and
+    * rewrites idempotently), so redelivery recomputes from the
+    * pre-batch scores — never from a half-applied state. No
+    * self-heal pass is needed anywhere: the per-version layout
+    * removed the read-modify-write window entirely.
+    *
+    * Caller seeds `edgesDir/batch=-1/` with the base edge table and
+    * `saveRankStore`s a converged base run once.
+    *
+    * Scale notes (100 TB edge table): per trigger = `warmRounds`
+    * joins of the rank vector against the accumulated edge store
+    * (the [[graft.operators.GraphOps.pageRank]] round shape — AQE
+    * broadcasts the rank side, the edge store never re-shuffles) plus
+    * one batch-sized append; the warm start is what makes per-trigger
+    * maintenance affordable — O(1) rounds instead of the full cold
+    * schedule. */
+  def streamingPageRank(edgeBatches: DataFrame, edgesDir: String,
+      scoresDir: String, checkpointDir: String, warmRounds: Int = 2,
+      srcCol: String = "start_id", dstCol: String = "end_id")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    edgeBatches
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.GraphOps
+        val b = batch
+          .select(col(srcCol).cast("long").as("start_id"),
+            col(dstCol).cast("long").as("end_id"))
+          .localCheckpoint()
+        if (!b.isEmpty) {
+          val commits = new org.apache.hadoop.fs.Path(
+            s"$scoresDir/_commits")
+          val fs = commits
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true))
+            requireBatchLayout(fs, edgesDir, "streamingPageRank")
+          val applied = fs.exists(commits) && fs.listStatus(commits)
+            .exists(_.getPath.getName.split("_", 2).last ==
+              batchId.toString)
+          if (!applied) {
+            b.write.mode("overwrite")
+              .parquet(s"$edgesDir/batch=$batchId")
+            val edges = spark.read.parquet(edgesDir)
+              .select("start_id", "end_id")
+            val store = GraphOps.loadRankStore(spark, scoresDir)
+            val scores = GraphOps.incrementalPageRank(edges,
+              store.scores, store.damping, warmRounds)
+            GraphOps.saveRankStore(spark, scoresDir, scores,
+              store.damping, tag = batchId.toString): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   def streamingAnnSearch(queries: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String,
       vecCol: String = "embedding", idCol: String = "vec_id",

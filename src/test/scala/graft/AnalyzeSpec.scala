@@ -326,6 +326,33 @@ class AnalyzeSpec extends SparkSpec {
       Analyze.run(parse(List("momentsmaint")), spark))
   }
 
+  test("rankmaint builds cold then warm-starts off the store's own " +
+      "damping from argv") {
+    val dir = Files.createTempDirectory("graft-analyze-rm").toString
+    Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L))
+      .toDF("start_id", "end_id").write.parquet(s"$dir/edges")
+    val cold = Analyze.run(parse(List("rankmaint",
+      "--docs", s"$dir/edges", "--target", s"$dir/rs",
+      "--threshold", "0.5", "--budget", "10")), spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expCold = graft.operators.GraphOps.pageRank(
+      spark.read.parquet(s"$dir/edges"), 0.5, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cold.keySet == expCold.keySet &&
+      cold.forall { case (k, v) => math.abs(v - expCold(k)) < 1e-12 })
+    // grow the graph; the second run warm-starts off the store
+    Seq((4L, 0L)).toDF("start_id", "end_id")
+      .write.mode("append").parquet(s"$dir/edges")
+    val warm = Analyze.run(parse(List("rankmaint",
+      "--docs", s"$dir/edges", "--target", s"$dir/rs")), spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(warm.contains(4L) && math.abs(warm.values.sum - 1.0) < 1e-9)
+    assert(graft.operators.GraphOps
+      .loadRankStore(spark, s"$dir/rs").version == 2L)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("rankmaint")), spark))
+  }
+
   test("layoutversions runs the snapshot/report/vacuum/recover " +
       "lifecycle from argv") {
     val dir = Files.createTempDirectory("graft-analyze-lv").toString

@@ -170,6 +170,47 @@ class GraphOpsSpec extends SparkSpec {
       "new node at the uniform share")
   }
 
+  test("rank store: save/load round-trips bit-exactly with the " +
+      "damping identity; the stored warm start reproduces the " +
+      "in-memory one exactly; versions are immutable and the latest " +
+      "commit serves; mixed-damping saves, underscore tags, and " +
+      "storeless loads refuse") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rankstore").toString + "/rs"
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L))
+      .toDF("start_id", "end_id")
+    val scores = GraphOps.pageRank(base, damping = 0.5,
+      iterations = 10).localCheckpoint()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    intercept[IllegalArgumentException](
+      GraphOps.loadRankStore(spark, s"$dir/none"))
+    assert(GraphOps.saveRankStore(spark, dir, scores, 0.5) == 1L)
+    val st = GraphOps.loadRankStore(spark, dir)
+    assert(st.damping == 0.5 && st.version == 1L && st.tag == "-")
+    assert(m(st.scores) == m(scores), "round-trip bit-equality")
+    val mutated = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 1L),
+      (4L, 0L)).toDF("start_id", "end_id")
+    val inMem = m(GraphOps.incrementalPageRank(mutated, scores,
+      damping = 0.5, iterations = 2))
+    val offStore = GraphOps.incrementalPageRankFromStore(spark, dir,
+      mutated, iterations = 2).localCheckpoint()
+    assert(m(offStore) == inMem,
+      "stored warm start ≡ the in-memory warm start, exact doubles")
+    assert(GraphOps.saveRankStore(spark, dir, offStore, 0.5,
+      tag = "7") == 2L)
+    val st2 = GraphOps.loadRankStore(spark, dir)
+    assert(st2.version == 2L && st2.tag == "7" &&
+      m(st2.scores) == inMem)
+    // v1 is still on disk, untouched — immutability
+    assert(m(spark.read.parquet(s"$dir/scores/v1")) == m(scores))
+    val boom = intercept[IllegalArgumentException](
+      GraphOps.saveRankStore(spark, dir, scores, 0.85))
+    assert(boom.getMessage.contains("damping"))
+    intercept[IllegalArgumentException](
+      GraphOps.saveRankStore(spark, dir, scores, 0.5, tag = "a_b"))
+  }
+
   test("hits: star graph — center is the sole authority, leaves the " +
       "symmetric hubs; both scores L1-normalized") {
     val star = (1L to 4L).map(i => (i, 0L)).toDF("start_id", "end_id")

@@ -1728,6 +1728,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPageRank: every trigger's committed scores equal " +
+      "the batch warm-start fold in batch order (to summation-order " +
+      "ulps — PageRank sums doubles, the q_g3 ROUND caveat); the " +
+      "store's own batch tags make redelivery a no-op; a partial " +
+      "uncommitted score version is invisible and the next trigger " +
+      "overwrites it idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.GraphOps
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_pr").toString
+    val baseEdges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L))
+    baseEdges.toDF("start_id", "end_id")
+      .write.parquet(s"$tmp/edges/batch=-1")
+    val seed = GraphOps.pageRank(
+      baseEdges.toDF("start_id", "end_id"), damping = 0.5,
+      iterations = 20).localCheckpoint()
+    GraphOps.saveRankStore(spark, s"$tmp/scores", seed, 0.5): Unit
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // double sums are partition-order-sensitive at one ulp (the
+    // reason the q_g3-family oracles ROUND(8)) — same node set,
+    // per-node agreement to 1e-12
+    def close(a: Map[Long, Double], b: Map[Long, Double]) =
+      a.keySet == b.keySet &&
+        a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 }
+    def served() = GraphOps.loadRankStore(spark, s"$tmp/scores")
+    def fold(edges: Seq[(Long, Long)],
+        prev: org.apache.spark.sql.DataFrame) =
+      GraphOps.incrementalPageRank(edges.toDF("start_id", "end_id"),
+        prev, damping = 0.5, iterations = 2).localCheckpoint()
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.streamingPageRank(
+      mem.toDF().toDF("start_id", "end_id"),
+      s"$tmp/edges", s"$tmp/scores", s"$tmp/ckpt", warmRounds = 2)
+    val b1 = Seq((3L, 1L), (4L, 0L))
+    val b2 = Seq((5L, 4L))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val exp1 = fold(baseEdges ++ b1, seed)
+      assert(close(m(served().scores), m(exp1)),
+        "t1 ≡ the batch warm start over the grown graph")
+      assert(served().tag == "0" && served().version == 2L)
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val exp2 = fold(baseEdges ++ b1 ++ b2, exp1)
+      assert(close(m(served().scores), m(exp2)),
+        "t2 ≡ the fold off t1's committed scores")
+      // fresh-checkpoint redelivery: both batches' tags are already
+      // committed — no new version, scores untouched
+      val mem2 = MemoryStream[(Long, Long)]
+      val q2 = StreamingIngest.streamingPageRank(
+        mem2.toDF().toDF("start_id", "end_id"),
+        s"$tmp/edges", s"$tmp/scores", s"$tmp/ckpt2", warmRounds = 2)
+      try {
+        mem2.addData(b1: _*)
+        q2.processAllAvailable()
+        mem2.addData(b2: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(served().version == 3L && close(m(served().scores), m(exp2)),
+        "redelivered batches absorbed once")
+      // a crashed publisher left a PARTIAL uncommitted v4: invisible
+      // to loads, and the next real trigger rewrites it idempotently
+      Seq((99L, 123.456)).toDF("id", "rank")
+        .write.parquet(s"$tmp/scores/scores/v4")
+      assert(served().version == 3L &&
+        !m(served().scores).contains(99L),
+        "an uncommitted version is invisible")
+      val b3 = Seq((6L, 5L))
+      mem.addData(b3: _*)
+      q.processAllAvailable()
+      val exp3 = fold(baseEdges ++ b1 ++ b2 ++ b3, exp2)
+      assert(served().version == 4L && served().tag == "2" &&
+        close(m(served().scores), m(exp3)),
+        "the next trigger overwrites the partial v4 and commits it")
+      assert(!m(served().scores).contains(99L))
+    } finally q.stop()
+  }
+
   test("streamingAnnSearch: every trigger's results equal the batch " +
       "query against the index AS OF the trigger; maintenance between " +
       "triggers is visible; redelivery rewrites idempotently with " +
