@@ -1062,7 +1062,9 @@ object Layout {
   // create — the single atomic commit point readers key on.
   private def publishLayoutVersion(
       fs: org.apache.hadoop.fs.FileSystem, path: String, n: Long,
-      manifest: DataFrame): Unit = {
+      manifest: DataFrame, tag: String = "-"): Unit = {
+    require(!tag.contains("/") && tag.nonEmpty,
+      s"layout version tags must be /-free and nonempty (got '$tag')")
     val vdir = s"$path/_versions/v$n"
     require(fs.createNewFile(
       new org.apache.hadoop.fs.Path(s"$vdir/_LOCK")),
@@ -1070,8 +1072,29 @@ object Layout {
         s"publish holds it) — single-writer discipline; run " +
         s"recoverLayoutVersions($path) if no writer is live")
     manifest.write.mode("overwrite").parquet(s"$vdir/manifest")
+    // the tag lands BEFORE the marker: committed ⇒ tagged — the
+    // streaming twin's exactly-once check keys on it
+    if (tag != "-")
+      fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_TAG_$tag"),
+        true).close()
     fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true)
       .close()
+  }
+
+  /** Does any COMMITTED snapshot at `path` carry `tag`? The streaming
+    * twin's redelivery probe: a committed tag proves its batch fully
+    * applied (the tag lands before the commit marker, and the
+    * tagged append is the batch's last mutation). */
+  def layoutVersionTagged(spark: org.apache.spark.sql.SparkSession,
+      path: String, tag: String): Boolean = {
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(vroot) && fs.listStatus(vroot)
+      .filter(d => d.isDirectory && d.getPath.getName.matches("v[0-9]+"))
+      .exists(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_COMMITTED"))
+          && fs.exists(new org.apache.hadoop.fs.Path(d.getPath,
+            s"_TAG_$tag")))
   }
 
   // Shared bloom-geometry fetch from the store identity.
@@ -1125,11 +1148,32 @@ object Layout {
     val v = resolveVersion(spark, path, version)
     val files = layoutVersionManifest(spark, path, v)
       .select("file").collect().map(_.getString(0))
-    require(files.nonEmpty,
-      s"readLayoutVersion: snapshot v$v of $path lists no files " +
-        "(every row erased) — its row schema is gone with them")
-    spark.read.option("basePath", path)
+    if (files.isEmpty) emptyVersionScan(spark, path, v)
+    else spark.read.option("basePath", path)
       .parquet(files.map(f => s"$path/$f").toIndexedSeq: _*)
+  }
+
+  // Zero rows WITH the store's row schema, for an empty snapshot (all
+  // rows erased): borrow any file from the nearest committed version
+  // that still holds one — files are immutable until vacuum, so a
+  // non-empty ancestor's file is always readable. Only a chain that
+  // is empty ALL the way down (or vacuumed bare) refuses.
+  private def emptyVersionScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, from: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val donor = (from to 1L by -1L).iterator
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/_versions/v$n/_COMMITTED")))
+      .map(n => spark.read.parquet(s"$path/_versions/v$n/manifest")
+        .select("file").head(1))
+      .collectFirst { case arr if arr.nonEmpty => arr.head.getString(0) }
+    require(donor.nonEmpty,
+      s"snapshot v$from of $path is empty and so is every committed " +
+        "ancestor — the row schema is gone; rebuild via writeLayout " +
+        "+ snapshotLayout")
+    spark.read.option("basePath", path)
+      .parquet(s"$path/${donor.get}").limit(0)
   }
 
   private def resolveVersion(spark: org.apache.spark.sql.SparkSession,
@@ -1203,10 +1247,8 @@ object Layout {
           .parquet(kept.map(f => s"$path/$f").toIndexedSeq: _*)
       else {
         val any = manifest.select("file").head(1)
-        require(any.nonEmpty,
-          s"prunedScanVersion: snapshot v$v of $path lists no files " +
-            "(every row erased) — its row schema is gone with them")
-        spark.read.option("basePath", path)
+        if (any.isEmpty) emptyVersionScan(spark, path, v)
+        else spark.read.option("basePath", path)
           .parquet(s"$path/${any.head.getString(0)}").limit(0)
       }
     val ranged = ranges.foldLeft(scan) { case (d, (c, lo, hi)) =>
@@ -1230,7 +1272,7 @@ object Layout {
   def appendToLayoutVersioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       rows: DataFrame, cols: Seq[String], bits: Int, nBuckets: Int,
-      curve: String = "z"): Long = {
+      curve: String = "z", tag: String = "-"): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentLayoutVersion(spark, path)
@@ -1245,6 +1287,7 @@ object Layout {
     val (laidDelta, bloomCols, bloomBits, bloomHashes) =
       layDeltaWithIdentity(spark, path, rows, cols, bits, nBuckets,
         curve, "appendToLayoutVersioned")
+    if (laidDelta.isEmpty) return v // empty delta: nothing to publish
     val stage = s"$path/_versions/v${v + 1}_stage"
     require(fs.createNewFile(
       new org.apache.hadoop.fs.Path(s"$stage/_STAGE_LOCK")),
@@ -1261,7 +1304,7 @@ object Layout {
       cols, bloomCols, bloomBits, bloomHashes).localCheckpoint()
     landStagedFiles(fs, path, s"$stage/data")
     publishLayoutVersion(fs, path, v + 1,
-      prev.unionByName(deltaRows))
+      prev.unionByName(deltaRows), tag)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
     v + 1
   }
@@ -1336,11 +1379,21 @@ object Layout {
       s"deleteFromLayoutVersioned: another versioned maintenance op " +
         s"holds the stage at $stage (or a crashed one does) — run " +
         s"recoverLayoutVersions($path) if no writer is live")
-    survivors.repartition(col("_bucket"))
-      .write.partitionBy("_bucket").parquet(s"$stage/data")
-    val newRows = perFileStats(spark.read.parquet(s"$stage/data"),
-      cols, bloomCols, bloomBits, bloomHashes).localCheckpoint()
-    landStagedFiles(fs, path, s"$stage/data")
+    // touched buckets fully erased → no survivor files to stage (a
+    // zero-file parquet write cannot even be re-read for stats); the
+    // new manifest simply drops the touched rows — the anchors live
+    // in _meta, so even a fully-emptied versioned store re-grows
+    // correctly on a later append
+    val newRows =
+      if (survivors.isEmpty) prev.filter(lit(false))
+      else {
+        survivors.repartition(col("_bucket"))
+          .write.partitionBy("_bucket").parquet(s"$stage/data")
+        val rows = perFileStats(spark.read.parquet(s"$stage/data"),
+          cols, bloomCols, bloomBits, bloomHashes).localCheckpoint()
+        landStagedFiles(fs, path, s"$stage/data")
+        rows
+      }
     publishLayoutVersion(fs, path, v + 1,
       prev.filter(!col("bucket").isin(touched.map(Long.box): _*))
         .unionByName(newRows))

@@ -2513,6 +2513,109 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming CDC maintenance of a VERSIONED layout store — the
+    * [[streamingLayout]] contract upgraded to snapshot isolation:
+    * per trigger, takedowns and re-add ids leave via
+    * [[graft.operators.Layout.deleteFromLayoutVersioned]] (old files
+    * stay for pinned readers), adds land via
+    * [[graft.operators.Layout.appendToLayoutVersioned]] tagged with
+    * the batch id, and every trigger leaves a COMMITTED snapshot —
+    * a reader that pinned any earlier version keeps reading it
+    * unchanged while the stream publishes on top (the contract the
+    * plain twin structurally cannot offer: its erasure rewrites in
+    * place).
+    *
+    * Crash recovery is MECHANICAL, not a rebuild (contrast
+    * [[streamingLayout]]'s cold-rebuild path): on a started-marker
+    * redelivery the trigger runs
+    * [[graft.operators.Layout.recoverLayoutVersions]] (uncommitted
+    * residue rolls back — the pointer never moved) and simply
+    * re-runs both ops, which are idempotent at the content level: a
+    * delete whose ids are already gone publishes nothing, and a
+    * delete-then-append of the same rows reproduces the same live
+    * content even when the crash fell between the two commits. The
+    * two-phase `_batches/` marker still gates reordering (a
+    * redelivered takedown must not erase a LATER trigger's re-add).
+    * The store never needs re-anchoring: the normalization anchors
+    * live in the immutable `_meta`, so even a trigger that empties
+    * the store leaves a correctly-appendable (empty) snapshot.
+    *
+    * Caller seeds the store once: `writeLayout` + `snapshotLayout`
+    * (the versioned ops require a committed v1 — anchors and the
+    * snapshot chain both root there).
+    *
+    * Scale notes (100 TB): per trigger = one manifest-scoped
+    * semi-join probe + touched-bucket survivor rewrite + a
+    * delta-sized append, all file-additive; `vacuumLayout` runs on
+    * the caller's retention schedule, outside the hot path. */
+  def streamingLayoutVersioned(events: DataFrame, addsDir: String,
+      delsDir: String, storeDir: String, checkpointDir: String,
+      cols: Seq[String], bits: Int, nBuckets: Int,
+      idCol: String = "id", opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val layoutChecked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Layout
+        val b = batch.select(col(opCol).cast("string").as("_op") +:
+          col(idCol) +: cols.map(col): _*).localCheckpoint()
+        if (!b.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$addsDir/_batches/$batchId")
+          val fs = marker
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (layoutChecked.compareAndSet(false, true)) {
+            requireBatchLayout(fs, addsDir, "streamingLayoutVersioned")
+            requireBatchLayout(fs, delsDir, "streamingLayoutVersioned")
+          }
+          if (!fs.exists(marker)) {
+            val started = new org.apache.hadoop.fs.Path(
+              s"$addsDir/_batches/$batchId.started")
+            if (fs.exists(started))
+              // mid-crash redelivery: drop uncommitted residue (the
+              // pointer never moved past a commit) and re-run — both
+              // ops below are content-idempotent
+              Layout.recoverLayoutVersions(spark, storeDir)
+            else fs.mkdirs(started): Unit
+            val dels = b.filter(col("_op") === "del")
+              .select(col(idCol)).distinct().localCheckpoint()
+            // same-trigger duplicates fold deterministically;
+            // same-batch del beats add (the grid fold)
+            val adds = b.filter(col("_op") === "add")
+              .groupBy(col(idCol))
+              .agg(max(struct(cols.map(col): _*)).as("_s"))
+              .select(col(idCol) +:
+                cols.map(c => col(s"_s.$c").as(c)): _*)
+              .join(dels, Seq(idCol), "left_anti")
+              .localCheckpoint()
+            if (!adds.isEmpty)
+              adds.write.mode("overwrite")
+                .parquet(s"$addsDir/batch=$batchId")
+            if (!dels.isEmpty)
+              dels.write.mode("overwrite")
+                .parquet(s"$delsDir/batch=$batchId")
+            // takedowns + the old rows of re-adds leave first, then
+            // the delta lands — tagged, so the commit chain records
+            // which batch produced each snapshot
+            val changed = dels
+              .unionByName(adds.select(col(idCol))).distinct()
+            Layout.deleteFromLayoutVersioned(spark, storeDir,
+              changed, idCol): Unit
+            if (!adds.isEmpty)
+              Layout.appendToLayoutVersioned(spark, storeDir, adds,
+                cols, bits, nBuckets, tag = s"b$batchId"): Unit
+            fs.mkdirs(marker): Unit
+            fs.delete(started, true): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming span-level decontamination — the production shape of
     * [[graft.operators.Decontaminate.scrubContaminatedSpans]]: corpus
     * documents arrive as `op = "doc"` rows and are scrubbed against

@@ -1033,4 +1033,37 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.vacuumLayout(spark, path, keepLast = 0))
   }
+
+  test("versioned layout: erasing EVERY row leaves an appendable " +
+      "empty snapshot — reads serve zero rows with the schema " +
+      "(donor file from an ancestor version), and a later append " +
+      "re-grows under the ORIGINAL _meta anchors with unchanged " +
+      "bucket assignment") {
+    val (path, baseSet) = vFixture()
+    Layout.snapshotLayout(spark, path)
+    assert(Layout.deleteFromLayoutVersioned(spark, path,
+      baseSet.map(_._1).toSeq.toDF("id"), "id") == 2L)
+    val empty = Layout.readLayoutVersion(spark, path)
+    assert(empty.count() == 0L && empty.columns.contains("x"),
+      "empty snapshot serves zero rows WITH the row schema")
+    assert(Layout.prunedScanVersion(spark, path,
+      Seq(("x", 0L, 3L))).count() == 0L)
+    // v1 pin still serves the full set
+    assert(vRows(Layout.readLayoutVersion(spark, path, 1L)) == baseSet)
+    // re-grow: the SAME rows append into the SAME buckets the
+    // original build assigned (anchors from _meta, not re-derived)
+    assert(Layout.appendToLayoutVersioned(spark, path,
+      baseSet.toSeq.toDF("id", "x", "y"), Seq("x", "y"), 4, 16) == 3L)
+    val regrown = Layout.readLayoutVersion(spark, path)
+      .select(col("id"), col("_bucket").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val original = Layout.readLayoutVersion(spark, path, 1L)
+      .select(col("id"), col("_bucket").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(regrown == original, "bucket assignment is anchor-stable")
+    // an EMPTY delta publishes nothing
+    assert(Layout.appendToLayoutVersioned(spark, path,
+      baseSet.toSeq.toDF("id", "x", "y").limit(0),
+      Seq("x", "y"), 4, 16) == 3L)
+  }
 }

@@ -2041,6 +2041,114 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((15L, 15L)))
   }
 
+  test("streamingLayoutVersioned: every trigger publishes a committed " +
+      "tagged snapshot whose rows equal the fold; a version pinned " +
+      "BEFORE the stream survives every trigger; same-batch del " +
+      "beats add; re-send replaces; mid-crash redelivery re-runs " +
+      "mechanically (no rebuild) to the same content and clears " +
+      "planted residue; redelivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Layout
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_vlayout").toString
+    val store = s"$tmp/store"
+    val baseRows = for { x <- 0L until 4L; y <- 0L until 4L }
+      yield (y * 16L + x, x, y)
+    Layout.writeLayout(
+      Layout.zOrderLayout(baseRows.toDF("id", "x", "y"),
+        Seq("x", "y"), 4, 16), store, Seq("x", "y"), "z", 4, 16)
+    Layout.snapshotLayout(spark, store): Unit
+    val baseSet = baseRows.toSet
+    def rowsAt(v: Long = -1L): Set[(Long, Long, Long)] =
+      Layout.readLayoutVersion(spark, store, v)
+        .select("id", "x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamingIngest.streamingLayoutVersioned(
+      mem.toDF().toDF("op", "id", "x", "y"),
+      s"$tmp/adds", s"$tmp/dels", store, s"$tmp/ckpt",
+      Seq("x", "y"), bits = 4, nBuckets = 16)
+    val t1 = Seq(("add", 300L, 15L, 15L), ("add", 99L, 7L, 7L),
+      ("del", 99L, 0L, 0L), ("del", 0L, 0L, 0L), ("add", 2L, 9L, 9L))
+    val afterT1 = baseSet.filterNot(t => t._1 == 0L || t._1 == 2L) +
+      ((300L, 15L, 15L)) + ((2L, 9L, 9L))
+    val t2 = Seq(("del", 300L, 0L, 0L))
+    val afterT2 = afterT1 - ((300L, 15L, 15L))
+    try {
+      mem.addData(t1: _*)
+      q.processAllAvailable()
+      assert(rowsAt() == afterT1,
+        "t1 ≡ the fold: born-dead 99 never lands, 0 leaves, 2 moves")
+      assert(Layout.layoutVersionTagged(spark, store, "b0"),
+        "the snapshot chain records the batch")
+      assert(rowsAt(1L) == baseSet,
+        "the pre-stream pin is untouched by the trigger")
+      mem.addData(t2: _*)
+      q.processAllAvailable()
+      assert(rowsAt() == afterT2 && rowsAt(1L) == baseSet)
+      // per-file pruned scan over the maintained current snapshot
+      assert(Layout.prunedScanVersion(spark, store,
+          Seq(("x", 0L, 3L), ("y", 0L, 3L)))
+        .select("id").collect().map(_.getLong(0)).toSet ==
+        afterT2.filter(t => t._2 <= 3 && t._3 <= 3).map(_._1))
+    } finally q.stop()
+    val vBefore = Layout.currentLayoutVersion(spark, store)
+    // fresh-checkpoint redelivery: markers no-op, no new version
+    val mem2 = MemoryStream[(String, Long, Long, Long)]
+    val q2 = StreamingIngest.streamingLayoutVersioned(
+      mem2.toDF().toDF("op", "id", "x", "y"),
+      s"$tmp/adds", s"$tmp/dels", store, s"$tmp/ckpt2",
+      Seq("x", "y"), bits = 4, nBuckets = 16)
+    try {
+      mem2.addData(t1: _*)
+      q2.processAllAvailable()
+      mem2.addData(t2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rowsAt() == afterT2 &&
+      Layout.currentLayoutVersion(spark, store) == vBefore,
+      "redelivered batches absorbed once")
+    // mid-crash redelivery of the LATEST batch (the real crash
+    // model: batches after an in-flight one never started): lose
+    // batch 1's final marker, plant uncommitted residue, redeliver —
+    // the trigger recovers the residue and re-runs mechanically
+    assert(new java.io.File(s"$tmp/adds/_batches/1").delete())
+    assert(new java.io.File(s"$tmp/adds/_batches/1.started").mkdirs())
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_versions/v${vBefore + 1}/_LOCK"), true).close()
+    val mem3 = MemoryStream[(String, Long, Long, Long)]
+    val q3 = StreamingIngest.streamingLayoutVersioned(
+      mem3.toDF().toDF("op", "id", "x", "y"),
+      s"$tmp/adds", s"$tmp/dels", store, s"$tmp/ckpt3",
+      Seq("x", "y"), bits = 4, nBuckets = 16)
+    try {
+      mem3.addData(t1: _*)
+      q3.processAllAvailable()
+      mem3.addData(t2: _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(rowsAt() == afterT2 && rowsAt(1L) == baseSet,
+      "mid-crash re-run reaches the same content, pin intact")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_versions/v${vBefore + 1}/_LOCK")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$store/_versions/v${vBefore + 1}/_COMMITTED")),
+      "planted uncommitted residue was recovered")
+    assert(new java.io.File(s"$tmp/adds/_batches/1").exists &&
+      !new java.io.File(s"$tmp/adds/_batches/1.started").exists)
+    // content-level idempotence of the delete→append pair (the
+    // between-commits crash window): replaying a committed change
+    // set reproduces the same live rows
+    val adds = Seq((2L, 9L, 9L)).toDF("id", "x", "y")
+    Layout.deleteFromLayoutVersioned(spark, store,
+      Seq(2L).toDF("id"), "id"): Unit
+    Layout.appendToLayoutVersioned(spark, store, adds,
+      Seq("x", "y"), 4, 16): Unit
+    assert(rowsAt() == afterT2, "delete→append replay is content-idempotent")
+  }
+
   test("streamingDecontaminate: every trigger equals the batch scrub " +
       "bit-for-bit; a new eval set re-scrubs exactly the touched docs " +
       "from ORIGINAL text; doc re-send replaces; same-trigger dup " +
