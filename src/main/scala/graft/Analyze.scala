@@ -282,6 +282,11 @@ import graft.operators.{Curation, GraphOps}
   *               [--budget KEEP_VERSIONS] (versioned-manifest
   *               lifecycle: publish v1, purge below the kept horizon,
   *               drop crash residue, or report the committed chain)
+  *   anneras     --docs <index dir> [--mode snapshot|retrain|vacuum|
+  *               recover|report] [--vectors <corpus dir>]
+  *               [--budget KEEP_ERAS] (era-versioned ANN index:
+  *               migrate, publish a retrain as a new era, purge old
+  *               eras, drop crash residue, or report)
   *   rankmaint   --docs <edge table dir> --target <rank store dir>
   *               [--threshold DAMPING (build only)] [--budget ITERS]
   *               (maintained PageRank store: cold build + save on

@@ -219,6 +219,40 @@ private[graft] object AnalyzeMore {
         "layoutrecover needs --docs <layout store dir> (the " +
           "writeLayout path whose _append_pending stage to resolve)")
       Some(graft.operators.Layout.recoverAppend(spark, args.docs))
+    case "anneras" =>
+      // era lifecycle for a saveIndex store: --docs <index dir>,
+      // --mode snapshot (migrate to eras/e1) | retrain (publish
+      // e<n+1> from --vectors <corpus dir>) | vacuum (--budget =
+      // eras to keep, default 1) | recover | report (default)
+      require(args.docs.nonEmpty,
+        "anneras needs --docs <index dir>; --mode snapshot|retrain|" +
+          "vacuum|recover|report, --vectors <corpus dir> (retrain), " +
+          "--budget KEEP_ERAS (vacuum)")
+      import graft.operators.Similarity
+      Some(args.mode match {
+        case "snapshot" =>
+          val n = Similarity.snapshotIndexEras(spark, args.docs)
+          spark.range(1).select(lit("snapshotted").as("action"),
+            lit(n).as("era"))
+        case "retrain" =>
+          require(args.vectors.nonEmpty,
+            "anneras --mode retrain needs --vectors <corpus dir> " +
+              "(vec_id, embedding)")
+          Similarity.retrainIndexEra(spark, args.docs,
+            spark.read.parquet(args.vectors), "embedding", "vec_id")
+        case "vacuum" =>
+          Similarity.vacuumIndexEras(spark, args.docs,
+            keepLast = if (args.budgetSet) args.budget.toInt else 1)
+        case "recover" =>
+          Similarity.recoverIndexEras(spark, args.docs)
+          spark.range(1).select(lit("recovered").as("action"),
+            lit(Similarity.currentIndexEra(spark, args.docs))
+              .as("era"))
+        case _ =>
+          spark.range(1).select(
+            lit(Similarity.currentIndexEra(spark, args.docs))
+              .as("current_era"))
+      })
     case "rankmaint" =>
       // maintained PageRank serving store: --docs <edge table dir>
       // (start_id, end_id parquet) is the CURRENT graph, --target

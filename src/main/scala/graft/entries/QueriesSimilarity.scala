@@ -209,6 +209,27 @@ private[graft] object QueriesSimilarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- X3se: ERA-VERSIONED retrain — the q_x3s lifecycle run
+    // through the snapshot chain (migrate → retrainIndexEra publishes
+    // e2 without touching e1 → serveTopK resolves the committed era).
+    // SHARES q_x3s's oracle: the era-routed rebuild must serve the
+    // identical fresh-build results — a mis-resolved root, an
+    // uncommitted-era read, or a swap that leaked into e1 all
+    // hash-mismatch. ----
+    "q_x3se_era_retrain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ixDir = x3kUpdatedIndexDir(s, dir)
+      Similarity.snapshotIndexEras(s, ixDir): Unit
+      Similarity.retrainIndexEra(s, ixDir, e, "embedding", "vec_id")
+        .write.format("noop").mode("overwrite").save()
+      Similarity.serveTopK(s, ixDir, e.filter(col("vec_id") < 8),
+          "embedding", "vec_id", topK = 5, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("adist") * lit(1e4) + lit(0.5)).as("adist_e4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- X3q: tombstone deletes — the erasure side of the serving
     // lifecycle (build → serve → update → compact → DELETE): every
     // vec_id ≡ 1 (mod 5) is tombstoned on the q_x3k updated index,
@@ -1232,6 +1253,10 @@ private[graft] object QueriesSimilarity {
     // sampling), so the oracle is the full-corpus IVF-PQ rebuild —
     // q_x3j's verbatim.
     "q_x3s_retrained_index" -> ivfPqOracleSql,
+
+    // the era-routed retrain must serve the identical fresh build —
+    // the shared oracle IS the claim (q_g3e/q_x2t discipline)
+    "q_x3se_era_retrain" -> ivfPqOracleSql,
 
     // The q_x3p rebuild with the tombstoned ids excluded BEFORE the
     // ranking — a deleted row must not occupy a rank.

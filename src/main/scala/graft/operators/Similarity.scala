@@ -763,12 +763,157 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  // ───────────────────── index eras (snapshot retrains) ─────────────────
+  //
+  // The L11 versioned-manifest discipline applied to the ANN store's
+  // ONE store-sized mutation, the retrain swap: an era-versioned index
+  // keeps each quantizer generation in an immutable `eras/e<n>/` (the
+  // regular saveIndex layout), with a flat `eras/_committed_<n>` marker
+  // create as the commit point. Every consumer resolves the latest
+  // committed era transparently ([[resolveIndexRoot]] — legacy stores
+  // resolve to themselves), fine-grained maintenance (update/delete
+  // append-only; compaction) runs WITHIN the current era, and
+  // [[retrainIndexEra]] publishes the rebuild as e<n+1> without
+  // touching e<n> — a reader that loaded before the retrain keeps
+  // serving its era bit-for-bit; [[vacuumIndexEras]] is the physical
+  // purge on the caller's retention schedule.
+
+  /** Latest committed era (0 = not era-versioned). An `eras/`
+    * directory with NO committed era is an interrupted
+    * [[snapshotIndexEras]] migration — fails fast with the recovery
+    * pointer rather than guessing a root. */
+  def currentIndexEra(spark: SparkSession, dir: String): Long = {
+    val eras = new org.apache.hadoop.fs.Path(s"$dir/eras")
+    val fs = eras.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(eras)) 0L
+    else {
+      val n = fs.listStatus(eras).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("_committed_"))
+        .map(_.stripPrefix("_committed_").toLong)
+        .foldLeft(0L)(math.max)
+      require(n >= 1,
+        s"the index at $dir has an eras/ directory but no committed " +
+          s"era — an interrupted snapshotIndexEras migration; run " +
+          s"recoverIndexEras($dir)")
+      n
+    }
+  }
+
+  /** The directory every consumer actually reads: the latest
+    * committed era's root for an era-versioned index, the store dir
+    * itself for a legacy one. */
+  def resolveIndexRoot(spark: SparkSession, dir: String): String = {
+    val n = currentIndexEra(spark, dir)
+    if (n == 0L) dir else s"$dir/eras/e$n"
+  }
+
+  /** One-time migration of a [[saveIndex]] store to the era layout:
+    * every frame RENAMES (metadata moves, no data copy) into
+    * `eras/e1/`, meta LAST, then the marker commits. An interrupted
+    * migration is mechanically recoverable ([[recoverIndexEras]]):
+    * meta-in-e1 rolls forward (only the marker was lost), anything
+    * else rolls back. Serving is identical before and after — every
+    * consumer resolves through the era. */
+  def snapshotIndexEras(spark: SparkSession, dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")),
+      s"snapshotIndexEras: no index at $dir (meta missing) — the " +
+        "store must be written by saveIndex")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/eras")),
+      s"snapshotIndexEras: the index at $dir is already era-versioned")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/eras/e1")): Unit
+    indexFrames.foreach { f =>
+      val src = new org.apache.hadoop.fs.Path(s"$dir/$f")
+      if (fs.exists(src))
+        require(fs.rename(src,
+          new org.apache.hadoop.fs.Path(s"$dir/eras/e1/$f")),
+          s"snapshotIndexEras: rename of $f failed — run " +
+            s"recoverIndexEras($dir)")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/eras/_committed_1"), true).close()
+    1L
+  }
+
+  // every frame a saveIndex layout can carry, meta LAST — migration
+  // commit ordering (meta present in e1 ⇔ the move finished)
+  private val indexFrames = Seq("centroids", "codebooks", "vectors",
+    "rotation", "rotation_matrix", "tombstones", "drift_log", "meta")
+
+  /** Mechanical recovery of era residue: an interrupted
+    * [[snapshotIndexEras]] rolls FORWARD if `e1/meta` landed (only
+    * the marker was lost) and BACK otherwise (moved frames return to
+    * the root, `eras/` drops); uncommitted `e<k>` directories from a
+    * crashed [[retrainIndexEra]] publish drop (nothing references
+    * them). Safe on a clean store; single-writer discipline. */
+  def recoverIndexEras(spark: SparkSession, dir: String): Unit = {
+    val eras = new org.apache.hadoop.fs.Path(s"$dir/eras")
+    val fs = eras.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(eras)) return
+    val committed = fs.listStatus(eras).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toLong).toSet
+    if (committed.isEmpty) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/eras/e1/meta")))
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$dir/eras/_committed_1"), true).close()
+      else {
+        indexFrames.foreach { f =>
+          val src = new org.apache.hadoop.fs.Path(s"$dir/eras/e1/$f")
+          if (fs.exists(src))
+            require(fs.rename(src,
+              new org.apache.hadoop.fs.Path(s"$dir/$f")),
+              s"recoverIndexEras: rollback rename of $f failed")
+        }
+        fs.delete(eras, true): Unit
+      }
+    } else
+      fs.listStatus(eras).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n.matches("e[0-9]+") &&
+          !committed.contains(n.drop(1).toLong))
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/eras/$n"), true): Unit)
+  }
+
+  /** Physically drop eras below the kept horizon (default: keep only
+    * the current) plus any uncommitted residue. Returns a one-row
+    * report. Contract: never vacuum below an era a reader still
+    * pins. */
+  def vacuumIndexEras(spark: SparkSession, dir: String,
+      keepLast: Int = 1): DataFrame = {
+    require(keepLast >= 1,
+      "vacuumIndexEras must keep at least the current era")
+    val cur = currentIndexEra(spark, dir)
+    require(cur >= 1,
+      s"vacuumIndexEras: the index at $dir is not era-versioned")
+    recoverIndexEras(spark, dir)
+    val eras = new org.apache.hadoop.fs.Path(s"$dir/eras")
+    val fs = eras.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val floor = math.max(1L, cur - keepLast + 1)
+    var dropped = 0L
+    (1L until floor).foreach { n =>
+      val d = new org.apache.hadoop.fs.Path(s"$dir/eras/e$n")
+      if (fs.exists(d)) { fs.delete(d, true): Unit; dropped += 1 }
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/eras/_committed_$n"), false): Unit
+    }
+    spark.range(1).select(lit(dropped).as("eras_dropped"),
+      lit(cur).as("current_era"))
+  }
+
   /** Load a [[saveIndex]] layout. `centroid_id` comes back from the
     * partition directories (cast to long — partition columns read as the
     * inferred narrow type); everything else round-trips parquet
     * bit-exactly, so a query against the loaded index returns the same
     * rows as against the just-built one. */
-  def loadIndex(spark: SparkSession, dir: String): AnnIndex = {
+  def loadIndex(spark: SparkSession, dir: String): AnnIndex =
+    loadIndexAt(spark, resolveIndexRoot(spark, dir))
+
+  private def loadIndexAt(spark: SparkSession, dir: String): AnnIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val vectors0 = spark.read.parquet(s"$dir/vectors")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
@@ -960,8 +1105,14 @@ object Similarity {
     *         the stored meta has no build-time mean) */
   def updateIndex(spark: SparkSession, dir: String, delta: DataFrame,
       vecCol: String, idCol: String,
-      checkIdOverlap: Boolean = false): DataFrame = {
-    val ix = loadIndex(spark, dir)
+      checkIdOverlap: Boolean = false): DataFrame =
+    updateIndexAt(spark, resolveIndexRoot(spark, dir), delta, vecCol,
+      idCol, checkIdOverlap)
+
+  private def updateIndexAt(spark: SparkSession, dir: String,
+      delta: DataFrame, vecCol: String, idCol: String,
+      checkIdOverlap: Boolean): DataFrame = {
+    val ix = loadIndexAt(spark, dir)
     if (checkIdOverlap) {
       val nDup = ix.assignedEncoded
         .join(broadcast(delta.select(col(idCol)).distinct()), Seq(idCol),
@@ -1081,7 +1232,11 @@ object Similarity {
     *
     * @return one-row report (n_deleted_now, n_tombstones_total) */
   def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    deleteFromIndexAt(spark, resolveIndexRoot(spark, dir), ids, idCol)
+
+  private def deleteFromIndexAt(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): DataFrame = {
     val del = ids.select(col(idCol)).distinct()
     del.write.mode("append").parquet(s"$dir/tombstones")
     val total = spark.read.parquet(s"$dir/tombstones")
@@ -1126,9 +1281,45 @@ object Similarity {
   def retrainIndex(spark: SparkSession, dir: String, corpus: DataFrame,
       vecCol: String, idCol: String, sampleQueries: Int = 8,
       recallK: Int = 5, nProbe: Int = 3): DataFrame = {
+    require(currentIndexEra(spark, dir) == 0L,
+      s"retrainIndex: the index at $dir is ERA-VERSIONED — use " +
+        "retrainIndexEra, which publishes the rebuild as a NEW era " +
+        "instead of swapping the one pinned readers are serving from")
+    retrainImpl(spark, dir, corpus, vecCol, idCol, sampleQueries,
+      recallK, nProbe, None)
+  }
+
+  /** [[retrainIndex]] for an ERA-VERSIONED index ([[snapshotIndexEras]]):
+    * the rebuild lands in `eras/e<n+1>` and the era marker create is
+    * the commit point — era `n`'s files are never touched, so a
+    * reader that loaded (even lazily) before the retrain keeps
+    * serving era `n` bit-for-bit while the swap happens underneath.
+    * This removes the documented hold-localCheckpoint-across-retrain
+    * reader discipline for the STORE-SIZED rebuild (within-era
+    * maintenance — update/delete append, compaction rewrite — keeps
+    * the existing discipline; eras isolate the rebuild boundary). A
+    * crashed publish leaves an uncommitted `e<n+1>` that is invisible
+    * and rewrites idempotently on re-run. Same audit report as
+    * [[retrainIndex]]. */
+  def retrainIndexEra(spark: SparkSession, dir: String,
+      corpus: DataFrame, vecCol: String, idCol: String,
+      sampleQueries: Int = 8, recallK: Int = 5, nProbe: Int = 3)
+      : DataFrame = {
+    val cur = currentIndexEra(spark, dir)
+    require(cur >= 1,
+      s"retrainIndexEra: the index at $dir is not era-versioned — " +
+        "snapshotIndexEras first (or use retrainIndex)")
+    retrainImpl(spark, s"$dir/eras/e$cur", corpus, vecCol, idCol,
+      sampleQueries, recallK, nProbe, Some((dir, cur + 1)))
+  }
+
+  private def retrainImpl(spark: SparkSession, dir: String,
+      corpus: DataFrame, vecCol: String, idCol: String,
+      sampleQueries: Int, recallK: Int, nProbe: Int,
+      eraDst: Option[(String, Long)]): DataFrame = {
     require(sampleQueries >= 1 && sampleQueries <= 256,
       "sampleQueries must be in [1, 256] — this is an audit sample")
-    val ix = loadIndex(spark, dir)
+    val ix = loadIndexAt(spark, dir)
     val kCells = ix.centroids.count().toInt
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
@@ -1190,26 +1381,44 @@ object Similarity {
       .join(enc, Seq(idCol))
     val st = assigned.agg(avg(col("assign_cosine")),
       stddev_pop(col("assign_cosine"))).head()
-    val tmp = s"${dir}_retrain_tmp"
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(tmpPath, true): Unit
-    saveIndex(tmp, cents, cb,
-      ae.select(col(idCol), col("codes"), col("centroid_id")),
-      ix.m, ix.k, st.getDouble(0), st.getDouble(1), ix.rotation,
-      ix.rotationMatrix, ix.residual)
-    // Swap: old layout aside, staged layout in, old layout gone. A
-    // crash between the renames leaves dir absent but both layouts on
-    // disk — recovery is one rename, no data lost.
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val oldPath = new org.apache.hadoop.fs.Path(s"${dir}_retrain_old")
-    fs.delete(oldPath, true): Unit
-    require(fs.rename(dirPath, oldPath),
-      s"retrainIndex: rename $dirPath -> $oldPath failed")
-    require(fs.rename(tmpPath, dirPath),
-      s"retrainIndex: rename $tmpPath -> $dirPath failed " +
-        s"(old layout preserved at $oldPath)")
-    fs.delete(oldPath, true): Unit
-    val hitsAfter = hits(loadIndex(spark, dir))
+    val hitsAfter = eraDst match {
+      case None =>
+        val tmp = s"${dir}_retrain_tmp"
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        fs.delete(tmpPath, true): Unit
+        saveIndex(tmp, cents, cb,
+          ae.select(col(idCol), col("codes"), col("centroid_id")),
+          ix.m, ix.k, st.getDouble(0), st.getDouble(1), ix.rotation,
+          ix.rotationMatrix, ix.residual)
+        // Swap: old layout aside, staged layout in, old layout gone.
+        // A crash between the renames leaves dir absent but both
+        // layouts on disk — recovery is one rename, no data lost.
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        val oldPath =
+          new org.apache.hadoop.fs.Path(s"${dir}_retrain_old")
+        fs.delete(oldPath, true): Unit
+        require(fs.rename(dirPath, oldPath),
+          s"retrainIndex: rename $dirPath -> $oldPath failed")
+        require(fs.rename(tmpPath, dirPath),
+          s"retrainIndex: rename $tmpPath -> $dirPath failed " +
+            s"(old layout preserved at $oldPath)")
+        fs.delete(oldPath, true): Unit
+        hits(loadIndexAt(spark, dir))
+      case Some((storeDir, next)) =>
+        // era publish: build straight into e<next> (a crashed
+        // attempt's residue is uncommitted — invisible — and
+        // rewrites idempotently), then the marker create commits.
+        // Era <next − 1>'s files are never touched.
+        val dst = s"$storeDir/eras/e$next"
+        fs.delete(new org.apache.hadoop.fs.Path(dst), true): Unit
+        saveIndex(dst, cents, cb,
+          ae.select(col(idCol), col("codes"), col("centroid_id")),
+          ix.m, ix.k, st.getDouble(0), st.getDouble(1), ix.rotation,
+          ix.rotationMatrix, ix.residual)
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$storeDir/eras/_committed_$next"), true).close()
+        hits(loadIndexAt(spark, dst))
+    }
     val nExact = exact.count()
     spark.range(1).select(
       lit(live.count()).as("n_corpus"),
@@ -1229,8 +1438,12 @@ object Similarity {
     spark.read.parquet(p.toString).columns.head
 
   def compactIndex(spark: SparkSession, dir: String,
-      driftTolerance: Double = Double.NaN): DataFrame = {
-    val ix = loadIndex(spark, dir)
+      driftTolerance: Double = Double.NaN): DataFrame =
+    compactIndexAt(spark, resolveIndexRoot(spark, dir), driftTolerance)
+
+  private def compactIndexAt(spark: SparkSession, dir: String,
+      driftTolerance: Double): DataFrame = {
+    val ix = loadIndexAt(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val vecPath = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = vecPath.getFileSystem(conf)
@@ -1401,8 +1614,11 @@ object Similarity {
         rep.getAs[Boolean]("retrain_recommended")
     val audit =
       if (recommended)
-        Some(retrainIndex(spark, dir, corpus, vecCol, idCol,
-          sampleQueries, recallK, nProbe).head())
+        Some((if (currentIndexEra(spark, dir) >= 1)
+          retrainIndexEra(spark, dir, corpus, vecCol, idCol,
+            sampleQueries, recallK, nProbe)
+        else retrainIndex(spark, dir, corpus, vecCol, idCol,
+          sampleQueries, recallK, nProbe)).head())
       else None
     def optD(name: String): org.apache.spark.sql.Column =
       if (rep.isNullAt(rep.fieldIndex(name))) lit(null).cast("double")

@@ -1148,6 +1148,46 @@ class AnalyzeSpec extends SparkSpec {
         spark))
   }
 
+  test("anneras runs the era lifecycle from argv: snapshot, " +
+      "era-routed query, retrain into e2, report, vacuum") {
+    val dir = Files.createTempDirectory("graft-analyze-era").toString
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    e.filter(col("vec_id") < 300).write.parquet(s"$dir/vec_base")
+    e.select("vec_id", "embedding").write.parquet(s"$dir/vec_all")
+    e.filter(col("vec_id") < 4).write.parquet(s"$dir/vec_q")
+    Analyze.run(parse(List("annbuild",
+      "--vectors", s"$dir/vec_base", "--target", s"$dir/ix",
+      "--cells", "8", "--pq-m", "8", "--pq-k", "8")), spark)
+      .write.format("noop").mode("overwrite").save()
+    def hits(): Set[(Long, Long, Int)] =
+      Analyze.run(parse(List("annquery",
+        "--vectors", s"$dir/vec_q", "--target", s"$dir/ix",
+        "--top-k", "5", "--probes", "8")), spark)
+        .select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = hits()
+    val snap = Analyze.run(parse(List("anneras",
+      "--docs", s"$dir/ix", "--mode", "snapshot")), spark).head()
+    assert(snap.getString(0) == "snapshotted" && snap.getLong(1) == 1L)
+    assert(hits() == before, "era routing is serving-transparent")
+    val ret = Analyze.run(parse(List("anneras",
+      "--docs", s"$dir/ix", "--mode", "retrain",
+      "--vectors", s"$dir/vec_all")), spark).head()
+    assert(ret.getAs[Long]("n_corpus") == e.count())
+    val repEra = Analyze.run(parse(List("anneras",
+      "--docs", s"$dir/ix")), spark).head()
+    assert(repEra.getAs[Long]("current_era") == 2L)
+    assert(hits().nonEmpty)
+    val vac = Analyze.run(parse(List("anneras",
+      "--docs", s"$dir/ix", "--mode", "vacuum")), spark).head()
+    assert(vac.getAs[Long]("eras_dropped") == 1L)
+    val rec = Analyze.run(parse(List("anneras",
+      "--docs", s"$dir/ix", "--mode", "recover")), spark).head()
+    assert(rec.getString(0) == "recovered" && rec.getLong(1) == 2L)
+    intercept[IllegalArgumentException](
+      Analyze.run(parse(List("anneras")), spark))
+  }
+
   test("annquery honors the basis and codec identities: a rotated " +
       "index and a residual index serve via the CLI exactly like " +
       "serveTopK — never the raw backdoor") {

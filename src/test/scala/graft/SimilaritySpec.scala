@@ -1748,4 +1748,128 @@ class SimilaritySpec extends SparkSpec {
     assert(casHits > casRaw,
       s"cascade-served IVF-PQ must beat raw: $casHits vs $casRaw")
   }
+
+  // ───────────────────── index eras (snapshot retrains) ─────────────────
+
+  test("index eras: migration is serving-transparent; retrainIndexEra " +
+      "publishes e2 WITHOUT touching e1 — a lazy pre-retrain reader " +
+      "keeps serving era 1 bit-for-bit (impossible under the in-place " +
+      "swap); within-era maintenance routes to the current era; plain " +
+      "retrainIndex refuses; uncommitted residue is invisible; vacuum " +
+      "drops the horizon") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val base = e.filter(col("vec_id") < 300)
+    val q = e.filter(col("vec_id") < 4)
+    val (cents, assigned) =
+      Similarity.ivfIndex(base, "embedding", "vec_id", 8)
+    val cb = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 8, k = 8)
+    val enc = Similarity.pqEncode(base, "embedding", "vec_id", cb,
+      m = 8)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val meanCos = assigned.agg(avg(col("assign_cosine")))
+      .head().getDouble(0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_era").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 8, k = 8, meanCos)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    def serve() = rows(Similarity.serveTopK(spark, dir, q,
+      "embedding", "vec_id", topK = 5, nProbe = 8))
+    val before = serve()
+    assert(Similarity.currentIndexEra(spark, dir) == 0L)
+    assert(Similarity.snapshotIndexEras(spark, dir) == 1L)
+    assert(Similarity.currentIndexEra(spark, dir) == 1L)
+    assert(serve() == before, "migration is serving-transparent")
+    intercept[IllegalArgumentException](
+      Similarity.snapshotIndexEras(spark, dir))
+    // pin era 1 LAZILY — no localCheckpoint; the era claim under test
+    val pinned = Similarity.loadIndex(spark, dir)
+    def pinnedRows() = rows(Similarity.ivfPqTopK(q, pinned.centroids,
+      pinned.codebooks, pinned.assignedEncoded, "embedding", "vec_id",
+      m = 8, k = 8, topK = 5, nProbe = 8))
+    assert(pinnedRows() == before)
+    // a crashed publish left a partial e2 — invisible to everything
+    assert(new java.io.File(s"$dir/eras/e2").mkdirs())
+    assert(Similarity.currentIndexEra(spark, dir) == 1L &&
+      serve() == before)
+    val refuse = intercept[IllegalArgumentException](
+      Similarity.retrainIndex(spark, dir, e, "embedding", "vec_id"))
+    assert(refuse.getMessage.contains("ERA-VERSIONED"))
+    // era retrain on the grown corpus: e2 commits (the crashed
+    // residue rewrote idempotently), e1 untouched
+    val rep = Similarity.retrainIndexEra(spark, dir, e,
+      "embedding", "vec_id").head()
+    assert(rep.getAs[Long]("n_corpus") == e.count())
+    assert(Similarity.currentIndexEra(spark, dir) == 2L)
+    assert(pinnedRows() == before,
+      "the pre-retrain lazy reader still serves era 1 bit-for-bit")
+    val served2 = serve()
+    assert(served2.nonEmpty && served2.map(_._1).size >= 1)
+    // within-era maintenance routes to the CURRENT era: an update's
+    // append lands under eras/e2 and serving reflects it
+    val extra = e.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"))
+    Similarity.updateIndex(spark, dir, extra, "embedding", "vec_id")
+      .write.format("noop").mode("overwrite").save()
+    assert(new java.io.File(s"$dir/eras/e2/vectors").exists)
+    assert(serve().exists(_._2 >= 100000L),
+      "the duplicate-vector ids surface in their own queries' top-5")
+    assert(pinnedRows() == before, "era 1 still untouched by updates")
+    // vacuum: e1 drops, current serving unaffected
+    val vac = Similarity.vacuumIndexEras(spark, dir,
+      keepLast = 1).head()
+    assert(vac.getAs[Long]("eras_dropped") == 1L &&
+      vac.getAs[Long]("current_era") == 2L)
+    assert(!new java.io.File(s"$dir/eras/e1").exists)
+    assert(serve().nonEmpty)
+    intercept[IllegalArgumentException](
+      Similarity.vacuumIndexEras(spark, dir, 0))
+  }
+
+  test("index eras: an interrupted migration recovers mechanically — " +
+      "frames-moved-but-no-meta rolls BACK (legacy store restored), " +
+      "meta-in-e1 rolls FORWARD (only the marker was lost); " +
+      "currentIndexEra fails fast inside the broken window") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val (cents, assigned) =
+      Similarity.ivfIndex(e, "embedding", "vec_id", 4)
+    val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+      m = 4, k = 4)
+    val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_era_rec").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 4, k = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // side 1 — crash EARLY in the migration: one frame moved, meta
+    // still at the root → roll back
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/eras/e1")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centroids"),
+      new org.apache.hadoop.fs.Path(s"$dir/eras/e1/centroids")))
+    val broken = intercept[IllegalArgumentException](
+      Similarity.currentIndexEra(spark, dir))
+    assert(broken.getMessage.contains("interrupted"))
+    Similarity.recoverIndexEras(spark, dir)
+    assert(!new java.io.File(s"$dir/eras").exists)
+    assert(Similarity.loadIndex(spark, dir).centroids.count() == 4L,
+      "rolled back: the legacy store is whole again")
+    // side 2 — crash LATE: the full move landed, the marker was lost
+    // → roll forward
+    Similarity.snapshotIndexEras(spark, dir): Unit
+    assert(new java.io.File(s"$dir/eras/_committed_1").delete())
+    intercept[IllegalArgumentException](
+      Similarity.currentIndexEra(spark, dir))
+    Similarity.recoverIndexEras(spark, dir)
+    assert(Similarity.currentIndexEra(spark, dir) == 1L)
+    assert(Similarity.loadIndex(spark, dir).centroids.count() == 4L,
+      "rolled forward: era 1 serves")
+  }
 }
