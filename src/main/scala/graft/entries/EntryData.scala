@@ -84,6 +84,15 @@ private[graft] object EntryData {
   def freshRankStoreDir(): String =
     annScratchRoot + "/rankstore_" + g3eInvocation.incrementAndGet()
 
+  /** Generic fresh scratch store dir under [[annScratchRoot]] (the
+    * shutdown hook removes everything) — for stored-path rows that
+    * must not chain versions across invocations. */
+  private val scratchInvocation =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def freshStoreDir(prefix: String): String =
+    annScratchRoot + "/" + prefix + "_" +
+      scratchInvocation.incrementAndGet()
+
   /** [[heteroEdges]] made cyclic for the SCC query: back-edges
     * region → nation (every nation) and nation → customer (customers
     * with `c_custkey % 3 == 0` only). Each region's {region, its

@@ -570,6 +570,29 @@ private[graft] object QueriesText {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- X9j: the lexical store round-trip through the ATOMIC
+    // commit — the q_x2t/q_g3e stored-path discipline on the
+    // four-frame index: maintain exactly q_x9h's index, persist it
+    // via the FrameVersions commit (all four frames + ONE marker —
+    // the non-atomic in-place overwrite's fix), load, serve. SHARES
+    // q_x9h's oracle verbatim: any loss or drift through the
+    // versioned store hash-mismatches. ----
+    "q_x9j_lex_store_versioned" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val adds = d.filter(col("doc_id") % 7 === 3 ||
+        col("doc_id") % 11 === 0)
+      val dels = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+      val m = Relevance.maintainLexIndex(x9fBaseIndex(s, dir), adds,
+        dels, "doc_id", "text")
+      val storeDir = freshStoreDir("lexstore")
+      Relevance.saveLexIndexVersioned(m, storeDir): Unit
+      Relevance.searchBm25FromIndex(
+          Relevance.loadLexIndex(s, storeDir), "data model the",
+          k = 100000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- X9i: the lexical CDC COMPOSITION — the q_x1g batch
     // discipline applied to the serving index (what the streaming
     // lexical twin's per-trigger fold maintains): from the shared
@@ -909,6 +932,35 @@ private[graft] object QueriesText {
         |  CAST(floor(exp(-(lp / n_trigrams)) * 1e4 + CAST(0.5 AS DOUBLE))
         |    AS BIGINT) AS ppl_e4
         |FROM per ORDER BY doc_id""".stripMargin
+
+  // q_x9h/q_x9j's shared oracle (the versioned-store path must
+  // reproduce the in-memory maintained serve exactly): q_x9c's chain
+  // over the post-change live corpus (the q_x9f live set).
+  private def x9hSearchSql: String =
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 <> 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM d),
+        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
+        |      / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |    * (tf.tf * CAST(2.2 AS DOUBLE))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * lens.doc_len
+        |        / al.avg_len))), 6) AS score
+        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
+        |WHERE tf.token IN ('data', 'model', 'the')
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // BPE rebuild: 8 unrolled (pairs → argmax → fold) rounds; the merge
@@ -1595,31 +1647,12 @@ private[graft] object QueriesText {
 
     // The maintained-index search rebuild: q_x9c's chain over the
     // post-change live corpus (the q_x9f live set).
-    "q_x9h_lex_search_maintained" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 5 <> 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0),
-        |tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM d),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       GROUP BY doc_id, token),
-        |lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT count(*) AS n FROM d),
-        |al AS (SELECT avg(doc_len) AS avg_len FROM lens)
-        |SELECT tf.doc_id,
-        |  ROUND(SUM(ln(1 + (n.n - dfreq.df + CAST(0.5 AS DOUBLE))
-        |      / (dfreq.df + CAST(0.5 AS DOUBLE)))
-        |    * (tf.tf * CAST(2.2 AS DOUBLE))
-        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |        + CAST(0.75 AS DOUBLE) * lens.doc_len
-        |        / al.avg_len))), 6) AS score
-        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), n, al
-        |WHERE tf.token IN ('data', 'model', 'the')
-        |GROUP BY tf.doc_id
-        |ORDER BY score DESC, tf.doc_id""".stripMargin,
+    "q_x9h_lex_search_maintained" -> x9hSearchSql,
+
+    // the versioned-store path must reproduce the in-memory maintained
+    // serve exactly — the shared oracle IS the claim
+    "q_x9j_lex_store_versioned" -> x9hSearchSql,
+
 
     "q_x9c_bm25_search" ->
       """WITH tok AS (

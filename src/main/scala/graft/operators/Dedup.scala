@@ -1193,10 +1193,23 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** [[saveSigIndex]] with the ATOMIC commit ([[FrameVersions]] —
+    * the saveLexIndexVersioned discipline): signatures and their
+    * derivation identity commit together or not at all. */
+  def saveSigIndexVersioned(ix: SigIndex, dir: String): Long = {
+    val spark = ix.sigs.sparkSession
+    import spark.implicits._
+    FrameVersions.commit(spark, dir, Seq(
+      "sigs" -> ix.sigs,
+      "meta" -> Seq((ix.numHashes.toLong, ix.shingleSize.toLong,
+          ix.seed, ix.portable))
+        .toDF("num_hashes", "shingle_size", "seed", "portable")))
+  }
+
   def loadSigIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): SigIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val sigs = spark.read.parquet(s"$dir/sigs")
+    val meta = FrameVersions.read(spark, dir, "meta").head()
+    val sigs = FrameVersions.read(spark, dir, "sigs")
     val n = meta.getAs[Long]("num_hashes").toInt
     val mh = sigs.columns.count(_.startsWith("mh_"))
     require(mh == n,

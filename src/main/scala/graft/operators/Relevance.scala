@@ -271,14 +271,27 @@ object Relevance {
     f.write.mode("overwrite").parquet(s"$dir/dfreq")
   }
 
-  /** Load a [[saveLexIndex]] layout. */
+  /** [[saveLexIndex]] with the ATOMIC commit ([[FrameVersions]]): all
+    * four frames land under an immutable `_v<n>/` and one marker
+    * create commits — a crash mid-save can never leave the index
+    * half-overwritten (the in-place save's documented weakness), and
+    * no localCheckpoint pin is needed (nothing the frames derive from
+    * is replaced). [[loadLexIndex]] resolves either layout. */
+  def saveLexIndexVersioned(ix: LexIndex, dir: String): Long =
+    FrameVersions.commit(ix.docs.sparkSession, dir, Seq(
+      "docs" -> ix.docs, "postings" -> ix.postings,
+      "lens" -> ix.lens, "dfreq" -> ix.dfreq))
+
+  /** Load a [[saveLexIndex]] / [[saveLexIndexVersioned]] layout (the
+    * latest committed version when one exists, the legacy root
+    * otherwise). */
   def loadLexIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): LexIndex =
     LexIndex(
-      docs = spark.read.parquet(s"$dir/docs"),
-      postings = spark.read.parquet(s"$dir/postings"),
-      lens = spark.read.parquet(s"$dir/lens"),
-      dfreq = spark.read.parquet(s"$dir/dfreq"))
+      docs = FrameVersions.read(spark, dir, "docs"),
+      postings = FrameVersions.read(spark, dir, "postings"),
+      lens = FrameVersions.read(spark, dir, "lens"),
+      dfreq = FrameVersions.read(spark, dir, "dfreq"))
 
   /** Render per-(doc, token) BM25 from a [[LexIndex]] — the exact
     * expression chain of the one-shot [[bm25]] (which routes through
@@ -719,12 +732,18 @@ object Relevance {
     m.write.mode("overwrite").parquet(s"$dir/model")
   }
 
-  /** Load a [[saveTrigramLm]] layout. */
+  /** [[saveTrigramLm]] with the ATOMIC commit ([[FrameVersions]] —
+    * the saveLexIndexVersioned discipline). */
+  def saveTrigramLmVersioned(lm: TrigramLm, dir: String): Long =
+    FrameVersions.commit(lm.docs.sparkSession, dir, Seq(
+      "docs" -> lm.docs, "model" -> lm.model))
+
+  /** Load a [[saveTrigramLm]] / [[saveTrigramLmVersioned]] layout. */
   def loadTrigramLm(spark: org.apache.spark.sql.SparkSession,
       dir: String): TrigramLm =
     TrigramLm(
-      docs = spark.read.parquet(s"$dir/docs"),
-      model = spark.read.parquet(s"$dir/model"))
+      docs = FrameVersions.read(spark, dir, "docs"),
+      model = FrameVersions.read(spark, dir, "model"))
 
   /** MODIFIED Kneser–Ney trigram perplexity — [[knTrigramPerplexity]]
     * with the production discount estimator (Chen & Goodman 1998 §3;

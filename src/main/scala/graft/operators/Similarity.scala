@@ -1797,11 +1797,18 @@ object Similarity {
     m.write.mode("overwrite").parquet(s"$dir/moments")
   }
 
+  /** [[saveMomentsStore]] with the ATOMIC commit ([[FrameVersions]] —
+    * the saveLexIndexVersioned discipline). */
+  def saveMomentsStoreVersioned(store: MomentsStore,
+      dir: String): Long =
+    FrameVersions.commit(store.docs.sparkSession, dir, Seq(
+      "docs" -> store.docs, "moments" -> store.moments))
+
   def loadMomentsStore(spark: SparkSession,
       dir: String): MomentsStore =
     MomentsStore(
-      docs = spark.read.parquet(s"$dir/docs"),
-      moments = spark.read.parquet(s"$dir/moments"))
+      docs = FrameVersions.read(spark, dir, "docs"),
+      moments = FrameVersions.read(spark, dir, "moments"))
 
   /** A fitted PCA model: per-dimension means (of the e6-quantized
     * components, descaled), the top-k components (rows, orthonormal),

@@ -147,11 +147,18 @@ object Tokenizer {
     w.write.mode("overwrite").parquet(s"$dir/words")
   }
 
+  /** [[saveWordStore]] with the ATOMIC commit
+    * ([[graft.operators.FrameVersions]] — the saveLexIndexVersioned
+    * discipline). */
+  def saveWordStoreVersioned(store: WordStore, dir: String): Long =
+    FrameVersions.commit(store.docs.sparkSession, dir, Seq(
+      "docs" -> store.docs, "words" -> store.words))
+
   def loadWordStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): WordStore =
     WordStore(
-      docs = spark.read.parquet(s"$dir/docs"),
-      words = spark.read.parquet(s"$dir/words"))
+      docs = FrameVersions.read(spark, dir, "docs"),
+      words = FrameVersions.read(spark, dir, "words"))
 
   /** Learn `numMerges` BPE merges over `docs(textCol)`.
     *
