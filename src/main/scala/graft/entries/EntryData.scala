@@ -366,6 +366,30 @@ private[graft] object EntryData {
       path
     })
 
+  /** q_l12's fixture: the l10 bloom store run through the versioned
+    * lifecycle — copy (the shared fixture must not version itself),
+    * snapshot v1, versioned ERASURE of order 7 (v2). The row then
+    * point-probes `l_orderkey = 7` at BOTH versions: v1 must still
+    * serve the erased order off its immutable files, v2 must prove
+    * absence (the touched bucket's rewritten file recounts its
+    * sketch). Fresh copy per invocation — erasure mutates. */
+  private val l12Invocation =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def l12VersionedBloomDir(s: SparkSession, dir: String): String = {
+    val base = l10BloomLayoutDir(s, dir)
+    val dst = base + "_ver" + l12Invocation.incrementAndGet()
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(base), fs,
+      new org.apache.hadoop.fs.Path(dst), false, conf)
+    Layout.snapshotLayout(s, dst): Unit
+    Layout.deleteFromLayoutVersioned(s, dst,
+      t(s, dir, "lineitem").filter(col("l_orderkey") === 7)
+        .select("l_orderkey"), "l_orderkey"): Unit
+    dst
+  }
+
   /** q_l5's base store (the l_orderkey%3≠0 two-thirds of lineitem,
     * laid out and written once per dataset); each invocation COPIES
     * it to a fresh dir (the x3k updated-index discipline — appends

@@ -583,6 +583,25 @@ private[graft] object QueriesEtl {
           "l_suppkey")
     }),
 
+    // ---- L12: versioned POINT lookup — L10's membership-sketch
+    // pruning composed with L11's snapshot isolation: the erased
+    // order must still serve at the pinned v1 (immutable files, old
+    // sketch intact) and must be GONE at v2, where the touched
+    // bucket's rewritten file carries a recounted sketch (OR-union
+    // could never un-set bits — the rewrite is what makes the
+    // negative probe a proof again). ----
+    "q_l12_versioned_point" -> ((s, dir) => {
+      val store = l12VersionedBloomDir(s, dir)
+      def leg(v: Long, tag: String) =
+        Layout.prunedScanVersion(s, store, Nil,
+          points = Seq(("l_orderkey", 7L)), version = v)
+          .select(lit(tag).as("ver"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      leg(1L, "v1").unionByName(leg(2L, "v2"))
+        .orderBy("ver", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")
+    }),
+
     // ---- L2: file-skipping stats + verdicts — the parquet footer
     // min/max envelope each written bucket would carry, and the
     // row-group pruning rule (skip iff any queried column's envelope
@@ -864,6 +883,16 @@ private[graft] object QueriesEtl {
          |WHERE l_orderkey = 7
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
         .stripMargin,
+
+    // the v2 leg is EMPTY by construction (order 7 erased), so the
+    // oracle is the v1 point filter alone — a pin that loses rows or
+    // an erasure that leaks into v1 both hash-mismatch
+    "q_l12_versioned_point" ->
+      """SELECT 'v1' AS ver, l_orderkey, l_linenumber, l_partkey,
+        |  l_suppkey
+        |FROM lineitem WHERE l_orderkey = 7
+        |ORDER BY ver, l_orderkey, l_linenumber, l_partkey,
+        |  l_suppkey""".stripMargin,
 
     // v1 ≡ the base (l_orderkey%3≠0) corpus filter — untouched by the
     // later erasure; v3 ≡ the full corpus filter minus the erased
