@@ -75,7 +75,17 @@ object ExplainPlans {
         "q_l9_hilbert3_append", "q_x3w_opq_ivfpq", "q_x2p_dup_spans",
         "q_x14c_mkn_trigram_ppl", "q_x9i_lex_cdc",
         "q_x6w_token_batches", "q_x6x_auto_rebatch",
-        "q_x13e_bpe_maintained", "q_x13f_unigram_maintained")
+        "q_x13e_bpe_maintained", "q_x13f_unigram_maintained",
+        // round-15 additions
+        "q_l10_bloom_point_lookup", "q_x3x_rotated_lifecycle",
+        "q_x3z_streaming_search_composition", "q_x2r_scrub_keep_one",
+        "q_x2s_autotuned_neardups", "q_x3y_moments_maintained",
+        // round-16 additions (snapshot-isolation tier)
+        "q_l11_versioned_scan", "q_l12_versioned_point",
+        "q_g3d_pagerank_incremental", "q_g3e_rankstore_roundtrip",
+        "q_x3se_era_retrain", "q_x9j_lex_store_versioned",
+        "q_x2t_sigindex_roundtrip", "q_x3wz_opq_residual_lifecycle",
+        "q_x3xm_matrix_lifecycle", "q_x3n_policy_benign")
     names.foreach { n =>
       println(s"==== $n ====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
