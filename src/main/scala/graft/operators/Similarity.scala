@@ -1437,6 +1437,69 @@ object Similarity {
       p: org.apache.hadoop.fs.Path): String =
     spark.read.parquet(p.toString).columns.head
 
+  // Self-heal the aside ledger (a crash inside the compaction
+  // rollup's aside-rename window can leave no live drift_log but a
+  // complete copy at drift_log_compact_old), then fold it:
+  // (Σ n_batches, Σ n_added, n_added-weighted mean assign cosine).
+  private def readDriftLedger(spark: SparkSession, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): (Long, Long, Double) = {
+    val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
+    val asideLog =
+      new org.apache.hadoop.fs.Path(s"$dir/drift_log_compact_old")
+    if (!fs.exists(logPath) && fs.exists(asideLog))
+      require(fs.rename(asideLog, logPath),
+        s"readDriftLedger: self-heal rename $asideLog -> $logPath " +
+          "failed (aside ledger untouched)")
+    if (fs.exists(logPath)) {
+      // mergeSchema: a MIXED ledger (pre-r11 2-col files beside new
+      // 3-col appends) would otherwise infer its schema from
+      // whichever file footer is read first — old rows would read
+      // n_batches as null and sum() would skip them, silently
+      // undercounting the rolled-up batch total. With the merged
+      // schema, per-row coalesce(n_batches, 1) restores the pre-r11
+      // contract (one row = one ingest batch).
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(logPath.toString)
+      // pre-r11 ledgers have no n_batches column: each row was one
+      // ingest batch
+      val log =
+        if (raw.schema.fieldNames.contains("n_batches"))
+          raw.withColumn("n_batches",
+            coalesce(col("n_batches").cast("long"), lit(1L)))
+        else raw.withColumn("n_batches", lit(1L))
+      val r = log.agg(sum(col("n_batches")), sum(col("n_added")),
+          sum(col("n_added") * col("delta_mean_assign_cosine")) /
+            sum(col("n_added"))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    } else (0L, 0L, Double.NaN)
+  }
+
+  // The retrain verdict WITHOUT the compaction rewrite — what lets
+  // [[maintainIndex]] decide BEFORE acting: (n deltas absorbed,
+  // measured drift, tolerance, recommended — None when either mean
+  // is unrecorded). Exactly the compactIndex report's decision
+  // columns, derived from the ledger and the meta alone.
+  private def driftVerdictAt(spark: SparkSession, root: String,
+      driftTolerance: Double)
+      : (Long, Double, Double, Option[Boolean]) = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (nDeltas, _, deltaMean) = readDriftLedger(spark, root, fs)
+    val ix = loadIndexAt(spark, root) // lazy frames — meta only reads
+    val buildMean = ix.meanAssignCosine
+    val tol =
+      if (!driftTolerance.isNaN) driftTolerance
+      else if (!ix.assignCosineStd.isNaN) 2.0 * ix.assignCosineStd
+      else 0.05
+    val drift =
+      if (deltaMean.isNaN || buildMean.isNaN) Double.NaN
+      else buildMean - deltaMean
+    (nDeltas, drift, tol,
+      if (drift.isNaN) None else Some(drift > tol))
+  }
+
   def compactIndex(spark: SparkSession, dir: String,
       driftTolerance: Double = Double.NaN): DataFrame =
     compactIndexAt(spark, resolveIndexRoot(spark, dir), driftTolerance)
@@ -1492,35 +1555,7 @@ object Similarity {
     // retrain_recommended evidence.
     val asideLog =
       new org.apache.hadoop.fs.Path(s"$dir/drift_log_compact_old")
-    if (!fs.exists(logPath) && fs.exists(asideLog))
-      require(fs.rename(asideLog, logPath),
-        s"compactIndex: self-heal rename $asideLog -> $logPath failed " +
-          "(aside ledger untouched)")
-    val (nDeltas, nLedger, deltaMean) =
-      if (fs.exists(logPath)) {
-        // mergeSchema: a MIXED ledger (pre-r11 2-col files beside new
-        // 3-col appends) would otherwise infer its schema from
-        // whichever file footer is read first — old rows would read
-        // n_batches as null and sum() would skip them, silently
-        // undercounting the rolled-up batch total. With the merged
-        // schema, per-row coalesce(n_batches, 1) restores the pre-r11
-        // contract (one row = one ingest batch).
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(logPath.toString)
-        // pre-r11 ledgers have no n_batches column: each row was one
-        // ingest batch
-        val log =
-          if (raw.schema.fieldNames.contains("n_batches"))
-            raw.withColumn("n_batches",
-              coalesce(col("n_batches").cast("long"), lit(1L)))
-          else raw.withColumn("n_batches", lit(1L))
-        val r = log.agg(sum(col("n_batches")), sum(col("n_added")),
-            sum(col("n_added") * col("delta_mean_assign_cosine")) /
-              sum(col("n_added"))).head()
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1),
-          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
-      } else (0L, 0L, Double.NaN)
+    val (nDeltas, nLedger, deltaMean) = readDriftLedger(spark, dir, fs)
     // Roll the ledger up into ONE summary row in ONE file — the
     // weighted mean and batch count are sufficient statistics for the
     // retrain policy, and a per-ingest-file ledger on a daily serving
@@ -1577,14 +1612,18 @@ object Similarity {
 
   /** One-call self-driving maintenance — the POLICY CLOSURE of the
     * serving lifecycle (build → serve → update → drift ledger →
-    * compact → recommend → act), the `autoRebatch`/banding-auto-tune
-    * discipline applied to the ANN index: [[compactIndex]] always
-    * runs (the rewrite is the natural maintenance point and the
-    * ledger roll-up lives there), its measured verdict is READ, and
-    * `retrain_recommended` dispatches [[retrainIndex]] — the action
-    * is conditioned on the measured signal, not on an operator
-    * remembering to check a report column. A null verdict (no ledger
-    * or no recorded build mean) conservatively does NOT retrain.
+    * recommend → act), the `autoRebatch`/banding-auto-tune discipline
+    * applied to the ANN index: the measured verdict derives from the
+    * drift ledger + meta alone (no rewrite), then exactly ONE action
+    * runs — `retrain_recommended` dispatches the retrain
+    * ([[retrainIndexEra]] on an era-versioned index, [[retrainIndex]]
+    * otherwise; the rebuild subsumes compaction — tombstones purge,
+    * fragments vanish, the ledger clears), anything else runs
+    * [[compactIndex]]. The action is conditioned on the measured
+    * signal, not on an operator remembering to check a report column,
+    * and a retrain never pays a wasted pre-compaction of the store it
+    * is about to supersede. A null verdict (no ledger or no recorded
+    * build mean) conservatively does NOT retrain.
     *
     * `corpus` is the caller-owned float table retraining needs
     * (codes are lossy); it is only read when the verdict says
@@ -1608,32 +1647,49 @@ object Similarity {
       vecCol: String, idCol: String,
       driftTolerance: Double = Double.NaN, sampleQueries: Int = 8,
       recallK: Int = 5, nProbe: Int = 3): DataFrame = {
-    val rep = compactIndex(spark, dir, driftTolerance).head()
-    val recommended =
-      !rep.isNullAt(rep.fieldIndex("retrain_recommended")) &&
-        rep.getAs[Boolean]("retrain_recommended")
-    val audit =
-      if (recommended)
-        Some((if (currentIndexEra(spark, dir) >= 1)
-          retrainIndexEra(spark, dir, corpus, vecCol, idCol,
-            sampleQueries, recallK, nProbe)
-        else retrainIndex(spark, dir, corpus, vecCol, idCol,
-          sampleQueries, recallK, nProbe)).head())
-      else None
-    def optD(name: String): org.apache.spark.sql.Column =
-      if (rep.isNullAt(rep.fieldIndex(name))) lit(null).cast("double")
-      else lit(rep.getAs[Double](name))
-    spark.range(1).select(
-      lit(if (recommended) "retrained" else "compacted").as("action"),
-      optD("cosine_drift").as("cosine_drift"),
-      lit(rep.getAs[Double]("drift_tolerance")).as("drift_tolerance"),
-      lit(rep.getAs[Long]("n_deltas_absorbed")).as("n_deltas_absorbed"),
-      lit(audit.fold(rep.getAs[Long]("n_rows"))(
-        _.getAs[Long]("n_corpus"))).as("n_rows"),
-      audit.fold(lit(null).cast("long"))(a =>
-        lit(a.getAs[Long]("n_hits_before"))).as("n_hits_before"),
-      audit.fold(lit(null).cast("long"))(a =>
-        lit(a.getAs[Long]("n_hits_after"))).as("n_hits_after"))
+    // decide FIRST (ledger + meta — no rewrite), then run exactly ONE
+    // action: the old run-compaction-then-maybe-retrain shape paid a
+    // wasted store-sized vectors rewrite on every retrain (the rebuild
+    // subsumes compaction: tombstones purge, fragments vanish, the
+    // ledger clears) and, on an era-versioned index, mutated the era
+    // a pinned reader was serving right before superseding it
+    val (nDeltas, drift, tol, verdict) =
+      driftVerdictAt(spark, resolveIndexRoot(spark, dir),
+        driftTolerance)
+    val recommended = verdict.getOrElse(false)
+    def dOpt(x: Double): org.apache.spark.sql.Column =
+      if (x.isNaN) lit(null).cast("double") else lit(x)
+    if (recommended) {
+      val audit = (if (currentIndexEra(spark, dir) >= 1)
+        retrainIndexEra(spark, dir, corpus, vecCol, idCol,
+          sampleQueries, recallK, nProbe)
+      else retrainIndex(spark, dir, corpus, vecCol, idCol,
+        sampleQueries, recallK, nProbe)).head()
+      spark.range(1).select(
+        lit("retrained").as("action"),
+        dOpt(drift).as("cosine_drift"),
+        lit(tol).as("drift_tolerance"),
+        lit(nDeltas).as("n_deltas_absorbed"),
+        lit(audit.getAs[Long]("n_corpus")).as("n_rows"),
+        lit(audit.getAs[Long]("n_hits_before")).as("n_hits_before"),
+        lit(audit.getAs[Long]("n_hits_after")).as("n_hits_after"))
+    } else {
+      val rep = compactIndex(spark, dir, driftTolerance).head()
+      def optD(name: String): org.apache.spark.sql.Column =
+        if (rep.isNullAt(rep.fieldIndex(name)))
+          lit(null).cast("double")
+        else lit(rep.getAs[Double](name))
+      spark.range(1).select(
+        lit("compacted").as("action"),
+        optD("cosine_drift").as("cosine_drift"),
+        lit(rep.getAs[Double]("drift_tolerance"))
+          .as("drift_tolerance"),
+        lit(rep.getAs[Long]("n_deltas_absorbed"))
+          .as("n_deltas_absorbed"),
+        lit(rep.getAs[Long]("n_rows")).as("n_rows"),
+        lit(null).cast("long").as("n_hits_before"),
+        lit(null).cast("long").as("n_hits_after"))
+    }
   }
 
   /** EXACT-integer second-moment table for PCA over an embedding

@@ -1872,4 +1872,75 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.loadIndex(spark, dir).centroids.count() == 4L,
       "rolled forward: era 1 serves")
   }
+
+  test("maintainIndex on an ERA-VERSIONED index dispatches the " +
+      "era-aware retrain: the drift branch publishes a NEW era (the " +
+      "pre-maintenance lazy pin keeps serving its era), the benign " +
+      "branch compacts WITHIN the current era (no era bump)") {
+    val df = mixedFixture(spreadScales).toDF("vec_id", "embedding")
+    def clus(d2: org.apache.spark.sql.DataFrame) =
+      d2.select(col("vec_id"), transform(col("embedding"), x =>
+        (x.cast("double") / lit(8.0) + lit(0.5)).cast("float"))
+        .as("embedding"))
+    val base = clus(df.filter(col("vec_id") < 100))
+    val (cents, assigned) = Similarity.ivfIndex(base, "embedding",
+      "vec_id", 4)
+    val cb = Similarity.pqCodebooks(base, "embedding", "vec_id",
+      m = 4, k = 8)
+    val enc = Similarity.pqEncode(base, "embedding", "vec_id", cb,
+      m = 4)
+    val ae = assigned.select(col("centroid_id"), col("vec_id"))
+      .join(enc, Seq("vec_id"))
+    val st = assigned.agg(avg(col("assign_cosine")),
+      stddev_pop(col("assign_cosine"))).head()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_era").toString + "/ix"
+    Similarity.saveIndex(dir, cents, cb, ae, m = 4, k = 8,
+      st.getDouble(0), st.getDouble(1))
+    Similarity.snapshotIndexEras(spark, dir): Unit
+    def rows(d2: org.apache.spark.sql.DataFrame) =
+      d2.select("query_id", "vec_id", "adist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val q = clus(df.filter(col("vec_id") < 4))
+    // benign: drift ≈ 0 — compaction runs IN the era, no era bump
+    val benign = clus(df.filter(col("vec_id") >= 100))
+    Similarity.updateIndex(spark, dir, benign, "embedding", "vec_id")
+      .write.format("noop").mode("overwrite").save()
+    val bRep = Similarity.maintainIndex(spark, dir, clus(df),
+      "embedding", "vec_id").head()
+    assert(bRep.getString(0) == "compacted" &&
+      Similarity.currentIndexEra(spark, dir) == 1L,
+      "the benign branch must not publish an era")
+    // pin era 1 lazily, then FORCE the retrain branch
+    val pinned = Similarity.loadIndex(spark, dir)
+    val pinnedBefore = rows(Similarity.ivfPqTopK(q, pinned.centroids,
+      pinned.codebooks, pinned.assignedEncoded, "embedding",
+      "vec_id", m = 4, k = 8, topK = 5, nProbe = 2))
+    val dRep = Similarity.maintainIndex(spark, dir, clus(df),
+      "embedding", "vec_id", driftTolerance = -1e9,
+      sampleQueries = 2, recallK = 3, nProbe = 2).head()
+    assert(dRep.getString(0) == "retrained" &&
+      !dRep.isNullAt(dRep.fieldIndex("n_hits_after")))
+    assert(Similarity.currentIndexEra(spark, dir) == 2L,
+      "the era-aware retrain publishes e2")
+    assert(rows(Similarity.ivfPqTopK(q, pinned.centroids,
+      pinned.codebooks, pinned.assignedEncoded, "embedding",
+      "vec_id", m = 4, k = 8, topK = 5, nProbe = 2)) == pinnedBefore,
+      "the pre-maintenance pin keeps serving era 1")
+    // and the new era serves ≡ a fresh build on the live corpus
+    val live = clus(df)
+    val (c2, a2) = Similarity.ivfIndex(live, "embedding", "vec_id", 4)
+    val cb2 = Similarity.pqCodebooks(live, "embedding", "vec_id",
+      m = 4, k = 8)
+    val e2 = Similarity.pqEncode(live, "embedding", "vec_id", cb2,
+      m = 4)
+    val ae2 = a2.select(col("centroid_id"), col("vec_id"))
+      .join(e2, Seq("vec_id"))
+    assert(rows(Similarity.serveTopK(spark, dir, q, "embedding",
+      "vec_id", topK = 5, nProbe = 2)) ==
+      rows(Similarity.ivfPqTopK(q, c2, cb2, ae2, "embedding",
+        "vec_id", m = 4, k = 8, topK = 5, nProbe = 2)),
+      "era 2 ≡ the fresh build on the live corpus")
+  }
 }
