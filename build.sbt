@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Dev-only escape hatch for measurement experiments: extra -D flags
+  // (e.g. -Dspark.sql.adaptive...=...) injected into the forked run JVM
+  // so configs can be A/B-tested via BenchOne without editing Bench.
+  // SparkSession.builder picks up spark.* system properties. Unset in
+  // the driver's environment, so the official bench is unaffected.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

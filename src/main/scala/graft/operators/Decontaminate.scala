@@ -287,35 +287,13 @@ object Decontaminate {
       .select(col("_id"),
         explode(sequence(col("_pos"),
           col("_pos") + lit(shingleSize - 1))).as("_tp"))
-      .distinct()
-    // positions must index REAL tokens exactly like the shingle
-    // kernel (maximal non-\s runs, 0-based): filter BEFORE posexplode,
-    // or a tab/newline-prefixed text (Spark's trim strips spaces only)
-    // injects an empty token at position 0 and the coverage anti-join
-    // scrubs the wrong tokens
-    val toks = docs
-      .select(col(idCol).as("_id"),
-        posexplode(filter(split(trim(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as(Seq("_tp", "_tk")))
-    val rebuilt = toks
-      .join(covered, Seq("_id", "_tp"), "left_anti")
-      .groupBy(col("_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
-            t => t.getField("_tk")),
-          " ").as("clean_text"),
-        count(lit(1)).as("_n_kept"))
-    val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("_total"))
-    docs.select(col(idCol))
-      .join(totals, col(idCol) === totals("_id"), "left").drop("_id")
-      .join(rebuilt, col(idCol) === rebuilt("_id"), "left").drop("_id")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("_total"), lit(0L)).as("n_tokens"),
-        (coalesce(col("_total"), lit(0L)) -
-          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+    // Shared in-place rebuild (Dedup.scrubCoveredTokens): per-doc
+    // covered-position sets + higher-order array deletion — document
+    // text never shuffles, unlike the old token-explode + anti-join +
+    // collect_list reassembly (which moved every token of every doc
+    // twice). Position indexing contract unchanged (maximal non-\s
+    // runs, 0-based, HOF-filtered before indexing).
+    Dedup.scrubCoveredTokens(docs, textCol, idCol, covered)
   }
 
   /** Embedding-space decontamination: (corpus doc, benchmark doc, cosine)

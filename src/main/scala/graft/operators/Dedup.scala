@@ -964,35 +964,52 @@ object Dedup {
       .select(col("_id"),
         explode(sequence(col("_pos"),
           col("_pos") + lit(shingleSize - 1))).as("_tp"))
-      .distinct()
-    // positions must index REAL tokens exactly like the shingle
-    // kernel does (maximal non-\s runs, 0-based): filter BEFORE
-    // posexplode, or a tab/newline-prefixed text (Spark's trim strips
-    // spaces only) injects an empty token at position 0 and the
-    // coverage anti-join deletes the wrong tokens
-    val toks = df
-      .select(col(idCol).as("_id"),
-        posexplode(filter(split(trim(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as(Seq("_tp", "_tk")))
-    val rebuilt = toks
-      .join(covered, Seq("_id", "_tp"), "left_anti")
-      .groupBy(col("_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
-            t => t.getField("_tk")),
-          " ").as("clean_text"),
-        count(lit(1)).as("_n_kept"))
-    val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("_total"))
-    df.select(col(idCol))
-      .join(totals, col(idCol) === totals("_id"), "left").drop("_id")
-      .join(rebuilt, col(idCol) === rebuilt("_id"), "left").drop("_id")
+    scrubCoveredTokens(df, textCol, idCol, covered)
+  }
+
+  /** Shared rebuild tail for the span-scrub kernels ([[
+    * removeDuplicateSpans]], [[scrubDuplicateSpansKeepOne]],
+    * [[graft.operators.Decontaminate.scrubContaminatedSpans]]): given
+    * per-doc covered token positions, delete those tokens IN PLACE with
+    * higher-order array expressions. The previous shape exploded every
+    * token of every document and shuffled them twice (coverage
+    * anti-join + reassembly collect_list groupBy); here the only
+    * shuffles are the covered-position aggregation (covered docs only)
+    * and one join of the doc table against the per-doc position sets —
+    * document text never moves, and the per-doc rebuild is
+    * O(n_tokens + n_covered) via array_except's hash set (order of the
+    * first argument is preserved, so survivors stay in position order).
+    *
+    * Output contract identical to the old tail: one row per input row,
+    * (idCol, clean_text, n_tokens, n_removed), clean_text
+    * whitespace-canonicalized ('' for null/blank/fully-covered text).
+    * Token indexing matches the shingle kernel exactly (maximal non-\s
+    * runs, 0-based; the HOF filter runs before indexing — the
+    * \s-prefix regression class).
+    *
+    * @param covered (_id, _tp) rows: 0-based covered REAL-token
+    *        positions, each within [0, n_tokens) of its doc by
+    *        construction; duplicates allowed (deduped here). */
+  private[operators] def scrubCoveredTokens(df: DataFrame,
+      textCol: String, idCol: String, covered: DataFrame): DataFrame = {
+    val cov = covered.groupBy(col("_id"))
+      .agg(collect_set(col("_tp").cast("int")).as("_cov"))
+    val toksArr = coalesce(
+      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0),
+      array().cast("array<string>"))
+    df.select(col(idCol), toksArr.as("_toks"))
+      .join(cov, col(idCol) === cov("_id"), "left").drop("_id")
+      .select(col(idCol), col("_toks"),
+        array_except(
+          when(size(col("_toks")) === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(0), size(col("_toks")) - 1)),
+          coalesce(col("_cov"), array().cast("array<int>"))).as("_keep"))
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("_total"), lit(0L)).as("n_tokens"),
-        (coalesce(col("_total"), lit(0L)) -
-          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+        array_join(transform(col("_keep"),
+          p => element_at(col("_toks"), p + 1)), " ").as("clean_text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_keep"))).cast("long")
+          .as("n_removed"))
   }
 
   /** CORPUS-WIDE duplicated-substring REPORT — the Lee et al. 2022
@@ -1062,35 +1079,34 @@ object Dedup {
           .as("span_end"),
         count(lit(1)).as("n_windows"))
       .localCheckpoint()
-    // tokens indexed EXACTLY like the shingle kernel (maximal non-\s
-    // runs, 0-based over REAL tokens): the HOF filter runs BEFORE
-    // posexplode, so a \s-prefixed text (tab/newline survives Spark's
+    // Span text via an in-place array slice: spans gather per doc (a
+    // span-table-sized groupBy), join the doc table once, and each
+    // span's text is slice(tokens, start, len) of the doc's token
+    // array — no token explode, no range join, no reassembly groupBy.
+    // Tokens indexed EXACTLY like the shingle kernel (maximal non-\s
+    // runs, 0-based over REAL tokens): the HOF filter runs BEFORE the
+    // slice, so a \s-prefixed text (tab/newline survives Spark's
     // space-only trim) can't inject an empty token at position 0 and
     // shift every span's text one token left. Only span-bearing
-    // documents tokenize at all (the semi-join) — unduplicated text
+    // documents tokenize at all (the inner join) — unduplicated text
     // never moves, as the scale note promises.
-    val toks = df
-      .join(spans.select(col("_id")).distinct(),
-        df(idCol) === col("_id"), "left_semi")
-      .select(col(idCol).as("_id"),
-        posexplode(filter(split(trim(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as(Seq("_tp", "_tk")))
-      .select(col("_id"), col("_tp").cast("long").as("_tp"),
-        col("_tk"))
-    spans
-      .join(toks, toks("_id") === spans("_id") &&
-        col("_tp").between(col("span_start"), col("span_end")))
-      .drop(toks("_id"))
-      .groupBy(col("_id"), col("span_start"), col("span_end"))
-      .agg(first(col("n_windows")).as("n_windows"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
-            t => t.getField("_tk")),
+    val byDoc = spans.groupBy(col("_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"),
+        col("n_windows"))).as("_spans"))
+    df.join(byDoc, df(idCol) === byDoc("_id"), "inner")
+      .select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("_toks"),
+        explode(col("_spans")).as("_s"))
+      .select(col(idCol),
+        col("_s.span_start").as("span_start"),
+        col("_s.span_end").as("span_end"),
+        (col("_s.span_end") - col("_s.span_start") + 1L).as("n_tokens"),
+        col("_s.n_windows").as("n_windows"),
+        array_join(slice(col("_toks"),
+          col("_s.span_start").cast("int") + 1,
+          (col("_s.span_end") - col("_s.span_start") + 1L).cast("int")),
           " ").as("span_text"))
-      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("n_tokens"),
-        col("n_windows"), col("span_text"))
   }
 
   /** KEEP-ONE duplicate-span scrub — Lee et al. 2022's ACTUAL
@@ -1136,34 +1152,7 @@ object Dedup {
       .select(col(idCol).as("_id"),
         explode(sequence(col("span_start"), col("span_end")))
           .as("_tp"))
-      .distinct()
-    // token indexing EXACTLY like the shingle kernel (the HOF filter
-    // runs before posexplode — the \s-prefix regression class)
-    val toks = df
-      .select(col(idCol).as("_id"),
-        posexplode(filter(split(trim(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as(Seq("_tp", "_tk")))
-      .select(col("_id"), col("_tp").cast("long").as("_tp"),
-        col("_tk"))
-    val rebuilt = toks
-      .join(covered, Seq("_id", "_tp"), "left_anti")
-      .groupBy(col("_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("_tp"), col("_tk")))),
-            t => t.getField("_tk")),
-          " ").as("clean_text"),
-        count(lit(1)).as("_n_kept"))
-    val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("_total"))
-    df.select(col(idCol))
-      .join(totals, col(idCol) === totals("_id"), "left").drop("_id")
-      .join(rebuilt, col(idCol) === rebuilt("_id"), "left").drop("_id")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("_total"), lit(0L)).as("n_tokens"),
-        (coalesce(col("_total"), lit(0L)) -
-          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+    scrubCoveredTokens(df, textCol, idCol, covered)
   }
 
   /** A persisted MinHash signature index WITH its derivation

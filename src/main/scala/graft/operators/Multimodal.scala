@@ -27,6 +27,15 @@ import graft.Checkpointer
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // createImageInputStream / ImageIO.write call materializes (and
+  // deletes) a temp FILE, so each tiny in-memory decode/encode pays two
+  // filesystem metadata round-trips. Every payload here is a bounded
+  // in-memory byte array (the decompression-bomb budgets cap raster
+  // size), so the memory cache is strictly better. JVM-global, set once
+  // when this object loads — executors load it before any kernel runs.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Media metadata carried beside every payload. */
   val metadataSchema: StructType = StructType(Seq(
     StructField("media_type", StringType, nullable = false),
